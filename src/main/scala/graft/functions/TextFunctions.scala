@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column expressions for document pipelines.
+  *
+  * All are compositions of built-in codegen'd functions (regexp, md5,
+  * length) — no UDFs — so they stay inside WholeStageCodegen and are
+  * pushdown/prune-friendly at 100 TB scan scale.
+  *
+  * The oracle-parity contract: every expression here has an exact ANSI-SQL
+  * twin in SparkEntry.oracleSql (DuckDB), so each derived column is
+  * hash-checked, not just row-counted.
+  */
+object TextFunctions {
+
+  /** Whitespace-collapsed, lowercased canonical text. */
+  def normText(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** Content fingerprint = md5 of the canonical text. Stands in for the
+    * reference-class rolling-hash fingerprint with an exactly portable
+    * digest (same hex in Spark and DuckDB). */
+  def fingerprint(c: Column): Column =
+    md5(normText(c).cast("binary"))
+
+  /** Whitespace token count. */
+  def wsTokens(c: Column): Column =
+    size(split(trim(c), "\\s+"))
+
+  /** BPE-ish word token count: alphanumeric runs. */
+  def wordTokens(c: Column): Column =
+    regexp_count(c, lit("[A-Za-z0-9]+"))
+
+  private val StopwordsRe = "(^| )(the|a|an|and|or|of|to|in|is|it)( |$)"
+  private val PunctRe = "[.,;:!?]"
+
+  /** Count of stopword occurrences (space-delimited on canonical text —
+    * lookaround-free so the same regex runs on Spark and DuckDB/RE2).
+    * Non-overlapping matching means adjacent stopwords ("of the") count
+    * once per matched window on both engines — identical, which is what
+    * parity needs. */
+  def stopwordHits(c: Column): Column =
+    regexp_count(normText(c), lit(StopwordsRe))
+
+  def punctHits(c: Column): Column =
+    regexp_count(c, lit(PunctRe))
+
+  /** Heuristic quality score in [0,1]: length saturation + word share -
+    * punctuation noise. Deterministic arithmetic, rounded for parity. */
+  def qualityScore(c: Column): Column = {
+    val len = length(c).cast("double")
+    val lenSat = least(len / lit(500.0), lit(1.0))
+    val wordShare = wordTokens(c).cast("double") / greatest(wsTokens(c).cast("double"), lit(1.0))
+    val punctNoise = punctHits(c).cast("double") / greatest(len, lit(1.0))
+    round(lit(0.5) * lenSat + lit(0.5) * least(wordShare, lit(1.0)) - punctNoise, 4)
+  }
+
+  /** Language-ID heuristic: marker-stopword hit counts per language with a
+    * fixed priority order on ties. (Same CASE cascade in the oracle SQL.) */
+  private def markers(c: Column, words: Seq[String]): Column =
+    regexp_count(normText(c), lit(s"(^| )(${words.mkString("|")})( |$$)"))
+
+  def langGuess(c: Column): Column = {
+    val en = markers(c, Seq("the", "and", "of", "is"))
+    val de = markers(c, Seq("der", "die", "und", "ist"))
+    val fr = markers(c, Seq("le", "la", "et", "est"))
+    val es = markers(c, Seq("el", "los", "y", "es"))
+    val mx = greatest(en, de, fr, es)
+    when(mx === 0, lit("und"))
+      .when(en === mx, lit("en"))
+      .when(de === mx, lit("de"))
+      .when(fr === mx, lit("fr"))
+      .otherwise(lit("es"))
+  }
+
+  /** Word n-gram shingles of the canonical text (distinct). Word-level
+    * shingles keep the explode fan-out ~|tokens| per doc instead of
+    * |chars| — the scale-relevant choice for dedup joins. */
+  def wordShingles(c: Column, n: Int): Column = {
+    val toks = split(normText(c), " ")
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+          i => when(size(toks) >= n,
+            concat_ws(" ", slice(toks, i + 1, lit(n)))).otherwise(null)),
+        x => x.isNotNull))
+  }
+}

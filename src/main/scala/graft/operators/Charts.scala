@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Chart / leaderboard analytics.
+  *
+  * Re-expresses the reference dashboard's pandas sort-head logic
+  * (app.py:60-119) and the ETL's "weeks on chart" streak computation
+  * (dag.py:118-154) as window-function plans.
+  *
+  * Scale notes: the reference loops over each timestamp and each group in
+  * Python (dag.py:127-152 — O(weeks × entities) driver-side). Here the whole
+  * streak is two window passes over a per-(entity, week) pre-aggregate, which
+  * is tiny relative to the raw fact table, so the expensive shuffle happens
+  * once on the pre-aggregate's keys and everything after is narrow.
+  */
+object Charts {
+
+  /** Global top-k by a metric with a deterministic tiebreak.
+    * Reference: app.py:62-63 `sort_values("popularity", ascending=False).head(20)`.
+    * TopK through `orderBy.limit` lets Spark run a per-partition partial
+    * top-k (TakeOrderedAndProject) — no full sort of 100 TB. */
+  def topK(df: DataFrame, metric: String, tiebreak: String, k: Int): DataFrame =
+    df.orderBy(col(metric).desc, col(tiebreak).asc).limit(k)
+
+  /** Top-k within each group via row_number — one shuffle on the group key.
+    * Reference: the dashboard's per-entity-type leaderboards (app.py:56-89). */
+  def topKPerGroup(df: DataFrame, group: String, metric: String,
+                   tiebreak: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(group).orderBy(col(metric).desc, col(tiebreak).asc)
+    df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** Distribution stats per group — the audio-feature comparison surface
+    * (app.py:35-53, 93-97) generalized to one partial-aggregated pass. */
+  def featureStats(df: DataFrame, group: String, feature: String): DataFrame =
+    df.groupBy(group).agg(
+      count(lit(1)).as("n"),
+      round(avg(feature), 2).as("avg_v"),
+      round(min(feature), 2).as("min_v"),
+      round(max(feature), 2).as("max_v"),
+      round(stddev(feature), 2).as("std_v"))
+
+  /** Latest row per entity (reference keeps `group.iloc[-1]`, dag.py:139).
+    * row_number over (entity order by ts desc) — one shuffle on entity. */
+  def latestSnapshot(df: DataFrame, entity: String, ts: String,
+                     tiebreak: String): DataFrame = {
+    val w = Window.partitionBy(entity).orderBy(col(ts).desc, col(tiebreak).desc)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** Per-(entity, ISO week) score: the weekly snapshot the reference gets
+    * from its weekly Airflow cadence. Rounded before any ranking so that
+    * cross-engine rank tiebreaks are deterministic. */
+  def weeklyScores(events: DataFrame, entity: String, ts: String,
+                   value: String): DataFrame =
+    events
+      .select(col(entity), date_trunc("week", col(ts)).cast("date").as("wk"),
+        col(value))
+      .groupBy(entity, "wk")
+      .agg(round(sum(value), 2).as("score"))
+      .withColumn("weeknum",
+        (datediff(col("wk"), lit("1970-01-05").cast("date")) / 7).cast("long"))
+
+  /** Rank entities within each week — the per-week chart. */
+  def weeklyChart(events: DataFrame, entity: String, ts: String,
+                  value: String, k: Int): DataFrame = {
+    val w = Window.partitionBy("wk").orderBy(col("score").desc, col(entity).asc)
+    weeklyScores(events, entity, ts, value)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(date_format(col("wk"), "yyyy-MM-dd").as("wk"),
+        col(entity), col("score"), col("rnk"))
+  }
+
+  /** Consecutive-weeks-on-chart streak ending at the newest week.
+    *
+    * Reference semantics (dag.py:118-154): an entity's `chart` counter is the
+    * number of consecutive weekly appearances in the top-`k` chart, reset to 0
+    * on a gap, and reported as 0 unless the streak reaches the newest week.
+    *
+    * Plan: weekly pre-agg → per-week row_number (chart membership) →
+    * gaps-and-islands (weeknum - row_number over entity) → count of the
+    * island that touches the global max week. The global max week is a 1-row
+    * aggregate joined via broadcast.
+    */
+  def weeksOnChart(events: DataFrame, entity: String, ts: String,
+                   value: String, k: Int): DataFrame = {
+    val weekly = weeklyScores(events, entity, ts, value)
+    val rankW = Window.partitionBy("wk").orderBy(col("score").desc, col(entity).asc)
+    val charted = weekly
+      .withColumn("rnk", row_number().over(rankW))
+      .filter(col("rnk") <= k)
+      .select(col(entity), col("weeknum"))
+    val maxWeek = weekly.agg(max("weeknum").as("maxwk"))
+    val islandW = Window.partitionBy(entity).orderBy(col("weeknum").asc)
+    val islands = charted.withColumn("grp",
+      col("weeknum") - row_number().over(islandW))
+    val lastIsland = islands.groupBy(col(entity), col("grp"))
+      .agg(count(lit(1)).as("cnt"), max("weeknum").as("mxw"))
+    val streaks = lastIsland
+      .join(broadcast(maxWeek), col("mxw") === col("maxwk"))
+      .select(col(entity), col("cnt"))
+    weekly.select(entity).distinct()
+      .join(streaks, Seq(entity), "left")
+      .select(col(entity), coalesce(col("cnt"), lit(0L)).as("weeks_on_chart"))
+  }
+}

@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication family for training-data pipelines.
+  *
+  * Scale posture: nothing here is O(n²) on the full corpus. Every near-dup
+  * variant routes candidate generation through a bucket key (shingle, LSH
+  * band, or partition label) so the self-join shuffles on the bucket and
+  * only intra-bucket pairs are scored.
+  */
+object Dedup {
+
+  /** Exact dedup by content fingerprint, keeping the smallest id — the
+    * distributed `SELECT DISTINCT`/`drop_duplicates` (dag.py:725-733) made
+    * deterministic. One hash shuffle on the fingerprint. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy("fp").orderBy(col(idCol).asc)
+    docs.select(col(idCol), T.fingerprint(col(textCol)).as("fp"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** N-gram Jaccard near-dup pairs, threshold on the rounded score.
+    *
+    * Candidate generation: explode distinct word shingles, self-join on the
+    * shingle (shuffle key = shingle), count intersections per pair, then
+    * |A∪B| = |A|+|B|−|A∩B|. At 100 TB the hot shingles are the skew risk —
+    * production path is [[minhashPairs]]; this exact variant is the oracle
+    * for it. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, minJaccard: Double): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("id"), explode(T.wordShingles(col(textCol), n)).as("g"))
+    val counts = sh.groupBy("id").agg(count(lit(1)).as("nsh"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = a.join(b, col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    val jac = inter
+      .join(counts.withColumnRenamed("id", "id1").withColumnRenamed("nsh", "n1"), "id1")
+      .join(counts.withColumnRenamed("id", "id2").withColumnRenamed("nsh", "n2"), "id2")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")).cast("double"), 4))
+    jac.filter(col("jaccard") >= minJaccard)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** MinHash signatures: `numHashes` permutations h_i(x) = (a_i·x + b_i) mod p
+    * over portable 32-bit shingle hashes (crc32 of the shingle bytes).
+    * Signature = per-doc min of each permutation — one groupBy(doc). */
+  private val MersenneP = 2147483647L // 2^31 - 1
+
+  def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, numHashes: Int): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      explode(T.wordShingles(col(textCol), n)).as("g"))
+      .withColumn("h", crc32(col("g").cast("binary")) % MersenneP)
+    val mins = (0 until numHashes).map { i =>
+      val a = 1L + 2L * i  // odd multipliers; fixed seed-free family
+      val b = 7919L * (i + 1)
+      min((col("h") * a + b) % MersenneP).as(s"mh$i")
+    }
+    sh.groupBy("id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash + LSH banding: split the signature into `bands` bands of
+    * `rowsPerBand`, bucket-join on (band, band-hash), verify candidates with
+    * exact signature agreement ≥ threshold. Shuffle key = band bucket, so
+    * the pair blow-up is bounded by bucket size, not corpus size. */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int, bands: Int, rowsPerBand: Int,
+                   minAgree: Double): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = minhashSignature(docs, idCol, textCol, n, numHashes).cache()
+    val sigCols = (0 until numHashes).map(i => col(s"mh$i"))
+    val banded = sig.select(col("id") +: (0 until bands).map { b =>
+      val bandCols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      hash(bandCols: _*).as(s"band$b")
+    }: _*)
+    val candidates = (0 until bands).map { b =>
+      val l = banded.select(col("id").as("id1"), col(s"band$b").as("bk"))
+      val r = banded.select(col("id").as("id2"), col(s"band$b").as("bk"))
+      l.join(r, Seq("bk")).filter(col("id1") < col("id2")).select("id1", "id2")
+    }.reduce(_ unionByName _).distinct()
+    val s1 = sig.toDF(sig.columns.map(c => if (c == "id") "id1" else c + "_1"): _*)
+    val s2 = sig.toDF(sig.columns.map(c => if (c == "id") "id2" else c + "_2"): _*)
+    val agree = (0 until numHashes)
+      .map(i => when(col(s"mh${i}_1") === col(s"mh${i}_2"), 1).otherwise(0))
+      .reduce(_ + _)
+    candidates.join(s1, "id1").join(s2, "id2")
+      .withColumn("est_jaccard", round(agree.cast("double") / numHashes, 4))
+      .filter(col("est_jaccard") >= minAgree)
+      .select(col("id1"), col("id2"), col("est_jaccard"))
+  }
+
+  /** SimHash: 64-bit weighted bit-vote over shingle hashes; near-dups share
+    * the signature's high bits. Emits (id, simhash, bucket=high 16 bits);
+    * near-dup pairs join on the bucket. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      explode(T.wordShingles(col(textCol), n)).as("g"))
+      .withColumn("h", xxhash64(col("g")))
+    val bitVotes = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i")
+    }
+    val votes = sh.groupBy("id").agg(bitVotes.head, bitVotes.tail: _*)
+    val sig = (0 until 64).map { i =>
+      when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    votes.select(col("id"), sig.as("simhash"))
+      .withColumn("bucket", shiftright(col("simhash"), 48))
+  }
+
+  /** SimHash near-dup pairs within a bucket, by hamming distance. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int, maxHamming: Int): DataFrame = {
+    val s = simhash(docs, idCol, textCol, n)
+    val a = s.select(col("id").as("id1"), col("simhash").as("h1"), col("bucket"))
+    val b = s.select(col("id").as("id2"), col("simhash").as("h2"), col("bucket"))
+    a.join(b, Seq("bucket")).filter(col("id1") < col("id2"))
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming"))
+  }
+
+  /** Embedding near-dup: cosine ≥ τ among pairs sharing a coarse bucket
+    * (IVF-style partition prefilter → intra-bucket self-join only). */
+  def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
+                       bucketCol: String, minCos: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("id1"), col(vecCol).as("v1"), col(bucketCol).as("bk"))
+    val b = emb.select(col(idCol).as("id2"), col(vecCol).as("v2"), col(bucketCol).as("bk"))
+    a.join(b, Seq("bk")).filter(col("id1") < col("id2"))
+      .withColumn("cos", round(V.cosine(col("v1"), col("v2")), 6))
+      .filter(col("cos") >= minCos)
+      .select(col("id1"), col("id2"), col("cos"))
+  }
+}

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch ETL operators mirroring the reference DAG's transform/load stages
+  * (dag.py:408-532, 725-738), re-expressed as declarative plans so predicate
+  * pushdown / column pruning / partial aggregation are Catalyst's problem.
+  */
+object Etl {
+
+  /** Filter + project + rename — the reference's `df[df.popularity != 0]`
+    * then column alignment (dag.py:442-452). The predicate lands in the
+    * parquet scan as a pushed filter; the select prunes the read schema. */
+  def filterProject(orders: DataFrame, minTotal: Double): DataFrame =
+    orders
+      .filter(col("o_totalprice") > minTotal && col("o_orderstatus") =!= "P")
+      .select(
+        col("o_orderkey").as("order_id"),
+        col("o_custkey").as("customer_id"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").as("total"))
+
+  /** History ∪ fresh-batch with exact dedup — `pd.concat(...)` +
+    * `drop_duplicates` (dag.py:457-464). Both legs slice the same fact by
+    * date (at scale: partition-pruned reads), union is metadata-only, and
+    * the distinct is one hash-aggregate shuffle. */
+  def unionHistory(orders: DataFrame, historyCutDays: Int,
+                   freshDays: Int): DataFrame = {
+    val maxd = orders.agg(max(col("o_orderdate")).as("maxd"))
+    val withMax = orders.crossJoin(broadcast(maxd))
+    val history = withMax.filter(
+      col("o_orderdate") < expr(s"maxd - INTERVAL $historyCutDays DAYS"))
+    val fresh = withMax.filter(
+      col("o_orderdate") >= expr(s"maxd - INTERVAL $freshDays DAYS"))
+    history.unionByName(fresh)
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_totalprice"))
+      .distinct()
+  }
+
+  /** Keyed upsert (MERGE): new batch wins over target on the key.
+    * Reference: BigQueryUpsertTableOperator (dag.py:5) + append loads.
+    * source ∪ (target ⟕anti source) — the anti join shuffles on the key
+    * once; with a small source Spark broadcasts it. */
+  def upsert(target: DataFrame, source: DataFrame, key: String): DataFrame =
+    source.unionByName(target.join(source.select(key), Seq(key), "left_anti"))
+
+  /** Deterministic keyed dedup: keep the first row per key-set by a stable
+    * order — reference's `drop_duplicates(subset=[...])` (dag.py:462-483)
+    * made order-stable (pandas keeps first encounter; we keep min order col). */
+  def dedupKeys(df: DataFrame, keys: Seq[String], orderCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(col(_).asc): _*)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** Rows within the trailing `days` window of the table's own max timestamp —
+    * the reference's "last 2 months" filter (dag.py:488-491). The 1-row max
+    * aggregate is broadcast; at scale the comparison prunes partitions. */
+  def recentWindow(df: DataFrame, ts: String, days: Int): DataFrame = {
+    val maxd = df.agg(max(col(ts)).as("graft_maxd"))
+    df.crossJoin(broadcast(maxd))
+      .filter(col(ts) > expr(s"graft_maxd - INTERVAL $days DAYS"))
+      .drop("graft_maxd")
+  }
+
+  /** As [[recentWindow]] but over an int64 epoch-nanoseconds column —
+    * exact long arithmetic, bit-identical to an engine comparing native
+    * nanosecond timestamps. */
+  def recentWindowNanos(df: DataFrame, tsNanos: String, days: Int): DataFrame = {
+    val maxd = df.agg(max(col(tsNanos)).as("graft_maxd"))
+    df.crossJoin(broadcast(maxd))
+      .filter(col(tsNanos) > col("graft_maxd") - lit(days.toLong * 86400L * 1000000000L))
+      .drop("graft_maxd")
+  }
+
+  /** Weekly grouped aggregate — the weekly-cadence batch rollup. One
+    * partial-aggregated shuffle on (week, group). */
+  def weeklyAgg(events: DataFrame, ts: String, group: String,
+                value: String): DataFrame =
+    events
+      .select(date_format(date_trunc("week", col(ts)), "yyyy-MM-dd").as("wk"),
+        col(group), col(value))
+      .groupBy("wk", group)
+      .agg(count(lit(1)).as("n"),
+        round(sum(value), 2).as("sum_v"),
+        round(avg(value), 2).as("avg_v"))
+
+  /** Fact-to-dim enrichment: lineitem ⟕ part, then revenue by brand.
+    * Reference: tracks ⟕ audio-features merge (dag.py:462-464) feeding
+    * aggregated dashboards. The dim side is broadcast — no fact shuffle for
+    * the join; the aggregate shuffles only (brand) partials. */
+  def enrichRevenueByBrand(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val li = lineitem.select(col("l_partkey"), col("l_extendedprice"),
+      col("l_discount"), col("l_quantity"))
+    val p = part.select(col("p_partkey"), col("p_brand"))
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"), "left")
+      .groupBy(coalesce(col("p_brand"), lit("UNKNOWN")).as("brand"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        round(sum("l_quantity"), 2).as("sum_qty"))
+  }
+
+  /** TPC-H Q1-flavoured pricing summary: the canonical partial-agg scan.
+    * All measures compute in one pass; map-side combine shrinks the shuffle
+    * to |returnflag × linestatus| rows per partition. */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg("l_quantity"), 2).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+}

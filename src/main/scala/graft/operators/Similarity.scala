@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.functions.{VectorFunctions => V}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbour search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k — a single broadcast of the query
+  * vector and one narrow scan + TakeOrderedAndProject; at 100 TB this is
+  * the "exact but expensive" path. Scale path: random-projection LSH
+  * buckets prefilter candidates so only matching-bucket rows are scored.
+  */
+object Similarity {
+
+  /** Top-k rows by cosine similarity to the embedding of `queryId`.
+    * The 1-row query vector is broadcast; ranking uses the rounded score
+    * with an id tiebreak for determinism. */
+  def cosineTopK(emb: DataFrame, idCol: String, vecCol: String,
+                 queryId: Long, k: Int): DataFrame = {
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("graft_qv")).limit(1)
+    emb.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= queryId)
+      .withColumn("cos", round(V.cosine(col(vecCol), col("graft_qv")), 6))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("cos"))
+  }
+
+  /** Deterministic random-projection bucket id: sign bits of `nBits` fixed
+    * pseudo-random hyperplanes. The "hyperplane" for bit j uses weights
+    * w_ij = sin(i·(j+1)) — fixed, seedless, and computable identically on
+    * any engine. Rows in the same bucket are ANN candidates. */
+  def projectionBucket(vecCol: Column, dim: Int, nBits: Int): Column =
+    (0 until nBits).map { j =>
+      val proj = aggregate(
+        zip_with(vecCol,
+          array((0 until dim).map(i => lit(math.sin(i.toDouble * (j + 1)))): _*),
+          (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** ANN via LSH bucket prefilter: score only rows whose projection bucket
+    * matches the query's. Trades recall for a candidate set ~n/2^nBits. */
+  def annBucketTopK(emb: DataFrame, idCol: String, vecCol: String,
+                    dim: Int, nBits: Int, queryId: Long, k: Int): DataFrame = {
+    val withBucket = emb.withColumn("bk", projectionBucket(col(vecCol), dim, nBits))
+    val q = withBucket.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("graft_qv"), col("bk").as("graft_qbk")).limit(1)
+    withBucket.crossJoin(broadcast(q))
+      .filter(col("bk") === col("graft_qbk") && col(idCol) =!= queryId)
+      .withColumn("cos", round(V.cosine(col(vecCol), col("graft_qv")), 6))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("cos"))
+  }
+}
