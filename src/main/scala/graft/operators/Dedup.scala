@@ -32,22 +32,47 @@ object Dedup {
     * |A∪B| = |A|+|B|−|A∩B|. At 100 TB the hot shingles are the skew risk —
     * production path is [[minhashPairs]]; this exact variant is the oracle
     * for it. */
+  /** (id, nsh, g): one row per distinct word shingle per doc, with the
+    * doc's shingle-set size attached. Tokens and the shingle array are
+    * materialized in their own projections (regex runs once per doc, and
+    * `nsh` is computed before the explode so Generate doesn't drag the
+    * array through every exploded row). */
+  private def explodedShingles(docs: DataFrame, idCol: String,
+                               textCol: String, n: Int): DataFrame =
+    docs
+      .select(col(idCol).as("id"), T.tokens(col(textCol)).as("toks"))
+      .select(col("id"), T.shinglesOf(col("toks"), n).as("shs"))
+      .select(col("id"), size(col("shs")).as("nsh"), col("shs"))
+      // explode_outer, NOT explode: plain explode makes Catalyst infer a
+      // `size(shs) > 0` filter and push it below the projections,
+      // re-substituting the whole interpreted shingle expression into the
+      // filter (≈10× slowdown measured at sf0.1). The null row an empty
+      // doc produces is dropped by the cheap generated-attribute filter.
+      .select(col("id"), col("nsh"), explode_outer(col("shs")).as("g"))
+      .filter(col("g").isNotNull)
+
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, minJaccard: Double): DataFrame = {
-    val sh = docs
-      .select(col(idCol).as("id"), explode(T.wordShingles(col(textCol), n)).as("g"))
-    val counts = sh.groupBy("id").agg(count(lit(1)).as("nsh"))
+    // Shingle-set size rides along the join rows, so no per-doc count
+    // aggregate or post-join count lookups are needed: the whole op is
+    // explode → one self-join on the shingle → one pair agg.
+    // At skew (hot shingles) AQE's skew-join split keeps partitions bounded;
+    // the MinHash path is the preferred O(n·sig) variant at corpus scale.
+    // Persisted because it feeds both join legs: the broadcast build job
+    // materializes the cache, the probe side then reads it instead of
+    // re-running the shingle pipeline.
+    val sh = explodedShingles(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sh.as("a"); val b = sh.as("b")
     val inter = a.join(b, col("a.g") === col("b.g") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.nsh").as("n1"), col("b.nsh").as("n2"))
       .agg(count(lit(1)).as("inter"))
-    val jac = inter
-      .join(counts.withColumnRenamed("id", "id1").withColumnRenamed("nsh", "n1"), "id1")
-      .join(counts.withColumnRenamed("id", "id2").withColumnRenamed("nsh", "n2"), "id2")
+    inter
       .withColumn("jaccard",
         round(col("inter").cast("double") /
           (col("n1") + col("n2") - col("inter")).cast("double"), 4))
-    jac.filter(col("jaccard") >= minJaccard)
+      .filter(col("jaccard") >= minJaccard)
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
@@ -58,9 +83,8 @@ object Dedup {
 
   def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
                        n: Int, numHashes: Int): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      explode(T.wordShingles(col(textCol), n)).as("g"))
-      .withColumn("h", crc32(col("g").cast("binary")) % MersenneP)
+    val sh = explodedShingles(docs, idCol, textCol, n)
+      .select(col("id"), (crc32(col("g").cast("binary")) % MersenneP).as("h"))
     val mins = (0 until numHashes).map { i =>
       val a = 1L + 2L * i  // odd multipliers; fixed seed-free family
       val b = 7919L * (i + 1)
@@ -103,9 +127,8 @@ object Dedup {
     * the signature's high bits. Emits (id, simhash, bucket=high 16 bits);
     * near-dup pairs join on the bucket. */
   def simhash(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      explode(T.wordShingles(col(textCol), n)).as("g"))
-      .withColumn("h", xxhash64(col("g")))
+    val sh = explodedShingles(docs, idCol, textCol, n)
+      .select(col("id"), xxhash64(col("g")).as("h"))
     val bitVotes = (0 until 64).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i")
     }
@@ -133,10 +156,16 @@ object Dedup {
     * (IVF-style partition prefilter → intra-bucket self-join only). */
   def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
                        bucketCol: String, minCos: Double): DataFrame = {
-    val a = emb.select(col(idCol).as("id1"), col(vecCol).as("v1"), col(bucketCol).as("bk"))
-    val b = emb.select(col(idCol).as("id2"), col(vecCol).as("v2"), col(bucketCol).as("bk"))
+    // Norms are computed once per row before the self-join (n·dim work)
+    // instead of once per pair (n²/buckets·dim) — each pair then costs a
+    // single dot product. Same doubles as dot/√dot·√dot, so oracle-exact.
+    val withNorm = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      col(bucketCol).as("bk"), V.norm(col(vecCol)).as("nrm"))
+    val a = withNorm.toDF("id1", "v1", "bk", "nrm1")
+    val b = withNorm.toDF("id2", "v2", "bk", "nrm2")
     a.join(b, Seq("bk")).filter(col("id1") < col("id2"))
-      .withColumn("cos", round(V.cosine(col("v1"), col("v2")), 6))
+      .withColumn("cos",
+        round(V.dot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2")), 6))
       .filter(col("cos") >= minCos)
       .select(col("id1"), col("id2"), col("cos"))
   }
