@@ -109,13 +109,50 @@ object SparkEntry {
     "q20_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.2)),
 
+    "q21_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, bands = 8, rowsPerBand = 4, minAgree = 0.2)),
+
+    "q22_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, maxHamming = 16)),
+
     "q23_cosine_topk" -> ((s, d) =>
       Similarity.cosineTopK(Tables.embeddings(s, d), "vec_id", "embedding", 0L, 20)),
 
     "q24_embedding_neardup" -> ((s, d) =>
       Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
         "label", 0.3)),
+
+    "q25_ann_buckets" -> ((s, d) =>
+      Similarity.annBucketTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        dim = 64, nBits = 4, queryId = 0L, k = 20)),
+
+    "q26_kmeans_recommend" -> ((s, d) => {
+      val clustered = ml.Recommend.clusterItems(Tables.part(s, d),
+        "p_partkey", "p_brand", Seq("p_retailprice", "p_size"))
+      ml.Recommend.recommendFor(clustered, "p_partkey", 1L,
+        Seq("p_partkey", "p_name", "p_brand"))
+    }),
+
+    "q27_rf_predict" -> ((s, d) =>
+      ml.Popularity.metricsDf(s, rfFit(s, d))),
+
+    "q28_feature_importance" -> ((s, d) =>
+      ml.Popularity.importancesDf(s, rfFit(s, d))),
   )
+
+  /** RF fit shared by q27/q28, memoized per scale dir. Trained on a
+    * deterministic 5% key-sampled slice so CV tuning stays bounded. */
+  private val rfCache = scala.collection.concurrent.TrieMap.empty[String, ml.Popularity.Fit]
+  private def rfFit(s: SparkSession, d: String): ml.Popularity.Fit =
+    rfCache.getOrElseUpdate(d, {
+      val sample = Tables.lineitem(s, d)
+        .filter(pmod(col("l_orderkey"), lit(20)) === 0)
+        .select("l_quantity", "l_discount", "l_tax", "l_extendedprice")
+      ml.Popularity.train(sample,
+        Seq("l_quantity", "l_discount", "l_tax"), "l_extendedprice")
+    })
 
   /** DuckDB 1.0 oracle SQL — same table names, same output column names.
     * DuckDB-vs-Spark portability rules: regexp_replace needs the 'g' flag

@@ -1,0 +1,65 @@
+package graft.ml
+
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.feature.{StandardScaler, StringIndexer, VectorAssembler}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cluster-based item recommendation — the Spark ML re-expression of
+  * recommendation.py: label-encode the grouping attribute (LabelEncoder →
+  * StringIndexer), standard-scale the numeric features (StandardScaler →
+  * StandardScaler), weight the group id ×100 so same-group items cluster
+  * together (recommendation.py:59-60), KMeans with k = n/15
+  * (recommendation.py:61), then recommend items sharing the query item's
+  * cluster (recommendation.py:66-69).
+  *
+  * Scale posture: fit distributes over the feature table; transform is a
+  * narrow map. The only driver-side values are the query row's cluster id
+  * (a 1-row lookup) and k.
+  */
+object Recommend {
+
+  /** Assign a cluster label to every item. */
+  def clusterItems(items: DataFrame, idCol: String, groupCol: String,
+                   features: Seq[String], groupWeight: Double = 100.0,
+                   itemsPerCluster: Int = 15, maxK: Int = 40,
+                   seed: Long = 42L): DataFrame = {
+    val indexer = new StringIndexer()
+      .setInputCol(groupCol).setOutputCol("graft_group_idx")
+      .setStringOrderType("alphabetAsc") // deterministic encoding
+    val assembler = new VectorAssembler()
+      .setInputCols(features.toArray).setOutputCol("graft_raw")
+    val scaler = new StandardScaler()
+      .setInputCol("graft_raw").setOutputCol("graft_scaled")
+      .setWithMean(true).setWithStd(true)
+    val weighted = new VectorAssembler()
+      .setInputCols(Array("graft_scaled", "graft_weighted_group"))
+      .setOutputCol("graft_features")
+    // Reference uses k = n/15 (recommendation.py:61); capped here because
+    // cluster count should grow with taxonomy, not corpus size.
+    val n = items.count()
+    val k = math.max(2, math.min(maxK, (n / itemsPerCluster).toInt))
+    val kmeans = new KMeans()
+      .setK(k).setSeed(seed)
+      .setFeaturesCol("graft_features").setPredictionCol("cluster")
+    val prepped = new Pipeline().setStages(Array(indexer, assembler, scaler))
+      .fit(items).transform(items)
+      .withColumn("graft_weighted_group", col("graft_group_idx") * groupWeight)
+    val withVec = weighted.transform(prepped)
+    kmeans.fit(withVec).transform(withVec)
+      .drop("graft_group_idx", "graft_raw", "graft_scaled",
+        "graft_weighted_group", "graft_features")
+  }
+
+  /** Items sharing the query item's cluster, excluding the query itself —
+    * `similar_songs` (recommendation.py:66-69). */
+  def recommendFor(clustered: DataFrame, idCol: String, queryId: Long,
+                   outCols: Seq[String]): DataFrame = {
+    val queryCluster = clustered.filter(col(idCol) === queryId)
+      .select(col("cluster").as("graft_qc")).limit(1)
+    clustered.join(broadcast(queryCluster), col("cluster") === col("graft_qc"))
+      .filter(col(idCol) =!= queryId)
+      .select(outCols.map(col): _*)
+  }
+}
