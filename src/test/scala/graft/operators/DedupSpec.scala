@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "THE QUICK  brown fox jumps over the lazy dog near the river bank"), // exact dup of 1 (mod case/ws)
+    (3L, "the quick brown fox jumps over the lazy cat near the river bank"),  // near-dup of 1
+    (4L, "completely different text about spark query engines and big data"),
+    (5L, "another unrelated document mentioning neither foxes nor dogs at all"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps the smallest id per fingerprint") {
+    val kept = Dedup.exact(docs, "doc_id", "text").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L, 5L))
+  }
+
+  test("ngramJaccard flags the near-dup pair and not unrelated docs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // identical after normalization
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash LSH finds the same near-dup pairs") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      n = 3, bands = 8, rowsPerBand = 4, minAgree = 0.3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical docs at hamming 0, near-dups close, unrelated far") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", n = 3, maxHamming = 3)
+      .select("id1", "id2", "hamming").as[(Long, Long, Int)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((1L, 2L)) == 0)
+    assert(!m.contains((1L, 4L)) && !m.contains((4L, 5L)))
+  }
+
+  test("embedding near-dup finds same-bucket close vectors only") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.99f, 0.1f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f, 0.0f), 0),
+      (4L, Array(1.0f, 0.0f, 0.01f), 1)) // close to 1 but other bucket
+      .toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.embeddingNearDup(emb, "vec_id", "embedding", "label", 0.9)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}

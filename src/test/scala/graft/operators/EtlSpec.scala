@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EtlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("upsert: source wins on key collision, target rows otherwise kept") {
+    val target = Seq((1L, "old"), (2L, "keep")).toDF("k", "v")
+    val source = Seq((1L, "new"), (3L, "add")).toDF("k", "v")
+    val got = Etl.upsert(target, source, "k").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "new", 2L -> "keep", 3L -> "add"))
+  }
+
+  test("dedupKeys keeps first row by order columns") {
+    val df = Seq((1L, 2, "b"), (1L, 1, "a"), (2L, 9, "c")).toDF("k", "ord", "v")
+    val got = Etl.dedupKeys(df, Seq("k"), Seq("ord", "v"))
+      .select("k", "v").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a", 2L -> "c"))
+  }
+
+  test("filterProject drops below-threshold and P-status rows") {
+    val df = Seq((1L, 10L, "F", 200000.0), (2L, 11L, "P", 300000.0),
+      (3L, 12L, "O", 100.0)).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val got = Etl.filterProject(df, 150000.0).select("order_id").as[Long].collect()
+    assert(got.toSeq == Seq(1L))
+  }
+
+  test("truncate+append load cycle via parquet write modes") {
+    // reference: TRUNCATE TABLE + WRITE_APPEND loads (dag.py:735-738, 827+)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val path = s"$dir/t"
+    Seq((1L, "a")).toDF("k", "v").write.mode("overwrite").parquet(path)
+    Seq((2L, "b")).toDF("k", "v").write.mode("append").parquet(path)
+    assert(spark.read.parquet(path).count() == 2)
+    Seq((3L, "c")).toDF("k", "v").write.mode("overwrite").parquet(path) // truncate
+    assert(spark.read.parquet(path).as[(Long, String)].collect().toSeq == Seq((3L, "c")))
+  }
+
+  test("weeklyAgg groups by ISO week start") {
+    val df = Seq(
+      ("x", java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 1.0),
+      ("x", java.sql.Timestamp.valueOf("2024-01-07 23:59:59"), 2.0), // same ISO week (Sun)
+      ("x", java.sql.Timestamp.valueOf("2024-01-08 00:00:00"), 4.0)) // next week (Mon)
+      .toDF("g", "ts_t", "value")
+    val got = Etl.weeklyAgg(df, "ts_t", "g", "value")
+      .select("wk", "sum_v").as[(String, Double)].collect().toMap
+    assert(got == Map("2024-01-01" -> 3.0, "2024-01-08" -> 4.0))
+  }
+}

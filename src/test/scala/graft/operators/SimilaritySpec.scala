@@ -1,0 +1,32 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f)),
+    (4L, Array(0.8f, 0.2f, 0.1f, 0.0f)))
+    .toDF("vec_id", "embedding")
+
+  test("cosineTopK ranks by similarity to the query vector") {
+    val got = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got.head == 1L)       // closest
+    assert(got.last != 3L)       // opposite vector not in top-3 of 4? it is 4th
+    assert(got == Seq(1L, 4L, 2L))
+  }
+
+  test("annBucketTopK returns candidates from the query's bucket, ranked") {
+    val got = Similarity.annBucketTopK(emb, "vec_id", "embedding",
+      dim = 4, nBits = 2, queryId = 0L, k = 5)
+      .select("vec_id", "cos").as[(Long, Double)].collect()
+    assert(got.nonEmpty)
+    assert(got.map(_._2).toSeq == got.map(_._2).sortBy(-_).toSeq) // desc order
+    assert(!got.map(_._1).contains(0L))
+  }
+}

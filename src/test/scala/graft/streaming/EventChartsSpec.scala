@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.Etl
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class EventChartsSpec extends SparkSpec {
+  import spark.implicits._
+  import EventCharts._
+
+  test("streaming weekly agg matches the batch weeklyAgg on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      ("click", java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), 1.0),
+      ("click", java.sql.Timestamp.valueOf("2024-01-03 10:00:00"), 2.0),
+      ("view",  java.sql.Timestamp.valueOf("2024-01-09 10:00:00"), 5.0))
+    val stream = MemoryStream[(String, java.sql.Timestamp, Double)]
+    stream.addData(rows: _*)
+    val streaming = weeklyAggStream(
+      stream.toDF().toDF("event_type", "ts_t", "value"), "ts_t", "event_type", "value")
+    val q = streaming.writeStream.format("memory").queryName("wk_agg")
+      .outputMode(OutputMode.Complete()).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("wk_agg")
+      .select("wk", "event_type", "n", "sum_v", "avg_v")
+      .as[(String, String, Long, Double, Double)].collect().toSet
+    val batch = Etl.weeklyAgg(rows.toDF("event_type", "ts_t", "value"),
+      "ts_t", "event_type", "value")
+      .select("wk", "event_type", "n", "sum_v", "avg_v")
+      .as[(String, String, Long, Double, Double)].collect().toSet
+    assert(got == batch)
+    assert(got.map(_._1) == Set("2024-01-01", "2024-01-08"))
+  }
+
+  test("stateful streaks: consecutive weeks accumulate, gaps reset") {
+    val weekly = Seq(
+      WeeklyScore(1L, 10L, 5.0), WeeklyScore(1L, 11L, 5.0), WeeklyScore(1L, 12L, 5.0),
+      WeeklyScore(2L, 10L, 5.0), WeeklyScore(2L, 12L, 5.0)) // gap at 11
+      .toDS()
+    val got = streaks(weekly).collect().map(s => (s.entity, s.weekNum) -> s.streak).toMap
+    assert(got((1L, 12L)) == 3)
+    assert(got((2L, 12L)) == 1) // reset by the gap
+  }
+
+  test("stateful streaks carry state across streaming micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[WeeklyScore]
+    val q = streaks(stream.toDS()).writeStream.format("memory")
+      .queryName("streaks_t").outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(WeeklyScore(7L, 100L, 1.0)); q.processAllAvailable()
+      stream.addData(WeeklyScore(7L, 101L, 1.0)); q.processAllAvailable()
+      stream.addData(WeeklyScore(7L, 103L, 1.0)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("streaks_t").as[Streak].collect()
+      .map(s => s.weekNum -> s.streak).toMap
+    assert(got == Map(100L -> 1, 101L -> 2, 103L -> 1))
+  }
+}
