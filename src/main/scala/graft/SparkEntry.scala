@@ -124,6 +124,36 @@ object SparkEntry {
       Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
         "label", 0.3)),
 
+    "q29_json_extract" -> ((s, d) => {
+      val parsed = sources.Semi.parseJson(Tables.events(s, d), "props", "k INT")
+      parsed.select(col("event_type"), sources.Semi.jsonField("props", "k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum("k").cast("long").as("sum_k"),
+          round(avg("k"), 2).as("avg_k"),
+          count(when(col("k") > 50, 1)).as("n_high"))
+    }),
+
+    "q30_entity_compare" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_suppkey").isin(1, 2))
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n"),
+          round(avg("l_quantity"), 2).as("avg_qty"),
+          round(avg("l_extendedprice"), 2).as("avg_price"),
+          round(sum("l_extendedprice"), 2).as("sum_price"))),
+
+    "q31_source_quality" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), col("n_chars"),
+          T.qualityScore(col("text")).as("q"),
+          T.wordTokens(col("text")).cast("long").as("wt"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          round(avg("q"), 4).as("avg_quality"),
+          round(avg("n_chars"), 2).as("avg_chars"),
+          sum("wt").as("sum_tokens"))),
+
     "q25_ann_buckets" -> ((s, d) =>
       Similarity.annBucketTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         dim = 64, nBits = 4, queryId = 0L, k = 20)),
@@ -381,5 +411,36 @@ object SparkEntry {
                                               CAST(a.embedding AS DOUBLE[])))
                         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
                                                 CAST(b.embedding AS DOUBLE[])))), 6) >= 0.3""",
+
+    "q29_json_extract" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(k) AS BIGINT) AS sum_k,
+                round(avg(k), 2) AS avg_k,
+                CAST(count(CASE WHEN k > 50 THEN 1 END) AS BIGINT) AS n_high
+         FROM (SELECT event_type,
+                      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+               FROM events) GROUP BY event_type""",
+
+    "q30_entity_compare" ->
+      """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+                round(avg(l_quantity), 2) AS avg_qty,
+                round(avg(l_extendedprice), 2) AS avg_price,
+                round(sum(l_extendedprice), 2) AS sum_price
+         FROM lineitem WHERE l_suppkey IN (1, 2) GROUP BY l_suppkey""",
+
+    "q31_source_quality" ->
+      """WITH c AS (SELECT source, n_chars,
+                  CAST(length(text) AS BIGINT) AS len,
+                  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws,
+                  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS wt,
+                  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS punct
+               FROM documents)
+         SELECT source, CAST(count(*) AS BIGINT) AS n,
+                round(avg(round(0.5 * least(len / 500.0, 1.0)
+                      + 0.5 * least(wt * 1.0 / greatest(ws, 1), 1.0)
+                      - punct * 1.0 / greatest(len, 1), 4)), 4) AS avg_quality,
+                round(avg(n_chars), 2) AS avg_chars,
+                CAST(sum(wt) AS BIGINT) AS sum_tokens
+         FROM c GROUP BY source""",
   )
 }
