@@ -3,15 +3,22 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Embedding-vector math over `array<float>` columns using higher-order
-  * functions (`zip_with`/`aggregate`) — codegen-friendly, no UDFs, and a
-  * left-to-right fold so the double-precision result is reproducible
-  * across engines for oracle parity.
+/** Embedding-vector math over `array<float>` columns. The dot product is a
+  * native codegen'd Catalyst expression ([[DotProduct]]) with a strict
+  * left-to-right double fold, so results are bit-identical to the ANSI-SQL
+  * oracle formulation and reproducible across engines.
   */
 object VectorFunctions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
 
-  /** Dot product in double precision, sequential fold. */
+  /** Dot product in double precision, sequential accumulation (native). */
   def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Interpreted reference implementation (higher-order functions); kept
+    * for cross-checking the native expression in tests. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ catalyst Expression bridge. Spark 4 gates this conversion
+  * behind private[sql] (`classic.ExpressionUtils`), so a library defining
+  * its own native expressions needs this one-file shim inside the sql
+  * package namespace — the standard pattern used by Spark-extension
+  * libraries. No Spark internals are modified. */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
