@@ -41,7 +41,10 @@ object Charts {
       round(avg(feature), 2).as("avg_v"),
       round(min(feature), 2).as("min_v"),
       round(max(feature), 2).as("max_v"),
-      round(stddev(feature), 2).as("std_v"))
+      // stddev_samp of a single row is NaN in Spark but NULL in ANSI
+      // engines — normalize to NULL for oracle parity.
+      round(when(isnan(stddev(feature)), lit(null)).otherwise(stddev(feature)), 2)
+        .as("std_v"))
 
   /** Latest row per entity (reference keeps `group.iloc[-1]`, dag.py:139).
     * row_number over (entity order by ts desc) — one shuffle on entity. */
