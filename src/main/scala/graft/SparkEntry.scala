@@ -158,6 +158,13 @@ object SparkEntry {
       Similarity.annBucketTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         dim = 64, nBits = 4, queryId = 0L, k = 20)),
 
+    "q32_ann_ivf" -> ((s, d) => {
+      val idx = Similarity.ivfIndex(Tables.embeddings(s, d),
+        "vec_id", "embedding", nLists = 16)
+      Similarity.ivfTopK(idx, "vec_id", "embedding",
+        queryId = 0L, k = 20, nProbe = 4)
+    }),
+
     "q26_kmeans_recommend" -> ((s, d) => {
       val clustered = ml.Recommend.clusterItems(Tables.part(s, d),
         "p_partkey", "p_brand", Seq("p_retailprice", "p_size"))

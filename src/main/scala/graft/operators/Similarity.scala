@@ -42,6 +42,50 @@ object Similarity {
       when(proj > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** IVF (inverted-file) ANN index: coarse KMeans centroids partition the
+    * corpus into `nLists` cells; a query probes only the `nProbe` nearest
+    * cells. This is the classic FAISS-style scale path: candidate count
+    * drops to ~n·nProbe/nLists, the cell assignment is a narrow ML
+    * transform, and the centroid table is tiny (nLists × dim) — an index
+    * artifact, not data. */
+  final case class IvfIndex(assigned: DataFrame, centers: Array[(Int, Array[Double])])
+
+  def ivfIndex(emb: DataFrame, idCol: String, vecCol: String,
+               nLists: Int, seed: Long = 42L): IvfIndex = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = emb.withColumn("graft_vec",
+      array_to_vector(col(vecCol).cast("array<double>")))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nLists).setSeed(seed)
+      .setFeaturesCol("graft_vec").setPredictionCol("graft_cell")
+      .fit(feats)
+    val assigned = model.transform(feats).drop("graft_vec")
+    val centers = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }
+    IvfIndex(assigned, centers)
+  }
+
+  /** Top-k by cosine among rows in the `nProbe` cells whose centroids are
+    * closest to the query vector. Centroid ranking is driver-side (the
+    * centroid table is an O(nLists·dim) index artifact). */
+  def ivfTopK(index: IvfIndex, idCol: String, vecCol: String,
+              queryId: Long, k: Int, nProbe: Int): DataFrame = {
+    val qRow = index.assigned.filter(col(idCol) === queryId)
+      .select(col(vecCol)).head()
+    val qv = qRow.getSeq[Float](0).map(_.toDouble).toArray
+    def dist2(c: Array[Double]): Double =
+      c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
+    val probes = index.centers.sortBy { case (_, c) => dist2(c) }
+      .take(nProbe).map(_._1)
+    val qvCol = array(qv.map(lit): _*)
+    index.assigned
+      .filter(col("graft_cell").isin(probes: _*) && col(idCol) =!= queryId)
+      .withColumn("cos", round(V.cosine(col(vecCol), qvCol), 6))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("cos"))
+  }
+
   /** ANN via LSH bucket prefilter: score only rows whose projection bucket
     * matches the query's. Trades recall for a candidate set ~n/2^nBits. */
   def annBucketTopK(emb: DataFrame, idCol: String, vecCol: String,

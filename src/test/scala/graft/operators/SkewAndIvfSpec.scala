@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SkewAndIvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted top-k per group equals the unsalted plan exactly") {
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 2000).map(i =>
+      (if (i % 10 < 8) "hot" else s"g${i % 10}", i.toLong, rnd.nextDouble()))
+      .toDF("g", "id", "v")
+    val plain = Charts.topKPerGroup(df, "g", "v", "id", 5)
+      .select("g", "id").as[(String, Long)].collect().toSet
+    val salted = Skew.saltedTopKPerGroup(df, "g", "v", "id", 5, salts = 8)
+      .select("g", "id").as[(String, Long)].collect().toSet
+    assert(salted == plain)
+  }
+
+  test("salted global top-k equals plain topK") {
+    val df = (1 to 500).map(i => (i.toLong, (i * 37 % 501).toDouble)).toDF("id", "v")
+    val plain = Charts.topK(df, "v", "id", 10).select("id").as[Long].collect().toSet
+    val salted = Skew.saltedTopK(df, "v", "id", 10, salts = 4)
+      .select("id").as[Long].collect().toSet
+    assert(salted == plain)
+  }
+
+  test("IVF index probes nearest cells and finds close vectors") {
+    // Two well-separated clusters; the query's cluster-mates must surface.
+    val rnd = new scala.util.Random(3)
+    def jitter() = (rnd.nextDouble() * 0.01).toFloat
+    val a = (0L until 20L).map(i => (i, Array(1.0f + jitter(), jitter(), jitter())))
+    val b = (20L until 40L).map(i => (i, Array(jitter(), 1.0f + jitter(), jitter())))
+    val emb = (a ++ b).toDF("vec_id", "embedding")
+    val idx = Similarity.ivfIndex(emb, "vec_id", "embedding", nLists = 2)
+    val got = Similarity.ivfTopK(idx, "vec_id", "embedding",
+      queryId = 0L, k = 5, nProbe = 1)
+      .select("vec_id").as[Long].collect()
+    assert(got.length == 5)
+    assert(got.forall(_ < 20L)) // all from the query's own cluster
+  }
+}
