@@ -158,6 +158,16 @@ object SparkEntry {
       Similarity.annBucketTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         dim = 64, nBits = 4, queryId = 0L, k = 20)),
 
+    "q33_chart_snapshot" -> ((s, d) => {
+      // Reference's final merged output (dag.py:137-154): each entity's
+      // latest row annotated with its weeks-on-chart streak.
+      val ev = Tables.events(s, d)
+      val latest = Charts.latestSnapshot(ev, "user_id", "ts", "event_id")
+        .select("user_id", "event_id", "event_type", "value")
+      val streaks = Charts.weeksOnChart(ev, "user_id", "ts_t", "value", 10)
+      latest.join(streaks, Seq("user_id"))
+    }),
+
     "q32_ann_ivf" -> ((s, d) => {
       val idx = Similarity.ivfIndex(Tables.embeddings(s, d),
         "vec_id", "embedding", nLists = 16)
@@ -418,6 +428,37 @@ object SparkEntry {
                                               CAST(a.embedding AS DOUBLE[])))
                         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
                                                 CAST(b.embedding AS DOUBLE[])))), 6) >= 0.3""",
+
+    "q33_chart_snapshot" ->
+      """WITH latest AS (
+           SELECT user_id, event_id, event_type, value
+           FROM (SELECT user_id, event_id, event_type, value,
+                        row_number() OVER (PARTITION BY user_id
+                                           ORDER BY ts DESC, event_id DESC) AS rn
+                 FROM events) WHERE rn = 1),
+         weekly AS (
+           SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk,
+                  round(sum(value), 2) AS score
+           FROM events GROUP BY 1, 2),
+         wk2 AS (SELECT *, CAST((wk - DATE '1970-01-05') / 7 AS BIGINT) AS weeknum
+                 FROM weekly),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY wk
+                      ORDER BY score DESC, user_id) AS rnk FROM wk2),
+         charted AS (SELECT user_id, weeknum FROM ranked WHERE rnk <= 10),
+         mx AS (SELECT max(weeknum) AS maxwk FROM wk2),
+         islands AS (SELECT user_id, weeknum,
+                            weeknum - row_number() OVER (PARTITION BY user_id
+                                                         ORDER BY weeknum) AS grp
+                     FROM charted),
+         li AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS cnt,
+                       max(weeknum) AS mxw
+                FROM islands GROUP BY 1, 2),
+         st AS (SELECT li.user_id, li.cnt FROM li, mx WHERE li.mxw = mx.maxwk),
+         streaks AS (SELECT u.user_id, COALESCE(st.cnt, 0) AS weeks_on_chart
+                     FROM (SELECT DISTINCT user_id FROM weekly) u
+                     LEFT JOIN st ON u.user_id = st.user_id)
+         SELECT l.user_id, l.event_id, l.event_type, l.value, s.weeks_on_chart
+         FROM latest l JOIN streaks s ON l.user_id = s.user_id""",
 
     "q29_json_extract" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
