@@ -187,6 +187,13 @@ object SparkEntry {
 
     "q28_feature_importance" -> ((s, d) =>
       ml.Popularity.importancesDf(s, rfFit(s, d))),
+
+    "q34_model_compare" -> ((s, d) =>
+      ml.Popularity.compareModels(s,
+        Tables.lineitem(s, d)
+          .filter(pmod(col("l_orderkey"), lit(20)) === 0)
+          .select("l_quantity", "l_discount", "l_tax", "l_extendedprice"),
+        Seq("l_quantity", "l_discount", "l_tax"), "l_extendedprice")),
   )
 
   /** RF fit shared by q27/q28, memoized per scale dir. Trained on a

@@ -51,6 +51,61 @@ object Popularity {
     Fit(model, features, rmse, r2, trainDf.count(), testDf.count())
   }
 
+  /** Model bake-off — the Prediction_Model notebook trains LinearRegression,
+    * RandomForest and XGBoost and compares CV scores; here: scaled linear
+    * regression (MinMaxScaler, as in the notebook), random forest, and
+    * GBTRegressor (the Spark-native gradient-boosted-tree counterpart of
+    * XGBoost). One row per model with holdout rmse/r2. */
+  def compareModels(spark: SparkSession, data: DataFrame, features: Seq[String],
+                    target: String, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.feature.MinMaxScaler
+    import org.apache.spark.ml.regression.{GBTRegressor, LinearRegression}
+    val assembler = new VectorAssembler()
+      .setInputCols(features.toArray).setOutputCol("graft_raw")
+    val scaler = new MinMaxScaler()
+      .setInputCol("graft_raw").setOutputCol("graft_features")
+    val lr = new LinearRegression()
+      .setFeaturesCol("graft_features").setLabelCol(target)
+    val rf = new RandomForestRegressor()
+      .setFeaturesCol("graft_features").setLabelCol(target)
+      .setNumTrees(20).setMaxDepth(6).setSeed(seed)
+    val gbt = new GBTRegressor()
+      .setFeaturesCol("graft_features").setLabelCol(target)
+      .setMaxIter(10).setMaxDepth(5).setSeed(seed)
+    val Array(trainDf, testDf) = data.randomSplit(Array(0.8, 0.2), seed)
+    val evaluator = new RegressionEvaluator()
+      .setLabelCol(target).setPredictionCol("prediction")
+    val rows = Seq("linear_regression" -> lr, "random_forest" -> rf,
+      "gbt" -> gbt).map { case (name, est) =>
+      val m = new Pipeline().setStages(Array(assembler, scaler, est)).fit(trainDf)
+      val pred = m.transform(testDf)
+      val rmse = evaluator.setMetricName("rmse").evaluate(pred)
+      val r2 = evaluator.setMetricName("r2").evaluate(pred)
+      (name, math.round(rmse * 100) / 100.0, math.round(r2 * 10000) / 10000.0)
+    }
+    import spark.implicits._
+    rows.toDF("model", "rmse", "r2")
+  }
+
+  /** Recursive feature elimination (the notebook's sklearn RFE): repeatedly
+    * drop the least-important feature by RF importances until `keep` remain. */
+  def rfeSelect(data: DataFrame, features: Seq[String], target: String,
+                keep: Int, seed: Long = 42L): Seq[String] = {
+    var current = features
+    while (current.length > keep) {
+      val assembler = new VectorAssembler()
+        .setInputCols(current.toArray).setOutputCol("graft_features")
+      val rf = new RandomForestRegressor()
+        .setFeaturesCol("graft_features").setLabelCol(target)
+        .setNumTrees(10).setMaxDepth(5).setSeed(seed)
+      val model = new Pipeline().setStages(Array(assembler, rf)).fit(data)
+        .stages(1).asInstanceOf[RandomForestRegressionModel]
+      val weakest = current.zip(model.featureImportances.toArray).minBy(_._2)._1
+      current = current.filterNot(_ == weakest)
+    }
+    current
+  }
+
   /** One-row metrics frame (rows-only correctness check). */
   def metricsDf(spark: SparkSession, fit: Fit): DataFrame = {
     import spark.implicits._

@@ -1,0 +1,60 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MlSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Synthetic items: two well-separated price/size regimes per "brand" so
+  // clustering has structure; y = 3x1 - 2x2 + noise for regression.
+  private def items = (1 to 120).map { i =>
+    val brand = if (i % 2 == 0) "A" else "B"
+    val base = if (i <= 60) 10.0 else 1000.0
+    (i.toLong, brand, base + i % 7, (i % 5) + 1)
+  }.toDF("id", "brand", "price", "size")
+
+  private def regData = {
+    val rnd = new scala.util.Random(5)
+    (1 to 800).map { _ =>
+      val x1 = rnd.nextDouble() * 10; val x2 = rnd.nextDouble() * 10
+      val x3 = rnd.nextDouble()
+      (x1, x2, x3, 3 * x1 - 2 * x2 + rnd.nextGaussian() * 0.1)
+    }.toDF("x1", "x2", "x3", "y")
+  }
+
+  test("kmeans recommendation returns same-cluster items, excludes query") {
+    val clustered = Recommend.clusterItems(items, "id", "brand",
+      Seq("price", "size"), itemsPerCluster = 30)
+    val rec = Recommend.recommendFor(clustered, "id", 1L, Seq("id", "brand"))
+    val ids = rec.select("id").as[Long].collect()
+    assert(ids.nonEmpty && !ids.contains(1L))
+    val qCluster = clustered.filter($"id" === 1L).select("cluster").as[Int].head()
+    val recClusters = clustered.filter(col("id").isin(ids.take(5).map(Long.box): _*))
+      .select("cluster").as[Int].collect()
+    assert(recClusters.forall(_ == qCluster))
+  }
+
+  test("RF training produces sane metrics and importances") {
+    val fit = Popularity.train(regData, Seq("x1", "x2", "x3"), "y")
+    assert(fit.r2 > 0.8)          // learnable signal
+    assert(fit.nTrain > fit.nTest)
+    val imp = Popularity.importancesDf(spark, fit)
+      .as[(String, Double)].collect().toMap
+    assert(imp("x1") > imp("x3")) // x3 is noise
+    assert(math.abs(imp.values.sum - 1.0) < 0.01)
+  }
+
+  test("model comparison trains all three model families") {
+    val got = Popularity.compareModels(spark, regData, Seq("x1", "x2", "x3"), "y")
+      .as[(String, Double, Double)].collect()
+    assert(got.map(_._1).toSet == Set("linear_regression", "random_forest", "gbt"))
+    // linear data: LR should fit near-perfectly
+    assert(got.find(_._1 == "linear_regression").get._3 > 0.99)
+  }
+
+  test("RFE keeps the informative features") {
+    val kept = Popularity.rfeSelect(regData, Seq("x1", "x2", "x3"), "y", keep = 2)
+    assert(kept.toSet == Set("x1", "x2"))
+  }
+}
