@@ -95,4 +95,12 @@ object TextFunctions {
   /** Convenience composition — only for one-shot use on small inputs; hot
     * paths should project [[tokens]] first (see scaladoc there). */
   def wordShingles(c: Column, n: Int): Column = shinglesOf(tokens(c), n)
+
+  /** Native single-pass shingles (see [[WordShingles]]) — the hot-path
+    * variant used by the dedup operators; identical output to
+    * `shinglesOf(tokens(c), n)`. */
+  def wordShinglesNative(c: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(c), n))
+  }
 }

@@ -40,8 +40,7 @@ object Dedup {
   private def explodedShingles(docs: DataFrame, idCol: String,
                                textCol: String, n: Int): DataFrame =
     docs
-      .select(col(idCol).as("id"), T.tokens(col(textCol)).as("toks"))
-      .select(col("id"), T.shinglesOf(col("toks"), n).as("shs"))
+      .select(col(idCol).as("id"), T.wordShinglesNative(col(textCol), n).as("shs"))
       .select(col("id"), size(col("shs")).as("nsh"), col("shs"))
       // explode_outer, NOT explode: plain explode makes Catalyst infer a
       // `size(shs) > 0` filter and push it below the projections,

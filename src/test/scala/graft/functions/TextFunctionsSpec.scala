@@ -42,6 +42,20 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(0) > got(1))
   }
 
+  test("native shingles match the composable chain exactly") {
+    val texts = Seq("the quick brown fox jumps", "one two", "", "  ",
+      "a  b\tc\nd e",
+      "Mixed CASE Words repeated mixed case words repeated")
+    val df = texts.toDF("text")
+    val got = df.select(
+      T.wordShinglesNative($"text", 3).as("nat"),
+      T.shinglesOf(T.tokens($"text"), 3).as("hof"))
+      .as[(Seq[String], Seq[String])].collect()
+    got.zip(texts).foreach { case ((nat, hof), t) =>
+      assert(nat.sorted == hof.sorted, s"mismatch for '$t'")
+    }
+  }
+
   test("wordTokens counts alphanumeric runs") {
     val got = Seq("ab1 cd, ef-gh 22").toDF("text")
       .select(T.wordTokens($"text")).as[Int].head()
