@@ -75,67 +75,58 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
-  /** MinHash signatures: `numHashes` permutations h_i(x) = (a_i·x + b_i) mod p
-    * over portable 32-bit shingle hashes (crc32 of the shingle bytes).
-    * Signature = per-doc min of each permutation — one groupBy(doc). */
-  private val MersenneP = 2147483647L // 2^31 - 1
-
+  /** MinHash signatures via the native map-side sketch ([[MinHashSig]]):
+    * sig[i] = min over crc32-based permutation i of the doc's shingles.
+    * No explode, no groupBy — one narrow projection. */
   def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
                        n: Int, numHashes: Int): DataFrame = {
-    val sh = explodedShingles(docs, idCol, textCol, n)
-      .select(col("id"), (crc32(col("g").cast("binary")) % MersenneP).as("h"))
-    val mins = (0 until numHashes).map { i =>
-      val a = 1L + 2L * i  // odd multipliers; fixed seed-free family
-      val b = 7919L * (i + 1)
-      min((col("h") * a + b) % MersenneP).as(s"mh$i")
-    }
-    sh.groupBy("id").agg(mins.head, mins.tail: _*)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    docs.select(col(idCol).as("id"),
+      ColumnBridge.column(graft.functions.MinHashSig(
+        ColumnBridge.expression(T.wordShinglesNative(col(textCol), n)),
+        numHashes)).as("sig"))
   }
 
   /** MinHash + LSH banding: split the signature into `bands` bands of
     * `rowsPerBand`, bucket-join on (band, band-hash), verify candidates with
-    * exact signature agreement ≥ threshold. Shuffle key = band bucket, so
-    * the pair blow-up is bounded by bucket size, not corpus size. */
+    * exact signature agreement ≥ threshold. Signature build is map-side;
+    * the only shuffles are the band bucket joins, whose pair blow-up is
+    * bounded by bucket size, not corpus size. */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, bands: Int, rowsPerBand: Int,
                    minAgree: Double): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sig = minhashSignature(docs, idCol, textCol, n, numHashes).cache()
-    val sigCols = (0 until numHashes).map(i => col(s"mh$i"))
+    val sig = minhashSignature(docs, idCol, textCol, n, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sig.select(col("id") +: (0 until bands).map { b =>
-      val bandCols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
-      hash(bandCols: _*).as(s"band$b")
+      hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as(s"band$b")
     }: _*)
     val candidates = (0 until bands).map { b =>
       val l = banded.select(col("id").as("id1"), col(s"band$b").as("bk"))
       val r = banded.select(col("id").as("id2"), col(s"band$b").as("bk"))
       l.join(r, Seq("bk")).filter(col("id1") < col("id2")).select("id1", "id2")
     }.reduce(_ unionByName _).distinct()
-    val s1 = sig.toDF(sig.columns.map(c => if (c == "id") "id1" else c + "_1"): _*)
-    val s2 = sig.toDF(sig.columns.map(c => if (c == "id") "id2" else c + "_2"): _*)
-    val agree = (0 until numHashes)
-      .map(i => when(col(s"mh${i}_1") === col(s"mh${i}_2"), 1).otherwise(0))
-      .reduce(_ + _)
+    val s1 = sig.toDF("id1", "sig1")
+    val s2 = sig.toDF("id2", "sig2")
+    val agree = aggregate(
+      zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x)
     candidates.join(s1, "id1").join(s2, "id2")
       .withColumn("est_jaccard", round(agree.cast("double") / numHashes, 4))
       .filter(col("est_jaccard") >= minAgree)
       .select(col("id1"), col("id2"), col("est_jaccard"))
   }
 
-  /** SimHash: 64-bit weighted bit-vote over shingle hashes; near-dups share
-    * the signature's high bits. Emits (id, simhash, bucket=high 16 bits);
-    * near-dup pairs join on the bucket. */
+  /** SimHash fingerprints via the native map-side sketch ([[SimHash64]]):
+    * 64-bit weighted bit-vote over the doc's shingle hashes, computed in
+    * one narrow projection. Near-dups share the signature's high bits;
+    * (id, simhash, bucket=high 16 bits) — pairs join on the bucket. */
   def simhash(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val sh = explodedShingles(docs, idCol, textCol, n)
-      .select(col("id"), xxhash64(col("g")).as("h"))
-    val bitVotes = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i")
-    }
-    val votes = sh.groupBy("id").agg(bitVotes.head, bitVotes.tail: _*)
-    val sig = (0 until 64).map { i =>
-      when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    votes.select(col("id"), sig.as("simhash"))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    docs.select(col(idCol).as("id"),
+      ColumnBridge.column(graft.functions.SimHash64(
+        ColumnBridge.expression(T.wordShinglesNative(col(textCol), n))))
+        .as("simhash"))
       .withColumn("bucket", shiftright(col("simhash"), 48))
   }
 
