@@ -142,6 +142,18 @@ object Dedup {
       .select(col("id1"), col("id2"), col("hamming"))
   }
 
+  /** Incremental exact dedup: drop batch docs whose fingerprint already
+    * exists in the corpus fingerprint store, and dedup within the batch.
+    * This is the continuous-ingest pattern — the corpus side is only its
+    * (fingerprint) column, so the anti-join shuffles fingerprints, never
+    * documents; with a bucketed fingerprint store the shuffle disappears
+    * entirely. Returns surviving (id, fp) rows to append to the store. */
+  def incrementalExact(batch: DataFrame, idCol: String, textCol: String,
+                       knownFps: DataFrame): DataFrame = {
+    val fresh = exact(batch, idCol, textCol) // dedup within the batch
+    fresh.join(knownFps.select(col("fp")), Seq("fp"), "left_anti")
+  }
+
   /** Embedding near-dup: cosine ≥ τ among pairs sharing a coarse bucket
     * (IVF-style partition prefilter → intra-bucket self-join only). */
   def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,

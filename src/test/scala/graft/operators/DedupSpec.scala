@@ -42,6 +42,19 @@ class DedupSpec extends SparkSpec {
     assert(!m.contains((1L, 4L)) && !m.contains((4L, 5L)))
   }
 
+  test("incremental dedup drops known fingerprints and intra-batch dups") {
+    val known = Dedup.exact(docs, "doc_id", "text").select("fp")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank"), // known (same as doc 1)
+      (11L, "a genuinely new document that the corpus has never seen before"),
+      (12L, "A  GENUINELY new document that the corpus has never seen before"), // dup of 11
+      (13L, "yet another brand new unique piece of text for the store"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.incrementalExact(batch, "doc_id", "text", known)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(11L, 13L))
+  }
+
   test("embedding near-dup finds same-bucket close vectors only") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f), 0),
