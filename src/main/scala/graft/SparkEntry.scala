@@ -188,6 +188,30 @@ object SparkEntry {
     "q28_feature_importance" -> ((s, d) =>
       ml.Popularity.importancesDf(s, rfFit(s, d))),
 
+    "q35_multimodal_meta" -> ((s, d) => {
+      // Binary media pipeline over synthesized payloads (text bytes stand in
+      // for encoded media; decode itself is stubbed — see multimodal.Binary).
+      import s.implicits._
+      val media = Tables.documents(s, d).select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("video"), lit("audio")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"),
+        col("text").cast("binary").as("bytes"),
+        col("source")).as[multimodal.Binary.MediaRecord]
+      multimodal.Binary.extractMeta(media).toDF()
+    }),
+
+    "q36_stateful_streaks" -> ((s, d) => {
+      import s.implicits._
+      val weekly = Charts.weeklyScores(Tables.events(s, d), "user_id", "ts_t", "value")
+        .select(col("user_id").as("entity"), col("weeknum").as("weekNum"),
+          col("score"))
+        .as[streaming.EventCharts.WeeklyScore]
+      streaming.EventCharts.streaks(weekly).toDF()
+        .select(col("entity").as("user_id"), col("weekNum").as("weeknum"),
+          col("streak").cast("long").as("streak"))
+    }),
+
     "q34_model_compare" -> ((s, d) =>
       ml.Popularity.compareModels(s,
         Tables.lineitem(s, d)
@@ -466,6 +490,21 @@ object SparkEntry {
                      LEFT JOIN st ON u.user_id = st.user_id)
          SELECT l.user_id, l.event_id, l.event_type, l.value, s.weeks_on_chart
          FROM latest l JOIN streaks s ON l.user_id = s.user_id""",
+
+    "q36_stateful_streaks" ->
+      """WITH weekly AS (
+           SELECT user_id,
+                  CAST((CAST(date_trunc('week', ts) AS DATE) - DATE '1970-01-05') / 7
+                       AS BIGINT) AS weeknum
+           FROM events GROUP BY 1, date_trunc('week', ts)),
+         islands AS (SELECT user_id, weeknum,
+                            weeknum - row_number() OVER (PARTITION BY user_id
+                                                         ORDER BY weeknum) AS grp
+                     FROM weekly)
+         SELECT user_id, weeknum,
+                CAST(row_number() OVER (PARTITION BY user_id, grp
+                                        ORDER BY weeknum) AS BIGINT) AS streak
+         FROM islands""",
 
     "q29_json_extract" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
