@@ -1,0 +1,77 @@
+package graft
+
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+import graft.operators.{Charts, Etl, Skew}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based checks for the invariants the oracle compare leans on:
+  * native expressions must match their composable twins on arbitrary
+  * input, and skew/dedup rewrites must be result-identical to the plain
+  * plans. */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic scalacheck sampling (scalatestplus isn't on the
+    * offline classpath; explicit seeds are better for reproduction anyway). */
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  private val wordGen = Gen.oneOf("the", "fox", "a", "Über", "naïve", "x1",
+    "", " ", "tab\there", "multi  space", "日本語", "mixedCASE")
+  private val textGen = Gen.listOfN(12, wordGen).map(_.mkString(" "))
+
+  test("property: native shingles == composable chain on arbitrary text") {
+    for (seed <- 1L to 8L) {
+      val texts = sample(Gen.listOfN(30, textGen), seed)
+      val df = texts.toDF("text")
+      val got = df.select(
+        T.wordShinglesNative($"text", 3).as("nat"),
+        T.shinglesOf(T.tokens($"text"), 3).as("hof"))
+        .as[(Seq[String], Seq[String])].collect()
+      got.foreach { case (nat, hof) => assert(nat.sorted == hof.sorted) }
+    }
+  }
+
+  test("property: native dot == interpreted fold on arbitrary vectors") {
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-1e3f, 1e3f))
+    for (seed <- 1L to 8L) {
+      val pairs = sample(Gen.listOfN(10, Gen.zip(vecGen, vecGen)), seed)
+      val df = pairs.map { case (a, b) => (a.toArray, b.toArray) }.toDF("a", "b")
+      df.select(V.dot($"a", $"b").as("n"), V.dotHof($"a", $"b").as("h"))
+        .as[(Double, Double)].collect()
+        .foreach { case (n, h) => assert(n == h) }
+    }
+  }
+
+  test("property: salted top-k per group == plain for random data") {
+    val rowGen = Gen.zip(Gen.chooseNum(0, 5), Gen.chooseNum(1L, 10000L),
+      Gen.chooseNum(-1e6, 1e6))
+    for (seed <- 1L to 4L) {
+      val rows = sample(Gen.listOfN(300, rowGen), seed)
+        .distinctBy(_._2) // unique ids for a total order
+      val df = rows.map { case (g, id, v) => (s"g$g", id, v) }.toDF("g", "id", "v")
+      val plain = Charts.topKPerGroup(df, "g", "v", "id", 3)
+        .select("g", "id").as[(String, Long)].collect().toSet
+      val salted = Skew.saltedTopKPerGroup(df, "g", "v", "id", 3, salts = 4)
+        .select("g", "id").as[(String, Long)].collect().toSet
+      assert(salted == plain)
+    }
+  }
+
+  test("property: upsert is idempotent and key-unique") {
+    val rowGen = Gen.zip(Gen.chooseNum(1L, 50L), Gen.alphaStr.map(_.take(5)))
+    for (seed <- 1L to 4L) {
+      val t = sample(Gen.listOfN(40, rowGen), seed)
+      val s0 = sample(Gen.listOfN(40, rowGen), seed + 100)
+      val target = t.toDF("k", "v").dropDuplicates("k")
+      val source = s0.toDF("k", "v").dropDuplicates("k")
+      val once = Etl.upsert(target, source, "k")
+      val twice = Etl.upsert(once, source, "k")
+      val onceSet = once.as[(Long, String)].collect().toSet
+      assert(twice.as[(Long, String)].collect().toSet == onceSet)
+      assert(once.select("k").distinct().count() == once.count())
+    }
+  }
+}
