@@ -119,24 +119,41 @@ object Dedup {
 
   /** SimHash fingerprints via the native map-side sketch ([[SimHash64]]):
     * 64-bit weighted bit-vote over the doc's shingle hashes, computed in
-    * one narrow projection. Near-dups share the signature's high bits;
-    * (id, simhash, bucket=high 16 bits) — pairs join on the bucket. */
+    * one narrow projection. */
   def simhash(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     docs.select(col(idCol).as("id"),
       ColumnBridge.column(graft.functions.SimHash64(
         ColumnBridge.expression(T.wordShinglesNative(col(textCol), n))))
         .as("simhash"))
-      .withColumn("bucket", shiftright(col("simhash"), 48))
   }
 
-  /** SimHash near-dup pairs within a bucket, by hamming distance. */
+  /** SimHash near-dup pairs by hamming distance, with block-banded
+    * candidate generation: the 64-bit signature is split into `blocks`
+    * equal blocks and candidates agree on at least one block. Pigeonhole:
+    * every pair with hamming ≤ blocks-1 is GUARANTEED a matching block;
+    * beyond that detection is probabilistic. Pick blocks ≈ maxHamming+1
+    * for a hard guarantee; fewer blocks → wider blocks → fewer false
+    * candidates at corpus scale (narrow blocks collide in n²/2^width
+    * pairs per block). A single-prefix bucket is NOT a substitute — one
+    * differing prefix bit hides a pair regardless of total distance. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int, maxHamming: Int): DataFrame = {
+                   n: Int, maxHamming: Int, blocks: Int = 4): DataFrame = {
+    require(64 % blocks == 0, "blocks must divide 64")
+    val width = 64 / blocks
+    val mask = (1L << width) - 1
     val s = simhash(docs, idCol, textCol, n)
-    val a = s.select(col("id").as("id1"), col("simhash").as("h1"), col("bucket"))
-    val b = s.select(col("id").as("id2"), col("simhash").as("h2"), col("bucket"))
-    a.join(b, Seq("bucket")).filter(col("id1") < col("id2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates = (0 until blocks).map { b =>
+      val block = shiftright(col("simhash"), b * width).bitwiseAND(mask)
+      val withB = s.withColumn("bk", block)
+      val l = withB.select(col("id").as("id1"), col("bk"))
+      val r = withB.select(col("id").as("id2"), col("bk"))
+      l.join(r, Seq("bk")).filter(col("id1") < col("id2")).select("id1", "id2")
+    }.reduce(_ unionByName _).distinct()
+    val h1 = s.toDF("id1", "h1")
+    val h2 = s.toDF("id2", "h2")
+    candidates.join(h1, "id1").join(h2, "id2")
       .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id1"), col("id2"), col("hamming"))
