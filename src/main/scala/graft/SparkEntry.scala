@@ -217,7 +217,7 @@ object SparkEntry {
     "q34_model_compare" -> ((s, d) =>
       ml.Popularity.compareModels(s,
         Tables.lineitem(s, d)
-          .filter(pmod(col("l_orderkey"), lit(20)) === 0)
+          .filter(pmod(col("l_orderkey"), lit(40)) === 0)
           .select("l_quantity", "l_discount", "l_tax", "l_extendedprice"),
         Seq("l_quantity", "l_discount", "l_tax"), "l_extendedprice")),
   )
@@ -228,7 +228,7 @@ object SparkEntry {
   private def rfFit(s: SparkSession, d: String): ml.Popularity.Fit =
     rfCache.getOrElseUpdate(d, {
       val sample = Tables.lineitem(s, d)
-        .filter(pmod(col("l_orderkey"), lit(20)) === 0)
+        .filter(pmod(col("l_orderkey"), lit(40)) === 0)
         .select("l_quantity", "l_discount", "l_tax", "l_extendedprice")
       ml.Popularity.train(sample,
         Seq("l_quantity", "l_discount", "l_tax"), "l_extendedprice")

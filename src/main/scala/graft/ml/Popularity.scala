@@ -26,7 +26,7 @@ object Popularity {
                        nTrain: Long, nTest: Long)
 
   def train(data: DataFrame, features: Seq[String], target: String,
-            numTrees: Int = 20, folds: Int = 2, seed: Long = 42L): Fit = {
+            numTrees: Int = 10, folds: Int = 2, seed: Long = 42L): Fit = {
     val assembler = new VectorAssembler()
       .setInputCols(features.toArray).setOutputCol("graft_features")
     val rf = new RandomForestRegressor()
@@ -68,7 +68,7 @@ object Popularity {
       .setFeaturesCol("graft_features").setLabelCol(target)
     val rf = new RandomForestRegressor()
       .setFeaturesCol("graft_features").setLabelCol(target)
-      .setNumTrees(20).setMaxDepth(6).setSeed(seed)
+      .setNumTrees(10).setMaxDepth(6).setSeed(seed)
     val gbt = new GBTRegressor()
       .setFeaturesCol("graft_features").setLabelCol(target)
       .setMaxIter(10).setMaxDepth(5).setSeed(seed)

@@ -41,7 +41,7 @@ object Recommend {
     val n = items.count()
     val k = math.max(2, math.min(maxK, (n / itemsPerCluster).toInt))
     val kmeans = new KMeans()
-      .setK(k).setSeed(seed)
+      .setK(k).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("graft_features").setPredictionCol("cluster")
     val prepped = new Pipeline().setStages(Array(indexer, assembler, scaler))
       .fit(items).transform(items)
