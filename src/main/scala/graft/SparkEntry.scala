@@ -160,6 +160,14 @@ object SparkEntry {
       Similarity.annBucketTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         dim = 64, nBits = 4, queryId = 0L, k = 20)),
 
+    "q37_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      AsOf.asofJoin(ev, purchases, "user_id", "ts", "value", "last_purchase")
+        .select("event_id", "user_id", "event_type", "value", "last_purchase")
+    }),
+
     "q33_chart_snapshot" -> ((s, d) => {
       // Reference's final merged output (dag.py:137-154): each entity's
       // latest row annotated with its weeks-on-chart streak.
@@ -492,6 +500,14 @@ object SparkEntry {
                      LEFT JOIN st ON u.user_id = st.user_id)
          SELECT l.user_id, l.event_id, l.event_type, l.value, s.weeks_on_chart
          FROM latest l JOIN streaks s ON l.user_id = s.user_id""",
+
+    "q37_asof_join" ->
+      """SELECT e.event_id, e.user_id, e.event_type, e.value,
+                p.value AS last_purchase
+         FROM events e
+         ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                         WHERE event_type = 'purchase') p
+           ON e.user_id = p.user_id AND e.ts >= p.ts""",
 
     "q36_stateful_streaks" ->
       """WITH weekly AS (
