@@ -40,7 +40,7 @@ object Popularity {
     val cv = new CrossValidator()
       .setEstimator(new Pipeline().setStages(Array(assembler, rf)))
       .setEstimatorParamMaps(grid).setEvaluator(evaluator)
-      .setNumFolds(folds).setSeed(seed).setParallelism(2)
+      .setNumFolds(folds).setSeed(seed).setParallelism(folds * grid.length)
     val Array(trainDf, testDf) = data.randomSplit(Array(0.8, 0.2), seed)
     val best = cv.fit(trainDf)
     val predictions = best.transform(testDf)
@@ -73,16 +73,26 @@ object Popularity {
       .setFeaturesCol("graft_features").setLabelCol(target)
       .setMaxIter(10).setMaxDepth(5).setSeed(seed)
     val Array(trainDf, testDf) = data.randomSplit(Array(0.8, 0.2), seed)
-    val evaluator = new RegressionEvaluator()
-      .setLabelCol(target).setPredictionCol("prediction")
-    val rows = Seq("linear_regression" -> lr, "random_forest" -> rf,
-      "gbt" -> gbt).map { case (name, est) =>
-      val m = new Pipeline().setStages(Array(assembler, scaler, est)).fit(trainDf)
-      val pred = m.transform(testDf)
-      val rmse = evaluator.setMetricName("rmse").evaluate(pred)
-      val r2 = evaluator.setMetricName("r2").evaluate(pred)
-      (name, math.round(rmse * 100) / 100.0, math.round(r2 * 10000) / 10000.0)
-    }
+    trainDf.persist(); testDf.persist()
+    // The three estimators are independent — fit them as concurrent Spark
+    // jobs (fair-shared executors) instead of back-to-back; each evaluator
+    // is per-model because setMetricName mutates shared state.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val rows = Await.result(Future.sequence(
+      Seq("linear_regression" -> lr, "random_forest" -> rf,
+        "gbt" -> gbt).map { case (name, est) => Future {
+        val evaluator = new RegressionEvaluator()
+          .setLabelCol(target).setPredictionCol("prediction")
+        val m = new Pipeline().setStages(Array(assembler.copy(assembler.extractParamMap),
+          scaler.copy(scaler.extractParamMap), est)).fit(trainDf)
+        val pred = m.transform(testDf)
+        val rmse = evaluator.setMetricName("rmse").evaluate(pred)
+        val r2 = evaluator.setMetricName("r2").evaluate(pred)
+        (name, math.round(rmse * 100) / 100.0, math.round(r2 * 10000) / 10000.0)
+      }}), Duration.Inf)
+    trainDf.unpersist(); testDf.unpersist()
     import spark.implicits._
     rows.toDF("model", "rmse", "r2")
   }

@@ -46,10 +46,13 @@ object Recommend {
     val prepped = new Pipeline().setStages(Array(indexer, assembler, scaler))
       .fit(items).transform(items)
       .withColumn("graft_weighted_group", col("graft_group_idx") * groupWeight)
-    val withVec = weighted.transform(prepped)
-    kmeans.fit(withVec).transform(withVec)
+    // KMeans.fit makes maxIter passes over the input; cache the assembled
+    // vectors so each pass reads the cached block, not the whole pipeline.
+    val withVec = weighted.transform(prepped).cache()
+    val out = kmeans.fit(withVec).transform(withVec)
       .drop("graft_group_idx", "graft_raw", "graft_scaled",
         "graft_weighted_group", "graft_features")
+    out
   }
 
   /** Items sharing the query item's cluster, excluding the query itself —

@@ -98,14 +98,17 @@ object Dedup {
     val numHashes = bands * rowsPerBand
     val sig = minhashSignature(docs, idCol, textCol, n, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sig.select(col("id") +: (0 until bands).map { b =>
-      hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as(s"band$b")
-    }: _*)
-    val candidates = (0 until bands).map { b =>
-      val l = banded.select(col("id").as("id1"), col(s"band$b").as("bk"))
-      val r = banded.select(col("id").as("id2"), col(s"band$b").as("bk"))
-      l.join(r, Seq("bk")).filter(col("id1") < col("id2")).select("id1", "id2")
-    }.reduce(_ unionByName _).distinct()
+    // One row per (doc, band) with the band's bucket hash, then ONE
+    // self-join on (band, bucket) — same candidate set as a join per band,
+    // but a single shuffle over bands·n rows instead of `bands` separate
+    // join stages (plan size and stage count stay flat as bands grows).
+    val banded = sig.select(col("id"), posexplode(array((0 until bands).map { b =>
+      hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+    }: _*)).as(Seq("band", "bk")))
+    val l = banded.toDF("id1", "band", "bk")
+    val r = banded.toDF("id2", "band", "bk")
+    val candidates = l.join(r, Seq("band", "bk"))
+      .filter(col("id1") < col("id2")).select("id1", "id2").distinct()
     val s1 = sig.toDF("id1", "sig1")
     val s2 = sig.toDF("id2", "sig2")
     val agree = aggregate(
@@ -144,13 +147,15 @@ object Dedup {
     val mask = (1L << width) - 1
     val s = simhash(docs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candidates = (0 until blocks).map { b =>
-      val block = shiftright(col("simhash"), b * width).bitwiseAND(mask)
-      val withB = s.withColumn("bk", block)
-      val l = withB.select(col("id").as("id1"), col("bk"))
-      val r = withB.select(col("id").as("id2"), col("bk"))
-      l.join(r, Seq("bk")).filter(col("id1") < col("id2")).select("id1", "id2")
-    }.reduce(_ unionByName _).distinct()
+    // Single (block, value) bucket join across all blocks — see the
+    // minhash banding note above for why this beats a join per block.
+    val blocked = s.select(col("id"), posexplode(array((0 until blocks).map { b =>
+      shiftright(col("simhash"), b * width).bitwiseAND(mask)
+    }: _*)).as(Seq("blk", "bk")))
+    val l = blocked.toDF("id1", "blk", "bk")
+    val r = blocked.toDF("id2", "blk", "bk")
+    val candidates = l.join(r, Seq("blk", "bk"))
+      .filter(col("id1") < col("id2")).select("id1", "id2").distinct()
     val h1 = s.toDF("id1", "h1")
     val h2 = s.toDF("id2", "h2")
     candidates.join(h1, "id1").join(h2, "id2")
