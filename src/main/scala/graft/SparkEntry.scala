@@ -228,7 +228,67 @@ object SparkEntry {
           .filter(pmod(col("l_orderkey"), lit(40)) === 0)
           .select("l_quantity", "l_discount", "l_tax", "l_extendedprice"),
         Seq("l_quantity", "l_discount", "l_tax"), "l_extendedprice")),
+
+    // Timestamps for q38-q40 are int64 MICROseconds (`ts div 1000` here,
+    // epoch_us(ts) in the oracle): DuckDB truncates the parquet ns
+    // timestamps to µs on read, so µs is the finest exactly-shared grain.
+    "q38_sessionize" -> ((s, d) =>
+      Sessions.sessionize(eventsUs(s, d), "user_id", "ts_us", "event_id",
+        gapUs = 30L * 60 * 1000000)),
+
+    "q39_range_pairs" -> ((s, d) =>
+      Sessions.rangeJoinPairCounts(eventsUs(s, d), "user_id", "ts_us",
+        "event_id", windowUs = 3600000000L)),
+
+    "q40_rolling_avg" -> ((s, d) =>
+      Sessions.rollingAvg(eventsUs(s, d), "user_id", "ts_us", "event_id",
+        "value", windowUs = 7L * 86400 * 1000000)),
+
+    "q41_rollup" -> ((s, d) =>
+      Analytics.rollup2(
+        Tables.lineitem(s, d).select("l_returnflag", "l_linestatus", "l_quantity"),
+        "l_returnflag", "l_linestatus", "l_quantity")),
+
+    "q42_pivot_weekly" -> ((s, d) =>
+      Analytics.pivotWeekly(Tables.events(s, d),
+        date_format(date_trunc("week", col("ts_t")), "yyyy-MM-dd"),
+        "event_type", Seq("click", "error", "purchase", "signup", "view"),
+        "value")),
+
+    "q43_hash_split" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"), T.hashSplit(col("text")).as("split"))),
+
+    "q44_top_terms" -> ((s, d) =>
+      Analytics.topTerms(Tables.documents(s, d), "text", 50)),
+
+    "q45_pii_scrub" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"), T.piiScrub(col("text")).as("scrubbed"),
+        T.piiHits(col("text")).cast("long").as("pii_hits"))),
+
+    "q46_dedup_clusters" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccardPairs(
+        Tables.documents(s, d), "doc_id", "text", 3, 0.2)
+      Components.connected(pairs, "id1", "id2")
+        .select(col("id").as("doc_id"), col("cluster"))
+    }),
+
+    "q47_percentiles" -> ((s, d) =>
+      Analytics.quartiles(
+        Tables.documents(s, d).select("source", "n_chars"), "source", "n_chars")),
+
+    "q48_salted_topk" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_extendedprice"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("row_id"))
+      Skew.saltedTopK(li, "l_extendedprice", "row_id", 20, 8)
+        .select("row_id", "l_extendedprice")
+    }),
   )
+
+  /** Events with the shared-grain µs timestamp column (see q38-q40 note). */
+  private def eventsUs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
 
   /** RF fit shared by q27/q28, memoized per scale dir. Trained on a
     * deterministic 5% key-sampled slice so CV tuning stays bounded. */
@@ -554,5 +614,119 @@ object SparkEntry {
                 round(avg(n_chars), 2) AS avg_chars,
                 CAST(sum(wt) AS BIGINT) AS sum_tokens
          FROM c GROUP BY source""",
+
+    "q38_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
+         g AS (SELECT user_id, ts_us, event_id,
+                      CASE WHEN lag(ts_us) OVER w IS NULL
+                                OR ts_us - lag(ts_us) OVER w > 1800000000
+                           THEN 1 ELSE 0 END AS news
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         s AS (SELECT user_id, ts_us,
+                      CAST(sum(news) OVER (PARTITION BY user_id
+                                           ORDER BY ts_us, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                        AS session_idx
+               FROM g)
+         SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+                min(ts_us) AS start_us, max(ts_us) AS end_us,
+                max(ts_us) - min(ts_us) AS duration_us
+         FROM s GROUP BY user_id, session_idx""",
+
+    "q39_range_pairs" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id FROM events)
+         SELECT a.user_id, CAST(count(*) AS BIGINT) AS n_pairs
+         FROM e a JOIN e b
+           ON a.user_id = b.user_id AND a.event_id < b.event_id
+          AND abs(a.t - b.t) <= 3600000000
+         GROUP BY a.user_id""",
+
+    "q40_rolling_avg" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+                           CAST(round(value * 100, 0) AS BIGINT) AS cents
+                    FROM events)
+         SELECT event_id, user_id, ts_us, value,
+                sum(cents) OVER w / (100.0 * count(*) OVER w) AS roll_avg,
+                CAST(count(*) OVER w AS BIGINT) AS roll_n
+         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                             RANGE BETWEEN 604800000000 PRECEDING
+                                       AND CURRENT ROW)""",
+
+    "q41_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                CAST(count(*) AS BIGINT) AS n,
+                round(sum(l_quantity), 2) AS sum_v,
+                round(avg(l_quantity), 2) AS avg_v
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+
+    "q42_pivot_weekly" ->
+      """SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS wk,
+                CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_click,
+                CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_error,
+                CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
+                CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS n_signup,
+                CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_view
+         FROM events GROUP BY 1""",
+
+    "q43_hash_split" ->
+      """SELECT doc_id,
+                CASE WHEN substring(md5(text), 1, 1) < 'd'
+                     THEN 'train' ELSE 'test' END AS split
+         FROM documents""",
+
+    "q44_top_terms" ->
+      """SELECT term, CAST(count(*) AS BIGINT) AS cnt
+         FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+               FROM documents)
+         GROUP BY term ORDER BY cnt DESC, term LIMIT 50""",
+
+    "q45_pii_scrub" ->
+      """SELECT doc_id,
+                regexp_replace(
+                  regexp_replace(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '[0-9]{4,}', '<NUM>', 'g') AS scrubbed,
+                CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                     + len(regexp_extract_all(text, '[0-9]{4,}')) AS BIGINT)
+                  AS pii_hits
+         FROM documents""",
+
+    "q46_dedup_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                       toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+                FROM (SELECT doc_id, toks,
+                             unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i
+                      FROM t)),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+                FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         pairs AS (SELECT id1, id2
+                   FROM pr JOIN cnt c1 ON pr.id1 = c1.doc_id
+                           JOIN cnt c2 ON pr.id2 = c2.doc_id
+                   WHERE round(inter * 1.0 / (c1.n + c2.n - inter), 4) >= 0.2),
+         e AS (SELECT id1 AS a, id2 AS b FROM pairs
+               UNION SELECT id2, id1 FROM pairs),
+         r(n, m) AS (SELECT a, b FROM e
+                     UNION SELECT r.n, e.b FROM r JOIN e ON r.m = e.a)
+         SELECT n AS doc_id, least(n, min(m)) AS cluster FROM r GROUP BY n""",
+
+    "q47_percentiles" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n,
+                round(quantile_cont(n_chars, 0.25), 2) AS p25,
+                round(quantile_cont(n_chars, 0.50), 2) AS p50,
+                round(quantile_cont(n_chars, 0.75), 2) AS p75
+         FROM documents GROUP BY source""",
+
+    "q48_salted_topk" ->
+      """SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS row_id,
+                l_extendedprice
+         FROM lineitem
+         ORDER BY l_extendedprice DESC, row_id LIMIT 20""",
   )
 }

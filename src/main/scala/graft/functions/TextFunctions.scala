@@ -75,6 +75,30 @@ object TextFunctions {
       .otherwise(lit("es"))
   }
 
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val LongNumRe = "[0-9]{4,}"
+
+  /** PII scrub: replace emails and long digit runs with typed placeholder
+    * tokens. Spark's regexp_replace replaces every match (DuckDB needs the
+    * explicit 'g' flag — see oracleSql); patterns are RE2-safe (no
+    * lookaround) so both engines match identically. */
+  def piiScrub(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), LongNumRe, "<NUM>")
+
+  /** Count of scrubbed spans (audit metric for the scrub). */
+  def piiHits(c: Column): Column =
+    regexp_count(c, lit(EmailRe)) + regexp_count(c, lit(LongNumRe))
+
+  /** Deterministic content-hash split: buckets by the first hex nibble of
+    * the content fingerprint — 'train' for nibbles 0-c (13/16 = 81.25%),
+    * 'test' otherwise. Unlike randomSplit, the assignment is a pure
+    * function of content: reproducible across runs, engines, and
+    * repartitioning, which is what a 100 TB training corpus needs (no
+    * sampling state, no seed coupling to partitioning). */
+  def hashSplit(c: Column): Column =
+    when(substring(md5(c.cast("binary")), 1, 1) < "d", lit("train"))
+      .otherwise(lit("test"))
+
   /** Canonical-text word tokens. Materialize this in its own projection
     * before building shingles: higher-order lambdas are interpreted (not
     * codegen'd), so any regex left inside the lambda re-splits the whole

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional and distributional analytics over fact tables — the
+  * BigQuery-dashboard side of the reference (app.py aggregates), widened to
+  * the cube/pivot/quantile shapes any analytics surface needs.
+  *
+  * All plans are single-pass partial aggregations: rollup/pivot/percentile
+  * each compile to one hash-aggregate with map-side combine, so the shuffle
+  * carries (groups × aggregates), never rows.
+  */
+object Analytics {
+
+  /** ROLLUP over two dimensions with explicit 'ALL' markers for the
+    * subtotal levels (markers instead of NULLs so the output is
+    * unambiguous when the dimension itself contains NULLs is not a
+    * concern here, and portable across engines). */
+  def rollup2(df: DataFrame, d1: String, d2: String, metric: String): DataFrame =
+    df.rollup(col(d1), col(d2))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col(metric)), 2).as("sum_v"),
+        round(avg(col(metric)), 2).as("avg_v"))
+      .select(coalesce(col(d1), lit("ALL")).as(d1),
+        coalesce(col(d2), lit("ALL")).as(d2),
+        col("n"), col("sum_v"), col("avg_v"))
+
+  /** Weekly counts pivoted into one column per category value. The category
+    * domain is passed explicitly — at scale an implicit pivot would need a
+    * driver-side distinct pass; a declared domain keeps it one aggregate. */
+  def pivotWeekly(df: DataFrame, weekExpr: Column, catCol: String,
+                  cats: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(weekExpr.as("wk"))
+      .pivot(catCol, cats)
+      .agg(count(lit(1)))
+      .select(col("wk") +: cats.map(c => coalesce(col(c), lit(0L)).as(s"n_$c")): _*)
+
+  /** Exact interpolated quartiles of `metric` per group (linear
+    * interpolation — the same definition as SQL quantile_cont). Exact
+    * percentile shuffles each group's values to its reducer; for sketch
+    * precision at 100 TB swap in approx_percentile with a bounded error. */
+  def quartiles(df: DataFrame, group: String, metric: String): DataFrame =
+    df.groupBy(col(group))
+      .agg(percentile(col(metric), array(lit(0.25), lit(0.5), lit(0.75)))
+        .as("qs"),
+        count(lit(1)).as("n"))
+      .select(col(group), col("n"),
+        round(element_at(col("qs"), 1), 2).as("p25"),
+        round(element_at(col("qs"), 2), 2).as("p50"),
+        round(element_at(col("qs"), 3), 2).as("p75"))
+
+  /** Global top-k terms by document frequency-weighted count. Tokens are
+    * materialized in their own projection before the generate (the regex
+    * runs once per doc), and the explode→count is the canonical map-side
+    * combine wordcount: the shuffle carries (term, partial count). */
+  def topTerms(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val toks = docs.select(
+      regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)).as("toks"))
+    toks.select(explode_outer(col("toks")).as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy("term")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(k)
+  }
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over a pair list — turns near-duplicate PAIRS
+  * (minhash/simhash/jaccard output) into duplicate CLUSTERS, the form a
+  * dedup pipeline actually consumes (keep one canonical doc per cluster).
+  *
+  * Algorithm: distributed min-label propagation with pointer jumping.
+  * Every node starts labeled with its own id; each round a node takes the
+  * min of its label and its neighbors' labels (propagation), then replaces
+  * its label with its label's label (pointer jump — halves chain depth, so
+  * convergence is O(log diameter) rounds, not O(diameter)). Each round is
+  * a constant number of hash-shuffles over the EDGE list only (never the
+  * corpus). The loop is driver-side control flow over fully distributed
+  * steps with a convergence check — no data ever collects.
+  */
+object Components {
+
+  /** @param pairs DataFrame with two long id columns (an undirected edge per
+    *              row); isolated docs are not emitted (no edge → no dup).
+    * @return (id, cluster) where cluster = min id reachable from id. */
+  def connected(pairs: DataFrame, id1: String, id2: String,
+                maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col(id1).as("a"), col(id2).as("b"))
+      .unionByName(pairs.select(col(id2).as("a"), col(id1).as("b")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.groupBy(col("a").as("id"))
+      .agg(least(min(col("b")), first(col("a"))).as("cluster"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iters = 0
+    while (!converged && iters < maxIters) {
+      // Propagate: each node's new label = min(own, min over neighbors').
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "b"), Seq("b"))
+        .groupBy(col("a").as("id"))
+        .agg(min(col("cluster")).as("nb"))
+      val propagated = labels.join(viaNeighbor, Seq("id"))
+        .select(col("id"), least(col("cluster"), col("nb")).as("cluster"))
+      // Pointer jump: label ← label(label). Labels are node ids, and every
+      // node has a label row, so the self-join always matches; the jumped
+      // label is ≤ the current one by construction.
+      val next = propagated
+        .join(propagated.select(col("id").as("cluster"), col("cluster").as("c2")),
+          Seq("cluster"))
+        .select(col("id"), col("c2").as("cluster"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
+        .filter(col("cluster") < col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0L
+      iters += 1
+    }
+    edges.unpersist()
+    labels
+  }
+}

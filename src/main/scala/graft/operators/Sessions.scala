@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time session and rolling-window operators.
+  *
+  * The reference pipeline batches on Airflow's weekly cadence (dag.py
+  * schedule_interval); these are the continuous-time counterparts a
+  * behavioral/training-data pipeline needs: inactivity-gap sessionization
+  * and sliding time-window aggregates.
+  *
+  * Scale posture: both are single-shuffle window plans partitioned by the
+  * entity key — state per key is bounded by that key's rows, so 1000
+  * executors scale by users, and no driver-side iteration exists.
+  * Timestamps are int64 microseconds (exact integer math, no double
+  * rounding, oracle-identical across engines).
+  */
+object Sessions {
+
+  /** Inactivity-gap sessionization (classic gaps-and-islands):
+    * a new session starts when the gap to the user's previous event
+    * exceeds `gapUs`. Emits one row per session with bounds and size.
+    *
+    * One shuffle on the user key serves both window passes (lag + running
+    * sum share the partitioning); the session agg then reduces map-side.
+    */
+  def sessionize(events: DataFrame, userCol: String, tsUsCol: String,
+                 idCol: String, gapUs: Long): DataFrame = {
+    val byTime = Window.partitionBy(col(userCol))
+      .orderBy(col(tsUsCol).asc, col(idCol).asc)
+    val withGap = events.select(col(userCol), col(tsUsCol), col(idCol))
+      .withColumn("graft_prev", lag(col(tsUsCol), 1).over(byTime))
+      .withColumn("graft_new",
+        when(col("graft_prev").isNull ||
+          col(tsUsCol) - col("graft_prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("graft_new")).over(byTime.rowsBetween(Window.unboundedPreceding, 0)))
+    withGap.groupBy(col(userCol), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsUsCol)).as("start_us"),
+        max(col(tsUsCol)).as("end_us"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+  }
+
+  /** Sliding time-window aggregate: for every event, the average of
+    * `valueCol` over the user's events in the preceding `windowUs`
+    * (inclusive of the current row). RANGE frame over int64 µs — peers at
+    * the same timestamp are included on both engines identically.
+    *
+    * The windowed sum runs over fixed-point integers (`valueCol` scaled by
+    * 10^scale and rounded to long), not doubles: integer addition is
+    * associative, so the result is independent of accumulation order —
+    * exact under any partitioning, task retry, or engine's window
+    * algorithm (a double sum is none of those; DuckDB's segment-tree
+    * accumulation order measurably diverges from a sequential fold in the
+    * 4th decimal). The single final division is deterministic. */
+  def rollingAvg(events: DataFrame, userCol: String, tsUsCol: String,
+                 idCol: String, valueCol: String, windowUs: Long,
+                 scale: Int = 2): DataFrame = {
+    val factor = math.pow(10, scale)
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsUsCol).asc)
+      .rangeBetween(-windowUs, 0)
+    events.select(col(idCol), col(userCol), col(tsUsCol), col(valueCol))
+      .withColumn("graft_cents", round(col(valueCol) * factor, 0).cast("long"))
+      .withColumn("roll_n", count(lit(1)).over(w))
+      // No rounding: integer-sum ÷ (factor·n) is ONE IEEE-754 division, so
+      // the double is bit-identical on any engine; rounding would instead
+      // surface HALF_UP-vs-HALF_EVEN differences on exact .5 ties (ratios
+      // with small denominators hit them constantly).
+      .withColumn("roll_avg",
+        sum(col("graft_cents")).over(w) / (lit(factor) * col("roll_n")))
+      .drop("graft_cents")
+  }
+
+  /** Same-key event pairs within `windowUs` of each other, via a binned
+    * range join: left rows fan out to their bin and both neighbor bins, the
+    * join is a plain equi-join on (key, bin), and the exact |Δt| ≤ window
+    * predicate filters the survivors. Each qualifying pair matches exactly
+    * one exploded bin key (the right row's own bin), so no dedup pass is
+    * needed. At scale this is the standard interval-join shape: shuffle is
+    * keyed by (entity, coarse-time), never a full cross product; bin width
+    * = window keeps the candidate blow-up ≤ 3×.
+    * Returns per-key pair counts (bounded output).
+    */
+  def rangeJoinPairCounts(events: DataFrame, userCol: String, tsUsCol: String,
+                          idCol: String, windowUs: Long): DataFrame = {
+    val base = events.select(col(userCol).as("k"), col(tsUsCol).as("t"),
+      col(idCol).as("id"))
+    def bin(c: Column): Column = floor(c.cast("long") / windowUs).cast("long")
+    val probe = base.select(col("k"), col("t").as("t1"), col("id").as("id1"),
+      explode(array(bin(col("t")) - 1, bin(col("t")), bin(col("t")) + 1)).as("bin"))
+    val build = base.select(col("k"), col("t").as("t2"), col("id").as("id2"),
+      bin(col("t")).as("bin"))
+    probe.join(build, Seq("k", "bin"))
+      .filter(col("id1") < col("id2") &&
+        abs(col("t1") - col("t2")) <= windowUs)
+      .groupBy(col("k").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+}

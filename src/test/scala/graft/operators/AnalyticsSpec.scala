@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sales = Seq(
+    ("A", "x", 10.0), ("A", "x", 20.0), ("A", "y", 30.0), ("B", "x", 40.0)
+  ).toDF("d1", "d2", "v")
+
+  test("rollup2 emits leaf, subtotal and grand-total rows with ALL markers") {
+    val out = Analytics.rollup2(sales, "d1", "d2", "v")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(out.contains(("A", "x", 2L, 30.0)))   // leaf
+    assert(out.contains(("A", "ALL", 3L, 60.0))) // subtotal per d1
+    assert(out.contains(("ALL", "ALL", 4L, 100.0))) // grand total
+    assert(out.size === 6) // 3 leaves + 2 d1 subtotals + 1 grand total
+  }
+
+  test("pivotWeekly produces a zero-filled count column per declared category") {
+    val ev = Seq(("2024-01-01", "click"), ("2024-01-01", "click"),
+      ("2024-01-08", "view")).toDF("wk0", "event_type")
+    val out = Analytics.pivotWeekly(ev, col("wk0"), "event_type",
+      Seq("click", "view", "error"), "event_type")
+      .orderBy("wk").collect()
+    assert(out(0).getAs[Long]("n_click") === 2L)
+    assert(out(0).getAs[Long]("n_error") === 0L) // absent combo → 0, not null
+    assert(out(1).getAs[Long]("n_view") === 1L)
+  }
+
+  test("quartiles interpolate linearly (quantile_cont semantics)") {
+    val df = Seq(("g", 1), ("g", 2), ("g", 3), ("g", 4)).toDF("grp", "m")
+    val r = Analytics.quartiles(df, "grp", "m").collect()(0)
+    // sorted [1,2,3,4]: p25 at index 0.75 → 1.75; p50 → 2.5; p75 → 3.25
+    assert(r.getAs[Double]("p25") === 1.75)
+    assert(r.getAs[Double]("p50") === 2.5)
+    assert(r.getAs[Double]("p75") === 3.25)
+  }
+
+  test("topTerms counts tokens globally with deterministic tiebreak") {
+    val docs = Seq("the cat the dog", "THE Cat", "").toDF("text")
+    val out = Analytics.topTerms(docs, "text", 3)
+      .as[(String, Long)].collect().toList
+    assert(out === List(("the", 3L), ("cat", 2L), ("dog", 1L)))
+  }
+}

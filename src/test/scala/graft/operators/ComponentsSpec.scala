@@ -1,0 +1,34 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connected components labels every node with its component's min id") {
+    // Components: {1,2,3,4} (chain), {10,11}, {20,21,22} (triangle).
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id1", "id2")
+    val out = Components.connected(pairs, "id1", "id2")
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("long chain converges (diameter-bound iteration)") {
+    val n = 24
+    val pairs = (1 until n).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("id1", "id2")
+    val out = Components.connected(pairs, "id1", "id2")
+      .as[(Long, Long)].collect().toMap
+    assert(out.values.toSet === Set(1L))
+    assert(out.size === n)
+  }
+
+  test("edge direction and duplicates don't matter") {
+    val pairs = Seq((5L, 3L), (3L, 5L), (5L, 3L), (7L, 3L)).toDF("id1", "id2")
+    val out = Components.connected(pairs, "id1", "id2")
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(3L -> 3L, 5L -> 3L, 7L -> 3L))
+  }
+}

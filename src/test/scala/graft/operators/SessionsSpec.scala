@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SessionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val M = 60L * 1000000 // one minute in µs
+
+  test("sessionize splits on inactivity gaps and aggregates bounds") {
+    // user 1: events at 0, 10, 20 min (one session with gap=30m), then 90 min.
+    val ev = Seq(
+      (1L, 0 * M, 1L), (1L, 10 * M, 2L), (1L, 20 * M, 3L), (1L, 90 * M, 4L),
+      (2L, 5 * M, 5L)
+    ).toDF("user_id", "ts_us", "event_id")
+    val out = Sessions.sessionize(ev, "user_id", "ts_us", "event_id", 30 * M)
+      .orderBy("user_id", "session_idx")
+      .collect()
+    assert(out.length === 3)
+    val s1 = out(0)
+    assert(s1.getAs[Long]("n_events") === 3)
+    assert(s1.getAs[Long]("duration_us") === 20 * M)
+    assert(out(1).getAs[Long]("n_events") === 1)
+    assert(out(2).getAs[Long]("user_id") === 2L)
+  }
+
+  test("sessionize gap boundary: exactly `gap` keeps the session open") {
+    val ev = Seq((1L, 0L, 1L), (1L, 30 * M, 2L), (1L, 30 * M + 30 * M + 1, 3L))
+      .toDF("user_id", "ts_us", "event_id")
+    val out = Sessions.sessionize(ev, "user_id", "ts_us", "event_id", 30 * M)
+    assert(out.count() === 2) // 2nd event continues; 3rd (gap+1µs) starts anew
+  }
+
+  test("rolling avg over a RANGE window is exact fixed-point math") {
+    val ev = Seq(
+      (1L, 0 * M, 1L, 10.00), (1L, 3 * M, 2L, 20.00), (1L, 100 * M, 3L, 40.00)
+    ).toDF("user_id", "ts_us", "event_id", "value")
+    val out = Sessions.rollingAvg(ev, "user_id", "ts_us", "event_id", "value",
+      windowUs = 5 * M)
+      .orderBy("ts_us").select("roll_avg", "roll_n").as[(Double, Long)].collect()
+    assert(out(0) === ((10.0, 1L)))
+    assert(out(1) === ((15.0, 2L))) // event 1 is within 5 min
+    assert(out(2) === ((40.0, 1L))) // window slid past both
+  }
+
+  test("binned range join matches the naive O(n²) pair count") {
+    val rnd = new scala.util.Random(7)
+    val ev = (1 to 200).map { i =>
+      (rnd.nextInt(3).toLong, rnd.nextInt(1000).toLong * M / 10, i.toLong)
+    }
+    val df = ev.toDF("user_id", "ts_us", "event_id")
+    val w = 13 * M
+    val binned = Sessions.rangeJoinPairCounts(df, "user_id", "ts_us", "event_id", w)
+      .as[(Long, Long)].collect().toMap
+    val naive = (for {
+      a <- ev; b <- ev
+      if a._1 == b._1 && a._3 < b._3 && math.abs(a._2 - b._2) <= w
+    } yield a._1).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(binned === naive)
+  }
+}
