@@ -176,6 +176,36 @@ object Dedup {
     fresh.join(knownFps.select(col("fp")), Seq("fp"), "left_anti")
   }
 
+  /** Bloom-prefiltered incremental dedup — the 100 TB shape of
+    * [[incrementalExact]]. A compact bloom filter is built over the corpus
+    * fingerprints (distributed aggregation, one ~MB-to-GB artifact on the
+    * driver) and shipped to every task as a literal inside the codegen'd
+    * `BloomFilterMightContain` probe. Batch rows the filter rejects are
+    * DEFINITELY new and skip the anti-join entirely; only the
+    * maybe-duplicate sliver (true dups + fpp false positives) shuffles
+    * against the corpus store. At a 1% duplicate rate that cuts the
+    * anti-join's probe side ~99%: the join cost tracks the DUP rate, not
+    * the corpus growth rate. Hash family: xxhash64 longs on both the build
+    * (putLong) and probe side. */
+  def incrementalExactBloom(batch: DataFrame, idCol: String, textCol: String,
+                            knownFps: DataFrame, expectedItems: Long,
+                            fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val bloom = knownFps.select(xxhash64(col("fp")).as("graft_h"))
+      .stat.bloomFilter("graft_h", expectedItems, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val fresh = exact(batch, idCol, textCol)
+    val maybeDup = ColumnBridge.bloomMightContain(bytes, xxhash64(col("fp")))
+    val definitelyNew = fresh.filter(!maybeDup)
+    val checked = fresh.filter(maybeDup)
+      .join(knownFps.select(col("fp")), Seq("fp"), "left_anti")
+    definitelyNew.unionByName(checked)
+  }
+
   /** Embedding near-dup: cosine ≥ τ among pairs sharing a coarse bucket
     * (IVF-style partition prefilter → intra-bucket self-join only). */
   def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,

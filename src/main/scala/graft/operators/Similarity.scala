@@ -65,6 +65,28 @@ object Similarity {
     IvfIndex(assigned, centers)
   }
 
+  /** Persist an IVF index: cell assignments as parquet PARTITIONED BY the
+    * cell id, centroids as a tiny side table. Partitioning by cell is the
+    * point — a probe filters on `graft_cell IN (...)`, which prunes whole
+    * directories at planning time, so a 100 TB corpus reads only
+    * ~nProbe/nLists of its files. Build once, probe many. */
+  def saveIndex(index: IvfIndex, path: String): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.assigned.write.mode("overwrite")
+      .partitionBy("graft_cell").parquet(s"$path/cells")
+    index.centers.toSeq.toDF("cell", "center")
+      .write.mode("overwrite").parquet(s"$path/centers")
+  }
+
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val assigned = spark.read.parquet(s"$path/cells")
+    val centers = spark.read.parquet(s"$path/centers").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    IvfIndex(assigned, centers)
+  }
+
   /** Top-k by cosine among rows in the `nProbe` cells whose centroids are
     * closest to the query vector. Centroid ranking is driver-side (the
     * centroid table is an O(nLists·dim) index artifact). */

@@ -12,4 +12,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Native bloom-filter membership probe: `BloomFilterMightContain` over a
+    * pre-built serialized filter (the codegen'd expression Spark itself
+    * uses for runtime join filtering, which it does not expose in the
+    * public registry). `value` must be the same 64-bit hash family the
+    * filter was populated with (xxhash64 longs → putLong). */
+  def bloomMightContain(bloomBytes: Array[Byte], value: Column): Column =
+    column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        bloomBytes, org.apache.spark.sql.types.BinaryType),
+      expression(value)))
 }

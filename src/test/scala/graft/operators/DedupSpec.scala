@@ -55,6 +55,31 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(11L, 13L))
   }
 
+  test("bloom-prefiltered incremental dedup matches the exact anti-join") {
+    val known = Dedup.exact(docs, "doc_id", "text").select("fp")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (11L, "a genuinely new document that the corpus has never seen before"),
+      (12L, "A  GENUINELY new document that the corpus has never seen before"),
+      (13L, "yet another brand new unique piece of text for the store"))
+      .toDF("doc_id", "text")
+    val exactKept = Dedup.incrementalExact(batch, "doc_id", "text", known)
+      .select("doc_id").as[Long].collect().toSet
+    val bloomKept = Dedup.incrementalExactBloom(batch, "doc_id", "text", known,
+      expectedItems = 1000)
+      .select("doc_id").as[Long].collect().toSet
+    assert(bloomKept === exactKept)
+  }
+
+  test("bloom prefilter keeps a disjoint batch intact (definitely-new path)") {
+    val known = Dedup.exact(docs, "doc_id", "text").select("fp")
+    val batch = (100L to 120L)
+      .map(i => (i, s"completely novel text number $i with unique words w$i"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.incrementalExactBloom(batch, "doc_id", "text", known, 1000)
+    assert(kept.count() === 21)
+  }
+
   test("embedding near-dup finds same-bucket close vectors only") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f), 0),

@@ -40,4 +40,27 @@ class SkewAndIvfSpec extends SparkSpec {
     assert(got.length == 5)
     assert(got.forall(_ < 20L)) // all from the query's own cluster
   }
+
+  test("persisted IVF index round-trips and probes prune partitions") {
+    val rnd = new scala.util.Random(9)
+    def jitter() = (rnd.nextDouble() * 0.01).toFloat
+    val a = (0L until 20L).map(i => (i, Array(1.0f + jitter(), jitter(), jitter())))
+    val b = (20L until 40L).map(i => (i, Array(jitter(), 1.0f + jitter(), jitter())))
+    val emb = (a ++ b).toDF("vec_id", "embedding")
+    val fresh = Similarity.ivfIndex(emb, "vec_id", "embedding", nLists = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.saveIndex(fresh, dir)
+    val loaded = Similarity.loadIndex(spark, dir)
+    assert(loaded.centers.map(_._1).toSeq === Seq(0, 1))
+    val freshTop = Similarity.ivfTopK(fresh, "vec_id", "embedding", 0L, 5, 1)
+      .select("vec_id").as[Long].collect().toSet
+    val loadedTop = Similarity.ivfTopK(loaded, "vec_id", "embedding", 0L, 5, 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(loadedTop === freshTop)
+    // The probe filter must reach the scan as a partition filter (directory
+    // pruning — the mechanism that skips (nLists-nProbe)/nLists of the data).
+    val probePlan = loaded.assigned.filter(col("graft_cell") === 0)
+      .queryExecution.executedPlan.toString
+    assert(probePlan.contains("PartitionFilters: [isnotnull(graft_cell"))
+  }
 }
