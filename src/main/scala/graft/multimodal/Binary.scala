@@ -60,6 +60,25 @@ object Binary {
     media.filter(_.modality == "video").mapPartitions(_.flatMap(fakeFrames(_, step)))
   }
 
+  /** STUB resize — truncation stands in for a pixel-space resize; the
+    * output re-enters the pipeline as a first-class binary payload. */
+  private[multimodal] def fakeResize(r: MediaRecord, maxBytes: Int): MediaRecord =
+    r.copy(bytes = r.bytes.take(maxBytes))
+
+  /** Batched media transform — the `mapInPandas` batch shape on the JVM:
+    * rows are processed `batchSize` at a time inside each partition, so a
+    * vectorized/native codec can amortize per-call overhead across the
+    * batch (exactly how Arrow-batched Python UDFs consume record
+    * batches). No shuffle; batch size bounds peak decode memory. */
+  def resizeBatched(media: Dataset[MediaRecord], maxBytes: Int,
+                    batchSize: Int = 64): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(batchSize).flatMap { batch =>
+      // a real impl hands `batch` to the codec as one vectorized call
+      batch.map(fakeResize(_, maxBytes))
+    })
+  }
+
   /** Typed metadata join-back: enrich the media table with extracted
     * metadata without materializing bytes twice (select drops the payload
     * before the shuffle). */

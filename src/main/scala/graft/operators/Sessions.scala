@@ -44,6 +44,19 @@ object Sessions {
       .withColumn("duration_us", col("end_us") - col("start_us"))
   }
 
+  /** Session aggregation via Spark's native `session_window` — the same
+    * sessions as [[sessionize]] but usable UNCHANGED in Structured
+    * Streaming (watermark → state eviction when a session's gap closes).
+    * `session_window.start` is the first event; `.end` is last event +
+    * gap, so span = end - start - gap. Prefer this form for streaming;
+    * [[sessionize]] for oracle-exact batch output with stable indices. */
+  def sessionWindowAgg(events: DataFrame, userCol: String, tsCol: String,
+                       gap: String): DataFrame =
+    events.groupBy(session_window(col(tsCol), gap).as("sw"), col(userCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(userCol), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+
   /** Sliding time-window aggregate: for every event, the average of
     * `valueCol` over the user's events in the preceding `windowUs`
     * (inclusive of the current row). RANGE frame over int64 µs — peers at

@@ -28,6 +28,13 @@ class BinarySpec extends SparkSpec {
     assert(frames.length == 8) // 4096/256 = 16 chunks, every 2nd
   }
 
+  test("resizeBatched processes in bounded batches and caps payload size") {
+    val out = resizeBatched(media, maxBytes = 512, batchSize = 2).collect()
+    assert(out.length === 3)
+    assert(out.forall(_.bytes.length <= 512))
+    assert(out.find(_.media_id == 3L).get.bytes.length === 128) // under cap: intact
+  }
+
   test("withMeta joins metadata back without byte payloads") {
     val df = withMeta(media)
     assert(df.count() == 3)

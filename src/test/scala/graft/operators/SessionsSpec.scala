@@ -44,6 +44,31 @@ class SessionsSpec extends SparkSpec {
     assert(out(2) === ((40.0, 1L))) // window slid past both
   }
 
+  test("native session_window agrees with gaps-and-islands sessionize") {
+    val rnd = new scala.util.Random(11)
+    // Random event times over ~6 hours; gap 30 min → several sessions/user.
+    // Sub-second jitter keeps deltas off the exact-gap boundary, where the
+    // two forms may legitimately differ (sessionize keeps delta == gap
+    // in-session; session_window's interval end is exclusive).
+    val rows = (1 to 300).map { i =>
+      val us = rnd.nextInt(6 * 3600) * 1000000L + rnd.nextInt(999983)
+      (rnd.nextInt(4).toLong, us, i.toLong)
+    }
+    val df = rows.toDF("user_id", "ts_us", "event_id")
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+    val gapUs = 30 * M
+    val viaIslands = Sessions.sessionize(df, "user_id", "ts_us", "event_id", gapUs)
+      .select("user_id", "start_us", "end_us", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val viaWindow = Sessions.sessionWindowAgg(df, "user_id", "ts_t", "30 minutes")
+      .select(col("user_id"),
+        unix_micros(col("session_start")),
+        unix_micros(col("session_end")) - lit(gapUs),
+        col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(viaWindow === viaIslands)
+  }
+
   test("binned range join matches the naive O(n²) pair count") {
     val rnd = new scala.util.Random(7)
     val ev = (1 to 200).map { i =>

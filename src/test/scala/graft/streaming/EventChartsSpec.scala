@@ -33,6 +33,30 @@ class EventChartsSpec extends SparkSpec {
     assert(got.map(_._1) == Set("2024-01-01", "2024-01-08"))
   }
 
+  test("session_window sessionization runs in append-mode streaming") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, java.sql.Timestamp)]
+    val sessions = graft.operators.Sessions.sessionWindowAgg(
+      stream.toDF().toDF("user_id", "ts_t").withWatermark("ts_t", "1 hour"),
+      "user_id", "ts_t", "30 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sess_s")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(
+        (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+        (1L, java.sql.Timestamp.valueOf("2024-01-01 10:10:00")),  // same session
+        (1L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"))) // new session
+      q.processAllAvailable()
+      // Advance the watermark past the sessions so append mode emits them.
+      stream.addData((99L, java.sql.Timestamp.valueOf("2024-01-01 23:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sess_s")
+      .select("user_id", "n_events").as[(Long, Long)].collect()
+      .filter(_._1 == 1L).toSet
+    assert(got === Set((1L, 2L), (1L, 1L)))
+  }
+
   test("stateful streaks: consecutive weeks accumulate, gaps reset") {
     val weekly = Seq(
       WeeklyScore(1L, 10L, 5.0), WeeklyScore(1L, 11L, 5.0), WeeklyScore(1L, 12L, 5.0),
