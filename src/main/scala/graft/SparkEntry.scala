@@ -274,6 +274,14 @@ object SparkEntry {
       Analytics.quartiles(
         Tables.documents(s, d).select("source", "n_chars"), "source", "n_chars")),
 
+    "q49_histogram" -> ((s, d) =>
+      Etl.histogram(Tables.lineitem(s, d).select("l_extendedprice"),
+        "l_extendedprice", width = 6000.0, nBuckets = 20)),
+
+    "q50_star_join" -> ((s, d) =>
+      Etl.starRevenue(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d))),
+
     "q48_salted_topk" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select(col("l_extendedprice"),
         (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("row_id"))
@@ -733,5 +741,21 @@ object SparkEntry {
                 l_extendedprice
          FROM lineitem
          ORDER BY l_extendedprice DESC, row_id LIMIT 20""",
+
+    "q49_histogram" ->
+      """SELECT CAST(least(floor(l_extendedprice / 6000), 19) AS BIGINT) AS bucket,
+                CAST(count(*) AS BIGINT) AS n,
+                round(min(l_extendedprice), 2) AS lo,
+                round(max(l_extendedprice), 2) AS hi
+         FROM lineitem GROUP BY 1""",
+
+    "q50_star_join" ->
+      """SELECT c_mktsegment, o_orderpriority,
+                CAST(count(*) AS BIGINT) AS n,
+                round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment, o_orderpriority""",
   )
 }

@@ -120,4 +120,32 @@ object Etl {
         round(avg("l_quantity"), 2).as("avg_qty"),
         round(avg("l_discount"), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
+
+  /** Fixed-width histogram: bucket = floor(metric/width) clamped to
+    * [0, nBuckets). Static bounds (not data-dependent min/max) keep it a
+    * single map-side aggregate — no extra pass, and bucket ids are stable
+    * as data grows. */
+  def histogram(df: DataFrame, metric: String, width: Double,
+                nBuckets: Int): DataFrame =
+    df.groupBy(
+      least(floor(col(metric) / width), lit(nBuckets - 1L)).cast("long")
+        .as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col(metric)), 2).as("lo"),
+        round(max(col(metric)), 2).as("hi"))
+
+  /** Star-schema revenue rollup: fact ⋈ orders ⋈ customer. Catalyst/AQE
+    * picks broadcast for dims that fit and shuffled hash beyond; the
+    * aggregation reduces map-side before the group-key exchange. */
+  def starRevenue(lineitem: DataFrame, orders: DataFrame,
+                  customer: DataFrame): DataFrame =
+    lineitem.select(col("l_orderkey"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("rev")), 2).as("revenue"))
 }
