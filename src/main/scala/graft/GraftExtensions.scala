@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, MinHashSig, SimHash64, WordShingles}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -18,6 +18,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  /** Extract a literal int argument (sketch widths are plan-time params). */
+  private def intArg(e: Expression, fn: String): Int = {
+    require(e.foldable, s"$fn: sketch-size argument must be a literal")
+    e.eval().asInstanceOf[Number].intValue
+  }
+
   private val functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (new FunctionIdentifier("graft_dot"),
@@ -25,6 +31,24 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_dot takes exactly 2 arguments")
         DotProduct(children.head, children(1))
+      }),
+    (new FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_shingles(text, n)")
+        WordShingles(children.head, intArg(children(1), "graft_shingles"))
+      }),
+    (new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_minhash(shingles, numHashes)")
+        MinHashSig(children.head, intArg(children(1), "graft_minhash"))
+      }),
+    (new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_simhash(shingles)")
+        SimHash64(children.head)
       }))
 
   /** Runtime registration into an existing session. */

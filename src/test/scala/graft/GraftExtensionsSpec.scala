@@ -12,6 +12,33 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(got == 11.0)
   }
 
+  test("sketch family is callable from SQL: shingles -> minhash/simhash") {
+    GraftExtensions.register(spark)
+    Seq("the quick brown fox jumps over the lazy dog")
+      .toDF("text").createOrReplaceTempView("graft_docs")
+    val row = spark.sql(
+      """SELECT size(graft_shingles(text, 3)) AS nsh,
+                size(graft_minhash(graft_shingles(text, 3), 32)) AS sig_len,
+                graft_simhash(graft_shingles(text, 3)) AS sh
+         FROM graft_docs""").head()
+    assert(row.getAs[Int]("nsh") === 7)      // 9 tokens → 7 trigrams
+    assert(row.getAs[Int]("sig_len") === 32)
+    // Deterministic: same text → same simhash on a second evaluation.
+    val again = spark.sql(
+      "SELECT graft_simhash(graft_shingles(text, 3)) AS sh FROM graft_docs")
+      .head().getAs[Long]("sh")
+    assert(again === row.getAs[Long]("sh"))
+  }
+
+  test("sketch-size argument must be a literal") {
+    GraftExtensions.register(spark)
+    Seq(("abc def ghi", 2)).toDF("text", "n").createOrReplaceTempView("graft_bad")
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_shingles(text, n) FROM graft_bad").collect()
+    }
+    assert(e.getMessage.contains("literal"))
+  }
+
   test("extensions class injects into SparkSessionExtensions without error") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // would throw on malformed injection
