@@ -28,13 +28,17 @@ object Analytics {
 
   /** Weekly counts pivoted into one column per category value. The category
     * domain is passed explicitly — at scale an implicit pivot would need a
-    * driver-side distinct pass; a declared domain keeps it one aggregate. */
+    * driver-side distinct pass. Implemented as conditional aggregation
+    * rather than `Dataset.pivot`: pivot plans TWO shuffles (pre-aggregate
+    * per (week, cat), then pivot); a `count(when(...))` per declared
+    * category is a single map-side-combining aggregate with one exchange,
+    * and absent combos come out 0 instead of null. */
   def pivotWeekly(df: DataFrame, weekExpr: Column, catCol: String,
                   cats: Seq[String], valueCol: String): DataFrame =
     df.groupBy(weekExpr.as("wk"))
-      .pivot(catCol, cats)
-      .agg(count(lit(1)))
-      .select(col("wk") +: cats.map(c => coalesce(col(c), lit(0L)).as(s"n_$c")): _*)
+      .agg(count(when(col(catCol) === cats.head, 1)).as(s"n_${cats.head}"),
+        cats.tail.map(c =>
+          count(when(col(catCol) === c, 1)).as(s"n_$c")): _*)
 
   /** Exact interpolated quartiles of `metric` per group (linear
     * interpolation — the same definition as SQL quantile_cont). Exact

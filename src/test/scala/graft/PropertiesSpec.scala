@@ -60,6 +60,45 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: sessionize partitions events exactly (counts and bounds)") {
+    val evGen = Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0L, 500000L))
+    for (seed <- 1L to 4L) {
+      val rows = sample(Gen.listOfN(200, evGen), seed)
+        .zipWithIndex.map { case ((u, t), i) => (u, t, i.toLong) }
+      val df = rows.toDF("user_id", "ts_us", "event_id")
+      val sess = operators.Sessions.sessionize(df, "user_id", "ts_us",
+        "event_id", gapUs = 50000L).collect()
+      // Every event lands in exactly one session.
+      assert(sess.map(_.getAs[Long]("n_events")).sum === rows.length)
+      // Sessions of one user never overlap: sort by start, check gaps.
+      sess.groupBy(_.getAs[Long]("user_id")).foreach { case (_, ss) =>
+        val sorted = ss.sortBy(_.getAs[Long]("start_us"))
+        sorted.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(b.getAs[Long]("start_us") - a.getAs[Long]("end_us") > 50000L)
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  test("property: connected components are label-consistent and idempotent") {
+    val edgeGen = Gen.zip(Gen.chooseNum(1L, 40L), Gen.chooseNum(1L, 40L))
+      .suchThat { case (a, b) => a != b }
+    for (seed <- 1L to 4L) {
+      val edges = sample(Gen.listOfN(30, edgeGen), seed)
+      val df = edges.toDF("id1", "id2")
+      val labels = operators.Components.connected(df, "id1", "id2")
+        .as[(Long, Long)].collect().toMap
+      // Every edge's endpoints share a label (the defining invariant).
+      edges.foreach { case (a, b) => assert(labels(a) === labels(b)) }
+      // Each label is its component's minimum member id.
+      labels.groupBy(_._2).foreach { case (root, members) =>
+        assert(members.keys.min === root)
+      }
+    }
+  }
+
   test("property: upsert is idempotent and key-unique") {
     val rowGen = Gen.zip(Gen.chooseNum(1L, 50L), Gen.alphaStr.map(_.take(5)))
     for (seed <- 1L to 4L) {
