@@ -274,6 +274,9 @@ object SparkEntry {
       Analytics.quartiles(
         Tables.documents(s, d).select("source", "n_chars"), "source", "n_chars")),
 
+    "q51_repetition" -> ((s, d) =>
+      Analytics.repetitionProfile(Tables.documents(s, d), "doc_id", "text")),
+
     "q49_histogram" -> ((s, d) =>
       Etl.histogram(Tables.lineitem(s, d).select("l_extendedprice"),
         "l_extendedprice", width = 6000.0, nBuckets = 20)),
@@ -741,6 +744,21 @@ object SparkEntry {
                 l_extendedprice
          FROM lineitem
          ORDER BY l_extendedprice DESC, row_id LIMIT 20""",
+
+    "q51_repetition" ->
+      """WITH tok AS (SELECT doc_id,
+                  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+           FROM documents),
+         c AS (SELECT doc_id, t, count(*) AS n FROM tok GROUP BY 1, 2),
+         agg AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+                        CAST(count(*) AS BIGINT) AS n_distinct,
+                        max(n) AS top_cnt
+                 FROM c GROUP BY 1)
+         SELECT d.doc_id,
+                COALESCE(agg.n_tokens, 0) AS n_tokens,
+                COALESCE(agg.n_distinct, 0) AS n_distinct,
+                COALESCE(agg.top_cnt * 1.0 / agg.n_tokens, 0.0) AS top_share
+         FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""",
 
     "q49_histogram" ->
       """SELECT CAST(least(floor(l_extendedprice / 6000), 19) AS BIGINT) AS bucket,

@@ -43,9 +43,11 @@ object Popularity {
       .setNumFolds(folds).setSeed(seed).setParallelism(folds * grid.length)
     val Array(trainDf, testDf) = data.randomSplit(Array(0.8, 0.2), seed)
     val best = cv.fit(trainDf)
-    val predictions = best.transform(testDf)
+    // Both metrics scan the predictions; cache so the second pass is free.
+    val predictions = best.transform(testDf).cache()
     val rmse = evaluator.evaluate(predictions)
     val r2 = evaluator.setMetricName("r2").evaluate(predictions)
+    predictions.unpersist()
     val model = best.bestModel.asInstanceOf[org.apache.spark.ml.PipelineModel]
       .stages(1).asInstanceOf[RandomForestRegressionModel]
     Fit(model, features, rmse, r2, trainDf.count(), testDf.count())
@@ -87,9 +89,10 @@ object Popularity {
           .setLabelCol(target).setPredictionCol("prediction")
         val m = new Pipeline().setStages(Array(assembler.copy(assembler.extractParamMap),
           scaler.copy(scaler.extractParamMap), est)).fit(trainDf)
-        val pred = m.transform(testDf)
+        val pred = m.transform(testDf).cache()
         val rmse = evaluator.setMetricName("rmse").evaluate(pred)
         val r2 = evaluator.setMetricName("r2").evaluate(pred)
+        pred.unpersist()
         (name, math.round(rmse * 100) / 100.0, math.round(r2 * 10000) / 10000.0)
       }}), Duration.Inf)
     trainDf.unpersist(); testDf.unpersist()

@@ -36,22 +36,26 @@ object Recommend {
     val weighted = new VectorAssembler()
       .setInputCols(Array("graft_scaled", "graft_weighted_group"))
       .setOutputCol("graft_features")
-    // Reference uses k = n/15 (recommendation.py:61); capped here because
-    // cluster count should grow with taxonomy, not corpus size.
-    val n = items.count()
-    val k = math.max(2, math.min(maxK, (n / itemsPerCluster).toInt))
-    val kmeans = new KMeans()
-      .setK(k).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("graft_features").setPredictionCol("cluster")
+    // The indexer and scaler fits each scan the input; cache it once.
+    val cachedItems = items.cache()
     val prepped = new Pipeline().setStages(Array(indexer, assembler, scaler))
-      .fit(items).transform(items)
+      .fit(cachedItems).transform(cachedItems)
       .withColumn("graft_weighted_group", col("graft_group_idx") * groupWeight)
     // KMeans.fit makes maxIter passes over the input; cache the assembled
     // vectors so each pass reads the cached block, not the whole pipeline.
     val withVec = weighted.transform(prepped).cache()
+    // Reference uses k = n/15 (recommendation.py:61); capped here because
+    // cluster count should grow with taxonomy, not corpus size. Counting
+    // the cached vectors doubles as their materialization pass.
+    val n = withVec.count()
+    val k = math.max(2, math.min(maxK, (n / itemsPerCluster).toInt))
+    val kmeans = new KMeans()
+      .setK(k).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("graft_features").setPredictionCol("cluster")
     val out = kmeans.fit(withVec).transform(withVec)
       .drop("graft_group_idx", "graft_raw", "graft_scaled",
         "graft_weighted_group", "graft_features")
+    cachedItems.unpersist()
     out
   }
 

@@ -54,6 +54,36 @@ object Analytics {
         round(element_at(col("qs"), 2), 2).as("p50"),
         round(element_at(col("qs"), 3), 2).as("p75"))
 
+  /** Per-document token repetition profile — the Gopher-style repetition
+    * quality signal (a high top-term share marks boilerplate/spam). One
+    * generate + two partial aggregations, all keyed by doc: the (doc,term)
+    * count and the per-doc rollup shuffle the same key, so AQE plans them
+    * into adjacent stages without a re-partition. Empty docs surface with
+    * zero counts via the left join back to the corpus. */
+  def repetitionProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)).as("toks"))
+      .select(col("doc_id"), explode_outer(col("toks")).as("t"))
+      .filter(col("t").isNotNull)
+    val perTerm = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("n"))
+    val perDoc = perTerm.groupBy("doc_id")
+      .agg(sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("n")).as("top_cnt"))
+      // Raw IEEE division, not round(...,4): token counts are often powers
+      // of two, putting the ratio exactly on a .5 rounding boundary where
+      // engines' HALF_UP vs HALF_EVEN disagree; the single division is
+      // bit-identical everywhere.
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (col("top_cnt") / col("n_tokens")).as("top_share"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("top_share"), lit(0.0)).as("top_share"))
+  }
+
   /** Global top-k terms by document frequency-weighted count. Tokens are
     * materialized in their own projection before the generate (the regex
     * runs once per doc), and the explode→count is the canonical map-side
