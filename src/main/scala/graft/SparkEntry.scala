@@ -274,6 +274,13 @@ object SparkEntry {
       Analytics.quartiles(
         Tables.documents(s, d).select("source", "n_chars"), "source", "n_chars")),
 
+    "q52_tfidf_terms" -> ((s, d) =>
+      Analytics.tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", 3)),
+
+    "q53_containment" -> ((s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, minContainment = 0.5)),
+
     "q51_repetition" -> ((s, d) =>
       Analytics.repetitionProfile(Tables.documents(s, d), "doc_id", "text")),
 
@@ -744,6 +751,41 @@ object SparkEntry {
                 l_extendedprice
          FROM lineitem
          ORDER BY l_extendedprice DESC, row_id LIMIT 20""",
+
+    "q52_tfidf_terms" ->
+      """WITH tok AS (SELECT doc_id,
+                  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM tok GROUP BY 1, 2),
+         idf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         scored AS (SELECT doc_id, term, tf * n_docs / df AS score
+                    FROM tf JOIN idf USING (term), n)
+         SELECT doc_id, term, score, CAST(rnk AS BIGINT) AS rnk
+         FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                          ORDER BY score DESC, term) AS rnk
+               FROM scored)
+         WHERE rnk <= 3""",
+
+    "q53_containment" ->
+      """WITH t AS (SELECT doc_id,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                       toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+                FROM (SELECT doc_id, toks,
+                             unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i
+                      FROM t)),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+                FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+         SELECT id1, id2,
+                inter * 1.0 / least(c1.n, c2.n) AS containment
+         FROM pr JOIN cnt c1 ON pr.id1 = c1.doc_id
+                 JOIN cnt c2 ON pr.id2 = c2.doc_id
+         WHERE inter * 1.0 / least(c1.n, c2.n) >= 0.5""",
 
     "q51_repetition" ->
       """WITH tok AS (SELECT doc_id,

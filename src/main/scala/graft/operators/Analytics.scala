@@ -84,6 +84,31 @@ object Analytics {
         coalesce(col("top_share"), lit(0.0)).as("top_share"))
   }
 
+  /** Per-document salient terms by linearized tf-idf (tf·N/df). The linear
+    * idf keeps ranking order for the top terms while staying engine-exact
+    * (a log-based idf would hinge on libm rounding); products and the one
+    * division are IEEE-identical everywhere. Plan shape: token counts and
+    * the per-doc rank shuffle on doc_id, the df rollup on term — each a
+    * map-side-combining aggregate; N is a broadcast scalar. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)).as("toks"))
+      .select(col("doc_id"), explode_outer(col("toks")).as("term"))
+      .filter(col("term").isNotNull)
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * col("n_docs") / col("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("score"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
   /** Global top-k terms by document frequency-weighted count. Tokens are
     * materialized in their own projection before the generate (the regex
     * runs once per doc), and the explode→count is the canonical map-side

@@ -75,6 +75,27 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Shingle-containment near-dup pairs: containment = |A∩B| / min(|A|,|B|)
+    * — the asymmetric complement of Jaccard that catches a short document
+    * quoted inside a long one (Jaccard dilutes to ~|A|/|B| there and never
+    * crosses a sane threshold). Same single-self-join shape and shuffle
+    * key as [[ngramJaccardPairs]]; the threshold compares the raw IEEE
+    * ratio, so the oracle matches bit-for-bit. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, minContainment: Double): DataFrame = {
+    val sh = explodedShingles(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = sh.as("a"); val b = sh.as("b")
+    a.join(b, col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.nsh").as("n1"), col("b.nsh").as("n2"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("n1"), col("n2")).cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select(col("id1"), col("id2"), col("containment"))
+  }
+
   /** MinHash signatures via the native map-side sketch ([[MinHashSig]]):
     * sig[i] = min over crc32-based permutation i of the doc's shingles.
     * No explode, no groupBy — one narrow projection. */
