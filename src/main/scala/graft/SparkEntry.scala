@@ -278,8 +278,7 @@ object SparkEntry {
       Analytics.tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", 3)),
 
     "q53_containment" -> ((s, d) =>
-      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
-        n = 3, minContainment = 0.5)),
+      Dedup.containmentFromStats(pairStats(s, d), minContainment = 0.5)),
 
     "q51_repetition" -> ((s, d) =>
       Analytics.repetitionProfile(Tables.documents(s, d), "doc_id", "text")),
@@ -304,14 +303,17 @@ object SparkEntry {
   private def eventsUs(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
 
-  /** Near-dup pair list shared by q20 (emits it) and q46 (clusters it),
-    * memoized + persisted per scale dir — the pair table is the natural
-    * pipeline handoff point, tiny relative to the corpus. */
-  private val pairsCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private def jaccardPairs(s: SparkSession, d: String): DataFrame =
-    pairsCache.getOrElseUpdate(d,
-      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.2)
+  /** Pair shingle-intersection stats shared by the exact near-dup family —
+    * q20 (Jaccard), q46 (clusters), q53 (containment) — memoized +
+    * persisted per scale dir: one shingle self-join serves all three (the
+    * stats table is the natural pipeline handoff, tiny vs the corpus). */
+  private val pairStatsCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def pairStats(s: SparkSession, d: String): DataFrame =
+    pairStatsCache.getOrElseUpdate(d,
+      Dedup.pairShingleStats(Tables.documents(s, d), "doc_id", "text", 3)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.jaccardFromStats(pairStats(s, d), minJaccard = 0.2)
 
   /** RF fit shared by q27/q28, memoized per scale dir. Trained on a
     * deterministic 5% key-sampled slice so CV tuning stays bounded. */

@@ -50,39 +50,20 @@ object Dedup {
       .select(col("id"), col("nsh"), explode_outer(col("shs")).as("g"))
       .filter(col("g").isNotNull)
 
-  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, minJaccard: Double): DataFrame = {
-    // Shingle-set size rides along the join rows, so no per-doc count
-    // aggregate or post-join count lookups are needed: the whole op is
-    // explode → one self-join on the shingle → one pair agg.
-    // At skew (hot shingles) AQE's skew-join split keeps partitions bounded;
-    // the MinHash path is the preferred O(n·sig) variant at corpus scale.
-    // Persisted because it feeds both join legs: the broadcast build job
+  /** Pair-intersection statistics (id1, id2, n1, n2, inter) for every doc
+    * pair sharing ≥1 shingle — the shared substrate of the exact near-dup
+    * family: Jaccard, containment, and overlap are all arithmetic over
+    * these five columns, so pipelines compute this ONCE and derive each
+    * measure for free. Shingle-set sizes ride along the join rows (no
+    * per-doc count aggregate or post-join lookups): the whole op is
+    * explode → one self-join on the shingle → one pair agg. At skew (hot
+    * shingles) AQE's skew-join split keeps partitions bounded; the MinHash
+    * path is the preferred O(n·sig) variant at corpus scale. */
+  def pairShingleStats(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int): DataFrame = {
+    // Persisted because it feeds both join legs: the build job
     // materializes the cache, the probe side then reads it instead of
     // re-running the shingle pipeline.
-    val sh = explodedShingles(docs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = sh.as("a"); val b = sh.as("b")
-    val inter = a.join(b, col("a.g") === col("b.g") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"),
-        col("a.nsh").as("n1"), col("b.nsh").as("n2"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .withColumn("jaccard",
-        round(col("inter").cast("double") /
-          (col("n1") + col("n2") - col("inter")).cast("double"), 4))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id1"), col("id2"), col("jaccard"))
-  }
-
-  /** Shingle-containment near-dup pairs: containment = |A∩B| / min(|A|,|B|)
-    * — the asymmetric complement of Jaccard that catches a short document
-    * quoted inside a long one (Jaccard dilutes to ~|A|/|B| there and never
-    * crosses a sane threshold). Same single-self-join shape and shuffle
-    * key as [[ngramJaccardPairs]]; the threshold compares the raw IEEE
-    * ratio, so the oracle matches bit-for-bit. */
-  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-                       n: Int, minContainment: Double): DataFrame = {
     val sh = explodedShingles(docs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sh.as("a"); val b = sh.as("b")
@@ -90,11 +71,38 @@ object Dedup {
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"),
         col("a.nsh").as("n1"), col("b.nsh").as("n2"))
       .agg(count(lit(1)).as("inter"))
+  }
+
+  /** Jaccard over precomputed [[pairShingleStats]] rows. */
+  def jaccardFromStats(stats: DataFrame, minJaccard: Double): DataFrame =
+    stats
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")).cast("double"), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id1"), col("id2"), col("jaccard"))
+
+  /** Containment over precomputed [[pairShingleStats]] rows. */
+  def containmentFromStats(stats: DataFrame, minContainment: Double): DataFrame =
+    stats
       .withColumn("containment",
         col("inter").cast("double") / least(col("n1"), col("n2")).cast("double"))
       .filter(col("containment") >= minContainment)
       .select(col("id1"), col("id2"), col("containment"))
-  }
+
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, minJaccard: Double): DataFrame =
+    jaccardFromStats(pairShingleStats(docs, idCol, textCol, n), minJaccard)
+
+  /** Shingle-containment near-dup pairs: containment = |A∩B| / min(|A|,|B|)
+    * — the asymmetric complement of Jaccard that catches a short document
+    * quoted inside a long one (Jaccard dilutes to ~|A|/|B| there and never
+    * crosses a sane threshold). Derived from [[pairShingleStats]]; the
+    * threshold compares the raw IEEE ratio, so the oracle matches
+    * bit-for-bit. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, minContainment: Double): DataFrame =
+    containmentFromStats(pairShingleStats(docs, idCol, textCol, n), minContainment)
 
   /** MinHash signatures via the native map-side sketch ([[MinHashSig]]):
     * sig[i] = min over crc32-based permutation i of the doc's shingles.
