@@ -42,15 +42,20 @@ object Popularity {
       .setEstimatorParamMaps(grid).setEvaluator(evaluator)
       .setNumFolds(folds).setSeed(seed).setParallelism(folds * grid.length)
     val Array(trainDf, testDf) = data.randomSplit(Array(0.8, 0.2), seed)
+    // Every CV fold fit re-reads its split; pin the source in memory for
+    // the folds × grid × trees passes.
+    trainDf.persist(); testDf.persist()
     val best = cv.fit(trainDf)
     // Both metrics scan the predictions; cache so the second pass is free.
     val predictions = best.transform(testDf).cache()
     val rmse = evaluator.evaluate(predictions)
     val r2 = evaluator.setMetricName("r2").evaluate(predictions)
-    predictions.unpersist()
-    val model = best.bestModel.asInstanceOf[org.apache.spark.ml.PipelineModel]
-      .stages(1).asInstanceOf[RandomForestRegressionModel]
-    Fit(model, features, rmse, r2, trainDf.count(), testDf.count())
+    val fit = Fit(
+      best.bestModel.asInstanceOf[org.apache.spark.ml.PipelineModel]
+        .stages(1).asInstanceOf[RandomForestRegressionModel],
+      features, rmse, r2, trainDf.count(), testDf.count())
+    predictions.unpersist(); trainDf.unpersist(); testDf.unpersist()
+    fit
   }
 
   /** Model bake-off — the Prediction_Model notebook trains LinearRegression,
