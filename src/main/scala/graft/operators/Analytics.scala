@@ -97,9 +97,15 @@ object Analytics {
       .select(col("doc_id"), explode_outer(col("toks")).as("term"))
       .filter(col("term").isNotNull)
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // df via a window over the tf rows, NOT a second aggregate branch: a
+    // self-join formulation makes Spark generate+shingle the corpus twice
+    // (no subplan reuse across the aggregation); the window re-shuffles
+    // the small (doc,term,tf) table instead of re-reading text.
     val n = docs.select(count(lit(1)).as("n_docs"))
-    val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("term")))
+      .crossJoin(broadcast(n))
       .withColumn("score", col("tf") * col("n_docs") / col("df"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("term").asc)
