@@ -274,6 +274,15 @@ object SparkEntry {
       Analytics.quartiles(
         Tables.documents(s, d).select("source", "n_chars"), "source", "n_chars")),
 
+    "q54_weekly_active" -> ((s, d) =>
+      Analytics.weeklyActive(Tables.events(s, d), "ts_t", "user_id")),
+
+    // µs grain (see q38-q40 note): strict ts inequalities must agree with
+    // the oracle engine's µs-truncated timestamps.
+    "q55_funnel" -> ((s, d) =>
+      Analytics.funnel(eventsUs(s, d), "user_id", "ts_us", "event_type",
+        "view", "click", "purchase")),
+
     "q52_tfidf_terms" -> ((s, d) =>
       Analytics.tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", 3)),
 
@@ -753,6 +762,25 @@ object SparkEntry {
                 l_extendedprice
          FROM lineitem
          ORDER BY l_extendedprice DESC, row_id LIMIT 20""",
+
+    "q54_weekly_active" ->
+      """SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS wk,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_active,
+                CAST(count(*) AS BIGINT) AS n_events
+         FROM events GROUP BY 1""",
+
+    "q55_funnel" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type
+                    FROM events),
+         s1 AS (SELECT u, min(t) AS t1 FROM e WHERE event_type = 'view'
+                GROUP BY u),
+         s2 AS (SELECT e.u, min(t) AS t2 FROM e JOIN s1 USING (u)
+                WHERE event_type = 'click' AND t > t1 GROUP BY e.u),
+         s3 AS (SELECT e.u, min(t) AS t3 FROM e JOIN s2 USING (u)
+                WHERE event_type = 'purchase' AND t > t2 GROUP BY e.u)
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_view,
+                (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_click,
+                (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_purchase""",
 
     "q52_tfidf_terms" ->
       """WITH tok AS (SELECT doc_id,

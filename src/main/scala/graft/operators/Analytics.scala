@@ -84,6 +84,39 @@ object Analytics {
         coalesce(col("top_share"), lit(0.0)).as("top_share"))
   }
 
+  /** Weekly active entities: exact count(distinct) per period (two-phase
+    * distinct aggregate — partials dedup map-side) next to the total event
+    * count. At 100 TB swap the exact distinct for approx_count_distinct
+    * and keep the same output shape. */
+  def weeklyActive(events: DataFrame, tsCol: String, keyCol: String): DataFrame =
+    events.groupBy(date_format(date_trunc("week", col(tsCol)), "yyyy-MM-dd").as("wk"))
+      .agg(countDistinct(col(keyCol)).as("n_active"),
+        count(lit(1)).as("n_events"))
+
+  /** Ordered three-stage conversion funnel: for each user, the first
+    * `s1` event, the first `s2` strictly after it, the first `s3` strictly
+    * after that; returns one row of per-stage user counts. Each stage is a
+    * keyed min-aggregate joined to the previous stage's timestamps — the
+    * join keys are all the user id, so the three aggregates and joins
+    * co-partition on one shuffle family (no re-keying), and state is one
+    * timestamp per user per stage. */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, s1: String, s2: String, s3: String): DataFrame = {
+    val t1 = events.filter(col(typeCol) === s1)
+      .groupBy(col(userCol).as("u")).agg(min(col(tsCol)).as("t1"))
+    val t2 = events.filter(col(typeCol) === s2)
+      .select(col(userCol).as("u"), col(tsCol).as("ts2"))
+      .join(t1, Seq("u")).filter(col("ts2") > col("t1"))
+      .groupBy(col("u")).agg(min(col("ts2")).as("t2"))
+    val t3 = events.filter(col(typeCol) === s3)
+      .select(col(userCol).as("u"), col(tsCol).as("ts3"))
+      .join(t2, Seq("u")).filter(col("ts3") > col("t2"))
+      .groupBy(col("u")).agg(min(col("ts3")).as("t3"))
+    t1.agg(count(lit(1)).as(s"n_$s1"))
+      .crossJoin(t2.agg(count(lit(1)).as(s"n_$s2")))
+      .crossJoin(t3.agg(count(lit(1)).as(s"n_$s3")))
+  }
+
   /** Per-document salient terms by linearized tf-idf (tf·N/df). The linear
     * idf keeps ranking order for the top terms while staying engine-exact
     * (a log-based idf would hinge on libm rounding); products and the one
