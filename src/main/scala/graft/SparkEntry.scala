@@ -763,6 +763,27 @@ object SparkEntry {
          FROM lineitem
          ORDER BY l_extendedprice DESC, row_id LIMIT 20""",
 
+    "q35_multimodal_meta" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+                  ['image','video','audio'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+                  text, md5(text) AS hex
+           FROM documents),
+         nibs AS (SELECT media_id, modality, text, hex,
+                  strpos('0123456789abcdef', substring(hex, 1, 1)) - 1 AS n0,
+                  strpos('0123456789abcdef', substring(hex, 2, 1)) - 1 AS n1,
+                  strpos('0123456789abcdef', substring(hex, 3, 1)) - 1 AS n2,
+                  strpos('0123456789abcdef', substring(hex, 4, 1)) - 1 AS n3,
+                  strpos('0123456789abcdef', substring(hex, 5, 1)) - 1 AS n4
+               FROM m)
+         SELECT media_id, modality,
+                CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,
+                CAST(n0 * 16 + n1 + 1 AS INT) AS width,
+                CAST(n2 * 16 + n3 + 1 AS INT) AS height,
+                CAST(CASE WHEN modality = 'video' THEN n4 + 2 ELSE 1 END AS INT)
+                  AS n_frames,
+                hex AS digest
+         FROM nibs""",
+
     "q54_weekly_active" ->
       """SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS wk,
                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_active,

@@ -20,20 +20,23 @@ object Binary {
                                bytes: Array[Byte], source: String)
   final case class MediaMeta(media_id: Long, modality: String,
                              size_bytes: Long, width: Int, height: Int,
-                             n_frames: Int, checksum: Long)
+                             n_frames: Int, digest: String)
   final case class Frame(media_id: Long, frame_no: Int, frame_bytes: Array[Byte])
 
-  /** STUB decode — deterministic pseudo-metadata from the payload. A real
-    * implementation calls the codec here (per partition, so any native
-    * library handle is initialized once per task, not per row). */
+  /** STUB decode — deterministic pseudo-metadata derived from the payload
+    * DIGEST (md5), so the whole typed decode path is oracle-checkable:
+    * any engine can recompute width/height/frames from the same hex
+    * nibbles. A real implementation calls the codec here (per partition,
+    * so any native library handle is initialized once per task, not per
+    * row). */
   private[multimodal] def fakeDecode(r: MediaRecord): MediaMeta = {
-    val crc = new java.util.zip.CRC32
-    crc.update(r.bytes)
-    val h = crc.getValue
+    val hex = java.security.MessageDigest.getInstance("MD5").digest(r.bytes)
+      .map("%02x".format(_)).mkString
+    def nib(i: Int): Int = Character.digit(hex.charAt(i), 16)
     MediaMeta(r.media_id, r.modality, r.bytes.length.toLong,
-      width = (h % 1920).toInt + 1, height = (h / 1920 % 1080).toInt + 1,
-      n_frames = if (r.modality == "video") (h % 240).toInt + 1 else 1,
-      checksum = h)
+      width = nib(0) * 16 + nib(1) + 1, height = nib(2) * 16 + nib(3) + 1,
+      n_frames = if (r.modality == "video") nib(4) + 2 else 1,
+      digest = hex)
   }
 
   /** Feature-extraction pass: one partition-wise sweep, codec init per

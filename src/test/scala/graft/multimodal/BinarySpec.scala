@@ -39,6 +39,6 @@ class BinarySpec extends SparkSpec {
     val df = withMeta(media)
     assert(df.count() == 3)
     assert(!df.columns.contains("bytes"))
-    assert(df.columns.toSet.contains("checksum"))
+    assert(df.columns.toSet.contains("digest"))
   }
 }
