@@ -86,12 +86,38 @@ object Analytics {
 
   /** Weekly active entities: exact count(distinct) per period (two-phase
     * distinct aggregate — partials dedup map-side) next to the total event
-    * count. At 100 TB swap the exact distinct for approx_count_distinct
-    * and keep the same output shape. */
+    * count. [[weeklyActiveApprox]] is the 100 TB swap-in. */
   def weeklyActive(events: DataFrame, tsCol: String, keyCol: String): DataFrame =
     events.groupBy(date_format(date_trunc("week", col(tsCol)), "yyyy-MM-dd").as("wk"))
       .agg(countDistinct(col(keyCol)).as("n_active"),
         count(lit(1)).as("n_events"))
+
+  /** HyperLogLog++ variant of [[weeklyActive]]: state per group is a fixed
+    * sketch (vs a hash set of every key), so the exact variant's
+    * distinct-shuffle blow-up disappears; rsd bounds the error. Same
+    * output shape — a drop-in swap when keys-per-group outgrow memory. */
+  def weeklyActiveApprox(events: DataFrame, tsCol: String, keyCol: String,
+                         rsd: Double = 0.02): DataFrame =
+    events.groupBy(date_format(date_trunc("week", col(tsCol)), "yyyy-MM-dd").as("wk"))
+      .agg(approx_count_distinct(col(keyCol), rsd).as("n_active"),
+        count(lit(1)).as("n_events"))
+
+  /** Sketch variant of [[quartiles]] (KLL-style bounded-error quantiles):
+    * per-group state is a fixed-size sketch, mergeable map-side — the
+    * shuffle carries sketches, never values. `accuracy` trades state for
+    * rank error (err ≤ 1/accuracy). */
+  def quartilesApprox(df: DataFrame, group: String, metric: String,
+                      accuracy: Int = 1000): DataFrame =
+    df.groupBy(col(group))
+      .agg(percentile_approx(col(metric),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(accuracy)).as("qs"),
+        count(lit(1)).as("n"))
+      // percentile_approx returns the INPUT type (a real data value, not an
+      // interpolation) — cast so the schema drop-in-matches [[quartiles]].
+      .select(col(group), col("n"),
+        round(element_at(col("qs"), 1).cast("double"), 2).as("p25"),
+        round(element_at(col("qs"), 2).cast("double"), 2).as("p50"),
+        round(element_at(col("qs"), 3).cast("double"), 2).as("p75"))
 
   /** Ordered three-stage conversion funnel: for each user, the first
     * `s1` event, the first `s2` strictly after it, the first `s3` strictly

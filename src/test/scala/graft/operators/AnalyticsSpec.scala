@@ -40,6 +40,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Double]("p75") === 3.25)
   }
 
+  test("approx distinct tracks exact within rsd on realistic cardinality") {
+    val ev = (1 to 5000).map(i => ("2024-01-01 00:00:00", (i % 937).toLong))
+      .toDF("ts0", "user").withColumn("ts", col("ts0").cast("timestamp"))
+    val exact = Analytics.weeklyActive(ev, "ts", "user")
+      .select("n_active").as[Long].head()
+    val approx = Analytics.weeklyActiveApprox(ev, "ts", "user", rsd = 0.02)
+      .select("n_active").as[Long].head()
+    assert(exact === 937L)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1) // rsd 2%, 5σ slack
+  }
+
+  test("approx quartiles bound rank error vs exact") {
+    val df = (1 to 10000).map(i => ("g", i)).toDF("grp", "m")
+    val ex = Analytics.quartiles(df, "grp", "m").collect()(0)
+    val ap = Analytics.quartilesApprox(df, "grp", "m", accuracy = 1000).collect()(0)
+    // rank error <= n/accuracy = 10 positions ~ 10 units here
+    Seq("p25", "p50", "p75").foreach { c =>
+      assert(math.abs(ap.getAs[Double](c) - ex.getAs[Double](c)) <= 15.0)
+    }
+  }
+
   test("topTerms counts tokens globally with deterministic tiebreak") {
     val docs = Seq("the cat the dog", "THE Cat", "").toDF("text")
     val out = Analytics.topTerms(docs, "text", 3)
