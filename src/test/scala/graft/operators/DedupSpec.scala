@@ -55,6 +55,20 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(11L, 13L))
   }
 
+  test("containment catches a quote-inclusion that Jaccard dilutes away") {
+    val short0 = "the quick brown fox jumps over the lazy dog"
+    val long0 = short0 + " " + (1 to 40).map(i => s"filler$i word$i").mkString(" ")
+    val corpus = Seq((1L, short0), (2L, long0), (3L, "totally unrelated text here"))
+      .toDF("doc_id", "text")
+    val stats = Dedup.pairShingleStats(corpus, "doc_id", "text", 3)
+    // Jaccard of (1,2) ≈ |short| / |long| — far below any sane threshold…
+    assert(Dedup.jaccardFromStats(stats, 0.5).count() === 0)
+    // …but every shingle of the short doc is inside the long one.
+    val cont = Dedup.containmentFromStats(stats, 0.99)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(cont === Set((1L, 2L)))
+  }
+
   test("bloom-prefiltered incremental dedup matches the exact anti-join") {
     val known = Dedup.exact(docs, "doc_id", "text").select("fp")
     val batch = Seq(
