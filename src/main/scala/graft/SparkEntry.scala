@@ -274,6 +274,29 @@ object SparkEntry {
       Analytics.quartiles(
         Tables.documents(s, d).select("source", "n_chars"), "source", "n_chars")),
 
+    // Ordered collect: smallest-5 part names per brand as one string —
+    // collect_list is unordered by contract, so sort in the expression;
+    // slice bounds the per-group state the shuffle carries.
+    "q56_group_concat" -> ((s, d) =>
+      Tables.part(s, d).select("p_brand", "p_name")
+        .groupBy("p_brand")
+        .agg(array_join(slice(array_sort(collect_list(col("p_name"))), 1, 5), ",")
+          .as("sample_names"),
+          count(lit(1)).as("n"))),
+
+    // Cross-modal join: text-side quality vs embedding-side label — the
+    // docs and embeddings tables co-key on id, so the join is a plain
+    // hash join on the shared key (bucket both sides at scale).
+    "q57_crossmodal" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), T.qualityScore(col("text")).as("q"))
+        .join(Tables.embeddings(s, d).select(col("vec_id").as("doc_id"), col("label")),
+          Seq("doc_id"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("q")), 4).as("avg_quality"),
+          round(avg(col("n_chars")), 2).as("avg_chars"))),
+
     "q54_weekly_active" -> ((s, d) =>
       Analytics.weeklyActive(Tables.events(s, d), "ts_t", "user_id")),
 
@@ -783,6 +806,27 @@ object SparkEntry {
                   AS n_frames,
                 hex AS digest
          FROM nibs""",
+
+    "q56_group_concat" ->
+      """SELECT p_brand,
+                array_to_string(list_sort(list(p_name))[1:5], ',') AS sample_names,
+                CAST(count(*) AS BIGINT) AS n
+         FROM part GROUP BY p_brand""",
+
+    "q57_crossmodal" ->
+      """WITH q AS (SELECT doc_id, n_chars,
+                  CAST(length(text) AS BIGINT) AS len,
+                  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws,
+                  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS wt,
+                  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS punct
+               FROM documents)
+         SELECT e.label, CAST(count(*) AS BIGINT) AS n,
+                round(avg(round(0.5 * least(q.len / 500.0, 1.0)
+                      + 0.5 * least(q.wt * 1.0 / greatest(q.ws, 1), 1.0)
+                      - q.punct * 1.0 / greatest(q.len, 1), 4)), 4) AS avg_quality,
+                round(avg(q.n_chars), 2) AS avg_chars
+         FROM q JOIN embeddings e ON q.doc_id = e.vec_id
+         GROUP BY e.label""",
 
     "q54_weekly_active" ->
       """SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS wk,
