@@ -47,8 +47,16 @@ object Dedup {
       // re-substituting the whole interpreted shingle expression into the
       // filter (≈10× slowdown measured at sf0.1). The null row an empty
       // doc produces is dropped by the cheap generated-attribute filter.
-      .select(col("id"), col("nsh"), explode_outer(col("shs")).as("g"))
-      .filter(col("g").isNotNull)
+      // The join key is the shingle's 64-bit hash, not the ~n-word string:
+      // the self-join shuffle carries 8-byte keys and the hash-join probe
+      // compares longs. Distinct-shingle counts are unaffected (computed
+      // on the array before hashing); a cross-shingle hash collision would
+      // inflate one pair's intersection by 1 — P ≈ (distinct shingles)²/2⁶⁵,
+      // ~1e-8 at 10⁶ shingles, the standard trade every shingling pipeline
+      // makes.
+      .select(col("id"), col("nsh"), explode_outer(col("shs")).as("g0"))
+      .filter(col("g0").isNotNull)
+      .select(col("id"), col("nsh"), xxhash64(col("g0")).as("g"))
 
   /** Pair-intersection statistics (id1, id2, n1, n2, inter) for every doc
     * pair sharing ≥1 shingle — the shared substrate of the exact near-dup
