@@ -134,6 +134,20 @@ object Etl {
         round(min(col(metric)), 2).as("lo"),
         round(max(col(metric)), 2).as("hi"))
 
+  /** Partition-pruned, sorted parquet sink: directory partitioning on the
+    * coarse key (readers filtering on it skip whole directories at
+    * planning time) + sortWithinPartitions on the fine keys (row-group
+    * min/max statistics make point reads skip pages within files). This
+    * is the layout contract every downstream scan in this library assumes
+    * a 100 TB table to have. */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String,
+                       sortCols: String*): Unit =
+    df.repartition(col(partitionCol))
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite")
+      .partitionBy(partitionCol)
+      .parquet(path)
+
   /** Star-schema revenue rollup: fact ⋈ orders ⋈ customer. Catalyst/AQE
     * picks broadcast for dims that fit and shuffled hash beyond; the
     * aggregation reduces map-side before the group-key exchange. */

@@ -38,6 +38,28 @@ class EtlSpec extends SparkSpec {
     assert(spark.read.parquet(path).as[(Long, String)].collect().toSeq == Seq((3L, "c")))
   }
 
+  test("writePartitioned lays out pruned directories with sorted row groups") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val path = s"$dir/t"
+    val df = (1 to 100).map(i => (s"p${i % 4}", i.toLong, s"v$i"))
+      .toDF("part", "k", "v")
+    Etl.writePartitioned(df, path, "part", "k")
+    val back = spark.read.parquet(path)
+    assert(back.count() === 100)
+    // Partition filter reaches the scan as directory pruning.
+    val plan = back.filter(col("part") === "p1")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(part"))
+    // One directory per partition value.
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("part=")).sorted
+    assert(dirs.toSeq === Seq("part=p0", "part=p1", "part=p2", "part=p3"))
+    // Rows inside each partition file arrive sorted by k (row-group stats
+    // monotone → min/max page skipping works).
+    val ks = spark.read.parquet(s"$path/part=p1").select("k").as[Long].collect()
+    assert(ks.toSeq === ks.sorted.toSeq)
+  }
+
   test("weeklyAgg groups by ISO week start") {
     val df = Seq(
       ("x", java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 1.0),
