@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Charts, Etl, Skew}
+import graft.operators.{Charts, Dedup, Etl, Skew}
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
@@ -96,6 +96,34 @@ class PropertiesSpec extends SparkSpec {
       labels.groupBy(_._2).foreach { case (root, members) =>
         assert(members.keys.min === root)
       }
+    }
+  }
+
+  test("property: results are invariant under input repartitioning") {
+    // The determinism contract behind the oracle compare: physical layout
+    // (partition count/assignment) must never leak into results.
+    val rowGen = Gen.zip(Gen.chooseNum(1L, 300L), Gen.chooseNum(0, 20),
+      Gen.chooseNum(-1e3, 1e3))
+    for (seed <- 1L to 3L) {
+      val rows = sample(Gen.listOfN(400, rowGen), seed).distinctBy(_._1)
+      val base = rows.map { case (id, g, v) => (id, s"g$g", v) }
+        .toDF("id", "g", "v")
+      for (parts <- Seq(1, 7)) {
+        val df = base.repartition(parts)
+        assert(Charts.topK(df, "v", "id", 10).select("id").as[Long].collect().toSeq
+          === Charts.topK(base, "v", "id", 10).select("id").as[Long].collect().toSeq)
+        assert(Charts.topKPerGroup(df, "g", "v", "id", 3)
+          .select("g", "id").as[(String, Long)].collect().toSet
+          === Charts.topKPerGroup(base, "g", "v", "id", 3)
+            .select("g", "id").as[(String, Long)].collect().toSet)
+      }
+      val docs = rows.map { case (id, g, _) => (id, s"doc text $g common words") }
+        .toDF("doc_id", "text")
+      val exact1 = Dedup.exact(docs.repartition(1), "doc_id", "text")
+        .as[(Long, String)].collect().toSet
+      val exact7 = Dedup.exact(docs.repartition(7), "doc_id", "text")
+        .as[(Long, String)].collect().toSet
+      assert(exact1 === exact7)
     }
   }
 
