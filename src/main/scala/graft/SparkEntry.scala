@@ -251,8 +251,7 @@ object SparkEntry {
     "q42_pivot_weekly" -> ((s, d) =>
       Analytics.pivotWeekly(Tables.events(s, d),
         date_format(date_trunc("week", col("ts_t")), "yyyy-MM-dd"),
-        "event_type", Seq("click", "error", "purchase", "signup", "view"),
-        "value")),
+        "event_type", Seq("click", "error", "purchase", "signup", "view"))),
 
     "q43_hash_split" -> ((s, d) =>
       Tables.documents(s, d).select(
@@ -898,7 +897,7 @@ object SparkEntry {
          FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""",
 
     "q49_histogram" ->
-      """SELECT CAST(least(floor(l_extendedprice / 6000), 19) AS BIGINT) AS bucket,
+      """SELECT CAST(greatest(least(floor(l_extendedprice / 6000), 19), 0) AS BIGINT) AS bucket,
                 CAST(count(*) AS BIGINT) AS n,
                 round(min(l_extendedprice), 2) AS lo,
                 round(max(l_extendedprice), 2) AS hi

@@ -55,7 +55,12 @@ object Recommend {
     val out = kmeans.fit(withVec).transform(withVec)
       .drop("graft_group_idx", "graft_raw", "graft_scaled",
         "graft_weighted_group", "graft_features")
+    // Both caches exist for the multi-pass FIT (indexer/scaler scans,
+    // maxIter KMeans passes); release them now rather than leak for the
+    // session — the returned plan's single downstream action recomputes
+    // the narrow prep chain once, which is cheaper than a pinned cache.
     cachedItems.unpersist()
+    withVec.unpersist()
     out
   }
 

@@ -34,7 +34,7 @@ object Analytics {
     * category is a single map-side-combining aggregate with one exchange,
     * and absent combos come out 0 instead of null. */
   def pivotWeekly(df: DataFrame, weekExpr: Column, catCol: String,
-                  cats: Seq[String], valueCol: String): DataFrame =
+                  cats: Seq[String]): DataFrame =
     df.groupBy(weekExpr.as("wk"))
       .agg(count(when(col(catCol) === cats.head, 1)).as(s"n_${cats.head}"),
         cats.tail.map(c =>

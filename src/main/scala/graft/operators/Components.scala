@@ -21,7 +21,12 @@ object Components {
 
   /** @param pairs DataFrame with two long id columns (an undirected edge per
     *              row); isolated docs are not emitted (no edge → no dup).
-    * @return (id, cluster) where cluster = min id reachable from id. */
+    * @return (id, cluster) where cluster = min id reachable from id. The
+    *         returned frame stays persisted (MEMORY_AND_DISK, evictable):
+    *         unpersisting it would make every downstream action replay the
+    *         whole iteration chain. It is small (one row per node with an
+    *         edge); call `.unpersist()` when finished with it in a
+    *         long-lived session. */
   def connected(pairs: DataFrame, id1: String, id2: String,
                 maxIters: Int = 25): DataFrame = {
     val edges = pairs.select(col(id1).as("a"), col(id2).as("b"))

@@ -235,12 +235,18 @@ object Dedup {
       bloom.writeTo(bos)
       bos.toByteArray
     }
+    // The deduped batch feeds both union branches; persist it so the
+    // window dedup and the bloom probe run once per row, not once per
+    // branch. Batch-sized and evictable — in a foreachBatch caller the
+    // storage turns over with each micro-batch.
     val fresh = exact(batch, idCol, textCol)
-    val maybeDup = ColumnBridge.bloomMightContain(bytes, xxhash64(col("fp")))
-    val definitelyNew = fresh.filter(!maybeDup)
-    val checked = fresh.filter(maybeDup)
+      .withColumn("graft_maybe",
+        ColumnBridge.bloomMightContain(bytes, xxhash64(col("fp"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val definitelyNew = fresh.filter(!col("graft_maybe"))
+    val checked = fresh.filter(col("graft_maybe"))
       .join(knownFps.select(col("fp")), Seq("fp"), "left_anti")
-    definitelyNew.unionByName(checked)
+    definitelyNew.unionByName(checked).drop("graft_maybe")
   }
 
   /** Embedding near-dup: cosine ≥ τ among pairs sharing a coarse bucket

@@ -128,8 +128,8 @@ object Etl {
   def histogram(df: DataFrame, metric: String, width: Double,
                 nBuckets: Int): DataFrame =
     df.groupBy(
-      least(floor(col(metric) / width), lit(nBuckets - 1L)).cast("long")
-        .as("bucket"))
+      greatest(least(floor(col(metric) / width), lit(nBuckets - 1L)), lit(0L))
+        .cast("long").as("bucket"))
       .agg(count(lit(1)).as("n"),
         round(min(col(metric)), 2).as("lo"),
         round(max(col(metric)), 2).as("hi"))
@@ -143,7 +143,11 @@ object Etl {
   def writePartitioned(df: DataFrame, path: String, partitionCol: String,
                        sortCols: String*): Unit =
     df.repartition(col(partitionCol))
-      .sortWithinPartitions(sortCols.map(col): _*)
+      // The partition column leads the sort: the parquet writer REQUIRES
+      // task rows ordered by partition columns and would otherwise insert
+      // its own re-sort above this one — re-sorting everything and (with
+      // spills) destroying the fine-key order this function promises.
+      .sortWithinPartitions(col(partitionCol) +: sortCols.map(col): _*)
       .write.mode("overwrite")
       .partitionBy(partitionCol)
       .parquet(path)

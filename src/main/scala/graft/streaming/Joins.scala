@@ -15,10 +15,16 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
-  /** Attribute each purchase to the same user's preceding click within
-    * `attributionWindow` (equality on user + event-time range). Works
-    * identically on static DataFrames (batch parity spec) — in streaming
-    * mode Spark runs it as a watermarked stream-stream join.
+  /** MULTI-TOUCH attribution: one output row per (purchase, qualifying
+    * click) — a purchase preceded by several clicks inside
+    * `attributionWindow` appears once per click, so summing `amount`
+    * downstream needs a per-purchase dedup (last-touch = keep max
+    * click_ts per purchase_id, a batch-side window). Emitting every touch
+    * is deliberate: collapsing to last-touch inside the stream would put
+    * a non-time window on top of the stream-stream join, which append
+    * mode cannot run; the touch stream stays streamable and the policy
+    * (first/last/linear) stays a cheap batch choice downstream. Works
+    * identically on static DataFrames (batch parity spec).
     *
     * @param clicks    (user_id, click_id, click_ts)
     * @param purchases (user_id, purchase_id, purchase_ts, amount)

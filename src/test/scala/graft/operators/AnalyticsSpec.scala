@@ -24,7 +24,7 @@ class AnalyticsSpec extends SparkSpec {
     val ev = Seq(("2024-01-01", "click"), ("2024-01-01", "click"),
       ("2024-01-08", "view")).toDF("wk0", "event_type")
     val out = Analytics.pivotWeekly(ev, col("wk0"), "event_type",
-      Seq("click", "view", "error"), "event_type")
+      Seq("click", "view", "error"))
       .orderBy("wk").collect()
     assert(out(0).getAs[Long]("n_click") === 2L)
     assert(out(0).getAs[Long]("n_error") === 0L) // absent combo → 0, not null

@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 
 class JoinsSpec extends SparkSpec {
@@ -26,6 +27,23 @@ class JoinsSpec extends SparkSpec {
       purchaseRows.toDF("user_id", "purchase_id", "purchase_ts", "amount"))
       .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
     assert(out === expected)
+  }
+
+  test("multi-touch: every qualifying click emits a row; last-touch is a batch dedup") {
+    val clicks = Seq((1L, 100L, ts("2024-01-01 10:00:00")),
+      (1L, 101L, ts("2024-01-01 10:20:00")),
+      (1L, 102L, ts("2024-01-01 10:40:00"))).toDF("user_id", "click_id", "click_ts")
+    val purchases = Seq((1L, 900L, ts("2024-01-01 10:50:00"), 9.99))
+      .toDF("user_id", "purchase_id", "purchase_ts", "amount")
+    val touches = Joins.purchaseAttribution(clicks, purchases)
+    assert(touches.count() === 3) // one row per touch, by contract
+    val lastTouch = touches // the documented downstream policy
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("purchase_id")
+          .orderBy(col("click_ts").desc)))
+      .filter(col("rn") === 1)
+      .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+    assert(lastTouch === Set((900L, 102L)))
   }
 
   test("stream-stream attribution join matches batch across micro-batches") {
