@@ -45,6 +45,24 @@ class MlSpec extends SparkSpec {
     assert(math.abs(imp.values.sum - 1.0) < 0.01)
   }
 
+  test("model artifact save/load round-trip (weekly-retrain persistence)") {
+    // ml_training_dag.py persists the tuned model (joblib.dump analog);
+    // the Spark-native artifact is MLWritable save + typed load, and the
+    // reloaded model must predict identically.
+    val fit = Popularity.train(regData, Seq("x1", "x2", "x3"), "y")
+    val dir = java.nio.file.Files.createTempDirectory("graft_model").toString
+    fit.model.write.overwrite().save(dir)
+    val loaded = org.apache.spark.ml.regression.RandomForestRegressionModel.load(dir)
+    assert(loaded.numTrees === fit.model.numTrees)
+    assert(loaded.featureImportances === fit.model.featureImportances)
+    val probe = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(Array("x1", "x2", "x3")).setOutputCol("graft_features")
+      .transform(regData.limit(20))
+    val a = fit.model.transform(probe).select("prediction").as[Double].collect()
+    val b = loaded.transform(probe).select("prediction").as[Double].collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("model comparison trains all three model families") {
     val got = Popularity.compareModels(spark, regData, Seq("x1", "x2", "x3"), "y")
       .as[(String, Double, Double)].collect()
