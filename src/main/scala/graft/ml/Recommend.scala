@@ -51,6 +51,10 @@ object Recommend {
     val k = math.max(2, math.min(maxK, (n / itemsPerCluster).toInt))
     val kmeans = new KMeans()
       .setK(k).setSeed(seed).setMaxIter(10)
+      // One k-means|| init round instead of two: for coarse recommendation
+      // cells the refined init buys nothing the Lloyd iterations don't
+      // redo, and each init step is a full distributed pass.
+      .setInitSteps(1)
       .setFeaturesCol("graft_features").setPredictionCol("cluster")
     val out = kmeans.fit(withVec).transform(withVec)
       .drop("graft_group_idx", "graft_raw", "graft_scaled",
