@@ -276,6 +276,24 @@ object SparkEntry {
     // Ordered collect: smallest-5 part names per brand as one string —
     // collect_list is unordered by contract, so sort in the expression;
     // slice bounds the per-group state the shuffle carries.
+    // Deep dimensional chain: fact ⋈ supplier ⋈ nation ⋈ region — the
+    // snowflake path. The three dims are broadcast (each orders of
+    // magnitude under the fact), so the fact never shuffles before the
+    // final group-key exchange.
+    "q58_region_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_suppkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).select("r_regionkey", "r_name")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("rev")), 2).as("revenue"))),
+
     "q56_group_concat" -> ((s, d) =>
       Tables.part(s, d).select("p_brand", "p_name")
         .groupBy("p_brand")
@@ -805,6 +823,16 @@ object SparkEntry {
                   AS n_frames,
                 hex AS digest
          FROM nibs""",
+
+    "q58_region_rollup" ->
+      """SELECT r_name AS region, n_name AS nation,
+                CAST(count(*) AS BIGINT) AS n,
+                round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name""",
 
     "q56_group_concat" ->
       """SELECT p_brand,
