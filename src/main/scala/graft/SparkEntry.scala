@@ -280,6 +280,36 @@ object SparkEntry {
     // snowflake path. The three dims are broadcast (each orders of
     // magnitude under the fact), so the fact never shuffles before the
     // final group-key exchange.
+    // Inter-event gaps per user (lag over the µs grain): the cadence
+    // metric behind churn/engagement features. One shuffle on the user
+    // key; integer µs math keeps gaps exact.
+    "q59_event_gaps" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
+      eventsUs(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+        .withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(w))
+        .filter(col("gap").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"),
+          max(col("gap")).as("max_gap_us"),
+          (sum(col("gap")) / count(lit(1))).as("avg_gap_us"))
+    }),
+
+    // Quartile bucketing by ntile over a total order — distribution
+    // segmentation (price tiers per brand). ntile's uneven-bucket rule is
+    // SQL-standard, so the bucket sizes agree across engines.
+    "q60_ntile" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("p_brand").orderBy(col("p_retailprice").asc, col("p_partkey").asc)
+      Tables.part(s, d).select("p_brand", "p_partkey", "p_retailprice")
+        .withColumn("tier", ntile(4).over(w).cast("long"))
+        .groupBy("p_brand", "tier")
+        .agg(count(lit(1)).as("n"),
+          round(min(col("p_retailprice")), 2).as("lo"),
+          round(max(col("p_retailprice")), 2).as("hi"))
+    }),
+
     "q58_region_rollup" -> ((s, d) =>
       Tables.lineitem(s, d)
         .select(col("l_suppkey"),
@@ -823,6 +853,28 @@ object SparkEntry {
                   AS n_frames,
                 hex AS digest
          FROM nibs""",
+
+    "q59_event_gaps" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
+         g AS (SELECT user_id,
+                      ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                                               ORDER BY ts_us, event_id) AS gap
+               FROM e)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+                max(gap) AS max_gap_us,
+                sum(gap) * 1.0 / count(*) AS avg_gap_us
+         FROM g WHERE gap IS NOT NULL GROUP BY user_id""",
+
+    "q60_ntile" ->
+      """SELECT p_brand, CAST(tier AS BIGINT) AS tier,
+                CAST(count(*) AS BIGINT) AS n,
+                round(min(p_retailprice), 2) AS lo,
+                round(max(p_retailprice), 2) AS hi
+         FROM (SELECT p_brand, p_retailprice,
+                      ntile(4) OVER (PARTITION BY p_brand
+                                     ORDER BY p_retailprice, p_partkey) AS tier
+               FROM part)
+         GROUP BY p_brand, tier""",
 
     "q58_region_rollup" ->
       """SELECT r_name AS region, n_name AS nation,
