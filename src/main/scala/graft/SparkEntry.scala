@@ -180,8 +180,10 @@ object SparkEntry {
     "q32_ann_ivf" -> ((s, d) => {
       val idx = Similarity.ivfIndex(Tables.embeddings(s, d),
         "vec_id", "embedding", nLists = 16)
-      Similarity.ivfTopK(idx, "vec_id", "embedding",
+      val out = Similarity.ivfTopK(idx, "vec_id", "embedding",
         queryId = 0L, k = 20, nProbe = 4)
+      idx.release() // centroid probe ranking is done; drop the fit cache
+      out
     }),
 
     "q26_kmeans_recommend" -> ((s, d) => {
@@ -265,9 +267,16 @@ object SparkEntry {
         col("doc_id"), T.piiScrub(col("text")).as("scrubbed"),
         T.piiHits(col("text")).cast("long").as("pii_hits"))),
 
-    "q46_dedup_clusters" -> ((s, d) =>
-      Components.connected(jaccardPairs(s, d), "id1", "id2")
-        .select(col("id").as("doc_id"), col("cluster"))),
+    "q46_dedup_clusters" -> ((s, d) => {
+      val labels = Components.connected(jaccardPairs(s, d), "id1", "id2")
+      // The label table is persisted by `connected` (unpersisting mid-loop
+      // would replay the iteration chain); hand downstream consumers a
+      // materialized copy and release the loop's cache.
+      val out = labels.select(col("id").as("doc_id"), col("cluster"))
+        .localCheckpoint(true)
+      labels.unpersist()
+      out
+    }),
 
     "q47_percentiles" -> ((s, d) =>
       Analytics.quartiles(
@@ -383,28 +392,66 @@ object SparkEntry {
     Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
 
   /** Pair shingle-intersection stats shared by the exact near-dup family —
-    * q20 (Jaccard), q46 (clusters), q53 (containment) — memoized +
-    * persisted per scale dir: one shingle self-join serves all three (the
-    * stats table is the natural pipeline handoff, tiny vs the corpus). */
-  private val pairStatsCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    * q20 (Jaccard), q46 (clusters), q53 (containment) — memoized per
+    * (session, scale dir): one shingle self-join serves all three (the
+    * stats table is the natural pipeline handoff, tiny vs the corpus).
+    * pairShingleStats materializes its output via localCheckpoint, so the
+    * memo holds a computed artifact, not a pinned cache; [[releaseCaches]]
+    * (or GC after the session drops) frees the blocks. Keying by session
+    * keeps a restarted session from receiving plans bound to a stopped one. */
+  private val pairStatsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def pairStats(s: SparkSession, d: String): DataFrame =
-    pairStatsCache.getOrElseUpdate(d,
-      Dedup.pairShingleStats(Tables.documents(s, d), "doc_id", "text", 3)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    pairStatsCache.getOrElseUpdate((s, d),
+      Dedup.pairShingleStats(Tables.documents(s, d), "doc_id", "text", 3))
   private def jaccardPairs(s: SparkSession, d: String): DataFrame =
     Dedup.jaccardFromStats(pairStats(s, d), minJaccard = 0.2)
 
-  /** RF fit shared by q27/q28, memoized per scale dir. Trained on a
-    * deterministic 5% key-sampled slice so CV tuning stays bounded. */
-  private val rfCache = scala.collection.concurrent.TrieMap.empty[String, ml.Popularity.Fit]
+  /** Drop every memoized substrate (pair stats, RF fits) so their blocks
+    * and models become collectable — drivers call this once their query
+    * sweep is done. */
+  def releaseCaches(): Unit = {
+    pairStatsCache.clear()
+    rfCache.clear()
+  }
+
+  /** RF fit shared by q27/q28, memoized per (session, scale dir). Trained
+    * on a deterministic 5% key-sampled slice so CV tuning stays bounded. */
+  private val rfCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), ml.Popularity.Fit]
   private def rfFit(s: SparkSession, d: String): ml.Popularity.Fit =
-    rfCache.getOrElseUpdate(d, {
+    rfCache.getOrElseUpdate((s, d), {
       val sample = Tables.lineitem(s, d)
         .filter(pmod(col("l_orderkey"), lit(40)) === 0)
         .select("l_quantity", "l_discount", "l_tax", "l_extendedprice")
       ml.Popularity.train(sample,
         Seq("l_quantity", "l_discount", "l_tax"), "l_extendedprice")
     })
+
+  /** The q25 random-projection oracle, generated: the hyperplane weights
+    * sin(i·(j+1)) are plain doubles computed once here and embedded as
+    * shortest-round-trip literals, so DuckDB reproduces the EXACT bucket
+    * assignment (list_dot_product folds left-to-right like Spark's
+    * `aggregate`, and Double.toString literals parse back to the identical
+    * bits). That turns the "probabilistic" candidate set deterministic
+    * across engines and lets the full (vec_id, cos) result hash-match. */
+  private def q25OracleSql: String = {
+    def weights(j: Int): String =
+      (0 until 64).map(i => java.lang.Double.toString(math.sin(i.toDouble * (j + 1))))
+        .mkString("[", ", ", "]")
+    val bits = (0 until 4).map { j =>
+      s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ${weights(j)}) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("\n                + ")
+    s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                $bits AS bk
+         FROM embeddings),
+         q AS (SELECT v AS qv, bk AS qbk FROM b WHERE vec_id = 0)
+         SELECT vec_id,
+                round(list_dot_product(v, qv)
+                      / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+         FROM b, q WHERE bk = qbk AND vec_id <> 0
+         ORDER BY cos DESC, vec_id LIMIT 20"""
+  }
 
   /** DuckDB 1.0 oracle SQL — same table names, same output column names.
     * DuckDB-vs-Spark portability rules: regexp_replace needs the 'g' flag
@@ -605,6 +652,8 @@ object SparkEntry {
          FROM pr JOIN cnt c1 ON pr.id1 = c1.doc_id
                  JOIN cnt c2 ON pr.id2 = c2.doc_id
          WHERE round(inter * 1.0 / (c1.n + c2.n - inter), 4) >= 0.2""",
+
+    "q25_ann_buckets" -> q25OracleSql,
 
     "q23_cosine_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings

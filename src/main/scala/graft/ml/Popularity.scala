@@ -40,7 +40,11 @@ object Popularity {
     val cv = new CrossValidator()
       .setEstimator(new Pipeline().setStages(Array(assembler, rf)))
       .setEstimatorParamMaps(grid).setEvaluator(evaluator)
-      .setNumFolds(folds).setSeed(seed).setParallelism(folds * grid.length)
+      // Parallelism is a driver thread-pool throttle, not a capacity
+      // declaration — cap it so a larger grid can't oversubscribe the
+      // scheduler with folds × grid concurrent fits.
+      .setNumFolds(folds).setSeed(seed)
+      .setParallelism(math.min(folds * grid.length, 8))
     val Array(trainDf, testDf) = data.randomSplit(Array(0.8, 0.2), seed)
     // Every CV fold fit re-reads its split; pin the source in memory for
     // the folds × grid × trees passes.

@@ -34,11 +34,15 @@ object Analytics {
     * category is a single map-side-combining aggregate with one exchange,
     * and absent combos come out 0 instead of null. */
   def pivotWeekly(df: DataFrame, weekExpr: Column, catCol: String,
-                  cats: Seq[String]): DataFrame =
+                  cats: Seq[String]): DataFrame = {
+    require(cats.nonEmpty, "pivotWeekly: the category domain must be non-empty")
+    require(cats.distinct.size == cats.size,
+      s"pivotWeekly: duplicate categories in domain: ${cats.diff(cats.distinct).mkString(",")}")
     df.groupBy(weekExpr.as("wk"))
       .agg(count(when(col(catCol) === cats.head, 1)).as(s"n_${cats.head}"),
         cats.tail.map(c =>
           count(when(col(catCol) === c, 1)).as(s"n_$c")): _*)
+  }
 
   /** Exact interpolated quartiles of `metric` per group (linear
     * interpolation — the same definition as SQL quantile_cont). Exact

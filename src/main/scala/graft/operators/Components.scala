@@ -62,6 +62,10 @@ object Components {
       iters += 1
     }
     edges.unpersist()
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connected(): maxIters=$maxIters exhausted before convergence — " +
+          "returned labels may be partially propagated; raise maxIters")
     labels
   }
 }

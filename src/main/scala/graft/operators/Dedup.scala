@@ -67,18 +67,42 @@ object Dedup {
     * explode → one self-join on the shingle → one pair agg. At skew (hot
     * shingles) AQE's skew-join split keeps partitions bounded; the MinHash
     * path is the preferred O(n·sig) variant at corpus scale. */
+  /** @param maxDf optional document-frequency cap: shingles appearing in
+    *   more than `maxDf` documents are dropped BEFORE the self-join. This
+    *   is the standard skew bound for the exact path at corpus scale — a
+    *   boilerplate shingle shared by 1% of a 10⁹-doc corpus would alone
+    *   generate ~10¹⁴ candidate pairs; capping df bounds each shingle's
+    *   pair fan-out at maxDf² while leaving genuinely distinctive overlap
+    *   intact. The uncapped form (None) is the oracle. */
   def pairShingleStats(docs: DataFrame, idCol: String, textCol: String,
-                       n: Int): DataFrame = {
+                       n: Int, maxDf: Option[Long] = None): DataFrame = {
+    val shAll = explodedShingles(docs, idCol, textCol, n)
+    val shCapped = maxDf match {
+      case Some(cap) =>
+        // df via a count window over the shingle key: one shuffle on g,
+        // whose hash partitioning the self-join below then reuses.
+        val w = Window.partitionBy("g")
+        shAll.withColumn("graft_df", count(lit(1)).over(w))
+          .filter(col("graft_df") <= cap).drop("graft_df")
+      case None => shAll
+    }
     // Persisted because it feeds both join legs: the build job
     // materializes the cache, the probe side then reads it instead of
-    // re-running the shingle pipeline.
-    val sh = explodedShingles(docs, idCol, textCol, n)
+    // re-running the shingle pipeline. The cache is RELEASED before
+    // returning: the (much smaller) pair-stats output is materialized
+    // eagerly via localCheckpoint — a derived artifact whose blocks the
+    // ContextCleaner frees on GC — so a 60-query session doesn't
+    // accumulate corpus-sized shingle tables in the block manager.
+    val sh = shCapped
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sh.as("a"); val b = sh.as("b")
-    a.join(b, col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+    val stats = a.join(b, col("a.g") === col("b.g") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"),
         col("a.nsh").as("n1"), col("b.nsh").as("n2"))
       .agg(count(lit(1)).as("inter"))
+      .localCheckpoint(true)
+    sh.unpersist()
+    stats
   }
 
   /** Jaccard over precomputed [[pairShingleStats]] rows. */
@@ -151,10 +175,17 @@ object Dedup {
     val agree = aggregate(
       zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, x) => acc + x)
-    candidates.join(s1, "id1").join(s2, "id2")
+    // Materialize the (tiny) verified-pair result eagerly, then release the
+    // signature cache — sig served its three readers (two band legs, two
+    // verify legs) during this one computation and would otherwise pin
+    // corpus-sized blocks for the rest of the session.
+    val out = candidates.join(s1, "id1").join(s2, "id2")
       .withColumn("est_jaccard", round(agree.cast("double") / numHashes, 4))
       .filter(col("est_jaccard") >= minAgree)
       .select(col("id1"), col("id2"), col("est_jaccard"))
+      .localCheckpoint(true)
+    sig.unpersist()
+    out
   }
 
   /** SimHash fingerprints via the native map-side sketch ([[SimHash64]]):
@@ -195,10 +226,14 @@ object Dedup {
       .filter(col("id1") < col("id2")).select("id1", "id2").distinct()
     val h1 = s.toDF("id1", "h1")
     val h2 = s.toDF("id2", "h2")
-    candidates.join(h1, "id1").join(h2, "id2")
+    // Same eager-materialize-then-release lifecycle as minhashPairs.
+    val out = candidates.join(h1, "id1").join(h2, "id2")
       .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id1"), col("id2"), col("hamming"))
+      .localCheckpoint(true)
+    s.unpersist()
+    out
   }
 
   /** Incremental exact dedup: drop batch docs whose fingerprint already
@@ -237,8 +272,9 @@ object Dedup {
     }
     // The deduped batch feeds both union branches; persist it so the
     // window dedup and the bloom probe run once per row, not once per
-    // branch. Batch-sized and evictable — in a foreachBatch caller the
-    // storage turns over with each micro-batch.
+    // branch, then release it once the (batch-sized) survivor set is
+    // materialized — a foreachBatch caller must not accumulate one pinned
+    // batch cache per micro-batch.
     val fresh = exact(batch, idCol, textCol)
       .withColumn("graft_maybe",
         ColumnBridge.bloomMightContain(bytes, xxhash64(col("fp"))))
@@ -246,7 +282,10 @@ object Dedup {
     val definitelyNew = fresh.filter(!col("graft_maybe"))
     val checked = fresh.filter(col("graft_maybe"))
       .join(knownFps.select(col("fp")), Seq("fp"), "left_anti")
-    definitelyNew.unionByName(checked).drop("graft_maybe")
+    val out = definitelyNew.unionByName(checked).drop("graft_maybe")
+      .localCheckpoint(true)
+    fresh.unpersist()
+    out
   }
 
   /** Embedding near-dup: cosine ≥ τ among pairs sharing a coarse bucket

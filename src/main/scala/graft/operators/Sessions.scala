@@ -99,13 +99,19 @@ object Sessions {
     */
   def rangeJoinPairCounts(events: DataFrame, userCol: String, tsUsCol: String,
                           idCol: String, windowUs: Long): DataFrame = {
-    val base = events.select(col(userCol).as("k"), col(tsUsCol).as("t"),
+    val base = events.select(col(userCol).as("k"), col(tsUsCol).cast("long").as("t"),
       col(idCol).as("id"))
-    def bin(c: Column): Column = floor(c.cast("long") / windowUs).cast("long")
+    // Exact int64 floor division: pmod yields the nonnegative remainder,
+    // the subtraction stays in long arithmetic, and `div` is Spark's
+    // integral divide — no double rounding, so bins are exact for any
+    // int64 timestamp (floor via `/` is double division, off-by-one past
+    // 2^53, which would silently drop qualifying pairs from the ±1-bin
+    // candidate set).
+    def bin: Column = expr(s"(t - pmod(t, ${windowUs}L)) div ${windowUs}L")
     val probe = base.select(col("k"), col("t").as("t1"), col("id").as("id1"),
-      explode(array(bin(col("t")) - 1, bin(col("t")), bin(col("t")) + 1)).as("bin"))
+      explode(array(bin - 1, bin, bin + 1)).as("bin"))
     val build = base.select(col("k"), col("t").as("t2"), col("id").as("id2"),
-      bin(col("t")).as("bin"))
+      bin.as("bin"))
     probe.join(build, Seq("k", "bin"))
       .filter(col("id1") < col("id2") &&
         abs(col("t1") - col("t2")) <= windowUs)

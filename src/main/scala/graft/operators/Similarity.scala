@@ -48,21 +48,38 @@ object Similarity {
     * drops to ~n·nProbe/nLists, the cell assignment is a narrow ML
     * transform, and the centroid table is tiny (nLists × dim) — an index
     * artifact, not data. */
-  final case class IvfIndex(assigned: DataFrame, centers: Array[(Int, Array[Double])])
+  /** @param cached the persisted feature projection backing `assigned`
+    *   while the index is live; [[ivfIndex]] fills it, [[loadIndex]] leaves
+    *   it empty (a loaded index reads its own parquet). Call [[release]]
+    *   when done probing — a later action on a returned probe result just
+    *   recomputes the narrow scan+assign chain once. */
+  final case class IvfIndex(assigned: DataFrame,
+                            centers: Array[(Int, Array[Double])],
+                            cached: Option[DataFrame] = None) {
+    def release(): Unit = cached.foreach(_.unpersist())
+  }
 
   def ivfIndex(emb: DataFrame, idCol: String, vecCol: String,
                nLists: Int, seed: Long = 42L): IvfIndex = {
     import org.apache.spark.ml.functions.array_to_vector
+    // The KMeans fit makes init + maxIter full passes over the vectors;
+    // pin the projection so each pass reads cached blocks instead of
+    // re-reading parquet and re-converting arrays (the r2 bench showed the
+    // uncached fit as the slowest query once block-manager pressure grew).
     val feats = emb.withColumn("graft_vec",
       array_to_vector(col(vecCol).cast("array<double>")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nLists).setSeed(seed)
+      .setK(nLists).setSeed(seed).setMaxIter(10)
+      // One k-means|| init round: coarse IVF cells don't benefit from the
+      // refined init, and each init step is a full distributed pass.
+      .setInitSteps(1)
       .setFeaturesCol("graft_vec").setPredictionCol("graft_cell")
       .fit(feats)
     val assigned = model.transform(feats).drop("graft_vec")
     val centers = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }
-    IvfIndex(assigned, centers)
+    IvfIndex(assigned, centers, Some(feats))
   }
 
   /** Persist an IVF index: cell assignments as parquet PARTITIONED BY the
