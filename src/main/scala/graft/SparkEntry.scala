@@ -186,11 +186,42 @@ object SparkEntry {
       out
     }),
 
-    "q26_kmeans_recommend" -> ((s, d) => {
-      val clustered = ml.Recommend.clusterItems(Tables.part(s, d),
-        "p_partkey", "p_brand", Seq("p_retailprice", "p_size"))
-      ml.Recommend.recommendFor(clustered, "p_partkey", 1L,
+    // Same index family as q32 but with the adaptive exactness-guaranteed
+    // probe — output is provably identical to brute force, so unlike q32
+    // (recall-target nProbe) this one hash-matches an exact SQL oracle.
+    "q61_ann_ivf_exact" -> ((s, d) => {
+      val idx = Similarity.ivfIndex(Tables.embeddings(s, d),
+        "vec_id", "embedding", nLists = 16)
+      val out = Similarity.ivfTopKExact(idx, "vec_id", "embedding",
+        queryId = 7L, k = 25)
+      idx.release() // probe loop already ran eagerly; drop the fit cache
+      out
+    }),
+
+    "q26_kmeans_recommend" -> ((s, d) =>
+      ml.Recommend.recommendFor(clusteredParts(s, d), "p_partkey", 1L,
+        Seq("p_partkey", "p_name", "p_brand"))),
+
+    // Multi-item recommendation — the reference's list-input mode vote
+    // (recommendation.py:64-66): modal cluster over the query items, mates
+    // minus every input item.
+    "q63_recommend_multi" -> ((s, d) =>
+      ml.Recommend.recommendForAll(clusteredParts(s, d), "p_partkey",
+        Seq(1L, 2L, 3L), Seq("p_partkey", "p_name", "p_brand"))),
+
+    // Composed Model-page surface (app.py:149-175): ONE call returns the
+    // chosen item's predicted metric and its recommendations, like
+    // `model_prediction` returning (output[0], songs). The RF fit and the
+    // KMeans clustering are both memoized substrates shared with q27/q26.
+    "q62_predict_recommend" -> ((s, d) => {
+      val fit = rfFit(s, d)
+      val itemRows = Tables.lineitem(s, d).filter(col("l_partkey") === 1L)
+        .select("l_quantity", "l_discount", "l_tax")
+      val predicted = ml.Popularity.predict(fit, itemRows)
+        .agg(round(avg("prediction"), 2).as("p")).head().getDouble(0)
+      ml.Recommend.recommendFor(clusteredParts(s, d), "p_partkey", 1L,
         Seq("p_partkey", "p_name", "p_brand"))
+        .withColumn("predicted_price", lit(predicted))
     }),
 
     "q27_rf_predict" -> ((s, d) =>
@@ -413,7 +444,19 @@ object SparkEntry {
   def releaseCaches(): Unit = {
     pairStatsCache.clear()
     rfCache.clear()
+    clusterCache.clear()
   }
+
+  /** Clustered parts shared by q26/q62/q63, memoized per (session, dir):
+    * ONE KMeans fit serves the single-item, multi-item and composed
+    * recommendation queries. The memo holds a plan with the fit models
+    * embedded — no pinned blocks (clusterItems releases its fit caches). */
+  private val clusterCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def clusteredParts(s: SparkSession, d: String): DataFrame =
+    clusterCache.getOrElseUpdate((s, d),
+      ml.Recommend.clusterItems(Tables.part(s, d),
+        "p_partkey", "p_brand", Seq("p_retailprice", "p_size")))
 
   /** RF fit shared by q27/q28, memoized per (session, scale dir). Trained
     * on a deterministic 5% key-sampled slice so CV tuning stays bounded. */
@@ -665,6 +708,19 @@ object SparkEntry {
                          * sqrt(list_dot_product(qv, qv))), 6) AS cos
          FROM embeddings, q WHERE vec_id <> 0
          ORDER BY cos DESC, vec_id LIMIT 20""",
+
+    // Exact-probing IVF: provably identical to brute force, so the oracle
+    // is the plain exact top-k (q23's form at a different query point).
+    "q61_ann_ivf_exact" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+                    WHERE vec_id = 7)
+         SELECT vec_id,
+                round(list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+                      / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                               CAST(embedding AS DOUBLE[])))
+                         * sqrt(list_dot_product(qv, qv))), 6) AS cos
+         FROM embeddings, q WHERE vec_id <> 7
+         ORDER BY cos DESC, vec_id LIMIT 25""",
 
     "q24_embedding_neardup" ->
       """SELECT a.vec_id AS id1, b.vec_id AS id2,

@@ -128,6 +128,19 @@ object Popularity {
     current
   }
 
+  /** Score arbitrary feature rows with a trained fit — the single-item
+    * `model.predict(X)` half of the reference's composed Model-page call
+    * (app.py:150-175). Assembles the fit's feature columns and applies the
+    * model; a narrow map, no shuffle. */
+  def predict(fit: Fit, rows: DataFrame): DataFrame = {
+    val assembler = new VectorAssembler()
+      .setInputCols(fit.features.toArray).setOutputCol("graft_features")
+    // The model's featuresCol is already "graft_features" from training —
+    // no setter, so the shared memoized model is never mutated.
+    fit.model.transform(assembler.transform(rows))
+      .drop("graft_features")
+  }
+
   /** One-row metrics frame (rows-only correctness check). */
   def metricsDf(spark: SparkSession, fit: Fit): DataFrame = {
     import spark.implicits._

@@ -78,4 +78,30 @@ object Recommend {
       .filter(col(idCol) =!= queryId)
       .select(outCols.map(col): _*)
   }
+
+  /** Multi-item recommendation: the modal cluster over the query items'
+    * assignments picks the target cell — `statistics.mode(kmeans.predict
+    * (input))` (recommendation.py:64-66) — then cluster-mates excluding
+    * every query item are returned (the reference filters all input names,
+    * recommendation.py:66-69). Python's `statistics.mode` returns the
+    * first-encountered value among tied modes, so ties break by the
+    * earliest query item's position in `queryIds`; deterministic here via
+    * min-position per cluster. The vote is a tiny aggregate over
+    * |queryIds| rows; the join side is a 1-row broadcast. */
+  def recommendForAll(clustered: DataFrame, idCol: String, queryIds: Seq[Long],
+                      outCols: Seq[String]): DataFrame = {
+    require(queryIds.nonEmpty, "recommendForAll: queryIds must be non-empty")
+    val pos = map(queryIds.zipWithIndex.flatMap {
+      case (id, i) => Seq(lit(id), lit(i)) }: _*)
+    val modal = clustered.filter(col(idCol).isin(queryIds: _*))
+      .select(col("cluster"), element_at(pos, col(idCol)).as("graft_pos"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("graft_votes"), min("graft_pos").as("graft_first"))
+      .orderBy(col("graft_votes").desc, col("graft_first").asc)
+      .limit(1)
+      .select(col("cluster").as("graft_qc"))
+    clustered.join(broadcast(modal), col("cluster") === col("graft_qc"))
+      .filter(!col(idCol).isin(queryIds: _*))
+      .select(outCols.map(col): _*)
+  }
 }

@@ -125,6 +125,94 @@ object Similarity {
       .select(col(idCol), col("cos"))
   }
 
+  /** Per-cell angular radius stats for exactness-guaranteed probing: the
+    * minimum cosine between any member and its cell centroid (= the cell's
+    * maximum member angle). One aggregate over the assignments with a
+    * broadcast centroid lookup, collected driver-side — an O(nLists) index
+    * artifact like the centroid table itself; at corpus scale this is one
+    * extra map-side pass at index-build time. */
+  def cellMinCos(index: IvfIndex, vecCol: String): Map[Int, Double] = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    val centersDf = index.centers.toSeq.toDF("graft_cell", "graft_center")
+    index.assigned
+      .join(broadcast(centersDf), "graft_cell")
+      .groupBy(col("graft_cell"))
+      .agg(min(V.cosine(col(vecCol), col("graft_center"))).as("min_cos"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+  }
+
+  /** EXACT top-k via adaptive IVF probing: cells are probed in descending
+    * best-possible-cosine order until the running k-th best (rounded) score
+    * provably dominates every unprobed cell. The bound is the spherical
+    * triangle inequality — for any member x of a cell with centroid c and
+    * angular radius r = max_x angle(x, c):
+    * angle(q, x) >= angle(q, c) - r, hence cos(q, x) <= cos(max(0, angle(q,c) - r)).
+    *
+    * The result is guaranteed identical to [[cosineTopK]] (same rounded
+    * score + id tiebreak ordering — the cut is widened by the 6-dp rounding
+    * half-step plus an fp-error margin, so boundary ties can't be lost),
+    * but reads only the cells whose bound reaches the cut. Against a
+    * [[saveIndex]]-persisted index the cell filter is partition pruning, so
+    * a 100 TB corpus reads a handful of cell directories; on clustered
+    * real-world embeddings the probe count stays near the classic nProbe
+    * while exactness is a proof instead of a recall target. Probe-loop
+    * actions are driver-side but touch only centroid-count-sized metadata
+    * plus k-row score quantiles — no data collects. */
+  def ivfTopKExact(index: IvfIndex, idCol: String, vecCol: String,
+                   queryId: Long, k: Int): DataFrame = {
+    val qRow = index.assigned.filter(col(idCol) === queryId)
+      .select(col(vecCol)).head()
+    val qv = qRow.getSeq[Float](0).map(_.toDouble).toArray
+    val qvCol = array(qv.map(lit): _*)
+    val qn = math.sqrt(qv.map(x => x * x).sum)
+    def clamp(x: Double) = math.max(-1.0, math.min(1.0, x))
+    val minCos = cellMinCos(index, vecCol)
+    // Best achievable cosine per cell, descending.
+    val bounds = index.centers.map { case (cell, c) =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      val cosQC = clamp(c.zip(qv).map { case (a, b) => a * b }.sum / (qn * cn))
+      val thetaQC = math.acos(cosQC)
+      val r = math.acos(clamp(minCos.getOrElse(cell, -1.0)))
+      val bound = if (thetaQC <= r) 1.0 else math.cos(thetaQC - r)
+      (cell, bound)
+    }.sortBy(-_._2)
+    // k-th largest ROUNDED score among the probed cells (the output ranks
+    // on the rounded value, so the stopping cut must too).
+    def kthRounded(cells: Seq[Int]): Option[Double] = {
+      val rows = index.assigned
+        .filter(col("graft_cell").isin(cells: _*) && col(idCol) =!= queryId)
+        .select(round(V.cosine(col(vecCol), qvCol), 6).as("c"))
+        .orderBy(col("c").desc).limit(k).collect()
+      if (rows.length < k) None else Some(rows.last.getDouble(0))
+    }
+    // Margin: a row rounding to the cut value can sit 5e-7 below it
+    // (half-step of round-6), and the driver-side bound arithmetic carries
+    // ~1e-15 fp error — 1e-9 covers it comfortably.
+    val margin = 5e-7 + 1e-9
+    var probed = Vector(bounds.head._1)
+    var frontier = bounds.tail.toVector
+    var done = frontier.isEmpty
+    while (!done) {
+      val admit = kthRounded(probed) match {
+        case None => frontier.take(1) // fewer than k candidates yet
+        case Some(cut) => frontier.takeWhile(_._2 >= cut - margin)
+      }
+      if (admit.isEmpty) done = true
+      else {
+        probed ++= admit.map(_._1)
+        frontier = frontier.drop(admit.length)
+        done = frontier.isEmpty
+      }
+    }
+    index.assigned
+      .filter(col("graft_cell").isin(probed: _*) && col(idCol) =!= queryId)
+      .withColumn("cos", round(V.cosine(col(vecCol), qvCol), 6))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("cos"))
+  }
+
   /** ANN via LSH bucket prefilter: score only rows whose projection bucket
     * matches the query's. Trades recall for a candidate set ~n/2^nBits. */
   def annBucketTopK(emb: DataFrame, idCol: String, vecCol: String,

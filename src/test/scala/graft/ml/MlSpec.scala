@@ -35,6 +35,45 @@ class MlSpec extends SparkSpec {
     assert(recClusters.forall(_ == qCluster))
   }
 
+  test("multi-item recommendation votes the modal cluster, excludes all inputs") {
+    // Hand-built cluster assignments so the vote is fully controlled:
+    // queries 1,2 → cluster 0; query 3 → cluster 1. Mode = 0.
+    val clustered = Seq(
+      (1L, "a", 0), (2L, "b", 0), (3L, "c", 1),
+      (10L, "m0", 0), (11L, "m0", 0), (20L, "m1", 1), (21L, "m1", 1)
+    ).toDF("id", "name", "cluster")
+    val got = Recommend.recommendForAll(clustered, "id", Seq(1L, 2L, 3L),
+      Seq("id", "name")).select("id").as[Long].collect().toSet
+    assert(got === Set(10L, 11L)) // modal cluster's mates, no query ids
+  }
+
+  test("multi-item vote ties break to the earliest query item's cluster") {
+    // 1 → cluster 5, 2 → cluster 9: one vote each; statistics.mode picks
+    // the first encountered, i.e. query 1's cluster.
+    val clustered = Seq(
+      (1L, "a", 5), (2L, "b", 9), (50L, "x", 5), (90L, "y", 9)
+    ).toDF("id", "name", "cluster")
+    val got = Recommend.recommendForAll(clustered, "id", Seq(1L, 2L),
+      Seq("id")).as[Long].collect().toSet
+    assert(got === Set(50L))
+    // Reversing the query order flips the tie.
+    val rev = Recommend.recommendForAll(clustered, "id", Seq(2L, 1L),
+      Seq("id")).as[Long].collect().toSet
+    assert(rev === Set(90L))
+  }
+
+  test("predict scores new rows with a trained fit (composed surface)") {
+    val fit = Popularity.train(regData, Seq("x1", "x2", "x3"), "y")
+    val probe = Seq((5.0, 1.0, 0.5), (1.0, 9.0, 0.2)).toDF("x1", "x2", "x3")
+    val preds = Popularity.predict(fit, probe)
+      .select("prediction").as[Double].collect()
+    assert(preds.length == 2)
+    // y = 3x1 - 2x2: first probe ≈ 13, second ≈ -15 — the model must at
+    // least order them correctly and land in the right regions.
+    assert(preds(0) > preds(1))
+    assert(preds(0) > 5 && preds(1) < 0)
+  }
+
   test("RF training produces sane metrics and importances") {
     val fit = Popularity.train(regData, Seq("x1", "x2", "x3"), "y")
     assert(fit.r2 > 0.8)          // learnable signal
