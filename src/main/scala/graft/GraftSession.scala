@@ -29,6 +29,10 @@ object GraftSession {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // Apply AQE to plans feeding persisted frames too — iterative operators
+    // (connected components) cache small intermediates whose shuffles should
+    // coalesce instead of running at the static partition count each round.
+    .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.extensions", "graft.GraftExtensions")
 

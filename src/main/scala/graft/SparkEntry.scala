@@ -177,26 +177,16 @@ object SparkEntry {
       latest.join(streaks, Seq("user_id"))
     }),
 
-    "q32_ann_ivf" -> ((s, d) => {
-      val idx = Similarity.ivfIndex(Tables.embeddings(s, d),
-        "vec_id", "embedding", nLists = 16)
-      val out = Similarity.ivfTopK(idx, "vec_id", "embedding",
-        queryId = 0L, k = 20, nProbe = 4)
-      idx.release() // centroid probe ranking is done; drop the fit cache
-      out
-    }),
+    "q32_ann_ivf" -> ((s, d) =>
+      Similarity.ivfTopK(ivfIdx(s, d), "vec_id", "embedding",
+        queryId = 0L, k = 20, nProbe = 4)),
 
     // Same index family as q32 but with the adaptive exactness-guaranteed
     // probe — output is provably identical to brute force, so unlike q32
     // (recall-target nProbe) this one hash-matches an exact SQL oracle.
-    "q61_ann_ivf_exact" -> ((s, d) => {
-      val idx = Similarity.ivfIndex(Tables.embeddings(s, d),
-        "vec_id", "embedding", nLists = 16)
-      val out = Similarity.ivfTopKExact(idx, "vec_id", "embedding",
-        queryId = 7L, k = 25)
-      idx.release() // probe loop already ran eagerly; drop the fit cache
-      out
-    }),
+    "q61_ann_ivf_exact" -> ((s, d) =>
+      Similarity.ivfTopKExact(ivfIdx(s, d), "vec_id", "embedding",
+        queryId = 7L, k = 25)),
 
     "q26_kmeans_recommend" -> ((s, d) =>
       ml.Recommend.recommendFor(clusteredParts(s, d), "p_partkey", 1L,
@@ -298,16 +288,11 @@ object SparkEntry {
         col("doc_id"), T.piiScrub(col("text")).as("scrubbed"),
         T.piiHits(col("text")).cast("long").as("pii_hits"))),
 
-    "q46_dedup_clusters" -> ((s, d) => {
-      val labels = Components.connected(jaccardPairs(s, d), "id1", "id2")
-      // The label table is persisted by `connected` (unpersisting mid-loop
-      // would replay the iteration chain); hand downstream consumers a
-      // materialized copy and release the loop's cache.
-      val out = labels.select(col("id").as("doc_id"), col("cluster"))
-        .localCheckpoint(true)
-      labels.unpersist()
-      out
-    }),
+    // connected() returns a materialized artifact (it checkpoints and
+    // releases its own loop caches) — the rename is a free projection.
+    "q46_dedup_clusters" -> ((s, d) =>
+      Components.connected(jaccardPairs(s, d), "id1", "id2")
+        .select(col("id").as("doc_id"), col("cluster"))),
 
     "q47_percentiles" -> ((s, d) =>
       Analytics.quartiles(
@@ -445,18 +430,35 @@ object SparkEntry {
     pairStatsCache.clear()
     rfCache.clear()
     clusterCache.clear()
+    ivfCache.values.foreach(_.release())
+    ivfCache.clear()
   }
 
   /** Clustered parts shared by q26/q62/q63, memoized per (session, dir):
     * ONE KMeans fit serves the single-item, multi-item and composed
-    * recommendation queries. The memo holds a plan with the fit models
-    * embedded — no pinned blocks (clusterItems releases its fit caches). */
+    * recommendation queries. localCheckpoint materializes the (tiny —
+    * one row per item) clustered table eagerly, so the three consumers
+    * share one FIT and one MATERIALIZATION — without it the memo hands out
+    * a plan and every consumer's first action replays the prep+transform
+    * chain. */
   private val clusterCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def clusteredParts(s: SparkSession, d: String): DataFrame =
     clusterCache.getOrElseUpdate((s, d),
       ml.Recommend.clusterItems(Tables.part(s, d),
-        "p_partkey", "p_brand", Seq("p_retailprice", "p_size")))
+        "p_partkey", "p_brand", Seq("p_retailprice", "p_size"))
+        .localCheckpoint(true))
+
+  /** One IVF index shared by q32 (recall-probe) and q61 (exact-probe),
+    * memoized per (session, dir): the KMeans cell fit runs once per sweep.
+    * The index pins its feature-projection cache while live —
+    * [[releaseCaches]] calls release() on every entry. */
+  private val ivfCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Similarity.IvfIndex]
+  private def ivfIdx(s: SparkSession, d: String): Similarity.IvfIndex =
+    ivfCache.getOrElseUpdate((s, d),
+      Similarity.ivfIndex(Tables.embeddings(s, d), "vec_id", "embedding",
+        nLists = 16))
 
   /** RF fit shared by q27/q28, memoized per (session, scale dir). Trained
     * on a deterministic 5% key-sampled slice so CV tuning stays bounded. */

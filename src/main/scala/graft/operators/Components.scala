@@ -21,12 +21,12 @@ object Components {
 
   /** @param pairs DataFrame with two long id columns (an undirected edge per
     *              row); isolated docs are not emitted (no edge → no dup).
-    * @return (id, cluster) where cluster = min id reachable from id. The
-    *         returned frame stays persisted (MEMORY_AND_DISK, evictable):
-    *         unpersisting it would make every downstream action replay the
-    *         whole iteration chain. It is small (one row per node with an
-    *         edge); call `.unpersist()` when finished with it in a
-    *         long-lived session. */
+    * @return (id, cluster) where cluster = min id reachable from id —
+    *         materialized eagerly (localCheckpoint), so the caller gets a
+    *         computed artifact with no cache-lifecycle obligations: the
+    *         iteration chain is already cut and the blocks are freed by the
+    *         ContextCleaner once the frame is collected. It is small (one
+    *         row per node with an edge). */
   def connected(pairs: DataFrame, id1: String, id2: String,
                 maxIters: Int = 25): DataFrame = {
     val edges = pairs.select(col(id1).as("a"), col(id2).as("b"))
@@ -40,32 +40,45 @@ object Components {
     var iters = 0
     while (!converged && iters < maxIters) {
       // Propagate: each node's new label = min(own, min over neighbors').
+      // The pre-propagation label rides along as `old` so the convergence
+      // check needs no extra join against the previous labels.
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("id", "b"), Seq("b"))
         .groupBy(col("a").as("id"))
         .agg(min(col("cluster")).as("nb"))
-      val propagated = labels.join(viaNeighbor, Seq("id"))
-        .select(col("id"), least(col("cluster"), col("nb")).as("cluster"))
+      val propagated = labels
+        .select(col("id"), col("cluster").as("old"))
+        .join(viaNeighbor, Seq("id"))
+        .select(col("id"), least(col("old"), col("nb")).as("cluster"), col("old"))
       // Pointer jump: label ← label(label). Labels are node ids, and every
       // node has a label row, so the self-join always matches; the jumped
       // label is ≤ the current one by construction.
       val next = propagated
         .join(propagated.select(col("id").as("cluster"), col("cluster").as("c2")),
           Seq("cluster"))
-        .select(col("id"), col("c2").as("cluster"))
+        .select(col("id"), col("c2").as("cluster"), col("old"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
-        .filter(col("cluster") < col("old")).limit(1).count()
+      // ONE action per round: the aggregate both fully materializes the
+      // persisted `next` (so the following round reads cached blocks — a
+      // limit(1) probe would leave most partitions uncomputed and replayed)
+      // and counts the label changes for the convergence test.
+      val changed = next
+        .agg(count(when(col("cluster") < col("old"), 1)).as("ch"))
+        .head().getLong(0)
       labels.unpersist()
       labels = next
       converged = changed == 0L
       iters += 1
     }
-    edges.unpersist()
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"connected(): maxIters=$maxIters exhausted before convergence — " +
           "returned labels may be partially propagated; raise maxIters")
-    labels
+    // Hand back a materialized artifact and release the loop's caches: the
+    // final pass reads the (tiny, fully cached) label table once.
+    val out = labels.select(col("id"), col("cluster")).localCheckpoint(true)
+    labels.unpersist()
+    edges.unpersist()
+    out
   }
 }
