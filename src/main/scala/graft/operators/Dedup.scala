@@ -236,6 +236,18 @@ object Dedup {
     out
   }
 
+  /** Full-row variant of [[exact]]: keep every input column plus the
+    * computed `fp` — the shape a continuous ingest appends to its store,
+    * where downstream analytics need the payload columns, not just the
+    * fingerprint. Same one-shuffle window dedup, smallest id kept. */
+  def exactRows(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy("fp").orderBy(col(idCol).asc)
+    docs.withColumn("fp", T.fingerprint(col(textCol)))
+      .withColumn("graft_rn", row_number().over(w))
+      .filter(col("graft_rn") === 1)
+      .drop("graft_rn")
+  }
+
   /** Incremental exact dedup: drop batch docs whose fingerprint already
     * exists in the corpus fingerprint store, and dedup within the batch.
     * This is the continuous-ingest pattern — the corpus side is only its
@@ -248,34 +260,39 @@ object Dedup {
     fresh.join(knownFps.select(col("fp")), Seq("fp"), "left_anti")
   }
 
-  /** Bloom-prefiltered incremental dedup — the 100 TB shape of
-    * [[incrementalExact]]. A compact bloom filter is built over the corpus
-    * fingerprints (distributed aggregation, one ~MB-to-GB artifact on the
-    * driver) and shipped to every task as a literal inside the codegen'd
-    * `BloomFilterMightContain` probe. Batch rows the filter rejects are
-    * DEFINITELY new and skip the anti-join entirely; only the
-    * maybe-duplicate sliver (true dups + fpp false positives) shuffles
-    * against the corpus store. At a 1% duplicate rate that cuts the
-    * anti-join's probe side ~99%: the join cost tracks the DUP rate, not
-    * the corpus growth rate. Hash family: xxhash64 longs on both the build
-    * (putLong) and probe side. */
-  def incrementalExactBloom(batch: DataFrame, idCol: String, textCol: String,
-                            knownFps: DataFrame, expectedItems: Long,
-                            fpp: Double = 0.01): DataFrame = {
+  /** Distributed bloom build over a store's `fp` column: one aggregation
+    * pass, one compact driver-side artifact. Hash family: xxhash64 longs
+    * (putLong on build, the same hash on probe). A long-lived ingest
+    * builds this ONCE per (re)start and keeps it current by merging each
+    * batch's survivor fps ([[incrementalRowsBloom]] callers own that). */
+  def fpBloom(knownFps: DataFrame, expectedItems: Long,
+              fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter = {
+    val hashed = knownFps.select(xxhash64(col("fp")).as("graft_h"))
+    // stat.bloomFilter NPEs on a 0-row input (null aggregation buffer) —
+    // an empty store legitimately occurs (first start, or a replay whose
+    // batches were all duplicates wrote only empty files).
+    if (hashed.isEmpty)
+      org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
+    else hashed.stat.bloomFilter("graft_h", expectedItems, fpp)
+  }
+
+  /** Shared bloom-prefilter core: probe `fresh` (already batch-deduped,
+    * carrying `fp`) against a prebuilt filter; rows the filter rejects are
+    * DEFINITELY new and skip the anti-join, only the maybe-duplicate
+    * sliver (true dups + fpp false positives) shuffles against the store.
+    * The batch feeds both union branches; persist it so the window dedup
+    * and bloom probe run once per row, then release once the (batch-sized)
+    * survivor set is materialized — a foreachBatch caller must not
+    * accumulate one pinned batch cache per micro-batch. */
+  private def bloomPrefiltered(fresh0: DataFrame, knownFps: DataFrame,
+                               bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    val bloom = knownFps.select(xxhash64(col("fp")).as("graft_h"))
-      .stat.bloomFilter("graft_h", expectedItems, fpp)
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
       bloom.writeTo(bos)
       bos.toByteArray
     }
-    // The deduped batch feeds both union branches; persist it so the
-    // window dedup and the bloom probe run once per row, not once per
-    // branch, then release it once the (batch-sized) survivor set is
-    // materialized — a foreachBatch caller must not accumulate one pinned
-    // batch cache per micro-batch.
-    val fresh = exact(batch, idCol, textCol)
+    val fresh = fresh0
       .withColumn("graft_maybe",
         ColumnBridge.bloomMightContain(bytes, xxhash64(col("fp"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -287,6 +304,30 @@ object Dedup {
     fresh.unpersist()
     out
   }
+
+  /** Bloom-prefiltered incremental dedup — the 100 TB shape of
+    * [[incrementalExact]]. The filter is built here from the store (one
+    * distributed aggregation, one ~MB-to-GB driver artifact) and shipped
+    * to every task as a literal inside the codegen'd
+    * `BloomFilterMightContain` probe. At a 1% duplicate rate the
+    * anti-join's probe side shrinks ~99%: join cost tracks the DUP rate,
+    * not the corpus growth rate. Returns surviving (id, fp) rows. */
+  def incrementalExactBloom(batch: DataFrame, idCol: String, textCol: String,
+                            knownFps: DataFrame, expectedItems: Long,
+                            fpp: Double = 0.01): DataFrame =
+    bloomPrefiltered(exact(batch, idCol, textCol), knownFps,
+      fpBloom(knownFps, expectedItems, fpp))
+
+  /** Full-row bloom-prefiltered incremental dedup against a PREBUILT
+    * filter — the per-micro-batch workhorse of a continuous ingest: the
+    * caller builds the filter once per (re)start ([[fpBloom]]) and merges
+    * each batch's survivors in, so per-batch cost tracks the batch while
+    * the store-wide scan happens once per process lifetime, not once per
+    * batch. Survivors keep every input column plus `fp`. */
+  def incrementalRowsBloom(batch: DataFrame, idCol: String, textCol: String,
+                           knownFps: DataFrame,
+                           bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame =
+    bloomPrefiltered(exactRows(batch, idCol, textCol), knownFps, bloom)
 
   /** Embedding near-dup: cosine ≥ τ among pairs sharing a coarse bucket
     * (IVF-style partition prefilter → intra-bucket self-join only). */

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The composed continuous pipeline — the reference DAG's extract →
+  * transform → load cadence (dag.py:534-646) as two chained Structured
+  * Streaming stages connected by the document store:
+  *
+  * {{{
+  *   file source ─▶ bloom-dedup ingest ─▶ store (parquet, append)
+  *   store ─▶ watermarked weekly chart agg ─▶ file sink (exactly-once)
+  * }}}
+  *
+  * Stage 1 is [[IncrementalIngest.start]]: per-batch dedup against the
+  * accumulated store through a once-per-start bloom filter; the append is
+  * idempotent under replay (re-delivered rows carry already-stored
+  * fingerprints and are dropped), so the store is exact even when the
+  * source is at-least-once.
+  *
+  * Stage 2 tails the store as a file-source stream and maintains the
+  * weekly chart rollup ([[EventCharts.weeklyAggStream]]); the parquet file
+  * sink's metadata log makes its output exactly-once across kill/restart —
+  * a restarted query resumes from the checkpointed offset and never
+  * rewrites a committed window.
+  *
+  * Scale posture: both stages are incremental — per-trigger work tracks
+  * new files, watermarks bound the agg state, and the store-wide scans
+  * (bloom build, restart catch-up) happen once per process lifetime.
+  */
+object Pipeline {
+
+  /** Stage 1: continuous dedup ingest (see [[IncrementalIngest.start]]). */
+  def startIngest(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, storePath: String,
+                  checkpoint: String): StreamingQuery =
+    IncrementalIngest.start(docs, idCol, textCol, storePath, checkpoint)
+
+  /** Stage 2: tail the store and maintain the weekly chart in a parquet
+    * sink. `storeSchema` is the store's DDL (file-source streams need the
+    * schema declared; inferring it would race stage 1's first append). */
+  def startChart(spark: SparkSession, storePath: String, storeSchema: String,
+                 tsCol: String, groupCol: String, valueCol: String,
+                 sinkPath: String, checkpoint: String,
+                 watermark: String = "14 days"): StreamingQuery =
+    EventCharts.weeklyAggStream(
+      spark.readStream.schema(storeSchema).parquet(storePath),
+      tsCol, groupCol, valueCol, watermark)
+      .writeStream
+      .format("parquet")
+      .option("path", sinkPath)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+}
