@@ -108,6 +108,18 @@ object SparkEntry {
 
     "q20_ngram_jaccard" -> ((s, d) => jaccardPairs(s, d)),
 
+    // The df-capped exact path — the production skew bound at corpus scale
+    // (a boilerplate shingle shared by 1% of 10⁹ docs would alone fan out
+    // ~10¹⁴ candidate pairs; the cap bounds every shingle's fan-out at
+    // maxDf²). Rows-only: its recall story vs the uncapped oracle is held
+    // by DedupSpec's planted-boilerplate case; this entry measures the
+    // capped path's cost in the bench sweep.
+    "q64_jaccard_capped" -> ((s, d) =>
+      Dedup.jaccardFromStats(
+        Dedup.pairShingleStats(Tables.documents(s, d), "doc_id", "text", 3,
+          maxDf = Some(50L)),
+        minJaccard = 0.2)),
+
     // 16 bands × 2 rows: candidate probability 1-(1-j²)^16 ≈ 0.78 at j=0.3
     // (vs 0.06 for 8×4) — banding tuned to the corpus's jaccard range.
     "q21_minhash_lsh" -> ((s, d) =>
@@ -221,8 +233,11 @@ object SparkEntry {
       ml.Popularity.importancesDf(s, rfFit(s, d))),
 
     "q35_multimodal_meta" -> ((s, d) => {
-      // Binary media pipeline over synthesized payloads (text bytes stand in
-      // for encoded media; decode itself is stubbed — see multimodal.Binary).
+      // Binary media pipeline over synthesized payloads: text bytes stand in
+      // for encoded media, deliberately exercising the digest fallback of
+      // multimodal.Binary.decode (real BMP/PNG header parsing is covered by
+      // BinarySpec with crafted container bytes; text payloads can't match
+      // the magic numbers, so the nibble oracle below stays exact).
       import s.implicits._
       val media = Tables.documents(s, d).select(
         col("doc_id").as("media_id"),

@@ -8,11 +8,15 @@ import org.apache.spark.sql.functions._
   * partition (the JVM analog of `mapInPandas`-style batched UDFs).
   *
   * The Spark-side contract — schema, encoders, partition-wise batching,
-  * deterministic outputs — is real and tested. The actual pixel/sample
-  * decode is STUBBED (`fakeDecode`): codec libraries aren't available in
-  * this environment, so the stub derives deterministic pseudo-metadata
-  * from the bytes. Swapping in a real decoder only changes the body of
-  * [[fakeDecode]]/[[fakeFrames]]; every plan around it is unchanged.
+  * deterministic outputs — is real and tested. IMAGE dimensions are a REAL
+  * header-level decode: BMP and PNG dimensions are read straight from the
+  * container header, pure JDK, no codec dependency ([[imageHeaderDims]]).
+  * Payloads that aren't a recognized container — and the audio/video
+  * modalities, whose codecs aren't available in this environment — fall
+  * back to deterministic digest-derived pseudo-metadata ([[digestMeta]]),
+  * keeping the whole typed path oracle-checkable. A full pixel/sample
+  * decoder swaps into [[decode]]/[[fakeFrames]]; every plan around it is
+  * unchanged.
   */
 object Binary {
 
@@ -23,15 +27,43 @@ object Binary {
                              n_frames: Int, digest: String)
   final case class Frame(media_id: Long, frame_no: Int, frame_bytes: Array[Byte])
 
-  /** STUB decode — deterministic pseudo-metadata derived from the payload
-    * DIGEST (md5), so the whole typed decode path is oracle-checkable:
-    * any engine can recompute width/height/frames from the same hex
-    * nibbles. A real implementation calls the codec here (per partition,
-    * so any native library handle is initialized once per task, not per
-    * row). */
-  private[multimodal] def fakeDecode(r: MediaRecord): MediaMeta = {
-    val hex = java.security.MessageDigest.getInstance("MD5").digest(r.bytes)
-      .map("%02x".format(_)).mkString
+  /** Header-level image dimensions, pure JDK — the two containers whose
+    * headers are trivially self-describing:
+    *  - PNG: 8-byte signature, then the IHDR chunk (always first, by spec);
+    *    big-endian int32 width/height at byte offsets 16/20.
+    *  - BMP: "BM" file header (14 bytes) + DIB header. BITMAPINFOHEADER
+    *    and successors (size ≥ 40) carry little-endian int32 width at 18,
+    *    height at 22 (negative height = top-down row order → abs); the
+    *    legacy BITMAPCOREHEADER (size 12) carries uint16 dims at 18/20.
+    * Returns None when the payload is neither (caller falls back). */
+  private[multimodal] def imageHeaderDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def be32(i: Int): Int = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    val isPng = bytes.length >= 24 &&
+      u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G' &&
+      u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a && u8(7) == 0x0a &&
+      u8(12) == 'I' && u8(13) == 'H' && u8(14) == 'D' && u8(15) == 'R'
+    // Real DIB header sizes only (CORE/INFO/V2/V3/V4/V5) — "BM"-prefixed
+    // TEXT payloads can't false-positive: a valid size's upper bytes are
+    // NUL, which printable text never contains.
+    val dibSizes = Set(12, 40, 52, 56, 108, 124)
+    if (isPng) Some((be32(16), be32(20)))
+    else if (bytes.length >= 22 && u8(0) == 'B' && u8(1) == 'M') {
+      val dibSize = if (bytes.length >= 18) le32(14) else 0
+      if (dibSize == 12) Some((le16(18), le16(20)))
+      else if (dibSizes.contains(dibSize) && bytes.length >= 26)
+        Some((le32(18), math.abs(le32(22))))
+      else None
+    } else None
+  }
+
+  /** Digest-derived pseudo-metadata — the deterministic fallback for
+    * unrecognized payloads and for modalities whose codecs aren't present:
+    * width/height/frames come from md5 hex nibbles, so any engine can
+    * recompute them (the q35 oracle does, in SQL). */
+  private[multimodal] def digestMeta(r: MediaRecord, hex: String): MediaMeta = {
     def nib(i: Int): Int = Character.digit(hex.charAt(i), 16)
     MediaMeta(r.media_id, r.modality, r.bytes.length.toLong,
       width = nib(0) * 16 + nib(1) + 1, height = nib(2) * 16 + nib(3) + 1,
@@ -39,13 +71,30 @@ object Binary {
       digest = hex)
   }
 
+  /** Decode one record: real BMP/PNG header parse for images, digest
+    * fallback otherwise. A full codec call belongs here (per partition, so
+    * any native library handle is initialized once per task, not per
+    * row). */
+  private[multimodal] def decode(r: MediaRecord): MediaMeta = {
+    val hex = java.security.MessageDigest.getInstance("MD5").digest(r.bytes)
+      .map("%02x".format(_)).mkString
+    val headerDims =
+      if (r.modality == "image") imageHeaderDims(r.bytes) else None
+    headerDims match {
+      case Some((w, h)) =>
+        MediaMeta(r.media_id, r.modality, r.bytes.length.toLong,
+          width = w, height = h, n_frames = 1, digest = hex)
+      case None => digestMeta(r, hex)
+    }
+  }
+
   /** Feature-extraction pass: one partition-wise sweep, codec init per
     * partition, no shuffle. */
   def extractMeta(media: Dataset[MediaRecord]): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition init of (stubbed) codec state happens here
-      it.map(fakeDecode)
+      // per-partition init of codec state happens here
+      it.map(decode)
     }
   }
 

@@ -34,6 +34,75 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: native minhash == composable crc32 chain on arbitrary unicode text") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val P = 2147483647L // the sketches' Mersenne prime 2^31 - 1
+    val numHashes = 8
+    val shs = T.wordShinglesNative($"text", 2)
+    val nat = ColumnBridge.column(functions.MinHashSig(
+      ColumnBridge.expression(shs), numHashes))
+    // Composable twin: the same permutation family over Spark's built-in
+    // crc32 — an independent evaluation path (catalyst builtins + HOFs)
+    // for the identical math. Empty shingle sets map to -1 on both sides.
+    val twin = transform(sequence(lit(0), lit(numHashes - 1)), i =>
+      coalesce(array_min(transform(shs, s =>
+        (crc32(encode(s, "UTF-8")) % P * (i * 2 + 1) + lit(7919L) * (i + 1)) % P)),
+        lit(-1L)))
+    for (seed <- 1L to 8L) {
+      val texts = sample(Gen.listOfN(25, textGen), seed)
+      val got = texts.toDF("text")
+        .select(nat.as("nat"), twin.as("twin"))
+        .as[(Seq[Long], Seq[Long])].collect()
+      got.foreach { case (n, t) => assert(n == t) }
+    }
+  }
+
+  test("property: native simhash == scala reference model; both order-invariant") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // Independent reference model (FNV-1a bit votes) computed in plain
+    // Scala over the collected shingles — pins the generated code to the
+    // published algorithm on arbitrary unicode input.
+    def fnvModel(s: String): Long = {
+      var h = 0xcbf29ce484222325L
+      for (b <- s.getBytes("UTF-8")) { h ^= (b & 0xffL); h *= 0x100000001b3L }
+      h
+    }
+    def simModel(shingles: Seq[String]): Long = {
+      val votes = new Array[Int](64)
+      for (sh <- shingles; i <- 0 until 64)
+        if (((fnvModel(sh) >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+      (0 until 64).foldLeft(0L)((acc, i) =>
+        if (votes(i) > 0) acc | (1L << i) else acc)
+    }
+    val shs = T.wordShinglesNative($"text", 2)
+    def natOf(c: org.apache.spark.sql.Column) =
+      ColumnBridge.column(functions.SimHash64(ColumnBridge.expression(c)))
+    for (seed <- 1L to 8L) {
+      val texts = sample(Gen.listOfN(25, textGen), seed)
+      val got = texts.toDF("text")
+        .select(shs.as("shs"), natOf(shs).as("sig"), natOf(reverse(shs)).as("sigRev"))
+        .as[(Seq[String], Long, Long)].collect()
+      got.foreach { case (shingles, sig, sigRev) =>
+        assert(sig == simModel(shingles)) // codegen == reference model
+        assert(sig == sigRev)             // bit votes are order-invariant
+      }
+    }
+  }
+
+  test("property: minhash signatures are shingle-order-invariant") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val shs = T.wordShinglesNative($"text", 2)
+    def natOf(c: org.apache.spark.sql.Column) =
+      ColumnBridge.column(functions.MinHashSig(ColumnBridge.expression(c), 8))
+    for (seed <- 1L to 4L) {
+      val texts = sample(Gen.listOfN(25, textGen), seed)
+      texts.toDF("text")
+        .select(natOf(shs).as("a"), natOf(reverse(shs)).as("b"))
+        .as[(Seq[Long], Seq[Long])].collect()
+        .foreach { case (a, b) => assert(a == b) }
+    }
+  }
+
   test("property: native dot == interpreted fold on arbitrary vectors") {
     val vecGen = Gen.listOfN(16, Gen.chooseNum(-1e3f, 1e3f))
     for (seed <- 1L to 8L) {

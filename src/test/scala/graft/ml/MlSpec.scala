@@ -62,6 +62,29 @@ class MlSpec extends SparkSpec {
     assert(rev === Set(90L))
   }
 
+  test("planted clusters: recommendation surfaces return the exact membership (q62/q63 family)") {
+    // Two regimes separated by orders of magnitude in feature space AND by
+    // the ×100 group weight; n=30 → k = max(2, 30/15) = 2, so the planted
+    // split IS the clustering (seeded KMeans + deterministic indexer make
+    // it stable) — which upgrades the rows-only q62/q63 checks to an exact
+    // membership assertion.
+    val planted = (1 to 30).map { i =>
+      val low = i <= 15
+      (i.toLong, if (low) "A" else "B",
+        (if (low) 10.0 else 5000.0) + i % 3, (i % 2) + 1)
+    }.toDF("id", "brand", "price", "size")
+    val clustered = Recommend.clusterItems(planted, "id", "brand",
+      Seq("price", "size"))
+    val rec = Recommend.recommendFor(clustered, "id", 3L, Seq("id"))
+      .as[Long].collect().toSet
+    assert(rec === ((1L to 15L).toSet - 3L))
+    // Multi-item: queries 1,2 (low regime) + 16 (high) → modal cluster is
+    // the low regime; mates exclude every query id including the outvoted 16.
+    val multi = Recommend.recommendForAll(clustered, "id", Seq(1L, 2L, 16L),
+      Seq("id")).as[Long].collect().toSet
+    assert(multi === (3L to 15L).toSet)
+  }
+
   test("predict scores new rows with a trained fit (composed surface)") {
     val fit = Popularity.train(regData, Seq("x1", "x2", "x3"), "y")
     val probe = Seq((5.0, 1.0, 0.5), (1.0, 9.0, 0.2)).toDF("x1", "x2", "x3")

@@ -41,4 +41,44 @@ class BinarySpec extends SparkSpec {
     assert(!df.columns.contains("bytes"))
     assert(df.columns.toSet.contains("digest"))
   }
+
+  // --- real header-level image decode ---
+
+  /** Minimal PNG prefix: signature + IHDR length/type + big-endian dims. */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val sig = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    val ihdr = Array[Int](0, 0, 0, 13, 'I', 'H', 'D', 'R')
+    def be(v: Int) = Array[Int](v >>> 24, (v >>> 16) & 0xff, (v >>> 8) & 0xff, v & 0xff)
+    (sig ++ ihdr ++ be(w) ++ be(h) ++ Array(8, 2, 0, 0, 0)).map(_.toByte)
+  }
+
+  /** Minimal BMP prefix: "BM" file header + BITMAPINFOHEADER dims
+    * (little-endian; negative height = top-down row order). */
+  private def bmpBytes(w: Int, h: Int): Array[Byte] = {
+    def le(v: Int) = Array[Int](v & 0xff, (v >>> 8) & 0xff, (v >>> 16) & 0xff, v >>> 24)
+    (Array[Int]('B', 'M') ++ le(122) ++ le(0) ++ le(54) ++
+      le(40) ++ le(w) ++ le(h) ++ Array(1, 0, 24, 0)).map(_.toByte)
+  }
+
+  test("decode reads real dimensions from PNG and BMP headers") {
+    val imgs = Seq(
+      MediaRecord(10L, "image", pngBytes(640, 480), "s"),
+      MediaRecord(11L, "image", bmpBytes(1920, 1080), "s"),
+      MediaRecord(12L, "image", bmpBytes(32, -64), "s"), // top-down BMP
+      MediaRecord(13L, "image", "BM is a text prefix, not a bitmap".getBytes("UTF-8"), "s")).toDS()
+    val out = extractMeta(imgs).collect().map(m => m.media_id -> m).toMap
+    assert((out(10L).width, out(10L).height) === (640, 480))
+    assert((out(11L).width, out(11L).height) === (1920, 1080))
+    assert((out(12L).width, out(12L).height) === (32, 64))
+    // unrecognized container → digest fallback (bounded nibble dims)
+    assert(out(13L).width <= 256 && out(13L).height <= 256)
+    assert(out.values.forall(_.n_frames == 1))
+  }
+
+  test("non-image modalities never header-parse (digest fallback even for container bytes)") {
+    val vids = Seq(MediaRecord(20L, "video", pngBytes(640, 480), "s")).toDS()
+    val m = extractMeta(vids).collect().head
+    assert(m.n_frames >= 2)            // video frame count from digest
+    assert(m.width <= 256)             // not the PNG's 640
+  }
 }

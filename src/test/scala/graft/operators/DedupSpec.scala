@@ -26,6 +26,33 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("maxDf cap drops boilerplate-only pairs, keeps genuine near-dups") {
+    // 12 docs share a boilerplate footer (its shingles hit df=12); docs 1-2
+    // additionally share a genuine body. With the cap the footer shingles
+    // vanish from candidate generation: the boilerplate-only pairs drop
+    // below threshold while the genuine pair survives (its intersection is
+    // body shingles, df=2). This is the planted-recall story behind the
+    // q64_jaccard_capped bench entry.
+    val boiler = "subscribe to our newsletter for updates and follow us online today"
+    val body = "the quick brown fox runs through the quiet forest trail"
+    val d = (1 to 12).map { i =>
+      val b = if (i <= 2) body else s"unique body number $i with words w$i y$i z$i"
+      (i.toLong, s"$b $boiler")
+    }.toDF("doc_id", "text")
+    def pairsAt(maxDf: Option[Long]) =
+      Dedup.jaccardFromStats(
+        Dedup.pairShingleStats(d, "doc_id", "text", 3, maxDf), 0.25)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val uncapped = pairsAt(None)
+    val capped = pairsAt(Some(4L))
+    assert(uncapped.contains((1L, 2L)) && capped.contains((1L, 2L)))
+    // Boilerplate-only pairs (both docs ≥ 3) cross the threshold uncapped
+    // but not capped.
+    assert(uncapped.exists { case (a, b) => a >= 3L && b >= 3L })
+    assert(!capped.exists { case (a, b) => a >= 3L && b >= 3L })
+    assert(capped.subsetOf(uncapped))
+  }
+
   test("minhash LSH finds the same near-dup pairs") {
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
       n = 3, bands = 8, rowsPerBand = 4, minAgree = 0.3)
