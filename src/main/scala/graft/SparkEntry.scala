@@ -120,6 +120,37 @@ object SparkEntry {
           maxDf = Some(50L)),
         minJaccard = 0.2)),
 
+    // Context-window chunking: 64-token windows every 48 tokens — the
+    // doc → training-example fan-out step. Bounded generate, no shuffle.
+    "q65_chunk_tokens" -> ((s, d) =>
+      Corpus.chunkTokens(Tables.documents(s, d), "doc_id", "text",
+        chunkSize = 64, stride = 48)),
+
+    // Per-source p75 quality gate — corpus filtering with a per-group
+    // quantile threshold (broadcast O(|sources|) table, narrow filter).
+    "q66_quality_gate" -> ((s, d) =>
+      Corpus.qualityGate(Tables.documents(s, d), "doc_id", "text",
+        "source", quantile = 0.75)),
+
+    // Test-set decontamination: planted held-out set = doc_id % 97 == 0;
+    // training docs sharing ≥1 3-shingle with it are dropped.
+    "q67_decontaminate" -> ((s, d) =>
+      Corpus.decontaminate(Tables.documents(s, d), "doc_id", "text",
+        isTest = pmod(col("doc_id"), lit(97)) === 0, n = 3)),
+
+    // Embedding-quality screening: per-label centroid outliers (the 3
+    // least-cohesive members per label). Fixed-point quantization makes
+    // the cosine bit-exact cross-engine — see Similarity.centroidOutliers.
+    "q68_label_outliers" -> ((s, d) =>
+      Similarity.centroidOutliers(Tables.embeddings(s, d), "vec_id",
+        "embedding", "label", k = 3)),
+
+    // Token-stream sequence packing (capacity 2048, shard = source):
+    // doc → (offset, sequence) assignment, exact integer window math.
+    "q69_pack_sequences" -> ((s, d) =>
+      Corpus.packSequences(Tables.documents(s, d), "doc_id", "text",
+        "source", capacity = 2048L)),
+
     // 16 bands × 2 rows: candidate probability 1-(1-j²)^16 ≈ 0.78 at j=0.3
     // (vs 0.06 for 8×4) — banding tuned to the corpus's jaccard range.
     "q21_minhash_lsh" -> ((s, d) =>
@@ -714,6 +745,104 @@ object SparkEntry {
          WHERE round(inter * 1.0 / (c1.n + c2.n - inter), 4) >= 0.2""",
 
     "q25_ann_buckets" -> q25OracleSql,
+
+    // Same shingle substrate as q20/q46/q53 with the df cap applied to
+    // candidate generation only: set sizes (n1/n2) stay UNCAPPED, so the
+    // capped jaccard is a strict underestimate for boilerplate-heavy pairs
+    // — exactly the production semantics of the skew bound.
+    "q64_jaccard_capped" ->
+      """WITH t AS (SELECT doc_id,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                       toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+                FROM (SELECT doc_id, toks,
+                             unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i
+                      FROM t)),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         df AS (SELECT g, count(*) AS df FROM sh GROUP BY 1),
+         shc AS (SELECT sh.doc_id, sh.g FROM sh JOIN df USING (g) WHERE df.df <= 50),
+         pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+                FROM shc a JOIN shc b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+         SELECT id1, id2,
+                round(inter * 1.0 / (c1.n + c2.n - inter), 4) AS jaccard
+         FROM pr JOIN cnt c1 ON pr.id1 = c1.doc_id
+                 JOIN cnt c2 ON pr.id2 = c2.doc_id
+         WHERE round(inter * 1.0 / (c1.n + c2.n - inter), 4) >= 0.2""",
+
+    "q65_chunk_tokens" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents),
+         s AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 48)) AS start
+               FROM t WHERE len(toks) > 0)
+         SELECT doc_id, CAST((start - 1) // 48 AS BIGINT) AS chunk_idx,
+                CAST(len(toks[start:start+63]) AS BIGINT) AS chunk_tokens,
+                array_to_string(toks[start:start+63], ' ') AS chunk_text
+         FROM s""",
+
+    "q66_quality_gate" ->
+      """WITH c AS (SELECT doc_id, source,
+                  round(0.5 * least(CAST(length(text) AS BIGINT) / 500.0, 1.0)
+                      + 0.5 * least(len(regexp_extract_all(text, '[A-Za-z0-9]+')) * 1.0
+                                    / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 1.0)
+                      - len(regexp_extract_all(text, '[.,;:!?]')) * 1.0
+                        / greatest(CAST(length(text) AS BIGINT), 1), 4) AS quality
+               FROM documents),
+         thr AS (SELECT source, quantile_cont(quality, 0.75) AS thr
+                 FROM c GROUP BY source)
+         SELECT c.doc_id, c.source, c.quality
+         FROM c JOIN thr USING (source) WHERE c.quality >= thr.thr""",
+
+    "q67_decontaminate" ->
+      """WITH t AS (SELECT doc_id,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                       toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+                FROM (SELECT doc_id, toks,
+                             unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i
+                      FROM t)),
+         test_g AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0),
+         contaminated AS (SELECT DISTINCT doc_id FROM sh
+                          WHERE doc_id % 97 <> 0
+                            AND g IN (SELECT g FROM test_g))
+         SELECT d.doc_id FROM documents d
+         WHERE d.doc_id % 97 <> 0
+           AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)""",
+
+    "q68_label_outliers" ->
+      """WITH s AS (SELECT label, vec_id,
+                  list_transform(CAST(embedding AS DOUBLE[]),
+                                 x -> CAST(floor(x * 1000.0 + 0.5) AS BIGINT)) AS v
+           FROM embeddings),
+         e AS (SELECT label, pos, v[pos] AS x
+               FROM (SELECT label, v, unnest(range(1, len(v) + 1)) AS pos FROM s)),
+         c AS (SELECT label, list(CAST(cx AS DOUBLE) ORDER BY pos) AS c
+               FROM (SELECT label, pos, sum(x) AS cx FROM e GROUP BY label, pos)
+               GROUP BY label),
+         j AS (SELECT s.label, s.vec_id,
+                 list_dot_product(CAST(s.v AS DOUBLE[]), c.c)
+                 / (sqrt(list_dot_product(CAST(s.v AS DOUBLE[]), CAST(s.v AS DOUBLE[])))
+                    * sqrt(list_dot_product(c.c, c.c))) AS cos
+               FROM s JOIN c USING (label))
+         SELECT label, vec_id, cos, CAST(rnk AS BIGINT) AS rnk
+         FROM (SELECT *, row_number() OVER (PARTITION BY label
+                          ORDER BY cos, vec_id) AS rnk FROM j)
+         WHERE rnk <= 3""",
+
+    "q69_pack_sequences" ->
+      """WITH t AS (SELECT source AS shard, doc_id,
+                  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         o AS (SELECT shard, doc_id, n_tokens,
+                      COALESCE(CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                               AS BIGINT), 0) AS tok_offset
+               FROM t)
+         SELECT shard, doc_id, n_tokens, tok_offset,
+                CAST(tok_offset // 2048 AS BIGINT) AS seq_id
+         FROM o""",
 
     "q23_cosine_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings

@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators for training-data pipelines — the steps
+  * between "deduplicated documents" and "token stream on the trainer":
+  * context-window chunking, quality gating, test-set decontamination, and
+  * sequence packing.
+  *
+  * Scale posture: chunking is a bounded-fan-out generate (≤ |tokens|/stride
+  * rows per doc, no shuffle); the quality gate broadcasts an
+  * O(|sources|)-row threshold table; decontamination shuffles 8-byte
+  * shingle hashes only; packing windows over per-shard total orders so
+  * shards parallelize (a single global order would serialize at 100 TB).
+  */
+object Corpus {
+
+  /** Overlapping fixed-size token windows per document — context-length
+    * chunking for embedding/training pipelines. Chunks start every
+    * `stride` tokens; the tail chunk may be short. Tokens are the same
+    * `[a-z0-9]+` runs the tf-idf/term operators use, materialized in their
+    * own projection (the regex runs once per doc, and the token count
+    * rides along so Generate carries scalars, not the re-computed array).
+    */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("nt"))
+    toks.filter(col("nt") > 0)
+      .select(col("doc_id"), col("toks"),
+        explode_outer(sequence(lit(1), col("nt"), lit(stride))).as("start"))
+      .filter(col("start").isNotNull)
+      .select(col("doc_id"),
+        expr(s"CAST((start - 1) DIV $stride AS BIGINT)").as("chunk_idx"),
+        slice(col("toks"), col("start"), lit(chunkSize)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).cast("long").as("chunk_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+  }
+
+  /** Per-group quality-quantile gate: keep documents whose quality score
+    * reaches their group's `q`-quantile. The per-group threshold table is
+    * O(|groups|) and broadcast; the gate itself is a narrow filter. The
+    * score is the 4-dp-rounded [[TextFunctions.qualityScore]], and the
+    * interpolated quantile of those rounded values either equals a data
+    * value exactly or sits well clear of one (≥ ~1e-5 vs ~1e-16 float
+    * error), so `score >= threshold` is deterministic cross-engine. */
+  def qualityGate(docs: DataFrame, idCol: String, textCol: String,
+                  groupCol: String, quantile: Double): DataFrame = {
+    val scored = docs.select(col(idCol).as("doc_id"), col(groupCol).as("grp"),
+      T.qualityScore(col(textCol)).as("quality"))
+    val thr = scored.groupBy("grp")
+      .agg(percentile(col("quality"), lit(quantile)).as("graft_thr"))
+    scored.join(broadcast(thr), Seq("grp"))
+      .filter(col("quality") >= col("graft_thr"))
+      .select(col("doc_id"), col("grp").as(groupCol), col("quality"))
+  }
+
+  /** Test-set decontamination: drop every training document that shares at
+    * least one word n-gram shingle with any held-out document. The join
+    * key is the shingle's 64-bit hash (8-byte shuffle rows — same trade as
+    * the near-dup family); the held-out side is distinct shingles only, so
+    * the semi-join build side tracks the test SET, not the corpus. Returns
+    * the surviving training doc ids. */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    isTest: Column, n: Int): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc_id"), isTest.as("graft_test"),
+        T.wordShinglesNative(col(textCol), n).as("shs"))
+      .select(col("doc_id"), col("graft_test"), explode_outer(col("shs")).as("g0"))
+      .filter(col("g0").isNotNull)
+      .select(col("doc_id"), col("graft_test"), xxhash64(col("g0")).as("g"))
+    val testShingles = sh.filter(col("graft_test")).select("g").distinct()
+    val contaminated = sh.filter(!col("graft_test"))
+      .join(testShingles, Seq("g"), "left_semi")
+      .select("doc_id").distinct()
+    docs.filter(!isTest).select(col(idCol).as("doc_id"))
+      .join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
+  /** Token-stream sequence packing: documents are laid into fixed-capacity
+    * training sequences in id order WITHIN each shard (documents may
+    * straddle a boundary — the GPT-style contiguous token stream). Emits
+    * each document's token count, its offset in the shard's stream, and
+    * the sequence its first token lands in. One window per shard key: the
+    * running sum is exact integer math, and sharding keeps the total order
+    * per-shard so 1000 executors pack 1000 shards concurrently. */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    shardCol: String, capacity: Long): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val w = Window.partitionBy("shard").orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(shardCol).as("shard"), col(idCol).as("doc_id"),
+        T.wordTokens(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("tok_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"CAST(tok_offset DIV ${capacity}L AS BIGINT)"))
+  }
+}

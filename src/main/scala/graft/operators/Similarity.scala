@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.{VectorFunctions => V}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbour search over an embedding column.
@@ -211,6 +212,40 @@ object Similarity {
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("cos"))
+  }
+
+  /** Per-label centroid outliers — embedding-quality screening: for each
+    * label, the `k` members least cosine-similar to the label's centroid
+    * (mislabeled/degenerate embedding candidates in a training corpus).
+    *
+    * Exactness across engines: member vectors are quantized to integers
+    * via `floor(x·1000 + 0.5)` (floor has no rounding-mode ambiguity,
+    * unlike round's HALF_UP-vs-HALF_EVEN divergence on .5 ties), and the
+    * centroid is the per-position integer SUM, not the mean — same
+    * direction, and integer sums are order-independent, so every dot
+    * product/norm below 2^53 is exact in double on any engine and the
+    * cosine is bit-identical. Plan: one posexplode + (label,pos) partial
+    * aggregate for the centroid (O(labels·dim) result, broadcast back),
+    * then a narrow cosine + per-label top-k window. */
+  def centroidOutliers(emb: DataFrame, idCol: String, vecCol: String,
+                       labelCol: String, k: Int): DataFrame = {
+    val scaled = emb.select(col(labelCol).as("label"), col(idCol).as("vec_id"),
+      transform(col(vecCol),
+        x => floor(x.cast("double") * 1000.0 + lit(0.5)).cast("long")).as("v"))
+    val centroid = scaled
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(sum(col("x")).as("cx"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+        s => s.getField("cx")).as("c"))
+    val w = Window.partitionBy("label").orderBy(col("cos").asc, col("vec_id").asc)
+    scaled.join(broadcast(centroid), Seq("label"))
+      .withColumn("cos",
+        V.cosine(col("v").cast("array<double>"), col("c").cast("array<double>")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("label"), col("vec_id"), col("cos"),
+        col("rnk").cast("long").as("rnk"))
   }
 
   /** ANN via LSH bucket prefilter: score only rows whose projection bucket

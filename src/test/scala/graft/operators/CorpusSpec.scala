@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunkTokens windows overlap correctly and cover every token") {
+    // 10 tokens, chunkSize 4, stride 3 → starts 1,4,7,10.
+    val d = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, ""))
+      .toDF("doc_id", "text")
+    val got = Corpus.chunkTokens(d, "doc_id", "text", chunkSize = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Long, Long, String)].collect()
+    assert(got.forall(_._1 == 1L)) // empty doc yields no chunks
+    assert(got.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(got.map(_._3).toSeq == Seq(4L, 4L, 4L, 1L)) // tail chunk short
+    assert(got.head._4 == "t1 t2 t3 t4")
+    assert(got(1)._4 == "t4 t5 t6 t7") // stride 3 → one-token overlap
+    assert(got.last._4 == "t10")
+  }
+
+  test("qualityGate keeps only docs at or above their group's quantile") {
+    // Quality rises with text length (length saturation term); group g1's
+    // p75 must exclude the shortest docs.
+    val d = (1 to 8).map(i => (i.toLong, "word " * (i * 20), "g1"))
+      .toDF("doc_id", "text", "source")
+    val kept = Corpus.qualityGate(d, "doc_id", "text", "source", 0.75)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.nonEmpty && kept.size < 8)
+    assert(kept.forall(_ >= 5L)) // only the longest (highest-quality) docs
+  }
+
+  test("decontaminate drops train docs sharing shingles with the test set") {
+    val d = Seq(
+      (97L, "the secret held out evaluation passage stays here"), // test (97%97==0)
+      (1L, "completely unrelated training text about other things entirely"),
+      (2L, "contains the secret held out evaluation passage verbatim inside"),
+      (3L, "more clean training material with no overlap at all present"))
+      .toDF("doc_id", "text")
+    val kept = Corpus.decontaminate(d, "doc_id", "text",
+      pmod(col("doc_id"), lit(97)) === 0, n = 3)
+      .as[Long].collect().toSet
+    assert(kept === Set(1L, 3L)) // 2 contaminated, 97 is the test doc itself
+  }
+
+  test("packSequences assigns contiguous offsets per shard, straddle allowed") {
+    // Shard A: docs with 1000/1500/600 tokens, capacity 2048:
+    // offsets 0/1000/2500 → seqs 0/0/1 (doc 2 straddles 2048, starts in 0).
+    def words(n: Int) = (1 to n).map(_ => "w").mkString(" ")
+    val d = Seq((1L, words(1000), "A"), (2L, words(1500), "A"),
+      (3L, words(600), "A"), (10L, words(100), "B"))
+      .toDF("doc_id", "text", "source")
+    val got = Corpus.packSequences(d, "doc_id", "text", "source", 2048L)
+      .select("shard", "doc_id", "tok_offset", "seq_id")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._2)
+    assert(got.map(r => (r._2, r._3, r._4)).toSeq ===
+      Seq((1L, 0L, 0L), (2L, 1000L, 0L), (3L, 2500L, 1L), (10L, 0L, 0L)))
+  }
+
+  test("centroidOutliers flags the planted off-cluster member first") {
+    // Label 0: four near-identical vectors + one pointing the other way.
+    val base = Array.fill(8)(1.0f)
+    val outlier = Array.fill(8)(-1.0f)
+    val rows = (1 to 4).map(i => (i.toLong, base.map(x => x + i * 0.001f), 0)) :+
+      ((9L, outlier, 0))
+    val d = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidOutliers(d, "vec_id", "embedding", "label", 2)
+      .orderBy("rnk").select("vec_id").as[Long].collect()
+    assert(got.head === 9L) // the planted outlier ranks first (lowest cos)
+    assert(got.length === 2)
+  }
+}
