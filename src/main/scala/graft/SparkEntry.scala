@@ -151,6 +151,15 @@ object SparkEntry {
       Corpus.packSequences(Tables.documents(s, d), "doc_id", "text",
         "source", capacity = 2048L)),
 
+    // PQ-compressed ANN with exact re-rank — the third scale path next to
+    // LSH buckets (q25) and IVF (q32/q61): approximate scoring reads only
+    // the ~8-byte codes, then `refine` candidates re-rank exactly.
+    // Rows-only (codebooks are KMeans-dependent); SimilaritySpec holds the
+    // brute-force-equality and recall@20 evidence.
+    "q70_ann_pq" -> ((s, d) =>
+      Similarity.pqTopK(pqIdx(s, d), Tables.embeddings(s, d),
+        "vec_id", "embedding", queryId = 0L, k = 20, refine = 100)),
+
     // 16 bands × 2 rows: candidate probability 1-(1-j²)^16 ≈ 0.78 at j=0.3
     // (vs 0.06 for 8×4) — banding tuned to the corpus's jaccard range.
     "q21_minhash_lsh" -> ((s, d) =>
@@ -478,6 +487,8 @@ object SparkEntry {
     clusterCache.clear()
     ivfCache.values.foreach(_.release())
     ivfCache.clear()
+    pqCache.values.foreach(_.release())
+    pqCache.clear()
   }
 
   /** Clustered parts shared by q26/q62/q63, memoized per (session, dir):
@@ -505,6 +516,15 @@ object SparkEntry {
     ivfCache.getOrElseUpdate((s, d),
       Similarity.ivfIndex(Tables.embeddings(s, d), "vec_id", "embedding",
         nLists = 16))
+
+  /** PQ index for q70, memoized per (session, dir) with the same release
+    * contract as the IVF index. */
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Similarity.PqIndex]
+  private def pqIdx(s: SparkSession, d: String): Similarity.PqIndex =
+    pqCache.getOrElseUpdate((s, d),
+      Similarity.pqIndex(Tables.embeddings(s, d), "vec_id", "embedding",
+        dim = 64))
 
   /** RF fit shared by q27/q28, memoized per (session, scale dir). Trained
     * on a deterministic 5% key-sampled slice so CV tuning stays bounded. */

@@ -248,6 +248,131 @@ object Similarity {
         col("rnk").cast("long").as("rnk"))
   }
 
+  /** Product-quantization index — the compression scale path: each vector
+    * is split into `m` subvectors; per subspace a small KMeans codebook
+    * (k centroids) is fit and every subvector stored as its nearest
+    * centroid id. A 64-dim float vector (256 B) becomes `m` small ints
+    * (~8 B): the approximate-scoring scan reads ~30× less data, which at
+    * 100 TB is the difference between scanning the corpus and scanning an
+    * index. Codebooks are an O(m·k·dsub) driver-side artifact (like the
+    * IVF centroid table).
+    *
+    * @param codes  (id, norm, codes array<int>[m]) — norms are EXACT (from
+    *               the original vectors) so the re-rank denominator is not
+    *               approximated.
+    * @param codebooks codebooks(j)(c) = centroid c of subspace j. */
+  final case class PqIndex(codes: DataFrame,
+                           codebooks: Array[Array[Array[Double]]],
+                           m: Int, dsub: Int,
+                           cached: Option[DataFrame] = None) {
+    def release(): Unit = cached.foreach(_.unpersist())
+  }
+
+  /** Plain seeded Lloyd iterations over an in-memory point set — codebook
+    * training for [[pqIndex]]. Deterministic (seeded shuffle init, empty
+    * clusters keep their previous center). */
+  private def lloyd(points: Array[Array[Double]], k: Int, iters: Int,
+                    seed: Long): Array[Array[Double]] = {
+    require(points.nonEmpty, "lloyd: empty training set")
+    val dim = points.head.length
+    val rnd = new scala.util.Random(seed)
+    var centers = rnd.shuffle(points.distinct.toVector)
+      .take(math.min(k, points.distinct.length)).map(_.clone).toArray
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(centers.length)(new Array[Double](dim))
+      val counts = new Array[Int](centers.length)
+      for (p <- points) {
+        var best = 0; var bestD = Double.MaxValue
+        var ci = 0
+        while (ci < centers.length) {
+          var dist = 0.0; var i = 0
+          while (i < dim) { val d = p(i) - centers(ci)(i); dist += d * d; i += 1 }
+          if (dist < bestD) { bestD = dist; best = ci }
+          ci += 1
+        }
+        counts(best) += 1
+        val s = sums(best); var i = 0
+        while (i < dim) { s(i) += p(i); i += 1 }
+      }
+      centers = centers.indices.map { ci =>
+        if (counts(ci) == 0) centers(ci) else sums(ci).map(_ / counts(ci))
+      }.toArray
+    }
+    centers
+  }
+
+  def pqIndex(emb: DataFrame, idCol: String, vecCol: String,
+              dim: Int, m: Int = 8, k: Int = 32, seed: Long = 42L,
+              trainMod: Int = 5): PqIndex = {
+    require(dim % m == 0, s"dim=$dim must be divisible by m=$m subspaces")
+    val dsub = dim / m
+    // Codebooks train DRIVER-SIDE on a deterministic 1/trainMod id-sample —
+    // the standard PQ recipe (FAISS trains its quantizers on a bounded
+    // in-memory sample regardless of corpus size): codebook quality
+    // saturates long before the corpus is exhausted, and the sample is an
+    // index ARTIFACT like the centroid table — size it via trainMod so it
+    // fits the driver. Only assignment and scoring touch the corpus, and
+    // both are distributed.
+    val sample = emb.filter(pmod(col(idCol), lit(trainMod)) === 0)
+      .select(col(vecCol).cast("array<double>").as("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val codebooks = Array.tabulate(m) { j =>
+      lloyd(sample.map(_.slice(j * dsub, (j + 1) * dsub)), k,
+        iters = 10, seed = seed + j)
+    }
+    // Distributed assignment via the native PqAssign expression (all m
+    // codes in one tight-loop call — a composed-Column argmax would build
+    // m·k separate dot expression trees and pay seconds of codegen).
+    // The codes table (id, norm, m small ints) IS the index — persist it;
+    // probes scan it instead of re-deriving codes from the vectors.
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val codes = emb.select(col(idCol).as("id"),
+      V.norm(col(vecCol)).as("norm"),
+      ColumnBridge.column(graft.functions.PqAssign(
+        ColumnBridge.expression(col(vecCol).cast("array<double>")),
+        codebooks)).as("codes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    PqIndex(codes, codebooks, m, dsub, Some(codes))
+  }
+
+  /** ANN top-k via asymmetric-distance PQ scoring with exact re-rank:
+    * the query builds one m×k lookup table of subspace dot products
+    * (driver-side, O(m·k·dsub)); the approximate score of a stored vector
+    * is `Σ_j T[j][code_j] / (|q|·|x|)` — a pure lookup-sum over the codes
+    * table, no vector data read. The best `refine` candidates are then
+    * re-scored exactly against their full vectors and the top `k`
+    * returned. With refine ≫ k the result matches brute force on all but
+    * adversarial distributions; DedupRecallSpec-style recall is held by
+    * SimilaritySpec. The candidate id set is refine-bounded (an index
+    * artifact, not data). */
+  def pqTopK(index: PqIndex, emb: DataFrame, idCol: String, vecCol: String,
+             queryId: Long, k: Int, refine: Int = 100): DataFrame = {
+    val qv = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol)).head().getSeq[Float](0).map(_.toDouble).toArray
+    val qn = math.sqrt(qv.map(x => x * x).sum)
+    // LUT: T[j][c] = dot(q_j, centroid_{j,c})
+    val lut = index.codebooks.zipWithIndex.map { case (cb, j) =>
+      cb.map(c => c.zipWithIndex.map { case (w, i) =>
+        w * qv(j * index.dsub + i) }.sum)
+    }
+    val approx = (0 until index.m).map { j =>
+      element_at(array(lut(j).map(lit): _*), element_at(col("codes"), j + 1) + 1)
+    }.reduce(_ + _) / (col("norm") * qn)
+    val candidates = index.codes
+      .filter(col("id") =!= queryId)
+      .withColumn("graft_approx", approx)
+      .orderBy(col("graft_approx").desc, col("id").asc)
+      .limit(refine)
+      .select(col("id"))
+    // Exact re-rank of the refine-bounded candidate set.
+    emb.join(broadcast(candidates), col(idCol) === col("id"))
+      .withColumn("cos", round(V.cosine(col(vecCol),
+        array(qv.map(lit): _*)), 6))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("cos"))
+  }
+
   /** ANN via LSH bucket prefilter: score only rows whose projection bucket
     * matches the query's. Trades recall for a candidate set ~n/2^nBits. */
   def annBucketTopK(emb: DataFrame, idCol: String, vecCol: String,

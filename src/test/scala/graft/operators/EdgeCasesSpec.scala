@@ -50,6 +50,25 @@ class EdgeCasesSpec extends SparkSpec {
     assert(q.getAs[Double]("p25") === 5.0 && q.getAs[Double]("p75") === 5.0)
   }
 
+  test("corpus-prep family on empty and degenerate inputs") {
+    assert(Corpus.chunkTokens(noDocs, "doc_id", "text", 64, 48).count() === 0)
+    assert(Corpus.packSequences(noDocs.withColumn("source", lit("s")),
+      "doc_id", "text", "source", 2048L).count() === 0)
+    // No test docs → nothing is contaminated, every train doc survives.
+    val docs = Seq((1L, "some text here"), (2L, "other text there")).toDF("doc_id", "text")
+    assert(Corpus.decontaminate(docs, "doc_id", "text", lit(false), 3)
+      .as[Long].collect().toSet === Set(1L, 2L))
+    // Everything-is-test → empty training output.
+    assert(Corpus.decontaminate(docs, "doc_id", "text", lit(true), 3).count() === 0)
+    // Single doc per group: threshold = its own quality → it survives.
+    val one = Seq((1L, "a reasonable document with several words", "g")).toDF("doc_id", "text", "source")
+    assert(Corpus.qualityGate(one, "doc_id", "text", "source", 0.75).count() === 1)
+    // Single member per label: cosine to its own (scaled) centroid ≈ 1.
+    val singleton = Seq((1L, Array(1.0f, 2.0f), 0)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidOutliers(singleton, "vec_id", "embedding", "label", 3).collect()
+    assert(out.length === 1 && out(0).getAs[Double]("cos") > 0.999)
+  }
+
   test("docs with empty/whitespace text flow through text metrics") {
     val docs = Seq((1L, ""), (2L, "   "), (3L, "one")).toDF("doc_id", "text")
     val rep = Analytics.repetitionProfile(docs, "doc_id", "text")

@@ -29,4 +29,34 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._2).toSeq == got.map(_._2).sortBy(-_).toSeq) // desc order
     assert(!got.map(_._1).contains(0L))
   }
+
+  test("pqTopK with refine covering the corpus equals brute force exactly") {
+    val idx = Similarity.pqIndex(emb, "vec_id", "embedding", dim = 4, m = 2,
+      k = 2, trainMod = 1)
+    try {
+      val pq = Similarity.pqTopK(idx, emb, "vec_id", "embedding",
+        queryId = 0L, k = 3, refine = 10)
+        .select("vec_id", "cos").as[(Long, Double)].collect().toSeq
+      val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 3)
+        .select("vec_id", "cos").as[(Long, Double)].collect().toSeq
+      assert(pq === exact) // re-rank over all candidates = brute force
+    } finally idx.release()
+  }
+
+  test("pqTopK recall@20 vs brute force on real embeddings ≥ 0.9") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // trainMod=1: at this 500-vector scale the corpus IS a codebook-sized
+    // training sample (the 1/trainMod sampling matters at corpus scale).
+    val idx = Similarity.pqIndex(real, "vec_id", "embedding", dim = 64,
+      trainMod = 1)
+    try {
+      val exact = Similarity.cosineTopK(real, "vec_id", "embedding", 0L, 20)
+        .select("vec_id").as[Long].collect().toSet
+      val pq = Similarity.pqTopK(idx, real, "vec_id", "embedding",
+        queryId = 0L, k = 20, refine = 100)
+        .select("vec_id").as[Long].collect().toSet
+      val recall = (exact & pq).size.toDouble / exact.size
+      assert(recall >= 0.9, s"PQ recall@20 = $recall")
+    } finally idx.release()
+  }
 }
