@@ -160,6 +160,21 @@ object SparkEntry {
       Similarity.pqTopK(pqIdx(s, d), Tables.embeddings(s, d),
         "vec_id", "embedding", queryId = 0L, k = 20, refine = 100)),
 
+    // Custom DataSource V2 connector (sources/RangeSource.scala): the id
+    // range predicate narrows the generated window at planning time
+    // (pushdown) and only 3 of 4 columns are read (pruning). The
+    // deterministic row function lets DuckDB regenerate the identical
+    // table with range(). Fixed-point cents keep the sum exact.
+    "q71_custom_source" -> ((s, _) =>
+      s.read.format("graft.sources.RangeSource")
+        .option("rows", "100000").option("users", "50").option("slices", "8")
+        .load()
+        .filter(col("id") >= 20000 && col("id") < 80000 && col("etype") =!= "error")
+        .groupBy("etype")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100, 0).cast("long")).as("sum_cents"),
+          countDistinct(col("uid")).as("n_users"))),
+
     // 16 bands × 2 rows: candidate probability 1-(1-j²)^16 ≈ 0.78 at j=0.3
     // (vs 0.06 for 8×4) — banding tuned to the corpus's jaccard range.
     "q21_minhash_lsh" -> ((s, d) =>
@@ -850,6 +865,17 @@ object SparkEntry {
          FROM (SELECT *, row_number() OVER (PARTITION BY label
                           ORDER BY cos, vec_id) AS rnk FROM j)
          WHERE rnk <= 3""",
+
+    "q71_custom_source" ->
+      """WITH g AS (SELECT i, i % 50 AS uid,
+                  ['view','click','purchase','signup','error'][CAST(i % 5 AS INT) + 1] AS etype,
+                  ((i * 2654435761) % 1000000) / 100.0 AS value
+           FROM (SELECT unnest(range(0, 100000)) AS i))
+         SELECT etype, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+                CAST(count(DISTINCT uid) AS BIGINT) AS n_users
+         FROM g WHERE i >= 20000 AND i < 80000 AND etype <> 'error'
+         GROUP BY etype""",
 
     "q69_pack_sequences" ->
       """WITH t AS (SELECT source AS shard, doc_id,

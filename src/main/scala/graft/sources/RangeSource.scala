@@ -1,0 +1,134 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector for a deterministic synthetic event stream —
+  * the REST/Mongo extract stage of the reference DAG (dag.py:369-406) as a
+  * first-class Spark source instead of a driver-side fetch loop.
+  *
+  * Scale behaviors a 100 TB connector must have, all implemented and
+  * observable in `explain`/specs:
+  *  - **Column pruning** (SupportsPushDownRequiredColumns): the reader
+  *    materializes only requested fields, in the requested order.
+  *  - **Filter pushdown** (SupportsPushDownFilters): range predicates on
+  *    `id` narrow the generated [lo, hi) window at PLANNING time — the
+  *    analog of partition pruning; every filter is also returned as
+  *    residual so Spark re-checks semantics (same contract parquet uses).
+  *  - **Partition parallelism**: the (narrowed) range splits into
+  *    `slices` independent input partitions.
+  *
+  * The row function is pure modular arithmetic on the row index, so any
+  * engine reproduces it exactly (the q71 oracle regenerates it in DuckDB
+  * with `range()`): user = i % users; etype cycles through 5 values;
+  * value = ((i·2654435761) mod 10⁶) / 100.
+  *
+  * Usage: `spark.read.format("graft.sources.RangeSource")
+  *   .option("rows", n).option("users", u).option("slices", s).load()`.
+  */
+class RangeSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    RangeSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new RangeTable(
+      java.lang.Long.parseLong(properties.getOrDefault("rows", "100000")),
+      java.lang.Long.parseLong(properties.getOrDefault("users", "50")),
+      Integer.parseInt(properties.getOrDefault("slices", "8")))
+}
+
+object RangeSource {
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("uid", LongType, nullable = false),
+    StructField("etype", StringType, nullable = false),
+    StructField("value", DoubleType, nullable = false)))
+  val etypes: Array[String] =
+    Array("view", "click", "purchase", "signup", "error")
+
+  def valueOf(i: Long): Double = ((i * 2654435761L) % 1000000L) / 100.0
+}
+
+private[sources] class RangeTable(rows: Long, users: Long, slices: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_range($rows)"
+  override def schema(): StructType = RangeSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new RangeScanBuilder(rows, users, slices)
+}
+
+private[sources] class RangeScanBuilder(rows: Long, users: Long, slices: Int)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var lo = 0L
+  private var hi = rows
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = RangeSource.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter {
+      case GreaterThan("id", v: Long)        => lo = math.max(lo, v + 1); true
+      case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v); true
+      case LessThan("id", v: Long)           => hi = math.min(hi, v); true
+      case LessThanOrEqual("id", v: Long)    => hi = math.min(hi, v + 1); true
+      case EqualTo("id", v: Long) =>
+        lo = math.max(lo, v); hi = math.min(hi, v + 1); true
+      case _ => false
+    }
+    filters // everything is residual: Spark re-applies exact semantics
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan =
+    new RangeScan(math.max(lo, 0L), math.max(hi, lo), users, slices, required)
+}
+
+private[sources] case class RangePartition(start: Long, end: Long)
+    extends InputPartition
+
+private[sources] class RangeScan(lo: Long, hi: Long, users: Long, slices: Int,
+                                 required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_range [lo=$lo, hi=$hi, cols=${required.fieldNames.mkString(",")}]"
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = math.max(hi - lo, 0L)
+    if (n == 0L) Array.empty
+    else {
+      val per = math.max(1L, (n + slices - 1) / slices)
+      (lo until hi by per).map(s =>
+        RangePartition(s, math.min(s + per, hi)): InputPartition).toArray
+    }
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RangeReaderFactory(users, required.fieldNames)
+}
+
+private[sources] class RangeReaderFactory(users: Long, fields: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val rp = p.asInstanceOf[RangePartition]
+    new PartitionReader[InternalRow] {
+      private var i = rp.start - 1
+      override def next(): Boolean = { i += 1; i < rp.end }
+      override def get(): InternalRow = InternalRow.fromSeq(fields.map {
+        case "id" => i
+        case "uid" => i % users
+        case "etype" =>
+          UTF8String.fromString(RangeSource.etypes((i % 5).toInt))
+        case "value" => RangeSource.valueOf(i)
+      }.toSeq)
+      override def close(): Unit = ()
+    }
+  }
+}

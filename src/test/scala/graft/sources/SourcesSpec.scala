@@ -27,6 +27,37 @@ class SourcesSpec extends SparkSpec {
       orig.as[(Long, String, Double)].collect().toSet)
   }
 
+  test("RangeSource DSv2: correct rows, planning-time range narrowing, column pruning") {
+    def load() = spark.read.format("graft.sources.RangeSource")
+      .option("rows", "1000").option("users", "10").option("slices", "4").load()
+    // Full read: row function is exact.
+    val all = load()
+    assert(all.count() === 1000)
+    val r7 = all.filter(col("id") === 7L)
+      .as[(Long, Long, String, Double)].head()
+    assert(r7 === ((7L, 7L, "purchase", ((7L * 2654435761L) % 1000000L) / 100.0)))
+    // Filter pushdown narrows planInputPartitions: 100 ids over 4 slices.
+    val narrowed = load().filter(col("id") >= 100L && col("id") < 200L)
+    assert(narrowed.count() === 100)
+    assert(narrowed.rdd.getNumPartitions === 4)
+    // The scan itself reports the narrowed window (planning-time pruning,
+    // not a post-scan filter).
+    val scan = narrowed.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    assert(scan.scan.description().contains("lo=100"))
+    assert(scan.scan.description().contains("hi=200"))
+    // Column pruning: a 2-column projection reaches the reader.
+    val pruned = load().select("etype", "uid")
+    val prunedScan = pruned.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    assert(prunedScan.scan.readSchema().fieldNames.toSet === Set("etype", "uid"))
+    // uid = i%10 determines etype = i%5 (10 is a multiple of 5) → exactly
+    // lcm(10,5) = 10 distinct pairs.
+    assert(pruned.distinct().count() === 10)
+  }
+
   test("JSON-lines sink/source round-trip (Mongo export analog)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
     val path = s"$dir/t"
