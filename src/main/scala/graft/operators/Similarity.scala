@@ -83,6 +83,23 @@ object Similarity {
     IvfIndex(assigned, centers, Some(feats))
   }
 
+  /** Incremental IVF maintenance: assign NEW vectors to the EXISTING
+    * centroids (no refit) and append — the build-once/append-many index
+    * lifecycle a continuously-ingesting corpus needs. Assignment is a
+    * narrow map via the native [[graft.functions.PqAssign]] with the
+    * centroid set as a single one-subspace codebook (argmax of x·c −
+    * |c|²/2 = the same Euclidean argmin KMeans assignment uses), so an
+    * append never re-reads the existing corpus. Centroids drift only on
+    * periodic rebuilds, exactly like any production IVF deployment. */
+  def ivfAppend(index: IvfIndex, newRows: DataFrame, vecCol: String): IvfIndex = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val cb = Array(index.centers.sortBy(_._1).map(_._2))
+    val assigned = newRows.withColumn("graft_cell",
+      element_at(ColumnBridge.column(graft.functions.PqAssign(
+        ColumnBridge.expression(col(vecCol).cast("array<double>")), cb)), 1))
+    IvfIndex(index.assigned.unionByName(assigned), index.centers, index.cached)
+  }
+
   /** Persist an IVF index: cell assignments as parquet PARTITIONED BY the
     * cell id, centroids as a tiny side table. Partitioning by cell is the
     * point — a probe filters on `graft_cell IN (...)`, which prunes whole

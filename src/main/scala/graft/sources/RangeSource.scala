@@ -60,7 +60,8 @@ private[sources] class RangeTable(rows: Long, users: Long, slices: Int)
   override def name(): String = s"graft_range($rows)"
   override def schema(): StructType = RangeSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new RangeScanBuilder(rows, users, slices)
 }
@@ -101,7 +102,20 @@ private[sources] class RangeScan(lo: Long, hi: Long, users: Long, slices: Int,
   override def toBatch: Batch = this
   override def description(): String =
     s"graft_range [lo=$lo, hi=$hi, cols=${required.fieldNames.mkString(",")}]"
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] =
+    RangeScan.slice(lo, hi, slices)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RangeReaderFactory(users, required.fieldNames)
+  // Streaming form: the same generator exposed as a micro-batch stream —
+  // offsets are row indices, each trigger reads [start, end) with the
+  // same sliced partitions and pruned schema as the batch path.
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new RangeMicroBatchStream(lo, hi, users, slices, required)
+}
+
+private[sources] object RangeScan {
+  def slice(lo: Long, hi: Long, slices: Int): Array[InputPartition] = {
     val n = math.max(hi - lo, 0L)
     if (n == 0L) Array.empty
     else {
@@ -110,8 +124,28 @@ private[sources] class RangeScan(lo: Long, hi: Long, users: Long, slices: Int,
         RangePartition(s, math.min(s + per, hi)): InputPartition).toArray
     }
   }
+}
+
+private[sources] case class RangeOffset(n: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = n.toString
+}
+
+private[sources] class RangeMicroBatchStream(lo: Long, hi: Long, users: Long,
+                                             slices: Int, required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+  override def initialOffset(): Offset = RangeOffset(lo)
+  override def latestOffset(): Offset = RangeOffset(hi)
+  override def deserializeOffset(json: String): Offset =
+    RangeOffset(java.lang.Long.parseLong(json))
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    RangeScan.slice(start.asInstanceOf[RangeOffset].n,
+      end.asInstanceOf[RangeOffset].n, slices)
   override def createReaderFactory(): PartitionReaderFactory =
     new RangeReaderFactory(users, required.fieldNames)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] class RangeReaderFactory(users: Long, fields: Array[String])

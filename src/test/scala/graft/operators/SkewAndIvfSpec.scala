@@ -79,6 +79,34 @@ class SkewAndIvfSpec extends SparkSpec {
     idx.release()
   }
 
+  test("ivfAppend assigns new vectors to their nearest existing cell, no refit") {
+    val rnd = new scala.util.Random(13)
+    def jitter() = (rnd.nextDouble() * 0.01).toFloat
+    val a = (0L until 20L).map(i => (i, Array(1.0f + jitter(), jitter(), jitter())))
+    val b = (20L until 40L).map(i => (i, Array(jitter(), 1.0f + jitter(), jitter())))
+    val idx = Similarity.ivfIndex((a ++ b).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nLists = 2)
+    // Appended vectors: one clearly in each cluster.
+    val extra = Seq((100L, Array(1.05f, 0.0f, 0.0f)), (101L, Array(0.0f, 1.05f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val grown = Similarity.ivfAppend(idx, extra, "embedding")
+    assert(grown.assigned.count() === 42)
+    // Each appended vector's cell must equal the driver-computed argmin
+    // over the existing centroids (the no-refit contract).
+    val cells = grown.assigned.filter($"vec_id" >= 100L)
+      .select("vec_id", "graft_cell").as[(Long, Int)].collect().toMap
+    def nearest(v: Array[Double]): Int = idx.centers.minBy { case (_, c) =>
+      c.zip(v).map { case (x, y) => (x - y) * (x - y) }.sum }._1
+    assert(cells(100L) === nearest(Array(1.05, 0.0, 0.0)))
+    assert(cells(101L) === nearest(Array(0.0, 1.05, 0.0)))
+    // Probing the grown index's cell surfaces the appended member (k covers
+    // the whole cell: 20 originals + 1 appended, query excluded).
+    val got = Similarity.ivfTopK(grown, "vec_id", "embedding", 0L, 25, 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got.contains(100L) && got.size === 20)
+    idx.release()
+  }
+
   test("persisted IVF index round-trips and probes prune partitions") {
     val rnd = new scala.util.Random(9)
     def jitter() = (rnd.nextDouble() * 0.01).toFloat

@@ -58,6 +58,19 @@ class SourcesSpec extends SparkSpec {
     assert(pruned.distinct().count() === 10)
   }
 
+  test("RangeSource streams as a micro-batch source with the same rows") {
+    val q = spark.readStream.format("graft.sources.RangeSource")
+      .option("rows", "500").option("users", "10").option("slices", "4").load()
+      .groupBy("etype").count()
+      .writeStream.format("memory").queryName("graft_range_stream")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("graft_range_stream")
+      .as[(String, Long)].collect().toMap
+    assert(got.values.sum === 500L)
+    assert(got("view") === 100L) // 500 rows / 5 cycling types
+  }
+
   test("JSON-lines sink/source round-trip (Mongo export analog)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
     val path = s"$dir/t"
