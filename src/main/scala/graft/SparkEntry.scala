@@ -160,6 +160,26 @@ object SparkEntry {
       Similarity.pqTopK(pqIdx(s, d), Tables.embeddings(s, d),
         "vec_id", "embedding", queryId = 0L, k = 20, refine = 100)),
 
+    // Deterministic corpus mixing: content-hash sampling with per-source
+    // rates (domain reweighting) — full/half/quarter tiers.
+    "q72_corpus_mix" -> ((s, d) =>
+      Corpus.mixSample(Tables.documents(s, d), "doc_id", "text", "source",
+        rates = (0 to 4).map(i => s"src$i" -> 1.0).toMap ++
+          (5 to 9).map(i => s"src$i" -> 0.5).toMap,
+        defaultRate = 0.25)),
+
+    // Percent-rank / cume-dist normalization within brand — the
+    // distribution-free popularity normalization recommenders feed on.
+    // Unique ordering (price, id) makes both window functions exact
+    // integer ratios → bit-identical cross-engine.
+    "q73_rank_normalize" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("p_brand").orderBy(col("p_retailprice").asc, col("p_partkey").asc)
+      Tables.part(s, d).select("p_brand", "p_partkey", "p_retailprice")
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+    }),
+
     // Custom DataSource V2 connector (sources/RangeSource.scala): the id
     // range predicate narrows the generated window at planning time
     // (pushdown) and only 3 of 4 columns are read (pruning). The
@@ -865,6 +885,26 @@ object SparkEntry {
          FROM (SELECT *, row_number() OVER (PARTITION BY label
                           ORDER BY cos, vec_id) AS rnk FROM j)
          WHERE rnk <= 3""",
+
+    "q72_corpus_mix" ->
+      """WITH h AS (SELECT doc_id, source, md5(text) AS x FROM documents),
+         u AS (SELECT doc_id, source,
+                 (strpos('0123456789abcdef', substring(x, 1, 1)) - 1) * 4096
+               + (strpos('0123456789abcdef', substring(x, 2, 1)) - 1) * 256
+               + (strpos('0123456789abcdef', substring(x, 3, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substring(x, 4, 1)) - 1) AS u16
+               FROM h)
+         SELECT doc_id, source FROM u
+         WHERE u16 < CASE
+           WHEN source IN ('src0','src1','src2','src3','src4') THEN 65536
+           WHEN source IN ('src5','src6','src7','src8','src9') THEN 32768
+           ELSE 16384 END""",
+
+    "q73_rank_normalize" ->
+      """SELECT p_brand, p_partkey, p_retailprice,
+                percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+         FROM part
+         WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)""",
 
     "q71_custom_source" ->
       """WITH g AS (SELECT i, i % 50 AS uid,

@@ -84,6 +84,29 @@ object Corpus {
       .join(contaminated, Seq("doc_id"), "left_anti")
   }
 
+  /** Deterministic corpus mixing — per-group downsampling rates (domain
+    * reweighting for training mixes). The keep/drop decision is a pure
+    * function of CONTENT: the first 16 bits of md5(text) form a uniform
+    * u16, kept when below the group's rate·2¹⁶ threshold. Unlike
+    * `sample()`, the mix is reproducible across runs, engines, partitioning
+    * and cluster size, and a document keeps/loses membership consistently
+    * even if the corpus is re-sharded. Narrow filter, no shuffle. */
+  def mixSample(docs: DataFrame, idCol: String, textCol: String,
+                groupCol: String, rates: Map[String, Double],
+                defaultRate: Double): DataFrame = {
+    def thr(r: Double) = math.floor(r * 65536).toLong
+    val rateMap = map(rates.flatMap { case (s, r) =>
+      Seq(lit(s), lit(thr(r))) }.toSeq: _*)
+    docs
+      .select(col(idCol).as("doc_id"), col(groupCol).as("grp"),
+        conv(substring(md5(col(textCol).cast("binary")), 1, 4), 16, 10)
+          .cast("long").as("graft_u16"),
+        coalesce(element_at(rateMap, col(groupCol)),
+          lit(thr(defaultRate))).as("graft_thr"))
+      .filter(col("graft_u16") < col("graft_thr"))
+      .select(col("doc_id"), col("grp").as(groupCol))
+  }
+
   /** Token-stream sequence packing: documents are laid into fixed-capacity
     * training sequences in id order WITHIN each shard (documents may
     * straddle a boundary — the GPT-style contiguous token stream). Emits

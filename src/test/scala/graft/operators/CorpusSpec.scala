@@ -59,6 +59,23 @@ class CorpusSpec extends SparkSpec {
       Seq((1L, 0L, 0L), (2L, 1000L, 0L), (3L, 2500L, 1L), (10L, 0L, 0L)))
   }
 
+  test("mixSample rates hold approximately and membership is content-stable") {
+    val d = (1 to 400).map(i => (i.toLong, s"document body number $i", if (i % 2 == 0) "keepall" else "quarter"))
+      .toDF("doc_id", "text", "source")
+    val kept = Corpus.mixSample(d, "doc_id", "text", "source",
+      rates = Map("keepall" -> 1.0), defaultRate = 0.25)
+    val bySource = kept.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySource("keepall") === 200L) // rate 1.0 keeps everything
+    val q = bySource.getOrElse("quarter", 0L).toDouble / 200.0
+    assert(q > 0.1 && q < 0.45, s"quarter-rate kept fraction $q")
+    // Content-determinism: same input → identical membership.
+    val again = Corpus.mixSample(d.repartition(7), "doc_id", "text", "source",
+      rates = Map("keepall" -> 1.0), defaultRate = 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === kept.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("centroidOutliers flags the planted off-cluster member first") {
     // Label 0: four near-identical vectors + one pointing the other way.
     val base = Array.fill(8)(1.0f)
