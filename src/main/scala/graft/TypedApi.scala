@@ -43,4 +43,29 @@ object TypedApi {
       "user_id", "ts_us", "event_id", windowUs)
       .as[UserPairCount]
   }
+
+  // --- corpus-prep handoffs (documents table) ---
+
+  final case class Doc(doc_id: Long, text: String, source: String)
+  final case class Chunk(doc_id: Long, chunk_idx: Long, chunk_tokens: Long,
+                         chunk_text: String)
+  final case class PackedDoc(shard: String, doc_id: Long, n_tokens: Long,
+                             tok_offset: Long, seq_id: Long)
+
+  def docs(spark: SparkSession, dir: String): Dataset[Doc] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select("doc_id", "text", "source").as[Doc]
+  }
+
+  def chunks(d: Dataset[Doc], chunkSize: Int, stride: Int): Dataset[Chunk] = {
+    import d.sparkSession.implicits._
+    operators.Corpus.chunkTokens(d.toDF(), "doc_id", "text", chunkSize, stride)
+      .as[Chunk]
+  }
+
+  def packed(d: Dataset[Doc], capacity: Long): Dataset[PackedDoc] = {
+    import d.sparkSession.implicits._
+    operators.Corpus.packSequences(d.toDF(), "doc_id", "text", "source", capacity)
+      .as[PackedDoc]
+  }
 }

@@ -24,4 +24,16 @@ class TypedApiSpec extends SparkSpec {
     assert(first.ts > 0L)
     assert(ds.count() > 0)
   }
+
+  test("typed corpus handoffs: docs → chunks and docs → packed sequences") {
+    val d = Seq(
+      Doc(1L, (1 to 100).map(i => s"w$i").mkString(" "), "A"),
+      Doc(2L, (1 to 10).map(i => s"v$i").mkString(" "), "A")).toDS()
+    val cs = chunks(d, chunkSize = 64, stride = 48).collect()
+    assert(cs.count(_.doc_id == 1L) === 3) // starts 1, 49, 97
+    assert(cs.filter(_.doc_id == 2L).map(_.chunk_tokens).toSeq === Seq(10L))
+    val ps = packed(d, capacity = 64L).collect().sortBy(_.doc_id)
+    assert(ps.map(_.tok_offset).toSeq === Seq(0L, 100L))
+    assert(ps.map(_.seq_id).toSeq === Seq(0L, 1L))
+  }
 }
