@@ -160,6 +160,28 @@ object SparkEntry {
       Similarity.pqTopK(pqIdx(s, d), Tables.embeddings(s, d),
         "vec_id", "embedding", queryId = 0L, k = 20, refine = 100)),
 
+    // SCD type-2 validity intervals per user over the event-type history —
+    // the as-of-queryable form of the reference's snapshot merges.
+    "q74_scd2" -> ((s, d) =>
+      Etl.scd2(eventsUs(s, d), "user_id", "ts_us", "event_id", "event_type")),
+
+    // CDC apply with deletes: the pre-cutoff latest state is the target,
+    // post-cutoff events are the change stream ('error' = delete, else
+    // upsert); the latest op per key wins.
+    "q75_cdc_apply" -> ((s, d) => {
+      val e = eventsUs(s, d)
+        .select("user_id", "ts_us", "event_id", "event_type", "value")
+      val cut = e.agg((max("ts_us") - lit(14L * 86400 * 1000000)).as("graft_cut"))
+      val ec = e.crossJoin(broadcast(cut))
+      val target = Charts.latestSnapshot(
+        ec.filter(col("ts_us") < col("graft_cut")), "user_id", "ts_us", "event_id")
+        .select("user_id", "value")
+      val cdc = ec.filter(col("ts_us") >= col("graft_cut"))
+        .withColumn("op", when(col("event_type") === "error", "D").otherwise("U"))
+        .select("user_id", "value", "op", "ts_us", "event_id")
+      Etl.applyCdc(target, cdc, "user_id", Seq("ts_us", "event_id"), "op")
+    }),
+
     // Deterministic corpus mixing: content-hash sampling with per-source
     // rates (domain reweighting) — full/half/quarter tiers.
     "q72_corpus_mix" -> ((s, d) =>
@@ -885,6 +907,40 @@ object SparkEntry {
          FROM (SELECT *, row_number() OVER (PARTITION BY label
                           ORDER BY cos, vec_id) AS rnk FROM j)
          WHERE rnk <= 3""",
+
+    "q74_scd2" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+                    FROM events),
+         c AS (SELECT user_id, event_type, ts_us, event_id,
+                      lag(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts_us, event_id) AS prev
+               FROM e),
+         ch AS (SELECT user_id, event_type, ts_us, event_id FROM c
+                WHERE prev IS NULL OR event_type <> prev)
+         SELECT user_id, event_type, ts_us AS valid_from,
+                lead(ts_us) OVER (PARTITION BY user_id
+                                  ORDER BY ts_us, event_id) AS valid_to
+         FROM ch""",
+
+    "q75_cdc_apply" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                           event_type, value FROM events),
+         cut AS (SELECT max(ts_us) - 1209600000000 AS c FROM e),
+         tgt AS (SELECT user_id, value FROM (
+                   SELECT user_id, value,
+                          row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts_us DESC, event_id DESC) AS rn
+                   FROM e, cut WHERE ts_us < c) WHERE rn = 1),
+         chg AS (SELECT user_id, value,
+                        CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                        row_number() OVER (PARTITION BY user_id
+                          ORDER BY ts_us DESC, event_id DESC) AS rn
+                 FROM e, cut WHERE ts_us >= c),
+         lastop AS (SELECT user_id, value, op FROM chg WHERE rn = 1)
+         SELECT user_id, value FROM tgt
+         WHERE user_id NOT IN (SELECT user_id FROM lastop)
+         UNION ALL
+         SELECT user_id, value FROM lastop WHERE op <> 'D'""",
 
     "q72_corpus_mix" ->
       """WITH h AS (SELECT doc_id, source, md5(text) AS x FROM documents),

@@ -57,6 +57,43 @@ object Etl {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
+  /** SCD type-2 interval build: turn a keyed event/value history into
+    * validity intervals — one row per VALUE CHANGE with [valid_from,
+    * valid_to) bounds (open `valid_to` = current). The warehouse-proper
+    * form of the reference's daily snapshot merges (dag.py:137-154 keeps
+    * only "latest"; SCD-2 keeps the full history queryable as-of any
+    * time). Two window passes (change detection + lead) share ONE shuffle
+    * on the key; consecutive duplicates collapse so interval count tracks
+    * CHANGES, not events. */
+  def scd2(df: DataFrame, key: String, ts: String, tieCol: String,
+           attr: String): DataFrame = {
+    val byTime = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, col(tieCol).asc)
+    df.select(col(key), col(ts), col(tieCol), col(attr))
+      .withColumn("graft_prev", lag(col(attr), 1).over(byTime))
+      .filter(col("graft_prev").isNull || col(attr) =!= col("graft_prev"))
+      .withColumn("valid_from", col(ts))
+      .withColumn("valid_to", lead(col(ts), 1).over(byTime))
+      .select(col(key), col(attr), col("valid_from"), col("valid_to"))
+  }
+
+  /** Apply a CDC batch (inserts/updates/deletes) to a keyed target — the
+    * MERGE-with-deletes the plain [[upsert]] lacks. The latest op per key
+    * wins (row_number over the change order); a final 'D' removes the key,
+    * anything else replaces the row. One shuffle family on the key: the
+    * latest-op window, the anti join and the union all co-partition. */
+  def applyCdc(target: DataFrame, cdc: DataFrame, key: String,
+               orderCols: Seq[String], opCol: String): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(orderCols.map(col(_).desc): _*)
+    val latest = cdc.withColumn("graft_rn", row_number().over(w))
+      .filter(col("graft_rn") === 1).drop("graft_rn")
+    val upserts = latest.filter(col(opCol) =!= "D")
+      .drop(opCol).drop(orderCols.filterNot(target.columns.contains): _*)
+    target.join(latest.select(col(key)), Seq(key), "left_anti")
+      .unionByName(upserts)
+  }
+
   /** Rows within the trailing `days` window of the table's own max timestamp —
     * the reference's "last 2 months" filter (dag.py:488-491). The 1-row max
     * aggregate is broadcast; at scale the comparison prunes partitions. */

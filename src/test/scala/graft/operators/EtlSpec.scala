@@ -70,4 +70,29 @@ class EtlSpec extends SparkSpec {
       .select("wk", "sum_v").as[(String, Double)].collect().toMap
     assert(got == Map("2024-01-01" -> 3.0, "2024-01-08" -> 4.0))
   }
+
+  test("scd2 builds validity intervals, collapsing consecutive duplicates") {
+    val e = Seq((1L, 10L, 1L, "a"), (1L, 20L, 2L, "a"), (1L, 30L, 3L, "b"),
+      (1L, 40L, 4L, "a"), (2L, 10L, 5L, "x")).toDF("k", "ts", "id", "v")
+    val got = Etl.scd2(e, "k", "ts", "id", "v").orderBy("k", "valid_from")
+      .as[(Long, String, Long, Option[Long])].collect().toSeq
+    assert(got === Seq(
+      (1L, "a", 10L, Some(30L)), // the 20L duplicate collapsed
+      (1L, "b", 30L, Some(40L)),
+      (1L, "a", 40L, None),      // open interval = current
+      (2L, "x", 10L, None)))
+  }
+
+  test("applyCdc: latest op per key wins — deletes remove, upserts replace") {
+    val target = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    val cdc = Seq(
+      (1L, 11.0, "U", 1L), (1L, 12.0, "U", 2L), // two upserts → final 12
+      (2L, 0.0, "D", 1L),                       // delete
+      (3L, 31.0, "D", 1L), (3L, 33.0, "U", 2L), // delete then re-insert → 33
+      (4L, 40.0, "U", 1L))                      // brand-new key
+      .toDF("k", "v", "op", "seq")
+    val got = Etl.applyCdc(target, cdc, "k", Seq("seq"), "op")
+      .as[(Long, Double)].collect().toMap
+    assert(got === Map(1L -> 12.0, 3L -> 33.0, 4L -> 40.0))
+  }
 }
