@@ -182,6 +182,12 @@ object SparkEntry {
       Etl.applyCdc(target, cdc, "user_id", Seq("ts_us", "event_id"), "op")
     }),
 
+    // Deterministic 5-per-source sample — reproducible eval subsets
+    // (membership is a pure function of content, not a seed).
+    "q76_group_sample" -> ((s, d) =>
+      Corpus.sampleKPerGroup(Tables.documents(s, d), "doc_id", "text",
+        "source", k = 5)),
+
     // Deterministic corpus mixing: content-hash sampling with per-source
     // rates (domain reweighting) — full/half/quarter tiers.
     "q72_corpus_mix" -> ((s, d) =>
@@ -907,6 +913,14 @@ object SparkEntry {
          FROM (SELECT *, row_number() OVER (PARTITION BY label
                           ORDER BY cos, vec_id) AS rnk FROM j)
          WHERE rnk <= 3""",
+
+    "q76_group_sample" ->
+      """SELECT doc_id, source
+         FROM (SELECT doc_id, source,
+                      row_number() OVER (PARTITION BY source
+                        ORDER BY md5(text), doc_id) AS rn
+               FROM documents)
+         WHERE rn <= 5""",
 
     "q74_scd2" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type

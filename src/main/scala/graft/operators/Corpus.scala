@@ -107,6 +107,24 @@ object Corpus {
       .select(col("doc_id"), col("grp").as(groupCol))
   }
 
+  /** Deterministic k-per-group sample — the eval-subset/inspection cut a
+    * corpus pipeline needs to be REPRODUCIBLE: rank rows within each group
+    * by content hash (uniform, engine-portable order) and keep the first
+    * `k`. Unlike a seeded sample, membership survives reruns, engine
+    * swaps, and repartitioning; one window shuffle on the group key with
+    * WindowGroupLimit pushing the rank cut below the exchange. */
+  def sampleKPerGroup(docs: DataFrame, idCol: String, textCol: String,
+                      groupCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy("grp")
+      .orderBy(col("graft_h").asc, col("doc_id").asc)
+    docs
+      .select(col(idCol).as("doc_id"), col(groupCol).as("grp"),
+        md5(col(textCol).cast("binary")).as("graft_h"))
+      .withColumn("graft_rn", row_number().over(w))
+      .filter(col("graft_rn") <= k)
+      .select(col("doc_id"), col("grp").as(groupCol))
+  }
+
   /** Token-stream sequence packing: documents are laid into fixed-capacity
     * training sequences in id order WITHIN each shard (documents may
     * straddle a boundary — the GPT-style contiguous token stream). Emits

@@ -329,6 +329,25 @@ object Dedup {
                            bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame =
     bloomPrefiltered(exactRows(batch, idCol, textCol), knownFps, bloom)
 
+  /** Blocked fuzzy matching — entity resolution over a name/title column:
+    * candidate pairs share a blocking key (the first token), survivors are
+    * within `maxDist` edit distance. The classic record-linkage shape at
+    * scale: the self-join shuffles on the block key, never all-pairs, and
+    * the O(|a|·|b|) levenshtein only runs inside blocks. Both engines
+    * implement the same case-sensitive Levenshtein, so the result is
+    * oracle-exact. */
+  def fuzzyNameMatch(df: DataFrame, idCol: String, nameCol: String,
+                     maxDist: Int): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(nameCol).as("name"),
+      split(col(nameCol), " ").getItem(0).as("blk"))
+    val a = base.toDF("id1", "name1", "blk")
+    val b = base.toDF("id2", "name2", "blk")
+    a.join(b, Seq("blk")).filter(col("id1") < col("id2"))
+      .withColumn("dist", levenshtein(col("name1"), col("name2")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id1"), col("id2"), col("dist").cast("long").as("dist"))
+  }
+
   /** Embedding near-dup: cosine ≥ τ among pairs sharing a coarse bucket
     * (IVF-style partition prefilter → intra-bucket self-join only). */
   def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,

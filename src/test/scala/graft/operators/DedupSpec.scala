@@ -53,6 +53,20 @@ class DedupSpec extends SparkSpec {
     assert(capped.subsetOf(uncapped))
   }
 
+  test("fuzzyNameMatch links near-identical names within blocks only") {
+    val catalog = Seq(
+      (1L, "acme widget deluxe"),
+      (2L, "acme widgit deluxe"),   // 1 edit from 1 — same block, linked
+      (3L, "acme widget supreme"),  // >2 edits from 1 — same block, dropped
+      (4L, "zenith widget deluxe"),
+      (5L, "acme corp"), (6L, "acme corq"), // 1 edit apart, same block
+      (7L, "acmo widget deluxe"))   // 1 edit from 1 BUT first token differs:
+      .toDF("id", "name")           // blocked out — the documented trade-off
+    val got = Dedup.fuzzyNameMatch(catalog, "id", "name", maxDist = 2)
+      .select("id1", "id2", "dist").as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L, 1L), (5L, 6L, 1L)), s"unexpected pairs: $got")
+  }
+
   test("minhash LSH finds the same near-dup pairs") {
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
       n = 3, bands = 8, rowsPerBand = 4, minAgree = 0.3)
