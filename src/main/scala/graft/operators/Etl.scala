@@ -189,6 +189,26 @@ object Etl {
       .partitionBy(partitionCol)
       .parquet(path)
 
+  /** Compact a small-file parquet directory into ~`targetBytes` output
+    * files — the maintenance pass every continuously-appended store
+    * (incremental ingest, streaming sinks) needs before small files
+    * throttle scan parallelism and NameNode/listing costs. File count is
+    * computed from the directory's ACTUAL bytes, not guessed; the write
+    * goes to a new directory (callers swap atomically) because overwriting
+    * an input while reading it is undefined. One narrow read + one
+    * round-robin repartition. */
+  def compactTo(spark: org.apache.spark.sql.SparkSession, srcPath: String,
+                dstPath: String, targetBytes: Long): Int = {
+    val src = new org.apache.hadoop.fs.Path(srcPath)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(src).getLength
+    val nFiles = math.max(1, ((bytes + targetBytes - 1) / targetBytes).toInt)
+    spark.read.parquet(srcPath)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(dstPath)
+    nFiles
+  }
+
   /** Star-schema revenue rollup: fact ⋈ orders ⋈ customer. Catalyst/AQE
     * picks broadcast for dims that fit and shuffled hash beyond; the
     * aggregation reduces map-side before the group-key exchange. */

@@ -196,6 +196,45 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: chunking tiles every token; packing offsets are prefix sums") {
+    val docGen = Gen.chooseNum(0, 40)
+    for (seed <- 1L to 4L) {
+      val sizes = sample(Gen.listOfN(25, docGen), seed)
+      val docs = sizes.zipWithIndex.map { case (n, i) =>
+        (i.toLong, (1 to n).map(t => s"w$t").mkString(" "), s"s${i % 3}")
+      }.toDF("doc_id", "text", "source")
+      val chunkSize = 8; val stride = 5
+      val chunks = operators.Corpus.chunkTokens(docs, "doc_id", "text",
+        chunkSize, stride).collect()
+      val byDoc = chunks.groupBy(_.getAs[Long]("doc_id"))
+      sizes.zipWithIndex.foreach { case (n, i) =>
+        val cs = byDoc.getOrElse(i.toLong, Array.empty)
+        if (n == 0) assert(cs.isEmpty)
+        else {
+          // starts tile the token range at `stride`: chunk count is exact
+          // and the tokens covered are precisely [1, n].
+          assert(cs.length === (n + stride - 1) / stride)
+          assert(cs.map(_.getAs[Long]("chunk_tokens")).sum >=  n,
+            "every token appears in at least one chunk")
+          val firsts = cs.sortBy(_.getAs[Long]("chunk_idx"))
+            .map(_.getAs[String]("chunk_text").split(" ").head)
+          assert(firsts.toSeq === (1 to n by stride).map(t => s"w$t"))
+        }
+      }
+      val packed = operators.Corpus.packSequences(docs, "doc_id", "text",
+        "source", capacity = 16L).collect()
+      packed.groupBy(_.getAs[String]("shard")).foreach { case (_, rows) =>
+        val ordered = rows.sortBy(_.getAs[Long]("doc_id"))
+        var expect = 0L
+        ordered.foreach { r =>
+          assert(r.getAs[Long]("tok_offset") === expect)
+          assert(r.getAs[Long]("seq_id") === expect / 16L)
+          expect += r.getAs[Long]("n_tokens")
+        }
+      }
+    }
+  }
+
   test("property: upsert is idempotent and key-unique") {
     val rowGen = Gen.zip(Gen.chooseNum(1L, 50L), Gen.alphaStr.map(_.take(5)))
     for (seed <- 1L to 4L) {
