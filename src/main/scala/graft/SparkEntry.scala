@@ -165,24 +165,23 @@ object SparkEntry {
     "q74_scd2" -> ((s, d) =>
       Etl.scd2(eventsUs(s, d), "user_id", "ts_us", "event_id", "event_type")),
 
-    // Point-in-time interval lookup against the q74 SCD-2 dimension —
-    // every event joined to the validity interval containing its
-    // timestamp. Self-consistency makes this a strong oracle: the interval
-    // attr valid at each event's time must be the event's OWN type, so
-    // matched == n_events for every user. Equi-join on the user key, then
-    // the interval predicate filters within the key's few intervals.
+    // Point-in-time lookup against the q74 SCD-2 dimension: each event
+    // takes the attribute valid at its timestamp. Because SCD-2 intervals
+    // PARTITION time per key, "containing interval" ≡ "last change at or
+    // before ts" — so this plans as the AS-OF union+window (ONE shuffle,
+    // linear) instead of an events×intervals join whose per-key fan-out
+    // grows quadratically with history density. Self-consistency makes
+    // the oracle sharp: the attr valid at each event's time is the
+    // event's OWN type, so n_matched == n_events.
     "q77_interval_lookup" -> ((s, d) => {
-      val e = eventsUs(s, d)
+      val e = eventsUs(s, d).select("user_id", "ts_us", "event_id", "event_type")
       val dim = Etl.scd2(e, "user_id", "ts_us", "event_id", "event_type")
-        .select(col("user_id"), col("event_type").as("dim_type"),
-          col("valid_from"), col("valid_to"))
-      e.select("user_id", "ts_us", "event_id", "event_type")
-        .join(dim, Seq("user_id"))
-        .filter(col("ts_us") >= col("valid_from") &&
-          (col("valid_to").isNull || col("ts_us") < col("valid_to")))
+        .select(col("user_id"), col("valid_from").as("ts_us"),
+          col("event_type").as("dim_type"))
+      AsOf.asofJoin(e, dim, "user_id", "ts_us", "dim_type", "dim_at")
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_events"),
-          count(when(col("event_type") === col("dim_type"), 1)).as("n_matched"))
+          count(when(col("event_type") === col("dim_at"), 1)).as("n_matched"))
     }),
 
     // CDC apply with deletes: the pre-cutoff latest state is the target,
@@ -965,16 +964,12 @@ object SparkEntry {
                FROM e),
          ch AS (SELECT user_id, event_type, ts_us, event_id FROM c
                 WHERE prev IS NULL OR event_type <> prev),
-         dim AS (SELECT user_id, event_type AS dim_type, ts_us AS valid_from,
-                        lead(ts_us) OVER (PARTITION BY user_id
-                                          ORDER BY ts_us, event_id) AS valid_to
-                 FROM ch)
+         dim AS (SELECT user_id, event_type AS dim_type, ts_us AS vf FROM ch)
          SELECT e.user_id, CAST(count(*) AS BIGINT) AS n_events,
-                CAST(count(CASE WHEN e.event_type = dim.dim_type THEN 1 END)
+                CAST(count(CASE WHEN e.event_type = d.dim_type THEN 1 END)
                      AS BIGINT) AS n_matched
-         FROM e JOIN dim ON e.user_id = dim.user_id
-          AND e.ts_us >= dim.valid_from
-          AND (dim.valid_to IS NULL OR e.ts_us < dim.valid_to)
+         FROM e ASOF LEFT JOIN dim d
+           ON e.user_id = d.user_id AND e.ts_us >= d.vf
          GROUP BY e.user_id""",
 
     "q75_cdc_apply" ->
