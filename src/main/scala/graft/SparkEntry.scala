@@ -201,6 +201,14 @@ object SparkEntry {
       Etl.applyCdc(target, cdc, "user_id", Seq("ts_us", "event_id"), "op")
     }),
 
+    // Upsampling mix: src0-4 ×2.5 expected, src5-9 ×1, rest ×0.5 —
+    // repeats are content-deterministic with copy indices.
+    "q78_corpus_upsample" -> ((s, d) =>
+      Corpus.mixUpsample(Tables.documents(s, d), "doc_id", "text", "source",
+        rates = (0 to 4).map(i => s"src$i" -> 2.5).toMap ++
+          (5 to 9).map(i => s"src$i" -> 1.0).toMap,
+        defaultRate = 0.5)),
+
     // Deterministic 5-per-source sample — reproducible eval subsets
     // (membership is a pure function of content, not a seed).
     "q76_group_sample" -> ((s, d) =>
@@ -932,6 +940,24 @@ object SparkEntry {
          FROM (SELECT *, row_number() OVER (PARTITION BY label
                           ORDER BY cos, vec_id) AS rnk FROM j)
          WHERE rnk <= 3""",
+
+    "q78_corpus_upsample" ->
+      """WITH h AS (SELECT doc_id, source, md5(text) AS x FROM documents),
+         u AS (SELECT doc_id, source,
+                 (strpos('0123456789abcdef', substring(x, 1, 1)) - 1) * 4096
+               + (strpos('0123456789abcdef', substring(x, 2, 1)) - 1) * 256
+               + (strpos('0123456789abcdef', substring(x, 3, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substring(x, 4, 1)) - 1) AS u16
+               FROM h),
+         n AS (SELECT doc_id, source,
+                 CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                        THEN 2 + (CASE WHEN u16 < 32768 THEN 1 ELSE 0 END)
+                      WHEN source IN ('src5','src6','src7','src8','src9')
+                        THEN 1
+                      ELSE (CASE WHEN u16 < 32768 THEN 1 ELSE 0 END) END AS nc
+               FROM u)
+         SELECT doc_id, source, CAST(unnest(range(1, nc + 1)) AS BIGINT) AS copy_idx
+         FROM n WHERE nc > 0""",
 
     "q76_group_sample" ->
       """SELECT doc_id, source

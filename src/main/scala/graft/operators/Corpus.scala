@@ -107,6 +107,40 @@ object Corpus {
       .select(col("doc_id"), col("grp").as(groupCol))
   }
 
+  /** Deterministic upsampling — the other half of corpus mixing: rates
+    * ABOVE 1 repeat documents (the "high-quality source ×3" pattern in
+    * training mixes). Every doc emits floor(rate) copies plus one more
+    * when its content-hash u16 falls under the fractional part — so the
+    * EXPECTED multiplicity is exactly the rate, per-doc multiplicity is a
+    * pure function of content, and `copy_idx` disambiguates repeats for
+    * downstream shuffling. Bounded generate (fan-out ≤ ⌈rate⌉), no
+    * shuffle. */
+  def mixUpsample(docs: DataFrame, idCol: String, textCol: String,
+                  groupCol: String, rates: Map[String, Double],
+                  defaultRate: Double): DataFrame = {
+    def whole(r: Double) = math.floor(r).toLong
+    def fracThr(r: Double) = math.floor((r - math.floor(r)) * 65536).toLong
+    val wholeMap = map(rates.flatMap { case (s, r) =>
+      Seq(lit(s), lit(whole(r))) }.toSeq: _*)
+    val fracMap = map(rates.flatMap { case (s, r) =>
+      Seq(lit(s), lit(fracThr(r))) }.toSeq: _*)
+    docs
+      .select(col(idCol).as("doc_id"), col(groupCol).as("grp"),
+        conv(substring(md5(col(textCol).cast("binary")), 1, 4), 16, 10)
+          .cast("long").as("graft_u16"),
+        coalesce(element_at(wholeMap, col(groupCol)), lit(whole(defaultRate)))
+          .as("graft_whole"),
+        coalesce(element_at(fracMap, col(groupCol)), lit(fracThr(defaultRate)))
+          .as("graft_frac"))
+      .withColumn("graft_n",
+        col("graft_whole") +
+          when(col("graft_u16") < col("graft_frac"), 1L).otherwise(0L))
+      .filter(col("graft_n") > 0)
+      .select(col("doc_id"), col("grp").as(groupCol),
+        explode_outer(sequence(lit(1L), col("graft_n"))).as("copy_idx"))
+      .filter(col("copy_idx").isNotNull)
+  }
+
   /** Deterministic k-per-group sample — the eval-subset/inspection cut a
     * corpus pipeline needs to be REPRODUCIBLE: rank rows within each group
     * by content hash (uniform, engine-portable order) and keep the first

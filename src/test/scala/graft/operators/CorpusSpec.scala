@@ -76,6 +76,23 @@ class CorpusSpec extends SparkSpec {
     assert(again === kept.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("mixUpsample repeats docs deterministically with the expected multiplicity") {
+    val d = (1 to 300).map(i => (i.toLong, s"unique body $i", if (i % 2 == 0) "triple" else "half"))
+      .toDF("doc_id", "text", "source")
+    val out = Corpus.mixUpsample(d, "doc_id", "text", "source",
+      rates = Map("triple" -> 3.0), defaultRate = 0.5)
+    val byDoc = out.groupBy("doc_id", "source").count()
+      .as[(Long, String, Long)].collect()
+    // Integer rate: exactly 3 copies each, with distinct copy indices.
+    assert(byDoc.filter(_._2 == "triple").forall(_._3 == 3L))
+    assert(out.filter($"source" === "triple")
+      .select("copy_idx").distinct().as[Long].collect().toSet === Set(1L, 2L, 3L))
+    // Fractional rate: 0 or 1 copies, roughly half the docs.
+    val halfCount = byDoc.count(_._2 == "half")
+    assert(byDoc.filter(_._2 == "half").forall(_._3 == 1L))
+    assert(halfCount > 150 / 3 && halfCount < 150, s"kept $halfCount of 150")
+  }
+
   test("centroidOutliers flags the planted off-cluster member first") {
     // Label 0: four near-identical vectors + one pointing the other way.
     val base = Array.fill(8)(1.0f)
