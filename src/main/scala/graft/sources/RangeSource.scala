@@ -75,13 +75,15 @@ private[sources] class RangeScanBuilder(rows: Long, users: Long, slices: Int)
   private var required: StructType = RangeSource.schema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // v+1 guards: an exclusive bound at Long.MaxValue must not wrap.
+    def succ(v: Long): Long = if (v == Long.MaxValue) v else v + 1
     pushed = filters.filter {
-      case GreaterThan("id", v: Long)        => lo = math.max(lo, v + 1); true
+      case GreaterThan("id", v: Long)        => lo = math.max(lo, succ(v)); true
       case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v); true
       case LessThan("id", v: Long)           => hi = math.min(hi, v); true
-      case LessThanOrEqual("id", v: Long)    => hi = math.min(hi, v + 1); true
+      case LessThanOrEqual("id", v: Long)    => hi = math.min(hi, succ(v)); true
       case EqualTo("id", v: Long) =>
-        lo = math.max(lo, v); hi = math.min(hi, v + 1); true
+        lo = math.max(lo, v); hi = math.min(hi, succ(v)); true
       case _ => false
     }
     filters // everything is residual: Spark re-applies exact semantics
