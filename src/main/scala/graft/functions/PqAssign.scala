@@ -20,6 +20,10 @@ object PqOps {
   def assign(vec: ArrayData, cb: Array[Array[Array[Double]]],
              halfNorms: Array[Array[Double]]): ArrayData = {
     val m = cb.length
+    val dim = cb.map(c => if (c.isEmpty) 0 else c(0).length).sum
+    if (vec.numElements() < dim)
+      throw new IllegalArgumentException(
+        s"graft_pq_assign: vector has ${vec.numElements()} elements, codebooks cover $dim")
     val out = new Array[Any](m)
     var j = 0
     var off = 0

@@ -1,0 +1,23 @@
+package graft
+
+/** Automated plan audit over the ENTIRE driver contract: every query's
+  * physical plan must be free of the one shape that cannot survive scale —
+  * a non-broadcast CartesianProduct. (1-row broadcast cross joins compile
+  * to BroadcastNestedLoopJoin and are the accepted pattern for attaching
+  * scalar aggregates.) Building each plan also exercises every query's
+  * eager setup path, so a contract-breaking regression fails HERE before
+  * the driver's verify run does. */
+class PlanAuditSpec extends SparkSpec {
+
+  test("no query in the contract plans a CartesianProduct") {
+    val dir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    SparkEntry.releaseCaches()
+    assert(offenders.isEmpty,
+      s"queries with CartesianProduct plans: ${offenders.mkString(", ")}")
+  }
+}
