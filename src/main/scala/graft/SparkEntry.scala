@@ -416,6 +416,18 @@ object SparkEntry {
         Tables.lineitem(s, d).select("l_returnflag", "l_linestatus", "l_quantity"),
         "l_returnflag", "l_linestatus", "l_quantity")),
 
+    "q79_cube" -> ((s, d) =>
+      Analytics.cube2(
+        Tables.lineitem(s, d).select("l_returnflag", "l_linestatus", "l_quantity"),
+        "l_returnflag", "l_linestatus", "l_quantity")),
+
+    // Explicit grouping sets (Spark 4 native API): just the two
+    // one-dimensional margins, no cross combinations.
+    "q80_grouping_sets" -> ((s, d) =>
+      Analytics.marginals2(
+        Tables.lineitem(s, d).select("l_returnflag", "l_linestatus", "l_quantity"),
+        "l_returnflag", "l_linestatus", "l_quantity")),
+
     "q42_pivot_weekly" -> ((s, d) =>
       Analytics.pivotWeekly(Tables.events(s, d),
         date_format(date_trunc("week", col("ts_t")), "yyyy-MM-dd"),
@@ -1232,6 +1244,22 @@ object SparkEntry {
                 round(sum(l_quantity), 2) AS sum_v,
                 round(avg(l_quantity), 2) AS avg_v
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+
+    "q79_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                CAST(count(*) AS BIGINT) AS n,
+                round(sum(l_quantity), 2) AS sum_v,
+                round(avg(l_quantity), 2) AS avg_v
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+
+    "q80_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                CAST(count(*) AS BIGINT) AS n,
+                round(sum(l_quantity), 2) AS sum_v
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""",
 
     "q42_pivot_weekly" ->
       """SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS wk,

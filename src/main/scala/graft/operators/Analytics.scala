@@ -44,6 +44,30 @@ object Analytics {
           count(when(col(catCol) === c, 1)).as(s"n_$c")): _*)
   }
 
+  /** CUBE over two dimensions — every subtotal combination (the rollup's
+    * superset: adds the d2-only margin). Same Expand + two-phase
+    * HashAggregate plan family as [[rollup2]]; the shuffle carries groups,
+    * never rows. */
+  def cube2(df: DataFrame, d1: String, d2: String, metric: String): DataFrame =
+    df.cube(col(d1), col(d2))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col(metric)), 2).as("sum_v"),
+        round(avg(col(metric)), 2).as("avg_v"))
+      .select(coalesce(col(d1), lit("ALL")).as(d1),
+        coalesce(col(d2), lit("ALL")).as(d2),
+        col("n"), col("sum_v"), col("avg_v"))
+
+  /** Explicit GROUPING SETS — only the requested margins (here the two
+    * one-dimensional ones), skipping the cross combinations a full cube
+    * would also compute. Uses Spark 4's native `Dataset.groupingSets`. */
+  def marginals2(df: DataFrame, d1: String, d2: String, metric: String): DataFrame =
+    df.groupingSets(Seq(Seq(col(d1)), Seq(col(d2))), col(d1), col(d2))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col(metric)), 2).as("sum_v"))
+      .select(coalesce(col(d1), lit("ALL")).as(d1),
+        coalesce(col(d2), lit("ALL")).as(d2),
+        col("n"), col("sum_v"))
+
   /** Exact interpolated quartiles of `metric` per group (linear
     * interpolation — the same definition as SQL quantile_cont). Exact
     * percentile shuffles each group's values to its reducer; for sketch

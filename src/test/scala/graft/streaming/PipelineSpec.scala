@@ -12,6 +12,35 @@ class PipelineSpec extends SparkSpec {
   private val schema =
     "doc_id LONG, text STRING, entity LONG, ts TIMESTAMP, value DOUBLE"
 
+  test("stateless corpus-prep operators run UNCHANGED under readStream") {
+    // chunkTokens is a narrow generate — the same code drives a streaming
+    // micro-batch with no watermark/state machinery, and its output equals
+    // the batch run on the same data (the batch-streaming unification the
+    // declarative formulation buys).
+    val dir = java.nio.file.Files.createTempDirectory("graft_chunk_stream").toString
+    val src = s"$dir/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$src/d.json"),
+      (1 to 20).map(i =>
+        s"""{"doc_id":$i,"text":"${(1 to i * 7).map(t => s"w$t").mkString(" ")}"}""")
+        .mkString("\n").getBytes("UTF-8"))
+    val streamed = graft.operators.Corpus.chunkTokens(
+      spark.readStream.schema("doc_id LONG, text STRING").json(src),
+      "doc_id", "text", chunkSize = 16, stride = 12)
+    val q = streamed.writeStream.format("memory")
+      .queryName("graft_chunks_stream").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("graft_chunks_stream")
+      .select("doc_id", "chunk_idx", "chunk_text")
+      .as[(Long, Long, String)].collect().toSet
+    val batch = graft.operators.Corpus.chunkTokens(
+      spark.read.schema("doc_id LONG, text STRING").json(src),
+      "doc_id", "text", chunkSize = 16, stride = 12)
+      .select("doc_id", "chunk_idx", "chunk_text")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got === batch && got.nonEmpty)
+  }
+
   test("e2e pipeline is exactly-once across kill/restart and source replay") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pipeline").toString
     val src = s"$dir/src"; val store = s"$dir/store"; val sink = s"$dir/sink"
