@@ -202,6 +202,32 @@ object Analytics {
         col("rnk").cast("long").as("rnk"))
   }
 
+  /** Count-min-sketch term-frequency index — the fourth sketch next to
+    * bloom (membership), HLL++ (distincts) and KLL (quantiles): a fixed
+    * O(1/eps · ln 1/conf) table answering point frequency queries over an
+    * unbounded term stream. Built with ONE distributed aggregation (the
+    * sketch merges associatively, so partials combine map-side); the
+    * artifact lives on the driver like the centroid/bloom artifacts.
+    * Estimates never undercount; overcount ≤ eps·N with prob ≥ conf. */
+  def termFreqSketch(docs: DataFrame, textCol: String, eps: Double = 1e-4,
+                     conf: Double = 0.99, seed: Int = 42):
+      org.apache.spark.util.sketch.CountMinSketch = {
+    val toks = docs.select(
+      regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)).as("toks"))
+    toks.select(explode_outer(col("toks")).as("term"))
+      .filter(col("term").isNotNull)
+      .stat.countMinSketch("term", eps, conf, seed)
+  }
+
+  /** Point frequency estimates from a [[termFreqSketch]] for a probe
+    * watchlist — no corpus scan at query time. */
+  def estimateTermCounts(spark: org.apache.spark.sql.SparkSession,
+                         cms: org.apache.spark.util.sketch.CountMinSketch,
+                         probes: Seq[String]): DataFrame = {
+    import spark.implicits._
+    probes.map(t => (t, cms.estimateCount(t))).toDF("term", "est_count")
+  }
+
   /** Global top-k terms by document frequency-weighted count. Tokens are
     * materialized in their own projection before the generate (the regex
     * runs once per doc), and the explode→count is the canonical map-side

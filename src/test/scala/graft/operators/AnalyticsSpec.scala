@@ -61,6 +61,23 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("count-min term-frequency sketch never undercounts, overcounts within eps·N") {
+    val docs = (1 to 400).map { i =>
+      // heavy hitter "alpha" everywhere, "beta" in half, tail terms unique
+      val tail = s"tail$i uniq${i * 7}"
+      if (i % 2 == 0) (s"alpha beta $tail") else (s"alpha $tail")
+    }.toDF("text")
+    val cms = Analytics.termFreqSketch(docs, "text", eps = 0.001, conf = 0.99)
+    val est = Analytics.estimateTermCounts(spark, cms,
+      Seq("alpha", "beta", "tail7", "absent"))
+      .as[(String, Long)].collect().toMap
+    val n = 400 * 3 + 200 // total token occurrences
+    assert(est("alpha") >= 400L && est("alpha") <= 400L + n / 1000 + 1)
+    assert(est("beta") >= 200L && est("beta") <= 200L + n / 1000 + 1)
+    assert(est("tail7") >= 1L)
+    assert(est("absent") <= n / 1000 + 1) // pure collision noise
+  }
+
   test("topTerms counts tokens globally with deterministic tiebreak") {
     val docs = Seq("the cat the dog", "THE Cat", "").toDF("text")
     val out = Analytics.topTerms(docs, "text", 3)
