@@ -352,6 +352,33 @@ object Similarity {
     PqIndex(codes, codebooks, m, dsub, Some(codes))
   }
 
+  /** Persist a PQ index: the codes table as parquet plus the codebooks as
+    * a tiny nested side table — build once, probe many (the probe reads
+    * ~8 B/vector codes, never the vectors; [[pqTopK]]'s re-rank reads the
+    * original store for `refine` rows only). */
+  def savePqIndex(index: PqIndex, path: String): Unit = {
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    index.codes.write.mode("overwrite").parquet(s"$path/codes")
+    index.codebooks.zipWithIndex
+      .flatMap { case (cb, j) => cb.zipWithIndex.map { case (c, i) =>
+        (j, i, c.toSeq) } }.toSeq
+      .toDF("subspace", "centroid", "weights")
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession,
+                  path: String): PqIndex = {
+    val codes = spark.read.parquet(s"$path/codes")
+    val rows = spark.read.parquet(s"$path/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val codebooks = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3)).toArray
+    val dsub = if (codebooks.isEmpty || codebooks(0).isEmpty) 0
+      else codebooks(0)(0).length
+    PqIndex(codes, codebooks, codebooks.length, dsub)
+  }
+
   /** ANN top-k via asymmetric-distance PQ scoring with exact re-rank:
     * the query builds one m×k lookup table of subspace dot products
     * (driver-side, O(m·k·dsub)); the approximate score of a stored vector

@@ -43,6 +43,24 @@ class SimilaritySpec extends SparkSpec {
     } finally idx.release()
   }
 
+  test("PQ index round-trips through parquet and probes identically") {
+    val idx = Similarity.pqIndex(emb, "vec_id", "embedding", dim = 4, m = 2,
+      k = 2, trainMod = 1)
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+      Similarity.savePqIndex(idx, dir)
+      val loaded = Similarity.loadPqIndex(spark, dir)
+      assert(loaded.m === idx.m && loaded.dsub === idx.dsub)
+      assert(loaded.codebooks.map(_.map(_.toSeq).toSeq).toSeq ===
+        idx.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+      val fresh = Similarity.pqTopK(idx, emb, "vec_id", "embedding", 0L, 3, 10)
+        .as[(Long, Double)].collect().toSeq
+      val reloaded = Similarity.pqTopK(loaded, emb, "vec_id", "embedding", 0L, 3, 10)
+        .as[(Long, Double)].collect().toSeq
+      assert(reloaded === fresh)
+    } finally idx.release()
+  }
+
   test("pqTopK recall@20 vs brute force on real embeddings ≥ 0.9") {
     val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     // trainMod=1: at this 500-vector scale the corpus IS a codebook-sized
