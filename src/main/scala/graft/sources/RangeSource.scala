@@ -68,11 +68,17 @@ private[sources] class RangeTable(rows: Long, users: Long, slices: Int)
 
 private[sources] class RangeScanBuilder(rows: Long, users: Long, slices: Int)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+
   private var lo = 0L
   private var hi = rows
   private var pushed: Array[Filter] = Array.empty
+  private var residual: Array[Filter] = Array.empty
   private var required: StructType = RangeSource.schema
+  private var aggFuncs: Option[Seq[String]] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // v+1 guards: an exclusive bound at Long.MaxValue must not wrap.
@@ -86,13 +92,91 @@ private[sources] class RangeScanBuilder(rows: Long, users: Long, slices: Int)
         lo = math.max(lo, v); hi = math.min(hi, succ(v)); true
       case _ => false
     }
-    filters // everything is residual: Spark re-applies exact semantics
+    // id-range bounds are consumed EXACTLY by the generator window, so
+    // they are not residual — which is also what makes the aggregate
+    // pushdown below legal (Spark only pushes aggregates over a scan with
+    // no post-scan filters). Everything else stays residual.
+    residual = filters.diff(pushed)
+    residual
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan =
-    new RangeScan(math.max(lo, 0L), math.max(hi, lo), users, slices, required)
+
+  /** COUNT(*) / MIN(id) / MAX(id) over the narrowed window are closed-form
+    * at PLANNING time (the window is [lo, hi)) — the scan answers them in
+    * one row without generating anything. Only legal when no residual
+    * filter survives and there is no grouping. */
+  private def canPush(agg: Aggregation): Boolean = {
+    def isId(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case nr: NamedReference => nr.fieldNames.sameElements(Array("id"))
+        case _ => false
+      }
+    residual.isEmpty && agg.groupByExpressions().isEmpty &&
+      agg.aggregateExpressions().nonEmpty &&
+      agg.aggregateExpressions().forall {
+        case _: CountStar => true
+        case m: Min => isId(m.column)
+        case m: Max => isId(m.column)
+        case _ => false
+      }
+  }
+  override def supportCompletePushDown(agg: Aggregation): Boolean = canPush(agg)
+  override def pushAggregation(agg: Aggregation): Boolean =
+    if (!canPush(agg)) false
+    else {
+      aggFuncs = Some(agg.aggregateExpressions().map {
+        case _: CountStar => "count"
+        case _: Min => "min"
+        case _: Max => "max"
+      }.toSeq)
+      true
+    }
+
+  override def build(): Scan = {
+    val l = math.max(lo, 0L); val h = math.max(hi, lo)
+    aggFuncs match {
+      case Some(funcs) => new RangeAggScan(l, h, funcs)
+      case None => new RangeScan(l, h, users, slices, required)
+    }
+  }
+}
+
+/** Completely-pushed-down aggregate scan: ONE row, computed driver-side
+  * from the window bounds — no partitions are generated at all. */
+private[sources] class RangeAggScan(lo: Long, hi: Long, funcs: Seq[String])
+    extends Scan with Batch {
+  private val n = math.max(hi - lo, 0L)
+  override def readSchema(): StructType = StructType(funcs.zipWithIndex.map {
+    case ("count", i) => StructField(s"agg_$i", LongType, nullable = false)
+    case (_, i)       => StructField(s"agg_$i", LongType, nullable = true)
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_range AGG-pushdown [lo=$lo, hi=$hi, funcs=${funcs.mkString(",")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(RangePartition(0L, 1L))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RangeAggReaderFactory(lo, hi, funcs)
+}
+
+private[sources] class RangeAggReaderFactory(lo: Long, hi: Long,
+                                             funcs: Seq[String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val n = math.max(hi - lo, 0L)
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = InternalRow.fromSeq(funcs.map {
+        case "count" => n
+        case "min" => if (n > 0) lo else null
+        case "max" => if (n > 0) hi - 1 else null
+      })
+      override def close(): Unit = ()
+    }
+  }
 }
 
 private[sources] case class RangePartition(start: Long, end: Long)

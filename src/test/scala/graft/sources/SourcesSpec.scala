@@ -58,6 +58,25 @@ class SourcesSpec extends SparkSpec {
     assert(pruned.distinct().count() === 10)
   }
 
+  test("RangeSource answers count/min/max at planning time (aggregate pushdown)") {
+    def load() = spark.read.format("graft.sources.RangeSource")
+      .option("rows", "100000").option("users", "10").option("slices", "4").load()
+    val windowed = load().filter(col("id") >= 5000L && col("id") < 95000L)
+    val agg = windowed.agg(count(lit(1)).as("n"), min("id").as("mn"), max("id").as("mx"))
+    val plan = agg.queryExecution.executedPlan.toString
+    // Complete pushdown: the scan IS the aggregate — no HashAggregate node
+    // and no 90k-row generation.
+    assert(plan.contains("AGG-pushdown"), s"expected pushed-down agg scan:\n$plan")
+    assert(!plan.contains("HashAggregate"), s"expected no post-scan aggregate:\n$plan")
+    assert(agg.as[(Long, Long, Long)].head() === ((90000L, 5000L, 94999L)))
+    // A non-id residual filter blocks the pushdown and falls back to a
+    // real scan + aggregate with the same answer.
+    val mixed = load().filter(col("id") < 10L && col("etype") === "view")
+    val fallback = mixed.agg(count(lit(1)))
+    assert(fallback.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    assert(fallback.as[Long].head() === 2L) // ids 0 and 5 are "view"
+  }
+
   test("RangeSource streams as a micro-batch source with the same rows") {
     val q = spark.readStream.format("graft.sources.RangeSource")
       .option("rows", "500").option("users", "10").option("slices", "4").load()
