@@ -29,18 +29,28 @@ import org.apache.spark.util.sketch.BloomFilter
   */
 object IncrementalIngest {
 
+  /** @param onBatch optional driver-side metrics hook called after each
+    *   micro-batch commit with (batchId, keptRows) — the dedup RATE signal
+    *   an ingest dashboard tracks. Input-row counts per trigger come free
+    *   through `Dataset.observe` and surface in every
+    *   `StreamingQueryProgress.observedMetrics("graft_ingest")`. */
   def start(docs: DataFrame, idCol: String, textCol: String,
             storePath: String, checkpoint: String,
-            expectedItems: Long = 1000000L, fpp: Double = 0.01): StreamingQuery = {
+            expectedItems: Long = 1000000L, fpp: Double = 0.01,
+            onBatch: (Long, Long) => Unit = (_, _) => ()): StreamingQuery = {
     // Driver-held filter, alive for this query's lifetime. None until the
     // first batch; a restart starts from None and rebuilds from the store,
     // so the filter can never miss a stored fingerprint (false negatives
     // are impossible; false positives only route a few extra rows through
     // the anti-join).
     var bloom: Option[BloomFilter] = None
-    docs.writeStream
+    docs
+      .observe("graft_ingest",
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("in_rows"))
+      .writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val store = new org.apache.hadoop.fs.Path(storePath)
         val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -64,6 +74,7 @@ object IncrementalIngest {
             out.select(xxhash64(org.apache.spark.sql.functions.col("fp"))
               .as("graft_h")).stat.bloomFilter("graft_h", expectedItems, fpp))
         bloom = Some(filter)
+        onBatch(batchId, out.count()) // count over the checkpointed artifact
         ()
       }
       .start()

@@ -28,6 +28,28 @@ class IncrementalIngestSpec extends SparkSpec {
     assert(kept == Set(1L, 4L))
   }
 
+  test("ingest surfaces per-batch metrics: observed input rows + kept-rows hook") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_metrics").toString
+    val stream = MemoryStream[(Long, String)]
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = IncrementalIngest.start(stream.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/store", s"$dir/ckpt",
+      onBatch = (id, n) => kept.synchronized { kept += ((id, n)) })
+    try {
+      stream.addData((1L, "first doc"), (2L, "FIRST  DOC")) // 2 in, 1 kept
+      q.processAllAvailable()
+      stream.addData((3L, "first doc"))                     // 1 in, 0 kept
+      q.processAllAvailable()
+      val observed = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("graft_ingest")))
+        .map(_.getAs[Long]("in_rows"))
+      assert(observed.contains(2L) && observed.contains(1L),
+        s"observed per-trigger input rows: $observed")
+      assert(kept.toList.map(_._2) === List(1L, 0L))
+    } finally q.stop()
+  }
+
   test("file-source ingest resumes from checkpoint across query restarts") {
     val dir = java.nio.file.Files.createTempDirectory("graft_restart").toString
     val src = s"$dir/src"; val store = s"$dir/store"; val ckpt = s"$dir/ckpt"
