@@ -128,8 +128,8 @@ object Similarity {
   def ivfTopK(index: IvfIndex, idCol: String, vecCol: String,
               queryId: Long, k: Int, nProbe: Int): DataFrame = {
     val qRow = index.assigned.filter(col(idCol) === queryId)
-      .select(col(vecCol)).head()
-    val qv = qRow.getSeq[Float](0).map(_.toDouble).toArray
+      .select(col(vecCol).cast("array<double>")).head()
+    val qv = qRow.getSeq[Double](0).toArray
     def dist2(c: Array[Double]): Double =
       c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
     val probes = index.centers.sortBy { case (_, c) => dist2(c) }
@@ -179,9 +179,11 @@ object Similarity {
     * plus k-row score quantiles — no data collects. */
   def ivfTopKExact(index: IvfIndex, idCol: String, vecCol: String,
                    queryId: Long, k: Int): DataFrame = {
+    // Read through an explicit array<double> cast so the index works over
+    // both float and double embedding columns (float→double is exact).
     val qRow = index.assigned.filter(col(idCol) === queryId)
-      .select(col(vecCol)).head()
-    val qv = qRow.getSeq[Float](0).map(_.toDouble).toArray
+      .select(col(vecCol).cast("array<double>")).head()
+    val qv = qRow.getSeq[Double](0).toArray
     val qvCol = array(qv.map(lit): _*)
     val qn = math.sqrt(qv.map(x => x * x).sum)
     def clamp(x: Double) = math.max(-1.0, math.min(1.0, x))
@@ -195,29 +197,44 @@ object Similarity {
       val bound = if (thetaQC <= r) 1.0 else math.cos(thetaQC - r)
       (cell, bound)
     }.sortBy(-_._2)
-    // k-th largest ROUNDED score among the probed cells (the output ranks
-    // on the rounded value, so the stopping cut must too).
-    def kthRounded(cells: Seq[Int]): Option[Double] = {
-      val rows = index.assigned
+    // Running top-k of ROUNDED scores (the output ranks on the rounded
+    // value, so the stopping cut must too), maintained as a driver-side
+    // min-heap merged INCREMENTALLY: each admitted cell batch is scanned
+    // exactly once (one Spark job over just those cells) and contributes
+    // its per-cell top-k rows to the heap — the per-cell top-k retains
+    // every global-top-k candidate, so the heap's k-th value equals a
+    // top-k over everything probed so far, at O(probed-data) total cost
+    // instead of O(rounds × probed-data).
+    val heap = scala.collection.mutable.PriorityQueue
+      .empty[Double](Ordering[Double].reverse) // min at head
+    def admitScan(cells: Seq[Int]): Unit = {
+      index.assigned
         .filter(col("graft_cell").isin(cells: _*) && col(idCol) =!= queryId)
         .select(round(V.cosine(col(vecCol), qvCol), 6).as("c"))
         .orderBy(col("c").desc).limit(k).collect()
-      if (rows.length < k) None else Some(rows.last.getDouble(0))
+        .foreach { r =>
+          heap.enqueue(r.getDouble(0))
+          if (heap.size > k) heap.dequeue()
+        }
     }
+    def kthRounded: Option[Double] =
+      if (heap.size < k) None else Some(heap.head)
     // Margin: a row rounding to the cut value can sit 5e-7 below it
     // (half-step of round-6), and the driver-side bound arithmetic carries
     // ~1e-15 fp error — 1e-9 covers it comfortably.
     val margin = 5e-7 + 1e-9
     var probed = Vector(bounds.head._1)
+    admitScan(probed)
     var frontier = bounds.tail.toVector
     var done = frontier.isEmpty
     while (!done) {
-      val admit = kthRounded(probed) match {
+      val admit = kthRounded match {
         case None => frontier.take(1) // fewer than k candidates yet
         case Some(cut) => frontier.takeWhile(_._2 >= cut - margin)
       }
       if (admit.isEmpty) done = true
       else {
+        admitScan(admit.map(_._1))
         probed ++= admit.map(_._1)
         frontier = frontier.drop(admit.length)
         done = frontier.isEmpty
@@ -320,18 +337,25 @@ object Similarity {
 
   def pqIndex(emb: DataFrame, idCol: String, vecCol: String,
               dim: Int, m: Int = 8, k: Int = 32, seed: Long = 42L,
-              trainMod: Int = 5): PqIndex = {
+              maxTrain: Int = 100000): PqIndex = {
     require(dim % m == 0, s"dim=$dim must be divisible by m=$m subspaces")
     val dsub = dim / m
-    // Codebooks train DRIVER-SIDE on a deterministic 1/trainMod id-sample —
-    // the standard PQ recipe (FAISS trains its quantizers on a bounded
-    // in-memory sample regardless of corpus size): codebook quality
-    // saturates long before the corpus is exhausted, and the sample is an
-    // index ARTIFACT like the centroid table — size it via trainMod so it
-    // fits the driver. Only assignment and scoring touch the corpus, and
-    // both are distributed.
-    val sample = emb.filter(pmod(col(idCol), lit(trainMod)) === 0)
-      .select(col(vecCol).cast("array<double>").as("v")).collect()
+    // Codebooks train DRIVER-SIDE on a sample whose ABSOLUTE size is
+    // bounded by `maxTrain` — the standard PQ recipe (FAISS trains its
+    // quantizers on a bounded in-memory sample regardless of corpus size):
+    // codebook quality saturates long before the corpus is exhausted. The
+    // sample is hash-ordered (xxhash64 of the id, id tiebreak), so it is
+    // deterministic, uniform over the corpus, and independent of
+    // partitioning; orderBy+limit compiles to TakeOrderedAndProject, so
+    // executors keep only maxTrain rows each and the driver artifact is
+    // O(maxTrain·dim) at ANY corpus size. Only assignment and scoring
+    // touch the corpus, and both are distributed.
+    val sample = emb
+      .select(xxhash64(col(idCol)).as("graft_h"), col(idCol).as("graft_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .orderBy(col("graft_h").asc, col("graft_id").asc)
+      .limit(maxTrain)
+      .select(col("v")).collect()
       .map(_.getSeq[Double](0).toArray)
     val codebooks = Array.tabulate(m) { j =>
       lloyd(sample.map(_.slice(j * dsub, (j + 1) * dsub)), k,
@@ -391,8 +415,12 @@ object Similarity {
     * artifact, not data). */
   def pqTopK(index: PqIndex, emb: DataFrame, idCol: String, vecCol: String,
              queryId: Long, k: Int, refine: Int = 100): DataFrame = {
+    // Cast-read the query vector so an index built over array<double>
+    // embeddings probes without a ClassCastException (and float columns
+    // widen exactly) — same read path as pqIndex's own cast.
     val qv = emb.filter(col(idCol) === queryId)
-      .select(col(vecCol)).head().getSeq[Float](0).map(_.toDouble).toArray
+      .select(col(vecCol).cast("array<double>")).head()
+      .getSeq[Double](0).toArray
     val qn = math.sqrt(qv.map(x => x * x).sum)
     // LUT: T[j][c] = dot(q_j, centroid_{j,c})
     val lut = index.codebooks.zipWithIndex.map { case (cb, j) =>

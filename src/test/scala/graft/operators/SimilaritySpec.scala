@@ -32,7 +32,7 @@ class SimilaritySpec extends SparkSpec {
 
   test("pqTopK with refine covering the corpus equals brute force exactly") {
     val idx = Similarity.pqIndex(emb, "vec_id", "embedding", dim = 4, m = 2,
-      k = 2, trainMod = 1)
+      k = 2)
     try {
       val pq = Similarity.pqTopK(idx, emb, "vec_id", "embedding",
         queryId = 0L, k = 3, refine = 10)
@@ -45,7 +45,7 @@ class SimilaritySpec extends SparkSpec {
 
   test("PQ index round-trips through parquet and probes identically") {
     val idx = Similarity.pqIndex(emb, "vec_id", "embedding", dim = 4, m = 2,
-      k = 2, trainMod = 1)
+      k = 2)
     try {
       val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
       Similarity.savePqIndex(idx, dir)
@@ -63,10 +63,9 @@ class SimilaritySpec extends SparkSpec {
 
   test("pqTopK recall@20 vs brute force on real embeddings ≥ 0.9") {
     val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    // trainMod=1: at this 500-vector scale the corpus IS a codebook-sized
-    // training sample (the 1/trainMod sampling matters at corpus scale).
-    val idx = Similarity.pqIndex(real, "vec_id", "embedding", dim = 64,
-      trainMod = 1)
+    // Default maxTrain (100k) covers this 500-vector corpus entirely —
+    // the absolute-size bound matters at corpus scale, not here.
+    val idx = Similarity.pqIndex(real, "vec_id", "embedding", dim = 64)
     try {
       val exact = Similarity.cosineTopK(real, "vec_id", "embedding", 0L, 20)
         .select("vec_id").as[Long].collect().toSet
@@ -76,5 +75,23 @@ class SimilaritySpec extends SparkSpec {
       val recall = (exact & pq).size.toDouble / exact.size
       assert(recall >= 0.9, s"PQ recall@20 = $recall")
     } finally idx.release()
+  }
+
+  test("pqIndex training sample is bounded by maxTrain and deterministic") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // maxTrain far below the corpus size: the codebooks must still train
+    // (on exactly maxTrain hash-ordered vectors) and two builds must agree
+    // bit-for-bit — the sample is a pure function of ids, not partitioning.
+    val a = Similarity.pqIndex(real, "vec_id", "embedding", dim = 64,
+      maxTrain = 50)
+    val b = Similarity.pqIndex(
+      real.repartition(7), "vec_id", "embedding", dim = 64, maxTrain = 50)
+    try {
+      assert(a.codebooks.map(_.map(_.toSeq).toSeq).toSeq ===
+        b.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+      val probe = Similarity.pqTopK(a, real, "vec_id", "embedding",
+        queryId = 0L, k = 5, refine = 50)
+      assert(probe.count() === 5L)
+    } finally { a.release(); b.release() }
   }
 }
