@@ -32,8 +32,16 @@ object Popularity {
     val rf = new RandomForestRegressor()
       .setFeaturesCol("graft_features").setLabelCol(target)
       .setNumTrees(numTrees).setSeed(seed)
+    // Multi-parameter search space mirroring the reference's BayesSearchCV
+    // breadth (ml_training_dag.py:79-98 tunes n_estimators / max_depth /
+    // min_samples_leaf over 3-fold CV): ensemble size, tree depth, and the
+    // leaf-size regularizer. 2x2x2 points x folds fits run as concurrent
+    // Spark jobs under the parallelism cap below — the grid is a search
+    // space, not a driver loop.
     val grid = new ParamGridBuilder()
+      .addGrid(rf.numTrees, Array(numTrees, numTrees * 2))
       .addGrid(rf.maxDepth, Array(4, 6))
+      .addGrid(rf.minInstancesPerNode, Array(1, 4))
       .build()
     val evaluator = new RegressionEvaluator()
       .setLabelCol(target).setPredictionCol("prediction").setMetricName("rmse")

@@ -335,13 +335,28 @@ object Dedup {
     * scale: the self-join shuffles on the block key, never all-pairs, and
     * the O(|a|·|b|) levenshtein only runs inside blocks. Both engines
     * implement the same case-sensitive Levenshtein, so the result is
-    * oracle-exact. */
+    * oracle-exact on the surviving blocks.
+    *
+    * Skew bound: first-token blocks are Zipfian in real name data ("The
+    * …"), and in-block pairing is O(block²) — so blocks larger than
+    * `maxBlock` are DROPPED before the join (the same drop-before-join
+    * discipline as [[pairShingleStats]]' maxDf cap for hot shingles):
+    * per-block fan-out is ≤ maxBlock², and a hot block can never melt one
+    * reducer. A production pipeline routes dropped hot blocks to a finer
+    * blocking key; here they are simply excluded, which the planted
+    * hot-block DedupSpec case pins down. */
   def fuzzyNameMatch(df: DataFrame, idCol: String, nameCol: String,
-                     maxDist: Int): DataFrame = {
+                     maxDist: Int, maxBlock: Long = 1000L): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(nameCol).as("name"),
       split(col(nameCol), " ").getItem(0).as("blk"))
-    val a = base.toDF("id1", "name1", "blk")
-    val b = base.toDF("id2", "name2", "blk")
+    // Block sizes are a tiny (distinct first tokens) aggregate; the cap
+    // filter BROADCASTS back onto both join sides, so oversized blocks
+    // never enter the shuffle at all.
+    val okBlocks = base.groupBy("blk").agg(count(lit(1)).as("graft_bn"))
+      .filter(col("graft_bn") <= maxBlock).select("blk")
+    val capped = base.join(broadcast(okBlocks), Seq("blk"))
+    val a = capped.toDF("blk", "id1", "name1")
+    val b = capped.toDF("blk", "id2", "name2")
     a.join(b, Seq("blk")).filter(col("id1") < col("id2"))
       .withColumn("dist", levenshtein(col("name1"), col("name2")))
       .filter(col("dist") <= maxDist)

@@ -67,6 +67,24 @@ class DedupSpec extends SparkSpec {
     assert(got === Set((1L, 2L, 1L), (5L, 6L, 1L)), s"unexpected pairs: $got")
   }
 
+  test("fuzzyNameMatch drops blocks over maxBlock; benign links unchanged") {
+    // A planted Zipfian hot block ("the ..." x 50) next to a benign pair:
+    // with maxBlock=10 the hot block is excluded BEFORE the self-join
+    // (fan-out stays <= maxBlock^2 per block), the benign link survives.
+    val hot = (100L until 150L).map(i => (i, s"the shop number $i"))
+    val catalog = (hot ++ Seq((1L, "acme corp"), (2L, "acme corq")))
+      .toDF("id", "name")
+    val capped = Dedup.fuzzyNameMatch(catalog, "id", "name",
+      maxDist = 2, maxBlock = 10L)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(capped === Set((1L, 2L)), s"hot block leaked: $capped")
+    // Uncapped control: the hot block DOES produce in-block pairs, so the
+    // cap is what removed them (not the distance filter).
+    val uncapped = Dedup.fuzzyNameMatch(catalog, "id", "name",
+      maxDist = 2, maxBlock = 1000L)
+    assert(uncapped.count() > 1L)
+  }
+
   test("minhash LSH finds the same near-dup pairs") {
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
       n = 3, bands = 8, rowsPerBand = 4, minAgree = 0.3)
