@@ -35,6 +35,17 @@ object GraftSession {
     .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.extensions", "graft.GraftExtensions")
+    // Streaming state lives OFF-HEAP in RocksDB: the stateful operators
+    // here key state by entity/user (EventCharts.streaks,
+    // mapGroupsWithState), whose cardinality at 100 TB is unbounded — the
+    // default in-heap HDFSBackedStateStore OOMs an executor long before
+    // the data does. Changelog checkpointing uploads per-batch deltas
+    // instead of full SST snapshots, keeping commit latency flat as state
+    // grows.
+    .config("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
 
   def builder(appName: String = "graft"): SparkSession.Builder =
     tune(SparkSession.builder().appName(appName))

@@ -21,5 +21,10 @@ class GraftSessionSpec extends SparkSpec {
     // context and reading back the session conf covers the apply path.
     val s = b.master("local[2]").getOrCreate()
     assert(s.conf.get("spark.sql.adaptive.coalescePartitions.enabled") === "true")
+    assert(s.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .endsWith("RocksDBStateStoreProvider"))
+    assert(s.conf.get(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+      === "true")
   }
 }

@@ -81,4 +81,31 @@ class EventChartsSpec extends SparkSpec {
       .map(s => s.weekNum -> s.streak).toMap
     assert(got == Map(100L -> 1, 101L -> 2, 103L -> 1))
   }
+
+  test("stateful streaks run identically on the RocksDB state store") {
+    // The GraftSession.tune posture: per-entity state at 100 TB cardinality
+    // must live off-heap. Same streaks pipeline, RocksDB provider — same
+    // answers, and the progress metrics prove RocksDB actually held state.
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[WeeklyScore]
+      val q = streaks(stream.toDS()).writeStream.format("memory")
+        .queryName("streaks_rocks").outputMode(OutputMode.Append()).start()
+      try {
+        stream.addData(WeeklyScore(7L, 100L, 1.0)); q.processAllAvailable()
+        stream.addData(WeeklyScore(7L, 101L, 1.0)); q.processAllAvailable()
+        stream.addData(WeeklyScore(7L, 103L, 1.0)); q.processAllAvailable()
+        val metrics = q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
+          .flatMap(_.customMetrics.keySet().toArray[AnyRef](Array.empty[AnyRef]))
+        assert(metrics.exists(_.toString.startsWith("rocksdb")),
+          s"expected rocksdb state metrics, got: $metrics")
+      } finally q.stop()
+      val got = spark.table("streaks_rocks").as[Streak].collect()
+        .map(s => s.weekNum -> s.streak).toMap
+      assert(got == Map(100L -> 1, 101L -> 2, 103L -> 1))
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
