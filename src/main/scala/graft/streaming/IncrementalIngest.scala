@@ -11,39 +11,60 @@ import org.apache.spark.util.sketch.BloomFilter
   *
   * Each micro-batch is deduplicated within itself and against the
   * accumulated store via the bloom-prefiltered path
-  * ([[Dedup.incrementalRowsBloom]]): the filter is built from the store's
-  * fingerprint column ONCE per query (re)start, then kept current by
-  * merging each batch's survivor fingerprints — so the only store-wide
-  * scan happens at startup, and per-batch cost tracks the batch size plus
-  * the maybe-duplicate sliver, never the corpus. Survivor rows (all input
-  * columns + `fp`) append to the store. foreachBatch gives the
-  * batch-engine plan (broadcast/anti-join, AQE) inside the stream, and the
-  * checkpoint makes the append restart-safe.
+  * ([[Dedup.incrementalRowsBloom]]): the filter is built once per query
+  * (re)start, then kept current by merging each batch's survivor
+  * fingerprints. The anti-join's build side is a dedicated fp side table
+  * BUCKETED on `fp` ([[fpTableFor]]) — the layout BucketingSpec proves —
+  * so the per-batch plan has exactly ONE Exchange: the maybe-duplicate
+  * sliver hashing into the store's buckets. The store's fingerprints are
+  * scanned as a single narrow bucketed column read, never shuffled, and
+  * the full-width store is only ever read once per (re)start (the side
+  * table + bloom rebuild); per-batch join cost tracks the batch size plus
+  * the sliver. foreachBatch gives the batch-engine plan (broadcast/
+  * anti-join, AQE) inside the stream, and the checkpoint makes the append
+  * restart-safe.
   *
   * Exactly-once by construction: a replayed batch (restart after a partial
   * append) re-arrives with fingerprints that are already in the store for
   * every row whose file landed, so the anti-join drops exactly the
-  * already-written rows and appends only the missing ones. The same
-  * argument makes the store exact even under an at-least-once source that
-  * re-delivers whole files.
+  * already-written rows and appends only the missing ones. The fp side
+  * table is rebuilt FROM the store at every (re)start, so a crash between
+  * the store append and the side-table append can never lose or duplicate
+  * a fingerprint across restarts. The same argument makes the store exact
+  * even under an at-least-once source that re-delivers whole files.
   */
 object IncrementalIngest {
+
+  /** Catalog name of the bucketed fp side table maintained for a store
+    * path (a pure function of the path, so restarts find it again). */
+  def fpTableFor(storePath: String): String =
+    "graft_fp_" + (storePath.hashCode.toLong & 0xffffffffL).toString
+
+  private def writeFps(fps: DataFrame, table: String, buckets: Int,
+                       mode: String): Unit =
+    fps.write.mode(mode).bucketBy(buckets, "fp").sortBy("fp")
+      .saveAsTable(table)
 
   /** @param onBatch optional driver-side metrics hook called after each
     *   micro-batch commit with (batchId, keptRows) — the dedup RATE signal
     *   an ingest dashboard tracks. Input-row counts per trigger come free
     *   through `Dataset.observe` and surface in every
-    *   `StreamingQueryProgress.observedMetrics("graft_ingest")`. */
+    *   `StreamingQueryProgress.observedMetrics("graft_ingest")`.
+    * @param fpBuckets bucket count of the fp side table; size so one
+    *   bucket's fingerprints sort-merge comfortably (store rows / buckets
+    *   ≲ tens of millions — fp rows are ~50 B). */
   def start(docs: DataFrame, idCol: String, textCol: String,
             storePath: String, checkpoint: String,
             expectedItems: Long = 1000000L, fpp: Double = 0.01,
-            onBatch: (Long, Long) => Unit = (_, _) => ()): StreamingQuery = {
+            onBatch: (Long, Long) => Unit = (_, _) => (),
+            fpBuckets: Int = 8): StreamingQuery = {
     // Driver-held filter, alive for this query's lifetime. None until the
-    // first batch; a restart starts from None and rebuilds from the store,
-    // so the filter can never miss a stored fingerprint (false negatives
-    // are impossible; false positives only route a few extra rows through
-    // the anti-join).
+    // first batch; a restart starts from None and rebuilds filter + side
+    // table from the store, so neither can ever miss a stored fingerprint
+    // (false negatives are impossible; false positives only route a few
+    // extra rows through the anti-join).
     var bloom: Option[BloomFilter] = None
+    val fpTable = fpTableFor(storePath)
     docs
       .observe("graft_ingest",
         org.apache.spark.sql.functions.count(
@@ -54,25 +75,31 @@ object IncrementalIngest {
         val spark = batch.sparkSession
         val store = new org.apache.hadoop.fs.Path(storePath)
         val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val exists = fs.exists(store)
-        val known =
-          if (exists) spark.read.parquet(storePath).select("fp")
-          else spark.emptyDataFrame.withColumn("fp",
-            org.apache.spark.sql.functions.lit(null).cast("string"))
         val filter = bloom.getOrElse {
-          if (exists) Dedup.fpBloom(known, expectedItems, fpp)
-          else BloomFilter.create(expectedItems, fpp)
+          // Once per query (re)start: reconcile the bucketed fp side table
+          // from the store (the single full-store read of this process
+          // lifetime) and build the bloom from the rebuilt table.
+          val fps =
+            if (fs.exists(store)) spark.read.parquet(storePath).select("fp")
+            else spark.range(0).select(
+              org.apache.spark.sql.functions.lit(null).cast("string").as("fp"))
+          writeFps(fps, fpTable, fpBuckets, mode = "overwrite")
+          Dedup.fpBloom(spark.table(fpTable), expectedItems, fpp)
         }
-        val out = Dedup.incrementalRowsBloom(batch, idCol, textCol, known, filter)
+        val out = Dedup.incrementalRowsBloom(batch, idCol, textCol,
+          spark.table(fpTable), filter)
         out.write.mode("append").parquet(storePath)
-        // Fold the just-appended fingerprints into the filter (same
-        // create parameters → mergeable): one batch-sized aggregation over
-        // the already-materialized survivors, no store re-scan. Skipped
-        // when every row was a duplicate (stat.bloomFilter NPEs on empty).
-        if (!out.isEmpty)
+        if (!out.isEmpty) {
+          // Keep the side table and the filter current with the survivors
+          // just appended: one batch-sized bucketed write + one batch-sized
+          // aggregation (same bloom create parameters → mergeable) — no
+          // store re-scan. Skipped when every row was a duplicate
+          // (stat.bloomFilter NPEs on empty).
+          writeFps(out.select("fp"), fpTable, fpBuckets, mode = "append")
           filter.mergeInPlace(
             out.select(xxhash64(org.apache.spark.sql.functions.col("fp"))
               .as("graft_h")).stat.bloomFilter("graft_h", expectedItems, fpp))
+        }
         bloom = Some(filter)
         onBatch(batchId, out.count()) // count over the checkpointed artifact
         ()

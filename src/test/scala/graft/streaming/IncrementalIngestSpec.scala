@@ -26,6 +26,29 @@ class IncrementalIngestSpec extends SparkSpec {
     } finally q.stop()
     val kept = spark.read.parquet(store).select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 4L))
+
+    // The fp side table the per-batch anti-join builds against: bucketed
+    // on fp (the BucketingSpec layout, now IN the pipeline) and in sync
+    // with the store.
+    val tbl = IncrementalIngest.fpTableFor(store)
+    val desc = spark.sql(s"DESCRIBE EXTENDED $tbl").collect().mkString("\n")
+    assert(desc.contains("Num Buckets") && desc.contains("fp"), desc)
+    assert(spark.table(tbl).select("fp").as[String].collect().sorted.toSeq ===
+      spark.read.parquet(store).select("fp").as[String].collect().sorted.toSeq)
+
+    // Per-batch anti-join plan shape: with broadcast off (the 100 TB
+    // regime — a corpus fp table never broadcasts), the join the ingest
+    // runs against the side table has exactly ONE Exchange: the
+    // maybe-dup sliver hashing into the store's buckets. The store side
+    // reads its buckets with no shuffle.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val sliver = Seq("aaa", "bbb").toDF("fp")
+      val plan = sliver.join(spark.table(tbl), Seq("fp"), "left_anti")
+        .queryExecution.executedPlan.toString
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(shuffles === 1, s"expected one shuffle (sliver side only):\n$plan")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
   test("ingest surfaces per-batch metrics: observed input rows + kept-rows hook") {
