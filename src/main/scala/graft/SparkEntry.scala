@@ -106,14 +106,31 @@ object SparkEntry {
     "q19_dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d), "doc_id", "text")),
 
+    // Incremental dedup against a BUCKETED fp store — the IncrementalIngest
+    // layout as an oracle-checked batch query: the "already ingested" third
+    // of the corpus (doc_id % 3 == 0) persists its distinct fingerprints
+    // bucketed on fp; the remaining docs arrive as a batch, dedup within
+    // themselves, and anti-join the store. The store side reads its
+    // buckets with NO shuffle (bucket count == shuffle partitions, so the
+    // batch side's window exchange serves the join too — PlanAuditSpec
+    // asserts the single-Exchange shape); the RESULT is pure relational
+    // algebra, so DuckDB replays it exactly.
+    "q81_incremental_dedup" -> ((s, d) =>
+      Dedup.incrementalExact(
+        Tables.documents(s, d).filter(pmod(col("doc_id"), lit(3)) =!= 0),
+        "doc_id", "text", s.table(fpStoreTable(s, d)))
+        .select("doc_id", "fp")),
+
     "q20_ngram_jaccard" -> ((s, d) => jaccardPairs(s, d)),
 
     // The df-capped exact path — the production skew bound at corpus scale
     // (a boilerplate shingle shared by 1% of 10⁹ docs would alone fan out
     // ~10¹⁴ candidate pairs; the cap bounds every shingle's fan-out at
-    // maxDf²). Rows-only: its recall story vs the uncapped oracle is held
-    // by DedupSpec's planted-boilerplate case; this entry measures the
-    // capped path's cost in the bench sweep.
+    // maxDf²). Oracle-EXACT: intersections count only sub-maxDf shingles
+    // while set sizes stay uncapped, and the DuckDB oracle replays exactly
+    // that (capped intersections, uncapped sizes) — see its HAVING clause.
+    // DedupSpec's planted-boilerplate case additionally pins the recall
+    // story vs the uncapped q20 path.
     "q64_jaccard_capped" -> ((s, d) =>
       Dedup.jaccardFromStats(
         Dedup.pairShingleStats(Tables.documents(s, d), "doc_id", "text", 3,
@@ -580,10 +597,33 @@ object SparkEntry {
   private def jaccardPairs(s: SparkSession, d: String): DataFrame =
     Dedup.jaccardFromStats(pairStats(s, d), minJaccard = 0.2)
 
+  /** Bucketed fp store backing q81, built once per (session, scale dir):
+    * distinct fingerprints of the corpus third with doc_id % 3 == 0,
+    * written `bucketBy(shuffle-partitions, fp)` so the incremental
+    * anti-join's store side scans its buckets without an Exchange — the
+    * exact layout [[graft.streaming.IncrementalIngest]] maintains
+    * continuously, here as a deterministic batch artifact the DuckDB
+    * oracle can replay. Returns the catalog table name. */
+  private val fpStoreCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def fpStoreTable(s: SparkSession, d: String): String =
+    fpStoreCache.getOrElseUpdate((s, d), {
+      val tbl = "graft_q81_store_" + (d.hashCode.toLong & 0xffffffffL).toString
+      val buckets = s.sessionState.conf.numShufflePartitions
+      Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+        .distinct()
+        .write.mode("overwrite").bucketBy(buckets, "fp").sortBy("fp")
+        .saveAsTable(tbl)
+      tbl
+    })
+
   /** Drop every memoized substrate (pair stats, RF fits) so their blocks
     * and models become collectable — drivers call this once their query
     * sweep is done. */
   def releaseCaches(): Unit = {
+    fpStoreCache.clear()
     pairStatsCache.clear()
     rfCache.clear()
     clusterCache.clear()
@@ -846,6 +886,19 @@ object SparkEntry {
                         PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
                         ORDER BY doc_id) AS rn
                FROM documents) WHERE rn = 1""",
+
+    "q81_incremental_dedup" ->
+      """WITH fps AS (
+           SELECT doc_id,
+                  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+           FROM documents),
+         store AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 3 = 0),
+         batch AS (
+           SELECT doc_id, fp,
+                  row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+           FROM fps WHERE doc_id % 3 <> 0)
+         SELECT doc_id, fp FROM batch
+         WHERE rn = 1 AND fp NOT IN (SELECT fp FROM store)""",
 
     "q20_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id,

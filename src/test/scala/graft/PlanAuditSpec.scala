@@ -20,4 +20,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"queries with CartesianProduct plans: ${offenders.mkString(", ")}")
   }
+
+  test("q81's anti-join plans one Exchange: the store side reads bucketed") {
+    // Force the 100 TB join regime (a corpus fp store never broadcasts):
+    // the batch side's window exchange must be the ONLY shuffle — its
+    // hash partitioning (fp, shuffle-partitions) matches the store's
+    // bucket spec, so the anti-join adds none.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = SparkEntry.queries("q81_incremental_dedup")(
+        spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(shuffles === 1, s"expected one shuffle (batch window only):\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      SparkEntry.releaseCaches()
+    }
+  }
 }
