@@ -19,10 +19,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *    materializes only requested fields, in the requested order.
   *  - **Filter pushdown** (SupportsPushDownFilters): range predicates on
   *    `id` narrow the generated [lo, hi) window at PLANNING time — the
-  *    analog of partition pruning; every filter is also returned as
-  *    residual so Spark re-checks semantics (same contract parquet uses).
+  *    analog of partition pruning. id-range bounds are consumed EXACTLY
+  *    by the generator window (not returned as residual — which is what
+  *    makes the aggregate pushdown legal); only non-id predicates stay
+  *    residual for Spark to re-check.
   *  - **Partition parallelism**: the (narrowed) range splits into
   *    `slices` independent input partitions.
+  *  - **Limit / TopN pushdown** (SupportsPushDownLimit/TopN): `LIMIT n`
+  *    (and `ORDER BY id … LIMIT n`) shrink the window to its first (asc)
+  *    or last (desc) n indices at planning time — generation stops at n
+  *    rows instead of materializing the range and discarding it.
   *
   * The row function is pure modular arithmetic on the row index, so any
   * engine reproduces it exactly (the q71 oracle regenerates it in DuckDB
@@ -69,8 +75,9 @@ private[sources] class RangeTable(rows: Long, users: Long, slices: Int)
 private[sources] class RangeScanBuilder(rows: Long, users: Long, slices: Int)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
-  import org.apache.spark.sql.connector.expressions.NamedReference
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
+  import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder}
   import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 
   private var lo = 0L
@@ -102,6 +109,41 @@ private[sources] class RangeScanBuilder(rows: Long, users: Long, slices: Int)
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** LIMIT n stops generation at PLANNING time: the window shrinks to its
+    * first n indices. Spark only pushes a limit when every filter was
+    * consumed, but guard anyway (a residual filter would make the cut
+    * semantically wrong); the aggregate path answers from bounds and
+    * needs no limit. isPartiallyPushed stays true (the default), so Spark
+    * re-applies the limit above the scan — free on ≤n rows, and it keeps
+    * the contract local. */
+  // Both pushdown traits default this to true; Scala requires one explicit
+  // override when two defaults collide. Keeping it true means Spark
+  // re-applies limit/sort above the ≤n-row scan — local, and free.
+  override def isPartiallyPushed(): Boolean = true
+
+  private def saturatingEnd(n: Int): Long =
+    if (Long.MaxValue - lo < n.toLong) Long.MaxValue else lo + n
+  override def pushLimit(limit: Int): Boolean =
+    if (aggFuncs.isDefined || residual.nonEmpty || limit < 0) false
+    else { hi = math.min(hi, saturatingEnd(limit)); true }
+
+  /** ORDER BY id LIMIT n — TopN pushdown: ascending keeps the window's
+    * FIRST n indices, descending its LAST n. Only the id ordering maps to
+    * the generator's index order; any other sort column stays in Spark. */
+  override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean = {
+    val byId = orders.length == 1 && (orders(0).expression() match {
+      case nr: NamedReference => nr.fieldNames.sameElements(Array("id"))
+      case _ => false
+    })
+    if (!byId || aggFuncs.isDefined || residual.nonEmpty || limit < 0) false
+    else {
+      if (orders(0).direction() == SortDirection.ASCENDING)
+        hi = math.min(hi, saturatingEnd(limit))
+      else lo = math.max(lo, if (hi - lo > limit) hi - limit else lo)
+      true
+    }
+  }
 
   /** COUNT(*) / MIN(id) / MAX(id) over the narrowed window are closed-form
     * at PLANNING time (the window is [lo, hi)) — the scan answers them in

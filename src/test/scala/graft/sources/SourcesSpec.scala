@@ -77,6 +77,40 @@ class SourcesSpec extends SparkSpec {
     assert(fallback.as[Long].head() === 2L) // ids 0 and 5 are "view"
   }
 
+  test("RangeSource pushes limit and TopN into the generator window") {
+    def load() = spark.read.format("graft.sources.RangeSource")
+      .option("rows", "100000").option("users", "10").option("slices", "4").load()
+    def scanDesc(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.get.scan.description()
+    // Plain LIMIT: generation stops at n rows at PLANNING time.
+    val limited = load().limit(5)
+    assert(scanDesc(limited).contains("hi=5"), scanDesc(limited))
+    assert(limited.as[(Long, Long, String, Double)].collect().map(_._1).toSeq
+      === (0L until 5L).toSeq)
+    // Composes with filter pushdown: the window narrows first, then cuts.
+    val both = load().filter(col("id") >= 1000L).limit(10)
+    assert(scanDesc(both).contains("lo=1000") && scanDesc(both).contains("hi=1010"),
+      scanDesc(both))
+    assert(both.count() === 10)
+    // TopN desc on id: the window keeps its LAST n indices.
+    val topDesc = load().orderBy(col("id").desc).limit(3)
+    assert(scanDesc(topDesc).contains("lo=99997"), scanDesc(topDesc))
+    assert(topDesc.select("id").as[Long].collect().toSeq
+      === Seq(99999L, 99998L, 99997L))
+    // TopN asc keeps the FIRST n.
+    val topAsc = load().orderBy(col("id").asc).limit(3)
+    assert(scanDesc(topAsc).contains("hi=3"), scanDesc(topAsc))
+    assert(topAsc.select("id").as[Long].collect().toSeq === Seq(0L, 1L, 2L))
+    // A residual (non-id) filter blocks the cut — the limit stays above a
+    // real scan and the answer is unchanged.
+    val residual = load().filter(col("etype") === "view").limit(4)
+    assert(scanDesc(residual).contains("hi=100000"), scanDesc(residual))
+    assert(residual.select("id").as[Long].collect().forall(_ % 5 == 0))
+    assert(residual.count() === 4)
+  }
+
   test("RangeSource streams as a micro-batch source with the same rows") {
     val q = spark.readStream.format("graft.sources.RangeSource")
       .option("rows", "500").option("users", "10").option("slices", "4").load()
