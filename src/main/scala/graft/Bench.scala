@@ -35,10 +35,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    // Compact totals-only record LAST: harvesters that tail-capture output
-    // always see a complete parseable line even when the per-query map
-    // above outgrows their capture window.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    // Compact totals-only record LAST, under a DISTINCT metric name so a
+    // harvester that sums or filters by metric can never double-count the
+    // sweep total: harvesters that tail-capture output always see a
+    // complete parseable line even when the per-query map above outgrows
+    // their capture window.
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     SparkEntry.releaseCaches()
     spark.stop()
   }
