@@ -575,6 +575,36 @@ object SparkEntry {
       Skew.saltedTopK(li, "l_extendedprice", "row_id", 20, 8)
         .select("row_id", "l_extendedprice")
     }),
+
+    // Engine-portable MinHash+LSH (md5 min-wise hashing): unlike q21's
+    // crc32-native sketch, the whole pipeline — signatures, banding,
+    // candidates, verification — replays in DuckDB, so the LSH family
+    // gets a hash-exact oracle. 8 bands × 2 rows = 16 hashes, est ≥ 0.5.
+    "q82_minhash_portable" -> ((s, d) =>
+      Dedup.minhashPairsPortable(Tables.documents(s, d), "doc_id", "text",
+        n = 3, bands = 8, rowsPerBand = 2, minAgree = 0.5)),
+
+    // Engine-portable 32-bit SimHash (md5 nibble votes, bit-string
+    // fingerprint): votes, block banding, and hamming verification all
+    // replay in DuckDB — the SimHash twin of q82's oracle-exact contract.
+    "q83_simhash_portable" -> ((s, d) =>
+      Dedup.simhashPairsPortable(Tables.documents(s, d), "doc_id", "text",
+        n = 3, maxHamming = 6)),
+
+    // Exact-sum Pearson correlation matrix over the lineitem measures:
+    // integer-quantized values, decimal(38,0) sums (order-independent,
+    // exact), correlation assembled in double from the exact sums — so
+    // the 6-pair matrix is bit-identical across engines.
+    "q84_feature_corr" -> ((s, d) =>
+      Analytics.corrMatrix(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
+    // Batched exact ANN: ten query vectors answered in ONE corpus scan
+    // (broadcast query set + per-query row_number window) — the realistic
+    // many-probes retrieval shape, scored identically to q23.
+    "q85_ann_batch" -> ((s, d) =>
+      Similarity.cosineTopKBatch(Tables.embeddings(s, d), "vec_id",
+        "embedding", queryIds = (0L until 10L), k = 5)),
   )
 
   /** Events with the shared-grain µs timestamp column (see q38-q40 note). */
@@ -610,6 +640,9 @@ object SparkEntry {
     fpStoreCache.getOrElseUpdate((s, d), {
       val tbl = "graft_q81_store_" + (d.hashCode.toLong & 0xffffffffL).toString
       val buckets = s.sessionState.conf.numShufflePartitions
+      // A previous JVM's warehouse dir would make the CREATE path of
+      // saveAsTable fail (fresh in-memory catalog + surviving location).
+      operators.Etl.resetManagedTable(s, tbl)
       Tables.documents(s, d)
         .filter(pmod(col("doc_id"), lit(3)) === 0)
         .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
@@ -1541,5 +1574,126 @@ object SparkEntry {
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment, o_orderpriority""",
+
+    // Full MinHash+LSH replay: same shingles as q20, sig[s] = min md5
+    // hex over "s:<shingle>", 8 bands × 2 rows, candidate pairs from
+    // band-bucket equality, verified agreement ≥ 0.5 of 16 positions.
+    "q82_minhash_portable" ->
+      """WITH t AS (SELECT doc_id,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                       toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+                FROM (SELECT doc_id, toks,
+                             unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i
+                      FROM t)),
+         mh AS (SELECT doc_id, s, min(md5(s::VARCHAR || ':' || g)) AS h
+                FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS s) seeds
+                GROUP BY doc_id, s),
+         sig AS (SELECT doc_id, list(h ORDER BY s) AS sig FROM mh GROUP BY doc_id),
+         band AS (SELECT doc_id, b, sig[2*b+1] || '|' || sig[2*b+2] AS bk
+                  FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS b) bands),
+         cand AS (SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+                  FROM band a JOIN band c
+                    ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id),
+         agr AS (SELECT cand.id1, cand.id2,
+                        sum(CASE WHEN s1.sig[k+1] = s2.sig[k+1] THEN 1 ELSE 0 END) AS agree
+                 FROM cand JOIN sig s1 ON cand.id1 = s1.doc_id
+                           JOIN sig s2 ON cand.id2 = s2.doc_id
+                      CROSS JOIN (SELECT unnest(range(0, 16)) AS k) ks
+                 GROUP BY 1, 2)
+         SELECT id1, id2, round(agree / 16.0, 4) AS est_jaccard
+         FROM agr WHERE agree / 16.0 >= 0.5""",
+
+    // Full 32-bit SimHash replay: per-shingle md5, bit j = sign of the
+    // nibble-vote sum, fingerprint = 32-char bit string, 4 blocks of 8,
+    // hamming over candidate pairs ≤ 6.
+    "q83_simhash_portable" ->
+      """WITH t AS (SELECT doc_id,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                       toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+                FROM (SELECT doc_id, toks,
+                             unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i
+                      FROM t)),
+         hx AS (SELECT doc_id, md5(g) AS h FROM sh),
+         bits AS (SELECT doc_id, j,
+                         sum(2 * (((instr('0123456789abcdef',
+                                          substr(h, CAST(1 + j // 4 AS INTEGER), 1)) - 1)
+                                   >> CAST(3 - j % 4 AS INTEGER)) & 1) - 1) AS v
+                  FROM hx CROSS JOIN (SELECT unnest(range(0, 32)) AS j) js
+                  GROUP BY doc_id, j),
+         fp AS (SELECT doc_id,
+                       string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS fp
+                FROM bits GROUP BY doc_id),
+         band AS (SELECT doc_id, b, substr(fp, CAST(1 + 8*b AS INTEGER), 8) AS bk
+                  FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),
+         cand AS (SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+                  FROM band a JOIN band c
+                    ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id),
+         ham AS (SELECT cand.id1, cand.id2,
+                        sum(CASE WHEN substr(f1.fp, CAST(k+1 AS INTEGER), 1)
+                                  <> substr(f2.fp, CAST(k+1 AS INTEGER), 1)
+                                 THEN 1 ELSE 0 END) AS hamming
+                 FROM cand JOIN fp f1 ON cand.id1 = f1.doc_id
+                           JOIN fp f2 ON cand.id2 = f2.doc_id
+                      CROSS JOIN (SELECT unnest(range(0, 32)) AS k) ks
+                 GROUP BY 1, 2)
+         SELECT id1, id2, CAST(hamming AS BIGINT) AS hamming
+         FROM ham WHERE hamming <= 6""",
+
+    // Exact-sum Pearson: quantize to ints, exact decimal sums, assemble
+    // in double — the same formula the Spark side evaluates, term by term.
+    "q84_feature_corr" ->
+      """WITH z AS (SELECT CAST(floor(l_quantity*100 + 0.5) AS DECIMAL(38,0)) AS x0,
+                         CAST(floor(l_extendedprice*100 + 0.5) AS DECIMAL(38,0)) AS x1,
+                         CAST(floor(l_discount*100 + 0.5) AS DECIMAL(38,0)) AS x2,
+                         CAST(floor(l_tax*100 + 0.5) AS DECIMAL(38,0)) AS x3
+                  FROM lineitem),
+         s AS (SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+                      sum(x0) AS s0, sum(x0*x0) AS s00,
+                      sum(x1) AS s1, sum(x1*x1) AS s11,
+                      sum(x2) AS s2, sum(x2*x2) AS s22,
+                      sum(x3) AS s3, sum(x3*x3) AS s33,
+                      sum(x0*x1) AS s01, sum(x0*x2) AS s02, sum(x0*x3) AS s03,
+                      sum(x1*x2) AS s12, sum(x1*x3) AS s13, sum(x2*x3) AS s23
+               FROM z)
+         SELECT 'l_quantity' AS f1, 'l_extendedprice' AS f2,
+                round(CAST(n*s01 - s0*s1 AS DOUBLE) /
+                      (sqrt(CAST(n*s00 - s0*s0 AS DOUBLE)) * sqrt(CAST(n*s11 - s1*s1 AS DOUBLE))), 6) AS corr FROM s
+         UNION ALL SELECT 'l_quantity', 'l_discount',
+                round(CAST(n*s02 - s0*s2 AS DOUBLE) /
+                      (sqrt(CAST(n*s00 - s0*s0 AS DOUBLE)) * sqrt(CAST(n*s22 - s2*s2 AS DOUBLE))), 6) FROM s
+         UNION ALL SELECT 'l_quantity', 'l_tax',
+                round(CAST(n*s03 - s0*s3 AS DOUBLE) /
+                      (sqrt(CAST(n*s00 - s0*s0 AS DOUBLE)) * sqrt(CAST(n*s33 - s3*s3 AS DOUBLE))), 6) FROM s
+         UNION ALL SELECT 'l_extendedprice', 'l_discount',
+                round(CAST(n*s12 - s1*s2 AS DOUBLE) /
+                      (sqrt(CAST(n*s11 - s1*s1 AS DOUBLE)) * sqrt(CAST(n*s22 - s2*s2 AS DOUBLE))), 6) FROM s
+         UNION ALL SELECT 'l_extendedprice', 'l_tax',
+                round(CAST(n*s13 - s1*s3 AS DOUBLE) /
+                      (sqrt(CAST(n*s11 - s1*s1 AS DOUBLE)) * sqrt(CAST(n*s33 - s3*s3 AS DOUBLE))), 6) FROM s
+         UNION ALL SELECT 'l_discount', 'l_tax',
+                round(CAST(n*s23 - s2*s3 AS DOUBLE) /
+                      (sqrt(CAST(n*s22 - s2*s2 AS DOUBLE)) * sqrt(CAST(n*s33 - s3*s3 AS DOUBLE))), 6) FROM s""",
+
+    // Per-query replay of q23's exact scoring for ten query vectors.
+    "q85_ann_batch" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                  FROM embeddings WHERE vec_id < 10),
+         scored AS (SELECT q.query_id, e.vec_id,
+                           round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                                 / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                          CAST(e.embedding AS DOUBLE[])))
+                                    * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+                    FROM embeddings e CROSS JOIN q
+                    WHERE e.vec_id <> q.query_id)
+         SELECT query_id, vec_id, cos
+         FROM (SELECT query_id, vec_id, cos,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, vec_id) AS rn
+               FROM scored)
+         WHERE rn <= 5""",
   )
 }

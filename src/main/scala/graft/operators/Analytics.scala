@@ -228,6 +228,41 @@ object Analytics {
     probes.map(t => (t, cms.estimateCount(t))).toDF("term", "est_count")
   }
 
+  /** Pairwise Pearson correlation matrix over `cols`, computed from EXACT
+    * sums: each value is quantized to an integer via floor(x·100 + 0.5)
+    * (floor avoids round's HALF_UP/HALF_EVEN engine divergence) and summed
+    * as decimal(38,0) — exact, order-independent, overflow-free to ~1e38 —
+    * then the correlation is assembled in double from those exact sums, so
+    * the result is bit-identical on any engine replaying the same formula
+    * (DuckDB oracle q84). The built-in `corr()` can't promise that: its
+    * streaming-moment update accumulates fp error in a partition-order-
+    * dependent way. Plan: ONE map-side-partial aggregate over the fact
+    * table computing 1 + 2k + C(k,2) sums in a single pass (no joins, no
+    * melt, no per-pair scans), then a C(k,2)-row literal explode — the
+    * shuffle carries one row of sums regardless of table size. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "corrMatrix needs at least two columns")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val idx = cols.indices
+    val pairs = for (i <- idx; j <- idx if i < j) yield (i, j)
+    val z = cols.zipWithIndex.map { case (c, i) =>
+      floor(col(c) * 100 + lit(0.5)).cast(dec).as(s"x$i") }
+    val aggs = (count(lit(1)).cast(dec).as("n") +:
+      idx.flatMap { i => Seq(
+        sum(col(s"x$i")).as(s"s$i"),
+        sum(col(s"x$i") * col(s"x$i")).as(s"s$i$i")) }) ++
+      pairs.map { case (i, j) => sum(col(s"x$i") * col(s"x$j")).as(s"s$i$j") }
+    val s = df.select(z: _*).agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (i, j) =>
+      val num = (col("n") * col(s"s$i$j") - col(s"s$i") * col(s"s$j")).cast("double")
+      val di = sqrt((col("n") * col(s"s$i$i") - col(s"s$i") * col(s"s$i")).cast("double"))
+      val dj = sqrt((col("n") * col(s"s$j$j") - col(s"s$j") * col(s"s$j")).cast("double"))
+      struct(lit(cols(i)).as("f1"), lit(cols(j)).as("f2"),
+        round(num / (di * dj), 6).as("corr"))
+    }
+    s.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+  }
+
   /** Global top-k terms by document frequency-weighted count. Tokens are
     * materialized in their own projection before the generate (the regex
     * runs once per doc), and the explode→count is the canonical map-side

@@ -236,6 +236,108 @@ object Dedup {
     out
   }
 
+  /** Engine-portable MinHash + LSH: sig[i] is the lexicographic MIN of
+    * `md5("<i>:" ++ shingle)` hex digests over the doc's distinct word
+    * shingles — min-wise hashing over the md5 order, so the WHOLE pipeline
+    * (signatures, banding, candidate generation, verification) replays
+    * bit-for-bit in any engine with an md5 function: the DuckDB oracle
+    * (q82) re-runs it end-to-end in SQL, which promotes the LSH family
+    * from rows-only to hash-verified. [[minhashPairs]] (crc32-permutation
+    * native sketch) stays the throughput path; this is the cross-engine
+    * contract with the SAME plan shape — map-side signature projection,
+    * ONE (band, bucket) self-join for candidates (pair fan-out bounded by
+    * bucket size, not corpus size), signature-agreement verification.
+    * Cost note: md5 is evaluated numHashes× per shingle — the canonical
+    * MinHash cost model; with bands·rowsPerBand = 16 it benches within
+    * ~2× of the crc32 path at sf0.1. */
+  def minhashPairsPortable(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int, bands: Int, rowsPerBand: Int,
+                           minAgree: Double): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = docs
+      .select(col(idCol).as("id"), T.wordShinglesNative(col(textCol), n).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .select(col("id"), array((0 until numHashes).map { i =>
+        array_min(transform(col("shs"), g => md5(concat(lit(i + ":"), g))))
+      }: _*).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Band bucket key = the band's minhash values joined verbatim ('|' is
+    // not a hex char, so the key is collision-free) — the oracle can
+    // rebuild it with string concat; see minhashPairs for why one
+    // (band, bucket) join beats a join per band.
+    val banded = sig.select(col("id"), posexplode(array((0 until bands).map { b =>
+      concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+    }: _*)).as(Seq("band", "bk")))
+    val l = banded.toDF("id1", "band", "bk")
+    val r = banded.toDF("id2", "band", "bk")
+    val candidates = l.join(r, Seq("band", "bk"))
+      .filter(col("id1") < col("id2")).select("id1", "id2").distinct()
+    val s1 = sig.toDF("id1", "sig1")
+    val s2 = sig.toDF("id2", "sig2")
+    val agree = aggregate(
+      zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x)
+    // est_jaccard = k/numHashes with numHashes a power of two: exact in
+    // double, so the threshold filter and 4-dp round replay identically.
+    val out = candidates.join(s1, "id1").join(s2, "id2")
+      .withColumn("est_jaccard", round(agree.cast("double") / numHashes, 4))
+      .filter(agree.cast("double") / numHashes >= minAgree)
+      .select(col("id1"), col("id2"), col("est_jaccard"))
+      .localCheckpoint(true)
+    sig.unpersist()
+    out
+  }
+
+  /** Engine-portable 32-bit SimHash: per-shingle hash = md5 hex digest;
+    * fingerprint bit j is the SIGN of Σ over shingles of (2·bit_j − 1),
+    * where bit_j reads nibble j/4 of the digest. The fingerprint is a
+    * 32-char '0'/'1' string, so votes, banding, and hamming verification
+    * all replay in any engine with md5 + substr (DuckDB oracle q83).
+    * Fingerprint build is ONE NARROW projection: the md5 array is hoisted
+    * once per doc, then 32 aggregate-folds read nibbles out of it — no
+    * explode, no shuffle until the block-bucket candidate join (same
+    * one-shot (block, value) join as [[simhashPairs]]; pigeonhole with 4
+    * blocks: every pair with hamming ≤ 3 is guaranteed a matching block,
+    * detection beyond is probabilistic — and the oracle replays the same
+    * blocks, so the candidate sets agree exactly). */
+  def simhashPairsPortable(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int, maxHamming: Int): DataFrame = {
+    val blocks = 4
+    val width = 8 // 32 bit-chars / 4 blocks
+    val fpExpr = concat((0 until 32).map { j =>
+      val vote = aggregate(col("hs"), lit(0), (acc, h) =>
+        acc + (shiftright(conv(substring(h, 1 + j / 4, 1), 16, 10).cast("int"),
+          3 - j % 4).bitwiseAND(lit(1)) * 2 - 1))
+      when(vote > 0, "1").otherwise("0")
+    }: _*)
+    val fps = docs
+      .select(col(idCol).as("id"), T.wordShinglesNative(col(textCol), n).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .select(col("id"), transform(col("shs"), g => md5(g)).as("hs"))
+      .select(col("id"), fpExpr.as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val blocked = fps.select(col("id"), posexplode(array((0 until blocks).map { b =>
+      substring(col("fp"), 1 + width * b, width)
+    }: _*)).as(Seq("blk", "bk")))
+    val l = blocked.toDF("id1", "blk", "bk")
+    val r = blocked.toDF("id2", "blk", "bk")
+    val candidates = l.join(r, Seq("blk", "bk"))
+      .filter(col("id1") < col("id2")).select("id1", "id2").distinct()
+    val f1 = fps.toDF("id1", "fp1")
+    val f2 = fps.toDF("id2", "fp2")
+    val hamming = (0 until 32).map { k =>
+      when(substring(col("fp1"), k + 1, 1) =!= substring(col("fp2"), k + 1, 1), 1)
+        .otherwise(0)
+    }.reduce(_ + _)
+    val out = candidates.join(f1, "id1").join(f2, "id2")
+      .withColumn("hamming", hamming.cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming"))
+      .localCheckpoint(true)
+    fps.unpersist()
+    out
+  }
+
   /** Full-row variant of [[exact]]: keep every input column plus the
     * computed `fp` — the shape a continuous ingest appends to its store,
     * where downstream analytics need the payload columns, not just the

@@ -189,6 +189,38 @@ object Etl {
       .partitionBy(partitionCol)
       .parquet(path)
 
+  /** Globally range-clustered parquet layout: repartitionByRange on the
+    * cluster key + sortWithinPartitions, so every file owns a DISJOINT
+    * key range and file/row-group min-max statistics prune a point or
+    * range predicate down to ~one file of `nFiles` at planning time. This
+    * is the right layout when the scan key is high-cardinality (ids,
+    * timestamps) where [[writePartitioned]]'s directory-per-value would
+    * explode the listing; range boundaries come from Spark's built-in
+    * reservoir sample of the key, so skewed keys still split evenly.
+    * Secondary `sortCols` order rows within files for page-level skips. */
+  def writeRangeLayout(df: DataFrame, path: String, nFiles: Int,
+                       rangeCol: String, sortCols: String*): Unit =
+    df.repartitionByRange(nFiles, col(rangeCol))
+      .sortWithinPartitions((rangeCol +: sortCols).map(col): _*)
+      .write.mode("overwrite").parquet(path)
+
+  /** Make an overwrite-`saveAsTable` safe under a fresh in-memory catalog:
+    * after a JVM restart (no Hive metastore) the catalog forgets the
+    * table, so Spark treats the name as CREATE — and refuses because the
+    * default warehouse location still exists on disk. Drop the catalog
+    * entry if registered and delete an orphaned location so the rebuild
+    * always succeeds; callers rebuild the table's CONTENT from its source
+    * of truth anyway (the fp store / the corpus), so deleting the stale
+    * directory loses nothing. */
+  def resetManagedTable(spark: org.apache.spark.sql.SparkSession,
+                        table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
   /** Compact a small-file parquet directory into ~`targetBytes` output
     * files — the maintenance pass every continuously-appended store
     * (incremental ingest, streaming sinks) needs before small files

@@ -29,6 +29,30 @@ object Similarity {
       .select(col(idCol), col("cos"))
   }
 
+  /** Batched exact top-k: every query in `queryIds` gets its k nearest
+    * corpus rows in ONE corpus scan — the realistic retrieval shape
+    * (thousands of probes against one index) where looping [[cosineTopK]]
+    * would rescan the corpus per query. The query set broadcasts
+    * (O(|queries|·dim), an index-artifact size, never corpus-sized), the
+    * corpus side stays a narrow scan, and per-query ranking is one
+    * row_number window over (query, rounded score, id) — the only shuffle
+    * is on the query key, carrying corpus×|queries| scored pairs at most,
+    * which AQE splits on skew. Scoring is identical to [[cosineTopK]], so
+    * the DuckDB oracle (q85) replays it per query. */
+  def cosineTopKBatch(emb: DataFrame, idCol: String, vecCol: String,
+                      queryIds: Seq[Long], k: Int): DataFrame = {
+    val q = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("graft_qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col(idCol).asc)
+    emb.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("cos", round(V.cosine(col(vecCol), col("graft_qv")), 6))
+      .withColumn("graft_rn", row_number().over(w))
+      .filter(col("graft_rn") <= k)
+      .select(col("query_id"), col(idCol), col("cos"))
+  }
+
   /** Deterministic random-projection bucket id: sign bits of `nBits` fixed
     * pseudo-random hyperplanes. The "hyperplane" for bit j uses weights
     * w_ij = sin(i·(j+1)) — fixed, seedless, and computable identically on

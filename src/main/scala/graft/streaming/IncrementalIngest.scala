@@ -83,6 +83,11 @@ object IncrementalIngest {
             if (fs.exists(store)) spark.read.parquet(storePath).select("fp")
             else spark.range(0).select(
               org.apache.spark.sql.functions.lit(null).cast("string").as("fp"))
+          // After a JVM restart the in-memory catalog forgot the side
+          // table but its warehouse directory survives — clear it so the
+          // overwrite below is a CREATE that can't fail on the stale
+          // location (the content is rebuilt from the store right here).
+          graft.operators.Etl.resetManagedTable(spark, fpTable)
           writeFps(fps, fpTable, fpBuckets, mode = "overwrite")
           Dedup.fpBloom(spark.table(fpTable), expectedItems, fpp)
         }

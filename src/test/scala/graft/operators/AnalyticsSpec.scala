@@ -84,4 +84,30 @@ class AnalyticsSpec extends SparkSpec {
       .as[(String, Long)].collect().toList
     assert(out === List(("the", 3L), ("cat", 2L), ("dog", 1L)))
   }
+
+  test("corrMatrix: perfect linear, anti-linear, and self-consistent pairs") {
+    // b = 2a (r=+1), c = -a (r=-1); a-vs-d matches a hand-computed Pearson.
+    val df = Seq(
+      (1.0, 2.0, -1.0, 1.0),
+      (2.0, 4.0, -2.0, 3.0),
+      (3.0, 6.0, -3.0, 2.0),
+      (4.0, 8.0, -4.0, 5.0))
+      .toDF("a", "b", "c", "d")
+    val m = Analytics.corrMatrix(df, Seq("a", "b", "c", "d"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    assert(m(("a", "b")) === 1.0)
+    assert(m(("a", "c")) === -1.0)
+    assert(m(("b", "c")) === -1.0)
+    // quantization is ×100, so these exact decimals are preserved; compare
+    // against scala-side Pearson on the same values.
+    val xs = Seq(1.0, 2.0, 3.0, 4.0); val ds = Seq(1.0, 3.0, 2.0, 5.0)
+    val n = xs.size.toDouble
+    val (sx, sy) = (xs.sum, ds.sum)
+    val sxy = xs.zip(ds).map { case (x, y) => x * y }.sum
+    val sxx = xs.map(x => x * x).sum; val syy = ds.map(y => y * y).sum
+    val expected = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    assert(math.abs(m(("a", "d")) - expected) < 1e-6)
+    assert(m.size === 6)
+  }
 }

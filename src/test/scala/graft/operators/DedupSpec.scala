@@ -153,6 +153,46 @@ class DedupSpec extends SparkSpec {
     assert(kept.count() === 21)
   }
 
+  test("portable minhash flags near-dups, skips unrelated, est bounded") {
+    val pairs = Dedup.minhashPairsPortable(docs, "doc_id", "text",
+      n = 3, bands = 8, rowsPerBand = 2, minAgree = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // 1-2 are identical after normalization: every minhash agrees.
+    assert(pairs.get((1L, 2L)).contains(1.0))
+    // the near-dup pair is found; unrelated docs never pair with 1-3.
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L || p._2 == 5L))
+    assert(pairs.values.forall(v => v >= 0.5 && v <= 1.0))
+  }
+
+  test("portable simhash: identical docs at hamming 0, near-dups low, unrelated absent") {
+    // SimHash needs enough shingles that a single edit flips few bits —
+    // the 5-doc micro fixture's ~10-shingle docs flip a third of their
+    // shingle set per word change, so use paragraph-sized docs here
+    // (matching the real-corpus grain the q83 oracle runs at).
+    val base = (1 to 40).map(i => s"word$i token$i").mkString(" ")
+    val longDocs = Seq(
+      (1L, base),
+      (2L, base.toUpperCase), // identical after normalization
+      (3L, base.replace("word20 token20", "word20 edited20")), // one edit
+      (4L, (1 to 40).map(i => s"alien$i beta$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairsPortable(longDocs, "doc_id", "text",
+      n = 3, maxHamming = 6)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs.get((1L, 2L)).contains(0L))
+    assert(pairs.get((1L, 3L)).exists(h => h > 0L && h <= 6L))
+    assert(pairs.get((2L, 3L)) === pairs.get((1L, 3L)))
+    assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("portable minhash is deterministic across runs and re-partitioning") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashPairsPortable(df, "doc_id", "text", 3, 8, 2, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(run(docs) === run(docs.repartition(7)))
+  }
+
   test("embedding near-dup finds same-bucket close vectors only") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f), 0),

@@ -60,6 +60,31 @@ class EtlSpec extends SparkSpec {
     assert(ks.toSeq === ks.sorted.toSeq)
   }
 
+  test("writeRangeLayout: files own disjoint key ranges, rows sorted within") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_range").toString
+    val path = s"$dir/t"
+    val df = (1 to 1000).map(i => ((i * 37) % 1000L, s"v$i")).toDF("k", "v")
+    Etl.writeRangeLayout(df, path, nFiles = 4, rangeCol = "k")
+    val back = spark.read.parquet(path)
+    assert(back.count() === 1000)
+    // Per-file [min,max] ranges must not overlap — that's the pruning
+    // contract: a point predicate hits exactly one file's range.
+    val ranges = back
+      .groupBy(input_file_name().as("f"))
+      .agg(min("k").as("lo"), max("k").as("hi"))
+      .select("lo", "hi").as[(Long, Long)].collect().sortBy(_._1)
+    assert(ranges.length > 1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2)
+      case _ =>
+    }
+    // Row-group stats are monotone within each file: rows sorted by k.
+    val oneFile = ranges.head
+    val ks = back.filter(col("k").between(oneFile._1, oneFile._2))
+      .select("k").as[Long].collect()
+    assert(ks.toSeq === ks.sorted.toSeq)
+  }
+
   test("weeklyAgg groups by ISO week start") {
     val df = Seq(
       ("x", java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 1.0),

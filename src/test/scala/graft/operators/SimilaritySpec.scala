@@ -21,6 +21,19 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq(1L, 4L, 2L))
   }
 
+  test("cosineTopKBatch answers each query like per-query cosineTopK") {
+    val batch = Similarity.cosineTopKBatch(emb, "vec_id", "embedding",
+      queryIds = Seq(0L, 2L), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val grouped = batch.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    for (q <- Seq(0L, 2L)) {
+      val single = Similarity.cosineTopK(emb, "vec_id", "embedding", q, 3)
+        .as[(Long, Double)].collect().toSeq
+      assert(grouped(q) === single, s"query $q")
+    }
+    assert(batch.length === 6)
+  }
+
   test("annBucketTopK returns candidates from the query's bucket, ranked") {
     val got = Similarity.annBucketTopK(emb, "vec_id", "embedding",
       dim = 4, nBits = 2, queryId = 0L, k = 5)
