@@ -605,6 +605,24 @@ object SparkEntry {
     "q85_ann_batch" -> ((s, d) =>
       Similarity.cosineTopKBatch(Tables.embeddings(s, d), "vec_id",
         "embedding", queryIds = (0L until 10L), k = 5)),
+
+    // Robust per-type outliers: |value − median| > 3·MAD with exact
+    // percentiles — the monitoring screen whose threshold outliers can't
+    // poison. Group stats broadcast; rows never shuffle.
+    "q86_mad_outliers" -> ((s, d) =>
+      Analytics.madOutliers(Tables.events(s, d), "event_type", "event_id",
+        "value", k = 3.0)),
+
+    // First-order Markov transition counts over per-user event streams:
+    // one user-key window shuffle, O(|types|²) output.
+    "q87_transitions" -> ((s, d) =>
+      Sessions.transitionCounts(Tables.events(s, d), "user_id", "ts_t",
+        "event_id", "event_type")),
+
+    // Weekly cohort retention grid: cohort = first active ISO week per
+    // user, cells count distinct users at each week offset.
+    "q88_cohort_retention" -> ((s, d) =>
+      Analytics.cohortRetention(Tables.events(s, d), "user_id", "ts_t")),
   )
 
   /** Events with the shared-grain µs timestamp column (see q38-q40 note). */
@@ -1695,5 +1713,47 @@ object SparkEntry {
                                          ORDER BY cos DESC, vec_id) AS rn
                FROM scored)
          WHERE rn <= 5""",
+
+    // Median and MAD via quantile_cont (= Spark's exact percentile); the
+    // unrounded |x−med| > k·MAD filter replays identically because both
+    // engines compute the same doubles from the same exact percentiles.
+    "q86_mad_outliers" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                    FROM events GROUP BY 1),
+         mad AS (SELECT e.event_type,
+                        quantile_cont(abs(e.value - m.med), 0.5) AS mad
+                 FROM events e JOIN med m USING (event_type) GROUP BY 1)
+         SELECT e.event_id, e.event_type,
+                round(abs(e.value - m.med) / d.mad, 4) AS score
+         FROM events e JOIN med m USING (event_type)
+                       JOIN mad d USING (event_type)
+         WHERE d.mad > 0 AND abs(e.value - m.med) > 3 * d.mad""",
+
+    // µs-grain ordering with the event_id tiebreak (the q38-q40/q59
+    // convention) so the lag pairing is engine-independent.
+    "q87_transitions" ->
+      """WITH x AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+                  FROM events),
+         y AS (SELECT user_id, event_type,
+                      lag(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts_us, event_id) AS prev
+               FROM x)
+         SELECT prev AS from_type, event_type AS to_type,
+                CAST(count(*) AS BIGINT) AS n
+         FROM y WHERE prev IS NOT NULL GROUP BY 1, 2""",
+
+    // Monday-start weeks both sides; the day-diff is divisible by 7
+    // exactly, so the offset arithmetic is integer-exact.
+    "q88_cohort_retention" ->
+      """WITH f AS (SELECT user_id, min(date_trunc('week', ts)) AS cohort
+                  FROM events GROUP BY 1),
+         x AS (SELECT e.user_id, strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+                      CAST(datediff('day', CAST(f.cohort AS DATE),
+                                    CAST(date_trunc('week', e.ts) AS DATE)) / 7
+                           AS BIGINT) AS week_offset
+               FROM events e JOIN f USING (user_id))
+         SELECT cohort_week, week_offset,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS users
+         FROM x GROUP BY 1, 2""",
   )
 }

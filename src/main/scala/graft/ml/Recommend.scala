@@ -36,18 +36,21 @@ object Recommend {
     val weighted = new VectorAssembler()
       .setInputCols(Array("graft_scaled", "graft_weighted_group"))
       .setOutputCol("graft_features")
+    // Right-size fit parallelism to the item slice (same discipline as
+    // Popularity.train): KMeans makes init + maxIter full passes, and an
+    // item table of tens of thousands of rows inheriting 32 shuffle
+    // partitions pays 32 task launches per pass for few-hundred-row tasks.
+    val n = items.count()
+    val parts = math.max(8, math.min(64, (n / 25000L).toInt))
     // The indexer and scaler fits each scan the input; cache it once.
-    val cachedItems = items.cache()
+    val cachedItems = items.repartition(parts).cache()
     val prepped = new Pipeline().setStages(Array(indexer, assembler, scaler))
       .fit(cachedItems).transform(cachedItems)
       .withColumn("graft_weighted_group", col("graft_group_idx") * groupWeight)
     // KMeans.fit makes maxIter passes over the input; cache the assembled
     // vectors so each pass reads the cached block, not the whole pipeline.
     val withVec = weighted.transform(prepped).cache()
-    // Reference uses k = n/15 (recommendation.py:61); capped here because
-    // cluster count should grow with taxonomy, not corpus size. Counting
-    // the cached vectors doubles as their materialization pass.
-    val n = withVec.count()
+    withVec.count() // materialize before the multi-pass fit
     val k = math.max(2, math.min(maxK, (n / itemsPerCluster).toInt))
     val kmeans = new KMeans()
       .setK(k).setSeed(seed).setMaxIter(10)

@@ -228,6 +228,55 @@ object Analytics {
     probes.map(t => (t, cms.estimateCount(t))).toDF("term", "est_count")
   }
 
+  /** Robust per-group outliers: flag rows with |x − median| > k·MAD,
+    * median and MAD both EXACT interpolated percentiles — the monitoring
+    * screen that doesn't let outliers poison their own threshold (a
+    * stddev fence does: one 1000× spike inflates σ until nothing else
+    * trips). Plan: two grouped percentile passes produce O(groups)-row
+    * artifacts that broadcast back onto narrow scans — group stats move,
+    * rows never shuffle. Degenerate groups (MAD = 0, >50% identical
+    * values) flag nothing rather than everything-with-∞-score. */
+  def madOutliers(df: DataFrame, groupCol: String, idCol: String,
+                  valCol: String, k: Double): DataFrame = {
+    val med = df.groupBy(col(groupCol))
+      .agg(percentile(col(valCol), lit(0.5)).as("graft_med"))
+    val withMed = df.select(col(groupCol), col(idCol), col(valCol))
+      .join(broadcast(med), Seq(groupCol))
+    val mad = withMed.groupBy(col(groupCol))
+      .agg(percentile(abs(col(valCol) - col("graft_med")), lit(0.5))
+        .as("graft_mad"))
+    withMed.join(broadcast(mad), Seq(groupCol))
+      .filter(col("graft_mad") > 0 &&
+        abs(col(valCol) - col("graft_med")) > lit(k) * col("graft_mad"))
+      .select(col(idCol), col(groupCol),
+        round(abs(col(valCol) - col("graft_med")) / col("graft_mad"), 4)
+          .as("score"))
+  }
+
+  /** Weekly cohort retention: users cohort by the ISO week of their first
+    * event; each (cohort, week-offset) cell counts distinct users active
+    * that many weeks later — the canonical product-analytics retention
+    * grid. Plan: the first-week table is one aggregate on the user key;
+    * the events side joins it with a plain shuffle join (at corpus scale
+    * the user table is NOT broadcastable — both sides hash on the user
+    * key, which AQE converts to broadcast only when the cohort side
+    * actually fits), then one distinct-count aggregate over (cohort,
+    * offset, user). Two key shuffles total, each shrinking the data. */
+  def cohortRetention(events: DataFrame, userCol: String,
+                      tsCol: String): DataFrame = {
+    val wk = date_trunc("week", col(tsCol))
+    val firstWk = events.groupBy(col(userCol)).agg(min(wk).as("graft_cohort"))
+    events.select(col(userCol), wk.as("graft_wk"))
+      .join(firstWk, Seq(userCol))
+      .select(
+        date_format(col("graft_cohort"), "yyyy-MM-dd").as("cohort_week"),
+        (datediff(col("graft_wk"), col("graft_cohort")) / lit(7))
+          .cast("long").as("week_offset"),
+        col(userCol))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col(userCol)).as("users"))
+  }
+
   /** Pairwise Pearson correlation matrix over `cols`, computed from EXACT
     * sums: each value is quantized to an integer via floor(x·100 + 0.5)
     * (floor avoids round's HALF_UP/HALF_EVEN engine divergence) and summed

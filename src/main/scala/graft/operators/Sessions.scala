@@ -118,4 +118,23 @@ object Sessions {
       .groupBy(col("k").as("user_id"))
       .agg(count(lit(1)).as("n_pairs"))
   }
+
+  /** Event-type transition counts — the first-order Markov edge list over
+    * per-user event streams (the "what do users do next" building block
+    * for funnel mining and next-action models). ONE shuffle on the user
+    * key serves the ordering window; the bigram count is a map-side-
+    * combinable aggregate whose output is O(|types|²) rows regardless of
+    * corpus size. Ordering ties on the timestamp break by event id, so
+    * re-sharding never flips a transition. */
+  def transitionCounts(events: DataFrame, userCol: String, tsCol: String,
+                       idCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(userCol)
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    events
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol))
+      .withColumn("graft_prev", lag(col(typeCol), 1).over(w))
+      .filter(col("graft_prev").isNotNull)
+      .groupBy(col("graft_prev").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

@@ -85,6 +85,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(out === List(("the", 3L), ("cat", 2L), ("dog", 1L)))
   }
 
+  test("madOutliers flags only the spike; degenerate (MAD=0) group flags nothing") {
+    val df = (Seq.tabulate(20)(i => ("a", i.toLong, 100.0 + i)) :+
+      ("a", 99L, 10000.0)) ++ // spike
+      Seq.tabulate(10)(i => ("b", 200L + i, 5.0)) :+ // constant: MAD 0
+      ("b", 299L, 50.0)
+    val got = Analytics.madOutliers(df.toDF("g", "id", "v"), "g", "id", "v", 3.0)
+      .select("id").as[Long].collect().toSet
+    assert(got === Set(99L))
+  }
+
+  test("cohortRetention counts distinct users per cohort week and offset") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00")), // Monday wk0 cohort
+      (1L, ts("2024-01-09 10:00:00")), // wk1
+      (1L, ts("2024-01-10 11:00:00")), // wk1 again (distinct-counted once)
+      (2L, ts("2024-01-03 10:00:00")), // wk0 cohort
+      (3L, ts("2024-01-08 10:00:00"))) // cohorts in wk1
+      .toDF("user_id", "ts")
+    val got = Analytics.cohortRetention(events, "user_id", "ts")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("2024-01-01", 0L, 2L), // users 1,2 in their first week
+      ("2024-01-01", 1L, 1L), // user 1 retained
+      ("2024-01-08", 0L, 1L))) // user 3's own cohort
+  }
+
   test("corrMatrix: perfect linear, anti-linear, and self-consistent pairs") {
     // b = 2a (r=+1), c = -a (r=-1); a-vs-d matches a hand-computed Pearson.
     val df = Seq(

@@ -69,6 +69,25 @@ class SessionsSpec extends SparkSpec {
     assert(viaWindow === viaIslands)
   }
 
+  test("transitionCounts: bigrams per user in time order, id tiebreak") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (1L, ts("2024-01-01 10:01:00"), 2L, "click"),
+      (1L, ts("2024-01-01 10:02:00"), 3L, "purchase"),
+      // same-ts tie: id order decides view→click, not click→view
+      (2L, ts("2024-01-01 11:00:00"), 4L, "view"),
+      (2L, ts("2024-01-01 11:00:00"), 5L, "click"),
+      (3L, ts("2024-01-01 12:00:00"), 6L, "view")) // singleton: no bigram
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Sessions.transitionCounts(events, "user_id", "ts", "event_id",
+      "event_type").as[(String, String, Long)].collect().toSet
+    assert(got === Set(
+      ("view", "click", 2L),
+      ("click", "purchase", 1L)))
+  }
+
   test("binned range join matches the naive O(n²) pair count") {
     val rnd = new scala.util.Random(7)
     val ev = (1 to 200).map { i =>
