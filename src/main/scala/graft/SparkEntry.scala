@@ -623,6 +623,23 @@ object SparkEntry {
     // user, cells count distinct users at each week offset.
     "q88_cohort_retention" -> ((s, d) =>
       Analytics.cohortRetention(Tables.events(s, d), "user_id", "ts_t")),
+
+    // Data-quality audit: null/exact-distinct/min/max per measure in one
+    // aggregate pass (the approx HLL++ twin is spec'd for the 100 TB path).
+    "q89_profile" -> ((s, d) =>
+      Analytics.profileNumeric(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
+    // Winsorized per-source doc-length stats: clamp at exact p05/p95 then
+    // average — the robust location estimate for feature pipelines.
+    "q90_winsorized" -> ((s, d) =>
+      Analytics.winsorizedStats(Tables.documents(s, d), "source", "n_chars",
+        pLo = 0.05, pHi = 0.95)),
+
+    // Class-balance report with cumulative share (counts first, window
+    // only over the O(|labels|) aggregate).
+    "q91_label_balance" -> ((s, d) =>
+      Analytics.labelBalance(Tables.embeddings(s, d), "label")),
   )
 
   /** Events with the shared-grain µs timestamp column (see q38-q40 note). */
@@ -1755,5 +1772,51 @@ object SparkEntry {
          SELECT cohort_week, week_offset,
                 CAST(count(DISTINCT user_id) AS BIGINT) AS users
          FROM x GROUP BY 1, 2""",
+
+    // min/max surface as DOUBLE both sides (string-formatting a double
+    // differs between engines; the double value itself doesn't).
+    "q89_profile" ->
+      """SELECT 'l_quantity' AS "column",
+                CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+                CAST(min(l_quantity) AS DOUBLE) AS min_v,
+                CAST(max(l_quantity) AS DOUBLE) AS max_v FROM lineitem
+         UNION ALL SELECT 'l_extendedprice',
+                CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+                CAST(min(l_extendedprice) AS DOUBLE),
+                CAST(max(l_extendedprice) AS DOUBLE) FROM lineitem
+         UNION ALL SELECT 'l_discount',
+                CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(count(DISTINCT l_discount) AS BIGINT),
+                CAST(min(l_discount) AS DOUBLE),
+                CAST(max(l_discount) AS DOUBLE) FROM lineitem
+         UNION ALL SELECT 'l_tax',
+                CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(count(DISTINCT l_tax) AS BIGINT),
+                CAST(min(l_tax) AS DOUBLE),
+                CAST(max(l_tax) AS DOUBLE) FROM lineitem""",
+
+    // quantile_cont = Spark percentile (q47 parity); the clamp and the
+    // rounded mean replay on identical doubles.
+    "q90_winsorized" ->
+      """WITH b AS (SELECT source, quantile_cont(n_chars, 0.05) AS lo,
+                         quantile_cont(n_chars, 0.95) AS hi
+                  FROM documents GROUP BY 1)
+         SELECT source, CAST(count(*) AS BIGINT) AS n,
+                round(min(lo), 2) AS p_lo, round(min(hi), 2) AS p_hi,
+                round(sum(greatest(least(CAST(n_chars AS DOUBLE), hi), lo))
+                      / count(*), 2) AS wmean
+         FROM documents JOIN b USING (source) GROUP BY source""",
+
+    // Counts aggregate first; the share/cumulative window runs over the
+    // O(|labels|) result only.
+    "q91_label_balance" ->
+      """WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1)
+         SELECT label, CAST(n AS BIGINT) AS n,
+                round(n / sum(n) OVER (), 6) AS share,
+                round(sum(n) OVER (ORDER BY n DESC, label)
+                      / sum(n) OVER (), 6) AS cum_share
+         FROM c""",
   )
 }

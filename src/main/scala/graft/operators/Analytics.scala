@@ -228,6 +228,78 @@ object Analytics {
     probes.map(t => (t, cms.estimateCount(t))).toDF("term", "est_count")
   }
 
+  /** Numeric column profile — the data-quality audit every ingest gate
+    * runs before trusting a table: null count, EXACT distinct count, and
+    * min/max per column, in ONE aggregate pass. The multiple exact
+    * COUNT(DISTINCT)s compile to Catalyst's Expand (k row-duplicates into
+    * one shuffle) — exact is the oracle contract; at 100 TB swap in
+    * [[profileNumericApprox]] (HLL++, no Expand, one narrow pass). */
+  def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame =
+    profileWith(df, cols, c => countDistinct(col(c)))
+
+  /** [[profileNumeric]] with approx_count_distinct (±rsd): the bounded-
+    * state variant whose cost is independent of column cardinality. */
+  def profileNumericApprox(df: DataFrame, cols: Seq[String],
+                           rsd: Double = 0.02): DataFrame =
+    profileWith(df, cols, c => approx_count_distinct(col(c), rsd))
+
+  private def profileWith(df: DataFrame, cols: Seq[String],
+                          distinctOf: String => Column): DataFrame = {
+    val aggs = cols.flatMap { c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"graft_nn_$c"),
+      distinctOf(c).as(s"graft_nd_$c"),
+      min(col(c)).cast("double").as(s"graft_mn_$c"),
+      max(col(c)).cast("double").as(s"graft_mx_$c")) }
+    val s = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("column"),
+        col(s"graft_nn_$c").as("n_null"),
+        col(s"graft_nd_$c").as("n_distinct"),
+        col(s"graft_mn_$c").as("min_v"),
+        col(s"graft_mx_$c").as("max_v")) }
+    s.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+  }
+
+  /** Winsorized per-group stats: values clamp to the group's exact
+    * [pLo, pHi] percentiles before averaging — the robust location
+    * estimate ML feature pipelines use where a raw mean would chase the
+    * tail. Two passes: a grouped percentile aggregate produces the
+    * O(groups)-row bounds table (broadcast back), then one clamped
+    * aggregate; rows never shuffle. */
+  def winsorizedStats(df: DataFrame, groupCol: String, valCol: String,
+                      pLo: Double, pHi: Double): DataFrame = {
+    val bounds = df.groupBy(col(groupCol)).agg(
+      percentile(col(valCol), lit(pLo)).as("graft_lo"),
+      percentile(col(valCol), lit(pHi)).as("graft_hi"))
+    df.select(col(groupCol), col(valCol))
+      .join(broadcast(bounds), Seq(groupCol))
+      .select(col(groupCol), col("graft_lo"), col("graft_hi"),
+        greatest(least(col(valCol).cast("double"), col("graft_hi")),
+          col("graft_lo")).as("graft_w"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("graft_lo")), 2).as("p_lo"),
+        round(min(col("graft_hi")), 2).as("p_hi"),
+        round(sum(col("graft_w")) / count(lit(1)), 2).as("wmean"))
+  }
+
+  /** Label distribution with cumulative share in descending-count order —
+    * the class-balance report read before training ("how many classes
+    * cover 90% of the data?"). One aggregate to O(|labels|) rows, then a
+    * single-partition window over that tiny result (the global window is
+    * fine BECAUSE it runs on labels, never rows). */
+  def labelBalance(df: DataFrame, labelCol: String): DataFrame = {
+    val counts = df.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n"))
+    import org.apache.spark.sql.expressions.Window
+    val tot = Window.partitionBy()
+    val cum = Window.orderBy(col("n").desc, col("label").asc)
+    counts
+      .withColumn("share", round(col("n") / sum("n").over(tot), 6))
+      .withColumn("cum_share",
+        round(sum("n").over(cum) / sum("n").over(tot), 6))
+  }
+
   /** Robust per-group outliers: flag rows with |x − median| > k·MAD,
     * median and MAD both EXACT interpolated percentiles — the monitoring
     * screen that doesn't let outliers poison their own threshold (a

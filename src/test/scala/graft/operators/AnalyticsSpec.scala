@@ -85,6 +85,45 @@ class AnalyticsSpec extends SparkSpec {
     assert(out === List(("the", 3L), ("cat", 2L), ("dog", 1L)))
   }
 
+  test("profileNumeric: nulls, exact distincts, min/max; approx within rsd") {
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, null), (2.0, 5.0), (2.0, null), (3.0, 5.0))
+      .toDF("a", "b")
+    val got = Analytics.profileNumeric(df, Seq("a", "b"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got("a") === ((0L, 3L, 1.0, 3.0)))
+    assert(got("b") === ((2L, 1L, 5.0, 5.0)))
+    val approx = Analytics.profileNumericApprox(df, Seq("a", "b"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(approx("a") === 3L && approx("b") === 1L) // tiny cardinality: exact
+  }
+
+  test("winsorizedStats clamps the spike into the p95 bound") {
+    val df = (Seq.tabulate(19)(i => ("s", (i + 1).toDouble)) :+ ("s", 1000.0))
+      .toDF("g", "v")
+    val Array(r) = Analytics.winsorizedStats(df.toDF("g", "v"), "g", "v",
+      0.05, 0.95).collect()
+    val (n, lo, hi, wmean) =
+      (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(n === 20L)
+    assert(lo > 1.0 && hi < 1000.0)
+    // the spike contributes hi (≈68, the 19→1000 interpolation), not 1000:
+    // the winsorized mean stays near the body vs the raw mean of 59.5
+    assert(wmean < 14.0 && wmean > 9.0)
+  }
+
+  test("labelBalance: shares sum to 1, cumulative is monotone desc-count order") {
+    val df = (Seq.fill(6)("x") ++ Seq.fill(3)("y") ++ Seq.fill(1)("z"))
+      .toDF("label")
+    val rows = Analytics.labelBalance(df, "label")
+      .orderBy(col("cum_share"))
+      .as[(String, Long, Double, Double)].collect().toList
+    assert(rows.map(_._1) === List("x", "y", "z"))
+    assert(rows.map(_._3) === List(0.6, 0.3, 0.1))
+    assert(rows.map(_._4) === List(0.6, 0.9, 1.0))
+  }
+
   test("madOutliers flags only the spike; degenerate (MAD=0) group flags nothing") {
     val df = (Seq.tabulate(20)(i => ("a", i.toLong, 100.0 + i)) :+
       ("a", 99L, 10000.0)) ++ // spike
