@@ -41,4 +41,28 @@ object Skew {
       .drop("graft_salt", "graft_rn")
     Charts.topK(local, metric, tiebreak, k)
   }
+
+  /** Salted equi-join for a skewed left (fact) side against a right side
+    * too large to broadcast: left rows salt by a deterministic hash of
+    * `saltSrc` (any column unique-ish within a key — an id, a timestamp),
+    * the right side replicates `salts`× via a bounded explode, and the
+    * join key becomes (key, salt) — a hot key's rows now spread over
+    * `salts` reducers instead of stalling one. Inner-join semantics are
+    * exactly preserved for any key multiplicity (every left row still
+    * meets every matching right row exactly once, in its salt slice).
+    *
+    * Use when AQE's skew-join split can't apply: stream-static joins,
+    * joins feeding a co-partitioned aggregate, or engines/plans where the
+    * runtime re-plan is disabled. Cost model: right side grows `salts`×,
+    * so pick salts ≈ (hot-key rows / target partition rows), and keep the
+    * right side the SMALLER input. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 saltSrc: String, salts: Int): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val l = left.withColumn("graft_salt",
+      pmod(hash(col(saltSrc)), lit(salts)))
+    val r = right.withColumn("graft_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    l.join(r, Seq(key, "graft_salt")).drop("graft_salt")
+  }
 }

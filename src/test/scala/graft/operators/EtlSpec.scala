@@ -85,6 +85,32 @@ class EtlSpec extends SparkSpec {
     assert(ks.toSeq === ks.sorted.toSeq)
   }
 
+  test("writeZorderLayout prunes candidate files on BOTH columns") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_z").toString
+    val zPath = s"$dir/z"; val rPath = s"$dir/r"
+    val grid = (for (x <- 0 until 100; y <- 0 until 100)
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    Etl.writeZorderLayout(grid, zPath, nFiles = 16, "x", "y")
+    Etl.writeRangeLayout(grid, rPath, nFiles = 16, rangeCol = "x")
+    def candidates(path: String, c: String, lo: Long, hi: Long): Int = {
+      val back = spark.read.parquet(path)
+      back.groupBy(input_file_name().as("f"))
+        .agg(min(c).as("lo"), max(c).as("hi"))
+        .filter(col("hi") >= lo && col("lo") <= hi)
+        .count().toInt
+    }
+    assert(spark.read.parquet(zPath).count() === 10000)
+    // A quarter-range predicate on either column overlaps a bounded
+    // fraction of the z-curve; a single-column range layout prunes one
+    // dimension perfectly and the other not at all.
+    val zx = candidates(zPath, "x", 0, 24)
+    val zy = candidates(zPath, "y", 0, 24)
+    assert(zx <= 8, s"z-layout x-candidates $zx")
+    assert(zy <= 8, s"z-layout y-candidates $zy")
+    assert(candidates(rPath, "x", 0, 24) <= 5)
+    assert(candidates(rPath, "y", 0, 24) === 16) // no pruning on y
+  }
+
   test("weeklyAgg groups by ISO week start") {
     val df = Seq(
       ("x", java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 1.0),

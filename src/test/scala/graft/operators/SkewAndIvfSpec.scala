@@ -26,6 +26,25 @@ class SkewAndIvfSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("saltedJoin equals the plain join and shuffles on (key, salt)") {
+    // hot key: 80% of fact rows share one supplier; dim has multiplicity 2
+    val fact = (1 to 2000).map(i =>
+      (if (i % 10 < 8) 1L else (i % 10).toLong, i.toLong)).toDF("k", "fact_id")
+    val dim = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (9L, "e"))
+      .toDF("k", "attr")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val salted = Skew.saltedJoin(fact, dim, "k", "fact_id", 8)
+      val got = salted.select("k", "fact_id", "attr")
+        .as[(Long, Long, String)].collect().sorted.toSeq
+      val want = fact.join(dim, "k").select("k", "fact_id", "attr")
+        .as[(Long, Long, String)].collect().sorted.toSeq
+      assert(got === want)
+      val plan = salted.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_salt"), "join must key on the salt")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("IVF index probes nearest cells and finds close vectors") {
     // Two well-separated clusters; the query's cluster-mates must surface.
     val rnd = new scala.util.Random(3)
