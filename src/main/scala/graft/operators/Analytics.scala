@@ -378,8 +378,12 @@ object Analytics {
       val num = (col("n") * col(s"s$i$j") - col(s"s$i") * col(s"s$j")).cast("double")
       val di = sqrt((col("n") * col(s"s$i$i") - col(s"s$i") * col(s"s$i")).cast("double"))
       val dj = sqrt((col("n") * col(s"s$j$j") - col(s"s$j") * col(s"s$j")).cast("double"))
+      // A constant column has zero variance: correlation is undefined →
+      // NaN, guarded explicitly because ANSI mode refuses the 0-divisor.
+      val den = di * dj
       struct(lit(cols(i)).as("f1"), lit(cols(j)).as("f2"),
-        round(num / (di * dj), 6).as("corr"))
+        round(when(den === 0.0, lit(Double.NaN)).otherwise(num / den), 6)
+          .as("corr"))
     }
     s.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
   }

@@ -204,6 +204,39 @@ object Etl {
       .sortWithinPartitions((rangeCol +: sortCols).map(col): _*)
       .write.mode("overwrite").parquet(path)
 
+  /** Mergeable aggregate STATE per key: (n, sum_v, min_v, max_v) — every
+    * algebraic summary a dashboard needs, carried in a form that merges.
+    * Pair with [[mergeAggStates]] for incremental materialized-view
+    * refresh: a weekly rollup over years of history updates by
+    * aggregating ONLY the new batch and merging O(groups) rows, instead
+    * of rescanning history every refresh — the difference between a
+    * batch-sized and a corpus-sized daily job at 100 TB. Derived
+    * measures (avg = sum/n) belong at READ time ([[aggReadView]]), never
+    * in the state: averages don't merge, sums do. */
+  def aggState(df: DataFrame, keys: Seq[String], valCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col(valCol)).as("sum_v"),
+        min(col(valCol)).as("min_v"),
+        max(col(valCol)).as("max_v"))
+
+  /** Merge two [[aggState]] tables: + for counts/sums, min/max for
+    * bounds. Associative and commutative, so batches can arrive in any
+    * order and the fold can tree-reduce. */
+  def mergeAggStates(stored: DataFrame, batch: DataFrame,
+                     keys: Seq[String]): DataFrame =
+    stored.unionByName(batch)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).as("n"),
+        sum(col("sum_v")).as("sum_v"),
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"))
+
+  /** Read-time view over an [[aggState]]: the derived measures. */
+  def aggReadView(state: DataFrame): DataFrame =
+    state.withColumn("avg_v",
+      round(col("sum_v") / col("n"), 2))
+
   /** Z-order-clustered parquet layout: rows sort by the INTERLEAVED bits
     * of two columns' 8-bit linear bins, so file/row-group min-max stats
     * prune predicates on EITHER column to ~√nFiles files — the

@@ -31,6 +31,34 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Dedup.ngramJaccardPairs(noDocs, "doc_id", "text", 3, 0.1).count() === 0)
     assert(Dedup.minhashPairs(noDocs, "doc_id", "text", 3, 4, 2, 0.1).count() === 0)
     assert(Dedup.simhashPairs(noDocs, "doc_id", "text", 3, 16).count() === 0)
+    assert(Dedup.minhashPairsPortable(noDocs, "doc_id", "text", 3, 8, 2, 0.5)
+      .count() === 0)
+    assert(Dedup.simhashPairsPortable(noDocs, "doc_id", "text", 3, 6)
+      .count() === 0)
+  }
+
+  test("portable LSH on single and too-short docs → no pairs, no throw") {
+    val d = Seq((1L, "only two words"), (2L, ""), (3L, "   "))
+      .toDF("doc_id", "text")
+    assert(Dedup.minhashPairsPortable(d, "doc_id", "text", 3, 8, 2, 0.5)
+      .count() === 0)
+    assert(Dedup.simhashPairsPortable(d, "doc_id", "text", 3, 6).count() === 0)
+  }
+
+  test("round-5 analytics on empty and degenerate inputs") {
+    val noVals = Seq.empty[(String, Long, Double)].toDF("g", "id", "v")
+    assert(Analytics.madOutliers(noVals, "g", "id", "v", 3.0).count() === 0)
+    assert(Analytics.winsorizedStats(noVals, "g", "v", 0.05, 0.95).count() === 0)
+    assert(Analytics.labelBalance(noVals.select("g"), "g").count() === 0)
+    // constant column: corr denominator 0 → NaN row, not a throw
+    val const = Seq((1.0, 5.0), (2.0, 5.0), (3.0, 5.0)).toDF("a", "b")
+    val m = Analytics.corrMatrix(const, Seq("a", "b")).collect()
+    assert(m.length === 1 && m.head.getDouble(2).isNaN)
+    val noTs = Seq.empty[(Long, java.sql.Timestamp, Long, String)]
+      .toDF("user_id", "ts", "event_id", "event_type")
+    assert(Sessions.transitionCounts(noTs, "user_id", "ts", "event_id",
+      "event_type").count() === 0)
+    assert(Analytics.cohortRetention(noTs, "user_id", "ts").count() === 0)
   }
 
   test("connected components on empty edges → empty labels") {

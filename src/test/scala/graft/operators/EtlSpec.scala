@@ -85,6 +85,23 @@ class EtlSpec extends SparkSpec {
     assert(ks.toSeq === ks.sorted.toSeq)
   }
 
+  test("incremental aggState merge equals the full recompute, any batch order") {
+    val all = (1 to 900).map(i => (s"k${i % 7}", (i % 101).toLong))
+      .toDF("k", "v")
+    val full = Etl.aggState(all, Seq("k"), "v")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    // three arbitrary batches, folded in a shuffled order
+    val batches = Seq(0, 1, 2).map(b =>
+      Etl.aggState(all.filter(abs(hash(col("v"), col("k"))) % 3 === b),
+        Seq("k"), "v"))
+    val merged = Seq(2, 0, 1).map(batches)
+      .reduce((a, b) => Etl.mergeAggStates(a, b, Seq("k")))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(merged === full)
+    val read = Etl.aggReadView(Etl.aggState(all, Seq("k"), "v"))
+    assert(read.columns.contains("avg_v") && read.count() === 7)
+  }
+
   test("writeZorderLayout prunes candidate files on BOTH columns") {
     val dir = java.nio.file.Files.createTempDirectory("graft_z").toString
     val zPath = s"$dir/z"; val rPath = s"$dir/r"
