@@ -640,6 +640,44 @@ object SparkEntry {
     // only over the O(|labels|) aggregate).
     "q91_label_balance" -> ((s, d) =>
       Analytics.labelBalance(Tables.embeddings(s, d), "label")),
+
+    // Incremental materialized-view refresh as an oracle row: two thirds
+    // of events are the "stored" pre-aggregated state, the last third is
+    // the arriving batch; merge is O(groups), no history rescan, and the
+    // read view equals the full recompute (which is what DuckDB replays).
+    "q92_incremental_rollup" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        date_format(date_trunc("week", col("ts_t")), "yyyy-MM-dd").as("wk"),
+        col("event_type"), col("value"), col("event_id"))
+      def state(f: DataFrame) =
+        operators.Etl.aggState(f.drop("event_id"), Seq("wk", "event_type"), "value")
+      val stored = state(ev.filter(pmod(col("event_id"), lit(3)) =!= 2))
+      val batch = state(ev.filter(pmod(col("event_id"), lit(3)) === 2))
+      operators.Etl.aggReadView(
+        operators.Etl.mergeAggStates(stored, batch, Seq("wk", "event_type")))
+        .select(col("wk"), col("event_type"), col("n"),
+          round(col("sum_v"), 2).as("sum_v"),
+          round(col("min_v"), 4).as("min_v"),
+          round(col("max_v"), 4).as("max_v"),
+          col("avg_v"))
+    }),
+
+    // The salted skewed join in the driver contract: semantics are
+    // EXACTLY the plain join's (which is what DuckDB replays) while the
+    // physical join keys on (suppkey, salt) — the manual skew spread for
+    // plans AQE can't rewrite. Dim side: supplier ⋈ nation, broadcast.
+    "q93_salted_join" -> ((s, d) => {
+      val fact = Tables.lineitem(s, d).select(col("l_suppkey"),
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      val dim = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey").as("l_suppkey"), col("n_name"))
+      operators.Skew.saltedJoin(fact, dim, "l_suppkey", "l_orderkey", 8)
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n"), round(sum(col("rev")), 2).as("revenue"))
+    }),
   )
 
   /** Events with the shared-grain µs timestamp column (see q38-q40 note). */
@@ -1818,5 +1856,28 @@ object SparkEntry {
                 round(sum(n) OVER (ORDER BY n DESC, label)
                       / sum(n) OVER (), 6) AS cum_share
          FROM c""",
+
+    // The merged-state read view MUST equal the one-shot recompute — so
+    // the oracle IS the one-shot recompute (merge associativity is the
+    // property under test; the 2-dp rounds absorb double-sum ordering).
+    "q92_incremental_rollup" ->
+      """WITH a AS (SELECT event_type, date_trunc('week', ts) AS wk, value
+                  FROM events)
+         SELECT strftime(wk, '%Y-%m-%d') AS wk, event_type,
+                CAST(count(*) AS BIGINT) AS n,
+                round(sum(value), 2) AS sum_v,
+                round(min(value), 4) AS min_v,
+                round(max(value), 4) AS max_v,
+                round(sum(value) / count(*), 2) AS avg_v
+         FROM a GROUP BY 1, 2""",
+
+    // Salting changes the physical join, never the result: the oracle is
+    // the plain three-way join + rollup.
+    "q93_salted_join" ->
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+                round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                       JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY n_name""",
   )
 }
