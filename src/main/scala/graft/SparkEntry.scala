@@ -1648,9 +1648,10 @@ object SparkEntry {
          JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment, o_orderpriority""",
 
-    // Full MinHash+LSH replay: same shingles as q20, sig[s] = min md5
-    // hex over "s:<shingle>", 8 bands × 2 rows, candidate pairs from
-    // band-bucket equality, verified agreement ≥ 0.5 of 16 positions.
+    // Full MinHash+LSH replay: same shingles as q20; hash s = the 8-hex
+    // slice s%4 of md5("<s/4>:<shingle>") (one digest = four min-wise
+    // hashes), 8 bands × 2 rows, candidate pairs from band-bucket
+    // equality, verified agreement ≥ 0.5 of 16 positions.
     "q82_minhash_portable" ->
       """WITH t AS (SELECT doc_id,
                   string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
@@ -1660,7 +1661,9 @@ object SparkEntry {
                 FROM (SELECT doc_id, toks,
                              unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i
                       FROM t)),
-         mh AS (SELECT doc_id, s, min(md5(s::VARCHAR || ':' || g)) AS h
+         mh AS (SELECT doc_id, s,
+                       min(substr(md5((s // 4)::VARCHAR || ':' || g),
+                                  CAST(1 + 8 * (s % 4) AS INTEGER), 8)) AS h
                 FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS s) seeds
                 GROUP BY doc_id, s),
          sig AS (SELECT doc_id, list(h ORDER BY s) AS sig FROM mh GROUP BY doc_id),

@@ -247,18 +247,25 @@ object Dedup {
     * contract with the SAME plan shape — map-side signature projection,
     * ONE (band, bucket) self-join for candidates (pair fan-out bounded by
     * bucket size, not corpus size), signature-agreement verification.
-    * Cost note: md5 is evaluated numHashes× per shingle — the canonical
-    * MinHash cost model; with bands·rowsPerBand = 16 it benches within
-    * ~2× of the crc32 path at sf0.1. */
+    * Cost note: one md5 digest yields FOUR min-wise hashes (its 8-hex
+    * slices are independent 32-bit hashes, and lexicographic min over
+    * fixed-width hex = numeric min), so numHashes hashes cost
+    * ⌈numHashes/4⌉ md5 calls per shingle — the digests are hoisted into
+    * one projection and the per-hash fold is a cheap substr over them. */
   def minhashPairsPortable(docs: DataFrame, idCol: String, textCol: String,
                            n: Int, bands: Int, rowsPerBand: Int,
                            minAgree: Double): DataFrame = {
     val numHashes = bands * rowsPerBand
+    val numDigests = (numHashes + 3) / 4
     val sig = docs
       .select(col(idCol).as("id"), T.wordShinglesNative(col(textCol), n).as("shs"))
       .filter(size(col("shs")) > 0)
+      .select(col("id"), transform(col("shs"), g =>
+        array((0 until numDigests).map(s =>
+          md5(concat(lit(s + ":"), g))): _*)).as("hs"))
       .select(col("id"), array((0 until numHashes).map { i =>
-        array_min(transform(col("shs"), g => md5(concat(lit(i + ":"), g))))
+        array_min(transform(col("hs"), h =>
+          substring(element_at(h, i / 4 + 1), 1 + 8 * (i % 4), 8)))
       }: _*).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Band bucket key = the band's minhash values joined verbatim ('|' is
