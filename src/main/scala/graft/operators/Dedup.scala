@@ -311,25 +311,23 @@ object Dedup {
                            n: Int, maxHamming: Int): DataFrame = {
     val blocks = 4
     val width = 8 // 32 bit-chars / 4 blocks
-    // Hex parsing is hoisted: each shingle's md5 becomes an 8-nibble int
-    // array ONCE (8 convs), and the 32 bit-vote folds below only do
-    // element_at + static shift/mask per element — without the hoist each
-    // bit re-parses its hex char, 4× the conv work and measurably slower.
-    val nibExpr = transform(col("shs"), g => {
-      val h = md5(g)
-      transform(sequence(lit(0), lit(7)), p =>
-        conv(h.substr(p + 1, lit(1)), 16, 10).cast("int"))
-    })
+    // Hex parsing is hoisted AND packed: each shingle's leading 8 hex
+    // chars become ONE 32-bit long (a single conv per shingle), and bit j
+    // of the hash — nibble j/4, bit 3−j%4 within it — is bit 31−j of that
+    // long, so the 32 vote folds below are pure long shift/mask steps.
+    // Same bits as parsing nibble-by-nibble, so the oracle replay (which
+    // reads hex chars positionally) is unchanged.
+    val packExpr = transform(col("shs"), g =>
+      conv(substring(md5(g), 1, 8), 16, 10).cast("long"))
     val fpExpr = concat((0 until 32).map { j =>
-      val vote = aggregate(col("nibs"), lit(0), (acc, nb) =>
-        acc + (shiftright(element_at(nb, j / 4 + 1), 3 - j % 4)
-          .bitwiseAND(lit(1)) * 2 - 1))
+      val vote = aggregate(col("hv"), lit(0), (acc, v) =>
+        acc + (shiftright(v, 31 - j).bitwiseAND(lit(1L)).cast("int") * 2 - 1))
       when(vote > 0, "1").otherwise("0")
     }: _*)
     val fps = docs
       .select(col(idCol).as("id"), T.wordShinglesNative(col(textCol), n).as("shs"))
       .filter(size(col("shs")) > 0)
-      .select(col("id"), nibExpr.as("nibs"))
+      .select(col("id"), packExpr.as("hv"))
       .select(col("id"), fpExpr.as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocked = fps.select(col("id"), posexplode(array((0 until blocks).map { b =>
