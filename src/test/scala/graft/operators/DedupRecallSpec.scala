@@ -35,6 +35,41 @@ class DedupRecallSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall (found ${approx.size}, exact ${exact.size})")
   }
 
+  test("portable md5 minhash recall >= 0.9 on the same planted corpus") {
+    // Same ground truth and banding geometry as the native-sketch test:
+    // the portable variant must be the crc32 path's quality equal, not
+    // just its deterministic twin.
+    val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val approx = Dedup.minhashPairsPortable(corpus, "doc_id", "text",
+      n = 3, bands = 16, rowsPerBand = 2, minAgree = 0.4)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"portable recall $recall of ${exact.size}")
+    // estimates track true jaccard: planted pairs agree on most positions
+    val ests = Dedup.minhashPairsPortable(corpus, "doc_id", "text",
+      3, 16, 2, 0.4).select("est_jaccard").as[Double].collect()
+    assert(ests.forall(e => e >= 0.4 && e <= 1.0))
+  }
+
+  test("portable simhash finds the planted near-dup clones") {
+    val found = Dedup.simhashPairsPortable(corpus, "doc_id", "text",
+      n = 3, maxHamming = 10)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // the planted clone pairs (i, 1000+i) must dominate the result; a
+    // 32-bit fingerprint's collision floor admits SOME unrelated pairs at
+    // this threshold (~0.3% of the 3160 possible pairs here) — that's the
+    // portability trade vs the 64-bit native sketch, and it's fine for a
+    // candidate set that downstream verification filters
+    val planted = found.filter { case (a, b) => b == 1000L + a }
+    assert(planted.size >= 12, s"only ${planted.size} planted pairs found")
+    val unrelated = found.filter { case (a, b) => a < 1000 && b < 1000 }
+    assert(unrelated.size <= found.size / 2,
+      s"${unrelated.size} unrelated pairs vs ${found.size} total")
+    assert(unrelated.size <= 3160 / 100, // collision floor stays sub-1%
+      s"unrelated FP rate too high: ${unrelated.size}/3160")
+  }
+
   test("simhash block banding surfaces every hamming<=8 pair") {
     // Simhash's design point (Manku et al.): tight dups at small hamming.
     // 4x16-bit block banding guarantees hamming<=3 candidates and catches
