@@ -668,7 +668,7 @@ object SparkEntry {
     // plans AQE can't rewrite. Dim side: supplier ⋈ nation, broadcast.
     "q93_salted_join" -> ((s, d) => {
       val fact = Tables.lineitem(s, d).select(col("l_suppkey"),
-        col("l_orderkey"), col("l_linenumber"),
+        col("l_orderkey"),
         (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
       val dim = Tables.supplier(s, d)
         .join(broadcast(Tables.nation(s, d)),

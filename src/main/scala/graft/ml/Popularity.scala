@@ -62,16 +62,17 @@ object Popularity {
     // small jobs, so a ~15k-row training slice inheriting the session's 32
     // shuffle partitions pays 32 task launches per iteration for ~500-row
     // tasks — scheduler overhead, not compute, dominates every fit in the
-    // search. One partition per ~25k rows (floor 8 — fewer serializes the
-    // per-iteration tree statistics; measured floor-2 at 3× slower — cap
-    // 64): each task stays meaningful and the throttled concurrent fits
-    // fill the cores.
-    // This is the same sizing discipline as files.maxPartitionBytes, just
-    // pointed at the ML slice.
-    val parts = math.max(8, math.min(64, (data.count() / 25000L).toInt))
+    // search. One partition per ~20k train rows (floor 8 — fewer
+    // serializes the per-iteration tree statistics; measured floor-2 at
+    // 3× slower — cap 64): each task stays meaningful and the throttled
+    // concurrent fits fill the cores. Same sizing discipline as
+    // files.maxPartitionBytes, pointed at the ML slice. The sizing count
+    // doubles as the cache-materialization pass — no extra input scan.
+    trainDf0.persist()
+    val parts = math.max(8, math.min(64, (trainDf0.count() / 20000L).toInt))
     val trainDf = trainDf0.repartition(parts)
-    // Every CV fold fit re-reads its split; pin the source in memory for
-    // the folds × grid × trees passes.
+    // Every CV fold fit re-reads its split; pin the repartitioned source
+    // in memory for the folds × grid × trees passes.
     trainDf.persist(); testDf.persist()
     // Successive halving, two rungs. Rung 1 (cheap, low fidelity): the
     // FULL grid is screened with a single 75/25 train/validation fit per
@@ -103,7 +104,8 @@ object Popularity {
       best.bestModel.asInstanceOf[org.apache.spark.ml.PipelineModel]
         .stages(1).asInstanceOf[RandomForestRegressionModel],
       features, rmse, r2, trainDf.count(), testDf.count())
-    predictions.unpersist(); trainDf.unpersist(); testDf.unpersist()
+    predictions.unpersist(); trainDf.unpersist(); trainDf0.unpersist()
+    testDf.unpersist()
     fit
   }
 

@@ -40,10 +40,15 @@ object Recommend {
     // Popularity.train): KMeans makes init + maxIter full passes, and an
     // item table of tens of thousands of rows inheriting 32 shuffle
     // partitions pays 32 task launches per pass for few-hundred-row tasks.
-    val n = items.count()
+    // The sizing count runs on the CACHED input, doubling as its
+    // materialization pass — the prep fits and the repartition below read
+    // the cache, never the source again. The KMeans hot loop reads the
+    // separately-cached assembled vectors (withVec), so the re-shuffle
+    // from cache happens twice (indexer, scaler), on an item-sized table.
+    val rawItems = items.cache()
+    val n = rawItems.count()
     val parts = math.max(8, math.min(64, (n / 25000L).toInt))
-    // The indexer and scaler fits each scan the input; cache it once.
-    val cachedItems = items.repartition(parts).cache()
+    val cachedItems = rawItems.repartition(parts)
     val prepped = new Pipeline().setStages(Array(indexer, assembler, scaler))
       .fit(cachedItems).transform(cachedItems)
       .withColumn("graft_weighted_group", col("graft_group_idx") * groupWeight)
@@ -66,7 +71,7 @@ object Recommend {
     // maxIter KMeans passes); release them now rather than leak for the
     // session — the returned plan's single downstream action recomputes
     // the narrow prep chain once, which is cheaper than a pinned cache.
-    cachedItems.unpersist()
+    rawItems.unpersist()
     withVec.unpersist()
     out
   }

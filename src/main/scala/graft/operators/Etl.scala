@@ -252,6 +252,12 @@ object Etl {
     val Array(b) = df.agg(
       min(col(colA)).cast("double"), max(col(colA)).cast("double"),
       min(col(colB)).cast("double"), max(col(colB)).cast("double")).collect()
+    // Empty input (or all-null cluster columns) has no bounds: write the
+    // empty/degenerate frame as-is instead of NPE-ing on the null min.
+    if (b.isNullAt(0) || b.isNullAt(2)) {
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     val (loA, hiA, loB, hiB) =
       (b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3))
     def bin(c: String, lo: Double, hi: Double): Column =

@@ -13,72 +13,82 @@ class PlanShapeSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private def planOf(q: String): String = {
-    val p = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
-    p
-  }
+  private def planOf(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
 
   private def exchanges(plan: String): Int =
     "Exchange hashpartitioning".r.findAllIn(plan).length
 
+  /** Memoized query substrates (pair stats, fits) must release even when
+    * an assertion throws — a leaked cache would distort later suites on
+    * the shared session. */
+  private def withCleanCaches(body: => Unit): Unit =
+    try body finally SparkEntry.releaseCaches()
+
   test("narrow corpus ops plan ZERO exchanges (embarrassingly parallel)") {
-    for (q <- Seq("q65_chunk_tokens", "q72_corpus_mix", "q78_corpus_upsample")) {
-      val p = planOf(q)
-      assert(exchanges(p) === 0, s"$q grew a shuffle:\n$p")
+    withCleanCaches {
+      for (q <- Seq("q65_chunk_tokens", "q72_corpus_mix", "q78_corpus_upsample")) {
+        val p = planOf(q)
+        assert(exchanges(p) === 0, s"$q grew a shuffle:\n$p")
+      }
     }
-    SparkEntry.releaseCaches()
   }
 
   test("q04's filter and projection reach the parquet scan") {
-    val p = SparkEntry.queries("q04_filter_project")(spark, dir)
-      .queryExecution.executedPlan.toString
-    assert(p.contains("PushedFilters: ["), s"no pushdown:\n$p")
-    // the scan must not read every column: the query projects a subset
-    assert(p.contains("ReadSchema"), p)
-    SparkEntry.releaseCaches()
+    withCleanCaches {
+      val p = planOf("q04_filter_project")
+      assert(p.contains("PushedFilters: ["), s"no pushdown:\n$p")
+      // the scan must not read every column: the query projects a subset
+      assert(p.contains("ReadSchema"), p)
+    }
   }
 
   test("q66/q67 build sides broadcast; the corpus side never shuffles for them") {
-    for (q <- Seq("q66_quality_gate", "q67_decontaminate")) {
-      val p = planOf(q)
-      assert(p.contains("BroadcastExchange"), s"$q lost its broadcast:\n$p")
+    withCleanCaches {
+      for (q <- Seq("q66_quality_gate", "q67_decontaminate")) {
+        val p = planOf(q)
+        assert(p.contains("BroadcastExchange"), s"$q lost its broadcast:\n$p")
+      }
     }
-    SparkEntry.releaseCaches()
   }
 
   test("q50 star join broadcasts both dims and aggregates through one exchange") {
-    val p = planOf("q50_star_join")
-    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
-    assert(exchanges(p) === 1, s"expected only the group-by exchange:\n$p")
-    SparkEntry.releaseCaches()
+    withCleanCaches {
+      val p = planOf("q50_star_join")
+      assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+      assert(exchanges(p) === 1, s"expected only the group-by exchange:\n$p")
+    }
   }
 
   test("q87 transitions: the user-key window exchange is the only row shuffle") {
-    val p = planOf("q87_transitions")
-    // window exchange on user + the final small aggregate exchange on the
-    // (from, to) pair; no join, no extra repartition
-    assert(exchanges(p) <= 2, s"q87 grew shuffles:\n$p")
-    assert(!p.contains("CartesianProduct"), p)
-    SparkEntry.releaseCaches()
+    withCleanCaches {
+      val p = planOf("q87_transitions")
+      // window exchange on user + the final small aggregate exchange on the
+      // (from, to) pair; no join, no extra repartition
+      assert(exchanges(p) <= 2, s"q87 grew shuffles:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+    }
   }
 
   test("q84 correlation matrix is one aggregate pass, no joins") {
-    val p = planOf("q84_feature_corr")
-    assert(!p.contains("Join"), s"corrMatrix must not join:\n$p")
-    SparkEntry.releaseCaches()
+    withCleanCaches {
+      val p = planOf("q84_feature_corr")
+      assert(!p.contains("Join"), s"corrMatrix must not join:\n$p")
+    }
   }
 
   test("q86 MAD outliers broadcast group stats; rows never hash-shuffle") {
-    val p = planOf("q86_mad_outliers")
-    assert(p.contains("BroadcastExchange"), p)
-    // Hash exchanges exist only to feed the tiny percentile aggregates
-    // (group-key cardinality): the median subtree appears twice in the
-    // pre-AQE tree (it feeds the MAD build AND the final scan; runtime
-    // dedupes it via ReusedExchange), so ≤ 4 — what matters is that every
-    // one of them sits under an Aggregate, and the output row path joins
-    // by BROADCAST, which the two asserts above and below pin.
-    assert(exchanges(p) <= 4, s"q86 shuffles rows:\n$p")
-    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
-    SparkEntry.releaseCaches()
+    withCleanCaches {
+      val p = planOf("q86_mad_outliers")
+      assert(p.contains("BroadcastExchange"), p)
+      // Hash exchanges exist only to feed the tiny percentile aggregates
+      // (group-key cardinality): the median subtree appears twice in the
+      // pre-AQE tree (it feeds the MAD build AND the final scan; runtime
+      // dedupes it via ReusedExchange), so ≤ 4 — what matters is that every
+      // one of them sits under an Aggregate, and the output row path joins
+      // by BROADCAST, which the surrounding asserts pin.
+      assert(exchanges(p) <= 4, s"q86 shuffles rows:\n$p")
+      assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    }
   }
 }

@@ -41,15 +41,14 @@ class DedupRecallSpec extends SparkSpec {
     // just its deterministic twin.
     val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.5)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
-    val approx = Dedup.minhashPairsPortable(corpus, "doc_id", "text",
+    val rows = Dedup.minhashPairsPortable(corpus, "doc_id", "text",
       n = 3, bands = 16, rowsPerBand = 2, minAgree = 0.4)
-      .select("id1", "id2").as[(Long, Long)].collect().toSet
+      .as[(Long, Long, Double)].collect()
+    val approx = rows.map(r => (r._1, r._2)).toSet
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.9, s"portable recall $recall of ${exact.size}")
     // estimates track true jaccard: planted pairs agree on most positions
-    val ests = Dedup.minhashPairsPortable(corpus, "doc_id", "text",
-      3, 16, 2, 0.4).select("est_jaccard").as[Double].collect()
-    assert(ests.forall(e => e >= 0.4 && e <= 1.0))
+    assert(rows.forall(r => r._3 >= 0.4 && r._3 <= 1.0))
   }
 
   test("portable simhash finds the planted near-dup clones") {

@@ -45,6 +45,13 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Dedup.simhashPairsPortable(d, "doc_id", "text", 3, 6).count() === 0)
   }
 
+  test("writeZorderLayout on empty input writes an empty layout, no NPE") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zempty").toString
+    val empty = Seq.empty[(Long, Long)].toDF("x", "y")
+    Etl.writeZorderLayout(empty, s"$dir/t", nFiles = 4, "x", "y")
+    assert(spark.read.parquet(s"$dir/t").count() === 0)
+  }
+
   test("round-5 analytics on empty and degenerate inputs") {
     val noVals = Seq.empty[(String, Long, Double)].toDF("g", "id", "v")
     assert(Analytics.madOutliers(noVals, "g", "id", "v", 3.0).count() === 0)
