@@ -360,7 +360,14 @@ object Analytics {
     * dependent way. Plan: ONE map-side-partial aggregate over the fact
     * table computing 1 + 2k + C(k,2) sums in a single pass (no joins, no
     * melt, no per-pair scans), then a C(k,2)-row literal explode — the
-    * shuffle carries one row of sums regardless of table size. */
+    * shuffle carries one row of sums regardless of table size.
+    *
+    * Overflow bound: the largest intermediate is n·Σxy ≤ n²·M² (M = max
+    * |quantized value|), which must stay under 10³⁸. With M ≈ 10⁷ that
+    * holds to n ≈ 10¹² rows (≈100 TB of fact rows); for wider values or
+    * larger tables, drop the quantization scale (×10 instead of ×100) or
+    * shard the aggregate by hash and merge the exact sums — the sums
+    * merge associatively like any algebraic state. */
   def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "corrMatrix needs at least two columns")
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
