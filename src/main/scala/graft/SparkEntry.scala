@@ -662,6 +662,22 @@ object SparkEntry {
           col("avg_v"))
     }),
 
+    // Weekly churn — q88's complement: users active in week w with no
+    // activity in week w+1, via a left-anti join between the weekly
+    // distinct-user sets (user-set-sized, never event-sized). The final
+    // calendar week trivially "churns" (no successor week exists) —
+    // included deliberately so the row is a closed-form replay.
+    "q94_weekly_churn" -> ((s, d) => {
+      val wu = Tables.events(s, d).select(
+        date_trunc("week", col("ts_t")).cast("date").as("wk"),
+        col("user_id")).distinct()
+      val nxt = wu.select(col("wk").as("wk2"), col("user_id").as("uid2"))
+      wu.join(nxt, wu("user_id") === nxt("uid2") &&
+          date_add(wu("wk"), 7) === nxt("wk2"), "left_anti")
+        .groupBy(date_format(col("wk"), "yyyy-MM-dd").as("wk"))
+        .agg(countDistinct(col("user_id")).as("churned"))
+    }),
+
     // The salted skewed join in the driver contract: semantics are
     // EXACTLY the plain join's (which is what DuckDB replays) while the
     // physical join keys on (suppkey, salt) — the manual skew spread for
@@ -1873,6 +1889,18 @@ object SparkEntry {
                 round(max(value), 4) AS max_v,
                 round(sum(value) / count(*), 2) AS avg_v
          FROM a GROUP BY 1, 2""",
+
+    // Anti-join churn replayed as NOT EXISTS over the weekly user sets.
+    "q94_weekly_churn" ->
+      """WITH wu AS (SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS wk,
+                          user_id
+                   FROM events)
+         SELECT strftime(a.wk, '%Y-%m-%d') AS wk,
+                CAST(count(DISTINCT a.user_id) AS BIGINT) AS churned
+         FROM wu a
+         WHERE NOT EXISTS (SELECT 1 FROM wu b
+                           WHERE b.user_id = a.user_id AND b.wk = a.wk + 7)
+         GROUP BY 1""",
 
     // Salting changes the physical join, never the result: the oracle is
     // the plain three-way join + rollup.
