@@ -678,6 +678,13 @@ object SparkEntry {
         .agg(countDistinct(col("user_id")).as("churned"))
     }),
 
+    // Rolling 7-day active users per observed day: bounded ×7 explode +
+    // observed-day semi-join + one distinct-count — never a range
+    // self-join (quadratic in the window) and never a window frame
+    // (count distinct has none).
+    "q95_rolling_active" -> ((s, d) =>
+      Analytics.rollingActiveUsers(Tables.events(s, d), "user_id", "ts_t", 7)),
+
     // The salted skewed join in the driver contract: semantics are
     // EXACTLY the plain join's (which is what DuckDB replays) while the
     // physical join keys on (suppkey, salt) — the manual skew spread for
@@ -1889,6 +1896,17 @@ object SparkEntry {
                 round(max(value), 4) AS max_v,
                 round(sum(value) / count(*), 2) AS avg_v
          FROM a GROUP BY 1, 2""",
+
+    // Trailing-window membership replayed as a BETWEEN join against the
+    // observed-day set.
+    "q95_rolling_active" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+         days AS (SELECT DISTINCT d FROM du),
+         x AS (SELECT days.d AS d, du.user_id
+               FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d)
+         SELECT strftime(d, '%Y-%m-%d') AS d,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS active_7d
+         FROM x GROUP BY 1""",
 
     // Anti-join churn replayed as NOT EXISTS over the weekly user sets.
     "q94_weekly_churn" ->

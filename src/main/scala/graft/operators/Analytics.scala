@@ -300,6 +300,28 @@ object Analytics {
         round(sum("n").over(cum) / sum("n").over(tot), 6))
   }
 
+  /** Rolling `windowDays`-day distinct active users per OBSERVED day —
+    * the product-health metric (DAU/WAU family). Distinct-over-a-sliding-
+    * range isn't window-expressible (count distinct has no RANGE frame),
+    * and a day×day range self-join fans out quadratically in the window;
+    * instead each (day, user) row contributes to exactly `windowDays`
+    * target days via a BOUNDED explode, targets are semi-joined against
+    * the observed-day set (an O(days) broadcast), and one distinct-count
+    * aggregate finishes. Fan-out = windowDays — constant, not
+    * data-dependent. */
+  def rollingActiveUsers(events: DataFrame, userCol: String, tsCol: String,
+                         windowDays: Int): DataFrame = {
+    val du = events.select(col(tsCol).cast("date").as("d"), col(userCol))
+      .distinct()
+    val days = du.select(col("d").as("d2")).distinct()
+    du.select(col("d"), col(userCol),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("graft_off"))
+      .select(date_add(col("d"), col("graft_off")).as("d2"), col(userCol))
+      .join(broadcast(days), Seq("d2"), "left_semi")
+      .groupBy(date_format(col("d2"), "yyyy-MM-dd").as("d"))
+      .agg(countDistinct(col(userCol)).as(s"active_${windowDays}d"))
+  }
+
   /** Robust per-group outliers: flag rows with |x − median| > k·MAD,
     * median and MAD both EXACT interpolated percentiles — the monitoring
     * screen that doesn't let outliers poison their own threshold (a

@@ -85,6 +85,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(out === List(("the", 3L), ("cat", 2L), ("dog", 1L)))
   }
 
+  test("rollingActiveUsers: trailing window over observed days only") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2024-03-01 10:00:00")),
+      (2L, ts("2024-03-01 11:00:00")),
+      (1L, ts("2024-03-02 10:00:00")),
+      (3L, ts("2024-03-05 10:00:00")), // gap days 3-4 unobserved: no rows
+      (1L, ts("2024-03-09 10:00:00"))) // day 1-2 users outside 7d window
+      .toDF("user_id", "ts")
+    val got = Analytics.rollingActiveUsers(events, "user_id", "ts", 3)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map(
+      "2024-03-01" -> 2L, // users 1,2
+      "2024-03-02" -> 2L, // users 1,2 (day 1 within [02-29, 03-02])
+      "2024-03-05" -> 1L, // only user 3 (days 1-2 outside [03-03, 03-05])
+      "2024-03-09" -> 1L)) // only user 1's day-9 event
+  }
+
   test("profileNumeric: nulls, exact distincts, min/max; approx within rsd") {
     val df = Seq[(java.lang.Double, java.lang.Double)](
       (1.0, null), (2.0, 5.0), (2.0, null), (3.0, 5.0))
