@@ -606,6 +606,16 @@ object SparkEntry {
       Similarity.cosineTopKBatch(Tables.embeddings(s, d), "vec_id",
         "embedding", queryIds = (0L until 10L), k = 5)),
 
+    // Batched probe against the IVF index: ten queries, one pass over the
+    // index, (query, probe-cell) table broadcast onto the cell-pruned
+    // scan. Probing every cell (nProbe = nLists) makes it provably equal
+    // to the brute-force batch, so it hash-checks like q85 while
+    // exercising the index plan; SkewAndIvfSpec pins the nProbe<nLists
+    // recall and the one-scan shape.
+    "q98_ann_ivf_batch" -> ((s, d) =>
+      Similarity.ivfTopKBatch(ivfIdx(s, d), "vec_id", "embedding",
+        queryIds = (10L until 20L), k = 5, nProbe = 16)),
+
     // Robust per-type outliers: |value − median| > 3·MAD with exact
     // percentiles — the monitoring screen whose threshold outliers can't
     // poison. Group stats broadcast; rows never shuffle.
@@ -660,6 +670,47 @@ object SparkEntry {
           round(col("min_v"), 4).as("min_v"),
           round(col("max_v"), 4).as("max_v"),
           col("avg_v"))
+    }),
+
+    // Retractable incremental refresh: the CDC batch carries DELETES as
+    // well as inserts — mergeAggStates would silently corrupt here (min/
+    // max can't subtract). retractAggState retracts n/sum algebraically
+    // and re-aggregates min/max for ONLY the groups a delete's value
+    // could have owned; the oracle is the one-shot recompute over the
+    // post-CDC base, which the merged view must equal exactly.
+    "q96_retract_rollup" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        date_format(date_trunc("week", col("ts_t")), "yyyy-MM-dd").as("wk"),
+        col("event_type"), col("value"), col("event_id"))
+      val initial = ev.filter(pmod(col("event_id"), lit(3)) =!= 2)
+      val cdcIns = ev.filter(pmod(col("event_id"), lit(3)) === 2)
+      val cdcDel = initial.filter(pmod(col("event_id"), lit(5)) === 0)
+      val baseAfter = ev.filter(!(pmod(col("event_id"), lit(3)) =!= 2 &&
+        pmod(col("event_id"), lit(5)) === 0))
+      val stored = operators.Etl.aggState(initial.drop("event_id"),
+        Seq("wk", "event_type"), "value")
+      // avg divides the ROUNDED sum: the retracted sum can differ from
+      // the recompute's in the last ulp, and a /n can park the quotient
+      // exactly on a .005 boundary — rounding first makes both engines
+      // divide the identical double.
+      operators.Etl.retractAggState(stored, cdcIns.drop("event_id"),
+          cdcDel.drop("event_id"), baseAfter.drop("event_id"),
+          Seq("wk", "event_type"), "value")
+        .select(col("wk"), col("event_type"), col("n"),
+          round(col("sum_v"), 2).as("sum_v"),
+          round(col("min_v"), 4).as("min_v"),
+          round(col("max_v"), 4).as("max_v"),
+          round(round(col("sum_v"), 2) / col("n"), 2).as("avg_v"))
+    }),
+
+    // Bloom-sidecar point lookup as a driver row: the probe consults the
+    // O(nFiles) sidecar, reads ONLY candidate files, and re-applies the
+    // exact predicate — the oracle is the plain filter, because blooms
+    // change which FILES are read, never which ROWS come back.
+    "q97_bloom_lookup" -> ((s, d) => {
+      val (store, side) = bloomStorePaths(s, d)
+      sources.BloomIndex.lookup(s, store, side, "doc_id", "7")
+        .select(col("doc_id"), col("source"), col("n_chars"))
     }),
 
     // Weekly churn — q88's complement: users active in week w with no
@@ -748,10 +799,32 @@ object SparkEntry {
       tbl
     })
 
+  /** Parquet store + bloom sidecar for q97, memoized per (session, dir):
+    * documents written as 16 files NOT organized by doc_id (the sidecar's
+    * whole point — equality skipping on a column with no layout help),
+    * then one distributed pass builds a per-file bloom. The sidecar is
+    * O(nFiles); the probe reads the sidecar, then only candidate files.
+    * BloomIndexSpec holds the ≤3-of-16 pruning + no-false-negative bars;
+    * this store makes the end-to-end lookup an oracle-checked row. */
+  private val bloomStoreCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String)]
+  private def bloomStorePaths(s: SparkSession, d: String): (String, String) =
+    bloomStoreCache.getOrElseUpdate((s, d), {
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q97_" + (d.hashCode.toLong & 0xffffffffL)).getAbsolutePath
+      val store = s"$base/store"; val side = s"$base/sidecar"
+      Tables.documents(s, d).select("doc_id", "source", "n_chars")
+        .repartition(16).write.mode("overwrite").parquet(store)
+      sources.BloomIndex.build(s, store, side, "doc_id",
+        expectedPerFile = 100000L)
+      (store, side)
+    })
+
   /** Drop every memoized substrate (pair stats, RF fits) so their blocks
     * and models become collectable — drivers call this once their query
     * sweep is done. */
   def releaseCaches(): Unit = {
+    bloomStoreCache.clear()
     fpStoreCache.clear()
     pairStatsCache.clear()
     rfCache.clear()
@@ -1795,6 +1868,26 @@ object SparkEntry {
                FROM scored)
          WHERE rn <= 5""",
 
+    // All-cells IVF batch probe == brute force per query, so the oracle
+    // is the same replay as q85's over this query set: the index changes
+    // WHICH FILES a probe reads, never the rows it returns.
+    "q98_ann_ivf_batch" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                  FROM embeddings WHERE vec_id >= 10 AND vec_id < 20),
+         scored AS (SELECT q.query_id, e.vec_id,
+                           round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                                 / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                          CAST(e.embedding AS DOUBLE[])))
+                                    * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+                    FROM embeddings e CROSS JOIN q
+                    WHERE e.vec_id <> q.query_id)
+         SELECT query_id, vec_id, cos
+         FROM (SELECT query_id, vec_id, cos,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, vec_id) AS rn
+               FROM scored)
+         WHERE rn <= 5""",
+
     // Median and MAD via quantile_cont (= Spark's exact percentile); the
     // unrounded |x−med| > k·MAD filter replays identically because both
     // engines compute the same doubles from the same exact percentiles.
@@ -1870,7 +1963,7 @@ object SparkEntry {
          SELECT source, CAST(count(*) AS BIGINT) AS n,
                 round(min(lo), 2) AS p_lo, round(min(hi), 2) AS p_hi,
                 round(sum(greatest(least(CAST(n_chars AS DOUBLE), hi), lo))
-                      / count(*), 2) AS wmean
+                      / count(n_chars), 2) AS wmean
          FROM documents JOIN b USING (source) GROUP BY source""",
 
     // Counts aggregate first; the share/cumulative window runs over the
@@ -1897,6 +1990,21 @@ object SparkEntry {
                 round(sum(value) / count(*), 2) AS avg_v
          FROM a GROUP BY 1, 2""",
 
+    // The retracted view MUST equal the one-shot recompute AFTER the CDC
+    // deletes applied — so the oracle recomputes over the post-CDC base
+    // (initial rows with event_id%5=0 deleted, the %3=2 third inserted).
+    "q96_retract_rollup" ->
+      """WITH a AS (SELECT event_type, date_trunc('week', ts) AS wk, value
+                  FROM events
+                  WHERE NOT (event_id % 3 <> 2 AND event_id % 5 = 0))
+         SELECT strftime(wk, '%Y-%m-%d') AS wk, event_type,
+                CAST(count(*) AS BIGINT) AS n,
+                round(sum(value), 2) AS sum_v,
+                round(min(value), 4) AS min_v,
+                round(max(value), 4) AS max_v,
+                round(round(sum(value), 2) / count(*), 2) AS avg_v
+         FROM a GROUP BY 1, 2""",
+
     // Trailing-window membership replayed as a BETWEEN join against the
     // observed-day set.
     "q95_rolling_active" ->
@@ -1907,6 +2015,11 @@ object SparkEntry {
          SELECT strftime(d, '%Y-%m-%d') AS d,
                 CAST(count(DISTINCT user_id) AS BIGINT) AS active_7d
          FROM x GROUP BY 1""",
+
+    // File skipping never changes the answer: the oracle is the plain
+    // equality filter over the whole table.
+    "q97_bloom_lookup" ->
+      """SELECT doc_id, source, n_chars FROM documents WHERE doc_id = 7""",
 
     // Anti-join churn replayed as NOT EXISTS over the weekly user sets.
     "q94_weekly_churn" ->

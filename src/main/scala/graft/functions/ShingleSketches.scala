@@ -59,6 +59,93 @@ object ShingleSketches {
     h
   }
 
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  private def toHex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(2 * i) = HexDigits((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexDigits(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Engine-portable MinHash signature — BYTE-IDENTICAL to the interpreted
+    * HOF formulation it replaces (Dedup.minhashPairsPortable): hash i of a
+    * shingle is the 8-hex-char slice i%4 of `md5("<i/4>:" ++ shingle)`,
+    * and sig[i] is the lexicographic min over the doc's shingles (hex is
+    * ASCII, so Java String order == UTF8String binary order == the
+    * engine's). One generated call per row replaces numHashes array_min ×
+    * transform interpreter passes; the md5 work itself is identical, so
+    * the win is the eliminated per-element lambda interpretation and
+    * intermediate array churn. Empty shingle arrays yield all-null
+    * elements exactly like `array_min(transform([], …))`. */
+  def md5Minhash(shingles: ArrayData, numHashes: Int): ArrayData = {
+    val numDigests = (numHashes + 3) / 4
+    val prefixes = Array.tabulate(numDigests)(s =>
+      (s.toString + ":").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val mins = new Array[String](numHashes)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val m = shingles.numElements()
+    var s = 0
+    while (s < m) {
+      val bytes = shingles.getUTF8String(s).getBytes
+      var d = 0
+      while (d < numDigests) {
+        md.reset()
+        md.update(prefixes(d))
+        md.update(bytes)
+        val hex = toHex(md.digest())
+        var k = 0
+        while (k < 4) {
+          val i = d * 4 + k
+          if (i < numHashes) {
+            val slice = hex.substring(8 * k, 8 * k + 8)
+            if (mins(i) == null || slice.compareTo(mins(i)) < 0) mins(i) = slice
+          }
+          k += 1
+        }
+        d += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(mins.map(v =>
+      if (v == null) null else UTF8String.fromString(v)))
+  }
+
+  /** Engine-portable 32-bit SimHash fingerprint — BYTE-IDENTICAL to the
+    * HOF formulation in Dedup.simhashPairsPortable: per shingle, the
+    * leading 8 hex chars of its md5 parse as one unsigned 32-bit value;
+    * fingerprint char j is '1' iff the sum over shingles of ±1 votes from
+    * bit 31−j is positive. Returns the 32-char '0'/'1' string the banding
+    * and the DuckDB oracle replay positionally. */
+  def md5Simhash32(shingles: ArrayData): UTF8String = {
+    val votes = new Array[Int](32)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val m = shingles.numElements()
+    var s = 0
+    while (s < m) {
+      md.reset()
+      md.update(shingles.getUTF8String(s).getBytes)
+      val v = java.lang.Long.parseLong(toHex(md.digest()).substring(0, 8), 16)
+      var j = 0
+      while (j < 32) {
+        votes(j) += (((v >>> (31 - j)) & 1L).toInt * 2 - 1)
+        j += 1
+      }
+      s += 1
+    }
+    val out = new Array[Char](32)
+    var j = 0
+    while (j < 32) {
+      out(j) = if (votes(j) > 0) '1' else '0'
+      j += 1
+    }
+    UTF8String.fromString(new String(out))
+  }
+
   /** SimHash: per-bit vote of every shingle's 64-bit hash; bit set iff the
     * vote is positive. */
   def simhash(shingles: ArrayData): Long = {
@@ -94,6 +181,33 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
     defineCodeGen(ctx, ev,
       c => s"graft.functions.ShingleSketches.minhash($c, $numHashes)")
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** Portable md5 MinHash signature of an array<string> shingle column →
+  * array<string> of 8-hex-char min slices (null elements iff no shingles). */
+case class Md5MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "graft_md5_minhash"
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleSketches.md5Minhash(input.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleSketches.md5Minhash($c, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): Md5MinHashSig =
+    copy(child = newChild)
+}
+
+/** Portable 32-bit md5 SimHash of an array<string> shingle column → the
+  * 32-char '0'/'1' fingerprint string. */
+case class Md5SimHash32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_md5_simhash"
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleSketches.md5Simhash32(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleSketches.md5Simhash32($c)")
+  override protected def withNewChildInternal(newChild: Expression): Md5SimHash32 =
     copy(child = newChild)
 }
 

@@ -127,4 +127,18 @@ object TextFunctions {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(WordShingles(ColumnBridge.expression(c), n))
   }
+
+  /** Native portable-md5 MinHash signature (see [[Md5MinHashSig]]) —
+    * byte-identical to the nested transform/md5/array_min HOF chain it
+    * replaces, one generated call per row. */
+  def md5MinhashNative(shingles: Column, numHashes: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(Md5MinHashSig(ColumnBridge.expression(shingles), numHashes))
+  }
+
+  /** Native portable-md5 32-bit SimHash fingerprint (see [[Md5SimHash32]]). */
+  def md5SimhashNative(shingles: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(Md5SimHash32(ColumnBridge.expression(shingles)))
+  }
 }

@@ -265,7 +265,10 @@ object Analytics {
     * estimate ML feature pipelines use where a raw mean would chase the
     * tail. Two passes: a grouped percentile aggregate produces the
     * O(groups)-row bounds table (broadcast back), then one clamped
-    * aggregate; rows never shuffle. */
+    * aggregate; rows never shuffle. `n` counts all rows in the group, but
+    * the mean divides by the count of NON-NULL values (a null `valCol`
+    * contributes to neither the sum nor the denominator); rows with a
+    * null group key drop out with the inner join. */
   def winsorizedStats(df: DataFrame, groupCol: String, valCol: String,
                       pLo: Double, pHi: Double): DataFrame = {
     val bounds = df.groupBy(col(groupCol)).agg(
@@ -280,7 +283,7 @@ object Analytics {
       .agg(count(lit(1)).as("n"),
         round(min(col("graft_lo")), 2).as("p_lo"),
         round(min(col("graft_hi")), 2).as("p_hi"),
-        round(sum(col("graft_w")) / count(lit(1)), 2).as("wmean"))
+        round(sum(col("graft_w")) / count(col("graft_w")), 2).as("wmean"))
   }
 
   /** Label distribution with cumulative share in descending-count order —
@@ -293,7 +296,9 @@ object Analytics {
       .agg(count(lit(1)).as("n"))
     import org.apache.spark.sql.expressions.Window
     val tot = Window.partitionBy()
-    val cum = Window.orderBy(col("n").desc, col("label").asc)
+    // asc_nulls_last matches DuckDB's default null ordering, so a
+    // nullable label column can't diverge from the oracle's cum_share.
+    val cum = Window.orderBy(col("n").desc, col("label").asc_nulls_last)
     counts
       .withColumn("share", round(col("n") / sum("n").over(tot), 6))
       .withColumn("cum_share",

@@ -22,7 +22,8 @@ object Components {
   /** @param pairs DataFrame with two long id columns (an undirected edge per
     *              row); isolated docs are not emitted (no edge → no dup).
     * @return (id, cluster) where cluster = min id reachable from id —
-    *         materialized eagerly (localCheckpoint), so the caller gets a
+    *         materialized eagerly ([[Materialize.artifact]]: local blocks,
+    *         or the reliable checkpoint dir when one is set), so the caller gets a
     *         computed artifact with no cache-lifecycle obligations: the
     *         iteration chain is already cut and the blocks are freed by the
     *         ContextCleaner once the frame is collected. It is small (one
@@ -76,7 +77,7 @@ object Components {
           "returned labels may be partially propagated; raise maxIters")
     // Hand back a materialized artifact and release the loop's caches: the
     // final pass reads the (tiny, fully cached) label table once.
-    val out = labels.select(col("id"), col("cluster")).localCheckpoint(true)
+    val out = labels.select(col("id"), col("cluster")).transform(Materialize.artifact)
     labels.unpersist()
     edges.unpersist()
     out

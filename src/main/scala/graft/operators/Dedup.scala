@@ -90,9 +90,10 @@ object Dedup {
     // materializes the cache, the probe side then reads it instead of
     // re-running the shingle pipeline. The cache is RELEASED before
     // returning: the (much smaller) pair-stats output is materialized
-    // eagerly via localCheckpoint — a derived artifact whose blocks the
-    // ContextCleaner frees on GC — so a 60-query session doesn't
-    // accumulate corpus-sized shingle tables in the block manager.
+    // eagerly via Materialize.artifact (local blocks, or the reliable
+    // checkpoint dir on preemptible clusters) — a derived artifact whose
+    // blocks the ContextCleaner frees on GC — so a 60-query session
+    // doesn't accumulate corpus-sized shingle tables in the block manager.
     val sh = shCapped
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sh.as("a"); val b = sh.as("b")
@@ -100,7 +101,7 @@ object Dedup {
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"),
         col("a.nsh").as("n1"), col("b.nsh").as("n2"))
       .agg(count(lit(1)).as("inter"))
-      .localCheckpoint(true)
+      .transform(Materialize.artifact)
     sh.unpersist()
     stats
   }
@@ -183,7 +184,7 @@ object Dedup {
       .withColumn("est_jaccard", round(agree.cast("double") / numHashes, 4))
       .filter(col("est_jaccard") >= minAgree)
       .select(col("id1"), col("id2"), col("est_jaccard"))
-      .localCheckpoint(true)
+      .transform(Materialize.artifact)
     sig.unpersist()
     out
   }
@@ -231,7 +232,7 @@ object Dedup {
       .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id1"), col("id2"), col("hamming"))
-      .localCheckpoint(true)
+      .transform(Materialize.artifact)
     s.unpersist()
     out
   }
@@ -256,17 +257,15 @@ object Dedup {
                            n: Int, bands: Int, rowsPerBand: Int,
                            minAgree: Double): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val numDigests = (numHashes + 3) / 4
+    // Signature build is ONE generated call per row (Md5MinHashSig) with
+    // byte-identical output to the interpreted transform/md5/array_min
+    // HOF chain (PropertiesSpec twins them) — the md5 cost is unchanged,
+    // the per-element lambda interpretation and intermediate arrays are
+    // gone.
     val sig = docs
       .select(col(idCol).as("id"), T.wordShinglesNative(col(textCol), n).as("shs"))
       .filter(size(col("shs")) > 0)
-      .select(col("id"), transform(col("shs"), g =>
-        array((0 until numDigests).map(s =>
-          md5(concat(lit(s + ":"), g))): _*)).as("hs"))
-      .select(col("id"), array((0 until numHashes).map { i =>
-        array_min(transform(col("hs"), h =>
-          substring(element_at(h, i / 4 + 1), 1 + 8 * (i % 4), 8)))
-      }: _*).as("sig"))
+      .select(col("id"), T.md5MinhashNative(col("shs"), numHashes).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Band bucket key = the band's minhash values joined verbatim ('|' is
     // not a hex char, so the key is collision-free) — the oracle can
@@ -284,13 +283,15 @@ object Dedup {
     val agree = aggregate(
       zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, x) => acc + x)
-    // est_jaccard = k/numHashes with numHashes a power of two: exact in
-    // double, so the threshold filter and 4-dp round replay identically.
+    // est_jaccard = k/numHashes: the threshold filter and 4-dp round
+    // replay identically across engines because both evaluate the SAME
+    // double division (k and numHashes are small exact integers), not
+    // because the quotient is exactly representable.
     val out = candidates.join(s1, "id1").join(s2, "id2")
       .withColumn("est_jaccard", round(agree.cast("double") / numHashes, 4))
       .filter(agree.cast("double") / numHashes >= minAgree)
       .select(col("id1"), col("id2"), col("est_jaccard"))
-      .localCheckpoint(true)
+      .transform(Materialize.artifact)
     sig.unpersist()
     out
   }
@@ -311,24 +312,14 @@ object Dedup {
                            n: Int, maxHamming: Int): DataFrame = {
     val blocks = 4
     val width = 8 // 32 bit-chars / 4 blocks
-    // Hex parsing is hoisted AND packed: each shingle's leading 8 hex
-    // chars become ONE 32-bit long (a single conv per shingle), and bit j
-    // of the hash — nibble j/4, bit 3−j%4 within it — is bit 31−j of that
-    // long, so the 32 vote folds below are pure long shift/mask steps.
-    // Same bits as parsing nibble-by-nibble, so the oracle replay (which
-    // reads hex chars positionally) is unchanged.
-    val packExpr = transform(col("shs"), g =>
-      conv(substring(md5(g), 1, 8), 16, 10).cast("long"))
-    val fpExpr = concat((0 until 32).map { j =>
-      val vote = aggregate(col("hv"), lit(0), (acc, v) =>
-        acc + (shiftright(v, 31 - j).bitwiseAND(lit(1L)).cast("int") * 2 - 1))
-      when(vote > 0, "1").otherwise("0")
-    }: _*)
+    // Fingerprint build is ONE generated call per row (Md5SimHash32) with
+    // byte-identical output to the interpreted conv/aggregate vote folds
+    // (PropertiesSpec twins them); the oracle replay — which reads hex
+    // chars positionally — is unchanged.
     val fps = docs
       .select(col(idCol).as("id"), T.wordShinglesNative(col(textCol), n).as("shs"))
       .filter(size(col("shs")) > 0)
-      .select(col("id"), packExpr.as("hv"))
-      .select(col("id"), fpExpr.as("fp"))
+      .select(col("id"), T.md5SimhashNative(col("shs")).as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocked = fps.select(col("id"), posexplode(array((0 until blocks).map { b =>
       substring(col("fp"), 1 + width * b, width)
@@ -347,7 +338,7 @@ object Dedup {
       .withColumn("hamming", hamming.cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id1"), col("id2"), col("hamming"))
-      .localCheckpoint(true)
+      .transform(Materialize.artifact)
     fps.unpersist()
     out
   }
@@ -416,7 +407,7 @@ object Dedup {
     val checked = fresh.filter(col("graft_maybe"))
       .join(knownFps.select(col("fp")), Seq("fp"), "left_anti")
     val out = definitelyNew.unionByName(checked).drop("graft_maybe")
-      .localCheckpoint(true)
+      .transform(Materialize.artifact)
     fresh.unpersist()
     out
   }
@@ -455,12 +446,18 @@ object Dedup {
     *
     * Skew bound: first-token blocks are Zipfian in real name data ("The
     * …"), and in-block pairing is O(block²) — so blocks larger than
-    * `maxBlock` are DROPPED before the join (the same drop-before-join
-    * discipline as [[pairShingleStats]]' maxDf cap for hot shingles):
-    * per-block fan-out is ≤ maxBlock², and a hot block can never melt one
-    * reducer. A production pipeline routes dropped hot blocks to a finer
-    * blocking key; here they are simply excluded, which the planted
-    * hot-block DedupSpec case pins down. */
+    * `maxBlock` never self-join on the first token alone. They are NOT
+    * dropped: oversized blocks re-block on the finer composite key
+    * (first token, length band), with band width ≥ maxDist and each row
+    * emitted to its own band AND the next one. Any true match satisfies
+    * |len1−len2| ≤ dist ≤ maxDist ≤ width, so the pair's bands differ by
+    * at most one and the double emission guarantees a shared sub-block —
+    * recall inside routed blocks is FULL, at a bounded 2× row fan-out.
+    * Sub-blocks still larger than `maxBlock` (a hot token AND a hot
+    * length) are dropped as the final bound: per-(sub-)block fan-out is
+    * ≤ maxBlock², and a hot block can never melt one reducer. The
+    * planted DedupSpec cases pin both the recovered links and the
+    * final-bound drop. */
   def fuzzyNameMatch(df: DataFrame, idCol: String, nameCol: String,
                      maxDist: Int, maxBlock: Long = 1000L): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(nameCol).as("name"),
@@ -468,15 +465,33 @@ object Dedup {
     // Block sizes are a tiny (distinct first tokens) aggregate; the cap
     // filter BROADCASTS back onto both join sides, so oversized blocks
     // never enter the shuffle at all.
-    val okBlocks = base.groupBy("blk").agg(count(lit(1)).as("graft_bn"))
-      .filter(col("graft_bn") <= maxBlock).select("blk")
-    val capped = base.join(broadcast(okBlocks), Seq("blk"))
-    val a = capped.toDF("blk", "id1", "name1")
-    val b = capped.toDF("blk", "id2", "name2")
-    a.join(b, Seq("blk")).filter(col("id1") < col("id2"))
-      .withColumn("dist", levenshtein(col("name1"), col("name2")))
-      .filter(col("dist") <= maxDist)
-      .select(col("id1"), col("id2"), col("dist").cast("long").as("dist"))
+    val sizes = base.groupBy("blk").agg(count(lit(1)).as("graft_bn"))
+    def pairsOf(side: DataFrame, keys: Seq[String]): DataFrame = {
+      val a = side.select(keys.map(col) :+ col("id").as("id1")
+        :+ col("name").as("name1"): _*)
+      val b = side.select(keys.map(col) :+ col("id").as("id2")
+        :+ col("name").as("name2"): _*)
+      a.join(b, keys).filter(col("id1") < col("id2"))
+        .withColumn("dist", levenshtein(col("name1"), col("name2")))
+        .filter(col("dist") <= maxDist)
+        .select(col("id1"), col("id2"), col("dist").cast("long").as("dist"))
+    }
+    val okBlocks = sizes.filter(col("graft_bn") <= maxBlock).select("blk")
+    val okPairs = pairsOf(base.join(broadcast(okBlocks), Seq("blk")), Seq("blk"))
+    // Hot route: (first token, length band) with band-adjacent double
+    // emission; pairs found in two shared bands dedup below.
+    val hotBlocks = sizes.filter(col("graft_bn") > maxBlock).select("blk")
+    val bandWidth = math.max(maxDist, 2)
+    val hot = base.join(broadcast(hotBlocks), Seq("blk"))
+      .withColumn("graft_band", floor(length(col("name")) / bandWidth))
+    val emitted = hot.select(col("blk"), col("graft_band"), col("id"), col("name"))
+      .unionByName(hot.select(col("blk"),
+        (col("graft_band") + 1).as("graft_band"), col("id"), col("name")))
+    val okSub = emitted.groupBy("blk", "graft_band")
+      .agg(count(lit(1)).as("graft_sn"))
+      .filter(col("graft_sn") <= maxBlock).select("blk", "graft_band")
+    val routed = emitted.join(broadcast(okSub), Seq("blk", "graft_band"))
+    okPairs.unionByName(pairsOf(routed, Seq("blk", "graft_band")).distinct())
   }
 
   /** Embedding near-dup: cosine ≥ τ among pairs sharing a coarse bucket

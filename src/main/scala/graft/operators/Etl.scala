@@ -237,6 +237,72 @@ object Etl {
     state.withColumn("avg_v",
       round(col("sum_v") / col("n"), 2))
 
+  /** RETRACTABLE incremental refresh: apply a CDC batch of row-level
+    * `inserts` AND `deletes` to a stored [[aggState]]. [[mergeAggStates]]
+    * folds inserts only — feed it a delete and the view silently
+    * corrupts, because count/sum CAN subtract but min/max cannot (the
+    * reference's blunt answer is a full truncate+append recompute,
+    * dag.py:735-738; this is the batch-sized answer that must not be
+    * weaker).
+    *
+    * Plan shape, all O(batch) + O(affected-group rows):
+    *  - n/sum retract algebraically: stored + inserts − deletes, one
+    *    full-outer merge of three O(groups) aggregates; groups whose
+    *    count reaches 0 drop out of the view.
+    *  - min/max re-aggregate from `base` (the base table AFTER the CDC
+    *    applied) for ONLY the groups where a deleted value actually tied
+    *    the stored extreme (`del_min ≤ stored_min` or `del_max ≥
+    *    stored_max`); every other group keeps
+    *    least/greatest(stored, inserts), which deletes can't invalidate.
+    *    The rescan is a semi-join of `base` against the affected-key set
+    *    — batch-shaped, never history-shaped, and empty (no scan at all)
+    *    for an insert-only batch.
+    * Deletes of rows that were never counted (no stored group) surface
+    * as dropped/negative groups rather than fabricated state. */
+  def retractAggState(stored: DataFrame, inserts: DataFrame,
+                      deletes: DataFrame, base: DataFrame,
+                      keys: Seq[String], valCol: String): DataFrame = {
+    def named(df: DataFrame, p: String) =
+      aggState(df, keys, valCol).select(
+        keys.map(col) ++ Seq(col("n").as(s"${p}_n"), col("sum_v").as(s"${p}_sum"),
+          col("min_v").as(s"${p}_min"), col("max_v").as(s"${p}_max")): _*)
+    val st = stored.select(
+      keys.map(col) ++ Seq(col("n").as("st_n"), col("sum_v").as("st_sum"),
+        col("min_v").as("st_min"), col("max_v").as("st_max")): _*)
+    // Zero literal in the state's OWN sum dtype — a bare 0.0 would
+    // silently promote integer sums to double.
+    val zeroSum = lit(0).cast(stored.schema("sum_v").dataType)
+    val merged = st
+      .join(named(inserts, "in"), keys, "full_outer")
+      .join(named(deletes, "dl"), keys, "full_outer")
+      .withColumn("graft_n2",
+        coalesce(col("st_n"), lit(0L)) + coalesce(col("in_n"), lit(0L))
+          - coalesce(col("dl_n"), lit(0L)))
+      .withColumn("graft_sum2",
+        coalesce(col("st_sum"), zeroSum) + coalesce(col("in_sum"), zeroSum)
+          - coalesce(col("dl_sum"), zeroSum))
+      // least/greatest skip nulls, so insert-only and stored-only groups
+      // fall out of the same expression.
+      .withColumn("graft_cmin", least(col("st_min"), col("in_min")))
+      .withColumn("graft_cmax", greatest(col("st_max"), col("in_max")))
+      .withColumn("graft_rescan",
+        col("dl_n").isNotNull && (col("st_min").isNull ||
+          col("dl_min") <= col("st_min") || col("dl_max") >= col("st_max")))
+    val affected = merged.filter(col("graft_rescan")).select(keys.map(col): _*)
+    val rescanned = aggState(base.join(affected, keys, "left_semi"),
+      keys, valCol).select(
+      keys.map(col) ++ Seq(col("min_v").as("graft_rmin"),
+        col("max_v").as("graft_rmax")): _*)
+    merged.filter(col("graft_n2") > 0)
+      .join(rescanned, keys, "left")
+      .select(keys.map(col) ++ Seq(
+        col("graft_n2").as("n"), col("graft_sum2").as("sum_v"),
+        when(col("graft_rescan"), col("graft_rmin"))
+          .otherwise(col("graft_cmin")).as("min_v"),
+        when(col("graft_rescan"), col("graft_rmax"))
+          .otherwise(col("graft_cmax")).as("max_v")): _*)
+  }
+
   /** Z-order-clustered parquet layout: rows sort by the INTERLEAVED bits
     * of two columns' 8-bit linear bins, so file/row-group min-max stats
     * prune predicates on EITHER column to ~√nFiles files — the

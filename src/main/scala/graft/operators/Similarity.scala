@@ -167,6 +167,49 @@ object Similarity {
       .select(col(idCol), col("cos"))
   }
 
+  /** Batched IVF probe: every query in `queryIds` retrieves its top-k in
+    * ONE pass over the index — the production retrieval shape (a probe
+    * batch of thousands against a built-once index) where looping
+    * [[ivfTopK]] would launch a job per query. Driver work stays
+    * index-artifact-sized: the query vectors (|queries|·dim) rank the
+    * centroid table per query, producing a (query, probe-cell) table that
+    * BROADCASTS back onto the corpus scan. The scan reads only the UNION
+    * of probed cells — against a [[saveIndex]]-persisted index that is
+    * partition pruning, so cost tracks distinct probed cells, not corpus
+    * size — and each corpus row joins only the queries probing its cell
+    * (fan-out ≤ |queries|, bounded by the broadcast). One row_number
+    * window on the query key finishes. With nProbe = nLists the probe
+    * set is every cell and the result is EXACTLY [[cosineTopKBatch]]
+    * (same rounded score + id tiebreak) with the index plan shape —
+    * q98's oracle replays that; recall at nProbe < nLists is
+    * spec-pinned. */
+  def ivfTopKBatch(index: IvfIndex, idCol: String, vecCol: String,
+                   queryIds: Seq[Long], k: Int, nProbe: Int): DataFrame = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    val qvs = index.assigned.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol), col(vecCol).cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probeRows = qvs.toSeq.flatMap { case (qid, qv) =>
+      def dist2(c: Array[Double]): Double =
+        c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
+      index.centers.sortBy { case (_, c) => dist2(c) }.take(nProbe)
+        .map { case (cell, _) => (qid, cell, qv.toSeq) }
+    }
+    val probed = probeRows.toDF("query_id", "graft_cell", "graft_qv")
+    val cellIds = probeRows.map(_._2).distinct
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col(idCol).asc)
+    index.assigned
+      .filter(col("graft_cell").isin(cellIds: _*))
+      .join(broadcast(probed), Seq("graft_cell"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("cos", round(V.cosine(col(vecCol), col("graft_qv")), 6))
+      .withColumn("graft_rn", row_number().over(w))
+      .filter(col("graft_rn") <= k)
+      .select(col("query_id"), col(idCol), col("cos"))
+  }
+
   /** Per-cell angular radius stats for exactness-guaranteed probing: the
     * minimum cosine between any member and its cell centroid (= the cell's
     * maximum member angle). One aggregate over the assignments with a

@@ -78,9 +78,12 @@ object BloomIndex {
   def candidateFiles(spark: SparkSession, sidecarPath: String,
                      value: String): Seq[String] = {
     import spark.implicits._
-    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
-      org.apache.spark.unsafe.types.UTF8String.fromString(value),
-      org.apache.spark.sql.types.StringType, 42L)
+    // Probe hash computed through the SAME public xxhash64 function the
+    // build pass used — if a Spark upgrade ever changes that function's
+    // seed or implementation, build and probe move together instead of
+    // silently diverging into false negatives. (One local-relation row;
+    // no job is launched for a literal projection.)
+    val h = spark.range(1).select(xxhash64(lit(value))).head.getLong(0)
     spark.read.parquet(sidecarPath)
       .as[(String, Array[Byte])]
       .filter { case (_, bytes) =>

@@ -57,6 +57,47 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: native md5 minhash == the interpreted HOF chain it replaced") {
+    // The q82 oracle replays the HOF formulation in SQL — the native
+    // expression must stay byte-identical to it on arbitrary unicode text.
+    val numHashes = 6 // not a multiple of 4: exercises the tail digest
+    val numDigests = (numHashes + 3) / 4
+    val shs = T.wordShinglesNative($"text", 2)
+    val hof = {
+      val hs = transform(shs, g =>
+        array((0 until numDigests).map(s => md5(concat(lit(s + ":"), g))): _*))
+      array((0 until numHashes).map { i =>
+        array_min(transform(hs, h =>
+          substring(element_at(h, i / 4 + 1), 1 + 8 * (i % 4), 8)))
+      }: _*)
+    }
+    for (seed <- 1L to 8L) {
+      val texts = sample(Gen.listOfN(25, textGen), seed)
+      val got = texts.toDF("text")
+        .select(T.md5MinhashNative(shs, numHashes).as("nat"), hof.as("hof"))
+        .as[(Seq[String], Seq[String])].collect()
+      got.foreach { case (n, h) => assert(n == h) }
+    }
+  }
+
+  test("property: native md5 simhash32 == the interpreted vote folds it replaced") {
+    val shs = T.wordShinglesNative($"text", 2)
+    val packExpr = transform(shs, g =>
+      conv(substring(md5(g), 1, 8), 16, 10).cast("long"))
+    val hof = concat((0 until 32).map { j =>
+      val vote = aggregate(packExpr, lit(0), (acc, v) =>
+        acc + (shiftright(v, 31 - j).bitwiseAND(lit(1L)).cast("int") * 2 - 1))
+      when(vote > 0, "1").otherwise("0")
+    }: _*)
+    for (seed <- 1L to 8L) {
+      val texts = sample(Gen.listOfN(25, textGen), seed)
+      val got = texts.toDF("text")
+        .select(T.md5SimhashNative(shs).as("nat"), hof.as("hof"))
+        .as[(String, String)].collect()
+      got.foreach { case (n, h) => assert(n == h) }
+    }
+  }
+
   test("property: native simhash == scala reference model; both order-invariant") {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     // Independent reference model (FNV-1a bit votes) computed in plain

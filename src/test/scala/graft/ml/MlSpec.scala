@@ -97,6 +97,44 @@ class MlSpec extends SparkSpec {
     assert(preds(0) > 5 && preds(1) < 0)
   }
 
+  test("adaptive exploration rung: probes are deterministic, in-bounds, distinct, off-incumbent") {
+    val incumbent = (10, 6, 4) // (numTrees, maxDepth, minInstancesPerNode)
+    val probes = Popularity.exploreTriples(
+      incumbent._1, incumbent._2, incumbent._3, baseTrees = 10,
+      nProbes = 4, seed = 42L)
+    assert(probes === Popularity.exploreTriples(
+      incumbent._1, incumbent._2, incumbent._3, 10, 4, 42L)) // deterministic
+    assert(probes.size === 4 && probes.distinct.size === 4)
+    assert(!probes.contains(incumbent)) // adapts AROUND, never re-probes
+    probes.foreach { case (t, d, m) =>
+      assert(t >= 5 && t <= 30, s"trees out of range: $t")
+      assert(d >= 3 && d <= 10, s"depth out of range: $d")
+      assert(m >= 1 && m <= 16, s"leaf size out of range: $m")
+    }
+    // The rung explores the CONTINUOUS range, not just the 2x2x2 lattice:
+    // across seeds, some probe leaves the grid's {10,20}x{4,6}x{1,4} points.
+    val lattice = for (t <- Set(10, 20); d <- Set(4, 6); m <- Set(1, 4))
+      yield (t, d, m)
+    val wide = (1L to 5L).flatMap(s => Popularity.exploreTriples(
+      incumbent._1, incumbent._2, incumbent._3, 10, 4, s))
+    assert(wide.exists(p => !lattice.contains(p)),
+      "exploration never left the screening lattice")
+  }
+
+  test("tuned GBT searches the learning rate like the notebook's XGB and fits the signal") {
+    val (model, row) = Popularity.tunedGbt(spark, regData,
+      Seq("x1", "x2", "x3"), "y")
+    val (rmse, r2, step, depth, iters) =
+      row.as[(Double, Double, Double, Int, Int)].head()
+    assert(r2 > 0.9, s"tuned GBT underfits: r2=$r2 rmse=$rmse")
+    // The winning point comes from the declared search space.
+    assert(Set(0.05, 0.1, 0.3).contains(step), s"step=$step")
+    assert(Set(3, 5).contains(depth) && Set(10, 20).contains(iters))
+    // The returned artifact is the fitted winner, usable directly.
+    val n = model.transform(regData.limit(5)).select("prediction").count()
+    assert(n === 5)
+  }
+
   test("RF training produces sane metrics and importances") {
     val fit = Popularity.train(regData, Seq("x1", "x2", "x3"), "y")
     assert(fit.r2 > 0.8)          // learnable signal

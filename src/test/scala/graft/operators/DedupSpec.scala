@@ -67,10 +67,36 @@ class DedupSpec extends SparkSpec {
     assert(got === Set((1L, 2L, 1L), (5L, 6L, 1L)), s"unexpected pairs: $got")
   }
 
-  test("fuzzyNameMatch drops blocks over maxBlock; benign links unchanged") {
-    // A planted Zipfian hot block ("the ..." x 50) next to a benign pair:
-    // with maxBlock=10 the hot block is excluded BEFORE the self-join
-    // (fan-out stays <= maxBlock^2 per block), the benign link survives.
+  test("fuzzyNameMatch routes hot blocks to (token, length-band) and recovers in-block links") {
+    // A planted Zipfian hot block ("the ..." x 50, lengths spread wide so
+    // length bands split it) containing a true near-dup pair, next to a
+    // benign pair. With maxBlock=10 the first-token block is oversized,
+    // but the routed (token, band) sub-blocks are small — the in-block
+    // link MUST come back, and the benign link is untouched.
+    val hot = (0L until 50L).map(i =>
+      (100L + i, s"the ${"very " * (i % 25).toInt}old shop"))
+    val catalog = (hot ++ Seq((1L, "acme corp"), (2L, "acme corq"),
+      (200L, "the unique bakery"), (201L, "the unique bakerz")))
+      .toDF("id", "name")
+    val got = Dedup.fuzzyNameMatch(catalog, "id", "name",
+      maxDist = 2, maxBlock = 10L)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)), s"benign link lost: $got")
+    assert(got.contains((200L, 201L)),
+      s"hot-block link NOT recovered by routing: $got")
+    // Result-parity: routing changes the physical plan, never the pair
+    // set — everything found is a true ≤ maxDist pair the uncapped run
+    // also finds.
+    val uncapped = Dedup.fuzzyNameMatch(catalog, "id", "name",
+      maxDist = 2, maxBlock = 1000L)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(uncapped), s"routed produced a false pair: ${got.diff(uncapped)}")
+  }
+
+  test("fuzzyNameMatch final bound: sub-blocks hot in BOTH token and length still drop") {
+    // Fifty identical-length names in one block: the length bands cannot
+    // split it, so the sub-block cap (the final fan-out bound) drops it —
+    // fan-out stays <= maxBlock^2 no matter how adversarial the data.
     val hot = (100L until 150L).map(i => (i, s"the shop number $i"))
     val catalog = (hot ++ Seq((1L, "acme corp"), (2L, "acme corq")))
       .toDF("id", "name")
@@ -78,8 +104,6 @@ class DedupSpec extends SparkSpec {
       maxDist = 2, maxBlock = 10L)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(capped === Set((1L, 2L)), s"hot block leaked: $capped")
-    // Uncapped control: the hot block DOES produce in-block pairs, so the
-    // cap is what removed them (not the distance filter).
     val uncapped = Dedup.fuzzyNameMatch(catalog, "id", "name",
       maxDist = 2, maxBlock = 1000L)
     assert(uncapped.count() > 1L)

@@ -102,6 +102,36 @@ class EtlSpec extends SparkSpec {
     assert(read.columns.contains("avg_v") && read.count() === 7)
   }
 
+  test("retractAggState: delete-then-merge equals the post-delete recompute") {
+    val all = (1 to 900).map(i => (s"k${i % 7}", (i % 101).toLong, i.toLong))
+      .toDF("k", "v", "id")
+    val initial = all.filter(col("id") % 3 =!= 2)
+    val ins = all.filter(col("id") % 3 === 2)
+    val dels = initial.filter(col("id") % 5 === 0)
+    val baseAfter = all.filter(!(col("id") % 3 =!= 2 && col("id") % 5 === 0))
+    val stored = Etl.aggState(initial.drop("id"), Seq("k"), "v")
+    val merged = Etl.retractAggState(stored, ins.drop("id"), dels.drop("id"),
+        baseAfter.drop("id"), Seq("k"), "v")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val full = Etl.aggState(baseAfter.drop("id"), Seq("k"), "v")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(merged === full)
+  }
+
+  test("retractAggState: extreme-owning delete rescans, full delete drops the group, insert-only group appears") {
+    val stored = Etl.aggState(
+      Seq(("a", 1L), ("a", 5L), ("a", 9L), ("b", 7L)).toDF("k", "v"),
+      Seq("k"), "v")
+    val ins = Seq(("a", 6L), ("c", 3L)).toDF("k", "v")
+    val dels = Seq(("a", 9L), ("b", 7L)).toDF("k", "v") // group max; whole group
+    val baseAfter = Seq(("a", 1L), ("a", 5L), ("a", 6L), ("c", 3L)).toDF("k", "v")
+    val out = Etl.retractAggState(stored, ins, dels, baseAfter, Seq("k"), "v")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    // a: the deleted 9 owned the max — max must fall back to 6 via the
+    // rescan, NOT stay 9; b: count hits 0 and drops; c: insert-only.
+    assert(out === Set(("a", 3L, 12L, 1L, 6L), ("c", 1L, 3L, 3L, 3L)))
+  }
+
   test("writeZorderLayout prunes candidate files on BOTH columns") {
     val dir = java.nio.file.Files.createTempDirectory("graft_z").toString
     val zPath = s"$dir/z"; val rPath = s"$dir/r"

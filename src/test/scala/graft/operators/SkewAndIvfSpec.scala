@@ -98,6 +98,42 @@ class SkewAndIvfSpec extends SparkSpec {
     idx.release()
   }
 
+  test("batched IVF probe: all-cells == brute force per query; partial probes keep recall; one index scan") {
+    val rnd = new scala.util.Random(23)
+    val emb = (0L until 300L).map(i =>
+      (i, Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat))).toDF("vec_id", "embedding")
+    val idx = Similarity.ivfIndex(emb, "vec_id", "embedding", nLists = 8)
+    val queries = Seq(0L, 17L, 123L, 250L)
+    // nProbe = nLists probes everything: identical rows to the exact
+    // brute-force batch, per query, scores included.
+    val all = Similarity.ivfTopKBatch(idx, "vec_id", "embedding",
+      queries, k = 10, nProbe = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    val brute = Similarity.cosineTopKBatch(emb, "vec_id", "embedding",
+      queries, k = 10)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(all === brute)
+    // Partial probe: recall@10 ≥ 0.5 on uniform vectors (IVF's worst
+    // case) with half the cells probed — the scale path trades exactly
+    // this bounded recall for reading nProbe/nLists of the corpus.
+    val half = Similarity.ivfTopKBatch(idx, "vec_id", "embedding",
+      queries, k = 10, nProbe = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    val recall = half.count(brute.contains).toDouble / brute.size
+    assert(recall >= 0.5, s"recall@10 = $recall")
+    // One pass over the index: the plan has exactly two leaves — the
+    // corpus scan and the tiny probe table — and the probe side joins by
+    // BROADCAST, so no second corpus read and no shuffle of the corpus
+    // onto the query key before scoring.
+    val plan = Similarity.ivfTopKBatch(idx, "vec_id", "embedding",
+      queries, k = 10, nProbe = 8).queryExecution.executedPlan.toString
+    assert("InMemoryTableScan".r.findAllIn(plan).size === 1,
+      s"expected exactly one corpus scan, got:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe table must broadcast-join the corpus scan:\n$plan")
+    idx.release()
+  }
+
   test("ivfAppend assigns new vectors to their nearest existing cell, no refit") {
     val rnd = new scala.util.Random(13)
     def jitter() = (rnd.nextDouble() * 0.01).toFloat
