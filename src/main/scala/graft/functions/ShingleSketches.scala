@@ -86,7 +86,12 @@ object ShingleSketches {
     val numDigests = (numHashes + 3) / 4
     val prefixes = Array.tabulate(numDigests)(s =>
       (s.toString + ":").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val mins = new Array[String](numHashes)
+    // Fixed-width lowercase hex is ORDER-PRESERVING over the underlying
+    // bytes, so "lexicographic min of the 8-hex-char slice" == "unsigned
+    // min of the digest's corresponding 4 bytes" — the whole per-shingle
+    // loop runs on primitive longs (zero allocations beyond the digest
+    // arrays) and only the numHashes winners hex-encode, once per ROW.
+    val mins = Array.fill(numHashes)(Long.MaxValue) // unsigned ints < MaxValue
     val md = java.security.MessageDigest.getInstance("MD5")
     val m = shingles.numElements()
     var s = 0
@@ -97,13 +102,14 @@ object ShingleSketches {
         md.reset()
         md.update(prefixes(d))
         md.update(bytes)
-        val hex = toHex(md.digest())
+        val dig = md.digest()
         var k = 0
         while (k < 4) {
           val i = d * 4 + k
           if (i < numHashes) {
-            val slice = hex.substring(8 * k, 8 * k + 8)
-            if (mins(i) == null || slice.compareTo(mins(i)) < 0) mins(i) = slice
+            val v = ((dig(4 * k) & 0xffL) << 24) | ((dig(4 * k + 1) & 0xffL) << 16) |
+              ((dig(4 * k + 2) & 0xffL) << 8) | (dig(4 * k + 3) & 0xffL)
+            if (v < mins(i)) mins(i) = v
           }
           k += 1
         }
@@ -111,8 +117,18 @@ object ShingleSketches {
       }
       s += 1
     }
-    new GenericArrayData(mins.map(v =>
-      if (v == null) null else UTF8String.fromString(v)))
+    new GenericArrayData(mins.map { v =>
+      if (v == Long.MaxValue) null
+      else {
+        val out = new Array[Char](8)
+        var j = 0
+        while (j < 8) {
+          out(j) = HexDigits(((v >>> (28 - 4 * j)) & 0xf).toInt)
+          j += 1
+        }
+        UTF8String.fromString(new String(out))
+      }
+    })
   }
 
   /** Engine-portable 32-bit SimHash fingerprint — BYTE-IDENTICAL to the

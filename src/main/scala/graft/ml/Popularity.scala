@@ -83,9 +83,13 @@ object Popularity {
     // ranges between the grid's lattice points (see [[exploreAround]]).
     // That is the affordable analog of the reference's BayesSearchCV
     // (ml_training_dag.py:79-98), whose whole point is that probe t+1
-    // depends on scores 1..t. Rung 3 (full fidelity): the top-3 maps
+    // depends on scores 1..t. Rung 3 (full fidelity): the top-2 maps
     // across both screening rungs re-run proper k-fold CV on all the
-    // training data. Search breadth exceeds the reference's 3-parameter
+    // training data. (Two finalists, not three: the exploration rung
+    // already protects against sample noise eliminating a good map — it
+    // RE-SCREENS the incumbent's whole neighborhood — so a third full-CV
+    // finalist buys little for two extra full-data fits.)
+    // Search breadth exceeds the reference's 3-parameter
     // lattice at well under the full-grid fit budget — and it's the shape
     // that survives scale: at a 100 TB training table, ranking
     // hyperparameters on a bounded sample is the only affordable option;
@@ -109,7 +113,7 @@ object Popularity {
     val exploreScores = explore.zip(screen(explore))
     require(exploreScores.forall(p => java.lang.Double.isFinite(p._2)),
       s"non-finite scout metric in rung 2: ${exploreScores.map(_._2).mkString(",")}")
-    val finalists = (scoutScores ++ exploreScores).sortBy(_._2).take(3).map(_._1)
+    val finalists = (scoutScores ++ exploreScores).sortBy(_._2).take(2).map(_._1)
     scoutTrain.unpersist()
     val best = cvOver(finalists).fit(trainDf)
     // Both metrics scan the predictions; cache so the second pass is free.

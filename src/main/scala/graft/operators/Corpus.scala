@@ -159,6 +159,38 @@ object Corpus {
       .select(col("doc_id"), col("grp").as(groupCol))
   }
 
+  /** Length-bucketed batch packing report — the padding-efficiency audit
+    * behind bucketed batching (training batches drawn from similar-length
+    * documents waste far less padding than random batches; this measures
+    * exactly how much). Documents bucket by ⌊tokens/binTokens⌋, rank
+    * WITHIN their bucket (descending tokens, id tiebreak), and chop into
+    * `batchSize`-doc batches; each batch reports its padded-token waste
+    * (max·n − Σ). The window partitions by BUCKET — a bounded-cardinality
+    * key — so ranking parallelizes across buckets instead of forcing the
+    * global total order a naive sort-by-length batcher needs; padding
+    * inside a batch is bounded by the bin width by construction. */
+  def lengthBatches(docs: DataFrame, idCol: String, textCol: String,
+                    binTokens: Int, batchSize: Int): DataFrame = {
+    require(binTokens > 0 && batchSize > 0, "binTokens/batchSize must be positive")
+    val w = Window.partitionBy("bucket")
+      .orderBy(col("n_tokens").desc, col("doc_id").asc)
+    docs
+      .select(col(idCol).as("doc_id"),
+        T.wordTokens(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("bucket", floor(col("n_tokens") / binTokens).cast("long"))
+      .withColumn("graft_rn", row_number().over(w))
+      .withColumn("batch_in_bucket",
+        floor((col("graft_rn") - 1) / batchSize).cast("long"))
+      .groupBy("bucket", "batch_in_bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .withColumn("pad_frac",
+        round((col("max_tokens") * col("n_docs") - col("sum_tokens"))
+          .cast("double") /
+          greatest(col("max_tokens") * col("n_docs"), lit(1L)), 4))
+  }
+
   /** Token-stream sequence packing: documents are laid into fixed-capacity
     * training sequences in id order WITHIN each shard (documents may
     * straddle a boundary — the GPT-style contiguous token stream). Emits

@@ -70,6 +70,25 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q96 retraction: min/max rescan reads the base through a SEMI join on affected keys") {
+    withCleanCaches {
+      val p = planOf("q96_retract_rollup")
+      // The rescan must be keyed (LeftSemi), never a full-base rescan fed
+      // into a plain join — the affected-groups bound is the whole point.
+      assert(p.contains("LeftSemi"), s"q96 lost its semi-join rescan:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
+
+  test("q98 batched IVF probe: probe table broadcasts onto ONE corpus pass") {
+    withCleanCaches {
+      val p = planOf("q98_ann_ivf_batch")
+      assert(p.contains("BroadcastHashJoin"), s"probe table must broadcast:\n$p")
+      // One window exchange on the query key is the only row shuffle.
+      assert(exchanges(p) <= 1, s"q98 grew shuffles:\n$p")
+    }
+  }
+
   test("q84 correlation matrix is one aggregate pass, no joins") {
     withCleanCaches {
       val p = planOf("q84_feature_corr")

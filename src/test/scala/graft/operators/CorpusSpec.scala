@@ -93,6 +93,30 @@ class CorpusSpec extends SparkSpec {
     assert(halfCount > 150 / 3 && halfCount < 150, s"kept $halfCount of 150")
   }
 
+  test("lengthBatches buckets by token bin, chops by rank, reports padding exactly") {
+    // Tokens per doc are the word count of "w " * k: ids 1..5 → 10 tokens,
+    // ids 6..7 → 40 tokens. binTokens=32 → buckets 0 and 1; batchSize=3
+    // chops the five 10-token docs into batches of 3 and 2.
+    val docs = ((1 to 5).map(i => (i.toLong, ("w " * 10).trim)) ++
+      (6 to 7).map(i => (i.toLong, ("w " * 40).trim))).toDF("doc_id", "text")
+    val got = Corpus.lengthBatches(docs, "doc_id", "text",
+      binTokens = 32, batchSize = 3)
+      .select("bucket", "batch_in_bucket", "n_docs", "max_tokens",
+        "sum_tokens", "pad_frac")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    assert(got === Set(
+      (0L, 0L, 3L, 10L, 30L, 0.0), // equal lengths: zero padding
+      (0L, 1L, 2L, 10L, 20L, 0.0),
+      (1L, 0L, 2L, 40L, 80L, 0.0)))
+    // Mixed lengths in one bucket: padding = max·n − Σ over the batch.
+    val mixed = Seq((1L, ("w " * 10).trim), (2L, ("w " * 20).trim))
+      .toDF("doc_id", "text")
+    val row = Corpus.lengthBatches(mixed, "doc_id", "text", 32, 16)
+      .select("n_docs", "max_tokens", "sum_tokens", "pad_frac")
+      .as[(Long, Long, Long, Double)].head()
+    assert(row === ((2L, 20L, 30L, 0.25))) // (40 − 30) / 40
+  }
+
   test("centroidOutliers flags the planted off-cluster member first") {
     // Label 0: four near-identical vectors + one pointing the other way.
     val base = Array.fill(8)(1.0f)
