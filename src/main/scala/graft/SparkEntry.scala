@@ -720,6 +720,18 @@ object SparkEntry {
           round(round(col("sum_v"), 2) / col("n"), 2).as("avg_v"))
     }),
 
+    // Per-source dedup-rate report — the curation dashboard's first
+    // number ("which source is mostly copies?"): one two-phase
+    // count(distinct fp) aggregate per source, no pair join anywhere.
+    "q101_dedup_rate" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), T.fingerprint(col("text")).as("fp"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_unique"),
+          round((count(lit(1)) - countDistinct(col("fp"))).cast("double")
+            / count(lit(1)), 4).as("dup_rate"))),
+
     // Length-bucketed batch packing report: rank within ⌊tokens/32⌋
     // buckets, chop into 16-doc batches, report per-batch padding waste —
     // the bucketed-batching audit; the window key is the bounded bucket,
@@ -1611,6 +1623,17 @@ object SparkEntry {
          r(n, m) AS (SELECT a, b FROM e
                      UNION SELECT r.n, e.b FROM r JOIN e ON r.m = e.a)
          SELECT n AS doc_id, least(n, min(m)) AS cluster FROM r GROUP BY n""",
+
+    // Same normalized-md5 fingerprint as q19/q81.
+    "q101_dedup_rate" ->
+      """WITH f AS (SELECT source,
+                  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+           FROM documents)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+                round((count(*) - count(DISTINCT fp)) * 1.0 / count(*), 4)
+                  AS dup_rate
+         FROM f GROUP BY 1""",
 
     // The window replays per bucket (bounded key), batch = floor-division
     // of the in-bucket rank; pad_frac's denominator guards the all-empty
