@@ -732,6 +732,48 @@ object SparkEntry {
           round((count(lit(1)) - countDistinct(col("fp"))).cast("double")
             / count(lit(1)), 4).as("dup_rate"))),
 
+    // Per-dimension embedding profile (64 rows): dead dims, scale drift,
+    // variance collapse. Fixed-point quantization makes every stat exact
+    // integer math; mean/variance derive bit-identically on both engines.
+    "q102_dim_stats" -> ((s, d) =>
+      Analytics.dimStats(Tables.embeddings(s, d), "embedding")),
+
+    // Source-vocabulary redundancy matrix (190 pairs at 20 sources): the
+    // join is keyed on term over the DEDUPLICATED vocabulary — fan-out
+    // bounded by sources², never corpus size.
+    "q103_source_overlap" -> ((s, d) =>
+      Analytics.sourceOverlap(Tables.documents(s, d), "source", "text")),
+
+    // "800 tokens from every source" deterministic mixing cap: content-
+    // hash pick order, exact long cumsum, one window per source partition.
+    "q104_token_budget" -> ((s, d) =>
+      Corpus.tokenBudgetCap(Tables.documents(s, d), "doc_id", "text",
+        "source", budget = 800L)),
+
+    // Full warehouse-load cycle through the DSv2 WRITE path: decoy load →
+    // truncate-overwrite (slice A) → append (slice B) → read back via the
+    // manifest → aggregate. The oracle sees none of the sink: it aggregates
+    // the A∪B predicate directly, so staged commit + truncate + append +
+    // read must ALL be exact for the hashes to meet.
+    "q105_warehouse_cycle" -> ((s, d) => {
+      val fmt = "graft.sources.WarehouseSink"
+      val dir = java.nio.file.Files.createTempDirectory("graft_wh_").toString
+      val src = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      // (DSv2 via format().save() admits only append/overwrite modes)
+      src.limit(50).write.format(fmt).option("path", dir)
+        .mode("append").save() // decoy generation the overwrite must drop
+      src.filter(col("o_totalprice") < 100000.0)
+        .write.format(fmt).option("path", dir).mode("overwrite").save()
+      src.filter(col("o_totalprice") >= 100000.0 &&
+          col("o_totalprice") < 150000.0)
+        .write.format(fmt).option("path", dir).mode("append").save()
+      s.read.format(fmt).option("path", dir).load()
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+    }),
+
     // Length-bucketed batch packing report: rank within ⌊tokens/32⌋
     // buckets, chop into 16-doc batches, report per-batch padding waste —
     // the bucketed-batching audit; the window key is the bounded bucket,
@@ -1634,6 +1676,64 @@ object SparkEntry {
                 round((count(*) - count(DISTINCT fp)) * 1.0 / count(*), 4)
                   AS dup_rate
          FROM f GROUP BY 1""",
+
+    // q68's fixed-point discipline: quantized longs are exact; the mean /
+    // variance doubles derive from identical longs through the identical
+    // expression on both engines — bit-identical, no rounding epsilon.
+    "q102_dim_stats" ->
+      """WITH s AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(floor(x * 1000.0 + 0.5) AS BIGINT)) AS v
+           FROM embeddings),
+         e AS (SELECT CAST(pos AS BIGINT) AS dim, v[pos] AS q
+               FROM (SELECT v, unnest(range(1, len(v) + 1)) AS pos FROM s)),
+         g AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(q) AS BIGINT) AS sum_q,
+                      CAST(min(q) AS BIGINT) AS min_q,
+                      CAST(max(q) AS BIGINT) AS max_q,
+                      CAST(sum(q * q) AS BIGINT) AS ssq
+               FROM e GROUP BY dim)
+         SELECT dim, n, sum_q, min_q, max_q,
+                CAST(floor(CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE) + 0.5)
+                     AS BIGINT) AS mean_milli,
+                CAST(floor((CAST(ssq AS DOUBLE)
+                            - CAST(sum_q AS DOUBLE) * CAST(sum_q AS DOUBLE)
+                              / CAST(n AS DOUBLE))
+                           / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS var_micro
+         FROM g""",
+
+    // Same [a-z0-9]+ term split as q44; jaccard over DISTINCT terms.
+    "q103_source_overlap" ->
+      """WITH v AS (SELECT DISTINCT source AS src, term
+           FROM (SELECT source,
+                        unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+                 FROM documents)),
+         sz AS (SELECT src, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+         pr AS (SELECT a.src AS s1, b.src AS s2, CAST(count(*) AS BIGINT) AS inter
+                FROM v a JOIN v b ON a.term = b.term AND a.src < b.src
+                GROUP BY 1, 2)
+         SELECT s2, s1, x.n AS n1, y.n AS n2, inter,
+                round(inter * 1.0 / (x.n + y.n - inter), 4) AS jaccard
+         FROM pr JOIN sz x ON pr.s1 = x.src JOIN sz y ON pr.s2 = y.src""",
+
+    // Same word-token count as q15; ROWS frame spelled on both engines
+    // (doc_id tiebreak makes it equal to RANGE, but parity is explicit).
+    "q104_token_budget" ->
+      """SELECT doc_id, source, n_tokens, cum_tokens
+         FROM (SELECT doc_id, source, n_tokens,
+                      sum(n_tokens) OVER (PARTITION BY source
+                        ORDER BY md5(text), doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cum_tokens
+               FROM (SELECT doc_id, source, text,
+                            CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                                 AS BIGINT) AS n_tokens
+                     FROM documents))
+         WHERE cum_tokens <= 800""",
+
+    // The A∪B predicate the truncate+append cycle must reproduce exactly.
+    "q105_warehouse_cycle" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+                round(sum(o_totalprice), 2) AS sum_price
+         FROM orders WHERE o_totalprice < 150000 GROUP BY 1""",
 
     // The window replays per bucket (bounded key), batch = floor-division
     // of the in-bucket rank; pad_frac's denominator guards the all-empty

@@ -436,4 +436,66 @@ object Analytics {
       .orderBy(col("cnt").desc, col("term").asc)
       .limit(k)
   }
+
+  /** Per-dimension profile of an embedding column — the pre-training
+    * sanity check for a vector corpus (dead dimensions, scale drift,
+    * variance collapse). posexplode turns the array columnar (one narrow
+    * (dim, value) stream, map-side partial agg), so the single Exchange
+    * carries |dims| groups regardless of corpus size.
+    *
+    * Cross-engine exactness: components quantize to fixed-point longs
+    * (×scale, half-up) so n/sum/min/max/ssq are exact integer math, and
+    * the derived mean/variance are the SAME double expression evaluated
+    * from identical longs on both engines — bit-identical, no rounding
+    * epsilon anywhere (the q68 discipline).
+    */
+  def dimStats(df: DataFrame, vecCol: String, scale: Int = 1000): DataFrame = {
+    val q = df
+      .select(posexplode(col(vecCol)).as(Seq("pos0", "x")))
+      .select((col("pos0") + 1).cast("long").as("dim"),
+        floor(col("x").cast("double") * scale + lit(0.5)).cast("long").as("q"))
+    q.groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"),
+        min(col("q")).as("min_q"), max(col("q")).as("max_q"),
+        sum(col("q") * col("q")).as("ssq"))
+      .withColumn("mean_milli",
+        floor(col("sum_q").cast("double") / col("n").cast("double") + lit(0.5))
+          .cast("long"))
+      .withColumn("var_micro",
+        floor((col("ssq").cast("double")
+            - col("sum_q").cast("double") * col("sum_q").cast("double")
+              / col("n").cast("double"))
+          / col("n").cast("double") + lit(0.5)).cast("long"))
+      .select("dim", "n", "sum_q", "min_q", "max_q", "mean_milli", "var_micro")
+  }
+
+  /** Pairwise vocabulary overlap between corpus sources — the redundancy
+    * matrix a curation pass reads before mixing ("are src3 and src7 the
+    * same crawl?"). Jaccard over DISTINCT terms per source.
+    *
+    * Scale shape: the join is keyed on TERM over the deduplicated
+    * (source, term) vocabulary — fan-out per term is bounded by the
+    * number of sources squared (not corpus size), and the vocabulary
+    * table is orders of magnitude smaller than the corpus. Per-source
+    * sizes broadcast. Never an all-pairs document join. */
+  def sourceOverlap(docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val vocab = docs
+      .select(col(srcCol).as("src"),
+        explode(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)))
+          .as("term"))
+      .distinct()
+    val sizes = vocab.groupBy("src").agg(count(lit(1)).as("n"))
+    val inter = vocab.select(col("src").as("s1"), col("term"))
+      .join(vocab.select(col("src").as("s2"), col("term")), Seq("term"))
+      .filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("src").as("s1"), col("n").as("n1"))), Seq("s1"))
+      .join(broadcast(sizes.select(col("src").as("s2"), col("n").as("n2"))), Seq("s2"))
+      .select(col("s1"), col("s2"), col("n1"), col("n2"), col("inter"),
+        round(col("inter").cast("double")
+          / (col("n1") + col("n2") - col("inter")).cast("double"), 4)
+          .as("jaccard"))
+  }
 }

@@ -209,4 +209,28 @@ object Corpus {
       .withColumn("tok_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("seq_id", expr(s"CAST(tok_offset DIV ${capacity}L AS BIGINT)"))
   }
+
+  /** Per-source token-budget sampling: keep documents, in a deterministic
+    * content-hash order, until each source's running token total reaches
+    * `budget` — the "N tokens from every source" mixing contract, as a
+    * pure function of content (reproducible across runs, engines and
+    * partitioning; no sampling state).
+    *
+    * One window per source partition (the cumulative sum is exact long
+    * math); sources fill concurrently on as many executors as there are
+    * sources, and nothing is ordered globally. */
+  def tokenBudgetCap(docs: DataFrame, idCol: String, textCol: String,
+                     srcCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy("source")
+      .orderBy(col("graft_pick").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+        md5(col(textCol).cast("binary")).as("graft_pick"),
+        T.wordTokens(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select("doc_id", "source", "n_tokens", "cum_tokens")
+  }
 }

@@ -1,0 +1,315 @@
+package graft.sources
+
+import java.io.{BufferedReader, File, FileReader, FileWriter}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 WRITE path — the warehouse-sink analog of the reference's
+  * truncate+append table loads (dag.py:725-849: BigQuery upsert/replace
+  * operators), expressed as a first-class Spark sink with the commit
+  * discipline an external (JDBC-ish) warehouse needs:
+  *
+  *  - **Staged, atomic commit**: each task writes to `_staging/<query>/`,
+  *    names carrying (partitionId, taskId) so a speculative or retried
+  *    attempt can never double-publish (Spark's commit coordinator admits
+  *    ONE attempt per partition; only files named in its commit messages
+  *    are published). The driver publishes by writing `manifest-<v>.json`
+  *    and atomically renaming a `_current` pointer — readers see the old
+  *    version or the new one, never a torn mix.
+  *  - **Truncate+append** (SupportsTruncate): overwrite publishes a
+  *    manifest holding ONLY the new files (the old generation's data files
+  *    become unreferenced — dropped lazily, the cheap warehouse TRUNCATE);
+  *    append publishes previous files + new.
+  *  - **Abort cleanup**: a failed job deletes its staging dir; the current
+  *    manifest never moves, so a crashed load leaves the table exactly as
+  *    it was (the exactly-once property PipelineSpec needs end-to-end).
+  *  - **Scale**: one writer per input partition, one data file per task,
+  *    read back as one InputPartition per file — parallelism mirrors the
+  *    layout with no driver bottleneck beyond the file list (the same
+  *    contract a JDBC sink has with one connection per partition).
+  *
+  * Row format is a schema-driven TSV with unit-separator escaping — the
+  * point is the COMMIT PROTOCOL, not the encoding; a production variant
+  * would swap the encoder for the warehouse wire format and keep every
+  * commit/abort/manifest line unchanged. Long/Int/Double/String/Boolean
+  * and null are supported.
+  *
+  * Usage:
+  *   df.write.format("graft.sources.WarehouseSink")
+  *     .option("path", dir).mode("append"|"overwrite").save()
+  *   spark.read.format("graft.sources.WarehouseSink")
+  *     .option("path", dir).load()
+  */
+class WarehouseSink extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = true
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val dir = WarehouseSink.path(options)
+    WarehouseSink.readManifest(dir) match {
+      case Some(m) => StructType.fromDDL(m.schemaDdl)
+      case None => Option(options.get("schema")).map(StructType.fromDDL)
+        .getOrElse(throw new IllegalArgumentException(
+          s"warehouse table at $dir does not exist and no schema option given"))
+    }
+  }
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new WarehouseTable(properties.get("path"), schema)
+}
+
+object WarehouseSink {
+  private[sources] def path(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null, "warehouse sink requires option(\"path\", dir)")
+    p
+  }
+
+  private[sources] case class Manifest(version: Long, schemaDdl: String,
+                                       files: Seq[String])
+
+  /** `_current` names the live manifest version; both are tiny JSON files
+    * swapped by atomic rename, so a reader sees a complete generation. */
+  private[sources] def readManifest(dir: String): Option[Manifest] = {
+    val cur = new File(dir, "_current")
+    if (!cur.isFile) return None
+    val v = new String(Files.readAllBytes(cur.toPath), StandardCharsets.UTF_8)
+      .trim.toLong
+    val mf = new File(dir, s"manifest-$v.json")
+    val txt = new String(Files.readAllBytes(mf.toPath), StandardCharsets.UTF_8)
+    // Minimal hand parser for the hand-written JSON below (no deps).
+    def field(k: String): String = {
+      val i = txt.indexOf("\"" + k + "\":")
+      val rest = txt.substring(i + k.length + 3).trim
+      if (rest.startsWith("[")) rest.substring(1, rest.indexOf(']'))
+      else if (rest.startsWith("\""))
+        unescape(rest.substring(1, rest.indexOf("\"", 1)))
+      else rest.takeWhile(c => c.isDigit || c == '-')
+    }
+    val files = field("files").split(",").map(_.trim)
+      .filter(_.nonEmpty).map(s => unescape(s.stripPrefix("\"").stripSuffix("\"")))
+    Some(Manifest(field("version").toLong, field("schema"), files.toSeq))
+  }
+
+  private def escape(s: String): String =
+    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+  private def unescape(s: String): String = {
+    val b = new StringBuilder; var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\\' && i + 1 < s.length) { b.append(s.charAt(i + 1)); i += 2 }
+      else { b.append(s.charAt(i)); i += 1 }
+    }
+    b.toString
+  }
+
+  private[sources] def writeManifest(dir: String, m: Manifest): Unit = {
+    val json =
+      s"""{"version": ${m.version}, "schema": "${escape(m.schemaDdl)}", "files": [${m.files.map(f => "\"" + escape(f) + "\"").mkString(", ")}]}"""
+    Files.write(Paths.get(dir, s"manifest-${m.version}.json"),
+      json.getBytes(StandardCharsets.UTF_8))
+    val tmp = Paths.get(dir, s"_current.tmp-${m.version}")
+    Files.write(tmp, m.version.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(dir, "_current"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // ---- row codec: TSV with \t, \n, \\ escaped ----
+  // The null sentinel is a token the escaper can never emit: every input
+  // backslash doubles, so backslash runs in encoded output always have
+  // even length — a LONE backslash followed by '0' is reserved.
+  private val NullTok = "\\0"
+  private[sources] def encode(v: Any): String = v match {
+    case null => NullTok
+    case s: UTF8String => encStr(s.toString)
+    case s: String => encStr(s)
+    case x => x.toString
+  }
+  private def encStr(s: String): String = s.flatMap {
+    case '\t' => "\\t"; case '\n' => "\\n"; case '\\' => "\\\\"
+    case c => c.toString
+  }
+  private def decStr(s: String): String = {
+    val b = new StringBuilder; var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 't' => b.append('\t'); case 'n' => b.append('\n')
+          case c => b.append(c)
+        }; i += 2
+      } else { b.append(s.charAt(i)); i += 1 }
+    }
+    b.toString
+  }
+  private[sources] def decode(tok: String, dt: DataType): Any =
+    if (tok == NullTok) null
+    else dt match {
+      case LongType => tok.toLong
+      case IntegerType => tok.toInt
+      case DoubleType => tok.toDouble
+      case FloatType => tok.toFloat
+      case BooleanType => tok.toBoolean
+      case StringType => UTF8String.fromString(decStr(tok))
+      case other => throw new UnsupportedOperationException(
+        s"warehouse sink does not support $other")
+    }
+}
+
+private[sources] class WarehouseTable(dir: String, schema0: StructType)
+    extends Table with SupportsWrite with SupportsRead {
+  override def name(): String = s"graft_warehouse($dir)"
+  override def schema(): StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.BATCH_READ)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WarehouseWriteBuilder(dir, info.schema(), info.queryId(),
+      truncate0 = false)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new WarehouseScan(dir,
+      WarehouseSink.readManifest(dir).map(m => StructType.fromDDL(m.schemaDdl))
+        .getOrElse(schema0))
+}
+
+private[sources] class WarehouseWriteBuilder(dir: String, schema: StructType,
+                                             queryId: String, truncate0: Boolean)
+    extends WriteBuilder with SupportsTruncate {
+  override def truncate(): WriteBuilder =
+    new WarehouseWriteBuilder(dir, schema, queryId, truncate0 = true)
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new WarehouseBatchWrite(dir, schema, queryId, truncate0)
+  }
+}
+
+private[sources] case class WarehouseCommit(file: String, rows: Long)
+    extends WriterCommitMessage
+
+private[sources] class WarehouseBatchWrite(dir: String, schema: StructType,
+                                           queryId: String, truncate: Boolean)
+    extends BatchWrite {
+  private def staging = new File(dir, s"_staging/$queryId")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    staging.mkdirs()
+    new WarehouseWriterFactory(staging.getPath, schema)
+  }
+
+  /** Publish: move exactly the files the coordinator-admitted attempts
+    * named into the table dir, then swap the manifest pointer. Append
+    * carries the previous generation's files forward; truncate does not. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val prev = WarehouseSink.readManifest(dir)
+    val committed = messages.collect {
+      case WarehouseCommit(f, n) if n >= 0 => f }.toSeq
+    val published = committed.map { f =>
+      val src = new File(staging, f)
+      val dst = new File(dir, f)
+      Files.move(src.toPath, dst.toPath, StandardCopyOption.ATOMIC_MOVE)
+      f
+    }
+    val version = prev.map(_.version + 1).getOrElse(0L)
+    val files =
+      if (truncate) published
+      else prev.map(_.files).getOrElse(Nil) ++ published
+    WarehouseSink.writeManifest(dir,
+      WarehouseSink.Manifest(version, schema.toDDL, files))
+    deleteRecursively(staging)
+    if (truncate) prev.foreach(_.files.foreach(f =>
+      new File(dir, f).delete())) // old generation now unreferenced
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    deleteRecursively(staging) // manifest untouched: table state unchanged
+
+  private def deleteRecursively(f: File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+}
+
+private[sources] class WarehouseWriterFactory(stagingDir: String,
+                                              schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new WarehouseWriter(stagingDir, schema, partitionId, taskId)
+}
+
+/** One data file per task attempt; the (partitionId, taskId) name makes
+  * retries collision-free and only the committed attempt's name reaches
+  * the driver. */
+private[sources] class WarehouseWriter(stagingDir: String, schema: StructType,
+                                       partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  private val fileName = f"part-$partitionId%05d-$taskId.wtsv"
+  private val out = new FileWriter(new File(stagingDir, fileName))
+  private var rows = 0L
+  private val types = schema.fields.map(_.dataType)
+
+  override def write(record: InternalRow): Unit = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < types.length) {
+      if (i > 0) sb.append('\t')
+      sb.append(WarehouseSink.encode(
+        if (record.isNullAt(i)) null else record.get(i, types(i))))
+      i += 1
+    }
+    sb.append('\n')
+    out.write(sb.toString)
+    rows += 1
+  }
+  override def commit(): WriterCommitMessage = {
+    out.close(); WarehouseCommit(fileName, rows)
+  }
+  override def abort(): Unit = {
+    out.close(); new File(stagingDir, fileName).delete()
+  }
+  override def close(): Unit = ()
+}
+
+// ---- read path: one partition per manifest file ----
+
+private[sources] case class WarehouseFilePartition(path: String)
+    extends InputPartition
+
+private[sources] class WarehouseScan(dir: String, schema: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String = s"graft_warehouse [$dir]"
+  override def planInputPartitions(): Array[InputPartition] =
+    WarehouseSink.readManifest(dir).map(_.files).getOrElse(Nil)
+      .map(f => WarehouseFilePartition(new File(dir, f).getPath): InputPartition)
+      .toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarehouseReaderFactory(schema)
+}
+
+private[sources] class WarehouseReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val path = p.asInstanceOf[WarehouseFilePartition].path
+    val types = schema.fields.map(_.dataType)
+    new PartitionReader[InternalRow] {
+      private val in = new BufferedReader(new FileReader(path))
+      private var line: String = _
+      override def next(): Boolean = { line = in.readLine(); line != null }
+      override def get(): InternalRow = {
+        // -1 keeps trailing empty tokens (a NULL-encoded last column).
+        val toks = line.split("\t", -1)
+        InternalRow.fromSeq(types.zipWithIndex.map {
+          case (dt, i) => WarehouseSink.decode(toks(i), dt) }.toSeq)
+      }
+      override def close(): Unit = in.close()
+    }
+  }
+}

@@ -89,6 +89,33 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q102 dim stats: the single exchange carries |dims| groups, no join") {
+    withCleanCaches {
+      val p = planOf("q102_dim_stats")
+      // posexplode → partial agg → ONE exchange keyed by dim → final agg
+      assert(exchanges(p) === 1, s"q102 grew shuffles:\n$p")
+      assert(!p.contains("Join"), s"q102 must not join:\n$p")
+      assert(p.contains("Generate"), p) // the columnar explode is the point
+    }
+  }
+
+  test("q103 vocab overlap: join keyed on term, per-source sizes broadcast") {
+    withCleanCaches {
+      val p = planOf("q103_source_overlap")
+      assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+        s"size lookups must broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
+
+  test("q104 token budget: one window exchange per source partitioning") {
+    withCleanCaches {
+      val p = planOf("q104_token_budget")
+      assert(exchanges(p) === 1, s"q104 grew shuffles:\n$p")
+      assert(!p.contains("Join"), p)
+    }
+  }
+
   test("q84 correlation matrix is one aggregate pass, no joins") {
     withCleanCaches {
       val p = planOf("q84_feature_corr")

@@ -171,6 +171,36 @@ class AnalyticsSpec extends SparkSpec {
       ("2024-01-08", 0L, 1L))) // user 3's own cohort
   }
 
+  test("dimStats: exact fixed-point stats per dimension, including a dead dim") {
+    // dim1 varies, dim2 is constant (dead), dim3 has negative values.
+    val d = Seq(
+      (1L, Array(0.1f, 0.5f, -0.2f)),
+      (2L, Array(0.3f, 0.5f, -0.4f)),
+      (3L, Array(0.2f, 0.5f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Analytics.dimStats(d, "embedding")
+      .orderBy("dim")
+      .select("dim", "n", "sum_q", "min_q", "max_q", "mean_milli", "var_micro")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // quantized: dim1 (100,300,200), dim2 (500,500,500), dim3 (-200,-400,0)
+    assert(got === Seq(
+      (1L, 3L, 600L, 100L, 300L, 200L, 6667L),   // var = 20000/3 → 6667
+      (2L, 3L, 1500L, 500L, 500L, 500L, 0L),     // dead dim: zero variance
+      (3L, 3L, -600L, -400L, 0L, -200L, 26667L)))
+  }
+
+  test("sourceOverlap: identical vocab = 1.0, partial computes, disjoint absent") {
+    val docs = Seq(
+      ("a", "red green blue"), ("a", "red green"),
+      ("b", "red green blue"),               // same vocab as a
+      ("c", "red purple"),                   // 1 of 4 union terms with a
+      ("d", "x9 y9")).toDF("source", "text") // disjoint vocab
+    val got = Analytics.sourceOverlap(docs, "source", "text")
+      .select("s1", "s2", "jaccard").as[(String, String, Double)]
+      .collect().toSeq.sortBy(r => (r._1, r._2))
+    // disjoint pairs produce NO row (sparse matrix — same as the oracle)
+    assert(got === Seq(("a", "b", 1.0), ("a", "c", 0.25), ("b", "c", 0.25)))
+  }
+
   test("corrMatrix: perfect linear, anti-linear, and self-consistent pairs") {
     // b = 2a (r=+1), c = -a (r=-1); a-vs-d matches a hand-computed Pearson.
     val df = Seq(

@@ -117,6 +117,25 @@ class CorpusSpec extends SparkSpec {
     assert(row === ((2L, 20L, 30L, 0.25))) // (40 − 30) / 40
   }
 
+  test("tokenBudgetCap keeps a hash-ordered prefix per source, exact boundary") {
+    // Source s1: 3 docs of 4 tokens each, budget 8 → exactly 2 kept.
+    // Source s2: first doc alone exceeds the budget → nothing kept.
+    val docs = Seq(
+      (1L, "s1", "one two three four"), (2L, "s1", "a b c d"),
+      (3L, "s1", "w x y z"),
+      (4L, "s2", "t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "source", "text")
+    val got = Corpus.tokenBudgetCap(docs, "doc_id", "text", "source", 8L)
+      .select("doc_id", "source", "cum_tokens")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got.count(_._2 == "s1") === 2)
+    assert(got.forall(_._3 <= 8L))
+    assert(!got.exists(_._2 == "s2"))
+    // determinism: same input, repartitioned differently → same pick set
+    val again = Corpus.tokenBudgetCap(docs.repartition(5), "doc_id", "text",
+      "source", 8L).select("doc_id").as[Long].collect().toSeq.sorted
+    assert(again === got.map(_._1).sorted)
+  }
+
   test("centroidOutliers flags the planted off-cluster member first") {
     // Label 0: four near-identical vectors + one pointing the other way.
     val base = Array.fill(8)(1.0f)

@@ -1,0 +1,87 @@
+package graft.sources
+
+import java.io.File
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class WarehouseSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Fmt = "graft.sources.WarehouseSink"
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_whsink").toString
+
+  test("write-read roundtrip preserves rows, types and nulls") {
+    val dir = tmp()
+    val df = Seq(
+      (1L, Some("alpha\tbeta"), 1.5, true),
+      (2L, Some("line\nbreak"), -0.25, false),
+      (3L, None, Double.MaxValue, true),
+      (4L, Some("back\\slash"), 7.0, false))
+      .toDF("id", "s", "x", "b")
+    df.repartition(3).write.format(Fmt).option("path", dir).mode("append").save()
+    val back = spark.read.format(Fmt).option("path", dir).load()
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.as[(Long, Option[String], Double, Boolean)].collect().sortBy(_._1)
+      === df.as[(Long, Option[String], Double, Boolean)].collect().sortBy(_._1))
+  }
+
+  test("append accumulates; overwrite truncates to the new generation") {
+    val dir = tmp()
+    def w(lo: Long, hi: Long, mode: String) =
+      (lo until hi).map(i => (i, s"v$i")).toDF("id", "v")
+        .write.format(Fmt).option("path", dir).mode(mode).save()
+    w(0, 10, "append") // append to a not-yet-existing table creates it
+    w(10, 15, "append")
+    def ids() = spark.read.format(Fmt).option("path", dir).load()
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids() === (0L until 15L))
+    w(100, 103, "overwrite")
+    assert(ids() === (100L until 103L))
+    // truncate dropped the old generation's data files, not just their
+    // manifest references: on-disk .wtsv == exactly the live manifest set
+    val live = WarehouseSink.readManifest(dir).get.files.toSet
+    val onDisk = new File(dir).listFiles
+      .filter(_.getName.endsWith(".wtsv")).map(_.getName).toSet
+    assert(onDisk === live)
+  }
+
+  test("a failed load aborts cleanly: table state unchanged, staging removed") {
+    val dir = tmp()
+    Seq((1L, "keep")).toDF("id", "v")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val bad = spark.range(0, 100, 1, 2).toDF("id")
+      .withColumn("v", when(col("id") === 57,
+        raise_error(lit("boom"))).otherwise(concat(lit("x"), col("id"))))
+    intercept[Exception] {
+      bad.write.format(Fmt).option("path", dir).mode("overwrite").save()
+    }
+    // manifest pointer never moved: the pre-failure generation is intact
+    val back = spark.read.format(Fmt).option("path", dir).load()
+      .as[(Long, String)].collect().toSeq
+    assert(back === Seq((1L, "keep")))
+    assert(!new File(dir, "_staging").exists() ||
+      new File(dir, "_staging").listFiles().isEmpty,
+      "staging must be cleaned up on abort")
+  }
+
+  test("reader parallelism mirrors the written layout (one split per file)") {
+    val dir = tmp()
+    spark.range(0, 1000).toDF("id").repartition(7)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val back = spark.read.format(Fmt).option("path", dir).load()
+    assert(back.rdd.getNumPartitions === 7)
+    assert(back.count() === 1000)
+  }
+
+  test("schema round-trips through the manifest for schemaless reads") {
+    val dir = tmp()
+    Seq((1L, 2.5, "s")).toDF("a", "b", "c")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    // no .schema() and no schema option: inferred from the manifest
+    val got = spark.read.format(Fmt).option("path", dir).load().schema
+    assert(got.fieldNames.toSeq === Seq("a", "b", "c"))
+  }
+}
