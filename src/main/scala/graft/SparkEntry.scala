@@ -774,6 +774,39 @@ object SparkEntry {
           round(sum(col("o_totalprice")), 2).as("sum_price"))
     }),
 
+    // "Does this join need salting?" — the pre-shuffle key audit: skew
+    // ratio (max / mean rows-per-key) per candidate key, one two-phase
+    // aggregate each, nothing key-cardinality-sized on the driver.
+    "q106_key_skew" -> ((s, d) =>
+      Skew.keySkewReport(Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_partkey", "l_suppkey"))),
+
+    // Vector-corpus hygiene: distribution of embedding norms (zero /
+    // degenerate / outlier vectors show up as edge buckets). Quantized
+    // components make norm² an exact long; the histogram is one narrow
+    // aggregate — no shuffle wider than the bucket count.
+    "q107_norm_histogram" -> ((s, d) => {
+      val q = transform(col("embedding").cast("array<double>"),
+        x => floor(x * 1000 + lit(0.5)).cast("long"))
+      val norms = Tables.embeddings(s, d).select(
+        aggregate(q, lit(0L), (acc, v) => acc + v * v)
+          .cast("double").as("norm2_q"))
+      Etl.histogram(norms, "norm2_q", 1e6, 20)
+    }),
+
+    // Split-balance audit: per-source train/test shares of the q43
+    // deterministic content-hash split — the "is my held-out set
+    // represented in every source?" check before training.
+    "q108_split_balance" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      Tables.documents(s, d)
+        .select(col("source"), T.hashSplit(col("text")).as("split"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("frac",
+          round(col("n").cast("double") / sum(col("n")).over(w), 4))
+    }),
+
     // Length-bucketed batch packing report: rank within ⌊tokens/32⌋
     // buckets, chop into 16-doc batches, report per-batch padding waste —
     // the bucketed-batching audit; the window key is the bounded bucket,
@@ -1734,6 +1767,46 @@ object SparkEntry {
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
                 round(sum(o_totalprice), 2) AS sum_price
          FROM orders WHERE o_totalprice < 150000 GROUP BY 1""",
+
+    // Exact-integer inputs → the ratio is the same double on both engines.
+    "q106_key_skew" ->
+      """WITH g AS (SELECT 'l_orderkey' AS key_col, count(*) AS c
+                    FROM lineitem GROUP BY l_orderkey
+             UNION ALL SELECT 'l_partkey', count(*)
+                    FROM lineitem GROUP BY l_partkey
+             UNION ALL SELECT 'l_suppkey', count(*)
+                    FROM lineitem GROUP BY l_suppkey)
+         SELECT key_col, CAST(sum(c) AS BIGINT) AS n_rows,
+                CAST(count(*) AS BIGINT) AS n_keys,
+                CAST(max(c) AS BIGINT) AS max_cnt,
+                round(CAST(max(c) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+                      / CAST(sum(c) AS DOUBLE), 4) AS skew_ratio
+         FROM g GROUP BY key_col""",
+
+    // Quantized norm² is exact integer on both engines (≤ 64·10⁶ ≪ 2⁵³);
+    // the bucket floor-division sees identical doubles.
+    "q107_norm_histogram" ->
+      """WITH s AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(floor(x * 1000.0 + 0.5) AS BIGINT)) AS v
+           FROM embeddings),
+         n AS (SELECT CAST(list_sum(list_transform(v, x -> x * x)) AS DOUBLE)
+                 AS norm2 FROM s)
+         SELECT CAST(greatest(least(floor(norm2 / 1000000.0), 19), 0)
+                     AS BIGINT) AS bucket,
+                CAST(count(*) AS BIGINT) AS n,
+                round(min(norm2), 2) AS lo, round(max(norm2), 2) AS hi
+         FROM n GROUP BY 1""",
+
+    // Same md5-nibble split rule as q43; frac = exact-integer ratio.
+    "q108_split_balance" ->
+      """WITH g AS (SELECT source,
+                  CASE WHEN substring(md5(text), 1, 1) < 'd'
+                       THEN 'train' ELSE 'test' END AS split,
+                  count(*) AS n
+           FROM documents GROUP BY 1, 2)
+         SELECT source, split, CAST(n AS BIGINT) AS n,
+                round(n * 1.0 / sum(n) OVER (PARTITION BY source), 4) AS frac
+         FROM g""",
 
     // The window replays per bucket (bounded key), batch = floor-division
     // of the in-bucket rank; pad_frac's denominator guards the all-empty

@@ -65,4 +65,24 @@ object Skew {
       explode(sequence(lit(0), lit(salts - 1))))
     l.join(r, Seq(key, "graft_salt")).drop("graft_salt")
   }
+
+  /** Key-skew diagnostic for prospective join/agg keys: per column, the
+    * row count, distinct-key count, the heaviest key's count, and the
+    * skew ratio (max / mean rows-per-key) — the number that decides
+    * whether a shuffle on this key needs salting (rule of thumb: ratio >
+    * ~20 × stalls its reducer). One two-phase aggregate per audited
+    * column over its (key → count) table; nothing key-cardinality-sized
+    * ever reaches the driver. Integer inputs make the ratio the same
+    * double on any engine. */
+  def keySkewReport(df: DataFrame, keys: Seq[String]): DataFrame =
+    keys.map { k =>
+      df.groupBy(col(k)).agg(count(lit(1)).as("graft_cnt"))
+        .agg(sum(col("graft_cnt")).as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          max(col("graft_cnt")).as("max_cnt"))
+        .select(lit(k).as("key_col"), col("n_rows"), col("n_keys"),
+          col("max_cnt"),
+          round(col("max_cnt").cast("double") * col("n_keys").cast("double")
+            / col("n_rows").cast("double"), 4).as("skew_ratio"))
+    }.reduce(_ unionByName _)
 }

@@ -9,6 +9,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -72,8 +73,11 @@ object WarehouseSink {
     p
   }
 
+  /** `epoch` is the last streaming epoch folded into this generation
+    * (-1 for batch-only tables) — the idempotence cursor a replayed
+    * micro-batch checks before re-publishing. */
   private[sources] case class Manifest(version: Long, schemaDdl: String,
-                                       files: Seq[String])
+                                       files: Seq[String], epoch: Long = -1L)
 
   /** `_current` names the live manifest version; both are tiny JSON files
     * swapped by atomic rename, so a reader sees a complete generation. */
@@ -85,8 +89,9 @@ object WarehouseSink {
     val mf = new File(dir, s"manifest-$v.json")
     val txt = new String(Files.readAllBytes(mf.toPath), StandardCharsets.UTF_8)
     // Minimal hand parser for the hand-written JSON below (no deps).
-    def field(k: String): String = {
+    def field(k: String, default: String = ""): String = {
       val i = txt.indexOf("\"" + k + "\":")
+      if (i < 0) return default
       val rest = txt.substring(i + k.length + 3).trim
       if (rest.startsWith("[")) rest.substring(1, rest.indexOf(']'))
       else if (rest.startsWith("\""))
@@ -95,7 +100,8 @@ object WarehouseSink {
     }
     val files = field("files").split(",").map(_.trim)
       .filter(_.nonEmpty).map(s => unescape(s.stripPrefix("\"").stripSuffix("\"")))
-    Some(Manifest(field("version").toLong, field("schema"), files.toSeq))
+    Some(Manifest(field("version").toLong, field("schema"), files.toSeq,
+      field("epoch", "-1").toLong))
   }
 
   private def escape(s: String): String =
@@ -111,7 +117,7 @@ object WarehouseSink {
 
   private[sources] def writeManifest(dir: String, m: Manifest): Unit = {
     val json =
-      s"""{"version": ${m.version}, "schema": "${escape(m.schemaDdl)}", "files": [${m.files.map(f => "\"" + escape(f) + "\"").mkString(", ")}]}"""
+      s"""{"version": ${m.version}, "epoch": ${m.epoch}, "schema": "${escape(m.schemaDdl)}", "files": [${m.files.map(f => "\"" + escape(f) + "\"").mkString(", ")}]}"""
     Files.write(Paths.get(dir, s"manifest-${m.version}.json"),
       json.getBytes(StandardCharsets.UTF_8))
     val tmp = Paths.get(dir, s"_current.tmp-${m.version}")
@@ -167,7 +173,7 @@ private[sources] class WarehouseTable(dir: String, schema0: StructType)
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.BATCH_READ)
+      TableCapability.BATCH_READ, TableCapability.STREAMING_WRITE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WarehouseWriteBuilder(dir, info.schema(), info.queryId(),
@@ -187,6 +193,8 @@ private[sources] class WarehouseWriteBuilder(dir: String, schema: StructType,
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new WarehouseBatchWrite(dir, schema, queryId, truncate0)
+    override def toStreaming: StreamingWrite =
+      new WarehouseStreamingWrite(dir, schema, queryId)
   }
 }
 
@@ -236,6 +244,65 @@ private[sources] class WarehouseBatchWrite(dir: String, schema: StructType,
   }
 }
 
+/** Exactly-once streaming sink: each micro-batch publishes through the same
+  * staged-commit path as a batch write, and the manifest records the epoch
+  * it folded in — a REPLAYED epoch (restart from checkpoint re-delivering
+  * the last batch) is detected by `epoch <= manifest.epoch` and skipped
+  * without publishing, so at-least-once delivery upstream becomes
+  * exactly-once table state. */
+private[sources] class WarehouseStreamingWrite(dir: String, schema: StructType,
+                                               queryId: String)
+    extends StreamingWrite {
+  private def staging(epochId: Long) =
+    new File(dir, s"_staging/$queryId/epoch-$epochId")
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo):
+      StreamingDataWriterFactory = {
+    val base = new File(dir, s"_staging/$queryId")
+    base.mkdirs()
+    new WarehouseStreamingWriterFactory(base.getPath, schema)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val prev = WarehouseSink.readManifest(dir)
+    if (prev.exists(_.epoch >= epochId)) {
+      // replayed micro-batch: already folded into a committed generation
+      deleteRecursively(staging(epochId))
+      return
+    }
+    val st = staging(epochId)
+    val published = messages.collect { case WarehouseCommit(f, _) => f }.toSeq
+      .map { f =>
+        Files.move(new File(st, f).toPath, new File(dir, f).toPath,
+          StandardCopyOption.ATOMIC_MOVE)
+        f
+      }
+    WarehouseSink.writeManifest(dir, WarehouseSink.Manifest(
+      prev.map(_.version + 1).getOrElse(0L), schema.toDDL,
+      prev.map(_.files).getOrElse(Nil) ++ published, epochId))
+    deleteRecursively(st)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    deleteRecursively(staging(epochId))
+
+  private def deleteRecursively(f: File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+}
+
+private[sources] class WarehouseStreamingWriterFactory(baseStaging: String,
+                                                       schema: StructType)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] = {
+    val st = new File(baseStaging, s"epoch-$epochId")
+    st.mkdirs()
+    new WarehouseWriter(st.getPath, schema, partitionId, taskId)
+  }
+}
+
 private[sources] class WarehouseWriterFactory(stagingDir: String,
                                               schema: StructType)
     extends DataWriterFactory {
@@ -244,12 +311,15 @@ private[sources] class WarehouseWriterFactory(stagingDir: String,
 }
 
 /** One data file per task attempt; the (partitionId, taskId) name makes
-  * retries collision-free and only the committed attempt's name reaches
-  * the driver. */
+  * retries collision-free within a job, and the random component keeps
+  * APPENDS from different sessions/epochs from ever colliding on publish
+  * (the parquet committer's discipline). Only the committed attempt's
+  * name reaches the driver. */
 private[sources] class WarehouseWriter(stagingDir: String, schema: StructType,
                                        partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
-  private val fileName = f"part-$partitionId%05d-$taskId.wtsv"
+  private val fileName = f"part-$partitionId%05d-$taskId-" +
+    java.util.UUID.randomUUID.toString.take(8) + ".wtsv"
   private val out = new FileWriter(new File(stagingDir, fileName))
   private var rows = 0L
   private val types = schema.fields.map(_.dataType)

@@ -104,6 +104,34 @@ class EdgeCasesSpec extends SparkSpec {
     assert(out.length === 1 && out(0).getAs[Double]("cos") > 0.999)
   }
 
+  test("round-6 curation ops on empty and degenerate inputs") {
+    // dimStats: empty corpus → no rows; single vector → zero variance
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Analytics.dimStats(noVecs, "embedding").count() === 0)
+    val one = Seq((1L, Array(0.5f, -0.5f))).toDF("vec_id", "embedding")
+    val oneStats = Analytics.dimStats(one, "embedding")
+      .select("n", "var_micro").as[(Long, Long)].collect().toSeq
+    assert(oneStats === Seq((1L, 0L), (1L, 0L)))
+    // sourceOverlap: single source → no pairs; empty docs → no rows
+    val oneSrc = Seq(("a", "x y z")).toDF("source", "text")
+    assert(Analytics.sourceOverlap(oneSrc, "source", "text").count() === 0)
+    val noSrcDocs = Seq.empty[(String, String)].toDF("source", "text")
+    assert(Analytics.sourceOverlap(noSrcDocs, "source", "text").count() === 0)
+    // tokenBudgetCap: empty input → empty result with a stable schema
+    val empty = Corpus.tokenBudgetCap(
+      Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text"),
+      "doc_id", "text", "source", 10L)
+    assert(empty.count() === 0)
+    assert(empty.columns.toSeq ===
+      Seq("doc_id", "source", "n_tokens", "cum_tokens"))
+    // keySkewReport: uniform single-occurrence keys → ratio exactly 1.0
+    val uni = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val rep = Skew.keySkewReport(uni, Seq("k"))
+      .select("n_rows", "n_keys", "max_cnt", "skew_ratio")
+      .as[(Long, Long, Long, Double)].head()
+    assert(rep === ((3L, 3L, 1L, 1.0)))
+  }
+
   test("docs with empty/whitespace text flow through text metrics") {
     val docs = Seq((1L, ""), (2L, "   "), (3L, "one")).toDF("doc_id", "text")
     val rep = Analytics.repetitionProfile(docs, "doc_id", "text")
