@@ -479,11 +479,14 @@ object Analytics {
     * table is orders of magnitude smaller than the corpus. Per-source
     * sizes broadcast. Never an all-pairs document join. */
   def sourceOverlap(docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
-    val vocab = docs
+    // The vocabulary (O(sources × distinct terms), tiny next to the corpus)
+    // feeds THREE subtrees (sizes + both join legs) — materialize it once
+    // so the corpus is tokenized in one pass, not three.
+    val vocab = Materialize.artifact(docs
       .select(col(srcCol).as("src"),
         explode(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)))
           .as("term"))
-      .distinct()
+      .distinct())
     val sizes = vocab.groupBy("src").agg(count(lit(1)).as("n"))
     val inter = vocab.select(col("src").as("s1"), col("term"))
       .join(vocab.select(col("src").as("s2"), col("term")), Seq("term"))

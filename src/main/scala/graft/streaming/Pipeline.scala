@@ -36,18 +36,23 @@ object Pipeline {
                   checkpoint: String): StreamingQuery =
     IncrementalIngest.start(docs, idCol, textCol, storePath, checkpoint)
 
-  /** Stage 2: tail the store and maintain the weekly chart in a parquet
-    * sink. `storeSchema` is the store's DDL (file-source streams need the
-    * schema declared; inferring it would race stage 1's first append). */
+  /** Stage 2: tail the store and maintain the weekly chart in an
+    * exactly-once sink. `storeSchema` is the store's DDL (file-source
+    * streams need the schema declared; inferring it would race stage 1's
+    * first append). `sinkFormat` picks the landing zone: "parquet" (file
+    * sink, exactly-once via its metadata log) or
+    * "graft.sources.WarehouseSink" (the DSv2 external-warehouse sink,
+    * exactly-once via epoch-recorded manifest commits). */
   def startChart(spark: SparkSession, storePath: String, storeSchema: String,
                  tsCol: String, groupCol: String, valueCol: String,
                  sinkPath: String, checkpoint: String,
-                 watermark: String = "14 days"): StreamingQuery =
+                 watermark: String = "14 days",
+                 sinkFormat: String = "parquet"): StreamingQuery =
     EventCharts.weeklyAggStream(
       spark.readStream.schema(storeSchema).parquet(storePath),
       tsCol, groupCol, valueCol, watermark)
       .writeStream
-      .format("parquet")
+      .format(sinkFormat)
       .option("path", sinkPath)
       .option("checkpointLocation", checkpoint)
       .outputMode("append")

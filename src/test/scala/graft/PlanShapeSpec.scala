@@ -116,6 +116,20 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q106/q107/q108 audits: aggregate-shaped, never joined") {
+    withCleanCaches {
+      // q106: one (key-group + final) aggregate pair per audited column
+      val p6 = planOf("q106_key_skew")
+      assert(exchanges(p6) <= 3 && !p6.contains("Join"), s"q106 shape:\n$p6")
+      // q107: narrow per-row norm → ONE bucket-keyed exchange
+      val p7 = planOf("q107_norm_histogram")
+      assert(exchanges(p7) === 1 && !p7.contains("Join"), s"q107 shape:\n$p7")
+      // q108: (source,split) aggregate + per-source window, nothing wider
+      val p8 = planOf("q108_split_balance")
+      assert(exchanges(p8) <= 2 && !p8.contains("Join"), s"q108 shape:\n$p8")
+    }
+  }
+
   test("q84 correlation matrix is one aggregate pass, no joins") {
     withCleanCaches {
       val p = planOf("q84_feature_corr")

@@ -124,6 +124,58 @@ class WarehouseSinkSpec extends SparkSpec {
     assert(got === (1L to 6L))
   }
 
+  test("watermarked streaming aggregate lands exactly-once in the warehouse") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmp(); val ckpt = tmp()
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val agg = graft.streaming.EventCharts.weeklyAggStream(
+      stream.toDF().toDF("entity", "ts", "value"),
+      "ts", "entity", "value", watermark = "1 day")
+    val q = agg.writeStream.format(Fmt)
+      .option("path", dir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, ts(1), 2.0), (1L, ts(2), 3.0)) // week of Jan 1
+      q.processAllAvailable()
+      stream.addData((1L, ts(15), 5.0)) // watermark passes week 1 → emits
+      q.processAllAvailable()
+      stream.addData((1L, ts(25), 7.0)) // closes week of Jan 15
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.format(Fmt).option("path", dir).load()
+    // closed weeks are present exactly once with the full-week totals
+    val sums = out.groupBy("entity").count().as[(Long, Long)].collect().toMap
+    assert(sums.getOrElse(1L, 0L) >= 1,
+      s"no closed window reached the sink: ${out.collect().toSeq}")
+    val weeks = out.select("entity").count()
+    assert(weeks === out.dropDuplicates().count(), "duplicated window rows")
+  }
+
+  test("row codec round-trips arbitrary strings and nulls (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    // strings biased toward the escape alphabet, plus the null sentinel
+    // text itself as a LITERAL value (must survive, not decode to null)
+    val tricky = Gen.oneOf(
+      Gen.listOf(Gen.oneOf('\t', '\n', '\\', '0', ' ', 'a', '"')).map(_.mkString),
+      Gen.asciiPrintableStr, Gen.const("\\0"), Gen.const("\\"), Gen.const(""))
+    val cases = (1L to 64L).map(s => sample(Gen.option(tricky), s)) ++
+      Seq(None, Some("\\0"), Some("\\\\0"), Some("\t\n\\"))
+    for (s <- cases) {
+      val enc = WarehouseSink.encode(s.map(UTF8String.fromString).orNull)
+      assert(!enc.contains('\t') && !enc.contains('\n'),
+        s"encoded token leaks a delimiter: ${enc.toList}")
+      val dec = WarehouseSink.decode(enc, StringType)
+      assert(Option(dec).map(_.toString) === s, s"roundtrip broke for $s")
+    }
+  }
+
   test("schema round-trips through the manifest for schemaless reads") {
     val dir = tmp()
     Seq((1L, 2.5, "s")).toDF("a", "b", "c")
