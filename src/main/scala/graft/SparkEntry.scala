@@ -807,6 +807,39 @@ object SparkEntry {
           round(col("n").cast("double") / sum(col("n")).over(w), 4))
     }),
 
+    // Weekly stickiness (DAU/WAU): Σ active-days / (7·WAU) per ISO week —
+    // the habit metric; one distinct + two shrinking aggregates.
+    "q109_stickiness" -> ((s, d) =>
+      Analytics.stickiness(Tables.events(s, d), "user_id", "ts_t")),
+
+    // Per-source lexical diversity: type/token ratio + hapax fraction —
+    // the template-boilerplate / OCR-noise screen over the corpus.
+    "q110_lexical_diversity" -> ((s, d) =>
+      Analytics.lexicalDiversity(Tables.documents(s, d), "source", "text")),
+
+    // Truncation-duplicate screen: same first-16-token prefix, different
+    // doc — one md5 + one aggregate, the cheapest near-dup family member.
+    "q111_prefix_dups" -> ((s, d) =>
+      Dedup.prefixDuplicates(Tables.documents(s, d), "doc_id", "text", 16)),
+
+    // Activity concentration: share of events from the top 1/5/10% of
+    // users — Lorenz audit via count-of-counts, never a user-level sort.
+    "q112_user_concentration" -> ((s, d) =>
+      Analytics.userConcentration(Tables.events(s, d), "user_id",
+        Seq(0.01, 0.05, 0.10))),
+
+    // Event-type co-occurrence lift over distinct (user, type) — the
+    // market-basket view; |types|²-bounded fan-out, broadcast totals.
+    "q113_cooccur_lift" -> ((s, d) =>
+      Analytics.eventCooccurrence(Tables.events(s, d), "user_id",
+        "event_type")),
+
+    // Label-centroid separation matrix: exact fixed-point mean centroids,
+    // integer-cleared distance numerator, one corpus pass.
+    "q114_label_separation" -> ((s, d) =>
+      Similarity.labelCentroidDistances(Tables.embeddings(s, d), "label",
+        "embedding")),
+
     // Length-bucketed batch packing report: rank within ⌊tokens/32⌋
     // buckets, chop into 16-doc batches, report per-batch padding waste —
     // the bucketed-batching audit; the window key is the bounded bucket,
@@ -1807,6 +1840,104 @@ object SparkEntry {
          SELECT source, split, CAST(n AS BIGINT) AS n,
                 round(n * 1.0 / sum(n) OVER (PARTITION BY source), 4) AS frac
          FROM g""",
+
+    // Exact-integer wau/active_days → identical ratio doubles.
+    "q109_stickiness" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
+                     FROM events),
+         wu AS (SELECT strftime(date_trunc('week', d), '%Y-%m-%d') AS week,
+                       user_id, count(*) AS days
+                FROM du GROUP BY 1, 2)
+         SELECT week, CAST(count(*) AS BIGINT) AS wau,
+                CAST(sum(days) AS BIGINT) AS active_days,
+                round(sum(days) * 1.0 / count(*), 4) AS avg_days,
+                round(sum(days) * 1.0 / (count(*) * 7), 4) AS stickiness
+         FROM wu GROUP BY week""",
+
+    // Same tokenizer as q44; all ratio inputs exact integers.
+    "q110_lexical_diversity" ->
+      """WITH t AS (SELECT source,
+                  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+           FROM documents),
+         g AS (SELECT source, term, count(*) AS c FROM t GROUP BY 1, 2)
+         SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+                CAST(count(*) AS BIGINT) AS n_types,
+                CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_hapax,
+                round(count(*) * 1.0 / sum(c), 4) AS ttr,
+                round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0
+                      / count(*), 4) AS hapax_frac
+         FROM g GROUP BY source""",
+
+    // Both engines md5 the identical space-joined first-16-token string;
+    // list_slice/slice clamp the same way on short docs.
+    "q111_prefix_dups" ->
+      """WITH p AS (SELECT doc_id,
+                  md5(array_to_string(list_slice(
+                        regexp_extract_all(lower(text), '[a-z0-9]+'),
+                        1, 16), ' ')) AS prefix_hash
+           FROM documents)
+         SELECT prefix_hash, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(min(doc_id) AS BIGINT) AS keep_id
+         FROM p GROUP BY 1 HAVING count(*) > 1""",
+
+    // Count-of-counts replay: k = ceil(p·N) is the same double → same
+    // ceil; everything else exact integers.
+    "q112_user_concentration" ->
+      """WITH uc AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+         cc AS (SELECT c, count(*) AS nu FROM uc GROUP BY 1),
+         w AS (SELECT c, nu,
+                      sum(nu) OVER (ORDER BY c DESC
+                        ROWS UNBOUNDED PRECEDING) AS cu,
+                      sum(c * nu) OVER (ORDER BY c DESC
+                        ROWS UNBOUNDED PRECEDING) AS ce
+               FROM cc),
+         t AS (SELECT max(cu) AS tu, max(ce) AS te FROM w),
+         l AS (SELECT unnest([0.01, 0.05, 0.10]) AS pct)
+         SELECT pct, CAST(ceil(pct * tu) AS BIGINT) AS top_users,
+                CAST(ce - (cu - ceil(pct * tu)) * c AS BIGINT) AS top_events,
+                CAST(te AS BIGINT) AS total_events,
+                round((ce - (cu - ceil(pct * tu)) * c) * 1.0 / te, 4) AS share
+         FROM w, t, l
+         WHERE cu >= ceil(pct * tu) AND cu - nu < ceil(pct * tu)""",
+
+    // Distinct (user,type) bounds the self-join; exact counts → exact
+    // lift inputs.
+    "q113_cooccur_lift" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+         tot AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+         nu AS (SELECT count(DISTINCT user_id) AS n_users FROM ut),
+         p AS (SELECT a.event_type AS t1, b.event_type AS t2,
+                      count(*) AS n_both
+               FROM ut a JOIN ut b USING (user_id)
+               WHERE a.event_type < b.event_type GROUP BY 1, 2)
+         SELECT t1, t2, CAST(x.n AS BIGINT) AS n1, CAST(y.n AS BIGINT) AS n2,
+                CAST(n_both AS BIGINT) AS n_both,
+                round(n_both * 1.0 * n_users / (x.n * y.n), 4) AS lift
+         FROM p JOIN tot x ON p.t1 = x.event_type
+                JOIN tot y ON p.t2 = y.event_type, nu""",
+
+    // HUGEINT sums mirror Spark's decimal(38,0): the distance numerator
+    // stays integer; sqrt/divide is the identical double expression.
+    "q114_label_separation" ->
+      """WITH s AS (SELECT label,
+                  list_transform(CAST(embedding AS DOUBLE[]),
+                    x -> CAST(floor(x * 1000.0 + 0.5) AS BIGINT)) AS v
+           FROM embeddings),
+         e AS (SELECT label, CAST(pos AS BIGINT) AS dim, v[pos] AS q
+               FROM (SELECT label, v, unnest(range(1, len(v) + 1)) AS pos
+                     FROM s)),
+         c AS (SELECT label, dim, CAST(sum(q) AS HUGEINT) AS sm,
+                      count(*) AS n
+               FROM e GROUP BY 1, 2),
+         p AS (SELECT a.label AS l1, b.label AS l2, a.n AS n1, b.n AS n2,
+                      (a.sm * b.n - b.sm * a.n) AS df
+               FROM c a JOIN c b USING (dim) WHERE a.label < b.label)
+         SELECT l1, l2, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+                round(sqrt(CAST(sum(df * df) AS DOUBLE))
+                      / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                      / 1000.0, 6) AS dist
+         FROM p GROUP BY l1, l2, n1, n2""",
 
     // The window replays per bucket (bounded key), batch = floor-division
     // of the in-bucket rank; pad_frac's denominator guards the all-empty

@@ -171,6 +171,78 @@ object Analytics {
       .crossJoin(t3.agg(count(lit(1)).as(s"n_$s3")))
   }
 
+  /** Time-windowed ordered funnel: step i must happen after step i−1 AND
+    * within `windowUs` of the user's FIRST step-1 event — the honest
+    * conversion metric ([[funnel]] without the window credits a purchase
+    * a year after signup). Generic over step count. Plan: one user-keyed
+    * stage per step, each a filtered join against the (shrinking)
+    * previous stage plus a min-aggregate; counts are one-row artifacts
+    * that cross-join broadcast. Timestamps are exact µs longs. */
+  def windowedFunnel(events: DataFrame, userCol: String, tsUsCol: String,
+                     typeCol: String, steps: Seq[String],
+                     windowUs: Long): DataFrame = {
+    require(steps.size >= 2, "windowedFunnel needs at least two steps")
+    val e = events.select(col(userCol).as("graft_u"),
+      col(tsUsCol).as("graft_ts"), col(typeCol).as("graft_t"))
+    val first = e.filter(col("graft_t") === steps.head)
+      .groupBy("graft_u").agg(min("graft_ts").as("graft_t1"))
+      .withColumn("graft_prev", col("graft_t1"))
+    val stages = steps.tail.scanLeft(first) { (prev, st) =>
+      e.filter(col("graft_t") === st)
+        .join(prev.select("graft_u", "graft_t1", "graft_prev"), Seq("graft_u"))
+        .filter(col("graft_ts") > col("graft_prev") &&
+          col("graft_ts") <= col("graft_t1") + lit(windowUs))
+        .groupBy("graft_u")
+        .agg(min("graft_ts").as("graft_prev"), min("graft_t1").as("graft_t1"))
+    }
+    val counted = stages.zip(steps).zipWithIndex.map { case ((df, st), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit((i + 1).toLong).as("step_idx"), lit(st).as("step"),
+          col("n_users"))
+    }
+    val all = counted.reduce(_ unionByName _)
+    val n1 = counted.head.select(col("n_users").as("graft_n1"))
+    all.crossJoin(broadcast(n1))
+      .select(col("step_idx"), col("step"), col("n_users"),
+        round(col("n_users").cast("double") / col("graft_n1").cast("double"), 4)
+          .as("conv"))
+  }
+
+  /** Daily volume anomalies: per event type, flag days whose count
+    * z-scores against the trailing `trailing`-day window (yesterday
+    * backwards — today never poisons its own baseline). The ops screen
+    * that catches a collapsed ingest or a bot flood the morning it
+    * happens. Plan: events reduce to one (type, day) count table (the
+    * only corpus-sized pass, a two-phase aggregate); the window runs
+    * over that tiny table partitioned by type. Counts are exact longs, so
+    * window sums are exact and mean/var/z derive bit-identically on any
+    * engine (q84 discipline). Degenerate baselines (var = 0 or fewer than
+    * `minHistory` observed days) emit nothing rather than ±∞. */
+  def dailyAnomalies(events: DataFrame, typeCol: String, tsCol: String,
+                     trailing: Int = 28, minHistory: Int = 7): DataFrame = {
+    val daily = events.groupBy(col(typeCol).as("etype"),
+        col(tsCol).cast("date").as("graft_d"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("etype")
+      .orderBy(col("graft_d").asc).rowsBetween(-trailing, -1)
+    val nD = col("graft_n").cast("double")
+    val sD = col("graft_s").cast("double")
+    val ssD = col("graft_ss").cast("double")
+    daily
+      .withColumn("graft_n", count(col("n_events")).over(w))
+      .withColumn("graft_s", sum(col("n_events")).over(w))
+      .withColumn("graft_ss", sum(col("n_events") * col("n_events")).over(w))
+      .filter(col("graft_n") >= minHistory)
+      .withColumn("graft_var", (ssD - sD * sD / nD) / nD)
+      .filter(col("graft_var") > 0)
+      .select(col("etype"),
+        date_format(col("graft_d"), "yyyy-MM-dd").as("day"),
+        col("n_events"), col("graft_n").as("n_hist"),
+        round(sD / nD, 4).as("mean_hist"),
+        round((col("n_events").cast("double") - sD / nD)
+          / sqrt(col("graft_var")), 4).as("z"))
+  }
+
   /** Per-document salient terms by linearized tf-idf (tf·N/df). The linear
     * idf keeps ranking order for the top terms while staying engine-exact
     * (a log-based idf would hinge on libm rounding); products and the one
@@ -467,6 +539,125 @@ object Analytics {
               / col("n").cast("double"))
           / col("n").cast("double") + lit(0.5)).cast("long"))
       .select("dim", "n", "sum_q", "min_q", "max_q", "mean_milli", "var_micro")
+  }
+
+  /** Weekly stickiness — the DAU/WAU habit metric (how many of the days
+    * in a week does the average weekly-active user show up?). One
+    * pipeline, every stage shrinking: events → distinct (day, user) →
+    * per-(week, user) active-day count → per-week (WAU, Σ active days).
+    * `avg_days` = Σdays/WAU ∈ [1,7]; `stickiness` divides by the full
+    * 7-day week so partial weeks read honestly low. All inputs to the
+    * ratios are exact integers, so the divisions replay bit-identically
+    * on any engine. */
+  def stickiness(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val du = events
+      .select(col(tsCol).cast("date").as("graft_d"), col(userCol))
+      .distinct()
+    du.groupBy(date_format(date_trunc("week", col("graft_d")), "yyyy-MM-dd")
+          .as("week"), col(userCol))
+      .agg(count(lit(1)).as("graft_days"))
+      .groupBy("week")
+      .agg(count(lit(1)).as("wau"), sum("graft_days").as("active_days"))
+      .withColumn("avg_days",
+        round(col("active_days").cast("double") / col("wau").cast("double"), 4))
+      .withColumn("stickiness",
+        round(col("active_days").cast("double")
+          / (col("wau") * lit(7)).cast("double"), 4))
+  }
+
+  /** Per-source lexical diversity: type/token ratio and hapax fraction —
+    * the cheap corpus-health screen that catches template/boilerplate
+    * sources (low TTR) and OCR-noise sources (high hapax share) before
+    * they hit training. Plan: tokens explode with map-side combine into a
+    * (source, term) frequency table (the only corpus-sized shuffle, keyed
+    * by term so no source hotspot), then one vocabulary-sized aggregate. */
+  def lexicalDiversity(docs: DataFrame, srcCol: String,
+                       textCol: String): DataFrame = {
+    val toks = docs.select(col(srcCol).as("source"),
+      regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0))
+        .as("graft_toks"))
+    toks.select(col("source"), explode_outer(col("graft_toks")).as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy("source", "term")
+      .agg(count(lit(1)).as("graft_c"))
+      .groupBy("source")
+      .agg(sum("graft_c").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("graft_c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("ttr",
+        round(col("n_types").cast("double") / col("n_tokens").cast("double"), 4))
+      .withColumn("hapax_frac",
+        round(col("n_hapax").cast("double") / col("n_types").cast("double"), 4))
+  }
+
+  /** Event-type co-occurrence lift: for each pair of event types, the
+    * count of users that did both and the lift n_both·N/(n₁·n₂) — the
+    * market-basket view of the event stream ("do signups actually
+    * purchase?"). The self-join runs on the DEDUPLICATED (user, type)
+    * set, so per-user fan-out is bounded by |types|² regardless of how
+    * many events a power user emits; type totals and the user count
+    * broadcast. The distinct set feeds three subtrees → materialized
+    * once. Exact integer counts → the lift replays bit-identically. */
+  def eventCooccurrence(events: DataFrame, userCol: String,
+                        typeCol: String): DataFrame = {
+    val ut = Materialize.artifact(
+      events.select(col(userCol).as("graft_u"), col(typeCol).as("graft_t"))
+        .distinct())
+    val totals = ut.groupBy("graft_t").agg(count(lit(1)).as("n"))
+    val nUsers = ut.agg(countDistinct(col("graft_u")).as("graft_nu"))
+    ut.select(col("graft_u"), col("graft_t").as("t1"))
+      .join(ut.select(col("graft_u"), col("graft_t").as("t2")), Seq("graft_u"))
+      .filter(col("t1") < col("t2"))
+      .groupBy("t1", "t2")
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(totals.select(col("graft_t").as("t1"),
+        col("n").as("n1"))), Seq("t1"))
+      .join(broadcast(totals.select(col("graft_t").as("t2"),
+        col("n").as("n2"))), Seq("t2"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("t1"), col("t2"), col("n1"), col("n2"), col("n_both"),
+        round(col("n_both").cast("double") * col("graft_nu").cast("double")
+          / (col("n1").cast("double") * col("n2").cast("double")), 4)
+          .as("lift"))
+  }
+
+  /** Activity concentration: what share of all events do the top p% of
+    * users generate? The Lorenz-curve audit behind "is this corpus three
+    * bots in a trenchcoat?". Scale shape: ranking 10⁸ users needs a
+    * global sort, so this NEVER ranks users — it aggregates the per-user
+    * counts into a count-of-counts table (one row per distinct activity
+    * LEVEL, bounded by max-events-per-user, thousands not billions) and
+    * runs the cumulative window over that. Ties inside the marginal
+    * level are resolved arithmetically — take (k − users above) · level —
+    * so the answer is deterministic without any tiebreak ordering.
+    * Exact integers throughout; k = ceil(p·N) is the same double → same
+    * ceil on every engine. */
+  def userConcentration(events: DataFrame, userCol: String,
+                        pcts: Seq[Double]): DataFrame = {
+    val uc = events.groupBy(col(userCol)).agg(count(lit(1)).as("graft_c"))
+    val cc = uc.groupBy("graft_c").agg(count(lit(1)).as("graft_nu"))
+    // Single-partition window: input is one row per distinct activity
+    // level — safe for the same reason labelBalance's is.
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("graft_c").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = cc
+      .withColumn("graft_cu", sum("graft_nu").over(w))
+      .withColumn("graft_ce", sum(col("graft_c") * col("graft_nu")).over(w))
+    val tot = cum.agg(max("graft_cu").as("graft_tu"),
+      max("graft_ce").as("graft_te"))
+    val levels = explode(array(pcts.map(lit): _*)).as("pct")
+    cum.crossJoin(broadcast(tot.select(levels, col("graft_tu"), col("graft_te"))))
+      .withColumn("graft_k", ceil(col("pct") * col("graft_tu")))
+      // the activity level containing the k-th ranked user
+      .filter(col("graft_cu") >= col("graft_k") &&
+        col("graft_cu") - col("graft_nu") < col("graft_k"))
+      .select(col("pct"), col("graft_k").as("top_users"),
+        (col("graft_ce") - (col("graft_cu") - col("graft_k")) * col("graft_c"))
+          .as("top_events"),
+        col("graft_te").as("total_events"))
+      .withColumn("share",
+        round(col("top_events").cast("double")
+          / col("total_events").cast("double"), 4))
   }
 
   /** Pairwise vocabulary overlap between corpus sources — the redundancy

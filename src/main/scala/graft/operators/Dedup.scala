@@ -511,4 +511,23 @@ object Dedup {
       .filter(col("cos") >= minCos)
       .select(col("id1"), col("id2"), col("cos"))
   }
+
+  /** Duplicate-prefix groups: documents whose first `k` tokens are
+    * identical — the truncation-duplicate screen (the same article
+    * crawled twice and cut at different lengths has different full-text
+    * hashes but the same opening). One md5 per document, one hash-keyed
+    * aggregate; no joins, no pairs — the cheapest member of the near-dup
+    * family, and the one to run FIRST at 100 TB because it costs a
+    * wordcount. Returns one row per collision group with the canonical
+    * survivor (min id). */
+  def prefixDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int): DataFrame =
+    docs
+      .select(col(idCol),
+        md5(concat_ws(" ",
+          slice(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"),
+            lit(0)), 1, k))).as("prefix_hash"))
+      .groupBy("prefix_hash")
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
+      .filter(col("n_docs") > 1)
 }

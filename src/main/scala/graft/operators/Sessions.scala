@@ -44,6 +44,43 @@ object Sessions {
       .withColumn("duration_us", col("end_us") - col("start_us"))
   }
 
+  /** Top user journeys: the most common first-`k`-event-type paths across
+    * sessions ("view>click>purchase") — the navigation-pattern report on
+    * top of sessionization. Scale shape: session ids AND in-session
+    * positions both come off the ONE user-keyed window pass (position =
+    * row_number − session-start row_number, no second sort), rows beyond
+    * position k are dropped BEFORE any list is built (collected arrays
+    * are ≤ k elements even for bot-length sessions), and the final
+    * ranking is a distributed top-N, never a global sort. */
+  def sessionPaths(events: DataFrame, userCol: String, tsUsCol: String,
+                   idCol: String, typeCol: String, gapUs: Long, k: Int,
+                   topN: Int): DataFrame = {
+    val byTime = Window.partitionBy(col(userCol))
+      .orderBy(col(tsUsCol).asc, col(idCol).asc)
+    val run = byTime.rowsBetween(Window.unboundedPreceding, 0)
+    val firstK = events
+      .select(col(userCol), col(tsUsCol), col(idCol), col(typeCol))
+      .withColumn("graft_prev", lag(col(tsUsCol), 1).over(byTime))
+      .withColumn("graft_new",
+        when(col("graft_prev").isNull ||
+          col(tsUsCol) - col("graft_prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("graft_sid", sum(col("graft_new")).over(run))
+      .withColumn("graft_rn", row_number().over(byTime))
+      .withColumn("graft_start_rn",
+        max(when(col("graft_new") === 1L, col("graft_rn"))).over(run))
+      .filter(col("graft_rn") - col("graft_start_rn") < k)
+    firstK
+      .groupBy(col(userCol), col("graft_sid"))
+      .agg(array_sort(collect_list(struct(col(tsUsCol).as("t"),
+        col(idCol).as("i"), col(typeCol).as("e")))).as("graft_evs"))
+      .select(concat_ws(">",
+        transform(col("graft_evs"), x => x.getField("e"))).as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(topN)
+  }
+
   /** Session aggregation via Spark's native `session_window` — the same
     * sessions as [[sessionize]] but usable UNCHANGED in Structured
     * Streaming (watermark → state eviction when a session's gap closes).

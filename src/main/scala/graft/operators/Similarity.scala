@@ -526,4 +526,46 @@ object Similarity {
       .limit(k)
       .select(col(idCol), col("cos"))
   }
+
+  /** Pairwise L2 distance between per-label mean centroids — the class-
+    * separation audit for a labeled vector corpus ("are these labels
+    * distinguishable in embedding space at all?"), the cheap go/no-go
+    * before training a classifier on it.
+    *
+    * Exactness: components quantize to fixed-point longs, per-(label,dim)
+    * sums accumulate as decimal(38,0) (exact, order-independent), and the
+    * mean difference is cleared of division up front —
+    * Σ_d (s₁·n₂ − s₂·n₁)² stays INTEGER; the only floating point is the
+    * final sqrt/divide, the identical expression on every engine, so the
+    * result is bit-exact cross-engine (q84/q102 discipline). Overflow:
+    * |s·n| ≤ scale·n² ≲ 10³ ·n², squared ≤ 10⁶·n⁴ per dim — under the
+    * 10³⁸ decimal ceiling to n ≈ 10⁸ vectors per label; shard the sums
+    * for more.
+    *
+    * Plan: posexplode → one (label, dim) partial aggregate (the only
+    * corpus-sized pass), then a dim-keyed self-join of the |labels|×|dims|
+    * centroid table — fan-out |labels|² per dim, never corpus-sized. */
+  def labelCentroidDistances(df: DataFrame, labelCol: String, vecCol: String,
+                             scale: Int = 1000): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val cent = df
+      .select(col(labelCol).as("lbl"), posexplode(col(vecCol)).as(Seq("pos0", "x")))
+      .select(col("lbl"), (col("pos0") + 1).cast("long").as("dim"),
+        floor(col("x").cast("double") * scale + lit(0.5)).cast("long").as("q"))
+      .groupBy("lbl", "dim")
+      .agg(sum(col("q")).cast(dec).as("s"), count(lit(1)).as("n"))
+    val a = cent.select(col("lbl").as("l1"), col("dim"),
+      col("s").as("graft_s1"), col("n").as("n1"))
+    val b = cent.select(col("lbl").as("l2"), col("dim"),
+      col("s").as("graft_s2"), col("n").as("n2"))
+    val diff = col("graft_s1") * col("n2").cast(dec) -
+      col("graft_s2") * col("n1").cast(dec)
+    a.join(b, Seq("dim")).filter(col("l1") < col("l2"))
+      .groupBy("l1", "l2", "n1", "n2") // n constant per label: one group per pair
+      .agg(sum(diff * diff).as("graft_num"))
+      .select(col("l1"), col("l2"), col("n1"), col("n2"),
+        round(sqrt(col("graft_num").cast("double"))
+          / (col("n1").cast("double") * col("n2").cast("double"))
+          / lit(scale.toDouble), 6).as("dist"))
+  }
 }

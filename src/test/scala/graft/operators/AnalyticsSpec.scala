@@ -226,4 +226,58 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(m(("a", "d")) - expected) < 1e-6)
     assert(m.size === 6)
   }
+
+  test("userConcentration resolves marginal-level ties arithmetically") {
+    // counts: one user at 10, four at 4, five at 1 → N=10 users, 31 events
+    val events = (Seq.fill(10)(1L) ++
+      (2L to 5L).flatMap(u => Seq.fill(4)(u)) ++
+      (6L to 10L).map(identity)).toDF("user_id")
+    val out = Analytics.userConcentration(events, "user_id",
+      Seq(0.10, 0.30, 1.0))
+      .collect().map(r => (r.getAs[Double]("pct"),
+        (r.getAs[Long]("top_users"), r.getAs[Long]("top_events"),
+          r.getAs[Long]("total_events"), r.getAs[Double]("share")))).toMap
+    assert(out(0.10) === ((1L, 10L, 31L, 0.3226))) // whole top level
+    // k=3 lands inside the c=4 level (4 tied users): 26 − (5−3)·4 = 18
+    assert(out(0.30) === ((3L, 18L, 31L, 0.5806)))
+    assert(out(1.0) === ((10L, 31L, 31L, 1.0)))
+  }
+
+  test("stickiness averages active days over the 7-day week") {
+    // one ISO week: u1 active 3 distinct days (one day twice), u2 one day
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 11:00:00"),
+      (1L, "2024-01-02 10:00:00"), (1L, "2024-01-03 10:00:00"),
+      (2L, "2024-01-04 10:00:00"))
+      .toDF("user_id", "ts0").select(col("user_id"),
+        col("ts0").cast("timestamp").as("ts"))
+    val r = Analytics.stickiness(ev, "user_id", "ts").collect()(0)
+    assert(r.getAs[String]("week") === "2024-01-01")
+    assert(r.getAs[Long]("wau") === 2L)
+    assert(r.getAs[Long]("active_days") === 4L)
+    assert(r.getAs[Double]("avg_days") === 2.0)
+    assert(r.getAs[Double]("stickiness") === 0.2857) // 4 / 14
+  }
+
+  test("lexicalDiversity counts types, tokens and hapax per source") {
+    val docs = Seq(("s1", "a a b"), ("s1", "a c"), ("s2", "x y"))
+      .toDF("source", "text")
+    val m = Analytics.lexicalDiversity(docs, "source", "text")
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_types"),
+          r.getAs[Long]("n_hapax"), r.getAs[Double]("ttr"))).toMap
+    assert(m("s1") === ((5L, 3L, 2L, 0.6))) // a×3, b×1, c×1
+    assert(m("s2") === ((2L, 2L, 2L, 1.0)))
+  }
+
+  test("eventCooccurrence computes lift from distinct user-type pairs") {
+    // u1: {a,b}, u2: {a,b}, u3: {a} → n_a=3, n_b=2, n_ab=2, N=3
+    val ev = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"),
+      (3L, "a")).toDF("user_id", "event_type")
+    val r = Analytics.eventCooccurrence(ev, "user_id", "event_type")
+      .collect()(0)
+    assert((r.getAs[String]("t1"), r.getAs[String]("t2")) === (("a", "b")))
+    assert(r.getAs[Long]("n_both") === 2L)
+    assert(r.getAs[Double]("lift") === 1.0) // 2·3/(3·2)
+  }
 }

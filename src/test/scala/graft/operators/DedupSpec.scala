@@ -228,4 +228,17 @@ class DedupSpec extends SparkSpec {
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("prefixDuplicates groups docs on the first-k-token hash only") {
+    val docs = Seq(
+      (10L, "Alpha beta gamma delta epsilon"), // same 3-token prefix as 11
+      (11L, "alpha BETA gamma zeta"),          // (case-insensitive)
+      (12L, "alpha beta delta gamma"),         // diverges at token 3
+      (13L, "omega psi chi"))
+      .toDF("doc_id", "text")
+    val out = Dedup.prefixDuplicates(docs, "doc_id", "text", 3).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Long]("n_docs") === 2L)
+    assert(out(0).getAs[Long]("keep_id") === 10L)
+  }
 }

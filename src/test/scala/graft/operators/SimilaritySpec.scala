@@ -107,4 +107,18 @@ class SimilaritySpec extends SparkSpec {
       assert(probe.count() === 5L)
     } finally { a.release(); b.release() }
   }
+
+  test("labelCentroidDistances returns the exact L2 between mean centroids") {
+    // label 0 centroid (1,1) from two vectors, label 1 centroid (4,5):
+    // distance = √(3² + 4²) = 5 exactly
+    val df = Seq(
+      (0, Array(1.0f, 0.0f)), (0, Array(1.0f, 2.0f)),
+      (1, Array(4.0f, 5.0f)))
+      .toDF("label", "embedding")
+    val r = Similarity.labelCentroidDistances(df, "label", "embedding")
+      .collect()(0)
+    assert((r.getAs[Int]("l1"), r.getAs[Int]("l2")) === ((0, 1)))
+    assert((r.getAs[Long]("n1"), r.getAs[Long]("n2")) === ((2L, 1L)))
+    assert(r.getAs[Double]("dist") === 5.0)
+  }
 }
