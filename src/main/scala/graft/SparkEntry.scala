@@ -840,6 +840,48 @@ object SparkEntry {
       Similarity.labelCentroidDistances(Tables.embeddings(s, d), "label",
         "embedding")),
 
+    // Time-windowed ordered funnel: click after signup, purchase after
+    // click, everything within 7 days of the FIRST signup — q55's honest
+    // sibling (no credit for a conversion a year later).
+    "q115_windowed_funnel" -> ((s, d) =>
+      Analytics.windowedFunnel(eventsUs(s, d), "user_id", "ts_us",
+        "event_type", Seq("signup", "click", "purchase"),
+        windowUs = 7L * 86400 * 1000000)),
+
+    // Top user journeys: most common first-3-event-type session paths;
+    // positions come off the one user-keyed window pass, rows beyond
+    // position 3 drop before any list is built.
+    "q116_session_paths" -> ((s, d) =>
+      Sessions.sessionPaths(eventsUs(s, d), "user_id", "ts_us", "event_id",
+        "event_type", gapUs = 30L * 60 * 1000000, k = 3, topN = 25)),
+
+    // Daily volume anomalies: per-type day counts z-scored against the
+    // trailing 28 observed days (yesterday back) — exact integer window
+    // sums, so z replays bit-identically.
+    "q117_daily_anomaly" -> ((s, d) =>
+      Analytics.dailyAnomalies(Tables.events(s, d), "event_type", "ts_t",
+        trailing = 28, minHistory = 7)),
+
+    // LSH banding quality audit: the q82 candidate pipeline (agreement
+    // filter off) scored against exact shingle-Jaccard truth at 0.5 —
+    // measured precision/recall of 8×2 banding on THIS corpus, the
+    // number that sizes a 100 TB dedup run. Reuses the memoized
+    // pair-stats substrate for the truth leg.
+    "q118_lsh_quality" -> ((s, d) =>
+      Dedup.lshQualityAudit(Tables.documents(s, d), "doc_id", "text",
+        n = 3, bands = 8, rowsPerBand = 2, trueJaccard = 0.5,
+        precomputedStats = Some(pairStats(s, d)))),
+
+    // Duplicate-cluster size histogram over the memoized q46 labels:
+    // "is duplication a few mega-clusters or a long tail?" — the shape
+    // that picks between survivor-ranking strategies.
+    "q119_cluster_sizes" -> ((s, d) =>
+      clusterLabels(s, d)
+        .groupBy("cluster").agg(count(lit(1)).as("graft_sz"))
+        .groupBy(col("graft_sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          (count(lit(1)) * col("graft_sz")).as("n_docs"))),
+
     // Length-bucketed batch packing report: rank within ⌊tokens/32⌋
     // buckets, chop into 16-doc batches, report per-batch padding waste —
     // the bucketed-batching audit; the window key is the bounded bucket,
@@ -1938,6 +1980,158 @@ object SparkEntry {
                       / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
                       / 1000.0, 6) AS dist
          FROM p GROUP BY l1, l2, n1, n2""",
+
+    // Same µs-long timestamps (epoch_us ↔ unix_micros); counts exact.
+    "q115_windowed_funnel" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type
+                    FROM events),
+         s1 AS (SELECT u, min(t) AS t1 FROM e WHERE event_type = 'signup'
+                GROUP BY u),
+         s2 AS (SELECT e.u, min(t) AS t2, min(t1) AS t1
+                FROM e JOIN s1 USING (u)
+                WHERE event_type = 'click' AND t > t1
+                  AND t <= t1 + 604800000000 GROUP BY e.u),
+         s3 AS (SELECT e.u, min(t) AS t3 FROM e JOIN s2 USING (u)
+                WHERE event_type = 'purchase' AND t > t2
+                  AND t <= t1 + 604800000000 GROUP BY e.u),
+         c AS (SELECT CAST(1 AS BIGINT) AS step_idx, 'signup' AS step,
+                      (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_users
+               UNION ALL
+               SELECT 2, 'click',
+                      (SELECT CAST(count(*) AS BIGINT) FROM s2)
+               UNION ALL
+               SELECT 3, 'purchase',
+                      (SELECT CAST(count(*) AS BIGINT) FROM s3))
+         SELECT step_idx, step, n_users,
+                round(n_users * 1.0
+                      / (SELECT n_users FROM c WHERE step_idx = 1), 4)
+                  AS conv
+         FROM c""",
+
+    // Same gaps-and-islands replay as q38; the path is the first 3 event
+    // types per session ordered by (ts, event_id).
+    "q116_session_paths" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                           event_type
+                    FROM events),
+         g AS (SELECT user_id, ts_us, event_id, event_type,
+                      CASE WHEN lag(ts_us) OVER w IS NULL
+                                OR ts_us - lag(ts_us) OVER w > 1800000000
+                           THEN 1 ELSE 0 END AS news
+               FROM e WINDOW w AS (PARTITION BY user_id
+                                   ORDER BY ts_us, event_id)),
+         s AS (SELECT user_id, ts_us, event_id, event_type,
+                      sum(news) OVER (PARTITION BY user_id
+                                      ORDER BY ts_us, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+               FROM g),
+         p AS (SELECT array_to_string(
+                        (list(event_type ORDER BY ts_us, event_id))[1:3],
+                        '>') AS path
+               FROM s GROUP BY user_id, sid)
+         SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+         FROM p GROUP BY path
+         ORDER BY n_sessions DESC, path LIMIT 25""",
+
+    // Exact-integer window sums → identical mean/var/z doubles; baseline
+    // is the trailing 28 OBSERVED days ending yesterday.
+    "q117_daily_anomaly" ->
+      """WITH d AS (SELECT event_type AS etype, CAST(ts AS DATE) AS d,
+                           count(*) AS n_events
+                    FROM events GROUP BY 1, 2),
+         w AS (SELECT etype, d, n_events,
+                      count(n_events) OVER win AS n_hist,
+                      sum(n_events) OVER win AS s,
+                      sum(n_events * n_events) OVER win AS ss
+               FROM d WINDOW win AS (PARTITION BY etype ORDER BY d
+                 ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING)),
+         v AS (SELECT etype, d, n_events, n_hist,
+                      CAST(s AS DOUBLE) / CAST(n_hist AS DOUBLE) AS mean,
+                      (CAST(ss AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                         / CAST(n_hist AS DOUBLE))
+                      / CAST(n_hist AS DOUBLE) AS var
+               FROM w WHERE n_hist >= 7)
+         SELECT etype, strftime(d, '%Y-%m-%d') AS day,
+                CAST(n_events AS BIGINT) AS n_events,
+                CAST(n_hist AS BIGINT) AS n_hist,
+                round(mean, 4) AS mean_hist,
+                round((CAST(n_events AS DOUBLE) - mean) / sqrt(var), 4) AS z
+         FROM v WHERE var > 0""",
+
+    // q82's candidate CTEs (agreement filter off) scored against q20's
+    // exact-Jaccard truth at 0.5; counts exact, ratios identical doubles.
+    "q118_lsh_quality" ->
+      """WITH t AS (SELECT doc_id,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                       toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+                FROM (SELECT doc_id, toks,
+                             unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i
+                      FROM t)),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+                FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         ex AS (SELECT id1, id2
+                FROM pr JOIN cnt c1 ON pr.id1 = c1.doc_id
+                        JOIN cnt c2 ON pr.id2 = c2.doc_id
+                WHERE round(inter * 1.0 / (c1.n + c2.n - inter), 4) >= 0.5),
+         mh AS (SELECT doc_id, s,
+                       min(substr(md5((s // 4)::VARCHAR || ':' || g),
+                                  CAST(1 + 8 * (s % 4) AS INTEGER), 8)) AS h
+                FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS s) seeds
+                GROUP BY doc_id, s),
+         sig AS (SELECT doc_id, list(h ORDER BY s) AS sig FROM mh
+                 GROUP BY doc_id),
+         band AS (SELECT doc_id, b, sig[2*b+1] || '|' || sig[2*b+2] AS bk
+                  FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS b) bands),
+         cand AS (SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+                  FROM band a JOIN band c
+                    ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id),
+         m AS (SELECT count(*) AS n_caught
+               FROM cand JOIN ex USING (id1, id2))
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+                (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_true,
+                CAST(n_caught AS BIGINT) AS n_caught,
+                round(n_caught * 1.0
+                      / greatest((SELECT count(*) FROM cand), 1), 4)
+                  AS lsh_precision,
+                round(n_caught * 1.0
+                      / greatest((SELECT count(*) FROM ex), 1), 4)
+                  AS lsh_recall
+         FROM m""",
+
+    // q46's recursive-CTE components, rolled up twice.
+    "q119_cluster_sizes" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                       toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+                FROM (SELECT doc_id, toks,
+                             unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i
+                      FROM t)),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+                FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         pairs AS (SELECT id1, id2
+                   FROM pr JOIN cnt c1 ON pr.id1 = c1.doc_id
+                           JOIN cnt c2 ON pr.id2 = c2.doc_id
+                   WHERE round(inter * 1.0 / (c1.n + c2.n - inter), 4) >= 0.2),
+         e AS (SELECT id1 AS a, id2 AS b FROM pairs
+               UNION SELECT id2, id1 FROM pairs),
+         r(n, m) AS (SELECT a, b FROM e
+                     UNION SELECT r.n, e.b FROM r JOIN e ON r.m = e.a),
+         lbl AS (SELECT n AS doc_id, least(n, min(m)) AS cluster
+                 FROM r GROUP BY n),
+         sz AS (SELECT cluster, count(*) AS s FROM lbl GROUP BY cluster)
+         SELECT CAST(s AS BIGINT) AS cluster_size,
+                CAST(count(*) AS BIGINT) AS n_clusters,
+                CAST(count(*) * s AS BIGINT) AS n_docs
+         FROM sz GROUP BY s""",
 
     // The window replays per bucket (bounded key), batch = floor-division
     // of the in-bucket rank; pad_frac's denominator guards the all-empty

@@ -512,6 +512,39 @@ object Dedup {
       .select(col("id1"), col("id2"), col("cos"))
   }
 
+  /** LSH banding quality audit: runs the engine-portable minhash pipeline
+    * WITHOUT its agreement filter and scores its candidate pairs against
+    * the exact shingle-Jaccard truth at `trueJaccard` — the measured
+    * precision/recall of the banding configuration on THIS corpus, not
+    * the textbook S-curve. This is the number that decides bands×rows
+    * before a 100 TB dedup run: recall says what the banding misses,
+    * precision says how much exact verification the candidates still
+    * need. Both legs are the existing oracle-replayable pipelines; the
+    * audit is three one-row counts cross-joined, so the whole report is
+    * engine-exact. */
+  def lshQualityAudit(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int, bands: Int, rowsPerBand: Int,
+                      trueJaccard: Double,
+                      precomputedStats: Option[DataFrame] = None): DataFrame = {
+    val cand = minhashPairsPortable(docs, idCol, textCol, n, bands,
+      rowsPerBand, minAgree = 0.0).select("id1", "id2")
+    val stats = precomputedStats.getOrElse(
+      pairShingleStats(docs, idCol, textCol, n))
+    val truth = jaccardFromStats(stats, trueJaccard).select("id1", "id2")
+    val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+    val nTrue = truth.agg(count(lit(1)).as("n_true"))
+    val nHit = cand.join(truth, Seq("id1", "id2"))
+      .agg(count(lit(1)).as("n_caught"))
+    nCand.crossJoin(nTrue).crossJoin(nHit)
+      .select(col("n_candidates"), col("n_true"), col("n_caught"),
+        round(col("n_caught").cast("double")
+          / greatest(col("n_candidates"), lit(1L)).cast("double"), 4)
+          .as("lsh_precision"),
+        round(col("n_caught").cast("double")
+          / greatest(col("n_true"), lit(1L)).cast("double"), 4)
+          .as("lsh_recall"))
+  }
+
   /** Duplicate-prefix groups: documents whose first `k` tokens are
     * identical — the truncation-duplicate screen (the same article
     * crawled twice and cut at different lengths has different full-text

@@ -270,6 +270,40 @@ class AnalyticsSpec extends SparkSpec {
     assert(m("s2") === ((2L, 2L, 2L, 1.0)))
   }
 
+  test("windowedFunnel enforces step order AND the window from step one") {
+    val week = 7L * 86400 * 1000000
+    val ev = Seq(
+      (1L, 0L, "signup"), (1L, 1000L, "click"), (1L, 2000L, "purchase"),
+      (2L, 0L, "signup"), (2L, week + 1L, "click"), // click outside window
+      (3L, 0L, "signup"), (3L, 500L, "click"), (3L, 400L, "purchase"),
+      (4L, 0L, "click")) // no signup → never enters
+      .toDF("user_id", "ts_us", "event_type")
+    val out = Analytics.windowedFunnel(ev, "user_id", "ts_us", "event_type",
+      Seq("signup", "click", "purchase"), week)
+      .collect().map(r => r.getAs[String]("step") ->
+        ((r.getAs[Long]("n_users"), r.getAs[Double]("conv")))).toMap
+    assert(out("signup") === ((3L, 1.0)))
+    assert(out("click") === ((2L, 0.6667)))   // u2's click is too late
+    assert(out("purchase") === ((1L, 0.3333))) // u3 purchased before click
+  }
+
+  test("dailyAnomalies z-scores against the trailing observed days only") {
+    // type x: days 1-8 alternate 1/2 events, day 9 spikes to 50
+    val perDay = Seq(1, 2, 1, 2, 1, 2, 1, 2, 50)
+    val ev = perDay.zipWithIndex.flatMap { case (n, i) =>
+      (0 until n).map(j => (f"2024-01-${i + 1}%02d 10:00:${j % 60}%02d", "x"))
+    }.toDF("ts0", "event_type")
+      .select(col("ts0").cast("timestamp").as("ts"), col("event_type"))
+    val rows = Analytics.dailyAnomalies(ev, "event_type", "ts",
+      trailing = 28, minHistory = 7)
+      .collect().map(r => r.getAs[String]("day") -> r).toMap
+    assert(!rows.contains("2024-01-07")) // only 6 days of history
+    val spike = rows("2024-01-09") // hist: [1,2]×4 → mean 1.5, sd 0.5
+    assert(spike.getAs[Long]("n_hist") === 8L)
+    assert(spike.getAs[Double]("mean_hist") === 1.5)
+    assert(spike.getAs[Double]("z") === 97.0) // (50 − 1.5) / 0.5
+  }
+
   test("eventCooccurrence computes lift from distinct user-type pairs") {
     // u1: {a,b}, u2: {a,b}, u3: {a} → n_a=3, n_b=2, n_ab=2, N=3
     val ev = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"),

@@ -229,6 +229,22 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("lshQualityAudit reports full recall on planted exact duplicates") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different text with other words entirely here now"),
+      (4L, "yet another unrelated document about spark plans and shuffles"))
+      .toDF("doc_id", "text")
+    val r = Dedup.lshQualityAudit(docs, "doc_id", "text",
+      n = 3, bands = 8, rowsPerBand = 2, trueJaccard = 0.5).collect()(0)
+    // identical docs ⇒ identical signatures ⇒ banding cannot miss them
+    assert(r.getAs[Long]("n_true") === 1L)
+    assert(r.getAs[Long]("n_caught") === 1L)
+    assert(r.getAs[Double]("lsh_recall") === 1.0)
+    assert(r.getAs[Long]("n_candidates") >= 1L)
+  }
+
   test("prefixDuplicates groups docs on the first-k-token hash only") {
     val docs = Seq(
       (10L, "Alpha beta gamma delta epsilon"), // same 3-token prefix as 11

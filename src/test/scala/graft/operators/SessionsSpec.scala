@@ -103,4 +103,24 @@ class SessionsSpec extends SparkSpec {
     } yield a._1).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
     assert(binned === naive)
   }
+
+  test("sessionPaths truncates at k and splits sessions on the gap") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1 session 1: three events in order; session 2 after the gap
+      (1L, 0L, 1L, "view"), (1L, 60L, 2L, "click"), (1L, 120L, 3L, "purchase"),
+      (1L, 100000L, 4L, "view"),
+      // u2: one two-event session
+      (2L, 0L, 5L, "view"), (2L, 50L, 6L, "click"),
+      // u3: four events within the gap → path truncated to first 3
+      (3L, 0L, 7L, "a"), (3L, 10L, 8L, "b"), (3L, 20L, 9L, "c"),
+      (3L, 30L, 10L, "d"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+    val out = Sessions.sessionPaths(ev, "user_id", "ts_us", "event_id",
+      "event_type", gapUs = 1000L, k = 3, topN = 10)
+      .collect().map(r => r.getAs[String]("path") ->
+        r.getAs[Long]("n_sessions")).toMap
+    assert(out === Map("view>click>purchase" -> 1L, "view" -> 1L,
+      "view>click" -> 1L, "a>b>c" -> 1L))
+  }
 }
