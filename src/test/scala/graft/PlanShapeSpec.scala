@@ -151,4 +151,49 @@ class PlanShapeSpec extends SparkSpec {
       assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
     }
   }
+
+  test("q111 prefix dups: one hash aggregate, no join anywhere") {
+    withCleanCaches {
+      val p = planOf("q111_prefix_dups")
+      assert(!p.contains("Join"), s"q111 grew a join:\n$p")
+      assert(exchanges(p) === 1, s"one prefix-hash exchange expected:\n$p")
+    }
+  }
+
+  test("q112 concentration: rows shuffle only into the per-user aggregate") {
+    withCleanCaches {
+      val p = planOf("q112_user_concentration")
+      // user agg + count-of-counts agg, each appearing twice pre-AQE
+      // because the cumulative subtree feeds BOTH the level filter and
+      // the totals aggregate (runtime dedupes via ReusedExchange, the
+      // q86 pattern) — so ≤ 4 hash exchanges, none of them row-sized
+      // beyond the per-user aggregate.
+      assert(exchanges(p) <= 4, s"q112 shuffles beyond the two aggs:\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+        s"q112 totals/levels should broadcast:\n$p")
+    }
+  }
+
+  test("q116 session paths: ONE user-keyed exchange feeds window and position") {
+    withCleanCaches {
+      val p = planOf("q116_session_paths")
+      // user window + per-session aggregate + path count; the top-N must
+      // be distributed (TakeOrdered), never a global Sort+Limit.
+      assert(exchanges(p) <= 3, s"q116 re-shuffles the window input:\n$p")
+      assert(p.contains("TakeOrderedAndProject"), s"q116 global-sorts:\n$p")
+    }
+  }
+
+  test("q117 anomalies: events reduce to (type, day) BEFORE the window") {
+    withCleanCaches {
+      val p = planOf("q117_daily_anomaly")
+      // partial_count proves the two-phase aggregate runs map-side before
+      // the (type, day) table ever shuffles; the window rides the same
+      // type-keyed exchange or one more tiny one.
+      assert(p.contains("partial_count") || p.contains("HashAggregate"),
+        s"q117 lost the pre-aggregate:\n$p")
+      assert(exchanges(p) <= 2, s"q117 shuffles events twice:\n$p")
+      assert(!p.contains("Join"), s"q117 grew a join:\n$p")
+    }
+  }
 }
