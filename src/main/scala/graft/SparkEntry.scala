@@ -1825,12 +1825,14 @@ object SparkEntry {
 
     // Same word-token count as q15; ROWS frame spelled on both engines
     // (doc_id tiebreak makes it equal to RANGE, but parity is explicit).
+    // DuckDB's windowed sum(BIGINT) widens to HUGEINT — CAST back to
+    // BIGINT like every other computed integer in this map.
     "q104_token_budget" ->
       """SELECT doc_id, source, n_tokens, cum_tokens
          FROM (SELECT doc_id, source, n_tokens,
-                      sum(n_tokens) OVER (PARTITION BY source
+                      CAST(sum(n_tokens) OVER (PARTITION BY source
                         ORDER BY md5(text), doc_id
-                        ROWS UNBOUNDED PRECEDING) AS cum_tokens
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
                FROM (SELECT doc_id, source, text,
                             CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
                                  AS BIGINT) AS n_tokens

@@ -118,12 +118,62 @@ object WarehouseSink {
   private[sources] def writeManifest(dir: String, m: Manifest): Unit = {
     val json =
       s"""{"version": ${m.version}, "epoch": ${m.epoch}, "schema": "${escape(m.schemaDdl)}", "files": [${m.files.map(f => "\"" + escape(f) + "\"").mkString(", ")}]}"""
+    // CREATE_NEW: a version slot is claimed exactly once. Two committers
+    // racing the same slot collide HERE — a detectable conflict — instead
+    // of the second silently overwriting the first's file list.
     Files.write(Paths.get(dir, s"manifest-${m.version}.json"),
-      json.getBytes(StandardCharsets.UTF_8))
+      json.getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW,
+      java.nio.file.StandardOpenOption.WRITE)
     val tmp = Paths.get(dir, s"_current.tmp-${m.version}")
     Files.write(tmp, m.version.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, Paths.get(dir, "_current"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Publish a new manifest generation with lost-update detection.
+    *
+    * `make(prev)` builds the manifest from the CURRENT generation; its
+    * `version` is overwritten with the next free slot. On a slot conflict
+    * (another committer claimed it first), the loser waits for the
+    * winner's `_current` swap, re-reads, and REBASES — so two concurrent
+    * appends merge instead of the second dropping the first's files.
+    *
+    * Supported concurrency contract: appends from independent jobs merge
+    * safely (data file names are session-unique, slots are CREATE_NEW).
+    * TRUNCATE concurrent with another writer, or a committer that dies in
+    * the microseconds between claiming a slot and swapping `_current`
+    * (its orphan slot is skipped after a grace period), still need a
+    * single writer per table — the same contract every file-manifest
+    * table format delegates to a lock service or a real catalog. */
+  private[sources] def publish(dir: String,
+                               make: Option[Manifest] => Option[Manifest]): Option[Manifest] = {
+    var floor = 0L
+    var attempts = 0
+    while (attempts < 200) {
+      attempts += 1
+      val prev = readManifest(dir)
+      make(prev) match {
+        case None => return None // caller declined (e.g. replayed epoch)
+        case Some(m0) =>
+          val v = math.max(prev.map(_.version + 1).getOrElse(0L), floor)
+          val m = m0.copy(version = v)
+          try { writeManifest(dir, m); return Some(m) }
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              // Slot v taken. Give its owner time to swap _current so the
+              // retry rebases on top of its files; if the owner vanished
+              // (crash between claim and swap), skip the orphan slot.
+              var spins = 0
+              while (readManifest(dir).map(_.version).getOrElse(-1L) < v
+                     && spins < 500) { Thread.sleep(10); spins += 1 }
+              if (readManifest(dir).map(_.version).getOrElse(-1L) < v)
+                floor = v + 1
+          }
+      }
+    }
+    throw new IllegalStateException(
+      s"warehouse manifest contention at $dir: gave up after $attempts attempts")
   }
 
   // ---- row codec: TSV with \t, \n, \\ escaped ----
@@ -215,7 +265,6 @@ private[sources] class WarehouseBatchWrite(dir: String, schema: StructType,
     * named into the table dir, then swap the manifest pointer. Append
     * carries the previous generation's files forward; truncate does not. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val prev = WarehouseSink.readManifest(dir)
     val committed = messages.collect {
       case WarehouseCommit(f, n) if n >= 0 => f }.toSeq
     val published = committed.map { f =>
@@ -224,14 +273,24 @@ private[sources] class WarehouseBatchWrite(dir: String, schema: StructType,
       Files.move(src.toPath, dst.toPath, StandardCopyOption.ATOMIC_MOVE)
       f
     }
-    val version = prev.map(_.version + 1).getOrElse(0L)
-    val files =
-      if (truncate) published
-      else prev.map(_.files).getOrElse(Nil) ++ published
-    WarehouseSink.writeManifest(dir,
-      WarehouseSink.Manifest(version, schema.toDDL, files))
+    var replaced: Option[WarehouseSink.Manifest] = None
+    WarehouseSink.publish(dir, { prev =>
+      replaced = prev
+      val files =
+        if (truncate) published
+        else prev.map(_.files).getOrElse(Nil) ++ published
+      // Append CARRIES the streaming epoch cursor forward: a batch append
+      // interleaved with a streaming query must not reset the replay
+      // guard, or a checkpoint restart replaying its last micro-batch
+      // would pass the epoch check and double-publish. Truncate resets
+      // the cursor to -1 DELIBERATELY — it starts a new table generation,
+      // and a fresh stream (new checkpoint, epochs from 0) must publish
+      // from its first epoch.
+      val epoch = if (truncate) -1L else prev.map(_.epoch).getOrElse(-1L)
+      Some(WarehouseSink.Manifest(0L, schema.toDDL, files, epoch))
+    })
     deleteRecursively(staging)
-    if (truncate) prev.foreach(_.files.foreach(f =>
+    if (truncate) replaced.foreach(_.files.foreach(f =>
       new File(dir, f).delete())) // old generation now unreferenced
   }
 
@@ -264,8 +323,7 @@ private[sources] class WarehouseStreamingWrite(dir: String, schema: StructType,
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val prev = WarehouseSink.readManifest(dir)
-    if (prev.exists(_.epoch >= epochId)) {
+    if (WarehouseSink.readManifest(dir).exists(_.epoch >= epochId)) {
       // replayed micro-batch: already folded into a committed generation
       deleteRecursively(staging(epochId))
       return
@@ -277,9 +335,15 @@ private[sources] class WarehouseStreamingWrite(dir: String, schema: StructType,
           StandardCopyOption.ATOMIC_MOVE)
         f
       }
-    WarehouseSink.writeManifest(dir, WarehouseSink.Manifest(
-      prev.map(_.version + 1).getOrElse(0L), schema.toDDL,
-      prev.map(_.files).getOrElse(Nil) ++ published, epochId))
+    // The replay guard re-evaluates inside publish against the FRESH
+    // manifest (a concurrent batch committer may have moved it).
+    val won = WarehouseSink.publish(dir, { prev =>
+      if (prev.exists(_.epoch >= epochId)) None
+      else Some(WarehouseSink.Manifest(0L, schema.toDDL,
+        prev.map(_.files).getOrElse(Nil) ++ published, epochId))
+    })
+    if (won.isEmpty) // lost to a replay: drop the now-unreferenced files
+      published.foreach(f => new File(dir, f).delete())
     deleteRecursively(st)
   }
 

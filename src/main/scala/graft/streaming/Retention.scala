@@ -24,7 +24,11 @@ object Retention {
     * week-start trails the raw event time by < 7 days, the effective lag
     * is the configured watermark + one week. */
   final case class WeekEvent(user: Long, weekStart: java.sql.Timestamp)
-  final case class ChurnState(lastWeekMs: Long)
+  /** Weeks seen for the user whose churn verdict is still OPEN — i.e. the
+    * watermark has not yet passed the end of the FOLLOWING week, so an
+    * out-of-order event could still arrive for it and avert the churn.
+    * Bounded by the watermark horizon in weeks, not user history. */
+  final case class ChurnState(openWeeksMs: List[Long])
   /** User `user` was active in the week starting `weekStartMs` and not
     * the next one. */
   final case class Churn(weekStartMs: Long, user: Long)
@@ -40,36 +44,41 @@ object Retention {
       .as[WeekEvent]
   }
 
-  /** Churn detection per user: a GAP in the week sequence emits the churn
-    * row immediately (active in w, next seen ≥ w+2); the no-more-events
-    * case emits via EVENT-TIME TIMEOUT when the watermark passes the end
-    * of the following week — the streaming equivalent of q94's anti-join,
+  /** Churn detection per user. A week w churns iff the user was active in
+    * w and not in w+1 — but in APPEND mode an emitted row can never be
+    * retracted, so no verdict may be emitted while an out-of-order event
+    * for week w+1 could still arrive within the watermark's lateness
+    * allowance. Candidate weeks are therefore BUFFERED in state and
+    * finalized only once the watermark passes the end of week w+1
+    * (`w + 2·WeekMs`) — the first moment the verdict is immutable, for
+    * both the gap case (later week already seen) and the silence case
+    * (no more events; the event-time timeout fires at exactly that
+    * boundary). This is the streaming equivalent of q94's anti-join,
     * decided exactly when the batch plan could first decide it. State is
-    * one lastWeek record per live user, removed at churn. */
+    * the open-week list per live user — bounded by the watermark horizon
+    * in weeks — and is removed once every week is decided. */
   def churnFn(user: Long, rows: Iterator[WeekEvent],
               state: GroupState[ChurnState]): Iterator[Churn] = {
-    if (!rows.hasNext && state.hasTimedOut) {
-      val out = state.getOption.map(s => Churn(s.lastWeekMs, user))
-      state.remove()
-      out.iterator
-    } else {
-      val weeks = rows.map(_.weekStart.getTime).toSeq.sorted.distinct
-      var last = state.getOption.map(_.lastWeekMs)
-      val out = Seq.newBuilder[Churn]
-      weeks.foreach { w =>
-        last match {
-          case Some(lw) if w > lw + WeekMs => out += Churn(lw, user)
-          case _ =>
-        }
-        last = Some(last.fold(w)(math.max(_, w)))
-      }
-      last.foreach { lw =>
-        state.update(ChurnState(lw))
-        // Churn for week lw is decidable once week lw+1 has fully closed.
-        state.setTimeoutTimestamp(lw + 2 * WeekMs)
-      }
-      out.result().iterator
-    }
+    val prior = state.getOption.map(_.openWeeksMs).getOrElse(Nil)
+    val merged =
+      (prior ++ rows.map(_.weekStart.getTime)).distinct.sorted
+    val wm = state.getCurrentWatermarkMs()
+    // Week w is decidable once no week-(w+1) event can be admitted:
+    // truncated week-starts are late below the watermark, so wm ≥
+    // w + 2·WeekMs guarantees week w+1 is closed. A decided week's
+    // successor is still present in `merged` when consulted — w decides
+    // no later than w+1, so successors outlive their predecessors here.
+    val (decided, open) = merged.partition(_ + 2 * WeekMs <= wm)
+    val seen = merged.toSet
+    val out = decided.filterNot(w => seen.contains(w + WeekMs))
+      .map(Churn(_, user))
+    if (open.nonEmpty) {
+      state.update(ChurnState(open))
+      // Fire when the earliest open verdict becomes immutable (strictly
+      // above wm by construction of the partition above).
+      state.setTimeoutTimestamp(open.min + 2 * WeekMs)
+    } else state.remove()
+    out.iterator
   }
 
   /** The continuous q94: (wk, user_id) churn events. Aggregate counts
@@ -92,19 +101,25 @@ object Retention {
     * windowed count finalizes each day as the watermark passes. Emits
     * every day in any window (the batch query then filters to observed
     * days; a day with no events of its own is a superset row, not a
-    * disagreement). */
+    * disagreement).
+    *
+    * `watermarkDays` is the lateness allowance for the RAW events. The
+    * watermark must run on the exploded target-day column (it is the
+    * event-time the windowed count groups on), but that column leads raw
+    * event time by up to `windowDays - 1` days — an uninflated delay of
+    * d days would tolerate only d-(windowDays-1) days of real lateness.
+    * The configured delay is therefore `watermarkDays + windowDays`,
+    * which guarantees at least `watermarkDays` days of raw-event
+    * lateness before rows are dropped. */
   def rollingActiveStream(events: DataFrame, userCol: String, tsCol: String,
-                          windowDays: Int, watermark: String = "14 days"): DataFrame =
+                          windowDays: Int, watermarkDays: Int = 14): DataFrame =
     events
       .select(col(tsCol), col(userCol),
         explode(sequence(lit(0), lit(windowDays - 1))).as("graft_off"))
-      // Target-day event time = start of (event day + offset): stays
-      // within [event time, event time + windowDays), so the shifted
-      // watermark lag is watermark + windowDays and windows still close.
       .select(timestamp_seconds(unix_timestamp(
         date_add(col(tsCol).cast("date"), col("graft_off")))).as("graft_d2"),
         col(userCol))
-      .withWatermark("graft_d2", watermark)
+      .withWatermark("graft_d2", s"${watermarkDays + windowDays} days")
       .dropDuplicates("graft_d2", userCol)
       .groupBy(window(col("graft_d2"), "1 day"))
       .agg(count(lit(1)).as(s"active_${windowDays}d"))

@@ -104,6 +104,37 @@ class WarehouseSinkSpec extends SparkSpec {
     assert(WarehouseSink.readManifest(dir).get.version === m0.version)
   }
 
+  test("batch append between epochs carries the streaming replay cursor forward") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmp(); val ckpt = tmp()
+    val stream = MemoryStream[Long]
+    val q = stream.toDF().withColumnRenamed("value", "id")
+      .writeStream.format(Fmt)
+      .option("path", dir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try { stream.addData(1L to 3L: _*); q.processAllAvailable() } finally q.stop()
+    val cursor = WarehouseSink.readManifest(dir).get.epoch
+    assert(cursor >= 0)
+    // A batch APPEND interleaved with the stream must preserve the epoch
+    // cursor — resetting it would let a checkpoint restart replay the
+    // last micro-batch past the guard and double-publish.
+    Seq(100L).toDF("id").write.format(Fmt).option("path", dir)
+      .mode("append").save()
+    assert(WarehouseSink.readManifest(dir).get.epoch === cursor)
+    val sw = new WarehouseStreamingWrite(dir,
+      spark.read.format(Fmt).option("path", dir).load().schema, "qtest")
+    sw.commit(cursor, Array.empty) // restart replays the folded epoch
+    val ids = spark.read.format(Fmt).option("path", dir).load()
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids === Seq(1L, 2L, 3L, 100L)) // no duplicates from the replay
+    // TRUNCATE deliberately resets the cursor: new generation, fresh
+    // streams must publish from epoch 0.
+    Seq(200L).toDF("id").write.format(Fmt).option("path", dir)
+      .mode("overwrite").save()
+    assert(WarehouseSink.readManifest(dir).get.epoch === -1L)
+  }
+
   test("streaming write resumes from checkpoint without duplicating rows") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -54,6 +54,35 @@ class RetentionStreamSpec extends SparkSpec {
     assert(got === batch, s"stream=$got batch=$batch")
   }
 
+  test("churn verdicts wait for the watermark: a late intermediate week averts the gap churn") {
+    implicit val sqlCtx = spark.sqlContext
+    // user 7: weeks Jan-01 and Jan-15 arrive first — an apparent gap at
+    // Jan-08 — then the Jan-08 event arrives OUT OF ORDER in a later
+    // micro-batch, well inside the 30-day watermark allowance. Emitting
+    // the gap churn on sight would publish an append-mode row that the
+    // late event falsifies; the buffered verdict must wait and never
+    // emit it. Only the final-week churn (Jan-15, silence after) stands.
+    val stream = MemoryStream[(Long, java.sql.Timestamp)]
+    val churn = Retention.weeklyChurnStream(
+      stream.toDF().toDF("user_id", "ts_t"), "user_id", "ts_t",
+      watermark = "30 days")
+    val q = churn.writeStream.format("memory").queryName("churn_late")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData((7L, ts("2024-01-02 10:00:00")),
+        (7L, ts("2024-01-16 10:00:00"))); q.processAllAvailable()
+      stream.addData((7L, ts("2024-01-09 10:00:00"))); q.processAllAvailable()
+      // Sentinels push the watermark past every verdict boundary.
+      stream.addData((99L, ts("2024-06-01 00:00:00"))); q.processAllAvailable()
+      stream.addData((99L, ts("2024-06-02 00:00:00"))); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("churn_late")
+      .select(date_format(timestamp_millis(col("weekStartMs")), "yyyy-MM-dd")
+        .as("wk"), col("user"))
+      .as[(String, Long)].collect().toSet
+    assert(got === Set(("2024-01-15", 7L)), s"got=$got")
+  }
+
   test("rollingActiveStream equals batch rollingActiveUsers on observed days") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Seq(
@@ -63,7 +92,7 @@ class RetentionStreamSpec extends SparkSpec {
     val stream = MemoryStream[(Long, java.sql.Timestamp)]
     val rolling = Retention.rollingActiveStream(
       stream.toDF().toDF("user_id", "ts_t"), "user_id", "ts_t",
-      windowDays = 7, watermark = "0 seconds")
+      windowDays = 7, watermarkDays = 0)
     val q = rolling.writeStream.format("memory").queryName("roll_s")
       .outputMode(OutputMode.Append()).start()
     try {
