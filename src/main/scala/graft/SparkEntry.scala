@@ -939,6 +939,43 @@ object SparkEntry {
         .groupBy("n_name")
         .agg(count(lit(1)).as("n"), round(sum(col("rev")), 2).as("revenue"))
     }),
+
+    // Tuned gradient-boosted trees — the notebook's searched-XGBoost
+    // analog (learning rate × depth × rounds over a train/validation
+    // screen). Rows-only: a distributed GBT fit has no SQL oracle; the
+    // holdout metrics row is the driver surface.
+    "q120_tuned_gbt" -> ((s, d) =>
+      ml.Popularity.tunedGbt(s,
+        Tables.lineitem(s, d)
+          .filter(pmod(col("l_orderkey"), lit(80)) === 0)
+          .select("l_quantity", "l_discount", "l_tax", "l_extendedprice"),
+        Seq("l_quantity", "l_discount", "l_tax"), "l_extendedprice")._2),
+
+    // Snapshot reconciliation: current orders vs a deterministically
+    // perturbed next load (deletes at %13, price bumps at %7, inserts at
+    // %11 under shifted keys) — the pre-cutover diff report, ONE
+    // full-outer join reduced to status cardinality.
+    "q121_reconcile" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val l = o.select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+      val r = o.filter(col("o_orderkey") % 13 =!= 0)
+        .select(col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 7 === 0,
+            round(col("o_totalprice") * 1.1, 2))
+            .otherwise(col("o_totalprice")).as("p"))
+        .unionByName(o.filter(col("o_orderkey") % 11 === 0)
+          .select((col("o_orderkey") + 10000000L).as("k"),
+            col("o_totalprice").as("p")))
+      Etl.reconcile(l, r, Seq("k"), Seq("p"))
+    }),
+
+    // Feature-drift screen between the low- and high-quantity halves of
+    // lineitem over revenue: per-bin populations plus the exact-integer
+    // cumulative L1 distance (the engine-portable PSI stand-in).
+    "q122_feature_drift" -> ((s, d) =>
+      Analytics.featureDrift(Tables.lineitem(s, d), "l_extendedprice",
+        col("l_quantity") <= 25, col("l_quantity") > 25,
+        lo = 0.0, hi = 110000.0, bins = 22)),
   )
 
   /** Events with the shared-grain µs timestamp column (see q38-q40 note). */
@@ -2672,5 +2709,54 @@ object SparkEntry {
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
                        JOIN nation ON s_nationkey = n_nationkey
          GROUP BY n_name""",
+
+    // The same deterministic perturbation replayed, classified by a
+    // FULL OUTER JOIN; IS DISTINCT FROM mirrors Spark's null-safe <=>.
+    "q121_reconcile" ->
+      """WITH l AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+         r AS (SELECT o_orderkey AS k,
+                      CASE WHEN o_orderkey % 7 = 0
+                           THEN round(o_totalprice * 1.1, 2)
+                           ELSE o_totalprice END AS p
+               FROM orders WHERE o_orderkey % 13 <> 0
+               UNION ALL
+               SELECT o_orderkey + 10000000 AS k, o_totalprice AS p
+               FROM orders WHERE o_orderkey % 11 = 0),
+         j AS (SELECT coalesce(l.k, r.k) AS k,
+                      CASE WHEN l.k IS NULL THEN 'right_only'
+                           WHEN r.k IS NULL THEN 'left_only'
+                           WHEN l.p IS DISTINCT FROM r.p THEN 'changed'
+                           ELSE 'same' END AS status
+               FROM l FULL OUTER JOIN r ON l.k = r.k)
+         SELECT status, CAST(count(*) AS BIGINT) AS n,
+                CAST(min(k) AS BIGINT) AS min_key,
+                CAST(max(k) AS BIGINT) AS max_key
+         FROM j GROUP BY status""",
+
+    // Fractions are integer-ratio doubles; the cumulative L1 keeps an
+    // exact-integer numerator and divides once at the end (a windowed
+    // DOUBLE sum would have engine-specific accumulation order).
+    "q122_feature_drift" ->
+      """WITH u AS (SELECT CAST(least(greatest(
+                    floor((l_extendedprice - 0.0) / 5000.0), 0), 21) AS BIGINT)
+                    AS bin,
+                  CASE WHEN l_quantity <= 25 THEN 1 ELSE 0 END AS ir,
+                  CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS ic
+           FROM lineitem),
+         c AS (SELECT bin, CAST(sum(ir) AS BIGINT) AS ref_n,
+                      CAST(sum(ic) AS BIGINT) AS cur_n
+               FROM u GROUP BY bin),
+         t AS (SELECT bin, ref_n, cur_n,
+                      CAST(sum(ref_n) OVER () AS BIGINT) AS rt,
+                      CAST(sum(cur_n) OVER () AS BIGINT) AS ct
+               FROM c)
+         SELECT bin, ref_n, cur_n,
+                round(CAST(ref_n AS DOUBLE) / CAST(rt AS DOUBLE), 4) AS ref_frac,
+                round(CAST(cur_n AS DOUBLE) / CAST(ct AS DOUBLE), 4) AS cur_frac,
+                round(CAST(CAST(sum(abs(cur_n * rt - ref_n * ct))
+                            OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                          AS BIGINT) AS DOUBLE)
+                      / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)), 4) AS cum_l1
+         FROM t""",
   )
 }

@@ -660,6 +660,58 @@ object Analytics {
           / col("total_events").cast("double"), 4))
   }
 
+  /** Feature-drift report between a reference and a current slice of the
+    * same table — the monitoring gate a training pipeline runs before
+    * trusting fresh data ("did this week's price distribution move?").
+    * Fixed-width bins over [lo, hi) with edge clamping, per-bin exact
+    * counts and 4-dp population fractions, plus the cumulative L1
+    * distance accumulated in bin order (total variation ×2 when the
+    * sweep completes — the transcendental-free cousin of PSI, chosen
+    * because ln() is not bit-portable across engines while integer
+    * ratios and an ordered running sum are).
+    *
+    * Scale shape: ONE scan of the union of both slices (each row tagged
+    * 0/1 per side), one hash aggregate keyed by the bounded bin id, and
+    * the totals/cumsum windows run over ≤`bins` rows — bins-cardinality
+    * work after the scan, never a second pass over the data. */
+  def featureDrift(df: DataFrame, valueCol: String,
+                   refFilter: Column, curFilter: Column,
+                   lo: Double, hi: Double, bins: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val width = (hi - lo) / bins
+    val bin = least(greatest(
+      floor((col(valueCol) - lit(lo)) / lit(width)), lit(0)), lit(bins - 1))
+      .cast("long")
+    val counts = df.filter(refFilter || curFilter)
+      .select(bin.as("bin"),
+        when(refFilter, 1L).otherwise(0L).as("graft_ir"),
+        when(curFilter, 1L).otherwise(0L).as("graft_ic"))
+      .groupBy("bin")
+      .agg(sum("graft_ir").as("ref_n"), sum("graft_ic").as("cur_n"))
+    val tot = Window.partitionBy()
+    val ordered = Window.partitionBy().orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Engine-portability: fractions are integer-over-integer double
+    // divisions (identical on any IEEE engine), and the running L1 is
+    // accumulated as an EXACT integer numerator — |cur_n·refTot −
+    // ref_n·curTot| — divided by refTot·curTot only at the end, because
+    // a windowed sum of doubles has engine-specific accumulation order.
+    // Integer bound: the numerator sum stays < 2⁶³ up to ~3·10⁹ rows per
+    // slice; beyond that, widen to decimal — same plan shape.
+    val refTot = sum("ref_n").over(tot)
+    val curTot = sum("cur_n").over(tot)
+    counts
+      .withColumn("ref_frac",
+        round(col("ref_n").cast("double") / refTot.cast("double"), 4))
+      .withColumn("cur_frac",
+        round(col("cur_n").cast("double") / curTot.cast("double"), 4))
+      .withColumn("graft_num", abs(col("cur_n") * refTot - col("ref_n") * curTot))
+      .withColumn("cum_l1",
+        round(sum("graft_num").over(ordered).cast("double")
+          / (refTot.cast("double") * curTot.cast("double")), 4))
+      .select("bin", "ref_n", "cur_n", "ref_frac", "cur_frac", "cum_l1")
+  }
+
   /** Pairwise vocabulary overlap between corpus sources — the redundancy
     * matrix a curation pass reads before mixing ("are src3 and src7 the
     * same crawl?"). Jaccard over DISTINCT terms per source.

@@ -380,6 +380,41 @@ object Etl {
     nFiles
   }
 
+  /** Snapshot reconciliation — the full-outer diff report a migration or
+    * backfill audit runs before cutover: classify every key as
+    * `left_only` / `right_only` / `changed` / `same` over the compared
+    * columns and reduce to one row per status with the key range.
+    *
+    * Scale shape: ONE shuffled full-outer join on the key (AQE splits
+    * skewed key ranges); the comparison is a null-safe projected
+    * expression, and the report side is status-cardinality (≤4 rows) via
+    * map-side partial aggregation — never a table-sized collect. The
+    * null-safe `<=>` makes a NULL→value transition count as `changed`,
+    * not `same`. */
+  def reconcile(left: DataFrame, right: DataFrame, keys: Seq[String],
+                compareCols: Seq[String]): DataFrame = {
+    val l = left.select(keys.map(col) ++
+      compareCols.map(c => col(c).as(s"graft_l_$c")) :+
+      lit(1).as("graft_l"): _*)
+    val r = right.select(keys.map(col) ++
+      compareCols.map(c => col(c).as(s"graft_r_$c")) :+
+      lit(1).as("graft_r"): _*)
+    val changed = compareCols
+      .map(c => !(col(s"graft_l_$c") <=> col(s"graft_r_$c")))
+      .reduce(_ || _)
+    l.join(r, keys, "full_outer")
+      .select(
+        when(col("graft_l").isNull, "right_only")
+          .when(col("graft_r").isNull, "left_only")
+          .when(changed, "changed")
+          .otherwise("same").as("status"),
+        col(keys.head).as("graft_k"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"),
+        min(col("graft_k")).as("min_key"),
+        max(col("graft_k")).as("max_key"))
+  }
+
   /** Star-schema revenue rollup: fact ⋈ orders ⋈ customer. Catalyst/AQE
     * picks broadcast for dims that fit and shuffled hash beyond; the
     * aggregation reduces map-side before the group-key exchange. */

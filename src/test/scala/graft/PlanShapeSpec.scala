@@ -196,4 +196,31 @@ class PlanShapeSpec extends SparkSpec {
       assert(!p.contains("Join"), s"q117 grew a join:\n$p")
     }
   }
+
+  test("q121 reconcile: one key-shuffled full-outer join, status agg reduces map-side") {
+    withCleanCaches {
+      val p = planOf("q121_reconcile")
+      assert(p.contains("FullOuter"), s"q121 lost the full-outer join:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+      // two join inputs + the ≤4-group status aggregate; nothing else may
+      // shuffle (the perturbed side derives from the same scan family).
+      assert(exchanges(p) <= 4, s"q121 shuffles more than join+agg:\n$p")
+      assert(p.contains("partial_count") || p.contains("HashAggregate"),
+        s"q121 lost the map-side status reduce:\n$p")
+    }
+  }
+
+  test("q122 drift: ONE scan of the fact table, no join, bin-bounded windows") {
+    withCleanCaches {
+      val p = planOf("q122_feature_drift")
+      assert(!p.contains("Join"), s"q122 grew a join:\n$p")
+      // one scan: both slices are tag columns off the same read, never a
+      // union of two passes over the table
+      assert("Scan parquet".r.findAllIn(p).length === 1,
+        s"q122 scans the table more than once:\n$p")
+      // bin hash-agg exchange + the single-partition window over ≤bins
+      // rows; anything more means the windows leaked onto the fact rows
+      assert(exchanges(p) <= 1, s"q122 shuffles fact rows twice:\n$p")
+    }
+  }
 }

@@ -304,6 +304,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(spike.getAs[Double]("z") === 97.0) // (50 − 1.5) / 0.5
   }
 
+  test("featureDrift bins both slices, clamps edges, accumulates exact L1") {
+    // ref: 5→b0, 15,15→b1, 25→b2, 100→clamped b3 (refTot 5)
+    // cur: 5,5→b0, -2→clamped b0, 35→b3 (curTot 4)
+    val df = Seq((5.0, "r"), (15.0, "r"), (15.0, "r"), (25.0, "r"),
+      (100.0, "r"), (5.0, "c"), (5.0, "c"), (35.0, "c"), (-2.0, "c"))
+      .toDF("v", "side")
+    val got = Analytics.featureDrift(df, "v",
+      col("side") === "r", col("side") === "c", lo = 0.0, hi = 40.0, bins = 4)
+      .orderBy("bin")
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got === Seq(
+      (0L, 1L, 3L, 0.2, 0.75, 0.55),
+      (1L, 2L, 0L, 0.4, 0.0, 0.95),
+      (2L, 1L, 0L, 0.2, 0.0, 1.15),
+      (3L, 1L, 1L, 0.2, 0.25, 1.2)))
+    // final cum_l1 is the full L1 distance: Σ|cur_frac − ref_frac| = 1.2
+  }
+
   test("eventCooccurrence computes lift from distinct user-type pairs") {
     // u1: {a,b}, u2: {a,b}, u3: {a} → n_a=3, n_b=2, n_ab=2, N=3
     val ev = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"),

@@ -6,6 +6,23 @@ import org.apache.spark.sql.functions._
 class EtlSpec extends SparkSpec {
   import spark.implicits._
 
+  test("reconcile classifies left_only/right_only/changed/same with null-safe compare") {
+    val left = Seq((1L, Some(10.0)), (2L, Some(20.0)), (3L, None),
+      (4L, Some(40.0))).toDF("k", "p")
+    val right = Seq((1L, Some(10.0)), (2L, Some(21.0)), (3L, Some(30.0)),
+      (5L, Some(50.0))).toDF("k", "p")
+    val got = Etl.reconcile(left, right, Seq("k"), Seq("p"))
+      .select("status", "n", "min_key", "max_key")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // k=3: NULL -> 30.0 must be CHANGED (null-safe), not same.
+    assert(got === Map(
+      "same" -> ((1L, 1L, 1L)),
+      "changed" -> ((2L, 2L, 3L)),
+      "left_only" -> ((1L, 4L, 4L)),
+      "right_only" -> ((1L, 5L, 5L))))
+  }
+
   test("upsert: source wins on key collision, target rows otherwise kept") {
     val target = Seq((1L, "old"), (2L, "keep")).toDF("k", "v")
     val source = Seq((1L, "new"), (3L, "add")).toDF("k", "v")
