@@ -976,6 +976,25 @@ object SparkEntry {
       Analytics.featureDrift(Tables.lineitem(s, d), "l_extendedprice",
         col("l_quantity") <= 25, col("l_quantity") > 25,
         lo = 0.0, hi = 110000.0, bins = 22)),
+
+    // All-dtype schema-health audit: null/distinct/constant per column in
+    // ONE Expand-planned aggregate pass over orders.
+    "q123_column_hygiene" -> ((s, d) =>
+      Analytics.columnHygiene(Tables.orders(s, d),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority"))),
+
+    // Zone-map range scan: range-clustered store + per-file min/max
+    // sidecar; the probe reads only files whose interval intersects the
+    // range, then re-applies the exact predicate — so the oracle is the
+    // plain filter (zone maps change which FILES are read, never which
+    // rows come back). ZoneMapIndexSpec holds the ≤2-of-16 pruning bar.
+    "q124_zonemap_scan" -> ((s, d) => {
+      val (store, side) = zoneStorePaths(s, d)
+      sources.ZoneMapIndex.rangeScan(s, store, side, "n_chars",
+        lit(200L), lit(400L))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
   )
 
   /** Events with the shared-grain µs timestamp column (see q38-q40 note). */
@@ -1058,11 +1077,29 @@ object SparkEntry {
       (store, side)
     })
 
+  /** Range-clustered store + zone-map sidecar for q124, memoized per
+    * (session, dir) like the bloom store: the layout is what makes the
+    * min/max intervals disjoint enough to prune. */
+  private val zoneStoreCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String)]
+  private def zoneStorePaths(s: SparkSession, d: String): (String, String) =
+    zoneStoreCache.getOrElseUpdate((s, d), {
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q124_" + (d.hashCode.toLong & 0xffffffffL)).getAbsolutePath
+      val store = s"$base/store"; val side = s"$base/sidecar"
+      Etl.writeRangeLayout(Tables.documents(s, d)
+        .select("doc_id", "source", "n_chars"),
+        store, nFiles = 16, rangeCol = "n_chars", "doc_id")
+      sources.ZoneMapIndex.build(s, store, side, Seq("n_chars"))
+      (store, side)
+    })
+
   /** Drop every memoized substrate (pair stats, RF fits) so their blocks
     * and models become collectable — drivers call this once their query
     * sweep is done. */
   def releaseCaches(): Unit = {
     bloomStoreCache.clear()
+    zoneStoreCache.clear()
     clustersCache.clear()
     fpStoreCache.clear()
     pairStatsCache.clear()
@@ -2758,5 +2795,32 @@ object SparkEntry {
                           AS BIGINT) AS DOUBLE)
                       / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)), 4) AS cum_l1
          FROM t""",
+
+    // Counting-only stats keep every dtype engine-exact (no cross-dtype
+    // min/max formatting); the boolean flag is emitted as 0/1 BIGINT.
+    "q123_column_hygiene" ->
+      """WITH s AS (SELECT count(*) AS nr,
+                count(o_orderkey) AS c1, count(DISTINCT o_orderkey) AS d1,
+                count(o_custkey) AS c2, count(DISTINCT o_custkey) AS d2,
+                count(o_orderstatus) AS c3, count(DISTINCT o_orderstatus) AS d3,
+                count(o_totalprice) AS c4, count(DISTINCT o_totalprice) AS d4,
+                count(o_orderpriority) AS c5, count(DISTINCT o_orderpriority) AS d5
+           FROM orders)
+         SELECT col_name, CAST(n_nulls AS BIGINT) AS n_nulls,
+                CAST(n_distinct AS BIGINT) AS n_distinct,
+                CAST(CASE WHEN n_distinct = 1 THEN 1 ELSE 0 END AS BIGINT)
+                  AS is_constant
+         FROM (SELECT 'o_orderkey' AS col_name, nr - c1 AS n_nulls,
+                      d1 AS n_distinct FROM s
+               UNION ALL SELECT 'o_custkey', nr - c2, d2 FROM s
+               UNION ALL SELECT 'o_orderstatus', nr - c3, d3 FROM s
+               UNION ALL SELECT 'o_totalprice', nr - c4, d4 FROM s
+               UNION ALL SELECT 'o_orderpriority', nr - c5, d5 FROM s)""",
+
+    // Zone maps change which FILES are read, never which rows come back:
+    // the oracle is the plain range filter.
+    "q124_zonemap_scan" ->
+      """SELECT doc_id, source, n_chars FROM documents
+         WHERE n_chars >= 200 AND n_chars <= 400""",
   )
 }

@@ -660,6 +660,31 @@ object Analytics {
           / col("total_events").cast("double"), 4))
   }
 
+  /** Column-hygiene audit across ARBITRARY dtypes — the schema-health
+    * report a warehouse runs before trusting a new feed: per column, the
+    * null count, exact distinct count, and a constant-column flag (a
+    * column with one value carries no signal and often marks a broken
+    * extractor). Complements [[profileNumeric]] (numeric moments) by
+    * covering strings/dates/keys with counting-only stats, which stay
+    * engine-exact where cross-dtype min/max formatting would not.
+    *
+    * Scale shape: ONE aggregate pass — Spark plans the k distinct
+    * counts via Expand (k× row multiply, map-side partial aggs), so the
+    * table is scanned once; the result is a 1-row frame unpivoted to
+    * k rows via stack(). At 100 TB swap countDistinct for
+    * approx_count_distinct — same plan shape, bounded error. */
+  def columnHygiene(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("graft_nr") +:
+      cols.flatMap(c => Seq(count(col(c)).as(s"graft_c_$c"),
+        countDistinct(col(c)).as(s"graft_d_$c")))
+    val stacked = cols.map(c =>
+      s"'$c', graft_nr - graft_c_$c, graft_d_$c").mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cols.length}, $stacked)" +
+        " as (col_name, n_nulls, n_distinct)"))
+      .withColumn("is_constant", (col("n_distinct") === 1L).cast("long"))
+  }
+
   /** Feature-drift report between a reference and a current slice of the
     * same table — the monitoring gate a training pipeline runs before
     * trusting fresh data ("did this week's price distribution move?").

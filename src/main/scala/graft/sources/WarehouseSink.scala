@@ -54,16 +54,23 @@ class WarehouseSink extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val dir = WarehouseSink.path(options)
-    WarehouseSink.readManifest(dir) match {
+    val manifest = WarehouseSink.versionAsOf(options.get("versionAsOf")) match {
+      case Some(v) => WarehouseSink.readManifestAt(dir, v)
+      case None => WarehouseSink.readManifest(dir)
+    }
+    manifest match {
       case Some(m) => StructType.fromDDL(m.schemaDdl)
       case None => Option(options.get("schema")).map(StructType.fromDDL)
         .getOrElse(throw new IllegalArgumentException(
-          s"warehouse table at $dir does not exist and no schema option given"))
+          s"warehouse table at $dir does not exist" +
+            " (or the requested versionAsOf was vacuumed)" +
+            " and no schema option given"))
     }
   }
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table =
-    new WarehouseTable(properties.get("path"), schema)
+    new WarehouseTable(properties.get("path"), schema,
+      WarehouseSink.versionAsOf(properties.get("versionAsOf")))
 }
 
 object WarehouseSink {
@@ -72,6 +79,9 @@ object WarehouseSink {
     require(p != null, "warehouse sink requires option(\"path\", dir)")
     p
   }
+
+  private[sources] def versionAsOf(raw: String): Option[Long] =
+    Option(raw).map(_.trim).filter(_.nonEmpty).map(_.toLong)
 
   /** `epoch` is the last streaming epoch folded into this generation
     * (-1 for batch-only tables) — the idempotence cursor a replayed
@@ -86,7 +96,13 @@ object WarehouseSink {
     if (!cur.isFile) return None
     val v = new String(Files.readAllBytes(cur.toPath), StandardCharsets.UTF_8)
       .trim.toLong
+    readManifestAt(dir, v)
+  }
+
+  /** A specific retained generation — the time-travel read anchor. */
+  private[sources] def readManifestAt(dir: String, v: Long): Option[Manifest] = {
     val mf = new File(dir, s"manifest-$v.json")
+    if (!mf.isFile) return None
     val txt = new String(Files.readAllBytes(mf.toPath), StandardCharsets.UTF_8)
     // Minimal hand parser for the hand-written JSON below (no deps).
     def field(k: String, default: String = ""): String = {
@@ -176,6 +192,32 @@ object WarehouseSink {
       s"warehouse manifest contention at $dir: gave up after $attempts attempts")
   }
 
+  /** Drop generations older than the newest `keepVersions`: their
+    * manifest files, and every data file no RETAINED manifest references.
+    * Commits never delete data (truncate only un-references the old
+    * generation), so history stays readable via `versionAsOf` until this
+    * maintenance pass reclaims it — the Delta/Iceberg VACUUM contract.
+    * Single-writer: run it from the table's owning job, not concurrently
+    * with a commit. Returns the number of files removed. */
+  def vacuum(dir: String, keepVersions: Int = 1): Int = {
+    require(keepVersions >= 1, "must retain at least the live generation")
+    val cur = readManifest(dir).getOrElse(return 0)
+    val keepMin = cur.version - (keepVersions - 1)
+    val referenced = (keepMin to cur.version)
+      .flatMap(readManifestAt(dir, _)).flatMap(_.files).toSet
+    var dropped = 0
+    Option(new File(dir).listFiles()).getOrElse(Array.empty[File]).foreach { f =>
+      val n = f.getName
+      val oldManifest = n.startsWith("manifest-") && n.endsWith(".json") &&
+        n.stripPrefix("manifest-").stripSuffix(".json").toLongOption
+          .exists(_ < keepMin)
+      val unreferencedData = !f.isDirectory && !n.startsWith("manifest-") &&
+        !n.startsWith("_") && !referenced.contains(n)
+      if (oldManifest || unreferencedData) { f.delete(); dropped += 1 }
+    }
+    dropped
+  }
+
   // ---- row codec: TSV with \t, \n, \\ escaped ----
   // The null sentinel is a token the escaper can never emit: every input
   // backslash doubles, so backslash runs in encoded output always have
@@ -217,7 +259,8 @@ object WarehouseSink {
     }
 }
 
-private[sources] class WarehouseTable(dir: String, schema0: StructType)
+private[sources] class WarehouseTable(dir: String, schema0: StructType,
+                                      versionAsOf: Option[Long] = None)
     extends Table with SupportsWrite with SupportsRead {
   override def name(): String = s"graft_warehouse($dir)"
   override def schema(): StructType = schema0
@@ -225,14 +268,21 @@ private[sources] class WarehouseTable(dir: String, schema0: StructType)
     java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.BATCH_READ, TableCapability.STREAMING_WRITE)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(versionAsOf.isEmpty, "cannot write to a versionAsOf read")
     new WarehouseWriteBuilder(dir, info.schema(), info.queryId(),
       truncate0 = false)
+  }
+
+  private def manifest: Option[WarehouseSink.Manifest] = versionAsOf match {
+    case Some(v) => WarehouseSink.readManifestAt(dir, v)
+    case None => WarehouseSink.readManifest(dir)
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new WarehouseScan(dir,
-      WarehouseSink.readManifest(dir).map(m => StructType.fromDDL(m.schemaDdl))
-        .getOrElse(schema0))
+      manifest.map(m => StructType.fromDDL(m.schemaDdl)).getOrElse(schema0),
+      versionAsOf)
 }
 
 private[sources] class WarehouseWriteBuilder(dir: String, schema: StructType,
@@ -273,9 +323,7 @@ private[sources] class WarehouseBatchWrite(dir: String, schema: StructType,
       Files.move(src.toPath, dst.toPath, StandardCopyOption.ATOMIC_MOVE)
       f
     }
-    var replaced: Option[WarehouseSink.Manifest] = None
     WarehouseSink.publish(dir, { prev =>
-      replaced = prev
       val files =
         if (truncate) published
         else prev.map(_.files).getOrElse(Nil) ++ published
@@ -290,8 +338,8 @@ private[sources] class WarehouseBatchWrite(dir: String, schema: StructType,
       Some(WarehouseSink.Manifest(0L, schema.toDDL, files, epoch))
     })
     deleteRecursively(staging)
-    if (truncate) replaced.foreach(_.files.foreach(f =>
-      new File(dir, f).delete())) // old generation now unreferenced
+    // Truncate only UN-REFERENCES the old generation — its files stay on
+    // disk so versionAsOf reads keep working until vacuum() reclaims them.
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -415,15 +463,24 @@ private[sources] class WarehouseWriter(stagingDir: String, schema: StructType,
 private[sources] case class WarehouseFilePartition(path: String)
     extends InputPartition
 
-private[sources] class WarehouseScan(dir: String, schema: StructType)
+private[sources] class WarehouseScan(dir: String, schema: StructType,
+                                     versionAsOf: Option[Long] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
-  override def description(): String = s"graft_warehouse [$dir]"
-  override def planInputPartitions(): Array[InputPartition] =
-    WarehouseSink.readManifest(dir).map(_.files).getOrElse(Nil)
+  override def description(): String =
+    s"graft_warehouse [$dir${versionAsOf.map(v => s" @v$v").getOrElse("")}]"
+  override def planInputPartitions(): Array[InputPartition] = {
+    val m = versionAsOf match {
+      case Some(v) => Some(WarehouseSink.readManifestAt(dir, v).getOrElse(
+        throw new IllegalArgumentException(
+          s"version $v of $dir does not exist (vacuumed or never written)")))
+      case None => WarehouseSink.readManifest(dir)
+    }
+    m.map(_.files).getOrElse(Nil)
       .map(f => WarehouseFilePartition(new File(dir, f).getPath): InputPartition)
       .toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new WarehouseReaderFactory(schema)
 }

@@ -304,6 +304,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(spike.getAs[Double]("z") === 97.0) // (50 − 1.5) / 0.5
   }
 
+  test("columnHygiene counts nulls, distincts and flags constants per column") {
+    val df = Seq((1L, Some("a"), "x"), (2L, None, "x"), (3L, Some("b"), "x"))
+      .toDF("id", "s", "c")
+    val got = Analytics.columnHygiene(df, Seq("id", "s", "c"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("id", 0L, 3L, 0L), // unique key: no nulls, all distinct
+      ("s", 1L, 2L, 0L),  // one null; distinct counts non-null values
+      ("c", 0L, 1L, 1L))) // constant column flagged
+  }
+
   test("featureDrift bins both slices, clamps edges, accumulates exact L1") {
     // ref: 5→b0, 15,15→b1, 25→b2, 100→clamped b3 (refTot 5)
     // cur: 5,5→b0, -2→clamped b0, 35→b3 (curTot 4)

@@ -40,12 +40,41 @@ class WarehouseSinkSpec extends SparkSpec {
     assert(ids() === (0L until 15L))
     w(100, 103, "overwrite")
     assert(ids() === (100L until 103L))
-    // truncate dropped the old generation's data files, not just their
-    // manifest references: on-disk .wtsv == exactly the live manifest set
+    // truncate only UN-REFERENCES the old generation: version 1 (the
+    // second append) still time-travels until vacuum reclaims it
+    def atV1() = spark.read.format(Fmt).option("path", dir)
+      .option("versionAsOf", "1").load()
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(atV1() === (0L until 15L))
+    // vacuum drops pre-live generations: on-disk .wtsv == exactly the
+    // live manifest set, and the vacuumed version is an explicit error
+    assert(WarehouseSink.vacuum(dir, keepVersions = 1) > 0)
     val live = WarehouseSink.readManifest(dir).get.files.toSet
     val onDisk = new File(dir).listFiles
       .filter(_.getName.endsWith(".wtsv")).map(_.getName).toSet
     assert(onDisk === live)
+    intercept[Exception] { atV1() }
+    assert(ids() === (100L until 103L)) // live generation untouched
+  }
+
+  test("versionAsOf reads any retained generation; writing to one is refused") {
+    val dir = tmp()
+    Seq((1L, "a")).toDF("id", "v").write.format(Fmt)
+      .option("path", dir).mode("append").save() // generation 0
+    Seq((2L, "b")).toDF("id", "v").write.format(Fmt)
+      .option("path", dir).mode("append").save() // generation 1
+    def at(v: Int) = spark.read.format(Fmt).option("path", dir)
+      .option("versionAsOf", v.toString).load()
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(at(0) === Seq(1L))
+    assert(at(1) === Seq(1L, 2L))
+    intercept[Exception] {
+      Seq((9L, "z")).toDF("id", "v").write.format(Fmt)
+        .option("path", dir).option("versionAsOf", "0")
+        .mode("append").save()
+    }
+    // the failed versioned write changed nothing
+    assert(at(1) === Seq(1L, 2L))
   }
 
   test("a failed load aborts cleanly: table state unchanged, staging removed") {
