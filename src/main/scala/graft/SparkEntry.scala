@@ -995,6 +995,26 @@ object SparkEntry {
         lit(200L), lit(400L))
         .select(col("doc_id"), col("source"), col("n_chars"))
     }),
+
+    // Warehouse time travel, end-to-end: generation 0 (overwrite) is read
+    // back AS OF its version AFTER a later append changed the live table —
+    // the oracle sees only the sink-free predicate of generation 0, so
+    // manifest retention + versioned file listing must both be exact.
+    "q125_time_travel" -> ((s, d) => {
+      val fmt = "graft.sources.WarehouseSink"
+      val dir = java.nio.file.Files.createTempDirectory("graft_tt_").toString
+      val src = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      src.filter(col("o_totalprice") < 100000.0)
+        .write.format(fmt).option("path", dir).mode("overwrite").save() // v0
+      src.filter(col("o_totalprice") >= 100000.0)
+        .write.format(fmt).option("path", dir).mode("append").save() // v1
+      s.read.format(fmt).option("path", dir)
+        .option("versionAsOf", "0").load()
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+    }),
   )
 
   /** Events with the shared-grain µs timestamp column (see q38-q40 note). */
@@ -2822,5 +2842,12 @@ object SparkEntry {
     "q124_zonemap_scan" ->
       """SELECT doc_id, source, n_chars FROM documents
          WHERE n_chars >= 200 AND n_chars <= 400""",
+
+    // The AS-OF-version read must reproduce generation 0's predicate
+    // exactly, ignoring the later append.
+    "q125_time_travel" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+                round(sum(o_totalprice), 2) AS sum_price
+         FROM orders WHERE o_totalprice < 100000 GROUP BY 1""",
   )
 }

