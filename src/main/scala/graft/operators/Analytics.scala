@@ -677,8 +677,15 @@ object Analytics {
     val aggs = count(lit(1)).as("graft_nr") +:
       cols.flatMap(c => Seq(count(col(c)).as(s"graft_c_$c"),
         countDistinct(col(c)).as(s"graft_d_$c")))
+    // Audited names land in a parsed stack() string: backtick-quote the
+    // derived identifiers and escape the label literal, so hyphens,
+    // spaces or quotes in source column names can't break the parse.
+    def ident(name: String) = "`" + name.replace("`", "``") + "`"
+    def strLit(name: String) = "'" + name.replace("\\", "\\\\")
+      .replace("'", "\\'") + "'"
     val stacked = cols.map(c =>
-      s"'$c', graft_nr - graft_c_$c, graft_d_$c").mkString(", ")
+      s"${strLit(c)}, graft_nr - ${ident(s"graft_c_$c")}, ${ident(s"graft_d_$c")}")
+      .mkString(", ")
     df.agg(aggs.head, aggs.tail: _*)
       .select(expr(s"stack(${cols.length}, $stacked)" +
         " as (col_name, n_nulls, n_distinct)"))

@@ -399,9 +399,11 @@ object Etl {
     val r = right.select(keys.map(col) ++
       compareCols.map(c => col(c).as(s"graft_r_$c")) :+
       lit(1).as("graft_r"): _*)
+    // foldLeft, not reduce: an empty compareCols is the legitimate
+    // keys-only presence diff (nothing compares → nothing is 'changed').
     val changed = compareCols
       .map(c => !(col(s"graft_l_$c") <=> col(s"graft_r_$c")))
-      .reduce(_ || _)
+      .foldLeft(lit(false))(_ || _)
     l.join(r, keys, "full_outer")
       .select(
         when(col("graft_l").isNull, "right_only")

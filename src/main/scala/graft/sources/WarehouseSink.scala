@@ -68,9 +68,15 @@ class WarehouseSink extends TableProvider {
     }
   }
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: java.util.Map[String, String]): Table =
-    new WarehouseTable(properties.get("path"), schema,
-      WarehouseSink.versionAsOf(properties.get("versionAsOf")))
+                        properties: java.util.Map[String, String]): Table = {
+    // properties carries the reader options with their ORIGINAL casing —
+    // resolve them case-insensitively like inferSchema's option map does,
+    // or a differently-cased versionAsOf would silently read the live
+    // generation instead of time-traveling.
+    val opts = new CaseInsensitiveStringMap(properties)
+    new WarehouseTable(WarehouseSink.path(opts), schema,
+      WarehouseSink.versionAsOf(opts.get("versionAsOf")))
+  }
 }
 
 object WarehouseSink {
@@ -141,6 +147,15 @@ object WarehouseSink {
       json.getBytes(StandardCharsets.UTF_8),
       java.nio.file.StandardOpenOption.CREATE_NEW,
       java.nio.file.StandardOpenOption.WRITE)
+    // MONOTONIC pointer swap: if a later generation is already live, a
+    // delayed committer must not regress _current. Its manifest stays on
+    // disk — and the later generation REBASED on it (see publish), so its
+    // files are referenced downstream; skipping the swap loses nothing.
+    val existing = Option(new File(dir, "_current"))
+      .filter(_.isFile)
+      .map(f => new String(Files.readAllBytes(f.toPath),
+        StandardCharsets.UTF_8).trim.toLong)
+    if (existing.exists(_ >= m.version)) return
     val tmp = Paths.get(dir, s"_current.tmp-${m.version}")
     Files.write(tmp, m.version.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, Paths.get(dir, "_current"),
@@ -155,20 +170,26 @@ object WarehouseSink {
     * winner's `_current` swap, re-reads, and REBASES — so two concurrent
     * appends merge instead of the second dropping the first's files.
     *
-    * Supported concurrency contract: appends from independent jobs merge
-    * safely (data file names are session-unique, slots are CREATE_NEW).
-    * TRUNCATE concurrent with another writer, or a committer that dies in
-    * the microseconds between claiming a slot and swapping `_current`
-    * (its orphan slot is skipped after a grace period), still need a
-    * single writer per table — the same contract every file-manifest
-    * table format delegates to a lock service or a real catalog. */
+    * Concurrency contract: appends from independent jobs merge safely.
+    * Slots are CREATE_NEW (conflicts are detectable, never silent), a
+    * loser REBASES on the winner's manifest — read from the claimed slot
+    * directly if the winner is slow or dead between claim and swap, so
+    * the winner's already-moved files are referenced downstream either
+    * way — and the `_current` swap is monotonic, so a delayed committer
+    * can never regress the live pointer. TRUNCATE concurrent with
+    * another writer remains single-writer territory (losing a truncate
+    * race means the other writer's generation survives), as with any
+    * file-manifest format without a lock service. */
   private[sources] def publish(dir: String,
                                make: Option[Manifest] => Option[Manifest]): Option[Manifest] = {
     var floor = 0L
+    // When set, the retry builds on THIS manifest (a claimed-but-unswapped
+    // slot) instead of the _current one — see the rebase note above.
+    var base: Option[Manifest] = None
     var attempts = 0
     while (attempts < 200) {
       attempts += 1
-      val prev = readManifest(dir)
+      val prev = base.orElse(readManifest(dir))
       make(prev) match {
         case None => return None // caller declined (e.g. replayed epoch)
         case Some(m0) =>
@@ -178,13 +199,19 @@ object WarehouseSink {
           catch {
             case _: java.nio.file.FileAlreadyExistsException =>
               // Slot v taken. Give its owner time to swap _current so the
-              // retry rebases on top of its files; if the owner vanished
-              // (crash between claim and swap), skip the orphan slot.
+              // retry sees it as prev; if the swap hasn't landed (slow or
+              // crashed owner), rebase on the claimed slot's manifest —
+              // its data files are fully moved before any publish, so the
+              // generation it names is complete.
               var spins = 0
               while (readManifest(dir).map(_.version).getOrElse(-1L) < v
                      && spins < 500) { Thread.sleep(10); spins += 1 }
-              if (readManifest(dir).map(_.version).getOrElse(-1L) < v)
+              if (readManifest(dir).map(_.version).getOrElse(-1L) >= v) {
+                base = None; floor = 0L
+              } else {
+                base = readManifestAt(dir, v)
                 floor = v + 1
+              }
           }
       }
     }

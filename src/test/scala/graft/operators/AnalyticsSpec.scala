@@ -315,6 +315,13 @@ class AnalyticsSpec extends SparkSpec {
       ("c", 0L, 1L, 1L))) // constant column flagged
   }
 
+  test("columnHygiene survives column names that need identifier quoting") {
+    val df = Seq((1L, "p"), (2L, "p")).toDF("order-date", "a b")
+    val got = Analytics.columnHygiene(df, Seq("order-date", "a b"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === Set(("order-date", 0L, 2L, 0L), ("a b", 0L, 1L, 1L)))
+  }
+
   test("featureDrift bins both slices, clamps edges, accumulates exact L1") {
     // ref: 5→b0, 15,15→b1, 25→b2, 100→clamped b3 (refTot 5)
     // cur: 5,5→b0, -2→clamped b0, 35→b3 (curTot 4)

@@ -23,6 +23,14 @@ class EtlSpec extends SparkSpec {
       "right_only" -> ((1L, 5L, 5L))))
   }
 
+  test("reconcile with no compare columns is a presence-only diff") {
+    val l = Seq(1L, 2L).toDF("k")
+    val r = Seq(2L, 3L).toDF("k")
+    val got = Etl.reconcile(l, r, Seq("k"), Nil)
+      .select("status", "n").as[(String, Long)].collect().toMap
+    assert(got === Map("same" -> 1L, "left_only" -> 1L, "right_only" -> 1L))
+  }
+
   test("upsert: source wins on key collision, target rows otherwise kept") {
     val target = Seq((1L, "old"), (2L, "keep")).toDF("k", "v")
     val source = Seq((1L, "new"), (3L, "add")).toDF("k", "v")

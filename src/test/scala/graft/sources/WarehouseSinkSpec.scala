@@ -77,6 +77,33 @@ class WarehouseSinkSpec extends SparkSpec {
     assert(at(1) === Seq(1L, 2L))
   }
 
+  test("a claimed-but-unswapped manifest slot is rebased on, not lost") {
+    val dir = tmp()
+    Seq((1L, "a")).toDF("id", "v").write.format(Fmt)
+      .option("path", dir).mode("append").save() // generation 0
+    val m0 = WarehouseSink.readManifest(dir).get
+    // Simulate a committer that claimed slot 1 (data file moved, manifest
+    // written) and stalled before swapping _current.
+    val orphan = "orphan-file.wtsv"
+    java.nio.file.Files.write(new File(dir, orphan).toPath,
+      "2\tb\n".getBytes("UTF-8"))
+    val files = (m0.files :+ orphan).map(f => "\"" + f + "\"").mkString(", ")
+    java.nio.file.Files.write(new File(dir, "manifest-1.json").toPath,
+      s"""{"version": 1, "epoch": -1, "schema": "${m0.schemaDdl}", "files": [$files]}"""
+        .getBytes("UTF-8"))
+    assert(WarehouseSink.readManifest(dir).get.version === 0) // no swap yet
+    // Writer B appends: its publish conflicts on slot 1, waits out the
+    // grace period, then REBASES on the claimed slot's manifest — the
+    // stalled committer's row must survive in generation 2.
+    Seq((3L, "c")).toDF("id", "v").write.format(Fmt)
+      .option("path", dir).mode("append").save()
+    val m2 = WarehouseSink.readManifest(dir).get
+    assert(m2.version === 2, s"expected rebase onto slot 1, got $m2")
+    val ids = spark.read.format(Fmt).option("path", dir).load()
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids === Seq(1L, 2L, 3L))
+  }
+
   test("a failed load aborts cleanly: table state unchanged, staging removed") {
     val dir = tmp()
     Seq((1L, "keep")).toDF("id", "v")
