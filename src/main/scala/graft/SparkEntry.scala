@@ -1015,6 +1015,42 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           round(sum(col("o_totalprice")), 2).as("sum_price"))
     }),
+
+    // Corpus-frequency boilerplate strip — the line/paragraph-dedup step
+    // of web-corpus pipelines on 3-token segments: a segment shared by
+    // more than 2 documents is chrome, not content.
+    "q126_boilerplate_strip" -> ((s, d) =>
+      Corpus.boilerplateStrip(Tables.documents(s, d), "doc_id", "text",
+        segTokens = 3, maxDf = 2)),
+
+    "q127_lang_fertility" -> ((s, d) =>
+      Corpus.langFertility(Tables.documents(s, d), "text", "lang")),
+
+    // Train/test contamination audit: embedding near-dup pairs (q24
+    // semantics) whose members land on OPPOSITE sides of the q43 hash
+    // split — each such pair leaks evaluation signal into training.
+    "q128_split_leakage" -> ((s, d) => {
+      val pairs = Dedup.embeddingNearDup(Tables.embeddings(s, d),
+        "vec_id", "embedding", "label", 0.3)
+      val splits = Tables.documents(s, d)
+        .select(col("doc_id"), T.hashSplit(col("text")).as("split"))
+      pairs
+        .join(splits.select(col("doc_id").as("id1"),
+          col("split").as("split1")), "id1")
+        .join(splits.select(col("doc_id").as("id2"),
+          col("split").as("split2")), "id2")
+        .filter(col("split1") =!= col("split2"))
+        .select("id1", "id2", "cos", "split1", "split2")
+    }),
+
+    // Engine-portable Lloyd clustering (quantized integer grid, k lowest
+    // ids as seeds, floor-divided centroid updates) — the hash-checkable
+    // twin of the seeded MLlib KMeans path, the same promotion q82/q83
+    // made for the MinHash/SimHash sketches.
+    "q129_kmeans_portable" -> ((s, d) =>
+      ml.KMeansLite.fit(Tables.part(s, d), "p_partkey",
+        floor(col("p_retailprice") * 100 + 0.5), col("p_size") * 10000,
+        k = 4, iters = 3)),
   )
 
   /** Events with the shared-grain µs timestamp column (see q38-q40 note). */
@@ -1202,6 +1238,44 @@ object SparkEntry {
                       / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
          FROM b, q WHERE bk = qbk AND vec_id <> 0
          ORDER BY cos DESC, vec_id LIMIT 20"""
+  }
+
+  /** The q129 oracle: KMeansLite's three Lloyd iterations UNROLLED as SQL
+    * CTE stages. Everything stays on the integer grid (exact distances,
+    * floor-divided centroid updates), so assignment, tiebreak, and every
+    * centroid coordinate replay bit-exactly — the iteration count is the
+    * only thing the oracle has to agree on with the Scala loop. */
+  private def q129OracleSql: String = {
+    def assignCte(a: String, c: String) =
+      s"""$a AS (SELECT id, f1, f2, j FROM (
+            SELECT f.id, f.f1, f.f2, c.j,
+                   row_number() OVER (PARTITION BY f.id
+                     ORDER BY (f.f1 - c.cx) * (f.f1 - c.cx)
+                            + (f.f2 - c.cy) * (f.f2 - c.cy), c.j) AS rn
+            FROM f CROSS JOIN $c c) WHERE rn = 1)"""
+    def updateCte(c: String, prev: String, a: String) =
+      s"""$c AS (SELECT p.j,
+                   CAST(COALESCE(g.sx // g.n, p.cx) AS BIGINT) AS cx,
+                   CAST(COALESCE(g.sy // g.n, p.cy) AS BIGINT) AS cy
+            FROM $prev p LEFT JOIN (SELECT j, sum(f1) AS sx, sum(f2) AS sy,
+                                           count(*) AS n FROM $a GROUP BY j) g
+              ON p.j = g.j)"""
+    s"""WITH f AS (SELECT p_partkey AS id,
+                CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS f1,
+                CAST(p_size * 10000 AS BIGINT) AS f2 FROM part),
+       c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS j,
+                     f1 AS cx, f2 AS cy
+              FROM (SELECT * FROM f ORDER BY id LIMIT 4)),
+       ${assignCte("a1", "c0")},
+       ${updateCte("c1", "c0", "a1")},
+       ${assignCte("a2", "c1")},
+       ${updateCte("c2", "c1", "a2")},
+       ${assignCte("a3", "c2")},
+       ${updateCte("c3", "c2", "a3")},
+       ${assignCte("a4", "c3")},
+       sz AS (SELECT j, CAST(count(*) AS BIGINT) AS n FROM a4 GROUP BY j)
+       SELECT c3.j AS cluster, COALESCE(sz.n, 0) AS n, c3.cx, c3.cy
+       FROM c3 LEFT JOIN sz ON c3.j = sz.j"""
   }
 
   /** DuckDB 1.0 oracle SQL — same table names, same output column names.
@@ -2849,5 +2923,56 @@ object SparkEntry {
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
                 round(sum(o_totalprice), 2) AS sum_price
          FROM orders WHERE o_totalprice < 100000 GROUP BY 1""",
+
+    // Non-overlapping 3-token segments on the canonical tokenization
+    // (same split as q20); out_len = kept lengths + single-space joins.
+    "q126_boilerplate_strip" ->
+      """WITH t AS (SELECT doc_id,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         seg AS (SELECT doc_id, array_to_string(list_slice(toks, i*3+1, i*3+3), ' ') AS seg
+                 FROM (SELECT doc_id, toks,
+                              unnest(range(0, CAST(ceil(len(toks) / 3.0) AS BIGINT))) AS i
+                       FROM t)),
+         d AS (SELECT seg, count(DISTINCT doc_id) AS seg_df FROM seg GROUP BY 1),
+         m AS (SELECT s.doc_id, s.seg, d.seg_df FROM seg s JOIN d USING (seg))
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+                CAST(sum(CASE WHEN seg_df > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+                CAST(COALESCE(sum(CASE WHEN seg_df <= 2 THEN len(seg) END), 0)
+                     + greatest(count(CASE WHEN seg_df <= 2 THEN 1 END) - 1, 0)
+                     AS BIGINT) AS out_len
+         FROM m GROUP BY doc_id""",
+
+    "q127_lang_fertility" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS BIGINT) AS n_tokens,
+                CAST(sum(len(text)) AS BIGINT) AS n_chars,
+                round(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) * 100.0
+                      / sum(len(text)), 4) AS tokens_per_100chars
+         FROM documents GROUP BY lang""",
+
+    // q24's near-dup pairs × q43's hash split: pairs straddling the
+    // train/test boundary.
+    "q128_split_leakage" ->
+      """WITH pr AS (
+           SELECT a.vec_id AS id1, b.vec_id AS id2,
+                  round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[]))
+                        / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                                 CAST(a.embedding AS DOUBLE[])))
+                           * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                                   CAST(b.embedding AS DOUBLE[])))), 6) AS cos
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id < b.vec_id),
+         sp AS (SELECT doc_id,
+                       CASE WHEN substring(md5(text), 1, 1) < 'd'
+                            THEN 'train' ELSE 'test' END AS split
+                FROM documents)
+         SELECT pr.id1, pr.id2, pr.cos, s1.split AS split1, s2.split AS split2
+         FROM pr JOIN sp s1 ON pr.id1 = s1.doc_id
+                 JOIN sp s2 ON pr.id2 = s2.doc_id
+         WHERE pr.cos >= 0.3 AND s1.split <> s2.split""",
+
+    "q129_kmeans_portable" -> q129OracleSql,
   )
 }

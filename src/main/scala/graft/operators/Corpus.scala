@@ -233,4 +233,59 @@ object Corpus {
       .filter(col("cum_tokens") <= budget)
       .select("doc_id", "source", "n_tokens", "cum_tokens")
   }
+
+  /** Corpus-frequency boilerplate strip — the line/paragraph-dedup step of
+    * web-corpus pipelines (strip navigation chrome, license banners, any
+    * span repeated across many pages), expressed on token segments:
+    * documents are cut into consecutive non-overlapping `segTokens`-token
+    * segments, each segment's document frequency is counted corpus-wide,
+    * and segments appearing in more than `maxDf` documents are dropped.
+    * Returns per-document segment counts and the reassembled length —
+    * `out_len` is the length the cleaned text would have when the kept
+    * segments are re-joined with single spaces.
+    *
+    * Scale: the only shuffle is the segment-df groupBy + the segment join,
+    * both keyed on the segment string (short — `segTokens` words); the
+    * per-doc reassembly aggregates scalars, never re-materializing text.
+    * Tokens are materialized in their own projection before the
+    * segment-building lambda, so the tokenizer regex runs once per doc. */
+  def boilerplateStrip(docs: DataFrame, idCol: String, textCol: String,
+                       segTokens: Int, maxDf: Long): DataFrame = {
+    require(segTokens > 0, "segTokens must be positive")
+    require(maxDf > 0, "maxDf must be positive")
+    val segs = docs
+      .select(col(idCol).as("doc_id"), T.tokens(col(textCol)).as("graft_toks"))
+      .selectExpr("doc_id",
+        s"""explode(transform(
+              sequence(0, CAST(ceil(size(graft_toks) / $segTokens.0) AS INT) - 1),
+              i -> array_join(slice(graft_toks, i * $segTokens + 1, $segTokens), ' '))) AS seg""")
+    val df_ = segs.groupBy("seg")
+      .agg(countDistinct(col("doc_id")).as("graft_df"))
+    segs.join(df_, "seg")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("graft_df") > maxDf, 1L).otherwise(0L)).as("n_dropped"),
+        (coalesce(sum(when(col("graft_df") <= maxDf, length(col("seg")))), lit(0L))
+          + greatest(sum(when(col("graft_df") <= maxDf, 1L).otherwise(0L)) - 1L, lit(0L)))
+          .cast("long").as("out_len"))
+  }
+
+  /** Per-language tokenizer-fertility report: documents, word tokens,
+    * characters, and tokens-per-100-chars by language — the stat that
+    * decides per-language token budgets (a language whose script tokenizes
+    * densely eats budget faster). One map-side-combinable aggregation;
+    * the division happens once on the exact integer sums. */
+  def langFertility(docs: DataFrame, textCol: String,
+                    langCol: String): DataFrame =
+    docs
+      .select(col(langCol).as("lang"),
+        T.wordTokens(col(textCol)).cast("long").as("graft_t"),
+        length(col(textCol)).cast("long").as("graft_c"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("graft_t").as("n_tokens"),
+        sum("graft_c").as("n_chars"),
+        round(sum(col("graft_t")) * 100.0 / sum(col("graft_c")), 4)
+          .as("tokens_per_100chars"))
 }

@@ -148,4 +148,41 @@ class CorpusSpec extends SparkSpec {
     assert(got.head === 9L) // the planted outlier ranks first (lowest cos)
     assert(got.length === 2)
   }
+
+  test("boilerplateStrip drops only the over-df segment, keeps content") {
+    // Segment "nav bar home" (3 tokens) planted in 3 docs → df 3 > maxDf 2
+    // → stripped; each doc's unique tail survives. Doc 4 has no chrome.
+    val docs = Seq(
+      (1L, "nav bar home alpha beta gamma"),
+      (2L, "nav bar home delta eps zeta"),
+      (3L, "nav bar home eta theta iota"),
+      (4L, "kappa lambda mu")).toDF("doc_id", "text")
+    val got = Corpus.boilerplateStrip(docs, "doc_id", "text",
+      segTokens = 3, maxDf = 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1: 2 segments, 1 dropped, kept "alpha beta gamma" → 16 chars.
+    assert(got(1L) === ((2L, 1L, 16L)))
+    assert(got(2L) === ((2L, 1L, 14L))) // "delta eps zeta"
+    assert(got(4L) === ((1L, 0L, 15L))) // "kappa lambda mu" untouched
+  }
+
+  test("boilerplateStrip reassembled length counts the joining spaces") {
+    // Two kept 3-token segments → lengths 5+5 plus ONE joining space.
+    val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val got = Corpus.boilerplateStrip(docs, "doc_id", "text", 3, 2)
+      .as[(Long, Long, Long, Long)].head()
+    assert(got === ((1L, 2L, 0L, 11L)))
+  }
+
+  test("langFertility aggregates exact sums and one final division") {
+    val docs = Seq(
+      ("ab cd", "en"), ("abcd", "en"), ("a-b", "de")).toDF("text", "lang")
+    val got = Corpus.langFertility(docs, "text", "lang")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // en: 3 tokens, 9 chars → 33.3333; de: 2 tokens, 3 chars → 66.6667.
+    assert(got("en") === ((2L, 3L, 9L, 33.3333)))
+    assert(got("de") === ((1L, 2L, 3L, 66.6667)))
+  }
 }
