@@ -1051,6 +1051,46 @@ object SparkEntry {
       ml.KMeansLite.fit(Tables.part(s, d), "p_partkey",
         floor(col("p_retailprice") * 100 + 0.5), col("p_size") * 10000,
         k = 4, iters = 3)),
+
+    // Declarative expectation suite over the fact tables: publish-gate
+    // checks with planted-threshold rules that actually fire (price cap,
+    // discount cap, status subset) alongside the structural ones that
+    // must hold (keys unique, FKs resolve, priority format).
+    "q130_expectations" -> ((s, d) => {
+      import Expectations._
+      val orders = Tables.orders(s, d)
+      val ordersReport = Expectations.check(orders, Seq(
+        NotNull("o_custkey"),
+        InRange("o_totalprice", 0.0, 400000.0),
+        Matches("o_orderpriority", "^[1-5]-"),
+        OneOf("o_orderstatus", Seq("O", "F")),
+        Unique(Seq("o_orderkey")),
+        RefIntegrity("o_custkey", Tables.customer(s, d), "c_custkey",
+          "customer")))
+      val lineitemReport = Expectations.check(Tables.lineitem(s, d), Seq(
+        InRange("l_discount", 0.0, 0.05),
+        Unique(Seq("l_orderkey", "l_linenumber")),
+        RefIntegrity("l_orderkey", orders, "o_orderkey", "orders")))
+      ordersReport.unionByName(lineitemReport)
+    }),
+
+    // Engine-portable PageRank over the supplier↔part bipartite graph
+    // (distinct lineitem edges, symmetrized; parts offset to their own id
+    // space). Integer micro-unit ranks → the unrolled SQL oracle replays
+    // every iteration bit-for-bit.
+    "q131_pagerank" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_suppkey").as("sk"),
+        (col("l_partkey") + lit(10000000L)).cast("long").as("pk"))
+      val edges = li.select(col("sk").as("src"), col("pk").as("dst"))
+        .unionByName(li.select(col("pk").as("src"), col("sk").as("dst")))
+      Graph.pagerankPortable(edges, "src", "dst", iters = 3, topK = 20)
+    }),
+
+    // BM25 ranked retrieval (rational idf, micro-unit fixed point) for a
+    // three-term query over the corpus.
+    "q132_bm25" -> ((s, d) =>
+      Search.bm25(Tables.documents(s, d), "doc_id", "text",
+        Seq("join", "vector", "slow"), topK = 20)),
   )
 
   /** Events with the shared-grain µs timestamp column (see q38-q40 note). */
@@ -1276,6 +1316,36 @@ object SparkEntry {
        sz AS (SELECT j, CAST(count(*) AS BIGINT) AS n FROM a4 GROUP BY j)
        SELECT c3.j AS cluster, COALESCE(sz.n, 0) AS n, c3.cx, c3.cy
        FROM c3 LEFT JOIN sz ON c3.j = sz.j"""
+  }
+
+  /** The q131 oracle: PageRank's three integer-arithmetic iterations
+    * unrolled as SQL CTE stages (q129's discipline). DuckDB `//` and
+    * Spark `div` agree on floor division for the all-positive ranks, so
+    * every micro-unit rank replays exactly; HUGEINT intermediates cast
+    * back to BIGINT at each stage. */
+  private def q131OracleSql: String = {
+    def iter(m: String, rPrev: String, r: String) =
+      s"""$m AS (SELECT e.dst AS node, sum(r.rank // dg.deg) AS s
+            FROM e JOIN $rPrev r ON e.src = r.node
+                   JOIN dg ON e.src = dg.src GROUP BY 1),
+          $r AS (SELECT n.node,
+                   CAST(150000 + COALESCE($m.s, 0) * 85 // 100 AS BIGINT)
+                     AS rank
+                 FROM n LEFT JOIN $m USING (node))"""
+    s"""WITH e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+                       CAST(l_partkey + 10000000 AS BIGINT) AS dst
+                FROM lineitem
+                UNION
+                SELECT DISTINCT CAST(l_partkey + 10000000 AS BIGINT),
+                       CAST(l_suppkey AS BIGINT)
+                FROM lineitem),
+       n AS (SELECT DISTINCT src AS node FROM e),
+       dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+       r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM n),
+       ${iter("m1", "r0", "r1")},
+       ${iter("m2", "r1", "r2")},
+       ${iter("m3", "r2", "r3")}
+       SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 20"""
   }
 
   /** DuckDB 1.0 oracle SQL — same table names, same output column names.
@@ -2974,5 +3044,102 @@ object SparkEntry {
          WHERE pr.cos >= 0.3 AND s1.split <> s2.split""",
 
     "q129_kmeans_portable" -> q129OracleSql,
+
+    // One scalar-aggregate leg per rule; range/regex/set rules skip nulls
+    // (CASE over a null predicate falls to ELSE on both engines), FK
+    // checks count only non-null keys, uniqueness counts rows beyond the
+    // first per key.
+    "q130_expectations" ->
+      """WITH u AS (
+           SELECT 'not_null' AS rule, 'o_custkey' AS target,
+                  CAST(count(*) AS BIGINT) AS n_checked,
+                  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_violations
+           FROM orders
+           UNION ALL
+           SELECT 'in_range', 'o_totalprice', CAST(count(*) AS BIGINT),
+                  CAST(sum(CASE WHEN NOT (o_totalprice >= 0.0
+                                     AND o_totalprice <= 400000.0)
+                           THEN 1 ELSE 0 END) AS BIGINT)
+           FROM orders
+           UNION ALL
+           SELECT 'matches', 'o_orderpriority', CAST(count(*) AS BIGINT),
+                  CAST(sum(CASE WHEN NOT regexp_matches(o_orderpriority,
+                                     '^[1-5]-')
+                           THEN 1 ELSE 0 END) AS BIGINT)
+           FROM orders
+           UNION ALL
+           SELECT 'one_of', 'o_orderstatus', CAST(count(*) AS BIGINT),
+                  CAST(sum(CASE WHEN NOT (o_orderstatus IN ('O', 'F'))
+                           THEN 1 ELSE 0 END) AS BIGINT)
+           FROM orders
+           UNION ALL
+           SELECT 'unique', 'o_orderkey', CAST(count(*) AS BIGINT),
+                  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+           FROM orders
+           UNION ALL
+           SELECT 'ref_integrity', 'o_custkey->customer.c_custkey',
+                  CAST(count(*) AS BIGINT),
+                  CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT)
+           FROM (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL) o
+           LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+             ON o.o_custkey = c.c_custkey
+           UNION ALL
+           SELECT 'in_range', 'l_discount', CAST(count(*) AS BIGINT),
+                  CAST(sum(CASE WHEN NOT (l_discount >= 0.0
+                                     AND l_discount <= 0.05)
+                           THEN 1 ELSE 0 END) AS BIGINT)
+           FROM lineitem
+           UNION ALL
+           SELECT 'unique', 'l_orderkey,l_linenumber',
+                  CAST(count(*) AS BIGINT),
+                  CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+                       AS BIGINT)
+           FROM lineitem
+           UNION ALL
+           SELECT 'ref_integrity', 'l_orderkey->orders.o_orderkey',
+                  CAST(count(*) AS BIGINT),
+                  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT)
+           FROM (SELECT l_orderkey FROM lineitem
+                 WHERE l_orderkey IS NOT NULL) l
+           LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+             ON l.l_orderkey = o.o_orderkey)
+         SELECT rule, target, n_checked, n_violations,
+                n_violations = 0 AS pass
+         FROM u""",
+
+    "q131_pagerank" -> q131OracleSql,
+
+    // Rational-idf BM25 in micro-units: every double derives from exact
+    // integer stats through the same expression tree as the Spark side,
+    // and per-term contributions quantize to BIGINT before the per-doc
+    // sum so accumulation order can't flip a bit.
+    "q132_bm25" ->
+      """WITH b AS (SELECT doc_id,
+                  regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+                       CAST(sum(len(toks)) AS BIGINT) AS tt
+                FROM b),
+         h AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+                      unnest(toks) AS term
+               FROM b),
+         tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+                FROM h WHERE term IN ('join', 'vector', 'slow')
+                GROUP BY 1, 2, 3),
+         sc AS (SELECT doc_id, dl, term, tf,
+                       count(*) OVER (PARTITION BY term) AS df
+                FROM tf),
+         c AS (SELECT doc_id,
+                 CAST(floor((st.nd - df + 0.5) / (df + 0.5) * (tf * 2.2)
+                        / (tf + 1.2 * (0.25 + 0.75 * dl
+                                       / (st.tt * 1.0 / st.nd)))
+                        * 1000000.0 + 0.5) AS BIGINT) AS cm
+               FROM sc, st)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+                CAST(sum(cm) AS BIGINT) AS score_micro
+         FROM c GROUP BY 1 ORDER BY score_micro DESC, doc_id LIMIT 20""",
   )
 }

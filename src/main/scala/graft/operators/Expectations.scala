@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectation suite — the contract-check layer a
+  * warehouse runs before publishing a table (the Deequ/Great-Expectations
+  * role, re-expressed as plain Catalyst aggregates). Each rule yields one
+  * report row `(rule, target, n_checked, n_violations, pass)`; a suite is
+  * a Seq of rules evaluated together.
+  *
+  * Scale posture: every ROW-level rule (not-null, range, regex, accepted
+  * set) compiles into ONE shared aggregation pass over the table — a
+  * map-side-combinable conditional-sum per rule, unpivoted from the single
+  * 1-row aggregate via explode, so adding a rule adds a column, never a
+  * scan. Key-level rules need their own shapes: uniqueness is one
+  * count-distinct aggregate; referential integrity is one left join
+  * against the DISTINCT dimension keys (dimension key sets are
+  * AQE-broadcast-sized in a star schema) with a conditional-sum on the
+  * miss side — no anti-join second pass, one scan per rule.
+  *
+  * Null semantics (documented, not accidental): range / regex / accepted
+  * set rules SKIP nulls (a null is `NotNull`'s business — counting it
+  * twice double-reports one defect); referential integrity checks only
+  * non-null foreign keys (nullable FKs are legal in a star schema);
+  * uniqueness counts whole-row key duplicates beyond the first occurrence.
+  */
+object Expectations {
+
+  sealed trait Rule
+  /** `column` must never be null. */
+  final case class NotNull(column: String) extends Rule
+  /** The tuple `columns` must be unique across the table. */
+  final case class Unique(columns: Seq[String]) extends Rule
+  /** Non-null values of `column` must lie in [lo, hi]. */
+  final case class InRange(column: String, lo: Double, hi: Double) extends Rule
+  /** Non-null values of `column` must match `regex` (Spark `rlike`). */
+  final case class Matches(column: String, regex: String) extends Rule
+  /** Non-null values of `column` must be one of `allowed`. */
+  final case class OneOf(column: String, allowed: Seq[String]) extends Rule
+  /** Non-null `column` values must exist in `dim.dimCol` (FK integrity);
+    * `dimName` labels the report row. */
+  final case class RefIntegrity(column: String, dim: DataFrame,
+                                dimCol: String, dimName: String) extends Rule
+
+  /** Evaluate `rules` against `df`. Returns one row per rule, in a
+    * deterministic report schema: rule name, target column(s),
+    * rows checked, violations found, pass flag. */
+  def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "check needs at least one rule")
+    val rowRules = rules.collect {
+      case r: NotNull => ("not_null", r.column, col(r.column).isNull)
+      case r: InRange => ("in_range", r.column,
+        !(col(r.column) >= r.lo && col(r.column) <= r.hi))
+      case r: Matches => ("matches", r.column, !col(r.column).rlike(r.regex))
+      case r: OneOf   => ("one_of", r.column,
+        !col(r.column).isInCollection(r.allowed))
+    }
+    val rowReport: Option[DataFrame] = if (rowRules.isEmpty) None else {
+      val aggs = count(lit(1)).as("graft_n") +:
+        rowRules.zipWithIndex.map { case ((_, _, bad), i) =>
+          // when() treats a null predicate as false, giving the SKIP-null
+          // semantics documented above.
+          sum(when(bad, 1L).otherwise(0L)).as(s"graft_v$i")
+        }
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      // Unpivot the single aggregate row — one report row per rule off
+      // the SAME 1-row frame, so the table is scanned exactly once.
+      Some(one.select(explode(array(rowRules.zipWithIndex.map {
+        case ((name, target, _), i) =>
+          struct(lit(name).as("rule"), lit(target).as("target"),
+            col("graft_n").as("n_checked"),
+            col(s"graft_v$i").as("n_violations"))
+      }: _*)).as("graft_r")).select("graft_r.*"))
+    }
+    val keyReports = rules.collect {
+      case Unique(cols) =>
+        df.agg(count(lit(1)).as("n_checked"),
+            countDistinct(cols.head, cols.tail: _*).as("graft_d"))
+          .select(lit("unique").as("rule"),
+            lit(cols.mkString(",")).as("target"), col("n_checked"),
+            (col("n_checked") - col("graft_d")).as("n_violations"))
+      case RefIntegrity(fk, dim, dimCol, dimName) =>
+        // One scan: left join against the distinct dimension keys, count
+        // misses. The distinct key set of a dimension is broadcast-sized;
+        // AQE picks BroadcastHashJoin on its post-shuffle size.
+        df.select(col(fk).as("graft_fk")).filter(col("graft_fk").isNotNull)
+          .join(dim.select(col(dimCol).as("graft_fk")).distinct()
+            .withColumn("graft_hit", lit(1)), Seq("graft_fk"), "left")
+          .agg(count(lit(1)).as("n_checked"),
+            sum(when(col("graft_hit").isNull, 1L).otherwise(0L))
+              .as("n_violations"))
+          .select(lit("ref_integrity").as("rule"),
+            lit(s"$fk->$dimName.$dimCol").as("target"),
+            col("n_checked"), col("n_violations"))
+    }
+    (rowReport.toSeq ++ keyReports).reduce(_ unionByName _)
+      .select(col("rule"), col("target"), col("n_checked").cast("long"),
+        coalesce(col("n_violations"), lit(0L)).cast("long")
+          .as("n_violations"))
+      .withColumn("pass", col("n_violations") === 0L)
+  }
+}

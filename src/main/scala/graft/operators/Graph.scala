@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph measures on edge DataFrames — the entity-importance
+  * layer next to [[Components]]' connectivity: which suppliers/parts/docs
+  * sit at the center of the link structure. Like [[graft.ml.KMeansLite]],
+  * the iteration is ENGINE-PORTABLE: ranks live in integer micro-units and
+  * every step is exact integer arithmetic (floor division), so an unrolled
+  * SQL replay reproduces each rank bit-for-bit — the hash-checkable
+  * promotion the sketch family (q82/q83) made.
+  *
+  * Scale posture: the textbook message-passing shape — per iteration ONE
+  * join of the (pre-degree'd) edge table with the current rank table on
+  * src and ONE groupBy(dst) sum, both keyed shuffles that AQE co-plans;
+  * ranks never leave the executors (no driver collect at any size), and
+  * the edge table is degree-annotated exactly once up front. */
+object Graph {
+
+  /** PageRank in integer micro-units. `edges` is DIRECTED (pass both
+    * directions for an undirected graph); every node must have out-degree
+    * ≥ 1 (true by construction for symmetrized edges — the caller owns
+    * dangling-node handling otherwise, e.g. self-loops).
+    *
+    * Per iteration, with integer (floor) division throughout:
+    * contribution of src u = rank(u) div outdeg(u); rank'(v) =
+    * (r0*15) div 100  +  (85 * Σ contributions(v)) div 100 — the damping
+    * 0.85 applied as `(85*s) div 100`, exact on any engine. Returns the
+    * `topK` nodes by final rank (ties → lower node id). */
+  def pagerankPortable(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int, topK: Int,
+                       r0: Long = 1000000L): DataFrame = {
+    require(iters >= 1, "iters must be at least 1")
+    require(topK >= 1, "topK must be at least 1")
+    val e = edges.select(col(srcCol).cast("long").as("graft_src"),
+      col(dstCol).cast("long").as("graft_dst")).distinct()
+    val deg = e.groupBy("graft_src").agg(count(lit(1)).as("graft_deg"))
+    // Degree-annotated edges, built once and reused every iteration.
+    val ed = e.join(deg, "graft_src")
+    val nodes = e.select(col("graft_src").as("node")).distinct()
+    val base = r0 * 15L / 100L
+    var ranks = nodes.withColumn("rank", lit(r0))
+    for (_ <- 1 to iters) {
+      val msgs = ed
+        .join(ranks.withColumnRenamed("node", "graft_src"), "graft_src")
+        .select(col("graft_dst").as("node"),
+          expr("rank div graft_deg").as("graft_c"))
+        .groupBy("node").agg(sum("graft_c").as("graft_s"))
+      ranks = nodes.join(msgs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr("coalesce(graft_s, 0L) * 85 div 100"))
+            .as("rank"))
+    }
+    ranks.orderBy(col("rank").desc, col("node").asc).limit(topK)
+  }
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranked text retrieval over the corpus — the query side of the search
+  * pipeline that [[graft.operators.Analytics.tfidfTopTerms]] is the
+  * indexing side of: score documents against a bag-of-terms query with a
+  * BM25-family function and return the top hits.
+  *
+  * Engine-portability discipline (the q68/q102 fixed-point contract):
+  * the classic BM25 `ln`-idf is replaced by its rational core
+  * `(N - df + 0.5) / (df + 0.5)` — transcendental functions are the one
+  * thing two engines' libm may disagree on at the ulp — and each term's
+  * contribution is quantized to integer MICRO-units before the per-doc
+  * sum, so summation order (Spark partition order vs anything else) can
+  * never change the result. Every double in between derives from exact
+  * integer stats through one fixed expression tree.
+  *
+  * Scale posture: two narrow passes over the corpus — one stats pass
+  * (N, total token count → avgdl; a map-side-combinable aggregate to a
+  * 1-row broadcast) and one match pass that keeps ONLY query-term hits
+  * (`filter(toks, …)` before the explode, so the shuffled row count is
+  * the posting-list size of the query, not the corpus token count). Term
+  * document-frequency comes from a window over the tiny (doc, term, tf)
+  * hit table — never a second corpus aggregate (q52's shape). The final
+  * top-k compiles to TakeOrderedAndProject. */
+object Search {
+
+  /** Score `docs` against `queryTerms` with rational-idf BM25
+    * (k1 = 1.2, b = 0.75) and return the top `topK` as
+    * (doc_id, n_terms_hit, score_micro) — score in integer micro-units,
+    * ties broken by lower doc id. Only documents containing at least one
+    * query term appear (BM25 retrieval, not corpus scoring). */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], topK: Int): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val terms = queryTerms.map(_.toLowerCase)
+    val base = docs.select(col(idCol).as("doc_id"),
+      regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0))
+        .as("graft_toks"))
+    // Corpus stats: N docs, total tokens. avgdl derives as total*1.0/n —
+    // one fixed division both engines replay identically.
+    val stats = base.agg(count(lit(1)).as("graft_nd"),
+      sum(size(col("graft_toks"))).as("graft_tt"))
+    // Match pass: doc length rides along; only query-term hits explode.
+    val hits = base
+      .select(col("doc_id"), size(col("graft_toks")).cast("long").as("graft_dl"),
+        filter(col("graft_toks"), t => t.isInCollection(terms)).as("graft_q"))
+      .select(col("doc_id"), col("graft_dl"),
+        explode(col("graft_q")).as("term"))
+    val tf = hits.groupBy("doc_id", "graft_dl", "term")
+      .agg(count(lit(1)).as("graft_tf"))
+      // tf rows are one-per-(doc,term): df(term) = row count per term.
+      .withColumn("graft_df",
+        count(lit(1)).over(Window.partitionBy("term")))
+    val nd = col("graft_nd").cast("double")
+    val avgdl = col("graft_tt").cast("double") * lit(1.0) / nd
+    val idf = (nd - col("graft_df") + lit(0.5)) / (col("graft_df") + lit(0.5))
+    val num = col("graft_tf") * lit(2.2)
+    val den = col("graft_tf") +
+      lit(1.2) * (lit(0.25) + lit(0.75) * col("graft_dl") / avgdl)
+    val contribMicro =
+      floor(idf * num / den * lit(1000000.0) + lit(0.5)).cast("long")
+    tf.crossJoin(broadcast(stats))
+      .select(col("doc_id"), contribMicro.as("graft_c"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms_hit"),
+        sum("graft_c").as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ExpectationsSpec extends SparkSpec {
+  import spark.implicits._
+  import Expectations._
+
+  private val facts = Seq(
+    // (id, fk, price, status)
+    (1L, Some(10L), 50.0, "OK"),
+    (2L, Some(10L), 150.0, "OK"),   // price out of [0,100]
+    (3L, None, 70.0, "BAD"),        // null fk; status outside {OK, NEW}
+    (3L, Some(99L), 80.0, "NEW"))   // dup id; fk 99 has no dim row
+    .map { case (a, b, c, d) => (a, b, c, d) }
+    .toDF("id", "fk", "price", "status")
+  private val dim = Seq(10L, 11L).toDF("k")
+
+  test("each rule counts its planted violations exactly once") {
+    val got = check(facts, Seq(
+      NotNull("fk"),
+      InRange("price", 0.0, 100.0),
+      OneOf("status", Seq("OK", "NEW")),
+      Matches("status", "^[A-Z]+$"),
+      Unique(Seq("id")),
+      RefIntegrity("fk", dim, "k", "dim")))
+      .as[(String, String, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got(("not_null", "fk")) === ((4L, 1L, false)))
+    assert(got(("in_range", "price")) === ((4L, 1L, false)))
+    assert(got(("one_of", "status")) === ((4L, 1L, false)))
+    assert(got(("matches", "status")) === ((4L, 0L, true)))
+    assert(got(("unique", "id")) === ((4L, 1L, false)))
+    // FK checks only the 3 non-null keys; one (99) is an orphan.
+    assert(got(("ref_integrity", "fk->dim.k")) === ((3L, 1L, false)))
+  }
+
+  test("range, regex, and set rules skip nulls (NotNull's business)") {
+    val df = Seq((Some(5.0), Some("OK")), (None, None))
+      .toDF("price", "status")
+    val got = check(df, Seq(
+      InRange("price", 0.0, 100.0),
+      OneOf("status", Seq("OK")),
+      Matches("status", "^[A-Z]+$")))
+      .as[(String, String, Long, Long, Boolean)].collect()
+    assert(got.forall(r => r._3 == 2L && r._4 == 0L && r._5))
+  }
+
+  test("a clean table passes every rule") {
+    val got = check(facts.filter(col("id") < 3), Seq(
+      NotNull("fk"), Unique(Seq("id")),
+      RefIntegrity("fk", dim, "k", "dim")))
+      .as[(String, String, Long, Long, Boolean)].collect()
+    assert(got.length === 3)
+    assert(got.forall(_._5))
+  }
+}

@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pagerankPortable replays the hand-computed path-graph ranks") {
+    // Undirected path 1—2—3, symmetrized. deg(1)=deg(3)=1, deg(2)=2.
+    // Iter 1: msgs 1←500000, 2←2000000, 3←500000 →
+    //         r1 = (575000, 1850000, 575000).
+    // Iter 2: msgs 1←925000, 2←1150000, 3←925000 →
+    //         r2 = (936250, 1127500, 936250). Exact integer arithmetic.
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    val got = Graph.pagerankPortable(edges, "src", "dst", iters = 2,
+      topK = 3).as[(Long, Long)].collect()
+    assert(got === Array((2L, 1127500L), (1L, 936250L), (3L, 936250L)))
+  }
+
+  test("the hub of a star graph outranks every leaf") {
+    val leaves = (2L to 9L)
+    val edges = (leaves.map(l => (1L, l)) ++ leaves.map(l => (l, 1L)))
+      .toDF("src", "dst")
+    val got = Graph.pagerankPortable(edges, "src", "dst", iters = 3,
+      topK = 9).as[(Long, Long)].collect()
+    assert(got.head._1 === 1L)
+    assert(got.tail.forall(_._2 < got.head._2))
+    // Leaves are symmetric: identical ranks, ordered by node id.
+    assert(got.tail.map(_._2).distinct.length === 1)
+    assert(got.tail.map(_._1).toSeq === leaves.toSeq)
+  }
+
+  test("ranks are invariant to input partitioning and duplicate edges") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 2L))
+      .toDF("src", "dst")
+    val a = Graph.pagerankPortable(edges, "src", "dst", 2, 3)
+      .as[(Long, Long)].collect().toSeq
+    val b = Graph.pagerankPortable(edges.repartition(5), "src", "dst", 2, 3)
+      .as[(Long, Long)].collect().toSeq
+    assert(a === b)
+    assert(a.head === ((2L, 1127500L))) // dup edge deduped before degrees
+  }
+}

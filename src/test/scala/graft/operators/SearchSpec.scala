@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bm25 prefers the shorter document at equal term frequency") {
+    val docs = Seq(
+      (1L, "apple banana cherry banana date fig grape kiwi lemon mango"),
+      (2L, "apple banana"),
+      (3L, "cherry date fig")).toDF("doc_id", "text")
+    val got = Search.bm25(docs, "doc_id", "text", Seq("apple"), 10)
+      .as[(Long, Long, Long)].collect()
+    // Doc 3 has no hit and must be absent; both hits have tf=1, so the
+    // shorter doc 2 wins on length normalization.
+    assert(got.map(_._1).toSeq === Seq(2L, 1L))
+    assert(got.forall(_._2 == 1L))
+    assert(got.head._3 > got.last._3 && got.last._3 > 0L)
+  }
+
+  test("bm25 weights the rarer term higher at equal tf and dl") {
+    // "rare" appears in 1 of 4 docs, "common" in 3; docs 1 and 2 have the
+    // same length and tf=1 for their respective term.
+    val docs = Seq(
+      (1L, "rare pad pad"),
+      (2L, "common pad pad"),
+      (3L, "common x y"),
+      (4L, "common a b")).toDF("doc_id", "text")
+    val got = Search.bm25(docs, "doc_id", "text",
+      Seq("rare", "common"), 10)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(got(1L) > got(2L))
+  }
+
+  test("bm25 sums one quantized contribution per matched term") {
+    val docs = Seq(
+      (1L, "alpha beta"),
+      (2L, "alpha alpha"),
+      (3L, "beta gamma")).toDF("doc_id", "text")
+    val got = Search.bm25(docs, "doc_id", "text", Seq("alpha", "beta"), 10)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(got(1L) === 2L) // both query terms hit
+    assert(got(2L) === 1L)
+    assert(got(3L) === 1L)
+  }
+
+  test("bm25 is invariant to input partitioning") {
+    val docs = (1L to 30L)
+      .map(i => (i, s"term$i filler pad alpha " * (i % 3 + 1).toInt))
+      .toDF("doc_id", "text")
+    val a = Search.bm25(docs, "doc_id", "text", Seq("alpha", "term3"), 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    val b = Search.bm25(docs.repartition(7), "doc_id", "text",
+      Seq("alpha", "term3"), 10).as[(Long, Long, Long)].collect().toSeq
+    assert(a === b)
+  }
+}
