@@ -1091,6 +1091,42 @@ object SparkEntry {
     "q132_bm25" -> ((s, d) =>
       Search.bm25(Tables.documents(s, d), "doc_id", "text",
         Seq("join", "vector", "slow"), topK = 20)),
+
+    // SQ8 scalar quantization: per-dim [min,max] → 8-bit codes. The CSV
+    // form hash-checks the exact codes of the first 20 vectors.
+    "q133_sq8_codes" -> ((s, d) =>
+      Quantize.sq8Encode(Tables.embeddings(s, d), "vec_id", "embedding")
+        .filter(col("vec_id") < 20)
+        .select("vec_id", "codes_csv")),
+
+    // ANN over the SQ8 codes: quantized dot product is pure integer
+    // arithmetic, so the whole search is hash-exact — no float caveats.
+    "q134_sq8_ann" -> ((s, d) =>
+      Quantize.sq8TopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryId = 0L, k = 20)),
+
+    // Impact-ordered inverted index: top-30 terms by df, each with its
+    // top-5 postings (tf desc) as a doc:tf string.
+    "q135_inverted_index" -> ((s, d) =>
+      Search.invertedIndex(Tables.documents(s, d), "doc_id", "text",
+        maxPostings = 5, topTerms = 30)),
+
+    // The dead-letter side of the q130 gate: rows failing a row-local
+    // rule, each labeled with what it violated.
+    "q136_quarantine" -> ((s, d) => {
+      import Expectations._
+      Expectations.quarantine(Tables.orders(s, d), Seq(
+        InRange("o_totalprice", 0.0, 400000.0),
+        OneOf("o_orderstatus", Seq("O", "F"))))
+        .select("o_orderkey", "violated")
+    }),
+
+    // Deterministic A/B readout: view-exposed users hash-split into arms,
+    // conversion = a purchase over 50; all rates in integer ppm.
+    "q137_ab_lift" -> ((s, d) =>
+      Experiment.abLift(Tables.events(s, d), "user_id", "event_type",
+        "value", exposureType = "view", conversionType = "purchase",
+        minValue = 50.0)),
   )
 
   /** Events with the shared-grain µs timestamp column (see q38-q40 note). */
@@ -3141,5 +3177,94 @@ object SparkEntry {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
                 CAST(sum(cm) AS BIGINT) AS score_micro
          FROM c GROUP BY 1 ORDER BY score_micro DESC, doc_id LIMIT 20""",
+
+    // Per-dim [min,max] from the same double-cast values both engines
+    // see; code = floor((x-mn)*255/(mx-mn) + 0.5), constant dims → 0.
+    "q133_sq8_codes" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings),
+         x AS (SELECT vec_id, generate_subscripts(e, 1) AS i,
+                      unnest(e) AS val
+               FROM v),
+         st AS (SELECT i, min(val) AS mn, max(val) AS mx FROM x GROUP BY 1),
+         c AS (SELECT vec_id, x.i,
+                 CASE WHEN mx > mn
+                      THEN CAST(floor((val - mn) * 255.0 / (mx - mn) + 0.5)
+                                AS INT)
+                      ELSE 0 END AS code
+               FROM x JOIN st ON x.i = st.i)
+         SELECT vec_id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY i)
+                  AS codes_csv
+         FROM c WHERE vec_id < 20 GROUP BY 1""",
+
+    "q134_sq8_ann" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings),
+         x AS (SELECT vec_id, generate_subscripts(e, 1) AS i,
+                      unnest(e) AS val
+               FROM v),
+         st AS (SELECT i, min(val) AS mn, max(val) AS mx FROM x GROUP BY 1),
+         c AS (SELECT vec_id, x.i,
+                 CASE WHEN mx > mn
+                      THEN CAST(floor((val - mn) * 255.0 / (mx - mn) + 0.5)
+                                AS INT)
+                      ELSE 0 END AS code
+               FROM x JOIN st ON x.i = st.i),
+         q AS (SELECT i, code FROM c WHERE vec_id = 0)
+         SELECT c.vec_id, CAST(sum(c.code * q.code) AS BIGINT) AS score_q
+         FROM c JOIN q ON c.i = q.i WHERE c.vec_id <> 0
+         GROUP BY 1 ORDER BY score_q DESC, vec_id LIMIT 20""",
+
+    "q135_inverted_index" ->
+      """WITH tok AS (SELECT doc_id,
+                  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+           FROM documents),
+         tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+                FROM tok GROUP BY 1, 2),
+         r AS (SELECT term, doc_id, tf,
+                 count(*) OVER (PARTITION BY term) AS df,
+                 row_number() OVER (PARTITION BY term
+                   ORDER BY tf DESC, doc_id) AS rk
+               FROM tf)
+         SELECT term, CAST(df AS BIGINT) AS df,
+                CAST(count(*) AS BIGINT) AS n_postings,
+                string_agg(doc_id || ':' || tf, '|' ORDER BY rk) AS postings
+         FROM r WHERE rk <= 5
+         GROUP BY term, df
+         ORDER BY df DESC, term LIMIT 30""",
+
+    // concat_ws drops NULLs on both engines, so the label list is the
+    // rule order with clean rules skipped.
+    "q136_quarantine" ->
+      """SELECT o_orderkey, violated FROM (
+           SELECT o_orderkey, concat_ws(',',
+             CASE WHEN NOT (o_totalprice >= 0.0 AND o_totalprice <= 400000.0)
+                  THEN 'in_range:o_totalprice' END,
+             CASE WHEN NOT (o_orderstatus IN ('O', 'F'))
+                  THEN 'one_of:o_orderstatus' END) AS violated
+           FROM orders)
+         WHERE violated <> ''""",
+
+    "q137_ab_lift" ->
+      """WITH ex AS (SELECT DISTINCT user_id,
+                   CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                             < '8'
+                        THEN 'A' ELSE 'B' END AS arm
+                FROM events WHERE event_type = 'view'),
+         cv AS (SELECT DISTINCT user_id FROM events
+                WHERE event_type = 'purchase' AND value > 50.0),
+         pa AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CASE WHEN cv.user_id IS NOT NULL
+                                THEN 1 ELSE 0 END) AS BIGINT) AS c
+                FROM ex LEFT JOIN cv USING (user_id) GROUP BY 1),
+         pr AS (SELECT arm, n, c, CAST(c * 1000000 // n AS BIGINT)
+                         AS rate_ppm
+                FROM pa)
+         SELECT a.n AS n_users_a, a.c AS n_conv_a, a.rate_ppm AS rate_ppm_a,
+                b.n AS n_users_b, b.c AS n_conv_b, b.rate_ppm AS rate_ppm_b,
+                CAST(b.rate_ppm * 1000000 // a.rate_ppm AS BIGINT)
+                  AS lift_ppm
+         FROM (SELECT * FROM pr WHERE arm = 'A') a,
+              (SELECT * FROM pr WHERE arm = 'B') b""",
   )
 }

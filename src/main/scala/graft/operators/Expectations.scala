@@ -100,4 +100,32 @@ object Expectations {
           .as("n_violations"))
       .withColumn("pass", col("n_violations") === 0L)
   }
+
+  /** Row-level verdicts for ROW-LOCAL rules: every row annotated with a
+    * `violated` column — a comma-joined list of `rule:column` labels in
+    * rule order, empty string for a clean row. The quarantine primitive:
+    * map-only (no shuffle, no aggregate), so it composes into a streaming
+    * micro-batch gate unchanged. Uniqueness and referential integrity are
+    * deliberately rejected here — the first needs a survivor policy
+    * (that's [[Dedup]]'s business), the second a dimension join that a
+    * quarantine split would re-run per sink. */
+  def violations(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val parts = rules.map {
+      case NotNull(c) => (s"not_null:$c", col(c).isNull)
+      case InRange(c, lo, hi) =>
+        (s"in_range:$c", !(col(c) >= lo && col(c) <= hi))
+      case Matches(c, re) => (s"matches:$c", !col(c).rlike(re))
+      case OneOf(c, a) => (s"one_of:$c", !col(c).isInCollection(a))
+      case r => throw new IllegalArgumentException(
+        s"violations() takes row-local rules only, got $r")
+    }
+    // concat_ws drops the nulls from non-violated rules on any engine.
+    df.withColumn("violated", concat_ws(",",
+      parts.map { case (n, bad) => when(bad, lit(n)) }: _*))
+  }
+
+  /** Just the rows that violate at least one row-local rule, with their
+    * `violated` labels — the dead-letter side of the split. */
+  def quarantine(df: DataFrame, rules: Seq[Rule]): DataFrame =
+    violations(df, rules).filter(col("violated") =!= "")
 }

@@ -71,4 +71,43 @@ object Search {
       .orderBy(col("score_micro").desc, col("doc_id").asc)
       .limit(topK)
   }
+
+  /** Inverted-index build — the posting lists [[bm25]] queries against,
+    * materialized: per term its document frequency and the top
+    * `maxPostings` postings as a `doc:tf` string (tf desc, doc asc —
+    * highest-signal postings first, the impact-ordered layout search
+    * engines truncate on). Reports the `topTerms` highest-df terms
+    * (df desc, term asc) so the output is bounded at any corpus size.
+    *
+    * Scale posture: one tokenize → one (doc, term) count → the postings
+    * cap is applied with a per-term WINDOW RANK *before* any list is
+    * materialized — sort-based, spills under skew — so a stop-word term
+    * with 10⁹ postings never has to assemble more than `maxPostings`
+    * elements in memory (a bare collect_list-then-slice would).
+    * `n_postings` counts the KEPT postings; `df` the true frequency. */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    maxPostings: Int, topTerms: Int): DataFrame = {
+    require(maxPostings >= 1 && topTerms >= 1,
+      "maxPostings and topTerms must be at least 1")
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"),
+          lit(0))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("graft_tf"))
+    val ranked = tf
+      .withColumn("graft_df", count(lit(1)).over(Window.partitionBy("term")))
+      .withColumn("graft_rk", row_number().over(Window.partitionBy("term")
+        .orderBy(col("graft_tf").desc, col("doc_id").asc)))
+      .filter(col("graft_rk") <= maxPostings)
+    ranked.groupBy("term", "graft_df")
+      .agg(count(lit(1)).as("n_postings"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("graft_rk"), col("doc_id"),
+            col("graft_tf")))),
+          e => concat(e("doc_id").cast("string"), lit(":"),
+            e("graft_tf").cast("string"))), "|").as("postings"))
+      .select(col("term"), col("graft_df").as("df"), col("n_postings"),
+        col("postings"))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(topTerms)
+  }
 }

@@ -47,6 +47,19 @@ class ExpectationsSpec extends SparkSpec {
     assert(got.forall(r => r._3 == 2L && r._4 == 0L && r._5))
   }
 
+  test("quarantine labels each row with its violated rules, in order") {
+    val got = quarantine(facts, Seq(
+      InRange("price", 0.0, 100.0), OneOf("status", Seq("OK", "NEW"))))
+      .selectExpr("id", "violated").as[(Long, String)].collect().toSet
+    assert(got === Set(2L -> "in_range:price", 3L -> "one_of:status"))
+  }
+
+  test("violations rejects table-level rules explicitly") {
+    intercept[IllegalArgumentException] {
+      violations(facts, Seq(Unique(Seq("id"))))
+    }
+  }
+
   test("a clean table passes every rule") {
     val got = check(facts.filter(col("id") < 3), Seq(
       NotNull("fk"), Unique(Seq("id")),

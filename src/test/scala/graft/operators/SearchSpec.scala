@@ -45,6 +45,29 @@ class SearchSpec extends SparkSpec {
     assert(got(3L) === 1L)
   }
 
+  test("invertedIndex caps postings at the window rank, keeps true df") {
+    val docs = Seq(
+      (1L, "x x x common"), (2L, "x x common"), (3L, "x common"),
+      (4L, "common"), (5L, "solo")).toDF("doc_id", "text")
+    val got = Search.invertedIndex(docs, "doc_id", "text",
+      maxPostings = 2, topTerms = 10)
+      .as[(String, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // df counts ALL 4 docs even though only 2 postings are kept; postings
+    // are impact-ordered (tf desc, doc asc).
+    assert(got("common") === ((4L, 2L, "1:1|2:1")))
+    assert(got("x") === ((3L, 2L, "1:3|2:2")))
+    assert(got("solo") === ((1L, 1L, "5:1")))
+  }
+
+  test("invertedIndex reports the topTerms highest-df terms, ties by term") {
+    val docs = Seq((1L, "aa bb"), (2L, "aa bb"), (3L, "aa")).toDF("doc_id", "text")
+    val got = Search.invertedIndex(docs, "doc_id", "text", 5, 1)
+      .as[(String, Long, Long, String)].collect()
+    assert(got.map(_._1).toSeq === Seq("aa"))
+    assert(got.head._2 === 3L)
+  }
+
   test("bm25 is invariant to input partitioning") {
     val docs = (1L to 30L)
       .map(i => (i, s"term$i filler pad alpha " * (i % 3 + 1).toInt))
