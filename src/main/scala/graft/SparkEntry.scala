@@ -1127,6 +1127,34 @@ object SparkEntry {
       Experiment.abLift(Tables.events(s, d), "user_id", "event_type",
         "value", exposureType = "view", conversionType = "purchase",
         minValue = 50.0)),
+
+    // Trending: rational recency decay (10⁶ div (1+age_days)) — integer
+    // arithmetic end to end, snapshot-deterministic reference time.
+    "q138_trending" -> ((s, d) =>
+      Analytics.decayedEngagement(eventsUs(s, d), "event_type", "ts_us")),
+
+    // Change data feed between warehouse generations: gen 0 = the full
+    // snapshot; gen 1 = an overwrite that drops the >450k tail and
+    // rewrites sub-50k statuses. The version-to-version reconcile is the
+    // Delta CHANGES readout on the manifest history.
+    "q139_table_changes" -> ((s, d) => {
+      val fmt = "graft.sources.WarehouseSink"
+      val dir = java.nio.file.Files.createTempDirectory("graft_cdf_").toString
+      val src = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      src.write.format(fmt).option("path", dir).mode("overwrite").save()
+      src.filter(col("o_totalprice") <= 450000.0)
+        .withColumn("o_orderstatus",
+          when(col("o_totalprice") < 50000.0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+        .write.format(fmt).option("path", dir).mode("overwrite").save()
+      val v0 = s.read.format(fmt).option("path", dir)
+        .option("versionAsOf", "0").load()
+      val v1 = s.read.format(fmt).option("path", dir)
+        .option("versionAsOf", "1").load()
+      Etl.reconcile(v0, v1, Seq("o_orderkey"),
+        Seq("o_orderstatus", "o_totalprice"))
+    }),
   )
 
   /** Events with the shared-grain µs timestamp column (see q38-q40 note). */
@@ -3266,5 +3294,31 @@ object SparkEntry {
                   AS lift_ppm
          FROM (SELECT * FROM pr WHERE arm = 'A') a,
               (SELECT * FROM pr WHERE arm = 'B') b""",
+
+    // µs-grain ages (DuckDB truncates the parquet ns — q38's rule);
+    // hyperbolic decay in pure integer floor division.
+    "q138_trending" ->
+      """WITH m AS (SELECT max(epoch_us(ts)) AS mt FROM events)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(1000000 // (1 + (mt - epoch_us(ts)) // 86400000000))
+                     AS BIGINT) AS decayed_score
+         FROM events, m GROUP BY 1""",
+
+    // The generation-diff legs restated as source predicates: gen 1
+    // dropped the >450k tail (left_only), rewrote sub-50k statuses
+    // (changed), and kept the middle band byte-identical (same).
+    "q139_table_changes" ->
+      """SELECT 'left_only' AS status, CAST(count(*) AS BIGINT) AS n,
+                min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         FROM orders WHERE o_totalprice > 450000.0
+         UNION ALL
+         SELECT 'changed', CAST(count(*) AS BIGINT),
+                min(o_orderkey), max(o_orderkey)
+         FROM orders WHERE o_totalprice < 50000.0
+         UNION ALL
+         SELECT 'same', CAST(count(*) AS BIGINT),
+                min(o_orderkey), max(o_orderkey)
+         FROM orders
+         WHERE o_totalprice >= 50000.0 AND o_totalprice <= 450000.0""",
   )
 }

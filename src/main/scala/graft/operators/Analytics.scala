@@ -776,4 +776,30 @@ object Analytics {
           / (col("n1") + col("n2") - col("inter")).cast("double"), 4)
           .as("jaccard"))
   }
+
+  /** Recency-weighted engagement per event type — the trending score that
+    * ranks "hot now" above "big last month". Classic exponential decay
+    * needs `pow` (engine-specific libm); this uses the RATIONAL decay
+    * `10⁶ div (1 + age_days)` instead — hyperbolic falloff, ALL integer
+    * arithmetic (µs-exact ages, floor division), so the score is
+    * hash-exact on any engine. Reference time = the corpus max timestamp
+    * (a 1-row broadcast), making the readout deterministic for a given
+    * snapshot rather than wall-clock-dependent.
+    *
+    * Scale posture: one event scan; the max-ts is a map-combinable 1-row
+    * aggregate cross-joined broadcast (the q06 shape); per-event weights
+    * are map-side and the rollup is one combinable groupBy. */
+  def decayedEngagement(events: DataFrame, typeCol: String,
+                        tsUsCol: String): DataFrame = {
+    val m = events.agg(max(col(tsUsCol)).as("graft_mt"))
+    events.select(col(typeCol).as("event_type"),
+        col(tsUsCol).as("graft_ts"))
+      .crossJoin(broadcast(m))
+      .select(col("event_type"),
+        expr("1000000 div (1 + (graft_mt - graft_ts) div 86400000000)")
+          .as("graft_w"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum("graft_w").as("decayed_score"))
+  }
 }
