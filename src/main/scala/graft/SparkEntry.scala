@@ -1133,6 +1133,32 @@ object SparkEntry {
     "q138_trending" -> ((s, d) =>
       Analytics.decayedEngagement(eventsUs(s, d), "event_type", "ts_us")),
 
+    // The end-to-end corpus build, composed from the pipeline's own
+    // stages: quality threshold → exact-dedup survivor → decontaminate
+    // against the held-out set → per-source token budget → final mix
+    // report. Every stage is an already-oracle-proven operator; the
+    // composition is the "switch your curation pipeline to this library"
+    // demonstration, hash-checked end to end.
+    "q140_corpus_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val isTest = col("doc_id") % 97 === 0
+      val train = docs.filter(!isTest)
+        .filter(T.qualityScore(col("text")) >= 0.5)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("graft_fp").orderBy(col("doc_id").asc)
+      val surv = train
+        .withColumn("graft_fp", T.fingerprint(col("text")))
+        .withColumn("graft_rk", row_number().over(w))
+        .filter(col("graft_rk") === 1)
+        .drop("graft_fp", "graft_rk")
+      val keep = Corpus.decontaminate(docs, "doc_id", "text", isTest, 3)
+      val clean = surv.join(keep, Seq("doc_id"), "left_semi")
+      Corpus.tokenBudgetCap(clean, "doc_id", "text", "source", 800L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").cast("long").as("tot_tokens"))
+    }),
+
     // Change data feed between warehouse generations: gen 0 = the full
     // snapshot; gen 1 = an overwrite that drops the >450k tail and
     // rewrites sub-50k statuses. The version-to-version reconcile is the
@@ -3303,6 +3329,53 @@ object SparkEntry {
                 CAST(sum(1000000 // (1 + (mt - epoch_us(ts)) // 86400000000))
                      AS BIGINT) AS decayed_score
          FROM events, m GROUP BY 1""",
+
+    // The four stages are the q16/q18/q67/q104 oracle fragments chained:
+    // same quality formula, same md5(nt) fingerprint survivor, same
+    // 3-gram contamination semi-join, same md5-ordered budget window.
+    "q140_corpus_pipeline" ->
+      """WITH t AS (SELECT doc_id, source, text,
+                  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt
+           FROM documents),
+         q AS (SELECT doc_id, source, text, nt FROM (
+                SELECT doc_id, source, text, nt,
+                  round(0.5 * least(length(text) / 500.0, 1.0)
+                    + 0.5 * least(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                        * 1.0
+                        / greatest(len(regexp_split_to_array(trim(text),
+                            '\s+')), 1), 1.0)
+                    - len(regexp_extract_all(text, '[.,;:!?]')) * 1.0
+                        / greatest(length(text), 1), 4) AS quality
+                FROM t WHERE doc_id % 97 <> 0)
+               WHERE quality >= 0.5),
+         s2 AS (SELECT doc_id, source, text FROM (
+                 SELECT *, row_number() OVER (PARTITION BY md5(nt)
+                            ORDER BY doc_id) AS rk FROM q)
+                WHERE rk = 1),
+         tok AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM t),
+         sh AS (SELECT DISTINCT doc_id,
+                       toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+                FROM (SELECT doc_id, toks,
+                             unnest(range(1, greatest(len(toks) - 2, 0) + 1))
+                               AS i
+                      FROM tok)),
+         test_g AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0),
+         contaminated AS (SELECT DISTINCT doc_id FROM sh
+                          WHERE doc_id % 97 <> 0
+                            AND g IN (SELECT g FROM test_g)),
+         s3 AS (SELECT doc_id, source, text FROM s2
+                WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         s4 AS (SELECT doc_id, source,
+                  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                       AS BIGINT) AS n_tokens,
+                  CAST(sum(CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                           AS BIGINT))
+                       OVER (PARTITION BY source ORDER BY md5(text), doc_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                FROM s3)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS tot_tokens
+         FROM s4 WHERE cum <= 800 GROUP BY 1""",
 
     // The generation-diff legs restated as source predicates: gen 1
     // dropped the >450k tail (left_only), rewrote sub-50k statuses

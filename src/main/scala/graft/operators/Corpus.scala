@@ -244,30 +244,37 @@ object Corpus {
     * `out_len` is the length the cleaned text would have when the kept
     * segments are re-joined with single spaces.
     *
-    * Scale: the only shuffle is the segment-df groupBy + the segment join,
-    * both keyed on the segment string (short — `segTokens` words); the
-    * per-doc reassembly aggregates scalars, never re-materializing text.
-    * Tokens are materialized in their own projection before the
-    * segment-building lambda, so the tokenizer regex runs once per doc. */
+    * Scale: ONE corpus tokenize pass. The exploded segments reduce
+    * immediately to the compact (doc, seg, occurrences) table (one
+    * corpus-keyed shuffle with map-side combine); segment df is a window
+    * count over that table's distinct (doc, seg) rows — q52's shape, so
+    * the expensive regex never runs a second time for the df leg — and
+    * the per-doc reassembly aggregates occurrence-weighted scalars, never
+    * re-materializing text. */
   def boilerplateStrip(docs: DataFrame, idCol: String, textCol: String,
                        segTokens: Int, maxDf: Long): DataFrame = {
     require(segTokens > 0, "segTokens must be positive")
     require(maxDf > 0, "maxDf must be positive")
-    val segs = docs
+    val occ = docs
       .select(col(idCol).as("doc_id"), T.tokens(col(textCol)).as("graft_toks"))
       .selectExpr("doc_id",
         s"""explode(transform(
               sequence(0, CAST(ceil(size(graft_toks) / $segTokens.0) AS INT) - 1),
               i -> array_join(slice(graft_toks, i * $segTokens + 1, $segTokens), ' '))) AS seg""")
-    val df_ = segs.groupBy("seg")
-      .agg(countDistinct(col("doc_id")).as("graft_df"))
-    segs.join(df_, "seg")
+      .groupBy("doc_id", "seg").agg(count(lit(1)).as("graft_n"))
+    occ
+      // occ is one row per (doc, seg), so rows-per-seg IS the df.
+      .withColumn("graft_df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("seg")))
       .groupBy("doc_id")
       .agg(
-        count(lit(1)).as("n_segs"),
-        sum(when(col("graft_df") > maxDf, 1L).otherwise(0L)).as("n_dropped"),
-        (coalesce(sum(when(col("graft_df") <= maxDf, length(col("seg")))), lit(0L))
-          + greatest(sum(when(col("graft_df") <= maxDf, 1L).otherwise(0L)) - 1L, lit(0L)))
+        sum(col("graft_n")).as("n_segs"),
+        sum(when(col("graft_df") > maxDf, col("graft_n")).otherwise(0L))
+          .as("n_dropped"),
+        (coalesce(sum(when(col("graft_df") <= maxDf,
+            col("graft_n") * length(col("seg")))), lit(0L))
+          + greatest(sum(when(col("graft_df") <= maxDf, col("graft_n"))
+            .otherwise(0L)) - 1L, lit(0L)))
           .cast("long").as("out_len"))
   }
 

@@ -33,25 +33,40 @@ object Graph {
                        r0: Long = 1000000L): DataFrame = {
     require(iters >= 1, "iters must be at least 1")
     require(topK >= 1, "topK must be at least 1")
+    // Pregel discipline (the [[Components]] loop's): the edge table is
+    // persisted ONCE (every iteration re-reads cached blocks instead of
+    // replaying distinct + degree join), each rank generation is
+    // persisted and the previous unpersisted (without this the lineage
+    // compounds per iteration and the final action replays every round),
+    // and the returned frame is a materialized artifact.
+    import org.apache.spark.storage.StorageLevel
     val e = edges.select(col(srcCol).cast("long").as("graft_src"),
       col(dstCol).cast("long").as("graft_dst")).distinct()
     val deg = e.groupBy("graft_src").agg(count(lit(1)).as("graft_deg"))
-    // Degree-annotated edges, built once and reused every iteration.
-    val ed = e.join(deg, "graft_src")
+    val ed = e.join(deg, "graft_src").persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("graft_src").as("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val base = r0 * 15L / 100L
     var ranks = nodes.withColumn("rank", lit(r0))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     for (_ <- 1 to iters) {
       val msgs = ed
         .join(ranks.withColumnRenamed("node", "graft_src"), "graft_src")
         .select(col("graft_dst").as("node"),
           expr("rank div graft_deg").as("graft_c"))
         .groupBy("node").agg(sum("graft_c").as("graft_s"))
-      ranks = nodes.join(msgs, Seq("node"), "left")
+      val next = nodes.join(msgs, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + expr("coalesce(graft_s, 0L) * 85 div 100"))
             .as("rank"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize before dropping the generation it reads
+      ranks.unpersist()
+      ranks = next
     }
-    ranks.orderBy(col("rank").desc, col("node").asc).limit(topK)
+    val out = Materialize.artifact(
+      ranks.orderBy(col("rank").desc, col("node").asc).limit(topK))
+    ranks.unpersist(); ed.unpersist(); nodes.unpersist()
+    out
   }
 }
