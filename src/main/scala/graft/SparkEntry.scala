@@ -1151,7 +1151,12 @@ object SparkEntry {
         .withColumn("graft_rk", row_number().over(w))
         .filter(col("graft_rk") === 1)
         .drop("graft_fp", "graft_rk")
-      val keep = Corpus.decontaminate(docs, "doc_id", "text", isTest, 3)
+      // Only surv docs' contamination status can affect the result, so the
+      // train side of the check is restricted to surv — quality-rejected and
+      // dedup-dropped docs are never shingled. The test side still needs the
+      // FULL held-out split, hence the union rather than a plain filter.
+      val keep = Corpus.decontaminate(
+        docs.filter(isTest).unionByName(surv), "doc_id", "text", isTest, 3)
       val clean = surv.join(keep, Seq("doc_id"), "left_semi")
       Corpus.tokenBudgetCap(clean, "doc_id", "text", "source", 800L)
         .groupBy("source")

@@ -20,17 +20,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * as a timestamp. We read it as exact int64 nanoseconds (lossless — and
-    * ns-exact ordering/windowing matches the oracle engine bit-for-bit) and
-    * derive `ts_t`, a µs-truncated TimestampType column, for calendar ops
-    * like `date_trunc('week', …)` where sub-µs precision is irrelevant.
-    * Integer `div` keeps the µs math exact (doubles can't hold epoch-nanos). */
+  /** `events.ts` arrives in one of two physical forms depending on the data
+    * generator: parquet TIMESTAMP(NANOS) (which Spark 4 refuses to read as a
+    * timestamp — we read it as exact int64 nanoseconds via the legacy flag),
+    * or a plain parquet timestamp[us] (read as TIMESTAMP_NTZ). Either way the
+    * contract downstream is fixed: `ts` is int64 epoch NANOS (exact ordering
+    * and window math, no doubles) and `ts_t` is a µs TimestampType column for
+    * calendar ops like `date_trunc('week', …)`. All graft sessions run with
+    * session timeZone=UTC, so the NTZ wall-clock == the UTC instant and the
+    * cast below is value-preserving — the same convention DuckDB applies when
+    * `epoch_us(ts)` is taken over the naive column in the oracle SQL. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events").withColumn(
-      "ts_t", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts_t",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          .withColumn("ts", unix_micros(col("ts_t")) * lit(1000L))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

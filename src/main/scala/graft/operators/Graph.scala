@@ -49,24 +49,32 @@ object Graph {
     val base = r0 * 15L / 100L
     var ranks = nodes.withColumn("rank", lit(r0))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    for (_ <- 1 to iters) {
-      val msgs = ed
-        .join(ranks.withColumnRenamed("node", "graft_src"), "graft_src")
-        .select(col("graft_dst").as("node"),
-          expr("rank div graft_deg").as("graft_c"))
-        .groupBy("node").agg(sum("graft_c").as("graft_s"))
-      val next = nodes.join(msgs, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + expr("coalesce(graft_s, 0L) * 85 div 100"))
-            .as("rank"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize before dropping the generation it reads
-      ranks.unpersist()
-      ranks = next
+    // All persisted blocks are released even when an iteration or the
+    // checkpoint throws — without the finally, a failed run leaks
+    // MEMORY_AND_DISK blocks for the session lifetime.
+    var pending: DataFrame = null
+    try {
+      for (_ <- 1 to iters) {
+        val msgs = ed
+          .join(ranks.withColumnRenamed("node", "graft_src"), "graft_src")
+          .select(col("graft_dst").as("node"),
+            expr("rank div graft_deg").as("graft_c"))
+          .groupBy("node").agg(sum("graft_c").as("graft_s"))
+        pending = nodes.join(msgs, Seq("node"), "left")
+          .select(col("node"),
+            (lit(base) + expr("coalesce(graft_s, 0L) * 85 div 100"))
+              .as("rank"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        pending.count() // materialize before dropping the generation it reads
+        ranks.unpersist()
+        ranks = pending
+        pending = null
+      }
+      Materialize.artifact(
+        ranks.orderBy(col("rank").desc, col("node").asc).limit(topK))
+    } finally {
+      if (pending ne null) pending.unpersist()
+      ranks.unpersist(); ed.unpersist(); nodes.unpersist()
     }
-    val out = Materialize.artifact(
-      ranks.orderBy(col("rank").desc, col("node").asc).limit(topK))
-    ranks.unpersist(); ed.unpersist(); nodes.unpersist()
-    out
   }
 }
