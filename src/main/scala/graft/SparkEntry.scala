@@ -1186,6 +1186,34 @@ object SparkEntry {
       Etl.reconcile(v0, v1, Seq("o_orderkey"),
         Seq("o_orderstatus", "o_totalprice"))
     }),
+
+    // SemDeDup-style semantic dedup: sign-bit coarse cells over the
+    // embedding space, greedy lowest-id-wins inside each cell at
+    // cos ≥ 0.35. Per-cell survivor counts, oracle-replayed exactly.
+    "q141_semantic_dedup" -> ((s, d) =>
+      Dedup.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+        signBits = 4, minCos = 0.35)),
+
+    // Passage-level duplication: 8-token windows at stride 4, md5 window
+    // hashes; per-doc count of windows shared with ANOTHER doc.
+    "q142_passage_dedup" -> ((s, d) =>
+      Dedup.passageDuplication(Tables.documents(s, d), "doc_id", "text",
+        w = 8, stride = 4)),
+
+    // k-anonymity audit on customer quasi-identifiers (nation, market
+    // segment, account-balance band): groups under k=3 are
+    // re-identification risks.
+    "q143_k_anonymity" -> ((s, d) =>
+      Analytics.kAnonymityRisk(Tables.customer(s, d),
+        Seq(col("c_nationkey"), col("c_mktsegment"),
+          expr("CAST(floor(c_acctbal / 2000) AS BIGINT)")),
+        Seq("nation", "segment", "balance_band"), k = 3L)),
+
+    // Corpus-trained character-bigram fluency score (the perplexity-filter
+    // analog) in integer parts-per-million; 20 least fluent docs.
+    "q144_fluency" -> ((s, d) =>
+      Corpus.fluencyScore(Tables.documents(s, d), "doc_id", "text",
+        bottomK = 20)),
   )
 
   /** Events with the shared-grain µs timestamp column (see q38-q40 note). */
@@ -3398,5 +3426,74 @@ object SparkEntry {
                 min(o_orderkey), max(o_orderkey)
          FROM orders
          WHERE o_totalprice >= 50000.0 AND o_totalprice <= 450000.0""",
+
+    // Sign-bit cells over DOUBLE-cast embeddings; greedy lowest-id-wins
+    // inside each cell at the same 6-dp-rounded cosine as q24.
+    "q141_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         b AS (SELECT vec_id, v,
+                 (CASE WHEN v[1] >= 0 THEN '1' ELSE '0' END) ||
+                 (CASE WHEN v[2] >= 0 THEN '1' ELSE '0' END) ||
+                 (CASE WHEN v[3] >= 0 THEN '1' ELSE '0' END) ||
+                 (CASE WHEN v[4] >= 0 THEN '1' ELSE '0' END) AS bk
+               FROM e),
+         drp AS (SELECT DISTINCT c.bk, c.vec_id
+                 FROM b a JOIN b c ON a.bk = c.bk AND a.vec_id < c.vec_id
+                 WHERE round(list_dot_product(a.v, c.v)
+                       / (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(c.v, c.v))), 6) >= 0.35)
+         SELECT b.bk AS bucket, CAST(count(*) AS BIGINT) AS n_total,
+                CAST(count(drp.vec_id) AS BIGINT) AS n_dropped,
+                CAST(count(*) - count(drp.vec_id) AS BIGINT) AS n_kept
+         FROM b LEFT JOIN drp ON b.bk = drp.bk AND b.vec_id = drp.vec_id
+         GROUP BY b.bk""",
+
+    // 8-token windows at stride 4 over the q82 tokenization; a window is
+    // duplicated when its md5 occurs in more than one document.
+    "q142_passage_dedup" ->
+      """WITH t AS (SELECT doc_id,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 8),
+         w AS (SELECT doc_id, md5(array_to_string(toks[i:i+7], ' ')) AS h
+               FROM (SELECT doc_id, toks,
+                            unnest(range(1, len(toks) - 6, 4)) AS i
+                     FROM f)),
+         d AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd
+                              FROM w GROUP BY h) WHERE nd > 1)
+         SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+                CAST(count(d.h) AS BIGINT) AS n_dup_windows,
+                round(count(d.h) * 1.0 / count(*), 4) AS dup_frac
+         FROM w LEFT JOIN d ON w.h = d.h
+         GROUP BY w.doc_id""",
+
+    "q143_k_anonymity" ->
+      """SELECT c_nationkey AS nation, c_mktsegment AS segment,
+                CAST(floor(c_acctbal / 2000) AS BIGINT) AS balance_band,
+                CAST(count(*) AS BIGINT) AS n_rows
+         FROM customer
+         GROUP BY 1, 2, 3 HAVING count(*) < 3""",
+
+    // Character-bigram model in integer ppm; doc score = floored mean of
+    // its bigram-occurrence ppms; 20 least fluent, id tiebreak.
+    "q144_fluency" ->
+      """WITH c AS (SELECT doc_id,
+                  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt
+           FROM documents),
+         f AS (SELECT doc_id, nt FROM c WHERE length(nt) >= 2),
+         o AS (SELECT doc_id, substr(nt, CAST(i AS INTEGER), 2) AS bg,
+                      substr(nt, CAST(i AS INTEGER), 1) AS c1
+               FROM (SELECT doc_id, nt, unnest(range(1, length(nt))) AS i
+                     FROM f)),
+         bc AS (SELECT bg, count(*) AS nbg FROM o GROUP BY 1),
+         cc AS (SELECT c1, count(*) AS nc1 FROM o GROUP BY 1),
+         m AS (SELECT bg, nbg * 1000000 // nc1 AS ppm
+               FROM bc JOIN cc ON substr(bg, 1, 1) = cc.c1)
+         SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                CAST(sum(m.ppm) // count(*) AS BIGINT) AS fluency_ppm
+         FROM o JOIN m ON o.bg = m.bg
+         GROUP BY o.doc_id
+         ORDER BY fluency_ppm ASC, doc_id ASC LIMIT 20""",
   )
 }

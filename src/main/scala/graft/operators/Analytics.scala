@@ -802,4 +802,21 @@ object Analytics {
       .agg(count(lit(1)).as("n_events"),
         sum("graft_w").as("decayed_score"))
   }
+
+  /** k-anonymity audit over a quasi-identifier tuple: every combination
+    * of the given columns observed in fewer than `k` rows is a
+    * re-identification risk — publishing those rows (or training on them
+    * verbatim) lets an attacker who knows the quasi-identifiers single
+    * out individuals. Returns the risky groups with their sizes, the
+    * complement of the aggregation privacy papers call k-anonymous.
+    *
+    * Scale posture: one map-side-combinable groupBy on the quasi-id
+    * tuple; the `< k` filter is on the aggregated side (HAVING), so the
+    * shuffle carries one row per combination, never per input row. */
+  def kAnonymityRisk(df: DataFrame, quasiCols: Seq[Column],
+                     names: Seq[String], k: Long): DataFrame =
+    df.select(quasiCols.zip(names).map { case (c, n) => c.as(n) }: _*)
+      .groupBy(names.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") < k)
 }

@@ -295,4 +295,44 @@ object Corpus {
         sum("graft_c").as("n_chars"),
         round(sum(col("graft_t")) * 100.0 / sum(col("graft_c")), 4)
           .as("tokens_per_100chars"))
+
+  /** Statistical-fluency score — the engine-exact analog of the CCNet /
+    * Wikipedia-LM perplexity filter: train a character-bigram model on
+    * the corpus itself, score each document by how typical its bigrams
+    * are, and surface the least fluent (machine-generated noise, binary
+    * junk, wrong-language residue score low because their transitions are
+    * rare in the corpus). All arithmetic is integer fixed-point — the
+    * conditional probability p(c2|c1) is scaled to parts-per-million and
+    * floor-divided, the doc score is the floored mean over its bigram
+    * occurrences — so both engines replay bit-for-bit (no log-doubles).
+    *
+    * Scale posture: one explode of len-1 bigram positions per doc; the
+    * model (bigram + head-char counts) is vocab-sized (≤ |charset|²
+    * rows), broadcast back onto the occurrences; per-doc score is one
+    * map-side-combinable groupBy. At 100 TB the model table is still KBs
+    * — the classic tiny-dim broadcast join. */
+  def fluencyScore(docs: DataFrame, idCol: String, textCol: String,
+                   bottomK: Int): DataFrame = {
+    val chars = docs.select(col(idCol).as("id"),
+      T.normText(col(textCol)).as("graft_nt"))
+      .filter(length(col("graft_nt")) >= 2)
+    val occ = chars
+      .select(col("id"), explode(
+        sequence(lit(1), length(col("graft_nt")) - 1)).as("i"),
+        col("graft_nt"))
+      .select(col("id"),
+        expr("substring(graft_nt, i, 2)").as("bg"),
+        expr("substring(graft_nt, i, 1)").as("c1"))
+    val bgCnt = occ.groupBy("bg").agg(count(lit(1)).as("graft_nbg"))
+    val c1Cnt = occ.groupBy("c1").agg(count(lit(1)).as("graft_nc1"))
+    val model = bgCnt.join(c1Cnt, expr("substring(bg, 1, 1) = c1"))
+      .select(col("bg"),
+        expr("graft_nbg * 1000000 div graft_nc1").as("graft_ppm"))
+    occ.join(broadcast(model), Seq("bg"))
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(graft_ppm) div count(1)").as("fluency_ppm"))
+      .orderBy(col("fluency_ppm").asc, col("doc_id").asc)
+      .limit(bottomK)
+  }
 }

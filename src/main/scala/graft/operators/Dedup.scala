@@ -563,4 +563,89 @@ object Dedup {
       .groupBy("prefix_hash")
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
       .filter(col("n_docs") > 1)
+
+  /** Sign-bit coarse bucket over the first `bits` embedding dimensions —
+    * a '0'/'1' string key both engines can rebuild verbatim. This is the
+    * oracle-replayable stand-in for the coarse quantizer in semantic
+    * dedup: a production run swaps in the IVF centroid assignment
+    * (Similarity.ivfIndex) for better-balanced cells; the downstream
+    * within-cell logic is identical either way. */
+  private def signBucket(vecCol: Column, bits: Int): Column =
+    concat((1 to bits).map(i =>
+      when(element_at(vecCol, i) >= 0f, lit("1")).otherwise(lit("0"))): _*)
+
+  /** Semantic (embedding-space) dedup, SemDeDup-style: partition the
+    * corpus into coarse cells, score only intra-cell pairs, and greedily
+    * keep the lowest id of every near-duplicate pair — a row is dropped
+    * iff SOME lower-id row in its cell sits within `minCos`. Greedy
+    * lowest-id-wins (not connected components) is the standard SemDeDup
+    * discipline: it is one join, deterministic, and never drops a whole
+    * chain transitively linked through intermediate ids.
+    *
+    * Scale posture: the only shuffle is the cell-keyed self-join, so pair
+    * fan-out is bounded by the largest cell, not the corpus; norms are
+    * computed once per row before the join (same trick as
+    * [[embeddingNearDup]]). Returns one row per cell:
+    * (bucket, n_total, n_dropped, n_kept). */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    signBits: Int, minCos: Double): DataFrame = {
+    val rows = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      signBucket(col(vecCol), signBits).as("bk"),
+      V.norm(col(vecCol)).as("nrm"))
+    val a = rows.select(col("id").as("id1"), col("v").as("v1"),
+      col("bk"), col("nrm").as("nrm1"))
+    val b = rows.select(col("id").as("id2"), col("v").as("v2"),
+      col("bk"), col("nrm").as("nrm2"))
+    val dropped = a.join(b, Seq("bk"))
+      .filter(col("id1") < col("id2"))
+      .filter(round(V.dot(col("v1"), col("v2"))
+        / (col("nrm1") * col("nrm2")), 6) >= minCos)
+      .select(col("bk"), col("id2").as("id")).distinct()
+    rows.select("bk", "id")
+      .join(dropped.withColumn("graft_drop", lit(1)), Seq("bk", "id"), "left")
+      .groupBy(col("bk").as("bucket"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("graft_drop").isNotNull, 1L).otherwise(0L)).as("n_dropped"))
+      .withColumn("n_kept", col("n_total") - col("n_dropped"))
+  }
+
+  /** Passage-level duplication audit: slide a `w`-token window with
+    * `stride` over each document, hash every window, and count per doc
+    * how many of its windows also occur in ANOTHER document — the
+    * repeated-passage screen that catches boilerplate paragraphs and
+    * syndicated article bodies that whole-document near-dup misses
+    * (document pairs can be globally dissimilar while sharing a verbatim
+    * paragraph). md5 over the window text keeps the hash engine-portable.
+    *
+    * Scale posture: one explode of ~len/stride windows per doc, one
+    * hash-keyed aggregate for the document frequency, one broadcast-able
+    * join back (the duplicated-window set is the df>1 slice, tiny next
+    * to the corpus) — no pair join at all, cost is a wordcount like
+    * [[prefixDuplicates]]. Docs shorter than `w` tokens are excluded on
+    * both engines. */
+  def passageDuplication(docs: DataFrame, idCol: String, textCol: String,
+                         w: Int, stride: Int): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("id"), T.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= w)
+    val windows = toks
+      .select(col("id"), explode(
+        sequence(lit(1), size(col("toks")) - (w - 1), lit(stride))).as("i"),
+        col("toks"))
+      .select(col("id"),
+        md5(concat_ws(" ", slice(col("toks"), col("i"), lit(w)))).as("h"))
+    val df = windows.groupBy("h")
+      .agg(count_distinct(col("id")).as("graft_df"))
+      .filter(col("graft_df") > 1)
+      .select("h")
+    windows
+      .join(df.withColumn("graft_dup", lit(1)), Seq("h"), "left")
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("graft_dup").isNotNull, 1L).otherwise(0L))
+          .as("n_dup_windows"))
+      .withColumn("dup_frac",
+        round(col("n_dup_windows").cast("double")
+          / col("n_windows").cast("double"), 4))
+  }
 }

@@ -350,4 +350,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_both") === 2L)
     assert(r.getAs[Double]("lift") === 1.0) // 2·3/(3·2)
   }
+
+  test("kAnonymityRisk surfaces only groups under k") {
+    import org.apache.spark.sql.functions.col
+    // (us, gold) has 3 rows = safe at k=3; (us, free) 1 row and (de, gold)
+    // 2 rows are risky.
+    val df = Seq(("us", "gold"), ("us", "gold"), ("us", "gold"),
+      ("us", "free"), ("de", "gold"), ("de", "gold"))
+      .toDF("country", "tier")
+    val got = Analytics.kAnonymityRisk(df, Seq(col("country"), col("tier")),
+        Seq("c", "t"), 3L)
+      .collect().map(r => (r.getAs[String]("c"), r.getAs[String]("t")) ->
+        r.getAs[Long]("n_rows")).toMap
+    assert(got === Map(("us", "free") -> 1L, ("de", "gold") -> 2L))
+  }
 }

@@ -185,4 +185,22 @@ class CorpusSpec extends SparkSpec {
     assert(got("en") === ((2L, 3L, 9L, 33.3333)))
     assert(got("de") === ((1L, 2L, 3L, 66.6667)))
   }
+
+  test("fluencyScore ranks corpus-atypical bigrams lowest") {
+    // Three docs of common English-ish text plus one of rare-transition
+    // noise: the noise doc's bigrams occur once each, so its ppm mean is
+    // far below the repeated-text docs', and it ranks first (least fluent).
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the cat sat again"),
+      (2L, "the cat sat on the mat and the dog sat too"),
+      (3L, "the mat sat on the cat and the dog ran off"),
+      (4L, "zq xv qj vx jz qx zj xq"))
+      .toDF("doc_id", "text")
+    val out = Corpus.fluencyScore(docs, "doc_id", "text", bottomK = 2).collect()
+    assert(out(0).getAs[Long]("doc_id") === 4L)
+    assert(out(0).getAs[Long]("fluency_ppm")
+      < out(1).getAs[Long]("fluency_ppm"))
+    // score is the floored mean of per-occurrence ppms: bounded by 10⁶
+    assert(out.forall(_.getAs[Long]("fluency_ppm") <= 1000000L))
+  }
 }

@@ -257,4 +257,43 @@ class DedupSpec extends SparkSpec {
     assert(out(0).getAs[Long]("n_docs") === 2L)
     assert(out(0).getAs[Long]("keep_id") === 10L)
   }
+
+  test("semanticDedup drops the higher id of a near-identical pair, per cell") {
+    // vecs 1,2 nearly identical (cos≈1) in the ++ cell; 3 is orthogonal in
+    // the same cell sign-wise? no — (0.1,-1) has sign bucket "10" ≠ "11",
+    // so it lands in its own cell and survives; 4 is alone in "01".
+    val emb = Seq(
+      (1L, Array(1.0f, 0.5f)),
+      (2L, Array(0.99f, 0.51f)),
+      (3L, Array(0.1f, -1.0f)),
+      (4L, Array(-0.5f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(emb, "vec_id", "embedding",
+        signBits = 2, minCos = 0.95)
+      .collect().map(r => r.getAs[String]("bucket") ->
+        ((r.getAs[Long]("n_total"), r.getAs[Long]("n_dropped"),
+          r.getAs[Long]("n_kept")))).toMap
+    assert(out("11") === ((2L, 1L, 1L))) // 2 dropped, 1 kept
+    assert(out("10") === ((1L, 0L, 1L)))
+    assert(out("01") === ((1L, 0L, 1L)))
+  }
+
+  test("passageDuplication counts windows shared across docs, not within") {
+    val passage = "one two three four five six seven eight" // exactly w=8 tokens
+    val docs = Seq(
+      (1L, s"$passage alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, s"$passage iota kappa lambda mu nu xi omicron pi"),
+      // doc 3 repeats ITS OWN window twice but shares nothing across docs
+      (3L, s"$passage $passage".replace("one", "uno")))
+      .toDF("doc_id", "text")
+    val out = Dedup.passageDuplication(docs, "doc_id", "text", w = 8, stride = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup_windows")))).toMap
+    // docs 1 and 2 share the opening window (positions 1..8)
+    assert(out(1L)._2 >= 1L && out(2L)._2 >= 1L)
+    // doc 3's self-repeat is NOT cross-doc duplication
+    assert(out(3L)._2 === 0L)
+    // stride-4 window count for 16 tokens: positions 1,5,9 → 3 windows
+    assert(out(1L)._1 === 3L)
+  }
 }
