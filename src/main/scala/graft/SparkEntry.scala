@@ -1214,6 +1214,12 @@ object SparkEntry {
     "q144_fluency" -> ((s, d) =>
       Corpus.fluencyScore(Tables.documents(s, d), "doc_id", "text",
         bottomK = 20)),
+
+    // Tokenizer-vocabulary induction: the first 4 BPE merges learned from
+    // the corpus word-frequency table (one corpus scan, then vocab-sized
+    // iterations); oracle = the 4 merge rounds unrolled as SQL CTEs.
+    "q145_bpe_merges" -> ((s, d) =>
+      Vocab.bpeMerges(Tables.documents(s, d), "text", merges = 4)),
   )
 
   /** Events with the shared-grain µs timestamp column (see q38-q40 note). */
@@ -1439,6 +1445,44 @@ object SparkEntry {
        sz AS (SELECT j, CAST(count(*) AS BIGINT) AS n FROM a4 GROUP BY j)
        SELECT c3.j AS cluster, COALESCE(sz.n, 0) AS n, c3.cx, c3.cy
        FROM c3 LEFT JOIN sz ON c3.j = sz.j"""
+  }
+
+  /** The q145 oracle: 4 BPE merge rounds UNROLLED as SQL CTE stages
+    * (q129's discipline). Pair weights are exact integer sums, the winner
+    * is the (weight DESC, pair ASC) total order, and the merge rewrite is
+    * the same space-padded leftmost non-overlapping `replace` the Scala
+    * loop applies — so every round's winner and rewritten vocab replay
+    * bit-exactly. */
+  private def q145OracleSql: String = {
+    def round(k: Int, wPrev: String) =
+      s"""p$k AS (SELECT pair, CAST(sum(n) AS BIGINT) AS weight
+            FROM (SELECT s.syms[i] || ' ' || s.syms[i + 1] AS pair, s.n
+                  FROM (SELECT string_split(sym, ' ') AS syms, n,
+                               unnest(range(1, len(string_split(sym, ' ')))) AS i
+                        FROM $wPrev) s)
+            GROUP BY pair),
+          b$k AS (SELECT $k AS merge_idx, pair,
+                         replace(pair, ' ', '') AS merged, weight
+                  FROM p$k ORDER BY weight DESC, pair ASC LIMIT 1),
+          w$k AS (SELECT trim(replace(' ' || w.sym || ' ',
+                                      ' ' || b.pair || ' ',
+                                      ' ' || b.merged || ' ')) AS sym, w.n
+                  FROM $wPrev w, b$k b)"""
+    s"""WITH w0 AS (SELECT array_to_string(string_split(w, ''), ' ') AS sym,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM (SELECT unnest(string_split(lower(trim(
+                          regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS w
+                 FROM documents)
+           WHERE length(w) > 0
+           GROUP BY 1),
+       ${round(1, "w0")},
+       ${round(2, "w1")},
+       ${round(3, "w2")},
+       ${round(4, "w3")}
+       SELECT merge_idx, pair, merged, weight FROM b1
+       UNION ALL SELECT merge_idx, pair, merged, weight FROM b2
+       UNION ALL SELECT merge_idx, pair, merged, weight FROM b3
+       UNION ALL SELECT merge_idx, pair, merged, weight FROM b4"""
   }
 
   /** The q131 oracle: PageRank's three integer-arithmetic iterations
@@ -3495,5 +3539,7 @@ object SparkEntry {
          FROM o JOIN m ON o.bg = m.bg
          GROUP BY o.doc_id
          ORDER BY fluency_ppm ASC, doc_id ASC LIMIT 20""",
+
+    "q145_bpe_merges" -> q145OracleSql,
   )
 }

@@ -316,22 +316,30 @@ object Corpus {
     val chars = docs.select(col(idCol).as("id"),
       T.normText(col(textCol)).as("graft_nt"))
       .filter(length(col("graft_nt")) >= 2)
-    val occ = chars
+    // ONE explode pass, immediately collapsed to per-(doc, bigram) counts —
+    // the only corpus-width shuffle. The model derives from this table:
+    // bigram totals roll up over docs, and the head-char totals roll up
+    // over the bigram totals (a position's head char IS its bigram's first
+    // char, so no second corpus scan is ever needed).
+    // Materialized once (artifact): both the model rollup and the final
+    // scoring join read it — without truncation the explode+shuffle would
+    // replay per consumer.
+    val perDoc = Materialize.artifact(chars
       .select(col("id"), explode(
         sequence(lit(1), length(col("graft_nt")) - 1)).as("i"),
         col("graft_nt"))
-      .select(col("id"),
-        expr("substring(graft_nt, i, 2)").as("bg"),
-        expr("substring(graft_nt, i, 1)").as("c1"))
-    val bgCnt = occ.groupBy("bg").agg(count(lit(1)).as("graft_nbg"))
-    val c1Cnt = occ.groupBy("c1").agg(count(lit(1)).as("graft_nc1"))
+      .select(col("id"), expr("substring(graft_nt, i, 2)").as("bg"))
+      .groupBy("id", "bg").agg(count(lit(1)).as("graft_n")))
+    val bgCnt = perDoc.groupBy("bg").agg(sum("graft_n").as("graft_nbg"))
+    val c1Cnt = bgCnt.groupBy(expr("substring(bg, 1, 1)").as("c1"))
+      .agg(sum("graft_nbg").as("graft_nc1"))
     val model = bgCnt.join(c1Cnt, expr("substring(bg, 1, 1) = c1"))
       .select(col("bg"),
         expr("graft_nbg * 1000000 div graft_nc1").as("graft_ppm"))
-    occ.join(broadcast(model), Seq("bg"))
+    perDoc.join(broadcast(model), Seq("bg"))
       .groupBy(col("id").as("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        expr("sum(graft_ppm) div count(1)").as("fluency_ppm"))
+      .agg(sum("graft_n").as("n_bigrams"),
+        expr("sum(graft_ppm * graft_n) div sum(graft_n)").as("fluency_ppm"))
       .orderBy(col("fluency_ppm").asc, col("doc_id").asc)
       .limit(bottomK)
   }

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Tokenizer-vocabulary induction — the first `k` BPE merge steps
+  * (Sennrich-style byte/char-pair encoding), learned the way production
+  * BPE trainers actually learn them at corpus scale: ONE corpus scan
+  * collapses the text to a (word, frequency) table (map-combinable, the
+  * wordcount shape), and every merge iteration runs over that vocab-sized
+  * table — pair counting, argmax, and the merge rewrite never touch the
+  * corpus again. At 100 TB the word table is still ~10⁶ rows; the
+  * iterations are executor-trivial.
+  *
+  * Engine-portable by construction (the q129/q131 unrolled-oracle
+  * discipline): symbols are space-joined char sequences, pair counts are
+  * exact integer sums, the winning pair is (weight DESC, pair ASC) — a
+  * total order — and the merge rewrite is leftmost non-overlapping
+  * `replace` on the space-padded symbol string, which Spark and DuckDB
+  * implement identically. No floats anywhere.
+  */
+object Vocab {
+
+  /** Learn the first `merges` BPE merges from the corpus. Returns one row
+    * per merge: (merge_idx, pair, merged, weight) where weight is the
+    * pair's corpus frequency AT THE TIME it was chosen. */
+  def bpeMerges(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
+    require(merges > 0, "merges must be positive")
+    // (word, freq) — the only corpus-width pass. Symbols start as chars;
+    // regexp '.' per char avoids split("")'s engine-specific edge cases.
+    val words = docs
+      .select(explode(T.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(concat_ws(" ",
+        regexp_extract_all(col("w"), lit("."), lit(0))).as("sym"), col("n"))
+    var vocab = Materialize.artifact(words)
+    var out: DataFrame = null
+    for (k <- 1 to merges) {
+      // Adjacent-symbol pairs weighted by word frequency. Words reduced
+      // to a single symbol stop contributing (sequence guard: size ≥ 2).
+      val pairs = vocab
+        .select(col("n"), split(col("sym"), " ").as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, size(syms) - 1)," +
+            " i -> concat(syms[i - 1], ' ', syms[i]))")).as("pair"))
+        .groupBy("pair").agg(sum("n").as("weight"))
+      // One-row argmax with a total-order tiebreak; materialized so the
+      // TakeOrdered subtree runs once, not once per downstream consumer.
+      val best = Materialize.artifact(pairs
+        .orderBy(col("weight").desc, col("pair").asc)
+        .limit(1)
+        .select(lit(k).as("merge_idx"), col("pair"),
+          regexp_replace(col("pair"), " ", "").as("merged"), col("weight")))
+      out = if (out == null) best else out.unionByName(best)
+      // Space-padding makes the replace symbol-exact (a pair can never
+      // match inside a longer symbol). The rewrite is ONE leftmost
+      // non-overlapping replace pass: inside an unbroken run it merges
+      // alternate occurrences ("a a a a" → "aa a a", because the match
+      // consumes the shared delimiter) rather than exhaustively like a
+      // per-word BPE trainer loop would — a deterministic greedy variant
+      // that both engines implement identically, which is what the
+      // unrolled oracle requires; later rounds pick up the leftovers.
+      vocab = Materialize.artifact(vocab
+        .crossJoin(broadcast(best.select(col("pair").as("graft_p"),
+          col("merged").as("graft_m"))))
+        .select(trim(expr(
+          "replace(' ' || sym || ' ', ' ' || graft_p || ' ', ' ' || graft_m || ' ')"))
+          .as("sym"), col("n")))
+    }
+    out
+  }
+}

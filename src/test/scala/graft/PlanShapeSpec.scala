@@ -223,4 +223,46 @@ class PlanShapeSpec extends SparkSpec {
       assert(exchanges(p) <= 1, s"q122 shuffles fact rows twice:\n$p")
     }
   }
+
+  test("q141 semantic dedup: cell-keyed self-join only, no cartesian") {
+    withCleanCaches {
+      val p = planOf("q141_semantic_dedup")
+      assert(!p.contains("CartesianProduct"),
+        s"q141 degenerated to all-pairs:\n$p")
+      // pair join keyed on the cell bucket: join-side exchanges + the
+      // distinct + final group-by; beyond that the fan-out leaked
+      assert(exchanges(p) <= 6, s"q141 shuffles more than join+agg:\n$p")
+    }
+  }
+
+  test("q142 passage dedup: no pair join — window df is an aggregate, not pairs") {
+    withCleanCaches {
+      val p = planOf("q142_passage_dedup")
+      assert(!p.contains("CartesianProduct"), p)
+      // window hash agg, the df>1 back-join, and the per-doc rollup; a
+      // pair-style self-join would add exchanges beyond these
+      assert(exchanges(p) <= 5, s"q142 grew beyond wordcount shape:\n$p")
+    }
+  }
+
+  test("q143 k-anonymity: one map-combinable aggregate, filter on the agg side") {
+    withCleanCaches {
+      val p = planOf("q143_k_anonymity")
+      assert(!p.contains("Join"), s"q143 grew a join:\n$p")
+      assert(exchanges(p) === 1, s"q143 must be one group-by exchange:\n$p")
+      assert(p.contains("partial_count"),
+        s"q143 lost the map-side combine:\n$p")
+    }
+  }
+
+  test("q144 fluency: model joins back as BROADCAST onto per-doc counts") {
+    withCleanCaches {
+      val p = planOf("q144_fluency")
+      assert(p.contains("BroadcastExchange"),
+        s"q144's charset^2 model must broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"q144 bottom-k must not global-sort:\n$p")
+    }
+  }
 }
