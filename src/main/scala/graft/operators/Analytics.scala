@@ -361,9 +361,14 @@ object Analytics {
   /** Label distribution with cumulative share in descending-count order —
     * the class-balance report read before training ("how many classes
     * cover 90% of the data?"). One aggregate to O(|labels|) rows, then a
-    * single-partition window over that tiny result (the global window is
-    * fine BECAUSE it runs on labels, never rows). */
-  def labelBalance(df: DataFrame, labelCol: String): DataFrame = {
+    * single-partition window over that tiny result — fine BECAUSE it runs
+    * on labels, never rows, and that precondition is ENFORCED in-plan:
+    * `maxLabels` raises inside the window stage if a caller passes a
+    * row-cardinality column (user_id), instead of silently serializing
+    * the job onto one task. The guard is a window count over the same
+    * single partition the cumulative sums already use — zero extra cost. */
+  def labelBalance(df: DataFrame, labelCol: String,
+                   maxLabels: Long = 1000000L): DataFrame = {
     val counts = df.groupBy(col(labelCol).as("label"))
       .agg(count(lit(1)).as("n"))
     import org.apache.spark.sql.expressions.Window
@@ -375,6 +380,15 @@ object Analytics {
       .withColumn("share", round(col("n") / sum("n").over(tot), 6))
       .withColumn("cum_share",
         round(sum("n").over(cum) / sum("n").over(tot), 6))
+      // assert_true returns NULL when the predicate holds; the filter
+      // keeps every row and cannot be pruned as an unused projection.
+      // (Window expressions are projected first — a window call directly
+      // inside filter() is rejected by the analyzer.)
+      .withColumn("graft_nl", count(lit(1)).over(tot))
+      .filter(assert_true(col("graft_nl") <= maxLabels,
+        lit(s"labelBalance: label cardinality exceeds $maxLabels — " +
+          "this column is not a label")).isNull)
+      .drop("graft_nl")
   }
 
   /** Rolling `windowDays`-day distinct active users per OBSERVED day —

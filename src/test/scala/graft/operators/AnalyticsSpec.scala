@@ -143,6 +143,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.map(_._4) === List(0.6, 0.9, 1.0))
   }
 
+  test("labelBalance raises in-plan when cardinality exceeds maxLabels") {
+    val df = (Seq.fill(6)("x") ++ Seq.fill(3)("y") ++ Seq.fill(1)("z"))
+      .toDF("label")
+    val ex = intercept[Exception] {
+      Analytics.labelBalance(df, "label", maxLabels = 2L).collect()
+    }
+    assert(ex.getMessage.contains("not a label")
+      || ex.getCause != null && ex.getCause.getMessage.contains("not a label"))
+    // at the bound it must NOT fire
+    assert(Analytics.labelBalance(df, "label", maxLabels = 3L)
+      .count() === 3L)
+  }
+
   test("madOutliers flags only the spike; degenerate (MAD=0) group flags nothing") {
     val df = (Seq.tabulate(20)(i => ("a", i.toLong, 100.0 + i)) :+
       ("a", 99L, 10000.0)) ++ // spike
