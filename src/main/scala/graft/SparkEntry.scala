@@ -1220,6 +1220,11 @@ object SparkEntry {
     // iterations); oracle = the 4 merge rounds unrolled as SQL CTEs.
     "q145_bpe_merges" -> ((s, d) =>
       Vocab.bpeMerges(Tables.documents(s, d), "text", merges = 4)),
+
+    // Apply the corpus-learned merges back per source: token-count
+    // compression readout (chars baseline vs BPE'd), integer ppm savings.
+    "q146_bpe_encode" -> ((s, d) =>
+      Vocab.bpeEncode(Tables.documents(s, d), "text", "source", merges = 4)),
   )
 
   /** Events with the shared-grain µs timestamp column (see q38-q40 note). */
@@ -1483,6 +1488,36 @@ object SparkEntry {
        UNION ALL SELECT merge_idx, pair, merged, weight FROM b2
        UNION ALL SELECT merge_idx, pair, merged, weight FROM b3
        UNION ALL SELECT merge_idx, pair, merged, weight FROM b4"""
+  }
+
+  /** The q146 oracle: q145's four learning rounds (same CTEs) plus the
+    * per-source encode — the k merges applied in learned order as nested
+    * scalar-subquery replaces over the per-source word table. */
+  private def q146OracleSql: String = {
+    val learning = q145OracleSql
+      .substring(0, q145OracleSql.indexOf("SELECT merge_idx"))
+      .trim.stripSuffix(",")
+    val rewritten = (1 to 4).foldLeft("sym") { (e, k) =>
+      s"trim(replace(' ' || $e || ' ', ' ' || (SELECT pair FROM b$k) || ' ', ' ' || (SELECT merged FROM b$k) || ' '))"
+    }
+    s"""$learning,
+       ws AS (SELECT source, array_to_string(string_split(w, ''), ' ') AS sym,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM (SELECT source, unnest(string_split(lower(trim(
+                             regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS w
+                    FROM documents)
+              WHERE length(w) > 0
+              GROUP BY 1, 2),
+       enc AS (SELECT source, n,
+                      len(string_split(sym, ' ')) * n AS tc,
+                      len(string_split($rewritten, ' ')) * n AS tb
+               FROM ws)
+       SELECT source, CAST(sum(n) AS BIGINT) AS n_words,
+              CAST(sum(tc) AS BIGINT) AS tokens_chars,
+              CAST(sum(tb) AS BIGINT) AS tokens_bpe,
+              CAST((sum(tc) - sum(tb)) * 1000000 // sum(tc) AS BIGINT)
+                AS saved_ppm
+       FROM enc GROUP BY source"""
   }
 
   /** The q131 oracle: PageRank's three integer-arithmetic iterations
@@ -3541,5 +3576,6 @@ object SparkEntry {
          ORDER BY fluency_ppm ASC, doc_id ASC LIMIT 20""",
 
     "q145_bpe_merges" -> q145OracleSql,
+    "q146_bpe_encode" -> q146OracleSql,
   )
 }

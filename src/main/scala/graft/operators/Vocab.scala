@@ -72,4 +72,46 @@ object Vocab {
     }
     out
   }
+
+  /** Encode with a learned merge table: apply the k merges IN LEARNED
+    * ORDER to per-group word-frequency tables and report the token-count
+    * compression per group — the "did the vocabulary help, and for which
+    * source/language?" readout (tokenizer fertility with the corpus's own
+    * tokenizer instead of a char baseline).
+    *
+    * Scale posture: one corpus scan per side (the learning scan inside
+    * [[bpeMerges]] and the per-group wordcount here); the merge table
+    * pivots to a single broadcast row, so applying k merges is k nested
+    * string replaces in ONE narrow projection over the vocab-sized table —
+    * no joins, no extra shuffles. */
+  def bpeEncode(docs: DataFrame, textCol: String, groupCol: String,
+                merges: Int): DataFrame = {
+    val mergeTable = bpeMerges(docs, textCol, merges)
+    // (pair, merged) per round as one broadcast row of 2k scalar columns.
+    val aggs = (1 to merges).flatMap { k =>
+      Seq(max(when(col("merge_idx") === k, col("pair"))).as(s"graft_p$k"),
+        max(when(col("merge_idx") === k, col("merged"))).as(s"graft_m$k"))
+    }
+    val m = mergeTable.groupBy().agg(aggs.head, aggs.tail: _*)
+    val words = docs
+      .select(col(groupCol).as("grp"),
+        explode(T.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("grp", "w").agg(count(lit(1)).as("n"))
+      .select(col("grp"), concat_ws(" ",
+        regexp_extract_all(col("w"), lit("."), lit(0))).as("sym"), col("n"))
+    val rewritten = (1 to merges).foldLeft("sym") { (e, k) =>
+      s"trim(replace(' ' || $e || ' ', ' ' || graft_p$k || ' ', ' ' || graft_m$k || ' '))"
+    }
+    words.crossJoin(broadcast(m))
+      .select(col("grp").as(groupCol), col("n"),
+        (size(split(col("sym"), " ")) * col("n")).as("graft_tc"),
+        (size(split(expr(rewritten), " ")) * col("n")).as("graft_tb"))
+      .groupBy(groupCol)
+      .agg(sum("n").as("n_words"),
+        sum("graft_tc").as("tokens_chars"),
+        sum("graft_tb").as("tokens_bpe"))
+      .withColumn("saved_ppm", expr(
+        "(tokens_chars - tokens_bpe) * 1000000 div tokens_chars"))
+  }
 }

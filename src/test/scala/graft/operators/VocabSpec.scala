@@ -33,4 +33,19 @@ class VocabSpec extends SparkSpec {
     assert(got(0) === (("a a", 3L)))
     assert(got(1) === (("a a", 1L)))
   }
+
+  test("bpeEncode applies merges in learned order and reports savings") {
+    // Learned on the whole corpus ("aaab" x3, "ab" x2 — see the first
+    // test): merge1 "a a"->aa, merge2 "a b"->ab, merge3 "aa ab"->aaab.
+    // Encoding "aaab": a a a b -> aa a b -> aa ab -> aaab = 1 token (from
+    // 4 chars); "ab": a b -> a b -> ab -> ab = 1 token (from 2 chars).
+    val docs = Seq(("s1", "aaab aaab"), ("s1", "aaab ab ab"))
+      .toDF("source", "text")
+    val r = Vocab.bpeEncode(docs, "text", "source", merges = 3).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("n_words") === 5L)
+    assert(r(0).getAs[Long]("tokens_chars") === 3 * 4L + 2 * 2L)
+    assert(r(0).getAs[Long]("tokens_bpe") === 5L)
+    assert(r(0).getAs[Long]("saved_ppm") === (16L - 5L) * 1000000L / 16L)
+  }
 }
