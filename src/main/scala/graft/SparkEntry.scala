@@ -1225,6 +1225,18 @@ object SparkEntry {
     // compression readout (chars baseline vs BPE'd), integer ppm savings.
     "q146_bpe_encode" -> ((s, d) =>
       Vocab.bpeEncode(Tables.documents(s, d), "text", "source", merges = 4)),
+
+    // Incremental MinHash near-dup: the batch (docs with id % 3 != 0)
+    // probes the ingested third's PERSISTED bucketed band store, verified
+    // against its persisted signatures — q81's incremental shape for the
+    // LSH family, oracle-replayed end to end.
+    "q147_incremental_minhash" -> ((s, d) => {
+      val (bandTbl, sigTbl) = lshStoreTables(s, d)
+      Dedup.incrementalMinhash(
+        Tables.documents(s, d).filter(pmod(col("doc_id"), lit(3)) =!= 0),
+        "doc_id", "text", n = 3, bands = 8, rowsPerBand = 2,
+        minAgree = 0.5, s.table(bandTbl), s.table(sigTbl))
+    }),
   )
 
   /** Events with the shared-grain µs timestamp column (see q38-q40 note). */
@@ -1280,6 +1292,32 @@ object SparkEntry {
         .write.mode("overwrite").bucketBy(buckets, "fp").sortBy("fp")
         .saveAsTable(tbl)
       tbl
+    })
+
+  /** Bucketed LSH signature store backing q147 — the q81 layout for the
+    * NEAR-dup family: the ingested third's (id, band, bk) band table
+    * bucketed on (band, bk) (the candidate probe's join key) and its
+    * (id, sig) signature table bucketed on id (the verify join's key),
+    * both from the portable md5 signature stage so the DuckDB oracle
+    * replays the whole incremental path. */
+  private val lshStoreCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String)]
+  private def lshStoreTables(s: SparkSession, d: String): (String, String) =
+    lshStoreCache.getOrElseUpdate((s, d), {
+      val suffix = (d.hashCode.toLong & 0xffffffffL).toString
+      val bandTbl = "graft_q147_bands_" + suffix
+      val sigTbl = "graft_q147_sigs_" + suffix
+      val buckets = s.sessionState.conf.numShufflePartitions
+      operators.Etl.resetManagedTable(s, bandTbl)
+      operators.Etl.resetManagedTable(s, sigTbl)
+      val (banded, sig) = Dedup.minhashStoreTables(
+        Tables.documents(s, d).filter(pmod(col("doc_id"), lit(3)) === 0),
+        "doc_id", "text", n = 3, bands = 8, rowsPerBand = 2)
+      banded.write.mode("overwrite")
+        .bucketBy(buckets, "band", "bk").saveAsTable(bandTbl)
+      sig.write.mode("overwrite")
+        .bucketBy(buckets, "id").saveAsTable(sigTbl)
+      (bandTbl, sigTbl)
     })
 
   /** Parquet store + bloom sidecar for q97, memoized per (session, dir):
@@ -3577,5 +3615,36 @@ object SparkEntry {
 
     "q145_bpe_merges" -> q145OracleSql,
     "q146_bpe_encode" -> q146OracleSql,
+
+    // q82's signature pipeline with the candidate join split store-side
+    // (doc_id % 3 = 0) vs batch-side — the incremental probe replayed.
+    "q147_incremental_minhash" ->
+      """WITH t AS (SELECT doc_id,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                       toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+                FROM (SELECT doc_id, toks,
+                             unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i
+                      FROM t)),
+         mh AS (SELECT doc_id, s,
+                       min(substr(md5((s // 4)::VARCHAR || ':' || g),
+                                  CAST(1 + 8 * (s % 4) AS INTEGER), 8)) AS h
+                FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS s) seeds
+                GROUP BY doc_id, s),
+         sig AS (SELECT doc_id, list(h ORDER BY s) AS sig FROM mh GROUP BY doc_id),
+         band AS (SELECT doc_id, b, sig[2*b+1] || '|' || sig[2*b+2] AS bk
+                  FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS b) bands),
+         cand AS (SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+                  FROM band a JOIN band c ON a.b = c.b AND a.bk = c.bk
+                  WHERE a.doc_id % 3 = 0 AND c.doc_id % 3 <> 0),
+         agr AS (SELECT cand.id1, cand.id2,
+                        sum(CASE WHEN s1.sig[k+1] = s2.sig[k+1] THEN 1 ELSE 0 END) AS agree
+                 FROM cand JOIN sig s1 ON cand.id1 = s1.doc_id
+                           JOIN sig s2 ON cand.id2 = s2.doc_id
+                      CROSS JOIN (SELECT unnest(range(0, 16)) AS k) ks
+                 GROUP BY 1, 2)
+         SELECT id1, id2, round(agree / 16.0, 4) AS est_jaccard
+         FROM agr WHERE agree / 16.0 >= 0.5""",
   )
 }

@@ -564,6 +564,73 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
       .filter(col("n_docs") > 1)
 
+  /** Incremental NEAR-dup against a persisted LSH signature store — the
+    * q81 (incremental exact) discipline extended to the MinHash family: a
+    * long-lived ingest persists, for every accepted document, its banded
+    * bucket keys and its full signature (both bucketed tables); a new
+    * batch computes signatures for ITS OWN rows only, probes the band
+    * store on (band, bucket) — the store side reads its buckets with no
+    * shuffle — and verifies candidates against the stored signatures.
+    * Per-batch cost tracks the batch size and the collision rate, never
+    * the store size; no shingle of an already-ingested document is ever
+    * recomputed. Returns (id1 = store doc, id2 = batch doc, est_jaccard)
+    * for flagged pairs; callers anti-join `id2` to admit survivors.
+    *
+    * `storeBands` must carry (id, band, bk); `storeSigs` (id, sig) — both
+    * built with the SAME (n, bands, rowsPerBand) by the portable pipeline
+    * ([[minhashPairsPortable]]'s signature stage), which is what makes the
+    * whole incremental path oracle-replayable. */
+  def incrementalMinhash(batch: DataFrame, idCol: String, textCol: String,
+                         n: Int, bands: Int, rowsPerBand: Int,
+                         minAgree: Double, storeBands: DataFrame,
+                         storeSigs: DataFrame): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = batch
+      .select(col(idCol).as("id"), T.wordShinglesNative(col(textCol), n).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .select(col("id"), T.md5MinhashNative(col("shs"), numHashes).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sig.select(col("id").as("id2"),
+      posexplode(array((0 until bands).map { b =>
+        concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+      }: _*)).as(Seq("band", "bk")))
+    val candidates = banded
+      .join(storeBands.select(col("id").as("id1"), col("band"), col("bk")),
+        Seq("band", "bk"))
+      .select("id1", "id2").distinct()
+    val agree = aggregate(
+      zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x)
+    val out = candidates
+      .join(storeSigs.select(col("id").as("id1"), col("sig").as("sig1")), "id1")
+      .join(sig.select(col("id").as("id2"), col("sig").as("sig2")), "id2")
+      .withColumn("est_jaccard", round(agree.cast("double") / numHashes, 4))
+      .filter(agree.cast("double") / numHashes >= minAgree)
+      .select(col("id1"), col("id2"), col("est_jaccard"))
+      .transform(Materialize.artifact)
+    sig.unpersist()
+    out
+  }
+
+  /** The store half of [[incrementalMinhash]]: (id, band, bk) band table
+    * and (id, sig) signature table for `docs`, from the same portable
+    * signature stage. A real ingest appends each batch's survivors to
+    * both tables; here it builds them in one pass for the store split. */
+  def minhashStoreTables(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int, bands: Int,
+                         rowsPerBand: Int): (DataFrame, DataFrame) = {
+    val numHashes = bands * rowsPerBand
+    val sig = docs
+      .select(col(idCol).as("id"), T.wordShinglesNative(col(textCol), n).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .select(col("id"), T.md5MinhashNative(col("shs"), numHashes).as("sig"))
+    val banded = sig.select(col("id"),
+      posexplode(array((0 until bands).map { b =>
+        concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+      }: _*)).as(Seq("band", "bk")))
+    (banded, sig)
+  }
+
   /** Sign-bit coarse bucket over the first `bits` embedding dimensions —
     * a '0'/'1' string key both engines can rebuild verbatim. This is the
     * oracle-replayable stand-in for the coarse quantizer in semantic

@@ -255,6 +255,32 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q147 incremental minhash: bucketed stores add no store-side shuffle") {
+    withCleanCaches {
+      // Force the 100 TB join regime (a corpus-scale signature store
+      // never broadcasts), then bound the shuffle count: probe-side
+      // exchanges only — if either store lost its bucketed layout the
+      // join would add its Exchange and break the bound.
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val p = planOf("q147_incremental_minhash")
+        assert(!p.contains("CartesianProduct"), p)
+        assert(exchanges(p) <= 6,
+          s"q147 grew a store-side shuffle:\n$p")
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      // and the layout itself is a catalog fact, not an inference:
+      val cat = spark.sessionState.catalog
+      val specs = Seq("bands", "sigs").map { kind =>
+        cat.getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+          cat.listTables("default").map(_.table)
+            .find(t => t.startsWith(s"graft_q147_$kind")).get)).bucketSpec
+      }
+      assert(specs.forall(_.isDefined), s"q147 store lost bucketSpec: $specs")
+      assert(specs.head.get.bucketColumnNames === Seq("band", "bk"))
+      assert(specs(1).get.bucketColumnNames === Seq("id"))
+    }
+  }
+
   test("q144 fluency: model joins back as BROADCAST onto per-doc counts") {
     withCleanCaches {
       val p = planOf("q144_fluency")

@@ -258,6 +258,31 @@ class DedupSpec extends SparkSpec {
     assert(out(0).getAs[Long]("keep_id") === 10L)
   }
 
+  test("incrementalMinhash flags batch docs near-duplicating the store only") {
+    // Store = ids 3, 6 (the ingest split); batch = 1, 2, 4, 5. Doc 4 is a
+    // near-copy of stored doc 3; docs 1/2 near-duplicate EACH OTHER but
+    // nothing in the store, so the incremental probe must NOT flag them
+    // (in-batch dedup is a separate pass); 5 matches nothing.
+    val txt3 = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val docs = Seq(
+      (1L, "an entirely separate piece of writing about distributed query engines"),
+      (2L, "an entirely separate piece of writing about distributed query planners"),
+      (3L, txt3),
+      (4L, txt3 + " again"),
+      (5L, "yet another unrelated fragment mentioning volcanoes and glaciers"),
+      (6L, "stored text with no counterpart in the arriving batch at all"))
+      .toDF("doc_id", "text")
+    val store = docs.filter($"doc_id" % 3 === 0)
+    val batch = docs.filter($"doc_id" % 3 =!= 0)
+    val (bands, sigs) = Dedup.minhashStoreTables(store, "doc_id", "text", 3, 8, 2)
+    val got = Dedup.incrementalMinhash(batch, "doc_id", "text", 3, 8, 2, 0.5,
+        bands, sigs)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(got.contains((3L, 4L)))
+    assert(!got.exists(p => p._2 == 1L || p._2 == 2L || p._2 == 5L))
+    assert(got.forall(p => p._1 % 3 == 0 && p._2 % 3 != 0))
+  }
+
   test("semanticDedup drops the higher id of a near-identical pair, per cell") {
     // vecs 1,2 nearly identical (cos≈1) in the ++ cell; 3 is orthogonal in
     // the same cell sign-wise? no — (0.1,-1) has sign bucket "10" ≠ "11",
