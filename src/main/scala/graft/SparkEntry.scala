@@ -1218,13 +1218,14 @@ object SparkEntry {
     // Tokenizer-vocabulary induction: the first 4 BPE merges learned from
     // the corpus word-frequency table (one corpus scan, then vocab-sized
     // iterations); oracle = the 4 merge rounds unrolled as SQL CTEs.
-    "q145_bpe_merges" -> ((s, d) =>
-      Vocab.bpeMerges(Tables.documents(s, d), "text", merges = 4)),
+    "q145_bpe_merges" -> ((s, d) => bpeMergeTable(s, d)),
 
     // Apply the corpus-learned merges back per source: token-count
     // compression readout (chars baseline vs BPE'd), integer ppm savings.
+    // The learning pass is the memoized q145 substrate — computed once.
     "q146_bpe_encode" -> ((s, d) =>
-      Vocab.bpeEncode(Tables.documents(s, d), "text", "source", merges = 4)),
+      Vocab.bpeEncode(Tables.documents(s, d), "text", "source", merges = 4,
+        precomputed = Some(bpeMergeTable(s, d)))),
 
     // Incremental MinHash near-dup: the batch (docs with id % 3 != 0)
     // probes the ingested third's PERSISTED bucketed band store, verified
@@ -1268,6 +1269,16 @@ object SparkEntry {
     clustersCache.getOrElseUpdate((s, d),
       Components.connected(jaccardPairs(s, d), "id1", "id2")
         .select(col("id").as("doc_id"), col("cluster")))
+
+  /** BPE merge table shared by q145 (the learned merges) and q146 (the
+    * encode readout), memoized per (session, dir): the learning rounds'
+    * outputs are one-row materialized artifacts, so the memo holds a
+    * computed result, never a pinned corpus cache. */
+  private val bpeMergeCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def bpeMergeTable(s: SparkSession, d: String): DataFrame =
+    bpeMergeCache.getOrElseUpdate((s, d),
+      Vocab.bpeMerges(Tables.documents(s, d), "text", merges = 4))
 
   /** Bucketed fp store backing q81, built once per (session, scale dir):
     * distinct fingerprints of the corpus third with doc_id % 3 == 0,
@@ -1370,6 +1381,8 @@ object SparkEntry {
     zoneStoreCache.clear()
     clustersCache.clear()
     fpStoreCache.clear()
+    lshStoreCache.clear()
+    bpeMergeCache.clear()
     pairStatsCache.clear()
     rfCache.clear()
     clusterCache.clear()

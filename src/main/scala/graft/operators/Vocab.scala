@@ -85,8 +85,9 @@ object Vocab {
     * string replaces in ONE narrow projection over the vocab-sized table —
     * no joins, no extra shuffles. */
   def bpeEncode(docs: DataFrame, textCol: String, groupCol: String,
-                merges: Int): DataFrame = {
-    val mergeTable = bpeMerges(docs, textCol, merges)
+                merges: Int,
+                precomputed: Option[DataFrame] = None): DataFrame = {
+    val mergeTable = precomputed.getOrElse(bpeMerges(docs, textCol, merges))
     // (pair, merged) per round as one broadcast row of 2k scalar columns.
     val aggs = (1 to merges).flatMap { k =>
       Seq(max(when(col("merge_idx") === k, col("pair"))).as(s"graft_p$k"),
