@@ -1227,6 +1227,13 @@ object SparkEntry {
       Vocab.bpeEncode(Tables.documents(s, d), "text", "source", merges = 4,
         precomputed = Some(bpeMergeTable(s, d)))),
 
+    // Hard-negative mining: per anchor, the 2 most similar DIFFERENT-label
+    // vectors from its coarse cell — contrastive-training pair selection,
+    // deterministic (6-dp cosine, id tiebreak).
+    "q148_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(Tables.embeddings(s, d), "vec_id",
+        "embedding", "label", signBits = 4, k = 2)),
+
     // Incremental MinHash near-dup: the batch (docs with id % 3 != 0)
     // probes the ingested third's PERSISTED bucketed band store, verified
     // against its persisted signatures — q81's incremental shape for the
@@ -3628,6 +3635,26 @@ object SparkEntry {
 
     "q145_bpe_merges" -> q145OracleSql,
     "q146_bpe_encode" -> q146OracleSql,
+
+    "q148_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         b AS (SELECT vec_id, label, v,
+                 (CASE WHEN v[1] >= 0 THEN '1' ELSE '0' END) ||
+                 (CASE WHEN v[2] >= 0 THEN '1' ELSE '0' END) ||
+                 (CASE WHEN v[3] >= 0 THEN '1' ELSE '0' END) ||
+                 (CASE WHEN v[4] >= 0 THEN '1' ELSE '0' END) AS bk
+               FROM e),
+         p AS (SELECT a.vec_id AS anchor_id, c.vec_id AS neg_id,
+                      round(list_dot_product(a.v, c.v)
+                            / (sqrt(list_dot_product(a.v, a.v))
+                               * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+               FROM b a JOIN b c ON a.bk = c.bk AND a.label <> c.label),
+         r AS (SELECT anchor_id, neg_id, cos,
+                      CAST(row_number() OVER (PARTITION BY anchor_id
+                        ORDER BY cos DESC, neg_id ASC) AS INTEGER) AS rank
+               FROM p)
+         SELECT anchor_id, neg_id, cos, rank FROM r WHERE rank <= 2""",
 
     // q82's signature pipeline with the candidate join split store-side
     // (doc_id % 3 = 0) vs batch-side — the incremental probe replayed.

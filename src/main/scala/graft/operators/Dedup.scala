@@ -637,7 +637,7 @@ object Dedup {
     * dedup: a production run swaps in the IVF centroid assignment
     * (Similarity.ivfIndex) for better-balanced cells; the downstream
     * within-cell logic is identical either way. */
-  private def signBucket(vecCol: Column, bits: Int): Column =
+  private[operators] def signBucket(vecCol: Column, bits: Int): Column =
     concat((1 to bits).map(i =>
       when(element_at(vecCol, i) >= 0f, lit("1")).otherwise(lit("0"))): _*)
 

@@ -568,4 +568,37 @@ object Similarity {
           / (col("n1").cast("double") * col("n2").cast("double"))
           / lit(scale.toDouble), 6).as("dist"))
   }
+
+  /** Hard-negative mining for contrastive training: for every anchor, the
+    * `k` most similar vectors carrying a DIFFERENT label — the pairs that
+    * teach a metric model the most (easy negatives are already far; hard
+    * ones sit on the decision boundary). Candidates come from the same
+    * coarse cells the semantic-dedup pass uses ([[Dedup.signBucket]];
+    * production swaps in IVF cells), so the pair join is cell-keyed and
+    * fan-out is bounded by the largest cell, never the corpus. Within-cell
+    * ranking is a per-anchor window over 6-dp-rounded cosine with an id
+    * tiebreak — deterministic cross-engine. Cell-local mining is the
+    * standard trade (the hardest negatives are overwhelmingly same-cell by
+    * construction of any locality-preserving bucketer); a cross-cell miss
+    * is an easy negative, which contrastive batches get for free anyway. */
+  def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, signBits: Int, k: Int): DataFrame = {
+    val rows = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      col(labelCol).as("lbl"),
+      Dedup.signBucket(col(vecCol), signBits).as("bk"),
+      V.norm(col(vecCol)).as("nrm"))
+    val a = rows.select(col("id").as("anchor_id"), col("v").as("v1"),
+      col("lbl").as("graft_l1"), col("bk"), col("nrm").as("nrm1"))
+    val b = rows.select(col("id").as("neg_id"), col("v").as("v2"),
+      col("lbl").as("graft_l2"), col("bk"), col("nrm").as("nrm2"))
+    val w = Window.partitionBy("anchor_id")
+      .orderBy(col("cos").desc, col("neg_id").asc)
+    a.join(b, Seq("bk"))
+      .filter(col("graft_l1") =!= col("graft_l2"))
+      .withColumn("cos", round(V.dot(col("v1"), col("v2"))
+        / (col("nrm1") * col("nrm2")), 6))
+      .select(col("anchor_id"), col("neg_id"), col("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

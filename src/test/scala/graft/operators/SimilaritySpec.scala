@@ -121,4 +121,24 @@ class SimilaritySpec extends SparkSpec {
     assert((r.getAs[Long]("n1"), r.getAs[Long]("n2")) === ((2L, 1L)))
     assert(r.getAs[Double]("dist") === 5.0)
   }
+
+  test("hardNegatives ranks nearest different-label vectors, skips same label") {
+    // Cell "11" (both dims positive): anchor 1 (label 0) sits next to a
+    // SAME-label near twin (2) — excluded — and two different-label vecs:
+    // 3 is closer than 4, so ranks are (3: 1, 4: 2). Vector 5 lives in
+    // another cell and must never pair with 1.
+    val emb = Seq(
+      (1L, 0, Array(1.0f, 0.5f)),
+      (2L, 0, Array(0.99f, 0.5f)),   // same label: not a negative
+      (3L, 1, Array(0.9f, 0.6f)),    // hard negative, rank 1
+      (4L, 1, Array(0.1f, 1.0f)),    // softer negative, rank 2
+      (5L, 1, Array(-1.0f, 0.5f)))   // different cell
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+        signBits = 2, k = 2)
+      .filter($"anchor_id" === 1L)
+      .orderBy($"rank")
+      .select("neg_id", "rank").as[(Long, Int)].collect().toList
+    assert(got === List((3L, 1), (4L, 2)))
+  }
 }
