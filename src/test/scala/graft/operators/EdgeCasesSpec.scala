@@ -142,4 +142,29 @@ class EdgeCasesSpec extends SparkSpec {
     assert(rep(2).getAs[Long]("n_tokens") === 1L)
     assert(Dedup.pairShingleStats(docs, "doc_id", "text", 3).count() === 0)
   }
+
+  test("round-8 operators on empty/degenerate input → empty, no throw") {
+    val noEmb = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(Dedup.semanticDedup(noEmb, "vec_id", "embedding", 4, 0.9)
+      .count() === 0)
+    assert(Similarity.hardNegatives(noEmb, "vec_id", "embedding", "label",
+      4, 2).count() === 0)
+    // all docs shorter than the window → zero windows, zero rows
+    val short = Seq((1L, "just three words"), (2L, "")).toDF("doc_id", "text")
+    assert(Dedup.passageDuplication(short, "doc_id", "text", 8, 4)
+      .count() === 0)
+    assert(Dedup.passageDuplication(noDocs, "doc_id", "text", 8, 4)
+      .count() === 0)
+    assert(Corpus.fluencyScore(noDocs, "doc_id", "text", 20).count() === 0)
+    assert(Analytics.kAnonymityRisk(noDocs, Seq(col("text")), Seq("t"), 3L)
+      .count() === 0)
+  }
+
+  test("bpeMerges on a pairless corpus learns nothing and does not throw") {
+    // single-char words only → no adjacent symbol pairs → zero merges
+    val docs = Seq("a b c", "a a b").toDF("text")
+    assert(Vocab.bpeMerges(docs, "text", merges = 2).count() === 0)
+    assert(Vocab.bpeMerges(noDocs.select("text"), "text", 2).count() === 0)
+  }
 }
