@@ -1227,6 +1227,35 @@ object SparkEntry {
       Vocab.bpeEncode(Tables.documents(s, d), "text", "source", merges = 4,
         precomputed = Some(bpeMergeTable(s, d)))),
 
+    // The reference DAG's transform cadence end to end (dag.py's
+    // extract→align→concat→dedup→chart chain, q140's discipline for the
+    // music-ETL side): history store + a re-fetched "API batch" whose
+    // window OVERLAPS the store by 7 days (renamed fields, aligned back),
+    // concatenated, overlap collapsed by keyed dedup, and the weeks-on-
+    // chart leaderboard read off the merged store — hash-checked end to
+    // end. Every stage is an already-proven primitive; the only new facts
+    // are the handoffs.
+    "q149_etl_pipeline" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val dayNs = 86400L * 1000000000L
+      val m = ev.agg(max(col("ts")).as("graft_mt"))
+      val wide = ev.crossJoin(broadcast(m))
+      val hist = wide.filter(col("ts") <= col("graft_mt") - lit(7L * dayNs))
+      val batch = wide.filter(col("ts") > col("graft_mt") - lit(14L * dayNs))
+      // the "API" ships its own field names; align back to the warehouse
+      // schema (dag.py's rename/align step) before the concat
+      val api = batch.select(col("event_id").as("id"),
+        col("user_id").as("entity"), col("ts").as("captured_at"),
+        col("ts_t").as("captured_t"), col("value").as("score"))
+      val aligned = api.select(col("id").as("event_id"),
+        col("entity").as("user_id"), col("captured_at").as("ts"),
+        col("captured_t").as("ts_t"), col("score").as("value"))
+      val cols = Seq("event_id", "user_id", "ts", "ts_t", "value")
+      val merged = hist.select(cols.map(col): _*).unionByName(aligned)
+      val store = Etl.dedupKeys(merged, Seq("event_id"), Seq("ts"))
+      Charts.weeksOnChart(store, "user_id", "ts_t", "value", 10)
+    }),
+
     // Hard-negative mining: per anchor, the 2 most similar DIFFERENT-label
     // vectors from its coarse cell — contrastive-training pair selection,
     // deterministic (6-dp cosine, id tiebreak).
@@ -3635,6 +3664,38 @@ object SparkEntry {
 
     "q145_bpe_merges" -> q145OracleSql,
     "q146_bpe_encode" -> q146OracleSql,
+
+    "q149_etl_pipeline" ->
+      """WITH mxs AS (SELECT max(ts) AS mt FROM events),
+         hist AS (SELECT event_id, user_id, ts, value FROM events, mxs
+                  WHERE ts <= mt - INTERVAL 7 DAY),
+         batch AS (SELECT event_id, user_id, ts, value FROM events, mxs
+                   WHERE ts > mt - INTERVAL 14 DAY),
+         merged AS (SELECT * FROM hist UNION ALL SELECT * FROM batch),
+         store AS (SELECT event_id, user_id, ts, value
+                   FROM (SELECT *, row_number() OVER (PARTITION BY event_id
+                                                      ORDER BY ts) AS rn
+                         FROM merged) WHERE rn = 1),
+         weekly AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk,
+                           round(sum(value), 2) AS score
+                    FROM store GROUP BY 1, 2),
+         wk2 AS (SELECT *, CAST((wk - DATE '1970-01-05') / 7 AS BIGINT) AS weeknum
+                 FROM weekly),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY wk
+                      ORDER BY score DESC, user_id) AS rnk FROM wk2),
+         charted AS (SELECT user_id, weeknum FROM ranked WHERE rnk <= 10),
+         mx AS (SELECT max(weeknum) AS maxwk FROM wk2),
+         islands AS (SELECT user_id, weeknum,
+                            weeknum - row_number() OVER (PARTITION BY user_id
+                                                         ORDER BY weeknum) AS grp
+                     FROM charted),
+         li AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS cnt,
+                       max(weeknum) AS mxw
+                FROM islands GROUP BY 1, 2),
+         st AS (SELECT li.user_id, li.cnt FROM li, mx WHERE li.mxw = mx.maxwk)
+         SELECT u.user_id, COALESCE(st.cnt, 0) AS weeks_on_chart
+         FROM (SELECT DISTINCT user_id FROM weekly) u
+         LEFT JOIN st ON u.user_id = st.user_id""",
 
     "q148_hard_negatives" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
