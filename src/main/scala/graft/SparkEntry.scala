@@ -1227,6 +1227,30 @@ object SparkEntry {
       Vocab.bpeEncode(Tables.documents(s, d), "text", "source", merges = 4,
         precomputed = Some(bpeMergeTable(s, d)))),
 
+    // JSONL corpus ingestion with corrupt-line quarantine: documents
+    // round-trip through the one-doc-per-line dump format with every
+    // 97th line deterministically truncated mid-object; the PERMISSIVE
+    // read routes those to _corrupt_record and the readout rolls up
+    // clean counts per source plus the quarantined line count.
+    "q150_jsonl_quarantine" -> ((s, d) => {
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q150_" + (d.hashCode.toLong & 0xffffffffL)).getAbsolutePath
+      val lines = Tables.documents(s, d).select(
+        when(pmod(col("doc_id"), lit(97)) === 0,
+          concat(lit("{\"doc_id\":"), col("doc_id").cast("string"),
+            lit(",\"source\":\""), col("source"), lit("\",\"text\":")))
+          .otherwise(to_json(struct(col("doc_id"), col("source"),
+            col("text")))).as("value"))
+      lines.coalesce(4).write.mode("overwrite").text(dir)
+      sources.Semi.readJsonlQuarantine(s, dir,
+          "doc_id LONG, source STRING, text STRING")
+        .groupBy(when(col("graft_status") === "corrupt", lit("_corrupt"))
+          .otherwise(col("source")).as("source"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("graft_status") === "ok",
+            length(col("text"))).otherwise(0L)).as("clean_chars"))
+    }),
+
     // The reference DAG's transform cadence end to end (dag.py's
     // extract→align→concat→dedup→chart chain, q140's discipline for the
     // music-ETL side): history store + a re-fetched "API batch" whose
@@ -3664,6 +3688,16 @@ object SparkEntry {
 
     "q145_bpe_merges" -> q145OracleSql,
     "q146_bpe_encode" -> q146OracleSql,
+
+    // The quarantine readout is fully determined by the planted corruption
+    // rule, so the oracle recomputes it from the source table directly.
+    "q150_jsonl_quarantine" ->
+      """SELECT CASE WHEN doc_id % 97 = 0 THEN '_corrupt' ELSE source END
+                  AS source,
+                CAST(count(*) AS BIGINT) AS n_lines,
+                CAST(sum(CASE WHEN doc_id % 97 = 0 THEN 0
+                              ELSE length(text) END) AS BIGINT) AS clean_chars
+         FROM documents GROUP BY 1""",
 
     "q149_etl_pipeline" ->
       """WITH mxs AS (SELECT max(ts) AS mt FROM events),

@@ -290,4 +290,63 @@ class PropertiesSpec extends SparkSpec {
       assert(once.select("k").distinct().count() == once.count())
     }
   }
+
+  test("property: semanticDedup conserves rows and never drops a cell's min id") {
+    val vecGen = Gen.listOfN(4, Gen.chooseNum(-100, 100).map(_ / 100.0f))
+    for (seed <- 1L to 4L) {
+      val vecs = sample(Gen.listOfN(60, vecGen), seed)
+        .zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+        // zero-norm vectors are the caller's hygiene problem (q107 screens
+        // them); the property holds on the screened corpus
+        .filter { case (_, v) => v.exists(_ != 0f) }
+      val df = vecs.toDF("vec_id", "embedding")
+      val out = Dedup.semanticDedup(df, "vec_id", "embedding", 3, 0.8)
+        .collect()
+      // partition: every input row is counted exactly once, dropped+kept
+      assert(out.map(_.getAs[Long]("n_total")).sum === vecs.length.toLong)
+      out.foreach { r =>
+        assert(r.getAs[Long]("n_total") ===
+          r.getAs[Long]("n_dropped") + r.getAs[Long]("n_kept"))
+        // greedy lowest-id-wins can never empty a cell
+        assert(r.getAs[Long]("n_kept") >= 1L)
+      }
+    }
+  }
+
+  test("property: passageDuplication bounds and self-repeat exclusion") {
+    val wordGen2 = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val docGen = Gen.listOfN(20, wordGen2).map(_.mkString(" "))
+    for (seed <- 1L to 4L) {
+      val docs = sample(Gen.listOfN(20, docGen), seed)
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val out = operators.Dedup.passageDuplication(
+        docs.toDF("doc_id", "text"), "doc_id", "text", 8, 4).collect()
+      // 20 tokens, w=8, stride 4 → windows at 1,5,9,13 = 4 per doc
+      assert(out.forall(_.getAs[Long]("n_windows") === 4L))
+      out.foreach { r =>
+        val dup = r.getAs[Long]("n_dup_windows")
+        assert(dup >= 0L && dup <= r.getAs[Long]("n_windows"))
+        val frac = r.getAs[Double]("dup_frac")
+        assert(frac >= 0.0 && frac <= 1.0)
+      }
+    }
+  }
+
+  test("property: bpeEncode token counts shrink monotonically, never below one per word") {
+    val wordGen3 = Gen.oneOf("aaab", "ab", "aab", "bb", "abab", "a")
+    val docGen = Gen.listOfN(8, wordGen3).map(_.mkString(" "))
+    for (seed <- 1L to 3L) {
+      val docs = sample(Gen.listOfN(10, docGen), seed)
+        .map(t => ("s", t)).toDF("source", "text")
+      val r = operators.Vocab.bpeEncode(docs, "text", "source", merges = 3)
+        .collect()(0)
+      val chars = r.getAs[Long]("tokens_chars")
+      val bpe = r.getAs[Long]("tokens_bpe")
+      val words = r.getAs[Long]("n_words")
+      assert(bpe <= chars)     // a merge can only shrink
+      assert(bpe >= words)     // and never below one symbol per word
+      assert(r.getAs[Long]("saved_ppm") === (chars - bpe) * 1000000L / chars)
+    }
+  }
 }

@@ -134,4 +134,27 @@ class SourcesSpec extends SparkSpec {
     assert(back.as[(Long, Seq[String], Long)].collect().toSet ==
       Set((1L, Seq("pop", "rock"), 9L), (2L, Seq("jazz"), 5L)))
   }
+
+  test("JSONL quarantine routes malformed lines, keeps raw text for forensics") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_q").toString
+    val path = s"$dir/c"
+    Seq(
+      """{"doc_id":1,"source":"a","text":"good line"}""",
+      """{"doc_id":2,"source":"a","text":""" + "\n", // truncated mid-object
+      """not json at all""",
+      """{"doc_id":4,"source":"b","text":"also good"}""")
+      .toDF("value").coalesce(1).write.mode("overwrite").text(path)
+    val got = Semi.readJsonlQuarantine(spark, path,
+      "doc_id LONG, source STRING, text STRING")
+    val ok = got.filter($"graft_status" === "ok")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ok === Set(1L, 4L))
+    // dead-letter rows keep the payload columns + the raw line; selecting
+    // a payload column alongside is also what satisfies Spark's
+    // only-corrupt-column query restriction on raw scans
+    val corrupt = got.filter($"graft_status" === "corrupt")
+      .select("doc_id", "_corrupt_record").as[(Option[Long], String)].collect()
+    assert(corrupt.length === 2)
+    assert(corrupt.map(_._2).contains("not json at all")) // raw line preserved
+  }
 }
