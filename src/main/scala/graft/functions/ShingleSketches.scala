@@ -145,7 +145,11 @@ object ShingleSketches {
     while (s < m) {
       md.reset()
       md.update(shingles.getUTF8String(s).getBytes)
-      val v = java.lang.Long.parseLong(toHex(md.digest()).substring(0, 8), 16)
+      // == parseLong(hex.substring(0, 8), 16): hex chars 0-7 ARE bytes 0-3
+      // big-endian — read them directly, no per-shingle hex string.
+      val dig = md.digest()
+      val v = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+        ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
       var j = 0
       while (j < 32) {
         votes(j) += (((v >>> (31 - j)) & 1L).toInt * 2 - 1)

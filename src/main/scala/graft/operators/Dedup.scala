@@ -86,24 +86,19 @@ object Dedup {
           .filter(col("graft_df") <= cap).drop("graft_df")
       case None => shAll
     }
-    // Persisted because it feeds both join legs: the build job
-    // materializes the cache, the probe side then reads it instead of
-    // re-running the shingle pipeline. The cache is RELEASED before
-    // returning: the (much smaller) pair-stats output is materialized
-    // eagerly via Materialize.artifact (local blocks, or the reliable
-    // checkpoint dir on preemptible clusters) — a derived artifact whose
-    // blocks the ContextCleaner frees on GC — so a 60-query session
-    // doesn't accumulate corpus-sized shingle tables in the block manager.
-    val sh = shCapped
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Materialized EAGERLY (artifact) because it feeds both join legs:
+    // a lazy persist is racy under one action — the two self-join sides
+    // run as concurrent stages and each re-runs the shingle pipeline
+    // before the cache fills (measured ~2× the build). The artifact's
+    // blocks are freed by the ContextCleaner on GC, so a 60-query
+    // session doesn't accumulate corpus-sized shingle tables either.
+    val sh = Materialize.artifact(shCapped)
     val a = sh.as("a"); val b = sh.as("b")
-    val stats = a.join(b, col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+    a.join(b, col("a.g") === col("b.g") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"),
         col("a.nsh").as("n1"), col("b.nsh").as("n2"))
       .agg(count(lit(1)).as("inter"))
       .transform(Materialize.artifact)
-    sh.unpersist()
-    stats
   }
 
   /** Jaccard over precomputed [[pairShingleStats]] rows. */
@@ -158,8 +153,11 @@ object Dedup {
                    n: Int, bands: Int, rowsPerBand: Int,
                    minAgree: Double): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sig = minhashSignature(docs, idCol, textCol, n, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Artifact, not lazy persist: three consumers in one action would
+    // race the cache and recompute the sketch per stage (see the
+    // portable twin's note).
+    val sig = Materialize.artifact(
+      minhashSignature(docs, idCol, textCol, n, numHashes))
     // One row per (doc, band) with the band's bucket hash, then ONE
     // self-join on (band, bucket) — same candidate set as a join per band,
     // but a single shuffle over bands·n rows instead of `bands` separate
@@ -176,17 +174,11 @@ object Dedup {
     val agree = aggregate(
       zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, x) => acc + x)
-    // Materialize the (tiny) verified-pair result eagerly, then release the
-    // signature cache — sig served its three readers (two band legs, two
-    // verify legs) during this one computation and would otherwise pin
-    // corpus-sized blocks for the rest of the session.
-    val out = candidates.join(s1, "id1").join(s2, "id2")
+    candidates.join(s1, "id1").join(s2, "id2")
       .withColumn("est_jaccard", round(agree.cast("double") / numHashes, 4))
       .filter(col("est_jaccard") >= minAgree)
       .select(col("id1"), col("id2"), col("est_jaccard"))
       .transform(Materialize.artifact)
-    sig.unpersist()
-    out
   }
 
   /** SimHash fingerprints via the native map-side sketch ([[SimHash64]]):
@@ -214,8 +206,7 @@ object Dedup {
     require(64 % blocks == 0, "blocks must divide 64")
     val width = 64 / blocks
     val mask = (1L << width) - 1
-    val s = simhash(docs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val s = Materialize.artifact(simhash(docs, idCol, textCol, n))
     // Single (block, value) bucket join across all blocks — see the
     // minhash banding note above for why this beats a join per block.
     val blocked = s.select(col("id"), posexplode(array((0 until blocks).map { b =>
@@ -227,14 +218,11 @@ object Dedup {
       .filter(col("id1") < col("id2")).select("id1", "id2").distinct()
     val h1 = s.toDF("id1", "h1")
     val h2 = s.toDF("id2", "h2")
-    // Same eager-materialize-then-release lifecycle as minhashPairs.
-    val out = candidates.join(h1, "id1").join(h2, "id2")
+    candidates.join(h1, "id1").join(h2, "id2")
       .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id1"), col("id2"), col("hamming"))
       .transform(Materialize.artifact)
-    s.unpersist()
-    out
   }
 
   /** Engine-portable MinHash + LSH: sig[i] is the lexicographic MIN of
@@ -262,11 +250,15 @@ object Dedup {
     // HOF chain (PropertiesSpec twins them) — the md5 cost is unchanged,
     // the per-element lambda interpretation and intermediate arrays are
     // gone.
-    val sig = docs
+    // Artifact, not a lazy persist: the signature table feeds the band
+    // explode AND both verify-join sides inside ONE action, and a lazy
+    // cache is racy there — concurrent stages each recompute the full
+    // shingle+md5 build before the cache fills (measured 2-3× the whole
+    // query at sf0.1). The table is rows × numHashes hex slices — tiny.
+    val sig = Materialize.artifact(docs
       .select(col(idCol).as("id"), T.wordShinglesNative(col(textCol), n).as("shs"))
       .filter(size(col("shs")) > 0)
-      .select(col("id"), T.md5MinhashNative(col("shs"), numHashes).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("id"), T.md5MinhashNative(col("shs"), numHashes).as("sig")))
     // Band bucket key = the band's minhash values joined verbatim ('|' is
     // not a hex char, so the key is collision-free) — the oracle can
     // rebuild it with string concat; see minhashPairs for why one
@@ -292,7 +284,6 @@ object Dedup {
       .filter(agree.cast("double") / numHashes >= minAgree)
       .select(col("id1"), col("id2"), col("est_jaccard"))
       .transform(Materialize.artifact)
-    sig.unpersist()
     out
   }
 
@@ -316,11 +307,12 @@ object Dedup {
     // byte-identical output to the interpreted conv/aggregate vote folds
     // (PropertiesSpec twins them); the oracle replay — which reads hex
     // chars positionally — is unchanged.
-    val fps = docs
+    // Artifact for the same reason as the minhash twin: three consumers
+    // inside one action make a lazy persist racy (recompute per stage).
+    val fps = Materialize.artifact(docs
       .select(col(idCol).as("id"), T.wordShinglesNative(col(textCol), n).as("shs"))
       .filter(size(col("shs")) > 0)
-      .select(col("id"), T.md5SimhashNative(col("shs")).as("fp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("id"), T.md5SimhashNative(col("shs")).as("fp")))
     val blocked = fps.select(col("id"), posexplode(array((0 until blocks).map { b =>
       substring(col("fp"), 1 + width * b, width)
     }: _*)).as(Seq("blk", "bk")))
@@ -339,7 +331,6 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id1"), col("id2"), col("hamming"))
       .transform(Materialize.artifact)
-    fps.unpersist()
     out
   }
 
@@ -387,10 +378,10 @@ object Dedup {
     * carrying `fp`) against a prebuilt filter; rows the filter rejects are
     * DEFINITELY new and skip the anti-join, only the maybe-duplicate
     * sliver (true dups + fpp false positives) shuffles against the store.
-    * The batch feeds both union branches; persist it so the window dedup
-    * and bloom probe run once per row, then release once the (batch-sized)
-    * survivor set is materialized — a foreachBatch caller must not
-    * accumulate one pinned batch cache per micro-batch. */
+    * The batch feeds both union branches and is materialized eagerly so
+    * the window dedup and bloom probe run once per row; artifacts free
+    * via the ContextCleaner, so a foreachBatch caller never accumulates
+    * one pinned batch cache per micro-batch. */
   private def bloomPrefiltered(fresh0: DataFrame, knownFps: DataFrame,
                                bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -399,17 +390,17 @@ object Dedup {
       bloom.writeTo(bos)
       bos.toByteArray
     }
-    val fresh = fresh0
+    // Artifact: the two union branches are concurrent stages of one
+    // action — a lazy persist would run the window dedup + bloom probe
+    // twice before the cache fills.
+    val fresh = Materialize.artifact(fresh0
       .withColumn("graft_maybe",
-        ColumnBridge.bloomMightContain(bytes, xxhash64(col("fp"))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        ColumnBridge.bloomMightContain(bytes, xxhash64(col("fp")))))
     val definitelyNew = fresh.filter(!col("graft_maybe"))
     val checked = fresh.filter(col("graft_maybe"))
       .join(knownFps.select(col("fp")), Seq("fp"), "left_anti")
-    val out = definitelyNew.unionByName(checked).drop("graft_maybe")
+    definitelyNew.unionByName(checked).drop("graft_maybe")
       .transform(Materialize.artifact)
-    fresh.unpersist()
-    out
   }
 
   /** Bloom-prefiltered incremental dedup — the 100 TB shape of
@@ -585,11 +576,10 @@ object Dedup {
                          minAgree: Double, storeBands: DataFrame,
                          storeSigs: DataFrame): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sig = batch
+    val sig = Materialize.artifact(batch
       .select(col(idCol).as("id"), T.wordShinglesNative(col(textCol), n).as("shs"))
       .filter(size(col("shs")) > 0)
-      .select(col("id"), T.md5MinhashNative(col("shs"), numHashes).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("id"), T.md5MinhashNative(col("shs"), numHashes).as("sig")))
     val banded = sig.select(col("id").as("id2"),
       posexplode(array((0 until bands).map { b =>
         concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
@@ -608,7 +598,6 @@ object Dedup {
       .filter(agree.cast("double") / numHashes >= minAgree)
       .select(col("id1"), col("id2"), col("est_jaccard"))
       .transform(Materialize.artifact)
-    sig.unpersist()
     out
   }
 
