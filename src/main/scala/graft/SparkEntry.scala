@@ -1227,6 +1227,15 @@ object SparkEntry {
       Vocab.bpeEncode(Tables.documents(s, d), "text", "source", merges = 4,
         precomputed = Some(bpeMergeTable(s, d)))),
 
+    // Three-way weighted content-hash split (80/10/10): the 16-bit hex
+    // bucket compared against literal bounds — reproducible across
+    // engines, runs, and repartitioning; per-source counts readout.
+    "q151_hash_split3" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"),
+          T.hashSplit3(col("text"), trainPct = 80, valPct = 10).as("split"))
+        .groupBy("source", "split").agg(count(lit(1)).as("n_docs"))),
+
     // JSONL corpus ingestion with corrupt-line quarantine: documents
     // round-trip through the one-doc-per-line dump format with every
     // 97th line deterministically truncated mid-object; the PERMISSIVE
@@ -3688,6 +3697,16 @@ object SparkEntry {
 
     "q145_bpe_merges" -> q145OracleSql,
     "q146_bpe_encode" -> q146OracleSql,
+
+    // 80*65536/100 = 0xcccc, 90*65536/100 = 0xe666 — the same literal
+    // bounds the Scala split compiles to.
+    "q151_hash_split3" ->
+      """SELECT source,
+                CASE WHEN substring(md5(text), 1, 4) < 'cccc' THEN 'train'
+                     WHEN substring(md5(text), 1, 4) < 'e666' THEN 'val'
+                     ELSE 'test' END AS split,
+                CAST(count(*) AS BIGINT) AS n_docs
+         FROM documents GROUP BY 1, 2""",
 
     // The quarantine readout is fully determined by the planted corruption
     // rule, so the oracle recomputes it from the source table directly.

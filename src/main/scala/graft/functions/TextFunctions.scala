@@ -99,6 +99,21 @@ object TextFunctions {
     when(substring(md5(c.cast("binary")), 1, 1) < "d", lit("train"))
       .otherwise(lit("test"))
 
+  /** Three-way weighted content-hash split (train/val/test). The first 4
+    * hex chars of the md5 form a 16-bit bucket; fixed-width lowercase hex
+    * is order-preserving, so the percent thresholds compile to two string
+    * comparisons against literal bounds that replay verbatim in any
+    * engine. Same reproducibility argument as [[hashSplit]] — pure
+    * function of content, no seed, no partitioning coupling. */
+  def hashSplit3(c: Column, trainPct: Int, valPct: Int): Column = {
+    require(trainPct > 0 && valPct > 0 && trainPct + valPct < 100,
+      "percentages must be positive and leave room for test")
+    val b1 = f"${trainPct * 65536 / 100}%04x"
+    val b2 = f"${(trainPct + valPct) * 65536 / 100}%04x"
+    val h = substring(md5(c.cast("binary")), 1, 4)
+    when(h < b1, lit("train")).when(h < b2, lit("val")).otherwise(lit("test"))
+  }
+
   /** Canonical-text word tokens. Materialize this in its own projection
     * before building shingles: higher-order lambdas are interpreted (not
     * codegen'd), so any regex left inside the lambda re-splits the whole

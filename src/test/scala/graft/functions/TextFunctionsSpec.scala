@@ -61,4 +61,20 @@ class TextFunctionsSpec extends SparkSpec {
       .select(T.wordTokens($"text")).as[Int].head()
     assert(got == 5) // ab1 cd ef gh 22
   }
+
+  test("hashSplit3: deterministic, content-pure, near the requested weights") {
+    val docs = (1 to 2000).map(i => s"document number $i with filler")
+      .toDF("text")
+    val counts = docs.select(T.hashSplit3($"text", 80, 10).as("s"))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet === Set("train", "val", "test"))
+    // 16-bit buckets: binomial noise at n=2000 stays well inside ±4pp
+    assert(math.abs(counts("train") - 1600L) < 80)
+    assert(math.abs(counts("val") - 200L) < 60)
+    // same content → same split on a re-run (no seed, no partitioning)
+    val again = docs.repartition(7)
+      .select(T.hashSplit3($"text", 80, 10).as("s"))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(again === counts)
+  }
 }
