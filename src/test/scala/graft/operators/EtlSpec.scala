@@ -218,4 +218,26 @@ class EtlSpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     assert(got === Map(1L -> 12.0, 3L -> 33.0, 4L -> 40.0))
   }
+
+  test("overwritePartitionsDynamic replaces only touched partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dynpart").toString
+    val base = Seq(("a", 1L), ("a", 2L), ("b", 10L), ("c", 100L))
+      .toDF("part", "v")
+    Etl.writePartitioned(base, dir, "part")
+    // backfill rewrites partition b only; a and c must stay byte-identical
+    val aFilesBefore = new java.io.File(s"$dir/part=a").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.length))
+    Etl.overwritePartitionsDynamic(
+      Seq(("b", 11L), ("b", 12L)).toDF("part", "v"), dir, "part")
+    val got = spark.read.parquet(dir).as[(Long, String)]
+      .collect().toSet // (v, part) — parquet puts data cols first
+    assert(got === Set((1L, "a"), (2L, "a"), (11L, "b"), (12L, "b"),
+      (100L, "c")))
+    val aFilesAfter = new java.io.File(s"$dir/part=a").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.length))
+    assert(aFilesAfter.toSeq === aFilesBefore.toSeq) // untouched, not rewritten
+    // and the session setting was restored, not leaked
+    assert(spark.conf.getOption(
+      "spark.sql.sources.partitionOverwriteMode").forall(_ != "dynamic"))
+  }
 }
