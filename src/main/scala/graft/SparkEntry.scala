@@ -1227,6 +1227,26 @@ object SparkEntry {
       Vocab.bpeEncode(Tables.documents(s, d), "text", "source", merges = 4,
         precomputed = Some(bpeMergeTable(s, d)))),
 
+    // Per-source data card — the model-card readout (docs, tokens, mean
+    // quality in basis points, exact-dup ppm, language count) composed
+    // from already-proven per-doc metrics, all integer-exact aggregation.
+    "q152_data_card" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), col("lang"),
+          T.wordTokens(col("text")).cast("long").as("graft_t"),
+          floor(T.qualityScore(col("text")) * 10000 + 0.5).cast("long")
+            .as("graft_q"),
+          T.fingerprint(col("text")).as("graft_fp"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("graft_t").as("n_tokens"),
+          expr("sum(graft_q) div count(1)").as("mean_quality_bp"),
+          count_distinct(col("graft_fp")).as("graft_u"),
+          count_distinct(col("lang")).as("n_langs"))
+        .withColumn("dup_ppm",
+          expr("(n_docs - graft_u) * 1000000 div n_docs"))
+        .drop("graft_u")),
+
     // Three-way weighted content-hash split (80/10/10): the 16-bit hex
     // bucket compared against literal bounds — reproducible across
     // engines, runs, and repartitioning; per-source counts readout.
@@ -3697,6 +3717,30 @@ object SparkEntry {
 
     "q145_bpe_merges" -> q145OracleSql,
     "q146_bpe_encode" -> q146OracleSql,
+
+    // Per-doc quality replayed exactly as q16's formula, quantized to
+    // integer basis points BEFORE aggregation (floored means, no
+    // accumulation-order doubles); fingerprints as in q81.
+    "q152_data_card" ->
+      """WITH t AS (SELECT source, lang, text,
+                  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt
+           FROM documents),
+         c AS (SELECT source, lang,
+                  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS tok,
+                  CAST(floor(round(0.5 * least(length(text) / 500.0, 1.0)
+                         + 0.5 * least(len(regexp_extract_all(text, '[A-Za-z0-9]+')) * 1.0
+                                       / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 1.0)
+                         - len(regexp_extract_all(text, '[.,;:!?]')) * 1.0
+                           / greatest(length(text), 1), 4) * 10000 + 0.5) AS BIGINT) AS qbp,
+                  md5(nt) AS fp
+               FROM t)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(tok) AS BIGINT) AS n_tokens,
+                CAST(sum(qbp) // count(*) AS BIGINT) AS mean_quality_bp,
+                CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                CAST((count(*) - count(DISTINCT fp)) * 1000000 // count(*) AS BIGINT)
+                  AS dup_ppm
+         FROM c GROUP BY source""",
 
     // 80*65536/100 = 0xcccc, 90*65536/100 = 0xe666 — the same literal
     // bounds the Scala split compiles to.
