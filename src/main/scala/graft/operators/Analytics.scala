@@ -613,7 +613,7 @@ object Analytics {
     * once. Exact integer counts → the lift replays bit-identically. */
   def eventCooccurrence(events: DataFrame, userCol: String,
                         typeCol: String): DataFrame = {
-    val ut = Materialize.artifact(
+    val ut = Materialize.transient(
       events.select(col(userCol).as("graft_u"), col(typeCol).as("graft_t"))
         .distinct())
     val totals = ut.groupBy("graft_t").agg(count(lit(1)).as("n"))
@@ -771,7 +771,7 @@ object Analytics {
     // The vocabulary (O(sources × distinct terms), tiny next to the corpus)
     // feeds THREE subtrees (sizes + both join legs) — materialize it once
     // so the corpus is tokenized in one pass, not three.
-    val vocab = Materialize.artifact(docs
+    val vocab = Materialize.transient(docs
       .select(col(srcCol).as("src"),
         explode(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)))
           .as("term"))

@@ -324,7 +324,7 @@ object Corpus {
     // Materialized once (artifact): both the model rollup and the final
     // scoring join read it — without truncation the explode+shuffle would
     // replay per consumer.
-    val perDoc = Materialize.artifact(chars
+    val perDoc = Materialize.transient(chars
       .select(col("id"), explode(
         sequence(lit(1), length(col("graft_nt")) - 1)).as("i"),
         col("graft_nt"))

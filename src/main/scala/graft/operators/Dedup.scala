@@ -92,7 +92,7 @@ object Dedup {
     // before the cache fills (measured ~2× the build). The artifact's
     // blocks are freed by the ContextCleaner on GC, so a 60-query
     // session doesn't accumulate corpus-sized shingle tables either.
-    val sh = Materialize.artifact(shCapped)
+    val sh = Materialize.transient(shCapped)
     val a = sh.as("a"); val b = sh.as("b")
     a.join(b, col("a.g") === col("b.g") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"),
@@ -156,7 +156,7 @@ object Dedup {
     // Artifact, not lazy persist: three consumers in one action would
     // race the cache and recompute the sketch per stage (see the
     // portable twin's note).
-    val sig = Materialize.artifact(
+    val sig = Materialize.transient(
       minhashSignature(docs, idCol, textCol, n, numHashes))
     // One row per (doc, band) with the band's bucket hash, then ONE
     // self-join on (band, bucket) — same candidate set as a join per band,
@@ -206,7 +206,7 @@ object Dedup {
     require(64 % blocks == 0, "blocks must divide 64")
     val width = 64 / blocks
     val mask = (1L << width) - 1
-    val s = Materialize.artifact(simhash(docs, idCol, textCol, n))
+    val s = Materialize.transient(simhash(docs, idCol, textCol, n))
     // Single (block, value) bucket join across all blocks — see the
     // minhash banding note above for why this beats a join per block.
     val blocked = s.select(col("id"), posexplode(array((0 until blocks).map { b =>
@@ -255,7 +255,7 @@ object Dedup {
     // cache is racy there — concurrent stages each recompute the full
     // shingle+md5 build before the cache fills (measured 2-3× the whole
     // query at sf0.1). The table is rows × numHashes hex slices — tiny.
-    val sig = Materialize.artifact(docs
+    val sig = Materialize.transient(docs
       .select(col(idCol).as("id"), T.wordShinglesNative(col(textCol), n).as("shs"))
       .filter(size(col("shs")) > 0)
       .select(col("id"), T.md5MinhashNative(col("shs"), numHashes).as("sig")))
@@ -309,7 +309,7 @@ object Dedup {
     // chars positionally — is unchanged.
     // Artifact for the same reason as the minhash twin: three consumers
     // inside one action make a lazy persist racy (recompute per stage).
-    val fps = Materialize.artifact(docs
+    val fps = Materialize.transient(docs
       .select(col(idCol).as("id"), T.wordShinglesNative(col(textCol), n).as("shs"))
       .filter(size(col("shs")) > 0)
       .select(col("id"), T.md5SimhashNative(col("shs")).as("fp")))
@@ -393,14 +393,14 @@ object Dedup {
     // Artifact: the two union branches are concurrent stages of one
     // action — a lazy persist would run the window dedup + bloom probe
     // twice before the cache fills.
-    val fresh = Materialize.artifact(fresh0
+    val fresh = Materialize.transient(fresh0
       .withColumn("graft_maybe",
         ColumnBridge.bloomMightContain(bytes, xxhash64(col("fp")))))
     val definitelyNew = fresh.filter(!col("graft_maybe"))
     val checked = fresh.filter(col("graft_maybe"))
       .join(knownFps.select(col("fp")), Seq("fp"), "left_anti")
     definitelyNew.unionByName(checked).drop("graft_maybe")
-      .transform(Materialize.artifact)
+      .transform(Materialize.transient) // batch-sized, consumed immediately
   }
 
   /** Bloom-prefiltered incremental dedup — the 100 TB shape of
@@ -576,7 +576,7 @@ object Dedup {
                          minAgree: Double, storeBands: DataFrame,
                          storeSigs: DataFrame): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sig = Materialize.artifact(batch
+    val sig = Materialize.transient(batch
       .select(col(idCol).as("id"), T.wordShinglesNative(col(textCol), n).as("shs"))
       .filter(size(col("shs")) > 0)
       .select(col("id"), T.md5MinhashNative(col("shs"), numHashes).as("sig")))

@@ -194,25 +194,20 @@ object Etl {
     * backfill shape ("rewrite yesterday, keep three years of history")
     * that a plain overwrite would turn into a full-table rewrite and a
     * plain append into duplicates. Spark's static overwrite mode drops
-    * ALL partitions first, so the mode is set to dynamic for exactly this
-    * write and restored after (session config is process-global — a
-    * leaked setting would silently change unrelated writers' semantics).
-    * At 100 TB this is the difference between a batch-sized and a
-    * corpus-sized backfill job. */
+    * ALL partitions first, so dynamic mode is requested as a PER-WRITE
+    * DataFrameWriter option — scoped to exactly this write, never the
+    * session conf: toggling the process-global
+    * `spark.sql.sources.partitionOverwriteMode` (even save/restored)
+    * would hand dynamic-overwrite semantics to any concurrent writer in
+    * the same session during the window. At 100 TB this is the
+    * difference between a batch-sized and a corpus-sized backfill job. */
   def overwritePartitionsDynamic(df: DataFrame, path: String,
-                                 partitionCol: String): Unit = {
-    val conf = df.sparkSession.conf
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = conf.getOption(key)
-    conf.set(key, "dynamic")
-    try df.repartition(col(partitionCol))
+                                 partitionCol: String): Unit =
+    df.repartition(col(partitionCol))
       .sortWithinPartitions(col(partitionCol))
-      .write.mode("overwrite").partitionBy(partitionCol).parquet(path)
-    finally prev match {
-      case Some(v) => conf.set(key, v)
-      case None => conf.unset(key)
-    }
-  }
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol).parquet(path)
 
   /** Globally range-clustered parquet layout: repartitionByRange on the
     * cluster key + sortWithinPartitions, so every file owns a DISJOINT

@@ -35,7 +35,7 @@ object Vocab {
       .groupBy("w").agg(count(lit(1)).as("n"))
       .select(concat_ws(" ",
         regexp_extract_all(col("w"), lit("."), lit(0))).as("sym"), col("n"))
-    var vocab = Materialize.artifact(words)
+    var vocab = Materialize.transient(words)
     var out: DataFrame = null
     for (k <- 1 to merges) {
       // Adjacent-symbol pairs weighted by word frequency. Words reduced
@@ -63,7 +63,7 @@ object Vocab {
       // per-word BPE trainer loop would — a deterministic greedy variant
       // that both engines implement identically, which is what the
       // unrolled oracle requires; later rounds pick up the leftovers.
-      vocab = Materialize.artifact(vocab
+      vocab = Materialize.transient(vocab
         .crossJoin(broadcast(best.select(col("pair").as("graft_p"),
           col("merged").as("graft_m"))))
         .select(trim(expr(

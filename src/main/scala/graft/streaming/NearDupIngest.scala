@@ -25,22 +25,31 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * without a separate fingerprint check.
   *
   * Documents with fewer than `n` tokens have no shingles, no signature,
-  * and therefore no replay guarantee — they are routed OUT of this ingest
-  * (callers send them through the exact-fp path, whose fingerprint
-  * argument does not need shingles).
+  * and therefore no replay guarantee — each batch's short rows are handed
+  * to the `onShort` callback (wire it to the exact-fp ingest, whose
+  * fingerprint argument does not need shingles); the default is a no-op,
+  * i.e. by default short rows are NOT ingested here.
   */
 object NearDupIngest {
 
-  def bandTableFor(storePath: String): String =
-    "graft_lshband_" + (storePath.hashCode.toLong & 0xffffffffL).toString
-  def sigTableFor(storePath: String): String =
-    "graft_lshsig_" + (storePath.hashCode.toLong & 0xffffffffL).toString
+  /** Side-table suffix: full-width md5 of the store path, not
+    * String.hashCode — a 32-bit collision between two live store paths
+    * would silently share band/signature tables AND let each start's
+    * resetManagedTable wipe the other ingest's live side tables. */
+  private def pathTag(storePath: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(storePath.getBytes("UTF-8"))
+    d.map("%02x".format(_)).mkString
+  }
+  def bandTableFor(storePath: String): String = "graft_lshband_" + pathTag(storePath)
+  def sigTableFor(storePath: String): String = "graft_lshsig_" + pathTag(storePath)
 
   def start(docs: DataFrame, idCol: String, textCol: String,
             storePath: String, checkpoint: String,
             n: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
             minAgree: Double = 0.5, buckets: Int = 8,
-            onBatch: (Long, Long) => Unit = (_, _) => ()): StreamingQuery = {
+            onBatch: (Long, Long) => Unit = (_, _) => (),
+            onShort: DataFrame => Unit = _ => ()): StreamingQuery = {
     val bandTbl = bandTableFor(storePath)
     val sigTbl = sigTableFor(storePath)
     var ready = false
@@ -68,9 +77,13 @@ object NearDupIngest {
           writeStores(base, mode = "overwrite")
           ready = true
         }
-        // No-shingle rows can't be made replay-safe here — route them out.
-        val batch = batch0.filter(
-          size(graft.functions.TextFunctions.tokens(col(textCol))) >= n)
+        // No-shingle rows can't be made replay-safe here — route them out
+        // through onShort (object doc) instead of silently dropping them.
+        val hasShingles =
+          size(graft.functions.TextFunctions.tokens(col(textCol))) >= n
+        val short = batch0.filter(!hasShingles)
+        if (!short.isEmpty) onShort(short)
+        val batch = batch0.filter(hasShingles)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val flagged = Dedup.incrementalMinhash(batch, idCol, textCol,
           n, bands, rowsPerBand, minAgree,
@@ -81,7 +94,7 @@ object NearDupIngest {
         // them here would need the full pair join per trigger.
         val surv = Dedup.exactRows(batch, idCol, textCol).drop("fp")
           .join(flagged.select(col("id2").as(idCol)), Seq(idCol), "left_anti")
-          .transform(graft.operators.Materialize.artifact)
+          .transform(graft.operators.Materialize.transient)
         batch.unpersist()
         if (!surv.isEmpty) {
           surv.write.mode("append").parquet(storePath)
