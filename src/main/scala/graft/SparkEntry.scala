@@ -3568,8 +3568,9 @@ object SparkEntry {
                 FROM pa)
          SELECT a.n AS n_users_a, a.c AS n_conv_a, a.rate_ppm AS rate_ppm_a,
                 b.n AS n_users_b, b.c AS n_conv_b, b.rate_ppm AS rate_ppm_b,
-                CAST(b.rate_ppm * 1000000 // a.rate_ppm AS BIGINT)
-                  AS lift_ppm
+                CAST(CASE WHEN a.rate_ppm = 0 THEN NULL
+                          ELSE b.rate_ppm * 1000000 // a.rate_ppm END
+                     AS BIGINT) AS lift_ppm
          FROM (SELECT * FROM pr WHERE arm = 'A') a,
               (SELECT * FROM pr WHERE arm = 'B') b""",
 

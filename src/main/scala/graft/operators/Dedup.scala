@@ -631,12 +631,13 @@ object Dedup {
       when(element_at(vecCol, i) >= 0f, lit("1")).otherwise(lit("0"))): _*)
 
   /** Semantic (embedding-space) dedup, SemDeDup-style: partition the
-    * corpus into coarse cells, score only intra-cell pairs, and greedily
-    * keep the lowest id of every near-duplicate pair — a row is dropped
-    * iff SOME lower-id row in its cell sits within `minCos`. Greedy
-    * lowest-id-wins (not connected components) is the standard SemDeDup
-    * discipline: it is one join, deterministic, and never drops a whole
-    * chain transitively linked through intermediate ids.
+    * corpus into coarse cells, score only intra-cell pairs, and drop a
+    * row iff it is within `minCos` of ANY lower-id row in its cell —
+    * including lower-id rows that are themselves dropped (A~B, B~C, A≁C
+    * drops both B and C). This is the standard pair-based SemDeDup
+    * variant, NOT an iterative greedy pass over survivors and NOT
+    * connected components: one deterministic join, and a chain linked
+    * only through intermediate ids never collapses to a single keeper.
     *
     * Scale posture: the only shuffle is the cell-keyed self-join, so pair
     * fan-out is bounded by the largest cell, not the corpus; norms are

@@ -22,7 +22,19 @@ object Experiment {
   /** One-row lift report: exposed users (those with an `exposureType`
     * event) split into arms A/B by id hash; a user converts if they have
     * a `conversionType` event with value > `minValue`. `lift_ppm` =
-    * rate_B · 10⁶ div rate_A (ppm of the A rate; 1 000 000 = parity). */
+    * rate_B · 10⁶ div rate_A (ppm of the A rate; 1 000 000 = parity).
+    *
+    * Degenerate arm: when arm A has ZERO conversions, `rate_ppm_a` = 0
+    * and `lift_ppm` is NULL via an explicit CASE — lift against a zero
+    * base rate is undefined, and NULL survives the cross-engine hash
+    * compare (the oracle replays the same CASE) where a sentinel value
+    * would be indistinguishable from a real measurement. The guard must
+    * be explicit: under ANSI SQL (Spark 4 default) a bare `div 0` THROWS
+    * at runtime rather than returning NULL, so without the CASE a
+    * zero-conversion control arm would crash the whole readout. Callers
+    * read NULL as "no measurable base rate" and fall back to the per-arm
+    * counts, which are always present. Pinned by the zero-conversion
+    * fixture in ExperimentSpec. */
   def abLift(events: DataFrame, userCol: String, typeCol: String,
              valueCol: String, exposureType: String, conversionType: String,
              minValue: Double): DataFrame = {
@@ -48,6 +60,7 @@ object Experiment {
         col("rate_ppm").as("rate_ppm_b"))
     a.crossJoin(b)
       .withColumn("lift_ppm",
-        expr("rate_ppm_b * 1000000 div rate_ppm_a"))
+        expr("CASE WHEN rate_ppm_a = 0 THEN CAST(NULL AS BIGINT)" +
+          " ELSE rate_ppm_b * 1000000 div rate_ppm_a END"))
   }
 }

@@ -78,6 +78,12 @@ object BloomIndex {
   def candidateFiles(spark: SparkSession, sidecarPath: String,
                      value: String): Seq[String] = {
     import spark.implicits._
+    candidateQuery(spark, sidecarPath, value).collect().toSeq
+  }
+
+  private def candidateQuery(spark: SparkSession, sidecarPath: String,
+                             value: String): org.apache.spark.sql.Dataset[String] = {
+    import spark.implicits._
     // Probe hash computed through the SAME public xxhash64 function the
     // build pass used — if a Spark upgrade ever changes that function's
     // seed or implementation, build and probe move together instead of
@@ -91,18 +97,28 @@ object BloomIndex {
           .mightContainLong(h)
       }
       .map(_._1)
-      .collect().toSeq
   }
 
   /** Point lookup through the index: read ONLY the candidate files, then
     * re-apply the exact predicate (bloom fpp causes extra file reads,
     * never wrong rows). Empty candidate set short-circuits to an empty
-    * frame with the store's schema. */
+    * frame with the store's schema.
+    *
+    * Driver-size guard: at most `maxCandidates` file names are collected
+    * (sidecar is O(nFiles) — a degenerate probe, e.g. an absurd fpp or a
+    * key present in every file of a multi-million-file store, would
+    * otherwise pull a manifest-sized list onto the driver). Past the cap
+    * the index has lost its selectivity, so the lookup falls back to the
+    * plain store read with the exact predicate — identical rows. */
   def lookup(spark: SparkSession, storePath: String, sidecarPath: String,
-             keyCol: String, value: String): DataFrame = {
-    val files = candidateFiles(spark, sidecarPath, value)
+             keyCol: String, value: String,
+             maxCandidates: Int = 100000): DataFrame = {
+    val files = candidateQuery(spark, sidecarPath, value)
+      .limit(maxCandidates + 1).collect().toSeq
     val store = spark.read.parquet(storePath)
     if (files.isEmpty) store.limit(0)
+    else if (files.size > maxCandidates)
+      store.filter(col(keyCol).cast("string") === value)
     else spark.read.schema(store.schema).parquet(files: _*)
       .filter(col(keyCol).cast("string") === value)
   }

@@ -44,21 +44,39 @@ object ZoneMapIndex {
   def candidateFiles(spark: SparkSession, sidecarPath: String,
                      column: String, lo: Column, hi: Column): Seq[String] = {
     import spark.implicits._
+    candidateQuery(spark, sidecarPath, column, lo, hi)
+      .as[String].collect().toSeq
+  }
+
+  private def candidateQuery(spark: SparkSession, sidecarPath: String,
+                             column: String, lo: Column, hi: Column): DataFrame =
     spark.read.parquet(sidecarPath)
       // NULL stats make the conjunction NULL → filtered out, which is
       // the correct skip (see class doc).
       .filter(col(s"max_$column") >= lo && col(s"min_$column") <= hi)
-      .select("file").as[String].collect().toSeq
-  }
+      .select("file")
 
   /** Range scan through the index: read ONLY the candidate files, then
     * re-apply the exact predicate. Empty candidate set short-circuits to
-    * an empty frame with the store's schema. */
+    * an empty frame with the store's schema.
+    *
+    * Driver-size guard: the candidate list is collected with a cap of
+    * `maxCandidates` — the sidecar is O(nFiles), and a NON-selective
+    * probe over a multi-million-file store would otherwise pull a
+    * manifest-sized name list onto the driver (and hand the planner a
+    * million explicit paths). Past the cap the probe has lost its
+    * selectivity anyway, so the scan falls back to the plain store read
+    * with the exact predicate — identical rows, no driver blow-up. */
   def rangeScan(spark: SparkSession, storePath: String, sidecarPath: String,
-                column: String, lo: Column, hi: Column): DataFrame = {
-    val files = candidateFiles(spark, sidecarPath, column, lo, hi)
+                column: String, lo: Column, hi: Column,
+                maxCandidates: Int = 100000): DataFrame = {
+    import spark.implicits._
+    val files = candidateQuery(spark, sidecarPath, column, lo, hi)
+      .limit(maxCandidates + 1).as[String].collect().toSeq
     val store = spark.read.parquet(storePath)
     if (files.isEmpty) store.limit(0)
+    else if (files.size > maxCandidates)
+      store.filter(col(column) >= lo && col(column) <= hi)
     else spark.read.schema(store.schema).parquet(files: _*)
       .filter(col(column) >= lo && col(column) <= hi)
   }

@@ -47,4 +47,20 @@ class ExperimentSpec extends SparkSpec {
     assert(got._1 === 1L && got._2 === 1L && got._3 === 1000000L)
     assert(got._4 === 1L && got._5 === 0L)
   }
+
+  test("abLift degenerate arm: zero A conversions yields NULL lift, counts intact") {
+    val u = (1L to 20L).find(armOf(_) == "A").get
+    val v = (1L to 20L).find(armOf(_) == "B").get
+    // A exposed but never converts; B converts — rate_ppm_a = 0, so
+    // lift_ppm must be NULL (documented contract), never an exception or
+    // a fabricated number.
+    val events = Seq((u, "view", 0.0), (v, "view", 0.0), (v, "purchase", 99.0))
+    val row = Experiment.abLift(events.toDF("user_id", "event_type", "value"),
+      "user_id", "event_type", "value", "view", "purchase", 50.0).head()
+    assert(row.getLong(row.fieldIndex("n_users_a")) === 1L)
+    assert(row.getLong(row.fieldIndex("n_conv_a")) === 0L)
+    assert(row.getLong(row.fieldIndex("rate_ppm_a")) === 0L)
+    assert(row.getLong(row.fieldIndex("rate_ppm_b")) === 1000000L)
+    assert(row.isNullAt(row.fieldIndex("lift_ppm")))
+  }
 }

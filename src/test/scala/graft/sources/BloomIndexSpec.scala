@@ -43,4 +43,18 @@ class BloomIndexSpec extends SparkSpec {
       assert(got === Seq(k * 2), s"key $k")
     }
   }
+
+  test("non-selective probe past the candidate cap falls back to a full scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloomidx3").toString
+    val store = s"$dir/store"; val side = s"$dir/side"
+    // The SAME key lands in every file — a probe for it matches all 8
+    // blooms, so with maxCandidates below the file count the lookup must
+    // fall back to the plain store read and still return exact rows.
+    val df = (1L to 8L).flatMap(p => Seq((42L, p), (p + 100L, p))).toDF("k", "part")
+    df.repartition(8, col("part")).write.parquet(store)
+    BloomIndex.build(spark, store, side, "k", expectedPerFile = 100L)
+    val got = BloomIndex.lookup(spark, store, side, "k", "42", maxCandidates = 2)
+      .select("part").as[Long].collect().sorted.toSeq
+    assert(got === (1L to 8L))
+  }
 }

@@ -62,4 +62,24 @@ class ZoneMapIndexSpec extends SparkSpec {
       lit(3L), lit(5L)).select("k").as[Long].collect().sorted.toSeq
     assert(got === Seq(3L, 4L, 5L))
   }
+
+  test("non-selective probe past the candidate cap falls back to a full scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zonemap4").toString
+    val store = s"$dir/store"; val side = s"$dir/side"
+    val df = (1L to 4000L).map(i => (i, i * 7)).toDF("id", "v")
+    Etl.writeRangeLayout(df, store, nFiles = 16, rangeCol = "id")
+    ZoneMapIndex.build(spark, store, side, Seq("id"))
+    // A whole-domain range matches every file; with maxCandidates below
+    // the file count the scan must fall back to the plain store read —
+    // same rows, no driver-sized file list.
+    val got = ZoneMapIndex.rangeScan(spark, store, side, "id",
+      lit(1L), lit(4000L), maxCandidates = 4)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got === (1L to 4000L))
+    // And the fallback reads the whole store relation (all 16 files),
+    // not an explicit ≤cap-sized file list.
+    val nRead = ZoneMapIndex.rangeScan(spark, store, side, "id",
+      lit(1L), lit(4000L), maxCandidates = 4).inputFiles.length
+    assert(nRead === 16)
+  }
 }
