@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side contract — schema, encoders, partition-wise batching,
   * deterministic outputs — is real and tested. IMAGE dimensions are a REAL
-  * header-level decode: BMP and PNG dimensions are read straight from the
-  * container header, pure JDK, no codec dependency ([[imageHeaderDims]]).
+  * header-level decode: BMP, PNG and JPEG dimensions are read straight
+  * from the container header, pure JDK, no codec dependency
+  * ([[imageHeaderDims]]).
   * Payloads that aren't a recognized container — and the audio/video
   * modalities, whose codecs aren't available in this environment — fall
   * back to deterministic digest-derived pseudo-metadata ([[digestMeta]]),
@@ -27,15 +28,20 @@ object Binary {
                              n_frames: Int, digest: String)
   final case class Frame(media_id: Long, frame_no: Int, frame_bytes: Array[Byte])
 
-  /** Header-level image dimensions, pure JDK — the two containers whose
-    * headers are trivially self-describing:
+  /** Header-level image dimensions, pure JDK — the three containers whose
+    * headers are self-describing without a pixel codec:
     *  - PNG: 8-byte signature, then the IHDR chunk (always first, by spec);
     *    big-endian int32 width/height at byte offsets 16/20.
     *  - BMP: "BM" file header (14 bytes) + DIB header. BITMAPINFOHEADER
     *    and successors (size ≥ 40) carry little-endian int32 width at 18,
     *    height at 22 (negative height = top-down row order → abs); the
     *    legacy BITMAPCOREHEADER (size 12) carries uint16 dims at 18/20.
-    * Returns None when the payload is neither (caller falls back). */
+    *  - JPEG: SOI then a marker-segment walk to the first SOF frame
+    *    header ([[jpegDims]]) — baseline (SOF0), progressive (SOF2) and
+    *    the other SOFn variants, with metadata segments (JFIF APP0, EXIF
+    *    APP1, comments, quant/Huffman tables) skipped by their declared
+    *    lengths.
+    * Returns None when the payload is none of these (caller falls back). */
   private[multimodal] def imageHeaderDims(bytes: Array[Byte]): Option[(Int, Int)] = {
     def u8(i: Int): Int = bytes(i) & 0xff
     def be32(i: Int): Int = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
@@ -56,7 +62,44 @@ object Binary {
       else if (dibSizes.contains(dibSize) && bytes.length >= 26)
         Some((le32(18), math.abs(le32(22))))
       else None
-    } else None
+    } else jpegDims(bytes)
+  }
+
+  /** JPEG frame dimensions via the marker-segment walk (ISO/IEC 10918-1
+    * Annex B): after SOI (FFD8), each segment is FF <marker> <len:be16>
+    * <payload>, where len counts itself. The FIRST SOF marker — C0..CF
+    * minus C4 (DHT), C8 (JPG extension), CC (DAC) — carries the frame
+    * header: precision(1), height(be16), width(be16). That one rule
+    * covers baseline (C0), progressive (C2) and the rare SOFn variants,
+    * and EXIF files need no special case: APP1 is just another
+    * length-skipped segment. The walk stops (→ None, digest fallback) on
+    * desync, SOS/EOI before any SOF, or a truncated header — a malformed
+    * payload degrades, never throws. */
+  private[multimodal] def jpegDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    if (bytes.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return None
+    var i = 2
+    while (i + 1 < bytes.length) {
+      if (u8(i) != 0xff) return None // marker desync
+      var j = i + 1 // skip FF fill bytes before the marker id
+      while (j + 1 < bytes.length && u8(j) == 0xff) j += 1
+      val m = u8(j)
+      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) i = j + 1 // standalone
+      else if (m == 0xd9 || m == 0xda) return None // EOI / entropy data: no SOF seen
+      else {
+        if (j + 3 >= bytes.length) return None
+        val len = be16(j + 1)
+        if (len < 2) return None
+        val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+        if (isSof) {
+          if (j + 8 > bytes.length) return None // truncated frame header
+          return Some((be16(j + 6), be16(j + 4))) // (width, height)
+        }
+        i = j + 1 + len
+      }
+    }
+    None
   }
 
   /** Digest-derived pseudo-metadata — the deterministic fallback for

@@ -81,4 +81,55 @@ class BinarySpec extends SparkSpec {
     assert(m.n_frames >= 2)            // video frame count from digest
     assert(m.width <= 256)             // not the PNG's 640
   }
+
+  // --- JPEG: marker-segment walk to the first SOF frame header ---
+
+  /** One JPEG marker segment: FF <marker> <len:be16> <payload> (len
+    * counts itself). */
+  private def seg(marker: Int, payload: Array[Int]): Array[Int] = {
+    val len = payload.length + 2
+    Array(0xff, marker, len >>> 8, len & 0xff) ++ payload
+  }
+
+  /** SOFn payload: precision, height:be16, width:be16, 3 components. */
+  private def sofPayload(w: Int, h: Int): Array[Int] =
+    Array(8, h >>> 8, h & 0xff, w >>> 8, w & 0xff, 3,
+      1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+
+  private def jpegBytes(w: Int, h: Int, sofMarker: Int,
+                        extraApp1: Boolean = false): Array[Byte] = {
+    val soi = Array(0xff, 0xd8)
+    val app0 = seg(0xe0, Array('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    // EXIF files lead with an APP1 segment — just another length-skip.
+    val app1 = if (extraApp1)
+      seg(0xe1, Array('E', 'x', 'i', 'f', 0, 0) ++ Array.fill(40)(0x42))
+    else Array.empty[Int]
+    val dqt = seg(0xdb, Array(0) ++ Array.fill(64)(16))
+    val dht = seg(0xc4, Array.fill(19)(1)) // DHT: a C-range marker that is NOT a SOF
+    val sof = seg(sofMarker, sofPayload(w, h))
+    val sos = seg(0xda, Array(3, 1, 0, 2, 0x11, 3, 0x11, 0, 63, 0))
+    (soi ++ app0 ++ app1 ++ dqt ++ dht ++ sof ++ sos ++
+      Array(0x12, 0x34) ++ Array(0xff, 0xd9)).map(_.toByte)
+  }
+
+  test("decode reads real dimensions from JPEG SOF headers") {
+    val imgs = Seq(
+      MediaRecord(30L, "image", jpegBytes(800, 600, sofMarker = 0xc0), "s"),
+      MediaRecord(31L, "image", jpegBytes(1024, 768, sofMarker = 0xc2), "s"),
+      MediaRecord(32L, "image", jpegBytes(320, 240, sofMarker = 0xc0,
+        extraApp1 = true), "s"),
+      // SOI then garbage: marker desync → digest fallback, no throw
+      MediaRecord(33L, "image",
+        Array[Int](0xff, 0xd8, 0x00, 0x13, 0x37).map(_.toByte), "s"),
+      // truncated mid-segment: walk runs off the end → fallback
+      MediaRecord(34L, "image",
+        jpegBytes(800, 600, sofMarker = 0xc0).take(8), "s")).toDS()
+    val out = extractMeta(imgs).collect().map(m => m.media_id -> m).toMap
+    assert((out(30L).width, out(30L).height) === (800, 600))   // baseline
+    assert((out(31L).width, out(31L).height) === (1024, 768))  // progressive
+    assert((out(32L).width, out(32L).height) === (320, 240))   // EXIF-prefixed
+    assert(out(33L).width <= 256 && out(33L).height <= 256)
+    assert(out(34L).width <= 256 && out(34L).height <= 256)
+    assert(out.values.forall(_.n_frames == 1))
+  }
 }
