@@ -1230,6 +1230,33 @@ object SparkEntry {
     // Per-source data card — the model-card readout (docs, tokens, mean
     // quality in basis points, exact-dup ppm, language count) composed
     // from already-proven per-doc metrics, all integer-exact aggregation.
+    // Paged-external-source ingest (sources/PagedSource.scala): the
+    // reference DAG's REST extract loop as a DSv2 connector. The
+    // documents table is serialized into a paged JSONL endpoint (page =
+    // doc_id div 100 — dense ids make pages contiguous, the protocol's
+    // contract), read back through planning-time page slicing with
+    // per-partition fetch, and rolled up; the oracle replays the rollup
+    // straight off the parquet — the connector round-trip is the fact
+    // under test.
+    "q153_paged_source" -> ((s, d) => {
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q153_" + (d.hashCode.toLong & 0xffffffffL)).getAbsolutePath
+      sources.PagedEndpoint.writeFixture(
+        Tables.documents(s, d).select(
+          to_json(struct(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"))).as("value"),
+          (col("doc_id") / lit(100)).cast("int").as("page")),
+        dir)
+      s.read.format("graft.sources.PagedSource")
+        .option("dir", dir).option("slices", "8")
+        .option("schema", "doc_id LONG, lang STRING, source STRING, n_chars LONG")
+        .load()
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          max("doc_id").as("max_doc_id"))
+    }),
+
     "q152_data_card" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("source"), col("lang"),
@@ -3720,6 +3747,14 @@ object SparkEntry {
     "q146_bpe_encode" -> q146OracleSql,
 
     // Per-doc quality replayed exactly as q16's formula, quantized to
+    // The paged-connector round-trip preserves every row and field, so
+    // the oracle is the same rollup directly over the parquet.
+    "q153_paged_source" ->
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                CAST(max(doc_id) AS BIGINT) AS max_doc_id
+         FROM documents GROUP BY 1, 2""",
+
     // integer basis points BEFORE aggregation (floored means, no
     // accumulation-order doubles); fingerprints as in q81.
     "q152_data_card" ->
