@@ -77,18 +77,20 @@ object Popularity {
     // Successive halving, three rungs. Rung 1 (cheap, low fidelity): the
     // FULL grid is screened with a single 75/25 train/validation fit per
     // parameter map on a deterministic 25% slice of the training data —
-    // one fit per point, not folds×points. Rung 2 (ADAPTIVE, same
-    // fidelity): the next probes are CHOSEN FROM the rung-1 scores — a
-    // seeded local exploration around the incumbent over the CONTINUOUS
-    // ranges between the grid's lattice points (see [[exploreAround]]).
-    // That is the affordable analog of the reference's BayesSearchCV
-    // (ml_training_dag.py:79-98), whose whole point is that probe t+1
-    // depends on scores 1..t. Rung 3 (full fidelity): the top-2 maps
-    // across both screening rungs re-run proper k-fold CV on all the
-    // training data. (Two finalists, not three: the exploration rung
-    // already protects against sample noise eliminating a good map — it
-    // RE-SCREENS the incumbent's whole neighborhood — so a third full-CV
-    // finalist buys little for two extra full-data fits.)
+    // one fit per point, not folds×points. Rung 2 (SURROGATE, same
+    // fidelity): the next probes are a true surrogate-model argmax over
+    // the rung-1 scores — a Tree-structured Parzen Estimator
+    // ([[tpeProbes]]) models good/bad score densities and probes the
+    // acquisition optimum over the CONTINUOUS ranges between the grid's
+    // lattice points. That is the reference's BayesSearchCV discipline
+    // (ml_training_dag.py:79-98): probe t+1 is the argmax of a surrogate
+    // fitted to scores 1..t, not a random neighbor. Rung 3 (full
+    // fidelity): the top-2 maps across both screening rungs re-run
+    // proper k-fold CV on all the training data. (Two finalists, not
+    // three: the surrogate rung already protects against sample noise
+    // eliminating a good map — it RE-SCREENS the good-density region —
+    // so a third full-CV finalist buys little for two extra full-data
+    // fits.)
     // Search breadth exceeds the reference's 3-parameter
     // lattice at well under the full-grid fit budget — and it's the shape
     // that survives scale: at a 100 TB training table, ranking
@@ -108,8 +110,8 @@ object Popularity {
     // last by accident of sort order.
     require(scoutScores.forall(p => java.lang.Double.isFinite(p._2)),
       s"non-finite scout metric in rung 1: ${scoutScores.map(_._2).mkString(",")}")
-    val incumbent = scoutScores.minBy(_._2)._1
-    val explore = exploreAround(rf, incumbent, numTrees, nProbes = 4, seed)
+    val explore = surrogateProbes(rf, scoutScores.toSeq, numTrees,
+      nProbes = 4, seed)
     val exploreScores = explore.zip(screen(explore))
     require(exploreScores.forall(p => java.lang.Double.isFinite(p._2)),
       s"non-finite scout metric in rung 2: ${exploreScores.map(_._2).mkString(",")}")
@@ -129,13 +131,93 @@ object Popularity {
     fit
   }
 
-  /** The adaptive rung's probe set as pure data — deterministic seeded
+  /** TPE surrogate probes (Tree-structured Parzen Estimator — Bergstra
+    * et al., "Algorithms for Hyper-Parameter Optimization", NIPS 2011 —
+    * public math, no dependency): split the observed (config, rmse)
+    * pairs at the γ=0.25 quantile into a GOOD set and a BAD set, model
+    * each as a per-dimension Gaussian kernel mixture (the Parzen
+    * estimator; leaf size on a log2 axis, matching its multiplicative
+    * grid), draw candidates FROM the good density, and keep the top
+    * `nProbes` by the acquisition score log l(x) − log g(x) — the
+    * monotone surrogate of expected improvement. Probe t+1 therefore
+    * depends on every score observed so far, which is the property the
+    * reference's BayesSearchCV rung has and a random perturbation does
+    * not. Driver-side, O(nCand · nObserved) floating point on a
+    * ≤dozens-point space — noise next to one tree fit.
+    *
+    * Deterministic (seeded draws), in-bounds by clamping, never re-probes
+    * an observed config; may return fewer than `nProbes` when the whole
+    * candidate pool collapses onto observed points (caller pads). */
+  private[graft] def tpeProbes(observed: Seq[((Int, Int, Int), Double)],
+                               baseTrees: Int, nProbes: Int,
+                               seed: Long): Seq[(Int, Int, Int)] = {
+    require(observed.nonEmpty, "TPE needs at least one observed score")
+    val rng = new scala.util.Random(seed * 131 + 7)
+    val lo = Array(math.max(2, baseTrees / 2).toDouble, 3.0, 0.0)
+    val hi = Array(baseTrees * 3.0, 10.0, 4.0) // dim 2 = log2(leaf) in [0,4]
+    def toVec(p: (Int, Int, Int)): Array[Double] =
+      Array(p._1.toDouble, p._2.toDouble, math.log(p._3.toDouble) / math.log(2.0))
+    val sorted = observed.sortBy(_._2) // rmse asc: head is best
+    val nGood = math.max(1, math.ceil(observed.size * 0.25).toInt)
+    val good = sorted.take(nGood).map(p => toVec(p._1))
+    val bad = sorted.drop(nGood).map(p => toVec(p._1))
+    // Per-dim bandwidth: sample std of the set, floored at 20% of the
+    // range — rung-1 observation sets are small (≤ a dozen points), and
+    // a tighter kernel under-explores the inter-lattice space the rung
+    // exists to reach (Bergstra's adaptive-Parzen widening, flat-rate).
+    def bw(set: Seq[Array[Double]], dim: Int): Double = {
+      val floor = (hi(dim) - lo(dim)) * 0.2
+      if (set.size < 2) floor
+      else {
+        val xs = set.map(_(dim)); val mu = xs.sum / xs.size
+        math.max(floor,
+          math.sqrt(xs.map(x => (x - mu) * (x - mu)).sum / (xs.size - 1)))
+      }
+    }
+    val bwG = Array.tabulate(3)(bw(good, _))
+    val bwB = Array.tabulate(3)(bw(bad, _))
+    // log of the kernel-mixture density (product of per-dim gaussians per
+    // component, mean over components), log-sum-exp for stability; an
+    // empty bad set degrades to a flat g — acquisition ranks by l alone.
+    def logDensity(set: Seq[Array[Double]], bws: Array[Double],
+                   x: Array[Double]): Double =
+      if (set.isEmpty) 0.0
+      else {
+        val comps = set.map { c =>
+          (0 until 3).map { k =>
+            val z = (x(k) - c(k)) / bws(k)
+            -0.5 * z * z - math.log(bws(k))
+          }.sum
+        }
+        val mx = comps.max
+        mx + math.log(comps.map(c => math.exp(c - mx)).sum / comps.size)
+      }
+    def clamp(v: Double, l: Double, h: Double) = math.max(l, math.min(h, v))
+    def toTriple(x: Array[Double]): (Int, Int, Int) = (
+      math.round(clamp(x(0), lo(0), hi(0))).toInt,
+      math.round(clamp(x(1), lo(1), hi(1))).toInt,
+      math.round(math.pow(2.0, clamp(x(2), lo(2), hi(2)))).toInt)
+    val seen = observed.map(_._1).toSet
+    val nCand = math.max(nProbes * 16, 64)
+    Seq.fill(nCand) {
+      val c = good(rng.nextInt(good.size))
+      Array.tabulate(3)(k => c(k) + rng.nextGaussian() * bwG(k))
+    }.map(x => (toTriple(x), logDensity(good, bwG, x) - logDensity(bad, bwB, x)))
+      .sortBy(-_._2)
+      .map(_._1)
+      .distinct
+      .filterNot(seen)
+      .take(nProbes)
+  }
+
+  /** The pre-surrogate exploration policy — deterministic seeded
     * perturbations of the incumbent (t0, d0, m0) = (numTrees, maxDepth,
     * minInstancesPerNode) over the CONTINUOUS integer ranges between the
     * screening grid's lattice points: trees ±50% of the base size, depth
-    * ±2, leaf size ×2^±2, all clamped to sane bounds. Exposed as a pure
-    * function so the spec can pin coverage (distinct, in-bounds, none
-    * re-probing the incumbent) without fitting anything. */
+    * ±2, leaf size ×2^±2, all clamped to sane bounds. Retained as the
+    * BASELINE the surrogate is benchmarked against in MlSpec, and as the
+    * pad source when TPE's candidate pool collapses onto observed
+    * points. */
   private[graft] def exploreTriples(t0: Int, d0: Int, m0: Int, baseTrees: Int,
                                     nProbes: Int, seed: Long): Seq[(Int, Int, Int)] = {
     val rng = new scala.util.Random(seed * 31 + 17)
@@ -149,14 +231,27 @@ object Popularity {
       .filter(_ != ((t0, d0, m0))).distinct.take(nProbes)
   }
 
-  private def exploreAround(rf: RandomForestRegressor,
-                            incumbent: org.apache.spark.ml.param.ParamMap,
-                            baseTrees: Int, nProbes: Int,
-                            seed: Long): Array[org.apache.spark.ml.param.ParamMap] = {
-    val t0 = incumbent.get(rf.numTrees).getOrElse(baseTrees)
-    val d0 = incumbent.get(rf.maxDepth).getOrElse(5)
-    val m0 = incumbent.get(rf.minInstancesPerNode).getOrElse(1)
-    exploreTriples(t0, d0, m0, baseTrees, nProbes, seed).map { case (t, d, m) =>
+  /** Rung-2 probe maps from the surrogate: TPE over the rung-1 scores,
+    * padded from the perturbation policy in the rare case the candidate
+    * pool collapses onto already-observed configs. */
+  private def surrogateProbes(rf: RandomForestRegressor,
+                              scored: Seq[(org.apache.spark.ml.param.ParamMap, Double)],
+                              baseTrees: Int, nProbes: Int,
+                              seed: Long): Array[org.apache.spark.ml.param.ParamMap] = {
+    def tripleOf(pm: org.apache.spark.ml.param.ParamMap): (Int, Int, Int) =
+      (pm.get(rf.numTrees).getOrElse(baseTrees),
+        pm.get(rf.maxDepth).getOrElse(5),
+        pm.get(rf.minInstancesPerNode).getOrElse(1))
+    val observed = scored.map { case (pm, s) => (tripleOf(pm), s) }
+    val tpe = tpeProbes(observed, baseTrees, nProbes, seed)
+    val probes =
+      if (tpe.size >= nProbes) tpe
+      else {
+        val (t0, d0, m0) = observed.minBy(_._2)._1
+        (tpe ++ exploreTriples(t0, d0, m0, baseTrees, nProbes, seed))
+          .distinct.filterNot(observed.map(_._1).toSet).take(nProbes)
+      }
+    probes.map { case (t, d, m) =>
       org.apache.spark.ml.param.ParamMap(
         rf.numTrees -> t, rf.maxDepth -> d, rf.minInstancesPerNode -> m)
     }.toArray

@@ -121,6 +121,54 @@ class MlSpec extends SparkSpec {
       "exploration never left the screening lattice")
   }
 
+  test("TPE surrogate rung: probes are deterministic, in-bounds, distinct, off-observed") {
+    val lattice = for (t <- Seq(10, 20); d <- Seq(4, 6); m <- Seq(1, 4))
+      yield (t, d, m)
+    def f(p: (Int, Int, Int)): Double = // synthetic rmse: optimum ~(17,7,2)
+      math.pow(p._1 - 17, 2) / 100.0 + math.pow(p._2 - 7, 2) / 4.0 +
+        math.pow(math.log(p._3.toDouble) / math.log(2.0) - 1.0, 2)
+    val observed = lattice.map(p => (p, f(p)))
+    val probes = Popularity.tpeProbes(observed, baseTrees = 10, nProbes = 4, seed = 42L)
+    assert(probes === Popularity.tpeProbes(observed, 10, 4, 42L)) // deterministic
+    assert(probes.size === 4 && probes.distinct.size === 4)
+    assert(probes.forall(p => !observed.map(_._1).contains(p)))   // never re-probes
+    probes.foreach { case (t, d, m) =>
+      assert(t >= 5 && t <= 30, s"trees out of range: $t")
+      assert(d >= 3 && d <= 10, s"depth out of range: $d")
+      assert(m >= 1 && m <= 16, s"leaf size out of range: $m")
+    }
+  }
+
+  test("TPE surrogate beats the perturbation baseline at a fixed probe budget") {
+    // Fixed budget: 4 probes per policy, scored on a synthetic rmse
+    // surface whose optimum (25, 8, 1) sits OFF the screening lattice,
+    // beyond its best corner — the shape a real tuning surface has when
+    // the grid under-covers the good region. The surrogate conditions on
+    // every rung-1 score (good/bad density ratio pushes probes past the
+    // good corner, away from the bad one); the baseline only jitters the
+    // incumbent symmetrically. Both are seeded-deterministic, so the
+    // comparison is a pinned fact, evaluated across seeds.
+    val lattice = for (t <- Seq(10, 20); d <- Seq(4, 6); m <- Seq(1, 4))
+      yield (t, d, m)
+    def f(p: (Int, Int, Int)): Double =
+      math.pow(p._1 - 25, 2) / 100.0 + math.pow(p._2 - 8, 2) / 4.0 +
+        math.pow(math.log(p._3.toDouble) / math.log(2.0), 2)
+    val observed = lattice.map(p => (p, f(p)))
+    val incumbent = observed.minBy(_._2)._1
+    val seeds = (1L to 7L)
+    def bestOf(ps: Seq[(Int, Int, Int)]): Double = ps.map(f).min
+    val tpeBests = seeds.map(s =>
+      bestOf(Popularity.tpeProbes(observed, 10, 4, s)))
+    val perturbBests = seeds.map(s =>
+      bestOf(Popularity.exploreTriples(incumbent._1, incumbent._2,
+        incumbent._3, 10, 4, s)))
+    val wins = seeds.indices.count(i => tpeBests(i) <= perturbBests(i))
+    assert(wins * 2 >= seeds.size,
+      s"surrogate lost most seeds: tpe=$tpeBests perturb=$perturbBests")
+    assert(tpeBests.sum <= perturbBests.sum,
+      s"surrogate worse on average: tpe=$tpeBests perturb=$perturbBests")
+  }
+
   test("tuned GBT searches the learning rate like the notebook's XGB and fits the signal") {
     val (model, row) = Popularity.tunedGbt(spark, regData,
       Seq("x1", "x2", "x3"), "y")
