@@ -1354,6 +1354,16 @@ object SparkEntry {
         "doc_id", "text", n = 3, bands = 8, rowsPerBand = 2,
         minAgree = 0.5, s.table(bandTbl), s.table(sigTbl))
     }),
+
+    // Incremental SEMANTIC near-dup: the batch (vectors with id % 3 != 0)
+    // probes the ingested third's PERSISTED bucketed sign-cell store —
+    // q147's split-candidate shape over q141's cosine semantics, the
+    // batch view of graft.streaming.SemanticIngest's per-trigger probe.
+    "q154_incremental_semantic" -> ((s, d) =>
+      Dedup.incrementalSemantic(
+        Tables.embeddings(s, d).filter(pmod(col("vec_id"), lit(3)) =!= 0),
+        "vec_id", "embedding", signBits = 4, minCos = 0.35,
+        s.table(semanticStoreTable(s, d)))),
   )
 
   /** Events with the shared-grain µs timestamp column (see q38-q40 note). */
@@ -1445,6 +1455,25 @@ object SparkEntry {
       sig.write.mode("overwrite")
         .bucketBy(buckets, "id").saveAsTable(sigTbl)
       (bandTbl, sigTbl)
+    })
+
+  /** Bucketed sign-cell store backing q154 — the q147 layout for the
+    * SEMANTIC family: the ingested third's (bk, id, v, nrm) cell table
+    * bucketed on bk (the probe join's key), built by the same
+    * [[Dedup.semanticStoreTable]] stage [[graft.streaming.SemanticIngest]]
+    * maintains continuously. Returns the catalog table name. */
+  private val semStoreCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def semanticStoreTable(s: SparkSession, d: String): String =
+    semStoreCache.getOrElseUpdate((s, d), {
+      val tbl = "graft_q154_cells_" + (d.hashCode.toLong & 0xffffffffL).toString
+      val buckets = s.sessionState.conf.numShufflePartitions
+      operators.Etl.resetManagedTable(s, tbl)
+      Dedup.semanticStoreTable(
+        Tables.embeddings(s, d).filter(pmod(col("vec_id"), lit(3)) === 0),
+        "vec_id", "embedding", signBits = 4)
+        .write.mode("overwrite").bucketBy(buckets, "bk").saveAsTable(tbl)
+      tbl
     })
 
   /** Parquet store + bloom sidecar for q97, memoized per (session, dir):
@@ -3880,5 +3909,26 @@ object SparkEntry {
                  GROUP BY 1, 2)
          SELECT id1, id2, round(agree / 16.0, 4) AS est_jaccard
          FROM agr WHERE agree / 16.0 >= 0.5""",
+
+    // q141's sign-cell + 6-dp cosine replay, split store (id%3=0) vs
+    // batch (id%3<>0) like q147.
+    "q154_incremental_semantic" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         b AS (SELECT vec_id, v,
+                 (CASE WHEN v[1] >= 0 THEN '1' ELSE '0' END) ||
+                 (CASE WHEN v[2] >= 0 THEN '1' ELSE '0' END) ||
+                 (CASE WHEN v[3] >= 0 THEN '1' ELSE '0' END) ||
+                 (CASE WHEN v[4] >= 0 THEN '1' ELSE '0' END) AS bk
+               FROM e)
+         SELECT a.vec_id AS id1, c.vec_id AS id2,
+                round(list_dot_product(a.v, c.v)
+                      / (sqrt(list_dot_product(a.v, a.v))
+                         * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+         FROM b a JOIN b c ON a.bk = c.bk
+         WHERE a.vec_id % 3 = 0 AND c.vec_id % 3 <> 0
+           AND round(list_dot_product(a.v, c.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(c.v, c.v))), 6) >= 0.35""",
   )
 }

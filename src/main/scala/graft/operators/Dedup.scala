@@ -666,6 +666,45 @@ object Dedup {
       .withColumn("n_kept", col("n_total") - col("n_dropped"))
   }
 
+  /** The store half of [[incrementalSemantic]] — (bk, id, v, nrm) for
+    * `emb`, the embedding twin of [[minhashStoreTables]]: sign-bit cell
+    * key for the bucketed layout the probe joins on, vector and
+    * precomputed norm for the cosine verify. A continuous ingest appends
+    * each batch's survivors; the batch path builds it in one pass. */
+  def semanticStoreTable(emb: DataFrame, idCol: String, vecCol: String,
+                         signBits: Int): DataFrame =
+    emb.select(signBucket(col(vecCol), signBits).as("bk"),
+      col(idCol).as("id"), col(vecCol).as("v"),
+      V.norm(col(vecCol)).as("nrm"))
+
+  /** Incremental semantic near-dup — [[incrementalMinhash]]'s shape for
+    * the embedding family: the batch's vectors probe a PERSISTED
+    * (bk, id, v, nrm) store ([[semanticStoreTable]]) on the sign-bit
+    * cell key, and only intra-cell candidate pairs run the cosine
+    * verify. Returns (id1 = store id, id2 = batch id, cos) for every
+    * store row within `minCos` of a batch row — exactly [[semanticDedup]]
+    * semantics with "lower id" replaced by "already ingested".
+    *
+    * Scale posture: per-batch cost tracks batch size × cell collision
+    * rate, never store size — the store side of the join reads only the
+    * probed cells (bucketed layout), fan-out is bounded by the largest
+    * cell, norms come precomputed from the store. */
+  def incrementalSemantic(batch: DataFrame, idCol: String, vecCol: String,
+                          signBits: Int, minCos: Double,
+                          store: DataFrame): DataFrame = {
+    val probe = semanticStoreTable(batch, idCol, vecCol, signBits)
+      .select(col("bk"), col("id").as("id2"), col("v").as("v2"),
+        col("nrm").as("nrm2"))
+    store
+      .select(col("bk"), col("id").as("id1"), col("v").as("v1"),
+        col("nrm").as("nrm1"))
+      .join(probe, Seq("bk"))
+      .withColumn("cos", round(V.dot(col("v1"), col("v2"))
+        / (col("nrm1") * col("nrm2")), 6))
+      .filter(col("cos") >= minCos)
+      .select(col("id1"), col("id2"), col("cos"))
+  }
+
   /** Passage-level duplication audit: slide a `w`-token window with
     * `stride` over each document, hash every window, and count per doc
     * how many of its windows also occur in ANOTHER document — the

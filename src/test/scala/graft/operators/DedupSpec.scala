@@ -283,6 +283,52 @@ class DedupSpec extends SparkSpec {
     assert(got.forall(p => p._1 % 3 == 0 && p._2 % 3 != 0))
   }
 
+  test("incrementalSemantic flags batch vectors near-duplicating the store only") {
+    // Store = ids 3, 6; batch = 1, 2, 4, 5. Vec 4 near-copies stored 3;
+    // vecs 1/2 near-duplicate EACH OTHER but nothing stored (must not
+    // flag — in-batch dedup is a separate pass); 5 matches nothing; 2 is
+    // in stored 6's CELL but far from it (cell collision ≠ near-dup).
+    val emb = Seq(
+      (1L, Array(0.0f, 1.0f, 0.3f)),
+      (2L, Array(0.05f, 0.98f, 0.32f)),
+      (3L, Array(1.0f, 0.1f, -0.2f)),
+      (4L, Array(0.98f, 0.12f, -0.19f)),
+      (5L, Array(-1.0f, -0.5f, 0.4f)),
+      (6L, Array(0.7f, 0.7f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val store = Dedup.semanticStoreTable(
+      emb.filter($"vec_id" % 3 === 0), "vec_id", "embedding", signBits = 3)
+    val got = Dedup.incrementalSemantic(
+        emb.filter($"vec_id" % 3 =!= 0), "vec_id", "embedding",
+        signBits = 3, minCos = 0.95, store)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(got === Set((3L, 4L)), s"flagged: $got")
+  }
+
+  test("incrementalSemantic store side reads its buckets without an Exchange") {
+    // The 100 TB regime: broadcast off, store persisted bucketed on bk —
+    // the probe join must shuffle ONLY the batch side into the store's
+    // buckets.
+    val emb = Seq((3L, Array(1.0f, 0.1f)), (6L, Array(-0.2f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val tbl = "graft_semplan_test"
+    graft.operators.Etl.resetManagedTable(spark, tbl)
+    Dedup.semanticStoreTable(emb, "vec_id", "embedding", signBits = 2)
+      .write.bucketBy(4, "bk").saveAsTable(tbl)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val batch = Seq((1L, Array(0.9f, 0.2f))).toDF("vec_id", "embedding")
+      val plan = Dedup.incrementalSemantic(batch, "vec_id", "embedding",
+          signBits = 2, minCos = 0.9, spark.table(tbl))
+        .queryExecution.executedPlan.toString
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(shuffles === 1, s"expected one shuffle (batch side only):\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
   test("semanticDedup drops the higher id of a near-identical pair, per cell") {
     // vecs 1,2 nearly identical (cos≈1) in the ++ cell; 3 is orthogonal in
     // the same cell sign-wise? no — (0.1,-1) has sign bucket "10" ≠ "11",
