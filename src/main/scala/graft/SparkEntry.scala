@@ -1257,6 +1257,49 @@ object SparkEntry {
           max("doc_id").as("max_doc_id"))
     }),
 
+    // Audio-metadata extraction over REAL WAV containers: each doc gets a
+    // synthesized RIFF/WAVE payload whose fmt/data fields are pure
+    // functions of doc_id, the partition-wise decoder parses them back,
+    // and the oracle recomputes every field arithmetically — so the hash
+    // match verifies parse(synth(p)) == p end-to-end through the typed
+    // binary-column path (digest dropped: the oracle can't md5 bytes it
+    // never builds). Synthesis and decode are both map-only sweeps.
+    "q155_audio_meta" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .select(col("doc_id"), col("source")).as[(Long, String)]
+        .map { case (id, src) =>
+          multimodal.Binary.MediaRecord(id, "audio",
+            multimodal.Binary.synthWav(
+              sampleRate = (8000 * (1 + id % 3)).toInt,
+              channels = (1 + id % 2).toInt,
+              bitsPerSample = (8 * (1 + id % 2)).toInt,
+              nSamples = 200 + id % 100), src)
+        }
+      multimodal.Binary.extractAudioMeta(media).toDF()
+        .select("media_id", "size_bytes", "sample_rate", "channels",
+          "bits_per_sample", "n_samples", "duration_ms")
+    }),
+
+    // Video twin of q155: ISO BMFF containers synthesized from
+    // doc_id-derived parameters (timescale 600, the QuickTime default),
+    // decoded by the real box walk, fields re-derived arithmetically by
+    // the oracle — parse(synth(p)) == p for the video path.
+    "q156_video_meta" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .select(col("doc_id"), col("source")).as[(Long, String)]
+        .map { case (id, src) =>
+          multimodal.Binary.MediaRecord(id, "video",
+            multimodal.Binary.synthMp4(
+              width = (160 * (1 + id % 8)).toInt,
+              height = (120 * (1 + id % 6)).toInt,
+              durationUnits = 600 + id % 1000), src)
+        }
+      multimodal.Binary.extractVideoMeta(media).toDF()
+        .select("media_id", "width", "height", "duration_ms")
+    }),
+
     "q152_data_card" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("source"), col("lang"),
@@ -3783,6 +3826,32 @@ object SparkEntry {
                 CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                 CAST(max(doc_id) AS BIGINT) AS max_doc_id
          FROM documents GROUP BY 1, 2""",
+
+    // Every decoded field is a pure function of doc_id (the query
+    // synthesized the WAV container from exactly these formulas), so the
+    // oracle recomputes them arithmetically: a hash match proves the RIFF
+    // parse returned what the writer wrote. blockAlign = ch*bits/8
+    // collapses to (1 + doc_id%2)^2; duration is floor'd integer ms.
+    "q155_audio_meta" ->
+      """SELECT doc_id AS media_id,
+                CAST(44 + (200 + doc_id % 100)
+                     * ((1 + doc_id % 2) * (1 + doc_id % 2)) AS BIGINT) AS size_bytes,
+                CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate,
+                CAST(1 + doc_id % 2 AS INT) AS channels,
+                CAST(8 * (1 + doc_id % 2) AS INT) AS bits_per_sample,
+                CAST(200 + doc_id % 100 AS BIGINT) AS n_samples,
+                CAST((200 + doc_id % 100) * 1000
+                     // (8000 * (1 + doc_id % 3)) AS BIGINT) AS duration_ms
+         FROM documents""",
+
+    // q155's contract for the video leg: every decoded field re-derived
+    // from doc_id; duration floor'd at the synth timescale of 600.
+    "q156_video_meta" ->
+      """SELECT doc_id AS media_id,
+                CAST(160 * (1 + doc_id % 8) AS INT) AS width,
+                CAST(120 * (1 + doc_id % 6) AS INT) AS height,
+                CAST((600 + doc_id % 1000) * 1000 // 600 AS BIGINT) AS duration_ms
+         FROM documents""",
 
     // integer basis points BEFORE aggregation (floored means, no
     // accumulation-order doubles); fingerprints as in q81.

@@ -28,7 +28,7 @@ object Binary {
                              n_frames: Int, digest: String)
   final case class Frame(media_id: Long, frame_no: Int, frame_bytes: Array[Byte])
 
-  /** Header-level image dimensions, pure JDK — the three containers whose
+  /** Header-level image dimensions, pure JDK — the four containers whose
     * headers are self-describing without a pixel codec:
     *  - PNG: 8-byte signature, then the IHDR chunk (always first, by spec);
     *    big-endian int32 width/height at byte offsets 16/20.
@@ -36,6 +36,10 @@ object Binary {
     *    and successors (size ≥ 40) carry little-endian int32 width at 18,
     *    height at 22 (negative height = top-down row order → abs); the
     *    legacy BITMAPCOREHEADER (size 12) carries uint16 dims at 18/20.
+    *  - GIF: "GIF87a"/"GIF89a" signature, then the Logical Screen
+    *    Descriptor's little-endian uint16 width/height at offsets 6/8
+    *    (GIF89a spec §18) — the canvas dims, which is what a layout pass
+    *    wants regardless of sub-image frames.
     *  - JPEG: SOI then a marker-segment walk to the first SOF frame
     *    header ([[jpegDims]]) — baseline (SOF0), progressive (SOF2) and
     *    the other SOFn variants, with metadata segments (JFIF APP0, EXIF
@@ -51,11 +55,15 @@ object Binary {
       u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G' &&
       u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a && u8(7) == 0x0a &&
       u8(12) == 'I' && u8(13) == 'H' && u8(14) == 'D' && u8(15) == 'R'
+    val isGif = bytes.length >= 10 &&
+      u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == '8' &&
+      (u8(4) == '7' || u8(4) == '9') && u8(5) == 'a'
     // Real DIB header sizes only (CORE/INFO/V2/V3/V4/V5) — "BM"-prefixed
     // TEXT payloads can't false-positive: a valid size's upper bytes are
     // NUL, which printable text never contains.
     val dibSizes = Set(12, 40, 52, 56, 108, 124)
     if (isPng) Some((be32(16), be32(20)))
+    else if (isGif) Some((le16(6), le16(8)))
     else if (bytes.length >= 22 && u8(0) == 'B' && u8(1) == 'M') {
       val dibSize = if (bytes.length >= 18) le32(14) else 0
       if (dibSize == 12) Some((le16(18), le16(20)))
@@ -100,6 +108,229 @@ object Binary {
       }
     }
     None
+  }
+
+  final case class AudioMeta(media_id: Long, size_bytes: Long,
+                             sample_rate: Int, channels: Int,
+                             bits_per_sample: Int, n_samples: Long,
+                             duration_ms: Long, digest: String)
+
+  /** WAV (RIFF/WAVE) header metadata, pure JDK — the audio twin of
+    * [[imageHeaderDims]]. RIFF container (RIFF spec / WAVEFORMATEX):
+    * "RIFF" <size:le32> "WAVE", then a chunk walk of
+    * `<id:4><size:le32><payload, padded to even>`:
+    *  - `fmt ` carries format(le16), channels(le16), sampleRate(le32),
+    *    byteRate(le32), blockAlign(le16), bitsPerSample(le16);
+    *  - `data`'s declared size over blockAlign is the per-channel sample
+    *    (frame) count.
+    * Unknown chunks (LIST/INFO, fact, cue) are skipped by their declared
+    * size — the same discipline as the JPEG segment walk. Returns
+    * (sampleRate, channels, bitsPerSample, nSamples); None on any
+    * malformed/truncated structure (caller falls back, never throws). */
+  private[multimodal] def wavMeta(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3).toLong << 24)) & 0xffffffffL
+    def tag(i: Int, s: String): Boolean =
+      bytes.length >= i + 4 && (0 until 4).forall(k => u8(i + k) == s.charAt(k))
+    if (bytes.length < 12 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // (rate, ch, bits, blockAlign)
+    var dataSize: Option[Long] = None
+    while (i + 8 <= bytes.length && (fmt.isEmpty || dataSize.isEmpty)) {
+      val size = le32(i + 4)
+      if (tag(i, "fmt ")) {
+        if (size < 16 || i + 8 + 16 > bytes.length) return None
+        fmt = Some((le32(i + 12).toInt, le16(i + 10), le16(i + 22), le16(i + 20)))
+      } else if (tag(i, "data")) {
+        // data may legitimately be the last chunk with its payload
+        // truncated in a sampled byte range; the DECLARED size is the
+        // metadata (ffprobe reports the same way).
+        dataSize = Some(size)
+      }
+      val step = 8L + size + (size & 1) // chunks pad to even offsets
+      if (step <= 0 || i + step > Int.MaxValue) return None // bogus size
+      i += step.toInt
+    }
+    for ((rate, ch, bits, block) <- fmt; d <- dataSize)
+      yield {
+        if (rate <= 0 || ch <= 0 || bits <= 0 || block <= 0) return None
+        (rate, ch, bits, d / block)
+      }
+  }
+
+  /** Deterministic minimal WAV container — the fixture generator the
+    * round-trip check needs: `wavMeta(synthWav(r, c, b, n))` must return
+    * exactly (r, c, b, n). PCM silence payload; one fmt and one data
+    * chunk, 44-byte canonical header. */
+  def synthWav(sampleRate: Int, channels: Int, bitsPerSample: Int,
+               nSamples: Long): Array[Byte] = {
+    val block = channels * bitsPerSample / 8
+    val dataSize = nSamples * block
+    require(dataSize <= Int.MaxValue - 44, "fixture payload too large")
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = s.foreach(c => out.write(c.toInt & 0xff))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    def le32(v: Long): Unit = (0 until 4).foreach(k => out.write(((v >>> (8 * k)) & 0xff).toInt))
+    w("RIFF"); le32(36 + dataSize); w("WAVE")
+    w("fmt "); le32(16); le16(1); le16(channels); le32(sampleRate)
+    le32(sampleRate.toLong * block); le16(block); le16(bitsPerSample)
+    w("data"); le32(dataSize)
+    out.write(new Array[Byte](dataSize.toInt))
+    out.toByteArray
+  }
+
+  /** Digest-derived audio pseudo-metadata — same contract as
+    * [[digestMeta]]: any engine recomputes it from md5 nibbles in SQL. */
+  private[multimodal] def digestAudioMeta(r: MediaRecord, hex: String): AudioMeta = {
+    def nib(i: Int): Int = Character.digit(hex.charAt(i), 16)
+    val rate = 8000 * (1 + nib(0) % 3) // 8/16/24 kHz
+    val ch = 1 + nib(1) % 2
+    val samples = (nib(2) * 16 + nib(3) + 1).toLong * 100
+    AudioMeta(r.media_id, r.bytes.length.toLong, rate, ch,
+      bits_per_sample = 16, n_samples = samples,
+      duration_ms = samples * 1000 / rate, digest = hex)
+  }
+
+  /** Audio feature extraction: real RIFF/WAVE header decode where the
+    * payload is a WAV container, digest fallback otherwise — one
+    * partition-wise sweep like [[extractMeta]], no shuffle. */
+  def extractAudioMeta(media: Dataset[MediaRecord]): Dataset[AudioMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val hex = java.security.MessageDigest.getInstance("MD5").digest(r.bytes)
+        .map("%02x".format(_)).mkString
+      wavMeta(r.bytes) match {
+        case Some((rate, ch, bits, n)) =>
+          AudioMeta(r.media_id, r.bytes.length.toLong, rate, ch, bits, n,
+            duration_ms = n * 1000 / rate, digest = hex)
+        case None => digestAudioMeta(r, hex)
+      }
+    })
+  }
+
+  final case class VideoMeta(media_id: Long, size_bytes: Long,
+                             width: Int, height: Int, duration_ms: Long,
+                             digest: String)
+
+  /** MP4 / ISO BMFF (ISO 14496-12) header metadata, pure JDK — the video
+    * leg of the modality triple. The container is a box tree:
+    * `<size:be32><type:4cc>[largesize:be64 if size==1]<payload>`; this
+    * walks the top level to `moov`, reads `mvhd` (movie timescale +
+    * duration, version 0 be32 / version 1 be64 fields) and descends each
+    * `trak` to its `tkhd` for the first nonzero 16.16 fixed-point
+    * width/height (the visual track; audio tracks carry 0×0). Returns
+    * (width, height, durationMs) with duration floor'd to integer ms;
+    * None on any malformed/truncated structure — degrade, never throw. */
+  private[multimodal] def mp4Meta(bytes: Array[Byte]): Option[(Int, Int, Long)] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def be32(i: Int): Long =
+      ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def fourcc(i: Int): String = new String(bytes.slice(i, i + 4), "US-ASCII")
+    // Walk one box level in [from, to); f gets (type, payloadStart, payloadEnd).
+    def walk(from: Int, to: Int)(f: (String, Int, Int) => Unit): Boolean = {
+      var i = from
+      while (i + 8 <= to) {
+        var size = be32(i); var hdr = 8
+        if (size == 1) {
+          if (i + 16 > to) return false
+          size = be64(i + 8); hdr = 16
+        } else if (size == 0) size = to - i // "extends to end of file"
+        if (size < hdr || size > to - i) return false // torn/absurd box
+        f(fourcc(i + 4), i + hdr, i + size.toInt)
+        i += size.toInt
+      }
+      i == to
+    }
+    if (bytes.length < 12 || fourcc(4) != "ftyp") return None
+    var dims: Option[(Int, Int)] = None
+    var dur: Option[Long] = None
+    var moovOk = true
+    val topOk = walk(0, bytes.length) { (t, s, e) =>
+      if (t == "moov") {
+        moovOk &= walk(s, e) { (t2, s2, e2) =>
+          if (t2 == "mvhd" && dur.isEmpty && e2 - s2 >= 20) {
+            val v = u8(s2)
+            // v0: ver/flags, ctime, mtime, timescale:be32, duration:be32
+            // v1: ver/flags, ctime:be64, mtime:be64, timescale:be32, duration:be64
+            val (ts, d) =
+              if (v == 1 && e2 - s2 >= 32) (be32(s2 + 20), be64(s2 + 24))
+              else (be32(s2 + 12), be32(s2 + 16))
+            if (ts > 0) dur = Some(d * 1000 / ts)
+          } else if (t2 == "trak" && dims.isEmpty) {
+            // A torn trak level yields no dims from it; anything it DID
+            // yield came from a bounds-checked tkhd, so no invalidation.
+            walk(s2, e2) { (t3, s3, e3) =>
+              // tkhd v0 payload is 84 bytes with 16.16 width/height at
+              // offsets 76/80; v1 adds 12 bytes of 64-bit times → 88/92.
+              if (t3 == "tkhd" && dims.isEmpty && e3 - s3 >= 84) {
+                val off = if (u8(s3) == 1) 88 else 76
+                if (e3 - s3 >= off + 8) {
+                  val w = (be32(s3 + off) >>> 16).toInt
+                  val h = (be32(s3 + off + 4) >>> 16).toInt
+                  if (w > 0 && h > 0) dims = Some((w, h))
+                }
+              }
+            }
+            ()
+          }
+        }
+      }
+    }
+    for (_ <- Option.when(topOk && moovOk)(());
+         (w, h) <- dims; d <- dur) yield (w, h, d)
+  }
+
+  /** Deterministic minimal MP4 — the fixture generator for the video
+    * round-trip check: `mp4Meta(synthMp4(w, h, units, ts))` must return
+    * exactly (w, h, units*1000/ts). ftyp + moov(mvhd v0 + trak(tkhd v0));
+    * no media data — header metadata is the contract. */
+  def synthMp4(width: Int, height: Int, durationUnits: Long,
+               timescale: Int = 600): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Long): Array[Byte] =
+      Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+        ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ tpe.getBytes("US-ASCII") ++ payload
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0x200) ++
+      "isomiso2".getBytes("US-ASCII"))
+    val mvhd = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++
+      be32(timescale) ++ be32(durationUnits) ++
+      be32(0x00010000L) ++ Array[Byte](1, 0) ++ new Array[Byte](70))
+    val tkhd = box("tkhd", be32(7) ++ be32(0) ++ be32(0) ++ be32(1) ++
+      be32(0) ++ be32(durationUnits) ++ new Array[Byte](52) ++
+      be32(width.toLong << 16) ++ be32(height.toLong << 16))
+    val moov = box("moov", mvhd ++ box("trak", tkhd))
+    out.write(ftyp); out.write(moov)
+    out.toByteArray
+  }
+
+  /** Digest-derived video pseudo-metadata — [[digestMeta]]'s contract for
+    * the video typed path: nibble-derived, SQL-recomputable. */
+  private[multimodal] def digestVideoMeta(r: MediaRecord, hex: String): VideoMeta = {
+    def nib(i: Int): Int = Character.digit(hex.charAt(i), 16)
+    VideoMeta(r.media_id, r.bytes.length.toLong,
+      width = (nib(0) * 16 + nib(1) + 1) * 4, height = (nib(2) * 16 + nib(3) + 1) * 3,
+      duration_ms = (nib(4) + 1) * 1000L, digest = hex)
+  }
+
+  /** Video feature extraction: real ISO BMFF header decode where the
+    * payload is an MP4 container, digest fallback otherwise — one
+    * partition-wise sweep like [[extractMeta]], no shuffle. */
+  def extractVideoMeta(media: Dataset[MediaRecord]): Dataset[VideoMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val hex = java.security.MessageDigest.getInstance("MD5").digest(r.bytes)
+        .map("%02x".format(_)).mkString
+      mp4Meta(r.bytes) match {
+        case Some((w, h, d)) =>
+          VideoMeta(r.media_id, r.bytes.length.toLong, w, h, d, hex)
+        case None => digestVideoMeta(r, hex)
+      }
+    })
   }
 
   /** Digest-derived pseudo-metadata — the deterministic fallback for

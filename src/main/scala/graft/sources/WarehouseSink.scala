@@ -245,6 +245,92 @@ object WarehouseSink {
     dropped
   }
 
+  /** One `maintain` pass: what compaction + vacuum did after the change. */
+  case class MaintenanceReport(filesBefore: Int, filesAfter: Int,
+                               bytesBefore: Long, bytesAfter: Long,
+                               compacted: Boolean, reclaimed: Int)
+
+  /** The table's whole maintenance cycle in one call — the OPTIMIZE +
+    * VACUUM pass a continuously-appended warehouse table needs (every
+    * streaming epoch and batch append adds a file per task; unmaintained,
+    * scan parallelism degrades into per-file scheduling overhead and the
+    * manifest grows unbounded).
+    *
+    *  1. **Compact**: if the live generation holds more files than
+    *     `ceil(bytes / targetBytes)`, rewrite it to that many files. The
+    *     rewrite goes through the sink's own staged write into a TEMP
+    *     table directory, the compacted files are moved (same-volume
+    *     atomic renames) into the table dir, and ONE manifest generation
+    *     is published referencing only them — with the previous
+    *     generation's streaming-epoch cursor carried forward, so an
+    *     exactly-once streaming writer resuming from its checkpoint still
+    *     sees its replay guard. A crash anywhere before that single
+    *     publish leaves the live table untouched (the moved-but-never-
+    *     referenced files are exactly what `vacuum` reclaims).
+    *  2. **Vacuum**: drop history beyond `keepVersions` (the
+    *     pre-compaction generation becomes reclaimable history like any
+    *     other).
+    *
+    * Single-writer like `vacuum`: run from the table's owning job, not
+    * concurrently with a commit — an append racing the compaction publish
+    * could be rebased out of the live file list.
+    *
+    * Scale shape: the rewrite is one distributed read of the live files +
+    * one round-robin repartition to the target layout; the driver touches
+    * only the file-name list. At 100 TB this runs per-table on whatever
+    * cadence the small-file rate demands, exactly like Delta OPTIMIZE. */
+  def maintain(spark: org.apache.spark.sql.SparkSession, dir: String,
+               targetBytes: Long = 128L << 20,
+               keepVersions: Int = 1): MaintenanceReport = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val fmt = classOf[WarehouseSink].getName
+    val cur = readManifest(dir).getOrElse(
+      return MaintenanceReport(0, 0, 0L, 0L, compacted = false, 0))
+    def liveBytes(m: Manifest): Long =
+      m.files.map(f => new File(dir, f).length()).sum
+    val bytesBefore = liveBytes(cur)
+    val filesBefore = cur.files.size
+    // No +targetBytes-1 ceiling trick: it overflows for sentinel-huge targets.
+    val nTarget = math.max(1L,
+      bytesBefore / targetBytes + (if (bytesBefore % targetBytes == 0) 0 else 1)).toInt
+    val compacted = nTarget < filesBefore
+    if (compacted) {
+      // Stage the compacted layout as its own throwaway warehouse table in
+      // a sibling dir (same volume — the moves below stay atomic renames).
+      val tmp = new File(new File(dir).getAbsoluteFile.getParentFile,
+        new File(dir).getName + ".compact-" +
+          java.util.UUID.randomUUID.toString.take(8))
+      try {
+        spark.read.format(fmt).option("path", dir).load()
+          .repartition(nTarget)
+          .write.format(fmt).option("path", tmp.getPath)
+          .mode("overwrite").save()
+        val newFiles = readManifest(tmp.getPath).map(_.files).getOrElse(Nil)
+        newFiles.foreach { f =>
+          Files.move(new File(tmp, f).toPath, new File(dir, f).toPath,
+            StandardCopyOption.ATOMIC_MOVE)
+        }
+        publish(dir, { prev =>
+          val p = prev.getOrElse(cur)
+          // Epoch comes from the manifest CURRENT at publish time, not the
+          // snapshot read above — a streaming epoch folded in mid-rewrite
+          // keeps its cursor (its rows, appended after our scan pinned the
+          // file list, are rebased out; hence the single-writer contract).
+          Some(Manifest(0L, p.schemaDdl, newFiles, p.epoch))
+        })
+      } finally {
+        def rm(f: File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(tmp)
+      }
+    }
+    val reclaimed = vacuum(dir, keepVersions)
+    val after = readManifest(dir).getOrElse(cur)
+    MaintenanceReport(filesBefore, after.files.size, bytesBefore,
+      liveBytes(after), compacted, reclaimed)
+  }
+
   // ---- row codec: TSV with \t, \n, \\ escaped ----
   // The null sentinel is a token the escaper can never emit: every input
   // backslash doubles, so backslash runs in encoded output always have

@@ -132,4 +132,92 @@ class BinarySpec extends SparkSpec {
     assert(out(34L).width <= 256 && out(34L).height <= 256)
     assert(out.values.forall(_.n_frames == 1))
   }
+
+  // --- GIF: Logical Screen Descriptor dims ---
+
+  private def gifBytes(w: Int, h: Int, v87: Boolean = false): Array[Byte] =
+    (("GIF8" + (if (v87) "7" else "9") + "a").map(_.toInt).toArray ++
+      Array(w & 0xff, w >>> 8, h & 0xff, h >>> 8, 0x91, 0, 0)).map(_.toByte)
+
+  test("decode reads real dimensions from GIF logical screen descriptors") {
+    val imgs = Seq(
+      MediaRecord(40L, "image", gifBytes(500, 300), "s"),
+      MediaRecord(41L, "image", gifBytes(77, 99, v87 = true), "s"),
+      // "GIF" text prefix without the version tag → fallback, no parse
+      MediaRecord(42L, "image", "GIF is a file format".getBytes("UTF-8"), "s")).toDS()
+    val out = extractMeta(imgs).collect().map(m => m.media_id -> m).toMap
+    assert((out(40L).width, out(40L).height) === (500, 300))
+    assert((out(41L).width, out(41L).height) === (77, 99))
+    assert(out(42L).width <= 256 && out(42L).height <= 256)
+  }
+
+  // --- WAV: RIFF chunk walk to fmt + data ---
+
+  test("wavMeta round-trips every field synthWav wrote") {
+    for ((rate, ch, bits, n) <- Seq((8000, 1, 8, 1000L), (16000, 2, 16, 4410L),
+                                    (44100, 2, 24, 1L), (24000, 1, 16, 0L)))
+      assert(wavMeta(synthWav(rate, ch, bits, n)) === Some((rate, ch, bits, n)),
+        s"round-trip broke for ($rate,$ch,$bits,$n)")
+  }
+
+  test("wavMeta skips unknown chunks and survives malformed payloads") {
+    val base = synthWav(22050, 2, 16, 500L)
+    // splice a LIST metadata chunk (odd size → padded) between WAVE and fmt
+    val listPayload = "INFOIART".map(_.toInt.toByte).toArray :+ 0x41.toByte
+    val list = "LIST".map(_.toInt.toByte).toArray ++
+      Array(listPayload.length, 0, 0, 0).map(_.toByte) ++ listPayload ++
+      Array(0.toByte) // pad to even
+    val spliced = base.take(12) ++ list ++ base.drop(12)
+    assert(wavMeta(spliced) === Some((22050, 2, 16, 500L)))
+    // malformed: not RIFF / not WAVE / truncated fmt / zero blockAlign
+    assert(wavMeta("RIFFxxxxAIFF".getBytes("UTF-8")) === None)
+    assert(wavMeta(base.take(20)) === None)
+    val zeroBlock = base.clone(); zeroBlock(32) = 0; zeroBlock(33) = 0
+    assert(wavMeta(zeroBlock) === None)
+  }
+
+  // --- MP4: ISO BMFF box walk to mvhd + tkhd ---
+
+  test("mp4Meta round-trips dims and floors duration to integer ms") {
+    assert(mp4Meta(synthMp4(640, 480, 1200, 600)) === Some((640, 480, 2000L)))
+    assert(mp4Meta(synthMp4(1920, 1080, 1001, 600)) === Some((1920, 1080, 1668L)))
+    assert(mp4Meta(synthMp4(16, 9, 0, 600)) === Some((16, 9, 0L)))
+  }
+
+  test("mp4Meta degrades on malformed containers, never throws") {
+    val good = synthMp4(640, 480, 1200, 600)
+    assert(mp4Meta("not an mp4 at all".getBytes("UTF-8")) === None)
+    assert(mp4Meta(good.take(30)) === None) // torn moov
+    val badSize = good.clone()
+    badSize(0) = 0x7f // ftyp box claims an absurd size → walk rejects
+    assert(mp4Meta(badSize) === None)
+  }
+
+  test("extractVideoMeta: real decode for MP4 payloads, digest fallback otherwise") {
+    val rows = Seq(
+      MediaRecord(60L, "video", synthMp4(1280, 720, 3000, 600), "cam0"),
+      MediaRecord(61L, "video", "not a video".getBytes("UTF-8"), "cam0")).toDS()
+    val out = extractVideoMeta(rows).collect().map(m => m.media_id -> m).toMap
+    assert((out(60L).width, out(60L).height, out(60L).duration_ms) ===
+      (1280, 720, 5000L))
+    val fb = out(61L)
+    assert(fb.width % 4 === 0 && fb.height % 3 === 0 && fb.duration_ms % 1000 === 0)
+  }
+
+  test("extractAudioMeta: real decode for WAV payloads, digest fallback otherwise") {
+    val rows = Seq(
+      MediaRecord(50L, "audio", synthWav(16000, 2, 16, 8000L), "mic0"),
+      MediaRecord(51L, "audio", "not a wav".getBytes("UTF-8"), "mic0")).toDS()
+    val out = extractAudioMeta(rows).collect().map(m => m.media_id -> m).toMap
+    val real = out(50L)
+    assert((real.sample_rate, real.channels, real.bits_per_sample,
+      real.n_samples) === (16000, 2, 16, 8000L))
+    assert(real.duration_ms === 500L) // 8000 samples at 16 kHz
+    assert(real.size_bytes === 44L + 8000 * 4)
+    val fb = out(51L)
+    assert(fb.sample_rate % 8000 === 0 && fb.channels >= 1 && fb.n_samples > 0)
+    // deterministic: same input, same pseudo-metadata
+    assert(extractAudioMeta(rows).collect().sortBy(_.media_id).toSeq ===
+      out.values.toSeq.sortBy(_.media_id))
+  }
 }

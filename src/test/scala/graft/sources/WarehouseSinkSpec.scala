@@ -263,6 +263,62 @@ class WarehouseSinkSpec extends SparkSpec {
     }
   }
 
+  test("maintain: compacts live files, preserves the epoch cursor, vacuums history") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmp(); val ckpt = tmp()
+    // One streaming epoch first, so the table carries a replay cursor the
+    // maintenance pass must not lose.
+    val stream = MemoryStream[Long]
+    val q = stream.toDF().withColumnRenamed("value", "id")
+      .writeStream.format(Fmt)
+      .option("path", dir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try { stream.addData(1L to 4L: _*); q.processAllAvailable() } finally q.stop()
+    // Then the fragmentation a continuously-appended table accumulates.
+    (5L to 24L).toDF("id").repartition(10)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    (25L to 44L).toDF("id").repartition(10)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val before = WarehouseSink.readManifest(dir).get
+    assert(before.files.size >= 20)
+    assert(before.epoch >= 0)
+    def ids() = spark.read.format(Fmt).option("path", dir).load()
+      .select("id").as[Long].collect().sorted.toSeq
+    val rows0 = ids()
+
+    val rep = WarehouseSink.maintain(spark, dir,
+      targetBytes = Long.MaxValue, keepVersions = 1)
+    assert(rep.compacted)
+    assert(rep.filesBefore === before.files.size)
+    assert(rep.filesAfter === 1, s"expected one compacted file, got $rep")
+    assert(rep.reclaimed > 0, "pre-compaction generations must be vacuumed")
+
+    val after = WarehouseSink.readManifest(dir).get
+    assert(after.epoch === before.epoch,
+      "OPTIMIZE must carry the exactly-once replay cursor forward")
+    assert(ids() === rows0, "compaction must not change table contents")
+    // On-disk data files are exactly the live manifest's set.
+    val onDisk = new File(dir).listFiles
+      .filter(_.getName.endsWith(".wtsv")).map(_.getName).toSet
+    assert(onDisk === after.files.toSet)
+    // Vacuumed history is an explicit error, the live generation reads.
+    intercept[Exception] {
+      spark.read.format(Fmt).option("path", dir)
+        .option("versionAsOf", before.version.toString).load().collect()
+    }
+    // A replayed streaming epoch is still detected after maintenance.
+    new WarehouseStreamingWrite(dir,
+      spark.read.format(Fmt).option("path", dir).load().schema, "qmaint")
+      .commit(after.epoch, Array.empty)
+    assert(ids() === rows0, "replay guard lost across maintain")
+    // Already-compact table: maintain is a layout no-op.
+    val rep2 = WarehouseSink.maintain(spark, dir,
+      targetBytes = Long.MaxValue, keepVersions = 1)
+    assert(!rep2.compacted && rep2.filesAfter === 1)
+    assert(ids() === rows0)
+  }
+
   test("schema round-trips through the manifest for schemaless reads") {
     val dir = tmp()
     Seq((1L, 2.5, "s")).toDF("a", "b", "c")
