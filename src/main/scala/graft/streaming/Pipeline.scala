@@ -30,6 +30,37 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object Pipeline {
 
+  /** Stage 0: the EXTRACT leg — the paged external endpoint streamed by
+    * its page cursor ([[graft.sources.PagedSource]]) straight into the
+    * exactly-once quality gate ([[QualityGate.startExactlyOnce]]). Every
+    * trigger fetches only not-yet-committed pages, splits them by the
+    * expectation rules, commits clean rows to the warehouse table through
+    * the epoch-guarded streaming write, and appends violations as
+    * quarantine evidence.
+    *
+    * This is the reference DAG's full extract → validate → load cadence
+    * (dag.py:170-365 fetch loop + its per-field checks + the table load)
+    * as ONE continuous composition: the scheduler-driven fetch loop
+    * becomes the checkpointed page cursor, the validation becomes the
+    * map-only rule split, the warehouse load becomes the manifest commit
+    * — and kill/restart is safe end to end (the cursor resumes past
+    * consumed pages; a replayed publish epoch is a detected no-op).
+    *
+    * Returns (publish query, quarantine query) — each owns a checkpoint
+    * under `checkpointRoot` and its own page cursor over the same feed. */
+  def startExtractLoad(spark: SparkSession, pagesDir: String,
+                       schemaDdl: String,
+                       rules: Seq[graft.operators.Expectations.Rule],
+                       tableDir: String, quarantineDir: String,
+                       checkpointRoot: String,
+                       slices: Int = 8): (StreamingQuery, StreamingQuery) = {
+    val stream = spark.readStream.format("graft.sources.PagedSource")
+      .option("dir", pagesDir).option("slices", slices.toString)
+      .option("schema", schemaDdl).load()
+    QualityGate.startExactlyOnce(stream, rules, tableDir, quarantineDir,
+      checkpointRoot)
+  }
+
   /** Stage 1: continuous dedup ingest (see [[IncrementalIngest.start]]). */
   def startIngest(docs: org.apache.spark.sql.DataFrame, idCol: String,
                   textCol: String, storePath: String,

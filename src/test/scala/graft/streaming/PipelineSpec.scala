@@ -41,6 +41,51 @@ class PipelineSpec extends SparkSpec {
     assert(got === batch && got.nonEmpty)
   }
 
+  test("extract→gate→load: the paged feed lands exactly-once with quarantine evidence") {
+    import graft.operators.Expectations._
+    import graft.sources.PagedEndpoint
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_extract").toString
+    val pages = s"$root/pages"
+    // Producer feed: 3 pages × 20 rows; score = id, so InRange(score ≥ 10)
+    // quarantines exactly ids 0..9.
+    def writeFeed(n: Int): Unit = {
+      PagedEndpoint.writeFixture(
+        spark.range(0, n).select(
+          to_json(struct(col("id"), col("id").cast("double").as("score")))
+            .as("value"),
+          (col("id") / 20).cast("int").as("page")),
+        pages)
+      ()
+    }
+    writeFeed(60)
+    val rules = Seq(InRange("score", 10.0, 1e9))
+    def run(): Unit = {
+      val (pub, quar) = Pipeline.startExtractLoad(spark, pages,
+        "id LONG, score DOUBLE", rules,
+        s"$root/table", s"$root/quarantine", s"$root/ckpt", slices = 2)
+      try { pub.processAllAvailable(); quar.processAllAvailable() }
+      finally { pub.stop(); quar.stop() }
+    }
+    def published(): Seq[Long] =
+      spark.read.format("graft.sources.WarehouseSink")
+        .option("path", s"$root/table").load()
+        .select("id").as[Long].collect().sorted.toSeq
+    run()
+    assert(published() === (10L until 60L))
+    val quar1 = spark.read.parquet(s"$root/quarantine")
+      .select("id", "violated").as[(Long, String)].collect().toMap
+    assert(quar1.keySet === (0L until 10L).toSet)
+    assert(quar1.values.toSet === Set("in_range:score"))
+    // Producer appends pages 3..4; the restarted composition must resume
+    // from both cursors (no page re-fetched, no epoch re-published) and
+    // land exactly the new clean rows.
+    writeFeed(100)
+    run()
+    assert(published() === (10L until 100L)) // no duplicates, all new rows
+    assert(spark.read.parquet(s"$root/quarantine").count() === 10L)
+  }
+
   test("e2e pipeline is exactly-once across kill/restart and source replay") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pipeline").toString
     val src = s"$dir/src"; val store = s"$dir/store"; val sink = s"$dir/sink"
