@@ -1300,6 +1300,13 @@ object SparkEntry {
         .select("media_id", "width", "height", "duration_ms")
     }),
 
+    // Temperature-weighted (α = 0.5) source allocation over a 1M-token
+    // budget: the training-mix smoothing readout, floor'd fixed-point
+    // weights so the hash check is engine-exact.
+    "q157_temperature_mix" -> ((s, d) =>
+      Corpus.temperatureMix(Tables.documents(s, d), "text", "source",
+        budgetTokens = 1000000L, alpha = 0.5)),
+
     "q152_data_card" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("source"), col("lang"),
@@ -3852,6 +3859,28 @@ object SparkEntry {
                 CAST(120 * (1 + doc_id % 6) AS INT) AS height,
                 CAST((600 + doc_id % 1000) * 1000 // 600 AS BIGINT) AS duration_ms
          FROM documents""",
+
+    // α-sampling weights replayed exactly: sqrt is correctly-rounded in
+    // both engines, weights floor to micro units BEFORE the exact BIGINT
+    // sum, and the budget split is one fixed double multiply-divide tree.
+    "q157_temperature_mix" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS BIGINT)
+                    AS n_tokens
+           FROM documents GROUP BY source),
+         w AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT)
+                    AS weight_micro FROM c),
+         t AS (SELECT CAST(sum(weight_micro) AS BIGINT) AS wt FROM w),
+         a AS (SELECT w.*, least(
+                  CAST(floor(1000000.0 * CAST(weight_micro AS DOUBLE)
+                             / CAST(wt AS DOUBLE)) AS BIGINT),
+                  n_tokens) AS target_tokens
+               FROM w, t)
+         SELECT source, n_docs, n_tokens, weight_micro, target_tokens,
+                CAST(CASE WHEN n_tokens = 0 THEN 0
+                     ELSE target_tokens * 1000000 // n_tokens END AS BIGINT)
+                  AS sample_rate_ppm
+         FROM a""",
 
     // integer basis points BEFORE aggregation (floored means, no
     // accumulation-order doubles); fingerprints as in q81.

@@ -234,6 +234,57 @@ object Corpus {
       .select("doc_id", "source", "n_tokens", "cum_tokens")
   }
 
+  /** Temperature-weighted source allocation — the multilingual/training-mix
+    * α-sampling rule (sample source i with probability ∝ n_i^α; α < 1
+    * flattens the source distribution so head sources stop drowning the
+    * tail — the exponent-smoothing scheme multilingual-corpus papers use)
+    * reduced to a deterministic per-source budget readout: token counts,
+    * fixed-point weights, the α-allocated token target (capped at what the
+    * source actually has), and the implied sampling rate in ppm.
+    *
+    * Determinism across engines: the only floating-point ops are
+    * `pow(n, α)` and one fixed multiply-divide tree over scalars, both
+    * IEEE-754 correctly-rounded for α = 0.5 (`sqrt`), the exponent the
+    * oracle-checked contract pins; weights are floored to integer micro
+    * units BEFORE the exact BIGINT sum, so accumulation order can't move
+    * the total. General α is supported but spec-verified only (`pow` is
+    * not correctly-rounded, so cross-engine bit-equality isn't promised).
+    *
+    * Scale shape: ONE corpus-width tokenize→source aggregate (map-side
+    * combine); everything after runs on the |sources|-row table — a
+    * broadcast-sized readout, no second corpus pass, no join. */
+  def temperatureMix(docs: DataFrame, textCol: String, srcCol: String,
+                     budgetTokens: Long, alpha: Double = 0.5): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val bySource = docs
+      .select(col(srcCol).as("source"),
+        T.wordTokens(col(textCol)).cast("long").as("graft_t"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("graft_t").as("n_tokens"))
+    // α = 0.5 routes through sqrt, which IS correctly-rounded (pow(x, 0.5)
+    // is only 1-ulp-accurate and may disagree with another engine's sqrt
+    // at a floor boundary).
+    val nD = col("n_tokens").cast("double")
+    val weighted = bySource.withColumn("weight_micro",
+      floor((if (alpha == 0.5) sqrt(nD) else pow(nD, lit(alpha))) * 1e6)
+        .cast("long"))
+    // The weight total is a 1-row broadcast aggregate joined back — the
+    // |sources|-row table never leaves distributed form.
+    val total = weighted.agg(sum("weight_micro").as("graft_wtotal"))
+    weighted.crossJoin(broadcast(total))
+      .withColumn("target_tokens",
+        least(
+          floor(lit(budgetTokens.toDouble) * col("weight_micro").cast("double")
+            / col("graft_wtotal").cast("double")).cast("long"),
+          col("n_tokens")))
+      .withColumn("sample_rate_ppm", // token-less source: rate 0, not ÷0
+        expr("CASE WHEN n_tokens = 0 THEN 0L" +
+          " ELSE target_tokens * 1000000 div n_tokens END"))
+      .select("source", "n_docs", "n_tokens", "weight_micro",
+        "target_tokens", "sample_rate_ppm")
+  }
+
   /** Corpus-frequency boilerplate strip — the line/paragraph-dedup step of
     * web-corpus pipelines (strip navigation chrome, license banners, any
     * span repeated across many pages), expressed on token segments:

@@ -186,6 +186,43 @@ class CorpusSpec extends SparkSpec {
     assert(got("de") === ((1L, 2L, 3L, 66.6667)))
   }
 
+  test("temperatureMix flattens head sources and caps targets at availability") {
+    // head: 10 docs × 16 tokens = 160; tail: 1 doc × 10 tokens.
+    val docs = ((1 to 10).map(i => (s"${"w " * 16}", "head")) :+
+      (("t " * 10), "tail")).toDF("text", "source")
+    val out = Corpus.temperatureMix(docs, "text", "source",
+      budgetTokens = 100L, alpha = 0.5)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val (h, t) = (out("head"), out("tail"))
+    assert(h.getAs[Long]("n_tokens") === 160L)
+    assert(t.getAs[Long]("n_tokens") === 10L)
+    // sqrt weights: √160 ≈ 12.649, √10 ≈ 3.162 → micro units floored
+    assert(h.getAs[Long]("weight_micro") === 12649110L)
+    assert(t.getAs[Long]("weight_micro") === 3162277L)
+    // α-allocation flattens: head gets 80.0%, not its 94.1% token share
+    val wt = 12649110L + 3162277L
+    assert(h.getAs[Long]("target_tokens") ===
+      math.floor(100.0 * 12649110L / wt).toLong)
+    assert(t.getAs[Long]("target_tokens") === 10L) // capped at availability
+    assert(t.getAs[Long]("sample_rate_ppm") === 1000000L)
+    assert(h.getAs[Long]("sample_rate_ppm") < 1000000L)
+    // α = 1 reproduces proportional allocation (no flattening)
+    val prop = Corpus.temperatureMix(docs, "text", "source",
+      budgetTokens = 170L, alpha = 1.0)
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Long]("target_tokens")).toMap
+    assert(prop("head") === 160L && prop("tail") === 10L)
+  }
+
+  test("temperatureMix pins the token-less source to rate 0 (no div-zero)") {
+    val docs = Seq(("", "empty"), ("a b c", "full")).toDF("text", "source")
+    val out = Corpus.temperatureMix(docs, "text", "source", 10L)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("empty").getAs[Long]("sample_rate_ppm") === 0L)
+    assert(out("empty").getAs[Long]("target_tokens") === 0L)
+    assert(out("full").getAs[Long]("target_tokens") === 3L)
+  }
+
   test("fluencyScore ranks corpus-atypical bigrams lowest") {
     // Three docs of common English-ish text plus one of rare-transition
     // noise: the noise doc's bigrams occur once each, so its ppm mean is
