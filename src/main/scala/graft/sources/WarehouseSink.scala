@@ -37,6 +37,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    read back as one InputPartition per file — parallelism mirrors the
   *    layout with no driver bottleneck beyond the file list (the same
   *    contract a JDBC sink has with one connection per partition).
+  *  - **Data skipping**: every task also commits a per-file column
+  *    min/max sidecar; the scan pushes filters and drops refuted files at
+  *    planning time (all filters stay residual — skipping is conservative
+  *    by construction). See the stats section in the companion object.
   *
   * Row format is a schema-driven TSV with unit-separator escaping — the
   * point is the COMMIT PROTOCOL, not the encoding; a production variant
@@ -238,8 +242,10 @@ object WarehouseSink {
       val oldManifest = n.startsWith("manifest-") && n.endsWith(".json") &&
         n.stripPrefix("manifest-").stripSuffix(".json").toLongOption
           .exists(_ < keepMin)
+      // a stats sidecar lives and dies with its base data file
+      val base = if (n.endsWith(".stats")) n.stripSuffix(".stats") else n
       val unreferencedData = !f.isDirectory && !n.startsWith("manifest-") &&
-        !n.startsWith("_") && !referenced.contains(n)
+        !n.startsWith("_") && !referenced.contains(base)
       if (oldManifest || unreferencedData) { f.delete(); dropped += 1 }
     }
     dropped
@@ -306,10 +312,7 @@ object WarehouseSink {
           .write.format(fmt).option("path", tmp.getPath)
           .mode("overwrite").save()
         val newFiles = readManifest(tmp.getPath).map(_.files).getOrElse(Nil)
-        newFiles.foreach { f =>
-          Files.move(new File(tmp, f).toPath, new File(dir, f).toPath,
-            StandardCopyOption.ATOMIC_MOVE)
-        }
+        newFiles.foreach(moveWithStats(tmp, new File(dir), _))
         publish(dir, { prev =>
           val p = prev.getOrElse(cur)
           // Epoch comes from the manifest CURRENT at publish time, not the
@@ -329,6 +332,94 @@ object WarehouseSink {
     val after = readManifest(dir).getOrElse(cur)
     MaintenanceReport(filesBefore, after.files.size, bytesBefore,
       liveBytes(after), compacted, reclaimed)
+  }
+
+  // ---- per-file column stats: manifest-level data skipping ----
+  // Each data file gets a `<file>.stats` sidecar written in the SAME
+  // staged task commit (one TSV line per column: name, min, max, row
+  // codec encoding) and moved/vacuumed with its base file. The scan
+  // applies pushed filters against these ranges at PLANNING time to skip
+  // whole files — the Delta/Iceberg file-skipping core, which is what
+  // keeps a point/range probe on a 100 TB table from opening every file.
+  // Skipping is strictly conservative: rows are still re-filtered by
+  // Spark (all filters stay residual), a missing sidecar keeps the file,
+  // and numeric comparison is via double, whose monotonic rounding can
+  // only widen the keep set, never drop a matching file.
+
+  private[sources] def statsFile(dataFile: String): String = dataFile + ".stats"
+
+  /** Publish one staged data file: atomic-rename it and, when present,
+    * its stats sidecar (sidecar first, so a reader that sees the data
+    * file may at worst miss stats — never read torn ones). */
+  private[sources] def moveWithStats(from: File, to: File, f: String): Unit = {
+    val sc = new File(from, statsFile(f))
+    if (sc.isFile)
+      Files.move(sc.toPath, new File(to, statsFile(f)).toPath,
+        StandardCopyOption.ATOMIC_MOVE)
+    Files.move(new File(from, f).toPath, new File(to, f).toPath,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Column → (min, max) from a data file's sidecar; None if absent. */
+  private[sources] def readStats(dir: String, dataFile: String,
+                                 schema: StructType): Option[Map[String, (Any, Any)]] = {
+    val f = new File(dir, statsFile(dataFile))
+    if (!f.isFile) return None
+    val byName = schema.fields.map(x => x.name -> x.dataType).toMap
+    val m = scala.collection.mutable.Map.empty[String, (Any, Any)]
+    new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .split("\n").filter(_.nonEmpty).foreach { ln =>
+        val t = ln.split("\t", -1)
+        if (t.length == 3) {
+          val name = decStr(t(0))
+          byName.get(name).foreach { dt =>
+            m(name) = (decode(t(1), dt), decode(t(2), dt))
+          }
+        }
+      }
+    Some(m.toMap)
+  }
+
+  /** Conservative cross-type ordering for skipping decisions: strings and
+    * booleans exact, numerics via double (monotonic — rounding can merge
+    * neighbors but never reorder, so every comparison below errs toward
+    * keeping the file); None = not comparable, caller must keep. */
+  private[sources] def statsCmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: UTF8String, y) => statsCmp(x.toString, y)
+    case (x, y: UTF8String) => statsCmp(x, y.toString)
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: java.lang.Boolean, y: java.lang.Boolean) => Some(x.compareTo(y))
+    case (x: java.lang.Number, y: java.lang.Number) =>
+      Some(java.lang.Double.compare(x.doubleValue, y.doubleValue))
+    case _ => None
+  }
+
+  /** Could any row of a file with these column ranges satisfy `f`?
+    * Unknown columns, null literals, and unsupported predicates all
+    * answer true — skipping is an optimization, never a filter. */
+  private[sources] def mightMatch(stats: Map[String, (Any, Any)],
+                                  f: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    def le(a: Any, b: Any) = statsCmp(a, b).forall(_ <= 0)
+    def lt(a: Any, b: Any) = statsCmp(a, b).forall(_ < 0)
+    f match {
+      case EqualTo(c, v) if v != null =>
+        stats.get(c).forall { case (mn, mx) => le(mn, v) && le(v, mx) }
+      case EqualNullSafe(c, v) if v != null =>
+        mightMatch(stats, EqualTo(c, v))
+      case GreaterThan(c, v) if v != null =>
+        stats.get(c).forall { case (_, mx) => lt(v, mx) }
+      case GreaterThanOrEqual(c, v) if v != null =>
+        stats.get(c).forall { case (_, mx) => le(v, mx) }
+      case LessThan(c, v) if v != null =>
+        stats.get(c).forall { case (mn, _) => lt(mn, v) }
+      case LessThanOrEqual(c, v) if v != null =>
+        stats.get(c).forall { case (mn, _) => le(mn, v) }
+      case In(c, vs) => vs.exists(v => v == null || mightMatch(stats, EqualTo(c, v)))
+      case And(l, r) => mightMatch(stats, l) && mightMatch(stats, r)
+      case Or(l, r) => mightMatch(stats, l) || mightMatch(stats, r)
+      case _ => true // IsNull, StringContains, Not(...), ...: no range answer
+    }
   }
 
   // ---- row codec: TSV with \t, \n, \\ escaped ----
@@ -393,9 +484,30 @@ private[sources] class WarehouseTable(dir: String, schema0: StructType,
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new WarehouseScan(dir,
+    new WarehouseScanBuilder(dir,
       manifest.map(m => StructType.fromDDL(m.schemaDdl)).getOrElse(schema0),
       versionAsOf)
+}
+
+/** Filter pushdown for FILE SKIPPING only: every filter is returned as a
+  * residual (Spark re-applies it row-by-row), but the accepted set is
+  * handed to the scan, which tests each manifest file's stats sidecar
+  * against it at planning time — a non-matching file contributes no
+  * input partition at all. */
+private[sources] class WarehouseScanBuilder(dir: String, schema: StructType,
+                                            versionAsOf: Option[Long])
+    extends ScanBuilder with SupportsPushDownFilters {
+  // The V1 Filter API carries everything range skipping can use.
+  private var skipFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter]):
+      Array[org.apache.spark.sql.sources.Filter] = {
+    skipFilters = filters
+    filters // all residual: stats can only SKIP files, not filter rows
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    skipFilters
+  override def build(): Scan =
+    new WarehouseScan(dir, schema, versionAsOf, skipFilters)
 }
 
 private[sources] class WarehouseWriteBuilder(dir: String, schema: StructType,
@@ -431,9 +543,7 @@ private[sources] class WarehouseBatchWrite(dir: String, schema: StructType,
     val committed = messages.collect {
       case WarehouseCommit(f, n) if n >= 0 => f }.toSeq
     val published = committed.map { f =>
-      val src = new File(staging, f)
-      val dst = new File(dir, f)
-      Files.move(src.toPath, dst.toPath, StandardCopyOption.ATOMIC_MOVE)
+      WarehouseSink.moveWithStats(staging, new File(dir), f)
       f
     }
     WarehouseSink.publish(dir, { prev =>
@@ -492,8 +602,7 @@ private[sources] class WarehouseStreamingWrite(dir: String, schema: StructType,
     val st = staging(epochId)
     val published = messages.collect { case WarehouseCommit(f, _) => f }.toSeq
       .map { f =>
-        Files.move(new File(st, f).toPath, new File(dir, f).toPath,
-          StandardCopyOption.ATOMIC_MOVE)
+        WarehouseSink.moveWithStats(st, new File(dir), f)
         f
       }
     // The replay guard re-evaluates inside publish against the FRESH
@@ -504,7 +613,10 @@ private[sources] class WarehouseStreamingWrite(dir: String, schema: StructType,
         prev.map(_.files).getOrElse(Nil) ++ published, epochId))
     })
     if (won.isEmpty) // lost to a replay: drop the now-unreferenced files
-      published.foreach(f => new File(dir, f).delete())
+      published.foreach { f =>
+        new File(dir, f).delete()
+        new File(dir, WarehouseSink.statsFile(f)).delete()
+      }
     deleteRecursively(st)
   }
 
@@ -548,14 +660,29 @@ private[sources] class WarehouseWriter(stagingDir: String, schema: StructType,
   private val out = new FileWriter(new File(stagingDir, fileName))
   private var rows = 0L
   private val types = schema.fields.map(_.dataType)
+  // Per-column min/max over the non-null values this task wrote — the
+  // file's skipping sidecar. UTF8Strings are materialized to String
+  // IMMEDIATELY (the InternalRow may reuse its buffer on the next row)
+  // and compared with the same comparator the scan's skip check uses.
+  private val mins = new Array[Any](types.length)
+  private val maxs = new Array[Any](types.length)
+  private def trackStats(i: Int, v0: Any): Unit = {
+    val v = v0 match { case s: UTF8String => s.toString; case x => x }
+    if (mins(i) == null) { mins(i) = v; maxs(i) = v }
+    else {
+      if (WarehouseSink.statsCmp(v, mins(i)).exists(_ < 0)) mins(i) = v
+      if (WarehouseSink.statsCmp(v, maxs(i)).exists(_ > 0)) maxs(i) = v
+    }
+  }
 
   override def write(record: InternalRow): Unit = {
     val sb = new StringBuilder
     var i = 0
     while (i < types.length) {
       if (i > 0) sb.append('\t')
-      sb.append(WarehouseSink.encode(
-        if (record.isNullAt(i)) null else record.get(i, types(i))))
+      val v = if (record.isNullAt(i)) null else record.get(i, types(i))
+      if (v != null) trackStats(i, v)
+      sb.append(WarehouseSink.encode(v))
       i += 1
     }
     sb.append('\n')
@@ -563,7 +690,19 @@ private[sources] class WarehouseWriter(stagingDir: String, schema: StructType,
     rows += 1
   }
   override def commit(): WriterCommitMessage = {
-    out.close(); WarehouseCommit(fileName, rows)
+    out.close()
+    val sb = new StringBuilder
+    var i = 0
+    while (i < types.length) {
+      if (mins(i) != null) // all-null columns carry no range line
+        sb.append(WarehouseSink.encode(schema.fields(i).name)).append('\t')
+          .append(WarehouseSink.encode(mins(i))).append('\t')
+          .append(WarehouseSink.encode(maxs(i))).append('\n')
+      i += 1
+    }
+    Files.write(new File(stagingDir, WarehouseSink.statsFile(fileName)).toPath,
+      sb.toString.getBytes(StandardCharsets.UTF_8))
+    WarehouseCommit(fileName, rows)
   }
   override def abort(): Unit = {
     out.close(); new File(stagingDir, fileName).delete()
@@ -577,12 +716,16 @@ private[sources] case class WarehouseFilePartition(path: String)
     extends InputPartition
 
 private[sources] class WarehouseScan(dir: String, schema: StructType,
-                                     versionAsOf: Option[Long] = None)
+                                     versionAsOf: Option[Long] = None,
+                                     skipFilters: Array[org.apache.spark.sql.sources.Filter] =
+                                       Array.empty)
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft_warehouse [$dir${versionAsOf.map(v => s" @v$v").getOrElse("")}]"
+    s"graft_warehouse [$dir${versionAsOf.map(v => s" @v$v").getOrElse("")}" +
+      (if (skipFilters.isEmpty) "]"
+       else s", skipBy: ${skipFilters.mkString(", ")}]")
   override def planInputPartitions(): Array[InputPartition] = {
     val m = versionAsOf match {
       case Some(v) => Some(WarehouseSink.readManifestAt(dir, v).getOrElse(
@@ -590,7 +733,19 @@ private[sources] class WarehouseScan(dir: String, schema: StructType,
           s"version $v of $dir does not exist (vacuumed or never written)")))
       case None => WarehouseSink.readManifest(dir)
     }
-    m.map(_.files).getOrElse(Nil)
+    val files = m.map(_.files).getOrElse(Nil)
+    // File skipping: a file whose stats ranges refute every pushed filter
+    // plans NO partition. O(|files|) tiny sidecar reads on the driver —
+    // the same order of work as listing the manifest itself.
+    val kept =
+      if (skipFilters.isEmpty) files
+      else files.filter { f =>
+        WarehouseSink.readStats(dir, f, schema) match {
+          case Some(st) => skipFilters.forall(WarehouseSink.mightMatch(st, _))
+          case None => true // pre-stats file: never skip blind
+        }
+      }
+    kept
       .map(f => WarehouseFilePartition(new File(dir, f).getPath): InputPartition)
       .toArray
   }

@@ -319,6 +319,37 @@ class WarehouseSinkSpec extends SparkSpec {
     assert(ids() === rows0)
   }
 
+  test("per-file stats skip refuted files at planning time, rows re-filtered") {
+    val dir = tmp()
+    spark.range(0, 100).toDF("id")
+      .withColumn("name", concat(lit("u"), lpad(col("id").cast("string"), 3, "0")))
+      .repartitionByRange(4, col("id"))
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    def table() = spark.read.format(Fmt).option("path", dir).load()
+    assert(table().rdd.getNumPartitions === 4)
+    // range probe: three of the four files' id ranges refute it
+    val probe = table().filter(col("id") < 25)
+    assert(probe.rdd.getNumPartitions === 1, "expected 3 files skipped")
+    assert(probe.select("id").as[Long].collect().sorted.toSeq === (0L until 25L))
+    // string equality narrows to one file via the name ranges
+    val eq = table().filter(col("name") === "u042")
+    assert(eq.rdd.getNumPartitions === 1)
+    assert(eq.count() === 1)
+    // a refuted-everywhere probe plans ZERO partitions
+    val none = table().filter(col("id") > 5000)
+    assert(none.rdd.getNumPartitions === 0)
+    assert(none.count() === 0)
+    // skipping is an optimization only: the unfiltered read is complete
+    assert(table().count() === 100)
+    // stats ride through OPTIMIZE: the compacted file carries fresh
+    // ranges and its sidecar is the only one left on disk
+    WarehouseSink.maintain(spark, dir, targetBytes = Long.MaxValue)
+    assert(table().rdd.getNumPartitions === 1)
+    assert(new File(dir).listFiles.count(_.getName.endsWith(".stats")) === 1)
+    assert(table().filter(col("id") > 5000).rdd.getNumPartitions === 0)
+    assert(table().filter(col("id") < 25).count() === 25)
+  }
+
   test("schema round-trips through the manifest for schemaless reads") {
     val dir = tmp()
     Seq((1L, 2.5, "s")).toDF("a", "b", "c")
