@@ -1300,6 +1300,28 @@ object SparkEntry {
         .select("media_id", "width", "height", "duration_ms")
     }),
 
+    // File-skipping probe through the warehouse scan: orders land in 8
+    // disjoint o_orderkey-range files (each with its stats sidecar), and
+    // the range probe reads back through the stats-pruned DSv2 scan — the
+    // oracle replays the same predicate on the parquet directly, so the
+    // hash proves skipping loses no rows (the partition-count assertions
+    // live in WarehouseSinkSpec; this is the completeness contract).
+    // Money sums in floor'd integer cents: Spark's double→long cast
+    // truncates where DuckDB's rounds, so the floor is explicit.
+    "q158_warehouse_skip" -> ((s, d) => {
+      val fmt = "graft.sources.WarehouseSink"
+      val dir = java.nio.file.Files.createTempDirectory("graft_whskip_").toString
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartitionByRange(8, col("o_orderkey"))
+        .write.format(fmt).option("path", dir).mode("overwrite").save()
+      s.read.format(fmt).option("path", dir).load()
+        .filter(col("o_orderkey") >= 1000L && col("o_orderkey") < 3000L)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+    }),
+
     // Temperature-weighted (α = 0.5) source allocation over a 1M-token
     // budget: the training-mix smoothing readout, floor'd fixed-point
     // weights so the hash check is engine-exact.
@@ -3859,6 +3881,16 @@ object SparkEntry {
                 CAST(120 * (1 + doc_id % 6) AS INT) AS height,
                 CAST((600 + doc_id % 1000) * 1000 // 600 AS BIGINT) AS duration_ms
          FROM documents""",
+
+    // The warehouse round-trip preserves rows bit-exactly and skipping is
+    // planning-only, so the oracle is the predicate on the parquet.
+    "q158_warehouse_skip" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_cents
+         FROM orders
+         WHERE o_orderkey >= 1000 AND o_orderkey < 3000
+         GROUP BY 1""",
 
     // α-sampling weights replayed exactly: sqrt is correctly-rounded in
     // both engines, weights floor to micro units BEFORE the exact BIGINT
