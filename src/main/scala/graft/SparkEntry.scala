@@ -1322,6 +1322,30 @@ object SparkEntry {
           sum(floor(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
     }),
 
+    // Metadata-only table probe: unfiltered COUNT(*)/MIN/MAX answered
+    // entirely from the manifest's per-file stats sidecars — the scan
+    // plans ONE synthetic partition and never opens a data file (the
+    // Delta/Iceberg "O(metadata) sanity probe"; on a 100 TB table this is
+    // the difference between milliseconds and a full scan). The spec
+    // proves the no-data-read claim by deleting a data file and
+    // aggregating anyway; here the oracle proves exactness against the
+    // raw source the warehouse was loaded from.
+    "q159_metadata_agg" -> ((s, d) => {
+      val fmt = "graft.sources.WarehouseSink"
+      val dir = java.nio.file.Files.createTempDirectory("graft_whagg_").toString
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"),
+          col("l_quantity").cast("double").as("qty"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship"))
+        .repartition(8)
+        .write.format(fmt).option("path", dir).mode("overwrite").save()
+      s.read.format(fmt).option("path", dir).load()
+        .agg(count(lit(1)).as("n_rows"),
+          min("l_orderkey").as("min_key"), max("l_orderkey").as("max_key"),
+          min("qty").as("min_qty"), max("qty").as("max_qty"),
+          min("ship").as("min_ship"), max("ship").as("max_ship"))
+    }),
+
     // Temperature-weighted (α = 0.5) source allocation over a 1M-token
     // budget: the training-mix smoothing readout, floor'd fixed-point
     // weights so the hash check is engine-exact.
@@ -3891,6 +3915,19 @@ object SparkEntry {
          FROM orders
          WHERE o_orderkey >= 1000 AND o_orderkey < 3000
          GROUP BY 1""",
+
+    // The warehouse answers this from sidecar metadata; the oracle runs
+    // the honest full aggregate over the raw table — exact equality IS
+    // the soundness claim (min/max compare single stored values, count
+    // sums per-file longs: nothing accumulation-order-sensitive).
+    "q159_metadata_agg" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+                min(CAST(l_quantity AS DOUBLE)) AS min_qty,
+                max(CAST(l_quantity AS DOUBLE)) AS max_qty,
+                min(strftime(l_shipdate, '%Y-%m-%d')) AS min_ship,
+                max(strftime(l_shipdate, '%Y-%m-%d')) AS max_ship
+         FROM lineitem""",
 
     // α-sampling weights replayed exactly: sqrt is correctly-rounded in
     // both engines, weights floor to micro units BEFORE the exact BIGINT

@@ -204,26 +204,42 @@ private[sources] class PagedTable(conf: PagedConf, schema0: StructType)
 }
 
 private[sources] class PagedScanBuilder(conf: PagedConf, full: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
   private var required: StructType = full
+  private var limit: Option[Int] = None
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new PagedScan(conf, required)
+  // LIMIT n over a paged API must not crawl the API: the page walk is
+  // lazy inside the reader, so capping emission stops fetching after
+  // ceil(n / rowsPerPage) pages. Partially pushed — per-page row counts
+  // are unknown at plan time, so Spark keeps the global limit operator
+  // (any-n-rows semantics make the early stop sound regardless).
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed(): Boolean = true
+  override def build(): Scan = new PagedScan(conf, required, limit)
 }
 
 private[sources] case class PagedPartition(pStart: Int, pEnd: Int)
     extends InputPartition
 
-private[sources] class PagedScan(conf: PagedConf, required: StructType)
+private[sources] class PagedScan(conf: PagedConf, required: StructType,
+                                 limit: Option[Int] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft_paged [dir=${conf.dir}, cols=${required.fieldNames.mkString(",")}]"
-  override def planInputPartitions(): Array[InputPartition] =
-    PagedScan.slice(0, PagedEndpoint.pageCount(conf), conf.slices)
+    s"graft_paged [dir=${conf.dir}, cols=${required.fieldNames.mkString(",")}" +
+      limit.map(n => s", limit=$n").getOrElse("") + "]"
+  override def planInputPartitions(): Array[InputPartition] = limit match {
+    // With a pushed limit, ONE sequential partition: `slices` parallel
+    // partitions would each fetch their first page just to have most
+    // rows discarded — a LIMIT-5 preview should cost one page, not eight.
+    case Some(_) => PagedScan.slice(0, PagedEndpoint.pageCount(conf), 1)
+    case None => PagedScan.slice(0, PagedEndpoint.pageCount(conf), conf.slices)
+  }
   override def createReaderFactory(): PartitionReaderFactory =
-    new PagedReaderFactory(conf, required)
+    new PagedReaderFactory(conf, required, limit.getOrElse(Int.MaxValue))
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new PagedMicroBatchStream(conf, required)
@@ -267,7 +283,8 @@ private[sources] class PagedMicroBatchStream(conf: PagedConf, required: StructTy
   override def stop(): Unit = ()
 }
 
-private[sources] class PagedReaderFactory(conf: PagedConf, required: StructType)
+private[sources] class PagedReaderFactory(conf: PagedConf, required: StructType,
+                                          limit: Int = Int.MaxValue)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val pp = p.asInstanceOf[PagedPartition]
@@ -276,6 +293,7 @@ private[sources] class PagedReaderFactory(conf: PagedConf, required: StructType)
       private var page = pp.pStart
       private var lines: Iterator[String] = Iterator.empty
       private var current: InternalRow = _
+      private var emitted = 0
 
       private def convert(line: String): InternalRow = {
         val node = mapper.readTree(line)
@@ -298,12 +316,13 @@ private[sources] class PagedReaderFactory(conf: PagedConf, required: StructType)
       }
 
       override def next(): Boolean = {
+        if (emitted >= limit) return false // pushed LIMIT: stop fetching
         while (!lines.hasNext && page < pp.pEnd) {
           lines = PagedEndpoint.fetch(conf.dir, page,
             conf.maxRetries, conf.retryWaitMs).iterator
           page += 1
         }
-        if (lines.hasNext) { current = convert(lines.next()); true }
+        if (lines.hasNext) { current = convert(lines.next()); emitted += 1; true }
         else false
       }
       override def get(): InternalRow = current

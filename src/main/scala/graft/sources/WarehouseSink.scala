@@ -380,6 +380,39 @@ object WarehouseSink {
     Some(m.toMap)
   }
 
+  private[sources] val RowsTag = "#rows"
+
+  /** Row count from a data file's sidecar (the 2-field `#rows` line every
+    * writer since the aggregate-pushdown change prepends); None for a
+    * missing sidecar or a pre-rowcount one — in which case stats-backed
+    * aggregation must refuse, because absence of a range line can no
+    * longer be read as "all null". */
+  private[sources] def readRowCount(dir: String, dataFile: String): Option[Long] = {
+    val f = new File(dir, statsFile(dataFile))
+    if (!f.isFile) return None
+    new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .split("\n").collectFirst {
+        case ln if ln.startsWith(RowsTag + "\t") &&
+          ln.split("\t", -1).length == 2 => ln.substring(RowsTag.length + 1).toLong
+      }
+  }
+
+  /** Exact ordering for SAME-typed values — what the writer's range
+    * tracking and the pushed-aggregate merge use. Unlike [[statsCmp]]
+    * there is no double rounding: a pushed-down MIN/MAX must return the
+    * value a full scan would. NaN orders largest, matching Spark. */
+  private[sources] def exactCmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: UTF8String, y: UTF8String) => x.compareTo(y)
+    case (x: String, y: String) => x.compareTo(y)
+    case (x: java.lang.Long, y: java.lang.Long) => java.lang.Long.compare(x, y)
+    case (x: java.lang.Integer, y: java.lang.Integer) => Integer.compare(x, y)
+    case (x: java.lang.Double, y: java.lang.Double) => java.lang.Double.compare(x, y)
+    case (x: java.lang.Float, y: java.lang.Float) => java.lang.Float.compare(x, y)
+    case (x: java.lang.Boolean, y: java.lang.Boolean) => java.lang.Boolean.compare(x, y)
+    case _ => throw new IllegalStateException(
+      s"warehouse stats hold mixed types: ${a.getClass} vs ${b.getClass}")
+  }
+
   /** Conservative cross-type ordering for skipping decisions: strings and
     * booleans exact, numerics via double (monotonic — rounding can merge
     * neighbors but never reorder, so every comparison below errs toward
@@ -493,12 +526,35 @@ private[sources] class WarehouseTable(dir: String, schema0: StructType,
   * residual (Spark re-applies it row-by-row), but the accepted set is
   * handed to the scan, which tests each manifest file's stats sidecar
   * against it at planning time — a non-matching file contributes no
-  * input partition at all. */
+  * input partition at all.
+  *
+  * Also implements:
+  *  - **column pruning** — the reader decodes only the requested token
+  *    positions (row-oriented codec, so this saves decode CPU, not I/O;
+  *    parquet would save both, but the contract to Spark is identical);
+  *  - **metadata-only aggregates** — an unfiltered, ungrouped
+  *    COUNT(*)/MIN(col)/MAX(col) is answered ENTIRELY from the manifest's
+  *    stats sidecars (`#rows` line + per-column ranges) without opening a
+  *    single data file: the Delta/Iceberg "SELECT count(*) in O(metadata)"
+  *    behavior a 100 TB table needs for its most common sanity probes.
+  *    Soundness gates, checked at plan time: no pushed filters, no
+  *    grouping, every live file has a rowcount-bearing sidecar (proving
+  *    stats-completeness, so a missing range line means ALL-NULL column —
+  *    which MIN/MAX ignore, matching SQL), and only codec-flat columns.
+  *    Anything else refuses the pushdown and Spark aggregates normally —
+  *    pushdown is an optimization, never a different answer. */
 private[sources] class WarehouseScanBuilder(dir: String, schema: StructType,
                                             versionAsOf: Option[Long])
-    extends ScanBuilder with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+
   // The V1 Filter API carries everything range skipping can use.
   private var skipFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var required: StructType = schema
+  private var pushedAgg: Option[(StructType, InternalRow)] = None
+
   override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter]):
       Array[org.apache.spark.sql.sources.Filter] = {
     skipFilters = filters
@@ -506,9 +562,102 @@ private[sources] class WarehouseScanBuilder(dir: String, schema: StructType,
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
     skipFilters
-  override def build(): Scan =
-    new WarehouseScan(dir, schema, versionAsOf, skipFilters)
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  // Spark probes supportCompletePushDown first and, when true, expects
+  // the scan to emit FINAL values; we never offer the partial protocol
+  // (per-file rows would be more work than the answer itself here).
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    tryAnswer(agg).isDefined
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    pushedAgg = tryAnswer(agg)
+    pushedAgg.isDefined
+  }
+
+  private def singleColumn(e: org.apache.spark.sql.connector.expressions.Expression):
+      Option[String] = e match {
+    case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames()(0))
+    case _ => None
+  }
+
+  /** The aggregate answer from sidecar metadata alone, or None if any
+    * soundness gate fails. O(|files|) tiny driver-side reads — the same
+    * order of work as planning the scan it replaces. */
+  private def tryAnswer(agg: Aggregation): Option[(StructType, InternalRow)] = {
+    if (skipFilters.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+    val manifest = versionAsOf match {
+      case Some(v) => WarehouseSink.readManifestAt(dir, v) match {
+        case Some(m) => Some(m)
+        case None => return None // let the normal scan raise the error
+      }
+      case None => WarehouseSink.readManifest(dir)
+    }
+    val files = manifest.map(_.files).getOrElse(Nil)
+    val counts = files.map(f => WarehouseSink.readRowCount(dir, f)
+      .getOrElse(return None)) // pre-rowcount sidecar: stats not provably complete
+    val stats = files.map(f => WarehouseSink.readStats(dir, f, schema)
+      .getOrElse(return None))
+    val out = agg.aggregateExpressions.map {
+      case _: CountStar =>
+        (StructField("count_star", LongType, nullable = false),
+          counts.sum: Any)
+      case m: Min =>
+        val c = singleColumn(m.column).getOrElse(return None)
+        val i = schema.fieldNames.indexOf(c)
+        if (i < 0) return None
+        val lows = stats.flatMap(_.get(c)).map(_._1)
+        (StructField(s"min_$c", schema(i).dataType, nullable = true),
+          if (lows.isEmpty) null
+          else lows.reduce((a, b) => if (WarehouseSink.exactCmp(a, b) <= 0) a else b))
+      case m: Max =>
+        val c = singleColumn(m.column).getOrElse(return None)
+        val i = schema.fieldNames.indexOf(c)
+        if (i < 0) return None
+        val highs = stats.flatMap(_.get(c)).map(_._2)
+        (StructField(s"max_$c", schema(i).dataType, nullable = true),
+          if (highs.isEmpty) null
+          else highs.reduce((a, b) => if (WarehouseSink.exactCmp(a, b) >= 0) a else b))
+      case _ => return None // COUNT(col)/SUM/AVG need null counts / exact sums
+    }
+    Some((StructType(out.map(_._1)), InternalRow.fromSeq(out.map(_._2).toSeq)))
+  }
+
+  override def build(): Scan = pushedAgg match {
+    case Some((aggSchema, row)) => new WarehouseAggScan(dir, aggSchema, row)
+    case None => new WarehouseScan(dir, schema, versionAsOf, skipFilters, required)
+  }
 }
+
+/** The metadata-only aggregate result: one partition, one pre-computed
+  * row; no data file is ever opened (WarehouseSinkSpec proves it by
+  * deleting one and aggregating anyway). */
+private[sources] class WarehouseAggScan(dir: String, aggSchema: StructType,
+                                        row: InternalRow)
+    extends Scan with Batch {
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_warehouse [$dir, metadata-only agg: " +
+      aggSchema.fieldNames.mkString(", ") + "]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(WarehouseAggPartition(row.copy()))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          private val r = p.asInstanceOf[WarehouseAggPartition].row
+          override def next(): Boolean = { val go = !emitted; emitted = true; go }
+          override def get(): InternalRow = r
+          override def close(): Unit = ()
+        }
+    }
+}
+
+private[sources] case class WarehouseAggPartition(row: InternalRow)
+    extends InputPartition
 
 private[sources] class WarehouseWriteBuilder(dir: String, schema: StructType,
                                              queryId: String, truncate0: Boolean)
@@ -670,8 +819,12 @@ private[sources] class WarehouseWriter(stagingDir: String, schema: StructType,
     val v = v0 match { case s: UTF8String => s.toString; case x => x }
     if (mins(i) == null) { mins(i) = v; maxs(i) = v }
     else {
-      if (WarehouseSink.statsCmp(v, mins(i)).exists(_ < 0)) mins(i) = v
-      if (WarehouseSink.statsCmp(v, maxs(i)).exists(_ > 0)) maxs(i) = v
+      // Exact same-type comparison (values in one column share the schema
+      // type): the double-rounded statsCmp is fine for conservative
+      // skipping but would let a >2^53 long record a neighbor as its
+      // min/max — and these ranges now also answer pushed-down MIN/MAX.
+      if (WarehouseSink.exactCmp(v, mins(i)) < 0) mins(i) = v
+      if (WarehouseSink.exactCmp(v, maxs(i)) > 0) maxs(i) = v
     }
   }
 
@@ -692,6 +845,13 @@ private[sources] class WarehouseWriter(stagingDir: String, schema: StructType,
   override def commit(): WriterCommitMessage = {
     out.close()
     val sb = new StringBuilder
+    // Row-count line first: 2 fields, so the 3-field range parser skips it
+    // (and a real column NAMED "#rows" still emits 3 fields — no clash).
+    // Its presence also certifies the sidecar as stats-complete: with it,
+    // a column with NO range line below provably held only nulls in this
+    // file, which is what lets the aggregate pushdown treat missing
+    // ranges as "contributes nothing to MIN/MAX" rather than "unknown".
+    sb.append(WarehouseSink.RowsTag).append('\t').append(rows).append('\n')
     var i = 0
     while (i < types.length) {
       if (mins(i) != null) // all-null columns carry no range line
@@ -718,12 +878,20 @@ private[sources] case class WarehouseFilePartition(path: String)
 private[sources] class WarehouseScan(dir: String, schema: StructType,
                                      versionAsOf: Option[Long] = None,
                                      skipFilters: Array[org.apache.spark.sql.sources.Filter] =
-                                       Array.empty)
+                                       Array.empty,
+                                     required0: StructType = null)
     extends Scan with Batch {
-  override def readSchema(): StructType = schema
+  // `required` defaults to the full schema (the pre-pruning callers and
+  // the streaming path); stats-skipping decisions always use the FULL
+  // schema — a pushed filter may reference a column the query never
+  // projects.
+  private val required = Option(required0).getOrElse(schema)
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft_warehouse [$dir${versionAsOf.map(v => s" @v$v").getOrElse("")}" +
+      (if (required.length != schema.length)
+        s", cols: ${required.fieldNames.mkString(",")}" else "") +
       (if (skipFilters.isEmpty) "]"
        else s", skipBy: ${skipFilters.mkString(", ")}]")
   override def planInputPartitions(): Array[InputPartition] = {
@@ -750,14 +918,20 @@ private[sources] class WarehouseScan(dir: String, schema: StructType,
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarehouseReaderFactory(schema)
+    new WarehouseReaderFactory(schema, required)
 }
 
-private[sources] class WarehouseReaderFactory(schema: StructType)
+private[sources] class WarehouseReaderFactory(schema: StructType,
+                                              required: StructType)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val path = p.asInstanceOf[WarehouseFilePartition].path
-    val types = schema.fields.map(_.dataType)
+    // Pruned decode: only the requested token positions are parsed (an
+    // empty projection — e.g. a bare COUNT the aggregate path refused —
+    // still counts lines). Indices resolve by name against the file
+    // schema, so projection order is free.
+    val idxs = required.fields.map(f => schema.fieldIndex(f.name))
+    val types = required.fields.map(_.dataType)
     new PartitionReader[InternalRow] {
       private val in = new BufferedReader(new FileReader(path))
       private var line: String = _
@@ -765,8 +939,8 @@ private[sources] class WarehouseReaderFactory(schema: StructType)
       override def get(): InternalRow = {
         // -1 keeps trailing empty tokens (a NULL-encoded last column).
         val toks = line.split("\t", -1)
-        InternalRow.fromSeq(types.zipWithIndex.map {
-          case (dt, i) => WarehouseSink.decode(toks(i), dt) }.toSeq)
+        InternalRow.fromSeq(Array.tabulate(idxs.length) { j =>
+          WarehouseSink.decode(toks(idxs(j)), types(j)) }.toSeq)
       }
       override def close(): Unit = in.close()
     }

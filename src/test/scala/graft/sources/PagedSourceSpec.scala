@@ -41,6 +41,25 @@ class PagedSourceSpec extends SparkSpec {
     assert(pruned.as[String].collect().toSet === (0 until 100).map("name" + _).toSet)
   }
 
+  test("pushed LIMIT stops the page walk: a preview never crawls the API") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pagedlim").toString
+    assert(writePages(dir) === 5)
+    // drop every page after the first; the declared count still says 5
+    (1 until 5).foreach(p => assert(PagedEndpoint.pageFile(dir, p).delete()))
+    val df = load(dir, extra = Map("pages" -> "5", "maxRetries" -> "0"))
+    val preview = df.limit(10)
+    val desc = preview.queryExecution.executedPlan.toString
+    assert(desc.contains("limit=10"), desc.take(500))
+    // one sequential partition, and rows come only from page 0
+    assert(preview.rdd.getNumPartitions === 1)
+    assert(preview.select("id").as[Long].collect().toSeq === (0L until 10L))
+    // limit larger than one page but satisfied before the missing pages
+    assert(df.limit(20).count() === 20)
+    // without the limit the scan must fault on the missing page —
+    // proving the preview really never fetched past its answer
+    intercept[org.apache.spark.SparkException] { df.count() }
+  }
+
   test("declared page count skips the probe and bounds the read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_paged2").toString
     writePages(dir)

@@ -358,4 +358,96 @@ class WarehouseSinkSpec extends SparkSpec {
     val got = spark.read.format(Fmt).option("path", dir).load().schema
     assert(got.fieldNames.toSeq === Seq("a", "b", "c"))
   }
+
+  test("column pruning reaches the warehouse reader") {
+    val dir = tmp()
+    Seq((1L, "a", 2.5), (2L, "b", -1.0), (3L, "c", 0.5))
+      .toDF("id", "s", "x")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val pruned = spark.read.format(Fmt).option("path", dir).load()
+      .select("x", "id")
+    val readSchema = pruned.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.readSchema()
+    }.get
+    assert(readSchema.fieldNames.toSet === Set("x", "id"),
+      s"reader should decode only the projected columns, got $readSchema")
+    assert(pruned.as[(Double, Long)].collect().sortBy(_._2).toSeq ===
+      Seq((2.5, 1L), (-1.0, 2L), (0.5, 3L)))
+    // a pushed filter on a NON-projected column still skips/filters right
+    val f = spark.read.format(Fmt).option("path", dir).load()
+      .filter(col("s") === "b").select("id")
+    assert(f.as[Long].collect().toSeq === Seq(2L))
+  }
+
+  test("metadata-only aggregates answer from sidecars without opening data files") {
+    val dir = tmp()
+    Seq((1L, Option("b"), 2.5), (2L, None, -1.0),
+      (3L, Option("a"), 9.25), (4L, Option("zz"), 0.0))
+      .toDF("id", "s", "x")
+      .repartition(3)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    def table() = spark.read.format(Fmt).option("path", dir).load()
+
+    val agg = table().agg(count(lit(1)).as("n"),
+      min("id").as("id_mn"), max("id").as("id_mx"),
+      min("s").as("s_mn"), max("s").as("s_mx"),
+      min("x").as("x_mn"), max("x").as("x_mx"))
+    assert(agg.queryExecution.executedPlan.toString.contains("metadata-only"),
+      "expected the pushed metadata aggregate scan:\n" +
+        agg.queryExecution.executedPlan)
+    val r = agg.collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((4L, 1L, 4L)))
+    assert((r.getString(3), r.getString(4)) === (("a", "zz")))
+    assert((r.getDouble(5), r.getDouble(6)) === ((-1.0, 9.25)))
+
+    // gates: a residual filter, grouping, or an unsupported function all
+    // refuse the pushdown — and the fallback answers identically
+    for (df <- Seq(
+      table().filter(col("id") > 1).agg(max("id").as("m")),
+      table().groupBy("s").agg(max("id")),
+      table().agg(sum("id")))) {
+      assert(!df.queryExecution.executedPlan.toString.contains("metadata-only"))
+      df.collect() // and executes fine against the data files
+    }
+    assert(table().filter(col("id") > 1)
+      .agg(max("id")).collect()(0).getLong(0) === 4L)
+
+    // a sidecar without the #rows line (a pre-rowcount writer) voids the
+    // stats-completeness proof: pushdown refuses, scan still correct
+    val m = WarehouseSink.readManifest(dir).get
+    val sc = new File(dir, m.files.head + ".stats")
+    val stripped = new String(java.nio.file.Files.readAllBytes(sc.toPath))
+      .linesIterator.filterNot(_.startsWith("#rows\t")).mkString("\n")
+    java.nio.file.Files.write(sc.toPath, stripped.getBytes)
+    val noPush = table().agg(count(lit(1)).as("n"))
+    assert(!noPush.queryExecution.executedPlan.toString.contains("metadata-only"))
+    assert(noPush.collect()(0).getLong(0) === 4L)
+  }
+
+  test("metadata aggregate survives a missing data file; a full scan cannot") {
+    val dir = tmp()
+    spark.range(0, 40).toDF("id").repartition(4)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    def table() = spark.read.format(Fmt).option("path", dir).load()
+    val f = WarehouseSink.readManifest(dir).get.files.head
+    assert(new File(dir, f).delete(), "fixture: drop one data file")
+    // sidecar + manifest remain: the aggregate never opens the data file
+    val r = table().agg(count(lit(1)).as("n"), min("id").as("mn"),
+      max("id").as("mx")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((40L, 0L, 39L)))
+    intercept[org.apache.spark.SparkException] { table().collect() }
+  }
+
+  test("metadata aggregate: all-null column yields null MIN/MAX exactly like a scan") {
+    val dir = tmp()
+    Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("id", "s")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val agg = spark.read.format(Fmt).option("path", dir).load()
+      .agg(min("s").as("mn"), max("s").as("mx"), count(lit(1)).as("n"))
+    assert(agg.queryExecution.executedPlan.toString.contains("metadata-only"))
+    val r = agg.collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.getLong(2) === 2L)
+  }
 }
