@@ -1346,6 +1346,26 @@ object SparkEntry {
           min("ship").as("min_ship"), max("ship").as("max_ship"))
     }),
 
+    // Deterministic epoch-shard balance: the seeded hash-bucket shard
+    // assignment a trainer shuffles by, audited for evenness (a skewed
+    // shard is a straggler for the whole training step). Pure function
+    // of (seed, doc_id) — survives repartitioning and engine swaps.
+    "q160_epoch_shards" -> ((s, d) =>
+      Corpus.epochShardReport(Tables.documents(s, d), "doc_id", "text",
+        seed = 7L, nShards = 8)),
+
+    // C4-style per-source frequency cap: at most 40 docs per source,
+    // chosen by seeded-hash rank (WindowGroupLimit bounds every
+    // partition's contribution BEFORE the shuffle).
+    "q161_source_cap" -> ((s, d) =>
+      Corpus.sourceCapSurvivors(Tables.documents(s, d), "doc_id", "source",
+        seed = 7L, cap = 40)),
+
+    // Corpus release manifest: per (source, split) counts + exact
+    // order-independent 48-bit XOR content checksum any engine replays.
+    "q162_release_manifest" -> ((s, d) =>
+      Corpus.releaseManifest(Tables.documents(s, d), "text", "source")),
+
     // Temperature-weighted (α = 0.5) source allocation over a 1M-token
     // budget: the training-mix smoothing readout, floor'd fixed-point
     // weights so the hash check is engine-exact.
@@ -3928,6 +3948,53 @@ object SparkEntry {
                 min(strftime(l_shipdate, '%Y-%m-%d')) AS min_ship,
                 max(strftime(l_shipdate, '%Y-%m-%d')) AS max_ship
          FROM lineitem""",
+
+    // Shard = count of 16-bit hex boundaries ≤ the md5(seed:id) prefix —
+    // fixed-width lowercase hex compares replay the Spark assignment
+    // verbatim (8 shards → boundaries at i*0x2000).
+    "q160_epoch_shards" ->
+      """WITH t AS (SELECT doc_id,
+                  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS tok,
+                  substring(md5(concat('7:', CAST(doc_id AS VARCHAR))), 1, 4) AS h
+           FROM documents),
+         a AS (SELECT doc_id, tok,
+                  CAST((CASE WHEN h >= '2000' THEN 1 ELSE 0 END)
+                     + (CASE WHEN h >= '4000' THEN 1 ELSE 0 END)
+                     + (CASE WHEN h >= '6000' THEN 1 ELSE 0 END)
+                     + (CASE WHEN h >= '8000' THEN 1 ELSE 0 END)
+                     + (CASE WHEN h >= 'a000' THEN 1 ELSE 0 END)
+                     + (CASE WHEN h >= 'c000' THEN 1 ELSE 0 END)
+                     + (CASE WHEN h >= 'e000' THEN 1 ELSE 0 END) AS BIGINT)
+                    AS shard
+               FROM t)
+         SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(tok) AS BIGINT) AS n_tokens,
+                min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         FROM a GROUP BY shard""",
+
+    "q161_source_cap" ->
+      """SELECT source, doc_id, rk FROM (
+           SELECT source, doc_id,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY md5(concat('7:', CAST(doc_id AS VARCHAR))), doc_id)
+                    AS rk
+           FROM documents) WHERE rk <= 40""",
+
+    // 48-bit md5 prefix parsed exactly via the 0x-literal cast; XOR is
+    // order-independent, so the checksum replays under any row order.
+    "q162_release_manifest" ->
+      """WITH t AS (SELECT source,
+                  CASE WHEN substring(md5(text), 1, 1) < 'd'
+                       THEN 'train' ELSE 'test' END AS split,
+                  CAST(('0x' || substring(md5(text), 1, 12)) AS BIGINT) AS h,
+                  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS tok,
+                  CAST(length(text) AS BIGINT) AS nc
+           FROM documents)
+         SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(tok) AS BIGINT) AS n_tokens,
+                CAST(sum(nc) AS BIGINT) AS n_chars,
+                CAST(bit_xor(h) AS BIGINT) AS checksum48
+         FROM t GROUP BY 1, 2""",
 
     // α-sampling weights replayed exactly: sqrt is correctly-rounded in
     // both engines, weights floor to micro units BEFORE the exact BIGINT

@@ -394,4 +394,81 @@ object Corpus {
       .orderBy(col("fluency_ppm").asc, col("doc_id").asc)
       .limit(bottomK)
   }
+
+  /** Deterministic training-epoch shard assignment: shard =
+    * 16-bit-hex-bucket of md5(seed:id) against `nShards` literal string
+    * boundaries (fixed-width lowercase hex is order-preserving, so the
+    * whole assignment compiles to string compares that replay verbatim in
+    * any engine — same discipline as the hash splits). This is the
+    * shuffle a trainer needs before packing: a pure function of (seed,
+    * id), so shard membership survives repartitioning, retries, and
+    * engine swaps, and a NEW seed reshuffles every epoch with zero state.
+    * At scale the materialization is `repartitionByRange(nShards, key)` +
+    * sortWithinPartitions — one shuffle; no global sort, no driver order.
+    */
+  def epochShardAssign(docs: DataFrame, idCol: String,
+                       seed: Long, nShards: Int): DataFrame = {
+    require(nShards > 1 && nShards <= 65536, "nShards must be in 2..65536")
+    val h = substring(
+      md5(concat(lit(s"$seed:"), col(idCol).cast("string")).cast("binary")),
+      1, 4)
+    val shard = (1 until nShards).foldLeft(lit(0)) { (acc, i) =>
+      acc + when(h >= lit(f"${i * 65536 / nShards}%04x"), 1).otherwise(0)
+    }
+    docs.withColumn("shard", shard.cast("long")).withColumn("graft_key", h)
+  }
+
+  /** Shard-balance readout over [[epochShardAssign]]: per shard, doc and
+    * token counts plus the id range — the evenness check a trainer runs
+    * before an epoch (a skewed shard is a straggler for the whole step).
+    * One map-side key computation into one |nShards|-row aggregate. */
+  def epochShardReport(docs: DataFrame, idCol: String, textCol: String,
+                       seed: Long, nShards: Int): DataFrame =
+    epochShardAssign(docs, idCol, seed, nShards)
+      .select(col("shard"), col(idCol),
+        T.wordTokens(col(textCol)).cast("long").as("graft_t"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("graft_t").as("n_tokens"),
+        min(idCol).as("min_doc"), max(idCol).as("max_doc"))
+
+  /** Per-source frequency cap — the C4/RefinedWeb host-cap rule: keep at
+    * most `cap` documents per source, chosen by deterministic seeded-hash
+    * rank (not arrival order, which is partitioning-dependent; not
+    * quality, which would bias the cap toward long-tail duplication).
+    * Spark 4's WindowGroupLimit pushes the rank filter below the
+    * exchange, so each partition forwards at most `cap` rows per source
+    * BEFORE the shuffle — a mega-source never materializes its full row
+    * set on one reducer. */
+  def sourceCapSurvivors(docs: DataFrame, idCol: String, sourceCol: String,
+                         seed: Long, cap: Int): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val key = md5(concat(lit(s"$seed:"), col(idCol).cast("string"))
+      .cast("binary"))
+    val w = Window.partitionBy(col(sourceCol)).orderBy(key, col(idCol))
+    docs.select(col(sourceCol), col(idCol), key.as("graft_k"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= cap)
+      .drop("graft_k")
+  }
+
+  /** Release manifest: per (source, split) counts plus an EXACT
+    * order-independent content checksum — what a corpus publisher ships
+    * next to the shards so any consumer (any engine, any row order) can
+    * re-derive and compare. The checksum is the XOR of each document's
+    * 48-bit md5 prefix: XOR is commutative/associative (accumulation
+    * order free), overflow-free (unlike a sum under ANSI bigints), and
+    * any single changed/dropped/added document flips it. conv() parses
+    * the 12 hex chars exactly (48 bits < 2^53, also double-safe in
+    * engines that route through floats). One narrow aggregate. */
+  def releaseManifest(docs: DataFrame, textCol: String,
+                      sourceCol: String): DataFrame =
+    docs.select(col(sourceCol), T.hashSplit(col(textCol)).as("split"),
+        conv(substring(md5(col(textCol).cast("binary")), 1, 12), 16, 10)
+          .cast("long").as("graft_h"),
+        T.wordTokens(col(textCol)).cast("long").as("graft_t"),
+        length(col(textCol)).cast("long").as("graft_c"))
+      .groupBy(sourceCol, "split")
+      .agg(count(lit(1)).as("n_docs"), sum("graft_t").as("n_tokens"),
+        sum("graft_c").as("n_chars"),
+        expr("bit_xor(graft_h)").as("checksum48"))
 }

@@ -240,4 +240,65 @@ class CorpusSpec extends SparkSpec {
     // score is the floored mean of per-occurrence ppms: bounded by 10⁶
     assert(out.forall(_.getAs[Long]("fluency_ppm") <= 1000000L))
   }
+
+  test("epochShardAssign is a pure function of (seed, id): partition-stable, seed-sensitive") {
+    val docs = spark.range(0, 2000).toDF("doc_id")
+    def assign(df: org.apache.spark.sql.DataFrame, seed: Long) =
+      Corpus.epochShardAssign(df, "doc_id", seed, nShards = 8)
+        .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    val a = assign(docs, seed = 1L)
+    assert(a === assign(docs.repartition(13), seed = 1L),
+      "assignment must not depend on partitioning")
+    val b = assign(docs, seed = 2L)
+    assert(a !== b, "a new seed must reshuffle")
+    // every shard in range, all docs assigned, and roughly even (hash
+    // balance: no shard further than 40% from the uniform share)
+    assert(a.values.forall(s => s >= 0 && s < 8) && a.size === 2000)
+    val sizes = a.values.groupBy(identity).map(_._2.size)
+    assert(sizes.size === 8 && sizes.forall(n => n > 150 && n < 350), sizes)
+  }
+
+  test("epochShardReport preserves totals across shards") {
+    val docs = Seq.tabulate(300)(i => (i.toLong, s"w$i x y z")).toDF("doc_id", "text")
+    val rep = Corpus.epochShardReport(docs, "doc_id", "text", seed = 3L, nShards = 4)
+      .collect()
+    assert(rep.map(_.getAs[Long]("n_docs")).sum === 300L)
+    assert(rep.map(_.getAs[Long]("n_tokens")).sum === 1200L)
+  }
+
+  test("sourceCapSurvivors caps each source at k by seeded rank, not arrival order") {
+    val docs = (1L to 100L).map(i => (i, "big")) ++ (101L to 105L).map(i => (i, "small"))
+    val df = docs.toDF("doc_id", "source")
+    val out = Corpus.sourceCapSurvivors(df, "doc_id", "source", seed = 5L, cap = 10)
+      .as[(String, Long, Long)].collect()
+    val bySrc = out.groupBy(_._1)
+    assert(bySrc("big").length === 10 && bySrc("small").length === 5)
+    assert(out.forall(_._3 <= 10L))
+    // survivors are the hash-rank winners — identical under repartition
+    val again = Corpus.sourceCapSurvivors(df.repartition(7), "doc_id", "source",
+      seed = 5L, cap = 10).as[(String, Long, Long)].collect()
+    assert(out.map(r => (r._1, r._2)).toSet === again.map(r => (r._1, r._2)).toSet)
+    // a different seed elects a different committee for the big source
+    val reseeded = Corpus.sourceCapSurvivors(df, "doc_id", "source", seed = 6L, cap = 10)
+      .as[(String, Long, Long)].collect()
+    assert(reseeded.map(r => (r._1, r._2)).toSet !== out.map(r => (r._1, r._2)).toSet)
+  }
+
+  test("releaseManifest checksum is order-independent and flips on any content change") {
+    val docs = Seq((1L, "alpha beta", "s1"), (2L, "gamma delta", "s1"),
+      (3L, "epsilon", "s2")).toDF("doc_id", "text", "source")
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      Corpus.releaseManifest(df, "text", "source")
+        .collect().map(r => ((r.getString(0), r.getString(1)),
+          (r.getAs[Long]("n_docs"), r.getAs[Long]("checksum48")))).toMap
+    val base = sums(docs)
+    assert(base === sums(docs.orderBy(desc("doc_id")).repartition(5)),
+      "checksum must not depend on row order or partitioning")
+    // flip one character in one doc: only that (source, split) cell moves
+    val tweaked = sums(Seq((1L, "alpha betA", "s1"), (2L, "gamma delta", "s1"),
+      (3L, "epsilon", "s2")).toDF("doc_id", "text", "source"))
+    assert(tweaked.keySet.flatMap(k => base.get(k).map(v => k -> (v != tweaked(k))))
+      .exists(_._2), "a changed document must change some checksum")
+    assert(base.map(_._2._1).sum === 3L)
+  }
 }
