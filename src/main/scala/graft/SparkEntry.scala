@@ -1366,6 +1366,30 @@ object SparkEntry {
     "q162_release_manifest" -> ((s, d) =>
       Corpus.releaseManifest(Tables.documents(s, d), "text", "source")),
 
+    // Heaps-law vocabulary growth at geometric corpus prefixes: ONE
+    // corpus scan (a term's contribution to every prefix is fixed by its
+    // first appearance), vs the naive rescan-per-checkpoint. The
+    // sub-linear curve is the "diverse or recycled?" probe run before
+    // committing a training run to a corpus.
+    "q163_vocab_growth" -> ((s, d) =>
+      Analytics.vocabGrowth(Tables.documents(s, d), "doc_id", "text",
+        checkpoints = Seq(50L, 500L, 5000L, 50000L, 500000L))),
+
+    // CCNet-style model-based quality filter: hashed bag-of-words
+    // logistic regression bootstrapped from weak labels at the corpus
+    // MEDIAN of the heuristic score (balanced classes by construction —
+    // a fixed threshold would drift degenerate across scale factors).
+    // The median is ONE driver double; everything else distributes.
+    // Model-dependent probabilities → rows-only; the planted-
+    // separability spec carries the correctness claim.
+    "q164_quality_classifier" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val med = docs.select(T.qualityScore(col("text")).as("graft_q"))
+        .agg(expr("percentile(graft_q, 0.5)")).collect()(0).getDouble(0)
+      ml.QualityClassifier.weakLabelPipeline(docs, "doc_id", "text",
+        labelOf = T.qualityScore(col("text")) > med, dim = 1024)
+    }),
+
     // Temperature-weighted (α = 0.5) source allocation over a 1M-token
     // budget: the training-mix smoothing readout, floor'd fixed-point
     // weights so the hash check is engine-exact.
@@ -3995,6 +4019,28 @@ object SparkEntry {
                 CAST(sum(nc) AS BIGINT) AS n_chars,
                 CAST(bit_xor(h) AS BIGINT) AS checksum48
          FROM t GROUP BY 1, 2""",
+
+    // First-appearance reformulation replayed literally: vocab at a
+    // checkpoint = terms whose min(doc_id) ≤ it.
+    "q163_vocab_growth" ->
+      """WITH cp AS (SELECT CAST(c AS BIGINT) AS checkpoint
+             FROM (VALUES (50), (500), (5000), (50000), (500000)) t(c)),
+         fs AS (SELECT term, min(doc_id) AS first_seen
+             FROM (SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+                   FROM documents)
+             GROUP BY term),
+         v AS (SELECT cp.checkpoint, CAST(count(*) AS BIGINT) AS vocab_size
+             FROM cp JOIN fs ON fs.first_seen <= cp.checkpoint
+             GROUP BY cp.checkpoint),
+         tk AS (SELECT cp.checkpoint, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(len(regexp_extract_all(d.text, '[A-Za-z0-9]+')))
+                    AS BIGINT) AS n_tokens
+             FROM cp JOIN documents d ON d.doc_id <= cp.checkpoint
+             GROUP BY cp.checkpoint)
+         SELECT tk.checkpoint, tk.n_docs, tk.n_tokens,
+                COALESCE(v.vocab_size, 0) AS vocab_size
+         FROM tk LEFT JOIN v ON tk.checkpoint = v.checkpoint""",
 
     // α-sampling weights replayed exactly: sqrt is correctly-rounded in
     // both engines, weights floor to micro units BEFORE the exact BIGINT

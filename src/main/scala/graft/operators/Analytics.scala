@@ -833,4 +833,39 @@ object Analytics {
       .groupBy(names.map(col): _*)
       .agg(count(lit(1)).as("n_rows"))
       .filter(col("n_rows") < k)
+
+  /** Vocabulary-growth (Heaps-law) readout: distinct-term count and
+    * cumulative token count at increasing corpus prefixes (by `idCol`
+    * order). The naive formulation — count distinct over each prefix —
+    * rescans the corpus once per checkpoint; this one scans ONCE: a
+    * term's contribution to every prefix is determined by its FIRST
+    * appearance (min id per term), so the corpus reduces to a
+    * |vocab|-row first-seen table and a |docs|-row token table, each
+    * cross-checked against the (broadcast-sized) checkpoint list. The
+    * sub-linear vocab curve is the canonical "is this corpus actually
+    * diverse, or recycled?" probe before spending a training run on it. */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
+                  checkpoints: Seq[Long]): DataFrame = {
+    require(checkpoints.nonEmpty, "need at least one checkpoint")
+    val cps = checkpoints.sorted
+    val cpDf = docs.sparkSession.createDataset(cps)(
+      org.apache.spark.sql.Encoders.scalaLong).toDF("checkpoint")
+    val firstSeen = docs.select(col(idCol).as("graft_id"),
+        regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0))
+          .as("graft_toks"))
+      .select(col("graft_id"), explode(col("graft_toks")).as("term"))
+      .groupBy("term").agg(min("graft_id").as("graft_first"))
+    val vocabAt = firstSeen.join(broadcast(cpDf),
+        col("graft_first") <= col("checkpoint"))
+      .groupBy("checkpoint").agg(count(lit(1)).as("vocab_size"))
+    val tokensAt = docs.select(col(idCol).as("graft_id"),
+        graft.functions.TextFunctions.wordTokens(col(textCol))
+          .cast("long").as("graft_t"))
+      .join(broadcast(cpDf), col("graft_id") <= col("checkpoint"))
+      .groupBy("checkpoint").agg(count(lit(1)).as("n_docs"),
+        sum("graft_t").as("n_tokens"))
+    tokensAt.join(vocabAt, Seq("checkpoint"), "left")
+      .select(col("checkpoint"), col("n_docs"), col("n_tokens"),
+        coalesce(col("vocab_size"), lit(0L)).as("vocab_size"))
+  }
 }

@@ -377,4 +377,23 @@ class AnalyticsSpec extends SparkSpec {
         r.getAs[Long]("n_rows")).toMap
     assert(got === Map(("us", "free") -> 1L, ("de", "gold") -> 2L))
   }
+
+  test("vocabGrowth counts vocabulary by first appearance at each prefix") {
+    // doc 1: a b; doc 2: b c; doc 5: c d e — vocab at 1 → {a,b}=2,
+    // at 2 → {a,b,c}=3, at 10 → {a,b,c,d,e}=5; tokens cumulate 2,4,7.
+    val docs = Seq((1L, "a b"), (2L, "b c"), (5L, "c d e"))
+      .toDF("doc_id", "text")
+    val got = Analytics.vocabGrowth(docs, "doc_id", "text",
+        checkpoints = Seq(1L, 2L, 10L))
+      .orderBy("checkpoint")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1L, 2L, 2L), (2L, 2L, 4L, 3L),
+      (10L, 3L, 7L, 5L)))
+    // a repeated-vocab corpus flattens: same words in every doc
+    val flat = Seq((1L, "x y"), (2L, "x y"), (3L, "y x"))
+      .toDF("doc_id", "text")
+    val g2 = Analytics.vocabGrowth(flat, "doc_id", "text", Seq(1L, 3L))
+      .orderBy("checkpoint").as[(Long, Long, Long, Long)].collect()
+    assert(g2.map(_._4).toSeq === Seq(2L, 2L), "recycled corpus: vocab flat")
+  }
 }
