@@ -1366,6 +1366,27 @@ object SparkEntry {
     "q162_release_manifest" -> ((s, d) =>
       Corpus.releaseManifest(Tables.documents(s, d), "text", "source")),
 
+    // Copy-on-write DELETE through the warehouse manifest: candidate
+    // files chosen by the SAME stats algebra the skip path tests, so a
+    // narrow delete rewrites the overlapping range files and carries
+    // every other file by name; readback proves row-exact semantics.
+    "q165_warehouse_delete" -> ((s, d) => {
+      val fmt = "graft.sources.WarehouseSink"
+      val dir = java.nio.file.Files.createTempDirectory("graft_whdel_").toString
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .repartitionByRange(8, col("o_orderkey"))
+        .write.format(fmt).option("path", dir).mode("overwrite").save()
+      import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+      graft.sources.WarehouseSink.deleteWhere(s, dir,
+        Seq(GreaterThanOrEqual("o_orderkey", 2000L),
+          LessThan("o_orderkey", 4000L)))
+      s.read.format(fmt).option("path", dir).load()
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+    }),
+
     // Heaps-law vocabulary growth at geometric corpus prefixes: ONE
     // corpus scan (a term's contribution to every prefix is fixed by its
     // first appearance), vs the naive rescan-per-checkpoint. The
@@ -4019,6 +4040,17 @@ object SparkEntry {
                 CAST(sum(nc) AS BIGINT) AS n_chars,
                 CAST(bit_xor(h) AS BIGINT) AS checksum48
          FROM t GROUP BY 1, 2""",
+
+    // The oracle applies the delete as a WHERE NOT — exact equality is
+    // the copy-on-write soundness claim (no lost rows from carried
+    // files, no surviving rows from rewritten ones).
+    "q165_warehouse_delete" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_cents
+         FROM orders
+         WHERE NOT (o_orderkey >= 2000 AND o_orderkey < 4000)
+         GROUP BY 1""",
 
     // First-appearance reformulation replayed literally: vocab at a
     // checkpoint = terms whose min(doc_id) ≤ it.

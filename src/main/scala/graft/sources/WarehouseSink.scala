@@ -334,6 +334,95 @@ object WarehouseSink {
       liveBytes(after), compacted, reclaimed)
   }
 
+  case class DeleteReport(filesRewritten: Int, filesCarried: Int,
+                          rowsDeleted: Long)
+
+  /** Copy-on-write DELETE WHERE — the Delta/Iceberg row-delete core over
+    * this sink's manifest protocol. The predicate arrives as V1 filters
+    * (the same algebra the skip path tests), so candidate selection is
+    * PLANNING-SHAPED: only files whose stats ranges might hold a matching
+    * row are rewritten; every other file is carried into the new
+    * generation BY NAME, untouched — on a 100 TB table a narrow delete
+    * rewrites a handful of files, not the corpus. The rewrite reads
+    * exactly the candidate files (internal `files` reader option), keeps
+    * rows where the predicate is NOT TRUE (SQL DELETE semantics: a
+    * null-valued predicate keeps the row), stages through a sibling temp
+    * table like OPTIMIZE, and publishes ONE generation with the epoch
+    * cursor carried forward. Crash before publish leaves the live table
+    * untouched; the pre-delete generation remains time-travelable until
+    * vacuumed. Single-writer like vacuum/maintain. Deleted-row count is
+    * metadata-derived: candidate `#rows` minus rewritten `#rows`. */
+  def deleteWhere(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  filters: Seq[org.apache.spark.sql.sources.Filter]): DeleteReport = {
+    require(filters.nonEmpty, "deleteWhere requires at least one filter")
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    val fmt = classOf[WarehouseSink].getName
+    val cur = readManifest(dir).getOrElse(return DeleteReport(0, 0, 0L))
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    val pred = filters.map(filterToColumn(_, schema)).reduce(_ && _)
+    val (candidates, carried) = cur.files.partition { f =>
+      readStats(dir, f, schema) match {
+        case Some(st) => filters.forall(mightMatch(st, _))
+        case None => true // statless file: must assume it matches
+      }
+    }
+    if (candidates.isEmpty) return DeleteReport(0, cur.files.size, 0L)
+    val candRows = candidates.map(f => readRowCount(dir, f).getOrElse(-1L))
+    val tmp = new File(new File(dir).getAbsoluteFile.getParentFile,
+      new File(dir).getName + ".delete-" +
+        java.util.UUID.randomUUID.toString.take(8))
+    try {
+      spark.read.format(fmt).option("path", dir)
+        .option("files", candidates.mkString(",")).load()
+        .filter(!coalesce(pred, lit(false)))
+        .write.format(fmt).option("path", tmp.getPath)
+        .mode("overwrite").save()
+      val newFiles = readManifest(tmp.getPath).map(_.files).getOrElse(Nil)
+      newFiles.foreach(moveWithStats(tmp, new File(dir), _))
+      publish(dir, { prev =>
+        val p = prev.getOrElse(cur)
+        Some(Manifest(0L, p.schemaDdl, carried ++ newFiles, p.epoch))
+      })
+      val keptRows = newFiles.map(f => readRowCount(dir, f).getOrElse(-1L))
+      val deleted =
+        if (candRows.contains(-1L) || keptRows.contains(-1L)) -1L
+        else candRows.sum - keptRows.sum
+      DeleteReport(candidates.size, carried.size, deleted)
+    } finally {
+      def rm(f: File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(tmp)
+    }
+  }
+
+  /** The V1-filter subset the skip path understands, rebuilt as a Column
+    * (what the rewrite leg filters rows by — candidate selection and row
+    * predicate evaluate the SAME algebra, so a file refuted by stats
+    * provably holds no matching row). */
+  private[sources] def filterToColumn(
+      f: org.apache.spark.sql.sources.Filter,
+      schema: StructType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(c, v) => col(c) === lit(v)
+      case EqualNullSafe(c, v) => col(c) <=> lit(v)
+      case GreaterThan(c, v) => col(c) > lit(v)
+      case GreaterThanOrEqual(c, v) => col(c) >= lit(v)
+      case LessThan(c, v) => col(c) < lit(v)
+      case LessThanOrEqual(c, v) => col(c) <= lit(v)
+      case In(c, vs) => col(c).isin(vs.toIndexedSeq: _*)
+      case IsNull(c) => col(c).isNull
+      case IsNotNull(c) => col(c).isNotNull
+      case And(l, r) => filterToColumn(l, schema) && filterToColumn(r, schema)
+      case Or(l, r) => filterToColumn(l, schema) || filterToColumn(r, schema)
+      case Not(x) => !filterToColumn(x, schema)
+      case other => throw new IllegalArgumentException(
+        s"deleteWhere does not support predicate $other")
+    }
+  }
+
   // ---- per-file column stats: manifest-level data skipping ----
   // Each data file gets a `<file>.stats` sidecar written in the SAME
   // staged task commit (one TSV line per column: name, min, max, row
@@ -519,7 +608,11 @@ private[sources] class WarehouseTable(dir: String, schema0: StructType,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarehouseScanBuilder(dir,
       manifest.map(m => StructType.fromDDL(m.schemaDdl)).getOrElse(schema0),
-      versionAsOf)
+      versionAsOf,
+      // Internal (deleteWhere's rewrite leg): restrict the scan to an
+      // explicit comma-separated file subset of the live manifest.
+      Option(options.get("files"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
 }
 
 /** Filter pushdown for FILE SKIPPING only: every filter is returned as a
@@ -544,7 +637,8 @@ private[sources] class WarehouseTable(dir: String, schema0: StructType,
   *    Anything else refuses the pushdown and Spark aggregates normally —
   *    pushdown is an optimization, never a different answer. */
 private[sources] class WarehouseScanBuilder(dir: String, schema: StructType,
-                                            versionAsOf: Option[Long])
+                                            versionAsOf: Option[Long],
+                                            onlyFiles: Option[Seq[String]] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
   import org.apache.spark.sql.connector.expressions.NamedReference
@@ -586,7 +680,8 @@ private[sources] class WarehouseScanBuilder(dir: String, schema: StructType,
     * soundness gate fails. O(|files|) tiny driver-side reads — the same
     * order of work as planning the scan it replaces. */
   private def tryAnswer(agg: Aggregation): Option[(StructType, InternalRow)] = {
-    if (skipFilters.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+    if (skipFilters.nonEmpty || agg.groupByExpressions.nonEmpty ||
+      onlyFiles.nonEmpty) return None
     val manifest = versionAsOf match {
       case Some(v) => WarehouseSink.readManifestAt(dir, v) match {
         case Some(m) => Some(m)
@@ -626,7 +721,8 @@ private[sources] class WarehouseScanBuilder(dir: String, schema: StructType,
 
   override def build(): Scan = pushedAgg match {
     case Some((aggSchema, row)) => new WarehouseAggScan(dir, aggSchema, row)
-    case None => new WarehouseScan(dir, schema, versionAsOf, skipFilters, required)
+    case None =>
+      new WarehouseScan(dir, schema, versionAsOf, skipFilters, required, onlyFiles)
   }
 }
 
@@ -879,8 +975,9 @@ private[sources] class WarehouseScan(dir: String, schema: StructType,
                                      versionAsOf: Option[Long] = None,
                                      skipFilters: Array[org.apache.spark.sql.sources.Filter] =
                                        Array.empty,
-                                     required0: StructType = null)
-    extends Scan with Batch {
+                                     required0: StructType = null,
+                                     onlyFiles: Option[Seq[String]] = None)
+    extends Scan with Batch with SupportsReportStatistics {
   // `required` defaults to the full schema (the pre-pruning callers and
   // the streaming path); stats-skipping decisions always use the FULL
   // schema — a pushed filter may reference a column the query never
@@ -894,28 +991,45 @@ private[sources] class WarehouseScan(dir: String, schema: StructType,
         s", cols: ${required.fieldNames.mkString(",")}" else "") +
       (if (skipFilters.isEmpty) "]"
        else s", skipBy: ${skipFilters.mkString(", ")}]")
-  override def planInputPartitions(): Array[InputPartition] = {
+  private lazy val keptFiles: Seq[String] = {
     val m = versionAsOf match {
       case Some(v) => Some(WarehouseSink.readManifestAt(dir, v).getOrElse(
         throw new IllegalArgumentException(
           s"version $v of $dir does not exist (vacuumed or never written)")))
       case None => WarehouseSink.readManifest(dir)
     }
-    val files = m.map(_.files).getOrElse(Nil)
+    val files = onlyFiles.getOrElse(m.map(_.files).getOrElse(Nil))
     // File skipping: a file whose stats ranges refute every pushed filter
     // plans NO partition. O(|files|) tiny sidecar reads on the driver —
     // the same order of work as listing the manifest itself.
-    val kept =
-      if (skipFilters.isEmpty) files
-      else files.filter { f =>
-        WarehouseSink.readStats(dir, f, schema) match {
-          case Some(st) => skipFilters.forall(WarehouseSink.mightMatch(st, _))
-          case None => true // pre-stats file: never skip blind
-        }
+    if (skipFilters.isEmpty) files
+    else files.filter { f =>
+      WarehouseSink.readStats(dir, f, schema) match {
+        case Some(st) => skipFilters.forall(WarehouseSink.mightMatch(st, _))
+        case None => true // pre-stats file: never skip blind
       }
-    kept
+    }
+  }
+  override def planInputPartitions(): Array[InputPartition] =
+    keptFiles
       .map(f => WarehouseFilePartition(new File(dir, f).getPath): InputPartition)
       .toArray
+
+  /** Honest table statistics for the optimizer — the piece that lets AQE
+    * and join planning treat a small warehouse table as broadcastable
+    * instead of assuming the pessimistic default size. Post-skipping:
+    * a pruned probe reports only its kept files' bytes/rows. Row count
+    * is exact when every kept file carries a `#rows` sidecar line. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes = keptFiles.map(f => new File(dir, f).length()).sum
+    private val rows = {
+      val rcs = keptFiles.map(f => WarehouseSink.readRowCount(dir, f))
+      if (rcs.forall(_.isDefined)) java.util.OptionalLong.of(rcs.flatten.sum)
+      else java.util.OptionalLong.empty()
+    }
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong = rows
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new WarehouseReaderFactory(schema, required)

@@ -439,6 +439,67 @@ class WarehouseSinkSpec extends SparkSpec {
     intercept[org.apache.spark.SparkException] { table().collect() }
   }
 
+  test("deleteWhere rewrites only stat-candidate files; others carry by name") {
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+    val dir = tmp()
+    spark.range(0, 100).toDF("id")
+      .withColumn("v", col("id") % 10)
+      .repartitionByRange(4, col("id")) // 4 disjoint id-range files
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val before = WarehouseSink.readManifest(dir).get
+    assert(before.files.size === 4)
+    // delete ids [30, 45): intersects one or two of the four range files
+    val rep = WarehouseSink.deleteWhere(spark, dir,
+      Seq(GreaterThanOrEqual("id", 30L), LessThan("id", 45L)))
+    assert(rep.rowsDeleted === 15L)
+    assert(rep.filesRewritten + rep.filesCarried >= 4)
+    assert(rep.filesRewritten <= 2,
+      s"stats should confine the rewrite to the overlapping range files: $rep")
+    val after = WarehouseSink.readManifest(dir).get
+    // carried files keep their identity (no copy, no rename)
+    assert(before.files.toSet.intersect(after.files.toSet).size === rep.filesCarried)
+    def ids(opts: Map[String, String] = Map.empty) = {
+      var r = spark.read.format(Fmt).option("path", dir)
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.load().select("id").as[Long].collect().sorted.toSeq
+    }
+    assert(ids() === ((0L until 30L) ++ (45L until 100L)))
+    // pre-delete generation still time-travels until vacuumed
+    assert(ids(Map("versionAsOf" -> before.version.toString)) === (0L until 100L))
+    // a predicate matching nothing publishes NO new generation
+    val v = WarehouseSink.readManifest(dir).get.version
+    val rep2 = WarehouseSink.deleteWhere(spark, dir,
+      Seq(GreaterThanOrEqual("id", 5000L)))
+    assert(rep2 === WarehouseSink.DeleteReport(0, after.files.size, 0L))
+    assert(WarehouseSink.readManifest(dir).get.version === v)
+  }
+
+  test("deleteWhere keeps rows where the predicate is null (SQL DELETE semantics)") {
+    import org.apache.spark.sql.sources.EqualTo
+    val dir = tmp()
+    Seq((1L, Some("drop")), (2L, Some("keep")), (3L, None))
+      .toDF("id", "s")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val rep = WarehouseSink.deleteWhere(spark, dir, Seq(EqualTo("s", "drop")))
+    assert(rep.rowsDeleted === 1L)
+    val left = spark.read.format(Fmt).option("path", dir).load()
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(left === Seq(2L, 3L), "null predicate must keep the row")
+  }
+
+  test("reported statistics let the planner broadcast a small warehouse table") {
+    val dir = tmp()
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "dim")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val small = spark.read.format(Fmt).option("path", dir).load()
+    val big = spark.range(0, 10000).toDF("k2")
+    val joined = big.join(small, col("k2") === col("k"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"3-row table with reported stats should broadcast:\n$plan")
+    assert(joined.count() === 3)
+  }
+
   test("metadata aggregate: all-null column yields null MIN/MAX exactly like a scan") {
     val dir = tmp()
     Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
