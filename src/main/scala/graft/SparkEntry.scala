@@ -1366,6 +1366,27 @@ object SparkEntry {
     "q162_release_manifest" -> ((s, d) =>
       Corpus.releaseManifest(Tables.documents(s, d), "text", "source")),
 
+    // Lossless-audio edition of q155: FLAC STREAMINFO containers
+    // synthesized from doc_id-derived parameters, decoded by the real
+    // bit-field parse, every field re-derived arithmetically by the
+    // oracle — parse(synth(p)) == p through the typed partition sweep.
+    "q166_flac_meta" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .select(col("doc_id"), col("source")).as[(Long, String)]
+        .map { case (id, src) =>
+          multimodal.Binary.MediaRecord(id, "audio",
+            multimodal.Binary.synthFlac(
+              sampleRate = (8000 * (1 + id % 4)).toInt,
+              channels = (1 + id % 2).toInt,
+              bitsPerSample = (8 + (id % 3) * 4).toInt,
+              nSamples = 300 + id % 200), src)
+        }
+      multimodal.Binary.extractAudioMeta(media).toDF()
+        .select("media_id", "size_bytes", "sample_rate", "channels",
+          "bits_per_sample", "n_samples", "duration_ms")
+    }),
+
     // Copy-on-write DELETE through the warehouse manifest: candidate
     // files chosen by the SAME stats algebra the skip path tests, so a
     // narrow delete rewrites the overlapping range files and carries
@@ -4040,6 +4061,19 @@ object SparkEntry {
                 CAST(sum(nc) AS BIGINT) AS n_chars,
                 CAST(bit_xor(h) AS BIGINT) AS checksum48
          FROM t GROUP BY 1, 2""",
+
+    // q155's contract for the FLAC leg: a lone-STREAMINFO container is
+    // exactly 42 bytes; every other field is doc_id arithmetic.
+    "q166_flac_meta" ->
+      """SELECT doc_id AS media_id,
+                CAST(42 AS BIGINT) AS size_bytes,
+                CAST(8000 * (1 + doc_id % 4) AS INT) AS sample_rate,
+                CAST(1 + doc_id % 2 AS INT) AS channels,
+                CAST(8 + (doc_id % 3) * 4 AS INT) AS bits_per_sample,
+                CAST(300 + doc_id % 200 AS BIGINT) AS n_samples,
+                CAST((300 + doc_id % 200) * 1000
+                     // (8000 * (1 + doc_id % 4)) AS BIGINT) AS duration_ms
+         FROM documents""",
 
     // The oracle applies the delete as a WHERE NOT — exact equality is
     // the copy-on-write soundness claim (no lost rows from carried

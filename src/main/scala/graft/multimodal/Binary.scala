@@ -181,6 +181,64 @@ object Binary {
     out.toByteArray
   }
 
+  /** FLAC STREAMINFO metadata, pure JDK — the lossless-audio leg next to
+    * WAV. A FLAC stream is `fLaC` + metadata blocks of
+    * `<last:1|type:7><length:be24><payload>`; STREAMINFO (type 0, 34
+    * bytes, mandated first) packs, from payload offset 10:
+    * sample rate (20 bits), channels-1 (3), bits-per-sample-1 (5), and
+    * total inter-channel samples (36). Same contract as [[wavMeta]]:
+    * (rate, channels, bits, nSamples), None on malformed/truncated. */
+  private[multimodal] def flacMeta(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    if (bytes.length < 8 || bytes(0) != 'f' || bytes(1) != 'L' ||
+      bytes(2) != 'a' || bytes(3) != 'C') return None
+    var i = 4
+    while (i + 4 <= bytes.length) {
+      val hdr = u8(i)
+      val len = (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+      if ((hdr & 0x7f) == 0) { // STREAMINFO
+        if (len < 34 || i + 4 + 34 > bytes.length) return None
+        val o = i + 4
+        val rate = (u8(o + 10) << 12) | (u8(o + 11) << 4) | (u8(o + 12) >> 4)
+        val ch = ((u8(o + 12) >> 1) & 0x7) + 1
+        val bps = (((u8(o + 12) & 0x1) << 4) | (u8(o + 13) >> 4)) + 1
+        val total = ((u8(o + 13) & 0xfL) << 32) | (u8(o + 14).toLong << 24) |
+          (u8(o + 15).toLong << 16) | (u8(o + 16).toLong << 8) | u8(o + 17)
+        if (rate <= 0) return None // 0 is spec-invalid for audio streams
+        return Some((rate, ch, bps, total))
+      }
+      if ((hdr & 0x80) != 0) return None // last block, STREAMINFO never seen
+      i += 4 + len
+    }
+    None
+  }
+
+  /** Deterministic minimal FLAC container (magic + lone STREAMINFO, 42
+    * bytes): `flacMeta(synthFlac(r, c, b, n))` returns exactly
+    * (r, c, b, n) — the audio round-trip fixture, lossless edition. */
+  def synthFlac(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                nSamples: Long): Array[Byte] = {
+    require(sampleRate > 0 && sampleRate < (1 << 20), "rate is a 20-bit field")
+    require(channels >= 1 && channels <= 8, "channels-1 is a 3-bit field")
+    require(bitsPerSample >= 1 && bitsPerSample <= 32, "bps-1 is a 5-bit field")
+    require(nSamples >= 0 && nSamples < (1L << 36), "total is a 36-bit field")
+    val out = new java.io.ByteArrayOutputStream()
+    "fLaC".foreach(c => out.write(c.toInt))
+    out.write(0x80); out.write(0); out.write(0); out.write(34) // last|type0, len 34
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def be24(v: Int): Unit = { out.write((v >> 16) & 0xff); be16(v & 0xffff) }
+    be16(4096); be16(4096) // min/max block size
+    be24(0); be24(0) // min/max frame size (0 = unknown, spec-legal)
+    out.write((sampleRate >> 12) & 0xff)
+    out.write((sampleRate >> 4) & 0xff)
+    out.write(((sampleRate & 0xf) << 4) | ((channels - 1) << 1)
+      | ((bitsPerSample - 1) >> 4))
+    out.write((((bitsPerSample - 1) & 0xf) << 4) | ((nSamples >> 32) & 0xf).toInt)
+    (3 to 0 by -1).foreach(k => out.write(((nSamples >> (8 * k)) & 0xff).toInt))
+    out.write(new Array[Byte](16)) // unaudited md5 field
+    out.toByteArray
+  }
+
   /** Digest-derived audio pseudo-metadata — same contract as
     * [[digestMeta]]: any engine recomputes it from md5 nibbles in SQL. */
   private[multimodal] def digestAudioMeta(r: MediaRecord, hex: String): AudioMeta = {
@@ -193,15 +251,16 @@ object Binary {
       duration_ms = samples * 1000 / rate, digest = hex)
   }
 
-  /** Audio feature extraction: real RIFF/WAVE header decode where the
-    * payload is a WAV container, digest fallback otherwise — one
-    * partition-wise sweep like [[extractMeta]], no shuffle. */
+  /** Audio feature extraction: real header decode where the payload is a
+    * recognized audio container (RIFF/WAVE or FLAC, dispatched by magic),
+    * digest fallback otherwise — one partition-wise sweep like
+    * [[extractMeta]], no shuffle. */
   def extractAudioMeta(media: Dataset[MediaRecord]): Dataset[AudioMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { r =>
       val hex = java.security.MessageDigest.getInstance("MD5").digest(r.bytes)
         .map("%02x".format(_)).mkString
-      wavMeta(r.bytes) match {
+      wavMeta(r.bytes).orElse(flacMeta(r.bytes)) match {
         case Some((rate, ch, bits, n)) =>
           AudioMeta(r.media_id, r.bytes.length.toLong, rate, ch, bits, n,
             duration_ms = n * 1000 / rate, digest = hex)

@@ -220,4 +220,42 @@ class BinarySpec extends SparkSpec {
     assert(extractAudioMeta(rows).collect().sortBy(_.media_id).toSeq ===
       out.values.toSeq.sortBy(_.media_id))
   }
+
+  test("flacMeta round-trips every field synthFlac wrote, incl. bit-field extremes") {
+    val cases = Seq(
+      (8000, 1, 8, 0L), (44100, 2, 16, 123456L), (96000, 8, 24, 7L),
+      (192000, 2, 32, (1L << 36) - 1), // max 36-bit sample count
+      ((1 << 20) - 1, 1, 1, 1L)) // max 20-bit rate, min widths
+    for ((r, c, b, n) <- cases) {
+      val parsed = Binary.flacMeta(Binary.synthFlac(r, c, b, n))
+      assert(parsed === Some((r, c, b, n)), s"case ($r,$c,$b,$n)")
+    }
+  }
+
+  test("flacMeta walks leading padding blocks and degrades on malformed input") {
+    val good = Binary.synthFlac(22050, 2, 16, 999L)
+    // splice a PADDING block (type 1, not last) between magic and STREAMINFO
+    val pad = Array[Byte](0x01, 0, 0, 4, 0, 0, 0, 0)
+    val spliced = good.take(4) ++ pad ++ good.drop(4)
+    assert(Binary.flacMeta(spliced) === Some((22050, 2, 16, 999L)))
+    assert(Binary.flacMeta("fLaX".getBytes ++ good.drop(4)) === None)
+    assert(Binary.flacMeta(good.take(20)) === None) // truncated STREAMINFO
+    assert(Binary.flacMeta(Array[Byte]()) === None)
+    // a stream whose last block is not STREAMINFO parses to nothing
+    val lastPad = good.take(4) ++ Array[Byte](0x81.toByte, 0, 0, 0)
+    assert(Binary.flacMeta(lastPad) === None)
+  }
+
+  test("extractAudioMeta dispatches WAV and FLAC by magic in one sweep") {
+    import spark.implicits._
+    val rows = Seq(
+      Binary.MediaRecord(1L, "audio", Binary.synthWav(8000, 1, 16, 100), "s"),
+      Binary.MediaRecord(2L, "audio", Binary.synthFlac(48000, 2, 24, 4800L), "s"),
+      Binary.MediaRecord(3L, "audio", "not audio".getBytes, "s")).toDS()
+    val out = extractAudioMeta(rows).collect().map(m => m.media_id -> m).toMap
+    assert((out(1L).sample_rate, out(1L).n_samples) === ((8000, 100L)))
+    assert((out(2L).sample_rate, out(2L).channels, out(2L).bits_per_sample,
+      out(2L).n_samples, out(2L).duration_ms) === ((48000, 2, 24, 4800L, 100L)))
+    assert(out(3L).bits_per_sample === 16) // digest fallback shape
+  }
 }
