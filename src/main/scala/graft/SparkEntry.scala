@@ -1546,7 +1546,55 @@ object SparkEntry {
         Tables.embeddings(s, d).filter(pmod(col("vec_id"), lit(3)) =!= 0),
         "vec_id", "embedding", signBits = 4, minCos = 0.35,
         s.table(semanticStoreTable(s, d)))),
+
+    // Exact ROC-AUC of the heuristic quality score against a
+    // length-based label (Mann-Whitney midrank formulation, integer
+    // end-to-end): the offline-eval readout that decides whether a
+    // cheap scorer is worth gating a 100 TB corpus on. Score quantized
+    // to 1e4; the rank window runs over the ≤10⁴-row per-score table,
+    // never the corpus.
+    "q167_roc_auc" -> ((s, d) =>
+      ml.Eval.rocAuc(scoredDocs(s, d), "score_q", "label")),
+
+    // Reliability table for the same scorer: 10 equal-width score bins,
+    // exact mean score vs empirical positive rate (both floor-ppm) — the
+    // calibration readout next to q167's ranking readout.
+    "q168_calibration" -> ((s, d) =>
+      ml.Eval.calibration(scoredDocs(s, d), "score_q", "label",
+        bins = 10, scale = 10000L)),
+
+    // Precision/recall/F1 sweep across 9 quality thresholds: confusion
+    // counts exact, rates floor-ppm, F1 from the ppm pair — the
+    // threshold-picking table for the corpus quality gate.
+    "q169_threshold_sweep" -> ((s, d) =>
+      ml.Eval.thresholdSweep(scoredDocs(s, d), "score_q", "label",
+        thresholds = (1000L to 9000L by 1000L))),
+
+    // CUPED variance-reduced A/B readout: purchase value split at the
+    // month midpoint into pre-period covariate and post-period outcome,
+    // pooled θ from exact decimal sums, adjusted per-arm means in
+    // floor-ppm of centi-units — deterministic arm assignment like q137.
+    "q170_cuped" -> ((s, d) =>
+      Experiment.cuped(eventsUs(s, d), "user_id", "event_type", "value",
+        "ts_us", metricType = "purchase",
+        cutTsUs = java.time.LocalDate.of(2024, 1, 16)
+          .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli * 1000L)),
   )
+
+  /** Shared scored table for the eval-metric queries (q167-q169): the
+    * heuristic quality score quantized to a 1e4 integer scale, labeled by
+    * a deterministic length rule (n_chars ≥ 300 — correlated with the
+    * length-saturation term of the score, so the AUC is a real signal,
+    * not a coin flip). Deterministic on both engines → every metric
+    * hash-checks. */
+  private def scoredDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      // Clamped to [0, 10⁴]: the punctuation penalty can push the raw
+      // score slightly negative, and `div` truncates toward zero — floor
+      // parity across engines is only guaranteed on nonnegative operands.
+      greatest(least(floor(T.qualityScore(col("text")) * 10000 + 0.5),
+        lit(10000L)), lit(0L)).cast("long").as("score_q"),
+      (col("n_chars") >= 300).cast("long").as("label"))
 
   /** Events with the shared-grain µs timestamp column (see q38-q40 note). */
   private def eventsUs(s: SparkSession, d: String): DataFrame =
@@ -4276,5 +4324,140 @@ object SparkEntry {
            AND round(list_dot_product(a.v, c.v)
                      / (sqrt(list_dot_product(a.v, a.v))
                         * sqrt(list_dot_product(c.v, c.v))), 6) >= 0.35""",
+
+    // Mann-Whitney midrank AUC replayed literally: per-distinct-score
+    // (p, n) counts, a cumulative negatives-below window over the
+    // bounded per-score table, 2U kept integral, floor-ppm at the end.
+    "q167_roc_auc" ->
+      s"""WITH $ScoredDocsSql,
+         per AS (SELECT s, CAST(sum(y) AS HUGEINT) AS p,
+                        CAST(count(*) - sum(y) AS HUGEINT) AS n
+                 FROM sc GROUP BY 1),
+         cum AS (SELECT s, p, n,
+                   COALESCE(sum(n) OVER (ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS nlt
+                 FROM per),
+         agg AS (SELECT sum(p * (2 * nlt + n)) AS num2,
+                        sum(p) AS pos, sum(n) AS neg
+                 FROM cum)
+         SELECT CAST(pos AS BIGINT) AS n_pos, CAST(neg AS BIGINT) AS n_neg,
+                CAST(CASE WHEN pos = 0 OR neg = 0 THEN NULL
+                     ELSE num2 * 1000000 // (2 * pos * neg) END AS BIGINT)
+                  AS auc_ppm,
+                CAST(CASE WHEN pos = 0 OR neg = 0 THEN NULL
+                     ELSE 2 * (num2 * 1000000 // (2 * pos * neg)) - 1000000
+                     END AS BIGINT) AS gini_ppm
+         FROM agg""",
+
+    // Reliability bins: equal-width on the 1e4 scale (top edge folded
+    // into bin 9), exact mean score and positive rate in floor-ppm.
+    "q168_calibration" ->
+      s"""WITH $ScoredDocsSql,
+         per AS (SELECT s, CAST(sum(y) AS HUGEINT) AS p,
+                        CAST(count(*) - sum(y) AS HUGEINT) AS n
+                 FROM sc GROUP BY 1),
+         b AS (SELECT least(s * 10 // 10000, 9) AS bin, p, n, s FROM per)
+         SELECT CAST(bin AS BIGINT) AS bin,
+                CAST(sum(p + n) AS BIGINT) AS n_docs,
+                CAST(sum(s * (p + n)) * 1000000
+                     // (sum(p + n) * 10000) AS BIGINT) AS mean_score_ppm,
+                CAST(sum(p) * 1000000 // sum(p + n) AS BIGINT)
+                  AS pos_rate_ppm
+         FROM b GROUP BY 1""",
+
+    // Confusion sweep: per-score counts joined to the 9-threshold list,
+    // exact TP/FP/FN/TN, floor-ppm precision/recall, F1 from the ppm
+    // pair with the same NULL guards as the Spark side.
+    "q169_threshold_sweep" ->
+      s"""WITH $ScoredDocsSql,
+         per AS (SELECT s, CAST(sum(y) AS HUGEINT) AS p,
+                        CAST(count(*) - sum(y) AS HUGEINT) AS n
+                 FROM sc GROUP BY 1),
+         th AS (SELECT CAST(t AS BIGINT) AS t FROM (VALUES (1000), (2000),
+                 (3000), (4000), (5000), (6000), (7000), (8000), (9000))
+                 x(t)),
+         cf AS (SELECT th.t,
+                  sum(CASE WHEN per.s >= th.t THEN per.p ELSE 0 END) AS tp,
+                  sum(CASE WHEN per.s >= th.t THEN per.n ELSE 0 END) AS fp,
+                  sum(CASE WHEN per.s < th.t THEN per.p ELSE 0 END) AS fn,
+                  sum(CASE WHEN per.s < th.t THEN per.n ELSE 0 END) AS tn
+                FROM th CROSS JOIN per GROUP BY th.t),
+         pr AS (SELECT t, tp, fp, fn, tn,
+                  CASE WHEN tp + fp = 0 THEN NULL
+                       ELSE tp * 1000000 // (tp + fp) END AS prec,
+                  CASE WHEN tp + fn = 0 THEN NULL
+                       ELSE tp * 1000000 // (tp + fn) END AS rec
+                FROM cf)
+         SELECT t AS threshold, CAST(tp AS BIGINT) AS tp,
+                CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+                CAST(tn AS BIGINT) AS tn,
+                CAST(prec AS BIGINT) AS precision_ppm,
+                CAST(rec AS BIGINT) AS recall_ppm,
+                CAST(CASE WHEN COALESCE(prec, 0) + COALESCE(rec, 0) = 0
+                     THEN NULL
+                     ELSE 2 * COALESCE(prec, 0) * COALESCE(rec, 0)
+                          // (COALESCE(prec, 0) + COALESCE(rec, 0)) END
+                  AS BIGINT) AS f1_ppm
+         FROM pr""",
+
+    // CUPED replayed step by step: centi-quantized purchase values split
+    // at the Jan-16 midpoint, per-user (x, y) sums, pooled θ in floor
+    // ppm from exact HUGEINT sums, per-arm adjusted means with the
+    // divisions in the same fixed order as the Spark side.
+    "q170_cuped" ->
+      """WITH pu AS (SELECT user_id,
+                  CAST(sum(CASE WHEN epoch_us(ts) < 1705363200000000
+                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS HUGEINT) AS x,
+                  CAST(sum(CASE WHEN epoch_us(ts) >= 1705363200000000
+                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS HUGEINT) AS y,
+                  CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                       < '8' THEN 'A' ELSE 'B' END AS arm
+               FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         th AS (SELECT CAST(count(*) AS HUGEINT) AS tn,
+                       sum(x) AS sx, sum(y) AS sy,
+                       sum(x * x) AS sxx, sum(x * y) AS sxy
+                FROM pu),
+         t2 AS (SELECT tn, sx,
+                  CASE WHEN tn * sxx - sx * sx = 0 THEN NULL
+                       ELSE (tn * sxy - sx * sy) * 1000000
+                            // (tn * sxx - sx * sx) END AS theta_ppm
+                FROM th),
+         pa AS (SELECT arm, CAST(count(*) AS HUGEINT) AS n,
+                       sum(x) AS ax, sum(y) AS ay
+                FROM pu GROUP BY 1),
+         adj AS (SELECT arm, n, ay * 1000000 // n AS raw_ppm,
+                   CASE WHEN t2.theta_ppm IS NULL THEN ay * 1000000 // n
+                        ELSE (ay * 1000000 - t2.theta_ppm * ax) // n
+                             + (t2.theta_ppm * t2.sx) // t2.tn END
+                     AS adj_ppm,
+                   t2.theta_ppm
+                 FROM pa CROSS JOIN t2)
+         SELECT CAST(a.n AS BIGINT) AS n_users_a,
+                CAST(b.n AS BIGINT) AS n_users_b,
+                CAST(a.theta_ppm AS BIGINT) AS theta_ppm,
+                CAST(a.raw_ppm AS BIGINT) AS raw_ppm_a,
+                CAST(b.raw_ppm AS BIGINT) AS raw_ppm_b,
+                CAST(a.adj_ppm AS BIGINT) AS adj_ppm_a,
+                CAST(b.adj_ppm AS BIGINT) AS adj_ppm_b,
+                CAST(b.adj_ppm - a.adj_ppm AS BIGINT) AS adj_diff_ppm
+         FROM (SELECT * FROM adj WHERE arm = 'A') a
+              CROSS JOIN (SELECT * FROM adj WHERE arm = 'B') b""",
   )
+
+  /** The q167-q169 scored-docs CTE (DuckDB): the clamped 1e4-quantized
+    * heuristic quality score + the n_chars≥300 label — the oracle twin of
+    * [[scoredDocs]]. */
+  private val ScoredDocsSql: String =
+    """sc AS (SELECT greatest(least(CAST(floor(
+                round(0.5 * least(length(text) / 500.0, 1.0)
+                  + 0.5 * least(len(regexp_extract_all(text, '[A-Za-z0-9]+')) * 1.0
+                          / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 1.0)
+                  - len(regexp_extract_all(text, '[.,;:!?]')) * 1.0
+                    / greatest(length(text), 1), 4) * 10000 + 0.5) AS BIGINT),
+                10000), 0) AS s,
+              CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y
+         FROM documents)"""
 }

@@ -1,0 +1,129 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact model-evaluation metrics over a scored table — the offline-eval
+  * leg the training-data pipeline needs next to its training operators
+  * (reference analog: the sklearn metric calls in ml_training_dag.py and
+  * the notebooks' accuracy readouts, re-expressed as distributed exact
+  * aggregates instead of driver-side sklearn).
+  *
+  * Contract: `scoreCol` is an INTEGER-quantized score (callers quantize a
+  * probability/heuristic to a fixed scale, e.g. 1e4) and `labelCol` is
+  * 0/1. Quantization is what makes every metric here an exact integer
+  * computation: counts and rank sums are integers, rates are floor-divided
+  * parts-per-million — bit-identical across engines, so each readout
+  * hash-checks against an ANSI-SQL oracle (unlike double-valued AUC from
+  * an ML library, which is accumulation-order-dependent).
+  *
+  * Scale posture (100 TB): every metric first collapses the corpus to a
+  * per-distinct-score table — ONE hash shuffle on the score, cardinality
+  * bounded by the quantization scale (≤ scale+1 rows, e.g. 10 001), NOT
+  * by the corpus. The rank/cumulative window that follows runs on that
+  * bounded table (single-partition window over ≤ scale rows is O(scale),
+  * independent of corpus size). Threshold sweeps broadcast the threshold
+  * list onto the same bounded table. Nothing corpus-sized is collected,
+  * sorted globally, or joined pairwise.
+  */
+object Eval {
+
+  /** Per-distinct-score (p = positives, n = negatives) counts as
+    * decimal(38,0) — the shared substrate of every metric here. */
+  private def perScore(scored: DataFrame, scoreCol: String,
+                       labelCol: String): DataFrame =
+    scored
+      .select(col(scoreCol).cast("long").as("s"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy("s")
+      .agg(sum("y").cast("decimal(38,0)").as("p"),
+        (count(lit(1)) - sum("y")).cast("decimal(38,0)").as("n"))
+
+  /** Exact ROC-AUC via the Mann-Whitney rank formulation with midrank tie
+    * handling, in integer arithmetic throughout:
+    *
+    *   2·U = Σ_s p_s · (2·N_<s + n_s)        (per distinct score s)
+    *   AUC = U / (P·N)  →  auc_ppm = 2U·10⁶ div (2·P·N)
+    *
+    * where N_<s = negatives with a strictly lower score. The `2·` keeps
+    * the tie midrank (each tied pair contributes ½) integral. Returns ONE
+    * row: (n_pos, n_neg, auc_ppm, gini_ppm); auc_ppm is NULL when either
+    * class is empty (AUC undefined — same CASE in the oracle).
+    *
+    * The cumulative window runs over the per-score table (≤ scale rows),
+    * so the single partition it implies is a bounded constant, not a
+    * corpus-sized sort. */
+  def rocAuc(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    perScore(scored, scoreCol, labelCol)
+      .withColumn("nlt",
+        coalesce(sum("n").over(w), lit(0).cast("decimal(38,0)")))
+      .agg(sum(expr("p * (2 * nlt + n)")).as("num2"),
+        sum("p").as("pos"), sum("n").as("neg"))
+      .select(col("pos").cast("long").as("n_pos"),
+        col("neg").cast("long").as("n_neg"),
+        expr("CASE WHEN pos = 0 OR neg = 0 THEN CAST(NULL AS BIGINT)" +
+          " ELSE num2 * 1000000 div (2 * pos * neg) END").as("auc_ppm"))
+      .withColumn("gini_ppm", expr("2 * auc_ppm - 1000000"))
+  }
+
+  /** Reliability (calibration) table: scores on [0, scale] fall into
+    * `bins` equal-width bins (top edge folded into the last bin); per bin
+    * the row count, exact mean score in ppm-of-scale, and the empirical
+    * positive rate in ppm. A well-calibrated scorer has
+    * mean_score_ppm ≈ pos_rate_ppm per bin. One corpus shuffle (the
+    * per-score collapse); the binning is arithmetic on the bounded
+    * table. */
+  def calibration(scored: DataFrame, scoreCol: String, labelCol: String,
+                  bins: Int, scale: Long): DataFrame = {
+    require(bins > 0 && scale > 0, "bins and scale must be positive")
+    perScore(scored, scoreCol, labelCol)
+      .withColumn("bin",
+        least(expr(s"s * $bins div ${scale}L"), lit(bins - 1L)))
+      .groupBy("bin")
+      .agg(sum(expr("p + n")).as("cnt"),
+        sum(expr("s * (p + n)")).as("sum_s"),
+        sum("p").as("pos"))
+      .select(col("bin"),
+        col("cnt").cast("long").as("n_docs"),
+        expr(s"sum_s * 1000000 div (cnt * ${scale}L)").as("mean_score_ppm"),
+        expr("pos * 1000000 div cnt").as("pos_rate_ppm"))
+      .orderBy("bin")
+  }
+
+  /** Confusion counts + precision/recall/F1 at each threshold (predict
+    * positive iff score ≥ t). The per-score table joins the broadcast
+    * |thresholds|-row list — fan-out ≤ scale·|thresholds|, corpus-free.
+    * Rates are floor-ppm; precision is NULL when nothing is predicted
+    * positive, F1 NULL when precision+recall = 0 (same CASEs in the
+    * oracle). */
+  def thresholdSweep(scored: DataFrame, scoreCol: String, labelCol: String,
+                     thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val ts = broadcast(thresholds.toDF("t"))
+    perScore(scored, scoreCol, labelCol)
+      .crossJoin(ts)
+      .groupBy("t")
+      .agg(sum(when(col("s") >= col("t"), col("p")).otherwise(lit(0)))
+        .as("tp"),
+        sum(when(col("s") >= col("t"), col("n")).otherwise(lit(0))).as("fp"),
+        sum(when(col("s") < col("t"), col("p")).otherwise(lit(0))).as("fn"),
+        sum(when(col("s") < col("t"), col("n")).otherwise(lit(0))).as("tn"))
+      .select(col("t").as("threshold"),
+        col("tp").cast("long").as("tp"), col("fp").cast("long").as("fp"),
+        col("fn").cast("long").as("fn"), col("tn").cast("long").as("tn"),
+        expr("CASE WHEN tp + fp = 0 THEN CAST(NULL AS BIGINT)" +
+          " ELSE tp * 1000000 div (tp + fp) END").as("precision_ppm"),
+        expr("CASE WHEN tp + fn = 0 THEN CAST(NULL AS BIGINT)" +
+          " ELSE tp * 1000000 div (tp + fn) END").as("recall_ppm"))
+      .withColumn("f1_ppm",
+        expr("CASE WHEN coalesce(precision_ppm, 0) + coalesce(recall_ppm, 0)" +
+          " = 0 THEN CAST(NULL AS BIGINT)" +
+          " ELSE 2 * coalesce(precision_ppm, 0) * coalesce(recall_ppm, 0)" +
+          " div (coalesce(precision_ppm, 0) + coalesce(recall_ppm, 0)) END"))
+      .orderBy("threshold")
+  }
+}

@@ -63,4 +63,75 @@ object Experiment {
         expr("CASE WHEN rate_ppm_a = 0 THEN CAST(NULL AS BIGINT)" +
           " ELSE rate_ppm_b * 1000000 div rate_ppm_a END"))
   }
+
+  /** CUPED variance-reduced experiment readout (Deng et al., WSDM'13:
+    * "Improving the Sensitivity of Online Controlled Experiments by
+    * Utilizing Pre-Experiment Data"). Per user: covariate x = pre-period
+    * metric, outcome y = post-period metric (event values summed, split
+    * at `cutTsUs`); arms by the same md5 hash as [[abLift]]. The pooled
+    * regression coefficient θ = Cov(x,y)/Var(x) removes the
+    * pre-period-explained variance: adjusted mean per arm =
+    * ȳ_arm − θ·(x̄_arm − x̄).
+    *
+    * Exactness: values quantize to centi-units (the event generator emits
+    * 2-dp values, so ×100 is lossless), all sums/products accumulate in
+    * decimal(38,0) (order-independent), and every division is an explicit
+    * floor `div` at a fixed point in the formula — so θ, the raw means,
+    * and the adjusted means are integers (ppm of centi-units) that replay
+    * bit-identically in the DuckDB oracle. θ is NULL (and adjusted means
+    * fall back to raw) when Var(x) = 0 — a degenerate pre-period.
+    *
+    * Scale posture: ONE user-keyed aggregate over the event scan builds
+    * the per-user (x, y) table; the θ sums and per-arm rollups are two
+    * tiny aggregates over it; the report assembles by cross-joining
+    * broadcast 1-row aggregates. At 100 TB the event scan dominates —
+    * the same shape as [[abLift]]. */
+  def cuped(events: DataFrame, userCol: String, typeCol: String,
+            valueCol: String, tsUsCol: String, metricType: String,
+            cutTsUs: Long): DataFrame = {
+    val arm = when(substring(md5(col("graft_u").cast("string")), 1, 1) < "8",
+      "A").otherwise("B")
+    val cents = floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("long")
+    val perUser = events.filter(col(typeCol) === metricType)
+      .select(col(userCol).as("graft_u"),
+        when(col(tsUsCol) < cutTsUs, cents).otherwise(lit(0L)).as("graft_x"),
+        when(col(tsUsCol) >= cutTsUs, cents).otherwise(lit(0L)).as("graft_y"))
+      .groupBy("graft_u")
+      .agg(sum("graft_x").cast("decimal(38,0)").as("x"),
+        sum("graft_y").cast("decimal(38,0)").as("y"))
+      .withColumn("graft_arm", arm)
+    // Pooled θ over ALL users: θ_ppm = (n·Sxy − Sx·Sy)·10⁶ div (n·Sxx − Sx²)
+    val theta = perUser.agg(
+      count(lit(1)).cast("decimal(38,0)").as("tn"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"))
+      .select(col("tn"), col("sx"),
+        expr("CASE WHEN tn * sxx - sx * sx = 0 THEN CAST(NULL AS BIGINT)" +
+          " ELSE (tn * sxy - sx * sy) * 1000000 div (tn * sxx - sx * sx)" +
+          " END").as("theta_ppm"))
+    val perArm = perUser.groupBy("graft_arm")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum("x").as("ax"), sum("y").as("ay"))
+    // adj_ppm = (Sy_arm·10⁶ − θ_ppm·Sx_arm) div n_arm + (θ_ppm·Sx) div n
+    // (floor divisions in this fixed order; NULL θ → raw mean).
+    val adj = perArm.crossJoin(broadcast(theta))
+      .withColumn("raw_ppm", expr("ay * 1000000 div n"))
+      .withColumn("adj_ppm",
+        expr("CASE WHEN theta_ppm IS NULL THEN ay * 1000000 div n" +
+          " ELSE (ay * 1000000 - theta_ppm * ax) div n" +
+          " + (theta_ppm * sx) div tn END"))
+      .select(col("graft_arm"), col("n").cast("long").as("n"),
+        col("raw_ppm"), col("adj_ppm"), col("theta_ppm"))
+    val a = adj.filter(col("graft_arm") === "A")
+      .select(col("n").as("n_users_a"), col("raw_ppm").as("raw_ppm_a"),
+        col("adj_ppm").as("adj_ppm_a"), col("theta_ppm"))
+    val b = adj.filter(col("graft_arm") === "B")
+      .select(col("n").as("n_users_b"), col("raw_ppm").as("raw_ppm_b"),
+        col("adj_ppm").as("adj_ppm_b"))
+    a.crossJoin(b)
+      .select(col("n_users_a"), col("n_users_b"), col("theta_ppm"),
+        col("raw_ppm_a"), col("raw_ppm_b"), col("adj_ppm_a"),
+        col("adj_ppm_b"),
+        (col("adj_ppm_b") - col("adj_ppm_a")).as("adj_diff_ppm"))
+  }
 }

@@ -1,0 +1,78 @@
+package graft.ml
+
+import graft.SparkSpec
+
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (score, label) fixtures; scores already integer-quantized.
+  private def df(rows: Seq[(Long, Long)]) = rows.toDF("s", "y")
+
+  test("rocAuc: perfect separation scores 1.0, inverted scores 0.0") {
+    val perfect = df(Seq((10L, 1L), (9L, 1L), (2L, 0L), (1L, 0L)))
+    val p = Eval.rocAuc(perfect, "s", "y")
+      .select("auc_ppm", "gini_ppm").as[(Long, Long)].head()
+    assert(p === ((1000000L, 1000000L)))
+    val inverted = df(Seq((1L, 1L), (2L, 1L), (9L, 0L), (10L, 0L)))
+    val i = Eval.rocAuc(inverted, "s", "y")
+      .select("auc_ppm", "gini_ppm").as[(Long, Long)].head()
+    assert(i === ((0L, -1000000L)))
+  }
+
+  test("rocAuc: all-tied scores give exactly 0.5 via midranks") {
+    val tied = df(Seq((5L, 1L), (5L, 1L), (5L, 0L), (5L, 0L), (5L, 0L)))
+    val got = Eval.rocAuc(tied, "s", "y")
+      .select("n_pos", "n_neg", "auc_ppm").as[(Long, Long, Long)].head()
+    assert(got === ((2L, 3L, 500000L)))
+  }
+
+  test("rocAuc: hand-computed mixed case with a tie") {
+    // pos scores {3, 2}, neg scores {2, 1}:
+    // pairs (3,2):1 (3,1):1 (2,2):0.5 (2,1):1 → U = 3.5 of 4 → 0.875
+    val m = df(Seq((3L, 1L), (2L, 1L), (2L, 0L), (1L, 0L)))
+    val got = Eval.rocAuc(m, "s", "y").select("auc_ppm").as[Long].head()
+    assert(got === 875000L)
+  }
+
+  test("rocAuc: single-class input yields NULL auc") {
+    val one = df(Seq((3L, 1L), (2L, 1L)))
+    val row = Eval.rocAuc(one, "s", "y").collect()(0)
+    assert(row.getAs[Long]("n_pos") === 2L && row.getAs[Long]("n_neg") === 0L)
+    assert(row.isNullAt(row.fieldIndex("auc_ppm")))
+  }
+
+  test("calibration: exact bin means and rates, top edge folded down") {
+    // scale 100, 2 bins: scores 10,30 → bin 0; 60 → bin 1; 100 → bin 1
+    // (folded). bin0: n=2, mean=(10+30)/2=20% → 200000 ppm, pos 1/2.
+    val d = df(Seq((10L, 0L), (30L, 1L), (60L, 1L), (100L, 1L)))
+    val got = Eval.calibration(d, "s", "y", bins = 2, scale = 100L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((0L, 2L, 200000L, 500000L),
+      (1L, 2L, 800000L, 1000000L)))
+  }
+
+  test("thresholdSweep: exact confusion counts and ppm rates") {
+    // pos at {8, 3}, neg at {6, 1}; threshold 5: tp=1 fp=1 fn=1 tn=1
+    val d = df(Seq((8L, 1L), (3L, 1L), (6L, 0L), (1L, 0L)))
+    val r5 = Eval.thresholdSweep(d, "s", "y", Seq(5L)).collect()(0)
+    assert(r5.getAs[Long]("tp") === 1L && r5.getAs[Long]("fp") === 1L)
+    assert(r5.getAs[Long]("fn") === 1L && r5.getAs[Long]("tn") === 1L)
+    assert(r5.getAs[Long]("precision_ppm") === 500000L)
+    assert(r5.getAs[Long]("recall_ppm") === 500000L)
+    assert(r5.getAs[Long]("f1_ppm") === 500000L)
+    // threshold above every score: nothing predicted → precision NULL,
+    // recall 0, f1 NULL.
+    val r9 = Eval.thresholdSweep(d, "s", "y", Seq(9L)).collect()(0)
+    assert(r9.isNullAt(r9.fieldIndex("precision_ppm")))
+    assert(r9.getAs[Long]("recall_ppm") === 0L)
+    assert(r9.isNullAt(r9.fieldIndex("f1_ppm")))
+  }
+
+  test("thresholdSweep: counts conserve across thresholds") {
+    val d = df(Seq((8L, 1L), (3L, 1L), (6L, 0L), (1L, 0L), (6L, 1L)))
+    Eval.thresholdSweep(d, "s", "y", Seq(2L, 5L, 7L)).collect().foreach { r =>
+      assert(r.getAs[Long]("tp") + r.getAs[Long]("fn") === 3L)
+      assert(r.getAs[Long]("fp") + r.getAs[Long]("tn") === 2L)
+    }
+  }
+}

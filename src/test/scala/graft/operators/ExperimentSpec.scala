@@ -63,4 +63,56 @@ class ExperimentSpec extends SparkSpec {
     assert(row.getLong(row.fieldIndex("rate_ppm_b")) === 1000000L)
     assert(row.isNullAt(row.fieldIndex("lift_ppm")))
   }
+
+  // cuped fixtures: (user_id, event_type, value, ts_us), cut at 1000.
+  private def cupedDf(rows: Seq[(Long, String, Double, Long)]) =
+    rows.toDF("user_id", "event_type", "value", "ts_us")
+
+  test("cuped: a perfectly explanatory covariate zeroes the adjusted diff") {
+    // Every user's post-period value equals their pre-period value, so
+    // y = x exactly: θ_ppm = 10⁶, and the adjusted mean of EVERY arm
+    // collapses to the global pre-period mean — the arm difference in raw
+    // means (arms see different users) must vanish entirely.
+    val users = (1L to 12L)
+    assert(users.exists(armOf(_) == "A") && users.exists(armOf(_) == "B"))
+    val events = users.flatMap(u => Seq(
+      (u, "purchase", u.toDouble, 500L),   // pre: x_u = u
+      (u, "purchase", u.toDouble, 1500L))) // post: y_u = u
+    val row = Experiment.cuped(cupedDf(events), "user_id", "event_type",
+      "value", "ts_us", "purchase", cutTsUs = 1000L).head()
+    assert(row.getLong(row.fieldIndex("theta_ppm")) === 1000000L)
+    assert(row.getLong(row.fieldIndex("adj_diff_ppm")) === 0L)
+    // raw means differ across arms (different user sets) — the point of
+    // the adjustment; guard the fixture against accidental equality.
+    assert(row.getLong(row.fieldIndex("raw_ppm_a"))
+      !== row.getLong(row.fieldIndex("raw_ppm_b")))
+  }
+
+  test("cuped: zero pre-period variance falls back to raw means") {
+    // All users share x = 5 → Var(x) = 0 → θ NULL, adjusted = raw.
+    val users = (1L to 8L)
+    val events = users.flatMap(u => Seq(
+      (u, "purchase", 5.0, 500L),
+      (u, "purchase", u.toDouble * 2, 1500L)))
+    val row = Experiment.cuped(cupedDf(events), "user_id", "event_type",
+      "value", "ts_us", "purchase", cutTsUs = 1000L).head()
+    assert(row.isNullAt(row.fieldIndex("theta_ppm")))
+    assert(row.getLong(row.fieldIndex("adj_ppm_a"))
+      === row.getLong(row.fieldIndex("raw_ppm_a")))
+    assert(row.getLong(row.fieldIndex("adj_ppm_b"))
+      === row.getLong(row.fieldIndex("raw_ppm_b")))
+  }
+
+  test("cuped: raw means are exact centi-ppm floor divisions") {
+    val a = (1L to 20L).find(armOf(_) == "A").get
+    val b = (1L to 20L).find(armOf(_) == "B").get
+    // A: post 3.50 → 350 centi; B: post 1.25 → 125 centi; no pre events.
+    val events = Seq((a, "purchase", 3.5, 1500L), (b, "purchase", 1.25, 1500L))
+    val row = Experiment.cuped(cupedDf(events), "user_id", "event_type",
+      "value", "ts_us", "purchase", cutTsUs = 1000L).head()
+    assert(row.getLong(row.fieldIndex("raw_ppm_a")) === 350L * 1000000L)
+    assert(row.getLong(row.fieldIndex("raw_ppm_b")) === 125L * 1000000L)
+    // x ≡ 0 → Var(x) = 0 → θ NULL → adjusted = raw.
+    assert(row.isNullAt(row.fieldIndex("theta_ppm")))
+  }
 }
