@@ -1579,6 +1579,52 @@ object SparkEntry {
         "ts_us", metricType = "purchase",
         cutTsUs = java.time.LocalDate.of(2024, 1, 16)
           .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli * 1000L)),
+
+    // Copy-on-write MERGE through the warehouse manifest: a key-local
+    // update batch (every 10th order repriced) plus disjoint inserts;
+    // the updates' key bounding box prunes candidate files, matched old
+    // versions drop via anti-join, ONE generation publishes. Readback
+    // proves row-exact upsert semantics against the relational recompute.
+    "q171_warehouse_merge" -> ((s, d) => {
+      val fmt = "graft.sources.WarehouseSink"
+      val dir = java.nio.file.Files.createTempDirectory("graft_whmrg_").toString
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      base.repartitionByRange(8, col("o_orderkey"))
+        .write.format(fmt).option("path", dir).mode("overwrite").save()
+      val updates = base.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .unionByName(base.filter(col("o_orderkey") % 97 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            lit("N").as("o_orderstatus"), lit(50.25).as("o_totalprice")))
+      graft.sources.WarehouseSink.merge(s, dir, updates, Seq("o_orderkey"))
+      s.read.format(fmt).option("path", dir).load()
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+    }),
+
+    // Copy-on-write UPDATE WHERE SET: a key-range reprice rewrites only
+    // the stats-overlapping files (assignments see pre-update values,
+    // NULL predicates leave rows untouched); readback vs the CASE
+    // recompute proves row-exact in-place semantics.
+    "q172_warehouse_update" -> ((s, d) => {
+      val fmt = "graft.sources.WarehouseSink"
+      val dir = java.nio.file.Files.createTempDirectory("graft_whupd_").toString
+      Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+        .repartitionByRange(8, col("p_partkey"))
+        .write.format(fmt).option("path", dir).mode("overwrite").save()
+      import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+      graft.sources.WarehouseSink.updateWhere(s, dir,
+        Seq(GreaterThanOrEqual("p_partkey", 500L), LessThan("p_partkey", 1500L)),
+        Map("p_retailprice" -> (col("p_retailprice") + 100.0)))
+      s.read.format(fmt).option("path", dir).load()
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_parts"),
+          sum(floor(col("p_retailprice") * 100).cast("long")).as("sum_cents"))
+    }),
   )
 
   /** Shared scored table for the eval-metric queries (q167-q169): the
@@ -4445,6 +4491,36 @@ object SparkEntry {
                 CAST(b.adj_ppm - a.adj_ppm AS BIGINT) AS adj_diff_ppm
          FROM (SELECT * FROM adj WHERE arm = 'A') a
               CROSS JOIN (SELECT * FROM adj WHERE arm = 'B') b""",
+
+    // The oracle replays MERGE relationally: base rows whose key is NOT
+    // in the update set, plus the update set itself — exact equality is
+    // the upsert soundness claim (no lost carried rows, no surviving
+    // stale versions, all inserts present).
+    "q171_warehouse_merge" ->
+      """WITH upd AS (SELECT o_orderkey, 'U' AS o_orderstatus,
+                    o_totalprice * 2 AS o_totalprice
+             FROM orders WHERE o_orderkey % 10 = 0
+             UNION ALL
+             SELECT o_orderkey + 10000000, 'N', 50.25
+             FROM orders WHERE o_orderkey % 97 = 0),
+         m AS (SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice
+             FROM orders o
+             WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+             UNION ALL SELECT * FROM upd)
+         SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS sum_cents
+         FROM m GROUP BY 1""",
+
+    // UPDATE replayed as the equivalent CASE recompute.
+    "q172_warehouse_update" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+                CAST(sum(CAST(floor((CASE WHEN p_partkey >= 500
+                         AND p_partkey < 1500
+                         THEN p_retailprice + 100.0
+                         ELSE p_retailprice END) * 100) AS BIGINT))
+                  AS BIGINT) AS sum_cents
+         FROM part GROUP BY 1""",
   )
 
   /** The q167-q169 scored-docs CTE (DuckDB): the clamped 1e4-quantized

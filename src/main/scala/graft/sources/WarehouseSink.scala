@@ -396,6 +396,182 @@ object WarehouseSink {
     }
   }
 
+  case class MergeReport(filesRewritten: Int, filesCarried: Int,
+                         rowsMatched: Long, rowsUpserted: Long)
+
+  /** Copy-on-write MERGE (upsert) — `WHEN MATCHED UPDATE SET * WHEN NOT
+    * MATCHED INSERT *` over this sink's manifest protocol, completing the
+    * DML triad next to [[deleteWhere]] and [[updateWhere]]. Table rows
+    * whose key appears in `updates` are replaced by the update row; keys
+    * absent from the table insert.
+    *
+    * Candidate selection is PLANNING-SHAPED like deleteWhere's: one
+    * distributed aggregate computes the updates' per-key-column [min,max]
+    * (2·|keys| driver values — never the key set itself, which can be
+    * arbitrarily large), and only files whose stats ranges overlap EVERY
+    * key range are rewritten; all others carry by name. On a 100 TB table
+    * a key-local update batch rewrites the overlapping files, not the
+    * corpus — and because the writer range-clusters nothing by itself,
+    * callers who pre-partition by key (repartitionByRange on write) get
+    * the tight file ranges that make this pruning sharp.
+    *
+    * The rewrite reads exactly the candidate files and anti-joins the
+    * (distinct) update keys — matched old versions drop; `updates` itself
+    * appends through a second staged write. ONE generation publishes
+    * carried + rewritten + inserted with the epoch cursor carried
+    * forward; crash before publish leaves the live table untouched.
+    *
+    * Contract: `updates` must be key-unique (two update rows with the
+    * same key both land — MERGE's cardinality rule is the caller's to
+    * enforce); update rows with a NULL key never match (SQL join
+    * semantics) and therefore insert. Single-writer like vacuum/maintain.
+    * `rowsMatched` (old versions replaced) is metadata-derived:
+    * candidate `#rows` minus kept `#rows`. */
+  def merge(spark: org.apache.spark.sql.SparkSession, dir: String,
+            updates: org.apache.spark.sql.DataFrame,
+            keyCols: Seq[String]): MergeReport = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
+    require(keyCols.nonEmpty, "merge requires at least one key column")
+    val fmt = classOf[WarehouseSink].getName
+    val cur = readManifest(dir).getOrElse(throw new IllegalArgumentException(
+      s"cannot merge into nonexistent warehouse table at $dir"))
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    keyCols.foreach(k => require(schema.fieldNames.contains(k),
+      s"key column $k not in table schema"))
+    require(updates.columns.toSet == schema.fieldNames.toSet,
+      s"updates schema ${updates.columns.mkString(",")} must match table " +
+        s"schema ${schema.fieldNames.mkString(",")}")
+    val aligned = updates.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    // One small aggregate: the updates' bounding box over the key columns.
+    val rangeRow = aligned.agg(
+      min(col(keyCols.head)).as("mn0"), (max(col(keyCols.head)).as("mx0") +:
+        keyCols.tail.zipWithIndex.flatMap { case (k, i) =>
+          Seq(min(col(k)).as(s"mn${i + 1}"), max(col(k)).as(s"mx${i + 1}"))
+        }).toIndexedSeq: _*).collect()(0)
+    val keyRanges = keyCols.indices.map { i =>
+      (keyCols(i), rangeRow.get(2 * i), rangeRow.get(2 * i + 1))
+    }
+    // All-null key ranges (empty or all-null updates): nothing can match.
+    val rangeFilters = keyRanges.collect {
+      case (k, lo, hi) if lo != null && hi != null =>
+        Seq(GreaterThanOrEqual(k, lo), LessThanOrEqual(k, hi))
+    }.flatten
+    val (candidates, carried) =
+      if (rangeFilters.isEmpty) (Nil, cur.files)
+      else cur.files.partition { f =>
+        readStats(dir, f, schema) match {
+          case Some(st) => rangeFilters.forall(mightMatch(st, _))
+          case None => true
+        }
+      }
+    val candRows = candidates.map(f => readRowCount(dir, f).getOrElse(-1L))
+    val tmpKept = new File(new File(dir).getAbsoluteFile.getParentFile,
+      new File(dir).getName + ".merge-" +
+        java.util.UUID.randomUUID.toString.take(8))
+    val tmpIns = new File(tmpKept.getPath + "-ins")
+    try {
+      if (candidates.nonEmpty)
+        spark.read.format(fmt).option("path", dir)
+          .option("files", candidates.mkString(",")).load()
+          .join(aligned.select(keyCols.map(col).toIndexedSeq: _*).distinct(),
+            keyCols, "left_anti")
+          .write.format(fmt).option("path", tmpKept.getPath)
+          .mode("overwrite").save()
+      aligned.write.format(fmt).option("path", tmpIns.getPath)
+        .mode("overwrite").save()
+      val keptFiles = readManifest(tmpKept.getPath).map(_.files).getOrElse(Nil)
+      val insFiles = readManifest(tmpIns.getPath).map(_.files).getOrElse(Nil)
+      keptFiles.foreach(moveWithStats(tmpKept, new File(dir), _))
+      insFiles.foreach(moveWithStats(tmpIns, new File(dir), _))
+      publish(dir, { prev =>
+        val p = prev.getOrElse(cur)
+        Some(Manifest(0L, p.schemaDdl, carried ++ keptFiles ++ insFiles,
+          p.epoch))
+      })
+      val keptRows = keptFiles.map(f => readRowCount(dir, f).getOrElse(-1L))
+      val insRows = insFiles.map(f => readRowCount(dir, f).getOrElse(-1L))
+      val matched =
+        if (candRows.contains(-1L) || keptRows.contains(-1L)) -1L
+        else candRows.sum - keptRows.sum
+      MergeReport(candidates.size, carried.size, matched,
+        if (insRows.contains(-1L)) -1L else insRows.sum)
+    } finally {
+      def rm(f: File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(tmpKept); rm(tmpIns)
+    }
+  }
+
+  case class UpdateReport(filesRewritten: Int, filesCarried: Int,
+                          rowsUpdated: Long)
+
+  /** Copy-on-write UPDATE WHERE SET — in-place column rewrites for rows
+    * matching a predicate, the third leg of the DML triad. Candidate
+    * files are stats-pruned by the SAME filter algebra as [[deleteWhere]]
+    * (a file refuted by its ranges provably holds no matching row and
+    * carries by name); candidate rows evaluate
+    * `WHEN predicate THEN assignment ELSE old` per assigned column — SQL
+    * UPDATE semantics: a NULL-valued predicate leaves the row unchanged.
+    * Assignments are Column expressions over the row's OLD values
+    * (`SET price = price * 2` sees the pre-update price), cast to the
+    * column's declared type. ONE generation publishes carried + rewritten
+    * with the epoch cursor carried forward. Single-writer. `rowsUpdated`
+    * counts predicate-matching rows via one extra bounded scan of the
+    * candidate files (row counts don't change, so sidecar arithmetic
+    * can't derive it the way DELETE's does). */
+  def updateWhere(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  filters: Seq[org.apache.spark.sql.sources.Filter],
+                  set: Map[String, org.apache.spark.sql.Column]): UpdateReport = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    require(filters.nonEmpty, "updateWhere requires at least one filter")
+    require(set.nonEmpty, "updateWhere requires at least one assignment")
+    val fmt = classOf[WarehouseSink].getName
+    val cur = readManifest(dir).getOrElse(return UpdateReport(0, 0, 0L))
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    set.keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"assigned column $k not in table schema"))
+    val pred = coalesce(
+      filters.map(filterToColumn(_, schema)).reduce(_ && _), lit(false))
+    val (candidates, carried) = cur.files.partition { f =>
+      readStats(dir, f, schema) match {
+        case Some(st) => filters.forall(mightMatch(st, _))
+        case None => true
+      }
+    }
+    if (candidates.isEmpty) return UpdateReport(0, cur.files.size, 0L)
+    def candScan = spark.read.format(fmt).option("path", dir)
+      .option("files", candidates.mkString(",")).load()
+    val tmp = new File(new File(dir).getAbsoluteFile.getParentFile,
+      new File(dir).getName + ".update-" +
+        java.util.UUID.randomUUID.toString.take(8))
+    try {
+      val rewritten = candScan.select(schema.fields.map { f =>
+        set.get(f.name) match {
+          case Some(e) => when(pred, e.cast(f.dataType))
+            .otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }.toIndexedSeq: _*)
+      rewritten.write.format(fmt).option("path", tmp.getPath)
+        .mode("overwrite").save()
+      val newFiles = readManifest(tmp.getPath).map(_.files).getOrElse(Nil)
+      newFiles.foreach(moveWithStats(tmp, new File(dir), _))
+      publish(dir, { prev =>
+        val p = prev.getOrElse(cur)
+        Some(Manifest(0L, p.schemaDdl, carried ++ newFiles, p.epoch))
+      })
+      val updated = candScan.filter(pred).count()
+      UpdateReport(candidates.size, carried.size, updated)
+    } finally {
+      def rm(f: File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(tmp)
+    }
+  }
+
   /** The V1-filter subset the skip path understands, rebuilt as a Column
     * (what the rewrite leg filters rows by — candidate selection and row
     * predicate evaluate the SAME algebra, so a file refuted by stats

@@ -487,6 +487,101 @@ class WarehouseSinkSpec extends SparkSpec {
     assert(left === Seq(2L, 3L), "null predicate must keep the row")
   }
 
+  test("merge upserts: matched keys replaced, new keys inserted, files pruned") {
+    val dir = tmp()
+    spark.range(0, 100).toDF("id")
+      .withColumn("v", (col("id") % 10).cast("long"))
+      .repartitionByRange(4, col("id"))
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val before = WarehouseSink.readManifest(dir).get
+    assert(before.files.size === 4)
+    // updates confined to ids [40, 50) + two brand-new keys
+    val updates = ((40L until 50L).map(i => (i, 777L)) ++
+      Seq((200L, 1L), (201L, 2L))).toDF("id", "v")
+    val rep = WarehouseSink.merge(spark, dir, updates, Seq("id"))
+    assert(rep.rowsMatched === 10L && rep.rowsUpserted === 12L)
+    // the [40,50)∪{200,201} key box overlaps at most 3 of 4 range files
+    assert(rep.filesRewritten <= 3 && rep.filesCarried >= 1, rep.toString)
+    val back = spark.read.format(Fmt).option("path", dir).load()
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val want = ((0L until 100L).map(i =>
+      (i, if (i >= 40 && i < 50) 777L else i % 10)) ++
+      Seq((200L, 1L), (201L, 2L))).sortBy(_._1)
+    assert(back === want)
+    // pre-merge generation still time-travels
+    assert(spark.read.format(Fmt).option("path", dir)
+      .option("versionAsOf", before.version.toString).load().count() === 100L)
+  }
+
+  test("merge with null-keyed and empty updates") {
+    val dir = tmp()
+    Seq((Some(1L), "a"), (Some(2L), "b")).toDF("id", "s")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    // a NULL-keyed update row can match nothing → pure insert
+    val rep = WarehouseSink.merge(spark, dir,
+      Seq((Option.empty[Long], "n"), (Some(2L), "B")).toDF("id", "s"),
+      Seq("id"))
+    assert(rep.rowsMatched === 1L && rep.rowsUpserted === 2L)
+    val back = spark.read.format(Fmt).option("path", dir).load()
+      .as[(Option[Long], String)].collect().toSeq
+      .sortBy(r => (r._1.isEmpty, r._1.getOrElse(0L)))
+    assert(back === Seq((Some(1L), "a"), (Some(2L), "B"), (None, "n")))
+    // empty updates: nothing matches, nothing rewrites, table unchanged
+    val v = WarehouseSink.readManifest(dir).get.version
+    val rep2 = WarehouseSink.merge(spark, dir,
+      spark.emptyDataset[(Option[Long], String)].toDF("id", "s"), Seq("id"))
+    assert(rep2.rowsMatched === 0L && rep2.rowsUpserted === 0L)
+    assert(rep2.filesRewritten === 0)
+    assert(spark.read.format(Fmt).option("path", dir).load().count() === 3L)
+    assert(WarehouseSink.readManifest(dir).get.version >= v)
+  }
+
+  test("updateWhere rewrites matching rows in place, prunes by stats") {
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+    val dir = tmp()
+    spark.range(0, 100).toDF("id")
+      .withColumn("v", (col("id") % 10).cast("long"))
+      .repartitionByRange(4, col("id"))
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val rep = WarehouseSink.updateWhere(spark, dir,
+      Seq(GreaterThanOrEqual("id", 30L), LessThan("id", 45L)),
+      Map("v" -> (col("v") + 1000L)))
+    assert(rep.rowsUpdated === 15L)
+    assert(rep.filesRewritten <= 2 && rep.filesCarried >= 2, rep.toString)
+    val back = spark.read.format(Fmt).option("path", dir).load()
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(back === (0L until 100L).map(i =>
+      (i, if (i >= 30 && i < 45) i % 10 + 1000L else i % 10)))
+  }
+
+  test("updateWhere leaves null-predicate rows unchanged (SQL UPDATE semantics)") {
+    import org.apache.spark.sql.sources.EqualTo
+    val dir = tmp()
+    Seq((1L, Some("hit"), 10L), (2L, Some("miss"), 20L), (3L, None, 30L))
+      .toDF("id", "s", "v")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val rep = WarehouseSink.updateWhere(spark, dir, Seq(EqualTo("s", "hit")),
+      Map("v" -> lit(999L)))
+    assert(rep.rowsUpdated === 1L)
+    val back = spark.read.format(Fmt).option("path", dir).load()
+      .select("id", "v").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(back === Seq((1L, 999L), (2L, 20L), (3L, 30L)),
+      "null predicate must leave the row unchanged")
+  }
+
+  test("updateWhere assignments see pre-update values") {
+    import org.apache.spark.sql.sources.GreaterThanOrEqual
+    val dir = tmp()
+    Seq((1L, 2L, 3L), (2L, 5L, 7L)).toDF("id", "a", "b")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    // swap-shaped assignment: both RHS evaluate against the OLD row
+    WarehouseSink.updateWhere(spark, dir, Seq(GreaterThanOrEqual("id", 0L)),
+      Map("a" -> col("b"), "b" -> col("a")))
+    val back = spark.read.format(Fmt).option("path", dir).load()
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(back === Seq((1L, 3L, 2L), (2L, 7L, 5L)))
+  }
+
   test("reported statistics let the planner broadcast a small warehouse table") {
     val dir = tmp()
     Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "dim")
