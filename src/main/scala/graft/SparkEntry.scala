@@ -1625,6 +1625,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_parts"),
           sum(floor(col("p_retailprice") * 100).cast("long")).as("sum_cents"))
     }),
+
+    // Schema evolution on append (mergeSchema): half the corpus lands
+    // before the n_chars column exists, half after; per-file #cols
+    // sidecar mapping reads pre-evolution files as null for the new
+    // column — the readback aggregate proves both generations decode
+    // correctly against the widened schema.
+    "q173_warehouse_evolve" -> ((s, d) => {
+      val fmt = "graft.sources.WarehouseSink"
+      val dir = java.nio.file.Files.createTempDirectory("graft_whevo_").toString
+      val docs = Tables.documents(s, d)
+      docs.filter(col("doc_id") % 2 === 0).select("doc_id", "source")
+        .write.format(fmt).option("path", dir).mode("append").save()
+      docs.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "source", "n_chars")
+        .write.format(fmt).option("path", dir)
+        .option("mergeSchema", "true").mode("append").save()
+      s.read.format(fmt).option("path", dir).load()
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("n_chars"), lit(0L))).as("sum_chars"),
+          count(col("n_chars")).as("n_with_chars"))
+    }),
   )
 
   /** Shared scored table for the eval-metric queries (q167-q169): the
@@ -4511,6 +4533,18 @@ object SparkEntry {
                 CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
                   AS BIGINT) AS sum_cents
          FROM m GROUP BY 1""",
+
+    // Evolution replayed as a NULL-padded union of the two generations.
+    "q173_warehouse_evolve" ->
+      """WITH w AS (SELECT doc_id, source, CAST(NULL AS BIGINT) AS n_chars
+             FROM documents WHERE doc_id % 2 = 0
+             UNION ALL
+             SELECT doc_id, source, n_chars
+             FROM documents WHERE doc_id % 2 = 1)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(COALESCE(n_chars, 0)) AS BIGINT) AS sum_chars,
+                CAST(count(n_chars) AS BIGINT) AS n_with_chars
+         FROM w GROUP BY 1""",
 
     // UPDATE replayed as the equivalent CASE recompute.
     "q172_warehouse_update" ->

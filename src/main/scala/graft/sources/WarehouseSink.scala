@@ -646,6 +646,52 @@ object WarehouseSink {
   }
 
   private[sources] val RowsTag = "#rows"
+  private[sources] val ColsTag = "#cols"
+  private val ColsSep = '\u001f' // unit separator — not emitted by encStr
+
+  /** The file's OWN column order from its sidecar `#cols` line — what
+    * lets a reader decode files written before a schema evolution (their
+    * token positions follow THEIR schema, not the table's current one).
+    * The line is 2 fields (`#cols<TAB>names-joined-by-US`), so the
+    * 3-field range parser skips it, the `#rows` parser's prefix test
+    * rejects it, and a real column named "#cols" (3-field range line)
+    * can't collide. None for pre-evolution sidecars — which is exactly
+    * why [[mergeSchemas]]' publish path refuses to evolve over them. */
+  private[sources] def readFileCols(dir: String,
+                                    dataFile: String): Option[Seq[String]] = {
+    val f = new File(dir, statsFile(dataFile))
+    if (!f.isFile) return None
+    new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .split("\n").collectFirst {
+        case ln if ln.startsWith(ColsTag + "\t") &&
+          ln.split("\t", -1).length == 2 =>
+          ln.substring(ColsTag.length + 1).split(ColsSep).toSeq.map(decStr)
+      }
+  }
+
+  private[sources] def colsLine(schema: StructType): String =
+    ColsTag + "\t" +
+      schema.fields.map(f => encode(f.name)).mkString(ColsSep.toString)
+
+  /** Widen `prev` by `next`'s new columns — the mergeSchema contract:
+    * existing columns keep their type (a type change is an error, not a
+    * cast), brand-new columns append as nullable, columns absent from
+    * the incoming frame stay (their new-file cells read as null via the
+    * per-file `#cols` mapping). Field order: previous schema first. */
+  private[sources] def mergeSchemas(prev: StructType,
+                                    next: StructType): StructType = {
+    val prevByName = prev.fields.map(f => f.name -> f).toMap
+    next.fields.foreach { f =>
+      prevByName.get(f.name).foreach { p =>
+        require(p.dataType == f.dataType,
+          s"schema evolution cannot change column ${f.name}: " +
+            s"${p.dataType.simpleString} -> ${f.dataType.simpleString}")
+      }
+    }
+    StructType(prev.fields ++
+      next.fields.filterNot(f => prevByName.contains(f.name))
+        .map(_.copy(nullable = true)))
+  }
 
   /** Row count from a data file's sidecar (the 2-field `#rows` line every
     * writer since the aggregate-pushdown change prepends); None for a
@@ -768,12 +814,14 @@ private[sources] class WarehouseTable(dir: String, schema0: StructType,
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.BATCH_READ, TableCapability.STREAMING_WRITE)
+      TableCapability.BATCH_READ, TableCapability.STREAMING_WRITE,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(versionAsOf.isEmpty, "cannot write to a versionAsOf read")
     new WarehouseWriteBuilder(dir, info.schema(), info.queryId(),
-      truncate0 = false)
+      truncate0 = false,
+      mergeSchema = info.options().getBoolean("mergeSchema", false))
   }
 
   private def manifest: Option[WarehouseSink.Manifest] = versionAsOf match {
@@ -932,13 +980,15 @@ private[sources] case class WarehouseAggPartition(row: InternalRow)
     extends InputPartition
 
 private[sources] class WarehouseWriteBuilder(dir: String, schema: StructType,
-                                             queryId: String, truncate0: Boolean)
+                                             queryId: String, truncate0: Boolean,
+                                             mergeSchema: Boolean = false)
     extends WriteBuilder with SupportsTruncate {
   override def truncate(): WriteBuilder =
-    new WarehouseWriteBuilder(dir, schema, queryId, truncate0 = true)
+    new WarehouseWriteBuilder(dir, schema, queryId, truncate0 = true,
+      mergeSchema)
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new WarehouseBatchWrite(dir, schema, queryId, truncate0)
+      new WarehouseBatchWrite(dir, schema, queryId, truncate0, mergeSchema)
     override def toStreaming: StreamingWrite =
       new WarehouseStreamingWrite(dir, schema, queryId)
   }
@@ -948,7 +998,8 @@ private[sources] case class WarehouseCommit(file: String, rows: Long)
     extends WriterCommitMessage
 
 private[sources] class WarehouseBatchWrite(dir: String, schema: StructType,
-                                           queryId: String, truncate: Boolean)
+                                           queryId: String, truncate: Boolean,
+                                           mergeSchema: Boolean = false)
     extends BatchWrite {
   private def staging = new File(dir, s"_staging/$queryId")
 
@@ -979,7 +1030,36 @@ private[sources] class WarehouseBatchWrite(dir: String, schema: StructType,
       // and a fresh stream (new checkpoint, epochs from 0) must publish
       // from its first epoch.
       val epoch = if (truncate) -1L else prev.map(_.epoch).getOrElse(-1L)
-      Some(WarehouseSink.Manifest(0L, schema.toDDL, files, epoch))
+      // Table schema across an append: identical (name, type) set keeps
+      // the previous DDL (per-file #cols lines make even a reordered
+      // frame decode correctly); a differing set either EVOLVES (explicit
+      // option("mergeSchema", "true"): new columns append nullable,
+      // old files' missing cells read as null — refused if any carried
+      // file predates the #cols sidecar line, whose position mapping
+      // evolution depends on) or fails loudly. Silently publishing the
+      // frame's schema — the pre-evolution behavior — would re-map every
+      // old file's token positions and corrupt reads.
+      val outDdl = prev match {
+        case None => schema.toDDL
+        case Some(_) if truncate => schema.toDDL
+        case Some(p) =>
+          val ps = StructType.fromDDL(p.schemaDdl)
+          val pSet = ps.fields.map(f => (f.name, f.dataType)).toSet
+          val nSet = schema.fields.map(f => (f.name, f.dataType)).toSet
+          if (nSet == pSet) p.schemaDdl
+          else if (mergeSchema) {
+            val merged = WarehouseSink.mergeSchemas(ps, schema)
+            val legacy = p.files.filterNot(f =>
+              WarehouseSink.readFileCols(dir, f).isDefined)
+            require(legacy.isEmpty,
+              s"cannot evolve schema: ${legacy.size} file(s) lack the " +
+                "#cols sidecar line (rewrite them via maintain() first)")
+            merged.toDDL
+          } else throw new IllegalArgumentException(
+            s"append schema [${schema.toDDL}] does not match table schema " +
+              s"[${p.schemaDdl}]; set option(\"mergeSchema\", \"true\") to evolve")
+      }
+      Some(WarehouseSink.Manifest(0L, outDdl, files, epoch))
     })
     deleteRecursively(staging)
     // Truncate only UN-REFERENCES the old generation — its files stay on
@@ -1030,8 +1110,22 @@ private[sources] class WarehouseStreamingWrite(dir: String, schema: StructType,
     // manifest (a concurrent batch committer may have moved it).
     val won = WarehouseSink.publish(dir, { prev =>
       if (prev.exists(_.epoch >= epochId)) None
-      else Some(WarehouseSink.Manifest(0L, schema.toDDL,
-        prev.map(_.files).getOrElse(Nil) ++ published, epochId))
+      else {
+        // Same-schema guard as the batch path (no evolution mid-stream:
+        // restart the query against the evolved table instead).
+        val outDdl = prev match {
+          case None => schema.toDDL
+          case Some(p) =>
+            val ps = StructType.fromDDL(p.schemaDdl)
+            require(ps.fields.map(f => (f.name, f.dataType)).toSet ==
+              schema.fields.map(f => (f.name, f.dataType)).toSet,
+              s"streaming epoch schema [${schema.toDDL}] does not match " +
+                s"table schema [${p.schemaDdl}]")
+            p.schemaDdl
+        }
+        Some(WarehouseSink.Manifest(0L, outDdl,
+          prev.map(_.files).getOrElse(Nil) ++ published, epochId))
+      }
     })
     if (won.isEmpty) // lost to a replay: drop the now-unreferenced files
       published.foreach { f =>
@@ -1124,6 +1218,9 @@ private[sources] class WarehouseWriter(stagingDir: String, schema: StructType,
     // file, which is what lets the aggregate pushdown treat missing
     // ranges as "contributes nothing to MIN/MAX" rather than "unknown".
     sb.append(WarehouseSink.RowsTag).append('\t').append(rows).append('\n')
+    // The file's own column order (2-field `#cols` line): what makes the
+    // file readable after later schema evolutions re-map positions.
+    sb.append(WarehouseSink.colsLine(schema)).append('\n')
     var i = 0
     while (i < types.length) {
       if (mins(i) != null) // all-null columns carry no range line
@@ -1209,6 +1306,75 @@ private[sources] class WarehouseScan(dir: String, schema: StructType,
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new WarehouseReaderFactory(schema, required)
+
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(versionAsOf.isEmpty, "cannot stream a versionAsOf read")
+    require(onlyFiles.isEmpty, "cannot stream a file-restricted read")
+    new WarehouseMicroBatchStream(dir, schema, required)
+  }
+}
+
+/** Streaming READ from the warehouse — the table as a Delta-style
+  * streaming source: each manifest generation is an offset, a micro-batch
+  * is exactly the files the (start, end] generations ADDED, planned one
+  * partition per file. The first batch delivers the full snapshot at
+  * stream start (offset -1 → current), then each trigger delivers only
+  * the new appends — per-batch cost tracks the append rate, never the
+  * table size, which is what lets a 100 TB table feed a continuous
+  * consumer.
+  *
+  * Contract: APPEND-ONLY between consumed offsets. A generation that
+  * drops files (truncate, OPTIMIZE, DELETE/UPDATE/MERGE rewrites) breaks
+  * offset arithmetic and fails loudly (run maintenance while no stream
+  * is reading, or restart the stream fresh afterward); a vacuumed start
+  * offset (history reclaimed past the checkpoint) likewise errors with
+  * the recovery action rather than silently re-reading the world.
+  * Exactly-once composes end to end: this source's offsets live in the
+  * query checkpoint, and the WarehouseSink STREAMING_WRITE epoch guard
+  * dedupes the replayed trailing batch on restart. */
+private[sources] class WarehouseMicroBatchStream(dir: String,
+                                                 schema: StructType,
+                                                 required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class V(version: Long) extends Offset {
+    override def json(): String = version.toString
+  }
+
+  override def initialOffset(): Offset = V(-1L)
+  override def latestOffset(): Offset =
+    V(WarehouseSink.readManifest(dir).map(_.version).getOrElse(-1L))
+  override def deserializeOffset(json: String): Offset = V(json.trim.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  private def filesAt(v: Long): Seq[String] =
+    if (v < 0) Nil
+    else WarehouseSink.readManifestAt(dir, v).map(_.files).getOrElse(
+      throw new IllegalStateException(
+        s"warehouse stream offset $v of $dir was vacuumed — history no " +
+          "longer covers the checkpoint; restart the stream with a fresh " +
+          "checkpoint to re-read the current snapshot"))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (vs, ve) = (start.asInstanceOf[V].version, end.asInstanceOf[V].version)
+    if (ve <= vs) return Array.empty
+    val before = filesAt(vs)
+    val after = filesAt(ve)
+    val dropped = before.toSet -- after.toSet
+    if (dropped.nonEmpty) throw new IllegalStateException(
+      s"warehouse stream on $dir: generation range ($vs, $ve] dropped " +
+        s"${dropped.size} file(s) — the source is append-only; truncate/" +
+        "OPTIMIZE/DML require restarting the stream with a fresh checkpoint")
+    (after.toSet -- before.toSet).toSeq.sorted
+      .map(f => WarehouseFilePartition(new File(dir, f).getPath): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarehouseReaderFactory(schema, required)
 }
 
 private[sources] class WarehouseReaderFactory(schema: StructType,
@@ -1218,9 +1384,16 @@ private[sources] class WarehouseReaderFactory(schema: StructType,
     val path = p.asInstanceOf[WarehouseFilePartition].path
     // Pruned decode: only the requested token positions are parsed (an
     // empty projection — e.g. a bare COUNT the aggregate path refused —
-    // still counts lines). Indices resolve by name against the file
-    // schema, so projection order is free.
-    val idxs = required.fields.map(f => schema.fieldIndex(f.name))
+    // still counts lines). Indices resolve by name against the FILE'S OWN
+    // column order (its `#cols` sidecar line) — after a schema evolution
+    // a pre-evolution file's positions differ from the table schema's,
+    // and a column the file predates decodes as null. Legacy sidecars
+    // without the line fall back to the table schema order (correct
+    // because evolution refuses to publish over them).
+    val file = new File(path)
+    val fileCols = WarehouseSink.readFileCols(file.getParent, file.getName)
+      .getOrElse(schema.fieldNames.toSeq)
+    val idxs = required.fields.map(f => fileCols.indexOf(f.name))
     val types = required.fields.map(_.dataType)
     new PartitionReader[InternalRow] {
       private val in = new BufferedReader(new FileReader(path))
@@ -1230,7 +1403,8 @@ private[sources] class WarehouseReaderFactory(schema: StructType,
         // -1 keeps trailing empty tokens (a NULL-encoded last column).
         val toks = line.split("\t", -1)
         InternalRow.fromSeq(Array.tabulate(idxs.length) { j =>
-          WarehouseSink.decode(toks(idxs(j)), types(j)) }.toSeq)
+          if (idxs(j) < 0) null
+          else WarehouseSink.decode(toks(idxs(j)), types(j)) }.toSeq)
       }
       override def close(): Unit = in.close()
     }

@@ -582,6 +582,186 @@ class WarehouseSinkSpec extends SparkSpec {
     assert(back === Seq((1L, 3L, 2L), (2L, 7L, 5L)))
   }
 
+  test("schema evolution: mergeSchema append widens; old files read null") {
+    val dir = tmp()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    // new column v: requires explicit opt-in
+    Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("id", "s", "v")
+      .write.format(Fmt).option("path", dir).option("mergeSchema", "true")
+      .mode("append").save()
+    val back = spark.read.format(Fmt).option("path", dir).load()
+    assert(back.schema.fieldNames.toSeq === Seq("id", "s", "v"))
+    assert(back.as[(Long, String, Option[Long])].collect().sortBy(_._1).toSeq
+      === Seq((1L, "a", None), (2L, "b", None),
+        (3L, "c", Some(30L)), (4L, "d", Some(40L))))
+    // pruning straight to the evolved column still maps per file
+    assert(back.select("v").as[Option[Long]].collect().flatten.sorted.toSeq
+      === Seq(30L, 40L))
+    // filter on the evolved column: old files conservatively kept by the
+    // skip path, their null cells dropped by the residual filter
+    assert(back.filter(col("v") > 35L).select("id").as[Long].collect().toSeq
+      === Seq(4L))
+  }
+
+  test("schema evolution: frame missing an old column null-fills its rows") {
+    val dir = tmp()
+    Seq((1L, "a", 10L)).toDF("id", "s", "v")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    Seq((2L, 20L)).toDF("id", "v")
+      .write.format(Fmt).option("path", dir).option("mergeSchema", "true")
+      .mode("append").save()
+    val back = spark.read.format(Fmt).option("path", dir).load()
+      .as[(Long, Option[String], Long)].collect().sortBy(_._1).toSeq
+    assert(back === Seq((1L, Some("a"), 10L), (2L, None, 20L)))
+  }
+
+  test("schema mismatch without mergeSchema fails loudly; type change always fails") {
+    val dir = tmp()
+    Seq((1L, "a")).toDF("id", "s")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val e1 = intercept[Exception] {
+      Seq((2L, "b", 1L)).toDF("id", "s", "v")
+        .write.format(Fmt).option("path", dir).mode("append").save()
+    }
+    assert(e1.getMessage != null || e1.getCause != null) // surfaced, not silent
+    // table unchanged after the refused append
+    assert(spark.read.format(Fmt).option("path", dir).load().count() === 1L)
+    val e2 = intercept[Exception] {
+      Seq((2L, 9L)).toDF("id", "s") // s: string -> long
+        .write.format(Fmt).option("path", dir)
+        .option("mergeSchema", "true").mode("append").save()
+    }
+    assert(e2.getMessage != null || e2.getCause != null)
+    assert(spark.read.format(Fmt).option("path", dir).load().count() === 1L)
+  }
+
+  test("reordered append decodes by per-file column mapping, schema stable") {
+    val dir = tmp()
+    Seq((1L, "a")).toDF("id", "s")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    // same (name, type) set, different order: allowed without evolution
+    Seq(("b", 2L)).toDF("s", "id")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val back = spark.read.format(Fmt).option("path", dir).load()
+    assert(back.schema.fieldNames.toSeq === Seq("id", "s"))
+    assert(back.as[(Long, String)].collect().sortBy(_._1).toSeq
+      === Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("metadata MIN/MAX over an evolved column ignores pre-evolution files") {
+    val dir = tmp()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    Seq((3L, "c", 30L)).toDF("id", "s", "v")
+      .write.format(Fmt).option("path", dir).option("mergeSchema", "true")
+      .mode("append").save()
+    val agg = spark.read.format(Fmt).option("path", dir).load()
+      .agg(count(lit(1)), min("v"), max("v"))
+    // still answered from sidecars (pre-evolution files hold no v range
+    // line = all-null there, which MIN/MAX ignore — matching a full scan)
+    assert(agg.queryExecution.executedPlan.toString.contains("metadata-only"))
+    assert(agg.as[(Long, Option[Long], Option[Long])].head()
+      === ((3L, Some(30L), Some(30L))))
+  }
+
+  test("streaming read: snapshot first, then per-append increments only") {
+    val dir = tmp()
+    val ckpt = tmp()
+    def append(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, i * 2)).toDF("id", "v")
+        .write.format(Fmt).option("path", dir).mode("append").save()
+    append(0, 10)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format(Fmt).option("path", dir).load()
+      .select("id")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = b.select("id").collect().map(_.getLong(0))
+        seen.synchronized { seen ++= ids; batches += ids.length.toLong }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(seen.sorted.toSeq === (0L until 10L), "first batch = snapshot")
+      append(10, 15); q.processAllAvailable()
+      append(15, 18); q.processAllAvailable()
+    } finally q.stop()
+    assert(seen.sorted.toSeq === (0L until 18L))
+    assert(seen.size === 18, "increments must not re-read earlier files")
+  }
+
+  test("streaming read resumes from checkpoint without re-reading") {
+    val dir = tmp()
+    val ckpt = tmp()
+    (0L until 6L).map(i => Tuple1(i)).toDF("id")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def run(): Unit = {
+      val q = spark.readStream.format(Fmt).option("path", dir).load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val ids = b.select("id").collect().map(_.getLong(0))
+          seen.synchronized { seen ++= ids }
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(seen.sorted.toSeq === (0L until 6L))
+    (6L until 9L).map(i => Tuple1(i)).toDF("id")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    run() // restart: only the post-checkpoint append arrives
+    assert(seen.sorted.toSeq === (0L until 9L) && seen.size === 9)
+  }
+
+  test("streaming read fails loudly on a non-append generation") {
+    val dir = tmp()
+    val ckpt = tmp()
+    (0L until 8L).map(i => Tuple1(i)).toDF("id")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val q = spark.readStream.format(Fmt).option("path", dir).load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+      .start()
+    try {
+      q.processAllAvailable()
+      // truncate drops every consumed file from the live manifest
+      Seq(Tuple1(99L)).toDF("id")
+        .write.format(Fmt).option("path", dir).mode("overwrite").save()
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("append-only")), msgs(e).mkString("|"))
+    } finally q.stop()
+  }
+
+  test("warehouse-to-warehouse streaming pipe is exactly-once across restart") {
+    val src = tmp()
+    val dst = tmp()
+    val ckpt = tmp()
+    def appendSrc(lo: Long, hi: Long) =
+      (lo until hi).map(i => Tuple1(i)).toDF("id")
+        .write.format(Fmt).option("path", src).mode("append").save()
+    appendSrc(0, 5)
+    def pipe(): Unit = {
+      val q = spark.readStream.format(Fmt).option("path", src).load()
+        .writeStream.format(Fmt)
+        .option("path", dst).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    pipe()
+    appendSrc(5, 9)
+    pipe() // restart mid-history: source offsets + sink epoch guard compose
+    val got = spark.read.format(Fmt).option("path", dst).load()
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got === (0L until 9L), "no loss, no duplicates end to end")
+  }
+
   test("reported statistics let the planner broadcast a small warehouse table") {
     val dir = tmp()
     Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "dim")
