@@ -1647,6 +1647,29 @@ object SparkEntry {
           sum(coalesce(col("n_chars"), lit(0L))).as("sum_chars"),
           count(col("n_chars")).as("n_with_chars"))
     }),
+
+    // Last-touch attribution: each purchase credits the user's most
+    // recent prior view within 7 days — one user-keyed window pass
+    // carrying the running last-view timestamp (no self-join), ties
+    // broken by event id so re-sharding never flips a credit.
+    "q174_attribution" -> ((s, d) =>
+      Sessions.lastTouchAttribution(eventsUs(s, d), "user_id", "ts_us",
+        "event_id", "event_type", touchType = "view", convType = "purchase",
+        windowUs = 7L * 86400L * 1000000L)),
+
+    // Consistent bottom-k corpus sample: the 100 smallest-md5 documents —
+    // a content-keyed sample stable across runs, engines, re-sharding
+    // and appends; plans as per-partition k-heaps, never a global sort.
+    "q175_consistent_sample" -> ((s, d) =>
+      Corpus.consistentSample(Tables.documents(s, d), "doc_id", "text",
+        k = 100, keep = Seq("source"))),
+
+    // RFM segmentation: exact per-user recency/frequency/centi-monetary
+    // metrics from one event aggregate, tie-broken ntile(5) tiers over
+    // the user-cardinality table, users counted per (r,f,m) cell.
+    "q176_rfm" -> ((s, d) =>
+      Analytics.rfmSegments(eventsUs(s, d), "user_id", "ts_us", "value",
+        refTsUs = 1706745600000000L)),
   )
 
   /** Shared scored table for the eval-metric queries (q167-q169): the
@@ -4533,6 +4556,59 @@ object SparkEntry {
                 CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
                   AS BIGINT) AS sum_cents
          FROM m GROUP BY 1""",
+
+    // Attribution replayed with the identical preceding-rows window.
+    "q174_attribution" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                    event_type FROM events),
+         t AS (SELECT *, max(CASE WHEN event_type = 'view' THEN ts_us END)
+                 OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS touch_ts
+               FROM e),
+         c AS (SELECT ts_us, touch_ts,
+                 (touch_ts IS NOT NULL
+                  AND ts_us - touch_ts <= 604800000000) AS attr
+               FROM t WHERE event_type = 'purchase'),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n_conversions,
+                 CAST(sum(CASE WHEN attr THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_attributed,
+                 CAST(sum(CASE WHEN attr THEN ts_us - touch_ts ELSE 0 END)
+                   AS BIGINT) AS sum_gap
+               FROM c)
+         SELECT n_conversions, n_attributed,
+                CAST(CASE WHEN n_conversions = 0 THEN NULL
+                     ELSE n_attributed * 1000000 // n_conversions END
+                  AS BIGINT) AS attr_ppm,
+                CAST(CASE WHEN n_attributed = 0 THEN NULL
+                     ELSE sum_gap // n_attributed END AS BIGINT) AS avg_gap_us
+         FROM a""",
+
+    "q175_consistent_sample" ->
+      """SELECT doc_id, md5(text) AS content_h, source FROM documents
+         ORDER BY md5(text), doc_id LIMIT 100""",
+
+    // RFM replayed: same exact metrics, same tie-broken ntile order.
+    "q176_rfm" ->
+      """WITH pu AS (SELECT user_id AS u, max(epoch_us(ts)) AS last_ts,
+                  CAST(count(*) AS BIGINT) AS freq,
+                  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+               FROM events GROUP BY 1),
+         g AS (SELECT u, last_ts, freq, cents,
+                 (1706745600000000 - last_ts) // 86400000000 AS rd
+               FROM pu),
+         t AS (SELECT *, ntile(5) OVER (ORDER BY last_ts DESC, u) AS r,
+                 ntile(5) OVER (ORDER BY freq DESC, u) AS f,
+                 ntile(5) OVER (ORDER BY cents DESC, u) AS m
+               FROM g)
+         SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+                CAST(m AS BIGINT) AS m,
+                CAST(count(*) AS BIGINT) AS n_users,
+                CAST(sum(cents) AS BIGINT) AS sum_cents,
+                CAST(min(rd) AS BIGINT) AS min_recency_days,
+                CAST(max(rd) AS BIGINT) AS max_recency_days
+         FROM t GROUP BY 1, 2, 3""",
 
     // Evolution replayed as a NULL-padded union of the two generations.
     "q173_warehouse_evolve" ->

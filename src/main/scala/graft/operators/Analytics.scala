@@ -868,4 +868,42 @@ object Analytics {
       .select(col("checkpoint"), col("n_docs"), col("n_tokens"),
         coalesce(col("vocab_size"), lit(0L)).as("vocab_size"))
   }
+
+  /** RFM segmentation — the classic recency/frequency/monetary customer
+    * grading, composed from exact integer metrics and tie-broken ntiles:
+    * per user, recency = days since last event at `refTsUs`, frequency =
+    * event count, monetary = centi-value sum (lossless ×100 of the 2-dp
+    * values); each metric grades into `tiles` quintile-style tiers
+    * (tier 1 = best: most recent / most frequent / highest spend), with
+    * user-id tiebreaks so equal metrics grade identically on every
+    * engine; the readout counts users per (r, f, m) segment code.
+    *
+    * Scale: ONE user-keyed aggregate collapses the event scan (the 100 TB
+    * cost); the three ntile windows then sort only the USER-cardinality
+    * table — the same posture as the q60/q73 rank family. The segment
+    * rollup is O(tiles³) rows. */
+  def rfmSegments(events: DataFrame, userCol: String, tsUsCol: String,
+                  valueCol: String, refTsUs: Long, tiles: Int = 5): DataFrame = {
+    require(tiles > 1, "need at least two tiers")
+    val perUser = events
+      .groupBy(col(userCol).as("graft_u"))
+      .agg(max(col(tsUsCol)).as("graft_last"),
+        count(lit(1)).as("graft_f"),
+        sum(floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("long"))
+          .as("graft_m"))
+      .withColumn("recency_days",
+        expr(s"(${refTsUs}L - graft_last) div ${86400L * 1000000L}L"))
+    val byR = org.apache.spark.sql.expressions.Window.orderBy(col("graft_last").desc, col("graft_u").asc)
+    val byF = org.apache.spark.sql.expressions.Window.orderBy(col("graft_f").desc, col("graft_u").asc)
+    val byM = org.apache.spark.sql.expressions.Window.orderBy(col("graft_m").desc, col("graft_u").asc)
+    perUser
+      .withColumn("r", ntile(tiles).over(byR).cast("long"))
+      .withColumn("f", ntile(tiles).over(byF).cast("long"))
+      .withColumn("m", ntile(tiles).over(byM).cast("long"))
+      .groupBy("r", "f", "m")
+      .agg(count(lit(1)).as("n_users"),
+        sum("graft_m").as("sum_cents"),
+        min("recency_days").as("min_recency_days"),
+        max("recency_days").as("max_recency_days"))
+  }
 }

@@ -471,4 +471,23 @@ object Corpus {
       .agg(count(lit(1)).as("n_docs"), sum("graft_t").as("n_tokens"),
         sum("graft_c").as("n_chars"),
         expr("bit_xor(graft_h)").as("checksum48"))
+
+  /** Consistent bottom-k sample: the k documents with the smallest
+    * md5(text) (doc-id tiebreak) — a uniform-like sample that is a PURE
+    * FUNCTION OF CONTENT, the corpus-inspection twin of [[mixSample]]'s
+    * rate filter. Unlike `sample()`/`limit()`, re-running on a re-sharded,
+    * appended, or differently-partitioned corpus returns the SAME
+    * documents (appends only displace members whose hash exceeds the new
+    * arrivals') — which is what makes eyeball QA samples, labeling
+    * batches, and cross-run diff sets stable at 100 TB. Plans as
+    * TakeOrderedAndProject: per-partition k-heaps, one k-row driver
+    * merge — no global sort. */
+  def consistentSample(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int, keep: Seq[String]): DataFrame = {
+    require(k > 0, "k must be positive")
+    docs.select((Seq(col(idCol), md5(col(textCol).cast("binary")).as("content_h"))
+        ++ keep.map(col)).toIndexedSeq: _*)
+      .orderBy(col("content_h").asc, col(idCol).asc)
+      .limit(k)
+  }
 }

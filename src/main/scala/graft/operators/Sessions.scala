@@ -174,4 +174,40 @@ object Sessions {
       .groupBy(col("graft_prev").as("from_type"), col(typeCol).as("to_type"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Last-touch conversion attribution: each `convType` event attributes
+    * to the user's most recent `touchType` event STRICTLY BEFORE it
+    * (total order = (ts, event id), so same-timestamp ties never flip
+    * across engines or re-sharding) and within `windowUs`. The batch
+    * twin of the stream-stream attribution join (streaming/Joins.scala)
+    * — same semantics, replayable against the oracle.
+    *
+    * One user-keyed window pass carries the running last-touch timestamp
+    * (`max` of the touch-typed ts over preceding rows) — no self-join,
+    * no per-conversion scan; the report is a single tiny aggregate.
+    * Gap stats are exact integers (µs sums, floor-div mean). */
+  def lastTouchAttribution(events: DataFrame, userCol: String, tsUsCol: String,
+                           idCol: String, typeCol: String, touchType: String,
+                           convType: String, windowUs: Long): DataFrame = {
+    val w = Window.partitionBy(userCol)
+      .orderBy(col(tsUsCol).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col(userCol), col(tsUsCol), col(idCol), col(typeCol))
+      .withColumn("graft_touch_ts",
+        max(when(col(typeCol) === touchType, col(tsUsCol))).over(w))
+      .filter(col(typeCol) === convType)
+      .withColumn("graft_attr",
+        col("graft_touch_ts").isNotNull &&
+          col(tsUsCol) - col("graft_touch_ts") <= windowUs)
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col("graft_attr").cast("long")).as("n_attributed"),
+        sum(when(col("graft_attr"), col(tsUsCol) - col("graft_touch_ts"))
+          .otherwise(lit(0L))).as("sum_gap_us"))
+      .select(col("n_conversions"), col("n_attributed"),
+        expr("CASE WHEN n_conversions = 0 THEN CAST(NULL AS BIGINT)" +
+          " ELSE n_attributed * 1000000 div n_conversions END").as("attr_ppm"),
+        expr("CASE WHEN n_attributed = 0 THEN CAST(NULL AS BIGINT)" +
+          " ELSE sum_gap_us div n_attributed END").as("avg_gap_us"))
+  }
 }

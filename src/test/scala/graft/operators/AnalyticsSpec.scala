@@ -396,4 +396,30 @@ class AnalyticsSpec extends SparkSpec {
       .orderBy("checkpoint").as[(Long, Long, Long, Long)].collect()
     assert(g2.map(_._4).toSeq === Seq(2L, 2L), "recycled corpus: vocab flat")
   }
+
+  test("rfmSegments grades exact metrics into tie-broken tiers") {
+    import org.apache.spark.sql.functions._
+    // 4 users, 2 tiles: u1 recent+frequent+big, u4 stale+rare+small.
+    val D = 86400L * 1000000L
+    val events = Seq(
+      (1L, 10L * D, 100.0), (1L, 11L * D, 100.0), (1L, 12L * D, 300.0),
+      (2L, 9L * D, 50.0), (2L, 10L * D, 50.0),
+      (3L, 5L * D, 20.0),
+      (4L, 1L * D, 1.0))
+      .toDF("user_id", "ts_us", "value")
+    val out = Analytics.rfmSegments(events, "user_id", "ts_us", "value",
+      refTsUs = 14L * D, tiles = 2)
+      .collect().map(r => (r.getAs[Long]("r"), r.getAs[Long]("f"),
+        r.getAs[Long]("m")) -> r.getAs[Long]("n_users")).toMap
+    // ntile(2) over 4 users: ranks 1-2 → tier 1, ranks 3-4 → tier 2 on
+    // every metric — u1,u2 grade (1,1,1) and u3,u4 grade (2,2,2).
+    assert(out.values.sum === 4L)
+    assert(out(((1L, 1L, 1L))) === 2L, s"best cell must hold u1,u2: $out")
+    assert(out(((2L, 2L, 2L))) === 2L, s"worst cell must hold u3,u4: $out")
+    // recency day arithmetic is exact floor division
+    val row = Analytics.rfmSegments(events, "user_id", "ts_us", "value",
+      refTsUs = 14L * D, tiles = 2)
+      .filter(col("r") === 2 && col("f") === 2 && col("m") === 2).head()
+    assert(row.getAs[Long]("max_recency_days") === 13L)
+  }
 }

@@ -301,4 +301,25 @@ class CorpusSpec extends SparkSpec {
       .exists(_._2), "a changed document must change some checksum")
     assert(base.map(_._2._1).sum === 3L)
   }
+
+  test("consistentSample: stable across re-partitioning, content-keyed membership") {
+    val docs = (1L to 50L).map(i => (i, s"document body number $i", "s"))
+      .toDF("doc_id", "text", "source")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Corpus.consistentSample(df, "doc_id", "text", k = 10,
+        keep = Seq("source")).select("doc_id")
+        .collect().map(_.getLong(0)).toSeq
+    val a = ids(docs)
+    assert(a.size === 10 && a.distinct.size === 10)
+    // membership is a pure function of content: any partitioning agrees
+    assert(ids(docs.repartition(7)) === a)
+    assert(ids(docs.orderBy(org.apache.spark.sql.functions.rand(42))) === a)
+    // appending documents only DISPLACES members (never reshuffles the
+    // survivors' relative order): the new sample is a subset of old
+    // members + new arrivals
+    val more = docs.unionByName((51L to 60L)
+      .map(i => (i, s"fresh addition $i", "s")).toDF("doc_id", "text", "source"))
+    val b = ids(more)
+    assert(b.toSet.subsetOf(a.toSet ++ (51L to 60L)))
+  }
 }

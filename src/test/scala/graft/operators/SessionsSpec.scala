@@ -123,4 +123,35 @@ class SessionsSpec extends SparkSpec {
     assert(out === Map("view>click>purchase" -> 1L, "view" -> 1L,
       "view>click" -> 1L, "a>b>c" -> 1L))
   }
+
+  test("lastTouchAttribution credits the latest prior view inside the window") {
+    // (user, ts_us, id, type): u1 converts twice — once attributed to the
+    // LATER of two prior views (gap 2M), once outside the window; u2
+    // converts with no prior view; u3's view ties the purchase timestamp
+    // (earlier id → counts, gap 0).
+    val W = 10L * M
+    val events = Seq(
+      (1L, 0L * M, 1L, "view"), (1L, 3L * M, 2L, "view"),
+      (1L, 5L * M, 3L, "purchase"),               // attributed, gap 2m
+      (1L, 40L * M, 4L, "purchase"),              // gap 37m > 10m window
+      (2L, 1L * M, 5L, "purchase"),               // no prior view
+      (3L, 7L * M, 6L, "view"), (3L, 7L * M, 7L, "purchase")) // tie, gap 0
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+    val r = Sessions.lastTouchAttribution(events, "user_id", "ts_us",
+      "event_id", "event_type", "view", "purchase", W).head()
+    assert(r.getAs[Long]("n_conversions") === 4L)
+    assert(r.getAs[Long]("n_attributed") === 2L)
+    assert(r.getAs[Long]("attr_ppm") === 500000L)
+    assert(r.getAs[Long]("avg_gap_us") === 1L * M) // (2m + 0) / 2
+  }
+
+  test("lastTouchAttribution: zero conversions yields NULL rates") {
+    val events = Seq((1L, 0L, 1L, "view"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+    val r = Sessions.lastTouchAttribution(events, "user_id", "ts_us",
+      "event_id", "event_type", "view", "purchase", 1000L).head()
+    assert(r.getAs[Long]("n_conversions") === 0L)
+    assert(r.isNullAt(r.fieldIndex("attr_ppm")))
+    assert(r.isNullAt(r.fieldIndex("avg_gap_us")))
+  }
 }
