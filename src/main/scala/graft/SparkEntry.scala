@@ -1670,6 +1670,13 @@ object SparkEntry {
     "q176_rfm" -> ((s, d) =>
       Analytics.rfmSegments(eventsUs(s, d), "user_id", "ts_us", "value",
         refTsUs = 1706745600000000L)),
+
+    // Exact phrase search (positional adjacency, which BM25's bag of
+    // words can't express): anchor-keyed slot counting — only phrase
+    // terms survive the scan, fan-out ≤ hits × phrase length.
+    "q177_phrase_search" -> ((s, d) =>
+      Search.phraseSearch(Tables.documents(s, d), "doc_id", "text",
+        phrase = Seq("value", "table"))),
   )
 
   /** Shared scored table for the eval-metric queries (q167-q169): the
@@ -4556,6 +4563,25 @@ object SparkEntry {
                 CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
                   AS BIGINT) AS sum_cents
          FROM m GROUP BY 1""",
+
+    // Phrase search replayed with the same anchor/slot arithmetic over
+    // DuckDB's zipped unnest + generate_subscripts positions.
+    "q177_phrase_search" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(a) AS term,
+                  generate_subscripts(a, 1) - 1 AS pos
+           FROM (SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS a
+                 FROM documents)),
+         m AS (SELECT doc_id, pos - slot AS anchor, slot
+               FROM toks JOIN (VALUES (0, 'value'), (1, 'table'))
+                 p(slot, w) ON toks.term = p.w
+               WHERE pos - slot >= 0),
+         h AS (SELECT doc_id, anchor FROM m GROUP BY 1, 2
+               HAVING count(DISTINCT slot) = 2)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+                CAST(min(anchor) AS BIGINT) AS first_pos
+         FROM h GROUP BY 1""",
 
     // Attribution replayed with the identical preceding-rows window.
     "q174_attribution" ->

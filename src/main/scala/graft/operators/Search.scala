@@ -110,4 +110,41 @@ object Search {
       .orderBy(col("df").desc, col("term").asc)
       .limit(topTerms)
   }
+
+  /** Exact token-phrase search — the positional-index query BM25 can't
+    * answer (bag-of-words scoring has no adjacency). A document matches
+    * iff some position p has tokens p..p+n−1 equal to the phrase.
+    *
+    * Anchor trick, shuffle-bounded: posexplode the token stream, keep
+    * ONLY tokens occurring in the phrase (narrow filter before any
+    * shuffle — the corpus-scale stopword flood never moves), and emit
+    * (doc, anchor = pos − i) for every phrase slot i the token could
+    * fill. An anchor with ALL n distinct slots present is a phrase start
+    * (repeated phrase words fill multiple slots per token — distinctness
+    * over slot indices keeps that sound). ONE (doc, anchor)-keyed
+    * aggregate; fan-out ≤ phrase-term hits × n, independent of corpus
+    * width. Returns (doc_id, n_hits, first_pos) per matching doc. */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one token")
+    val terms = phrase.map(_.toLowerCase)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val slots = broadcast(terms.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("slot", "w"))
+    val toks = docs.select(col(idCol).as("doc_id"),
+        posexplode(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"),
+          lit(0))).as(Seq("pos", "term")))
+      .filter(col("term").isInCollection(terms))
+    toks.join(slots, col("term") === col("w"))
+      .select(col("doc_id"), (col("pos") - col("slot")).as("anchor"),
+        col("slot"))
+      .filter(col("anchor") >= 0)
+      .groupBy("doc_id", "anchor")
+      .agg(count_distinct(col("slot")).as("graft_k"))
+      .filter(col("graft_k") === terms.size.toLong)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"),
+        min(col("anchor")).cast("long").as("first_pos"))
+  }
 }

@@ -68,6 +68,31 @@ class SearchSpec extends SparkSpec {
     assert(got.head._2 === 3L)
   }
 
+  test("phraseSearch finds exact adjacent runs only") {
+    val docs = Seq(
+      (1L, "the quick brown fox"),          // hit at 1
+      (2L, "quick stop brown fox"),          // gap breaks adjacency
+      (3L, "brown quick"),                   // reversed order
+      (4L, "x quick brown y quick brown z"), // two hits
+      (5L, "quick"))                         // prefix only
+      .toDF("doc_id", "text")
+    val got = Search.phraseSearch(docs, "doc_id", "text",
+      Seq("quick", "brown"))
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("n_hits"),
+        r.getAs[Long]("first_pos"))).toMap
+    assert(got === Map(1L -> ((1L, 1L)), 4L -> ((2L, 1L))))
+  }
+
+  test("phraseSearch handles repeated words in the phrase soundly") {
+    val docs = Seq(
+      (1L, "a table table b"), // hit: same word fills both slots
+      (2L, "a table b table")) // non-adjacent repeats: no hit
+      .toDF("doc_id", "text")
+    val got = Search.phraseSearch(docs, "doc_id", "text",
+      Seq("table", "table")).collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(1L))
+  }
+
   test("bm25 is invariant to input partitioning") {
     val docs = (1L to 30L)
       .map(i => (i, s"term$i filler pad alpha " * (i % 3 + 1).toInt))
