@@ -1677,6 +1677,27 @@ object SparkEntry {
     "q177_phrase_search" -> ((s, d) =>
       Search.phraseSearch(Tables.documents(s, d), "doc_id", "text",
         phrase = Seq("value", "table"))),
+
+    // COUNT(col)/SUM through the warehouse metadata path: null counts
+    // and exact integral sums ride the per-file sidecars, so the whole
+    // readout — including a column with planted NULLs — answers in
+    // O(metadata) (the spec proves no data file opens). The oracle
+    // recomputes from the raw parquet.
+    "q178_metadata_sum" -> ((s, d) => {
+      val fmt = "graft.sources.WarehouseSink"
+      val dir = java.nio.file.Files.createTempDirectory("graft_whsum_").toString
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"),
+          when(col("l_linenumber") =!= 1, col("l_partkey")).as("opt_part"),
+          floor(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+        .repartition(8)
+        .write.format(fmt).option("path", dir).mode("overwrite").save()
+      s.read.format(fmt).option("path", dir).load()
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("opt_part")).as("n_with_part"),
+          sum(col("opt_part")).as("sum_part"),
+          sum(col("price_cents")).as("sum_cents"))
+    }),
   )
 
   /** Shared scored table for the eval-metric queries (q167-q169): the
@@ -4563,6 +4584,18 @@ object SparkEntry {
                 CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
                   AS BIGINT) AS sum_cents
          FROM m GROUP BY 1""",
+
+    // The metadata COUNT(col)/SUM readout recomputed from raw parquet.
+    "q178_metadata_sum" ->
+      """WITH w AS (SELECT l_orderkey,
+                  CASE WHEN l_linenumber <> 1 THEN l_partkey END AS opt_part,
+                  CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_cents
+             FROM lineitem)
+         SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(count(opt_part) AS BIGINT) AS n_with_part,
+                CAST(sum(opt_part) AS BIGINT) AS sum_part,
+                CAST(sum(price_cents) AS BIGINT) AS sum_cents
+         FROM w""",
 
     // Phrase search replayed with the same anchor/slot arithmetic over
     // DuckDB's zipped unnest + generate_subscripts positions.

@@ -673,6 +673,46 @@ object WarehouseSink {
     ColsTag + "\t" +
       schema.fields.map(f => encode(f.name)).mkString(ColsSep.toString)
 
+  // Per-column null counts and (integral-only) exact sums — the sidecar
+  // lines that extend metadata-only aggregation to COUNT(col) and
+  // SUM(col). Both are 2-FIELD lines with the column name folded into a
+  // prefixed tag (`#nulls:<enc(col)><TAB>n`), so the 3-field range parser
+  // never sees them and a real column named "#nulls:x" (whose range line
+  // has 3 fields) cannot collide. Sums are integral columns only: a
+  // double sum is accumulation-order-dependent, so a pushed answer could
+  // differ from the scan it replaces; long sums overflow-check and omit
+  // the line rather than record a wrapped value.
+  private val NullsTagPrefix = "#nulls:"
+  private val SumTagPrefix = "#sum:"
+
+  private[sources] def nullsLine(col: String, n: Long): String =
+    NullsTagPrefix + encode(col) + "\t" + n
+  private[sources] def sumLine(col: String, v: Long): String =
+    SumTagPrefix + encode(col) + "\t" + v
+
+  private def read2Field(dir: String, dataFile: String,
+                         prefix: String): Map[String, Long] = {
+    val f = new File(dir, statsFile(dataFile))
+    if (!f.isFile) return Map.empty
+    new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .split("\n").flatMap { ln =>
+        val t = ln.split("\t", -1)
+        if (t.length == 2 && t(0).startsWith(prefix))
+          Some(decStr(t(0).substring(prefix.length)) -> t(1).toLong)
+        else None
+      }.toMap
+  }
+
+  /** Column → null count for one file; missing column = sidecar predates
+    * null tracking (pushdown must refuse). */
+  private[sources] def readNullCounts(dir: String, dataFile: String): Map[String, Long] =
+    read2Field(dir, dataFile, NullsTagPrefix)
+
+  /** Column → exact sum of non-null values (integral columns only;
+    * absent on overflow or non-integral types). */
+  private[sources] def readSums(dir: String, dataFile: String): Map[String, Long] =
+    read2Field(dir, dataFile, SumTagPrefix)
+
   /** Widen `prev` by `next`'s new columns — the mergeSchema contract:
     * existing columns keep their type (a type change is an error, not a
     * cast), brand-new columns append as nullable, columns absent from
@@ -866,7 +906,7 @@ private[sources] class WarehouseScanBuilder(dir: String, schema: StructType,
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
   import org.apache.spark.sql.connector.expressions.NamedReference
-  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
 
   // The V1 Filter API carries everything range skipping can use.
   private var skipFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
@@ -938,7 +978,38 @@ private[sources] class WarehouseScanBuilder(dir: String, schema: StructType,
         (StructField(s"max_$c", schema(i).dataType, nullable = true),
           if (highs.isEmpty) null
           else highs.reduce((a, b) => if (WarehouseSink.exactCmp(a, b) >= 0) a else b))
-      case _ => return None // COUNT(col)/SUM/AVG need null counts / exact sums
+      case cnt: Count if !cnt.isDistinct =>
+        // COUNT(col) = Σ (#rows − nulls(col)); every file must carry the
+        // column's null-count line (its unconditional presence since the
+        // null-tracking writer is the capability certificate — an absent
+        // line means a pre-nulls sidecar, where nothing proves the count).
+        val c = singleColumn(cnt.column).getOrElse(return None)
+        if (!schema.fieldNames.contains(c)) return None
+        val nulls = files.map(f =>
+          WarehouseSink.readNullCounts(dir, f).getOrElse(c, return None))
+        (StructField(s"count_$c", LongType, nullable = false),
+          counts.sum - nulls.sum: Any)
+      case s: Sum if !s.isDistinct =>
+        // SUM over integral columns only (the writer records no sum line
+        // for doubles — order-dependent — or overflowed files, so absence
+        // refuses the pushdown). SQL SUM is NULL when no non-null input.
+        val c = singleColumn(s.column).getOrElse(return None)
+        val i = schema.fieldNames.indexOf(c)
+        if (i < 0) return None
+        schema(i).dataType match {
+          case LongType | IntegerType =>
+          case _ => return None
+        }
+        val sums = files.map(f =>
+          WarehouseSink.readSums(dir, f).getOrElse(c, return None))
+        val nulls = files.map(f =>
+          WarehouseSink.readNullCounts(dir, f).getOrElse(c, return None))
+        val nonNull = counts.sum - nulls.sum
+        val total = try sums.foldLeft(0L)(Math.addExact)
+          catch { case _: ArithmeticException => return None } // scan raises ANSI overflow
+        (StructField(s"sum_$c", LongType, nullable = true),
+          if (nonNull == 0) null else total: Any)
+      case _ => return None // AVG/VAR/distinct: no exact metadata answer
     }
     Some((StructType(out.map(_._1)), InternalRow.fromSeq(out.map(_._2).toSeq)))
   }
@@ -1181,6 +1252,10 @@ private[sources] class WarehouseWriter(stagingDir: String, schema: StructType,
   // and compared with the same comparator the scan's skip check uses.
   private val mins = new Array[Any](types.length)
   private val maxs = new Array[Any](types.length)
+  private val nulls = new Array[Long](types.length)
+  private val sums = new Array[Long](types.length)
+  // integral columns whose running sum overflowed: omit their sum line
+  private val sumPoisoned = new Array[Boolean](types.length)
   private def trackStats(i: Int, v0: Any): Unit = {
     val v = v0 match { case s: UTF8String => s.toString; case x => x }
     if (mins(i) == null) { mins(i) = v; maxs(i) = v }
@@ -1200,7 +1275,18 @@ private[sources] class WarehouseWriter(stagingDir: String, schema: StructType,
     while (i < types.length) {
       if (i > 0) sb.append('\t')
       val v = if (record.isNullAt(i)) null else record.get(i, types(i))
-      if (v != null) trackStats(i, v)
+      if (v != null) {
+        trackStats(i, v)
+        v match {
+          case x: java.lang.Long if !sumPoisoned(i) =>
+            try sums(i) = Math.addExact(sums(i), x.longValue)
+            catch { case _: ArithmeticException => sumPoisoned(i) = true }
+          case x: java.lang.Integer if !sumPoisoned(i) =>
+            try sums(i) = Math.addExact(sums(i), x.longValue)
+            catch { case _: ArithmeticException => sumPoisoned(i) = true }
+          case _ =>
+        }
+      } else nulls(i) += 1
       sb.append(WarehouseSink.encode(v))
       i += 1
     }
@@ -1227,6 +1313,17 @@ private[sources] class WarehouseWriter(stagingDir: String, schema: StructType,
         sb.append(WarehouseSink.encode(schema.fields(i).name)).append('\t')
           .append(WarehouseSink.encode(mins(i))).append('\t')
           .append(WarehouseSink.encode(maxs(i))).append('\n')
+      // null count for EVERY column (its unconditional presence is what
+      // certifies the sidecar as COUNT(col)-capable); exact sum only for
+      // non-overflowed integral columns.
+      sb.append(WarehouseSink.nullsLine(schema.fields(i).name, nulls(i)))
+        .append('\n')
+      types(i) match {
+        case LongType | IntegerType if !sumPoisoned(i) =>
+          sb.append(WarehouseSink.sumLine(schema.fields(i).name, sums(i)))
+            .append('\n')
+        case _ =>
+      }
       i += 1
     }
     Files.write(new File(stagingDir, WarehouseSink.statsFile(fileName)).toPath,

@@ -403,10 +403,11 @@ class WarehouseSinkSpec extends SparkSpec {
 
     // gates: a residual filter, grouping, or an unsupported function all
     // refuse the pushdown — and the fallback answers identically
+    // (sum over a DOUBLE column refuses: order-dependent accumulation)
     for (df <- Seq(
       table().filter(col("id") > 1).agg(max("id").as("m")),
       table().groupBy("s").agg(max("id")),
-      table().agg(sum("id")))) {
+      table().agg(sum("x")))) {
       assert(!df.queryExecution.executedPlan.toString.contains("metadata-only"))
       df.collect() // and executes fine against the data files
     }
@@ -760,6 +761,40 @@ class WarehouseSinkSpec extends SparkSpec {
     val got = spark.read.format(Fmt).option("path", dst).load()
       .select("id").as[Long].collect().sorted.toSeq
     assert(got === (0L until 9L), "no loss, no duplicates end to end")
+  }
+
+  test("metadata COUNT(col) and integral SUM answer without data files") {
+    val dir = tmp()
+    Seq((1L, Some(10L), Some(1.5)), (2L, None, None), (3L, Some(30L), Some(2.5)))
+      .toDF("id", "v", "x")
+      .repartition(2)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    def table = spark.read.format(Fmt).option("path", dir).load()
+    val full = table.agg(count(col("v")), sum(col("v")))
+      .as[(Long, Long)].head()
+    assert(full === ((2L, 40L)))
+    val agg = table.agg(count(col("v")), sum(col("v")))
+    assert(agg.queryExecution.executedPlan.toString.contains("metadata-only"),
+      agg.queryExecution.executedPlan.toString)
+    // delete a data file: metadata path must still answer identically
+    val m = WarehouseSink.readManifest(dir).get
+    new java.io.File(dir, m.files.head).delete()
+    assert(table.agg(count(col("v")), sum(col("v")))
+      .as[(Long, Long)].head() === full)
+    // double SUM is refused (order-dependent): plans a real scan and FAILS
+    // on the missing file — proof it did not answer from metadata
+    intercept[Exception] {
+      table.agg(sum(col("x"))).collect()
+    }
+  }
+
+  test("metadata SUM of an all-null column is NULL, like a scan") {
+    val dir = tmp()
+    Seq((1L, Option.empty[Long]), (2L, Option.empty[Long])).toDF("id", "v")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val r = spark.read.format(Fmt).option("path", dir).load()
+      .agg(sum(col("v")), count(col("v"))).head()
+    assert(r.isNullAt(0) && r.getLong(1) === 0L)
   }
 
   test("reported statistics let the planner broadcast a small warehouse table") {
