@@ -1698,6 +1698,52 @@ object SparkEntry {
           sum(col("opt_part")).as("sum_part"),
           sum(col("price_cents")).as("sum_cents"))
     }),
+
+    // REAL pixel-space image resize (no stub): deterministic 24-bpp BMPs
+    // synthesized per doc, nearest-neighbor resized to 8×6 through the
+    // pure-JDK pixel path, then re-decoded — dims, byte size, and the
+    // LAST pixel's BGR are pure integer functions of doc_id the oracle
+    // replays, so a hash match proves decode→resize→re-encode→decode.
+    "q179_image_resize" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .select(col("doc_id"), col("source")).as[(Long, String)]
+        .map { case (id, src) =>
+          multimodal.Binary.MediaRecord(id, "image",
+            multimodal.Binary.synthBmp(
+              width = (16 + (id % 8) * 2).toInt,
+              height = (12 + (id % 6) * 2).toInt,
+              seed = (id % 251).toInt), src)
+        }
+      multimodal.Binary.resizeImages(media, outW = 8, outH = 6)
+        .map { r =>
+          val (w, h) = multimodal.Binary.imageDims(r.bytes)
+            .getOrElse((-1, -1))
+          val (b, g, rr) = multimodal.Binary.bmpPixel(r.bytes, w - 1, h - 1)
+            .getOrElse((-1, -1, -1))
+          (r.media_id, w, h, r.bytes.length.toLong, b, g, rr)
+        }
+        .toDF("media_id", "width", "height", "size_bytes",
+          "last_b", "last_g", "last_r")
+    }),
+
+    // REAL sample-level audio feature extraction: deterministic PCM-16
+    // waveforms synthesized per doc, energy stats (count, peak, exact
+    // sum of squares) computed from the decoded samples — integers the
+    // oracle recomputes from the same waveform formula.
+    "q180_audio_energy" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source")).as[(Long, String)]
+        .map { case (id, _) =>
+          val bytes = multimodal.Binary.synthWavPcm16(sampleRate = 8000,
+            nSamples = (100 + id % 50).toInt, seed = id)
+          val (n, peak, ss) = multimodal.Binary.wavEnergy(bytes)
+            .getOrElse((-1L, -1L, -1L))
+          (id, n, peak, ss)
+        }
+        .toDF("media_id", "n_samples", "peak_abs", "sum_sq")
+    }),
   )
 
   /** Shared scored table for the eval-metric queries (q167-q169): the
@@ -4584,6 +4630,36 @@ object SparkEntry {
                 CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
                   AS BIGINT) AS sum_cents
          FROM m GROUP BY 1""",
+
+    // The resize replayed arithmetically: out pixel (7,5) maps to source
+    // (7·srcW div 8, 5·srcH div 6); BGR from the synth formulas.
+    "q179_image_resize" ->
+      """WITH p AS (SELECT doc_id,
+                  16 + (doc_id % 8) * 2 AS sw,
+                  12 + (doc_id % 6) * 2 AS sh,
+                  doc_id % 251 AS seed
+             FROM documents),
+         m AS (SELECT doc_id, seed,
+                 (7 * sw) // 8 AS sx, (5 * sh) // 6 AS sy
+               FROM p)
+         SELECT doc_id AS media_id, CAST(8 AS INT) AS width,
+                CAST(6 AS INT) AS height, CAST(198 AS BIGINT) AS size_bytes,
+                CAST((7 * sx + 13 * sy + seed) % 256 AS INT) AS last_b,
+                CAST((3 * sx + 5 * sy + 11 * seed) % 256 AS INT) AS last_g,
+                CAST((sx + sy + seed) % 256 AS INT) AS last_r
+         FROM m""",
+
+    // Energy stats recomputed from the same integer waveform formula.
+    "q180_audio_energy" ->
+      """WITH d AS (SELECT doc_id, 100 + doc_id % 50 AS n FROM documents),
+         s AS (SELECT doc_id, unnest(range(0, n)) AS k FROM d),
+         v AS (SELECT doc_id,
+                 ((31 * k + 7 + doc_id) % 65536) - 32768 AS x
+               FROM s)
+         SELECT doc_id AS media_id, CAST(count(*) AS BIGINT) AS n_samples,
+                CAST(max(abs(x)) AS BIGINT) AS peak_abs,
+                CAST(sum(x * x) AS BIGINT) AS sum_sq
+         FROM v GROUP BY 1""",
 
     // The metadata COUNT(col)/SUM readout recomputed from raw parquet.
     "q178_metadata_sum" ->

@@ -450,6 +450,182 @@ object Binary {
   private[multimodal] def fakeResize(r: MediaRecord, maxBytes: Int): MediaRecord =
     r.copy(bytes = r.bytes.take(maxBytes))
 
+  // ---- REAL pixel-space image ops for the one uncompressed container ----
+  // 24-bpp BMP needs no codec: rows are raw BGR triplets (bottom-up,
+  // 4-byte padded), so decode/resize/re-encode is pure JDK arithmetic —
+  // the genuine "resize" leg of the multimodal mandate, not a stub.
+  // Compressed formats (PNG/JPEG) still route through the documented
+  // truncation stand-in; a codec swap touches only these helpers.
+
+  /** Deterministic 24-bpp BMP: pixel (x, y) has
+    * B = (7x + 13y + seed) mod 256, G = (3x + 5y + 11·seed) mod 256,
+    * R = (x + y + seed) mod 256 — integer formulas an oracle replays.
+    * BITMAPINFOHEADER, bottom-up rows, 4-byte row padding. */
+  def synthBmp(width: Int, height: Int, seed: Int): Array[Byte] = {
+    require(width > 0 && height > 0, "dims must be positive")
+    require(seed >= 0, "seed must be nonnegative (keeps the mod arithmetic" +
+      " identical to the oracle's)")
+    val rowSize = (3 * width + 3) / 4 * 4
+    val dataSize = rowSize * height
+    val out = new java.io.ByteArrayOutputStream(54 + dataSize)
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    def le32(v: Int): Unit = (0 until 4).foreach(k => out.write((v >>> (8 * k)) & 0xff))
+    out.write('B'); out.write('M'); le32(54 + dataSize); le32(0); le32(54)
+    le32(40); le32(width); le32(height); le16(1); le16(24)
+    le32(0); le32(dataSize); le32(2835); le32(2835); le32(0); le32(0)
+    var y = 0
+    while (y < height) { // bottom-up: row y of the array is image row y
+      var x = 0
+      while (x < width) {
+        out.write((7 * x + 13 * y + seed) % 256) // B
+        out.write((3 * x + 5 * y + 11 * seed) % 256) // G
+        out.write((x + y + seed) % 256) // R
+        x += 1
+      }
+      (3 * width until rowSize).foreach(_ => out.write(0))
+      y += 1
+    }
+    out.toByteArray
+  }
+
+  private def bmpLayout(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    val off = le32(10)
+    if (le32(14) < 40 || le16(28) != 24 || le32(30) != 0) return None
+    val w = le32(18); val h = le32(22)
+    if (w <= 0 || h <= 0) return None // top-down not handled by the resizer
+    val rowSize = (3 * w + 3) / 4 * 4
+    if (off.toLong + rowSize.toLong * h > bytes.length) return None
+    Some((w, h, off, rowSize))
+  }
+
+  /** Public face of [[imageHeaderDims]] for pipeline code. */
+  def imageDims(bytes: Array[Byte]): Option[(Int, Int)] = imageHeaderDims(bytes)
+
+  /** One pixel (B, G, R) of an uncompressed 24-bpp BMP — (x, y) in image
+    * coordinates with y = 0 the BOTTOM row (file order), matching
+    * [[synthBmp]]'s generator. */
+  def bmpPixel(bytes: Array[Byte], x: Int, y: Int): Option[(Int, Int, Int)] =
+    bmpLayout(bytes).flatMap { case (w, h, off, rowSize) =>
+      if (x < 0 || x >= w || y < 0 || y >= h) None
+      else {
+        val p = off + y * rowSize + 3 * x
+        Some(((bytes(p) & 0xff), (bytes(p + 1) & 0xff), (bytes(p + 2) & 0xff)))
+      }
+    }
+
+  /** REAL nearest-neighbor resize of an uncompressed 24-bpp BMP: output
+    * pixel (x, y) copies source pixel (x·srcW div outW, y·srcH div outH)
+    * — integer floor mapping, so the oracle can name any output pixel's
+    * source arithmetically. Returns None for payloads that aren't a
+    * decodable 24-bpp BMP (caller falls back to the documented stub). */
+  def bmpResizeNearest(bytes: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] = {
+    require(outW > 0 && outH > 0, "target dims must be positive")
+    bmpLayout(bytes).map { case (w, h, off, rowSize) =>
+      val outRow = (3 * outW + 3) / 4 * 4
+      val res = new Array[Byte](54 + outRow * outH)
+      // header: copy the synthBmp header shape with new dims/sizes
+      val hdr = synthBmp(1, 1, 0) // 54-byte template
+      System.arraycopy(hdr, 0, res, 0, 54)
+      def putLe32(i: Int, v: Int): Unit =
+        (0 until 4).foreach(k => res(i + k) = ((v >>> (8 * k)) & 0xff).toByte)
+      putLe32(2, 54 + outRow * outH); putLe32(18, outW); putLe32(22, outH)
+      putLe32(34, outRow * outH)
+      var y = 0
+      while (y < outH) {
+        val sy = y * h / outH
+        var x = 0
+        while (x < outW) {
+          val sx = x * w / outW
+          val sp = off + sy * rowSize + 3 * sx
+          val dp = 54 + y * outRow + 3 * x
+          res(dp) = bytes(sp); res(dp + 1) = bytes(sp + 1); res(dp + 2) = bytes(sp + 2)
+          x += 1
+        }
+        y += 1
+      }
+      res
+    }
+  }
+
+  /** Batched REAL image resize: 24-bpp BMPs go through the pixel-space
+    * nearest-neighbor path; other payloads fall back to the truncation
+    * stand-in ([[fakeResize]]) so the typed pipeline never drops rows.
+    * Same batch shape as [[resizeBatched]]. */
+  def resizeImages(media: Dataset[MediaRecord], outW: Int, outH: Int,
+                   batchSize: Int = 64): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(batchSize).flatMap(_.map { r =>
+      bmpResizeNearest(r.bytes, outW, outH)
+        .map(b => r.copy(bytes = b))
+        .getOrElse(fakeResize(r, 54 + ((3 * outW + 3) / 4 * 4) * outH))
+    }))
+  }
+
+  // ---- REAL audio feature extraction: PCM-16 WAV energy ----
+
+  /** Deterministic mono 16-bit PCM WAV: sample k =
+    * ((31k + 7 + seed) mod 65536) − 32768 — an integer pseudo-waveform
+    * whose energy stats an oracle recomputes exactly. */
+  def synthWavPcm16(sampleRate: Int, nSamples: Int, seed: Long): Array[Byte] = {
+    require(nSamples >= 0, "nSamples must be nonnegative")
+    val out = new java.io.ByteArrayOutputStream(44 + 2 * nSamples)
+    def w(s: String): Unit = s.foreach(c => out.write(c.toInt & 0xff))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    def le32(v: Long): Unit = (0 until 4).foreach(k => out.write(((v >>> (8 * k)) & 0xff).toInt))
+    w("RIFF"); le32(36L + 2L * nSamples); w("WAVE")
+    w("fmt "); le32(16); le16(1); le16(1); le32(sampleRate)
+    le32(sampleRate.toLong * 2); le16(2); le16(16)
+    w("data"); le32(2L * nSamples)
+    var k = 0L
+    while (k < nSamples) {
+      le16((((31L * k + 7L + seed) % 65536L).toInt - 32768) & 0xffff)
+      k += 1
+    }
+    out.toByteArray
+  }
+
+  /** Exact energy statistics of a mono PCM-16 WAV: (n_samples, peak_abs,
+    * sum_sq) as integers — REAL sample-level decode, pure JDK; None for
+    * anything that isn't mono 16-bit PCM. sum_sq fits a long for any
+    * payload under ~8.5 G samples (n · 32768² ≤ 2⁶³). */
+  def wavEnergy(bytes: Array[Byte]): Option[(Long, Long, Long)] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def tag(i: Int, s: String): Boolean =
+      s.indices.forall(k => i + k < bytes.length && (bytes(i + k) & 0xff) == s.charAt(k))
+    if (bytes.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var i = 12
+    var fmtOk = false
+    while (i + 8 <= bytes.length) {
+      val sz = le32(i + 4)
+      if (tag(i, "fmt ")) {
+        if (sz < 16 || i + 8 + 16 > bytes.length) return None
+        fmtOk = le16(i + 8) == 1 && le16(i + 10) == 1 && le16(i + 22) == 16
+      } else if (tag(i, "data")) {
+        if (!fmtOk) return None
+        val n = sz / 2
+        if (i + 8 + n * 2 > bytes.length) return None
+        var k = 0L; var peak = 0L; var sumSq = 0L
+        while (k < n) {
+          val s = le16((i + 8 + 2 * k).toInt).toShort.toLong
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          sumSq += s * s
+          k += 1
+        }
+        return Some((n, peak, sumSq))
+      }
+      i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+    }
+    None
+  }
+
   /** Batched media transform — the `mapInPandas` batch shape on the JVM:
     * rows are processed `batchSize` at a time inside each partition, so a
     * vectorized/native codec can amortize per-call overhead across the

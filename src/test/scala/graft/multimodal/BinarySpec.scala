@@ -258,4 +258,44 @@ class BinarySpec extends SparkSpec {
       out(2L).n_samples, out(2L).duration_ms) === ((48000, 2, 24, 4800L, 100L)))
     assert(out(3L).bits_per_sample === 16) // digest fallback shape
   }
+  test("synthBmp round-trips dims and pixel formulas through the decoder") {
+    val b = Binary.synthBmp(10, 7, seed = 42)
+    assert(Binary.imageDims(b) === Some((10, 7)))
+    for ((x, y) <- Seq((0, 0), (9, 6), (3, 5)))
+      assert(Binary.bmpPixel(b, x, y) === Some((
+        (7 * x + 13 * y + 42) % 256,
+        (3 * x + 5 * y + 11 * 42) % 256,
+        (x + y + 42) % 256)), s"pixel ($x,$y)")
+    assert(Binary.bmpPixel(b, 10, 0) === None)
+  }
+
+  test("bmpResizeNearest maps every output pixel to its floor-source") {
+    val src = Binary.synthBmp(16, 12, seed = 7)
+    val out = Binary.bmpResizeNearest(src, 8, 6).get
+    assert(Binary.imageDims(out) === Some((8, 6)))
+    for (x <- 0 until 8; y <- 0 until 6)
+      assert(Binary.bmpPixel(out, x, y) ===
+        Binary.bmpPixel(src, x * 16 / 8, y * 12 / 6), s"pixel ($x,$y)")
+    // non-integer ratio: still exact floor mapping
+    val odd = Binary.bmpResizeNearest(Binary.synthBmp(13, 9, 3), 5, 4).get
+    for (x <- 0 until 5; y <- 0 until 4)
+      assert(Binary.bmpPixel(odd, x, y) ===
+        Binary.bmpPixel(Binary.synthBmp(13, 9, 3), x * 13 / 5, y * 9 / 4))
+    // a non-BMP payload refuses (caller falls back)
+    assert(Binary.bmpResizeNearest("png-ish".getBytes, 4, 4) === None)
+  }
+
+  test("wavEnergy computes exact sample statistics") {
+    val b = Binary.synthWavPcm16(8000, nSamples = 3, seed = 5L)
+    def s(k: Long) = ((31 * k + 7 + 5) % 65536) - 32768
+    val want = (3L, (0L until 3L).map(k => math.abs(s(k))).max,
+      (0L until 3L).map(k => s(k) * s(k)).sum)
+    assert(Binary.wavEnergy(b) === Some(want))
+    // zero samples: silence stats, not a crash
+    assert(Binary.wavEnergy(Binary.synthWavPcm16(8000, 0, 0L)) ===
+      Some((0L, 0L, 0L)))
+    // stereo/8-bit (the silent synthWav) is refused, not misread
+    assert(Binary.wavEnergy(Binary.synthWav(8000, 2, 8, 10)) === None)
+    assert(Binary.wavEnergy("noise".getBytes) === None)
+  }
 }
