@@ -300,6 +300,38 @@ object Analytics {
     probes.map(t => (t, cms.estimateCount(t))).toDF("term", "est_count")
   }
 
+  /** Misra-Gries heavy hitters — the FIFTH sketch, closing the family's
+    * deterministic-guarantee gap: bloom (membership) and CMS (point
+    * frequency) are probabilistic, but MG guarantees, with NO probability
+    * qualifier, that every term with true frequency > N/(k+1) is present
+    * and every estimate undercounts by at most N/(k+1) (never over).
+    * That one-sided bound is what a "ban terms above 0.1% of the corpus"
+    * policy gate needs — a CMS overcount would ban innocents.
+    *
+    * Mergeable-summaries form (Agarwal et al., PODS'12): per-input
+    * decrement-all when the k counters are full; merging sums counters
+    * and subtracts the (k+1)-th largest, preserving the bound. Runs as a
+    * typed [[Aggregator]], so Spark's partial aggregation merges
+    * fixed-size states map-side — the shuffle carries O(k) entries per
+    * partition, never terms. Output depends on merge order (like any MG),
+    * so the contract is the BOUND, spec-asserted under re-partitioning,
+    * not a byte-stable artifact. */
+  def heavyHitters(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val summary: Seq[(String, Long)] = docs.select(
+        regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0))
+          .as("toks"))
+      .select(explode_outer(col("toks")).as("term"))
+      .filter(col("term").isNotNull)
+      .as[String]
+      .select(new MisraGriesAgg(k).toColumn)
+      .head() // ≤ k entries — a bounded driver artifact like the CMS
+    summary.toDF("term", "est_count")
+      .orderBy(col("est_count").desc, col("term").asc)
+  }
+
   /** Numeric column profile — the data-quality audit every ingest gate
     * runs before trusting a table: null count, EXACT distinct count, and
     * min/max per column, in ONE aggregate pass. The multiple exact
@@ -906,4 +938,45 @@ object Analytics {
         min("recency_days").as("min_recency_days"),
         max("recency_days").as("max_recency_days"))
   }
+}
+
+/** Mergeable Misra-Gries state as a typed Spark [[org.apache.spark.sql.expressions.Aggregator]] —
+  * see [[Analytics.heavyHitters]] for the guarantee. The buffer is a
+  * plain Map (≤ 2k entries transiently, pruned back to k), encoded by
+  * Spark's ExpressionEncoder between partial and final merge. */
+private[operators] class MisraGriesAgg(k: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      String, Map[String, Long], Seq[(String, Long)]] {
+  import org.apache.spark.sql.{Encoder, Encoders}
+
+  override def zero: Map[String, Long] = Map.empty
+
+  override def reduce(b: Map[String, Long], term: String): Map[String, Long] =
+    b.get(term) match {
+      case Some(c) => b.updated(term, c + 1)
+      case None if b.size < k => b.updated(term, 1L)
+      case None => // decrement-all: the classic MG step
+        b.view.mapValues(_ - 1).filter(_._2 > 0).toMap
+    }
+
+  override def merge(b1: Map[String, Long], b2: Map[String, Long]): Map[String, Long] = {
+    val summed = b2.foldLeft(b1) { case (m, (t, c)) =>
+      m.updated(t, m.getOrElse(t, 0L) + c)
+    }
+    if (summed.size <= k) summed
+    else {
+      // subtract the (k+1)-th largest count from everything (Agarwal et
+      // al.): keeps ≤ k entries and preserves the N/(k+1) undercount bound
+      val cut = summed.values.toSeq.sorted(Ordering[Long].reverse)(k)
+      summed.view.mapValues(_ - cut).filter(_._2 > 0).toMap
+    }
+  }
+
+  override def finish(b: Map[String, Long]): Seq[(String, Long)] =
+    b.toSeq.sortBy { case (t, c) => (-c, t) }
+
+  override def bufferEncoder: Encoder[Map[String, Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  override def outputEncoder: Encoder[Seq[(String, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long)]]()
 }

@@ -422,4 +422,32 @@ class AnalyticsSpec extends SparkSpec {
       .filter(col("r") === 2 && col("f") === 2 && col("m") === 2).head()
     assert(row.getAs[Long]("max_recency_days") === 13L)
   }
+
+  test("heavyHitters: MG bound holds under any partitioning, never overcounts") {
+    import org.apache.spark.sql.functions._
+    // N = 1000 tokens: "hot" x300, "warm" x150, 55 fillers x10 each.
+    val words = Seq.fill(300)("hot") ++ Seq.fill(150)("warm") ++
+      (1 to 55).flatMap(i => Seq.fill(10)(s"f$i"))
+    assert(words.size === 1000)
+    val k = 9
+    val bound = words.size / (k + 1) // = 100
+    val truth = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (parts <- Seq(1, 3, 7)) {
+      val docs = scala.util.Random.shuffle(words).grouped(40)
+        .map(_.mkString(" ")).toSeq.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text").repartition(parts)
+      val got = Analytics.heavyHitters(docs, "text", k)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got.size <= k)
+      // deterministic guarantees: anything above the bound IS present...
+      for ((t, c) <- truth if c > bound)
+        assert(got.contains(t), s"parts=$parts: $t (true $c) missing")
+      // ...estimates never overcount and undercount by at most the bound
+      for ((t, est) <- got) {
+        assert(est <= truth(t), s"parts=$parts: $t overcounted")
+        assert(est >= truth(t) - bound, s"parts=$parts: $t est $est < ${truth(t) - bound}")
+      }
+    }
+  }
 }
