@@ -1744,6 +1744,31 @@ object SparkEntry {
         }
         .toDF("media_id", "n_samples", "peak_abs", "sum_sq")
     }),
+
+    // Value-partitioned warehouse tables: orders and customers both laid
+    // out one-file-per-status/segment value (the storage-partitioned-join
+    // layout; the shuffle-free SPJ plan itself is spec-asserted), read
+    // back through the grouped readers and joined — correctness of the
+    // partitioned write→group-read→join path against the plain replay.
+    "q181_partitioned_join" -> ((s, d) => {
+      val fmt = "graft.sources.WarehouseSink"
+      val oDir = java.nio.file.Files.createTempDirectory("graft_whpo_").toString
+      val cDir = java.nio.file.Files.createTempDirectory("graft_whpc_").toString
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+        .write.format(fmt).option("path", oDir)
+        .option("partitionBy", "o_orderstatus").mode("overwrite").save()
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .write.format(fmt).option("path", cDir)
+        .option("partitionBy", "c_mktsegment").mode("overwrite").save()
+      val o = s.read.format(fmt).option("path", oDir).load()
+      val c = s.read.format(fmt).option("path", cDir).load()
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+    }),
   )
 
   /** Shared scored table for the eval-metric queries (q167-q169): the
@@ -4660,6 +4685,14 @@ object SparkEntry {
                 CAST(max(abs(x)) AS BIGINT) AS peak_abs,
                 CAST(sum(x * x) AS BIGINT) AS sum_sq
          FROM v GROUP BY 1""",
+
+    "q181_partitioned_join" ->
+      """SELECT c_mktsegment, o_orderstatus,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS sum_cents
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1, 2""",
 
     // The metadata COUNT(col)/SUM readout recomputed from raw parquet.
     "q178_metadata_sum" ->

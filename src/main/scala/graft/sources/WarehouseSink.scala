@@ -95,9 +95,13 @@ object WarehouseSink {
 
   /** `epoch` is the last streaming epoch folded into this generation
     * (-1 for batch-only tables) — the idempotence cursor a replayed
-    * micro-batch checks before re-publishing. */
+    * micro-batch checks before re-publishing. `partitionCol` ("" = none)
+    * names the value-partitioning column: every data file holds exactly
+    * one value of it, which is what lets the scan report
+    * KeyGroupedPartitioning for storage-partitioned joins. */
   private[sources] case class Manifest(version: Long, schemaDdl: String,
-                                       files: Seq[String], epoch: Long = -1L)
+                                       files: Seq[String], epoch: Long = -1L,
+                                       partitionCol: String = "")
 
   /** `_current` names the live manifest version; both are tiny JSON files
     * swapped by atomic rename, so a reader sees a complete generation. */
@@ -127,7 +131,7 @@ object WarehouseSink {
     val files = field("files").split(",").map(_.trim)
       .filter(_.nonEmpty).map(s => unescape(s.stripPrefix("\"").stripSuffix("\"")))
     Some(Manifest(field("version").toLong, field("schema"), files.toSeq,
-      field("epoch", "-1").toLong))
+      field("epoch", "-1").toLong, field("partitionCol")))
   }
 
   private def escape(s: String): String =
@@ -143,7 +147,7 @@ object WarehouseSink {
 
   private[sources] def writeManifest(dir: String, m: Manifest): Unit = {
     val json =
-      s"""{"version": ${m.version}, "epoch": ${m.epoch}, "schema": "${escape(m.schemaDdl)}", "files": [${m.files.map(f => "\"" + escape(f) + "\"").mkString(", ")}]}"""
+      s"""{"version": ${m.version}, "epoch": ${m.epoch}, "partitionCol": "${escape(m.partitionCol)}", "schema": "${escape(m.schemaDdl)}", "files": [${m.files.map(f => "\"" + escape(f) + "\"").mkString(", ")}]}"""
     // CREATE_NEW: a version slot is claimed exactly once. Two committers
     // racing the same slot collide HERE — a detectable conflict — instead
     // of the second silently overwriting the first's file list.
@@ -319,7 +323,7 @@ object WarehouseSink {
           // snapshot read above — a streaming epoch folded in mid-rewrite
           // keeps its cursor (its rows, appended after our scan pinned the
           // file list, are rebased out; hence the single-writer contract).
-          Some(Manifest(0L, p.schemaDdl, newFiles, p.epoch))
+          Some(Manifest(0L, p.schemaDdl, newFiles, p.epoch, p.partitionCol))
         })
       } finally {
         def rm(f: File): Unit = {
@@ -381,7 +385,7 @@ object WarehouseSink {
       newFiles.foreach(moveWithStats(tmp, new File(dir), _))
       publish(dir, { prev =>
         val p = prev.getOrElse(cur)
-        Some(Manifest(0L, p.schemaDdl, carried ++ newFiles, p.epoch))
+        Some(Manifest(0L, p.schemaDdl, carried ++ newFiles, p.epoch, p.partitionCol))
       })
       val keptRows = newFiles.map(f => readRowCount(dir, f).getOrElse(-1L))
       val deleted =
@@ -487,7 +491,7 @@ object WarehouseSink {
       publish(dir, { prev =>
         val p = prev.getOrElse(cur)
         Some(Manifest(0L, p.schemaDdl, carried ++ keptFiles ++ insFiles,
-          p.epoch))
+          p.epoch, p.partitionCol))
       })
       val keptRows = keptFiles.map(f => readRowCount(dir, f).getOrElse(-1L))
       val insRows = insFiles.map(f => readRowCount(dir, f).getOrElse(-1L))
@@ -560,7 +564,7 @@ object WarehouseSink {
       newFiles.foreach(moveWithStats(tmp, new File(dir), _))
       publish(dir, { prev =>
         val p = prev.getOrElse(cur)
-        Some(Manifest(0L, p.schemaDdl, carried ++ newFiles, p.epoch))
+        Some(Manifest(0L, p.schemaDdl, carried ++ newFiles, p.epoch, p.partitionCol))
       })
       val updated = candScan.filter(pred).count()
       UpdateReport(candidates.size, carried.size, updated)
@@ -861,7 +865,8 @@ private[sources] class WarehouseTable(dir: String, schema0: StructType,
     require(versionAsOf.isEmpty, "cannot write to a versionAsOf read")
     new WarehouseWriteBuilder(dir, info.schema(), info.queryId(),
       truncate0 = false,
-      mergeSchema = info.options().getBoolean("mergeSchema", false))
+      mergeSchema = info.options().getBoolean("mergeSchema", false),
+      partitionCol = Option(info.options().get("partitionBy")).getOrElse(""))
   }
 
   private def manifest: Option[WarehouseSink.Manifest] = versionAsOf match {
@@ -1052,39 +1057,74 @@ private[sources] case class WarehouseAggPartition(row: InternalRow)
 
 private[sources] class WarehouseWriteBuilder(dir: String, schema: StructType,
                                              queryId: String, truncate0: Boolean,
-                                             mergeSchema: Boolean = false)
+                                             mergeSchema: Boolean = false,
+                                             partitionCol: String = "")
     extends WriteBuilder with SupportsTruncate {
   override def truncate(): WriteBuilder =
     new WarehouseWriteBuilder(dir, schema, queryId, truncate0 = true,
-      mergeSchema)
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite =
-      new WarehouseBatchWrite(dir, schema, queryId, truncate0, mergeSchema)
-    override def toStreaming: StreamingWrite =
-      new WarehouseStreamingWrite(dir, schema, queryId)
+      mergeSchema, partitionCol)
+  override def build(): Write = {
+    if (partitionCol.nonEmpty)
+      require(schema.fieldNames.contains(partitionCol),
+        s"partitionBy column $partitionCol not in the written schema")
+    // An un-optioned APPEND to a partitioned table inherits the table's
+    // partition column (so plain appends keep the one-value-per-file
+    // invariant); a frame that lacks the column degrades to an unsplit
+    // write — the scan's per-file check then falls back gracefully.
+    val effectiveCol =
+      if (partitionCol.nonEmpty || truncate0) partitionCol
+      else WarehouseSink.readManifest(dir).map(_.partitionCol)
+        .filter(schema.fieldNames.contains).getOrElse("")
+    // A value-partitioned write DEMANDS clustering by the column — Spark
+    // inserts the shuffle, so each task sees whole value groups and the
+    // per-value file split stays one-file-per-value-per-task instead of
+    // one per (value, input partition).
+    new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+      import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+      import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
+      override def requiredDistribution(): Distribution =
+        if (effectiveCol.isEmpty) Distributions.unspecified()
+        else Distributions.clustered(Array(Expressions.identity(effectiveCol)))
+      override def requiredNumPartitions(): Int = 0
+      override def requiredOrdering(): Array[SortOrder] = Array.empty
+      override def toBatch: BatchWrite =
+        new WarehouseBatchWrite(dir, schema, queryId, truncate0, mergeSchema,
+          effectiveCol)
+      override def toStreaming: StreamingWrite =
+        new WarehouseStreamingWrite(dir, schema, queryId)
+    }
   }
 }
 
 private[sources] case class WarehouseCommit(file: String, rows: Long)
     extends WriterCommitMessage
 
+/** A value-partitioned task commits one file PER partition value. */
+private[sources] case class WarehouseMultiCommit(entries: Seq[WarehouseCommit])
+    extends WriterCommitMessage
+
 private[sources] class WarehouseBatchWrite(dir: String, schema: StructType,
                                            queryId: String, truncate: Boolean,
-                                           mergeSchema: Boolean = false)
+                                           mergeSchema: Boolean = false,
+                                           partitionCol: String = "")
     extends BatchWrite {
   private def staging = new File(dir, s"_staging/$queryId")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     staging.mkdirs()
-    new WarehouseWriterFactory(staging.getPath, schema)
+    new WarehouseWriterFactory(staging.getPath, schema,
+      if (partitionCol.isEmpty) -1 else schema.fieldIndex(partitionCol))
   }
 
   /** Publish: move exactly the files the coordinator-admitted attempts
     * named into the table dir, then swap the manifest pointer. Append
     * carries the previous generation's files forward; truncate does not. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val committed = messages.collect {
-      case WarehouseCommit(f, n) if n >= 0 => f }.toSeq
+    val committed = messages.toSeq.flatMap {
+      case WarehouseCommit(f, n) if n >= 0 => Seq(f)
+      case WarehouseMultiCommit(es) => es.map(_.file)
+      case _ => Nil
+    }
     val published = committed.map { f =>
       WarehouseSink.moveWithStats(staging, new File(dir), f)
       f
@@ -1130,7 +1170,18 @@ private[sources] class WarehouseBatchWrite(dir: String, schema: StructType,
             s"append schema [${schema.toDDL}] does not match table schema " +
               s"[${p.schemaDdl}]; set option(\"mergeSchema\", \"true\") to evolve")
       }
-      Some(WarehouseSink.Manifest(0L, outDdl, files, epoch))
+      // Partition column: truncate (new generation) takes the write's;
+      // append inherits the table's and refuses a conflicting option.
+      val outPart =
+        if (truncate || prev.isEmpty) partitionCol
+        else {
+          val p = prev.get.partitionCol
+          require(partitionCol.isEmpty || partitionCol == p,
+            s"append partitionBy=$partitionCol conflicts with the table's " +
+              s"partition column '$p'")
+          p
+        }
+      Some(WarehouseSink.Manifest(0L, outDdl, files, epoch, outPart))
     })
     deleteRecursively(staging)
     // Truncate only UN-REFERENCES the old generation — its files stay on
@@ -1227,27 +1278,25 @@ private[sources] class WarehouseStreamingWriterFactory(baseStaging: String,
 }
 
 private[sources] class WarehouseWriterFactory(stagingDir: String,
-                                              schema: StructType)
+                                              schema: StructType,
+                                              partitionIdx: Int = -1)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new WarehouseWriter(stagingDir, schema, partitionId, taskId)
+    if (partitionIdx < 0) new WarehouseWriter(stagingDir, schema, partitionId, taskId)
+    else new PartitionedWarehouseWriter(stagingDir, schema, partitionId,
+      taskId, partitionIdx)
 }
 
-/** One data file per task attempt; the (partitionId, taskId) name makes
-  * retries collision-free within a job, and the random component keeps
-  * APPENDS from different sessions/epochs from ever colliding on publish
-  * (the parquet committer's discipline). Only the committed attempt's
-  * name reaches the driver. */
-private[sources] class WarehouseWriter(stagingDir: String, schema: StructType,
-                                       partitionId: Int, taskId: Long)
-    extends DataWriter[InternalRow] {
-  private val fileName = f"part-$partitionId%05d-$taskId-" +
-    java.util.UUID.randomUUID.toString.take(8) + ".wtsv"
+/** Encoding, stats tracking, and sidecar emission for ONE staged data
+  * file — the unit both the plain writer (one per task) and the
+  * value-partitioned writer (one per value per task) compose. */
+private[sources] class FileSink(stagingDir: String, schema: StructType,
+                                fileName: String) {
   private val out = new FileWriter(new File(stagingDir, fileName))
   private var rows = 0L
   private val types = schema.fields.map(_.dataType)
-  // Per-column min/max over the non-null values this task wrote — the
-  // file's skipping sidecar. UTF8Strings are materialized to String
+  // Per-column min/max over the non-null values this file holds — the
+  // skipping sidecar. UTF8Strings are materialized to String
   // IMMEDIATELY (the InternalRow may reuse its buffer on the next row)
   // and compared with the same comparator the scan's skip check uses.
   private val mins = new Array[Any](types.length)
@@ -1269,7 +1318,7 @@ private[sources] class WarehouseWriter(stagingDir: String, schema: StructType,
     }
   }
 
-  override def write(record: InternalRow): Unit = {
+  def write(record: InternalRow): Unit = {
     val sb = new StringBuilder
     var i = 0
     while (i < types.length) {
@@ -1294,7 +1343,8 @@ private[sources] class WarehouseWriter(stagingDir: String, schema: StructType,
     out.write(sb.toString)
     rows += 1
   }
-  override def commit(): WriterCommitMessage = {
+
+  def commit(): WarehouseCommit = {
     out.close()
     val sb = new StringBuilder
     // Row-count line first: 2 fields, so the 3-field range parser skips it
@@ -1330,9 +1380,57 @@ private[sources] class WarehouseWriter(stagingDir: String, schema: StructType,
       sb.toString.getBytes(StandardCharsets.UTF_8))
     WarehouseCommit(fileName, rows)
   }
-  override def abort(): Unit = {
+
+  def abort(): Unit = {
     out.close(); new File(stagingDir, fileName).delete()
   }
+}
+
+/** One data file per task attempt; the (partitionId, taskId) name makes
+  * retries collision-free within a job, and the random component keeps
+  * APPENDS from different sessions/epochs from ever colliding on publish
+  * (the parquet committer's discipline). Only the committed attempt's
+  * name reaches the driver. */
+private[sources] class WarehouseWriter(stagingDir: String, schema: StructType,
+                                       partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  private val sink = new FileSink(stagingDir, schema,
+    f"part-$partitionId%05d-$taskId-" +
+      java.util.UUID.randomUUID.toString.take(8) + ".wtsv")
+  override def write(record: InternalRow): Unit = sink.write(record)
+  override def commit(): WriterCommitMessage = sink.commit()
+  override def abort(): Unit = sink.abort()
+  override def close(): Unit = ()
+}
+
+/** Value-partitioned task writer: one [[FileSink]] per distinct value of
+  * the partition column this task sees, so every data file holds exactly
+  * one value (min == max in its sidecar — how the scan derives the
+  * partition key without a separate manifest entry). The write demanded
+  * a clustered distribution, so tasks see whole value groups and the
+  * open-sink count stays at the task's value count, not the table's.
+  * NULL partition values are rejected — a null has no groupable key. */
+private[sources] class PartitionedWarehouseWriter(stagingDir: String,
+                                                  schema: StructType,
+                                                  partitionId: Int, taskId: Long,
+                                                  partitionIdx: Int)
+    extends DataWriter[InternalRow] {
+  private val base = f"part-$partitionId%05d-$taskId-" +
+    java.util.UUID.randomUUID.toString.take(8)
+  private val sinks = scala.collection.mutable.LinkedHashMap.empty[String, FileSink]
+  private val pType = schema.fields(partitionIdx).dataType
+
+  override def write(record: InternalRow): Unit = {
+    require(!record.isNullAt(partitionIdx),
+      s"partition column ${schema.fields(partitionIdx).name} must not be null")
+    val key = WarehouseSink.encode(record.get(partitionIdx, pType))
+    val sink = sinks.getOrElseUpdate(key,
+      new FileSink(stagingDir, schema, f"$base-v${sinks.size}%04d.wtsv"))
+    sink.write(record)
+  }
+  override def commit(): WriterCommitMessage =
+    WarehouseMultiCommit(sinks.values.map(_.commit()).toSeq)
+  override def abort(): Unit = sinks.values.foreach(_.abort())
   override def close(): Unit = ()
 }
 
@@ -1341,13 +1439,24 @@ private[sources] class WarehouseWriter(stagingDir: String, schema: StructType,
 private[sources] case class WarehouseFilePartition(path: String)
     extends InputPartition
 
+/** One partition per partition-column VALUE: all the value's files, plus
+  * the key row Spark's storage-partitioned join groups by. */
+private[sources] case class WarehouseGroupPartition(
+    paths: Seq[String],
+    key: org.apache.spark.sql.catalyst.expressions.GenericInternalRow)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
+
 private[sources] class WarehouseScan(dir: String, schema: StructType,
                                      versionAsOf: Option[Long] = None,
                                      skipFilters: Array[org.apache.spark.sql.sources.Filter] =
                                        Array.empty,
                                      required0: StructType = null,
                                      onlyFiles: Option[Seq[String]] = None)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   // `required` defaults to the full schema (the pre-pruning callers and
   // the streaming path); stats-skipping decisions always use the FULL
   // schema — a pushed filter may reference a column the query never
@@ -1380,11 +1489,6 @@ private[sources] class WarehouseScan(dir: String, schema: StructType,
       }
     }
   }
-  override def planInputPartitions(): Array[InputPartition] =
-    keptFiles
-      .map(f => WarehouseFilePartition(new File(dir, f).getPath): InputPartition)
-      .toArray
-
   /** Honest table statistics for the optimizer — the piece that lets AQE
     * and join planning treat a small warehouse table as broadcastable
     * instead of assuming the pessimistic default size. Post-skipping:
@@ -1403,6 +1507,69 @@ private[sources] class WarehouseScan(dir: String, schema: StructType,
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new WarehouseReaderFactory(schema, required)
+
+  // ---- storage-partitioned reads ----
+  // When the manifest names a partition column and EVERY kept file
+  // provably holds one value of it (sidecar min == max, non-null), the
+  // scan plans one partition per VALUE GROUP and reports
+  // KeyGroupedPartitioning — Spark's storage-partitioned join then joins
+  // two co-partitioned warehouse tables (and runs partition-local
+  // aggregates) WITHOUT any Exchange: the 100 TB co-location play,
+  // expressed through the engine's own V2 partitioning contract instead
+  // of a bespoke join operator. Any file that breaks the invariant
+  // (compaction/DML rewrites mix values) degrades the WHOLE scan to
+  // per-file partitions with UnknownPartitioning — correctness is never
+  // conditional on the layout, only the shuffle saving is.
+  private lazy val partitionGroups: Option[Seq[(Any, Seq[String])]] = {
+    val m = versionAsOf match {
+      case Some(v) => WarehouseSink.readManifestAt(dir, v)
+      case None => WarehouseSink.readManifest(dir)
+    }
+    val pcol = m.map(_.partitionCol).getOrElse("")
+    if (pcol.isEmpty || onlyFiles.nonEmpty ||
+      !required.fieldNames.contains(pcol)) None
+    else {
+      val vals = keptFiles.map { f =>
+        WarehouseSink.readStats(dir, f, schema).flatMap(_.get(pcol)) match {
+          case Some((mn, mx)) if mn != null &&
+            WarehouseSink.exactCmp(mn, mx) == 0 => Some(mn)
+          case _ => None
+        }
+      }
+      if (vals.exists(_.isEmpty)) None
+      else Some(keptFiles.zip(vals.map(_.get)).groupBy(_._2).toSeq
+        .map { case (v, fs) => (v, fs.map(_._1)) }
+        .sortBy(_._2.head)) // deterministic plan order
+    }
+  }
+
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, UnknownPartitioning}
+    partitionGroups match {
+      case Some(gs) =>
+        val m = versionAsOf match {
+          case Some(v) => WarehouseSink.readManifestAt(dir, v)
+          case None => WarehouseSink.readManifest(dir)
+        }
+        new KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions
+            .identity(m.get.partitionCol)), gs.size)
+      case None => new UnknownPartitioning(keptFiles.size)
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    partitionGroups match {
+      case Some(gs) => gs.map { case (v, fs) =>
+        WarehouseGroupPartition(fs.map(f => new File(dir, f).getPath),
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](v))): InputPartition
+      }.toArray
+      case None => keptFiles
+        .map(f => WarehouseFilePartition(new File(dir, f).getPath): InputPartition)
+        .toArray
+    }
 
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
@@ -1477,8 +1644,30 @@ private[sources] class WarehouseMicroBatchStream(dir: String,
 private[sources] class WarehouseReaderFactory(schema: StructType,
                                               required: StructType)
     extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val path = p.asInstanceOf[WarehouseFilePartition].path
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case WarehouseFilePartition(path) => fileReader(path)
+      case WarehouseGroupPartition(paths, _) =>
+        // one value group = its files read back to back, each through its
+        // own per-file column mapping
+        new PartitionReader[InternalRow] {
+          private val remaining = paths.iterator
+          private var cur: PartitionReader[InternalRow] = _
+          override def next(): Boolean = {
+            while (cur == null || !cur.next()) {
+              if (cur != null) cur.close()
+              cur = null
+              if (!remaining.hasNext) return false
+              cur = fileReader(remaining.next())
+            }
+            true
+          }
+          override def get(): InternalRow = cur.get()
+          override def close(): Unit = if (cur != null) cur.close()
+        }
+    }
+
+  private def fileReader(path: String): PartitionReader[InternalRow] = {
     // Pruned decode: only the requested token positions are parsed (an
     // empty projection — e.g. a bare COUNT the aggregate path refused —
     // still counts lines). Indices resolve by name against the FILE'S OWN

@@ -797,6 +797,80 @@ class WarehouseSinkSpec extends SparkSpec {
     assert(r.isNullAt(0) && r.getLong(1) === 0L)
   }
 
+  test("partitionBy write splits one file per value; filters prune whole groups") {
+    val dir = tmp()
+    (0L until 60L).map(i => (i, s"g${i % 3}"))
+      .toDF("id", "grp")
+      .write.format(Fmt).option("path", dir).option("partitionBy", "grp")
+      .mode("overwrite").save()
+    val m = WarehouseSink.readManifest(dir).get
+    assert(m.partitionCol === "grp")
+    // every file holds exactly one grp value (min == max in its sidecar)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+    m.files.foreach { f =>
+      val st = WarehouseSink.readStats(dir, f, schema).get("grp")
+      assert(st._1 === st._2, s"$f mixes values")
+    }
+    val back = spark.read.format(Fmt).option("path", dir).load()
+    assert(back.as[(Long, String)].collect().sortBy(_._1).toSeq
+      === (0L until 60L).map(i => (i, s"g${i % 3}")))
+    // un-optioned append INHERITS the partition column
+    (60L until 66L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val m2 = WarehouseSink.readManifest(dir).get
+    assert(m2.partitionCol === "grp")
+    m2.files.foreach { f =>
+      val st = WarehouseSink.readStats(dir, f, schema).get("grp")
+      assert(st._1 === st._2)
+    }
+  }
+
+  test("storage-partitioned join on co-partitioned tables plans NO shuffle") {
+    val a = tmp(); val b = tmp()
+    (0L until 90L).map(i => (i, s"k${i % 5}", i * 2))
+      .toDF("id", "k", "va")
+      .write.format(Fmt).option("path", a).option("partitionBy", "k")
+      .mode("overwrite").save()
+    (0L until 40L).map(i => (i, s"k${i % 5}", i + 100))
+      .toDF("id2", "k", "vb")
+      .write.format(Fmt).option("path", b).option("partitionBy", "k")
+      .mode("overwrite").save()
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val l = spark.read.format(Fmt).option("path", a).load()
+      val r = spark.read.format(Fmt).option("path", b).load()
+      val joined = l.join(r, "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"storage-partitioned join must not shuffle:\n$plan")
+      // and the answer is the real join
+      assert(joined.count() === 90L / 5L * (40L / 5L) * 5L)
+    }
+  }
+
+  test("partition grouping degrades gracefully after a mixing rewrite") {
+    val dir = tmp()
+    (0L until 30L).map(i => (i, s"k${i % 3}")).toDF("id", "k")
+      .write.format(Fmt).option("path", dir).option("partitionBy", "k")
+      .mode("overwrite").save()
+    // compaction rewrites round-robin — files may mix values
+    WarehouseSink.maintain(spark, dir, targetBytes = 1L << 30)
+    val back = spark.read.format(Fmt).option("path", dir).load()
+    // whatever the layout now is, reads stay correct
+    assert(back.as[(Long, String)].collect().sortBy(_._1).toSeq
+      === (0L until 30L).map(i => (i, s"k${i % 3}")))
+  }
+
+  private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("reported statistics let the planner broadcast a small warehouse table") {
     val dir = tmp()
     Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "dim")
