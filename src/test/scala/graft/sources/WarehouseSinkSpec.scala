@@ -849,6 +849,57 @@ class WarehouseSinkSpec extends SparkSpec {
     }
   }
 
+  test("partition-local aggregation on the partition column plans no shuffle") {
+    val dir = tmp()
+    (0L until 80L).map(i => (i, s"k${i % 4}")).toDF("id", "k")
+      .write.format(Fmt).option("path", dir).option("partitionBy", "k")
+      .mode("overwrite").save()
+    withSQLConf("spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      val agg = spark.read.format(Fmt).option("path", dir).load()
+        .groupBy("k").agg(count(lit(1)).as("n"), sum("id").as("s"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"partition-local aggregate must not shuffle:\n$plan")
+      val got = agg.as[(String, Long, Long)].collect().toSet
+      val want = (0L until 80L).groupBy(i => s"k${i % 4}")
+        .map { case (k, is) => (k, is.size.toLong, is.sum) }.toSet
+      assert(got === want)
+    }
+  }
+
+  test("merge/update/delete agree with the relational model on random data") {
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+    val rnd = new scala.util.Random(7)
+    val dir = tmp()
+    var model = (0L until 200L).map(i => (i, rnd.nextInt(1000).toLong)).toMap
+    model.toSeq.toDF("id", "v").repartitionByRange(4, col("id"))
+      .write.format(Fmt).option("path", dir).mode("overwrite").save()
+    def check(stage: String): Unit = {
+      val got = spark.read.format(Fmt).option("path", dir).load()
+        .as[(Long, Long)].collect().toMap
+      assert(got === model, s"divergence after $stage")
+    }
+    // MERGE: update 30 random existing keys, insert 10 new ones
+    val upd = rnd.shuffle((0L until 200L).toList).take(30)
+      .map(i => (i, 5000L + i)) ++
+      (500L until 510L).map(i => (i, i))
+    WarehouseSink.merge(spark, dir, upd.toDF("id", "v"), Seq("id"))
+    model = model ++ upd.toMap
+    check("merge")
+    // UPDATE: v += 10000 where 40 <= id < 160
+    WarehouseSink.updateWhere(spark, dir,
+      Seq(GreaterThanOrEqual("id", 40L), LessThan("id", 160L)),
+      Map("v" -> (col("v") + 10000L)))
+    model = model.map { case (k, v) =>
+      (k, if (k >= 40 && k < 160) v + 10000 else v) }
+    check("update")
+    // DELETE: drop 100 <= id < 505
+    WarehouseSink.deleteWhere(spark, dir,
+      Seq(GreaterThanOrEqual("id", 100L), LessThan("id", 505L)))
+    model = model.filter { case (k, _) => k < 100 || k >= 505 }
+    check("delete")
+  }
+
   test("partition grouping degrades gracefully after a mixing rewrite") {
     val dir = tmp()
     (0L until 30L).map(i => (i, s"k${i % 3}")).toDF("id", "k")
