@@ -1769,6 +1769,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           sum(floor(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
     }),
+
+    // Linear multi-touch attribution: every view in the 7 days before a
+    // purchase shares its credit equally (floor-ppm), bucketed by touch
+    // age — the decay curve q174's last-touch readout can't show.
+    "q182_linear_attribution" -> ((s, d) =>
+      Sessions.linearAttribution(eventsUs(s, d), "user_id", "ts_us",
+        "event_id", "event_type", touchType = "view", convType = "purchase",
+        windowUs = 7L * 86400L * 1000000L)),
   )
 
   /** Shared scored table for the eval-metric queries (q167-q169): the
@@ -4724,6 +4732,25 @@ object SparkEntry {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
                 CAST(min(anchor) AS BIGINT) AS first_pos
          FROM h GROUP BY 1""",
+
+    // Linear credits replayed: same user-keyed range join, same floor
+    // division, same age bucketing.
+    "q182_linear_attribution" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                    event_type FROM events),
+         c AS (SELECT user_id, ts_us AS cts, event_id AS cid FROM e
+               WHERE event_type = 'purchase'),
+         t AS (SELECT user_id, ts_us AS tts FROM e
+               WHERE event_type = 'view'),
+         p AS (SELECT c.user_id, c.cid, c.cts, t.tts
+               FROM c JOIN t ON c.user_id = t.user_id
+               WHERE t.tts < c.cts AND c.cts - t.tts <= 604800000000),
+         n AS (SELECT *, count(*) OVER (PARTITION BY user_id, cid) AS nt
+               FROM p)
+         SELECT CAST((cts - tts) // 86400000000 AS BIGINT) AS age_days,
+                CAST(count(*) AS BIGINT) AS n_touches,
+                CAST(sum(1000000 // nt) AS BIGINT) AS credit_ppm_sum
+         FROM n GROUP BY 1""",
 
     // Attribution replayed with the identical preceding-rows window.
     "q174_attribution" ->

@@ -186,6 +186,40 @@ object Sessions {
     * (`max` of the touch-typed ts over preceding rows) — no self-join,
     * no per-conversion scan; the report is a single tiny aggregate.
     * Gap stats are exact integers (µs sums, floor-div mean). */
+  /** Linear multi-touch attribution: every `touchType` event in the
+    * window before a conversion shares the conversion's credit equally
+    * (floor 10⁶ div n ppm each — totals under-sum by the floor remainder,
+    * a defined property the oracle replays). The readout buckets credit
+    * by touch AGE (days before the conversion): the attribution decay
+    * curve that decides lookback windows.
+    *
+    * Shape: conversions ⋈ touches on the USER KEY with a range predicate
+    * — one shuffle each side; fan-out is per-user conversions × in-window
+    * touches (activity-bounded, the q39 range-join posture). Totals per
+    * age bucket are a tiny aggregate. */
+  def linearAttribution(events: DataFrame, userCol: String, tsUsCol: String,
+                        idCol: String, typeCol: String, touchType: String,
+                        convType: String, windowUs: Long): DataFrame = {
+    val convs = events.filter(col(typeCol) === convType)
+      .select(col(userCol).as("graft_u"), col(tsUsCol).as("graft_cts"),
+        col(idCol).as("graft_cid"))
+    val touches = events.filter(col(typeCol) === touchType)
+      .select(col(userCol).as("graft_u"), col(tsUsCol).as("graft_tts"))
+    val pairs = convs.join(touches, Seq("graft_u"))
+      .filter(col("graft_tts") < col("graft_cts") &&
+        col("graft_cts") - col("graft_tts") <= windowUs)
+    val credited = pairs
+      .withColumn("graft_n",
+        count(lit(1)).over(Window.partitionBy("graft_u", "graft_cid")))
+      .withColumn("credit_ppm", expr("1000000 div graft_n"))
+      .withColumn("age_days",
+        expr(s"(graft_cts - graft_tts) div ${86400L * 1000000L}L"))
+    credited.groupBy("age_days")
+      .agg(count(lit(1)).as("n_touches"),
+        sum("credit_ppm").as("credit_ppm_sum"))
+      .orderBy("age_days")
+  }
+
   def lastTouchAttribution(events: DataFrame, userCol: String, tsUsCol: String,
                            idCol: String, typeCol: String, touchType: String,
                            convType: String, windowUs: Long): DataFrame = {

@@ -68,6 +68,25 @@ class EvalSpec extends SparkSpec {
     assert(r9.isNullAt(r9.fieldIndex("f1_ppm")))
   }
 
+  test("rocAuc equals the quadratic all-pairs definition on random data") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      val data = Seq.fill(40 + trial * 7)(
+        (rnd.nextInt(12).toLong, rnd.nextInt(2).toLong))
+      val pos = data.filter(_._2 == 1L).map(_._1)
+      val neg = data.filter(_._2 == 0L).map(_._1)
+      if (pos.nonEmpty && neg.nonEmpty) {
+        // 2U = #(p > n)·2 + #(p == n) over all pos × neg pairs
+        val num2 = (for (p <- pos; n <- neg) yield
+          if (p > n) 2L else if (p == n) 1L else 0L).sum
+        val want = num2 * 1000000L / (2L * pos.size * neg.size)
+        val got = Eval.rocAuc(df(data), "s", "y")
+          .select("auc_ppm").as[Long].head()
+        assert(got === want, s"trial $trial")
+      }
+    }
+  }
+
   test("thresholdSweep: counts conserve across thresholds") {
     val d = df(Seq((8L, 1L), (3L, 1L), (6L, 0L), (1L, 0L), (6L, 1L)))
     Eval.thresholdSweep(d, "s", "y", Seq(2L, 5L, 7L)).collect().foreach { r =>

@@ -145,6 +145,28 @@ class SessionsSpec extends SparkSpec {
     assert(r.getAs[Long]("avg_gap_us") === 1L * M) // (2m + 0) / 2
   }
 
+  test("linearAttribution splits credit equally among in-window touches") {
+    val D = 86400L * 1000000L
+    // u1: views 1d and 3d before the purchase → 500000 ppm each;
+    // u2: one view 10d before (outside 7d window) → no credit;
+    // u3: three views same day → 333333 ppm each (floor).
+    val events = Seq(
+      (1L, 10L * D, 1L, "view"), (1L, 12L * D, 2L, "view"),
+      (1L, 13L * D, 3L, "purchase"),
+      (2L, 0L * D, 4L, "view"), (2L, 10L * D, 5L, "purchase"),
+      (3L, 20L * D, 6L, "view"), (3L, 20L * D + 1L, 7L, "view"),
+      (3L, 20L * D + 2L, 8L, "view"), (3L, 20L * D + 3L, 9L, "purchase"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+    val got = Sessions.linearAttribution(events, "user_id", "ts_us",
+      "event_id", "event_type", "view", "purchase", 7L * D)
+      .collect().map(r => r.getAs[Long]("age_days") ->
+        ((r.getAs[Long]("n_touches"), r.getAs[Long]("credit_ppm_sum")))).toMap
+    // age 0: u3's three same-day views (3 × 333333); age 1: u1's 1d view;
+    // age 3: u1's 3d view; u2 absent entirely.
+    assert(got === Map(0L -> ((3L, 999999L)), 1L -> ((1L, 500000L)),
+      3L -> ((1L, 500000L))))
+  }
+
   test("lastTouchAttribution: zero conversions yields NULL rates") {
     val events = Seq((1L, 0L, 1L, "view"))
       .toDF("user_id", "ts_us", "event_id", "event_type")
