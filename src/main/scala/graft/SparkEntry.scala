@@ -1777,6 +1777,31 @@ object SparkEntry {
       Sessions.linearAttribution(eventsUs(s, d), "user_id", "ts_us",
         "event_id", "event_type", touchType = "view", convType = "purchase",
         windowUs = 7L * 86400L * 1000000L)),
+
+    // Language-ID confusion matrix: the langGuess heuristic evaluated
+    // against the labeled lang column — per (actual, predicted) counts
+    // plus per-actual recall in floor-ppm; the eval readout for q17.
+    "q183_lang_confusion" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), T.langGuess(col("text")).as("guess"))
+        .groupBy("lang", "guess").agg(count(lit(1)).as("n"))
+        .withColumn("recall_ppm",
+          expr("n * 1000000 div sum(n) OVER (PARTITION BY lang)"))),
+
+    // Day-of-week seasonality profile: per event type, each weekday's
+    // event share as a ×7 index (10⁶ = flat) — the load-shape readout
+    // capacity planning and anomaly baselines start from.
+    "q184_seasonality" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"), (dayofweek(col("ts_t")) - 1).as("dow"))
+        .groupBy("event_type", "dow").agg(count(lit(1)).as("n"))
+        .withColumn("index_ppm",
+          expr("n * 7 * 1000000 div sum(n) OVER (PARTITION BY event_type)"))),
+
+    // Compression-ratio quality signal (rows-only: no SQL twin can
+    // replay zlib; the planted-ordering spec carries correctness).
+    "q185_compressibility" -> ((s, d) =>
+      Corpus.compressibility(Tables.documents(s, d), "doc_id", "text")),
   )
 
   /** Shared scored table for the eval-metric queries (q167-q169): the
@@ -4732,6 +4757,42 @@ object SparkEntry {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
                 CAST(min(anchor) AS BIGINT) AS first_pos
          FROM h GROUP BY 1""",
+
+    // Confusion matrix replayed over the q17 guess CTE.
+    "q183_lang_confusion" ->
+      """WITH t AS (SELECT lang,
+                  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt
+           FROM documents),
+         c AS (SELECT lang,
+                  len(regexp_extract_all(nt, '(^| )(the|and|of|is)( |$)')) AS en,
+                  len(regexp_extract_all(nt, '(^| )(der|die|und|ist)( |$)')) AS de,
+                  len(regexp_extract_all(nt, '(^| )(le|la|et|est)( |$)')) AS fr,
+                  len(regexp_extract_all(nt, '(^| )(el|los|y|es)( |$)')) AS es
+               FROM t),
+         g AS (SELECT lang,
+                  CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+                       WHEN en = greatest(en, de, fr, es) THEN 'en'
+                       WHEN de = greatest(en, de, fr, es) THEN 'de'
+                       WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+                       ELSE 'es' END AS guess
+               FROM c),
+         m AS (SELECT lang, guess, CAST(count(*) AS BIGINT) AS n
+               FROM g GROUP BY 1, 2)
+         SELECT lang, guess, n,
+                CAST(n * 1000000 // sum(n) OVER (PARTITION BY lang)
+                  AS BIGINT) AS recall_ppm
+         FROM m""",
+
+    // Weekday shares replayed: DuckDB dayofweek is 0=Sunday, Spark's is
+    // 1=Sunday — the Spark side subtracts 1 to land on the same scale.
+    "q184_seasonality" ->
+      """WITH b AS (SELECT event_type, dayofweek(ts) AS dow,
+                  CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY 1, 2)
+         SELECT event_type, CAST(dow AS INT) AS dow, n,
+                CAST(n * 7 * 1000000 // sum(n) OVER (PARTITION BY event_type)
+                  AS BIGINT) AS index_ppm
+         FROM b""",
 
     // Linear credits replayed: same user-keyed range join, same floor
     // division, same age bucketing.

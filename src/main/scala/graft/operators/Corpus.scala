@@ -482,6 +482,39 @@ object Corpus {
     * batches, and cross-run diff sets stable at 100 TB. Plans as
     * TakeOrderedAndProject: per-partition k-heaps, one k-row driver
     * merge — no global sort. */
+  /** Compression-ratio quality signal — the Gopher/FineWeb-class
+    * "compressibility" filter: highly repetitive or templated text
+    * deflates far below natural prose, so deflate_ppm (compressed size as
+    * ppm of raw UTF-8 size) separates boilerplate from content without
+    * any vocabulary model. DEFLATE at a FIXED level (6) over the raw
+    * bytes, one typed partition-wise pass (the imperative byte-level leg
+    * the multimodal decodes also use — no shuffle, no driver data).
+    * Ratios are engine-local (no SQL twin can replay zlib), so the
+    * contract query is rows-only; the planted-ordering spec carries the
+    * correctness claim (repetitive ≪ varied, empty handled). */
+  def compressibility(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("graft_t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val buf = new Array[Byte](8192)
+        it.map { case (id, text) =>
+          val raw = Option(text).getOrElse("")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val d = new java.util.zip.Deflater(6)
+          d.setInput(raw); d.finish()
+          var n = 0L
+          while (!d.finished()) n += d.deflate(buf)
+          d.end()
+          (id, raw.length.toLong, n,
+            if (raw.length == 0) 1000000L else n * 1000000L / raw.length)
+        }
+      }
+      .toDF("doc_id", "raw_bytes", "deflate_bytes", "deflate_ppm")
+  }
+
   def consistentSample(docs: DataFrame, idCol: String, textCol: String,
                        k: Int, keep: Seq[String]): DataFrame = {
     require(k > 0, "k must be positive")

@@ -322,4 +322,25 @@ class CorpusSpec extends SparkSpec {
     val b = ids(more)
     assert(b.toSet.subsetOf(a.toSet ++ (51L to 60L)))
   }
+
+  test("compressibility: repetitive text deflates far below varied text") {
+    val docs = Seq(
+      (1L, "spam spam spam " * 100),
+      (2L, (1 to 300).map(i => s"w${i * 7919}").mkString(" ")),
+      (3L, "")).toDF("doc_id", "text")
+    val got = Corpus.compressibility(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val (raw1, _, ppm1) = got(1L)
+    val (raw2, _, ppm2) = got(2L)
+    assert(raw1 === 1500L && raw2 > 0L)
+    // the repetitive doc compresses at least 4x harder than the varied one
+    assert(ppm1 * 4 < ppm2, s"repetitive $ppm1 vs varied $ppm2")
+    // empty doc: defined sentinel, no crash
+    assert(got(3L) === ((0L, got(3L)._2, 1000000L)))
+    // re-partitioning does not change any ratio (pure per-row function)
+    val again = Corpus.compressibility(docs.repartition(3), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(again === got.view.mapValues(_._3).toMap)
+  }
 }
