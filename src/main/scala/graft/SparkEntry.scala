@@ -1802,6 +1802,12 @@ object SparkEntry {
     // replay zlib; the planted-ordering spec carries correctness).
     "q185_compressibility" -> ((s, d) =>
       Corpus.compressibility(Tables.documents(s, d), "doc_id", "text")),
+
+    // Per-type trend slope: exact least squares of daily counts over the
+    // day index (CUPED's integer discipline) — growing or decaying, in
+    // floor-ppm events/day per day.
+    "q186_trend_slope" -> ((s, d) =>
+      Analytics.trendSlope(eventsUs(s, d), "event_type", "ts_us")),
   )
 
   /** Shared scored table for the eval-metric queries (q167-q169): the
@@ -4757,6 +4763,23 @@ object SparkEntry {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
                 CAST(min(anchor) AS BIGINT) AS first_pos
          FROM h GROUP BY 1""",
+
+    // Slope replayed with the same decimal sums and floor division.
+    "q186_trend_slope" ->
+      """WITH d AS (SELECT event_type,
+                  epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) AS HUGEINT) AS y
+               FROM events GROUP BY 1, 2),
+         s AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS m,
+                      sum(CAST(day AS HUGEINT)) AS sx, sum(y) AS sy,
+                      sum(CAST(day AS HUGEINT) * CAST(day AS HUGEINT)) AS sxx,
+                      sum(CAST(day AS HUGEINT) * y) AS sxy
+               FROM d GROUP BY 1)
+         SELECT event_type, CAST(m AS BIGINT) AS n_days,
+                CAST(CASE WHEN m * sxx - sx * sx = 0 THEN NULL
+                     ELSE (m * sxy - sx * sy) * 1000000
+                          // (m * sxx - sx * sx) END AS BIGINT) AS slope_ppm
+         FROM s""",
 
     // Confusion matrix replayed over the q17 guess CTE.
     "q183_lang_confusion" ->

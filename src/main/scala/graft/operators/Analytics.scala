@@ -901,6 +901,33 @@ object Analytics {
         coalesce(col("vocab_size"), lit(0L)).as("vocab_size"))
   }
 
+  /** Per-series trend slope — exact least squares of daily event counts
+    * over the day index, per series: the "is this stream growing or
+    * decaying, and how fast" readout behind dashboards and alert
+    * baselines. Same exact-integer discipline as CUPED's θ: the corpus
+    * collapses to (series, day, count) in ONE aggregate (the 100 TB
+    * cost), then slope_ppm = (m·Σxy − Σx·Σy)·10⁶ div (m·Σxx − Σx²) from
+    * decimal(38,0) sums over the bounded per-day table — floor-exact on
+    * every engine; NULL when fewer than two observed days (undefined
+    * slope). Units: events/day of change per day, ppm. */
+  def trendSlope(events: DataFrame, seriesCol: String,
+                 tsUsCol: String): DataFrame =
+    events
+      .select(col(seriesCol).as("graft_s"),
+        expr(s"$tsUsCol div ${86400L * 1000000L}L").as("graft_d"))
+      .groupBy("graft_s", "graft_d")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("graft_y"))
+      .groupBy(col("graft_s").as(seriesCol))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("m"),
+        sum(col("graft_d").cast("decimal(38,0)")).as("sx"),
+        sum("graft_y").as("sy"),
+        sum(expr("CAST(graft_d AS DECIMAL(38,0)) * CAST(graft_d AS DECIMAL(38,0))")).as("sxx"),
+        sum(expr("CAST(graft_d AS DECIMAL(38,0)) * graft_y")).as("sxy"))
+      .select(col(seriesCol), col("m").cast("long").as("n_days"),
+        expr("CASE WHEN m * sxx - sx * sx = 0 THEN CAST(NULL AS BIGINT)" +
+          " ELSE (m * sxy - sx * sy) * 1000000 div (m * sxx - sx * sx)" +
+          " END").as("slope_ppm"))
+
   /** RFM segmentation — the classic recency/frequency/monetary customer
     * grading, composed from exact integer metrics and tie-broken ntiles:
     * per user, recency = days since last event at `refTsUs`, frequency =
@@ -944,7 +971,7 @@ object Analytics {
   * see [[Analytics.heavyHitters]] for the guarantee. The buffer is a
   * plain Map (≤ 2k entries transiently, pruned back to k), encoded by
   * Spark's ExpressionEncoder between partial and final merge. */
-private[operators] class MisraGriesAgg(k: Int)
+private[graft] class MisraGriesAgg(k: Int)
     extends org.apache.spark.sql.expressions.Aggregator[
       String, Map[String, Long], Seq[(String, Long)]] {
   import org.apache.spark.sql.{Encoder, Encoders}
