@@ -1808,6 +1808,27 @@ object SparkEntry {
     // floor-ppm events/day per day.
     "q186_trend_slope" -> ((s, d) =>
       Analytics.trendSlope(eventsUs(s, d), "event_type", "ts_us")),
+
+    // Incremental JOIN-view maintenance: orders/customer split into
+    // old + append batches, the stored view (old⋈old) extended by the
+    // delta rule ΔA⋈B_new ∪ A_old⋈ΔB — readback must equal the full
+    // join recompute, proving no pair is lost or doubled.
+    "q187_incremental_join" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+        .withColumnRenamed("c_custkey", "o_custkey")
+      val (oOld, oNew) = (o.filter(col("o_orderkey") % 5 =!= 0),
+        o.filter(col("o_orderkey") % 5 === 0))
+      val (cOld, cNew) = (c.filter(col("o_custkey") % 7 =!= 0),
+        c.filter(col("o_custkey") % 7 === 0))
+      val mvOld = oOld.join(cOld, Seq("o_custkey"))
+      val refreshed = mvOld.unionByName(
+        Etl.incrementalJoinDelta(oOld, oNew, cOld, cNew, "o_custkey"))
+      refreshed.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(floor(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+    }),
   )
 
   /** Shared scored table for the eval-metric queries (q167-q169): the
@@ -4763,6 +4784,14 @@ object SparkEntry {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
                 CAST(min(anchor) AS BIGINT) AS first_pos
          FROM h GROUP BY 1""",
+
+    // The incremental result must equal the one-shot full join.
+    "q187_incremental_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS sum_cents
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1""",
 
     // Slope replayed with the same decimal sums and floor division.
     "q186_trend_slope" ->

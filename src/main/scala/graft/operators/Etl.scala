@@ -451,4 +451,27 @@ object Etl {
       .groupBy("c_mktsegment", "o_orderpriority")
       .agg(count(lit(1)).as("n"),
         round(sum(col("rev")), 2).as("revenue"))
+
+  /** Incremental maintenance of a two-sided equi-JOIN materialized view
+    * under appends — the JOIN leg of the IVM family next to the
+    * mergeable-aggregate (q92) and retractable (q96) refreshes. The new
+    * matches a batch of appends creates are exactly the delta rule
+    *
+    *   ΔMV = ΔA ⋈ (B_old ∪ ΔB)  ∪  A_old ⋈ ΔB
+    *
+    * (the ΔA⋈ΔB cross term folded into the first leg, so no pair is
+    * produced twice) — returned as the row set to APPEND to the stored
+    * view; the old view is never rescanned or rejoined.
+    *
+    * Scale posture: each leg joins a BATCH-sized delta against one full
+    * side. With the stores laid out bucketed/partitioned on the join key
+    * (the q81/q147 store discipline, or 42t's value-partitioned
+    * warehouse layout), the full side reads shuffle-free and only the
+    * delta exchanges — per-batch cost tracks batch size, not view size,
+    * the same incremental shape as the dedup ingests. */
+  def incrementalJoinDelta(aOld: DataFrame, aDelta: DataFrame,
+                           bOld: DataFrame, bDelta: DataFrame,
+                           key: String): DataFrame =
+    aDelta.join(bOld.unionByName(bDelta), Seq(key))
+      .unionByName(aOld.join(bDelta, Seq(key)))
 }

@@ -240,4 +240,35 @@ class EtlSpec extends SparkSpec {
     assert(spark.conf.getOption(
       "spark.sql.sources.partitionOverwriteMode").forall(_ != "dynamic"))
   }
+
+  test("incrementalJoinDelta: append delta equals full-join difference") {
+    val rnd = new scala.util.Random(13)
+    val a = (1L to 120L).map(i => (rnd.nextInt(25).toLong, i))
+      .toDF("k", "av")
+    val b = (1L to 60L).map(i => (rnd.nextInt(25).toLong, i * 100))
+      .toDF("k", "bv")
+    // random 30% of each side is "the new batch"
+    val aNew = a.filter(pmod(col("av"), lit(10)) < 3)
+    val aOld = a.filter(pmod(col("av"), lit(10)) >= 3)
+    val bNew = b.filter(pmod(col("bv") / 100, lit(10)) < 3)
+    val bOld = b.filter(pmod(col("bv") / 100, lit(10)) >= 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "av", "bv").as[(Long, Long, Long)].collect().toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+    val full = rows(a.join(b, Seq("k")))
+    val old = rows(aOld.join(bOld, Seq("k")))
+    val delta = rows(Etl.incrementalJoinDelta(aOld, aNew, bOld, bNew, "k"))
+    // multiset identity: old ⊎ delta == full (nothing lost, nothing doubled)
+    val merged = (old.keySet ++ delta.keySet).map(r =>
+      r -> (old.getOrElse(r, 0) + delta.getOrElse(r, 0))).toMap
+    assert(merged === full)
+  }
+
+  test("incrementalJoinDelta: empty deltas produce an empty delta") {
+    val a = Seq((1L, 1L)).toDF("k", "av")
+    val b = Seq((1L, 2L)).toDF("k", "bv")
+    val e = a.limit(0)
+    val eb = b.limit(0)
+    assert(Etl.incrementalJoinDelta(a, e, b, eb, "k").count() === 0L)
+  }
 }
