@@ -1829,6 +1829,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
           sum(floor(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
     }),
+
+    // Hybrid retrieval: BM25 lexical leg + exact-cosine dense leg fused
+    // by reciprocal rank (10⁶ div (60 + rank), integer-exact) — the RAG
+    // stack's retrieval composition over the two proven legs.
+    "q188_hybrid_retrieval" -> ((s, d) =>
+      Search.hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d),
+        "doc_id", "text", "vec_id", "embedding",
+        queryTerms = Seq("join", "vector", "slow"), queryVecId = 0L,
+        legK = 20, k = 10)),
   )
 
   /** Shared scored table for the eval-metric queries (q167-q169): the
@@ -4784,6 +4793,58 @@ object SparkEntry {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
                 CAST(min(anchor) AS BIGINT) AS first_pos
          FROM h GROUP BY 1""",
+
+    // Both legs' proven CTEs + the integer RRF fusion.
+    "q188_hybrid_retrieval" ->
+      """WITH b AS (SELECT doc_id,
+                  regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+                       CAST(sum(len(toks)) AS BIGINT) AS tt
+                FROM b),
+         h AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+                      unnest(toks) AS term
+               FROM b),
+         tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+                FROM h WHERE term IN ('join', 'vector', 'slow')
+                GROUP BY 1, 2, 3),
+         sc AS (SELECT doc_id, dl, term, tf,
+                       count(*) OVER (PARTITION BY term) AS df
+                FROM tf),
+         c AS (SELECT doc_id,
+                 CAST(floor((st.nd - df + 0.5) / (df + 0.5) * (tf * 2.2)
+                        / (tf + 1.2 * (0.25 + 0.75 * dl
+                                       / (st.tt * 1.0 / st.nd)))
+                        * 1000000.0 + 0.5) AS BIGINT) AS cm
+               FROM sc, st),
+         tl AS (SELECT doc_id, sum(cm) AS score_micro
+                FROM c GROUP BY 1 ORDER BY score_micro DESC, doc_id
+                LIMIT 20),
+         tr AS (SELECT doc_id, CAST(row_number() OVER
+                  (ORDER BY score_micro DESC, doc_id) AS BIGINT)
+                  AS text_rank
+                FROM tl),
+         q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+               WHERE vec_id = 0),
+         vl AS (SELECT vec_id,
+                  round(list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+                        / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                 CAST(embedding AS DOUBLE[])))
+                           * sqrt(list_dot_product(qv, qv))), 6) AS cos
+                FROM embeddings, q WHERE vec_id <> 0
+                ORDER BY cos DESC, vec_id LIMIT 20),
+         vr AS (SELECT vec_id AS doc_id,
+                  CAST(row_number() OVER (ORDER BY cos DESC, vec_id)
+                    AS BIGINT) AS vec_rank
+                FROM vl),
+         f AS (SELECT COALESCE(tr.doc_id, vr.doc_id) AS doc_id,
+                 tr.text_rank, vr.vec_rank,
+                 COALESCE(1000000 // (60 + tr.text_rank), 0)
+                   + COALESCE(1000000 // (60 + vr.vec_rank), 0) AS rrf_ppm
+               FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.doc_id)
+         SELECT doc_id, text_rank, vec_rank, CAST(rrf_ppm AS BIGINT)
+                  AS rrf_ppm
+         FROM f ORDER BY rrf_ppm DESC, doc_id LIMIT 10""",
 
     // The incremental result must equal the one-shot full join.
     "q187_incremental_join" ->

@@ -111,6 +111,41 @@ object Search {
       .limit(topTerms)
   }
 
+  /** Hybrid retrieval with reciprocal-rank fusion — the modern RAG-stack
+    * composition: a lexical BM25 leg and a dense cosine-ANN leg each
+    * rank their top `legK`, and fusion scores
+    * rrf_ppm = Σ_legs 10⁶ div (rrfK + rank) (Cormack et al., SIGIR'09;
+    * k=60 convention) — integer arithmetic, so the fused ranking is
+    * hash-exact even though it combines two differently-scaled scorers
+    * (RRF's whole point: ranks, not scores, fuse).
+    *
+    * Both legs are the already-oracle-proven operators (q132 BM25, q23
+    * exact cosine); their rank windows run over ≤ legK rows. The fusion
+    * join touches ≤ 2·legK rows. At 100 TB the legs dominate — BM25's
+    * bounded term-hit aggregate and the ANN ladder's index probes — and
+    * the dense leg swaps to the IVF/PQ variants without touching the
+    * fusion. */
+  def hybridRrf(docs: DataFrame, emb: DataFrame, idCol: String,
+                textCol: String, vecIdCol: String, vecCol: String,
+                queryTerms: Seq[String], queryVecId: Long,
+                legK: Int, k: Int, rrfK: Long = 60L): DataFrame = {
+    val text = bm25(docs, idCol, textCol, queryTerms, legK)
+      .withColumn("text_rank", row_number().over(
+        Window.orderBy(col("score_micro").desc, col("doc_id").asc))
+        .cast("long"))
+      .select(col("doc_id"), col("text_rank"))
+    val vec = Similarity.cosineTopK(emb, vecIdCol, vecCol, queryVecId, legK)
+      .withColumn("vec_rank", row_number().over(
+        Window.orderBy(col("cos").desc, col(vecIdCol).asc)).cast("long"))
+      .select(col(vecIdCol).as("doc_id"), col("vec_rank"))
+    text.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_ppm",
+        expr(s"coalesce(1000000 div (${rrfK}L + text_rank), 0L)" +
+          s" + coalesce(1000000 div (${rrfK}L + vec_rank), 0L)"))
+      .orderBy(col("rrf_ppm").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Exact token-phrase search — the positional-index query BM25 can't
     * answer (bag-of-words scoring has no adjacency). A document matches
     * iff some position p has tokens p..p+n−1 equal to the phrase.
