@@ -1838,6 +1838,13 @@ object SparkEntry {
         "doc_id", "text", "vec_id", "embedding",
         queryTerms = Seq("join", "vector", "slow"), queryVecId = 0L,
         legK = 20, k = 10)),
+
+    // Query expansion: top co-occurring terms for a seed by integer
+    // lift (the PMI ordering without the log) — one tokenize, seed-doc
+    // semi-restricted co-counts, wordcount dfs.
+    "q189_related_terms" -> ((s, d) =>
+      Search.relatedTerms(Tables.documents(s, d), "doc_id", "text",
+        seed = "vector", minCo = 3L, k = 20)),
   )
 
   /** Shared scored table for the eval-metric queries (q167-q169): the
@@ -4793,6 +4800,26 @@ object SparkEntry {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
                 CAST(min(anchor) AS BIGINT) AS first_pos
          FROM h GROUP BY 1""",
+
+    // Lift replayed over the same distinct (doc, term) pairs.
+    "q189_related_terms" ->
+      """WITH p AS (SELECT DISTINCT doc_id, t.term
+             FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                     '[a-z0-9]+')) AS term FROM documents) t),
+         n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM p),
+         d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p
+               GROUP BY 1),
+         sd AS (SELECT doc_id FROM p WHERE term = 'vector'),
+         co AS (SELECT p.term, CAST(count(*) AS BIGINT) AS n_co
+               FROM p JOIN sd USING (doc_id)
+               WHERE p.term <> 'vector'
+               GROUP BY 1 HAVING count(*) >= 3),
+         ds AS (SELECT df AS dfs FROM d WHERE term = 'vector')
+         SELECT co.term, co.n_co, d.df AS df_term,
+                CAST(co.n_co * n.nd * 1000000 // (ds.dfs * d.df) AS BIGINT)
+                  AS lift_ppm
+         FROM co JOIN d USING (term), n, ds
+         ORDER BY lift_ppm DESC, co.term LIMIT 20""",
 
     // Both legs' proven CTEs + the integer RRF fusion.
     "q188_hybrid_retrieval" ->

@@ -111,6 +111,43 @@ object Search {
       .limit(topTerms)
   }
 
+  /** Related terms by document co-occurrence lift — the query-expansion
+    * suggestion next to BM25: for a seed term,
+    * lift_ppm = (df_both · N) · 10⁶ div (df_seed · df_term) in integer
+    * arithmetic (the PMI ratio without the log — same ordering, exact on
+    * every engine); terms below `minCo` co-occurrences drop (rare-pair
+    * noise floor).
+    *
+    * Shape: ONE tokenize to distinct (doc, term) pairs; the seed's doc
+    * set semi-restricts the co-occurrence count (fan-out bounded by the
+    * seed docs' vocabulary, not the corpus); global dfs are a wordcount.
+    * Top `k` by (lift desc, term) via TakeOrderedAndProject. */
+  def relatedTerms(docs: DataFrame, idCol: String, textCol: String,
+                   seed: String, minCo: Long, k: Int): DataFrame = {
+    val seedLc = seed.toLowerCase
+    val pairs = docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(
+          regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0))))
+          .as("term"))
+    val n = pairs.select(countDistinct(col("doc_id")).as("graft_n"))
+    val dfs = pairs.groupBy("term").agg(count(lit(1)).as("graft_df"))
+    val seedDocs = pairs.filter(col("term") === seedLc).select("doc_id")
+    val co = pairs.join(seedDocs, Seq("doc_id"), "left_semi")
+      .filter(col("term") =!= seedLc)
+      .groupBy("term").agg(count(lit(1)).as("graft_co"))
+      .filter(col("graft_co") >= minCo)
+    val dfSeed = dfs.filter(col("term") === seedLc)
+      .select(col("graft_df").as("graft_dfs"))
+    co.join(dfs, Seq("term"))
+      .crossJoin(broadcast(n)).crossJoin(broadcast(dfSeed))
+      .select(col("term"), col("graft_co").as("n_co"),
+        col("graft_df").as("df_term"),
+        expr("graft_co * graft_n * 1000000 div (graft_dfs * graft_df)")
+          .as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("term").asc)
+      .limit(k)
+  }
+
   /** Hybrid retrieval with reciprocal-rank fusion — the modern RAG-stack
     * composition: a lexical BM25 leg and a dense cosine-ANN leg each
     * rank their top `legK`, and fusion scores

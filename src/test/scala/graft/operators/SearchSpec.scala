@@ -68,6 +68,26 @@ class SearchSpec extends SparkSpec {
     assert(got.head._2 === 3L)
   }
 
+  test("relatedTerms ranks planted co-occurrents by exact lift") {
+    // "pal" appears in ALL 4 seed docs (co=4, df=4); "buddy" in 2 of 4
+    // (co=2 — below minCo=3 at minCo=3, kept at minCo=1); "noise" only
+    // in non-seed docs (co=0, absent).
+    val docs = Seq(
+      (1L, "seed pal buddy"), (2L, "seed pal"), (3L, "seed pal buddy x"),
+      (4L, "seed pal"), (5L, "noise y"), (6L, "noise z"))
+      .toDF("doc_id", "text")
+    val got = Search.relatedTerms(docs, "doc_id", "text", "seed",
+      minCo = 3L, k = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // pal: co=4, df_pal=4, df_seed=4, N=6 → 4*6*1e6/(4*4) = 1500000
+    assert(got === Map("pal" -> ((4L, 4L, 1500000L))))
+    val loose = Search.relatedTerms(docs, "doc_id", "text", "seed",
+      minCo = 1L, k = 10).collect().map(_.getString(0)).toSet
+    assert(loose.contains("buddy") && !loose.contains("noise")
+      && !loose.contains("seed"))
+  }
+
   test("phraseSearch finds exact adjacent runs only") {
     val docs = Seq(
       (1L, "the quick brown fox"),          // hit at 1
