@@ -291,7 +291,8 @@ object WarehouseSink {
     * cadence the small-file rate demands, exactly like Delta OPTIMIZE. */
   def maintain(spark: org.apache.spark.sql.SparkSession, dir: String,
                targetBytes: Long = 128L << 20,
-               keepVersions: Int = 1): MaintenanceReport = {
+               keepVersions: Int = 1,
+               clusterBy: Option[String] = None): MaintenanceReport = {
     require(targetBytes > 0, "targetBytes must be positive")
     val fmt = classOf[WarehouseSink].getName
     val cur = readManifest(dir).getOrElse(
@@ -311,9 +312,24 @@ object WarehouseSink {
         new File(dir).getName + ".compact-" +
           java.util.UUID.randomUUID.toString.take(8))
       try {
-        spark.read.format(fmt).option("path", dir).load()
-          .repartition(nTarget)
-          .write.format(fmt).option("path", tmp.getPath)
+        // Layout-aware rewrite: a VALUE-PARTITIONED table compacts back
+        // through the partitioned write (one file per value — the layout
+        // SPJ depends on would otherwise be round-robined away); a
+        // clusterBy column range-partitions + sorts the rewrite so the
+        // new files carry disjoint, tight stats ranges (the skip path's
+        // best case); plain tables round-robin to the byte target.
+        val scanned = spark.read.format(fmt).option("path", dir).load()
+        val writer =
+          if (cur.partitionCol.nonEmpty)
+            scanned.write.option("partitionBy", cur.partitionCol)
+          else clusterBy match {
+            case Some(c) =>
+              scanned.repartitionByRange(nTarget,
+                org.apache.spark.sql.functions.col(c))
+                .sortWithinPartitions(c).write
+            case None => scanned.repartition(nTarget).write
+          }
+        writer.format(fmt).option("path", tmp.getPath)
           .mode("overwrite").save()
         val newFiles = readManifest(tmp.getPath).map(_.files).getOrElse(Nil)
         newFiles.foreach(moveWithStats(tmp, new File(dir), _))

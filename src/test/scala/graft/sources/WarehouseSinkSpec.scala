@@ -900,17 +900,60 @@ class WarehouseSinkSpec extends SparkSpec {
     check("delete")
   }
 
-  test("partition grouping degrades gracefully after a mixing rewrite") {
+  test("maintain preserves the value-partitioned layout through compaction") {
     val dir = tmp()
-    (0L until 30L).map(i => (i, s"k${i % 3}")).toDF("id", "k")
-      .write.format(Fmt).option("path", dir).option("partitionBy", "k")
-      .mode("overwrite").save()
-    // compaction rewrites round-robin — files may mix values
+    // three appends → up to 3 files per value; compaction must merge them
+    // back to one-per-value, NOT round-robin values together
+    for (b <- 0 until 3)
+      (0L until 30L).map(i => (b * 100L + i, s"k${i % 3}")).toDF("id", "k")
+        .write.format(Fmt).option("path", dir)
+        .option("partitionBy", "k")
+        .mode(if (b == 0) "overwrite" else "append").save()
+    val before = WarehouseSink.readManifest(dir).get
     WarehouseSink.maintain(spark, dir, targetBytes = 1L << 30)
+    val after = WarehouseSink.readManifest(dir).get
+    assert(after.partitionCol === "k")
+    assert(after.files.size < before.files.size)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(after.schemaDdl)
+    after.files.foreach { f =>
+      val st = WarehouseSink.readStats(dir, f, schema).get("k")
+      assert(st._1 === st._2, s"compaction mixed values in $f")
+    }
     val back = spark.read.format(Fmt).option("path", dir).load()
-    // whatever the layout now is, reads stay correct
-    assert(back.as[(Long, String)].collect().sortBy(_._1).toSeq
-      === (0L until 30L).map(i => (i, s"k${i % 3}")))
+    assert(back.count() === 90L)
+    // SPJ still available post-OPTIMIZE
+    withSQLConf("spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      val agg = back.groupBy("k").count()
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
+      assert(agg.as[(String, Long)].collect().toMap
+        === Map("k0" -> 30L, "k1" -> 30L, "k2" -> 30L))
+    }
+  }
+
+  test("maintain clusterBy rewrites into disjoint, sorted key ranges") {
+    val dir = tmp()
+    // shuffled ids across many small appends: ranges overlap heavily
+    val rnd = new scala.util.Random(3)
+    rnd.shuffle((0L until 120L).toList).grouped(20).foreach { g =>
+      g.map(i => Tuple1(i)).toDF("id").coalesce(1)
+        .write.format(Fmt).option("path", dir).mode("append").save()
+    }
+    val rep = WarehouseSink.maintain(spark, dir, targetBytes = 120L,
+      clusterBy = Some("id"))
+    assert(rep.compacted && rep.filesAfter > 1)
+    val m = WarehouseSink.readManifest(dir).get
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+    val ranges = m.files.map { f =>
+      val (mn, mx) = WarehouseSink.readStats(dir, f, schema).get("id")
+      (mn.asInstanceOf[Long], mx.asInstanceOf[Long])
+    }.sortBy(_._1)
+    // post-cluster ranges are pairwise DISJOINT — the skip path's best case
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi < lo2, s"overlap: $ranges")
+      case _ =>
+    }
+    assert(spark.read.format(Fmt).option("path", dir).load()
+      .select("id").as[Long].collect().sorted.toSeq === (0L until 120L))
   }
 
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
