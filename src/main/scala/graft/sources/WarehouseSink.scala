@@ -238,8 +238,15 @@ object WarehouseSink {
     require(keepVersions >= 1, "must retain at least the live generation")
     val cur = readManifest(dir).getOrElse(return 0)
     val keepMin = cur.version - (keepVersions - 1)
+    // Pending WAP stages are live state: their markers and data files
+    // must survive maintenance (promote/discard consumes them, not vacuum).
+    val stagedTokens = Option(new File(dir).listFiles())
+      .getOrElse(Array.empty[File]).map(_.getName)
+      .filter(n => n.startsWith("staged-") && n.endsWith(".json"))
+      .map(_.stripPrefix("staged-").stripSuffix(".json"))
     val referenced = (keepMin to cur.version)
-      .flatMap(readManifestAt(dir, _)).flatMap(_.files).toSet
+      .flatMap(readManifestAt(dir, _)).flatMap(_.files).toSet ++
+      stagedTokens.flatMap(t => readStagedMeta(dir, t).map(_._2).getOrElse(Nil))
     var dropped = 0
     Option(new File(dir).listFiles()).getOrElse(Array.empty[File]).foreach { f =>
       val n = f.getName
@@ -249,7 +256,8 @@ object WarehouseSink {
       // a stats sidecar lives and dies with its base data file
       val base = if (n.endsWith(".stats")) n.stripSuffix(".stats") else n
       val unreferencedData = !f.isDirectory && !n.startsWith("manifest-") &&
-        !n.startsWith("_") && !referenced.contains(base)
+        !n.startsWith("_") && !n.startsWith("staged-") &&
+        !referenced.contains(base)
       if (oldManifest || unreferencedData) { f.delete(); dropped += 1 }
     }
     dropped
@@ -352,6 +360,106 @@ object WarehouseSink {
     val after = readManifest(dir).getOrElse(cur)
     MaintenanceReport(filesBefore, after.files.size, bytesBefore,
       liveBytes(after), compacted, reclaimed)
+  }
+
+  // ---- write-audit-publish (WAP) ----
+  // The Iceberg/Delta staging pattern: land a batch's data files in the
+  // table directory WITHOUT referencing them from any generation, audit
+  // the staged rows through the normal read path, then promote (one
+  // atomic publish) or discard. A crash at any point leaves the live
+  // table untouched; readers never see un-audited rows. Staged state
+  // lives in `staged-<token>.json` — deliberately NOT a manifest slot,
+  // so a concurrent normal commit can neither rebase onto un-audited
+  // files nor collide with the stage.
+
+  /** Stage `df` as an un-referenced append; returns the audit token. */
+  def stageAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  df: org.apache.spark.sql.DataFrame): String = {
+    val fmt = classOf[WarehouseSink].getName
+    val tmp = new File(new File(dir).getAbsoluteFile.getParentFile,
+      new File(dir).getName + ".stage-" +
+        java.util.UUID.randomUUID.toString.take(8))
+    try {
+      df.write.format(fmt).option("path", tmp.getPath)
+        .mode("overwrite").save()
+      val m = readManifest(tmp.getPath).getOrElse(
+        throw new IllegalStateException("staged write produced no manifest"))
+      m.files.foreach(moveWithStats(tmp, new File(dir), _))
+      val token = java.util.UUID.randomUUID.toString.take(12)
+      Files.write(Paths.get(dir, s"staged-$token.json"),
+        s"""{"schema": "${escape(m.schemaDdl)}", "files": [${m.files.map(f => "\"" + escape(f) + "\"").mkString(", ")}]}"""
+          .getBytes(StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+      token
+    } finally {
+      def rm(f: File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(tmp)
+    }
+  }
+
+  private[sources] def readStagedMeta(dir: String,
+                                      token: String): Option[(String, Seq[String])] = {
+    val f = new File(dir, s"staged-$token.json")
+    if (!f.isFile) return None
+    val txt = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+    def field(k: String): String = {
+      val i = txt.indexOf("\"" + k + "\":")
+      val rest = txt.substring(i + k.length + 3).trim
+      if (rest.startsWith("[")) rest.substring(1, rest.indexOf(']'))
+      else unescape(rest.substring(1, rest.indexOf("\"", 1)))
+    }
+    Some((field("schema"), field("files").split(",").map(_.trim)
+      .filter(_.nonEmpty).map(s => unescape(s.stripPrefix("\"").stripSuffix("\""))).toSeq))
+  }
+
+  /** The staged rows, through the normal reader — what the audit
+    * (expectation suite, dup screen, eval gate) runs against. */
+  def readStaged(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 token: String): org.apache.spark.sql.DataFrame = {
+    val (ddl, files) = readStagedMeta(dir, token).getOrElse(
+      throw new IllegalArgumentException(s"no staged batch $token at $dir"))
+    spark.read.format(classOf[WarehouseSink].getName)
+      .option("path", dir).option("schema", ddl)
+      .option("files", files.mkString(",")).load()
+  }
+
+  /** Promote an audited stage: ONE atomic publish referencing the staged
+    * files (schema must match the live table's (name, type) set; a stage
+    * onto an empty table creates it). The staged marker is consumed. */
+  def promoteStaged(dir: String, token: String): Unit = {
+    val (ddl, files) = readStagedMeta(dir, token).getOrElse(
+      throw new IllegalArgumentException(s"no staged batch $token at $dir"))
+    publish(dir, { prev =>
+      val outDdl = prev match {
+        case None => ddl
+        case Some(p) =>
+          val ps = StructType.fromDDL(p.schemaDdl)
+          val ns = StructType.fromDDL(ddl)
+          require(ps.fields.map(f => (f.name, f.dataType)).toSet ==
+            ns.fields.map(f => (f.name, f.dataType)).toSet,
+            s"staged schema [$ddl] does not match table [${p.schemaDdl}]")
+          p.schemaDdl
+      }
+      Some(Manifest(0L, outDdl, prev.map(_.files).getOrElse(Nil) ++ files,
+        prev.map(_.epoch).getOrElse(-1L),
+        prev.map(_.partitionCol).getOrElse("")))
+    })
+    new File(dir, s"staged-$token.json").delete()
+  }
+
+  /** Drop a failed-audit stage: its files, sidecars, and marker. */
+  def discardStaged(dir: String, token: String): Int = {
+    val (_, files) = readStagedMeta(dir, token).getOrElse(return 0)
+    var n = 0
+    files.foreach { f =>
+      if (new File(dir, f).delete()) n += 1
+      new File(dir, statsFile(f)).delete()
+    }
+    new File(dir, s"staged-$token.json").delete()
+    n
   }
 
   case class DeleteReport(filesRewritten: Int, filesCarried: Int,

@@ -900,6 +900,55 @@ class WarehouseSinkSpec extends SparkSpec {
     check("delete")
   }
 
+  test("write-audit-publish: staged rows invisible until promoted") {
+    val dir = tmp()
+    (1L to 4L).map(i => (i, i * 10.0)).toDF("id", "price")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    def liveIds() = spark.read.format(Fmt).option("path", dir).load()
+      .select("id").as[Long].collect().sorted.toSeq
+    // stage a clean batch: live table unchanged, audit sees the batch
+    val tok = WarehouseSink.stageAppend(spark, dir,
+      Seq((5L, 50.0), (6L, 60.0)).toDF("id", "price"))
+    assert(liveIds() === (1L to 4L))
+    val staged = WarehouseSink.readStaged(spark, dir, tok)
+    assert(staged.select("id").as[Long].collect().sorted.toSeq === Seq(5L, 6L))
+    // audit = the existing expectation suite over the staged read
+    import graft.operators.Expectations._
+    val audit = check(staged, Seq(InRange("price", 0.0, 100.0)))
+      .agg(sum(col("n_violations"))).as[Long].head()
+    assert(audit === 0L)
+    WarehouseSink.promoteStaged(dir, tok)
+    assert(liveIds() === (1L to 6L))
+    assert(!new java.io.File(dir, s"staged-$tok.json").isFile)
+    // a failed audit discards: table untouched, files reclaimed
+    val tok2 = WarehouseSink.stageAppend(spark, dir,
+      Seq((7L, -5.0)).toDF("id", "price"))
+    val bad = check(WarehouseSink.readStaged(spark, dir, tok2),
+      Seq(InRange("price", 0.0, 100.0)))
+      .agg(sum(col("n_violations"))).as[Long].head()
+    assert(bad === 1L)
+    val reclaimed = WarehouseSink.discardStaged(dir, tok2)
+    assert(reclaimed >= 1)
+    assert(liveIds() === (1L to 6L))
+  }
+
+  test("vacuum never reclaims a pending stage") {
+    val dir = tmp()
+    (1L to 3L).map(Tuple1(_)).toDF("id")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    // create history then stage
+    (4L to 5L).map(Tuple1(_)).toDF("id")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val tok = WarehouseSink.stageAppend(spark, dir,
+      Seq(Tuple1(9L)).toDF("id"))
+    WarehouseSink.vacuum(dir, keepVersions = 1)
+    // the staged batch survived maintenance and still promotes cleanly
+    WarehouseSink.promoteStaged(dir, tok)
+    assert(spark.read.format(Fmt).option("path", dir).load()
+      .select("id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L, 3L, 4L, 5L, 9L))
+  }
+
   test("maintain preserves the value-partitioned layout through compaction") {
     val dir = tmp()
     // three appends → up to 3 files per value; compaction must merge them
