@@ -1845,6 +1845,37 @@ object SparkEntry {
     "q189_related_terms" -> ((s, d) =>
       Search.relatedTerms(Tables.documents(s, d), "doc_id", "text",
         seed = "vector", minCo = 3L, k = 20)),
+
+    // Write-audit-publish end to end: a clean batch stages, audits, and
+    // promotes; a dirty batch (negative totals planted) stages, FAILS
+    // its audit, and discards — the readback must contain exactly base +
+    // the clean batch, proving staged rows never leak either way.
+    "q190_wap_cycle" -> ((s, d) => {
+      val fmt = "graft.sources.WarehouseSink"
+      val wh = graft.sources.WarehouseSink
+      val dir = java.nio.file.Files.createTempDirectory("graft_whwap_").toString
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      orders.filter(col("o_orderkey") % 3 === 0)
+        .write.format(fmt).option("path", dir).mode("overwrite").save()
+      val clean = orders.filter(col("o_orderkey") % 3 === 1)
+      val dirty = orders.filter(col("o_orderkey") % 3 === 2)
+        .withColumn("o_totalprice", col("o_totalprice") * -1)
+      import graft.operators.Expectations._
+      def violations(tok: String): Long =
+        check(wh.readStaged(s, dir, tok), Seq(InRange("o_totalprice", 0.0, 1e9)))
+          .agg(sum(col("n_violations"))).collect()(0).getLong(0)
+      val t1 = wh.stageAppend(s, dir, clean)
+      require(violations(t1) == 0L, "clean batch must pass its audit")
+      wh.promoteStaged(dir, t1)
+      val t2 = wh.stageAppend(s, dir, dirty)
+      require(violations(t2) > 0L, "dirty batch must fail its audit")
+      wh.discardStaged(dir, t2)
+      s.read.format(fmt).option("path", dir).load()
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+    }),
   )
 
   /** Shared scored table for the eval-metric queries (q167-q169): the
@@ -4800,6 +4831,14 @@ object SparkEntry {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
                 CAST(min(anchor) AS BIGINT) AS first_pos
          FROM h GROUP BY 1""",
+
+    // The oracle sees only base + the audited-clean batch.
+    "q190_wap_cycle" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS sum_cents
+         FROM orders WHERE o_orderkey % 3 IN (0, 1)
+         GROUP BY 1""",
 
     // Lift replayed over the same distinct (doc, term) pairs.
     "q189_related_terms" ->
