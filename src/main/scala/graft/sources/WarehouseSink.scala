@@ -101,7 +101,8 @@ object WarehouseSink {
     * KeyGroupedPartitioning for storage-partitioned joins. */
   private[sources] case class Manifest(version: Long, schemaDdl: String,
                                        files: Seq[String], epoch: Long = -1L,
-                                       partitionCol: String = "")
+                                       partitionCol: String = "",
+                                       sortedBy: String = "")
 
   /** `_current` names the live manifest version; both are tiny JSON files
     * swapped by atomic rename, so a reader sees a complete generation. */
@@ -131,7 +132,7 @@ object WarehouseSink {
     val files = field("files").split(",").map(_.trim)
       .filter(_.nonEmpty).map(s => unescape(s.stripPrefix("\"").stripSuffix("\"")))
     Some(Manifest(field("version").toLong, field("schema"), files.toSeq,
-      field("epoch", "-1").toLong, field("partitionCol")))
+      field("epoch", "-1").toLong, field("partitionCol"), field("sortedBy")))
   }
 
   private def escape(s: String): String =
@@ -147,7 +148,7 @@ object WarehouseSink {
 
   private[sources] def writeManifest(dir: String, m: Manifest): Unit = {
     val json =
-      s"""{"version": ${m.version}, "epoch": ${m.epoch}, "partitionCol": "${escape(m.partitionCol)}", "schema": "${escape(m.schemaDdl)}", "files": [${m.files.map(f => "\"" + escape(f) + "\"").mkString(", ")}]}"""
+      s"""{"version": ${m.version}, "epoch": ${m.epoch}, "partitionCol": "${escape(m.partitionCol)}", "sortedBy": "${escape(m.sortedBy)}", "schema": "${escape(m.schemaDdl)}", "files": [${m.files.map(f => "\"" + escape(f) + "\"").mkString(", ")}]}"""
     // CREATE_NEW: a version slot is claimed exactly once. Two committers
     // racing the same slot collide HERE — a detectable conflict — instead
     // of the second silently overwriting the first's file list.
@@ -347,7 +348,12 @@ object WarehouseSink {
           // snapshot read above — a streaming epoch folded in mid-rewrite
           // keeps its cursor (its rows, appended after our scan pinned the
           // file list, are rebased out; hence the single-writer contract).
-          Some(Manifest(0L, p.schemaDdl, newFiles, p.epoch, p.partitionCol))
+          // clusterBy leaves every file internally SORTED by the column —
+          // recorded so the scan can report per-partition ordering; any
+          // later append/DML publish clears the claim (they default "").
+          Some(Manifest(0L, p.schemaDdl, newFiles, p.epoch, p.partitionCol,
+            sortedBy = if (cur.partitionCol.isEmpty) clusterBy.getOrElse("")
+                       else ""))
         })
       } finally {
         def rm(f: File): Unit = {
@@ -1580,7 +1586,8 @@ private[sources] class WarehouseScan(dir: String, schema: StructType,
                                      required0: StructType = null,
                                      onlyFiles: Option[Seq[String]] = None)
     extends Scan with Batch with SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
   // `required` defaults to the full schema (the pre-pruning callers and
   // the streaming path); stats-skipping decisions always use the FULL
   // schema — a pushed filter may reference a column the query never
@@ -1694,6 +1701,24 @@ private[sources] class WarehouseScan(dir: String, schema: StructType,
         .map(f => WarehouseFilePartition(new File(dir, f).getPath): InputPartition)
         .toArray
     }
+
+  /** Per-partition sort order, reported ONLY when the live manifest's
+    * clusterBy-maintenance claim holds (every file internally sorted by
+    * the column; any append/DML publish clears it) — lets the planner
+    * elide redundant SortExec nodes over freshly-OPTIMIZEd tables. */
+  override def outputOrdering():
+      Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection}
+    val m = versionAsOf match {
+      case Some(v) => WarehouseSink.readManifestAt(dir, v)
+      case None => WarehouseSink.readManifest(dir)
+    }
+    val sc = m.map(_.sortedBy).getOrElse("")
+    if (sc.isEmpty || onlyFiles.nonEmpty || !required.fieldNames.contains(sc))
+      Array.empty
+    else Array(Expressions.sort(Expressions.identity(sc),
+      SortDirection.ASCENDING, NullOrdering.NULLS_FIRST))
+  }
 
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {

@@ -949,6 +949,33 @@ class WarehouseSinkSpec extends SparkSpec {
       === Seq(1L, 2L, 3L, 4L, 5L, 9L))
   }
 
+  test("clusterBy maintenance lets the planner elide redundant sorts") {
+    val dir = tmp()
+    val rnd = new scala.util.Random(5)
+    rnd.shuffle((0L until 80L).toList).grouped(20).foreach { g =>
+      g.map(i => Tuple1(i)).toDF("id").coalesce(1)
+        .write.format(Fmt).option("path", dir).mode("append").save()
+    }
+    def sortPlan() = spark.read.format(Fmt).option("path", dir).load()
+      .sortWithinPartitions("id").queryExecution.executedPlan.toString
+    assert(sortPlan().contains("Sort"), "unsorted table needs the sort")
+    WarehouseSink.maintain(spark, dir, targetBytes = 100L,
+      clusterBy = Some("id"))
+    assert(WarehouseSink.readManifest(dir).get.sortedBy === "id")
+    assert(!sortPlan().contains("Sort"),
+      s"reported ordering must elide the sort:\n${sortPlan()}")
+    // rows really do arrive sorted within each partition
+    val parts = spark.read.format(Fmt).option("path", dir).load()
+      .select("id").as[Long].rdd
+      .mapPartitions(it => Iterator(it.toSeq)).collect()
+    parts.foreach(p => assert(p === p.sorted, "file not internally sorted"))
+    // an append invalidates the claim: the sort comes back
+    Seq(Tuple1(999L)).toDF("id")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    assert(WarehouseSink.readManifest(dir).get.sortedBy === "")
+    assert(sortPlan().contains("Sort"))
+  }
+
   test("maintain preserves the value-partitioned layout through compaction") {
     val dir = tmp()
     // three appends → up to 3 files per value; compaction must merge them
