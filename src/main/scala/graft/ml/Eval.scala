@@ -60,7 +60,10 @@ object Eval {
       .withColumn("nlt",
         coalesce(sum("n").over(w), lit(0).cast("decimal(38,0)")))
       .agg(sum(expr("p * (2 * nlt + n)")).as("num2"),
-        sum("p").as("pos"), sum("n").as("neg"))
+        // coalesce: SQL SUM of an EMPTY input is NULL — an empty scored
+        // table must read as zero counts, not a null report row
+        coalesce(sum("p"), lit(0).cast("decimal(38,0)")).as("pos"),
+        coalesce(sum("n"), lit(0).cast("decimal(38,0)")).as("neg"))
       .select(col("pos").cast("long").as("n_pos"),
         col("neg").cast("long").as("n_neg"),
         expr("CASE WHEN pos = 0 OR neg = 0 THEN CAST(NULL AS BIGINT)" +

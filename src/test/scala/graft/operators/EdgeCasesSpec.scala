@@ -167,4 +167,56 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Vocab.bpeMerges(docs, "text", merges = 2).count() === 0)
     assert(Vocab.bpeMerges(noDocs.select("text"), "text", 2).count() === 0)
   }
+
+  test("round-9 eval/experiment operators on empty input: stable, no throw") {
+    val noScored = Seq.empty[(Long, Long)].toDF("s", "y")
+    // AUC over nothing: one row, zero counts, NULL metrics
+    val auc = graft.ml.Eval.rocAuc(noScored, "s", "y").collect()
+    assert(auc.length === 1)
+    assert(auc(0).getAs[Long]("n_pos") === 0L)
+    assert(auc(0).isNullAt(auc(0).fieldIndex("auc_ppm")))
+    assert(graft.ml.Eval.calibration(noScored, "s", "y", 10, 100L)
+      .count() === 0L)
+    // sweep over nothing: the per-score table is empty, so the threshold
+    // cross join yields no rows (thresholds exist only against data)
+    assert(graft.ml.Eval.thresholdSweep(noScored, "s", "y", Seq(5L))
+      .count() === 0L)
+    // CUPED over no events: a cross join of empty arms → zero rows
+    val noVals = Seq.empty[(Long, String, Double, Long)]
+      .toDF("user_id", "event_type", "value", "ts_us")
+    assert(Experiment.cuped(noVals, "user_id", "event_type", "value",
+      "ts_us", "purchase", 0L).count() === 0L)
+  }
+
+  test("round-9 session/analytics operators on empty input") {
+    val noTyped = Seq.empty[(Long, Long, Long, String)]
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+    val lt = Sessions.lastTouchAttribution(noTyped, "user_id", "ts_us",
+      "event_id", "event_type", "view", "purchase", 1000L).collect()
+    assert(lt.length === 1 && lt(0).getAs[Long]("n_conversions") === 0L)
+    assert(Sessions.linearAttribution(noTyped, "user_id", "ts_us",
+      "event_id", "event_type", "view", "purchase", 1000L).count() === 0L)
+    val noVal = Seq.empty[(Long, Long, Double)].toDF("user_id", "ts_us", "value")
+    assert(Analytics.rfmSegments(noVal, "user_id", "ts_us", "value",
+      refTsUs = 0L).count() === 0L)
+    assert(Analytics.trendSlope(noTyped, "event_type", "ts_us").count() === 0L)
+    assert(Analytics.heavyHitters(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "text", 5)
+      .count() === 0L)
+  }
+
+  test("round-9 search/corpus operators on empty input") {
+    val noDocs2 = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Search.phraseSearch(noDocs2, "doc_id", "text", Seq("a", "b"))
+      .count() === 0L)
+    assert(Search.relatedTerms(noDocs2, "doc_id", "text", "seed", 1L, 5)
+      .count() === 0L)
+    assert(Corpus.consistentSample(noDocs2, "doc_id", "text", 5, Nil)
+      .count() === 0L)
+    assert(Corpus.compressibility(noDocs2, "doc_id", "text").count() === 0L)
+    // hybrid retrieval with both legs empty: no rows, no throw
+    val noEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Search.hybridRrf(noDocs2, noEmb, "doc_id", "text", "vec_id",
+      "embedding", Seq("q"), 0L, 5, 5).count() === 0L)
+  }
 }
