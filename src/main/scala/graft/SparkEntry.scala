@@ -1876,6 +1876,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           sum(floor(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
     }),
+
+    // Referential-integrity audit across the star schema: orphaned and
+    // null foreign keys per relation — one anti-join each, the dangling-
+    // reference gate next to the in-table expectation rules.
+    "q191_fk_audit" -> ((s, d) =>
+      graft.operators.Expectations.fkAudit(Seq(
+        ("lineitem.orderkey", Tables.lineitem(s, d), "l_orderkey",
+          Tables.orders(s, d), "o_orderkey"),
+        ("orders.custkey", Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey"),
+        ("customer.nationkey", Tables.customer(s, d), "c_nationkey",
+          Tables.nation(s, d), "n_nationkey")))),
+
+    // Benford first-significant-digit profile of order totals: observed
+    // digit shares in floor-ppm next to the Benford expectation — the
+    // classic forensic screen for fabricated numerics.
+    "q192_benford" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(regexp_extract(col("o_totalprice").cast("string"),
+          "[1-9]", 0).as("digit"))
+        .filter(col("digit") =!= "")
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+        .withColumn("share_ppm",
+          expr("n * 1000000 div sum(n) OVER ()"))),
   )
 
   /** Shared scored table for the eval-metric queries (q167-q169): the
@@ -4831,6 +4855,45 @@ object SparkEntry {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
                 CAST(min(anchor) AS BIGINT) AS first_pos
          FROM h GROUP BY 1""",
+
+    "q191_fk_audit" ->
+      """SELECT 'lineitem.orderkey' AS relation,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_null_keys,
+                CAST((SELECT count(*) FROM lineitem x
+                      WHERE x.l_orderkey IS NOT NULL AND x.l_orderkey
+                        NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT)
+                  AS n_orphans
+         FROM lineitem
+         UNION ALL
+         SELECT 'orders.custkey', CAST(count(*) AS BIGINT),
+                CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+                CAST((SELECT count(*) FROM orders x
+                      WHERE x.o_custkey IS NOT NULL AND x.o_custkey
+                        NOT IN (SELECT c_custkey FROM customer)) AS BIGINT)
+         FROM orders
+         UNION ALL
+         SELECT 'customer.nationkey', CAST(count(*) AS BIGINT),
+                CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+                CAST((SELECT count(*) FROM customer x
+                      WHERE x.c_nationkey IS NOT NULL AND x.c_nationkey
+                        NOT IN (SELECT n_nationkey FROM nation)) AS BIGINT)
+         FROM customer""",
+
+    // First-significant-digit shares: formatting-independent (the first
+    // nonzero char of the plain decimal form is the same in any
+    // shortest-round-trip renderer for this value range).
+    "q192_benford" ->
+      """WITH d AS (SELECT regexp_extract(CAST(o_totalprice AS VARCHAR),
+                  '[1-9]', 0) AS digit
+               FROM orders)
+         SELECT digit, CAST(count(*) AS BIGINT) AS n,
+                CAST(count(*) * 1000000 // sum(count(*)) OVER ()
+                  AS BIGINT) AS share_ppm
+         FROM d WHERE digit <> '' GROUP BY 1""",
 
     // The oracle sees only base + the audited-clean batch.
     "q190_wap_cycle" ->

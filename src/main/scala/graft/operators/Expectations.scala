@@ -46,6 +46,30 @@ object Expectations {
   /** Evaluate `rules` against `df`. Returns one row per rule, in a
     * deterministic report schema: rule name, target column(s),
     * rows checked, violations found, pass flag. */
+  /** Referential-integrity audit across tables — the FK leg the in-table
+    * [[check]] rules deliberately exclude: per (fact, dimension) pair,
+    * the fact rows whose key has no dimension match (orphans) and the
+    * null-key rows (which can never join), counted exactly. One LEFT
+    * ANTI join per pair — broadcast when the dim is small, shuffled
+    * otherwise; Catalyst picks. The dangling-reference readout every
+    * warehouse load gate wants next to its range/set checks. */
+  def fkAudit(pairs: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(pairs.nonEmpty, "fkAudit needs at least one (fact, dim) pair")
+    pairs.map { case (name, fact, fkCol, dim, pkCol) =>
+      val keyed = fact.select(col(fkCol).as("graft_k"))
+      val nonNull = keyed.filter(col("graft_k").isNotNull)
+      val orphans = nonNull.join(
+        dim.select(col(pkCol).as("graft_k")).distinct(),
+        Seq("graft_k"), "left_anti")
+      keyed.agg(count(lit(1)).as("n_rows"),
+        sum(col("graft_k").isNull.cast("long")).as("n_null_keys"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(name).as("relation"), col("n_rows"),
+          coalesce(col("n_null_keys"), lit(0L)).as("n_null_keys"),
+          col("n_orphans"))
+    }.reduce(_ unionByName _)
+  }
+
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "check needs at least one rule")
     val rowRules = rules.collect {

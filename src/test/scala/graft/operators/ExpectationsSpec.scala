@@ -68,4 +68,23 @@ class ExpectationsSpec extends SparkSpec {
     assert(got.length === 3)
     assert(got.forall(_._5))
   }
+
+  test("fkAudit counts orphans and null keys exactly") {
+    import graft.operators.Expectations
+    val fact = Seq((Some(1L), "a"), (Some(2L), "b"), (Some(99L), "orphan"),
+      (None, "nullkey"), (Some(98L), "orphan2"))
+      .toDF("fk", "v")
+    val dim = Seq(1L, 2L, 3L).toDF("pk")
+    val r = Expectations.fkAudit(Seq(("t.fk", fact, "fk", dim, "pk")))
+      .collect()(0)
+    assert(r.getAs[String]("relation") === "t.fk")
+    assert(r.getAs[Long]("n_rows") === 5L)
+    assert(r.getAs[Long]("n_null_keys") === 1L)
+    assert(r.getAs[Long]("n_orphans") === 2L)
+    // a clean relation reports zeros
+    val clean = Expectations.fkAudit(Seq(
+      ("c", Seq(Tuple1(1L)).toDF("fk"), "fk", dim, "pk"))).collect()(0)
+    assert(clean.getAs[Long]("n_orphans") === 0L
+      && clean.getAs[Long]("n_null_keys") === 0L)
+  }
 }
