@@ -291,4 +291,39 @@ class PlanShapeSpec extends SparkSpec {
         s"q144 bottom-k must not global-sort:\n$p")
     }
   }
+
+  test("q175 consistent sample: per-partition k-heaps, never a global sort") {
+    withCleanCaches {
+      val p = planOf("q175_consistent_sample")
+      assert(p.contains("TakeOrderedAndProject"),
+        s"bottom-k must plan TakeOrderedAndProject:\n$p")
+      assert(!p.contains("Exchange rangepartitioning"),
+        s"a range-partitioned global sort defeats the point:\n$p")
+    }
+  }
+
+  test("q177 phrase search: slot table broadcasts; one anchor aggregate") {
+    withCleanCaches {
+      val p = planOf("q177_phrase_search")
+      assert(p.contains("BroadcastExchange"),
+        s"the |phrase|-row slot table must broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"joining the slot list must never sort-merge:\n$p")
+    }
+  }
+
+  test("q167 AUC: the rank window runs AFTER the per-score collapse") {
+    withCleanCaches {
+      val p = planOf("q167_roc_auc")
+      // the corpus-side aggregate must come before the single-partition
+      // window — i.e. the plan holds a hash aggregate below the Window
+      assert(p.contains("Window"), p)
+      assert(p.contains("HashAggregate"), p)
+      assert(p.indexOf("Window") < p.indexOf("Scan parquet"),
+        "plan prints top-down: Window must sit above the scan")
+      // the single-partition exchange carries the bounded per-score
+      // table, so exactly one SinglePartition exchange is expected
+      assert("Exchange SinglePartition".r.findAllIn(p).length === 1, p)
+    }
+  }
 }
