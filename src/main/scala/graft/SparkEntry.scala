@@ -1889,6 +1889,20 @@ object SparkEntry {
         ("customer.nationkey", Tables.customer(s, d), "c_nationkey",
           Tables.nation(s, d), "n_nationkey")))),
 
+    // Cross-source exact-duplicate matrix: which sources copy from
+    // which, via per-fingerprint source counts + pair arithmetic — no
+    // doc-level pair join anywhere. The synthetic corpus is dup-free,
+    // so a deterministic 'mirror' source (every 7th doc re-hosted)
+    // plants the cross-source copies the matrix must expose.
+    "q193_source_dup_matrix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val mirrored = docs.unionByName(
+        docs.filter(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+          .withColumn("source", lit("mirror")))
+      Dedup.crossSourceDupMatrix(mirrored, "doc_id", "text", "source")
+    }),
+
     // Benford first-significant-digit profile of order totals: observed
     // digit shares in floor-ppm next to the Benford expectation — the
     // classic forensic screen for fabricated numerics.
@@ -4855,6 +4869,24 @@ object SparkEntry {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
                 CAST(min(anchor) AS BIGINT) AS first_pos
          FROM h GROUP BY 1""",
+
+    // The same per-fingerprint arithmetic, replayed over the mirrored
+    // corpus.
+    "q193_source_dup_matrix" ->
+      """WITH m AS (SELECT source, text FROM documents
+               UNION ALL
+               SELECT 'mirror', text FROM documents WHERE doc_id % 7 = 0),
+         fp AS (SELECT source AS s,
+                  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS f
+               FROM m),
+         c AS (SELECT f, s, CAST(count(*) AS BIGINT) AS n
+               FROM fp GROUP BY 1, 2),
+         p AS (SELECT a.s AS src_a, b.s AS src_b,
+                 CASE WHEN a.s = b.s THEN a.n * (a.n - 1) // 2
+                      ELSE a.n * b.n END AS pairs
+               FROM c a JOIN c b ON a.f = b.f AND a.s <= b.s)
+         SELECT src_a, src_b, CAST(sum(pairs) AS BIGINT) AS n_dup_pairs
+         FROM p GROUP BY 1, 2 HAVING sum(pairs) > 0""",
 
     "q191_fk_audit" ->
       """SELECT 'lineitem.orderkey' AS relation,

@@ -17,6 +17,39 @@ object Dedup {
   /** Exact dedup by content fingerprint, keeping the smallest id — the
     * distributed `SELECT DISTINCT`/`drop_duplicates` (dag.py:725-733) made
     * deterministic. One hash shuffle on the fingerprint. */
+  /** Cross-source exact-duplicate matrix — which corpus sources copy
+    * from which: for every unordered source pair (a ≤ b), the number of
+    * duplicate DOC PAIRS sharing a content fingerprint across them. The
+    * inter-source contamination readout that decides what a multi-source
+    * mix double-counts.
+    *
+    * Scale shape: NO doc-level pair join — the corpus collapses to
+    * (fingerprint, source, count) in one shuffle, and pair counts come
+    * from arithmetic on that table (same source: C(n,2); cross: n_a·n_b)
+    * via a fingerprint-keyed self-join whose fan-out is ≤ |sources|² per
+    * fingerprint, corpus-size-free. */
+  def crossSourceDupMatrix(docs: DataFrame, idCol: String, textCol: String,
+                           sourceCol: String): DataFrame = {
+    val perSrc = docs.select(
+        T.fingerprint(col(textCol)).as("graft_fp"),
+        col(sourceCol).as("graft_s"))
+      .groupBy("graft_fp", "graft_s")
+      .agg(count(lit(1)).as("graft_n"))
+    val a = perSrc.select(col("graft_fp"), col("graft_s").as("src_a"),
+      col("graft_n").as("graft_na"))
+    val b = perSrc.select(col("graft_fp"), col("graft_s").as("src_b"),
+      col("graft_n").as("graft_nb"))
+    a.join(b, Seq("graft_fp"))
+      .filter(col("src_a") <= col("src_b"))
+      .withColumn("graft_pairs",
+        when(col("src_a") === col("src_b"),
+          expr("graft_na * (graft_na - 1) div 2"))
+          .otherwise(expr("graft_na * graft_nb")))
+      .groupBy("src_a", "src_b")
+      .agg(sum("graft_pairs").as("n_dup_pairs"))
+      .filter(col("n_dup_pairs") > 0)
+  }
+
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = Window.partitionBy("fp").orderBy(col(idCol).asc)
     docs.select(col(idCol), T.fingerprint(col(textCol)).as("fp"))
