@@ -1903,6 +1903,31 @@ object SparkEntry {
       Dedup.crossSourceDupMatrix(mirrored, "doc_id", "text", "source")
     }),
 
+    // Near-dup contamination matrix: the oracle-exact portable-LSH pairs
+    // mapped to their sources — which sources SHARE near-duplicate
+    // content (the exact-copy matrix q193 can't see paraphrases).
+    "q194_source_neardup_matrix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashPairsPortable(docs, "doc_id", "text",
+        n = 3, bands = 8, rowsPerBand = 2, minAgree = 0.5)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.withColumnRenamed("doc_id", "id1")
+          .withColumnRenamed("source", "graft_s1"), Seq("id1"))
+        .join(src.withColumnRenamed("doc_id", "id2")
+          .withColumnRenamed("source", "graft_s2"), Seq("id2"))
+        .select(least(col("graft_s1"), col("graft_s2")).as("src_a"),
+          greatest(col("graft_s1"), col("graft_s2")).as("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(count(lit(1)).as("n_neardup_pairs"))
+    }),
+
+    // Filtered vector search: top-k nearest within one label only —
+    // pre-filtered (exact), same scoring as q23.
+    "q195_filtered_ann" -> ((s, d) =>
+      Similarity.cosineTopKFiltered(Tables.embeddings(s, d), "vec_id",
+        "embedding", queryId = 0L, k = 10, predicate = col("label") === 1)),
+
     // Benford first-significant-digit profile of order totals: observed
     // digit shares in floor-ppm next to the Benford expectation — the
     // classic forensic screen for fabricated numerics.
@@ -4869,6 +4894,52 @@ object SparkEntry {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
                 CAST(min(anchor) AS BIGINT) AS first_pos
          FROM h GROUP BY 1""",
+
+    // q82's full portable-LSH replay with a source join on both ends.
+    "q194_source_neardup_matrix" ->
+      """WITH t AS (SELECT doc_id,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                       toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+                FROM (SELECT doc_id, toks,
+                             unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i
+                      FROM t)),
+         mh AS (SELECT doc_id, s,
+                       min(substr(md5((s // 4)::VARCHAR || ':' || g),
+                                  CAST(1 + 8 * (s % 4) AS INTEGER), 8)) AS h
+                FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS s) seeds
+                GROUP BY doc_id, s),
+         sig AS (SELECT doc_id, list(h ORDER BY s) AS sig FROM mh GROUP BY doc_id),
+         band AS (SELECT doc_id, b, sig[2*b+1] || '|' || sig[2*b+2] AS bk
+                  FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS b) bands),
+         cand AS (SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+                  FROM band a JOIN band c
+                    ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id),
+         agr AS (SELECT cand.id1, cand.id2,
+                        sum(CASE WHEN s1.sig[k+1] = s2.sig[k+1] THEN 1 ELSE 0 END) AS agree
+                 FROM cand JOIN sig s1 ON cand.id1 = s1.doc_id
+                           JOIN sig s2 ON cand.id2 = s2.doc_id
+                      CROSS JOIN (SELECT unnest(range(0, 16)) AS k) ks
+                 GROUP BY 1, 2),
+         pr AS (SELECT id1, id2 FROM agr WHERE agree / 16.0 >= 0.5)
+         SELECT least(d1.source, d2.source) AS src_a,
+                greatest(d1.source, d2.source) AS src_b,
+                CAST(count(*) AS BIGINT) AS n_neardup_pairs
+         FROM pr JOIN documents d1 ON pr.id1 = d1.doc_id
+                 JOIN documents d2 ON pr.id2 = d2.doc_id
+         GROUP BY 1, 2""",
+
+    "q195_filtered_ann" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+                    WHERE vec_id = 0)
+         SELECT vec_id,
+                round(list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+                      / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                               CAST(embedding AS DOUBLE[])))
+                         * sqrt(list_dot_product(qv, qv))), 6) AS cos
+         FROM embeddings, q WHERE vec_id <> 0 AND label = 1
+         ORDER BY cos DESC, vec_id LIMIT 10""",
 
     // The same per-fingerprint arithmetic, replayed over the mirrored
     // corpus.

@@ -29,6 +29,28 @@ object Similarity {
       .select(col(idCol), col("cos"))
   }
 
+  /** Filtered (constrained) vector search — top-k nearest UNDER a
+    * predicate, the "same-label / same-tenant / in-stock only" retrieval
+    * shape every production vector store exposes. Pre-filtering is the
+    * exact variant (post-filtering an unfiltered top-k can starve below
+    * k); the predicate pushes into the corpus scan BEFORE any scoring,
+    * so selective filters also cut the scoring work — with a
+    * label-partitioned layout the filter prunes whole files. Scoring and
+    * ranking identical to [[cosineTopK]]. */
+  def cosineTopKFiltered(emb: DataFrame, idCol: String, vecCol: String,
+                         queryId: Long, k: Int,
+                         predicate: Column): DataFrame = {
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("graft_qv")).limit(1)
+    emb.filter(predicate)
+      .crossJoin(broadcast(q))
+      .filter(col(idCol) =!= queryId)
+      .withColumn("cos", round(V.cosine(col(vecCol), col("graft_qv")), 6))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("cos"))
+  }
+
   /** Batched exact top-k: every query in `queryIds` gets its k nearest
     * corpus rows in ONE corpus scan — the realistic retrieval shape
     * (thousands of probes against one index) where looping [[cosineTopK]]
