@@ -597,9 +597,7 @@ object SparkEntry {
     // crc32-native sketch, the whole pipeline — signatures, banding,
     // candidates, verification — replays in DuckDB, so the LSH family
     // gets a hash-exact oracle. 8 bands × 2 rows = 16 hashes, est ≥ 0.5.
-    "q82_minhash_portable" -> ((s, d) =>
-      Dedup.minhashPairsPortable(Tables.documents(s, d), "doc_id", "text",
-        n = 3, bands = 8, rowsPerBand = 2, minAgree = 0.5)),
+    "q82_minhash_portable" -> ((s, d) => portableMinhashPairs(s, d)),
 
     // Engine-portable 32-bit SimHash (md5 nibble votes, bit-string
     // fingerprint): votes, block banding, and hamming verification all
@@ -1908,8 +1906,7 @@ object SparkEntry {
     // content (the exact-copy matrix q193 can't see paraphrases).
     "q194_source_neardup_matrix" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val pairs = Dedup.minhashPairsPortable(docs, "doc_id", "text",
-        n = 3, bands = 8, rowsPerBand = 2, minAgree = 0.5)
+      val pairs = portableMinhashPairs(s, d)
       val src = docs.select(col("doc_id"), col("source"))
       pairs
         .join(src.withColumnRenamed("doc_id", "id1")
@@ -1975,6 +1972,18 @@ object SparkEntry {
       Dedup.pairShingleStats(Tables.documents(s, d), "doc_id", "text", 3))
   private def jaccardPairs(s: SparkSession, d: String): DataFrame =
     Dedup.jaccardFromStats(pairStats(s, d), minJaccard = 0.2)
+
+  /** Portable-LSH pair set shared by q82 (the pairs themselves), q118
+    * (banding quality) and q194 (the source matrix): the md5 signature
+    * build + band join runs once per (session, dir) — the operator
+    * already returns an eager artifact, so the memo hands out computed
+    * rows, not a plan to replay. */
+  private val portablePairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def portableMinhashPairs(s: SparkSession, d: String): DataFrame =
+    portablePairsCache.getOrElseUpdate((s, d),
+      Dedup.minhashPairsPortable(Tables.documents(s, d), "doc_id", "text",
+        n = 3, bands = 8, rowsPerBand = 2, minAgree = 0.5))
 
   /** Cluster labels shared by q46 (the raw clusters) and q100 (the
     * quality-canonical pick): connected() is an iterative job — one run
@@ -2119,6 +2128,7 @@ object SparkEntry {
     lshStoreCache.clear()
     bpeMergeCache.clear()
     pairStatsCache.clear()
+    portablePairsCache.clear()
     rfCache.clear()
     clusterCache.clear()
     ivfCache.values.foreach(_.release())
