@@ -1925,6 +1925,13 @@ object SparkEntry {
       Similarity.cosineTopKFiltered(Tables.embeddings(s, d), "vec_id",
         "embedding", queryId = 0L, k = 10, predicate = col("label") === 1)),
 
+    // One-way ANOVA of purchase value by event type: exact η² and F in
+    // fixed-point from decimal sums — "does the grouping explain the
+    // metric" as a hash-checkable readout.
+    "q196_variance_decomposition" -> ((s, d) =>
+      Analytics.varianceDecomposition(Tables.events(s, d), "event_type",
+        "value")),
+
     // Benford first-significant-digit profile of order totals: observed
     // digit shares in floor-ppm next to the Benford expectation — the
     // classic forensic screen for fabricated numerics.
@@ -4939,6 +4946,33 @@ object SparkEntry {
          FROM pr JOIN documents d1 ON pr.id1 = d1.doc_id
                  JOIN documents d2 ON pr.id2 = d2.doc_id
          GROUP BY 1, 2""",
+
+    // Decomposition replayed: same quantization, same floor points.
+    "q196_variance_decomposition" ->
+      """WITH x AS (SELECT event_type AS g,
+                  CAST(floor(value * 100 + 0.5) AS HUGEINT) AS x
+               FROM events),
+         gs AS (SELECT g, CAST(count(*) AS HUGEINT) AS ng, sum(x) AS sg
+               FROM x GROUP BY 1),
+         t AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx,
+                      sum(x * x) AS sxx
+               FROM x),
+         b AS (SELECT CAST(count(*) AS HUGEINT) AS k,
+                      sum(sg * sg * t.n // ng) AS ssbs,
+                      any_value(t.n) AS n, any_value(t.sx) AS sx,
+                      any_value(t.sxx) AS sxx
+               FROM gs, t)
+         SELECT CAST(n AS BIGINT) AS n_rows, CAST(k AS BIGINT) AS n_groups,
+                CAST(CASE WHEN k < 2 OR n * sxx - sx * sx = 0 THEN NULL
+                     ELSE (ssbs - sx * sx) * 1000000
+                          // (n * sxx - sx * sx) END AS BIGINT) AS eta2_ppm,
+                CAST(CASE WHEN k < 2 OR n <= k
+                          OR (n * sxx - sx * sx) - (ssbs - sx * sx) = 0
+                     THEN NULL
+                     ELSE (ssbs - sx * sx) * (n - k) * 1000
+                          // (((n * sxx - sx * sx) - (ssbs - sx * sx))
+                             * (k - 1)) END AS BIGINT) AS f_milli
+         FROM b""",
 
     "q195_filtered_ann" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings

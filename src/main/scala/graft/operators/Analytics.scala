@@ -928,6 +928,47 @@ object Analytics {
           " ELSE (m * sxy - sx * sy) * 1000000 div (m * sxx - sx * sx)" +
           " END").as("slope_ppm"))
 
+  /** One-way ANOVA variance decomposition — "does this grouping explain
+    * the metric?": between-group vs total sum of squares as η²
+    * (variance-explained share) and the F statistic, in the exact-sum
+    * discipline of q84/CUPED. Values centi-quantize losslessly; every
+    * sum accumulates in decimal(38,0); the only divisions are floor
+    * `div` at fixed formula points (per-group n·S_g² div n_g, then the
+    * final ppm/milli ratios), so both engines replay bit-identically.
+    * NULL readouts for the degenerate cases (under 2 groups, zero total
+    * variance, n ≤ k). One metric-keyed aggregate + a groups-sized
+    * rollup — the event scan dominates at any scale. */
+  def varianceDecomposition(df: DataFrame, groupCol: String,
+                            valueCol: String): DataFrame = {
+    val x = df.select(col(groupCol).as("graft_g"),
+      floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("decimal(38,0)")
+        .as("graft_x"))
+    val g = x.groupBy("graft_g")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("ng"),
+        sum("graft_x").as("sg"))
+    val tot = x.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum("graft_x").as("sx"),
+      sum(expr("graft_x * graft_x")).as("sxx"))
+    g.crossJoin(broadcast(tot))
+      .select(expr("sg * sg * n div ng").as("graft_b"),
+        col("n"), col("sx"), col("sxx"))
+      .groupBy("n", "sx", "sxx")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("k"),
+        sum("graft_b").as("ssbs"))
+      .select(col("n").cast("long").as("n_rows"),
+        col("k").cast("long").as("n_groups"),
+        expr("CASE WHEN k < 2 OR n * sxx - sx * sx = 0" +
+          " THEN CAST(NULL AS BIGINT)" +
+          " ELSE (ssbs - sx * sx) * 1000000 div (n * sxx - sx * sx) END")
+          .as("eta2_ppm"),
+        expr("CASE WHEN k < 2 OR n <= k" +
+          " OR (n * sxx - sx * sx) - (ssbs - sx * sx) = 0" +
+          " THEN CAST(NULL AS BIGINT)" +
+          " ELSE (ssbs - sx * sx) * (n - k) * 1000" +
+          " div (((n * sxx - sx * sx) - (ssbs - sx * sx)) * (k - 1)) END")
+          .as("f_milli"))
+  }
+
   /** RFM segmentation — the classic recency/frequency/monetary customer
     * grading, composed from exact integer metrics and tie-broken ntiles:
     * per user, recency = days since last event at `refTsUs`, frequency =

@@ -450,4 +450,24 @@ class AnalyticsSpec extends SparkSpec {
       }
     }
   }
+
+  test("varianceDecomposition: planted extremes hit eta2 ~ 1e6 and ~ 0") {
+    // grouping explains EVERYTHING: constant within groups, distinct across
+    val full = (Seq.fill(10)(("a", 1.0)) ++ Seq.fill(10)(("b", 9.0)))
+      .toDF("g", "v")
+    val r1 = Analytics.varianceDecomposition(full, "g", "v").collect()(0)
+    assert(r1.getAs[Long]("n_groups") === 2L)
+    assert(math.abs(r1.getAs[Long]("eta2_ppm") - 1000000L) <= 1L)
+    // grouping explains NOTHING: identical distribution in both groups
+    val none = (Seq.tabulate(10)(i => ("a", i.toDouble)) ++
+      Seq.tabulate(10)(i => ("b", i.toDouble))).toDF("g", "v")
+    val r2 = Analytics.varianceDecomposition(none, "g", "v").collect()(0)
+    assert(math.abs(r2.getAs[Long]("eta2_ppm")) <= 2L,
+      s"identical groups must explain ~0: ${r2.getAs[Long]("eta2_ppm")}")
+    // degenerate: one group -> NULL readouts, not a crash
+    val one = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
+    val r3 = Analytics.varianceDecomposition(one, "g", "v").collect()(0)
+    assert(r3.isNullAt(r3.fieldIndex("eta2_ppm")))
+    assert(r3.isNullAt(r3.fieldIndex("f_milli")))
+  }
 }
