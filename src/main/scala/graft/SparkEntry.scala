@@ -1932,6 +1932,14 @@ object SparkEntry {
       Analytics.varianceDecomposition(Tables.events(s, d), "event_type",
         "value")),
 
+    // Chi-square independence of event type × weekday: the categorical
+    // sibling of q196, exact floor-milli per contingency cell.
+    "q197_chi_square" -> ((s, d) =>
+      Analytics.chiSquare(
+        Tables.events(s, d)
+          .select(col("event_type"), (dayofweek(col("ts_t")) - 1).as("dow")),
+        "event_type", "dow")),
+
     // Benford first-significant-digit profile of order totals: observed
     // digit shares in floor-ppm next to the Benford expectation — the
     // classic forensic screen for fabricated numerics.
@@ -4946,6 +4954,35 @@ object SparkEntry {
          FROM pr JOIN documents d1 ON pr.id1 = d1.doc_id
                  JOIN documents d2 ON pr.id2 = d2.doc_id
          GROUP BY 1, 2""",
+
+    // Chi-square replayed cell by cell (margin cross product covers
+    // zero-observation combos identically).
+    "q197_chi_square" ->
+      """WITH e AS (SELECT event_type AS a, dayofweek(ts) AS b FROM events),
+         cells AS (SELECT a, b, CAST(count(*) AS HUGEINT) AS o
+               FROM e GROUP BY 1, 2),
+         rws AS (SELECT a, sum(o) AS rt FROM cells GROUP BY 1),
+         cls AS (SELECT b, sum(o) AS ct FROM cells GROUP BY 1),
+         t AS (SELECT sum(o) AS n,
+                      CAST(count(DISTINCT a) AS HUGEINT) AS r,
+                      CAST(count(DISTINCT b) AS HUGEINT) AS c
+               FROM cells),
+         terms AS (SELECT COALESCE(cells.o, 0) AS o0, rws.rt, cls.ct,
+                          t.n, t.r, t.c
+               FROM rws CROSS JOIN cls CROSS JOIN t
+                    LEFT JOIN cells ON cells.a = rws.a AND cells.b = cls.b),
+         s AS (SELECT any_value(n) AS n, any_value(r) AS r,
+                      any_value(c) AS c,
+                      sum((o0 * n - rt * ct) * (o0 * n - rt * ct) * 1000
+                          // (rt * ct * n)) AS chi2m
+               FROM terms)
+         SELECT CAST(n AS BIGINT) AS n_rows, CAST(r AS BIGINT) AS n_levels_a,
+                CAST(c AS BIGINT) AS n_levels_b,
+                CAST(CASE WHEN r < 2 OR c < 2 THEN NULL ELSE chi2m END
+                  AS BIGINT) AS chi2_milli,
+                CAST(CASE WHEN r < 2 OR c < 2 THEN NULL
+                     ELSE (r - 1) * (c - 1) END AS BIGINT) AS dof
+         FROM s""",
 
     // Decomposition replayed: same quantization, same floor points.
     "q196_variance_decomposition" ->

@@ -969,6 +969,42 @@ object Analytics {
           .as("f_milli"))
   }
 
+  /** Chi-square independence screen over a two-dimensional contingency
+    * table — "are these categoricals related?", the discrete sibling of
+    * [[varianceDecomposition]]. Exact integers: per cell the scaled term
+    * (O·N − rowTot·colTot)²·1000 div (rowTot·colTot·N) sums to
+    * chi2_milli (floor per cell, replayed identically); dof =
+    * (r−1)(c−1). The contingency table is ONE count aggregate; margins
+    * join back broadcast (r + c rows); absent combos contribute their
+    * expected mass via the margin cross join, not a corpus pass. */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("graft_a"), col(bCol).as("graft_b"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("o"))
+    val rows = cells.groupBy("graft_a")
+      .agg(sum("o").as("rt"))
+    val cols_ = cells.groupBy("graft_b")
+      .agg(sum("o").as("ct"))
+    val n = cells.agg(sum("o").as("n"),
+      count_distinct(col("graft_a")).cast("decimal(38,0)").as("r"),
+      count_distinct(col("graft_b")).cast("decimal(38,0)").as("c"))
+    // margin CROSS product covers zero-observation combos exactly
+    rows.crossJoin(cols_).crossJoin(broadcast(n))
+      .join(cells, Seq("graft_a", "graft_b"), "left")
+      .withColumn("o0", coalesce(col("o"), lit(0).cast("decimal(38,0)")))
+      .select(col("n"), col("r"), col("c"),
+        expr("(o0 * n - rt * ct) * (o0 * n - rt * ct) * 1000" +
+          " div (rt * ct * n)").as("graft_t"))
+      .groupBy("n", "r", "c")
+      .agg(sum("graft_t").as("chi2m"))
+      .select(col("n").cast("long").as("n_rows"),
+        col("r").cast("long").as("n_levels_a"),
+        col("c").cast("long").as("n_levels_b"),
+        expr("CASE WHEN r < 2 OR c < 2 THEN CAST(NULL AS BIGINT)" +
+          " ELSE CAST(chi2m AS BIGINT) END").as("chi2_milli"),
+        expr("CASE WHEN r < 2 OR c < 2 THEN CAST(NULL AS BIGINT)" +
+          " ELSE CAST((r - 1) * (c - 1) AS BIGINT) END").as("dof"))
+  }
+
   /** RFM segmentation — the classic recency/frequency/monetary customer
     * grading, composed from exact integer metrics and tie-broken ntiles:
     * per user, recency = days since last event at `refTsUs`, frequency =

@@ -470,4 +470,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(r3.isNullAt(r3.fieldIndex("eta2_ppm")))
     assert(r3.isNullAt(r3.fieldIndex("f_milli")))
   }
+
+  test("chiSquare: planted dependence and independence extremes") {
+    // perfectly dependent: a determines b -> chi2/N ~ (min(r,c)-1) = 1
+    val dep = (Seq.fill(10)(("x", "1")) ++ Seq.fill(10)(("y", "2")))
+      .toDF("a", "b")
+    val r1 = Analytics.chiSquare(dep, "a", "b").collect()(0)
+    assert(r1.getAs[Long]("dof") === 1L)
+    // chi2 = N exactly here -> milli = 20 * 1000
+    assert(math.abs(r1.getAs[Long]("chi2_milli") - 20000L) <= 4L)
+    // perfectly independent: identical b-distribution for both a's
+    val ind = (for (a <- Seq("x", "y"); b <- Seq("1", "2"); _ <- 1 to 5)
+      yield (a, b)).toDF("a", "b")
+    val r2 = Analytics.chiSquare(ind, "a", "b").collect()(0)
+    assert(math.abs(r2.getAs[Long]("chi2_milli")) <= 4L)
+    // single level: NULL screen
+    val one = Seq(("x", "1"), ("x", "2")).toDF("a", "b")
+    val r3 = Analytics.chiSquare(one, "a", "b").collect()(0)
+    assert(r3.isNullAt(r3.fieldIndex("chi2_milli")))
+  }
 }
