@@ -1932,6 +1932,14 @@ object SparkEntry {
       Analytics.varianceDecomposition(Tables.events(s, d), "event_type",
         "value")),
 
+    // Two-sample KS distance between the hash arms' purchase values:
+    // did the DISTRIBUTION shift, not just the mean — exact D in ppm.
+    "q198_ks_test" -> ((s, d) =>
+      Analytics.ksTest(
+        Tables.events(s, d).filter(col("event_type") === "purchase"),
+        sideCol = substring(md5(col("user_id").cast("string")), 1, 1) < "8",
+        "value")),
+
     // Chi-square independence of event type × weekday: the categorical
     // sibling of q196, exact floor-milli per contingency cell.
     "q197_chi_square" -> ((s, d) =>
@@ -4954,6 +4962,32 @@ object SparkEntry {
          FROM pr JOIN documents d1 ON pr.id1 = d1.doc_id
                  JOIN documents d2 ON pr.id2 = d2.doc_id
          GROUP BY 1, 2""",
+
+    // KS replayed over the same centi-quantized cumulative table.
+    "q198_ks_test" ->
+      """WITH x AS (SELECT
+                  substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8' AS s,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+               FROM events WHERE event_type = 'purchase'),
+         per AS (SELECT v,
+                  CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS HUGEINT) AS c1,
+                  CAST(sum(CASE WHEN s THEN 0 ELSE 1 END) AS HUGEINT) AS c2
+               FROM x GROUP BY 1),
+         cum AS (SELECT v,
+                  sum(c1) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
+                  sum(c2) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2
+               FROM per),
+         t AS (SELECT max(f1) AS n1, max(f2) AS n2 FROM cum),
+         d AS (SELECT any_value(t.n1) AS n1, any_value(t.n2) AS n2,
+                      max(abs(f1 * t.n2 - f2 * t.n1)) AS dmax
+               FROM cum, t)
+         SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+                CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+                     ELSE dmax * 1000000 // (n1 * n2) END AS BIGINT)
+                  AS ks_ppm
+         FROM d""",
 
     // Chi-square replayed cell by cell (margin cross product covers
     // zero-observation combos identically).

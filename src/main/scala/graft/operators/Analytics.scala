@@ -1005,6 +1005,38 @@ object Analytics {
           " ELSE CAST((r - 1) * (c - 1) AS BIGINT) END").as("dof"))
   }
 
+  /** Exact two-sample Kolmogorov-Smirnov distance — "did the metric's
+    * DISTRIBUTION shift?", the shape-sensitive screen the mean-based
+    * tests (48u/48m'') can't see. D = max |F₁ − F₂| computed exactly:
+    * per distinct centi-value the cumulative counts of each sample,
+    * cross-multiplied to clear denominators
+    * (|cum₁·n₂ − cum₂·n₁|, max, then ·10⁶ div n₁·n₂) — AUC's (24g)
+    * bounded-table discipline: one value-keyed collapse, then a window
+    * over ≤ |distinct quantized values| rows. NULL when either sample is
+    * empty. */
+  def ksTest(df: DataFrame, sideCol: Column, valueCol: String): DataFrame = {
+    val per = df
+      .select(sideCol.cast("boolean").as("graft_s"),
+        floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("long").as("graft_x"))
+      .groupBy("graft_x")
+      .agg(sum(col("graft_s").cast("long")).cast("decimal(38,0)").as("c1"),
+        sum((!col("graft_s")).cast("long")).cast("decimal(38,0)").as("c2"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("graft_x")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = per
+      .withColumn("f1", sum("c1").over(w))
+      .withColumn("f2", sum("c2").over(w))
+    // the last cumulative IS the sample size — one tiny aggregate
+    val tot = cum.agg(max("f1").as("n1"), max("f2").as("n2"))
+    cum.crossJoin(broadcast(tot))
+      .groupBy("n1", "n2")
+      .agg(max(expr("abs(f1 * n2 - f2 * n1)")).as("dmax"))
+      .select(col("n1").cast("long").as("n_a"),
+        col("n2").cast("long").as("n_b"),
+        expr("CASE WHEN n1 = 0 OR n2 = 0 THEN CAST(NULL AS BIGINT)" +
+          " ELSE dmax * 1000000 div (n1 * n2) END").as("ks_ppm"))
+  }
+
   /** RFM segmentation — the classic recency/frequency/monetary customer
     * grading, composed from exact integer metrics and tie-broken ntiles:
     * per user, recency = days since last event at `refTsUs`, frequency =

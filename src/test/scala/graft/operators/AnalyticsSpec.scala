@@ -489,4 +489,25 @@ class AnalyticsSpec extends SparkSpec {
     val r3 = Analytics.chiSquare(one, "a", "b").collect()(0)
     assert(r3.isNullAt(r3.fieldIndex("chi2_milli")))
   }
+
+  test("ksTest: identical distributions score 0, disjoint score 1e6") {
+    import org.apache.spark.sql.functions._
+    val same = (Seq.tabulate(20)(i => (true, i.toDouble)) ++
+      Seq.tabulate(20)(i => (false, i.toDouble))).toDF("s", "value")
+    val r1 = Analytics.ksTest(same, col("s"), "value").collect()(0)
+    assert(r1.getAs[Long]("ks_ppm") === 0L)
+    val disjoint = (Seq.tabulate(10)(i => (true, i.toDouble)) ++
+      Seq.tabulate(10)(i => (false, 100.0 + i))).toDF("s", "value")
+    val r2 = Analytics.ksTest(disjoint, col("s"), "value").collect()(0)
+    assert(r2.getAs[Long]("ks_ppm") === 1000000L)
+    // hand-computed middle case: A={1,2}, B={2,3}: D = 1/2
+    val mid = Seq((true, 1.0), (true, 2.0), (false, 2.0), (false, 3.0))
+      .toDF("s", "value")
+    val r3 = Analytics.ksTest(mid, col("s"), "value").collect()(0)
+    assert(r3.getAs[Long]("ks_ppm") === 500000L)
+    // one empty side: NULL, not a crash
+    val onesided = Seq((true, 1.0)).toDF("s", "value")
+    val r4 = Analytics.ksTest(onesided, col("s"), "value").collect()(0)
+    assert(r4.isNullAt(r4.fieldIndex("ks_ppm")))
+  }
 }
