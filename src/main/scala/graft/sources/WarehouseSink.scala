@@ -303,6 +303,12 @@ object WarehouseSink {
                keepVersions: Int = 1,
                clusterBy: Option[String] = None): MaintenanceReport = {
     require(targetBytes > 0, "targetBytes must be positive")
+    // honesty over silence: a value-partitioned table compacts through
+    // its OWN layout — a clusterBy there would be ignored, so reject it
+    require(clusterBy.isEmpty ||
+      readManifest(dir).forall(_.partitionCol.isEmpty),
+      "clusterBy does not apply to a value-partitioned table (its " +
+        "compaction preserves the one-file-per-value layout)")
     val fmt = classOf[WarehouseSink].getName
     val cur = readManifest(dir).getOrElse(
       return MaintenanceReport(0, 0, 0L, 0L, compacted = false, 0))

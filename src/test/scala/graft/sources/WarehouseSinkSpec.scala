@@ -932,6 +932,31 @@ class WarehouseSinkSpec extends SparkSpec {
     assert(liveIds() === (1L to 6L))
   }
 
+  test("a batch append interleaved with a pending stage: promote rebases") {
+    val dir = tmp()
+    (1L to 3L).map(Tuple1(_)).toDF("id")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val tok = WarehouseSink.stageAppend(spark, dir, Seq(Tuple1(50L)).toDF("id"))
+    // a normal append lands WHILE the stage is pending
+    (4L to 6L).map(Tuple1(_)).toDF("id")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    WarehouseSink.promoteStaged(dir, tok)
+    // both the interleaved append and the promoted stage survive
+    assert(spark.read.format(Fmt).option("path", dir).load()
+      .select("id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L, 3L, 4L, 5L, 6L, 50L))
+  }
+
+  test("maintain rejects clusterBy on a value-partitioned table") {
+    val dir = tmp()
+    (0L until 10L).map(i => (i, s"k${i % 2}")).toDF("id", "k")
+      .write.format(Fmt).option("path", dir).option("partitionBy", "k")
+      .mode("overwrite").save()
+    intercept[IllegalArgumentException] {
+      WarehouseSink.maintain(spark, dir, clusterBy = Some("id"))
+    }
+  }
+
   test("vacuum never reclaims a pending stage") {
     val dir = tmp()
     (1L to 3L).map(Tuple1(_)).toDF("id")
