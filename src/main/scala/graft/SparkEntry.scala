@@ -1932,6 +1932,11 @@ object SparkEntry {
       Analytics.varianceDecomposition(Tables.events(s, d), "event_type",
         "value")),
 
+    // Robust trend: lower-median of pairwise daily slopes per type —
+    // the outlier-proof twin of q186's least squares.
+    "q199_theil_sen" -> ((s, d) =>
+      Analytics.theilSenSlope(eventsUs(s, d), "event_type", "ts_us")),
+
     // Two-sample KS distance between the hash arms' purchase values:
     // did the DISTRIBUTION shift, not just the mean — exact D in ppm.
     "q198_ks_test" -> ((s, d) =>
@@ -4962,6 +4967,25 @@ object SparkEntry {
          FROM pr JOIN documents d1 ON pr.id1 = d1.doc_id
                  JOIN documents d2 ON pr.id2 = d2.doc_id
          GROUP BY 1, 2""",
+
+    // Theil-Sen replayed: same pair set, same total order, same lower
+    // median index.
+    "q199_theil_sen" ->
+      """WITH daily AS (SELECT event_type AS s,
+                  epoch_us(ts) // 86400000000 AS d,
+                  CAST(count(*) AS BIGINT) AS y
+               FROM events GROUP BY 1, 2),
+         p AS (SELECT a.s, (b.y - a.y) * 1000000 // (b.d - a.d) AS sl,
+                      a.d AS d1, b.d AS d2
+               FROM daily a JOIN daily b ON a.s = b.s AND a.d < b.d),
+         r AS (SELECT s, sl, d1, d2,
+                  row_number() OVER (PARTITION BY s
+                    ORDER BY sl, d1, d2) AS rk,
+                  count(*) OVER (PARTITION BY s) AS np
+               FROM p)
+         SELECT s AS event_type, CAST(np AS BIGINT) AS n_pairs,
+                CAST(sl AS BIGINT) AS median_slope_ppm
+         FROM r WHERE rk = (np + 1) // 2""",
 
     // KS replayed over the same centi-quantized cumulative table.
     "q198_ks_test" ->

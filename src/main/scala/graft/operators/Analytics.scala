@@ -1037,6 +1037,46 @@ object Analytics {
           " ELSE dmax * 1000000 div (n1 * n2) END").as("ks_ppm"))
   }
 
+  /** Theil-Sen robust trend — the outlier-proof sibling of
+    * [[trendSlope]]: the LOWER MEDIAN of all pairwise daily slopes per
+    * series (one anomalous day corrupts least squares; it moves a
+    * median of C(m,2) slopes almost nothing). Slopes are floor-ppm
+    * integers; the median is the ⌈p/2⌉-th order statistic under a total
+    * (slope, day-pair) order — an exact value from the data, engine-
+    * stable, no interpolation.
+    *
+    * Scale: the corpus collapses to (series, day, count) first; the
+    * pair join runs on that BOUNDED table (C(days,2) per series — 435
+    * pairs for a 30-day window), never on events. */
+  def theilSenSlope(events: DataFrame, seriesCol: String,
+                    tsUsCol: String): DataFrame = {
+    val daily = events
+      .select(col(seriesCol).as("graft_s"),
+        expr(s"$tsUsCol div ${86400L * 1000000L}L").as("graft_d"))
+      .groupBy("graft_s", "graft_d")
+      .agg(count(lit(1)).as("graft_y"))
+    val a = daily.select(col("graft_s"), col("graft_d").as("d1"),
+      col("graft_y").as("y1"))
+    val b = daily.select(col("graft_s"), col("graft_d").as("d2"),
+      col("graft_y").as("y2"))
+    val slopes = a.join(b, Seq("graft_s"))
+      .filter(col("d1") < col("d2"))
+      .select(col("graft_s"),
+        expr("(y2 - y1) * 1000000 div (d2 - d1)").as("graft_sl"),
+        col("d1"), col("d2"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("graft_s")
+      .orderBy(col("graft_sl").asc, col("d1").asc, col("d2").asc)
+    slopes
+      .withColumn("graft_rk", row_number().over(w))
+      .withColumn("graft_np",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("graft_s")))
+      .filter(col("graft_rk") === expr("(graft_np + 1) div 2"))
+      .select(col("graft_s").as(seriesCol),
+        col("graft_np").cast("long").as("n_pairs"),
+        col("graft_sl").as("median_slope_ppm"))
+  }
+
   /** RFM segmentation — the classic recency/frequency/monetary customer
     * grading, composed from exact integer metrics and tie-broken ntiles:
     * per user, recency = days since last event at `refTsUs`, frequency =

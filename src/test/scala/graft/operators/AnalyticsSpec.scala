@@ -510,4 +510,21 @@ class AnalyticsSpec extends SparkSpec {
     val r4 = Analytics.ksTest(onesided, col("s"), "value").collect()(0)
     assert(r4.isNullAt(r4.fieldIndex("ks_ppm")))
   }
+
+  test("theilSenSlope shrugs off the outlier that corrupts least squares") {
+    val D = 86400L * 1000000L
+    // series "s": one event on day d for d in 0..9 (slope 0 per day),
+    // except day 9 carries a 500-event spike.
+    val events = ((0L until 9L).map(d => ("s", d * D)) ++
+      Seq.fill(500)(("s", 9L * D)))
+      .toDF("event_type", "ts_us")
+    val ls = Analytics.trendSlope(events, "event_type", "ts_us")
+      .collect()(0).getAs[Long]("slope_ppm")
+    val ts = Analytics.theilSenSlope(events, "event_type", "ts_us")
+      .collect()(0)
+    assert(ts.getAs[Long]("n_pairs") === 45L)
+    // least squares is dragged far positive; the pairwise median is 0
+    assert(ls > 10000000L, s"LS should chase the spike: $ls")
+    assert(ts.getAs[Long]("median_slope_ppm") === 0L)
+  }
 }
