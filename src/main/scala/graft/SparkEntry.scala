@@ -1937,6 +1937,34 @@ object SparkEntry {
     "q199_theil_sen" -> ((s, d) =>
       Analytics.theilSenSlope(eventsUs(s, d), "event_type", "ts_us")),
 
+    // The stats panel: five one-row testing readouts (attribution rate,
+    // AUC, CUPED adjusted diff, ANOVA η², KS distance) unioned into one
+    // labeled metrics table — the dashboard row a pipeline health check
+    // publishes per run; its oracle composes the members' proven SQL.
+    "q200_stats_panel" -> ((s, d) => {
+      def one(metric: String, df: DataFrame, valueCol: String): DataFrame =
+        df.select(lit(metric).as("metric"), col(valueCol).as("value_ppm"))
+      Seq(
+        one("attr_ppm",
+          Sessions.lastTouchAttribution(eventsUs(s, d), "user_id", "ts_us",
+            "event_id", "event_type", "view", "purchase",
+            7L * 86400L * 1000000L), "attr_ppm"),
+        one("auc_ppm", ml.Eval.rocAuc(scoredDocs(s, d), "score_q", "label"),
+          "auc_ppm"),
+        one("cuped_adj_diff_ppm",
+          Experiment.cuped(eventsUs(s, d), "user_id", "event_type", "value",
+            "ts_us", "purchase", 1705363200000000L), "adj_diff_ppm"),
+        one("eta2_ppm",
+          Analytics.varianceDecomposition(Tables.events(s, d), "event_type",
+            "value"), "eta2_ppm"),
+        one("ks_ppm",
+          Analytics.ksTest(
+            Tables.events(s, d).filter(col("event_type") === "purchase"),
+            substring(md5(col("user_id").cast("string")), 1, 1) < "8",
+            "value"), "ks_ppm"))
+        .reduce(_ unionByName _)
+    }),
+
     // Two-sample KS distance between the hash arms' purchase values:
     // did the DISTRIBUTION shift, not just the mean — exact D in ppm.
     "q198_ks_test" -> ((s, d) =>
@@ -2379,7 +2407,24 @@ object SparkEntry {
     * (Spark replaces all matches by default); computed ints are CAST to
     * BIGINT (DuckDB sum(int)→HUGEINT, row_number→BIGINT vs Spark INT);
     * doubles from aggregation are rounded identically on both sides. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val base = oracleSqlBase
+    // q200's oracle composes the member readouts' own proven SQL — any
+    // member drifting from its oracle breaks the panel identically.
+    base + ("q200_stats_panel" ->
+      s"""SELECT 'attr_ppm' AS metric, attr_ppm AS value_ppm
+            FROM (${base("q174_attribution")})
+          UNION ALL SELECT 'auc_ppm', auc_ppm
+            FROM (${base("q167_roc_auc")})
+          UNION ALL SELECT 'cuped_adj_diff_ppm', adj_diff_ppm
+            FROM (${base("q170_cuped")})
+          UNION ALL SELECT 'eta2_ppm', eta2_ppm
+            FROM (${base("q196_variance_decomposition")})
+          UNION ALL SELECT 'ks_ppm', ks_ppm
+            FROM (${base("q198_ks_test")})""")
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q01_topk" ->
       """SELECT p_partkey, p_name, p_retailprice FROM part
          ORDER BY p_retailprice DESC, p_partkey LIMIT 20""",
