@@ -367,4 +367,29 @@ class DedupSpec extends SparkSpec {
     // stride-4 window count for 16 tokens: positions 1,5,9 → 3 windows
     assert(out(1L)._1 === 3L)
   }
+
+  test("crossSourceDupMatrix equals the naive pair count on random data") {
+    val rnd = new scala.util.Random(23)
+    val docs = (1L to 120L).map { i =>
+      // ~30 distinct texts over 3 sources -> plenty of dup groups
+      (i, s"text-${rnd.nextInt(30)}", s"s${rnd.nextInt(3)}")
+    }
+    val df = docs.toDF("doc_id", "text", "source")
+    val got = Dedup.crossSourceDupMatrix(df, "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // naive model: all doc pairs sharing text, keyed by sorted source pair
+    val naive = docs.groupBy(_._2).values.flatMap { g =>
+      for (a <- g; b <- g if a._1 < b._1) yield {
+        if (a._3 <= b._3) (a._3, b._3) else (b._3, a._3)
+      }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got === naive)
+    // partitioning invariance
+    val re = Dedup.crossSourceDupMatrix(df.repartition(7), "doc_id",
+      "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(re === naive)
+  }
 }
