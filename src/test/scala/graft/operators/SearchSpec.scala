@@ -123,4 +123,30 @@ class SearchSpec extends SparkSpec {
       Seq("alpha", "term3"), 10).as[(Long, Long, Long)].collect().toSeq
     assert(a === b)
   }
+
+  test("hybridRrf fuses planted leg ranks with exact reciprocal credits") {
+    // text corpus: doc 1 dominates the term; docs 2,3 mention it less.
+    val docs = Seq(
+      (1L, "zebra zebra zebra zebra"),
+      (2L, "zebra filler filler filler"),
+      (3L, "zebra filler"),
+      (4L, "nothing relevant here")).toDF("doc_id", "text")
+    // embeddings: doc 0 is the query; 2 is closest, then 3, then 1.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f)),
+      (2L, Array(1.0f, 0.01f)),
+      (3L, Array(0.7f, 0.7f)),
+      (4L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Search.hybridRrf(docs, emb, "doc_id", "text", "vec_id",
+      "embedding", Seq("zebra"), queryVecId = 0L, legK = 3, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("rrf_ppm")).toMap
+    def c(rank: Long) = 1000000L / (60L + rank)
+    // text ranks (BM25 length normalization lifts the shorter doc 3 over
+    // doc 2 at equal tf): 1->1, 3->2, 2->3; vec ranks: 2->1, 3->2, 1->3
+    assert(got(1L) === c(1) + c(3))
+    assert(got(2L) === c(3) + c(1))
+    assert(got(3L) === c(2) + c(2))
+    assert(!got.contains(4L), s"doc 4 is in neither leg: $got")
+  }
 }
