@@ -527,4 +527,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(ls > 10000000L, s"LS should chase the spike: $ls")
     assert(ts.getAs[Long]("median_slope_ppm") === 0L)
   }
+
+  test("ksTest and rfmSegments are invariant to input partitioning") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(31)
+    val vals = (1L to 200L).map(i =>
+      (i % 2 == 0, rnd.nextInt(500) / 100.0)).toDF("s", "value")
+    val a = Analytics.ksTest(vals, col("s"), "value").collect()(0)
+    val b = Analytics.ksTest(vals.repartition(9), col("s"), "value")
+      .collect()(0)
+    assert(a.getAs[Long]("ks_ppm") === b.getAs[Long]("ks_ppm"))
+    val ev = (1L to 100L).map(i =>
+      (i % 17, i * 1000000L, rnd.nextInt(300) / 100.0))
+      .toDF("user_id", "ts_us", "value")
+    def seg(df: org.apache.spark.sql.DataFrame) =
+      Analytics.rfmSegments(df, "user_id", "ts_us", "value",
+        refTsUs = 200000000L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+          r.getAs[Long]("n_users")).toMap
+    assert(seg(ev) === seg(ev.repartition(5)))
+  }
 }

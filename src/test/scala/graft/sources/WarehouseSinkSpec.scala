@@ -1090,4 +1090,23 @@ class WarehouseSinkSpec extends SparkSpec {
     val r = agg.collect()(0)
     assert(r.isNullAt(0) && r.isNullAt(1) && r.getLong(2) === 2L)
   }
+
+  test("promote rejects a schema-mismatched stage; merge rejects extra columns") {
+    val dir = tmp()
+    Seq((1L, "a")).toDF("id", "s")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    // staged batch with a different column set cannot promote
+    val tok = WarehouseSink.stageAppend(spark, dir,
+      Seq((2L, "b", 9L)).toDF("id", "s", "extra"))
+    intercept[Exception] { WarehouseSink.promoteStaged(dir, tok) }
+    // the failed promote left the live table untouched; discard reclaims
+    assert(spark.read.format(Fmt).option("path", dir).load().count() === 1L)
+    WarehouseSink.discardStaged(dir, tok)
+    // merge with a mismatched updates schema is refused up front
+    intercept[Exception] {
+      WarehouseSink.merge(spark, dir,
+        Seq((1L, "x", 5L)).toDF("id", "s", "extra"), Seq("id"))
+    }
+    assert(spark.read.format(Fmt).option("path", dir).load().count() === 1L)
+  }
 }
