@@ -1937,6 +1937,13 @@ object SparkEntry {
     "q199_theil_sen" -> ((s, d) =>
       Analytics.theilSenSlope(eventsUs(s, d), "event_type", "ts_us")),
 
+    // Market-basket pairs: co-purchased parts by support + integer lift
+    // — pair fan-out bounded by basket size (≤7 lines per order), never
+    // the corpus.
+    "q201_basket_pairs" -> ((s, d) =>
+      Analytics.basketPairs(Tables.lineitem(s, d), "l_orderkey",
+        "l_partkey", minSupport = 2L, k = 20)),
+
     // The stats panel: five one-row testing readouts (attribution rate,
     // AUC, CUPED adjusted diff, ANOVA η², KS distance) unioned into one
     // labeled metrics table — the dashboard row a pipeline health check
@@ -5012,6 +5019,23 @@ object SparkEntry {
          FROM pr JOIN documents d1 ON pr.id1 = d1.doc_id
                  JOIN documents d2 ON pr.id2 = d2.doc_id
          GROUP BY 1, 2""",
+
+    // Basket pairs replayed: same distinct item sets, same total order.
+    "q201_basket_pairs" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+               FROM lineitem),
+         n AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS nb FROM it),
+         f AS (SELECT i, CAST(count(*) AS BIGINT) AS fi FROM it GROUP BY 1),
+         p AS (SELECT a.i AS item_a, c.i AS item_b,
+                      CAST(count(*) AS BIGINT) AS support
+               FROM it a JOIN it c ON a.b = c.b AND a.i < c.i
+               GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT item_a, item_b, support,
+                CAST(support * n.nb * 1000000 // (fa.fi * fb.fi) AS BIGINT)
+                  AS lift_ppm
+         FROM p JOIN f fa ON p.item_a = fa.i
+                JOIN f fb ON p.item_b = fb.i, n
+         ORDER BY support DESC, lift_ppm DESC, item_a, item_b LIMIT 20""",
 
     // Theil-Sen replayed: same pair set, same total order, same lower
     // median index.

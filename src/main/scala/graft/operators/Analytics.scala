@@ -1077,6 +1077,39 @@ object Analytics {
         col("graft_sl").as("median_slope_ppm"))
   }
 
+  /** Market-basket pair analysis — co-purchased item pairs by support
+    * and integer lift, the classic association readout. The pair join is
+    * keyed on the BASKET id, so fan-out is C(basket size, 2) per basket
+    * (TPC-H orders hold ≤ 7 lines — bounded by the domain, not the
+    * corpus); item totals are a wordcount; lift_ppm = n_ab·N·10⁶ div
+    * (n_a·n_b) in q189's exact discipline. `minSupport` floors rare-pair
+    * noise; top `k` by (support, lift, pair) total order. */
+  def basketPairs(lines: DataFrame, basketCol: String, itemCol: String,
+                  minSupport: Long, k: Int): DataFrame = {
+    val items = lines.select(col(basketCol).as("graft_b"),
+      col(itemCol).as("graft_i")).distinct()
+    val n = items.select(count_distinct(col("graft_b")).as("graft_n"))
+    val freq = items.groupBy("graft_i").agg(count(lit(1)).as("graft_f"))
+    val a = items.select(col("graft_b"), col("graft_i").as("item_a"))
+    val b = items.select(col("graft_b"), col("graft_i").as("item_b"))
+    a.join(b, Seq("graft_b"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .join(freq.withColumnRenamed("graft_i", "item_a")
+        .withColumnRenamed("graft_f", "graft_fa"), Seq("item_a"))
+      .join(freq.withColumnRenamed("graft_i", "item_b")
+        .withColumnRenamed("graft_f", "graft_fb"), Seq("item_b"))
+      .crossJoin(broadcast(n))
+      .select(col("item_a"), col("item_b"), col("support"),
+        expr("support * graft_n * 1000000 div (graft_fa * graft_fb)")
+          .as("lift_ppm"))
+      .orderBy(col("support").desc, col("lift_ppm").desc,
+        col("item_a").asc, col("item_b").asc)
+      .limit(k)
+  }
+
   /** RFM segmentation — the classic recency/frequency/monetary customer
     * grading, composed from exact integer metrics and tie-broken ntiles:
     * per user, recency = days since last event at `refTsUs`, frequency =
