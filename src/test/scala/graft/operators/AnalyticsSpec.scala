@@ -547,4 +547,28 @@ class AnalyticsSpec extends SparkSpec {
           r.getAs[Long]("n_users")).toMap
     assert(seg(ev) === seg(ev.repartition(5)))
   }
+
+  test("basketPairs: hand-computed support and lift, dedup within basket") {
+    // baskets: {A,B}, {A,B}, {A,C}, {B} plus a duplicated line (A twice
+    // in basket 1 must count once).
+    val lines = Seq(
+      (1L, "A"), (1L, "A"), (1L, "B"),
+      (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "C"),
+      (4L, "B")).toDF("basket", "item")
+    val got = Analytics.basketPairs(lines, "basket", "item",
+      minSupport = 1L, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // N=4 baskets; f(A)=3, f(B)=3, f(C)=1
+    // (A,B): support 2, lift 2*4e6/(3*3) = 888888
+    // (A,C): support 1, lift 1*4e6/(3*1) = 1333333
+    assert(got === Map(("A", "B") -> ((2L, 888888L)),
+      ("A", "C") -> ((1L, 1333333L))))
+    // the support floor prunes the rare pair
+    val floored = Analytics.basketPairs(lines, "basket", "item",
+      minSupport = 2L, k = 10).collect().map(r =>
+        (r.getString(0), r.getString(1))).toSet
+    assert(floored === Set(("A", "B")))
+  }
 }
