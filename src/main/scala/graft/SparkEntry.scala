@@ -1937,6 +1937,14 @@ object SparkEntry {
     "q199_theil_sen" -> ((s, d) =>
       Analytics.theilSenSlope(eventsUs(s, d), "event_type", "ts_us")),
 
+    // Conversion by session ordinal: does the first visit or a later one
+    // convert — gap-sessions, per-user ordinal (5+ tail bucket),
+    // floor-ppm rates.
+    "q202_session_conversion" -> ((s, d) =>
+      Sessions.conversionBySessionOrdinal(eventsUs(s, d), "user_id",
+        "ts_us", "event_id", "event_type", convType = "purchase",
+        gapUs = 1800L * 1000000L, maxOrdinal = 4)),
+
     // Market-basket pairs: co-purchased parts by support + integer lift
     // — pair fan-out bounded by basket size (≤7 lines per order), never
     // the corpus.
@@ -5019,6 +5027,31 @@ object SparkEntry {
          FROM pr JOIN documents d1 ON pr.id1 = d1.doc_id
                  JOIN documents d2 ON pr.id2 = d2.doc_id
          GROUP BY 1, 2""",
+
+    // Session ordinals replayed on q38's islands.
+    "q202_session_conversion" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                  event_type FROM events),
+         g AS (SELECT user_id, ts_us, event_id, event_type,
+                      CASE WHEN lag(ts_us) OVER w IS NULL
+                                OR ts_us - lag(ts_us) OVER w > 1800000000
+                           THEN 1 ELSE 0 END AS news
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         s AS (SELECT user_id, event_type,
+                      sum(news) OVER (PARTITION BY user_id
+                                      ORDER BY ts_us, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+               FROM g),
+         ses AS (SELECT user_id, sid,
+                  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS conv
+               FROM s GROUP BY 1, 2),
+         o AS (SELECT least(sid, 5) AS ordinal, conv FROM ses)
+         SELECT CAST(ordinal AS BIGINT) AS ordinal,
+                CAST(count(*) AS BIGINT) AS n_sessions,
+                CAST(sum(conv) AS BIGINT) AS n_converting,
+                CAST(sum(conv) * 1000000 // count(*) AS BIGINT) AS conv_ppm
+         FROM o GROUP BY 1""",
 
     // Basket pairs replayed: same distinct item sets, same total order.
     "q201_basket_pairs" ->

@@ -186,6 +186,40 @@ object Sessions {
     * (`max` of the touch-typed ts over preceding rows) — no self-join,
     * no per-conversion scan; the report is a single tiny aggregate.
     * Gap stats are exact integers (µs sums, floor-div mean). */
+  /** Conversion rate by SESSION ORDINAL — "do users convert in their
+    * first visit or their fifth?": each user's events split into
+    * gap-sessions ([[sessionize]]'s islands), a session converts if it
+    * holds a `convType` event, and the readout groups by the session's
+    * per-user ordinal (capped into a `maxOrdinal+` tail bucket so the
+    * output is bounded at any activity level). Floor-ppm rates.
+    * One user-keyed window pass (the sessionize shuffle) + a
+    * bounded-ordinal aggregate. */
+  def conversionBySessionOrdinal(events: DataFrame, userCol: String,
+                                 tsUsCol: String, idCol: String,
+                                 typeCol: String, convType: String,
+                                 gapUs: Long, maxOrdinal: Int): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsUsCol).asc, col(idCol).asc)
+    val sessions = events
+      .select(col(userCol), col(tsUsCol), col(idCol), col(typeCol))
+      .withColumn("graft_new",
+        when(lag(col(tsUsCol), 1).over(w).isNull ||
+          col(tsUsCol) - lag(col(tsUsCol), 1).over(w) > gapUs, 1)
+          .otherwise(0))
+      .withColumn("graft_sid",
+        sum("graft_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(userCol), col("graft_sid"))
+      .agg(max((col(typeCol) === convType).cast("long")).as("graft_conv"))
+    sessions
+      .withColumn("ordinal",
+        least(col("graft_sid"), lit(maxOrdinal.toLong + 1)).cast("long"))
+      .groupBy("ordinal")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("graft_conv").as("n_converting"))
+      .withColumn("conv_ppm",
+        expr("n_converting * 1000000 div n_sessions"))
+      .orderBy("ordinal")
+  }
+
   /** Linear multi-touch attribution: every `touchType` event in the
     * window before a conversion shares the conversion's credit equally
     * (floor 10⁶ div n ppm each — totals under-sum by the floor remainder,
