@@ -1937,6 +1937,16 @@ object SparkEntry {
     "q199_theil_sen" -> ((s, d) =>
       Analytics.theilSenSlope(eventsUs(s, d), "event_type", "ts_us")),
 
+    // Spearman: do more-active users spend monotonically more — rank
+    // correlation of per-user event count vs centi-spend, exact
+    // midranks, q84's bit-stable assembly.
+    "q203_spearman" -> ((s, d) =>
+      Analytics.spearman(
+        Tables.events(s, d).groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents")),
+        "n_events", "cents")),
+
     // Conversion by session ordinal: does the first visit or a later one
     // convert — gap-sessions, per-user ordinal (5+ tail bucket),
     // floor-ppm rates.
@@ -5027,6 +5037,35 @@ object SparkEntry {
          FROM pr JOIN documents d1 ON pr.id1 = d1.doc_id
                  JOIN documents d2 ON pr.id2 = d2.doc_id
          GROUP BY 1, 2""",
+
+    // Spearman replayed: same doubled midranks, same double assembly.
+    "q203_spearman" ->
+      """WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS nx,
+                  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cy
+               FROM events GROUP BY 1),
+         rx AS (SELECT nx, CAST(2 * COALESCE(sum(m) OVER (ORDER BY nx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + m + 1 AS HUGEINT) AS rxv
+               FROM (SELECT nx, count(*) AS m FROM u GROUP BY 1)),
+         ry AS (SELECT cy, CAST(2 * COALESCE(sum(m) OVER (ORDER BY cy
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + m + 1 AS HUGEINT) AS ryv
+               FROM (SELECT cy, count(*) AS m FROM u GROUP BY 1)),
+         j AS (SELECT rxv, ryv
+               FROM u JOIN rx USING (nx) JOIN ry USING (cy)),
+         s AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(rxv) AS sx,
+                      sum(ryv) AS sy, sum(rxv * rxv) AS sxx,
+                      sum(ryv * ryv) AS syy, sum(rxv * ryv) AS sxy
+               FROM j)
+         SELECT CAST(n AS BIGINT) AS n_rows,
+                CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+                     THEN NULL
+                     ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+                          / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                             * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+                END AS rho
+         FROM s""",
 
     // Session ordinals replayed on q38's islands.
     "q202_session_conversion" ->

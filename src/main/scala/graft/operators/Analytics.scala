@@ -1077,6 +1077,43 @@ object Analytics {
         col("graft_sl").as("median_slope_ppm"))
   }
 
+  /** Spearman rank correlation — the monotonic-association twin of the
+    * exact-sum Pearson matrix (q84): Pearson over MIDRANKS, which are
+    * kept integral by the ×2 trick (2·avgrank = 2·below + ties + 1), so
+    * the rank substrate is exact and the final assembly is q84's
+    * (decimal(38,0) sums → double → round 6, bit-stable cross-engine).
+    *
+    * Rank tables are per-DISTINCT-value (the cumulative window runs over
+    * them, not rows — the 24g discipline); rows join their ranks by
+    * value. Callers with unbounded-cardinality metrics quantize first;
+    * NULL rho when either column is constant. */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val rows = df.select(col(xCol).as("graft_x"), col(yCol).as("graft_y"))
+    def rank2(c: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(c)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      rows.groupBy(col(c)).agg(count(lit(1)).as("graft_m"))
+        .withColumn("graft_below",
+          coalesce(sum("graft_m").over(w), lit(0L)))
+        .select(col(c),
+          (lit(2L) * col("graft_below") + col("graft_m") + lit(1L))
+            .cast("decimal(38,0)").as(s"r_$c"))
+    }
+    rows.join(rank2("graft_x"), Seq("graft_x"))
+      .join(rank2("graft_y"), Seq("graft_y"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum("r_graft_x").as("sx"), sum("r_graft_y").as("sy"),
+        sum(expr("r_graft_x * r_graft_x")).as("sxx"),
+        sum(expr("r_graft_y * r_graft_y")).as("syy"),
+        sum(expr("r_graft_x * r_graft_y")).as("sxy"))
+      .select(col("n").cast("long").as("n_rows"),
+        expr("CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0" +
+          " THEN CAST(NULL AS DOUBLE)" +
+          " ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)" +
+          " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))" +
+          " * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) END").as("rho"))
+  }
+
   /** Market-basket pair analysis — co-purchased item pairs by support
     * and integer lift, the classic association readout. The pair join is
     * keyed on the BASKET id, so fan-out is C(basket size, 2) per basket

@@ -571,4 +571,26 @@ class AnalyticsSpec extends SparkSpec {
         (r.getString(0), r.getString(1))).toSet
     assert(floored === Set(("A", "B")))
   }
+
+  test("spearman: planted monotone, anti-monotone, and tied extremes") {
+    import org.apache.spark.sql.functions._
+    val mono = (1 to 30).map(i => (i.toLong, (i * i).toLong)).toDF("x", "y")
+    assert(Analytics.spearman(mono, "x", "y").collect()(0)
+      .getAs[Double]("rho") === 1.0)
+    val anti = (1 to 30).map(i => (i.toLong, (100 - i).toLong)).toDF("x", "y")
+    assert(Analytics.spearman(anti, "x", "y").collect()(0)
+      .getAs[Double]("rho") === -1.0)
+    // constant column: undefined, NULL not crash
+    val const = (1 to 10).map(i => (i.toLong, 5L)).toDF("x", "y")
+    assert(Analytics.spearman(const, "x", "y").collect()(0)
+      .isNullAt(1))
+    // ties: midranks keep rho within [-1, 1] and partitioning-invariant
+    val rnd = new scala.util.Random(41)
+    val tied = (1 to 100).map(_ =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(5).toLong)).toDF("x", "y")
+    val a = Analytics.spearman(tied, "x", "y").collect()(0).getAs[Double]("rho")
+    val b = Analytics.spearman(tied.repartition(7), "x", "y")
+      .collect()(0).getAs[Double]("rho")
+    assert(a === b && math.abs(a) <= 1.0)
+  }
 }
