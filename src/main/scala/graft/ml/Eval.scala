@@ -29,16 +29,40 @@ import org.apache.spark.sql.functions._
   */
 object Eval {
 
+  /** Hard ceiling on distinct quantized scores: far above any honest
+    * quantization scale (the contract suggests 1e4), far below a raw
+    * double column's cardinality. Overridable per session via
+    * [[MaxDistinctConfKey]]. */
+  private[graft] val MaxDistinctScores: Long = 1L << 20
+  val MaxDistinctConfKey = "graft.eval.maxDistinctScores"
+
   /** Per-distinct-score (p = positives, n = negatives) counts as
-    * decimal(38,0) — the shared substrate of every metric here. */
+    * decimal(38,0) — the shared substrate of every metric here.
+    *
+    * The quantized-score contract is ENFORCED, not assumed: a lazy
+    * in-plan gate (a global count over this already-bounded table,
+    * asserted inside a Filter so column pruning can't drop it) raises at
+    * execution when distinct-score cardinality exceeds
+    * [[MaxDistinctScores]] — an unquantized caller fails loudly instead
+    * of silently single-partition-sorting a corpus-cardinality table. */
   private def perScore(scored: DataFrame, scoreCol: String,
-                       labelCol: String): DataFrame =
+                       labelCol: String): DataFrame = {
+    val wAll = Window.partitionBy()
+    val maxDistinct = scored.sparkSession.conf
+      .get(MaxDistinctConfKey, MaxDistinctScores.toString).toLong
     scored
       .select(col(scoreCol).cast("long").as("s"),
         col(labelCol).cast("long").as("y"))
       .groupBy("s")
       .agg(sum("y").cast("decimal(38,0)").as("p"),
         (count(lit(1)) - sum("y")).cast("decimal(38,0)").as("n"))
+      .withColumn("graft_card", count(lit(1)).over(wAll))
+      .filter(assert_true(col("graft_card") <= lit(maxDistinct),
+        lit(s"Eval: more than $maxDistinct distinct scores — " +
+          "quantize scoreCol to a fixed integer scale before calling " +
+          "(the documented contract)")).isNull)
+      .drop("graft_card")
+  }
 
   /** Exact ROC-AUC via the Mann-Whitney rank formulation with midrank tie
     * handling, in integer arithmetic throughout:

@@ -1084,15 +1084,28 @@ object Analytics {
     * (decimal(38,0) sums → double → round 6, bit-stable cross-engine).
     *
     * Rank tables are per-DISTINCT-value (the cumulative window runs over
-    * them, not rows — the 24g discipline); rows join their ranks by
-    * value. Callers with unbounded-cardinality metrics quantize first;
-    * NULL rho when either column is constant. */
-  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    * them, not rows — the 24g discipline), with that precondition
+    * ENFORCED: a lazy in-plan gate raises when either column exceeds
+    * `maxDistinct` distinct values, so an unquantized caller fails
+    * loudly instead of silently single-partition-sorting a
+    * corpus-cardinality table. Rows where either column is NULL are
+    * excluded up front (a null would otherwise inflate every midrank —
+    * it sorts into the cumulative `below` window — while its rows drop
+    * from the equi-joins, biasing rho). NULL rho when either column is
+    * constant. */
+  def spearman(df: DataFrame, xCol: String, yCol: String,
+               maxDistinct: Long = 1L << 20): DataFrame = {
     val rows = df.select(col(xCol).as("graft_x"), col(yCol).as("graft_y"))
+      .filter(col("graft_x").isNotNull && col("graft_y").isNotNull)
     def rank2(c: String): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window.orderBy(c)
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
       rows.groupBy(col(c)).agg(count(lit(1)).as("graft_m"))
+        .withColumn("graft_card", count(lit(1)).over(wAll))
+        .filter(assert_true(col("graft_card") <= lit(maxDistinct),
+          lit(s"spearman: more than $maxDistinct distinct values in $c — " +
+            "quantize the metric before ranking")).isNull)
         .withColumn("graft_below",
           coalesce(sum("graft_m").over(w), lit(0L)))
         .select(col(c),

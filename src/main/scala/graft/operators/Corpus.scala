@@ -472,16 +472,6 @@ object Corpus {
         sum("graft_c").as("n_chars"),
         expr("bit_xor(graft_h)").as("checksum48"))
 
-  /** Consistent bottom-k sample: the k documents with the smallest
-    * md5(text) (doc-id tiebreak) — a uniform-like sample that is a PURE
-    * FUNCTION OF CONTENT, the corpus-inspection twin of [[mixSample]]'s
-    * rate filter. Unlike `sample()`/`limit()`, re-running on a re-sharded,
-    * appended, or differently-partitioned corpus returns the SAME
-    * documents (appends only displace members whose hash exceeds the new
-    * arrivals') — which is what makes eyeball QA samples, labeling
-    * batches, and cross-run diff sets stable at 100 TB. Plans as
-    * TakeOrderedAndProject: per-partition k-heaps, one k-row driver
-    * merge — no global sort. */
   /** Compression-ratio quality signal — the Gopher/FineWeb-class
     * "compressibility" filter: highly repetitive or templated text
     * deflates far below natural prose, so deflate_ppm (compressed size as
@@ -515,6 +505,16 @@ object Corpus {
       .toDF("doc_id", "raw_bytes", "deflate_bytes", "deflate_ppm")
   }
 
+  /** Consistent bottom-k sample: the k documents with the smallest
+    * md5(text) (doc-id tiebreak) — a uniform-like sample that is a PURE
+    * FUNCTION OF CONTENT, the corpus-inspection twin of [[mixSample]]'s
+    * rate filter. Unlike `sample()`/`limit()`, re-running on a re-sharded,
+    * appended, or differently-partitioned corpus returns the SAME
+    * documents (appends only displace members whose hash exceeds the new
+    * arrivals') — which is what makes eyeball QA samples, labeling
+    * batches, and cross-run diff sets stable at 100 TB. Plans as
+    * TakeOrderedAndProject: per-partition k-heaps, one k-row driver
+    * merge — no global sort. */
   def consistentSample(docs: DataFrame, idCol: String, textCol: String,
                        k: Int, keep: Seq[String]): DataFrame = {
     require(k > 0, "k must be positive")

@@ -14,9 +14,6 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact dedup by content fingerprint, keeping the smallest id — the
-    * distributed `SELECT DISTINCT`/`drop_duplicates` (dag.py:725-733) made
-    * deterministic. One hash shuffle on the fingerprint. */
   /** Cross-source exact-duplicate matrix — which corpus sources copy
     * from which: for every unordered source pair (a ≤ b), the number of
     * duplicate DOC PAIRS sharing a content fingerprint across them. The
@@ -50,6 +47,9 @@ object Dedup {
       .filter(col("n_dup_pairs") > 0)
   }
 
+  /** Exact dedup by content fingerprint, keeping the smallest id — the
+    * distributed `SELECT DISTINCT`/`drop_duplicates` (dag.py:725-733) made
+    * deterministic. One hash shuffle on the fingerprint. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = Window.partitionBy("fp").orderBy(col(idCol).asc)
     docs.select(col(idCol), T.fingerprint(col(textCol)).as("fp"))

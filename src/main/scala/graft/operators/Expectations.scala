@@ -43,9 +43,6 @@ object Expectations {
   final case class RefIntegrity(column: String, dim: DataFrame,
                                 dimCol: String, dimName: String) extends Rule
 
-  /** Evaluate `rules` against `df`. Returns one row per rule, in a
-    * deterministic report schema: rule name, target column(s),
-    * rows checked, violations found, pass flag. */
   /** Referential-integrity audit across tables — the FK leg the in-table
     * [[check]] rules deliberately exclude: per (fact, dimension) pair,
     * the fact rows whose key has no dimension match (orphans) and the
@@ -70,6 +67,9 @@ object Expectations {
     }.reduce(_ unionByName _)
   }
 
+  /** Evaluate `rules` against `df`. Returns one row per rule, in a
+    * deterministic report schema: rule name, target column(s),
+    * rows checked, violations found, pass flag. */
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "check needs at least one rule")
     val rowRules = rules.collect {

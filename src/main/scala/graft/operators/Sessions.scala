@@ -175,17 +175,6 @@ object Sessions {
       .agg(count(lit(1)).as("n"))
   }
 
-  /** Last-touch conversion attribution: each `convType` event attributes
-    * to the user's most recent `touchType` event STRICTLY BEFORE it
-    * (total order = (ts, event id), so same-timestamp ties never flip
-    * across engines or re-sharding) and within `windowUs`. The batch
-    * twin of the stream-stream attribution join (streaming/Joins.scala)
-    * — same semantics, replayable against the oracle.
-    *
-    * One user-keyed window pass carries the running last-touch timestamp
-    * (`max` of the touch-typed ts over preceding rows) — no self-join,
-    * no per-conversion scan; the report is a single tiny aggregate.
-    * Gap stats are exact integers (µs sums, floor-div mean). */
   /** Conversion rate by SESSION ORDINAL — "do users convert in their
     * first visit or their fifth?": each user's events split into
     * gap-sessions ([[sessionize]]'s islands), a session converts if it
@@ -254,6 +243,17 @@ object Sessions {
       .orderBy("age_days")
   }
 
+  /** Last-touch conversion attribution: each `convType` event attributes
+    * to the user's most recent `touchType` event STRICTLY BEFORE it
+    * (total order = (ts, event id), so same-timestamp ties never flip
+    * across engines or re-sharding) and within `windowUs`. The batch
+    * twin of the stream-stream attribution join (streaming/Joins.scala)
+    * — same semantics, replayable against the oracle.
+    *
+    * One user-keyed window pass carries the running last-touch timestamp
+    * (`max` of the touch-typed ts over preceding rows) — no self-join,
+    * no per-conversion scan; the report is a single tiny aggregate.
+    * Gap stats are exact integers (µs sums, floor-div mean). */
   def lastTouchAttribution(events: DataFrame, userCol: String, tsUsCol: String,
                            idCol: String, typeCol: String, touchType: String,
                            convType: String, windowUs: Long): DataFrame = {

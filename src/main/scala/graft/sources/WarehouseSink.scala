@@ -582,7 +582,13 @@ object WarehouseSink {
     require(updates.columns.toSet == schema.fieldNames.toSet,
       s"updates schema ${updates.columns.mkString(",")} must match table " +
         s"schema ${schema.fieldNames.mkString(",")}")
-    val aligned = updates.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    // Materialized ONCE: the plan feeds three separate actions (the key
+    // bounding-box aggregate, the anti-join key set, the insert write) —
+    // a nondeterministic updates plan (sample, rand, unordered limit)
+    // re-evaluated per action could anti-join-delete rows it never
+    // re-inserts. Pinning the batch makes all three see the same rows.
+    val aligned = graft.operators.Materialize.transient(
+      updates.select(schema.fieldNames.map(col).toIndexedSeq: _*))
     // One small aggregate: the updates' bounding box over the key columns.
     val rangeRow = aligned.agg(
       min(col(keyCols.head)).as("mn0"), (max(col(keyCols.head)).as("mx0") +:
@@ -1381,8 +1387,14 @@ private[sources] class WarehouseStreamingWrite(dir: String, schema: StructType,
                 s"table schema [${p.schemaDdl}]")
             p.schemaDdl
         }
+        // Carry the table's partition-column claim: streaming files may
+        // mix values (the scan's per-file min==max check degrades those
+        // to UnknownPartitioning, so correctness never depends on it),
+        // but dropping the claim would permanently strip the table of
+        // its SPJ layout — maintain() could no longer restore it.
         Some(WarehouseSink.Manifest(0L, outDdl,
-          prev.map(_.files).getOrElse(Nil) ++ published, epochId))
+          prev.map(_.files).getOrElse(Nil) ++ published, epochId,
+          prev.map(_.partitionCol).getOrElse("")))
       }
     })
     if (won.isEmpty) // lost to a replay: drop the now-unreferenced files

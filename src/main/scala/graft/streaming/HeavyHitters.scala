@@ -20,20 +20,25 @@ object HeavyHitters {
 
   /** `tokens`: (tsCol: Timestamp, termCol: String) stream. Emits per
     * window a single row (window_start, terms: Seq[(term, est)]) — the
-    * bounded MG summary. */
+    * bounded MG summary.
+    *
+    * The grouping is an untyped `groupBy(window(...))` — NOT a typed
+    * `groupByKey` on an extracted field — because only the untyped
+    * window column keeps the event-time watermark metadata that lets
+    * the streaming aggregation EVICT a window's MG state once the
+    * watermark passes its end. (A typed key lambda is opaque to the
+    * analyzer: outputs stay correct but per-window state lives for the
+    * stream's lifetime — the unbounded growth this operator exists to
+    * avoid.) The Aggregator folds in via `functions.udaf`. */
   def windowed(tokens: DataFrame, tsCol: String, termCol: String,
                windowDur: String, watermark: String, k: Int): DataFrame = {
     require(k >= 1, "k must be at least 1")
-    val spark = tokens.sparkSession
-    import spark.implicits._
+    val mg = udaf(new graft.operators.MisraGriesAgg(k))
     tokens
       .withWatermark(tsCol, watermark)
-      .select(window(col(tsCol), windowDur).getField("start").as("ws"),
-        col(termCol).as("term"))
-      .as[(java.sql.Timestamp, String)]
-      .groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(new graft.operators.MisraGriesAgg(k).toColumn)
-      .toDF("window_start", "terms")
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(mg(col(termCol)).as("terms"))
+      .select(col("window").getField("start").as("window_start"),
+        col("terms"))
   }
 }

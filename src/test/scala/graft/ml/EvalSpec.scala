@@ -94,4 +94,20 @@ class EvalSpec extends SparkSpec {
       assert(r.getAs[Long]("fp") + r.getAs[Long]("tn") === 2L)
     }
   }
+
+  test("guard: over-cardinality scores fail loudly, not silently sort") {
+    spark.conf.set(Eval.MaxDistinctConfKey, "50")
+    try {
+      val wide = df((1L to 200L).map(i => (i, i % 2)))
+      val ex = intercept[Exception] {
+        Eval.rocAuc(wide, "s", "y").collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("quantize scoreCol")))
+      // within the bound the same pipeline runs fine
+      val ok = df((1L to 40L).map(i => (i, i % 2)))
+      assert(Eval.rocAuc(ok, "s", "y").collect().length === 1)
+    } finally spark.conf.unset(Eval.MaxDistinctConfKey)
+  }
 }

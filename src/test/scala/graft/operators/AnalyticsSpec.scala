@@ -593,4 +593,28 @@ class AnalyticsSpec extends SparkSpec {
       .collect()(0).getAs[Double]("rho")
     assert(a === b && math.abs(a) <= 1.0)
   }
+
+  test("spearman: null rows are excluded, not midrank-inflating") {
+    import org.apache.spark.sql.functions._
+    val clean = (1 to 20).map(i => (i.toLong, i.toLong)).toDF("x", "y")
+    val noisy = clean.unionByName(Seq(
+      (Option.empty[Long], Option(3L)), (Option(7L), Option.empty[Long]),
+      (Option.empty[Long], Option.empty[Long]))
+      .toDF("x", "y"))
+    val a = Analytics.spearman(clean, "x", "y").collect()(0)
+    val b = Analytics.spearman(noisy, "x", "y").collect()(0)
+    assert(a.getAs[Long]("n_rows") === b.getAs[Long]("n_rows"))
+    assert(a.getAs[Double]("rho") === b.getAs[Double]("rho"))
+    assert(b.getAs[Double]("rho") === 1.0)
+  }
+
+  test("spearman: over-cardinality input errors instead of sorting") {
+    val wide = (1 to 500).map(i => (i.toLong, i.toLong)).toDF("x", "y")
+    val ex = intercept[Exception] {
+      Analytics.spearman(wide, "x", "y", maxDistinct = 100L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("quantize the metric")))
+  }
 }

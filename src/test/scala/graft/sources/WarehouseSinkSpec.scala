@@ -191,6 +191,32 @@ class WarehouseSinkSpec extends SparkSpec {
     assert(WarehouseSink.readManifest(dir).get.epoch === -1L)
   }
 
+  test("streaming epoch into a partitioned table keeps the partition claim") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmp(); val ckpt = tmp()
+    // A value-partitioned table first (the SPJ layout).
+    Seq((1L, "a"), (2L, "b")).toDF("id", "k")
+      .write.format(Fmt).option("path", dir)
+      .option("partitionBy", "k").mode("append").save()
+    assert(WarehouseSink.readManifest(dir).get.partitionCol === "k")
+    // A streaming epoch must not wipe the claim: later batch appends
+    // would inherit "" and maintain() could never restore the layout.
+    val stream = MemoryStream[(Long, String)]
+    val q = stream.toDF().toDF("id", "k")
+      .writeStream.format(Fmt)
+      .option("path", dir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try { stream.addData((3L, "a"), (4L, "b")); q.processAllAvailable() }
+    finally q.stop()
+    assert(WarehouseSink.readManifest(dir).get.partitionCol === "k",
+      "streaming publish dropped the partition-column claim")
+    assert(spark.read.format(Fmt).option("path", dir).load().count() === 4)
+    // and maintain() can still restore the one-file-per-value layout
+    WarehouseSink.maintain(spark, dir, targetBytes = Long.MaxValue)
+    assert(WarehouseSink.readManifest(dir).get.partitionCol === "k")
+  }
+
   test("streaming write resumes from checkpoint without duplicating rows") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
