@@ -1937,6 +1937,42 @@ object SparkEntry {
     "q199_theil_sen" -> ((s, d) =>
       Analytics.theilSenSlope(eventsUs(s, d), "event_type", "ts_us")),
 
+    // Two-column storage-partitioned join with MISMATCHED value sets:
+    // both warehouse tables laid out one-file-per-(status, priority)
+    // tuple; the right side holds only non-'P' tuples, so a zero-
+    // Exchange join needs pushPartValues (Spark pads the missing
+    // groups). The shuffle-free plan itself is spec-asserted in
+    // WarehouseSinkSpec; this query hash-checks the joined result
+    // against a plain relational replay. The two bucketing confs are
+    // session-safe: they only activate on DSv2 scans that REPORT
+    // KeyGroupedPartitioning — exactly the warehouse layout.
+    "q204_spj_multicol" -> ((s, d) => {
+      val fmt = "graft.sources.WarehouseSink"
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      val aDir = java.nio.file.Files.createTempDirectory("graft_spja_").toString
+      val bDir = java.nio.file.Files.createTempDirectory("graft_spjb_").toString
+      Tables.orders(s, d)
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          col("o_totalprice"))
+        .write.format(fmt).option("path", aDir)
+        .option("partitionBy", "o_orderstatus,o_orderpriority")
+        .mode("overwrite").save()
+      Tables.orders(s, d).filter(col("o_orderstatus") =!= "P")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n_right"))
+        .write.format(fmt).option("path", bDir)
+        .option("partitionBy", "o_orderstatus,o_orderpriority")
+        .mode("overwrite").save()
+      val a = s.read.format(fmt).option("path", aDir).load()
+      val b = s.read.format(fmt).option("path", bDir).load()
+      a.join(b, Seq("o_orderstatus", "o_orderpriority"))
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * 100).cast("long")).as("sum_cents"),
+          max("n_right").as("n_right"))
+    }),
+
     // Spearman: do more-active users spend monotonically more — rank
     // correlation of per-user event count vs centi-spend, exact
     // midranks, q84's bit-stable assembly.
@@ -4963,6 +4999,19 @@ object SparkEntry {
                 CAST(max(abs(x)) AS BIGINT) AS peak_abs,
                 CAST(sum(x * x) AS BIGINT) AS sum_sq
          FROM v GROUP BY 1""",
+
+    // The mismatched-value-set SPJ replayed relationally.
+    "q204_spj_multicol" ->
+      """WITH b AS (SELECT o_orderstatus, o_orderpriority,
+                  CAST(count(*) AS BIGINT) AS n_right
+             FROM orders WHERE o_orderstatus <> 'P' GROUP BY 1, 2)
+         SELECT o.o_orderstatus, o.o_orderpriority,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS sum_cents,
+                CAST(max(n_right) AS BIGINT) AS n_right
+         FROM orders o JOIN b USING (o_orderstatus, o_orderpriority)
+         GROUP BY 1, 2""",
 
     "q181_partitioned_join" ->
       """SELECT c_mktsegment, o_orderstatus,

@@ -104,6 +104,13 @@ object WarehouseSink {
                                        partitionCol: String = "",
                                        sortedBy: String = "")
 
+  /** `partitionCol` holds one name or a comma-joined list ("a,b"):
+    * multi-column value partitioning — every data file holds exactly one
+    * value TUPLE — is what lets two tables partitioned on compound keys
+    * storage-partition-join on all key columns with zero Exchange. */
+  private[sources] def splitCols(s: String): Seq[String] =
+    if (s == null || s.isEmpty) Nil else s.split(",").toSeq
+
   /** `_current` names the live manifest version; both are tiny JSON files
     * swapped by atomic rename, so a reader sees a complete generation. */
   private[sources] def readManifest(dir: String): Option[Manifest] = {
@@ -1206,27 +1213,29 @@ private[sources] class WarehouseWriteBuilder(dir: String, schema: StructType,
     new WarehouseWriteBuilder(dir, schema, queryId, truncate0 = true,
       mergeSchema, partitionCol)
   override def build(): Write = {
-    if (partitionCol.nonEmpty)
-      require(schema.fieldNames.contains(partitionCol),
-        s"partitionBy column $partitionCol not in the written schema")
+    WarehouseSink.splitCols(partitionCol).foreach(c =>
+      require(schema.fieldNames.contains(c),
+        s"partitionBy column $c not in the written schema"))
     // An un-optioned APPEND to a partitioned table inherits the table's
-    // partition column (so plain appends keep the one-value-per-file
-    // invariant); a frame that lacks the column degrades to an unsplit
+    // partition column(s) (so plain appends keep the one-value-per-file
+    // invariant); a frame that lacks a column degrades to an unsplit
     // write — the scan's per-file check then falls back gracefully.
     val effectiveCol =
       if (partitionCol.nonEmpty || truncate0) partitionCol
       else WarehouseSink.readManifest(dir).map(_.partitionCol)
-        .filter(schema.fieldNames.contains).getOrElse("")
-    // A value-partitioned write DEMANDS clustering by the column — Spark
-    // inserts the shuffle, so each task sees whole value groups and the
-    // per-value file split stays one-file-per-value-per-task instead of
-    // one per (value, input partition).
+        .filter(pc => WarehouseSink.splitCols(pc)
+          .forall(schema.fieldNames.contains)).getOrElse("")
+    // A value-partitioned write DEMANDS clustering by the column(s) —
+    // Spark inserts the shuffle, so each task sees whole value groups and
+    // the per-value file split stays one-file-per-tuple-per-task instead
+    // of one per (tuple, input partition).
     new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
       import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
       import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
       override def requiredDistribution(): Distribution =
         if (effectiveCol.isEmpty) Distributions.unspecified()
-        else Distributions.clustered(Array(Expressions.identity(effectiveCol)))
+        else Distributions.clustered(WarehouseSink.splitCols(effectiveCol)
+          .map(Expressions.identity).toArray)
       override def requiredNumPartitions(): Int = 0
       override def requiredOrdering(): Array[SortOrder] = Array.empty
       override def toBatch: BatchWrite =
@@ -1255,7 +1264,7 @@ private[sources] class WarehouseBatchWrite(dir: String, schema: StructType,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     staging.mkdirs()
     new WarehouseWriterFactory(staging.getPath, schema,
-      if (partitionCol.isEmpty) -1 else schema.fieldIndex(partitionCol))
+      WarehouseSink.splitCols(partitionCol).map(schema.fieldIndex))
   }
 
   /** Publish: move exactly the files the coordinator-admitted attempts
@@ -1427,12 +1436,12 @@ private[sources] class WarehouseStreamingWriterFactory(baseStaging: String,
 
 private[sources] class WarehouseWriterFactory(stagingDir: String,
                                               schema: StructType,
-                                              partitionIdx: Int = -1)
+                                              partitionIdxs: Seq[Int] = Nil)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    if (partitionIdx < 0) new WarehouseWriter(stagingDir, schema, partitionId, taskId)
+    if (partitionIdxs.isEmpty) new WarehouseWriter(stagingDir, schema, partitionId, taskId)
     else new PartitionedWarehouseWriter(stagingDir, schema, partitionId,
-      taskId, partitionIdx)
+      taskId, partitionIdxs)
 }
 
 /** Encoding, stats tracking, and sidecar emission for ONE staged data
@@ -1561,17 +1570,19 @@ private[sources] class WarehouseWriter(stagingDir: String, schema: StructType,
 private[sources] class PartitionedWarehouseWriter(stagingDir: String,
                                                   schema: StructType,
                                                   partitionId: Int, taskId: Long,
-                                                  partitionIdx: Int)
+                                                  partitionIdxs: Seq[Int])
     extends DataWriter[InternalRow] {
   private val base = f"part-$partitionId%05d-$taskId-" +
     java.util.UUID.randomUUID.toString.take(8)
   private val sinks = scala.collection.mutable.LinkedHashMap.empty[String, FileSink]
-  private val pType = schema.fields(partitionIdx).dataType
+  private val pTypes = partitionIdxs.map(i => schema.fields(i).dataType)
 
   override def write(record: InternalRow): Unit = {
-    require(!record.isNullAt(partitionIdx),
-      s"partition column ${schema.fields(partitionIdx).name} must not be null")
-    val key = WarehouseSink.encode(record.get(partitionIdx, pType))
+    val key = partitionIdxs.zip(pTypes).map { case (idx, dt) =>
+      require(!record.isNullAt(idx),
+        s"partition column ${schema.fields(idx).name} must not be null")
+      WarehouseSink.encode(record.get(idx, dt))
+    }.mkString("\u001f")
     val sink = sinks.getOrElseUpdate(key,
       new FileSink(stagingDir, schema, f"$base-v${sinks.size}%04d.wtsv"))
     sink.write(record)
@@ -1669,21 +1680,25 @@ private[sources] class WarehouseScan(dir: String, schema: StructType,
   // (compaction/DML rewrites mix values) degrades the WHOLE scan to
   // per-file partitions with UnknownPartitioning — correctness is never
   // conditional on the layout, only the shuffle saving is.
-  private lazy val partitionGroups: Option[Seq[(Any, Seq[String])]] = {
+  private lazy val partitionGroups: Option[Seq[(Seq[Any], Seq[String])]] = {
     val m = versionAsOf match {
       case Some(v) => WarehouseSink.readManifestAt(dir, v)
       case None => WarehouseSink.readManifest(dir)
     }
-    val pcol = m.map(_.partitionCol).getOrElse("")
-    if (pcol.isEmpty || onlyFiles.nonEmpty ||
-      !required.fieldNames.contains(pcol)) None
+    val pcols = WarehouseSink.splitCols(m.map(_.partitionCol).getOrElse(""))
+    if (pcols.isEmpty || onlyFiles.nonEmpty ||
+      !pcols.forall(required.fieldNames.contains)) None
     else {
-      val vals = keptFiles.map { f =>
-        WarehouseSink.readStats(dir, f, schema).flatMap(_.get(pcol)) match {
-          case Some((mn, mx)) if mn != null &&
-            WarehouseSink.exactCmp(mn, mx) == 0 => Some(mn)
-          case _ => None
+      val vals: Seq[Option[Seq[Any]]] = keptFiles.map { f =>
+        val st = WarehouseSink.readStats(dir, f, schema)
+        val per = pcols.map { pcol =>
+          st.flatMap(_.get(pcol)) match {
+            case Some((mn, mx)) if mn != null &&
+              WarehouseSink.exactCmp(mn, mx) == 0 => Some(mn)
+            case _ => None
+          }
         }
+        if (per.exists(_.isEmpty)) None else Some(per.map(_.get))
       }
       if (vals.exists(_.isEmpty)) None
       else Some(keptFiles.zip(vals.map(_.get)).groupBy(_._2).toSeq
@@ -1702,8 +1717,9 @@ private[sources] class WarehouseScan(dir: String, schema: StructType,
           case None => WarehouseSink.readManifest(dir)
         }
         new KeyGroupedPartitioning(
-          Array(org.apache.spark.sql.connector.expressions.Expressions
-            .identity(m.get.partitionCol)), gs.size)
+          WarehouseSink.splitCols(m.get.partitionCol)
+            .map(org.apache.spark.sql.connector.expressions.Expressions
+              .identity).toArray, gs.size)
       case None => new UnknownPartitioning(keptFiles.size)
     }
   }
@@ -1713,7 +1729,7 @@ private[sources] class WarehouseScan(dir: String, schema: StructType,
       case Some(gs) => gs.map { case (v, fs) =>
         WarehouseGroupPartition(fs.map(f => new File(dir, f).getPath),
           new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-            Array[Any](v))): InputPartition
+            v.toArray)): InputPartition
       }.toArray
       case None => keptFiles
         .map(f => WarehouseFilePartition(new File(dir, f).getPath): InputPartition)

@@ -875,6 +875,61 @@ class WarehouseSinkSpec extends SparkSpec {
     }
   }
 
+  test("two-column storage-partitioned join plans NO shuffle") {
+    val a = tmp(); val b = tmp()
+    (0L until 120L).map(i => (i, s"r${i % 3}", s"s${i % 4}", i * 2))
+      .toDF("id", "rk", "sk", "va")
+      .write.format(Fmt).option("path", a).option("partitionBy", "rk,sk")
+      .mode("overwrite").save()
+    (0L until 60L).map(i => (i, s"r${i % 3}", s"s${i % 4}", i + 100))
+      .toDF("id2", "rk", "sk", "vb")
+      .write.format(Fmt).option("path", b).option("partitionBy", "rk,sk")
+      .mode("overwrite").save()
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val l = spark.read.format(Fmt).option("path", a).load()
+      val r = spark.read.format(Fmt).option("path", b).load()
+      val joined = l.join(r, Seq("rk", "sk"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"two-column SPJ must not shuffle:\n$plan")
+      // oracle: plain DataFrame join over the raw rows
+      val want = (for (i <- 0L until 120L; j <- 0L until 60L
+        if i % 3 == j % 3 && i % 4 == j % 4) yield 1).size.toLong
+      assert(joined.count() === want)
+    }
+  }
+
+  test("SPJ with MISMATCHED partition value sets joins shuffle-free via pushPartValues") {
+    val a = tmp(); val b = tmp()
+    // left covers tuples (r0..r2 x s0..s3); right only r0/r1 x s0/s1 —
+    // value sets differ, so plain SPJ can't align 1:1.
+    (0L until 120L).map(i => (i, s"r${i % 3}", s"s${i % 4}", i * 2))
+      .toDF("id", "rk", "sk", "va")
+      .write.format(Fmt).option("path", a).option("partitionBy", "rk,sk")
+      .mode("overwrite").save()
+    (0L until 40L).map(i => (i, s"r${i % 2}", s"s${i % 2}", i + 100))
+      .toDF("id2", "rk", "sk", "vb")
+      .write.format(Fmt).option("path", b).option("partitionBy", "rk,sk")
+      .mode("overwrite").save()
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val l = spark.read.format(Fmt).option("path", a).load()
+      val r = spark.read.format(Fmt).option("path", b).load()
+      val joined = l.join(r, Seq("rk", "sk"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"mismatched-value-set SPJ must not shuffle:\n$plan")
+      val want = (for (i <- 0L until 120L; j <- 0L until 40L
+        if s"r${i % 3}" == s"r${j % 2}" && s"s${i % 4}" == s"s${j % 2}")
+        yield 1).size.toLong
+      assert(joined.count() === want)
+    }
+  }
+
   test("partition-local aggregation on the partition column plans no shuffle") {
     val dir = tmp()
     (0L until 80L).map(i => (i, s"k${i % 4}")).toDF("id", "k")
