@@ -472,6 +472,18 @@ object Etl {
   def incrementalJoinDelta(aOld: DataFrame, aDelta: DataFrame,
                            bOld: DataFrame, bDelta: DataFrame,
                            key: String): DataFrame =
-    aDelta.join(bOld.unionByName(bDelta), Seq(key))
-      .unionByName(aOld.join(bDelta, Seq(key)))
+    incrementalJoinDelta(aOld, aDelta, bOld, bDelta, Seq(key))
+
+  /** Multi-key variant (also what [[graft.streaming.JoinView]] rides,
+    * joining on (bucket, key) so the bucket-partitioned store side can
+    * co-locate). Three-leg form — ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB — keeps
+    * each STORE a pure join side (no union over it), which is what lets
+    * a KeyGroupedPartitioning store scan stay Exchange-free while only
+    * the batch-sized delta shuffles into its layout. */
+  def incrementalJoinDelta(aOld: DataFrame, aDelta: DataFrame,
+                           bOld: DataFrame, bDelta: DataFrame,
+                           keys: Seq[String]): DataFrame =
+    aDelta.join(bOld, keys)
+      .unionByName(aOld.join(bDelta, keys))
+      .unionByName(aDelta.join(bDelta, keys))
 }

@@ -1015,7 +1015,8 @@ private[sources] class WarehouseTable(dir: String, schema0: StructType,
     new WarehouseWriteBuilder(dir, info.schema(), info.queryId(),
       truncate0 = false,
       mergeSchema = info.options().getBoolean("mergeSchema", false),
-      partitionCol = Option(info.options().get("partitionBy")).getOrElse(""))
+      partitionCol = Option(info.options().get("partitionBy")).getOrElse(""),
+      streamEpoch = Option(info.options().get("streamEpoch")).map(_.toLong))
   }
 
   private def manifest: Option[WarehouseSink.Manifest] = versionAsOf match {
@@ -1207,11 +1208,12 @@ private[sources] case class WarehouseAggPartition(row: InternalRow)
 private[sources] class WarehouseWriteBuilder(dir: String, schema: StructType,
                                              queryId: String, truncate0: Boolean,
                                              mergeSchema: Boolean = false,
-                                             partitionCol: String = "")
+                                             partitionCol: String = "",
+                                             streamEpoch: Option[Long] = None)
     extends WriteBuilder with SupportsTruncate {
   override def truncate(): WriteBuilder =
     new WarehouseWriteBuilder(dir, schema, queryId, truncate0 = true,
-      mergeSchema, partitionCol)
+      mergeSchema, partitionCol, streamEpoch)
   override def build(): Write = {
     WarehouseSink.splitCols(partitionCol).foreach(c =>
       require(schema.fieldNames.contains(c),
@@ -1240,7 +1242,7 @@ private[sources] class WarehouseWriteBuilder(dir: String, schema: StructType,
       override def requiredOrdering(): Array[SortOrder] = Array.empty
       override def toBatch: BatchWrite =
         new WarehouseBatchWrite(dir, schema, queryId, truncate0, mergeSchema,
-          effectiveCol)
+          effectiveCol, streamEpoch)
       override def toStreaming: StreamingWrite =
         new WarehouseStreamingWrite(dir, schema, queryId)
     }
@@ -1257,7 +1259,8 @@ private[sources] case class WarehouseMultiCommit(entries: Seq[WarehouseCommit])
 private[sources] class WarehouseBatchWrite(dir: String, schema: StructType,
                                            queryId: String, truncate: Boolean,
                                            mergeSchema: Boolean = false,
-                                           partitionCol: String = "")
+                                           partitionCol: String = "",
+                                           streamEpoch: Option[Long] = None)
     extends BatchWrite {
   private def staging = new File(dir, s"_staging/$queryId")
 
@@ -1280,7 +1283,16 @@ private[sources] class WarehouseBatchWrite(dir: String, schema: StructType,
       WarehouseSink.moveWithStats(staging, new File(dir), f)
       f
     }
-    WarehouseSink.publish(dir, { prev =>
+    // `streamEpoch` turns this batch append into an EPOCH-GUARDED append:
+    // the foreachBatch exactly-once primitive. A caller passes the
+    // micro-batch id; a checkpoint restart redelivering an already-folded
+    // batch finds the cursor at or past it and the publish is a detected
+    // no-op (files cleaned up), so multi-table foreachBatch updates
+    // converge under replay — each table independently skips the legs it
+    // already committed.
+    val won = WarehouseSink.publish(dir, { prev =>
+      if (streamEpoch.exists(e => prev.exists(_.epoch >= e))) None
+      else {
       val files =
         if (truncate) published
         else prev.map(_.files).getOrElse(Nil) ++ published
@@ -1291,7 +1303,8 @@ private[sources] class WarehouseBatchWrite(dir: String, schema: StructType,
       // the cursor to -1 DELIBERATELY — it starts a new table generation,
       // and a fresh stream (new checkpoint, epochs from 0) must publish
       // from its first epoch.
-      val epoch = if (truncate) -1L else prev.map(_.epoch).getOrElse(-1L)
+      val epoch = streamEpoch.getOrElse(
+        if (truncate) -1L else prev.map(_.epoch).getOrElse(-1L))
       // Table schema across an append: identical (name, type) set keeps
       // the previous DDL (per-file #cols lines make even a reordered
       // frame decode correctly); a differing set either EVOLVES (explicit
@@ -1333,7 +1346,13 @@ private[sources] class WarehouseBatchWrite(dir: String, schema: StructType,
           p
         }
       Some(WarehouseSink.Manifest(0L, outDdl, files, epoch, outPart))
+      }
     })
+    if (won.isEmpty) // epoch-guarded replay: drop the unreferenced files
+      published.foreach { f =>
+        new File(dir, f).delete()
+        new File(dir, WarehouseSink.statsFile(f)).delete()
+      }
     deleteRecursively(staging)
     // Truncate only UN-REFERENCES the old generation — its files stay on
     // disk so versionAsOf reads keep working until vacuum() reclaims them.
