@@ -1937,6 +1937,41 @@ object SparkEntry {
     "q199_theil_sen" -> ((s, d) =>
       Analytics.theilSenSlope(eventsUs(s, d), "event_type", "ts_us")),
 
+    // Row-level change data feed through the DML triad: a CDF-enabled
+    // warehouse table takes a DELETE, an UPDATE, and a MERGE;
+    // tableChanges(0, 3) replays every change IMAGE (delete /
+    // update_preimage / update_postimage / insert) from the captured
+    // change files — never a generation diff — and the readout
+    // aggregates images per (version, type). The oracle reconstructs
+    // the same images relationally from the op definitions.
+    "q205_change_feed" -> ((s, d) => {
+      val fmt = "graft.sources.WarehouseSink"
+      val dir = java.nio.file.Files.createTempDirectory("graft_cdfq_").toString
+      graft.sources.WarehouseSink.enableChangeFeed(dir)
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.format(fmt).option("path", dir).mode("overwrite").save() // v0
+      graft.sources.WarehouseSink.deleteWhere(s, dir,
+        Seq(org.apache.spark.sql.sources.GreaterThan("o_totalprice",
+          450000.0))) // v1
+      graft.sources.WarehouseSink.updateWhere(s, dir,
+        Seq(org.apache.spark.sql.sources.LessThan("o_totalprice", 50000.0)),
+        Map("o_orderstatus" -> lit("X"))) // v2
+      graft.sources.WarehouseSink.merge(s, dir,
+        Tables.orders(s, d)
+          .filter(col("o_orderkey") % 100 === 0)
+          .select(col("o_orderkey"), lit("M").as("o_orderstatus"),
+            col("o_totalprice")),
+        Seq("o_orderkey")) // v3
+      graft.sources.WarehouseSink.tableChanges(s, dir, 0L, 3L)
+        .groupBy(col("_commit_version").as("v"),
+          col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(floor(col("o_totalprice") * 100).cast("long")).as("sum_cents"),
+          sum((col("o_orderstatus") === "X").cast("long")).as("n_x"),
+          sum((col("o_orderstatus") === "M").cast("long")).as("n_m"))
+    }),
+
     // Two-column storage-partitioned join with MISMATCHED value sets:
     // both warehouse tables laid out one-file-per-(status, priority)
     // tuple; the right side holds only non-'P' tuples, so a zero-
@@ -4999,6 +5034,48 @@ object SparkEntry {
                 CAST(max(abs(x)) AS BIGINT) AS peak_abs,
                 CAST(sum(x * x) AS BIGINT) AS sum_sq
          FROM v GROUP BY 1""",
+
+    // The change images reconstructed relationally from the op chain:
+    // v1 = delete tail, v2 = update sub-50k statuses, v3 = merge the
+    // %100 keys (matched keys -> pre+post images, deleted-at-v1 keys
+    // -> inserts).
+    "q205_change_feed" ->
+      """WITH v1s AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+               FROM orders WHERE o_totalprice <= 450000),
+         v2s AS (SELECT o_orderkey,
+                  CASE WHEN o_totalprice < 50000 THEN 'X'
+                       ELSE o_orderstatus END AS o_orderstatus,
+                  o_totalprice FROM v1s),
+         upd AS (SELECT o_orderkey, 'M' AS o_orderstatus, o_totalprice
+               FROM orders WHERE o_orderkey % 100 = 0),
+         img AS (
+           SELECT 1 AS v, 'delete' AS change_type, o_orderstatus,
+                  o_totalprice FROM orders WHERE o_totalprice > 450000
+           UNION ALL
+           SELECT 2, 'update_preimage', o_orderstatus, o_totalprice
+             FROM v1s WHERE o_totalprice < 50000
+           UNION ALL
+           SELECT 2, 'update_postimage', 'X', o_totalprice
+             FROM v1s WHERE o_totalprice < 50000
+           UNION ALL
+           SELECT 3, 'update_preimage', o_orderstatus, o_totalprice
+             FROM v2s WHERE o_orderkey IN (SELECT o_orderkey FROM upd)
+           UNION ALL
+           SELECT 3, 'update_postimage', u.o_orderstatus, u.o_totalprice
+             FROM upd u WHERE u.o_orderkey IN (SELECT o_orderkey FROM v2s)
+           UNION ALL
+           SELECT 3, 'insert', u.o_orderstatus, u.o_totalprice
+             FROM upd u WHERE u.o_orderkey NOT IN
+               (SELECT o_orderkey FROM v2s))
+         SELECT CAST(v AS BIGINT) AS v, change_type,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS sum_cents,
+                CAST(sum(CASE WHEN o_orderstatus = 'X' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_x,
+                CAST(sum(CASE WHEN o_orderstatus = 'M' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_m
+         FROM img GROUP BY 1, 2""",
 
     // The mismatched-value-set SPJ replayed relationally.
     "q204_spj_multicol" ->

@@ -58,6 +58,10 @@ class WarehouseSink extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val dir = WarehouseSink.path(options)
+    // Internal (tableChanges): change files carry the table columns PLUS
+    // the CDF metadata columns — the override IS the relation schema.
+    Option(options.get("readSchemaDdl")).map(StructType.fromDDL)
+      .foreach(return _)
     val manifest = WarehouseSink.versionAsOf(options.get("versionAsOf")) match {
       case Some(v) => WarehouseSink.readManifestAt(dir, v)
       case None => WarehouseSink.readManifest(dir)
@@ -102,7 +106,10 @@ object WarehouseSink {
   private[sources] case class Manifest(version: Long, schemaDdl: String,
                                        files: Seq[String], epoch: Long = -1L,
                                        partitionCol: String = "",
-                                       sortedBy: String = "")
+                                       sortedBy: String = "",
+                                       op: String = "",
+                                       cdf: Boolean = false,
+                                       changeFiles: Seq[String] = Nil)
 
   /** `partitionCol` holds one name or a comma-joined list ("a,b"):
     * multi-column value partitioning — every data file holds exactly one
@@ -136,10 +143,12 @@ object WarehouseSink {
         unescape(rest.substring(1, rest.indexOf("\"", 1)))
       else rest.takeWhile(c => c.isDigit || c == '-')
     }
-    val files = field("files").split(",").map(_.trim)
+    def fileList(k: String): Seq[String] = field(k).split(",").map(_.trim)
       .filter(_.nonEmpty).map(s => unescape(s.stripPrefix("\"").stripSuffix("\"")))
-    Some(Manifest(field("version").toLong, field("schema"), files.toSeq,
-      field("epoch", "-1").toLong, field("partitionCol"), field("sortedBy")))
+      .toSeq
+    Some(Manifest(field("version").toLong, field("schema"), fileList("files"),
+      field("epoch", "-1").toLong, field("partitionCol"), field("sortedBy"),
+      field("op"), field("cdf", "false") == "true", fileList("changeFiles")))
   }
 
   private def escape(s: String): String =
@@ -155,7 +164,7 @@ object WarehouseSink {
 
   private[sources] def writeManifest(dir: String, m: Manifest): Unit = {
     val json =
-      s"""{"version": ${m.version}, "epoch": ${m.epoch}, "partitionCol": "${escape(m.partitionCol)}", "sortedBy": "${escape(m.sortedBy)}", "schema": "${escape(m.schemaDdl)}", "files": [${m.files.map(f => "\"" + escape(f) + "\"").mkString(", ")}]}"""
+      s"""{"version": ${m.version}, "epoch": ${m.epoch}, "partitionCol": "${escape(m.partitionCol)}", "sortedBy": "${escape(m.sortedBy)}", "op": "${escape(m.op)}", "cdf": "${m.cdf}", "schema": "${escape(m.schemaDdl)}", "files": [${m.files.map(f => "\"" + escape(f) + "\"").mkString(", ")}], "changeFiles": [${m.changeFiles.map(f => "\"" + escape(f) + "\"").mkString(", ")}]}"""
     // CREATE_NEW: a version slot is claimed exactly once. Two committers
     // racing the same slot collide HERE — a detectable conflict — instead
     // of the second silently overwriting the first's file list.
@@ -242,6 +251,117 @@ object WarehouseSink {
     * maintenance pass reclaims it — the Delta/Iceberg VACUUM contract.
     * Single-writer: run it from the table's owning job, not concurrently
     * with a commit. Returns the number of files removed. */
+  /** Row-level change data feed, Delta-style and OPT-IN per table:
+    * after [[enableChangeFeed]], every copy-on-write DML
+    * (deleteWhere / updateWhere / merge) captures its changed ROWS —
+    * before/after images, not file diffs — into change files referenced
+    * by the SAME manifest generation the DML publishes (atomic: a crash
+    * before publish leaves only unreferenced staging, never a dangling
+    * feed entry). Appends/streams/WAP promotions need no capture: their
+    * added files ARE the insert images, synthesized at read time.
+    * [[tableChanges]] replays any version range from these; vacuum
+    * retains change files exactly as long as their manifest generation
+    * and reclaims them with it.
+    *
+    * Cost contract (why opt-in): capture re-reads the DML's own
+    * candidate files once more to materialize the images — O(changed
+    * data), never O(table) — and zero overhead while disabled. */
+  def enableChangeFeed(dir: String): Unit = {
+    new File(dir).mkdirs()
+    Files.write(Paths.get(dir, "_cdf"), Array.emptyByteArray)
+  }
+
+  private[sources] def cdfEnabled(dir: String): Boolean =
+    new File(dir, "_cdf").isFile
+
+  /** Stage CDF rows (table columns + _change_type) through the sink's
+    * own writer into the table dir; returns the file names to reference
+    * from the publishing manifest. */
+  private def stageChanges(dir: String,
+                           rows: org.apache.spark.sql.DataFrame): Seq[String] = {
+    val tmp = new File(new File(dir).getAbsoluteFile.getParentFile,
+      new File(dir).getName + ".cdf-" +
+        java.util.UUID.randomUUID.toString.take(8))
+    try {
+      rows.write.format(classOf[WarehouseSink].getName)
+        .option("path", tmp.getPath).mode("overwrite").save()
+      val fs = readManifest(tmp.getPath).map(_.files).getOrElse(Nil)
+      fs.foreach(moveWithStats(tmp, new File(dir), _))
+      fs
+    } finally {
+      def rm(f: File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(tmp)
+    }
+  }
+
+  /** The row-level changes that took the table from `fromVersion` to
+    * `toVersion`: one row per change image with `_change_type` in
+    * (insert, delete, update_preimage, update_postimage) and
+    * `_commit_version` = the generation that committed it. DML versions
+    * replay from their captured change files (refused loudly if the DML
+    * ran with the feed disabled — enable it first, or diff with
+    * Etl.reconcile); append/stream/WAP versions synthesize insert images
+    * from their added files; truncate synthesizes delete images of the
+    * out-going generation plus inserts of the new one; maintenance
+    * (compaction/clustering) is layout-only — zero row changes by
+    * construction. Vacuumed ranges fail loudly, same as versionAsOf. */
+  def tableChanges(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   fromVersion: Long, toVersion: Long):
+      org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion must be <= toVersion $toVersion")
+    val fmt = classOf[WarehouseSink].getName
+    def manifestAt(v: Long) = readManifestAt(dir, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"version $v of $dir does not exist (vacuumed or never written)"))
+    def readFiles(files: Seq[String], ddl: String) =
+      spark.read.format(fmt).option("path", dir)
+        .option("readSchemaDdl", ddl)
+        .option("files", files.mkString(",")).load()
+    val steps = ((fromVersion + 1) to toVersion).map { v =>
+      val m = manifestAt(v)
+      // v0 has no predecessor: its "previous generation" is empty, so an
+      // initial write reads as pure inserts. Lazy: DML steps replay from
+      // their OWN captured files, so a vacuumed predecessor only blocks
+      // the synthesized (append/truncate) steps that actually diff it.
+      lazy val prev = if (v == 0) Manifest(-1L, m.schemaDdl, Nil)
+        else manifestAt(v - 1)
+      val schema = StructType.fromDDL(m.schemaDdl)
+      val cdfDdl = schema.add("_change_type",
+        org.apache.spark.sql.types.StringType).toDDL
+      val images = m.op match {
+        case "delete" | "update" | "merge" =>
+          require(m.cdf,
+            s"version $v is a ${m.op} committed with the change feed " +
+              "disabled — enableChangeFeed() before the DML, or diff " +
+              "generations with Etl.reconcile")
+          readFiles(m.changeFiles, cdfDdl)
+        case "append" | "stream" | "wap" =>
+          readFiles(m.files.diff(prev.files), schema.toDDL)
+            .withColumn("_change_type", lit("insert"))
+        case "truncate" =>
+          require(prev.schemaDdl == m.schemaDdl,
+            s"change feed across the schema-changing truncate at $v is " +
+              "not representable; read the generations separately")
+          readFiles(prev.files, schema.toDDL)
+            .withColumn("_change_type", lit("delete"))
+            .unionByName(readFiles(m.files, schema.toDDL)
+              .withColumn("_change_type", lit("insert")))
+        case "maintain" =>
+          readFiles(Nil, schema.toDDL) // layout-only: zero row changes
+            .withColumn("_change_type", lit("insert")).filter(lit(false))
+        case other => throw new IllegalArgumentException(
+          s"version $v has no change-feed mapping (op='$other' — written " +
+            "by a pre-CDF release?)")
+      }
+      images.withColumn("_commit_version", lit(v))
+    }
+    steps.reduce(_ unionByName _)
+  }
+
   def vacuum(dir: String, keepVersions: Int = 1): Int = {
     require(keepVersions >= 1, "must retain at least the live generation")
     val cur = readManifest(dir).getOrElse(return 0)
@@ -253,7 +373,8 @@ object WarehouseSink {
       .filter(n => n.startsWith("staged-") && n.endsWith(".json"))
       .map(_.stripPrefix("staged-").stripSuffix(".json"))
     val referenced = (keepMin to cur.version)
-      .flatMap(readManifestAt(dir, _)).flatMap(_.files).toSet ++
+      .flatMap(readManifestAt(dir, _))
+      .flatMap(m => m.files ++ m.changeFiles).toSet ++
       stagedTokens.flatMap(t => readStagedMeta(dir, t).map(_._2).getOrElse(Nil))
     var dropped = 0
     Option(new File(dir).listFiles()).getOrElse(Array.empty[File]).foreach { f =>
@@ -365,6 +486,7 @@ object WarehouseSink {
           // recorded so the scan can report per-partition ordering; any
           // later append/DML publish clears the claim (they default "").
           Some(Manifest(0L, p.schemaDdl, newFiles, p.epoch, p.partitionCol,
+            op = "maintain",
             sortedBy = if (cur.partitionCol.isEmpty) clusterBy.getOrElse("")
                        else ""))
         })
@@ -464,7 +586,7 @@ object WarehouseSink {
       }
       Some(Manifest(0L, outDdl, prev.map(_.files).getOrElse(Nil) ++ files,
         prev.map(_.epoch).getOrElse(-1L),
-        prev.map(_.partitionCol).getOrElse("")))
+        prev.map(_.partitionCol).getOrElse(""), op = "wap"))
     })
     new File(dir, s"staged-$token.json").delete()
   }
@@ -526,9 +648,20 @@ object WarehouseSink {
         .mode("overwrite").save()
       val newFiles = readManifest(tmp.getPath).map(_.files).getOrElse(Nil)
       newFiles.foreach(moveWithStats(tmp, new File(dir), _))
+      // CDF capture (opt-in): the deleted rows' before-images, staged
+      // before publish and referenced by the same generation — atomic.
+      val cdfOn = cdfEnabled(dir)
+      val changes =
+        if (cdfOn) stageChanges(dir,
+          spark.read.format(fmt).option("path", dir)
+            .option("files", candidates.mkString(",")).load()
+            .filter(coalesce(pred, lit(false)))
+            .withColumn("_change_type", lit("delete")))
+        else Nil
       publish(dir, { prev =>
         val p = prev.getOrElse(cur)
-        Some(Manifest(0L, p.schemaDdl, carried ++ newFiles, p.epoch, p.partitionCol))
+        Some(Manifest(0L, p.schemaDdl, carried ++ newFiles, p.epoch,
+          p.partitionCol, op = "delete", cdf = cdfOn, changeFiles = changes))
       })
       val keptRows = newFiles.map(f => readRowCount(dir, f).getOrElse(-1L))
       val deleted =
@@ -637,10 +770,36 @@ object WarehouseSink {
       val insFiles = readManifest(tmpIns.getPath).map(_.files).getOrElse(Nil)
       keptFiles.foreach(moveWithStats(tmpKept, new File(dir), _))
       insFiles.foreach(moveWithStats(tmpIns, new File(dir), _))
+      // CDF capture (opt-in): matched old versions are update_preimages,
+      // their replacements update_postimages, unmatched updates inserts.
+      // Candidate files are a SUPERSET of possible matches (stats pruning
+      // is conservative), so keying against the candidate scan is exact.
+      val cdfOn = cdfEnabled(dir)
+      val changes =
+        if (cdfOn) {
+          val candScan =
+            if (candidates.nonEmpty)
+              spark.read.format(fmt).option("path", dir)
+                .option("files", candidates.mkString(",")).load()
+            else aligned.filter(org.apache.spark.sql.functions.lit(false))
+          val updKeys = aligned.select(keyCols.map(col).toIndexedSeq: _*)
+            .distinct()
+          val oldKeys = candScan.select(keyCols.map(col).toIndexedSeq: _*)
+            .distinct()
+          import org.apache.spark.sql.functions.lit
+          stageChanges(dir,
+            candScan.join(updKeys, keyCols, "left_semi")
+              .withColumn("_change_type", lit("update_preimage"))
+              .unionByName(aligned.join(oldKeys, keyCols, "left_semi")
+                .withColumn("_change_type", lit("update_postimage")))
+              .unionByName(aligned.join(oldKeys, keyCols, "left_anti")
+                .withColumn("_change_type", lit("insert"))))
+        } else Nil
       publish(dir, { prev =>
         val p = prev.getOrElse(cur)
         Some(Manifest(0L, p.schemaDdl, carried ++ keptFiles ++ insFiles,
-          p.epoch, p.partitionCol))
+          p.epoch, p.partitionCol, op = "merge", cdf = cdfOn,
+          changeFiles = changes))
       })
       val keptRows = keptFiles.map(f => readRowCount(dir, f).getOrElse(-1L))
       val insRows = insFiles.map(f => readRowCount(dir, f).getOrElse(-1L))
@@ -711,9 +870,27 @@ object WarehouseSink {
         .mode("overwrite").save()
       val newFiles = readManifest(tmp.getPath).map(_.files).getOrElse(Nil)
       newFiles.foreach(moveWithStats(tmp, new File(dir), _))
+      // CDF capture (opt-in): matched rows' before-images plus their
+      // post-assignment after-images, one staged write, same generation.
+      val cdfOn = cdfEnabled(dir)
+      val changes =
+        if (cdfOn) {
+          val matched = candScan.filter(coalesce(pred, lit(false)))
+          val post = matched.select(schema.fields.map { f =>
+            set.get(f.name) match {
+              case Some(e) => e.cast(f.dataType).as(f.name)
+              case None => col(f.name)
+            }
+          }.toIndexedSeq: _*)
+          stageChanges(dir,
+            matched.withColumn("_change_type", lit("update_preimage"))
+              .unionByName(
+                post.withColumn("_change_type", lit("update_postimage"))))
+        } else Nil
       publish(dir, { prev =>
         val p = prev.getOrElse(cur)
-        Some(Manifest(0L, p.schemaDdl, carried ++ newFiles, p.epoch, p.partitionCol))
+        Some(Manifest(0L, p.schemaDdl, carried ++ newFiles, p.epoch,
+          p.partitionCol, op = "update", cdf = cdfOn, changeFiles = changes))
       })
       val updated = candScan.filter(pred).count()
       UpdateReport(candidates.size, carried.size, updated)
@@ -1026,7 +1203,11 @@ private[sources] class WarehouseTable(dir: String, schema0: StructType,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarehouseScanBuilder(dir,
-      manifest.map(m => StructType.fromDDL(m.schemaDdl)).getOrElse(schema0),
+      // Internal (tableChanges): override the scan schema — change files
+      // carry the table columns PLUS the CDF metadata columns, decoded by
+      // their own #cols sidecar lines.
+      Option(options.get("readSchemaDdl")).map(StructType.fromDDL).getOrElse(
+        manifest.map(m => StructType.fromDDL(m.schemaDdl)).getOrElse(schema0)),
       versionAsOf,
       // Internal (deleteWhere's rewrite leg): restrict the scan to an
       // explicit comma-separated file subset of the live manifest.
@@ -1345,7 +1526,8 @@ private[sources] class WarehouseBatchWrite(dir: String, schema: StructType,
               s"partition column '$p'")
           p
         }
-      Some(WarehouseSink.Manifest(0L, outDdl, files, epoch, outPart))
+      Some(WarehouseSink.Manifest(0L, outDdl, files, epoch, outPart,
+        op = if (truncate) "truncate" else "append"))
       }
     })
     if (won.isEmpty) // epoch-guarded replay: drop the unreferenced files
@@ -1422,7 +1604,7 @@ private[sources] class WarehouseStreamingWrite(dir: String, schema: StructType,
         // its SPJ layout — maintain() could no longer restore it.
         Some(WarehouseSink.Manifest(0L, outDdl,
           prev.map(_.files).getOrElse(Nil) ++ published, epochId,
-          prev.map(_.partitionCol).getOrElse("")))
+          prev.map(_.partitionCol).getOrElse(""), op = "stream"))
       }
     })
     if (won.isEmpty) // lost to a replay: drop the now-unreferenced files

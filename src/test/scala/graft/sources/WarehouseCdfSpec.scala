@@ -1,0 +1,115 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{GreaterThan, LessThan}
+
+class WarehouseCdfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Fmt = "graft.sources.WarehouseSink"
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_cdf_").toString
+
+  private def changes(dir: String, from: Long, to: Long) =
+    WarehouseSink.tableChanges(spark, dir, from, to)
+      .select(col("_commit_version").as("v"), col("_change_type").as("ct"),
+        col("id"), col("s"))
+      .as[(Long, String, Long, String)].collect().sorted.toSeq
+
+  test("deleteWhere captures before-images; append synthesizes inserts") {
+    val dir = tmp()
+    WarehouseSink.enableChangeFeed(dir)
+    (1L to 6L).map(i => (i, s"r$i")).toDF("id", "s")
+      .write.format(Fmt).option("path", dir).mode("append").save() // v0
+    WarehouseSink.deleteWhere(spark, dir, Seq(GreaterThan("id", 4L))) // v1
+    Seq((9L, "r9")).toDF("id", "s")
+      .write.format(Fmt).option("path", dir).mode("append").save() // v2
+    assert(changes(dir, 0, 1) ===
+      Seq((1L, "delete", 5L, "r5"), (1L, "delete", 6L, "r6")))
+    assert(changes(dir, 1, 2) === Seq((2L, "insert", 9L, "r9")))
+    // and the whole range unions both steps
+    assert(changes(dir, 0, 2).size === 3)
+    // initial write's images: every v0 row as an insert
+    assert(changes(dir, -1, 0) ===
+      (1L to 6L).map(i => (0L, "insert", i, s"r$i")))
+  }
+
+  test("updateWhere captures pre and post images") {
+    val dir = tmp()
+    WarehouseSink.enableChangeFeed(dir)
+    (1L to 5L).map(i => (i, s"r$i")).toDF("id", "s")
+      .write.format(Fmt).option("path", dir).mode("append").save() // v0
+    WarehouseSink.updateWhere(spark, dir, Seq(LessThan("id", 3L)),
+      Map("s" -> lit("X"))) // v1
+    assert(changes(dir, 0, 1) === Seq(
+      (1L, "update_postimage", 1L, "X"), (1L, "update_postimage", 2L, "X"),
+      (1L, "update_preimage", 1L, "r1"), (1L, "update_preimage", 2L, "r2")))
+  }
+
+  test("merge captures preimages, postimages, and inserts") {
+    val dir = tmp()
+    WarehouseSink.enableChangeFeed(dir)
+    (1L to 4L).map(i => (i, s"r$i")).toDF("id", "s")
+      .write.format(Fmt).option("path", dir).mode("append").save() // v0
+    WarehouseSink.merge(spark, dir,
+      Seq((3L, "m3"), (4L, "m4"), (7L, "m7")).toDF("id", "s"), Seq("id")) // v1
+    assert(changes(dir, 0, 1) === Seq(
+      (1L, "insert", 7L, "m7"),
+      (1L, "update_postimage", 3L, "m3"), (1L, "update_postimage", 4L, "m4"),
+      (1L, "update_preimage", 3L, "r3"), (1L, "update_preimage", 4L, "r4")))
+  }
+
+  test("truncate reads as full delete + insert; maintain as zero changes") {
+    val dir = tmp()
+    WarehouseSink.enableChangeFeed(dir)
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .write.format(Fmt).option("path", dir).mode("append").save() // v0
+    Seq((5L, "z")).toDF("id", "s")
+      .write.format(Fmt).option("path", dir).mode("overwrite").save() // v1
+    assert(changes(dir, 0, 1) === Seq(
+      (1L, "delete", 1L, "a"), (1L, "delete", 2L, "b"),
+      (1L, "insert", 5L, "z")))
+    // fragment the table, compact: rows unchanged → empty feed step
+    Seq((6L, "y")).toDF("id", "s")
+      .write.format(Fmt).option("path", dir).mode("append").save() // v2
+    WarehouseSink.maintain(spark, dir, targetBytes = Long.MaxValue,
+      keepVersions = 10) // v3
+    assert(WarehouseTestAccess.manifestCursor(dir)._2 === 3L)
+    assert(changes(dir, 2, 3).isEmpty)
+  }
+
+  test("DML with the feed disabled is refused loudly by tableChanges") {
+    val dir = tmp() // no enableChangeFeed
+    (1L to 4L).map(i => (i, s"r$i")).toDF("id", "s")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    WarehouseSink.deleteWhere(spark, dir, Seq(GreaterThan("id", 2L)))
+    val ex = intercept[IllegalArgumentException] {
+      changes(dir, 0, 1)
+    }
+    assert(ex.getMessage.contains("change feed"))
+    // appends still synthesize without the feed
+    Seq((8L, "r8")).toDF("id", "s")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    assert(changes(dir, 1, 2) === Seq((2L, "insert", 8L, "r8")))
+  }
+
+  test("vacuum retains change files with their generation, reclaims after") {
+    val dir = tmp()
+    WarehouseSink.enableChangeFeed(dir)
+    (1L to 6L).map(i => (i, s"r$i")).toDF("id", "s")
+      .write.format(Fmt).option("path", dir).mode("append").save() // v0
+    WarehouseSink.deleteWhere(spark, dir, Seq(GreaterThan("id", 4L))) // v1
+    Seq((9L, "r9")).toDF("id", "s")
+      .write.format(Fmt).option("path", dir).mode("append").save() // v2
+    // keep v1..v2: the v1 delete images must still replay
+    WarehouseSink.vacuum(dir, keepVersions = 2)
+    assert(changes(dir, 0, 1).count(_._2 == "delete") === 2)
+    // keep only v2: v1's manifest AND its change files are reclaimed
+    WarehouseSink.vacuum(dir, keepVersions = 1)
+    intercept[IllegalArgumentException] { changes(dir, 0, 1) }
+    // live reads unaffected
+    assert(spark.read.format(Fmt).option("path", dir).load().count() === 5L)
+  }
+}
