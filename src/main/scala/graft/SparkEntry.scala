@@ -1937,6 +1937,37 @@ object SparkEntry {
     "q199_theil_sen" -> ((s, d) =>
       Analytics.theilSenSlope(eventsUs(s, d), "event_type", "ts_us")),
 
+    // REAL PNG pixel pipeline (no stub): deterministic 8-bit truecolor
+    // PNGs synthesized per doc with ROTATING row filters (all five types
+    // land across the corpus), nearest-neighbor resized to 6x4 through
+    // the Inflater+unfilter decode path, re-encoded, RE-decoded — the
+    // corner pixels are integer functions of doc_id the oracle replays,
+    // so a hash match proves the full zlib+filter codec round trip.
+    "q206_png_resize" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .select(col("doc_id"), col("source")).as[(Long, String)]
+        .map { case (id, src) =>
+          multimodal.Binary.MediaRecord(id, "image",
+            multimodal.Binary.synthPng(
+              width = (10 + (id % 7) * 2).toInt,
+              height = (8 + (id % 5) * 2).toInt,
+              seed = (id % 97).toInt), src)
+        }
+      multimodal.Binary.resizeImages(media, outW = 6, outH = 4)
+        .map { r =>
+          multimodal.Binary.pngDecode(r.bytes) match {
+            case Some((w, h, px)) =>
+              def at(x: Int, y: Int, c: Int): Int = px((y * w + x) * 3 + c) & 0xff
+              (r.media_id, w, h, at(0, 0, 0), at(0, 0, 1), at(0, 0, 2),
+                at(w - 1, h - 1, 0), at(w - 1, h - 1, 1), at(w - 1, h - 1, 2))
+            case None => (r.media_id, -1, -1, -1, -1, -1, -1, -1, -1)
+          }
+        }
+        .toDF("media_id", "width", "height", "first_r", "first_g", "first_b",
+          "last_r", "last_g", "last_b")
+    }),
+
     // Row-level change data feed through the DML triad: a CDF-enabled
     // warehouse table takes a DELETE, an UPDATE, and a MERGE;
     // tableChanges(0, 3) replays every change IMAGE (delete /
@@ -5034,6 +5065,27 @@ object SparkEntry {
                 CAST(max(abs(x)) AS BIGINT) AS peak_abs,
                 CAST(sum(x * x) AS BIGINT) AS sum_sq
          FROM v GROUP BY 1""",
+
+    // The resized-PNG corner pixels replayed from the synth formulas and
+    // the floor source mapping (first pixel maps to source (0,0)).
+    "q206_png_resize" ->
+      """WITH p AS (SELECT doc_id,
+                  10 + (doc_id % 7) * 2 AS sw,
+                  8 + (doc_id % 5) * 2 AS sh,
+                  doc_id % 97 AS seed
+             FROM documents),
+         m AS (SELECT doc_id, seed,
+                 (5 * sw) // 6 AS sx, (3 * sh) // 4 AS sy
+               FROM p)
+         SELECT doc_id AS media_id, CAST(6 AS INT) AS width,
+                CAST(4 AS INT) AS height,
+                CAST(seed % 256 AS INT) AS first_r,
+                CAST((11 * seed) % 256 AS INT) AS first_g,
+                CAST(seed % 256 AS INT) AS first_b,
+                CAST((sx + sy + seed) % 256 AS INT) AS last_r,
+                CAST((3 * sx + 5 * sy + 11 * seed) % 256 AS INT) AS last_g,
+                CAST((7 * sx + 13 * sy + seed) % 256 AS INT) AS last_b
+         FROM m""",
 
     // The change images reconstructed relationally from the op chain:
     // v1 = delete tail, v2 = update sub-50k statuses, v3 = merge the

@@ -298,4 +298,63 @@ class BinarySpec extends SparkSpec {
     assert(Binary.wavEnergy(Binary.synthWav(8000, 2, 8, 10)) === None)
     assert(Binary.wavEnergy("noise".getBytes) === None)
   }
+
+  test("synthPng round-trips pixel formulas through inflate + all five unfilters") {
+    // height 9 with seed 0 encodes rows with filters 0,1,2,3,4,0,1,2,3 —
+    // every filter type exercised; seed 3 shifts the rotation.
+    for (seed <- Seq(0, 3, 17); (w, h) <- Seq((7, 9), (16, 5), (1, 6))) {
+      val png = Binary.synthPng(w, h, seed)
+      val (dw, dh, px) = Binary.pngDecode(png).getOrElse(
+        fail(s"decode failed for ${w}x$h seed=$seed"))
+      assert((dw, dh) === ((w, h)))
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = (y * w + x) * 3
+        assert((px(p) & 0xff) === (x + y + seed) % 256, s"R($x,$y) seed=$seed")
+        assert((px(p + 1) & 0xff) === (3 * x + 5 * y + 11 * seed) % 256)
+        assert((px(p + 2) & 0xff) === (7 * x + 13 * y + seed) % 256)
+      }
+      // header-dims reader agrees with the full decode
+      assert(Binary.imageDims(png) === Some((w, h)))
+    }
+  }
+
+  test("pngDecode degrades to None on malformed or out-of-profile input") {
+    val good = Binary.synthPng(6, 6, 1)
+    assert(Binary.pngDecode(good).isDefined)
+    // truncated IDAT stream
+    assert(Binary.pngDecode(good.take(good.length - 20)).isEmpty)
+    // corrupt zlib body: flip bytes inside the IDAT payload
+    val corrupt = good.clone()
+    val idatAt = (8 until corrupt.length - 4).find(i =>
+      corrupt(i) == 'I' && corrupt(i + 1) == 'D' && corrupt(i + 2) == 'A').get
+    (idatAt + 6 until idatAt + 12).foreach(i => corrupt(i) = 0x55)
+    assert(Binary.pngDecode(corrupt).isEmpty)
+    // out-of-profile: grayscale color type in IHDR
+    val gray = good.clone()
+    gray(8 + 8 + 9) = 0 // IHDR color-type byte
+    assert(Binary.pngDecode(gray).isEmpty)
+    // not a PNG at all
+    assert(Binary.pngDecode(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Binary.pngDecode(Binary.synthBmp(4, 4, 0)).isEmpty)
+  }
+
+  test("pngResizeNearest maps every output pixel to its floor-source") {
+    val src = Binary.synthPng(12, 10, 5)
+    val out = Binary.pngResizeNearest(src, 5, 4).get
+    val (w, h, px) = Binary.pngDecode(out).get
+    assert((w, h) === ((5, 4)))
+    for (y <- 0 until 4; x <- 0 until 5) {
+      val sx = x * 12 / 5; val sy = y * 10 / 4
+      val p = (y * 5 + x) * 3
+      assert((px(p) & 0xff) === (sx + sy + 5) % 256, s"($x,$y)")
+      assert((px(p + 1) & 0xff) === (3 * sx + 5 * sy + 11 * 5) % 256)
+      assert((px(p + 2) & 0xff) === (7 * sx + 13 * sy + 5) % 256)
+    }
+    // resizeImages routes PNG payloads through the real path
+    import spark.implicits._
+    val media = Seq(Binary.MediaRecord(1L, "image", src, "s")).toDS()
+    val resized = Binary.resizeImages(media, 5, 4).collect()(0)
+    assert(Binary.pngDecode(resized.bytes).map(t => (t._1, t._2)) ===
+      Some((5, 4)))
+  }
 }
