@@ -1937,6 +1937,15 @@ object SparkEntry {
     "q199_theil_sen" -> ((s, d) =>
       Analytics.theilSenSlope(eventsUs(s, d), "event_type", "ts_us")),
 
+    // Filtered search INSIDE the index probe: q195's pre-filter semantics
+    // with q61's exactness-guaranteed cell pruning — the predicate runs
+    // below scoring in every probed cell, so the result provably equals
+    // pre-filtered brute force (the oracle) while the scan still reads
+    // only the cells the bound admits (probe-count spec-pinned).
+    "q207_filtered_ivf" -> ((s, d) =>
+      Similarity.ivfTopKExactFiltered(ivfIdx(s, d), "vec_id", "embedding",
+        queryId = 7L, k = 10, predicate = col("label") === 1)),
+
     // REAL PNG pixel pipeline (no stub): deterministic 8-bit truecolor
     // PNGs synthesized per doc with ROTATING row filters (all five types
     // land across the corpus), nearest-neighbor resized to 6x4 through
@@ -5065,6 +5074,19 @@ object SparkEntry {
                 CAST(max(abs(x)) AS BIGINT) AS peak_abs,
                 CAST(sum(x * x) AS BIGINT) AS sum_sq
          FROM v GROUP BY 1""",
+
+    // Pre-filtered brute force at q61's query point — exactness means the
+    // IVF plan must reproduce it bit for bit.
+    "q207_filtered_ivf" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+                    WHERE vec_id = 7)
+         SELECT vec_id,
+                round(list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+                      / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                               CAST(embedding AS DOUBLE[])))
+                         * sqrt(list_dot_product(qv, qv))), 6) AS cos
+         FROM embeddings, q WHERE vec_id <> 7 AND label = 1
+         ORDER BY cos DESC, vec_id LIMIT 10""",
 
     // The resized-PNG corner pixels replayed from the synth formulas and
     // the floor source mapping (first pixel maps to source (0,0)).

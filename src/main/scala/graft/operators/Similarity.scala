@@ -267,7 +267,28 @@ object Similarity {
     * actions are driver-side but touch only centroid-count-sized metadata
     * plus k-row score quantiles — no data collects. */
   def ivfTopKExact(index: IvfIndex, idCol: String, vecCol: String,
-                   queryId: Long, k: Int): DataFrame = {
+                   queryId: Long, k: Int): DataFrame =
+    ivfTopKExactImpl(index, idCol, vecCol, queryId, k, lit(true))._1
+
+  /** FILTERED exact IVF search — [[cosineTopKFiltered]]'s semantics with
+    * [[ivfTopKExact]]'s plan: the predicate is applied INSIDE the
+    * cell-pruned scans, below scoring, so selective filters cut scoring
+    * work and the probe loop ranks only eligible rows. Exactness
+    * survives filtering unchanged: the per-cell bound caps the cosine of
+    * EVERY member, so it caps the filtered subset too — the cut can stop
+    * early but never wrongly (a filtered running top-k is lower, which
+    * only widens probing, never narrows it). Guaranteed equal to
+    * pre-filtered brute force (q207's oracle). */
+  def ivfTopKExactFiltered(index: IvfIndex, idCol: String, vecCol: String,
+                           queryId: Long, k: Int,
+                           predicate: Column): DataFrame =
+    ivfTopKExactImpl(index, idCol, vecCol, queryId, k, predicate)._1
+
+  /** Core of the exact probe loop; also returns the probed cell list so
+    * specs can pin that pruning survives a pushed predicate. */
+  private[graft] def ivfTopKExactImpl(index: IvfIndex, idCol: String,
+                                      vecCol: String, queryId: Long, k: Int,
+                                      predicate: Column): (DataFrame, Seq[Int]) = {
     // Read through an explicit array<double> cast so the index works over
     // both float and double embedding columns (float→double is exact).
     val qRow = index.assigned.filter(col(idCol) === queryId)
@@ -299,6 +320,7 @@ object Similarity {
     def admitScan(cells: Seq[Int]): Unit = {
       index.assigned
         .filter(col("graft_cell").isin(cells: _*) && col(idCol) =!= queryId)
+        .filter(predicate)
         .select(round(V.cosine(col(vecCol), qvCol), 6).as("c"))
         .orderBy(col("c").desc).limit(k).collect()
         .foreach { r =>
@@ -329,12 +351,14 @@ object Similarity {
         done = frontier.isEmpty
       }
     }
-    index.assigned
+    val out = index.assigned
       .filter(col("graft_cell").isin(probed: _*) && col(idCol) =!= queryId)
+      .filter(predicate)
       .withColumn("cos", round(V.cosine(col(vecCol), qvCol), 6))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("cos"))
+    (out, probed)
   }
 
   /** Per-label centroid outliers — embedding-quality screening: for each

@@ -98,6 +98,39 @@ class SkewAndIvfSpec extends SparkSpec {
     idx.release()
   }
 
+  test("filtered exact IVF equals pre-filtered brute force, pruning survives") {
+    import org.apache.spark.sql.functions.col
+    // Three tight clusters; labels split WITHIN clusters so the filter
+    // is orthogonal to the cell layout.
+    val rnd = new scala.util.Random(11)
+    def jitter() = (rnd.nextDouble() * 0.01).toFloat
+    val a = (0L until 30L).map(i => (i, Array(1.0f + jitter(), jitter(), jitter())))
+    val b = (30L until 60L).map(i => (i, Array(jitter(), 1.0f + jitter(), jitter())))
+    val c = (60L until 90L).map(i => (i, Array(jitter(), jitter(), 1.0f + jitter())))
+    val emb = (a ++ b ++ c).map { case (i, v) => (i, v, i % 2) }
+      .toDF("vec_id", "embedding", "label")
+    val idx = Similarity.ivfIndex(emb, "vec_id", "embedding", nLists = 3)
+    for (q <- Seq(3L, 45L, 70L); k <- Seq(5, 10)) {
+      val brute = Similarity.cosineTopKFiltered(emb, "vec_id", "embedding",
+        q, k, col("label") === 1).as[(Long, Double)].collect().toSeq
+      val (df, probed) = Similarity.ivfTopKExactImpl(idx, "vec_id",
+        "embedding", q, k, col("label") === 1)
+      assert(df.as[(Long, Double)].collect().toSeq === brute,
+        s"filtered mismatch at q=$q k=$k")
+      // the predicate must not defeat cell pruning: tight clusters with
+      // in-cluster matches stop the probe loop before the full index
+      assert(probed.size < 3, s"no pruning at q=$q k=$k: probed $probed")
+    }
+    // filter that empties a cluster entirely: still exact (k starves to
+    // the eligible count), never errors
+    val none = Similarity.ivfTopKExactFiltered(idx, "vec_id", "embedding",
+      3L, 5, col("vec_id") >= 60L).as[(Long, Double)].collect().toSeq
+    val bruteNone = Similarity.cosineTopKFiltered(emb, "vec_id", "embedding",
+      3L, 5, col("vec_id") >= 60L).as[(Long, Double)].collect().toSeq
+    assert(none === bruteNone)
+    idx.release()
+  }
+
   test("batched IVF probe: all-cells == brute force per query; partial probes keep recall; one index scan") {
     val rnd = new scala.util.Random(23)
     val emb = (0L until 300L).map(i =>
