@@ -26,10 +26,26 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // ML-training queries carry large fit variance (thread scheduling in
+    // parallel CV fits measured 3.7-10.2s for the same query on one
+    // host): report the MEDIAN of three cold repetitions, clearing only
+    // the ML-fit memos between samples so each one pays the real fit.
+    // The final repetition leaves the memo populated, preserving the
+    // warm path of the queries that share the fit (q28/q62/q63).
+    val mlNoise = Set("q26_kmeans_recommend", "q27_rf_predict",
+      "q34_model_compare", "q120_tuned_gbt", "q164_quality_classifier")
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t =
+        if (mlNoise(name))
+          (1 to 3).map { _ => SparkEntry.releaseMlCaches(); once() }
+            .sorted.apply(1)
+        else once()
+      name -> t
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -2312,6 +2312,17 @@ object SparkEntry {
   /** Drop every memoized substrate (pair stats, RF fits) so their blocks
     * and models become collectable — drivers call this once their query
     * sweep is done. */
+  /** Drop only the ML-FIT memos (RF family, the q26 clustering) — the
+    * bench's median-of-3 repeats call this between repetitions so every
+    * sample pays the real fit instead of a memo hit, while the shared
+    * non-ML substrates (pair stats, LSH stores, IVF/PQ indexes) keep
+    * their build-once contract. The last repetition repopulates the
+    * memos, so downstream sharers (q28/q62/q63) keep their warm path. */
+  def releaseMlCaches(): Unit = {
+    rfCache.clear()
+    clusterCache.clear()
+  }
+
   def releaseCaches(): Unit = {
     bloomStoreCache.clear()
     zoneStoreCache.clear()
