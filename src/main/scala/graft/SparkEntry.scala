@@ -1937,6 +1937,53 @@ object SparkEntry {
     "q199_theil_sen" -> ((s, d) =>
       Analytics.theilSenSlope(eventsUs(s, d), "event_type", "ts_us")),
 
+    // CDF-DRIVEN incremental aggregate maintenance — the composition the
+    // row-level feed exists for: an aggregate view starts from the v0
+    // snapshot and folds ONLY the change images of the q205 DML chain
+    // (insert/update_postimage add, delete/update_preimage retract);
+    // the result must equal the ground-truth aggregate over the FINAL
+    // table state, which the oracle reconstructs relationally. The view
+    // never rescans the table — per-DML cost is O(changed rows).
+    "q208_cdf_refresh" -> ((s, d) => {
+      val fmt = "graft.sources.WarehouseSink"
+      val dir = java.nio.file.Files.createTempDirectory("graft_cdfr_").toString
+      graft.sources.WarehouseSink.enableChangeFeed(dir)
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.format(fmt).option("path", dir).mode("overwrite").save() // v0
+      graft.sources.WarehouseSink.deleteWhere(s, dir,
+        Seq(org.apache.spark.sql.sources.GreaterThan("o_totalprice",
+          450000.0))) // v1
+      graft.sources.WarehouseSink.updateWhere(s, dir,
+        Seq(org.apache.spark.sql.sources.LessThan("o_totalprice", 50000.0)),
+        Map("o_orderstatus" -> lit("X"))) // v2
+      graft.sources.WarehouseSink.merge(s, dir,
+        Tables.orders(s, d)
+          .filter(col("o_orderkey") % 100 === 0)
+          .select(col("o_orderkey"), lit("M").as("o_orderstatus"),
+            col("o_totalprice")),
+        Seq("o_orderkey")) // v3
+      val cents = floor(col("o_totalprice") * 100).cast("long")
+      val base = s.read.format(fmt).option("path", dir)
+        .option("versionAsOf", "0").load()
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("graft_n"), sum(cents).as("graft_c"))
+      val deltas = graft.sources.WarehouseSink.tableChanges(s, dir, 0L, 3L)
+        .withColumn("graft_sign",
+          when(col("_change_type").isin("insert", "update_postimage"), 1L)
+            .otherwise(-1L))
+        .groupBy("o_orderstatus")
+        .agg(sum(col("graft_sign")).as("graft_dn"),
+          sum(col("graft_sign") * cents).as("graft_dc"))
+      base.join(deltas, Seq("o_orderstatus"), "full_outer")
+        .select(col("o_orderstatus"),
+          (coalesce(col("graft_n"), lit(0L)) +
+            coalesce(col("graft_dn"), lit(0L))).as("n_orders"),
+          (coalesce(col("graft_c"), lit(0L)) +
+            coalesce(col("graft_dc"), lit(0L))).as("sum_cents"))
+        .filter(col("n_orders") > 0)
+    }),
+
     // Filtered search INSIDE the index probe: q195's pre-filter semantics
     // with q61's exactness-guaranteed cell pruning — the predicate runs
     // below scoring in every probed cell, so the result provably equals
@@ -5085,6 +5132,25 @@ object SparkEntry {
                 CAST(max(abs(x)) AS BIGINT) AS peak_abs,
                 CAST(sum(x * x) AS BIGINT) AS sum_sq
          FROM v GROUP BY 1""",
+
+    // Ground truth: the aggregate over the FINAL table state, which the
+    // maintained view must reproduce having seen only v0 + the feed.
+    "q208_cdf_refresh" ->
+      """WITH v1s AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+               FROM orders WHERE o_totalprice <= 450000),
+         v2s AS (SELECT o_orderkey,
+                  CASE WHEN o_totalprice < 50000 THEN 'X'
+                       ELSE o_orderstatus END AS o_orderstatus,
+                  o_totalprice FROM v1s),
+         upd AS (SELECT o_orderkey, 'M' AS o_orderstatus, o_totalprice
+               FROM orders WHERE o_orderkey % 100 = 0),
+         v3 AS (SELECT * FROM v2s WHERE o_orderkey NOT IN
+                  (SELECT o_orderkey FROM upd)
+               UNION ALL SELECT * FROM upd)
+         SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS sum_cents
+         FROM v3 GROUP BY 1""",
 
     // Pre-filtered brute force at q61's query point — exactness means the
     // IVF plan must reproduce it bit for bit.
