@@ -62,6 +62,16 @@ class WarehouseSink extends TableProvider {
     // the CDF metadata columns — the override IS the relation schema.
     Option(options.get("readSchemaDdl")).map(StructType.fromDDL)
       .foreach(return _)
+    // Change-feed reads surface the table schema plus the two CDF
+    // metadata columns.
+    if (options.getBoolean("readChangeFeed", false)) {
+      val m = WarehouseSink.readManifest(dir).getOrElse(
+        throw new IllegalArgumentException(
+          s"warehouse table at $dir does not exist"))
+      return StructType.fromDDL(m.schemaDdl)
+        .add("_change_type", org.apache.spark.sql.types.StringType)
+        .add("_commit_version", org.apache.spark.sql.types.LongType)
+    }
     val manifest = WarehouseSink.versionAsOf(options.get("versionAsOf")) match {
       case Some(v) => WarehouseSink.readManifestAt(dir, v)
       case None => WarehouseSink.readManifest(dir)
@@ -1201,18 +1211,26 @@ private[sources] class WarehouseTable(dir: String, schema0: StructType,
     case None => WarehouseSink.readManifest(dir)
   }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val cdfStream = options.getBoolean("readChangeFeed", false)
+    val base = manifest.map(m => StructType.fromDDL(m.schemaDdl))
+      .getOrElse(schema0)
     new WarehouseScanBuilder(dir,
       // Internal (tableChanges): override the scan schema — change files
       // carry the table columns PLUS the CDF metadata columns, decoded by
       // their own #cols sidecar lines.
       Option(options.get("readSchemaDdl")).map(StructType.fromDDL).getOrElse(
-        manifest.map(m => StructType.fromDDL(m.schemaDdl)).getOrElse(schema0)),
+        if (cdfStream)
+          base.add("_change_type", org.apache.spark.sql.types.StringType)
+            .add("_commit_version", org.apache.spark.sql.types.LongType)
+        else base),
       versionAsOf,
       // Internal (deleteWhere's rewrite leg): restrict the scan to an
       // explicit comma-separated file subset of the live manifest.
       Option(options.get("files"))
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq),
+      cdfStream = cdfStream)
+  }
 }
 
 /** Filter pushdown for FILE SKIPPING only: every filter is returned as a
@@ -1238,7 +1256,8 @@ private[sources] class WarehouseTable(dir: String, schema0: StructType,
   *    pushdown is an optimization, never a different answer. */
 private[sources] class WarehouseScanBuilder(dir: String, schema: StructType,
                                             versionAsOf: Option[Long],
-                                            onlyFiles: Option[Seq[String]] = None)
+                                            onlyFiles: Option[Seq[String]] = None,
+                                            cdfStream: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
   import org.apache.spark.sql.connector.expressions.NamedReference
@@ -1353,7 +1372,8 @@ private[sources] class WarehouseScanBuilder(dir: String, schema: StructType,
   override def build(): Scan = pushedAgg match {
     case Some((aggSchema, row)) => new WarehouseAggScan(dir, aggSchema, row)
     case None =>
-      new WarehouseScan(dir, schema, versionAsOf, skipFilters, required, onlyFiles)
+      new WarehouseScan(dir, schema, versionAsOf, skipFilters, required,
+        onlyFiles, cdfStream)
   }
 }
 
@@ -1814,7 +1834,8 @@ private[sources] class WarehouseScan(dir: String, schema: StructType,
                                      skipFilters: Array[org.apache.spark.sql.sources.Filter] =
                                        Array.empty,
                                      required0: StructType = null,
-                                     onlyFiles: Option[Seq[String]] = None)
+                                     onlyFiles: Option[Seq[String]] = None,
+                                     cdfStream: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering {
@@ -1824,7 +1845,12 @@ private[sources] class WarehouseScan(dir: String, schema: StructType,
   // projects.
   private val required = Option(required0).getOrElse(schema)
   override def readSchema(): StructType = required
-  override def toBatch: Batch = this
+  override def toBatch: Batch = {
+    require(!cdfStream,
+      "readChangeFeed is a STREAMING read; for a batch range use " +
+        "WarehouseSink.tableChanges(spark, dir, from, to)")
+    this
+  }
   override def description(): String =
     s"graft_warehouse [$dir${versionAsOf.map(v => s" @v$v").getOrElse("")}" +
       (if (required.length != schema.length)
@@ -1959,7 +1985,8 @@ private[sources] class WarehouseScan(dir: String, schema: StructType,
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(versionAsOf.isEmpty, "cannot stream a versionAsOf read")
     require(onlyFiles.isEmpty, "cannot stream a file-restricted read")
-    new WarehouseMicroBatchStream(dir, schema, required)
+    if (cdfStream) new WarehouseCdfMicroBatchStream(dir, schema, required)
+    else new WarehouseMicroBatchStream(dir, schema, required)
   }
 }
 
@@ -2025,12 +2052,101 @@ private[sources] class WarehouseMicroBatchStream(dir: String,
     new WarehouseReaderFactory(schema, required)
 }
 
+/** Streaming READ of the row-level change feed — the table as a CDC
+  * source: each manifest generation is an offset (same cursor as the
+  * append-only stream), and a micro-batch delivers the generations'
+  * CHANGE IMAGES with `_change_type` + `_commit_version` columns.
+  * Append/stream/WAP generations synthesize insert images from their
+  * added files; DML generations read their captured change files
+  * (refused loudly when the DML ran with the feed disabled); truncate
+  * synthesizes delete images of the out-going generation plus inserts
+  * of the new one; maintenance contributes nothing. This is what lets a
+  * downstream consumer maintain a RETRACTABLE view continuously (the
+  * q208 fold, streaming): per-trigger cost tracks the CHANGED rows,
+  * never the table — and unlike the append-only source, DML no longer
+  * kills the stream. The first batch (offset -1 → current) is the
+  * current snapshot as inserts stamped with the live version. */
+private[sources] class WarehouseCdfMicroBatchStream(dir: String,
+                                                    schema: StructType,
+                                                    required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class V(version: Long) extends Offset {
+    override def json(): String = version.toString
+  }
+
+  override def initialOffset(): Offset = V(-1L)
+  override def latestOffset(): Offset =
+    V(WarehouseSink.readManifest(dir).map(_.version).getOrElse(-1L))
+  override def deserializeOffset(json: String): Offset = V(json.trim.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  private def manifestAt(v: Long): WarehouseSink.Manifest =
+    WarehouseSink.readManifestAt(dir, v).getOrElse(
+      throw new IllegalStateException(
+        s"warehouse CDF stream offset $v of $dir was vacuumed — restart " +
+          "the stream with a fresh checkpoint to re-read the snapshot"))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (vs, ve) = (start.asInstanceOf[V].version, end.asInstanceOf[V].version)
+    if (ve <= vs) return Array.empty
+    val parts = Seq.newBuilder[InputPartition]
+    def file(f: String) = new File(dir, f).getPath
+    if (vs < 0) {
+      // stream start: the live snapshot as inserts at the start version
+      val m = manifestAt(ve)
+      m.files.foreach(f =>
+        parts += WarehouseCdfPartition(file(f), Some("insert"), ve))
+    } else (vs + 1) to ve foreach { v =>
+      val m = manifestAt(v)
+      m.op match {
+        case "delete" | "update" | "merge" =>
+          if (!m.cdf) throw new IllegalStateException(
+            s"warehouse CDF stream on $dir: version $v is a ${m.op} " +
+              "committed with the change feed disabled — enableChangeFeed()" +
+              " before running DML under a live CDF stream")
+          m.changeFiles.foreach(f =>
+            parts += WarehouseCdfPartition(file(f), None, v))
+        case "append" | "stream" | "wap" =>
+          val before = manifestAt(v - 1).files.toSet
+          m.files.filterNot(before).foreach(f =>
+            parts += WarehouseCdfPartition(file(f), Some("insert"), v))
+        case "truncate" =>
+          manifestAt(v - 1).files.foreach(f =>
+            parts += WarehouseCdfPartition(file(f), Some("delete"), v))
+          m.files.foreach(f =>
+            parts += WarehouseCdfPartition(file(f), Some("insert"), v))
+        case "maintain" => () // layout-only: zero row changes
+        case other => throw new IllegalStateException(
+          s"warehouse CDF stream on $dir: version $v has no change-feed " +
+            s"mapping (op='$other' — written by a pre-CDF release?)")
+      }
+    }
+    parts.result().toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarehouseReaderFactory(schema, required)
+}
+
+/** One change-feed input split: a file to read plus the CDF metadata to
+  * stamp — `constType` None when the file carries its own _change_type
+  * column (a DML capture), Some(t) when every row is type t (synthesized
+  * insert/delete images from plain data files). */
+private[sources] case class WarehouseCdfPartition(path: String,
+                                                  constType: Option[String],
+                                                  version: Long)
+    extends InputPartition
+
 private[sources] class WarehouseReaderFactory(schema: StructType,
                                               required: StructType)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case WarehouseFilePartition(path) => fileReader(path)
+      case WarehouseCdfPartition(path, ct, v) => cdfFileReader(path, ct, v)
       case WarehouseGroupPartition(paths, _) =>
         // one value group = its files read back to back, each through its
         // own per-file column mapping
@@ -2050,6 +2166,37 @@ private[sources] class WarehouseReaderFactory(schema: StructType,
           override def close(): Unit = if (cur != null) cur.close()
         }
     }
+
+  /** Change-feed split reader: same pruned by-name decode as
+    * [[fileReader]], with the CDF metadata columns stamped from the
+    * partition — `_commit_version` always (never stored), `_change_type`
+    * when the split is a synthesized insert/delete over a plain data
+    * file (DML capture files carry the column themselves). */
+  private def cdfFileReader(path: String, constType: Option[String],
+                            version: Long): PartitionReader[InternalRow] = {
+    val file = new File(path)
+    val fileCols = WarehouseSink.readFileCols(file.getParent, file.getName)
+      .getOrElse(schema.fieldNames.toSeq)
+    val idxs = required.fields.map(f => fileCols.indexOf(f.name))
+    val types = required.fields.map(_.dataType)
+    val names = required.fields.map(_.name)
+    val ctVal = constType
+      .map(org.apache.spark.unsafe.types.UTF8String.fromString).orNull
+    new PartitionReader[InternalRow] {
+      private val in = new BufferedReader(new FileReader(path))
+      private var line: String = _
+      override def next(): Boolean = { line = in.readLine(); line != null }
+      override def get(): InternalRow = {
+        val toks = line.split("\t", -1)
+        InternalRow.fromSeq(Array.tabulate(idxs.length) { j =>
+          if (names(j) == "_commit_version") version
+          else if (names(j) == "_change_type" && ctVal != null) ctVal
+          else if (idxs(j) < 0) null
+          else WarehouseSink.decode(toks(idxs(j)), types(j)) }.toSeq)
+      }
+      override def close(): Unit = in.close()
+    }
+  }
 
   private def fileReader(path: String): PartitionReader[InternalRow] = {
     // Pruned decode: only the requested token positions are parsed (an

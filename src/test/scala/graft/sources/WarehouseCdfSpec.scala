@@ -112,4 +112,81 @@ class WarehouseCdfSpec extends SparkSpec {
     // live reads unaffected
     assert(spark.read.format(Fmt).option("path", dir).load().count() === 5L)
   }
+
+  test("streaming change feed delivers images per generation, survives DML") {
+    val dir = tmp(); val ck = tmp()
+    WarehouseSink.enableChangeFeed(dir)
+    (1L to 4L).map(i => (i, s"r$i")).toDF("id", "s")
+      .write.format(Fmt).option("path", dir).mode("append").save() // v0
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long, String)]
+    val q = spark.readStream.format(Fmt)
+      .option("path", dir).option("readChangeFeed", "true").load()
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        buf.synchronized {
+          buf ++= b.select("_commit_version", "_change_type", "id", "s")
+            .collect().map(r => (r.getLong(0), r.getString(1),
+              r.getLong(2), r.getString(3)))
+        }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      // snapshot at stream start: every live row as an insert at v0
+      assert(buf.sorted.toSeq ===
+        (1L to 4L).map(i => (0L, "insert", i, s"r$i")))
+      buf.clear()
+      import org.apache.spark.sql.sources.GreaterThan
+      WarehouseSink.deleteWhere(spark, dir, Seq(GreaterThan("id", 3L))) // v1
+      q.processAllAvailable()
+      assert(buf.sorted.toSeq === Seq((1L, "delete", 4L, "r4")))
+      buf.clear()
+      WarehouseSink.merge(spark, dir,
+        Seq((1L, "m1"), (9L, "m9")).toDF("id", "s"), Seq("id")) // v2
+      q.processAllAvailable()
+      assert(buf.sorted.toSeq === Seq(
+        (2L, "insert", 9L, "m9"),
+        (2L, "update_postimage", 1L, "m1"),
+        (2L, "update_preimage", 1L, "r1")))
+      buf.clear()
+      // maintenance: layout-only, the stream sees nothing and lives on
+      WarehouseSink.maintain(spark, dir, targetBytes = Long.MaxValue,
+        keepVersions = 10) // v3
+      Seq((7L, "r7")).toDF("id", "s")
+        .write.format(Fmt).option("path", dir).mode("append").save() // v4
+      q.processAllAvailable()
+      assert(buf.sorted.toSeq === Seq((4L, "insert", 7L, "r7")))
+    } finally q.stop()
+  }
+
+  test("streaming change feed fails loudly on DML with the feed disabled") {
+    val dir = tmp(); val ck = tmp() // no enableChangeFeed
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val q = spark.readStream.format(Fmt)
+      .option("path", dir).option("readChangeFeed", "true").load()
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+      .start()
+    try {
+      q.processAllAvailable()
+      import org.apache.spark.sql.sources.GreaterThan
+      WarehouseSink.deleteWhere(spark, dir, Seq(GreaterThan("id", 1L)))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("change feed")))
+    } finally q.stop()
+    // batch misuse of the option is refused with the tableChanges pointer
+    val ex2 = intercept[Exception] {
+      spark.read.format(Fmt).option("path", dir)
+        .option("readChangeFeed", "true").load().collect()
+    }
+    def msgs2(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs2(t.getCause)
+    assert(msgs2(ex2).exists(_.contains("tableChanges")))
+  }
 }
