@@ -35,8 +35,8 @@ object Bench {
     // Sample counts tuned to measured run-to-run spread: the two fits
     // that still exceeded 1.15x between full runs at 3 samples take 5.
     val mlNoise = Map(
-      "q26_kmeans_recommend" -> 3, "q27_rf_predict" -> 5,
-      "q34_model_compare" -> 3, "q120_tuned_gbt" -> 3,
+      "q26_kmeans_recommend" -> 5, "q27_rf_predict" -> 5,
+      "q34_model_compare" -> 5, "q120_tuned_gbt" -> 3,
       "q164_quality_classifier" -> 5)
     val results = selected.map { case (name, fn) =>
       def once(): Double = {

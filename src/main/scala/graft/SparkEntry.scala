@@ -1937,6 +1937,26 @@ object SparkEntry {
     "q199_theil_sen" -> ((s, d) =>
       Analytics.theilSenSlope(eventsUs(s, d), "event_type", "ts_us")),
 
+    // Triangle counting + local clustering coefficient on the
+    // co-purchase graph (parts are neighbors when one order holds both):
+    // degree-ordered orientation bounds wedge fan-out at O(sqrt(m)) per
+    // node — hub parts can't explode the join — and the result is
+    // orientation-independent, so the oracle replays with the simple
+    // id-orientation. Any order of >= 3 lines contributes triangles.
+    "q209_triangles" -> ((s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("graft_o"),
+          col("l_partkey").as("graft_i")).distinct()
+      val a = items.select(col("graft_o"), col("graft_i").as("pa"))
+      val b = items.select(col("graft_o"), col("graft_i").as("pb"))
+      val edges = a.join(b, Seq("graft_o"))
+        .filter(col("pa") < col("pb"))
+        .select("pa", "pb")
+      Graph.triangleStats(edges, "pa", "pb")
+        .orderBy(col("n_triangles").desc, col("node").asc)
+        .limit(50)
+    }),
+
     // CDF-DRIVEN incremental aggregate maintenance — the composition the
     // row-level feed exists for: an aggregate view starts from the v0
     // snapshot and folds ONLY the change images of the q205 DML chain
@@ -5132,6 +5152,32 @@ object SparkEntry {
                 CAST(max(abs(x)) AS BIGINT) AS peak_abs,
                 CAST(sum(x * x) AS BIGINT) AS sum_sq
          FROM v GROUP BY 1""",
+
+    // Triangles replayed with the id-orientation (orientation-free
+    // result): all three edges of a < b < c present.
+    "q209_triangles" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i
+               FROM lineitem),
+         e AS (SELECT DISTINCT a.i AS x, b.i AS y
+               FROM items a JOIN items b ON a.o = b.o AND a.i < b.i),
+         deg AS (SELECT n, CAST(count(*) AS BIGINT) AS degree
+               FROM (SELECT x AS n FROM e UNION ALL SELECT y FROM e)
+               GROUP BY 1),
+         t AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c
+               FROM e e1 JOIN e e2 ON e1.x = e2.x AND e1.y < e2.y
+               JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y),
+         tn AS (SELECT n, CAST(count(*) AS BIGINT) AS nt
+               FROM (SELECT a AS n FROM t UNION ALL SELECT b FROM t
+                     UNION ALL SELECT c FROM t)
+               GROUP BY 1)
+         SELECT deg.n AS node, deg.degree,
+                CAST(COALESCE(tn.nt, 0) AS BIGINT) AS n_triangles,
+                CASE WHEN deg.degree < 2 THEN CAST(NULL AS BIGINT)
+                     ELSE CAST(2 * COALESCE(tn.nt, 0) * 1000000
+                       // (deg.degree * (deg.degree - 1)) AS BIGINT)
+                END AS clustering_ppm
+         FROM deg LEFT JOIN tn ON deg.n = tn.n
+         ORDER BY n_triangles DESC, node ASC LIMIT 50""",
 
     // Ground truth: the aggregate over the FINAL table state, which the
     // maintained view must reproduce having seen only v0 + the feed.

@@ -77,4 +77,65 @@ object Graph {
       ranks.unpersist(); ed.unpersist(); nodes.unpersist()
     }
   }
+
+  /** Exact triangle counting + local clustering coefficient over an
+    * UNDIRECTED edge list — the classic graph-quality readout (how
+    * cliquish is each node's neighborhood) next to [[Components]]'
+    * connectivity and [[pagerankPortable]]'s centrality.
+    *
+    * Algorithm: the degree-ordered orientation. Each undirected edge
+    * points from its lower-(degree, id) endpoint to the higher, wedges
+    * are enumerated at the LOW vertex only (fan-out per node bounded by
+    * its OUT-degree, which the orientation caps at O(sqrt(m)) on any
+    * graph — the arboricity bound that keeps hub nodes from exploding
+    * the join), and a wedge (u; v, w) closes into a triangle iff the
+    * undirected edge {v, w} exists (one semi-join). Every triangle is
+    * found exactly once, at its lowest-ordered vertex. The result is
+    * orientation-independent, so an oracle can replay it with the
+    * simpler (non-scaling) id-orientation and match bit for bit.
+    *
+    * Returns one row per node with an edge: degree, triangle count, and
+    * clustering_ppm = 2·tri·10⁶ div (deg·(deg−1)) (NULL when deg < 2 —
+    * the coefficient is undefined). Integer arithmetic throughout.
+    *
+    * Shuffle audit: dedup + degree aggregate + two self-join key
+    * exchanges + the closing semi-join + the per-node count — all keyed
+    * on node/edge ids, nothing corpus-cross. */
+  def triangleStats(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e0 = edges
+      .select(col(aCol).cast("long").as("graft_a"),
+        col(bCol).cast("long").as("graft_b"))
+      .filter(col("graft_a") =!= col("graft_b") &&
+        col("graft_a").isNotNull && col("graft_b").isNotNull)
+      .select(least(col("graft_a"), col("graft_b")).as("x"),
+        greatest(col("graft_a"), col("graft_b")).as("y"))
+      .distinct()
+    val deg = e0.select(explode(array(col("x"), col("y"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("graft_deg"))
+    val withDeg = e0
+      .join(deg.select(col("n").as("x"), col("graft_deg").as("dx")), "x")
+      .join(deg.select(col("n").as("y"), col("graft_deg").as("dy")), "y")
+    // u -> v with (deg, id) strictly increasing along the arrow
+    val dir = withDeg.select(
+      when(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")),
+        struct(col("x").as("u"), col("y").as("v")))
+        .otherwise(struct(col("y").as("u"), col("x").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    val w1 = dir.select(col("u"), col("v").as("v1"))
+    val w2 = dir.select(col("u"), col("v").as("v2"))
+    val wedges = w1.join(w2, Seq("u")).filter(col("v1") < col("v2"))
+    val tri = wedges.join(e0,
+      wedges("v1") === e0("x") && wedges("v2") === e0("y"), "left_semi")
+    val triPerNode = tri
+      .select(explode(array(col("u"), col("v1"), col("v2"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("graft_tri"))
+    deg.join(triPerNode, Seq("n"), "left_outer")
+      .select(col("n").as("node"),
+        col("graft_deg").cast("long").as("degree"),
+        coalesce(col("graft_tri"), lit(0L)).as("n_triangles"),
+        expr("CASE WHEN graft_deg < 2 THEN CAST(NULL AS BIGINT)" +
+          " ELSE 2 * coalesce(graft_tri, 0) * 1000000" +
+          " div (graft_deg * (graft_deg - 1)) END").as("clustering_ppm"))
+  }
 }

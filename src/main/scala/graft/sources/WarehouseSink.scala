@@ -1213,6 +1213,7 @@ private[sources] class WarehouseTable(dir: String, schema0: StructType,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val cdfStream = options.getBoolean("readChangeFeed", false)
+    val skipChanges = options.getBoolean("skipChangeCommits", false)
     val base = manifest.map(m => StructType.fromDDL(m.schemaDdl))
       .getOrElse(schema0)
     new WarehouseScanBuilder(dir,
@@ -1229,7 +1230,7 @@ private[sources] class WarehouseTable(dir: String, schema0: StructType,
       // explicit comma-separated file subset of the live manifest.
       Option(options.get("files"))
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq),
-      cdfStream = cdfStream)
+      cdfStream = cdfStream, skipChanges = skipChanges)
   }
 }
 
@@ -1257,7 +1258,8 @@ private[sources] class WarehouseTable(dir: String, schema0: StructType,
 private[sources] class WarehouseScanBuilder(dir: String, schema: StructType,
                                             versionAsOf: Option[Long],
                                             onlyFiles: Option[Seq[String]] = None,
-                                            cdfStream: Boolean = false)
+                                            cdfStream: Boolean = false,
+                                            skipChanges: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
   import org.apache.spark.sql.connector.expressions.NamedReference
@@ -1373,7 +1375,7 @@ private[sources] class WarehouseScanBuilder(dir: String, schema: StructType,
     case Some((aggSchema, row)) => new WarehouseAggScan(dir, aggSchema, row)
     case None =>
       new WarehouseScan(dir, schema, versionAsOf, skipFilters, required,
-        onlyFiles, cdfStream)
+        onlyFiles, cdfStream, skipChanges)
   }
 }
 
@@ -1835,7 +1837,8 @@ private[sources] class WarehouseScan(dir: String, schema: StructType,
                                        Array.empty,
                                      required0: StructType = null,
                                      onlyFiles: Option[Seq[String]] = None,
-                                     cdfStream: Boolean = false)
+                                     cdfStream: Boolean = false,
+                                     skipChanges: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering {
@@ -1986,7 +1989,7 @@ private[sources] class WarehouseScan(dir: String, schema: StructType,
     require(versionAsOf.isEmpty, "cannot stream a versionAsOf read")
     require(onlyFiles.isEmpty, "cannot stream a file-restricted read")
     if (cdfStream) new WarehouseCdfMicroBatchStream(dir, schema, required)
-    else new WarehouseMicroBatchStream(dir, schema, required)
+    else new WarehouseMicroBatchStream(dir, schema, required, skipChanges)
   }
 }
 
@@ -2010,7 +2013,8 @@ private[sources] class WarehouseScan(dir: String, schema: StructType,
   * dedupes the replayed trailing batch on restart. */
 private[sources] class WarehouseMicroBatchStream(dir: String,
                                                  schema: StructType,
-                                                 required: StructType)
+                                                 required: StructType,
+                                                 skipChanges: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -2036,13 +2040,39 @@ private[sources] class WarehouseMicroBatchStream(dir: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (vs, ve) = (start.asInstanceOf[V].version, end.asInstanceOf[V].version)
     if (ve <= vs) return Array.empty
+    // skipChangeCommits (the Delta escape hatch, opted into knowingly):
+    // walk generation by generation, deliver ONLY append-family commits'
+    // added files, and silently pass over DML/truncate/maintenance
+    // generations — the consumer accepts missing deletions/rewrites in
+    // exchange for a stream that survives them. Off by default: the
+    // append-only contract below fails loudly instead.
+    if (skipChanges) {
+      if (vs < 0)
+        return filesAt(ve).sorted
+          .map(f => WarehouseFilePartition(new File(dir, f).getPath): InputPartition)
+          .toArray
+      return ((vs + 1) to ve).flatMap { v =>
+        val m = WarehouseSink.readManifestAt(dir, v).getOrElse(
+          throw new IllegalStateException(
+            s"warehouse stream offset $v of $dir was vacuumed — restart " +
+              "the stream with a fresh checkpoint"))
+        m.op match {
+          case "append" | "stream" | "wap" | "" =>
+            val before = filesAt(v - 1).toSet
+            m.files.filterNot(before).sorted
+              .map(f => WarehouseFilePartition(new File(dir, f).getPath): InputPartition)
+          case _ => Nil // change commit: skipped by explicit opt-in
+        }
+      }.toArray
+    }
     val before = filesAt(vs)
     val after = filesAt(ve)
     val dropped = before.toSet -- after.toSet
     if (dropped.nonEmpty) throw new IllegalStateException(
       s"warehouse stream on $dir: generation range ($vs, $ve] dropped " +
         s"${dropped.size} file(s) — the source is append-only; truncate/" +
-        "OPTIMIZE/DML require restarting the stream with a fresh checkpoint")
+        "OPTIMIZE/DML require restarting the stream with a fresh " +
+        "checkpoint, or opt into option(\"skipChangeCommits\", \"true\")")
     (after.toSet -- before.toSet).toSeq.sorted
       .map(f => WarehouseFilePartition(new File(dir, f).getPath): InputPartition)
       .toArray

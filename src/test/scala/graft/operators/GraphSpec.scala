@@ -41,4 +41,27 @@ class GraphSpec extends SparkSpec {
     assert(a === b)
     assert(a.head === ((2L, 1127500L))) // dup edge deduped before degrees
   }
+
+  test("triangleStats: hand graph — counts, coefficients, hub-safe orientation") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} plus a pendant 5-1 and an isolated edge 6-7.
+    // K4: every vertex has deg 3 within it, sits in C(3,2)=3 triangles.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 1L), (6L, 7L),
+      (2L, 1L), (1L, 2L)) // duplicates + reversed: must dedup
+      .toDF("a", "b")
+    val got = Graph.triangleStats(edges, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, 4L, 3L, 500000L),  // deg 4 (K4 + pendant): 3 of C(4,2)=6 pairs
+      (2L, 3L, 3L, 1000000L), // fully clustered inside K4
+      (3L, 3L, 3L, 1000000L),
+      (4L, 3L, 3L, 1000000L),
+      (5L, 1L, 0L, -1L),      // pendant: coefficient undefined
+      (6L, 1L, 0L, -1L), (7L, 1L, 0L, -1L)))
+    // triangle-count conservation: per-node counts sum to 3 x #triangles
+    assert(got.map(_._3).sum === 3L * 4L)
+  }
 }

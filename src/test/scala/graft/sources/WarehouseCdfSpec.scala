@@ -189,4 +189,34 @@ class WarehouseCdfSpec extends SparkSpec {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs2(t.getCause)
     assert(msgs2(ex2).exists(_.contains("tableChanges")))
   }
+
+  test("skipChangeCommits: append-only stream survives DML, delivers appends only") {
+    val dir = tmp(); val ck = tmp()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .write.format(Fmt).option("path", dir).mode("append").save() // v0
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = spark.readStream.format(Fmt)
+      .option("path", dir).option("skipChangeCommits", "true").load()
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        buf.synchronized {
+          buf ++= b.select("id", "s").collect()
+            .map(r => (r.getLong(0), r.getString(1)))
+        }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(buf.sorted.toSeq === Seq((1L, "a"), (2L, "b")))
+      buf.clear()
+      // a DELETE would kill the default stream; the opt-in skips it
+      WarehouseSink.deleteWhere(spark, dir,
+        Seq(GreaterThan("id", 1L))) // v1: change commit, skipped
+      Seq((5L, "e")).toDF("id", "s")
+        .write.format(Fmt).option("path", dir).mode("append").save() // v2
+      q.processAllAvailable()
+      assert(buf.sorted.toSeq === Seq((5L, "e")),
+        s"only the append lands; got $buf")
+    } finally q.stop()
+  }
 }
