@@ -102,14 +102,19 @@ object Graph {
     * exchanges + the closing semi-join + the per-node count — all keyed
     * on node/edge ids, nothing corpus-cross. */
   def triangleStats(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val e0 = edges
+    // The deduped edge table feeds FIVE subtrees (degree build, both
+    // orientation joins, the closing semi-join, the per-node fold) and
+    // Spark has no common-subplan reuse — pin it once, and the oriented
+    // table (two wedge legs) likewise ([[Materialize.transient]]'s
+    // contract: executor-local blocks, GC-freed).
+    val e0 = Materialize.transient(edges
       .select(col(aCol).cast("long").as("graft_a"),
         col(bCol).cast("long").as("graft_b"))
       .filter(col("graft_a") =!= col("graft_b") &&
         col("graft_a").isNotNull && col("graft_b").isNotNull)
       .select(least(col("graft_a"), col("graft_b")).as("x"),
         greatest(col("graft_a"), col("graft_b")).as("y"))
-      .distinct()
+      .distinct())
     val deg = e0.select(explode(array(col("x"), col("y"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("graft_deg"))
     val withDeg = e0
@@ -122,8 +127,9 @@ object Graph {
         struct(col("x").as("u"), col("y").as("v")))
         .otherwise(struct(col("y").as("u"), col("x").as("v"))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
-    val w1 = dir.select(col("u"), col("v").as("v1"))
-    val w2 = dir.select(col("u"), col("v").as("v2"))
+    val dirP = Materialize.transient(dir)
+    val w1 = dirP.select(col("u"), col("v").as("v1"))
+    val w2 = dirP.select(col("u"), col("v").as("v2"))
     val wedges = w1.join(w2, Seq("u")).filter(col("v1") < col("v2"))
     val tri = wedges.join(e0,
       wedges("v1") === e0("x") && wedges("v2") === e0("y"), "left_semi")

@@ -901,6 +901,31 @@ class WarehouseSinkSpec extends SparkSpec {
     }
   }
 
+  test("maintain preserves a two-column partitioned layout (SPJ after compaction)") {
+    val dir = tmp()
+    (0L until 60L).map(i => (i, s"r${i % 2}", s"s${i % 3}"))
+      .toDF("id", "rk", "sk")
+      .write.format(Fmt).option("path", dir).option("partitionBy", "rk,sk")
+      .mode("overwrite").save()
+    // fragment with an inherited-layout append, then compact
+    (100L until 130L).map(i => (i, s"r${i % 2}", s"s${i % 3}"))
+      .toDF("id", "rk", "sk")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    WarehouseSink.maintain(spark, dir, targetBytes = Long.MaxValue)
+    val m = WarehouseSink.readManifest(dir).get
+    assert(m.partitionCol === "rk,sk")
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val t = spark.read.format(Fmt).option("path", dir).load()
+      val agg = t.groupBy("rk", "sk").agg(count(lit(1)).as("n"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"post-compaction tuple-partitioned aggregate must not shuffle:\n$plan")
+      assert(agg.as[(String, String, Long)].collect().map(_._3).sum === 90L)
+    }
+  }
+
   test("SPJ with MISMATCHED partition value sets joins shuffle-free via pushPartValues") {
     val a = tmp(); val b = tmp()
     // left covers tuples (r0..r2 x s0..s3); right only r0/r1 x s0/s1 —
