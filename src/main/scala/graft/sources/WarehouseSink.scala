@@ -640,10 +640,10 @@ object WarehouseSink {
     val schema = StructType.fromDDL(cur.schemaDdl)
     val pred = filters.map(filterToColumn(_, schema)).reduce(_ && _)
     val (candidates, carried) = cur.files.partition { f =>
-      readStats(dir, f, schema) match {
+      (readStats(dir, f, schema) match {
         case Some(st) => filters.forall(mightMatch(st, _))
         case None => true // statless file: must assume it matches
-      }
+      }) && filters.forall(nullAwareMatch(dir, f, _))
     }
     if (candidates.isEmpty) return DeleteReport(0, cur.files.size, 0L)
     val candRows = candidates.map(f => readRowCount(dir, f).getOrElse(-1L))
@@ -857,10 +857,10 @@ object WarehouseSink {
     val pred = coalesce(
       filters.map(filterToColumn(_, schema)).reduce(_ && _), lit(false))
     val (candidates, carried) = cur.files.partition { f =>
-      readStats(dir, f, schema) match {
+      (readStats(dir, f, schema) match {
         case Some(st) => filters.forall(mightMatch(st, _))
         case None => true
-      }
+      }) && filters.forall(nullAwareMatch(dir, f, _))
     }
     if (candidates.isEmpty) return UpdateReport(0, cur.files.size, 0L)
     def candScan = spark.read.format(fmt).option("path", dir)
@@ -1143,6 +1143,29 @@ object WarehouseSink {
       case And(l, r) => mightMatch(stats, l) && mightMatch(stats, r)
       case Or(l, r) => mightMatch(stats, l) || mightMatch(stats, r)
       case _ => true // IsNull, StringContains, Not(...), ...: no range answer
+    }
+  }
+
+  /** Null-aware leg of file skipping — what the RANGE stats can't see:
+    * `IS NULL` refutes a file whose `#nulls` sidecar proves the column
+    * has none; `IS NOT NULL` refutes one where every row is null
+    * (`#nulls` == `#rows`). Conservative like [[mightMatch]]: a missing
+    * sidecar line never prunes. */
+  private[sources] def nullAwareMatch(dir: String, dataFile: String,
+                                      f: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    f match {
+      case IsNull(c) => readNullCounts(dir, dataFile).get(c).forall(_ > 0)
+      case IsNotNull(c) =>
+        (for {
+          n <- readNullCounts(dir, dataFile).get(c)
+          r <- readRowCount(dir, dataFile)
+        } yield n < r).getOrElse(true)
+      case And(l, r) =>
+        nullAwareMatch(dir, dataFile, l) && nullAwareMatch(dir, dataFile, r)
+      case Or(l, r) =>
+        nullAwareMatch(dir, dataFile, l) || nullAwareMatch(dir, dataFile, r)
+      case _ => true
     }
   }
 
@@ -1873,10 +1896,10 @@ private[sources] class WarehouseScan(dir: String, schema: StructType,
     // the same order of work as listing the manifest itself.
     if (skipFilters.isEmpty) files
     else files.filter { f =>
-      WarehouseSink.readStats(dir, f, schema) match {
+      (WarehouseSink.readStats(dir, f, schema) match {
         case Some(st) => skipFilters.forall(WarehouseSink.mightMatch(st, _))
         case None => true // pre-stats file: never skip blind
-      }
+      }) && skipFilters.forall(WarehouseSink.nullAwareMatch(dir, f, _))
     }
   }
   /** Honest table statistics for the optimizer — the piece that lets AQE

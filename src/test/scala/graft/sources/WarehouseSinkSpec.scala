@@ -901,6 +901,39 @@ class WarehouseSinkSpec extends SparkSpec {
     }
   }
 
+  test("null-aware skipping: IS NULL / IS NOT NULL prune by the #nulls sidecar") {
+    val dir = tmp()
+    // three files by id range: [0,10) all-null v, [10,20) no nulls,
+    // [20,30) mixed
+    (0L until 30L).map { i =>
+      val v = if (i < 10) None
+        else if (i < 20) Some(i) else if (i % 2 == 0) Some(i) else None
+      (i, v)
+    }.toDF("id", "v").repartitionByRange(3, col("id"))
+      .write.format(Fmt).option("path", dir).mode("overwrite").save()
+    def table() = spark.read.format(Fmt).option("path", dir).load()
+    assert(table().rdd.getNumPartitions === 3)
+    // IS NULL: the no-null file plans no partition
+    val isNull = table().filter(col("v").isNull)
+    assert(isNull.rdd.getNumPartitions === 2, "no-null file must skip")
+    assert(isNull.count() === 10L + 5L)
+    // IS NOT NULL: the all-null file plans no partition
+    val notNull = table().filter(col("v").isNotNull)
+    assert(notNull.rdd.getNumPartitions === 2, "all-null file must skip")
+    assert(notNull.count() === 10L + 5L)
+    // composed: equality carries an implicit IsNotNull — all-null file
+    // skips via the null leg, [20,30) via ranges
+    val eq = table().filter(col("v") === 15L)
+    assert(eq.rdd.getNumPartitions === 1)
+    assert(eq.count() === 1L)
+    // DML candidate pruning rides the same leg: deleting IS NULL rows
+    // carries the no-null file by name
+    val rep = WarehouseSink.deleteWhere(spark, dir,
+      Seq(org.apache.spark.sql.sources.IsNull("v")))
+    assert(rep.filesCarried >= 1, rep.toString)
+    assert(table().count() === 15L)
+  }
+
   test("maintain preserves a two-column partitioned layout (SPJ after compaction)") {
     val dir = tmp()
     (0L until 60L).map(i => (i, s"r${i % 2}", s"s${i % 3}"))
