@@ -1937,6 +1937,13 @@ object SparkEntry {
     "q199_theil_sen" -> ((s, d) =>
       Analytics.theilSenSlope(eventsUs(s, d), "event_type", "ts_us")),
 
+    // Seasonal-naive forecast backtest: per event type, is the weekly
+    // shape predictive — floor-mean same-weekday forecast vs the
+    // previous-day naive, exact floor-milli MAEs over observed days.
+    "q210_seasonal_backtest" -> ((s, d) =>
+      Analytics.seasonalBacktest(eventsUs(s, d), "event_type", "ts_us",
+        k = 3)),
+
     // Triangle counting + local clustering coefficient on the
     // co-purchase graph (parts are neighbors when one order holds both):
     // degree-ordered orientation bounds wedge fan-out at O(sqrt(m)) per
@@ -5152,6 +5159,28 @@ object SparkEntry {
                 CAST(max(abs(x)) AS BIGINT) AS peak_abs,
                 CAST(sum(x * x) AS BIGINT) AS sum_sq
          FROM v GROUP BY 1""",
+
+    // Same two windows over the same observed-day table, floor-exact.
+    "q210_seasonal_backtest" ->
+      """WITH daily AS (SELECT event_type AS s,
+                  epoch_us(ts) // 86400000000 AS d,
+                  CAST(count(*) AS BIGINT) AS y
+             FROM events GROUP BY 1, 2),
+         w AS (SELECT s, d, y, d % 7 AS dow,
+                 sum(y) OVER (PARTITION BY s, d % 7 ORDER BY d
+                   ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS ssum,
+                 count(*) OVER (PARTITION BY s, d % 7 ORDER BY d
+                   ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS scnt,
+                 lag(y, 1) OVER (PARTITION BY s ORDER BY d) AS prev
+               FROM daily),
+         b AS (SELECT s, abs(y - ssum // 3) AS efc, abs(y - prev) AS env
+               FROM w WHERE scnt = 3 AND prev IS NOT NULL)
+         SELECT s AS event_type, CAST(count(*) AS BIGINT) AS n_days,
+                CAST(sum(efc) * 1000 // count(*) AS BIGINT)
+                  AS mae_milli_seasonal,
+                CAST(sum(env) * 1000 // count(*) AS BIGINT)
+                  AS mae_milli_naive
+         FROM b GROUP BY 1""",
 
     // Triangles replayed with the id-orientation (orientation-free
     // result): all three edges of a < b < c present.

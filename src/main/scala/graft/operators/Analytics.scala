@@ -1127,6 +1127,54 @@ object Analytics {
           " * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) END").as("rho"))
   }
 
+  /** Seasonal-naive forecast backtest — "does weekday seasonality
+    * predict this series": per series, each observed day's count is
+    * forecast two ways — SEASONAL = floor mean of the k most recent
+    * PRIOR same-weekday counts (forecast only when k exist), NAIVE =
+    * the previous observed day's count — and the readout compares their
+    * backtest mean absolute errors in exact floor-milli units. The
+    * ops-analytics sibling of [[trendSlope]]/[[theilSenSlope]]: trend
+    * says where a series is going, this says how predictable its weekly
+    * shape is (seasonal ≪ naive ⇒ strong weekly cycle).
+    *
+    * Exactness: counts are integers, the seasonal forecast is an
+    * integer floor mean over a fixed-size window, errors are integer
+    * absolute differences, MAEs are floor-milli — every value
+    * hash-checks. Backtest runs over OBSERVED days (a day with zero
+    * events is absent, not zero — documented semantic, identical in the
+    * oracle).
+    *
+    * Scale: the corpus collapses to (series, day, count) in ONE
+    * shuffle; both forecast windows ride ONE (series)-keyed Exchange
+    * over that bounded daily table. */
+  def seasonalBacktest(events: DataFrame, seriesCol: String,
+                       tsUsCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val daily = events
+      .select(col(seriesCol).as("graft_s"),
+        expr(s"$tsUsCol div ${86400L * 1000000L}L").as("graft_d"))
+      .groupBy("graft_s", "graft_d")
+      .agg(count(lit(1)).as("graft_y"))
+      .withColumn("graft_dow", pmod(col("graft_d"), lit(7L)))
+    val wSeason = org.apache.spark.sql.expressions.Window
+      .partitionBy("graft_s", "graft_dow").orderBy(col("graft_d").asc)
+      .rowsBetween(-k, -1)
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .partitionBy("graft_s").orderBy(col("graft_d").asc)
+    val scored = daily
+      .withColumn("graft_ssum", sum("graft_y").over(wSeason))
+      .withColumn("graft_scnt", count(lit(1)).over(wSeason))
+      .withColumn("graft_prev", lag(col("graft_y"), 1).over(wPrev))
+      .filter(col("graft_scnt") === k && col("graft_prev").isNotNull)
+      .withColumn("graft_efc",
+        abs(col("graft_y") - expr(s"graft_ssum div ${k}L")))
+      .withColumn("graft_env", abs(col("graft_y") - col("graft_prev")))
+    scored.groupBy(col("graft_s").as(seriesCol))
+      .agg(count(lit(1)).as("n_days"),
+        expr("sum(graft_efc) * 1000 div count(1)").as("mae_milli_seasonal"),
+        expr("sum(graft_env) * 1000 div count(1)").as("mae_milli_naive"))
+  }
+
   /** Market-basket pair analysis — co-purchased item pairs by support
     * and integer lift, the classic association readout. The pair join is
     * keyed on the BASKET id, so fan-out is C(basket size, 2) per basket

@@ -617,4 +617,26 @@ class AnalyticsSpec extends SparkSpec {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(ex).exists(_.contains("quantize the metric")))
   }
+
+  test("seasonalBacktest: exact weekly pattern scores zero seasonal MAE") {
+    import org.apache.spark.sql.functions._
+    val day = 86400L * 1000000L
+    // series "w": y(d) = 10 + 5*(d%7) for d in 0..27 — perfectly weekly.
+    // naive forecast (previous day) is wrong on every step of the ramp.
+    val rows = for (d <- 0 until 28; r <- 0 until (10 + 5 * (d % 7)))
+      yield ("w", d * day + r)
+    val ev = rows.toDF("event_type", "ts_us")
+    val got = Analytics.seasonalBacktest(ev, "event_type", "ts_us", k = 3)
+      .collect()(0)
+    // first forecastable day per dow = the 4th same-dow occurrence (d>=21),
+    // 7 days; prev always present there
+    assert(got.getAs[Long]("n_days") === 7L)
+    assert(got.getAs[Long]("mae_milli_seasonal") === 0L)
+    assert(got.getAs[Long]("mae_milli_naive") > 0L)
+    // partitioning invariance: exact integers, any shard layout
+    val re = Analytics.seasonalBacktest(ev.repartition(13), "event_type",
+      "ts_us", k = 3).collect()(0)
+    assert(re.getAs[Long]("mae_milli_naive") ===
+      got.getAs[Long]("mae_milli_naive"))
+  }
 }
