@@ -1937,6 +1937,23 @@ object SparkEntry {
     "q199_theil_sen" -> ((s, d) =>
       Analytics.theilSenSlope(eventsUs(s, d), "event_type", "ts_us")),
 
+    // Matryoshka retrieval agreement: exact top-10 under the full
+    // 64-dim embedding vs under its first 16 dims, overlap@k floor-ppm
+    // per query — the dimension-truncation eval before shipping shorter
+    // vectors.
+    "q211_matryoshka" -> ((s, d) =>
+      Similarity.prefixDimAgreement(Tables.embeddings(s, d), "vec_id",
+        "embedding", queryIds = Seq(0L, 7L, 21L, 42L, 63L), k = 10,
+        mDims = 16)),
+
+    // kNN label-noise audit: per label, mean k-neighbor label agreement
+    // over a deterministic probe sample + suspect count — the
+    // Confident-Learning-style curation screen.
+    "q212_label_noise" -> ((s, d) =>
+      Similarity.labelAgreement(Tables.embeddings(s, d), "vec_id",
+        "embedding", "label", probePred = col("vec_id") % 7 === 0,
+        k = 10)),
+
     // Seasonal-naive forecast backtest: per event type, is the weekly
     // shape predictive — floor-mean same-weekday forecast vs the
     // previous-day naive, exact floor-milli MAEs over observed days.
@@ -5159,6 +5176,58 @@ object SparkEntry {
                 CAST(max(abs(x)) AS BIGINT) AS peak_abs,
                 CAST(sum(x * x) AS BIGINT) AS sum_sq
          FROM v GROUP BY 1""",
+
+    // Both rankings replayed with DuckDB list slicing + windows.
+    "q211_matryoshka" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+                  CAST(embedding[1:16] AS DOUBLE[]) AS qp
+               FROM embeddings WHERE vec_id IN (0, 7, 21, 42, 63)),
+         fr AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+                  ORDER BY cos DESC, vec_id) AS rn
+               FROM (SELECT q.qid, e.vec_id,
+                       round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                  CAST(e.embedding AS DOUBLE[])))
+                            * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+                     FROM embeddings e, q WHERE e.vec_id <> q.qid)),
+         pr AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+                  ORDER BY cos DESC, vec_id) AS rn
+               FROM (SELECT q.qid, e.vec_id,
+                       round(list_dot_product(CAST(e.embedding[1:16] AS DOUBLE[]), q.qp)
+                         / (sqrt(list_dot_product(CAST(e.embedding[1:16] AS DOUBLE[]),
+                                                  CAST(e.embedding[1:16] AS DOUBLE[])))
+                            * sqrt(list_dot_product(q.qp, q.qp))), 6) AS cos
+                     FROM embeddings e, q WHERE e.vec_id <> q.qid))
+         SELECT f.qid AS query_id, CAST(count(*) AS BIGINT) AS n_overlap,
+                CAST(count(*) * 1000000 // 10 AS BIGINT) AS overlap_ppm
+         FROM fr f JOIN pr p ON f.qid = p.qid AND f.vec_id = p.vec_id
+         WHERE f.rn <= 10 AND p.rn <= 10
+         GROUP BY 1""",
+
+    // Per-probe neighbor-label matches replayed, then the same label
+    // summary.
+    "q212_label_noise" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+                  label AS qlabel
+               FROM embeddings WHERE vec_id % 7 = 0),
+         r AS (SELECT qid, qlabel, e.label,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                     / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
+                     e.vec_id) AS rn
+               FROM embeddings e, q WHERE e.vec_id <> q.qid),
+         m AS (SELECT qid, qlabel,
+                 CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END)
+                   AS BIGINT) AS nm
+               FROM r WHERE rn <= 10 GROUP BY 1, 2)
+         SELECT qlabel AS label, CAST(count(*) AS BIGINT) AS n_probes,
+                CAST(sum(nm) * 1000000 // (count(*) * 10) AS BIGINT)
+                  AS agreement_ppm,
+                CAST(sum(CASE WHEN nm * 2 < 10 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_suspect
+         FROM m GROUP BY 1""",
 
     // Same two windows over the same observed-day table, floor-exact.
     "q210_seasonal_backtest" ->

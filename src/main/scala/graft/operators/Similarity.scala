@@ -75,6 +75,61 @@ object Similarity {
       .select(col("query_id"), col(idCol), col("cos"))
   }
 
+  /** Matryoshka (prefix-dimension) retrieval agreement — "how many
+    * dimensions does retrieval actually need": per query, the exact
+    * top-k under the FULL embedding vs the top-k under its first
+    * `mDims` dimensions, reported as overlap@k in floor-ppm. The
+    * dimension-truncation eval an embedding pipeline runs before
+    * shipping shorter vectors (MRL-style); both rankings are the q85
+    * batch shape (ONE corpus scan each, broadcast query set, rounded
+    * score + id tiebreak), so the whole readout hash-checks. */
+  def prefixDimAgreement(emb: DataFrame, idCol: String, vecCol: String,
+                         queryIds: Seq[Long], k: Int, mDims: Int): DataFrame = {
+    require(mDims >= 1, "mDims must be at least 1")
+    val full = cosineTopKBatch(emb, idCol, vecCol, queryIds, k)
+      .select(col("query_id"), col(idCol))
+    val prefix = cosineTopKBatch(
+      emb.withColumn(vecCol, slice(col(vecCol), 1, mDims)),
+      idCol, vecCol, queryIds, k)
+      .select(col("query_id"), col(idCol))
+    full.join(prefix, Seq("query_id", idCol))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(col("query_id"), col("n_overlap"),
+        expr(s"n_overlap * 1000000 div ${k}L").as("overlap_ppm"))
+  }
+
+  /** kNN label-noise audit — Confident-Learning-style curation screen:
+    * for each PROBE point (a deterministic sample — auditing every
+    * point is inherently all-pairs; the production path samples or
+    * rides the IVF batch), the fraction of its k nearest neighbors
+    * sharing its label, summarized per label as mean agreement and the
+    * count of suspect probes (strict-minority agreement, 2·matches <
+    * k). Low agreement flags mislabeled or degenerate embeddings.
+    * Probe set broadcasts (sample-sized); ONE corpus scan scores all
+    * probes; exact integers end to end. */
+  def labelAgreement(emb: DataFrame, idCol: String, vecCol: String,
+                     labelCol: String, probePred: Column, k: Int): DataFrame = {
+    val q = emb.filter(probePred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("graft_qv"),
+        col(labelCol).as("graft_qlabel"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col(idCol).asc)
+    val perProbe = emb.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("cos", round(V.cosine(col(vecCol), col("graft_qv")), 6))
+      .withColumn("graft_rn", row_number().over(w))
+      .filter(col("graft_rn") <= k)
+      .groupBy(col("query_id"), col("graft_qlabel"))
+      .agg(sum((col(labelCol) === col("graft_qlabel")).cast("long"))
+        .as("graft_match"))
+    perProbe.groupBy(col("graft_qlabel").as("label"))
+      .agg(count(lit(1)).as("n_probes"),
+        expr(s"sum(graft_match) * 1000000 div (count(1) * ${k}L)")
+          .as("agreement_ppm"),
+        sum((col("graft_match") * 2 < k).cast("long")).as("n_suspect"))
+  }
+
   /** Deterministic random-projection bucket id: sign bits of `nBits` fixed
     * pseudo-random hyperplanes. The "hyperplane" for bit j uses weights
     * w_ij = sin(i·(j+1)) — fixed, seedless, and computable identically on

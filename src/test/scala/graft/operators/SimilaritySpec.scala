@@ -141,4 +141,48 @@ class SimilaritySpec extends SparkSpec {
       .select("neg_id", "rank").as[(Long, Int)].collect().toList
     assert(got === List((3L, 1), (4L, 2)))
   }
+
+  test("prefixDimAgreement: full-dim prefix is identity; informative prefix holds") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(19)
+    val emb = (0L until 60L).map(i =>
+      (i, Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    // prefix = the whole vector: rankings identical, overlap 100%
+    val full = Similarity.prefixDimAgreement(emb, "vec_id", "embedding",
+      Seq(1L, 5L), k = 8, mDims = 8).collect()
+    assert(full.forall(_.getAs[Long]("overlap_ppm") === 1000000L))
+    // 1-dim prefix of noise: overlap can only drop
+    val one = Similarity.prefixDimAgreement(emb, "vec_id", "embedding",
+      Seq(1L, 5L), k = 8, mDims = 1).collect()
+    assert(one.forall(r => r.getAs[Long]("overlap_ppm") <= 1000000L))
+  }
+
+  test("labelAgreement: clean clusters agree; a planted mislabel is suspect") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(23)
+    def jitter() = (rnd.nextDouble() * 0.01).toFloat
+    // two tight clusters labeled 0/1, except vec 3 carries the WRONG label
+    val rows = (0L until 40L).map { i =>
+      val cluster = if (i < 20) 0 else 1
+      val vec =
+        if (cluster == 0) Array(1.0f + jitter(), jitter())
+        else Array(jitter(), 1.0f + jitter())
+      val label = if (i == 3L) 1 else cluster
+      (i, vec, label)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelAgreement(emb, "vec_id", "embedding", "label",
+      probePred = col("vec_id") >= 0, k = 5).collect()
+      .map(r => (r.getAs[Int]("label"), (r.getAs[Long]("n_probes"),
+        r.getAs[Long]("agreement_ppm"), r.getAs[Long]("n_suspect")))).toMap
+    // label 1 has 21 probes incl. the mislabeled vec 3, whose 5 nearest
+    // neighbors all sit in cluster 0 with label 0 -> zero agreement,
+    // flagged suspect
+    assert(got(1)._1 === 21L)
+    assert(got(1)._3 === 1L, s"mislabel must be the one suspect: $got")
+    assert(got(0)._3 === 0L)
+    assert(got(0)._2 > 900000L)
+    assert(got(1)._2 < 1000000L) // the zero-agreement probe drags the mean
+  }
 }
