@@ -1937,6 +1937,14 @@ object SparkEntry {
     "q199_theil_sen" -> ((s, d) =>
       Analytics.theilSenSlope(eventsUs(s, d), "event_type", "ts_us")),
 
+    // Exact nDCG@10 retrieval eval: per query term, the BM25 ranking's
+    // discounted gain vs the ideal gain ordering — integer discount
+    // constants (the spec'd log2 table), graded gain = raw tf,
+    // ndcg_ppm exact.
+    "q213_ndcg" -> ((s, d) =>
+      Search.ndcgAtK(Tables.documents(s, d), "doc_id", "text",
+        queryTerms = Seq("join", "vector", "slow", "data"), k = 10)),
+
     // Matryoshka retrieval agreement: exact top-10 under the full
     // 64-dim embedding vs under its first 16 dims, overlap@k floor-ppm
     // per query — the dimension-truncation eval before shipping shorter
@@ -5176,6 +5184,45 @@ object SparkEntry {
                 CAST(max(abs(x)) AS BIGINT) AS peak_abs,
                 CAST(sum(x * x) AS BIGINT) AS sum_sq
          FROM v GROUP BY 1""",
+
+    // The q132 score replay, ranked two ways and folded through the
+    // SAME integer discount constants.
+    "q213_ndcg" ->
+      """WITH b AS (SELECT doc_id,
+                  regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+                       CAST(sum(len(toks)) AS BIGINT) AS tt
+                FROM b),
+         h AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+                      unnest(toks) AS term
+               FROM b),
+         tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+                FROM h WHERE term IN ('join', 'vector', 'slow', 'data')
+                GROUP BY 1, 2, 3),
+         sc AS (SELECT doc_id, term, tf,
+                       CAST(floor((st.nd - df + 0.5) / (df + 0.5) * (tf * 2.2)
+                              / (tf + 1.2 * (0.25 + 0.75 * dl
+                                             / (st.tt * 1.0 / st.nd)))
+                              * 1000000.0 + 0.5) AS BIGINT) AS cm
+               FROM (SELECT *, count(*) OVER (PARTITION BY term) AS df
+                     FROM tf), st),
+         d AS (SELECT i, w FROM (VALUES (1, 1000000), (2, 630929),
+                 (3, 500000), (4, 430676), (5, 386852), (6, 356207),
+                 (7, 333333), (8, 315464), (9, 301029), (10, 289064))
+                 v(i, w)),
+         rk AS (SELECT term, tf, row_number() OVER (PARTITION BY term
+                  ORDER BY cm DESC, doc_id) AS rn FROM sc),
+         ik AS (SELECT term, tf, row_number() OVER (PARTITION BY term
+                  ORDER BY tf DESC, doc_id) AS rn FROM sc),
+         dcg AS (SELECT term, CAST(sum(tf * w) AS BIGINT) AS dcg_micro
+               FROM rk JOIN d ON rk.rn = d.i WHERE rn <= 10 GROUP BY 1),
+         idcg AS (SELECT term, CAST(sum(tf * w) AS BIGINT) AS idcg_micro
+               FROM ik JOIN d ON ik.rn = d.i WHERE rn <= 10 GROUP BY 1)
+         SELECT dcg.term, dcg.dcg_micro, idcg.idcg_micro,
+                CAST(dcg_micro * 1000000 // idcg_micro AS BIGINT)
+                  AS ndcg_ppm
+         FROM dcg JOIN idcg ON dcg.term = idcg.term""",
 
     // Both rankings replayed with DuckDB list slicing + windows.
     "q211_matryoshka" ->

@@ -219,4 +219,76 @@ object Search {
       .agg(count(lit(1)).as("n_hits"),
         min(col("anchor")).cast("long").as("first_pos"))
   }
+
+  /** The standard log2 position discounts for nDCG@10, pre-quantized to
+    * integer micro-units: disc(i) = floor(10⁶ / log2(i + 1)). Fixed
+    * CONSTANTS, not runtime libm calls — the discount table is part of
+    * the metric's spec (the BM25 rational-idf discipline applied to the
+    * eval side), so Spark and any oracle engine use bit-identical
+    * weights. */
+  val NdcgDiscountsMicro: Seq[Long] = Seq(1000000L, 630929L, 500000L,
+    430676L, 386852L, 356207L, 333333L, 315464L, 301029L, 289064L)
+
+  /** Exact nDCG@k retrieval evaluation — does the SCORER's ranking
+    * recover the GAIN ordering: per query term, documents rank by their
+    * single-term BM25 contribution (the scorer under test — length
+    * normalization can disagree with raw counts) while the graded gain
+    * is the raw term frequency; DCG@k folds the top-k gains through the
+    * fixed integer discount table, IDCG@k folds the k largest gains,
+    * and ndcg_ppm = dcg·10⁶ div idcg. Every input to the division is an
+    * exact integer, so the readout hash-checks.
+    *
+    * Scale: the q132 match-pass shape — only query-term hits explode
+    * (posting-list-sized, never corpus-token-sized), both rankings are
+    * per-term WindowGroupLimit-able ranks over the hit table. */
+  def ndcgAtK(docs: DataFrame, idCol: String, textCol: String,
+              queryTerms: Seq[String], k: Int,
+              discountsMicro: Seq[Long] = NdcgDiscountsMicro): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    require(k >= 1 && k <= discountsMicro.length,
+      s"k must be in [1, ${discountsMicro.length}] for the given discounts")
+    val terms = queryTerms.map(_.toLowerCase)
+    val base = docs.select(col(idCol).as("doc_id"),
+      regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0))
+        .as("graft_toks"))
+    val stats = base.agg(count(lit(1)).as("graft_nd"),
+      sum(size(col("graft_toks"))).as("graft_tt"))
+    val hits = base
+      .select(col("doc_id"),
+        size(col("graft_toks")).cast("long").as("graft_dl"),
+        filter(col("graft_toks"), t => t.isInCollection(terms)).as("graft_q"))
+      .select(col("doc_id"), col("graft_dl"),
+        explode(col("graft_q")).as("term"))
+    val tf = hits.groupBy("doc_id", "graft_dl", "term")
+      .agg(count(lit(1)).as("graft_tf"))
+      .withColumn("graft_df",
+        count(lit(1)).over(Window.partitionBy("term")))
+    val nd = col("graft_nd").cast("double")
+    val avgdl = col("graft_tt").cast("double") * lit(1.0) / nd
+    val idf = (nd - col("graft_df") + lit(0.5)) / (col("graft_df") + lit(0.5))
+    val num = col("graft_tf") * lit(2.2)
+    val den = col("graft_tf") +
+      lit(1.2) * (lit(0.25) + lit(0.75) * col("graft_dl") / avgdl)
+    val scoreMicro =
+      floor(idf * num / den * lit(1000000.0) + lit(0.5)).cast("long")
+    val scored = tf.crossJoin(broadcast(stats))
+      .select(col("term"), col("doc_id"), scoreMicro.as("graft_sc"),
+        col("graft_tf").as("graft_gain"))
+    val disc = array(discountsMicro.take(k).map(lit): _*)
+    def folded(w: org.apache.spark.sql.expressions.WindowSpec,
+               out: String): DataFrame =
+      scored.withColumn("graft_rk", row_number().over(w))
+        .filter(col("graft_rk") <= k)
+        .withColumn("graft_w",
+          element_at(disc, col("graft_rk").cast("int")))
+        .groupBy("term")
+        .agg(sum(expr("graft_gain * graft_w")).as(out))
+    val dcg = folded(Window.partitionBy("term")
+      .orderBy(col("graft_sc").desc, col("doc_id").asc), "dcg_micro")
+    val idcg = folded(Window.partitionBy("term")
+      .orderBy(col("graft_gain").desc, col("doc_id").asc), "idcg_micro")
+    dcg.join(idcg, Seq("term"))
+      .select(col("term"), col("dcg_micro"), col("idcg_micro"),
+        expr("dcg_micro * 1000000 div idcg_micro").as("ndcg_ppm"))
+  }
 }

@@ -149,4 +149,33 @@ class SearchSpec extends SparkSpec {
     assert(got(3L) === c(2) + c(2))
     assert(!got.contains(4L), s"doc 4 is in neither leg: $got")
   }
+
+  test("ndcgAtK: perfect ranking scores 1.0, planted inversion scores less") {
+    import org.apache.spark.sql.functions._
+    // docs where tf ordering == score ordering (equal lengths): ndcg = 1
+    val even = Seq(
+      (1L, "cat cat cat cat pad1 pad2 pad3 pad4"),
+      (2L, "cat cat cat pad1 pad2 pad3 pad4 pad5"),
+      (3L, "cat cat pad1 pad2 pad3 pad4 pad5 pad6"),
+      (4L, "cat pad1 pad2 pad3 pad4 pad5 pad6 pad7"),
+      (5L, "nohit pad pad pad pad pad pad pad")).toDF("doc_id", "text")
+    val p = Search.ndcgAtK(even, "doc_id", "text", Seq("cat"), k = 4)
+      .collect()(0)
+    assert(p.getAs[Long]("ndcg_ppm") === 1000000L)
+    assert(p.getAs[Long]("dcg_micro") === p.getAs[Long]("idcg_micro"))
+    // a SHORT low-tf doc outscores a long high-tf doc under length
+    // normalization -> the gain ordering inverts and ndcg < 1
+    val skewed = Seq(
+      (1L, "cat cat"), // tf 2, tiny doc: huge normalized score
+      (2L, "cat cat cat cat cat " + Seq.fill(200)("pad").mkString(" ")))
+      .toDF("doc_id", "text")
+    val q = Search.ndcgAtK(skewed, "doc_id", "text", Seq("cat"), k = 2)
+      .collect()(0)
+    assert(q.getAs[Long]("ndcg_ppm") < 1000000L,
+      s"inversion must cost ndcg: ${q}")
+    // discount-table contract: k beyond the table refuses loudly
+    intercept[IllegalArgumentException] {
+      Search.ndcgAtK(even, "doc_id", "text", Seq("cat"), k = 11)
+    }
+  }
 }
