@@ -1937,6 +1937,13 @@ object SparkEntry {
     "q199_theil_sen" -> ((s, d) =>
       Analytics.theilSenSlope(eventsUs(s, d), "event_type", "ts_us")),
 
+    // Benchmark-contamination report: per train doc, the ppm of its
+    // distinct 3-gram shingles found in the held-out split — the graded
+    // audit next to q67's boolean drop.
+    "q214_contamination" -> ((s, d) =>
+      Corpus.contaminationReport(Tables.documents(s, d), "doc_id", "text",
+        isTest = col("doc_id") % 97 === 0, n = 3, topK = 25)),
+
     // Exact nDCG@10 retrieval eval: per query term, the BM25 ranking's
     // discounted gain vs the ideal gain ordering — integer discount
     // constants (the spec'd log2 table), graded gain = raw tf,
@@ -5184,6 +5191,29 @@ object SparkEntry {
                 CAST(max(abs(x)) AS BIGINT) AS peak_abs,
                 CAST(sum(x * x) AS BIGINT) AS sum_sq
          FROM v GROUP BY 1""",
+
+    // q67's shingle build, graded: distinct-shingle totals vs held-out
+    // hits, floor-ppm.
+    "q214_contamination" ->
+      """WITH t AS (SELECT doc_id,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                       toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+                FROM (SELECT doc_id, toks,
+                             unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i
+                      FROM t)),
+         test_g AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0),
+         train AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+         tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+               FROM train GROUP BY 1),
+         hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+               FROM train WHERE g IN (SELECT g FROM test_g) GROUP BY 1)
+         SELECT tot.doc_id, tot.n_shingles, hit.n_overlap,
+                CAST(n_overlap * 1000000 // n_shingles AS BIGINT)
+                  AS overlap_ppm
+         FROM tot JOIN hit ON tot.doc_id = hit.doc_id
+         ORDER BY overlap_ppm DESC, tot.doc_id ASC LIMIT 25""",
 
     // The q132 score replay, ranked two ways and folded through the
     // SAME integer discount constants.

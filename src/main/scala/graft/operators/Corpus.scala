@@ -84,6 +84,40 @@ object Corpus {
       .join(contaminated, Seq("doc_id"), "left_anti")
   }
 
+  /** Benchmark-contamination report — the graded sibling of
+    * [[decontaminate]]'s boolean gate: per TRAIN document, how much of
+    * its distinct n-gram shingle set appears in the held-out/benchmark
+    * split (overlap_ppm = hits·10⁶ div total), top-k most contaminated.
+    * The audit a pipeline publishes next to the drop decision — "what
+    * did we almost train on". Shingles join as STRINGS (not sketch
+    * hashes): counts must be collision-free to hash-check.
+    *
+    * Scale: one tokenize to per-doc DISTINCT shingles, the test set is a
+    * distinct projection, the hit count is a shingle-keyed semi-join —
+    * the q67 shape plus one aggregate; nothing corpus-pairwise. */
+  def contaminationReport(docs: DataFrame, idCol: String, textCol: String,
+                          isTest: Column, n: Int, topK: Int): DataFrame = {
+    require(topK >= 1, "topK must be at least 1")
+    val sh = docs
+      .select(col(idCol).as("doc_id"), isTest.as("graft_test"),
+        T.wordShinglesNative(col(textCol), n).as("shs"))
+      .select(col("doc_id"), col("graft_test"),
+        explode_outer(col("shs")).as("g"))
+      .filter(col("g").isNotNull)
+      .distinct()
+    val testSh = sh.filter(col("graft_test")).select("g").distinct()
+    val train = sh.filter(!col("graft_test"))
+    val tot = train.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"))
+    val hits = train.join(testSh, Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    tot.join(hits, Seq("doc_id"))
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        expr("n_overlap * 1000000 div n_shingles").as("overlap_ppm"))
+      .orderBy(col("overlap_ppm").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+
   /** Deterministic corpus mixing — per-group downsampling rates (domain
     * reweighting for training mixes). The keep/drop decision is a pure
     * function of CONTENT: the first 16 bits of md5(text) form a uniform

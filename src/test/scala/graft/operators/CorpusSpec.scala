@@ -343,4 +343,24 @@ class CorpusSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(again === got.view.mapValues(_._3).toMap)
   }
+
+  test("contaminationReport: planted overlap grades exactly, clean docs absent") {
+    import org.apache.spark.sql.functions._
+    // test doc 0 holds the phrase; train doc 1 shares a 3-shingle window,
+    // train doc 2 shares nothing
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma zeta eta theta"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val got = Corpus.contaminationReport(docs, "doc_id", "text",
+      isTest = col("doc_id") === 0L, n = 3, topK = 10).collect()
+    assert(got.length === 1)
+    val r = got(0)
+    // doc 1 has 4 distinct shingles, 2 of which ("alpha beta gamma",
+    // "beta gamma delta"? no — doc 1 lacks delta) -> only 1 overlap
+    assert(r.getAs[Long]("doc_id") === 1L)
+    assert(r.getAs[Long]("n_shingles") === 4L)
+    assert(r.getAs[Long]("n_overlap") === 1L)
+    assert(r.getAs[Long]("overlap_ppm") === 250000L)
+  }
 }
