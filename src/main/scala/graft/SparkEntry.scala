@@ -1937,6 +1937,24 @@ object SparkEntry {
     "q199_theil_sen" -> ((s, d) =>
       Analytics.theilSenSlope(eventsUs(s, d), "event_type", "ts_us")),
 
+    // Perceptual image hashing (aHash): deterministic 16x12 PNGs whose
+    // seed collides every 17 docs, hashed through the REAL pixel decode
+    // (8x8 sample grid, integer grayscale, strict-above-mean bits) and
+    // grouped — the image leg of exact dedup; identical renders hash
+    // identically, so group sizes replay arithmetically.
+    "q215_image_phash" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val png = multimodal.Binary.synthPng(16, 12, (id % 17L).toInt)
+          (id, multimodal.Binary.aHash64(png).getOrElse(-1L))
+        }
+        .toDF("doc_id", "ahash")
+        .groupBy("ahash")
+        .agg(count(lit(1)).as("n_images"), min("doc_id").as("min_doc"))
+    }),
+
     // Benchmark-contamination report: per train doc, the ppm of its
     // distinct 3-gram shingles found in the held-out split — the graded
     // audit next to q67's boolean drop.
@@ -5191,6 +5209,30 @@ object SparkEntry {
                 CAST(max(abs(x)) AS BIGINT) AS peak_abs,
                 CAST(sum(x * x) AS BIGINT) AS sum_sq
          FROM v GROUP BY 1""",
+
+    // The aHash replayed arithmetically: same synth formulas, same 8x8
+    // grid (w=16,h=12: x=2i, y=3j//2), same floor grayscale/mean/bits.
+    "q215_image_phash" ->
+      """WITH seeds AS (SELECT doc_id, doc_id % 17 AS s FROM documents),
+         g AS (SELECT doc_id, s, k,
+                 ((((k % 8) * 2) + ((k // 8) * 12 // 8) + s) % 256
+                  + ((3 * ((k % 8) * 2) + 5 * ((k // 8) * 12 // 8)
+                      + 11 * s) % 256)
+                  + ((7 * ((k % 8) * 2) + 13 * ((k // 8) * 12 // 8)
+                      + s) % 256)) // 3 AS gray
+               FROM seeds, (SELECT unnest(range(0, 64)) AS k)),
+         m AS (SELECT doc_id, s, CAST(sum(gray) // 64 AS BIGINT) AS mean
+               FROM g GROUP BY 1, 2),
+         h AS (SELECT g.doc_id,
+                 CAST(sum(CASE WHEN gray > mean THEN
+                     CASE WHEN k = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+                          ELSE CAST(CAST(1 AS BIGINT) << k AS HUGEINT) END
+                   ELSE CAST(0 AS HUGEINT) END) AS BIGINT) AS ahash
+               FROM g JOIN m ON g.doc_id = m.doc_id
+               GROUP BY 1)
+         SELECT ahash, CAST(count(*) AS BIGINT) AS n_images,
+                CAST(min(doc_id) AS BIGINT) AS min_doc
+         FROM h GROUP BY 1""",
 
     // q67's shingle build, graded: distinct-shingle totals vs held-out
     // hits, floor-ppm.

@@ -819,6 +819,63 @@ object Binary {
     }
   }
 
+  /** Container-agnostic pixel decode to TOP-DOWN RGB: PNGs through the
+    * real zlib path, 24-bpp BMPs through the raw-row path (rows
+    * reordered from the file's bottom-up storage so (0,0) is the top-left
+    * in both containers). None outside both profiles. */
+  def decodePixels(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    pngDecode(bytes).orElse(bmpLayout(bytes).map { case (w, h, off, rowSize) =>
+      val px = new Array[Byte](3 * w * h)
+      var y = 0
+      while (y < h) {
+        val src = off + (h - 1 - y) * rowSize // file row (bottom-up)
+        var x = 0
+        while (x < w) {
+          // BMP stores BGR; normalize to RGB
+          px((y * w + x) * 3) = bytes(src + 3 * x + 2)
+          px((y * w + x) * 3 + 1) = bytes(src + 3 * x + 1)
+          px((y * w + x) * 3 + 2) = bytes(src + 3 * x)
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, px)
+    })
+
+  /** Perceptual average-hash (aHash) of a decodable image, in exact
+    * integer arithmetic: an 8×8 nearest-neighbor sample grid
+    * (x_i = i·w div 8, y_j = j·h div 8), gray = (R+G+B) div 3 per
+    * sample, mean = floor of the 64-sample average, bit (j·8+i) set
+    * when gray STRICTLY exceeds the mean. Identical images hash
+    * identically on any engine (every step is floor-integer); small
+    * pixel edits flip few bits, so Hamming distance ranks visual
+    * near-duplicates — the image leg of the dedup family. */
+  def aHash64(bytes: Array[Byte]): Option[Long] =
+    decodePixels(bytes).map { case (w, h, px) =>
+      val gray = new Array[Long](64)
+      var j = 0
+      while (j < 8) {
+        val sy = j * h / 8
+        var i = 0
+        while (i < 8) {
+          val sx = i * w / 8
+          val p = (sy * w + sx) * 3
+          gray(j * 8 + i) =
+            ((px(p) & 0xff) + (px(p + 1) & 0xff) + (px(p + 2) & 0xff)) / 3
+          i += 1
+        }
+        j += 1
+      }
+      val mean = gray.sum / 64
+      var hash = 0L
+      var k = 0
+      while (k < 64) {
+        if (gray(k) > mean) hash |= (1L << k)
+        k += 1
+      }
+      hash
+    }
+
   // ---- REAL audio feature extraction: PCM-16 WAV energy ----
 
   /** Deterministic mono 16-bit PCM WAV: sample k =

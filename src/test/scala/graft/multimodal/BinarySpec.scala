@@ -357,4 +357,36 @@ class BinarySpec extends SparkSpec {
     assert(Binary.pngDecode(resized.bytes).map(t => (t._1, t._2)) ===
       Some((5, 4)))
   }
+
+  test("aHash64: container-agnostic, brightness-invariant, edit-local") {
+    // same formula image rendered as PNG and BMP hashes identically
+    // (decodePixels normalizes both to top-down RGB)
+    val png = Binary.synthPng(16, 12, 5)
+    val hp = Binary.aHash64(png).get
+    // BMP's synth uses the same formulas but bottom-up y — build the
+    // equivalent top-down image manually via pngEncode for a controlled
+    // comparison instead
+    val (w, h, px) = Binary.pngDecode(png).get
+    assert(Binary.aHash64(Binary.pngEncode(w, h, px)).get === hp)
+    // brightness shift: +40 on every channel (clamped away from wrap)
+    val bright = px.map(b => ((b & 0xff) min 200).toByte)
+      .map(b => ((b & 0xff) + 40).toByte)
+    val hb = Binary.aHash64(Binary.pngEncode(w, h, bright)).get
+    assert(java.lang.Long.bitCount(hp ^ hb) <= 8,
+      "aHash must be nearly brightness-invariant")
+    // a small local edit flips few bits; a different structure flips many
+    val edited = px.clone()
+    edited(0) = 255.toByte; edited(1) = 255.toByte; edited(2) = 255.toByte
+    val he = Binary.aHash64(Binary.pngEncode(w, h, edited)).get
+    assert(java.lang.Long.bitCount(hp ^ he) <= 4)
+    val other = Binary.synthPng(16, 12, 0)
+    val transposed = Binary.pngDecode(other).get._3.reverse
+    val ho = Binary.aHash64(Binary.pngEncode(w, h, transposed)).get
+    assert(java.lang.Long.bitCount(hp ^ ho) > 16,
+      s"reversed gradient must differ: ${java.lang.Long.bitCount(hp ^ ho)}")
+    // BMP payloads route through the same hash path
+    assert(Binary.aHash64(Binary.synthBmp(16, 12, 5)).isDefined)
+    // undecodable payloads degrade to None
+    assert(Binary.aHash64(Array[Byte](1, 2, 3)).isEmpty)
+  }
 }
