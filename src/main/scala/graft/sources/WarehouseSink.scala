@@ -352,9 +352,9 @@ object WarehouseSink {
         case "append" | "stream" | "wap" =>
           readFiles(m.files.diff(prev.files), schema.toDDL)
             .withColumn("_change_type", lit("insert"))
-        case "truncate" =>
+        case "truncate" | "restore" =>
           require(prev.schemaDdl == m.schemaDdl,
-            s"change feed across the schema-changing truncate at $v is " +
+            s"change feed across the schema-changing ${m.op} at $v is " +
               "not representable; read the generations separately")
           readFiles(prev.files, schema.toDDL)
             .withColumn("_change_type", lit("delete"))
@@ -370,6 +370,30 @@ object WarehouseSink {
       images.withColumn("_commit_version", lit(v))
     }
     steps.reduce(_ unionByName _)
+  }
+
+  /** RESTORE — roll the live table back to a retained historical
+    * generation (the Delta RESTORE verb): ONE atomic publish referencing
+    * the target version's files and schema. Nothing is copied or
+    * deleted — the restored generation is a new manifest naming old
+    * files, so the operation is O(metadata), history keeps growing
+    * forward (the rolled-back states remain time-travelable until
+    * vacuum), and the streaming epoch cursor carries forward (a restore
+    * must not let a checkpoint replay re-publish a folded batch). The
+    * change feed sees it as a truncate-shaped step: delete images of
+    * the out-going state plus insert images of the restored one,
+    * synthesized from the two manifests — no capture files needed.
+    * Fails loudly if the target was vacuumed. */
+  def restore(dir: String, version: Long): Unit = {
+    val target = readManifestAt(dir, version).getOrElse(
+      throw new IllegalArgumentException(
+        s"version $version of $dir does not exist (vacuumed or never " +
+          "written)"))
+    publish(dir, { prev =>
+      Some(Manifest(0L, target.schemaDdl, target.files,
+        prev.map(_.epoch).getOrElse(-1L), target.partitionCol,
+        target.sortedBy, op = "restore"))
+    })
   }
 
   def vacuum(dir: String, keepVersions: Int = 1): Int = {
@@ -2166,7 +2190,7 @@ private[sources] class WarehouseCdfMicroBatchStream(dir: String,
           val before = manifestAt(v - 1).files.toSet
           m.files.filterNot(before).foreach(f =>
             parts += WarehouseCdfPartition(file(f), Some("insert"), v))
-        case "truncate" =>
+        case "truncate" | "restore" =>
           manifestAt(v - 1).files.foreach(f =>
             parts += WarehouseCdfPartition(file(f), Some("delete"), v))
           m.files.foreach(f =>

@@ -219,4 +219,31 @@ class WarehouseCdfSpec extends SparkSpec {
         s"only the append lands; got $buf")
     } finally q.stop()
   }
+
+  test("restore rolls back to a retained generation, O(metadata), feed-visible") {
+    val dir = tmp()
+    WarehouseSink.enableChangeFeed(dir)
+    (1L to 4L).map(i => (i, s"r$i")).toDF("id", "s")
+      .write.format(Fmt).option("path", dir).mode("append").save() // v0
+    Seq((9L, "r9")).toDF("id", "s")
+      .write.format(Fmt).option("path", dir).mode("append").save() // v1
+    WarehouseSink.deleteWhere(spark, dir, Seq(GreaterThan("id", 2L))) // v2
+    assert(spark.read.format(Fmt).option("path", dir).load().count() === 2L)
+    WarehouseSink.restore(dir, 1L) // v3: back to the 5-row state
+    def ids() = spark.read.format(Fmt).option("path", dir).load()
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids() === Seq(1L, 2L, 3L, 4L, 9L))
+    // rolled-back states stay time-travelable; history moved FORWARD
+    assert(WarehouseTestAccess.manifestCursor(dir)._2 === 3L)
+    assert(spark.read.format(Fmt).option("path", dir)
+      .option("versionAsOf", "2").load().count() === 2L)
+    // the feed sees the restore as delete(v2 state) + insert(v1 state)
+    val step = changes(dir, 2, 3)
+    assert(step.count(_._2 == "delete") === 2)
+    assert(step.count(_._2 == "insert") === 5)
+    // restoring a vacuumed version fails loudly
+    WarehouseSink.vacuum(dir, keepVersions = 1)
+    intercept[IllegalArgumentException] { WarehouseSink.restore(dir, 0L) }
+    assert(ids() === Seq(1L, 2L, 3L, 4L, 9L))
+  }
 }
