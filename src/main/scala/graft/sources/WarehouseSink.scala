@@ -372,6 +372,23 @@ object WarehouseSink {
     steps.reduce(_ unionByName _)
   }
 
+  /** DESCRIBE HISTORY — the retained generations as a DataFrame, newest
+    * first: version, operation, file/change-file counts, epoch cursor,
+    * layout claims. Pure manifest metadata (no data files open); dropped
+    * (vacuumed) versions are simply absent. */
+  def history(spark: org.apache.spark.sql.SparkSession,
+              dir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val cur = readManifest(dir).map(_.version).getOrElse(-1L)
+    (0L to cur).flatMap(v => readManifestAt(dir, v))
+      .map(m => (m.version, if (m.op.isEmpty) "unknown" else m.op,
+        m.files.size.toLong, m.changeFiles.size.toLong, m.cdf, m.epoch,
+        m.partitionCol, m.sortedBy))
+      .sortBy(-_._1)
+      .toDF("version", "operation", "n_files", "n_change_files",
+        "change_feed", "epoch", "partition_by", "sorted_by")
+  }
+
   /** RESTORE — roll the live table back to a retained historical
     * generation (the Delta RESTORE verb): ONE atomic publish referencing
     * the target version's files and schema. Nothing is copied or

@@ -246,4 +246,26 @@ class WarehouseCdfSpec extends SparkSpec {
     intercept[IllegalArgumentException] { WarehouseSink.restore(dir, 0L) }
     assert(ids() === Seq(1L, 2L, 3L, 4L, 9L))
   }
+
+  test("history lists retained generations newest-first with their ops") {
+    val dir = tmp()
+    WarehouseSink.enableChangeFeed(dir)
+    Seq((1L, "a")).toDF("id", "s")
+      .write.format(Fmt).option("path", dir).mode("append").save() // v0
+    WarehouseSink.deleteWhere(spark, dir, Seq(GreaterThan("id", 0L))) // v1
+    Seq((2L, "b")).toDF("id", "s")
+      .write.format(Fmt).option("path", dir).mode("overwrite").save() // v2
+    WarehouseSink.restore(dir, 0L) // v3
+    val h = WarehouseSink.history(spark, dir)
+      .select("version", "operation", "change_feed")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+      .toSeq
+    assert(h.map(_._1) === Seq(3L, 2L, 1L, 0L), "newest first")
+    assert(h.map(_._2) === Seq("restore", "truncate", "delete", "append"))
+    assert(h.find(_._1 == 1L).get._3 === true, "DML captured under the feed")
+    // vacuum drops the reclaimed generations from the listing
+    WarehouseSink.vacuum(dir, keepVersions = 2)
+    assert(WarehouseSink.history(spark, dir).select("version")
+      .as[Long].collect().toSeq === Seq(3L, 2L))
+  }
 }
