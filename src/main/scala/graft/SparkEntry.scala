@@ -1937,6 +1937,24 @@ object SparkEntry {
     "q199_theil_sen" -> ((s, d) =>
       Analytics.theilSenSlope(eventsUs(s, d), "event_type", "ts_us")),
 
+    // Near-dup threshold sensitivity sweep: how many pairs each Jaccard
+    // cutoff would merge — the tuning table a dedup rollout reads before
+    // picking its threshold. Rides the memoized q20 pair-stats substrate
+    // (the shingle self-join runs once per corpus); integer ppm cutoffs.
+    "q216_dedup_sweep" -> ((s, d) => {
+      import s.implicits._
+      val ts = Seq(200000L, 300000L, 400000L, 500000L, 600000L,
+        700000L, 800000L, 900000L).toDF("threshold_ppm")
+      pairStats(s, d)
+        .withColumn("graft_jac",
+          expr("inter * 1000000 div (n1 + n2 - inter)"))
+        .crossJoin(broadcast(ts))
+        .filter(col("graft_jac") >= col("threshold_ppm"))
+        .groupBy("threshold_ppm")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("threshold_ppm")
+    }),
+
     // Perceptual image hashing (aHash): deterministic 16x12 PNGs whose
     // seed collides every 17 docs, hashed through the REAL pixel decode
     // (8x8 sample grid, integer grayscale, strict-above-mean bits) and
@@ -5209,6 +5227,32 @@ object SparkEntry {
                 CAST(max(abs(x)) AS BIGINT) AS peak_abs,
                 CAST(sum(x * x) AS BIGINT) AS sum_sq
          FROM v GROUP BY 1""",
+
+    // q20's pair build, swept over integer ppm cutoffs.
+    "q216_dedup_sweep" ->
+      """WITH t AS (SELECT doc_id,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                       toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+                FROM (SELECT doc_id, toks,
+                             unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i
+                      FROM t)),
+         cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+               FROM sh GROUP BY 1),
+         pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+                  CAST(count(*) AS BIGINT) AS inter
+                FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         j AS (SELECT inter * 1000000 // (c1.n + c2.n - inter) AS jac
+               FROM pr JOIN cnt c1 ON pr.id1 = c1.doc_id
+                       JOIN cnt c2 ON pr.id2 = c2.doc_id),
+         th AS (SELECT unnest([200000, 300000, 400000, 500000, 600000,
+                  700000, 800000, 900000]) AS threshold_ppm)
+         SELECT CAST(threshold_ppm AS BIGINT) AS threshold_ppm,
+                CAST(count(*) AS BIGINT) AS n_pairs
+         FROM th JOIN j ON j.jac >= th.threshold_ppm
+         GROUP BY 1 ORDER BY 1""",
 
     // The aHash replayed arithmetically: same synth formulas, same 8x8
     // grid (w=16,h=12: x=2i, y=3j//2), same floor grayscale/mean/bits.
