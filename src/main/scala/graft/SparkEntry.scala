@@ -1937,6 +1937,37 @@ object SparkEntry {
     "q199_theil_sen" -> ((s, d) =>
       Analytics.theilSenSlope(eventsUs(s, d), "event_type", "ts_us")),
 
+    // Per-source curation funnel: how many documents survive each
+    // pipeline stage (raw -> quality gate -> exact dedup -> decontam ->
+    // token budget) — the stage-attrition readout published next to the
+    // q140 end-to-end build, from the same proven operators.
+    "q217_curation_funnel" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val isTest = col("doc_id") % 97 === 0
+      val train = docs.filter(!isTest)
+      val qual = train.filter(T.qualityScore(col("text")) >= 0.5)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("graft_fp").orderBy(col("doc_id").asc)
+      val surv = qual
+        .withColumn("graft_fp", T.fingerprint(col("text")))
+        .withColumn("graft_rk", row_number().over(w))
+        .filter(col("graft_rk") === 1)
+        .drop("graft_fp", "graft_rk")
+      val keep = Corpus.decontaminate(
+        docs.filter(isTest).unionByName(surv), "doc_id", "text", isTest, 3)
+      val clean = surv.join(keep, Seq("doc_id"), "left_semi")
+      val budget = Corpus.tokenBudgetCap(clean, "doc_id", "text",
+        "source", 800L)
+      def cnt(df: DataFrame, name: String) =
+        df.groupBy("source").agg(count(lit(1)).as(name))
+      cnt(train, "n_raw")
+        .join(cnt(qual, "n_quality"), Seq("source"), "left_outer")
+        .join(cnt(surv, "n_dedup"), Seq("source"), "left_outer")
+        .join(cnt(clean, "n_clean"), Seq("source"), "left_outer")
+        .join(cnt(budget, "n_budget"), Seq("source"), "left_outer")
+        .na.fill(0L)
+    }),
+
     // Near-dup threshold sensitivity sweep: how many pairs each Jaccard
     // cutoff would merge — the tuning table a dedup rollout reads before
     // picking its threshold. Rides the memoized q20 pair-stats substrate
@@ -5227,6 +5258,64 @@ object SparkEntry {
                 CAST(max(abs(x)) AS BIGINT) AS peak_abs,
                 CAST(sum(x * x) AS BIGINT) AS sum_sq
          FROM v GROUP BY 1""",
+
+    // q140's CTE chain, counted per stage instead of collapsed.
+    "q217_curation_funnel" ->
+      """WITH t AS (SELECT doc_id, source, text,
+                  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt
+           FROM documents),
+         tr AS (SELECT * FROM t WHERE doc_id % 97 <> 0),
+         q AS (SELECT doc_id, source, text, nt FROM (
+                SELECT doc_id, source, text, nt,
+                  round(0.5 * least(length(text) / 500.0, 1.0)
+                    + 0.5 * least(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                        * 1.0
+                        / greatest(len(regexp_split_to_array(trim(text),
+                            '\s+')), 1), 1.0)
+                    - len(regexp_extract_all(text, '[.,;:!?]')) * 1.0
+                        / greatest(length(text), 1), 4) AS quality
+                FROM tr)
+               WHERE quality >= 0.5),
+         s2 AS (SELECT doc_id, source, text FROM (
+                 SELECT *, row_number() OVER (PARTITION BY md5(nt)
+                            ORDER BY doc_id) AS rk FROM q)
+                WHERE rk = 1),
+         tok AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM t),
+         sh AS (SELECT DISTINCT doc_id,
+                       toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+                FROM (SELECT doc_id, toks,
+                             unnest(range(1, greatest(len(toks) - 2, 0) + 1))
+                               AS i
+                      FROM tok)),
+         test_g AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0),
+         contaminated AS (SELECT DISTINCT doc_id FROM sh
+                          WHERE doc_id % 97 <> 0
+                            AND g IN (SELECT g FROM test_g)),
+         s3 AS (SELECT doc_id, source, text FROM s2
+                WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         s4 AS (SELECT doc_id, source,
+                  CAST(sum(CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                           AS BIGINT))
+                       OVER (PARTITION BY source ORDER BY md5(text), doc_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                FROM s3)
+         SELECT r.source,
+                CAST(count(*) AS BIGINT) AS n_raw,
+                CAST(COALESCE(qn.n, 0) AS BIGINT) AS n_quality,
+                CAST(COALESCE(dn.n, 0) AS BIGINT) AS n_dedup,
+                CAST(COALESCE(cn.n, 0) AS BIGINT) AS n_clean,
+                CAST(COALESCE(bn.n, 0) AS BIGINT) AS n_budget
+         FROM tr r
+         LEFT JOIN (SELECT source, count(*) AS n FROM q GROUP BY 1) qn
+           ON r.source = qn.source
+         LEFT JOIN (SELECT source, count(*) AS n FROM s2 GROUP BY 1) dn
+           ON r.source = dn.source
+         LEFT JOIN (SELECT source, count(*) AS n FROM s3 GROUP BY 1) cn
+           ON r.source = cn.source
+         LEFT JOIN (SELECT source, count(*) AS n FROM s4
+                    WHERE cum <= 800 GROUP BY 1) bn
+           ON r.source = bn.source
+         GROUP BY 1, qn.n, dn.n, cn.n, bn.n""",
 
     // q20's pair build, swept over integer ppm cutoffs.
     "q216_dedup_sweep" ->
