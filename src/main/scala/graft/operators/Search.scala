@@ -271,9 +271,13 @@ object Search {
       lit(1.2) * (lit(0.25) + lit(0.75) * col("graft_dl") / avgdl)
     val scoreMicro =
       floor(idf * num / den * lit(1000000.0) + lit(0.5)).cast("long")
-    val scored = tf.crossJoin(broadcast(stats))
-      .select(col("term"), col("doc_id"), scoreMicro.as("graft_sc"),
-        col("graft_tf").as("graft_gain"))
+    // Pinned once: the scored hit table feeds BOTH rank folds (DCG and
+    // IDCG) — without the pin the tokenize+explode corpus pass runs per
+    // fold (no common-subplan reuse). Posting-list-sized, never corpus.
+    val scored = graft.operators.Materialize.transient(
+      tf.crossJoin(broadcast(stats))
+        .select(col("term"), col("doc_id"), scoreMicro.as("graft_sc"),
+          col("graft_tf").as("graft_gain")))
     val disc = array(discountsMicro.take(k).map(lit): _*)
     def folded(w: org.apache.spark.sql.expressions.WindowSpec,
                out: String): DataFrame =
