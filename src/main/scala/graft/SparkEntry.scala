@@ -1937,6 +1937,72 @@ object SparkEntry {
     "q199_theil_sen" -> ((s, d) =>
       Analytics.theilSenSlope(eventsUs(s, d), "event_type", "ts_us")),
 
+    // Exact ACF: calendar-lag 1-3 autocorrelation of daily volume per
+    // event type — integer deviation products, no sqrt (the n² factors
+    // cancel), the forecaster's first readout next to q210's backtest.
+    "q218_acf" -> ((s, d) =>
+      Analytics.acf(eventsUs(s, d), "event_type", "ts_us", maxLag = 3)),
+
+    // CUSUM changepoint: the day each series' cumulative mean-deviation
+    // peaks — "did the level shift, and when", exact integer sweep.
+    "q219_cusum" -> ((s, d) =>
+      Analytics.cusumChangepoint(eventsUs(s, d), "event_type", "ts_us")),
+
+    // Kendall tau-b over the bounded daily (activity, spend) table —
+    // the pair-concordance twin of q203's Spearman.
+    "q220_kendall" -> ((s, d) =>
+      Analytics.kendallTau(
+        Tables.events(s, d)
+          .groupBy(expr("(ts div 1000) div 86400000000").as("graft_day"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents")),
+        "n_events", "cents")),
+
+    // Stratified EXACT-quota split: per source, exactly floor(80%) to
+    // train by md5 rank — the per-stratum guarantee q43/q151's
+    // independent hashing can only approximate. Readout pins membership
+    // (xor of doc ids), not just counts.
+    "q221_stratified_split" -> ((s, d) =>
+      Corpus.stratifiedSplit(Tables.documents(s, d), "doc_id", "source",
+          seed = 7L, trainPct = 80)
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("bit_xor(doc_id)").as("id_xor"))),
+
+    // Blocked fuzzy matching, oracle-checked: levenshtein <= 3 name
+    // pairs on the DISTINCT-name substrate (64 names stand in for 20k
+    // parts — the dedup discipline), first-token blocking, pair volume
+    // recovered by count arithmetic.
+    "q222_fuzzy_pairs" -> ((s, d) => {
+      val names = Tables.part(s, d).groupBy("p_name")
+        .agg(count(lit(1)).as("graft_n"))
+      val pairs = Dedup.fuzzyNameMatch(names, "p_name", "p_name", maxDist = 3)
+      pairs
+        .join(names.select(col("p_name").as("id1"),
+          col("graft_n").as("graft_n1")), Seq("id1"))
+        .join(names.select(col("p_name").as("id2"),
+          col("graft_n").as("graft_n2")), Seq("id2"))
+        .select(col("id1").as("name_1"), col("id2").as("name_2"),
+          col("dist"), (col("graft_n1") * col("graft_n2")).as("n_pairs"))
+    }),
+
+    // Peak concurrent sessions per day via the sweep-line: the k-way
+    // overlap readout a pair join can't produce — capacity planning on
+    // top of q38's sessions.
+    "q223_peak_concurrency" -> ((s, d) =>
+      Sessions.peakConcurrency(
+        Sessions.sessionize(eventsUs(s, d), "user_id", "ts_us",
+          "event_id", gapUs = 1800L * 1000000L),
+        expr("start_us div 86400000000").as("graft_day"),
+        "start_us", "end_us")),
+
+    // Time-weighted average value per event type: trapezoid over the
+    // irregular event times in exact centi-units — the gauge-stream
+    // mean a plain AVG gets wrong.
+    "q224_twa" -> ((s, d) =>
+      Analytics.timeWeightedAvg(eventsUs(s, d), "event_type", "ts_us",
+        "event_id", "value")),
+
     // Per-source curation funnel: how many documents survive each
     // pipeline stage (raw -> quality gate -> exact dedup -> decontam ->
     // token budget) — the stage-attrition readout published next to the
@@ -5265,6 +5331,160 @@ object SparkEntry {
          FROM v GROUP BY 1""",
 
     // q140's CTE chain, counted per stage instead of collapsed.
+    // Integer deviation products (dev = n·y − Σy); the n² factors cancel
+    // in the ratio, so acf needs ONE exact int/int double division.
+    "q218_acf" ->
+      """WITH daily AS (SELECT event_type AS s,
+                  epoch_us(ts) // 86400000000 AS d,
+                  CAST(count(*) AS BIGINT) AS y
+             FROM events GROUP BY 1, 2),
+         st AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(y) AS BIGINT) AS tot FROM daily GROUP BY 1),
+         dev AS (SELECT daily.s, daily.d, st.n,
+                  st.n * daily.y - st.tot AS dv
+               FROM daily JOIN st USING (s)),
+         den AS (SELECT s, CAST(sum(dv * dv) AS BIGINT) AS dn,
+                  CAST(max(n) AS BIGINT) AS n_days FROM dev GROUP BY 1),
+         num AS (SELECT a.s, CAST(l.lag AS BIGINT) AS lag,
+                  CAST(count(*) AS BIGINT) AS n_pairs,
+                  CAST(sum(a.dv * b.dv) AS BIGINT) AS nm
+               FROM dev a CROSS JOIN (VALUES (1), (2), (3)) l(lag)
+               JOIN dev b ON a.s = b.s AND b.d = a.d + l.lag
+               GROUP BY 1, 2)
+         SELECT num.s AS event_type, num.lag, den.n_days, num.n_pairs,
+                CASE WHEN den.dn = 0 THEN NULL
+                     ELSE round(CAST(nm AS DOUBLE) / CAST(dn AS DOUBLE), 6)
+                END AS acf
+         FROM num JOIN den ON num.s = den.s""",
+
+    // Integer CUSUM of the ×n mean-centered counts; earliest argmax day.
+    "q219_cusum" ->
+      """WITH daily AS (SELECT event_type AS s,
+                  epoch_us(ts) // 86400000000 AS d,
+                  CAST(count(*) AS BIGINT) AS y
+             FROM events GROUP BY 1, 2),
+         st AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(y) AS BIGINT) AS tot FROM daily GROUP BY 1),
+         c AS (SELECT daily.s, daily.d, st.n, st.tot,
+                 CAST(sum(st.n * daily.y - st.tot) OVER (PARTITION BY daily.s
+                   ORDER BY daily.d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs
+               FROM daily JOIN st USING (s)),
+         r AS (SELECT s, n, tot, d, abs(cs) AS sc,
+                 row_number() OVER (PARTITION BY s
+                   ORDER BY abs(cs) DESC, d ASC) AS rk
+               FROM c)
+         SELECT s AS event_type, n AS n_days, d AS changepoint_day,
+                CAST(sc * 1000000 // (n * tot) AS BIGINT) AS cusum_ppm
+         FROM r WHERE rk = 1""",
+
+    // Pair statistics are enumeration-order-free: any once-per-unordered-
+    // pair join (here by day; Spark by rank) yields the same counts.
+    "q220_kendall" ->
+      """WITH u AS (SELECT epoch_us(ts) // 86400000000 AS d,
+                  CAST(count(*) AS BIGINT) AS x,
+                  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS y
+             FROM events GROUP BY 1),
+         p AS (SELECT a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+               FROM u a JOIN u b ON a.d < b.d),
+         s AS (SELECT CAST((SELECT count(*) FROM u) AS BIGINT) AS n_rows,
+                CAST(count(*) AS BIGINT) AS n_pairs,
+                CAST(sum(CASE WHEN (x1 < x2 AND y1 < y2)
+                               OR (x1 > x2 AND y1 > y2) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS concordant,
+                CAST(sum(CASE WHEN (x1 < x2 AND y1 > y2)
+                               OR (x1 > x2 AND y1 < y2) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS discordant,
+                CAST(sum(CASE WHEN x1 = x2 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+                CAST(sum(CASE WHEN y1 = y2 THEN 1 ELSE 0 END) AS BIGINT) AS ty
+               FROM p)
+         SELECT n_rows, n_pairs, concordant, discordant,
+                CASE WHEN n_pairs = tx OR n_pairs = ty THEN NULL
+                     ELSE round(CAST(concordant - discordant AS DOUBLE)
+                       / (sqrt(CAST(n_pairs - tx AS DOUBLE))
+                          * sqrt(CAST(n_pairs - ty AS DOUBLE))), 6)
+                END AS tau_b
+         FROM s""",
+
+    // Exact per-stratum quota: rank·100 ≤ n·80 (integer), md5(seed:id)
+    // order; xor of member ids pins MEMBERSHIP, not just counts.
+    "q221_stratified_split" ->
+      """WITH a AS (SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY md5(concat('7:', CAST(doc_id AS VARCHAR))),
+                      doc_id) AS rn,
+                  count(*) OVER (PARTITION BY source) AS n
+             FROM documents)
+         SELECT source,
+                CASE WHEN rn * 100 <= n * 80 THEN 'train'
+                     ELSE 'heldout' END AS split,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(bit_xor(doc_id) AS BIGINT) AS id_xor
+         FROM a GROUP BY 1, 2""",
+
+    // Levenshtein pairs on the distinct-name substrate, first-token
+    // blocks, pair volume by count arithmetic.
+    "q222_fuzzy_pairs" ->
+      """WITH n AS (SELECT p_name, CAST(count(*) AS BIGINT) AS nn
+             FROM part GROUP BY 1),
+         p AS (SELECT a.p_name AS name_1, b.p_name AS name_2,
+                  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+                  a.nn * b.nn AS n_pairs
+               FROM n a JOIN n b
+                 ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+                AND a.p_name < b.p_name)
+         SELECT name_1, name_2, dist, n_pairs FROM p WHERE dist <= 3""",
+
+    // q38's sessions swept: ends before starts at equal instants
+    // (delta asc), running sum IS the concurrency curve.
+    "q223_peak_concurrency" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
+         g AS (SELECT user_id, ts_us, event_id,
+                      CASE WHEN lag(ts_us) OVER w IS NULL
+                                OR ts_us - lag(ts_us) OVER w > 1800000000
+                           THEN 1 ELSE 0 END AS news
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         s AS (SELECT user_id, ts_us,
+                      sum(news) OVER (PARTITION BY user_id
+                        ORDER BY ts_us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+               FROM g),
+         sess AS (SELECT min(ts_us) AS st, max(ts_us) AS en
+               FROM s GROUP BY user_id, sid),
+         d AS (SELECT st // 86400000000 AS k, st AS t,
+                  CAST(1 AS BIGINT) AS delta FROM sess
+               UNION ALL
+               SELECT st // 86400000000, en, CAST(-1 AS BIGINT) FROM sess),
+         r AS (SELECT k, t, delta,
+                  CAST(sum(delta) OVER (PARTITION BY k ORDER BY t, delta
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run,
+                  CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS nd
+               FROM d),
+         pk AS (SELECT k, nd, run, t,
+                  row_number() OVER (PARTITION BY k
+                    ORDER BY run DESC, t ASC) AS rk
+               FROM r)
+         SELECT k AS sweep_key, CAST(nd // 2 AS BIGINT) AS n_intervals,
+                run AS peak_concurrency, t AS peak_at_us
+         FROM pk WHERE rk = 1""",
+
+    // Trapezoid in exact centi·µs integers; one floor division at the end.
+    "q224_twa" ->
+      """WITH e AS (SELECT event_type AS s, epoch_us(ts) AS t, event_id,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+             FROM events),
+         l AS (SELECT s, t, c, lag(t) OVER w AS pt, lag(c) OVER w AS pc
+               FROM e WINDOW w AS (PARTITION BY s ORDER BY t, event_id))
+         SELECT s AS event_type, CAST(count(*) AS BIGINT) AS n_events,
+                CAST(max(t) - min(t) AS BIGINT) AS span_us,
+                CASE WHEN max(t) = min(t) THEN NULL
+                     ELSE CAST(sum(CASE WHEN pt IS NOT NULL
+                            THEN CAST(pc + c AS HUGEINT) * (t - pt)
+                            ELSE 0 END)
+                       // (2 * CAST(max(t) - min(t) AS HUGEINT)) AS BIGINT)
+                END AS twa_centi
+         FROM l GROUP BY 1""",
+
     "q217_curation_funnel" ->
       """WITH t AS (SELECT doc_id, source, text,
                   lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt

@@ -1245,6 +1245,205 @@ object Analytics {
         min("recency_days").as("min_recency_days"),
         max("recency_days").as("max_recency_days"))
   }
+
+  /** Daily (series, day, count) substrate shared by the series-stats
+    * family — ONE shuffle collapses the corpus; every downstream window
+    * and pair join runs over this bounded table. */
+  private def dailyCounts(events: DataFrame, seriesCol: String,
+                          tsUsCol: String): DataFrame =
+    events
+      .select(col(seriesCol).as("graft_s"),
+        expr(s"$tsUsCol div ${86400L * 1000000L}L").as("graft_d"))
+      .groupBy("graft_s", "graft_d")
+      .agg(count(lit(1)).as("graft_y"))
+
+  /** Exact autocorrelation function — per series, the lag-1..maxLag
+    * calendar-day autocorrelation of daily event counts: is today's
+    * volume informative about tomorrow's ([[seasonalBacktest]] asks the
+    * weekly version of the same question; ACF is the readout a
+    * forecaster checks FIRST). Lags are CALENDAR lags (a pair exists
+    * only when day d and day d+k are both observed), so a gap in the
+    * series breaks pairs instead of silently misaligning them.
+    *
+    * Exactness without sqrt: with dev_t = n·y_t − Σy (an integer — n
+    * times the mean-centered count), the estimator is
+    * acf(k) = Σ dev_t·dev_{t+k} / Σ dev_t² — a ratio of two integer
+    * sums (the n² factors cancel), finished as one exact
+    * integer-over-integer double division + round 6, the q122/q84
+    * bit-stable assembly. Integer bound: |dev| ≤ n·max(y), so the sums
+    * stay < 2⁵³ for ~a decade of days at 10⁶ events/day; beyond that
+    * widen to decimal(38,0) — same plan shape.
+    *
+    * Scale: the corpus collapses to the [[dailyCounts]] substrate; the
+    * lag pairing is an equi-join of that bounded table with its
+    * explode(1..maxLag)-shifted self on (series, day) — never events. */
+  def acf(events: DataFrame, seriesCol: String, tsUsCol: String,
+          maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1, "need at least lag 1")
+    val wS = org.apache.spark.sql.expressions.Window.partitionBy("graft_s")
+    // Pinned once: the deviation table feeds three subtrees (denominator,
+    // both pair-join legs) and Spark has no common-subplan reuse — without
+    // the pin each consumer would re-run the corpus aggregation.
+    val dev = Materialize.transient(
+      dailyCounts(events, seriesCol, tsUsCol)
+        .withColumn("graft_n", count(lit(1)).over(wS))
+        .withColumn("graft_tot", sum("graft_y").over(wS))
+        .select(col("graft_s"), col("graft_d"),
+          (col("graft_n") * col("graft_y") - col("graft_tot")).as("graft_dev"),
+          col("graft_n")))
+    val den = dev.groupBy("graft_s")
+      .agg(sum(expr("graft_dev * graft_dev")).as("graft_den"),
+        max("graft_n").as("n_days"))
+    val shifted = dev
+      .select(col("graft_s"), col("graft_d"), col("graft_dev").as("graft_dev1"),
+        explode(sequence(lit(1), lit(maxLag))).as("lag"))
+      .select(col("graft_s"), (col("graft_d") + col("lag")).as("graft_d"),
+        col("lag").cast("long").as("lag"), col("graft_dev1"))
+    val num = shifted
+      .join(dev.select(col("graft_s"), col("graft_d"),
+        col("graft_dev").as("graft_dev2")), Seq("graft_s", "graft_d"))
+      .groupBy("graft_s", "lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("graft_dev1 * graft_dev2")).as("graft_num"))
+    num.join(den, Seq("graft_s"))
+      .select(col("graft_s").as(seriesCol), col("lag"), col("n_days"),
+        col("n_pairs"),
+        when(col("graft_den") === 0, lit(null).cast("double"))
+          .otherwise(round(col("graft_num").cast("double")
+            / col("graft_den").cast("double"), 6)).as("acf"))
+  }
+
+  /** CUSUM changepoint screen — per series, the day where the cumulative
+    * deviation from the series mean peaks: the standard "did the level
+    * shift, and when" scan ([[trendSlope]] fits ONE line; CUSUM finds
+    * the elbow a single line can't represent). The statistic is
+    * S_t = Σ_{i≤t} (n·y_i − Σy) — integer CUSUM of the ×n mean-centered
+    * counts (S_n = 0 by construction) — and the changepoint estimate is
+    * the earliest day attaining max|S_t|, with the magnitude normalized
+    * to floor-ppm of n·Σy so series of different volumes compare.
+    *
+    * Exactness: every quantity is integer until the single
+    * nonnegative floor division at the end. Scale: one corpus shuffle
+    * to [[dailyCounts]], then one (series)-keyed window pass. */
+  def cusumChangepoint(events: DataFrame, seriesCol: String,
+                       tsUsCol: String): DataFrame = {
+    val wS = org.apache.spark.sql.expressions.Window.partitionBy("graft_s")
+    val wCum = org.apache.spark.sql.expressions.Window.partitionBy("graft_s")
+      .orderBy(col("graft_d").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wPick = org.apache.spark.sql.expressions.Window.partitionBy("graft_s")
+      .orderBy(col("graft_score").desc, col("graft_d").asc)
+    dailyCounts(events, seriesCol, tsUsCol)
+      .withColumn("graft_n", count(lit(1)).over(wS))
+      .withColumn("graft_tot", sum("graft_y").over(wS))
+      .withColumn("graft_cusum",
+        sum(col("graft_n") * col("graft_y") - col("graft_tot")).over(wCum))
+      .withColumn("graft_score", abs(col("graft_cusum")))
+      .withColumn("graft_rk", row_number().over(wPick))
+      .filter(col("graft_rk") === 1)
+      .select(col("graft_s").as(seriesCol),
+        col("graft_n").cast("long").as("n_days"),
+        col("graft_d").as("changepoint_day"),
+        expr("graft_score * 1000000 div (graft_n * graft_tot)")
+          .as("cusum_ppm"))
+  }
+
+  /** Kendall tau-b rank correlation — the pair-concordance twin of
+    * [[spearman]] (same monotonic-association question, but counted
+    * over pairs, so it is the statistic behind Mann-Kendall trend
+    * tests and is robust to the midrank subtleties Spearman carries).
+    * Returns concordant/discordant counts and
+    * tau_b = (C − D) / sqrt((n₀ − Tx)(n₀ − Ty)) with the tie terms
+    * computed from the SAME pair join (n₀ = n(n−1)/2; Tx = pairs tied
+    * on x, Ty = pairs tied on y) — integers into one IEEE-exact sqrt
+    * assembly, round 6.
+    *
+    * Pairs are O(n²) BY NATURE, so the operator enforces the
+    * bounded-substrate discipline ([[theilSenSlope]]'s): an in-plan
+    * gate fails loudly when the input exceeds `maxRows` — callers
+    * aggregate the corpus to a bounded table (daily rollup, per-group
+    * profile) first. The pair join is an equi-join on a constant key
+    * over the gated table (a broadcast hash join, never a cartesian
+    * product node). */
+  def kendallTau(df: DataFrame, xCol: String, yCol: String,
+                 maxRows: Long = 100000L): DataFrame = {
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val rows = df
+      .select(col(xCol).as("graft_x"), col(yCol).as("graft_y"))
+      .filter(col("graft_x").isNotNull && col("graft_y").isNotNull)
+      .withColumn("graft_card", count(lit(1)).over(wAll))
+      .filter(assert_true(col("graft_card") <= lit(maxRows),
+        lit(s"kendallTau: more than $maxRows rows — aggregate to a " +
+          "bounded substrate before pairing")).isNull)
+      .withColumn("graft_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("graft_x").asc, col("graft_y").asc)))
+      .withColumn("graft_k", lit(1L))
+    val a = rows.select(col("graft_k"), col("graft_rn").as("rn1"),
+      col("graft_x").as("x1"), col("graft_y").as("y1"))
+    val b = rows.select(col("graft_k"), col("graft_rn").as("rn2"),
+      col("graft_x").as("x2"), col("graft_y").as("y2"))
+    a.join(b, Seq("graft_k")).filter(col("rn1") < col("rn2"))
+      .agg(
+        max(expr("rn2")).cast("long").as("graft_n"),
+        count(lit(1)).as("n_pairs"),
+        sum(when(expr("(x1 < x2 AND y1 < y2) OR (x1 > x2 AND y1 > y2)"),
+          1L).otherwise(0L)).as("concordant"),
+        sum(when(expr("(x1 < x2 AND y1 > y2) OR (x1 > x2 AND y1 < y2)"),
+          1L).otherwise(0L)).as("discordant"),
+        sum(when(expr("x1 = x2"), 1L).otherwise(0L)).as("graft_tx"),
+        sum(when(expr("y1 = y2"), 1L).otherwise(0L)).as("graft_ty"))
+      .select(col("graft_n").as("n_rows"), col("n_pairs"),
+        col("concordant"), col("discordant"),
+        when(col("n_pairs") === col("graft_tx") ||
+             col("n_pairs") === col("graft_ty"), lit(null).cast("double"))
+          .otherwise(round((col("concordant") - col("discordant")).cast("double")
+            / (sqrt((col("n_pairs") - col("graft_tx")).cast("double"))
+               * sqrt((col("n_pairs") - col("graft_ty")).cast("double"))), 6))
+          .as("tau_b"))
+  }
+
+  /** Time-weighted average — the irregular-sampling mean: per series,
+    * the trapezoidal integral of the value over the observation span
+    * divided by the span, so a value that HELD for an hour weighs 3600×
+    * one that held a second (the plain AVG a dashboard naively takes
+    * weighs them equally — wrong for sensor/price/gauge streams).
+    *
+    * Exactness: values become lossless centi-units (×100 of 2-dp
+    * inputs, nonnegative by contract — enforced), each trapezoid term
+    * (c_i + c_{i+1})·(t_{i+1} − t_i) is an exact integer accumulated in
+    * decimal(38,0) (µs spans × centi-values overflow a long at corpus
+    * scale), and the readout is ONE nonnegative integral division by
+    * 2·span — floor-exact centi-units on any engine.
+    *
+    * Scale: one (series)-keyed Exchange; the lag window and the final
+    * aggregate share it. Ties on ts are ordered by the id column so the
+    * integral is engine-deterministic. */
+  def timeWeightedAvg(events: DataFrame, seriesCol: String, tsUsCol: String,
+                      idCol: String, valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("graft_s")
+      .orderBy(col("graft_t").asc, col("graft_id").asc)
+    events
+      .select(col(seriesCol).as("graft_s"), col(tsUsCol).as("graft_t"),
+        col(idCol).as("graft_id"),
+        floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("long").as("graft_c"))
+      .filter(assert_true(col("graft_c") >= 0,
+        lit("timeWeightedAvg: negative values break floor-division " +
+          "parity — shift the series first")).isNull)
+      .withColumn("graft_pt", lag(col("graft_t"), 1).over(w))
+      .withColumn("graft_pc", lag(col("graft_c"), 1).over(w))
+      .groupBy(col("graft_s").as(seriesCol))
+      .agg(count(lit(1)).as("n_events"),
+        (max("graft_t") - min("graft_t")).as("span_us"),
+        sum(when(col("graft_pt").isNotNull,
+          (col("graft_pc") + col("graft_c")).cast("decimal(38,0)")
+            * (col("graft_t") - col("graft_pt")).cast("decimal(38,0)"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("graft_num"))
+      .select(col(seriesCol), col("n_events"), col("span_us"),
+        when(col("span_us") === 0, lit(null).cast("long"))
+          .otherwise(expr("CAST(graft_num div (2 * CAST(span_us AS " +
+            "decimal(38,0))) AS BIGINT)")).as("twa_centi"))
+  }
 }
 
 /** Mergeable Misra-Gries state as a typed Spark [[org.apache.spark.sql.expressions.Aggregator]] —

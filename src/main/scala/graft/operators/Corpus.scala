@@ -557,4 +557,39 @@ object Corpus {
       .orderBy(col("content_h").asc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Stratified EXACT-quota split — per stratum, exactly
+    * ⌊n·pct/100⌋ rows go to train and the rest to heldout, membership
+    * decided by md5(seed:id) rank within the stratum (id tiebreak). The
+    * guarantee [[graft.functions.TextFunctions]]'s hash splits cannot
+    * give: independent per-row hashing only APPROXIMATES the split
+    * fraction (±√n noise per stratum — a 50-doc language can land
+    * 30/70), while an evaluation protocol often requires the quota to
+    * hold exactly per language/source. Assignment is still a pure
+    * function of (seed, id, stratum composition): re-running on a
+    * re-sharded corpus reproduces it; appending to a stratum reassigns
+    * only rows near the quota boundary.
+    *
+    * Scale: one Exchange on the stratum key; the rank window sorts each
+    * stratum within its partition (strata parallelize across the
+    * cluster — the [[sampleKPerGroup]]/[[sourceCapSurvivors]]
+    * discipline). For corpus-scale strata where a per-stratum sort is
+    * too hot, fall back to the independent hash split — exactness is
+    * what the sort buys. */
+  def stratifiedSplit(docs: DataFrame, idCol: String, strataCol: String,
+                      seed: Long, trainPct: Int): DataFrame = {
+    require(trainPct > 0 && trainPct < 100, "trainPct must be in (0,100)")
+    val key = md5(concat(lit(s"$seed:"), col(idCol).cast("string"))
+      .cast("binary"))
+    val w = Window.partitionBy(col(strataCol)).orderBy(key, col(idCol))
+    val wN = Window.partitionBy(col(strataCol))
+    docs.select(col(idCol), col(strataCol))
+      .withColumn("graft_rn", row_number().over(w).cast("long"))
+      .withColumn("graft_n", count(lit(1)).over(wN))
+      // rank ≤ ⌊n·pct/100⌋  ⇔  100·rank ≤ n·pct (integer-exact on any engine)
+      .withColumn("split",
+        when(col("graft_rn") * 100 <= col("graft_n") * trainPct, "train")
+          .otherwise("heldout"))
+      .select(col(idCol), col(strataCol), col("split"))
+  }
 }

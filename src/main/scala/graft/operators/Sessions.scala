@@ -278,4 +278,48 @@ object Sessions {
         expr("CASE WHEN n_attributed = 0 THEN CAST(NULL AS BIGINT)" +
           " ELSE sum_gap_us div n_attributed END").as("avg_gap_us"))
   }
+
+  /** Peak concurrency via a distributed sweep-line — "how many sessions
+    * were open AT ONCE, and when did load peak": each interval becomes a
+    * +1 event at its start and a −1 at its end, and the running sum of
+    * deltas in time order IS the concurrency curve; the readout is its
+    * per-key maximum and the earliest instant attaining it. The
+    * capacity-planning question a pair join cannot answer (overlap
+    * joins count PAIRS — concurrency needs the k-way overlap, which the
+    * sweep reads off in linear work).
+    *
+    * Tie semantics (engine-pinned): at equal timestamps, ends apply
+    * before starts (delta −1 sorts before +1), so back-to-back
+    * intervals never double-count — end-exclusive intervals. Rows tied
+    * on (t, delta) are interchangeable: any order yields the same
+    * multiset of running values, so max and its earliest t are
+    * deterministic on every engine.
+    *
+    * Scale: one Exchange on the sweep key; the running sum and the
+    * argmax pick share it. The key bounds each sweep's sort (per-day,
+    * per-tenant); intervals crossing a key boundary are attributed to
+    * their start key — document the key choice accordingly. */
+  def peakConcurrency(intervals: DataFrame, keyCol: Column,
+                      startCol: String, endCol: String): DataFrame = {
+    val deltas = intervals
+      .select(keyCol.as("graft_k"), col(startCol).as("graft_t"),
+        lit(1L).as("graft_delta"))
+      .unionByName(intervals.select(keyCol.as("graft_k"),
+        col(endCol).as("graft_t"), lit(-1L).as("graft_delta")))
+    val sweep = Window.partitionBy("graft_k")
+      .orderBy(col("graft_t").asc, col("graft_delta").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val pick = Window.partitionBy("graft_k")
+      .orderBy(col("graft_run").desc, col("graft_t").asc)
+    deltas
+      .withColumn("graft_run", sum("graft_delta").over(sweep))
+      .withColumn("graft_nd",
+        count(lit(1)).over(Window.partitionBy("graft_k")))
+      .withColumn("graft_rk", row_number().over(pick))
+      .filter(col("graft_rk") === 1)
+      .select(col("graft_k").as("sweep_key"),
+        expr("graft_nd div 2").as("n_intervals"),
+        col("graft_run").as("peak_concurrency"),
+        col("graft_t").as("peak_at_us"))
+  }
 }

@@ -639,4 +639,100 @@ class AnalyticsSpec extends SparkSpec {
     assert(re.getAs[Long]("mae_milli_naive") ===
       got.getAs[Long]("mae_milli_naive"))
   }
+
+  test("acf: alternating series gives the hand-computed lag pattern") {
+    val day = 86400L * 1000000L
+    // y alternates 1,3 over days 0..9: dev = 10y-20 = ∓10; den = 1000.
+    // lag1: 9 pairs × -100 = -900 → -0.9; lag2: 8 × +100 → 0.8;
+    // lag3: 7 × -100 → -0.7.
+    val rows = for (d <- 0 until 10; r <- 0 until (if (d % 2 == 0) 1 else 3))
+      yield ("a", d * day + r)
+    val got = Analytics.acf(rows.toDF("event_type", "ts_us"),
+        "event_type", "ts_us", maxLag = 3)
+      .collect().map(r => r.getAs[Long]("lag") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Double]("acf"))).toMap
+    assert(got(1L) === ((9L, -0.9)))
+    assert(got(2L) === ((8L, 0.8)))
+    assert(got(3L) === ((7L, -0.7)))
+  }
+
+  test("acf: calendar gaps break pairs instead of misaligning them") {
+    val day = 86400L * 1000000L
+    // observed days 0,1,3: lag-1 pairs = {(0,1)} only — a row-lag
+    // formulation would wrongly pair (1,3).
+    val rows = Seq(0L, 1L, 3L).flatMap(d =>
+      (0 until (d.toInt + 1)).map(r => ("a", d * day + r)))
+    val got = Analytics.acf(rows.toDF("event_type", "ts_us"),
+        "event_type", "ts_us", maxLag = 1).collect()(0)
+    assert(got.getAs[Long]("n_pairs") === 1L)
+    assert(got.getAs[Long]("n_days") === 3L)
+  }
+
+  test("cusumChangepoint: level shift lands on the pre-shift day, exact ppm") {
+    val day = 86400L * 1000000L
+    // y = 10 on days 0..3, 20 on days 4..7: cusum of 8y-120 peaks at
+    // |−160| on day 3; ppm = 160e6 / 960 = 166666 (floor).
+    val rows = for (d <- 0 until 8; r <- 0 until (if (d < 4) 10 else 20))
+      yield ("a", d * day + r)
+    val got = Analytics.cusumChangepoint(rows.toDF("event_type", "ts_us"),
+      "event_type", "ts_us").collect()(0)
+    assert(got.getAs[Long]("changepoint_day") === 3L)
+    assert(got.getAs[Long]("cusum_ppm") === 166666L)
+    assert(got.getAs[Long]("n_days") === 8L)
+  }
+
+  test("kendallTau: perfect order, reversal, and tie handling") {
+    val mono = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)).toDF("x", "y")
+    val up = Analytics.kendallTau(mono, "x", "y").collect()(0)
+    assert(up.getAs[Long]("n_pairs") === 6L)
+    assert(up.getAs[Long]("concordant") === 6L)
+    assert(up.getAs[Double]("tau_b") === 1.0)
+    val down = Analytics.kendallTau(
+      mono.withColumn("y", -col("y")), "x", "y").collect()(0)
+    assert(down.getAs[Double]("tau_b") === -1.0)
+    // one x-tie: C=2, D=0, Tx=1 → tau_b = 2/(sqrt(2)*sqrt(3))
+    val tied = Seq((1L, 1L), (1L, 2L), (2L, 3L)).toDF("x", "y")
+    val t = Analytics.kendallTau(tied, "x", "y").collect()(0)
+    assert(t.getAs[Long]("concordant") === 2L)
+    assert(t.getAs[Long]("discordant") === 0L)
+    assert(t.getAs[Double]("tau_b") ===
+      BigDecimal(2.0 / (math.sqrt(2.0) * math.sqrt(3.0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("kendallTau: over-cardinality input errors instead of pairing") {
+    val wide = (1 to 300).map(i => (i.toLong, i.toLong)).toDF("x", "y")
+    val ex = intercept[Exception] {
+      Analytics.kendallTau(wide, "x", "y", maxRows = 100L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("bounded substrate")))
+  }
+
+  test("timeWeightedAvg: trapezoid weighs holds by duration") {
+    // 1.00 for 10s then 3.00 for 20s: integral avg = 80/30 = 2.66 (floor
+    // centi) — a plain AVG of the three samples says 2.33.
+    val ev = Seq(("g", 0L, 1L, 1.0), ("g", 10000000L, 2L, 3.0),
+      ("g", 30000000L, 3L, 3.0)).toDF("s", "t", "id", "v")
+    val got = Analytics.timeWeightedAvg(ev, "s", "t", "id", "v").collect()(0)
+    assert(got.getAs[Long]("n_events") === 3L)
+    assert(got.getAs[Long]("span_us") === 30000000L)
+    assert(got.getAs[Long]("twa_centi") === 266L)
+    // zero span → NULL, not a division error
+    val one = Seq(("h", 5L, 1L, 2.0)).toDF("s", "t", "id", "v")
+    val z = Analytics.timeWeightedAvg(one, "s", "t", "id", "v").collect()(0)
+    assert(z.isNullAt(z.fieldIndex("twa_centi")))
+  }
+
+  test("timeWeightedAvg: negative values fail loudly (floor-parity guard)") {
+    val ev = Seq(("g", 0L, 1L, -1.0), ("g", 10L, 2L, 3.0))
+      .toDF("s", "t", "id", "v")
+    val ex = intercept[Exception] {
+      Analytics.timeWeightedAvg(ev, "s", "t", "id", "v").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("floor-division parity")))
+  }
 }

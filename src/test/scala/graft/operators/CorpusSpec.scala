@@ -363,4 +363,33 @@ class CorpusSpec extends SparkSpec {
     assert(r.getAs[Long]("n_overlap") === 1L)
     assert(r.getAs[Long]("overlap_ppm") === 250000L)
   }
+
+  test("stratifiedSplit: exact floor quotas per stratum") {
+    // strata of 10 and 15 at 80% → exactly 8 and 12 train (independent
+    // hashing would only approximate this)
+    val docs = ((1 to 10).map(i => (i.toLong, "a")) ++
+      (11 to 25).map(i => (i.toLong, "b"))).toDF("doc_id", "source")
+    val got = Corpus.stratifiedSplit(docs, "doc_id", "source", 7L, 80)
+      .groupBy("source", "split").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got === Map(("a", "train") -> 8L, ("a", "heldout") -> 2L,
+      ("b", "train") -> 12L, ("b", "heldout") -> 3L))
+  }
+
+  test("stratifiedSplit: assignment is a pure function of (seed, id)") {
+    val docs = (1 to 40).map(i => (i.toLong, if (i % 3 == 0) "x" else "y"))
+      .toDF("doc_id", "source")
+    val a = Corpus.stratifiedSplit(docs, "doc_id", "source", 5L, 60)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val b = Corpus.stratifiedSplit(docs.repartition(9), "doc_id", "source",
+      5L, 60).collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a === b)
+    // a different seed reshuffles membership (overwhelmingly likely to
+    // differ on 40 rows) while quotas hold exactly
+    val c = Corpus.stratifiedSplit(docs, "doc_id", "source", 6L, 60)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(c.count(_._2 == "train") === a.count(_._2 == "train"))
+    assert(c !== a)
+  }
 }

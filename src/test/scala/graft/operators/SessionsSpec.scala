@@ -176,4 +176,28 @@ class SessionsSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("attr_ppm")))
     assert(r.isNullAt(r.fieldIndex("avg_gap_us")))
   }
+
+  test("peakConcurrency: sweep finds the k-way overlap and its instant") {
+    import org.apache.spark.sql.functions._
+    val iv = Seq((1L, 0L, 10L), (1L, 5L, 15L), (1L, 10L, 20L))
+      .toDF("k", "st", "en")
+    val got = Sessions.peakConcurrency(iv, col("k"), "st", "en").head()
+    // runs: t0→1, t5→2, t10 (end first)→1 then 2, t15→1, t20→0;
+    // peak 2 first attained at t=5
+    assert(got.getAs[Long]("peak_concurrency") === 2L)
+    assert(got.getAs[Long]("peak_at_us") === 5L)
+    assert(got.getAs[Long]("n_intervals") === 3L)
+  }
+
+  test("peakConcurrency: back-to-back intervals never double-count") {
+    import org.apache.spark.sql.functions._
+    val iv = Seq((1L, 0L, 10L), (1L, 10L, 20L)).toDF("k", "st", "en")
+    val got = Sessions.peakConcurrency(iv, col("k"), "st", "en").head()
+    assert(got.getAs[Long]("peak_concurrency") === 1L)
+    // partitioning invariance: integer sweep, any shard layout
+    val re = Sessions.peakConcurrency(iv.repartition(7), col("k"),
+      "st", "en").head()
+    assert(re.getAs[Long]("peak_concurrency") === 1L)
+    assert(re.getAs[Long]("peak_at_us") === got.getAs[Long]("peak_at_us"))
+  }
 }
