@@ -1937,6 +1937,69 @@ object SparkEntry {
     "q199_theil_sen" -> ((s, d) =>
       Analytics.theilSenSlope(eventsUs(s, d), "event_type", "ts_us")),
 
+    // Cumulative gains / lift by score decile: the campaign-targeting
+    // readout over q167's scored substrate — groups-atomic buckets so
+    // score ties never split nondeterministically.
+    "q226_gains" -> ((s, d) =>
+      ml.Eval.gainsChart(scoredDocs(s, d), "score_q", "label", tiles = 10)),
+
+    // PCA projection: exact-integer covariance moments (one map-side
+    // typed aggregate) -> driver power iteration -> map-side projection.
+    // Rows-only by declared contract (no SQL engine can replay the
+    // eigensolve); PcaSpec pins planted-axis recovery and determinism.
+    "q227_pca" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val model = ml.Pca.fit(emb, "embedding", dim = 64, k = 2)
+      ml.Pca.transform(emb, "vec_id", "embedding", model)
+    }),
+
+    // Frame-sample schedule over the real MP4 duration decode: the
+    // planning half of video frame extraction, oracle-checked (decode of
+    // scheduled frames stays behind the documented codec stand-in).
+    "q228_frame_schedule" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .select(col("doc_id"), col("source")).as[(Long, String)]
+        .map { case (id, src) =>
+          multimodal.Binary.MediaRecord(id, "video",
+            multimodal.Binary.synthMp4(
+              width = (160 * (1 + id % 8)).toInt,
+              height = (120 * (1 + id % 6)).toInt,
+              durationUnits = 600 + id % 1000), src)
+        }
+      multimodal.Binary.frameSchedule(
+        multimodal.Binary.extractVideoMeta(media).toDF(),
+        "media_id", "duration_ms", stepMs = 400L, maxFrames = 5)
+    }),
+
+    // Zero-copy clone: hard-linked files, fresh manifest chain; the two
+    // tables then DIVERGE under copy-on-write DML, and the source is
+    // VACUUMED after its own DML — the clone's links must keep every
+    // shared byte alive (the claim path-based shallow clones can't make).
+    "q225_clone" -> ((s, d) => {
+      val fmt = "graft.sources.WarehouseSink"
+      val W = graft.sources.WarehouseSink
+      val src = java.nio.file.Files.createTempDirectory("graft_clone_")
+        .toString
+      val dst = src + "/cl"
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.format(fmt).option("path", src).mode("overwrite").save()
+      W.cloneTable(src, dst)
+      W.deleteWhere(s, dst, Seq(
+        org.apache.spark.sql.sources.GreaterThan("o_totalprice", 300000.0)))
+      W.deleteWhere(s, src, Seq(
+        org.apache.spark.sql.sources.LessThan("o_totalprice", 50000.0)))
+      W.vacuum(src, keepVersions = 1)
+      def side(dir: String, tag: String) =
+        s.read.format(fmt).option("path", dir).load()
+          .agg(count(lit(1)).as("n_rows"),
+            sum(floor(col("o_totalprice") * 100).cast("long"))
+              .as("sum_cents"))
+          .withColumn("side", lit(tag))
+      side(src, "source").unionByName(side(dst, "clone"))
+    }),
+
     // Exact ACF: calendar-lag 1-3 autocorrelation of daily volume per
     // event type — integer deviation products, no sqrt (the n² factors
     // cancel), the forecaster's first readout next to q210's backtest.
@@ -5331,6 +5394,65 @@ object SparkEntry {
          FROM v GROUP BY 1""",
 
     // q140's CTE chain, counted per stage instead of collapsed.
+    // The schedule is arithmetic on the decoded duration: frames
+    // 0..min(⌊(dur−1)/step⌋, max−1), i.e. f·step < dur, f < max.
+    "q228_frame_schedule" ->
+      """WITH f AS (SELECT CAST(x AS BIGINT) AS frame_idx
+               FROM (VALUES (0), (1), (2), (3), (4)) t(x)),
+         m AS (SELECT doc_id,
+                  (600 + doc_id % 1000) * 1000 // 600 AS dur
+               FROM documents)
+         SELECT m.doc_id AS media_id, f.frame_idx,
+                f.frame_idx * 400 AS ts_ms
+         FROM m CROSS JOIN f WHERE f.frame_idx * 400 < m.dur""",
+
+    // Same groups-atomic bucket rule over the shared scored substrate:
+    // bucket = cumBefore·10 // total + 1 on the per-score table.
+    "q226_gains" ->
+      s"""WITH $ScoredDocsSql,
+         per AS (SELECT s, CAST(sum(y) AS HUGEINT) AS p,
+                  CAST(count(*) AS HUGEINT) AS t
+               FROM sc GROUP BY 1),
+         c AS (SELECT s, p, t,
+                  COALESCE(sum(t) OVER (ORDER BY s DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS cb,
+                  sum(t) OVER () AS total, sum(p) OVER () AS tp
+               FROM per),
+         b AS (SELECT cb * 10 // total + 1 AS bucket,
+                  sum(t) AS bt, sum(p) AS bp,
+                  max(total) AS total, max(tp) AS tp
+               FROM c GROUP BY 1),
+         g AS (SELECT bucket, bt, bp, total, tp,
+                  sum(bt) OVER (ORDER BY bucket
+                    ROWS UNBOUNDED PRECEDING) AS ct,
+                  sum(bp) OVER (ORDER BY bucket
+                    ROWS UNBOUNDED PRECEDING) AS cp
+               FROM b)
+         SELECT CAST(bucket AS BIGINT) AS bucket,
+                CAST(bt AS BIGINT) AS n_rows, CAST(bp AS BIGINT) AS n_pos,
+                CAST(ct AS BIGINT) AS cum_rows,
+                CAST(cp AS BIGINT) AS cum_pos,
+                CAST(CASE WHEN tp = 0 THEN NULL
+                     ELSE cp * 1000000 // tp END AS BIGINT) AS gain_ppm,
+                CAST(CASE WHEN tp = 0 OR ct = 0 THEN NULL
+                     ELSE cp * total * 1000000 // (ct * tp) END AS BIGINT)
+                  AS lift_ppm
+         FROM g""",
+
+    // The divergence both tables must show after clone + independent DML
+    // + source vacuum, reconstructed relationally.
+    "q225_clone" ->
+      """SELECT 'source' AS side, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS sum_cents
+         FROM orders WHERE NOT (o_totalprice < 50000)
+         UNION ALL
+         SELECT 'clone', CAST(count(*) AS BIGINT),
+                CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT)
+         FROM orders WHERE NOT (o_totalprice > 300000)""",
+
     // Integer deviation products (dev = n·y − Σy); the n² factors cancel
     // in the ratio, so acf needs ONE exact int/int double division.
     "q218_acf" ->

@@ -153,4 +153,58 @@ object Eval {
           " div (coalesce(precision_ppm, 0) + coalesce(recall_ppm, 0)) END"))
       .orderBy("threshold")
   }
+
+  /** Cumulative gains / lift chart — "if we act on the top 10%/20%/…
+    * by score, what share of the positives do we capture, and how much
+    * better than random": the campaign-targeting readout next to
+    * [[rocAuc]]'s single number. Buckets are GROUPS-ATOMIC: each
+    * distinct score is assigned whole to the bucket its first row's
+    * cumulative position lands in (bucket = ⌊cumBefore·tiles/total⌋+1),
+    * so heavy score ties never split nondeterministically across
+    * buckets — bucket populations may be uneven under ties, which is
+    * the honest, engine-replayable contract (a row-split rule would
+    * depend on an arbitrary within-score order no engine can replay).
+    *
+    * Exactness: cum_pos/cum_rows accumulate the decimal per-score
+    * counts; gain_ppm = cum_pos·10⁶ div totalPos and
+    * lift_ppm = cum_pos·total·10⁶ div (cum_rows·totalPos) are single
+    * nonnegative floor divisions. Perfect targeting ⇒ gain hits 10⁶
+    * within the positive-rate fraction; random ⇒ lift ≈ 10⁶ everywhere.
+    *
+    * Scale: one corpus shuffle (the per-score collapse, cardinality
+    * gate enforced); every window runs over the bounded score/bucket
+    * tables. */
+  def gainsChart(scored: DataFrame, scoreCol: String, labelCol: String,
+                 tiles: Int = 10): DataFrame = {
+    require(tiles > 1, "need at least two buckets")
+    val wAll = Window.partitionBy()
+    val before = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cumB = Window.orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perScore(scored, scoreCol, labelCol)
+      .withColumn("t", expr("p + n"))
+      .withColumn("graft_cb",
+        coalesce(sum("t").over(before), lit(0).cast("decimal(38,0)")))
+      .withColumn("graft_total", sum("t").over(wAll))
+      .withColumn("graft_tp", sum("p").over(wAll))
+      .withColumn("bucket",
+        expr(s"CAST(graft_cb * $tiles div graft_total AS BIGINT) + 1"))
+      .groupBy("bucket")
+      .agg(sum("t").as("graft_t"), sum("p").as("graft_p"),
+        max("graft_total").as("graft_total"), max("graft_tp").as("graft_tp"))
+      .withColumn("graft_ct", sum("graft_t").over(cumB))
+      .withColumn("graft_cp", sum("graft_p").over(cumB))
+      .select(col("bucket"),
+        col("graft_t").cast("long").as("n_rows"),
+        col("graft_p").cast("long").as("n_pos"),
+        col("graft_ct").cast("long").as("cum_rows"),
+        col("graft_cp").cast("long").as("cum_pos"),
+        expr("CASE WHEN graft_tp = 0 THEN CAST(NULL AS BIGINT)" +
+          " ELSE graft_cp * 1000000 div graft_tp END").as("gain_ppm"),
+        expr("CASE WHEN graft_tp = 0 OR graft_ct = 0" +
+          " THEN CAST(NULL AS BIGINT)" +
+          " ELSE graft_cp * graft_total * 1000000" +
+          " div (graft_ct * graft_tp) END").as("lift_ppm"))
+  }
 }

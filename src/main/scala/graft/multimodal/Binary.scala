@@ -959,4 +959,30 @@ object Binary {
     media.toDF().select("media_id", "modality", "source")
       .join(meta.drop("modality"), Seq("media_id"))
   }
+
+  /** Deterministic frame-sample schedule — the planning half of video
+    * frame extraction: from each clip's decoded duration, the instants a
+    * sampler should decode (every `stepMs`, capped at `maxFrames` per
+    * clip so a feature-length outlier cannot explode the fan-out). The
+    * schedule is pure arithmetic on the metadata table — the decode of
+    * the scheduled frames stays behind the documented compressed-codec
+    * stand-in ([[fakeResize]]), but partitioning, fan-out bounds and the
+    * (clip, frame) batch shape downstream tooling consumes are all real
+    * and oracle-checked. Clips with nonpositive duration emit no frames
+    * (absent, not zero-frame rows — same semantic in the oracle).
+    *
+    * Scale: explode is map-side; output is ≤ maxFrames × clips rows by
+    * construction. */
+  def frameSchedule(meta: DataFrame, idCol: String, durationMsCol: String,
+                    stepMs: Long, maxFrames: Int): DataFrame = {
+    require(stepMs > 0 && maxFrames > 0, "stepMs and maxFrames positive")
+    meta
+      .filter(col(durationMsCol) > 0)
+      .select(col(idCol),
+        explode(sequence(lit(0L),
+          least(floor((col(durationMsCol) - 1) / stepMs),
+            lit(maxFrames - 1L)))).as("frame_idx"))
+      .select(col(idCol), col("frame_idx"),
+        (col("frame_idx") * stepMs).as("ts_ms"))
+  }
 }

@@ -72,7 +72,7 @@ class WarehouseSink extends TableProvider {
         .add("_change_type", org.apache.spark.sql.types.StringType)
         .add("_commit_version", org.apache.spark.sql.types.LongType)
     }
-    val manifest = WarehouseSink.versionAsOf(options.get("versionAsOf")) match {
+    val manifest = WarehouseSink.asOf(dir, options) match {
       case Some(v) => WarehouseSink.readManifestAt(dir, v)
       case None => WarehouseSink.readManifest(dir)
     }
@@ -93,7 +93,7 @@ class WarehouseSink extends TableProvider {
     // generation instead of time-traveling.
     val opts = new CaseInsensitiveStringMap(properties)
     new WarehouseTable(WarehouseSink.path(opts), schema,
-      WarehouseSink.versionAsOf(opts.get("versionAsOf")))
+      WarehouseSink.asOf(WarehouseSink.path(opts), opts))
   }
 }
 
@@ -107,6 +107,33 @@ object WarehouseSink {
   private[sources] def versionAsOf(raw: String): Option[Long] =
     Option(raw).map(_.trim).filter(_.nonEmpty).map(_.toLong)
 
+  /** Resolve the effective time-travel version from the reader options:
+    * explicit `versionAsOf` wins; otherwise `timestampAsOf` (epoch
+    * millis, or an ISO-8601 instant like 2026-08-14T12:00:00Z) resolves
+    * to the NEWEST retained generation committed at or before that
+    * instant — the Delta TIMESTAMP AS OF contract. Commit stamps are
+    * monotonic (see publish), so the mapping is unambiguous; asking for
+    * a time before the first retained commit fails loudly (that history
+    * is vacuumed or never existed). */
+  private[sources] def asOf(dir: String,
+                            opts: CaseInsensitiveStringMap): Option[Long] =
+    versionAsOf(opts.get("versionAsOf")).orElse(
+      Option(opts.get("timestampAsOf")).map(_.trim).filter(_.nonEmpty)
+        .map { raw =>
+          val tsMs =
+            if (raw.forall(_.isDigit)) raw.toLong
+            else java.time.Instant.parse(raw).toEpochMilli
+          val cur = readManifest(dir).getOrElse(
+            throw new IllegalArgumentException(
+              s"warehouse table at $dir does not exist")).version
+          val cands = (0L to cur).flatMap(readManifestAt(dir, _))
+            .filter(_.ts <= tsMs)
+          require(cands.nonEmpty,
+            s"no retained generation of $dir at or before $raw " +
+              "(vacuumed, or before the table existed)")
+          cands.map(_.version).max
+        })
+
   /** `epoch` is the last streaming epoch folded into this generation
     * (-1 for batch-only tables) — the idempotence cursor a replayed
     * micro-batch checks before re-publishing. `partitionCol` ("" = none)
@@ -119,7 +146,8 @@ object WarehouseSink {
                                        sortedBy: String = "",
                                        op: String = "",
                                        cdf: Boolean = false,
-                                       changeFiles: Seq[String] = Nil)
+                                       changeFiles: Seq[String] = Nil,
+                                       ts: Long = 0L)
 
   /** `partitionCol` holds one name or a comma-joined list ("a,b"):
     * multi-column value partitioning — every data file holds exactly one
@@ -156,9 +184,15 @@ object WarehouseSink {
     def fileList(k: String): Seq[String] = field(k).split(",").map(_.trim)
       .filter(_.nonEmpty).map(s => unescape(s.stripPrefix("\"").stripSuffix("\"")))
       .toSeq
+    // Pre-ts manifests (ts absent → 0) fall back to the manifest file's
+    // mtime: close enough for timestampAsOf on legacy history, and new
+    // commits always stamp an explicit monotonic ts.
+    val ts0 = field("ts", "0").toLong
+    val ts = if (ts0 > 0L) ts0 else Files.getLastModifiedTime(mf.toPath).toMillis
     Some(Manifest(field("version").toLong, field("schema"), fileList("files"),
       field("epoch", "-1").toLong, field("partitionCol"), field("sortedBy"),
-      field("op"), field("cdf", "false") == "true", fileList("changeFiles")))
+      field("op"), field("cdf", "false") == "true", fileList("changeFiles"),
+      ts))
   }
 
   private def escape(s: String): String =
@@ -174,7 +208,7 @@ object WarehouseSink {
 
   private[sources] def writeManifest(dir: String, m: Manifest): Unit = {
     val json =
-      s"""{"version": ${m.version}, "epoch": ${m.epoch}, "partitionCol": "${escape(m.partitionCol)}", "sortedBy": "${escape(m.sortedBy)}", "op": "${escape(m.op)}", "cdf": "${m.cdf}", "schema": "${escape(m.schemaDdl)}", "files": [${m.files.map(f => "\"" + escape(f) + "\"").mkString(", ")}], "changeFiles": [${m.changeFiles.map(f => "\"" + escape(f) + "\"").mkString(", ")}]}"""
+      s"""{"version": ${m.version}, "ts": ${m.ts}, "epoch": ${m.epoch}, "partitionCol": "${escape(m.partitionCol)}", "sortedBy": "${escape(m.sortedBy)}", "op": "${escape(m.op)}", "cdf": "${m.cdf}", "schema": "${escape(m.schemaDdl)}", "files": [${m.files.map(f => "\"" + escape(f) + "\"").mkString(", ")}], "changeFiles": [${m.changeFiles.map(f => "\"" + escape(f) + "\"").mkString(", ")}]}"""
     // CREATE_NEW: a version slot is claimed exactly once. Two committers
     // racing the same slot collide HERE — a detectable conflict — instead
     // of the second silently overwriting the first's file list.
@@ -229,7 +263,11 @@ object WarehouseSink {
         case None => return None // caller declined (e.g. replayed epoch)
         case Some(m0) =>
           val v = math.max(prev.map(_.version + 1).getOrElse(0L), floor)
-          val m = m0.copy(version = v)
+          // Commit timestamps are clamped monotonic (clock skew cannot
+          // reorder history), so timestampAsOf resolves unambiguously.
+          val m = m0.copy(version = v,
+            ts = math.max(System.currentTimeMillis(),
+              prev.map(_.ts).getOrElse(0L)))
           try { writeManifest(dir, m); return Some(m) }
           catch {
             case _: java.nio.file.FileAlreadyExistsException =>
@@ -411,6 +449,45 @@ object WarehouseSink {
         prev.map(_.epoch).getOrElse(-1L), target.partitionCol,
         target.sortedBy, op = "restore"))
     })
+  }
+
+  /** Zero-copy table clone — the "dev copy of prod" primitive: the clone
+    * gets its own manifest chain (version 0, fresh history, fresh change
+    * feed) while every data file (+ its stats sidecar) is HARD-LINKED,
+    * not copied — O(|files|) metadata work, zero bytes moved, exactly
+    * Delta/Iceberg shallow-clone economics. Because links pin inodes,
+    * `vacuum` on EITHER table can never break the other (the file
+    * vanishes from a dir's namespace, the bytes survive until the last
+    * reference drops) — strictly safer than path-based shallow clones,
+    * whose reads break when the source vacuums. Data files are immutable
+    * in this format (every DML writes new files), so post-clone DML on
+    * either side diverges without ever touching shared bytes.
+    *
+    * On an object store, links become manifest references with
+    * refcounted deletes — same contract, different plumbing (documented,
+    * not implemented here). Single-writer on dstDir like every DDL. */
+  def cloneTable(srcDir: String, dstDir: String): Int = {
+    val m = readManifest(srcDir).getOrElse(throw new IllegalArgumentException(
+      s"$srcDir is not a warehouse table (no _current)"))
+    Files.createDirectories(Paths.get(dstDir))
+    require(readManifest(dstDir).isEmpty, s"$dstDir is already a table")
+    var linked = 0
+    def linkOne(name: String): Unit = {
+      val src = Paths.get(srcDir, name)
+      val dst = Paths.get(dstDir, name)
+      if (Files.exists(src) && !Files.exists(dst)) {
+        try Files.createLink(dst, src)
+        catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+          Files.copy(src, dst) // cross-device fallback: still correct
+        }
+        linked += 1
+      }
+    }
+    m.files.foreach { f => linkOne(f); linkOne(statsFile(f)) }
+    writeManifest(dstDir, Manifest(0L, m.schemaDdl, m.files, epoch = -1L,
+      m.partitionCol, m.sortedBy, op = "clone", cdf = m.cdf,
+      ts = System.currentTimeMillis()))
+    linked
   }
 
   def vacuum(dir: String, keepVersions: Int = 1): Int = {
@@ -1162,6 +1239,42 @@ object WarehouseSink {
   /** Could any row of a file with these column ranges satisfy `f`?
     * Unknown columns, null literals, and unsupported predicates all
     * answer true — skipping is an optimization, never a filter. */
+  /** Translate the runtime V2 predicates Spark hands a
+    * SupportsRuntimeV2Filtering scan (dynamic partition pruning: the IN
+    * list of join keys the build side actually produced) into the v1
+    * Filters the stats-skipping machinery already evaluates. Best-effort
+    * by design: an untranslatable predicate prunes nothing — the join
+    * re-applies the full condition, so correctness never depends on this
+    * path, only the scan-volume saving does. */
+  private[sources] def v2ToV1(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, Literal => V2Lit, NamedReference}
+    def colOf(e: V2Expr): Option[String] = e match {
+      case n: NamedReference if n.fieldNames.length == 1 =>
+        Some(n.fieldNames()(0))
+      case _ => None
+    }
+    def litOf(e: V2Expr): Option[Any] = e match {
+      case l: V2Lit[_] => Some(org.apache.spark.sql.catalyst
+        .CatalystTypeConverters.convertToScala(l.value, l.dataType))
+      case _ => None
+    }
+    val ch = p.children()
+    p.name() match {
+      case "IN" if ch.nonEmpty =>
+        val vs = ch.tail.map(litOf)
+        for { c <- colOf(ch.head); _ <- if (vs.forall(_.isDefined)) Some(()) else None }
+          yield org.apache.spark.sql.sources.In(c, vs.map(_.get))
+      case "=" if ch.length == 2 =>
+        colOf(ch(0)).flatMap(c => litOf(ch(1))
+            .map(v => org.apache.spark.sql.sources.EqualTo(c, v)))
+          .orElse(colOf(ch(1)).flatMap(c => litOf(ch(0))
+            .map(v => org.apache.spark.sql.sources.EqualTo(c, v))))
+      case _ => None
+    }
+  }
+
   private[sources] def mightMatch(stats: Map[String, (Any, Any)],
                                   f: org.apache.spark.sql.sources.Filter): Boolean = {
     import org.apache.spark.sql.sources._
@@ -1905,7 +2018,35 @@ private[sources] class WarehouseScan(dir: String, schema: StructType,
                                      skipChanges: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
-    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  // ---- runtime (dynamic) file pruning ----
+  // Spark's dynamic-partition-pruning rule hands this scan the IN list
+  // of join keys the build side ACTUALLY produced; the same stats-sidecar
+  // skipping that serves pushed filters then drops whole files at
+  // runtime — DPP economics without Hive partitions. Declared for every
+  // column: the sidecars carry min/max for all of them, so a runtime
+  // filter on any clustered/sorted column prunes. Untranslatable
+  // predicates prune nothing (the join re-applies the condition —
+  // correctness never rides on this). Arrives before planInputPartitions,
+  // after planning-time outputPartitioning: pruning only ever DROPS
+  // value groups (files of one group share its partition value), which
+  // Spark's SPJ machinery reconciles exactly like a missing value set.
+  @volatile private var runtimeFilters:
+      Array[org.apache.spark.sql.sources.Filter] = Array.empty
+
+  // Only columns of the scan's (pruned) OUTPUT: Spark resolves these
+  // refs against the scan relation — naming a projected-away column is
+  // an analysis error, not a no-op.
+  override def filterAttributes():
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Option(required0).getOrElse(schema).fieldNames.map(
+      org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    runtimeFilters = predicates.flatMap(WarehouseSink.v2ToV1)
   // `required` defaults to the full schema (the pre-pruning callers and
   // the streaming path); stats-skipping decisions always use the FULL
   // schema — a pushed filter may reference a column the query never
@@ -1924,7 +2065,11 @@ private[sources] class WarehouseScan(dir: String, schema: StructType,
         s", cols: ${required.fieldNames.mkString(",")}" else "") +
       (if (skipFilters.isEmpty) "]"
        else s", skipBy: ${skipFilters.mkString(", ")}]")
-  private lazy val keptFiles: Seq[String] = {
+  // def, not lazy val: runtime filters can arrive AFTER planning-time
+  // consumers (estimateStatistics) already evaluated the file list, and
+  // planInputPartitions must see the pruned view. Recomputation is
+  // O(|files|) tiny driver-side sidecar reads.
+  private def keptFiles: Seq[String] = {
     val m = versionAsOf match {
       case Some(v) => Some(WarehouseSink.readManifestAt(dir, v).getOrElse(
         throw new IllegalArgumentException(
@@ -1935,12 +2080,13 @@ private[sources] class WarehouseScan(dir: String, schema: StructType,
     // File skipping: a file whose stats ranges refute every pushed filter
     // plans NO partition. O(|files|) tiny sidecar reads on the driver —
     // the same order of work as listing the manifest itself.
-    if (skipFilters.isEmpty) files
+    val all = skipFilters ++ runtimeFilters
+    if (all.isEmpty) files
     else files.filter { f =>
       (WarehouseSink.readStats(dir, f, schema) match {
-        case Some(st) => skipFilters.forall(WarehouseSink.mightMatch(st, _))
+        case Some(st) => all.forall(WarehouseSink.mightMatch(st, _))
         case None => true // pre-stats file: never skip blind
-      }) && skipFilters.forall(WarehouseSink.nullAwareMatch(dir, f, _))
+      }) && all.forall(WarehouseSink.nullAwareMatch(dir, f, _))
     }
   }
   /** Honest table statistics for the optimizer — the piece that lets AQE
@@ -1974,7 +2120,7 @@ private[sources] class WarehouseScan(dir: String, schema: StructType,
   // (compaction/DML rewrites mix values) degrades the WHOLE scan to
   // per-file partitions with UnknownPartitioning — correctness is never
   // conditional on the layout, only the shuffle saving is.
-  private lazy val partitionGroups: Option[Seq[(Seq[Any], Seq[String])]] = {
+  private def partitionGroups: Option[Seq[(Seq[Any], Seq[String])]] = {
     val m = versionAsOf match {
       case Some(v) => WarehouseSink.readManifestAt(dir, v)
       case None => WarehouseSink.readManifest(dir)

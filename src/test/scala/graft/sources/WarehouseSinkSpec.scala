@@ -1248,4 +1248,66 @@ class WarehouseSinkSpec extends SparkSpec {
     }
     assert(spark.read.format(Fmt).option("path", dir).load().count() === 1L)
   }
+
+  test("cloneTable: zero-copy clone diverges under DML; source vacuum " +
+    "cannot break it") {
+    val src = tmp(); val dst = tmp() + "/clone"
+    (0L until 50L).map(i => (i, i * 10.0)).toDF("id", "v")
+      .write.format(Fmt).option("path", src).mode("append").save()
+    val linked = WarehouseSink.cloneTable(src, dst)
+    assert(linked > 0)
+    def ids(d: String) = spark.read.format(Fmt).option("path", d).load()
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids(dst) === (0L until 50L))
+    // DML on the clone must not touch the source (immutable shared files)
+    WarehouseSink.deleteWhere(spark, dst,
+      Seq(org.apache.spark.sql.sources.GreaterThan("id", 24L)))
+    assert(ids(dst) === (0L until 25L))
+    assert(ids(src) === (0L until 50L))
+    // source truncate + vacuum drops ALL originally-shared names from the
+    // source dir; the clone's hard links keep the bytes alive
+    Seq((999L, 1.0)).toDF("id", "v")
+      .write.format(Fmt).option("path", src).mode("overwrite").save()
+    WarehouseSink.vacuum(src, keepVersions = 1)
+    assert(ids(src) === Seq(999L))
+    assert(ids(dst) === (0L until 25L))
+    // clone history is fresh: version 0, op = clone
+    val m = WarehouseSink.readManifest(dst)
+    assert(m.exists(_.op == "delete")) // after the DML
+    assert(WarehouseSink.readManifestAt(dst, 0L).exists(_.op == "clone"))
+    // cloning onto an existing table is refused
+    intercept[Exception] { WarehouseSink.cloneTable(src, dst) }
+  }
+
+  test("timestampAsOf resolves to the newest generation at or before " +
+    "the instant") {
+    val dir = tmp()
+    def w(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, s"v$i")).toDF("id", "v")
+        .write.format(Fmt).option("path", dir).mode("append").save()
+    w(0, 10)
+    val t0 = WarehouseSink.readManifest(dir).get.ts
+    Thread.sleep(5)
+    w(10, 20)
+    val t1 = WarehouseSink.readManifest(dir).get.ts
+    assert(t1 >= t0) // monotonic stamps
+    def idsAt(ts: String) = spark.read.format(Fmt).option("path", dir)
+      .option("timestampAsOf", ts).load()
+      .select("id").as[Long].collect().sorted.toSeq
+    // at t0: only the first generation; at t1 (and any later instant):
+    // both; before the table existed: loud error
+    assert(idsAt(t0.toString) === (0L until 10L))
+    assert(idsAt(t1.toString) === (0L until 20L))
+    assert(idsAt((t1 + 60000L).toString) === (0L until 20L))
+    // ISO-8601 form resolves identically
+    assert(idsAt(java.time.Instant.ofEpochMilli(t1).toString) ===
+      (0L until 20L))
+    val ex = intercept[Exception] { idsAt((t0 - 60000L).toString) }
+    assert(ex.getMessage.contains("no retained generation"))
+    // explicit versionAsOf wins over timestampAsOf
+    assert(spark.read.format(Fmt).option("path", dir)
+      .option("timestampAsOf", (t1 + 1000L).toString)
+      .option("versionAsOf", "0").load()
+      .select("id").as[Long].collect().sorted.toSeq === (0L until 10L))
+  }
 }

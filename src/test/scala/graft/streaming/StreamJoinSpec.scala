@@ -79,4 +79,41 @@ class StreamJoinSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(got === batch)
   }
+
+  test("left-outer: unmatched clicks emit NULL rows only after the " +
+    "watermark closes their window") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = StreamJoin.attributedPairsOuter(
+      clicks.toDF().toDF("user_id", "ts_t"),
+      purchases.toDF().toDF("user_id", "ts_t"),
+      "user_id", "ts_t", maxGap = "1 hour", watermark = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("attr_outer")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData((1L, ts("2024-01-01 10:00:00")),
+        (2L, ts("2024-01-01 10:00:00")))
+      purchases.addData((1L, ts("2024-01-01 10:30:00")))
+      q.processAllAvailable()
+      // The matched pair is out already; user 2's NULL row must NOT be —
+      // its window is still open (a purchase could still arrive).
+      val early = spark.table("attr_outer")
+        .select("user_id", "unconverted")
+        .as[(Long, Boolean)].collect().toSet
+      assert(early === Set((1L, false)))
+      // Advance BOTH watermarks far past click+maxGap: user 2's window
+      // provably closed → exactly one watermark-closed NULL row.
+      clicks.addData((9L, ts("2024-01-01 23:00:00")))
+      purchases.addData((9L, ts("2024-01-01 23:00:00")))
+      q.processAllAvailable()
+      // one more cycle so the watermark advance evicts state
+      clicks.addData((9L, ts("2024-01-01 23:30:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val late = spark.table("attr_outer")
+      .filter(col("user_id") === 2L)
+      .select("user_id", "unconverted").as[(Long, Boolean)].collect().toSeq
+    assert(late === Seq((2L, true)))
+  }
 }
