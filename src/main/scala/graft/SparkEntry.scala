@@ -1937,6 +1937,22 @@ object SparkEntry {
     "q199_theil_sen" -> ((s, d) =>
       Analytics.theilSenSlope(eventsUs(s, d), "event_type", "ts_us")),
 
+    // k-core of the co-purchase graph (sparser 1-in-17 sample so the
+    // peel genuinely cascades): the cohesive backbone between q46's
+    // components and q209's triangles. Convergence short-circuit is
+    // replay-safe (peeling is monotone: a no-op round stays no-op).
+    "q229_kcore" -> ((s, d) => {
+      val items = Tables.lineitem(s, d)
+        .filter(col("l_partkey") % 17 === 0)
+        .select(col("l_orderkey").as("graft_o"),
+          col("l_partkey").as("graft_i")).distinct()
+      val a = items.select(col("graft_o"), col("graft_i").as("pa"))
+      val b = items.select(col("graft_o"), col("graft_i").as("pb"))
+      val edges = a.join(b, Seq("graft_o"))
+        .filter(col("pa") < col("pb")).select("pa", "pb")
+      Graph.kCore(edges, "pa", "pb", k = 4, maxRounds = 8)
+    }),
+
     // Cumulative gains / lift by score decile: the campaign-targeting
     // readout over q167's scored substrate — groups-atomic buckets so
     // score ties never split nondeterministically.
@@ -5394,6 +5410,34 @@ object SparkEntry {
          FROM v GROUP BY 1""",
 
     // q140's CTE chain, counted per stage instead of collapsed.
+    // The peel unrolled to the operator's maxRounds: rounds past
+    // convergence are identity (monotone peel), so fixed-depth replay
+    // equals the short-circuited run.
+    "q229_kcore" -> {
+      val rounds = 8
+      // MATERIALIZED: each round references its predecessor three times,
+      // so default CTE inlining would expand the chain exponentially
+      // (3^8 base-table scans — DuckDB runs out of file handles).
+      val peel = (1 to rounds).map { r =>
+        s"""d$r AS MATERIALIZED (SELECT n, count(*) AS deg
+               FROM (SELECT x AS n FROM e${r - 1}
+                     UNION ALL SELECT y FROM e${r - 1}) GROUP BY 1),
+         s$r AS MATERIALIZED (SELECT n FROM d$r WHERE deg >= 4),
+         e$r AS MATERIALIZED (SELECT x, y FROM e${r - 1}
+               WHERE x IN (SELECT n FROM s$r)
+                 AND y IN (SELECT n FROM s$r))"""
+      }.mkString(",\n         ")
+      s"""WITH items AS MATERIALIZED (
+               SELECT DISTINCT l_orderkey AS o, l_partkey AS i
+               FROM lineitem WHERE l_partkey % 17 = 0),
+         e0 AS MATERIALIZED (SELECT DISTINCT a.i AS x, b.i AS y
+               FROM items a JOIN items b ON a.o = b.o AND a.i < b.i),
+         $peel
+         SELECT n AS node, CAST(count(*) AS BIGINT) AS core_degree
+         FROM (SELECT x AS n FROM e$rounds UNION ALL SELECT y FROM e$rounds)
+         GROUP BY 1"""
+    },
+
     // The schedule is arithmetic on the decoded duration: frames
     // 0..min(⌊(dur−1)/step⌋, max−1), i.e. f·step < dur, f < max.
     "q228_frame_schedule" ->

@@ -144,4 +144,61 @@ object Graph {
           " ELSE 2 * coalesce(graft_tri, 0) * 1000000" +
           " div (graft_deg * (graft_deg - 1)) END").as("clustering_ppm"))
   }
+
+  /** k-core peel — the cohesive-subgraph extractor between components
+    * (any connectivity) and triangles (local density): iteratively
+    * remove nodes of degree < k until the remainder is the k-core, the
+    * maximal subgraph where EVERY member keeps ≥ k neighbors inside it.
+    * The spam/bot-farm and community-backbone screen PageRank can't
+    * give (a high-rank node may have one strong edge; a k-core member
+    * provably has k mutually-retained ones).
+    *
+    * Runs at most `maxRounds` peel rounds with a convergence
+    * short-circuit — SAFE against a fixed-round replay because peeling
+    * is monotone: once a round removes nothing, every further round is
+    * a no-op, so "converged at round r ≤ R" and "ran exactly R rounds"
+    * give the SAME survivor set (the oracle unrolls R rounds
+    * verbatim). If round maxRounds still removed nodes the peel is
+    * incomplete and the operator FAILS loudly rather than returning a
+    * superset (the honesty rule every bounded-iteration operator here
+    * follows).
+    *
+    * Scale: each round is one degree aggregate + two semi-joins, all
+    * keyed on node ids — only the (shrinking) edge list ever shuffles,
+    * never source rows; per-round tables are pinned once
+    * ([[Materialize.transient]]) because degrees and both semi-join
+    * legs consume the same edge set. Round count is bounded by the
+    * degeneracy ordering's diameter in practice (single digits on
+    * real graphs). */
+  def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
+            maxRounds: Int = 10): DataFrame = {
+    require(k >= 1 && maxRounds >= 1, "k and maxRounds must be positive")
+    var e = Materialize.transient(edges
+      .select(col(aCol).cast("long").as("graft_a"),
+        col(bCol).cast("long").as("graft_b"))
+      .filter(col("graft_a") =!= col("graft_b") &&
+        col("graft_a").isNotNull && col("graft_b").isNotNull)
+      .select(least(col("graft_a"), col("graft_b")).as("x"),
+        greatest(col("graft_a"), col("graft_b")).as("y"))
+      .distinct())
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val deg = e.select(explode(array(col("x"), col("y"))).as("n"))
+        .groupBy("n").agg(count(lit(1)).as("graft_deg"))
+      val keep = deg.filter(col("graft_deg") >= k).select("n")
+      val e2 = Materialize.transient(
+        e.join(keep.withColumnRenamed("n", "x"), Seq("x"), "left_semi")
+          .join(keep.withColumnRenamed("n", "y"), Seq("y"), "left_semi")
+          .select("x", "y"))
+      converged = e2.count() == e.count() // both pinned: counts are free-ish
+      e = e2
+      round += 1
+    }
+    require(converged,
+      s"k-core peel did not converge within $maxRounds rounds — raise " +
+        "maxRounds (and the replay's unroll depth) in step")
+    e.select(explode(array(col("x"), col("y"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("core_degree"))
+  }
 }

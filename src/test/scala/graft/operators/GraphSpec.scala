@@ -64,4 +64,25 @@ class GraphSpec extends SparkSpec {
     // triangle-count conservation: per-node counts sum to 3 x #triangles
     assert(got.map(_._3).sum === 3L * 4L)
   }
+
+  test("kCore: a pendant chain cascades away over rounds; the core stays") {
+    // triangle {1,2,3} + chain 3-4-5-6: at k=2 the chain peels one node
+    // per round (6 → 5 → 4, three rounds), the triangle survives intact
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val got = Graph.kCore(edges, "a", "b", k = 2, maxRounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: an unconverged peel fails loudly instead of returning a superset") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.kCore(edges, "a", "b", k = 2, maxRounds = 2)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // everything peels at k=4: the empty core converges and is empty
+    assert(Graph.kCore(edges, "a", "b", k = 4, maxRounds = 8).count() === 0L)
+  }
 }
