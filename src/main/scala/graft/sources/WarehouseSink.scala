@@ -484,10 +484,85 @@ object WarehouseSink {
       }
     }
     m.files.foreach { f => linkOne(f); linkOne(statsFile(f)) }
+    copyChecks(srcDir, dstDir) // the clone inherits the CHECK policy
     writeManifest(dstDir, Manifest(0L, m.schemaDdl, m.files, epoch = -1L,
       m.partitionCol, m.sortedBy, op = "clone", cdf = m.cdf,
       ts = System.currentTimeMillis()))
     linked
+  }
+
+  // ---- CHECK constraints ----
+  /** One table-level row constraint: `notnull` (col must be non-null),
+    * `min`/`max` (numeric col ≥/≤ value), or `in` (string form of the
+    * value ∈ the `;`-separated list). Deliberately a CLOSED grammar —
+    * every kind is row-local and engine-free, so enforcement costs one
+    * branch per row in the writer and never needs a SQL evaluator on
+    * the executor. */
+  case class Check(name: String, kind: String, col: String, value: String) {
+    require(Seq("notnull", "min", "max", "in").contains(kind),
+      s"unknown check kind '$kind'")
+  }
+
+  private def checksPath(dir: String) = Paths.get(dir, "_checks.tsv")
+
+  /** The table's active checks. Stored OUTSIDE the manifest chain
+    * (`_checks.tsv`, one record per line): constraints are table-level
+    * POLICY, not versioned state — storing them beside the generations
+    * means every publish path (append, DML, maintain, restore, WAP)
+    * carries them with zero threading, and vacuum's `_`-prefix rule
+    * already protects the file. */
+  def checks(dir: String): Seq[Check] = {
+    val p = checksPath(dir)
+    if (!Files.exists(p)) Nil
+    else new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .split("\n").toSeq.filter(_.nonEmpty).map { line =>
+        val f = line.split("\u001f", -1)
+        Check(f(0), f(1), f(2), if (f.length > 3) f(3) else "")
+      }
+  }
+
+  private def writeChecks(dir: String, cs: Seq[Check]): Unit = {
+    val body = cs.map(c =>
+      s"${c.name}\u001f${c.kind}\u001f${c.col}\u001f${c.value}")
+      .mkString("\n")
+    Files.write(checksPath(dir), body.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** ALTER TABLE ADD CONSTRAINT: validates the constraint against the
+    * CURRENT table contents first (one scan, violation fails the add and
+    * leaves the table's policy unchanged — the Delta contract: a check
+    * holds for all data, not just future writes), then persists it;
+    * every subsequent append / streaming epoch / UPDATE / MERGE write
+    * enforces it per row, failing the write atomically (staged files
+    * never publish). Same-name add replaces. */
+  def addCheck(spark: org.apache.spark.sql.SparkSession, dir: String,
+               check: Check): Unit = {
+    readManifest(dir).foreach { m =>
+      val schema = StructType.fromDDL(m.schemaDdl)
+      require(schema.fieldNames.contains(check.col),
+        s"check '${check.name}': column ${check.col} not in table schema")
+      val df = spark.read.format("graft.sources.WarehouseSink")
+        .option("path", dir).load()
+      val ev = new CheckEvaluator(Seq(check), schema)
+      val bad = df.filter(!ev.asColumn(df)).limit(1).count()
+      require(bad == 0L,
+        s"check '${check.name}' is violated by existing data — not added")
+    }
+    writeChecks(dir, checks(dir).filterNot(_.name == check.name) :+ check)
+  }
+
+  def dropCheck(dir: String, name: String): Unit =
+    writeChecks(dir, checks(dir).filterNot(_.name == name))
+
+  /** Copy the source table's check policy onto a derived dir — the DML
+    * rewrite legs write through a TEMP table, which must enforce the
+    * parent's checks. */
+  private[sources] def copyChecks(srcDir: String, dstDir: String): Unit = {
+    val cs = checks(srcDir)
+    if (cs.nonEmpty) {
+      Files.createDirectories(Paths.get(dstDir))
+      writeChecks(dstDir, cs)
+    }
   }
 
   def vacuum(dir: String, keepVersions: Int = 1): Int = {
@@ -884,6 +959,10 @@ object WarehouseSink {
       new File(dir).getName + ".merge-" +
         java.util.UUID.randomUUID.toString.take(8))
     val tmpIns = new File(tmpKept.getPath + "-ins")
+    // DML rewrite legs write through TEMP tables: carry the parent's
+    // CHECK policy so a merge cannot smuggle in violating rows.
+    copyChecks(dir, tmpKept.getPath)
+    copyChecks(dir, tmpIns.getPath)
     try {
       if (candidates.nonEmpty)
         spark.read.format(fmt).option("path", dir)
@@ -986,6 +1065,7 @@ object WarehouseSink {
     val tmp = new File(new File(dir).getAbsoluteFile.getParentFile,
       new File(dir).getName + ".update-" +
         java.util.UUID.randomUUID.toString.take(8))
+    copyChecks(dir, tmp.getPath) // UPDATE must not write violating rows
     try {
       val rewritten = candScan.select(schema.fields.map { f =>
         set.get(f.name) match {
@@ -1646,8 +1726,13 @@ private[sources] class WarehouseBatchWrite(dir: String, schema: StructType,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     staging.mkdirs()
+    // Checks are read ONCE on the driver and compiled against the WRITE
+    // schema here, so a check on a column this write doesn't carry fails
+    // fast with a clear message instead of per-task.
+    val cks = WarehouseSink.checks(dir)
+    if (cks.nonEmpty) new CheckEvaluator(cks, schema) // driver-side validation
     new WarehouseWriterFactory(staging.getPath, schema,
-      WarehouseSink.splitCols(partitionCol).map(schema.fieldIndex))
+      WarehouseSink.splitCols(partitionCol).map(schema.fieldIndex), cks)
   }
 
   /** Publish: move exactly the files the coordinator-admitted attempts
@@ -1764,7 +1849,9 @@ private[sources] class WarehouseStreamingWrite(dir: String, schema: StructType,
       StreamingDataWriterFactory = {
     val base = new File(dir, s"_staging/$queryId")
     base.mkdirs()
-    new WarehouseStreamingWriterFactory(base.getPath, schema)
+    val cks = WarehouseSink.checks(dir)
+    if (cks.nonEmpty) new CheckEvaluator(cks, schema) // fail fast on driver
+    new WarehouseStreamingWriterFactory(base.getPath, schema, cks)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -1824,24 +1911,49 @@ private[sources] class WarehouseStreamingWrite(dir: String, schema: StructType,
 }
 
 private[sources] class WarehouseStreamingWriterFactory(baseStaging: String,
-                                                       schema: StructType)
+                                                       schema: StructType,
+                                                       checks: Seq[WarehouseSink.Check] = Nil)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] = {
     val st = new File(baseStaging, s"epoch-$epochId")
     st.mkdirs()
-    new WarehouseWriter(st.getPath, schema, partitionId, taskId)
+    val inner = new WarehouseWriter(st.getPath, schema, partitionId, taskId)
+    if (checks.isEmpty) inner
+    else new DataWriter[InternalRow] {
+      private val ev = new CheckEvaluator(checks, schema)
+      override def write(record: InternalRow): Unit = {
+        ev.validate(record); inner.write(record)
+      }
+      override def commit(): WriterCommitMessage = inner.commit()
+      override def abort(): Unit = inner.abort()
+      override def close(): Unit = inner.close()
+    }
   }
 }
 
 private[sources] class WarehouseWriterFactory(stagingDir: String,
                                               schema: StructType,
-                                              partitionIdxs: Seq[Int] = Nil)
+                                              partitionIdxs: Seq[Int] = Nil,
+                                              checks: Seq[WarehouseSink.Check] = Nil)
     extends DataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    if (partitionIdxs.isEmpty) new WarehouseWriter(stagingDir, schema, partitionId, taskId)
-    else new PartitionedWarehouseWriter(stagingDir, schema, partitionId,
-      taskId, partitionIdxs)
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val inner: DataWriter[InternalRow] =
+      if (partitionIdxs.isEmpty)
+        new WarehouseWriter(stagingDir, schema, partitionId, taskId)
+      else new PartitionedWarehouseWriter(stagingDir, schema, partitionId,
+        taskId, partitionIdxs)
+    if (checks.isEmpty) inner
+    else new DataWriter[InternalRow] {
+      private val ev = new CheckEvaluator(checks, schema)
+      override def write(record: InternalRow): Unit = {
+        ev.validate(record); inner.write(record)
+      }
+      override def commit(): WriterCommitMessage = inner.commit()
+      override def abort(): Unit = inner.abort()
+      override def close(): Unit = inner.close()
+    }
+  }
 }
 
 /** Encoding, stats tracking, and sidecar emission for ONE staged data
@@ -1940,6 +2052,79 @@ private[sources] class FileSink(stagingDir: String, schema: StructType,
 
   def abort(): Unit = {
     out.close(); new File(stagingDir, fileName).delete()
+  }
+}
+
+/** Row-level CHECK enforcement, compiled once per writer from the closed
+  * [[WarehouseSink.Check]] grammar: each check becomes one branch over a
+  * bound field index — no SQL evaluator ships to executors. A violation
+  * throws with the check name and the offending value; the task fails,
+  * the job aborts, staged files never publish — the write is atomic.
+  * `asColumn` is the same predicate as a Catalyst Column, used by
+  * addCheck's existing-data validation so both legs share one
+  * definition of "satisfied". */
+private[sources] class CheckEvaluator(cs: Seq[WarehouseSink.Check],
+                                      schema: StructType) extends Serializable {
+  import org.apache.spark.sql.types._
+  private val compiled: Seq[(WarehouseSink.Check, Int, DataType)] = cs.map { c =>
+    require(schema.fieldNames.contains(c.col),
+      s"check '${c.name}': column ${c.col} not in write schema " +
+        s"[${schema.fieldNames.mkString(",")}]")
+    val i = schema.fieldIndex(c.col)
+    (c, i, schema.fields(i).dataType)
+  }
+  private def num(row: InternalRow, i: Int, dt: DataType): Double = dt match {
+    case LongType => row.getLong(i).toDouble
+    case IntegerType => row.getInt(i).toDouble
+    case DoubleType => row.getDouble(i)
+    case FloatType => row.getFloat(i).toDouble
+    case other => throw new IllegalArgumentException(
+      s"min/max checks need a numeric column, got $other")
+  }
+  private def str(row: InternalRow, i: Int, dt: DataType): String = dt match {
+    case StringType => row.getUTF8String(i).toString
+    case LongType => row.getLong(i).toString
+    case IntegerType => row.getInt(i).toString
+    case BooleanType => row.getBoolean(i).toString
+    case other => throw new IllegalArgumentException(
+      s"in checks need a string/integral column, got $other")
+  }
+  def validate(row: InternalRow): Unit = compiled.foreach { case (c, i, dt) =>
+    c.kind match {
+      case "notnull" =>
+        if (row.isNullAt(i)) throw new IllegalArgumentException(
+          s"CHECK '${c.name}' violated: ${c.col} is null")
+      case _ if row.isNullAt(i) => // SQL semantics: NULL passes range/in
+      case "min" =>
+        if (num(row, i, dt) < c.value.toDouble)
+          throw new IllegalArgumentException(
+            s"CHECK '${c.name}' violated: ${c.col} = ${num(row, i, dt)} " +
+              s"< ${c.value}")
+      case "max" =>
+        if (num(row, i, dt) > c.value.toDouble)
+          throw new IllegalArgumentException(
+            s"CHECK '${c.name}' violated: ${c.col} = ${num(row, i, dt)} " +
+              s"> ${c.value}")
+      case "in" =>
+        val v = str(row, i, dt)
+        if (!c.value.split(";").contains(v))
+          throw new IllegalArgumentException(
+            s"CHECK '${c.name}' violated: ${c.col} = '$v' not in " +
+              s"{${c.value}}")
+    }
+  }
+  /** The same checks as ONE Catalyst predicate (true = row satisfies). */
+  def asColumn(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    compiled.map { case (c, _, _) =>
+      c.kind match {
+        case "notnull" => col(c.col).isNotNull
+        case "min" => col(c.col).isNull || col(c.col) >= lit(c.value.toDouble)
+        case "max" => col(c.col).isNull || col(c.col) <= lit(c.value.toDouble)
+        case "in" => col(c.col).isNull ||
+          col(c.col).cast("string").isin(c.value.split(";").toIndexedSeq: _*)
+      }
+    }.reduceOption(_ && _).getOrElse(lit(true))
   }
 }
 
