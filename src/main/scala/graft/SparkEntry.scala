@@ -1937,6 +1937,24 @@ object SparkEntry {
     "q199_theil_sen" -> ((s, d) =>
       Analytics.theilSenSlope(eventsUs(s, d), "event_type", "ts_us")),
 
+    // Seasonal-adjusted anomaly screen: q117's blind spot fixed — the
+    // MAD rule applies to residuals vs the same-weekday expectation, so
+    // a weekly-cyclic series stops flagging every weekend.
+    "q230_seasonal_anomaly" -> ((s, d) =>
+      Analytics.seasonalAnomaly(eventsUs(s, d), "event_type", "ts_us",
+        k = 3, madK = 3.0)),
+
+    // Weekly cohort LTV: q88 retention's monetary twin — the cumulative
+    // centi-value-per-user curve a growth team reads payback off.
+    "q231_cohort_ltv" -> ((s, d) =>
+      Analytics.cohortLtv(eventsUs(s, d), "user_id", "ts_us", "value")),
+
+    // Mann-Kendall trend test: the significance readout completing the
+    // trend family (q186 slope, q199 robust slope) — integer S and
+    // tie-corrected V18, pinned-order IEEE assembly.
+    "q232_mann_kendall" -> ((s, d) =>
+      Analytics.mannKendall(eventsUs(s, d), "event_type", "ts_us")),
+
     // k-core of the co-purchase graph (sparser 1-in-17 sample so the
     // peel genuinely cascades): the cohesive backbone between q46's
     // components and q209's triangles. Convergence short-circuit is
@@ -5410,6 +5428,81 @@ object SparkEntry {
          FROM v GROUP BY 1""",
 
     // q140's CTE chain, counted per stage instead of collapsed.
+    // Residuals vs the trailing same-dow floor mean, then the q86 MAD
+    // rule (quantile_cont == Spark's exact interpolating percentile).
+    "q230_seasonal_anomaly" ->
+      """WITH daily AS (SELECT event_type AS s,
+                  epoch_us(ts) // 86400000000 AS d,
+                  CAST(count(*) AS BIGINT) AS y
+             FROM events GROUP BY 1, 2),
+         w AS (SELECT s, d, y,
+                 sum(y) OVER (PARTITION BY s, d % 7 ORDER BY d
+                   ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS ssum,
+                 count(*) OVER (PARTITION BY s, d % 7 ORDER BY d
+                   ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS scnt
+               FROM daily),
+         r AS (SELECT s, d, y, ssum // 3 AS fc, y - ssum // 3 AS resid
+               FROM w WHERE scnt = 3),
+         med AS (SELECT s, quantile_cont(resid, 0.5) AS m FROM r GROUP BY 1),
+         mad AS (SELECT r.s, quantile_cont(abs(resid - m), 0.5) AS md
+               FROM r JOIN med ON r.s = med.s GROUP BY 1)
+         SELECT r.s AS event_type, r.d AS day, r.y AS n_events,
+                CAST(fc AS BIGINT) AS expected,
+                CAST(resid AS BIGINT) AS residual
+         FROM r JOIN med ON r.s = med.s JOIN mad ON r.s = mad.s
+         WHERE abs(resid - m) > 3.0 * md""",
+
+    // Cohort week = first event week; cumulative centi-value per user.
+    "q231_cohort_ltv" ->
+      """WITH ev AS (SELECT user_id,
+                  epoch_us(ts) // 604800000000 AS w,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+             FROM events),
+         fw AS (SELECT user_id, min(w) AS w0 FROM ev GROUP BY 1),
+         cs AS (SELECT w0, CAST(count(*) AS BIGINT) AS users
+               FROM fw GROUP BY 1),
+         cells AS (SELECT fw.w0, ev.w - fw.w0 AS weeks_since,
+                  CAST(sum(ev.c) AS BIGINT) AS cents
+               FROM ev JOIN fw ON ev.user_id = fw.user_id
+               GROUP BY 1, 2),
+         g AS (SELECT w0, weeks_since, cents,
+                  CAST(sum(cents) OVER (PARTITION BY w0 ORDER BY weeks_since
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+               FROM cells)
+         SELECT g.w0 AS cohort_week, g.weeks_since, cs.users AS n_users,
+                g.cents AS week_cents, g.cum AS cum_cents,
+                CAST(g.cum // cs.users AS BIGINT) AS ltv_centi_per_user
+         FROM g JOIN cs ON g.w0 = cs.w0""",
+
+    // Integer S and V18; the z assembly replays the same IEEE op order.
+    "q232_mann_kendall" ->
+      """WITH daily AS (SELECT event_type AS s,
+                  epoch_us(ts) // 86400000000 AS d,
+                  CAST(count(*) AS BIGINT) AS y
+             FROM events GROUP BY 1, 2),
+         p AS (SELECT a.s,
+                  CAST(sum(CASE WHEN b.y > a.y THEN 1
+                               WHEN b.y < a.y THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s_stat
+               FROM daily a JOIN daily b
+                 ON a.s = b.s AND a.d < b.d
+               GROUP BY 1),
+         n AS (SELECT s, CAST(count(*) AS BIGINT) AS n FROM daily GROUP BY 1),
+         t AS (SELECT s, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tt
+               FROM (SELECT s, y, CAST(count(*) AS BIGINT) AS t
+                     FROM daily GROUP BY 1, 2) GROUP BY 1)
+         SELECT p.s AS event_type, n.n AS n_days, p.s_stat,
+                CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.tt AS BIGINT)
+                  AS var18,
+                CASE WHEN n.n * (n.n - 1) * (2 * n.n + 5) - t.tt <= 0
+                     THEN NULL
+                     ELSE round(CAST(p.s_stat - sign(p.s_stat) AS DOUBLE)
+                       * sqrt(18.0)
+                       / sqrt(CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.tt
+                           AS DOUBLE)), 3)
+                END AS z_corrected
+         FROM p JOIN n ON p.s = n.s JOIN t ON p.s = t.s""",
+
     // The peel unrolled to the operator's maxRounds: rounds past
     // convergence are identity (monotone peel), so fixed-depth replay
     // equals the short-circuited run.

@@ -1403,6 +1403,122 @@ object Analytics {
           .as("tau_b"))
   }
 
+  /** Seasonal-adjusted anomaly screen — [[dailyVolumeAnomaly]]'s blind
+    * spot fixed: a raw daily-count screen flags every weekend of a
+    * weekly-cyclic series, so this one subtracts the seasonal
+    * expectation FIRST ([[seasonalBacktest]]'s forecast: floor mean of
+    * the k most recent prior same-weekday counts) and applies the
+    * robust MAD rule (the q86 machinery) to the RESIDUALS: a day is
+    * anomalous when |resid − median(resid)| > k·MAD(resid). Only days
+    * with a full seasonal window score (same observed-days semantic as
+    * the backtest). MAD = 0 (a perfectly regular series) flags any
+    * deviation — the degenerate case is the most anomalous, documented.
+    *
+    * Exactness: residuals are integers; the two medians are Spark's
+    * exact interpolating percentile over the bounded residual table
+    * (identical in DuckDB's quantile_cont); the k·MAD compare is one
+    * deterministic double multiply. Scale: one corpus shuffle to the
+    * daily substrate; everything after runs on bounded tables. */
+  def seasonalAnomaly(events: DataFrame, seriesCol: String, tsUsCol: String,
+                      k: Int, madK: Double): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val wSeason = org.apache.spark.sql.expressions.Window
+      .partitionBy("graft_s", "graft_dow").orderBy(col("graft_d").asc)
+      .rowsBetween(-k, -1)
+    val resid = dailyCounts(events, seriesCol, tsUsCol)
+      .withColumn("graft_dow", pmod(col("graft_d"), lit(7L)))
+      .withColumn("graft_ssum", sum("graft_y").over(wSeason))
+      .withColumn("graft_scnt", count(lit(1)).over(wSeason))
+      .filter(col("graft_scnt") === k)
+      .withColumn("graft_fc", expr(s"graft_ssum div ${k}L"))
+      .withColumn("graft_r", col("graft_y") - col("graft_fc"))
+    val med = resid.groupBy("graft_s")
+      .agg(percentile(col("graft_r"), lit(0.5)).as("graft_med"))
+    val withMed = resid.join(broadcast(med), Seq("graft_s"))
+    val mad = withMed.groupBy("graft_s")
+      .agg(percentile(abs(col("graft_r") - col("graft_med")), lit(0.5))
+        .as("graft_mad"))
+    withMed.join(broadcast(mad), Seq("graft_s"))
+      .filter(abs(col("graft_r") - col("graft_med")) >
+        lit(madK) * col("graft_mad"))
+      .select(col("graft_s").as(seriesCol), col("graft_d").as("day"),
+        col("graft_y").as("n_events"), col("graft_fc").as("expected"),
+        col("graft_r").as("residual"))
+  }
+
+  /** Weekly cohort LTV — [[cohortRetention]]'s monetary twin: users
+    * cohort by first-event week, and each (cohort, weeks-since) cell
+    * accumulates the cohort's running centi-value per user — the curve
+    * a growth team reads payback periods off. Values are lossless ×100
+    * cents; the per-user division is one floor div at the end.
+    *
+    * Scale: first-week table = one user-keyed aggregate; the events
+    * side joins it on the user key (two shrinking key shuffles, the
+    * retention posture); the cumulative window runs over the bounded
+    * (cohort × offset) grid. */
+  def cohortLtv(events: DataFrame, userCol: String, tsUsCol: String,
+                valueCol: String): DataFrame = {
+    val ev = events.select(col(userCol).as("graft_u"),
+      expr(s"$tsUsCol div ${7 * 86400L * 1000000L}L").as("graft_w"),
+      floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("long").as("graft_c"))
+    val first = ev.groupBy("graft_u").agg(min("graft_w").as("graft_w0"))
+    val cohortSize = first.groupBy("graft_w0")
+      .agg(count(lit(1)).as("graft_users"))
+    val cells = ev.join(first, Seq("graft_u"))
+      .groupBy(col("graft_w0"), (col("graft_w") - col("graft_w0")).as("weeks_since"))
+      .agg(sum("graft_c").as("graft_cents"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("graft_w0").orderBy(col("weeks_since").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    cells.join(broadcast(cohortSize), Seq("graft_w0"))
+      .withColumn("cum_cents", sum("graft_cents").over(wCum))
+      .select(col("graft_w0").as("cohort_week"), col("weeks_since"),
+        col("graft_users").cast("long").as("n_users"),
+        col("graft_cents").as("week_cents"), col("cum_cents"),
+        expr("cum_cents div graft_users").as("ltv_centi_per_user"))
+  }
+
+  /** Mann-Kendall trend test — the SIGNIFICANCE readout that completes
+    * the trend family (48s estimates a slope, 48x estimates it
+    * robustly; this one says whether a monotone trend EXISTS): per
+    * series, S = Σ sign(y_j − y_i) over day pairs i<j, tie-corrected
+    * variance kept integral as V18 = 18·Var(S) = n(n−1)(2n+5) −
+    * Σ t(t−1)(2t+5), and the continuity-corrected
+    * z = (S ∓ 1)·√18 / √V18 — integers into two IEEE sqrts and one
+    * multiply in a PINNED evaluation order, round 3 (the spearman
+    * assembly discipline). The pair join runs on the bounded daily
+    * table ([[theilSenSlope]]'s posture). */
+  def mannKendall(events: DataFrame, seriesCol: String,
+                  tsUsCol: String): DataFrame = {
+    val daily = Materialize.transient(
+      dailyCounts(events, seriesCol, tsUsCol))
+    val a = daily.select(col("graft_s"), col("graft_d").as("d1"),
+      col("graft_y").as("y1"))
+    val b = daily.select(col("graft_s"), col("graft_d").as("d2"),
+      col("graft_y").as("y2"))
+    val s = a.join(b, Seq("graft_s")).filter(col("d1") < col("d2"))
+      .groupBy("graft_s")
+      .agg(sum(signum(col("y2") - col("y1")).cast("long")).as("s_stat"))
+    val n = daily.groupBy("graft_s").agg(count(lit(1)).as("graft_n"))
+    val ties = daily.groupBy("graft_s", "graft_y")
+      .agg(count(lit(1)).as("graft_t"))
+      .groupBy("graft_s")
+      .agg(sum(expr("graft_t * (graft_t - 1) * (2 * graft_t + 5)"))
+        .as("graft_tt"))
+    s.join(n, Seq("graft_s")).join(ties, Seq("graft_s"))
+      .withColumn("var18",
+        expr("graft_n * (graft_n - 1) * (2 * graft_n + 5) - graft_tt"))
+      .select(col("graft_s").as(seriesCol),
+        col("graft_n").cast("long").as("n_days"), col("s_stat"),
+        col("var18"),
+        when(col("var18") <= 0, lit(null).cast("double"))
+          .otherwise(round(
+            (col("s_stat") - signum(col("s_stat")).cast("long"))
+              .cast("double")
+              * sqrt(lit(18.0)) / sqrt(col("var18").cast("double")), 3))
+          .as("z_corrected"))
+  }
+
   /** Time-weighted average — the irregular-sampling mean: per series,
     * the trapezoidal integral of the value over the observation span
     * divided by the span, so a value that HELD for an hour weighs 3600×

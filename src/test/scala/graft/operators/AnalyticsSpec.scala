@@ -725,6 +725,65 @@ class AnalyticsSpec extends SparkSpec {
     assert(z.isNullAt(z.fieldIndex("twa_centi")))
   }
 
+  test("seasonalAnomaly: only the planted spike flags on a weekly-cyclic series") {
+    val day = 86400L * 1000000L
+    // perfect weekly shape 10 + 5·dow for 6 weeks, except day 30 spikes
+    // 4×. A raw daily screen would flag every high-dow day; the
+    // seasonal-adjusted screen must flag ONLY the spike.
+    val rows = for {
+      d <- 0 until 42
+      base = 10 + 5 * (d % 7)
+      y = if (d == 30) base * 4 else base
+      r <- 0 until y
+    } yield ("w", d * day + r)
+    val got = Analytics.seasonalAnomaly(rows.toDF("event_type", "ts_us"),
+      "event_type", "ts_us", k = 3, madK = 3.0).collect()
+    // day 30 is the spike itself; day 37 (same weekday, one week later)
+    // flags because the spike CONTAMINATES its trailing forecast window —
+    // the echo a seasonal screen is expected to show. No clean high-dow
+    // day flags, which is the point vs a raw daily screen.
+    assert(got.map(_.getAs[Long]("day")).toSeq.sorted === Seq(30L, 37L))
+    val spike = got.find(_.getAs[Long]("day") == 30L).get
+    assert(spike.getAs[Long]("expected") === 10L + 5 * (30 % 7))
+    assert(spike.getAs[Long]("residual") > 0)
+    assert(got.find(_.getAs[Long]("day") == 37L).get
+      .getAs[Long]("residual") < 0)
+  }
+
+  test("cohortLtv: hand-computed cumulative centi-value per cohort") {
+    val wk = 7 * 86400L * 1000000L
+    // u1 joins week 0 (spends 1.00 then 2.00 in week 1); u2 joins week 1
+    // (spends 10.00). Cohort 0: week0 100c, week1 cum 300c over 1 user;
+    // cohort 1: 1000c over 1 user.
+    val ev = Seq((1L, 0L, 1.0), (1L, wk, 2.0), (2L, wk, 10.0))
+      .toDF("user_id", "ts_us", "value")
+    val got = Analytics.cohortLtv(ev, "user_id", "ts_us", "value")
+      .collect().map(r => (r.getAs[Long]("cohort_week"),
+        r.getAs[Long]("weeks_since")) ->
+        ((r.getAs[Long]("n_users"), r.getAs[Long]("cum_cents"),
+          r.getAs[Long]("ltv_centi_per_user")))).toMap
+    assert(got === Map(
+      (0L, 0L) -> ((1L, 100L, 100L)),
+      (0L, 1L) -> ((1L, 300L, 300L)),
+      (1L, 0L) -> ((1L, 1000L, 1000L))))
+  }
+
+  test("mannKendall: monotone series scores maximal S; constant gives NULL z") {
+    val day = 86400L * 1000000L
+    // "up": y = d+1 over 10 days → S = C(10,2) = 45, no ties.
+    // "flat": y = 3 every day → all pairs tie, var18 = 0 → NULL z.
+    val rows =
+      (for (d <- 0 until 10; r <- 0 until (d + 1)) yield ("up", d * day + r)) ++
+      (for (d <- 0 until 10; r <- 0 until 3) yield ("flat", d * day + r))
+    val got = Analytics.mannKendall(rows.toDF("event_type", "ts_us"),
+      "event_type", "ts_us")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("up").getAs[Long]("s_stat") === 45L)
+    assert(got("up").getAs[Double]("z_corrected") > 3.0)
+    assert(got("flat").getAs[Long]("s_stat") === 0L)
+    assert(got("flat").isNullAt(got("flat").fieldIndex("z_corrected")))
+  }
+
   test("timeWeightedAvg: negative values fail loudly (floor-parity guard)") {
     val ev = Seq(("g", 0L, 1L, -1.0), ("g", 10L, 2L, 3.0))
       .toDF("s", "t", "id", "v")
