@@ -1955,6 +1955,35 @@ object SparkEntry {
     "q232_mann_kendall" -> ((s, d) =>
       Analytics.mannKendall(eventsUs(s, d), "event_type", "ts_us")),
 
+    // Merge-on-read DELETE: two overlapping deletion-vector deletes (the
+    // second merges vectors on shared files), zero data files rewritten,
+    // then an aggregate read through the vectors. The CoW twin is q165.
+    "q233_mor_delete" -> ((s, d) => {
+      val fmt = "graft.sources.WarehouseSink"
+      val dir = java.nio.file.Files.createTempDirectory("graft_mordel_").toString
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .repartitionByRange(8, col("o_orderkey"))
+        .write.format(fmt).option("path", dir).mode("overwrite").save()
+      import org.apache.spark.sql.sources.{GreaterThan, GreaterThanOrEqual, LessThan}
+      graft.sources.WarehouseSink.deleteWhereMoR(s, dir,
+        Seq(GreaterThan("o_totalprice", 250000.0)))
+      graft.sources.WarehouseSink.deleteWhereMoR(s, dir,
+        Seq(GreaterThanOrEqual("o_orderkey", 1000L),
+          LessThan("o_orderkey", 3000L)))
+      // the merge-on-read CONTRACT: both deletes left every file in place
+      val hist = graft.sources.WarehouseSink.history(s, dir)
+        .select("version", "operation", "n_files")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      require(hist.count(_._2 == "delete_mor") == 2 &&
+        hist.map(_._3).distinct.length == 1,
+        "MoR delete must not rewrite data files")
+      s.read.format(fmt).option("path", dir).load()
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+    }),
+
     // k-core of the co-purchase graph (sparser 1-in-17 sample so the
     // peel genuinely cascades): the cohesive backbone between q46's
     // components and q209's triangles. Convergence short-circuit is
@@ -5063,6 +5092,16 @@ object SparkEntry {
                   AS sum_cents
          FROM orders
          WHERE NOT (o_orderkey >= 2000 AND o_orderkey < 4000)
+         GROUP BY 1""",
+
+    // Both MoR deletes relationally: rows surviving EVERY vector.
+    "q233_mor_delete" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_cents
+         FROM orders
+         WHERE NOT (o_totalprice > 250000)
+           AND NOT (o_orderkey >= 1000 AND o_orderkey < 3000)
          GROUP BY 1""",
 
     // First-appearance reformulation replayed literally: vocab at a

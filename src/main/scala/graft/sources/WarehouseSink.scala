@@ -147,7 +147,60 @@ object WarehouseSink {
                                        op: String = "",
                                        cdf: Boolean = false,
                                        changeFiles: Seq[String] = Nil,
-                                       ts: Long = 0L)
+                                       ts: Long = 0L,
+                                       dvs: Seq[String] = Nil)
+
+  /** One merge-on-read deletion-vector reference, manifest-encoded as
+    * `dataFile|dvFile|count`: `dvFile` holds the sorted 0-based line
+    * positions of `dataFile`'s DELETED rows, `count` their number
+    * (carried in the manifest so COUNT(*) and optimizer row counts never
+    * open the vector). Entries are per-GENERATION state: time travel to
+    * a pre-delete version sees no vector, and a later MoR delete on the
+    * same file replaces the entry with a merged vector under a fresh
+    * name — data files stay immutable, exactly the Delta/Iceberg DV
+    * economics (a narrow delete writes positions, not a rewritten
+    * file). */
+  private[sources] case class DvRef(dataFile: String, dvFile: String,
+                                    count: Long) {
+    def encoded: String = s"$dataFile|$dvFile|$count"
+  }
+  private[sources] def dvRefs(m: Manifest): Seq[DvRef] =
+    m.dvs.map { s =>
+      val p = s.split("\\|")
+      DvRef(p(0), p(1), p(2).toLong)
+    }
+  private[sources] def dvRefs(entries: Seq[String]): Seq[DvRef] =
+    dvRefs(Manifest(0L, "", Nil, dvs = entries))
+
+  /** `m`'s vector entries restricted to `files` — what a DML rewrite
+    * passes to its candidate read (so already-deleted rows never
+    * resurrect) and what a publish carries for untouched files. */
+  private[sources] def dvEntriesFor(m: Manifest,
+                                    files: Seq[String]): Seq[String] = {
+    val set = files.toSet
+    m.dvs.filter(e => set.contains(e.takeWhile(_ != '|')))
+  }
+
+  /** A deletion vector on disk: sorted ascending 0-based positions, one
+    * decimal per line — the same one-honest-text-format-everywhere rule
+    * as the data codec and the stats sidecars. */
+  private[sources] def writeDvFile(dir: String,
+                                   positions: Seq[Long]): String = {
+    val name = s"dv-${java.util.UUID.randomUUID.toString.take(12)}.dv"
+    Files.write(Paths.get(dir, name),
+      positions.mkString("\n").getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW,
+      java.nio.file.StandardOpenOption.WRITE)
+    name
+  }
+
+  private[sources] def readDvPositions(path: String): Array[Long] = {
+    val f = new File(path)
+    if (!f.isFile) throw new IllegalStateException(
+      s"deletion vector $path is missing (vacuumed while referenced?)")
+    new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .split("\n").filter(_.nonEmpty).map(_.toLong)
+  }
 
   /** `partitionCol` holds one name or a comma-joined list ("a,b"):
     * multi-column value partitioning — every data file holds exactly one
@@ -192,7 +245,7 @@ object WarehouseSink {
     Some(Manifest(field("version").toLong, field("schema"), fileList("files"),
       field("epoch", "-1").toLong, field("partitionCol"), field("sortedBy"),
       field("op"), field("cdf", "false") == "true", fileList("changeFiles"),
-      ts))
+      ts, fileList("dvs")))
   }
 
   private def escape(s: String): String =
@@ -208,7 +261,7 @@ object WarehouseSink {
 
   private[sources] def writeManifest(dir: String, m: Manifest): Unit = {
     val json =
-      s"""{"version": ${m.version}, "ts": ${m.ts}, "epoch": ${m.epoch}, "partitionCol": "${escape(m.partitionCol)}", "sortedBy": "${escape(m.sortedBy)}", "op": "${escape(m.op)}", "cdf": "${m.cdf}", "schema": "${escape(m.schemaDdl)}", "files": [${m.files.map(f => "\"" + escape(f) + "\"").mkString(", ")}], "changeFiles": [${m.changeFiles.map(f => "\"" + escape(f) + "\"").mkString(", ")}]}"""
+      s"""{"version": ${m.version}, "ts": ${m.ts}, "epoch": ${m.epoch}, "partitionCol": "${escape(m.partitionCol)}", "sortedBy": "${escape(m.sortedBy)}", "op": "${escape(m.op)}", "cdf": "${m.cdf}", "schema": "${escape(m.schemaDdl)}", "files": [${m.files.map(f => "\"" + escape(f) + "\"").mkString(", ")}], "changeFiles": [${m.changeFiles.map(f => "\"" + escape(f) + "\"").mkString(", ")}], "dvs": [${m.dvs.map(f => "\"" + escape(f) + "\"").mkString(", ")}]}"""
     // CREATE_NEW: a version slot is claimed exactly once. Two committers
     // racing the same slot collide HERE — a detectable conflict — instead
     // of the second silently overwriting the first's file list.
@@ -365,10 +418,12 @@ object WarehouseSink {
     def manifestAt(v: Long) = readManifestAt(dir, v).getOrElse(
       throw new IllegalArgumentException(
         s"version $v of $dir does not exist (vacuumed or never written)"))
-    def readFiles(files: Seq[String], ddl: String) =
+    def readFiles(files: Seq[String], ddl: String,
+                  dvs: Seq[String] = Nil) =
       spark.read.format(fmt).option("path", dir)
         .option("readSchemaDdl", ddl)
-        .option("files", files.mkString(",")).load()
+        .option("files", files.mkString(","))
+        .option("dvs", dvs.mkString(",")).load()
     val steps = ((fromVersion + 1) to toVersion).map { v =>
       val m = manifestAt(v)
       // v0 has no predecessor: its "previous generation" is empty, so an
@@ -381,7 +436,7 @@ object WarehouseSink {
       val cdfDdl = schema.add("_change_type",
         org.apache.spark.sql.types.StringType).toDDL
       val images = m.op match {
-        case "delete" | "update" | "merge" =>
+        case "delete" | "delete_mor" | "update" | "merge" =>
           require(m.cdf,
             s"version $v is a ${m.op} committed with the change feed " +
               "disabled — enableChangeFeed() before the DML, or diff " +
@@ -394,9 +449,12 @@ object WarehouseSink {
           require(prev.schemaDdl == m.schemaDdl,
             s"change feed across the schema-changing ${m.op} at $v is " +
               "not representable; read the generations separately")
-          readFiles(prev.files, schema.toDDL)
+          // Each side replays through ITS generation's deletion vectors —
+          // an already-MoR-deleted row was not live to delete or restore.
+          readFiles(prev.files, schema.toDDL, dvEntriesFor(prev, prev.files))
             .withColumn("_change_type", lit("delete"))
-            .unionByName(readFiles(m.files, schema.toDDL)
+            .unionByName(readFiles(m.files, schema.toDDL,
+              dvEntriesFor(m, m.files))
               .withColumn("_change_type", lit("insert")))
         case "maintain" =>
           readFiles(Nil, schema.toDDL) // layout-only: zero row changes
@@ -447,7 +505,7 @@ object WarehouseSink {
     publish(dir, { prev =>
       Some(Manifest(0L, target.schemaDdl, target.files,
         prev.map(_.epoch).getOrElse(-1L), target.partitionCol,
-        target.sortedBy, op = "restore"))
+        target.sortedBy, op = "restore", dvs = target.dvs))
     })
   }
 
@@ -484,10 +542,11 @@ object WarehouseSink {
       }
     }
     m.files.foreach { f => linkOne(f); linkOne(statsFile(f)) }
+    dvRefs(m).foreach(r => linkOne(r.dvFile))
     copyChecks(srcDir, dstDir) // the clone inherits the CHECK policy
     writeManifest(dstDir, Manifest(0L, m.schemaDdl, m.files, epoch = -1L,
       m.partitionCol, m.sortedBy, op = "clone", cdf = m.cdf,
-      ts = System.currentTimeMillis()))
+      ts = System.currentTimeMillis(), dvs = m.dvs))
     linked
   }
 
@@ -577,7 +636,8 @@ object WarehouseSink {
       .map(_.stripPrefix("staged-").stripSuffix(".json"))
     val referenced = (keepMin to cur.version)
       .flatMap(readManifestAt(dir, _))
-      .flatMap(m => m.files ++ m.changeFiles).toSet ++
+      .flatMap(m => m.files ++ m.changeFiles ++ dvRefs(m).map(_.dvFile))
+      .toSet ++
       stagedTokens.flatMap(t => readStagedMeta(dir, t).map(_._2).getOrElse(Nil))
     var dropped = 0
     Option(new File(dir).listFiles()).getOrElse(Array.empty[File]).foreach { f =>
@@ -650,7 +710,12 @@ object WarehouseSink {
     // No +targetBytes-1 ceiling trick: it overflows for sentinel-huge targets.
     val nTarget = math.max(1L,
       bytesBefore / targetBytes + (if (bytesBefore % targetBytes == 0) 0 else 1)).toInt
-    val compacted = nTarget < filesBefore
+    // Deletion vectors trigger a rewrite even at the target file count:
+    // the compaction scan reads THROUGH the vectors and publishes
+    // vector-free files (the REORG/PURGE materialization), after which
+    // the vacuum leg reclaims the orphaned vector files with the old
+    // generation.
+    val compacted = nTarget < filesBefore || cur.dvs.nonEmpty
     if (compacted) {
       // Stage the compacted layout as its own throwaway warehouse table in
       // a sibling dir (same volume — the moves below stay atomic renames).
@@ -789,7 +854,8 @@ object WarehouseSink {
       }
       Some(Manifest(0L, outDdl, prev.map(_.files).getOrElse(Nil) ++ files,
         prev.map(_.epoch).getOrElse(-1L),
-        prev.map(_.partitionCol).getOrElse(""), op = "wap"))
+        prev.map(_.partitionCol).getOrElse(""), op = "wap",
+        dvs = prev.map(_.dvs).getOrElse(Nil)))
     })
     new File(dir, s"staged-$token.json").delete()
   }
@@ -839,13 +905,20 @@ object WarehouseSink {
       }) && filters.forall(nullAwareMatch(dir, f, _))
     }
     if (candidates.isEmpty) return DeleteReport(0, cur.files.size, 0L)
-    val candRows = candidates.map(f => readRowCount(dir, f).getOrElse(-1L))
+    // Live candidate rows = physical minus any deletion vector's count —
+    // the rewrite reads through the vectors, so the kept files hold only
+    // previously-live rows and the metadata-derived delta stays exact.
+    val candDvs = dvEntriesFor(cur, candidates)
+    val dvCountOf = dvRefs(candDvs).map(r => r.dataFile -> r.count).toMap
+    val candRows = candidates.map(f => readRowCount(dir, f)
+      .map(_ - dvCountOf.getOrElse(f, 0L)).getOrElse(-1L))
     val tmp = new File(new File(dir).getAbsoluteFile.getParentFile,
       new File(dir).getName + ".delete-" +
         java.util.UUID.randomUUID.toString.take(8))
     try {
       spark.read.format(fmt).option("path", dir)
-        .option("files", candidates.mkString(",")).load()
+        .option("files", candidates.mkString(","))
+        .option("dvs", candDvs.mkString(",")).load()
         .filter(!coalesce(pred, lit(false)))
         .write.format(fmt).option("path", tmp.getPath)
         .mode("overwrite").save()
@@ -857,14 +930,16 @@ object WarehouseSink {
       val changes =
         if (cdfOn) stageChanges(dir,
           spark.read.format(fmt).option("path", dir)
-            .option("files", candidates.mkString(",")).load()
+            .option("files", candidates.mkString(","))
+            .option("dvs", candDvs.mkString(",")).load()
             .filter(coalesce(pred, lit(false)))
             .withColumn("_change_type", lit("delete")))
         else Nil
       publish(dir, { prev =>
         val p = prev.getOrElse(cur)
         Some(Manifest(0L, p.schemaDdl, carried ++ newFiles, p.epoch,
-          p.partitionCol, op = "delete", cdf = cdfOn, changeFiles = changes))
+          p.partitionCol, op = "delete", cdf = cdfOn, changeFiles = changes,
+          dvs = dvEntriesFor(p, carried)))
       })
       val keptRows = newFiles.map(f => readRowCount(dir, f).getOrElse(-1L))
       val deleted =
@@ -877,6 +952,106 @@ object WarehouseSink {
       }
       rm(tmp)
     }
+  }
+
+  case class MorDeleteReport(filesWithVectors: Int, filesCarried: Int,
+                             rowsDeleted: Long)
+
+  /** Merge-on-read DELETE WHERE — the deletion-vector twin of
+    * [[deleteWhere]]: instead of REWRITING every candidate file (copy-on
+    * -write pays O(candidate bytes) even when three rows die in a 1 GB
+    * file), this writes per-file DELETION VECTORS — sorted lists of the
+    * dying rows' line positions — and publishes ONE generation whose
+    * manifest maps each touched data file to its vector. Data files are
+    * never touched; the scan applies vectors with a pointer walk per
+    * row; time travel to the pre-delete generation sees no vector;
+    * `maintain()`'s compaction naturally MATERIALIZES vectors away (its
+    * rewrite reads through them and publishes vector-free files), after
+    * which vacuum reclaims the orphaned vector files — the Delta/Iceberg
+    * merge-on-read lifecycle end to end.
+    *
+    * Mechanics: candidate files stats-prune exactly like [[deleteWhere]];
+    * one distributed scan of the candidates (through any EXISTING vectors,
+    * so re-deleting is idempotent and positions never double-count) emits
+    * each matching row's (file, physical position) via the reader's
+    * internal rowPos pseudo-columns; positions group per file and land on
+    * the driver as sorted vectors — O(newly deleted rows) driver transfer,
+    * the honest bound (a delete wide enough to strain that belongs to
+    * copy-on-write [[deleteWhere]], which streams everything
+    * executor-side). An existing vector merges by sorted-union under a
+    * fresh file name (generations stay immutable). With the change feed
+    * enabled the deleted rows' before-images capture exactly like the
+    * copy-on-write path (op `delete_mor`).
+    *
+    * Trade-off contract (why both verbs exist): MoR makes deletes
+    * O(matched rows) and leaves reads paying a per-file vector lookup;
+    * CoW makes deletes O(candidate bytes) and leaves reads untaxed. The
+    * metadata-aggregate path keeps COUNT(*) exact under vectors (counts
+    * ride in the manifest) and refuses MIN/MAX/SUM until maintenance
+    * materializes. Single-writer like all DML here. */
+  def deleteWhereMoR(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     filters: Seq[org.apache.spark.sql.sources.Filter]): MorDeleteReport = {
+    require(filters.nonEmpty, "deleteWhereMoR requires at least one filter")
+    import org.apache.spark.sql.functions.{coalesce, col, lit, sort_array, collect_list}
+    val fmt = classOf[WarehouseSink].getName
+    val cur = readManifest(dir).getOrElse(return MorDeleteReport(0, 0, 0L))
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    val pred = filters.map(filterToColumn(_, schema)).reduce(_ && _)
+    val (candidates, carried) = cur.files.partition { f =>
+      (readStats(dir, f, schema) match {
+        case Some(st) => filters.forall(mightMatch(st, _))
+        case None => true
+      }) && filters.forall(nullAwareMatch(dir, f, _))
+    }
+    if (candidates.isEmpty) return MorDeleteReport(0, cur.files.size, 0L)
+    val candDvs = dvEntriesFor(cur, candidates)
+    val rowPosDdl = schema
+      .add("__graft_file", org.apache.spark.sql.types.StringType)
+      .add("__graft_pos", org.apache.spark.sql.types.LongType).toDDL
+    def candScan = spark.read.format(fmt).option("path", dir)
+      .option("readSchemaDdl", rowPosDdl)
+      .option("files", candidates.mkString(","))
+      .option("dvs", candDvs.mkString(",")).load()
+    // Per-file sorted positions of the newly dying rows. Row count per
+    // vector is bounded by the file's line count (files are write-sized),
+    // so each collected row is one file's vector.
+    val newPos = candScan.filter(coalesce(pred, lit(false)))
+      .groupBy(col("__graft_file"))
+      .agg(sort_array(collect_list(col("__graft_pos"))).as("pos"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    if (newPos.isEmpty) return MorDeleteReport(0, cur.files.size, 0L)
+    val oldRefs = dvRefs(candDvs).map(r => r.dataFile -> r).toMap
+    val newRefs = newPos.map { case (dataFile, pos) =>
+      val merged = oldRefs.get(dataFile) match {
+        case Some(old) =>
+          // disjoint by construction: the scan read THROUGH the old vector
+          (readDvPositions(new File(dir, old.dvFile).getPath) ++ pos).sorted
+        case None => pos.toArray.sorted
+      }
+      DvRef(dataFile, writeDvFile(dir, merged.toIndexedSeq), merged.length)
+    }.toSeq
+    // CDF capture (opt-in): before-images of the dying rows — the same
+    // filtered scan, staged before publish, referenced atomically.
+    val cdfOn = cdfEnabled(dir)
+    val changes =
+      if (cdfOn) stageChanges(dir,
+        spark.read.format(fmt).option("path", dir)
+          .option("files", candidates.mkString(","))
+          .option("dvs", candDvs.mkString(",")).load()
+          .filter(coalesce(pred, lit(false)))
+          .withColumn("_change_type", lit("delete")))
+      else Nil
+    val touched = newRefs.map(_.dataFile).toSet
+    publish(dir, { prev =>
+      val p = prev.getOrElse(cur)
+      Some(Manifest(0L, p.schemaDdl, p.files, p.epoch, p.partitionCol,
+        op = "delete_mor", cdf = cdfOn, changeFiles = changes,
+        dvs = p.dvs.filterNot(e => touched.contains(e.takeWhile(_ != '|'))) ++
+          newRefs.map(_.encoded)))
+    })
+    MorDeleteReport(newRefs.size, cur.files.size - newRefs.size,
+      newPos.valuesIterator.map(_.size.toLong).sum)
   }
 
   case class MergeReport(filesRewritten: Int, filesCarried: Int,
@@ -954,7 +1129,10 @@ object WarehouseSink {
           case None => true
         }
       }
-    val candRows = candidates.map(f => readRowCount(dir, f).getOrElse(-1L))
+    val candDvs = dvEntriesFor(cur, candidates)
+    val dvCountOf = dvRefs(candDvs).map(r => r.dataFile -> r.count).toMap
+    val candRows = candidates.map(f => readRowCount(dir, f)
+      .map(_ - dvCountOf.getOrElse(f, 0L)).getOrElse(-1L))
     val tmpKept = new File(new File(dir).getAbsoluteFile.getParentFile,
       new File(dir).getName + ".merge-" +
         java.util.UUID.randomUUID.toString.take(8))
@@ -966,7 +1144,8 @@ object WarehouseSink {
     try {
       if (candidates.nonEmpty)
         spark.read.format(fmt).option("path", dir)
-          .option("files", candidates.mkString(",")).load()
+          .option("files", candidates.mkString(","))
+          .option("dvs", candDvs.mkString(",")).load()
           .join(aligned.select(keyCols.map(col).toIndexedSeq: _*).distinct(),
             keyCols, "left_anti")
           .write.format(fmt).option("path", tmpKept.getPath)
@@ -987,7 +1166,8 @@ object WarehouseSink {
           val candScan =
             if (candidates.nonEmpty)
               spark.read.format(fmt).option("path", dir)
-                .option("files", candidates.mkString(",")).load()
+                .option("files", candidates.mkString(","))
+                .option("dvs", candDvs.mkString(",")).load()
             else aligned.filter(org.apache.spark.sql.functions.lit(false))
           val updKeys = aligned.select(keyCols.map(col).toIndexedSeq: _*)
             .distinct()
@@ -1006,7 +1186,7 @@ object WarehouseSink {
         val p = prev.getOrElse(cur)
         Some(Manifest(0L, p.schemaDdl, carried ++ keptFiles ++ insFiles,
           p.epoch, p.partitionCol, op = "merge", cdf = cdfOn,
-          changeFiles = changes))
+          changeFiles = changes, dvs = dvEntriesFor(p, carried)))
       })
       val keptRows = keptFiles.map(f => readRowCount(dir, f).getOrElse(-1L))
       val insRows = insFiles.map(f => readRowCount(dir, f).getOrElse(-1L))
@@ -1060,8 +1240,10 @@ object WarehouseSink {
       }) && filters.forall(nullAwareMatch(dir, f, _))
     }
     if (candidates.isEmpty) return UpdateReport(0, cur.files.size, 0L)
+    val candDvs = dvEntriesFor(cur, candidates)
     def candScan = spark.read.format(fmt).option("path", dir)
-      .option("files", candidates.mkString(",")).load()
+      .option("files", candidates.mkString(","))
+      .option("dvs", candDvs.mkString(",")).load()
     val tmp = new File(new File(dir).getAbsoluteFile.getParentFile,
       new File(dir).getName + ".update-" +
         java.util.UUID.randomUUID.toString.take(8))
@@ -1098,7 +1280,8 @@ object WarehouseSink {
       publish(dir, { prev =>
         val p = prev.getOrElse(cur)
         Some(Manifest(0L, p.schemaDdl, carried ++ newFiles, p.epoch,
-          p.partitionCol, op = "update", cdf = cdfOn, changeFiles = changes))
+          p.partitionCol, op = "update", cdf = cdfOn, changeFiles = changes,
+          dvs = dvEntriesFor(p, carried)))
       })
       val updated = candScan.filter(pred).count()
       UpdateReport(candidates.size, carried.size, updated)
@@ -1487,7 +1670,11 @@ private[sources] class WarehouseTable(dir: String, schema0: StructType,
       // explicit comma-separated file subset of the live manifest.
       Option(options.get("files"))
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq),
-      cdfStream = cdfStream, skipChanges = skipChanges)
+      cdfStream = cdfStream, skipChanges = skipChanges,
+      // Internal, paired with `files`: the deletion-vector entries
+      // (dataFile|dvFile|count, comma-separated) to apply to that subset.
+      onlyDvs = Option(options.get("dvs"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
   }
 }
 
@@ -1516,7 +1703,8 @@ private[sources] class WarehouseScanBuilder(dir: String, schema: StructType,
                                             versionAsOf: Option[Long],
                                             onlyFiles: Option[Seq[String]] = None,
                                             cdfStream: Boolean = false,
-                                            skipChanges: Boolean = false)
+                                            skipChanges: Boolean = false,
+                                            onlyDvs: Option[Seq[String]] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
   import org.apache.spark.sql.connector.expressions.NamedReference
@@ -1572,10 +1760,18 @@ private[sources] class WarehouseScanBuilder(dir: String, schema: StructType,
       .getOrElse(return None)) // pre-rowcount sidecar: stats not provably complete
     val stats = files.map(f => WarehouseSink.readStats(dir, f, schema)
       .getOrElse(return None))
+    // Deletion vectors make every per-column sidecar line STALE-SUPERSET
+    // (the min row may be deleted; null/sum lines count deleted rows), so
+    // with any vector live only COUNT(*) keeps an exact metadata answer —
+    // physical rows minus the manifest-carried vector cardinalities.
+    val dvDeleted = WarehouseSink.dvRefs(manifest.map(_.dvs).getOrElse(Nil))
+      .map(_.count).sum
+    val dvLive = dvDeleted > 0
     val out = agg.aggregateExpressions.map {
       case _: CountStar =>
         (StructField("count_star", LongType, nullable = false),
-          counts.sum: Any)
+          counts.sum - dvDeleted: Any)
+      case _ if dvLive => return None
       case m: Min =>
         val c = singleColumn(m.column).getOrElse(return None)
         val i = schema.fieldNames.indexOf(c)
@@ -1632,7 +1828,7 @@ private[sources] class WarehouseScanBuilder(dir: String, schema: StructType,
     case Some((aggSchema, row)) => new WarehouseAggScan(dir, aggSchema, row)
     case None =>
       new WarehouseScan(dir, schema, versionAsOf, skipFilters, required,
-        onlyFiles, cdfStream, skipChanges)
+        onlyFiles, cdfStream, skipChanges, onlyDvs)
   }
 }
 
@@ -1811,7 +2007,11 @@ private[sources] class WarehouseBatchWrite(dir: String, schema: StructType,
           p
         }
       Some(WarehouseSink.Manifest(0L, outDdl, files, epoch, outPart,
-        op = if (truncate) "truncate" else "append"))
+        op = if (truncate) "truncate" else "append",
+        // Append keeps every previous file live, so their deletion
+        // vectors ride along; truncate un-references files and vectors
+        // together (both stay on disk for time travel until vacuum).
+        dvs = if (truncate) Nil else prev.map(_.dvs).getOrElse(Nil)))
       }
     })
     if (won.isEmpty) // epoch-guarded replay: drop the unreferenced files
@@ -1890,7 +2090,8 @@ private[sources] class WarehouseStreamingWrite(dir: String, schema: StructType,
         // its SPJ layout — maintain() could no longer restore it.
         Some(WarehouseSink.Manifest(0L, outDdl,
           prev.map(_.files).getOrElse(Nil) ++ published, epochId,
-          prev.map(_.partitionCol).getOrElse(""), op = "stream"))
+          prev.map(_.partitionCol).getOrElse(""), op = "stream",
+          dvs = prev.map(_.dvs).getOrElse(Nil)))
       }
     })
     if (won.isEmpty) // lost to a replay: drop the now-unreferenced files
@@ -2180,14 +2381,20 @@ private[sources] class PartitionedWarehouseWriter(stagingDir: String,
 
 // ---- read path: one partition per manifest file ----
 
-private[sources] case class WarehouseFilePartition(path: String)
+/** `dv` ("" = none) is the file's deletion-vector path: the reader skips
+  * exactly those line positions — merge-on-read DELETE applied at scan
+  * time, costing one sorted-array pointer walk per row. */
+private[sources] case class WarehouseFilePartition(path: String,
+                                                   dv: String = "")
     extends InputPartition
 
 /** One partition per partition-column VALUE: all the value's files, plus
-  * the key row Spark's storage-partitioned join groups by. */
+  * the key row Spark's storage-partitioned join groups by. `dvs` aligns
+  * with `paths` ("" = the file has no deletion vector). */
 private[sources] case class WarehouseGroupPartition(
     paths: Seq[String],
-    key: org.apache.spark.sql.catalyst.expressions.GenericInternalRow)
+    key: org.apache.spark.sql.catalyst.expressions.GenericInternalRow,
+    dvs: Seq[String] = Nil)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = key
@@ -2200,7 +2407,8 @@ private[sources] class WarehouseScan(dir: String, schema: StructType,
                                      required0: StructType = null,
                                      onlyFiles: Option[Seq[String]] = None,
                                      cdfStream: Boolean = false,
-                                     skipChanges: Boolean = false)
+                                     skipChanges: Boolean = false,
+                                     onlyDvs: Option[Seq[String]] = None)
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
@@ -2274,6 +2482,29 @@ private[sources] class WarehouseScan(dir: String, schema: StructType,
       }) && all.forall(WarehouseSink.nullAwareMatch(dir, f, _))
     }
   }
+  /** Deletion vectors to apply, dataFile → (dv path, deleted count).
+    * A MANIFEST-driven read takes the scanned generation's entries (time
+    * travel sees exactly the vectors live at that version); a
+    * file-restricted internal read takes ONLY the explicitly passed
+    * `dvs` option — the caller (DML rewrite, CDF replay) knows which
+    * generation's vectors apply, and defaulting to the live manifest's
+    * would leak later deletes into a historical replay. Stats-range file
+    * skipping needs no adjustment: deletion only shrinks a file's value
+    * set, so sidecar ranges stay a sound superset. */
+  private def dvLookup: Map[String, (String, Long)] = {
+    val entries =
+      if (onlyFiles.nonEmpty) onlyDvs.getOrElse(Nil)
+      else {
+        val m = versionAsOf match {
+          case Some(v) => WarehouseSink.readManifestAt(dir, v)
+          case None => WarehouseSink.readManifest(dir)
+        }
+        m.map(_.dvs).getOrElse(Nil)
+      }
+    WarehouseSink.dvRefs(entries)
+      .map(r => r.dataFile -> (new File(dir, r.dvFile).getPath, r.count))
+      .toMap
+  }
   /** Honest table statistics for the optimizer — the piece that lets AQE
     * and join planning treat a small warehouse table as broadcastable
     * instead of assuming the pessimistic default size. Post-skipping:
@@ -2282,7 +2513,9 @@ private[sources] class WarehouseScan(dir: String, schema: StructType,
   override def estimateStatistics(): Statistics = new Statistics {
     private val bytes = keptFiles.map(f => new File(dir, f).length()).sum
     private val rows = {
-      val rcs = keptFiles.map(f => WarehouseSink.readRowCount(dir, f))
+      val dvc = dvLookup
+      val rcs = keptFiles.map(f => WarehouseSink.readRowCount(dir, f)
+        .map(_ - dvc.get(f).map(_._2).getOrElse(0L)))
       if (rcs.forall(_.isDefined)) java.util.OptionalLong.of(rcs.flatten.sum)
       else java.util.OptionalLong.empty()
     }
@@ -2349,17 +2582,21 @@ private[sources] class WarehouseScan(dir: String, schema: StructType,
     }
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dvc = dvLookup
+    def dvOf(f: String): String = dvc.get(f).map(_._1).getOrElse("")
     partitionGroups match {
       case Some(gs) => gs.map { case (v, fs) =>
         WarehouseGroupPartition(fs.map(f => new File(dir, f).getPath),
           new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-            v.toArray)): InputPartition
+            v.toArray), fs.map(dvOf)): InputPartition
       }.toArray
       case None => keptFiles
-        .map(f => WarehouseFilePartition(new File(dir, f).getPath): InputPartition)
+        .map(f => WarehouseFilePartition(new File(dir, f).getPath,
+          dvOf(f)): InputPartition)
         .toArray
     }
+  }
 
   /** Per-partition sort order, reported ONLY when the live manifest's
     * clusterBy-maintenance claim holds (every file internally sorted by
@@ -2441,11 +2678,22 @@ private[sources] class WarehouseMicroBatchStream(dir: String,
     // generations — the consumer accepts missing deletions/rewrites in
     // exchange for a stream that survives them. Off by default: the
     // append-only contract below fails loudly instead.
+    def dvAt(v: Long): Map[String, String] =
+      WarehouseSink.readManifestAt(dir, v)
+        .map(m => WarehouseSink.dvRefs(m)
+          .map(r => r.dataFile -> new File(dir, r.dvFile).getPath).toMap)
+        .getOrElse(Map.empty)
     if (skipChanges) {
-      if (vs < 0)
+      if (vs < 0) {
+        // Snapshot batch: apply the end generation's deletion vectors —
+        // the consumer opted out of seeing deletes as CHANGES, not into
+        // reading already-deleted rows.
+        val dvs = dvAt(ve)
         return filesAt(ve).sorted
-          .map(f => WarehouseFilePartition(new File(dir, f).getPath): InputPartition)
+          .map(f => WarehouseFilePartition(new File(dir, f).getPath,
+            dvs.getOrElse(f, "")): InputPartition)
           .toArray
+      }
       return ((vs + 1) to ve).flatMap { v =>
         val m = WarehouseSink.readManifestAt(dir, v).getOrElse(
           throw new IllegalStateException(
@@ -2456,7 +2704,7 @@ private[sources] class WarehouseMicroBatchStream(dir: String,
             val before = filesAt(v - 1).toSet
             m.files.filterNot(before).sorted
               .map(f => WarehouseFilePartition(new File(dir, f).getPath): InputPartition)
-          case _ => Nil // change commit: skipped by explicit opt-in
+          case _ => Nil // change commit (incl. delete_mor): skipped by opt-in
         }
       }.toArray
     }
@@ -2468,8 +2716,18 @@ private[sources] class WarehouseMicroBatchStream(dir: String,
         s"${dropped.size} file(s) — the source is append-only; truncate/" +
         "OPTIMIZE/DML require restarting the stream with a fresh " +
         "checkpoint, or opt into option(\"skipChangeCommits\", \"true\")")
+    // A merge-on-read delete drops no file, but rows this stream already
+    // delivered are gone — the same append-only violation, caught by the
+    // vector state instead of the file set.
+    if (vs >= 0 && dvAt(vs) != dvAt(ve)) throw new IllegalStateException(
+      s"warehouse stream on $dir: generation range ($vs, $ve] changed " +
+        "deletion vectors (merge-on-read DELETE) — the source is " +
+        "append-only; restart the stream with a fresh checkpoint, or opt " +
+        "into option(\"skipChangeCommits\", \"true\")")
+    val dvs = if (vs < 0) dvAt(ve) else Map.empty[String, String]
     (after.toSet -- before.toSet).toSeq.sorted
-      .map(f => WarehouseFilePartition(new File(dir, f).getPath): InputPartition)
+      .map(f => WarehouseFilePartition(new File(dir, f).getPath,
+        dvs.getOrElse(f, "")): InputPartition)
       .toArray
   }
 
@@ -2519,15 +2777,21 @@ private[sources] class WarehouseCdfMicroBatchStream(dir: String,
     if (ve <= vs) return Array.empty
     val parts = Seq.newBuilder[InputPartition]
     def file(f: String) = new File(dir, f).getPath
+    def dvMapOf(m: WarehouseSink.Manifest): Map[String, String] =
+      WarehouseSink.dvRefs(m)
+        .map(r => r.dataFile -> new File(dir, r.dvFile).getPath).toMap
     if (vs < 0) {
-      // stream start: the live snapshot as inserts at the start version
+      // stream start: the live snapshot as inserts at the start version,
+      // read through the live deletion vectors
       val m = manifestAt(ve)
+      val dvs = dvMapOf(m)
       m.files.foreach(f =>
-        parts += WarehouseCdfPartition(file(f), Some("insert"), ve))
+        parts += WarehouseCdfPartition(file(f), Some("insert"), ve,
+          dvs.getOrElse(f, "")))
     } else (vs + 1) to ve foreach { v =>
       val m = manifestAt(v)
       m.op match {
-        case "delete" | "update" | "merge" =>
+        case "delete" | "delete_mor" | "update" | "merge" =>
           if (!m.cdf) throw new IllegalStateException(
             s"warehouse CDF stream on $dir: version $v is a ${m.op} " +
               "committed with the change feed disabled — enableChangeFeed()" +
@@ -2539,10 +2803,18 @@ private[sources] class WarehouseCdfMicroBatchStream(dir: String,
           m.files.filterNot(before).foreach(f =>
             parts += WarehouseCdfPartition(file(f), Some("insert"), v))
         case "truncate" | "restore" =>
-          manifestAt(v - 1).files.foreach(f =>
-            parts += WarehouseCdfPartition(file(f), Some("delete"), v))
+          // Each side replays through ITS generation's vectors: a row
+          // already MoR-deleted before the truncate must not produce a
+          // spurious delete image (it was never live at v-1).
+          val prevM = manifestAt(v - 1)
+          val dvPrev = dvMapOf(prevM)
+          val dvNow = dvMapOf(m)
+          prevM.files.foreach(f =>
+            parts += WarehouseCdfPartition(file(f), Some("delete"), v,
+              dvPrev.getOrElse(f, "")))
           m.files.foreach(f =>
-            parts += WarehouseCdfPartition(file(f), Some("insert"), v))
+            parts += WarehouseCdfPartition(file(f), Some("insert"), v,
+              dvNow.getOrElse(f, "")))
         case "maintain" => () // layout-only: zero row changes
         case other => throw new IllegalStateException(
           s"warehouse CDF stream on $dir: version $v has no change-feed " +
@@ -2562,7 +2834,8 @@ private[sources] class WarehouseCdfMicroBatchStream(dir: String,
   * insert/delete images from plain data files). */
 private[sources] case class WarehouseCdfPartition(path: String,
                                                   constType: Option[String],
-                                                  version: Long)
+                                                  version: Long,
+                                                  dv: String = "")
     extends InputPartition
 
 private[sources] class WarehouseReaderFactory(schema: StructType,
@@ -2570,20 +2843,21 @@ private[sources] class WarehouseReaderFactory(schema: StructType,
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
-      case WarehouseFilePartition(path) => fileReader(path)
-      case WarehouseCdfPartition(path, ct, v) => cdfFileReader(path, ct, v)
-      case WarehouseGroupPartition(paths, _) =>
+      case WarehouseFilePartition(path, dv) => fileReader(path, dv)
+      case WarehouseCdfPartition(path, ct, v, dv) => cdfFileReader(path, ct, v, dv)
+      case WarehouseGroupPartition(paths, _, dvs) =>
         // one value group = its files read back to back, each through its
         // own per-file column mapping
         new PartitionReader[InternalRow] {
-          private val remaining = paths.iterator
+          private val remaining = paths.zipAll(dvs, "", "").iterator
           private var cur: PartitionReader[InternalRow] = _
           override def next(): Boolean = {
             while (cur == null || !cur.next()) {
               if (cur != null) cur.close()
               cur = null
               if (!remaining.hasNext) return false
-              cur = fileReader(remaining.next())
+              val (f, dv) = remaining.next()
+              cur = fileReader(f, dv)
             }
             true
           }
@@ -2598,7 +2872,8 @@ private[sources] class WarehouseReaderFactory(schema: StructType,
     * when the split is a synthesized insert/delete over a plain data
     * file (DML capture files carry the column themselves). */
   private def cdfFileReader(path: String, constType: Option[String],
-                            version: Long): PartitionReader[InternalRow] = {
+                            version: Long,
+                            dv: String = ""): PartitionReader[InternalRow] = {
     val file = new File(path)
     val fileCols = WarehouseSink.readFileCols(file.getParent, file.getName)
       .getOrElse(schema.fieldNames.toSeq)
@@ -2607,10 +2882,22 @@ private[sources] class WarehouseReaderFactory(schema: StructType,
     val names = required.fields.map(_.name)
     val ctVal = constType
       .map(org.apache.spark.unsafe.types.UTF8String.fromString).orNull
+    val deleted = if (dv.isEmpty) Array.emptyLongArray
+      else WarehouseSink.readDvPositions(dv)
     new PartitionReader[InternalRow] {
       private val in = new BufferedReader(new FileReader(path))
       private var line: String = _
-      override def next(): Boolean = { line = in.readLine(); line != null }
+      private var pos = -1L
+      private var dvIdx = 0
+      override def next(): Boolean = {
+        while (true) {
+          line = in.readLine(); pos += 1
+          if (line == null) return false
+          if (dvIdx < deleted.length && deleted(dvIdx) == pos) dvIdx += 1
+          else return true
+        }
+        false
+      }
       override def get(): InternalRow = {
         val toks = line.split("\t", -1)
         InternalRow.fromSeq(Array.tabulate(idxs.length) { j =>
@@ -2623,7 +2910,8 @@ private[sources] class WarehouseReaderFactory(schema: StructType,
     }
   }
 
-  private def fileReader(path: String): PartitionReader[InternalRow] = {
+  private def fileReader(path: String,
+                         dv: String = ""): PartitionReader[InternalRow] = {
     // Pruned decode: only the requested token positions are parsed (an
     // empty projection — e.g. a bare COUNT the aggregate path refused —
     // still counts lines). Indices resolve by name against the FILE'S OWN
@@ -2632,21 +2920,43 @@ private[sources] class WarehouseReaderFactory(schema: StructType,
     // and a column the file predates decodes as null. Legacy sidecars
     // without the line fall back to the table schema order (correct
     // because evolution refuses to publish over them).
+    //
+    // A deletion vector (sorted positions) filters rows with one pointer
+    // walk; the `__graft_file`/`__graft_pos` pseudo-columns (requested
+    // only by the internal rowPos read that builds NEW vectors) expose
+    // each surviving row's file name and PHYSICAL line position.
     val file = new File(path)
     val fileCols = WarehouseSink.readFileCols(file.getParent, file.getName)
       .getOrElse(schema.fieldNames.toSeq)
     val idxs = required.fields.map(f => fileCols.indexOf(f.name))
     val types = required.fields.map(_.dataType)
+    val names = required.fields.map(_.name)
+    val fileNameU8 =
+      org.apache.spark.unsafe.types.UTF8String.fromString(file.getName)
+    val deleted = if (dv.isEmpty) Array.emptyLongArray
+      else WarehouseSink.readDvPositions(dv)
     new PartitionReader[InternalRow] {
       private val in = new BufferedReader(new FileReader(path))
       private var line: String = _
-      override def next(): Boolean = { line = in.readLine(); line != null }
+      private var pos = -1L
+      private var dvIdx = 0
+      override def next(): Boolean = {
+        while (true) {
+          line = in.readLine(); pos += 1
+          if (line == null) return false
+          if (dvIdx < deleted.length && deleted(dvIdx) == pos) dvIdx += 1
+          else return true
+        }
+        false
+      }
       override def get(): InternalRow = {
         // -1 keeps trailing empty tokens (a NULL-encoded last column).
         val toks = line.split("\t", -1)
         InternalRow.fromSeq(Array.tabulate(idxs.length) { j =>
-          if (idxs(j) < 0) null
-          else WarehouseSink.decode(toks(idxs(j)), types(j)) }.toSeq)
+          if (idxs(j) >= 0) WarehouseSink.decode(toks(idxs(j)), types(j))
+          else if (names(j) == "__graft_file") fileNameU8
+          else if (names(j) == "__graft_pos") pos
+          else null }.toSeq)
       }
       override def close(): Unit = in.close()
     }
