@@ -1955,6 +1955,12 @@ object SparkEntry {
     "q232_mann_kendall" -> ((s, d) =>
       Analytics.mannKendall(eventsUs(s, d), "event_type", "ts_us")),
 
+    // Gopher/C4 heuristic curation-rule audit: the published hard-filter
+    // battery as a per-source profile — every ratio tested by integer
+    // cross-multiplication, so the oracle replays it exactly.
+    "q234_curation_rules" -> ((s, d) =>
+      Corpus.curationRules(Tables.documents(s, d), "text", "source")),
+
     // Merge-on-read DELETE: two overlapping deletion-vector deletes (the
     // second merges vectors on shared files), zero data files rewritten,
     // then an aggregate read through the vectors. The CoW twin is q165.
@@ -5093,6 +5099,40 @@ object SparkEntry {
          FROM orders
          WHERE NOT (o_orderkey >= 2000 AND o_orderkey < 4000)
          GROUP BY 1""",
+
+    // The six rules with the same integer cross-multiplied ratio tests.
+    "q234_curation_rules" ->
+      """WITH c AS (SELECT source,
+              CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS words,
+              CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS BIGINT) AS ac,
+              CAST(len(regexp_extract_all(text, '#|…|\.\.\.')) AS BIGINT) AS symbols,
+              CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digits,
+              CAST(length(text) AS BIGINT) AS chars,
+              CAST(len(regexp_extract_all(
+                lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                '(^| )(the|a|an|and|or|of|to|in|is|it)( |$)')) AS BIGINT) AS stop_hits,
+              CASE WHEN regexp_matches(lower(text),
+                'lorem ipsum|javascript|cookie') THEN 1 ELSE 0 END AS boiler
+            FROM documents),
+         f AS (SELECT source,
+              CASE WHEN words < 5 THEN 1 ELSE 0 END AS r_short,
+              CASE WHEN words > 0 AND (ac * 10 > words * 120
+                OR ac * 10 < words * 20) THEN 1 ELSE 0 END AS r_wl,
+              CASE WHEN symbols * 10 > words THEN 1 ELSE 0 END AS r_sy,
+              CASE WHEN stop_hits < 2 THEN 1 ELSE 0 END AS r_st,
+              boiler AS r_bo,
+              CASE WHEN digits * 5 > chars THEN 1 ELSE 0 END AS r_dg
+            FROM c)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(r_short) AS BIGINT) AS fail_short,
+                CAST(sum(r_wl) AS BIGINT) AS fail_word_len,
+                CAST(sum(r_sy) AS BIGINT) AS fail_symbol,
+                CAST(sum(r_st) AS BIGINT) AS fail_stopword,
+                CAST(sum(r_bo) AS BIGINT) AS fail_boiler,
+                CAST(sum(r_dg) AS BIGINT) AS fail_digit,
+                CAST(sum(CASE WHEN r_short + r_wl + r_sy + r_st + r_bo + r_dg
+                  = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+         FROM f GROUP BY 1""",
 
     // Both MoR deletes relationally: rows surviving EVERY vector.
     "q233_mor_delete" ->

@@ -592,4 +592,61 @@ object Corpus {
           .otherwise("heldout"))
       .select(col(idCol), col(strataCol), col("split"))
   }
+
+  /** Gopher/C4-style heuristic curation rules — the published hard-filter
+    * battery a web-corpus pipeline runs BEFORE any learned scoring, as a
+    * per-source audit: for each source, how many documents fail each rule
+    * and how many are clean. The six rules (all integer-exact, every
+    * ratio tested by cross-multiplication so no float division exists on
+    * either engine):
+    *
+    *  - `fail_short` — fewer than `minWords` alphanumeric word tokens
+    *    (Gopher's 50-word floor, scaled down for the synthetic corpus);
+    *  - `fail_word_len` — mean word length outside [2, 12] chars,
+    *    tested as `10·alnumChars > 120·words` / `< 20·words` (Gopher);
+    *  - `fail_symbol` — symbol-to-word ratio over 0.1 (`#`, `…`, `...`),
+    *    Gopher's symbol screen: `10·symbols > words`;
+    *  - `fail_stopword` — fewer than 2 stopword hits (Gopher's "contains
+    *    at least 2 of the stop set" hard rule);
+    *  - `fail_boiler` — C4's badword markers: lorem ipsum / javascript /
+    *    cookie anywhere in the lowercased text;
+    *  - `fail_digit` — digit characters over 20% of all characters
+    *    (`5·digits > chars`), the numeric-junk screen.
+    *
+    * Scale: one map-side pass computes every flag inside WholeStageCodegen
+    * (regexp_count compositions, no UDFs), then ONE shuffle on the
+    * source key reduces to the |sources|-row profile. Cited behaviors:
+    * Rae et al. 2021 (Gopher) §A1.1, Raffel et al. 2020 (C4) §2.2. */
+  def curationRules(docs: DataFrame, textCol: String, sourceCol: String,
+                    minWords: Int = 5): DataFrame = {
+    val t = col(textCol)
+    val words = T.wordTokens(t).cast("long")
+    val alnumChars = length(regexp_replace(t, "[^A-Za-z0-9]", ""))
+      .cast("long")
+    val symbols = regexp_count(t, lit("#|…|\\.\\.\\.")).cast("long")
+    val digits = regexp_count(t, lit("[0-9]")).cast("long")
+    val chars = length(t).cast("long")
+    val flags = docs.select(
+      col(sourceCol).as("source"),
+      (words < minWords).cast("long").as("graft_short"),
+      (words > 0 && (alnumChars * 10 > words * 120 ||
+        alnumChars * 10 < words * 20)).cast("long").as("graft_word_len"),
+      (symbols * 10 > words).cast("long").as("graft_symbol"),
+      (T.stopwordHits(t) < 2).cast("long").as("graft_stopword"),
+      (regexp_count(lower(t), lit("lorem ipsum|javascript|cookie")) > 0)
+        .cast("long").as("graft_boiler"),
+      (digits * 5 > chars).cast("long").as("graft_digit"))
+    flags.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("graft_short").as("fail_short"),
+      sum("graft_word_len").as("fail_word_len"),
+      sum("graft_symbol").as("fail_symbol"),
+      sum("graft_stopword").as("fail_stopword"),
+      sum("graft_boiler").as("fail_boiler"),
+      sum("graft_digit").as("fail_digit"),
+      sum(when(col("graft_short") + col("graft_word_len") +
+        col("graft_symbol") + col("graft_stopword") +
+        col("graft_boiler") + col("graft_digit") === 0, 1L).otherwise(0L))
+        .as("n_clean"))
+  }
 }

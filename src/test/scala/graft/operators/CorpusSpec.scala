@@ -392,4 +392,32 @@ class CorpusSpec extends SparkSpec {
     assert(c.count(_._2 == "train") === a.count(_._2 == "train"))
     assert(c !== a)
   }
+
+  test("curationRules: each planted violation trips exactly its rule") {
+    val clean = "the quick brown fox and the lazy dog ran off to the barn in fog"
+    val docs = Seq(
+      ("w", clean),                                    // clean
+      ("w", "tiny doc"),                               // short (+ stopword: 0 hits)
+      ("w", "the of supercalifragilistic extraordinarily incomprehensible " +
+        "antidisestablishmentarian verylongwordsareeverywhere " +
+        "pneumonoultramicroscopic"),                   // word_len (mean > 12)
+      ("w", clean + " # … ... # #"),                   // symbol (5 symbols, 14 words)
+      ("w", "cats run fast dogs walk slow birds fly high very far"), // stopword
+      ("w", "please accept our cookie policy " + clean), // boiler
+      ("w", clean + " 111 222 333 444 555 666 777 888 999 000 111 222")) // digit
+      .toDF("source", "text")
+    val r = Corpus.curationRules(docs, "text", "source").collect()(0)
+    assert(r.getAs[Long]("n_docs") === 7L)
+    assert(r.getAs[Long]("fail_short") === 1L)
+    assert(r.getAs[Long]("fail_word_len") === 1L)
+    assert(r.getAs[Long]("fail_symbol") === 1L)
+    // short doc (0 hits), no-stopword doc (0), and the word_len doc:
+    // its only stopwords are ADJACENT ("the of"), and non-overlapping
+    // matching consumes the shared delimiter, so it counts 1 hit — the
+    // documented stopwordHits contract, same on both engines
+    assert(r.getAs[Long]("fail_stopword") === 3L)
+    assert(r.getAs[Long]("fail_boiler") === 1L)
+    assert(r.getAs[Long]("fail_digit") === 1L)
+    assert(r.getAs[Long]("n_clean") === 1L)
+  }
 }
