@@ -259,7 +259,11 @@ object WarehouseSink {
     b.toString
   }
 
-  private[sources] def writeManifest(dir: String, m: Manifest): Unit = {
+  /** The slot-claim HALF of a commit: write `manifest-v.json` without
+    * swapping `_current` — exactly the window a committer occupies
+    * between claiming its slot and publishing it (split out so the
+    * concurrency spec can park a "slow winner" in that window). */
+  private[sources] def writeManifestFileOnly(dir: String, m: Manifest): Unit = {
     val json =
       s"""{"version": ${m.version}, "ts": ${m.ts}, "epoch": ${m.epoch}, "partitionCol": "${escape(m.partitionCol)}", "sortedBy": "${escape(m.sortedBy)}", "op": "${escape(m.op)}", "cdf": "${m.cdf}", "schema": "${escape(m.schemaDdl)}", "files": [${m.files.map(f => "\"" + escape(f) + "\"").mkString(", ")}], "changeFiles": [${m.changeFiles.map(f => "\"" + escape(f) + "\"").mkString(", ")}], "dvs": [${m.dvs.map(f => "\"" + escape(f) + "\"").mkString(", ")}]}"""
     // CREATE_NEW: a version slot is claimed exactly once. Two committers
@@ -269,6 +273,10 @@ object WarehouseSink {
       json.getBytes(StandardCharsets.UTF_8),
       java.nio.file.StandardOpenOption.CREATE_NEW,
       java.nio.file.StandardOpenOption.WRITE)
+  }
+
+  private[sources] def writeManifest(dir: String, m: Manifest): Unit = {
+    writeManifestFileOnly(dir, m)
     // MONOTONIC pointer swap: if a later generation is already live, a
     // delayed committer must not regress _current. Its manifest stays on
     // disk — and the later generation REBASED on it (see publish), so its
