@@ -1955,6 +1955,12 @@ object SparkEntry {
     "q232_mann_kendall" -> ((s, d) =>
       Analytics.mannKendall(eventsUs(s, d), "event_type", "ts_us")),
 
+    // EWMA forecast backtest: exponential smoothing made oracle-exact by
+    // dyadic weights — S = Σ y_lag·2^(20-lag), forecast = S div (2^20−1),
+    // pure integer arithmetic both engines replay bit-for-bit.
+    "q235_ewma_backtest" -> ((s, d) =>
+      Analytics.ewmaBacktest(eventsUs(s, d), "event_type", "ts_us", 20)),
+
     // Gopher/C4 heuristic curation-rule audit: the published hard-filter
     // battery as a per-source profile — every ratio tested by integer
     // cross-multiplication, so the oracle replays it exactly.
@@ -5099,6 +5105,28 @@ object SparkEntry {
          FROM orders
          WHERE NOT (o_orderkey >= 2000 AND o_orderkey < 4000)
          GROUP BY 1""",
+
+    // The same dyadic-weight integer sum; NULL lags unscore the day.
+    "q235_ewma_backtest" -> {
+      val terms = (1 to 20)
+        .map(k => s"lag(y, $k) OVER w * ${1L << (20 - k)}").mkString(" + ")
+      s"""WITH daily AS (SELECT event_type AS s,
+                  epoch_us(ts) // 86400000000 AS d,
+                  CAST(count(*) AS BIGINT) AS y
+             FROM events GROUP BY 1, 2),
+         sc AS (SELECT s, d, y,
+                  $terms AS wsum,
+                  lag(y, 1) OVER w AS prev
+               FROM daily WINDOW w AS (PARTITION BY s ORDER BY d)),
+         f AS (SELECT s, y, wsum // ${(1L << 20) - 1} AS fc, prev
+               FROM sc WHERE wsum IS NOT NULL)
+         SELECT s AS event_type, CAST(count(*) AS BIGINT) AS n_days,
+                CAST(sum(abs(y - fc)) * 1000 // count(*) AS BIGINT)
+                  AS mae_milli_ewma,
+                CAST(sum(abs(y - prev)) * 1000 // count(*) AS BIGINT)
+                  AS mae_milli_naive
+         FROM f GROUP BY 1"""
+    },
 
     // The six rules with the same integer cross-multiplied ratio tests.
     "q234_curation_rules" ->

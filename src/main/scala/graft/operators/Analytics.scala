@@ -1478,6 +1478,51 @@ object Analytics {
         expr("cum_cents div graft_users").as("ltv_centi_per_user"))
   }
 
+  /** EWMA forecast backtest with EXACT DYADIC weights — the
+    * exponential-smoothing rung between [[seasonalBacktest]]'s
+    * same-weekday mean and the naive prev-day carry: tomorrow's forecast
+    * is the α=1/2 exponentially-weighted average of the last `window`
+    * observed days. The trick that keeps it ORACLE-REPLAYABLE: truncating
+    * the geometric tail at `window` lags and scaling by 2^window turns
+    * the whole recursion into INTEGER arithmetic —
+    * S_t = Σ_{k=1..window} y_{t−k} · 2^(window−k), forecast =
+    * S_t div (2^window − 1) — no float accumulation order to disagree
+    * on, any engine replays it bit-for-bit. (The dropped tail weighs
+    * 2^−window ≈ 10⁻⁶ of the estimate: quantization the milli-MAE
+    * readout cannot see.)
+    *
+    * Lags are OBSERVED-day lags (row lags on the daily substrate): a
+    * data gap shortens history rather than zero-filling it, and the
+    * full-window requirement falls out free — any missing lag turns the
+    * SQL sum NULL and the day is not scored. Readout: per-series
+    * milli-MAE of the EWMA vs the naive prev-day forecast on the SAME
+    * scored days — the honest baseline comparison ([[seasonalBacktest]]'s
+    * discipline).
+    *
+    * Scale: one corpus→daily shuffle, then `window` lag() terms over ONE
+    * window spec — a single per-series pass, no self-join, no state. */
+  def ewmaBacktest(events: DataFrame, seriesCol: String, tsUsCol: String,
+                   window: Int = 20): DataFrame = {
+    require(window >= 1 && window <= 62, "window must be in [1, 62]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("graft_s").orderBy(col("graft_d").asc)
+    val weighted = (1 to window)
+      .map(k => lag(col("graft_y"), k).over(w) * lit(1L << (window - k)))
+      .reduce(_ + _) // NULL-propagating: any missing lag unscores the day
+    val scored = dailyCounts(events, seriesCol, tsUsCol)
+      .withColumn("graft_sum", weighted)
+      .withColumn("graft_prev", lag(col("graft_y"), 1).over(w))
+      .filter(col("graft_sum").isNotNull)
+      .withColumn("graft_fc",
+        expr(s"graft_sum div ${(1L << window) - 1}L"))
+    scored.groupBy(col("graft_s").as(seriesCol))
+      .agg(count(lit(1)).as("n_days"),
+        expr("sum(abs(graft_y - graft_fc)) * 1000 div count(1)")
+          .as("mae_milli_ewma"),
+        expr("sum(abs(graft_y - graft_prev)) * 1000 div count(1)")
+          .as("mae_milli_naive"))
+  }
+
   /** Mann-Kendall trend test — the SIGNIFICANCE readout that completes
     * the trend family (48s estimates a slope, 48x estimates it
     * robustly; this one says whether a monotone trend EXISTS): per

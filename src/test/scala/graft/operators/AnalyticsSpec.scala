@@ -768,6 +768,28 @@ class AnalyticsSpec extends SparkSpec {
       (1L, 0L) -> ((1L, 1000L, 1000L))))
   }
 
+  test("ewmaBacktest: hand-computed dyadic forecast; gaps unscore days") {
+    val day = 86400L * 1000000L
+    // window=2: S_t = y_{t-1}·2 + y_{t-2}, fc = S div 3.
+    // "g": days 0,1,2,3 with y = 3,6,9,3.
+    //   day2: S=6·2+3=15, fc=5, |9-5|=4; naive |9-6|=3
+    //   day3: S=9·2+6=24, fc=8, |3-8|=5; naive |3-9|=6
+    //   MAE milli: ewma (4+5)*1000 div 2 = 4500; naive (3+6)*1000 div 2 = 4500
+    val g = for (dy <- Seq((0, 3), (1, 6), (2, 9), (3, 3)); r <- 0 until dy._2)
+      yield ("g", dy._1 * day + r)
+    // "h" has a GAP at day 1: days 0,2,3 → only day 3 scores (lags = days
+    // 2 and 0 by OBSERVED order): S=4·2+2=10, fc=3, |8-3|=5
+    val h = for (dy <- Seq((0, 2), (2, 4), (3, 8)); r <- 0 until dy._2)
+      yield ("h", dy._1 * day + r)
+    val got = Analytics.ewmaBacktest((g ++ h).toDF("event_type", "ts_us"),
+      "event_type", "ts_us", window = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_days"), r.getAs[Long]("mae_milli_ewma"),
+          r.getAs[Long]("mae_milli_naive")))).toMap
+    assert(got("g") === ((2L, 4500L, 4500L)))
+    assert(got("h") === ((1L, 5000L, 4000L)))
+  }
+
   test("mannKendall: monotone series scores maximal S; constant gives NULL z") {
     val day = 86400L * 1000000L
     // "up": y = d+1 over 10 days → S = C(10,2) = 45, no ties.
