@@ -36,9 +36,15 @@ import org.apache.spark.util.sketch.BloomFilter
 object IncrementalIngest {
 
   /** Catalog name of the bucketed fp side table maintained for a store
-    * path (a pure function of the path, so restarts find it again). */
-  def fpTableFor(storePath: String): String =
-    "graft_fp_" + (storePath.hashCode.toLong & 0xffffffffL).toString
+    * path (a pure function of the path, so restarts find it again).
+    * Full-width md5, not String.hashCode — the [[NearDupIngest]] rule: a
+    * 32-bit collision between two live store paths would silently share
+    * one fp table and let each start's rebuild wipe the other's. */
+  def fpTableFor(storePath: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(storePath.getBytes("UTF-8"))
+    "graft_fp_" + d.map("%02x".format(_)).mkString
+  }
 
   private def writeFps(fps: DataFrame, table: String, buckets: Int,
                        mode: String): Unit =
