@@ -1955,6 +1955,30 @@ object SparkEntry {
     "q232_mann_kendall" -> ((s, d) =>
       Analytics.mannKendall(eventsUs(s, d), "event_type", "ts_us")),
 
+    // Hidden (transform) partitioning: bucket(8, c_custkey) layout, then
+    // a point-lookup batch that PROVES the transform pruning in-plan —
+    // a hash bucket's raw min/max spans everything, so only the recorded
+    // per-file bucket value can prune; the require gates on it.
+    "q236_bucket_lookup" -> ((s, d) => {
+      val fmt = "graft.sources.WarehouseSink"
+      val dir = java.nio.file.Files.createTempDirectory("graft_bkt_").toString
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .coalesce(1)
+        .write.format(fmt).option("path", dir)
+        .option("partitionBy", "bucket(8,c_custkey)")
+        .mode("overwrite").save()
+      val keys = Seq(7L, 19L, 83L)
+      val q = s.read.format(fmt).option("path", dir).load()
+        .filter(col("c_custkey").isin(keys: _*))
+      // 8 one-bucket files on disk; ≤3 distinct buckets among the keys —
+      // the scan must plan at most that many partitions
+      require(q.rdd.getNumPartitions <= 3,
+        s"bucket pruning failed: ${q.rdd.getNumPartitions} partitions planned")
+      q.select(col("c_custkey"), col("c_name"),
+        floor(col("c_acctbal") * 100).cast("long").as("acctbal_cents"))
+    }),
+
     // EWMA forecast backtest: exponential smoothing made oracle-exact by
     // dyadic weights — S = Σ y_lag·2^(20-lag), forecast = S div (2^20−1),
     // pure integer arithmetic both engines replay bit-for-bit.
@@ -5105,6 +5129,12 @@ object SparkEntry {
          FROM orders
          WHERE NOT (o_orderkey >= 2000 AND o_orderkey < 4000)
          GROUP BY 1""",
+
+    // The layout is invisible to SQL: a plain key lookup.
+    "q236_bucket_lookup" ->
+      """SELECT c_custkey, c_name,
+                CAST(floor(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+         FROM customer WHERE c_custkey IN (7, 19, 83)""",
 
     // The same dyadic-weight integer sum; NULL lags unscore the day.
     "q235_ewma_backtest" -> {

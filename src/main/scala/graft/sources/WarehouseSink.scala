@@ -209,6 +209,121 @@ object WarehouseSink {
   private[sources] def splitCols(s: String): Seq[String] =
     if (s == null || s.isEmpty) Nil else s.split(",").toSeq
 
+  // ---- partition transforms (hidden partitioning) ----
+  /** One partition-spec entry: an identity column, `bucket(N,col)`, or
+    * `days(col)` — the Iceberg transform-partitioning grammar. A
+    * transform file holds exactly one TRANSFORM value (recorded in its
+    * sidecar `#tpart` line), while its RAW column ranges may span
+    * everything — which is precisely why bucket layouts need their own
+    * pruning rule: a hash bucket's min/max refutes nothing, but matching
+    * the literal's bucket against the file's recorded value prunes
+    * (buckets−1)/buckets of a 100 TB table for a point lookup. */
+  private[sources] sealed trait PartTransform {
+    def col: String; def spec: String
+  }
+  private[sources] case class IdPart(col: String) extends PartTransform {
+    def spec: String = col
+  }
+  private[sources] case class BucketPart(n: Int, col: String)
+      extends PartTransform {
+    def spec: String = s"bucket($n,$col)"
+  }
+  private[sources] case class DaysPart(col: String) extends PartTransform {
+    def spec: String = s"days($col)"
+  }
+
+  /** Split a spec list on commas OUTSIDE parentheses:
+    * "bucket(8,id),region" → ["bucket(8,id)", "region"]. */
+  private[sources] def splitSpecs(s: String): Seq[String] = {
+    if (s == null || s.isEmpty) return Nil
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; cur.append('(')
+      case ')' => depth -= 1; cur.append(')')
+      case ',' if depth == 0 => out += cur.toString.trim; cur.clear()
+      case c => cur.append(c)
+    }
+    if (cur.nonEmpty) out += cur.toString.trim
+    out.result()
+  }
+
+  private val BucketRe = """bucket\(\s*(\d+)\s*,\s*([^)]+?)\s*\)""".r
+  private val DaysRe = """days\(\s*([^)]+?)\s*\)""".r
+
+  private[sources] def parsePartSpecs(s: String): Seq[PartTransform] =
+    splitSpecs(s).map {
+      case BucketRe(n, c) =>
+        require(n.toInt > 0, s"bucket count must be positive in $s")
+        BucketPart(n.toInt, c)
+      case DaysRe(c) => DaysPart(c)
+      case c =>
+        require(!c.contains("("),
+          s"unknown partition transform '$c' (supported: col, " +
+            "bucket(N,col), days(col))")
+        IdPart(c)
+    }
+
+  /** Transform-aware file pruning — the rule raw min/max stats cannot
+    * express: a `bucket(N,col)` file's raw range spans the whole domain
+    * (hashing destroys order), so an equality literal prunes ONLY by
+    * comparing its bucket against the file's recorded `#tpart` value —
+    * which drops (N−1)/N of a 100 TB table for a point lookup. EqualTo
+    * and In translate; every other filter shape (and any file without a
+    * recorded tuple — legacy or plain-compacted layouts) never skips
+    * blind. A literal whose type the transform rejects disables pruning
+    * for that filter rather than guessing. */
+  private[sources] def tpartAllows(dir: String, dataFile: String,
+                                   specs: Seq[PartTransform],
+                                   filters: Seq[org.apache.spark.sql.sources.Filter]): Boolean = {
+    val t = readTpart(dir, dataFile).getOrElse(return true)
+    val parts = t.split("\u001f", -1)
+    if (parts.length != specs.length) return true
+    def allows(c: String, vs: Seq[Any]): Boolean =
+      specs.zipWithIndex.find { case (s, _) =>
+        s.col == c && !s.isInstanceOf[IdPart]
+      } match {
+        case Some((s, j)) => vs.exists { v =>
+          try encode(transformValue(s, v)) == parts(j)
+          catch { case _: IllegalArgumentException => true }
+        }
+        case None => true
+      }
+    filters.forall {
+      case org.apache.spark.sql.sources.EqualTo(c, v) => allows(c, Seq(v))
+      case org.apache.spark.sql.sources.In(c, vs) => allows(c, vs.toSeq)
+      case _ => true
+    }
+  }
+
+  /** The transform value of a raw partition-column value — computed at
+    * WRITE time only and recorded per file; readers never recompute it
+    * (both sides of any comparison read the same recorded values, so the
+    * hash only has to be deterministic, not engine-portable). */
+  private[sources] def transformValue(t: PartTransform, v: Any): Any = t match {
+    case IdPart(_) => v
+    case BucketPart(n, c) =>
+      val h = v match {
+        case l: java.lang.Long => scala.util.hashing.byteswap64(l.longValue)
+        case i: java.lang.Integer => scala.util.hashing.byteswap64(i.longValue)
+        case s: UTF8String =>
+          scala.util.hashing.MurmurHash3.stringHash(s.toString).toLong
+        case s: String => scala.util.hashing.MurmurHash3.stringHash(s).toLong
+        case other => throw new IllegalArgumentException(
+          s"bucket($n,$c) needs an int/long/string column, got " +
+            other.getClass.getSimpleName)
+      }
+      java.lang.Long.valueOf(Math.floorMod(h, n.toLong))
+    case DaysPart(c) => v match {
+      case l: java.lang.Long => java.lang.Long.valueOf(
+        Math.floorDiv(l.longValue, 86400L * 1000000L))
+      case other => throw new IllegalArgumentException(
+        s"days($c) needs an epoch-microsecond long column, got " +
+          other.getClass.getSimpleName)
+    }
+  }
+
   /** `_current` names the live manifest version; both are tiny JSON files
     * swapped by atomic rename, so a reader sees a complete generation. */
   private[sources] def readManifest(dir: String): Option[Manifest] = {
@@ -741,6 +856,10 @@ object WarehouseSink {
         val writer =
           if (cur.partitionCol.nonEmpty)
             scanned.write.option("partitionBy", cur.partitionCol)
+              // pin the rewrite's shuffle width: a transform layout would
+              // otherwise fan out to (shuffle partitions × values-per-task)
+              // files, growing the count compaction meant to shrink
+              .option("targetPartitions", nTarget.toString)
           else clusterBy match {
             case Some(c) =>
               scanned.repartitionByRange(nTarget,
@@ -1375,6 +1494,20 @@ object WarehouseSink {
   }
 
   private[sources] val RowsTag = "#rows"
+  /** 2-field sidecar line recording the file's transform-partition value
+    * tuple (-joined encoded values) — invisible to the 3-field
+    * range parser and every tagged reader, like `#rows`. */
+  private[sources] val TpartTag = "#tpart"
+
+  private[sources] def readTpart(dir: String, dataFile: String): Option[String] = {
+    val f = new File(dir, statsFile(dataFile))
+    if (!f.isFile) return None
+    new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .split("\n").collectFirst {
+        case ln if ln.startsWith(TpartTag + "\t") =>
+          ln.substring(TpartTag.length + 1)
+      }
+  }
   private[sources] val ColsTag = "#cols"
   private val ColsSep = '\u001f' // unit separator — not emitted by encStr
 
@@ -1651,7 +1784,8 @@ private[sources] class WarehouseTable(dir: String, schema0: StructType,
       truncate0 = false,
       mergeSchema = info.options().getBoolean("mergeSchema", false),
       partitionCol = Option(info.options().get("partitionBy")).getOrElse(""),
-      streamEpoch = Option(info.options().get("streamEpoch")).map(_.toLong))
+      streamEpoch = Option(info.options().get("streamEpoch")).map(_.toLong),
+      targetPartitions = info.options().getInt("targetPartitions", 0))
   }
 
   private def manifest: Option[WarehouseSink.Manifest] = versionAsOf match {
@@ -1873,15 +2007,16 @@ private[sources] class WarehouseWriteBuilder(dir: String, schema: StructType,
                                              queryId: String, truncate0: Boolean,
                                              mergeSchema: Boolean = false,
                                              partitionCol: String = "",
-                                             streamEpoch: Option[Long] = None)
+                                             streamEpoch: Option[Long] = None,
+                                             targetPartitions: Int = 0)
     extends WriteBuilder with SupportsTruncate {
   override def truncate(): WriteBuilder =
     new WarehouseWriteBuilder(dir, schema, queryId, truncate0 = true,
-      mergeSchema, partitionCol, streamEpoch)
+      mergeSchema, partitionCol, streamEpoch, targetPartitions)
   override def build(): Write = {
-    WarehouseSink.splitCols(partitionCol).foreach(c =>
-      require(schema.fieldNames.contains(c),
-        s"partitionBy column $c not in the written schema"))
+    WarehouseSink.parsePartSpecs(partitionCol).foreach(t =>
+      require(schema.fieldNames.contains(t.col),
+        s"partitionBy column ${t.col} not in the written schema"))
     // An un-optioned APPEND to a partitioned table inherits the table's
     // partition column(s) (so plain appends keep the one-value-per-file
     // invariant); a frame that lacks a column degrades to an unsplit
@@ -1889,20 +2024,26 @@ private[sources] class WarehouseWriteBuilder(dir: String, schema: StructType,
     val effectiveCol =
       if (partitionCol.nonEmpty || truncate0) partitionCol
       else WarehouseSink.readManifest(dir).map(_.partitionCol)
-        .filter(pc => WarehouseSink.splitCols(pc)
-          .forall(schema.fieldNames.contains)).getOrElse("")
-    // A value-partitioned write DEMANDS clustering by the column(s) —
-    // Spark inserts the shuffle, so each task sees whole value groups and
-    // the per-value file split stays one-file-per-tuple-per-task instead
-    // of one per (tuple, input partition).
+        .filter(pc => WarehouseSink.parsePartSpecs(pc)
+          .forall(t => schema.fieldNames.contains(t.col))).getOrElse("")
+    // A value-partitioned write DEMANDS clustering by the RAW column(s)
+    // (a transform's raw column determines its transform value, so
+    // clustering by it co-locates whole transform groups too) — Spark
+    // inserts the shuffle, so each task sees whole value groups and the
+    // per-value file split stays one-file-per-tuple-per-task instead of
+    // one per (tuple, input partition). `targetPartitions` (maintain's
+    // compaction knob) pins the shuffle's width so a bucketed table's
+    // rewrite emits ~targetPartitions·|buckets seen per task| files, not
+    // 32·|buckets|.
     new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
       import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
       import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
       override def requiredDistribution(): Distribution =
         if (effectiveCol.isEmpty) Distributions.unspecified()
-        else Distributions.clustered(WarehouseSink.splitCols(effectiveCol)
-          .map(Expressions.identity).toArray)
-      override def requiredNumPartitions(): Int = 0
+        else Distributions.clustered(WarehouseSink.parsePartSpecs(effectiveCol)
+          .map(t => Expressions.identity(t.col)).toArray)
+      override def requiredNumPartitions(): Int =
+        if (effectiveCol.isEmpty) 0 else targetPartitions
       override def requiredOrdering(): Array[SortOrder] = Array.empty
       override def toBatch: BatchWrite =
         new WarehouseBatchWrite(dir, schema, queryId, truncate0, mergeSchema,
@@ -1935,8 +2076,9 @@ private[sources] class WarehouseBatchWrite(dir: String, schema: StructType,
     // fast with a clear message instead of per-task.
     val cks = WarehouseSink.checks(dir)
     if (cks.nonEmpty) new CheckEvaluator(cks, schema) // driver-side validation
-    new WarehouseWriterFactory(staging.getPath, schema,
-      WarehouseSink.splitCols(partitionCol).map(schema.fieldIndex), cks)
+    val specs = WarehouseSink.parsePartSpecs(partitionCol)
+    specs.foreach(t => schema.fieldIndex(t.col)) // fail fast on the driver
+    new WarehouseWriterFactory(staging.getPath, schema, specs, cks)
   }
 
   /** Publish: move exactly the files the coordinator-admitted attempts
@@ -2143,15 +2285,15 @@ private[sources] class WarehouseStreamingWriterFactory(baseStaging: String,
 
 private[sources] class WarehouseWriterFactory(stagingDir: String,
                                               schema: StructType,
-                                              partitionIdxs: Seq[Int] = Nil,
+                                              specs: Seq[WarehouseSink.PartTransform] = Nil,
                                               checks: Seq[WarehouseSink.Check] = Nil)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val inner: DataWriter[InternalRow] =
-      if (partitionIdxs.isEmpty)
+      if (specs.isEmpty)
         new WarehouseWriter(stagingDir, schema, partitionId, taskId)
       else new PartitionedWarehouseWriter(stagingDir, schema, partitionId,
-        taskId, partitionIdxs)
+        taskId, specs)
     if (checks.isEmpty) inner
     else new DataWriter[InternalRow] {
       private val ev = new CheckEvaluator(checks, schema)
@@ -2169,7 +2311,8 @@ private[sources] class WarehouseWriterFactory(stagingDir: String,
   * file — the unit both the plain writer (one per task) and the
   * value-partitioned writer (one per value per task) compose. */
 private[sources] class FileSink(stagingDir: String, schema: StructType,
-                                fileName: String) {
+                                fileName: String,
+                                tpart: Option[String] = None) {
   private val out = new FileWriter(new File(stagingDir, fileName))
   private var rows = 0L
   private val types = schema.fields.map(_.dataType)
@@ -2235,6 +2378,8 @@ private[sources] class FileSink(stagingDir: String, schema: StructType,
     // The file's own column order (2-field `#cols` line): what makes the
     // file readable after later schema evolutions re-map positions.
     sb.append(WarehouseSink.colsLine(schema)).append('\n')
+    tpart.foreach(v => sb.append(WarehouseSink.TpartTag).append('\t')
+      .append(v).append('\n'))
     var i = 0
     while (i < types.length) {
       if (mins(i) != null) // all-null columns carry no range line
@@ -2364,21 +2509,30 @@ private[sources] class WarehouseWriter(stagingDir: String, schema: StructType,
 private[sources] class PartitionedWarehouseWriter(stagingDir: String,
                                                   schema: StructType,
                                                   partitionId: Int, taskId: Long,
-                                                  partitionIdxs: Seq[Int])
+                                                  specs: Seq[WarehouseSink.PartTransform])
     extends DataWriter[InternalRow] {
   private val base = f"part-$partitionId%05d-$taskId-" +
     java.util.UUID.randomUUID.toString.take(8)
   private val sinks = scala.collection.mutable.LinkedHashMap.empty[String, FileSink]
+  private val partitionIdxs = specs.map(t => schema.fieldIndex(t.col))
   private val pTypes = partitionIdxs.map(i => schema.fields(i).dataType)
+  // Hidden partitioning: any non-identity spec makes the file key a
+  // TRANSFORM value tuple, recorded in the sidecar `#tpart` line (a hash
+  // bucket's raw column ranges span everything, so the scan needs the
+  // recorded value to group or prune by).
+  private val transformed = specs.exists(!_.isInstanceOf[WarehouseSink.IdPart])
 
   override def write(record: InternalRow): Unit = {
-    val key = partitionIdxs.zip(pTypes).map { case (idx, dt) =>
+    val key = specs.indices.map { j =>
+      val idx = partitionIdxs(j)
       require(!record.isNullAt(idx),
         s"partition column ${schema.fields(idx).name} must not be null")
-      WarehouseSink.encode(record.get(idx, dt))
+      WarehouseSink.encode(
+        WarehouseSink.transformValue(specs(j), record.get(idx, pTypes(j))))
     }.mkString("\u001f")
     val sink = sinks.getOrElseUpdate(key,
-      new FileSink(stagingDir, schema, f"$base-v${sinks.size}%04d.wtsv"))
+      new FileSink(stagingDir, schema, f"$base-v${sinks.size}%04d.wtsv",
+        if (transformed) Some(key) else None))
     sink.write(record)
   }
   override def commit(): WriterCommitMessage =
@@ -2483,11 +2637,21 @@ private[sources] class WarehouseScan(dir: String, schema: StructType,
     // the same order of work as listing the manifest itself.
     val all = skipFilters ++ runtimeFilters
     if (all.isEmpty) files
-    else files.filter { f =>
-      (WarehouseSink.readStats(dir, f, schema) match {
-        case Some(st) => all.forall(WarehouseSink.mightMatch(st, _))
-        case None => true // pre-stats file: never skip blind
-      }) && all.forall(WarehouseSink.nullAwareMatch(dir, f, _))
+    else {
+      // Transform-partitioned layouts prune by recorded #tpart values —
+      // the only pruning that works for hash buckets (see tpartAllows).
+      val specs = m.map(p => WarehouseSink.parsePartSpecs(p.partitionCol))
+        .getOrElse(Nil)
+      val hasTransform =
+        specs.exists(!_.isInstanceOf[WarehouseSink.IdPart])
+      files.filter { f =>
+        (WarehouseSink.readStats(dir, f, schema) match {
+          case Some(st) => all.forall(WarehouseSink.mightMatch(st, _))
+          case None => true // pre-stats file: never skip blind
+        }) && all.forall(WarehouseSink.nullAwareMatch(dir, f, _)) &&
+          (!hasTransform ||
+            WarehouseSink.tpartAllows(dir, f, specs, all.toSeq))
+      }
     }
   }
   /** Deletion vectors to apply, dataFile → (dv path, deleted count).
