@@ -1955,6 +1955,73 @@ object SparkEntry {
     "q232_mann_kendall" -> ((s, d) =>
       Analytics.mannKendall(eventsUs(s, d), "event_type", "ts_us")),
 
+    // The warehouse as a SQL catalog: CREATE TABLE ... PARTITIONED BY
+    // (bucket(...)), INSERT INTO, and the aggregate — all through
+    // spark.sql against the registered WarehouseCatalog.
+    "q237_sql_catalog" -> ((s, d) => {
+      useCatalog(s)
+      val ns = "c" + (d.hashCode.toLong & 0xffffffffL)
+      new java.io.File(catalogRoot, ns).mkdirs()
+      s.sql(s"DROP TABLE IF EXISTS graft.$ns.orders_t")
+      s.sql(s"CREATE TABLE graft.$ns.orders_t (o_orderkey BIGINT, " +
+        "o_custkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE) " +
+        "PARTITIONED BY (bucket(4, o_custkey))")
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .createOrReplaceTempView("graft_q237_src")
+      s.sql(s"INSERT INTO graft.$ns.orders_t SELECT * FROM graft_q237_src")
+      s.sql(s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+                  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS sum_cents
+                FROM graft.$ns.orders_t GROUP BY o_orderstatus""")
+    }),
+
+    // Storage-partitioned join on a bucket TRANSFORM layout — the SPJ
+    // family's third rung (q181 identity, q204 multi-column + mismatched
+    // value sets, this one hashed buckets): the catalog's bucket function
+    // resolves both scans' bucket(4,·) keys, the join AND the per-key
+    // aggregate ride the layout, and the in-query gate proves the plan
+    // holds zero Exchange.
+    "q238_bucket_spj" -> ((s, d) => {
+      useCatalog(s)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val ns = "c" + (d.hashCode.toLong & 0xffffffffL)
+      new java.io.File(catalogRoot, ns).mkdirs()
+      s.sql(s"DROP TABLE IF EXISTS graft.$ns.ord_b")
+      s.sql(s"DROP TABLE IF EXISTS graft.$ns.cust_b")
+      s.sql(s"CREATE TABLE graft.$ns.ord_b (o_custkey BIGINT, " +
+        "o_totalprice DOUBLE) PARTITIONED BY (bucket(4, o_custkey))")
+      s.sql(s"CREATE TABLE graft.$ns.cust_b (c_custkey BIGINT, " +
+        "c_mktsegment STRING) PARTITIONED BY (bucket(4, c_custkey))")
+      Tables.orders(s, d).select("o_custkey", "o_totalprice")
+        .createOrReplaceTempView("graft_q238_o")
+      Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+        .createOrReplaceTempView("graft_q238_c")
+      s.sql(s"INSERT INTO graft.$ns.ord_b SELECT * FROM graft_q238_o")
+      s.sql(s"INSERT INTO graft.$ns.cust_b SELECT * FROM graft_q238_c")
+      val prevBroadcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val q = s.sql(
+          s"""SELECT o.o_custkey AS custkey, max(c.c_mktsegment) AS segment,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS sum_cents
+              FROM graft.$ns.ord_b o JOIN graft.$ns.cust_b c
+                ON o.o_custkey = c.c_custkey
+              GROUP BY o.o_custkey""")
+        require(!q.queryExecution.executedPlan.toString.contains("Exchange"),
+          "bucket-transform SPJ must plan zero Exchange")
+        // pin the result before the confs are restored below
+        Materialize.transient(q)
+      } finally {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+        s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
+    }),
+
     // Hidden (transform) partitioning: bucket(8, c_custkey) layout, then
     // a point-lookup batch that PROVES the transform pruning in-plan —
     // a hash bucket's raw min/max spans everything, so only the recorded
@@ -2552,6 +2619,17 @@ object SparkEntry {
       (col("n_chars") >= 300).cast("long").as("label"))
 
   /** Events with the shared-grain µs timestamp column (see q38-q40 note). */
+  /** One catalog root per JVM: the catalog caches its root at first
+    * initialization, so every query must hand it the same directory —
+    * per-sfDir isolation comes from the namespace instead. */
+  private lazy val catalogRoot: String = java.nio.file.Files
+    .createTempDirectory("graft_cat_root_").toString
+
+  private def useCatalog(s: SparkSession): Unit = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.WarehouseCatalog")
+    s.conf.set("spark.sql.catalog.graft.root", catalogRoot)
+  }
+
   private def eventsUs(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
 
@@ -5129,6 +5207,22 @@ object SparkEntry {
          FROM orders
          WHERE NOT (o_orderkey >= 2000 AND o_orderkey < 4000)
          GROUP BY 1""",
+
+    // The catalog round-trip is pure plumbing to SQL: a plain aggregate.
+    "q237_sql_catalog" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS sum_cents
+         FROM orders GROUP BY o_orderstatus""",
+
+    // The SPJ is a plan property; the answer is a plain join-aggregate.
+    "q238_bucket_spj" ->
+      """SELECT o_custkey AS custkey, max(c_mktsegment) AS segment,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS sum_cents
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY o_custkey""",
 
     // The layout is invisible to SQL: a plain key lookup.
     "q236_bucket_lookup" ->

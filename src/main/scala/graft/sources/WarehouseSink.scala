@@ -1773,6 +1773,18 @@ private[sources] class WarehouseTable(dir: String, schema0: StructType,
     extends Table with SupportsWrite with SupportsRead {
   override def name(): String = s"graft_warehouse($dir)"
   override def schema(): StructType = schema0
+  /** The live layout as V2 transforms — what DESCRIBE shows for a
+    * catalog-loaded table. */
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    WarehouseSink.parsePartSpecs(
+      manifest.map(_.partitionCol).getOrElse("")).map {
+      case WarehouseSink.IdPart(c) => Expressions.identity(c)
+      case WarehouseSink.BucketPart(n, c) => Expressions.bucket(n, c)
+      case WarehouseSink.DaysPart(c) =>
+        Expressions.apply("days", Expressions.column(c))
+    }.toArray
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.BATCH_READ, TableCapability.STREAMING_WRITE,
@@ -2710,15 +2722,21 @@ private[sources] class WarehouseScan(dir: String, schema: StructType,
   // (compaction/DML rewrites mix values) degrades the WHOLE scan to
   // per-file partitions with UnknownPartitioning — correctness is never
   // conditional on the layout, only the shuffle saving is.
-  private def partitionGroups: Option[Seq[(Seq[Any], Seq[String])]] = {
+  private def partSpecs: Seq[WarehouseSink.PartTransform] = {
     val m = versionAsOf match {
       case Some(v) => WarehouseSink.readManifestAt(dir, v)
       case None => WarehouseSink.readManifest(dir)
     }
-    val pcols = WarehouseSink.splitCols(m.map(_.partitionCol).getOrElse(""))
-    if (pcols.isEmpty || onlyFiles.nonEmpty ||
-      !pcols.forall(required.fieldNames.contains)) None
-    else {
+    WarehouseSink.parsePartSpecs(m.map(_.partitionCol).getOrElse(""))
+  }
+
+  private def partitionGroups: Option[Seq[(Seq[Any], Seq[String])]] = {
+    val specs = partSpecs
+    if (specs.isEmpty || onlyFiles.nonEmpty ||
+      !specs.forall(t => required.fieldNames.contains(t.col))) None
+    else if (specs.forall(_.isInstanceOf[WarehouseSink.IdPart])) {
+      // identity layout: the per-file min==max stats check IS the claim
+      val pcols = specs.map(_.col)
       val vals: Seq[Option[Seq[Any]]] = keptFiles.map { f =>
         val st = WarehouseSink.readStats(dir, f, schema)
         val per = pcols.map { pcol =>
@@ -2734,22 +2752,46 @@ private[sources] class WarehouseScan(dir: String, schema: StructType,
       else Some(keptFiles.zip(vals.map(_.get)).groupBy(_._2).toSeq
         .map { case (v, fs) => (v, fs.map(_._1)) }
         .sortBy(_._2.head)) // deterministic plan order
+    } else {
+      // transform layout: group by each file's RECORDED transform tuple
+      // (a bucket's raw stats cannot prove the claim — the record does);
+      // any file without one (legacy, CoW-rewritten) degrades the scan
+      val vals: Seq[Option[Seq[Any]]] = keptFiles.map { f =>
+        WarehouseSink.readTpart(dir, f).flatMap { t =>
+          val parts = t.split("\u001f", -1)
+          if (parts.length != specs.length) None
+          else Some(specs.zip(parts.toSeq).map {
+            case (WarehouseSink.IdPart(c), enc) =>
+              WarehouseSink.decode(enc,
+                schema(schema.fieldIndex(c)).dataType)
+            case (_, enc) => WarehouseSink.decode(enc, LongType)
+          })
+        }
+      }
+      if (vals.exists(_.isEmpty)) None
+      else Some(keptFiles.zip(vals.map(_.get)).groupBy(_._2).toSeq
+        .map { case (v, fs) => (v, fs.map(_._1)) }
+        .sortBy(_._2.head))
     }
   }
 
   override def outputPartitioning():
       org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    import org.apache.spark.sql.connector.expressions.Expressions
     import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, UnknownPartitioning}
     partitionGroups match {
       case Some(gs) =>
-        val m = versionAsOf match {
-          case Some(v) => WarehouseSink.readManifestAt(dir, v)
-          case None => WarehouseSink.readManifest(dir)
+        // Transform keys resolve against the owning catalog's
+        // FunctionCatalog (WarehouseCatalog serves bucket/days); a
+        // path-based read has no catalog, and Spark's partitioning rule
+        // degrades it to unknown — correctness never depends on this.
+        val keys = partSpecs.map {
+          case WarehouseSink.IdPart(c) => Expressions.identity(c)
+          case WarehouseSink.BucketPart(n, c) => Expressions.bucket(n, c)
+          case WarehouseSink.DaysPart(c) =>
+            Expressions.apply("days", Expressions.column(c))
         }
-        new KeyGroupedPartitioning(
-          WarehouseSink.splitCols(m.get.partitionCol)
-            .map(org.apache.spark.sql.connector.expressions.Expressions
-              .identity).toArray, gs.size)
+        new KeyGroupedPartitioning(keys.toArray, gs.size)
       case None => new UnknownPartitioning(keptFiles.size)
     }
   }

@@ -1,0 +1,103 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The warehouse as a Spark catalog: SQL DDL/DML over manifest tables,
+  * and the FunctionCatalog leg that makes bucket-transform layouts
+  * storage-partition-join with zero Exchange. */
+class WarehouseCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val root = java.nio.file.Files
+    .createTempDirectory("graft_catalog").toString
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set("spark.sql.catalog.graft",
+      "graft.sources.WarehouseCatalog")
+    spark.conf.set("spark.sql.catalog.graft.root", root)
+    new java.io.File(root, "db").mkdirs()
+  }
+
+  test("SQL DDL + DML round-trip: create, insert, select, drop") {
+    spark.sql("CREATE TABLE graft.db.t1 (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.t1 VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graft.db.t1 SELECT id + 10, concat(v, '!') " +
+      "FROM graft.db.t1")
+    assert(spark.sql("SELECT id, v FROM graft.db.t1 ORDER BY id")
+      .as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (2L, "b"), (11L, "a!"), (12L, "b!")))
+    // the catalog table IS a manifest table: the path API reads it too
+    assert(spark.read.format("graft.sources.WarehouseSink")
+      .option("path", s"$root/db/t1").load().count() === 4L)
+    assert(spark.sql("SHOW TABLES IN graft.db").collect()
+      .map(_.getString(1)).contains("t1"))
+    spark.sql("DROP TABLE graft.db.t1")
+    assert(!spark.catalog.tableExists("graft.db.t1"))
+  }
+
+  test("SQL time travel: VERSION AS OF reads a retained generation") {
+    spark.sql("CREATE TABLE graft.db.tt (id BIGINT)")
+    spark.sql("INSERT INTO graft.db.tt VALUES (1), (2)") // v1
+    spark.sql("INSERT INTO graft.db.tt VALUES (3)")      // v2
+    assert(spark.sql("SELECT count(*) FROM graft.db.tt").as[Long].head === 3L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.tt VERSION AS OF 1")
+      .as[Long].head === 2L)
+  }
+
+  test("PARTITIONED BY bucket(...) via SQL writes the transform layout") {
+    spark.sql("CREATE TABLE graft.db.bk (id BIGINT, v STRING) " +
+      "PARTITIONED BY (bucket(4, id))")
+    (0L until 100L).map(i => (i, s"v$i")).toDF("id", "v")
+      .createOrReplaceTempView("graft_src")
+    spark.sql("INSERT INTO graft.db.bk SELECT id, v FROM graft_src")
+    val m = WarehouseSink.readManifest(s"$root/db/bk").get
+    assert(m.partitionCol === "bucket(4,id)")
+    m.files.foreach(f =>
+      assert(WarehouseSink.readTpart(s"$root/db/bk", f).isDefined))
+    assert(spark.sql("SELECT sum(id) FROM graft.db.bk").as[Long].head
+      === (0L until 100L).sum)
+  }
+
+  test("bucket-transform storage-partitioned join runs with zero Exchange") {
+    spark.sql("CREATE TABLE graft.db.facts (k BIGINT, x BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("CREATE TABLE graft.db.dims (k BIGINT, label STRING) " +
+      "PARTITIONED BY (bucket(4, k))")
+    (0L until 200L).map(i => (i % 40L, i)).toDF("k", "x")
+      .createOrReplaceTempView("graft_facts_src")
+    (0L until 40L).map(i => (i, s"d$i")).toDF("k", "label")
+      .createOrReplaceTempView("graft_dims_src")
+    spark.sql("INSERT INTO graft.db.facts SELECT k, x FROM graft_facts_src")
+    spark.sql("INSERT INTO graft.db.dims SELECT k, label FROM graft_dims_src")
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      // join on k AND aggregate by k: both ride the bucket(4,k) layout,
+      // so the whole plan — join and aggregation — needs no Exchange
+      val q = spark.sql(
+        """SELECT f.k, max(d.label) AS label, sum(f.x) AS sx
+           FROM graft.db.facts f JOIN graft.db.dims d ON f.k = d.k
+           GROUP BY f.k""")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucket SPJ should plan no Exchange:\n$plan")
+      val got = q.as[(Long, String, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val want = (0L until 200L).groupBy(_ % 40L)
+        .map { case (k, xs) => k -> ((s"d$k", xs.sum)) }
+      assert(got === want)
+    }
+  }
+
+  private def withSQLConf(kvs: (String, String)*)(f: => Unit): Unit = {
+    val old = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}
