@@ -1955,6 +1955,16 @@ object SparkEntry {
     "q232_mann_kendall" -> ((s, d) =>
       Analytics.mannKendall(eventsUs(s, d), "event_type", "ts_us")),
 
+    // Exact isotonic (PAV) calibration WITHOUT the sequential PAV: the
+    // minimax identity turns the pooling into prefix sums + a bounded
+    // O(points²) pair join + one running-min window — SQL a DuckDB
+    // oracle replays bit-for-bit. 201 calibration points (score_q/50).
+    "q239_isotonic" -> ((s, d) =>
+      ml.Eval.isotonicCalibration(
+        scoredDocs(s, d).select(expr("score_q div 50").as("score_pt"),
+          col("label")),
+        "score_pt", "label", maxPoints = 256L)),
+
     // The warehouse as a SQL catalog: CREATE TABLE ... PARTITIONED BY
     // (bucket(...)), INSERT INTO, and the aggregate — all through
     // spark.sql against the registered WarehouseCatalog.
@@ -5207,6 +5217,32 @@ object SparkEntry {
          FROM orders
          WHERE NOT (o_orderkey >= 2000 AND o_orderkey < 4000)
          GROUP BY 1""",
+
+    // The same minimax chain: per-point substrate → prefix sums → pair
+    // join (j ≤ k) → per-start running min over descending k → per-point
+    // max. Floors commute with min/max, so micro-rates stay exact.
+    "q239_isotonic" ->
+      s"""WITH $ScoredDocsSql,
+         per AS (SELECT s // 50 AS s, CAST(sum(y) AS HUGEINT) AS p,
+                        CAST(count(*) - sum(y) AS HUGEINT) AS n
+                 FROM sc GROUP BY 1),
+         pre AS (SELECT s, p, n,
+                  sum(p) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cp,
+                  sum(p + n) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS ct
+                 FROM per),
+         pair AS (SELECT a.s AS j, b.s AS k, b.p, b.n, b.cp, b.ct,
+                  (b.cp - (a.cp - a.p)) * 1000000
+                    // (b.ct - (a.ct - a.p - a.n)) AS rate
+                 FROM pre a JOIN pre b ON a.s <= b.s),
+         rm AS (SELECT j, k, p, n,
+                  min(rate) OVER (PARTITION BY j ORDER BY k DESC
+                    ROWS UNBOUNDED PRECEDING) AS run_min
+                 FROM pair)
+         SELECT k AS score, CAST(max(p + n) AS BIGINT) AS n_docs,
+                CAST(max(p) AS BIGINT) AS n_pos,
+                CAST(max(p * 1000000 // (p + n)) AS BIGINT) AS raw_ppm,
+                CAST(max(run_min) AS BIGINT) AS fitted_ppm
+         FROM rm GROUP BY k""",
 
     // The catalog round-trip is pure plumbing to SQL: a plain aggregate.
     "q237_sql_catalog" ->

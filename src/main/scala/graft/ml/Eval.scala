@@ -207,4 +207,61 @@ object Eval {
           " ELSE graft_cp * graft_total * 1000000" +
           " div (graft_ct * graft_tp) END").as("lift_ppm"))
   }
+
+  /** EXACT isotonic calibration — the PAV (pool-adjacent-violators) fit,
+    * computed without PAV: by the minimax identity, the isotonic
+    * regression of empirical positive rates over the score axis is
+    *
+    *   fit_i = max_{j ≤ i} min_{k ≥ i} rate(j..k),
+    *   rate(j..k) = positives(j..k) / total(j..k)
+    *
+    * — a closed form over interval sums, which IS SQL: prefix sums over
+    * the bounded per-score table, an O(points²) pair join of that table
+    * with itself, one running-min window (per start, descending end) and
+    * one max aggregate per point. The sequential pooling algorithm
+    * becomes a replayable relational plan, so the fit HASH-CHECKS
+    * against a DuckDB oracle — no ML-library float path could.
+    *
+    * Exactness of the micro-quantization: rates floor to 10⁻⁶ BEFORE the
+    * min/max, and floor commutes with both (floor is monotone, so
+    * min∘floor = floor∘min and max∘floor = floor∘max) — the output is
+    * exactly floor(10⁶ · true isotonic fit), not an approximation.
+    *
+    * Scale: the pair join is O(maxPoints²) on a BOUNDED table — a
+    * calibration map wants coarse score points anyway (re-quantize
+    * before calling; the gate fails loudly past `maxPoints`). Output per
+    * score point: raw counts, raw rate, and the monotone fitted rate —
+    * the lookup table a serving layer applies. */
+  def isotonicCalibration(scored: DataFrame, scoreCol: String,
+                          labelCol: String,
+                          maxPoints: Long = 4096L): DataFrame = {
+    require(maxPoints >= 1, "maxPoints must be positive")
+    val wAll = Window.partitionBy()
+    val wOrd = Window.orderBy("s")
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+    val base = perScore(scored, scoreCol, labelCol)
+      .withColumn("graft_pts", count(lit(1)).over(wAll))
+      .filter(assert_true(col("graft_pts") <= lit(maxPoints),
+        lit(s"isotonicCalibration: more than $maxPoints score points — " +
+          "re-quantize to a coarser calibration axis (the pair join is " +
+          "quadratic in points by design)")).isNull)
+      .withColumn("cp", sum("p").over(wCum))
+      .withColumn("ct", sum(expr("p + n")).over(wCum))
+    val starts = base.select(col("s").as("graft_j"),
+      expr("cp - p").as("graft_p0"), expr("ct - p - n").as("graft_t0"))
+    val ends = base.select(col("s").as("graft_k"), col("p"), col("n"),
+      col("cp"), col("ct"))
+    val wRunMin = Window.partitionBy("graft_j")
+      .orderBy(col("graft_k").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    starts.join(ends, starts("graft_j") <= ends("graft_k"))
+      .withColumn("graft_rate",
+        expr("(cp - graft_p0) * 1000000 div (ct - graft_t0)"))
+      .withColumn("graft_rm", min("graft_rate").over(wRunMin))
+      .groupBy(col("graft_k").as("score"))
+      .agg(max(expr("p + n")).cast("long").as("n_docs"),
+        max("p").cast("long").as("n_pos"),
+        max(expr("p * 1000000 div (p + n)")).cast("long").as("raw_ppm"),
+        max("graft_rm").cast("long").as("fitted_ppm"))
+  }
 }

@@ -110,4 +110,38 @@ class EvalSpec extends SparkSpec {
       assert(Eval.rocAuc(ok, "s", "y").collect().length === 1)
     } finally spark.conf.unset(Eval.MaxDistinctConfKey)
   }
+
+  test("isotonicCalibration: PAV pooling by hand; monotone input unchanged") {
+    import spark.implicits._
+    // rates 0.5, 0.0, 1.0 — PAV pools the violating first two to 2/8
+    val rows =
+      (1 to 2).map(_ => (0L, 1L)) ++ (1 to 2).map(_ => (0L, 0L)) ++
+      (1 to 4).map(_ => (1L, 0L)) ++
+      (1 to 4).map(_ => (2L, 1L))
+    val got = Eval.isotonicCalibration(rows.toDF("s", "y"), "s", "y")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      0L -> ((4L, 2L, 500000L, 250000L)),
+      1L -> ((4L, 0L, 0L, 250000L)),
+      2L -> ((4L, 4L, 1000000L, 1000000L))))
+    // already-monotone rates come back untouched
+    val mono =
+      (1 to 1).map(_ => (0L, 1L)) ++ (1 to 3).map(_ => (0L, 0L)) ++
+      (1 to 2).map(_ => (1L, 1L)) ++ (1 to 2).map(_ => (1L, 0L)) ++
+      (1 to 3).map(_ => (2L, 1L)) ++ (1 to 1).map(_ => (2L, 0L))
+    val m = Eval.isotonicCalibration(mono.toDF("s", "y"), "s", "y")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(m === Map(0L -> ((250000L, 250000L)),
+      1L -> ((500000L, 500000L)), 2L -> ((750000L, 750000L))))
+    // the points gate fails loudly on an unquantized axis
+    val wide = (1L to 600L).map(i => (i, i % 2)).toDF("s", "y")
+    val ex = intercept[Exception] {
+      Eval.isotonicCalibration(wide, "s", "y", maxPoints = 256L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("coarser calibration axis")))
+  }
 }
