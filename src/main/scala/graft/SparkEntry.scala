@@ -1955,6 +1955,14 @@ object SparkEntry {
     "q232_mann_kendall" -> ((s, d) =>
       Analytics.mannKendall(eventsUs(s, d), "event_type", "ts_us")),
 
+    // Markov removal-effect attribution: the data-driven rung of the
+    // attribution family — remove each channel and measure the
+    // conversion collapse, ppm-floored power iteration pinned at 8 steps
+    // so the DuckDB oracle unrolls the identical arithmetic.
+    "q240_markov_attribution" -> ((s, d) =>
+      Sessions.markovAttribution(eventsUs(s, d), "user_id", "ts_us",
+        "event_id", "event_type", convChannel = "purchase", iters = 8)),
+
     // Exact isotonic (PAV) calibration WITHOUT the sequential PAV: the
     // minimax identity turns the pooling into prefix sums + a bounded
     // O(points²) pair join + one running-min window — SQL a DuckDB
@@ -5217,6 +5225,73 @@ object SparkEntry {
          FROM orders
          WHERE NOT (o_orderkey >= 2000 AND o_orderkey < 4000)
          GROUP BY 1""",
+
+    // The chain replayed with the SAME 8 unrolled ppm-floored steps.
+    "q240_markov_attribution" -> {
+      val iterCtes = (1 to 8).map { i =>
+        s"""v$i AS (SELECT tv.variant, tv.f AS state,
+                  CAST(sum(tv.p_ppm * v.v) // 1000000 AS HUGEINT) AS v
+               FROM tv JOIN v${i - 1} v
+                 ON tv.variant = v.variant AND tv.t = v.state
+               GROUP BY 1, 2
+             UNION ALL
+             SELECT variant, 'CONV', CAST(1000000 AS HUGEINT)
+             FROM variants)"""
+      }.mkString(",\n         ")
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_id AS id,
+                  CASE WHEN event_type = 'purchase' THEN 'CONV'
+                       ELSE event_type END AS st
+             FROM events),
+         ord AS (SELECT user_id, st,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY t, id) AS rn
+               FROM ev),
+         fc AS (SELECT user_id, min(rn) AS fc FROM ord
+               WHERE st = 'CONV' GROUP BY 1),
+         stp AS (SELECT o.user_id, o.st, o.rn,
+                  lead(o.st) OVER (PARTITION BY o.user_id
+                    ORDER BY o.rn) AS nxt
+               FROM ord o LEFT JOIN fc ON o.user_id = fc.user_id
+               WHERE fc.fc IS NULL OR o.rn <= fc.fc),
+         trans AS (
+           SELECT 'START' AS f, st AS t FROM stp WHERE rn = 1
+           UNION ALL
+           SELECT st, nxt FROM stp WHERE nxt IS NOT NULL
+           UNION ALL
+           SELECT st, 'NULL' FROM stp WHERE nxt IS NULL AND st <> 'CONV'),
+         cnt AS (SELECT f, t, CAST(count(*) AS HUGEINT) AS c
+               FROM trans GROUP BY 1, 2),
+         channels AS (SELECT DISTINCT st AS ch FROM ev WHERE st <> 'CONV'),
+         variants AS (SELECT ch AS variant FROM channels
+               UNION ALL SELECT 'none'),
+         tv AS (SELECT variant, f, t2 AS t, c,
+                  CAST(c * 1000000 // sum(c) OVER (PARTITION BY variant, f)
+                    AS HUGEINT) AS p_ppm
+               FROM (SELECT v.variant, cnt.f,
+                       CASE WHEN cnt.t = v.variant THEN 'NULL'
+                            ELSE cnt.t END AS t2,
+                       CAST(sum(cnt.c) AS HUGEINT) AS c
+                     FROM cnt CROSS JOIN variants v
+                     GROUP BY 1, 2, 3)),
+         v0 AS (SELECT variant, 'CONV' AS state,
+                  CAST(1000000 AS HUGEINT) AS v FROM variants),
+         $iterCtes,
+         strt AS (SELECT variant, v FROM v8 WHERE state = 'START'),
+         b AS (SELECT coalesce(max(CASE WHEN variant = 'none' THEN v END),
+                  0) AS base FROM strt),
+         rr AS (SELECT ch, base,
+                  greatest(0, base - coalesce(
+                    (SELECT v FROM strt WHERE variant = ch), 0)) AS d
+               FROM channels CROSS JOIN b)
+         SELECT ch AS channel, CAST(base AS BIGINT) AS base_conv_ppm,
+                CASE WHEN base = 0 THEN CAST(NULL AS BIGINT)
+                     ELSE CAST(d * 1000000 // base AS BIGINT)
+                END AS removal_ppm,
+                CASE WHEN sum(d) OVER () = 0 THEN CAST(NULL AS BIGINT)
+                     ELSE CAST(d * 1000000 // sum(d) OVER () AS BIGINT)
+                END AS share_ppm
+         FROM rr"""
+    },
 
     // The same minimax chain: per-point substrate → prefix sums → pair
     // join (j ≤ k) → per-start running min over descending k → per-point

@@ -322,4 +322,103 @@ object Sessions {
         col("graft_run").as("peak_concurrency"),
         col("graft_t").as("peak_at_us"))
   }
+
+  /** Markov-chain (removal-effect) attribution — the data-driven rung
+    * completing the family ([[lastTouchAttribution]] credits one touch,
+    * [[linearAttribution]] splits evenly; this one asks the
+    * counterfactual: REMOVE each channel and see how much conversion
+    * collapses). First-order chain over per-user journeys: START → the
+    * ordered channel states up to and including the FIRST `convChannel`
+    * event (mapped to the absorbing CONV; later events are a converted
+    * user's afterlife, not a path to conversion), journeys without one
+    * absorb into NULL. Transition probabilities are floor-ppm of counts;
+    * absorption probabilities come from `iters` synchronized
+    * power-iteration steps with the per-step floor PINNED — exactly
+    * replayable (the oracle unrolls the same steps), converging
+    * geometrically (path survival decays per hop, so 8 steps bound the
+    * truncation error below ppm for any chain whose cycles lose mass).
+    * Removal variant c redirects every transition INTO c to NULL; the
+    * readout is each channel's conversion drop and its normalized share.
+    *
+    * Scale: ONE corpus shuffle (user-keyed windows) builds transitions;
+    * everything after — the |channels|+1 variants, the ≤(states²·
+    * variants)-row chain, the iteration loop — runs on bounded tables
+    * pinned per step. */
+  def markovAttribution(events: DataFrame, userCol: String, tsUsCol: String,
+                        idCol: String, channelCol: String,
+                        convChannel: String, iters: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 64, "iters must be in [1, 64]")
+    val ev = events.select(col(userCol).as("graft_u"),
+      col(tsUsCol).as("graft_t"), col(idCol).as("graft_id"),
+      when(col(channelCol) === convChannel, lit("CONV"))
+        .otherwise(col(channelCol)).as("graft_st"))
+    val wOrd = Window.partitionBy("graft_u")
+      .orderBy(col("graft_t").asc, col("graft_id").asc)
+    val ord = ev.withColumn("graft_rn", row_number().over(wOrd))
+    val fc = ord.filter(col("graft_st") === "CONV")
+      .groupBy("graft_u").agg(min("graft_rn").as("graft_fc"))
+    val wJ = Window.partitionBy("graft_u").orderBy(col("graft_rn").asc)
+    val steps = ord.join(fc, Seq("graft_u"), "left")
+      .filter(col("graft_fc").isNull || col("graft_rn") <= col("graft_fc"))
+      .withColumn("graft_nxt", lead(col("graft_st"), 1).over(wJ))
+    val trans = steps.filter(col("graft_rn") === 1)
+      .select(lit("START").as("graft_f"), col("graft_st").as("graft_to"))
+      .unionByName(steps.filter(col("graft_nxt").isNotNull)
+        .select(col("graft_st").as("graft_f"),
+          col("graft_nxt").as("graft_to")))
+      .unionByName(steps
+        .filter(col("graft_nxt").isNull && col("graft_st") =!= "CONV")
+        .select(col("graft_st").as("graft_f"), lit("NULL").as("graft_to")))
+    val counts = Materialize.transient(
+      trans.groupBy("graft_f", "graft_to").agg(count(lit(1)).as("graft_c")))
+    val channels = Materialize.transient(
+      ev.filter(col("graft_st") =!= "CONV")
+        .select(col("graft_st").as("graft_ch")).distinct())
+    val variants = channels.select(col("graft_ch").as("graft_var"))
+      .unionByName(channels.limit(1).select(lit("none").as("graft_var")))
+    val wFrom = Window.partitionBy("graft_var", "graft_f")
+    val tvp = Materialize.transient(counts.crossJoin(variants)
+      .select(col("graft_var"), col("graft_f"),
+        when(col("graft_to") === col("graft_var"), lit("NULL"))
+          .otherwise(col("graft_to")).as("graft_to"),
+        col("graft_c"))
+      .groupBy("graft_var", "graft_f", "graft_to")
+      .agg(sum("graft_c").as("graft_c"))
+      .withColumn("graft_tot", sum("graft_c").over(wFrom))
+      .withColumn("graft_p", expr("graft_c * 1000000 div graft_tot")))
+    val conv1 = variants
+      .select(col("graft_var"), lit("CONV").as("graft_state"),
+        lit(1000000L).as("graft_v"))
+    var v = conv1
+    for (_ <- 1 to iters) {
+      v = Materialize.transient(
+        tvp.join(v.withColumnRenamed("graft_var", "graft_vv"),
+            col("graft_var") === col("graft_vv") &&
+              col("graft_to") === col("graft_state"))
+          .groupBy("graft_var", "graft_f")
+          .agg(expr("sum(graft_p * graft_v) div 1000000").as("graft_v"))
+          .select(col("graft_var"), col("graft_f").as("graft_state"),
+            col("graft_v"))
+          .unionByName(conv1))
+    }
+    val start = v.filter(col("graft_state") === "START")
+    val base = start.agg(coalesce(max(when(col("graft_var") === "none",
+      col("graft_v"))), lit(0L)).as("graft_base"))
+    val wAll = Window.partitionBy()
+    channels
+      .join(start.select(col("graft_var").as("graft_ch2"),
+        col("graft_v").as("graft_removed0")),
+        col("graft_ch") === col("graft_ch2"), "left")
+      .crossJoin(broadcast(base))
+      .withColumn("graft_removed", coalesce(col("graft_removed0"), lit(0L)))
+      .withColumn("graft_d",
+        greatest(lit(0L), col("graft_base") - col("graft_removed")))
+      .withColumn("graft_dtot", sum("graft_d").over(wAll))
+      .select(col("graft_ch").as("channel"),
+        col("graft_base").as("base_conv_ppm"),
+        expr("CASE WHEN graft_base = 0 THEN CAST(NULL AS BIGINT)" +
+          " ELSE graft_d * 1000000 div graft_base END").as("removal_ppm"),
+        expr("CASE WHEN graft_dtot = 0 THEN CAST(NULL AS BIGINT)" +
+          " ELSE graft_d * 1000000 div graft_dtot END").as("share_ppm"))
+  }
 }

@@ -200,4 +200,36 @@ class SessionsSpec extends SparkSpec {
     assert(re.getAs[Long]("peak_concurrency") === 1L)
     assert(re.getAs[Long]("peak_at_us") === got.getAs[Long]("peak_at_us"))
   }
+
+  test("markovAttribution: hand-solved removal effects and shares") {
+    // START→{view .5, click .5}; view→{CONV .5, NULL .5}; click→CONV 1.
+    // Base absorption = .5·.5 + .5·1 = .75. Removing view: START→.5 NULL
+    // →.5 click → .5; d=.25 → removal 333333 ppm, share 333333.
+    // Removing click: START→.5 view→.5·.5 = .25; d=.5 → removal 666666,
+    // share 666666.
+    val ev = Seq(
+      (1L, 0L, 10L, "view"), (1L, 1L, 11L, "purchase"),
+      (2L, 0L, 20L, "view"),
+      (3L, 0L, 30L, "click"), (3L, 1L, 31L, "purchase"),
+      (4L, 0L, 40L, "click"), (4L, 1L, 41L, "purchase"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+    val got = Sessions.markovAttribution(ev, "user_id", "ts_us",
+      "event_id", "event_type", convChannel = "purchase", iters = 8)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("base_conv_ppm"), r.getAs[Long]("removal_ppm"),
+          r.getAs[Long]("share_ppm")))).toMap
+    assert(got === Map(
+      "view" -> ((750000L, 333333L, 333333L)),
+      "click" -> ((750000L, 666666L, 666666L))))
+    // events AFTER the first conversion are a converted user's afterlife:
+    // appending a post-purchase click to u1 changes nothing
+    val got2 = Sessions.markovAttribution(
+      ev.unionByName(Seq((1L, 2L, 12L, "click"))
+        .toDF("user_id", "ts_us", "event_id", "event_type")),
+      "user_id", "ts_us", "event_id", "event_type",
+      convChannel = "purchase", iters = 8)
+      .collect().map(r => r.getString(0) ->
+        r.getAs[Long]("removal_ppm")).toMap
+    assert(got2 === Map("view" -> 333333L, "click" -> 666666L))
+  }
 }
