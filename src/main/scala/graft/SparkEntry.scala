@@ -1955,6 +1955,15 @@ object SparkEntry {
     "q232_mann_kendall" -> ((s, d) =>
       Analytics.mannKendall(eventsUs(s, d), "event_type", "ts_us")),
 
+    // l-diversity audit: the homogeneity-attack screen k-anonymity
+    // misses — nation×segment groups whose customers' balance band is
+    // too uniform leak the band even at k-safe group sizes.
+    "q241_l_diversity" -> ((s, d) =>
+      Analytics.lDiversityRisk(Tables.customer(s, d),
+        Seq(col("c_nationkey"), col("c_mktsegment")),
+        Seq("nation", "segment"),
+        expr("CAST(floor(c_acctbal / 2000) AS BIGINT)"), l = 5L)),
+
     // Markov removal-effect attribution: the data-driven rung of the
     // attribution family — remove each channel and measure the
     // conversion collapse, ppm-floored power iteration pinned at 8 steps
@@ -5225,6 +5234,17 @@ object SparkEntry {
          FROM orders
          WHERE NOT (o_orderkey >= 2000 AND o_orderkey < 4000)
          GROUP BY 1""",
+
+    // Same two-level aggregate; the filter keeps under-diverse groups.
+    "q241_l_diversity" ->
+      """WITH sv AS (SELECT c_nationkey AS nation, c_mktsegment AS segment,
+                  CAST(floor(c_acctbal / 2000) AS BIGINT) AS band,
+                  CAST(count(*) AS BIGINT) AS c
+             FROM customer GROUP BY 1, 2, 3)
+         SELECT nation, segment, CAST(sum(c) AS BIGINT) AS n_rows,
+                CAST(count(*) AS BIGINT) AS n_sensitive,
+                CAST(max(c) * 1000000 // sum(c) AS BIGINT) AS top_share_ppm
+         FROM sv GROUP BY 1, 2 HAVING count(*) < 5""",
 
     // The chain replayed with the SAME 8 unrolled ppm-floored steps.
     "q240_markov_attribution" -> {

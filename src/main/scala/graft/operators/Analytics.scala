@@ -866,6 +866,32 @@ object Analytics {
       .agg(count(lit(1)).as("n_rows"))
       .filter(col("n_rows") < k)
 
+  /** l-diversity audit — [[kAnonymityRisk]]'s second rung: a
+    * quasi-identifier group can be k-anonymous yet still leak (all k
+    * rows share ONE sensitive value — the homogeneity attack), so this
+    * one reports every group whose SENSITIVE-value diversity falls below
+    * l, with the group's size, distinct-sensitive count, and the top
+    * value's share in floor-ppm (1 000 000 = fully homogeneous). Exact
+    * distinct counts (no sketch — an audit must not approximate its own
+    * findings); two shuffles: (quasi, sensitive) then quasi. */
+  def lDiversityRisk(df: DataFrame, quasiCols: Seq[Column],
+                     names: Seq[String], sensitiveCol: Column,
+                     l: Long): DataFrame = {
+    val keyed = df.select((quasiCols.zip(names).map { case (c, n) =>
+      c.as(n) } :+ sensitiveCol.as("graft_sv")): _*)
+    keyed
+      .groupBy((names.map(col) :+ col("graft_sv")): _*)
+      .agg(count(lit(1)).as("graft_c"))
+      .groupBy(names.map(col): _*)
+      .agg(sum("graft_c").as("graft_n"),
+        count(lit(1)).as("n_sensitive"),
+        max("graft_c").as("graft_top"))
+      .filter(col("n_sensitive") < l)
+      .select((names.map(col) :+ col("graft_n").as("n_rows") :+
+        col("n_sensitive") :+
+        expr("graft_top * 1000000 div graft_n").as("top_share_ppm")): _*)
+  }
+
   /** Vocabulary-growth (Heaps-law) readout: distinct-term count and
     * cumulative token count at increasing corpus prefixes (by `idCol`
     * order). The naive formulation — count distinct over each prefix —

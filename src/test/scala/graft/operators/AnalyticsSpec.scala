@@ -768,6 +768,21 @@ class AnalyticsSpec extends SparkSpec {
       (1L, 0L) -> ((1L, 1000L, 1000L))))
   }
 
+  test("lDiversityRisk: homogeneous group flags at full share; diverse passes") {
+    // group A: 4 rows, one sensitive value (k-anonymous at k=4, still
+    // leaks); group B: 4 rows, 3 distinct values (passes l=3)
+    val rows = Seq(("A", 1L), ("A", 1L), ("A", 1L), ("A", 1L),
+      ("B", 1L), ("B", 2L), ("B", 3L), ("B", 3L))
+      .toDF("grp", "sv")
+    val got = Analytics.lDiversityRisk(rows, Seq(col("grp")), Seq("g"),
+      col("sv"), l = 3L).collect()
+    assert(got.length === 1)
+    assert(got(0).getString(0) === "A")
+    assert(got(0).getAs[Long]("n_rows") === 4L)
+    assert(got(0).getAs[Long]("n_sensitive") === 1L)
+    assert(got(0).getAs[Long]("top_share_ppm") === 1000000L)
+  }
+
   test("ewmaBacktest: hand-computed dyadic forecast; gaps unscore days") {
     val day = 86400L * 1000000L
     // window=2: S_t = y_{t-1}·2 + y_{t-2}, fc = S div 3.
