@@ -1955,6 +1955,13 @@ object SparkEntry {
     "q232_mann_kendall" -> ((s, d) =>
       Analytics.mannKendall(eventsUs(s, d), "event_type", "ts_us")),
 
+    // Kaplan-Meier churn survival: censoring-correct retention — the
+    // per-step ppm-floored product limit, replayed by the oracle as a
+    // recursive CTE walking the identical recurrence.
+    "q242_kaplan_meier" -> ((s, d) =>
+      Analytics.kaplanMeier(eventsUs(s, d), "user_id", "ts_us",
+        censorDays = 7)),
+
     // l-diversity audit: the homogeneity-attack screen k-anonymity
     // misses — nation×segment groups whose customers' balance band is
     // too uniform leak the band even at k-safe group sizes.
@@ -5234,6 +5241,37 @@ object SparkEntry {
          FROM orders
          WHERE NOT (o_orderkey >= 2000 AND o_orderkey < 4000)
          GROUP BY 1""",
+
+    // The identical per-step floor, walked by a recursive CTE.
+    "q242_kaplan_meier" ->
+      """WITH u AS (SELECT user_id,
+                  min(epoch_us(ts) // 86400000000) AS f,
+                  max(epoch_us(ts) // 86400000000) AS l
+             FROM events GROUP BY 1),
+         lab AS (SELECT l - f AS t,
+                  CASE WHEN (SELECT max(l) FROM u) - l < 7
+                       THEN 1 ELSE 0 END AS cens
+               FROM u),
+         life0 AS (SELECT t, CAST(count(*) AS BIGINT) AS al,
+                  CAST(sum(1 - cens) AS BIGINT) AS ev,
+                  CAST(sum(cens) AS BIGINT) AS c
+               FROM lab GROUP BY 1),
+         life AS (SELECT t, ev, c,
+                  CAST(sum(al) OVER () -
+                    coalesce(sum(al) OVER (ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS n_risk,
+                  row_number() OVER (ORDER BY t) AS rn
+               FROM life0)
+         SELECT t AS t_days, n_risk, ev AS n_events, c AS n_censored,
+                CAST(surv AS BIGINT) AS surv_ppm
+         FROM (WITH RECURSIVE km(rn, surv) AS (
+                 SELECT 0, CAST(1000000 AS HUGEINT)
+                 UNION ALL
+                 SELECT l.rn, km.surv * (l.n_risk - l.ev) // l.n_risk
+                 FROM km JOIN life l ON l.rn = km.rn + 1)
+               SELECT life.*, km.surv FROM life
+               JOIN km ON life.rn = km.rn)""",
 
     // Same two-level aggregate; the filter keeps under-diverse groups.
     "q241_l_diversity" ->

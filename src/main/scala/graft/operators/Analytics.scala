@@ -1504,6 +1504,67 @@ object Analytics {
         expr("cum_cents div graft_users").as("ltv_centi_per_user"))
   }
 
+  /** Kaplan-Meier churn survival — the product-limit estimator over
+    * user lifetimes, the retention family's rigorous rung ([[cohortRetention]]
+    * reads raw return rates; this one handles the users the naive read
+    * silently miscounts: a user still active at corpus end hasn't
+    * churned, they're CENSORED — dropping them biases survival down,
+    * counting them as churned biases it up; KM at-risk accounting does
+    * it right). Lifetime = last − first event day; censored when the
+    * last event falls within `censorDays` of the corpus end.
+    *
+    * Exactness: the survival product S_t = Π (n_i − d_i)/n_i floors to
+    * ppm PER STEP — S_i = S_{i−1}·(n_i − d_i) div n_i, integer
+    * arithmetic any engine replays (the oracle walks the identical
+    * recurrence in a recursive CTE). Per-step flooring loses < span·ppm
+    * vs the unfloorable rational product — quantization, not error, and
+    * pinned identically on both sides.
+    *
+    * Scale: one user-keyed corpus shuffle to (first, last) pairs, one
+    * bounded lifetime aggregate; the life table is O(day span) — it
+    * rides to the driver for the sequential fold under the same bounded
+    * -artifact contract as centroids/codebooks (a survival curve IS a
+    * driver-sized artifact). Long bound: 10⁶·n_risk < 2⁶³ up to ~9·10¹²
+    * users. */
+  def kaplanMeier(events: DataFrame, userCol: String, tsUsCol: String,
+                  censorDays: Int): DataFrame = {
+    require(censorDays >= 1, "censorDays must be positive")
+    val users = events
+      .select(col(userCol).as("graft_u"),
+        expr(s"$tsUsCol div ${86400L * 1000000L}L").as("graft_d"))
+      .groupBy("graft_u")
+      .agg(min("graft_d").as("graft_f"), max("graft_d").as("graft_l"))
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy("graft_t")
+    val life = users
+      .crossJoin(broadcast(users.agg(max("graft_l").as("graft_maxd"))))
+      .select((col("graft_l") - col("graft_f")).as("graft_t"),
+        (col("graft_maxd") - col("graft_l") < censorDays)
+          .cast("long").as("graft_cens"))
+      .groupBy("graft_t")
+      .agg(count(lit(1)).as("graft_all"),
+        sum(expr("1 - graft_cens")).as("graft_ev"),
+        sum("graft_cens").as("graft_c"))
+      .withColumn("graft_before", coalesce(sum("graft_all")
+        .over(wOrd.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("graft_total", sum("graft_all")
+        .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("graft_t"),
+        (col("graft_total") - col("graft_before")).as("graft_risk"),
+        col("graft_ev"), col("graft_c"))
+    val rows = life.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    var s = 1000000L
+    val out = rows.map { case (t, n, d, c) =>
+      s = s * (n - d) / n // floor: nonnegative operands
+      (t, n, d, c, s)
+    }
+    events.sparkSession.createDataFrame(out.toSeq)
+      .toDF("t_days", "n_risk", "n_events", "n_censored", "surv_ppm")
+  }
+
   /** EWMA forecast backtest with EXACT DYADIC weights — the
     * exponential-smoothing rung between [[seasonalBacktest]]'s
     * same-weekday mean and the naive prev-day carry: tomorrow's forecast

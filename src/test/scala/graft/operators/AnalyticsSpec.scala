@@ -821,6 +821,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(got("flat").isNullAt(got("flat").fieldIndex("z_corrected")))
   }
 
+  test("kaplanMeier: censoring-correct product limit with per-step ppm floor") {
+    val day = 86400L * 1000000L
+    // Lifetimes (last−first): u1 t=10 CENSORED (last=10, within 2 of max),
+    // u2 t=3 ev, u3 t=3 ev, u4 t=1 ev, u5 t=1 CENSORED (last=10), u6 t=0 ev.
+    // Life table: t=0 risk 6 ev 1 → S=833333; t=1 risk 5 ev 1 cens 1 →
+    // S=833333*4 div 5=666666; t=3 risk 3 ev 2 → 222222; t=10 risk 1
+    // cens 1 → S unchanged (no event).
+    val ev = Seq(("u1", 0L), ("u1", 10L), ("u2", 0L), ("u2", 3L),
+      ("u3", 2L), ("u3", 5L), ("u4", 5L), ("u4", 6L),
+      ("u5", 9L), ("u5", 10L), ("u6", 0L))
+      .map { case (u, d) => (u, d * day) }.toDF("user_id", "ts_us")
+    val got = Analytics.kaplanMeier(ev, "user_id", "ts_us", censorDays = 2)
+      .orderBy("t_days").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got === Array(
+      (0L, 6L, 1L, 0L, 833333L),
+      (1L, 5L, 1L, 1L, 666666L),
+      (3L, 3L, 2L, 0L, 222222L),
+      (10L, 1L, 0L, 1L, 222222L)))
+  }
+
   test("timeWeightedAvg: negative values fail loudly (floor-parity guard)") {
     val ev = Seq(("g", 0L, 1L, -1.0), ("g", 10L, 2L, 3.0))
       .toDF("s", "t", "id", "v")
