@@ -1962,6 +1962,13 @@ object SparkEntry {
       Analytics.kaplanMeier(eventsUs(s, d), "user_id", "ts_us",
         censorDays = 7)),
 
+    // Chance-corrected agreement at the q169 mid threshold: accuracy,
+    // balanced accuracy, Cohen's kappa — the imbalance-honest readout
+    // (all rationals in the confusion counts, truncated ppm).
+    "q243_agreement" -> ((s, d) =>
+      ml.Eval.agreementStats(scoredDocs(s, d), "score_q", "label",
+        threshold = 5000L)),
+
     // l-diversity audit: the homogeneity-attack screen k-anonymity
     // misses — nation×segment groups whose customers' balance band is
     // too uniform leak the band even at k-safe group sizes.
@@ -5241,6 +5248,37 @@ object SparkEntry {
          FROM orders
          WHERE NOT (o_orderkey >= 2000 AND o_orderkey < 4000)
          GROUP BY 1""",
+
+    // Same confusion counts; kappa with denominators cleared — both
+    // engines truncate toward zero so the possibly-negative numerator
+    // divides identically.
+    "q243_agreement" ->
+      s"""WITH $ScoredDocsSql,
+         c AS (SELECT
+             CAST(sum(CASE WHEN s >= 5000 THEN y ELSE 0 END) AS HUGEINT) AS tp,
+             CAST(sum(CASE WHEN s >= 5000 THEN 1 - y ELSE 0 END) AS HUGEINT) AS fp,
+             CAST(sum(CASE WHEN s < 5000 THEN y ELSE 0 END) AS HUGEINT) AS fn,
+             CAST(sum(CASE WHEN s < 5000 THEN 1 - y ELSE 0 END) AS HUGEINT) AS tn
+           FROM sc)
+         SELECT CAST(5000 AS BIGINT) AS threshold,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           CAST(CASE WHEN tp + fp + fn + tn = 0 THEN NULL
+             ELSE (tp + tn) * 1000000 // (tp + fp + fn + tn) END AS BIGINT)
+             AS accuracy_ppm,
+           CAST(CASE WHEN tp + fn = 0 OR tn + fp = 0 THEN NULL
+             ELSE (tp * 1000000 // (tp + fn)
+                 + tn * 1000000 // (tn + fp)) // 2 END AS BIGINT)
+             AS balanced_accuracy_ppm,
+           CAST(CASE WHEN (tp + fp + fn + tn) * (tp + fp + fn + tn)
+                   - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)) = 0
+             THEN NULL
+             ELSE ((tp + fp + fn + tn) * (tp + tn)
+                 - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))) * 1000000
+               // ((tp + fp + fn + tn) * (tp + fp + fn + tn)
+                 - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)))
+             END AS BIGINT) AS kappa_ppm
+         FROM c""",
 
     // The identical per-step floor, walked by a recursive CTE.
     "q242_kaplan_meier" ->

@@ -208,6 +208,64 @@ object Eval {
           " div (graft_ct * graft_tp) END").as("lift_ppm"))
   }
 
+  /** Chance-corrected agreement at one operating threshold — the readout
+    * [[thresholdSweep]]'s raw precision/recall can fake under class
+    * imbalance (predict-all-majority scores 99% accuracy on a 99/1
+    * corpus): balanced accuracy averages the per-class recalls, and
+    * Cohen's kappa subtracts the agreement a label-marginal-preserving
+    * random classifier would get.
+    *
+    * Exactness: every metric is a RATIONAL in the confusion counts, so
+    * each is one truncated division — kappa clears its denominators:
+    *
+    *   kappa = (po − pe)/(1 − pe)
+    *         = (N·(tp+tn) − E) / (N² − E),
+    *   E = (tp+fp)(tp+fn) + (fn+tn)(fp+tn)
+    *
+    * Truncation (not floor) matters for once here: kappa can be NEGATIVE
+    * (systematic disagreement), and Spark `div` / DuckDB `//` both
+    * truncate toward zero — parity holds on negative operands too.
+    * Balanced accuracy is the mean of the two floored recalls (documented
+    * floor-of-floors). kappa is NULL when N² = E (a degenerate marginal:
+    * either side all one class); balanced accuracy NULL when a true class
+    * is empty.
+    *
+    * Scale: decimal(38,0) end-to-end — N ≤ 10¹² keeps N²·10⁶ ≤ 10³⁰ well
+    * inside 38 digits (and HUGEINT on the oracle side). One corpus
+    * shuffle (the per-score collapse), then a one-row aggregate. */
+  def agreementStats(scored: DataFrame, scoreCol: String, labelCol: String,
+                     threshold: Long): DataFrame = {
+    perScore(scored, scoreCol, labelCol)
+      .agg(sum(when(col("s") >= threshold, col("p")).otherwise(lit(0)))
+        .cast("decimal(38,0)").as("gtp"),
+        sum(when(col("s") >= threshold, col("n")).otherwise(lit(0)))
+          .cast("decimal(38,0)").as("gfp"),
+        sum(when(col("s") < threshold, col("p")).otherwise(lit(0)))
+          .cast("decimal(38,0)").as("gfn"),
+        sum(when(col("s") < threshold, col("n")).otherwise(lit(0)))
+          .cast("decimal(38,0)").as("gtn"))
+      .select(lit(threshold).as("threshold"),
+        col("gtp").cast("long").as("tp"), col("gfp").cast("long").as("fp"),
+        col("gfn").cast("long").as("fn"), col("gtn").cast("long").as("tn"),
+        expr("CASE WHEN gtp + gfp + gfn + gtn = 0 THEN CAST(NULL AS BIGINT)"
+          + " ELSE (gtp + gtn) * 1000000 div (gtp + gfp + gfn + gtn) END")
+          .as("accuracy_ppm"),
+        expr("CASE WHEN gtp + gfn = 0 OR gtn + gfp = 0"
+          + " THEN CAST(NULL AS BIGINT)"
+          + " ELSE (gtp * 1000000 div (gtp + gfn)"
+          + "     + gtn * 1000000 div (gtn + gfp)) div 2 END")
+          .as("balanced_accuracy_ppm"),
+        expr("CASE WHEN (gtp + gfp + gfn + gtn) * (gtp + gfp + gfn + gtn)"
+          + "   - ((gtp + gfp) * (gtp + gfn) + (gfn + gtn) * (gfp + gtn)) = 0"
+          + " THEN CAST(NULL AS BIGINT)"
+          + " ELSE ((gtp + gfp + gfn + gtn) * (gtp + gtn)"
+          + "     - ((gtp + gfp) * (gtp + gfn) + (gfn + gtn) * (gfp + gtn)))"
+          + "   * 1000000"
+          + "   div ((gtp + gfp + gfn + gtn) * (gtp + gfp + gfn + gtn)"
+          + "     - ((gtp + gfp) * (gtp + gfn) + (gfn + gtn) * (gfp + gtn)))"
+          + " END").as("kappa_ppm"))
+  }
+
   /** EXACT isotonic calibration — the PAV (pool-adjacent-violators) fit,
     * computed without PAV: by the minimax identity, the isotonic
     * regression of empirical positive rates over the score axis is

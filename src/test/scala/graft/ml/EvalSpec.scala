@@ -144,4 +144,34 @@ class EvalSpec extends SparkSpec {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(ex).exists(_.contains("coarser calibration axis")))
   }
+
+  test("agreementStats: hand-computed kappa, balanced accuracy") {
+    // tp=2 fp=1 fn=1 tn=2 at threshold 5 → po=2/3, pe=1/2, kappa=1/3
+    val d = df(Seq((8L, 1L), (6L, 1L), (7L, 0L), (3L, 1L), (2L, 0L),
+      (1L, 0L)))
+    val r = Eval.agreementStats(d, "s", "y", threshold = 5L).collect()(0)
+    assert(r.getAs[Long]("tp") === 2L && r.getAs[Long]("fp") === 1L &&
+      r.getAs[Long]("fn") === 1L && r.getAs[Long]("tn") === 2L)
+    assert(r.getAs[Long]("accuracy_ppm") === 666666L)
+    assert(r.getAs[Long]("balanced_accuracy_ppm") === 666666L)
+    assert(r.getAs[Long]("kappa_ppm") === 333333L)
+  }
+
+  test("agreementStats: negative kappa truncates toward zero") {
+    // tp=0 fp=2 fn=2 tn=1 → kappa = -8/12: truncation gives -666666
+    // (a floor would give -666667 — this case pins the div semantics)
+    val d = df(Seq((8L, 0L), (6L, 0L), (3L, 1L), (2L, 1L), (1L, 0L)))
+    val r = Eval.agreementStats(d, "s", "y", threshold = 5L).collect()(0)
+    assert(r.getAs[Long]("kappa_ppm") === -666666L)
+    assert(r.getAs[Long]("accuracy_ppm") === 200000L)
+  }
+
+  test("agreementStats: degenerate marginals yield NULL kappa") {
+    // all positive, all predicted positive: N² = E
+    val d = df(Seq((9L, 1L), (8L, 1L), (7L, 1L)))
+    val r = Eval.agreementStats(d, "s", "y", threshold = 5L).collect()(0)
+    assert(r.getAs[Long]("accuracy_ppm") === 1000000L)
+    assert(r.isNullAt(r.fieldIndex("balanced_accuracy_ppm")))
+    assert(r.isNullAt(r.fieldIndex("kappa_ppm")))
+  }
 }
