@@ -1969,6 +1969,19 @@ object SparkEntry {
       ml.Eval.agreementStats(scoredDocs(s, d), "score_q", "label",
         threshold = 5000L)),
 
+    // Binary (sign-bit) quantization ANN: 1 bit/dim packed into 32-bit
+    // words, similarity = XOR + popcount — integer-exact end to end, the
+    // 32×-compression rung below SQ8/PQ.
+    "q244_binary_ann" -> ((s, d) =>
+      Quantize.hammingTopK(Tables.embeddings(s, d),
+        "vec_id", "embedding", queryId = 3L, k = 20)),
+
+    // Two-stage binary retrieval: 64-wide Hamming shortlist, exact
+    // cosine re-rank — only shortlist rows pay full-precision work.
+    "q245_binary_rerank" -> ((s, d) =>
+      Quantize.hammingRerankTopK(Tables.embeddings(s, d),
+        "vec_id", "embedding", queryId = 3L, candidates = 64, k = 10)),
+
     // l-diversity audit: the homogeneity-attack screen k-anonymity
     // misses — nation×segment groups whose customers' balance band is
     // too uniform leak the band even at k-safe group sizes.
@@ -5279,6 +5292,49 @@ object SparkEntry {
                  - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)))
              END AS BIGINT) AS kappa_ppm
          FROM c""",
+
+    // Identical packing (dim d → word d//32, bit d%32, set iff x >= 0),
+    // Hamming = per-word bit_count(xor), summed.
+    "q244_binary_ann" ->
+      """WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                  unnest(embedding) AS val FROM embeddings),
+         wd AS (SELECT vec_id, (i - 1) // 32 AS wi,
+                  CAST(sum(CASE WHEN val >= 0
+                    THEN CAST(1 AS BIGINT) << CAST((i - 1) % 32 AS INT)
+                    ELSE 0 END) AS BIGINT) AS word
+                FROM x GROUP BY 1, 2),
+         q AS (SELECT wi, word FROM wd WHERE vec_id = 3)
+         SELECT wd.vec_id,
+                CAST(sum(bit_count(xor(wd.word, q.word))) AS BIGINT)
+                  AS hamming
+         FROM wd JOIN q ON wd.wi = q.wi WHERE wd.vec_id <> 3
+         GROUP BY 1 ORDER BY hamming, vec_id LIMIT 20""",
+
+    // Same Hamming CTE cut at 64 (deterministic tiebreak), then the q23
+    // cosine re-rank over only the shortlist.
+    "q245_binary_rerank" ->
+      """WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                  unnest(embedding) AS val FROM embeddings),
+         wd AS (SELECT vec_id, (i - 1) // 32 AS wi,
+                  CAST(sum(CASE WHEN val >= 0
+                    THEN CAST(1 AS BIGINT) << CAST((i - 1) % 32 AS INT)
+                    ELSE 0 END) AS BIGINT) AS word
+                FROM x GROUP BY 1, 2),
+         q AS (SELECT wi, word FROM wd WHERE vec_id = 3),
+         h AS (SELECT wd.vec_id,
+                 sum(bit_count(xor(wd.word, q.word))) AS hamming
+               FROM wd JOIN q ON wd.wi = q.wi WHERE wd.vec_id <> 3
+               GROUP BY 1),
+         cand AS (SELECT vec_id FROM h ORDER BY hamming, vec_id LIMIT 64),
+         qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+                WHERE vec_id = 3)
+         SELECT e.vec_id,
+                round(list_dot_product(CAST(e.embedding AS DOUBLE[]), qv)
+                  / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                           CAST(e.embedding AS DOUBLE[])))
+                     * sqrt(list_dot_product(qv, qv))), 6) AS cos
+         FROM embeddings e JOIN cand USING (vec_id), qv
+         ORDER BY cos DESC, vec_id LIMIT 10""",
 
     // The identical per-step floor, walked by a recursive CTE.
     "q242_kaplan_meier" ->

@@ -82,4 +82,85 @@ object Quantize {
       .orderBy(col("score_q").desc, col("vec_id").asc)
       .limit(k)
   }
+
+  /** Binary (sign-bit) quantization — the most aggressive rung of the
+    * quantization ladder (float32 → SQ8 → PQ → 1 bit/dim): each
+    * dimension contributes only its sign, packed into integer words, and
+    * similarity becomes Hamming distance — XOR + popcount, the cheapest
+    * similarity computable (a 100 TB vector corpus shrinks 32× and a
+    * scoring pass does dim/32 integer ops/row instead of dim FMAs).
+    *
+    * Packing contract (what the oracle replays): 0-based dimension d
+    * lands in word d div wordBits at bit position d mod wordBits
+    * (LSB-first); bit = 1 iff x ≥ 0. wordBits defaults to 32 so a packed
+    * word is a small NONNEGATIVE long both engines assemble as a plain
+    * integer sum — no signed-bit-63 wraparound to disagree on.
+    *
+    * Map-only: no stats pass (sign needs no corpus min/max — the one
+    * quantizer that is training-free AND stats-free), no shuffle, no
+    * join. */
+  def binaryEncode(emb: DataFrame, idCol: String, vecCol: String,
+                   wordBits: Int = 32): DataFrame = {
+    require(wordBits >= 1 && wordBits <= 62,
+      "wordBits must stay below the sign bit")
+    // SQL-text lambda because shiftleft by a COLUMN (the fold variable)
+    // isn't exposed through the Scala functions API.
+    val packed = expr(
+      s"""transform(
+            sequence(0, (size($vecCol) - 1) div $wordBits),
+            j -> aggregate(
+              sequence(0, least($wordBits - 1,
+                                size($vecCol) - j * $wordBits - 1)),
+              0L,
+              (acc, i) -> acc + if(element_at($vecCol,
+                                 CAST(j * $wordBits + i + 1 AS INT)) >= 0,
+                                   shiftleft(1L, CAST(i AS INT)), 0L)))""")
+    emb.select(col(idCol).as("vec_id"), packed.as("words"))
+      .withColumn("words_csv",
+        array_join(transform(col("words"), _.cast("string")), ","))
+  }
+
+  /** Top-k by Hamming distance over the packed sign bits: per word
+    * bit_count(a XOR b), summed — integer-exact, hash-checkable, one
+    * map-only scoring scan + TakeOrderedAndProject (the driver holds only
+    * the query's packed words). Ties break to the lower id. */
+  def hammingTopK(emb: DataFrame, idCol: String, vecCol: String,
+                  queryId: Long, k: Int): DataFrame = {
+    val codes = binaryEncode(emb, idCol, vecCol)
+    val q = codes.filter(col("vec_id") === queryId)
+      .select("words").collect()
+    require(q.nonEmpty, s"query id $queryId not found")
+    val qWords = array(q.head.getSeq[Long](0).map(lit): _*)
+    codes.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"),
+        aggregate(zip_with(col("words"), qWords,
+            (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("hamming"))
+      .orderBy(col("hamming").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Two-stage retrieval: Hamming shortlist → exact cosine re-rank — the
+    * production binary-quantization shape (the 1-bit scan finds
+    * `candidates` cheap approximate neighbors; only those re-read their
+    * float vectors). The shortlist cut is deterministic (hamming asc, id
+    * asc), so the oracle replays the exact candidate set; re-rank scores
+    * round to 6dp before ordering like every cosine leg. At corpus scale
+    * the shortlist is a semi-join back to the float store — candidates
+    * rows, not corpus rows, pay the full-precision arithmetic. */
+  def hammingRerankTopK(emb: DataFrame, idCol: String, vecCol: String,
+                        queryId: Long, candidates: Int, k: Int): DataFrame = {
+    require(candidates >= k, "shortlist must be at least k wide")
+    val shortlist = hammingTopK(emb, idCol, vecCol, queryId, candidates)
+      .select(col("vec_id").as(idCol))
+    val qv = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("graft_qv")).limit(1)
+    emb.join(shortlist, Seq(idCol), "left_semi")
+      .crossJoin(broadcast(qv))
+      .withColumn("cos", round(graft.functions.VectorFunctions
+        .cosine(col(vecCol), col("graft_qv")), 6))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("cos"))
+  }
 }

@@ -58,4 +58,48 @@ class QuantizeSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(a === b)
   }
+
+  test("binaryEncode packs sign bits LSB-first into 32-bit words") {
+    // 34 dims: word 0 gets dims 0..31, word 1 gets dims 32..33.
+    // Positive dims 0, 2, 33; zero counts as set (x >= 0) at dim 5.
+    val v = Array.fill(34)(-1.0f)
+    v(0) = 0.5f; v(2) = 3.0f; v(5) = 0.0f; v(33) = 7.0f
+    val got = Quantize.binaryEncode(emb((1L, v.toSeq)), "vec_id", "embedding")
+      .select("words_csv").as[String].head()
+    assert(got === s"${1L + 4L + 32L},${2L}")
+  }
+
+  test("binaryEncode: a 64-dim vector spans exactly two words") {
+    val allPos = Quantize.binaryEncode(
+      emb((1L, Seq.fill(64)(1.0f))), "vec_id", "embedding")
+      .select("words_csv").as[String].head()
+    assert(allPos === s"${(1L << 32) - 1},${(1L << 32) - 1}")
+  }
+
+  test("hammingTopK: distance counts sign disagreements, ties to low id") {
+    val q = Seq(1.0f, 1.0f, 1.0f, -1.0f)
+    val df = emb(
+      (0L, q),
+      (1L, Seq(1.0f, 1.0f, 1.0f, -1.0f)),   // hamming 0
+      (2L, Seq(-1.0f, 1.0f, 1.0f, -1.0f)),  // hamming 1
+      (3L, Seq(1.0f, -1.0f, 1.0f, 1.0f)),   // hamming 2
+      (4L, Seq(-1.0f, -1.0f, -1.0f, 1.0f))) // hamming 4
+    val got = Quantize.hammingTopK(df, "vec_id", "embedding", 0L, 4)
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 4L)))
+  }
+
+  test("hammingRerankTopK: shortlist then exact-cosine order") {
+    // 2 & 6 tie at hamming 0 (identical sign patterns), but exact cosine
+    // ranks 6 above 2: the re-rank must reorder INSIDE the shortlist.
+    val df = emb(
+      (0L, Seq(10.0f, 10.0f, -10.0f)),
+      (2L, Seq(1.0f, 10.0f, -1.0f)),
+      (6L, Seq(10.0f, 9.0f, -10.0f)),
+      (9L, Seq(-10.0f, -10.0f, 10.0f)))
+    val got = Quantize.hammingRerankTopK(df, "vec_id", "embedding",
+        0L, candidates = 2, k = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got === Seq(6L, 2L))
+  }
 }
