@@ -1969,6 +1969,13 @@ object SparkEntry {
       ml.Eval.agreementStats(scoredDocs(s, d), "score_q", "label",
         threshold = 5000L)),
 
+    // Brier score + Murphy decomposition: the proper-scoring-rule
+    // readout over the quantized quality score — REL − RES + UNC with
+    // exact quotient/remainder splits, floor drift surfaced as the gap.
+    "q246_brier" -> ((s, d) =>
+      ml.Eval.brierDecomposition(scoredDocs(s, d), "score_q", "label",
+        scale = 10000L)),
+
     // Binary (sign-bit) quantization ANN: 1 bit/dim packed into 32-bit
     // words, similarity = XOR + popcount — integer-exact end to end, the
     // 32×-compression rung below SQ8/PQ.
@@ -5292,6 +5299,45 @@ object SparkEntry {
                  - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)))
              END AS BIGINT) AS kappa_ppm
          FROM c""",
+
+    // Same per-score quotient/remainder splits in HUGEINT; every
+    // division is `//` so the floors replay bit-identically.
+    "q246_brier" ->
+      s"""WITH $ScoredDocsSql,
+         g AS (SELECT s, CAST(sum(y) AS HUGEINT) AS p,
+                 CAST(count(*) AS HUGEINT) AS ns
+               FROM sc GROUP BY 1),
+         d AS (SELECT s, p, ns,
+                 CAST(s AS HUGEINT) * ns - p * 10000 AS tlin,
+                 p * p AS psq
+               FROM g),
+         e AS (SELECT sum(ns) AS nn, sum(p) AS oo,
+                 sum(ns * CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS a,
+                 sum(CAST(s AS HUGEINT) * p) AS b,
+                 sum((tlin * tlin) // ns) AS relq,
+                 sum(((tlin * tlin - ((tlin * tlin) // ns) * ns) * 1000000)
+                     // ns) AS relr,
+                 sum(psq // ns) AS resq,
+                 sum(((psq - (psq // ns) * ns) * 1000000) // ns) AS resr
+               FROM d)
+         SELECT CAST(nn AS BIGINT) AS n,
+           CAST((a - 2 * 10000 * b + 10000 * 10000 * oo) * 1000000
+                // (nn * 10000 * 10000) AS BIGINT) AS brier_ppm,
+           CAST((relq * 1000000 + relr) // (nn * 10000 * 10000) AS BIGINT)
+             AS reliability_ppm,
+           CAST((resq * 1000000 + resr) // nn
+                - (oo * oo * 1000000) // (nn * nn) AS BIGINT)
+             AS resolution_ppm,
+           CAST((oo * (nn - oo) * 1000000) // (nn * nn) AS BIGINT)
+             AS uncertainty_ppm,
+           CAST((a - 2 * 10000 * b + 10000 * 10000 * oo) * 1000000
+                // (nn * 10000 * 10000)
+              - ((relq * 1000000 + relr) // (nn * 10000 * 10000)
+                 - ((resq * 1000000 + resr) // nn
+                    - (oo * oo * 1000000) // (nn * nn))
+                 + (oo * (nn - oo) * 1000000) // (nn * nn)) AS BIGINT)
+             AS decomp_gap_ppm
+         FROM e""",
 
     // Identical packing (dim d → word d//32, bit d%32, set iff x >= 0),
     // Hamming = per-word bit_count(xor), summed.

@@ -266,6 +266,68 @@ object Eval {
           + " END").as("kappa_ppm"))
   }
 
+  /** Brier score + Murphy decomposition — the PROPER-scoring-rule readout
+    * for a probabilistic score (thresholdSweep evaluates a decision;
+    * this evaluates the probabilities themselves), split into the three
+    * Murphy terms: Brier = REL − RES + UNC, where reliability is
+    * calibration error (q168's table as one number), resolution is how
+    * much the forecast separates outcomes, and uncertainty is the
+    * irreducible label entropy.
+    *
+    * Exactness: with p_i = s_i/scale, every term is rational —
+    *   Brier·N·scale² = Σ_s [n_s·s² − 2·scale·s·o_s + scale²·o_s]  (integer)
+    *   REL·N·scale²  = Σ_s (s·n_s − o_s·scale)²/n_s
+    *   RES·N         = Σ_s o_s²/n_s − O²/N
+    * The per-score /n_s quotients are split EXACTLY into quotient +
+    * remainder (t = q·n_s + r), and only the remainder part takes a
+    * per-score floored micro division (r·10⁶ div n_s < 10⁶, so nothing
+    * ever needs more than decimal(38,0) even at N = 10¹² rows) — total
+    * floor drift < |distinct scores| micro, surfaced honestly as
+    * `decomp_gap_ppm` = brier − (rel − res + unc), which a correct
+    * implementation keeps within a few ppm of zero. Resolution subtracts
+    * two floors so it can read −1 ppm when true RES = 0; documented
+    * truncation, replayed identically by the oracle.
+    *
+    * One corpus shuffle (the gated per-score collapse), one one-row
+    * aggregate over the bounded table. */
+  def brierDecomposition(scored: DataFrame, scoreCol: String,
+                         labelCol: String, scale: Long): DataFrame = {
+    require(scale >= 1, "scale must be positive")
+    val d = perScore(scored, scoreCol, labelCol)
+      .select(col("s"), col("p"), (col("p") + col("n")).as("ns"))
+      .select(col("s"), col("p"), col("ns"),
+        expr(s"CAST(s AS DECIMAL(38,0)) * ns - p * $scale").as("tlin"),
+        expr("p * p").as("psq"))
+    val e = d.agg(
+      sum("ns").as("nn"), sum("p").as("oo"),
+      sum(expr("ns * CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))"))
+        .as("a"),
+      sum(expr("CAST(s AS DECIMAL(38,0)) * p")).as("b"),
+      sum(expr("CAST((tlin * tlin) div ns AS DECIMAL(38,0))")).as("relq"),
+      sum(expr("((tlin * tlin - ((tlin * tlin) div ns) * ns) * 1000000)"
+        + " div ns")).as("relr"),
+      sum(expr("CAST(psq div ns AS DECIMAL(38,0))")).as("resq"),
+      sum(expr("((psq - (psq div ns) * ns) * 1000000) div ns")).as("resr"))
+    e.select(
+      expr("CAST(nn AS BIGINT)").as("n"),
+      expr(s"CASE WHEN nn = 0 THEN CAST(NULL AS BIGINT)"
+        + s" ELSE (a - 2 * $scale * b + $scale * $scale * oo) * 1000000"
+        + s"   div (nn * $scale * $scale) END").as("brier_ppm"),
+      expr(s"CASE WHEN nn = 0 THEN CAST(NULL AS BIGINT)"
+        + s" ELSE (relq * 1000000 + relr) div (nn * $scale * $scale) END")
+        .as("reliability_ppm"),
+      expr("CASE WHEN nn = 0 THEN CAST(NULL AS BIGINT)"
+        + " ELSE (resq * 1000000 + resr) div nn"
+        + "   - (oo * oo * 1000000) div (nn * nn) END")
+        .as("resolution_ppm"),
+      expr("CASE WHEN nn = 0 THEN CAST(NULL AS BIGINT)"
+        + " ELSE (oo * (nn - oo) * 1000000) div (nn * nn) END")
+        .as("uncertainty_ppm"))
+      .withColumn("decomp_gap_ppm",
+        expr("brier_ppm - (reliability_ppm - resolution_ppm"
+          + " + uncertainty_ppm)"))
+  }
+
   /** EXACT isotonic calibration — the PAV (pool-adjacent-violators) fit,
     * computed without PAV: by the minimax identity, the isotonic
     * regression of empirical positive rates over the score axis is

@@ -166,6 +166,35 @@ class EvalSpec extends SparkSpec {
     assert(r.getAs[Long]("accuracy_ppm") === 200000L)
   }
 
+  test("brierDecomposition: hand-computed Murphy terms at scale 10") {
+    // predictions .2,.2,.8 vs labels 0,1,1:
+    //   Brier = (4+64+4)/300            → 240000 ppm
+    //   REL   = (36/2 + 4/1)/300 = 22/300 → 73333 ppm
+    //   RES   = (10⁶+500000)//3 − 4·10⁶//9 = 500000−444444 → 55556 ppm
+    //   UNC   = 2·1·10⁶//9              → 222222 ppm
+    //   gap   = 240000 − (73333−55556+222222) = 1 (floor drift)
+    val d = df(Seq((2L, 0L), (2L, 1L), (8L, 1L)))
+    val r = Eval.brierDecomposition(d, "s", "y", scale = 10L).collect()(0)
+    assert(r.getAs[Long]("n") === 3L)
+    assert(r.getAs[Long]("brier_ppm") === 240000L)
+    assert(r.getAs[Long]("reliability_ppm") === 73333L)
+    assert(r.getAs[Long]("resolution_ppm") === 55556L)
+    assert(r.getAs[Long]("uncertainty_ppm") === 222222L)
+    assert(r.getAs[Long]("decomp_gap_ppm") === 1L)
+  }
+
+  test("brierDecomposition: perfect forecast scores zero everywhere") {
+    // p ∈ {0,1} matching labels exactly: Brier 0, REL 0, RES = UNC.
+    val d = df(Seq((0L, 0L), (0L, 0L), (10L, 1L), (10L, 1L)))
+    val r = Eval.brierDecomposition(d, "s", "y", scale = 10L).collect()(0)
+    assert(r.getAs[Long]("brier_ppm") === 0L)
+    assert(r.getAs[Long]("reliability_ppm") === 0L)
+    assert(r.getAs[Long]("resolution_ppm") ===
+      r.getAs[Long]("uncertainty_ppm"))
+    assert(r.getAs[Long]("uncertainty_ppm") === 250000L)
+    assert(r.getAs[Long]("decomp_gap_ppm") === 0L)
+  }
+
   test("agreementStats: degenerate marginals yield NULL kappa") {
     // all positive, all predicted positive: N² = E
     val d = df(Seq((9L, 1L), (8L, 1L), (7L, 1L)))
