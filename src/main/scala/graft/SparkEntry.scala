@@ -1969,6 +1969,13 @@ object SparkEntry {
       ml.Eval.agreementStats(scoredDocs(s, d), "score_q", "label",
         threshold = 5000L)),
 
+    // Bucketed-jackknife variance for the A/B mean difference: the
+    // delete-one-group standard error real experiment platforms use at
+    // scale (replicates from a G-row bucket table, never a resample).
+    "q247_jackknife" -> ((s, d) =>
+      Experiment.jackknifeDiff(Tables.events(s, d), "user_id",
+        "event_type", "value", metricType = "purchase", buckets = 16)),
+
     // Brier score + Murphy decomposition: the proper-scoring-rule
     // readout over the quantized quality score — REL − RES + UNC with
     // exact quotient/remainder splits, floor drift surfaced as the gap.
@@ -5299,6 +5306,73 @@ object SparkEntry {
                  - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)))
              END AS BIGINT) AS kappa_ppm
          FROM c""",
+
+    // Same md5 arm/bucket assignment (fixed-width hex thresholds), same
+    // replicate arithmetic in HUGEINT; z replays the three pinned IEEE
+    // ops verbatim.
+    "q247_jackknife" -> {
+      val g = 16
+      val chain = (1 until g).map(i =>
+        f"(CASE WHEN h >= '${i * 65536 / g}%04x' THEN 1 ELSE 0 END)")
+        .mkString("\n                   + ")
+      s"""WITH pu AS (SELECT user_id,
+                  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                       AS HUGEINT) AS y
+               FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         t AS (SELECT y,
+                 CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                           < '8' THEN 'A' ELSE 'B' END AS arm,
+                 substring(md5(CAST(user_id AS VARCHAR)), 2, 4) AS h
+               FROM pu),
+         tb AS (SELECT CAST($chain AS HUGEINT) AS g, arm, y FROM t),
+         pb0 AS (SELECT g,
+                  CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)
+                       AS HUGEINT) AS n_ag,
+                  CAST(sum(CASE WHEN arm = 'A' THEN y ELSE 0 END)
+                       AS HUGEINT) AS s_ag,
+                  CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)
+                       AS HUGEINT) AS n_bg,
+                  CAST(sum(CASE WHEN arm = 'B' THEN y ELSE 0 END)
+                       AS HUGEINT) AS s_bg
+                 FROM tb GROUP BY 1),
+         pb AS (SELECT gs.g, coalesce(n_ag, 0) AS n_ag,
+                  coalesce(s_ag, 0) AS s_ag, coalesce(n_bg, 0) AS n_bg,
+                  coalesce(s_bg, 0) AS s_bg
+                FROM (SELECT CAST(range AS HUGEINT) AS g FROM range($g)) gs
+                LEFT JOIN pb0 ON pb0.g = gs.g),
+         tot AS (SELECT sum(n_ag) AS tna, sum(s_ag) AS tsa,
+                   sum(n_bg) AS tnb, sum(s_bg) AS tsb FROM pb),
+         reps AS (SELECT CASE WHEN tna - n_ag = 0 OR tnb - n_bg = 0
+                    THEN NULL
+                    ELSE (tsb - s_bg) * 1000000 // (tnb - n_bg)
+                       - (tsa - s_ag) * 1000000 // (tna - n_ag) END AS dg
+                  FROM pb, tot),
+         rs AS (SELECT CAST(count(dg) AS HUGEINT) AS n_valid,
+                  sum(dg) AS sd, sum(dg * dg) AS sd2 FROM reps)
+         SELECT CAST(tna AS BIGINT) AS n_users_a,
+           CAST(tnb AS BIGINT) AS n_users_b,
+           CAST(CASE WHEN tna = 0 THEN NULL
+                ELSE tsa * 1000000 // tna END AS BIGINT) AS mean_a_micro,
+           CAST(CASE WHEN tnb = 0 THEN NULL
+                ELSE tsb * 1000000 // tnb END AS BIGINT) AS mean_b_micro,
+           CAST(CASE WHEN tna = 0 OR tnb = 0 THEN NULL
+                ELSE tsb * 1000000 // tnb - tsa * 1000000 // tna END
+                AS BIGINT) AS diff_micro,
+           CAST(n_valid AS BIGINT) AS n_valid_buckets,
+           CAST(CASE WHEN n_valid < $g
+                  OR ($g - 1) * ($g * sd2 - sd * sd) < 0 THEN NULL
+                ELSE CAST(round(sqrt(CAST(($g - 1)
+                       * ($g * sd2 - sd * sd) AS DOUBLE))
+                     / $g, 0) AS BIGINT) END AS BIGINT) AS se_micro,
+           CAST(CASE WHEN n_valid < $g OR tna = 0 OR tnb = 0
+                  OR ($g - 1) * ($g * sd2 - sd * sd) <= 0 THEN NULL
+                ELSE CAST(round(CAST(tsb * 1000000 // tnb
+                       - tsa * 1000000 // tna AS DOUBLE) * $g
+                     / sqrt(CAST(($g - 1) * ($g * sd2 - sd * sd)
+                            AS DOUBLE)) * 1000, 0) AS BIGINT) END
+                AS BIGINT) AS z_milli
+         FROM tot, rs"""
+    },
 
     // Same per-score quotient/remainder splits in HUGEINT; every
     // division is `//` so the floors replay bit-identically.

@@ -134,4 +134,113 @@ object Experiment {
         col("adj_ppm_b"),
         (col("adj_ppm_b") - col("adj_ppm_a")).as("adj_diff_ppm"))
   }
+
+  /** Bucketed-jackknife variance for the arm mean difference — the
+    * experimentation-platform machinery [[abLift]] and [[cuped]] lack: a
+    * point estimate without a standard error can't say whether the lift
+    * is signal. Users hash into `buckets` groups (md5 chars 2-5, disjoint
+    * from the arm nibble at char 1 — the same literal-hex-threshold trick
+    * as the epoch shards, so assignment replays on any engine); each
+    * delete-one-group replicate d_g re-computes the mean difference with
+    * bucket g removed, and the jackknife variance
+    *   var = (G−1)/G · Σ (d_g − d̄)²
+    *       = (G−1)·(G·Σd_g² − (Σd_g)²) / G²
+    * needs only the per-bucket (n, sum) table — O(G) driver-free rows,
+    * never a resample of the corpus (the reason experiment platforms
+    * jackknife over buckets instead of bootstrapping users at 100 TB).
+    *
+    * Exactness: metric in lossless centi-units, per-arm and per-replicate
+    * means floor-micro (each d_g is a difference of two floored
+    * divisions, deterministic), the variance numerator pure integer. Only
+    * z touches floats: THREE pinned IEEE ops — CAST(diff)·G, divided by
+    * the correctly-rounded sqrt(var_num), ×1000 — then round to milli;
+    * every op is individually correctly-rounded, so the bits replay
+    * (the Mann-Kendall z argument). NULLs: variance/z when any replicate
+    * leaves an arm empty (n_valid < G surfaces it) or var_num = 0.
+    *
+    * Scale: ONE user-keyed aggregate over the event scan, a G·2-row
+    * rollup, a one-row report. */
+  def jackknifeDiff(events: DataFrame, userCol: String, typeCol: String,
+                    valueCol: String, metricType: String,
+                    buckets: Int = 32): DataFrame = {
+    require(buckets >= 2 && buckets <= 65536, "buckets must be in 2..65536")
+    val arm = when(substring(md5(col("graft_u").cast("string")), 1, 1) < "8",
+      "A").otherwise("B")
+    val h = substring(md5(col("graft_u").cast("string")), 2, 4)
+    val g = (1 until buckets).foldLeft(lit(0)) { (acc, i) =>
+      acc + when(h >= lit(f"${i * 65536 / buckets}%04x"), 1).otherwise(0)
+    }
+    val cents = floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("long")
+    val perUser = events.filter(col(typeCol) === metricType)
+      .select(col(userCol).as("graft_u"), cents.as("graft_c"))
+      .groupBy("graft_u").agg(sum("graft_c").cast("decimal(38,0)").as("y"))
+      .select(col("y"), arm.as("graft_arm"), g.cast("long").as("graft_g"))
+    jackknifeCore(perUser, buckets)
+  }
+
+  /** The replicate/variance assembly over a per-unit (y, graft_arm,
+    * graft_g) table — split out so specs can drive it with hand-assigned
+    * arms and buckets. */
+  private[graft] def jackknifeCore(perUser: DataFrame,
+                                   buckets: Int): DataFrame = {
+    val spark = perUser.sparkSession
+    val perBucket = perUser.groupBy("graft_g").agg(
+      sum(when(col("graft_arm") === "A", lit(1L)).otherwise(lit(0L)))
+        .cast("decimal(38,0)").as("n_ag"),
+      sum(when(col("graft_arm") === "A", col("y")).otherwise(lit(0L)))
+        .as("s_ag"),
+      sum(when(col("graft_arm") === "B", lit(1L)).otherwise(lit(0L)))
+        .cast("decimal(38,0)").as("n_bg"),
+      sum(when(col("graft_arm") === "B", col("y")).otherwise(lit(0L)))
+        .as("s_bg"))
+    // Empty buckets still contribute a (no-change) replicate: enumerate
+    // all G explicitly and zero-fill.
+    val allG = spark.range(buckets).select(col("id").as("graft_g"))
+    val filled = allG.join(perBucket, Seq("graft_g"), "left")
+      .select(col("graft_g"),
+        coalesce(col("n_ag"), lit(0)).cast("decimal(38,0)").as("n_ag"),
+        coalesce(col("s_ag"), lit(0)).cast("decimal(38,0)").as("s_ag"),
+        coalesce(col("n_bg"), lit(0)).cast("decimal(38,0)").as("n_bg"),
+        coalesce(col("s_bg"), lit(0)).cast("decimal(38,0)").as("s_bg"))
+    val totals = filled.agg(
+      sum("n_ag").as("tna"), sum("s_ag").as("tsa"),
+      sum("n_bg").as("tnb"), sum("s_bg").as("tsb"))
+    val reps = filled.crossJoin(broadcast(totals))
+      .select(expr("CASE WHEN tna - n_ag = 0 OR tnb - n_bg = 0"
+        + " THEN CAST(NULL AS DECIMAL(38,0))"
+        + " ELSE CAST((tsb - s_bg) * 1000000 div (tnb - n_bg)"
+        + "    - (tsa - s_ag) * 1000000 div (tna - n_ag)"
+        + "    AS DECIMAL(38,0)) END").as("dg"))
+      .agg(count(col("dg")).cast("decimal(38,0)").as("n_valid"),
+        sum("dg").as("sd"), sum(expr("dg * dg")).as("sd2"))
+    totals.crossJoin(broadcast(reps))
+      .select(
+        col("tna").cast("long").as("n_users_a"),
+        col("tnb").cast("long").as("n_users_b"),
+        expr("CASE WHEN tna = 0 THEN CAST(NULL AS BIGINT)"
+          + " ELSE tsa * 1000000 div tna END").as("mean_a_micro"),
+        expr("CASE WHEN tnb = 0 THEN CAST(NULL AS BIGINT)"
+          + " ELSE tsb * 1000000 div tnb END").as("mean_b_micro"),
+        expr("CASE WHEN tna = 0 OR tnb = 0 THEN CAST(NULL AS BIGINT)"
+          + " ELSE tsb * 1000000 div tnb - tsa * 1000000 div tna END")
+          .as("diff_micro"),
+        col("n_valid").cast("long").as("n_valid_buckets"),
+        // the standard error, not the raw variance — micro² overflows
+        // int64 on real data; se = sqrt(var_num)/G via TWO pinned IEEE
+        // ops (correctly-rounded sqrt, then divide) + round.
+        expr(s"CASE WHEN n_valid < $buckets"
+          + s"   OR ($buckets - 1) * ($buckets * sd2 - sd * sd) < 0"
+          + " THEN CAST(NULL AS BIGINT)"
+          + s" ELSE CAST(round(sqrt(CAST(($buckets - 1)"
+          + s"     * ($buckets * sd2 - sd * sd) AS DOUBLE))"
+          + s"   / $buckets, 0) AS BIGINT) END").as("se_micro"),
+        expr(s"CASE WHEN n_valid < $buckets OR tna = 0 OR tnb = 0"
+          + s"   OR ($buckets - 1) * ($buckets * sd2 - sd * sd) <= 0"
+          + " THEN CAST(NULL AS BIGINT)"
+          + s" ELSE CAST(round(CAST(tsb * 1000000 div tnb"
+          + s"     - tsa * 1000000 div tna AS DOUBLE) * $buckets"
+          + s"   / sqrt(CAST(($buckets - 1)"
+          + s"     * ($buckets * sd2 - sd * sd) AS DOUBLE)) * 1000, 0)"
+          + " AS BIGINT) END").as("z_milli"))
+  }
 }

@@ -115,4 +115,52 @@ class ExperimentSpec extends SparkSpec {
     // x ≡ 0 → Var(x) = 0 → θ NULL → adjusted = raw.
     assert(row.isNullAt(row.fieldIndex("theta_ppm")))
   }
+
+  test("jackknifeCore: hand-computed two-bucket replicates and variance") {
+    // A: g0 {100, 300}, g1 {200}; B: g0 {400}, g1 {500, 700} (centi).
+    // d_0 = 1200e6/2 − 200e6/1 = 4e8; d_1 = 400e6/1 − 400e6/2 = 2e8.
+    // var_num = 1·(2·2e17 − (6e8)²) = 4e16 → se = sqrt(4e16)/2 = 1e8.
+    // diff = 1600e6 div 3 − 600e6 div 3 = 333333333.
+    // z = 333333333·2/sqrt(4e16)·1000 = 3333.33 → 3333 milli.
+    val perUser = Seq(
+      (100L, "A", 0L), (300L, "A", 0L), (200L, "A", 1L),
+      (400L, "B", 0L), (500L, "B", 1L), (700L, "B", 1L))
+      .toDF("y", "graft_arm", "graft_g")
+    val r = Experiment.jackknifeCore(perUser, buckets = 2).collect()(0)
+    assert(r.getAs[Long]("n_users_a") === 3L)
+    assert(r.getAs[Long]("n_users_b") === 3L)
+    assert(r.getAs[Long]("mean_a_micro") === 200000000L)
+    assert(r.getAs[Long]("mean_b_micro") === 533333333L)
+    assert(r.getAs[Long]("diff_micro") === 333333333L)
+    assert(r.getAs[Long]("n_valid_buckets") === 2L)
+    assert(r.getAs[Long]("se_micro") === 100000000L)
+    assert(r.getAs[Long]("z_milli") === 3333L)
+  }
+
+  test("jackknifeCore: a replicate emptying an arm NULLs the variance") {
+    // All of arm A sits in bucket 0 — deleting g0 leaves A empty.
+    val perUser = Seq(
+      (100L, "A", 0L), (300L, "A", 0L),
+      (400L, "B", 0L), (500L, "B", 1L))
+      .toDF("y", "graft_arm", "graft_g")
+    val r = Experiment.jackknifeCore(perUser, buckets = 2).collect()(0)
+    assert(r.getAs[Long]("n_valid_buckets") === 1L)
+    assert(r.isNullAt(r.fieldIndex("se_micro")))
+    assert(r.isNullAt(r.fieldIndex("z_milli")))
+    // the point estimate is still there
+    assert(r.getAs[Long]("diff_micro") === 450000000L - 200000000L)
+  }
+
+  test("jackknifeDiff: deterministic across partitioning; buckets cover") {
+    val events = (1L to 120L).map(u =>
+      (u, "purchase", (u % 7).toDouble + 1.0))
+    val df = events.toDF("user_id", "event_type", "value")
+    val a = Experiment.jackknifeDiff(df, "user_id", "event_type", "value",
+      "purchase", buckets = 4).collect()(0)
+    val b = Experiment.jackknifeDiff(df.repartition(13), "user_id",
+      "event_type", "value", "purchase", buckets = 4).collect()(0)
+    assert(a === b)
+    assert(a.getAs[Long]("n_users_a") + a.getAs[Long]("n_users_b") === 120L)
+    assert(a.getAs[Long]("n_valid_buckets") === 4L)
+  }
 }
