@@ -1969,6 +1969,13 @@ object SparkEntry {
       ml.Eval.agreementStats(scoredDocs(s, d), "score_q", "label",
         threshold = 5000L)),
 
+    // Encoding-damage + character-hygiene audit per source: control
+    // chars / U+FFFD / mojibake battery + composition ppms — the
+    // pre-curation transcode screen (zeros on a clean corpus ARE the
+    // readout; the spec plants damage).
+    "q248_encoding_audit" -> ((s, d) =>
+      Corpus.encodingAudit(Tables.documents(s, d), "text", "source")),
+
     // Bucketed-jackknife variance for the A/B mean difference: the
     // delete-one-group standard error real experiment platforms use at
     // scale (replicates from a G-row bucket table, never a resample).
@@ -5306,6 +5313,38 @@ object SparkEntry {
                  - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)))
              END AS BIGINT) AS kappa_ppm
          FROM c""",
+
+    // Character-class-only regexes (Java and RE2 agree per code point);
+    // DuckDB counts matches via len(regexp_extract_all).
+    "q248_encoding_audit" ->
+      """WITH f AS (SELECT source,
+           CASE WHEN regexp_matches(text,
+                '[\x00-\x08\x0B\x0C\x0E-\x1F]') THEN 1 ELSE 0 END AS ctl,
+           CASE WHEN regexp_matches(text, '�') THEN 1 ELSE 0 END AS rpl,
+           CASE WHEN regexp_matches(text,
+                'Ã©|Ã¨|Ã¼|Ã¶|Ã¤|Ã±|Ã§|â€|Â£|Â°') THEN 1 ELSE 0 END AS mji,
+           len(regexp_extract_all(text, '[A-Z]')) AS up,
+           len(regexp_extract_all(text, '[A-Za-z]')) AS lt,
+           len(regexp_extract_all(text, '[0-9]')) AS dg,
+           len(regexp_extract_all(text, '[^\x00-\x7F]')) AS na,
+           length(text) AS ch
+         FROM documents)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ctl) AS BIGINT) AS n_ctrl,
+           CAST(sum(rpl) AS BIGINT) AS n_replacement,
+           CAST(sum(mji) AS BIGINT) AS n_mojibake,
+           CAST(sum(CASE WHEN ctl + rpl + mji = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clean,
+           CAST(CASE WHEN sum(lt) = 0 THEN NULL
+                ELSE sum(up) * 1000000 // sum(lt) END AS BIGINT)
+             AS upper_ppm,
+           CAST(CASE WHEN sum(ch) = 0 THEN NULL
+                ELSE sum(dg) * 1000000 // sum(ch) END AS BIGINT)
+             AS digit_ppm,
+           CAST(CASE WHEN sum(ch) = 0 THEN NULL
+                ELSE sum(na) * 1000000 // sum(ch) END AS BIGINT)
+             AS nonascii_ppm
+         FROM f GROUP BY 1""",
 
     // Same md5 arm/bucket assignment (fixed-width hex thresholds), same
     // replicate arithmetic in HUGEINT; z replays the three pinned IEEE

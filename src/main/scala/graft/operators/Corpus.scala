@@ -649,4 +649,65 @@ object Corpus {
         col("graft_boiler") + col("graft_digit") === 0, 1L).otherwise(0L))
         .as("n_clean"))
   }
+
+  /** Encoding-damage + character-hygiene audit per source — the screen a
+    * web-scraped corpus runs BEFORE [[curationRules]]' content rules:
+    * text that survived a bad transcode is unsalvageable garbage no
+    * quality heuristic should ever score. Three damage detectors and
+    * three composition ppms, all map-side regex counts:
+    *
+    *  - `n_ctrl` — docs with C0 control chars other than tab/LF/CR
+    *    (binary spillage, broken escape handling);
+    *  - `n_replacement` — docs containing U+FFFD, the decoder's own
+    *    "I gave up" marker;
+    *  - `n_mojibake` — docs matching the classic UTF-8-read-as-Latin-1
+    *    battery (Ã©/Ã¨/Ã¼/Ã¶/Ã¤/Ã±/Ã§ accents, the â€ quote/dash
+    *    family, Â£/Â° currency/degree) — a documented finite battery
+    *    rather than a byte-range heuristic so both engines match the
+    *    exact same artifacts;
+    *  - `upper_ppm` / `digit_ppm` / `nonascii_ppm` — uppercase share of
+    *    letters, digit and non-ASCII share of all chars (floor-ppm,
+    *    NULL on empty denominators): the composition drift a source
+    *    mix-shift shows up in first.
+    *
+    * A clean corpus reads zeros in the damage columns — that IS the
+    * readout (the spec plants damaged docs to prove detection). One
+    * codegen'd pass, ONE source-keyed shuffle to the |sources|-row
+    * profile; character classes only (no backreferences), so Java and
+    * RE2 regex agree, and counts are per code point in both engines. */
+  def encodingAudit(docs: DataFrame, textCol: String,
+                    sourceCol: String): DataFrame = {
+    val t = col(textCol)
+    val ctrl = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+    val moji = "Ã©|Ã¨|Ã¼|Ã¶|Ã¤|Ã±|Ã§|â€|Â£|Â°"
+    val flags = docs.select(
+      col(sourceCol).as("source"),
+      (regexp_count(t, lit(ctrl)) > 0).cast("long").as("graft_ctrl"),
+      (regexp_count(t, lit("�")) > 0).cast("long").as("graft_repl"),
+      (regexp_count(t, lit(moji)) > 0).cast("long").as("graft_moji"),
+      regexp_count(t, lit("[A-Z]")).cast("long").as("graft_up"),
+      regexp_count(t, lit("[A-Za-z]")).cast("long").as("graft_let"),
+      regexp_count(t, lit("[0-9]")).cast("long").as("graft_dig"),
+      regexp_count(t, lit("[^\\x00-\\x7F]")).cast("long").as("graft_na"),
+      length(t).cast("long").as("graft_ch"))
+    flags.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("graft_ctrl").as("n_ctrl"),
+      sum("graft_repl").as("n_replacement"),
+      sum("graft_moji").as("n_mojibake"),
+      sum(when(col("graft_ctrl") + col("graft_repl") +
+        col("graft_moji") === 0, 1L).otherwise(0L)).as("n_clean"),
+      sum("graft_up").as("graft_sup"), sum("graft_let").as("graft_slet"),
+      sum("graft_dig").as("graft_sdig"), sum("graft_na").as("graft_sna"),
+      sum("graft_ch").as("graft_sch"))
+      .select(col("source"), col("n_docs"), col("n_ctrl"),
+        col("n_replacement"), col("n_mojibake"), col("n_clean"),
+        expr("CASE WHEN graft_slet = 0 THEN CAST(NULL AS BIGINT)"
+          + " ELSE graft_sup * 1000000 div graft_slet END").as("upper_ppm"),
+        expr("CASE WHEN graft_sch = 0 THEN CAST(NULL AS BIGINT)"
+          + " ELSE graft_sdig * 1000000 div graft_sch END").as("digit_ppm"),
+        expr("CASE WHEN graft_sch = 0 THEN CAST(NULL AS BIGINT)"
+          + " ELSE graft_sna * 1000000 div graft_sch END")
+          .as("nonascii_ppm"))
+  }
 }

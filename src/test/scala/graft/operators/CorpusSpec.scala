@@ -420,4 +420,35 @@ class CorpusSpec extends SparkSpec {
     assert(r.getAs[Long]("fail_digit") === 1L)
     assert(r.getAs[Long]("n_clean") === 1L)
   }
+
+  test("encodingAudit: planted damage trips exactly its detector") {
+    val docs = Seq(
+      ("w", "Clean Text With 2 digits"),              // clean
+      ("w", "binary\u0001spill"),                     // control char
+      ("w", "decoder gave up � here"),           // replacement
+      ("w", "the cafÃ© was nice"),                    // mojibake Ã©
+      ("w", "a quote â€œlike thisâ€"),          // mojibake â€ family
+      ("w", "tabs\tand\nnewlines are fine"))          // NOT control-flagged
+      .toDF("source", "text")
+    val r = Corpus.encodingAudit(docs, "text", "source").collect()(0)
+    assert(r.getAs[Long]("n_docs") === 6L)
+    assert(r.getAs[Long]("n_ctrl") === 1L)
+    assert(r.getAs[Long]("n_replacement") === 1L)
+    assert(r.getAs[Long]("n_mojibake") === 2L)
+    assert(r.getAs[Long]("n_clean") === 2L)
+  }
+
+  test("encodingAudit: exact composition ppms, NULL on empty denominators") {
+    // "AAbb12" per doc: 2 upper of 4 letters, 2 digits + 2 nonascii of
+    // 8 chars → upper 500000, digit 250000, nonascii 250000.
+    val docs = Seq(("s", "AAbb12éé"), ("s", "AAbb12éé")).toDF("source", "text")
+    val r = Corpus.encodingAudit(docs, "text", "source").collect()(0)
+    assert(r.getAs[Long]("upper_ppm") === 500000L)
+    assert(r.getAs[Long]("digit_ppm") === 250000L)
+    assert(r.getAs[Long]("nonascii_ppm") === 250000L)
+    val empty = Seq(("s", "")).toDF("source", "text")
+    val e = Corpus.encodingAudit(empty, "text", "source").collect()(0)
+    assert(e.isNullAt(e.fieldIndex("upper_ppm")))
+    assert(e.isNullAt(e.fieldIndex("digit_ppm")))
+  }
 }
