@@ -1969,6 +1969,18 @@ object SparkEntry {
       ml.Eval.agreementStats(scoredDocs(s, d), "score_q", "label",
         threshold = 5000L)),
 
+    // McNemar paired test: does the quality-score rule beat the plain
+    // length rule on the SAME docs — discordant pairs only, exact
+    // continuity-corrected statistic in milli.
+    "q249_mcnemar" -> ((s, d) => {
+      val preds = Tables.documents(s, d).select(
+        (greatest(least(floor(T.qualityScore(col("text")) * 10000 + 0.5),
+          lit(10000L)), lit(0L)) >= 5000L).cast("long").as("p_quality"),
+        (T.wordTokens(col("text")) >= 50).cast("long").as("p_length"),
+        (col("n_chars") >= 300).cast("long").as("label"))
+      ml.Eval.mcnemar(preds, "p_quality", "p_length", "label")
+    }),
+
     // Encoding-damage + character-hygiene audit per source: control
     // chars / U+FFFD / mojibake battery + composition ppms — the
     // pre-curation transcode screen (zeros on a clean corpus ARE the
@@ -5313,6 +5325,43 @@ object SparkEntry {
                  - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)))
              END AS BIGINT) AS kappa_ppm
          FROM c""",
+
+    // The q16/q243 quality expression inline (same row must carry both
+    // classifiers + the label); discordant counts then one rational.
+    "q249_mcnemar" ->
+      """WITH t AS (SELECT
+           CASE WHEN greatest(least(CAST(floor(
+                  round(0.5 * least(length(text) / 500.0, 1.0)
+                    + 0.5 * least(len(regexp_extract_all(text,
+                            '[A-Za-z0-9]+')) * 1.0
+                        / greatest(len(regexp_split_to_array(trim(text),
+                            '\s+')), 1), 1.0)
+                    - len(regexp_extract_all(text, '[.,;:!?]')) * 1.0
+                      / greatest(length(text), 1), 4) * 10000 + 0.5)
+                  AS BIGINT), 10000), 0) >= 5000 THEN 1 ELSE 0 END AS p1,
+           CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9]+')) >= 50
+                THEN 1 ELSE 0 END AS p2,
+           CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y
+         FROM documents),
+         r AS (SELECT CASE WHEN p1 = y THEN 1 ELSE 0 END AS r1,
+                      CASE WHEN p2 = y THEN 1 ELSE 0 END AS r2 FROM t),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN r1 = 1 AND r2 = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS b,
+                 CAST(sum(CASE WHEN r1 = 0 AND r2 = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS c
+               FROM r)
+         SELECT n, b, c,
+           CAST(CASE WHEN b + c = 0 THEN NULL
+                WHEN abs(b - c) <= 1 THEN 0
+                ELSE (abs(b - c) - 1) * (abs(b - c) - 1) * 1000 // (b + c)
+                END AS BIGINT) AS stat_milli,
+           CAST(CASE WHEN b + c = 0 THEN NULL
+                WHEN (CASE WHEN abs(b - c) <= 1 THEN 0
+                      ELSE (abs(b - c) - 1) * (abs(b - c) - 1) * 1000
+                           // (b + c) END) > 3841 THEN 1 ELSE 0 END
+                AS BIGINT) AS significant_05
+         FROM a""",
 
     // Character-class-only regexes (Java and RE2 agree per code point);
     // DuckDB counts matches via len(regexp_extract_all).

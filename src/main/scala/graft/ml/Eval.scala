@@ -266,6 +266,46 @@ object Eval {
           + " END").as("kappa_ppm"))
   }
 
+  /** McNemar's paired test — "is classifier 1 actually better than
+    * classifier 2 on THE SAME examples": two accuracies compared without
+    * pairing overstate significance (shared examples correlate the
+    * errors); McNemar looks only at the DISCORDANT pairs — b = rows only
+    * classifier 1 gets right, c = rows only classifier 2 gets right —
+    * and asks whether b/(b+c) deviates from the coin flip the
+    * no-difference null implies.
+    *
+    * Exact integers: the continuity-corrected statistic
+    * (|b−c|−1)²/(b+c) is one rational — emitted as floor-milli, clamped
+    * to 0 when |b−c| ≤ 1 (the correction would go negative), NULL when
+    * no discordant pairs exist. `significant_05` compares the milli
+    * statistic against the χ²₁ 5% critical value 3.841: integers ≥ 3842
+    * exceed the true 3.8415 cutoff and 3841 falls below it, so the
+    * integer compare is exactly the real test at this resolution.
+    *
+    * One row-local projection, one one-row aggregate — no shuffle at
+    * all beyond the final reduce. */
+  def mcnemar(preds: DataFrame, pred1Col: String, pred2Col: String,
+              labelCol: String): DataFrame = {
+    preds.select(
+        (col(pred1Col).cast("long") === col(labelCol).cast("long"))
+          .cast("long").as("r1"),
+        (col(pred2Col).cast("long") === col(labelCol).cast("long"))
+          .cast("long").as("r2"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CASE WHEN r1 = 1 AND r2 = 0 THEN 1L ELSE 0L END"))
+          .as("b"),
+        sum(expr("CASE WHEN r1 = 0 AND r2 = 1 THEN 1L ELSE 0L END"))
+          .as("c"))
+      .select(col("n"), col("b"), col("c"),
+        expr("CASE WHEN b + c = 0 THEN CAST(NULL AS BIGINT)"
+          + " WHEN abs(b - c) <= 1 THEN 0L"
+          + " ELSE (abs(b - c) - 1) * (abs(b - c) - 1) * 1000"
+          + "   div (b + c) END").as("stat_milli"))
+      .withColumn("significant_05",
+        expr("CASE WHEN stat_milli IS NULL THEN CAST(NULL AS BIGINT)"
+          + " WHEN stat_milli > 3841 THEN 1L ELSE 0L END"))
+  }
+
   /** Brier score + Murphy decomposition — the PROPER-scoring-rule readout
     * for a probabilistic score (thresholdSweep evaluates a decision;
     * this evaluates the probabilities themselves), split into the three

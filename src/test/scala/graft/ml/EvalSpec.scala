@@ -195,6 +195,42 @@ class EvalSpec extends SparkSpec {
     assert(r.getAs[Long]("decomp_gap_ppm") === 0L)
   }
 
+  test("mcnemar: hand-computed discordant counts and statistic") {
+    import spark.implicits._
+    // label always 1. p1 right/p2 wrong ×6 (b), p1 wrong/p2 right ×1 (c),
+    // both right ×2, both wrong ×1 → stat = (|5|−1)²·1000/7 = 2285.
+    val preds =
+      Seq.fill(6)((1L, 0L, 1L)) ++ Seq.fill(1)((0L, 1L, 1L)) ++
+      Seq.fill(2)((1L, 1L, 1L)) ++ Seq.fill(1)((0L, 0L, 1L))
+    val r = Eval.mcnemar(preds.toDF("p1", "p2", "y"), "p1", "p2", "y")
+      .collect()(0)
+    assert(r.getAs[Long]("n") === 10L)
+    assert(r.getAs[Long]("b") === 6L && r.getAs[Long]("c") === 1L)
+    assert(r.getAs[Long]("stat_milli") === 2285L)
+    assert(r.getAs[Long]("significant_05") === 0L)
+  }
+
+  test("mcnemar: edges — no discordance NULLs, strong asymmetry flags") {
+    import spark.implicits._
+    // identical classifiers: b = c = 0 → NULL statistic.
+    val same = Seq.fill(5)((1L, 1L, 1L))
+    val r0 = Eval.mcnemar(same.toDF("p1", "p2", "y"), "p1", "p2", "y")
+      .collect()(0)
+    assert(r0.isNullAt(r0.fieldIndex("stat_milli")))
+    assert(r0.isNullAt(r0.fieldIndex("significant_05")))
+    // b=10, c=0 → (9)²·1000/10 = 8100 > 3841 → significant.
+    val strong = Seq.fill(10)((1L, 0L, 1L))
+    val r1 = Eval.mcnemar(strong.toDF("p1", "p2", "y"), "p1", "p2", "y")
+      .collect()(0)
+    assert(r1.getAs[Long]("stat_milli") === 8100L)
+    assert(r1.getAs[Long]("significant_05") === 1L)
+    // |b−c| ≤ 1: correction clamps to zero, never negative.
+    val tied = Seq((1L, 0L, 1L), (0L, 1L, 1L), (1L, 0L, 1L))
+    val r2 = Eval.mcnemar(tied.toDF("p1", "p2", "y"), "p1", "p2", "y")
+      .collect()(0)
+    assert(r2.getAs[Long]("stat_milli") === 0L)
+  }
+
   test("agreementStats: degenerate marginals yield NULL kappa") {
     // all positive, all predicted positive: N² = E
     val d = df(Seq((9L, 1L), (8L, 1L), (7L, 1L)))
