@@ -1969,6 +1969,42 @@ object SparkEntry {
       ml.Eval.agreementStats(scoredDocs(s, d), "score_q", "label",
         threshold = 5000L)),
 
+    // PARTITION EVOLUTION: bucket(4) → bucket(8) as a metadata-only
+    // manifest bump — old files keep pruning under the spec each records
+    // (#tpartspec), appends land under the new spec, maintain() unifies
+    // the layout. In-query partition gates pin both pruning regimes.
+    "q250_partition_evolution" -> ((s, d) => {
+      val fmt = "graft.sources.WarehouseSink"
+      val dir = java.nio.file.Files.createTempDirectory("graft_pevo_").toString
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      cust.filter(col("c_custkey") % 2 === 0).coalesce(1)
+        .write.format(fmt).option("path", dir)
+        .option("partitionBy", "bucket(4,c_custkey)")
+        .mode("overwrite").save()
+      graft.sources.WarehouseSink.evolvePartitioning(dir,
+        "bucket(8,c_custkey)")
+      cust.filter(col("c_custkey") % 2 === 1).coalesce(1)
+        .write.format(fmt).option("path", dir).mode("append").save()
+      // 4 bucket(4) files + 8 bucket(8) files; a point lookup plans at
+      // most one file per spec space (each prunes under ITS OWN spec)
+      val probe = s.read.format(fmt).option("path", dir).load()
+        .filter(col("c_custkey") === 2L)
+      require(probe.rdd.getNumPartitions <= 2,
+        s"mixed-spec pruning failed: ${probe.rdd.getNumPartitions} planned")
+      // compaction completes the evolution physically: one spec space
+      graft.sources.WarehouseSink.maintain(s, dir, keepVersions = 1)
+      val probe2 = s.read.format(fmt).option("path", dir).load()
+        .filter(col("c_custkey") === 2L)
+      require(probe2.rdd.getNumPartitions <= 1,
+        s"post-maintain pruning failed: ${probe2.rdd.getNumPartitions}")
+      s.read.format(fmt).option("path", dir).load()
+        .groupBy((col("c_custkey") % 7).as("grp"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("c_acctbal") * 100).cast("long"))
+            .cast("long").as("bal_cents"))
+    }),
+
     // McNemar paired test: does the quality-score rule beat the plain
     // length rule on the SAME docs — discordant pairs only, exact
     // continuity-corrected statistic in milli.
@@ -5325,6 +5361,14 @@ object SparkEntry {
                  - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)))
              END AS BIGINT) AS kappa_ppm
          FROM c""",
+
+    // The warehouse legs are engine-side mechanics; the data contract is
+    // just the per-group rollup over the full customer slice.
+    "q250_partition_evolution" ->
+      """SELECT c_custkey % 7 AS grp, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                  AS bal_cents
+         FROM customer GROUP BY 1""",
 
     // The q16/q243 quality expression inline (same row must carry both
     // classifiers + the label); discordant counts then one rational.

@@ -275,9 +275,21 @@ object WarehouseSink {
     * blind. A literal whose type the transform rejects disables pruning
     * for that filter rather than guessing. */
   private[sources] def tpartAllows(dir: String, dataFile: String,
-                                   specs: Seq[PartTransform],
+                                   tableSpecs: Seq[PartTransform],
                                    filters: Seq[org.apache.spark.sql.sources.Filter]): Boolean = {
     val t = readTpart(dir, dataFile).getOrElse(return true)
+    // PARTITION EVOLUTION rule: the tuple is interpreted under the spec
+    // the FILE records, not the table's current one — a pre-evolution
+    // bucket(4,·) file keeps pruning (correctly, under ITS modulus) after
+    // the table moves to bucket(8,·). Files without a recorded spec fall
+    // back to the table spec (they predate evolution support, and
+    // evolvePartitioning refuses tables containing them).
+    val specs = readTpartSpec(dir, dataFile) match {
+      case Some(sp) =>
+        try parsePartSpecs(sp)
+        catch { case _: IllegalArgumentException => return true }
+      case None => tableSpecs
+    }
     val parts = t.split("\u001f", -1)
     if (parts.length != specs.length) return true
     def allows(c: String, vs: Seq[Any]): Boolean =
@@ -1017,6 +1029,41 @@ object WarehouseSink {
     * untouched; the pre-delete generation remains time-travelable until
     * vacuumed. Single-writer like vacuum/maintain. Deleted-row count is
     * metadata-derived: candidate `#rows` minus rewritten `#rows`. */
+  /** PARTITION EVOLUTION (Iceberg §partition-evolution): change the
+    * table's partition spec WITHOUT rewriting a byte. The new manifest
+    * generation carries the same files under the new `partitionCol`;
+    * existing transform files keep pruning under the spec each RECORDS
+    * in its `#tpartspec` sidecar line (a bucket(4,·) tuple read as
+    * bucket(8,·) could wrongly skip a match — per-file spec resolution
+    * is the whole safety argument), new appends cluster and record under
+    * the new spec, and SPJ/key-grouped planning degrades (never lies)
+    * while the two key spaces coexist — a `maintain()` rewrite unifies
+    * the layout and restores it. Metadata-only ⇒ O(1) at any table size,
+    * time-travel to pre-evolution versions sees the old spec.
+    *
+    * Refuses loudly when any live transform file predates spec
+    * recording: its tuple would be uninterpretable after the change
+    * (rewrite via maintain() first). Single-writer like the other
+    * maintenance verbs. */
+  def evolvePartitioning(dir: String, newSpec: String): Unit = {
+    val cur = readManifest(dir).getOrElse(throw new IllegalArgumentException(
+      s"cannot evolve nonexistent warehouse table at $dir"))
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    val specs = parsePartSpecs(newSpec)
+    specs.foreach(t => require(schema.fieldNames.contains(t.col),
+      s"partition column ${t.col} not in the table schema"))
+    cur.files.foreach { f =>
+      require(readTpart(dir, f).isEmpty || readTpartSpec(dir, f).nonEmpty,
+        s"file $f records a transform tuple without its spec — " +
+          "compact via maintain() before evolving the partitioning")
+    }
+    publish(dir, { prev =>
+      val p = prev.getOrElse(cur)
+      Some(Manifest(0L, p.schemaDdl, p.files, p.epoch, newSpec,
+        sortedBy = "", op = "evolve", cdf = p.cdf, dvs = p.dvs))
+    })
+  }
+
   def deleteWhere(spark: org.apache.spark.sql.SparkSession, dir: String,
                   filters: Seq[org.apache.spark.sql.sources.Filter]): DeleteReport = {
     require(filters.nonEmpty, "deleteWhere requires at least one filter")
@@ -1506,6 +1553,28 @@ object WarehouseSink {
       .split("\n").collectFirst {
         case ln if ln.startsWith(TpartTag + "\t") =>
           ln.substring(TpartTag.length + 1)
+      }
+  }
+
+  /** The partition spec a transform file was WRITTEN under (2-field
+    * `#tpartspec` line; the `#tpart` prefix test can't match it — its
+    * next char is 's', not the tab). This is what makes PARTITION
+    * EVOLUTION safe: after the table-level spec changes, an old file's
+    * recorded tuple must be interpreted under the old file's own spec —
+    * reading a bucket(4,·) tuple as bucket(8,·) could wrongly skip a
+    * matching file. Files predating this line never prune under a spec
+    * they can't prove (see [[tpartAllows]]) and block [[evolvePartitioning]]
+    * loudly. */
+  private[sources] val TpartSpecTag = "#tpartspec"
+
+  private[sources] def readTpartSpec(dir: String,
+                                     dataFile: String): Option[String] = {
+    val f = new File(dir, statsFile(dataFile))
+    if (!f.isFile) return None
+    new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .split("\n").collectFirst {
+        case ln if ln.startsWith(TpartSpecTag + "\t") =>
+          ln.substring(TpartSpecTag.length + 1)
       }
   }
   private[sources] val ColsTag = "#cols"
@@ -2324,7 +2393,8 @@ private[sources] class WarehouseWriterFactory(stagingDir: String,
   * value-partitioned writer (one per value per task) compose. */
 private[sources] class FileSink(stagingDir: String, schema: StructType,
                                 fileName: String,
-                                tpart: Option[String] = None) {
+                                tpart: Option[String] = None,
+                                tpartSpec: Option[String] = None) {
   private val out = new FileWriter(new File(stagingDir, fileName))
   private var rows = 0L
   private val types = schema.fields.map(_.dataType)
@@ -2392,6 +2462,10 @@ private[sources] class FileSink(stagingDir: String, schema: StructType,
     sb.append(WarehouseSink.colsLine(schema)).append('\n')
     tpart.foreach(v => sb.append(WarehouseSink.TpartTag).append('\t')
       .append(v).append('\n'))
+    // The spec the tuple was written under — the partition-evolution
+    // anchor (2-field line, invisible to every other parser).
+    tpartSpec.foreach(s => sb.append(WarehouseSink.TpartSpecTag)
+      .append('\t').append(s).append('\n'))
     var i = 0
     while (i < types.length) {
       if (mins(i) != null) // all-null columns carry no range line
@@ -2544,7 +2618,8 @@ private[sources] class PartitionedWarehouseWriter(stagingDir: String,
     }.mkString("\u001f")
     val sink = sinks.getOrElseUpdate(key,
       new FileSink(stagingDir, schema, f"$base-v${sinks.size}%04d.wtsv",
-        if (transformed) Some(key) else None))
+        if (transformed) Some(key) else None,
+        if (transformed) Some(specs.map(_.spec).mkString(",")) else None))
     sink.write(record)
   }
   override def commit(): WriterCommitMessage =
@@ -2755,9 +2830,17 @@ private[sources] class WarehouseScan(dir: String, schema: StructType,
     } else {
       // transform layout: group by each file's RECORDED transform tuple
       // (a bucket's raw stats cannot prove the claim — the record does);
-      // any file without one (legacy, CoW-rewritten) degrades the scan
+      // any file without one (legacy, CoW-rewritten) degrades the scan,
+      // and so does any file recording a DIFFERENT spec (pre-evolution
+      // files: their tuples live in another key space — maintain()
+      // rewrites them under the current spec and restores SPJ)
+      val canon = specs.map(_.spec)
       val vals: Seq[Option[Seq[Any]]] = keptFiles.map { f =>
-        WarehouseSink.readTpart(dir, f).flatMap { t =>
+        WarehouseSink.readTpartSpec(dir, f) match {
+          case Some(sp) if (try WarehouseSink.parsePartSpecs(sp).map(_.spec)
+                            catch { case _: IllegalArgumentException => Nil })
+                           != canon => None
+          case _ => WarehouseSink.readTpart(dir, f).flatMap { t =>
           val parts = t.split("\u001f", -1)
           if (parts.length != specs.length) None
           else Some(specs.zip(parts.toSeq).map {
@@ -2766,6 +2849,7 @@ private[sources] class WarehouseScan(dir: String, schema: StructType,
                 schema(schema.fieldIndex(c)).dataType)
             case (_, enc) => WarehouseSink.decode(enc, LongType)
           })
+          }
         }
       }
       if (vals.exists(_.isEmpty)) None

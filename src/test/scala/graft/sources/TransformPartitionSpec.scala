@@ -119,4 +119,81 @@ class TransformPartitionSpec extends SparkSpec {
     assert(spark.read.format(Fmt).option("path", dir).load()
       .select("id").as[Long].collect().sorted.toSeq === (0L until 200L))
   }
+
+  test("every transform file records the spec it was written under") {
+    val dir = tmp()
+    writeBucketed(dir, 4)
+    WarehouseSink.readManifest(dir).get.files.foreach { f =>
+      assert(WarehouseSink.readTpartSpec(dir, f) === Some("bucket(4,id)"))
+    }
+  }
+
+  test("partition evolution: metadata-only; each spec space prunes itself") {
+    val dir = tmp()
+    writeBucketed(dir, 4) // ids 0..99 under bucket(4,id)
+    val before = WarehouseSink.readManifest(dir).get
+    WarehouseSink.evolvePartitioning(dir, "bucket(8,id)")
+    val evolved = WarehouseSink.readManifest(dir).get
+    // metadata-only: same files, new spec, an explicit op
+    assert(evolved.files === before.files)
+    assert(evolved.partitionCol === "bucket(8,id)")
+    assert(evolved.op === "evolve")
+    // appends land under the NEW spec
+    (100L until 200L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val m = WarehouseSink.readManifest(dir).get
+    assert(m.files.size === 4 + 8)
+    val specs = m.files.flatMap(f => WarehouseSink.readTpartSpec(dir, f))
+    assert(specs.count(_ == "bucket(4,id)") === 4)
+    assert(specs.count(_ == "bucket(8,id)") === 8)
+    // full read-back across both spec spaces
+    assert(spark.read.format(Fmt).option("path", dir).load()
+      .select("id").as[Long].collect().sorted.toSeq === (0L until 200L))
+    // old files prune under THEIR OWN (bucket-4) spec after evolution:
+    // drop the three bucket-4 files that provably can't hold id=7 — the
+    // lookup survives only if per-file spec resolution skipped them
+    val b4 = WarehouseSink.BucketPart(4, "id")
+    val want = WarehouseSink.encode(
+      WarehouseSink.transformValue(b4, java.lang.Long.valueOf(7L)))
+    val doomed = m.files.filter(f =>
+      WarehouseSink.readTpartSpec(dir, f).contains("bucket(4,id)") &&
+        !WarehouseSink.readTpart(dir, f).contains(want))
+    assert(doomed.size === 3)
+    doomed.foreach(f => assert(new File(dir, f).delete()))
+    val got = spark.read.format(Fmt).option("path", dir).load()
+      .filter(col("id") === 7L).select("v").as[String].collect().toSeq
+    assert(got === Seq("v7"))
+  }
+
+  test("partition evolution: maintain() unifies the layout physically") {
+    val dir = tmp()
+    writeBucketed(dir, 4)
+    WarehouseSink.evolvePartitioning(dir, "bucket(8,id)")
+    (100L until 200L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val rep = WarehouseSink.maintain(spark, dir, keepVersions = 1)
+    assert(rep.compacted)
+    val m = WarehouseSink.readManifest(dir).get
+    assert(m.partitionCol === "bucket(8,id)")
+    m.files.foreach(f => assert(
+      WarehouseSink.readTpartSpec(dir, f) === Some("bucket(8,id)")))
+    assert(spark.read.format(Fmt).option("path", dir).load()
+      .select("id").as[Long].collect().sorted.toSeq === (0L until 200L))
+  }
+
+  test("evolution refuses transform files without a recorded spec") {
+    val dir = tmp()
+    writeBucketed(dir, 4)
+    // forge a legacy sidecar: strip the #tpartspec line from one file
+    val f0 = WarehouseSink.readManifest(dir).get.files.head
+    val sc = new File(dir, WarehouseSink.statsFile(f0))
+    val stripped = new String(
+      java.nio.file.Files.readAllBytes(sc.toPath), "UTF-8")
+      .split("\n").filterNot(_.startsWith("#tpartspec\t")).mkString("\n")
+    java.nio.file.Files.write(sc.toPath, (stripped + "\n").getBytes("UTF-8"))
+    val ex = intercept[IllegalArgumentException] {
+      WarehouseSink.evolvePartitioning(dir, "bucket(8,id)")
+    }
+    assert(ex.getMessage.contains("without its spec"))
+  }
 }
