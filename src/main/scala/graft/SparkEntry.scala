@@ -1969,6 +1969,38 @@ object SparkEntry {
       ml.Eval.agreementStats(scoredDocs(s, d), "score_q", "label",
         threshold = 5000L)),
 
+    // Named refs: tag the first load, stage the second on a branch
+    // (invisible to main — gated in-query), fast-forward, then read both
+    // the tag snapshot and the promoted main. Oracle replays both legs
+    // relationally from orders.
+    "q251_refs" -> ((s, d) => {
+      val fmt = "graft.sources.WarehouseSink"
+      val dir = java.nio.file.Files.createTempDirectory("graft_refs_").toString
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      ord.filter(col("o_orderkey") % 2 === 0)
+        .write.format(fmt).option("path", dir).mode("append").save()
+      graft.sources.WarehouseSink.createTag(dir, "v1")
+      graft.sources.WarehouseSink.createBranch(dir, "wip")
+      graft.sources.WarehouseSink.appendToBranch(s, dir, "wip",
+        ord.filter(col("o_orderkey") % 2 === 1))
+      val mainBefore = s.read.format(fmt).option("path", dir).load().count()
+      val branchNow = s.read.format(fmt).option("path", dir)
+        .option("ref", "wip").load().count()
+      require(mainBefore < branchNow,
+        s"branch isolation broken: main=$mainBefore branch=$branchNow")
+      graft.sources.WarehouseSink.fastForward(dir, "wip")
+      def leg(tag: Option[String], name: String) = {
+        val r = s.read.format(fmt).option("path", dir)
+        tag.foreach(t => r.option("ref", t))
+        r.load().agg(count(lit(1)).as("n"),
+            sum(floor(col("o_totalprice") * 100).cast("long")).cast("long")
+              .as("price_cents"))
+          .select(lit(name).as("leg"), col("n"), col("price_cents"))
+      }
+      leg(None, "main").unionAll(leg(Some("v1"), "tag_v1"))
+    }),
+
     // PARTITION EVOLUTION: bucket(4) → bucket(8) as a metadata-only
     // manifest bump — old files keep pruning under the spec each records
     // (#tpartspec), appends land under the new spec, maintain() unifies
@@ -5361,6 +5393,18 @@ object SparkEntry {
                  - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)))
              END AS BIGINT) AS kappa_ppm
          FROM c""",
+
+    // Main after fast-forward = all orders; the tag = the even half.
+    "q251_refs" ->
+      """SELECT 'main' AS leg, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS price_cents
+         FROM orders
+         UNION ALL
+         SELECT 'tag_v1', CAST(count(*) AS BIGINT),
+                CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT)
+         FROM orders WHERE o_orderkey % 2 = 0""",
 
     // The warehouse legs are engine-side mechanics; the data contract is
     // just the per-group rollup over the full customer slice.

@@ -117,7 +117,10 @@ object WarehouseSink {
     * is vacuumed or never existed). */
   private[sources] def asOf(dir: String,
                             opts: CaseInsensitiveStringMap): Option[Long] =
-    versionAsOf(opts.get("versionAsOf")).orElse(
+    Option(opts.get("ref")).map(_.trim).filter(_.nonEmpty).map { name =>
+      readRef(dir, name).getOrElse(throw new IllegalArgumentException(
+        s"no ref '$name' on warehouse table at $dir")).version
+    }.orElse(versionAsOf(opts.get("versionAsOf"))).orElse(
       Option(opts.get("timestampAsOf")).map(_.trim).filter(_.nonEmpty)
         .map { raw =>
           val tsMs =
@@ -469,6 +472,13 @@ object WarehouseSink {
                      && spins < 500) { Thread.sleep(10); spins += 1 }
               if (readManifest(dir).map(_.version).getOrElse(-1L) >= v) {
                 base = None; floor = 0L
+              } else if (readManifestAt(dir, v)
+                           .exists(_.op == "branch-append")) {
+                // A PARKED BRANCH commit, not a slow main winner: its
+                // content must never rebase into main lineage (that would
+                // silently merge unpromoted branch data). Skip the slot.
+                base = None
+                floor = v + 1
               } else {
                 base = readManifestAt(dir, v)
                 floor = v + 1
@@ -769,7 +779,12 @@ object WarehouseSink {
       .getOrElse(Array.empty[File]).map(_.getName)
       .filter(n => n.startsWith("staged-") && n.endsWith(".json"))
       .map(_.stripPrefix("staged-").stripSuffix(".json"))
-    val referenced = (keepMin to cur.version)
+    // Named refs pin their generations outright: a tag or branch head
+    // (and a branch's fork base — its un-appended files all live in the
+    // head manifest anyway) survives any keepVersions window until the
+    // ref is dropped.
+    val refVersions = listRefs(dir).map(_.version).toSet
+    val referenced = ((keepMin to cur.version) ++ refVersions)
       .flatMap(readManifestAt(dir, _))
       .flatMap(m => m.files ++ m.changeFiles ++ dvRefs(m).map(_.dvFile))
       .toSet ++
@@ -779,7 +794,7 @@ object WarehouseSink {
       val n = f.getName
       val oldManifest = n.startsWith("manifest-") && n.endsWith(".json") &&
         n.stripPrefix("manifest-").stripSuffix(".json").toLongOption
-          .exists(_ < keepMin)
+          .exists(v => v < keepMin && !refVersions.contains(v))
       // a stats sidecar lives and dies with its base data file
       val base = if (n.endsWith(".stats")) n.stripSuffix(".stats") else n
       val unreferencedData = !f.isDirectory && !n.startsWith("manifest-") &&
@@ -788,6 +803,166 @@ object WarehouseSink {
       if (oldManifest || unreferencedData) { f.delete(); dropped += 1 }
     }
     dropped
+  }
+
+  // ---- named refs: tags (immutable snapshots) and branches (writable
+  // forks), the Iceberg refs model over the manifest chain ----
+
+  /** A named pointer into the generation history. `version` is the ref
+    * head; for a branch, `forkedAt` remembers the MAIN version it forked
+    * from — the fast-forward precondition. */
+  private[sources] case class Ref(name: String, kind: String,
+                                  version: Long, forkedAt: Long)
+
+  private val RefNameRe = "[A-Za-z0-9._-]{1,64}".r
+
+  private def refFile(dir: String, name: String): File = {
+    require(RefNameRe.pattern.matcher(name).matches(),
+      s"invalid ref name '$name' (allowed: letters digits . _ -)")
+    new File(new File(dir, "_refs"), name)
+  }
+
+  private[sources] def readRef(dir: String, name: String): Option[Ref] = {
+    val f = refFile(dir, name)
+    if (!f.isFile) return None
+    val p = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .trim.split("\t")
+    Some(Ref(name, p(0), p(1).toLong, p(2).toLong))
+  }
+
+  private def writeRef(dir: String, r: Ref, overwrite: Boolean): Unit = {
+    val f = refFile(dir, r.name)
+    f.getParentFile.mkdirs()
+    if (!overwrite) require(!f.isFile,
+      s"ref '${r.name}' already exists on $dir")
+    val tmp = Paths.get(f.getParent, s".${r.name}.tmp")
+    Files.write(tmp,
+      s"${r.kind}\t${r.version}\t${r.forkedAt}\n"
+        .getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, f.toPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Pin the CURRENT generation under an immutable name — the audited
+    * release marker ("model-v3-training-set"). Readers address it with
+    * `option("ref", name)`; vacuum retains its generation (manifest,
+    * data, change files, DVs) for as long as the tag exists, regardless
+    * of `keepVersions`. Creating over an existing name fails. */
+  def createTag(dir: String, name: String): Unit = {
+    val cur = readManifest(dir).getOrElse(throw new IllegalArgumentException(
+      s"cannot tag nonexistent warehouse table at $dir"))
+    writeRef(dir, Ref(name, "tag", cur.version, cur.version),
+      overwrite = false)
+  }
+
+  /** Fork a writable branch at the current generation. Branch commits
+    * ([[appendToBranch]]) advance only the ref — main readers never see
+    * them until [[fastForward]] publishes the branch head. The broader
+    * WAP pattern with history: stage N audited commits on a branch, then
+    * promote them atomically. */
+  def createBranch(dir: String, name: String): Unit = {
+    val cur = readManifest(dir).getOrElse(throw new IllegalArgumentException(
+      s"cannot branch nonexistent warehouse table at $dir"))
+    writeRef(dir, Ref(name, "branch", cur.version, cur.version),
+      overwrite = false)
+  }
+
+  def dropRef(dir: String, name: String): Unit = {
+    val f = refFile(dir, name)
+    require(f.isFile, s"no ref '$name' on $dir")
+    f.delete()
+  }
+
+  private[sources] def listRefs(dir: String): Seq[Ref] = {
+    Option(new File(dir, "_refs").listFiles())
+      .getOrElse(Array.empty[File])
+      .filter(f => f.isFile && !f.getName.startsWith("."))
+      .flatMap(f => readRef(dir, f.getName)).toSeq.sortBy(_.name)
+  }
+
+  /** Append to a BRANCH: stages the rows like any write, then claims a
+    * manifest slot WITHOUT moving `_current` (the parked-committer
+    * window writeManifestFileOnly exists for) and advances only the ref.
+    * Branch manifests are marked `op = "branch-append"` so a concurrent
+    * main committer colliding with the slot skips over it instead of
+    * rebasing branch data into main (see [[publish]]); like the other
+    * maintenance verbs this is single-writer territory — don't race
+    * branch and main WRITES on the same table. Data files land in the
+    * table dir immediately (immutable, content-addressed by name), so
+    * fast-forward later is pointer-only. */
+  def appendToBranch(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     name: String,
+                     rows: org.apache.spark.sql.DataFrame): Unit = {
+    val r = readRef(dir, name).getOrElse(throw new IllegalArgumentException(
+      s"no ref '$name' on $dir"))
+    require(r.kind == "branch", s"ref '$name' is a tag — tags are immutable")
+    val head = readManifestAt(dir, r.version).getOrElse(
+      throw new IllegalStateException(
+        s"branch '$name' head v${r.version} was vacuumed"))
+    val schema = StructType.fromDDL(head.schemaDdl)
+    require(rows.columns.toSet == schema.fieldNames.toSet,
+      s"branch append schema ${rows.columns.mkString(",")} must match " +
+        s"table schema ${schema.fieldNames.mkString(",")}")
+    val fmt = classOf[WarehouseSink].getName
+    val tmp = new File(new File(dir).getAbsoluteFile.getParentFile,
+      new File(dir).getName + ".branch-" +
+        java.util.UUID.randomUUID.toString.take(8))
+    try {
+      val w = rows.select(schema.fieldNames.toIndexedSeq
+          .map(org.apache.spark.sql.functions.col): _*)
+        .write.format(fmt).option("path", tmp.getPath)
+      (if (head.partitionCol.nonEmpty)
+        w.option("partitionBy", head.partitionCol) else w)
+        .mode("overwrite").save()
+      val newFiles = readManifest(tmp.getPath).map(_.files).getOrElse(Nil)
+      newFiles.foreach(moveWithStats(tmp, new File(dir), _))
+      // next free slot above BOTH the main head and every ref head
+      var v = math.max(readManifest(dir).map(_.version).getOrElse(-1L),
+        listRefs(dir).map(_.version).max) + 1
+      var claimed = false
+      while (!claimed) {
+        try {
+          writeManifestFileOnly(dir, Manifest(v, head.schemaDdl,
+            head.files ++ newFiles, head.epoch, head.partitionCol,
+            sortedBy = "", op = "branch-append", cdf = head.cdf,
+            dvs = head.dvs, ts = System.currentTimeMillis()))
+          claimed = true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => v += 1
+        }
+      }
+      writeRef(dir, r.copy(version = v), overwrite = true)
+    } finally {
+      def rm(f: File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(tmp)
+    }
+  }
+
+  /** Publish a branch head as the MAIN generation — pointer-only (its
+    * data files already live in the table dir). True fast-forward: fails
+    * loudly if main advanced past the fork point (that history would be
+    * silently discarded otherwise — a merge, not a fast-forward); the
+    * `_current` swap is monotonic because branch slots are always
+    * claimed above every head. Consumes the branch. */
+  def fastForward(dir: String, name: String): Unit = {
+    val r = readRef(dir, name).getOrElse(throw new IllegalArgumentException(
+      s"no ref '$name' on $dir"))
+    require(r.kind == "branch", s"ref '$name' is a tag")
+    val cur = readManifest(dir).getOrElse(throw new IllegalStateException(
+      s"warehouse table at $dir vanished"))
+    require(cur.version == r.forkedAt,
+      s"main advanced (v${cur.version}) past branch '$name' fork point " +
+        s"(v${r.forkedAt}) — not a fast-forward")
+    if (r.version != cur.version) {
+      val tmp = Paths.get(dir, s"_current.tmp-ff-${r.version}")
+      Files.write(tmp,
+        r.version.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, Paths.get(dir, "_current"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+    dropRef(dir, name)
   }
 
   /** One `maintain` pass: what compaction + vacuum did after the change. */
