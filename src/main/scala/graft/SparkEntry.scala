@@ -1969,6 +1969,11 @@ object SparkEntry {
       ml.Eval.agreementStats(scoredDocs(s, d), "score_q", "label",
         threshold = 5000L)),
 
+    // Per-source readability: Flesch ease + FK grade from the documented
+    // vowel-group heuristic — two floor divisions per doc, exact milli.
+    "q252_readability" -> ((s, d) =>
+      Corpus.readabilityProfile(Tables.documents(s, d), "text", "source")),
+
     // Named refs: tag the first load, stage the second on a branch
     // (invisible to main — gated in-query), fast-forward, then read both
     // the tag snapshot and the promoted main. Oracle replays both legs
@@ -5393,6 +5398,36 @@ object SparkEntry {
                  - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)))
              END AS BIGINT) AS kappa_ppm
          FROM c""",
+
+    // Identical vowel-group/sentence heuristics and floor points; doc
+    // sums can be negative — both engines truncate toward zero.
+    "q252_readability" ->
+      """WITH p AS (SELECT source,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+             AS w,
+           greatest(CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                         AS BIGINT),
+                    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                         AS BIGINT)) AS y,
+           CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                AS BIGINT) AS s2
+         FROM documents),
+         d AS (SELECT source, w,
+           CASE WHEN w > 0 THEN (390 * w) // s2 + (11800 * y) // w - 15590
+                END AS fk,
+           CASE WHEN w > 0
+                THEN 206835 - (1015 * w) // s2 - (84600 * y) // w
+                END AS ease
+         FROM p)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN w = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_empty,
+           CAST(CASE WHEN count(fk) = 0 THEN NULL
+                ELSE sum(fk) // count(fk) END AS BIGINT) AS fk_grade_milli,
+           CAST(CASE WHEN count(ease) = 0 THEN NULL
+                ELSE sum(ease) // count(ease) END AS BIGINT)
+             AS reading_ease_milli
+         FROM d GROUP BY 1""",
 
     // Main after fast-forward = all orders; the tag = the even half.
     "q251_refs" ->

@@ -650,6 +650,52 @@ object Corpus {
         .as("n_clean"))
   }
 
+  /** Per-source readability profile — Flesch reading ease and
+    * Flesch-Kincaid grade level, the classic complexity signals a
+    * curation mix targets ("grade-8 prose for pretraining, graduate
+    * text for the math mix"). The syllable leg is the standard
+    * vowel-group heuristic, DOCUMENTED as the contract (not a
+    * dictionary): syllables ≈ runs of [aeiouy]+ in the lowercased text,
+    * floored at one per word; sentences ≈ runs of [.!?]+, floored at 1.
+    *
+    * Exactness: both formulas are affine in W/S and Y/W, so per doc
+    *   fk_milli  = (390·W) div S + (11800·Y) div W − 15590
+    *   ease_milli = 206835 − (1015·W) div S − (84600·Y) div W
+    * — two floor divisions each at fixed points (documented, replayed
+    * verbatim), negative-safe because every operand is nonnegative and
+    * the subtraction happens after the floors. Per-source means floor
+    * once more over the doc sums. Empty docs (W = 0) are excluded from
+    * both means and surfaced in `n_empty`.
+    *
+    * One codegen'd map pass, ONE source-keyed shuffle. */
+  def readabilityProfile(docs: DataFrame, textCol: String,
+                         sourceCol: String): DataFrame = {
+    val t = col(textCol)
+    val w = regexp_count(t, lit("[A-Za-z0-9]+")).cast("long")
+    val y0 = regexp_count(lower(t), lit("[aeiouy]+")).cast("long")
+    val sent = greatest(regexp_count(t, lit("[.!?]+")), lit(1)).cast("long")
+    val per = docs.select(
+      col(sourceCol).as("source"), w.as("graft_w"),
+      greatest(y0, w).as("graft_y"), sent.as("graft_s"))
+      .select(col("source"), col("graft_w"),
+        when(col("graft_w") > 0,
+          expr("(390 * graft_w) div graft_s"
+            + " + (11800 * graft_y) div graft_w - 15590")).as("graft_fk"),
+        when(col("graft_w") > 0,
+          expr("206835 - (1015 * graft_w) div graft_s"
+            + " - (84600 * graft_y) div graft_w")).as("graft_ease"))
+    per.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("graft_w") === 0, 1L).otherwise(0L)).as("n_empty"),
+      count(col("graft_fk")).as("graft_nv"),
+      sum("graft_fk").as("graft_sfk"), sum("graft_ease").as("graft_se"))
+      .select(col("source"), col("n_docs"), col("n_empty"),
+        expr("CASE WHEN graft_nv = 0 THEN CAST(NULL AS BIGINT)"
+          + " ELSE graft_sfk div graft_nv END").as("fk_grade_milli"),
+        expr("CASE WHEN graft_nv = 0 THEN CAST(NULL AS BIGINT)"
+          + " ELSE graft_se div graft_nv END").as("reading_ease_milli"))
+  }
+
   /** Encoding-damage + character-hygiene audit per source — the screen a
     * web-scraped corpus runs BEFORE [[curationRules]]' content rules:
     * text that survived a bad transcode is unsalvageable garbage no

@@ -421,6 +421,36 @@ class CorpusSpec extends SparkSpec {
     assert(r.getAs[Long]("n_clean") === 1L)
   }
 
+  test("readabilityProfile: hand-computed FK grade and reading ease") {
+    // "The cat sat. The dog ran." → W=6, sentences=2, vowel groups:
+    // e/a/a/e/o/a = 6 → Y = max(6,6) = 6.
+    // fk = 390·6//2 + 11800·6//6 − 15590 = 1170+11800−15590 = −2620
+    // ease = 206835 − 1015·6//2 − 84600·6//6 = 206835−3045−84600 = 119190
+    val docs = Seq(("s", "The cat sat. The dog ran.")).toDF("source", "text")
+    val r = Corpus.readabilityProfile(docs, "text", "source").collect()(0)
+    assert(r.getAs[Long]("n_docs") === 1L)
+    assert(r.getAs[Long]("fk_grade_milli") === -2620L)
+    assert(r.getAs[Long]("reading_ease_milli") === 119190L)
+  }
+
+  test("readabilityProfile: polysyllabic text grades harder; empties out") {
+    val simple = "He is big. She is not. We go out. It is day."
+    val dense = "Incomprehensible organizational bureaucratization " +
+      "characterizes interdepartmental rationalization initiatives " +
+      "notwithstanding considerable organizational heterogeneity."
+    val docs = Seq(("a", simple), ("b", dense), ("b", ""))
+      .toDF("source", "text")
+    val got = Corpus.readabilityProfile(docs, "text", "source")
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(got("a").getAs[Long]("fk_grade_milli") <
+      got("b").getAs[Long]("fk_grade_milli"))
+    assert(got("a").getAs[Long]("reading_ease_milli") >
+      got("b").getAs[Long]("reading_ease_milli"))
+    // the empty doc is excluded from the mean and counted
+    assert(got("b").getAs[Long]("n_empty") === 1L)
+    assert(got("b").getAs[Long]("n_docs") === 2L)
+  }
+
   test("encodingAudit: planted damage trips exactly its detector") {
     val docs = Seq(
       ("w", "Clean Text With 2 digits"),              // clean
