@@ -1969,6 +1969,12 @@ object SparkEntry {
       ml.Eval.agreementStats(scoredDocs(s, d), "score_q", "label",
         threshold = 5000L)),
 
+    // ECE + MCE: the calibration table as two exact numbers — the bin
+    // denominators cancel, so ECE is ONE floor division over bin sums.
+    "q253_ece" -> ((s, d) =>
+      ml.Eval.calibrationError(scoredDocs(s, d), "score_q", "label",
+        bins = 10, scale = 10000L)),
+
     // Per-source readability: Flesch ease + FK grade from the documented
     // vowel-group heuristic — two floor divisions per doc, exact milli.
     "q252_readability" -> ((s, d) =>
@@ -5398,6 +5404,31 @@ object SparkEntry {
                  - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)))
              END AS BIGINT) AS kappa_ppm
          FROM c""",
+
+    // Same binning, same cancelled-denominator identity in HUGEINT.
+    "q253_ece" ->
+      s"""WITH $ScoredDocsSql,
+         g AS (SELECT s, CAST(sum(y) AS HUGEINT) AS p,
+                 CAST(count(*) AS HUGEINT) AS ns
+               FROM sc GROUP BY 1),
+         b AS (SELECT least(s * 10 // 10000, 9) AS bin,
+                 sum(ns) AS cnt,
+                 sum(CAST(s AS HUGEINT) * ns) AS sum_s,
+                 sum(p) AS pos
+               FROM g GROUP BY 1),
+         a AS (SELECT sum(cnt) AS nn, CAST(count(*) AS HUGEINT)
+                 AS n_bins_used,
+                 sum(abs(sum_s - pos * 10000)) AS gap,
+                 max(abs(sum_s - pos * 10000) * 1000000
+                     // (cnt * 10000)) AS mce
+               FROM b)
+         SELECT CAST(nn AS BIGINT) AS n,
+           CAST(n_bins_used AS BIGINT) AS n_bins_used,
+           CAST(CASE WHEN nn = 0 THEN NULL
+                ELSE gap * 1000000 // (nn * 10000) END AS BIGINT)
+             AS ece_ppm,
+           CAST(mce AS BIGINT) AS mce_ppm
+         FROM a""",
 
     // Identical vowel-group/sentence heuristics and floor points; doc
     // sums can be negative — both engines truncate toward zero.

@@ -266,6 +266,44 @@ object Eval {
           + " END").as("kappa_ppm"))
   }
 
+  /** Expected + maximum calibration error — [[calibration]]'s table as
+    * the two numbers a model card quotes. The usual float pipeline
+    * (per-bin |confidence − accuracy| means) collapses here to ONE exact
+    * rational: with conf_b = Σs_b/(n_b·scale) and acc_b = o_b/n_b,
+    *
+    *   ECE = Σ_b n_b·|conf_b − acc_b| / N
+    *       = Σ_b |Σs_b − o_b·scale| / (scale·N)
+    *
+    * — the n_b denominators cancel, so ece_ppm is a single floor
+    * division over integer bin sums (no per-bin floors at all). MCE
+    * takes the max of per-bin floor-ppm errors; floor is monotone, so
+    * max-of-floors = floor-of-max — still exactly floor(10⁶·true MCE).
+    * Same equal-width binning as [[calibration]] (top edge folded).
+    * One gated per-score collapse, a ≤bins-row aggregate, a one-row
+    * report. */
+  def calibrationError(scored: DataFrame, scoreCol: String,
+                       labelCol: String, bins: Int,
+                       scale: Long): DataFrame = {
+    require(bins > 0 && scale > 0, "bins and scale must be positive")
+    perScore(scored, scoreCol, labelCol)
+      .withColumn("bin",
+        least(expr(s"s * $bins div ${scale}L"), lit(bins - 1L)))
+      .groupBy("bin")
+      .agg(sum(expr("p + n")).as("cnt"),
+        sum(expr("s * (p + n)")).as("sum_s"),
+        sum("p").as("pos"))
+      .agg(sum("cnt").as("nn"),
+        count(lit(1)).as("n_bins_used"),
+        sum(expr(s"abs(sum_s - pos * ${scale}L)")).as("gap"),
+        max(expr(s"abs(sum_s - pos * ${scale}L) * 1000000"
+          + s" div (cnt * ${scale}L)")).as("mce"))
+      .select(col("nn").cast("long").as("n"),
+        col("n_bins_used").cast("long").as("n_bins_used"),
+        expr(s"CASE WHEN nn = 0 THEN CAST(NULL AS BIGINT)"
+          + s" ELSE gap * 1000000 div (nn * ${scale}L) END").as("ece_ppm"),
+        col("mce").cast("long").as("mce_ppm"))
+  }
+
   /** McNemar's paired test — "is classifier 1 actually better than
     * classifier 2 on THE SAME examples": two accuracies compared without
     * pairing overstate significance (shared examples correlate the

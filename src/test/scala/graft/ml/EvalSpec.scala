@@ -195,6 +195,31 @@ class EvalSpec extends SparkSpec {
     assert(r.getAs[Long]("decomp_gap_ppm") === 0L)
   }
 
+  test("calibrationError: hand-computed ECE/MCE, cancelled denominators") {
+    // scale 10, 2 bins (edges at 5). Bin 0: scores {2×3 rows, 1 pos} →
+    // |Σs − pos·10| = |6 − 10| = 4. Bin 1: {8×2 rows, 2 pos} →
+    // |16 − 20| = 4. ECE = (4+4)·10⁶ // (5·10) = 160000.
+    // MCE: bin0 4e6//30=133333, bin1 4e6//20=200000 → 200000.
+    val d = df(Seq((2L, 1L), (2L, 0L), (2L, 0L), (8L, 1L), (8L, 1L)))
+    val r = Eval.calibrationError(d, "s", "y", bins = 2, scale = 10L)
+      .collect()(0)
+    assert(r.getAs[Long]("n") === 5L)
+    assert(r.getAs[Long]("n_bins_used") === 2L)
+    assert(r.getAs[Long]("ece_ppm") === 160000L)
+    assert(r.getAs[Long]("mce_ppm") === 200000L)
+  }
+
+  test("calibrationError: a perfectly calibrated table reads zero") {
+    // score 2/10 with exactly 20% positives; 8/10 with 80%.
+    val d = df(
+      Seq.fill(1)((2L, 1L)) ++ Seq.fill(4)((2L, 0L)) ++
+      Seq.fill(4)((8L, 1L)) ++ Seq.fill(1)((8L, 0L)))
+    val r = Eval.calibrationError(d, "s", "y", bins = 2, scale = 10L)
+      .collect()(0)
+    assert(r.getAs[Long]("ece_ppm") === 0L)
+    assert(r.getAs[Long]("mce_ppm") === 0L)
+  }
+
   test("mcnemar: hand-computed discordant counts and statistic") {
     import spark.implicits._
     // label always 1. p1 right/p2 wrong ×6 (b), p1 wrong/p2 right ×1 (c),
