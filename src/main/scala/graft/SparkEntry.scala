@@ -1969,6 +1969,19 @@ object SparkEntry {
       ml.Eval.agreementStats(scoredDocs(s, d), "score_q", "label",
         threshold = 5000L)),
 
+    // Split-conformal interval + held-out coverage: q̂ is an exact order
+    // statistic over md5-split calibration residuals; coverage audited
+    // on the disjoint test half at the 90% target.
+    "q254_conformal" -> ((s, d) => {
+      val rows = Tables.documents(s, d).select(
+        col("doc_id"),
+        greatest(least(floor(T.qualityScore(col("text")) * 10000 + 0.5),
+          lit(10000L)), lit(0L)).cast("long").as("pred"),
+        ((col("n_chars") >= 300).cast("long") * 10000L).as("actual"))
+      ml.Eval.conformalCoverage(rows, "doc_id", "pred", "actual",
+        alphaPpm = 100000L)
+    }),
+
     // ECE + MCE: the calibration table as two exact numbers — the bin
     // denominators cancel, so ECE is ONE floor division over bin sums.
     "q253_ece" -> ((s, d) =>
@@ -5404,6 +5417,43 @@ object SparkEntry {
                  - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)))
              END AS BIGINT) AS kappa_ppm
          FROM c""",
+
+    // Same md5 split, same order-statistic k = ceil((n+1)(1−α)) and
+    // cumulative-count q̂; coverage one floor-ppm.
+    "q254_conformal" ->
+      """WITH t AS (SELECT doc_id,
+           greatest(least(CAST(floor(
+             round(0.5 * least(length(text) / 500.0, 1.0)
+               + 0.5 * least(len(regexp_extract_all(text,
+                       '[A-Za-z0-9]+')) * 1.0
+                   / greatest(len(regexp_split_to_array(trim(text),
+                       '\s+')), 1), 1.0)
+               - len(regexp_extract_all(text, '[.,;:!?]')) * 1.0
+                 / greatest(length(text), 1), 4) * 10000 + 0.5)
+             AS BIGINT), 10000), 0) AS pred,
+           CASE WHEN n_chars >= 300 THEN 10000 ELSE 0 END AS actual
+         FROM documents),
+         r AS (SELECT abs(actual - pred) AS r,
+                 CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                           < '8' THEN 1 ELSE 0 END AS cal
+               FROM t),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS ncal,
+                 ((count(*) + 1) * 900000 + 999999) // 1000000 AS k
+               FROM r WHERE cal = 1),
+         cum AS (SELECT r, sum(cnt) OVER (ORDER BY r) AS cum
+                 FROM (SELECT r, count(*) AS cnt FROM r WHERE cal = 1
+                       GROUP BY 1)),
+         qh AS (SELECT min(r) AS qhat FROM cum, n WHERE cum >= n.k)
+         SELECT n.ncal AS n_cal,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(CASE WHEN n.k > n.ncal THEN NULL ELSE qh.qhat END
+                AS BIGINT) AS qhat,
+           CAST(CASE WHEN n.k > n.ncal OR count(*) = 0 THEN NULL
+                ELSE sum(CASE WHEN r.r <= qh.qhat THEN 1 ELSE 0 END)
+                     * 1000000 // count(*) END AS BIGINT) AS coverage_ppm,
+           CAST(900000 AS BIGINT) AS target_ppm
+         FROM r, n, qh WHERE r.cal = 0
+         GROUP BY n.ncal, n.k, qh.qhat""",
 
     // Same binning, same cancelled-denominator identity in HUGEINT.
     "q253_ece" ->

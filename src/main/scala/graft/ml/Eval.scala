@@ -266,6 +266,79 @@ object Eval {
           + " END").as("kappa_ppm"))
   }
 
+  /** Split-conformal prediction interval + held-out coverage — the
+    * distribution-free calibration guarantee (Vovk; Angelopoulos &
+    * Bates 2021 §2): with exchangeable data, the interval
+    * pred ± q̂ — where q̂ is the ⌈(n_cal+1)(1−α)⌉-th smallest
+    * calibration nonconformity |actual − pred| — covers the truth with
+    * probability ≥ 1−α, NO model or distribution assumptions. This
+    * operator computes q̂ exactly and then MEASURES the coverage on the
+    * disjoint test split, the audit a shipped interval needs.
+    *
+    * Exactness: q̂ is an ORDER STATISTIC, not an interpolated quantile —
+    * k = ⌈(n+1)(10⁶−α_ppm)/10⁶⌉ in pure integers, q̂ = the smallest
+    * residual whose cumulative count reaches k; when k > n_cal the
+    * conformal interval is infinite — q̂ and coverage surface as NULL
+    * rather than a fabricated number. Coverage is one floor-ppm.
+    *
+    * Scale: the cal/test split is the md5 nibble rule (pure function of
+    * the id — engine/partitioning/retry stable); residuals collapse to a
+    * per-distinct-value table (ONE shuffle, gated by the same
+    * cardinality bound as [[MaxDistinctScores]] — residuals of
+    * quantized predictions are quantized too), the cumulative window
+    * runs over that bounded table, and the test side is one aggregate
+    * against the broadcast 1-row q̂. */
+  def conformalCoverage(rows: DataFrame, idCol: String, predCol: String,
+                        actualCol: String, alphaPpm: Long): DataFrame = {
+    require(alphaPpm > 0 && alphaPpm < 1000000L,
+      "alphaPpm must be inside (0, 1e6)")
+    val base = rows.select(
+      abs(col(actualCol).cast("long") - col(predCol).cast("long")).as("r"),
+      (substring(md5(col(idCol).cast("string")), 1, 1) < "8")
+        .cast("int").as("graft_cal"))
+    conformalCore(base, alphaPpm)
+  }
+
+  /** The q̂/coverage assembly over a pre-split (r, graft_cal) table —
+    * split out so specs can drive it with hand-assigned splits. */
+  private[graft] def conformalCore(base: DataFrame,
+                                   alphaPpm: Long): DataFrame = {
+    val wAll = Window.partitionBy()
+    val maxDistinct = base.sparkSession.conf
+      .get(MaxDistinctConfKey, MaxDistinctScores.toString).toLong
+    val wCum = Window.orderBy("r")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val calCum = base.filter(col("graft_cal") === 1)
+      .groupBy("r").agg(count(lit(1)).as("cnt"))
+      .withColumn("graft_card", count(lit(1)).over(wAll))
+      .filter(assert_true(col("graft_card") <= lit(maxDistinct),
+        lit("conformalCoverage: residual cardinality exceeds the bound —" +
+          " quantize predCol/actualCol")).isNull)
+      .withColumn("cum", sum("cnt").over(wCum))
+    val nCal = calCum.agg(coalesce(sum("cnt"), lit(0L)).as("ncal"))
+      .select(col("ncal"),
+        expr(s"((ncal + 1) * ${1000000L - alphaPpm} + 999999)"
+          + " div 1000000").as("k"))
+    val qhat = calCum.crossJoin(broadcast(nCal))
+      .filter(col("cum") >= col("k"))
+      .agg(min("r").as("graft_qh"))
+    val test = base.filter(col("graft_cal") === 0)
+      .crossJoin(broadcast(qhat)).crossJoin(broadcast(nCal))
+      .agg(first("ncal").as("ncal"), first("k").as("k"),
+        first("graft_qh").as("graft_qh"),
+        count(lit(1)).as("ntest"),
+        sum(when(col("r") <= col("graft_qh"), 1L).otherwise(0L))
+          .as("covered"))
+    test.select(
+      col("ncal").cast("long").as("n_cal"),
+      col("ntest").cast("long").as("n_test"),
+      expr("CASE WHEN k > ncal THEN CAST(NULL AS BIGINT)"
+        + " ELSE graft_qh END").as("qhat"),
+      expr("CASE WHEN k > ncal OR ntest = 0 THEN CAST(NULL AS BIGINT)"
+        + " ELSE covered * 1000000 div ntest END").as("coverage_ppm"),
+      lit(1000000L - alphaPpm).as("target_ppm"))
+  }
+
   /** Expected + maximum calibration error — [[calibration]]'s table as
     * the two numbers a model card quotes. The usual float pipeline
     * (per-bin |confidence − accuracy| means) collapses here to ONE exact

@@ -195,6 +195,50 @@ class EvalSpec extends SparkSpec {
     assert(r.getAs[Long]("decomp_gap_ppm") === 0L)
   }
 
+  test("conformalCore: q̂ is the exact ceil((n+1)(1−α)) order statistic") {
+    import spark.implicits._
+    // cal residuals 1..9 (n=9), α=10% → k = ceil(10·0.9) = 9 → q̂ = 9.
+    // test residuals {5, 10}: one covered → 500000 ppm.
+    val base = ((1 to 9).map(r => (r.toLong, 1)) ++
+      Seq((5L, 0), (10L, 0))).toDF("r", "graft_cal")
+    val row = Eval.conformalCore(base, alphaPpm = 100000L).collect()(0)
+    assert(row.getAs[Long]("n_cal") === 9L)
+    assert(row.getAs[Long]("n_test") === 2L)
+    assert(row.getAs[Long]("qhat") === 9L)
+    assert(row.getAs[Long]("coverage_ppm") === 500000L)
+    assert(row.getAs[Long]("target_ppm") === 900000L)
+    // α=50% → k = ceil(10·0.5) = 5 → q̂ = 5 → both test rows split
+    val r2 = Eval.conformalCore(base, alphaPpm = 500000L).collect()(0)
+    assert(r2.getAs[Long]("qhat") === 5L)
+    assert(r2.getAs[Long]("coverage_ppm") === 500000L)
+  }
+
+  test("conformalCore: k beyond n_cal means an infinite interval — NULLs") {
+    import spark.implicits._
+    // n_cal = 2, α = 10% → k = ceil(3·0.9) = 3 > 2.
+    val base = Seq((1L, 1), (2L, 1), (1L, 0)).toDF("r", "graft_cal")
+    val row = Eval.conformalCore(base, alphaPpm = 100000L).collect()(0)
+    assert(row.getAs[Long]("n_cal") === 2L)
+    assert(row.isNullAt(row.fieldIndex("qhat")))
+    assert(row.isNullAt(row.fieldIndex("coverage_ppm")))
+  }
+
+  test("conformalCoverage: held-out coverage meets the 90% guarantee") {
+    import spark.implicits._
+    // Exchangeable synthetic scores: pred = i mod 100, actual = pred +
+    // deterministic pseudo-noise in [-10, 10]. Marginal coverage on the
+    // md5-test half must be ≥ 0.9 − small-sample slack.
+    val rows = (1L to 2000L).map { i =>
+      val noise = (i * 2654435761L % 21L) - 10L
+      (i, i % 100L, i % 100L + noise)
+    }.toDF("id", "pred", "actual")
+    val r = Eval.conformalCoverage(rows, "id", "pred", "actual",
+      alphaPpm = 100000L).collect()(0)
+    assert(r.getAs[Long]("coverage_ppm") >= 870000L,
+      s"coverage ${r.getAs[Long]("coverage_ppm")}")
+    assert(r.getAs[Long]("n_cal") + r.getAs[Long]("n_test") === 2000L)
+  }
+
   test("calibrationError: hand-computed ECE/MCE, cancelled denominators") {
     // scale 10, 2 bins (edges at 5). Bin 0: scores {2×3 rows, 1 pos} →
     // |Σs − pos·10| = |6 − 10| = 4. Bin 1: {8×2 rows, 2 pos} →
