@@ -92,6 +92,46 @@ class WarehouseCatalogSpec extends SparkSpec {
     }
   }
 
+  test("three-way SPJ: co-bucketed join chain plans zero Exchange") {
+    // The 100 TB star-schema play one rung further: THREE tables on the
+    // same bucket(4,k) layout — the SPJ must chain through both joins
+    // and the final aggregate without a single shuffle.
+    spark.sql("CREATE TABLE graft.db.t3a (k BIGINT, a BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("CREATE TABLE graft.db.t3b (k BIGINT, b BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("CREATE TABLE graft.db.t3c (k BIGINT, c STRING) " +
+      "PARTITIONED BY (bucket(4, k))")
+    (0L until 120L).map(i => (i % 30L, i)).toDF("k", "a")
+      .createOrReplaceTempView("graft_t3a_src")
+    (0L until 30L).map(i => (i, i * 10L)).toDF("k", "b")
+      .createOrReplaceTempView("graft_t3b_src")
+    (0L until 30L).map(i => (i, s"c$i")).toDF("k", "c")
+      .createOrReplaceTempView("graft_t3c_src")
+    spark.sql("INSERT INTO graft.db.t3a SELECT k, a FROM graft_t3a_src")
+    spark.sql("INSERT INTO graft.db.t3b SELECT k, b FROM graft_t3b_src")
+    spark.sql("INSERT INTO graft.db.t3c SELECT k, c FROM graft_t3c_src")
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val q = spark.sql(
+        """SELECT x.k, sum(x.a) AS sa, max(y.b) AS mb, max(z.c) AS mc
+           FROM graft.db.t3a x
+           JOIN graft.db.t3b y ON x.k = y.k
+           JOIN graft.db.t3c z ON x.k = z.k
+           GROUP BY x.k""")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"three-way SPJ should plan no Exchange:\n$plan")
+      val got = q.as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val want = (0L until 120L).groupBy(_ % 30L)
+        .map { case (k, xs) => k -> ((xs.sum, k * 10L, s"c$k")) }
+      assert(got === want)
+    }
+  }
+
   private def withSQLConf(kvs: (String, String)*)(f: => Unit): Unit = {
     val old = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
     kvs.foreach { case (k, v) => spark.conf.set(k, v) }

@@ -98,6 +98,23 @@ class WarehouseRefsSpec extends SparkSpec {
     assert(mainV > branchV)
   }
 
+  test("history() surfaces parked branch commits inside the chain") {
+    val dir = tmp()
+    write(dir, 0, 10)                       // v0
+    write(dir, 10, 20)                      // v1
+    WarehouseSink.createBranch(dir, "b")
+    WarehouseSink.appendToBranch(spark, dir, "b",
+      Seq((99L, "x")).toDF("id", "v"))      // v2 parked branch slot
+    WarehouseSink.deleteWhere(spark, dir,
+      Seq(org.apache.spark.sql.sources.EqualTo("id", 0L))) // v3 delete
+    val h = WarehouseSink.history(spark, dir)
+      .orderBy("version").select("version", "operation")
+      .as[(Long, String)].collect().toSeq
+    assert(h.map(_._1) === Seq(0L, 1L, 2L, 3L))
+    assert(h(2)._2 === "branch-append") // the parked slot is auditable
+    assert(h(3)._2 === "delete")
+  }
+
   test("branch appends keep a partitioned table's layout") {
     val dir = tmp()
     (0L until 40L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1)
