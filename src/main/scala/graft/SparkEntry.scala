@@ -1969,6 +1969,22 @@ object SparkEntry {
       ml.Eval.agreementStats(scoredDocs(s, d), "score_q", "label",
         threshold = 5000L)),
 
+    // JPEG DQT quality estimate: real marker-walk to the quantization
+    // table, exact integer inversion of the IJG scale — ranks re-encoded
+    // spam without decoding a pixel. Deterministic synthJpeg fixtures.
+    "q255_jpeg_quality" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val q = 1 + (id % 100L).toInt
+          val est = multimodal.Binary.jpegDqtQuality(
+            multimodal.Binary.synthJpeg(8, 8, q)).getOrElse(-1)
+          (q.toLong, est.toLong)
+        }.toDF("quality", "quality_est")
+        .groupBy("quality", "quality_est")
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
     // Split-conformal interval + held-out coverage: q̂ is an exact order
     // statistic over md5-split calibration residuals; coverage audited
     // on the disjoint test half at the 90% target.
@@ -5417,6 +5433,33 @@ object SparkEntry {
                  - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)))
              END AS BIGINT) AS kappa_ppm
          FROM c""",
+
+    // Replays the full IJG scale→estimate round trip arithmetically:
+    // the Annex-K base as a literal list, Σbase = 3688.
+    "q255_jpeg_quality" ->
+      """WITH d AS (SELECT 1 + doc_id % 100 AS q FROM documents),
+         s AS (SELECT q, CASE WHEN q < 50 THEN 5000 // q
+                         ELSE 200 - 2 * q END AS sc,
+                 CAST(count(*) AS BIGINT) AS n
+               FROM d GROUP BY 1),
+         b AS (SELECT unnest([16,11,10,16,24,40,51,61,
+                              12,12,14,19,26,58,60,55,
+                              14,13,16,24,40,57,69,56,
+                              14,17,22,29,51,87,80,62,
+                              18,22,37,56,68,109,103,77,
+                              24,35,55,64,81,104,113,92,
+                              49,64,78,87,103,121,120,101,
+                              72,92,95,98,112,100,103,99]) AS bq),
+         t AS (SELECT q, n,
+                 sum(least(255, greatest(1, (bq * sc + 50) // 100))) AS sq
+               FROM s, b GROUP BY 1, 2),
+         e AS (SELECT q, n, (100 * sq + 1844) // 3688 AS spct FROM t)
+         SELECT CAST(q AS BIGINT) AS quality,
+           CAST(CASE WHEN spct <= 0 THEN 100
+                WHEN spct <= 100 THEN (200 - spct) // 2
+                ELSE 5000 // spct END AS BIGINT) AS quality_est,
+           n AS n_docs
+         FROM e""",
 
     // Same md5 split, same order-statistic k = ceil((n+1)(1−α)) and
     // cumulative-count q̂; coverage one floor-ppm.

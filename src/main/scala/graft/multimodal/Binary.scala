@@ -110,6 +110,94 @@ object Binary {
     None
   }
 
+  /** The JPEG Annex K.1 luminance quantization base table (ISO/IEC
+    * 10918-1, Table K.1), natural order — the reference every encoder's
+    * quality knob scales. */
+  private[multimodal] val JpegStdLuminance: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+
+  /** The IJG quality→table scaling (libjpeg jcparam.c, public): scale
+    * S = q<50 ? 5000/q : 200−2q, entry = clamp((base·S + 50)/100, 1,
+    * 255) — pure positive integer arithmetic. */
+  private[multimodal] def jpegScaledTable(quality: Int): Array[Int] = {
+    require(quality >= 1 && quality <= 100, "quality must be in 1..100")
+    val s = if (quality < 50) 5000 / quality else 200 - 2 * quality
+    JpegStdLuminance.map(b => math.min(255, math.max(1, (b * s + 50) / 100)))
+  }
+
+  /** Minimal structurally-valid JPEG: SOI, DQT carrying the
+    * quality-scaled luminance table (8-bit, slot 0), SOF0 frame header,
+    * EOI — enough for every header-walk parser here (dims, DQT); no
+    * entropy-coded data. The deterministic fixture for the quality
+    * estimator, same contract as [[synthPng]]/[[synthBmp]]. */
+  def synthJpeg(width: Int, height: Int, quality: Int): Array[Byte] = {
+    require(width > 0 && width < 65536 && height > 0 && height < 65536,
+      "dims must fit be16")
+    val t = jpegScaledTable(quality)
+    val out = new java.io.ByteArrayOutputStream()
+    def b(v: Int): Unit = out.write(v & 0xff)
+    b(0xff); b(0xd8)                         // SOI
+    b(0xff); b(0xdb); b(0); b(67); b(0)      // DQT: len 67, pq=0 tq=0
+    t.foreach(b)
+    b(0xff); b(0xc0); b(0); b(11); b(8)      // SOF0: len 11, precision 8
+    b(height >> 8); b(height & 0xff); b(width >> 8); b(width & 0xff)
+    b(1); b(1); b(0x11); b(0)                // 1 component, uses table 0
+    b(0xff); b(0xd9)                         // EOI
+    out.toByteArray
+  }
+
+  /** DQT-based encode-quality estimate — the identify/ImageMagick
+    * heuristic in EXACT integers: marker-walk to the first 8-bit DQT,
+    * sum its 64 entries, express them as a percentage of the Annex-K
+    * base sum (S_pct = (100·Σq + Σbase div 2) div Σbase), then invert
+    * the IJG scale: q ≈ S ≤ 100 ? (200 − S) div 2 : 5000 div S. Clamping
+    * makes the estimate approximate at the extremes; the FORMULA is the
+    * contract — an oracle replays the identical arithmetic. A corpus
+    * ranks re-encoded/thumbnail spam by this signal without decoding a
+    * single pixel. None on malformed input, missing DQT, or a 16-bit
+    * table (pq ≠ 0) — degrade, never throw. */
+  def jpegDqtQuality(bytes: Array[Byte]): Option[Int] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    if (bytes.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return None
+    var i = 2
+    while (i + 1 < bytes.length) {
+      if (u8(i) != 0xff) return None
+      var j = i + 1
+      while (j + 1 < bytes.length && u8(j) == 0xff) j += 1
+      val m = u8(j)
+      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) i = j + 1
+      else if (m == 0xd9 || m == 0xda) return None // no DQT before data
+      else {
+        if (j + 3 >= bytes.length) return None
+        val len = be16(j + 1)
+        if (len < 2) return None
+        if (m == 0xdb) {
+          // first table in the segment: pq (high nibble) must be 0 (8-bit)
+          if (j + 3 + 65 > bytes.length || len < 67) return None
+          if ((u8(j + 3) >> 4) != 0) return None
+          var sq = 0L
+          var k = 0
+          while (k < 64) { sq += u8(j + 4 + k); k += 1 }
+          val sb = JpegStdLuminance.map(_.toLong).sum
+          val sPct = (100L * sq + sb / 2) / sb
+          val est = if (sPct <= 0) 100L
+            else if (sPct <= 100) (200L - sPct) / 2 else 5000L / sPct
+          return Some(est.toInt)
+        }
+        i = j + 1 + len
+      }
+    }
+    None
+  }
+
   final case class AudioMeta(media_id: Long, size_bytes: Long,
                              sample_rate: Int, channels: Int,
                              bits_per_sample: Int, n_samples: Long,

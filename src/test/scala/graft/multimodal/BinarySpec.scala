@@ -389,4 +389,33 @@ class BinarySpec extends SparkSpec {
     // undecodable payloads degrade to None
     assert(Binary.aHash64(Array[Byte](1, 2, 3)).isEmpty)
   }
+
+  test("synthJpeg: a real marker walk reads dims and the DQT back") {
+    val j = Binary.synthJpeg(33, 21, 75)
+    // the existing SOF walk reads the frame header of the synth file
+    assert(Binary.imageHeaderDims(j) === Some((33, 21)))
+    // mid-range qualities invert exactly through the integer formula:
+    // q=50 → S=100 → (200−100)/2 = 50; q=75 → S=50 → 75, etc.
+    for (q <- Seq(30, 40, 50, 60, 75, 80, 90)) {
+      val est = Binary.jpegDqtQuality(Binary.synthJpeg(8, 8, q)).get
+      assert(math.abs(est - q) <= 1, s"quality $q estimated $est")
+    }
+    // extremes clamp (entries floor at 1 / cap at 255): estimate stays
+    // ordered even where it can't be exact
+    val e5 = Binary.jpegDqtQuality(Binary.synthJpeg(8, 8, 5)).get
+    val e95 = Binary.jpegDqtQuality(Binary.synthJpeg(8, 8, 95)).get
+    assert(e5 < 30 && e95 > 85, s"e5=$e5 e95=$e95")
+  }
+
+  test("jpegDqtQuality degrades to None off the happy path") {
+    assert(Binary.jpegDqtQuality(Array[Byte](1, 2, 3)).isEmpty)
+    // a JPEG with no DQT before SOS: truncate the synth to SOI+SOF only
+    val j = Binary.synthJpeg(8, 8, 50)
+    val noDqt = j.take(2) ++ j.drop(2 + 4 + 65) // strip the DQT segment
+    assert(Binary.jpegDqtQuality(noDqt).isEmpty)
+    // a PNG is not a JPEG
+    assert(Binary.jpegDqtQuality(Binary.synthPng(8, 8, 1)).isEmpty)
+    // truncated mid-DQT
+    assert(Binary.jpegDqtQuality(j.take(20)).isEmpty)
+  }
 }
