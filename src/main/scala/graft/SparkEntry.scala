@@ -1969,6 +1969,18 @@ object SparkEntry {
       ml.Eval.agreementStats(scoredDocs(s, d), "score_q", "label",
         threshold = 5000L)),
 
+    // Personalized PageRank: teleport mass pinned to three seed
+    // suppliers on the supplier↔part graph — "parts/suppliers similar
+    // to THESE", same integer discipline as q131.
+    "q256_ppr" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_suppkey").as("sk"),
+        (col("l_partkey") + lit(10000000L)).cast("long").as("pk"))
+      val edges = li.select(col("sk").as("src"), col("pk").as("dst"))
+        .unionByName(li.select(col("pk").as("src"), col("sk").as("dst")))
+      Graph.personalizedPagerank(edges, "src", "dst",
+        seeds = Seq(1L, 2L, 3L), iters = 3, topK = 20)
+    }),
+
     // JPEG DQT quality estimate: real marker-walk to the quantization
     // table, exact integer inversion of the IJG scale — ranks re-encoded
     // spam without decoding a pixel. Deterministic synthJpeg fixtures.
@@ -3203,6 +3215,37 @@ object SparkEntry {
     * Spark `div` agree on floor division for the all-positive ranks, so
     * every micro-unit rank replays exactly; HUGEINT intermediates cast
     * back to BIGINT at each stage. */
+  private def q256OracleSql: String = {
+    val seedIn = "(1, 2, 3)"
+    def iter(m: String, rPrev: String, r: String) =
+      s"""$m AS (SELECT e.dst AS node, sum(r.rank // dg.deg) AS s
+            FROM e JOIN $rPrev r ON e.src = r.node
+                   JOIN dg ON e.src = dg.src GROUP BY 1),
+          $r AS (SELECT n.node,
+                   CAST((CASE WHEN n.node IN $seedIn THEN 150000 ELSE 0 END)
+                        + COALESCE($m.s, 0) * 85 // 100 AS BIGINT)
+                     AS rank
+                 FROM n LEFT JOIN $m USING (node))"""
+    s"""WITH e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+                       CAST(l_partkey + 10000000 AS BIGINT) AS dst
+                FROM lineitem
+                UNION
+                SELECT DISTINCT CAST(l_partkey + 10000000 AS BIGINT),
+                       CAST(l_suppkey AS BIGINT)
+                FROM lineitem),
+       n AS (SELECT DISTINCT src AS node FROM e),
+       dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+       r0 AS (SELECT node,
+                CAST(CASE WHEN node IN $seedIn THEN 1000000 ELSE 0 END
+                     AS BIGINT) AS rank
+              FROM n),
+       ${iter("m1", "r0", "r1")},
+       ${iter("m2", "r1", "r2")},
+       ${iter("m3", "r2", "r3")}
+       SELECT node, rank FROM r3 WHERE rank > 0
+       ORDER BY rank DESC, node LIMIT 20"""
+  }
+
   private def q131OracleSql: String = {
     def iter(m: String, rPrev: String, r: String) =
       s"""$m AS (SELECT e.dst AS node, sum(r.rank // dg.deg) AS s
@@ -5008,6 +5051,9 @@ object SparkEntry {
          FROM u""",
 
     "q131_pagerank" -> q131OracleSql,
+
+    // q131's unrolled walk with the teleport CASE-gated to the seeds.
+    "q256_ppr" -> q256OracleSql,
 
     // Rational-idf BM25 in micro-units: every double derives from exact
     // integer stats through the same expression tree as the Spark side,

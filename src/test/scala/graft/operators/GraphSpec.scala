@@ -65,6 +65,35 @@ class GraphSpec extends SparkSpec {
     assert(got.map(_._3).sum === 3L * 4L)
   }
 
+  test("personalizedPagerank: mass concentrates around the seed") {
+    // Two symmetric 3-cliques bridged by one edge; seeding clique A must
+    // rank A's members above B's mirror-image members at equal structure.
+    val cliqueA = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val cliqueB = Seq((4L, 5L), (5L, 6L), (4L, 6L))
+    val bridge = Seq((3L, 4L))
+    val und = (cliqueA ++ cliqueB ++ bridge).flatMap {
+      case (a, b) => Seq((a, b), (b, a))
+    }
+    val got = Graph.personalizedPagerank(und.toDF("src", "dst"),
+        "src", "dst", seeds = Seq(1L), iters = 3, topK = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) > got(2L) && got(2L) > 0L)
+    assert(got.getOrElse(2L, 0L) > got.getOrElse(5L, 0L))
+    assert(got.getOrElse(3L, 0L) > got.getOrElse(6L, 0L))
+  }
+
+  test("personalizedPagerank: hand-replayed two-iteration path graph") {
+    // 1↔2 only, seed {1}, r0 = 1e6, base = 150000.
+    // it1: rank1 = 150000 (node 2 started at 0); rank2 = 1e6·85 div 100.
+    // it2: rank1 = 150000 + 850000·85 div 100 = 872500;
+    //      rank2 = 150000·85 div 100 = 127500.
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val got = Graph.personalizedPagerank(edges, "src", "dst",
+        seeds = Seq(1L), iters = 2, topK = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 872500L, 2L -> 127500L))
+  }
+
   test("kCore: a pendant chain cascades away over rounds; the core stays") {
     // triangle {1,2,3} + chain 3-4-5-6: at k=2 the chain peels one node
     // per round (6 → 5 → 4, three rounds), the triangle survives intact
