@@ -74,10 +74,15 @@ class WarehouseCatalog extends TableCatalog with FunctionCatalog {
     new WarehouseTable(dir, StructType.fromDDL(m.schemaDdl))
   }
 
-  /** SQL `VERSION AS OF v` time travel through the catalog. */
+  /** SQL `VERSION AS OF v` time travel through the catalog. A
+    * non-numeric version string resolves as a NAMED REF (tag or branch
+    * head) — `SELECT … FROM graft.db.t VERSION AS OF 'release-1'`, the
+    * Iceberg ref-addressing surface. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = dirFor(ident)
-    val v = version.trim.toLong
+    val v = version.trim.toLongOption.getOrElse(
+      WarehouseSink.readRef(dir, version.trim).getOrElse(
+        throw new NoSuchTableException(ident)).version)
     val m = WarehouseSink.readManifestAt(dir, v).getOrElse(
       throw new NoSuchTableException(ident))
     new WarehouseTable(dir, StructType.fromDDL(m.schemaDdl), Some(v))

@@ -92,6 +92,27 @@ class WarehouseCatalogSpec extends SparkSpec {
     }
   }
 
+  test("SQL VERSION AS OF resolves named refs (tags and branch heads)") {
+    spark.sql("CREATE TABLE graft.db.reft (id BIGINT)")
+    spark.sql("INSERT INTO graft.db.reft VALUES (1), (2)")
+    WarehouseSink.createTag(s"$root/db/reft", "rel-1")
+    spark.sql("INSERT INTO graft.db.reft VALUES (3)")
+    assert(spark.sql("SELECT count(*) FROM graft.db.reft").as[Long].head
+      === 3L)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.reft VERSION AS OF 'rel-1'")
+      .as[Long].head === 2L)
+    // numeric strings still resolve as plain versions
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.reft VERSION AS OF 1").as[Long].head
+      === 2L)
+    // unknown ref names fail loudly as a missing table, not silently live
+    intercept[Exception] {
+      spark.sql("SELECT count(*) FROM graft.db.reft VERSION AS OF 'nope'")
+        .collect()
+    }
+  }
+
   test("three-way SPJ: co-bucketed join chain plans zero Exchange") {
     // The 100 TB star-schema play one rung further: THREE tables on the
     // same bucket(4,k) layout — the SPJ must chain through both joins
