@@ -1969,6 +1969,29 @@ object SparkEntry {
       ml.Eval.agreementStats(scoredDocs(s, d), "score_q", "label",
         threshold = 5000L)),
 
+    // Nested denormalized export: one row per order with its line items
+    // as a SORTED array of structs (the JSONL-export shape a training
+    // pipeline ships), and the readout is computed FROM the nested form
+    // (size / element_at / higher-order aggregate) — proving the
+    // build+access round trip, hash-checked against the flat oracle.
+    "q257_nested_export" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        struct(col("l_linenumber").cast("long").as("ln"),
+          col("l_partkey").cast("long").as("pk"),
+          floor(col("l_extendedprice") * 100).cast("long")
+            .as("price_cents")).as("item"))
+      val nested = li.groupBy("l_orderkey")
+        .agg(sort_array(collect_list("item")).as("items"))
+      require(nested.schema("items").dataType
+        .isInstanceOf[org.apache.spark.sql.types.ArrayType],
+        "export shape must nest items as an array of structs")
+      nested.select(col("l_orderkey"),
+        size(col("items")).cast("long").as("n_items"),
+        col("items").getItem(0).getField("pk").as("first_pk"),
+        aggregate(col("items"), lit(0L),
+          (acc, it) => acc + it.getField("price_cents")).as("total_cents"))
+    }),
+
     // Personalized PageRank: teleport mass pinned to three seed
     // suppliers on the supplier↔part graph — "parts/suppliers similar
     // to THESE", same integer discipline as q131.
@@ -5479,6 +5502,23 @@ object SparkEntry {
                  - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)))
              END AS BIGINT) AS kappa_ppm
          FROM c""",
+
+    // The nested form is engine-side; the data contract is the flat
+    // per-order readout. The struct sort key is (ln, pk, price), so the
+    // first item's pk = min pk among the min-linenumber rows (line
+    // numbers are NOT unique per order in this generator).
+    "q257_nested_export" ->
+      """WITH w AS (SELECT l_orderkey, l_partkey, l_linenumber,
+                  l_extendedprice,
+                  min(l_linenumber) OVER (PARTITION BY l_orderkey) AS mln
+               FROM lineitem)
+         SELECT l_orderkey,
+                CAST(count(*) AS BIGINT) AS n_items,
+                CAST(min(CASE WHEN l_linenumber = mln THEN l_partkey END)
+                     AS BIGINT) AS first_pk,
+                CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                     AS BIGINT) AS total_cents
+         FROM w GROUP BY 1""",
 
     // Replays the full IJG scale→estimate round trip arithmetically:
     // the Annex-K base as a literal list, Σbase = 3688.
