@@ -1969,6 +1969,12 @@ object SparkEntry {
       ml.Eval.agreementStats(scoredDocs(s, d), "score_q", "label",
         threshold = 5000L)),
 
+    // Binary-segmentation changepoints: q219's single break plus the
+    // strongest left/right sub-breaks, each side re-running the exact
+    // CUSUM statistic with side-local mass.
+    "q258_cusum_segments" -> ((s, d) =>
+      Analytics.cusumSegments(eventsUs(s, d), "event_type", "ts_us")),
+
     // Nested denormalized export: one row per order with its line items
     // as a SORTED array of structs (the JSONL-export shape a training
     // pipeline ships), and the readout is computed FROM the nested form
@@ -5502,6 +5508,56 @@ object SparkEntry {
                  - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)))
              END AS BIGINT) AS kappa_ppm
          FROM c""",
+
+    // The identical two-level window replay: level-1 argmax, side split
+    // at the break day (inclusive left), side-local stats.
+    "q258_cusum_segments" ->
+      """WITH daily AS (SELECT event_type AS s,
+                  epoch_us(ts) // 86400000000 AS d,
+                  CAST(count(*) AS BIGINT) AS y
+             FROM events GROUP BY 1, 2),
+         st AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(y) AS BIGINT) AS tot FROM daily GROUP BY 1),
+         c AS (SELECT daily.s, daily.d, st.n, st.tot,
+                 CAST(sum(st.n * daily.y - st.tot) OVER (
+                   PARTITION BY daily.s ORDER BY daily.d
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs
+               FROM daily JOIN st USING (s)),
+         l1 AS (SELECT s, d AS changepoint_day,
+                  CAST(abs(cs) * 1000000 // (n * tot) AS BIGINT)
+                    AS cusum_ppm
+                FROM (SELECT s, d, n, tot, cs,
+                        row_number() OVER (PARTITION BY s
+                          ORDER BY abs(cs) DESC, d ASC) AS rk
+                      FROM c)
+                WHERE rk = 1 AND n >= 2),
+         sided AS (SELECT daily.s, daily.d, daily.y,
+                     CASE WHEN daily.d <= l1.changepoint_day
+                          THEN 'L' ELSE 'R' END AS side
+                   FROM daily JOIN l1 USING (s)),
+         st2 AS (SELECT s, side, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS tot
+                 FROM sided GROUP BY 1, 2),
+         c2 AS (SELECT sided.s, sided.side, sided.d, st2.n, st2.tot,
+                  CAST(sum(st2.n * sided.y - st2.tot) OVER (
+                    PARTITION BY sided.s, sided.side ORDER BY sided.d
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs
+                FROM sided JOIN st2 USING (s, side)),
+         l2 AS (SELECT s, side, d AS cp_day,
+                  CAST(abs(cs) * 1000000 // (n * tot) AS BIGINT) AS cp_ppm
+                FROM (SELECT s, side, d, n, tot, cs,
+                        row_number() OVER (PARTITION BY s, side
+                          ORDER BY abs(cs) DESC, d ASC) AS rk
+                      FROM c2)
+                WHERE rk = 1 AND n >= 2)
+         SELECT l1.s AS event_type, l1.changepoint_day, l1.cusum_ppm,
+                CAST(lf.cp_day AS BIGINT) AS left_day,
+                CAST(lf.cp_ppm AS BIGINT) AS left_ppm,
+                CAST(rt.cp_day AS BIGINT) AS right_day,
+                CAST(rt.cp_ppm AS BIGINT) AS right_ppm
+         FROM l1
+         LEFT JOIN (SELECT * FROM l2 WHERE side = 'L') lf USING (s)
+         LEFT JOIN (SELECT * FROM l2 WHERE side = 'R') rt USING (s)""",
 
     // The nested form is engine-side; the data contract is the flat
     // per-order readout. The struct sort key is (ln, pk, price), so the

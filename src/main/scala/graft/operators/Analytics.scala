@@ -1374,6 +1374,70 @@ object Analytics {
           .as("cusum_ppm"))
   }
 
+  /** Binary-segmentation changepoint localization —
+    * [[cusumChangepoint]] finds ONE break, but real series break more
+    * than once (a ramp-up AND an incident). Level 1 picks the global
+    * CUSUM argmax per series; the series splits at that day and each
+    * side re-runs the IDENTICAL statistic with side-local n/total —
+    * textbook binary segmentation (Scott & Knott 1974), depth 2.
+    * One wide row per series: the level-1 break plus the strongest
+    * left/right sub-breaks (NULL when a side has fewer than 2 days —
+    * no interior break exists there; series with < 2 days emit
+    * nothing). Exact integers, deterministic ties (score desc, day
+    * asc), each ppm against ITS side's n·total mass.
+    *
+    * Scale: ONE corpus shuffle to the (series, day) counts; both levels
+    * are windows over that bounded daily table (pinned once) at two
+    * partitionings — nothing corpus-sized re-shuffles. */
+  def cusumSegments(events: DataFrame, seriesCol: String,
+                    tsUsCol: String): DataFrame = {
+    val daily = Materialize.transient(
+      dailyCounts(events, seriesCol, tsUsCol))
+    def cps(df: DataFrame, parts: Seq[String], dayAlias: String,
+            ppmAlias: String): DataFrame = {
+      val pc = parts.map(col)
+      val wS = org.apache.spark.sql.expressions.Window
+        .partitionBy(pc: _*)
+      val wCum = org.apache.spark.sql.expressions.Window
+        .partitionBy(pc: _*).orderBy(col("graft_d").asc)
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val wPick = org.apache.spark.sql.expressions.Window
+        .partitionBy(pc: _*)
+        .orderBy(col("graft_score").desc, col("graft_d").asc)
+      df.withColumn("graft_n", count(lit(1)).over(wS))
+        .withColumn("graft_tot", sum("graft_y").over(wS))
+        .withColumn("graft_cusum",
+          sum(col("graft_n") * col("graft_y") - col("graft_tot"))
+            .over(wCum))
+        .withColumn("graft_score", abs(col("graft_cusum")))
+        .withColumn("graft_rk", row_number().over(wPick))
+        .filter(col("graft_rk") === 1 && col("graft_n") >= 2)
+        .select(pc ++ Seq(col("graft_d").as(dayAlias),
+          expr("graft_score * 1000000 div (graft_n * graft_tot)")
+            .as(ppmAlias)): _*)
+    }
+    val l1 = cps(daily, Seq("graft_s"), "changepoint_day", "cusum_ppm")
+    val sided = daily
+      .join(l1.select(col("graft_s"), col("changepoint_day")),
+        Seq("graft_s"))
+      .withColumn("graft_side",
+        when(col("graft_d") <= col("changepoint_day"), "L").otherwise("R"))
+      .drop("changepoint_day")
+    val l2 = cps(sided, Seq("graft_s", "graft_side"), "cp_day", "cp_ppm")
+    val left = l2.filter(col("graft_side") === "L")
+      .select(col("graft_s"), col("cp_day").as("left_day"),
+        col("cp_ppm").as("left_ppm"))
+    val right = l2.filter(col("graft_side") === "R")
+      .select(col("graft_s"), col("cp_day").as("right_day"),
+        col("cp_ppm").as("right_ppm"))
+    l1.join(left, Seq("graft_s"), "left")
+      .join(right, Seq("graft_s"), "left")
+      .select(col("graft_s").as(seriesCol), col("changepoint_day"),
+        col("cusum_ppm"), col("left_day"), col("left_ppm"),
+        col("right_day"), col("right_ppm"))
+  }
+
   /** Kendall tau-b rank correlation — the pair-concordance twin of
     * [[spearman]] (same monotonic-association question, but counted
     * over pairs, so it is the statistic behind Mann-Kendall trend

@@ -681,6 +681,41 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.getAs[Long]("n_days") === 8L)
   }
 
+  test("cusumSegments: two planted level shifts localize at both breaks") {
+    val day = 86400L * 1000000L
+    // rates 10 (days 0..5), 30 (days 6..11), 60 (days 12..17): the
+    // global argmax lands at the stronger later break (day 11), the left
+    // segment re-finds the earlier break (day 5); the right segment
+    // (constant 60) still reports ITS argmax with a near-zero ppm.
+    val rows = for {
+      d <- 0 until 18
+      rate = if (d < 6) 10 else if (d < 12) 30 else 60
+      r <- 0 until rate
+    } yield ("a", d * day + r)
+    val got = Analytics.cusumSegments(rows.toDF("event_type", "ts_us"),
+      "event_type", "ts_us").collect()(0)
+    assert(got.getAs[Long]("changepoint_day") === 11L)
+    assert(got.getAs[Long]("left_day") === 5L)
+    assert(got.getAs[Long]("cusum_ppm") > got.getAs[Long]("right_ppm"))
+    assert(got.getAs[Long]("left_ppm") > got.getAs[Long]("right_ppm"))
+  }
+
+  test("cusumSegments: a single-day side yields NULL sub-break") {
+    val day = 86400L * 1000000L
+    // 3 days, rates 10/10/50: break at day 1 → left side {0,1}, right
+    // side {2} (one day → NULL right sub-break).
+    val rows = for {
+      d <- 0 until 3
+      rate = if (d < 2) 10 else 50
+      r <- 0 until rate
+    } yield ("a", d * day + r)
+    val got = Analytics.cusumSegments(rows.toDF("event_type", "ts_us"),
+      "event_type", "ts_us").collect()(0)
+    assert(got.getAs[Long]("changepoint_day") === 1L)
+    assert(got.isNullAt(got.fieldIndex("right_day")))
+    assert(got.getAs[Long]("left_day") >= 0L) // two-day side still reports
+  }
+
   test("kendallTau: perfect order, reversal, and tie handling") {
     val mono = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)).toDF("x", "y")
     val up = Analytics.kendallTau(mono, "x", "y").collect()(0)
