@@ -1969,6 +1969,12 @@ object SparkEntry {
       ml.Eval.agreementStats(scoredDocs(s, d), "score_q", "label",
         threshold = 5000L)),
 
+    // Time-to-conversion distribution: first view → first purchase at
+    // or after it, day-quantized exact quartiles + p90 with the rate.
+    "q259_time_to_convert" -> ((s, d) =>
+      Sessions.timeToConversion(eventsUs(s, d), "user_id", "ts_us",
+        "event_type", fromType = "view", toType = "purchase")),
+
     // Binary-segmentation changepoints: q219's single break plus the
     // strongest left/right sub-breaks, each side re-running the exact
     // CUSUM statistic with side-local mass.
@@ -5508,6 +5514,28 @@ object SparkEntry {
                  - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)))
              END AS BIGINT) AS kappa_ppm
          FROM c""",
+
+    // Same per-user min-collapse and day quantization; quantile_cont =
+    // Spark percentile (q47 parity), round 2.
+    "q259_time_to_convert" ->
+      """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS v
+               FROM events WHERE event_type = 'view' GROUP BY 1),
+         p AS (SELECT v.user_id,
+                 min(epoch_us(e.ts)) AS p, any_value(v.v) AS v2
+               FROM v JOIN events e ON e.user_id = v.user_id
+               WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= v.v
+               GROUP BY 1),
+         dly AS (SELECT (p - v2) // 86400000000 AS days FROM p)
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_from,
+           CAST(count(*) AS BIGINT) AS n_converted,
+           CAST(CASE WHEN (SELECT count(*) FROM v) = 0 THEN NULL
+                ELSE count(*) * 1000000 // (SELECT count(*) FROM v) END
+                AS BIGINT) AS conv_ppm,
+           round(quantile_cont(days, 0.25), 2) AS p25_days,
+           round(quantile_cont(days, 0.50), 2) AS p50_days,
+           round(quantile_cont(days, 0.75), 2) AS p75_days,
+           round(quantile_cont(days, 0.90), 2) AS p90_days
+         FROM dly""",
 
     // The identical two-level window replay: level-1 argmax, side split
     // at the break day (inclusive left), side-local stats.

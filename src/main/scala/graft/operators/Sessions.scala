@@ -421,4 +421,45 @@ object Sessions {
         expr("CASE WHEN graft_dtot = 0 THEN CAST(NULL AS BIGINT)" +
           " ELSE graft_d * 1000000 div graft_dtot END").as("share_ppm"))
   }
+
+  /** Time-to-conversion distribution — the latency companion the funnel
+    * family lacks (q55/q115 count WHO converts; this measures HOW LONG
+    * conversion takes, the number a growth team actually tunes): per
+    * user, first `fromType` event to the first `toType` event at or
+    * after it, day-quantized, summarized as exact interpolated quartiles
+    * + p90 (quantile_cont definition, q47's parity rules) with the
+    * conversion rate alongside.
+    *
+    * Scale: two type-filtered user-keyed aggregates (first-view, then
+    * min matching purchase — the join is user-keyed and the purchase
+    * side pre-collapses to per-user min BEFORE joining, so the join
+    * carries one row per converting user, not per event); the
+    * percentile runs over the converting-user table. */
+  def timeToConversion(events: DataFrame, userCol: String, tsUsCol: String,
+                       typeCol: String, fromType: String,
+                       toType: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val firstFrom = events.filter(col(typeCol) === fromType)
+      .groupBy(col(userCol).as("graft_u")).agg(min(tsUsCol).as("graft_v"))
+    // pre-collapse the conversion side: earliest toType per user — the
+    // candidate set; the >= v filter then needs only one row per user
+    val firstTo = events.filter(col(typeCol) === toType)
+      .select(col(userCol).as("graft_u"), col(tsUsCol).as("graft_p"))
+    val conv = firstFrom.join(firstTo, Seq("graft_u"))
+      .filter(col("graft_p") >= col("graft_v"))
+      .groupBy("graft_u", "graft_v").agg(min("graft_p").as("graft_p"))
+      .select(expr(s"(graft_p - graft_v) div ${dayUs}L").as("graft_days"))
+    val nViewed = firstFrom.agg(count(lit(1)).as("n_from"))
+    conv.agg(count(lit(1)).as("n_converted"),
+        percentile(col("graft_days"),
+          array(lit(0.25), lit(0.5), lit(0.75), lit(0.9))).as("qs"))
+      .crossJoin(broadcast(nViewed))
+      .select(col("n_from"), col("n_converted"),
+        expr("CASE WHEN n_from = 0 THEN CAST(NULL AS BIGINT)"
+          + " ELSE n_converted * 1000000 div n_from END").as("conv_ppm"),
+        round(element_at(col("qs"), 1), 2).as("p25_days"),
+        round(element_at(col("qs"), 2), 2).as("p50_days"),
+        round(element_at(col("qs"), 3), 2).as("p75_days"),
+        round(element_at(col("qs"), 4), 2).as("p90_days"))
+  }
 }

@@ -201,6 +201,30 @@ class SessionsSpec extends SparkSpec {
     assert(re.getAs[Long]("peak_at_us") === got.getAs[Long]("peak_at_us"))
   }
 
+  test("timeToConversion: day-quantized deltas, exact quartiles, rate") {
+    val day = 86400L * 1000000L
+    // users 1..4 view at day 0; users 1..3 purchase at days 1/2/9 (first
+    // qualifying purchase counts — user 1 has a later one ignored, and a
+    // pre-view purchase that must NOT count); user 4 never converts.
+    val events = Seq(
+      (1L, "view", 0L), (2L, "view", 0L), (3L, "view", 0L), (4L, "view", 0L),
+      (1L, "purchase", -day),       // before the first view: ignored
+      (1L, "purchase", 1L * day), (1L, "purchase", 5L * day),
+      (2L, "purchase", 2L * day), (3L, "purchase", 9L * day),
+      (5L, "purchase", 3L * day))   // converted but never viewed
+      .toDF("user_id", "event_type", "ts_us")
+    val r = Sessions.timeToConversion(events, "user_id", "ts_us",
+      "event_type", "view", "purchase").collect()(0)
+    assert(r.getAs[Long]("n_from") === 4L)
+    assert(r.getAs[Long]("n_converted") === 3L)
+    assert(r.getAs[Long]("conv_ppm") === 750000L)
+    // deltas {1, 2, 9}: p50 = 2, p25 = 1.5, p75 = 5.5, p90 = 7.6
+    assert(r.getAs[Double]("p50_days") === 2.0)
+    assert(r.getAs[Double]("p25_days") === 1.5)
+    assert(r.getAs[Double]("p75_days") === 5.5)
+    assert(r.getAs[Double]("p90_days") === 7.6)
+  }
+
   test("markovAttribution: hand-solved removal effects and shares") {
     // START→{view .5, click .5}; view→{CONV .5, NULL .5}; click→CONV 1.
     // Base absorption = .5·.5 + .5·1 = .75. Removing view: START→.5 NULL
