@@ -1969,6 +1969,11 @@ object SparkEntry {
       ml.Eval.agreementStats(scoredDocs(s, d), "score_q", "label",
         threshold = 5000L)),
 
+    // Zipf frequency spectrum: distinct terms + occurrences per log2
+    // frequency bucket — exact power-of-two thresholds, no float log.
+    "q260_zipf_profile" -> ((s, d) =>
+      Analytics.zipfProfile(Tables.documents(s, d), "text")),
+
     // Time-to-conversion distribution: first view → first purchase at
     // or after it, day-quantized exact quartiles + p90 with the rate.
     "q259_time_to_convert" -> ((s, d) =>
@@ -5514,6 +5519,23 @@ object SparkEntry {
                  - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)))
              END AS BIGINT) AS kappa_ppm
          FROM c""",
+
+    // The identical threshold-fold bucket (generated power-of-two CASE
+    // chain), so no float log exists on either engine.
+    "q260_zipf_profile" -> {
+      val chain = (1 to 40).map(i =>
+        s"(CASE WHEN f >= ${1L << i} THEN 1 ELSE 0 END)")
+        .mkString("\n                   + ")
+      s"""WITH tf AS (SELECT unnest(regexp_extract_all(lower(text),
+                  '[a-z0-9]+')) AS t
+               FROM documents),
+         f AS (SELECT t, CAST(count(*) AS BIGINT) AS f FROM tf GROUP BY 1)
+         SELECT CAST($chain AS BIGINT) AS bucket,
+                CAST(count(*) AS BIGINT) AS n_terms,
+                CAST(sum(f) AS BIGINT) AS n_occurrences,
+                min(t) AS min_term
+         FROM f GROUP BY 1"""
+    },
 
     // Same per-user min-collapse and day quantization; quantile_cont =
     // Spark percentile (q47 parity), round 2.

@@ -927,6 +927,33 @@ object Analytics {
         coalesce(col("vocab_size"), lit(0L)).as("vocab_size"))
   }
 
+  /** Word-frequency spectrum (the Zipf diagnostic) — distinct-term and
+    * occurrence counts per log₂ frequency bucket: a natural corpus
+    * follows the Zipf shape (each doubling of frequency roughly halves
+    * the resident mass); template/boilerplate corpora pile into a few
+    * high buckets, recycled corpora hollow out the singleton tail that
+    * [[vocabGrowth]] also watches. The bucket is floor(log₂ f) computed
+    * EXACTLY as a fold over power-of-two literal thresholds (the epoch-
+    * shard trick) — no float log whose boundary rounding could disagree
+    * across engines. One term shuffle to the |vocab|-row frequency
+    * table, one ≤64-row rollup; `min_term` pins a deterministic witness
+    * per bucket. */
+  def zipfProfile(docs: DataFrame, textCol: String): DataFrame = {
+    val tf = docs.select(
+        regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0))
+          .as("graft_toks"))
+      .select(explode(col("graft_toks")).as("graft_t"))
+      .groupBy("graft_t").agg(count(lit(1)).as("graft_f"))
+    val bucket = (1 to 40).foldLeft(lit(0L)) { (acc, i) =>
+      acc + when(col("graft_f") >= lit(1L << i), 1L).otherwise(0L)
+    }
+    tf.withColumn("bucket", bucket)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_terms"),
+        sum("graft_f").cast("long").as("n_occurrences"),
+        min("graft_t").as("min_term"))
+  }
+
   /** Per-series trend slope — exact least squares of daily event counts
     * over the day index, per series: the "is this stream growing or
     * decaying, and how fast" readout behind dashboards and alert

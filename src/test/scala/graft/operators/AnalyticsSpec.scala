@@ -716,6 +716,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.getAs[Long]("left_day") >= 0L) // two-day side still reports
   }
 
+  test("zipfProfile: exact log2 buckets with deterministic witnesses") {
+    // freqs: "a"×1, "b"×2, "c"×3, "d"×8 → buckets 0, 1, 1, 3.
+    val text = "a " + "b b " + "c c c " + ("d " * 8)
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val got = Analytics.zipfProfile(docs, "text")
+      .orderBy("bucket")
+      .select("bucket", "n_terms", "n_occurrences", "min_term")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (0L, 1L, 1L, "a"),   // f = 1
+      (1L, 2L, 5L, "b"),   // f in [2, 4): b(2) + c(3)
+      (3L, 1L, 8L, "d")))  // f = 8 lands exactly on the 2^3 threshold
+  }
+
   test("kendallTau: perfect order, reversal, and tie handling") {
     val mono = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)).toDF("x", "y")
     val up = Analytics.kendallTau(mono, "x", "y").collect()(0)
