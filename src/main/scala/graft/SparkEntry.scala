@@ -1969,6 +1969,13 @@ object SparkEntry {
       ml.Eval.agreementStats(scoredDocs(s, d), "score_q", "label",
         threshold = 5000L)),
 
+    // KMV bottom-k sketch Jaccard: a deterministic (md5-ordered) sketch
+    // whose estimate hash-checks — each source compresses to 64 hashes,
+    // pair cost O(k) instead of q103's vocabulary join.
+    "q261_kmv_overlap" -> ((s, d) =>
+      Analytics.kmvOverlap(Tables.documents(s, d), "source", "text",
+        k = 64)),
+
     // Zipf frequency spectrum: distinct terms + occurrences per log2
     // frequency bucket — exact power-of-two thresholds, no float log.
     "q260_zipf_profile" -> ((s, d) =>
@@ -5519,6 +5526,42 @@ object SparkEntry {
                  - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)))
              END AS BIGINT) AS kappa_ppm
          FROM c""",
+
+    // The same md5 order, signatures, union-bottom-k and membership
+    // joins — the sketch replays because its randomness is a hash.
+    "q261_kmv_overlap" ->
+      """WITH v AS (SELECT DISTINCT src, term
+               FROM (SELECT source AS src,
+                       unnest(regexp_extract_all(lower(text),
+                         '[a-z0-9]+')) AS term
+                     FROM documents)),
+         hh AS (SELECT src, md5(term) AS h FROM v),
+         s AS (SELECT src, h
+               FROM (SELECT src, h, row_number() OVER (PARTITION BY src
+                       ORDER BY h) AS rk FROM hh)
+               WHERE rk <= 64),
+         p AS (SELECT a.src AS s1, b.src AS s2
+               FROM (SELECT DISTINCT src FROM s) a
+               JOIN (SELECT DISTINCT src FROM s) b ON a.src < b.src),
+         m AS (SELECT DISTINCT x.s1, x.s2, x.h FROM (
+                 SELECT p.s1, p.s2, s.h FROM p JOIN s ON s.src = p.s1
+                 UNION ALL
+                 SELECT p.s1, p.s2, s.h FROM p JOIN s ON s.src = p.s2) x),
+         bt AS (SELECT s1, s2, h
+                FROM (SELECT s1, s2, h, row_number() OVER (
+                        PARTITION BY s1, s2 ORDER BY h) AS rk FROM m)
+                WHERE rk <= 64),
+         j AS (SELECT bt.s1, bt.s2, CAST(count(*) AS BIGINT) AS k_used,
+                 CAST(sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+               FROM bt
+               LEFT JOIN s a ON a.src = bt.s1 AND a.h = bt.h
+               LEFT JOIN s b ON b.src = bt.s2 AND b.h = bt.h
+               GROUP BY 1, 2)
+         SELECT s1, s2, k_used, n_both,
+                CAST(n_both * 1000000 // k_used AS BIGINT)
+                  AS jaccard_est_ppm
+         FROM j""",
 
     // The identical threshold-fold bucket (generated power-of-two CASE
     // chain), so no float log exists on either engine.

@@ -823,6 +823,65 @@ object Analytics {
           .as("jaccard"))
   }
 
+  /** Bottom-k (KMV) sketch Jaccard — the SKETCH twin of
+    * [[sourceOverlap]], and the q82/q83 portable-twin move applied to
+    * set sketches: because the hash order is md5 (not a seeded RNG), the
+    * k-minimum-values estimate is DETERMINISTIC — a sketch whose output
+    * still hash-checks against an ANSI-SQL oracle. Per source the
+    * signature is its k smallest term hashes; a pair estimate is
+    * |bottom-k(A∪B) ∩ A ∩ B| / k_used (Beyer et al., SIGMOD'07), where
+    * membership needs only the signatures (a union-bottom-k hash from A
+    * is necessarily in A's own bottom-k), and k_used = |bottom-k(A∪B)|
+    * degrades to the exact union size — making the estimate EXACT
+    * Jaccard — when the union is smaller than k.
+    *
+    * Scale: this is why the sketch exists — [[sourceOverlap]] joins the
+    * whole vocabulary per pair; here each source compresses to k rows
+    * once (one term shuffle + one bounded window) and every pair costs
+    * O(k), so 1000 sources at 100 TB is 1000²·k tiny rows, not a
+    * vocabulary join. */
+  def kmvOverlap(docs: DataFrame, srcCol: String, textCol: String,
+                 k: Int = 64): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val vocab = docs
+      .select(col(srcCol).as("src"),
+        explode(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"),
+          lit(0))).as("term"))
+      .distinct()
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy("h")
+    val sig = Materialize.transient(vocab
+      .select(col("src"), md5(col("term").cast("binary")).as("h"))
+      .withColumn("graft_rk", row_number().over(wSrc))
+      .filter(col("graft_rk") <= k).select("src", "h"))
+    val srcs = sig.select("src").distinct()
+    val pairs = srcs.select(col("src").as("s1"))
+      .join(srcs.select(col("src").as("s2")), col("s1") < col("s2"))
+    val merged = pairs
+      .join(sig.select(col("src").as("s1"), col("h")), Seq("s1"))
+      .select("s1", "s2", "h")
+      .unionByName(pairs
+        .join(sig.select(col("src").as("s2"), col("h")), Seq("s2"))
+        .select("s1", "s2", "h"))
+      .distinct()
+    val wPair = org.apache.spark.sql.expressions.Window
+      .partitionBy("s1", "s2").orderBy("h")
+    val bottom = merged.withColumn("graft_rk", row_number().over(wPair))
+      .filter(col("graft_rk") <= k)
+    val inA = sig.select(col("src").as("s1"), col("h"),
+      lit(1L).as("graft_a"))
+    val inB = sig.select(col("src").as("s2"), col("h"),
+      lit(1L).as("graft_b"))
+    bottom.join(inA, Seq("s1", "h"), "left")
+      .join(inB, Seq("s2", "h"), "left")
+      .groupBy("s1", "s2")
+      .agg(count(lit(1)).as("k_used"),
+        sum(when(col("graft_a") === 1L && col("graft_b") === 1L, 1L)
+          .otherwise(0L)).as("n_both"))
+      .select(col("s1"), col("s2"), col("k_used"), col("n_both"),
+        expr("n_both * 1000000 div k_used").as("jaccard_est_ppm"))
+  }
+
   /** Recency-weighted engagement per event type — the trending score that
     * ranks "hot now" above "big last month". Classic exponential decay
     * needs `pow` (engine-specific libm); this uses the RATIONAL decay

@@ -716,6 +716,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.getAs[Long]("left_day") >= 0L) // two-day side still reports
   }
 
+  test("kmvOverlap: exact when the union fits in k; tracks true Jaccard") {
+    // Small vocabularies (union < k): the estimate IS exact Jaccard.
+    // a: {x1..x6}, b: {x4..x9} → inter 3, union 9 → 333333 ppm.
+    val docs = Seq(
+      ("a", (1 to 6).map(i => s"x$i").mkString(" ")),
+      ("b", (4 to 9).map(i => s"x$i").mkString(" ")))
+      .toDF("source", "text")
+    val r = Analytics.kmvOverlap(docs, "source", "text", k = 64)
+      .collect()(0)
+    assert(r.getAs[String]("s1") === "a" && r.getAs[String]("s2") === "b")
+    assert(r.getAs[Long]("k_used") === 9L)
+    assert(r.getAs[Long]("n_both") === 3L)
+    assert(r.getAs[Long]("jaccard_est_ppm") === 333333L)
+    // Large vocabularies: sketch estimate within KMV error of truth.
+    // 600 shared + 200 each unique → J = 600/1000 = 0.6.
+    val big = Seq(
+      ("a", ((1 to 600).map(i => s"s$i") ++ (1 to 200).map(i => s"a$i"))
+        .mkString(" ")),
+      ("b", ((1 to 600).map(i => s"s$i") ++ (1 to 200).map(i => s"b$i"))
+        .mkString(" ")))
+      .toDF("source", "text")
+    val e = Analytics.kmvOverlap(big, "source", "text", k = 64)
+      .collect()(0)
+    assert(e.getAs[Long]("k_used") === 64L)
+    val est = e.getAs[Long]("jaccard_est_ppm")
+    assert(est > 400000L && est < 800000L, s"estimate $est vs true 600000")
+  }
+
   test("zipfProfile: exact log2 buckets with deterministic witnesses") {
     // freqs: "a"×1, "b"×2, "c"×3, "d"×8 → buckets 0, 1, 1, 3.
     val text = "a " + "b b " + "c c c " + ("d " * 8)
