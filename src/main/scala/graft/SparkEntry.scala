@@ -1969,6 +1969,15 @@ object SparkEntry {
       ml.Eval.agreementStats(scoredDocs(s, d), "score_q", "label",
         threshold = 5000L)),
 
+    // Functional-dependency audit: declared "lhs → rhs" candidates over
+    // lineitem — true dependencies audit clean, believed-but-false ones
+    // surface denormalization drift.
+    "q262_fd_audit" -> ((s, d) =>
+      Expectations.fdAudit(Tables.lineitem(s, d), Seq(
+        (Seq("l_orderkey"), "l_suppkey"),
+        (Seq("l_partkey"), "l_suppkey"),
+        (Seq("l_orderkey", "l_linenumber"), "l_partkey")))),
+
     // KMV bottom-k sketch Jaccard: a deterministic (md5-ordered) sketch
     // whose estimate hash-checks — each source compresses to 64 hashes,
     // pair cost O(k) instead of q103's vocabulary join.
@@ -5525,6 +5534,45 @@ object SparkEntry {
                // ((tp + fp + fn + tn) * (tp + fp + fn + tn)
                  - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)))
              END AS BIGINT) AS kappa_ppm
+         FROM c""",
+
+    // Three per-key countDistinct rollups unioned; lineitem columns are
+    // non-null so the NULL-behavior term contributes zero here.
+    "q262_fd_audit" ->
+      """WITH a AS (SELECT count(DISTINCT l_suppkey)
+                    + max(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END)
+                      AS n
+               FROM lineitem GROUP BY l_orderkey),
+         b AS (SELECT count(DISTINCT l_suppkey)
+                    + max(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END)
+                      AS n
+               FROM lineitem GROUP BY l_partkey),
+         c AS (SELECT count(DISTINCT l_partkey)
+                    + max(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END)
+                      AS n
+               FROM lineitem GROUP BY l_orderkey, l_linenumber)
+         SELECT 'l_orderkey->l_suppkey' AS dependency,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_keys,
+           CAST(max(n) AS BIGINT) AS max_rhs_per_key,
+           CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS violation_ppm
+         FROM a
+         UNION ALL
+         SELECT 'l_partkey->l_suppkey', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(max(n) AS BIGINT),
+           CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT)
+         FROM b
+         UNION ALL
+         SELECT 'l_orderkey+l_linenumber->l_partkey',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(max(n) AS BIGINT),
+           CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT)
          FROM c""",
 
     // The same md5 order, signatures, union-bottom-k and membership

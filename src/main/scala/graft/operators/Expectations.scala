@@ -67,6 +67,43 @@ object Expectations {
     }.reduce(_ unionByName _)
   }
 
+  /** Functional-dependency audit — the schema-knowledge profiler next
+    * to [[fkAudit]]'s referential one: for each DECLARED candidate
+    * "lhs → rhs", how many lhs keys map to more than one rhs value (a
+    * true dependency audits clean; a believed-but-false one is exactly
+    * the data-model bug this surfaces — denormalization drift, dirty
+    * merges, non-unique "natural keys"). NULL rhs values count as a
+    * value of their own (a key mapping to {x, NULL} is two behaviors).
+    *
+    * Per dependency: ONE lhs-keyed aggregate (countDistinct rhs — the
+    * map-combinable shape), then a bounded rollup; dependencies are a
+    * declared handful, so the report unions a handful of aggregates.
+    * Violation ratio in floor-ppm over the key count. */
+  def fdAudit(df: DataFrame,
+              deps: Seq[(Seq[String], String)]): DataFrame = {
+    require(deps.nonEmpty, "fdAudit needs at least one lhs -> rhs pair")
+    deps.map { case (lhs, rhs) =>
+      require(lhs.nonEmpty, "dependency lhs must name at least one column")
+      val name = s"${lhs.mkString("+")}->$rhs"
+      val perKey = df
+        .select((lhs :+ rhs).map(col): _*)
+        .groupBy(lhs.map(col): _*)
+        .agg(countDistinct(col(rhs)).as("graft_d"),
+          max(col(rhs).isNull.cast("long")).as("graft_hasnull"))
+        // NULL is its own behavior: {x, NULL} under one key violates
+        .select((col("graft_d") + col("graft_hasnull")).as("graft_n"))
+      perKey.agg(count(lit(1)).as("n_keys"),
+        sum(when(col("graft_n") > 1, 1L).otherwise(0L))
+          .as("n_violating_keys"),
+        max("graft_n").as("max_rhs_per_key"))
+        .select(lit(name).as("dependency"), col("n_keys"),
+          col("n_violating_keys"), col("max_rhs_per_key"),
+          expr("CASE WHEN n_keys = 0 THEN CAST(NULL AS BIGINT)"
+            + " ELSE n_violating_keys * 1000000 div n_keys END")
+            .as("violation_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Evaluate `rules` against `df`. Returns one row per rule, in a
     * deterministic report schema: rule name, target column(s),
     * rows checked, violations found, pass flag. */

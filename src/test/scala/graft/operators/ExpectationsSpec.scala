@@ -87,4 +87,26 @@ class ExpectationsSpec extends SparkSpec {
     assert(clean.getAs[Long]("n_orphans") === 0L
       && clean.getAs[Long]("n_null_keys") === 0L)
   }
+
+  test("fdAudit: true FD clean, false FD counted, NULL is a behavior") {
+    import graft.operators.Expectations
+    val df = Seq(
+      (1L, 10L, Some("x")), (1L, 11L, Some("x")),  // key 1 → {x}: clean
+      (2L, 12L, Some("x")), (2L, 13L, Some("y")),  // key 2 → {x,y}: bad
+      (3L, 14L, Some("z")), (3L, 15L, None))       // key 3 → {z,NULL}: bad
+      .toDF("k", "u", "v")
+    val got = Expectations.fdAudit(df, Seq(
+        (Seq("k"), "v"),       // 2 of 3 keys violate
+        (Seq("k", "u"), "v"))) // (k,u) unique → always clean
+      .collect().map(r => r.getAs[String]("dependency") -> r).toMap
+    val kv = got("k->v")
+    assert(kv.getAs[Long]("n_keys") === 3L)
+    assert(kv.getAs[Long]("n_violating_keys") === 2L)
+    assert(kv.getAs[Long]("max_rhs_per_key") === 2L)
+    assert(kv.getAs[Long]("violation_ppm") === 666666L)
+    val kuv = got("k+u->v")
+    assert(kuv.getAs[Long]("n_keys") === 6L)
+    assert(kuv.getAs[Long]("n_violating_keys") === 0L)
+    assert(kuv.getAs[Long]("violation_ppm") === 0L)
+  }
 }
