@@ -1969,6 +1969,12 @@ object SparkEntry {
       ml.Eval.agreementStats(scoredDocs(s, d), "score_q", "label",
         threshold = 5000L)),
 
+    // Exact two-covariate OLS: daily purchases ~ views + clicks by
+    // Cramer's rule — every coefficient one rational, NULL on collinear.
+    "q263_ols2" -> ((s, d) =>
+      Analytics.ols2(eventsUs(s, d), "ts_us", "event_type",
+        yType = "purchase", xType = "view", zType = "click")),
+
     // Functional-dependency audit: declared "lhs → rhs" candidates over
     // lineitem — true dependencies audit clean, believed-but-false ones
     // surface denormalization drift.
@@ -5535,6 +5541,43 @@ object SparkEntry {
                  - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)))
              END AS BIGINT) AS kappa_ppm
          FROM c""",
+
+    // Identical Cramer determinants in HUGEINT; the intercept's two
+    // div-1000 floor points replay verbatim.
+    "q263_ols2" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
+                  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                           ELSE 0 END) AS HUGEINT) AS y,
+                  CAST(sum(CASE WHEN event_type = 'view' THEN 1
+                           ELSE 0 END) AS HUGEINT) AS x,
+                  CAST(sum(CASE WHEN event_type = 'click' THEN 1
+                           ELSE 0 END) AS HUGEINT) AS z
+               FROM events GROUP BY 1),
+         s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                 sum(x) AS sx, sum(z) AS sz, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(z * z) AS szz,
+                 sum(x * z) AS sxz, sum(x * y) AS sxy,
+                 sum(z * y) AS szy
+               FROM daily),
+         t AS (SELECT CAST(n AS BIGINT) AS n_days, n, sx, sz, sy,
+                 n * sxx - sx * sx AS a, n * sxz - sx * sz AS b,
+                 n * szz - sz * sz AS c, n * sxy - sx * sy AS dd,
+                 n * szy - sz * sy AS e
+               FROM s)
+         SELECT n_days,
+           CAST(CASE WHEN a * c - b * b = 0 THEN NULL
+                ELSE (c * dd - b * e) * 1000000 // (a * c - b * b) END
+                AS BIGINT) AS beta_x_ppm,
+           CAST(CASE WHEN a * c - b * b = 0 THEN NULL
+                ELSE (a * e - b * dd) * 1000000 // (a * c - b * b) END
+                AS BIGINT) AS beta_z_ppm,
+           CAST(CASE WHEN a * c - b * b = 0 OR n = 0 THEN NULL
+                ELSE (sy * 1000
+                  - ((c * dd - b * e) * 1000000 // (a * c - b * b))
+                    * sx // 1000
+                  - ((a * e - b * dd) * 1000000 // (a * c - b * b))
+                    * sz // 1000) // n END AS BIGINT) AS intercept_milli
+         FROM t""",
 
     // Three per-key countDistinct rollups unioned; lineitem columns are
     // non-null so the NULL-behavior term contributes zero here.

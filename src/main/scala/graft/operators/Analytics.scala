@@ -823,6 +823,70 @@ object Analytics {
           .as("jaccard"))
   }
 
+  /** Exact two-covariate OLS (y ~ x + z) — the multivariate rung above
+    * the single-feature trend slope (48s) and CUPED's θ: the 2×2 normal
+    * equations solve in CLOSED FORM by Cramer's rule, so with integer
+    * inputs every coefficient is one rational —
+    *   A = nΣx²−(Σx)², B = nΣxz−ΣxΣz, C = nΣz²−(Σz)²,
+    *   D = nΣxy−ΣxΣy, E = nΣzy−ΣzΣy, det = AC−B²,
+    *   β₁ = (CD−BE)/det, β₂ = (AE−BD)/det
+    * — emitted as floor-ppm (exactly correct when the relation is exact,
+    * e.g. planted y = 2x+3z), NULL on det = 0 (collinear or constant
+    * covariates — the honest readout, not a pseudo-inverse guess).
+    * Intercept in milli from the means at the fixed final point.
+    *
+    * The daily series collapse is the whole corpus cost: THREE
+    * type-filtered counts per day from ONE shuffle, the regression a
+    * one-row aggregate in decimal(38,0). */
+  def ols2(events: DataFrame, tsUsCol: String, typeCol: String,
+           yType: String, xType: String, zType: String): DataFrame = {
+    val daily = events.select(
+        expr(s"$tsUsCol div ${86400L * 1000000L}L").as("graft_d"),
+        col(typeCol).as("graft_t"))
+      .groupBy("graft_d")
+      .agg(
+        sum(when(col("graft_t") === yType, 1L).otherwise(0L))
+          .cast("decimal(38,0)").as("y"),
+        sum(when(col("graft_t") === xType, 1L).otherwise(0L))
+          .cast("decimal(38,0)").as("x"),
+        sum(when(col("graft_t") === zType, 1L).otherwise(0L))
+          .cast("decimal(38,0)").as("z"))
+    daily.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum("x").as("sx"), sum("z").as("sz"), sum("y").as("sy"),
+        sum(expr("x * x")).as("sxx"), sum(expr("z * z")).as("szz"),
+        sum(expr("x * z")).as("sxz"), sum(expr("x * y")).as("sxy"),
+        sum(expr("z * y")).as("szy"))
+      .select(col("n").cast("long").as("n_days"),
+        expr("n * sxx - sx * sx").as("graft_a"),
+        expr("n * sxz - sx * sz").as("graft_b"),
+        expr("n * szz - sz * sz").as("graft_c"),
+        expr("n * sxy - sx * sy").as("graft_dd"),
+        expr("n * szy - sz * sy").as("graft_e"),
+        col("n"), col("sx"), col("sz"), col("sy"))
+      .select(col("n_days"),
+        expr("CASE WHEN graft_a * graft_c - graft_b * graft_b = 0"
+          + " THEN CAST(NULL AS BIGINT)"
+          + " ELSE (graft_c * graft_dd - graft_b * graft_e) * 1000000"
+          + "   div (graft_a * graft_c - graft_b * graft_b) END")
+          .as("beta_x_ppm"),
+        expr("CASE WHEN graft_a * graft_c - graft_b * graft_b = 0"
+          + " THEN CAST(NULL AS BIGINT)"
+          + " ELSE (graft_a * graft_e - graft_b * graft_dd) * 1000000"
+          + "   div (graft_a * graft_c - graft_b * graft_b) END")
+          .as("beta_z_ppm"),
+        // intercept_milli = (10³·(Σy·det − β̂-numerators·sums)) … kept at
+        // the mean point with the ppm betas to stay one fixed floor:
+        expr("CASE WHEN graft_a * graft_c - graft_b * graft_b = 0"
+          + " OR n = 0 THEN CAST(NULL AS BIGINT)"
+          + " ELSE (sy * 1000"
+          + "   - ((graft_c * graft_dd - graft_b * graft_e) * 1000000"
+          + "      div (graft_a * graft_c - graft_b * graft_b))"
+          + "     * sx div 1000"
+          + "   - ((graft_a * graft_e - graft_b * graft_dd) * 1000000"
+          + "      div (graft_a * graft_c - graft_b * graft_b))"
+          + "     * sz div 1000) div n END").as("intercept_milli"))
+  }
+
   /** Bottom-k (KMV) sketch Jaccard — the SKETCH twin of
     * [[sourceOverlap]], and the q82/q83 portable-twin move applied to
     * set sketches: because the hash order is md5 (not a seeded RNG), the

@@ -716,6 +716,40 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.getAs[Long]("left_day") >= 0L) // two-day side still reports
   }
 
+  test("ols2: planted exact relation recovers integer coefficients") {
+    val day = 86400L * 1000000L
+    // daily x (views) = d+1, z (clicks) = (d*3) % 7 + 1,
+    // y (purchases) = 2x + 3z + 5 exactly, 12 days.
+    val rows = (0 until 12).flatMap { d =>
+      val x = d + 1
+      val z = (d * 3) % 7 + 1
+      val y = 2 * x + 3 * z + 5
+      Seq.fill(x)(("view", d * day)) ++ Seq.fill(z)(("click", d * day)) ++
+        Seq.fill(y)(("purchase", d * day))
+    }
+    val r = Analytics.ols2(rows.toDF("event_type", "ts_us"),
+      "ts_us", "event_type", "purchase", "view", "click").collect()(0)
+    assert(r.getAs[Long]("n_days") === 12L)
+    assert(r.getAs[Long]("beta_x_ppm") === 2000000L)
+    assert(r.getAs[Long]("beta_z_ppm") === 3000000L)
+    assert(r.getAs[Long]("intercept_milli") === 5000L)
+  }
+
+  test("ols2: collinear covariates yield NULL, never a fabricated fit") {
+    val day = 86400L * 1000000L
+    // z = 2x exactly on every day → det = 0.
+    val rows = (0 until 6).flatMap { d =>
+      val x = d + 1
+      Seq.fill(x)(("view", d * day)) ++ Seq.fill(2 * x)(("click", d * day)) ++
+        Seq.fill(3)(("purchase", d * day))
+    }
+    val r = Analytics.ols2(rows.toDF("event_type", "ts_us"),
+      "ts_us", "event_type", "purchase", "view", "click").collect()(0)
+    assert(r.isNullAt(r.fieldIndex("beta_x_ppm")))
+    assert(r.isNullAt(r.fieldIndex("beta_z_ppm")))
+    assert(r.isNullAt(r.fieldIndex("intercept_milli")))
+  }
+
   test("kmvOverlap: exact when the union fits in k; tracks true Jaccard") {
     // Small vocabularies (union < k): the estimate IS exact Jaccard.
     // a: {x1..x6}, b: {x4..x9} → inter 3, union 9 → 333333 ppm.
