@@ -1969,6 +1969,13 @@ object SparkEntry {
       ml.Eval.agreementStats(scoredDocs(s, d), "score_q", "label",
         threshold = 5000L)),
 
+    // Log-rank test: do the two md5 cohorts' churn curves differ —
+    // censoring-correct O/E per event time, Brier-style exact micro
+    // accumulation, pinned z assembly.
+    "q264_logrank" -> ((s, d) =>
+      Analytics.logRank(eventsUs(s, d), "user_id", "ts_us",
+        censorDays = 7)),
+
     // Exact two-covariate OLS: daily purchases ~ views + clicks by
     // Cramer's rule — every coefficient one rational, NULL on collinear.
     "q263_ols2" -> ((s, d) =>
@@ -5541,6 +5548,64 @@ object SparkEntry {
                  - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)))
              END AS BIGINT) AS kappa_ppm
          FROM c""",
+
+    // Same md5 arm, same suffix-sum risk table, same quotient/remainder
+    // micro splits and pinned z.
+    "q264_logrank" ->
+      """WITH u AS (SELECT user_id,
+                  min(epoch_us(ts) // 86400000000) AS f,
+                  max(epoch_us(ts) // 86400000000) AS l
+               FROM events GROUP BY 1),
+         mx AS (SELECT max(l) AS maxd FROM u),
+         life AS (SELECT (l - f) AS t,
+                    CASE WHEN maxd - l < 7 THEN 1 ELSE 0 END AS cens,
+                    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)),
+                              1, 1) < '8' THEN 1 ELSE 0 END AS g1
+                  FROM u, mx),
+         byt AS (SELECT t,
+                   CAST(sum(CASE WHEN g1 = 1 THEN 1 ELSE 0 END)
+                        AS HUGEINT) AS a1,
+                   CAST(sum(CASE WHEN g1 = 0 THEN 1 ELSE 0 END)
+                        AS HUGEINT) AS a0,
+                   CAST(sum(CASE WHEN g1 = 1 AND cens = 0 THEN 1 ELSE 0
+                        END) AS HUGEINT) AS d1,
+                   CAST(sum(CASE WHEN g1 = 0 AND cens = 0 THEN 1 ELSE 0
+                        END) AS HUGEINT) AS d0
+                 FROM life GROUP BY 1),
+         rk AS (SELECT d1, d1 + d0 AS dd,
+                  (sum(a1) OVER ()) - coalesce(sum(a1) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS n1,
+                  (sum(a0) OVER ()) - coalesce(sum(a0) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS n0
+                FROM byt),
+         ev AS (SELECT d1, dd, n1, n0, n1 + n0 AS nn,
+                  dd * n1 AS en,
+                  dd * n1 * n0 * (n1 + n0 - dd) AS vn,
+                  (n1 + n0) * (n1 + n0) * (n1 + n0 - 1) AS vd
+                FROM rk WHERE dd > 0),
+         ag AS (SELECT CAST(count(*) AS BIGINT) AS n_event_times,
+                  sum(d1) AS o1,
+                  sum(en // nn) * 1000000
+                    + sum(((en - (en // nn) * nn) * 1000000) // nn)
+                    AS e1m,
+                  sum(CASE WHEN nn <= 1 THEN 0 ELSE vn // vd END) * 1000000
+                    + sum(CASE WHEN nn <= 1 THEN 0
+                          ELSE ((vn - (vn // vd) * vd) * 1000000) // vd
+                          END) AS vm
+                FROM ev)
+         SELECT n_event_times, CAST(o1 AS BIGINT) AS o1_events,
+           CAST(e1m AS BIGINT) AS e1_micro, CAST(vm AS BIGINT) AS v_micro,
+           CAST(CASE WHEN vm IS NULL OR vm <= 0 THEN NULL
+                ELSE CAST(round(CAST(o1 * 1000000 - e1m AS DOUBLE)
+                     / sqrt(CAST(vm AS DOUBLE)), 0) AS BIGINT) END
+                AS BIGINT) AS z_milli,
+           CAST(CASE WHEN vm IS NULL OR vm <= 0 THEN NULL
+                WHEN abs(CAST(round(CAST(o1 * 1000000 - e1m AS DOUBLE)
+                     / sqrt(CAST(vm AS DOUBLE)), 0) AS BIGINT)) >= 1960
+                THEN 1 ELSE 0 END AS BIGINT) AS significant_05
+         FROM ag""",
 
     // Identical Cramer determinants in HUGEINT; the intercept's two
     // div-1000 floor points replay verbatim.

@@ -1779,6 +1779,103 @@ object Analytics {
       .toDF("t_days", "n_risk", "n_events", "n_censored", "surv_ppm")
   }
 
+  /** Log-rank (Mantel-Cox) test — the SIGNIFICANCE companion completing
+    * the survival family ([[kaplanMeier]] estimates one curve; this says
+    * whether TWO cohorts' churn curves actually differ): cohorts by the
+    * md5 arm rule (abLift's), and at each event time t the observed
+    * group-1 events are compared with the at-risk-proportional
+    * expectation — O₁ = Σd₁, E₁ = Σ d·n₁/n,
+    * V = Σ d·n₁·n₀·(n−d) / (n²·(n−1)) — the censoring-correct two-sample
+    * test (raw churn-rate comparisons miscount censored users exactly
+    * like 48h does).
+    *
+    * Exactness: E₁ and V are sums of per-time rationals with varying
+    * denominators — each splits EXACTLY into quotient + floored-micro
+    * remainder (the Brier/jackknife discipline), so both engines
+    * accumulate identical integers; z touches floats only in the pinned
+    * final assembly diff/sqrt(V) + round (correctly-rounded ops, the
+    * Mann-Kendall argument). `significant_05`: |z_milli| ≥ 1960 exceeds
+    * the true 1959.96 cutoff and 1959 falls below — the integer compare
+    * is the real 5% test at milli resolution. NULL z on zero variance
+    * (no events, or one cohort empty at every event time).
+    *
+    * Scale: one user-keyed shuffle to lifetimes, then windows over the
+    * bounded (≤ day-span) life table — the kaplanMeier posture. */
+  def logRank(events: DataFrame, userCol: String, tsUsCol: String,
+              censorDays: Int): DataFrame = {
+    require(censorDays >= 1, "censorDays must be positive")
+    val users = events
+      .select(col(userCol).as("graft_u"),
+        expr(s"$tsUsCol div ${86400L * 1000000L}L").as("graft_d"))
+      .groupBy("graft_u")
+      .agg(min("graft_d").as("graft_f"), max("graft_d").as("graft_l"))
+    val life = users
+      .crossJoin(broadcast(users.agg(max("graft_l").as("graft_maxd"))))
+      .select((col("graft_l") - col("graft_f")).as("t"),
+        (col("graft_maxd") - col("graft_l") < censorDays)
+          .cast("long").as("cens"),
+        when(substring(md5(col("graft_u").cast("string")), 1, 1) < "8",
+          1L).otherwise(0L).as("g1"))
+    logRankCore(life)
+  }
+
+  /** The risk-table/statistic assembly over a per-subject (t, cens, g1)
+    * table — split out so specs can drive it with hand-assigned groups. */
+  private[graft] def logRankCore(life: DataFrame): DataFrame = {
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy("t")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val byT = life.groupBy("t").agg(
+      sum(when(col("g1") === 1L, 1L).otherwise(0L)).as("a1"),
+      sum(when(col("g1") === 0L, 1L).otherwise(0L)).as("a0"),
+      sum(when(col("g1") === 1L && col("cens") === 0L, 1L).otherwise(0L))
+        .as("d1"),
+      sum(when(col("g1") === 0L && col("cens") === 0L, 1L).otherwise(0L))
+        .as("d0"))
+    val risk = byT
+      .withColumn("b1", coalesce(sum("a1").over(wOrd.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("b0", coalesce(sum("a0").over(wOrd.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("tot1", sum("a1").over(wAll))
+      .withColumn("tot0", sum("a0").over(wAll))
+      .filter(col("d1") + col("d0") > 0)
+      .select(col("d1").cast("decimal(38,0)").as("d1"),
+        (col("d1") + col("d0")).cast("decimal(38,0)").as("dd"),
+        (col("tot1") - col("b1")).cast("decimal(38,0)").as("n1"),
+        (col("tot0") - col("b0")).cast("decimal(38,0)").as("n0"))
+      .withColumn("nn", expr("n1 + n0"))
+      .withColumn("en", expr("dd * n1"))
+      .withColumn("vn", expr("dd * n1 * n0 * (nn - dd)"))
+      .withColumn("vd", expr("nn * nn * (nn - 1)"))
+    risk.agg(
+        count(lit(1)).as("n_event_times"),
+        sum("d1").as("o1"),
+        sum(expr("CAST(en div nn AS DECIMAL(38,0))")).as("eq"),
+        sum(expr("((en - (en div nn) * nn) * 1000000) div nn")).as("er"),
+        sum(expr("CASE WHEN nn <= 1 THEN 0L"
+          + " ELSE CAST(vn div vd AS DECIMAL(38,0)) END")).as("vq"),
+        sum(expr("CASE WHEN nn <= 1 THEN 0L"
+          + " ELSE ((vn - (vn div vd) * vd) * 1000000) div vd END"))
+          .as("vr"))
+      .select(col("n_event_times").cast("long").as("n_event_times"),
+        col("o1").cast("long").as("o1_events"),
+        expr("CAST(eq * 1000000 + er AS DECIMAL(38,0))").cast("long")
+          .as("e1_micro"),
+        expr("CAST(vq * 1000000 + vr AS DECIMAL(38,0))").cast("long")
+          .as("v_micro"))
+      .withColumn("z_milli",
+        expr("CASE WHEN v_micro IS NULL OR v_micro <= 0"
+          + " THEN CAST(NULL AS BIGINT)"
+          + " ELSE CAST(round(CAST(o1_events * 1000000 - e1_micro"
+          + "   AS DOUBLE) / sqrt(CAST(v_micro AS DOUBLE)), 0)"
+          + "   AS BIGINT) END"))
+      .withColumn("significant_05",
+        expr("CASE WHEN z_milli IS NULL THEN CAST(NULL AS BIGINT)"
+          + " WHEN abs(z_milli) >= 1960 THEN 1L ELSE 0L END"))
+  }
+
   /** EWMA forecast backtest with EXACT DYADIC weights — the
     * exponential-smoothing rung between [[seasonalBacktest]]'s
     * same-weekday mean and the naive prev-day carry: tomorrow's forecast

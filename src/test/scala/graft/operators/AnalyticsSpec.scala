@@ -716,6 +716,46 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.getAs[Long]("left_day") >= 0L) // two-day side still reports
   }
 
+  test("logRankCore: identical cohorts give exactly zero z") {
+    // Same lifetime multiset in both groups: at every event time
+    // n1 = n0 and d1 = d0, so O1 = E1 EXACTLY and z = 0.
+    val life = Seq(
+      (1L, 0L, 1L), (3L, 0L, 1L), (5L, 1L, 1L),
+      (1L, 0L, 0L), (3L, 0L, 0L), (5L, 1L, 0L))
+      .toDF("t", "cens", "g1")
+    val r = Analytics.logRankCore(life).collect()(0)
+    assert(r.getAs[Long]("o1_events") === 2L)
+    assert(r.getAs[Long]("e1_micro") === 2000000L)
+    assert(r.getAs[Long]("z_milli") === 0L)
+    assert(r.getAs[Long]("significant_05") === 0L)
+  }
+
+  test("logRankCore: hand-computed risk table, early-death cohort flags") {
+    // g1 subjects all die at t=1 (×12); g0 all die at t=9 (×12).
+    // t=1: n1=n0=12, d=12 → E-share 6, V = 12·144·12/(24²·23) = 1.565...
+    // t=9: only g0 at risk → contributes 0 to O−E and V (n1 = 0).
+    val life = (1 to 12).map(_ => (1L, 0L, 1L)) ++
+      (1 to 12).map(_ => (9L, 0L, 0L))
+    val r = Analytics.logRankCore(life.toDF("t", "cens", "g1")).collect()(0)
+    assert(r.getAs[Long]("o1_events") === 12L)
+    assert(r.getAs[Long]("e1_micro") === 6000000L) // E1 = 6 exactly
+    // V = 12·12·12·12/(24·24·23) = 20736/13248 = 1.565217...
+    assert(r.getAs[Long]("v_micro") === 1565217L)
+    // z = (12 − 6)/sqrt(1.565217) = 4.7958 → 4796 milli, significant
+    assert(r.getAs[Long]("z_milli") === 4796L)
+    assert(r.getAs[Long]("significant_05") === 1L)
+  }
+
+  test("logRank: no events (all censored) yields NULL z") {
+    val day = 86400L * 1000000L
+    // every user active on the final day → all censored at censorDays=7
+    val rows = (1L to 10L).flatMap(u => Seq((u, 0L), (u, 5L * day)))
+    val r = Analytics.logRank(rows.toDF("user_id", "ts_us"),
+      "user_id", "ts_us", censorDays = 7).collect()(0)
+    assert(r.getAs[Long]("n_event_times") === 0L)
+    assert(r.isNullAt(r.fieldIndex("z_milli")))
+  }
+
   test("ols2: planted exact relation recovers integer coefficients") {
     val day = 86400L * 1000000L
     // daily x (views) = d+1, z (clicks) = (d*3) % 7 + 1,
