@@ -1969,6 +1969,42 @@ object SparkEntry {
       ml.Eval.agreementStats(scoredDocs(s, d), "score_q", "label",
         threshold = 5000L)),
 
+    // Composed eval panel #2 (the q200 pattern over the round-10 eval
+    // family): kappa, Brier, ECE, conformal coverage, jackknife z and
+    // log-rank z in one labeled table — the oracle composes the
+    // members' own proven SQL, so any member drifting breaks both.
+    "q265_eval_panel" -> ((s, d) => {
+      def one(metric: String, df: DataFrame, valueCol: String): DataFrame =
+        df.select(lit(metric).as("metric"), col(valueCol).as("value"))
+      Seq(
+        one("kappa_ppm",
+          ml.Eval.agreementStats(scoredDocs(s, d), "score_q", "label",
+            threshold = 5000L), "kappa_ppm"),
+        one("brier_ppm",
+          ml.Eval.brierDecomposition(scoredDocs(s, d), "score_q", "label",
+            scale = 10000L), "brier_ppm"),
+        one("ece_ppm",
+          ml.Eval.calibrationError(scoredDocs(s, d), "score_q", "label",
+            bins = 10, scale = 10000L), "ece_ppm"),
+        one("conformal_coverage_ppm",
+          ml.Eval.conformalCoverage(
+            Tables.documents(s, d).select(col("doc_id"),
+              greatest(least(floor(T.qualityScore(col("text")) * 10000
+                + 0.5), lit(10000L)), lit(0L)).cast("long").as("pred"),
+              ((col("n_chars") >= 300).cast("long") * 10000L)
+                .as("actual")),
+            "doc_id", "pred", "actual", alphaPpm = 100000L),
+          "coverage_ppm"),
+        one("jackknife_z_milli",
+          Experiment.jackknifeDiff(Tables.events(s, d), "user_id",
+            "event_type", "value", metricType = "purchase", buckets = 16),
+          "z_milli"),
+        one("logrank_z_milli",
+          Analytics.logRank(eventsUs(s, d), "user_id", "ts_us",
+            censorDays = 7), "z_milli"))
+        .reduce(_ unionByName _)
+    }),
+
     // Log-rank test: do the two md5 cohorts' churn curves differ —
     // censoring-correct O/E per event time, Brier-style exact micro
     // accumulation, pinned z assembly.
@@ -3359,7 +3395,21 @@ object SparkEntry {
           UNION ALL SELECT 'eta2_ppm', eta2_ppm
             FROM (${base("q196_variance_decomposition")})
           UNION ALL SELECT 'ks_ppm', ks_ppm
-            FROM (${base("q198_ks_test")})""")
+            FROM (${base("q198_ks_test")})""") +
+    // Panel #2 composes the round-10 eval family the same way.
+    ("q265_eval_panel" ->
+      s"""SELECT 'kappa_ppm' AS metric, kappa_ppm AS value
+            FROM (${base("q243_agreement")})
+          UNION ALL SELECT 'brier_ppm', brier_ppm
+            FROM (${base("q246_brier")})
+          UNION ALL SELECT 'ece_ppm', ece_ppm
+            FROM (${base("q253_ece")})
+          UNION ALL SELECT 'conformal_coverage_ppm', coverage_ppm
+            FROM (${base("q254_conformal")})
+          UNION ALL SELECT 'jackknife_z_milli', z_milli
+            FROM (${base("q247_jackknife")})
+          UNION ALL SELECT 'logrank_z_milli', z_milli
+            FROM (${base("q264_logrank")})""")
   }
 
   private def oracleSqlBase: Map[String, String] = Map(
