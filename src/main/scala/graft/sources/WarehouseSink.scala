@@ -553,6 +553,27 @@ object WarehouseSink {
     * out-going generation plus inserts of the new one; maintenance
     * (compaction/clustering) is layout-only — zero row changes by
     * construction. Vacuumed ranges fail loudly, same as versionAsOf. */
+  /** [[tableChanges]] addressed by NAMED REFS — "what changed between
+    * release tags": resolves each name (tag or branch head) to its
+    * pinned version and replays the row-level feed between them. The
+    * audit a consumer runs on two release manifests without knowing
+    * version numbers. */
+  def tableChangesBetweenRefs(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, fromRef: String,
+                              toRef: String): org.apache.spark.sql.DataFrame = {
+    def v(name: String): Long =
+      readRef(dir, name).getOrElse(throw new IllegalArgumentException(
+        s"no ref '$name' on $dir")).version
+    val (f, t) = (v(fromRef), v(toRef))
+    require(f < t, s"ref '$fromRef' (v$f) is not older than '$toRef' " +
+      s"(v$t) — nothing to replay")
+    // tableChanges treats fromVersion as the EXCLUSIVE base snapshot:
+    // the feed replays commits f+1..t, exactly the diff of the two
+    // pinned states. A parked branch commit inside the range keeps the
+    // existing loud no-mapping error — refs must pin main lineage here.
+    tableChanges(spark, dir, f, t)
+  }
+
   def tableChanges(spark: org.apache.spark.sql.SparkSession, dir: String,
                    fromVersion: Long, toVersion: Long):
       org.apache.spark.sql.DataFrame = {

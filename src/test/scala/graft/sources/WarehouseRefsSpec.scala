@@ -115,6 +115,27 @@ class WarehouseRefsSpec extends SparkSpec {
     assert(h(3)._2 === "delete")
   }
 
+  test("tableChangesBetweenRefs replays the commits between two tags") {
+    val dir = tmp()
+    write(dir, 0, 5)
+    WarehouseSink.enableChangeFeed(dir) // row-level DML capture for CDF
+    WarehouseSink.createTag(dir, "rel-1")
+    write(dir, 5, 8)
+    WarehouseSink.deleteWhere(spark, dir,
+      Seq(org.apache.spark.sql.sources.EqualTo("id", 0L)))
+    WarehouseSink.createTag(dir, "rel-2")
+    val ch = WarehouseSink.tableChangesBetweenRefs(spark, dir,
+        "rel-1", "rel-2")
+      .select("id", "_change_type")
+      .as[(Long, String)].collect().toSet
+    assert(ch === (5L until 8L).map(i => (i, "insert")).toSet
+      + ((0L, "delete")))
+    // identical or reversed refs refuse loudly
+    intercept[IllegalArgumentException] {
+      WarehouseSink.tableChangesBetweenRefs(spark, dir, "rel-2", "rel-1")
+    }
+  }
+
   test("branch appends keep a partitioned table's layout") {
     val dir = tmp()
     (0L until 40L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1)
