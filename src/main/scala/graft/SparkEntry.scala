@@ -1969,6 +1969,14 @@ object SparkEntry {
       ml.Eval.agreementStats(scoredDocs(s, d), "score_q", "label",
         threshold = 5000L)),
 
+    // Out-of-fold target encoding: the leakage-free categorical feature
+    // table (lang → label mean from the OTHER md5 folds), exact ppm.
+    "q266_target_encoding" -> ((s, d) =>
+      ml.Eval.targetEncode(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          (col("n_chars") >= 300).cast("long").as("label")),
+        "doc_id", "lang", "label", folds = 4)),
+
     // Composed eval panel #2 (the q200 pattern over the round-10 eval
     // family): kappa, Brier, ECE, conformal coverage, jackknife z and
     // log-rank z in one labeled table — the oracle composes the
@@ -5598,6 +5606,33 @@ object SparkEntry {
                  - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)))
              END AS BIGINT) AS kappa_ppm
          FROM c""",
+
+    // The same md5 fold thresholds (65536/4 = 16384 → '4000', '8000',
+    // 'c000') and exact out-of-fold means.
+    "q266_target_encoding" ->
+      """WITH r AS (SELECT lang AS category,
+           CAST((CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                      >= '4000' THEN 1 ELSE 0 END)
+              + (CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                      >= '8000' THEN 1 ELSE 0 END)
+              + (CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                      >= 'c000' THEN 1 ELSE 0 END) AS BIGINT) AS fold,
+           CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y
+         FROM documents),
+         cf AS (SELECT category, fold, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(y) AS BIGINT) AS s
+                FROM r GROUP BY 1, 2),
+         c AS (SELECT category, sum(n) AS nt, sum(s) AS st
+               FROM cf GROUP BY 1),
+         p AS (SELECT sum(nt) AS na, sum(st) AS sa FROM c)
+         SELECT cf.category, cf.fold,
+           CAST(c.nt - cf.n AS BIGINT) AS n_out,
+           CAST(CASE WHEN c.nt - cf.n = 0 THEN NULL
+                ELSE (c.st - cf.s) * 1000000 // (c.nt - cf.n) END
+                AS BIGINT) AS encoding_ppm,
+           CAST(CASE WHEN p.na = 0 THEN NULL
+                ELSE p.sa * 1000000 // p.na END AS BIGINT) AS prior_ppm
+         FROM cf JOIN c USING (category), p""",
 
     // Same md5 arm, same suffix-sum risk table, same quotient/remainder
     // micro splits and pinned z.

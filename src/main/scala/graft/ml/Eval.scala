@@ -535,4 +535,49 @@ object Eval {
         max(expr("p * 1000000 div (p + n)")).cast("long").as("raw_ppm"),
         max("graft_rm").cast("long").as("fitted_ppm"))
   }
+
+  /** Out-of-fold target encoding — the leakage-free way to turn a
+    * categorical column into a numeric feature (a naive per-category
+    * target mean leaks each row's OWN label into its feature; the
+    * K-fold construction encodes every row with the mean computed from
+    * the OTHER folds — the standard competition/production recipe).
+    *
+    * Folds are md5 buckets of the row id (pure function of content —
+    * stable across engines/partitioning/retries, the hash-split
+    * discipline), and the encoding table is EXACT: for category c and
+    * fold f, enc = (s_c − s_cf)·10⁶ div (n_c − n_cf) over the INTEGER
+    * target (0/1 labels or a pre-quantized value, the [[perScore]]
+    * contract). A category seen only inside one fold has no out-of-fold
+    * evidence — its encoding is NULL (callers back off to the global
+    * prior, also emitted), never a leaked self-mean.
+    *
+    * Output is the (category × fold) ENCODING TABLE — |cats|·K rows, a
+    * broadcast-sized artifact the training pipeline map-side-joins onto
+    * the corpus; building it costs ONE (cat, fold)-keyed aggregate. */
+  def targetEncode(rows: DataFrame, idCol: String, catCol: String,
+                   targetCol: String, folds: Int = 5): DataFrame = {
+    require(folds >= 2 && folds <= 65536, "folds must be in 2..65536")
+    val h = substring(md5(col(idCol).cast("string")), 1, 4)
+    val fold = (1 until folds).foldLeft(lit(0)) { (acc, i) =>
+      acc + when(h >= lit(f"${i * 65536 / folds}%04x"), 1).otherwise(0)
+    }
+    val perCf = rows.select(col(catCol).as("category"),
+        fold.cast("long").as("fold"),
+        col(targetCol).cast("long").as("graft_y"))
+      .groupBy("category", "fold")
+      .agg(count(lit(1)).as("graft_n"), sum("graft_y").as("graft_s"))
+    val perC = perCf.groupBy("category")
+      .agg(sum("graft_n").as("graft_nt"), sum("graft_s").as("graft_st"))
+    val prior = perC.agg(sum("graft_nt").as("graft_na"),
+      sum("graft_st").as("graft_sa"))
+    perCf.join(perC, Seq("category"))
+      .crossJoin(broadcast(prior))
+      .select(col("category"), col("fold"),
+        (col("graft_nt") - col("graft_n")).as("n_out"),
+        expr("CASE WHEN graft_nt - graft_n = 0 THEN CAST(NULL AS BIGINT)"
+          + " ELSE (graft_st - graft_s) * 1000000"
+          + "   div (graft_nt - graft_n) END").as("encoding_ppm"),
+        expr("CASE WHEN graft_na = 0 THEN CAST(NULL AS BIGINT)"
+          + " ELSE graft_sa * 1000000 div graft_na END").as("prior_ppm"))
+  }
 }

@@ -300,6 +300,42 @@ class EvalSpec extends SparkSpec {
     assert(r2.getAs[Long]("stat_milli") === 0L)
   }
 
+  test("targetEncode: out-of-fold means exclude the row's own fold") {
+    import spark.implicits._
+    // Force known folds by picking ids whose md5 4-hex prefix lands in
+    // each quarter — verified below rather than assumed.
+    def foldOf(id: Long, folds: Int): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val h16 = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+      (0 until folds - 1).count(i => h16 >= (i + 1) * 65536 / folds) match {
+        case c => c
+      }
+    }
+    // two folds: find ids for fold 0 and fold 1
+    val f0 = (1L to 100L).filter(foldOf(_, 2) == 0).take(2)
+    val f1 = (1L to 100L).filter(foldOf(_, 2) == 1).take(2)
+    assert(f0.size == 2 && f1.size == 2)
+    // category "a": fold0 labels {1, 1}, fold1 labels {0, 0}
+    val rows = f0.map(id => (id, "a", 1L)) ++ f1.map(id => (id, "a", 0L))
+    val got = Eval.targetEncode(rows.toDF("id", "cat", "y"),
+        "id", "cat", "y", folds = 2)
+      .collect().map(r => r.getAs[Long]("fold") ->
+        r.getAs[Long]("encoding_ppm")).toMap
+    // fold 0 rows are encoded by fold 1's mean (0) and vice versa (1e6)
+    assert(got === Map(0L -> 0L, 1L -> 1000000L))
+  }
+
+  test("targetEncode: a single-fold category gets NULL, prior intact") {
+    import spark.implicits._
+    val rows = Seq((1L, "solo", 1L), (1L, "solo", 0L))
+    val r = Eval.targetEncode(rows.toDF("id", "cat", "y"),
+      "id", "cat", "y", folds = 2).collect()
+    assert(r.length === 1)
+    assert(r(0).isNullAt(r(0).fieldIndex("encoding_ppm")))
+    assert(r(0).getAs[Long]("prior_ppm") === 500000L)
+  }
+
   test("agreementStats: degenerate marginals yield NULL kappa") {
     // all positive, all predicted positive: N² = E
     val d = df(Seq((9L, 1L), (8L, 1L), (7L, 1L)))
