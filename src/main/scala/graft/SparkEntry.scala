@@ -1969,6 +1969,11 @@ object SparkEntry {
       ml.Eval.agreementStats(scoredDocs(s, d), "score_q", "label",
         threshold = 5000L)),
 
+    // Fano-factor burstiness: variance-to-mean of daily counts per
+    // series — 1e6 ppm = Poisson baseline, above = bursty.
+    "q267_fano" -> ((s, d) =>
+      Analytics.fanoFactor(eventsUs(s, d), "event_type", "ts_us")),
+
     // Out-of-fold target encoding: the leakage-free categorical feature
     // table (lang → label mean from the OTHER md5 folds), exact ppm.
     "q266_target_encoding" -> ((s, d) =>
@@ -5606,6 +5611,19 @@ object SparkEntry {
                  - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)))
              END AS BIGINT) AS kappa_ppm
          FROM c""",
+
+    // One rational per series over the daily table.
+    "q267_fano" ->
+      """WITH daily AS (SELECT event_type AS s,
+                  epoch_us(ts) // 86400000000 AS d,
+                  CAST(count(*) AS HUGEINT) AS y
+             FROM events GROUP BY 1, 2)
+         SELECT s AS event_type, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(y) AS BIGINT) AS n_events,
+           CAST(CASE WHEN sum(y) = 0 THEN NULL
+                ELSE (count(*) * sum(y * y) - sum(y) * sum(y)) * 1000000
+                     // (count(*) * sum(y)) END AS BIGINT) AS fano_ppm
+         FROM daily GROUP BY 1""",
 
     // The same md5 fold thresholds (65536/4 = 16384 → '4000', '8000',
     // 'c000') and exact out-of-fold means.

@@ -1779,6 +1779,30 @@ object Analytics {
       .toDF("t_days", "n_risk", "n_events", "n_censored", "surv_ppm")
   }
 
+  /** Fano-factor burstiness index — per series, variance-to-mean of the
+    * daily counts: F = 1 is the Poisson baseline (arrivals as random as
+    * they can be), F ≫ 1 is burst/incident traffic, F < 1 is
+    * throttled/scheduled traffic — the one-number arrival-process
+    * characterization next to [[cusumSegments]]' localization and the
+    * ACF's memory readout. One exact rational:
+    * F = Var/mean = (n·Σy² − (Σy)²) / (n·Σy), floor-ppm; NULL on an
+    * empty series. ONE corpus shuffle to daily counts, a per-series
+    * aggregate over the bounded table. */
+  def fanoFactor(events: DataFrame, seriesCol: String,
+                 tsUsCol: String): DataFrame = {
+    dailyCounts(events, seriesCol, tsUsCol)
+      .groupBy(col("graft_s").as(seriesCol))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("graft_n"),
+        sum("graft_y").cast("decimal(38,0)").as("graft_sum"),
+        sum(expr("CAST(graft_y AS DECIMAL(38,0))"
+          + " * CAST(graft_y AS DECIMAL(38,0))")).as("graft_q"))
+      .select(col(seriesCol), col("graft_n").cast("long").as("n_days"),
+        col("graft_sum").cast("long").as("n_events"),
+        expr("CASE WHEN graft_sum = 0 THEN CAST(NULL AS BIGINT)"
+          + " ELSE (graft_n * graft_q - graft_sum * graft_sum) * 1000000"
+          + "   div (graft_n * graft_sum) END").as("fano_ppm"))
+  }
+
   /** Log-rank (Mantel-Cox) test — the SIGNIFICANCE companion completing
     * the survival family ([[kaplanMeier]] estimates one curve; this says
     * whether TWO cohorts' churn curves actually differ): cohorts by the

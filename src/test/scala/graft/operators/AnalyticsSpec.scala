@@ -716,6 +716,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.getAs[Long]("left_day") >= 0L) // two-day side still reports
   }
 
+  test("fanoFactor: constant series reads 0, planted burst inflates") {
+    val day = 86400L * 1000000L
+    // series "flat": 5 every day for 8 days → Var 0 → F = 0.
+    // series "burst": {1,1,1,1,1,1,1,25}: n=8, S=32, Q=632 →
+    // F = (8·632 − 1024)·1e6 // (8·32) = 4032e6 // 256 = 15750000.
+    val rows =
+      (0 until 8).flatMap(d => Seq.fill(5)(("flat", d * day))) ++
+      (0 until 7).map(d => ("burst", d * day)) ++
+      Seq.fill(25)(("burst", 7L * day))
+    val got = Analytics.fanoFactor(rows.toDF("event_type", "ts_us"),
+        "event_type", "ts_us")
+      .collect().map(r => r.getAs[String]("event_type") ->
+        r.getAs[Long]("fano_ppm")).toMap
+    assert(got("flat") === 0L)
+    assert(got("burst") === 15750000L)
+  }
+
   test("logRankCore: identical cohorts give exactly zero z") {
     // Same lifetime multiset in both groups: at every event time
     // n1 = n0 and d1 = d0, so O1 = E1 EXACTLY and z = 0.
