@@ -1969,6 +1969,21 @@ object SparkEntry {
       ml.Eval.agreementStats(scoredDocs(s, d), "score_q", "label",
         threshold = 5000L)),
 
+    // GIF frame count via the real block walk — the animated-vs-static
+    // media signal, no LZW decode needed. Deterministic synth fixtures.
+    "q268_gif_frames" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val n = 1 + (id % 5L).toInt
+          val got = multimodal.Binary.gifFrameCount(
+            multimodal.Binary.synthGif(16, 12, n)).getOrElse(-1)
+          (n.toLong, got.toLong)
+        }.toDF("frames", "frames_decoded")
+        .groupBy("frames", "frames_decoded")
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
     // Fano-factor burstiness: variance-to-mean of daily counts per
     // series — 1e6 ppm = Poisson baseline, above = bursty.
     "q267_fano" -> ((s, d) =>
@@ -5611,6 +5626,14 @@ object SparkEntry {
                  - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)))
              END AS BIGINT) AS kappa_ppm
          FROM c""",
+
+    // The decode is the identity on the synth fixtures, so the oracle
+    // replays the arithmetic alone.
+    "q268_gif_frames" ->
+      """SELECT 1 + doc_id % 5 AS frames,
+                1 + doc_id % 5 AS frames_decoded,
+                CAST(count(*) AS BIGINT) AS n_docs
+         FROM documents GROUP BY 1, 2""",
 
     // One rational per series over the daily table.
     "q267_fano" ->

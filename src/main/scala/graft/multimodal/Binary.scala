@@ -110,6 +110,80 @@ object Binary {
     None
   }
 
+  /** Minimal structurally-valid GIF89a: header + Logical Screen
+    * Descriptor (no global color table) + `frames` image descriptors
+    * (each with an empty local table, a 2-color LZW minimum code size
+    * and one 1-byte data sub-block) + trailer — plus a Graphic Control
+    * Extension before each frame so the walk's extension skipping is
+    * exercised. The deterministic fixture for [[gifFrameCount]]. */
+  def synthGif(width: Int, height: Int, frames: Int): Array[Byte] = {
+    require(width > 0 && width < 65536 && height > 0 && height < 65536,
+      "dims must fit le16")
+    require(frames >= 1 && frames <= 1024, "frames must be in 1..1024")
+    val out = new java.io.ByteArrayOutputStream()
+    def b(v: Int): Unit = out.write(v & 0xff)
+    def le16(v: Int): Unit = { b(v & 0xff); b(v >> 8) }
+    "GIF89a".foreach(c => b(c))
+    le16(width); le16(height); b(0x00); b(0); b(0) // LSD, no GCT
+    for (_ <- 0 until frames) {
+      b(0x21); b(0xf9); b(4); b(0); le16(0); b(0); b(0) // GCE + terminator
+      b(0x2c); le16(0); le16(0); le16(width); le16(height); b(0x00)
+      b(2)          // LZW minimum code size
+      b(1); b(0x4c) // one data sub-block
+      b(0)          // block terminator
+    }
+    b(0x3b)
+    out.toByteArray
+  }
+
+  /** GIF frame count via the real block walk (GIF89a spec §§20-25):
+    * after the Logical Screen Descriptor (+ global color table if
+    * flagged), blocks are 0x21 extensions (label + length-prefixed
+    * sub-blocks to a 0 terminator), 0x2C image descriptors (9-byte
+    * header + local color table if flagged + LZW code size +
+    * sub-blocks), 0x3B trailer. Frames = image descriptors — the
+    * animated-vs-static signal a media-curation pass wants without
+    * decoding LZW. None on a non-GIF or a desynced/truncated walk
+    * (degrade, never throw). */
+  def gifFrameCount(bytes: Array[Byte]): Option[Int] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    if (bytes.length < 14 || u8(0) != 'G' || u8(1) != 'I' || u8(2) != 'F'
+      || u8(3) != '8' || (u8(4) != '7' && u8(4) != '9') || u8(5) != 'a')
+      return None
+    var i = 13
+    // global color table: 3·2^(size+1) bytes when the GCT flag is set
+    if ((u8(10) & 0x80) != 0) i += 3 * (1 << ((u8(10) & 0x07) + 1))
+    var frames = 0
+    def skipSubBlocks(): Boolean = {
+      while (i < bytes.length && u8(i) != 0) {
+        i += 1 + u8(i)
+        if (i > bytes.length) return false
+      }
+      if (i >= bytes.length) return false
+      i += 1 // the 0 terminator
+      true
+    }
+    while (i < bytes.length) {
+      u8(i) match {
+        case 0x3b => return Some(frames)
+        case 0x21 =>
+          i += 2 // introducer + label
+          if (!skipSubBlocks()) return None
+        case 0x2c =>
+          if (i + 10 > bytes.length) return None
+          val flags = u8(i + 9)
+          i += 10
+          if ((flags & 0x80) != 0) i += 3 * (1 << ((flags & 0x07) + 1))
+          i += 1 // LZW minimum code size
+          if (i > bytes.length) return None
+          if (!skipSubBlocks()) return None
+          frames += 1
+        case _ => return None // desync
+      }
+    }
+    None // ran out without a trailer
+  }
+
   /** The JPEG Annex K.1 luminance quantization base table (ISO/IEC
     * 10918-1, Table K.1), natural order — the reference every encoder's
     * quality knob scales. */

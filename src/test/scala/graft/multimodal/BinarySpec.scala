@@ -407,6 +407,32 @@ class BinarySpec extends SparkSpec {
     assert(e5 < 30 && e95 > 85, s"e5=$e5 e95=$e95")
   }
 
+  test("synthGif/gifFrameCount: frame walk counts image descriptors") {
+    for (n <- Seq(1, 2, 5, 20)) {
+      val g = Binary.synthGif(16, 12, n)
+      // the existing dims reader still sees the canvas
+      assert(Binary.imageHeaderDims(g) === Some((16, 12)))
+      assert(Binary.gifFrameCount(g) === Some(n))
+    }
+    // a GCT-flagged GIF skips the table correctly: splice the flag in
+    // and append 6 bytes (2-entry table) after the LSD
+    val base = Binary.synthGif(8, 8, 3)
+    val withGct = base.take(10) ++ Array[Byte](0x80.toByte) ++
+      base.slice(11, 13) ++ Array.fill(6)(0x11.toByte) ++ base.drop(13)
+    assert(Binary.gifFrameCount(withGct) === Some(3))
+  }
+
+  test("gifFrameCount degrades to None off the happy path") {
+    assert(Binary.gifFrameCount(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Binary.gifFrameCount(Binary.synthPng(8, 8, 1)).isEmpty)
+    // truncated mid-frame: no trailer seen
+    val g = Binary.synthGif(8, 8, 4)
+    assert(Binary.gifFrameCount(g.dropRight(3)).isEmpty)
+    // desynced block introducer
+    val bad = g.clone(); bad(13) = 0x7f
+    assert(Binary.gifFrameCount(bad).isEmpty)
+  }
+
   test("jpegDqtQuality degrades to None off the happy path") {
     assert(Binary.jpegDqtQuality(Array[Byte](1, 2, 3)).isEmpty)
     // a JPEG with no DQT before SOS: truncate the synth to SOI+SOF only
