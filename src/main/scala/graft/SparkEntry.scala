@@ -1969,6 +1969,11 @@ object SparkEntry {
       ml.Eval.agreementStats(scoredDocs(s, d), "score_q", "label",
         threshold = 5000L)),
 
+    // Operating-point picker: the Youden-J and F1-max thresholds over
+    // every distinct score — the cut a deployed classifier ships.
+    "q269_operating_point" -> ((s, d) =>
+      ml.Eval.operatingPoint(scoredDocs(s, d), "score_q", "label")),
+
     // GIF frame count via the real block walk — the animated-vs-static
     // media signal, no LZW decode needed. Deterministic synth fixtures.
     "q268_gif_frames" -> ((s, d) => {
@@ -5626,6 +5631,37 @@ object SparkEntry {
                  - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)))
              END AS BIGINT) AS kappa_ppm
          FROM c""",
+
+    // Same cumulative window and (metric desc, threshold asc) argmax.
+    "q269_operating_point" ->
+      s"""WITH $ScoredDocsSql,
+         g AS (SELECT s, CAST(sum(y) AS HUGEINT) AS p,
+                 CAST(count(*) - sum(y) AS HUGEINT) AS n
+               FROM sc GROUP BY 1),
+         c AS (SELECT s,
+                 sum(p) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING)
+                   AS tp,
+                 sum(n) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING)
+                   AS fp,
+                 sum(p) OVER () AS pt, sum(n) OVER () AS nt
+               FROM g),
+         m AS (SELECT s,
+                 CASE WHEN pt = 0 OR nt = 0 THEN NULL
+                      ELSE tp * 1000000 // pt
+                         + (nt - fp) * 1000000 // nt - 1000000 END AS j,
+                 CASE WHEN pt = 0 THEN NULL
+                      ELSE 2 * tp * 1000000
+                           // (2 * tp + fp + (pt - tp)) END AS f1
+               FROM c)
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_thresholds,
+           (SELECT CAST(s AS BIGINT) FROM m WHERE j IS NOT NULL
+            ORDER BY j DESC, s ASC LIMIT 1) AS best_j_threshold,
+           (SELECT CAST(j AS BIGINT) FROM m WHERE j IS NOT NULL
+            ORDER BY j DESC, s ASC LIMIT 1) AS best_j_ppm,
+           (SELECT CAST(s AS BIGINT) FROM m WHERE f1 IS NOT NULL
+            ORDER BY f1 DESC, s ASC LIMIT 1) AS best_f1_threshold,
+           (SELECT CAST(f1 AS BIGINT) FROM m WHERE f1 IS NOT NULL
+            ORDER BY f1 DESC, s ASC LIMIT 1) AS best_f1_ppm""",
 
     // The decode is the identity on the synth fixtures, so the oracle
     // replays the arithmetic alone.

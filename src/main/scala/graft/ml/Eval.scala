@@ -536,6 +536,50 @@ object Eval {
         max("graft_rm").cast("long").as("fitted_ppm"))
   }
 
+  /** Operating-point picker — the threshold a deployed classifier
+    * actually ships: scans EVERY distinct score as a candidate cut
+    * (predict positive iff s ≥ t) and returns the argmax of Youden's
+    * J = recall + specificity − 1 (the balanced choice, independent of
+    * class prevalence) and of F1 (the precision-weighted choice) —
+    * [[thresholdSweep]] evaluates thresholds you name; this finds them.
+    *
+    * Exact: cumulative tp/fp from one descending window over the gated
+    * per-score table; J_ppm = tp·10⁶ div P + tn·10⁶ div N − 10⁶ (two
+    * floors at fixed points) and F1_ppm = 2·tp·10⁶ div (2tp+fp+fn) (ONE
+    * rational); argmax deterministic (metric desc, threshold asc).
+    * NULL J when either class is empty; NULL F1 when no positives. */
+  def operatingPoint(scored: DataFrame, scoreCol: String,
+                     labelCol: String): DataFrame = {
+    val wDesc = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy()
+    val cum = perScore(scored, scoreCol, labelCol)
+      .withColumn("tp", sum("p").over(wDesc))
+      .withColumn("fp", sum("n").over(wDesc))
+      .withColumn("pt", sum("p").over(wAll))
+      .withColumn("nt", sum("n").over(wAll))
+      .select(col("s"), col("tp"), col("fp"), col("pt"), col("nt"),
+        expr("CASE WHEN pt = 0 OR nt = 0 THEN CAST(NULL AS BIGINT)"
+          + " ELSE tp * 1000000 div pt"
+          + "   + (nt - fp) * 1000000 div nt - 1000000 END").as("j_ppm"),
+        expr("CASE WHEN pt = 0 THEN CAST(NULL AS BIGINT)"
+          + " ELSE 2 * tp * 1000000"
+          + "   div (2 * tp + fp + (pt - tp)) END").as("f1_ppm"))
+    // argmax as a struct max — (metric, −threshold) orders metric desc
+    // then threshold asc, deterministic on ties, and a fully-degenerate
+    // input yields NULLs instead of an empty frame.
+    cum.agg(count(lit(1)).as("n_thresholds"),
+        max(when(col("j_ppm").isNotNull,
+          struct(col("j_ppm"), (-col("s")).as("graft_ns")))).as("graft_bj"),
+        max(when(col("f1_ppm").isNotNull,
+          struct(col("f1_ppm"), (-col("s")).as("graft_ns")))).as("graft_bf"))
+      .select(col("n_thresholds"),
+        expr("-graft_bj.graft_ns").cast("long").as("best_j_threshold"),
+        col("graft_bj.j_ppm").cast("long").as("best_j_ppm"),
+        expr("-graft_bf.graft_ns").cast("long").as("best_f1_threshold"),
+        col("graft_bf.f1_ppm").cast("long").as("best_f1_ppm"))
+  }
+
   /** Out-of-fold target encoding — the leakage-free way to turn a
     * categorical column into a numeric feature (a naive per-category
     * target mean leaks each row's OWN label into its feature; the

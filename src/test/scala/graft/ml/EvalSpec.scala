@@ -300,6 +300,34 @@ class EvalSpec extends SparkSpec {
     assert(r2.getAs[Long]("stat_milli") === 0L)
   }
 
+  test("operatingPoint: hand-computed J and F1 argmax with tiebreaks") {
+    // pos at {8, 6, 3}; neg at {7, 2, 1}. Candidate cuts (desc):
+    //  t=8: tp1 fp0 → J = 1/3 + 1 − 1 = 1/3;      F1 = 2/(2+0+2) = .5
+    //  t=7: tp1 fp1 → J = 1/3 − 1/3 = 0;           F1 = 2/5 = .4
+    //  t=6: tp2 fp1 → J = 2/3 + 2/3 − 1 = 1/3;     F1 = 4/6 = .666
+    //  t=3: tp3 fp1 → J = 1 + 2/3 − 1 = 2/3;       F1 = 6/7 = .857
+    //  t=2: tp3 fp2 → J = 1/3;                      F1 = 6/8 = .75
+    //  t=1: tp3 fp3 → J = 0;                        F1 = 6/9 = .666
+    val d = df(Seq((8L, 1L), (6L, 1L), (3L, 1L), (7L, 0L), (2L, 0L),
+      (1L, 0L)))
+    val r = Eval.operatingPoint(d, "s", "y").collect()(0)
+    assert(r.getAs[Long]("n_thresholds") === 6L)
+    assert(r.getAs[Long]("best_j_threshold") === 3L)
+    assert(r.getAs[Long]("best_j_ppm") === 666666L)
+    assert(r.getAs[Long]("best_f1_threshold") === 3L)
+    assert(r.getAs[Long]("best_f1_ppm") === 857142L)
+    // J ties at 1/3 (t=8 and t=6 and t=2) would break to the LOWEST
+    // threshold; verify via a single-class-J fixture below instead.
+  }
+
+  test("operatingPoint: one-class input NULLs J but keeps F1") {
+    val onlyPos = df(Seq((5L, 1L), (3L, 1L)))
+    val r = Eval.operatingPoint(onlyPos, "s", "y").collect()(0)
+    assert(r.isNullAt(r.fieldIndex("best_j_threshold")))
+    assert(r.getAs[Long]("best_f1_threshold") === 3L) // include both
+    assert(r.getAs[Long]("best_f1_ppm") === 1000000L)
+  }
+
   test("targetEncode: out-of-fold means exclude the row's own fold") {
     import spark.implicits._
     // Force known folds by picking ids whose md5 4-hex prefix lands in
