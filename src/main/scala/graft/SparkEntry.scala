@@ -1969,6 +1969,15 @@ object SparkEntry {
       ml.Eval.agreementStats(scoredDocs(s, d), "score_q", "label",
         threshold = 5000L)),
 
+    // Term-bloom full-text file skipping: the sidecar-index family's
+    // third leg (equality bloom, zone maps, now TOKENS) — search 'dup'
+    // through the index, exact token predicate re-applied.
+    "q270_term_lookup" -> ((s, d) => {
+      val (store, side) = termStorePaths(s, d)
+      sources.TermIndex.search(s, store, side, "text", "dup")
+        .select(col("doc_id"), col("source"))
+    }),
+
     // Operating-point picker: the Youden-J and F1-max thresholds over
     // every distinct score — the cut a deployed classifier ships.
     "q269_operating_point" -> ((s, d) =>
@@ -3121,6 +3130,25 @@ object SparkEntry {
       (store, side)
     })
 
+  /** Text store + TERM bloom sidecar for q270, memoized like the q97
+    * store: 16 files not organized by content, one term-bloom per file.
+    * TermIndexSpec holds the locality-pruning and no-false-negative
+    * bars; this store makes the end-to-end search an oracle-checked
+    * row set. */
+  private val termStoreCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String)]
+  private def termStorePaths(s: SparkSession, d: String): (String, String) =
+    termStoreCache.getOrElseUpdate((s, d), {
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q270_" + (d.hashCode.toLong & 0xffffffffL)).getAbsolutePath
+      val store = s"$base/store"; val side = s"$base/sidecar"
+      Tables.documents(s, d).select("doc_id", "source", "text")
+        .repartition(16).write.mode("overwrite").parquet(store)
+      sources.TermIndex.build(s, store, side, "text",
+        expectedPerFile = 20000L)
+      (store, side)
+    })
+
   /** Range-clustered store + zone-map sidecar for q124, memoized per
     * (session, dir) like the bloom store: the layout is what makes the
     * min/max intervals disjoint enough to prune. */
@@ -3155,6 +3183,7 @@ object SparkEntry {
   def releaseCaches(): Unit = {
     bloomStoreCache.clear()
     zoneStoreCache.clear()
+    termStoreCache.clear()
     clustersCache.clear()
     fpStoreCache.clear()
     lshStoreCache.clear()
@@ -5631,6 +5660,13 @@ object SparkEntry {
                  - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)))
              END AS BIGINT) AS kappa_ppm
          FROM c""",
+
+    // Exact token membership (substring hits of longer tokens do NOT
+    // count — list_contains over the same tokenizer).
+    "q270_term_lookup" ->
+      """SELECT doc_id, source FROM documents
+         WHERE list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                             'dup')""",
 
     // Same cumulative window and (metric desc, threshold asc) argmax.
     "q269_operating_point" ->

@@ -33,7 +33,7 @@ case class BloomFileKey(file: String, key: Long)
 object BloomIndex {
 
   /** Mergeable per-group bloom build: reduce = put, merge = union. */
-  private class BloomAgg(expectedItems: Long, fpp: Double)
+  private[sources] class BloomAgg(expectedItems: Long, fpp: Double)
       extends Aggregator[BloomFileKey, BloomFilter, Array[Byte]] {
     override def zero: BloomFilter = BloomFilter.create(expectedItems, fpp)
     override def reduce(b: BloomFilter, r: BloomFileKey): BloomFilter = {
@@ -81,7 +81,7 @@ object BloomIndex {
     candidateQuery(spark, sidecarPath, value).collect().toSeq
   }
 
-  private def candidateQuery(spark: SparkSession, sidecarPath: String,
+  private[sources] def candidateQuery(spark: SparkSession, sidecarPath: String,
                              value: String): org.apache.spark.sql.Dataset[String] = {
     import spark.implicits._
     // Probe hash computed through the SAME public xxhash64 function the
