@@ -1969,6 +1969,16 @@ object SparkEntry {
       ml.Eval.agreementStats(scoredDocs(s, d), "score_q", "label",
         threshold = 5000L)),
 
+    // t-closeness: the privacy triad's skew rung after k-anonymity
+    // (q143) and l-diversity (q241) — ordered-domain EMD between each
+    // (nation, segment) group's acctbal-band distribution and the
+    // global one, denominators cleared so the statistic stays integral.
+    "q271_t_closeness" -> ((s, d) =>
+      Analytics.tClosenessRisk(Tables.customer(s, d),
+        Seq(col("c_nationkey"), col("c_mktsegment")),
+        Seq("nation", "segment"),
+        expr("CAST(floor(c_acctbal / 1000) AS BIGINT)"), tPpm = 100000L)),
+
     // Term-bloom full-text file skipping: the sidecar-index family's
     // third leg (equality bloom, zone maps, now TOKENS) — search 'dup'
     // through the index, exact token predicate re-applied.
@@ -5667,6 +5677,39 @@ object SparkEntry {
       """SELECT doc_id, source FROM documents
          WHERE list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'),
                              'dup')""",
+
+    // Same cleared-denominator cumulative EMD, one floor-div into ppm.
+    "q271_t_closeness" ->
+      """WITH k AS (SELECT c_nationkey AS nation, c_mktsegment AS segment,
+                 CAST(floor(c_acctbal / 1000) AS BIGINT) AS band
+             FROM customer),
+         cell AS (SELECT nation, segment, band,
+                    CAST(count(*) AS BIGINT) AS c
+                  FROM k GROUP BY 1, 2, 3),
+         gdist AS (SELECT band, CAST(count(*) AS BIGINT) AS g
+                  FROM k GROUP BY 1),
+         tot AS (SELECT CAST(sum(g) AS BIGINT) AS nn,
+                   CAST(count(*) AS BIGINT) AS m
+                 FROM gdist),
+         grp AS (SELECT nation, segment, CAST(sum(c) AS BIGINT) AS n
+                 FROM cell GROUP BY 1, 2),
+         filled AS (SELECT gr.nation, gr.segment, gl.band, gl.g, gr.n,
+                      COALESCE(cl.c, 0) AS c
+                    FROM grp gr CROSS JOIN gdist gl
+                    LEFT JOIN cell cl ON cl.nation = gr.nation
+                      AND cl.segment = gr.segment AND cl.band = gl.band),
+         cum AS (SELECT nation, segment, n,
+                   CAST(sum(c) OVER (PARTITION BY nation, segment
+                     ORDER BY band) AS BIGINT) AS cc,
+                   CAST(sum(g) OVER (PARTITION BY nation, segment
+                     ORDER BY band) AS BIGINT) AS gc
+                 FROM filled),
+         s AS (SELECT nation, segment, n, nn, m,
+                 CAST(sum(abs(cc * nn - gc * n)) AS BIGINT) AS sv
+               FROM cum CROSS JOIN tot GROUP BY 1, 2, 3, 4, 5)
+         SELECT nation, segment, n AS n_rows,
+                CAST(sv * 1000000 // (n * nn * (m - 1)) AS BIGINT) AS emd_ppm
+         FROM s WHERE sv * 1000000 // (n * nn * (m - 1)) > 100000""",
 
     // Same cumulative window and (metric desc, threshold asc) argmax.
     "q269_operating_point" ->

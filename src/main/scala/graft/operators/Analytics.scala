@@ -1015,6 +1015,63 @@ object Analytics {
         expr("graft_top * 1000000 div graft_n").as("top_share_ppm")): _*)
   }
 
+  /** t-closeness audit — the third rung of the privacy ladder after
+    * [[kAnonymityRisk]] and [[lDiversityRisk]]: a group can be
+    * k-anonymous AND l-diverse yet still leak by SKEW (its sensitive
+    * values are diverse but all clustered at one end of the domain —
+    * the similarity attack), so this one flags every quasi-identifier
+    * group whose sensitive-value DISTRIBUTION sits farther than t from
+    * the global distribution. Distance is the ordered-domain Earth
+    * Mover's Distance, EMD = (1/(m-1))·Σᵢ|Pᵢ−Qᵢ| over cumulative
+    * shares — computed EXACTLY in integers by clearing denominators:
+    * |Cᵢ·N − Gᵢ·n| summed, then ONE floor-div into ppm at the end
+    * (Cᵢ = group cumulative count at band i, Gᵢ = global cumulative,
+    * n = group size, N = table size, m = domain size). No float ever
+    * touches the statistic, so the DuckDB oracle replays it bit-exact.
+    *
+    * Scale posture: one exchange on (quasi, band) carrying one row per
+    * combination; the global band distribution, the band domain and the
+    * (1-row) totals are aggregate-sized and broadcast; the cumulative
+    * window and the final fold run on the groups×bands table, never on
+    * input rows. Products stay in BIGINT while n·N·1e6 < 2⁶³ (holds to
+    * ~3 B rows); past that the ppm step must promote to DECIMAL(38,0) —
+    * noted here rather than paid on every row today. */
+  def tClosenessRisk(df: DataFrame, quasiCols: Seq[Column],
+                     names: Seq[String], sensitiveOrdinal: Column,
+                     tPpm: Long): DataFrame = {
+    val keyed = df.select((quasiCols.zip(names).map { case (c, n) =>
+      c.as(n) } :+ sensitiveOrdinal.as("graft_band")): _*)
+    val cell = keyed
+      .groupBy((names.map(col) :+ col("graft_band")): _*)
+      .agg(count(lit(1)).as("graft_c"))
+    val glob = keyed.groupBy(col("graft_band"))
+      .agg(count(lit(1)).as("graft_g"))
+    val totals = glob.agg(sum("graft_g").as("graft_nn"),
+      count(lit(1)).as("graft_m"))
+    val groups = cell.groupBy(names.map(col): _*)
+      .agg(sum("graft_c").as("graft_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(names.map(col): _*).orderBy(col("graft_band"))
+      .rowsBetween(Long.MinValue, 0)
+    groups
+      .crossJoin(broadcast(glob.select(col("graft_band"), col("graft_g"))))
+      .join(cell, names :+ "graft_band", "left")
+      .select((names.map(col) :+ col("graft_band") :+ col("graft_g") :+
+        col("graft_n") :+ coalesce(col("graft_c"), lit(0L)).as("graft_c")): _*)
+      .select((names.map(col) :+ col("graft_n") :+
+        sum(col("graft_c")).over(w).as("graft_cum") :+
+        sum(col("graft_g")).over(w).as("graft_gcum")): _*)
+      .crossJoin(broadcast(totals))
+      .groupBy((names.map(col) :+ col("graft_n") :+ col("graft_nn") :+
+        col("graft_m")): _*)
+      .agg(sum(abs(col("graft_cum") * col("graft_nn") -
+        col("graft_gcum") * col("graft_n"))).as("graft_s"))
+      .select((names.map(col) :+ col("graft_n").as("n_rows") :+
+        expr("graft_s * 1000000 div (graft_n * graft_nn * (graft_m - 1))")
+          .as("emd_ppm")): _*)
+      .filter(col("emd_ppm") > tPpm)
+  }
+
   /** Vocabulary-growth (Heaps-law) readout: distinct-term count and
     * cumulative token count at increasing corpus prefixes (by `idCol`
     * order). The naive formulation — count distinct over each prefix —

@@ -951,6 +951,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(0).getAs[Long]("top_share_ppm") === 1000000L)
   }
 
+  test("tClosenessRisk: cleared-denominator EMD flags the skewed group only") {
+    // bands {1,2}; global = 7:1. A (n=2) splits 1:1 → |0.5-0.875| =
+    // 0.375; B (n=6) is all band-1 → |1-0.875| = 0.125. Integral:
+    // A |1·8-7·2| = 6 → 6e6 div (2·8·1) = 375000; B |6·8-7·6| = 6 →
+    // 6e6 div (6·8·1) = 125000.
+    val rows = (Seq(("A", 1L), ("A", 2L)) ++
+      Seq.fill(6)(("B", 1L))).toDF("grp", "band")
+    val got = Analytics.tClosenessRisk(rows, Seq(col("grp")), Seq("g"),
+      col("band"), tPpm = 200000L).collect()
+    assert(got.length === 1)
+    assert(got(0).getAs[String]("g") === "A")
+    assert(got(0).getAs[Long]("n_rows") === 2L)
+    assert(got(0).getAs[Long]("emd_ppm") === 375000L)
+    val all = Analytics.tClosenessRisk(rows, Seq(col("grp")), Seq("g"),
+      col("band"), tPpm = -1L).collect().map(r =>
+        r.getAs[String]("g") -> r.getAs[Long]("emd_ppm")).toMap
+    assert(all === Map("A" -> 375000L, "B" -> 125000L))
+  }
+
   test("ewmaBacktest: hand-computed dyadic forecast; gaps unscore days") {
     val day = 86400L * 1000000L
     // window=2: S_t = y_{t-1}·2 + y_{t-2}, fc = S div 3.
