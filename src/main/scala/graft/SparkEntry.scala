@@ -1969,6 +1969,16 @@ object SparkEntry {
       ml.Eval.agreementStats(scoredDocs(s, d), "score_q", "label",
         threshold = 5000L)),
 
+    // HITS hubs/authorities: the directed twin of q131's PageRank — on
+    // the supplier→part graph, hub mass = broad-catalog suppliers,
+    // authority mass = widely-sourced parts; max-normed integer
+    // half-steps so the oracle unrolls the identical arithmetic.
+    "q272_hits" -> ((s, d) =>
+      Graph.hitsPortable(Tables.lineitem(s, d)
+        .select(col("l_suppkey").cast("long").as("src"),
+          (col("l_partkey") + lit(10000000L)).cast("long").as("dst")),
+        "src", "dst", iters = 3, topK = 20)),
+
     // t-closeness: the privacy triad's skew rung after k-anonymity
     // (q143) and l-diversity (q241) — ordered-domain EMD between each
     // (nation, segment) group's acctbal-band distribution and the
@@ -3421,6 +3431,33 @@ object SparkEntry {
        ${iter("m3", "r2", "r3")}
        SELECT node, rank FROM r3 WHERE rank > 0
        ORDER BY rank DESC, node LIMIT 20"""
+  }
+
+  /** HITS unrolled: each iteration is two joins + two max-normed floor
+    * divisions; score tables stay sparse exactly as the operator's. */
+  private def q272OracleSql: String = {
+    def iter(aPrev: String, i: Int) =
+      s"""hr$i AS (SELECT e.src AS node, CAST(sum(a.a) AS BIGINT) AS s
+            FROM e JOIN $aPrev a ON e.dst = a.node GROUP BY 1),
+          h$i AS (SELECT node, CAST(s * 1000000 //
+                    (SELECT max(s) FROM hr$i) AS BIGINT) AS h
+                  FROM hr$i),
+          ar$i AS (SELECT e.dst AS node, CAST(sum(h.h) AS BIGINT) AS s
+            FROM e JOIN h$i h ON e.src = h.node GROUP BY 1),
+          a$i AS (SELECT node, CAST(s * 1000000 //
+                    (SELECT max(s) FROM ar$i) AS BIGINT) AS a
+                  FROM ar$i)"""
+    s"""WITH e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+                CAST(l_partkey + 10000000 AS BIGINT) AS dst FROM lineitem),
+       n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       a0 AS (SELECT node, CAST(1000000 AS BIGINT) AS a FROM n),
+       ${iter("a0", 1)},
+       ${iter("a1", 2)},
+       ${iter("a2", 3)}
+       SELECT n.node, COALESCE(h3.h, 0) AS hub, COALESCE(a3.a, 0) AS auth
+       FROM n LEFT JOIN h3 ON n.node = h3.node
+              LEFT JOIN a3 ON n.node = a3.node
+       ORDER BY auth DESC, n.node LIMIT 20"""
   }
 
   private def q131OracleSql: String = {
@@ -5242,6 +5279,9 @@ object SparkEntry {
          FROM u""",
 
     "q131_pagerank" -> q131OracleSql,
+
+    // HITS replayed: the same three max-normed integer half-steps.
+    "q272_hits" -> q272OracleSql,
 
     // q131's unrolled walk with the teleport CASE-gated to the seeds.
     "q256_ppr" -> q256OracleSql,

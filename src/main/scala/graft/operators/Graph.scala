@@ -137,6 +137,83 @@ object Graph {
     }
   }
 
+  /** HITS hubs-and-authorities — the DIRECTED-graph twin of
+    * [[pagerankPortable]] (Kleinberg, JACM 1999): a good hub points at
+    * good authorities, a good authority is pointed at by good hubs. The
+    * two mutually-recursive scores separate the "curator" role from the
+    * "content" role that a single PageRank conflates — on the
+    * supplier→part graph, hub mass lands on broad-catalog suppliers and
+    * authority mass on widely-sourced parts.
+    *
+    * Engine-portable integer discipline: scores in micro-units, each
+    * half-step renormalized by its MAX via one floor division
+    * (s·10⁶ div max — max-norm instead of L2 so no sqrt ever enters),
+    * so an unrolled SQL replay reproduces every score bit-for-bit.
+    * Score tables stay SPARSE (only nodes with out-/in-edges carry h/a;
+    * everyone else is an exact 0, coalesced once at the end).
+    *
+    * Scale posture: per iteration two keyed joins (edges⋈auth on dst,
+    * edges⋈hub on src) and two dst-/src-keyed sums, same message-passing
+    * shape as PageRank; the normalization max is a 1-row aggregate
+    * broadcast back. Sums stay in BIGINT while max-degree·10¹² < 2⁶³
+    * (holds past a million in-edges per node). */
+  def hitsPortable(edges: DataFrame, srcCol: String, dstCol: String,
+                   iters: Int, topK: Int, r0: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && topK >= 1, "iters and topK must be positive")
+    import org.apache.spark.storage.StorageLevel
+    val e = edges.select(col(srcCol).cast("long").as("graft_src"),
+      col(dstCol).cast("long").as("graft_dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("graft_src").as("node"))
+      .union(e.select(col("graft_dst"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var auth = nodes.withColumn("graft_a", lit(r0))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var hub: DataFrame = null
+    var pa: DataFrame = null
+    var ph: DataFrame = null
+    try {
+      for (_ <- 1 to iters) {
+        val hraw = e
+          .join(auth.withColumnRenamed("node", "graft_dst")
+            .withColumnRenamed("graft_a", "graft_av"), "graft_dst")
+          .groupBy(col("graft_src").as("node"))
+          .agg(sum("graft_av").as("graft_s"))
+        ph = hraw
+          .crossJoin(broadcast(hraw.agg(max("graft_s").as("graft_mx"))))
+          .select(col("node"),
+            expr("graft_s * 1000000 div graft_mx").as("graft_h"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val araw = e
+          .join(ph.withColumnRenamed("node", "graft_src"), "graft_src")
+          .groupBy(col("graft_dst").as("node"))
+          .agg(sum("graft_h").as("graft_s"))
+        pa = araw
+          .crossJoin(broadcast(araw.agg(max("graft_s").as("graft_mx"))))
+          .select(col("node"),
+            expr("graft_s * 1000000 div graft_mx").as("graft_a"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        pa.count() // materialize the generation before dropping its inputs
+        auth.unpersist()
+        if (hub ne null) hub.unpersist()
+        auth = pa; hub = ph
+        pa = null; ph = null
+      }
+      Materialize.artifact(
+        nodes
+          .join(hub.select(col("node"), col("graft_h")), Seq("node"), "left")
+          .join(auth.select(col("node"), col("graft_a")), Seq("node"), "left")
+          .select(col("node"), coalesce(col("graft_h"), lit(0L)).as("hub"),
+            coalesce(col("graft_a"), lit(0L)).as("auth"))
+          .orderBy(col("auth").desc, col("node").asc).limit(topK))
+    } finally {
+      if (pa ne null) pa.unpersist()
+      if (ph ne null) ph.unpersist()
+      if (hub ne null) hub.unpersist()
+      auth.unpersist(); e.unpersist(); nodes.unpersist()
+    }
+  }
+
   /** Exact triangle counting + local clustering coefficient over an
     * UNDIRECTED edge list — the classic graph-quality readout (how
     * cliquish is each node's neighborhood) next to [[Components]]'

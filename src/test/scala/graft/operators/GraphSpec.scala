@@ -31,6 +31,29 @@ class GraphSpec extends SparkSpec {
     assert(got.tail.map(_._1).toSeq === leaves.toSeq)
   }
 
+  test("hitsPortable replays the hand-computed bipartite scores") {
+    // Hubs {1,2} → authorities {10,11}: 1→10, 1→11, 2→10.
+    // Iter1: hr=(2e6,1e6)→h=(1e6,500000); ar(10)=1.5e6, ar(11)=1e6 →
+    //        a=(1e6,666666).
+    // Iter2: hr(1)=1666666, hr(2)=1e6 → h=(1e6,600000);
+    //        ar(10)=1.6e6, ar(11)=1e6 → a=(1e6,625000).
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("src", "dst")
+    val got = Graph.hitsPortable(edges, "src", "dst", iters = 2, topK = 4)
+      .as[(Long, Long, Long)].collect()
+    assert(got === Array((10L, 0L, 1000000L), (11L, 0L, 625000L),
+      (1L, 1000000L, 0L), (2L, 600000L, 0L)))
+  }
+
+  test("hits is invariant to partitioning and duplicate edges") {
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L), (1L, 10L))
+      .toDF("src", "dst")
+    val a = Graph.hitsPortable(edges, "src", "dst", 2, 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    val b = Graph.hitsPortable(edges.repartition(5), "src", "dst", 2, 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(a === b)
+  }
+
   test("ranks are invariant to input partitioning and duplicate edges") {
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 2L))
       .toDF("src", "dst")
