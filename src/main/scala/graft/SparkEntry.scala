@@ -1969,6 +1969,12 @@ object SparkEntry {
       ml.Eval.agreementStats(scoredDocs(s, d), "score_q", "label",
         threshold = 5000L)),
 
+    // Kruskal-Wallis: the k-sample rung of the rank family — do the
+    // event types draw `value` from one distribution, judged on exact
+    // integral midranks with the tie-corrected H in floor-milli.
+    "q273_kruskal_wallis" -> ((s, d) =>
+      Analytics.kruskalWallis(Tables.events(s, d), "event_type", "value")),
+
     // HITS hubs/authorities: the directed twin of q131's PageRank — on
     // the supplier→part graph, hub mass = broad-catalog suppliers,
     // authority mass = widely-sourced parts; max-normed integer
@@ -5282,6 +5288,32 @@ object SparkEntry {
 
     // HITS replayed: the same three max-normed integer half-steps.
     "q272_hits" -> q272OracleSql,
+
+    // Same doubled-midrank table, floor-milli H and tie-corrected H.
+    "q273_kruskal_wallis" ->
+      """WITH r AS (SELECT event_type AS g, value AS v FROM events
+                WHERE event_type IS NOT NULL AND value IS NOT NULL),
+         d AS (SELECT v, CAST(count(*) AS BIGINT) AS m FROM r GROUP BY 1),
+         rk AS (SELECT v, m, CAST(2 * COALESCE(sum(m) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + m + 1 AS HUGEINT) AS r2 FROM d),
+         g AS (SELECT r.g, CAST(count(*) AS HUGEINT) AS n,
+                 CAST(sum(rk.r2) AS HUGEINT) AS s
+               FROM r JOIN rk ON r.v = rk.v GROUP BY 1),
+         t AS (SELECT CAST(sum(CAST(m AS HUGEINT) * m * m - m)
+                 AS HUGEINT) AS tie FROM d),
+         a AS (SELECT CAST(sum(n) AS HUGEINT) AS nn,
+                 CAST(count(*) AS BIGINT) AS n_groups,
+                 CAST(sum(s * s // n) AS HUGEINT) AS st FROM g)
+         SELECT CAST(nn AS BIGINT) AS n_rows, n_groups,
+           CAST(greatest(0, 3000 * st // (nn * (nn + 1))
+             - 3000 * (nn + 1)) AS BIGINT) AS h_milli,
+           CASE WHEN nn * nn * nn - nn - tie = 0 THEN CAST(NULL AS BIGINT)
+                ELSE CAST(greatest(0, (3000 * st // (nn * (nn + 1))
+                       - 3000 * (nn + 1)) * (nn * nn * nn - nn)
+                       // (nn * nn * nn - nn - tie)) AS BIGINT)
+                END AS hc_milli
+         FROM a CROSS JOIN t""",
 
     // q131's unrolled walk with the teleport CASE-gated to the seeds.
     "q256_ppr" -> q256OracleSql,

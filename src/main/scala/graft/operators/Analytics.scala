@@ -1360,6 +1360,72 @@ object Analytics {
           " * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) END").as("rho"))
   }
 
+  /** Kruskal-Wallis H — the k-sample rung of the rank family
+    * ([[spearman]] association, [[kendallTau]] concordance, q167's
+    * Mann-Whitney AUC): do k groups draw from the same distribution,
+    * judged on RANKS so outliers and monotone rescalings can't fake or
+    * hide a shift. H = 3/(N(N+1))·Σ_g S_g²/n_g − 3(N+1) over DOUBLED
+    * midranks S_g (2·rank = 2·below + ties + 1 — the exact-integral
+    * trick shared with spearman), reported in floor-milli together with
+    * the tie-corrected H_c = H·(N³−N) div (N³−N−Σ(t³−t)). Every step is
+    * integer/decimal floor arithmetic — no float enters the statistic,
+    * both milli values clamp at 0 (H is mathematically ≥ 0; floors can
+    * graze −1). Chi-square reference: df = k−1, H_c ≳ 9.2 milli-9200
+    * rejects at α=0.01 for k=3 — the caller owns the lookup, the engine
+    * owns the exact statistic (the q197/q249 division of labor).
+    *
+    * Scale posture: ranks are computed on the DISTINCT-value table
+    * (bounded by `maxDistinct`, asserted loudly — quantize first past
+    * that), so the one unpartitioned rank window never sees corpus
+    * rows; the per-group fold is one map-combinable aggregate keyed by
+    * group, and the tie/total scalars ride back as 1-row broadcasts.
+    * Sums live in DECIMAL(38,0): exact past the 2⁶³ line (S_g² reaches
+    * ~4N³). */
+  def kruskalWallis(df: DataFrame, groupCol: String, valueCol: String,
+                    maxDistinct: Long = 1L << 20): DataFrame = {
+    val rows = df.select(col(groupCol).as("graft_g"), col(valueCol).as("graft_v"))
+      .filter(col("graft_g").isNotNull && col("graft_v").isNotNull)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val w = org.apache.spark.sql.expressions.Window.orderBy("graft_v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranks = rows.groupBy(col("graft_v")).agg(count(lit(1)).as("graft_m"))
+      .withColumn("graft_card", count(lit(1)).over(wAll))
+      .filter(assert_true(col("graft_card") <= lit(maxDistinct),
+        lit(s"kruskalWallis: more than $maxDistinct distinct values — " +
+          "quantize the metric before ranking")).isNull)
+      .withColumn("graft_below",
+        coalesce(sum("graft_m").over(w), lit(0L)))
+      .select(col("graft_v"), col("graft_m"),
+        (lit(2L) * col("graft_below") + col("graft_m") + lit(1L))
+          .cast("decimal(38,0)").as("graft_r2"))
+    val grp = rows
+      .join(ranks.select("graft_v", "graft_r2"), Seq("graft_v"))
+      .groupBy("graft_g")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("graft_n"),
+        sum("graft_r2").as("graft_s"))
+    val ties = ranks.agg(
+      sum(expr("CAST(graft_m AS DECIMAL(38,0)) * graft_m * graft_m" +
+        " - graft_m")).as("graft_tie"))
+    grp
+      .agg(sum("graft_n").cast("decimal(38,0)").as("graft_nn"),
+        count(lit(1)).as("n_groups"),
+        sum(expr("(graft_s * graft_s) div graft_n"))
+          .cast("decimal(38,0)").as("graft_st"))
+      .crossJoin(broadcast(ties))
+      .select(col("graft_nn").cast("long").as("n_rows"), col("n_groups"),
+        expr("CAST(greatest(0L," +
+          " 3000 * graft_st div (graft_nn * (graft_nn + 1))" +
+          " - 3000 * (graft_nn + 1)) AS BIGINT)").as("h_milli"),
+        expr("CASE WHEN graft_nn * graft_nn * graft_nn - graft_nn" +
+          " - graft_tie = 0 THEN CAST(NULL AS BIGINT)" +
+          " ELSE greatest(0L," +
+          " (3000 * graft_st div (graft_nn * (graft_nn + 1))" +
+          "  - 3000 * (graft_nn + 1))" +
+          " * (graft_nn * graft_nn * graft_nn - graft_nn)" +
+          " div (graft_nn * graft_nn * graft_nn - graft_nn - graft_tie))" +
+          " END").as("hc_milli"))
+  }
+
   /** Seasonal-naive forecast backtest — "does weekday seasonality
     * predict this series": per series, each observed day's count is
     * forecast two ways — SEASONAL = floor mean of the k most recent

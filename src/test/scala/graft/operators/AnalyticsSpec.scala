@@ -970,6 +970,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(all === Map("A" -> 375000L, "B" -> 125000L))
   }
 
+  test("kruskalWallis: hand-computed midrank H and tie-corrected H") {
+    // A={1,2,3}, B={2,3,4}: r2 = (2,5,9,12); S_A=16, S_B=26;
+    // st = 256 div 3 + 676 div 3 = 310; H = 3000·310 div 42 − 21000
+    // = 1142; ties Σ(t³−t)=12, N³−N=210 → Hc = 1142·210 div 198 = 1211.
+    val rows = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0),
+      ("B", 2.0), ("B", 3.0), ("B", 4.0)).toDF("grp", "v")
+    val got = Analytics.kruskalWallis(rows, "grp", "v").collect()(0)
+    assert(got.getAs[Long]("n_rows") === 6L)
+    assert(got.getAs[Long]("n_groups") === 2L)
+    assert(got.getAs[Long]("h_milli") === 1142L)
+    assert(got.getAs[Long]("hc_milli") === 1211L)
+  }
+
+  test("kruskalWallis: fully-tied input clamps H at 0, Hc is NULL") {
+    val rows = Seq(("A", 5.0), ("A", 5.0), ("B", 5.0), ("B", 5.0))
+      .toDF("grp", "v")
+    val got = Analytics.kruskalWallis(rows, "grp", "v").collect()(0)
+    assert(got.getAs[Long]("h_milli") === 0L)
+    assert(got.isNullAt(got.fieldIndex("hc_milli")))
+  }
+
   test("ewmaBacktest: hand-computed dyadic forecast; gaps unscore days") {
     val day = 86400L * 1000000L
     // window=2: S_t = y_{t-1}·2 + y_{t-2}, fc = S div 3.
