@@ -1969,6 +1969,14 @@ object SparkEntry {
       ml.Eval.agreementStats(scoredDocs(s, d), "score_q", "label",
         threshold = 5000L)),
 
+    // Difference-in-differences with a pre-period placebo replay: the
+    // quasi-experimental rung of the experiment family — each arm's own
+    // pre-trend subtracted, parallel-trends made checkable.
+    "q274_did" -> ((s, d) =>
+      Experiment.diffInDiff(eventsUs(s, d), "user_id", "event_type",
+        "value", "ts_us", metricType = "purchase",
+        cutTsUs = 1705363200000000L, placeboCutUs = 1704672000000000L)),
+
     // Kruskal-Wallis: the k-sample rung of the rank family — do the
     // event types draw `value` from one distribution, judged on exact
     // integral midranks with the tie-corrected H in floor-milli.
@@ -5288,6 +5296,68 @@ object SparkEntry {
 
     // HITS replayed: the same three max-normed integer half-steps.
     "q272_hits" -> q272OracleSql,
+
+    // Same one-pass four-period user table, floor milli-cent cell means.
+    "q274_did" ->
+      """WITH pu AS (SELECT user_id AS u,
+                  CAST(sum(CASE WHEN epoch_us(ts) < 1705363200000000
+                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS HUGEINT) AS s_pre,
+                  CAST(sum(CASE WHEN epoch_us(ts) >= 1705363200000000
+                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS HUGEINT) AS s_post,
+                  CAST(sum(CASE WHEN epoch_us(ts) < 1704672000000000
+                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS HUGEINT) AS s_pl1,
+                  CAST(sum(CASE WHEN epoch_us(ts) >= 1704672000000000
+                        AND epoch_us(ts) < 1705363200000000
+                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS HUGEINT) AS s_pl2,
+                  max(CASE WHEN epoch_us(ts) < 1705363200000000
+                      THEN 1 ELSE 0 END) AS a_pre,
+                  max(CASE WHEN epoch_us(ts) >= 1705363200000000
+                      THEN 1 ELSE 0 END) AS a_post,
+                  max(CASE WHEN epoch_us(ts) < 1704672000000000
+                      THEN 1 ELSE 0 END) AS a_pl1,
+                  max(CASE WHEN epoch_us(ts) >= 1704672000000000
+                       AND epoch_us(ts) < 1705363200000000
+                      THEN 1 ELSE 0 END) AS a_pl2,
+                  CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                       < '8' THEN 'A' ELSE 'B' END AS arm
+               FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         pa AS (SELECT arm,
+                  CAST(sum(a_pre) AS HUGEINT) AS n_pre,
+                  CAST(sum(a_post) AS HUGEINT) AS n_post,
+                  CAST(sum(a_pl1) AS HUGEINT) AS n_pl1,
+                  CAST(sum(a_pl2) AS HUGEINT) AS n_pl2,
+                  sum(s_pre) AS t_pre, sum(s_post) AS t_post,
+                  sum(s_pl1) AS t_pl1, sum(s_pl2) AS t_pl2
+                FROM pu GROUP BY 1),
+         m AS (SELECT arm,
+                 CAST(n_pre AS BIGINT) AS n_pre,
+                 CAST(n_post AS BIGINT) AS n_post,
+                 CASE WHEN n_pre = 0 THEN NULL
+                      ELSE CAST(t_pre * 1000 // n_pre AS BIGINT)
+                      END AS m_pre,
+                 CASE WHEN n_post = 0 THEN NULL
+                      ELSE CAST(t_post * 1000 // n_post AS BIGINT)
+                      END AS m_post,
+                 CASE WHEN n_pl1 = 0 THEN NULL
+                      ELSE CAST(t_pl1 * 1000 // n_pl1 AS BIGINT)
+                      END AS m_pl1,
+                 CASE WHEN n_pl2 = 0 THEN NULL
+                      ELSE CAST(t_pl2 * 1000 // n_pl2 AS BIGINT)
+                      END AS m_pl2
+               FROM pa)
+         SELECT a.n_pre AS n_a_pre, a.n_post AS n_a_post,
+                b.n_pre AS n_b_pre, b.n_post AS n_b_post,
+                a.m_pre AS m_a_pre, a.m_post AS m_a_post,
+                b.m_pre AS m_b_pre, b.m_post AS m_b_post,
+                (b.m_post - b.m_pre) - (a.m_post - a.m_pre) AS did_milli,
+                (b.m_pl2 - b.m_pl1) - (a.m_pl2 - a.m_pl1)
+                  AS placebo_did_milli
+         FROM (SELECT * FROM m WHERE arm = 'A') a
+              CROSS JOIN (SELECT * FROM m WHERE arm = 'B') b""",
 
     // Same doubled-midrank table, floor-milli H and tie-corrected H.
     "q273_kruskal_wallis" ->

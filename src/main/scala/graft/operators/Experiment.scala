@@ -135,6 +135,84 @@ object Experiment {
         (col("adj_ppm_b") - col("adj_ppm_a")).as("adj_diff_ppm"))
   }
 
+  /** Difference-in-differences — the quasi-experimental rung of the
+    * family ([[abLift]] point lift, [[cuped]] variance reduction,
+    * [[jackknifeDiff]] uncertainty): when the arms were NOT balanced at
+    * baseline, the raw post-period gap conflates treatment effect with
+    * pre-existing level difference, so subtract each arm's own pre-trend:
+    * DiD = (ȳ_B,post − ȳ_B,pre) − (ȳ_A,post − ȳ_A,pre). The parallel-
+    * trends assumption is made CHECKABLE by a placebo replay — the same
+    * estimator run entirely inside the pre-period, split at
+    * `placeboCutUs`: a placebo "effect" far from 0 says the arms were
+    * already diverging and the real DiD is not causal.
+    *
+    * Repeated cross-section cells: a user enters an (arm, period) cell
+    * iff they have ≥1 metric event in that period; cell mean =
+    * Σcenti·1000 div n (floor milli-cents), NULL when a cell is empty
+    * (CASE — under ANSI a bare div 0 throws, the [[abLift]] lesson), and
+    * NULL propagates through the differences. Values quantize to
+    * lossless centi-units, sums ride DECIMAL(38,0) — every division is a
+    * fixed-point floor, so the oracle replays bit-exact.
+    *
+    * Scale posture: ONE user-keyed aggregate over the metric-filtered
+    * scan carries all four per-user period sums/counts (real pre/post
+    * AND the placebo halves — no second pass for the placebo); the arm
+    * rollup is 2 rows, the report one cross-joined row. */
+  def diffInDiff(events: DataFrame, userCol: String, typeCol: String,
+                 valueCol: String, tsUsCol: String, metricType: String,
+                 cutTsUs: Long, placeboCutUs: Long): DataFrame = {
+    require(placeboCutUs < cutTsUs,
+      "placebo cut must fall inside the pre-period")
+    val arm = when(substring(md5(col("graft_u").cast("string")), 1, 1) < "8",
+      "A").otherwise("B")
+    val cents = floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("long")
+    val ts = col(tsUsCol)
+    val perUser = events.filter(col(typeCol) === metricType)
+      .select(col(userCol).as("graft_u"),
+        when(ts < cutTsUs, cents).otherwise(lit(0L)).as("s_pre"),
+        when(ts >= cutTsUs, cents).otherwise(lit(0L)).as("s_post"),
+        when(ts < placeboCutUs, cents).otherwise(lit(0L)).as("s_pl1"),
+        when(ts >= placeboCutUs && ts < cutTsUs, cents)
+          .otherwise(lit(0L)).as("s_pl2"),
+        when(ts < cutTsUs, lit(1L)).otherwise(lit(0L)).as("c_pre"),
+        when(ts >= cutTsUs, lit(1L)).otherwise(lit(0L)).as("c_post"),
+        when(ts < placeboCutUs, lit(1L)).otherwise(lit(0L)).as("c_pl1"),
+        when(ts >= placeboCutUs && ts < cutTsUs, lit(1L))
+          .otherwise(lit(0L)).as("c_pl2"))
+      .groupBy("graft_u")
+      .agg(sum("s_pre").cast("decimal(38,0)").as("s_pre"),
+        (Seq("s_post", "s_pl1", "s_pl2").map(c =>
+          sum(c).cast("decimal(38,0)").as(c)) ++
+          Seq("c_pre", "c_post", "c_pl1", "c_pl2").map(c =>
+            sum(c).as(c))): _*)
+      .withColumn("graft_arm", arm)
+    // Per (arm, period): n = users ACTIVE in the period, mean over them.
+    def cell(p: String) = Seq(
+      sum(when(col(s"c_$p") > 0, lit(1L)).otherwise(lit(0L)))
+        .cast("decimal(38,0)").as(s"n_$p"),
+      sum(col(s"s_$p")).as(s"t_$p"))
+    def mean(p: String) =
+      expr(s"CASE WHEN n_$p = 0 THEN CAST(NULL AS BIGINT)" +
+        s" ELSE t_$p * 1000 div n_$p END").as(s"m_$p")
+    val perArm = perUser.groupBy("graft_arm")
+      .agg(cell("pre").head,
+        (cell("pre").tail ++ cell("post") ++ cell("pl1") ++ cell("pl2")): _*)
+      .select((col("graft_arm") +:
+        Seq("pre", "post", "pl1", "pl2").flatMap(p =>
+          Seq(col(s"n_$p").cast("long").as(s"n_$p"), mean(p)))): _*)
+    def side(a: String) = perArm.filter(col("graft_arm") === a.toUpperCase)
+      .select(Seq("pre", "post", "pl1", "pl2").flatMap(p =>
+        Seq(col(s"n_$p").as(s"n_${a}_$p"), col(s"m_$p").as(s"m_${a}_$p"))): _*)
+    side("a").crossJoin(side("b"))
+      .select(col("n_a_pre"), col("n_a_post"), col("n_b_pre"),
+        col("n_b_post"), col("m_a_pre"), col("m_a_post"), col("m_b_pre"),
+        col("m_b_post"),
+        ((col("m_b_post") - col("m_b_pre")) -
+          (col("m_a_post") - col("m_a_pre"))).as("did_milli"),
+        ((col("m_b_pl2") - col("m_b_pl1")) -
+          (col("m_a_pl2") - col("m_a_pl1"))).as("placebo_did_milli"))
+  }
+
   /** Bucketed-jackknife variance for the arm mean difference — the
     * experimentation-platform machinery [[abLift]] and [[cuped]] lack: a
     * point estimate without a standard error can't say whether the lift

@@ -151,6 +151,42 @@ class ExperimentSpec extends SparkSpec {
     assert(r.getAs[Long]("diff_micro") === 450000000L - 200000000L)
   }
 
+  test("diffInDiff: hand-computed cells, DiD and placebo in milli-cents") {
+    val uA = (1L to 20L).find(armOf(_) == "A").get
+    val uB = (1L to 20L).find(armOf(_) == "B").get
+    // placeboCut=100, cut=200. A: 1.00@50, 1.00@150, 2.00@250 →
+    // m_a_pre=200000, m_a_post=200000, pl1=pl2=100000.
+    // B: 1.00@50, 2.00@150, 5.00@250 → m_b_pre=300000, m_b_post=500000,
+    // pl1=100000, pl2=200000. DiD=(500000-300000)-(0)=200000;
+    // placebo=(200000-100000)-(100000-100000)=100000.
+    val events = Seq(
+      (uA, "m", 1.0, 50L), (uA, "m", 1.0, 150L), (uA, "m", 2.0, 250L),
+      (uB, "m", 1.0, 50L), (uB, "m", 2.0, 150L), (uB, "m", 5.0, 250L),
+      (uA, "other", 99.0, 250L))
+      .toDF("user_id", "event_type", "value", "ts_us")
+    val r = Experiment.diffInDiff(events, "user_id", "event_type", "value",
+      "ts_us", "m", cutTsUs = 200L, placeboCutUs = 100L).collect()(0)
+    assert(r.getAs[Long]("n_a_pre") === 1L && r.getAs[Long]("n_b_post") === 1L)
+    assert(r.getAs[Long]("m_a_pre") === 200000L)
+    assert(r.getAs[Long]("m_b_post") === 500000L)
+    assert(r.getAs[Long]("did_milli") === 200000L)
+    assert(r.getAs[Long]("placebo_did_milli") === 100000L)
+  }
+
+  test("diffInDiff: an empty cell NULLs the estimate, placebo survives") {
+    val uA = (1L to 20L).find(armOf(_) == "A").get
+    val uB = (1L to 20L).find(armOf(_) == "B").get
+    val events = Seq( // A has no post-period activity
+      (uA, "m", 1.0, 50L), (uA, "m", 1.0, 150L),
+      (uB, "m", 1.0, 50L), (uB, "m", 2.0, 150L), (uB, "m", 5.0, 250L))
+      .toDF("user_id", "event_type", "value", "ts_us")
+    val r = Experiment.diffInDiff(events, "user_id", "event_type", "value",
+      "ts_us", "m", cutTsUs = 200L, placeboCutUs = 100L).collect()(0)
+    assert(r.isNullAt(r.fieldIndex("m_a_post")))
+    assert(r.isNullAt(r.fieldIndex("did_milli")))
+    assert(r.getAs[Long]("placebo_did_milli") === 100000L)
+  }
+
   test("jackknifeDiff: deterministic across partitioning; buckets cover") {
     val events = (1L to 120L).map(u =>
       (u, "purchase", (u % 7).toDouble + 1.0))
