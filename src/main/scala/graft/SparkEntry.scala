@@ -1969,6 +1969,14 @@ object SparkEntry {
       ml.Eval.agreementStats(scoredDocs(s, d), "score_q", "label",
         threshold = 5000L)),
 
+    // Sequential-pattern pairs: gap-tolerant ordered mining — sessions
+    // where type a happens EVENTUALLY before type b (min-pos < max-pos
+    // collapse, so the pair join never touches raw events).
+    "q275_seq_patterns" -> ((s, d) =>
+      Sessions.sequentialPairs(eventsUs(s, d), "user_id", "ts_us",
+        "event_id", "event_type", gapUs = 30L * 60 * 1000000,
+        minSupport = 2L)),
+
     // Difference-in-differences with a pre-period placebo replay: the
     // quasi-experimental rung of the experiment family — each arm's own
     // pre-trend subtracted, parallel-trends made checkable.
@@ -5296,6 +5304,34 @@ object SparkEntry {
 
     // HITS replayed: the same three max-normed integer half-steps.
     "q272_hits" -> q272OracleSql,
+
+    // Same session window, same min/max-position pair collapse.
+    "q275_seq_patterns" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_id AS eid,
+                 event_type AS ty FROM events),
+         g AS (SELECT u, t, eid, ty,
+                 CASE WHEN lag(t) OVER w IS NULL
+                           OR t - lag(t) OVER w > 1800000000
+                      THEN 1 ELSE 0 END AS news,
+                 row_number() OVER w AS pos
+               FROM e WINDOW w AS (PARTITION BY u ORDER BY t, eid)),
+         s AS (SELECT u, ty, CAST(pos AS BIGINT) AS pos,
+                 CAST(sum(news) OVER (PARTITION BY u ORDER BY t, eid
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess
+               FROM g),
+         st AS (SELECT u, sess, ty, min(pos) AS mn, max(pos) AS mx
+                FROM s GROUP BY 1, 2, 3),
+         pr AS (SELECT a.ty AS ante, b.ty AS cons,
+                  CAST(count(*) AS BIGINT) AS n_sessions
+                FROM st a JOIN st b
+                  ON a.u = b.u AND a.sess = b.sess AND a.mn < b.mx
+                GROUP BY 1, 2),
+         an AS (SELECT ty AS ante, CAST(count(*) AS BIGINT) AS na
+                FROM st GROUP BY 1)
+         SELECT p.ante, p.cons, p.n_sessions,
+                CAST(p.n_sessions * 1000000 // a.na AS BIGINT) AS conf_ppm
+         FROM pr p JOIN an a USING (ante)
+         WHERE p.n_sessions >= 2""",
 
     // Same one-pass four-period user table, floor milli-cent cell means.
     "q274_did" ->

@@ -81,6 +81,61 @@ object Sessions {
       .limit(topN)
   }
 
+  /** Sequential-pattern pairs — the GAP-TOLERANT ordered rung of the
+    * co-occurrence family: [[transitionCounts]] sees only ADJACENT
+    * steps, q113's lift ignores order entirely; this one counts, per
+    * ordered type pair (a → b), the SESSIONS in which some a-event
+    * happens strictly before some b-event, any distance apart — the
+    * 2-sequence core of PrefixSpan-style mining, where "browse
+    * eventually precedes purchase" survives interleaved noise events
+    * that break the adjacent-transition signal. a = b is the repeat
+    * pattern (the session re-does a). Confidence = support ·10⁶ div
+    * sessions-containing-a (floor ppm).
+    *
+    * The enumeration trick that keeps it scalable: "∃ a before b" ⟺
+    * min_pos(a) < max_pos(b) within the session, so the corpus
+    * collapses to one (session, type, min_pos, max_pos) row per type
+    * per session — the pair join runs on that |types|-bounded table
+    * (fan-out ≤ |types|² per session), NEVER on raw events, and each
+    * pair counts once per session by construction (no distinct pass).
+    * One user-keyed window Exchange + one (user, session)-keyed pair
+    * join; in-session positions ride the same window pass
+    * (row_number is per-user but monotone inside each session, which
+    * is all the comparison needs). */
+  def sequentialPairs(events: DataFrame, userCol: String, tsUsCol: String,
+                      idCol: String, typeCol: String, gapUs: Long,
+                      minSupport: Long): DataFrame = {
+    val byTime = Window.partitionBy(col("graft_u"))
+      .orderBy(col("graft_t").asc, col("graft_i").asc)
+    val run = byTime.rowsBetween(Window.unboundedPreceding, 0)
+    val st = events
+      .select(col(userCol).as("graft_u"), col(tsUsCol).as("graft_t"),
+        col(idCol).as("graft_i"), col(typeCol).as("graft_ty"))
+      .withColumn("graft_prev", lag(col("graft_t"), 1).over(byTime))
+      .withColumn("graft_new",
+        when(col("graft_prev").isNull ||
+          col("graft_t") - col("graft_prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("graft_sess", sum(col("graft_new")).over(run))
+      .withColumn("graft_pos", row_number().over(byTime).cast("long"))
+      .groupBy(col("graft_u"), col("graft_sess"), col("graft_ty"))
+      .agg(min("graft_pos").as("graft_mn"), max("graft_pos").as("graft_mx"))
+    // Three consumers (two join legs + the antecedent totals) and no
+    // common-subplan reuse — pin the bounded per-session type table.
+    val stp = Materialize.transient(st)
+    val pairs = stp.as("a").join(stp.as("b"),
+        col("a.graft_u") === col("b.graft_u") &&
+          col("a.graft_sess") === col("b.graft_sess") &&
+          col("a.graft_mn") < col("b.graft_mx"))
+      .groupBy(col("a.graft_ty").as("ante"), col("b.graft_ty").as("cons"))
+      .agg(count(lit(1)).as("n_sessions"))
+    val ante = stp.groupBy(col("graft_ty").as("ante"))
+      .agg(count(lit(1)).as("graft_na"))
+    pairs.join(ante, "ante")
+      .filter(col("n_sessions") >= minSupport)
+      .select(col("ante"), col("cons"), col("n_sessions"),
+        expr("n_sessions * 1000000 div graft_na").as("conf_ppm"))
+  }
+
   /** Session aggregation via Spark's native `session_window` — the same
     * sessions as [[sessionize]] but usable UNCHANGED in Structured
     * Streaming (watermark → state eviction when a session's gap closes).

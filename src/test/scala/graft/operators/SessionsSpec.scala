@@ -256,4 +256,20 @@ class SessionsSpec extends SparkSpec {
         r.getAs[Long]("removal_ppm")).toMap
     assert(got2 === Map("view" -> 333333L, "click" -> 666666L))
   }
+  test("sequentialPairs: gap-tolerant order, repeats, session isolation") {
+    // gap=100. u1: v@10,c@20,v@30 | p@200 (new session). u2: v@10,p@20.
+    // Pairs: v>v (1<3), v>c (1<2), c>v (2<3), v>p (u2). p from u1's 2nd
+    // session must NOT pair with session-1 types. Antecedent sessions:
+    // v:2, c:1, p:2.
+    val events = Seq(
+      (1L, 10L, 1L, "v"), (1L, 20L, 2L, "c"), (1L, 30L, 3L, "v"),
+      (1L, 200L, 4L, "p"), (2L, 10L, 5L, "v"), (2L, 20L, 6L, "p"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+    val got = Sessions.sequentialPairs(events, "user_id", "ts_us",
+      "event_id", "event_type", gapUs = 100L, minSupport = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getAs[Long]("n_sessions"), r.getAs[Long]("conf_ppm"))).toSet
+    assert(got === Set(("v", "v", 1L, 500000L), ("v", "c", 1L, 500000L),
+      ("c", "v", 1L, 1000000L), ("v", "p", 1L, 500000L)))
+  }
 }
