@@ -1969,6 +1969,28 @@ object SparkEntry {
       ml.Eval.agreementStats(scoredDocs(s, d), "score_q", "label",
         threshold = 5000L)),
 
+    // Z-order maintenance cycle: Morton-clustered rewrite (quantile-rank
+    // bit interleave) gives every file a tight rectangle in
+    // (l_orderkey, l_partkey) space, then a 2-D box probe reads through
+    // the min/max skip path — pruning on BOTH columns, which
+    // single-column clustering gives only its lead dimension.
+    "q276_zorder" -> ((s, d) => {
+      val fmt = "graft.sources.WarehouseSink"
+      val dir = java.nio.file.Files.createTempDirectory("graft_zord_").toString
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"),
+          col("l_quantity").cast("long").as("qty"))
+        .repartition(64)
+        .write.format(fmt).option("path", dir).mode("overwrite").save()
+      sources.WarehouseSink.maintain(s, dir, targetBytes = 256L << 10,
+        zorderBy = Some(("l_orderkey", "l_partkey")))
+      s.read.format(fmt).option("path", dir).load()
+        .filter(col("l_orderkey") >= 1000L && col("l_orderkey") < 2500L &&
+          col("l_partkey") >= 500L && col("l_partkey") < 1500L)
+        .agg(count(lit(1)).as("n_rows"), sum("qty").as("sum_qty"),
+          sum("l_orderkey").as("sum_ok"), sum("l_partkey").as("sum_pk"))
+    }),
+
     // Sequential-pattern pairs: gap-tolerant ordered mining — sessions
     // where type a happens EVENTUALLY before type b (min-pos < max-pos
     // collapse, so the pair join never touches raw events).
@@ -5304,6 +5326,16 @@ object SparkEntry {
 
     // HITS replayed: the same three max-normed integer half-steps.
     "q272_hits" -> q272OracleSql,
+
+    // The box probe recomputed relationally — layout cannot change rows.
+    "q276_zorder" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
+                CAST(sum(l_partkey) AS BIGINT) AS sum_pk
+         FROM lineitem
+         WHERE l_orderkey >= 1000 AND l_orderkey < 2500
+           AND l_partkey >= 500 AND l_partkey < 1500""",
 
     // Same session window, same min/max-position pair collapse.
     "q275_seq_patterns" ->

@@ -1026,14 +1026,53 @@ object WarehouseSink {
     * one round-robin repartition to the target layout; the driver touches
     * only the file-name list. At 100 TB this runs per-table on whatever
     * cadence the small-file rate demands, exactly like Delta OPTIMIZE. */
+  /** Morton (Z-order) clustering key over two numeric columns — the
+    * multi-dimensional layout rung of the maintenance family. Each
+    * column quantizes to its 8-bit QUANTILE rank (boundaries from one
+    * approxQuantile pass, broadcast as an array literal, counted with a
+    * fold — rank-space, so skew cannot collapse the curve the way
+    * equi-width bins would), the two ranks bit-interleave via the
+    * classic spread masks, and range-partitioning + sorting by the
+    * 16-bit key gives every file a tight RECTANGLE in value space:
+    * min/max stats prune on EITHER column, which a single-column
+    * clusterBy only gives its lead column. The key never persists —
+    * it exists only during the rewrite shuffle.
+    *
+    * Boundary determinism is NOT part of the contract (approxQuantile
+    * may vary with partitioning): the key shapes the LAYOUT only —
+    * query results are unaffected, skipping stays conservative via the
+    * stats sidecars either way. NULLs rank lowest (bucket 0). */
+  private[sources] def zorderKey(df: org.apache.spark.sql.DataFrame,
+                                 c1: String, c2: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Column
+    def bucketize(c: String): Column = {
+      val probes = (1 until 256).map(_ / 256.0).toArray
+      val bs = df.stat.approxQuantile(c, probes, 0.001).distinct.sorted
+      val arr = array(bs.map(lit): _*)
+      val cnt = aggregate(arr, lit(0), (acc, b) =>
+        acc + when(col(c).cast("double") >= b, 1).otherwise(0))
+      when(col(c).isNull, lit(0)).otherwise(cnt)
+    }
+    def spread(x: Column): Column = {
+      val a = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F))
+      val b = a.bitwiseOR(shiftleft(a, 2)).bitwiseAND(lit(0x3333))
+      b.bitwiseOR(shiftleft(b, 1)).bitwiseAND(lit(0x5555))
+    }
+    spread(bucketize(c1)).bitwiseOR(shiftleft(spread(bucketize(c2)), 1))
+  }
+
   def maintain(spark: org.apache.spark.sql.SparkSession, dir: String,
                targetBytes: Long = 128L << 20,
                keepVersions: Int = 1,
-               clusterBy: Option[String] = None): MaintenanceReport = {
+               clusterBy: Option[String] = None,
+               zorderBy: Option[(String, String)] = None): MaintenanceReport = {
     require(targetBytes > 0, "targetBytes must be positive")
+    require(clusterBy.isEmpty || zorderBy.isEmpty,
+      "clusterBy and zorderBy are alternative layouts — pick one")
     // honesty over silence: a value-partitioned table compacts through
     // its OWN layout — a clusterBy there would be ignored, so reject it
-    require(clusterBy.isEmpty ||
+    require((clusterBy.isEmpty && zorderBy.isEmpty) ||
       readManifest(dir).forall(_.partitionCol.isEmpty),
       "clusterBy does not apply to a value-partitioned table (its " +
         "compaction preserves the one-file-per-value layout)")
@@ -1074,12 +1113,25 @@ object WarehouseSink {
               // otherwise fan out to (shuffle partitions × values-per-task)
               // files, growing the count compaction meant to shrink
               .option("targetPartitions", nTarget.toString)
-          else clusterBy match {
-            case Some(c) =>
+          else (clusterBy, zorderBy) match {
+            case (Some(c), _) =>
               scanned.repartitionByRange(nTarget,
                 org.apache.spark.sql.functions.col(c))
                 .sortWithinPartitions(c).write
-            case None => scanned.repartition(nTarget).write
+            case (None, Some((z1, z2))) =>
+              // Z-ORDER rewrite: range-partition + sort by the Morton
+              // key, so every file covers a tight RECTANGLE in (z1, z2)
+              // space and the existing min/max skip path prunes on
+              // EITHER column — the 2-D layout a single-column clusterBy
+              // cannot give (its trailing column's per-file range spans
+              // the whole domain).
+              scanned
+                .withColumn("graft_zk", zorderKey(scanned, z1, z2))
+                .repartitionByRange(nTarget,
+                  org.apache.spark.sql.functions.col("graft_zk"))
+                .sortWithinPartitions("graft_zk")
+                .drop("graft_zk").write
+            case _ => scanned.repartition(nTarget).write
           }
         writer.format(fmt).option("path", tmp.getPath)
           .mode("overwrite").save()
@@ -1096,8 +1148,10 @@ object WarehouseSink {
           // later append/DML publish clears the claim (they default "").
           Some(Manifest(0L, p.schemaDdl, newFiles, p.epoch, p.partitionCol,
             op = "maintain",
-            sortedBy = if (cur.partitionCol.isEmpty) clusterBy.getOrElse("")
-                       else ""))
+            sortedBy = if (cur.partitionCol.isEmpty)
+              zorderBy.map { case (a, b) => s"zorder($a,$b)" }
+                .orElse(clusterBy).getOrElse("")
+            else ""))
         })
       } finally {
         def rm(f: File): Unit = {

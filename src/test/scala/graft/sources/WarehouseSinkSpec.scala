@@ -1086,6 +1086,47 @@ class WarehouseSinkSpec extends SparkSpec {
       === Seq(1L, 2L, 3L, 4L, 5L, 6L, 50L))
   }
 
+  test("zorder maintenance: both dimensions prune; rewrite is lossless") {
+    val dir = tmp()
+    val rnd = new scala.util.Random(7)
+    // 40×40 grid, shuffled across 16 unclustered appends.
+    rnd.shuffle((for (x <- 0L until 40L; y <- 0L until 40L)
+      yield (x, y)).toList).grouped(100).foreach { g =>
+      g.toDF("x", "y").coalesce(1)
+        .write.format(Fmt).option("path", dir).mode("append").save()
+    }
+    val rep = WarehouseSink.maintain(spark, dir, targetBytes = 2000L,
+      zorderBy = Some(("x", "y")))
+    assert(rep.compacted)
+    assert(WarehouseSink.readManifest(dir).get.sortedBy === "zorder(x,y)")
+    def table() = spark.read.format(Fmt).option("path", dir).load()
+    val total = table().rdd.getNumPartitions
+    assert(total >= 4, s"need a multi-file layout to prove pruning, got $total")
+    // Lossless rewrite.
+    assert(table().count() === 1600L)
+    assert(table().agg(org.apache.spark.sql.functions.sum(
+      col("x") * 1000 + col("y"))).as[Long].head() ===
+      (for (x <- 0L until 40L; y <- 0L until 40L) yield x * 1000 + y).sum)
+    // EITHER dimension prunes files — the claim clusterBy can't make
+    // for its trailing column.
+    val xs = table().filter(col("x") < 5L).rdd.getNumPartitions
+    val ys = table().filter(col("y") < 5L).rdd.getNumPartitions
+    assert(xs < total, s"x-slice planned $xs of $total files")
+    assert(ys < total, s"y-slice planned $ys of $total files")
+    assert(table().filter(col("x") < 5L).count() === 200L)
+    assert(table().filter(col("y") < 5L).count() === 200L)
+  }
+
+  test("maintain rejects zorder combined with clusterBy") {
+    val dir = tmp()
+    (0L until 10L).map(i => (i, i)).toDF("x", "y")
+      .write.format(Fmt).option("path", dir).mode("overwrite").save()
+    intercept[IllegalArgumentException] {
+      WarehouseSink.maintain(spark, dir, clusterBy = Some("x"),
+        zorderBy = Some(("x", "y")))
+    }
+  }
+
   test("maintain rejects clusterBy on a value-partitioned table") {
     val dir = tmp()
     (0L until 10L).map(i => (i, s"k${i % 2}")).toDF("id", "k")
