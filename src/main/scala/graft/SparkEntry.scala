@@ -1969,6 +1969,12 @@ object SparkEntry {
       ml.Eval.agreementStats(scoredDocs(s, d), "score_q", "label",
         threshold = 5000L)),
 
+    // Ljung-Box whiteness test: one-number portmanteau over q218's
+    // exact ACF lags — joint autocorrelation through lag 3, the chain
+    // of correctly-rounded FP ops pinned by expression shape.
+    "q277_ljung_box" -> ((s, d) =>
+      Analytics.ljungBox(eventsUs(s, d), "event_type", "ts_us", maxLag = 3)),
+
     // Z-order maintenance cycle: Morton-clustered rewrite (quantile-rank
     // bit interleave) gives every file a tight rectangle in
     // (l_orderkey, l_partkey) space, then a 2-D box probe reads through
@@ -5326,6 +5332,44 @@ object SparkEntry {
 
     // HITS replayed: the same three max-normed integer half-steps.
     "q272_hits" -> q272OracleSql,
+
+    // q218's ACF CTEs + a pivot; the same fixed-shape Q expression.
+    "q277_ljung_box" ->
+      """WITH daily AS (SELECT event_type AS s,
+                  epoch_us(ts) // 86400000000 AS d,
+                  CAST(count(*) AS BIGINT) AS y
+             FROM events GROUP BY 1, 2),
+         st AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(y) AS BIGINT) AS tot FROM daily GROUP BY 1),
+         dev AS (SELECT daily.s, daily.d, st.n,
+                  st.n * daily.y - st.tot AS dv
+               FROM daily JOIN st USING (s)),
+         den AS (SELECT s, CAST(sum(dv * dv) AS BIGINT) AS dn,
+                  CAST(max(n) AS BIGINT) AS n_days FROM dev GROUP BY 1),
+         num AS (SELECT a.s, CAST(l.lag AS BIGINT) AS lag,
+                  CAST(sum(a.dv * b.dv) AS BIGINT) AS nm
+               FROM dev a CROSS JOIN (VALUES (1), (2), (3)) l(lag)
+               JOIN dev b ON a.s = b.s AND b.d = a.d + l.lag
+               GROUP BY 1, 2),
+         acfv AS (SELECT num.s, num.lag, den.n_days,
+                  CASE WHEN den.dn = 0 THEN NULL
+                       ELSE round(CAST(nm AS DOUBLE) / CAST(dn AS DOUBLE), 6)
+                  END AS acf
+               FROM num JOIN den ON num.s = den.s),
+         pv AS (SELECT s, max(n_days) AS n_days,
+                  max(CASE WHEN acf IS NULL THEN 1 ELSE 0 END) AS degen,
+                  COALESCE(max(CASE WHEN lag = 1 THEN acf END), 0.0) AS r1,
+                  COALESCE(max(CASE WHEN lag = 2 THEN acf END), 0.0) AS r2,
+                  COALESCE(max(CASE WHEN lag = 3 THEN acf END), 0.0) AS r3
+                FROM acfv GROUP BY 1)
+         SELECT s AS event_type, CAST(n_days AS BIGINT) AS n_days,
+                CAST(3 AS BIGINT) AS lags,
+                CASE WHEN degen = 1 OR n_days <= 3 THEN NULL
+                     ELSE round(n_days * (n_days + 2) *
+                       (r1 * r1 / (n_days - 1) + r2 * r2 / (n_days - 2)
+                        + r3 * r3 / (n_days - 3)), 4)
+                END AS q_stat
+         FROM pv""",
 
     // The box probe recomputed relationally — layout cannot change rows.
     "q276_zorder" ->

@@ -1612,6 +1612,43 @@ object Analytics {
             / col("graft_den").cast("double"), 6)).as("acf"))
   }
 
+  /** Ljung-Box portmanteau test over [[acf]]'s exact lag table — "is
+    * there ANY autocorrelation through lag h", the one-number whiteness
+    * readout the per-lag ACF can't give (h near-threshold lags can
+    * jointly scream while each alone stays under a per-lag bar):
+    * Q = n(n+2)·Σ_{k≤h} ρ̂_k²/(n−k), chi-square with h df under
+    * whiteness (Q ≳ 11.34 rejects at α=0.01 for h=3 — caller owns the
+    * lookup, the engine owns the statistic: the q197/q273 division).
+    *
+    * Determinism without integers: ρ̂_k are [[acf]]'s round-6 doubles,
+    * and Q is ONE fixed-shape expression over the h pivoted lag columns
+    * — every FP op is individually correctly-rounded and the
+    * left-to-right order is pinned by the expression text, so the bits
+    * replay cross-engine (the jackknife-z argument, extended from one
+    * sqrt to a short fixed chain). A lag with no pairs (calendar gap)
+    * contributes ρ=0; a degenerate series (zero ACF denominator) or
+    * n ≤ h yields NULL. Scale: [[acf]]'s shape plus one |series|-row
+    * pivot — nothing new touches the corpus. */
+  def ljungBox(events: DataFrame, seriesCol: String, tsUsCol: String,
+               maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1, "need at least lag 1")
+    val a = acf(events, seriesCol, tsUsCol, maxLag)
+    val terms = (1 to maxLag)
+      .map(k => s"r$k * r$k / (n_days - $k)").mkString(" + ")
+    a.groupBy(col(seriesCol))
+      .agg(max("n_days").as("n_days"),
+        (max(when(col("acf").isNull, 1L).otherwise(0L)).as("graft_degen") +:
+          (1 to maxLag).map(k =>
+            coalesce(max(when(col("lag") === k, col("acf"))), lit(0.0))
+              .as(s"r$k"))): _*)
+      .select(col(seriesCol), col("n_days"),
+        lit(maxLag.toLong).as("lags"),
+        expr(s"CASE WHEN graft_degen = 1 OR n_days <= $maxLag" +
+          " THEN CAST(NULL AS DOUBLE)" +
+          s" ELSE round(n_days * (n_days + 2) * ($terms), 4)" +
+          " END").as("q_stat"))
+  }
+
   /** CUSUM changepoint screen — per series, the day where the cumulative
     * deviation from the series mean peaks: the standard "did the level
     * shift, and when" scan ([[trendSlope]] fits ONE line; CUSUM finds

@@ -970,6 +970,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(all === Map("A" -> 375000L, "B" -> 125000L))
   }
 
+  test("ljungBox: hand-computed Q; degenerate and short series NULL") {
+    val day = 86400L * 1000000L
+    // "g" counts (1,2,1,2,1): dev = (-2,3,-2,3,-2), den = 30,
+    // rho = (-0.8, 0.566667, -0.4) after round-6.
+    val g = for ((c, d) <- Seq(1, 2, 1, 2, 1).zipWithIndex; r <- 0 until c)
+      yield ("g", d * day + r)
+    // "h" constant → zero denominator → NULL; "s" only 3 days → NULL.
+    val h = for (d <- 0 until 4) yield ("h", d * day)
+    val sShort = for ((c, d) <- Seq(1, 2, 1).zipWithIndex; r <- 0 until c)
+      yield ("s", d * day + r)
+    val got = Analytics.ljungBox((g ++ h ++ sShort)
+      .toDF("event_type", "ts_us"), "event_type", "ts_us", maxLag = 3)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    val raw = 5L * 7L *
+      (0.8 * 0.8 / 4 + 0.566667 * 0.566667 / 3 + 0.4 * 0.4 / 2)
+    val expected = new java.math.BigDecimal(raw)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+    assert(got("g") === expected)
+    assert(got("h") === null)
+    assert(got("s") === null)
+  }
+
   test("kruskalWallis: hand-computed midrank H and tie-corrected H") {
     // A={1,2,3}, B={2,3,4}: r2 = (2,5,9,12); S_A=16, S_B=26;
     // st = 256 div 3 + 676 div 3 = 310; H = 3000·310 div 42 − 21000
