@@ -1969,6 +1969,14 @@ object SparkEntry {
       ml.Eval.agreementStats(scoredDocs(s, d), "score_q", "label",
         threshold = 5000L)),
 
+    // Coarsened-exact-matching ATT: the observational-causal rung —
+    // treated vs control compared only inside coarsened pre-covariate
+    // strata, off-support units pruned and REPORTED, effect as an exact
+    // rational pair plus one correctly-rounded double division.
+    "q278_cem" -> ((s, d) =>
+      Experiment.cemAtt(eventsUs(s, d), "user_id", "event_type", "value",
+        "ts_us", metricType = "purchase", cutTsUs = 1705363200000000L)),
+
     // Ljung-Box whiteness test: one-number portmanteau over q218's
     // exact ACF lags — joint autocorrelation through lag 3, the chain
     // of correctly-rounded FP ops pinned by expression shape.
@@ -5332,6 +5340,57 @@ object SparkEntry {
 
     // HITS replayed: the same three max-normed integer half-steps.
     "q272_hits" -> q272OracleSql,
+
+    // Same strata, same floor milli means, same rational-pair ATT.
+    "q278_cem" -> {
+      val chain = (1 to 20).map(i =>
+        s"(CASE WHEN pc >= ${1L << i} THEN 1 ELSE 0 END)")
+        .mkString("\n                   + ")
+      s"""WITH pu AS (SELECT user_id AS u,
+                  CAST(sum(CASE WHEN epoch_us(ts) < 1705363200000000
+                       THEN 1 ELSE 0 END) AS BIGINT) AS pc,
+                  CAST(count(DISTINCT CASE
+                       WHEN epoch_us(ts) < 1705363200000000
+                       THEN epoch_us(ts) // 86400000000 END) AS BIGINT) AS pd,
+                  CAST(sum(CASE WHEN epoch_us(ts) >= 1705363200000000
+                        AND event_type = 'purchase'
+                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS HUGEINT) AS y,
+                  CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                       < '8' THEN 'A' ELSE 'B' END AS arm
+               FROM events GROUP BY 1
+               HAVING sum(CASE WHEN epoch_us(ts) < 1705363200000000
+                     THEN 1 ELSE 0 END) > 0),
+         su AS (SELECT CAST($chain AS BIGINT) AS b1,
+                  least(pd, 7) AS b2, arm,
+                  CAST(count(*) AS HUGEINT) AS n, sum(y) AS s
+                FROM pu GROUP BY 1, 2, 3),
+         tt AS (SELECT b1, b2, n AS nt, s AS st FROM su WHERE arm = 'B'),
+         cc AS (SELECT b1, b2, n AS nc, s AS sc FROM su WHERE arm = 'A'),
+         j AS (SELECT tt.nt, cc.nc,
+                 (tt.nt IS NOT NULL AND cc.nc IS NOT NULL) AS m,
+                 CASE WHEN tt.nt IS NOT NULL AND cc.nc IS NOT NULL
+                      THEN tt.nt * (tt.st * 1000 // tt.nt
+                                    - cc.sc * 1000 // cc.nc) END AS contrib
+               FROM tt FULL OUTER JOIN cc USING (b1, b2)),
+         a AS (SELECT
+                 CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_strata_matched,
+                 CAST(sum(CASE WHEN m THEN nt ELSE 0 END) AS BIGINT)
+                   AS n_treated_matched,
+                 CAST(sum(CASE WHEN NOT m THEN COALESCE(nt, 0)
+                   ELSE 0 END) AS BIGINT) AS n_treated_pruned,
+                 CAST(sum(CASE WHEN m THEN nc ELSE 0 END) AS BIGINT)
+                   AS n_control_matched,
+                 CAST(sum(CASE WHEN NOT m THEN COALESCE(nc, 0)
+                   ELSE 0 END) AS BIGINT) AS n_control_pruned,
+                 CAST(sum(contrib) AS BIGINT) AS att_num_milli
+               FROM j)
+         SELECT a.*, CASE WHEN n_treated_matched = 0 THEN NULL
+                  ELSE round(CAST(att_num_milli AS DOUBLE)
+                       / n_treated_matched, 4) END AS att_milli
+         FROM a"""
+    },
 
     // q218's ACF CTEs + a pivot; the same fixed-shape Q expression.
     "q277_ljung_box" ->

@@ -213,6 +213,90 @@ object Experiment {
           (col("m_a_pl2") - col("m_a_pl1"))).as("placebo_did_milli"))
   }
 
+  /** Coarsened-exact-matching ATT (Iacus/King/Porro, Political Analysis
+    * 2012) — the OBSERVATIONAL rung of the family: when assignment was
+    * not randomized (or is suspected broken), compare treated and
+    * control only INSIDE strata of coarsened pre-treatment covariates,
+    * and weight stratum effects by their treated mass:
+    * ATT = Σ_s n_ts·(ȳ_ts − ȳ_cs) / Σ_s n_ts over strata holding BOTH
+    * arms; units in single-arm strata are PRUNED and reported (the
+    * honesty CEM buys — off-support units never silently extrapolate).
+    *
+    * Coarsening: covariate 1 = log₂ bucket of pre-period event count
+    * (the power-of-two literal-threshold fold — no float log), covariate
+    * 2 = pre-period active days capped at `maxDaysBucket`. Universe =
+    * users with ≥1 pre-period event (no covariates, no match). Outcome =
+    * post-period `metricType` centi-value sum per user.
+    *
+    * Exactness: stratum means are floor milli-cents over DECIMAL(38,0)
+    * sums; the ATT numerator Σ n_ts·(m_ts − m_cs) stays integer and is
+    * REPORTED alongside the denominator — the single signed division is
+    * done in double (one correctly-rounded op, round 4) because signed
+    * floor-vs-truncate integer division differs across engines; the
+    * rational pair lets any consumer re-divide exactly.
+    *
+    * Scale: ONE user-keyed aggregate over the event scan (count-distinct
+    * days rides the same pass), a \|strata\|×2 rollup, a 1-row report. */
+  def cemAtt(events: DataFrame, userCol: String, typeCol: String,
+             valueCol: String, tsUsCol: String, metricType: String,
+             cutTsUs: Long, maxDaysBucket: Int = 7): DataFrame = {
+    val arm = when(substring(md5(col("graft_u").cast("string")), 1, 1) < "8",
+      "A").otherwise("B")
+    val cents = floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("long")
+    val ts = col(tsUsCol)
+    val perUser = events
+      .select(col(userCol).as("graft_u"), ts.as("graft_ts"),
+        col(typeCol).as("graft_ty"), cents.as("graft_cv"))
+      .groupBy("graft_u")
+      .agg(sum(when(col("graft_ts") < cutTsUs, 1L).otherwise(0L))
+          .as("graft_pc"),
+        countDistinct(when(col("graft_ts") < cutTsUs,
+          expr(s"graft_ts div ${86400L * 1000000L}L"))).as("graft_pd"),
+        sum(when(col("graft_ts") >= cutTsUs &&
+          col("graft_ty") === metricType, col("graft_cv")).otherwise(0L))
+          .cast("decimal(38,0)").as("graft_y"))
+      .filter(col("graft_pc") > 0L)
+      .withColumn("graft_arm", arm)
+    val chain = (1 to 20).map(i =>
+      s"(CASE WHEN graft_pc >= ${1L << i} THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val strata = perUser
+      .withColumn("b1", expr(s"CAST($chain AS BIGINT)"))
+      .withColumn("b2", least(col("graft_pd"), lit(maxDaysBucket.toLong)))
+      .groupBy("b1", "b2", "graft_arm")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("graft_n"),
+        sum("graft_y").as("graft_s"))
+    val t = strata.filter(col("graft_arm") === "B")
+      .select(col("b1"), col("b2"), col("graft_n").as("graft_nt"),
+        col("graft_s").as("graft_st"))
+    val c = strata.filter(col("graft_arm") === "A")
+      .select(col("b1"), col("b2"), col("graft_n").as("graft_nc"),
+        col("graft_s").as("graft_sc"))
+    t.join(c, Seq("b1", "b2"), "full_outer")
+      .select(col("graft_nt"), col("graft_nc"),
+        (col("graft_nt").isNotNull && col("graft_nc").isNotNull)
+          .as("graft_m"),
+        expr("CASE WHEN graft_nt IS NOT NULL AND graft_nc IS NOT NULL" +
+          " THEN graft_nt * (graft_st * 1000 div graft_nt" +
+          "   - graft_sc * 1000 div graft_nc)" +
+          " ELSE CAST(NULL AS DECIMAL(38,0)) END").as("graft_contrib"))
+      .agg(
+        sum(when(col("graft_m"), 1L).otherwise(0L)).as("n_strata_matched"),
+        sum(when(col("graft_m"), col("graft_nt")).otherwise(lit(0)))
+          .cast("long").as("n_treated_matched"),
+        sum(when(!col("graft_m"), coalesce(col("graft_nt"), lit(0)))
+          .otherwise(lit(0))).cast("long").as("n_treated_pruned"),
+        sum(when(col("graft_m"), col("graft_nc")).otherwise(lit(0)))
+          .cast("long").as("n_control_matched"),
+        sum(when(!col("graft_m"), coalesce(col("graft_nc"), lit(0)))
+          .otherwise(lit(0))).cast("long").as("n_control_pruned"),
+        sum(col("graft_contrib")).cast("long").as("att_num_milli"))
+      .withColumn("att_milli",
+        expr("CASE WHEN n_treated_matched = 0 THEN CAST(NULL AS DOUBLE)" +
+          " ELSE round(CAST(att_num_milli AS DOUBLE)" +
+          " / n_treated_matched, 4) END"))
+  }
+
   /** Bucketed-jackknife variance for the arm mean difference — the
     * experimentation-platform machinery [[abLift]] and [[cuped]] lack: a
     * point estimate without a standard error can't say whether the lift

@@ -187,6 +187,45 @@ class ExperimentSpec extends SparkSpec {
     assert(r.getAs[Long]("placebo_did_milli") === 100000L)
   }
 
+  test("cemAtt: matched-stratum effect, pruned off-support treated") {
+    val as = (1L to 50L).filter(armOf(_) == "A").take(2)
+    val bs = (1L to 50L).filter(armOf(_) == "B").take(2)
+    val (uA1, uA2, uB1, uB2) = (as(0), as(1), bs(0), bs(1))
+    // cut=1000. Stratum (b1=0,b2=1): uA1 (y=100), uA2 (y=300), uB1
+    // (y=400) → m_t=400000, m_c=200000, contrib=200000. uB2 has pc=2 →
+    // stratum (1,1), no control → pruned.
+    val events = Seq(
+      (uA1, "e", 0.0, 10L), (uA1, "purchase", 1.0, 2000L),
+      (uA2, "e", 0.0, 20L), (uA2, "purchase", 3.0, 2000L),
+      (uB1, "e", 0.0, 30L), (uB1, "purchase", 4.0, 2000L),
+      (uB2, "e", 0.0, 40L), (uB2, "e", 0.0, 50L),
+      (uB2, "purchase", 9.0, 2000L))
+      .toDF("user_id", "event_type", "value", "ts_us")
+    val r = Experiment.cemAtt(events, "user_id", "event_type", "value",
+      "ts_us", "purchase", cutTsUs = 1000L).collect()(0)
+    assert(r.getAs[Long]("n_strata_matched") === 1L)
+    assert(r.getAs[Long]("n_treated_matched") === 1L)
+    assert(r.getAs[Long]("n_treated_pruned") === 1L)
+    assert(r.getAs[Long]("n_control_matched") === 2L)
+    assert(r.getAs[Long]("n_control_pruned") === 0L)
+    assert(r.getAs[Long]("att_num_milli") === 200000L)
+    assert(r.getAs[Double]("att_milli") === 200000.0)
+  }
+
+  test("cemAtt: no common support yields NULL effect, full pruning") {
+    val uA = (1L to 20L).find(armOf(_) == "A").get
+    val uB = (1L to 20L).find(armOf(_) == "B").get
+    val events = Seq( // disjoint strata: pc=1 vs pc=2
+      (uA, "e", 0.0, 10L), (uB, "e", 0.0, 20L), (uB, "e", 0.0, 30L))
+      .toDF("user_id", "event_type", "value", "ts_us")
+    val r = Experiment.cemAtt(events, "user_id", "event_type", "value",
+      "ts_us", "purchase", cutTsUs = 1000L).collect()(0)
+    assert(r.getAs[Long]("n_strata_matched") === 0L)
+    assert(r.getAs[Long]("n_treated_pruned") === 1L)
+    assert(r.getAs[Long]("n_control_pruned") === 1L)
+    assert(r.isNullAt(r.fieldIndex("att_milli")))
+  }
+
   test("jackknifeDiff: deterministic across partitioning; buckets cover") {
     val events = (1L to 120L).map(u =>
       (u, "purchase", (u % 7).toDouble + 1.0))
