@@ -1969,6 +1969,14 @@ object SparkEntry {
       ml.Eval.agreementStats(scoredDocs(s, d), "score_q", "label",
         threshold = 5000L)),
 
+    // Qini uplift curve: cumulative incremental conversions by score
+    // decile — treated vs exposure-scaled control, the model-free
+    // pre-activity score any uplift model must beat.
+    "q279_qini" -> ((s, d) =>
+      Experiment.upliftCurve(eventsUs(s, d), "user_id", "event_type",
+        "value", "ts_us", metricType = "purchase",
+        cutTsUs = 1705363200000000L)),
+
     // Coarsened-exact-matching ATT: the observational-causal rung —
     // treated vs control compared only inside coarsened pre-covariate
     // strata, off-support units pruned and REPORTED, effect as an exact
@@ -5340,6 +5348,47 @@ object SparkEntry {
 
     // HITS replayed: the same three max-normed integer half-steps.
     "q272_hits" -> q272OracleSql,
+
+    // Same ntile tie discipline, same cumulative fixed-point Qini.
+    "q279_qini" ->
+      """WITH pu AS (SELECT user_id AS u,
+                  CAST(sum(CASE WHEN epoch_us(ts) < 1705363200000000
+                       THEN 1 ELSE 0 END) AS BIGINT) AS pc,
+                  CAST(max(CASE WHEN epoch_us(ts) >= 1705363200000000
+                        AND event_type = 'purchase'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS cv,
+                  CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                       < '8' THEN 'A' ELSE 'B' END AS arm
+               FROM events GROUP BY 1
+               HAVING sum(CASE WHEN epoch_us(ts) < 1705363200000000
+                     THEN 1 ELSE 0 END) > 0),
+         dd AS (SELECT *, CAST(ntile(10) OVER (ORDER BY pc DESC, u)
+                  AS BIGINT) AS decile FROM pu),
+         bd AS (SELECT decile,
+                  CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)
+                    AS HUGEINT) AS nt,
+                  CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)
+                    AS HUGEINT) AS nc,
+                  CAST(sum(CASE WHEN arm = 'B' THEN cv ELSE 0 END)
+                    AS HUGEINT) AS ct,
+                  CAST(sum(CASE WHEN arm = 'A' THEN cv ELSE 0 END)
+                    AS HUGEINT) AS cc
+                FROM dd GROUP BY 1),
+         cm AS (SELECT decile,
+                  CAST(sum(nt) OVER w AS HUGEINT) AS cnt,
+                  CAST(sum(nc) OVER w AS HUGEINT) AS cnc,
+                  CAST(sum(ct) OVER w AS HUGEINT) AS cct,
+                  CAST(sum(cc) OVER w AS HUGEINT) AS ccc
+                FROM bd
+                WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING))
+         SELECT decile, CAST(cnt AS BIGINT) AS cum_n_t,
+                CAST(cnc AS BIGINT) AS cum_n_c,
+                CAST(cct AS BIGINT) AS cum_conv_t,
+                CAST(ccc AS BIGINT) AS cum_conv_c,
+                CASE WHEN cnc = 0 THEN NULL
+                     ELSE CAST(cct * 1000 - ccc * 1000 * cnt // cnc
+                       AS BIGINT) END AS qini_milli
+         FROM cm""",
 
     // Same strata, same floor milli means, same rational-pair ATT.
     "q278_cem" -> {

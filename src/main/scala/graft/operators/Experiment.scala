@@ -297,6 +297,75 @@ object Experiment {
           " / n_treated_matched, 4) END"))
   }
 
+  /** Qini uplift curve (Radcliffe, Direct Marketing Analytics J. 2007)
+    * — the uplift twin of the single-model gains chart (q226): rank ALL
+    * users by a targeting score, then at each score decile compare
+    * CUMULATIVE treated conversions against the control conversions
+    * scaled to the treated exposure:
+    * Qini(k) = CT_k − CC_k·(NT_k/NC_k). A score that targets persuadable
+    * users front-loads the curve; a useless score tracks 0. The score
+    * here is the model-free baseline any platform owns — pre-period
+    * activity volume — which is exactly what a real uplift model must
+    * beat to justify itself.
+    *
+    * Determinism: deciles are ntile over (score desc, user id) — the
+    * q176 tie discipline, no enumeration order anywhere; conversions are
+    * binary flags; the single ratio is ONE floor division at a fixed
+    * point (CT·1000 − CC·1000·NT div NC, DECIMAL(38,0) products), NULL
+    * when a prefix holds no control users. Universe = users with ≥1
+    * pre-period event (no score otherwise) — the [[cemAtt]] rule.
+    *
+    * Scale: one user-keyed pass; the ntile sort runs on the per-user
+    * table (user-cardinality, the q176 posture), the decile rollup and
+    * cumulative window on `buckets` rows. */
+  def upliftCurve(events: DataFrame, userCol: String, typeCol: String,
+                  valueCol: String, tsUsCol: String, metricType: String,
+                  cutTsUs: Long, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, "need at least two score buckets")
+    val arm = when(substring(md5(col("graft_u").cast("string")), 1, 1) < "8",
+      "A").otherwise("B")
+    val ts = col(tsUsCol)
+    val perUser = events
+      .select(col(userCol).as("graft_u"), ts.as("graft_ts"),
+        col(typeCol).as("graft_ty"), col(valueCol).as("graft_v"))
+      .groupBy("graft_u")
+      .agg(sum(when(col("graft_ts") < cutTsUs, 1L).otherwise(0L))
+          .as("graft_pc"),
+        max(when(col("graft_ts") >= cutTsUs &&
+          col("graft_ty") === metricType, 1L).otherwise(0L)).as("graft_cv"))
+      .filter(col("graft_pc") > 0L)
+      .withColumn("graft_arm", arm)
+      .withColumn("decile", ntile(buckets).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("graft_pc").desc, col("graft_u").asc))
+        .cast("long"))
+    val byDec = perUser.groupBy("decile")
+      .agg(sum(when(col("graft_arm") === "B", 1L).otherwise(0L)).as("graft_nt"),
+        sum(when(col("graft_arm") === "A", 1L).otherwise(0L)).as("graft_nc"),
+        sum(when(col("graft_arm") === "B", col("graft_cv"))
+          .otherwise(0L)).as("graft_ct"),
+        sum(when(col("graft_arm") === "A", col("graft_cv"))
+          .otherwise(0L)).as("graft_cc"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("decile").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    byDec
+      .select(col("decile"),
+        sum("graft_nt").over(wCum).cast("decimal(38,0)").as("graft_cnt"),
+        sum("graft_nc").over(wCum).cast("decimal(38,0)").as("graft_cnc"),
+        sum("graft_ct").over(wCum).cast("decimal(38,0)").as("graft_cct"),
+        sum("graft_cc").over(wCum).cast("decimal(38,0)").as("graft_ccc"))
+      .select(col("decile"),
+        col("graft_cnt").cast("long").as("cum_n_t"),
+        col("graft_cnc").cast("long").as("cum_n_c"),
+        col("graft_cct").cast("long").as("cum_conv_t"),
+        col("graft_ccc").cast("long").as("cum_conv_c"),
+        expr("CASE WHEN graft_cnc = 0 THEN CAST(NULL AS BIGINT)" +
+          " ELSE CAST(graft_cct * 1000" +
+          " - graft_ccc * 1000 * graft_cnt div graft_cnc AS BIGINT)" +
+          " END").as("qini_milli"))
+  }
+
   /** Bucketed-jackknife variance for the arm mean difference — the
     * experimentation-platform machinery [[abLift]] and [[cuped]] lack: a
     * point estimate without a standard error can't say whether the lift

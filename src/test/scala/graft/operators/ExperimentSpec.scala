@@ -226,6 +226,31 @@ class ExperimentSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("att_milli")))
   }
 
+  test("upliftCurve: hand-computed two-bucket Qini") {
+    val as = (1L to 50L).filter(armOf(_) == "A").take(2)
+    val bs = (1L to 50L).filter(armOf(_) == "B").take(2)
+    val (uA1, uA2, uB1, uB2) = (as(0), as(1), bs(0), bs(1))
+    // scores (pre counts): uB1=4 (converts), uA1=3, uB2=2, uA2=1
+    // (converts). Bucket1 = {uB1,uA1}: qini = 1·1000 − 0 = 1000.
+    // Bucket2 cum: ct=1, cc=1, nt=2, nc=2 → 1000 − 1000·2 div 2 = 0.
+    val events =
+      (1 to 4).map(i => (uB1, "e", 0.0, i.toLong)) ++
+        Seq((uB1, "purchase", 1.0, 2000L)) ++
+        (1 to 3).map(i => (uA1, "e", 0.0, i.toLong)) ++
+        (1 to 2).map(i => (uB2, "e", 0.0, i.toLong)) ++
+        Seq((uA2, "e", 0.0, 1L), (uA2, "purchase", 1.0, 2000L))
+    val got = Experiment.upliftCurve(events
+      .toDF("user_id", "event_type", "value", "ts_us"),
+      "user_id", "event_type", "value", "ts_us", "purchase",
+      cutTsUs = 1000L, buckets = 2)
+      .collect().map(r => r.getAs[Long]("decile") ->
+        ((r.getAs[Long]("cum_n_t"), r.getAs[Long]("cum_n_c"),
+          r.getAs[Long]("cum_conv_t"), r.getAs[Long]("cum_conv_c"),
+          r.getAs[Long]("qini_milli")))).toMap
+    assert(got(1L) === ((1L, 1L, 1L, 0L, 1000L)))
+    assert(got(2L) === ((2L, 2L, 1L, 1L, 0L)))
+  }
+
   test("jackknifeDiff: deterministic across partitioning; buckets cover") {
     val events = (1L to 120L).map(u =>
       (u, "purchase", (u % 7).toDouble + 1.0))
