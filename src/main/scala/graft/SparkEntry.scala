@@ -1969,6 +1969,14 @@ object SparkEntry {
       ml.Eval.agreementStats(scoredDocs(s, d), "score_q", "label",
         threshold = 5000L)),
 
+    // Degree assortativity: Newman's r over the supplier↔part graph —
+    // do hubs link to hubs, exact degree sums then the spearman finish.
+    "q280_assortativity" -> ((s, d) =>
+      Graph.degreeAssortativity(Tables.lineitem(s, d)
+        .select(col("l_suppkey").cast("long").as("src"),
+          (col("l_partkey") + lit(10000000L)).cast("long").as("dst")),
+        "src", "dst")),
+
     // Qini uplift curve: cumulative incremental conversions by score
     // decile — treated vs exposure-scaled control, the model-free
     // pre-activity score any uplift model must beat.
@@ -5348,6 +5356,31 @@ object SparkEntry {
 
     // HITS replayed: the same three max-normed integer half-steps.
     "q272_hits" -> q272OracleSql,
+
+    // Same symmetrized degree join, same integral-sums Pearson finish.
+    "q280_assortativity" ->
+      """WITH d0 AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS a,
+                  CAST(l_partkey + 10000000 AS BIGINT) AS b FROM lineitem),
+         e AS (SELECT a, b FROM d0 UNION SELECT b, a FROM d0),
+         dg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+                FROM e GROUP BY 1),
+         p AS (SELECT x.deg AS dx, y.deg AS dy
+               FROM e JOIN dg x ON e.a = x.node JOIN dg y ON e.b = y.node),
+         s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                 CAST(sum(dx) AS HUGEINT) AS sx,
+                 CAST(sum(dy) AS HUGEINT) AS sy,
+                 CAST(sum(CAST(dx AS HUGEINT) * dx) AS HUGEINT) AS sxx,
+                 CAST(sum(CAST(dy AS HUGEINT) * dy) AS HUGEINT) AS syy,
+                 CAST(sum(CAST(dx AS HUGEINT) * dy) AS HUGEINT) AS sxy
+               FROM p)
+         SELECT CAST(n AS BIGINT) AS n_edges_directed,
+                CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+                     THEN NULL
+                     ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+                END AS assortativity
+         FROM s""",
 
     // Same ntile tie discipline, same cumulative fixed-point Qini.
     "q279_qini" ->

@@ -54,6 +54,18 @@ class GraphSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("degreeAssortativity: star is -1; regular graph is NULL") {
+    // Star 1—2, 1—3: pairs (2,1)×2, (1,2)×2 → r = −4/(2·2) = −1.
+    val star = Seq((1L, 2L), (1L, 3L)).toDF("a", "b")
+    val r1 = Graph.degreeAssortativity(star, "a", "b").collect()(0)
+    assert(r1.getAs[Long]("n_edges_directed") === 4L)
+    assert(r1.getAs[Double]("assortativity") === -1.0)
+    // Triangle: every degree 2 → zero variance → NULL.
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("a", "b")
+    val r2 = Graph.degreeAssortativity(tri, "a", "b").collect()(0)
+    assert(r2.isNullAt(r2.fieldIndex("assortativity")))
+  }
+
   test("ranks are invariant to input partitioning and duplicate edges") {
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 2L))
       .toDF("src", "dst")
