@@ -1969,6 +1969,25 @@ object SparkEntry {
       ml.Eval.agreementStats(scoredDocs(s, d), "score_q", "label",
         threshold = 5000L)),
 
+    // ID3v2 tag walk: synchsafe-size round-trip + frame iteration —
+    // the oracle derives the expected tag size arithmetically, so the
+    // hash match proves the 7-bit size encoding and the frame walk.
+    "q281_id3_tags" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val title = "T" + ("x" * (id % 7).toInt)
+          val artist = "A" + ("y" * (id % 3).toInt)
+          multimodal.Binary.id3Tags(multimodal.Binary.synthMp3Id3(
+            title, artist, padBytes = 200, audioBytes = 64)) match {
+            case Some((t, a, sz)) => (t, a, sz)
+            case None => ("?", "?", -1L)
+          }
+        }.toDF("title", "artist", "tag_size")
+        .groupBy("title", "artist", "tag_size")
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
     // Degree assortativity: Newman's r over the supplier↔part graph —
     // do hubs link to hubs, exact degree sums then the spearman finish.
     "q280_assortativity" -> ((s, d) =>
@@ -5356,6 +5375,15 @@ object SparkEntry {
 
     // HITS replayed: the same three max-normed integer half-steps.
     "q272_hits" -> q272OracleSql,
+
+    // Expected tag size derived arithmetically: 2 frames (11+len) + 200
+    // padding = 224 + len variance — proving the synchsafe round-trip.
+    "q281_id3_tags" ->
+      """SELECT concat('T', repeat('x', CAST(doc_id % 7 AS INT))) AS title,
+                concat('A', repeat('y', CAST(doc_id % 3 AS INT))) AS artist,
+                CAST(224 + doc_id % 7 + doc_id % 3 AS BIGINT) AS tag_size,
+                CAST(count(*) AS BIGINT) AS n_docs
+         FROM documents GROUP BY 1, 2, 3""",
 
     // Same symmetrized degree join, same integral-sums Pearson finish.
     "q280_assortativity" ->

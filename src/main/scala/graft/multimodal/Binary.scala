@@ -1,5 +1,7 @@
 package graft.multimodal
 
+import java.nio.charset.StandardCharsets
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
@@ -1120,6 +1122,81 @@ object Binary {
     val meta = extractMeta(media).toDF()
     media.toDF().select("media_id", "modality", "source")
       .join(meta.drop("modality"), Seq("media_id"))
+  }
+
+  /** Deterministic ID3v2.3 tag synthesizer — an "ID3" header whose size
+    * rides SYNCHSAFE bytes (7 bits per byte, so 0xFF can never appear
+    * and break MPEG frame sync — the container's defining trick), two
+    * ISO-8859-1 text frames (TIT2 title, TPE1 artist, v2.3 plain
+    * big-endian frame sizes + 2 flag bytes + encoding byte 0x00),
+    * `padBytes` of zero padding (real taggers over-allocate so edits
+    * need no rewrite), then a fake 0xFF 0xFB MPEG frame header and
+    * `audioBytes` of deterministic filler. */
+  def synthMp3Id3(title: String, artist: String, padBytes: Int,
+                  audioBytes: Int): Array[Byte] = {
+    require(padBytes >= 0 && audioBytes >= 0, "sizes must be nonnegative")
+    require(title.forall(_ < 256) && artist.forall(_ < 256),
+      "ISO-8859-1 text only")
+    val body = new java.io.ByteArrayOutputStream()
+    def bb(v: Int): Unit = body.write(v & 0xff)
+    def frame(id: String, text: String): Unit = {
+      id.foreach(c => bb(c.toInt))
+      val sz = 1 + text.length // encoding byte + text
+      bb(sz >>> 24); bb(sz >>> 16); bb(sz >>> 8); bb(sz)
+      bb(0); bb(0) // flags
+      bb(0)        // encoding 0x00 = ISO-8859-1
+      text.foreach(c => bb(c.toInt))
+    }
+    frame("TIT2", title)
+    frame("TPE1", artist)
+    (0 until padBytes).foreach(_ => bb(0))
+    val out = new java.io.ByteArrayOutputStream()
+    def b(v: Int): Unit = out.write(v & 0xff)
+    "ID3".foreach(c => b(c.toInt))
+    b(3); b(0); b(0) // v2.3.0, no flags
+    val sz = body.size()
+    require(sz < (1 << 28), "tag too large for synchsafe 32")
+    b((sz >>> 21) & 0x7f); b((sz >>> 14) & 0x7f)
+    b((sz >>> 7) & 0x7f); b(sz & 0x7f)
+    body.writeTo(out)
+    b(0xff); b(0xfb) // MPEG-1 layer III frame sync
+    (0 until audioBytes).foreach(i => b((i * 31 + 7) & 0xef)) // never 0xff
+    out.toByteArray
+  }
+
+  /** ID3v2 tag walk — title, artist and the declared tag size, no audio
+    * decode: verify "ID3", de-synchsafe the 28-bit size (reject any size
+    * byte with bit 7 set — that is the corruption the encoding exists to
+    * make impossible), then iterate v2.3 frames (4-char id, big-endian
+    * size, 2 flag bytes) collecting TIT2/TPE1 ISO-8859-1 payloads,
+    * stopping at zero padding or the declared end. Conservative walk:
+    * any truncation/inconsistency returns None rather than a guess. */
+  def id3Tags(bytes: Array[Byte]): Option[(String, String, Long)] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    if (bytes.length < 10 || bytes(0) != 'I' || bytes(1) != 'D' ||
+      bytes(2) != '3') return None
+    val szBytes = (6 to 9).map(u8)
+    if (szBytes.exists(_ > 0x7f)) return None // not synchsafe → corrupt
+    val tagSize = szBytes.foldLeft(0)((a, v) => (a << 7) | v)
+    val end = 10 + tagSize
+    if (end > bytes.length) return None
+    var i = 10
+    var title: String = null
+    var artist: String = null
+    while (i + 10 <= end && u8(i) != 0) {
+      val id = new String(bytes, i, 4, StandardCharsets.ISO_8859_1)
+      val fsz = (u8(i + 4) << 24) | (u8(i + 5) << 16) |
+        (u8(i + 6) << 8) | u8(i + 7)
+      if (fsz < 0 || i + 10 + fsz > end) return None
+      if ((id == "TIT2" || id == "TPE1") && fsz >= 1 && u8(i + 10) == 0) {
+        val text = new String(bytes, i + 11, fsz - 1,
+          StandardCharsets.ISO_8859_1)
+        if (id == "TIT2") title = text else artist = text
+      }
+      i += 10 + fsz
+    }
+    if (title == null || artist == null) None
+    else Some((title, artist, tagSize.toLong))
   }
 
   /** Deterministic frame-sample schedule — the planning half of video

@@ -444,4 +444,26 @@ class BinarySpec extends SparkSpec {
     // truncated mid-DQT
     assert(Binary.jpegDqtQuality(j.take(20)).isEmpty)
   }
+  test("synthMp3Id3/id3Tags: synchsafe size and frame walk round-trip") {
+    val b = Binary.synthMp3Id3("Titl", "Art", padBytes = 200,
+      audioBytes = 32)
+    // tag body: TIT2 (10+1+4) + TPE1 (10+1+3) + 200 pad = 229 > 127,
+    // so the synchsafe size genuinely spans two 7-bit bytes.
+    assert(Binary.id3Tags(b) === Some(("Titl", "Art", 229L)))
+    // zero-length pad still walks (frames end exactly at the tag end)
+    val b0 = Binary.synthMp3Id3("T", "A", padBytes = 0, audioBytes = 0)
+    assert(Binary.id3Tags(b0) === Some(("T", "A", 24L)))
+  }
+
+  test("id3Tags degrades to None off the happy path") {
+    val good = Binary.synthMp3Id3("T", "A", 0, 8)
+    assert(Binary.id3Tags("MP3junk".getBytes) === None)
+    // non-synchsafe size byte (bit 7 set) → the corruption the encoding
+    // exists to forbid
+    val bad = good.clone(); bad(6) = 0x80.toByte
+    assert(Binary.id3Tags(bad) === None)
+    // declared size past the buffer → truncation
+    val short = java.util.Arrays.copyOf(good, 20)
+    assert(Binary.id3Tags(short) === None)
+  }
 }
