@@ -1969,6 +1969,54 @@ object SparkEntry {
       ml.Eval.agreementStats(scoredDocs(s, d), "score_q", "label",
         threshold = 5000L)),
 
+    // Best-passage extraction: the 8-token window with max distinct
+    // query-term coverage per doc, snippet text reassembled from the
+    // normalized tokens — the highlighting/RAG-context picker.
+    "q288_best_passage" -> ((s, d) =>
+      Search.bestPassage(Tables.documents(s, d), "doc_id", "text",
+        queryTerms = Seq("join", "vector"), windowTokens = 8, topK = 10)),
+
+    // Friedman repeated-measures rank test: within-user ranks across
+    // three event types — blocks cancel user-level heterogeneity.
+    "q287_friedman" -> ((s, d) =>
+      Analytics.friedman(Tables.events(s, d), "user_id", "event_type",
+        "value", treatments = Seq("view", "click", "purchase"))),
+
+    // Link prediction: CN + resource-allocation over the supplier↔part
+    // graph — hub intermediaries df-capped, exact integer RA.
+    "q286_link_prediction" -> ((s, d) =>
+      Graph.linkPrediction(Tables.lineitem(s, d)
+        .select(col("l_suppkey").cast("long").as("src"),
+          (col("l_partkey") + lit(10000000L)).cast("long").as("dst")),
+        "src", "dst", maxDeg = 25, topK = 20)),
+
+    // Rocchio PRF expansion: top-4 feedback docs → top-8 Σtf·idf
+    // expansion terms at weight 400 milli → weighted BM25 re-retrieval.
+    "q285_prf_expand" -> ((s, d) =>
+      Search.prfExpand(Tables.documents(s, d), "doc_id", "text",
+        queryTerms = Seq("join", "vector", "slow"), fbDocs = 4,
+        fbTerms = 8, betaMilli = 400L, topK = 20)),
+
+    // MCC at the mid-scale threshold: the imbalance-honest confusion
+    // summary — exact DECIMAL counts/products, pinned IEEE finish.
+    "q284_mcc" -> ((s, d) =>
+      ml.Eval.mcc(scoredDocs(s, d), "score_q", "label",
+        thresholdScore = 5000L)),
+
+    // SRM check: the assignment-integrity gate — cleared-denominator
+    // 1-df chi-square of the observed arm split vs the designed share,
+    // DECIMAL(38,0) through the square, flag at the 95% critical value.
+    "q283_srm" -> ((s, d) =>
+      Experiment.srmCheck(Tables.events(s, d), "user_id", "event_type",
+        exposureType = "view", designMilliA = 500L)),
+
+    // MMR diversified top-k: greedy λ·rel − (1−λ)·max-sim re-ranking
+    // over a bounded candidate pool — all integer nano-unit scores, the
+    // oracle unrolls the same six greedy steps.
+    "q282_mmr_topk" -> ((s, d) =>
+      Similarity.mmrTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryId = 0L, k = 6, poolN = 16, lambdaMilli = 700L)),
+
     // ID3v2 tag walk: synchsafe-size round-trip + frame iteration —
     // the oracle derives the expected tag size arithmetically, so the
     // hash match proves the 7-bit size encoding and the frame walk.
@@ -3528,6 +3576,48 @@ object SparkEntry {
 
   /** HITS unrolled: each iteration is two joins + two max-normed floor
     * divisions; score tables stay sparse exactly as the operator's. */
+  /** The q282 oracle: the same bounded pool, pairwise micro-unit sims,
+    * and k UNROLLED greedy MMR steps — per step one argmax CTE (score
+    * desc, id asc) plus the accumulated selected set. Everything after
+    * the 6-dp cosine rounding is BIGINT arithmetic, so the greedy path
+    * replays bit-exactly. */
+  private def q282OracleSql: String = {
+    val (lam, k, poolN) = (700L, 6, 16)
+    def cos(a: String, b: String) =
+      s"""round(list_dot_product($a, $b)
+             / (sqrt(list_dot_product($a, $a))
+                * sqrt(list_dot_product($b, $b))), 6)"""
+    val steps = (2 to k).map { i =>
+      s"""sel$i AS (SELECT p.id, p.rel_u,
+                  $lam * p.rel_u - ${1000L - lam} * max(s.sim_u) AS score
+           FROM pool p JOIN sims s ON s.a = p.id
+                JOIN all${i - 1} t ON s.b2 = t.id
+           WHERE p.id NOT IN (SELECT id FROM all${i - 1})
+           GROUP BY p.id, p.rel_u
+           ORDER BY score DESC, p.id LIMIT 1),
+         all$i AS (SELECT id, rel_u, score, $i AS rk FROM sel$i
+                   UNION ALL SELECT * FROM all${i - 1})"""
+    }.mkString(",\n         ")
+    s"""WITH b AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+         q AS (SELECT v AS qv FROM b WHERE id = 0),
+         sc AS (SELECT id, v, ${cos("v", "qv")} AS rel
+                FROM b, q WHERE id <> 0),
+         pool AS (SELECT id, v, CAST(round(rel * 1000000) AS BIGINT) AS rel_u
+                  FROM sc ORDER BY rel DESC, id LIMIT $poolN),
+         sims AS (SELECT x.id AS a, y.id AS b2,
+                    CAST(round(${cos("x.v", "y.v")} * 1000000) AS BIGINT)
+                      AS sim_u
+                  FROM pool x JOIN pool y ON x.id <> y.id),
+         sel1 AS (SELECT id, rel_u, $lam * rel_u AS score FROM pool
+                  ORDER BY score DESC, id LIMIT 1),
+         all1 AS (SELECT id, rel_u, score, 1 AS rk FROM sel1),
+         $steps
+         SELECT CAST(rk AS BIGINT) AS mmr_rank, CAST(id AS BIGINT) AS vec_id,
+                rel_u AS rel_micro, CAST(score AS BIGINT) AS mmr_nano
+         FROM all$k"""
+  }
+
   private def q272OracleSql: String = {
     def iter(aPrev: String, i: Int) =
       s"""hr$i AS (SELECT e.src AS node, CAST(sum(a.a) AS BIGINT) AS s
@@ -5375,6 +5465,209 @@ object SparkEntry {
 
     // HITS replayed: the same three max-normed integer half-steps.
     "q272_hits" -> q272OracleSql,
+
+    // Best passage replayed: hit-anchored windows, coverage-dominant
+    // integer score, identical tiebreaks, list_slice snippet.
+    "q288_best_passage" ->
+      """WITH b AS (SELECT doc_id,
+                  regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents),
+         h AS (SELECT doc_id, unnest(toks) AS term,
+                      generate_subscripts(toks, 1) - 1 AS pos
+               FROM b),
+         q AS (SELECT doc_id, term, pos FROM h
+               WHERE term IN ('join', 'vector')),
+         win AS (SELECT s.doc_id, s.pos AS st,
+                        CAST(count(*) AS BIGINT) AS n_hits,
+                        CAST(count(DISTINCT o.term) AS BIGINT) AS n_terms
+                 FROM q s JOIN q o ON s.doc_id = o.doc_id
+                      AND o.pos >= s.pos AND o.pos < s.pos + 8
+                 GROUP BY 1, 2),
+         best AS (SELECT doc_id, st, n_terms, n_hits,
+                    row_number() OVER (PARTITION BY doc_id
+                      ORDER BY n_terms * 1000 + n_hits DESC, st) AS rk
+                  FROM win),
+         top AS (SELECT doc_id, st, n_terms, n_hits FROM best
+                 WHERE rk = 1
+                 ORDER BY n_terms * 1000 + n_hits DESC, doc_id LIMIT 10)
+         SELECT t.doc_id, CAST(t.st AS BIGINT) AS start_pos,
+                t.n_terms, t.n_hits,
+                array_to_string(list_slice(b.toks, t.st + 1, t.st + 8),
+                  ' ') AS snippet
+         FROM top t JOIN b USING (doc_id)""",
+
+    // Friedman replayed: same complete-block cells, doubled midranks
+    // via the k²-bounded block self-join, cleared-denominator finish.
+    "q287_friedman" ->
+      """WITH c0 AS (SELECT user_id AS b, event_type AS t,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                     AS BIGINT) AS v
+            FROM events
+            WHERE event_type IN ('view', 'click', 'purchase')
+            GROUP BY 1, 2),
+         cb AS (SELECT b FROM c0 GROUP BY b HAVING count(*) = 3),
+         c AS (SELECT c0.* FROM c0 JOIN cb USING (b)),
+         r AS (SELECT x.b, x.t,
+                 CAST(2 * sum(CASE WHEN y.v < x.v THEN 1 ELSE 0 END)
+                   + sum(CASE WHEN y.v = x.v THEN 1 ELSE 0 END) + 1
+                   AS BIGINT) AS d
+               FROM c x JOIN c y ON x.b = y.b GROUP BY x.b, x.t, x.v),
+         pt AS (SELECT t, CAST(sum(d) AS HUGEINT) AS dj,
+                       CAST(count(*) AS HUGEINT) AS n
+                FROM r GROUP BY 1),
+         dn AS (SELECT CAST(sum((d - 4) * (d - 4)) AS HUGEINT) AS den
+                FROM r),
+         nm AS (SELECT max(n) AS nb,
+                       sum((dj - n * 4) * (dj - n * 4)) AS num
+                FROM pt)
+         SELECT CAST(nb AS BIGINT) AS n_blocks,
+                CAST(3 AS BIGINT) AS k_treatments,
+                CAST(CASE WHEN den = 0 THEN NULL
+                     ELSE 2 * num * 1000 // den END AS BIGINT)
+                  AS chi2_milli
+         FROM nm, dn""",
+
+    // Link prediction replayed: same canonical edges, same deg cap,
+    // same wedge join and integer RA fold.
+    "q286_link_prediction" ->
+      """WITH e AS (SELECT DISTINCT
+                  least(CAST(l_suppkey AS BIGINT),
+                        CAST(l_partkey + 10000000 AS BIGINT)) AS x,
+                  greatest(CAST(l_suppkey AS BIGINT),
+                           CAST(l_partkey + 10000000 AS BIGINT)) AS y
+           FROM lineitem),
+         dg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg
+                FROM (SELECT x AS n FROM e UNION ALL SELECT y FROM e) u
+                GROUP BY 1),
+         adj AS (SELECT a.z, a.v, dg.deg
+                 FROM (SELECT x AS z, y AS v FROM e
+                       UNION ALL SELECT y, x FROM e) a
+                 JOIN dg ON a.z = dg.n WHERE dg.deg <= 25),
+         w AS (SELECT a1.v AS v1, a2.v AS v2, a1.deg
+               FROM adj a1 JOIN adj a2 ON a1.z = a2.z AND a1.v < a2.v),
+         sc AS (SELECT v1, v2, CAST(count(*) AS BIGINT) AS n_common,
+                       CAST(sum(1000000 // deg) AS BIGINT) AS ra_micro
+                FROM w GROUP BY 1, 2),
+         ne AS (SELECT s.* FROM sc s
+                LEFT JOIN e ON s.v1 = e.x AND s.v2 = e.y
+                WHERE e.x IS NULL)
+         SELECT v1 AS node_a, v2 AS node_b, n_common, ra_micro
+         FROM ne ORDER BY ra_micro DESC, n_common DESC, node_a, node_b
+         LIMIT 20""",
+
+    // PRF replayed end to end: pass-1 BM25 → feedback tf & corpus df →
+    // floor-micro Σtf·idf selection → weighted pass-2 BM25.
+    "q285_prf_expand" ->
+      """WITH b AS (SELECT doc_id,
+                  regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+                       CAST(sum(len(toks)) AS BIGINT) AS tt
+                FROM b),
+         h1 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+                       unnest(toks) AS term
+                FROM b),
+         tf1 AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+                 FROM h1 WHERE term IN ('join', 'vector', 'slow')
+                 GROUP BY 1, 2, 3),
+         sc1 AS (SELECT doc_id, dl, term, tf,
+                        count(*) OVER (PARTITION BY term) AS df
+                 FROM tf1),
+         c1 AS (SELECT doc_id,
+                  CAST(floor((st.nd - df + 0.5) / (df + 0.5) * (tf * 2.2)
+                         / (tf + 1.2 * (0.25 + 0.75 * dl
+                                        / (st.tt * 1.0 / st.nd)))
+                         * 1000000.0 + 0.5) AS BIGINT) AS cm
+                FROM sc1, st),
+         fbd AS (SELECT doc_id FROM c1 GROUP BY doc_id
+                 ORDER BY CAST(sum(cm) AS BIGINT) DESC, doc_id LIMIT 4),
+         ftf AS (SELECT term, CAST(count(*) AS BIGINT) AS ftf
+                 FROM (SELECT unnest(toks) AS term
+                       FROM b JOIN fbd USING (doc_id)) u
+                 WHERE term NOT IN ('join', 'vector', 'slow')
+                 GROUP BY 1),
+         dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS cdf
+                 FROM (SELECT DISTINCT doc_id, unnest(toks) AS term
+                       FROM b) u
+                 WHERE term IN (SELECT term FROM ftf) GROUP BY 1),
+         expq AS (SELECT f.term,
+                    CAST(400 AS BIGINT) AS wm
+                  FROM ftf f JOIN dfc d USING (term), st
+                  ORDER BY CAST(floor((st.nd - d.cdf + 0.5) / (d.cdf + 0.5)
+                           * f.ftf * 1000000.0 + 0.5) AS BIGINT) DESC,
+                           f.term LIMIT 8),
+         allt AS (SELECT term, wm FROM expq
+                  UNION ALL
+                  SELECT t.term, CAST(1000 AS BIGINT)
+                  FROM (VALUES ('join'), ('vector'), ('slow')) t(term)),
+         tf2 AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+                 FROM h1 WHERE term IN (SELECT term FROM allt)
+                 GROUP BY 1, 2, 3),
+         sc2 AS (SELECT doc_id, dl, term, tf,
+                        count(*) OVER (PARTITION BY term) AS df
+                 FROM tf2),
+         c2 AS (SELECT doc_id, a.wm,
+                  CAST(floor((st.nd - df + 0.5) / (df + 0.5) * (tf * 2.2)
+                         / (tf + 1.2 * (0.25 + 0.75 * dl
+                                        / (st.tt * 1.0 / st.nd)))
+                         * 1000000.0 + 0.5) AS BIGINT) AS cm
+                FROM sc2 JOIN allt a USING (term), st)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+                CAST(sum(wm * cm // 1000) AS BIGINT) AS score_micro
+         FROM c2 GROUP BY 1
+         ORDER BY score_micro DESC, doc_id LIMIT 20""",
+
+    // MCC replayed: same confusion counts, same two-sqrt IEEE finish.
+    "q284_mcc" ->
+      s"""WITH $ScoredDocsSql,
+         c AS (SELECT
+             CAST(coalesce(sum(CASE WHEN s >= 5000 AND y = 1 THEN 1 END), 0)
+               AS HUGEINT) AS tp,
+             CAST(coalesce(sum(CASE WHEN s >= 5000 AND y = 0 THEN 1 END), 0)
+               AS HUGEINT) AS fp,
+             CAST(coalesce(sum(CASE WHEN s < 5000 AND y = 1 THEN 1 END), 0)
+               AS HUGEINT) AS fn,
+             CAST(coalesce(sum(CASE WHEN s < 5000 AND y = 0 THEN 1 END), 0)
+               AS HUGEINT) AS tn
+           FROM sc)
+         SELECT CAST(tp AS BIGINT) AS n_tp, CAST(fp AS BIGINT) AS n_fp,
+                CAST(fn AS BIGINT) AS n_fn, CAST(tn AS BIGINT) AS n_tn,
+                CAST(CASE WHEN tp + fp + fn + tn = 0 THEN NULL
+                     ELSE (tp + tn) * 1000000 // (tp + fp + fn + tn) END
+                  AS BIGINT) AS accuracy_ppm,
+                CAST(CASE WHEN tp + fp = 0 OR tp + fn = 0
+                       OR tn + fp = 0 OR tn + fn = 0 THEN NULL
+                     ELSE round(CAST(tp * tn - fp * fn AS DOUBLE)
+                       / (sqrt(CAST((tp + fp) * (tp + fn) AS DOUBLE))
+                          * sqrt(CAST((tn + fp) * (tn + fn) AS DOUBLE)))
+                       * 1000000, 0) END AS BIGINT) AS mcc_micro
+         FROM c""",
+
+    // SRM replayed: same md5 arm split, HUGEINT cleared-denominator
+    // chi-square, same 3.841 alarm line.
+    "q283_srm" ->
+      """WITH ex AS (SELECT DISTINCT user_id,
+                   CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                             < '8' THEN 1 ELSE 0 END AS isa
+                FROM events WHERE event_type = 'view'),
+         a AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                      CAST(coalesce(sum(isa), 0) AS HUGEINT) AS oa FROM ex),
+         c AS (SELECT n, oa,
+                      CASE WHEN n = 0 THEN NULL
+                           ELSE (1000 * oa - n * 500) * (1000 * oa - n * 500)
+                                * 1000 // (n * 500 * 500) END AS chi
+               FROM a)
+         SELECT CAST(n AS BIGINT) AS n_exposed, CAST(oa AS BIGINT) AS n_a,
+                CAST(n - oa AS BIGINT) AS n_b,
+                CAST(n * 500 // 1000 AS BIGINT) AS expected_a,
+                CAST(chi AS BIGINT) AS chi2_milli,
+                CAST(CASE WHEN chi IS NULL THEN NULL
+                          WHEN chi > 3841 THEN 1 ELSE 0 END AS BIGINT) AS srm
+         FROM c""",
+
+    // MMR replayed: same pool, same pairwise sims, six unrolled greedy
+    // argmax steps over BIGINT nano-unit scores.
+    "q282_mmr_topk" -> q282OracleSql,
 
     // Expected tag size derived arithmetically: 2 frames (11+len) + 200
     // padding = 224 + len variance — proving the synchsafe round-trip.

@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -623,5 +623,52 @@ object Eval {
           + "   div (graft_nt - graft_n) END").as("encoding_ppm"),
         expr("CASE WHEN graft_na = 0 THEN CAST(NULL AS BIGINT)"
           + " ELSE graft_sa * 1000000 div graft_na END").as("prior_ppm"))
+  }
+
+  /** Matthews correlation coefficient at a fixed decision threshold —
+    * the single-number confusion summary that stays honest under CLASS
+    * IMBALANCE (accuracy and F1 both reward the majority-class
+    * degenerate classifier; MCC = 0 for it, and only ±1 when both
+    * classes are classified well — Chicco/Jurman, BMC Genomics 2020).
+    * MCC = (tp·tn − fp·fn) / √((tp+fp)(tp+fn)) · √((tn+fp)(tn+fn)),
+    * emitted in round-6 micro units: the four counts and both pair
+    * products are exact DECIMAL(38,0) (each product caps at n², inside
+    * 38 digits past int64), and the finish is a PINNED chain of
+    * correctly-rounded IEEE ops (two casts, two sqrts, one multiply,
+    * one divide, round) — the q280 determinism argument. A zero
+    * marginal (all-positive/all-negative predictions or labels) makes
+    * MCC undefined → NULL, never a sentinel. `accuracy_ppm` rides along
+    * for the dashboard.
+    *
+    * Scale: ONE conditional aggregate over the corpus (map-side
+    * combinable, no shuffle beyond the 1-row fold) — cheaper than the
+    * [[perScore]] substrate, which a single fixed threshold doesn't
+    * need. */
+  def mcc(scored: DataFrame, scoreCol: String, labelCol: String,
+          thresholdScore: Long): DataFrame = {
+    def cnt(pred: Column, lab: Column): Column =
+      coalesce(sum(when(pred && lab, 1L)), lit(0L))
+        .cast("decimal(38,0)")
+    val s = col("graft_s") >= thresholdScore
+    val y = col("graft_y") === 1L
+    scored
+      .select(col(scoreCol).cast("long").as("graft_s"),
+        col(labelCol).cast("long").as("graft_y"))
+      .agg(cnt(s, y).as("tp"), cnt(s, !y).as("fp"),
+        cnt(!s, y).as("fn"), cnt(!s, !y).as("tn"))
+      .select(
+        col("tp").cast("long").as("n_tp"),
+        col("fp").cast("long").as("n_fp"),
+        col("fn").cast("long").as("n_fn"),
+        col("tn").cast("long").as("n_tn"),
+        expr("CASE WHEN tp + fp + fn + tn = 0 THEN CAST(NULL AS BIGINT)"
+          + " ELSE (tp + tn) * 1000000 div (tp + fp + fn + tn) END")
+          .as("accuracy_ppm"),
+        expr("CASE WHEN tp + fp = 0 OR tp + fn = 0"
+          + "   OR tn + fp = 0 OR tn + fn = 0 THEN CAST(NULL AS BIGINT)"
+          + " ELSE CAST(round(CAST(tp * tn - fp * fn AS DOUBLE)"
+          + "   / (sqrt(CAST((tp + fp) * (tp + fn) AS DOUBLE))"
+          + "      * sqrt(CAST((tn + fp) * (tn + fn) AS DOUBLE)))"
+          + "   * 1000000, 0) AS BIGINT) END").as("mcc_micro"))
   }
 }

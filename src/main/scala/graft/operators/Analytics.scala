@@ -2187,6 +2187,65 @@ object Analytics {
           .otherwise(expr("CAST(graft_num div (2 * CAST(span_us AS " +
             "decimal(38,0))) AS BIGINT)")).as("twa_centi"))
   }
+
+  /** Friedman test — the REPEATED-MEASURES rung of the rank family
+    * ([[kruskalWallis]] compares independent groups; this one asks "do
+    * k treatments differ when every BLOCK experiences all k", ranking
+    * within each block so between-block level differences — the thing
+    * that drowns KW on heterogeneous users — cancel entirely). Blocks
+    * are entities with ALL `treatments` present (incomplete blocks
+    * excluded by contract, the textbook requirement); the observation
+    * per cell is the exact centi-unit value sum; within-block ranks are
+    * DOUBLED midranks d = 2·lt + eq + 1 (integers under ties, the
+    * spearman trick), and the tie-general statistic clears all
+    * denominators: χ² = (k−1)·Σ_j (D_j − n(k+1))² / Σ_ij (d_ij −
+    * (k+1))² (doubling cancels 4/4) — one floor division into milli,
+    * DECIMAL(38,0) through the squares (D_j² reaches n²k²). All-tied
+    * blocks everywhere → zero denominator → NULL.
+    *
+    * Scale: one (block, treatment) aggregate over the corpus (single
+    * keyed shuffle), the k-row within-block rank join is a self-join on
+    * the block key bounded by k², and the finish folds |blocks|·k cells
+    * to one row. */
+  def friedman(rows: DataFrame, blockCol: String, treatCol: String,
+               valueCol: String, treatments: Seq[String]): DataFrame = {
+    val k = treatments.distinct.length
+    require(k >= 2, "friedman needs at least two treatments")
+    val cells0 = rows
+      .filter(col(treatCol).isInCollection(treatments.distinct) &&
+        col(blockCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(blockCol).as("graft_b"), col(treatCol).as("graft_t"))
+      .agg(sum(floor(col(valueCol) * 100 + 0.5).cast("long"))
+        .as("graft_v"))
+    val complete = cells0.groupBy("graft_b")
+      .agg(count(lit(1)).as("graft_kt"))
+      .filter(col("graft_kt") === k).select("graft_b")
+    val cells = Materialize.transient(
+      cells0.join(complete, Seq("graft_b")))
+    val other = cells.select(col("graft_b"), col("graft_v").as("graft_v2"))
+    val ranked = cells.join(other, Seq("graft_b"))
+      .groupBy("graft_b", "graft_t", "graft_v")
+      .agg((lit(2L) * sum(when(col("graft_v2") < col("graft_v"), 1L)
+        .otherwise(0L))
+        + sum(when(col("graft_v2") === col("graft_v"), 1L).otherwise(0L))
+        + lit(1L)).as("graft_d"))
+    val perTreat = ranked.groupBy("graft_t")
+      .agg(sum(col("graft_d")).cast("decimal(38,0)").as("graft_dj"),
+        count(lit(1)).cast("decimal(38,0)").as("graft_n"))
+    val den = ranked.agg(
+      sum(expr(s"CAST((graft_d - ${k + 1}) AS DECIMAL(38,0))" +
+        s" * (graft_d - ${k + 1})")).as("graft_den"))
+    perTreat
+      .agg(max("graft_n").as("graft_nb"),
+        sum(expr(s"(graft_dj - graft_n * ${k + 1})" +
+          s" * (graft_dj - graft_n * ${k + 1})")).as("graft_num"))
+      .crossJoin(broadcast(den))
+      .select(col("graft_nb").cast("long").as("n_blocks"),
+        lit(k.toLong).as("k_treatments"),
+        expr(s"CASE WHEN graft_den = 0 THEN CAST(NULL AS BIGINT)" +
+          s" ELSE CAST(${k - 1} * graft_num * 1000 div graft_den" +
+          s" AS BIGINT) END").as("chi2_milli"))
+  }
 }
 
 /** Mergeable Misra-Gries state as a typed Spark [[org.apache.spark.sql.expressions.Aggregator]] —

@@ -474,4 +474,56 @@ object Experiment {
           + s"     * ($buckets * sd2 - sd * sd) AS DOUBLE)) * 1000, 0)"
           + " AS BIGINT) END").as("z_milli"))
   }
+
+  /** Sample-ratio-mismatch (SRM) check — the FIRST gate every
+    * experimentation platform runs before reading any metric: if the
+    * observed arm split drifts from the DESIGNED split, assignment
+    * itself is broken (redirect bugs, bot filtering hitting one arm,
+    * logging loss) and every downstream readout is invalid — a tiny
+    * ratio drift at scale is a huge chi-square, which is exactly the
+    * point (Fabijan et al., "Diagnosing Sample Ratio Mismatch", KDD'19).
+    * One-sided binomial chi-square with 1 df, cleared denominators:
+    * χ²·1000 = (1000·O_A − n·m)²·1000 div (n·m·(1000−m)) for design
+    * share m milli of arm A — DECIMAL(38,0) through the square (the
+    * numerator reaches n²·10⁶, past int64 at n > 3·10⁶), ONE floor
+    * division, no float anywhere. `srm` flags χ² > 3.841 (the 1-df 95%
+    * critical value — the standard alarm line; callers own any other α
+    * via chi2_milli). Degenerate designs (m ∉ (0,1000)) and an empty
+    * exposure set return NULL χ² rather than divide-by-zero.
+    *
+    * Scale: one DISTINCT-user reduction (single user-keyed shuffle) and
+    * a 2-row arm rollup folded into a 1-row report — the q137 posture. */
+  def srmCheck(events: DataFrame, userCol: String, typeCol: String,
+               exposureType: String, designMilliA: Long): DataFrame = {
+    require(designMilliA >= 0L && designMilliA <= 1000L,
+      "designMilliA is the designed arm-A share in milli")
+    val arm = when(substring(md5(col("graft_u").cast("string")), 1, 1) < "8",
+      "A").otherwise("B")
+    val exposed = events.filter(col(typeCol) === exposureType)
+      .select(col(userCol).as("graft_u")).distinct()
+      .withColumn("graft_arm", arm)
+    exposed.agg(
+      count(lit(1)).as("graft_n"),
+      // empty exposure: SUM is NULL — pin to 0 like the oracle's coalesce
+      coalesce(sum(when(col("graft_arm") === "A", 1L).otherwise(0L)),
+        lit(0L)).as("graft_oa"))
+      .select(
+        col("graft_n").cast("long").as("n_exposed"),
+        col("graft_oa").cast("long").as("n_a"),
+        expr("graft_n - graft_oa").cast("long").as("n_b"),
+        expr(s"graft_n * $designMilliA div 1000").cast("long")
+          .as("expected_a"),
+        expr(s"CASE WHEN graft_n = 0 OR $designMilliA <= 0"
+          + s"   OR $designMilliA >= 1000 THEN CAST(NULL AS BIGINT)"
+          + s" ELSE CAST((CAST(1000 AS DECIMAL(38,0)) * graft_oa"
+          + s"       - CAST(graft_n AS DECIMAL(38,0)) * $designMilliA)"
+          + s"   * (CAST(1000 AS DECIMAL(38,0)) * graft_oa"
+          + s"       - CAST(graft_n AS DECIMAL(38,0)) * $designMilliA)"
+          + s"   * 1000 div (CAST(graft_n AS DECIMAL(38,0))"
+          + s"       * $designMilliA * ${1000L - designMilliA})"
+          + "  AS BIGINT) END").as("chi2_milli"))
+      .withColumn("srm", // 0/1 BIGINT, not BOOLEAN — hash-stable
+        when(col("chi2_milli").isNull, lit(null).cast("long"))
+          .otherwise((col("chi2_milli") > 3841L).cast("long")))
+  }
 }

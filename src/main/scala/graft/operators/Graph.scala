@@ -383,4 +383,63 @@ object Graph {
     e.select(explode(array(col("x"), col("y"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("core_degree"))
   }
+
+  /** Link prediction by common-neighbor evidence — rank NON-adjacent
+    * pairs by how strongly the existing structure implies the missing
+    * edge: `n_common` counts shared neighbors, `ra_micro` is the
+    * resource-allocation index `Σ_z 10⁶ div deg(z)` over those shared
+    * neighbors (Zhou/Lü/Zhang, EPJ B 2009 — RA consistently beats plain
+    * CN and Adamic-Adar on dense graphs, and unlike AA it needs no
+    * float log: exact integer floor division per wedge). The
+    * recommender/auditor primitive: on a supplier↔part graph the top
+    * pairs are the co-supply relationships the data says should exist.
+    *
+    * Hub intermediaries are EXCLUDED by `maxDeg` — a z with huge degree
+    * contributes ~0 RA signal (10⁶ div deg rounds toward 0) yet deg²
+    * wedge fan-out; dropping it bounds the pair join at
+    * |nodes|·maxDeg² instead of the square of the hub degree (the
+    * standard df-cap trade, same as [[Dedup]]'s maxDf). The cap is part
+    * of the CONTRACT (scores are "RA over sub-maxDeg intermediaries"),
+    * so the oracle replays it exactly.
+    *
+    * Scale: one dedup pass, one degree aggregate, one z-keyed wedge
+    * self-join (bounded per z by maxDeg²), one (pair)-keyed sum, one
+    * anti-join against the edge list, TakeOrdered topK. */
+  def linkPrediction(edges: DataFrame, aCol: String, bCol: String,
+                     maxDeg: Int, topK: Int): DataFrame = {
+    require(maxDeg >= 2, "maxDeg must be at least 2")
+    require(topK >= 1, "topK must be at least 1")
+    val e0 = Materialize.transient(edges
+      .select(col(aCol).cast("long").as("graft_a"),
+        col(bCol).cast("long").as("graft_b"))
+      .filter(col("graft_a") =!= col("graft_b") &&
+        col("graft_a").isNotNull && col("graft_b").isNotNull)
+      .select(least(col("graft_a"), col("graft_b")).as("x"),
+        greatest(col("graft_a"), col("graft_b")).as("y"))
+      .distinct())
+    val deg = e0.select(explode(array(col("x"), col("y"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("graft_deg"))
+    val adj = e0.select(col("x").as("graft_z"), col("y").as("graft_v"))
+      .unionByName(e0.select(col("y").as("graft_z"), col("x").as("graft_v")))
+      .join(deg.filter(col("graft_deg") <= maxDeg)
+        .select(col("n").as("graft_z"), col("graft_deg")), Seq("graft_z"))
+    val adjP = Materialize.transient(adj)
+    val w1 = adjP.select(col("graft_z"), col("graft_v").as("graft_v1"),
+      col("graft_deg"))
+    val w2 = adjP.select(col("graft_z"), col("graft_v").as("graft_v2"))
+    val scored = w1.join(w2, Seq("graft_z"))
+      .filter(col("graft_v1") < col("graft_v2"))
+      .groupBy("graft_v1", "graft_v2")
+      .agg(count(lit(1)).as("n_common"),
+        sum(expr("1000000 div graft_deg")).as("ra_micro"))
+    scored
+      .join(e0, scored("graft_v1") === e0("x") &&
+        scored("graft_v2") === e0("y"), "left_anti")
+      .select(col("graft_v1").as("node_a"), col("graft_v2").as("node_b"),
+        col("n_common").cast("long").as("n_common"),
+        col("ra_micro").cast("long").as("ra_micro"))
+      .orderBy(col("ra_micro").desc, col("n_common").desc,
+        col("node_a").asc, col("node_b").asc)
+      .limit(topK)
+  }
 }

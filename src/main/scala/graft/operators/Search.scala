@@ -295,4 +295,156 @@ object Search {
       .select(col("term"), col("dcg_micro"), col("idcg_micro"),
         expr("dcg_micro * 1000000 div idcg_micro").as("ndcg_ppm"))
   }
+
+  /** Rocchio pseudo-relevance-feedback expansion (Rocchio 1971; the
+    * RM3-style two-pass every Lucene/Terrier deployment ships): retrieve
+    * the top `fbDocs` documents for the original query, ASSUME them
+    * relevant, mine their vocabulary for the `fbTerms` terms with the
+    * highest feedback weight `Σ_F tf(t,d) · idf(t)` (tf concentrates on
+    * what the feedback set is about, idf kills stop-words), and re-run
+    * retrieval with the expanded query — original terms at weight 1000
+    * milli, expansion terms at `betaMilli` — so documents phrased
+    * differently from the query (the vocabulary-mismatch problem) still
+    * surface. Per-term BM25 contributions are the proven [[bm25]] micro
+    * expression; the weighting is ONE integer `w · contrib div 1000` per
+    * hit; expansion selection floors its weight to micro with a term
+    * tiebreak — every stage replays in the oracle.
+    *
+    * Scale: the corpus pays one stats aggregate plus THREE posting-list
+    * bounded match passes (original query; feedback-vocabulary df — the
+    * filter set is the feedback vocabulary, |F docs|·doclen distinct
+    * terms at most, broadcast as a 1-row array; expanded query). The
+    * feedback-doc set and term sets are index-artifact sized (≤ fbDocs,
+    * ≤ fbTerms + |query|), never corpus-sized; no token ever shuffles
+    * unless it matches one of those sets. */
+  def prfExpand(docs: DataFrame, idCol: String, textCol: String,
+                queryTerms: Seq[String], fbDocs: Int, fbTerms: Int,
+                betaMilli: Long, topK: Int): DataFrame = {
+    require(queryTerms.nonEmpty, "prfExpand needs at least one query term")
+    require(fbDocs >= 1 && fbTerms >= 1, "fbDocs and fbTerms must be >= 1")
+    require(betaMilli >= 0L && betaMilli <= 1000L,
+      "betaMilli is the expansion weight in milli")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val base = docs.select(col(idCol).as("doc_id"),
+      regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0))
+        .as("graft_toks"))
+    val stats = base.agg(count(lit(1)).as("graft_nd"),
+      sum(size(col("graft_toks"))).as("graft_tt"))
+    // Pass 1: the original query picks the pseudo-relevant set.
+    val fb = bm25(docs, idCol, textCol, terms, fbDocs)
+      .select(col("doc_id").as("graft_fd"))
+    // Feedback term frequencies (Σ over the set) minus the originals.
+    val fbTf = base
+      .join(broadcast(fb), col("doc_id") === col("graft_fd"))
+      .select(explode(col("graft_toks")).as("term"))
+      .filter(!col("term").isInCollection(terms))
+      .groupBy("term").agg(count(lit(1)).as("graft_ftf"))
+    val vocab = fbTf.agg(collect_list(col("term")).as("graft_vocab"))
+    // Pass 2: corpus df for exactly the feedback vocabulary.
+    val dfTbl = base.crossJoin(broadcast(vocab))
+      .select(explode(array_distinct(filter(col("graft_toks"),
+        t => array_contains(col("graft_vocab"), t)))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("graft_cdf"))
+    val ndD = col("graft_nd").cast("double")
+    val wMicro = floor((ndD - col("graft_cdf") + lit(0.5))
+      / (col("graft_cdf") + lit(0.5))
+      * col("graft_ftf") * lit(1000000.0) + lit(0.5)).cast("long")
+    val expansion = fbTf.join(dfTbl, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"), wMicro.as("graft_w"))
+      .orderBy(col("graft_w").desc, col("term").asc)
+      .limit(fbTerms)
+      .select(col("term"), lit(betaMilli).as("graft_wm"))
+    val allTerms = expansion.unionByName(
+      terms.toDF("term").withColumn("graft_wm", lit(1000L)))
+    val tset = allTerms.agg(collect_list(col("term")).as("graft_tset"))
+    // Pass 3: the expanded retrieval, weighted per term.
+    val hits = base.crossJoin(broadcast(tset))
+      .select(col("doc_id"),
+        size(col("graft_toks")).cast("long").as("graft_dl"),
+        explode(filter(col("graft_toks"),
+          t => array_contains(col("graft_tset"), t))).as("term"))
+    val tf = hits.groupBy("doc_id", "graft_dl", "term")
+      .agg(count(lit(1)).as("graft_tf"))
+      .withColumn("graft_df",
+        count(lit(1)).over(Window.partitionBy("term")))
+    val avgdl = col("graft_tt").cast("double") * lit(1.0) / ndD
+    val idf = (ndD - col("graft_df") + lit(0.5)) / (col("graft_df") + lit(0.5))
+    val num = col("graft_tf") * lit(2.2)
+    val den = col("graft_tf") +
+      lit(1.2) * (lit(0.25) + lit(0.75) * col("graft_dl") / avgdl)
+    val contribMicro =
+      floor(idf * num / den * lit(1000000.0) + lit(0.5)).cast("long")
+    tf.crossJoin(broadcast(stats))
+      .join(broadcast(allTerms), Seq("term"))
+      .select(col("doc_id"), contribMicro.as("graft_c"), col("graft_wm"))
+      .select(col("doc_id"),
+        expr("graft_wm * graft_c div 1000").as("graft_wc"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms_hit"),
+        sum("graft_wc").as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+
+  /** Best-passage (snippet) extraction — the highlighting/passage-
+    * retrieval leg between document ranking and the user (and the
+    * context-window picker a RAG stack needs when whole documents don't
+    * fit the prompt): for each document, the `windowTokens`-token
+    * window covering the most DISTINCT query terms (ties: more total
+    * hits, then earliest offset), reported with its 0-based token
+    * offset and the reassembled normalized-token snippet text. Window
+    * score = n_terms·1000 + n_hits — distinct-term coverage dominates
+    * (a window with both query terms beats one repeating a single term
+    * thrice, the standard passage-scoring choice), all integer.
+    *
+    * Scale: query-term hits (with token positions) are posting-list
+    * sized — the explode→filter is pipelined map-side, so nothing
+    * corpus-token-sized ever shuffles; candidate windows anchor at hit
+    * positions only (per-doc fan-out ≤ per-doc-hits², hits bounded by
+    * the query's postings in that doc); the snippet text materializes
+    * ONLY for the final topK rows via one broadcast join back. */
+  def bestPassage(docs: DataFrame, idCol: String, textCol: String,
+                  queryTerms: Seq[String], windowTokens: Int,
+                  topK: Int): DataFrame = {
+    require(queryTerms.nonEmpty, "bestPassage needs at least one query term")
+    require(windowTokens >= 1 && topK >= 1,
+      "windowTokens and topK must be >= 1")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val base = docs.select(col(idCol).as("doc_id"),
+      regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0))
+        .as("graft_toks"))
+    val hits = base
+      .select(col("doc_id"),
+        posexplode(col("graft_toks")).as(Seq("graft_pos", "term")))
+      .filter(col("term").isInCollection(terms))
+    val starts = hits.select(col("doc_id"), col("graft_pos").as("graft_s"))
+    val inWin = starts.join(
+      hits.select(col("doc_id"), col("graft_pos"), col("term")),
+      Seq("doc_id"))
+      .filter(col("graft_pos") >= col("graft_s") &&
+        col("graft_pos") < col("graft_s") + windowTokens)
+    val windows = inWin.groupBy("doc_id", "graft_s")
+      .agg(countDistinct(col("term")).as("n_terms"),
+        count(lit(1)).as("n_hits"))
+      .withColumn("graft_score",
+        col("n_terms") * lit(1000L) + col("n_hits"))
+    val best = windows
+      .withColumn("graft_rk", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("graft_score").desc, col("graft_s").asc)))
+      .filter(col("graft_rk") === 1)
+      .orderBy(col("graft_score").desc, col("doc_id").asc)
+      .limit(topK)
+      .select(col("doc_id"), col("graft_s"), col("n_terms"), col("n_hits"))
+    base.join(broadcast(best), Seq("doc_id"))
+      .select(col("doc_id"), col("graft_s").cast("long").as("start_pos"),
+        col("n_terms").cast("long").as("n_terms"),
+        col("n_hits").cast("long").as("n_hits"),
+        array_join(slice(col("graft_toks"),
+          col("graft_s").cast("int") + lit(1), lit(windowTokens)), " ")
+          .as("snippet"))
+      .orderBy(col("n_terms").desc, col("n_hits").desc, col("doc_id").asc)
+  }
 }

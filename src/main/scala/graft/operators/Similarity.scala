@@ -702,4 +702,84 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** MMR (maximal-marginal-relevance) diversified top-k — the
+    * re-ranking rung every production retrieval stack puts between the
+    * raw similarity ranking and the user: pure [[cosineTopK]] returns k
+    * near-copies when the corpus clusters (near-dups, translations,
+    * re-posts all crowd the head), so MMR greedily picks the item
+    * maximizing `λ·rel(d) − (1−λ)·max_{s∈S} sim(d,s)` against the
+    * already-selected set S (Carbonell/Goldstein, SIGIR 1998) — the
+    * second term is the redundancy penalty relevance-only ranking
+    * can't express. λ is milli (integer), both similarity kinds are the
+    * 6-dp-rounded cosine converted to exact micro-units, so every score
+    * is a BIGINT (`λ·rel_u − (1000−λ)·maxsim_u`, nano-units) and the
+    * greedy argmax (score desc, id asc) replays bit-exactly — the oracle
+    * unrolls the same k steps. First pick has S = ∅, penalty 0.
+    *
+    * Scale: the corpus pays exactly one [[cosineTopK]]-shaped scan
+    * (broadcast query, TakeOrdered poolN); everything after — the
+    * poolN² pairwise sims and the k greedy steps — runs on a
+    * ≤256-row pool, collected as a bounded driver artifact (the
+    * centroid/codebook contract). Greedy selection is inherently
+    * sequential (step i needs S_{i-1}); doing it on k·poolN driver
+    * integers is the only shape that does NOT serialize distributed
+    * stages. */
+  def mmrTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int, poolN: Int,
+              lambdaMilli: Long): DataFrame = {
+    require(k >= 1 && k <= poolN, "k must be in [1, poolN]")
+    require(poolN <= 256, "pool must stay a bounded driver artifact")
+    require(lambdaMilli >= 0L && lambdaMilli <= 1000L,
+      "lambdaMilli is a milli weight in [0, 1000]")
+    val spark = emb.sparkSession
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("graft_qv")).limit(1)
+    val pool = Materialize.transient(
+      emb.crossJoin(broadcast(q))
+        .filter(col(idCol) =!= queryId)
+        .withColumn("graft_rel",
+          round(V.cosine(col(vecCol), col("graft_qv")), 6))
+        .orderBy(col("graft_rel").desc, col(idCol).asc)
+        .limit(poolN)
+        .select(col(idCol).cast("long").as("graft_id"),
+          col(vecCol).as("graft_v"),
+          expr("cast(round(graft_rel * 1000000) as long)")
+            .as("graft_relu")))
+    val pa = pool.select(col("graft_id").as("graft_a"),
+      col("graft_v").as("graft_va"))
+    val pb = pool.select(col("graft_id").as("graft_b"),
+      col("graft_v").as("graft_vb"))
+    val sims = pa.crossJoin(pb)
+      .filter(col("graft_a") =!= col("graft_b"))
+      .withColumn("graft_sim",
+        round(V.cosine(col("graft_va"), col("graft_vb")), 6))
+      .select(col("graft_a"), col("graft_b"),
+        expr("cast(round(graft_sim * 1000000) as long)").as("graft_simu"))
+    val relU: Seq[(Long, Long)] = pool
+      .select("graft_id", "graft_relu").collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val simU: Map[(Long, Long), Long] = sims.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val rel = relU.toMap
+    var selected = Vector.empty[Long]
+    val picks = Vector.newBuilder[(Long, Long, Long, Long)]
+    var candidates = relU.map(_._1).toSet
+    var rank = 1L
+    while (rank <= k && candidates.nonEmpty) {
+      val scored = candidates.toSeq.map { c =>
+        val pen =
+          if (selected.isEmpty) 0L
+          else selected.map(s => simU((c, s))).max
+        (lambdaMilli * rel(c) - (1000L - lambdaMilli) * pen, c)
+      }
+      val (score, id) = scored.minBy { case (sc, i) => (-sc, i) }
+      picks += ((rank, id, rel(id), score))
+      selected :+= id
+      candidates -= id
+      rank += 1L
+    }
+    import spark.implicits._
+    picks.result().toDF("mmr_rank", "vec_id", "rel_micro", "mmr_nano")
+  }
 }

@@ -372,4 +372,33 @@ class EvalSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("balanced_accuracy_ppm")))
     assert(r.isNullAt(r.fieldIndex("kappa_ppm")))
   }
+
+  test("mcc: perfect = 1, inverted = -1, majority-degenerate = NULL") {
+    val perfect = df(Seq((9L, 1L), (8L, 1L), (2L, 0L), (1L, 0L)))
+    val p = Eval.mcc(perfect, "s", "y", thresholdScore = 5L).collect()(0)
+    assert(p.getAs[Long]("mcc_micro") === 1000000L)
+    assert(p.getAs[Long]("accuracy_ppm") === 1000000L)
+    val inverted = df(Seq((9L, 0L), (8L, 0L), (2L, 1L), (1L, 1L)))
+    val i = Eval.mcc(inverted, "s", "y", thresholdScore = 5L).collect()(0)
+    assert(i.getAs[Long]("mcc_micro") === -1000000L)
+    // all predicted positive: tn + fn marginal empty → undefined
+    val deg = Eval.mcc(df(Seq((9L, 1L), (8L, 0L))), "s", "y",
+      thresholdScore = 5L).collect()(0)
+    assert(deg.isNullAt(deg.fieldIndex("mcc_micro")))
+    assert(deg.getAs[Long]("accuracy_ppm") === 500000L)
+  }
+
+  test("mcc: imbalance-honest where accuracy flatters") {
+    // 9 negatives + 1 positive; classifier predicts the positive right
+    // but also flags 3 negatives: accuracy 700000 looks fine, MCC is
+    // the honest √(1·7/(4·10·... )) readout. tp=1 fp=3 fn=0 tn=6:
+    // mcc = (6-0)/√(4·1·9·6) = 6/√216 ≈ 0.408248
+    val d = df(Seq((9L, 1L)) ++ (1 to 3).map(i => (8L, 0L))
+      ++ (1 to 6).map(i => (2L, 0L)))
+    val r = Eval.mcc(d, "s", "y", thresholdScore = 5L).collect()(0)
+    assert(r.getAs[Long]("n_tp") === 1L && r.getAs[Long]("n_fp") === 3L)
+    assert(r.getAs[Long]("n_fn") === 0L && r.getAs[Long]("n_tn") === 6L)
+    assert(r.getAs[Long]("accuracy_ppm") === 700000L)
+    assert(r.getAs[Long]("mcc_micro") === 408248L)
+  }
 }

@@ -1084,4 +1084,41 @@ class AnalyticsSpec extends SparkSpec {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(ex).exists(_.contains("floor-division parity")))
   }
+
+  test("friedman: hand-computed agreeing blocks, ties, incomplete blocks") {
+    // Two complete blocks agreeing on the treatment order a<b<c:
+    // doubled ranks (2,4,6) each, D=(4,8,12), n(k+1)=8 →
+    // χ² = 2·(16+0+16)/16 = 4 exactly. Block 9 lacks treatment c and
+    // must be excluded (its values would otherwise flip the order).
+    val rows = Seq(
+      (1L, "a", 1.0), (1L, "b", 2.0), (1L, "c", 3.0),
+      (2L, "a", 10.0), (2L, "b", 20.0), (2L, "c", 30.0),
+      (9L, "a", 99.0), (9L, "b", 1.0))
+      .toDF("user_id", "event_type", "value")
+    val got = Analytics.friedman(rows, "user_id", "event_type", "value",
+      Seq("a", "b", "c")).collect()(0)
+    assert(got.getAs[Long]("n_blocks") === 2L)
+    assert(got.getAs[Long]("k_treatments") === 3L)
+    assert(got.getAs[Long]("chi2_milli") === 4000L)
+  }
+
+  test("friedman: fully tied blocks yield NULL; cell values are sums") {
+    val tied = Seq(
+      (1L, "a", 5.0), (1L, "b", 5.0),
+      (2L, "a", 7.0), (2L, "b", 7.0))
+      .toDF("user_id", "event_type", "value")
+    val r = Analytics.friedman(tied, "user_id", "event_type", "value",
+      Seq("a", "b")).collect()(0)
+    assert(r.isNullAt(r.fieldIndex("chi2_milli")))
+    // repeated events SUM into the cell before ranking: block 1's two
+    // a-events (3+3=6) outrank b's single 5 → perfect disagreement with
+    // block 2 (a=1 < b=5) → χ² = 0
+    val summed = Seq(
+      (1L, "a", 3.0), (1L, "a", 3.0), (1L, "b", 5.0),
+      (2L, "a", 1.0), (2L, "b", 5.0))
+      .toDF("user_id", "event_type", "value")
+    val s = Analytics.friedman(summed, "user_id", "event_type", "value",
+      Seq("a", "b")).collect()(0)
+    assert(s.getAs[Long]("chi2_milli") === 0L)
+  }
 }

@@ -263,4 +263,38 @@ class ExperimentSpec extends SparkSpec {
     assert(a.getAs[Long]("n_users_a") + a.getAs[Long]("n_users_b") === 120L)
     assert(a.getAs[Long]("n_valid_buckets") === 4L)
   }
+
+  test("srmCheck: exact chi-square against the designed split") {
+    // Pick 6 A users and 2 B users (verified per-id) — a gross 75/25
+    // observed split against a 50/50 design. n=8, O_A=6:
+    // χ²·1000 = (1000·6 − 8·500)²·1000 / (8·500·500) = 2000.
+    val as = (1L to 200L).filter(armOf(_) == "A").take(6)
+    val bs = (1L to 200L).filter(armOf(_) == "B").take(2)
+    val ev = (as ++ bs).map(u => (u, "view", 1.0)) ++
+      Seq((9999L, "purchase", 1.0)) // non-exposure event ignored
+    val got = Experiment.srmCheck(ev.toDF("user_id", "event_type", "value"),
+      "user_id", "event_type", "view", designMilliA = 500L).head()
+    assert(got.getAs[Long]("n_exposed") === 8L)
+    assert(got.getAs[Long]("n_a") === 6L)
+    assert(got.getAs[Long]("n_b") === 2L)
+    assert(got.getAs[Long]("expected_a") === 4L)
+    assert(got.getAs[Long]("chi2_milli") === 2000L)
+    assert(got.getAs[Long]("srm") === 0L) // 2.0 < 3.841: noisy, not SRM
+  }
+
+  test("srmCheck flags a drastic imbalance and NULLs the empty case") {
+    // 40 A users, 0 B users: χ² = n = 40 → 40000 milli, well past 3841.
+    val as = (1L to 500L).filter(armOf(_) == "A").take(40)
+    val got = Experiment.srmCheck(
+      as.map(u => (u, "view", 1.0)).toDF("user_id", "event_type", "value"),
+      "user_id", "event_type", "view", designMilliA = 500L).head()
+    assert(got.getAs[Long]("chi2_milli") === 40000L)
+    assert(got.getAs[Long]("srm") === 1L)
+    val empty = Experiment.srmCheck(
+      Seq((1L, "purchase", 1.0)).toDF("user_id", "event_type", "value"),
+      "user_id", "event_type", "view", designMilliA = 500L).head()
+    assert(empty.getAs[Long]("n_exposed") === 0L)
+    assert(empty.isNullAt(empty.fieldIndex("chi2_milli")))
+    assert(empty.isNullAt(empty.fieldIndex("srm")))
+  }
 }

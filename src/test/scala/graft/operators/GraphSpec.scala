@@ -149,4 +149,28 @@ class GraphSpec extends SparkSpec {
     // everything peels at k=4: the empty core converges and is empty
     assert(Graph.kCore(edges, "a", "b", k = 4, maxRounds = 8).count() === 0L)
   }
+
+  test("linkPrediction: hand-computed CN and RA with the degree cap") {
+    // 1 and 2 share neighbors 10 (deg 3) and 11 (deg 2); 3 touches
+    // only 10. Non-edges ranked: (10,11) via z∈{1,2} RA=10⁶, then
+    // (1,2) RA=10⁶/3+10⁶/2=833333, then (1,3)/(2,3) at 333333.
+    val edges = Seq((1L, 10L), (2L, 10L), (1L, 11L), (2L, 11L), (3L, 10L))
+      .toDF("a", "b")
+    val got = Graph.linkPrediction(edges, "a", "b", maxDeg = 10, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+    assert(got.head === ((10L, 11L, 2L, 1000000L)))
+    assert(got(1) === ((1L, 2L, 2L, 833333L)))
+    assert(got.toSet.contains((1L, 3L, 1L, 333333L)))
+    assert(got.toSet.contains((2L, 3L, 1L, 333333L)))
+    // existing edges never appear as predictions
+    assert(!got.exists(p => (p._1, p._2) == ((1L, 10L))))
+    // hub cap: with maxDeg=2 node 10 stops mediating — (1,2) keeps only
+    // the z=11 wedge and the (·,3) pairs vanish
+    val capped = Graph.linkPrediction(edges, "a", "b", maxDeg = 2,
+      topK = 10).collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+    assert(capped.toSeq.contains((1L, 2L, 1L, 500000L)))
+    assert(!capped.exists(p => p._2 == 3L || p._1 == 3L))
+  }
 }

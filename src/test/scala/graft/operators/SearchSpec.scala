@@ -178,4 +178,60 @@ class SearchSpec extends SparkSpec {
       Search.ndcgAtK(even, "doc_id", "text", Seq("cat"), k = 11)
     }
   }
+
+  test("prfExpand surfaces vocabulary-mismatched documents") {
+    // d3 never mentions the query term but shares the feedback set's
+    // dominant term — only the expanded query can retrieve it. The
+    // corpus carries distractor docs so idf doesn't collapse.
+    // banana must WIN the Σtf·idf selection: it repeats across the
+    // feedback set (tf 5) while snack/fruit are singletons whose higher
+    // idf would otherwise outvote a low-tf banana.
+    val docs = Seq(
+      (1L, "apple banana banana snack"),
+      (2L, "apple banana banana banana fruit"),
+      (3L, "banana cherry smoothie"),
+      (4L, "kernel module driver"),
+      (5L, "socket packet buffer"))
+      .toDF("doc_id", "text")
+    val plain = Search.bm25(docs, "doc_id", "text", Seq("apple"), 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(plain === Set(1L, 2L))
+    val got = Search.prfExpand(docs, "doc_id", "text", Seq("apple"),
+      fbDocs = 2, fbTerms = 1, betaMilli = 500L, topK = 10)
+    val ids = got.select("doc_id").as[Long].collect().toSet
+    assert(ids.contains(3L), s"expansion must surface d3: $ids")
+    assert(ids.intersect(Set(4L, 5L)).isEmpty, s"distractors stay out: $ids")
+    // original-term hits outrank expansion-only hits at beta < 1000
+    val top = got.orderBy($"score_micro".desc, $"doc_id")
+      .select("doc_id").as[Long].head()
+    assert(Set(1L, 2L).contains(top))
+  }
+
+  test("bestPassage picks the max-coverage window with exact tiebreaks") {
+    val docs = Seq(
+      (1L, "pad pad join you vector pad pad pad pad"),
+      (2L, "join a join b join c d e f"),
+      (3L, "nothing relevant here"))
+      .toDF("doc_id", "text")
+    val got = Search.bestPassage(docs, "doc_id", "text",
+      Seq("join", "vector"), windowTokens = 4, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    // doc 1: window at the join (pos 2) covers both terms — coverage
+    // dominates doc 2's repeated single term; doc 3 never appears
+    assert(got.length === 2)
+    assert(got(0) === ((1L, 2L, 2L, 2L, "join you vector pad")))
+    // doc 2: windows at 0 and 2 both hold two hits of one term —
+    // earliest start wins the tie
+    assert(got(1) === ((2L, 0L, 1L, 2L, "join a join b")))
+  }
+
+  test("prfExpand with no expandable vocabulary degrades to weighted bm25") {
+    val docs = Seq((1L, "apple"), (2L, "apple"), (3L, "pear"))
+      .toDF("doc_id", "text")
+    val got = Search.prfExpand(docs, "doc_id", "text", Seq("apple"),
+      fbDocs = 2, fbTerms = 3, betaMilli = 400L, topK = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === Set(1L, 2L))
+  }
 }

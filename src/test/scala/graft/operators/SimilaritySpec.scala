@@ -185,4 +185,44 @@ class SimilaritySpec extends SparkSpec {
     assert(got(0)._2 > 900000L)
     assert(got(1)._2 < 1000000L) // the zero-agreement probe drags the mean
   }
+
+  test("mmrTopK trades redundant relevance for diversity") {
+    // 1 and 2 are near-duplicates hugging the query; 3 is moderately
+    // relevant but diverse. Pure relevance ranks (2, 1, 3) — 2's tiny
+    // extra component shrinks its norm — but MMR at λ=0.5 must
+    // interleave the diverse item: (2, 3, 1).
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.141f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.14f, 0.002f, 0.0f)),
+      (3L, Array(0.7f, -0.714f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val rel = Similarity.cosineTopK(rows, "vec_id", "embedding", 0L, 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(rel === Seq(2L, 1L, 3L))
+    val got = Similarity.mmrTopK(rows, "vec_id", "embedding",
+      queryId = 0L, k = 3, poolN = 3, lambdaMilli = 500L)
+      .orderBy("mmr_rank")
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got === Seq(2L, 3L, 1L))
+  }
+
+  test("mmrTopK at λ=1000 degenerates to pure relevance ranking") {
+    val got = Similarity.mmrTopK(emb, "vec_id", "embedding",
+      queryId = 0L, k = 3, poolN = 4, lambdaMilli = 1000L)
+      .orderBy("mmr_rank")
+      .select("vec_id").as[Long].collect().toSeq
+    val pure = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got === pure)
+  }
+
+  test("mmrTopK is invariant to input partitioning") {
+    val a = Similarity.mmrTopK(emb, "vec_id", "embedding",
+      queryId = 0L, k = 3, poolN = 4, lambdaMilli = 700L).collect().toSet
+    val b = Similarity.mmrTopK(emb.repartition(7), "vec_id", "embedding",
+      queryId = 0L, k = 3, poolN = 4, lambdaMilli = 700L).collect().toSet
+    assert(a === b)
+    assert(a.size === 3)
+  }
 }
