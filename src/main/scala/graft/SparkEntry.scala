@@ -1969,6 +1969,12 @@ object SparkEntry {
       ml.Eval.agreementStats(scoredDocs(s, d), "score_q", "label",
         threshold = 5000L)),
 
+    // Cross-correlation: does the error series LEAD the purchase
+    // series — per-lag exact-sums Pearson over paired observed days.
+    "q289_ccf" -> ((s, d) =>
+      Analytics.crossCorrelation(eventsUs(s, d), "event_type", "ts_us",
+        seriesA = "error", seriesB = "purchase", maxLag = 3)),
+
     // Best-passage extraction: the 8-token window with max distinct
     // query-term coverage per doc, snippet text reassembled from the
     // normalized tokens — the highlighting/RAG-context picker.
@@ -5465,6 +5471,36 @@ object SparkEntry {
 
     // HITS replayed: the same three max-normed integer half-steps.
     "q272_hits" -> q272OracleSql,
+
+    // CCF replayed: same paired-day join per lag, same exact sums and
+    // two-sqrt finish.
+    "q289_ccf" ->
+      """WITH dl AS (SELECT event_type AS s,
+                   epoch_us(ts) // 86400000000 AS d,
+                   CAST(count(*) AS BIGINT) AS y
+            FROM events WHERE event_type IN ('error', 'purchase')
+            GROUP BY 1, 2),
+         a AS (SELECT d, y AS x FROM dl WHERE s = 'error'),
+         b AS (SELECT d, y AS yy FROM dl WHERE s = 'purchase'),
+         l AS (SELECT unnest(range(-3, 4)) AS lag),
+         p AS (SELECT a.d + l.lag AS d, l.lag, a.x FROM a, l),
+         j AS (SELECT p.lag, p.x, b.yy FROM p JOIN b USING (d)),
+         g AS (SELECT lag, CAST(count(*) AS HUGEINT) AS n,
+                 CAST(sum(x) AS HUGEINT) AS sx,
+                 CAST(sum(yy) AS HUGEINT) AS sy,
+                 CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                 CAST(sum(CAST(yy AS HUGEINT) * yy) AS HUGEINT) AS syy,
+                 CAST(sum(CAST(x AS HUGEINT) * yy) AS HUGEINT) AS sxy
+               FROM j GROUP BY 1)
+         SELECT CAST(lag AS BIGINT) AS lag,
+                CAST(n AS BIGINT) AS n_pairs,
+                CASE WHEN n < 2 OR n * sxx - sx * sx <= 0
+                       OR n * syy - sy * sy <= 0 THEN NULL
+                ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+                END AS ccf
+         FROM g""",
 
     // Best passage replayed: hit-anchored windows, coverage-dominant
     // integer score, identical tiebreaks, list_slice snippet.

@@ -2188,6 +2188,66 @@ object Analytics {
             "decimal(38,0))) AS BIGINT)")).as("twa_centi"))
   }
 
+  /** Cross-correlation function — the LEAD-LAG readout between two
+    * series that [[acf]] (one series vs itself) can't give: at each lag
+    * ℓ ∈ [−maxLag, maxLag], the Pearson correlation of series A's daily
+    * count on day t against series B's on day t+ℓ over their PAIRED
+    * observed days. The argmax lag is the discovery ("errors lead
+    * purchases by 2 days") that turns two dashboards into a causal
+    * hypothesis; ℓ=0 is plain same-day association. Pearson is computed
+    * the exact-sums way (n, Σx, Σy, Σxx, Σyy, Σxy in DECIMAL(38,0) —
+    * per-lag pair sets differ, so per-lag moments are the honest
+    * normalization) with the pinned finish: integer radicands → two
+    * IEEE sqrts → one divide → round 6 (the q280 argument); degenerate
+    * lags (n<2 or zero variance) → NULL, absent days are ABSENT (a
+    * zero-event day never pairs — the [[acf]]/[[seasonalBacktest]]
+    * observed-day semantic, identical in the oracle).
+    *
+    * Scale: the corpus collapses to two bounded daily tables in one
+    * shuffle; the lag explode fans each A-day into 2·maxLag+1 rows of
+    * that BOUNDED table (never the corpus), one day-keyed join, one
+    * |lags|-row fold. */
+  def crossCorrelation(events: DataFrame, seriesCol: String,
+                       tsUsCol: String, seriesA: String, seriesB: String,
+                       maxLag: Int): DataFrame = {
+    require(maxLag >= 0, "maxLag must be nonnegative")
+    val daily = Materialize.transient(
+      dailyCounts(events, seriesCol, tsUsCol)
+        .filter(col("graft_s").isin(seriesA, seriesB)))
+    val a = daily.filter(col("graft_s") === seriesA)
+      .select(col("graft_d"), col("graft_y").as("graft_x"))
+    val b = daily.filter(col("graft_s") === seriesB)
+      .select(col("graft_d"), col("graft_y").as("graft_yy"))
+    val pairs = a
+      .select(col("graft_d"), col("graft_x"),
+        explode(sequence(lit(-maxLag), lit(maxLag))).as("lag"))
+      .select((col("graft_d") + col("lag")).as("graft_d"),
+        col("lag").cast("long").as("lag"), col("graft_x"))
+      .join(b, Seq("graft_d"))
+    pairs.groupBy("lag")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("graft_n"),
+        sum("graft_x").cast("decimal(38,0)").as("graft_sx"),
+        sum("graft_yy").cast("decimal(38,0)").as("graft_sy"),
+        sum(expr("CAST(graft_x AS DECIMAL(38,0)) * graft_x"))
+          .as("graft_sxx"),
+        sum(expr("CAST(graft_yy AS DECIMAL(38,0)) * graft_yy"))
+          .as("graft_syy"),
+        sum(expr("CAST(graft_x AS DECIMAL(38,0)) * graft_yy"))
+          .as("graft_sxy"))
+      .select(col("lag"), col("graft_n").cast("long").as("n_pairs"),
+        expr("CASE WHEN graft_n < 2" +
+          " OR graft_n * graft_sxx - graft_sx * graft_sx <= 0" +
+          " OR graft_n * graft_syy - graft_sy * graft_sy <= 0" +
+          " THEN CAST(NULL AS DOUBLE)" +
+          " ELSE round(CAST(graft_n * graft_sxy - graft_sx * graft_sy" +
+          "   AS DOUBLE)" +
+          " / (sqrt(CAST(graft_n * graft_sxx - graft_sx * graft_sx" +
+          "   AS DOUBLE))" +
+          "  * sqrt(CAST(graft_n * graft_syy - graft_sy * graft_sy" +
+          "   AS DOUBLE))), 6) END").as("ccf"))
+      .orderBy("lag")
+  }
+
   /** Friedman test — the REPEATED-MEASURES rung of the rank family
     * ([[kruskalWallis]] compares independent groups; this one asks "do
     * k treatments differ when every BLOCK experiences all k", ranking

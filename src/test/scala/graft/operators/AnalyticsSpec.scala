@@ -1085,6 +1085,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(msgs(ex).exists(_.contains("floor-division parity")))
   }
 
+  test("crossCorrelation: a planted one-day lead reads 1.0 at lag +1") {
+    // Series a on days 0,1,2 with counts 1,2,3; series b echoes it one
+    // day later (days 1,2,3 with counts 1,2,3). Lag +1 pairs match
+    // perfectly; lag −1 has a single pair → NULL by the n<2 guard.
+    val day = 86400L * 1000000L
+    def burst(s: String, d: Long, n: Int) =
+      (1 to n).map(i => (s, d * day + i))
+    val ev = (burst("a", 0, 1) ++ burst("a", 1, 2) ++ burst("a", 2, 3) ++
+      burst("b", 1, 1) ++ burst("b", 2, 2) ++ burst("b", 3, 3))
+      .toDF("event_type", "ts_us")
+    val byLag = Analytics.crossCorrelation(ev, "event_type", "ts_us",
+      "a", "b", maxLag = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(byLag(1L) === ((3L, Some(1.0))))
+    assert(byLag(-1L) === ((1L, None)))
+    assert(byLag(0L)._1 === 2L) // days 1,2 overlap
+  }
+
   test("friedman: hand-computed agreeing blocks, ties, incomplete blocks") {
     // Two complete blocks agreeing on the treatment order a<b<c:
     // doubled ranks (2,4,6) each, D=(4,8,12), n(k+1)=8 →
