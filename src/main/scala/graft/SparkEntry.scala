@@ -1969,6 +1969,26 @@ object SparkEntry {
       ml.Eval.agreementStats(scoredDocs(s, d), "score_q", "label",
         threshold = 5000L)),
 
+    // EXIF tag walk: APP1/TIFF IFD0 in BOTH byte orders (half the docs
+    // synthesize Intel "II", half Motorola "MM") — the oracle derives
+    // the expected orientation/timestamp arithmetically, so the hash
+    // match proves both endianness walks decode identically.
+    "q290_exif_tags" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val dt = f"2024:01:${1 + id % 28}%02d 10:00:00"
+          multimodal.Binary.exifTags(multimodal.Binary.synthExifJpeg(
+            orientation = (1 + id % 8).toInt, dateTime = dt,
+            littleEndian = id % 2 == 0)) match {
+            case Some((o, t)) => (o, t)
+            case None => (-1L, "?")
+          }
+        }.toDF("orientation", "taken_at")
+        .groupBy("orientation", "taken_at")
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
     // Cross-correlation: does the error series LEAD the purchase
     // series — per-lag exact-sums Pearson over paired observed days.
     "q289_ccf" -> ((s, d) =>
@@ -5471,6 +5491,18 @@ object SparkEntry {
 
     // HITS replayed: the same three max-normed integer half-steps.
     "q272_hits" -> q272OracleSql,
+
+    // EXIF expected values derived arithmetically — a decode that
+    // misreads either byte order breaks the group-count hash.
+    "q290_exif_tags" ->
+      """SELECT CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+                concat('2024:01:',
+                  CASE WHEN 1 + doc_id % 28 < 10
+                       THEN concat('0', CAST(1 + doc_id % 28 AS VARCHAR))
+                       ELSE CAST(1 + doc_id % 28 AS VARCHAR) END,
+                  ' 10:00:00') AS taken_at,
+                CAST(count(*) AS BIGINT) AS n_docs
+         FROM documents GROUP BY 1, 2""",
 
     // CCF replayed: same paired-day join per lag, same exact sums and
     // two-sqrt finish.

@@ -1224,4 +1224,122 @@ object Binary {
       .select(col(idCol), col("frame_idx"),
         (col("frame_idx") * stepMs).as("ts_ms"))
   }
+
+  /** Minimal JPEG with a REAL EXIF APP1 block (SOI → APP1["Exif\0\0" +
+    * TIFF header + IFD0 with Orientation 0x0112 SHORT and DateTime
+    * 0x0132 ASCII-at-offset] → EOI), in EITHER byte order — "II" (Intel,
+    * little-endian) or "MM" (Motorola, big-endian), because real camera
+    * files ship both and an EXIF walker that hardcodes one silently
+    * misreads half the wild corpus. Fixture for [[exifTags]]. */
+  def synthExifJpeg(orientation: Int, dateTime: String,
+                    littleEndian: Boolean): Array[Byte] = {
+    require(orientation >= 1 && orientation <= 8, "EXIF orientation is 1-8")
+    require(dateTime.length == 19 && dateTime.forall(_ < 128),
+      "EXIF DateTime is 19 ASCII chars (YYYY:MM:DD HH:MM:SS)")
+    val tiff = new java.io.ByteArrayOutputStream()
+    def b(v: Int): Unit = tiff.write(v & 0xff)
+    def w16(v: Int): Unit =
+      if (littleEndian) { b(v); b(v >>> 8) } else { b(v >>> 8); b(v) }
+    def w32(v: Int): Unit =
+      if (littleEndian) { b(v); b(v >>> 8); b(v >>> 16); b(v >>> 24) }
+      else { b(v >>> 24); b(v >>> 16); b(v >>> 8); b(v) }
+    if (littleEndian) { b('I'); b('I') } else { b('M'); b('M') }
+    w16(42)   // TIFF magic
+    w32(8)    // IFD0 offset (immediately after this header)
+    // IFD0: 2 entries; the ASCII value (20 bytes with NUL) lives past
+    // the entry table at offset 8 + 2 + 2*12 + 4 = 38.
+    w16(2)
+    w16(0x0112); w16(3); w32(1) // Orientation, SHORT, count 1
+    // SHORT value packs into the FIRST two bytes of the 4-byte slot in
+    // file byte order; the remaining two bytes are zero.
+    if (littleEndian) { b(orientation); b(0); b(0); b(0) }
+    else { b(0); b(orientation); b(0); b(0) }
+    w16(0x0132); w16(2); w32(20); w32(38) // DateTime, ASCII, at offset
+    w32(0) // no IFD1
+    dateTime.foreach(c => b(c.toInt)); b(0)
+    val out = new java.io.ByteArrayOutputStream()
+    def ob(v: Int): Unit = out.write(v & 0xff)
+    ob(0xff); ob(0xd8) // SOI
+    val payload = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++
+      tiff.toByteArray
+    ob(0xff); ob(0xe1) // APP1
+    val len = payload.length + 2
+    ob(len >>> 8); ob(len)
+    out.write(payload)
+    ob(0xff); ob(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** EXIF tag walk — orientation and capture DateTime from a JPEG's
+    * APP1 block, no pixel decode: scan the segment chain for
+    * APP1/"Exif\0\0", read the TIFF header HONORING ITS DECLARED BYTE
+    * ORDER ("II" little, "MM" big — the walk reads every 16/32-bit
+    * field through that switch, so both camera families parse), follow
+    * the IFD0 offset, iterate 12-byte entries collecting tag 0x0112
+    * (Orientation, SHORT in the value slot's leading bytes) and 0x0132
+    * (DateTime, ASCII stored at offset when count > 4). Conservative
+    * walk: truncation, a bad magic, an out-of-bounds offset, or a
+    * missing tag degrades to None — never a throw, never a guess
+    * ([[id3Tags]]'s rule). */
+  def exifTags(bytes: Array[Byte]): Option[(Long, String)] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    if (bytes.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return None
+    // Segment scan for APP1 with the Exif identifier.
+    var p = 2
+    var app1: Int = -1
+    var app1End: Int = -1
+    while (app1 < 0 && p + 4 <= bytes.length && u8(p) == 0xff) {
+      val marker = u8(p + 1)
+      if (marker == 0xd9 || marker == 0xda) return None // hit image data
+      val len = (u8(p + 2) << 8) | u8(p + 3)
+      if (len < 2 || p + 2 + len > bytes.length) return None
+      if (marker == 0xe1 && len >= 8 &&
+        bytes.slice(p + 4, p + 10).sameElements(
+          "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0))) {
+        app1 = p + 10 // TIFF header start
+        app1End = p + 2 + len
+      }
+      p += 2 + len
+    }
+    if (app1 < 0) return None
+    val t0 = app1
+    if (t0 + 8 > app1End) return None
+    val le =
+      if (u8(t0) == 'I' && u8(t0 + 1) == 'I') true
+      else if (u8(t0) == 'M' && u8(t0 + 1) == 'M') false
+      else return None
+    def r16(i: Int): Int =
+      if (le) u8(i) | (u8(i + 1) << 8) else (u8(i) << 8) | u8(i + 1)
+    def r32(i: Int): Long =
+      if (le) u8(i).toLong | (u8(i + 1).toLong << 8) |
+        (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+      else (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) |
+        (u8(i + 2).toLong << 8) | u8(i + 3).toLong
+    if (r16(t0 + 2) != 42) return None
+    val ifd0 = r32(t0 + 4)
+    if (ifd0 < 8 || t0 + ifd0 + 2 > app1End) return None
+    val e0 = t0 + ifd0.toInt
+    val n = r16(e0)
+    if (e0 + 2 + n * 12 + 4 > app1End) return None
+    var orientation: Option[Long] = None
+    var dateTime: Option[String] = None
+    var k = 0
+    while (k < n) {
+      val e = e0 + 2 + k * 12
+      val tag = r16(e)
+      val typ = r16(e + 2)
+      val cnt = r32(e + 4)
+      if (tag == 0x0112 && typ == 3 && cnt == 1L)
+        orientation = Some(r16(e + 8).toLong)
+      if (tag == 0x0132 && typ == 2 && cnt >= 2L && cnt <= 64L) {
+        val off = t0 + r32(e + 8)
+        if (off < t0 || off + cnt > app1End) return None
+        val raw = bytes.slice(off.toInt, (off + cnt).toInt)
+        if (raw.exists(b => (b & 0xff) >= 128)) return None
+        dateTime = Some(new String(raw.takeWhile(_ != 0), "US-ASCII"))
+      }
+      k += 1
+    }
+    for (o <- orientation; d <- dateTime) yield (o, d)
+  }
 }

@@ -466,4 +466,32 @@ class BinarySpec extends SparkSpec {
     val short = java.util.Arrays.copyOf(good, 20)
     assert(Binary.id3Tags(short) === None)
   }
+
+  test("exifTags round-trips BOTH TIFF byte orders") {
+    val dt = "2024:03:09 14:25:36"
+    for (le <- Seq(true, false)) {
+      val bytes = Binary.synthExifJpeg(6, dt, littleEndian = le)
+      assert(Binary.exifTags(bytes) === Some((6L, dt)),
+        s"littleEndian=$le")
+    }
+    // every orientation value survives the SHORT slot packing
+    for (o <- 1 to 8) {
+      assert(Binary.exifTags(Binary.synthExifJpeg(o, dt,
+        littleEndian = o % 2 == 0)) === Some((o.toLong, dt)))
+    }
+  }
+
+  test("exifTags degrades to None off the happy path") {
+    val good = Binary.synthExifJpeg(3, "2024:01:01 00:00:00",
+      littleEndian = true)
+    assert(Binary.exifTags("notajpeg".getBytes) === None)
+    // truncation inside the IFD
+    assert(Binary.exifTags(java.util.Arrays.copyOf(good, 24)) === None)
+    // corrupt the TIFF byte-order mark
+    val bad = good.clone(); bad(12) = 'X'.toByte
+    assert(Binary.exifTags(bad) === None)
+    // a JPEG with no APP1 at all (straight to EOI)
+    assert(Binary.exifTags(Array(0xff, 0xd8, 0xff, 0xd9)
+      .map(_.toByte)) === None)
+  }
 }
