@@ -326,4 +326,38 @@ class PlanShapeSpec extends SparkSpec {
       assert("Exchange SinglePartition".r.findAllIn(p).length === 1, p)
     }
   }
+
+  test("q283/q284 one-row reports stay a single map-combinable fold") {
+    withCleanCaches {
+      // SRM: one distinct-user exchange, then the 1-row fold — no join,
+      // no window, nothing corpus-sized past the reduction.
+      val srm = planOf("q283_srm")
+      assert(!srm.contains("SortMergeJoin") && !srm.contains("Window"), srm)
+      // MCC: a bare conditional aggregate — ZERO keyed exchanges (only
+      // the 1-row final fold moves data).
+      val mcc = planOf("q284_mcc")
+      assert(exchanges(mcc) === 0,
+        s"q284 must not shuffle on any key:\n$mcc")
+      assert(!mcc.contains("Join"), mcc)
+    }
+  }
+
+  test("q285 PRF: every term join broadcasts; the corpus never sort-merges") {
+    withCleanCaches {
+      val p = planOf("q285_prf_expand")
+      assert(!p.contains("SortMergeJoin"),
+        s"a term-set join fell off broadcast:\n$p")
+      assert(p.contains("BroadcastExchange"), p)
+    }
+  }
+
+  test("q286 link prediction: wedge join is keyed, edges never broadcast-explode") {
+    withCleanCaches {
+      val p = planOf("q286_link_prediction")
+      // the z-keyed self-join and pair aggregate are hash exchanges;
+      // no cartesian anywhere
+      assert(!p.contains("CartesianProduct"), p)
+      assert(exchanges(p) >= 1, p)
+    }
+  }
 }
