@@ -1969,6 +1969,13 @@ object SparkEntry {
       ml.Eval.agreementStats(scoredDocs(s, d), "score_q", "label",
         threshold = 5000L)),
 
+    // Join-cardinality pre-flight: exact pair counts per key from the
+    // two histograms — the audit that prices a 100 TB join before
+    // running it (lineitem ⋈ orders on orderkey).
+    "q291_join_cardinality" -> ((s, d) =>
+      Skew.joinCardinalityAudit(Tables.lineitem(s, d), Tables.orders(s, d),
+        "l_orderkey", "o_orderkey", topK = 20)),
+
     // EXIF tag walk: APP1/TIFF IFD0 in BOTH byte orders (half the docs
     // synthesize Intel "II", half Motorola "MM") — the oracle derives
     // the expected orientation/timestamp arithmetically, so the hash
@@ -5491,6 +5498,26 @@ object SparkEntry {
 
     // HITS replayed: the same three max-normed integer half-steps.
     "q272_hits" -> q272OracleSql,
+
+    // Join cardinality replayed: two histograms, exact products, same
+    // floor-ppm shares and (pairs desc, key) top-k.
+    "q291_join_cardinality" ->
+      """WITH l AS (SELECT l_orderkey AS join_key,
+                  CAST(count(*) AS HUGEINT) AS nl
+           FROM lineitem GROUP BY 1),
+         r AS (SELECT o_orderkey AS join_key,
+                      CAST(count(*) AS HUGEINT) AS nr
+               FROM orders GROUP BY 1),
+         p AS (SELECT join_key, nl, nr, nl * nr AS pr
+               FROM l JOIN r USING (join_key)),
+         t AS (SELECT coalesce(sum(pr), 0) AS tot FROM p)
+         SELECT join_key, CAST(nl AS BIGINT) AS n_left,
+                CAST(nr AS BIGINT) AS n_right,
+                CAST(pr AS BIGINT) AS n_pairs,
+                CAST(CASE WHEN tot = 0 THEN NULL
+                     ELSE pr * 1000000 // tot END AS BIGINT) AS share_ppm,
+                CAST(tot AS BIGINT) AS total_pairs
+         FROM p, t ORDER BY n_pairs DESC, join_key LIMIT 20""",
 
     // EXIF expected values derived arithmetically — a decode that
     // misreads either byte order breaks the group-count hash.

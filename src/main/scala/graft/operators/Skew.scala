@@ -85,4 +85,49 @@ object Skew {
           round(col("max_cnt").cast("double") * col("n_keys").cast("double")
             / col("n_rows").cast("double"), 4).as("skew_ratio"))
     }.reduce(_ unionByName _)
+
+  /** Join-cardinality pre-flight — the question to ask BEFORE shipping
+    * any 100 TB join: exactly how many output rows will `left ⋈ right`
+    * on this key produce, and which keys produce them. Computed from
+    * the two per-key histograms (pairs(k) = n_left(k)·n_right(k) — the
+    * textbook identity, EXACT, not a sample or sketch), so the audit
+    * costs two keyed aggregates plus a histogram-sized join instead of
+    * the join itself. The readout is the `topK` heaviest keys with
+    * their pair counts and floor-ppm share of the total — the keys a
+    * salting/skew-hint decision needs ([[saltedJoin]]'s `salts` pick),
+    * and the total is the bill. DECIMAL(38,0) pair products (n_l·n_r
+    * caps at n², past int64 on real tables).
+    *
+    * Scale: per-key counts are map-combinable; the histogram join is
+    * keyed on the audited key; the 1-row total broadcasts back; top-k
+    * is TakeOrdered. Nothing corpus-row-sized survives the first
+    * aggregates. */
+  def joinCardinalityAudit(left: DataFrame, right: DataFrame,
+                           leftKey: String, rightKey: String,
+                           topK: Int): DataFrame = {
+    require(topK >= 1, "topK must be at least 1")
+    val l = left.select(col(leftKey).as("join_key"))
+      .groupBy("join_key")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("graft_nl"))
+    val r = right.select(col(rightKey).as("join_key"))
+      .groupBy("join_key")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("graft_nr"))
+    val pairs = l.join(r, Seq("join_key"))
+      .select(col("join_key"), col("graft_nl"), col("graft_nr"),
+        expr("graft_nl * graft_nr").as("graft_p"))
+    val total = pairs.agg(
+      coalesce(sum("graft_p"), lit(0).cast("decimal(38,0)"))
+        .as("graft_tot"))
+    pairs.crossJoin(broadcast(total))
+      .select(col("join_key"),
+        col("graft_nl").cast("long").as("n_left"),
+        col("graft_nr").cast("long").as("n_right"),
+        col("graft_p").cast("long").as("n_pairs"),
+        expr("CASE WHEN graft_tot = 0 THEN CAST(NULL AS BIGINT)" +
+          " ELSE CAST(graft_p * 1000000 div graft_tot AS BIGINT) END")
+          .as("share_ppm"),
+        col("graft_tot").cast("long").as("total_pairs"))
+      .orderBy(col("n_pairs").desc, col("join_key").asc)
+      .limit(topK)
+  }
 }

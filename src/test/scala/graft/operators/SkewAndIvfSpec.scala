@@ -217,4 +217,19 @@ class SkewAndIvfSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(probePlan.contains("PartitionFilters: [isnotnull(graft_cell"))
   }
+
+  test("joinCardinalityAudit: exact pair counts, shares, and key-miss drop") {
+    import spark.implicits._
+    // key 1: 3×2=6 pairs; key 2: 1×4=4; key 3 left-only, key 4
+    // right-only — non-matching keys contribute NOTHING (inner-join
+    // semantics, the honest cardinality).
+    val left = Seq(1L, 1L, 1L, 2L, 3L).toDF("k")
+    val right = Seq(1L, 1L, 2L, 2L, 2L, 2L, 4L).toDF("j")
+    val got = Skew.joinCardinalityAudit(left, right, "k", "j", topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.length === 2)
+    assert(got(0) === ((1L, 3L, 2L, 6L, 600000L, 10L)))
+    assert(got(1) === ((2L, 1L, 4L, 4L, 400000L, 10L)))
+  }
 }
