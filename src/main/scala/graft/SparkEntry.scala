@@ -1969,6 +1969,12 @@ object SparkEntry {
       ml.Eval.agreementStats(scoredDocs(s, d), "score_q", "label",
         threshold = 5000L)),
 
+    // Capture-recapture: Lincoln-Petersen estimate of the corpus's
+    // distinct-content count from two independent hash half-samples —
+    // the dedup-scoping estimate that never pays for a global distinct.
+    "q292_capture_recapture" -> ((s, d) =>
+      Dedup.captureRecapture(Tables.documents(s, d), "doc_id", "text")),
+
     // Join-cardinality pre-flight: exact pair counts per key from the
     // two histograms — the audit that prices a 100 TB join before
     // running it (lineitem ⋈ orders on orderkey).
@@ -5498,6 +5504,30 @@ object SparkEntry {
 
     // HITS replayed: the same three max-normed integer half-steps.
     "q272_hits" -> q272OracleSql,
+
+    // Capture-recapture replayed: same marks, same per-fingerprint
+    // capture max, same Lincoln-Petersen and Chapman arithmetic.
+    "q292_capture_recapture" ->
+      """WITH m AS (SELECT
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+             CASE WHEN substring(md5(concat('a',
+                    CAST(doc_id AS VARCHAR))), 1, 1) < '8'
+                  THEN 1 ELSE 0 END AS ia,
+             CASE WHEN substring(md5(concat('b',
+                    CAST(doc_id AS VARCHAR))), 1, 1) < '8'
+                  THEN 1 ELSE 0 END AS ib
+           FROM documents),
+         f AS (SELECT fp, max(ia) AS ia, max(ib) AS ib FROM m GROUP BY 1),
+         a AS (SELECT CAST(coalesce(sum(ia), 0) AS BIGINT) AS da,
+                      CAST(coalesce(sum(ib), 0) AS BIGINT) AS db,
+                      CAST(coalesce(sum(ia * ib), 0) AS BIGINT) AS dab
+               FROM f)
+         SELECT da AS d_a, db AS d_b, dab AS d_both,
+                CAST(CASE WHEN dab = 0 THEN NULL
+                     ELSE da * db // dab END AS BIGINT) AS n_hat,
+                CAST((da + 1) * (db + 1) // (dab + 1) - 1 AS BIGINT)
+                  AS n_hat_chapman
+         FROM a""",
 
     // Join cardinality replayed: two histograms, exact products, same
     // floor-ppm shares and (pairs desc, key) top-k.

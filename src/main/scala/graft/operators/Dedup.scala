@@ -777,4 +777,43 @@ object Dedup {
         round(col("n_dup_windows").cast("double")
           / col("n_windows").cast("double"), 4))
   }
+
+  /** Capture-recapture (Lincoln-Petersen) distinct-content estimate —
+    * "how big is the dedup problem" WITHOUT paying for the global
+    * distinct: two INDEPENDENT deterministic half-samples of the corpus
+    * (md5 of 'a'·id and 'b'·id — independent marks, so a fingerprint's
+    * capture events are independent coin flips), a fingerprint is
+    * captured by a sample when any of its documents is, and the
+    * ecology estimator N̂ = d_A·d_B div d_AB recovers the distinct
+    * count from the three sample-local tallies. At 100 TB the point is
+    * that each sample leg can run on a FRACTION of the corpus (the
+    * mark is a pure function of the row — samples prune at the scan);
+    * this contract query runs both legs over one pass to hash-check
+    * the estimator's arithmetic. Zero recaptures → NULL (undefined),
+    * never a sentinel.
+    *
+    * One fingerprint aggregate (single keyed shuffle, max-combinable
+    * marks), a 1-row fold. Estimator bias O(1/d_AB) is the documented
+    * trade (Chapman's +1 correction variant is `n_hat_chapman`). */
+  def captureRecapture(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    def mark(salt: String): Column =
+      (substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 1)
+        < "8").cast("long")
+    docs.select(T.fingerprint(col(textCol)).as("graft_fp"),
+        mark("a").as("graft_a"), mark("b").as("graft_b"))
+      .groupBy("graft_fp")
+      .agg(max("graft_a").as("graft_ia"), max("graft_b").as("graft_ib"))
+      .agg(coalesce(sum("graft_ia"), lit(0L)).as("graft_da"),
+        coalesce(sum("graft_ib"), lit(0L)).as("graft_db"),
+        coalesce(sum(col("graft_ia") * col("graft_ib")), lit(0L))
+          .as("graft_dab"))
+      .select(col("graft_da").cast("long").as("d_a"),
+        col("graft_db").cast("long").as("d_b"),
+        col("graft_dab").cast("long").as("d_both"),
+        expr("CASE WHEN graft_dab = 0 THEN CAST(NULL AS BIGINT)" +
+          " ELSE graft_da * graft_db div graft_dab END").as("n_hat"),
+        expr("(graft_da + 1) * (graft_db + 1)" +
+          " div (graft_dab + 1) - 1").as("n_hat_chapman"))
+  }
 }

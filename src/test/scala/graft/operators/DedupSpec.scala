@@ -392,4 +392,36 @@ class DedupSpec extends SparkSpec {
       .toMap
     assert(re === naive)
   }
+
+  test("captureRecapture matches a full Scala replay, collapsing dups") {
+    // 60 distinct texts; text k also appears under two extra ids for
+    // k < 10 — a fingerprint is captured when ANY of its docs is.
+    def markOf(salt: String, id: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest((salt + id.toString).getBytes("UTF-8"))
+      if (((d(0) >> 4) & 0xf) < 8) 1 else 0
+    }
+    val rows = (0L until 60L).map(k => (k, s"unique document text $k")) ++
+      (0L until 10L).flatMap(k => Seq(
+        (1000L + k, s"unique document text $k"),
+        (2000L + k, s"unique document text $k")))
+    val got = Dedup.captureRecapture(rows.toDF("doc_id", "text"),
+      "doc_id", "text").collect()(0)
+    // Scala replay at fingerprint granularity
+    val byText = rows.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val ia = byText.values.map(ids => ids.map(markOf("a", _)).max).toSeq
+    val ib = byText.values.map(ids => ids.map(markOf("b", _)).max).toSeq
+    val (da, db) = (ia.sum.toLong, ib.sum.toLong)
+    val dab = byText.values.map(ids =>
+      ids.map(markOf("a", _)).max * ids.map(markOf("b", _)).max).sum.toLong
+    assert(got.getAs[Long]("d_a") === da)
+    assert(got.getAs[Long]("d_b") === db)
+    assert(got.getAs[Long]("d_both") === dab)
+    assert(dab > 0L) // fixture sanity: the estimator is defined
+    assert(got.getAs[Long]("n_hat") === da * db / dab)
+    assert(got.getAs[Long]("n_hat_chapman") ===
+      (da + 1) * (db + 1) / (dab + 1) - 1)
+    // the estimate tracks the true 60 within the small-sample band
+    assert(math.abs(got.getAs[Long]("n_hat") - 60L) <= 20L)
+  }
 }
