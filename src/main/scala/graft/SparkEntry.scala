@@ -1969,6 +1969,12 @@ object SparkEntry {
       ml.Eval.agreementStats(scoredDocs(s, d), "score_q", "label",
         threshold = 5000L)),
 
+    // Good-Turing: unseen-vocabulary mass (n1/N) + adjusted counts for
+    // the low-frequency tail — the corpus-coverage readout.
+    "q293_good_turing" -> ((s, d) =>
+      Analytics.goodTuring(Tables.documents(s, d), "text", gramN = 3,
+        maxR = 5)),
+
     // Capture-recapture: Lincoln-Petersen estimate of the corpus's
     // distinct-content count from two independent hash half-samples —
     // the dedup-scoping estimate that never pays for a global distinct.
@@ -5504,6 +5510,35 @@ object SparkEntry {
 
     // HITS replayed: the same three max-normed integer half-steps.
     "q272_hits" -> q272OracleSql,
+
+    // Good-Turing replayed: same spectrum, same r+1 self-join, same
+    // floor arithmetic.
+    "q293_good_turing" ->
+      """WITH tk AS (SELECT string_split(lower(trim(
+                  regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         f AS (SELECT t, CAST(count(*) AS BIGINT) AS r
+           FROM (SELECT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                    AS t
+                 FROM (SELECT toks,
+                         unnest(range(1, greatest(len(toks) - 2, 0) + 1))
+                           AS i
+                       FROM tk)) u
+           GROUP BY 1),
+         sp AS (SELECT r, CAST(count(*) AS BIGINT) AS nr
+                FROM f GROUP BY 1),
+         tot AS (SELECT CAST(coalesce(sum(r * nr), 0) AS BIGINT) AS n,
+                        CAST(coalesce(sum(CASE WHEN r = 1 THEN nr END), 0)
+                          AS BIGINT) AS n1
+                 FROM sp)
+         SELECT sp.r, sp.nr AS n_types,
+                CAST((sp.r + 1) * coalesce(nx.nr, 0) * 1000 // sp.nr
+                  AS BIGINT) AS r_star_milli,
+                CAST(CASE WHEN tot.n = 0 THEN NULL
+                     ELSE tot.n1 * 1000000 // tot.n END AS BIGINT)
+                  AS p0_ppm
+         FROM sp LEFT JOIN sp nx ON nx.r = sp.r + 1, tot
+         WHERE sp.r <= 5""",
 
     // Capture-recapture replayed: same marks, same per-fingerprint
     // capture max, same Lincoln-Petersen and Chapman arithmetic.

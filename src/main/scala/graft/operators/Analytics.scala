@@ -2188,6 +2188,57 @@ object Analytics {
             "decimal(38,0))) AS BIGINT)")).as("twa_centi"))
   }
 
+  /** Simple Good-Turing frequency re-estimation — the corpus-coverage
+    * readout on top of the word-frequency spectrum: `p0_ppm` (Good's
+    * estimate of the probability mass of UNSEEN vocabulary, n₁/N) says
+    * how much new vocabulary the next shard will bring — the number
+    * that decides whether a corpus is "done" for a tokenizer — and the
+    * adjusted counts r* = (r+1)·n_{r+1}/n_r (floor-milli) are the
+    * smoothing every count-based LM applies to its low-frequency tail.
+    * A spectrum hole (n_{r+1} = 0) makes r* = 0 — the raw SGT estimate,
+    * honestly reported (smoothing the spectrum itself is the caller's
+    * modeling choice). All integer arithmetic.
+    *
+    * Scale: one tokenize → term-count shuffle (map-combinable), one
+    * tiny spectrum aggregate, a spectrum self-join on r+1 (≤√(2N)
+    * rows), a 1-row total broadcast. */
+  def goodTuring(docs: DataFrame, textCol: String, gramN: Int,
+                 maxR: Int): DataFrame = {
+    require(gramN >= 1 && maxR >= 1, "gramN and maxR must be >= 1")
+    // Occurrence-level n-grams (NOT the dedup family's distinct-per-doc
+    // shingles — GT is a token-frequency estimator). The unit is a
+    // parameter because a tiny-vocabulary corpus has no rare unigrams:
+    // its GT signal lives in the n-gram tail.
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    val grams = docs.select(toks.as("graft_toks"))
+      .select(explode(filter(
+        transform(sequence(lit(0), greatest(size(col("graft_toks"))
+          - gramN, lit(0))),
+          i => when(size(col("graft_toks")) >= gramN,
+            concat_ws(" ", slice(col("graft_toks"), i + 1, lit(gramN))))
+            .otherwise(lit(null))),
+        x => x.isNotNull && x =!= "")).as("graft_t"))
+    val freq = grams.groupBy("graft_t").agg(count(lit(1)).as("graft_r"))
+    val spectrum = Materialize.transient(
+      freq.groupBy("graft_r").agg(count(lit(1)).as("graft_nr")))
+    val totals = spectrum.agg(
+      coalesce(sum(expr("graft_r * graft_nr")), lit(0L)).as("graft_n"),
+      coalesce(sum(when(col("graft_r") === 1L, col("graft_nr"))), lit(0L))
+        .as("graft_n1"))
+    val next = spectrum.select((col("graft_r") - 1L).as("graft_r"),
+      col("graft_nr").as("graft_nr1"))
+    spectrum.filter(col("graft_r") <= maxR)
+      .join(next, Seq("graft_r"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("graft_r").cast("long").as("r"),
+        col("graft_nr").cast("long").as("n_types"),
+        expr("(graft_r + 1) * coalesce(graft_nr1, 0L) * 1000" +
+          " div graft_nr").as("r_star_milli"),
+        expr("CASE WHEN graft_n = 0 THEN CAST(NULL AS BIGINT)" +
+          " ELSE graft_n1 * 1000000 div graft_n END").as("p0_ppm"))
+      .orderBy("r")
+  }
+
   /** Cross-correlation function — the LEAD-LAG readout between two
     * series that [[acf]] (one series vs itself) can't give: at each lag
     * ℓ ∈ [−maxLag, maxLag], the Pearson correlation of series A's daily

@@ -1085,6 +1085,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(msgs(ex).exists(_.contains("floor-division parity")))
   }
 
+  test("goodTuring: hand spectrum — p0, adjusted counts, spectrum hole") {
+    // tokens: a×3, b×2, c,d,e singletons → spectrum n1=3, n2=1, n3=1,
+    // N=8. p0 = 3/8 = 375000 ppm; r*(1) = 2·1·1000/3 = 666 milli;
+    // r*(2) = 3·1·1000/1 = 3000; r*(3) = 0 (hole at n4).
+    val docs = Seq((1L, "a a a b"), (2L, "b c d e"))
+      .toDF("doc_id", "text")
+    val got = Analytics.goodTuring(docs, "text", gramN = 1, maxR = 5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got(1L) === ((3L, 666L, 375000L)))
+    assert(got(2L) === ((1L, 3000L, 375000L)))
+    assert(got(3L) === ((1L, 0L, 375000L)))
+    assert(!got.contains(4L)) // absent spectrum rows stay absent
+  }
+
   test("crossCorrelation: a planted one-day lead reads 1.0 at lag +1") {
     // Series a on days 0,1,2 with counts 1,2,3; series b echoes it one
     // day later (days 1,2,3 with counts 1,2,3). Lag +1 pairs match
