@@ -1969,6 +1969,19 @@ object SparkEntry {
       ml.Eval.agreementStats(scoredDocs(s, d), "score_q", "label",
         threshold = 5000L)),
 
+    // Cochran-Armitage: does purchase rate rise MONOTONICALLY with
+    // view-exposure dose — the trend test chi-square can't sharpen to.
+    "q294_cochran_armitage" -> ((s, d) => {
+      val perUser = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("graft_v"),
+          max((col("event_type") === "purchase").cast("long"))
+            .as("outcome"))
+        .select(expr("least(graft_v div 3, 3L)").as("dose"),
+          col("outcome"))
+      Experiment.cochranArmitage(perUser, "dose", "outcome")
+    }),
+
     // Good-Turing: unseen-vocabulary mass (n1/N) + adjusted counts for
     // the low-frequency tail — the corpus-coverage readout.
     "q293_good_turing" -> ((s, d) =>
@@ -5510,6 +5523,39 @@ object SparkEntry {
 
     // HITS replayed: the same three max-normed integer half-steps.
     "q272_hits" -> q272OracleSql,
+
+    // CA trend replayed: same dose bucketing, same cleared-denominator
+    // radicands, same pinned finish.
+    "q294_cochran_armitage" ->
+      """WITH pu AS (SELECT user_id,
+                   least(sum(CASE WHEN event_type = 'view'
+                             THEN 1 ELSE 0 END) // 3, 3) AS s,
+                   max(CASE WHEN event_type = 'purchase'
+                       THEN 1 ELSE 0 END) AS y
+            FROM events GROUP BY 1),
+         lvl AS (SELECT s, CAST(count(*) AS HUGEINT) AS n,
+                        CAST(sum(y) AS HUGEINT) AS r
+                 FROM pu GROUP BY 1),
+         a AS (SELECT CAST(count(*) AS HUGEINT) AS k, sum(n) AS nn,
+                      sum(r) AS rr, sum(s * n) AS sn,
+                      sum(s * s * n) AS s2n, sum(s * r) AS sr
+               FROM lvl),
+         z AS (SELECT k, nn, rr,
+                 CASE WHEN k < 2 OR rr = 0 OR rr = nn
+                        OR nn * s2n - sn * sn <= 0 THEN NULL
+                 ELSE round(CAST(sr * nn - sn * rr AS DOUBLE)
+                   * sqrt(CAST(nn AS DOUBLE))
+                   / sqrt(CAST(rr * (nn - rr) * (nn * s2n - sn * sn)
+                       AS DOUBLE)) * 1000, 0) END AS zm
+               FROM a)
+         SELECT CAST(k AS BIGINT) AS n_levels,
+                CAST(nn AS BIGINT) AS n_subjects,
+                CAST(rr AS BIGINT) AS n_positive,
+                CAST(zm AS BIGINT) AS z_milli,
+                CAST(CASE WHEN zm IS NULL THEN NULL
+                     WHEN abs(zm) >= 1960 THEN 1 ELSE 0 END AS BIGINT)
+                  AS significant_05
+         FROM z""",
 
     // Good-Turing replayed: same spectrum, same r+1 self-join, same
     // floor arithmetic.

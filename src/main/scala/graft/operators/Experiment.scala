@@ -526,4 +526,57 @@ object Experiment {
         when(col("chi2_milli").isNull, lit(null).cast("long"))
           .otherwise((col("chi2_milli") > 3841L).cast("long")))
   }
+
+  /** Cochran-Armitage trend test — the DOSE-RESPONSE rung the 2×k
+    * chi-square can't give (chi-square asks "are the k levels
+    * different AT ALL"; CA asks the sharper, higher-powered question
+    * "does the outcome rate move MONOTONICALLY with the ordered
+    * dose"): per exposure level i with integer score s_i, n_i subjects
+    * and r_i positives, z = numc·√N div √(R(N−R)·(N·Σs²n − (Σsn)²))
+    * with numc = Σ s_i(r_i·N − n_i·R) — every radicand an exact
+    * DECIMAL(38,0) (numc reaches s·N², the variance term N²·s²·n —
+    * inside 38 digits at any real N), the finish the pinned
+    * two-sqrt/one-divide/round chain (the q280 argument). Degenerate
+    * inputs (all-positive/all-negative outcomes, a single level, zero
+    * score variance) → NULL. `dose` here is the exposure level's own
+    * integer score — callers own the scoring (equally-spaced integers
+    * are the standard choice).
+    *
+    * Scale: one (dose)-keyed aggregate over the per-subject table
+    * (itself one user-keyed reduction of the corpus), a k-row fold. */
+  def cochranArmitage(subjects: DataFrame, doseCol: String,
+                      outcomeCol: String): DataFrame = {
+    val lvl = subjects
+      .select(col(doseCol).cast("long").as("graft_s"),
+        col(outcomeCol).cast("long").as("graft_y"))
+      .filter(col("graft_s").isNotNull && col("graft_y").isNotNull)
+      .groupBy("graft_s")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("graft_n"),
+        sum("graft_y").cast("decimal(38,0)").as("graft_r"))
+    lvl.agg(
+      count(lit(1)).as("graft_k"),
+      sum("graft_n").cast("decimal(38,0)").as("graft_nn"),
+      sum("graft_r").cast("decimal(38,0)").as("graft_rr"),
+      sum(expr("graft_s * graft_n")).cast("decimal(38,0)").as("graft_sn"),
+      sum(expr("graft_s * graft_s * graft_n")).cast("decimal(38,0)")
+        .as("graft_s2n"),
+      sum(expr("graft_s * graft_r")).cast("decimal(38,0)").as("graft_sr"))
+      .select(col("graft_k").cast("long").as("n_levels"),
+        col("graft_nn").cast("long").as("n_subjects"),
+        col("graft_rr").cast("long").as("n_positive"),
+        expr("CASE WHEN graft_k < 2 OR graft_rr = 0"
+          + "   OR graft_rr = graft_nn"
+          + "   OR graft_nn * graft_s2n - graft_sn * graft_sn <= 0"
+          + " THEN CAST(NULL AS BIGINT)"
+          + " ELSE CAST(round("
+          + "   CAST(graft_sr * graft_nn - graft_sn * graft_rr AS DOUBLE)"
+          + "   * sqrt(CAST(graft_nn AS DOUBLE))"
+          + "   / sqrt(CAST(graft_rr * (graft_nn - graft_rr)"
+          + "       * (graft_nn * graft_s2n - graft_sn * graft_sn)"
+          + "       AS DOUBLE)) * 1000, 0) AS BIGINT) END")
+          .as("z_milli"))
+      .withColumn("significant_05",
+        expr("CASE WHEN z_milli IS NULL THEN CAST(NULL AS BIGINT)"
+          + " WHEN abs(z_milli) >= 1960 THEN 1L ELSE 0L END"))
+  }
 }

@@ -282,6 +282,36 @@ class ExperimentSpec extends SparkSpec {
     assert(got.getAs[Long]("srm") === 0L) // 2.0 < 3.841: noisy, not SRM
   }
 
+  test("cochranArmitage: hand-computed rising dose-response") {
+    // doses 0/1/2, n=4 each, positives 0/2/4: numc = 48,
+    // var = 6·6·(12·20 − 144) = 3456, z = 48·√12/√3456 = 2.8284.
+    val rows =
+      (1 to 4).map(i => (0L, 0L)) ++
+        (1 to 2).map(i => (1L, 1L)) ++ (1 to 2).map(i => (1L, 0L)) ++
+        (1 to 4).map(i => (2L, 1L))
+    val got = Experiment.cochranArmitage(rows.toDF("dose", "outcome"),
+      "dose", "outcome").collect()(0)
+    assert(got.getAs[Long]("n_levels") === 3L)
+    assert(got.getAs[Long]("n_subjects") === 12L)
+    assert(got.getAs[Long]("n_positive") === 6L)
+    assert(got.getAs[Long]("z_milli") === 2828L)
+    assert(got.getAs[Long]("significant_05") === 1L)
+  }
+
+  test("cochranArmitage: flat trend reads 0; one-class outcome NULLs") {
+    val flat = Seq((0L, 1L), (0L, 0L), (1L, 1L), (1L, 0L),
+      (2L, 1L), (2L, 0L))
+    val f = Experiment.cochranArmitage(flat.toDF("dose", "outcome"),
+      "dose", "outcome").collect()(0)
+    assert(f.getAs[Long]("z_milli") === 0L)
+    assert(f.getAs[Long]("significant_05") === 0L)
+    val ones = Seq((0L, 1L), (1L, 1L), (2L, 1L))
+    val o = Experiment.cochranArmitage(ones.toDF("dose", "outcome"),
+      "dose", "outcome").collect()(0)
+    assert(o.isNullAt(o.fieldIndex("z_milli")))
+    assert(o.isNullAt(o.fieldIndex("significant_05")))
+  }
+
   test("srmCheck flags a drastic imbalance and NULLs the empty case") {
     // 40 A users, 0 B users: χ² = n = 40 → 40000 milli, well past 3841.
     val as = (1L to 500L).filter(armOf(_) == "A").take(40)
