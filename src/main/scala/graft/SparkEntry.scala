@@ -1969,6 +1969,13 @@ object SparkEntry {
       ml.Eval.agreementStats(scoredDocs(s, d), "score_q", "label",
         threshold = 5000L)),
 
+    // Wilson intervals per arm: the uncertainty the q137 point rates
+    // can't carry — score intervals that never leave [0,1].
+    "q295_wilson_arms" -> ((s, d) =>
+      Experiment.wilsonArms(Tables.events(s, d), "user_id", "event_type",
+        "value", exposureType = "view", conversionType = "purchase",
+        minValue = 50.0)),
+
     // Cochran-Armitage: does purchase rate rise MONOTONICALLY with
     // view-exposure dose — the trend test chi-square can't sharpen to.
     "q294_cochran_armitage" -> ((s, d) => {
@@ -5523,6 +5530,36 @@ object SparkEntry {
 
     // HITS replayed: the same three max-normed integer half-steps.
     "q272_hits" -> q272OracleSql,
+
+    // Wilson replayed: same md5 arms, same pinned score-interval chain.
+    "q295_wilson_arms" ->
+      """WITH ex AS (SELECT DISTINCT user_id,
+                   CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                             < '8' THEN 'A' ELSE 'B' END AS arm
+                FROM events WHERE event_type = 'view'),
+         cv AS (SELECT DISTINCT user_id FROM events
+                WHERE event_type = 'purchase' AND value > 50.0),
+         pa AS (SELECT arm, CAST(count(*) AS HUGEINT) AS n,
+                       CAST(sum(CASE WHEN cv.user_id IS NOT NULL
+                                THEN 1 ELSE 0 END) AS HUGEINT) AS c
+                FROM ex LEFT JOIN cv USING (user_id) GROUP BY 1)
+         SELECT arm, CAST(n AS BIGINT) AS n_users,
+                CAST(c AS BIGINT) AS n_conv,
+                CAST(CASE WHEN n = 0 THEN NULL
+                     ELSE c * 1000000 // n END AS BIGINT) AS rate_ppm,
+                CAST(CASE WHEN n = 0 THEN NULL
+                     ELSE round((CAST(c AS DOUBLE) + 1.9208
+                       - 1.96 * sqrt(CAST(c * (n - c) AS DOUBLE)
+                           / CAST(n AS DOUBLE) + 0.9604))
+                       / (CAST(n AS DOUBLE) + 3.8416) * 1000000, 0) END
+                  AS BIGINT) AS wilson_lo_ppm,
+                CAST(CASE WHEN n = 0 THEN NULL
+                     ELSE round((CAST(c AS DOUBLE) + 1.9208
+                       + 1.96 * sqrt(CAST(c * (n - c) AS DOUBLE)
+                           / CAST(n AS DOUBLE) + 0.9604))
+                       / (CAST(n AS DOUBLE) + 3.8416) * 1000000, 0) END
+                  AS BIGINT) AS wilson_hi_ppm
+         FROM pa ORDER BY arm""",
 
     // CA trend replayed: same dose bucketing, same cleared-denominator
     // radicands, same pinned finish.

@@ -527,6 +527,53 @@ object Experiment {
           .otherwise((col("chi2_milli") > 3841L).cast("long")))
   }
 
+  /** Per-arm Wilson 95% interval — the UNCERTAINTY the point-rate
+    * readout ([[abLift]]) can't carry: a 2%-vs-2.1% "lift" on 300
+    * users is noise, and the Wilson score interval is the standard way
+    * to say so (unlike the naive Wald interval it never leaves [0,1]
+    * and stays honest at extreme rates / small n — Brown, Cai,
+    * DasGupta 2001). lo/hi = (c + z²/2 ± z·√(c(n−c)/n + z²/4)) /
+    * (n + z²) at z = 1.96, emitted floor-independent: the chain is
+    * PINNED correctly-rounded IEEE ops from the two exact integers
+    * (c, n) — one inner divide, one sqrt, the assembly, round 0 on the
+    * ppm scale (the q280 argument) — so both engines produce the same
+    * longs. Empty arm → NULL bounds.
+    *
+    * Scale: the abLift reduction (distinct users, one keyed shuffle)
+    * plus a 2-row fold — nothing new touches the corpus. */
+  def wilsonArms(events: DataFrame, userCol: String, typeCol: String,
+                 valueCol: String, exposureType: String,
+                 conversionType: String, minValue: Double): DataFrame = {
+    val arm = when(substring(md5(col("graft_u").cast("string")), 1, 1) < "8",
+      "A").otherwise("B")
+    val exposed = events.filter(col(typeCol) === exposureType)
+      .select(col(userCol).as("graft_u")).distinct()
+      .withColumn("graft_arm", arm)
+    val converted = events
+      .filter(col(typeCol) === conversionType && col(valueCol) > minValue)
+      .select(col(userCol).as("graft_u")).distinct()
+      .withColumn("graft_conv", lit(1L))
+    def bound(sign: String): String =
+      "CAST(round((CAST(c AS DOUBLE) + 1.9208 " + sign +
+        " 1.96 * sqrt(CAST(c * (n - c) AS DOUBLE) / CAST(n AS DOUBLE)" +
+        " + 0.9604))" +
+        " / (CAST(n AS DOUBLE) + 3.8416) * 1000000, 0) AS BIGINT)"
+    exposed.join(converted, Seq("graft_u"), "left")
+      .groupBy(col("graft_arm").as("arm"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        coalesce(sum(col("graft_conv")), lit(0L)).cast("decimal(38,0)")
+          .as("c"))
+      .select(col("arm"), col("n").cast("long").as("n_users"),
+        col("c").cast("long").as("n_conv"),
+        expr("CASE WHEN n = 0 THEN CAST(NULL AS BIGINT)"
+          + " ELSE c * 1000000 div n END").as("rate_ppm"),
+        expr("CASE WHEN n = 0 THEN CAST(NULL AS BIGINT) ELSE "
+          + bound("-") + " END").as("wilson_lo_ppm"),
+        expr("CASE WHEN n = 0 THEN CAST(NULL AS BIGINT) ELSE "
+          + bound("+") + " END").as("wilson_hi_ppm"))
+      .orderBy("arm")
+  }
+
   /** Cochran-Armitage trend test — the DOSE-RESPONSE rung the 2×k
     * chi-square can't give (chi-square asks "are the k levels
     * different AT ALL"; CA asks the sharper, higher-powered question

@@ -282,6 +282,24 @@ class ExperimentSpec extends SparkSpec {
     assert(got.getAs[Long]("srm") === 0L) // 2.0 < 3.841: noisy, not SRM
   }
 
+  test("wilsonArms: hand-computed score intervals at the rate extremes") {
+    // 4 A users all convert, 4 B users none: Wilson at c=n and c=0 has
+    // closed forms (the sqrt term collapses to 0.98) —
+    // A: [n/(n+z²), 1] = [510100, 1000000] ppm; B: [0, z²/(n+z²)] =
+    // [0, 489900] ppm. The naive Wald interval would read [1,1]/[0,0].
+    val as = (1L to 200L).filter(armOf(_) == "A").take(4)
+    val bs = (1L to 200L).filter(armOf(_) == "B").take(4)
+    val events = (as ++ bs).map(u => (u, "view", 0.0)) ++
+      as.map(u => (u, "purchase", 60.0))
+    val got = Experiment.wilsonArms(
+      events.toDF("user_id", "event_type", "value"),
+      "user_id", "event_type", "value", "view", "purchase", 50.0)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got("A") === ((4L, 4L, 1000000L, 510100L, 1000000L)))
+    assert(got("B") === ((4L, 0L, 0L, 0L, 489900L)))
+  }
+
   test("cochranArmitage: hand-computed rising dose-response") {
     // doses 0/1/2, n=4 each, positives 0/2/4: numc = 48,
     // var = 6·6·(12·20 − 144) = 3456, z = 48·√12/√3456 = 2.8284.
