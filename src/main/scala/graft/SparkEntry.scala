@@ -1969,6 +1969,12 @@ object SparkEntry {
       ml.Eval.agreementStats(scoredDocs(s, d), "score_q", "label",
         threshold = 5000L)),
 
+    // Median with a distribution-free order-statistic CI per event
+    // type — binomial rank bounds, exact centi values.
+    "q296_quantile_ci" -> ((s, d) =>
+      Analytics.quantileCi(Tables.events(s, d), "event_type", "value",
+        qMilli = 500L)),
+
     // Wilson intervals per arm: the uncertainty the q137 point rates
     // can't carry — score intervals that never leave [0,1].
     "q295_wilson_arms" -> ((s, d) =>
@@ -5530,6 +5536,38 @@ object SparkEntry {
 
     // HITS replayed: the same three max-normed integer half-steps.
     "q272_hits" -> q272OracleSql,
+
+    // Quantile-CI replayed: same cumulative ranks, same integer-radicand
+    // sqrt chain (identical association order).
+    "q296_quantile_ci" ->
+      """WITH pv AS (SELECT event_type AS g,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events
+            WHERE event_type IS NOT NULL AND value IS NOT NULL
+            GROUP BY 1, 2),
+         w AS (SELECT g, v, c,
+                 sum(c) OVER (PARTITION BY g ORDER BY v
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(c) OVER (PARTITION BY g) AS n
+               FROM pv),
+         r AS (SELECT g, v, cum, n,
+                 (n * 500 + 999) // 1000 AS rm,
+                 greatest(1, CAST(floor(CAST(n * 500 AS DOUBLE) / 1000.0
+                   - 1.96 * sqrt(CAST(n * 500 * 500 AS DOUBLE)) / 1000.0)
+                   AS BIGINT)) AS rl,
+                 least(n, CAST(ceil(CAST(n * 500 AS DOUBLE) / 1000.0
+                   + 1.96 * sqrt(CAST(n * 500 * 500 AS DOUBLE)) / 1000.0)
+                   AS BIGINT) + 1) AS ru
+               FROM w)
+         SELECT g AS event_type, CAST(max(n) AS BIGINT) AS n_rows,
+                CAST(min(CASE WHEN cum >= rm THEN v END) AS BIGINT)
+                  AS q_centi,
+                CAST(min(CASE WHEN cum >= rl THEN v END) AS BIGINT)
+                  AS ci_lo_centi,
+                CAST(min(CASE WHEN cum >= ru THEN v END) AS BIGINT)
+                  AS ci_hi_centi
+         FROM r GROUP BY 1""",
 
     // Wilson replayed: same md5 arms, same pinned score-interval chain.
     "q295_wilson_arms" ->

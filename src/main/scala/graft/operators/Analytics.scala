@@ -2188,6 +2188,65 @@ object Analytics {
             "decimal(38,0))) AS BIGINT)")).as("twa_centi"))
   }
 
+  /** Quantile with a DISTRIBUTION-FREE confidence interval — the
+    * uncertainty readout the exact-quantiles table (48/q47) can't
+    * carry: a dashboard median on 80 rows and one on 80 million look
+    * identical until the order-statistic CI says otherwise. Binomial
+    * bounds: the q-quantile lies between order statistics
+    * L = max(1, ⌊nq − z√(nq(1−q))⌋) and U = min(n, ⌈nq + z√(nq(1−q))⌉
+    * + 1) with ≥95% coverage at z = 1.96, no normality assumption
+    * (Conover's textbook interval). The single float sqrt has an
+    * EXACT-INTEGER radicand — √(n·qm·(1000−qm))/1000 = √(nq(1−q)) —
+    * so the pinned chain is one sqrt, one divide, the assembly (the
+    * q280 argument); the point estimate rank ⌈nq⌉ is pure integer
+    * ceiling. Values are exact centi; rank → value selection is the
+    * cumulative-count trick (min value whose running count reaches the
+    * rank) — no sort of raw rows, ever.
+    *
+    * Scale: the corpus collapses to per-(group, distinct-value) counts
+    * in one keyed shuffle (cardinality gated — the kruskalWallis
+    * assert), the windows ride that bounded table, one row per group
+    * out. */
+  def quantileCi(df: DataFrame, groupCol: String, valueCol: String,
+                 qMilli: Long, maxDistinct: Long = 1L << 20): DataFrame = {
+    require(qMilli >= 1L && qMilli <= 999L, "qMilli must be in [1, 999]")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("graft_g").orderBy("graft_v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wGrp = org.apache.spark.sql.expressions.Window.partitionBy("graft_g")
+    val perVal = df
+      .select(col(groupCol).as("graft_g"),
+        floor(col(valueCol) * 100 + 0.5).cast("long").as("graft_v"))
+      .filter(col("graft_g").isNotNull && col("graft_v").isNotNull)
+      .groupBy("graft_g", "graft_v").agg(count(lit(1)).as("graft_c"))
+      .withColumn("graft_card", count(lit(1)).over(wAll))
+      .filter(assert_true(col("graft_card") <= lit(maxDistinct),
+        lit(s"quantileCi: more than $maxDistinct distinct values — " +
+          "quantize the metric first")).isNull)
+      .withColumn("graft_cum", sum("graft_c").over(wCum))
+      .withColumn("graft_n", sum("graft_c").over(wGrp))
+    val nq = s"CAST(graft_n * $qMilli AS DOUBLE) / 1000.0"
+    val sd = s"sqrt(CAST(graft_n * $qMilli * ${1000L - qMilli}" +
+      " AS DOUBLE)) / 1000.0"
+    val ranks = perVal
+      .withColumn("graft_rm",
+        expr(s"(graft_n * $qMilli + 999) div 1000"))
+      .withColumn("graft_rl",
+        expr(s"greatest(1L, CAST(floor($nq - 1.96 * $sd) AS BIGINT))"))
+      .withColumn("graft_ru",
+        expr(s"least(graft_n, CAST(ceil($nq + 1.96 * $sd) AS BIGINT)" +
+          " + 1)"))
+    ranks.groupBy(col("graft_g").as(groupCol))
+      .agg(max("graft_n").cast("long").as("n_rows"),
+        min(when(col("graft_cum") >= col("graft_rm"), col("graft_v")))
+          .as("q_centi"),
+        min(when(col("graft_cum") >= col("graft_rl"), col("graft_v")))
+          .as("ci_lo_centi"),
+        min(when(col("graft_cum") >= col("graft_ru"), col("graft_v")))
+          .as("ci_hi_centi"))
+  }
+
   /** Simple Good-Turing frequency re-estimation — the corpus-coverage
     * readout on top of the word-frequency spectrum: `p0_ppm` (Good's
     * estimate of the probability mass of UNSEEN vocabulary, n₁/N) says

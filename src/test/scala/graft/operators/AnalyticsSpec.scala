@@ -1085,6 +1085,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(msgs(ex).exists(_.contains("floor-division parity")))
   }
 
+  test("quantileCi: hand-computed order-statistic bounds, ties collapse") {
+    // n=81 distinct centi values 1..81: rank 41 is the median; ranks
+    // L = ⌊40.5 − 1.96·4.5⌋ = 31 and U = ⌈49.32⌉ + 1 = 51 bound it.
+    val rows = (1 to 81).map(i => ("m", i * 0.01)).toDF("g", "v")
+    val got = Analytics.quantileCi(rows, "g", "v", qMilli = 500L)
+      .collect()(0)
+    assert(got.getAs[Long]("n_rows") === 81L)
+    assert(got.getAs[Long]("q_centi") === 41L)
+    assert(got.getAs[Long]("ci_lo_centi") === 31L)
+    assert(got.getAs[Long]("ci_hi_centi") === 51L)
+    // a constant column: all three readouts collapse onto the value
+    val tied = (1 to 9).map(i => ("t", 5.0)).toDF("g", "v")
+    val t = Analytics.quantileCi(tied, "g", "v", qMilli = 500L)
+      .collect()(0)
+    assert(t.getAs[Long]("q_centi") === 500L)
+    assert(t.getAs[Long]("ci_lo_centi") === 500L)
+    assert(t.getAs[Long]("ci_hi_centi") === 500L)
+  }
+
   test("goodTuring: hand spectrum — p0, adjusted counts, spectrum hole") {
     // tokens: a×3, b×2, c,d,e singletons → spectrum n1=3, n2=1, n3=1,
     // N=8. p0 = 3/8 = 375000 ppm; r*(1) = 2·1·1000/3 = 666 milli;
