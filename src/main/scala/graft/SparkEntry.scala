@@ -1969,6 +1969,18 @@ object SparkEntry {
       ml.Eval.agreementStats(scoredDocs(s, d), "score_q", "label",
         threshold = 5000L)),
 
+    // Negative sampling: per customer, 3 deterministic hash-drawn parts
+    // they never bought — the implicit-feedback training-data op.
+    "q297_negative_sample" -> ((s, d) =>
+      ml.Recommend.negativeSample(
+        Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"))
+          .join(Tables.lineitem(s, d).select(col("l_orderkey"),
+            col("l_partkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("user_id"),
+            col("l_partkey").as("item_id")),
+        "user_id", "item_id", k = 3)),
+
     // Median with a distribution-free order-statistic CI per event
     // type — binomial rank bounds, exact centi values.
     "q296_quantile_ci" -> ((s, d) =>
@@ -5536,6 +5548,31 @@ object SparkEntry {
 
     // HITS replayed: the same three max-normed integer half-steps.
     "q272_hits" -> q272OracleSql,
+
+    // Negative sampling replayed: same modular md5 draws, same
+    // hole/positive discards, same (draw, item) pick order.
+    "q297_negative_sample" ->
+      """WITH pos AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS u,
+                    CAST(l_partkey AS BIGINT) AS it
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         us AS (SELECT DISTINCT u FROM pos),
+         items AS (SELECT DISTINCT it FROM pos),
+         mx AS (SELECT CAST(max(it) AS BIGINT) AS mi FROM pos),
+         c AS (SELECT u, j,
+                 CAST(('0x' || substring(md5(CAST(u AS VARCHAR) || '#'
+                   || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT) % mi + 1
+                   AS it
+               FROM us, (SELECT unnest(range(1, 11)) AS j) jj, mx),
+         v AS (SELECT c.u, c.it, CAST(min(j) AS BIGINT) AS j
+               FROM c JOIN items USING (it) GROUP BY 1, 2),
+         neg AS (SELECT v.* FROM v LEFT JOIN pos p
+                   ON v.u = p.u AND v.it = p.it
+                 WHERE p.u IS NULL),
+         r AS (SELECT u, it, j, row_number() OVER (PARTITION BY u
+                 ORDER BY j, it) AS rk
+               FROM neg)
+         SELECT u AS user_id, it AS neg_item, j AS draw
+         FROM r WHERE rk <= 3""",
 
     // Quantile-CI replayed: same cumulative ranks, same integer-radicand
     // sqrt chain (identical association order).

@@ -112,4 +112,55 @@ object Recommend {
       .filter(!col(idCol).isin(queryIds: _*))
       .select(outCols.map(col): _*)
   }
+
+  /** Deterministic negative sampling — the training-data op every
+    * implicit-feedback recommender and contrastive ranker needs: for
+    * each user, `k` items they did NOT interact with, drawn by a pure
+    * content hash so the same (user, epoch-salt) always yields the same
+    * negatives across engines, partitioning, and retries (an RNG draw
+    * is none of those). Draw j for user u targets item
+    * `1 + md5(u·'#'·j) mod maxItem`; draws landing on catalog holes or
+    * on the user's own positives are discarded and the margin
+    * (`2k + margin` draws) absorbs the loss — a user may under-fill
+    * only if nearly every draw collides, i.e. the user interacted with
+    * most of the catalog (documented; such users don't need sampled
+    * negatives). Contract: an integer item catalog that is mostly
+    * dense in [1, maxItem] — the modular draw's uniformity degrades
+    * with the hole rate, and the semi-join keeps correctness regardless.
+    *
+    * Scale: |users|·(2k+margin) candidate rows (never catalog × users),
+    * one semi-join against the item set, one anti-join against the
+    * positives (both keyed), a per-user row_number over ≤ 2k+margin
+    * rows. No dense-index build, no catalog-sized window. */
+  def negativeSample(interactions: DataFrame, userCol: String,
+                     itemCol: String, k: Int, margin: Int = 4): DataFrame = {
+    require(k >= 1 && margin >= 0, "k >= 1 and margin >= 0")
+    val m = 2 * k + margin
+    val pos = interactions.select(col(userCol).cast("long").as("graft_u"),
+      col(itemCol).cast("long").as("graft_it")).distinct()
+    val users = pos.select("graft_u").distinct()
+    val items = pos.select("graft_it").distinct()
+    val mx = pos.agg(max("graft_it").as("graft_mi"))
+    val cands = users
+      .select(col("graft_u"),
+        explode(sequence(lit(1), lit(m))).as("graft_j"))
+      .crossJoin(broadcast(mx))
+      .withColumn("graft_it",
+        conv(substring(md5(concat(col("graft_u").cast("string"), lit("#"),
+          col("graft_j").cast("string"))), 1, 8), 16, 10).cast("long")
+          % col("graft_mi") + 1)
+    val valid = cands
+      .join(items, Seq("graft_it"), "left_semi")
+      .groupBy("graft_u", "graft_it")
+      .agg(min("graft_j").as("graft_j"))
+    val negs = valid.join(pos, Seq("graft_u", "graft_it"), "left_anti")
+    negs
+      .withColumn("graft_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("graft_u")
+          .orderBy(col("graft_j").asc, col("graft_it").asc)))
+      .filter(col("graft_rk") <= k)
+      .select(col("graft_u").as("user_id"),
+        col("graft_it").as("neg_item"),
+        col("graft_j").cast("long").as("draw"))
+  }
 }

@@ -223,4 +223,40 @@ class MlSpec extends SparkSpec {
     val kept = Popularity.rfeSelect(regData, Seq("x1", "x2", "x3"), "y", keep = 2)
     assert(kept.toSet == Set("x1", "x2"))
   }
+
+  test("negativeSample: never a positive, always in catalog, replayable") {
+    // catalog 1..40 (dense); user 1 bought evens, user 2 bought 1..5
+    val inter = ((1 to 40 by 2).map(i => (1L, i.toLong + 1)) ++
+      (1 to 5).map(i => (2L, i.toLong)) ++
+      (6 to 40).map(i => (3L, i.toLong))) // u3 fills the catalog to 40
+      .toDF("user_id", "item_id")
+    val got = Recommend.negativeSample(inter, "user_id", "item_id",
+      k = 3).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pos = Set((1 to 40 by 2).map(i => (1L, i.toLong + 1)): _*) ++
+      (1 to 5).map(i => (2L, i.toLong)) ++ (6 to 40).map(i => (3L, i.toLong))
+    assert(got.forall { case (u, it, _) => !pos.contains((u, it)) })
+    assert(got.forall(_._2 >= 1L) && got.forall(_._2 <= 40L))
+    assert(got.groupBy(_._1).forall(_._2.length <= 3))
+    // exact Scala replay of the modular draw
+    def drawOf(u: Long, j: Int): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$u#$j".getBytes("UTF-8"))
+      val hex = d.take(4).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 40L + 1L
+    }
+    val items = (1L to 40L).toSet
+    val expect1 = (1 to 10).map(j => (drawOf(1L, j), j))
+      .filter { case (it, _) => items.contains(it) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toSeq
+      .filter { case (it, _) => !pos.contains((1L, it)) }
+      .sortBy { case (it, j) => (j, it) }.take(3)
+      .map { case (it, j) => (1L, it, j.toLong) }
+    assert(got.filter(_._1 == 1L).sortBy(t => (t._3, t._2)).toSeq
+      === expect1)
+    // partitioning invariance
+    val re = Recommend.negativeSample(inter.repartition(7), "user_id",
+      "item_id", k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(re === got.toSet)
+  }
 }
