@@ -160,58 +160,47 @@ object Graph {
   def hitsPortable(edges: DataFrame, srcCol: String, dstCol: String,
                    iters: Int, topK: Int, r0: Long = 1000000L): DataFrame = {
     require(iters >= 1 && topK >= 1, "iters and topK must be positive")
-    import org.apache.spark.storage.StorageLevel
-    val e = edges.select(col(srcCol).cast("long").as("graft_src"),
-      col(dstCol).cast("long").as("graft_dst")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("graft_src").as("node"))
-      .union(e.select(col("graft_dst"))).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Every generation is pinned with TRUNCATED lineage
+    // ([[Materialize.transient]]): a persist() chain keeps the full
+    // logical plan, so by iteration 3 Catalyst re-optimizes a tower of
+    // nested cached plans and DRIVER PLANNING dominates wall time
+    // (measured 3× blowup at sf0.1). Pinning the raw sums before the
+    // max-broadcast also stops each half-step's edge join from running
+    // twice (once for the norm scalar, once for the main leg).
+    val e = Materialize.transient(
+      edges.select(col(srcCol).cast("long").as("graft_src"),
+        col(dstCol).cast("long").as("graft_dst")).distinct())
+    val nodes = Materialize.transient(
+      e.select(col("graft_src").as("node"))
+        .union(e.select(col("graft_dst"))).distinct())
     var auth = nodes.withColumn("graft_a", lit(r0))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     var hub: DataFrame = null
-    var pa: DataFrame = null
-    var ph: DataFrame = null
-    try {
-      for (_ <- 1 to iters) {
-        val hraw = e
-          .join(auth.withColumnRenamed("node", "graft_dst")
-            .withColumnRenamed("graft_a", "graft_av"), "graft_dst")
-          .groupBy(col("graft_src").as("node"))
-          .agg(sum("graft_av").as("graft_s"))
-        ph = hraw
-          .crossJoin(broadcast(hraw.agg(max("graft_s").as("graft_mx"))))
-          .select(col("node"),
-            expr("graft_s * 1000000 div graft_mx").as("graft_h"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val araw = e
-          .join(ph.withColumnRenamed("node", "graft_src"), "graft_src")
-          .groupBy(col("graft_dst").as("node"))
-          .agg(sum("graft_h").as("graft_s"))
-        pa = araw
-          .crossJoin(broadcast(araw.agg(max("graft_s").as("graft_mx"))))
-          .select(col("node"),
-            expr("graft_s * 1000000 div graft_mx").as("graft_a"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        pa.count() // materialize the generation before dropping its inputs
-        auth.unpersist()
-        if (hub ne null) hub.unpersist()
-        auth = pa; hub = ph
-        pa = null; ph = null
-      }
-      Materialize.artifact(
-        nodes
-          .join(hub.select(col("node"), col("graft_h")), Seq("node"), "left")
-          .join(auth.select(col("node"), col("graft_a")), Seq("node"), "left")
-          .select(col("node"), coalesce(col("graft_h"), lit(0L)).as("hub"),
-            coalesce(col("graft_a"), lit(0L)).as("auth"))
-          .orderBy(col("auth").desc, col("node").asc).limit(topK))
-    } finally {
-      if (pa ne null) pa.unpersist()
-      if (ph ne null) ph.unpersist()
-      if (hub ne null) hub.unpersist()
-      auth.unpersist(); e.unpersist(); nodes.unpersist()
+    for (_ <- 1 to iters) {
+      val hraw = Materialize.transient(e
+        .join(auth.withColumnRenamed("node", "graft_dst")
+          .withColumnRenamed("graft_a", "graft_av"), "graft_dst")
+        .groupBy(col("graft_src").as("node"))
+        .agg(sum("graft_av").as("graft_s")))
+      hub = Materialize.transient(hraw
+        .crossJoin(broadcast(hraw.agg(max("graft_s").as("graft_mx"))))
+        .select(col("node"),
+          expr("graft_s * 1000000 div graft_mx").as("graft_h")))
+      val araw = Materialize.transient(e
+        .join(hub.withColumnRenamed("node", "graft_src"), "graft_src")
+        .groupBy(col("graft_dst").as("node"))
+        .agg(sum("graft_h").as("graft_s")))
+      auth = Materialize.transient(araw
+        .crossJoin(broadcast(araw.agg(max("graft_s").as("graft_mx"))))
+        .select(col("node"),
+          expr("graft_s * 1000000 div graft_mx").as("graft_a")))
     }
+    Materialize.artifact(
+      nodes
+        .join(hub.select(col("node"), col("graft_h")), Seq("node"), "left")
+        .join(auth.select(col("node"), col("graft_a")), Seq("node"), "left")
+        .select(col("node"), coalesce(col("graft_h"), lit(0L)).as("hub"),
+          coalesce(col("graft_a"), lit(0L)).as("auth"))
+        .orderBy(col("auth").desc, col("node").asc).limit(topK))
   }
 
   /** Degree assortativity — Newman's r (PRL 2002): the Pearson
