@@ -1901,6 +1901,27 @@ object SparkEntry {
       Dedup.crossSourceDupMatrix(mirrored, "doc_id", "text", "source")
     }),
 
+    // Near-dup SPLIT leakage: the same portable pairs mapped to the
+    // train/test hash split on both ends — the paraphrase-leakage audit
+    // q128's exact-fingerprint check can't see (a train doc's light
+    // rewrite sitting in test inflates eval).
+    "q298_neardup_split_leakage" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = portableMinhashPairs(s, d)
+      val sp = docs.select(col("doc_id"),
+        when(substring(md5(col("text").cast("binary")), 1, 1) < "d",
+          "train").otherwise("test").as("graft_sp"))
+      pairs
+        .join(sp.withColumnRenamed("doc_id", "id1")
+          .withColumnRenamed("graft_sp", "graft_p1"), Seq("id1"))
+        .join(sp.withColumnRenamed("doc_id", "id2")
+          .withColumnRenamed("graft_sp", "graft_p2"), Seq("id2"))
+        .select(least(col("graft_p1"), col("graft_p2")).as("split_a"),
+          greatest(col("graft_p1"), col("graft_p2")).as("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(count(lit(1)).as("n_neardup_pairs"))
+    }),
+
     // Near-dup contamination matrix: the oracle-exact portable-LSH pairs
     // mapped to their sources — which sources SHARE near-duplicate
     // content (the exact-copy matrix q193 can't see paraphrases).
@@ -8777,37 +8798,27 @@ object SparkEntry {
 
     // q82's full portable-LSH replay with a source join on both ends.
     "q194_source_neardup_matrix" ->
-      """WITH t AS (SELECT doc_id,
-                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
-           FROM documents),
-         sh AS (SELECT DISTINCT doc_id,
-                       toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
-                FROM (SELECT doc_id, toks,
-                             unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i
-                      FROM t)),
-         mh AS (SELECT doc_id, s,
-                       min(substr(md5((s // 4)::VARCHAR || ':' || g),
-                                  CAST(1 + 8 * (s % 4) AS INTEGER), 8)) AS h
-                FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS s) seeds
-                GROUP BY doc_id, s),
-         sig AS (SELECT doc_id, list(h ORDER BY s) AS sig FROM mh GROUP BY doc_id),
-         band AS (SELECT doc_id, b, sig[2*b+1] || '|' || sig[2*b+2] AS bk
-                  FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS b) bands),
-         cand AS (SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
-                  FROM band a JOIN band c
-                    ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id),
-         agr AS (SELECT cand.id1, cand.id2,
-                        sum(CASE WHEN s1.sig[k+1] = s2.sig[k+1] THEN 1 ELSE 0 END) AS agree
-                 FROM cand JOIN sig s1 ON cand.id1 = s1.doc_id
-                           JOIN sig s2 ON cand.id2 = s2.doc_id
-                      CROSS JOIN (SELECT unnest(range(0, 16)) AS k) ks
-                 GROUP BY 1, 2),
-         pr AS (SELECT id1, id2 FROM agr WHERE agree / 16.0 >= 0.5)
+      s"""WITH $PortablePairsSql
          SELECT least(d1.source, d2.source) AS src_a,
                 greatest(d1.source, d2.source) AS src_b,
                 CAST(count(*) AS BIGINT) AS n_neardup_pairs
          FROM pr JOIN documents d1 ON pr.id1 = d1.doc_id
                  JOIN documents d2 ON pr.id2 = d2.doc_id
+         GROUP BY 1, 2""",
+
+    // Near-dup SPLIT leakage replayed: the same portable pairs mapped
+    // to the q162 hash-split rule on both ends.
+    "q298_neardup_split_leakage" ->
+      s"""WITH $PortablePairsSql,
+         sp AS (SELECT doc_id,
+                  CASE WHEN substring(md5(text), 1, 1) < 'd'
+                       THEN 'train' ELSE 'test' END AS s
+                FROM documents)
+         SELECT least(s1.s, s2.s) AS split_a,
+                greatest(s1.s, s2.s) AS split_b,
+                CAST(count(*) AS BIGINT) AS n_neardup_pairs
+         FROM pr JOIN sp s1 ON pr.id1 = s1.doc_id
+                 JOIN sp s2 ON pr.id2 = s2.doc_id
          GROUP BY 1, 2""",
 
     // Spearman replayed: same doubled midranks, same double assembly.
@@ -9289,6 +9300,38 @@ object SparkEntry {
   /** The q167-q169 scored-docs CTE (DuckDB): the clamped 1e4-quantized
     * heuristic quality score + the n_chars≥300 label — the oracle twin of
     * [[scoredDocs]]. */
+  /** The portable-minhash candidate-pair CTE chain (the q82 pipeline):
+    * 3-gram shingles → 16 md5 minhashes → 8×2 bands → band-key candidates
+    * → signature-agreement filter at 0.5. Ends in `pr(id1, id2)`; shared
+    * by every oracle that reasons over near-dup PAIRS (q194, q298). */
+  private val PortablePairsSql: String =
+    """t AS (SELECT doc_id,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                       toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+                FROM (SELECT doc_id, toks,
+                             unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i
+                      FROM t)),
+         mh AS (SELECT doc_id, s,
+                       min(substr(md5((s // 4)::VARCHAR || ':' || g),
+                                  CAST(1 + 8 * (s % 4) AS INTEGER), 8)) AS h
+                FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS s) seeds
+                GROUP BY doc_id, s),
+         sig AS (SELECT doc_id, list(h ORDER BY s) AS sig FROM mh GROUP BY doc_id),
+         band AS (SELECT doc_id, b, sig[2*b+1] || '|' || sig[2*b+2] AS bk
+                  FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS b) bands),
+         cand AS (SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+                  FROM band a JOIN band c
+                    ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id),
+         agr AS (SELECT cand.id1, cand.id2,
+                        sum(CASE WHEN s1.sig[k+1] = s2.sig[k+1] THEN 1 ELSE 0 END) AS agree
+                 FROM cand JOIN sig s1 ON cand.id1 = s1.doc_id
+                           JOIN sig s2 ON cand.id2 = s2.doc_id
+                      CROSS JOIN (SELECT unnest(range(0, 16)) AS k) ks
+                 GROUP BY 1, 2),
+         pr AS (SELECT id1, id2 FROM agr WHERE agree / 16.0 >= 0.5)"""
+
   private val ScoredDocsSql: String =
     """sc AS (SELECT greatest(least(CAST(floor(
                 round(0.5 * least(length(text) / 500.0, 1.0)
