@@ -1901,6 +1901,13 @@ object SparkEntry {
       Dedup.crossSourceDupMatrix(mirrored, "doc_id", "text", "source")
     }),
 
+    // Bradley-Terry preference strengths over per-user pairwise value
+    // comparisons — integer MM iterations, oracle unrolls the same
+    // three steps.
+    "q299_bradley_terry" -> ((s, d) =>
+      ml.Preference.bradleyTerry(Tables.events(s, d), "user_id",
+        "event_type", "value", iters = 3)),
+
     // Near-dup SPLIT leakage: the same portable pairs mapped to the
     // train/test hash split on both ends — the paraphrase-leakage audit
     // q128's exact-fingerprint check can't see (a train doc's light
@@ -3680,6 +3687,60 @@ object SparkEntry {
 
   /** HITS unrolled: each iteration is two joins + two max-normed floor
     * divisions; score tables stay sparse exactly as the operator's. */
+  /** The q299 oracle: the same exact-cross-multiply tournament, then
+    * `iters` UNROLLED MM steps over the ≤|items|²-row wins matrix —
+    * per step one d-fold, the raw update with the d=0 carry, and the
+    * max-norm back to 1000 milli. Pure integer floor arithmetic. */
+  private def q299OracleSql: String = {
+    val iters = 3
+    val steps = (1 to iters).map { k =>
+      s"""d$k AS (SELECT nt.i,
+                  SUM(CASE WHEN nt.n = 0 THEN 0
+                      ELSE nt.n * 1000000 // (pi.p + pj.p) END) AS d
+           FROM nt JOIN p${k - 1} pi ON nt.i = pi.i
+                JOIN p${k - 1} pj ON nt.j = pj.i
+           GROUP BY 1),
+         r$k AS (SELECT d$k.i,
+                  CASE WHEN d = 0 THEN p.p
+                       ELSE wt.wtot * 1000000 // d END AS v
+                 FROM d$k JOIN p${k - 1} p ON d$k.i = p.i
+                      JOIN wt ON d$k.i = wt.i),
+         p$k AS (SELECT i, v * 1000
+                  // greatest(1, (SELECT max(v) FROM r$k)) AS p
+                 FROM r$k)"""
+    }.mkString(",\n         ")
+    s"""WITH cells AS (SELECT user_id AS e, event_type AS i,
+                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS HUGEINT) AS s,
+                CAST(count(*) AS HUGEINT) AS n
+           FROM events
+           WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+             AND value IS NOT NULL
+           GROUP BY 1, 2),
+         w AS (SELECT a.i AS wi, b.i AS li, CAST(count(*) AS BIGINT) AS n
+               FROM cells a JOIN cells b ON a.e = b.e AND a.i <> b.i
+               WHERE a.s * b.n > b.s * a.n GROUP BY 1, 2),
+         it AS (SELECT DISTINCT i FROM
+                 (SELECT wi AS i FROM w UNION SELECT li FROM w) u),
+         nt AS (SELECT x.i AS i, y.i AS j,
+                  CAST(coalesce(w1.n, 0) + coalesce(w2.n, 0) AS BIGINT)
+                    AS n,
+                  CAST(coalesce(w1.n, 0) AS BIGINT) AS wij
+                FROM it x JOIN it y ON x.i <> y.i
+                LEFT JOIN w w1 ON w1.wi = x.i AND w1.li = y.i
+                LEFT JOIN w w2 ON w2.wi = y.i AND w2.li = x.i),
+         wt AS (SELECT i, CAST(sum(wij) AS BIGINT) AS wtot
+                FROM nt GROUP BY 1),
+         ls AS (SELECT i, CAST(sum(n - wij) AS BIGINT) AS losses
+                FROM nt GROUP BY 1),
+         p0 AS (SELECT i, CAST(1000 AS BIGINT) AS p FROM it),
+         $steps
+         SELECT p$iters.i AS item, wt.wtot AS wins, ls.losses,
+                CAST(p$iters.p AS BIGINT) AS bt_milli
+         FROM p$iters JOIN wt ON p$iters.i = wt.i
+              JOIN ls ON p$iters.i = ls.i"""
+  }
+
   /** The q282 oracle: the same bounded pool, pairwise micro-unit sims,
     * and k UNROLLED greedy MMR steps — per step one argmax CTE (score
     * desc, id asc) plus the accumulated selected set. Everything after
@@ -8805,6 +8866,10 @@ object SparkEntry {
          FROM pr JOIN documents d1 ON pr.id1 = d1.doc_id
                  JOIN documents d2 ON pr.id2 = d2.doc_id
          GROUP BY 1, 2""",
+
+    // Bradley-Terry replayed: same tournament, three unrolled integer
+    // MM steps, same max-norm.
+    "q299_bradley_terry" -> q299OracleSql,
 
     // Near-dup SPLIT leakage replayed: the same portable pairs mapped
     // to the q162 hash-split rule on both ends.
