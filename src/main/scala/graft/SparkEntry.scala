@@ -1901,6 +1901,13 @@ object SparkEntry {
       Dedup.crossSourceDupMatrix(mirrored, "doc_id", "text", "source")
     }),
 
+    // Preference pairs: the (chosen, rejected, margin) training rows a
+    // DPO/reward pipeline consumes — exact floor-centi margins, thin
+    // margins gated out.
+    "q300_preference_pairs" -> ((s, d) =>
+      ml.Preference.preferencePairs(Tables.events(s, d), "user_id",
+        "event_type", "value", minMarginCenti = 500L)),
+
     // Bradley-Terry preference strengths over per-user pairwise value
     // comparisons — integer MM iterations, oracle unrolls the same
     // three steps.
@@ -8866,6 +8873,24 @@ object SparkEntry {
          FROM pr JOIN documents d1 ON pr.id1 = d1.doc_id
                  JOIN documents d2 ON pr.id2 = d2.doc_id
          GROUP BY 1, 2""",
+
+    // Preference pairs replayed: same cells, same cross-multiplied
+    // strict wins, same floor-centi margin gate.
+    "q300_preference_pairs" ->
+      """WITH cells AS (SELECT user_id AS e, event_type AS i,
+                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS HUGEINT) AS s,
+                CAST(count(*) AS HUGEINT) AS n
+           FROM events
+           WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+             AND value IS NOT NULL
+           GROUP BY 1, 2)
+         SELECT a.e AS entity, a.i AS chosen, b.i AS rejected,
+                CAST((a.s * b.n - b.s * a.n) // (a.n * b.n) AS BIGINT)
+                  AS margin_centi
+         FROM cells a JOIN cells b ON a.e = b.e AND a.i <> b.i
+         WHERE a.s * b.n > b.s * a.n
+           AND (a.s * b.n - b.s * a.n) // (a.n * b.n) >= 500""",
 
     // Bradley-Terry replayed: same tournament, three unrolled integer
     // MM steps, same max-norm.

@@ -92,4 +92,46 @@ object Preference {
     }.sortBy { case (i, _, _, s) => (-s, i) }
     out.toDF("item", "wins", "losses", "bt_milli")
   }
+
+  /** Preference-PAIR extraction — the (chosen, rejected) training rows
+    * a DPO/reward-model pipeline actually consumes, built from the same
+    * per-entity tournament [[bradleyTerry]] aggregates: for every
+    * entity and every item pair BOTH observed for it, emit one row with
+    * the strictly-preferred side as `chosen` and the exact floor-centi
+    * mean margin — thin margins are ambiguous labels, so
+    * `minMarginCenti` is the quality gate (the reward-data filtering
+    * every RLHF recipe applies). The margin never touches a float:
+    * mean_a − mean_b = (s_a·n_b − s_b·n_a) div (n_a·n_b), already in
+    * centi because the cells are.
+    *
+    * Scale: one (entity, item)-keyed reduction, a per-entity ≤k² pair
+    * join on the entity key — output is pair-bounded per entity, never
+    * corpus²; no driver artifact at all. */
+  def preferencePairs(rows: DataFrame, entityCol: String, itemCol: String,
+                      valueCol: String,
+                      minMarginCenti: Long): DataFrame = {
+    require(minMarginCenti >= 0L, "minMarginCenti must be nonnegative")
+    val cells = graft.operators.Materialize.transient(rows
+      .select(col(entityCol).as("graft_e"), col(itemCol).as("graft_i"),
+        floor(col(valueCol) * 100 + 0.5).cast("long").as("graft_v"))
+      .filter(col("graft_e").isNotNull && col("graft_i").isNotNull &&
+        col("graft_v").isNotNull)
+      .groupBy("graft_e", "graft_i")
+      .agg(sum("graft_v").cast("decimal(38,0)").as("graft_s"),
+        count(lit(1)).cast("decimal(38,0)").as("graft_n")))
+    val a = cells.select(col("graft_e"), col("graft_i").as("graft_ia"),
+      col("graft_s").as("graft_sa"), col("graft_n").as("graft_na"))
+    val b = cells.select(col("graft_e"), col("graft_i").as("graft_ib"),
+      col("graft_s").as("graft_sb"), col("graft_n").as("graft_nb"))
+    a.join(b, Seq("graft_e"))
+      .filter(col("graft_ia") =!= col("graft_ib"))
+      .filter(expr("graft_sa * graft_nb > graft_sb * graft_na"))
+      .withColumn("margin_centi",
+        expr("CAST((graft_sa * graft_nb - graft_sb * graft_na)" +
+          " div (graft_na * graft_nb) AS BIGINT)"))
+      .filter(col("margin_centi") >= minMarginCenti)
+      .select(col("graft_e").as("entity"),
+        col("graft_ia").as("chosen"), col("graft_ib").as("rejected"),
+        col("margin_centi"))
+  }
 }

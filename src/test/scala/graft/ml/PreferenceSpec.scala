@@ -40,4 +40,26 @@ class PreferenceSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toMap
     assert(s("B") === 1L && s("A") === 0L)
   }
+
+  test("preferencePairs: chosen side, exact centi margins, margin gate") {
+    // u1: A mean 300, B mean 100 → margin 200; u2: A 150 vs B 100 →
+    // margin 50, gated out at minMargin 100; u3 ties → no pair.
+    val rows = Seq(
+      (1L, "A", 3.0), (1L, "B", 1.0),
+      (2L, "A", 1.5), (2L, "B", 1.0),
+      (3L, "A", 2.0), (3L, "B", 2.0))
+      .toDF("user_id", "event_type", "value")
+    val got = Preference.preferencePairs(rows, "user_id", "event_type",
+      "value", minMarginCenti = 100L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(got.toSeq === Seq((1L, "A", "B", 200L)))
+    // margin is a MEAN diff: u4's two A events (mean 200) vs B 100 →
+    // margin exactly 100, admitted at the boundary
+    val m = Seq((4L, "A", 2.0), (4L, "A", 2.0), (4L, "B", 1.0))
+      .toDF("user_id", "event_type", "value")
+    val g2 = Preference.preferencePairs(m, "user_id", "event_type",
+      "value", minMarginCenti = 100L).collect()
+    assert(g2.length === 1 && g2(0).getLong(3) === 100L)
+  }
 }
