@@ -1901,6 +1901,12 @@ object SparkEntry {
       Dedup.crossSourceDupMatrix(mirrored, "doc_id", "text", "source")
     }),
 
+    // TextRank keywords: PageRank centrality over the word
+    // co-occurrence graph — integer walk, oracle unrolls 3 steps.
+    "q301_textrank" -> ((s, d) =>
+      Search.textRank(Tables.documents(s, d), "doc_id", "text",
+        coWindow = 2, iters = 3, topK = 20)),
+
     // Preference pairs: the (chosen, rejected, margin) training rows a
     // DPO/reward pipeline consumes — exact floor-centi margins, thin
     // margins gated out.
@@ -3694,6 +3700,43 @@ object SparkEntry {
 
   /** HITS unrolled: each iteration is two joins + two max-normed floor
     * divisions; score tables stay sparse exactly as the operator's. */
+  /** The q301 oracle: the co-occurrence graph from the length-filtered
+    * token sequence and the q131 integer walk unrolled on WORD keys. */
+  private def q301OracleSql: String = {
+    def iter(m: String, rPrev: String, r: String) =
+      s"""$m AS (SELECT e.dst AS word, sum(r.rank // dg.deg) AS s
+            FROM e JOIN $rPrev r ON e.src = r.word
+                   JOIN dg ON e.src = dg.src GROUP BY 1),
+          $r AS (SELECT n.word,
+                   CAST(150000 + COALESCE($m.s, 0) * 85 // 100 AS BIGINT)
+                     AS rank
+                 FROM n LEFT JOIN $m ON n.word = $m.word)"""
+    s"""WITH t AS (SELECT doc_id,
+                list_filter(string_split(lower(trim(
+                  regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+                  w -> length(w) >= 3) AS ws
+           FROM documents),
+       p AS (SELECT doc_id, i AS pos, ws[i] AS w
+             FROM (SELECT doc_id, ws,
+                     unnest(range(1, len(ws) + 1)) AS i
+                   FROM t) u),
+       pr AS (SELECT a.w AS wa, b.w AS wb
+              FROM p a JOIN p b ON a.doc_id = b.doc_id
+                   AND b.pos > a.pos AND b.pos <= a.pos + 2
+                   AND a.w <> b.w),
+       e AS (SELECT DISTINCT wa AS src, wb AS dst FROM pr
+             UNION SELECT DISTINCT wb, wa FROM pr),
+       n AS (SELECT DISTINCT src AS word FROM e),
+       dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+              FROM e GROUP BY 1),
+       r0 AS (SELECT word, CAST(1000000 AS BIGINT) AS rank FROM n),
+       ${iter("m1", "r0", "r1")},
+       ${iter("m2", "r1", "r2")},
+       ${iter("m3", "r2", "r3")}
+       SELECT word, rank AS rank_micro FROM r3
+       ORDER BY rank DESC, word LIMIT 20"""
+  }
+
   /** The q299 oracle: the same exact-cross-multiply tournament, then
     * `iters` UNROLLED MM steps over the ≤|items|²-row wins matrix —
     * per step one d-fold, the raw update with the d=0 carry, and the
@@ -8891,6 +8934,10 @@ object SparkEntry {
          FROM cells a JOIN cells b ON a.e = b.e AND a.i <> b.i
          WHERE a.s * b.n > b.s * a.n
            AND (a.s * b.n - b.s * a.n) // (a.n * b.n) >= 500""",
+
+    // TextRank replayed: same filtered-sequence windows, same unrolled
+    // integer walk on word keys.
+    "q301_textrank" -> q301OracleSql,
 
     // Bradley-Terry replayed: same tournament, three unrolled integer
     // MM steps, same max-norm.

@@ -447,4 +447,68 @@ object Search {
           .as("snippet"))
       .orderBy(col("n_terms").desc, col("n_hits").desc, col("doc_id").asc)
   }
+
+  /** TextRank keyword extraction (Mihalcea/Tarau 2004, the binary
+    * co-occurrence variant): words become nodes, an undirected edge
+    * connects words co-occurring within `coWindow` positions of the
+    * length-filtered token sequence, and PageRank over that graph ranks
+    * corpus keywords — centrality finds the terms everything else
+    * orbits, where raw frequency just finds stop-ish words. The walk is
+    * [[graft.operators.Graph.pagerankPortable]]'s integer discipline
+    * inlined on WORD keys (micro-unit ranks, per-step floor divisions,
+    * generations pinned with truncated lineage — the q272 lesson), so
+    * the oracle unrolls the identical `iters` steps and a graph-NLP
+    * operator hash-checks; ties break on the word itself, not an id.
+    *
+    * Scale: one tokenize + windowed-lead pass (corpus-token-sized,
+    * map-heavy, one doc-keyed shuffle), then everything runs on the
+    * DISTINCT co-occurrence edge list (vocabulary², sparse — bounded by
+    * text structure, not corpus rows); per iteration one src-keyed join
+    * + one keyed sum, ranks never leave executors. */
+  def textRank(docs: DataFrame, idCol: String, textCol: String,
+               coWindow: Int, iters: Int, topK: Int,
+               minLen: Int = 3): DataFrame = {
+    require(coWindow >= 1 && iters >= 1 && topK >= 1,
+      "coWindow, iters, topK must be positive")
+    val toks = docs.select(col(idCol).as("graft_d"),
+      posexplode(graft.functions.TextFunctions.tokens(col(textCol)))
+        .as(Seq("graft_p", "graft_w")))
+      .filter(length(col("graft_w")) >= minLen)
+    val wDoc = Window.partitionBy("graft_d").orderBy("graft_p")
+    val leads = toks.select(col("graft_w") +:
+      (1 to coWindow).map(k =>
+        lead(col("graft_w"), k).over(wDoc).as(s"graft_n$k")): _*)
+    val pairs = (1 to coWindow).map(k =>
+      leads.select(col("graft_w").as("graft_a"),
+        col(s"graft_n$k").as("graft_b")))
+      .reduce(_ unionByName _)
+      .filter(col("graft_b").isNotNull && col("graft_a") =!= col("graft_b"))
+    val e = Materialize.transient(
+      pairs.unionByName(pairs.select(col("graft_b").as("graft_a"),
+        col("graft_a").as("graft_b"))).distinct())
+    val deg = e.groupBy(col("graft_a").as("graft_src"))
+      .agg(count(lit(1)).as("graft_deg"))
+    val ed = Materialize.transient(
+      e.select(col("graft_a").as("graft_src"), col("graft_b").as("graft_dst"))
+        .join(deg, "graft_src"))
+    val nodes = Materialize.transient(
+      ed.select(col("graft_src").as("word")).distinct())
+    val r0 = 1000000L
+    val base = r0 * 15L / 100L
+    var ranks = nodes.withColumn("rank", lit(r0))
+    for (_ <- 1 to iters) {
+      val msgs = ed
+        .join(ranks.withColumnRenamed("word", "graft_src"), "graft_src")
+        .select(col("graft_dst").as("word"),
+          expr("rank div graft_deg").as("graft_c"))
+        .groupBy("word").agg(sum("graft_c").as("graft_s"))
+      ranks = Materialize.transient(nodes.join(msgs, Seq("word"), "left")
+        .select(col("word"),
+          (lit(base) + expr("coalesce(graft_s, 0L) * 85 div 100"))
+            .as("rank")))
+    }
+    ranks.select(col("word"), col("rank").as("rank_micro"))
+      .orderBy(col("rank_micro").desc, col("word").asc)
+      .limit(topK)
+  }
 }

@@ -226,6 +226,27 @@ class SearchSpec extends SparkSpec {
     assert(got(1) === ((2L, 0L, 1L, 2L, "join a join b")))
   }
 
+  test("textRank: the co-occurrence hub outranks its satellites") {
+    // alpha neighbors four distinct words; everyone else neighbors two.
+    // Short tokens (len < 3) never enter the graph.
+    val docs = Seq(
+      (1L, "beta alpha gamma"),
+      (2L, "delta alpha epsilon"),
+      (3L, "of to by")) // all filtered out
+      .toDF("doc_id", "text")
+    val got = Search.textRank(docs, "doc_id", "text", coWindow = 2,
+      iters = 3, topK = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.head._1 === "alpha", s"hub must rank first: ${got.toSeq}")
+    assert(!got.exists(p => Set("of", "to", "by").contains(p._1)))
+    assert(got.length === 5)
+    // partitioning invariance of the integer walk
+    val re = Search.textRank(docs.repartition(7), "doc_id", "text",
+      coWindow = 2, iters = 3, topK = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(re.toSeq === got.toSeq)
+  }
+
   test("prfExpand with no expandable vocabulary degrades to weighted bm25") {
     val docs = Seq((1L, "apple"), (2L, "apple"), (3L, "pear"))
       .toDF("doc_id", "text")
