@@ -1901,6 +1901,21 @@ object SparkEntry {
       Dedup.crossSourceDupMatrix(mirrored, "doc_id", "text", "source")
     }),
 
+    // Leave-last-out recommender eval: HR@20 / MRR of the popularity
+    // baseline on each customer's held-out last purchase.
+    "q302_leave_last_out" -> ((s, d) =>
+      ml.Recommend.leaveLastOutEval(
+        Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate"))
+          .join(Tables.lineitem(s, d).select(col("l_orderkey"),
+            col("l_partkey"), col("l_linenumber")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("user_id"),
+            col("l_partkey").as("item_id"), col("o_orderdate").as("ts"),
+            (col("l_orderkey") * lit(10L) + col("l_linenumber"))
+              .cast("long").as("row_id")),
+        "user_id", "item_id", "ts", "row_id", k = 20)),
+
     // TextRank keywords: PageRank centrality over the word
     // co-occurrence graph — integer walk, oracle unrolls 3 steps.
     "q301_textrank" -> ((s, d) =>
@@ -8934,6 +8949,37 @@ object SparkEntry {
          FROM cells a JOIN cells b ON a.e = b.e AND a.i <> b.i
          WHERE a.s * b.n > b.s * a.n
            AND (a.s * b.n - b.s * a.n) // (a.n * b.n) >= 500""",
+
+    // Leave-last-out replayed: same last-row holdout, same leak-free
+    // popularity top-k, same floor HR/MRR.
+    "q302_leave_last_out" ->
+      """WITH m AS (SELECT o_custkey AS e, l_partkey AS i,
+                  o_orderdate AS t,
+                  CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         r AS (SELECT e, i, row_number() OVER (PARTITION BY e
+                 ORDER BY t DESC, id DESC, i DESC) AS rn
+               FROM m),
+         tg AS (SELECT e, i AS tgt FROM r WHERE rn = 1),
+         cnt AS (SELECT i, CAST(count(*) AS BIGINT) AS c
+                 FROM r WHERE rn > 1 GROUP BY 1),
+         tk AS (SELECT tgt, row_number() OVER (ORDER BY c DESC, tgt)
+                  AS rk
+                FROM (SELECT i AS tgt, c FROM cnt
+                      ORDER BY c DESC, i LIMIT 20) lim),
+         j AS (SELECT tg.e, tk.rk FROM tg LEFT JOIN tk USING (tgt))
+         SELECT CAST(count(*) AS BIGINT) AS n_entities,
+                CAST(coalesce(sum(CASE WHEN rk IS NOT NULL
+                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits,
+                CAST(CASE WHEN count(*) = 0 THEN NULL
+                     ELSE coalesce(sum(CASE WHEN rk IS NOT NULL
+                       THEN 1 ELSE 0 END), 0) * 1000000 // count(*) END
+                  AS BIGINT) AS hr_ppm,
+                CAST(CASE WHEN count(*) = 0 THEN NULL
+                     ELSE coalesce(sum(CASE WHEN rk IS NOT NULL
+                       THEN 1000000 // rk ELSE 0 END), 0) // count(*) END
+                  AS BIGINT) AS mrr_micro
+         FROM j""",
 
     // TextRank replayed: same filtered-sequence windows, same unrolled
     // integer walk on word keys.

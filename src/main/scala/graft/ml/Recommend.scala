@@ -1,5 +1,6 @@
 package graft.ml
 
+import graft.operators.Materialize
 import org.apache.spark.ml.Pipeline
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.feature.{StandardScaler, StringIndexer, VectorAssembler}
@@ -111,6 +112,62 @@ object Recommend {
     clustered.join(broadcast(modal), col("cluster") === col("graft_qc"))
       .filter(!col(idCol).isin(queryIds: _*))
       .select(outCols.map(col): _*)
+  }
+
+  /** Leave-last-out next-item evaluation — the offline recommender
+    * metric loop (HR@k / MRR, the MovieLens-protocol staple): each
+    * entity's LAST interaction (by the caller's timestamp with id
+    * tiebreaks) is held out as the target, the popularity baseline is
+    * fit on everything EXCEPT the held-out rows (no target leaks into
+    * its own ranking), and the readout is hit-rate@k (did the target
+    * make the global top-k) and MRR (10⁶ div rank, 0 on miss) — the
+    * floor every learned recommender must beat before it ships.
+    * Popularity ranks tie-break on the item id; all rates floor-ppm /
+    * floor-micro integers.
+    *
+    * Scale: one entity-keyed window pass marks the last row; the
+    * baseline is a map-combinable item count; the top-k list is a
+    * k-row broadcast joined onto the |entities|-row target table. */
+  def leaveLastOutEval(interactions: DataFrame, entityCol: String,
+                       itemCol: String, tsCol: String, idCol: String,
+                       k: Int): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    // The holdout pick must be a TOTAL order: (ts, id, item) — idCol
+    // alone need not be unique in real interaction logs, and an engine-
+    // dependent tie pick would silently shift the train set. Rows
+    // identical in all three are interchangeable (same item either
+    // way), so the readout is well-defined regardless.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("graft_e")
+      .orderBy(col("graft_t").desc, col("graft_id").desc,
+        col("graft_i").desc)
+    val marked = Materialize.transient(interactions
+      .select(col(entityCol).as("graft_e"), col(itemCol).as("graft_i"),
+        col(tsCol).as("graft_t"), col(idCol).as("graft_id"))
+      .withColumn("graft_rn", row_number().over(w)))
+    val targets = marked.filter(col("graft_rn") === 1)
+      .select(col("graft_e"), col("graft_i").as("graft_tgt"))
+    val topk = marked.filter(col("graft_rn") > 1)
+      .groupBy(col("graft_i")).agg(count(lit(1)).as("graft_c"))
+      .orderBy(col("graft_c").desc, col("graft_i").asc)
+      .limit(k)
+      .withColumn("graft_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("graft_c").desc, col("graft_i").asc)))
+      .select(col("graft_i").as("graft_tgt"), col("graft_rk"))
+    targets.join(broadcast(topk), Seq("graft_tgt"), "left")
+      .agg(count(lit(1)).as("graft_n"),
+        coalesce(sum(when(col("graft_rk").isNotNull, 1L).otherwise(0L)),
+          lit(0L)).as("graft_h"),
+        coalesce(sum(when(col("graft_rk").isNotNull,
+          expr("1000000 div graft_rk")).otherwise(0L)), lit(0L))
+          .as("graft_m"))
+      .select(col("graft_n").cast("long").as("n_entities"),
+        col("graft_h").cast("long").as("n_hits"),
+        expr("CASE WHEN graft_n = 0 THEN CAST(NULL AS BIGINT)"
+          + " ELSE graft_h * 1000000 div graft_n END").as("hr_ppm"),
+        expr("CASE WHEN graft_n = 0 THEN CAST(NULL AS BIGINT)"
+          + " ELSE graft_m div graft_n END").as("mrr_micro"))
   }
 
   /** Deterministic negative sampling — the training-data op every

@@ -224,6 +224,29 @@ class MlSpec extends SparkSpec {
     assert(kept.toSet == Set("x1", "x2"))
   }
 
+  test("leaveLastOutEval: hand-computed HR@k and MRR, leak-free baseline") {
+    // targets: u1→2 (rank 2 hit), u2→3 (miss), u3→1 (rank 1 hit).
+    // Train counts exclude every target row: item 1×3, item 2×1.
+    val rows = Seq(
+      (1L, 1L, 1L, 10L), (1L, 1L, 2L, 11L), (1L, 2L, 3L, 12L),
+      (2L, 1L, 1L, 20L), (2L, 3L, 2L, 21L),
+      (3L, 2L, 1L, 30L), (3L, 1L, 2L, 31L))
+      .toDF("user_id", "item_id", "ts", "row_id")
+    val got = Recommend.leaveLastOutEval(rows, "user_id", "item_id",
+      "ts", "row_id", k = 2).collect()(0)
+    assert(got.getAs[Long]("n_entities") === 3L)
+    assert(got.getAs[Long]("n_hits") === 2L)
+    assert(got.getAs[Long]("hr_ppm") === 666666L)
+    assert(got.getAs[Long]("mrr_micro") === 500000L)
+    // the target never ranks itself: u-solo's only row is its target,
+    // train is empty for it and the baseline can't contain its item
+    val solo = Seq((9L, 99L, 1L, 90L)).toDF("user_id", "item_id",
+      "ts", "row_id")
+    val s = Recommend.leaveLastOutEval(solo, "user_id", "item_id",
+      "ts", "row_id", k = 2).collect()(0)
+    assert(s.getAs[Long]("n_hits") === 0L)
+  }
+
   test("negativeSample: never a positive, always in catalog, replayable") {
     // catalog 1..40 (dense); user 1 bought evens, user 2 bought 1..5
     val inter = ((1 to 40 by 2).map(i => (1L, i.toLong + 1)) ++
