@@ -1901,6 +1901,14 @@ object SparkEntry {
       Dedup.crossSourceDupMatrix(mirrored, "doc_id", "text", "source")
     }),
 
+    // Leak-free feature/label rows: features strictly before the
+    // cutoff, the label from the 14-day future window — the temporal
+    // training-table builder.
+    "q303_feature_labels" -> ((s, d) =>
+      Analytics.featureLabelTable(eventsUs(s, d), "user_id", "ts_us",
+        "value", cutoffUs = 1706745600000000L,
+        labelWindowUs = 14L * 86400L * 1000000L)),
+
     // Leave-last-out recommender eval: HR@20 / MRR of the popularity
     // baseline on each customer's held-out last purchase.
     "q302_leave_last_out" -> ((s, d) =>
@@ -8949,6 +8957,27 @@ object SparkEntry {
          FROM cells a JOIN cells b ON a.e = b.e AND a.i <> b.i
          WHERE a.s * b.n > b.s * a.n
            AND (a.s * b.n - b.s * a.n) // (a.n * b.n) >= 500""",
+
+    // Feature/label rows replayed: same strict-cutoff windows, same
+    // integer features and future-window label.
+    "q303_feature_labels" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+           FROM events
+           WHERE epoch_us(ts) < 1706745600000000 + 1209600000000)
+         SELECT user_id,
+                CAST(sum(CASE WHEN t < 1706745600000000
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+                CAST(count(DISTINCT CASE WHEN t < 1706745600000000
+                  THEN t // 86400000000 END) AS BIGINT) AS active_days,
+                CAST(coalesce(sum(CASE WHEN t < 1706745600000000
+                  THEN v END), 0) AS BIGINT) AS cents,
+                CAST((1706745600000000 - max(CASE WHEN t < 1706745600000000
+                  THEN t END)) // 86400000000 AS BIGINT) AS recency_days,
+                CAST(max(CASE WHEN t >= 1706745600000000
+                  THEN 1 ELSE 0 END) AS BIGINT) AS label
+         FROM e GROUP BY 1
+         HAVING sum(CASE WHEN t < 1706745600000000 THEN 1 ELSE 0 END) > 0""",
 
     // Leave-last-out replayed: same last-row holdout, same leak-free
     // popularity top-k, same floor HR/MRR.

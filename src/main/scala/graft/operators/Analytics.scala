@@ -2188,6 +2188,49 @@ object Analytics {
             "decimal(38,0))) AS BIGINT)")).as("twa_centi"))
   }
 
+  /** Temporal feature/label table — the LEAK-FREE training-row builder
+    * for churn/propensity models: features summarize each user's
+    * activity STRICTLY BEFORE the cutoff (counts, distinct active days,
+    * exact centi spend, recency), the label is their activity in the
+    * [cutoff, cutoff+labelWindow) future window, and nothing from the
+    * label window can reach a feature by construction — the temporal
+    * discipline whose absence (random row splits on time-series data)
+    * is the classic silent train-test leak. Users with no
+    * feature-window activity are excluded (a cold-start row has no
+    * features to train on — documented contract). All integers.
+    *
+    * Scale: ONE user-keyed aggregate carries both windows (conditional
+    * sums — no second scan for the label leg). */
+  def featureLabelTable(events: DataFrame, userCol: String,
+                        tsUsCol: String, valueCol: String,
+                        cutoffUs: Long, labelWindowUs: Long): DataFrame = {
+    require(labelWindowUs > 0L, "labelWindowUs must be positive")
+    val day = 86400L * 1000000L
+    events
+      .select(col(userCol).as("graft_u"), col(tsUsCol).as("graft_t"),
+        floor(col(valueCol) * 100 + 0.5).cast("long").as("graft_v"))
+      .filter(col("graft_t") < cutoffUs + labelWindowUs)
+      .groupBy(col("graft_u").as(userCol))
+      .agg(
+        sum(when(col("graft_t") < cutoffUs, 1L).otherwise(0L))
+          .as("n_events"),
+        countDistinct(when(col("graft_t") < cutoffUs,
+          expr(s"graft_t div ${day}L"))).as("active_days"),
+        coalesce(sum(when(col("graft_t") < cutoffUs, col("graft_v"))),
+          lit(0L)).as("cents"),
+        max(when(col("graft_t") < cutoffUs, col("graft_t")))
+          .as("graft_last"),
+        max(when(col("graft_t") >= cutoffUs, 1L).otherwise(0L))
+          .as("label"))
+      .filter(col("n_events") > 0)
+      .select(col(userCol), col("n_events").cast("long").as("n_events"),
+        col("active_days").cast("long").as("active_days"),
+        col("cents").cast("long").as("cents"),
+        expr(s"($cutoffUs - graft_last) div ${day}L").cast("long")
+          .as("recency_days"),
+        col("label").cast("long").as("label"))
+  }
+
   /** Quantile with a DISTRIBUTION-FREE confidence interval — the
     * uncertainty readout the exact-quantiles table (48/q47) can't
     * carry: a dashboard median on 80 rows and one on 80 million look

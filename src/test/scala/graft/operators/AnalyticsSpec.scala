@@ -1085,6 +1085,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(msgs(ex).exists(_.contains("floor-division parity")))
   }
 
+  test("featureLabelTable: strict temporal split, no label leakage") {
+    val day = 86400L * 1000000L
+    val cutoff = 100L * day
+    val ev = Seq(
+      (1L, 5L * day, 1.0), (1L, 50L * day, 2.0), (1L, 105L * day, 9.0),
+      (2L, 99L * day, 1.0), (2L, 99L * day + 1L, 1.0),
+      (2L, 130L * day, 5.0), // beyond the label window: invisible
+      (3L, 101L * day, 7.0)) // label-window only: no features, excluded
+      .toDF("user_id", "ts_us", "value")
+    val got = Analytics.featureLabelTable(ev, "user_id", "ts_us", "value",
+      cutoffUs = cutoff, labelWindowUs = 14L * day).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet === Set(1L, 2L))
+    // u1: label-window event contributes ONLY the label, never features
+    assert(got(1L) === ((2L, 2L, 300L, 50L, 1L)))
+    // u2: same-day events collapse to one active day; recency floors to
+    // 0 (under a full day elapsed); the day-130 event is beyond the
+    // window so the label stays 0
+    assert(got(2L) === ((2L, 1L, 200L, 0L, 0L)))
+  }
+
   test("quantileCi: hand-computed order-statistic bounds, ties collapse") {
     // n=81 distinct centi values 1..81: rank 41 is the median; ranks
     // L = ⌊40.5 − 1.96·4.5⌋ = 31 and U = ⌈49.32⌉ + 1 = 51 bound it.
