@@ -1901,6 +1901,11 @@ object SparkEntry {
       Dedup.crossSourceDupMatrix(mirrored, "doc_id", "text", "source")
     }),
 
+    // Chart turnover: week-over-week Jaccard churn of the top-10 user
+    // leaderboard — the ranking-surface volatility metric.
+    "q304_chart_turnover" -> ((s, d) =>
+      Charts.chartTurnover(eventsUs(s, d), "user_id", "ts_us", k = 10)),
+
     // Leak-free feature/label rows: features strictly before the
     // cutoff, the label from the 14-day future window — the temporal
     // training-table builder.
@@ -8957,6 +8962,32 @@ object SparkEntry {
          FROM cells a JOIN cells b ON a.e = b.e AND a.i <> b.i
          WHERE a.s * b.n > b.s * a.n
            AND (a.s * b.n - b.s * a.n) // (a.n * b.n) >= 500""",
+
+    // Turnover replayed: same weekly top-k sets, same Jaccard churn.
+    "q304_chart_turnover" ->
+      """WITH r AS (SELECT graft_w, graft_e FROM (
+             SELECT epoch_us(ts) // 604800000000 AS graft_w,
+                    user_id AS graft_e, count(*) AS c,
+                    row_number() OVER (
+                      PARTITION BY epoch_us(ts) // 604800000000
+                      ORDER BY count(*) DESC, user_id) AS rk
+             FROM events GROUP BY 1, 2) x WHERE rk <= 10),
+         sz AS (SELECT graft_w, CAST(count(*) AS BIGINT) AS na
+                FROM r GROUP BY 1),
+         nz AS (SELECT graft_w - 1 AS graft_w,
+                       CAST(count(*) AS BIGINT) AS nb
+                FROM r GROUP BY 1),
+         iv AS (SELECT a.graft_w, CAST(count(*) AS BIGINT) AS i
+                FROM r a JOIN r b ON a.graft_w = b.graft_w - 1
+                     AND a.graft_e = b.graft_e
+                GROUP BY 1)
+         SELECT CAST(sz.graft_w AS BIGINT) AS week,
+                CAST(coalesce(iv.i, 0) AS BIGINT) AS n_common,
+                CAST(1000000 - coalesce(iv.i, 0) * 1000000
+                  // (sz.na + nz.nb - coalesce(iv.i, 0)) AS BIGINT)
+                  AS turnover_ppm
+         FROM sz JOIN nz USING (graft_w)
+              LEFT JOIN iv USING (graft_w)""",
 
     // Feature/label rows replayed: same strict-cutoff windows, same
     // integer features and future-window label.

@@ -110,4 +110,50 @@ object Charts {
       .join(streaks, Seq(entity), "left")
       .select(col(entity), coalesce(col("cnt"), lit(0L)).as("weeks_on_chart"))
   }
+
+  /** Leaderboard turnover — how volatile is the top-k chart week over
+    * week: for each consecutive week pair, the Jaccard churn of the two
+    * top-k member SETS (turnover_ppm = 10⁶ − |∩|·10⁶ div |∪|) — 0 =
+    * frozen chart, 10⁶ = complete replacement. The health metric for
+    * any ranking surface (a frozen chart isn't ranking, a thrashing one
+    * isn't stable), and the set-level complement to the per-entity
+    * streaks. Weeks are UTC epoch-week buckets (ts div 7 days — the
+    * weekly-agg convention); membership by (count desc, entity asc)
+    * rank ≤ k, fully tie-broken.
+    *
+    * Scale: one (week, entity) aggregate, a per-week rank window over
+    * that bounded table, and a week↔week+1 self-join of k-row sets. */
+  def chartTurnover(events: DataFrame, entityCol: String, tsUsCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val week = 7L * 86400L * 1000000L
+    val ranked = events
+      .select(col(entityCol).as("graft_e"),
+        expr(s"$tsUsCol div ${week}L").as("graft_w"))
+      .groupBy("graft_w", "graft_e")
+      .agg(count(lit(1)).as("graft_c"))
+      .withColumn("graft_rk", row_number().over(
+        Window.partitionBy("graft_w")
+          .orderBy(col("graft_c").desc, col("graft_e").asc)))
+      .filter(col("graft_rk") <= k)
+      .select(col("graft_w"), col("graft_e"))
+    val cur = ranked.select(col("graft_w"), col("graft_e"))
+    val nxt = ranked.select((col("graft_w") - 1L).as("graft_w"),
+      col("graft_e").as("graft_e2"))
+    val sizes = cur.groupBy("graft_w").agg(count(lit(1)).as("graft_na"))
+    val nsizes = nxt.groupBy("graft_w").agg(count(lit(1)).as("graft_nb"))
+    val inter = cur.join(nxt,
+      cur("graft_w") === nxt("graft_w") &&
+        cur("graft_e") === nxt("graft_e2"))
+      .groupBy(cur("graft_w").as("graft_w"))
+      .agg(count(lit(1)).as("graft_i"))
+    sizes.join(nsizes, Seq("graft_w"))
+      .join(inter, Seq("graft_w"), "left")
+      .select(col("graft_w").cast("long").as("week"),
+        coalesce(col("graft_i"), lit(0L)).cast("long").as("n_common"),
+        expr("CAST(1000000 - coalesce(graft_i, 0L) * 1000000" +
+          " div (graft_na + graft_nb - coalesce(graft_i, 0L))" +
+          " AS BIGINT)").as("turnover_ppm"))
+      .orderBy("week")
+  }
 }

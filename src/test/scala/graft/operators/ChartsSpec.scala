@@ -57,4 +57,19 @@ class ChartsSpec extends SparkSpec {
     assert(top == 2L)
     assert(got.select("wk").distinct().as[String].head() == "2024-01-01")
   }
+
+  test("chartTurnover: hand-computed Jaccard churn between weekly top-k") {
+    val wk = 7L * 86400L * 1000000L
+    def burst(u: Long, w: Long, n: Int) =
+      (1 to n).map(i => (u, w * wk + i))
+    // week 0 top-2 = {1, 2}; week 1 top-2 = {2, 3}: ∩=1, ∪=3 →
+    // turnover = 10⁶ − 333333 = 666667. week 2 repeats week 1 → 0.
+    val ev = (burst(1L, 0, 3) ++ burst(2L, 0, 2) ++ burst(3L, 0, 1) ++
+      burst(2L, 1, 3) ++ burst(3L, 1, 2) ++ burst(1L, 1, 1) ++
+      burst(2L, 2, 3) ++ burst(3L, 2, 2))
+      .toDF("user_id", "ts_us")
+    val got = Charts.chartTurnover(ev, "user_id", "ts_us", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((0L, 1L, 666667L), (1L, 2L, 0L)))
+  }
 }
