@@ -193,8 +193,12 @@ object Recommend {
                      itemCol: String, k: Int, margin: Int = 4): DataFrame = {
     require(k >= 1 && margin >= 0, "k >= 1 and margin >= 0")
     val m = 2 * k + margin
-    val pos = interactions.select(col(userCol).cast("long").as("graft_u"),
-      col(itemCol).cast("long").as("graft_it")).distinct()
+    // Pinned: the positive set feeds FOUR subtrees (users, items, the
+    // max, the anti-join) — without the pin the corpus distinct runs
+    // once per consumer.
+    val pos = Materialize.transient(
+      interactions.select(col(userCol).cast("long").as("graft_u"),
+        col(itemCol).cast("long").as("graft_it")).distinct())
     val users = pos.select("graft_u").distinct()
     val items = pos.select("graft_it").distinct()
     val mx = pos.agg(max("graft_it").as("graft_mi"))

@@ -127,7 +127,9 @@ object Charts {
                     k: Int): DataFrame = {
     require(k >= 1, "k must be at least 1")
     val week = 7L * 86400L * 1000000L
-    val ranked = events
+    // Pinned: the ranked membership table feeds FIVE subtrees (both
+    // join legs, both size aggregates, the intersection).
+    val ranked = Materialize.transient(events
       .select(col(entityCol).as("graft_e"),
         expr(s"$tsUsCol div ${week}L").as("graft_w"))
       .groupBy("graft_w", "graft_e")
@@ -136,7 +138,7 @@ object Charts {
         Window.partitionBy("graft_w")
           .orderBy(col("graft_c").desc, col("graft_e").asc)))
       .filter(col("graft_rk") <= k)
-      .select(col("graft_w"), col("graft_e"))
+      .select(col("graft_w"), col("graft_e")))
     val cur = ranked.select(col("graft_w"), col("graft_e"))
     val nxt = ranked.select((col("graft_w") - 1L).as("graft_w"),
       col("graft_e").as("graft_e2"))

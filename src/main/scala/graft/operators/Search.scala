@@ -478,11 +478,13 @@ object Search {
     val leads = toks.select(col("graft_w") +:
       (1 to coWindow).map(k =>
         lead(col("graft_w"), k).over(wDoc).as(s"graft_n$k")): _*)
-    val pairs = (1 to coWindow).map(k =>
+    // Pinned: the pair table appears twice in e (direct + reversed) and
+    // each branch would otherwise re-run the tokenize + lead window.
+    val pairs = Materialize.transient((1 to coWindow).map(k =>
       leads.select(col("graft_w").as("graft_a"),
         col(s"graft_n$k").as("graft_b")))
       .reduce(_ unionByName _)
-      .filter(col("graft_b").isNotNull && col("graft_a") =!= col("graft_b"))
+      .filter(col("graft_b").isNotNull && col("graft_a") =!= col("graft_b")))
     val e = Materialize.transient(
       pairs.unionByName(pairs.select(col("graft_b").as("graft_a"),
         col("graft_a").as("graft_b"))).distinct())

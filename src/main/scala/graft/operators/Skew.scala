@@ -112,9 +112,11 @@ object Skew {
     val r = right.select(col(rightKey).as("join_key"))
       .groupBy("join_key")
       .agg(count(lit(1)).cast("decimal(38,0)").as("graft_nr"))
-    val pairs = l.join(r, Seq("join_key"))
+    // Pinned: the pair table feeds the 1-row total AND the final
+    // projection — without the pin both histograms re-aggregate twice.
+    val pairs = Materialize.transient(l.join(r, Seq("join_key"))
       .select(col("join_key"), col("graft_nl"), col("graft_nr"),
-        expr("graft_nl * graft_nr").as("graft_p"))
+        expr("graft_nl * graft_nr").as("graft_p")))
     val total = pairs.agg(
       coalesce(sum("graft_p"), lit(0).cast("decimal(38,0)"))
         .as("graft_tot"))
