@@ -1901,6 +1901,18 @@ object SparkEntry {
       Dedup.crossSourceDupMatrix(mirrored, "doc_id", "text", "source")
     }),
 
+    // Item-item cosine CF: "bought this, also bought" neighbors with
+    // popularity damped by the cosine denominator, hub users capped.
+    "q305_item_cf" -> ((s, d) =>
+      ml.Recommend.itemCosineCf(
+        Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"))
+          .join(Tables.lineitem(s, d).select(col("l_orderkey"),
+            col("l_partkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("user_id"),
+            col("l_partkey").as("item_id")),
+        "user_id", "item_id", maxUserItems = 80, k = 5)),
+
     // Chart turnover: week-over-week Jaccard churn of the top-10 user
     // leaderboard — the ranking-surface volatility metric.
     "q304_chart_turnover" -> ((s, d) =>
@@ -8962,6 +8974,32 @@ object SparkEntry {
          FROM cells a JOIN cells b ON a.e = b.e AND a.i <> b.i
          WHERE a.s * b.n > b.s * a.n
            AND (a.s * b.n - b.s * a.n) // (a.n * b.n) >= 500""",
+
+    // Item CF replayed: same capped incidence, same pair counts and
+    // two-sqrt cosine, same neighbor ranks.
+    "q305_item_cf" ->
+      """WITH pos AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         kept AS (SELECT u, i FROM (SELECT u, i,
+                    count(*) OVER (PARTITION BY u) AS n FROM pos) x
+                  WHERE n <= 80),
+         mg AS (SELECT i, CAST(count(*) AS BIGINT) AS m
+                FROM kept GROUP BY 1),
+         co AS (SELECT a.i AS ia, b.i AS ib, CAST(count(*) AS BIGINT) AS c
+                FROM kept a JOIN kept b ON a.u = b.u AND a.i < b.i
+                GROUP BY 1, 2),
+         sc AS (SELECT ia, ib, c AS n_co,
+                  CAST(round(CAST(c AS DOUBLE)
+                    / (sqrt(CAST(x.m AS DOUBLE)) * sqrt(CAST(y.m AS DOUBLE)))
+                    * 1000000, 0) AS BIGINT) AS cos_micro
+                FROM co JOIN mg x ON co.ia = x.i JOIN mg y ON co.ib = y.i),
+         bt AS (SELECT ia AS item, ib AS neighbor, n_co, cos_micro FROM sc
+                UNION ALL SELECT ib, ia, n_co, cos_micro FROM sc)
+         SELECT item, neighbor, n_co, cos_micro,
+                CAST(rk AS BIGINT) AS nb_rank
+         FROM (SELECT *, row_number() OVER (PARTITION BY item
+                 ORDER BY cos_micro DESC, neighbor) AS rk FROM bt) z
+         WHERE rk <= 5""",
 
     // Turnover replayed: same weekly top-k sets, same Jaccard churn.
     "q304_chart_turnover" ->

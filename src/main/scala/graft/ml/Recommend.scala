@@ -114,6 +114,66 @@ object Recommend {
       .select(outCols.map(col): _*)
   }
 
+  /** Item-item cosine collaborative filtering — the classic "users who
+    * took this also took" table (Sarwar et al., WWW 2001), the
+    * neighborhood recommender every catalog ships before (and usually
+    * alongside) a learned model: sim(i,j) = co(i,j) / √(n_i·n_j) over
+    * binary user-item incidence, top-k neighbors per item. The cosine
+    * denominator is what q201's lift is not — it damps popularity, so a
+    * blockbuster doesn't neighbor everything. Score is round-6-micro
+    * with the pinned two-sqrt finish over exact integer counts (co and
+    * both margins — the q280 argument), ties broken on the neighbor id.
+    *
+    * Hub users are EXCLUDED by `maxUserItems` as co-occurrence
+    * intermediaries (a user touching half the catalog contributes
+    * items² spammy pairs and ~no preference signal — the maxDeg/maxDf
+    * trade, part of the contract; margins count the SAME capped set so
+    * the cosine stays a true cosine).
+    *
+    * Scale: one distinct reduction, a user-keyed pair self-join bounded
+    * at C(maxUserItems, 2) per user, margins map-combinable, one
+    * per-item rank window over the pair table. */
+  def itemCosineCf(interactions: DataFrame, userCol: String,
+                   itemCol: String, maxUserItems: Int, k: Int): DataFrame = {
+    require(maxUserItems >= 2 && k >= 1, "maxUserItems >= 2 and k >= 1")
+    val pos = Materialize.transient(
+      interactions.select(col(userCol).as("graft_u"),
+        col(itemCol).as("graft_i")).distinct())
+    val kept = Materialize.transient(pos
+      .withColumn("graft_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("graft_u")))
+      .filter(col("graft_n") <= maxUserItems)
+      .select("graft_u", "graft_i"))
+    val margins = kept.groupBy(col("graft_i"))
+      .agg(count(lit(1)).as("graft_m"))
+    val a = kept.select(col("graft_u"), col("graft_i").as("graft_a"))
+    val b = kept.select(col("graft_u"), col("graft_i").as("graft_b"))
+    val co = a.join(b, Seq("graft_u"))
+      .filter(col("graft_a") < col("graft_b"))
+      .groupBy("graft_a", "graft_b")
+      .agg(count(lit(1)).as("graft_co"))
+    val scored = co
+      .join(margins.select(col("graft_i").as("graft_a"),
+        col("graft_m").as("graft_ma")), Seq("graft_a"))
+      .join(margins.select(col("graft_i").as("graft_b"),
+        col("graft_m").as("graft_mb")), Seq("graft_b"))
+      .select(col("graft_a"), col("graft_b"),
+        col("graft_co").cast("long").as("n_co"),
+        expr("CAST(round(CAST(graft_co AS DOUBLE)"
+          + " / (sqrt(CAST(graft_ma AS DOUBLE))"
+          + "    * sqrt(CAST(graft_mb AS DOUBLE))) * 1000000, 0)"
+          + " AS BIGINT)").as("cos_micro"))
+    val both = scored.select(col("graft_a").as("item"),
+      col("graft_b").as("neighbor"), col("n_co"), col("cos_micro"))
+      .unionByName(scored.select(col("graft_b").as("item"),
+        col("graft_a").as("neighbor"), col("n_co"), col("cos_micro")))
+    both.withColumn("nb_rank", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy("item")
+        .orderBy(col("cos_micro").desc, col("neighbor").asc))
+      .cast("long"))
+      .filter(col("nb_rank") <= k)
+  }
+
   /** Leave-last-out next-item evaluation — the offline recommender
     * metric loop (HR@k / MRR, the MovieLens-protocol staple): each
     * entity's LAST interaction (by the caller's timestamp with id

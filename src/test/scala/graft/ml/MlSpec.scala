@@ -224,6 +224,27 @@ class MlSpec extends SparkSpec {
     assert(kept.toSet == Set("x1", "x2"))
   }
 
+  test("itemCosineCf: hand cosines, popularity damping, hub-user cap") {
+    // margins A=3 B=2 C=1; co(A,B)=2, co(A,C)=1:
+    // cos(A,B)=2/√6=816497 micro, cos(A,C)=1/√3=577350.
+    val inter = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 30L),
+      // hub user touches 5 items — excluded at maxUserItems=4, so the
+      // pair (20,30) it would create must NOT appear
+      (9L, 10L), (9L, 20L), (9L, 30L), (9L, 40L), (9L, 50L))
+      .toDF("user_id", "item_id")
+    val got = Recommend.itemCosineCf(inter, "user_id", "item_id",
+      maxUserItems = 4, k = 5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got((10L, 20L)) === ((2L, 816497L, 1L)))
+    assert(got((10L, 30L)) === ((1L, 577350L, 2L)))
+    assert(got((20L, 10L)) === ((2L, 816497L, 1L)))
+    assert(got((30L, 10L)) === ((1L, 577350L, 1L)))
+    assert(!got.contains((20L, 30L)), "hub user's spam pair leaked in")
+    assert(!got.keySet.exists(p => p._1 >= 40L))
+  }
+
   test("leaveLastOutEval: hand-computed HR@k and MRR, leak-free baseline") {
     // targets: u1→2 (rank 2 hit), u2→3 (miss), u3→1 (rank 1 hit).
     // Train counts exclude every target row: item 1×3, item 2×1.
