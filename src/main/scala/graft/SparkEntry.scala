@@ -1901,6 +1901,16 @@ object SparkEntry {
       Dedup.crossSourceDupMatrix(mirrored, "doc_id", "text", "source")
     }),
 
+    // Per-slice AUC: the model-card readout — q167's exact midrank AUC
+    // partitioned by language, surfacing slices the global number hides.
+    "q306_auc_by_slice" -> ((s, d) =>
+      ml.Eval.rocAucBy(Tables.documents(s, d).select(
+        col("lang").as("slice"),
+        greatest(least(floor(T.qualityScore(col("text")) * 10000 + 0.5),
+          lit(10000L)), lit(0L)).cast("long").as("score_q"),
+        (col("n_chars") >= 300).cast("long").as("label")),
+        "slice", "score_q", "label")),
+
     // Item-item cosine CF: "bought this, also bought" neighbors with
     // popularity damped by the cosine denominator, hub users capped.
     "q305_item_cf" -> ((s, d) =>
@@ -8975,6 +8985,27 @@ object SparkEntry {
          WHERE a.s * b.n > b.s * a.n
            AND (a.s * b.n - b.s * a.n) // (a.n * b.n) >= 500""",
 
+    // Sliced AUC replayed: the q167 midrank CTEs partitioned by lang.
+    "q306_auc_by_slice" ->
+      s"""WITH $SlicedScoredDocsSql,
+         per AS (SELECT slice, s, CAST(sum(y) AS HUGEINT) AS p,
+                        CAST(count(*) - sum(y) AS HUGEINT) AS n
+                 FROM sc GROUP BY 1, 2),
+         cum AS (SELECT slice, s, p, n,
+                   COALESCE(sum(n) OVER (PARTITION BY slice ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS nlt
+                 FROM per),
+         agg AS (SELECT slice, sum(p * (2 * nlt + n)) AS num2,
+                        sum(p) AS pos, sum(n) AS neg
+                 FROM cum GROUP BY 1)
+         SELECT slice, CAST(pos AS BIGINT) AS n_pos,
+                CAST(neg AS BIGINT) AS n_neg,
+                CAST(CASE WHEN pos = 0 OR neg = 0 THEN NULL
+                     ELSE num2 * 1000000 // (2 * pos * neg) END AS BIGINT)
+                  AS auc_ppm
+         FROM agg""",
+
     // Item CF replayed: same capped incidence, same pair counts and
     // two-sqrt cosine, same neighbor ranks.
     "q305_item_cf" ->
@@ -9612,6 +9643,14 @@ object SparkEntry {
                       CROSS JOIN (SELECT unnest(range(0, 16)) AS k) ks
                  GROUP BY 1, 2),
          pr AS (SELECT id1, id2 FROM agr WHERE agree / 16.0 >= 0.5)"""
+
+  /** [[ScoredDocsSql]] with the language slice carried through — the
+    * q306 substrate. Derived mechanically so the two can never drift. */
+  private lazy val SlicedScoredDocsSql: String = {
+    val marker = "sc AS (SELECT "
+    require(ScoredDocsSql.startsWith(marker), "ScoredDocsSql shape moved")
+    marker + "lang AS slice, " + ScoredDocsSql.stripPrefix(marker)
+  }
 
   private val ScoredDocsSql: String =
     """sc AS (SELECT greatest(least(CAST(floor(

@@ -95,6 +95,48 @@ object Eval {
       .withColumn("gini_ppm", expr("2 * auc_ppm - 1000000"))
   }
 
+  /** Per-SLICE ROC-AUC — the model-card readout a single global AUC
+    * hides: a scorer can rank well in aggregate while failing an entire
+    * language/source/segment (aggregation masking), and per-slice AUC
+    * is the standard fairness/robustness check before shipping.
+    * Identical Mann-Whitney midrank arithmetic to [[rocAuc]], with the
+    * per-distinct-score substrate and the cumulative window both
+    * PARTITIONED BY the slice — one hash shuffle on (slice, score),
+    * per-slice windows over ≤ scale rows each, never a global sort.
+    * Slices with one class read NULL (AUC undefined there — exactly the
+    * slices the report exists to surface). */
+  def rocAucBy(scored: DataFrame, sliceCol: String, scoreCol: String,
+               labelCol: String): DataFrame = {
+    val wAll = Window.partitionBy()
+    val maxDistinct = scored.sparkSession.conf
+      .get(MaxDistinctConfKey, MaxDistinctScores.toString).toLong
+    val per = scored
+      .select(col(sliceCol).as("graft_g"),
+        col(scoreCol).cast("long").as("s"),
+        col(labelCol).cast("long").as("y"))
+      .filter(col("graft_g").isNotNull)
+      .groupBy("graft_g", "s")
+      .agg(sum("y").cast("decimal(38,0)").as("p"),
+        (count(lit(1)) - sum("y")).cast("decimal(38,0)").as("n"))
+      .withColumn("graft_card", count(lit(1)).over(wAll))
+      .filter(assert_true(col("graft_card") <= lit(maxDistinct),
+        lit("rocAucBy: more than the configured distinct (slice, score)" +
+          " pairs — quantize the score first")).isNull)
+    val w = Window.partitionBy("graft_g").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    per
+      .withColumn("nlt",
+        coalesce(sum("n").over(w), lit(0).cast("decimal(38,0)")))
+      .groupBy(col("graft_g").as(sliceCol))
+      .agg(sum(expr("p * (2 * nlt + n)")).as("num2"),
+        coalesce(sum("p"), lit(0).cast("decimal(38,0)")).as("pos"),
+        coalesce(sum("n"), lit(0).cast("decimal(38,0)")).as("neg"))
+      .select(col(sliceCol), col("pos").cast("long").as("n_pos"),
+        col("neg").cast("long").as("n_neg"),
+        expr("CASE WHEN pos = 0 OR neg = 0 THEN CAST(NULL AS BIGINT)" +
+          " ELSE num2 * 1000000 div (2 * pos * neg) END").as("auc_ppm"))
+  }
+
   /** Reliability (calibration) table: scores on [0, scale] fall into
     * `bins` equal-width bins (top edge folded into the last bin); per bin
     * the row count, exact mean score in ppm-of-scale, and the empirical

@@ -373,6 +373,23 @@ class EvalSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("kappa_ppm")))
   }
 
+  test("rocAucBy: per-slice AUC surfaces what the global number hides") {
+    // slice "good": perfect separation; slice "bad": inverted; slice
+    // "one": single class → NULL. Global AUC would read ~0.5 and hide
+    // all three stories.
+    val rows = Seq(
+      ("good", 9L, 1L), ("good", 8L, 1L), ("good", 2L, 0L),
+      ("bad", 9L, 0L), ("bad", 2L, 1L),
+      ("one", 5L, 1L), ("one", 6L, 1L))
+      .toDF("slice", "s", "y")
+    val got = Eval.rocAucBy(rows, "slice", "s", "y").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(got("good") === ((2L, 1L, Some(1000000L))))
+    assert(got("bad") === ((1L, 1L, Some(0L))))
+    assert(got("one") === ((2L, 0L, None)))
+  }
+
   test("mcc: perfect = 1, inverted = -1, majority-degenerate = NULL") {
     val perfect = df(Seq((9L, 1L), (8L, 1L), (2L, 0L), (1L, 0L)))
     val p = Eval.mcc(perfect, "s", "y", thresholdScore = 5L).collect()(0)
