@@ -1901,6 +1901,13 @@ object SparkEntry {
       Dedup.crossSourceDupMatrix(mirrored, "doc_id", "text", "source")
     }),
 
+    // Funnel drop-off with Wilson CIs: which step bleeds, and is the
+    // drop signal or noise — pairwise conversions over q115's stages.
+    "q307_funnel_dropoff" -> ((s, d) =>
+      Analytics.funnelDropoff(eventsUs(s, d), "user_id", "ts_us",
+        "event_type", Seq("signup", "click", "purchase"),
+        windowUs = 7L * 86400L * 1000000L)),
+
     // Per-slice AUC: the model-card readout — q167's exact midrank AUC
     // partitioned by language, surfacing slices the global number hides.
     "q306_auc_by_slice" -> ((s, d) =>
@@ -8984,6 +8991,47 @@ object SparkEntry {
          FROM cells a JOIN cells b ON a.e = b.e AND a.i <> b.i
          WHERE a.s * b.n > b.s * a.n
            AND (a.s * b.n - b.s * a.n) // (a.n * b.n) >= 500""",
+
+    // Dropoff replayed: q115's stage CTEs, pairwise floor conversions,
+    // the pinned Wilson chain on the two exact counts.
+    "q307_funnel_dropoff" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type
+                    FROM events),
+         s1 AS (SELECT u, min(t) AS t1 FROM e WHERE event_type = 'signup'
+                GROUP BY u),
+         s2 AS (SELECT e.u, min(t) AS t2, min(t1) AS t1
+                FROM e JOIN s1 USING (u)
+                WHERE event_type = 'click' AND t > t1
+                  AND t <= t1 + 604800000000 GROUP BY e.u),
+         s3 AS (SELECT e.u, min(t) AS t3 FROM e JOIN s2 USING (u)
+                WHERE event_type = 'purchase' AND t > t2
+                  AND t <= t1 + 604800000000 GROUP BY e.u),
+         c AS (SELECT 1 AS step_idx, 'signup' AS st,
+                      (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n
+               UNION ALL SELECT 2, 'click',
+                      (SELECT CAST(count(*) AS BIGINT) FROM s2)
+               UNION ALL SELECT 3, 'purchase',
+                      (SELECT CAST(count(*) AS BIGINT) FROM s3)),
+         p AS (SELECT f.step_idx, f.st AS from_step, g.st AS to_step,
+                      f.n AS nf, g.n AS nt
+               FROM c f JOIN c g ON g.step_idx = f.step_idx + 1)
+         SELECT CAST(step_idx AS BIGINT) AS step_idx, from_step, to_step,
+                CAST(nf AS BIGINT) AS n_from, CAST(nt AS BIGINT) AS n_to,
+                CAST(CASE WHEN nf = 0 THEN NULL
+                     ELSE nt * 1000000 // nf END AS BIGINT) AS conv_ppm,
+                CAST(CASE WHEN nf = 0 THEN NULL
+                     ELSE round((CAST(nt AS DOUBLE) + 1.9208
+                       - 1.96 * sqrt(CAST(nt * (nf - nt) AS DOUBLE)
+                           / CAST(nf AS DOUBLE) + 0.9604))
+                       / (CAST(nf AS DOUBLE) + 3.8416) * 1000000, 0) END
+                  AS BIGINT) AS wilson_lo_ppm,
+                CAST(CASE WHEN nf = 0 THEN NULL
+                     ELSE round((CAST(nt AS DOUBLE) + 1.9208
+                       + 1.96 * sqrt(CAST(nt * (nf - nt) AS DOUBLE)
+                           / CAST(nf AS DOUBLE) + 0.9604))
+                       / (CAST(nf AS DOUBLE) + 3.8416) * 1000000, 0) END
+                  AS BIGINT) AS wilson_hi_ppm
+         FROM p""",
 
     // Sliced AUC replayed: the q167 midrank CTEs partitioned by lang.
     "q306_auc_by_slice" ->

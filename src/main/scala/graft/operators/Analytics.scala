@@ -2188,6 +2188,64 @@ object Analytics {
             "decimal(38,0))) AS BIGINT)")).as("twa_centi"))
   }
 
+  /** Funnel drop-off with UNCERTAINTY — the "which step bleeds" readout
+    * funnel dashboards actually ship: per consecutive step pair of the
+    * windowed ordered funnel ([[windowedFunnel]]'s exact stage
+    * semantics), the step-to-step conversion in floor-ppm PLUS its
+    * Wilson 95% interval (the [[Experiment.wilsonArms]] pinned chain
+    * over the two exact stage counts) — a 40%→35% drop on 80 users is
+    * noise, on 80k it's a fire, and the CI is what says which. Empty
+    * upstream step → NULL row values (nothing to convert from).
+    *
+    * Scale: the windowedFunnel stage chain (one user-keyed join +
+    * min-aggregate per step over a shrinking set); counts are 1-row
+    * artifacts; the pair join runs on |steps| rows. */
+  def funnelDropoff(events: DataFrame, userCol: String, tsUsCol: String,
+                    typeCol: String, steps: Seq[String],
+                    windowUs: Long): DataFrame = {
+    require(steps.size >= 2, "funnelDropoff needs at least two steps")
+    val e = events.select(col(userCol).as("graft_u"),
+      col(tsUsCol).as("graft_ts"), col(typeCol).as("graft_t"))
+    val first = e.filter(col("graft_t") === steps.head)
+      .groupBy("graft_u").agg(min("graft_ts").as("graft_t1"))
+      .withColumn("graft_prev", col("graft_t1"))
+    val stages = steps.tail.scanLeft(first) { (prev, st) =>
+      e.filter(col("graft_t") === st)
+        .join(prev.select("graft_u", "graft_t1", "graft_prev"),
+          Seq("graft_u"))
+        .filter(col("graft_ts") > col("graft_prev") &&
+          col("graft_ts") <= col("graft_t1") + lit(windowUs))
+        .groupBy("graft_u")
+        .agg(min("graft_ts").as("graft_prev"), min("graft_t1").as("graft_t1"))
+    }
+    val counts = stages.zip(steps).zipWithIndex.map { case ((df, st), i) =>
+      df.agg(count(lit(1)).cast("decimal(38,0)").as("graft_n"))
+        .select(lit(i.toLong + 1L).as("step_idx"), lit(st).as("graft_s"),
+          col("graft_n"))
+    }.reduce(_ unionByName _)
+    val from = counts.select(col("step_idx"),
+      col("graft_s").as("from_step"), col("graft_n").as("nf"))
+    val to = counts.select((col("step_idx") - 1L).as("step_idx"),
+      col("graft_s").as("to_step"), col("graft_n").as("nt"))
+    def bound(sign: String): String =
+      "CAST(round((CAST(nt AS DOUBLE) + 1.9208 " + sign +
+        " 1.96 * sqrt(CAST(nt * (nf - nt) AS DOUBLE) / CAST(nf AS DOUBLE)" +
+        " + 0.9604))" +
+        " / (CAST(nf AS DOUBLE) + 3.8416) * 1000000, 0) AS BIGINT)"
+    from.join(to, Seq("step_idx"))
+      .select(col("step_idx").cast("long").as("step_idx"),
+        col("from_step"), col("to_step"),
+        col("nf").cast("long").as("n_from"),
+        col("nt").cast("long").as("n_to"),
+        expr("CASE WHEN nf = 0 THEN CAST(NULL AS BIGINT)"
+          + " ELSE nt * 1000000 div nf END").as("conv_ppm"),
+        expr("CASE WHEN nf = 0 THEN CAST(NULL AS BIGINT) ELSE "
+          + bound("-") + " END").as("wilson_lo_ppm"),
+        expr("CASE WHEN nf = 0 THEN CAST(NULL AS BIGINT) ELSE "
+          + bound("+") + " END").as("wilson_hi_ppm"))
+      .orderBy("step_idx")
+  }
+
   /** Temporal feature/label table — the LEAK-FREE training-row builder
     * for churn/propensity models: features summarize each user's
     * activity STRICTLY BEFORE the cutoff (counts, distinct active days,

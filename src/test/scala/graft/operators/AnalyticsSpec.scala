@@ -1085,6 +1085,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(msgs(ex).exists(_.contains("floor-division parity")))
   }
 
+  test("funnelDropoff: pairwise conversions with Wilson closed forms") {
+    // 4 users complete a→b (c=n → Wilson [n/(n+z²), 1]); none reach c
+    // (c=0 → Wilson [0, z²/(n+z²)]) — the wilsonArms extremes replayed
+    // on funnel stage counts.
+    val ev = (1L to 4L).flatMap(u => Seq((u, 1L, "a"), (u, 2L, "b")))
+      .toDF("user_id", "ts_us", "event_type")
+    val got = Analytics.funnelDropoff(ev, "user_id", "ts_us",
+      "event_type", Seq("a", "b", "c"), windowUs = 100L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5),
+        if (r.isNullAt(6)) -1L else r.getLong(6),
+        if (r.isNullAt(7)) -1L else r.getLong(7)))
+    assert(got(0) === ((1L, "a", "b", 4L, 4L, 1000000L, 510100L,
+      1000000L)))
+    assert(got(1) === ((2L, "b", "c", 4L, 0L, 0L, 0L, 489900L)))
+  }
+
   test("featureLabelTable: strict temporal split, no label leakage") {
     val day = 86400L * 1000000L
     val cutoff = 100L * day
