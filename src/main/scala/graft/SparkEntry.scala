@@ -1901,6 +1901,12 @@ object SparkEntry {
       Dedup.crossSourceDupMatrix(mirrored, "doc_id", "text", "source")
     }),
 
+    // Consistent-hash rebalance bill: 4→5 shards on the md5 ring —
+    // the ~1/(N+1) movement promise proved on the corpus itself.
+    "q308_shard_rebalance" -> ((s, d) =>
+      Corpus.shardRebalanceReport(Tables.documents(s, d), "doc_id",
+        nShards = 4, vnodes = 8)),
+
     // Funnel drop-off with Wilson CIs: which step bleeds, and is the
     // drop signal or noise — pairwise conversions over q115's stages.
     "q307_funnel_dropoff" -> ((s, d) =>
@@ -8991,6 +8997,44 @@ object SparkEntry {
          FROM cells a JOIN cells b ON a.e = b.e AND a.i <> b.i
          WHERE a.s * b.n > b.s * a.n
            AND (a.s * b.n - b.s * a.n) // (a.n * b.n) >= 500""",
+
+    // Rebalance replayed: same md5 ring, same wrap rule, same min-shard
+    // position ownership.
+    "q308_shard_rebalance" ->
+      """WITH ring AS (SELECT s,
+                CAST(('0x' || substring(md5(CAST(s AS VARCHAR) || '#'
+                  || CAST(v AS VARCHAR)), 1, 12)) AS BIGINT) AS pos
+           FROM (SELECT unnest(range(0, 5)) AS s) ss,
+                (SELECT unnest(range(0, 8)) AS v) vv),
+         h AS (SELECT doc_id,
+                 CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                   1, 12)) AS BIGINT) AS hh
+               FROM documents),
+         b AS (SELECT h.doc_id,
+                 coalesce(min(CASE WHEN r.pos >= h.hh THEN r.pos END),
+                   min(r.pos)) AS tp
+               FROM h, ring r WHERE r.s <= 3 GROUP BY h.doc_id, h.hh),
+         sb AS (SELECT b.doc_id, CAST(min(r.s) AS BIGINT) AS shard_before
+                FROM b JOIN ring r ON r.pos = b.tp AND r.s <= 3
+                GROUP BY 1),
+         a AS (SELECT h.doc_id,
+                 coalesce(min(CASE WHEN r.pos >= h.hh THEN r.pos END),
+                   min(r.pos)) AS tp
+               FROM h, ring r WHERE r.s <= 4 GROUP BY h.doc_id, h.hh),
+         sa AS (SELECT a.doc_id, CAST(min(r.s) AS BIGINT) AS shard_after
+                FROM a JOIN ring r ON r.pos = a.tp AND r.s <= 4
+                GROUP BY 1),
+         j AS (SELECT sb.shard_before, sa.shard_after
+               FROM sb JOIN sa USING (doc_id))
+         SELECT shard_before AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN shard_before <> shard_after
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+                CAST(sum(CASE WHEN shard_before <> shard_after
+                  THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+                  AS moved_ppm,
+                CAST(max(CASE WHEN shard_before <> shard_after
+                  THEN shard_after END) AS BIGINT) AS moved_to
+         FROM j GROUP BY 1""",
 
     // Dropoff replayed: q115's stage CTEs, pairwise floor conversions,
     // the pinned Wilson chain on the two exact counts.

@@ -756,4 +756,71 @@ object Corpus {
           + " ELSE graft_sna * 1000000 div graft_sch END")
           .as("nonascii_ppm"))
   }
+
+  /** Consistent-hashing shard assignment + the REBALANCE bill — the
+    * routing decision every sharded store/cache/queue makes, measured:
+    * docs map onto a hash ring (each shard owns `vnodes` md5 positions;
+    * a doc belongs to the smallest ring position ≥ its own hash,
+    * wrapping to the ring's minimum — Karger et al., STOC'97), and the
+    * report compares the `nShards`-ring assignment with the
+    * `nShards+1`-ring one: per old shard, how many docs MOVE when one
+    * shard joins. Consistent hashing's promise is ~1/(N+1) total
+    * movement (only docs the NEW shard's positions capture move, and
+    * only to the new shard) versus mod-N hashing's ~N/(N+1) reshuffle —
+    * this operator is the proof on your own corpus. Everything is md5
+    * arithmetic on 48-bit hex prefixes: exact, engine-replayable.
+    *
+    * Scale: the ring is (nShards+1)·vnodes rows — a broadcast literal;
+    * assignment is a map-side min over the broadcast per doc (one
+    * conditional aggregate after a bounded cross join), one |shards|-row
+    * fold. No doc-keyed shuffle at all. */
+  def shardRebalanceReport(docs: DataFrame, idCol: String,
+                           nShards: Int, vnodes: Int): DataFrame = {
+    require(nShards >= 1 && vnodes >= 1, "nShards and vnodes must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ring = (0 to nShards).flatMap { s =>
+      (0 until vnodes).map(v => (s.toLong, s"$s#$v"))
+    }.toDF("graft_shard", "graft_key")
+      .select(col("graft_shard"),
+        conv(substring(md5(col("graft_key")), 1, 12), 16, 10).cast("long")
+          .as("graft_pos"))
+    // Two steps per ring size: find each doc's TARGET POSITION (smallest
+    // ≥ its hash, else the ring minimum — the wrap), then map that
+    // position back to its owning shard with a second broadcast join.
+    // Position collisions across shards are 2⁻⁴⁸-rare; if one ever
+    // happened, the min-shard fold resolves it identically on both
+    // engines.
+    def assign(maxShard: Int, out: String) = {
+      val r = ring.filter(col("graft_shard") <= maxShard)
+      docs.select(col(idCol).as("graft_id"),
+        conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+          .cast("long").as("graft_h"))
+        .crossJoin(broadcast(r))
+        .groupBy("graft_id")
+        .agg(min(when(col("graft_pos") >= col("graft_h"),
+          col("graft_pos"))).as("graft_p1"),
+          min(col("graft_pos")).as("graft_pw"))
+        .select(col("graft_id"),
+          coalesce(col("graft_p1"), col("graft_pw")).as("graft_tp"))
+        .join(broadcast(r), col("graft_tp") === col("graft_pos"))
+        .groupBy("graft_id")
+        .agg(min(col("graft_shard")).as(out))
+    }
+    val before = assign(nShards - 1, "shard_before")
+    val after = assign(nShards, "shard_after")
+    before.join(after, Seq("graft_id"))
+      .groupBy(col("shard_before"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("shard_before") =!= col("shard_after"), 1L)
+          .otherwise(0L)).as("n_moved"),
+        max(when(col("shard_before") =!= col("shard_after"),
+          col("shard_after"))).as("graft_dest"))
+      .select(col("shard_before").cast("long").as("shard"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("n_moved").cast("long").as("n_moved"),
+        expr("n_moved * 1000000 div n_docs").as("moved_ppm"),
+        col("graft_dest").cast("long").as("moved_to"))
+      .orderBy("shard")
+  }
 }

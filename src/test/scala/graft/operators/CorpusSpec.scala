@@ -481,4 +481,26 @@ class CorpusSpec extends SparkSpec {
     assert(e.isNullAt(e.fieldIndex("upper_ppm")))
     assert(e.isNullAt(e.fieldIndex("digit_ppm")))
   }
+
+  test("shardRebalanceReport: movement only TO the new shard, bounded") {
+    val docs = (1L to 400L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val got = Corpus.shardRebalanceReport(docs, "doc_id",
+      nShards = 4, vnodes = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))
+    // every pre-existing shard appears; docs that move go ONLY to the
+    // new shard (id 4) — the consistent-hashing property mod-N lacks
+    assert(got.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(got.forall(r => r._4 == 4L || r._4 == -1L),
+      s"moved elsewhere than the new shard: ${got.toSeq}")
+    val (n, moved) = (got.map(_._2).sum, got.map(_._3).sum)
+    assert(n === 400L)
+    // ~1/5 expected; generous band for 8 vnodes of ring variance
+    assert(moved > 0L && moved < 200L, s"moved $moved of $n")
+    // deterministic under partitioning
+    val re = Corpus.shardRebalanceReport(docs.repartition(7), "doc_id",
+      nShards = 4, vnodes = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(re === got.map(r => (r._1, r._2, r._3)).toSeq)
+  }
 }
