@@ -1901,6 +1901,12 @@ object SparkEntry {
       Dedup.crossSourceDupMatrix(mirrored, "doc_id", "text", "source")
     }),
 
+    // Bitmap exact distinct: OR-merged 64-bit word maps per event type
+    // — exact where HLL is ±2%, partials combine map-side.
+    "q309_bitmap_distinct" -> ((s, d) =>
+      Analytics.bitmapDistinct(Tables.events(s, d), "event_type",
+        "user_id")),
+
     // Consistent-hash rebalance bill: 4→5 shards on the md5 ring —
     // the ~1/(N+1) movement promise proved on the corpus itself.
     "q308_shard_rebalance" -> ((s, d) =>
@@ -8997,6 +9003,13 @@ object SparkEntry {
          FROM cells a JOIN cells b ON a.e = b.e AND a.i <> b.i
          WHERE a.s * b.n > b.s * a.n
            AND (a.s * b.n - b.s * a.n) // (a.n * b.n) >= 500""",
+
+    // Bitmap distinct's oracle is plain COUNT(DISTINCT): equality IS
+    // the exactness claim.
+    "q309_bitmap_distinct" ->
+      """SELECT event_type,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+         FROM events WHERE user_id IS NOT NULL GROUP BY 1""",
 
     // Rebalance replayed: same md5 ring, same wrap rule, same min-shard
     // position ownership.

@@ -1085,6 +1085,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(msgs(ex).exists(_.contains("floor-division parity")))
   }
 
+  test("bitmapDistinct: exactly COUNT(DISTINCT), negatives and dups safe") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 500).map(_ =>
+      (if (rnd.nextBoolean()) "a" else "b",
+        rnd.nextInt(200).toLong - 100L)) // negatives exercise the shift
+    val df = rows.toDF("g", "k")
+    val got = Analytics.bitmapDistinct(df, "g", "k").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = rows.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size.toLong).toMap
+    assert(got === want)
+    // merge path: partials OR-combine identically under any layout
+    val re = Analytics.bitmapDistinct(df.repartition(13), "g", "k")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(re === want)
+  }
+
   test("funnelDropoff: pairwise conversions with Wilson closed forms") {
     // 4 users complete a→b (c=n → Wilson [n/(n+z²), 1]); none reach c
     // (c=0 → Wilson [0, z²/(n+z²)]) — the wilsonArms extremes replayed
