@@ -770,46 +770,44 @@ object Corpus {
     * this operator is the proof on your own corpus. Everything is md5
     * arithmetic on 48-bit hex prefixes: exact, engine-replayable.
     *
-    * Scale: the ring is (nShards+1)·vnodes rows — a broadcast literal;
-    * assignment is a map-side min over the broadcast per doc (one
-    * conditional aggregate after a bounded cross join), one |shards|-row
-    * fold. No doc-keyed shuffle at all. */
+    * Scale: the ring has NO data dependency — (nShards+1)·vnodes md5
+    * positions computed on the driver and shipped as sorted array /
+    * map LITERALS inside a single projection. Each doc resolves both
+    * its before- and after-ring owner in one map pass (a filter+min
+    * fold over the literal, then a literal-map lookup); the ONLY
+    * Exchanges in the plan are the final |shards|-row rollup and its
+    * orderBy — the corpus itself is never shuffled. */
   def shardRebalanceReport(docs: DataFrame, idCol: String,
                            nShards: Int, vnodes: Int): DataFrame = {
     require(nShards >= 1 && vnodes >= 1, "nShards and vnodes must be >= 1")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val ring = (0 to nShards).flatMap { s =>
-      (0 until vnodes).map(v => (s.toLong, s"$s#$v"))
-    }.toDF("graft_shard", "graft_key")
-      .select(col("graft_shard"),
-        conv(substring(md5(col("graft_key")), 1, 12), 16, 10).cast("long")
-          .as("graft_pos"))
-    // Two steps per ring size: find each doc's TARGET POSITION (smallest
-    // ≥ its hash, else the ring minimum — the wrap), then map that
-    // position back to its owning shard with a second broadcast join.
+    // Driver-side ring: same md5 arithmetic Spark's md5() performs, so
+    // positions are bit-identical to the engine-replayed oracle's.
+    def md5Pos(key: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.lang.Long.parseLong(d.take(6).map(b => f"$b%02x").mkString, 16)
+    }
     // Position collisions across shards are 2⁻⁴⁸-rare; if one ever
-    // happened, the min-shard fold resolves it identically on both
-    // engines.
-    def assign(maxShard: Int, out: String) = {
-      val r = ring.filter(col("graft_shard") <= maxShard)
-      docs.select(col(idCol).as("graft_id"),
+    // happened, min-shard ownership resolves it — identically to the
+    // oracle's min(shard) fold over equal positions.
+    def ownerCol(maxShard: Int): Column = {
+      val owner = (0 to maxShard).flatMap { s =>
+        (0 until vnodes).map(v => (md5Pos(s"$s#$v"), s.toLong))
+      }.groupBy(_._1).map { case (p, es) => p -> es.map(_._2).min }
+      val ps = owner.keys.toArray.sorted
+      val pArr = typedLit(ps)
+      val ownerMap = map(ps.flatMap(p => Seq(lit(p), lit(owner(p)))): _*)
+      // Smallest ring position ≥ the doc hash, wrapping to the ring
+      // minimum — one fold over the 40-entry literal, fully map-side.
+      val tp = coalesce(
+        array_min(filter(pArr, p => p >= col("graft_h"))), lit(ps.min))
+      element_at(ownerMap, tp)
+    }
+    docs.select(
         conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
           .cast("long").as("graft_h"))
-        .crossJoin(broadcast(r))
-        .groupBy("graft_id")
-        .agg(min(when(col("graft_pos") >= col("graft_h"),
-          col("graft_pos"))).as("graft_p1"),
-          min(col("graft_pos")).as("graft_pw"))
-        .select(col("graft_id"),
-          coalesce(col("graft_p1"), col("graft_pw")).as("graft_tp"))
-        .join(broadcast(r), col("graft_tp") === col("graft_pos"))
-        .groupBy("graft_id")
-        .agg(min(col("graft_shard")).as(out))
-    }
-    val before = assign(nShards - 1, "shard_before")
-    val after = assign(nShards, "shard_after")
-    before.join(after, Seq("graft_id"))
+      .select(ownerCol(nShards - 1).as("shard_before"),
+        ownerCol(nShards).as("shard_after"))
       .groupBy(col("shard_before"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("shard_before") =!= col("shard_after"), 1L)

@@ -360,4 +360,16 @@ class PlanShapeSpec extends SparkSpec {
       assert(exchanges(p) >= 1, p)
     }
   }
+
+  test("q308 shard rebalance: ring is a literal; zero doc-keyed Exchange") {
+    withCleanCaches {
+      val p = planOf("q308_shard_rebalance")
+      // Both ring assignments resolve in one map pass over literals —
+      // the only hash Exchange is the |shards|-row rollup; no join, no
+      // doc-id partitioning anywhere.
+      assert(exchanges(p) === 1, s"q308 shuffled the corpus:\n$p")
+      assert(!p.contains("Join"), s"q308 must not join the ring:\n$p")
+      assert(!p.toLowerCase.contains("cartesian"), p)
+    }
+  }
 }
