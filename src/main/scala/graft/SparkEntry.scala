@@ -1913,6 +1913,55 @@ object SparkEntry {
       Corpus.shardRebalanceReport(Tables.documents(s, d), "doc_id",
         nShards = 4, vnodes = 8)),
 
+    // Merge-on-read UPDATE WHERE SET: two composed DV updates (the
+    // second one hits the first's appended post-images, proving old
+    // versions die behind vectors and assignments see CURRENT values);
+    // data files never rewritten — readback through the vectors vs the
+    // CASE recompute proves row-exact semantics at O(matched rows) write.
+    "q310_mor_update" -> ((s, d) => {
+      val fmt = "graft.sources.WarehouseSink"
+      val dir = java.nio.file.Files.createTempDirectory("graft_morupd_").toString
+      Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+        .repartitionByRange(8, col("p_partkey"))
+        .write.format(fmt).option("path", dir).mode("overwrite").save()
+      import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+      graft.sources.WarehouseSink.updateWhereMoR(s, dir,
+        Seq(GreaterThanOrEqual("p_partkey", 500L), LessThan("p_partkey", 1500L)),
+        Map("p_retailprice" -> (col("p_retailprice") + 100.0)))
+      graft.sources.WarehouseSink.updateWhereMoR(s, dir,
+        Seq(LessThan("p_partkey", 800L)),
+        Map("p_retailprice" -> (col("p_retailprice") + 10.0)))
+      s.read.format(fmt).option("path", dir).load()
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_parts"),
+          sum(floor(col("p_retailprice") * 100).cast("long")).as("sum_cents"))
+    }),
+
+    // Merge-on-read MERGE: matched customer keys die behind deletion
+    // vectors and the whole upsert batch (replacements + brand-new keys)
+    // appends ONCE — O(|updates| + matched positions) against a table
+    // whose data files never rewrite; readback vs the set-algebra oracle.
+    "q311_mor_merge" -> ((s, d) => {
+      val fmt = "graft.sources.WarehouseSink"
+      val dir = java.nio.file.Files.createTempDirectory("graft_mormrg_").toString
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .repartitionByRange(8, col("c_custkey"))
+        .write.format(fmt).option("path", dir).mode("overwrite").save()
+      val base = Tables.customer(s, d).filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          (col("c_acctbal") + 1000.0).as("c_acctbal"))
+      val updates = base.unionByName(base.select(
+        (col("c_custkey") + 10000000L).as("c_custkey"),
+        lit("NEWSEG").as("c_mktsegment"), col("c_acctbal")))
+      graft.sources.WarehouseSink.mergeMoR(s, dir, updates, Seq("c_custkey"))
+      s.read.format(fmt).option("path", dir).load()
+        .groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(floor(col("c_acctbal") * 100).cast("long")).as("sum_cents"))
+    }),
+
     // Funnel drop-off with Wilson CIs: which step bleeds, and is the
     // drop signal or noise — pairwise conversions over q115's stages.
     "q307_funnel_dropoff" -> ((s, d) =>
@@ -9712,6 +9761,37 @@ object SparkEntry {
                          ELSE p_retailprice END) * 100) AS BIGINT))
                   AS BIGINT) AS sum_cents
          FROM part GROUP BY 1""",
+
+    // MoR update replayed as the two stacked CASE recomputes — same
+    // left-to-right double arithmetic as the engine's post-image chain.
+    "q310_mor_update" ->
+      """WITH u1 AS (SELECT p_partkey, p_brand,
+                CASE WHEN p_partkey >= 500 AND p_partkey < 1500
+                     THEN p_retailprice + 100.0
+                     ELSE p_retailprice END AS price
+         FROM part)
+         SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+                CAST(sum(CAST(floor((CASE WHEN p_partkey < 800
+                         THEN price + 10.0 ELSE price END) * 100)
+                  AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM u1 GROUP BY 1""",
+
+    // MoR merge replayed by set algebra: unmatched table rows survive,
+    // every update-batch row (replacement or brand-new key) lands once.
+    "q311_mor_merge" ->
+      """WITH upd AS (SELECT c_custkey, c_mktsegment,
+                             c_acctbal + 1000.0 AS bal
+               FROM customer WHERE c_custkey % 7 = 0
+             UNION ALL
+             SELECT c_custkey + 10000000, 'NEWSEG', c_acctbal + 1000.0
+               FROM customer WHERE c_custkey % 7 = 0),
+         fin AS (SELECT c_mktsegment AS seg, c_acctbal AS bal
+                 FROM customer WHERE c_custkey % 7 <> 0
+                 UNION ALL SELECT c_mktsegment, bal FROM upd)
+         SELECT seg, CAST(count(*) AS BIGINT) AS n_cust,
+                CAST(sum(CAST(floor(bal * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_cents
+         FROM fin GROUP BY 1""",
   )
 
   /** The q167-q169 scored-docs CTE (DuckDB): the clamped 1e4-quantized

@@ -602,7 +602,7 @@ object WarehouseSink {
       val cdfDdl = schema.add("_change_type",
         org.apache.spark.sql.types.StringType).toDDL
       val images = m.op match {
-        case "delete" | "delete_mor" | "update" | "merge" =>
+        case "delete" | "delete_mor" | "update" | "update_mor" | "merge" | "merge_mor" =>
           require(m.cdf,
             s"version $v is a ${m.op} committed with the change feed " +
               "disabled — enableChangeFeed() before the DML, or diff " +
@@ -1482,6 +1482,254 @@ object WarehouseSink {
     })
     MorDeleteReport(newRefs.size, cur.files.size - newRefs.size,
       newPos.valuesIterator.map(_.size.toLong).sum)
+  }
+
+  case class MorUpdateReport(filesWithVectors: Int, filesCarried: Int,
+                             rowsUpdated: Long, filesAppended: Int)
+
+  /** Merge-on-read UPDATE WHERE SET — the deletion-vector twin of
+    * [[updateWhere]], completing the MoR DML family next to
+    * [[deleteWhereMoR]]: instead of REWRITING every stats-overlapping
+    * candidate file (copy-on-write pays O(candidate bytes) when three
+    * rows change in a 1 GB file), the matched rows' OLD versions are
+    * marked dead in per-file deletion vectors and their POST-assignment
+    * images append as new files — one generation, data files untouched,
+    * O(matched rows) total write. `maintain()` materializes the vectors
+    * away exactly as it does for MoR deletes (its rewrite reads through
+    * them), and time travel to the pre-update generation sees the old
+    * values.
+    *
+    * Mechanics: candidates stats-prune by the same filter algebra as
+    * [[deleteWhere]]; one distributed scan (THROUGH existing vectors, so
+    * a re-update never double-marks) emits matched rows' (file, position)
+    * for the vectors — O(matched rows) driver transfer for positions
+    * only, the honest MoR bound — while the post-images (assignments
+    * evaluated over the row's OLD values, cast to declared types, SQL
+    * NULL-predicate semantics) stage through a temp table carrying the
+    * parent's CHECK policy. Existing vectors merge by sorted union under
+    * fresh names. Metadata COUNT stays exact with zero vector reads:
+    * each update kills and appends the same row count. With the change
+    * feed on, before/after images capture like the copy-on-write path
+    * (op `update_mor`). Single-writer like all DML here. */
+  def updateWhereMoR(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     filters: Seq[org.apache.spark.sql.sources.Filter],
+                     set: Map[String, org.apache.spark.sql.Column]): MorUpdateReport = {
+    import org.apache.spark.sql.functions.{coalesce, col, collect_list, lit, sort_array}
+    require(filters.nonEmpty, "updateWhereMoR requires at least one filter")
+    require(set.nonEmpty, "updateWhereMoR requires at least one assignment")
+    val fmt = classOf[WarehouseSink].getName
+    val cur = readManifest(dir).getOrElse(return MorUpdateReport(0, 0, 0L, 0))
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    set.keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"assigned column $k not in table schema"))
+    val pred = coalesce(
+      filters.map(filterToColumn(_, schema)).reduce(_ && _), lit(false))
+    val (candidates, carried) = cur.files.partition { f =>
+      (readStats(dir, f, schema) match {
+        case Some(st) => filters.forall(mightMatch(st, _))
+        case None => true
+      }) && filters.forall(nullAwareMatch(dir, f, _))
+    }
+    if (candidates.isEmpty) return MorUpdateReport(0, cur.files.size, 0L, 0)
+    val candDvs = dvEntriesFor(cur, candidates)
+    val rowPosDdl = schema
+      .add("__graft_file", org.apache.spark.sql.types.StringType)
+      .add("__graft_pos", org.apache.spark.sql.types.LongType).toDDL
+    def posScan = spark.read.format(fmt).option("path", dir)
+      .option("readSchemaDdl", rowPosDdl)
+      .option("files", candidates.mkString(","))
+      .option("dvs", candDvs.mkString(",")).load()
+    val newPos = posScan.filter(pred)
+      .groupBy(col("__graft_file"))
+      .agg(sort_array(collect_list(col("__graft_pos"))).as("pos"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    if (newPos.isEmpty) return MorUpdateReport(0, cur.files.size, 0L, 0)
+    val oldRefs = dvRefs(candDvs).map(r => r.dataFile -> r).toMap
+    val newRefs = newPos.map { case (dataFile, pos) =>
+      val merged = oldRefs.get(dataFile) match {
+        case Some(old) =>
+          (readDvPositions(new File(dir, old.dvFile).getPath) ++ pos).sorted
+        case None => pos.toArray.sorted
+      }
+      DvRef(dataFile, writeDvFile(dir, merged.toIndexedSeq), merged.length)
+    }.toSeq
+    def candScan = spark.read.format(fmt).option("path", dir)
+      .option("files", candidates.mkString(","))
+      .option("dvs", candDvs.mkString(",")).load()
+    def postImages = candScan.filter(pred).select(schema.fields.map { f =>
+      set.get(f.name) match {
+        case Some(e) => e.cast(f.dataType).as(f.name)
+        case None => col(f.name)
+      }
+    }.toIndexedSeq: _*)
+    val tmp = new File(new File(dir).getAbsoluteFile.getParentFile,
+      new File(dir).getName + ".updmor-" +
+        java.util.UUID.randomUUID.toString.take(8))
+    copyChecks(dir, tmp.getPath) // post-images obey the table's CHECKs
+    try {
+      postImages.write.format(fmt).option("path", tmp.getPath)
+        .mode("overwrite").save()
+      val newFiles = readManifest(tmp.getPath).map(_.files).getOrElse(Nil)
+      newFiles.foreach(moveWithStats(tmp, new File(dir), _))
+      val cdfOn = cdfEnabled(dir)
+      val changes =
+        if (cdfOn) stageChanges(dir,
+          candScan.filter(pred)
+            .withColumn("_change_type", lit("update_preimage"))
+            .unionByName(postImages
+              .withColumn("_change_type", lit("update_postimage"))))
+        else Nil
+      val touched = newRefs.map(_.dataFile).toSet
+      publish(dir, { prev =>
+        val p = prev.getOrElse(cur)
+        Some(Manifest(0L, p.schemaDdl, p.files ++ newFiles, p.epoch,
+          p.partitionCol, op = "update_mor", cdf = cdfOn,
+          changeFiles = changes,
+          dvs = p.dvs.filterNot(e => touched.contains(e.takeWhile(_ != '|'))) ++
+            newRefs.map(_.encoded)))
+      })
+      MorUpdateReport(newRefs.size, cur.files.size - newRefs.size,
+        newPos.valuesIterator.map(_.size.toLong).sum, newFiles.size)
+    } finally {
+      def rm(f: File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(tmp)
+    }
+  }
+
+  case class MorMergeReport(filesWithVectors: Int, filesCarried: Int,
+                            rowsMatched: Long, rowsUpserted: Long,
+                            filesAppended: Int)
+
+  /** Merge-on-read MERGE (upsert) — [[merge]]'s deletion-vector twin:
+    * matched table rows' old versions are marked dead in per-file
+    * vectors and the ENTIRE update batch appends once (matched rows'
+    * replacements and unmatched inserts are the same physical append —
+    * the Delta/Iceberg MoR-merge shape), so a key-local upsert against a
+    * 100 TB table writes O(|updates| + matched positions), never a
+    * candidate-file rewrite. Candidate selection is the same
+    * planning-shaped key bounding box as [[merge]]'s (2·|keys| driver
+    * values, never the key set); matched positions come from ONE
+    * distributed semi-join of the candidate scan (through existing
+    * vectors) against the distinct update keys, landing as per-file
+    * sorted vectors. Same cardinality contract as [[merge]]: `updates`
+    * must be key-unique; NULL-keyed update rows never match and insert.
+    * `rowsMatched` is exact (the new vector positions). Op `merge_mor`;
+    * CDF images match the copy-on-write merge's. Single-writer. */
+  def mergeMoR(spark: org.apache.spark.sql.SparkSession, dir: String,
+               updates: org.apache.spark.sql.DataFrame,
+               keyCols: Seq[String]): MorMergeReport = {
+    import org.apache.spark.sql.functions.{col, collect_list, lit, max, min, sort_array}
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
+    require(keyCols.nonEmpty, "mergeMoR requires at least one key column")
+    val fmt = classOf[WarehouseSink].getName
+    val cur = readManifest(dir).getOrElse(throw new IllegalArgumentException(
+      s"cannot merge into nonexistent warehouse table at $dir"))
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    keyCols.foreach(k => require(schema.fieldNames.contains(k),
+      s"key column $k not in table schema"))
+    require(updates.columns.toSet == schema.fieldNames.toSet,
+      s"updates schema ${updates.columns.mkString(",")} must match table " +
+        s"schema ${schema.fieldNames.mkString(",")}")
+    // Pinned once: the batch feeds the bounding-box aggregate, the
+    // position semi-join, the append and the CDF legs — all must see
+    // the same rows even for a nondeterministic updates plan.
+    val aligned = graft.operators.Materialize.transient(
+      updates.select(schema.fieldNames.map(col).toIndexedSeq: _*))
+    val rangeRow = aligned.agg(
+      min(col(keyCols.head)).as("mn0"), (max(col(keyCols.head)).as("mx0") +:
+        keyCols.tail.zipWithIndex.flatMap { case (k, i) =>
+          Seq(min(col(k)).as(s"mn${i + 1}"), max(col(k)).as(s"mx${i + 1}"))
+        }).toIndexedSeq: _*).collect()(0)
+    val rangeFilters = keyCols.indices.flatMap { i =>
+      val (lo, hi) = (rangeRow.get(2 * i), rangeRow.get(2 * i + 1))
+      if (lo != null && hi != null)
+        Seq(GreaterThanOrEqual(keyCols(i), lo),
+          LessThanOrEqual(keyCols(i), hi))
+      else Nil
+    }
+    val candidates =
+      if (rangeFilters.size < 2 * keyCols.size) Nil // empty/all-null keys
+      else cur.files.filter { f =>
+        readStats(dir, f, schema) match {
+          case Some(st) => rangeFilters.forall(mightMatch(st, _))
+          case None => true
+        }
+      }
+    val candDvs = dvEntriesFor(cur, candidates)
+    val updKeys = aligned.select(keyCols.map(col).toIndexedSeq: _*).distinct()
+    val rowPosDdl = schema
+      .add("__graft_file", org.apache.spark.sql.types.StringType)
+      .add("__graft_pos", org.apache.spark.sql.types.LongType).toDDL
+    val newPos =
+      if (candidates.isEmpty) Map.empty[String, Seq[Long]]
+      else spark.read.format(fmt).option("path", dir)
+        .option("readSchemaDdl", rowPosDdl)
+        .option("files", candidates.mkString(","))
+        .option("dvs", candDvs.mkString(",")).load()
+        .join(updKeys, keyCols, "left_semi")
+        .groupBy(col("__graft_file"))
+        .agg(sort_array(collect_list(col("__graft_pos"))).as("pos"))
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val oldRefs = dvRefs(candDvs).map(r => r.dataFile -> r).toMap
+    val newRefs = newPos.map { case (dataFile, pos) =>
+      val merged = oldRefs.get(dataFile) match {
+        case Some(old) =>
+          (readDvPositions(new File(dir, old.dvFile).getPath) ++ pos).sorted
+        case None => pos.toArray.sorted
+      }
+      DvRef(dataFile, writeDvFile(dir, merged.toIndexedSeq), merged.length)
+    }.toSeq
+    val tmpIns = new File(new File(dir).getAbsoluteFile.getParentFile,
+      new File(dir).getName + ".mergemor-" +
+        java.util.UUID.randomUUID.toString.take(8))
+    copyChecks(dir, tmpIns.getPath)
+    try {
+      aligned.write.format(fmt).option("path", tmpIns.getPath)
+        .mode("overwrite").save()
+      val insFiles = readManifest(tmpIns.getPath).map(_.files).getOrElse(Nil)
+      insFiles.foreach(moveWithStats(tmpIns, new File(dir), _))
+      val cdfOn = cdfEnabled(dir)
+      val changes =
+        if (cdfOn) {
+          val candScan =
+            if (candidates.nonEmpty)
+              spark.read.format(fmt).option("path", dir)
+                .option("files", candidates.mkString(","))
+                .option("dvs", candDvs.mkString(",")).load()
+            else aligned.filter(lit(false))
+          val oldKeys = candScan.select(keyCols.map(col).toIndexedSeq: _*)
+            .distinct()
+          stageChanges(dir,
+            candScan.join(updKeys, keyCols, "left_semi")
+              .withColumn("_change_type", lit("update_preimage"))
+              .unionByName(aligned.join(oldKeys, keyCols, "left_semi")
+                .withColumn("_change_type", lit("update_postimage")))
+              .unionByName(aligned.join(oldKeys, keyCols, "left_anti")
+                .withColumn("_change_type", lit("insert"))))
+        } else Nil
+      val touched = newRefs.map(_.dataFile).toSet
+      publish(dir, { prev =>
+        val p = prev.getOrElse(cur)
+        Some(Manifest(0L, p.schemaDdl, p.files ++ insFiles, p.epoch,
+          p.partitionCol, op = "merge_mor", cdf = cdfOn,
+          changeFiles = changes,
+          dvs = p.dvs.filterNot(e => touched.contains(e.takeWhile(_ != '|'))) ++
+            newRefs.map(_.encoded)))
+      })
+      val insRows = insFiles.map(f => readRowCount(dir, f).getOrElse(-1L))
+      MorMergeReport(newRefs.size, cur.files.size - newRefs.size,
+        newPos.valuesIterator.map(_.size.toLong).sum,
+        if (insRows.contains(-1L)) -1L else insRows.sum, insFiles.size)
+    } finally {
+      def rm(f: File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(tmpIns)
+    }
   }
 
   case class MergeReport(filesRewritten: Int, filesCarried: Int,
@@ -3258,7 +3506,7 @@ private[sources] class WarehouseMicroBatchStream(dir: String,
             val before = filesAt(v - 1).toSet
             m.files.filterNot(before).sorted
               .map(f => WarehouseFilePartition(new File(dir, f).getPath): InputPartition)
-          case _ => Nil // change commit (incl. delete_mor): skipped by opt-in
+          case _ => Nil // change commit (incl. MoR DML): skipped by opt-in
         }
       }.toArray
     }
@@ -3275,7 +3523,7 @@ private[sources] class WarehouseMicroBatchStream(dir: String,
     // vector state instead of the file set.
     if (vs >= 0 && dvAt(vs) != dvAt(ve)) throw new IllegalStateException(
       s"warehouse stream on $dir: generation range ($vs, $ve] changed " +
-        "deletion vectors (merge-on-read DELETE) — the source is " +
+        "deletion vectors (merge-on-read DML) — the source is " +
         "append-only; restart the stream with a fresh checkpoint, or opt " +
         "into option(\"skipChangeCommits\", \"true\")")
     val dvs = if (vs < 0) dvAt(ve) else Map.empty[String, String]
@@ -3345,7 +3593,7 @@ private[sources] class WarehouseCdfMicroBatchStream(dir: String,
     } else (vs + 1) to ve foreach { v =>
       val m = manifestAt(v)
       m.op match {
-        case "delete" | "delete_mor" | "update" | "merge" =>
+        case "delete" | "delete_mor" | "update" | "update_mor" | "merge" | "merge_mor" =>
           if (!m.cdf) throw new IllegalStateException(
             s"warehouse CDF stream on $dir: version $v is a ${m.op} " +
               "committed with the change feed disabled — enableChangeFeed()" +

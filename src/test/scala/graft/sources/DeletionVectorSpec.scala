@@ -155,4 +155,141 @@ class DeletionVectorSpec extends SparkSpec {
       .select("id", "_change_type").as[(Long, String)].collect().sorted.toSeq
     assert(changes === (20L until 25L).map(i => (i, "delete")))
   }
+
+  private def vals(dir: String): Map[Long, String] =
+    spark.read.format(Fmt).option("path", dir).load()
+      .select("id", "v").as[(Long, String)].collect().toMap
+
+  test("MoR update marks old versions dead and appends post-images only") {
+    val dir = tmp()
+    write(dir, 0, 100)
+    val before = WarehouseSink.readManifest(dir).get
+    val sizes = before.files.map(f => f -> new File(dir, f).length()).toMap
+    val rep = WarehouseSink.updateWhereMoR(spark, dir,
+      Seq(LessThan("id", 10L)), Map("v" -> lit("upd")))
+    assert(rep.rowsUpdated === 10L)
+    assert(rep.filesWithVectors >= 1 && rep.filesAppended >= 1)
+    val after = WarehouseSink.readManifest(dir).get
+    assert(after.op === "update_mor")
+    // every original data file survives byte-identical; only post-image
+    // files were appended next to them
+    assert(before.files.forall(after.files.contains))
+    before.files.foreach(f => assert(new File(dir, f).length() === sizes(f)))
+    assert(after.files.size === before.files.size + rep.filesAppended)
+    assert(WarehouseSink.dvRefs(after).map(_.count).sum === 10L)
+    val m = vals(dir)
+    assert(m.size === 100)
+    (0L until 10L).foreach(i => assert(m(i) === "upd"))
+    (10L until 100L).foreach(i => assert(m(i) === s"v$i"))
+    // time travel to the pre-update generation sees the old values
+    assert(spark.read.format(Fmt).option("path", dir)
+      .option("versionAsOf", before.version.toString).load()
+      .filter(col("id") < 10).select("v").as[String].collect().toSet ===
+      (0L until 10L).map(i => s"v$i").toSet)
+  }
+
+  test("MoR re-update is idempotent-safe: assignments see current values") {
+    val dir = tmp()
+    write(dir, 0, 20)
+    WarehouseSink.updateWhereMoR(spark, dir, Seq(LessThan("id", 5L)),
+      Map("v" -> lit("a")))
+    // second update matches the APPENDED post-images (old versions are
+    // dead behind vectors) — values move a→b, never v0→b twice
+    val rep2 = WarehouseSink.updateWhereMoR(spark, dir,
+      Seq(LessThan("id", 5L)), Map("v" -> concat(col("v"), lit("b"))))
+    assert(rep2.rowsUpdated === 5L)
+    val m = vals(dir)
+    assert(m.size === 20)
+    (0L until 5L).foreach(i => assert(m(i) === "ab"))
+    // a no-match update publishes nothing
+    assert(WarehouseSink.updateWhereMoR(spark, dir,
+      Seq(GreaterThan("id", 999L)), Map("v" -> lit("x"))).rowsUpdated === 0L)
+  }
+
+  test("MoR update: COUNT stays metadata-only and exact; maintain materializes") {
+    val dir = tmp()
+    write(dir, 0, 40, parts = 2)
+    WarehouseSink.updateWhereMoR(spark, dir, Seq(LessThan("id", 7L)),
+      Map("v" -> lit("u")))
+    def table = spark.read.format(Fmt).option("path", dir).load()
+    val cnt = table.agg(count(lit(1)))
+    assert(cnt.queryExecution.executedPlan.toString.contains("metadata-only"))
+    assert(cnt.as[Long].head() === 40L) // kill N + append N: count unchanged
+    val rep = WarehouseSink.maintain(spark, dir, keepVersions = 1)
+    assert(rep.compacted)
+    assert(WarehouseSink.dvRefs(WarehouseSink.readManifest(dir).get).isEmpty)
+    assert(!new File(dir).listFiles.exists(_.getName.endsWith(".dv")))
+    val m = vals(dir)
+    assert(m.size === 40)
+    (0L until 7L).foreach(i => assert(m(i) === "u"))
+  }
+
+  test("CDF captures MoR update pre/post images") {
+    val dir = tmp()
+    write(dir, 0, 12)
+    WarehouseSink.enableChangeFeed(dir)
+    val v0 = WarehouseSink.readManifest(dir).get.version
+    WarehouseSink.updateWhereMoR(spark, dir, Seq(EqualTo("id", 3L)),
+      Map("v" -> lit("post")))
+    val v1 = WarehouseSink.readManifest(dir).get.version
+    val changes = WarehouseSink.tableChanges(spark, dir, v0, v1)
+      .select("id", "v", "_change_type").as[(Long, String, String)]
+      .collect().sortBy(_._3).toSeq
+    assert(changes === Seq((3L, "post", "update_postimage"),
+      (3L, "v3", "update_preimage")))
+  }
+
+  test("MoR merge: matched keys die behind vectors, batch appends once") {
+    val dir = tmp()
+    write(dir, 0, 50)
+    val before = WarehouseSink.readManifest(dir).get
+    val sizes = before.files.map(f => f -> new File(dir, f).length()).toMap
+    val updates = Seq((3L, "m3"), (7L, "m7"), (100L, "m100"))
+      .toDF("id", "v")
+    val rep = WarehouseSink.mergeMoR(spark, dir, updates, Seq("id"))
+    assert(rep.rowsMatched === 2L)
+    assert(rep.rowsUpserted === 3L)
+    val after = WarehouseSink.readManifest(dir).get
+    assert(after.op === "merge_mor")
+    assert(before.files.forall(after.files.contains))
+    before.files.foreach(f => assert(new File(dir, f).length() === sizes(f)))
+    val m = vals(dir)
+    assert(m.size === 51)
+    assert(m(3L) === "m3" && m(7L) === "m7" && m(100L) === "m100")
+    assert(m(4L) === "v4")
+    // metadata COUNT exact: 50 - 2 dead + 3 appended
+    val cnt = spark.read.format(Fmt).option("path", dir).load()
+      .agg(count(lit(1)))
+    assert(cnt.queryExecution.executedPlan.toString.contains("metadata-only"))
+    assert(cnt.as[Long].head() === 51L)
+    // time travel pre-merge
+    assert(spark.read.format(Fmt).option("path", dir)
+      .option("versionAsOf", before.version.toString).load()
+      .count() === 50L)
+  }
+
+  test("MoR merge composes with MoR delete vectors and CDF") {
+    val dir = tmp()
+    write(dir, 0, 30)
+    WarehouseSink.deleteWhereMoR(spark, dir, Seq(LessThan("id", 5L)))
+    WarehouseSink.enableChangeFeed(dir)
+    val v0 = WarehouseSink.readManifest(dir).get.version
+    // key 2 is already MoR-deleted: it must INSERT, not match its corpse
+    val updates = Seq((2L, "back"), (10L, "m10")).toDF("id", "v")
+    val rep = WarehouseSink.mergeMoR(spark, dir, updates, Seq("id"))
+    assert(rep.rowsMatched === 1L) // only id=10 was live
+    val m = vals(dir)
+    assert(m.size === 26) // 25 live + back-inserted 2; 10 replaced in place
+    assert(m(2L) === "back" && m(10L) === "m10")
+    val v1 = WarehouseSink.readManifest(dir).get.version
+    val changes = WarehouseSink.tableChanges(spark, dir, v0, v1)
+      .select("id", "_change_type").as[(Long, String)]
+      .collect().sortBy(r => (r._2, r._1)).toSeq
+    assert(changes === Seq((2L, "insert"), (10L, "update_postimage"),
+      (10L, "update_preimage")))
+    // vectors from the delete and the merge coexist per-file
+    val total = WarehouseSink.dvRefs(WarehouseSink.readManifest(dir).get)
+      .map(_.count).sum
+    assert(total === 6L) // 5 deleted + 1 merged-away
+  }
 }
