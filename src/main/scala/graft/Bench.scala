@@ -57,6 +57,20 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The full per-query map ALSO lands as a sidecar file: harvesters
+    // that tail-capture stdout truncate the map above to their window
+    // (~56 of 300+ queries), which starves round-over-round comparison.
+    // One sorted entry per line so git diffs show per-query deltas.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full_latest.json")
+    try {
+      val body = results.toSeq.sortBy(_._1)
+        .map { case (k, v) => f"""  "$k": $v%.3f""" }
+        .mkString(
+          f"""{%n  "_sf": "$sfDir",%n  "_total_sec": $total%.3f,%n  "_n_queries": ${results.size},%n""",
+          ",\n", "\n}\n")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () } // stdout line above remains the contract
     // Compact totals-only record LAST, under a DISTINCT metric name so a
     // harvester that sums or filters by metric can never double-count the
     // sweep total: harvesters that tail-capture output always see a
