@@ -1,8 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import java.time.Duration
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Streaming analogs of the weekly batch cadence: the reference recomputes
   * charts on an Airflow weekly schedule (dag.py schedule + get_week_on_chart);
@@ -37,26 +39,60 @@ object EventCharts {
 
   /** Per-entity consecutive-week streak via keyed state — the stateful
     * streaming version of Charts.weeksOnChart's gaps-and-islands batch
-    * plan. Emits the running streak for every (entity, week) it sees;
-    * a gap (weekNum jump > 1) resets to 1, matching dag.py:140-152.
-    * Input must arrive per-entity in weekNum order (e.g. from an upstream
-    * weekly window agg in append mode). Works identically on a static
-    * Dataset, where each group is a single sorted batch. */
-  def streakFn(entity: Long, rows: Iterator[WeeklyScore],
-               state: GroupState[StreakState]): Iterator[Streak] = {
-    var st = state.getOption.getOrElse(StreakState(Long.MinValue, 0))
-    val out = rows.toSeq.sortBy(_.weekNum).map { r =>
-      val streak = if (r.weekNum == st.lastWeek + 1) st.streak + 1 else 1
-      st = StreakState(r.weekNum, streak)
-      Streak(entity, r.weekNum, streak)
+    * plan, on the ARBITRARY-STATE V2 API (`transformWithState`,
+    * Spark 4). Emits the running streak for every (entity, week) it
+    * sees; a gap (weekNum jump > 1) resets to 1, matching
+    * dag.py:140-152. Input must arrive per-entity in weekNum order
+    * (e.g. from an upstream weekly window agg in append mode); rows
+    * within one micro-batch sort by weekNum before folding. Works
+    * identically on a static Dataset, where each group is a single
+    * sorted batch.
+    *
+    * State eviction is DECLARATIVE: with a `ttl`, the one StreakState
+    * record per entity is evicted by the state store itself, so a
+    * dormant entity's state drops without a timeout callback — the
+    * `mapGroupsWithState` leak mode (forget to arm the timer, leak the
+    * key forever) is structurally impossible here. An entity returning
+    * after TTL expiry restarts at streak 1, which is exactly the
+    * consecutive-week semantic: a gap that long broke the streak
+    * anyway. Without a `ttl` (batch runs, bounded replay tests) the
+    * operator runs in TimeMode.None — note that WITH a TTL the
+    * maintenance micro-batches keep a continuous query from ever
+    * quiescing, so tests must poll the sink (see SpendGuardSpec). */
+  private class StreakProcessor(ttl: Option[Duration])
+      extends StatefulProcessor[Long, WeeklyScore, Streak] {
+    @transient private var st: ValueState[StreakState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[StreakState]("streak",
+        Encoders.product[StreakState],
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+
+    override def handleInputRows(key: Long, rows: Iterator[WeeklyScore],
+                                 timerValues: TimerValues): Iterator[Streak] = {
+      var cur = Option(st.get()).getOrElse(StreakState(Long.MinValue, 0))
+      val out = rows.toSeq.sortBy(_.weekNum).map { r =>
+        val streak = if (r.weekNum == cur.lastWeek + 1) cur.streak + 1 else 1
+        cur = StreakState(r.weekNum, streak)
+        Streak(key, r.weekNum, streak)
+      }
+      st.update(cur)
+      out.iterator
     }
-    state.update(st)
-    out.iterator
   }
 
-  def streaks(weekly: Dataset[WeeklyScore]): Dataset[Streak] = {
-    import weekly.sparkSession.implicits._
-    weekly.groupByKey(_.entity)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(streakFn)
+  def streaks(weekly: Dataset[WeeklyScore],
+              ttl: Option[Duration] = None): Dataset[Streak] = {
+    implicit val streakEnc = Encoders.product[Streak]
+    // Batch execution of transformWithState still loads a state store,
+    // whose executors look up the driver's StateStoreCoordinator RPC
+    // endpoint — created when the session's StreamingQueryManager is
+    // instantiated. Touch it so a pure-batch session doesn't fail with
+    // CANNOT_LOAD_STATE_STORE on the endpoint lookup.
+    weekly.sparkSession.streams
+    weekly.groupByKey(_.entity)(Encoders.scalaLong)
+      .transformWithState(new StreakProcessor(ttl),
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())
   }
 }

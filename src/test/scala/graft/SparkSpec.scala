@@ -19,6 +19,12 @@ object SparkSpec {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft_wh").toString)
+    // The V2 stateful API (transformWithState) requires a multi-column-
+    // family store: match GraftSession's RocksDB posture.
+    .config("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }

@@ -84,28 +84,66 @@ class EventChartsSpec extends SparkSpec {
 
   test("stateful streaks run identically on the RocksDB state store") {
     // The GraftSession.tune posture: per-entity state at 100 TB cardinality
-    // must live off-heap. Same streaks pipeline, RocksDB provider — same
-    // answers, and the progress metrics prove RocksDB actually held state.
+    // must live off-heap. The suite session runs RocksDB by default (the
+    // V2 stateful API needs its multi-column-family store); this test
+    // pins that the progress metrics prove RocksDB actually held state.
     implicit val sqlCtx = spark.sqlContext
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = MemoryStream[WeeklyScore]
+    val q = streaks(stream.toDS()).writeStream.format("memory")
+      .queryName("streaks_rocks").outputMode(OutputMode.Append()).start()
     try {
-      val stream = MemoryStream[WeeklyScore]
-      val q = streaks(stream.toDS()).writeStream.format("memory")
-        .queryName("streaks_rocks").outputMode(OutputMode.Append()).start()
-      try {
-        stream.addData(WeeklyScore(7L, 100L, 1.0)); q.processAllAvailable()
-        stream.addData(WeeklyScore(7L, 101L, 1.0)); q.processAllAvailable()
-        stream.addData(WeeklyScore(7L, 103L, 1.0)); q.processAllAvailable()
-        val metrics = q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
-          .flatMap(_.customMetrics.keySet().toArray[AnyRef](Array.empty[AnyRef]))
-        assert(metrics.exists(_.toString.startsWith("rocksdb")),
-          s"expected rocksdb state metrics, got: $metrics")
-      } finally q.stop()
-      val got = spark.table("streaks_rocks").as[Streak].collect()
-        .map(s => s.weekNum -> s.streak).toMap
-      assert(got == Map(100L -> 1, 101L -> 2, 103L -> 1))
-    } finally
-      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      stream.addData(WeeklyScore(7L, 100L, 1.0)); q.processAllAvailable()
+      stream.addData(WeeklyScore(7L, 101L, 1.0)); q.processAllAvailable()
+      stream.addData(WeeklyScore(7L, 103L, 1.0)); q.processAllAvailable()
+      val metrics = q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
+        .flatMap(_.customMetrics.keySet().toArray[AnyRef](Array.empty[AnyRef]))
+      assert(metrics.exists(_.toString.startsWith("rocksdb")),
+        s"expected rocksdb state metrics, got: $metrics")
+    } finally q.stop()
+    val got = spark.table("streaks_rocks").as[Streak].collect()
+      .map(s => s.weekNum -> s.streak).toMap
+    assert(got == Map(100L -> 1, 101L -> 2, 103L -> 1))
+  }
+
+  test("declarative TTL evicts dormant streak state without a timeout callback") {
+    // The V2-API payoff: state eviction is a PROPERTY of the state
+    // variable, enforced by the store — no timer the processor could
+    // forget to arm. With a TTL configured, maintenance micro-batches
+    // keep the query from ever quiescing (processAllAvailable hangs), so
+    // the spec polls the sink, SpendGuardSpec-style.
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[WeeklyScore]
+    val q = streaks(stream.toDS(), ttl = Some(java.time.Duration.ofSeconds(2)))
+      .writeStream.format("memory").queryName("streaks_ttl")
+      .outputMode(OutputMode.Append()).start()
+    def sink(): Map[Long, Int] = spark.table("streaks_ttl").as[Streak]
+      .collect().map(s => s.weekNum -> s.streak).toMap
+    def await(expected: Map[Long, Int]): Unit = {
+      val deadline = System.nanoTime() + 90L * 1000000000L
+      var cur = sink()
+      while (cur != expected && System.nanoTime() < deadline) {
+        Thread.sleep(200L); cur = sink()
+      }
+      assert(cur === expected)
+    }
+    try {
+      stream.addData(WeeklyScore(9L, 200L, 1.0))
+      await(Map(200L -> 1))
+      stream.addData(WeeklyScore(9L, 201L, 1.0))
+      await(Map(200L -> 1, 201L -> 2)) // live state: streak grows
+      // go dormant past the TTL, then return with the CONSECUTIVE week:
+      // a surviving state row would emit streak 3 — eviction means the
+      // entity restarts at 1 even though 202 == 201 + 1
+      Thread.sleep(3000L)
+      stream.addData(WeeklyScore(9L, 202L, 1.0))
+      await(Map(200L -> 1, 201L -> 2, 202L -> 1))
+      // and the store itself reports the state row gone: a maintenance
+      // batch after expiry counts zero live rows for the operator
+      val deadline = System.nanoTime() + 90L * 1000000000L
+      def zeroRows = q.recentProgress.lastOption.toSeq
+        .flatMap(_.stateOperators.toSeq).exists(_.numRowsTotal == 0L)
+      while (!zeroRows && System.nanoTime() < deadline) Thread.sleep(250L)
+      assert(zeroRows, "state row count never dropped to zero after TTL")
+    } finally q.stop()
   }
 }
