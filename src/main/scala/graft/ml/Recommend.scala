@@ -284,4 +284,128 @@ object Recommend {
         col("graft_it").as("neg_item"),
         col("graft_j").cast("long").as("draw"))
   }
+
+  /** ALS implicit-feedback recommender, evaluated head-to-head against
+    * the popularity baseline through the same leave-last-out protocol
+    * as [[leaveLastOutEval]] — the learned-model rung the reference's
+    * KMeans recommender (recommendation.py:41-70) approximates with
+    * cluster membership. Each entity's LAST interaction (total order
+    * (ts, id, item) desc, as in leaveLastOutEval) is held out; ALS
+    * (implicitPrefs, confidence = interaction count) is fit on the
+    * rest; each entity is scored by whether its held-out item appears
+    * in its top-k AMONG ITEMS IT HAS NOT CONSUMED in train — the
+    * MovieLens/NCF protocol: an implicit factorizer necessarily scores
+    * already-consumed items highest, so ranking WITH them measures
+    * memorization, not recommendation. Both arms play the same game:
+    * the ALS arm takes `recommendForAllUsers(k + seenMargin)`, the
+    * popularity arm the global top-(k + seenMargin) list; each entity's
+    * train items are anti-joined out and the survivors re-ranked to k.
+    * `seenMargin` bounds the candidate list: per-entity exactness needs
+    * the entity's train-item overlap with its candidate list ≤ margin —
+    * a shortfall can only SHORTEN the filtered list (miss-biased, never
+    * a false hit). Output: one row per model ('als', 'popularity') with
+    * n_entities / n_hits / hr_ppm / mrr_micro, rates floor-ppm /
+    * floor-micro. Entities with no train rows left (single-interaction
+    * users) stay in the denominator for BOTH models and can only hit
+    * via popularity — cold-start honesty, not leakage. Rows-only
+    * contract: ALS factor init is seeded but float-reduction order is
+    * engine-specific, so no SQL oracle can replay the factors; MlSpec
+    * pins the semantics instead (planted block structure recovered,
+    * ALS beats popularity HR@k).
+    *
+    * Scale: ALS is Spark ML's block-partitioned factorizer — factor
+    * blocks co-partitioned with rating blocks, each normal-equation
+    * solve local to a block. `recommendForAllUsers` is the blocked
+    * factor-matrix cross with per-block top-k accumulators (never a
+    * |users|×|items| materialization). The eval joins are keyed on
+    * entity; the popularity top-k is a k-row broadcast. Spark ML ALS
+    * keys users/items as Int — the in-plan guard fails loudly on ids
+    * beyond 2³¹ (at that cardinality, re-key first). */
+  def alsVsPopularityEval(interactions: DataFrame, entityCol: String,
+                          itemCol: String, tsCol: String, idCol: String,
+                          k: Int, seenMargin: Int = 64, rank: Int = 16,
+                          maxIter: Int = 10, regParam: Double = 0.05,
+                          alpha: Double = 10.0, seed: Long = 42L): DataFrame = {
+    require(k >= 1 && seenMargin >= 0 && rank >= 1 && maxIter >= 1,
+      "k, rank, maxIter >= 1 and seenMargin >= 0")
+    val kc = k + seenMargin
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("graft_e")
+      .orderBy(col("graft_t").desc, col("graft_id").desc,
+        col("graft_i").desc)
+    val marked = Materialize.transient(interactions
+      .select(col(entityCol).cast("long").as("graft_e"),
+        col(itemCol).cast("long").as("graft_i"),
+        col(tsCol).as("graft_t"), col(idCol).as("graft_id"))
+      .withColumn("graft_rn", row_number().over(w)))
+    val targets = marked.filter(col("graft_rn") === 1)
+      .select(col("graft_e"), col("graft_i").as("graft_tgt"))
+    val train = Materialize.transient(marked.filter(col("graft_rn") > 1)
+      .select("graft_e", "graft_i"))
+    // Drop each entity's seen train items from its candidate list and
+    // re-rank the survivors — both arms rank only unseen items.
+    def unseenTopK(cands: DataFrame): DataFrame = cands
+      .join(train.select(col("graft_e"), col("graft_i").as("graft_cand")),
+        Seq("graft_e", "graft_cand"), "left_anti")
+      .withColumn("graft_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("graft_e")
+          .orderBy(col("graft_rk0").asc)))
+      .filter(col("graft_rk") <= k)
+      .select(col("graft_e"), col("graft_cand").as("graft_tgt"),
+        col("graft_rk"))
+    // Popularity arm: global train-side top-(k+margin), broadcast per
+    // entity (|entities|·(k+margin) bounded candidate rows), seen-filtered.
+    val popTop = train
+      .groupBy(col("graft_i")).agg(count(lit(1)).as("graft_c"))
+      .orderBy(col("graft_c").desc, col("graft_i").asc)
+      .limit(kc)
+      .withColumn("graft_rk0", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("graft_c").desc, col("graft_i").asc)))
+      .select(col("graft_i").as("graft_cand"), col("graft_rk0"))
+    val popCands = targets.select("graft_e").crossJoin(broadcast(popTop))
+    val popRanked = targets.join(unseenTopK(popCands),
+      Seq("graft_e", "graft_tgt"), "left")
+      .select(col("graft_e"), col("graft_rk"))
+    // ALS arm: implicit confidence = per-(entity, item) train count.
+    val intGuard = (c: Column) => when(
+      assert_true(c <= Int.MaxValue && c >= Int.MinValue,
+        lit("ALS ids must fit Int — re-key the catalog")).isNull, c)
+      .cast("int")
+    val ratings = train.groupBy("graft_e", "graft_i")
+      .agg(count(lit(1)).cast("float").as("graft_r"))
+      .select(intGuard(col("graft_e")).as("graft_ue"),
+        intGuard(col("graft_i")).as("graft_ii"), col("graft_r"))
+    val als = new org.apache.spark.ml.recommendation.ALS()
+      .setUserCol("graft_ue").setItemCol("graft_ii").setRatingCol("graft_r")
+      .setImplicitPrefs(true).setRank(rank).setMaxIter(maxIter)
+      .setRegParam(regParam).setAlpha(alpha).setSeed(seed)
+      .setColdStartStrategy("drop").setNonnegative(false)
+    val model = als.fit(ratings)
+    val alsCands = model.recommendForAllUsers(kc)
+      .select(col("graft_ue").cast("long").as("graft_e"),
+        posexplode(col("recommendations")))
+      .select(col("graft_e"),
+        col("col.graft_ii").cast("long").as("graft_cand"),
+        (col("pos") + 1).as("graft_rk0"))
+    val alsRanked = targets.join(unseenTopK(alsCands),
+      Seq("graft_e", "graft_tgt"), "left")
+      .select(col("graft_e"), col("graft_rk"))
+    def readout(ranked: DataFrame, label: String): DataFrame = ranked
+      .agg(count(lit(1)).as("graft_n"),
+        coalesce(sum(when(col("graft_rk").isNotNull, 1L).otherwise(0L)),
+          lit(0L)).as("graft_h"),
+        coalesce(sum(when(col("graft_rk").isNotNull,
+          expr("1000000 div graft_rk")).otherwise(0L)), lit(0L))
+          .as("graft_m"))
+      .select(lit(label).as("model"),
+        col("graft_n").cast("long").as("n_entities"),
+        col("graft_h").cast("long").as("n_hits"),
+        expr("CASE WHEN graft_n = 0 THEN CAST(NULL AS BIGINT)"
+          + " ELSE graft_h * 1000000 div graft_n END").as("hr_ppm"),
+        expr("CASE WHEN graft_n = 0 THEN CAST(NULL AS BIGINT)"
+          + " ELSE graft_m div graft_n END").as("mrr_micro"))
+    readout(alsRanked, "als").unionByName(readout(popRanked, "popularity"))
+      .orderBy("model")
+  }
 }

@@ -303,4 +303,43 @@ class MlSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(re === got.toSet)
   }
+
+  test("ALS recovers planted block structure and beats the popularity baseline") {
+    // 3 disjoint taste blocks: users of block b only ever touch block
+    // b's 8 items. Each user sees 6 of the 8 (a deterministic rotation)
+    // so the held-out last item is always WITHIN the user's block — a
+    // factorizer that recovers the blocks ranks it at the top of the
+    // user's UNSEEN items, while the global popularity candidate list
+    // (k + margin = 12 of 24 items) structurally misses most targets.
+    val rows = for {
+      b <- 0 until 3
+      u <- 0 until 12
+      j <- 0 until 6
+    } yield {
+      val user = (b * 12 + u + 1).toLong
+      val item = (b * 8 + (u + j) % 8 + 1).toLong
+      (user, item, (j + 1).toLong, user * 100 + j)
+    }
+    val inter = rows.toDF("user_id", "item_id", "ts", "row_id")
+    val got = Recommend.alsVsPopularityEval(inter, "user_id", "item_id",
+      "ts", "row_id", k = 4, seenMargin = 8, rank = 8, maxIter = 10,
+      seed = 7L)
+      .collect().map(r => r.getAs[String]("model") ->
+        (r.getAs[Long]("n_entities"), r.getAs[Long]("n_hits"),
+         r.getAs[Long]("hr_ppm"), r.getAs[Long]("mrr_micro"))).toMap
+    assert(got.keySet === Set("als", "popularity"))
+    val (alsN, alsHits, alsHr, alsMrr) = got("als")
+    val (popN, popHits, popHr, _) = got("popularity")
+    assert(alsN === 36L && popN === 36L) // same denominator, both arms
+    // popularity's candidate list covers ≤ 12 of 24 items — block-blind
+    assert(popHits <= 24L, s"popularity hit too much: $popHits")
+    // ALS must place the in-block holdout in the top-4 for most users
+    // AND strictly beat the baseline — the planted-recovery claim.
+    assert(alsHits > popHits, s"ALS $alsHits did not beat pop $popHits")
+    assert(alsHr >= 600000L, s"ALS HR@4 too low: $alsHr ppm")
+    assert(alsMrr > 0L)
+    // hr sanity: ppm arithmetic is floor(hits * 1e6 / n)
+    assert(alsHr === alsHits * 1000000L / 36L)
+    assert(popHr === popHits * 1000000L / 36L)
+  }
 }
