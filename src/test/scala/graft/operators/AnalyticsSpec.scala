@@ -1101,6 +1101,69 @@ class AnalyticsSpec extends SparkSpec {
     assert(re === want)
   }
 
+  test("BitmapDistinctAgg: array→bitmap promotion, negatives, kryo round-trip, merge aliasing") {
+    // Container mechanics straight through the Aggregator interface:
+    // push one block past the 4096 promotion threshold, keep another
+    // sparse, and a negative block — cardinality is exact throughout.
+    val agg = new BitmapDistinctAgg
+    var b = agg.zero
+    (0L until 5000L).foreach(v => b = agg.reduce(b, v))         // promotes
+    (0L until 5000L).foreach(v => b = agg.reduce(b, v))         // idempotent
+    Seq(70000L, 70007L).foreach(v => b = agg.reduce(b, v))      // sparse block
+    Seq(-1L, -65537L).foreach(v => b = agg.reduce(b, v))        // negative blocks
+    assert(agg.finish(b) === 5004L)
+    // merge with a state sharing some blocks and bringing new ones
+    var b2 = agg.zero
+    (4000L until 6000L).foreach(v => b2 = agg.reduce(b2, v))
+    b2 = agg.reduce(b2, -1L)
+    assert(agg.finish(agg.merge(b, b2)) === 6004L)
+    // kryo round-trip (what a shuffle/state boundary does to the buffer)
+    val enc = agg.bufferEncoder
+    val ser = new org.apache.spark.serializer.KryoSerializer(
+      spark.sparkContext.getConf).newInstance()
+    val back = ser.deserialize[BitmapDistinct.State](
+      ser.serialize(b2))
+    assert(agg.finish(back) === 2001L)
+  }
+
+  test("BitmapDistinctAgg: in-place reduce ≥2× the immutable-Map fold at 1e6 keys/group") {
+    // The r10-verdict A/B: the previous buffer was an immutable
+    // Map[Long,Long] word map, re-allocated per input row. Same key
+    // stream (an LCG permutation of [0, 1e6) — dense domain, random
+    // order), best-of-3 wall time each, after a JIT warmup pass.
+    val n = 1000000
+    def keys(f: Long => Unit): Unit = {
+      var i = 0L
+      while (i < n) { f((i * 882377L + 100003L) % n); i += 1 }
+    }
+    val agg = new BitmapDistinctAgg
+    def runNew(): Long = {
+      val b = agg.zero
+      keys(b.add)
+      val c = b.cardinality
+      assert(c === n.toLong)
+      c
+    }
+    def runOld(): Long = {
+      var m = Map.empty[Long, Long]
+      keys { v =>
+        val bucket = v >> 6
+        m = m.updated(bucket, m.getOrElse(bucket, 0L) | (1L << (v & 63L).toInt))
+      }
+      val c = m.valuesIterator.map(java.lang.Long.bitCount(_).toLong).sum
+      assert(c === n.toLong)
+      c
+    }
+    def best3(f: () => Long): Long = (1 to 3).map { _ =>
+      val t0 = System.nanoTime(); f(); System.nanoTime() - t0
+    }.min
+    runNew(); runOld() // warmup
+    val tNew = best3(() => runNew())
+    val tOld = best3(() => runOld())
+    assert(tNew * 2 <= tOld,
+      s"roaring reduce ${tNew / 1000000}ms not 2x faster than map fold ${tOld / 1000000}ms")
+  }
+
   test("funnelDropoff: pairwise conversions with Wilson closed forms") {
     // 4 users complete a→b (c=n → Wilson [n/(n+z²), 1]); none reach c
     // (c=0 → Wilson [0, z²/(n+z²)]) — the wilsonArms extremes replayed
