@@ -1901,11 +1901,66 @@ object SparkEntry {
       Dedup.crossSourceDupMatrix(mirrored, "doc_id", "text", "source")
     }),
 
-    // Bitmap exact distinct: OR-merged 64-bit word maps per event type
-    // — exact where HLL is ±2%, partials combine map-side.
+    // Bitmap exact distinct: OR-merged Roaring-style containers per
+    // event type — exact where HLL is ±2%, partials combine map-side.
     "q309_bitmap_distinct" -> ((s, d) =>
       Analytics.bitmapDistinct(Tables.events(s, d), "event_type",
         "user_id")),
+
+    // Label-propagation communities on the supplier↔part co-supply
+    // graph (the q131 substrate): synchronous min-tiebreak rounds,
+    // oracle unrolls all three.
+    "q313_label_prop" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_suppkey").as("sk"),
+        (col("l_partkey") + lit(10000000L)).cast("long").as("pk"))
+      Graph.labelPropagation(li, "sk", "pk", iters = 3, topK = 20)
+    }),
+
+    // Poisson-bootstrap variance of per-type mean value: the at-scale
+    // bootstrap — one pass, 32 hash-weighted replicates, map-combined.
+    "q314_poisson_boot" -> ((s, d) =>
+      Experiment.poissonBootstrap(Tables.events(s, d), "event_type",
+        "value", "event_id", replicas = 32)),
+
+    // WebP dims across all three container variants (lossy VP8 /
+    // lossless VP8L / extended VP8X chosen per doc), synth-roundtrip:
+    // decode(synth(w,h,v)) must reproduce the id-derived dims.
+    "q315_webp_dims" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 16 + (id % 17L).toInt
+          val h = 9 + (id % 13L).toInt
+          val v = (id % 3L).toInt
+          val got = multimodal.Binary.webpDims(
+            multimodal.Binary.synthWebp(w, h, v)).getOrElse((-1, -1))
+          (v.toLong, w.toLong, h.toLong, got._1.toLong, got._2.toLong)
+        }.toDF("variant", "w", "h", "w_decoded", "h_decoded")
+        .groupBy("variant", "w", "h", "w_decoded", "h_decoded")
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
+    // MP3 frame-header walk over id-derived CBR fixtures (1/3 behind an
+    // ID3v2 prefix): frame count, rate/bitrate tables, sample totals.
+    "q316_mp3_meta" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val brIdx = 1 + (id % 14L).toInt
+          val srIdx = (id % 3L).toInt
+          val frames = 3 + (id % 5L).toInt
+          val id3 = if (id % 3L == 0L) 32 else 0
+          val m = multimodal.Binary.mp3Meta(
+            multimodal.Binary.synthMp3(brIdx, srIdx, frames, id3))
+            .getOrElse((-1, -1, -1, -1L))
+          (brIdx.toLong, srIdx.toLong, frames.toLong,
+            m._1.toLong, m._2.toLong, m._3.toLong, m._4)
+        }.toDF("br_idx", "sr_idx", "frames", "frames_decoded",
+          "sample_rate", "bitrate_kbps", "n_samples")
+        .groupBy("br_idx", "sr_idx", "frames", "frames_decoded",
+          "sample_rate", "bitrate_kbps", "n_samples")
+        .agg(count(lit(1)).as("n_docs"))
+    }),
 
     // Consistent-hash rebalance bill: 4→5 shards on the md5 ring —
     // the ~1/(N+1) movement promise proved on the corpus itself.
@@ -2008,6 +2063,24 @@ object SparkEntry {
     // baseline on each customer's held-out last purchase.
     "q302_leave_last_out" -> ((s, d) =>
       ml.Recommend.leaveLastOutEval(
+        Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate"))
+          .join(Tables.lineitem(s, d).select(col("l_orderkey"),
+            col("l_partkey"), col("l_linenumber")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("user_id"),
+            col("l_partkey").as("item_id"), col("o_orderdate").as("ts"),
+            (col("l_orderkey") * lit(10L) + col("l_linenumber"))
+              .cast("long").as("row_id")),
+        "user_id", "item_id", "ts", "row_id", k = 20)),
+
+    // ALS implicit-feedback recommender vs the popularity baseline,
+    // both through the q302 leave-last-out protocol — the learned-model
+    // rung recommendation.py's KMeans recommender approximates.
+    // Rows-only: ALS factors are seeded but float-reduction-order
+    // specific; MlSpec pins planted-structure recovery instead.
+    "q312_als_eval" -> ((s, d) =>
+      ml.Recommend.alsVsPopularityEval(
         Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
           col("o_orderdate"))
           .join(Tables.lineitem(s, d).select(col("l_orderkey"),
@@ -9059,6 +9132,109 @@ object SparkEntry {
       """SELECT event_type,
                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
          FROM events WHERE user_id IS NOT NULL GROUP BY 1""",
+
+    // WebP roundtrip: parse(synth(p)) == p, so the oracle re-derives
+    // both the parameters AND the "decoded" columns arithmetically.
+    "q315_webp_dims" ->
+      """WITH p AS (SELECT doc_id % 3 AS variant, 16 + doc_id % 17 AS w,
+                9 + doc_id % 13 AS h
+             FROM documents)
+         SELECT CAST(variant AS BIGINT) AS variant, CAST(w AS BIGINT) AS w,
+                CAST(h AS BIGINT) AS h, CAST(w AS BIGINT) AS w_decoded,
+                CAST(h AS BIGINT) AS h_decoded,
+                CAST(count(*) AS BIGINT) AS n_docs
+         FROM p GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+
+    // MP3 roundtrip: the walker's table lookups re-derived as CASEs.
+    "q316_mp3_meta" ->
+      """WITH p AS (SELECT 1 + doc_id % 14 AS br_idx, doc_id % 3 AS sr_idx,
+                3 + doc_id % 5 AS frames
+             FROM documents)
+         SELECT CAST(br_idx AS BIGINT) AS br_idx,
+                CAST(sr_idx AS BIGINT) AS sr_idx,
+                CAST(frames AS BIGINT) AS frames,
+                CAST(frames AS BIGINT) AS frames_decoded,
+                CAST(CASE sr_idx WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                     ELSE 32000 END AS BIGINT) AS sample_rate,
+                CAST(CASE br_idx WHEN 1 THEN 32 WHEN 2 THEN 40
+                     WHEN 3 THEN 48 WHEN 4 THEN 56 WHEN 5 THEN 64
+                     WHEN 6 THEN 80 WHEN 7 THEN 96 WHEN 8 THEN 112
+                     WHEN 9 THEN 128 WHEN 10 THEN 160 WHEN 11 THEN 192
+                     WHEN 12 THEN 224 WHEN 13 THEN 256 ELSE 320 END
+                     AS BIGINT) AS bitrate_kbps,
+                CAST(frames * 1152 AS BIGINT) AS n_samples,
+                CAST(count(*) AS BIGINT) AS n_docs
+         FROM p GROUP BY 1, 2, 3, 4, 5, 6, 7 ORDER BY 1, 2, 3""",
+
+    // Label propagation unrolled: three synchronous argmax rounds
+    // (count desc, label asc), identical tie rule via row_number.
+    "q313_label_prop" -> {
+      def round(prev: String, out: String) =
+        s"""$out AS (SELECT node, lbl FROM (
+               SELECT e.a AS node, l.lbl, count(*) AS c,
+                      row_number() OVER (PARTITION BY e.a
+                        ORDER BY count(*) DESC, l.lbl ASC) AS rn
+               FROM e JOIN $prev l ON e.b = l.node
+               GROUP BY e.a, l.lbl) t
+             WHERE rn = 1)"""
+      s"""WITH e0 AS (SELECT CAST(l_suppkey AS BIGINT) AS a,
+                  CAST(l_partkey + 10000000 AS BIGINT) AS b
+             FROM lineitem
+             WHERE l_suppkey <> l_partkey + 10000000),
+         e AS (SELECT DISTINCT a, b FROM
+                 (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0) u),
+         l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM e),
+         ${round("l0", "i1")},
+         ${round("i1", "i2")},
+         ${round("i2", "i3")}
+         SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
+         FROM i3 GROUP BY lbl
+         ORDER BY n_members DESC, community ASC LIMIT 20"""
+    },
+
+    // Poisson bootstrap replayed: identical md5 inverse-CDF weights
+    // (8-hex literal thresholds), HUGEINT partials, `//` floors.
+    "q314_poisson_boot" ->
+      """WITH base AS (SELECT event_type AS g,
+                CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+                CAST(event_id AS VARCHAR) AS id
+             FROM events
+             WHERE value IS NOT NULL AND event_id IS NOT NULL),
+         reps AS (SELECT g, c, id, CAST(bb.range AS INTEGER) AS b
+                  FROM base, range(32) bb),
+         wt AS (SELECT g, b, c,
+                  CASE WHEN h < '5e2d58d8' THEN 0
+                       WHEN h < 'bc5ab1b1' THEN 1
+                       WHEN h < 'eb715e1d' THEN 2
+                       WHEN h < 'fb239797' THEN 3
+                       WHEN h < 'ff1025f5' THEN 4
+                       WHEN h < 'ffd90f3b' THEN 5
+                       WHEN h < 'fffa8b71' THEN 6
+                       WHEN h < 'ffff540c' THEN 7
+                       WHEN h < 'ffffed1f' THEN 8
+                       ELSE 9 END AS m
+                FROM (SELECT g, c, b,
+                        substring(md5(id || '#' || CAST(b AS VARCHAR)),
+                          1, 8) AS h
+                      FROM reps) t),
+         pr AS (SELECT g, b, CAST(sum(m) AS HUGEINT) AS nb,
+                  CAST(sum(CAST(m AS HUGEINT) * c) AS HUGEINT) AS sb
+                FROM wt GROUP BY g, b),
+         mb AS (SELECT g, sb // nb AS m FROM pr WHERE nb > 0),
+         bt AS (SELECT g, CAST(count(*) AS HUGEINT) AS bl,
+                  sum(m) AS sm, sum(m * m) AS sm2
+                FROM mb GROUP BY g),
+         raw AS (SELECT g, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(c AS HUGEINT)) // count(*) AS BIGINT)
+                     AS mean_centi
+                 FROM base GROUP BY g)
+         SELECT raw.g AS event_type, n_rows, mean_centi,
+                CAST(bl AS BIGINT) AS b_live,
+                CAST(CASE WHEN bl < 2 THEN NULL
+                     ELSE (bl * sm2 - sm * sm) // (bl * (bl - 1)) END
+                     AS BIGINT) AS boot_var_centi2
+         FROM raw JOIN bt ON raw.g = bt.g
+         ORDER BY event_type""",
 
     // Rebalance replayed: same md5 ring, same wrap rule, same min-shard
     // position ownership.

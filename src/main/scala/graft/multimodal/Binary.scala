@@ -72,7 +72,7 @@ object Binary {
       else if (dibSizes.contains(dibSize) && bytes.length >= 26)
         Some((le32(18), math.abs(le32(22))))
       else None
-    } else jpegDims(bytes)
+    } else webpDims(bytes).orElse(jpegDims(bytes))
   }
 
   /** JPEG frame dimensions via the marker-segment walk (ISO/IEC 10918-1
@@ -135,6 +135,166 @@ object Binary {
       b(0)          // block terminator
     }
     b(0x3b)
+    out.toByteArray
+  }
+
+  /** WebP dimensions across all three container variants (RIFF
+    * container + the VP8 bitstream headers; Google WebP container
+    * spec): `RIFF <size> WEBP` then one chunk at offset 12 —
+    * `VP8X` (extended: canvas width/height as le24 MINUS-ONE at payload
+    * offsets 4/7), `VP8L` (lossless: 0x2f signature then a packed le32
+    * of 14-bit width-1 / 14-bit height-1 / alpha / version), or
+    * `VP8 ` (lossy: 3-byte frame tag, the 9D 01 2A start code, then
+    * le16 values whose low 14 bits are width/height). None on anything
+    * malformed — degrade, never throw (the [[jpegDims]] discipline). */
+  def webpDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le24(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)
+    def tag(i: Int, s: String): Boolean =
+      bytes.length >= i + 4 && s.indices.forall(k => u8(i + k) == s.charAt(k))
+    if (bytes.length < 25 || !tag(0, "RIFF") || !tag(8, "WEBP")) return None
+    if (tag(12, "VP8X")) {
+      if (bytes.length < 30) None
+      else Some((le24(24) + 1, le24(27) + 1))
+    } else if (tag(12, "VP8L")) {
+      if (bytes.length < 25 || u8(20) != 0x2f) None
+      else {
+        val bits = le16(21) | (le16(23) << 16)
+        Some(((bits & 0x3fff) + 1, ((bits >>> 14) & 0x3fff) + 1))
+      }
+    } else if (tag(12, "VP8 ")) {
+      if (bytes.length < 30 || u8(23) != 0x9d || u8(24) != 0x01 ||
+        u8(25) != 0x2a) None
+      else Some((le16(26) & 0x3fff, le16(28) & 0x3fff))
+    } else None
+  }
+
+  /** Minimal structurally-valid WebP fixture for [[webpDims]]:
+    * `variant` 0 = lossy `VP8 `, 1 = lossless `VP8L`, 2 = extended
+    * `VP8X`. Chunk payloads carry exactly the header fields the real
+    * decoders read (frame tag + start code, the 0x2f-signed packed
+    * dims, the minus-one canvas), with RIFF's odd-size pad byte. */
+  def synthWebp(width: Int, height: Int, variant: Int): Array[Byte] = {
+    require(width >= 1 && width <= 0x3fff && height >= 1 && height <= 0x3fff,
+      "dims must fit the 14-bit VP8 fields")
+    require(variant >= 0 && variant <= 2, "variant is 0|1|2")
+    val out = new java.io.ByteArrayOutputStream()
+    def b(v: Int): Unit = out.write(v & 0xff)
+    def w(s: String): Unit = s.foreach(c => b(c.toInt))
+    def le16(v: Int): Unit = { b(v); b(v >> 8) }
+    def le24(v: Int): Unit = { b(v); b(v >> 8); b(v >> 16) }
+    def le32(v: Int): Unit = { b(v); b(v >> 8); b(v >> 16); b(v >> 24) }
+    val (fourcc, payload) = variant match {
+      case 0 =>
+        val p = new java.io.ByteArrayOutputStream()
+        p.write(Array[Byte](0, 0, 0)) // frame tag
+        p.write(0x9d); p.write(0x01); p.write(0x2a)
+        p.write(width & 0xff); p.write((width >> 8) & 0x3f)
+        p.write(height & 0xff); p.write((height >> 8) & 0x3f)
+        ("VP8 ", p.toByteArray)
+      case 1 =>
+        val bits = (width - 1) | ((height - 1) << 14)
+        val p = new java.io.ByteArrayOutputStream()
+        p.write(0x2f)
+        (0 until 4).foreach(k => p.write((bits >>> (8 * k)) & 0xff))
+        ("VP8L", p.toByteArray)
+      case _ =>
+        val p = new java.io.ByteArrayOutputStream()
+        p.write(0x02); p.write(0); p.write(0); p.write(0) // flags+reserved
+        (0 until 3).foreach(k => p.write(((width - 1) >>> (8 * k)) & 0xff))
+        (0 until 3).foreach(k => p.write(((height - 1) >>> (8 * k)) & 0xff))
+        ("VP8X", p.toByteArray)
+    }
+    val padded = payload.length + (payload.length & 1)
+    w("RIFF"); le32(4 + 8 + padded); w("WEBP")
+    w(fourcc); le32(payload.length); out.write(payload)
+    if ((payload.length & 1) == 1) b(0)
+    out.toByteArray
+  }
+
+  /** MP3 frame-header walk (ISO/IEC 11172-3 §2.4.1.3 / 13818-3 LSF) —
+    * the compressed-audio leg next to [[wavMeta]]/[[flacMeta]]: skip an
+    * optional ID3v2 prefix (syncsafe size), then per frame read the
+    * 11-bit sync, MPEG version, Layer III check, the bitrate/sample-rate
+    * index tables and the padding bit; frame length =
+    * samplesPerFrame/8 · bitrate / sampleRate + padding, and the walk
+    * hops frame to frame without touching audio data. Returns
+    * (n_frames, sample_rate, first-frame bitrate kbps, total samples) —
+    * sample count sums per-frame (1152 MPEG1 / 576 LSF Layer III), so
+    * it is VBR-correct even though the headline bitrate reads frame 1.
+    * Stops at the first desync/reserved index: partial counts if ≥ 1
+    * valid frame was walked, else None (degrade, never throw). */
+  def mp3Meta(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    var i = 0
+    if (bytes.length >= 10 && u8(0) == 'I' && u8(1) == 'D' && u8(2) == '3') {
+      val sz = (u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9)
+      i = 10 + sz
+    }
+    val brV1 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+      224, 256, 320, 0)
+    val brV2 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+      144, 160, 0)
+    val srV1 = Array(44100, 48000, 32000, 0)
+    var frames = 0
+    var sr0 = 0
+    var br0 = 0
+    var samples = 0L
+    def done: Option[(Int, Int, Int, Long)] =
+      if (frames > 0) Some((frames, sr0, br0, samples)) else None
+    while (i + 4 <= bytes.length) {
+      if (u8(i) != 0xff || (u8(i + 1) & 0xe0) != 0xe0) return done
+      val ver = (u8(i + 1) >> 3) & 3   // 3=MPEG1 2=MPEG2 0=MPEG2.5 1=res
+      val layer = (u8(i + 1) >> 1) & 3 // 1 = Layer III
+      val brIdx = (u8(i + 2) >> 4) & 15
+      val srIdx = (u8(i + 2) >> 2) & 3
+      val pad = (u8(i + 2) >> 1) & 1
+      if (ver == 1 || layer != 1 || brIdx == 0 || brIdx == 15 || srIdx == 3)
+        return done // free-format/reserved: out of the walk's contract
+      val mpeg1 = ver == 3
+      val kbps = (if (mpeg1) brV1 else brV2)(brIdx)
+      val sr = srV1(srIdx) / (ver match { case 3 => 1; case 2 => 2; case _ => 4 })
+      val spf = if (mpeg1) 1152 else 576
+      val flen = spf / 8 * (kbps * 1000) / sr + pad
+      if (flen < 4) return done
+      if (frames == 0) { sr0 = sr; br0 = kbps }
+      frames += 1
+      samples += spf
+      i += flen
+    }
+    done
+  }
+
+  /** CBR MPEG1 Layer III fixture for [[mp3Meta]]: `frames` zero-payload
+    * frames at bitrate index `brIdx` (1..14) and sample-rate index
+    * `srIdx` (0..2), no padding, optionally behind a minimal ID3v2
+    * prefix — the exact header fields the walk reads. */
+  def synthMp3(brIdx: Int, srIdx: Int, frames: Int,
+               id3Bytes: Int = 0): Array[Byte] = {
+    require(brIdx >= 1 && brIdx <= 14 && srIdx >= 0 && srIdx <= 2,
+      "brIdx in 1..14, srIdx in 0..2")
+    require(frames >= 1 && frames <= 4096, "frames in 1..4096")
+    require(id3Bytes >= 0 && id3Bytes < (1 << 21), "id3Bytes syncsafe-small")
+    val brV1 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+      224, 256, 320, 0)
+    val srV1 = Array(44100, 48000, 32000)
+    val flen = 144 * brV1(brIdx) * 1000 / srV1(srIdx)
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3Bytes > 0) {
+      out.write('I'); out.write('D'); out.write('3')
+      out.write(4); out.write(0); out.write(0) // version 2.4, no flags
+      Seq(21, 14, 7, 0).foreach(s => out.write((id3Bytes >> s) & 0x7f))
+      out.write(new Array[Byte](id3Bytes))
+    }
+    for (_ <- 0 until frames) {
+      val frame = new Array[Byte](flen)
+      frame(0) = 0xff.toByte
+      frame(1) = 0xfb.toByte // sync | MPEG1 | Layer III | no CRC
+      frame(2) = ((brIdx << 4) | (srIdx << 2)).toByte
+      frame(3) = 0
+      out.write(frame)
+    }
     out.toByteArray
   }
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic A/B experiment readout over the event log. Assignment is
@@ -473,6 +473,89 @@ object Experiment {
           + s"   / sqrt(CAST(($buckets - 1)"
           + s"     * ($buckets * sd2 - sd * sd) AS DOUBLE)) * 1000, 0)"
           + " AS BIGINT) END").as("z_milli"))
+  }
+
+  /** Poisson-bootstrap variance for per-group means — THE at-scale
+    * bootstrap (Chamandy et al., "Estimating Uncertainty for Massive
+    * Data Streams", Google 2012): a classic resample draws n rows with
+    * replacement B times (B full shuffles of the corpus — impossible at
+    * 100 TB); the Poisson trick observes that each row's multiplicity in
+    * a resample is asymptotically Poisson(1), so ONE pass can weight
+    * every row into all B replicates simultaneously and the "resample"
+    * never materializes. Deterministic and ENGINE-PORTABLE here: row
+    * multiplicity m(row, b) inverts the Poisson(1) CDF at the 32-bit
+    * integer given by md5(id·'#'·b) — the CDF quantized to fixed 8-hex
+    * literal thresholds (P≤8 ≈ 0.9999989; the residual tail pins to
+    * m = 9), so the same (id, b) yields the same multiplicity on any
+    * engine, partitioning, or retry, and a SQL oracle replays every
+    * replicate bit-for-bit. Per group: `mean_centi` the plain data mean
+    * (floor-centi), `b_live` the replicates with nonzero weight (a
+    * replicate zeroing out an entire group — P ≈ e^(−n) — drops out
+    * honestly), and `boot_var_centi2` the across-replicate variance of
+    * the replicate means, (B'·Σm² − (Σm)²) div (B'·(B'−1)) in exact
+    * DECIMAL(38,0); NULL when B' < 2. The VARIANCE is reported rather
+    * than an SE: per-group SEs are consumed squared (pooling, z-tests),
+    * and leaving the single sqrt to the caller keeps this row pure
+    * integer.
+    *
+    * Scale: the explode produces B weighted copies of each row, but
+    * they combine MAP-SIDE — the shuffle carries |groups|·B partial
+    * rows, never B corpus copies; the raw-stats pass shares the pinned
+    * base scan. This is the uncertainty machinery for per-group means
+    * the bucketed jackknife ([[jackknifeDiff]]) provides for the
+    * two-arm DIFFERENCE. */
+  def poissonBootstrap(df: DataFrame, groupCol: String, valueCol: String,
+                       idCol: String, replicas: Int = 32): DataFrame = {
+    require(replicas >= 2 && replicas <= 256, "replicas must be in 2..256")
+    // Poisson(1) CDF at k = 0..8, quantized to floor(16⁸·P) as 8-hex
+    // literals — the same literal-threshold trick as the jackknife's
+    // bucket hash, so DuckDB replays the CASE verbatim.
+    val cdfHex = Seq("5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797",
+      "ff1025f5", "ffd90f3b", "fffa8b71", "ffff540c", "ffffed1f")
+    val base = Materialize.transient(df
+      .filter(col(valueCol).isNotNull && col(idCol).isNotNull)
+      .select(col(groupCol).as("graft_g"),
+        floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("long")
+          .as("graft_c"),
+        col(idCol).cast("string").as("graft_id")))
+    val hexCol = substring(
+      md5(concat(col("graft_id"), lit("#"), col("graft_b").cast("string"))),
+      1, 8)
+    val m = cdfHex.zipWithIndex.reverse
+      .foldLeft(lit(9): Column) { case (acc, (th, k)) =>
+        when(hexCol < th, lit(k)).otherwise(acc)
+      }
+    val perRep = base
+      .select(col("graft_g"), col("graft_c"),
+        col("graft_id"), explode(sequence(lit(0), lit(replicas - 1)))
+          .as("graft_b"))
+      .select(col("graft_g"), col("graft_b"),
+        m.cast("long").as("graft_m"), col("graft_c"))
+      .groupBy("graft_g", "graft_b")
+      .agg(sum("graft_m").cast("decimal(38,0)").as("graft_nb"),
+        sum(expr("CAST(graft_m AS DECIMAL(38,0)) * graft_c"))
+          .cast("decimal(38,0)").as("graft_sb"))
+    val boot = perRep.filter(col("graft_nb") > 0)
+      .select(col("graft_g"),
+        expr("CAST(graft_sb div graft_nb AS DECIMAL(38,0))").as("graft_mb"))
+      .groupBy("graft_g")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("graft_bl"),
+        sum("graft_mb").as("graft_sm"),
+        sum(expr("graft_mb * graft_mb")).as("graft_sm2"))
+    val raw = base.groupBy("graft_g")
+      .agg(count(lit(1)).as("graft_n"),
+        sum(col("graft_c").cast("decimal(38,0)")).as("graft_s"))
+    raw.join(boot, Seq("graft_g"))
+      .select(col("graft_g").as(groupCol),
+        col("graft_n").cast("long").as("n_rows"),
+        expr("CAST(CAST(graft_s AS DECIMAL(38,0))"
+          + " div graft_n AS BIGINT)").as("mean_centi"),
+        col("graft_bl").cast("long").as("b_live"),
+        expr("CASE WHEN graft_bl < 2 THEN CAST(NULL AS BIGINT)"
+          + " ELSE CAST((graft_bl * graft_sm2 - graft_sm * graft_sm)"
+          + "   div (graft_bl * (graft_bl - 1)) AS BIGINT) END")
+          .as("boot_var_centi2"))
+      .orderBy(groupCol)
   }
 
   /** Sample-ratio-mismatch (SRM) check — the FIRST gate every

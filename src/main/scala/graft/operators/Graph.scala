@@ -373,6 +373,73 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("core_degree"))
   }
 
+  /** Label-propagation community detection (Raghavan/Albert/Kumara,
+    * Phys. Rev. E 2007) made ENGINE-PORTABLE and DETERMINISTIC: every
+    * node starts labeled with its own id; each SYNCHRONOUS round every
+    * node adopts the most frequent label among its neighbors, ties
+    * broken to the SMALLEST label (the paper's asynchronous random-order
+    * variant is irreproducible by design — the synchronous min-tiebreak
+    * form gives one answer on any engine, so an unrolled SQL replay
+    * reproduces every label bit-for-bit). `iters` fixed rounds, no
+    * convergence test — near-cliques settle in 2-3 rounds and a fixed
+    * unroll is what an oracle can replay. Input is UNDIRECTED pairs
+    * (symmetrized + deduped here); self-loops dropped. Returns the topK
+    * communities as (community = surviving label, n_members), size desc
+    * then label asc.
+    *
+    * Scale: per round one neighbor-keyed join of the label table onto
+    * the edge list, one (node, label) count, one per-node argmax window
+    * (partitioned by node — bounded by the node's distinct neighbor
+    * labels, never global). Same Pregel pin discipline as
+    * [[pagerankPortable]]: cached edges, per-generation persist +
+    * previous-generation release, so lineage stays one round deep. */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+                       iters: Int, topK: Int): DataFrame = {
+    require(iters >= 1, "iters must be at least 1")
+    require(topK >= 1, "topK must be at least 1")
+    import org.apache.spark.storage.StorageLevel
+    val und = edges
+      .select(col(aCol).cast("long").as("graft_a"),
+        col(bCol).cast("long").as("graft_b"))
+      .filter(col("graft_a") =!= col("graft_b") &&
+        col("graft_a").isNotNull && col("graft_b").isNotNull)
+    val e = und.unionByName(und.select(col("graft_b").as("graft_a"),
+        col("graft_a").as("graft_b")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = e.select(col("graft_a").as("node"))
+      .distinct().withColumn("lbl", col("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var pending: DataFrame = null
+    try {
+      for (_ <- 1 to iters) {
+        val counts = e
+          .join(labels.withColumnRenamed("node", "graft_b"), "graft_b")
+          .groupBy(col("graft_a").as("node"), col("lbl"))
+          .agg(count(lit(1)).as("graft_c"))
+        pending = counts
+          .withColumn("graft_rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("node")
+              .orderBy(col("graft_c").desc, col("lbl").asc)))
+          .filter(col("graft_rn") === 1)
+          .select("node", "lbl")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        pending.count() // materialize before releasing the generation it reads
+        labels.unpersist()
+        labels = pending
+        pending = null
+      }
+      Materialize.artifact(labels
+        .groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).cast("long").as("n_members"))
+        .orderBy(col("n_members").desc, col("community").asc)
+        .limit(topK))
+    } finally {
+      if (pending ne null) pending.unpersist()
+      labels.unpersist(); e.unpersist()
+    }
+  }
+
   /** Link prediction by common-neighbor evidence — rank NON-adjacent
     * pairs by how strongly the existing structure implies the missing
     * edge: `n_common` counts shared neighbors, `ra_micro` is the

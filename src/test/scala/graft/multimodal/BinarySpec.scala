@@ -494,4 +494,59 @@ class BinarySpec extends SparkSpec {
     assert(Binary.exifTags(Array(0xff, 0xd8, 0xff, 0xd9)
       .map(_.toByte)) === None)
   }
+
+  test("webpDims round-trips all three container variants") {
+    for (v <- 0 to 2; (w, h) <- Seq((1, 1), (16, 9), (0x3fff, 0x3fff))) {
+      assert(Binary.webpDims(Binary.synthWebp(w, h, v)) === Some((w, h)),
+        s"variant $v dims ($w,$h)")
+    }
+    // the generic image-dims path recognizes WebP too
+    assert(Binary.imageHeaderDims(Binary.synthWebp(320, 240, 1))
+      === Some((320, 240)))
+  }
+
+  test("webpDims degrades to None off the happy path") {
+    assert(Binary.webpDims("RIFFxxxxWAVE".getBytes ++
+      new Array[Byte](20)) === None) // RIFF but not WEBP
+    val lossy = Binary.synthWebp(16, 9, 0)
+    lossy(23) = 0x00 // corrupt the VP8 start code
+    assert(Binary.webpDims(lossy) === None)
+    val lossless = Binary.synthWebp(16, 9, 1)
+    lossless(20) = 0x30 // corrupt the VP8L signature byte
+    assert(Binary.webpDims(lossless) === None)
+    assert(Binary.webpDims(Binary.synthWebp(16, 9, 2).take(28)) === None)
+    assert(Binary.webpDims("not a webp at all".getBytes) === None)
+  }
+
+  test("mp3Meta walks CBR frames, honors ID3v2 prefixes and VBR sums") {
+    // 5 frames at 128 kbps / 44100: flen = 144*128000/44100 = 417
+    assert(Binary.mp3Meta(Binary.synthMp3(9, 0, 5))
+      === Some((5, 44100, 128, 5 * 1152L)))
+    // behind an ID3v2 prefix the walk lands on the same frames
+    assert(Binary.mp3Meta(Binary.synthMp3(9, 0, 5, id3Bytes = 200))
+      === Some((5, 44100, 128, 5 * 1152L)))
+    // VBR: headline bitrate reads frame 1, sample total sums all frames
+    val vbr = Binary.synthMp3(9, 0, 2) ++ Binary.synthMp3(14, 0, 3)
+    assert(Binary.mp3Meta(vbr) === Some((5, 44100, 128, 5 * 1152L)))
+    // every (brIdx, srIdx) cell round-trips
+    for (br <- 1 to 14; sr <- 0 to 2) {
+      val want = Seq(44100, 48000, 32000)(sr)
+      val kbps = Seq(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+        224, 256, 320)(br)
+      assert(Binary.mp3Meta(Binary.synthMp3(br, sr, 3))
+        === Some((3, want, kbps, 3 * 1152L)))
+    }
+  }
+
+  test("mp3Meta degrades to None / partial off the happy path") {
+    assert(Binary.mp3Meta("no sync here".getBytes) === None)
+    assert(Binary.mp3Meta(Array[Byte]()) === None)
+    // truncated INSIDE the third header (2 of 4 bytes): frames before
+    // the cut still count. flen = 144*128000/44100 = 417.
+    val cut = Binary.synthMp3(9, 0, 3).take(2 * 417 + 2)
+    assert(Binary.mp3Meta(cut) === Some((2, 44100, 128, 2 * 1152L)))
+    // garbage after valid frames: partial walk, not a throw
+    val tail = Binary.synthMp3(9, 0, 2) ++ "garbage".getBytes
+    assert(Binary.mp3Meta(tail) === Some((2, 44100, 128, 2 * 1152L)))
+  }
 }

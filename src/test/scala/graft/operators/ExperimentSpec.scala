@@ -345,4 +345,64 @@ class ExperimentSpec extends SparkSpec {
     assert(empty.isNullAt(empty.fieldIndex("chi2_milli")))
     assert(empty.isNullAt(empty.fieldIndex("srm")))
   }
+
+  test("poissonBootstrap: exact Scala replay of the hash multiplicities") {
+    // 8 rows, one group — small enough to replay every md5 draw by hand
+    // and fold the identical integer arithmetic.
+    val rows = (1 to 8).map(i => ("g", i * 1.5, i.toLong))
+    val df = rows.toDF("grp", "v", "id")
+    val b = 8
+    val got = Experiment.poissonBootstrap(df, "grp", "v", "id",
+      replicas = b).head()
+    // the same CDF thresholds as the operator, as unsigned 32-bit ints
+    val cdf = Seq("5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797",
+      "ff1025f5", "ffd90f3b", "fffa8b71", "ffff540c", "ffffed1f")
+      .map(java.lang.Long.parseLong(_, 16))
+    def mult(id: Long, rep: Int): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id#$rep".getBytes("UTF-8"))
+      val hex = d.take(4).map(x => f"${x & 0xff}%02x").mkString
+      val u = java.lang.Long.parseLong(hex, 16)
+      val k = cdf.indexWhere(u < _)
+      if (k < 0) 9L else k.toLong
+    }
+    val cents = rows.map { case (_, v, id) =>
+      id -> math.floor(v * 100.0 + 0.5).toLong }.toMap
+    val reps = (0 until b).map { rep =>
+      val ms = rows.map { case (_, _, id) => (mult(id, rep), cents(id)) }
+      (ms.map(_._1).sum, ms.map { case (m, c) => m * c }.sum)
+    }.filter(_._1 > 0L)
+    val means = reps.map { case (n, s) =>
+      BigInt(s) / BigInt(n) } // decimal floor div, nonneg here
+    val bl = means.length.toLong
+    val sm = means.sum
+    val sm2 = means.map(m => m * m).sum
+    val wantVar = ((BigInt(bl) * sm2 - sm * sm) /
+      (BigInt(bl) * BigInt(bl - 1))).toLong
+    assert(got.getAs[Long]("n_rows") === 8L)
+    assert(got.getAs[Long]("mean_centi") ===
+      cents.values.sum / 8L)
+    assert(got.getAs[Long]("b_live") === bl)
+    assert(got.getAs[Long]("boot_var_centi2") === wantVar)
+    // partitioning invariance: the replicate weights are content hashes
+    val re = Experiment.poissonBootstrap(df.repartition(5), "grp", "v",
+      "id", replicas = b).head()
+    assert(re.getAs[Long]("boot_var_centi2") === wantVar)
+  }
+
+  test("poissonBootstrap: variance tracks sigma^2/n on a planted sample") {
+    // 2000 iid-ish values with std 10 (deterministic LCG): the bootstrap
+    // variance of the mean must land near sigma^2/n = 0.05 — i.e.
+    // 500 centi^2 — within a loose factor-2 band (deterministic draw,
+    // so the band cannot flake).
+    val rows = (1 to 2000).map { i =>
+      val u = ((i * 882377L + 100003L) % 1000).toDouble / 1000.0
+      ("g", 100.0 + (u - 0.5) * 34.64, i.toLong) // uniform, std ~ 10
+    }
+    val got = Experiment.poissonBootstrap(rows.toDF("grp", "v", "id"),
+      "grp", "v", "id", replicas = 32).head()
+    val v = got.getAs[Long]("boot_var_centi2")
+    assert(v > 250L && v < 1000L, s"boot var $v centi2 not near 500")
+    assert(got.getAs[Long]("b_live") === 32L)
+  }
 }

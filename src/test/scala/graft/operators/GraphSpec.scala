@@ -173,4 +173,24 @@ class GraphSpec extends SparkSpec {
     assert(capped.toSeq.contains((1L, 2L, 1L, 500000L)))
     assert(!capped.exists(p => p._2 == 3L || p._1 == 3L))
   }
+
+  test("labelPropagation: two bridged cliques settle into two communities") {
+    // 4-cliques {1..4} and {5..8} joined by the single bridge (4,5).
+    // Synchronous min-tiebreak rounds: r1 labels (2,1,1,1 | 4,5,5,5),
+    // r2 converges to (1,1,1,1 | 5,5,5,5) — two communities of 4, the
+    // bridge never flips a clique.
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(1L to 4L) ++ clique(5L to 8L) :+ ((4L, 5L)))
+      .toDF("a", "b")
+    val got = Graph.labelPropagation(edges, "a", "b", iters = 3, topK = 10)
+      .as[(Long, Long)].collect()
+    assert(got === Array((1L, 4L), (5L, 4L)))
+    // invariant to partitioning, duplicate edges, and edge direction
+    val re = Graph.labelPropagation(
+      edges.unionByName(edges.select($"b".as("a"), $"a".as("b")))
+        .repartition(7), "a", "b", iters = 3, topK = 10)
+      .as[(Long, Long)].collect()
+    assert(re === got)
+  }
 }
