@@ -1922,6 +1922,23 @@ object SparkEntry {
       Experiment.poissonBootstrap(Tables.events(s, d), "event_type",
         "value", "event_id", replicas = 32)),
 
+    // Prefix-filter EXACT similarity self-join: identical answer to the
+    // brute-force all-pairs oracle — the rarest-first prefix index is
+    // provably lossless, and the hash match IS the losslessness proof.
+    "q317_prefix_jaccard" -> ((s, d) =>
+      Dedup.prefixJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, minJaccard = 0.5)),
+
+    // FP-Growth frequent itemsets (PFP) over per-user event-type
+    // baskets, exact integer support threshold, lattice to triples.
+    "q318_fp_growth" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_type"))
+      val n = ev.filter(col("user_id").isNotNull &&
+        col("event_type").isNotNull).select("user_id").distinct().count()
+      ml.Fpm.frequentItemsets(ev, "user_id", "event_type",
+        minCount = math.max(2L, n / 20L), maxLen = 3)
+    }),
+
     // WebP dims across all three container variants (lossy VP8 /
     // lossless VP8L / extended VP8X chosen per doc), synth-roundtrip:
     // decode(synth(w,h,v)) must reproduce the id-derived dims.
@@ -2090,7 +2107,11 @@ object SparkEntry {
             col("l_partkey").as("item_id"), col("o_orderdate").as("ts"),
             (col("l_orderkey") * lit(10L) + col("l_linenumber"))
               .cast("long").as("row_id")),
-        "user_id", "item_id", "ts", "row_id", k = 20)),
+        // rank/maxIter sized for the bench budget: the contract claim
+        // is the protocol (rows-only), not model quality — MlSpec owns
+        // the planted-recovery assertion at full strength.
+        "user_id", "item_id", "ts", "row_id", k = 20, rank = 8,
+        maxIter = 5)),
 
     // TextRank keywords: PageRank centrality over the word
     // co-occurrence graph — integer walk, oracle unrolls 3 steps.
@@ -9132,6 +9153,52 @@ object SparkEntry {
       """SELECT event_type,
                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
          FROM events WHERE user_id IS NOT NULL GROUP BY 1""",
+
+    // The prefix filter is LOSSLESS, so its oracle is the plain
+    // brute-force exact join — hash equality proves the claim.
+    "q317_prefix_jaccard" ->
+      """WITH t AS (SELECT doc_id,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                       toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+                FROM (SELECT doc_id, toks,
+                             unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i
+                      FROM t)),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+                FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+         SELECT id1, id2,
+                round(inter * 1.0 / (c1.n + c2.n - inter), 4) AS jaccard
+         FROM pr JOIN cnt c1 ON pr.id1 = c1.doc_id
+                 JOIN cnt c2 ON pr.id2 = c2.doc_id
+         WHERE round(inter * 1.0 / (c1.n + c2.n - inter), 4) >= 0.5""",
+
+    // FP-Growth replayed as the explicit 1/2/3-itemset lattice with the
+    // same integer support threshold.
+    "q318_fp_growth" ->
+      """WITH b AS (SELECT DISTINCT user_id AS u, event_type AS i
+             FROM events
+             WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+         th AS (SELECT greatest(2, count(DISTINCT u) // 20) AS t FROM b),
+         s1 AS (SELECT i AS itemset, 1 AS n_items, count(*) AS c
+                FROM b GROUP BY 1),
+         s2 AS (SELECT a.i || ',' || b2.i AS itemset, 2 AS n_items,
+                       count(*) AS c
+                FROM b a JOIN b b2 ON a.u = b2.u AND a.i < b2.i
+                GROUP BY 1),
+         s3 AS (SELECT a.i || ',' || b2.i || ',' || c3.i AS itemset,
+                       3 AS n_items, count(*) AS c
+                FROM b a JOIN b b2 ON a.u = b2.u AND a.i < b2.i
+                          JOIN b c3 ON a.u = c3.u AND b2.i < c3.i
+                GROUP BY 1)
+         SELECT itemset, CAST(n_items AS BIGINT) AS n_items,
+                CAST(c AS BIGINT) AS support
+         FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+               UNION ALL SELECT * FROM s3) u0, th
+         WHERE c >= t
+         ORDER BY n_items, itemset""",
 
     // WebP roundtrip: parse(synth(p)) == p, so the oracle re-derives
     // both the parameters AND the "decoded" columns arithmetically.

@@ -155,6 +155,70 @@ object Dedup {
                         n: Int, minJaccard: Double): DataFrame =
     jaccardFromStats(pairShingleStats(docs, idCol, textCol, n), minJaccard)
 
+  /** Prefix-filter EXACT set-similarity self-join — the PPJoin-family
+    * candidate generation (Chaudhuri et al. ICDE'06; Xiao et al.
+    * WWW'08) over the same shingle substrate as [[ngramJaccardPairs]]:
+    * produces the IDENTICAL answer to the brute-force all-pairs join
+    * (the oracle IS the brute force — hash equality proves the filter
+    * lossless), but the self-join runs on each document's PREFIX only.
+    * With tokens globally ordered rarest-first (df asc, token asc — a
+    * total order), the prefix is the first |x| − ⌈t·|x|⌉ + 1 tokens:
+    * for any pair with J ≥ t, the smallest-order token of A∩B must sit
+    * inside BOTH prefixes (every token of A ordered before it lies
+    * outside the intersection, of which A has at most
+    * |A| − ⌈t·|A|⌉ — the pigeonhole), so joining prefix tokens loses
+    * nothing. Candidates then verify with the exact intersection count
+    * over the FULL sets and the q20 rounding contract.
+    *
+    * Why this beats the maxDf cap at scale: the cap CHANGES the answer
+    * (documented underestimate); the prefix filter doesn't — and its
+    * join fan-out rides the RARE end of the df spectrum by
+    * construction (prefixes are rarest-first), while boilerplate
+    * shingles land in suffixes and never generate candidates. At
+    * t = 0.5 the index carries half of each doc's tokens; at t = 0.8,
+    * a fifth. No global rank structure is built: the ordering rides as
+    * the (df, token) pair itself, and the per-doc prefix pick is an
+    * id-partitioned window, never a global one.
+    *
+    * Scale: one shingle explode, one token-keyed df count, one
+    * id-keyed prefix window, one prefix-token self-join (rare-token
+    * bounded), one pair-keyed exact verify join over candidates. */
+  def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int, minJaccard: Double): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard < 1.0,
+      "minJaccard must be in (0, 1) — at 0 the prefix is the whole set")
+    val sh = Materialize.transient(explodedShingles(docs, idCol, textCol, n))
+    val withDf = sh.withColumn("graft_df",
+      count(lit(1)).over(Window.partitionBy("g")))
+    val prefix = withDf
+      .withColumn("graft_pos", row_number().over(
+        Window.partitionBy("id")
+          .orderBy(col("graft_df").asc, col("g").asc)))
+      .filter(col("graft_pos") <=
+        col("nsh") - ceil(lit(minJaccard) * col("nsh")) + 1)
+      .select("id", "nsh", "g")
+    val a = prefix.select(col("id").as("id1"), col("nsh").as("n1"), col("g"))
+    val b = prefix.select(col("id").as("id2"), col("nsh").as("n2"), col("g"))
+    val candidates = a.join(b, Seq("g"))
+      .filter(col("id1") < col("id2") &&
+        // the standard length filter: J >= t bounds the size ratio
+        col("n2") >= ceil(lit(minJaccard) * col("n1")) &&
+        col("n1") >= ceil(lit(minJaccard) * col("n2")))
+      .select("id1", "id2").distinct()
+    val s1 = sh.select(col("id").as("id1"), col("nsh").as("n1"), col("g"))
+    val s2 = sh.select(col("id").as("id2"), col("nsh").as("n2"), col("g"))
+    candidates
+      .join(s1, Seq("id1")).join(s2, Seq("id2", "g"))
+      .groupBy("id1", "id2", "n1", "n2")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")).cast("double"), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id1"), col("id2"), col("jaccard"))
+      .transform(Materialize.artifact)
+  }
+
   /** Shingle-containment near-dup pairs: containment = |A∩B| / min(|A|,|B|)
     * — the asymmetric complement of Jaccard that catches a short document
     * quoted inside a long one (Jaccard dilutes to ~|A|/|B| there and never

@@ -342,4 +342,31 @@ class MlSpec extends SparkSpec {
     assert(alsHr === alsHits * 1000000L / 36L)
     assert(popHr === popHits * 1000000L / 36L)
   }
+
+  test("frequentItemsets: hand-computed lattice, exact threshold, maxLen cut") {
+    val tx = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "a"), (2L, "b"), (2L, "c"),
+      (3L, "a"), (3L, "b"),
+      (4L, "a"), (4L, "c"),
+      (5L, "b"), (5L, "c"),
+      (6L, "a"), (7L, "d"),
+      (1L, "a")) // duplicate row: baskets are SETS
+      .toDF("basket", "item")
+    val got = Fpm.frequentItemsets(tx, "basket", "item", minCount = 2,
+      maxLen = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(
+      ("a", 1L, 5L), ("b", 1L, 4L), ("c", 1L, 4L),
+      ("a,b", 2L, 3L), ("a,c", 2L, 3L), ("b,c", 2L, 3L),
+      ("a,b,c", 3L, 2L)))
+    // maxLen cuts the triple; the exact threshold keeps freq == minCount
+    val capped = Fpm.frequentItemsets(tx, "basket", "item", minCount = 2,
+      maxLen = 2).collect().map(_.getString(0)).toSet
+    assert(capped === Set("a", "b", "c", "a,b", "a,c", "b,c"))
+    // raising the threshold by one drops the boundary itemsets exactly
+    val t3 = Fpm.frequentItemsets(tx, "basket", "item", minCount = 3,
+      maxLen = 3).collect().map(_.getString(0)).toSet
+    assert(t3 === Set("a", "b", "c", "a,b", "a,c", "b,c"))
+  }
 }

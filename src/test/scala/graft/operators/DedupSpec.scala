@@ -424,4 +424,35 @@ class DedupSpec extends SparkSpec {
     // the estimate tracks the true 60 within the small-sample band
     assert(math.abs(got.getAs[Long]("n_hat") - 60L) <= 20L)
   }
+
+  test("prefixJaccardPairs is EXACTLY the brute-force join at every threshold") {
+    // The losslessness claim, asserted directly: the prefix-filter plan
+    // must reproduce the uncapped all-pairs answer row-for-row — on a
+    // corpus with boilerplate (high-df shingles in suffixes), near-dups,
+    // and singletons, across thresholds that exercise short and long
+    // prefixes.
+    val boiler = "terms of service apply to all content herein provided"
+    val corpus = (
+      (1L to 12L).map(i => (i, s"unique article number $i body text $i " +
+        boiler)) ++ Seq(
+        (21L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (22L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+        (23L, "a completely different document about spark physical plans and shuffles"),
+        (24L, "the quick brown fox jumps over the lazy cat near the river bank today")))
+      .toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val brute = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2))).toSet
+      val pref = Dedup.prefixJaccardPairs(corpus, "doc_id", "text", 3, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2))).toSet
+      assert(pref === brute, s"prefix filter lost/invented pairs at t=$t")
+    }
+    // and the t=0.5 answer actually contains the planted near-dups
+    val got = Dedup.prefixJaccardPairs(corpus, "doc_id", "text", 3, 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(got.contains((21L, 22L)) && got.contains((21L, 24L)))
+    assert(!got.exists(p => p._1 == 23L || p._2 == 23L))
+  }
 }
