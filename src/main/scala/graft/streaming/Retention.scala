@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Streaming twins of the product-health metrics (batch: weekly churn
   * q94, rolling N-day active q95) — the metrics a dashboard wants
@@ -52,33 +52,63 @@ object Retention {
     * finalized only once the watermark passes the end of week w+1
     * (`w + 2·WeekMs`) — the first moment the verdict is immutable, for
     * both the gap case (later week already seen) and the silence case
-    * (no more events; the event-time timeout fires at exactly that
+    * (no more events; the event-time TIMER fires at exactly that
     * boundary). This is the streaming equivalent of q94's anti-join,
     * decided exactly when the batch plan could first decide it. State is
     * the open-week list per live user — bounded by the watermark horizon
-    * in weeks — and is removed once every week is decided. */
-  def churnFn(user: Long, rows: Iterator[WeekEvent],
-              state: GroupState[ChurnState]): Iterator[Churn] = {
-    val prior = state.getOption.map(_.openWeeksMs).getOrElse(Nil)
-    val merged =
-      (prior ++ rows.map(_.weekStart.getTime)).distinct.sorted
-    val wm = state.getCurrentWatermarkMs()
-    // Week w is decidable once no week-(w+1) event can be admitted:
-    // truncated week-starts are late below the watermark, so wm ≥
-    // w + 2·WeekMs guarantees week w+1 is closed. A decided week's
-    // successor is still present in `merged` when consulted — w decides
-    // no later than w+1, so successors outlive their predecessors here.
-    val (decided, open) = merged.partition(_ + 2 * WeekMs <= wm)
-    val seen = merged.toSet
-    val out = decided.filterNot(w => seen.contains(w + WeekMs))
-      .map(Churn(_, user))
-    if (open.nonEmpty) {
-      state.update(ChurnState(open))
-      // Fire when the earliest open verdict becomes immutable (strictly
-      // above wm by construction of the partition above).
-      state.setTimeoutTimestamp(open.min + 2 * WeekMs)
-    } else state.remove()
-    out.iterator
+    * in weeks — and is removed once every week is decided.
+    *
+    * On the ARBITRARY-STATE V2 API (TimeMode.EventTime): the shared
+    * decide step runs from both the input path and the expiry callback;
+    * the per-user timer is re-pointed (delete + register) at the
+    * earliest open verdict's immutability boundary on every touch, so
+    * exactly one timer is live per buffered user and none per decided
+    * one. */
+  private class ChurnProcessor
+      extends StatefulProcessor[Long, WeekEvent, Churn] {
+    @transient private var st: ValueState[ChurnState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[ChurnState]("open",
+        Encoders.product[ChurnState], TTLConfig.NONE)
+
+    /** Decide every immutable week, persist/clear the open remainder,
+      * re-point the timer. */
+    private def decide(user: Long, merged: List[Long],
+                       wm: Long): Iterator[Churn] = {
+      // Week w is decidable once no week-(w+1) event can be admitted:
+      // truncated week-starts are late below the watermark, so wm ≥
+      // w + 2·WeekMs guarantees week w+1 is closed. A decided week's
+      // successor is still present in `merged` when consulted — w
+      // decides no later than w+1, so successors outlive their
+      // predecessors here.
+      val (decided, open) = merged.partition(_ + 2 * WeekMs <= wm)
+      val seen = merged.toSet
+      val out = decided.filterNot(w => seen.contains(w + WeekMs))
+        .map(Churn(_, user))
+      getHandle.listTimers().foreach(t =>
+        getHandle.deleteTimer(t.asInstanceOf[Long]))
+      if (open.nonEmpty) {
+        st.update(ChurnState(open))
+        // Fire when the earliest open verdict becomes immutable
+        // (strictly above wm by construction of the partition above).
+        getHandle.registerTimer(open.min + 2 * WeekMs)
+      } else st.clear()
+      out.iterator
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[WeekEvent],
+                                 timerValues: TimerValues): Iterator[Churn] = {
+      val prior = if (st.exists()) st.get().openWeeksMs else Nil
+      val merged = (prior ++ rows.map(_.weekStart.getTime)).distinct.sorted
+      decide(user, merged, timerValues.getCurrentWatermarkInMs())
+    }
+
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[Churn] = {
+      val prior = if (st.exists()) st.get().openWeeksMs else Nil
+      decide(user, prior, timerValues.getCurrentWatermarkInMs())
+    }
   }
 
   /** The continuous q94: (wk, user_id) churn events. Aggregate counts
@@ -86,11 +116,11 @@ object Retention {
     * output, one row per churned (week, user). */
   def weeklyChurnStream(events: DataFrame, userCol: String, tsCol: String,
                         watermark: String = "14 days"): Dataset[Churn] = {
-    import events.sparkSession.implicits._
+    implicit val churnEnc = Encoders.product[Churn]
     weekEvents(events, userCol, tsCol, watermark)
-      .groupByKey(_.user)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.EventTimeTimeout)(churnFn)
+      .groupByKey(_.user)(Encoders.scalaLong)
+      .transformWithState(new ChurnProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** The continuous q95: rolling `windowDays`-day distinct active users.

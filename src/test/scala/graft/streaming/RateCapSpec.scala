@@ -63,4 +63,33 @@ class RateCapSpec extends SparkSpec {
     assert(a === b)
     assert(a(1L) === true && a(2L) === false && a(3L) === false)
   }
+
+  test("event-time timer evicts closed-window counters") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val q = RateCap.label(stream.toDF().toDF("src", "ts", "id"),
+      "src", "ts", "id", "1 hour", "1 hour", maxPerWindow = 1)
+      .writeStream.format("memory").queryName("ratecap_evict")
+      .outputMode("append").start()
+    def stateRows: Long = Option(q.lastProgress).toSeq
+      .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+    try {
+      stream.addData(("a", ts(10), 1L)); q.processAllAvailable()
+      val before = stateRows
+      assert(before >= 1L, "window counter must be live")
+      // jump the watermark far past W0's close; the eviction timer for
+      // W0 fires on the following batch and clear()s its counter
+      stream.addData(("a", ts(20000), 2L)); q.processAllAvailable()
+      stream.addData(("a", ts(40000), 3L)); q.processAllAvailable()
+      stream.addData(("a", ts(60000), 4L)); q.processAllAvailable()
+      // windows seen: 4; evicted: at least W0 (and W1 by the last
+      // watermark) — live state must be strictly below the window count
+      assert(stateRows < 4L,
+        s"closed-window counters never evicted: $stateRows rows")
+      // behavior unaffected: every window admitted exactly its first row
+      val admitted = spark.table("ratecap_evict")
+        .as[RateCap.Capped].collect().filter(_.admitted).map(_.rowId).toSet
+      assert(admitted === Set(1L, 2L, 3L, 4L))
+    } finally q.stop()
+  }
 }
