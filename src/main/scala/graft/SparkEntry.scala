@@ -2061,7 +2061,7 @@ object SparkEntry {
             col("o_orderkey") === col("l_orderkey"))
           .select(col("o_custkey").as("user_id"),
             col("l_partkey").as("item_id")),
-        "user_id", "item_id", maxUserItems = 80, k = 5)),
+        "user_id", "item_id", maxUserItems = 80, k = 5, minCo = 2)),
 
     // Chart turnover: week-over-week Jaccard churn of the top-10 user
     // leaderboard — the ranking-surface volatility metric.
@@ -9281,8 +9281,8 @@ object SparkEntry {
                        WHEN h < 'ffffed1f' THEN 8
                        ELSE 9 END AS m
                 FROM (SELECT g, c, b,
-                        substring(md5(id || '#' || CAST(b AS VARCHAR)),
-                          1, 8) AS h
+                        substring(md5(id || '#' || CAST(b // 4 AS VARCHAR)),
+                          1 + 8 * (b % 4), 8) AS h
                       FROM reps) t),
          pr AS (SELECT g, b, CAST(sum(m) AS HUGEINT) AS nb,
                   CAST(sum(CAST(m AS HUGEINT) * c) AS HUGEINT) AS sb
@@ -9415,7 +9415,7 @@ object SparkEntry {
                 FROM kept GROUP BY 1),
          co AS (SELECT a.i AS ia, b.i AS ib, CAST(count(*) AS BIGINT) AS c
                 FROM kept a JOIN kept b ON a.u = b.u AND a.i < b.i
-                GROUP BY 1, 2),
+                GROUP BY 1, 2 HAVING count(*) >= 2),
          sc AS (SELECT ia, ib, c AS n_co,
                   CAST(round(CAST(c AS DOUBLE)
                     / (sqrt(CAST(x.m AS DOUBLE)) * sqrt(CAST(y.m AS DOUBLE)))

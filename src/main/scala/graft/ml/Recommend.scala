@@ -133,9 +133,18 @@ object Recommend {
     * Scale: one distinct reduction, a user-keyed pair self-join bounded
     * at C(maxUserItems, 2) per user, margins map-combinable, one
     * per-item rank window over the pair table. */
+  /** @param minCo noise floor on the co-occurrence count: pairs seen
+    *   together fewer than `minCo` times never become neighbors. At
+    *   corpus scale MOST candidate pairs are single co-occurrences —
+    *   statistical hay with maximal variance — and dropping them before
+    *   the margin joins and the per-item rank window cuts the scored
+    *   volume several-fold (the q201 minSupport discipline; part of the
+    *   CONTRACT, replayed by the oracle's HAVING). */
   def itemCosineCf(interactions: DataFrame, userCol: String,
-                   itemCol: String, maxUserItems: Int, k: Int): DataFrame = {
-    require(maxUserItems >= 2 && k >= 1, "maxUserItems >= 2 and k >= 1")
+                   itemCol: String, maxUserItems: Int, k: Int,
+                   minCo: Int = 1): DataFrame = {
+    require(maxUserItems >= 2 && k >= 1 && minCo >= 1,
+      "maxUserItems >= 2, k >= 1, minCo >= 1")
     val pos = Materialize.transient(
       interactions.select(col(userCol).as("graft_u"),
         col(itemCol).as("graft_i")).distinct())
@@ -152,6 +161,7 @@ object Recommend {
       .filter(col("graft_a") < col("graft_b"))
       .groupBy("graft_a", "graft_b")
       .agg(count(lit(1)).as("graft_co"))
+      .filter(col("graft_co") >= minCo)
     val scored = co
       .join(margins.select(col("graft_i").as("graft_a"),
         col("graft_m").as("graft_ma")), Seq("graft_a"))

@@ -483,12 +483,14 @@ object Experiment {
     * a resample is asymptotically Poisson(1), so ONE pass can weight
     * every row into all B replicates simultaneously and the "resample"
     * never materializes. Deterministic and ENGINE-PORTABLE here: row
-    * multiplicity m(row, b) inverts the Poisson(1) CDF at the 32-bit
-    * integer given by md5(id·'#'·b) — the CDF quantized to fixed 8-hex
-    * literal thresholds (P≤8 ≈ 0.9999989; the residual tail pins to
-    * m = 9), so the same (id, b) yields the same multiplicity on any
-    * engine, partitioning, or retry, and a SQL oracle replays every
-    * replicate bit-for-bit. Per group: `mean_centi` the plain data mean
+    * multiplicity m(row, b) inverts the Poisson(1) CDF at a 32-bit
+    * integer drawn from md5(id·'#'·⌊b/4⌋) — each 128-bit digest slices
+    * into FOUR independent 8-hex draws (slice b mod 4), so the hash
+    * work is one md5 per 4 replicates rather than per replicate — with
+    * the CDF quantized to fixed 8-hex literal thresholds
+    * (P≤8 ≈ 0.9999989; the residual tail pins to m = 9). The same
+    * (id, b) yields the same multiplicity on any engine, partitioning,
+    * or retry, and a SQL oracle replays every slice bit-for-bit. Per group: `mean_centi` the plain data mean
     * (floor-centi), `b_live` the replicates with nonzero weight (a
     * replicate zeroing out an entire group — P ≈ e^(−n) — drops out
     * honestly), and `boot_var_centi2` the across-replicate variance of
@@ -518,17 +520,27 @@ object Experiment {
         floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("long")
           .as("graft_c"),
         col(idCol).cast("string").as("graft_id")))
-    val hexCol = substring(
-      md5(concat(col("graft_id"), lit("#"), col("graft_b").cast("string"))),
-      1, 8)
     val m = cdfHex.zipWithIndex.reverse
       .foldLeft(lit(9): Column) { case (acc, (th, k)) =>
-        when(hexCol < th, lit(k)).otherwise(acc)
+        when(col("graft_hex") < th, lit(k)).otherwise(acc)
       }
+    // Two-level explode so each md5 is COMPUTED once and sliced four
+    // ways (the generator boundary stops CollapseProject from inlining
+    // the digest into every slice): quarter index q → one digest →
+    // posexplode of its four 8-hex slices → b = 4q + slice.
     val perRep = base
-      .select(col("graft_g"), col("graft_c"),
-        col("graft_id"), explode(sequence(lit(0), lit(replicas - 1)))
-          .as("graft_b"))
+      .select(col("graft_g"), col("graft_c"), col("graft_id"),
+        explode(sequence(lit(0), lit((replicas + 3) / 4 - 1)))
+          .as("graft_q"))
+      .select(col("graft_g"), col("graft_c"), col("graft_q"),
+        md5(concat(col("graft_id"), lit("#"),
+          col("graft_q").cast("string"))).as("graft_h4"))
+      .select(col("graft_g"), col("graft_c"), col("graft_q"),
+        posexplode(array((0 until 4).map(sl =>
+          substring(col("graft_h4"), 1 + 8 * sl, 8)): _*))
+          .as(Seq("graft_sl", "graft_hex")))
+      .withColumn("graft_b", col("graft_q") * 4 + col("graft_sl"))
+      .filter(col("graft_b") < replicas)
       .select(col("graft_g"), col("graft_b"),
         m.cast("long").as("graft_m"), col("graft_c"))
       .groupBy("graft_g", "graft_b")

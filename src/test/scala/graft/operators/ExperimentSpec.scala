@@ -359,9 +359,11 @@ class ExperimentSpec extends SparkSpec {
       "ff1025f5", "ffd90f3b", "fffa8b71", "ffff540c", "ffffed1f")
       .map(java.lang.Long.parseLong(_, 16))
     def mult(id: Long, rep: Int): Long = {
+      // one digest per 4 replicates: quarter q = rep/4, slice = rep%4
       val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$id#$rep".getBytes("UTF-8"))
-      val hex = d.take(4).map(x => f"${x & 0xff}%02x").mkString
+        .digest(s"$id#${rep / 4}".getBytes("UTF-8"))
+      val hex = d.map(x => f"${x & 0xff}%02x").mkString
+        .substring(8 * (rep % 4), 8 * (rep % 4) + 8)
       val u = java.lang.Long.parseLong(hex, 16)
       val k = cdf.indexWhere(u < _)
       if (k < 0) 9L else k.toLong
