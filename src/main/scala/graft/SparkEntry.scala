@@ -1922,6 +1922,29 @@ object SparkEntry {
       Experiment.poissonBootstrap(Tables.events(s, d), "event_type",
         "value", "event_id", replicas = 32)),
 
+    // Column mapping end-to-end: write → RENAME (metadata-only, field
+    // ids) → append under the new name → DROP a column → read both file
+    // eras back; the oracle recomputes from the source, so the hash
+    // proves the id resolution returned every pre-rename value.
+    "q319_column_mapping" -> ((s, d) => {
+      val fmt = "graft.sources.WarehouseSink"
+      val dir = java.nio.file.Files.createTempDirectory("graft_ren_").toString
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        col("l_partkey"), col("l_quantity").cast("long").as("q0"))
+      li.filter(col("l_orderkey") % 2 === 0)
+        .write.format(fmt).option("path", dir).mode("overwrite").save()
+      sources.WarehouseSink.renameColumn(dir, "q0", "qty")
+      li.filter(col("l_orderkey") % 2 === 1)
+        .select(col("l_orderkey"), col("l_partkey"), col("q0").as("qty"))
+        .write.format(fmt).option("path", dir).mode("append").save()
+      sources.WarehouseSink.dropColumn(dir, "l_partkey")
+      s.read.format(fmt).option("path", dir).load()
+        .groupBy((col("l_orderkey") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"), sum("qty").as("sum_qty"))
+        .select(col("bucket").cast("long").as("bucket"), col("n_rows"),
+          col("sum_qty").cast("long").as("sum_qty"))
+    }),
+
     // Prefix-filter EXACT similarity self-join: identical answer to the
     // brute-force all-pairs oracle — the rarest-first prefix index is
     // provably lossless, and the hash match IS the losslessness proof.
@@ -9153,6 +9176,14 @@ object SparkEntry {
       """SELECT event_type,
                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
          FROM events WHERE user_id IS NOT NULL GROUP BY 1""",
+
+    // The rename/drop cycle is metadata-only, so the oracle recomputes
+    // the SAME rows straight from the source table.
+    "q319_column_mapping" ->
+      """SELECT CAST(l_orderkey % 10 AS BIGINT) AS bucket,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
 
     // The prefix filter is LOSSLESS, so its oracle is the plain
     // brute-force exact join — hash equality proves the claim.

@@ -143,6 +143,15 @@ object WarehouseSink {
     * names the value-partitioning column: every data file holds exactly
     * one value of it, which is what lets the scan report
     * KeyGroupedPartitioning for storage-partitioned joins. */
+  /** `colIds` are STABLE FIELD IDS aligned positionally with
+    * `schemaDdl`'s fields (the Iceberg column-mapping idea): a rename
+    * changes only the DDL text, never the id, so files written under
+    * the old name keep resolving — by id — under the new one, and time
+    * travel resolves the same id through each version's own name.
+    * `nextColId` is a monotone allocator: a DROPPED column's id is
+    * never reused, which is exactly what stops a later same-named
+    * column from resurrecting the dropped column's stored data. Empty
+    * colIds = a pre-field-id table (pure by-name semantics, unchanged). */
   private[sources] case class Manifest(version: Long, schemaDdl: String,
                                        files: Seq[String], epoch: Long = -1L,
                                        partitionCol: String = "",
@@ -151,7 +160,9 @@ object WarehouseSink {
                                        cdf: Boolean = false,
                                        changeFiles: Seq[String] = Nil,
                                        ts: Long = 0L,
-                                       dvs: Seq[String] = Nil)
+                                       dvs: Seq[String] = Nil,
+                                       colIds: Seq[Long] = Nil,
+                                       nextColId: Long = -1L)
 
   /** One merge-on-read deletion-vector reference, manifest-encoded as
     * `dataFile|dvFile|count`: `dvFile` holds the sorted 0-based line
@@ -279,7 +290,8 @@ object WarehouseSink {
     * for that filter rather than guessing. */
   private[sources] def tpartAllows(dir: String, dataFile: String,
                                    tableSpecs: Seq[PartTransform],
-                                   filters: Seq[org.apache.spark.sql.sources.Filter]): Boolean = {
+                                   filters: Seq[org.apache.spark.sql.sources.Filter],
+                                   rn: Map[String, String] = Map.empty): Boolean = {
     val t = readTpart(dir, dataFile).getOrElse(return true)
     // PARTITION EVOLUTION rule: the tuple is interpreted under the spec
     // the FILE records, not the table's current one — a pre-evolution
@@ -287,11 +299,18 @@ object WarehouseSink {
     // the table moves to bucket(8,·). Files without a recorded spec fall
     // back to the table spec (they predate evolution support, and
     // evolvePartitioning refuses tables containing them).
-    val specs = readTpartSpec(dir, dataFile) match {
+    val specs0 = readTpartSpec(dir, dataFile) match {
       case Some(sp) =>
         try parsePartSpecs(sp)
         catch { case _: IllegalArgumentException => return true }
       case None => tableSpecs
+    }
+    // a file written before a rename records its spec under the old
+    // column name; surface it under the current one
+    val specs = specs0.map {
+      case IdPart(c) => IdPart(rn.getOrElse(c, c))
+      case BucketPart(n, c) => BucketPart(n, rn.getOrElse(c, c))
+      case DaysPart(c) => DaysPart(rn.getOrElse(c, c))
     }
     val parts = t.split("\u001f", -1)
     if (parts.length != specs.length) return true
@@ -372,10 +391,12 @@ object WarehouseSink {
     // commits always stamp an explicit monotonic ts.
     val ts0 = field("ts", "0").toLong
     val ts = if (ts0 > 0L) ts0 else Files.getLastModifiedTime(mf.toPath).toMillis
+    val colIds = field("colIds").split(",").map(_.trim)
+      .filter(_.nonEmpty).map(_.toLong).toSeq
     Some(Manifest(field("version").toLong, field("schema"), fileList("files"),
       field("epoch", "-1").toLong, field("partitionCol"), field("sortedBy"),
       field("op"), field("cdf", "false") == "true", fileList("changeFiles"),
-      ts, fileList("dvs")))
+      ts, fileList("dvs"), colIds, field("nextColId", "-1").toLong))
   }
 
   private def escape(s: String): String =
@@ -395,7 +416,7 @@ object WarehouseSink {
     * concurrency spec can park a "slow winner" in that window). */
   private[sources] def writeManifestFileOnly(dir: String, m: Manifest): Unit = {
     val json =
-      s"""{"version": ${m.version}, "ts": ${m.ts}, "epoch": ${m.epoch}, "partitionCol": "${escape(m.partitionCol)}", "sortedBy": "${escape(m.sortedBy)}", "op": "${escape(m.op)}", "cdf": "${m.cdf}", "schema": "${escape(m.schemaDdl)}", "files": [${m.files.map(f => "\"" + escape(f) + "\"").mkString(", ")}], "changeFiles": [${m.changeFiles.map(f => "\"" + escape(f) + "\"").mkString(", ")}], "dvs": [${m.dvs.map(f => "\"" + escape(f) + "\"").mkString(", ")}]}"""
+      s"""{"version": ${m.version}, "ts": ${m.ts}, "epoch": ${m.epoch}, "partitionCol": "${escape(m.partitionCol)}", "sortedBy": "${escape(m.sortedBy)}", "op": "${escape(m.op)}", "cdf": "${m.cdf}", "schema": "${escape(m.schemaDdl)}", "files": [${m.files.map(f => "\"" + escape(f) + "\"").mkString(", ")}], "changeFiles": [${m.changeFiles.map(f => "\"" + escape(f) + "\"").mkString(", ")}], "dvs": [${m.dvs.map(f => "\"" + escape(f) + "\"").mkString(", ")}], "colIds": [${m.colIds.mkString(", ")}], "nextColId": ${m.nextColId}}"""
     // CREATE_NEW: a version slot is claimed exactly once. Two committers
     // racing the same slot collide HERE — a detectable conflict — instead
     // of the second silently overwriting the first's file list.
@@ -440,6 +461,39 @@ object WarehouseSink {
     * another writer remains single-writer territory (losing a truncate
     * race means the other writer's generation survives), as with any
     * file-manifest format without a lock service. */
+  /** Central column-id carry-forward for every publish: closures that
+    * keep the schema inherit ids verbatim; append-only evolution
+    * (mergeSchema) allocates monotone ids for the appended fields; any
+    * other reshape must set colIds itself (rename/drop/restore do) or
+    * fail loudly rather than silently dropping the mapping. */
+  private def inheritColIds(prev: Option[Manifest], next: Manifest): Manifest = {
+    if (next.colIds.nonEmpty) return next
+    prev match {
+      case None =>
+        val n = StructType.fromDDL(next.schemaDdl).fields.length
+        next.copy(colIds = (0L until n.toLong), nextColId = n.toLong)
+      case Some(p) if p.colIds.isEmpty => next // pre-field-id lineage
+      case Some(p) =>
+        val pf = StructType.fromDDL(p.schemaDdl).fieldNames.toSeq
+        val nf = StructType.fromDDL(next.schemaDdl).fieldNames.toSeq
+        if (nf == pf) next.copy(colIds = p.colIds, nextColId = p.nextColId)
+        else if (nf.startsWith(pf))
+          next.copy(
+            colIds = p.colIds ++
+              (p.nextColId until p.nextColId + (nf.length - pf.length)),
+            nextColId = p.nextColId + (nf.length - pf.length))
+        else {
+          // unrelated schema = a truncate-style new generation: fresh
+          // binding (old generations keep resolving through their own
+          // manifests' bindings; the allocator stays monotone so no id
+          // from this lineage is ever ambiguous within a version)
+          val n = nf.length.toLong
+          next.copy(colIds = (0L until n),
+            nextColId = math.max(p.nextColId, n))
+        }
+    }
+  }
+
   private[sources] def publish(dir: String,
                                make: Option[Manifest] => Option[Manifest]): Option[Manifest] = {
     var floor = 0L
@@ -450,7 +504,7 @@ object WarehouseSink {
     while (attempts < 200) {
       attempts += 1
       val prev = base.orElse(readManifest(dir))
-      make(prev) match {
+      make(prev).map(inheritColIds(prev, _)) match {
         case None => return None // caller declined (e.g. replayed epoch)
         case Some(m0) =>
           val v = math.max(prev.map(_.version + 1).getOrElse(0L), floor)
@@ -671,7 +725,13 @@ object WarehouseSink {
     publish(dir, { prev =>
       Some(Manifest(0L, target.schemaDdl, target.files,
         prev.map(_.epoch).getOrElse(-1L), target.partitionCol,
-        target.sortedBy, op = "restore", dvs = target.dvs))
+        target.sortedBy, op = "restore", dvs = target.dvs,
+        // the TARGET version's name↔id binding (restore may cross a
+        // rename); the allocator stays at the lineage's high-water mark
+        // so ids freed by the rollback are never recycled
+        colIds = target.colIds,
+        nextColId = math.max(target.nextColId,
+          prev.map(_.nextColId).getOrElse(-1L))))
     })
   }
 
@@ -712,7 +772,8 @@ object WarehouseSink {
     copyChecks(srcDir, dstDir) // the clone inherits the CHECK policy
     writeManifest(dstDir, Manifest(0L, m.schemaDdl, m.files, epoch = -1L,
       m.partitionCol, m.sortedBy, op = "clone", cdf = m.cdf,
-      ts = System.currentTimeMillis(), dvs = m.dvs))
+      ts = System.currentTimeMillis(), dvs = m.dvs,
+      colIds = m.colIds, nextColId = m.nextColId))
     linked
   }
 
@@ -952,7 +1013,8 @@ object WarehouseSink {
             head.files ++ newFiles, epoch.getOrElse(head.epoch),
             head.partitionCol,
             sortedBy = "", op = "branch-append", cdf = head.cdf,
-            dvs = head.dvs, ts = System.currentTimeMillis()))
+            dvs = head.dvs, ts = System.currentTimeMillis(),
+            colIds = head.colIds, nextColId = head.nextColId))
           claimed = true
         } catch {
           case _: java.nio.file.FileAlreadyExistsException => v += 1
@@ -1317,6 +1379,103 @@ object WarehouseSink {
       val p = prev.getOrElse(cur)
       Some(Manifest(0L, p.schemaDdl, p.files, p.epoch, newSpec,
         sortedBy = "", op = "evolve", cdf = p.cdf, dvs = p.dvs))
+    })
+  }
+
+  /** Give a pre-field-id table its name↔id binding (ids 0..n−1 for the
+    * current schema) — a metadata-only publish. Files written AFTER this
+    * carry `#ids` sidecars; legacy files don't until maintain() rewrites
+    * them, which is why [[renameColumn]]/[[dropColumn]] gate on both. */
+  def assignColumnIds(dir: String): Unit = {
+    publish(dir, { prev =>
+      val p = prev.getOrElse(throw new IllegalArgumentException(
+        s"no warehouse table at $dir"))
+      if (p.colIds.nonEmpty) None // already bound: nothing to publish
+      else {
+        val n = StructType.fromDDL(p.schemaDdl).fields.length
+        Some(p.copy(colIds = (0L until n.toLong), nextColId = n.toLong,
+          op = "assign_column_ids", changeFiles = Nil))
+      }
+    })
+  }
+
+  private def requireFileIds(dir: String, m: Manifest, op: String): Unit =
+    m.files.foreach { f =>
+      require(readFileIds(dir, f).isDefined,
+        s"$op: data file $f predates field-id sidecars — run maintain() " +
+          "to rewrite files (after assignColumnIds on a legacy table), " +
+          "then retry")
+    }
+
+  private def renameInSpec(spec: String, from: String, to: String): String =
+    if (spec.isEmpty) spec
+    else parsePartSpecs(spec).map {
+      case IdPart(c) => IdPart(if (c == from) to else c)
+      case BucketPart(n, c) => BucketPart(n, if (c == from) to else c)
+      case DaysPart(c) => DaysPart(if (c == from) to else c)
+    }.map(_.spec).mkString(",")
+
+  /** Metadata-only column RENAME — the Iceberg column-mapping move: the
+    * manifest's DDL changes, the stable field id does NOT, and every
+    * data file (whose `#ids` sidecar binds its local column order to
+    * those ids) keeps resolving under the new name with zero bytes
+    * rewritten — data files, stats sidecars and recorded partition
+    * specs all surface through the per-file id translation
+    * ([[renameMap]]). Time travel to a pre-rename version reads the old
+    * name: each version resolves the SAME id through its own DDL.
+    * Requires every live file to carry `#ids` (maintain() rewrites
+    * legacy files) — refusing is what keeps the by-name fallback from
+    * silently nulling renamed columns on old files. */
+  def renameColumn(dir: String, from: String, to: String): Unit = {
+    publish(dir, { prev =>
+      val p = prev.getOrElse(throw new IllegalArgumentException(
+        s"no warehouse table at $dir"))
+      val schema = StructType.fromDDL(p.schemaDdl)
+      require(schema.fieldNames.contains(from),
+        s"renameColumn: no column $from in [${p.schemaDdl}]")
+      require(!schema.fieldNames.contains(to),
+        s"renameColumn: column $to already exists")
+      require(p.colIds.nonEmpty,
+        "renameColumn: table has no field ids — call assignColumnIds " +
+          "and maintain() first")
+      requireFileIds(dir, p, "renameColumn")
+      val newSchema = StructType(schema.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f))
+      Some(p.copy(schemaDdl = newSchema.toDDL,
+        partitionCol = renameInSpec(p.partitionCol, from, to),
+        sortedBy = if (p.sortedBy == from) to else p.sortedBy,
+        op = "rename_column", changeFiles = Nil))
+    })
+  }
+
+  /** Metadata-only column DROP: the field leaves the manifest DDL and
+    * its id leaves the binding — data files are untouched (their bytes
+    * become unreferenced, reclaimed only by a rewrite). Because
+    * `nextColId` is monotone and never recycles, a LATER column added
+    * under the same name gets a FRESH id, so old files' stored values
+    * can never resurrect through it — the guarantee pure by-name
+    * resolution cannot give, and why this too gates on `#ids`. */
+  def dropColumn(dir: String, name: String): Unit = {
+    publish(dir, { prev =>
+      val p = prev.getOrElse(throw new IllegalArgumentException(
+        s"no warehouse table at $dir"))
+      val schema = StructType.fromDDL(p.schemaDdl)
+      val i = schema.fieldNames.indexOf(name)
+      require(i >= 0, s"dropColumn: no column $name in [${p.schemaDdl}]")
+      require(schema.fields.length > 1,
+        "dropColumn: cannot drop the last column")
+      require(p.colIds.nonEmpty,
+        "dropColumn: table has no field ids — call assignColumnIds " +
+          "and maintain() first")
+      require(!parsePartSpecs(p.partitionCol).exists(_.col == name),
+        s"dropColumn: $name is a partition column — evolvePartitioning " +
+          "off it first")
+      requireFileIds(dir, p, "dropColumn")
+      val newSchema = StructType(schema.fields.patch(i, Nil, 1))
+      Some(p.copy(schemaDdl = newSchema.toDDL,
+        colIds = p.colIds.patch(i, Nil, 1),
+        sortedBy = if (p.sortedBy == name) "" else p.sortedBy,
+        op = "drop_column", changeFiles = Nil))
     })
   }
 
@@ -2022,11 +2181,44 @@ object WarehouseSink {
         StandardCopyOption.ATOMIC_MOVE)
     Files.move(new File(from, f).toPath, new File(to, f).toPath,
       StandardCopyOption.ATOMIC_MOVE)
+    restampIds(to.getPath, f)
+  }
+
+  /** Re-stamp a just-moved file's `#ids` line against the DESTINATION
+    * table's binding — the one choke point every landing file passes
+    * (plain appends, DML/maintain rewrites staged through temp tables,
+    * branch appends). A temp-table stage assigns positional ids against
+    * ITS OWN empty manifest; after a dropColumn the real table's binding
+    * is no longer positional, and without this re-stamp the moved file's
+    * ids would tombstone live columns. Names the destination binding
+    * does not know keep their staged id (a mergeSchema evolution's new
+    * columns — the publish allocates exactly those). No-op when either
+    * side lacks ids. */
+  private def restampIds(destDir: String, f: String): Unit = {
+    val m = readManifest(destDir).getOrElse(return)
+    if (m.colIds.isEmpty) return
+    val binding = StructType.fromDDL(m.schemaDdl).fieldNames.toSeq
+      .zip(m.colIds).toMap
+    val cols = readFileCols(destDir, f).getOrElse(return)
+    val staged = readFileIds(destDir, f).getOrElse(return)
+    if (cols.length != staged.length) return
+    val restamped = cols.zip(staged).map { case (c, sid) =>
+      binding.getOrElse(c, sid) }
+    if (restamped == staged) return
+    val sc = new File(destDir, statsFile(f))
+    val body = new String(Files.readAllBytes(sc.toPath), StandardCharsets.UTF_8)
+      .split("\n", -1).map { ln =>
+        if (ln.startsWith(IdsTag + "\t"))
+          IdsTag + "\t" + restamped.mkString(",")
+        else ln
+      }.mkString("\n")
+    Files.write(sc.toPath, body.getBytes(StandardCharsets.UTF_8))
   }
 
   /** Column → (min, max) from a data file's sidecar; None if absent. */
   private[sources] def readStats(dir: String, dataFile: String,
-                                 schema: StructType): Option[Map[String, (Any, Any)]] = {
+                                 schema: StructType,
+                                 rn: Map[String, String] = Map.empty): Option[Map[String, (Any, Any)]] = {
     val f = new File(dir, statsFile(dataFile))
     if (!f.isFile) return None
     val byName = schema.fields.map(x => x.name -> x.dataType).toMap
@@ -2035,7 +2227,10 @@ object WarehouseSink {
       .split("\n").filter(_.nonEmpty).foreach { ln =>
         val t = ln.split("\t", -1)
         if (t.length == 3) {
-          val name = decStr(t(0))
+          // keys surface under the CURRENT column name: a file written
+          // before a rename stores stats under its local (old) name,
+          // and the id-derived translation bridges the two
+          val name = { val n0 = decStr(t(0)); rn.getOrElse(n0, n0) }
           byName.get(name).foreach { dt =>
             m(name) = (decode(t(1), dt), decode(t(2), dt))
           }
@@ -2108,6 +2303,104 @@ object WarehouseSink {
     ColsTag + "\t" +
       schema.fields.map(f => encode(f.name)).mkString(ColsSep.toString)
 
+  // ---- stable field ids (rename/drop support) ----
+  private[sources] val IdsTag = "#ids"
+  private[sources] val ColIdMeta = "graft.colId"
+
+  /** The file's column ids, aligned with its `#cols` line. None for
+    * files written before field-id support (by-name semantics). */
+  private[sources] def readFileIds(dir: String,
+                                   dataFile: String): Option[Seq[Long]] = {
+    val f = new File(dir, statsFile(dataFile))
+    if (!f.isFile) return None
+    new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .split("\n").collectFirst {
+        case ln if ln.startsWith(IdsTag + "\t") &&
+          ln.split("\t", -1).length == 2 =>
+          ln.substring(IdsTag.length + 1).split(",").toSeq
+            .filter(_.nonEmpty).map(_.toLong)
+      }
+  }
+
+  /** The ids a write under `schema` must record, aligned with the write
+    * schema: known columns take the manifest's binding; NEW columns
+    * (mergeSchema evolution) take exactly the ids [[inheritColIds]] will
+    * allocate at publish — position among the fields [[mergeSchemas]]
+    * appends, from `nextColId` upward — so sidecars written at task time
+    * and the manifest published after agree. None for pre-field-id
+    * tables (their files stay name-only until maintain() rewrites). */
+  private[sources] def writeIdsFor(dir: String, schema: StructType,
+                                   truncate: Boolean = false): Option[Seq[Long]] = {
+    readManifest(dir) match {
+      case Some(m) if m.colIds.nonEmpty =>
+        val prevSchema = StructType.fromDDL(m.schemaDdl)
+        val names = prevSchema.fieldNames.toSeq
+        if (truncate) {
+          // mirror inheritColIds' truncate handling exactly: same
+          // schema inherits the binding, an unrelated one resets it
+          if (schema.fieldNames.toSeq == names) Some(m.colIds)
+          else Some(schema.fieldNames.indices.map(_.toLong).toSeq)
+        } else {
+          val known = names.zip(m.colIds).toMap
+          val appended = mergeSchemas(prevSchema, schema)
+            .fieldNames.drop(names.length)
+          val alloc = appended.zipWithIndex
+            .map { case (n2, k) => n2 -> (m.nextColId + k) }.toMap
+          Some(schema.fieldNames.toSeq.map(n2 =>
+            known.getOrElse(n2, alloc(n2))))
+        }
+      case Some(_) => None // pre-field-id table
+      case None => // first write: matches inheritColIds' prev-None branch
+        Some(schema.fieldNames.indices.map(_.toLong).toSeq)
+    }
+  }
+
+  /** Stash each field's id in its metadata so the write schema carries
+    * the binding to every task with no writer-signature changes. */
+  private[sources] def withColIdMetadata(dir: String, schema: StructType,
+                                         truncate: Boolean = false): StructType =
+    writeIdsFor(dir, schema, truncate) match {
+      case Some(ids) => StructType(schema.fields.zip(ids).map {
+        case (f, id) => f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putLong(ColIdMeta, id).build())
+      })
+      case None => schema
+    }
+
+  private[sources] def idsLine(schema: StructType): Option[String] = {
+    val ids = schema.fields.map(f =>
+      if (f.metadata.contains(ColIdMeta)) Some(f.metadata.getLong(ColIdMeta))
+      else None)
+    if (ids.nonEmpty && ids.forall(_.isDefined))
+      Some(IdsTag + "\t" + ids.map(_.get).mkString(","))
+    else None
+  }
+
+  /** file-local name → CURRENT name, for columns whose stable id appears
+    * in both the file's `#ids` sidecar and the manifest binding. Empty
+    * when either side predates field ids — pure by-name semantics. */
+  private[sources] def renameMap(dir: String, dataFile: String,
+                                 tableCols: Seq[String],
+                                 tableIds: Seq[Long]): Map[String, String] = {
+    if (tableIds.isEmpty) return Map.empty
+    (readFileCols(dir, dataFile), readFileIds(dir, dataFile)) match {
+      case (Some(fc), Some(fi)) if fc.length == fi.length =>
+        // ID-AUTHORITATIVE when both sides carry ids: a file column
+        // whose id is NOT in the binding was DROPPED — it maps to a
+        // tombstone no real column name can equal (column names cannot
+        // contain a tab), so a later column REUSING the name can never
+        // resurrect its stored values — the guarantee a by-name
+        // fallback cannot give.
+        fi.zip(fc).map { case (id, local) =>
+          val k = tableIds.indexOf(id)
+          if (k >= 0) local -> tableCols(k)
+          else local -> ("\tdropped#" + id)
+        }.toMap
+      case _ => Map.empty
+    }
+  }
+
   // Per-column null counts and (integral-only) exact sums — the sidecar
   // lines that extend metadata-only aggregation to COUNT(col) and
   // SUM(col). Both are 2-FIELD lines with the column name folded into a
@@ -2140,13 +2433,17 @@ object WarehouseSink {
 
   /** Column → null count for one file; missing column = sidecar predates
     * null tracking (pushdown must refuse). */
-  private[sources] def readNullCounts(dir: String, dataFile: String): Map[String, Long] =
+  private[sources] def readNullCounts(dir: String, dataFile: String,
+                                      rn: Map[String, String] = Map.empty): Map[String, Long] =
     read2Field(dir, dataFile, NullsTagPrefix)
+      .map { case (k, v) => rn.getOrElse(k, k) -> v }
 
   /** Column → exact sum of non-null values (integral columns only;
     * absent on overflow or non-integral types). */
-  private[sources] def readSums(dir: String, dataFile: String): Map[String, Long] =
+  private[sources] def readSums(dir: String, dataFile: String,
+                                rn: Map[String, String] = Map.empty): Map[String, Long] =
     read2Field(dir, dataFile, SumTagPrefix)
+      .map { case (k, v) => rn.getOrElse(k, k) -> v }
 
   /** Widen `prev` by `next`'s new columns — the mergeSchema contract:
     * existing columns keep their type (a type change is an error, not a
@@ -2283,19 +2580,20 @@ object WarehouseSink {
     * (`#nulls` == `#rows`). Conservative like [[mightMatch]]: a missing
     * sidecar line never prunes. */
   private[sources] def nullAwareMatch(dir: String, dataFile: String,
-                                      f: org.apache.spark.sql.sources.Filter): Boolean = {
+                                      f: org.apache.spark.sql.sources.Filter,
+                                      rn: Map[String, String] = Map.empty): Boolean = {
     import org.apache.spark.sql.sources._
     f match {
-      case IsNull(c) => readNullCounts(dir, dataFile).get(c).forall(_ > 0)
+      case IsNull(c) => readNullCounts(dir, dataFile, rn).get(c).forall(_ > 0)
       case IsNotNull(c) =>
         (for {
-          n <- readNullCounts(dir, dataFile).get(c)
+          n <- readNullCounts(dir, dataFile, rn).get(c)
           r <- readRowCount(dir, dataFile)
         } yield n < r).getOrElse(true)
       case And(l, r) =>
-        nullAwareMatch(dir, dataFile, l) && nullAwareMatch(dir, dataFile, r)
+        nullAwareMatch(dir, dataFile, l, rn) && nullAwareMatch(dir, dataFile, r, rn)
       case Or(l, r) =>
-        nullAwareMatch(dir, dataFile, l) || nullAwareMatch(dir, dataFile, r)
+        nullAwareMatch(dir, dataFile, l, rn) || nullAwareMatch(dir, dataFile, r, rn)
       case _ => true
     }
   }
@@ -2483,10 +2781,16 @@ private[sources] class WarehouseScanBuilder(dir: String, schema: StructType,
       case None => WarehouseSink.readManifest(dir)
     }
     val files = manifest.map(_.files).getOrElse(Nil)
+    // per-file id-derived (local → current) name translation, so a file
+    // written before a RENAME still answers under the current name
+    val tCols = manifest.map(x => StructType.fromDDL(x.schemaDdl)
+      .fieldNames.toSeq).getOrElse(Nil)
+    val tIds = manifest.map(_.colIds).getOrElse(Nil)
+    val rns = files.map(f => WarehouseSink.renameMap(dir, f, tCols, tIds))
     val counts = files.map(f => WarehouseSink.readRowCount(dir, f)
       .getOrElse(return None)) // pre-rowcount sidecar: stats not provably complete
-    val stats = files.map(f => WarehouseSink.readStats(dir, f, schema)
-      .getOrElse(return None))
+    val stats = files.zip(rns).map { case (f, rn) =>
+      WarehouseSink.readStats(dir, f, schema, rn).getOrElse(return None) }
     // Deletion vectors make every per-column sidecar line STALE-SUPERSET
     // (the min row may be deleted; null/sum lines count deleted rows), so
     // with any vector live only COUNT(*) keeps an exact metadata answer —
@@ -2522,8 +2826,8 @@ private[sources] class WarehouseScanBuilder(dir: String, schema: StructType,
         // line means a pre-nulls sidecar, where nothing proves the count).
         val c = singleColumn(cnt.column).getOrElse(return None)
         if (!schema.fieldNames.contains(c)) return None
-        val nulls = files.map(f =>
-          WarehouseSink.readNullCounts(dir, f).getOrElse(c, return None))
+        val nulls = files.zip(rns).map { case (f, rn) =>
+          WarehouseSink.readNullCounts(dir, f, rn).getOrElse(c, return None) }
         (StructField(s"count_$c", LongType, nullable = false),
           counts.sum - nulls.sum: Any)
       case s: Sum if !s.isDistinct =>
@@ -2537,10 +2841,10 @@ private[sources] class WarehouseScanBuilder(dir: String, schema: StructType,
           case LongType | IntegerType =>
           case _ => return None
         }
-        val sums = files.map(f =>
-          WarehouseSink.readSums(dir, f).getOrElse(c, return None))
-        val nulls = files.map(f =>
-          WarehouseSink.readNullCounts(dir, f).getOrElse(c, return None))
+        val sums = files.zip(rns).map { case (f, rn) =>
+          WarehouseSink.readSums(dir, f, rn).getOrElse(c, return None) }
+        val nulls = files.zip(rns).map { case (f, rn) =>
+          WarehouseSink.readNullCounts(dir, f, rn).getOrElse(c, return None) }
         val nonNull = counts.sum - nulls.sum
         val total = try sums.foldLeft(0L)(Math.addExact)
           catch { case _: ArithmeticException => return None } // scan raises ANSI overflow
@@ -2663,7 +2967,8 @@ private[sources] class WarehouseBatchWrite(dir: String, schema: StructType,
     if (cks.nonEmpty) new CheckEvaluator(cks, schema) // driver-side validation
     val specs = WarehouseSink.parsePartSpecs(partitionCol)
     specs.foreach(t => schema.fieldIndex(t.col)) // fail fast on the driver
-    new WarehouseWriterFactory(staging.getPath, schema, specs, cks)
+    new WarehouseWriterFactory(staging.getPath,
+      WarehouseSink.withColIdMetadata(dir, schema, truncate), specs, cks)
   }
 
   /** Publish: move exactly the files the coordinator-admitted attempts
@@ -2786,7 +3091,8 @@ private[sources] class WarehouseStreamingWrite(dir: String, schema: StructType,
     base.mkdirs()
     val cks = WarehouseSink.checks(dir)
     if (cks.nonEmpty) new CheckEvaluator(cks, schema) // fail fast on driver
-    new WarehouseStreamingWriterFactory(base.getPath, schema, cks)
+    new WarehouseStreamingWriterFactory(base.getPath,
+      WarehouseSink.withColIdMetadata(dir, schema), cks)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -2964,6 +3270,10 @@ private[sources] class FileSink(stagingDir: String, schema: StructType,
     // The file's own column order (2-field `#cols` line): what makes the
     // file readable after later schema evolutions re-map positions.
     sb.append(WarehouseSink.colsLine(schema)).append('\n')
+    // Stable field ids aligned with #cols (2-field `#ids` line) — what
+    // makes the file readable after a column RENAME (resolution by id
+    // beats resolution by a name that no longer exists).
+    WarehouseSink.idsLine(schema).foreach(l => sb.append(l).append('\n'))
     tpart.foreach(v => sb.append(WarehouseSink.TpartTag).append('\t')
       .append(v).append('\n'))
     // The spec the tuple was written under — the partition-evolution
@@ -3235,13 +3545,17 @@ private[sources] class WarehouseScan(dir: String, schema: StructType,
         .getOrElse(Nil)
       val hasTransform =
         specs.exists(!_.isInstanceOf[WarehouseSink.IdPart])
+      val tCols = m.map(p => StructType.fromDDL(p.schemaDdl)
+        .fieldNames.toSeq).getOrElse(Nil)
+      val tIds = m.map(_.colIds).getOrElse(Nil)
       files.filter { f =>
-        (WarehouseSink.readStats(dir, f, schema) match {
+        val rn = WarehouseSink.renameMap(dir, f, tCols, tIds)
+        (WarehouseSink.readStats(dir, f, schema, rn) match {
           case Some(st) => all.forall(WarehouseSink.mightMatch(st, _))
           case None => true // pre-stats file: never skip blind
-        }) && all.forall(WarehouseSink.nullAwareMatch(dir, f, _)) &&
+        }) && all.forall(WarehouseSink.nullAwareMatch(dir, f, _, rn)) &&
           (!hasTransform ||
-            WarehouseSink.tpartAllows(dir, f, specs, all.toSeq))
+            WarehouseSink.tpartAllows(dir, f, specs, all.toSeq, rn))
       }
     }
   }
@@ -3286,8 +3600,16 @@ private[sources] class WarehouseScan(dir: String, schema: StructType,
       java.util.OptionalLong.of(bytes)
     override def numRows(): java.util.OptionalLong = rows
   }
-  override def createReaderFactory(): PartitionReaderFactory =
-    new WarehouseReaderFactory(schema, required)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val m = versionAsOf match {
+      case Some(v) => WarehouseSink.readManifestAt(dir, v)
+      case None => WarehouseSink.readManifest(dir)
+    }
+    new WarehouseReaderFactory(schema, required,
+      m.map(x => StructType.fromDDL(x.schemaDdl).fieldNames.toSeq)
+        .getOrElse(Nil),
+      m.map(_.colIds).getOrElse(Nil))
+  }
 
   // ---- storage-partitioned reads ----
   // When the manifest names a partition column and EVERY kept file
@@ -3309,6 +3631,17 @@ private[sources] class WarehouseScan(dir: String, schema: StructType,
     WarehouseSink.parsePartSpecs(m.map(_.partitionCol).getOrElse(""))
   }
 
+  /** The scanned version's (column names, field ids) binding — what the
+    * per-file rename translation resolves against. */
+  private def idBinding: (Seq[String], Seq[Long]) = {
+    val m = versionAsOf match {
+      case Some(v) => WarehouseSink.readManifestAt(dir, v)
+      case None => WarehouseSink.readManifest(dir)
+    }
+    (m.map(x => StructType.fromDDL(x.schemaDdl).fieldNames.toSeq)
+      .getOrElse(Nil), m.map(_.colIds).getOrElse(Nil))
+  }
+
   private def partitionGroups: Option[Seq[(Seq[Any], Seq[String])]] = {
     val specs = partSpecs
     if (specs.isEmpty || onlyFiles.nonEmpty ||
@@ -3316,8 +3649,10 @@ private[sources] class WarehouseScan(dir: String, schema: StructType,
     else if (specs.forall(_.isInstanceOf[WarehouseSink.IdPart])) {
       // identity layout: the per-file min==max stats check IS the claim
       val pcols = specs.map(_.col)
+      val (tCols, tIds) = idBinding
       val vals: Seq[Option[Seq[Any]]] = keptFiles.map { f =>
-        val st = WarehouseSink.readStats(dir, f, schema)
+        val st = WarehouseSink.readStats(dir, f, schema,
+          WarehouseSink.renameMap(dir, f, tCols, tIds))
         val per = pcols.map { pcol =>
           st.flatMap(_.get(pcol)) match {
             case Some((mn, mx)) if mn != null &&
@@ -3533,8 +3868,13 @@ private[sources] class WarehouseMicroBatchStream(dir: String,
       .toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new WarehouseReaderFactory(schema, required)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val m = WarehouseSink.readManifest(dir)
+    new WarehouseReaderFactory(schema, required,
+      m.map(x => StructType.fromDDL(x.schemaDdl).fieldNames.toSeq)
+        .getOrElse(Nil),
+      m.map(_.colIds).getOrElse(Nil))
+  }
 }
 
 /** Streaming READ of the row-level change feed — the table as a CDC
@@ -3626,8 +3966,13 @@ private[sources] class WarehouseCdfMicroBatchStream(dir: String,
     parts.result().toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new WarehouseReaderFactory(schema, required)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val m = WarehouseSink.readManifest(dir)
+    new WarehouseReaderFactory(schema, required,
+      m.map(x => StructType.fromDDL(x.schemaDdl).fieldNames.toSeq)
+        .getOrElse(Nil),
+      m.map(_.colIds).getOrElse(Nil))
+  }
 }
 
 /** One change-feed input split: a file to read plus the CDF metadata to
@@ -3641,8 +3986,14 @@ private[sources] case class WarehouseCdfPartition(path: String,
     extends InputPartition
 
 private[sources] class WarehouseReaderFactory(schema: StructType,
-                                              required: StructType)
+                                              required: StructType,
+                                              tableCols: Seq[String] = Nil,
+                                              tableIds: Seq[Long] = Nil)
     extends PartitionReaderFactory {
+  /** Per-file (local → current) name translation from stable field ids;
+    * empty when either side predates them (by-name decode, unchanged). */
+  private def rnOf(file: File): Map[String, String] =
+    WarehouseSink.renameMap(file.getParent, file.getName, tableCols, tableIds)
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case WarehouseFilePartition(path, dv) => fileReader(path, dv)
@@ -3677,8 +4028,14 @@ private[sources] class WarehouseReaderFactory(schema: StructType,
                             version: Long,
                             dv: String = ""): PartitionReader[InternalRow] = {
     val file = new File(path)
+    val rn = rnOf(file)
+    // CDF metadata columns live OUTSIDE the table's field-id space (a
+    // capture file's _change_type has a staged id the binding never
+    // knows) — resolve them by name, translate only the data columns.
     val fileCols = WarehouseSink.readFileCols(file.getParent, file.getName)
       .getOrElse(schema.fieldNames.toSeq)
+      .map(c => if (c == "_change_type" || c == "_commit_version") c
+                else rn.getOrElse(c, c))
     val idxs = required.fields.map(f => fileCols.indexOf(f.name))
     val types = required.fields.map(_.dataType)
     val names = required.fields.map(_.name)
@@ -3728,8 +4085,14 @@ private[sources] class WarehouseReaderFactory(schema: StructType,
     // only by the internal rowPos read that builds NEW vectors) expose
     // each surviving row's file name and PHYSICAL line position.
     val file = new File(path)
+    val rn = rnOf(file)
+    // surface local names as CURRENT ones; CDF metadata columns (read
+    // through this path by tableChanges' capture-file reads) live
+    // outside the field-id space and resolve by name
     val fileCols = WarehouseSink.readFileCols(file.getParent, file.getName)
       .getOrElse(schema.fieldNames.toSeq)
+      .map(c => if (c == "_change_type" || c == "_commit_version") c
+                else rn.getOrElse(c, c))
     val idxs = required.fields.map(f => fileCols.indexOf(f.name))
     val types = required.fields.map(_.dataType)
     val names = required.fields.map(_.name)

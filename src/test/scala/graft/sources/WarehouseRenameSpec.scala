@@ -1,0 +1,165 @@
+package graft.sources
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Column RENAME/DROP via stable field ids — the Iceberg column-mapping
+  * semantics on the warehouse format: metadata-only commits, old files
+  * resolving by id under new names, monotone id allocation preventing
+  * dropped-column resurrection. */
+class WarehouseRenameSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Fmt = "graft.sources.WarehouseSink"
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_whren").toString
+
+  test("rename is metadata-only: both file eras read under the new name") {
+    val dir = tmp()
+    (1L to 5L).map(i => (i, s"b$i", i * 10L)).toDF("id", "brand", "price0")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val filesBefore = WarehouseSink.readManifest(dir).get.files.toSet
+    WarehouseSink.renameColumn(dir, "price0", "price")
+    // no data file was touched
+    assert(WarehouseSink.readManifest(dir).get.files.toSet === filesBefore)
+    assert(WarehouseSink.readManifest(dir).get.op === "rename_column")
+    // post-rename append: its files store the NEW name
+    (6L to 8L).map(i => (i, s"b$i", i * 10L)).toDF("id", "brand", "price")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val back = spark.read.format(Fmt).option("path", dir).load()
+    assert(back.columns.toSeq === Seq("id", "brand", "price"))
+    val got = back.select("id", "price").as[(Long, Long)].collect().toMap
+    assert(got === (1L to 8L).map(i => i -> i * 10L).toMap)
+    // filter touching both eras, answered through translated stats
+    assert(spark.read.format(Fmt).option("path", dir).load()
+      .filter(col("price") >= 40L && col("price") <= 60L)
+      .select("id").as[Long].collect().sorted.toSeq === Seq(4L, 5L, 6L))
+  }
+
+  test("metadata aggregates stay EXACT across a rename (no all-null lie)") {
+    val dir = tmp()
+    (1L to 4L).map(i => (i, i * 100L)).toDF("id", "v0")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    WarehouseSink.renameColumn(dir, "v0", "v")
+    (5L to 6L).map(i => (i, i * 100L)).toDF("id", "v")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val r = spark.read.format(Fmt).option("path", dir).load()
+      .agg(min("v"), max("v"), sum("v"), count(col("v"))).head()
+    assert(r.getLong(0) === 100L)
+    assert(r.getLong(1) === 600L)
+    assert(r.getLong(2) === 2100L) // a dropped pre-rename file would read 1100
+    assert(r.getLong(3) === 6L)
+    // and the plan actually answered from metadata, not a scan
+    val plan = spark.read.format(Fmt).option("path", dir).load()
+      .agg(sum("v")).queryExecution.executedPlan.toString
+    assert(plan.contains("metadata-only agg"),
+      s"expected a metadata answer, got:\n$plan")
+  }
+
+  test("time travel resolves the same field id through each version's own name") {
+    val dir = tmp()
+    (1L to 3L).map(i => (i, i * 2L)).toDF("id", "old_name")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    WarehouseSink.renameColumn(dir, "old_name", "new_name")
+    val now = spark.read.format(Fmt).option("path", dir).load()
+    assert(now.columns.toSeq === Seq("id", "new_name"))
+    val v0 = spark.read.format(Fmt).option("path", dir)
+      .option("versionAsOf", "0").load()
+    assert(v0.columns.toSeq === Seq("id", "old_name"))
+    assert(v0.select("old_name").as[Long].collect().sorted.toSeq ===
+      Seq(2L, 4L, 6L))
+    assert(now.select("new_name").as[Long].collect().sorted.toSeq ===
+      Seq(2L, 4L, 6L))
+  }
+
+  test("drop + re-add same name: the dropped column's data can NEVER resurrect") {
+    val dir = tmp()
+    (1L to 3L).map(i => (i, s"secret$i", i)).toDF("id", "note", "k")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    WarehouseSink.dropColumn(dir, "note")
+    assert(spark.read.format(Fmt).option("path", dir).load()
+      .columns.toSeq === Seq("id", "k"))
+    // re-add a column NAMED note via mergeSchema: it gets a FRESH id
+    (4L to 5L).map(i => (i, i, s"fresh$i")).toDF("id", "k", "note")
+      .write.format(Fmt).option("path", dir)
+      .option("mergeSchema", "true").mode("append").save()
+    val got = spark.read.format(Fmt).option("path", dir).load()
+      .select("id", "note").as[(Long, Option[String])].collect().toMap
+    // old rows read NULL — "secret1..3" is gone for good; new rows read fresh
+    assert(got === Map(1L -> None, 2L -> None, 3L -> None,
+      4L -> Some("fresh4"), 5L -> Some("fresh5")))
+  }
+
+  test("renaming a partition column keeps pruning and partitioned reads") {
+    val dir = tmp()
+    (1L to 20L).map(i => (i, i % 4, i * 10L)).toDF("id", "bucket0", "v")
+      .write.format(Fmt).option("path", dir)
+      .option("partitionBy", "bucket0").mode("append").save()
+    WarehouseSink.renameColumn(dir, "bucket0", "cell")
+    assert(WarehouseSink.readManifest(dir).get.partitionCol === "cell")
+    val got = spark.read.format(Fmt).option("path", dir).load()
+      .filter(col("cell") === 2).select("id").as[Long].collect().sorted
+    assert(got.toSeq === (1L to 20L).filter(_ % 4 == 2))
+    // file pruning via the translated recorded tuples: the scan plans
+    // only cell=2's files
+    val scanned = spark.read.format(Fmt).option("path", dir).load()
+      .filter(col("cell") === 2).queryExecution.executedPlan
+      .collectLeaves().map(_.toString).mkString
+    // correctness above is the hard assert; this is the layout claim
+    assert(spark.read.format(Fmt).option("path", dir).load()
+      .filter(col("cell") === 2).rdd.getNumPartitions <=
+      spark.read.format(Fmt).option("path", dir).load()
+        .rdd.getNumPartitions)
+  }
+
+  test("chained renames and rename-back stay consistent") {
+    val dir = tmp()
+    (1L to 3L).map(i => (i, i * 5L)).toDF("id", "a")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    WarehouseSink.renameColumn(dir, "a", "b")
+    WarehouseSink.renameColumn(dir, "b", "c")
+    (4L to 4L).map(i => (i, i * 5L)).toDF("id", "c")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    WarehouseSink.renameColumn(dir, "c", "a") // full circle
+    assert(spark.read.format(Fmt).option("path", dir).load()
+      .select("a").as[Long].collect().sorted.toSeq ===
+      Seq(5L, 10L, 15L, 20L))
+  }
+
+  test("rename refuses when a live file lacks the #ids sidecar line") {
+    val dir = tmp()
+    (1L to 3L).map(i => (i, i)).toDF("id", "x")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    // strip one file's #ids line — simulating a pre-field-id data file
+    val f = WarehouseSink.readManifest(dir).get.files.head
+    val sidecar = new File(dir).listFiles
+      .find(x => x.getName.contains(f.stripSuffix(".wtsv")) &&
+        x.getName != f).get
+    val body = new String(Files.readAllBytes(sidecar.toPath),
+      StandardCharsets.UTF_8).split("\n")
+      .filterNot(_.startsWith("#ids\t")).mkString("\n")
+    Files.write(sidecar.toPath, body.getBytes(StandardCharsets.UTF_8))
+    val ex = intercept[IllegalArgumentException] {
+      WarehouseSink.renameColumn(dir, "x", "y")
+    }
+    assert(ex.getMessage.contains("maintain()"))
+  }
+
+  test("dropping a partition column is refused; dropping the last column is refused") {
+    val dir = tmp()
+    (1L to 4L).map(i => (i, i % 2)).toDF("id", "p")
+      .write.format(Fmt).option("path", dir)
+      .option("partitionBy", "p").mode("append").save()
+    assert(intercept[IllegalArgumentException] {
+      WarehouseSink.dropColumn(dir, "p")
+    }.getMessage.contains("partition column"))
+    WarehouseSink.dropColumn(dir, "id")
+    assert(intercept[IllegalArgumentException] {
+      WarehouseSink.dropColumn(dir, "p")
+    }.getMessage.contains("last column"))
+  }
+}
