@@ -1922,6 +1922,28 @@ object SparkEntry {
       Experiment.poissonBootstrap(Tables.events(s, d), "event_type",
         "value", "event_id", replicas = 32)),
 
+    // Wide→long melt (pandas .melt / SQL UNPIVOT): the reshape every
+    // feature-comparison surface runs before a per-metric groupBy —
+    // Spark's native unpivot, so Catalyst sees one Expand, not 3 scans.
+    "q320_unpivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("quantity"),
+          floor(col("l_discount") * 100 + 0.5).cast("long")
+            .as("discount_centi"),
+          floor(col("l_tax") * 100 + 0.5).cast("long").as("tax_centi"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("quantity"), col("discount_centi"), col("tax_centi")),
+          "metric", "value")),
+
+    // Cumulative distinct users per event type by day: each key counted
+    // on its FIRST day only (one keyed aggregate), running sum over the
+    // tiny (type, day) table — never a per-day expanding re-scan.
+    "q321_running_distinct" -> ((s, d) =>
+      Analytics.runningDistinct(Tables.events(s, d), "event_type",
+        "ts_t", "user_id")),
+
     // Column mapping end-to-end: write → RENAME (metadata-only, field
     // ids) → append under the new name → DROP a column → read both file
     // eras back; the oracle recomputes from the source, so the hash
@@ -9176,6 +9198,36 @@ object SparkEntry {
       """SELECT event_type,
                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
          FROM events WHERE user_id IS NOT NULL GROUP BY 1""",
+
+    // Melt replayed as the explicit three-way UNION ALL.
+    "q320_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, value FROM (
+           SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+                  CAST(l_quantity AS BIGINT) AS value
+           FROM lineitem WHERE l_orderkey % 50 = 0
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'discount_centi',
+                  CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+           FROM lineitem WHERE l_orderkey % 50 = 0
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'tax_centi',
+                  CAST(floor(l_tax * 100 + 0.5) AS BIGINT)
+           FROM lineitem WHERE l_orderkey % 50 = 0) u""",
+
+    // First-day marking + running sum, replayed with the same windows.
+    "q321_running_distinct" ->
+      """WITH fd AS (SELECT event_type AS g, user_id AS k,
+                CAST(min(ts) AS DATE) AS d
+             FROM events
+             WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+             GROUP BY 1, 2),
+         daily AS (SELECT g, d, CAST(count(*) AS BIGINT) AS n_new
+                   FROM fd GROUP BY 1, 2)
+         SELECT g AS event_type, strftime(d, '%Y-%m-%d') AS d, n_new,
+                CAST(sum(n_new) OVER (PARTITION BY g ORDER BY d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_distinct
+         FROM daily ORDER BY event_type, d""",
 
     // The rename/drop cycle is metadata-only, so the oracle recomputes
     // the SAME rows straight from the source table.

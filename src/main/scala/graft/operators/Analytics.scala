@@ -479,6 +479,35 @@ object Analytics {
     * key, which AQE converts to broadcast only when the cohort side
     * actually fits), then one distinct-count aggregate over (cohort,
     * offset, user). Two key shuffles total, each shrinking the data. */
+  /** Running distinct keys per group by day — the "cumulative unique
+    * users" growth curve every product dashboard draws, EXACT at scale:
+    * the naive plan (per-day distinct over an expanding window) re-scans
+    * the corpus per day; this one marks each (group, key)'s FIRST day in
+    * one keyed aggregate — each key contributes to exactly one day's
+    * `n_new` — and the cumulative curve is a running sum over the tiny
+    * (group, day) table. One corpus-keyed shuffle + a bounded window.
+    * Days with no new keys don't emit a row (the curve is flat there;
+    * callers joining a calendar get the fill — documented, and exactly
+    * what the oracle replays). */
+  def runningDistinct(events: DataFrame, groupCol: String, tsCol: String,
+                      keyCol: String): DataFrame = {
+    val firstDay = events
+      .filter(col(groupCol).isNotNull && col(keyCol).isNotNull)
+      .groupBy(col(groupCol).as("graft_g"), col(keyCol).as("graft_k"))
+      .agg(min(col(tsCol).cast("date")).as("d"))
+    val daily = firstDay.groupBy("graft_g", "d")
+      .agg(count(lit(1)).as("n_new"))
+    daily
+      .withColumn("cum_distinct", sum("n_new").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("graft_g")
+          .orderBy("d")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .select(col("graft_g").as(groupCol),
+        date_format(col("d"), "yyyy-MM-dd").as("d"),
+        col("n_new").cast("long").as("n_new"),
+        col("cum_distinct").cast("long").as("cum_distinct"))
+  }
+
   def cohortRetention(events: DataFrame, userCol: String,
                       tsCol: String): DataFrame = {
     val wk = date_trunc("week", col(tsCol))

@@ -1101,6 +1101,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(re === want)
   }
 
+  test("runningDistinct: first-day marking, cumulative curve, flat days absent") {
+    // u1 first on d1; u2 first on d1; u1 AGAIN on d2 (not new); u3 on d3.
+    // d2 has no new keys → no row (flat curve, documented).
+    val ev = Seq(
+      ("click", "2024-01-01 10:00:00", 1L),
+      ("click", "2024-01-01 11:00:00", 2L),
+      ("click", "2024-01-02 10:00:00", 1L),
+      ("click", "2024-01-03 10:00:00", 3L),
+      ("view", "2024-01-02 09:00:00", 1L))
+      .map { case (t, s, u) => (t, java.sql.Timestamp.valueOf(s), u) }
+      .toDF("event_type", "ts_t", "user_id")
+    val got = Analytics.runningDistinct(ev, "event_type", "ts_t", "user_id")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(got === Set(
+      ("click", "2024-01-01", 2L, 2L),
+      ("click", "2024-01-03", 1L, 3L),
+      ("view", "2024-01-02", 1L, 1L)))
+  }
+
   test("BitmapDistinctAgg: array→bitmap promotion, negatives, kryo round-trip, merge aliasing") {
     // Container mechanics straight through the Aggregator interface:
     // push one block past the 4096 promotion threshold, keep another
