@@ -1944,6 +1944,27 @@ object SparkEntry {
       Analytics.runningDistinct(Tables.events(s, d), "event_type",
         "ts_t", "user_id")),
 
+    // Type widening end-to-end: int data files under a widened-to-long
+    // schema, plus post-widen rows only a long can hold — the oracle
+    // recomputes from the source, proving both eras decode exactly.
+    "q322_type_widening" -> ((s, d) => {
+      val fmt = "graft.sources.WarehouseSink"
+      val dir = java.nio.file.Files.createTempDirectory("graft_wid_").toString
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        col("l_quantity").cast("int").as("qty"))
+      li.filter(col("l_orderkey") % 2 === 0)
+        .write.format(fmt).option("path", dir).mode("overwrite").save()
+      sources.WarehouseSink.widenColumnType(dir, "qty", "bigint")
+      li.filter(col("l_orderkey") % 2 === 1)
+        .select(col("l_orderkey"), col("qty").cast("bigint").as("qty"))
+        .write.format(fmt).option("path", dir).mode("append").save()
+      s.read.format(fmt).option("path", dir).load()
+        .groupBy((col("l_orderkey") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"), sum("qty").as("sum_qty"))
+        .select(col("bucket").cast("long").as("bucket"), col("n_rows"),
+          col("sum_qty").cast("long").as("sum_qty"))
+    }),
+
     // Column mapping end-to-end: write → RENAME (metadata-only, field
     // ids) → append under the new name → DROP a column → read both file
     // eras back; the oracle recomputes from the source, so the hash
@@ -9228,6 +9249,13 @@ object SparkEntry {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                   AS BIGINT) AS cum_distinct
          FROM daily ORDER BY event_type, d""",
+
+    // Widening is metadata-only too: same source recompute.
+    "q322_type_widening" ->
+      """SELECT CAST(l_orderkey % 10 AS BIGINT) AS bucket,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
 
     // The rename/drop cycle is metadata-only, so the oracle recomputes
     // the SAME rows straight from the source table.

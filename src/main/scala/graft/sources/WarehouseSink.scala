@@ -1448,6 +1448,41 @@ object WarehouseSink {
     })
   }
 
+  /** Metadata-only column TYPE WIDENING (int→long, int→double,
+    * long→double, float→double) — the third schema-evolution leg next
+    * to mergeSchema-append and rename/drop. The row codec stores tokens
+    * as text and decodes by the TABLE schema's type, so widening is a
+    * pure DDL publish: old files' int tokens parse as longs verbatim
+    * and integral tokens parse as doubles exactly (every int64 these
+    * files can hold round-trips the text form). Narrowing and any other
+    * conversion are refused — they could truncate stored values.
+    * Field id and stats sidecars are untouched: range/null/sum lines
+    * compare under the widened type through the same exactCmp/decode
+    * machinery the reader uses. */
+  def widenColumnType(dir: String, name: String, newTypeDdl: String): Unit = {
+    val allowed = Map(
+      "int" -> Set("bigint", "double"),
+      "bigint" -> Set("double"),
+      "float" -> Set("double"))
+    publish(dir, { prev =>
+      val p = prev.getOrElse(throw new IllegalArgumentException(
+        s"no warehouse table at $dir"))
+      val schema = StructType.fromDDL(p.schemaDdl)
+      val i = schema.fieldNames.indexOf(name)
+      require(i >= 0, s"widenColumnType: no column $name in [${p.schemaDdl}]")
+      val from = schema(i).dataType.simpleString
+      val toType = StructType.fromDDL(s"x $newTypeDdl").head.dataType
+      val to = toType.simpleString
+      require(allowed.get(from).exists(_.contains(to)),
+        s"widenColumnType: $from -> $to is not a lossless widening " +
+          s"(allowed: ${allowed.map { case (k, v) => s"$k->${v.mkString("/")}" }.mkString(", ")})")
+      val newSchema = StructType(schema.fields.updated(i,
+        schema.fields(i).copy(dataType = toType)))
+      Some(p.copy(schemaDdl = newSchema.toDDL, colIds = p.colIds,
+        op = "widen_column", changeFiles = Nil))
+    })
+  }
+
   /** Metadata-only column DROP: the field leaves the manifest DDL and
     * its id leaves the binding — data files are untouched (their bytes
     * become unreferenced, reclaimed only by a rewrite). Because

@@ -149,6 +149,49 @@ class WarehouseRenameSpec extends SparkSpec {
     assert(ex.getMessage.contains("maintain()"))
   }
 
+  test("type widening is metadata-only; narrowing refused; both eras decode") {
+    val dir = tmp()
+    Seq((1, 10), (2, 20), (3, 30)).toDF("id", "v")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val filesBefore = WarehouseSink.readManifest(dir).get.files.toSet
+    WarehouseSink.widenColumnType(dir, "v", "bigint")
+    assert(WarehouseSink.readManifest(dir).get.files.toSet === filesBefore)
+    // post-widen append carries values an int cannot hold
+    Seq((4L, 5000000000L)).toDF("id", "v")
+      .selectExpr("CAST(id AS INT) AS id", "v")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val back = spark.read.format(Fmt).option("path", dir).load()
+    assert(back.schema("v").dataType.simpleString === "bigint")
+    assert(back.select("v").as[Long].collect().sorted.toSeq ===
+      Seq(10L, 20L, 30L, 5000000000L))
+    // stats skipping still answers exactly across the width change
+    assert(back.filter(col("v") > 25L).select("id").as[Int]
+      .collect().sorted.toSeq === Seq(3, 4))
+    // long -> double is allowed; double -> anything is not; narrowing refused
+    WarehouseSink.widenColumnType(dir, "v", "double")
+    assert(spark.read.format(Fmt).option("path", dir).load()
+      .select(sum("v")).head().getDouble(0) === 5000000060.0)
+    assert(intercept[IllegalArgumentException] {
+      WarehouseSink.widenColumnType(dir, "v", "int")
+    }.getMessage.contains("lossless"))
+    assert(intercept[IllegalArgumentException] {
+      WarehouseSink.widenColumnType(dir, "id", "string")
+    }.getMessage.contains("lossless"))
+  }
+
+  test("widening composes with rename: id binding untouched") {
+    val dir = tmp()
+    Seq((1, 100)).toDF("id", "w0")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    WarehouseSink.widenColumnType(dir, "w0", "bigint")
+    WarehouseSink.renameColumn(dir, "w0", "w")
+    Seq((2L, 200L)).toDF("id", "w")
+      .selectExpr("CAST(id AS INT) AS id", "w")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    assert(spark.read.format(Fmt).option("path", dir).load()
+      .select("w").as[Long].collect().sorted.toSeq === Seq(100L, 200L))
+  }
+
   test("dropping a partition column is refused; dropping the last column is refused") {
     val dir = tmp()
     (1L to 4L).map(i => (i, i % 2)).toDF("id", "p")
