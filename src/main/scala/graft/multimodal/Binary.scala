@@ -72,7 +72,7 @@ object Binary {
       else if (dibSizes.contains(dibSize) && bytes.length >= 26)
         Some((le32(18), math.abs(le32(22))))
       else None
-    } else webpDims(bytes).orElse(jpegDims(bytes))
+    } else webpDims(bytes).orElse(tiffDims(bytes)).orElse(jpegDims(bytes))
   }
 
   /** JPEG frame dimensions via the marker-segment walk (ISO/IEC 10918-1
@@ -168,6 +168,81 @@ object Binary {
         u8(25) != 0x2a) None
       else Some((le16(26) & 0x3fff, le16(28) & 0x3fff))
     } else None
+  }
+
+  /** Standalone TIFF dimensions (TIFF 6.0 baseline): byte-order mark
+    * `II`/`MM` + magic 42 + IFD0 offset, then the entry walk — 12-byte
+    * entries of (tag, type, count, value), width tag 256 / length tag
+    * 257 as inline SHORT(3) or LONG(4) values — the SAME structure the
+    * EXIF walker reads inside JPEG APP1, here at the top of the file.
+    * None on malformed/truncated (degrade, never throw). */
+  def tiffDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    if (bytes.length < 8) return None
+    val le =
+      if (u8(0) == 'I' && u8(1) == 'I' && u8(2) == 42 && u8(3) == 0) true
+      else if (u8(0) == 'M' && u8(1) == 'M' && u8(2) == 0 && u8(3) == 42)
+        false
+      else return None
+    def u16(i: Int): Int =
+      if (le) u8(i) | (u8(i + 1) << 8) else (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Long =
+      if (le) u8(i).toLong | (u8(i + 1).toLong << 8) |
+        (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+      else (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) |
+        (u8(i + 2).toLong << 8) | u8(i + 3).toLong
+    val ifd = u32(4)
+    if (ifd < 8 || ifd + 2 > bytes.length) return None
+    val n = u16(ifd.toInt)
+    var w = -1L
+    var h = -1L
+    var k = 0
+    while (k < n) {
+      val e = ifd.toInt + 2 + 12 * k
+      if (e + 12 > bytes.length) return None
+      val tag = u16(e)
+      val tpe = u16(e + 2)
+      if (tag == 256 || tag == 257) {
+        val v = tpe match {
+          case 3 => u16(e + 8).toLong // SHORT: value left-justified
+          case 4 => u32(e + 8)
+          case _ => return None
+        }
+        if (tag == 256) w = v else h = v
+      }
+      k += 1
+    }
+    if (w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue)
+      Some((w.toInt, h.toInt))
+    else None
+  }
+
+  /** Minimal structurally-valid baseline TIFF for [[tiffDims]]: header +
+    * a one-IFD walk with width/length (+ a bits-per-sample entry so the
+    * walk skips an unrelated tag), both byte orders. */
+  def synthTiff(width: Int, height: Int, bigEndian: Boolean): Array[Byte] = {
+    require(width >= 1 && height >= 1, "dims must be positive")
+    val out = new java.io.ByteArrayOutputStream()
+    def b(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit =
+      if (bigEndian) { b(v >> 8); b(v) } else { b(v); b(v >> 8) }
+    def u32(v: Long): Unit =
+      if (bigEndian) { b((v >> 24).toInt); b((v >> 16).toInt)
+        b((v >> 8).toInt); b(v.toInt) }
+      else { b(v.toInt); b((v >> 8).toInt); b((v >> 16).toInt)
+        b((v >> 24).toInt) }
+    if (bigEndian) { b('M'); b('M'); b(0); b(42) }
+    else { b('I'); b('I'); b(42); b(0) }
+    u32(8L) // IFD0 right after the header
+    u16(3)  // three entries
+    // ImageWidth as LONG, ImageLength as SHORT: both value forms walked
+    u16(256); u16(4); u32(1L); u32(width.toLong)
+    u16(257); u16(3); u32(1L)
+    if (bigEndian) { u16(height); u16(0) } else { u16(height); u16(0) }
+    u16(258); u16(3); u32(1L)
+    if (bigEndian) { u16(8); u16(0) } else { u16(8); u16(0) }
+    u32(0L) // no next IFD
+    out.toByteArray
   }
 
   /** Minimal structurally-valid WebP fixture for [[webpDims]]:

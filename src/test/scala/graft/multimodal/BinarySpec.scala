@@ -538,6 +538,28 @@ class BinarySpec extends SparkSpec {
     }
   }
 
+  test("tiffDims round-trips both byte orders and mixed value types") {
+    for (be <- Seq(false, true); (w, h) <- Seq((1, 1), (640, 480), (70000, 2))) {
+      assert(Binary.tiffDims(Binary.synthTiff(w, h, be)) === Some((w, h)),
+        s"bigEndian=$be dims ($w,$h)")
+    }
+    // the generic dispatch recognizes standalone TIFF too
+    assert(Binary.imageHeaderDims(Binary.synthTiff(320, 240, true))
+      === Some((320, 240)))
+  }
+
+  test("tiffDims degrades to None off the happy path") {
+    assert(Binary.tiffDims("not a tiff".getBytes) === None)
+    assert(Binary.tiffDims(Array[Byte]('I', 'I', 42, 0)) === None) // truncated
+    val t = Binary.synthTiff(16, 9, false)
+    t(3) = 1 // corrupt the magic
+    assert(Binary.tiffDims(t) === None)
+    // IFD offset pointing past the buffer
+    val far = Binary.synthTiff(16, 9, false)
+    far(4) = 0xf0.toByte
+    assert(Binary.tiffDims(far) === None)
+  }
+
   test("mp3Meta degrades to None / partial off the happy path") {
     assert(Binary.mp3Meta("no sync here".getBytes) === None)
     assert(Binary.mp3Meta(Array[Byte]()) === None)
