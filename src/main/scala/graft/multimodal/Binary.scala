@@ -305,7 +305,10 @@ object Binary {
     var i = 0
     if (bytes.length >= 10 && u8(0) == 'I' && u8(1) == 'D' && u8(2) == '3') {
       val sz = (u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9)
-      i = 10 + sz
+      // ID3v2.4 footer flag (header flags byte, bit 4): the syncsafe
+      // size excludes both the 10-byte header AND the 10-byte footer —
+      // without this hop the first sync probe lands inside the footer.
+      i = 10 + sz + (if ((u8(5) & 0x10) != 0) 10 else 0)
     }
     val brV1 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
       224, 256, 320, 0)
@@ -346,7 +349,7 @@ object Binary {
     * `srIdx` (0..2), no padding, optionally behind a minimal ID3v2
     * prefix — the exact header fields the walk reads. */
   def synthMp3(brIdx: Int, srIdx: Int, frames: Int,
-               id3Bytes: Int = 0): Array[Byte] = {
+               id3Bytes: Int = 0, id3Footer: Boolean = false): Array[Byte] = {
     require(brIdx >= 1 && brIdx <= 14 && srIdx >= 0 && srIdx <= 2,
       "brIdx in 1..14, srIdx in 0..2")
     require(frames >= 1 && frames <= 4096, "frames in 1..4096")
@@ -358,9 +361,15 @@ object Binary {
     val out = new java.io.ByteArrayOutputStream()
     if (id3Bytes > 0) {
       out.write('I'); out.write('D'); out.write('3')
-      out.write(4); out.write(0); out.write(0) // version 2.4, no flags
+      out.write(4); out.write(0) // version 2.4
+      out.write(if (id3Footer) 0x10 else 0) // flags: bit 4 = footer present
       Seq(21, 14, 7, 0).foreach(s => out.write((id3Bytes >> s) & 0x7f))
       out.write(new Array[Byte](id3Bytes))
+      if (id3Footer) { // ID3v2.4 §3.4: mirrored header, "3DI" magic
+        out.write('3'); out.write('D'); out.write('I')
+        out.write(4); out.write(0); out.write(0x10)
+        Seq(21, 14, 7, 0).foreach(s => out.write((id3Bytes >> s) & 0x7f))
+      }
     }
     for (_ <- 0 until frames) {
       val frame = new Array[Byte](flen)

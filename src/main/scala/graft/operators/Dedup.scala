@@ -108,15 +108,34 @@ object Dedup {
     *   pair fan-out at maxDf² while leaving genuinely distinctive overlap
     *   intact. The uncapped form (None) is the oracle. */
   def pairShingleStats(docs: DataFrame, idCol: String, textCol: String,
-                       n: Int, maxDf: Option[Long] = None): DataFrame = {
+                       n: Int, maxDf: Option[Long] = None): DataFrame =
+    pairShingleStatsPlan(docs, idCol, textCol, n, maxDf)
+      .transform(Materialize.artifact)
+
+  /** [[pairShingleStats]] WITHOUT the final artifact materialization —
+    * the un-truncated plan, for plan-shape assertions (a checkpoint
+    * collapses lineage to a Scan ExistingRDD). `mat` is the
+    * intra-operator materialization hook: production keeps
+    * [[Materialize.transient]]; plan tests pass `identity` so the full
+    * lineage stays inspectable. */
+  private[graft] def pairShingleStatsPlan(docs: DataFrame, idCol: String,
+                                          textCol: String, n: Int,
+                                          maxDf: Option[Long] = None,
+                                          mat: DataFrame => DataFrame =
+                                            Materialize.transient): DataFrame = {
     val shAll = explodedShingles(docs, idCol, textCol, n)
     val shCapped = maxDf match {
       case Some(cap) =>
-        // df via a count window over the shingle key: one shuffle on g,
-        // whose hash partitioning the self-join below then reuses.
-        val w = Window.partitionBy("g")
-        shAll.withColumn("graft_df", count(lit(1)).over(w))
-          .filter(col("graft_df") <= cap).drop("graft_df")
+        // df via two-phase groupBy + semi-join, NOT a count window: a
+        // window has no map-side combine, so every occurrence of a hot
+        // boilerplate shingle would land on ONE reducer before the cap
+        // discards it — the exact skew this cap exists to bound. The
+        // aggregate absorbs hot keys in partial (map-side) combine; the
+        // semi-join's right side is ≤ |qualifying vocab| rows and its
+        // hot-key partitions are AQE-splittable (windows are not).
+        val keep = shAll.groupBy("g").agg(count(lit(1)).as("graft_df"))
+          .filter(col("graft_df") <= cap).select("g")
+        shAll.join(keep, Seq("g"), "left_semi")
       case None => shAll
     }
     // Materialized EAGERLY (artifact) because it feeds both join legs:
@@ -125,13 +144,12 @@ object Dedup {
     // before the cache fills (measured ~2× the build). The artifact's
     // blocks are freed by the ContextCleaner on GC, so a 60-query
     // session doesn't accumulate corpus-sized shingle tables either.
-    val sh = Materialize.transient(shCapped)
+    val sh = mat(shCapped)
     val a = sh.as("a"); val b = sh.as("b")
     a.join(b, col("a.g") === col("b.g") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"),
         col("a.nsh").as("n1"), col("b.nsh").as("n2"))
       .agg(count(lit(1)).as("inter"))
-      .transform(Materialize.artifact)
   }
 
   /** Jaccard over precomputed [[pairShingleStats]] rows. */
@@ -180,30 +198,59 @@ object Dedup {
     * the (df, token) pair itself, and the per-doc prefix pick is an
     * id-partitioned window, never a global one.
     *
-    * Scale: one shingle explode, one token-keyed df count, one
-    * id-keyed prefix window, one prefix-token self-join (rare-token
-    * bounded), one pair-keyed exact verify join over candidates. */
+    * Scale: one shingle explode, one token-keyed df aggregate (partial
+    * combine absorbs hot boilerplate shingles map-side — never a
+    * corpus-sized window), one id-keyed prefix window, one prefix-token
+    * self-join (rare-token bounded), one pair-keyed exact verify join
+    * over candidates.
+    *
+    * Threshold contract: `minJaccard` is read at 4-decimal precision
+    * (matching the verify's `round(J,4) >= t` filter). Candidates
+    * generate at the half-ulp-looser rational t' = (2·⌊t·10⁴⌉ − 1)/2·10⁴
+    * = t − 0.00005 with EXACT integer ceil arithmetic, so boundary
+    * pairs whose true J rounds UP to t are never lost to float ceil
+    * (e.g. ceil(0.1·3000) evaluating 301) or to the rounding gap. */
   def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                         n: Int, minJaccard: Double): DataFrame = {
+                         n: Int, minJaccard: Double): DataFrame =
+    prefixJaccardPlan(docs, idCol, textCol, n, minJaccard)
+      .transform(Materialize.artifact)
+
+  /** [[prefixJaccardPairs]] without the final artifact materialization;
+    * `mat` as in [[pairShingleStatsPlan]] (identity for plan tests). */
+  private[graft] def prefixJaccardPlan(docs: DataFrame, idCol: String,
+                                       textCol: String, n: Int,
+                                       minJaccard: Double,
+                                       mat: DataFrame => DataFrame =
+                                         Materialize.transient): DataFrame = {
     require(minJaccard > 0.0 && minJaccard < 1.0,
       "minJaccard must be in (0, 1) — at 0 the prefix is the whole set")
-    val sh = Materialize.transient(explodedShingles(docs, idCol, textCol, n))
-    val withDf = sh.withColumn("graft_df",
-      count(lit(1)).over(Window.partitionBy("g")))
+    // t' = t − 1/20000 as an exact rational num/den; ceilT(m) = ⌈t'·m⌉
+    // in pure integer arithmetic (no float ceil on the hot path).
+    val num = 2L * math.round(minJaccard * 10000.0) - 1L
+    val den = 20000L
+    def ceilT(m: Column): Column =
+      floor((m * lit(num) + lit(den - 1L)) / lit(den)).cast("long")
+    val sh = mat(explodedShingles(docs, idCol, textCol, n))
+    // df via groupBy + join-back, NOT count().over(Window.partitionBy(g)):
+    // a window has no map-side combine, so a boilerplate shingle present
+    // in most documents would pile every occurrence onto one reducer
+    // before the prefix filter ever discards it. The aggregate combines
+    // partially map-side; the join's hot-g partitions are AQE-splittable.
+    val dfTab = sh.groupBy("g").agg(count(lit(1)).as("graft_df"))
+    val withDf = sh.join(dfTab, Seq("g"))
     val prefix = withDf
       .withColumn("graft_pos", row_number().over(
         Window.partitionBy("id")
           .orderBy(col("graft_df").asc, col("g").asc)))
-      .filter(col("graft_pos") <=
-        col("nsh") - ceil(lit(minJaccard) * col("nsh")) + 1)
+      .filter(col("graft_pos") <= col("nsh") - ceilT(col("nsh")) + 1)
       .select("id", "nsh", "g")
     val a = prefix.select(col("id").as("id1"), col("nsh").as("n1"), col("g"))
     val b = prefix.select(col("id").as("id2"), col("nsh").as("n2"), col("g"))
     val candidates = a.join(b, Seq("g"))
       .filter(col("id1") < col("id2") &&
-        // the standard length filter: J >= t bounds the size ratio
-        col("n2") >= ceil(lit(minJaccard) * col("n1")) &&
-        col("n1") >= ceil(lit(minJaccard) * col("n2")))
+        // the standard length filter: J >= t' bounds the size ratio
+        col("n2") >= ceilT(col("n1")) &&
+        col("n1") >= ceilT(col("n2")))
       .select("id1", "id2").distinct()
     val s1 = sh.select(col("id").as("id1"), col("nsh").as("n1"), col("g"))
     val s2 = sh.select(col("id").as("id2"), col("nsh").as("n2"), col("g"))
@@ -216,7 +263,6 @@ object Dedup {
           (col("n1") + col("n2") - col("inter")).cast("double"), 4))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id1"), col("id2"), col("jaccard"))
-      .transform(Materialize.artifact)
   }
 
   /** Shingle-containment near-dup pairs: containment = |A∩B| / min(|A|,|B|)

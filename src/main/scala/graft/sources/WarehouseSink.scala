@@ -1522,12 +1522,8 @@ object WarehouseSink {
     val cur = readManifest(dir).getOrElse(return DeleteReport(0, 0, 0L))
     val schema = StructType.fromDDL(cur.schemaDdl)
     val pred = filters.map(filterToColumn(_, schema)).reduce(_ && _)
-    val (candidates, carried) = cur.files.partition { f =>
-      (readStats(dir, f, schema) match {
-        case Some(st) => filters.forall(mightMatch(st, _))
-        case None => true // statless file: must assume it matches
-      }) && filters.forall(nullAwareMatch(dir, f, _))
-    }
+    val (candidates, carried) = cur.files.partition(
+      dmlCandidate(dir, _, schema, cur.colIds, filters))
     if (candidates.isEmpty) return DeleteReport(0, cur.files.size, 0L)
     // Live candidate rows = physical minus any deletion vector's count —
     // the rewrite reads through the vectors, so the kept files hold only
@@ -1621,12 +1617,8 @@ object WarehouseSink {
     val cur = readManifest(dir).getOrElse(return MorDeleteReport(0, 0, 0L))
     val schema = StructType.fromDDL(cur.schemaDdl)
     val pred = filters.map(filterToColumn(_, schema)).reduce(_ && _)
-    val (candidates, carried) = cur.files.partition { f =>
-      (readStats(dir, f, schema) match {
-        case Some(st) => filters.forall(mightMatch(st, _))
-        case None => true
-      }) && filters.forall(nullAwareMatch(dir, f, _))
-    }
+    val (candidates, carried) = cur.files.partition(
+      dmlCandidate(dir, _, schema, cur.colIds, filters))
     if (candidates.isEmpty) return MorDeleteReport(0, cur.files.size, 0L)
     val candDvs = dvEntriesFor(cur, candidates)
     val rowPosDdl = schema
@@ -1718,12 +1710,8 @@ object WarehouseSink {
       s"assigned column $k not in table schema"))
     val pred = coalesce(
       filters.map(filterToColumn(_, schema)).reduce(_ && _), lit(false))
-    val (candidates, carried) = cur.files.partition { f =>
-      (readStats(dir, f, schema) match {
-        case Some(st) => filters.forall(mightMatch(st, _))
-        case None => true
-      }) && filters.forall(nullAwareMatch(dir, f, _))
-    }
+    val (candidates, carried) = cur.files.partition(
+      dmlCandidate(dir, _, schema, cur.colIds, filters))
     if (candidates.isEmpty) return MorUpdateReport(0, cur.files.size, 0L, 0)
     val candDvs = dvEntriesFor(cur, candidates)
     val rowPosDdl = schema
@@ -1846,12 +1834,8 @@ object WarehouseSink {
     }
     val candidates =
       if (rangeFilters.size < 2 * keyCols.size) Nil // empty/all-null keys
-      else cur.files.filter { f =>
-        readStats(dir, f, schema) match {
-          case Some(st) => rangeFilters.forall(mightMatch(st, _))
-          case None => true
-        }
-      }
+      else cur.files.filter(
+        dmlCandidate(dir, _, schema, cur.colIds, rangeFilters))
     val candDvs = dvEntriesFor(cur, candidates)
     val updKeys = aligned.select(keyCols.map(col).toIndexedSeq: _*).distinct()
     val rowPosDdl = schema
@@ -1995,12 +1979,8 @@ object WarehouseSink {
     }.flatten
     val (candidates, carried) =
       if (rangeFilters.isEmpty) (Nil, cur.files)
-      else cur.files.partition { f =>
-        readStats(dir, f, schema) match {
-          case Some(st) => rangeFilters.forall(mightMatch(st, _))
-          case None => true
-        }
-      }
+      else cur.files.partition(
+        dmlCandidate(dir, _, schema, cur.colIds, rangeFilters))
     val candDvs = dvEntriesFor(cur, candidates)
     val dvCountOf = dvRefs(candDvs).map(r => r.dataFile -> r.count).toMap
     val candRows = candidates.map(f => readRowCount(dir, f)
@@ -2105,12 +2085,8 @@ object WarehouseSink {
       s"assigned column $k not in table schema"))
     val pred = coalesce(
       filters.map(filterToColumn(_, schema)).reduce(_ && _), lit(false))
-    val (candidates, carried) = cur.files.partition { f =>
-      (readStats(dir, f, schema) match {
-        case Some(st) => filters.forall(mightMatch(st, _))
-        case None => true
-      }) && filters.forall(nullAwareMatch(dir, f, _))
-    }
+    val (candidates, carried) = cur.files.partition(
+      dmlCandidate(dir, _, schema, cur.colIds, filters))
     if (candidates.isEmpty) return UpdateReport(0, cur.files.size, 0L)
     val candDvs = dvEntriesFor(cur, candidates)
     def candScan = spark.read.format(fmt).option("path", dir)
@@ -2209,14 +2185,15 @@ object WarehouseSink {
   /** Publish one staged data file: atomic-rename it and, when present,
     * its stats sidecar (sidecar first, so a reader that sees the data
     * file may at worst miss stats — never read torn ones). */
-  private[sources] def moveWithStats(from: File, to: File, f: String): Unit = {
+  private[sources] def moveWithStats(from: File, to: File, f: String,
+                                     restamp: Boolean = true): Unit = {
     val sc = new File(from, statsFile(f))
     if (sc.isFile)
       Files.move(sc.toPath, new File(to, statsFile(f)).toPath,
         StandardCopyOption.ATOMIC_MOVE)
     Files.move(new File(from, f).toPath, new File(to, f).toPath,
       StandardCopyOption.ATOMIC_MOVE)
-    restampIds(to.getPath, f)
+    if (restamp) restampIds(to.getPath, f)
   }
 
   /** Re-stamp a just-moved file's `#ids` line against the DESTINATION
@@ -2228,7 +2205,16 @@ object WarehouseSink {
     * ids would tombstone live columns. Names the destination binding
     * does not know keep their staged id (a mergeSchema evolution's new
     * columns — the publish allocates exactly those). No-op when either
-    * side lacks ids. */
+    * side lacks ids.
+    *
+    * NOT valid for TRUNCATE-staged files: a truncate-overwrite with a
+    * reordered or unrelated schema makes the publish RESET the binding
+    * (inheritColIds' unrelated branch), so the pre-publish manifest this
+    * reads is the wrong referent — restamping a (c,a) overwrite of a
+    * post-drop (a:0,c:2) table to (2,0) while the publish creates
+    * (c:0,a:1) cross-maps live columns. Truncate stages carry the FINAL
+    * binding already (writeIdsFor's truncate branch mirrors
+    * inheritColIds case-for-case), so their moves pass restamp=false. */
   private def restampIds(destDir: String, f: String): Unit = {
     val m = readManifest(destDir).getOrElse(return)
     if (m.colIds.isEmpty) return
@@ -2371,9 +2357,16 @@ object WarehouseSink {
         val prevSchema = StructType.fromDDL(m.schemaDdl)
         val names = prevSchema.fieldNames.toSeq
         if (truncate) {
-          // mirror inheritColIds' truncate handling exactly: same
-          // schema inherits the binding, an unrelated one resets it
-          if (schema.fieldNames.toSeq == names) Some(m.colIds)
+          // mirror inheritColIds' THREE cases exactly (same → inherit,
+          // prefix-extension → allocate from nextColId, unrelated →
+          // fresh positional), so the ids staged at task time are the
+          // binding the publish will actually create — restampIds is
+          // skipped for truncate-staged files on exactly this promise
+          val nf = schema.fieldNames.toSeq
+          if (nf == names) Some(m.colIds)
+          else if (nf.startsWith(names))
+            Some(m.colIds ++
+              (m.nextColId until m.nextColId + (nf.length - names.length)))
           else Some(schema.fieldNames.indices.map(_.toLong).toSeq)
         } else {
           val known = names.zip(m.colIds).toMap
@@ -2607,6 +2600,24 @@ object WarehouseSink {
       case Or(l, r) => mightMatch(stats, l) || mightMatch(stats, r)
       case _ => true // IsNull, StringContains, Not(...), ...: no range answer
     }
+  }
+
+  /** Shared DML candidate-file test: range stats + null-aware pruning
+    * under the file's id-derived rename map — the SAME translation the
+    * scan path applies (WarehouseScan.keptFiles). Without the map, a
+    * legacy file's stats stored under a pre-rename local name would be
+    * attributed to the wrong current column after dropColumn+rename (or
+    * a rename swap), and the DML could FALSELY prune a file containing
+    * matching rows — silently skipping updates/deletes/merges rather
+    * than being merely conservative. */
+  private[sources] def dmlCandidate(dir: String, f: String,
+                                    schema: StructType, colIds: Seq[Long],
+                                    filters: Seq[org.apache.spark.sql.sources.Filter]): Boolean = {
+    val rn = renameMap(dir, f, schema.fieldNames.toSeq, colIds)
+    (readStats(dir, f, schema, rn) match {
+      case Some(st) => filters.forall(mightMatch(st, _))
+      case None => true // statless file: must assume it matches
+    }) && filters.forall(nullAwareMatch(dir, f, _, rn))
   }
 
   /** Null-aware leg of file skipping — what the RANGE stats can't see:
@@ -3016,7 +3027,12 @@ private[sources] class WarehouseBatchWrite(dir: String, schema: StructType,
       case _ => Nil
     }
     val published = committed.map { f =>
-      WarehouseSink.moveWithStats(staging, new File(dir), f)
+      // Truncate stages already carry the binding the publish will
+      // create (writeIdsFor truncate branch); restamping against the
+      // PRE-publish manifest would rebind a reordered/unrelated
+      // overwrite's ids to the dying generation's binding.
+      WarehouseSink.moveWithStats(staging, new File(dir), f,
+        restamp = !truncate)
       f
     }
     // `streamEpoch` turns this batch append into an EPOCH-GUARDED append:

@@ -361,6 +361,36 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("shingle df is a partial-combining aggregate, never a g-keyed window") {
+    // q317's prefix pick and q64's maxDf cap both need per-shingle
+    // document frequencies. A count().over(Window.partitionBy(g)) would
+    // pile EVERY occurrence of a hot boilerplate shingle onto one
+    // reducer (windows have no map-side combine and AQE cannot split
+    // them); the two-phase groupBy+join absorbs hot keys in partial
+    // aggregation. Inspect the UN-materialized plan variants (the
+    // production entry points checkpoint, which collapses lineage).
+    import org.apache.spark.sql.DataFrame
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "text")
+    val id: DataFrame => DataFrame = d => d
+    val plans = Seq(
+      "prefixJaccardPlan" -> graft.operators.Dedup
+        .prefixJaccardPlan(docs, "doc_id", "text", 3, 0.5, id),
+      "pairShingleStatsPlan(maxDf)" -> graft.operators.Dedup
+        .pairShingleStatsPlan(docs, "doc_id", "text", 3, Some(50L), id))
+    for ((name, df) <- plans) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("count(1) windowspecdefinition"),
+        s"$name computes df with a corpus-sized count window:\n$p")
+      assert(p.contains("partial_count"),
+        s"$name lost the partial (map-side) df combine:\n$p")
+    }
+    // the only Window in the prefix plan is the per-doc rank (row_number
+    // partitioned by id) — a bounded, per-document key
+    val pp = plans.head._2.queryExecution.executedPlan.toString
+    assert(pp.contains("row_number()"), pp)
+  }
+
   test("q308 shard rebalance: ring is a literal; zero doc-keyed Exchange") {
     withCleanCaches {
       val p = planOf("q308_shard_rebalance")

@@ -536,6 +536,11 @@ class BinarySpec extends SparkSpec {
       assert(Binary.mp3Meta(Binary.synthMp3(br, sr, 3))
         === Some((3, want, kbps, 3 * 1152L)))
     }
+    // ID3v2.4 FOOTER flag (header flags bit 4): the syncsafe size
+    // excludes the 10-byte footer too — without the extra hop the first
+    // sync probe lands inside the "3DI" footer and the walk returns None
+    assert(Binary.mp3Meta(Binary.synthMp3(9, 0, 5, id3Bytes = 200,
+      id3Footer = true)) === Some((5, 44100, 128, 5 * 1152L)))
   }
 
   test("tiffDims round-trips both byte orders and mixed value types") {

@@ -192,6 +192,74 @@ class WarehouseRenameSpec extends SparkSpec {
       .select("w").as[Long].collect().sorted.toSeq === Seq(100L, 200L))
   }
 
+  test("drop then truncate-overwrite with a REORDERED schema: fresh binding, clean reads") {
+    val dir = tmp()
+    (1L to 3L).map(i => (i, s"x$i", i * 2L)).toDF("a", "b", "c")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    WarehouseSink.dropColumn(dir, "b") // binding is now non-positional: a:0, c:2
+    // truncate-overwrite with the columns REORDERED — the publish resets
+    // the binding to fresh positional ids; a restamp against the dying
+    // generation's (a:0, c:2) would cross-map c and a
+    Seq((100L, 10L), (200L, 20L)).toDF("c", "a")
+      .write.format(Fmt).option("path", dir).mode("overwrite").save()
+    val back = spark.read.format(Fmt).option("path", dir).load()
+    assert(back.columns.toSeq === Seq("c", "a"))
+    assert(back.as[(Long, Long)].collect().toSet ===
+      Set((100L, 10L), (200L, 20L)))
+    // the binding is usable: a rename after the overwrite still resolves
+    WarehouseSink.renameColumn(dir, "c", "cc")
+    assert(spark.read.format(Fmt).option("path", dir).load()
+      .select("cc").as[Long].collect().toSet === Set(100L, 200L))
+  }
+
+  test("drop then truncate-overwrite EXTENDING the schema: no duplicate ids") {
+    val dir = tmp()
+    (1L to 3L).map(i => (i, s"x$i", i * 2L)).toDF("a", "b", "c")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    WarehouseSink.dropColumn(dir, "b") // schema (a, c), binding a:0, c:2
+    // overwrite whose schema EXTENDS (a, c) with d: inheritColIds takes
+    // the prefix-extension branch — d must get a fresh id, never a
+    // positional restamp that duplicates c's
+    Seq((1L, 10L, "d1"), (2L, 20L, "d2")).toDF("a", "c", "d")
+      .write.format(Fmt).option("path", dir).mode("overwrite").save()
+    val m = WarehouseSink.readManifest(dir).get
+    assert(m.colIds.distinct.length === m.colIds.length,
+      s"duplicate field ids after extended overwrite: ${m.colIds}")
+    WarehouseSink.renameColumn(dir, "d", "dd")
+    val got = spark.read.format(Fmt).option("path", dir).load()
+    assert(got.columns.toSeq === Seq("a", "c", "dd"))
+    assert(got.select("c").as[Long].collect().toSet === Set(10L, 20L))
+    assert(got.select("a", "dd").as[(Long, String)].collect().toSet ===
+      Set((1L, "d1"), (2L, "d2")))
+  }
+
+  test("DML candidate pruning translates legacy stats through the rename map") {
+    val dir = tmp()
+    // era-1 file: stats sidecar stores ranges under LOCAL names a=[1,5],
+    // b=[100,500]
+    (1L to 5L).map(i => (i, i, i * 100L)).toDF("id", "a", "b")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    WarehouseSink.dropColumn(dir, "b")
+    WarehouseSink.renameColumn(dir, "a", "b") // current 'b' IS old 'a'
+    // without the id-derived rename map the legacy file's local-'b'
+    // stats [100,500] would be read as current-'b' stats and b<=2 would
+    // FALSELY prune the file — a silent no-op delete
+    import org.apache.spark.sql.sources.LessThanOrEqual
+    val rep = WarehouseSink.deleteWhere(spark, dir,
+      Seq(LessThanOrEqual("b", 2L)))
+    assert(rep.rowsDeleted === 2L,
+      s"delete pruned a matching legacy file: $rep")
+    assert(spark.read.format(Fmt).option("path", dir).load()
+      .select("id").as[Long].collect().sorted.toSeq === Seq(3L, 4L, 5L))
+    // same translation on the MoR leg
+    val rep2 = WarehouseSink.updateWhereMoR(spark, dir,
+      Seq(LessThanOrEqual("b", 3L)),
+      Map("b" -> (col("b") + 1000L)))
+    assert(rep2.rowsUpdated === 1L, s"MoR update pruned the file: $rep2")
+    assert(spark.read.format(Fmt).option("path", dir).load()
+      .select("b").as[Long].collect().sorted.toSeq === Seq(4L, 5L, 1003L))
+  }
+
   test("dropping a partition column is refused; dropping the last column is refused") {
     val dir = tmp()
     (1L to 4L).map(i => (i, i % 2)).toDF("id", "p")
