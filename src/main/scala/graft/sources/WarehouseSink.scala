@@ -208,6 +208,53 @@ object WarehouseSink {
     name
   }
 
+  /** Build the merged deletion vectors for a MoR DML's newly-dying rows
+    * EXECUTOR-SIDE: `matched` carries the (`__graft_file`,
+    * `__graft_pos`) pairs of the rows being killed; positions group per
+    * file, merge by sorted union with the file's EXISTING vector and
+    * write under a fresh name inside the task that owns them — only the
+    * 3-field (dataFile, dvFile, count) refs cross back to the driver.
+    * A broad-predicate MoR UPDATE on a 100 TB table therefore streams
+    * ZERO positions through driver memory; per-task memory is bounded
+    * by the largest single file's row count (files are write-sized).
+    * New positions are disjoint from the old vector by construction
+    * (the candidate scan reads THROUGH existing vectors). Vector files
+    * land via CREATE_NEW under UUID names, so a speculative or retried
+    * task can only strand an unreferenced file for [[vacuum]] — never
+    * corrupt one a manifest references. */
+  private[sources] def writeDvsDistributed(
+      dir: String, matched: org.apache.spark.sql.DataFrame,
+      oldRefs: Map[String, DvRef]): Seq[DvRef] = {
+    import org.apache.spark.sql.functions.{col, collect_list, sort_array}
+    val spark = matched.sparkSession
+    import spark.implicits._
+    val oldDv = spark.sparkContext.broadcast(
+      oldRefs.map { case (f, r) => (f, r.dvFile) })
+    matched
+      .groupBy(col("__graft_file"))
+      .agg(sort_array(collect_list(col("__graft_pos"))).as("pos"))
+      .as[(String, Seq[Long])]
+      .map { case (dataFile, pos) =>
+        val merged = oldDv.value.get(dataFile) match {
+          case Some(dv) =>
+            (readDvPositions(new File(dir, dv).getPath) ++ pos)
+              .sorted.toIndexedSeq
+          case None => pos.toIndexedSeq // sort_array already ordered them
+        }
+        (dataFile, writeDvFile(dir, merged), merged.length.toLong)
+      }
+      .collect().toSeq
+      .map { case (f, dv, n) => DvRef(f, dv, n) }
+  }
+
+  /** Newly-killed row count derivable from refs alone (old and new
+    * positions are disjoint): Σ (newCount − oldCount) — no position
+    * array needed driver-side. */
+  private[sources] def newlyKilled(newRefs: Seq[DvRef],
+                                   oldRefs: Map[String, DvRef]): Long =
+    newRefs.map(r =>
+      r.count - oldRefs.get(r.dataFile).map(_.count).getOrElse(0L)).sum
+
   private[sources] def readDvPositions(path: String): Array[Long] = {
     val f = new File(path)
     if (!f.isFile) throw new IllegalStateException(
@@ -1594,11 +1641,11 @@ object WarehouseSink {
     * one distributed scan of the candidates (through any EXISTING vectors,
     * so re-deleting is idempotent and positions never double-count) emits
     * each matching row's (file, physical position) via the reader's
-    * internal rowPos pseudo-columns; positions group per file and land on
-    * the driver as sorted vectors — O(newly deleted rows) driver transfer,
-    * the honest bound (a delete wide enough to strain that belongs to
-    * copy-on-write [[deleteWhere]], which streams everything
-    * executor-side). An existing vector merges by sorted-union under a
+    * internal rowPos pseudo-columns; positions group per file and the
+    * merged vectors write EXECUTOR-SIDE ([[writeDvsDistributed]]) — the
+    * driver receives only (file, vector, count) refs, so even a
+    * broad-predicate delete never streams positions through driver
+    * memory. An existing vector merges by sorted-union under a
     * fresh file name (generations stay immutable). With the change feed
     * enabled the deleted rows' before-images capture exactly like the
     * copy-on-write path (op `delete_mor`).
@@ -1628,25 +1675,15 @@ object WarehouseSink {
       .option("readSchemaDdl", rowPosDdl)
       .option("files", candidates.mkString(","))
       .option("dvs", candDvs.mkString(",")).load()
-    // Per-file sorted positions of the newly dying rows. Row count per
-    // vector is bounded by the file's line count (files are write-sized),
-    // so each collected row is one file's vector.
-    val newPos = candScan.filter(coalesce(pred, lit(false)))
-      .groupBy(col("__graft_file"))
-      .agg(sort_array(collect_list(col("__graft_pos"))).as("pos"))
-      .collect()
-      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
-    if (newPos.isEmpty) return MorDeleteReport(0, cur.files.size, 0L)
+    // Merged per-file vectors write EXECUTOR-SIDE ([[writeDvsDistributed]]):
+    // only the (file, vector, count) refs land on the driver, so a
+    // broad-predicate delete never streams positions through driver
+    // memory.
     val oldRefs = dvRefs(candDvs).map(r => r.dataFile -> r).toMap
-    val newRefs = newPos.map { case (dataFile, pos) =>
-      val merged = oldRefs.get(dataFile) match {
-        case Some(old) =>
-          // disjoint by construction: the scan read THROUGH the old vector
-          (readDvPositions(new File(dir, old.dvFile).getPath) ++ pos).sorted
-        case None => pos.toArray.sorted
-      }
-      DvRef(dataFile, writeDvFile(dir, merged.toIndexedSeq), merged.length)
-    }.toSeq
+    val newRefs = writeDvsDistributed(dir,
+      candScan.filter(coalesce(pred, lit(false)))
+        .select(col("__graft_file"), col("__graft_pos")), oldRefs)
+    if (newRefs.isEmpty) return MorDeleteReport(0, cur.files.size, 0L)
     // CDF capture (opt-in): before-images of the dying rows — the same
     // filtered scan, staged before publish, referenced atomically.
     val cdfOn = cdfEnabled(dir)
@@ -1667,7 +1704,7 @@ object WarehouseSink {
           newRefs.map(_.encoded)))
     })
     MorDeleteReport(newRefs.size, cur.files.size - newRefs.size,
-      newPos.valuesIterator.map(_.size.toLong).sum)
+      newlyKilled(newRefs, oldRefs))
   }
 
   case class MorUpdateReport(filesWithVectors: Int, filesCarried: Int,
@@ -1688,8 +1725,9 @@ object WarehouseSink {
     * Mechanics: candidates stats-prune by the same filter algebra as
     * [[deleteWhere]]; one distributed scan (THROUGH existing vectors, so
     * a re-update never double-marks) emits matched rows' (file, position)
-    * for the vectors — O(matched rows) driver transfer for positions
-    * only, the honest MoR bound — while the post-images (assignments
+    * for the vectors, which merge and write EXECUTOR-SIDE
+    * ([[writeDvsDistributed]] — refs only on the driver) — while the
+    * post-images (assignments
     * evaluated over the row's OLD values, cast to declared types, SQL
     * NULL-predicate semantics) stage through a temp table carrying the
     * parent's CHECK policy. Existing vectors merge by sorted union under
@@ -1721,21 +1759,12 @@ object WarehouseSink {
       .option("readSchemaDdl", rowPosDdl)
       .option("files", candidates.mkString(","))
       .option("dvs", candDvs.mkString(",")).load()
-    val newPos = posScan.filter(pred)
-      .groupBy(col("__graft_file"))
-      .agg(sort_array(collect_list(col("__graft_pos"))).as("pos"))
-      .collect()
-      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
-    if (newPos.isEmpty) return MorUpdateReport(0, cur.files.size, 0L, 0)
+    // Vectors write executor-side; only refs reach the driver.
     val oldRefs = dvRefs(candDvs).map(r => r.dataFile -> r).toMap
-    val newRefs = newPos.map { case (dataFile, pos) =>
-      val merged = oldRefs.get(dataFile) match {
-        case Some(old) =>
-          (readDvPositions(new File(dir, old.dvFile).getPath) ++ pos).sorted
-        case None => pos.toArray.sorted
-      }
-      DvRef(dataFile, writeDvFile(dir, merged.toIndexedSeq), merged.length)
-    }.toSeq
+    val newRefs = writeDvsDistributed(dir,
+      posScan.filter(pred)
+        .select(col("__graft_file"), col("__graft_pos")), oldRefs)
+    if (newRefs.isEmpty) return MorUpdateReport(0, cur.files.size, 0L, 0)
     def candScan = spark.read.format(fmt).option("path", dir)
       .option("files", candidates.mkString(","))
       .option("dvs", candDvs.mkString(",")).load()
@@ -1772,7 +1801,7 @@ object WarehouseSink {
             newRefs.map(_.encoded)))
       })
       MorUpdateReport(newRefs.size, cur.files.size - newRefs.size,
-        newPos.valuesIterator.map(_.size.toLong).sum, newFiles.size)
+        newlyKilled(newRefs, oldRefs), newFiles.size)
     } finally {
       def rm(f: File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
@@ -1795,8 +1824,9 @@ object WarehouseSink {
     * planning-shaped key bounding box as [[merge]]'s (2·|keys| driver
     * values, never the key set); matched positions come from ONE
     * distributed semi-join of the candidate scan (through existing
-    * vectors) against the distinct update keys, landing as per-file
-    * sorted vectors. Same cardinality contract as [[merge]]: `updates`
+    * vectors) against the distinct update keys, and the per-file
+    * vectors write executor-side ([[writeDvsDistributed]]). Same
+    * cardinality contract as [[merge]]: `updates`
     * must be key-unique; NULL-keyed update rows never match and insert.
     * `rowsMatched` is exact (the new vector positions). Op `merge_mor`;
     * CDF images match the copy-on-write merge's. Single-writer. */
@@ -1841,26 +1871,17 @@ object WarehouseSink {
     val rowPosDdl = schema
       .add("__graft_file", org.apache.spark.sql.types.StringType)
       .add("__graft_pos", org.apache.spark.sql.types.LongType).toDDL
-    val newPos =
-      if (candidates.isEmpty) Map.empty[String, Seq[Long]]
-      else spark.read.format(fmt).option("path", dir)
-        .option("readSchemaDdl", rowPosDdl)
-        .option("files", candidates.mkString(","))
-        .option("dvs", candDvs.mkString(",")).load()
-        .join(updKeys, keyCols, "left_semi")
-        .groupBy(col("__graft_file"))
-        .agg(sort_array(collect_list(col("__graft_pos"))).as("pos"))
-        .collect()
-        .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
     val oldRefs = dvRefs(candDvs).map(r => r.dataFile -> r).toMap
-    val newRefs = newPos.map { case (dataFile, pos) =>
-      val merged = oldRefs.get(dataFile) match {
-        case Some(old) =>
-          (readDvPositions(new File(dir, old.dvFile).getPath) ++ pos).sorted
-        case None => pos.toArray.sorted
-      }
-      DvRef(dataFile, writeDvFile(dir, merged.toIndexedSeq), merged.length)
-    }.toSeq
+    // Vectors write executor-side; only refs reach the driver.
+    val newRefs =
+      if (candidates.isEmpty) Nil
+      else writeDvsDistributed(dir,
+        spark.read.format(fmt).option("path", dir)
+          .option("readSchemaDdl", rowPosDdl)
+          .option("files", candidates.mkString(","))
+          .option("dvs", candDvs.mkString(",")).load()
+          .join(updKeys, keyCols, "left_semi")
+          .select(col("__graft_file"), col("__graft_pos")), oldRefs)
     val tmpIns = new File(new File(dir).getAbsoluteFile.getParentFile,
       new File(dir).getName + ".mergemor-" +
         java.util.UUID.randomUUID.toString.take(8))
@@ -1900,7 +1921,7 @@ object WarehouseSink {
       })
       val insRows = insFiles.map(f => readRowCount(dir, f).getOrElse(-1L))
       MorMergeReport(newRefs.size, cur.files.size - newRefs.size,
-        newPos.valuesIterator.map(_.size.toLong).sum,
+        newlyKilled(newRefs, oldRefs),
         if (insRows.contains(-1L)) -1L else insRows.sum, insFiles.size)
     } finally {
       def rm(f: File): Unit = {

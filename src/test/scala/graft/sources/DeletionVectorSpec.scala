@@ -292,4 +292,40 @@ class DeletionVectorSpec extends SparkSpec {
       .map(_.count).sum
     assert(total === 6L) // 5 deleted + 1 merged-away
   }
+
+  test("WIDE-predicate MoR update: vectors write executor-side, refs-only driver state") {
+    // The scale contract: a broad update matching most of a many-file
+    // table must not stream row positions through the driver.
+    // writeDvsDistributed writes each merged vector inside the task
+    // owning that file's rows and returns only (file, vector, count)
+    // refs; this exercises it across 16 files with a predicate matching
+    // 90% of rows, then checks every vector on disk is sorted, exact,
+    // and disjoint-merged with a pre-existing vector.
+    val dir = tmp()
+    write(dir, 0, 2000, parts = 16)
+    // seed an existing vector so the union-merge leg is on the path
+    val d = WarehouseSink.deleteWhereMoR(spark, dir, Seq(LessThan("id", 10L)))
+    assert(d.rowsDeleted === 10L)
+    val rep = WarehouseSink.updateWhereMoR(spark, dir,
+      Seq(GreaterThan("id", 199L)), Map("v" -> lit("wide")))
+    assert(rep.rowsUpdated === 1800L)
+    assert(rep.filesWithVectors === 16)
+    val m = WarehouseSink.readManifest(dir).get
+    val refs = WarehouseSink.dvRefs(m)
+    // every vector on disk: sorted, no duplicates, counts match refs
+    refs.foreach { r =>
+      val pos = WarehouseSink.readDvPositions(new File(dir, r.dvFile).getPath)
+      assert(pos.length.toLong === r.count, s"${r.dataFile} count drift")
+      assert(pos.toSeq === pos.sorted.toSeq && pos.distinct.length === pos.length,
+        s"${r.dataFile} vector unsorted or duplicated")
+    }
+    // killed rows total: 10 deleted + 1800 updated-away old versions
+    assert(refs.map(_.count).sum === 1810L)
+    // live reads: survivors 10..199 keep old values, the rest read "wide"
+    val live = spark.read.format(Fmt).option("path", dir).load()
+    assert(live.count() === 1990L)
+    assert(live.filter(col("v") === "wide").count() === 1800L)
+    assert(live.filter(col("v") =!= "wide").select("id").as[Long]
+      .collect().sorted.toSeq === (10L until 200L))
+  }
 }
