@@ -1965,6 +1965,23 @@ object SparkEntry {
           col("sum_qty").cast("long").as("sum_qty"))
     }),
 
+    // REAL BPE tokenizer encode, oracle-proven: the codegen'd BpeTokens
+    // expression under Vocab.DisjointMerges, whose non-interacting pairs
+    // give the token count a closed form the DuckDB oracle computes
+    // independently (|non-space chars| − Σ pair occurrences). Interacting
+    // merge tables are BpeSpec territory (SQL can't replay the loop).
+    "q323_bpe_encode" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        Vocab.bpeTokenCount(col("text"), Vocab.DisjointMerges)
+          .as("n_tokens"))),
+
+    // q104's token budget recounted with the REAL tokenizer: per-source
+    // deterministic admission until the cumulative BPE token count
+    // crosses the budget.
+    "q324_bpe_budget" -> ((s, d) =>
+      Vocab.bpeTokenBudgetCap(Tables.documents(s, d), "doc_id", "text",
+        "source", budget = 4000L, Vocab.DisjointMerges)),
+
     // Column mapping end-to-end: write → RENAME (metadata-only, field
     // ids) → append under the new name → DROP a column → read both file
     // eras back; the oracle recomputes from the source, so the hash
@@ -9264,6 +9281,44 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_rows,
                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    // BPE encode under the disjoint-alphabet merge table: the token
+    // count's closed form (non-space chars minus each pair's
+    // leftmost-nonoverlapping occurrences, countable via replace
+    // arithmetic) — the oracle derives it WITHOUT replaying the encode
+    // loop, so the hash proves the expression's merge semantics.
+    "q323_bpe_encode" ->
+      """WITH t AS (SELECT doc_id,
+                  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt
+           FROM documents)
+         SELECT doc_id,
+                CAST(length(replace(nt, ' ', ''))
+                  - (length(nt) - length(replace(nt, 'th', ''))) // 2
+                  - (length(nt) - length(replace(nt, 'an', ''))) // 2
+                  - (length(nt) - length(replace(nt, 'ou', ''))) // 2
+                  - (length(nt) - length(replace(nt, 'es', ''))) // 2
+                  AS BIGINT) AS n_tokens
+         FROM t""",
+
+    "q324_bpe_budget" ->
+      """WITH t AS (SELECT doc_id, source, text,
+                  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt
+           FROM documents),
+         c AS (SELECT doc_id, source, md5(text) AS pick,
+                  CAST(length(replace(nt, ' ', ''))
+                    - (length(nt) - length(replace(nt, 'th', ''))) // 2
+                    - (length(nt) - length(replace(nt, 'an', ''))) // 2
+                    - (length(nt) - length(replace(nt, 'ou', ''))) // 2
+                    - (length(nt) - length(replace(nt, 'es', ''))) // 2
+                    AS BIGINT) AS n_tokens
+               FROM t)
+         SELECT doc_id, source, n_tokens, cum_tokens
+         FROM (SELECT doc_id, source, n_tokens,
+                      CAST(sum(n_tokens) OVER (PARTITION BY source
+                        ORDER BY pick, doc_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+               FROM c)
+         WHERE cum_tokens <= 4000""",
 
     // The prefix filter is LOSSLESS, so its oracle is the plain
     // brute-force exact join — hash equality proves the claim.

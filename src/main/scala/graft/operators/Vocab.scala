@@ -73,6 +73,55 @@ object Vocab {
     out
   }
 
+  /** Fixed "disjoint-alphabet digraph" merge table for the oracle-backed
+    * encoder queries: the four pairs share no characters, so merges
+    * cannot interact (no merge creates, destroys, or overlaps another's
+    * occurrence) and the BPE token count has the closed form
+    * |non-space chars| − Σ leftmost-nonoverlapping occurrences(pair) —
+    * which the DuckDB oracle computes independently via `replace`
+    * arithmetic, proving the encoder end-to-end on real corpus text.
+    * (Interacting merge tables — rank priority, cascaded merges — are
+    * spec-verified in BpeSpec; SQL cannot replay the exhaustive loop.) */
+  val DisjointMerges: Seq[(String, String)] =
+    Seq(("t", "h"), ("a", "n"), ("o", "u"), ("e", "s"))
+
+  /** Real BPE tokens of a text column under a fixed merge table — the
+    * codegen'd [[graft.functions.BpeTokens]] expression (see its scaladoc
+    * for the encode-loop semantics and the trainer-flavor note). */
+  def bpeTokens(c: org.apache.spark.sql.Column,
+                merges: Seq[(String, String)]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.BpeTokens(ColumnBridge.expression(c), merges))
+  }
+
+  /** Real-tokenizer token count (long). */
+  def bpeTokenCount(c: org.apache.spark.sql.Column,
+                    merges: Seq[(String, String)]): org.apache.spark.sql.Column =
+    size(bpeTokens(c, merges)).cast("long")
+
+  /** [[Corpus.tokenBudgetCap]] recounted with the REAL tokenizer: per
+    * source, admit documents in deterministic (content-hash, id) order
+    * until the cumulative BPE token count exceeds the budget. Token
+    * counting is the codegen'd encode — one narrow pass; the only
+    * shuffle is the per-source cumulative window, same shape as q104. */
+  def bpeTokenBudgetCap(docs: DataFrame, idCol: String, textCol: String,
+                        srcCol: String, budget: Long,
+                        merges: Seq[(String, String)]): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(col("graft_pick").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+        md5(col(textCol).cast("binary")).as("graft_pick"),
+        bpeTokenCount(col(textCol), merges).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select("doc_id", "source", "n_tokens", "cum_tokens")
+  }
+
   /** Encode with a learned merge table: apply the k merges IN LEARNED
     * ORDER to per-group word-frequency tables and report the token-count
     * compression per group — the "did the vocabulary help, and for which
