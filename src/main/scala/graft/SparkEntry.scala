@@ -1965,6 +1965,18 @@ object SparkEntry {
           col("sum_qty").cast("long").as("sum_qty"))
     }),
 
+    // Exact duplicated-SPAN detection (substring-level dedup, the Lee
+    // et al. suffix-array rung in bucketed k-gram-anchor form): spans of
+    // ≥ 8 tokens shared verbatim across documents, found exactly via
+    // shared-gram coverage + doc-keyed island merge. No pair join.
+    "q325_dup_spans" -> ((s, d) =>
+      Dedup.dupSpans(Tables.documents(s, d), "doc_id", "text", k = 8)),
+
+    // Per-doc duplicated-span rollup: how much of each document is
+    // copied verbatim elsewhere in the corpus (integer-ppm).
+    "q326_span_report" -> ((s, d) =>
+      Dedup.dupSpanReport(Tables.documents(s, d), "doc_id", "text", k = 8)),
+
     // REAL BPE tokenizer encode, oracle-proven: the codegen'd BpeTokens
     // expression under Vocab.DisjointMerges, whose non-interacting pairs
     // give the token count a closed form the DuckDB oracle computes
@@ -9281,6 +9293,75 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_rows,
                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    // Duplicated spans replayed raw: gram explode with positions, grams
+    // in ≥2 distinct docs, interval union via gaps-and-islands. The
+    // Spark side joins 64-bit gram hashes (collision trade doc'd); the
+    // oracle joins the raw gram strings — hash equality proves both.
+    "q325_dup_spans" ->
+      """WITH t AS (SELECT doc_id,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         g AS (SELECT doc_id, i - 1 AS p,
+                      array_to_string(toks[i:i+7], ' ') AS gram
+               FROM (SELECT doc_id, toks,
+                            unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS i
+                     FROM t WHERE len(toks) >= 8)),
+         sh AS (SELECT gram FROM
+                  (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
+                WHERE nd >= 2),
+         cov AS (SELECT DISTINCT doc_id, p FROM g JOIN sh USING (gram)),
+         isl AS (SELECT doc_id, p,
+                   CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+                          OR p > lag(p) OVER (PARTITION BY doc_id ORDER BY p) + 8
+                        THEN 1 ELSE 0 END AS ns
+                 FROM cov),
+         sp AS (SELECT doc_id, p,
+                  sum(ns) OVER (PARTITION BY doc_id ORDER BY p
+                    ROWS UNBOUNDED PRECEDING) AS sid
+                FROM isl)
+         SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+                CAST(max(p) + 8 - min(p) AS BIGINT) AS span_len
+         FROM sp GROUP BY doc_id, sid""",
+
+    "q326_span_report" ->
+      """WITH t AS (SELECT doc_id,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         g AS (SELECT doc_id, i - 1 AS p,
+                      array_to_string(toks[i:i+7], ' ') AS gram
+               FROM (SELECT doc_id, toks,
+                            unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS i
+                     FROM t WHERE len(toks) >= 8)),
+         sh AS (SELECT gram FROM
+                  (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
+                WHERE nd >= 2),
+         cov AS (SELECT DISTINCT doc_id, p FROM g JOIN sh USING (gram)),
+         isl AS (SELECT doc_id, p,
+                   CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+                          OR p > lag(p) OVER (PARTITION BY doc_id ORDER BY p) + 8
+                        THEN 1 ELSE 0 END AS ns
+                 FROM cov),
+         sp AS (SELECT doc_id, p,
+                  sum(ns) OVER (PARTITION BY doc_id ORDER BY p
+                    ROWS UNBOUNDED PRECEDING) AS sid
+                FROM isl),
+         spans AS (SELECT doc_id, min(p) AS s0, max(p) + 8 - min(p) AS slen
+                   FROM sp GROUP BY doc_id, sid),
+         agg AS (SELECT doc_id, CAST(sum(slen) AS BIGINT) AS dup_tokens,
+                        CAST(count(*) AS BIGINT) AS n_spans
+                 FROM spans GROUP BY 1),
+         tot AS (SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                     AS n_tokens
+                 FROM documents)
+         SELECT tot.doc_id, n_tokens,
+                coalesce(dup_tokens, 0) AS dup_tokens,
+                coalesce(n_spans, 0) AS n_spans,
+                CAST(CASE WHEN n_tokens = 0 THEN 0
+                     ELSE coalesce(dup_tokens, 0) * 1000000 // n_tokens END
+                  AS BIGINT) AS dup_ppm
+         FROM tot LEFT JOIN agg ON tot.doc_id = agg.doc_id""",
 
     // BPE encode under the disjoint-alphabet merge table: the token
     // count's closed form (non-space chars minus each pair's

@@ -905,6 +905,84 @@ object Dedup {
     * One fingerprint aggregate (single keyed shuffle, max-combinable
     * marks), a 1-row fold. Estimator bias O(1/d_AB) is the documented
     * trade (Chapman's +1 correction variant is `n_hat_chapman`). */
+  /** Exact duplicated-SPAN detection — the substring-level dedup rung
+    * under the doc-level near-dup family (the suffix-array dedup of Lee
+    * et al., "Deduplicating Training Data Makes Language Models Better",
+    * re-expressed in the bucketed k-gram-anchor form): a token position
+    * is COVERED when some word k-gram starting at or crossing it occurs,
+    * verbatim, in at least one OTHER document; maximal runs of covered
+    * positions merge into spans. Every duplicated substring of ≥ k
+    * tokens is found EXACTLY (each of its k-grams recurs elsewhere, so
+    * the whole substring is covered); coverage may extend past a single
+    * pairwise match when distinct partners overlap-chain ("chimera"
+    * join) — the standard, documented over-approximation every
+    * k-gram-anchored span dedup makes in exchange for never doing an
+    * all-pairs or per-pair suffix walk.
+    *
+    * Scale shape: one token explode (corpus × tokens rows, narrow), one
+    * two-phase distinct-doc count on the gram's 64-bit hash (partial
+    * combine absorbs boilerplate grams — never a window), one semi-join
+    * back on the hash, one DOC-KEYED island-merge window (bounded per
+    * doc). No pair join anywhere; the hash-key collision trade is the
+    * explodedShingles one (P ≈ grams²/2⁶⁵).
+    *
+    * Output: (doc_id, span_start, span_len) in 0-based token indices,
+    * span_len ≥ k. */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+               k: Int): DataFrame = {
+    require(k >= 2, "span gram length k must be ≥ 2")
+    val grams = docs
+      .select(col(idCol).as("id"), T.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= k && length(col("toks")(0)) > 0)
+      .select(col("id"), posexplode(expr(
+        s"transform(sequence(0, size(toks) - $k)," +
+          s" i -> xxhash64(concat_ws(' ', slice(toks, i + 1, $k))))"))
+        .as(Seq("p", "g")))
+    val gr = Materialize.transient(grams)
+    // grams seen in ≥ 2 distinct docs: per-doc dedup first (map-side
+    // combinable), then a count on the gram key — both partial-agg
+    val shared = gr.select("g", "id").distinct()
+      .groupBy("g").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("g")
+    val covered = gr.join(shared, Seq("g"), "left_semi")
+      .select("id", "p").distinct()
+    // island merge: intervals [p, p+k-1] union; adjacent/overlapping
+    // when p ≤ prev + k
+    val w = Window.partitionBy("id").orderBy(col("p").asc)
+    covered
+      .withColumn("graft_new",
+        when(lag(col("p"), 1).over(w).isNull ||
+          col("p") > lag(col("p"), 1).over(w) + k, 1L).otherwise(0L))
+      .withColumn("graft_span", sum(col("graft_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id").as("doc_id"), col("graft_span"))
+      .agg(min("p").cast("long").as("span_start"),
+        (max(col("p")) + k - min(col("p"))).cast("long").as("span_len"))
+      .select("doc_id", "span_start", "span_len")
+  }
+
+  /** Per-document duplicated-span rollup over [[dupSpans]]: token total,
+    * covered (duplicated) tokens, span count, and integer-ppm
+    * duplication — the "how much of each doc is boilerplate copied
+    * elsewhere" readout a span-dedup pass gates on. Docs with no
+    * duplicated span report zeros (left join keeps them). */
+  def dupSpanReport(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val totals = docs.select(col(idCol).as("doc_id"),
+      T.wsTokens(col(textCol)).cast("long").as("n_tokens"))
+    val spans = dupSpans(docs, idCol, textCol, k)
+      .groupBy("doc_id")
+      .agg(sum("span_len").as("dup_tokens"),
+        count(lit(1)).as("n_spans"))
+    totals.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        expr("CASE WHEN n_tokens = 0 THEN 0 ELSE" +
+          " coalesce(dup_tokens, 0) * 1000000 div n_tokens END")
+          .as("dup_ppm"))
+  }
+
   def captureRecapture(docs: DataFrame, idCol: String,
                        textCol: String): DataFrame = {
     def mark(salt: String): Column =

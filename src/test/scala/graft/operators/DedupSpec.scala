@@ -455,4 +455,38 @@ class DedupSpec extends SparkSpec {
     assert(got.contains((21L, 22L)) && got.contains((21L, 24L)))
     assert(!got.exists(p => p._1 == 23L || p._2 == 23L))
   }
+
+  test("dupSpans finds planted shared spans exactly; lone docs untouched") {
+    // a 10-token boilerplate block planted inside two otherwise-unique
+    // documents at different offsets; a third document is all-unique
+    val block = (1 to 10).map(i => s"shared$i").mkString(" ")
+    def uniq(tag: String, n: Int) =
+      (1 to n).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (1L, uniq("alpha", 4) + " " + block + " " + uniq("omega", 3)),
+      (2L, block + " " + uniq("beta", 12)),
+      (3L, uniq("gamma", 20))).toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(docs, "doc_id", "text", k = 4)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    // doc 1: block occupies token positions 4..13; doc 2: 0..9
+    assert(spans === Seq((1L, 4L, 10L), (2L, 0L, 10L)))
+    val rep = Dedup.dupSpanReport(docs, "doc_id", "text", k = 4)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "dup_tokens", "n_spans", "dup_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rep === Seq(
+      (1L, 17L, 10L, 1L, 10L * 1000000L / 17L),
+      (2L, 22L, 10L, 1L, 10L * 1000000L / 22L),
+      (3L, 20L, 0L, 0L, 0L)))
+    // two disjoint planted blocks in one doc merge into TWO spans, and
+    // an overlap-adjacent repeat merges into one
+    val block2 = (1 to 5).map(i => s"other$i").mkString(" ")
+    val docs2 = Seq(
+      (1L, block + " " + uniq("mid", 6) + " " + block2),
+      (2L, block), (3L, block2)).toDF("doc_id", "text")
+    val spans2 = Dedup.dupSpans(docs2, "doc_id", "text", k = 4)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(spans2 === Seq((1L, 0L, 10L), (1L, 16L, 5L),
+      (2L, 0L, 10L), (3L, 0L, 5L)))
+  }
 }
