@@ -177,6 +177,16 @@ object SparkEntry {
       Similarity.pqTopK(pqIdx(s, d), Tables.embeddings(s, d),
         "vec_id", "embedding", queryId = 0L, k = 20, refine = 100)),
 
+    // Composed IVF-PQ (the FAISS IVFPQ recipe): coarse cells prune the
+    // scan, residual PQ codes feed the ADC score, exact cosine re-ranks
+    // the refine set. Rows-only contract like q70/q32 (KMeans float fits
+    // are engine-specific); SimilaritySpec holds recall vs brute force
+    // and the exact-configuration equality.
+    "q327_ivfpq_ann" -> ((s, d) =>
+      Similarity.ivfPqTopK(ivfPqIdx(s, d), Tables.embeddings(s, d),
+        "vec_id", "embedding", queryId = 0L, k = 20, nProbe = 4,
+        refine = 100)),
+
     // SCD type-2 validity intervals per user over the event-type history —
     // the as-of-queryable form of the reference's snapshot merges.
     "q74_scd2" -> ((s, d) =>
@@ -3788,6 +3798,8 @@ object SparkEntry {
     ivfCache.clear()
     pqCache.values.foreach(_.release())
     pqCache.clear()
+    ivfPqCache.values.foreach(_.release())
+    ivfPqCache.clear()
   }
 
   /** Clustered parts shared by q26/q62/q63, memoized per (session, dir):
@@ -3824,6 +3836,14 @@ object SparkEntry {
     pqCache.getOrElseUpdate((s, d),
       Similarity.pqIndex(Tables.embeddings(s, d), "vec_id", "embedding",
         dim = 64))
+
+  /** Composed IVF-PQ index for q327, memoized like its two parents. */
+  private val ivfPqCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Similarity.IvfPqIndex]
+  private def ivfPqIdx(s: SparkSession, d: String): Similarity.IvfPqIndex =
+    ivfPqCache.getOrElseUpdate((s, d),
+      Similarity.ivfPqIndex(Tables.embeddings(s, d), "vec_id", "embedding",
+        dim = 64, nLists = 16, m = 8, k = 32))
 
   /** RF fit shared by q27/q28, memoized per (session, scale dir). Trained
     * on a deterministic 5% key-sampled slice so CV tuning stays bounded. */

@@ -613,6 +613,149 @@ object Similarity {
       .select(col(idCol), col("cos"))
   }
 
+  // ---- IVF-PQ composed index (the FAISS IVFPQ recipe) ----
+
+  /** IVF cells + per-cell RESIDUAL product-quantization codes — the
+    * memory/recall operating point production 100 TB retrieval actually
+    * runs: the coarse quantizer prunes the scan to ~nProbe/nLists of the
+    * corpus (partition pruning when persisted), and within probed cells
+    * the ADC scan reads ~(4+m) B/vector codes instead of the vectors.
+    * Codes quantize x − c(cell) (residuals, shared codebooks across
+    * cells — FAISS's default), which spends the codebook's resolution on
+    * the within-cell variation instead of re-encoding cell centroids.
+    *
+    * @param codes (id, graft_cell, norm, codes array<int>[m]); norms are
+    *   EXACT so re-rank denominators are not approximated. */
+  final case class IvfPqIndex(codes: DataFrame,
+                              centers: Array[(Int, Array[Double])],
+                              codebooks: Array[Array[Array[Double]]],
+                              m: Int, dsub: Int,
+                              cached: Option[DataFrame] = None) {
+    def release(): Unit = cached.foreach(_.unpersist())
+  }
+
+  def ivfPqIndex(emb: DataFrame, idCol: String, vecCol: String,
+                 dim: Int, nLists: Int = 16, m: Int = 8, k: Int = 32,
+                 seed: Long = 42L, maxTrain: Int = 100000): IvfPqIndex = {
+    require(dim % m == 0, s"dim=$dim must be divisible by m=$m subspaces")
+    val dsub = dim / m
+    val ivf = ivfIndex(emb, idCol, vecCol, nLists, seed)
+    val ctrs = ivf.centers.sortBy(_._1).map(_._2)
+    // Residual training sample: bounded, deterministic, uniform — the
+    // same hash-ordered TakeOrdered recipe as pqIndex's (driver artifact
+    // stays O(maxTrain·dim) at any corpus size).
+    val sample = ivf.assigned
+      .select(xxhash64(col(idCol)).as("graft_h"), col(idCol).as("graft_id"),
+        col("graft_cell").as("graft_c"),
+        col(vecCol).cast("array<double>").as("graft_v"))
+      .orderBy(col("graft_h").asc, col("graft_id").asc)
+      .limit(maxTrain)
+      .select("graft_c", "graft_v").collect()
+      .map { r =>
+        val c = ctrs(r.getInt(0)); val v = r.getSeq[Double](1).toArray
+        Array.tabulate(v.length)(i => v(i) - c(i))
+      }
+    val codebooks = Array.tabulate(m) { j =>
+      lloyd(sample.map(_.slice(j * dsub, (j + 1) * dsub)), k,
+        iters = 10, seed = seed + j)
+    }
+    // Distributed residual encode: residual = zip_with(v, centers[cell])
+    // with the centroid table as ONE literal array artifact, then the
+    // native PqAssign tight loop — a single narrow projection.
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val centersLit = array(ctrs.map(c => array(c.map(lit): _*)): _*)
+    val resid = zip_with(col(vecCol).cast("array<double>"),
+      element_at(centersLit, col("graft_cell") + 1), (a, b) => a - b)
+    val codes = ivf.assigned.select(col(idCol).as("id"), col("graft_cell"),
+      V.norm(col(vecCol)).as("norm"),
+      ColumnBridge.column(graft.functions.PqAssign(
+        ColumnBridge.expression(resid), codebooks)).as("codes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    codes.count() // materialize BEFORE dropping the build-time projection
+    ivf.release()
+    IvfPqIndex(codes, ivf.centers, codebooks, m, dsub, Some(codes))
+  }
+
+  /** IVF-PQ probe: rank cells by centroid distance driver-side, ADC-scan
+    * ONLY the probed cells' codes (approx score = (q·c_cell +
+    * Σ_j T[j][code_j]) / (|q|·|x|) — the cell term is a per-cell scalar,
+    * the LUT an O(m·k) driver artifact), exact-cosine re-rank of the best
+    * `refine` candidates against the vector store. With nProbe = nLists
+    * and refine ≥ corpus the result is EXACTLY the brute force (the
+    * re-rank sees every id); production points trade recall for the
+    * pruned scan. */
+  def ivfPqTopK(index: IvfPqIndex, emb: DataFrame, idCol: String,
+                vecCol: String, queryId: Long, k: Int, nProbe: Int,
+                refine: Int = 100): DataFrame = {
+    val qv = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>")).head()
+      .getSeq[Double](0).toArray
+    val qn = math.sqrt(qv.map(x => x * x).sum)
+    def dist2(c: Array[Double]): Double =
+      c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
+    val probes = index.centers.sortBy { case (_, c) => dist2(c) }
+      .take(nProbe).map(_._1)
+    val centerOf = index.centers.toMap
+    val qDotC = probes.map(p =>
+      p -> centerOf(p).zipWithIndex.map { case (w, i) => w * qv(i) }.sum).toMap
+    val cellTerm = coalesce(
+      (probes.map(p => when(col("graft_cell") === p, lit(qDotC(p)))) :+
+        lit(0.0)): _*)
+    val lut = index.codebooks.zipWithIndex.map { case (cb, j) =>
+      cb.map(c => c.zipWithIndex.map { case (w, i) =>
+        w * qv(j * index.dsub + i) }.sum)
+    }
+    val approx = (cellTerm +: (0 until index.m).map { j =>
+      element_at(array(lut(j).map(lit): _*), element_at(col("codes"), j + 1) + 1)
+    }).reduce(_ + _) / (col("norm") * qn)
+    val candidates = index.codes
+      .filter(col("graft_cell").isin(probes.toIndexedSeq: _*) &&
+        col("id") =!= queryId)
+      .withColumn("graft_approx", approx)
+      .orderBy(col("graft_approx").desc, col("id").asc)
+      .limit(refine)
+      .select(col("id"))
+    emb.join(broadcast(candidates), col(idCol) === col("id"))
+      .withColumn("cos", round(V.cosine(col(vecCol),
+        array(qv.map(lit): _*)), 6))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("cos"))
+  }
+
+  /** Persist an IVF-PQ index: codes PARTITIONED BY cell (a probe's
+    * `graft_cell IN (...)` prunes whole directories at planning time),
+    * centroids and codebooks as tiny side tables — build once, probe
+    * many at ~(4+m) B/vector read cost. */
+  def saveIvfPqIndex(index: IvfPqIndex, path: String): Unit = {
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    index.codes.write.mode("overwrite")
+      .partitionBy("graft_cell").parquet(s"$path/codes")
+    index.centers.toSeq.toDF("cell", "center")
+      .write.mode("overwrite").parquet(s"$path/centers")
+    index.codebooks.zipWithIndex
+      .flatMap { case (cb, j) => cb.zipWithIndex.map { case (c, i) =>
+        (j, i, c.toSeq) } }.toSeq
+      .toDF("subspace", "centroid", "weights")
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                     path: String): IvfPqIndex = {
+    val codes = spark.read.parquet(s"$path/codes")
+    val centers = spark.read.parquet(s"$path/centers").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val rows = spark.read.parquet(s"$path/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val codebooks = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3)).toArray
+    val dsub = if (codebooks.isEmpty || codebooks(0).isEmpty) 0
+      else codebooks(0)(0).length
+    IvfPqIndex(codes, centers, codebooks, codebooks.length, dsub)
+  }
+
   /** ANN via LSH bucket prefilter: score only rows whose projection bucket
     * matches the query's. Trades recall for a candidate set ~n/2^nBits. */
   def annBucketTopK(emb: DataFrame, idCol: String, vecCol: String,

@@ -108,6 +108,59 @@ class SimilaritySpec extends SparkSpec {
     } finally { a.release(); b.release() }
   }
 
+  test("ivfPqTopK: exact configuration equals brute force; production point holds recall") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = real.count().toInt
+    val idx = Similarity.ivfPqIndex(real, "vec_id", "embedding",
+      dim = 64, nLists = 8, m = 8, k = 16)
+    try {
+      val exact = Similarity.cosineTopK(real, "vec_id", "embedding", 0L, 10)
+        .as[(Long, Double)].collect().toSeq
+      // probe EVERY cell with refine ≥ corpus: the re-rank sees all ids,
+      // so the composed index must reproduce brute force row-for-row
+      val full = Similarity.ivfPqTopK(idx, real, "vec_id", "embedding",
+        queryId = 0L, k = 10, nProbe = 8, refine = n)
+        .as[(Long, Double)].collect().toSeq
+      assert(full === exact)
+      // production operating point: a fraction of the cells, bounded
+      // refine — recall@10 must stay useful
+      val probe = Similarity.ivfPqTopK(idx, real, "vec_id", "embedding",
+        queryId = 0L, k = 10, nProbe = 4, refine = 100)
+        .select("vec_id").as[Long].collect().toSet
+      val recall = (exact.map(_._1).toSet & probe).size.toDouble / 10
+      assert(recall >= 0.6, s"IVF-PQ recall@10 = $recall")
+    } finally idx.release()
+  }
+
+  test("IVF-PQ index round-trips through parquet and probes identically") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = Similarity.ivfPqIndex(real, "vec_id", "embedding",
+      dim = 64, nLists = 8, m = 8, k = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    try {
+      Similarity.saveIvfPqIndex(idx, dir)
+      val loaded = Similarity.loadIvfPqIndex(spark, dir)
+      assert(loaded.m === idx.m && loaded.dsub === idx.dsub)
+      assert(loaded.codebooks.map(_.map(_.toSeq).toSeq).toSeq ===
+        idx.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+      val a = Similarity.ivfPqTopK(idx, real, "vec_id", "embedding",
+        queryId = 0L, k = 10, nProbe = 4, refine = 100)
+        .as[(Long, Double)].collect().toSeq
+      val b = Similarity.ivfPqTopK(loaded, real, "vec_id", "embedding",
+        queryId = 0L, k = 10, nProbe = 4, refine = 100)
+        .as[(Long, Double)].collect().toSeq
+      assert(a === b)
+      // the persisted probe PRUNES: scanning 4 of 8 cells must read only
+      // those partition directories
+      import org.apache.spark.sql.functions.col
+      val plan = loaded.codes
+        .filter(col("graft_cell").isin(0, 1, 2, 3))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [") &&
+        plan.contains("graft_cell"), plan)
+    } finally idx.release()
+  }
+
   test("labelCentroidDistances returns the exact L2 between mean centroids") {
     // label 0 centroid (1,1) from two vectors, label 1 centroid (4,5):
     // distance = √(3² + 4²) = 5 exactly
