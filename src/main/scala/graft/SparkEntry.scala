@@ -1975,6 +1975,53 @@ object SparkEntry {
           col("sum_qty").cast("long").as("sum_qty"))
     }),
 
+    // Initial-default column end-to-end: write an era WITHOUT the
+    // column, addColumnWithDefault (metadata-only), append an era WITH
+    // real values — old-era rows must read the default, new-era rows
+    // their stored values; the oracle recomputes both eras from source.
+    "q331_column_default" -> ((s, d) => {
+      val fmt = "graft.sources.WarehouseSink"
+      val dir = java.nio.file.Files.createTempDirectory("graft_def_").toString
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        col("l_quantity").cast("long").as("qty"))
+      li.filter(col("l_orderkey") % 2 === 0)
+        .write.format(fmt).option("path", dir).mode("overwrite").save()
+      sources.WarehouseSink.addColumnWithDefault(dir, "grade", "string",
+        "legacy")
+      li.filter(col("l_orderkey") % 2 === 1)
+        .withColumn("grade",
+          when(col("qty") >= 25, "high").otherwise("low"))
+        .write.format(fmt).option("path", dir).mode("append").save()
+      s.read.format(fmt).option("path", dir).load()
+        .groupBy("grade")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("qty").cast("long").as("sum_qty"))
+    }),
+
+    // Multi-seed BFS over the supplier↔part bipartite graph: exact
+    // shortest-hop expansion curve, frontier-driven, 3 unrolled rounds.
+    "q330_bfs_hops" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_suppkey").as("sk"),
+        (col("l_partkey") + lit(10000000L)).cast("long").as("pk"))
+      val edges = li.select(col("sk").as("src"), col("pk").as("dst"))
+        .unionByName(li.select(col("pk").as("src"), col("sk").as("dst")))
+      Graph.bfsHops(edges, "src", "dst", seeds = Seq(1L, 2L, 3L),
+        maxHops = 3)
+    }),
+
+    // Concentration panel: exact Gini / HHI / top-share of per-user
+    // event volume within each event type — pure ppm integer arithmetic.
+    "q329_concentration" -> ((s, d) =>
+      Analytics.concentrationPanel(Tables.events(s, d), "event_type",
+        "user_id")),
+
+    // Mann-Whitney U on a heavily-tied integer metric (quantity 1..50):
+    // doubled midranks keep U and the tie term exact; z replays through
+    // the explicitly-ordered double/sqrt expression.
+    "q328_mann_whitney" -> ((s, d) =>
+      Analytics.mannWhitneyU(Tables.lineitem(s, d), "l_returnflag",
+        "l_quantity", groupA = "R", groupB = "N")),
+
     // Exact duplicated-SPAN detection (substring-level dedup, the Lee
     // et al. suffix-array rung in bucketed k-gram-anchor form): spans of
     // ≥ 8 tokens shared verbatim across documents, found exactly via
@@ -9313,6 +9360,98 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_rows,
                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q331_column_default" ->
+      """WITH t AS (SELECT CASE WHEN l_orderkey % 2 = 0 THEN 'legacy'
+                       WHEN CAST(l_quantity AS BIGINT) >= 25 THEN 'high'
+                       ELSE 'low' END AS grade,
+                    CAST(l_quantity AS BIGINT) AS qty
+             FROM lineitem)
+         SELECT grade, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(qty) AS BIGINT) AS sum_qty
+         FROM t GROUP BY 1""",
+
+    "q330_bfs_hops" ->
+      """WITH li AS (SELECT DISTINCT l_suppkey AS sk,
+                  l_partkey + 10000000 AS pk FROM lineitem),
+         e AS (SELECT sk AS s, pk AS d FROM li
+               UNION SELECT pk AS s, sk AS d FROM li),
+         v0 AS (SELECT unnest([1, 2, 3]) AS node),
+         f1 AS (SELECT DISTINCT e.d AS node FROM e JOIN v0 ON e.s = v0.node
+                WHERE e.d NOT IN (SELECT node FROM v0)),
+         f2 AS (SELECT DISTINCT e.d AS node FROM e JOIN f1 ON e.s = f1.node
+                WHERE e.d NOT IN (SELECT node FROM v0)
+                  AND e.d NOT IN (SELECT node FROM f1)),
+         f3 AS (SELECT DISTINCT e.d AS node FROM e JOIN f2 ON e.s = f2.node
+                WHERE e.d NOT IN (SELECT node FROM v0)
+                  AND e.d NOT IN (SELECT node FROM f1)
+                  AND e.d NOT IN (SELECT node FROM f2)),
+         allv AS (SELECT node, 0 AS hops FROM v0
+                  UNION ALL SELECT node, 1 FROM f1
+                  UNION ALL SELECT node, 2 FROM f2
+                  UNION ALL SELECT node, 3 FROM f3)
+         SELECT CAST(hops AS BIGINT) AS hops,
+                CAST(count(*) AS BIGINT) AS n_nodes,
+                CAST(min(node) AS BIGINT) AS min_node,
+                CAST(max(node) AS BIGINT) AS max_node
+         FROM allv GROUP BY 1""",
+
+    "q329_concentration" ->
+      """WITH x AS (SELECT event_type AS g, user_id AS e, count(*) AS c
+               FROM events
+               WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+               GROUP BY 1, 2),
+         h AS (SELECT g, c, count(*) AS m FROM x GROUP BY 1, 2),
+         b AS (SELECT g, c, m,
+                 coalesce(sum(m) OVER (PARTITION BY g ORDER BY c
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+               FROM h),
+         a AS (SELECT g, sum(m) AS n, sum(c * m) AS s,
+                      sum(c * m * (2 * below + m + 1)) AS tis,
+                      sum(m * c * c) AS sq, max(c) AS top
+               FROM b GROUP BY 1)
+         SELECT g AS event_type, CAST(n AS BIGINT) AS n_entities,
+                CAST(s AS BIGINT) AS total,
+                CAST((tis - (n + 1) * s) * 1000000 // (n * s) AS BIGINT)
+                  AS gini_ppm,
+                CAST(sq * 1000000 // (s * s) AS BIGINT) AS hhi_ppm,
+                CAST(top * 1000000 // s AS BIGINT) AS top1_ppm
+         FROM a""",
+
+    "q328_mann_whitney" ->
+      """WITH rows_ AS (SELECT CAST(l_returnflag AS VARCHAR) AS g, l_quantity AS v
+               FROM lineitem
+               WHERE l_quantity IS NOT NULL AND l_returnflag IN ('R', 'N')),
+         r AS (SELECT v, count(*) AS m FROM rows_ GROUP BY 1),
+         rk AS (SELECT v, m,
+                  2 * coalesce(sum(m) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + m + 1 AS r2
+                FROM r),
+         f AS (SELECT sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS n1,
+                      sum(CASE WHEN g = 'N' THEN 1 ELSE 0 END) AS n2,
+                      sum(CASE WHEN g = 'R' THEN r2 ELSE 0 END) AS tr1
+               FROM rows_ JOIN rk USING (v)),
+         t AS (SELECT sum(m * m * m - m) AS tie FROM rk)
+         SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+                CAST(tr1 - n1 * (n1 + 1) AS BIGINT) AS two_u1,
+                CAST(tie AS BIGINT) AS tie_term,
+                CASE WHEN n1 = 0 OR n2 = 0 THEN CAST(NULL AS DOUBLE)
+                  WHEN CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+                    * (CAST(n1 + n2 + 1 AS DOUBLE)
+                       - CAST(tie AS DOUBLE)
+                         / (CAST(n1 + n2 AS DOUBLE)
+                            * CAST(n1 + n2 - 1 AS DOUBLE))) <= 0.0
+                  THEN CAST(NULL AS DOUBLE)
+                  ELSE round((CAST(tr1 - n1 * (n1 + 1) AS DOUBLE)
+                      - CAST(n1 * n2 AS DOUBLE))
+                    / (2.0 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                       / 12.0 * (CAST(n1 + n2 + 1 AS DOUBLE)
+                         - CAST(tie AS DOUBLE)
+                           / (CAST(n1 + n2 AS DOUBLE)
+                              * CAST(n1 + n2 - 1 AS DOUBLE))))), 6)
+                  END AS z
+         FROM f, t""",
 
     // Duplicated spans replayed raw: gram explode with positions, grams
     // in ≥2 distinct docs, interval union via gaps-and-islands. The

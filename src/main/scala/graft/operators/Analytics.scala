@@ -1455,6 +1455,125 @@ object Analytics {
           " END").as("hc_milli"))
   }
 
+  /** Concentration panel per group — exact Gini, Herfindahl-Hirschman,
+    * and top-entity share of an activity distribution (who owns the
+    * volume inside each group): the inequality readout next to q112's
+    * top-percentile shares. All three are pure integer arithmetic in
+    * ppm — Gini via the doubled rank-weighted sum on the per-group
+    * VALUE HISTOGRAM (2Σi·xᵢ = Σ x·m·(2·below + m + 1), tie-invariant by
+    * construction), HHI via Σm·x², top share via max — so the oracle
+    * replays bit-for-bit.
+    *
+    * Scale posture: one (group, entity) keyed aggregate (map-combining)
+    * collapses the corpus; the histogram window is per (group, distinct
+    * count value) — bounded far below entities; products live in
+    * DECIMAL(38,0). */
+  def concentrationPanel(df: DataFrame, groupCol: String,
+                         entityCol: String): DataFrame = {
+    val x = df
+      .filter(col(groupCol).isNotNull && col(entityCol).isNotNull)
+      .groupBy(col(groupCol).as("graft_g"), col(entityCol).as("graft_e"))
+      .agg(count(lit(1)).as("graft_c"))
+    val hist = x.groupBy("graft_g", "graft_c")
+      .agg(count(lit(1)).as("graft_m"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("graft_g").orderBy("graft_c")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    hist
+      .withColumn("graft_below", coalesce(sum("graft_m").over(w), lit(0L)))
+      .groupBy(col("graft_g"))
+      .agg(
+        sum("graft_m").cast("decimal(38,0)").as("graft_n"),
+        sum(expr("CAST(graft_c AS DECIMAL(38,0)) * graft_m")).as("graft_s"),
+        sum(expr("CAST(graft_c AS DECIMAL(38,0)) * graft_m" +
+          " * (2 * graft_below + graft_m + 1)")).as("graft_2is"),
+        sum(expr("CAST(graft_m AS DECIMAL(38,0)) * graft_c * graft_c"))
+          .as("graft_sq"),
+        max("graft_c").as("graft_top"))
+      .select(col("graft_g").as(groupCol),
+        col("graft_n").cast("long").as("n_entities"),
+        col("graft_s").cast("long").as("total"),
+        expr("CAST((graft_2is - (graft_n + 1) * graft_s) * 1000000" +
+          " div (graft_n * graft_s) AS BIGINT)").as("gini_ppm"),
+        expr("CAST(graft_sq * 1000000 div (graft_s * graft_s) AS BIGINT)")
+          .as("hhi_ppm"),
+        expr("CAST(CAST(graft_top AS DECIMAL(38,0)) * 1000000" +
+          " div graft_s AS BIGINT)").as("top1_ppm"))
+  }
+
+  /** Mann-Whitney U (Wilcoxon rank-sum) for TWO cohorts — the 2-sample
+    * rung between q167's AUC (which IS U/(n₁n₂)) and [[kruskalWallis]]'s
+    * k-sample H: does cohort A stochastically dominate cohort B, judged
+    * on ranks. Doubled midranks keep every statistic integral
+    * (2·rank = 2·below + ties + 1, the family trick): `two_u1` =
+    * 2R₁ − n₁(n₁+1) is EXACT in DECIMAL(38,0), as are the tie term
+    * Σ(t³−t) and n₁n₂. The normal-approximation z uses the
+    * tie-corrected variance n₁n₂/12·((N+1) − T/(N(N−1))) computed in an
+    * explicitly-ordered double expression (casts from exact integers,
+    * one sqrt — IEEE correctly-rounded, the q247/q295 discipline), so
+    * round(z, 6) replays bit-for-bit in the oracle. NULL z when a
+    * cohort is empty or the variance degenerates (all values tied).
+    *
+    * Scale posture: identical to [[kruskalWallis]] — ranks live on the
+    * DISTINCT-value table (cardinality-gated by `maxDistinct`), the
+    * cohort fold is one map-combinable aggregate, scalars ride 1-row. */
+  def mannWhitneyU(df: DataFrame, groupCol: String, valueCol: String,
+                   groupA: String, groupB: String,
+                   maxDistinct: Long = 1L << 20): DataFrame = {
+    val rows = df
+      .select(col(groupCol).cast("string").as("graft_g"),
+        col(valueCol).as("graft_v"))
+      .filter(col("graft_v").isNotNull &&
+        (col("graft_g") === groupA || col("graft_g") === groupB))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val w = org.apache.spark.sql.expressions.Window.orderBy("graft_v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranks = rows.groupBy(col("graft_v")).agg(count(lit(1)).as("graft_m"))
+      .withColumn("graft_card", count(lit(1)).over(wAll))
+      .filter(assert_true(col("graft_card") <= lit(maxDistinct),
+        lit(s"mannWhitneyU: more than $maxDistinct distinct values — " +
+          "quantize the metric before ranking")).isNull)
+      .withColumn("graft_below",
+        coalesce(sum("graft_m").over(w), lit(0L)))
+      .select(col("graft_v"), col("graft_m"),
+        (lit(2L) * col("graft_below") + col("graft_m") + lit(1L))
+          .cast("decimal(38,0)").as("graft_r2"))
+    val folded = rows
+      .join(ranks.select("graft_v", "graft_r2"), Seq("graft_v"))
+      .agg(
+        sum(when(col("graft_g") === groupA, 1L).otherwise(0L))
+          .cast("decimal(38,0)").as("graft_n1"),
+        sum(when(col("graft_g") === groupB, 1L).otherwise(0L))
+          .cast("decimal(38,0)").as("graft_n2"),
+        coalesce(sum(when(col("graft_g") === groupA, col("graft_r2"))),
+          lit(0L).cast("decimal(38,0)")).as("graft_2r1"))
+    val ties = ranks.agg(
+      sum(expr("CAST(graft_m AS DECIMAL(38,0)) * graft_m * graft_m" +
+        " - graft_m")).as("graft_tie"))
+    folded.crossJoin(broadcast(ties))
+      .select(
+        col("graft_n1").cast("long").as("n1"),
+        col("graft_n2").cast("long").as("n2"),
+        expr("CAST(graft_2r1 - graft_n1 * (graft_n1 + 1) AS BIGINT)")
+          .as("two_u1"),
+        col("graft_tie").cast("long").as("tie_term"),
+        expr("CASE WHEN graft_n1 = 0 OR graft_n2 = 0 THEN CAST(NULL AS DOUBLE)" +
+          " WHEN CAST(graft_n1 AS DOUBLE) * CAST(graft_n2 AS DOUBLE) / 12.0" +
+          "   * (CAST(graft_n1 + graft_n2 + 1 AS DOUBLE)" +
+          "      - CAST(graft_tie AS DOUBLE)" +
+          "        / (CAST(graft_n1 + graft_n2 AS DOUBLE)" +
+          "           * CAST(graft_n1 + graft_n2 - 1 AS DOUBLE))) <= 0.0" +
+          " THEN CAST(NULL AS DOUBLE)" +
+          " ELSE round((CAST(graft_2r1 - graft_n1 * (graft_n1 + 1) AS DOUBLE)" +
+          "   - CAST(graft_n1 * graft_n2 AS DOUBLE))" +
+          "  / (2.0 * sqrt(CAST(graft_n1 AS DOUBLE) * CAST(graft_n2 AS DOUBLE)" +
+          "     / 12.0 * (CAST(graft_n1 + graft_n2 + 1 AS DOUBLE)" +
+          "       - CAST(graft_tie AS DOUBLE)" +
+          "         / (CAST(graft_n1 + graft_n2 AS DOUBLE)" +
+          "            * CAST(graft_n1 + graft_n2 - 1 AS DOUBLE))))), 6)" +
+          " END").as("z"))
+  }
+
   /** Seasonal-naive forecast backtest — "does weekday seasonality
     * predict this series": per series, each observed day's count is
     * forecast two ways — SEASONAL = floor mean of the k most recent

@@ -373,6 +373,60 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("core_degree"))
   }
 
+  /** Multi-seed BFS hop distances — the reachability/radius primitive
+    * under the rest of the graph family (how far does influence spread
+    * from a seed set; which nodes are k hops out): frontier expansion
+    * with exact minimum hop counts. Each round joins the FRONTIER (not
+    * the visited set) to the edge list, anti-joins everything already
+    * visited, and labels survivors with the round number — so a node's
+    * hop count is its true shortest distance, and per-round work tracks
+    * the frontier, never the accumulated graph. Fixed `maxHops` rounds
+    * (the unrolled-oracle discipline of [[labelPropagation]]); returns
+    * the per-hop frontier profile (hops, n_nodes, min/max node) — the
+    * exact expansion curve.
+    *
+    * Scale: per round ONE frontier-keyed join + one anti-join, both on
+    * the node key; [[Materialize.transient]] pins each generation so
+    * lineage stays one round deep (the Pregel discipline). Early-exits
+    * when a frontier empties. */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              seeds: Seq[Long], maxHops: Int): DataFrame = {
+    require(seeds.nonEmpty && maxHops >= 1, "seeds and maxHops required")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = Materialize.transient(edges
+      .select(col(srcCol).cast("long").as("graft_s"),
+        col(dstCol).cast("long").as("graft_d"))
+      .filter(col("graft_s").isNotNull && col("graft_d").isNotNull &&
+        col("graft_s") =!= col("graft_d"))
+      .distinct())
+    var visited = Materialize.transient(
+      seeds.toDF("node").select(col("node").cast("long").as("node"),
+        lit(0L).as("hops")))
+    var frontier = visited.select("node")
+    var h = 0
+    var done = false
+    while (h < maxHops && !done) {
+      val next = Materialize.transient(
+        frontier.join(e, frontier("node") === e("graft_s"))
+          .select(col("graft_d").as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti")
+          .withColumn("hops", lit(h + 1L)))
+      if (next.isEmpty) done = true
+      else {
+        visited = Materialize.transient(visited.unionByName(next))
+        frontier = next.select("node")
+      }
+      h += 1
+    }
+    visited.groupBy("hops")
+      .agg(count(lit(1)).as("n_nodes"),
+        min("node").as("min_node"), max("node").as("max_node"))
+      .select(col("hops"), col("n_nodes").cast("long").as("n_nodes"),
+        col("min_node").cast("long").as("min_node"),
+        col("max_node").cast("long").as("max_node"))
+  }
+
   /** Label-propagation community detection (Raghavan/Albert/Kumara,
     * Phys. Rev. E 2007) made ENGINE-PORTABLE and DETERMINISTIC: every
     * node starts labeled with its own id; each SYNCHRONOUS round every

@@ -162,7 +162,8 @@ object WarehouseSink {
                                        ts: Long = 0L,
                                        dvs: Seq[String] = Nil,
                                        colIds: Seq[Long] = Nil,
-                                       nextColId: Long = -1L)
+                                       nextColId: Long = -1L,
+                                       defaults: Seq[String] = Nil)
 
   /** One merge-on-read deletion-vector reference, manifest-encoded as
     * `dataFile|dvFile|count`: `dvFile` holds the sorted 0-based line
@@ -443,8 +444,26 @@ object WarehouseSink {
     Some(Manifest(field("version").toLong, field("schema"), fileList("files"),
       field("epoch", "-1").toLong, field("partitionCol"), field("sortedBy"),
       field("op"), field("cdf", "false") == "true", fileList("changeFiles"),
-      ts, fileList("dvs"), colIds, field("nextColId", "-1").toLong))
+      ts, fileList("dvs"), colIds, field("nextColId", "-1").toLong,
+      fileList("defaults")))
   }
+
+  // ---- initial-default columns (Iceberg-v3 default-value semantics) ----
+  /** `defaults` entry codec: base64(utf8(encStr(name) TAB encoded-value))
+    * — base64 because a default literal may contain commas/quotes the
+    * manifest's simple list parser splits on; the inner payload is the
+    * row codec, so any literal the table can store round-trips. */
+  private[sources] def defaultEntry(name: String, encodedValue: String): String =
+    java.util.Base64.getEncoder.encodeToString(
+      (encStr(name) + "\t" + encodedValue).getBytes(StandardCharsets.UTF_8))
+  /** current column name → encoded literal. */
+  private[sources] def defaultsOf(m: Manifest): Map[String, String] =
+    m.defaults.flatMap { e0 =>
+      val e = new String(java.util.Base64.getDecoder.decode(e0),
+        StandardCharsets.UTF_8)
+      val i = e.indexOf('\t')
+      if (i < 0) None else Some(decStr(e.substring(0, i)) -> e.substring(i + 1))
+    }.toMap
 
   private def escape(s: String): String =
     s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
@@ -463,7 +482,7 @@ object WarehouseSink {
     * concurrency spec can park a "slow winner" in that window). */
   private[sources] def writeManifestFileOnly(dir: String, m: Manifest): Unit = {
     val json =
-      s"""{"version": ${m.version}, "ts": ${m.ts}, "epoch": ${m.epoch}, "partitionCol": "${escape(m.partitionCol)}", "sortedBy": "${escape(m.sortedBy)}", "op": "${escape(m.op)}", "cdf": "${m.cdf}", "schema": "${escape(m.schemaDdl)}", "files": [${m.files.map(f => "\"" + escape(f) + "\"").mkString(", ")}], "changeFiles": [${m.changeFiles.map(f => "\"" + escape(f) + "\"").mkString(", ")}], "dvs": [${m.dvs.map(f => "\"" + escape(f) + "\"").mkString(", ")}], "colIds": [${m.colIds.mkString(", ")}], "nextColId": ${m.nextColId}}"""
+      s"""{"version": ${m.version}, "ts": ${m.ts}, "epoch": ${m.epoch}, "partitionCol": "${escape(m.partitionCol)}", "sortedBy": "${escape(m.sortedBy)}", "op": "${escape(m.op)}", "cdf": "${m.cdf}", "schema": "${escape(m.schemaDdl)}", "files": [${m.files.map(f => "\"" + escape(f) + "\"").mkString(", ")}], "changeFiles": [${m.changeFiles.map(f => "\"" + escape(f) + "\"").mkString(", ")}], "dvs": [${m.dvs.map(f => "\"" + escape(f) + "\"").mkString(", ")}], "colIds": [${m.colIds.mkString(", ")}], "nextColId": ${m.nextColId}, "defaults": [${m.defaults.map(f => "\"" + escape(f) + "\"").mkString(", ")}]}"""
     // CREATE_NEW: a version slot is claimed exactly once. Two committers
     // racing the same slot collide HERE — a detectable conflict — instead
     // of the second silently overwriting the first's file list.
@@ -541,6 +560,24 @@ object WarehouseSink {
     }
   }
 
+  /** Central default-value carry-forward, the [[inheritColIds]] twin:
+    * publishes that don't set `defaults` inherit the previous
+    * generation's, restricted to columns still in the new schema (drop
+    * removes the entry; an unrelated truncate's new same-named column
+    * keeps inheriting only if the name survives — harmless, since
+    * defaults apply ONLY to files lacking the column, and a truncate's
+    * files all carry their columns). */
+  private def inheritDefaults(prev: Option[Manifest], next: Manifest): Manifest = {
+    if (next.defaults.nonEmpty) return next
+    prev match {
+      case Some(p) if p.defaults.nonEmpty =>
+        val names = StructType.fromDDL(next.schemaDdl).fieldNames.toSet
+        next.copy(defaults = p.defaults.filter(e =>
+          defaultsOf(p.copy(defaults = Seq(e))).keys.forall(names.contains)))
+      case _ => next
+    }
+  }
+
   private[sources] def publish(dir: String,
                                make: Option[Manifest] => Option[Manifest]): Option[Manifest] = {
     var floor = 0L
@@ -551,7 +588,7 @@ object WarehouseSink {
     while (attempts < 200) {
       attempts += 1
       val prev = base.orElse(readManifest(dir))
-      make(prev).map(inheritColIds(prev, _)) match {
+      make(prev).map(m0 => inheritDefaults(prev, inheritColIds(prev, m0))) match {
         case None => return None // caller declined (e.g. replayed epoch)
         case Some(m0) =>
           val v = math.max(prev.map(_.version + 1).getOrElse(0L), floor)
@@ -1491,6 +1528,9 @@ object WarehouseSink {
       Some(p.copy(schemaDdl = newSchema.toDDL,
         partitionCol = renameInSpec(p.partitionCol, from, to),
         sortedBy = if (p.sortedBy == from) to else p.sortedBy,
+        // a default follows its column through the rename (name-keyed)
+        defaults = defaultsOf(p).toSeq.map { case (n, v) =>
+          defaultEntry(if (n == from) to else n, v) },
         op = "rename_column", changeFiles = Nil))
     })
   }
@@ -1557,7 +1597,48 @@ object WarehouseSink {
       Some(p.copy(schemaDdl = newSchema.toDDL,
         colIds = p.colIds.patch(i, Nil, 1),
         sortedBy = if (p.sortedBy == name) "" else p.sortedBy,
+        defaults = defaultsOf(p).toSeq.collect {
+          case (n, v) if n != name => defaultEntry(n, v) },
         op = "drop_column", changeFiles = Nil))
+    })
+  }
+
+  /** Add a column with an INITIAL DEFAULT (Iceberg-v3 default-value
+    * semantics), metadata-only: the schema and binding extend with a
+    * fresh field id, no data file is touched, and every file written
+    * BEFORE the add (it lacks the column) reads `default` instead of
+    * null; files written after store real values (including explicit
+    * nulls). Refused while any live file lacks the `#cols` sidecar, for
+    * the same position-mapping reason mergeSchema evolution refuses.
+    * `default` is any value the row codec stores (null allowed — that
+    * degenerates to plain nullable add). */
+  def addColumnWithDefault(dir: String, name: String, typeDdl: String,
+                           default: Any): Unit = {
+    publish(dir, { prev =>
+      val p = prev.getOrElse(throw new IllegalArgumentException(
+        s"no warehouse table at $dir"))
+      val schema = StructType.fromDDL(p.schemaDdl)
+      require(!schema.fieldNames.contains(name),
+        s"addColumnWithDefault: column $name already exists")
+      require(p.colIds.nonEmpty,
+        "addColumnWithDefault: table has no field ids — call " +
+          "assignColumnIds and maintain() first")
+      val legacy = p.files.filterNot(f => readFileCols(dir, f).isDefined)
+      require(legacy.isEmpty,
+        s"addColumnWithDefault: ${legacy.size} file(s) lack the #cols " +
+          "sidecar line (rewrite them via maintain() first)")
+      val dt = StructType.fromDDL(s"`$name` $typeDdl").fields(0).dataType
+      val newSchema = StructType(schema.fields :+
+        org.apache.spark.sql.types.StructField(name, dt, nullable = true))
+      Some(p.copy(schemaDdl = newSchema.toDDL,
+        colIds = p.colIds :+ p.nextColId,
+        nextColId = p.nextColId + 1,
+        defaults = defaultsOf(p).toSeq.map { case (n, v) =>
+          defaultEntry(n, v) } :+ defaultEntry(name, encode(default match {
+            case s: String => UTF8String.fromString(s)
+            case x => x
+          })),
+        op = "add_column", changeFiles = Nil))
     })
   }
 
@@ -2865,6 +2946,15 @@ private[sources] class WarehouseScanBuilder(dir: String, schema: StructType,
     val dvDeleted = WarehouseSink.dvRefs(manifest.map(_.dvs).getOrElse(Nil))
       .map(_.count).sum
     val dvLive = dvDeleted > 0
+    // Initial-default columns: a file written before the add carries NO
+    // sidecar lines for the column, yet its rows READ the default — a
+    // MIN/MAX that merely skips such files would lie (COUNT/SUM already
+    // refuse via their missing-line gates). Sound gate: refuse min/max on
+    // a defaulted column unless every file proves a range for it.
+    val defaulted = manifest.map(WarehouseSink.defaultsOf)
+      .getOrElse(Map.empty).keySet
+    def rangeComplete(c: String): Boolean =
+      !defaulted.contains(c) || stats.forall(_.contains(c))
     val out = agg.aggregateExpressions.map {
       case _: CountStar =>
         (StructField("count_star", LongType, nullable = false),
@@ -2873,7 +2963,7 @@ private[sources] class WarehouseScanBuilder(dir: String, schema: StructType,
       case m: Min =>
         val c = singleColumn(m.column).getOrElse(return None)
         val i = schema.fieldNames.indexOf(c)
-        if (i < 0) return None
+        if (i < 0 || !rangeComplete(c)) return None
         val lows = stats.flatMap(_.get(c)).map(_._1)
         (StructField(s"min_$c", schema(i).dataType, nullable = true),
           if (lows.isEmpty) null
@@ -2881,7 +2971,7 @@ private[sources] class WarehouseScanBuilder(dir: String, schema: StructType,
       case m: Max =>
         val c = singleColumn(m.column).getOrElse(return None)
         val i = schema.fieldNames.indexOf(c)
-        if (i < 0) return None
+        if (i < 0 || !rangeComplete(c)) return None
         val highs = stats.flatMap(_.get(c)).map(_._2)
         (StructField(s"max_$c", schema(i).dataType, nullable = true),
           if (highs.isEmpty) null
@@ -3680,7 +3770,8 @@ private[sources] class WarehouseScan(dir: String, schema: StructType,
     new WarehouseReaderFactory(schema, required,
       m.map(x => StructType.fromDDL(x.schemaDdl).fieldNames.toSeq)
         .getOrElse(Nil),
-      m.map(_.colIds).getOrElse(Nil))
+      m.map(_.colIds).getOrElse(Nil),
+      m.map(WarehouseSink.defaultsOf).getOrElse(Map.empty))
   }
 
   // ---- storage-partitioned reads ----
@@ -3945,7 +4036,8 @@ private[sources] class WarehouseMicroBatchStream(dir: String,
     new WarehouseReaderFactory(schema, required,
       m.map(x => StructType.fromDDL(x.schemaDdl).fieldNames.toSeq)
         .getOrElse(Nil),
-      m.map(_.colIds).getOrElse(Nil))
+      m.map(_.colIds).getOrElse(Nil),
+      m.map(WarehouseSink.defaultsOf).getOrElse(Map.empty))
   }
 }
 
@@ -4043,7 +4135,8 @@ private[sources] class WarehouseCdfMicroBatchStream(dir: String,
     new WarehouseReaderFactory(schema, required,
       m.map(x => StructType.fromDDL(x.schemaDdl).fieldNames.toSeq)
         .getOrElse(Nil),
-      m.map(_.colIds).getOrElse(Nil))
+      m.map(_.colIds).getOrElse(Nil),
+      m.map(WarehouseSink.defaultsOf).getOrElse(Map.empty))
   }
 }
 
@@ -4060,12 +4153,21 @@ private[sources] case class WarehouseCdfPartition(path: String,
 private[sources] class WarehouseReaderFactory(schema: StructType,
                                               required: StructType,
                                               tableCols: Seq[String] = Nil,
-                                              tableIds: Seq[Long] = Nil)
+                                              tableIds: Seq[Long] = Nil,
+                                              defaults: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
   /** Per-file (local → current) name translation from stable field ids;
     * empty when either side predates them (by-name decode, unchanged). */
   private def rnOf(file: File): Map[String, String] =
     WarehouseSink.renameMap(file.getParent, file.getName, tableCols, tableIds)
+
+  /** What a required column reads when the FILE lacks it: its initial
+    * default if the scanned generation declares one, else null. Decoded
+    * once per reader, not per row. */
+  private val defVals: Array[Any] = required.fields.map { f =>
+    defaults.get(f.name)
+      .map(v => WarehouseSink.decode(v, f.dataType)).orNull
+  }
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case WarehouseFilePartition(path, dv) => fileReader(path, dv)
@@ -4134,7 +4236,7 @@ private[sources] class WarehouseReaderFactory(schema: StructType,
         InternalRow.fromSeq(Array.tabulate(idxs.length) { j =>
           if (names(j) == "_commit_version") version
           else if (names(j) == "_change_type" && ctVal != null) ctVal
-          else if (idxs(j) < 0) null
+          else if (idxs(j) < 0) defVals(j)
           else WarehouseSink.decode(toks(idxs(j)), types(j)) }.toSeq)
       }
       override def close(): Unit = in.close()
@@ -4193,7 +4295,7 @@ private[sources] class WarehouseReaderFactory(schema: StructType,
           if (idxs(j) >= 0) WarehouseSink.decode(toks(idxs(j)), types(j))
           else if (names(j) == "__graft_file") fileNameU8
           else if (names(j) == "__graft_pos") pos
-          else null }.toSeq)
+          else defVals(j) }.toSeq)
       }
       override def close(): Unit = in.close()
     }

@@ -260,6 +260,66 @@ class WarehouseRenameSpec extends SparkSpec {
       .select("b").as[Long].collect().sorted.toSeq === Seq(4L, 5L, 1003L))
   }
 
+  test("initial-default column: old era reads the default; composes with rename/drop") {
+    val dir = tmp()
+    (1L to 3L).map(i => (i, i * 10L)).toDF("id", "v")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val v0 = WarehouseSink.readManifest(dir).get.version
+    WarehouseSink.addColumnWithDefault(dir, "tag", "string", "d0")
+    // metadata-only: no data file touched
+    assert(WarehouseSink.readManifest(dir).get.op === "add_column")
+    (4L to 5L).map(i => (i, i * 10L, s"t$i")).toDF("id", "v", "tag")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val got = spark.read.format(Fmt).option("path", dir).load()
+      .select("id", "tag").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "d0", 2L -> "d0", 3L -> "d0",
+      4L -> "t4", 5L -> "t5"))
+    // a filter on the defaulted column sees the default, and IS NULL
+    // matches nothing (the default is non-null)
+    assert(spark.read.format(Fmt).option("path", dir).load()
+      .filter(col("tag") === "d0").count() === 3L)
+    assert(spark.read.format(Fmt).option("path", dir).load()
+      .filter(col("tag").isNull).count() === 0L)
+    // min/max on a defaulted column must NOT answer from metadata (the
+    // pre-add files carry no range line yet their rows read 'd0')
+    val r = spark.read.format(Fmt).option("path", dir).load()
+      .agg(min("tag"), max("tag"))
+    assert(!r.queryExecution.executedPlan.toString.contains("metadata-only agg"))
+    assert(r.head() === org.apache.spark.sql.Row("d0", "t5"))
+    // time travel to the pre-add generation: no column at all
+    assert(spark.read.format(Fmt).option("path", dir)
+      .option("versionAsOf", v0.toString).load()
+      .columns.toSeq === Seq("id", "v"))
+    // the default follows a rename, dies with a drop, never resurrects
+    WarehouseSink.renameColumn(dir, "tag", "label")
+    assert(spark.read.format(Fmt).option("path", dir).load()
+      .filter(col("label") === "d0").count() === 3L)
+    WarehouseSink.dropColumn(dir, "label")
+    (6L to 6L).map(i => (i, i * 10L, "fresh")).toDF("id", "v", "label")
+      .write.format(Fmt).option("path", dir)
+      .option("mergeSchema", "true").mode("append").save()
+    val after = spark.read.format(Fmt).option("path", dir).load()
+      .select("id", "label").as[(Long, Option[String])].collect().toMap
+    assert(after(1L).isEmpty && after(4L).isEmpty && after(6L) === Some("fresh"))
+  }
+
+  test("default survives unrelated appends and DML rewrites") {
+    val dir = tmp()
+    (1L to 4L).map(i => (i, i)).toDF("id", "k")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    WarehouseSink.addColumnWithDefault(dir, "score", "bigint", 7L)
+    // plain append of the full schema: inheritDefaults carries the entry
+    Seq((5L, 5L, 50L)).toDF("id", "k", "score")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    // CoW delete rewrites a candidate file: rewritten rows MATERIALIZE
+    // the default (they were read through it)
+    import org.apache.spark.sql.sources.EqualTo
+    WarehouseSink.deleteWhere(spark, dir, Seq(EqualTo("id", 2L)))
+    val got = spark.read.format(Fmt).option("path", dir).load()
+      .select("id", "score").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 7L, 3L -> 7L, 4L -> 7L, 5L -> 50L))
+  }
+
   test("dropping a partition column is refused; dropping the last column is refused") {
     val dir = tmp()
     (1L to 4L).map(i => (i, i % 2)).toDF("id", "p")
