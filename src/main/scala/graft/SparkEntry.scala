@@ -1975,6 +1975,33 @@ object SparkEntry {
           col("sum_qty").cast("long").as("sum_qty"))
     }),
 
+    // MoR MERGE with a DELETE clause (CDC apply at the table-format
+    // level): one change batch carrying tombstones, updates and inserts;
+    // matched rows die behind vectors, only non-tombstones append. The
+    // oracle recomputes the final table from source arithmetic.
+    "q332_merge_apply" -> ((s, d) => {
+      val fmt = "graft.sources.WarehouseSink"
+      val dir = java.nio.file.Files.createTempDirectory("graft_app_").toString
+      val base = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      base.write.format(fmt).option("path", dir).mode("overwrite").save()
+      val changes = base.filter(col("k") % 7 === 0)
+        .select(col("k"), col("cents"), lit(true).as("is_delete"))
+        .unionByName(base.filter(col("k") % 7 === 1)
+          .select(col("k"), (col("cents") + 12345L).as("cents"),
+            lit(false).as("is_delete")))
+        .unionByName(base.filter(col("k") % 7 === 2)
+          .select((col("k") + 1000000000L).as("k"),
+            lit(77L).as("cents"), lit(false).as("is_delete")))
+      sources.WarehouseSink.applyChangesMoR(s, dir, changes,
+        keyCols = Seq("k"), deleteCol = "is_delete")
+      s.read.format(fmt).option("path", dir).load()
+        .groupBy((col("k") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+        .select(col("bucket").cast("long").as("bucket"), col("n_rows"),
+          col("sum_cents").cast("long").as("sum_cents"))
+    }),
+
     // Initial-default column end-to-end: write an era WITHOUT the
     // column, addColumnWithDefault (metadata-only), append an era WITH
     // real values — old-era rows must read the default, new-era rows
@@ -9360,6 +9387,21 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_rows,
                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q332_merge_apply" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+             FROM orders),
+         final AS (
+           SELECT k, cents + 12345 AS cents FROM base WHERE k % 7 = 1
+           UNION ALL
+           SELECT k, cents FROM base WHERE k % 7 NOT IN (0, 1)
+           UNION ALL
+           SELECT k + 1000000000 AS k, 77 AS cents FROM base WHERE k % 7 = 2)
+         SELECT CAST(k % 10 AS BIGINT) AS bucket,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM final GROUP BY 1""",
 
     "q331_column_default" ->
       """WITH t AS (SELECT CASE WHEN l_orderkey % 2 = 0 THEN 'legacy'

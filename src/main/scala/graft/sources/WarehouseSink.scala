@@ -740,7 +740,7 @@ object WarehouseSink {
       val cdfDdl = schema.add("_change_type",
         org.apache.spark.sql.types.StringType).toDDL
       val images = m.op match {
-        case "delete" | "delete_mor" | "update" | "update_mor" | "merge" | "merge_mor" =>
+        case "delete" | "delete_mor" | "update" | "update_mor" | "merge" | "merge_mor" | "merge_mor_apply" =>
           require(m.cdf,
             s"version $v is a ${m.op} committed with the change feed " +
               "disabled — enableChangeFeed() before the DML, or diff " +
@@ -1911,6 +1911,135 @@ object WarehouseSink {
     * must be key-unique; NULL-keyed update rows never match and insert.
     * `rowsMatched` is exact (the new vector positions). Op `merge_mor`;
     * CDF images match the copy-on-write merge's. Single-writer. */
+  case class MorApplyReport(filesWithVectors: Int, filesCarried: Int,
+                            rowsKilled: Long, rowsDeleted: Long,
+                            rowsUpserted: Long, filesAppended: Int)
+
+  /** Merge-on-read MERGE with a DELETE clause — the full
+    * `WHEN MATCHED [AND tombstone] THEN DELETE / THEN UPDATE /
+    * WHEN NOT MATCHED THEN INSERT` matrix (the CDC-apply verb at the
+    * TABLE-FORMAT level; the q75 operator does the same over frames):
+    * `changes` carries the table schema plus a boolean `deleteCol`.
+    * Every matched table row — tombstoned or updated — dies behind a
+    * deletion vector; only the NON-tombstone change rows append (a
+    * tombstone's key simply has no replacement). Unmatched tombstones
+    * are no-ops, unmatched non-tombstones insert. Same shape as
+    * [[mergeMoR]]: planning-sized key bounding box, one distributed
+    * position semi-join, vectors written EXECUTOR-SIDE, one generation.
+    * Same cardinality contract: `changes` must be key-unique. With the
+    * change feed on, tombstone matches capture as `delete` images and
+    * the rest like [[mergeMoR]]'s (op `merge_mor_apply`). */
+  def applyChangesMoR(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      changes: org.apache.spark.sql.DataFrame,
+                      keyCols: Seq[String],
+                      deleteCol: String): MorApplyReport = {
+    import org.apache.spark.sql.functions.{col, lit, max, min}
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
+    require(keyCols.nonEmpty, "applyChangesMoR requires at least one key column")
+    val fmt = classOf[WarehouseSink].getName
+    val cur = readManifest(dir).getOrElse(throw new IllegalArgumentException(
+      s"cannot merge into nonexistent warehouse table at $dir"))
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    keyCols.foreach(k => require(schema.fieldNames.contains(k),
+      s"key column $k not in table schema"))
+    require(changes.columns.toSet == schema.fieldNames.toSet + deleteCol,
+      s"changes schema ${changes.columns.mkString(",")} must be the table " +
+        s"schema plus the $deleteCol flag")
+    val aligned = graft.operators.Materialize.transient(
+      changes.select((schema.fieldNames.toIndexedSeq :+ deleteCol).map(col): _*)
+        .withColumn(deleteCol, col(deleteCol).cast("boolean")))
+    val rangeRow = aligned.agg(
+      min(col(keyCols.head)).as("mn0"), (max(col(keyCols.head)).as("mx0") +:
+        keyCols.tail.zipWithIndex.flatMap { case (k, i) =>
+          Seq(min(col(k)).as(s"mn${i + 1}"), max(col(k)).as(s"mx${i + 1}"))
+        }).toIndexedSeq: _*).collect()(0)
+    val rangeFilters = keyCols.indices.flatMap { i =>
+      val (lo, hi) = (rangeRow.get(2 * i), rangeRow.get(2 * i + 1))
+      if (lo != null && hi != null)
+        Seq(GreaterThanOrEqual(keyCols(i), lo),
+          LessThanOrEqual(keyCols(i), hi))
+      else Nil
+    }
+    val candidates =
+      if (rangeFilters.size < 2 * keyCols.size) Nil
+      else cur.files.filter(
+        dmlCandidate(dir, _, schema, cur.colIds, rangeFilters))
+    val candDvs = dvEntriesFor(cur, candidates)
+    val allKeys = aligned.select(keyCols.map(col).toIndexedSeq: _*).distinct()
+    val delKeys = aligned.filter(col(deleteCol))
+      .select(keyCols.map(col).toIndexedSeq: _*).distinct()
+    val ups = aligned.filter(!col(deleteCol))
+      .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+    val rowPosDdl = schema
+      .add("__graft_file", org.apache.spark.sql.types.StringType)
+      .add("__graft_pos", org.apache.spark.sql.types.LongType).toDDL
+    val oldRefs = dvRefs(candDvs).map(r => r.dataFile -> r).toMap
+    def candScan =
+      if (candidates.nonEmpty)
+        spark.read.format(fmt).option("path", dir)
+          .option("files", candidates.mkString(","))
+          .option("dvs", candDvs.mkString(",")).load()
+      else aligned.filter(lit(false))
+        .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+    val newRefs =
+      if (candidates.isEmpty) Nil
+      else writeDvsDistributed(dir,
+        spark.read.format(fmt).option("path", dir)
+          .option("readSchemaDdl", rowPosDdl)
+          .option("files", candidates.mkString(","))
+          .option("dvs", candDvs.mkString(",")).load()
+          .join(allKeys, keyCols, "left_semi")
+          .select(col("__graft_file"), col("__graft_pos")), oldRefs)
+    // tombstone-matched rows: a bounded second look at the candidates
+    val rowsDeleted =
+      if (candidates.isEmpty) 0L
+      else candScan.join(delKeys, keyCols, "left_semi").count()
+    val tmpIns = new File(new File(dir).getAbsoluteFile.getParentFile,
+      new File(dir).getName + ".applymor-" +
+        java.util.UUID.randomUUID.toString.take(8))
+    copyChecks(dir, tmpIns.getPath)
+    try {
+      ups.write.format(fmt).option("path", tmpIns.getPath)
+        .mode("overwrite").save()
+      val insFiles = readManifest(tmpIns.getPath).map(_.files).getOrElse(Nil)
+      insFiles.foreach(moveWithStats(tmpIns, new File(dir), _))
+      val cdfOn = cdfEnabled(dir)
+      val cdfChanges =
+        if (cdfOn) {
+          val upKeys = ups.select(keyCols.map(col).toIndexedSeq: _*).distinct()
+          val oldKeys = candScan.select(keyCols.map(col).toIndexedSeq: _*)
+            .distinct()
+          stageChanges(dir,
+            candScan.join(delKeys, keyCols, "left_semi")
+              .withColumn("_change_type", lit("delete"))
+              .unionByName(candScan.join(upKeys, keyCols, "left_semi")
+                .withColumn("_change_type", lit("update_preimage")))
+              .unionByName(ups.join(oldKeys, keyCols, "left_semi")
+                .withColumn("_change_type", lit("update_postimage")))
+              .unionByName(ups.join(oldKeys, keyCols, "left_anti")
+                .withColumn("_change_type", lit("insert"))))
+        } else Nil
+      val touched = newRefs.map(_.dataFile).toSet
+      publish(dir, { prev =>
+        val p = prev.getOrElse(cur)
+        Some(Manifest(0L, p.schemaDdl, p.files ++ insFiles, p.epoch,
+          p.partitionCol, op = "merge_mor_apply", cdf = cdfOn,
+          changeFiles = cdfChanges,
+          dvs = p.dvs.filterNot(e => touched.contains(e.takeWhile(_ != '|'))) ++
+            newRefs.map(_.encoded)))
+      })
+      val insRows = insFiles.map(f => readRowCount(dir, f).getOrElse(-1L))
+      MorApplyReport(newRefs.size, cur.files.size - newRefs.size,
+        newlyKilled(newRefs, oldRefs), rowsDeleted,
+        if (insRows.contains(-1L)) -1L else insRows.sum, insFiles.size)
+    } finally {
+      def rm(f: File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(tmpIns)
+    }
+  }
+
   def mergeMoR(spark: org.apache.spark.sql.SparkSession, dir: String,
                updates: org.apache.spark.sql.DataFrame,
                keyCols: Seq[String]): MorMergeReport = {
@@ -4097,7 +4226,7 @@ private[sources] class WarehouseCdfMicroBatchStream(dir: String,
     } else (vs + 1) to ve foreach { v =>
       val m = manifestAt(v)
       m.op match {
-        case "delete" | "delete_mor" | "update" | "update_mor" | "merge" | "merge_mor" =>
+        case "delete" | "delete_mor" | "update" | "update_mor" | "merge" | "merge_mor" | "merge_mor_apply" =>
           if (!m.cdf) throw new IllegalStateException(
             s"warehouse CDF stream on $dir: version $v is a ${m.op} " +
               "committed with the change feed disabled — enableChangeFeed()" +

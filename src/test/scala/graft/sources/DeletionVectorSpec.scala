@@ -293,6 +293,39 @@ class DeletionVectorSpec extends SparkSpec {
     assert(total === 6L) // 5 deleted + 1 merged-away
   }
 
+  test("applyChangesMoR: tombstones delete, updates replace, inserts append, CDF tells them apart") {
+    val dir = tmp()
+    write(dir, 0, 20)
+    WarehouseSink.enableChangeFeed(dir)
+    val before = WarehouseSink.readManifest(dir).get
+    // one batch: delete ids 0-4, update ids 5-9 (v -> U<i>), insert 100-101
+    val changes = ((0L until 5L).map(i => (i, "x", true)) ++
+      (5L until 10L).map(i => (i, s"U$i", false)) ++
+      Seq((100L, "new100", false), (101L, "new101", false)))
+      .toDF("id", "v", "is_delete")
+    val rep = WarehouseSink.applyChangesMoR(spark, dir, changes,
+      keyCols = Seq("id"), deleteCol = "is_delete")
+    assert(rep.rowsKilled === 10L)    // 5 tombstoned + 5 updated-away
+    assert(rep.rowsDeleted === 5L)
+    assert(rep.rowsUpserted === 7L)   // 5 replacements + 2 inserts
+    // base data files untouched (vectors only) + the appended batch
+    val after = WarehouseSink.readManifest(dir).get
+    assert(before.files.forall(after.files.contains))
+    assert(after.op === "merge_mor_apply")
+    // final content: 0-4 gone, 5-9 updated, 10-19 untouched, 100-101 new
+    val got = spark.read.format(Fmt).option("path", dir).load()
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(got.keySet === ((5L until 20L) ++ Seq(100L, 101L)).toSet)
+    assert((5L until 10L).forall(i => got(i) === s"U$i"))
+    assert((10L until 20L).forall(i => got(i) === s"v$i"))
+    // CDF: delete images for tombstones, pre/post for updates, inserts
+    val cdf = WarehouseSink.tableChanges(spark, dir,
+      before.version, after.version)
+      .groupBy("_change_type").count().as[(String, Long)].collect().toMap
+    assert(cdf === Map("delete" -> 5L, "update_preimage" -> 5L,
+      "update_postimage" -> 5L, "insert" -> 2L))
+  }
+
   test("WIDE-predicate MoR update: vectors write executor-side, refs-only driver state") {
     // The scale contract: a broad update matching most of a many-file
     // table must not stream row positions through the driver.
