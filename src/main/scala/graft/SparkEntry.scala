@@ -1975,6 +1975,40 @@ object SparkEntry {
           col("sum_qty").cast("long").as("sum_qty"))
     }),
 
+    // Xing VBR header decode: real first-frame tag walk over
+    // deterministic fixtures; the declared frame count and the duration
+    // arithmetic replay in SQL.
+    "q333_mp3_vbr" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val sr = (id % 3L).toInt
+          val fr = 100L + id % 900L
+          val got = multimodal.Binary.mp3VbrMeta(
+            multimodal.Binary.synthXingMp3(sr, fr, mono = id % 2L == 0L))
+          (id, got.map(_._1).getOrElse(-1L),
+            got.map(_._2.toLong).getOrElse(-1L),
+            got.map(_._3).getOrElse(-1L))
+        }.toDF("doc_id", "vbr_frames", "sample_rate", "duration_ms")
+    }),
+
+    // AVIF/HEIC dimensions via the ISO-BMFF ispe item property — the
+    // modern-codec leg of the dimension family, fixture-driven with
+    // SQL-derivable expected values.
+    "q334_avif_dims" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = ((id % 200L).toInt + 1) * 2
+          val h = ((id % 100L).toInt + 1) * 3
+          val brand = if (id % 2L == 0L) "avif" else "heic"
+          val got = multimodal.Binary.avifDims(
+            multimodal.Binary.synthAvif(w, h, brand))
+          (id, got.map(_._1.toLong).getOrElse(-1L),
+            got.map(_._2.toLong).getOrElse(-1L))
+        }.toDF("doc_id", "width", "height")
+    }),
+
     // MoR MERGE with a DELETE clause (CDC apply at the table-format
     // level): one change batch carrying tombstones, updates and inserts;
     // matched rows die behind vectors, only non-tombstones append. The
@@ -9387,6 +9421,22 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_rows,
                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q333_mp3_vbr" ->
+      """SELECT doc_id,
+                CAST(100 + doc_id % 900 AS BIGINT) AS vbr_frames,
+                CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                     ELSE 32000 END AS BIGINT) AS sample_rate,
+                CAST((100 + doc_id % 900) * 1152 * 1000
+                  // (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                      ELSE 32000 END) AS BIGINT) AS duration_ms
+         FROM documents""",
+
+    "q334_avif_dims" ->
+      """SELECT doc_id,
+                CAST((doc_id % 200 + 1) * 2 AS BIGINT) AS width,
+                CAST((doc_id % 100 + 1) * 3 AS BIGINT) AS height
+         FROM documents""",
 
     "q332_merge_apply" ->
       """WITH base AS (SELECT o_orderkey AS k,

@@ -382,6 +382,138 @@ object Binary {
     out.toByteArray
   }
 
+  /** MP3 Xing/Info (and Fraunhofer VBRI) VBR header — the fast-duration
+    * path next to [[mp3Meta]]'s full frame walk: a VBR encoder writes
+    * the total frame count into the FIRST frame, so duration reads in
+    * one frame instead of O(file) hops — the difference between
+    * header-sniffing and re-scanning at corpus scale. Layout: after the
+    * optional ID3v2 prefix (footer-aware, like [[mp3Meta]]), the first
+    * frame's header gives version + mode; "Xing"/"Info" sits after the
+    * side info (MPEG1: 32 B stereo / 17 B mono; LSF: 17/9) with
+    * flags:be32 (bit 0 = frame count present) then frames:be32; the
+    * Fraunhofer "VBRI" variant sits at a fixed 32 B after the header
+    * with frames at +14. Returns (frames, sampleRate, durationMs);
+    * None when neither tag is present (CBR → walk with [[mp3Meta]]). */
+  def mp3VbrMeta(bytes: Array[Byte]): Option[(Long, Int, Long)] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def be32(i: Int): Long =
+      ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    def tag(i: Int, t: String): Boolean =
+      i + t.length <= bytes.length &&
+        t.indices.forall(k => u8(i + k) == t.charAt(k))
+    var i = 0
+    if (bytes.length >= 10 && u8(0) == 'I' && u8(1) == 'D' && u8(2) == '3') {
+      val sz = (u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9)
+      i = 10 + sz + (if ((u8(5) & 0x10) != 0) 10 else 0)
+    }
+    if (i + 4 > bytes.length || u8(i) != 0xff || (u8(i + 1) & 0xe0) != 0xe0)
+      return None
+    val ver = (u8(i + 1) >> 3) & 3
+    val layer = (u8(i + 1) >> 1) & 3
+    val srIdx = (u8(i + 2) >> 2) & 3
+    val mode = (u8(i + 3) >> 6) & 3 // 3 = mono
+    if (ver == 1 || layer != 1 || srIdx == 3) return None
+    val mpeg1 = ver == 3
+    val sr = Array(44100, 48000, 32000)(srIdx) /
+      (ver match { case 3 => 1; case 2 => 2; case _ => 4 })
+    val spf = if (mpeg1) 1152L else 576L
+    val side = if (mpeg1) { if (mode == 3) 17 else 32 }
+               else { if (mode == 3) 9 else 17 }
+    val x = i + 4 + side
+    val frames: Option[Long] =
+      if ((tag(x, "Xing") || tag(x, "Info")) && x + 12 <= bytes.length &&
+        (be32(x + 4) & 1L) != 0) Some(be32(x + 8))
+      else if (tag(i + 36, "VBRI") && i + 36 + 18 <= bytes.length)
+        Some(be32(i + 36 + 14))
+      else None
+    frames.map(f => (f, sr, f * spf * 1000L / sr))
+  }
+
+  /** Minimal Xing-tagged MPEG1 frame fixture for [[mp3VbrMeta]]. */
+  def synthXingMp3(srIdx: Int, declaredFrames: Long,
+                   mono: Boolean = false): Array[Byte] = {
+    require(srIdx >= 0 && srIdx <= 2 && declaredFrames >= 0, "bad fixture")
+    val flen = 144 * 128000 / Array(44100, 48000, 32000)(srIdx)
+    val out = new Array[Byte](flen)
+    out(0) = 0xff.toByte
+    out(1) = 0xfb.toByte // MPEG1 Layer III
+    out(2) = ((9 << 4) | (srIdx << 2)).toByte // 128 kbps
+    out(3) = (if (mono) 0xc0 else 0x00).toByte
+    val x = 4 + (if (mono) 17 else 32)
+    "Xing".zipWithIndex.foreach { case (c, k) => out(x + k) = c.toByte }
+    out(x + 7) = 1 // flags: frames present
+    out(x + 8) = ((declaredFrames >>> 24) & 0xff).toByte
+    out(x + 9) = ((declaredFrames >>> 16) & 0xff).toByte
+    out(x + 10) = ((declaredFrames >>> 8) & 0xff).toByte
+    out(x + 11) = (declaredFrames & 0xff).toByte
+    out
+  }
+
+  /** AVIF/HEIC image dimensions via the ISO-BMFF item-property walk —
+    * the modern-codec sibling of [[mp4Meta]] sharing the same box
+    * grammar: ftyp (brand avif/avis/heic/mif1) → meta (a FULL box:
+    * 4-byte version/flags before children) → iprp → ipco → ispe (full
+    * box: width:be32 height:be32). No pixel decode — the `ispe` spatial
+    * extents ARE the declared dimensions, which is exactly what a
+    * corpus-scale dimension audit reads. None on any torn structure. */
+  def avifDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def be32(i: Int): Long =
+      ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def fourcc(i: Int): String = new String(bytes.slice(i, i + 4), "US-ASCII")
+    def walk(from: Int, to: Int)(f: (String, Int, Int) => Unit): Boolean = {
+      var i = from
+      while (i + 8 <= to) {
+        var size = be32(i); var hdr = 8
+        if (size == 1) {
+          if (i + 16 > to) return false
+          size = be64(i + 8); hdr = 16
+        } else if (size == 0) size = to - i
+        if (size < hdr || size > to - i) return false
+        f(fourcc(i + 4), i + hdr, i + size.toInt)
+        i += size.toInt
+      }
+      i == to
+    }
+    if (bytes.length < 16 || fourcc(4) != "ftyp") return None
+    val brand = fourcc(8)
+    if (!Set("avif", "avis", "heic", "heix", "mif1").contains(brand)) return None
+    var dims: Option[(Int, Int)] = None
+    val ok = walk(0, bytes.length) { (t, s, e) =>
+      if (t == "meta" && e - s >= 4) {
+        // meta is a FULL box: skip version/flags before its children
+        walk(s + 4, e) { (t2, s2, e2) =>
+          if (t2 == "iprp") walk(s2, e2) { (t3, s3, e3) =>
+            if (t3 == "ipco") walk(s3, e3) { (t4, s4, e4) =>
+              if (t4 == "ispe" && dims.isEmpty && e4 - s4 >= 12) {
+                val w = be32(s4 + 4).toInt; val h = be32(s4 + 8).toInt
+                if (w > 0 && h > 0) dims = Some((w, h))
+              }
+            }
+          }
+        }
+        ()
+      }
+    }
+    if (ok) dims else None
+  }
+
+  /** Minimal AVIF/HEIC fixture: ftyp(brand) + meta(iprp(ipco(ispe))). */
+  def synthAvif(width: Int, height: Int,
+                brand: String = "avif"): Array[Byte] = {
+    def be32(v: Long): Array[Byte] =
+      Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+        ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ tpe.getBytes("US-ASCII") ++ payload
+    val ftyp = box("ftyp", brand.getBytes("US-ASCII") ++ be32(0) ++
+      (brand + "mif1").getBytes("US-ASCII"))
+    val ispe = box("ispe", be32(0) ++ be32(width.toLong) ++ be32(height.toLong))
+    val meta = box("meta", be32(0) ++ box("iprp", box("ipco", ispe)))
+    ftyp ++ meta
+  }
+
   /** GIF frame count via the real block walk (GIF89a spec §§20-25):
     * after the Logical Screen Descriptor (+ global color table if
     * flagged), blocks are 0x21 extensions (label + length-prefixed

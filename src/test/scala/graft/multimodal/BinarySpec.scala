@@ -543,6 +543,46 @@ class BinarySpec extends SparkSpec {
       id3Footer = true)) === Some((5, 44100, 128, 5 * 1152L)))
   }
 
+  test("mp3VbrMeta reads Xing frame counts; CBR files without a tag return None") {
+    // stereo + mono side-info offsets, all three sample rates
+    for (sr <- 0 to 2; mono <- Seq(false, true)) {
+      val want = Seq(44100, 48000, 32000)(sr)
+      assert(Binary.mp3VbrMeta(Binary.synthXingMp3(sr, 12345L, mono))
+        === Some((12345L, want, 12345L * 1152 * 1000 / want)),
+        s"sr=$sr mono=$mono")
+    }
+    // behind a footered ID3v2 prefix the tag still resolves
+    val id3 = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write('I'); b.write('D'); b.write('3')
+      b.write(4); b.write(0); b.write(0x10) // v2.4, footer flag
+      Seq(21, 14, 7, 0).foreach(s => b.write((64 >> s) & 0x7f))
+      b.write(new Array[Byte](64))
+      b.write('3'); b.write('D'); b.write('I') // the 10-byte footer
+      b.write(4); b.write(0); b.write(0x10)
+      Seq(21, 14, 7, 0).foreach(s => b.write((64 >> s) & 0x7f))
+      b.toByteArray
+    }
+    assert(Binary.mp3VbrMeta(id3 ++ Binary.synthXingMp3(0, 7L))
+      .map(_._1) === Some(7L))
+    // a plain CBR frame has no tag: None (callers fall back to mp3Meta)
+    assert(Binary.mp3VbrMeta(Binary.synthMp3(9, 0, 3)) === None)
+    assert(Binary.mp3VbrMeta(Array[Byte](1, 2, 3)) === None)
+  }
+
+  test("avifDims walks ftyp→meta→iprp→ipco→ispe for avif and heic brands") {
+    for (brand <- Seq("avif", "heic", "mif1");
+         (w, h) <- Seq((1, 1), (640, 480), (8192, 4320))) {
+      assert(Binary.avifDims(Binary.synthAvif(w, h, brand)) === Some((w, h)),
+        s"$brand ${w}x$h")
+    }
+    // non-image ISO-BMFF brand (mp4) is refused — mp4Meta territory
+    assert(Binary.avifDims(Binary.synthMp4(64, 48, 600)) === None)
+    // torn box: truncated payload is a clean None
+    val good = Binary.synthAvif(100, 50)
+    assert(Binary.avifDims(good.dropRight(6)) === None)
+  }
+
   test("tiffDims round-trips both byte orders and mixed value types") {
     for (be <- Seq(false, true); (w, h) <- Seq((1, 1), (640, 480), (70000, 2))) {
       assert(Binary.tiffDims(Binary.synthTiff(w, h, be)) === Some((w, h)),
