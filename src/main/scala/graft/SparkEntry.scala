@@ -1975,6 +1975,29 @@ object SparkEntry {
           col("sum_qty").cast("long").as("sum_qty"))
     }),
 
+    // Exact weighted median: price order statistic weighted by quantity
+    // per return flag — histogram + cumulative weight, doubled centi.
+    "q337_weighted_median" -> ((s, d) =>
+      Analytics.weightedMedian(Tables.lineitem(s, d), "l_returnflag",
+        "l_extendedprice", "l_quantity")),
+
+    // Cramér's V effect size over the order-priority × status table —
+    // exact chi-square arithmetic, one round-6 sqrt.
+    "q338_cramers_v" -> ((s, d) =>
+      Analytics.cramersV(Tables.orders(s, d), "o_orderpriority",
+        "o_orderstatus")),
+
+    // Brown-Forsythe variance-homogeneity test: exact ANOVA on doubled
+    // absolute deviations from per-group medians (histogram order-stats).
+    "q336_brown_forsythe" -> ((s, d) =>
+      Analytics.brownForsythe(Tables.events(s, d), "event_type", "value")),
+
+    // Pairwise source-distribution total-variation distance in exact
+    // ppm: shared-word inner join + closed-form exclusive-mass
+    // corrections — no ratios, no full-outer join.
+    "q335_source_tvd" -> ((s, d) =>
+      Analytics.sourceTvdMatrix(Tables.documents(s, d), "source", "text")),
+
     // Xing VBR header decode: real first-frame tag walk over
     // deterministic fixtures; the declared frame count and the duration
     // arithmetic replay in SQL.
@@ -9421,6 +9444,121 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_rows,
                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q337_weighted_median" ->
+      """WITH x AS (SELECT l_returnflag AS g,
+                  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS x,
+                  CAST(l_quantity AS BIGINT) AS w
+             FROM lineitem
+             WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+               AND l_quantity IS NOT NULL AND l_quantity > 0),
+         h AS (SELECT g, x, sum(w) AS m FROM x GROUP BY 1, 2),
+         c AS (SELECT g, x, m,
+                 sum(m) OVER (PARTITION BY g ORDER BY x
+                   ROWS UNBOUNDED PRECEDING) AS cum
+               FROM h),
+         ks AS (SELECT g, sum(w) AS tw,
+                       (sum(w) + 1) // 2 AS k1,
+                       (sum(w) + 2) // 2 AS k2
+                FROM x GROUP BY 1)
+         SELECT c.g AS l_returnflag,
+                CAST(max(tw) AS BIGINT) AS total_weight,
+                CAST(min(CASE WHEN cum >= k1 THEN x END)
+                   + min(CASE WHEN cum >= k2 THEN x END) AS BIGINT)
+                  AS wmedian2_centi
+         FROM c JOIN ks ON c.g = ks.g
+         GROUP BY 1""",
+
+    "q338_cramers_v" ->
+      """WITH cells AS (SELECT o_orderpriority AS a, o_orderstatus AS b,
+                  CAST(count(*) AS HUGEINT) AS o
+               FROM orders GROUP BY 1, 2),
+         r AS (SELECT a, sum(o) AS rt FROM cells GROUP BY 1),
+         c AS (SELECT b, sum(o) AS ct FROM cells GROUP BY 1),
+         nn AS (SELECT sum(o) AS n,
+                       CAST(count(DISTINCT a) AS HUGEINT) AS r,
+                       CAST(count(DISTINCT b) AS HUGEINT) AS c
+                FROM cells),
+         t AS (SELECT nn.n, nn.r, nn.c,
+                 (coalesce(o, 0) * nn.n - rt * ct)
+                 * (coalesce(o, 0) * nn.n - rt * ct) * 1000
+                 // (rt * ct * nn.n) AS tt
+               FROM r CROSS JOIN c CROSS JOIN nn
+               LEFT JOIN cells ON cells.a = r.a AND cells.b = c.b),
+         agg AS (SELECT n, r, c, sum(tt) AS chi2m FROM t GROUP BY 1, 2, 3)
+         SELECT CAST(n AS BIGINT) AS n_rows,
+                CAST(CASE WHEN r < 2 OR c < 2 THEN NULL ELSE chi2m END
+                  AS BIGINT) AS chi2_milli,
+                CASE WHEN r < 2 OR c < 2 OR n = 0 THEN CAST(NULL AS DOUBLE)
+                  ELSE round(sqrt(CAST(chi2m AS DOUBLE) / 1000.0
+                    / (CAST(n AS DOUBLE)
+                       * CAST(least(r - 1, c - 1) AS DOUBLE))), 6) END
+                  AS cramers_v
+         FROM agg""",
+
+    "q336_brown_forsythe" ->
+      """WITH x AS (SELECT event_type AS g,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+               FROM events
+               WHERE event_type IS NOT NULL AND value IS NOT NULL),
+         h AS (SELECT g, x, count(*) AS m FROM x GROUP BY 1, 2),
+         c AS (SELECT g, x, m,
+                 sum(m) OVER (PARTITION BY g ORDER BY x
+                   ROWS UNBOUNDED PRECEDING) AS cum
+               FROM h),
+         ks AS (SELECT g, count(*) AS ng,
+                       (count(*) + 1) // 2 AS k1,
+                       (count(*) + 2) // 2 AS k2
+                FROM x GROUP BY 1),
+         med AS (SELECT c.g,
+                   min(CASE WHEN cum >= k1 THEN x END)
+                   + min(CASE WHEN cum >= k2 THEN x END) AS med2
+                 FROM c JOIN ks ON c.g = ks.g GROUP BY 1),
+         z AS (SELECT x.g, CAST(abs(2 * x.x - med2) AS HUGEINT) AS z
+               FROM x JOIN med ON x.g = med.g),
+         gs AS (SELECT g, CAST(count(*) AS HUGEINT) AS ng, sum(z) AS sg
+                FROM z GROUP BY 1),
+         t AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(z) AS sx,
+                      sum(z * z) AS sxx
+               FROM z),
+         b AS (SELECT CAST(count(*) AS HUGEINT) AS k,
+                      sum(sg * sg * t.n // ng) AS ssbs,
+                      any_value(t.n) AS n, any_value(t.sx) AS sx,
+                      any_value(t.sxx) AS sxx
+               FROM gs, t)
+         SELECT CAST(n AS BIGINT) AS n_rows, CAST(k AS BIGINT) AS n_groups,
+                CAST(CASE WHEN k < 2 OR n <= k
+                          OR (n * sxx - sx * sx) - (ssbs - sx * sx) = 0
+                     THEN NULL
+                     ELSE (ssbs - sx * sx) * (n - k) * 1000
+                          // (((n * sxx - sx * sx) - (ssbs - sx * sx))
+                             * (k - 1)) END AS BIGINT) AS bf_f_milli
+         FROM b""",
+
+    "q335_source_tvd" ->
+      """WITH wc AS (SELECT source AS s, w, count(*) AS c
+             FROM (SELECT source,
+                     unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS w
+                   FROM documents WHERE source IS NOT NULL)
+             WHERE length(w) > 0
+             GROUP BY 1, 2),
+         tot AS (SELECT s, sum(c) AS n FROM wc GROUP BY 1),
+         pairs AS (SELECT a.s AS src_a, b.s AS src_b, a.n AS na, b.n AS nb
+                   FROM tot a, tot b WHERE a.s < b.s),
+         inn AS (SELECT a.s AS src_a, b.s AS src_b,
+                        sum(abs(a.c * tb.n - b.c * ta.n)) AS si,
+                        sum(a.c) AS sca, sum(b.c) AS scb
+                 FROM wc a JOIN wc b ON a.w = b.w AND a.s < b.s
+                 JOIN tot ta ON ta.s = a.s
+                 JOIN tot tb ON tb.s = b.s
+                 GROUP BY 1, 2)
+         SELECT p.src_a, p.src_b,
+                CAST((coalesce(si, 0)
+                   + (na - coalesce(sca, 0)) * nb
+                   + (nb - coalesce(scb, 0)) * na) * 1000000
+                  // (2 * na * nb) AS BIGINT) AS tvd_ppm
+         FROM pairs p LEFT JOIN inn
+           ON p.src_a = inn.src_a AND p.src_b = inn.src_b""",
 
     "q333_mp3_vbr" ->
       """SELECT doc_id,

@@ -933,6 +933,55 @@ object Analytics {
     * once (one term shuffle + one bounded window) and every pair costs
     * O(k), so 1000 sources at 100 TB is 1000²·k tiny rows, not a
     * vocabulary join. */
+  /** Pairwise total-variation distance between per-source word unigram
+    * DISTRIBUTIONS — the frequency-weighted divergence next to q103's
+    * set-overlap Jaccard and q261's KMV sketch: TVD(a,b) =
+    * Σ_w |c_a(w)·N_b − c_b(w)·N_a| / (2·N_a·N_b), reported in exact
+    * integer ppm (0 = identical mixes, 10⁶ = disjoint). Ratios never
+    * materialize: the union-of-vocab sum decomposes into the SHARED-word
+    * inner-join sum plus closed-form corrections for each side's
+    * exclusive mass (Σ_{a-only} c_a = N_a − Σ_shared c_a), so one inner
+    * join per pair suffices — no full-outer join, no per-word floats,
+    * DECIMAL(38,0) for the c·N products.
+    *
+    * Scale: one (source, word) wordcount (map-combining), one
+    * word-keyed self-join whose fan-out is ≤ |sources|² per word
+    * (crossSourceDupMatrix's bound), source totals broadcast. */
+  def sourceTvdMatrix(docs: DataFrame, srcCol: String,
+                      textCol: String): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    val wc = docs
+      .filter(col(srcCol).isNotNull)
+      .select(col(srcCol).as("graft_s"),
+        explode(T.tokens(col(textCol))).as("graft_w"))
+      .filter(length(col("graft_w")) > 0)
+      .groupBy("graft_s", "graft_w")
+      .agg(count(lit(1)).as("graft_c"))
+    val wcp = Materialize.transient(wc)
+    val tot = wcp.groupBy("graft_s")
+      .agg(sum("graft_c").cast("decimal(38,0)").as("graft_n"))
+    val ta = tot.select(col("graft_s").as("src_a"), col("graft_n").as("na"))
+    val tb = tot.select(col("graft_s").as("src_b"), col("graft_n").as("nb"))
+    val pairs = ta.crossJoin(tb).filter(col("src_a") < col("src_b"))
+    val a = wcp.select(col("graft_s").as("src_a"), col("graft_w"),
+      col("graft_c").cast("decimal(38,0)").as("ca"))
+    val b = wcp.select(col("graft_s").as("src_b"), col("graft_w"),
+      col("graft_c").cast("decimal(38,0)").as("cb"))
+    val inner = a.join(b, Seq("graft_w"))
+      .filter(col("src_a") < col("src_b"))
+      .join(broadcast(ta), Seq("src_a"))
+      .join(broadcast(tb), Seq("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(sum(expr("abs(ca * nb - cb * na)")).as("graft_si"),
+        sum("ca").as("graft_sca"), sum("cb").as("graft_scb"))
+    pairs.join(inner, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        expr("CAST((coalesce(graft_si, 0)" +
+          " + (na - coalesce(graft_sca, 0)) * nb" +
+          " + (nb - coalesce(graft_scb, 0)) * na) * 1000000" +
+          " div (2 * na * nb) AS BIGINT)").as("tvd_ppm"))
+  }
+
   def kmvOverlap(docs: DataFrame, srcCol: String, textCol: String,
                  k: Int = 64): DataFrame = {
     require(k >= 1, "k must be positive")
@@ -1229,6 +1278,134 @@ object Analytics {
           " ELSE (ssbs - sx * sx) * (n - k) * 1000" +
           " div (((n * sxx - sx * sx) - (ssbs - sx * sx)) * (k - 1)) END")
           .as("f_milli"))
+  }
+
+  /** Exact WEIGHTED median per group (plus the plain median as the
+    * weight-1 special case): the order statistic where cumulative
+    * weight crosses half the total, reported as the DOUBLED value
+    * (lo + hi order stats — integral even when the midpoint falls
+    * between two values) next to the raw total weight. Same histogram +
+    * cumulative-window shape as [[brownForsythe]]'s median: the window
+    * runs over per-group DISTINCT values, never corpus rows; weights
+    * sum exactly in longs. `valueCol` quantizes to centi ints (q196's
+    * contract); med2 is in DOUBLED centi units. */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+                     weightCol: String): DataFrame = {
+    val x = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull &&
+        col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(col(groupCol).as("graft_g"),
+        floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("long")
+          .as("graft_x"),
+        col(weightCol).cast("long").as("graft_w"))
+    val hist = x.groupBy("graft_g", "graft_x")
+      .agg(sum("graft_w").as("graft_m"))
+    val wcum = org.apache.spark.sql.expressions.Window
+      .partitionBy("graft_g").orderBy("graft_x")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("graft_cum", sum("graft_m").over(wcum))
+    val ks = x.groupBy("graft_g").agg(sum("graft_w").as("graft_tw"))
+      .select(col("graft_g"), col("graft_tw"),
+        expr("(graft_tw + 1) div 2").as("graft_k1"),
+        expr("(graft_tw + 2) div 2").as("graft_k2"))
+    cum.join(ks, Seq("graft_g"))
+      .groupBy(col("graft_g").as(groupCol))
+      .agg(max("graft_tw").as("total_weight"),
+        (min(when(col("graft_cum") >= col("graft_k1"), col("graft_x"))) +
+          min(when(col("graft_cum") >= col("graft_k2"), col("graft_x"))))
+          .as("wmedian2_centi"))
+  }
+
+  /** Cramér's V — the [0,1] effect size the chi-square screen lacks
+    * (chi2 grows with N; V = sqrt(chi2 / (N·min(r−1, c−1))) does not):
+    * same exact integer contingency arithmetic as [[chiSquare]], one
+    * IEEE sqrt at the end (round-6 replay, the q247 discipline). */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("graft_a"), col(bCol).as("graft_b"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("o"))
+    val rows = cells.groupBy("graft_a").agg(sum("o").as("rt"))
+    val cols_ = cells.groupBy("graft_b").agg(sum("o").as("ct"))
+    val n = cells.agg(sum("o").as("n"),
+      count_distinct(col("graft_a")).cast("decimal(38,0)").as("r"),
+      count_distinct(col("graft_b")).cast("decimal(38,0)").as("c"))
+    rows.crossJoin(cols_).crossJoin(broadcast(n))
+      .join(cells, Seq("graft_a", "graft_b"), "left")
+      .withColumn("o0", coalesce(col("o"), lit(0).cast("decimal(38,0)")))
+      .select(col("n"), col("r"), col("c"),
+        expr("(o0 * n - rt * ct) * (o0 * n - rt * ct) * 1000" +
+          " div (rt * ct * n)").as("graft_t"))
+      .groupBy("n", "r", "c")
+      .agg(sum("graft_t").as("chi2m"))
+      .select(col("n").cast("long").as("n_rows"),
+        expr("CASE WHEN r < 2 OR c < 2 THEN CAST(NULL AS BIGINT)" +
+          " ELSE CAST(chi2m AS BIGINT) END").as("chi2_milli"),
+        expr("CASE WHEN r < 2 OR c < 2 OR n = 0 THEN CAST(NULL AS DOUBLE)" +
+          " ELSE round(sqrt(CAST(chi2m AS DOUBLE) / 1000.0" +
+          " / (CAST(n AS DOUBLE)" +
+          "    * CAST(least(r - 1, c - 1) AS DOUBLE))), 6) END")
+          .as("cramers_v"))
+  }
+
+  /** Brown-Forsythe variance-homogeneity test (the robust Levene: ANOVA
+    * on absolute deviations from the GROUP MEDIAN) — the precondition
+    * check for [[varianceDecomposition]]'s equal-variance reading, and
+    * the robust "did the spread change" screen next to the mean-shift
+    * family. Everything exact: values quantize to centi ints (q196's
+    * contract), the per-group median rides as the DOUBLED order-stat sum
+    * (lo + hi, integers even at even n), deviations z₂ = |2x − med₂| are
+    * integers, and the F statistic is the same exact DECIMAL(38,0) ANOVA
+    * arithmetic applied to z₂ (the factor 2 cancels in F). Output
+    * (n_rows, n_groups, bf_f_milli), NULL F on degenerate spreads.
+    *
+    * Scale: medians come from the per-group VALUE HISTOGRAM (cum-count
+    * window over distinct values per group, never corpus rows); the
+    * deviation pass is one broadcast join of the |groups|-row median
+    * table; the fold is one map-combining aggregate. */
+  def brownForsythe(df: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame = {
+    val x = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("graft_g"),
+        floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("long")
+          .as("graft_x"))
+    val hist = x.groupBy("graft_g", "graft_x")
+      .agg(count(lit(1)).as("graft_m"))
+    val wcum = org.apache.spark.sql.expressions.Window
+      .partitionBy("graft_g").orderBy("graft_x")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("graft_cum", sum("graft_m").over(wcum))
+    val ks = x.groupBy("graft_g").agg(count(lit(1)).as("graft_ng"))
+      .select(col("graft_g"),
+        expr("(graft_ng + 1) div 2").as("graft_k1"),
+        expr("(graft_ng + 2) div 2").as("graft_k2"))
+    val med = cum.join(ks, Seq("graft_g"))
+      .groupBy("graft_g")
+      .agg((min(when(col("graft_cum") >= col("graft_k1"), col("graft_x"))) +
+        min(when(col("graft_cum") >= col("graft_k2"), col("graft_x"))))
+        .as("graft_med2"))
+    val z = x.join(broadcast(med), Seq("graft_g"))
+      .select(col("graft_g"),
+        abs(lit(2L) * col("graft_x") - col("graft_med2"))
+          .cast("decimal(38,0)").as("graft_z"))
+    val g = z.groupBy("graft_g")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("ng"), sum("graft_z").as("sg"))
+    val tot = z.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum("graft_z").as("sx"),
+      sum(expr("graft_z * graft_z")).as("sxx"))
+    g.crossJoin(broadcast(tot))
+      .select(expr("sg * sg * n div ng").as("graft_b"),
+        col("n"), col("sx"), col("sxx"))
+      .groupBy("n", "sx", "sxx")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("k"),
+        sum("graft_b").as("ssbs"))
+      .select(col("n").cast("long").as("n_rows"),
+        col("k").cast("long").as("n_groups"),
+        expr("CASE WHEN k < 2 OR n <= k" +
+          " OR (n * sxx - sx * sx) - (ssbs - sx * sx) = 0" +
+          " THEN CAST(NULL AS BIGINT)" +
+          " ELSE (ssbs - sx * sx) * (n - k) * 1000" +
+          " div (((n * sxx - sx * sx) - (ssbs - sx * sx)) * (k - 1)) END")
+          .as("bf_f_milli"))
   }
 
   /** Chi-square independence screen over a two-dimensional contingency
