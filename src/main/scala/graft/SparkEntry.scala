@@ -1975,6 +1975,12 @@ object SparkEntry {
           col("sum_qty").cast("long").as("sum_qty"))
     }),
 
+    // Exact Shapley attribution: coalition subset-sums from ONE corpus
+    // pass, k!-scaled integer Shapley values on the 2^k lattice.
+    "q339_shapley" -> ((s, d) =>
+      Sessions.shapleyAttribution(Tables.events(s, d), "user_id", "ts",
+        "event_type", convChannel = "purchase")),
+
     // Exact weighted median: price order statistic weighted by quantity
     // per return flag — histogram + cumulative weight, doubled centi.
     "q337_weighted_median" -> ((s, d) =>
@@ -9444,6 +9450,49 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_rows,
                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q339_shapley" ->
+      """WITH ev AS (SELECT user_id AS u, ts, event_type AS ch FROM events),
+         conv AS (SELECT u, min(ts) AS ct FROM ev
+                  WHERE ch = 'purchase' GROUP BY 1),
+         touch AS (SELECT DISTINCT e.u, e.ch
+                   FROM ev e JOIN conv ON e.u = conv.u
+                   WHERE e.ts < conv.ct AND e.ch <> 'purchase'),
+         chans AS (SELECT ch, row_number() OVER (ORDER BY ch) - 1 AS bit
+                   FROM (SELECT DISTINCT ch FROM touch)),
+         kk AS (SELECT CAST(count(*) AS INTEGER) AS k FROM chans),
+         umask AS (SELECT u, sum(1 << bit) AS mask
+                   FROM touch JOIN chans USING (ch) GROUP BY 1),
+         mcnt AS (SELECT mask, count(*) AS c FROM umask GROUP BY 1),
+         sets AS (SELECT unnest(range(0, 1 << k)) AS s FROM kk),
+         v AS (SELECT s, coalesce(sum(c), 0) AS v
+               FROM sets LEFT JOIN mcnt ON (mcnt.mask & sets.s) = mcnt.mask
+               GROUP BY 1),
+         f AS (SELECT a.n, CAST(coalesce(product(b.i), 1) AS HUGEINT) AS fact
+               FROM (SELECT unnest(range(0, k + 1)) AS n FROM kk) a
+               LEFT JOIN (SELECT unnest(range(1, k + 1)) AS i FROM kk) b
+                 ON b.i <= a.n
+               GROUP BY a.n),
+         marg AS (SELECT chans.ch, sets.s,
+                    CAST(bit_count(CAST(sets.s AS BIGINT)) AS INTEGER) AS sz,
+                    (SELECT v FROM v WHERE v.s = (sets.s | (1 << bit)))
+                      - (SELECT v FROM v WHERE v.s = sets.s) AS dv
+                  FROM chans, sets
+                  WHERE (sets.s & (1 << bit)) = 0),
+         num AS (SELECT ch, sum(fs.fact * fk.fact * dv) AS num
+                 FROM marg
+                 JOIN f fs ON fs.n = marg.sz
+                 JOIN f fk ON fk.n = (SELECT k FROM kk) - 1 - marg.sz
+                 GROUP BY 1),
+         tot AS (SELECT (SELECT v FROM v
+                         WHERE s = (1 << (SELECT k FROM kk)) - 1) AS vfull,
+                        (SELECT fact FROM f
+                         WHERE n = (SELECT k FROM kk)) AS kfact)
+         SELECT ch AS channel, CAST(num AS BIGINT) AS shapley_kfact,
+                CAST(CASE WHEN vfull = 0 THEN 0
+                     ELSE num * 1000000 // (kfact * vfull) END AS BIGINT)
+                  AS share_ppm
+         FROM num, tot""",
 
     "q337_weighted_median" ->
       """WITH x AS (SELECT l_returnflag AS g,

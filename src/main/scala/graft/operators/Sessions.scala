@@ -378,6 +378,73 @@ object Sessions {
         col("graft_t").as("peak_at_us"))
   }
 
+  /** EXACT Shapley-value attribution — the game-theoretic rung of the
+    * family (last-touch credits one, linear splits evenly, Markov asks
+    * the removal counterfactual; Shapley averages each channel's
+    * marginal contribution over every coalition order). Characteristic
+    * function: v(S) = conversions whose prior-touch channel SET is a
+    * subset of S (the standard coalition model). Exactness trick: scale
+    * by k! — w(S) = |S|!·(k−1−|S|)! is an integer, so each channel's
+    * k!-scaled Shapley value Σ_{S∌i} w(S)·(v(S∪i) − v(S)) is EXACT
+    * integer arithmetic (BigInt driver-side), and shares report in
+    * floor-ppm of k!·v(full). Σᵢ shapley = v(full) by construction.
+    *
+    * Scale: ONE corpus pass builds (user, touched-channel set) and
+    * collapses it to ≤2^k mask counts (map-combining aggregates); the
+    * 2^k×k lattice is driver arithmetic on an index-sized artifact,
+    * gated by `maxChannels` (attribution over more than ~12 channels is
+    * statistically meaningless anyway — asserted loudly). */
+  def shapleyAttribution(events: DataFrame, userCol: String, tsCol: String,
+                         channelCol: String, convChannel: String,
+                         maxChannels: Int = 12): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ev = events.select(col(userCol).as("graft_u"),
+      col(tsCol).as("graft_t"), col(channelCol).as("graft_ch"))
+    val conv = ev.filter(col("graft_ch") === convChannel)
+      .groupBy("graft_u").agg(min("graft_t").as("graft_ct"))
+    val touches = ev.filter(col("graft_ch") =!= convChannel)
+      .join(conv, Seq("graft_u"))
+      .filter(col("graft_t") < col("graft_ct"))
+      .select("graft_u", "graft_ch").distinct()
+    val chans = touches.select("graft_ch").distinct()
+      .orderBy("graft_ch").as[String].collect().toSeq
+    require(chans.size <= maxChannels,
+      s"shapleyAttribution: ${chans.size} channels exceed $maxChannels — " +
+        "bucket channels before attributing")
+    val k = chans.size
+    if (k == 0)
+      return Seq.empty[(String, Long, Long)]
+        .toDF("channel", "shapley_kfact", "share_ppm")
+    val bit = chans.zipWithIndex.toMap
+    val bitOf = typedLit(bit)
+    val maskCnt = touches
+      .withColumn("graft_b", element_at(bitOf, col("graft_ch")))
+      .groupBy("graft_u")
+      .agg(sum(expr("CAST(1 AS BIGINT) << graft_b")).as("graft_mask"))
+      .groupBy("graft_mask").agg(count(lit(1)).as("graft_c"))
+      .as[(Long, Long)].collect().toMap
+    // dense subset-sum lattice (2^k entries, k ≤ maxChannels)
+    val v = new Array[Long](1 << k)
+    for ((m, c) <- maskCnt; s <- 0 until (1 << k)
+         if (m & s) == m) v(s.toInt) += c
+    def f(n: Int): BigInt = (1 to n).foldLeft(BigInt(1))(_ * _)
+    val kfact = f(k)
+    val vfull = BigInt(v((1 << k) - 1))
+    val out = chans.zipWithIndex.map { case (ch, i) =>
+      var num = BigInt(0)
+      for (s <- 0 until (1 << k) if (s & (1 << i)) == 0) {
+        val sz = java.lang.Integer.bitCount(s)
+        num += f(sz) * f(k - 1 - sz) * (v(s | (1 << i)) - v(s))
+      }
+      val ppm = if (vfull == 0) 0L
+        else (num * 1000000 / (kfact * vfull)).toLong
+      require(num.isValidLong, s"shapley numerator overflows long for $ch")
+      (ch, num.toLong, ppm)
+    }
+    out.toDF("channel", "shapley_kfact", "share_ppm")
+  }
+
   /** Markov-chain (removal-effect) attribution — the data-driven rung
     * completing the family ([[lastTouchAttribution]] credits one touch,
     * [[linearAttribution]] splits evenly; this one asks the
