@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, MinHashSig, SimHash64, WordShingles}
+import graft.functions.{BpeTokens, DotProduct, MinHashSig, SimHash64, WordShingles}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -49,6 +49,25 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 1, "graft_simhash(shingles)")
         SimHash64(children.head)
+      }),
+    (new FunctionIdentifier("graft_bpe_tokens"),
+      new ExpressionInfo(classOf[BpeTokens].getName, "graft_bpe_tokens"),
+      (children: Seq[Expression]) => {
+        // merge table as a literal spec: ranked pairs joined by ';',
+        // symbols inside a pair by ' ' — e.g. 'l o;lo w;e r'
+        require(children.length == 2,
+          "graft_bpe_tokens(text, 'l r;l r;...')")
+        val spec = children(1)
+        require(spec.foldable,
+          "graft_bpe_tokens: the merge table must be a literal")
+        val merges = spec.eval().toString.split(";").toSeq
+          .filter(_.trim.nonEmpty).map { p =>
+            val a = p.trim.split(" ", 2)
+            require(a.length == 2,
+              s"graft_bpe_tokens: bad merge entry '$p' (want 'left right')")
+            (a(0), a(1))
+          }
+        BpeTokens(children.head, merges)
       }))
 
   /** Runtime registration into an existing session. */

@@ -1975,6 +1975,11 @@ object SparkEntry {
           col("sum_qty").cast("long").as("sum_qty"))
     }),
 
+    // Cohen's d effect size between the R and N return cohorts' prices.
+    "q340_cohens_d" -> ((s, d) =>
+      Analytics.cohensD(Tables.lineitem(s, d), "l_returnflag",
+        "l_extendedprice", groupA = "R", groupB = "N")),
+
     // Exact Shapley attribution: coalition subset-sums from ONE corpus
     // pass, k!-scaled integer Shapley values on the 2^k lattice.
     "q339_shapley" -> ((s, d) =>
@@ -9450,6 +9455,36 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_rows,
                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q340_cohens_d" ->
+      """WITH x AS (SELECT l_returnflag = 'R' AS a,
+                  CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT) AS x
+             FROM lineitem
+             WHERE l_extendedprice IS NOT NULL
+               AND l_returnflag IN ('R', 'N')),
+         agg AS (SELECT
+                   CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
+                   CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS HUGEINT) AS n2,
+                   coalesce(sum(CASE WHEN a THEN x END), 0) AS s1,
+                   coalesce(sum(CASE WHEN NOT a THEN x END), 0) AS s2,
+                   coalesce(sum(CASE WHEN a THEN x * x END), 0) AS q1,
+                   coalesce(sum(CASE WHEN NOT a THEN x * x END), 0) AS q2
+                 FROM x)
+         SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+                CASE WHEN n1 < 2 OR n2 < 2 THEN CAST(NULL AS DOUBLE)
+                  WHEN (CAST(q1 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                   + (CAST(q2 AS DOUBLE)
+                    - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                   <= 0.0 THEN CAST(NULL AS DOUBLE)
+                  ELSE round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                    - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                   / sqrt(((CAST(q1 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                     + (CAST(q2 AS DOUBLE)
+                      - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+                    / CAST(n1 + n2 - 2 AS DOUBLE)), 6) END AS cohens_d
+         FROM agg""",
 
     "q339_shapley" ->
       """WITH ev AS (SELECT user_id AS u, ts, event_type AS ch FROM events),

@@ -1280,6 +1280,49 @@ object Analytics {
           .as("f_milli"))
   }
 
+  /** Cohen's d standardized mean difference for two cohorts — the
+    * effect-size rung next to eta² (q196) and Cramér's V: how many
+    * pooled standard deviations separate the cohort means. Values
+    * quantize to centi ints (scale cancels in d); sums/squares are
+    * exact DECIMAL(38,0); d evaluates in ONE explicitly-ordered double
+    * expression with a single sqrt (round-6 replay). NULL when a cohort
+    * has < 2 rows or the pooled variance degenerates. */
+  def cohensD(df: DataFrame, groupCol: String, valueCol: String,
+              groupA: String, groupB: String): DataFrame = {
+    val x = df
+      .filter(col(valueCol).isNotNull &&
+        (col(groupCol) === groupA || col(groupCol) === groupB))
+      .select((col(groupCol) === groupA).as("graft_a"),
+        floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("decimal(38,0)")
+          .as("graft_x"))
+    x.agg(
+      sum(when(col("graft_a"), 1L).otherwise(0L)).cast("decimal(38,0)").as("n1"),
+      sum(when(!col("graft_a"), 1L).otherwise(0L)).cast("decimal(38,0)").as("n2"),
+      coalesce(sum(when(col("graft_a"), col("graft_x"))),
+        lit(0).cast("decimal(38,0)")).as("s1"),
+      coalesce(sum(when(!col("graft_a"), col("graft_x"))),
+        lit(0).cast("decimal(38,0)")).as("s2"),
+      coalesce(sum(when(col("graft_a"),
+        expr("graft_x * graft_x"))), lit(0).cast("decimal(38,0)")).as("q1"),
+      coalesce(sum(when(!col("graft_a"),
+        expr("graft_x * graft_x"))), lit(0).cast("decimal(38,0)")).as("q2"))
+      .select(col("n1").cast("long").as("n1"),
+        col("n2").cast("long").as("n2"),
+        expr("CASE WHEN n1 < 2 OR n2 < 2 THEN CAST(NULL AS DOUBLE)" +
+          " WHEN (CAST(q1 AS DOUBLE)" +
+          "   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))" +
+          "  + (CAST(q2 AS DOUBLE)" +
+          "   - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))" +
+          "  <= 0.0 THEN CAST(NULL AS DOUBLE)" +
+          " ELSE round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)" +
+          "   - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))" +
+          "  / sqrt(((CAST(q1 AS DOUBLE)" +
+          "     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))" +
+          "    + (CAST(q2 AS DOUBLE)" +
+          "     - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)))" +
+          "   / CAST(n1 + n2 - 2 AS DOUBLE)), 6) END").as("cohens_d"))
+  }
+
   /** Exact WEIGHTED median per group (plus the plain median as the
     * weight-1 special case): the order statistic where cumulative
     * weight crosses half the total, reported as the DOUBLED value

@@ -3,6 +3,20 @@ package graft
 class GraftExtensionsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("graft_bpe_tokens is callable from SQL with a literal merge table") {
+    GraftExtensions.register(spark)
+    Seq(Tuple1("low lower")).toDF("t").createOrReplaceTempView("graft_bpe_t")
+    val got = spark.sql(
+      "SELECT graft_bpe_tokens(t, 'l o;lo w;e r') AS tok FROM graft_bpe_t")
+      .as[Seq[String]].head()
+    assert(got === Seq("low", "low", "er"))
+    // non-literal merge tables are rejected at plan time
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_bpe_tokens(t, t) FROM graft_bpe_t").collect()
+    }
+    assert(e.getMessage.contains("literal"))
+  }
+
   test("graft_dot is callable from SQL after registration") {
     GraftExtensions.register(spark)
     Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
