@@ -1975,6 +1975,17 @@ object SparkEntry {
           col("sum_qty").cast("long").as("sum_qty"))
     }),
 
+    // Per-source embedding-centroid drift between doc_id-parity eras:
+    // exact integer numerator, float only in the final sqrt/divide.
+    "q341_embedding_drift" -> ((s, d) =>
+      Analytics.centroidDrift(
+        Tables.embeddings(s, d)
+          .select(col("vec_id").as("doc_id"), col("embedding"))
+          .join(Tables.documents(s, d).select("doc_id", "source"),
+            Seq("doc_id"))
+          .withColumn("era", (col("doc_id") % 2).cast("int")),
+        "source", "era", "embedding")),
+
     // Cohen's d effect size between the R and N return cohorts' prices.
     "q340_cohens_d" -> ((s, d) =>
       Analytics.cohensD(Tables.lineitem(s, d), "l_returnflag",
@@ -9455,6 +9466,34 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_rows,
                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q341_embedding_drift" ->
+      """WITH j AS (SELECT d.source AS s, CAST(e.vec_id % 2 AS INTEGER) AS era,
+                  list_transform(CAST(e.embedding AS DOUBLE[]),
+                    x -> CAST(floor(x * 1000.0 + 0.5) AS HUGEINT)) AS v
+             FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+             WHERE d.source IS NOT NULL),
+         q AS (SELECT s, era, CAST(pos AS BIGINT) AS dim, v[pos] AS x
+               FROM (SELECT s, era, v, unnest(range(1, len(v) + 1)) AS pos
+                     FROM j)),
+         sums AS (SELECT s, era, dim, CAST(count(*) AS HUGEINT) AS n,
+                         sum(x) AS sm
+                  FROM q GROUP BY 1, 2, 3),
+         a AS (SELECT s, dim, n AS n0, sm AS s0 FROM sums WHERE era = 0),
+         b AS (SELECT s, dim, n AS n1, sm AS s1 FROM sums WHERE era = 1),
+         fj AS (SELECT coalesce(a.s, b.s) AS s, a.n0, a.s0, b.n1, b.s1
+                FROM a FULL JOIN b ON a.s = b.s AND a.dim = b.dim),
+         g AS (SELECT s, max(n0) AS n0, max(n1) AS n1,
+                      sum((s0 * n1 - s1 * n0) * (s0 * n1 - s1 * n0)) AS num
+               FROM fj GROUP BY 1)
+         SELECT s AS source,
+                CAST(coalesce(n0, 0) AS BIGINT) AS n_era0,
+                CAST(coalesce(n1, 0) AS BIGINT) AS n_era1,
+                CAST(CASE WHEN n0 IS NULL OR n1 IS NULL THEN NULL
+                  ELSE floor(sqrt(CAST(num AS DOUBLE))
+                    / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE))
+                    * 1000.0 + 0.5) END AS BIGINT) AS drift_micro
+         FROM g""",
 
     "q340_cohens_d" ->
       """WITH x AS (SELECT l_returnflag = 'R' AS a,

@@ -616,6 +616,56 @@ object Analytics {
       .select("dim", "n", "sum_q", "min_q", "max_q", "mean_milli", "var_micro")
   }
 
+  /** Per-source embedding-centroid DRIFT between two corpus eras — the
+    * embedding-space twin of q122's feature-drift report (did a source's
+    * semantic center move between snapshots / halves / releases?):
+    * L2 distance between the era centroids, per source. Exactness:
+    * components quantize to milli ints (q102's contract), per-(source,
+    * era, dim) sums are exact; the squared distance's NUMERATOR
+    * Σ_d (s₀·n₁ − s₁·n₀)² is exact DECIMAL(38,0) because the
+    * denominator (n₀·n₁)² is dim-independent — so float enters only in
+    * the final single sqrt/divide (floor-micro replay). Sources missing
+    * an era report NULL.
+    *
+    * Scale: one posexplode + one (source, era, dim)-keyed sum
+    * (map-combining), a |sources|×dims fold — no per-row float sums
+    * whose accumulation order could drift between engines. */
+  def centroidDrift(df: DataFrame, srcCol: String, eraCol: String,
+                    vecCol: String, scale: Int = 1000): DataFrame = {
+    val q = df
+      .filter(col(srcCol).isNotNull && col(eraCol).isNotNull)
+      .select(col(srcCol).as("graft_s"),
+        col(eraCol).cast("int").as("graft_e"),
+        posexplode(col(vecCol)).as(Seq("graft_d0", "graft_x")))
+      .select(col("graft_s"), col("graft_e"),
+        (col("graft_d0") + 1).as("graft_d"),
+        floor(col("graft_x").cast("double") * scale + lit(0.5))
+          .cast("decimal(38,0)").as("graft_q"))
+    val sums = q.groupBy("graft_s", "graft_e", "graft_d")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("graft_n"),
+        sum("graft_q").as("graft_sum"))
+    val a = sums.filter(col("graft_e") === 0)
+      .select(col("graft_s"), col("graft_d"),
+        col("graft_n").as("n0"), col("graft_sum").as("s0"))
+    val b = sums.filter(col("graft_e") === 1)
+      .select(col("graft_s"), col("graft_d"),
+        col("graft_n").as("n1"), col("graft_sum").as("s1"))
+    val full = a.join(b, Seq("graft_s", "graft_d"), "full")
+    full.groupBy(col("graft_s").as(srcCol))
+      .agg(max("n0").as("graft_n0"), max("n1").as("graft_n1"),
+        sum(expr("(s0 * n1 - s1 * n0) * (s0 * n1 - s1 * n0)"))
+          .as("graft_num"))
+      .select(col(srcCol),
+        coalesce(col("graft_n0").cast("long"), lit(0L)).as("n_era0"),
+        coalesce(col("graft_n1").cast("long"), lit(0L)).as("n_era1"),
+        expr("CASE WHEN graft_n0 IS NULL OR graft_n1 IS NULL" +
+          " THEN CAST(NULL AS BIGINT)" +
+          " ELSE CAST(floor(sqrt(CAST(graft_num AS DOUBLE))" +
+          "   / (CAST(graft_n0 AS DOUBLE) * CAST(graft_n1 AS DOUBLE))" +
+          s"   * ${1000000 / scale}.0 + 0.5) AS BIGINT) END")
+          .as("drift_micro"))
+  }
+
   /** Weekly stickiness — the DAU/WAU habit metric (how many of the days
     * in a week does the average weekly-active user show up?). One
     * pipeline, every stage shrinking: events → distinct (day, user) →
