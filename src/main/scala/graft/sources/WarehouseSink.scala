@@ -935,6 +935,22 @@ object WarehouseSink {
     }
   }
 
+  /** Time-based retention twin of [[vacuum]] (the Delta
+    * `VACUUM ... RETAIN n HOURS` shape): drop generations whose commit
+    * timestamp is older than `olderThanMs`, keeping at least the live
+    * one. Resolution rides the same monotonic manifest `ts` that
+    * timestampAsOf uses, so the retention boundary and time travel agree
+    * on which history survives. */
+  def vacuumOlderThan(dir: String, olderThanMs: Long): Int = {
+    val cur = readManifest(dir).getOrElse(return 0)
+    if (cur.version == 0) return 0
+    // oldest version with ts >= boundary; the live generation always stays
+    val oldestKept = ((0L to cur.version)
+      .find(v => readManifestAt(dir, v).exists(_.ts >= olderThanMs))
+      .getOrElse(cur.version)).min(cur.version)
+    vacuum(dir, keepVersions = (cur.version - oldestKept + 1).toInt)
+  }
+
   def vacuum(dir: String, keepVersions: Int = 1): Int = {
     require(keepVersions >= 1, "must retain at least the live generation")
     val cur = readManifest(dir).getOrElse(return 0)
@@ -3008,12 +3024,26 @@ private[sources] class WarehouseScanBuilder(dir: String, schema: StructType,
                                             skipChanges: Boolean = false,
                                             onlyDvs: Option[Seq[String]] = None)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   import org.apache.spark.sql.connector.expressions.NamedReference
   import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
 
   // The V1 Filter API carries everything range skipping can use.
   private var skipFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+
+  // LIMIT pushdown: the scan PLANS only enough files (by `#rows`
+  // sidecar arithmetic, vector counts subtracted) to cover the limit —
+  // a LIMIT 10 against a 100 TB table opens one file instead of all of
+  // them. PARTIAL by contract (whole files are emitted; Spark's own
+  // Limit trims), and applied only on filterless scans — with residual
+  // filters a file's rows may all fail, so trimming could starve the
+  // limit.
+  private var pushedLimit: Option[Int] = None
+  override def pushLimit(limit: Int): Boolean = {
+    pushedLimit = Some(limit); true
+  }
+  override def isPartiallyPushed(): Boolean = true
   private var required: StructType = schema
   private var pushedAgg: Option[(StructType, InternalRow)] = None
 
@@ -3145,7 +3175,7 @@ private[sources] class WarehouseScanBuilder(dir: String, schema: StructType,
     case Some((aggSchema, row)) => new WarehouseAggScan(dir, aggSchema, row)
     case None =>
       new WarehouseScan(dir, schema, versionAsOf, skipFilters, required,
-        onlyFiles, cdfStream, skipChanges, onlyDvs)
+        onlyFiles, cdfStream, skipChanges, onlyDvs, pushedLimit)
   }
 }
 
@@ -3762,7 +3792,8 @@ private[sources] class WarehouseScan(dir: String, schema: StructType,
                                      onlyFiles: Option[Seq[String]] = None,
                                      cdfStream: Boolean = false,
                                      skipChanges: Boolean = false,
-                                     onlyDvs: Option[Seq[String]] = None)
+                                     onlyDvs: Option[Seq[String]] = None,
+                                     pushedLimit: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
@@ -4020,10 +4051,31 @@ private[sources] class WarehouseScan(dir: String, schema: StructType,
           new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
             v.toArray), fs.map(dvOf)): InputPartition
       }.toArray
-      case None => keptFiles
-        .map(f => WarehouseFilePartition(new File(dir, f).getPath,
-          dvOf(f)): InputPartition)
-        .toArray
+      case None =>
+        val files0 = keptFiles
+        // LIMIT pushdown (filterless scans only — see the builder note):
+        // take files until their sidecar row counts (vectors subtracted)
+        // cover the limit; a file with no #rows line contributes an
+        // unknown amount, so the take keeps going past it.
+        val files = pushedLimit match {
+          case Some(l) if skipFilters.isEmpty && runtimeFilters.isEmpty =>
+            var acc = 0L
+            var done = false
+            val b = Seq.newBuilder[String]
+            for (f <- files0 if !done) {
+              b += f
+              WarehouseSink.readRowCount(dir, f).foreach { rc =>
+                acc += rc - dvc.get(f).map(_._2).getOrElse(0L)
+                if (acc >= l) done = true
+              }
+            }
+            b.result()
+          case _ => files0
+        }
+        files
+          .map(f => WarehouseFilePartition(new File(dir, f).getPath,
+            dvOf(f)): InputPartition)
+          .toArray
     }
   }
 
