@@ -2849,6 +2849,25 @@ object WarehouseSink {
     }
   }
 
+  /** The predicate algebra [[filterToColumn]] (and so every DML verb)
+    * accepts — the SQL DELETE gate tests against THIS before Spark
+    * commits to the row-level path, so unsupported predicates error
+    * clearly instead of half-deleting. AlwaysTrue is the parser's
+    * unconditional-DELETE marker. */
+  private[sources] def supportedDmlFilter(
+      f: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    f match {
+      case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
+           _: LessThan | _: LessThanOrEqual | _: In |
+           _: IsNull | _: IsNotNull | _: AlwaysTrue => true
+      case And(l, r) => supportedDmlFilter(l) && supportedDmlFilter(r)
+      case Or(l, r) => supportedDmlFilter(l) && supportedDmlFilter(r)
+      case Not(x) => supportedDmlFilter(x)
+      case _ => false
+    }
+  }
+
   /** Shared DML candidate-file test: range stats + null-aware pruning
     * under the file's id-derived rename map — the SAME translation the
     * scan path applies (WarehouseScan.keptFiles). Without the map, a
@@ -2934,8 +2953,31 @@ object WarehouseSink {
 
 private[sources] class WarehouseTable(dir: String, schema0: StructType,
                                       versionAsOf: Option[Long] = None)
-    extends Table with SupportsWrite with SupportsRead {
+    extends Table with SupportsWrite with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"graft_warehouse($dir)"
+
+  // SQL row-level DELETE (`DELETE FROM cat.t WHERE ...`): delegates to
+  // the copy-on-write deleteWhere verb — accepted only when every
+  // predicate is in the verb's filter algebra, so Spark falls back to a
+  // clear error (not a silent partial delete) on anything else. The
+  // MoR variant stays an explicit API call (choosing the
+  // read-tax/write-tax point is a policy decision, not a parser's).
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    versionAsOf.isEmpty && filters.forall(WarehouseSink.supportedDmlFilter)
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    require(versionAsOf.isEmpty, "cannot DELETE from a versionAsOf read")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val real = filters.filterNot(
+      _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+    if (real.isEmpty) { // unconditional DELETE / TRUNCATE: new empty generation
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        schema0).write.format(classOf[WarehouseSink].getName)
+        .option("path", dir).mode("overwrite").save()
+    } else WarehouseSink.deleteWhere(spark, dir, real.toIndexedSeq)
+  }
   override def schema(): StructType = schema0
   /** The live layout as V2 transforms — what DESCRIBE shows for a
     * catalog-loaded table. */

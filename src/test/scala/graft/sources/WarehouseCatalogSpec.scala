@@ -37,6 +37,26 @@ class WarehouseCatalogSpec extends SparkSpec {
     assert(!spark.catalog.tableExists("graft.db.t1"))
   }
 
+  test("SQL DELETE FROM: row-level predicate delete through the catalog") {
+    spark.sql("CREATE TABLE graft.db.del1 (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.del1 " +
+      "SELECT id, concat('v', id) FROM range(0, 20)")
+    spark.sql("DELETE FROM graft.db.del1 WHERE id >= 15")
+    assert(spark.sql("SELECT count(*) FROM graft.db.del1")
+      .as[Long].head() === 15L)
+    spark.sql("DELETE FROM graft.db.del1 WHERE id IN (0, 1) OR v = 'v2'")
+    assert(spark.sql("SELECT min(id) FROM graft.db.del1")
+      .as[Long].head() === 3L)
+    // unconditional DELETE = a fresh empty generation; history survives
+    spark.sql("DELETE FROM graft.db.del1")
+    assert(spark.sql("SELECT count(*) FROM graft.db.del1")
+      .as[Long].head() === 0L)
+    assert(spark.read.format("graft.sources.WarehouseSink")
+      .option("path", s"$root/db/del1").option("versionAsOf", "1").load()
+      .count() === 20L)
+    spark.sql("DROP TABLE graft.db.del1")
+  }
+
   test("SQL time travel: VERSION AS OF reads a retained generation") {
     spark.sql("CREATE TABLE graft.db.tt (id BIGINT)")
     spark.sql("INSERT INTO graft.db.tt VALUES (1), (2)") // v1
