@@ -349,4 +349,71 @@ class PropertiesSpec extends SparkSpec {
       assert(r.getAs[Long]("saved_ppm") === (chars - bpe) * 1000000L / chars)
     }
   }
+
+  test("property: prefix-filter join == brute-force join on random corpora") {
+    // The losslessness claim under scalacheck fire: random word soup with
+    // injected shared phrases, across thresholds.
+    val phrase = "alpha beta gamma delta epsilon zeta"
+    val soup = Gen.listOfN(10, Gen.oneOf("red", "blue", "sun", "moon",
+      "tree", "rock", "fish", "bird")).map(_.mkString(" "))
+    for (seed <- 1L to 4L; t <- Seq(0.3, 0.6)) {
+      val texts = sample(Gen.listOfN(14, soup), seed)
+        .zipWithIndex.map { case (s, i) =>
+          (i.toLong, if (i % 3 == 0) s + " " + phrase else s) }
+      val df = texts.toDF("doc_id", "text")
+      val brute = Dedup.ngramJaccardPairs(df, "doc_id", "text", 2, t)
+        .as[(Long, Long, Double)].collect().toSet
+      val pref = Dedup.prefixJaccardPairs(df, "doc_id", "text", 2, t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pref === brute, s"seed=$seed t=$t")
+    }
+  }
+
+  test("property: dupSpans emits disjoint in-bounds spans of length >= k") {
+    val soup = Gen.listOfN(15, Gen.oneOf("aa", "bb", "cc", "dd", "ee",
+      "ff", "gg")).map(_.mkString(" "))
+    for (seed <- 1L to 4L) {
+      val texts = sample(Gen.listOfN(12, soup), seed)
+        .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val df = texts.toDF("doc_id", "text")
+      val k = 3
+      val spans = Dedup.dupSpans(df, "doc_id", "text", k)
+        .as[(Long, Long, Long)].collect().toSeq
+      val nTok = texts.map { case (i, s) =>
+        i -> s.split("\\s+").count(_.nonEmpty).toLong }.toMap
+      spans.foreach { case (id, s, l) =>
+        assert(l >= k, s"span shorter than k: ($id, $s, $l)")
+        assert(s >= 0 && s + l <= nTok(id), s"span out of bounds: ($id, $s, $l)")
+      }
+      // disjoint and non-adjacent per doc (adjacent runs must have merged)
+      spans.groupBy(_._1).values.foreach { g =>
+        val sorted = g.sortBy(_._2)
+        sorted.sliding(2).foreach {
+          case Seq((_, s1, l1), (_, s2, _)) =>
+            assert(s2 > s1 + l1, s"overlapping/adjacent spans: $sorted")
+          case _ =>
+        }
+      }
+    }
+  }
+
+  test("property: BPE token count bounded by codepoints and empty-merge identity") {
+    for (seed <- 10L to 14L) {
+      val texts = sample(Gen.listOfN(20, textGen), seed)
+      val df = texts.toDF("text")
+      val got = df.select(
+        graft.operators.Vocab.bpeTokenCount($"text",
+          graft.operators.Vocab.DisjointMerges).as("n"),
+        graft.operators.Vocab.bpeTokenCount($"text", Seq.empty).as("n0"),
+        length(regexp_replace(lower(trim($"text")), "\\s+", "")).as("chars"))
+        .as[(Long, Long, Long)].collect()
+      got.foreach { case (n, n0, chars) =>
+        // empty merge table: one token per codepoint (chars counts UTF-16
+        // units, so it upper-bounds the codepoint count)
+        assert(n0 <= chars)
+        assert(n <= n0) // merging never grows the token count
+        assert(n >= n0 / 2) // each merge halves at most
+      }
+    }
+  }
 }
