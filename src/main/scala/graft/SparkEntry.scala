@@ -2128,6 +2128,12 @@ object SparkEntry {
       Analytics.mannWhitneyU(Tables.lineitem(s, d), "l_returnflag",
         "l_quantity", groupA = "R", groupB = "N")),
 
+    // Span-dedup action readout: what the removal pass deletes per
+    // source — the corpus-curation decision table over q326.
+    "q342_span_clean" -> ((s, d) =>
+      Dedup.spanCleanReport(Tables.documents(s, d), "doc_id", "text",
+        "source", k = 8)),
+
     // Exact duplicated-SPAN detection (substring-level dedup, the Lee
     // et al. suffix-array rung in bucketed k-gram-anchor form): spans of
     // ≥ 8 tokens shared verbatim across documents, found exactly via
@@ -9805,6 +9811,50 @@ object SparkEntry {
                               * CAST(n1 + n2 - 1 AS DOUBLE))))), 6)
                   END AS z
          FROM f, t""",
+
+    "q342_span_clean" ->
+      """WITH t AS (SELECT doc_id,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         g AS (SELECT doc_id, i - 1 AS p,
+                      array_to_string(toks[i:i+7], ' ') AS gram
+               FROM (SELECT doc_id, toks,
+                            unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS i
+                     FROM t WHERE len(toks) >= 8)),
+         sh AS (SELECT gram FROM
+                  (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
+                WHERE nd >= 2),
+         cov AS (SELECT DISTINCT doc_id, p FROM g JOIN sh USING (gram)),
+         isl AS (SELECT doc_id, p,
+                   CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+                          OR p > lag(p) OVER (PARTITION BY doc_id ORDER BY p) + 8
+                        THEN 1 ELSE 0 END AS ns
+                 FROM cov),
+         sp AS (SELECT doc_id, p,
+                  sum(ns) OVER (PARTITION BY doc_id ORDER BY p
+                    ROWS UNBOUNDED PRECEDING) AS sid
+                FROM isl),
+         spans AS (SELECT doc_id, max(p) + 8 - min(p) AS slen
+                   FROM sp GROUP BY doc_id, sid),
+         agg AS (SELECT doc_id, CAST(sum(slen) AS BIGINT) AS dup_tokens,
+                        CAST(count(*) AS BIGINT) AS n_spans
+                 FROM spans GROUP BY 1),
+         per AS (SELECT d.source, d.doc_id,
+                   CAST(len(regexp_split_to_array(trim(d.text), '\s+')) AS BIGINT)
+                     AS n_tokens,
+                   coalesce(agg.dup_tokens, 0) AS dup_tokens,
+                   coalesce(agg.n_spans, 0) AS n_spans
+                 FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN n_spans > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS docs_touched,
+                CAST(sum(n_tokens) AS BIGINT) AS tokens_before,
+                CAST(sum(dup_tokens) AS BIGINT) AS tokens_removed,
+                CAST(sum(n_tokens) - sum(dup_tokens) AS BIGINT) AS tokens_after,
+                CAST(CASE WHEN sum(n_tokens) = 0 THEN 0
+                     ELSE sum(dup_tokens) * 1000000 // sum(n_tokens) END
+                  AS BIGINT) AS removed_ppm
+         FROM per GROUP BY 1""",
 
     // Duplicated spans replayed raw: gram explode with positions, grams
     // in ≥2 distinct docs, interval union via gaps-and-islands. The

@@ -983,6 +983,31 @@ object Dedup {
           .as("dup_ppm"))
   }
 
+  /** Span-dedup ACTION readout per source: what a duplicated-span
+    * removal pass would delete — documents touched, tokens before,
+    * covered (removable) tokens, tokens after, integer-ppm shrink.
+    * The corpus-curation decision table over [[dupSpanReport]]. */
+  def spanCleanReport(docs: DataFrame, idCol: String, textCol: String,
+                      srcCol: String, k: Int): DataFrame = {
+    val rep = dupSpanReport(docs, idCol, textCol, k)
+    docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"))
+      .join(rep, Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_spans") > 0, 1L).otherwise(0L)).as("docs_touched"),
+        sum("n_tokens").as("tokens_before"),
+        sum("dup_tokens").as("tokens_removed"))
+      .select(col("source"), col("n_docs"),
+        col("docs_touched").cast("long").as("docs_touched"),
+        col("tokens_before").cast("long").as("tokens_before"),
+        col("tokens_removed").cast("long").as("tokens_removed"),
+        (col("tokens_before") - col("tokens_removed")).cast("long")
+          .as("tokens_after"),
+        expr("CASE WHEN tokens_before = 0 THEN 0" +
+          " ELSE tokens_removed * 1000000 div tokens_before END")
+          .as("removed_ppm"))
+  }
+
   def captureRecapture(docs: DataFrame, idCol: String,
                        textCol: String): DataFrame = {
     def mark(salt: String): Column =
