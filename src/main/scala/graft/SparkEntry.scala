@@ -2479,6 +2479,13 @@ object SparkEntry {
       Analytics.kaplanMeier(eventsUs(s, d), "user_id", "ts_us",
         censorDays = 7)),
 
+    // Nelson-Aalen cumulative hazard: KM's additive twin — the same
+    // censoring-correct life table, but the SUM estimator stays fully
+    // distributed (one ordered window, no driver fold, no recursion).
+    "q343_nelson_aalen" -> ((s, d) =>
+      Analytics.nelsonAalen(eventsUs(s, d), "user_id", "ts_us",
+        censorDays = 7)),
+
     // Chance-corrected agreement at the q169 mid threshold: accuracy,
     // balanced accuracy, Cohen's kappa — the imbalance-honest readout
     // (all rationals in the confusion counts, truncated ppm).
@@ -8076,6 +8083,30 @@ object SparkEntry {
          ORDER BY cos DESC, vec_id LIMIT 10""",
 
     // The identical per-step floor, walked by a recursive CTE.
+    "q343_nelson_aalen" ->
+      """WITH u AS (SELECT user_id,
+                  min(epoch_us(ts) // 86400000000) AS f,
+                  max(epoch_us(ts) // 86400000000) AS l
+             FROM events GROUP BY 1),
+         lab AS (SELECT l - f AS t,
+                  CASE WHEN (SELECT max(l) FROM u) - l < 7
+                       THEN 1 ELSE 0 END AS cens
+               FROM u),
+         life0 AS (SELECT t, CAST(count(*) AS BIGINT) AS al,
+                  CAST(sum(1 - cens) AS BIGINT) AS ev,
+                  CAST(sum(cens) AS BIGINT) AS c
+               FROM lab GROUP BY 1),
+         life AS (SELECT t, ev, c,
+                  CAST(sum(al) OVER () -
+                    coalesce(sum(al) OVER (ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS n_risk
+               FROM life0)
+         SELECT t AS t_days, n_risk, ev AS n_events, c AS n_censored,
+                CAST(sum(ev * 1000000 // n_risk) OVER (ORDER BY t
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumhaz_ppm
+         FROM life""",
+
     "q242_kaplan_meier" ->
       """WITH u AS (SELECT user_id,
                   min(epoch_us(ts) // 86400000000) AS f,

@@ -2357,6 +2357,51 @@ object Analytics {
       .toDF("t_days", "n_risk", "n_events", "n_censored", "surv_ppm")
   }
 
+  /** Nelson-Aalen cumulative hazard — [[kaplanMeier]]'s additive twin
+    * (KM estimates survival as a product; NA estimates cumulative
+    * hazard H(t) = Σ dᵢ/nᵢ, the quantity hazard-ratio reasoning and
+    * H(t)-linearity checks actually read). Same censoring-correct life
+    * table; but because the estimator is a SUM, the whole curve stays
+    * distributed — per-step floor-ppm increments accumulate in one
+    * ordered window, no driver fold, no recursive-CTE oracle (the SQL
+    * replay is the same window). */
+  def nelsonAalen(events: DataFrame, userCol: String, tsUsCol: String,
+                  censorDays: Int): DataFrame = {
+    require(censorDays >= 1, "censorDays must be positive")
+    val users = events
+      .select(col(userCol).as("graft_u"),
+        expr(s"$tsUsCol div ${86400L * 1000000L}L").as("graft_d"))
+      .groupBy("graft_u")
+      .agg(min("graft_d").as("graft_f"), max("graft_d").as("graft_l"))
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy("graft_t")
+    users
+      .crossJoin(broadcast(users.agg(max("graft_l").as("graft_maxd"))))
+      .select((col("graft_l") - col("graft_f")).as("graft_t"),
+        (col("graft_maxd") - col("graft_l") < censorDays)
+          .cast("long").as("graft_cens"))
+      .groupBy("graft_t")
+      .agg(count(lit(1)).as("graft_all"),
+        sum(expr("1 - graft_cens")).as("graft_ev"),
+        sum("graft_cens").as("graft_c"))
+      .withColumn("graft_before", coalesce(sum("graft_all")
+        .over(wOrd.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("graft_total", sum("graft_all")
+        .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("graft_risk",
+        col("graft_total") - col("graft_before"))
+      .withColumn("graft_h", expr("graft_ev * 1000000 div graft_risk"))
+      .withColumn("cumhaz_ppm", sum("graft_h").over(
+        wOrd.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .select(col("graft_t").as("t_days"),
+        col("graft_risk").cast("long").as("n_risk"),
+        col("graft_ev").cast("long").as("n_events"),
+        col("graft_c").cast("long").as("n_censored"),
+        col("cumhaz_ppm").cast("long").as("cumhaz_ppm"))
+  }
+
   /** Fano-factor burstiness index — per series, variance-to-mean of the
     * daily counts: F = 1 is the Poisson baseline (arrivals as random as
     * they can be), F ≫ 1 is burst/incident traffic, F < 1 is
