@@ -3436,6 +3436,13 @@ object SparkEntry {
       Search.ndcgAtK(Tables.documents(s, d), "doc_id", "text",
         queryTerms = Seq("join", "vector", "slow", "data"), k = 10)),
 
+    // MRR@10 + recall@10: binary relevance (tf >= 2) judged against the
+    // BM25 ranking — the remaining legs of the retrieval-eval panel.
+    "q344_mrr_recall" -> ((s, d) =>
+      Search.mrrRecallAtK(Tables.documents(s, d), "doc_id", "text",
+        queryTerms = Seq("join", "vector", "slow", "data"), k = 10,
+        minTf = 2)),
+
     // Matryoshka retrieval agreement: exact top-10 under the full
     // 64-dim embedding vs under its first 16 dims, overlap@k floor-ppm
     // per query — the dimension-truncation eval before shipping shorter
@@ -9140,6 +9147,44 @@ object SparkEntry {
 
     // The q132 score replay, ranked two ways and folded through the
     // SAME integer discount constants.
+    "q344_mrr_recall" ->
+      """WITH b AS (SELECT doc_id,
+                  regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+                       CAST(sum(len(toks)) AS BIGINT) AS tt
+                FROM b),
+         h AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+                      unnest(toks) AS term
+               FROM b),
+         tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+                FROM h WHERE term IN ('join', 'vector', 'slow', 'data')
+                GROUP BY 1, 2, 3),
+         sc AS (SELECT doc_id, term,
+                       CASE WHEN tf >= 2 THEN 1 ELSE 0 END AS rel,
+                       CAST(floor((st.nd - df + 0.5) / (df + 0.5) * (tf * 2.2)
+                              / (tf + 1.2 * (0.25 + 0.75 * dl
+                                             / (st.tt * 1.0 / st.nd)))
+                              * 1000000.0 + 0.5) AS BIGINT) AS cm
+               FROM (SELECT *, count(*) OVER (PARTITION BY term) AS df
+                     FROM tf), st),
+         rk AS (SELECT term, rel, row_number() OVER (PARTITION BY term
+                  ORDER BY cm DESC, doc_id) AS rn FROM sc),
+         tot AS (SELECT term, CAST(sum(rel) AS BIGINT) AS nrel
+                 FROM sc GROUP BY 1),
+         ink AS (SELECT term,
+                   min(CASE WHEN rel = 1 THEN rn END) AS first_rk,
+                   CAST(sum(rel) AS BIGINT) AS n_ink
+                 FROM rk WHERE rn <= 10 GROUP BY 1)
+         SELECT ink.term, tot.nrel AS n_relevant,
+                CAST(coalesce(first_rk, 0) AS BIGINT) AS first_rank,
+                CAST(CASE WHEN first_rk IS NULL THEN 0
+                     ELSE 1000000 // first_rk END AS BIGINT) AS rr_ppm,
+                CAST(CASE WHEN nrel = 0 THEN 0
+                     ELSE n_ink * 1000000 // least(nrel, 10) END AS BIGINT)
+                  AS recall_ppm
+         FROM ink JOIN tot ON ink.term = tot.term""",
+
     "q213_ndcg" ->
       """WITH b AS (SELECT doc_id,
                   regexp_extract_all(lower(text), '[a-z0-9]+') AS toks

@@ -296,6 +296,73 @@ object Search {
         expr("dcg_micro * 1000000 div idcg_micro").as("ndcg_ppm"))
   }
 
+  /** MRR@k + recall@k — the binary-relevance legs completing the
+    * retrieval-eval panel next to [[ndcgAtK]]'s graded leg: per query
+    * term, documents rank by their BM25 contribution (the scorer under
+    * test) while RELEVANCE is independent of the scorer — a document is
+    * relevant when the term occurs at least `minTf` times (strongly
+    * about the term, not merely mentioning it). rr_ppm = 10⁶ div (rank
+    * of the first relevant doc in the top k; 0 when none), recall_ppm =
+    * relevant-in-top-k ·10⁶ div min(k, total relevant). All integers —
+    * the BM25 micro score is the proven exact expression, ranks are
+    * deterministic (score desc, id asc).
+    *
+    * Scale: the q132 match-pass shape — posting-list-sized hit table,
+    * one WindowGroupLimit-able rank per term. */
+  def mrrRecallAtK(docs: DataFrame, idCol: String, textCol: String,
+                   queryTerms: Seq[String], k: Int,
+                   minTf: Int = 2): DataFrame = {
+    require(queryTerms.nonEmpty && k >= 1 && minTf >= 1,
+      "need query terms, k >= 1, minTf >= 1")
+    val terms = queryTerms.map(_.toLowerCase)
+    val base = docs.select(col(idCol).as("doc_id"),
+      regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0))
+        .as("graft_toks"))
+    val stats = base.agg(count(lit(1)).as("graft_nd"),
+      sum(size(col("graft_toks"))).as("graft_tt"))
+    val hits = base
+      .select(col("doc_id"),
+        size(col("graft_toks")).cast("long").as("graft_dl"),
+        filter(col("graft_toks"), t => t.isInCollection(terms)).as("graft_q"))
+      .select(col("doc_id"), col("graft_dl"),
+        explode(col("graft_q")).as("term"))
+    val tf = hits.groupBy("doc_id", "graft_dl", "term")
+      .agg(count(lit(1)).as("graft_tf"))
+      .withColumn("graft_df",
+        count(lit(1)).over(Window.partitionBy("term")))
+    val nd = col("graft_nd").cast("double")
+    val avgdl = col("graft_tt").cast("double") * lit(1.0) / nd
+    val idf = (nd - col("graft_df") + lit(0.5)) / (col("graft_df") + lit(0.5))
+    val num = col("graft_tf") * lit(2.2)
+    val den = col("graft_tf") +
+      lit(1.2) * (lit(0.25) + lit(0.75) * col("graft_dl") / avgdl)
+    val scoreMicro =
+      floor(idf * num / den * lit(1000000.0) + lit(0.5)).cast("long")
+    val scored = graft.operators.Materialize.transient(
+      tf.crossJoin(broadcast(stats))
+        .select(col("term"), col("doc_id"), scoreMicro.as("graft_sc"),
+          (col("graft_tf") >= minTf).cast("long").as("graft_rel")))
+    val ranked = scored.withColumn("graft_rk", row_number().over(
+      Window.partitionBy("term")
+        .orderBy(col("graft_sc").desc, col("doc_id").asc)))
+    val totals = scored.groupBy("term")
+      .agg(sum("graft_rel").as("graft_nrel"))
+    ranked.filter(col("graft_rk") <= k)
+      .groupBy("term")
+      .agg(
+        min(when(col("graft_rel") === 1L, col("graft_rk"))).as("graft_first"),
+        sum("graft_rel").as("graft_ink"))
+      .join(totals, Seq("term"))
+      .select(col("term"),
+        col("graft_nrel").cast("long").as("n_relevant"),
+        coalesce(col("graft_first"), lit(0L)).cast("long").as("first_rank"),
+        expr("CASE WHEN graft_first IS NULL THEN 0" +
+          " ELSE 1000000 div graft_first END").as("rr_ppm"),
+        expr("CASE WHEN graft_nrel = 0 THEN 0" +
+          s" ELSE graft_ink * 1000000 div least(graft_nrel, ${k}L) END")
+          .as("recall_ppm"))
+  }
+
   /** Rocchio pseudo-relevance-feedback expansion (Rocchio 1971; the
     * RM3-style two-pass every Lucene/Terrier deployment ships): retrieve
     * the top `fbDocs` documents for the original query, ASSUME them
