@@ -1986,6 +1986,12 @@ object SparkEntry {
           .withColumn("era", (col("doc_id") % 2).cast("int")),
         "source", "era", "embedding")),
 
+    // Exact equi-depth histogram of prices: order-statistic boundaries
+    // on the cumulative value histogram, honest tie-skewed depths.
+    "q345_equidepth" -> ((s, d) =>
+      Analytics.equiDepthHistogram(Tables.lineitem(s, d),
+        "l_extendedprice", k = 8)),
+
     // Cohen's d effect size between the R and N return cohorts' prices.
     "q340_cohens_d" -> ((s, d) =>
       Analytics.cohensD(Tables.lineitem(s, d), "l_returnflag",
@@ -9147,6 +9153,25 @@ object SparkEntry {
 
     // The q132 score replay, ranked two ways and folded through the
     // SAME integer discount constants.
+    "q345_equidepth" ->
+      """WITH x AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+             FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         h AS (SELECT v, count(*) AS m FROM x GROUP BY 1),
+         c AS (SELECT v, m, sum(m) OVER (ORDER BY v
+                 ROWS UNBOUNDED PRECEDING) AS cum FROM h),
+         n AS (SELECT count(*) AS n FROM x),
+         ks AS (SELECT i AS bucket, (i * n.n + 8 - 1) // 8 AS t
+                FROM range(1, 9) r(i), n),
+         bounds AS (SELECT bucket, min(v) AS hi_centi
+                    FROM c JOIN ks ON c.cum >= ks.t GROUP BY 1),
+         cnt AS (SELECT v, m, min(bucket) AS bucket
+                 FROM c JOIN bounds ON c.v <= bounds.hi_centi
+                 GROUP BY 1, 2),
+         bc AS (SELECT bucket, sum(m) AS n_rows FROM cnt GROUP BY 1)
+         SELECT bounds.bucket, CAST(hi_centi AS BIGINT) AS hi_centi,
+                CAST(coalesce(n_rows, 0) AS BIGINT) AS n_rows
+         FROM bounds LEFT JOIN bc ON bounds.bucket = bc.bucket""",
+
     "q344_mrr_recall" ->
       """WITH b AS (SELECT doc_id,
                   regexp_extract_all(lower(text), '[a-z0-9]+') AS toks

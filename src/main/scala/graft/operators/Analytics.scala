@@ -1409,6 +1409,46 @@ object Analytics {
           .as("wmedian2_centi"))
   }
 
+  /** Exact EQUI-DEPTH histogram — q49's fixed-width sibling with the
+    * boundaries the data chooses instead of the caller: bucket i's upper
+    * edge is the exact ⌈i·n/k⌉-th order statistic (integer-ceil rank on
+    * the cumulative value histogram — no approxQuantile sketch), and
+    * the reported per-bucket counts expose what ties actually did to
+    * the depths (a heavy tie makes one bucket deep and its neighbor
+    * empty — the honest answer, not a smoothed lie). Values quantize to
+    * centi ints (q196's contract).
+    *
+    * Scale: one value-histogram aggregate (map-combining), a cum window
+    * over DISTINCT values, two k-bounded joins — never a global row
+    * sort. */
+  def equiDepthHistogram(df: DataFrame, valueCol: String,
+                         k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, "k must be in [1, 1000]")
+    val spark = df.sparkSession
+    val x = df.filter(col(valueCol).isNotNull)
+      .select(floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("long")
+        .as("graft_v"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy("graft_v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val hist = x.groupBy("graft_v").agg(count(lit(1)).as("graft_m"))
+      .withColumn("graft_cum", sum("graft_m").over(wCum))
+    val tot = x.agg(count(lit(1)).as("graft_n"))
+    val ks = spark.range(1, k + 1).toDF("bucket")
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        expr(s"(bucket * graft_n + $k - 1) div $k").as("graft_t"))
+    val bounds = hist.join(broadcast(ks), col("graft_cum") >= col("graft_t"))
+      .groupBy("bucket").agg(min("graft_v").as("hi_centi"))
+    val counts = hist.join(broadcast(bounds),
+        col("graft_v") <= col("hi_centi"))
+      .groupBy("graft_v", "graft_m")
+      .agg(min("bucket").as("bucket"))
+      .groupBy("bucket").agg(sum("graft_m").as("n_rows"))
+    bounds.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"), col("hi_centi"),
+        coalesce(col("n_rows"), lit(0L)).cast("long").as("n_rows"))
+  }
+
   /** Cramér's V — the [0,1] effect size the chi-square screen lacks
     * (chi2 grows with N; V = sqrt(chi2 / (N·min(r−1, c−1))) does not):
     * same exact integer contingency arithmetic as [[chiSquare]], one
