@@ -2134,6 +2134,11 @@ object SparkEntry {
       Analytics.mannWhitneyU(Tables.lineitem(s, d), "l_returnflag",
         "l_quantity", groupA = "R", groupB = "N")),
 
+    // Per-doc novelty: share of shingles unique to the doc corpus-wide
+    // (the inverse near-dup readout; template sludge scores ~0).
+    "q346_novelty" -> ((s, d) =>
+      Dedup.noveltyRate(Tables.documents(s, d), "doc_id", "text", n = 3)),
+
     // Span-dedup action readout: what the removal pass deletes per
     // source — the corpus-curation decision table over q326.
     "q342_span_clean" -> ((s, d) =>
@@ -9912,6 +9917,27 @@ object SparkEntry {
                               * CAST(n1 + n2 - 1 AS DOUBLE))))), 6)
                   END AS z
          FROM f, t""",
+
+    // Shingle semantics mirror q20's (distinct 3-gram sets, lowercased
+    // whitespace tokens); the df side joins raw shingle strings where
+    // Spark joins their 64-bit hashes — the family's collision trade.
+    "q346_novelty" ->
+      """WITH t AS (SELECT doc_id,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                       toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+                FROM (SELECT doc_id, toks,
+                             unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i
+                      FROM t)),
+         df AS (SELECT g, count(DISTINCT doc_id) AS nd FROM sh GROUP BY 1)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+                CAST(sum(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_unique,
+                CAST(sum(CASE WHEN nd = 1 THEN 1 ELSE 0 END) * 1000000
+                  // count(*) AS BIGINT) AS novelty_ppm
+         FROM sh JOIN df USING (g)
+         GROUP BY 1""",
 
     "q342_span_clean" ->
       """WITH t AS (SELECT doc_id,

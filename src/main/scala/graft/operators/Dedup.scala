@@ -983,6 +983,28 @@ object Dedup {
           .as("dup_ppm"))
   }
 
+  /** Per-document NOVELTY rate — the inverse readout of the near-dup
+    * family: the share of a document's distinct shingles that occur in
+    * NO other document (corpus-unique text vs boilerplate/copy), in
+    * integer ppm. High novelty marks original content worth keeping;
+    * near-zero novelty is template sludge even when no single pair
+    * crosses a near-dup threshold. Shape: the shingle explode + ONE
+    * two-phase distinct-doc count on the 64-bit shingle hash (map-side
+    * combining — the q317 df discipline), joined back per doc. */
+  def noveltyRate(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int): DataFrame = {
+    val sh = Materialize.transient(explodedShingles(docs, idCol, textCol, n))
+    val df = sh.select("g", "id").distinct()
+      .groupBy("g").agg(count(lit(1)).as("graft_nd"))
+    sh.join(df, Seq("g"))
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("graft_nd") === 1L, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_shingles"),
+        col("n_unique").cast("long").as("n_unique"),
+        expr("n_unique * 1000000 div n_shingles").as("novelty_ppm"))
+  }
+
   /** Span-dedup ACTION readout per source: what a duplicated-span
     * removal pass would delete — documents touched, tokens before,
     * covered (removable) tokens, tokens after, integer-ppm shrink.
