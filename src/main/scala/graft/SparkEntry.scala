@@ -2134,6 +2134,18 @@ object SparkEntry {
       Analytics.mannWhitneyU(Tables.lineitem(s, d), "l_returnflag",
         "l_quantity", groupA = "R", groupB = "N")),
 
+    // Incremental span dedup: odd-doc batch checked against the
+    // even-doc corpus gram store — spans found at admission, zero
+    // corpus re-scan.
+    "q347_span_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val store = Dedup.gramStore(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", k = 8)
+      Dedup.dupSpansVsStore(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", k = 8,
+        store)
+    }),
+
     // Per-doc novelty: share of shingles unique to the doc corpus-wide
     // (the inverse near-dup readout; template sludge scores ~0).
     "q346_novelty" -> ((s, d) =>
@@ -9917,6 +9929,31 @@ object SparkEntry {
                               * CAST(n1 + n2 - 1 AS DOUBLE))))), 6)
                   END AS z
          FROM f, t""",
+
+    "q347_span_incremental" ->
+      """WITH t AS (SELECT doc_id,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         g AS (SELECT doc_id, i - 1 AS p,
+                      array_to_string(toks[i:i+7], ' ') AS gram
+               FROM (SELECT doc_id, toks,
+                            unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS i
+                     FROM t WHERE len(toks) >= 8)),
+         store AS (SELECT DISTINCT gram FROM g WHERE doc_id % 2 = 0),
+         cov AS (SELECT DISTINCT doc_id, p FROM g
+                 JOIN store USING (gram) WHERE doc_id % 2 = 1),
+         isl AS (SELECT doc_id, p,
+                   CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+                          OR p > lag(p) OVER (PARTITION BY doc_id ORDER BY p) + 8
+                        THEN 1 ELSE 0 END AS ns
+                 FROM cov),
+         sp AS (SELECT doc_id, p,
+                  sum(ns) OVER (PARTITION BY doc_id ORDER BY p
+                    ROWS UNBOUNDED PRECEDING) AS sid
+                FROM isl)
+         SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+                CAST(max(p) + 8 - min(p) AS BIGINT) AS span_len
+         FROM sp GROUP BY doc_id, sid""",
 
     // Shingle semantics mirror q20's (distinct 3-gram sets, lowercased
     // whitespace tokens); the df side joins raw shingle strings where

@@ -983,6 +983,51 @@ object Dedup {
           .as("dup_ppm"))
   }
 
+  /** The distinct gram-hash STORE a batch's spans are checked against —
+    * build once from the accepted corpus, append per admitted batch
+    * (the q81 fingerprint-store lifecycle at gram granularity). */
+  def gramStore(docs: DataFrame, idCol: String, textCol: String,
+                k: Int): DataFrame =
+    spanGrams(docs, idCol, textCol, k).select("g").distinct()
+
+  private def spanGrams(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int): DataFrame =
+    docs
+      .select(col(idCol).as("id"), T.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= k && length(col("toks")(0)) > 0)
+      .select(col("id"), posexplode(expr(
+        s"transform(sequence(0, size(toks) - $k)," +
+          s" i -> xxhash64(concat_ws(' ', slice(toks, i + 1, $k))))"))
+        .as(Seq("p", "g")))
+
+  /** INCREMENTAL duplicated-span detection — [[dupSpans]]' ingest-time
+    * twin (q81's incremental-dedup lifecycle at substring granularity):
+    * a NEW batch's spans are flagged where their k-grams already exist
+    * in the persisted corpus [[gramStore]] — so a feed that re-posts
+    * wire copy is caught at admission without ever re-scanning the
+    * corpus. One batch-sized gram explode, one semi-join against the
+    * store (batch-side tiny; the store side is the big-but-static
+    * relation a broadcast/bucketed layout serves), one batch-doc-keyed
+    * island window. Same chimera over-approximation contract as
+    * [[dupSpans]]. */
+  def dupSpansVsStore(batch: DataFrame, idCol: String, textCol: String,
+                      k: Int, store: DataFrame): DataFrame = {
+    val covered = spanGrams(batch, idCol, textCol, k)
+      .join(store, Seq("g"), "left_semi")
+      .select("id", "p").distinct()
+    val w = Window.partitionBy("id").orderBy(col("p").asc)
+    covered
+      .withColumn("graft_new",
+        when(lag(col("p"), 1).over(w).isNull ||
+          col("p") > lag(col("p"), 1).over(w) + k, 1L).otherwise(0L))
+      .withColumn("graft_span", sum(col("graft_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id").as("doc_id"), col("graft_span"))
+      .agg(min("p").cast("long").as("span_start"),
+        (max(col("p")) + k - min(col("p"))).cast("long").as("span_len"))
+      .select("doc_id", "span_start", "span_len")
+  }
+
   /** Per-document NOVELTY rate — the inverse readout of the near-dup
     * family: the share of a document's distinct shingles that occur in
     * NO other document (corpus-unique text vs boilerplate/copy), in
