@@ -1986,6 +1986,12 @@ object SparkEntry {
           .withColumn("era", (col("doc_id") % 2).cast("int")),
         "source", "era", "embedding")),
 
+    // Exact 10%-trimmed mean per return flag: histogram rank-interval
+    // overlap arithmetic, no sort, no approx.
+    "q348_trimmed_mean" -> ((s, d) =>
+      Analytics.trimmedMean(Tables.lineitem(s, d), "l_returnflag",
+        "l_extendedprice", trimPpm = 100000L)),
+
     // Exact equi-depth histogram of prices: order-statistic boundaries
     // on the cumulative value histogram, honest tie-skewed depths.
     "q345_equidepth" -> ((s, d) =>
@@ -9170,6 +9176,28 @@ object SparkEntry {
 
     // The q132 score replay, ranked two ways and folded through the
     // SAME integer discount constants.
+    "q348_trimmed_mean" ->
+      """WITH x AS (SELECT l_returnflag AS g,
+                  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+             FROM lineitem
+             WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL),
+         h AS (SELECT g, v, count(*) AS m FROM x GROUP BY 1, 2),
+         c AS (SELECT g, v, m, sum(m) OVER (PARTITION BY g ORDER BY v
+                 ROWS UNBOUNDED PRECEDING) AS cum FROM h),
+         ns AS (SELECT g, count(*) AS n,
+                       count(*) * 100000 // 1000000 AS t
+                FROM x GROUP BY 1),
+         k AS (SELECT c.g, v, n,
+                 greatest(0, least(cum, n - t) - greatest(cum - m, t)) AS keep
+               FROM c JOIN ns ON c.g = ns.g)
+         SELECT g AS l_returnflag, CAST(max(n) AS BIGINT) AS n_rows,
+                CAST(sum(keep) AS BIGINT) AS n_kept,
+                CAST(CASE WHEN sum(keep) = 0 THEN NULL
+                     ELSE floor(CAST(sum(v * keep) AS DOUBLE) * 10.0
+                       / CAST(sum(keep) AS DOUBLE) + 0.5) END AS BIGINT)
+                  AS trimmed_mean_milli
+         FROM k GROUP BY 1""",
+
     "q345_equidepth" ->
       """WITH x AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
              FROM lineitem WHERE l_extendedprice IS NOT NULL),

@@ -1409,6 +1409,51 @@ object Analytics {
           .as("wmedian2_centi"))
   }
 
+  /** Exact TRIMMED mean per group — the robust-location rung between
+    * the winsorized stats (q90 CLAMPS the tails in place) and the
+    * median (drops everything but the middle order stat): DROP the
+    * lowest and highest ⌊n·trimPpm/10⁶⌋ observations by rank, average
+    * the rest. Histogram-exact: per distinct value, the kept
+    * multiplicity is the overlap of its rank interval [cum−m+1, cum]
+    * with [t+1, n−t] — pure integer arithmetic, so sums, counts and
+    * the floor-milli mean all hash-check. Same per-group
+    * distinct-value window discipline as the median family. */
+  def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
+                  trimPpm: Long = 100000L): DataFrame = {
+    require(trimPpm >= 0 && trimPpm < 500000L,
+      "trimPpm must be in [0, 500000) — trimming half each side leaves nothing")
+    val x = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("graft_g"),
+        floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("long")
+          .as("graft_x"))
+    val hist = x.groupBy("graft_g", "graft_x")
+      .agg(count(lit(1)).as("graft_m"))
+    val wcum = org.apache.spark.sql.expressions.Window
+      .partitionBy("graft_g").orderBy("graft_x")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("graft_cum", sum("graft_m").over(wcum))
+    val ns = x.groupBy("graft_g").agg(count(lit(1)).as("graft_n"))
+      .select(col("graft_g"), col("graft_n"),
+        expr(s"graft_n * $trimPpm div 1000000").as("graft_t"))
+    cum.join(ns, Seq("graft_g"))
+      .withColumn("graft_keep",
+        greatest(lit(0L),
+          least(col("graft_cum"), col("graft_n") - col("graft_t")) -
+            greatest(col("graft_cum") - col("graft_m"), col("graft_t"))))
+      .groupBy(col("graft_g").as(groupCol))
+      .agg(max("graft_n").as("n_rows"),
+        sum("graft_keep").as("n_kept"),
+        sum(expr("CAST(graft_x AS DECIMAL(38,0)) * graft_keep"))
+          .as("graft_sum"))
+      .select(col(groupCol), col("n_rows"),
+        col("n_kept").cast("long").as("n_kept"),
+        expr("CASE WHEN n_kept = 0 THEN CAST(NULL AS BIGINT)" +
+          " ELSE CAST(floor(CAST(graft_sum AS DOUBLE) * 10.0" +
+          "   / CAST(n_kept AS DOUBLE) + 0.5) AS BIGINT) END")
+          .as("trimmed_mean_milli"))
+  }
+
   /** Exact EQUI-DEPTH histogram — q49's fixed-width sibling with the
     * boundaries the data chooses instead of the caller: bucket i's upper
     * edge is the exact ⌈i·n/k⌉-th order statistic (integer-ceil rank on
