@@ -2140,6 +2140,12 @@ object SparkEntry {
       Analytics.mannWhitneyU(Tables.lineitem(s, d), "l_returnflag",
         "l_quantity", groupA = "R", groupB = "N")),
 
+    // Span-dedup sensitivity: corpus removal volume at k in {6, 8, 12}
+    // — the knob audit before committing to one anchor length.
+    "q349_span_sweep" -> ((s, d) =>
+      Dedup.spanSensitivity(Tables.documents(s, d), "doc_id", "text",
+        ks = Seq(6, 8, 12))),
+
     // Incremental span dedup: odd-doc batch checked against the
     // even-doc corpus gram store — spans found at admission, zero
     // corpus re-scan.
@@ -4067,6 +4073,42 @@ object SparkEntry {
     * `aggregate`, and Double.toString literals parse back to the identical
     * bits). That turns the "probabilistic" candidate set deterministic
     * across engines and lets the full (vec_id, cos) result hash-match. */
+  /** q349's oracle: the q325 span replay templated per anchor length k
+    * and UNION ALL'd — the sweep IS three independent replays. */
+  private def spanSweepOracleSql: String =
+    Seq(6, 8, 12).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS k, docs_touched, total_spans,
+                covered_tokens
+         FROM (
+           WITH t AS (SELECT doc_id,
+                    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+             FROM documents),
+           g AS (SELECT doc_id, i - 1 AS p,
+                        array_to_string(toks[i:i+${k - 1}], ' ') AS gram
+                 FROM (SELECT doc_id, toks,
+                              unnest(range(1, greatest(len(toks) - ${k - 1}, 0) + 1)) AS i
+                       FROM t WHERE len(toks) >= $k)),
+           sh AS (SELECT gram FROM
+                    (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
+                  WHERE nd >= 2),
+           cov AS (SELECT DISTINCT doc_id, p FROM g JOIN sh USING (gram)),
+           isl AS (SELECT doc_id, p,
+                     CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+                            OR p > lag(p) OVER (PARTITION BY doc_id ORDER BY p) + $k
+                          THEN 1 ELSE 0 END AS ns
+                   FROM cov),
+           sp AS (SELECT doc_id, p,
+                    sum(ns) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM isl),
+           spans AS (SELECT doc_id, max(p) + $k - min(p) AS slen
+                     FROM sp GROUP BY doc_id, sid)
+           SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS docs_touched,
+                  CAST(count(*) AS BIGINT) AS total_spans,
+                  CAST(coalesce(sum(slen), 0) AS BIGINT) AS covered_tokens
+           FROM spans)"""
+    }.mkString("\nUNION ALL\n")
+
   private def q25OracleSql: String = {
     def weights(j: Int): String =
       (0 until 64).map(i => java.lang.Double.toString(math.sin(i.toDouble * (j + 1))))
@@ -9957,6 +9999,8 @@ object SparkEntry {
                               * CAST(n1 + n2 - 1 AS DOUBLE))))), 6)
                   END AS z
          FROM f, t""",
+
+    "q349_span_sweep" -> spanSweepOracleSql,
 
     "q347_span_incremental" ->
       """WITH t AS (SELECT doc_id,

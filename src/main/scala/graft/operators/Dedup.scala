@@ -1028,6 +1028,31 @@ object Dedup {
       .select("doc_id", "span_start", "span_len")
   }
 
+  /** Span-dedup sensitivity sweep — q216's threshold-sweep discipline
+    * applied to the substring family: corpus-level span statistics at
+    * several anchor lengths k, so the curation owner sees how the
+    * removal volume moves with the knob BEFORE committing to one (small
+    * k over-flags collocations; large k misses short boilerplate). One
+    * full pass per k over the same substrate — the audit is run-once by
+    * nature. */
+  def spanSensitivity(docs: DataFrame, idCol: String, textCol: String,
+                      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 2), "need k values >= 2")
+    ks.map { k =>
+      dupSpanReport(docs, idCol, textCol, k)
+        .agg(sum(when(col("n_spans") > 0, 1L).otherwise(0L))
+          .as("docs_touched"),
+          sum("n_spans").as("total_spans"),
+          sum("dup_tokens").as("covered_tokens"))
+        .select(lit(k.toLong).as("k"),
+          col("docs_touched").cast("long").as("docs_touched"),
+          coalesce(col("total_spans"), lit(0L)).cast("long")
+            .as("total_spans"),
+          coalesce(col("covered_tokens"), lit(0L)).cast("long")
+            .as("covered_tokens"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Per-document NOVELTY rate — the inverse readout of the near-dup
     * family: the share of a document's distinct shingles that occur in
     * NO other document (corpus-unique text vs boilerplate/copy), in
