@@ -12,6 +12,23 @@ import org.apache.spark.sql.functions._
   * engines so the DuckDB hash compare is exact. */
 object SparkEntry {
 
+  /** Scratch warehouse directory for the table-format queries, deleted at
+    * JVM exit: the returned DataFrame is lazy (the driver materializes it
+    * after this function returns), so eager deletion would race the scan —
+    * a shutdown hook is the earliest safe point. Without it every
+    * bench/correctness run of a warehouse query leaked a full table copy
+    * under java.io.tmpdir. */
+  private def tempTableDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   /** Flagship: consecutive-weeks-on-chart streaks (dag.py:118-154) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
     Charts.weeksOnChart(Tables.events(spark, "/root/testdata/sf0.001"),
@@ -765,7 +782,7 @@ object SparkEntry {
     // read must ALL be exact for the hashes to meet.
     "q105_warehouse_cycle" -> ((s, d) => {
       val fmt = "graft.sources.WarehouseSink"
-      val dir = java.nio.file.Files.createTempDirectory("graft_wh_").toString
+      val dir = tempTableDir("graft_wh_")
       val src = Tables.orders(s, d)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
       // (DSv2 via format().save() admits only append/overwrite modes)
@@ -1010,7 +1027,7 @@ object SparkEntry {
     // manifest retention + versioned file listing must both be exact.
     "q125_time_travel" -> ((s, d) => {
       val fmt = "graft.sources.WarehouseSink"
-      val dir = java.nio.file.Files.createTempDirectory("graft_tt_").toString
+      val dir = tempTableDir("graft_tt_")
       val src = Tables.orders(s, d)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
       src.filter(col("o_totalprice") < 100000.0)
@@ -1178,7 +1195,7 @@ object SparkEntry {
     // Delta CHANGES readout on the manifest history.
     "q139_table_changes" -> ((s, d) => {
       val fmt = "graft.sources.WarehouseSink"
-      val dir = java.nio.file.Files.createTempDirectory("graft_cdf_").toString
+      val dir = tempTableDir("graft_cdf_")
       val src = Tables.orders(s, d)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
       src.write.format(fmt).option("path", dir).mode("overwrite").save()
@@ -1318,7 +1335,7 @@ object SparkEntry {
     // truncates where DuckDB's rounds, so the floor is explicit.
     "q158_warehouse_skip" -> ((s, d) => {
       val fmt = "graft.sources.WarehouseSink"
-      val dir = java.nio.file.Files.createTempDirectory("graft_whskip_").toString
+      val dir = tempTableDir("graft_whskip_")
       Tables.orders(s, d)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
         .repartitionByRange(8, col("o_orderkey"))
@@ -1340,7 +1357,7 @@ object SparkEntry {
     // raw source the warehouse was loaded from.
     "q159_metadata_agg" -> ((s, d) => {
       val fmt = "graft.sources.WarehouseSink"
-      val dir = java.nio.file.Files.createTempDirectory("graft_whagg_").toString
+      val dir = tempTableDir("graft_whagg_")
       Tables.lineitem(s, d)
         .select(col("l_orderkey"),
           col("l_quantity").cast("double").as("qty"),
@@ -1401,7 +1418,7 @@ object SparkEntry {
     // every other file by name; readback proves row-exact semantics.
     "q165_warehouse_delete" -> ((s, d) => {
       val fmt = "graft.sources.WarehouseSink"
-      val dir = java.nio.file.Files.createTempDirectory("graft_whdel_").toString
+      val dir = tempTableDir("graft_whdel_")
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         .repartitionByRange(8, col("o_orderkey"))
@@ -1595,7 +1612,7 @@ object SparkEntry {
     // proves row-exact upsert semantics against the relational recompute.
     "q171_warehouse_merge" -> ((s, d) => {
       val fmt = "graft.sources.WarehouseSink"
-      val dir = java.nio.file.Files.createTempDirectory("graft_whmrg_").toString
+      val dir = tempTableDir("graft_whmrg_")
       val base = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       base.repartitionByRange(8, col("o_orderkey"))
@@ -1619,7 +1636,7 @@ object SparkEntry {
     // recompute proves row-exact in-place semantics.
     "q172_warehouse_update" -> ((s, d) => {
       val fmt = "graft.sources.WarehouseSink"
-      val dir = java.nio.file.Files.createTempDirectory("graft_whupd_").toString
+      val dir = tempTableDir("graft_whupd_")
       Tables.part(s, d)
         .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
         .repartitionByRange(8, col("p_partkey"))
@@ -1641,7 +1658,7 @@ object SparkEntry {
     // correctly against the widened schema.
     "q173_warehouse_evolve" -> ((s, d) => {
       val fmt = "graft.sources.WarehouseSink"
-      val dir = java.nio.file.Files.createTempDirectory("graft_whevo_").toString
+      val dir = tempTableDir("graft_whevo_")
       val docs = Tables.documents(s, d)
       docs.filter(col("doc_id") % 2 === 0).select("doc_id", "source")
         .write.format(fmt).option("path", dir).mode("append").save()
@@ -1693,7 +1710,7 @@ object SparkEntry {
     // recomputes from the raw parquet.
     "q178_metadata_sum" -> ((s, d) => {
       val fmt = "graft.sources.WarehouseSink"
-      val dir = java.nio.file.Files.createTempDirectory("graft_whsum_").toString
+      val dir = tempTableDir("graft_whsum_")
       Tables.lineitem(s, d)
         .select(col("l_orderkey"),
           when(col("l_linenumber") =!= 1, col("l_partkey")).as("opt_part"),
@@ -1760,8 +1777,8 @@ object SparkEntry {
     // partitioned write→group-read→join path against the plain replay.
     "q181_partitioned_join" -> ((s, d) => {
       val fmt = "graft.sources.WarehouseSink"
-      val oDir = java.nio.file.Files.createTempDirectory("graft_whpo_").toString
-      val cDir = java.nio.file.Files.createTempDirectory("graft_whpc_").toString
+      val oDir = tempTableDir("graft_whpo_")
+      val cDir = tempTableDir("graft_whpc_")
       Tables.orders(s, d)
         .select(col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
         .write.format(fmt).option("path", oDir)
@@ -1861,7 +1878,7 @@ object SparkEntry {
     "q190_wap_cycle" -> ((s, d) => {
       val fmt = "graft.sources.WarehouseSink"
       val wh = graft.sources.WarehouseSink
-      val dir = java.nio.file.Files.createTempDirectory("graft_whwap_").toString
+      val dir = tempTableDir("graft_whwap_")
       val orders = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       orders.filter(col("o_orderkey") % 3 === 0)
@@ -1959,7 +1976,7 @@ object SparkEntry {
     // recomputes from the source, proving both eras decode exactly.
     "q322_type_widening" -> ((s, d) => {
       val fmt = "graft.sources.WarehouseSink"
-      val dir = java.nio.file.Files.createTempDirectory("graft_wid_").toString
+      val dir = tempTableDir("graft_wid_")
       val li = Tables.lineitem(s, d).select(col("l_orderkey"),
         col("l_quantity").cast("int").as("qty"))
       li.filter(col("l_orderkey") % 2 === 0)
@@ -2072,7 +2089,7 @@ object SparkEntry {
     // oracle recomputes the final table from source arithmetic.
     "q332_merge_apply" -> ((s, d) => {
       val fmt = "graft.sources.WarehouseSink"
-      val dir = java.nio.file.Files.createTempDirectory("graft_app_").toString
+      val dir = tempTableDir("graft_app_")
       val base = Tables.orders(s, d).select(col("o_orderkey").as("k"),
         floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
       base.write.format(fmt).option("path", dir).mode("overwrite").save()
@@ -2099,7 +2116,7 @@ object SparkEntry {
     // their stored values; the oracle recomputes both eras from source.
     "q331_column_default" -> ((s, d) => {
       val fmt = "graft.sources.WarehouseSink"
-      val dir = java.nio.file.Files.createTempDirectory("graft_def_").toString
+      val dir = tempTableDir("graft_def_")
       val li = Tables.lineitem(s, d).select(col("l_orderkey"),
         col("l_quantity").cast("long").as("qty"))
       li.filter(col("l_orderkey") % 2 === 0)
@@ -2204,7 +2221,7 @@ object SparkEntry {
     // proves the id resolution returned every pre-rename value.
     "q319_column_mapping" -> ((s, d) => {
       val fmt = "graft.sources.WarehouseSink"
-      val dir = java.nio.file.Files.createTempDirectory("graft_ren_").toString
+      val dir = tempTableDir("graft_ren_")
       val li = Tables.lineitem(s, d).select(col("l_orderkey"),
         col("l_partkey"), col("l_quantity").cast("long").as("q0"))
       li.filter(col("l_orderkey") % 2 === 0)
@@ -2291,7 +2308,7 @@ object SparkEntry {
     // CASE recompute proves row-exact semantics at O(matched rows) write.
     "q310_mor_update" -> ((s, d) => {
       val fmt = "graft.sources.WarehouseSink"
-      val dir = java.nio.file.Files.createTempDirectory("graft_morupd_").toString
+      val dir = tempTableDir("graft_morupd_")
       Tables.part(s, d)
         .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
         .repartitionByRange(8, col("p_partkey"))
@@ -2315,7 +2332,7 @@ object SparkEntry {
     // whose data files never rewrite; readback vs the set-algebra oracle.
     "q311_mor_merge" -> ((s, d) => {
       val fmt = "graft.sources.WarehouseSink"
-      val dir = java.nio.file.Files.createTempDirectory("graft_mormrg_").toString
+      val dir = tempTableDir("graft_mormrg_")
       Tables.customer(s, d)
         .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
         .repartitionByRange(8, col("c_custkey"))
@@ -2715,7 +2732,7 @@ object SparkEntry {
     // single-column clustering gives only its lead dimension.
     "q276_zorder" -> ((s, d) => {
       val fmt = "graft.sources.WarehouseSink"
-      val dir = java.nio.file.Files.createTempDirectory("graft_zord_").toString
+      val dir = tempTableDir("graft_zord_")
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_partkey"),
           col("l_quantity").cast("long").as("qty"))
@@ -2977,7 +2994,7 @@ object SparkEntry {
     // relationally from orders.
     "q251_refs" -> ((s, d) => {
       val fmt = "graft.sources.WarehouseSink"
-      val dir = java.nio.file.Files.createTempDirectory("graft_refs_").toString
+      val dir = tempTableDir("graft_refs_")
       val ord = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_totalprice"))
       ord.filter(col("o_orderkey") % 2 === 0)
@@ -3009,7 +3026,7 @@ object SparkEntry {
     // the layout. In-query partition gates pin both pruning regimes.
     "q250_partition_evolution" -> ((s, d) => {
       val fmt = "graft.sources.WarehouseSink"
-      val dir = java.nio.file.Files.createTempDirectory("graft_pevo_").toString
+      val dir = tempTableDir("graft_pevo_")
       val cust = Tables.customer(s, d)
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
       cust.filter(col("c_custkey") % 2 === 0).coalesce(1)
@@ -3185,7 +3202,7 @@ object SparkEntry {
     // per-file bucket value can prune; the require gates on it.
     "q236_bucket_lookup" -> ((s, d) => {
       val fmt = "graft.sources.WarehouseSink"
-      val dir = java.nio.file.Files.createTempDirectory("graft_bkt_").toString
+      val dir = tempTableDir("graft_bkt_")
       Tables.customer(s, d)
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
         .coalesce(1)
@@ -3220,7 +3237,7 @@ object SparkEntry {
     // then an aggregate read through the vectors. The CoW twin is q165.
     "q233_mor_delete" -> ((s, d) => {
       val fmt = "graft.sources.WarehouseSink"
-      val dir = java.nio.file.Files.createTempDirectory("graft_mordel_").toString
+      val dir = tempTableDir("graft_mordel_")
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         .repartitionByRange(8, col("o_orderkey"))
@@ -3302,8 +3319,7 @@ object SparkEntry {
     "q225_clone" -> ((s, d) => {
       val fmt = "graft.sources.WarehouseSink"
       val W = graft.sources.WarehouseSink
-      val src = java.nio.file.Files.createTempDirectory("graft_clone_")
-        .toString
+      val src = tempTableDir("graft_clone_")
       val dst = src + "/cl"
       Tables.orders(s, d)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
@@ -3536,7 +3552,7 @@ object SparkEntry {
     // never rescans the table — per-DML cost is O(changed rows).
     "q208_cdf_refresh" -> ((s, d) => {
       val fmt = "graft.sources.WarehouseSink"
-      val dir = java.nio.file.Files.createTempDirectory("graft_cdfr_").toString
+      val dir = tempTableDir("graft_cdfr_")
       graft.sources.WarehouseSink.enableChangeFeed(dir)
       Tables.orders(s, d)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
@@ -3623,7 +3639,7 @@ object SparkEntry {
     // the same images relationally from the op definitions.
     "q205_change_feed" -> ((s, d) => {
       val fmt = "graft.sources.WarehouseSink"
-      val dir = java.nio.file.Files.createTempDirectory("graft_cdfq_").toString
+      val dir = tempTableDir("graft_cdfq_")
       graft.sources.WarehouseSink.enableChangeFeed(dir)
       Tables.orders(s, d)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
@@ -3662,8 +3678,8 @@ object SparkEntry {
       val fmt = "graft.sources.WarehouseSink"
       s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
-      val aDir = java.nio.file.Files.createTempDirectory("graft_spja_").toString
-      val bDir = java.nio.file.Files.createTempDirectory("graft_spjb_").toString
+      val aDir = tempTableDir("graft_spja_")
+      val bDir = tempTableDir("graft_spjb_")
       Tables.orders(s, d)
         .select(col("o_orderstatus"), col("o_orderpriority"),
           col("o_totalprice"))
@@ -3786,8 +3802,7 @@ object SparkEntry {
   /** One catalog root per JVM: the catalog caches its root at first
     * initialization, so every query must hand it the same directory —
     * per-sfDir isolation comes from the namespace instead. */
-  private lazy val catalogRoot: String = java.nio.file.Files
-    .createTempDirectory("graft_cat_root_").toString
+  private lazy val catalogRoot: String = tempTableDir("graft_cat_root_")
 
   private def useCatalog(s: SparkSession): Unit = {
     s.conf.set("spark.sql.catalog.graft", "graft.sources.WarehouseCatalog")

@@ -1464,18 +1464,26 @@ object Analytics {
     * centi ints (q196's contract).
     *
     * Scale: one value-histogram aggregate (map-combining), a cum window
-    * over DISTINCT values, two k-bounded joins — never a global row
-    * sort. */
+    * over DISTINCT values (bounded by `maxDistinct`, asserted loudly —
+    * the spearman/kruskalWallis gate, so an unquantized high-cardinality
+    * caller fails instead of single-reducer-sorting), two k-bounded
+    * joins — never a global row sort. */
   def equiDepthHistogram(df: DataFrame, valueCol: String,
-                         k: Int): DataFrame = {
+                         k: Int, maxDistinct: Long = 1L << 20): DataFrame = {
     require(k >= 1 && k <= 1000, "k must be in [1, 1000]")
     val spark = df.sparkSession
     val x = df.filter(col(valueCol).isNotNull)
       .select(floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("long")
         .as("graft_v"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
     val wCum = org.apache.spark.sql.expressions.Window.orderBy("graft_v")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val hist = x.groupBy("graft_v").agg(count(lit(1)).as("graft_m"))
+      .withColumn("graft_card", count(lit(1)).over(wAll))
+      .filter(assert_true(col("graft_card") <= lit(maxDistinct),
+        lit(s"equiDepthHistogram: more than $maxDistinct distinct centi " +
+          "values — quantize coarser before the cumulative window")).isNull)
+      .drop("graft_card")
       .withColumn("graft_cum", sum("graft_m").over(wCum))
     val tot = x.agg(count(lit(1)).as("graft_n"))
     val ks = spark.range(1, k + 1).toDF("bucket")
@@ -1531,9 +1539,14 @@ object Analytics {
     * family. Everything exact: values quantize to centi ints (q196's
     * contract), the per-group median rides as the DOUBLED order-stat sum
     * (lo + hi, integers even at even n), deviations z₂ = |2x − med₂| are
-    * integers, and the F statistic is the same exact DECIMAL(38,0) ANOVA
-    * arithmetic applied to z₂ (the factor 2 cancels in F). Output
-    * (n_rows, n_groups, bf_f_milli), NULL F on degenerate spreads.
+    * integers, and the F statistic is DECIMAL(38,0) ANOVA arithmetic
+    * applied to z₂ (the factor 2 cancels in F). One documented rounding:
+    * SSB accumulates `sg·sg·n div ng` PER GROUP, so each group's term
+    * floors before the sum — bf_f_milli is a deterministic floor-variant
+    * of the textbook F (off by at most k−1 units of the numerator's
+    * denominator scale), and the oracle mirrors the same truncation.
+    * Output (n_rows, n_groups, bf_f_milli), NULL F on degenerate
+    * spreads.
     *
     * Scale: medians come from the per-group VALUE HISTOGRAM (cum-count
     * window over distinct values per group, never corpus rows); the

@@ -225,11 +225,14 @@ object Dedup {
     require(minJaccard > 0.0 && minJaccard < 1.0,
       "minJaccard must be in (0, 1) — at 0 the prefix is the whole set")
     // t' = t − 1/20000 as an exact rational num/den; ceilT(m) = ⌈t'·m⌉
-    // in pure integer arithmetic (no float ceil on the hot path).
+    // in pure integer arithmetic: `div` is Spark's IntegralDivide, so no
+    // float ever enters the threshold ceil (the prior floor(x / den) went
+    // through double division — exact only because fractional parts are
+    // multiples of 1/20000; this makes the integer-ceil contract literal).
     val num = 2L * math.round(minJaccard * 10000.0) - 1L
     val den = 20000L
     def ceilT(m: Column): Column =
-      floor((m * lit(num) + lit(den - 1L)) / lit(den)).cast("long")
+      call_function("div", m * lit(num) + lit(den - 1L), lit(den))
     val sh = mat(explodedShingles(docs, idCol, textCol, n))
     // df via groupBy + join-back, NOT count().over(Window.partitionBy(g)):
     // a window has no map-side combine, so a boilerplate shingle present

@@ -392,6 +392,9 @@ object Graph {
   def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
               seeds: Seq[Long], maxHops: Int): DataFrame = {
     require(seeds.nonEmpty && maxHops >= 1, "seeds and maxHops required")
+    // dedupe: a repeated seed id would double-count n_nodes in the hops=0
+    // row (and every visited anti-join after it)
+    val seedIds = seeds.distinct
     val spark = edges.sparkSession
     import spark.implicits._
     val e = Materialize.transient(edges
@@ -401,7 +404,7 @@ object Graph {
         col("graft_s") =!= col("graft_d"))
       .distinct())
     var visited = Materialize.transient(
-      seeds.toDF("node").select(col("node").cast("long").as("node"),
+      seedIds.toDF("node").select(col("node").cast("long").as("node"),
         lit(0L).as("hops")))
     var frontier = visited.select("node")
     var h = 0
