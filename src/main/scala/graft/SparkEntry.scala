@@ -2186,6 +2186,13 @@ object SparkEntry {
       Dedup.spanCleanReport(Tables.documents(s, d), "doc_id", "text",
         "source", k = 8)),
 
+    // Span-removal REWRITE: splice every duplicated-span interval out of
+    // the token stream and re-materialize clean_text — untouched docs
+    // byte-identical, touched docs rebuilt from original-case tokens;
+    // tokens_after == n_tokens - tokens_removed asserted in-query.
+    "q350_span_rewrite" -> ((s, d) =>
+      Dedup.removeSpans(Tables.documents(s, d), "doc_id", "text", k = 8)),
+
     // Exact duplicated-SPAN detection (substring-level dedup, the Lee
     // et al. suffix-array rung in bucketed k-gram-anchor form): spans of
     // ≥ 8 tokens shared verbatim across documents, found exactly via
@@ -10106,6 +10113,65 @@ object SparkEntry {
                      ELSE sum(dup_tokens) * 1000000 // sum(n_tokens) END
                   AS BIGINT) AS removed_ppm
          FROM per GROUP BY 1""",
+
+    // The rewrite replayed arithmetically: same span CTEs as q325, then
+    // the splice — touched docs rebuild from original-case tokens whose
+    // 0-based position falls in no span interval (string_agg ordered by
+    // position), untouched docs pass text through verbatim. A fully
+    // covered doc collapses to '' via the coalesce, exactly like Spark's
+    // empty-array array_join.
+    "q350_span_rewrite" ->
+      """WITH t AS (SELECT doc_id,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         g AS (SELECT doc_id, i - 1 AS p,
+                      array_to_string(toks[i:i+7], ' ') AS gram
+               FROM (SELECT doc_id, toks,
+                            unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS i
+                     FROM t WHERE len(toks) >= 8)),
+         sh AS (SELECT gram FROM
+                  (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
+                WHERE nd >= 2),
+         cov AS (SELECT DISTINCT doc_id, p FROM g JOIN sh USING (gram)),
+         isl AS (SELECT doc_id, p,
+                   CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+                          OR p > lag(p) OVER (PARTITION BY doc_id ORDER BY p) + 8
+                        THEN 1 ELSE 0 END AS ns
+                 FROM cov),
+         sp AS (SELECT doc_id, p,
+                  sum(ns) OVER (PARTITION BY doc_id ORDER BY p
+                    ROWS UNBOUNDED PRECEDING) AS sid
+                FROM isl),
+         spans AS (SELECT doc_id, min(p) AS s0, max(p) + 8 - min(p) AS slen
+                   FROM sp GROUP BY doc_id, sid),
+         agg AS (SELECT doc_id, CAST(sum(slen) AS BIGINT) AS removed
+                 FROM spans GROUP BY 1),
+         raw AS (SELECT doc_id, text,
+                   string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')
+                     AS rtoks,
+                   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                     AS n_tokens
+                 FROM documents),
+         pos AS (SELECT doc_id, rtoks,
+                        unnest(range(1, len(rtoks) + 1)) AS i
+                 FROM raw WHERE doc_id IN (SELECT doc_id FROM agg)),
+         kept AS (SELECT p.doc_id,
+                    string_agg(p.rtoks[p.i], ' ' ORDER BY p.i) AS ctext,
+                    CAST(count(*) AS BIGINT) AS nkept
+                  FROM pos p
+                  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = p.doc_id
+                      AND p.i - 1 >= s.s0 AND p.i - 1 < s.s0 + s.slen)
+                  GROUP BY 1)
+         SELECT r.doc_id, r.n_tokens,
+                coalesce(a.removed, 0) AS tokens_removed,
+                CAST(CASE WHEN a.doc_id IS NULL THEN r.n_tokens
+                     ELSE coalesce(k.nkept, 0) END AS BIGINT) AS tokens_after,
+                CASE WHEN a.doc_id IS NULL THEN r.text
+                     ELSE coalesce(k.ctext, '') END AS clean_text
+         FROM raw r
+         LEFT JOIN agg a USING (doc_id)
+         LEFT JOIN kept k USING (doc_id)""",
 
     // Duplicated spans replayed raw: gram explode with positions, grams
     // in ≥2 distinct docs, interval union via gaps-and-islands. The

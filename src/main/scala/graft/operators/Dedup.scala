@@ -1103,6 +1103,63 @@ object Dedup {
           .as("removed_ppm"))
   }
 
+  /** Span-removal REWRITE — the pass that actually PRODUCES the cleaned
+    * corpus (Lee et al. pipelines end in the rewrite, not the report):
+    * every position covered by a [[dupSpans]] interval is spliced out of
+    * the token stream and the document re-materialized as `clean_text`.
+    * Documents with no duplicated span keep their text BYTE-IDENTICAL
+    * (verbatim passthrough — no tokenize/rejoin round trip); touched
+    * documents are rebuilt from their original-case whitespace tokens
+    * joined by single spaces (whitespace canonicalization is the
+    * documented cost of a token-level splice). A fully-covered document
+    * becomes the empty string, not a dropped row — the caller decides
+    * between keeping the husk and filtering on tokens_after.
+    *
+    * Scale shape: [[dupSpans]]' substrate plus ONE doc-keyed join of the
+    * per-doc span list (bounded per doc — island-merged intervals) and
+    * one narrow splice projection (the span array and token array never
+    * leave the row). The splice arithmetic is asserted IN-QUERY:
+    * tokens_after (the kept array's actual size) must equal
+    * n_tokens − Σ span_len — the q342 decision-table identity, so the
+    * rewrite can never silently disagree with the report that justified
+    * it.
+    *
+    * Output: (doc_id, n_tokens, tokens_removed, tokens_after,
+    * clean_text). */
+  def removeSpans(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int): DataFrame = {
+    val spans = dupSpans(docs, idCol, textCol, k)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start").as("s"),
+          col("span_len").as("l"))).as("graft_spans"),
+        sum("span_len").as("graft_removed"))
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("graft_text"),
+        T.wsTokens(col(textCol)).cast("long").as("n_tokens"))
+      .join(spans, Seq("doc_id"), "left")
+      // token array in its own projection BEFORE the lambda (interpreted
+      // higher-order funcs re-evaluate inner exprs per element — keep the
+      // regex split out; see TextFunctions.tokens)
+      .withColumn("graft_raw",
+        split(trim(regexp_replace(col("graft_text"), "\\s+", " ")), " "))
+      .withColumn("graft_kept", expr(
+        "filter(graft_raw, (t, i) -> NOT exists(graft_spans," +
+          " sp -> i >= sp.s AND i < sp.s + sp.l))"))
+      .filter(assert_true(col("graft_spans").isNull ||
+          size(col("graft_kept")).cast("long") ===
+            col("n_tokens") - col("graft_removed"),
+        lit("removeSpans: splice size disagrees with span arithmetic"))
+        .isNull)
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("graft_removed"), lit(0L)).cast("long")
+          .as("tokens_removed"),
+        when(col("graft_spans").isNull, col("n_tokens"))
+          .otherwise(size(col("graft_kept")).cast("long"))
+          .as("tokens_after"),
+        when(col("graft_spans").isNull, col("graft_text"))
+          .otherwise(array_join(col("graft_kept"), " ")).as("clean_text"))
+  }
+
   def captureRecapture(docs: DataFrame, idCol: String,
                        textCol: String): DataFrame = {
     def mark(salt: String): Column =

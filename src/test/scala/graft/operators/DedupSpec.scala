@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.{col, lit}
 
 class DedupSpec extends SparkSpec {
   import spark.implicits._
@@ -488,5 +489,50 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().sorted.toSeq
     assert(spans2 === Seq((1L, 0L, 10L), (1L, 16L, 5L),
       (2L, 0L, 10L), (3L, 0L, 5L)))
+  }
+
+  test("removeSpans splices covered intervals; lone docs byte-identical") {
+    val block = (1 to 10).map(i => s"shared$i").mkString(" ")
+    def uniq(tag: String, n: Int) =
+      (1 to n).map(i => s"$tag$i").mkString(" ")
+    // doc 3 keeps ODD whitespace and case — byte-identical passthrough is
+    // the claim; doc 4 is ENTIRELY the shared block (fully covered)
+    val raw3 = "  Gamma1   GAMMA2\tgamma3 "
+    val docs = Seq(
+      (1L, uniq("Alpha", 4) + " " + block + " " + uniq("Omega", 3)),
+      (2L, block + " " + uniq("beta", 12)),
+      (3L, raw3),
+      (4L, block)).toDF("doc_id", "text")
+    val out = Dedup.removeSpans(docs, "doc_id", "text", k = 4)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "tokens_removed", "tokens_after",
+        "clean_text")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    // doc 1: block at 4..13 spliced, original-case survivors rejoin
+    assert(out(0) === (1L, 17L, 10L, 7L,
+      "Alpha1 Alpha2 Alpha3 Alpha4 Omega1 Omega2 Omega3"))
+    assert(out(1) === (2L, 22L, 10L, 12L, uniq("beta", 12)))
+    // untouched doc: text passes through with its weird bytes intact
+    assert(out(2) === (3L, 3L, 0L, 3L, raw3))
+    // fully covered doc: empty husk, not a dropped row
+    assert(out(3) === (4L, 10L, 10L, 0L, ""))
+    // parity with the decision table: per-source tokens_after must match
+    val clean = Dedup.spanCleanReport(
+      docs.withColumn("source", lit("s")), "doc_id", "text", "source", k = 4)
+      .select("tokens_after").as[Long].head()
+    assert(clean === out.map(_._4).sum)
+    // chimera overlap-chain: B shares its first half with A and second
+    // half with C — the whole chained span is removed from B
+    val a = (1 to 6).map(i => s"pre$i").mkString(" ")
+    val c = (1 to 6).map(i => s"post$i").mkString(" ")
+    val chain = Seq(
+      (1L, a + " " + uniq("fillA", 8)),
+      (2L, a + " " + c),
+      (3L, uniq("fillC", 8) + " " + c)).toDF("doc_id", "text")
+    val b = Dedup.removeSpans(chain, "doc_id", "text", k = 4)
+      .filter(col("doc_id") === 2L)
+      .select("tokens_removed", "clean_text")
+      .as[(Long, String)].head()
+    assert(b === ((12L, "")))
   }
 }
