@@ -932,16 +932,20 @@ object Dedup {
     * Output: (doc_id, span_start, span_len) in 0-based token indices,
     * span_len ≥ k. */
   def dupSpans(docs: DataFrame, idCol: String, textCol: String,
-               k: Int): DataFrame = {
+               k: Int): DataFrame =
+    dupSpansFromToks(spanToks(docs, idCol, textCol), k)
+
+  /** (id, toks) tokenization shared by the span family — factored out so
+    * [[spanSensitivity]] tokenizes ONCE across its k sweep instead of
+    * once per k. */
+  private def spanToks(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), T.tokens(col(textCol)).as("toks"))
+
+  /** [[dupSpans]] over a pre-tokenized (id, toks) table. */
+  private def dupSpansFromToks(toks: DataFrame, k: Int): DataFrame = {
     require(k >= 2, "span gram length k must be ≥ 2")
-    val grams = docs
-      .select(col(idCol).as("id"), T.tokens(col(textCol)).as("toks"))
-      .filter(size(col("toks")) >= k && length(col("toks")(0)) > 0)
-      .select(col("id"), posexplode(expr(
-        s"transform(sequence(0, size(toks) - $k)," +
-          s" i -> xxhash64(concat_ws(' ', slice(toks, i + 1, $k))))"))
-        .as(Seq("p", "g")))
-    val gr = Materialize.transient(grams)
+    val gr = Materialize.transient(gramsFromToks(toks, k))
     // grams seen in ≥ 2 distinct docs: per-doc dedup first (map-side
     // combinable), then a count on the gram key — both partial-agg
     val shared = gr.select("g", "id").distinct()
@@ -949,8 +953,13 @@ object Dedup {
       .filter(col("nd") >= 2).select("g")
     val covered = gr.join(shared, Seq("g"), "left_semi")
       .select("id", "p").distinct()
-    // island merge: intervals [p, p+k-1] union; adjacent/overlapping
-    // when p ≤ prev + k
+    islandSpans(covered, k)
+  }
+
+  /** Island-merge of covered anchor positions into maximal spans:
+    * intervals [p, p+k-1] union; adjacent/overlapping when p ≤ prev + k.
+    * Doc-keyed window — bounded per doc, never corpus-wide. */
+  private def islandSpans(covered: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("id").orderBy(col("p").asc)
     covered
       .withColumn("graft_new",
@@ -963,6 +972,15 @@ object Dedup {
         (max(col("p")) + k - min(col("p"))).cast("long").as("span_len"))
       .select("doc_id", "span_start", "span_len")
   }
+
+  /** Positioned k-gram hashes over a pre-tokenized (id, toks) table. */
+  private def gramsFromToks(toks: DataFrame, k: Int): DataFrame =
+    toks
+      .filter(size(col("toks")) >= k && length(col("toks")(0)) > 0)
+      .select(col("id"), posexplode(expr(
+        s"transform(sequence(0, size(toks) - $k)," +
+          s" i -> xxhash64(concat_ws(' ', slice(toks, i + 1, $k))))"))
+        .as(Seq("p", "g")))
 
   /** Per-document duplicated-span rollup over [[dupSpans]]: token total,
     * covered (duplicated) tokens, span count, and integer-ppm
@@ -995,13 +1013,7 @@ object Dedup {
 
   private def spanGrams(docs: DataFrame, idCol: String, textCol: String,
                         k: Int): DataFrame =
-    docs
-      .select(col(idCol).as("id"), T.tokens(col(textCol)).as("toks"))
-      .filter(size(col("toks")) >= k && length(col("toks")(0)) > 0)
-      .select(col("id"), posexplode(expr(
-        s"transform(sequence(0, size(toks) - $k)," +
-          s" i -> xxhash64(concat_ws(' ', slice(toks, i + 1, $k))))"))
-        .as(Seq("p", "g")))
+    gramsFromToks(spanToks(docs, idCol, textCol), k)
 
   /** INCREMENTAL duplicated-span detection — [[dupSpans]]' ingest-time
     * twin (q81's incremental-dedup lifecycle at substring granularity):
@@ -1014,37 +1026,34 @@ object Dedup {
     * island window. Same chimera over-approximation contract as
     * [[dupSpans]]. */
   def dupSpansVsStore(batch: DataFrame, idCol: String, textCol: String,
-                      k: Int, store: DataFrame): DataFrame = {
-    val covered = spanGrams(batch, idCol, textCol, k)
-      .join(store, Seq("g"), "left_semi")
-      .select("id", "p").distinct()
-    val w = Window.partitionBy("id").orderBy(col("p").asc)
-    covered
-      .withColumn("graft_new",
-        when(lag(col("p"), 1).over(w).isNull ||
-          col("p") > lag(col("p"), 1).over(w) + k, 1L).otherwise(0L))
-      .withColumn("graft_span", sum(col("graft_new")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("id").as("doc_id"), col("graft_span"))
-      .agg(min("p").cast("long").as("span_start"),
-        (max(col("p")) + k - min(col("p"))).cast("long").as("span_len"))
-      .select("doc_id", "span_start", "span_len")
-  }
+                      k: Int, store: DataFrame): DataFrame =
+    islandSpans(
+      spanGrams(batch, idCol, textCol, k)
+        .join(store, Seq("g"), "left_semi")
+        .select("id", "p").distinct(),
+      k)
 
   /** Span-dedup sensitivity sweep — q216's threshold-sweep discipline
     * applied to the substring family: corpus-level span statistics at
     * several anchor lengths k, so the curation owner sees how the
     * removal volume moves with the knob BEFORE committing to one (small
-    * k over-flags collocations; large k misses short boilerplate). One
-    * full pass per k over the same substrate — the audit is run-once by
-    * nature. */
+    * k over-flags collocations; large k misses short boilerplate). The
+    * TOKENIZE pass (the regex split of every document) runs ONCE and is
+    * materialized; each k re-derives only its own gram hashes from the
+    * shared token table — one gram explode per k instead of one full
+    * tokenize+explode per k. */
   def spanSensitivity(docs: DataFrame, idCol: String, textCol: String,
                       ks: Seq[Int]): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ >= 2), "need k values >= 2")
+    val toks = Materialize.transient(spanToks(docs, idCol, textCol))
     ks.map { k =>
-      dupSpanReport(docs, idCol, textCol, k)
-        .agg(sum(when(col("n_spans") > 0, 1L).otherwise(0L))
-          .as("docs_touched"),
+      // per-doc rollup then a 1-row fold: docs_touched = docs with ≥ 1
+      // span (identical to the former left-join-and-count-positives —
+      // zero-span docs contribute nothing to any of the three sums)
+      dupSpansFromToks(toks, k)
+        .groupBy("doc_id")
+        .agg(sum("span_len").as("dup_tokens"), count(lit(1)).as("n_spans"))
+        .agg(count(lit(1)).as("docs_touched"),
           sum("n_spans").as("total_spans"),
           sum("dup_tokens").as("covered_tokens"))
         .select(lit(k.toLong).as("k"),
