@@ -22,20 +22,49 @@ import org.apache.spark.sql.functions._
   */
 object Vocab {
 
+  /** Above this merge count [[bpeMerges]] runs the DRIVER-LOCAL merge
+    * loop instead of one distributed round per merge: a production
+    * tokenizer train is k ≈ 32,000, and 32k sequential Spark jobs + 32k
+    * checkpoint artifacts is a scheduler/wall-clock killer even though
+    * each round's DATA is only vocab-sized. The (word, freq) table is
+    * ~10⁶ rows at ANY corpus size (hapax-heavy Zipf tail), so every real
+    * trainer collects it once and loops in memory — the hybrid both
+    * paths produce IDENTICAL output for (same pair counts, same
+    * (weight DESC, pair ASC) total order, same leftmost-nonoverlapping
+    * rewrite; spec-pinned equality at k=64). */
+  val LocalMergeThreshold = 256
+
   /** Learn the first `merges` BPE merges from the corpus. Returns one row
     * per merge: (merge_idx, pair, merged, weight) where weight is the
-    * pair's corpus frequency AT THE TIME it was chosen. */
-  def bpeMerges(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
-    require(merges > 0, "merges must be positive")
-    // (word, freq) — the only corpus-width pass. Symbols start as chars;
-    // regexp '.' per char avoids split("")'s engine-specific edge cases.
-    val words = docs
+    * pair's corpus frequency AT THE TIME it was chosen. Dispatches on
+    * [[LocalMergeThreshold]]: small k (the audit/oracle contracts) trains
+    * distributed, large k collects the word table under `maxVocabRows`
+    * and loops driver-local (identical output — see the threshold doc). */
+  def bpeMerges(docs: DataFrame, textCol: String, merges: Int,
+                maxVocabRows: Int = 4000000): DataFrame =
+    if (merges <= LocalMergeThreshold) bpeMergesDistributed(docs, textCol, merges)
+    else bpeMergesLocal(docs, textCol, merges, maxVocabRows)
+
+  /** The corpus-width (word, freq) pass both trainers share. Symbols
+    * start as chars; regexp '.' per char avoids split("")'s
+    * engine-specific edge cases. */
+  private def wordSyms(docs: DataFrame, textCol: String): DataFrame =
+    docs
       .select(explode(T.tokens(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("n"))
       .select(concat_ws(" ",
         regexp_extract_all(col("w"), lit("."), lit(0))).as("sym"), col("n"))
-    var vocab = Materialize.transient(words)
+
+  /** Distributed per-round trainer — one vocab-sized pair count + 1-row
+    * argmax + rewrite per merge. Right for small k (each round is a
+    * Spark job); see [[LocalMergeThreshold]] for why large k must not
+    * take this path. */
+  private[operators] def bpeMergesDistributed(docs: DataFrame,
+                                              textCol: String,
+                                              merges: Int): DataFrame = {
+    require(merges > 0, "merges must be positive")
+    var vocab = Materialize.transient(wordSyms(docs, textCol))
     var out: DataFrame = null
     for (k <- 1 to merges) {
       // Adjacent-symbol pairs weighted by word frequency. Words reduced
@@ -71,6 +100,81 @@ object Vocab {
           .as("sym"), col("n")))
     }
     out
+  }
+
+  /** UTF-8 binary comparison — Spark orders strings by unsigned UTF-8
+    * bytes (UTF8String), which differs from Java's UTF-16 compareTo for
+    * supplementary characters; the local trainer must break weight ties
+    * by EXACTLY the engine's order or the two paths diverge. */
+  private def compareUtf8(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** Driver-local trainer — the large-k path: ONE corpus scan builds the
+    * (word, freq) table, which is collected under an EXPLICIT row budget
+    * (refuses loudly past `maxVocabRows` — the caller raises it
+    * deliberately or trains distributed), then the k merge rounds run in
+    * memory: same pair counts (adjacent symbols weighted by word freq),
+    * same (weight DESC, pair ASC-by-UTF-8) winner, same space-padded
+    * leftmost-nonoverlapping rewrite (Java String.replace == Spark
+    * `replace` — literal, left-to-right, non-overlapping). Output is
+    * bit-identical to [[bpeMergesDistributed]]; VocabSpec pins equality
+    * at k=64. */
+  private[operators] def bpeMergesLocal(docs: DataFrame, textCol: String,
+                                        merges: Int,
+                                        maxVocabRows: Int): DataFrame = {
+    require(merges > 0, "merges must be positive")
+    require(maxVocabRows > 0, "maxVocabRows must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = wordSyms(docs, textCol).limit(maxVocabRows + 1).collect()
+    require(rows.length <= maxVocabRows,
+      s"bpeMergesLocal: word table exceeds the $maxVocabRows-row driver " +
+        "budget — raise maxVocabRows deliberately (it is ~16B+2·|word| " +
+        "bytes/row) or train distributed")
+    var vocab = rows.map(r => (r.getString(0), r.getLong(1)))
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= merges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      vocab.foreach { case (sym, n) =>
+        val syms = sym.split(' ')
+        var i = 1
+        while (i < syms.length) {
+          val p = syms(i - 1) + " " + syms(i)
+          counts.update(p, counts.getOrElse(p, 0L) + n)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true // every word is one symbol
+      else {
+        var bp: String = null
+        var bw = Long.MinValue
+        counts.foreach { case (p, w) =>
+          if (w > bw || (w == bw && compareUtf8(p, bp) < 0)) { bp = p; bw = w }
+        }
+        val merged = bp.replace(" ", "")
+        out += ((k, bp, merged, bw))
+        val from = " " + bp + " "
+        val to = " " + merged + " "
+        vocab = vocab.map { case (sym, n) =>
+          ((" " + sym + " ").replace(from, to).trim, n)
+        }
+      }
+      k += 1
+    }
+    out.toSeq.toDF("merge_idx", "pair", "merged", "weight")
   }
 
   /** Fixed "disjoint-alphabet digraph" merge table for the oracle-backed

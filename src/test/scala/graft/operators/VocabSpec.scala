@@ -34,6 +34,59 @@ class VocabSpec extends SparkSpec {
     assert(got(1) === (("a a", 1L)))
   }
 
+  test("local trainer equals distributed bit-for-bit at k=64") {
+    // A fixture rich enough that 64 rounds exercise ties, cascaded
+    // merges (merged symbols re-pairing), run-alternation and
+    // exhaustion-free depth: mixed-length pseudo-words with heavy reuse.
+    val docs = Seq(
+      "the theory there then theme other ether lather",
+      "banana bandana band ban bananas cabana",
+      "mississippi missive mission miss misfit",
+      "abracadabra arcade arcana cascade abode",
+      "the then there banana miss band arcade other",
+      "zzz zzzz zzzzz zz zzzzzz").toDF("text")
+    val dist = Vocab.bpeMergesDistributed(docs, "text", merges = 64)
+      .collect().map(r => (r.getAs[Int]("merge_idx"), r.getAs[String]("pair"),
+        r.getAs[String]("merged"), r.getAs[Long]("weight"))).sortBy(_._1)
+    val local = Vocab.bpeMergesLocal(docs, "text", merges = 64,
+        maxVocabRows = 1000)
+      .collect().map(r => (r.getAs[Int]("merge_idx"), r.getAs[String]("pair"),
+        r.getAs[String]("merged"), r.getAs[Long]("weight"))).sortBy(_._1)
+    assert(dist.length === 64)
+    assert(local.toSeq === dist.toSeq)
+  }
+
+  test("local trainer stops when every word is a single symbol") {
+    val docs = Seq("ab ab ab cd cd").toDF("text")
+    // 3 merges possible at most: "a b", "c d", then nothing pairs
+    val got = Vocab.bpeMergesLocal(docs, "text", merges = 10,
+        maxVocabRows = 100)
+      .collect().map(r => (r.getAs[String]("pair"), r.getAs[Long]("weight")))
+    assert(got.toSeq === Seq(("a b", 3L), ("c d", 2L)))
+  }
+
+  test("local trainer refuses past the driver row budget") {
+    val docs = Seq("one two three four five six").toDF("text")
+    val e = intercept[IllegalArgumentException] {
+      Vocab.bpeMergesLocal(docs, "text", merges = 300, maxVocabRows = 3)
+    }
+    assert(e.getMessage.contains("driver"))
+  }
+
+  test("dispatcher routes large k to the local path") {
+    // merges > LocalMergeThreshold with a tiny budget must hit the local
+    // path's refusal — proof the dispatch happened.
+    val docs = Seq("one two three four five six").toDF("text")
+    intercept[IllegalArgumentException] {
+      Vocab.bpeMerges(docs, "text", merges = Vocab.LocalMergeThreshold + 1,
+        maxVocabRows = 3)
+    }
+    // and a real large-k train completes fast (no 300 Spark jobs)
+    val got = Vocab.bpeMerges(docs, "text",
+      merges = Vocab.LocalMergeThreshold + 44)
+    assert(got.count() <= Vocab.LocalMergeThreshold + 44L)
+  }
+
   test("bpeEncode applies merges in learned order and reports savings") {
     // Learned on the whole corpus ("aaab" x3, "ab" x2 — see the first
     // test): merge1 "a a"->aa, merge2 "a b"->ab, merge3 "aa ab"->aaab.
