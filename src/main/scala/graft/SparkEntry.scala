@@ -204,6 +204,17 @@ object SparkEntry {
         "vec_id", "embedding", queryId = 0L, k = 20, nProbe = 4,
         refine = 100)),
 
+    // Batched IVF-PQ probe: the production retrieval shape (a probe
+    // batch against the built-once composed index) — ONE ADC scan of
+    // the probed-cell union answers every query, one exact re-rank
+    // join finishes. Rows-only like q327 (KMeans float fits);
+    // SimilaritySpec pins per-query equality and the full-probe
+    // brute-force identity.
+    "q351_ivfpq_batch" -> ((s, d) =>
+      Similarity.ivfPqTopKBatch(ivfPqIdx(s, d), Tables.embeddings(s, d),
+        "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L), k = 10,
+        nProbe = 4, refine = 100)),
+
     // SCD type-2 validity intervals per user over the event-type history —
     // the as-of-queryable form of the reference's snapshot merges.
     "q74_scd2" -> ((s, d) =>
@@ -2064,6 +2075,25 @@ object SparkEntry {
             got.map(_._2.toLong).getOrElse(-1L),
             got.map(_._3).getOrElse(-1L))
         }.toDF("doc_id", "vbr_frames", "sample_rate", "duration_ms")
+    }),
+
+    // OGG Vorbis/Opus identification-header decode: real page walk over
+    // deterministic fixtures (even ids Vorbis with a table rate, odd
+    // ids Opus at the RFC-fixed 48 kHz granule rate); the synth
+    // arithmetic replays in SQL.
+    "q352_ogg_meta" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val codec = 1 + (id % 2L).toInt
+          val rate = Seq(44100, 48000, 32000)((id % 3L).toInt)
+          val ch = 1 + (id % 2L).toInt
+          val n = 1000L + id % 9000L
+          val got = multimodal.Binary.oggMeta(
+            multimodal.Binary.synthOgg(codec, rate, ch, n))
+            .getOrElse((-1, -1, -1, -1L))
+          (id, got._1.toLong, got._2.toLong, got._3.toLong, got._4)
+        }.toDF("doc_id", "codec", "sample_rate", "channels", "n_samples")
     }),
 
     // AVIF/HEIC dimensions via the ISO-BMFF ispe item property — the
@@ -9913,6 +9943,17 @@ object SparkEntry {
       """SELECT doc_id,
                 CAST((doc_id % 200 + 1) * 2 AS BIGINT) AS width,
                 CAST((doc_id % 100 + 1) * 3 AS BIGINT) AS height
+         FROM documents""",
+
+    "q352_ogg_meta" ->
+      """SELECT doc_id,
+                CAST(1 + doc_id % 2 AS BIGINT) AS codec,
+                CAST(CASE WHEN doc_id % 2 = 1 THEN 48000
+                     ELSE CASE doc_id % 3 WHEN 0 THEN 44100
+                          WHEN 1 THEN 48000 ELSE 32000 END
+                     END AS BIGINT) AS sample_rate,
+                CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+                CAST(1000 + doc_id % 9000 AS BIGINT) AS n_samples
          FROM documents""",
 
     "q332_merge_apply" ->

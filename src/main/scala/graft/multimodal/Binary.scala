@@ -779,6 +779,122 @@ object Binary {
     out.toByteArray
   }
 
+  /** OGG container identification-header metadata (Vorbis I spec §4.2 /
+    * RFC 7845 §5.1), pure JDK — the open lossy-audio leg next to
+    * WAV/FLAC/MP3. An OGG stream is a page sequence
+    * `"OggS" <ver=0:1> <type:1> <granule:le64> <serial:le32> <seq:le32>
+    * <crc:le32> <nsegs:1> <lacing:nsegs> <payload>`; the FIRST (BOS)
+    * page's payload opens with the codec id header — `0x01"vorbis"` →
+    * version(le32, must be 0) / channels(u8) / rate(le32), or
+    * `"OpusHead"` → version(u8, major 0) / channels(u8) /
+    * preSkip(le16), with the granule rate fixed at 48 kHz by RFC 7845
+    * §4. Total per-channel PCM samples ride the LAST page's granule
+    * position (minus pre-skip for Opus; granule −1 = "no packet ends on
+    * this page" is skipped per the spec). CRCs are NOT validated — this
+    * is the metadata walk, not an integrity check (the MP4 box-walk
+    * boundary); a stream whose pages don't tile the byte range exactly
+    * is malformed. Returns (codec 1=vorbis 2=opus, sampleRate,
+    * channels, nSamples); None on malformed/truncated — degrade, never
+    * throw. */
+  def oggMeta(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def le64(i: Int): Long = le32(i) | (le32(i + 4) << 32)
+    def isPage(i: Int): Boolean =
+      i + 27 <= bytes.length && bytes(i) == 'O' && bytes(i + 1) == 'g' &&
+        bytes(i + 2) == 'g' && bytes(i + 3) == 'S' && u8(i + 4) == 0
+    // (payloadStart, payloadLen), None when the lacing table is torn
+    def pageBody(i: Int): Option[(Int, Int)] = {
+      val nsegs = u8(i + 26)
+      if (i + 27 + nsegs > bytes.length) None
+      else Some((i + 27 + nsegs, (0 until nsegs).map(k => u8(i + 27 + k)).sum))
+    }
+    if (!isPage(0)) return None
+    val (p0, l0) = pageBody(0).getOrElse(return None)
+    if (p0 + l0 > bytes.length) return None
+    def ascii(off: Int, s: String): Boolean =
+      l0 >= off + s.length &&
+        s.zipWithIndex.forall { case (c, k) => u8(p0 + off + k) == c.toInt }
+    // (codec, granule-rate, channels, preSkip) from the id header
+    val id: Option[(Int, Int, Int, Int)] =
+      if (l0 >= 16 && u8(p0) == 0x01 && ascii(1, "vorbis")) {
+        val ch = u8(p0 + 11); val rate = le32(p0 + 12)
+        if (le32(p0 + 7) == 0L && ch > 0 && rate > 0 && rate <= Int.MaxValue)
+          Some((1, rate.toInt, ch, 0))
+        else None
+      } else if (l0 >= 19 && ascii(0, "OpusHead")) {
+        val ch = u8(p0 + 9)
+        if ((u8(p0 + 8) >> 4) == 0 && ch > 0)
+          Some((2, 48000, ch, le16(p0 + 10)))
+        else None
+      } else None
+    val (codec, rate, ch, preSkip) = id.getOrElse(return None)
+    var i = 0
+    var granule = 0L
+    while (isPage(i)) {
+      pageBody(i) match {
+        case Some((ps, pl)) if ps + pl <= bytes.length =>
+          val g = le64(i + 6)
+          if (g != -1L) granule = g
+          i = ps + pl
+        case _ => return None // torn page
+      }
+    }
+    if (i != bytes.length) return None // trailing non-page garbage
+    Some((codec, rate, ch, math.max(0L, granule - preSkip)))
+  }
+
+  /** Deterministic minimal OGG container (BOS id-header page + EOS data
+    * page): `oggMeta(synthOgg(codec, r, c, n))` returns exactly
+    * (codec, r', c, n) with r' = 48000 for Opus (the RFC-fixed granule
+    * rate; `rate` lands in the informational input-rate field). CRC
+    * fields are zero — [[oggMeta]] does not validate them. */
+  def synthOgg(codec: Int, rate: Int, channels: Int, nSamples: Long,
+               preSkip: Int = 312): Array[Byte] = {
+    require(codec == 1 || codec == 2, "codec: 1=vorbis 2=opus")
+    require(rate > 0 && channels > 0 && channels < 256 && nSamples >= 0)
+    val out = new java.io.ByteArrayOutputStream()
+    def page(headerType: Int, granule: Long, seq: Int,
+             packet: Array[Byte]): Unit = {
+      "OggS".foreach(c => out.write(c.toInt))
+      out.write(0); out.write(headerType)
+      (0 until 8).foreach(k => out.write(((granule >>> (8 * k)) & 0xff).toInt))
+      (0 until 4).foreach(k => out.write((0x6f676721 >>> (8 * k)) & 0xff))
+      (0 until 4).foreach(k => out.write((seq >>> (8 * k)) & 0xff))
+      (0 until 4).foreach(_ => out.write(0)) // crc, unvalidated
+      out.write(1); out.write(packet.length) // one sub-255 lace
+      out.write(packet, 0, packet.length)
+    }
+    val idPkt: Array[Byte] =
+      if (codec == 1) {
+        val b = new java.io.ByteArrayOutputStream()
+        b.write(0x01); "vorbis".foreach(c => b.write(c.toInt))
+        (0 until 4).foreach(_ => b.write(0)) // vorbis_version 0
+        b.write(channels)
+        (0 until 4).foreach(k => b.write((rate >>> (8 * k)) & 0xff))
+        (0 until 12).foreach(_ => b.write(0)) // bitrate triple
+        b.write(0xb8) // blocksizes 2^8 / 2^11 (spec-legal pair)
+        b.write(0x01) // framing bit
+        b.toByteArray
+      } else {
+        val b = new java.io.ByteArrayOutputStream()
+        "OpusHead".foreach(c => b.write(c.toInt))
+        b.write(1) // version 1 (major 0)
+        b.write(channels)
+        b.write(preSkip & 0xff); b.write((preSkip >>> 8) & 0xff)
+        (0 until 4).foreach(k => b.write((rate >>> (8 * k)) & 0xff))
+        b.write(0); b.write(0) // output gain 0 dB
+        b.write(0) // mapping family 0
+        b.toByteArray
+      }
+    page(0x02, 0L, 0, idPkt)
+    val lastGranule = if (codec == 2) nSamples + preSkip else nSamples
+    page(0x04, lastGranule, 1, Array[Byte](0))
+    out.toByteArray
+  }
+
   /** Digest-derived audio pseudo-metadata — same contract as
     * [[digestMeta]]: any engine recomputes it from md5 nibbles in SQL. */
   private[multimodal] def digestAudioMeta(r: MediaRecord, hex: String): AudioMeta = {
@@ -792,15 +908,18 @@ object Binary {
   }
 
   /** Audio feature extraction: real header decode where the payload is a
-    * recognized audio container (RIFF/WAVE or FLAC, dispatched by magic),
-    * digest fallback otherwise — one partition-wise sweep like
-    * [[extractMeta]], no shuffle. */
+    * recognized audio container (RIFF/WAVE, FLAC, or OGG Vorbis/Opus,
+    * dispatched by magic), digest fallback otherwise — one
+    * partition-wise sweep like [[extractMeta]], no shuffle. Lossy OGG
+    * payloads report bits_per_sample = 0 (no PCM width exists). */
   def extractAudioMeta(media: Dataset[MediaRecord]): Dataset[AudioMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { r =>
       val hex = java.security.MessageDigest.getInstance("MD5").digest(r.bytes)
         .map("%02x".format(_)).mkString
-      wavMeta(r.bytes).orElse(flacMeta(r.bytes)) match {
+      wavMeta(r.bytes).orElse(flacMeta(r.bytes))
+        .orElse(oggMeta(r.bytes).map {
+          case (_, rate, ch, n) => (rate, ch, 0, n) }) match {
         case Some((rate, ch, bits, n)) =>
           AudioMeta(r.media_id, r.bytes.length.toLong, rate, ch, bits, n,
             duration_ms = n * 1000 / rate, digest = hex)

@@ -723,6 +723,81 @@ object Similarity {
       .select(col(idCol), col("cos"))
   }
 
+  /** Batched IVF-PQ probe — [[ivfTopKBatch]]'s one-scan discipline
+    * composed with the ADC score: every query in `queryIds` retrieves
+    * its top-k in ONE ADC pass over the UNION of probed cells plus one
+    * exact re-rank join, where looping [[ivfPqTopK]] would launch a job
+    * per query. Driver work stays index-artifact-sized: per query, the
+    * centroid ranking and the m×k LUT (O(|q|·(nLists·dim + m·k·dsub)))
+    * — never data. Two broadcast side tables carry the batch onto the
+    * code scan: the probe plan (query_id, cell, q·c_cell — the per-cell
+    * scalar of the residual decomposition) and the per-query score
+    * artifact (query_id, LUT, |q|); each code row joins ONLY the
+    * queries probing its cell, so fan-out is bounded by the probe plan,
+    * and against a [[saveIvfPqIndex]]-persisted index the cell filter
+    * is partition pruning. A per-query row_number bounds the refine
+    * set; the exact re-rank joins the (|queries|·refine)-row candidate
+    * set broadcast-side against the vector store. The ADC expression
+    * keeps [[ivfPqTopK]]'s exact fp association (cell term first, then
+    * subspace lookups in order), so with nProbe = nLists and refine ≥
+    * corpus each query's rows are EXACTLY its per-query / brute-force
+    * rows (same rounded score + id tiebreak) — SimilaritySpec pins both
+    * equalities. */
+  def ivfPqTopKBatch(index: IvfPqIndex, emb: DataFrame, idCol: String,
+                     vecCol: String, queryIds: Seq[Long], k: Int,
+                     nProbe: Int, refine: Int = 100): DataFrame = {
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    val qvs = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probeRows = qvs.toSeq.flatMap { case (qid, qv) =>
+      def dist2(c: Array[Double]): Double =
+        c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
+      index.centers.sortBy { case (_, c) => dist2(c) }.take(nProbe)
+        .map { case (cell, c) =>
+          (qid, cell, c.zipWithIndex.map { case (w, i) => w * qv(i) }.sum) }
+    }
+    val luts = qvs.toSeq.map { case (qid, qv) =>
+      (qid,
+        index.codebooks.zipWithIndex.map { case (cb, j) =>
+          cb.map(c => c.zipWithIndex.map { case (w, i) =>
+            w * qv(j * index.dsub + i) }.sum).toSeq
+        }.toSeq,
+        math.sqrt(qv.map(x => x * x).sum))
+    }
+    val probed = probeRows.toDF("query_id", "graft_cell", "graft_qdc")
+    val lutDf = luts.toDF("query_id", "graft_lut", "graft_qn")
+    val cellIds = probeRows.map(_._2).distinct
+    val lutTerms = (0 until index.m).map { j =>
+      element_at(element_at(col("graft_lut"), j + 1),
+        element_at(col("codes"), j + 1) + 1)
+    }
+    val approx = (col("graft_qdc") +: lutTerms).reduce(_ + _) /
+      (col("norm") * col("graft_qn"))
+    val wr = Window.partitionBy("query_id")
+      .orderBy(col("graft_approx").desc, col("id").asc)
+    val cand = index.codes
+      .filter(col("graft_cell").isin(cellIds.toIndexedSeq: _*))
+      .join(broadcast(probed), Seq("graft_cell"))
+      .filter(col("id") =!= col("query_id"))
+      .join(broadcast(lutDf), Seq("query_id"))
+      .withColumn("graft_approx", approx)
+      .withColumn("graft_rn", row_number().over(wr))
+      .filter(col("graft_rn") <= refine)
+      .select(col("query_id"), col("id"))
+    val qvDf = qvs.toSeq.map { case (qid, v) => (qid, v.toSeq) }
+      .toDF("query_id", "graft_qv")
+    val wk = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col(idCol).asc)
+    emb.join(broadcast(cand), col(idCol) === col("id"))
+      .join(broadcast(qvDf), Seq("query_id"))
+      .withColumn("cos", round(V.cosine(col(vecCol), col("graft_qv")), 6))
+      .withColumn("graft_rn", row_number().over(wk))
+      .filter(col("graft_rn") <= k)
+      .select(col("query_id"), col(idCol), col("cos"))
+  }
+
   /** Persist an IVF-PQ index: codes PARTITIONED BY cell (a probe's
     * `graft_cell IN (...)` prunes whole directories at planning time),
     * centroids and codebooks as tiny side tables — build once, probe

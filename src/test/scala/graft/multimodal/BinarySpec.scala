@@ -246,17 +246,61 @@ class BinarySpec extends SparkSpec {
     assert(Binary.flacMeta(lastPad) === None)
   }
 
-  test("extractAudioMeta dispatches WAV and FLAC by magic in one sweep") {
+  test("extractAudioMeta dispatches WAV, FLAC and OGG by magic in one sweep") {
     import spark.implicits._
     val rows = Seq(
       Binary.MediaRecord(1L, "audio", Binary.synthWav(8000, 1, 16, 100), "s"),
       Binary.MediaRecord(2L, "audio", Binary.synthFlac(48000, 2, 24, 4800L), "s"),
-      Binary.MediaRecord(3L, "audio", "not audio".getBytes, "s")).toDS()
+      Binary.MediaRecord(3L, "audio", "not audio".getBytes, "s"),
+      Binary.MediaRecord(4L, "audio", Binary.synthOgg(1, 44100, 2, 4410L), "s"),
+      Binary.MediaRecord(5L, "audio", Binary.synthOgg(2, 48000, 1, 960L), "s"))
+      .toDS()
     val out = extractAudioMeta(rows).collect().map(m => m.media_id -> m).toMap
     assert((out(1L).sample_rate, out(1L).n_samples) === ((8000, 100L)))
     assert((out(2L).sample_rate, out(2L).channels, out(2L).bits_per_sample,
       out(2L).n_samples, out(2L).duration_ms) === ((48000, 2, 24, 4800L, 100L)))
     assert(out(3L).bits_per_sample === 16) // digest fallback shape
+    assert((out(4L).sample_rate, out(4L).channels, out(4L).bits_per_sample,
+      out(4L).n_samples, out(4L).duration_ms) === ((44100, 2, 0, 4410L, 100L)))
+    assert((out(5L).sample_rate, out(5L).channels, out(5L).n_samples,
+      out(5L).duration_ms) === ((48000, 1, 960L, 20L)))
+  }
+
+  test("oggMeta round-trips Vorbis and Opus id headers from synthOgg") {
+    // Vorbis: rate from the id header, granule = sample count verbatim
+    for ((r, c, n) <- Seq((44100, 2, 123456L), (8000, 1, 0L),
+      (192000, 6, 1L << 40)))
+      assert(Binary.oggMeta(Binary.synthOgg(1, r, c, n)) ===
+        Some((1, r, c, n)), s"vorbis ($r,$c,$n)")
+    // Opus: 48 kHz granule rate regardless of the informational input
+    // rate; pre-skip subtracts from the last granule
+    for ((r, c, n, ps) <- Seq((48000, 2, 960L, 312), (16000, 1, 0L, 0),
+      (24000, 2, 98765L, 3840)))
+      assert(Binary.oggMeta(Binary.synthOgg(2, r, c, n, ps)) ===
+        Some((2, 48000, c, n)), s"opus ($r,$c,$n,$ps)")
+  }
+
+  test("oggMeta degrades on malformed containers, never throws") {
+    val good = Binary.synthOgg(1, 44100, 2, 4410L)
+    assert(Binary.oggMeta(Array[Byte]()) === None)
+    assert(Binary.oggMeta("OggX".getBytes ++ good.drop(4)) === None)
+    assert(Binary.oggMeta(good.take(20)) === None) // torn first page
+    assert(Binary.oggMeta(good.dropRight(3)) === None) // torn last page
+    assert(Binary.oggMeta(good ++ "junk".getBytes) === None) // trailing bytes
+    // BOS payload that is neither codec id header
+    val alien = good.clone(); alien(28) = 'x'.toByte
+    assert(Binary.oggMeta(alien) === None)
+    // vorbis_version != 0 is spec-invalid
+    val badVer = good.clone()
+    val p0 = 27 + good(26) // header 27 + nsegs(=1) lacing bytes
+    badVer(p0 + 7) = 9
+    assert(Binary.oggMeta(badVer) === None)
+    // a granule of −1 on the data page means "no packet ends": duration
+    // falls back to the last page that finished one (the BOS page, 0)
+    val noEnd = Binary.synthOgg(1, 44100, 2, 4410L)
+    val gOff = noEnd.length - (27 + 1 + 1) + 6 // last page granule field
+    (0 until 8).foreach(k => noEnd(gOff + k) = 0xff.toByte)
+    assert(Binary.oggMeta(noEnd) === Some((1, 44100, 2, 0L)))
   }
   test("synthBmp round-trips dims and pixel formulas through the decoder") {
     val b = Binary.synthBmp(10, 7, seed = 42)

@@ -132,6 +132,40 @@ class SimilaritySpec extends SparkSpec {
     } finally idx.release()
   }
 
+  test("ivfPqTopKBatch answers each query like per-query ivfPqTopK; full probe equals brute force") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = real.count().toInt
+    val idx = Similarity.ivfPqIndex(real, "vec_id", "embedding",
+      dim = 64, nLists = 8, m = 8, k = 16)
+    try {
+      val qids = Seq(0L, 1L, 2L)
+      // production operating point: batch rows must equal the per-query
+      // probe row-for-row (same ADC association, refine cut, tiebreaks)
+      val batch = Similarity.ivfPqTopKBatch(idx, real, "vec_id", "embedding",
+        queryIds = qids, k = 10, nProbe = 4, refine = 100)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val grouped = batch.groupBy(_._1)
+        .view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+      for (q <- qids) {
+        val single = Similarity.ivfPqTopK(idx, real, "vec_id", "embedding",
+          queryId = q, k = 10, nProbe = 4, refine = 100)
+          .as[(Long, Double)].collect().toSeq
+        assert(grouped(q) === single, s"query $q")
+      }
+      // exact configuration: every cell probed, refine ≥ corpus — each
+      // query's rows reproduce brute force exactly
+      val full = Similarity.ivfPqTopKBatch(idx, real, "vec_id", "embedding",
+        queryIds = qids, k = 10, nProbe = 8, refine = n)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+      for (q <- qids) {
+        val exact = Similarity.cosineTopK(real, "vec_id", "embedding", q, 10)
+          .as[(Long, Double)].collect().toSeq
+        assert(full(q) === exact, s"query $q full-probe")
+      }
+    } finally idx.release()
+  }
+
   test("IVF-PQ index round-trips through parquet and probes identically") {
     val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val idx = Similarity.ivfPqIndex(real, "vec_id", "embedding",
