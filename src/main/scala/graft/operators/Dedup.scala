@@ -514,10 +514,17 @@ object Dedup {
     val hashed = knownFps.select(xxhash64(col("fp")).as("graft_h"))
     // stat.bloomFilter NPEs on a 0-row input (null aggregation buffer) —
     // an empty store legitimately occurs (first start, or a replay whose
-    // batches were all duplicates wrote only empty files).
-    if (hashed.isEmpty)
-      org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
-    else hashed.stat.bloomFilter("graft_h", expectedItems, fpp)
+    // batches were all duplicates wrote only empty files). The empty case
+    // must still go through the SAME builder: the aggregate CLAMPS bit
+    // counts at conf ceilings, so a sketch-side BloomFilter.create can
+    // disagree on bit size with a later stat-built batch filter and blow
+    // up mergeInPlace. One reserved sentinel row makes the build total;
+    // its lone maybe-hit only routes one fp through the exact anti-join.
+    val src =
+      if (hashed.isEmpty) knownFps.sparkSession.range(1)
+        .select(xxhash64(lit("graft:bloom:sentinel")).as("graft_h"))
+      else hashed
+    src.stat.bloomFilter("graft_h", expectedItems, fpp)
   }
 
   /** Shared bloom-prefilter core: probe `fresh` (already batch-deduped,
@@ -1032,6 +1039,44 @@ object Dedup {
         .join(store, Seq("g"), "left_semi")
         .select("id", "p").distinct(),
       k)
+
+  /** Per-document duplicated-span rollup of a NEW batch against a
+    * persisted corpus [[gramStore]] — [[dupSpanReport]]'s ingest-time
+    * twin over [[dupSpansVsStore]]'s semi-join, with an optional
+    * prebuilt bloom over the store's gram hashes: grams the filter
+    * rejects are DEFINITELY absent from the store and skip the
+    * semi-join entirely, so the join's probe side tracks the batch's
+    * boilerplate rate, not its gram count (the
+    * [[incrementalRowsBloom]] discipline at gram granularity — fpp
+    * false positives only route a few extra grams through the exact
+    * semi-join, never change the result). Returns (doc_id, n_tokens,
+    * dup_tokens, dup_ppm) for EVERY batch doc — zero-span docs report
+    * zeros. */
+  def dupSpanReportVsStore(batch: DataFrame, idCol: String, textCol: String,
+                           k: Int, store: DataFrame,
+                           bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None): DataFrame = {
+    val grams = spanGrams(batch, idCol, textCol, k)
+    val probed = bloom match {
+      case Some(b) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        b.writeTo(bos)
+        import org.apache.spark.sql.graftbridge.ColumnBridge
+        grams.filter(ColumnBridge.bloomMightContain(bos.toByteArray, col("g")))
+      case None => grams
+    }
+    val spans = islandSpans(
+      probed.join(store, Seq("g"), "left_semi").select("id", "p").distinct(), k)
+      .groupBy("doc_id").agg(sum("span_len").as("dup_tokens"))
+    batch
+      .select(col(idCol).as("doc_id"),
+        T.wsTokens(col(textCol)).cast("long").as("n_tokens"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).cast("long").as("dup_tokens"),
+        expr("CASE WHEN n_tokens = 0 THEN 0 ELSE" +
+          " coalesce(dup_tokens, 0) * 1000000 div n_tokens END")
+          .as("dup_ppm"))
+  }
 
   /** Span-dedup sensitivity sweep — q216's threshold-sweep discipline
     * applied to the substring family: corpus-level span statistics at
