@@ -322,6 +322,14 @@ object SparkEntry {
       Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
         "label", 0.3)),
 
+    // Reciprocal (mutual) kNN pairs: (i,j) kept only when each is in
+    // the other's top-5 by rounded cosine — the hub-resistant matching
+    // rung (bitext-mining RNN step); exact anchor here, IVF-PQ batch
+    // substrate at scale.
+    "q353_mutual_knn" -> ((s, d) =>
+      Similarity.mutualTopK(Tables.embeddings(s, d), "vec_id",
+        "embedding", k = 5)),
+
     "q29_json_extract" -> ((s, d) => {
       val parsed = sources.Semi.parseJson(Tables.events(s, d), "props", "k INT")
       parsed.select(col("event_type"), sources.Semi.jsonField("props", "k").as("k"))
@@ -494,6 +502,13 @@ object SparkEntry {
 
     "q44_top_terms" -> ((s, d) =>
       Analytics.topTerms(Tables.documents(s, d), "text", 50)),
+
+    // Vocabulary coverage / OOV rate per source against the global
+    // top-200 term vocabulary: token-mass and type coverage in exact
+    // ppm — the tokenizer-fit go/no-go for a new source mix.
+    "q357_vocab_coverage" -> ((s, d) =>
+      Analytics.vocabCoverage(Tables.documents(s, d), "text", "source",
+        vocabSize = 200)),
 
     "q45_pii_scrub" -> ((s, d) =>
       Tables.documents(s, d).select(
@@ -2077,6 +2092,37 @@ object SparkEntry {
         }.toDF("doc_id", "vbr_frames", "sample_rate", "duration_ms")
     }),
 
+    // ZIP central-directory walk over JDK-written STORED fixtures: the
+    // archive-indexing question (members, bytes) answered from EOCD+CD
+    // only, payloads never read; counts/sizes replay arithmetically.
+    "q358_zip_meta" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val entries = 1 + (id % 7L).toInt
+          val per = 64 + (id % 5L).toInt * 32
+          val got = multimodal.Binary.zipMeta(
+            multimodal.Binary.synthZip(entries, per))
+            .getOrElse((-1, -1L, -1L))
+          (id, got._1.toLong, got._2, got._3)
+        }.toDF("doc_id", "n_entries", "total_bytes", "compressed_bytes")
+    }),
+
+    // POSIX ustar header walk: hop by declared octal sizes, count
+    // regular members, never read payloads.
+    "q359_tar_meta" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val entries = 1 + (id % 6L).toInt
+          val per = 100 + (id % 9L).toInt * 50
+          val got = multimodal.Binary.tarMeta(
+            multimodal.Binary.synthTar(entries, per))
+            .getOrElse((-1, -1L))
+          (id, got._1.toLong, got._2)
+        }.toDF("doc_id", "n_entries", "total_bytes")
+    }),
+
     // OGG Vorbis/Opus identification-header decode: real page walk over
     // deterministic fixtures (even ids Vorbis with a table rate, odd
     // ids Opus at the RFC-fixed 48 kHz granule rate); the synth
@@ -2186,6 +2232,14 @@ object SparkEntry {
     "q328_mann_whitney" -> ((s, d) =>
       Analytics.mannWhitneyU(Tables.lineitem(s, d), "l_returnflag",
         "l_quantity", groupA = "R", groupB = "N")),
+
+    // Welch's unequal-variance t-test (t² + Welch–Satterthwaite df,
+    // integral milli/micro fixed points, three documented floors the
+    // oracle mirrors): do returned and kept line items differ in mean
+    // extended price?
+    "q356_welch_t" -> ((s, d) =>
+      Analytics.welchT(Tables.lineitem(s, d), "l_returnflag",
+        "l_extendedprice", groupA = "R", groupB = "N")),
 
     // Span-dedup sensitivity: corpus removal volume at k in {6, 8, 12}
     // — the knob audit before committing to one anchor length.
@@ -2361,6 +2415,34 @@ object SparkEntry {
         .groupBy("p_brand")
         .agg(count(lit(1)).as("n_parts"),
           sum(floor(col("p_retailprice") * 100).cast("long")).as("sum_cents"))
+    }),
+
+    // MoR DML chain materialized by maintenance (REORG/PURGE): a delete
+    // and an update land as deletion vectors (O(matched) writes), then
+    // maintain rewrites the table THROUGH the vectors into clean
+    // vector-free files — the readback after the purge must replay the
+    // same set/CASE arithmetic the vectors encoded.
+    "q355_mor_reorg" -> ((s, d) => {
+      val fmt = "graft.sources.WarehouseSink"
+      val dir = tempTableDir("graft_morreorg_")
+      Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"),
+          col("p_retailprice"))
+        .repartitionByRange(8, col("p_partkey"))
+        .write.format(fmt).option("path", dir).mode("overwrite").save()
+      import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+      graft.sources.WarehouseSink.deleteWhereMoR(s, dir,
+        Seq(LessThan("p_partkey", 30L)))
+      graft.sources.WarehouseSink.updateWhereMoR(s, dir,
+        Seq(GreaterThanOrEqual("p_size", 25)),
+        Map("p_retailprice" -> (col("p_retailprice") + 50.0)))
+      val rep = graft.sources.WarehouseSink.maintain(s, dir)
+      require(rep.compacted, "REORG must rewrite a DV-carrying table")
+      s.read.format(fmt).option("path", dir).load()
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_parts"),
+          sum(floor(col("p_retailprice") * 100).cast("long"))
+            .as("sum_cents"))
     }),
 
     // Merge-on-read MERGE: matched customer keys die behind deletion
@@ -3263,6 +3345,13 @@ object SparkEntry {
     "q235_ewma_backtest" -> ((s, d) =>
       Analytics.ewmaBacktest(eventsUs(s, d), "event_type", "ts_us", 20)),
 
+    // Holt level+trend one-step backtest (α=0.3, β=0.1 in milli): the
+    // genuinely sequential per-series fold in micro fixed point, oracle
+    // = the identical recursion as a recursive CTE.
+    "q360_holt_backtest" -> ((s, d) =>
+      Analytics.holtBacktest(eventsUs(s, d), "event_type", "ts_us",
+        alphaMilli = 300L, betaMilli = 100L)),
+
     // Gopher/C4 heuristic curation-rule audit: the published hard-filter
     // battery as a per-source profile — every ratio tested by integer
     // cross-multiplication, so the oracle replays it exactly.
@@ -3578,6 +3667,26 @@ object SparkEntry {
       Graph.triangleStats(edges, "pa", "pb")
         .orderBy(col("n_triangles").desc, col("node").asc)
         .limit(50)
+    }),
+
+    // Newman modularity of the brand partition over the part
+    // co-purchase graph (q209's sampled edge substrate): per-brand
+    // intra-edge mass vs the degree-preserving random expectation, in
+    // exact integer ppm — the quality readout any community detection
+    // or attribute grouping gets scored with.
+    "q354_modularity" -> ((s, d) => {
+      val items = Tables.lineitem(s, d)
+        .filter(col("l_partkey") % 5 === 0)
+        .select(col("l_orderkey").as("graft_o"),
+          col("l_partkey").as("graft_i")).distinct()
+      val a = items.select(col("graft_o"), col("graft_i").as("pa"))
+      val b = items.select(col("graft_o"), col("graft_i").as("pb"))
+      val edges = a.join(b, Seq("graft_o"))
+        .filter(col("pa") < col("pb"))
+        .select("pa", "pb").distinct()
+      Graph.modularity(edges, "pa", "pb",
+        Tables.part(s, d).filter(col("p_partkey") % 5 === 0),
+        "p_partkey", "p_brand")
     }),
 
     // CDF-DRIVEN incremental aggregate maintenance — the composition the
@@ -4999,6 +5108,27 @@ object SparkEntry {
                         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
                                                 CAST(b.embedding AS DOUBLE[])))), 6) >= 0.3""",
 
+    "q353_mutual_knn" ->
+      """WITH scored AS (
+           SELECT a.vec_id AS src, b.vec_id AS dst,
+                  round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[]))
+                        / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                                 CAST(a.embedding AS DOUBLE[])))
+                           * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                                   CAST(b.embedding AS DOUBLE[])))), 6) AS cos
+           FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+         knn AS (
+           SELECT src, dst, cos
+           FROM (SELECT src, dst, cos,
+                        row_number() OVER (PARTITION BY src
+                                           ORDER BY cos DESC, dst) AS rn
+                 FROM scored)
+           WHERE rn <= 5)
+         SELECT k1.src AS id1, k1.dst AS id2, k1.cos AS cos
+         FROM knn k1 JOIN knn k2 ON k1.src = k2.dst AND k1.dst = k2.src
+         WHERE k1.src < k1.dst""",
+
     "q33_chart_snapshot" ->
       """WITH latest AS (
            SELECT user_id, event_id, event_type, value
@@ -5165,6 +5295,27 @@ object SparkEntry {
          FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
                FROM documents)
          GROUP BY term ORDER BY cnt DESC, term LIMIT 50""",
+
+    "q357_vocab_coverage" ->
+      """WITH sw AS (SELECT source, term, count(*) AS n
+              FROM (SELECT source,
+                           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+                    FROM documents)
+              GROUP BY 1, 2),
+         v AS (SELECT term FROM (SELECT term, sum(n) AS gn FROM sw
+                                 GROUP BY 1 ORDER BY gn DESC, term LIMIT 200)),
+         j AS (SELECT sw.source, sw.n,
+                      CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END AS inv
+               FROM sw LEFT JOIN v ON sw.term = v.term)
+         SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+                CAST(sum(CASE WHEN inv = 1 THEN n ELSE 0 END) AS BIGINT)
+                  AS in_vocab_tokens,
+                CAST(count(*) AS BIGINT) AS n_types,
+                CAST(sum(inv) AS BIGINT) AS in_vocab_types,
+                CAST(CASE WHEN sum(n) = 0 THEN 0
+                     ELSE sum(CASE WHEN inv = 1 THEN n ELSE 0 END)
+                          * 1000000 // sum(n) END AS BIGINT) AS coverage_ppm
+         FROM j GROUP BY 1""",
 
     "q45_pii_scrub" ->
       """SELECT doc_id,
@@ -8394,6 +8545,41 @@ object SparkEntry {
          FROM customer WHERE c_custkey IN (7, 19, 83)""",
 
     // The same dyadic-weight integer sum; NULL lags unscore the day.
+    "q360_holt_backtest" -> {
+      val lNext = "(300 * q.y * 1000000 + 700 * (r.l + r.b)) // 1000"
+      s"""WITH RECURSIVE daily AS (
+           SELECT event_type AS s, epoch_us(ts) // 86400000000 AS d,
+                  CAST(count(*) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         seq AS (SELECT s, y,
+                        row_number() OVER (PARTITION BY s ORDER BY d) AS t
+                 FROM daily),
+         rec AS (
+           SELECT s, t, y AS prev, y * 1000000 AS l, CAST(0 AS BIGINT) AS b,
+                  CAST(0 AS BIGINT) AS sae, CAST(0 AS BIGINT) AS saen,
+                  CAST(0 AS BIGINT) AS nf
+           FROM seq WHERE t = 1
+           UNION ALL
+           SELECT q.s, q.t, q.y,
+                  $lNext,
+                  (100 * (($lNext) - r.l) + 900 * r.b) // 1000,
+                  r.sae + abs(q.y * 1000000 - (r.l + r.b)),
+                  r.saen + abs(q.y - r.prev) * 1000000,
+                  r.nf + 1
+           FROM rec r JOIN seq q ON q.s = r.s AND q.t = r.t + 1),
+         fin AS (SELECT s, t, l, b, sae, saen, nf,
+                        row_number() OVER (PARTITION BY s ORDER BY t DESC) AS rn
+                 FROM rec)
+         SELECT s AS event_type, CAST(t AS BIGINT) AS n_days,
+                CAST(l AS BIGINT) AS level_micro,
+                CAST(b AS BIGINT) AS trend_micro,
+                CAST(CASE WHEN nf = 0 THEN NULL ELSE sae // nf END AS BIGINT)
+                  AS mae_micro_holt,
+                CAST(CASE WHEN nf = 0 THEN NULL ELSE saen // nf END AS BIGINT)
+                  AS mae_micro_naive
+         FROM fin WHERE rn = 1"""
+    },
+
     "q235_ewma_backtest" -> {
       val terms = (1 to 20)
         .map(k => s"lag(y, $k) OVER w * ${1L << (20 - k)}").mkString(" + ")
@@ -9462,6 +9648,36 @@ object SparkEntry {
 
     // Triangles replayed with the id-orientation (orientation-free
     // result): all three edges of a < b < c present.
+    "q354_modularity" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i
+               FROM lineitem WHERE l_partkey % 5 = 0),
+         e AS (SELECT DISTINCT a.i AS x, b.i AS y
+               FROM items a JOIN items b ON a.o = b.o AND a.i < b.i),
+         deg AS (SELECT n, count(*) AS dg
+               FROM (SELECT x AS n FROM e UNION ALL SELECT y FROM e)
+               GROUP BY 1),
+         m AS (SELECT count(*) AS m FROM e),
+         perc AS (SELECT p.p_brand AS community,
+                         CAST(count(*) AS BIGINT) AS n_nodes,
+                         CAST(sum(coalesce(dg, 0)) AS BIGINT) AS degree_sum
+                  FROM part p LEFT JOIN deg ON p.p_partkey = deg.n
+                  WHERE p.p_partkey % 5 = 0
+                  GROUP BY 1),
+         intra AS (SELECT pa.p_brand AS community,
+                          CAST(count(*) AS BIGINT) AS intra_edges
+                   FROM e JOIN part pa ON e.x = pa.p_partkey
+                          JOIN part pb ON e.y = pb.p_partkey
+                   WHERE pa.p_brand = pb.p_brand
+                   GROUP BY 1)
+         SELECT perc.community, n_nodes,
+                CAST(coalesce(intra_edges, 0) AS BIGINT) AS intra_edges,
+                degree_sum,
+                CAST((4 * m.m * coalesce(intra_edges, 0)
+                      - degree_sum * degree_sum) * 1000000
+                     // (4 * m.m * m.m) AS BIGINT) AS q_contrib_ppm
+         FROM perc LEFT JOIN intra ON perc.community = intra.community
+         CROSS JOIN m""",
+
     "q209_triangles" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i
                FROM lineitem WHERE l_partkey % 5 = 0),
@@ -9945,6 +10161,22 @@ object SparkEntry {
                 CAST((doc_id % 100 + 1) * 3 AS BIGINT) AS height
          FROM documents""",
 
+    "q358_zip_meta" ->
+      """SELECT doc_id,
+                CAST(1 + doc_id % 7 AS BIGINT) AS n_entries,
+                CAST((1 + doc_id % 7) * (64 + (doc_id % 5) * 32) AS BIGINT)
+                  AS total_bytes,
+                CAST((1 + doc_id % 7) * (64 + (doc_id % 5) * 32) AS BIGINT)
+                  AS compressed_bytes
+         FROM documents""",
+
+    "q359_tar_meta" ->
+      """SELECT doc_id,
+                CAST(1 + doc_id % 6 AS BIGINT) AS n_entries,
+                CAST((1 + doc_id % 6) * (100 + (doc_id % 9) * 50) AS BIGINT)
+                  AS total_bytes
+         FROM documents""",
+
     "q352_ogg_meta" ->
       """SELECT doc_id,
                 CAST(1 + doc_id % 2 AS BIGINT) AS codec,
@@ -10027,6 +10259,48 @@ object SparkEntry {
                 CAST(sq * 1000000 // (s * s) AS BIGINT) AS hhi_ppm,
                 CAST(top * 1000000 // s AS BIGINT) AS top1_ppm
          FROM a""",
+
+    "q356_welch_t" ->
+      """WITH rows_ AS (SELECT CAST(l_returnflag AS VARCHAR) AS g,
+                      CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS q
+               FROM lineitem
+               WHERE l_extendedprice IS NOT NULL
+                 AND l_returnflag IN ('R', 'N')),
+         f AS (SELECT
+                 CAST(sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS HUGEINT) AS na,
+                 CAST(coalesce(sum(CASE WHEN g = 'R' THEN q END), 0) AS HUGEINT) AS sa,
+                 CAST(coalesce(sum(CASE WHEN g = 'R'
+                      THEN CAST(q AS HUGEINT) * q END), 0) AS HUGEINT) AS qa,
+                 CAST(sum(CASE WHEN g = 'N' THEN 1 ELSE 0 END) AS HUGEINT) AS nb,
+                 CAST(coalesce(sum(CASE WHEN g = 'N' THEN q END), 0) AS HUGEINT) AS sb,
+                 CAST(coalesce(sum(CASE WHEN g = 'N'
+                      THEN CAST(q AS HUGEINT) * q END), 0) AS HUGEINT) AS qb
+               FROM rows_),
+         t AS (SELECT na, nb,
+                      CASE WHEN na = 0 OR nb = 0 THEN NULL
+                           ELSE (sa * nb - sb * na) * 1000000 // (na * nb) END AS dm,
+                      CASE WHEN na < 2 THEN NULL
+                           ELSE (na * qa - sa * sa) * 1000
+                                // (na * na * (na - 1)) END AS vam,
+                      CASE WHEN nb < 2 THEN NULL
+                           ELSE (nb * qb - sb * sb) * 1000
+                                // (nb * nb * (nb - 1)) END AS vbm
+               FROM f)
+         SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                CAST(dm AS BIGINT) AS mean_diff_micro,
+                CAST(CASE WHEN vam IS NULL OR vbm IS NULL
+                          OR vam + vbm <= 0 THEN NULL
+                     ELSE dm * dm * 1000 // ((vam + vbm) * 1000000000) END
+                  AS BIGINT) AS t2_milli,
+                CAST(CASE WHEN vam IS NULL OR vbm IS NULL OR vam + vbm <= 0
+                          OR vam * vam * (nb - 1)
+                           + vbm * vbm * (na - 1) = 0 THEN NULL
+                     ELSE (vam + vbm) * (vam + vbm)
+                          * (na - 1) * (nb - 1) * 1000
+                          // (vam * vam * (nb - 1)
+                            + vbm * vbm * (na - 1)) END
+                  AS BIGINT) AS df_milli
+         FROM t""",
 
     "q328_mann_whitney" ->
       """WITH rows_ AS (SELECT CAST(l_returnflag AS VARCHAR) AS g, l_quantity AS v
@@ -11185,6 +11459,17 @@ object SparkEntry {
                          THEN price + 10.0 ELSE price END) * 100)
                   AS BIGINT)) AS BIGINT) AS sum_cents
          FROM u1 GROUP BY 1""",
+
+    "q355_mor_reorg" ->
+      """WITH fin AS (
+           SELECT p_brand,
+                  CASE WHEN p_size >= 25 THEN p_retailprice + 50.0
+                       ELSE p_retailprice END AS price
+           FROM part WHERE p_partkey >= 30)
+         SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+                CAST(sum(CAST(floor(price * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_cents
+         FROM fin GROUP BY 1""",
 
     // MoR merge replayed by set algebra: unmatched table rows survive,
     // every update-batch row (replacement or brand-new key) lands once.

@@ -1837,4 +1837,155 @@ object Binary {
     }
     for (o <- orientation; d <- dateTime) yield (o, d)
   }
+
+  // ---- Archive containers (APPNOTE.TXT §4.3 / POSIX ustar) ----
+
+  /** ZIP central-directory metadata, pure JDK — the archive leg of the
+    * binary family (corpora ship as zips; the manifest question is
+    * "how many members, how many bytes" WITHOUT inflating anything).
+    * The authoritative index is at the END: the End-Of-Central-Directory
+    * record (PK\x05\x06, scanned backward through its ≤64 KiB comment),
+    * which locates the central directory; each CD file header
+    * (PK\x01\x02, 46 fixed bytes + name/extra/comment) carries the
+    * member's compressed and uncompressed sizes. The walk reads ONLY
+    * the EOCD + CD — never the member payloads — exactly how any
+    * archive indexer lists a 100 GB zip in milliseconds. The walked
+    * entry count must equal the EOCD's declared total. Returns
+    * (nEntries, totalUncompressed, totalCompressed); None on
+    * malformed/truncated — degrade, never throw. */
+  def zipMeta(bytes: Array[Byte]): Option[(Int, Long, Long)] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def sig(i: Int, c3: Int, c4: Int): Boolean =
+      i + 4 <= bytes.length && u8(i) == 'P' && u8(i + 1) == 'K' &&
+        u8(i + 2) == c3 && u8(i + 3) == c4
+    if (bytes.length < 22) return None
+    // EOCD: fixed 22 bytes + variable comment — scan back from the end
+    var eocd = -1
+    var i = bytes.length - 22
+    val floor = math.max(0, bytes.length - 22 - 0xffff)
+    while (eocd < 0 && i >= floor) {
+      if (sig(i, 5, 6) &&
+        i + 22 + le16(i + 20) == bytes.length) eocd = i
+      i -= 1
+    }
+    if (eocd < 0) return None
+    val declared = le16(eocd + 10)
+    val cdSize = le32(eocd + 12)
+    val cdOff = le32(eocd + 16)
+    if (cdOff + cdSize > eocd) return None
+    var p = cdOff.toInt
+    var n = 0
+    var unc = 0L
+    var comp = 0L
+    while (p < cdOff + cdSize) {
+      if (!sig(p, 1, 2) || p + 46 > bytes.length) return None
+      comp += le32(p + 20)
+      unc += le32(p + 24)
+      n += 1
+      p += 46 + le16(p + 28) + le16(p + 30) + le16(p + 32)
+    }
+    if (p != cdOff + cdSize || n != declared) return None
+    Some((n, unc, comp))
+  }
+
+  /** Deterministic ZIP fixture: `entries` STORED members (method 0 —
+    * compressed == uncompressed, so the fixture is bit-stable across
+    * zlib builds) of `bytesPer` zero bytes each, written with the JDK's
+    * own ZipOutputStream so the walk is tested against a REAL writer,
+    * not a private mirror of the reader. */
+  def synthZip(entries: Int, bytesPer: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    val payload = new Array[Byte](bytesPer)
+    val crc = new java.util.zip.CRC32()
+    crc.update(payload)
+    (0 until entries).foreach { k =>
+      val e = new java.util.zip.ZipEntry(f"member$k%04d.bin")
+      e.setMethod(java.util.zip.ZipOutputStream.STORED)
+      e.setSize(bytesPer.toLong)
+      e.setCompressedSize(bytesPer.toLong)
+      e.setCrc(crc.getValue)
+      z.putNextEntry(e)
+      z.write(payload)
+      z.closeEntry()
+    }
+    z.close()
+    bos.toByteArray
+  }
+
+  /** POSIX ustar (tar) metadata, pure JDK — the other archive leg.
+    * A tar is a sequence of 512-byte header blocks, each followed by
+    * ⌈size/512⌉ payload blocks; the header carries name[100],
+    * size[12, octal], typeflag at 156, and "ustar" magic at 257. The
+    * walk hops header to header by the declared sizes (payloads never
+    * read) and stops at the two-zero-block terminator or end of bytes.
+    * Counts REGULAR members only (typeflag '0' or NUL); directories
+    * and specials hop but don't count. Returns (nEntries, totalBytes);
+    * None on malformed — degrade, never throw. */
+  def tarMeta(bytes: Array[Byte]): Option[(Int, Long)] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    var i = 0
+    var n = 0
+    var total = 0L
+    while (i + 512 <= bytes.length) {
+      if ((0 until 512).forall(k => bytes(i + k) == 0))
+        return Some((n, total)) // terminator block — done
+      // "ustar" magic (accept the GNU "ustar " variant's first 5 bytes)
+      if (!(u8(i + 257) == 'u' && u8(i + 258) == 's' && u8(i + 259) == 't' &&
+        u8(i + 260) == 'a' && u8(i + 261) == 'r')) return None
+      // size: octal, space/NUL-terminated
+      var sz = 0L
+      var k = i + 124
+      val end = i + 136
+      while (k < end && (bytes(k) == ' ' || bytes(k) == 0)) k += 1
+      var digits = 0
+      while (k < end && bytes(k) >= '0' && bytes(k) <= '7') {
+        sz = sz * 8 + (bytes(k) - '0'); k += 1; digits += 1
+      }
+      if (digits == 0) return None
+      val tf = u8(i + 156)
+      if (tf == '0' || tf == 0) { n += 1; total += sz }
+      val hop = 512L + ((sz + 511) / 512) * 512
+      if (i + hop > Int.MaxValue) return None
+      i += hop.toInt
+    }
+    // end of bytes with no terminator: GNU tar tolerates EOF-terminated
+    // archives, so a block-aligned end keeps its counts; a mid-block
+    // tear is malformed
+    if (i == bytes.length && n > 0) Some((n, total)) else None
+  }
+
+  /** Deterministic minimal ustar fixture: `entries` regular members of
+    * `bytesPer` zero bytes each, correct octal sizes + checksums +
+    * two-zero-block terminator. */
+  def synthTar(entries: Int, bytesPer: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    (0 until entries).foreach { k =>
+      val h = new Array[Byte](512)
+      val name = f"member$k%04d.bin".getBytes("US-ASCII")
+      System.arraycopy(name, 0, h, 0, name.length)
+      def oct(v: Long, off: Int, len: Int): Unit = {
+        val s = ("%0" + (len - 1) + "o").format(v).getBytes("US-ASCII")
+        System.arraycopy(s, 0, h, off, s.length) // NUL already terminates
+      }
+      oct(420, 100, 8) // mode 0644
+      oct(0, 108, 8); oct(0, 116, 8) // uid/gid
+      oct(bytesPer.toLong, 124, 12)
+      oct(0, 136, 12) // mtime
+      h(156) = '0'
+      "ustar ".getBytes("US-ASCII").copyToArray(h, 257)
+      "00".getBytes("US-ASCII").copyToArray(h, 263)
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte) // chksum field spaces
+      val sum = h.map(_ & 0xff).sum
+      ("%06o".format(sum) + "  ").getBytes("US-ASCII")
+        .copyToArray(h, 148)
+      out.write(h)
+      out.write(new Array[Byte](((bytesPer + 511) / 512) * 512))
+    }
+    out.write(new Array[Byte](1024)) // two-zero-block terminator
+    out.toByteArray
+  }
 }

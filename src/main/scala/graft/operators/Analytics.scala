@@ -584,6 +584,51 @@ object Analytics {
       .limit(k)
   }
 
+  /** Vocabulary coverage / OOV-rate per source — the tokenizer-fit
+    * audit (does a fixed top-N vocabulary cover each source's token
+    * mass?): vocabulary = the N globally most frequent terms (count
+    * desc, term asc tiebreak — a deterministic boundary both engines
+    * replay), then per source the share of token OCCURRENCES and of
+    * distinct TYPES inside it, in integer ppm. Sources living far off
+    * the head vocabulary (code, other languages, OCR noise) surface as
+    * low coverage — the q127 fertility report's cheap word-level
+    * cousin, and the go/no-go before committing a tokenizer to a new
+    * source mix.
+    *
+    * Shape: ONE (source, term) count (map-combining — the only
+    * corpus-sized pass, pinned because vocab build and coverage both
+    * read it), the vocabulary via distributed TakeOrdered
+    * (orderBy+limit — never a global window over the word table), one
+    * broadcast join of the N-row vocab back onto the per-source
+    * counts. */
+  def vocabCoverage(docs: DataFrame, textCol: String, srcCol: String,
+                    vocabSize: Int): DataFrame = {
+    val sw = graft.operators.Materialize.transient(docs
+      .select(col(srcCol).as("graft_src"),
+        explode_outer(regexp_extract_all(lower(col(textCol)),
+          lit("[a-z0-9]+"), lit(0))).as("graft_w"))
+      .filter(col("graft_w").isNotNull)
+      .groupBy("graft_src", "graft_w").agg(count(lit(1)).as("graft_n")))
+    val vocab = sw.groupBy("graft_w")
+      .agg(sum("graft_n").as("graft_gn"))
+      .orderBy(col("graft_gn").desc, col("graft_w").asc)
+      .limit(vocabSize)
+      .select(col("graft_w"), lit(1L).as("graft_in"))
+    sw.join(broadcast(vocab), Seq("graft_w"), "left")
+      .groupBy(col("graft_src").as("source"))
+      .agg(sum("graft_n").cast("long").as("n_tokens"),
+        sum(when(col("graft_in").isNotNull, col("graft_n")).otherwise(0L))
+          .cast("long").as("in_vocab_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("graft_in").isNotNull, 1L).otherwise(0L))
+          .as("in_vocab_types"))
+      .select(col("source"), col("n_tokens"), col("in_vocab_tokens"),
+        col("n_types"), col("in_vocab_types"),
+        expr("CASE WHEN n_tokens = 0 THEN 0" +
+          " ELSE in_vocab_tokens * 1000000 div n_tokens END")
+          .as("coverage_ppm"))
+  }
+
   /** Per-dimension profile of an embedding column — the pre-training
     * sanity check for a vector corpus (dead dimensions, scale drift,
     * variance collapse). posexplode turns the array columnar (one narrow
@@ -1885,6 +1930,90 @@ object Analytics {
     * Scale posture: identical to [[kruskalWallis]] — ranks live on the
     * DISTINCT-value table (cardinality-gated by `maxDistinct`), the
     * cohort fold is one map-combinable aggregate, scalars ride 1-row. */
+  /** Welch's unequal-variance t-test for two named groups — the
+    * parametric partner of [[mannWhitneyU]] (which tests ranks, not
+    * means) and the default two-sample test when variances differ: t² =
+    * (x̄A − x̄B)² / (sA²/nA + sB²/nB) with the Welch–Satterthwaite
+    * degrees of freedom. Reported WITHOUT the sqrt (t² and df carry the
+    * same decision information and keep the arithmetic integral).
+    *
+    * Exactness: values quantize to centi longs; per-group n/Σq/Σq²
+    * accumulate as decimal(38,0) (order-independent); every reported
+    * figure is integer arithmetic with THREE documented floors the
+    * oracle mirrors verbatim — the mean difference at micro-centi
+    * (`mean_diff_micro`), each s²/n term at milli-centi²
+    * (`(nQ−S²)·10³ div (n²(n−1))`), and the single final div of each
+    * statistic (the df division is CLEARED through (nA−1)(nB−1), so no
+    * long-range inner quotient exists). NULL t²/df when either group
+    * has n < 2 or the pooled variance term degenerates to zero (all
+    * values tied, or below the milli fixed point).
+    *
+    * Shape: ONE map-combinable aggregate over the filtered rows (six
+    * conditional sums), scalars on a 1-row frame — no window, no join,
+    * no distinct-value table (means need no ranks). */
+  def welchT(df: DataFrame, groupCol: String, valueCol: String,
+             groupA: String, groupB: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val rows = df
+      .select(col(groupCol).cast("string").as("graft_g"),
+        floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("long")
+          .as("graft_q"))
+      .filter(col("graft_q").isNotNull &&
+        (col("graft_g") === groupA || col("graft_g") === groupB))
+    val qd = col("graft_q").cast(dec)
+    val isA = col("graft_g") === groupA
+    val folded = rows.agg(
+      sum(when(isA, 1L).otherwise(0L)).cast(dec).as("na"),
+      coalesce(sum(when(isA, qd)), lit(0L).cast(dec)).as("sa"),
+      coalesce(sum(when(isA, qd * col("graft_q"))), lit(0L).cast(dec))
+        .as("qa"),
+      sum(when(!isA, 1L).otherwise(0L)).cast(dec).as("nb"),
+      coalesce(sum(when(!isA, qd)), lit(0L).cast(dec)).as("sb"),
+      coalesce(sum(when(!isA, qd * col("graft_q"))), lit(0L).cast(dec))
+        .as("qb"))
+    folded
+      .withColumn("graft_va", expr("na * qa - sa * sa"))
+      .withColumn("graft_vb", expr("nb * qb - sb * sb"))
+      // div yields LONG — recast each floored intermediate to decimal so
+      // the downstream squares/scales stay in 38-digit headroom. vam/vbm
+      // sit at MILLI fixed point: (vam·n)² ≈ (s²·10³)² is n-invariant, so
+      // the df numerator below never outgrows the decimal ceiling.
+      .withColumn("graft_dm",
+        expr("CAST(CASE WHEN na = 0 OR nb = 0 THEN NULL" +
+          " ELSE (sa * nb - sb * na) * 1000000 div (na * nb) END" +
+          " AS DECIMAL(38,0))"))
+      .withColumn("graft_vam",
+        expr("CAST(CASE WHEN na < 2 THEN NULL" +
+          " ELSE graft_va * 1000 div (na * na * (na - 1)) END" +
+          " AS DECIMAL(38,0))"))
+      .withColumn("graft_vbm",
+        expr("CAST(CASE WHEN nb < 2 THEN NULL" +
+          " ELSE graft_vb * 1000 div (nb * nb * (nb - 1)) END" +
+          " AS DECIMAL(38,0))"))
+      .select(
+        col("na").cast("long").as("n_a"),
+        col("nb").cast("long").as("n_b"),
+        col("graft_dm").cast("long").as("mean_diff_micro"),
+        expr("CASE WHEN graft_vam IS NULL OR graft_vbm IS NULL" +
+          " OR graft_vam + graft_vbm <= 0 THEN CAST(NULL AS BIGINT)" +
+          " ELSE CAST(graft_dm * graft_dm * 1000" +
+          " div ((graft_vam + graft_vbm) * 1000000000) AS BIGINT) END")
+          .as("t2_milli"),
+        // Welch–Satterthwaite with the division CLEARED through
+        // (na−1)(nb−1): df = (vA+vB)²(na−1)(nb−1) / (vA²(nb−1)+vB²(na−1))
+        // — one floor, no long-range inner quotients
+        expr("CASE WHEN graft_vam IS NULL OR graft_vbm IS NULL" +
+          " OR graft_vam + graft_vbm <= 0" +
+          " OR graft_vam * graft_vam * (nb - 1)" +
+          "  + graft_vbm * graft_vbm * (na - 1) = 0" +
+          " THEN CAST(NULL AS BIGINT)" +
+          " ELSE CAST((graft_vam + graft_vbm) * (graft_vam + graft_vbm)" +
+          " * (na - 1) * (nb - 1) * 1000" +
+          " div (graft_vam * graft_vam * (nb - 1)" +
+          "  + graft_vbm * graft_vbm * (na - 1)) AS BIGINT) END")
+          .as("df_milli"))
+  }
+
   def mannWhitneyU(df: DataFrame, groupCol: String, valueCol: String,
                    groupA: String, groupB: String,
                    maxDistinct: Long = 1L << 20): DataFrame = {
@@ -2664,6 +2793,63 @@ object Analytics {
           .as("mae_milli_ewma"),
         expr("sum(abs(graft_y - graft_prev)) * 1000 div count(1)")
           .as("mae_milli_naive"))
+  }
+
+  /** Holt double-exponential (level + trend) one-step forecast backtest
+    * — the trend-aware rung above [[ewmaBacktest]] (EWMA lags a trending
+    * series by construction; Holt's explicit trend state removes that
+    * bias): l_t = α·y + (1−α)(l+b), b_t = β(l_t−l) + (1−β)b, one-step
+    * forecast ŷ = l + b, scored as MAE against the naive carry-forward.
+    *
+    * Exactness: the recursion runs in micro fixed point with α/β as
+    * milli integers and a FLOOR (`div 1000`) after each of the two
+    * update steps — a deterministic floor-variant of the real-valued
+    * recursion that the oracle replays verbatim as a recursive CTE
+    * (init l₁ = y₁·10⁶, b₁ = 0, documented). No closed form exists once
+    * β > 0 (the q235 dyadic-weight trick only linearizes single
+    * smoothing), so the fold is genuinely sequential PER SERIES — and
+    * bounded by the series' day count, never corpus rows: the per-series
+    * day array rides one collect_list + one interpreted aggregate()
+    * lambda, the same bounded-per-key shape as the island windows.
+    * Missing days are treated as consecutive points (calendar gaps
+    * documented, like [[seasonalBacktest]]). */
+  def holtBacktest(events: DataFrame, seriesCol: String, tsUsCol: String,
+                   alphaMilli: Long = 300L,
+                   betaMilli: Long = 100L): DataFrame = {
+    require(alphaMilli >= 0 && alphaMilli <= 1000 &&
+      betaMilli >= 0 && betaMilli <= 1000, "alpha/beta are milli in [0,1000]")
+    val (a, b) = (alphaMilli, 1000L - alphaMilli)
+    val (c, e) = (betaMilli, 1000L - betaMilli)
+    val lNext = s"($a * y * 1000000 + $b * (acc.l + acc.b)) div 1000"
+    val daily = dailyCounts(events, seriesCol, tsUsCol)
+    daily.groupBy("graft_s")
+      .agg(sort_array(collect_list(struct(col("graft_d"), col("graft_y"))))
+        .as("graft_seq"))
+      .select(col("graft_s"),
+        expr("transform(graft_seq, p -> p.graft_y)").as("graft_ys"))
+      .select(col("graft_s").as(seriesCol),
+        size(col("graft_ys")).cast("long").as("n_days"),
+        expr(s"""aggregate(graft_ys,
+          named_struct('l', CAST(NULL AS BIGINT), 'b', CAST(0 AS BIGINT),
+            'sae', CAST(0 AS BIGINT), 'saen', CAST(0 AS BIGINT),
+            'prev', CAST(0 AS BIGINT), 'nf', CAST(0 AS BIGINT)),
+          (acc, y) -> CASE WHEN acc.l IS NULL THEN
+              named_struct('l', y * CAST(1000000 AS BIGINT),
+                'b', CAST(0 AS BIGINT), 'sae', CAST(0 AS BIGINT),
+                'saen', CAST(0 AS BIGINT), 'prev', y, 'nf', CAST(0 AS BIGINT))
+            ELSE named_struct(
+              'l', $lNext,
+              'b', ($c * (($lNext) - acc.l) + $e * acc.b) div 1000,
+              'sae', acc.sae + abs(y * 1000000 - (acc.l + acc.b)),
+              'saen', acc.saen + abs(y - acc.prev) * 1000000,
+              'prev', y, 'nf', acc.nf + 1) END)""").as("graft_acc"))
+      .select(col(seriesCol), col("n_days"),
+        col("graft_acc.l").as("level_micro"),
+        col("graft_acc.b").as("trend_micro"),
+        expr("CASE WHEN graft_acc.nf = 0 THEN CAST(NULL AS BIGINT)" +
+          " ELSE graft_acc.sae div graft_acc.nf END").as("mae_micro_holt"),
+        expr("CASE WHEN graft_acc.nf = 0 THEN CAST(NULL AS BIGINT)" +
+          " ELSE graft_acc.saen div graft_acc.nf END").as("mae_micro_naive"))
   }
 
   /** Mann-Kendall trend test — the SIGNIFICANCE readout that completes

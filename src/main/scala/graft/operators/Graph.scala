@@ -316,6 +316,60 @@ object Graph {
           " div (graft_deg * (graft_deg - 1)) END").as("clustering_ppm"))
   }
 
+  /** Newman modularity of a GIVEN node partition over an undirected
+    * graph — the quality readout community detection (53d''''') and any
+    * attribute-based grouping get scored with: Q = Σ_c (e_c/m −
+    * (d_c/2m)²), where e_c = intra-community edges, d_c = community
+    * degree sum, m = |edges|. High Q means the partition concentrates
+    * edges inside its blocks far beyond the degree-preserving random
+    * expectation; Q ≈ 0 means the grouping explains nothing.
+    *
+    * Exactness: each community's contribution is reported as
+    * q_contrib_ppm = (4m·e_c − d_c²)·10⁶ div (4m²) — pure integer
+    * arithmetic on decimal(38,0) sums (negative contributions truncate
+    * toward zero on both engines), Σ rows ≈ Q·10⁶ up to the per-row
+    * truncation the oracle mirrors. Nodes in `assign` without edges
+    * carry degree 0 (counted in n_nodes, no mass); edge endpoints
+    * missing from `assign` are dropped from both e_c and d_c — the
+    * caller owns assignment coverage.
+    *
+    * Shape: one degree aggregate (union-explode of the edge list), two
+    * node-keyed joins of the assignment (node-sized relations — the
+    * shuffle is the floor any partition scoring pays), one grouped fold
+    * per side, one 1-row broadcast of m. Never edges × edges. */
+  def modularity(edges: DataFrame, aCol: String, bCol: String,
+                 assign: DataFrame, nodeCol: String,
+                 commCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val e = edges.select(col(aCol).as("graft_a"), col(bCol).as("graft_b"))
+    val asg = assign.select(col(nodeCol).as("graft_n"),
+      col(commCol).as("graft_c"))
+    val deg = e.select(explode(array(col("graft_a"), col("graft_b"))).as("graft_n"))
+      .groupBy("graft_n").agg(count(lit(1)).as("graft_deg"))
+    val perC = asg.join(deg, Seq("graft_n"), "left")
+      .groupBy("graft_c")
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(coalesce(col("graft_deg"), lit(0L))).cast(dec).as("degree_sum"))
+    val intra = e
+      .join(asg.select(col("graft_n").as("graft_a"),
+        col("graft_c").as("graft_ca")), Seq("graft_a"))
+      .join(asg.select(col("graft_n").as("graft_b"),
+        col("graft_c").as("graft_cb")), Seq("graft_b"))
+      .filter(col("graft_ca") === col("graft_cb"))
+      .groupBy(col("graft_ca").as("graft_c"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val m = e.agg(count(lit(1)).cast(dec).as("graft_m"))
+    perC.join(intra, Seq("graft_c"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("graft_c").as("community"),
+        col("n_nodes").cast("long").as("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).cast("long").as("intra_edges"),
+        col("degree_sum").cast("long").as("degree_sum"),
+        expr("CAST((4 * graft_m * coalesce(intra_edges, 0)" +
+          " - degree_sum * degree_sum) * 1000000" +
+          " div (4 * graft_m * graft_m) AS BIGINT)").as("q_contrib_ppm"))
+  }
+
   /** k-core peel — the cohesive-subgraph extractor between components
     * (any connectivity) and triangles (local density): iteratively
     * remove nodes of degree < k until the remainder is the k-core, the

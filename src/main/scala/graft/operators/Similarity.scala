@@ -798,6 +798,46 @@ object Similarity {
       .select(col("query_id"), col(idCol), col("cos"))
   }
 
+  /** Reciprocal (mutual) kNN pairs — the high-precision matching rung
+    * of the similarity family: (i, j) is kept only when j is in i's
+    * top-k AND i is in j's top-k. One-sided kNN admits hubs (a generic
+    * vector near everything floods candidate lists); reciprocity is the
+    * standard cure (the RNN step of bitext mining / kNN-graph
+    * construction). Built on a kNN edge table: the pair test is ONE
+    * self-join of the (src, dst) edges with their transpose — edge-
+    * table-sized (n·k rows), never corpus². */
+  def mutualPairs(knn: DataFrame): DataFrame =
+    knn.select(col("query_id").as("graft_s"), col("graft_dst"),
+      col("cos"))
+      .join(knn.select(col("query_id").as("graft_dst"),
+        col("graft_dst").as("graft_s")), Seq("graft_s", "graft_dst"),
+        "left_semi")
+      .filter(col("graft_s") < col("graft_dst"))
+      .select(col("graft_s").as("id1"), col("graft_dst").as("id2"),
+        col("cos"))
+
+  /** Exact kNN edge table + [[mutualPairs]] in one call: every row's
+    * top-k by rounded cosine (id tiebreak), then the reciprocity
+    * semi-join. The kNN substrate here is the EXACT anchor — corpus ×
+    * broadcast(corpus-as-queries) scored in one scan with a per-source
+    * window; at 100 TB the substrate swaps for [[ivfPqTopKBatch]] over
+    * id chunks (identical downstream join), so the anchor doubles as
+    * the oracle for the pruned path. */
+  def mutualTopK(emb: DataFrame, idCol: String, vecCol: String,
+                 k: Int): DataFrame = {
+    val q = emb.select(col(idCol).as("query_id"),
+      col(vecCol).as("graft_qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col(idCol).asc)
+    val knn = emb.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("cos", round(V.cosine(col(vecCol), col("graft_qv")), 6))
+      .withColumn("graft_rn", row_number().over(w))
+      .filter(col("graft_rn") <= k)
+      .select(col("query_id"), col(idCol).as("graft_dst"), col("cos"))
+    mutualPairs(knn)
+  }
+
   /** Persist an IVF-PQ index: codes PARTITIONED BY cell (a probe's
     * `graft_cell IN (...)` prunes whole directories at planning time),
     * centroids and codebooks as tiny side tables — build once, probe

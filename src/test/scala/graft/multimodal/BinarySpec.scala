@@ -302,6 +302,38 @@ class BinarySpec extends SparkSpec {
     (0 until 8).foreach(k => noEnd(gOff + k) = 0xff.toByte)
     assert(Binary.oggMeta(noEnd) === Some((1, 44100, 2, 0L)))
   }
+  test("zipMeta walks EOCD + central directory of a JDK-written archive") {
+    assert(Binary.zipMeta(Binary.synthZip(5, 128)) === Some((5, 640L, 640L)))
+    assert(Binary.zipMeta(Binary.synthZip(1, 0)) === Some((1, 0L, 0L)))
+    // degradation: truncation, bogus magic, severed central directory
+    val good = Binary.synthZip(3, 64)
+    assert(Binary.zipMeta(Array[Byte]()) === None)
+    assert(Binary.zipMeta(good.take(20)) === None)
+    assert(Binary.zipMeta(good.dropRight(1)) === None) // EOCD torn
+    val bad = good.clone()
+    // corrupt the first CD signature: EOCD still found, CD walk fails
+    val cdOff = {
+      def le32(i: Int): Int = (good(i) & 0xff) | ((good(i + 1) & 0xff) << 8) |
+        ((good(i + 2) & 0xff) << 16) | ((good(i + 3) & 0xff) << 24)
+      le32(good.length - 22 + 16)
+    }
+    bad(cdOff + 2) = 9
+    assert(Binary.zipMeta(bad) === None)
+  }
+
+  test("tarMeta hops ustar headers by declared size, counting regular members") {
+    assert(Binary.tarMeta(Binary.synthTar(4, 300)) === Some((4, 1200L)))
+    assert(Binary.tarMeta(Binary.synthTar(1, 0)) === Some((1, 0L)))
+    assert(Binary.tarMeta(new Array[Byte](1024)) === Some((0, 0L))) // empty
+    // EOF-terminated (GNU-tolerant): strip the terminator blocks
+    val good = Binary.synthTar(2, 512)
+    assert(Binary.tarMeta(good.dropRight(1024)) === Some((2, 1024L)))
+    // degradation: bad magic, mid-block tear
+    val bad = good.clone(); bad(257) = 'x'.toByte
+    assert(Binary.tarMeta(bad) === None)
+    assert(Binary.tarMeta(good.dropRight(1030)) === None)
+  }
+
   test("synthBmp round-trips dims and pixel formulas through the decoder") {
     val b = Binary.synthBmp(10, 7, seed = 42)
     assert(Binary.imageDims(b) === Some((10, 7)))

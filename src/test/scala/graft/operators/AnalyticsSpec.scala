@@ -1314,4 +1314,47 @@ class AnalyticsSpec extends SparkSpec {
       Seq("a", "b")).collect()(0)
     assert(s.getAs[Long]("chi2_milli") === 0L)
   }
+
+  test("welchT: hand-computed textbook case and degenerate guards") {
+    // A = {1,2,3}, B = {5,7}: means 2 vs 6, sA²=1, sB²=2 →
+    // t² = 16/(1/3 + 1) = 12.0, Welch df = (4/3)²/((1/3)²/2 + 1) ≈ 1.684
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 5.0), ("b", 7.0))
+      .toDF("g", "v")
+    val r = Analytics.welchT(df, "g", "v", "a", "b").collect()(0)
+    assert(r.getAs[Long]("n_a") === 3L && r.getAs[Long]("n_b") === 2L)
+    assert(r.getAs[Long]("mean_diff_micro") === -400000000L) // −4.0 centi·µ
+    assert(r.getAs[Long]("t2_milli") === 12000L)
+    assert(r.getAs[Long]("df_milli") === 1684L)
+    // all-tied values: variance degenerates → NULL statistics
+    val tied = Seq(("a", 2.0), ("a", 2.0), ("b", 2.0), ("b", 2.0))
+      .toDF("g", "v")
+    val t = Analytics.welchT(tied, "g", "v", "a", "b").collect()(0)
+    assert(t.isNullAt(t.fieldIndex("t2_milli")))
+    assert(t.isNullAt(t.fieldIndex("df_milli")))
+    // a singleton group cannot carry a variance → NULL
+    val lone = Seq(("a", 1.0), ("b", 2.0), ("b", 9.0)).toDF("g", "v")
+    val l = Analytics.welchT(lone, "g", "v", "a", "b").collect()(0)
+    assert(l.isNullAt(l.fieldIndex("t2_milli")))
+  }
+
+  test("holtBacktest: hand-folded two-day series") {
+    // y = [10, 13], α=0.3 β=0.1: init l=10·10⁶ b=0; step: pred=10·10⁶,
+    // l'=(300·13·10⁶+700·10·10⁶)/1000=10.9·10⁶, b'=100·0.9·10⁶/1000=9·10⁴,
+    // sae=saen=3·10⁶ over 1 forecast.
+    val base = 86400L * 1000000L
+    val ev = (Seq.fill(10)(base * 10 + 1L) ++ Seq.fill(13)(base * 11 + 1L))
+      .map(ts => ("a", ts)).toDF("etype", "ts_us")
+    val r = Analytics.holtBacktest(ev, "etype", "ts_us",
+      alphaMilli = 300L, betaMilli = 100L).collect()(0)
+    assert(r.getAs[Long]("n_days") === 2L)
+    assert(r.getAs[Long]("level_micro") === 10900000L)
+    assert(r.getAs[Long]("trend_micro") === 90000L)
+    assert(r.getAs[Long]("mae_micro_holt") === 3000000L)
+    assert(r.getAs[Long]("mae_micro_naive") === 3000000L)
+    // single-day series: no forecast to score → NULL MAEs, level = y₁
+    val one = Seq(("b", base * 10 + 1L)).toDF("etype", "ts_us")
+    val s = Analytics.holtBacktest(one, "etype", "ts_us").collect()(0)
+    assert(s.getAs[Long]("level_micro") === 1000000L)
+    assert(s.isNullAt(s.fieldIndex("mae_micro_holt")))
+  }
 }

@@ -174,6 +174,35 @@ class GraphSpec extends SparkSpec {
     assert(!capped.exists(p => p._2 == 3L || p._1 == 3L))
   }
 
+  test("modularity: hand-computed two-triangle bridge; trivial partition scores zero") {
+    // Triangles {1,2,3} and {4,5,6} joined by the bridge (3,4): m = 7,
+    // each triangle community has e_c = 3, d_c = 7, so per-community
+    // contribution = (4·7·3 − 49)·10⁶ div (4·49) = 178571 (Q ≈ 0.357).
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("a", "b")
+    val assign = Seq((1L, "A"), (2L, "A"), (3L, "A"),
+      (4L, "B"), (5L, "B"), (6L, "B")).toDF("node", "comm")
+    val got = Graph.modularity(edges, "a", "b", assign, "node", "comm")
+      .orderBy("community")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got === Array(("A", 3L, 3L, 7L, 178571L),
+      ("B", 3L, 3L, 7L, 178571L)))
+    // the everything-in-one-block partition scores exactly zero
+    val one = Graph.modularity(edges, "a", "b",
+      assign.select($"node",
+        org.apache.spark.sql.functions.lit("ALL").as("comm")),
+      "node", "comm")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(one === Array(("ALL", 6L, 7L, 14L, 0L)))
+    // isolated assigned node: counted, zero mass, no NULLs
+    val iso = Graph.modularity(edges, "a", "b",
+      assign.unionByName(Seq((9L, "C")).toDF("node", "comm")),
+      "node", "comm")
+      .filter($"community" === "C")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(iso === Array(("C", 1L, 0L, 0L, 0L)))
+  }
+
   test("labelPropagation: two bridged cliques settle into two communities") {
     // 4-cliques {1..4} and {5..8} joined by the single bridge (4,5).
     // Synchronous min-tiebreak rounds: r1 labels (2,1,1,1 | 4,5,5,5),

@@ -108,6 +108,24 @@ class SimilaritySpec extends SparkSpec {
     } finally { a.release(); b.release() }
   }
 
+  test("mutualTopK equals the reciprocal closure of per-query top-k") {
+    val ids = Seq(0L, 1L, 2L, 3L, 4L)
+    val topk = ids.map(q => q -> Similarity
+      .cosineTopK(emb, "vec_id", "embedding", q, 2)
+      .select("vec_id").as[Long].collect().toSet).toMap
+    val expected = (for {
+      i <- ids; j <- ids
+      if i < j && topk(i).contains(j) && topk(j).contains(i)
+    } yield (i, j)).toSet
+    val got = Similarity.mutualTopK(emb, "vec_id", "embedding", k = 2)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(got === expected)
+    assert(expected.nonEmpty) // fixture has at least one reciprocal pair
+    // one-sided neighbors must NOT appear: every kept pair is reciprocal
+    got.foreach { case (i, j) =>
+      assert(topk(i).contains(j) && topk(j).contains(i), s"pair ($i,$j)") }
+  }
+
   test("ivfPqTopK: exact configuration equals brute force; production point holds recall") {
     val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val n = real.count().toInt
