@@ -1729,6 +1729,13 @@ object SparkEntry {
       Search.phraseSearch(Tables.documents(s, d), "doc_id", "text",
         phrase = Seq("value", "table"))),
 
+    // Proximity search (scan NEAR/5 column): unordered within-k-token
+    // co-occurrence with pair count + closest distance — the rung
+    // between bag-of-words and exact phrase.
+    "q361_proximity_search" -> ((s, d) =>
+      Search.proximitySearch(Tables.documents(s, d), "doc_id", "text",
+        termA = "scan", termB = "column", k = 5)),
+
     // COUNT(col)/SUM through the warehouse metadata path: null counts
     // and exact integral sums ride the per-file sidecars, so the whole
     // readout — including a column with planted NULLs — answers in
@@ -2415,6 +2422,34 @@ object SparkEntry {
         .groupBy("p_brand")
         .agg(count(lit(1)).as("n_parts"),
           sum(floor(col("p_retailprice") * 100).cast("long")).as("sum_cents"))
+    }),
+
+    // Keyed snapshot diff across table VERSIONS: v0 (time travel) vs
+    // the live state after a CoW delete + append + CoW update —
+    // added/removed/changed/unchanged per key, null-safe payload
+    // compare; the release-audit readout of the time-travel family.
+    "q362_version_diff" -> ((s, d) => {
+      val fmt = "graft.sources.WarehouseSink"
+      val dir = tempTableDir("graft_vdiff_")
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      cust.repartition(4)
+        .write.format(fmt).option("path", dir).mode("overwrite").save()
+      import org.apache.spark.sql.sources.{EqualTo, LessThan}
+      graft.sources.WarehouseSink.deleteWhere(s, dir,
+        Seq(LessThan("c_custkey", 50L)))
+      cust.filter(col("c_custkey") % 10 === 0)
+        .select((col("c_custkey") + 10000000L).as("c_custkey"),
+          lit("NEWSEG").as("c_mktsegment"), col("c_acctbal"))
+        .write.format(fmt).option("path", dir).mode("append").save()
+      graft.sources.WarehouseSink.updateWhere(s, dir,
+        Seq(EqualTo("c_mktsegment", "BUILDING")),
+        Map("c_acctbal" -> (col("c_acctbal") + 100.0)))
+      val v0 = s.read.format(fmt).option("path", dir)
+        .option("versionAsOf", "0").load()
+      val live = s.read.format(fmt).option("path", dir).load()
+      Etl.snapshotDiff(v0, live, Seq("c_custkey"))
+        .groupBy("change").agg(count(lit(1)).as("n_rows"))
     }),
 
     // MoR DML chain materialized by maintenance (REORG/PURGE): a delete
@@ -3513,6 +3548,16 @@ object SparkEntry {
         .select(col("id1").as("name_1"), col("id2").as("name_2"),
           col("dist"), (col("graft_n1") * col("graft_n2")).as("n_pairs"))
     }),
+
+    // Jaro-Winkler graded fuzzy pairs (native codegen'd expression,
+    // first-token blocking): the length-normalized record-linkage score
+    // next to q222's levenshtein distance; oracle = DuckDB's own
+    // jaro_winkler_similarity, bit-matched at 6 dp.
+    "q363_jw_pairs" -> ((s, d) =>
+      Dedup.jwNameMatch(Tables.part(s, d).select("p_name").distinct(),
+        "p_name", "p_name", minJw = 0.85, maxBlock = 100000L)
+        .select(col("id1").as("name_1"), col("id2").as("name_2"),
+          col("jw"))),
 
     // Peak concurrent sessions per day via the sweep-line: the k-way
     // overlap readout a pair join can't produce — capacity planning on
@@ -9263,6 +9308,16 @@ object SparkEntry {
 
     // Levenshtein pairs on the distinct-name substrate, first-token
     // blocks, pair volume by count arithmetic.
+    "q363_jw_pairs" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part)
+         SELECT name_1, name_2, jw FROM (
+           SELECT a.p_name AS name_1, b.p_name AS name_2,
+                  round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+           FROM n a JOIN n b
+             ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+            AND a.p_name < b.p_name)
+         WHERE jw >= 0.85""",
+
     "q222_fuzzy_pairs" ->
       """WITH n AS (SELECT p_name, CAST(count(*) AS BIGINT) AS nn
              FROM part GROUP BY 1),
@@ -9832,6 +9887,21 @@ object SparkEntry {
 
     // Phrase search replayed with the same anchor/slot arithmetic over
     // DuckDB's zipped unnest + generate_subscripts positions.
+    "q361_proximity_search" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(a) AS term,
+                  generate_subscripts(a, 1) - 1 AS pos
+           FROM (SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS a
+                 FROM documents)),
+         pa AS (SELECT doc_id, pos AS p1 FROM toks WHERE term = 'scan'),
+         pb AS (SELECT doc_id, pos AS p2 FROM toks WHERE term = 'column')
+         SELECT pa.doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+                CAST(min(abs(p1 - p2)) AS BIGINT) AS min_dist
+         FROM pa JOIN pb ON pa.doc_id = pb.doc_id
+         WHERE abs(p1 - p2) <= 5
+         GROUP BY 1""",
+
     "q177_phrase_search" ->
       """WITH toks AS (
            SELECT doc_id, unnest(a) AS term,
@@ -11459,6 +11529,17 @@ object SparkEntry {
                          THEN price + 10.0 ELSE price END) * 100)
                   AS BIGINT)) AS BIGINT) AS sum_cents
          FROM u1 GROUP BY 1""",
+
+    "q362_version_diff" ->
+      """WITH cls AS (
+           SELECT CASE WHEN c_custkey < 50 THEN 'removed'
+                       WHEN c_mktsegment = 'BUILDING' THEN 'changed'
+                       ELSE 'unchanged' END AS change
+           FROM customer
+           UNION ALL
+           SELECT 'added' FROM customer WHERE c_custkey % 10 = 0)
+         SELECT change, CAST(count(*) AS BIGINT) AS n_rows
+         FROM cls GROUP BY 1""",
 
     "q355_mor_reorg" ->
       """WITH fin AS (

@@ -602,6 +602,36 @@ object Dedup {
     * ≤ maxBlock², and a hot block can never melt one reducer. The
     * planted DedupSpec cases pin both the recovered links and the
     * final-bound drop. */
+  /** Jaro-Winkler blocked matching — [[fuzzyNameMatch]]'s GRADED twin:
+    * levenshtein's integer distance punishes long strings uniformly,
+    * while JW is length-normalized and front-weighted (the
+    * record-linkage standard), so near-identical long names score high
+    * instead of falling off an absolute-distance cliff. Same first-token
+    * blocking with the broadcast size cap; oversized blocks DROP with
+    * the documented bound (JW admits no length-band routing — an edit
+    * bound implies a length bound, a similarity ratio does not). The
+    * score is the codegen'd native [[graft.functions.JaroWinkler]]
+    * rounded to 6 dp (the cosine cross-engine discipline); pairs at or
+    * below `minJw` drop. */
+  def jwNameMatch(df: DataFrame, idCol: String, nameCol: String,
+                  minJw: Double, maxBlock: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val base = df.select(col(idCol).as("id"), col(nameCol).as("name"),
+      split(col(nameCol), " ").getItem(0).as("blk"))
+    val ok = base.join(broadcast(
+      base.groupBy("blk").agg(count(lit(1)).as("graft_bn"))
+        .filter(col("graft_bn") <= maxBlock).select("blk")), Seq("blk"))
+    val a = ok.select(col("blk"), col("id").as("id1"), col("name").as("name1"))
+    val b = ok.select(col("blk"), col("id").as("id2"), col("name").as("name2"))
+    a.join(b, Seq("blk")).filter(col("id1") < col("id2"))
+      .withColumn("jw", round(ColumnBridge.column(
+        graft.functions.JaroWinkler(
+          ColumnBridge.expression(col("name1")),
+          ColumnBridge.expression(col("name2")))), 6))
+      .filter(col("jw") >= minJw)
+      .select(col("id1"), col("id2"), col("jw"))
+  }
+
   def fuzzyNameMatch(df: DataFrame, idCol: String, nameCol: String,
                      maxDist: Int, maxBlock: Long = 1000L): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(nameCol).as("name"),

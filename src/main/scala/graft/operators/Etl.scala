@@ -57,6 +57,38 @@ object Etl {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
+  /** Keyed snapshot DIFF — classify every key across two versions of a
+    * table (time-travel reads, warehouse branches, or any two
+    * same-schema frames) as added / removed / changed / unchanged: the
+    * "what did this release change" audit a version-diff UI or a
+    * reconciliation job runs, and the readable complement of the
+    * row-level change feed (42k'' replays HOW a table moved; this
+    * compares any two STATES, however far apart, without needing the
+    * intermediate history).
+    *
+    * One full-outer join on the key with the non-key payload packed
+    * into a struct compared null-safely (`<=>` — NULL payload fields
+    * equal themselves, so nullable columns can't fake a change). Keys
+    * must be unique per side (the snapshot contract); the join shuffles
+    * key+struct, never more. */
+  def snapshotDiff(before: DataFrame, after: DataFrame,
+                   keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "snapshotDiff needs at least one key column")
+    require(before.columns.sorted.sameElements(after.columns.sorted),
+      "snapshotDiff requires identical schemas " +
+        s"(${before.columns.mkString(",")} vs ${after.columns.mkString(",")})")
+    val dataCols = before.columns.filterNot(keyCols.contains).sorted
+    def packed(df: DataFrame, as: String) = df.select(
+      keyCols.map(col) :+ struct(dataCols.map(col): _*).as(as): _*)
+    packed(before, "graft_b")
+      .join(packed(after, "graft_a"), keyCols, "full_outer")
+      .select(keyCols.map(col) :+
+        when(col("graft_b").isNull, lit("added"))
+          .when(col("graft_a").isNull, lit("removed"))
+          .when(col("graft_a") <=> col("graft_b"), lit("unchanged"))
+          .otherwise(lit("changed")).as("change"): _*)
+  }
+
   /** SCD type-2 interval build: turn a keyed event/value history into
     * validity intervals — one row per VALUE CHANGE with [valid_from,
     * valid_to) bounds (open `valid_to` = current). The warehouse-proper

@@ -220,6 +220,40 @@ object Search {
         min(col("anchor")).cast("long").as("first_pos"))
   }
 
+  /** Proximity (NEAR/k) search — the retrieval rung between bag-of-words
+    * BM25 (no position constraint) and [[phraseSearch]] (exact
+    * adjacency): documents where `termA` and `termB` occur within `k`
+    * token positions of each other, unordered, with the pair count and
+    * the closest distance. The standard editorial/e-discovery operator
+    * ("error NEAR/5 timeout").
+    *
+    * Shape: one position explode filtered to the TWO query terms (the
+    * corpus-sized pass, pinned — both join legs read it), then a
+    * doc-keyed join of the two position lists — fan-out tf_a·tf_b per
+    * doc, bounded by per-doc term frequencies, never corpus². At index
+    * scale the same join runs off the positional postings of 55c. */
+  def proximitySearch(docs: DataFrame, idCol: String, textCol: String,
+                      termA: String, termB: String, k: Int): DataFrame = {
+    val (ta, tb) = (termA.toLowerCase, termB.toLowerCase)
+    require(ta != tb, "NEAR needs two distinct terms")
+    require(k >= 1, "k must be at least 1")
+    val toks = graft.operators.Materialize.transient(
+      docs.select(col(idCol).as("doc_id"),
+        posexplode(regexp_extract_all(lower(col(textCol)),
+          lit("[a-z0-9]+"), lit(0))).as(Seq("pos", "term")))
+        .filter(col("term").isin(ta, tb)))
+    val pa = toks.filter(col("term") === ta)
+      .select(col("doc_id"), col("pos").as("graft_pa"))
+    val pb = toks.filter(col("term") === tb)
+      .select(col("doc_id"), col("pos").as("graft_pb"))
+    pa.join(pb, Seq("doc_id"))
+      .filter(abs(col("graft_pa") - col("graft_pb")) <= k)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs(col("graft_pa") - col("graft_pb"))).cast("long")
+          .as("min_dist"))
+  }
+
   /** The standard log2 position discounts for nDCG@10, pre-quantized to
     * integer micro-units: disc(i) = floor(10⁶ / log2(i + 1)). Fixed
     * CONSTANTS, not runtime libm calls — the discount table is part of

@@ -271,4 +271,24 @@ class EtlSpec extends SparkSpec {
     val eb = b.limit(0)
     assert(Etl.incrementalJoinDelta(a, e, b, eb, "k").count() === 0L)
   }
+
+  test("snapshotDiff classifies keys null-safely across two versions") {
+    val before = Seq((1L, Option("a"), 10), (2L, None: Option[String], 20),
+      (3L, Option("c"), 30), (5L, Option("e"), 50))
+      .toDF("k", "v", "n")
+    val after = Seq((2L, None: Option[String], 20), (3L, Option("x"), 30),
+      (4L, Option("d"), 40), (5L, None: Option[String], 50))
+      .toDF("k", "v", "n")
+    val got = Etl.snapshotDiff(before, after, Seq("k"))
+      .orderBy("k").as[(Long, String)].collect()
+    // 2 has a NULL payload on BOTH sides → unchanged (null-safe compare);
+    // 5 goes value→NULL → changed, not unchanged
+    assert(got === Array((1L, "removed"), (2L, "unchanged"),
+      (3L, "changed"), (4L, "added"), (5L, "changed")))
+    // column order must not matter — only names/values
+    val shuffled = after.select($"n", $"k", $"v")
+    val re = Etl.snapshotDiff(before, shuffled, Seq("k"))
+      .orderBy("k").as[(Long, String)].collect()
+    assert(re === got)
+  }
 }
