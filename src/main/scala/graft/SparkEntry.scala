@@ -2274,27 +2274,28 @@ object SparkEntry {
     // Span-dedup action readout: what the removal pass deletes per
     // source — the corpus-curation decision table over q326.
     "q342_span_clean" -> ((s, d) =>
-      Dedup.spanCleanReport(Tables.documents(s, d), "doc_id", "text",
-        "source", k = 8)),
+      Dedup.spanCleanReportFromSpans(Tables.documents(s, d), "doc_id",
+        "text", "source", dupSpans8(s, d))),
 
     // Span-removal REWRITE: splice every duplicated-span interval out of
     // the token stream and re-materialize clean_text — untouched docs
     // byte-identical, touched docs rebuilt from original-case tokens;
     // tokens_after == n_tokens - tokens_removed asserted in-query.
     "q350_span_rewrite" -> ((s, d) =>
-      Dedup.removeSpans(Tables.documents(s, d), "doc_id", "text", k = 8)),
+      Dedup.removeSpansFromSpans(Tables.documents(s, d), "doc_id", "text",
+        dupSpans8(s, d))),
 
     // Exact duplicated-SPAN detection (substring-level dedup, the Lee
     // et al. suffix-array rung in bucketed k-gram-anchor form): spans of
     // ≥ 8 tokens shared verbatim across documents, found exactly via
     // shared-gram coverage + doc-keyed island merge. No pair join.
-    "q325_dup_spans" -> ((s, d) =>
-      Dedup.dupSpans(Tables.documents(s, d), "doc_id", "text", k = 8)),
+    "q325_dup_spans" -> ((s, d) => dupSpans8(s, d)),
 
     // Per-doc duplicated-span rollup: how much of each document is
     // copied verbatim elsewhere in the corpus (integer-ppm).
     "q326_span_report" -> ((s, d) =>
-      Dedup.dupSpanReport(Tables.documents(s, d), "doc_id", "text", k = 8)),
+      Dedup.dupSpanReportFromSpans(Tables.documents(s, d), "doc_id",
+        "text", dupSpans8(s, d))),
 
     // REAL BPE tokenizer encode, oracle-proven: the codegen'd BpeTokens
     // expression under Vocab.DisjointMerges, whose non-interacting pairs
@@ -4196,7 +4197,20 @@ object SparkEntry {
     clusterCache.clear()
   }
 
+  /** Duplicated-span table at the k=8 contract point, shared by q325
+    * (the raw spans), q326 (per-doc rollup), q342 (per-source decision
+    * table) and q350 (the rewrite): the detection pass — tokenize, gram
+    * explode, two-phase df count, island merge — runs ONCE per
+    * (session, dir) and hands out a localCheckpoint'd artifact (span
+    * rows are corpus-duplication-sized, tiny next to the corpus). */
+  private val spanCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def dupSpans8(s: SparkSession, d: String): DataFrame =
+    spanCache.getOrElseUpdate((s, d), operators.Materialize.transient(
+      Dedup.dupSpans(Tables.documents(s, d), "doc_id", "text", k = 8)))
+
   def releaseCaches(): Unit = {
+    spanCache.clear()
     bloomStoreCache.clear()
     zoneStoreCache.clear()
     termStoreCache.clear()

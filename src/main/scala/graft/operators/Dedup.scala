@@ -1025,10 +1025,21 @@ object Dedup {
     * elsewhere" readout a span-dedup pass gates on. Docs with no
     * duplicated span report zeros (left join keeps them). */
   def dupSpanReport(docs: DataFrame, idCol: String, textCol: String,
-                    k: Int): DataFrame = {
+                    k: Int): DataFrame =
+    dupSpanReportFromSpans(docs, idCol, textCol,
+      dupSpans(docs, idCol, textCol, k))
+
+  /** [[dupSpanReport]] over a PRECOMPUTED [[dupSpans]] table — the
+    * share-the-substrate entry point: the span detection (tokenize +
+    * gram explode + df count + island merge) is the expensive pass, and
+    * every consumer of the same (corpus, k) point — the raw span list,
+    * the per-doc rollup, the per-source decision table, the rewrite —
+    * reuses ONE materialized artifact instead of re-deriving it. */
+  def dupSpanReportFromSpans(docs: DataFrame, idCol: String,
+                             textCol: String, spans0: DataFrame): DataFrame = {
     val totals = docs.select(col(idCol).as("doc_id"),
       T.wsTokens(col(textCol)).cast("long").as("n_tokens"))
-    val spans = dupSpans(docs, idCol, textCol, k)
+    val spans = spans0
       .groupBy("doc_id")
       .agg(sum("span_len").as("dup_tokens"),
         count(lit(1)).as("n_spans"))
@@ -1167,8 +1178,16 @@ object Dedup {
     * covered (removable) tokens, tokens after, integer-ppm shrink.
     * The corpus-curation decision table over [[dupSpanReport]]. */
   def spanCleanReport(docs: DataFrame, idCol: String, textCol: String,
-                      srcCol: String, k: Int): DataFrame = {
-    val rep = dupSpanReport(docs, idCol, textCol, k)
+                      srcCol: String, k: Int): DataFrame =
+    spanCleanReportFromSpans(docs, idCol, textCol, srcCol,
+      dupSpans(docs, idCol, textCol, k))
+
+  /** [[spanCleanReport]] over a precomputed [[dupSpans]] table (the
+    * [[dupSpanReportFromSpans]] substrate-sharing entry point). */
+  def spanCleanReportFromSpans(docs: DataFrame, idCol: String,
+                               textCol: String, srcCol: String,
+                               spans0: DataFrame): DataFrame = {
+    val rep = dupSpanReportFromSpans(docs, idCol, textCol, spans0)
     docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"))
       .join(rep, Seq("doc_id"))
       .groupBy("source")
@@ -1211,8 +1230,15 @@ object Dedup {
     * Output: (doc_id, n_tokens, tokens_removed, tokens_after,
     * clean_text). */
   def removeSpans(docs: DataFrame, idCol: String, textCol: String,
-                  k: Int): DataFrame = {
-    val spans = dupSpans(docs, idCol, textCol, k)
+                  k: Int): DataFrame =
+    removeSpansFromSpans(docs, idCol, textCol,
+      dupSpans(docs, idCol, textCol, k))
+
+  /** [[removeSpans]] over a precomputed [[dupSpans]] table (the
+    * [[dupSpanReportFromSpans]] substrate-sharing entry point). */
+  def removeSpansFromSpans(docs: DataFrame, idCol: String, textCol: String,
+                           spans0: DataFrame): DataFrame = {
+    val spans = spans0
       .groupBy("doc_id")
       .agg(collect_list(struct(col("span_start").as("s"),
           col("span_len").as("l"))).as("graft_spans"),
