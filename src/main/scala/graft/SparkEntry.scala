@@ -1961,6 +1961,25 @@ object SparkEntry {
       Dedup.crossSourceDupMatrix(mirrored, "doc_id", "text", "source")
     }),
 
+    // Cross-source duplication Venn (q193's mirrored corpus): content
+    // bucketed by how many distinct sources carry it — the syndication
+    // spread histogram a dedup rollout is sized by.
+    "q364_source_venn" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val mirrored = docs.unionByName(
+        docs.filter(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+          .withColumn("source", lit("mirror")))
+      Dedup.sourceVenn(mirrored, "doc_id", "text", "source")
+    }),
+
+    // Session entry/exit profile: which event types open and close the
+    // q38 gap-rule sessions, and which bounce — landing/leave-page
+    // analytics in exact integers.
+    "q365_entry_exit" -> ((s, d) =>
+      Sessions.entryExit(eventsUs(s, d), "user_id", "ts_us", "event_id",
+        "event_type", gapUs = 1800L * 1000000L)),
+
     // Bitmap exact distinct: OR-merged Roaring-style containers per
     // event type — exact where HLL is ±2%, partials combine map-side.
     "q309_bitmap_distinct" -> ((s, d) =>
@@ -11255,6 +11274,57 @@ object SparkEntry {
                FROM c a JOIN c b ON a.f = b.f AND a.s <= b.s)
          SELECT src_a, src_b, CAST(sum(pairs) AS BIGINT) AS n_dup_pairs
          FROM p GROUP BY 1, 2 HAVING sum(pairs) > 0""",
+
+    "q364_source_venn" ->
+      """WITH m AS (SELECT source, text FROM documents
+               UNION ALL
+               SELECT 'mirror', text FROM documents WHERE doc_id % 7 = 0),
+         fp AS (SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS f,
+                       source AS s
+               FROM m),
+         g AS (SELECT f, CAST(count(DISTINCT s) AS BIGINT) AS n_sources,
+                      CAST(count(*) AS BIGINT) AS docs
+               FROM fp GROUP BY 1)
+         SELECT n_sources, CAST(count(*) AS BIGINT) AS n_fingerprints,
+                CAST(sum(docs) AS BIGINT) AS n_docs
+         FROM g GROUP BY 1""",
+
+    "q365_entry_exit" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                           event_type
+               FROM events),
+         g AS (SELECT user_id, ts_us, event_id, event_type,
+                      CASE WHEN lag(ts_us) OVER w IS NULL
+                                OR ts_us - lag(ts_us) OVER w > 1800000000
+                           THEN 1 ELSE 0 END AS news
+               FROM e WINDOW w AS (PARTITION BY user_id
+                                   ORDER BY ts_us, event_id)),
+         s AS (SELECT user_id, ts_us, event_id, event_type,
+                      sum(news) OVER (PARTITION BY user_id
+                        ORDER BY ts_us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+               FROM g),
+         per AS (SELECT user_id, sid,
+                        first(event_type ORDER BY ts_us, event_id) AS ft,
+                        last(event_type ORDER BY ts_us, event_id) AS lt,
+                        count(*) AS n
+                 FROM s GROUP BY 1, 2),
+         ent AS (SELECT ft AS event_type,
+                        CAST(count(*) AS BIGINT) AS n_entries,
+                        CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_bounces
+                 FROM per GROUP BY 1),
+         ex AS (SELECT lt AS event_type,
+                       CAST(count(*) AS BIGINT) AS n_exits
+                FROM per GROUP BY 1)
+         SELECT coalesce(ent.event_type, ex.event_type) AS event_type,
+                coalesce(n_entries, 0) AS n_entries,
+                coalesce(n_exits, 0) AS n_exits,
+                coalesce(n_bounces, 0) AS n_bounces,
+                CAST(CASE WHEN coalesce(n_entries, 0) = 0 THEN 0
+                     ELSE coalesce(n_bounces, 0) * 1000000 // n_entries END
+                  AS BIGINT) AS bounce_ppm
+         FROM ent FULL OUTER JOIN ex ON ent.event_type = ex.event_type""",
 
     "q191_fk_audit" ->
       """SELECT 'lineitem.orderkey' AS relation,

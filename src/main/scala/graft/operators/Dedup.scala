@@ -1270,6 +1270,25 @@ object Dedup {
           .otherwise(array_join(col("graft_kept"), " ")).as("clean_text"))
   }
 
+  /** Cross-source duplication VENN — the spread histogram next to the
+    * pairwise matrix (53e counts dup PAIRS per source pair; this counts
+    * how much CONTENT lives in exactly k sources): fingerprints bucketed
+    * by their distinct-source count, with document totals. The
+    * mirror-planning readout ("how much of the corpus is syndicated
+    * wire copy vs single-source originals") a dedup rollout is sized
+    * by. Two map-combinable aggregates on the fingerprint key — a
+    * wordcount, never a join. */
+  def sourceVenn(docs: DataFrame, idCol: String, textCol: String,
+                 srcCol: String): DataFrame =
+    docs.select(T.fingerprint(col(textCol)).as("graft_fp"),
+        col(srcCol).as("graft_src"))
+      .groupBy("graft_fp")
+      .agg(count_distinct(col("graft_src")).as("n_sources"),
+        count(lit(1)).as("graft_docs"))
+      .groupBy("n_sources")
+      .agg(count(lit(1)).as("n_fingerprints"),
+        sum("graft_docs").cast("long").as("n_docs"))
+
   def captureRecapture(docs: DataFrame, idCol: String,
                        textCol: String): DataFrame = {
     def mark(salt: String): Column =

@@ -44,6 +44,54 @@ object Sessions {
       .withColumn("duration_us", col("end_us") - col("start_us"))
   }
 
+  /** Session entry/exit profile — which event types OPEN and CLOSE
+    * sessions, and which bounce (single-event sessions): the landing/
+    * leave-page analytics readout on top of [[sessionize]]'s gap rule.
+    * Per session, the first and last event ride ONE min/max of a
+    * (ts, id, type) struct on the session aggregate (the window pass
+    * that built session ids is the only sort; (ts, id) is unique so the
+    * struct order is total); the per-type rollup joins the entry and
+    * exit legs full-outer so a type that only ever closes sessions
+    * still reports. bounce_ppm = single-event sessions over entries,
+    * integer ppm. */
+  def entryExit(events: DataFrame, userCol: String, tsUsCol: String,
+                idCol: String, typeCol: String, gapUs: Long): DataFrame = {
+    val byTime = Window.partitionBy(col(userCol))
+      .orderBy(col(tsUsCol).asc, col(idCol).asc)
+    val s = events
+      .select(col(userCol), col(tsUsCol), col(idCol),
+        col(typeCol).as("graft_t"))
+      .withColumn("graft_prev", lag(col(tsUsCol), 1).over(byTime))
+      .withColumn("graft_new",
+        when(col("graft_prev").isNull ||
+          col(tsUsCol) - col("graft_prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("graft_sid", sum(col("graft_new")).over(
+        byTime.rowsBetween(Window.unboundedPreceding, 0)))
+    val per = Materialize.transient(
+      s.groupBy(col(userCol), col("graft_sid"))
+        .agg(min(struct(col(tsUsCol), col(idCol), col("graft_t")))
+          .as("graft_first"),
+          max(struct(col(tsUsCol), col(idCol), col("graft_t")))
+            .as("graft_last"),
+          count(lit(1)).as("graft_n")))
+    val entries = per
+      .groupBy(per("graft_first").getField("graft_t").as("event_type"))
+      .agg(count(lit(1)).as("graft_entries"),
+        sum(when(col("graft_n") === 1L, 1L).otherwise(0L))
+          .as("graft_bounces"))
+    val exits = per
+      .groupBy(per("graft_last").getField("graft_t").as("event_type"))
+      .agg(count(lit(1)).as("graft_exits"))
+    entries.join(exits, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        coalesce(col("graft_entries"), lit(0L)).cast("long").as("n_entries"),
+        coalesce(col("graft_exits"), lit(0L)).cast("long").as("n_exits"),
+        coalesce(col("graft_bounces"), lit(0L)).cast("long").as("n_bounces"),
+        expr("CASE WHEN coalesce(graft_entries, 0) = 0 THEN 0" +
+          " ELSE coalesce(graft_bounces, 0) * 1000000" +
+          " div graft_entries END").as("bounce_ppm"))
+  }
+
   /** Top user journeys: the most common first-`k`-event-type paths across
     * sessions ("view>click>purchase") — the navigation-pattern report on
     * top of sessionization. Scale shape: session ids AND in-session

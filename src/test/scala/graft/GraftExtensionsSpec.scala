@@ -17,6 +17,14 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("literal"))
   }
 
+  test("graft_jaro_winkler is callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val got = spark.sql(
+      "SELECT round(graft_jaro_winkler('martha', 'marhta'), 10) AS jw")
+      .as[Double].head()
+    assert(math.abs(got - 0.9611111111) < 1e-9)
+  }
+
   test("graft_dot is callable from SQL after registration") {
     GraftExtensions.register(spark)
     Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")

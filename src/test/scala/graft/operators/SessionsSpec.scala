@@ -272,4 +272,23 @@ class SessionsSpec extends SparkSpec {
     assert(got === Set(("v", "v", 1L, 500000L), ("v", "c", 1L, 500000L),
       ("c", "v", 1L, 1000000L), ("v", "p", 1L, 500000L)))
   }
+
+  test("entryExit: hand-built sessions, bounces, and exit-only types") {
+    // user 1: [view, click] one session; [buy] a second (bounce);
+    // user 2: [view] bounce — so entries view×2/buy×1, exits
+    // click/buy/view ×1, click has entries 0 (exit-only type reports)
+    val ev = Seq(
+      (1L, 0L, 1L, "view"), (1L, 600L * 1000000, 2L, "click"),
+      (1L, 7200L * 1000000, 3L, "buy"),
+      (2L, 0L, 4L, "view"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+    val got = Sessions.entryExit(ev, "user_id", "ts_us", "event_id",
+      "event_type", gapUs = 1800L * 1000000)
+      .orderBy("event_type")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got === Array(
+      ("buy", 1L, 1L, 1L, 1000000L),
+      ("click", 0L, 1L, 0L, 0L),
+      ("view", 2L, 1L, 1L, 500000L)))
+  }
 }
