@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BpeTokens, DotProduct, JaroWinkler, MinHashSig, SimHash64, WordShingles}
+import graft.functions.{BpeTokens, DamerauLevenshtein, DotProduct, JaroWinkler, MinHashSig, SimHash64, WordShingles}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -68,6 +68,13 @@ object GraftExtensions {
             (a(0), a(1))
           }
         BpeTokens(children.head, merges)
+      }),
+    (new FunctionIdentifier("graft_damerau_levenshtein"),
+      new ExpressionInfo(classOf[DamerauLevenshtein].getName,
+        "graft_damerau_levenshtein"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_damerau_levenshtein(a, b)")
+        DamerauLevenshtein(children.head, children(1))
       }),
     (new FunctionIdentifier("graft_jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinkler].getName,

@@ -1607,6 +1607,19 @@ object SparkEntry {
     "q167_roc_auc" -> ((s, d) =>
       ml.Eval.rocAuc(scoredDocs(s, d), "score_q", "label")),
 
+    // Exact average precision (PR-AUC step area) with BOTH
+    // deterministic tie bounds — the class-imbalance ranking readout
+    // next to q167's ROC-AUC. Scored as "does the quality score
+    // retrieve English?" — a genuinely partial separation (stopword
+    // ratios favor English), so the tie bounds do real work.
+    "q366_avg_precision" -> ((s, d) =>
+      ml.Eval.averagePrecision(
+        Tables.documents(s, d).select(
+          greatest(least(floor(T.qualityScore(col("text")) * 10000 + 0.5),
+            lit(10000L)), lit(0L)).cast("long").as("score_q"),
+          (col("lang") === "en").cast("long").as("label")),
+        "score_q", "label")),
+
     // Reliability table for the same scorer: 10 equal-width score bins,
     // exact mean score vs empirical positive rate (both floor-ppm) — the
     // calibration readout next to q167's ranking readout.
@@ -3567,6 +3580,27 @@ object SparkEntry {
           col("graft_n").as("graft_n2")), Seq("id2"))
         .select(col("id1").as("name_1"), col("id2").as("name_2"),
           col("dist"), (col("graft_n1") * col("graft_n2")).as("n_pairs"))
+    }),
+
+    // TRUE Damerau-Levenshtein pairs (native Lowrance-Wagner
+    // expression): swaps cost 1 where plain levenshtein charges 2 —
+    // both distances reported side by side so the transposition mass
+    // is visible; oracle = DuckDB's own damerau_levenshtein.
+    "q367_damerau_pairs" -> ((s, d) => {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      val n = Tables.part(s, d).select("p_name").distinct()
+        .select(col("p_name"), split(col("p_name"), " ").getItem(0).as("blk"))
+      val a = n.select(col("blk"), col("p_name").as("name_1"))
+      val b = n.select(col("blk"), col("p_name").as("name_2"))
+      a.join(b, Seq("blk")).filter(col("name_1") < col("name_2"))
+        .withColumn("dl_dist", ColumnBridge.column(
+          graft.functions.DamerauLevenshtein(
+            ColumnBridge.expression(col("name_1")),
+            ColumnBridge.expression(col("name_2")))).cast("long"))
+        .filter(col("dl_dist") <= 3)
+        .select(col("name_1"), col("name_2"), col("dl_dist"),
+          levenshtein(col("name_1"), col("name_2")).cast("long")
+            .as("lev_dist"))
     }),
 
     // Jaro-Winkler graded fuzzy pairs (native codegen'd expression,
@@ -8939,6 +8973,43 @@ object SparkEntry {
                      END AS BIGINT) AS gini_ppm
          FROM agg""",
 
+    "q366_avg_precision" ->
+      s"""WITH sc AS (SELECT greatest(least(CAST(floor(
+                round(0.5 * least(length(text) / 500.0, 1.0)
+                  + 0.5 * least(len(regexp_extract_all(text, '[A-Za-z0-9]+')) * 1.0
+                          / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 1.0)
+                  - len(regexp_extract_all(text, '[.,;:!?]')) * 1.0
+                    / greatest(length(text), 1), 4) * 10000 + 0.5) AS BIGINT),
+                10000), 0) AS s,
+              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM documents),
+         per AS (SELECT s, CAST(sum(y) AS HUGEINT) AS p,
+                        CAST(count(*) - sum(y) AS HUGEINT) AS n
+                 FROM sc GROUP BY 1),
+         cum AS (SELECT s, p, n,
+                   COALESCE(sum(p) OVER (ORDER BY s DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS cp,
+                   COALESCE(sum(p + n) OVER (ORDER BY s DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS cr
+                 FROM per),
+         terms AS (SELECT (cp + j) * 1000000000 // (cr + j) AS t_opt,
+                          (cp + j) * 1000000000 // (cr + n + j) AS t_pess
+                   FROM (SELECT n, cp, cr,
+                           unnest(generate_series(1, CAST(p AS BIGINT))) AS j
+                         FROM cum WHERE p > 0)),
+         tot AS (SELECT COALESCE(sum(p), 0) AS pos,
+                        COALESCE(sum(n), 0) AS neg FROM per),
+         agg AS (SELECT COALESCE(sum(t_opt), 0) AS so,
+                        COALESCE(sum(t_pess), 0) AS sp FROM terms)
+         SELECT CAST(pos AS BIGINT) AS n_pos, CAST(neg AS BIGINT) AS n_neg,
+                CAST(CASE WHEN pos = 0 THEN NULL
+                     ELSE sp // (1000 * pos) END AS BIGINT) AS ap_pess_ppm,
+                CAST(CASE WHEN pos = 0 THEN NULL
+                     ELSE so // (1000 * pos) END AS BIGINT) AS ap_opt_ppm
+         FROM agg CROSS JOIN tot""",
+
     // Reliability bins: equal-width on the 1e4 scale (top edge folded
     // into bin 9), exact mean score and positive rate in floor-ppm.
     "q168_calibration" ->
@@ -9341,6 +9412,17 @@ object SparkEntry {
 
     // Levenshtein pairs on the distinct-name substrate, first-token
     // blocks, pair volume by count arithmetic.
+    "q367_damerau_pairs" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part)
+         SELECT a.p_name AS name_1, b.p_name AS name_2,
+                CAST(damerau_levenshtein(a.p_name, b.p_name) AS BIGINT)
+                  AS dl_dist,
+                CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev_dist
+         FROM n a JOIN n b
+           ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+          AND a.p_name < b.p_name
+         WHERE damerau_levenshtein(a.p_name, b.p_name) <= 3""",
+
     "q363_jw_pairs" ->
       """WITH n AS (SELECT DISTINCT p_name FROM part)
          SELECT name_1, name_2, jw FROM (

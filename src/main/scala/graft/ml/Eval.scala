@@ -95,6 +95,61 @@ object Eval {
       .withColumn("gini_ppm", expr("2 * auc_ppm - 1000000"))
   }
 
+  /** Exact AVERAGE PRECISION (the area under the precision-recall
+    * curve by the step definition) — the ranking readout that matters
+    * when positives are rare and ROC-AUC flatters (the class-imbalance
+    * regime every quality-classifier gate lives in): AP = (1/P) Σ over
+    * positives of precision@its-rank. Tied scores make "its rank"
+    * ambiguous, so BOTH deterministic bounds report — `ap_pess_ppm`
+    * places every tied negative BEFORE the tied positives (the
+    * conservative bound), `ap_opt_ppm` places them after — and a
+    * tie-free ranking lies between them (equal when no block mixes
+    * classes). Arithmetic: per tied block with p positives, n
+    * negatives, P/R positives/rows retrieved before it, the j-th
+    * positive contributes (P+j)·10⁹ div (R[+n]+j); each term floors at
+    * the 10⁹ fixed point (the one documented rounding, mirrored by the
+    * oracle) and the sum divides once by 1000·P into ppm. The explode
+    * is one row per POSITIVE (Σp = P, corpus-bounded); the cumulative
+    * window runs over the [[perScore]] table with its cardinality gate.
+    * Returns ONE row: (n_pos, n_neg, ap_pess_ppm, ap_opt_ppm); NULL AP
+    * when no positive exists. */
+  def averagePrecision(scored: DataFrame, scoreCol: String,
+                       labelCol: String): DataFrame = {
+    val w = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val per = perScore(scored, scoreCol, labelCol)
+    val cum = per
+      .withColumn("graft_P",
+        coalesce(sum("p").over(w), lit(0).cast("decimal(38,0)")))
+      .withColumn("graft_R",
+        coalesce(sum(expr("p + n")).over(w), lit(0).cast("decimal(38,0)")))
+    val terms = cum
+      .filter(col("p") > 0)
+      .select(col("n"), col("graft_P"), col("graft_R"),
+        explode(expr("sequence(CAST(1 AS BIGINT), CAST(p AS BIGINT))"))
+          .as("j"))
+      .select(
+        // decimal re-cast: the per-term quotient is a long, but the sum
+        // over 10¹⁰ positives at the 10⁹ fixed point outgrows it
+        expr("CAST((graft_P + j) * 1000000000 div (graft_R + j)" +
+          " AS DECIMAL(38,0))").as("t_opt"),
+        expr("CAST((graft_P + j) * 1000000000 div (graft_R + n + j)" +
+          " AS DECIMAL(38,0))").as("t_pess"))
+    val tot = per.agg(
+      coalesce(sum("p"), lit(0).cast("decimal(38,0)")).as("pos"),
+      coalesce(sum("n"), lit(0).cast("decimal(38,0)")).as("neg"))
+    terms
+      .agg(coalesce(sum("t_opt"), lit(0L)).as("graft_so"),
+        coalesce(sum("t_pess"), lit(0L)).as("graft_sp"))
+      .crossJoin(broadcast(tot))
+      .select(col("pos").cast("long").as("n_pos"),
+        col("neg").cast("long").as("n_neg"),
+        expr("CASE WHEN pos = 0 THEN CAST(NULL AS BIGINT)" +
+          " ELSE graft_sp div (1000 * pos) END").as("ap_pess_ppm"),
+        expr("CASE WHEN pos = 0 THEN CAST(NULL AS BIGINT)" +
+          " ELSE graft_so div (1000 * pos) END").as("ap_opt_ppm"))
+  }
+
   /** Per-SLICE ROC-AUC — the model-card readout a single global AUC
     * hides: a scorer can rank well in aggregate while failing an entire
     * language/source/segment (aggregation masking), and per-slice AUC

@@ -42,6 +42,28 @@ class JaroWinklerSpec extends SparkSpec {
     assert(p(0) === p(1))
   }
 
+  test("DamerauLevenshtein: TRUE DL fixtures incl. the OSA-divergent witness") {
+    val dlCol = ColumnBridge.column(DamerauLevenshtein(
+      ColumnBridge.expression(col("a")), ColumnBridge.expression(col("b"))))
+    val cases = Seq(
+      ("ca", "abc", 2),      // true DL; restricted OSA would say 3
+      ("abc", "acb", 1),     // one swap (levenshtein charges 2)
+      ("martha", "marhta", 1),
+      ("kitten", "sitting", 3),
+      ("abcdef", "abcfad", 3),
+      ("", "xyz", 3), ("xyz", "", 3), ("same", "same", 0))
+    val got = cases.map { case (x, y, _) => (x, y) }.toDF("a", "b")
+      .select(col("a"), col("b"), dlCol.as("d"))
+      .as[(String, String, Int)].collect()
+      .map { case (x, y, dd) => (x, y) -> dd }.toMap
+    cases.foreach { case (x, y, want) =>
+      assert(got((x, y)) === want, s"dl($x, $y)") }
+    // null propagation
+    val n = Seq((Option("x"), Option.empty[String])).toDF("a", "b")
+      .select(dlCol).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("jwNameMatch keeps only blocked pairs at or above the threshold") {
     val names = Seq("acme corp", "acme corps", "acme inc", "zeta corp")
       .toDF("n")
