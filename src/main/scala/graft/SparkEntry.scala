@@ -1974,6 +1974,30 @@ object SparkEntry {
       Dedup.crossSourceDupMatrix(mirrored, "doc_id", "text", "source")
     }),
 
+    // Soft dedup: duplicate-aware training weights over the mirrored
+    // corpus — weight 1/n_copies per doc, per-source EFFECTIVE size in
+    // micro-docs (the number mixing ratios should use).
+    "q368_soft_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val mirrored = docs.unionByName(
+        docs.filter(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+          .withColumn("source", lit("mirror")))
+      Dedup.softDedupWeights(mirrored, "doc_id", "text", "source")
+    }),
+
+    // Entity resolution end-to-end: Jaro-Winkler fuzzy links (≥ 0.88,
+    // first-token blocked) union-found into entities via the q46
+    // min-label components — the alias-unification pipeline over noisy
+    // name keys; per-cluster membership is the contract readout.
+    "q369_entity_resolution" -> ((s, d) => {
+      val names = Tables.part(s, d).select("p_name").distinct()
+      val pairs = Dedup.jwNameMatch(names, "p_name", "p_name",
+        minJw = 0.88, maxBlock = 100000L)
+      Components.connected(pairs, "id1", "id2")
+        .select(col("id").as("name"), col("cluster").as("entity"))
+    }),
+
     // Cross-source duplication Venn (q193's mirrored corpus): content
     // bucketed by how many distinct sources carry it — the syndication
     // spread histogram a dedup rollout is sized by.
@@ -9412,6 +9436,37 @@ object SparkEntry {
 
     // Levenshtein pairs on the distinct-name substrate, first-token
     // blocks, pair volume by count arithmetic.
+    "q368_soft_dedup" ->
+      """WITH m AS (SELECT doc_id, source, text FROM documents
+               UNION ALL
+               SELECT doc_id + 1000000, 'mirror', text
+               FROM documents WHERE doc_id % 7 = 0),
+         f AS (SELECT source,
+                  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+               FROM m),
+         c AS (SELECT fp, CAST(count(*) AS BIGINT) AS n_copies
+               FROM f GROUP BY 1),
+         w AS (SELECT source, 1000000 // n_copies AS w
+               FROM f JOIN c ON f.fp = c.fp)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(w) AS BIGINT) AS effective_micro,
+                CAST(sum(w) // count(*) AS BIGINT) AS mean_weight_ppm
+         FROM w GROUP BY 1""",
+
+    "q369_entity_resolution" ->
+      """WITH RECURSIVE n AS (SELECT DISTINCT p_name FROM part),
+         p AS (SELECT a.p_name AS id1, b.p_name AS id2
+               FROM n a JOIN n b
+                 ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+                AND a.p_name < b.p_name
+               WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6)
+                     >= 0.88),
+         e AS (SELECT id1 AS a, id2 AS b FROM p
+               UNION SELECT id2, id1 FROM p),
+         r(x, y) AS (SELECT a, b FROM e
+                     UNION SELECT r.x, e.b FROM r JOIN e ON r.y = e.a)
+         SELECT x AS name, least(x, min(y)) AS entity FROM r GROUP BY x""",
+
     "q367_damerau_pairs" ->
       """WITH n AS (SELECT DISTINCT p_name FROM part)
          SELECT a.p_name AS name_1, b.p_name AS name_2,

@@ -19,8 +19,11 @@ import org.apache.spark.storage.StorageLevel
   */
 object Components {
 
-  /** @param pairs DataFrame with two long id columns (an undirected edge per
-    *              row); isolated docs are not emitted (no edge → no dup).
+  /** @param pairs DataFrame with two ORDERABLE id columns (long ids in
+    *              the dedup family, strings in the q369 name-entity
+    *              resolution — min/least drive the label algebra, so any
+    *              totally ordered type works); an undirected edge per
+    *              row. Isolated docs are not emitted (no edge → no dup).
     * @return (id, cluster) where cluster = min id reachable from id —
     *         materialized eagerly ([[Materialize.artifact]]: local blocks,
     *         or the reliable checkpoint dir when one is set), so the caller gets a
@@ -28,12 +31,62 @@ object Components {
     *         iteration chain is already cut and the blocks are freed by the
     *         ContextCleaner once the frame is collected. It is small (one
     *         row per node with an edge). */
+  /** @param driverEdgeBudget edge count at or below which the component
+    *        pass runs as a DRIVER-LOCAL union-find instead of the
+    *        distributed round loop — the bpeMerges hybrid discipline:
+    *        each distributed round costs a fixed handful of scheduled
+    *        stages, so a few-hundred-edge graph pays seconds of pure
+    *        scheduling for microseconds of work. The edge list is
+    *        already the post-similarity-join artifact (pairs, never the
+    *        corpus); ≤ budget edges is a bounded driver artifact by the
+    *        same contract as the PQ training sample. Identical output
+    *        (min reachable id — union-by-min keeps every root the
+    *        component minimum, path compression keeps the walk linear);
+    *        the distributed path is unchanged above the budget. */
   def connected(pairs: DataFrame, id1: String, id2: String,
-                maxIters: Int = 25): DataFrame = {
+                maxIters: Int = 25,
+                driverEdgeBudget: Long = 1000000L): DataFrame = {
     val edges = pairs.select(col(id1).as("a"), col(id2).as("b"))
       .unionByName(pairs.select(col(id2).as("a"), col(id1).as("b")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = edges.count() // also materializes the persist
+    if (nEdges <= driverEdgeBudget) {
+      val spark = pairs.sparkSession
+      val idType = edges.schema("a").dataType
+      val rows = edges.collect()
+      val parent = new java.util.HashMap[Any, Any]()
+      def cmp(x: Any, y: Any): Int =
+        x.asInstanceOf[Comparable[Any]].compareTo(y)
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (parent.get(c) != r) {
+          val nx = parent.get(c); parent.put(c, r); c = nx
+        }
+        r
+      }
+      rows.foreach { r =>
+        val a = r.get(0); val b = r.get(1)
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          if (cmp(ra, rb) <= 0) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      val out = parent.keySet().asScala.toSeq
+        .map(k => org.apache.spark.sql.Row(k, find(k)))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("cluster", idType)))
+      edges.unpersist()
+      return Materialize.artifact(spark.createDataFrame(
+        spark.sparkContext.parallelize(out.toIndexedSeq,
+          math.max(1, out.size / 500000 + 1)), schema))
+    }
     var labels = edges.groupBy(col("a").as("id"))
       .agg(least(min(col("b")), first(col("a"))).as("cluster"))
       .persist(StorageLevel.MEMORY_AND_DISK)

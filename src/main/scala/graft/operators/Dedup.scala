@@ -1270,6 +1270,33 @@ object Dedup {
           .otherwise(array_join(col("graft_kept"), " ")).as("clean_text"))
   }
 
+  /** SOFT dedup via duplicate-aware training weights — the alternative
+    * to hard removal the sampling literature prefers when duplicates
+    * carry signal (a doc replicated n times trains with weight 1/n, so
+    * the corpus distribution is dedup-corrected WITHOUT discarding any
+    * row or choosing a canonical): per doc, the exact copy count of its
+    * content fingerprint and weight_ppm = 10⁶ div n_copies; per source,
+    * the EFFECTIVE corpus size Σ 1/n_copies (in micro-docs) next to the
+    * raw count — the number that should drive mixing ratios. One
+    * fingerprint aggregate + one join-back + one rollup, all
+    * map-combinable. */
+  def softDedupWeights(docs: DataFrame, idCol: String, textCol: String,
+                       srcCol: String): DataFrame = {
+    val fps = docs.select(col(idCol).as("doc_id"),
+      col(srcCol).as("source"), T.fingerprint(col(textCol)).as("graft_fp"))
+    val counts = fps.groupBy("graft_fp")
+      .agg(count(lit(1)).as("n_copies"))
+    fps.join(counts, Seq("graft_fp"))
+      .select(col("source"),
+        expr("1000000 div n_copies").as("graft_w"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("graft_w").cast("long").as("effective_micro"))
+      .select(col("source"), col("n_docs"),
+        col("effective_micro"),
+        expr("effective_micro div n_docs").as("mean_weight_ppm"))
+  }
+
   /** Cross-source duplication VENN — the spread histogram next to the
     * pairwise matrix (53e counts dup PAIRS per source pair; this counts
     * how much CONTENT lives in exactly k sources): fingerprints bucketed

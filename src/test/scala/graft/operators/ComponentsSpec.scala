@@ -31,4 +31,30 @@ class ComponentsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(out === Map(3L -> 3L, 5L -> 3L, 7L -> 3L))
   }
+
+  test("driver union-find path equals the distributed loop exactly") {
+    // chains, stars, singleton pairs, merged clusters — forced down BOTH
+    // paths via the edge budget and compared row-for-row
+    val pairs = ((1 until 30).map(i => (i.toLong, (i + 1).toLong)) ++
+      Seq((100L, 101L), (100L, 102L), (100L, 103L), (102L, 103L),
+        (200L, 201L), (50L, 100L)))
+      .toDF("id1", "id2")
+    val fast = Components.connected(pairs, "id1", "id2")
+      .as[(Long, Long)].collect().toMap
+    val dist = Components.connected(pairs, "id1", "id2",
+      driverEdgeBudget = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(fast === dist)
+    assert(fast(103L) === 50L && fast(30L) === 1L && fast(201L) === 200L)
+  }
+
+  test("driver union-find path handles string ids (the q369 entity shape)") {
+    val pairs = Seq(("acme corp", "acme corps"), ("acme corps", "acme inc"),
+      ("zeta a", "zeta b")).toDF("id1", "id2")
+    val out = Components.connected(pairs, "id1", "id2")
+      .as[(String, String)].collect().toMap
+    assert(out === Map("acme corp" -> "acme corp",
+      "acme corps" -> "acme corp", "acme inc" -> "acme corp",
+      "zeta a" -> "zeta a", "zeta b" -> "zeta a"))
+  }
 }
