@@ -1998,6 +1998,104 @@ object SparkEntry {
         .select(col("id").as("name"), col("cluster").as("entity"))
     }),
 
+    // URL extraction + registrable-domain rollup over planted citations:
+    // the C4/RefinedWeb provenance audit. URLs (subdomain/tld/port/path
+    // varied by doc_id, one with trailing punctuation, one ftp:// decoy
+    // that must NOT match) are planted deterministically so the real
+    // regex extraction + host normalization replays arithmetically.
+    "q370_url_domains" -> ((s, d) => {
+      val subs = typedLit(Seq("", "www.", "cdn.", "api."))
+      val names = typedLit(Seq("alpha", "beta", "gamma", "delta", "epsilon"))
+      val tlds = typedLit(Seq("com", "org", "co.uk"))
+      val planted = Tables.documents(s, d).select(col("doc_id"), concat(
+        col("text"), lit(" http://"),
+        element_at(subs, (col("doc_id") % 4 + 1).cast("int")),
+        element_at(names, (col("doc_id") % 5 + 1).cast("int")), lit("."),
+        element_at(tlds, (col("doc_id") % 3 + 1).cast("int")),
+        when(col("doc_id") % 7 === 0, lit(":8080")).otherwise(lit("")),
+        lit("/p/"), col("doc_id"), lit(","),
+        when(col("doc_id") % 2 === 0,
+          lit(" https://mirror.example.net/x)")).otherwise(lit("")),
+        lit(" ftp://skip.example.org/no")).as("text"))
+      Corpus.urlDomains(planted, "doc_id", "text")
+    }),
+
+    // Jarque-Bera normality screen on per-type daily event counts — the
+    // "is it even normal" gate in front of the parametric test family;
+    // exact centered power sums, one ordered double expression per stat.
+    "q371_jarque_bera" -> ((s, d) => {
+      val daily = eventsUs(s, d)
+        .select(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+      Analytics.jarqueBera(daily, "event_type", "cnt")
+    }),
+
+    // Wilcoxon signed-rank: per customer, odd-orderkey spend vs
+    // even-orderkey spend — the paired twin of q328's rank-sum, doubled
+    // midranks over the gated distinct-|d| table.
+    "q372_wilcoxon_signed" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_custkey"),
+        col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      val pairs = o.groupBy("o_custkey").agg(
+        sum(when(col("o_orderkey") % 2 === 1, col("cents")).otherwise(0L))
+          .as("x"),
+        sum(when(col("o_orderkey") % 2 === 0, col("cents")).otherwise(0L))
+          .as("y"))
+      Analytics.wilcoxonSignedRank(pairs, "x", "y")
+    }),
+
+    // gzip member metadata over deterministic stored-block fixtures:
+    // real RFC 1952 header walk + CRC32/ISIZE verification against the
+    // recomputed checksum; the synth arithmetic replays in SQL.
+    "q373_gzip_meta" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val len = 100 + (id % 1000L).toInt
+          val got = multimodal.Binary.gzipMeta(
+            multimodal.Binary.synthGzip(len, 1600000000L + id, 256))
+            .getOrElse((-1L, -1, -1, -1L, false))
+          (id, got._1, got._3.toLong, got._4, got._5)
+        }.toDF("doc_id", "mtime", "n_blocks", "isize", "crc_ok")
+    }),
+
+    // Snapshot-sync MERGE (WHEN NOT MATCHED BY SOURCE THEN DELETE with
+    // a protective keepWhere): the table becomes the incoming snapshot
+    // except protected stragglers; the oracle recomputes the final
+    // table from source arithmetic.
+    "q374_sync_merge" -> ((s, d) => {
+      val fmt = "graft.sources.WarehouseSink"
+      val dir = tempTableDir("graft_sync_")
+      val base = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      base.write.format(fmt).option("path", dir).mode("overwrite").save()
+      val snap = base.filter(col("k") % 3 =!= 0)
+        .select(col("k"), when(col("k") % 5 === 0, col("cents") + 500L)
+          .otherwise(col("cents")).as("cents"))
+        .unionByName(base.filter(col("k") % 11 === 0)
+          .select((col("k") + 2000000000L).as("k"), lit(99L).as("cents")))
+      sources.WarehouseSink.syncMoR(s, dir, snap, Seq("k"),
+        keepWhere = Some("cents % 10 = 3"))
+      s.read.format(fmt).option("path", dir).load()
+        .groupBy((col("k") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+        .select(col("bucket").cast("long").as("bucket"), col("n_rows"),
+          col("sum_cents").cast("long").as("sum_cents"))
+    }),
+
+    // Harmonic closeness for a seed set on the supplier↔part bipartite
+    // graph (the q330 substrate): per-seed BFS in one shared frontier,
+    // exact 1000000 div d contributions within 3 hops.
+    "q375_closeness" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_suppkey").as("sk"),
+        (col("l_partkey") + lit(10000000L)).cast("long").as("pk"))
+      val edges = li.select(col("sk").as("src"), col("pk").as("dst"))
+        .unionByName(li.select(col("pk").as("src"), col("sk").as("dst")))
+      Graph.harmonicCloseness(edges, "src", "dst", seeds = Seq(1L, 2L, 3L),
+        maxHops = 3)
+    }),
+
     // Cross-source duplication Venn (q193's mirrored corpus): content
     // bucketed by how many distinct sources carry it — the syndication
     // spread histogram a dedup rollout is sized by.
@@ -9466,6 +9564,165 @@ object SparkEntry {
          r(x, y) AS (SELECT a, b FROM e
                      UNION SELECT r.x, e.b FROM r JOIN e ON r.y = e.a)
          SELECT x AS name, least(x, min(y)) AS entity FROM r GROUP BY x""",
+
+    // The planted-URL arithmetic: domain = name(id%5).tld(id%3), one
+    // URL per doc plus a mirror URL on even ids; the ftp decoy and the
+    // trailing punctuation exist only to exercise the Spark-side regex.
+    "q370_url_domains" ->
+      """WITH d AS (SELECT doc_id,
+              CASE doc_id % 5 WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'
+                WHEN 2 THEN 'gamma' WHEN 3 THEN 'delta'
+                ELSE 'epsilon' END || '.' ||
+              CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                ELSE 'co.uk' END AS dom
+             FROM documents),
+         one AS (SELECT dom AS domain, count(*) AS n_urls,
+                   count(DISTINCT doc_id) AS n_docs
+                 FROM d GROUP BY 1
+                 UNION ALL
+                 SELECT 'example.net', count(*), count(*)
+                 FROM documents WHERE doc_id % 2 = 0)
+         SELECT domain, CAST(n_urls AS BIGINT) AS n_urls,
+                CAST(n_docs AS BIGINT) AS n_docs
+         FROM one""",
+
+    // Exact centered power sums per event type, then the same ordered
+    // double expressions (one sqrt, round 6) the operator documents.
+    "q371_jarque_bera" ->
+      """WITH daily AS (SELECT event_type,
+                  epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS cnt
+               FROM events GROUP BY 1, 2),
+         mu AS (SELECT event_type,
+                  CAST(sum(cnt) AS HUGEINT) // count(*) AS mu
+               FROM daily GROUP BY 1),
+         c AS (SELECT daily.event_type,
+                 CAST(cnt - mu AS HUGEINT) AS c
+               FROM daily JOIN mu ON daily.event_type = mu.event_type),
+         f AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+                 sum(c) AS s1, sum(c * c) AS s2,
+                 sum(c * c * c) AS s3, sum(c * c * c * c) AS s4
+               FROM c GROUP BY 1),
+         mm AS (SELECT event_type, n,
+                 n * s2 - s1 * s1 AS m2,
+                 n * n * s3 - 3 * n * s2 * s1 + 2 * s1 * s1 * s1 AS m3,
+                 n * n * n * s4 - 4 * n * n * s3 * s1
+                   + 6 * n * s2 * s1 * s1
+                   - 3 * s1 * s1 * s1 * s1 AS m4
+               FROM f),
+         st AS (SELECT event_type, CAST(n AS BIGINT) AS n,
+                 CASE WHEN n < 4 OR m2 <= 0 THEN NULL
+                   ELSE round(CAST(m3 AS DOUBLE)
+                     / (CAST(m2 AS DOUBLE) * sqrt(CAST(m2 AS DOUBLE))), 6)
+                   END AS skew,
+                 CASE WHEN n < 4 OR m2 <= 0 THEN NULL
+                   ELSE round(CAST(m4 AS DOUBLE)
+                     / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)) - 3.0, 6)
+                   END AS exkurt
+               FROM mm)
+         SELECT event_type, n, skew, exkurt,
+                CASE WHEN skew IS NULL OR exkurt IS NULL THEN NULL
+                  ELSE round(CAST(n AS DOUBLE) / 6.0
+                    * (skew * skew + exkurt * exkurt / 4.0), 6)
+                  END AS jb
+         FROM st""",
+
+    // Doubled midranks over the distinct-|d| table, 2W+ and the tie
+    // term exact; z replays the operator's ordered double expression.
+    "q372_wilcoxon_signed" ->
+      """WITH pairs AS (SELECT o_custkey,
+                  CAST(sum(CASE WHEN o_orderkey % 2 = 1
+                       THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT)
+                  - CAST(sum(CASE WHEN o_orderkey % 2 = 0
+                       THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS d
+               FROM orders GROUP BY 1),
+         nz AS (SELECT d, abs(d) AS a FROM pairs WHERE d <> 0),
+         g AS (SELECT a, CAST(count(*) AS HUGEINT) AS m,
+                 CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS HUGEINT)
+                   AS p
+               FROM nz GROUP BY 1),
+         r AS (SELECT a, m, p,
+                 CAST(coalesce(sum(m) OVER (ORDER BY a
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS HUGEINT) AS below
+               FROM g),
+         f AS (SELECT CAST(coalesce(sum(m), 0) AS HUGEINT) AS n,
+                 CAST(coalesce(sum((2 * below + m + 1) * p), 0) AS HUGEINT)
+                   AS twp,
+                 CAST(coalesce(sum(m * m * m - m), 0) AS HUGEINT) AS tie
+               FROM r)
+         SELECT CAST(n AS BIGINT) AS n_pairs,
+                CAST(twp AS BIGINT) AS two_w_plus,
+                CAST(tie AS BIGINT) AS tie_term,
+                CASE WHEN n = 0 THEN NULL
+                  WHEN CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)
+                    * CAST(2 * n + 1 AS DOUBLE) / 24.0
+                    - CAST(tie AS DOUBLE) / 48.0 <= 0.0 THEN NULL
+                  ELSE round((CAST(twp AS DOUBLE) / 2.0
+                    - CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE) / 4.0)
+                   / sqrt(CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)
+                      * CAST(2 * n + 1 AS DOUBLE) / 24.0
+                      - CAST(tie AS DOUBLE) / 48.0), 6) END AS z
+         FROM f""",
+
+    "q373_gzip_meta" ->
+      """SELECT doc_id,
+                CAST(1600000000 + doc_id AS BIGINT) AS mtime,
+                CAST((100 + doc_id % 1000 + 255) // 256 AS BIGINT)
+                  AS n_blocks,
+                CAST(100 + doc_id % 1000 AS BIGINT) AS isize,
+                true AS crc_ok
+         FROM documents""",
+
+    // Final table = snapshot ∪ protected stragglers (absent from the
+    // snapshot AND matching the keepWhere guard).
+    "q374_sync_merge" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+             FROM orders),
+         final AS (
+           SELECT k, CASE WHEN k % 5 = 0 THEN cents + 500 ELSE cents END
+             AS cents
+           FROM base WHERE k % 3 <> 0
+           UNION ALL
+           SELECT k + 2000000000 AS k, 99 AS cents FROM base
+           WHERE k % 11 = 0
+           UNION ALL
+           SELECT k, cents FROM base WHERE k % 3 = 0 AND cents % 10 = 3)
+         SELECT CAST(k % 10 AS BIGINT) AS bucket,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM final GROUP BY 1""",
+
+    // Unrolled 3-hop per-seed BFS with EXCEPT level separation; the
+    // harmonic sum replays the integer 1000000 // d contributions.
+    "q375_closeness" ->
+      """WITH li AS (SELECT DISTINCT l_suppkey AS a,
+                  l_partkey + 10000000 AS b FROM lineitem),
+         ed AS (SELECT a AS src, b AS dst FROM li
+                UNION SELECT b, a FROM li),
+         s(seed) AS (SELECT CAST(x AS BIGINT)
+                     FROM (VALUES (1), (2), (3)) t(x)),
+         d0 AS (SELECT seed, seed AS node FROM s),
+         n1 AS (SELECT DISTINCT d0.seed, ed.dst AS node
+                FROM d0 JOIN ed ON ed.src = d0.node),
+         d1 AS (SELECT * FROM n1 EXCEPT SELECT * FROM d0),
+         n2 AS (SELECT DISTINCT d1.seed, ed.dst AS node
+                FROM d1 JOIN ed ON ed.src = d1.node),
+         d2 AS (SELECT * FROM n2 EXCEPT SELECT * FROM d0
+                EXCEPT SELECT * FROM d1),
+         n3 AS (SELECT DISTINCT d2.seed, ed.dst AS node
+                FROM d2 JOIN ed ON ed.src = d2.node),
+         d3 AS (SELECT * FROM n3 EXCEPT SELECT * FROM d0
+                EXCEPT SELECT * FROM d1 EXCEPT SELECT * FROM d2),
+         allv AS (SELECT seed, node, 1 AS hops FROM d1
+                  UNION ALL SELECT seed, node, 2 FROM d2
+                  UNION ALL SELECT seed, node, 3 FROM d3)
+         SELECT seed, CAST(count(*) AS BIGINT) AS n_reached,
+                CAST(sum(1000000 // hops) AS BIGINT) AS harmonic_micro
+         FROM allv GROUP BY seed""",
 
     "q367_damerau_pairs" ->
       """WITH n AS (SELECT DISTINCT p_name FROM part)

@@ -1988,4 +1988,107 @@ object Binary {
     out.write(new Array[Byte](1024)) // two-zero-block terminator
     out.toByteArray
   }
+
+  /** gzip member metadata, pure JDK (RFC 1952) — the compressed-stream
+    * leg of the archive family (crawl corpora ship as .jsonl.gz; the
+    * manifest question is "when was it made, how big does it inflate,
+    * is it intact" without keeping the inflated bytes): header MTIME +
+    * FLG-driven optional fields (FEXTRA/FNAME/FCOMMENT/FHCRC all
+    * honored), then a STORED-block walk of the deflate stream (BTYPE 00
+    * — the only deflate shape readable without a Huffman engine; any
+    * compressed block degrades to None, the JPEG-pixel honesty rule),
+    * then the footer's CRC32/ISIZE. The walk recomputes CRC32 over the
+    * stored payload with the JDK's own table and verifies BOTH footer
+    * fields, so `crcOk` is a real integrity check, not an echo.
+    * Returns (mtime, fnameLen, nBlocks, isize, crcOk); None on
+    * malformed/truncated/non-stored — degrade, never throw. */
+  def gzipMeta(bytes: Array[Byte]): Option[(Long, Int, Int, Long, Boolean)] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    if (bytes.length < 18) return None
+    if (u8(0) != 0x1f || u8(1) != 0x8b || u8(2) != 8) return None
+    val flg = u8(3)
+    val mtime = le32(4)
+    var p = 10
+    if ((flg & 4) != 0) { // FEXTRA
+      if (p + 2 > bytes.length) return None
+      p += 2 + le16(p)
+    }
+    var fnameLen = 0
+    if ((flg & 8) != 0) { // FNAME, NUL-terminated
+      val start = p
+      while (p < bytes.length && bytes(p) != 0) p += 1
+      if (p >= bytes.length) return None
+      fnameLen = p - start
+      p += 1
+    }
+    if ((flg & 16) != 0) { // FCOMMENT
+      while (p < bytes.length && bytes(p) != 0) p += 1
+      if (p >= bytes.length) return None
+      p += 1
+    }
+    if ((flg & 2) != 0) p += 2 // FHCRC
+    // stored-block walk: 3-bit header at a byte boundary → first byte
+    // is BFINAL | BTYPE<<1; BTYPE 00 re-aligns, so LEN/NLEN follow
+    val crc = new java.util.zip.CRC32()
+    var nBlocks = 0
+    var inflated = 0L
+    var done = false
+    while (!done) {
+      if (p + 5 > bytes.length) return None
+      val hdr = u8(p)
+      if ((hdr >> 1 & 3) != 0 || (hdr & 0xf8) != 0) return None
+      val len = le16(p + 1)
+      if (le16(p + 3) != (~len & 0xffff)) return None
+      if (p + 5 + len > bytes.length) return None
+      crc.update(bytes, p + 5, len)
+      inflated += len
+      nBlocks += 1
+      done = (hdr & 1) != 0
+      p += 5 + len
+    }
+    if (p + 8 > bytes.length) return None
+    val crcOk = le32(p) == crc.getValue &&
+      le32(p + 4) == (inflated & 0xffffffffL)
+    Some((mtime, fnameLen, nBlocks, inflated, crcOk))
+  }
+
+  /** Deterministic gzip fixture: one member with MTIME + FNAME set and
+    * a `payloadLen`-byte deterministic payload ((k·31 + 7) mod 256)
+    * split into STORED deflate blocks of `blockSize`, real CRC32/ISIZE
+    * footer. A zero-length payload still writes one final empty block
+    * (zlib's own convention). */
+  def synthGzip(payloadLen: Int, mtime: Long, blockSize: Int,
+                name: String = "member.bin"): Array[Byte] = {
+    require(payloadLen >= 0 && blockSize >= 1 && blockSize <= 0xffff,
+      "payloadLen >= 0 and 1 <= blockSize <= 65535 required")
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write(v >> 8 & 0xff) }
+    def le32(v: Long): Unit = { le16((v & 0xffff).toInt)
+      le16((v >> 16 & 0xffff).toInt) }
+    out.write(0x1f); out.write(0x8b); out.write(8)
+    out.write(8) // FLG: FNAME only
+    le32(mtime)
+    out.write(0); out.write(255) // XFL, OS unknown
+    out.write(name.getBytes("US-ASCII")); out.write(0)
+    val payload = Array.tabulate[Byte](payloadLen)(k => ((k * 31 + 7) & 0xff).toByte)
+    var off = 0
+    var wrote = false
+    while (off < payloadLen || !wrote) {
+      val len = math.min(blockSize, payloadLen - off)
+      val fin = off + len >= payloadLen
+      out.write(if (fin) 1 else 0)
+      le16(len); le16(~len & 0xffff)
+      out.write(payload, off, len)
+      off += len
+      wrote = true
+    }
+    val crc = new java.util.zip.CRC32()
+    crc.update(payload)
+    le32(crc.getValue)
+    le32(payloadLen.toLong)
+    out.toByteArray
+  }
 }

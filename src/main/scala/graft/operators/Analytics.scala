@@ -2071,6 +2071,157 @@ object Analytics {
           " END").as("z"))
   }
 
+  /** Wilcoxon SIGNED-RANK test — the PAIRED rung of the rank-test family
+    * ([[mannWhitneyU]] compares two independent cohorts; this compares two
+    * measurements of the SAME unit): given one (x, y) pair per unit, does
+    * the within-unit difference lean positive? Zero differences drop
+    * (Wilcoxon's original convention); |d| is ranked with midranks over
+    * the DISTINCT-|d| table (cardinality-gated like [[mannWhitneyU]]),
+    * and the statistic is W⁺ = Σ ranks of positive differences.
+    *
+    * Exactness: doubled midranks (2·rank = 2·below + ties + 1) keep W⁺
+    * integral — `two_w_plus` = 2W⁺ is exact in DECIMAL(38,0), as are n
+    * (pairs after zero-drop) and the tie term Σ(t³−t). The normal
+    * approximation z = (W⁺ − n(n+1)/4) / sqrt(n(n+1)(2n+1)/24 − Σ(t³−t)/48)
+    * is computed in ONE explicitly-ordered double expression from those
+    * exact integers (the [[mannWhitneyU]] discipline), so round(z, 6)
+    * replays bit-for-bit. NULL z when n = 0 or the variance degenerates
+    * (every |d| tied).
+    *
+    * Scale: the caller reduces to one row per unit (typically a grouped
+    * aggregate); here one |d|-keyed count (map-combinable), one
+    * cumulative window over the distinct-|d| table (gated), one
+    * join-back, one fold — no all-pairs anything. */
+  def wilcoxonSignedRank(pairs: DataFrame, xCol: String, yCol: String,
+                         maxDistinct: Long = 1L << 20): DataFrame = {
+    val dec = "decimal(38,0)"
+    val rows = pairs
+      .select((col(xCol).cast("long") - col(yCol).cast("long")).as("graft_d"))
+      .filter(col("graft_d").isNotNull && col("graft_d") =!= 0L)
+      .select(col("graft_d"), abs(col("graft_d")).as("graft_a"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val w = org.apache.spark.sql.expressions.Window.orderBy("graft_a")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranks = rows.groupBy(col("graft_a"))
+      .agg(count(lit(1)).as("graft_m"),
+        sum(when(col("graft_d") > 0, 1L).otherwise(0L)).as("graft_p"))
+      .withColumn("graft_card", count(lit(1)).over(wAll))
+      .filter(assert_true(col("graft_card") <= lit(maxDistinct),
+        lit(s"wilcoxonSignedRank: more than $maxDistinct distinct |d| — " +
+          "quantize the metric before ranking")).isNull)
+      .withColumn("graft_below",
+        coalesce(sum("graft_m").over(w), lit(0L)))
+      // doubled midrank of every row tied at this |d|
+      .withColumn("graft_r2",
+        (lit(2L) * col("graft_below") + col("graft_m") + lit(1L)).cast(dec))
+    ranks.agg(
+      coalesce(sum(col("graft_m")), lit(0L)).cast(dec).as("graft_n"),
+      coalesce(sum(col("graft_r2") * col("graft_p")), lit(0L).cast(dec))
+        .as("graft_2wp"),
+      coalesce(sum(expr(s"CAST(graft_m AS $dec) * graft_m * graft_m" +
+        " - graft_m")), lit(0L).cast(dec)).as("graft_tie"))
+      .select(
+        col("graft_n").cast("long").as("n_pairs"),
+        col("graft_2wp").cast("long").as("two_w_plus"),
+        col("graft_tie").cast("long").as("tie_term"),
+        expr("CASE WHEN graft_n = 0 THEN CAST(NULL AS DOUBLE)" +
+          " WHEN CAST(graft_n AS DOUBLE) * CAST(graft_n + 1 AS DOUBLE)" +
+          "   * CAST(2 * graft_n + 1 AS DOUBLE) / 24.0" +
+          "   - CAST(graft_tie AS DOUBLE) / 48.0 <= 0.0" +
+          " THEN CAST(NULL AS DOUBLE)" +
+          " ELSE round((CAST(graft_2wp AS DOUBLE) / 2.0" +
+          "   - CAST(graft_n AS DOUBLE) * CAST(graft_n + 1 AS DOUBLE) / 4.0)" +
+          "  / sqrt(CAST(graft_n AS DOUBLE) * CAST(graft_n + 1 AS DOUBLE)" +
+          "     * CAST(2 * graft_n + 1 AS DOUBLE) / 24.0" +
+          "     - CAST(graft_tie AS DOUBLE) / 48.0), 6) END").as("z"))
+  }
+
+  /** Jarque–Bera normality screen per group — "is this metric's
+    * distribution even roughly normal" asked before any of the
+    * parametric tests in this family ([[welchT]], the ANOVA pair) gets
+    * believed: JB = n/6 · (S² + K²/4) from sample skewness S and excess
+    * kurtosis K (Jarque & Bera, Econ. Letters 1980). Values must be
+    * integral (counts, cents — the caller quantizes).
+    *
+    * Exactness: per group the fold keeps n and centered power sums
+    * S1..S4 as DECIMAL(38,0), centered on the group's INTEGER floor mean
+    * (computed in a first tiny aggregate and joined back — centering
+    * keeps every power sum inside 38-digit headroom; the statistics are
+    * translation-invariant, and the sub-unit remainder S1/n is carried
+    * exactly by the common-denominator moments). The moments
+    * M2 = n·S2 − S1² (= n²m2), M3 = n²·S3 − 3n·S2·S1 + 2S1³ (= n³m3),
+    * M4 = n³·S4 − 4n²·S3·S1 + 6n·S2·S1² − 3S1⁴ (= n⁴m4) are exact
+    * integers; skew = M3/M2^{3/2}, excess kurtosis = M4/M2² − 3 and
+    * JB = n/6·(skew² + exkurt²/4) are then each ONE explicitly-ordered
+    * double expression over those exact integers (casts, one sqrt —
+    * IEEE correctly-rounded, the [[mannWhitneyU]] z discipline; JB is
+    * built from the already-round(6)ed skew/kurtosis, a documented
+    * choice both engines share), so round(·, 6) replays bit-for-bit. A magnitude gate
+    * asserts max|x − μ| ≤ 10⁶ per group (decimal headroom: Σc⁴ ≤
+    * n·10²⁴); coarser metrics must re-quantize. NULL statistics when
+    * n < 4 or M2 = 0.
+    *
+    * Scale: two map-combinable aggregates (the mean pass and the moment
+    * fold) plus one broadcast-sized join on the group key — group count
+    * rows only, no window, no distinct-value table. */
+  def jarqueBera(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val rows = df.select(col(groupCol).cast("string").as("graft_g"),
+        col(valueCol).cast("long").as("graft_x"))
+      .filter(col("graft_x").isNotNull && col("graft_g").isNotNull)
+    val means = rows.groupBy("graft_g")
+      .agg(expr("CAST(CAST(sum(graft_x) AS DECIMAL(38,0)) div count(1)" +
+        " AS BIGINT)").as("graft_mu"))
+    val folded = rows.join(broadcast(means), Seq("graft_g"))
+      .select(col("graft_g"),
+        (col("graft_x") - col("graft_mu")).cast(dec).as("graft_c"))
+      .groupBy("graft_g")
+      .agg(count(lit(1)).cast(dec).as("graft_n"),
+        sum(col("graft_c")).as("graft_s1"),
+        sum(col("graft_c") * col("graft_c")).as("graft_s2"),
+        sum(col("graft_c") * col("graft_c") * col("graft_c")).as("graft_s3"),
+        sum(col("graft_c") * col("graft_c") * col("graft_c") * col("graft_c"))
+          .as("graft_s4"),
+        max(abs(col("graft_c"))).cast(dec).as("graft_amax"))
+      .filter(assert_true(col("graft_amax") <= lit(1000000L),
+        lit("jarqueBera: max|x - mean| exceeds 1e6 — quantize the " +
+          "metric coarser before testing")).isNull)
+    folded
+      .withColumn("graft_m2",
+        expr("graft_n * graft_s2 - graft_s1 * graft_s1"))
+      .withColumn("graft_m3",
+        expr("graft_n * graft_n * graft_s3" +
+          " - 3 * graft_n * graft_s2 * graft_s1" +
+          " + 2 * graft_s1 * graft_s1 * graft_s1"))
+      .withColumn("graft_m4",
+        expr("graft_n * graft_n * graft_n * graft_s4" +
+          " - 4 * graft_n * graft_n * graft_s3 * graft_s1" +
+          " + 6 * graft_n * graft_s2 * graft_s1 * graft_s1" +
+          " - 3 * graft_s1 * graft_s1 * graft_s1 * graft_s1"))
+      // each statistic is ONE ordered double expression over exact ints
+      .withColumn("graft_skew",
+        expr("CASE WHEN graft_n < 4 OR graft_m2 <= 0" +
+          " THEN CAST(NULL AS DOUBLE)" +
+          " ELSE round(CAST(graft_m3 AS DOUBLE)" +
+          "  / (CAST(graft_m2 AS DOUBLE) * sqrt(CAST(graft_m2 AS DOUBLE)))" +
+          ", 6) END"))
+      .withColumn("graft_exk",
+        expr("CASE WHEN graft_n < 4 OR graft_m2 <= 0" +
+          " THEN CAST(NULL AS DOUBLE)" +
+          " ELSE round(CAST(graft_m4 AS DOUBLE)" +
+          "  / (CAST(graft_m2 AS DOUBLE) * CAST(graft_m2 AS DOUBLE))" +
+          "  - 3.0, 6) END"))
+      .select(col("graft_g").as(groupCol),
+        col("graft_n").cast("long").as("n"),
+        col("graft_skew").as("skew"),
+        col("graft_exk").as("exkurt"),
+        expr("CASE WHEN graft_skew IS NULL OR graft_exk IS NULL" +
+          " THEN CAST(NULL AS DOUBLE)" +
+          " ELSE round(CAST(graft_n AS DOUBLE) / 6.0" +
+          "  * (graft_skew * graft_skew" +
+          "     + graft_exk * graft_exk / 4.0), 6) END").as("jb"))
+  }
+
   /** Seasonal-naive forecast backtest — "does weekday seasonality
     * predict this series": per series, each observed day's count is
     * forecast two ways — SEASONAL = floor mean of the k most recent

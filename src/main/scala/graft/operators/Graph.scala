@@ -609,4 +609,62 @@ object Graph {
         col("node_a").asc, col("node_b").asc)
       .limit(topK)
   }
+
+  /** Harmonic closeness centrality for a SEED set within a hop radius —
+    * the per-node importance reading next to [[bfsHops]]' global
+    * expansion curve (reference recommendation.py:52 ranks entities by
+    * aggregate affinity; harmonic closeness is that question asked of
+    * the link structure): for each seed s, H(s) = Σ_{v≠s, d(s,v)≤maxHops}
+    * 1/d(s,v), reported in exact integer micro-units (each reached node
+    * contributes `1000000 div d` — floor division, engine-portable).
+    * Harmonic (not classic) closeness so unreached nodes contribute 0
+    * instead of forcing an infinite-distance convention (Boldi & Vigna,
+    * "Axioms for centrality", Internet Math. 2014 — the variant that
+    * stays well-defined on disconnected graphs).
+    *
+    * BFS runs PER SEED in one shared frontier table keyed by
+    * (seed, node): per round ONE join of the frontier against the edge
+    * list and ONE anti-join against the visited set — both keyed
+    * shuffles, the [[bfsHops]] discipline, just seed-qualified. With k
+    * seeds the frontier is at most k× the single-seed frontier; the
+    * visited table never exceeds k × |V|. Edges are directed (pass both
+    * directions for undirected semantics). */
+  def harmonicCloseness(edges: DataFrame, srcCol: String, dstCol: String,
+                        seeds: Seq[Long], maxHops: Int): DataFrame = {
+    require(seeds.nonEmpty && maxHops >= 1, "seeds and maxHops required")
+    val seedIds = seeds.distinct
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = Materialize.transient(edges
+      .select(col(srcCol).cast("long").as("graft_s"),
+        col(dstCol).cast("long").as("graft_d"))
+      .filter(col("graft_s").isNotNull && col("graft_d").isNotNull &&
+        col("graft_s") =!= col("graft_d"))
+      .distinct())
+    var visited = Materialize.transient(
+      seedIds.toDF("seed").select(col("seed").cast("long").as("seed"),
+        col("seed").as("node"), lit(0L).as("hops")))
+    var frontier = visited.select("seed", "node")
+    var h = 0
+    var done = false
+    while (h < maxHops && !done) {
+      val next = Materialize.transient(
+        frontier.join(e, frontier("node") === e("graft_s"))
+          .select(col("seed"), col("graft_d").as("node")).distinct()
+          .join(visited, Seq("seed", "node"), "left_anti")
+          .withColumn("hops", lit(h + 1L)))
+      if (next.isEmpty) done = true
+      else {
+        visited = Materialize.transient(visited.unionByName(next))
+        frontier = next.select("seed", "node")
+      }
+      h += 1
+    }
+    visited.filter(col("hops") > 0)
+      .groupBy("seed")
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000000 div hops")).as("harmonic_micro"))
+      .select(col("seed"), col("n_reached").cast("long").as("n_reached"),
+        col("harmonic_micro").cast("long").as("harmonic_micro"))
+  }
 }

@@ -2056,6 +2056,51 @@ object WarehouseSink {
     }
   }
 
+  /** Snapshot-sync MERGE — the `WHEN NOT MATCHED BY SOURCE THEN DELETE`
+    * clause that completes the merge matrix (Delta/Iceberg's
+    * dimension-sync verb: make the table equal the incoming snapshot,
+    * except rows the optional `keepWhere` predicate protects): source
+    * rows upsert exactly like [[mergeMoR]], and table rows whose keys
+    * the source does NOT carry die behind deletion vectors — unless
+    * `keepWhere` (a SQL predicate over table columns) holds, in which
+    * case they carry forward untouched (the conditional
+    * NOT-MATCHED-BY-SOURCE form: `... AND NOT keepWhere THEN DELETE`).
+    *
+    * Composition, not re-implementation: the dying rows are computed as
+    * ONE distributed anti-join of the live table against the source's
+    * key set (filtered by `NOT keepWhere`), tagged as tombstones, and
+    * the whole batch routes through [[applyChangesMoR]] — which pins the
+    * changes frame via localCheckpoint BEFORE any mutation, so the
+    * self-referential read is safe, and which owns the stats-pruned
+    * candidate selection, the executor-side vector write and the CDF
+    * capture. Same key-uniqueness contract as every merge verb; the
+    * anti-join keys are table rows, so a key-unique table stays
+    * key-unique. Single-writer, like all DML here. */
+  def syncMoR(spark: org.apache.spark.sql.SparkSession, dir: String,
+              source: org.apache.spark.sql.DataFrame,
+              keyCols: Seq[String],
+              keepWhere: Option[String] = None): MorApplyReport = {
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    require(keyCols.nonEmpty, "syncMoR requires at least one key column")
+    val fmt = classOf[WarehouseSink].getName
+    val cur = readManifest(dir).getOrElse(throw new IllegalArgumentException(
+      s"cannot sync into nonexistent warehouse table at $dir"))
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    require(source.columns.toSet == schema.fieldNames.toSet,
+      s"source schema ${source.columns.mkString(",")} must match table " +
+        s"schema ${schema.fieldNames.mkString(",")}")
+    val cols = schema.fieldNames.toIndexedSeq.map(col)
+    val del = "__graft_sync_delete"
+    val live = spark.read.format(fmt).option("path", dir).load()
+    val dying = live
+      .join(source.select(keyCols.map(col).toIndexedSeq: _*).distinct(),
+        keyCols, "left_anti")
+      .filter(keepWhere.map(w => !expr(w)).getOrElse(lit(true)))
+    val changes = source.select(cols: _*).withColumn(del, lit(false))
+      .unionByName(dying.select(cols: _*).withColumn(del, lit(true)))
+    applyChangesMoR(spark, dir, changes, keyCols, del)
+  }
+
   def mergeMoR(spark: org.apache.spark.sql.SparkSession, dir: String,
                updates: org.apache.spark.sql.DataFrame,
                keyCols: Seq[String]): MorMergeReport = {

@@ -692,4 +692,51 @@ class BinarySpec extends SparkSpec {
     val tail = Binary.synthMp3(9, 0, 2) ++ "garbage".getBytes
     assert(Binary.mp3Meta(tail) === Some((2, 44100, 128, 2 * 1152L)))
   }
+
+  test("gzipMeta round-trips the stored-block fixture") {
+    // 600 bytes at blockSize 256 → 3 stored blocks; fname "abc.bin".
+    val g = Binary.synthGzip(600, 123456789L, 256, "abc.bin")
+    assert(Binary.gzipMeta(g) === Some((123456789L, 7, 3, 600L, true)))
+    // zero-length payload still writes one (final, empty) block
+    assert(Binary.gzipMeta(Binary.synthGzip(0, 5L, 256)) ===
+      Some((5L, 10, 1, 0L, true)))
+    // exact multiple of the block size: no phantom trailing block
+    assert(Binary.gzipMeta(Binary.synthGzip(512, 0L, 256)) ===
+      Some((0L, 10, 2, 512L, true)))
+  }
+
+  test("gzipMeta reads the JDK's own level-0 writer") {
+    // GZIPOutputStream with NO_COMPRESSION emits stored deflate blocks
+    // — the walk must parse a REAL zlib stream, not just our fixture.
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos) {
+      `def`.setLevel(java.util.zip.Deflater.NO_COMPRESSION)
+    }
+    val payload = Array.tabulate[Byte](1000)(k => (k % 251).toByte)
+    gz.write(payload); gz.close()
+    val got = Binary.gzipMeta(bos.toByteArray)
+    assert(got.isDefined)
+    val (mtime, fname, blocks, isize, crcOk) = got.get
+    assert(mtime === 0L && fname === 0 && blocks >= 1 &&
+      isize === 1000L && crcOk)
+  }
+
+  test("gzipMeta degrades off the happy path") {
+    val g = Binary.synthGzip(300, 7L, 256)
+    // corrupt footer CRC: parses, but the integrity check fails
+    val bad = g.clone(); bad(bad.length - 8) = (bad(bad.length - 8) ^ 1).toByte
+    assert(Binary.gzipMeta(bad).map(_._5) === Some(false))
+    // corrupt payload byte: recomputed CRC disagrees with the footer
+    val flip = g.clone(); flip(flip.length - 20) =
+      (flip(flip.length - 20) ^ 0x40).toByte
+    assert(Binary.gzipMeta(flip).map(_._5) === Some(false))
+    // truncated footer / torn block / bad magic / compressed blocks
+    assert(Binary.gzipMeta(g.dropRight(4)) === None)
+    assert(Binary.gzipMeta(g.take(30)) === None)
+    assert(Binary.gzipMeta("not a gzip at all".getBytes) === None)
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos) // default compression
+    gz.write(Array.fill[Byte](4096)('a')); gz.close()
+    assert(Binary.gzipMeta(bos.toByteArray) === None)
+  }
 }

@@ -1357,4 +1357,47 @@ class AnalyticsSpec extends SparkSpec {
     assert(s.getAs[Long]("level_micro") === 1000000L)
     assert(s.isNullAt(s.fieldIndex("mae_micro_holt")))
   }
+
+  test("wilcoxonSignedRank replays the hand-ranked fixture") {
+    // d = {+3, −3, +3, +5, 0}: the zero drops (Wilcoxon's convention),
+    // |3| ties at midrank 2 (doubled 4), |5| ranks 4 (doubled 8) →
+    // 2W⁺ = 4+4+8 = 16, tie = 3³−3 + 0 = 24,
+    // z = (8 − 5) / sqrt(4·5·9/24 − 24/48) = 3/sqrt(7) = 1.133893.
+    val pairs = Seq((13L, 10L), (7L, 10L), (103L, 100L), (15L, 10L),
+      (42L, 42L)).toDF("x", "y")
+    val r = Analytics.wilcoxonSignedRank(pairs, "x", "y").collect()(0)
+    assert(r.getAs[Long]("n_pairs") === 4L)
+    assert(r.getAs[Long]("two_w_plus") === 16L)
+    assert(r.getAs[Long]("tie_term") === 24L)
+    assert(math.abs(r.getAs[Double]("z") - 1.133893) < 1e-9)
+    // all differences zero → nothing to rank, NULL z
+    val zero = Seq((5L, 5L), (9L, 9L)).toDF("x", "y")
+    val z = Analytics.wilcoxonSignedRank(zero, "x", "y").collect()(0)
+    assert(z.getAs[Long]("n_pairs") === 0L)
+    assert(z.isNullAt(z.fieldIndex("z")))
+  }
+
+  test("jarqueBera replays hand-computed moments and guards its gate") {
+    // [1,2,3,4]: floor mean 2, centered [−1,0,1,2] → S=(2,6,8,18);
+    // M2=20, M3=0, M4=656 → skew 0, exkurt 656/400−3 = −1.36,
+    // jb = round(4/6·(0 + 1.8496/4), 6) = 0.308267.
+    val a = Seq.tabulate(4)(i => ("a", (i + 1).toLong)) ++
+      Seq(("b", 1L), ("b", 2L), ("b", 3L)) // n=3 → NULL stats
+    val got = Analytics.jarqueBera(a.toDF("g", "v"), "g", "v")
+      .orderBy("g").collect()
+    val ra = got(0)
+    assert(ra.getAs[Long]("n") === 4L)
+    assert(ra.getAs[Double]("skew") === 0.0)
+    assert(math.abs(ra.getAs[Double]("exkurt") - (-1.36)) < 1e-9)
+    assert(math.abs(ra.getAs[Double]("jb") - 0.308267) < 1e-9)
+    val rb = got(1)
+    assert(rb.getAs[Long]("n") === 3L)
+    assert(rb.isNullAt(rb.fieldIndex("skew")))
+    assert(rb.isNullAt(rb.fieldIndex("jb")))
+    // magnitude gate: a 2e6 deviation must fail loudly, not overflow
+    val wide = Seq(("c", 0L), ("c", 4000000L), ("c", 10L), ("c", 20L))
+    intercept[Exception] {
+      Analytics.jarqueBera(wide.toDF("g", "v"), "g", "v").collect()
+    }
+  }
 }

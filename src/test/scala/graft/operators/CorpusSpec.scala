@@ -503,4 +503,21 @@ class CorpusSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(re === got.map(r => (r._1, r._2, r._3)).toSeq)
   }
+
+  test("urlDomains normalizes hosts and folds registrable domains") {
+    val docs = Seq(
+      (1L, "see https://www.example.com/a and http://example.com/b."),
+      (2L, "read https://sub.deep.bbc.co.uk/path?q=1) not ftp://nope.com/x"),
+      (3L, "no urls here, not even a@b.com"),
+      (4L, "http://user:pw@host.org:8080/x, then https://example.com"))
+      .toDF("doc_id", "text")
+    val got = Corpus.urlDomains(docs, "doc_id", "text")
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      // www stripped as a subdomain, trailing '.'/',' stripped,
+      // userinfo + port dropped; ftp/mailto invisible
+      ("bbc.co.uk", 1L, 1L),
+      ("example.com", 3L, 2L),
+      ("host.org", 1L, 1L)))
+  }
 }

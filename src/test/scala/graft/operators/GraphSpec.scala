@@ -222,4 +222,23 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect()
     assert(re === got)
   }
+
+  test("harmonicCloseness replays the hand-computed path graph") {
+    // Path 1—2—3—4 (both directions). maxHops=2:
+    //  seed 1: d(2)=1, d(3)=2 → n=2, H = 1000000 + 500000.
+    //  seed 3: d(2)=1, d(4)=1, d(1)=2 → n=3, H = 2500000.
+    //  seed 99: isolated — reaches nothing, absent from the output.
+    // Duplicate seed 1 must not double-count.
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = Graph.harmonicCloseness(edges, "src", "dst",
+      seeds = Seq(1L, 3L, 1L, 99L), maxHops = 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got === Array((1L, 2L, 1500000L), (3L, 3L, 2500000L)))
+    // duplicate edges + repartitioning don't change anything
+    val re = Graph.harmonicCloseness(
+      edges.unionByName(edges).repartition(5), "src", "dst",
+      Seq(1L, 3L), 2).as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(re === got)
+  }
 }

@@ -361,4 +361,29 @@ class DeletionVectorSpec extends SparkSpec {
     assert(live.filter(col("v") =!= "wide").select("id").as[Long]
       .collect().sorted.toSeq === (10L until 200L))
   }
+
+  test("syncMoR: the table becomes the snapshot, keepWhere protects stragglers") {
+    val dir = tmp()
+    Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 60L), (5L, 50L), (6L, 5L))
+      .toDF("id", "v").repartition(2)
+      .write.format(Fmt).option("path", dir).mode("overwrite").save()
+    // snapshot: update 1, carry 2, insert 7; 3..6 are NOT MATCHED BY
+    // SOURCE — v >= 50 protects 4 and 5, so only 3 and 6 die
+    val snap = Seq((1L, 11L), (2L, 20L), (7L, 70L)).toDF("id", "v")
+    val rep = WarehouseSink.syncMoR(spark, dir, snap, Seq("id"),
+      keepWhere = Some("v >= 50"))
+    assert(rep.rowsDeleted === 2L)
+    val got = spark.read.format(Fmt).option("path", dir).load()
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got === Seq((1L, 11L), (2L, 20L), (4L, 60L), (5L, 50L),
+      (7L, 70L)))
+    // without a guard the table equals the snapshot exactly
+    val dir2 = tmp()
+    Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v")
+      .write.format(Fmt).option("path", dir2).mode("overwrite").save()
+    WarehouseSink.syncMoR(spark, dir2, snap, Seq("id"))
+    assert(spark.read.format(Fmt).option("path", dir2).load()
+      .as[(Long, Long)].collect().sorted.toSeq ===
+      Seq((1L, 11L), (2L, 20L), (7L, 70L)))
+  }
 }
