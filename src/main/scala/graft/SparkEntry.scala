@@ -2096,6 +2096,69 @@ object SparkEntry {
         maxHops = 3)
     }),
 
+    // Cramér-von Mises two-sample distance on the q198 A/B split —
+    // the whole-curve companion of the KS sup-gap, one exact rational
+    // over the same cumulative substrate.
+    "q376_cvm_test" -> ((s, d) =>
+      Analytics.cvmTest(
+        Tables.events(s, d).filter(col("event_type") === "purchase"),
+        sideCol = substring(md5(col("user_id").cast("string")), 1, 1) < "8",
+        "value")),
+
+    // Pettitt rank-based changepoint per event-type daily series —
+    // the distribution-free "did the level shift, and when" next to
+    // q219's CUSUM; doubled midranks keep U_t exact.
+    "q377_pettitt" -> ((s, d) =>
+      Analytics.pettittTest(eventsUs(s, d), "event_type", "ts_us")),
+
+    // DBSCAN over the quantized 2-D embedding projection, with a
+    // second +18-shifted population planted so the density structure
+    // has two real clusters plus border and noise verdicts.
+    "q378_dbscan" -> ((s, d) => {
+      val base = Tables.embeddings(s, d).select(
+        (floor(element_at(col("embedding"), 1) * 20) + 20).cast("long")
+          .as("x"),
+        (floor(element_at(col("embedding"), 2) * 20) + 20).cast("long")
+          .as("y"),
+        col("vec_id"))
+      val planted = base.unionByName(
+        base.filter(col("vec_id") % 5 === 0)
+          .select((col("x") + 18L).as("x"), (col("y") + 18L).as("y"),
+            col("vec_id")))
+      Analytics.dbscan2d(planted, "x", "y", eps = 1L, minPts = 8L)
+    }),
+
+    // SVG dimensions: width/height attributes with the viewBox
+    // fallback exercised on odd ids; the synth arithmetic replays.
+    "q379_svg_dims" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = ((id % 300L) + 1L).toInt * 2
+          val h = ((id % 150L) + 1L).toInt * 3
+          val got = multimodal.Binary.svgDims(
+            multimodal.Binary.synthSvg(w, h, explicit = id % 2 == 0))
+          (id, got.map(_._1.toLong).getOrElse(-1L),
+            got.map(_._2.toLong).getOrElse(-1L))
+        }.toDF("doc_id", "width", "height")
+    }),
+
+    // PDF metadata: version, /Type /Page count (the /Pages tree node
+    // excluded), and startxref→xref validation over real minimal
+    // fixtures with correct byte offsets.
+    "q380_pdf_meta" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val pages = 1 + (id % 9L).toInt
+          val minor = (4 + id % 4L).toInt
+          val got = multimodal.Binary.pdfMeta(
+            multimodal.Binary.synthPdf(1, minor, pages))
+            .getOrElse((-1, -1, -1, false))
+          (id, got._1.toLong, got._2.toLong, got._3.toLong, got._4)
+        }.toDF("doc_id", "ver_major", "ver_minor", "n_pages", "xref_ok")
+    }),
+
     // Cross-source duplication Venn (q193's mirrored corpus): content
     // bucketed by how many distinct sources carry it — the syndication
     // spread histogram a dedup rollout is sized by.
@@ -9723,6 +9786,144 @@ object SparkEntry {
          SELECT seed, CAST(count(*) AS BIGINT) AS n_reached,
                 CAST(sum(1000000 // hops) AS BIGINT) AS harmonic_micro
          FROM allv GROUP BY seed""",
+
+    // The q198 substrate with the squared-gap integral instead of the
+    // sup: num = Σ m·(f1·n2 − f2·n1)², den = N²·n1·n2, floor-ppm.
+    "q376_cvm_test" ->
+      """WITH x AS (SELECT
+                  substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8' AS s,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+               FROM events WHERE event_type = 'purchase'),
+         per AS (SELECT v,
+                  CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS HUGEINT) AS c1,
+                  CAST(sum(CASE WHEN s THEN 0 ELSE 1 END) AS HUGEINT) AS c2
+               FROM x GROUP BY 1),
+         cum AS (SELECT v, c1, c2,
+                  sum(c1) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
+                  sum(c2) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2
+               FROM per),
+         t AS (SELECT max(f1) AS n1, max(f2) AS n2 FROM cum),
+         d AS (SELECT any_value(t.n1) AS n1, any_value(t.n2) AS n2,
+                      sum((c1 + c2) * (f1 * t.n2 - f2 * t.n1)
+                          * (f1 * t.n2 - f2 * t.n1)) AS num
+               FROM cum, t)
+         SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+                CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+                     ELSE num * 1000000
+                       // ((n1 + n2) * (n1 + n2) * n1 * n2) END
+                  AS BIGINT) AS cvm_ppm
+         FROM d""",
+
+    // Doubled midranks per series, running rank sums over the day
+    // order, U2_t = S2_t − t(n+1); the 5% flag replays the pinned
+    // constant compare (no exp materializes on either engine).
+    "q377_pettitt" ->
+      """WITH daily AS (SELECT event_type AS et,
+                  epoch_us(ts) // 86400000000 AS d,
+                  CAST(count(*) AS BIGINT) AS y
+               FROM events GROUP BY 1, 2),
+         g AS (SELECT et, y, CAST(count(*) AS HUGEINT) AS m
+               FROM daily GROUP BY 1, 2),
+         rk AS (SELECT et, y,
+                  2 * CAST(coalesce(sum(m) OVER (PARTITION BY et
+                    ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND
+                    1 PRECEDING), 0) AS HUGEINT) + m + 1 AS r2
+                FROM g),
+         u AS (SELECT daily.et, daily.d,
+                 CAST(row_number() OVER (PARTITION BY daily.et
+                   ORDER BY daily.d) AS HUGEINT) AS t,
+                 sum(rk.r2) OVER (PARTITION BY daily.et ORDER BY daily.d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS s2,
+                 CAST(count(*) OVER (PARTITION BY daily.et) AS HUGEINT)
+                   AS n
+               FROM daily JOIN rk
+                 ON daily.et = rk.et AND daily.y = rk.y),
+         uu AS (SELECT et, d, n, s2 - t * (n + 1) AS u2
+                FROM u WHERE t < n),
+         best AS (SELECT et, max(abs(u2)) AS k2 FROM uu GROUP BY 1),
+         pick AS (SELECT uu.et, max(uu.n) AS n, best.k2,
+                    min(uu.d) AS change_day
+                  FROM uu JOIN best
+                    ON uu.et = best.et AND abs(uu.u2) = best.k2
+                  GROUP BY uu.et, best.k2)
+         SELECT et AS event_type, CAST(n AS BIGINT) AS n_days,
+                CAST(k2 AS BIGINT) AS k_stat,
+                CAST(change_day AS BIGINT) AS change_day,
+                CASE WHEN CAST(6 * k2 * k2 AS DOUBLE)
+                  >= 3.6888794541139363
+                    * CAST(n * n * n + n * n AS DOUBLE)
+                  THEN 1 ELSE 0 END AS significant_05
+         FROM pick""",
+
+    // Brute-force pair replay on the bounded distinct-point table,
+    // recursive-CTE components for the core graph (q369's closure),
+    // min-cluster border attach, noise = -1.
+    "q378_dbscan" ->
+      """WITH RECURSIVE e AS (SELECT
+                  CAST(floor(embedding[1] * 20) + 20 AS BIGINT) AS x,
+                  CAST(floor(embedding[2] * 20) + 20 AS BIGINT) AS y,
+                  vec_id
+               FROM embeddings),
+         pl AS (SELECT x, y FROM e
+                UNION ALL
+                SELECT x + 18, y + 18 FROM e WHERE vec_id % 5 = 0),
+         p AS (SELECT x, y, CAST(count(*) AS BIGINT) AS w,
+                 x * 2147483648 + y AS pid
+               FROM pl GROUP BY 1, 2),
+         nb AS (SELECT a.pid AS pa, b.pid AS pb, b.w AS wb
+                FROM p a JOIN p b
+                  ON (a.x - b.x) * (a.x - b.x)
+                   + (a.y - b.y) * (a.y - b.y) <= 1),
+         mass AS (SELECT pa AS pid, sum(wb) AS m FROM nb GROUP BY 1),
+         core AS (SELECT pid FROM mass WHERE m >= 8),
+         ce AS (SELECT nb.pa AS a, nb.pb AS b FROM nb
+                JOIN core c1 ON nb.pa = c1.pid
+                JOIN core c2 ON nb.pb = c2.pid
+                WHERE nb.pa < nb.pb),
+         sym AS (SELECT a, b FROM ce UNION SELECT b, a FROM ce),
+         r(s, t) AS (SELECT a, b FROM sym
+                     UNION SELECT r.s, sym.b
+                     FROM r JOIN sym ON r.t = sym.a),
+         comp AS (SELECT s AS pid, least(s, min(t)) AS cl
+                  FROM r GROUP BY s),
+         corelab AS (SELECT core.pid, coalesce(comp.cl, core.pid) AS cl
+                     FROM core LEFT JOIN comp ON core.pid = comp.pid),
+         borderlab AS (SELECT nb.pa AS pid, min(corelab.cl) AS cl
+                       FROM nb JOIN corelab ON nb.pb = corelab.pid
+                       WHERE nb.pa NOT IN (SELECT pid FROM core)
+                       GROUP BY 1),
+         asg AS (SELECT p.x, p.y, p.w,
+                   CASE WHEN cl1.pid IS NOT NULL THEN 1 ELSE 0 END
+                     AS is_core,
+                   coalesce(cl1.cl, bl.cl, -1) AS cluster
+                 FROM p
+                 LEFT JOIN corelab cl1 ON p.pid = cl1.pid
+                 LEFT JOIN borderlab bl ON p.pid = bl.pid)
+         SELECT cluster, CAST(sum(w) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN is_core = 1 THEN w ELSE 0 END)
+                  AS BIGINT) AS n_core_docs,
+                CAST(count(*) AS BIGINT) AS n_points,
+                CAST(min(x) AS BIGINT) AS min_x,
+                CAST(max(x) AS BIGINT) AS max_x,
+                CAST(min(y) AS BIGINT) AS min_y,
+                CAST(max(y) AS BIGINT) AS max_y
+         FROM asg GROUP BY 1""",
+
+    "q379_svg_dims" ->
+      """SELECT doc_id,
+                CAST((doc_id % 300 + 1) * 2 AS BIGINT) AS width,
+                CAST((doc_id % 150 + 1) * 3 AS BIGINT) AS height
+         FROM documents""",
+
+    "q380_pdf_meta" ->
+      """SELECT doc_id, CAST(1 AS BIGINT) AS ver_major,
+                CAST(4 + doc_id % 4 AS BIGINT) AS ver_minor,
+                CAST(1 + doc_id % 9 AS BIGINT) AS n_pages,
+                true AS xref_ok
+         FROM documents""",
 
     "q367_damerau_pairs" ->
       """WITH n AS (SELECT DISTINCT p_name FROM part)

@@ -2091,4 +2091,126 @@ object Binary {
     le32(payloadLen.toLong)
     out.toByteArray
   }
+
+  // ---- Document containers (SVG 1.1 §5.1.2 / PDF 32000-1 §7.5) ----
+
+  /** SVG dimensions — the vector leg of the image-dimension family
+    * (crawls carry SVG alongside the raster formats; the intake
+    * question is the same width×height): parse the root `<svg>` tag's
+    * `width`/`height` attributes (unitless or `px` only — physical
+    * units need a DPI context this audit doesn't have), falling back to
+    * the `viewBox` third/fourth values when either is absent (the
+    * common icon shape). Input is the UTF-8 byte column the pipeline
+    * stores; only the prefix up to the end of the root tag is examined.
+    * None on no root svg tag, non-pixel units, or no resolvable size —
+    * degrade, never throw. */
+  def svgDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    val head = new String(bytes, 0, math.min(bytes.length, 4096),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val tagStart = head.indexOf("<svg")
+    if (tagStart < 0) return None
+    val tagEnd = head.indexOf('>', tagStart)
+    if (tagEnd < 0) return None
+    val tag = head.substring(tagStart, tagEnd)
+    def attr(name: String): Option[String] = {
+      val re = (name + "\\s*=\\s*\"([^\"]*)\"").r
+      re.findFirstMatchIn(tag).map(_.group(1).trim)
+    }
+    def px(v: String): Option[Int] = {
+      val s = if (v.endsWith("px")) v.dropRight(2).trim else v
+      if (s.nonEmpty && s.forall(_.isDigit)) Some(s.toInt) else None
+    }
+    (attr("width").flatMap(px), attr("height").flatMap(px)) match {
+      case (Some(w), Some(h)) => Some((w, h))
+      case _ =>
+        attr("viewBox").flatMap { vb =>
+          val parts = vb.split("[\\s,]+").filter(_.nonEmpty)
+          if (parts.length == 4 && parts.forall(_.forall(_.isDigit)))
+            Some((parts(2).toInt, parts(3).toInt))
+          else None
+        }
+    }
+  }
+
+  /** Deterministic SVG fixture: root tag with explicit width/height
+    * when `explicit`, else viewBox only. */
+  def synthSvg(w: Int, h: Int, explicit: Boolean): Array[Byte] = {
+    val tag =
+      if (explicit)
+        s"""<svg xmlns="http://www.w3.org/2000/svg" width="$w" height="$h">"""
+      else
+        s"""<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 $w $h">"""
+    (s"""<?xml version="1.0"?>\n$tag<rect x="1" y="1"/></svg>""")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** PDF document metadata, pure JDK — the document leg of the binary
+    * family (corpora ship PDFs; the intake question is version + page
+    * count + "is the xref where the trailer says"): header `%PDF-M.m`,
+    * page count by scanning for `/Type /Page` object markers (the
+    * `/Pages` tree node excluded by the following byte — the same
+    * count the catalog's `/Count` declares), and `startxref` validated
+    * by checking the bytes at the declared offset actually start an
+    * `xref` table (a torn download fails exactly this check). Linearized
+    * or cross-reference-STREAM PDFs (no literal `xref` keyword) report
+    * xrefOk false rather than None — version and page count still
+    * stand. Returns (major, minor, nPages, xrefOk); None on missing
+    * header — degrade, never throw. */
+  def pdfMeta(bytes: Array[Byte]): Option[(Int, Int, Int, Boolean)] = {
+    if (bytes.length < 16) return None
+    val head = new String(bytes, 0, math.min(bytes.length, 16),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    if (!head.startsWith("%PDF-")) return None
+    val ver = head.substring(5).takeWhile(c => c.isDigit || c == '.')
+    val vp = ver.split("\\.")
+    if (vp.length < 2 || vp(0).isEmpty || vp(1).isEmpty ||
+      !vp(0).forall(_.isDigit) || !vp(1).forall(_.isDigit)) return None
+    val body = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    // page objects: "/Type /Page" not followed by 's' (which would be
+    // the /Pages tree node); tolerate the no-space "/Type/Page" form
+    var n = 0
+    var i = body.indexOf("/Type")
+    while (i >= 0) {
+      var j = i + 5
+      while (j < body.length && body.charAt(j) == ' ') j += 1
+      if (body.startsWith("/Page", j) &&
+        (j + 5 >= body.length || body.charAt(j + 5) != 's')) n += 1
+      i = body.indexOf("/Type", i + 5)
+    }
+    val sx = body.lastIndexOf("startxref")
+    val xrefOk = sx >= 0 && {
+      val off = body.substring(sx + 9).trim.takeWhile(_.isDigit)
+      off.nonEmpty && off.length <= 10 && {
+        val o = off.toLong
+        o < bytes.length - 4 && body.startsWith("xref", o.toInt)
+      }
+    }
+    Some((vp(0).toInt, vp(1).toInt, n, xrefOk))
+  }
+
+  /** Deterministic minimal-but-valid PDF fixture: catalog + pages tree
+    * + `pages` page objects, a real xref table with correct byte
+    * offsets, trailer and startxref. */
+  def synthPdf(major: Int, minor: Int, pages: Int): Array[Byte] = {
+    val sb = new StringBuilder
+    val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+    def obj(body: String): Unit = {
+      offsets += sb.length
+      sb.append(s"${offsets.length} 0 obj\n$body\nendobj\n")
+    }
+    sb.append(s"%PDF-$major.$minor\n")
+    obj("<< /Type /Catalog /Pages 2 0 R >>")
+    val kids = (0 until pages).map(k => s"${3 + k} 0 R").mkString(" ")
+    obj(s"<< /Type /Pages /Kids [$kids] /Count $pages >>")
+    (0 until pages).foreach { _ =>
+      obj("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] >>")
+    }
+    val xrefAt = sb.length
+    sb.append(s"xref\n0 ${offsets.length + 1}\n")
+    sb.append("0000000000 65535 f \n")
+    offsets.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+    sb.append(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R >>\n")
+    sb.append(s"startxref\n$xrefAt\n%%EOF\n")
+    sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
 }

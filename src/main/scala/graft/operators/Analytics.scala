@@ -1687,15 +1687,25 @@ object Analytics {
     * cross-multiplied to clear denominators
     * (|cum₁·n₂ − cum₂·n₁|, max, then ·10⁶ div n₁·n₂) — AUC's (24g)
     * bounded-table discipline: one value-keyed collapse, then a window
-    * over ≤ |distinct quantized values| rows. NULL when either sample is
-    * empty. */
-  def ksTest(df: DataFrame, sideCol: Column, valueCol: String): DataFrame = {
+    * over ≤ |distinct quantized values| rows, cardinality-gated like
+    * [[mannWhitneyU]] (the centi quantization is the contract; an
+    * unbounded-precision metric must re-quantize before the global
+    * cumulative window). NULL when either sample is empty. */
+  def ksTest(df: DataFrame, sideCol: Column, valueCol: String,
+             maxDistinct: Long = 1L << 20): DataFrame = {
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
     val per = df
       .select(sideCol.cast("boolean").as("graft_s"),
         floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("long").as("graft_x"))
       .groupBy("graft_x")
       .agg(sum(col("graft_s").cast("long")).cast("decimal(38,0)").as("c1"),
         sum((!col("graft_s")).cast("long")).cast("decimal(38,0)").as("c2"))
+      .withColumn("graft_card", count(lit(1)).over(wAll))
+      .filter(assert_true(col("graft_card") <= lit(maxDistinct),
+        lit(s"ksTest: more than $maxDistinct distinct centi values — " +
+          "quantize the metric coarser before the cumulative window"))
+        .isNull)
+      .drop("graft_card")
     val w = org.apache.spark.sql.expressions.Window.orderBy("graft_x")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val cum = per
@@ -1710,6 +1720,235 @@ object Analytics {
         col("n2").cast("long").as("n_b"),
         expr("CASE WHEN n1 = 0 OR n2 = 0 THEN CAST(NULL AS BIGINT)" +
           " ELSE dmax * 1000000 div (n1 * n2) END").as("ks_ppm"))
+  }
+
+  /** Exact two-sample Cramér–von Mises distance — the WHOLE-CURVE
+    * companion of [[ksTest]] (KS sees only the single worst point of
+    * the ECDF gap; CvM integrates the squared gap over the combined
+    * sample, so many small departures register where KS stays flat —
+    * Anderson, Ann. Math. Stat. 1962): T = n₁n₂/N² · Σ_z (F₁(z)−F₂(z))²
+    * over the combined sample with multiplicity. Cleared of
+    * denominators it is ONE exact rational,
+    *   T = Σ_k m_k·(f₁ₖ·n₂ − f₂ₖ·n₁)² / (N²·n₁·n₂)
+    * (k over distinct centi values, m multiplicity, f cumulative
+    * counts), emitted as floor-ppm — every intermediate an exact
+    * DECIMAL(38,0), no float anywhere. Same substrate, gate and
+    * quantization contract as [[ksTest]]; NULL on an empty side. */
+  def cvmTest(df: DataFrame, sideCol: Column, valueCol: String,
+              maxDistinct: Long = 1L << 20): DataFrame = {
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val per = df
+      .select(sideCol.cast("boolean").as("graft_s"),
+        floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("long").as("graft_x"))
+      .groupBy("graft_x")
+      .agg(sum(col("graft_s").cast("long")).cast("decimal(38,0)").as("c1"),
+        sum((!col("graft_s")).cast("long")).cast("decimal(38,0)").as("c2"))
+      .withColumn("graft_card", count(lit(1)).over(wAll))
+      .filter(assert_true(col("graft_card") <= lit(maxDistinct),
+        lit(s"cvmTest: more than $maxDistinct distinct centi values — " +
+          "quantize the metric coarser before the cumulative window"))
+        .isNull)
+      .drop("graft_card")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("graft_x")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = per
+      .withColumn("f1", sum("c1").over(w))
+      .withColumn("f2", sum("c2").over(w))
+    val tot = cum.agg(max("f1").as("n1"), max("f2").as("n2"))
+    cum.crossJoin(broadcast(tot))
+      .groupBy("n1", "n2")
+      .agg(sum(expr("(c1 + c2) * (f1 * n2 - f2 * n1)" +
+        " * (f1 * n2 - f2 * n1)")).as("num"))
+      .select(col("n1").cast("long").as("n_a"),
+        col("n2").cast("long").as("n_b"),
+        expr("CASE WHEN n1 = 0 OR n2 = 0 THEN CAST(NULL AS BIGINT)" +
+          " ELSE num * 1000000" +
+          " div ((n1 + n2) * (n1 + n2) * n1 * n2) END").as("cvm_ppm"))
+  }
+
+  /** Pettitt changepoint test — the RANK-based "did the level shift,
+    * and when" companion of the CUSUM screen (48ab locates a mean break
+    * in raw units; Pettitt is distribution-free, so one outlier day
+    * cannot fake a break — Pettitt, JRSS-C 1979): per series,
+    * U_t = Σ_{i≤t} Σ_{j>t} sgn(x_i − x_j), the break lands at the t
+    * maximizing |U_t|. U_t is already integral, and the doubled-midrank
+    * identity Σ_j sgn(x_i − x_j) = 2r_i − 1 − n (2r = 2·below + ties +
+    * 1, the family trick) collapses it to U_t = S2_t − t·(n+1) with
+    * S2_t the running doubled-midrank sum — every value exact; ties
+    * broken to the EARLIEST day. Significance at 5%: Pettitt's
+    * approximation p ≈ 2·exp(−6K²/(n³+n²)) crosses 0.05 exactly when
+    * 6·K² ≥ −ln(0.025)·(n³+n²) — emitted as the integer flag
+    * `significant_05` via one pinned compare of the exact LHS against
+    * the double-literal constant times (n³+n²) (exp itself is NOT
+    * correctly-rounded across libms, so the p-value never materializes
+    * — the family's no-transcendentals rule; sqrt-free too). A
+    * single-day series has no interior split point and produces no
+    * row.
+    *
+    * Scale: the corpus collapses to (series, day, count) first; ranks
+    * live on per-series distinct-value tables and the scan over
+    * candidate ts is a per-series window over ≤ day-span rows. */
+  def pettittTest(events: DataFrame, seriesCol: String,
+                  tsUsCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val daily = events
+      .select(col(seriesCol).cast("string").as("graft_s"),
+        expr(s"$tsUsCol div ${86400L * 1000000L}L").as("graft_d"))
+      .groupBy("graft_s", "graft_d")
+      .agg(count(lit(1)).as("graft_y"))
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy("graft_s").orderBy("graft_y")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranks = daily.groupBy("graft_s", "graft_y")
+      .agg(count(lit(1)).as("graft_m"))
+      .withColumn("graft_below", coalesce(sum("graft_m").over(wv), lit(0L)))
+      .select(col("graft_s"), col("graft_y"),
+        (lit(2L) * col("graft_below") + col("graft_m") + lit(1L))
+          .cast(dec).as("graft_r2"))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy("graft_s").orderBy("graft_d")
+    val wAllS = org.apache.spark.sql.expressions.Window
+      .partitionBy("graft_s")
+    val u = daily.join(ranks, Seq("graft_s", "graft_y"))
+      .withColumn("graft_t", row_number().over(wd).cast("long"))
+      .withColumn("graft_s2",
+        sum("graft_r2").over(wd.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("graft_n", count(lit(1)).over(wAllS))
+      .withColumn("graft_u2",
+        expr("graft_s2 - CAST(graft_t AS DECIMAL(38,0)) * (graft_n + 1)"))
+      .filter(col("graft_t") < col("graft_n"))
+    u.withColumn("graft_best",
+        max(abs(col("graft_u2"))).over(wAllS))
+      .filter(abs(col("graft_u2")) === col("graft_best"))
+      .groupBy(col("graft_s").as(seriesCol))
+      .agg(max("graft_n").as("graft_nn"),
+        max("graft_best").as("graft_k2"),
+        min("graft_d").as("graft_day"))
+      .select(col(seriesCol),
+        col("graft_nn").cast("long").as("n_days"),
+        col("graft_k2").cast("long").as("k_stat"),
+        col("graft_day").cast("long").as("change_day"),
+        expr("CASE WHEN CAST(6 * graft_k2 * graft_k2 AS DOUBLE)" +
+          " >= 3.6888794541139363" +
+          "   * CAST(graft_nn * graft_nn * graft_nn" +
+          "     + graft_nn * graft_nn AS DOUBLE)" +
+          " THEN 1L ELSE 0L END").as("significant_05"))
+  }
+
+  /** DBSCAN over a 2-D integer feature plane — density clustering with
+    * a NOISE verdict (the k-means family must assign every point; a
+    * curation pass needs "this doc sits in no mass at all" — Ester et
+    * al., KDD 1996): core = weighted ε-neighborhood mass ≥ minPts,
+    * clusters = connected components of the core-core ε-graph, border
+    * points attach to their minimum-labeled core neighbor, the rest is
+    * noise (cluster −1). Coordinates are caller-quantized nonneg
+    * integers (the fixed-point contract); distance is exact squared
+    * Euclidean ≤ ε², so membership is integer arithmetic end-to-end
+    * and every verdict hash-checks.
+    *
+    * Scale: the corpus collapses FIRST to distinct (x, y) points with
+    * multiplicities (identical docs cluster identically, so DBSCAN runs
+    * on the bounded point set, weights carrying the mass — the standard
+    * dedup trick); candidate pairs come from a 3×3 ε-cell join (each
+    * point joins only its 9 surrounding cells, never all points), and a
+    * per-cell distinct-point gate (`maxCell`) asserts the join stays
+    * subquadratic; components ride [[Components.connected]]'s
+    * min-label machinery. */
+  def dbscan2d(df: DataFrame, xCol: String, yCol: String,
+               eps: Long, minPts: Long,
+               maxCell: Long = 100000L): DataFrame = {
+    require(eps >= 1 && minPts >= 1, "eps and minPts must be positive")
+    val pts0 = df
+      .select(col(xCol).cast("long").as("graft_x"),
+        col(yCol).cast("long").as("graft_y"))
+      .filter(col("graft_x").isNotNull && col("graft_y").isNotNull)
+      .filter(assert_true(col("graft_x") >= 0L && col("graft_x") < lit(1L << 31) &&
+        col("graft_y") >= 0L && col("graft_y") < lit(1L << 31),
+        lit("dbscan2d: coordinates must be quantized into [0, 2^31)"))
+        .isNull)
+      .groupBy("graft_x", "graft_y")
+      .agg(count(lit(1)).as("graft_w"))
+      .withColumn("graft_pid",
+        col("graft_x") * lit(1L << 31) + col("graft_y"))
+      .withColumn("graft_cx", expr(s"graft_x div ${eps}L"))
+      .withColumn("graft_cy", expr(s"graft_y div ${eps}L"))
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy("graft_cx", "graft_cy")
+    val pts = Materialize.transient(pts0
+      .withColumn("graft_cell_n", count(lit(1)).over(wCell))
+      .filter(assert_true(col("graft_cell_n") <= lit(maxCell),
+        lit(s"dbscan2d: more than $maxCell distinct points in one " +
+          "ε-cell — quantize coarser or shrink eps")).isNull)
+      .drop("graft_cell_n"))
+    // ordered candidate pairs via the 3×3 neighbor-cell join (self pair
+    // included at offset (0,0) — DBSCAN counts the point itself)
+    val offs = Seq(-1L, 0L, 1L)
+    val probe = pts.select(col("graft_pid").as("pa"),
+        col("graft_x").as("xa"), col("graft_y").as("ya"),
+        col("graft_cx"), col("graft_cy"))
+      .withColumn("graft_off", explode(typedLit(
+        for { dx <- offs; dy <- offs } yield (dx, dy))))
+      .select(col("pa"), col("xa"), col("ya"),
+        (col("graft_cx") + col("graft_off._1")).as("graft_cx"),
+        (col("graft_cy") + col("graft_off._2")).as("graft_cy"))
+    val cand = probe.join(
+        pts.select(col("graft_pid").as("pb"), col("graft_x").as("xb"),
+          col("graft_y").as("yb"), col("graft_w").as("wb"),
+          col("graft_cx"), col("graft_cy")),
+        Seq("graft_cx", "graft_cy"))
+      .filter(expr(s"(xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)" +
+        s" <= ${eps * eps}L"))
+      .select(col("pa"), col("pb"), col("wb"))
+    val mass = cand.groupBy(col("pa").as("graft_pid"))
+      .agg(sum("wb").as("graft_mass"))
+    val labeled = Materialize.transient(pts
+      .join(mass, Seq("graft_pid"))
+      .withColumn("graft_core", col("graft_mass") >= minPts))
+    val coreIds = labeled.filter(col("graft_core"))
+      .select(col("graft_pid").as("pa"))
+    val coreEdges = cand
+      .filter(col("pa") < col("pb"))
+      .join(coreIds, Seq("pa"), "left_semi")
+      .join(coreIds.withColumnRenamed("pa", "pb"), Seq("pb"), "left_semi")
+      .select(col("pa").as("id1"), col("pb").as("id2"))
+    val comp = Components.connected(coreEdges, "id1", "id2")
+    // cores: component label, or own pid when no core neighbor exists
+    val coreLab = labeled.filter(col("graft_core"))
+      .join(comp.withColumnRenamed("id", "graft_pid"), Seq("graft_pid"),
+        "left")
+      .select(col("graft_pid"),
+        coalesce(col("cluster"), col("graft_pid")).as("graft_cl"))
+    // borders: minimum cluster among core ε-neighbors
+    val borderLab = cand
+      .join(labeled.filter(!col("graft_core"))
+        .select(col("graft_pid").as("pa")), Seq("pa"), "left_semi")
+      .join(coreLab.select(col("graft_pid").as("pb"),
+        col("graft_cl")), Seq("pb"))
+      .groupBy(col("pa").as("graft_pid"))
+      .agg(min("graft_cl").as("graft_cl"))
+    val assigned = labeled
+      .join(coreLab.select(col("graft_pid"), col("graft_cl").as("c1")),
+        Seq("graft_pid"), "left")
+      .join(borderLab.select(col("graft_pid"), col("graft_cl").as("c2")),
+        Seq("graft_pid"), "left")
+      .select(col("graft_x"), col("graft_y"), col("graft_w"),
+        col("graft_core").cast("long").as("graft_is_core"),
+        coalesce(col("c1"), col("c2"), lit(-1L)).as("cluster"))
+    assigned.groupBy("cluster")
+      .agg(sum("graft_w").as("n_docs"),
+        sum(when(col("graft_is_core") === 1L, col("graft_w"))
+          .otherwise(0L)).as("n_core_docs"),
+        count(lit(1)).as("n_points"),
+        min("graft_x").as("min_x"), max("graft_x").as("max_x"),
+        min("graft_y").as("min_y"), max("graft_y").as("max_y"))
+      .select(col("cluster"), col("n_docs").cast("long").as("n_docs"),
+        col("n_core_docs").cast("long").as("n_core_docs"),
+        col("n_points").cast("long").as("n_points"),
+        col("min_x").cast("long").as("min_x"),
+        col("max_x").cast("long").as("max_x"),
+        col("min_y").cast("long").as("min_y"),
+        col("max_y").cast("long").as("max_y"))
   }
 
   /** Theil-Sen robust trend — the outlier-proof sibling of

@@ -739,4 +739,39 @@ class BinarySpec extends SparkSpec {
     gz.write(Array.fill[Byte](4096)('a')); gz.close()
     assert(Binary.gzipMeta(bos.toByteArray) === None)
   }
+
+  test("svgDims reads explicit sizes, the viewBox fallback, and degrades") {
+    assert(Binary.svgDims(Binary.synthSvg(640, 480, explicit = true)) ===
+      Some((640, 480)))
+    assert(Binary.svgDims(Binary.synthSvg(24, 24, explicit = false)) ===
+      Some((24, 24)))
+    // px units accepted; physical units refused; commas in viewBox ok
+    def svg(s: String) = s.getBytes("UTF-8")
+    assert(Binary.svgDims(svg("""<svg width="10px" height="20px">""")) ===
+      Some((10, 20)))
+    assert(Binary.svgDims(svg("""<svg width="10mm" height="20mm">""")) ===
+      None)
+    assert(Binary.svgDims(svg("""<svg viewBox="0, 0, 30, 40">x""")) ===
+      Some((30, 40)))
+    assert(Binary.svgDims(svg("<html>no vector here</html>")) === None)
+    assert(Binary.svgDims(svg("<svg width=\"5\"")) === None) // unclosed tag
+  }
+
+  test("pdfMeta round-trips fixtures and validates the xref pointer") {
+    assert(Binary.pdfMeta(Binary.synthPdf(1, 7, 5)) ===
+      Some((1, 7, 5, true)))
+    assert(Binary.pdfMeta(Binary.synthPdf(2, 0, 1)) ===
+      Some((2, 0, 1, true)))
+    // corrupt the startxref offset: still parses, xref check fails
+    val good = Binary.synthPdf(1, 4, 3)
+    val s = new String(good, "ISO-8859-1")
+    val bad = s.replaceAll("startxref\n\\d+", "startxref\n17")
+      .getBytes("ISO-8859-1")
+    assert(Binary.pdfMeta(bad) === Some((1, 4, 3, false)))
+    // the /Pages tree node is never counted as a page
+    assert(Binary.pdfMeta(Binary.synthPdf(1, 5, 0)) ===
+      Some((1, 5, 0, true)))
+    assert(Binary.pdfMeta("%PDF-".getBytes) === None) // torn header
+    assert(Binary.pdfMeta("not a pdf".getBytes) === None)
+  }
 }

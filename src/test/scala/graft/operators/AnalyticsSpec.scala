@@ -1400,4 +1400,65 @@ class AnalyticsSpec extends SparkSpec {
       Analytics.jarqueBera(wide.toDF("g", "v"), "g", "v").collect()
     }
   }
+
+  test("cvmTest: zero on identical samples, hand-computed on disjoint") {
+    // A = {1, 2}, B = {10, 20}: gaps (.5, 1, .5, 0) → T = 1.5·(4/16)
+    // = 0.375 → 375000 ppm.
+    val dis = Seq((true, 1.0), (true, 2.0), (false, 10.0), (false, 20.0))
+      .toDF("s", "v")
+    val r = Analytics.cvmTest(dis, col("s"), "v").collect()(0)
+    assert(r.getAs[Long]("n_a") === 2L && r.getAs[Long]("n_b") === 2L)
+    assert(r.getAs[Long]("cvm_ppm") === 375000L)
+    // identical samples on both sides → exactly zero
+    val same = Seq((true, 3.0), (false, 3.0), (true, 7.0), (false, 7.0))
+      .toDF("s", "v")
+    assert(Analytics.cvmTest(same, col("s"), "v").collect()(0)
+      .getAs[Long]("cvm_ppm") === 0L)
+  }
+
+  test("pettittTest finds the hand-computed break and flags a real one") {
+    val base = 86400L * 1000000L
+    // [1,1,1,5,5,5] over days 1..6: U_t = (−3,−6,−9,−6,−3) → K = 9
+    // at t = 3 (day 3), far from the 5% line (6·81 < 3.6889·252).
+    def day(d: Long, k: Int) = Seq.fill(k)(("a", base * d + 1L))
+    val ev = (day(1, 1) ++ day(2, 1) ++ day(3, 1) ++
+      day(4, 5) ++ day(5, 5) ++ day(6, 5)).toDF("etype", "ts_us")
+    val r = Analytics.pettittTest(ev, "etype", "ts_us").collect()(0)
+    assert(r.getAs[Long]("n_days") === 6L)
+    assert(r.getAs[Long]("k_stat") === 9L)
+    assert(r.getAs[Long]("change_day") === 3L)
+    assert(r.getAs[Long]("significant_05") === 0L)
+    // a hard level shift over 20 days must flag significant
+    val big = ((1L to 10L).map(d => day(d, 1)) ++
+      (11L to 20L).map(d => day(d, 60))).flatten.toDF("etype", "ts_us")
+    val rb = Analytics.pettittTest(big, "etype", "ts_us").collect()(0)
+    assert(rb.getAs[Long]("change_day") === 10L)
+    assert(rb.getAs[Long]("significant_05") === 1L)
+  }
+
+  test("dbscan2d separates blobs, attaches borders, flags noise") {
+    // Two 3×3 blobs at (10..12)² and (20..22)², one isolated point,
+    // one point duplicated 5× (a weighted singleton core cluster).
+    // eps=1, minPts=4: blob cores are the 5-point crosses, corners are
+    // borders, the singleton's weight alone makes it core.
+    val blob = for (x <- 10L to 12L; y <- 10L to 12L) yield (x, y)
+    val blob2 = blob.map { case (x, y) => (x + 10L, y + 10L) }
+    val pts = (blob ++ blob2 ++ Seq((40L, 40L)) ++
+      Seq.fill(5)((50L, 50L))).toDF("x", "y")
+    val got = Analytics.dbscan2d(pts, "x", "y", eps = 1L, minPts = 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(_._1).toSeq
+    val c = 1L << 31
+    assert(got === Seq(
+      (-1L, 1L, 0L, 1L, 40L, 40L),            // noise
+      (10L * c + 11L, 9L, 5L, 9L, 10L, 12L),  // blob 1: min core (10,11)
+      (20L * c + 21L, 9L, 5L, 9L, 20L, 22L),  // blob 2
+      (50L * c + 50L, 5L, 5L, 1L, 50L, 50L))) // weighted singleton core
+    // coordinate gate fires loudly
+    intercept[Exception] {
+      Analytics.dbscan2d(Seq((-1L, 0L)).toDF("x", "y"), "x", "y", 1L, 1L)
+        .collect()
+    }
+  }
 }
