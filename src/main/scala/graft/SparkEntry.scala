@@ -2159,6 +2159,36 @@ object SparkEntry {
         }.toDF("doc_id", "ver_major", "ver_minor", "n_pages", "xref_ok")
     }),
 
+    // Haar wavelet energy per event-type daily series: exact integer
+    // detail energies over the latest 16 observed days — which
+    // timescale the variance lives at (the generator ships 30-day
+    // spans, so the 16-day dyadic window is the largest that fills).
+    "q381_haar_energy" -> ((s, d) =>
+      Analytics.haarEnergy(eventsUs(s, d), "event_type", "ts_us",
+        levels = 4)),
+
+    // Johnson-Lindenstrauss distortion audit: deterministic md5-sign
+    // ±1 projection 64→16, pairwise distance distortion spread over a
+    // consistent-hash sample — exact fixed-point end to end.
+    "q382_jl_distortion" -> ((s, d) =>
+      Quantize.jlDistortion(Tables.embeddings(s, d), "vec_id",
+        "embedding", dim = 64, k = 16, sampleMod = 13L)),
+
+    // ICO icon-directory walk over deterministic fixtures: entry
+    // count + max declared dims, offsets containment-checked.
+    "q383_ico_meta" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val n = 1 + (id % 4L).toInt
+          val dims = (0 until n).map(k =>
+            (((id % 200L) + 1).toInt + k, ((id % 100L) + 1).toInt + k))
+          val got = multimodal.Binary.icoMeta(
+            multimodal.Binary.synthIco(dims)).getOrElse((-1, -1, -1))
+          (id, got._1.toLong, got._2.toLong, got._3.toLong)
+        }.toDF("doc_id", "n_images", "max_width", "max_height")
+    }),
+
     // Cross-source duplication Venn (q193's mirrored corpus): content
     // bucketed by how many distinct sources carry it — the syndication
     // spread histogram a dedup rollout is sized by.
@@ -9923,6 +9953,87 @@ object SparkEntry {
                 CAST(4 + doc_id % 4 AS BIGINT) AS ver_minor,
                 CAST(1 + doc_id % 9 AS BIGINT) AS n_pages,
                 true AS xref_ok
+         FROM documents""",
+
+    // Latest 32 observed days per series, dyadic block signs, integer
+    // coefficient energies per level.
+    "q381_haar_energy" ->
+      """WITH daily AS (SELECT event_type AS et,
+                  epoch_us(ts) // 86400000000 AS d,
+                  CAST(count(*) AS BIGINT) AS y
+               FROM events GROUP BY 1, 2),
+         w AS (SELECT et, d, y,
+                 row_number() OVER (PARTITION BY et ORDER BY d DESC)
+                   AS rn
+               FROM daily),
+         win0 AS (SELECT et, y, rn FROM w WHERE rn <= 16),
+         nw AS (SELECT et, count(*) AS n FROM win0 GROUP BY 1),
+         win AS (SELECT win0.et, win0.y, 16 - win0.rn AS idx
+                 FROM win0 JOIN nw ON win0.et = nw.et WHERE nw.n = 16),
+         lev AS (SELECT et, y, idx, CAST(l AS BIGINT) AS l
+                 FROM win, (SELECT unnest(range(1, 5)) AS l) ls),
+         co AS (SELECT et, l, idx // (1 << l) AS b,
+                  CAST(sum(CASE WHEN (idx // (1 << (l - 1))) % 2 = 0
+                    THEN y ELSE -y END) AS HUGEINT) AS c
+                FROM lev GROUP BY 1, 2, 3)
+         SELECT et AS event_type, CAST(l AS BIGINT) AS level,
+                CAST(count(*) AS BIGINT) AS n_blocks,
+                CAST(sum(c * c) AS BIGINT) AS energy
+         FROM co GROUP BY 1, 2""",
+
+    // Deterministic md5-sign ±1 projection replayed end-to-end:
+    // fixed-point coordinates, integer distances, lower-median order
+    // statistic under the (distortion, id, id) total order.
+    "q382_jl_distortion" ->
+      """WITH s AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id % 13 = 0),
+         q AS (SELECT vec_id, i,
+                 CAST(floor(embedding[i + 1] * 10000 + 0.5) AS BIGINT)
+                   AS v
+               FROM s, (SELECT unnest(range(0, 64)) AS i) t),
+         sg AS (SELECT j, i,
+                  CASE WHEN substr(md5(j || ':' || i), 1, 1) < '8'
+                    THEN 1 ELSE -1 END AS sgn
+                FROM (SELECT unnest(range(0, 16)) AS j) a,
+                     (SELECT unnest(range(0, 64)) AS i) b),
+         pr AS (SELECT q.vec_id, sg.j,
+                  CAST(sum(sg.sgn * q.v) AS HUGEINT) AS p
+                FROM q JOIN sg ON q.i = sg.i GROUP BY 1, 2),
+         dor AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+                   CAST(sum((a.v - b.v) * (a.v - b.v)) AS HUGEINT)
+                     AS d_orig
+                 FROM q a JOIN q b
+                   ON a.i = b.i AND a.vec_id < b.vec_id
+                 GROUP BY 1, 2),
+         dpr AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+                   CAST(sum((a.p - b.p) * (a.p - b.p)) AS HUGEINT)
+                     AS d_proj
+                 FROM pr a JOIN pr b
+                   ON a.j = b.j AND a.vec_id < b.vec_id
+                 GROUP BY 1, 2),
+         pp AS (SELECT dor.id1, dor.id2,
+                  CAST(dpr.d_proj * 1000000 // (16 * dor.d_orig)
+                    AS BIGINT) AS dist
+                FROM dor JOIN dpr
+                  ON dor.id1 = dpr.id1 AND dor.id2 = dpr.id2
+                WHERE dor.d_orig > 0),
+         r AS (SELECT dist,
+                 row_number() OVER (ORDER BY dist, id1, id2) AS rn,
+                 count(*) OVER () AS np
+               FROM pp)
+         SELECT CAST(max(np) AS BIGINT) AS n_pairs,
+                CAST(min(dist) AS BIGINT) AS min_ppm,
+                CAST(max(CASE WHEN rn = (np + 1) // 2 THEN dist END)
+                  AS BIGINT) AS median_ppm,
+                CAST(max(dist) AS BIGINT) AS max_ppm
+         FROM r""",
+
+    "q383_ico_meta" ->
+      """SELECT doc_id, CAST(1 + doc_id % 4 AS BIGINT) AS n_images,
+                CAST(doc_id % 200 + 1 + doc_id % 4 AS BIGINT)
+                  AS max_width,
+                CAST(doc_id % 100 + 1 + doc_id % 4 AS BIGINT)
+                  AS max_height
          FROM documents""",
 
     "q367_damerau_pairs" ->

@@ -2092,6 +2092,60 @@ object Binary {
     out.toByteArray
   }
 
+  /** ICO icon-directory metadata — the multi-image icon leg of the
+    * dimension family: ICONDIR (reserved 0, type 1, count) then 16-byte
+    * ICONDIRENTRY records whose width/height bytes encode 1..255 with 0
+    * meaning 256 (the format's one quirk); each entry's declared
+    * (size, offset) must lie inside the file — a torn download fails
+    * that containment check. Payloads (PNG or BMP) never read. Returns
+    * (nImages, maxWidth, maxHeight); None on malformed. */
+  def icoMeta(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    if (bytes.length < 6) return None
+    if (le16(0) != 0 || le16(2) != 1) return None
+    val n = le16(4)
+    if (n == 0 || 6 + 16 * n > bytes.length) return None
+    var maxW = 0
+    var maxH = 0
+    (0 until n).foreach { e =>
+      val p = 6 + 16 * e
+      val w = if (u8(p) == 0) 256 else u8(p)
+      val h = if (u8(p + 1) == 0) 256 else u8(p + 1)
+      val size = le32(p + 8)
+      val off = le32(p + 12)
+      if (off < 6 + 16 * n || off + size > bytes.length) return None
+      maxW = math.max(maxW, w)
+      maxH = math.max(maxH, h)
+    }
+    Some((n, maxW, maxH))
+  }
+
+  /** Deterministic ICO fixture: `dims` (w, h) entries (1..256), each
+    * with a small placeholder payload at a correct offset. */
+  def synthIco(dims: Seq[(Int, Int)]): Array[Byte] = {
+    require(dims.nonEmpty && dims.forall { case (w, h) =>
+      w >= 1 && w <= 256 && h >= 1 && h <= 256 }, "dims must be 1..256")
+    val per = 8
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write(v >> 8 & 0xff) }
+    def le32(v: Long): Unit = { le16((v & 0xffff).toInt)
+      le16((v >> 16 & 0xffff).toInt) }
+    le16(0); le16(1); le16(dims.size)
+    dims.zipWithIndex.foreach { case ((w, h), e) =>
+      out.write(if (w == 256) 0 else w)
+      out.write(if (h == 256) 0 else h)
+      out.write(0); out.write(0) // palette, reserved
+      le16(1); le16(32)          // planes, bpp
+      le32(per.toLong)
+      le32((6 + 16 * dims.size + per * e).toLong)
+    }
+    dims.indices.foreach(_ => out.write(new Array[Byte](per)))
+    out.toByteArray
+  }
+
   // ---- Document containers (SVG 1.1 §5.1.2 / PDF 32000-1 §7.5) ----
 
   /** SVG dimensions — the vector leg of the image-dimension family

@@ -1836,6 +1836,60 @@ object Analytics {
           " THEN 1L ELSE 0L END").as("significant_05"))
   }
 
+  /** Haar wavelet energy decomposition per series — "at WHICH timescale
+    * does the variance live": the unnormalized Haar detail coefficient
+    * at level l is (first-half sum − second-half sum) of each 2^l-day
+    * block over the most recent 2^levels observed days, and the
+    * per-level energy Σ coeff² separates day-to-day jitter (level 1)
+    * from weekly-scale swings (level 3) from regime drift (top level) —
+    * the multi-resolution screen next to [[acf]]'s single-lag view
+    * (Haar 1910; the standard dyadic filter bank). Integer counts in,
+    * integer coefficients and energies out — every value exact, no
+    * normalization constants to disagree on.
+    *
+    * Window discipline: exactly the latest 2^levels OBSERVED days
+    * (row-lag semantics like [[ewmaBacktest]] — gaps shorten history,
+    * not zero-fill); a series with fewer observed days produces no row
+    * (a partial dyadic window would silently rescale every energy).
+    *
+    * Scale: the corpus collapses to (series, day, count) first; the
+    * recency window and both aggregates run on ≤ 2^levels rows per
+    * series, and the level fan-out is a bounded explode (levels ≤ 16). */
+  def haarEnergy(events: DataFrame, seriesCol: String, tsUsCol: String,
+                 levels: Int = 5): DataFrame = {
+    require(levels >= 1 && levels <= 16, "levels must be in 1..16")
+    val span = 1L << levels
+    val daily = events
+      .select(col(seriesCol).cast("string").as("graft_s"),
+        expr(s"$tsUsCol div ${86400L * 1000000L}L").as("graft_d"))
+      .groupBy("graft_s", "graft_d")
+      .agg(count(lit(1)).as("graft_y"))
+    val wRec = org.apache.spark.sql.expressions.Window
+      .partitionBy("graft_s").orderBy(col("graft_d").desc)
+    val wS = org.apache.spark.sql.expressions.Window.partitionBy("graft_s")
+    val win = daily
+      .withColumn("graft_rn", row_number().over(wRec).cast("long"))
+      .filter(col("graft_rn") <= span)
+      .withColumn("graft_nw", count(lit(1)).over(wS))
+      .filter(col("graft_nw") === span)
+      .withColumn("graft_idx", lit(span) - col("graft_rn"))
+    win
+      .withColumn("graft_l", explode(typedLit((1 to levels).toList)))
+      .withColumn("graft_block",
+        expr("graft_idx div shiftleft(1L, graft_l)"))
+      .withColumn("graft_sgn",
+        expr("CASE WHEN (graft_idx div shiftleft(1L, graft_l - 1)) % 2" +
+          " = 0 THEN 1L ELSE -1L END"))
+      .groupBy("graft_s", "graft_l", "graft_block")
+      .agg(sum(expr("graft_sgn * graft_y")).as("graft_c"))
+      .groupBy(col("graft_s").as(seriesCol), col("graft_l").as("level"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(expr("graft_c * graft_c")).as("energy"))
+      .select(col(seriesCol), col("level").cast("long").as("level"),
+        col("n_blocks").cast("long").as("n_blocks"),
+        col("energy").cast("long").as("energy"))
+  }
+
   /** DBSCAN over a 2-D integer feature plane — density clustering with
     * a NOISE verdict (the k-means family must assign every point; a
     * curation pass needs "this doc sits in no mass at all" — Ester et

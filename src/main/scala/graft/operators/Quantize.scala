@@ -163,4 +163,93 @@ object Quantize {
       .limit(k)
       .select(col(idCol), col("cos"))
   }
+
+  /** Johnson–Lindenstrauss random-projection distortion audit — "can
+    * this corpus's distance structure survive a k-dim sketch": project
+    * with a DETERMINISTIC ±1 matrix (sign of md5("j:i") — the
+    * hash-split discipline applied to Achlioptas' database-friendly JL
+    * variant, JCSS 2003) and report how pairwise squared distances
+    * distort on a consistent sample. For ±1 entries E‖Px‖² = k·‖x‖², so
+    * `distortion_ppm` = 10⁶·d²_proj div (k·d²_orig) centers on 10⁶; the
+    * min/median/max spread over sampled pairs is the go/no-go readout
+    * before committing a store to k dims.
+    *
+    * Exactness: coordinates quantize to 10⁴ fixed point (the float→int
+    * contract every exact vector op here uses), the sign matrix is a
+    * pure md5 function both engines compute identically, projections
+    * and distances are integer sums, the median is the LOWER order
+    * statistic under a total (distortion, id, id) order.
+    *
+    * Scale: the sample is consistent-hash chosen (`sampleMod`) and
+    * GATED at `maxSample` vectors — the pair table is |S|², a bounded
+    * audit artifact, never corpus²; the projection itself is one
+    * narrow map over |S|·dim·k rows. Auditing projects the SAMPLE
+    * only; projecting the full corpus is the same map without the
+    * pair join. */
+  def jlDistortion(emb: DataFrame, idCol: String, vecCol: String,
+                   dim: Int, k: Int, sampleMod: Long,
+                   maxSample: Long = 512L): DataFrame = {
+    require(dim >= 1 && k >= 1 && sampleMod >= 1,
+      "dim, k and sampleMod must be positive")
+    def sign(j: Int, i: Int): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$j:$i".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) < 8) 1L else -1L
+    }
+    val signs = typedLit((0 until k).map(j =>
+      (0 until dim).map(i => sign(j, i))))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val sample = emb
+      .filter(pmod(col(idCol), lit(sampleMod)) === 0)
+      .select(col(idCol).cast("long").as("graft_id"), col(vecCol))
+      .withColumn("graft_ns", count(lit(1)).over(wAll))
+      .filter(assert_true(col("graft_ns") <= lit(maxSample),
+        lit(s"jlDistortion: sample exceeds $maxSample vectors — raise " +
+          "sampleMod")).isNull)
+      .drop("graft_ns")
+    val q = Materialize.transient(sample
+      .select(col("graft_id"), posexplode(col(vecCol)).as(Seq("i", "v")))
+      .select(col("graft_id"), col("i"),
+        floor(col("v") * 10000 + 0.5).cast("long").as("graft_q")))
+    val proj = Materialize.transient(q
+      .withColumn("j", explode(typedLit((0 until k).toList)))
+      .select(col("graft_id"), col("j"),
+        (element_at(element_at(signs, col("j") + 1), col("i") + 1) *
+          col("graft_q")).as("graft_t"))
+      .groupBy("graft_id", "j")
+      .agg(sum("graft_t").as("graft_p")))
+    def pairDist(t: DataFrame, posCol: String, valCol: String,
+                 out: String): DataFrame = {
+      val a = t.select(col("graft_id").as("id1"),
+        col(posCol).as("graft_x"), col(valCol).as("va"))
+      val b = t.select(col("graft_id").as("id2"),
+        col(posCol).as("graft_x"), col(valCol).as("vb"))
+      a.join(b, Seq("graft_x")).filter(col("id1") < col("id2"))
+        .groupBy("id1", "id2")
+        .agg(sum(expr("CAST(va - vb AS DECIMAL(38,0))" +
+          " * CAST(va - vb AS DECIMAL(38,0))")).as(out))
+    }
+    val pairs = pairDist(q, "i", "graft_q", "d_orig")
+      .join(pairDist(proj, "j", "graft_p", "d_proj"), Seq("id1", "id2"))
+      .filter(col("d_orig") > 0)
+      .select(col("id1"), col("id2"),
+        expr(s"CAST(d_proj * 1000000 div (${k}L * d_orig) AS BIGINT)")
+          .as("graft_dist"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .orderBy(col("graft_dist"), col("id1"), col("id2"))
+    pairs
+      .withColumn("graft_rn", row_number().over(wOrd).cast("long"))
+      .withColumn("graft_np", count(lit(1)).over(wAll))
+      .filter(col("graft_rn") === expr("(graft_np + 1) div 2") ||
+        col("graft_rn") === 1L || col("graft_rn") === col("graft_np"))
+      .agg(max("graft_np").as("n_pairs"),
+        min("graft_dist").as("min_ppm"),
+        max(when(col("graft_rn") === expr("(graft_np + 1) div 2"),
+          col("graft_dist"))).as("median_ppm"),
+        max("graft_dist").as("max_ppm"))
+      .select(col("n_pairs").cast("long").as("n_pairs"),
+        col("min_ppm").cast("long").as("min_ppm"),
+        col("median_ppm").cast("long").as("median_ppm"),
+        col("max_ppm").cast("long").as("max_ppm"))
+  }
 }

@@ -774,4 +774,17 @@ class BinarySpec extends SparkSpec {
     assert(Binary.pdfMeta("%PDF-".getBytes) === None) // torn header
     assert(Binary.pdfMeta("not a pdf".getBytes) === None)
   }
+
+  test("icoMeta walks the directory, honors the 0-means-256 quirk, degrades") {
+    assert(Binary.icoMeta(Binary.synthIco(Seq((16, 16), (32, 48)))) ===
+      Some((2, 32, 48)))
+    assert(Binary.icoMeta(Binary.synthIco(Seq((256, 256), (64, 64)))) ===
+      Some((2, 256, 256)))
+    val good = Binary.synthIco(Seq((16, 16), (24, 24)))
+    assert(Binary.icoMeta(good.take(20)) === None) // torn entry table
+    assert(Binary.icoMeta(good.dropRight(4)) === None) // payload overrun
+    val cur = good.clone(); cur(2) = 2 // type 2 = CUR, not ICO
+    assert(Binary.icoMeta(cur) === None)
+    assert(Binary.icoMeta(Array[Byte]()) === None)
+  }
 }

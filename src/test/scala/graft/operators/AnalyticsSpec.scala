@@ -1461,4 +1461,27 @@ class AnalyticsSpec extends SparkSpec {
         .collect()
     }
   }
+
+  test("haarEnergy replays hand-computed dyadic energies") {
+    val base = 86400L * 1000000L
+    // Counts [1,2,3,4] over 4 observed days, levels=2:
+    //   level 1: (1−2)² + (3−4)² = 2;  level 2: ((1+2)−(3+4))² = 16.
+    def day(d: Long, k: Int) = Seq.fill(k)(("a", base * d + 1L))
+    val ev = (day(1, 1) ++ day(2, 2) ++ day(3, 3) ++ day(4, 4))
+      .toDF("etype", "ts_us")
+    val got = Analytics.haarEnergy(ev, "etype", "ts_us", levels = 2)
+      .orderBy("level")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1L, 2L, 2L), (2L, 1L, 16L)))
+    // observed-day semantics: a gap relabels indices, never zero-fills
+    val gap = (day(1, 1) ++ day(2, 2) ++ day(9, 3) ++ day(10, 4))
+      .toDF("etype", "ts_us")
+    val g2 = Analytics.haarEnergy(gap, "etype", "ts_us", levels = 2)
+      .orderBy("level")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(g2.toSeq === got.toSeq)
+    // a series short of the dyadic window produces no row
+    val short3 = (day(1, 1) ++ day(2, 2) ++ day(3, 3)).toDF("etype", "ts_us")
+    assert(Analytics.haarEnergy(short3, "etype", "ts_us", 2).count() === 0L)
+  }
 }

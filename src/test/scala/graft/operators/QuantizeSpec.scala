@@ -102,4 +102,27 @@ class QuantizeSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSeq
     assert(got === Seq(6L, 2L))
   }
+
+  test("jlDistortion: single-coordinate pairs distort to exactly 1e6") {
+    // For ±1 sign entries, a pair differing in ONE coordinate by δ has
+    // d_proj = Σ_j (s_j·δq)² = k·(δq)² EXACTLY — distortion_ppm = 10⁶
+    // whatever the md5 signs are. Zero-distance pairs are excluded.
+    val z = Seq.fill(4)(0.0f)
+    def v(d3: Float) = z.updated(3, d3)
+    val df = Seq((0L, z), (1L, v(0.5f)), (2L, v(1.0f)), (3L, v(1.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Quantize.jlDistortion(df, "vec_id", "embedding",
+      dim = 4, k = 3, sampleMod = 1L).collect()(0)
+    // pair (2,3) is identical → excluded; the other 5 pairs all sit on
+    // coordinate 3 alone → every distortion exactly 1e6
+    assert(r.getAs[Long]("n_pairs") === 5L)
+    assert(r.getAs[Long]("min_ppm") === 1000000L)
+    assert(r.getAs[Long]("median_ppm") === 1000000L)
+    assert(r.getAs[Long]("max_ppm") === 1000000L)
+    // the sample gate fires loudly instead of building a huge pair set
+    intercept[Exception] {
+      Quantize.jlDistortion(df, "vec_id", "embedding", 4, 3,
+        sampleMod = 1L, maxSample = 2L).collect()
+    }
+  }
 }
