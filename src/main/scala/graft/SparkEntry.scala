@@ -2189,6 +2189,38 @@ object SparkEntry {
         }.toDF("doc_id", "n_images", "max_width", "max_height")
     }),
 
+    // SQL UPDATE + MERGE INTO through the catalog (group-based
+    // copy-on-write row-level operations): update a slice, merge a
+    // change batch with matched updates and not-matched inserts, read
+    // the final state back — the oracle recomputes it from source
+    // arithmetic.
+    "q384_sql_update" -> ((s, d) => {
+      useCatalog(s)
+      val ns = "c" + (d.hashCode.toLong & 0xffffffffL)
+      new java.io.File(catalogRoot, ns).mkdirs()
+      s.sql(s"DROP TABLE IF EXISTS graft.$ns.upd_t")
+      s.sql(s"CREATE TABLE graft.$ns.upd_t (k BIGINT, cents BIGINT)")
+      Tables.orders(s, d).select(col("o_orderkey").as("k"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+        .createOrReplaceTempView("graft_q384_src")
+      s.sql(s"INSERT INTO graft.$ns.upd_t SELECT * FROM graft_q384_src")
+      s.sql(s"UPDATE graft.$ns.upd_t SET cents = cents + 250 " +
+        "WHERE k % 7 = 2")
+      s.sql(s"""MERGE INTO graft.$ns.upd_t t
+                USING (SELECT k, cents FROM graft_q384_src WHERE k % 9 = 0
+                       UNION ALL
+                       SELECT k + 1000000000 AS k, 77 AS cents
+                       FROM graft_q384_src WHERE k % 11 = 0) s
+                ON t.k = s.k
+                WHEN MATCHED THEN UPDATE SET cents = s.cents + 13
+                WHEN NOT MATCHED THEN
+                  INSERT (k, cents) VALUES (s.k, s.cents)""")
+      s.sql(s"""SELECT CAST(k % 10 AS BIGINT) AS bucket,
+                  CAST(count(*) AS BIGINT) AS n_rows,
+                  CAST(sum(cents) AS BIGINT) AS sum_cents
+                FROM graft.$ns.upd_t GROUP BY 1""")
+    }),
+
     // Cross-source duplication Venn (q193's mirrored corpus): content
     // bucketed by how many distinct sources carry it — the syndication
     // spread histogram a dedup rollout is sized by.
@@ -10035,6 +10067,28 @@ object SparkEntry {
                 CAST(doc_id % 100 + 1 + doc_id % 4 AS BIGINT)
                   AS max_height
          FROM documents""",
+
+    // UPDATE then MERGE replayed arithmetically: matched k%9=0 rows
+    // take source cents + 13 (overwriting the earlier +250 where both
+    // hit), unmatched shifted keys insert at 77.
+    "q384_sql_update" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+             FROM orders),
+         au AS (SELECT k, CASE WHEN k % 7 = 2 THEN cents + 250
+                  ELSE cents END AS cents
+                FROM base),
+         final AS (
+           SELECT a.k, CASE WHEN a.k % 9 = 0 THEN b.cents + 13
+             ELSE a.cents END AS cents
+           FROM au a JOIN base b ON a.k = b.k
+           UNION ALL
+           SELECT k + 1000000000 AS k, 77 AS cents FROM base
+           WHERE k % 11 = 0)
+         SELECT CAST(k % 10 AS BIGINT) AS bucket,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM final GROUP BY 1""",
 
     "q367_damerau_pairs" ->
       """WITH n AS (SELECT DISTINCT p_name FROM part)

@@ -2999,8 +2999,53 @@ object WarehouseSink {
 private[sources] class WarehouseTable(dir: String, schema0: StructType,
                                       versionAsOf: Option[Long] = None)
     extends Table with SupportsWrite with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"graft_warehouse($dir)"
+
+  /** File provenance as METADATA COLUMNS (Delta's `_metadata.file_path`
+    * shape): `__graft_file` / `__graft_pos` — the same pseudo-columns
+    * the MoR machinery reads internally, now addressable from SQL and,
+    * critically, the metadata attributes the row-level operation
+    * requires (Spark's ReplaceData applies its data-row projection
+    * ONLY on the data+metadata writing path — without a metadata
+    * column the writer would receive the raw plan row including the
+    * `__row_operation` marker). */
+  override def metadataColumns():
+      Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = {
+    import org.apache.spark.sql.connector.catalog.MetadataColumn
+    Array(
+      new MetadataColumn {
+        override def name(): String = "__graft_file"
+        override def dataType(): DataType = StringType
+        override def isNullable: Boolean = false
+        override def comment(): String = "data file holding this row"
+      },
+      new MetadataColumn {
+        override def name(): String = "__graft_pos"
+        override def dataType(): DataType = LongType
+        override def isNullable: Boolean = false
+        override def comment(): String = "0-based row position in its file"
+      })
+  }
+
+  /** SQL `UPDATE` / `MERGE INTO` (and `DELETE` with predicates the
+    * metadata path refuses) via Spark's GROUP-based row-level rewrite:
+    * the group is the FILE — the planner pushes the command's condition
+    * here purely for group pruning (stats-sidecar file skipping, the
+    * same `dmlCandidate` test every DML verb plans with), reads the
+    * surviving files IN FULL (deletion vectors applied), rewrites rows,
+    * and the commit atomically swaps exactly those files for the
+    * replacement — the copy-on-write shape `updateWhere` implements,
+    * reached from SQL. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo):
+      org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(versionAsOf.isEmpty,
+      "row-level SQL operations cannot target a versionAsOf read")
+    () => new WarehouseRowLevelOperation(dir, schema0, info.command())
+  }
 
   // SQL row-level DELETE (`DELETE FROM cat.t WHERE ...`): delegates to
   // the copy-on-write deleteWhere verb — accepted only when every
@@ -3080,6 +3125,173 @@ private[sources] class WarehouseTable(dir: String, schema0: StructType,
       // (dataFile|dvFile|count, comma-separated) to apply to that subset.
       onlyDvs = Option(options.get("dvs"))
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+  }
+}
+
+/** One SQL row-level command (UPDATE / MERGE / fallback DELETE) against
+  * the live generation, group-based with the FILE as the group:
+  *
+  *  - the manifest is pinned ONCE at construction (single-writer
+  *    discipline — the scan and the commit must agree on one
+  *    generation);
+  *  - `newScanBuilder` receives the command condition from Spark's
+  *    group-planning rule; the contract there is PRUNE GROUPS, NEVER
+  *    ROWS (residuals are ignored by the planner), which is exactly
+  *    this format's skip-only filter posture — candidate files come
+  *    from the shared [[WarehouseSink.dmlCandidate]] stats test and the
+  *    scan reads them in full with their deletion vectors applied (a
+  *    vectored-out row must not resurrect through the rewrite);
+  *  - the write stages replacement rows through the standard writer
+  *    factory (CHECK policies enforced, stats sidecars written) and the
+  *    commit publishes carried = live − scanned, plus the staged files,
+  *    dropping the scanned files' vectors — one atomic generation.
+  *
+  * CDF-enabled tables refuse loudly: the group rewrite sees only final
+  * rows, so pre/post images cannot be captured — the `updateWhere` /
+  * `merge` verbs keep that capability. MERGE conditions referencing the
+  * source table prune nothing (correct, just unskipped), matching every
+  * engine's copy-on-write MERGE. */
+private[sources] class WarehouseRowLevelOperation(
+    dir: String, schema: StructType,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+  require(!WarehouseSink.cdfEnabled(dir),
+    s"SQL row-level $cmd cannot capture the change feed — use the " +
+      "updateWhere/merge API verbs on CDF tables")
+  private val cur = WarehouseSink.readManifest(dir).getOrElse(
+    throw new IllegalArgumentException(
+      s"cannot run a row-level $cmd against nonexistent table at $dir"))
+  // Until (unless) filters arrive, every file is a candidate — an
+  // unconditional UPDATE rewrites the whole table, which is its meaning.
+  @volatile private var scanned: Seq[String] = cur.files
+
+
+  override def command():
+      org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+  override def description(): String = s"graft_warehouse group-based $cmd"
+
+  // Requiring file provenance routes the write through Spark's
+  // data+metadata task — the path that PROJECTS the data row before
+  // handing it to the writer (the metadata itself is dropped by the
+  // writer's default two-argument write).
+  override def requiredMetadataAttributes():
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column("__graft_file"))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownFilters
+        with SupportsPushDownRequiredColumns {
+      private var pushed: Array[org.apache.spark.sql.sources.Filter] =
+        Array.empty
+      private var required: StructType = schema
+      override def pushFilters(
+          fs: Array[org.apache.spark.sql.sources.Filter]):
+          Array[org.apache.spark.sql.sources.Filter] = {
+        pushed = fs
+        val sup = fs.toSeq.filter(WarehouseSink.supportedDmlFilter)
+        scanned = cur.files.filter(
+          WarehouseSink.dmlCandidate(dir, _, schema, cur.colIds, sup))
+        fs // group planning ignores residuals — rows are never filtered
+      }
+      override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+        pushed
+      override def pruneColumns(r: StructType): Unit = required = r
+      // pinnedFiles: the scan reads EXACTLY the plan-time candidates —
+      // runtime group filtering is declined (see WarehouseScan.filter),
+      // because the commit below swaps exactly this set.
+      override def build(): Scan =
+        new WarehouseScan(dir, schema, None, Array.empty, required,
+          onlyFiles = Some(scanned),
+          onlyDvs = Some(WarehouseSink.dvEntriesFor(cur, scanned)),
+          pinnedFiles = true)
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo):
+      org.apache.spark.sql.connector.write.WriteBuilder =
+      new org.apache.spark.sql.connector.write.WriteBuilder {
+    override def build(): Write = {
+    val ws = info.schema()
+    require(ws.fields.map(f => (f.name, f.dataType)).toSet ==
+      schema.fields.map(f => (f.name, f.dataType)).toSet,
+      s"row-level $cmd replacement schema [${ws.toDDL}] does not match " +
+        s"the table schema [${schema.toDDL}]")
+    new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+      import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+      import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
+      // a value-partitioned table keeps its clustering through the rewrite
+      override def requiredDistribution(): Distribution =
+        if (cur.partitionCol.isEmpty) Distributions.unspecified()
+        else Distributions.clustered(
+          WarehouseSink.parsePartSpecs(cur.partitionCol)
+            .map(t => Expressions.identity(t.col)).toArray)
+      override def requiredNumPartitions(): Int = 0
+      override def requiredOrdering(): Array[SortOrder] = Array.empty
+      override def toBatch: BatchWrite =
+        new ReplaceGroupsBatchWrite(dir, ws, info.queryId(),
+          cur.partitionCol, () => scanned,
+          "sql_" + cmd.toString.toLowerCase(java.util.Locale.ROOT))
+      override def toStreaming: StreamingWrite =
+        throw new UnsupportedOperationException(
+          "row-level operations are batch-only")
+    }
+    }
+  }
+}
+
+/** The replace-groups commit: stages through the SAME writer factory as
+  * every batch write (CHECK policies, stats/ids sidecars), then swaps
+  * scanned files for staged files in one manifest publish. */
+private[sources] class ReplaceGroupsBatchWrite(dir: String,
+                                               schema: StructType,
+                                               queryId: String,
+                                               partitionCol: String,
+                                               replaced: () => Seq[String],
+                                               opName: String)
+    extends BatchWrite {
+  private def staging = new File(dir, s"_staging/$queryId")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    staging.mkdirs()
+    val cks = WarehouseSink.checks(dir)
+    if (cks.nonEmpty) new CheckEvaluator(cks, schema)
+    val specs = WarehouseSink.parsePartSpecs(partitionCol)
+    specs.foreach(t => schema.fieldIndex(t.col))
+    new WarehouseWriterFactory(staging.getPath,
+      WarehouseSink.withColIdMetadata(dir, schema, truncate = false),
+      specs, cks)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val committed = messages.toSeq.flatMap {
+      case WarehouseCommit(f, n) if n >= 0 => Seq(f)
+      case WarehouseMultiCommit(es) => es.map(_.file)
+      case _ => Nil
+    }
+    val published = committed.map { f =>
+      WarehouseSink.moveWithStats(staging, new File(dir), f, restamp = true)
+      f
+    }
+    val dead = replaced().toSet
+    WarehouseSink.publish(dir, { prev =>
+      val p = prev.getOrElse(throw new IllegalStateException(
+        s"table at $dir vanished during a $opName"))
+      Some(WarehouseSink.Manifest(0L, p.schemaDdl,
+        p.files.filterNot(dead.contains) ++ published, p.epoch,
+        p.partitionCol, op = opName,
+        // scanned files' vectors die with them; others ride along
+        dvs = p.dvs.filterNot(e => dead.contains(e.takeWhile(_ != '|')))))
+    })
+    deleteRecursively(staging)
+    // replaced files stay on disk for time travel until vacuum()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    deleteRecursively(staging)
+
+  private def deleteRecursively(f: File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
   }
 }
 
@@ -3880,7 +4092,8 @@ private[sources] class WarehouseScan(dir: String, schema: StructType,
                                      cdfStream: Boolean = false,
                                      skipChanges: Boolean = false,
                                      onlyDvs: Option[Seq[String]] = None,
-                                     pushedLimit: Option[Int] = None)
+                                     pushedLimit: Option[Int] = None,
+                                     pinnedFiles: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
@@ -3911,7 +4124,12 @@ private[sources] class WarehouseScan(dir: String, schema: StructType,
 
   override def filter(predicates: Array[
       org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
-    runtimeFilters = predicates.flatMap(WarehouseSink.v2ToV1)
+    // A pinned scan (the row-level replace read) IGNORES runtime
+    // filters: its commit swaps exactly the planning-time file set, so
+    // any later shrink of the read view would leave a swapped-out
+    // file's rows unwritten — runtime filter timing is AQE-dependent
+    // and must not be able to change what a DML rewrite reads.
+    if (!pinnedFiles) runtimeFilters = predicates.flatMap(WarehouseSink.v2ToV1)
   // `required` defaults to the full schema (the pre-pruning callers and
   // the streaming path); stats-skipping decisions always use the FULL
   // schema — a pushed filter may reference a column the query never

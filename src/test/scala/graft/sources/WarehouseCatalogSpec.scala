@@ -173,6 +173,83 @@ class WarehouseCatalogSpec extends SparkSpec {
     }
   }
 
+  test("SQL UPDATE rewrites matching groups copy-on-write") {
+    spark.sql("CREATE TABLE graft.db.up1 (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.db.up1 SELECT id, id * 10 FROM range(0, 40)")
+    spark.sql("UPDATE graft.db.up1 SET v = v + 7 WHERE id % 4 = 1")
+    assert(spark.sql("SELECT sum(v), count(*) FROM graft.db.up1")
+      .as[(Long, Long)].head() ===
+      ((0L until 40L).map(i => i * 10 + (if (i % 4 == 1) 7 else 0)).sum,
+        40L))
+    // the pre-update generation stays time-travelable
+    val m = WarehouseSink.readManifest(s"$root/db/up1").get
+    assert(m.op === "sql_update")
+    assert(spark.read.format("graft.sources.WarehouseSink")
+      .option("path", s"$root/db/up1")
+      .option("versionAsOf", (m.version - 1).toString).load()
+      .agg(sum("v")).as[Long].head() === (0L until 40L).map(_ * 10).sum)
+    spark.sql("DROP TABLE graft.db.up1")
+  }
+
+  test("SQL MERGE INTO: matched update + not-matched insert, one generation") {
+    spark.sql("CREATE TABLE graft.db.mg1 (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.db.mg1 SELECT id, id FROM range(0, 10)")
+    spark.sql("""MERGE INTO graft.db.mg1 t
+                 USING (SELECT id, id * 100 AS nv FROM range(8, 12)) s
+                 ON t.id = s.id
+                 WHEN MATCHED THEN UPDATE SET v = s.nv
+                 WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.nv)""")
+    assert(spark.sql("SELECT id, v FROM graft.db.mg1 ORDER BY id")
+      .as[(Long, Long)].collect().toSeq ===
+      ((0L until 8L).map(i => (i, i)) ++
+        (8L until 12L).map(i => (i, i * 100))))
+    assert(WarehouseSink.readManifest(s"$root/db/mg1").get.op === "sql_merge")
+    spark.sql("DROP TABLE graft.db.mg1")
+  }
+
+  test("row-level commit swaps ONLY the files the scan actually read") {
+    // Two stats-disjoint files; the UPDATE condition is a subquery, so
+    // plan-time candidates = every file and ONLY the runtime group
+    // filter narrows the scan. The unread file's rows must survive —
+    // the commit must take its file list from the post-runtime scan.
+    spark.sql("CREATE TABLE graft.db.rt1 (id BIGINT, v BIGINT)")
+    (0L until 10L).map(i => (i, i)).toDF("id", "v").coalesce(1)
+      .writeTo("graft.db.rt1").append()
+    (10L until 20L).map(i => (i, i)).toDF("id", "v").coalesce(1)
+      .writeTo("graft.db.rt1").append()
+    assert(WarehouseSink.readManifest(s"$root/db/rt1").get.files.size === 2)
+    spark.sql("UPDATE graft.db.rt1 SET v = v + 1000 " +
+      "WHERE id IN (SELECT id FROM graft.db.rt1 WHERE id < 3)")
+    assert(spark.sql("SELECT sum(v), count(*) FROM graft.db.rt1")
+      .as[(Long, Long)].head() ===
+      ((0L until 20L).sum + 3 * 1000L, 20L))
+    spark.sql("DROP TABLE graft.db.rt1")
+  }
+
+  test("metadata columns: __graft_file / __graft_pos address file provenance") {
+    spark.sql("CREATE TABLE graft.db.meta1 (id BIGINT)")
+    (0L until 6L).toDF("id").coalesce(1).writeTo("graft.db.meta1").append()
+    (6L until 9L).toDF("id").coalesce(1).writeTo("graft.db.meta1").append()
+    val got = spark.sql("SELECT count(DISTINCT __graft_file), max(__graft_pos) " +
+      "FROM graft.db.meta1").as[(Long, Long)].head()
+    assert(got === ((2L, 5L))) // positions restart per file
+    // metadata columns never leak into SELECT *
+    assert(spark.sql("SELECT * FROM graft.db.meta1").columns.toSeq === Seq("id"))
+    spark.sql("DROP TABLE graft.db.meta1")
+  }
+
+  test("SQL UPDATE refuses a CDF table loudly") {
+    spark.sql("CREATE TABLE graft.db.cdf1 (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.db.cdf1 VALUES (1, 1)")
+    WarehouseSink.enableChangeFeed(s"$root/db/cdf1")
+    val e = intercept[Exception] {
+      spark.sql("UPDATE graft.db.cdf1 SET v = 2 WHERE id = 1")
+    }
+    assert(e.getMessage.contains("change feed") ||
+      Option(e.getCause).exists(_.getMessage.contains("change feed")))
+    spark.sql("DROP TABLE graft.db.cdf1")
+  }
+
   private def withSQLConf(kvs: (String, String)*)(f: => Unit): Unit = {
     val old = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
     kvs.foreach { case (k, v) => spark.conf.set(k, v) }
