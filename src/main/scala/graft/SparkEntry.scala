@@ -2221,6 +2221,26 @@ object SparkEntry {
                 FROM graft.$ns.upd_t GROUP BY 1""")
     }),
 
+    // Exact 2-D Mahalanobis outliers over (quality centi, n_chars):
+    // docs inside both marginal ranges but off the correlation ridge —
+    // one integer rational per point, distributed top-k.
+    "q385_mahalanobis" -> ((s, d) =>
+      Analytics.mahalanobis2d(
+        Tables.documents(s, d).select(col("doc_id"),
+          greatest(least(floor(T.qualityScore(col("text")) * 10000 + 0.5),
+            lit(10000L)), lit(0L)).cast("long").as("q0"),
+          col("n_chars"))
+          .select(col("doc_id"), expr("q0 div 100").as("q"),
+            col("n_chars")),
+        "doc_id", "q", "n_chars", topK = 20)),
+
+    // Poisson-bootstrap CI for the MEDIAN per event type — the quantile
+    // rung next to q314's mean variance; deterministic md5 weights,
+    // lower weighted medians, exact order-statistic CI.
+    "q386_boot_median" -> ((s, d) =>
+      Experiment.bootstrapMedian(Tables.events(s, d), "event_type",
+        "value", "event_id")),
+
     // Cross-source duplication Venn (q193's mirrored corpus): content
     // bucketed by how many distinct sources carry it — the syndication
     // spread histogram a dedup rollout is sized by.
@@ -10090,6 +10110,97 @@ object SparkEntry {
                 CAST(sum(cents) AS BIGINT) AS sum_cents
          FROM final GROUP BY 1""",
 
+    // One six-sum moment pass, the cleared 2x2 inverse, one integer
+    // rational per point, deterministic top-k.
+    "q385_mahalanobis" ->
+      s"""WITH $IdScoredDocsSql,
+         pts AS (SELECT doc_id, CAST(s // 100 AS HUGEINT) AS x,
+                   CAST(n_chars AS HUGEINT) AS y
+                 FROM sc),
+         mom AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                   sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+                   sum(y * y) AS syy, sum(x * y) AS sxy
+                 FROM pts),
+         ab AS (SELECT n, sx, sy, n * sxx - sx * sx AS a,
+                  n * syy - sy * sy AS b, n * sxy - sx * sy AS c
+                FROM mom),
+         sc3 AS (SELECT pts.doc_id, pts.x, pts.y,
+                   (n * pts.x - sx) AS u, (n * pts.y - sy) AS v,
+                   a, b, c, a * b - c * c AS det
+                 FROM pts CROSS JOIN ab)
+         SELECT doc_id, CAST(x AS BIGINT) AS q,
+                CAST(y AS BIGINT) AS n_chars,
+                CAST((u * u * b - 2 * u * v * c + v * v * a) * 1000
+                  // det AS BIGINT) AS d2_milli
+         FROM sc3 WHERE det > 0
+         ORDER BY d2_milli DESC, doc_id ASC LIMIT 20""",
+
+    // The q314 weight recipe + per-replicate lower weighted medians +
+    // exact order-statistic CI ranks.
+    "q386_boot_median" ->
+      """WITH base AS (SELECT event_type AS g,
+                CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+                CAST(event_id AS VARCHAR) AS id
+             FROM events
+             WHERE value IS NOT NULL AND event_id IS NOT NULL),
+         rawg AS (SELECT g, c, CAST(count(*) AS HUGEINT) AS w
+                  FROM base GROUP BY 1, 2),
+         rawm AS (SELECT g, min(c) AS med FROM (
+                    SELECT g, c,
+                      sum(w) OVER (PARTITION BY g ORDER BY c
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS cum,
+                      sum(w) OVER (PARTITION BY g) AS tot
+                    FROM rawg)
+                  WHERE tot > 0 AND cum * 2 >= tot GROUP BY g),
+         reps AS (SELECT g, c, id, CAST(bb.range AS INTEGER) AS b
+                  FROM base, range(32) bb),
+         wt AS (SELECT g, b, c,
+                  CASE WHEN h < '5e2d58d8' THEN 0
+                       WHEN h < 'bc5ab1b1' THEN 1
+                       WHEN h < 'eb715e1d' THEN 2
+                       WHEN h < 'fb239797' THEN 3
+                       WHEN h < 'ff1025f5' THEN 4
+                       WHEN h < 'ffd90f3b' THEN 5
+                       WHEN h < 'fffa8b71' THEN 6
+                       WHEN h < 'ffff540c' THEN 7
+                       WHEN h < 'ffffed1f' THEN 8
+                       ELSE 9 END AS m
+                FROM (SELECT g, c, b,
+                        substring(md5(id || '#' || CAST(b // 4 AS VARCHAR)),
+                          1 + 8 * (b % 4), 8) AS h
+                      FROM reps) t),
+         pw AS (SELECT g, b, c, CAST(sum(m) AS HUGEINT) AS wm
+                FROM wt GROUP BY 1, 2, 3 HAVING sum(m) > 0),
+         repm AS (SELECT g, b, min(c) AS med FROM (
+                    SELECT g, b, c,
+                      sum(wm) OVER (PARTITION BY g, b ORDER BY c
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS cum,
+                      sum(wm) OVER (PARTITION BY g, b) AS tot
+                    FROM pw)
+                  WHERE tot > 0 AND cum * 2 >= tot GROUP BY g, b),
+         ci AS (SELECT g, max(bl) AS bl,
+                  max(CASE WHEN rn = bl * 25 // 1000 + 1 THEN med END)
+                    AS cilo,
+                  max(CASE WHEN rn = (bl * 975 + 999) // 1000 THEN med
+                    END) AS cihi
+                FROM (SELECT g, med,
+                        row_number() OVER (PARTITION BY g
+                          ORDER BY med, b) AS rn,
+                        count(*) OVER (PARTITION BY g) AS bl
+                      FROM repm)
+                GROUP BY g),
+         nn AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM base
+                GROUP BY 1)
+         SELECT nn.g AS event_type, nn.n AS n_rows,
+                CAST(rawm.med AS BIGINT) AS median_centi,
+                CAST(ci.bl AS BIGINT) AS b_live,
+                CAST(ci.cilo AS BIGINT) AS ci_lo_centi,
+                CAST(ci.cihi AS BIGINT) AS ci_hi_centi
+         FROM nn JOIN rawm ON nn.g = rawm.g JOIN ci ON nn.g = ci.g
+         ORDER BY event_type""",
+
     "q367_damerau_pairs" ->
       """WITH n AS (SELECT DISTINCT p_name FROM part)
          SELECT a.p_name AS name_1, b.p_name AS name_2,
@@ -12455,6 +12566,14 @@ object SparkEntry {
     val marker = "sc AS (SELECT "
     require(ScoredDocsSql.startsWith(marker), "ScoredDocsSql shape moved")
     marker + "lang AS slice, " + ScoredDocsSql.stripPrefix(marker)
+  }
+
+  /** [[ScoredDocsSql]] with doc identity and length carried through —
+    * the q385 substrate. Same mechanical derivation. */
+  private lazy val IdScoredDocsSql: String = {
+    val marker = "sc AS (SELECT "
+    require(ScoredDocsSql.startsWith(marker), "ScoredDocsSql shape moved")
+    marker + "doc_id, n_chars, " + ScoredDocsSql.stripPrefix(marker)
   }
 
   private val ScoredDocsSql: String =

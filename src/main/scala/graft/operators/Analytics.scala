@@ -1836,6 +1836,67 @@ object Analytics {
           " THEN 1L ELSE 0L END").as("significant_05"))
   }
 
+  /** Exact 2-D Mahalanobis outlier screen — the CORRELATION-AWARE rung
+    * of the outlier family ([[madOutliers]] sees one column at a time;
+    * a point can sit inside both marginal ranges yet far off the
+    * correlation ridge — exactly the doc whose length/quality
+    * relationship is wrong): d² = Δᵀ Σ⁻¹ Δ against the population
+    * covariance, which for 2-D clears to ONE integer rational. With
+    * u = n·x − Sx, v = n·y − Sy, A = n·Sxx − Sx², B = n·Syy − Sy²,
+    * C = n·Sxy − Sx·Sy (all exact DECIMAL(38,0)):
+    *   d² = (u²·B − 2·u·v·C + v²·A) / (A·B − C²)
+    * — emitted as floor-milli. Degenerate covariance (det ≤ 0: a
+    * constant or perfectly collinear cloud) yields no rows rather than
+    * a division blowup — the caller's signal that 2-D distance has no
+    * meaning there. A magnitude gate asserts n ≤ 10⁵ and
+    * max|coord − μ| ≤ 5·10³ (u²·B·10³ stays inside 38 digits — at the
+    * gate boundary u²·B = (n·5e3)²·n²(5e3)² ≈ 6.3·10³⁴); coarser
+    * metrics must re-quantize before screening.
+    *
+    * Scale: one map-combinable six-sum aggregate, the 1-row moment
+    * broadcast onto a scoring map, distributed top-k
+    * (TakeOrderedAndProject) — no window, no pair join. */
+  def mahalanobis2d(df: DataFrame, idCol: String, xCol: String,
+                    yCol: String, topK: Int): DataFrame = {
+    require(topK >= 1, "topK must be positive")
+    val dec = "decimal(38,0)"
+    val rows = df.select(col(idCol).cast("long").as("graft_id"),
+        col(xCol).cast("long").as("graft_x"),
+        col(yCol).cast("long").as("graft_y"))
+      .filter(col("graft_x").isNotNull && col("graft_y").isNotNull)
+    val mom = rows.agg(
+      count(lit(1)).cast(dec).as("graft_n"),
+      sum(col("graft_x")).cast(dec).as("graft_sx"),
+      sum(col("graft_y")).cast(dec).as("graft_sy"),
+      sum(expr(s"CAST(graft_x AS $dec) * graft_x")).as("graft_sxx"),
+      sum(expr(s"CAST(graft_y AS $dec) * graft_y")).as("graft_syy"),
+      sum(expr(s"CAST(graft_x AS $dec) * graft_y")).as("graft_sxy"))
+      .withColumn("graft_a", expr("graft_n * graft_sxx - graft_sx * graft_sx"))
+      .withColumn("graft_b", expr("graft_n * graft_syy - graft_sy * graft_sy"))
+      .withColumn("graft_c", expr("graft_n * graft_sxy - graft_sx * graft_sy"))
+      .withColumn("graft_det",
+        expr("graft_a * graft_b - graft_c * graft_c"))
+    rows.crossJoin(broadcast(mom))
+      .filter(assert_true(col("graft_n") <= lit(100000L) &&
+        abs(expr("graft_n * graft_x - graft_sx")) <=
+          expr("graft_n * 5000") &&
+        abs(expr("graft_n * graft_y - graft_sy")) <=
+          expr("graft_n * 5000"),
+        lit("mahalanobis2d: n > 1e5 or |coord - mean| > 5e3 — " +
+          "quantize coarser or sample first")).isNull)
+      .filter(col("graft_det") > 0)
+      .withColumn("graft_u", expr("graft_n * graft_x - graft_sx"))
+      .withColumn("graft_v", expr("graft_n * graft_y - graft_sy"))
+      .select(col("graft_id").as(idCol),
+        col("graft_x").as(xCol), col("graft_y").as(yCol),
+        expr("CAST((graft_u * graft_u * graft_b" +
+          " - 2 * graft_u * graft_v * graft_c" +
+          " + graft_v * graft_v * graft_a) * 1000" +
+          " div (graft_det) AS BIGINT)").as("d2_milli"))
+      .orderBy(col("d2_milli").desc, col(idCol).asc)
+      .limit(topK)
+  }
+
   /** Haar wavelet energy decomposition per series — "at WHICH timescale
     * does the variance live": the unnormalized Haar detail coefficient
     * at level l is (first-half sum − second-half sum) of each 2^l-day

@@ -506,29 +506,26 @@ object Experiment {
     * base scan. This is the uncertainty machinery for per-group means
     * the bucketed jackknife ([[jackknifeDiff]]) provides for the
     * two-arm DIFFERENCE. */
-  def poissonBootstrap(df: DataFrame, groupCol: String, valueCol: String,
-                       idCol: String, replicas: Int = 32): DataFrame = {
-    require(replicas >= 2 && replicas <= 256, "replicas must be in 2..256")
+  /** The shared deterministic-Poisson replicate fan-out: each (row,
+    * replicate b < `replicas`) gets a Poisson(1) multiplicity from the
+    * md5("id#⌊b/4⌋") digest's b-th 8-hex slice against the quantized
+    * CDF thresholds — the q314 recipe, used by both the mean and the
+    * median bootstrap. Two-level explode so each digest is COMPUTED
+    * once and sliced four ways (the generator boundary stops
+    * CollapseProject from inlining the digest into every slice).
+    * In: (graft_g, graft_c, graft_id); out: (graft_g, graft_b,
+    * graft_m, graft_c). */
+  private def poissonWeighted(base: DataFrame, replicas: Int): DataFrame = {
     // Poisson(1) CDF at k = 0..8, quantized to floor(16⁸·P) as 8-hex
     // literals — the same literal-threshold trick as the jackknife's
     // bucket hash, so DuckDB replays the CASE verbatim.
     val cdfHex = Seq("5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797",
       "ff1025f5", "ffd90f3b", "fffa8b71", "ffff540c", "ffffed1f")
-    val base = Materialize.transient(df
-      .filter(col(valueCol).isNotNull && col(idCol).isNotNull)
-      .select(col(groupCol).as("graft_g"),
-        floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("long")
-          .as("graft_c"),
-        col(idCol).cast("string").as("graft_id")))
     val m = cdfHex.zipWithIndex.reverse
       .foldLeft(lit(9): Column) { case (acc, (th, k)) =>
         when(col("graft_hex") < th, lit(k)).otherwise(acc)
       }
-    // Two-level explode so each md5 is COMPUTED once and sliced four
-    // ways (the generator boundary stops CollapseProject from inlining
-    // the digest into every slice): quarter index q → one digest →
-    // posexplode of its four 8-hex slices → b = 4q + slice.
-    val perRep = base
+    base
       .select(col("graft_g"), col("graft_c"), col("graft_id"),
         explode(sequence(lit(0), lit((replicas + 3) / 4 - 1)))
           .as("graft_q"))
@@ -543,6 +540,18 @@ object Experiment {
       .filter(col("graft_b") < replicas)
       .select(col("graft_g"), col("graft_b"),
         m.cast("long").as("graft_m"), col("graft_c"))
+  }
+
+  def poissonBootstrap(df: DataFrame, groupCol: String, valueCol: String,
+                       idCol: String, replicas: Int = 32): DataFrame = {
+    require(replicas >= 2 && replicas <= 256, "replicas must be in 2..256")
+    val base = Materialize.transient(df
+      .filter(col(valueCol).isNotNull && col(idCol).isNotNull)
+      .select(col(groupCol).as("graft_g"),
+        floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("long")
+          .as("graft_c"),
+        col(idCol).cast("string").as("graft_id")))
+    val perRep = poissonWeighted(base, replicas)
       .groupBy("graft_g", "graft_b")
       .agg(sum("graft_m").cast("decimal(38,0)").as("graft_nb"),
         sum(expr("CAST(graft_m AS DECIMAL(38,0)) * graft_c"))
@@ -567,6 +576,89 @@ object Experiment {
           + " ELSE CAST((graft_bl * graft_sm2 - graft_sm * graft_sm)"
           + "   div (graft_bl * (graft_bl - 1)) AS BIGINT) END")
           .as("boot_var_centi2"))
+      .orderBy(groupCol)
+  }
+
+  /** Poisson-bootstrap confidence interval for the MEDIAN — the
+    * quantile rung next to [[poissonBootstrap]]'s mean variance (a
+    * median has no closed-form standard error; resampling is the
+    * standard answer, and the deterministic-Poisson construction makes
+    * it hash-exact): per replicate the LOWER WEIGHTED MEDIAN over the
+    * Poisson multiplicities (first value whose doubled cumulative
+    * weight reaches the replicate total — the 48b' weighted-median
+    * convention), then the percentile CI as exact lower order
+    * statistics over the R replicate medians: lo rank = R·25 div 1000
+    * + 1, hi rank = (R·975 + 999) div 1000 (R = 32 → ranks 1 and 32).
+    * The point estimate is the same lower median on the RAW data.
+    * Empty replicates (all multiplicities 0) drop; `b_live` reports
+    * how many survived.
+    *
+    * Scale: replicate medians live on the (group × replicate ×
+    * distinct-centi-value) table — the value axis is cardinality-gated
+    * like every rank operator here; windows are (group, replicate)-
+    * partitioned, never global. */
+  def bootstrapMedian(df: DataFrame, groupCol: String, valueCol: String,
+                      idCol: String, replicas: Int = 32,
+                      maxDistinct: Long = 1L << 20): DataFrame = {
+    require(replicas >= 2 && replicas <= 256, "replicas must be in 2..256")
+    val dec = "decimal(38,0)"
+    val base = Materialize.transient(df
+      .filter(col(valueCol).isNotNull && col(idCol).isNotNull)
+      .select(col(groupCol).as("graft_g"),
+        floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("long")
+          .as("graft_c"),
+        col(idCol).cast("string").as("graft_id")))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val gate = base.groupBy("graft_g", "graft_c").agg(count(lit(1)).as("graft_w"))
+      .withColumn("graft_card", count(lit(1)).over(wAll))
+      .filter(assert_true(col("graft_card") <= lit(maxDistinct),
+        lit(s"bootstrapMedian: more than $maxDistinct distinct " +
+          "(group, centi value) pairs — quantize coarser")).isNull)
+    def lowerMedian(t: DataFrame, wCol: String): DataFrame = {
+      // per partition key: first c whose doubled running weight reaches
+      // the total — the lower weighted median
+      val keys = t.columns.filterNot(c => c == "graft_c" || c == wCol)
+      val wp = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col).toIndexedSeq: _*).orderBy("graft_c")
+      val wt = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col).toIndexedSeq: _*)
+      t.withColumn("graft_cum", sum(wCol).over(wp.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .withColumn("graft_tot", sum(wCol).over(wt))
+        .filter(col("graft_tot") > 0 &&
+          col("graft_cum") * 2 >= col("graft_tot"))
+        .groupBy(keys.map(col).toIndexedSeq: _*)
+        .agg(min("graft_c").as("graft_med"))
+    }
+    val rawMed = lowerMedian(gate.drop("graft_card"), "graft_w")
+      .select(col("graft_g"), col("graft_med").as("graft_raw"))
+    val perRep = poissonWeighted(base, replicas)
+      .groupBy("graft_g", "graft_b", "graft_c")
+      .agg(sum("graft_m").as("graft_wm"))
+      .filter(col("graft_wm") > 0)
+    val repMed = lowerMedian(perRep, "graft_wm")
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("graft_g").orderBy(col("graft_med"), col("graft_b"))
+    val wG = org.apache.spark.sql.expressions.Window.partitionBy("graft_g")
+    val ci = repMed
+      .withColumn("graft_rn", row_number().over(wOrd).cast("long"))
+      .withColumn("graft_bl", count(lit(1)).over(wG))
+      .withColumn("graft_lo", expr("graft_bl * 25 div 1000 + 1"))
+      .withColumn("graft_hi", expr("(graft_bl * 975 + 999) div 1000"))
+      .groupBy("graft_g")
+      .agg(max("graft_bl").as("graft_bl"),
+        max(when(col("graft_rn") === col("graft_lo"), col("graft_med")))
+          .as("graft_cilo"),
+        max(when(col("graft_rn") === col("graft_hi"), col("graft_med")))
+          .as("graft_cihi"))
+    val n = base.groupBy("graft_g").agg(count(lit(1)).as("graft_n"))
+    n.join(rawMed, Seq("graft_g")).join(ci, Seq("graft_g"))
+      .select(col("graft_g").as(groupCol),
+        col("graft_n").cast("long").as("n_rows"),
+        col("graft_raw").cast("long").as("median_centi"),
+        col("graft_bl").cast("long").as("b_live"),
+        col("graft_cilo").cast("long").as("ci_lo_centi"),
+        col("graft_cihi").cast("long").as("ci_hi_centi"))
       .orderBy(groupCol)
   }
 

@@ -1484,4 +1484,25 @@ class AnalyticsSpec extends SparkSpec {
     val short3 = (day(1, 1) ++ day(2, 2) ++ day(3, 3)).toDF("etype", "ts_us")
     assert(Analytics.haarEnergy(short3, "etype", "ts_us", 2).count() === 0L)
   }
+
+  test("mahalanobis2d replays hand-cleared distances and guards degeneracy") {
+    // Square corners + center: A = B = 20, C = 0, det = 400; corners
+    // d² = 2.5 (2500 milli), center exactly 0.
+    val pts = Seq((1L, 0L, 0L), (2L, 2L, 0L), (3L, 0L, 2L), (4L, 2L, 2L),
+      (5L, 1L, 1L)).toDF("id", "x", "y")
+    val got = Analytics.mahalanobis2d(pts, "id", "x", "y", topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(got === Seq((1L, 2500L), (2L, 2500L), (3L, 2500L),
+      (4L, 2500L), (5L, 0L)))
+    // perfectly collinear cloud: det = 0 → no rows, no blowup
+    val line = Seq((1L, 0L, 0L), (2L, 1L, 1L), (3L, 2L, 2L))
+      .toDF("id", "x", "y")
+    assert(Analytics.mahalanobis2d(line, "id", "x", "y", 3).count() === 0L)
+    // magnitude gate fires loudly (non-degenerate cloud, wide x)
+    intercept[Exception] {
+      Analytics.mahalanobis2d(Seq((1L, 0L, 0L), (2L, 50000L, 1L),
+        (3L, 0L, 1L), (4L, 50000L, 0L))
+        .toDF("id", "x", "y"), "id", "x", "y", 4).collect()
+    }
+  }
 }

@@ -407,4 +407,30 @@ class ExperimentSpec extends SparkSpec {
     assert(v > 250L && v < 1000L, s"boot var $v centi2 not near 500")
     assert(got.getAs[Long]("b_live") === 32L)
   }
+
+  test("bootstrapMedian: exact point median, CI brackets it, degenerate collapses") {
+    // 1..199 (median 100): the lower median is exact; a deterministic
+    // 95% bootstrap CI must bracket it and stay tight-ish.
+    val rows = (1 to 199).map(i => ("g", i.toDouble, i.toLong))
+    val got = Experiment.bootstrapMedian(rows.toDF("grp", "v", "id"),
+      "grp", "v", "id", replicas = 32).head()
+    assert(got.getAs[Long]("median_centi") === 10000L)
+    assert(got.getAs[Long]("b_live") === 32L)
+    val (lo, hi) = (got.getAs[Long]("ci_lo_centi"),
+      got.getAs[Long]("ci_hi_centi"))
+    assert(lo <= 10000L && 10000L <= hi, s"CI [$lo, $hi] misses the median")
+    assert(hi - lo < 6000L, s"CI [$lo, $hi] implausibly wide")
+    // single-valued group: every replicate median IS that value
+    val one = Seq.tabulate(20)(i => ("c", 7.0, i.toLong))
+    val gc = Experiment.bootstrapMedian(one.toDF("grp", "v", "id"),
+      "grp", "v", "id").head()
+    assert(gc.getAs[Long]("median_centi") === 700L)
+    assert(gc.getAs[Long]("ci_lo_centi") === 700L)
+    assert(gc.getAs[Long]("ci_hi_centi") === 700L)
+    // deterministic under partitioning
+    val re = Experiment.bootstrapMedian(
+      rows.toDF("grp", "v", "id").repartition(7),
+      "grp", "v", "id", replicas = 32).head()
+    assert(re.toSeq === got.toSeq)
+  }
 }
