@@ -2241,6 +2241,33 @@ object SparkEntry {
       Experiment.bootstrapMedian(Tables.events(s, d), "event_type",
         "value", "event_id")),
 
+    // Rank-Biased Overlap between full-dim and 16-dim retrieval on the
+    // q211 query set — the rank-weighted refinement of overlap@k; every
+    // depth weight is a shared exact nano literal.
+    "q387_rbo" -> ((s, d) =>
+      Similarity.rboAgreement(Tables.embeddings(s, d), "vec_id",
+        "embedding", queryIds = Seq(0L, 7L, 21L, 42L, 63L), k = 10,
+        mDims = 16)),
+
+    // Matroska/WebM metadata via a real EBML varint walk: DocType,
+    // duration (timestamp-scale rule), track-type census, first video
+    // track dimensions; the synth arithmetic replays.
+    "q388_webm_meta" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val dt = if (id % 2 == 0) "webm" else "matroska"
+          val got = multimodal.Binary.webmMeta(
+            multimodal.Binary.synthWebm(dt, 1000 + id % 9000L,
+              ((id % 200L).toInt + 1) * 4, ((id % 100L).toInt + 1) * 4,
+              (id % 3L).toInt))
+            .getOrElse(("", -1L, -1, -1, -1, -1))
+          (id, got._1, got._2, got._3.toLong, got._4.toLong,
+            got._5.toLong, got._6.toLong)
+        }.toDF("doc_id", "doc_type", "duration_ms", "n_video", "n_audio",
+          "width", "height")
+    }),
+
     // Cross-source duplication Venn (q193's mirrored corpus): content
     // bucketed by how many distinct sources carry it — the syndication
     // spread histogram a dedup rollout is sized by.
@@ -10200,6 +10227,58 @@ object SparkEntry {
                 CAST(ci.cihi AS BIGINT) AS ci_hi_centi
          FROM nn JOIN rawm ON nn.g = rawm.g JOIN ci ON nn.g = ci.g
          ORDER BY event_type""",
+
+    // The q211 ranking CTEs with ranks kept; shared-literal depth
+    // weights, entry depth = max rank, one floor per depth term.
+    "q387_rbo" ->
+      s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+                  CAST(embedding[1:16] AS DOUBLE[]) AS qp
+               FROM embeddings WHERE vec_id IN (0, 7, 21, 42, 63)),
+         fr AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+                  ORDER BY cos DESC, vec_id) AS rn
+               FROM (SELECT q.qid, e.vec_id,
+                       round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                  CAST(e.embedding AS DOUBLE[])))
+                            * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+                     FROM embeddings e, q WHERE e.vec_id <> q.qid)),
+         pr AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+                  ORDER BY cos DESC, vec_id) AS rn
+               FROM (SELECT q.qid, e.vec_id,
+                       round(list_dot_product(CAST(e.embedding[1:16] AS DOUBLE[]), q.qp)
+                         / (sqrt(list_dot_product(CAST(e.embedding[1:16] AS DOUBLE[]),
+                                                  CAST(e.embedding[1:16] AS DOUBLE[])))
+                            * sqrt(list_dot_product(q.qp, q.qp))), 6) AS cos
+                     FROM embeddings e, q WHERE e.vec_id <> q.qid)),
+         j AS (SELECT f.qid, greatest(f.rn, p.rn) AS d0
+               FROM fr f JOIN pr p
+                 ON f.qid = p.qid AND f.vec_id = p.vec_id
+               WHERE f.rn <= 10 AND p.rn <= 10),
+         ov AS (SELECT qid, CAST(t.d AS BIGINT) AS d,
+                  CAST(count(*) AS HUGEINT) AS ov
+                FROM j, (SELECT unnest(range(1, 11)) AS d) t
+                WHERE t.d >= j.d0 GROUP BY 1, 2),
+         wts(d, w) AS (VALUES ${Similarity.rboWeightsNano(10, 900L)
+             .zipWithIndex.map { case (wv, i) =>
+               s"(${i + 1}, CAST($wv AS HUGEINT))" }.mkString(", ")})
+         SELECT ov.qid AS query_id,
+                CAST(coalesce(max(CASE WHEN ov.d = 10 THEN ov.ov END), 0)
+                  AS BIGINT) AS n_overlap,
+                CAST(sum(wts.w * ov.ov // ov.d) // 1000 AS BIGINT)
+                  AS rbo_micro
+         FROM ov JOIN wts ON ov.d = wts.d
+         GROUP BY 1""",
+
+    "q388_webm_meta" ->
+      """SELECT doc_id,
+                CASE WHEN doc_id % 2 = 0 THEN 'webm'
+                  ELSE 'matroska' END AS doc_type,
+                CAST(1000 + doc_id % 9000 AS BIGINT) AS duration_ms,
+                CAST(1 AS BIGINT) AS n_video,
+                CAST(doc_id % 3 AS BIGINT) AS n_audio,
+                CAST((doc_id % 200 + 1) * 4 AS BIGINT) AS width,
+                CAST((doc_id % 100 + 1) * 4 AS BIGINT) AS height
+         FROM documents""",
 
     "q367_damerau_pairs" ->
       """WITH n AS (SELECT DISTINCT p_name FROM part)

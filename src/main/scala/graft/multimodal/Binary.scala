@@ -2146,6 +2146,163 @@ object Binary {
     out.toByteArray
   }
 
+  // ---- EBML / Matroska (RFC 8794 + matroska.org spec) ----
+
+  /** Matroska/WebM metadata via a real EBML walk — the modern-container
+    * leg of the video family next to MP4: EBML varint IDs/sizes parsed
+    * per RFC 8794, the header's DocType read, then Segment → Info
+    * (TimestampScale, Duration) and Segment → Tracks → TrackEntry
+    * (TrackType; Video's PixelWidth/PixelHeight for the first video
+    * track). Duration converts to ms by the Matroska rule
+    * duration·scale/10⁶ (scale defaults to 10⁶ ns/tick). Cluster
+    * payloads are never read. Returns (docType, durationMs, nVideo,
+    * nAudio, width, height); None on malformed/truncated — degrade,
+    * never throw. */
+  def webmMeta(bytes: Array[Byte]): Option[(String, Long, Int, Int, Int, Int)] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    // EBML varint: leading-zero count of the first byte gives the
+    // length; IDs keep their marker bit, sizes strip it.
+    def vintLen(i: Int): Int = {
+      val b = u8(i)
+      if (b == 0) return -1
+      var l = 1
+      while ((b & (0x80 >> (l - 1))) == 0) l += 1
+      l
+    }
+    def readId(i: Int): Option[(Long, Int)] = {
+      if (i >= bytes.length) return None
+      val l = vintLen(i)
+      if (l < 1 || l > 4 || i + l > bytes.length) return None
+      var v = 0L
+      (0 until l).foreach(j => v = (v << 8) | u8(i + j))
+      Some((v, l))
+    }
+    def readSize(i: Int): Option[(Long, Int)] = {
+      if (i >= bytes.length) return None
+      val l = vintLen(i)
+      if (l < 1 || l > 8 || i + l > bytes.length) return None
+      var v = (u8(i) & (0xff >> l)).toLong
+      (1 until l).foreach(j => v = (v << 8) | u8(i + j))
+      Some((v, l))
+    }
+    def readUint(off: Int, len: Int): Long = {
+      var v = 0L
+      (0 until len).foreach(j => v = (v << 8) | u8(off + j))
+      v
+    }
+    def readFloat(off: Int, len: Int): Double = len match {
+      case 4 => java.lang.Float.intBitsToFloat(readUint(off, 4).toInt).toDouble
+      case 8 => java.lang.Double.longBitsToDouble(readUint(off, 8))
+      case _ => Double.NaN
+    }
+    /** Walk the children of [from, to), calling f(id, payloadOff, payloadLen). */
+    def walk(from: Int, to: Int)(f: (Long, Int, Int) => Unit): Boolean = {
+      var p = from
+      while (p < to) {
+        val (id, il) = readId(p).getOrElse(return false)
+        val (sz, sl) = readSize(p + il).getOrElse(return false)
+        val off = p + il + sl
+        if (sz > Int.MaxValue || off + sz > to) return false
+        f(id, off, sz.toInt)
+        p = off + sz.toInt
+      }
+      true
+    }
+    if (bytes.length < 8) return None
+    var docType = ""
+    var scale = 1000000L
+    var duration = Double.NaN
+    var nVideo = 0
+    var nAudio = 0
+    var w = -1
+    var h = -1
+    var sawSegment = false
+    val okTop = walk(0, bytes.length) { (id, off, len) =>
+      id match {
+        case 0x1A45DFA3L => // EBML header
+          walk(off, off + len) { (cid, coff, clen) =>
+            if (cid == 0x4282L)
+              docType = new String(bytes, coff, clen, "US-ASCII")
+          }
+        case 0x18538067L => // Segment
+          sawSegment = true
+          walk(off, off + len) { (cid, coff, clen) =>
+            cid match {
+              case 0x1549A966L => // Info
+                walk(coff, coff + clen) { (iid, ioff, ilen) =>
+                  if (iid == 0x2AD7B1L) scale = readUint(ioff, ilen)
+                  else if (iid == 0x4489L) duration = readFloat(ioff, ilen)
+                }
+              case 0x1654AE6BL => // Tracks
+                walk(coff, coff + clen) { (tid, toff, tlen) =>
+                  if (tid == 0xAEL) { // TrackEntry
+                    var ttype = -1L
+                    var tw = -1
+                    var th = -1
+                    walk(toff, toff + tlen) { (eid, eoff, elen) =>
+                      if (eid == 0x83L) ttype = readUint(eoff, elen)
+                      else if (eid == 0xE0L) { // Video
+                        walk(eoff, eoff + elen) { (vid, voff, vlen) =>
+                          if (vid == 0xB0L) tw = readUint(voff, vlen).toInt
+                          else if (vid == 0xBAL) th = readUint(voff, vlen).toInt
+                        }
+                        ()
+                      }
+                    }
+                    if (ttype == 1L) {
+                      nVideo += 1
+                      if (w < 0) { w = tw; h = th }
+                    } else if (ttype == 2L) nAudio += 1
+                  }
+                }
+              case _ => ()
+            }
+          }
+        case _ => ()
+      }
+    }
+    if (!okTop || docType.isEmpty || !sawSegment) return None
+    val durMs =
+      if (duration.isNaN || scale <= 0) -1L
+      else math.floor(duration * scale / 1e6).toLong
+    Some((docType, durMs, nVideo, nAudio, w, h))
+  }
+
+  /** Deterministic minimal Matroska/WebM fixture: EBML header with the
+    * given DocType, Segment with Info (explicit 10⁶ TimestampScale,
+    * 8-byte-double Duration in ms) and Tracks (one video WxH plus
+    * `nAudio` audio entries). All sizes written as 8-byte varints. */
+  def synthWebm(docType: String, durMs: Long, w: Int, h: Int,
+                nAudio: Int): Array[Byte] = {
+    def size8(n: Int): Array[Byte] =
+      // Long shifts: Int shift amounts wrap mod 32, so 14 >> 32 = 14
+      Array(0x01.toByte) ++
+        (48 to 0 by -8).map(s => ((n.toLong >> s) & 0xff).toByte)
+    def uint(v: Long): Array[Byte] = {
+      var l = 1
+      while (l < 8 && (v >> (8 * l)) != 0) l += 1
+      (l - 1 to 0 by -1).map(s => ((v >> (8 * s)) & 0xff).toByte).toArray
+    }
+    def el(id: Array[Int], payload: Array[Byte]): Array[Byte] =
+      id.map(_.toByte) ++ size8(payload.length) ++ payload
+    val header = el(Array(0x1A, 0x45, 0xDF, 0xA3),
+      el(Array(0x42, 0x82), docType.getBytes("US-ASCII")))
+    val info = el(Array(0x15, 0x49, 0xA9, 0x66),
+      el(Array(0x2A, 0xD7, 0xB1), uint(1000000L)) ++
+        el(Array(0x44, 0x89), {
+          val b = java.nio.ByteBuffer.allocate(8)
+          b.putDouble(durMs.toDouble); b.array()
+        }))
+    val videoTrack = el(Array(0xAE),
+      el(Array(0x83), uint(1L)) ++
+        el(Array(0xE0),
+          el(Array(0xB0), uint(w.toLong)) ++ el(Array(0xBA), uint(h.toLong))))
+    val audioTracks = (0 until nAudio).map(_ =>
+      el(Array(0xAE), el(Array(0x83), uint(2L)))).toArray.flatten
+    val tracks = el(Array(0x16, 0x54, 0xAE, 0x6B), videoTrack ++ audioTracks)
+    header ++ el(Array(0x18, 0x53, 0x80, 0x67), info ++ tracks)
+  }
+
   // ---- Document containers (SVG 1.1 §5.1.2 / PDF 32000-1 §7.5) ----
 
   /** SVG dimensions — the vector leg of the image-dimension family

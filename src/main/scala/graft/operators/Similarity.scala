@@ -99,6 +99,77 @@ object Similarity {
         expr(s"n_overlap * 1000000 div ${k}L").as("overlap_ppm"))
   }
 
+  /** The RBO depth weights as exact nano integers:
+    * W_d = ⌊10⁹·(1−p)·p^(d−1)⌋ with p = pMilli/1000 — computed in exact
+    * decimal BigInt arithmetic ((1000−pMilli)·pMilli^(d−1)·10⁹ div
+    * 1000^d), so the operator and any external replay share the SAME
+    * literal table. Public because the oracle interpolates it. */
+  def rboWeightsNano(k: Int, pMilli: Long): Seq[Long] = {
+    require(k >= 1 && pMilli >= 1 && pMilli <= 999,
+      "k >= 1 and 1 <= pMilli <= 999 required")
+    (1 to k).map { d =>
+      ((BigInt(1000 - pMilli) * BigInt(pMilli).pow(d - 1) *
+        BigInt(10).pow(9)) / BigInt(1000).pow(d)).toLong
+    }
+  }
+
+  /** Rank-Biased Overlap between the full-dimension and
+    * prefix-dimension retrievals — the RANK-WEIGHTED refinement of
+    * [[prefixDimAgreement]]'s overlap@k (Webber/Moffat/Zobel, TOIS
+    * 2010): two rankings can share 8 of 10 items yet disagree entirely
+    * about which come FIRST; RBO weights each prefix depth d by
+    * (1−p)·p^(d−1), so early-rank agreement dominates — the eval that
+    * decides whether shipping `mDims`-dim vectors preserves what users
+    * actually see at the top.
+    *
+    * Truncated-RBO contract (exact by construction): an item shared by
+    * both rankings ENTERS the overlap at depth max(rank_A, rank_B);
+    * ov_d = |A_{1..d} ∩ B_{1..d}|;
+    * rbo_micro = (Σ_{d≤k} W_d·ov_d div d) div 1000 with the
+    * [[rboWeightsNano]] literals — one floor per depth term, replayed
+    * verbatim. Both rankings are the q85 batch shape (one corpus scan
+    * each, rounded cosine + id tiebreak), so every rank is
+    * deterministic and the whole readout hash-checks.
+    *
+    * Scale: the per-query work after the two scans is ≤ k² rows (entry
+    * depth fan-out), grouped per (query, depth) — broadcast-sized. */
+  def rboAgreement(emb: DataFrame, idCol: String, vecCol: String,
+                   queryIds: Seq[Long], k: Int, mDims: Int,
+                   pMilli: Long = 900L): DataFrame = {
+    require(mDims >= 1, "mDims must be at least 1")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col(idCol).asc)
+    def ranked(e: DataFrame, rnName: String): DataFrame = {
+      val q = e.filter(col(idCol).isin(queryIds: _*))
+        .select(col(idCol).as("query_id"), col(vecCol).as("graft_qv"))
+      e.crossJoin(broadcast(q))
+        .filter(col(idCol) =!= col("query_id"))
+        .withColumn("cos", round(V.cosine(col(vecCol), col("graft_qv")), 6))
+        .withColumn(rnName, row_number().over(w).cast("long"))
+        .filter(col(rnName) <= k)
+        .select(col("query_id"), col(idCol), col(rnName))
+    }
+    val full = ranked(emb, "graft_ra")
+    val prefix = ranked(
+      emb.withColumn(vecCol, slice(col(vecCol), 1, mDims)), "graft_rb")
+    val wNano = typedLit(rboWeightsNano(k, pMilli))
+    full.join(prefix, Seq("query_id", idCol))
+      .withColumn("graft_d",
+        explode(sequence(greatest(col("graft_ra"), col("graft_rb")),
+          lit(k.toLong))))
+      .groupBy("query_id", "graft_d")
+      .agg(count(lit(1)).as("graft_ov"))
+      .withColumn("graft_w", wNano)
+      .groupBy("query_id")
+      .agg(sum(expr("element_at(" +
+        "graft_w, CAST(graft_d AS INT)) * graft_ov div graft_d"))
+        .as("graft_nano"),
+        max(when(col("graft_d") === k, col("graft_ov"))).as("graft_ovk"))
+      .select(col("query_id"),
+        coalesce(col("graft_ovk"), lit(0L)).as("n_overlap"),
+        expr("graft_nano div 1000").as("rbo_micro"))
+  }
+
   /** kNN label-noise audit — Confident-Learning-style curation screen:
     * for each PROBE point (a deterministic sample — auditing every
     * point is inherently all-pairs; the production path samples or

@@ -775,6 +775,21 @@ class BinarySpec extends SparkSpec {
     assert(Binary.pdfMeta("not a pdf".getBytes) === None)
   }
 
+  test("webmMeta round-trips the EBML fixture and degrades") {
+    assert(Binary.webmMeta(Binary.synthWebm("webm", 90000L, 640, 360, 2))
+      === Some(("webm", 90000L, 1, 2, 640, 360)))
+    assert(Binary.webmMeta(Binary.synthWebm("matroska", 1L, 4, 4, 0))
+      === Some(("matroska", 1L, 1, 0, 4, 4)))
+    val good = Binary.synthWebm("webm", 5000L, 320, 240, 1)
+    assert(Binary.webmMeta(good.take(20)) === None)   // torn element
+    assert(Binary.webmMeta("RIFFxxxx".getBytes) === None) // wrong magic
+    assert(Binary.webmMeta(Array[Byte]()) === None)
+    // header without a Segment is not a playable container
+    val headerOnly = good.take(
+      4 + 8 + 14) // EBML header element only
+    assert(Binary.webmMeta(headerOnly) === None)
+  }
+
   test("icoMeta walks the directory, honors the 0-means-256 quirk, degrades") {
     assert(Binary.icoMeta(Binary.synthIco(Seq((16, 16), (32, 48)))) ===
       Some((2, 32, 48)))

@@ -330,4 +330,22 @@ class SimilaritySpec extends SparkSpec {
     assert(a === b)
     assert(a.size === 3)
   }
+
+  test("rboAgreement: exact weights, identical-ranking mass, absent on disjoint") {
+    // W_1 = floor(1e9 * 0.1), W_2 = floor(1e9 * 0.09) — exact decimals
+    val w = Similarity.rboWeightsNano(3, 900L)
+    assert(w === Seq(100000000L, 90000000L, 81000000L))
+    // mDims = full dimension → both rankings identical → ov_d = d and
+    // rbo_micro = (Σ W_d) / 1000 exactly (truncated-RBO mass)
+    import spark.implicits._
+    val vecs = (0L until 8L).map(i =>
+      (i, Seq.tabulate(4)(j => (1.0f / (1 + i + j)))))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.rboAgreement(vecs, "vec_id", "embedding",
+      queryIds = Seq(0L, 3L), k = 4, mDims = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val mass = Similarity.rboWeightsNano(4, 900L).sum / 1000L
+    assert(got === Seq((0L, 4L, mass), (3L, 4L, mass)))
+  }
 }
