@@ -2268,6 +2268,30 @@ object SparkEntry {
           "width", "height")
     }),
 
+    // Bigram collocation mining by exact floor-ppm lift over the
+    // documents corpus — which word pairs travel together beyond
+    // chance, with a support floor and a deterministic top-k.
+    "q389_collocations" -> ((s, d) =>
+      Corpus.collocations(Tables.documents(s, d), "text",
+        minSupport = 5L, topK = 25)),
+
+    // Group-median imputation audit on events with planted nulls
+    // (event_id % 7): per type the exact fill value, null count and
+    // post-fill sum — the NA-repair readout next to dag.py's dropna.
+    "q390_impute" -> ((s, d) =>
+      Etl.imputePanel(
+        Tables.events(s, d).withColumn("value",
+          when(col("event_id") % 7 === 0, lit(null))
+            .otherwise(col("value"))),
+        "event_type", "value")),
+
+    // Markov next-event predictor with a temporal holdout: fit on
+    // even-day transition pairs, score on odd-day pairs — a real
+    // out-of-sample hit rate per from-type.
+    "q391_next_event" -> ((s, d) =>
+      Sessions.nextEventEval(eventsUs(s, d), "user_id", "ts_us",
+        "event_id", "event_type")),
+
     // Cross-source duplication Venn (q193's mirrored corpus): content
     // bucketed by how many distinct sources carry it — the syndication
     // spread histogram a dedup rollout is sized by.
@@ -10279,6 +10303,102 @@ object SparkEntry {
                 CAST((doc_id % 200 + 1) * 4 AS BIGINT) AS width,
                 CAST((doc_id % 100 + 1) * 4 AS BIGINT) AS height
          FROM documents""",
+
+    // Adjacent zip of the normalized token arrays; lift cleared to one
+    // floor-ppm rational; deterministic (lift, pair) top-k.
+    "q389_collocations" ->
+      """WITH t AS (SELECT string_split(
+                  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')
+                  AS toks
+               FROM documents),
+         uni AS (SELECT u.t AS w, CAST(count(*) AS HUGEINT) AS nu
+                 FROM (SELECT unnest(toks) AS t FROM t) u
+                 WHERE length(u.t) > 0 GROUP BY 1),
+         tot AS (SELECT sum(nu) AS nn FROM uni),
+         bi AS (SELECT toks[i] AS w1, toks[i + 1] AS w2,
+                  CAST(count(*) AS HUGEINT) AS nab
+                FROM (SELECT toks,
+                        unnest(range(1, greatest(len(toks), 1))) AS i
+                      FROM t)
+                WHERE length(toks[i]) > 0 AND length(toks[i + 1]) > 0
+                GROUP BY 1, 2),
+         n2 AS (SELECT sum(nab) AS n2 FROM bi)
+         SELECT w1 AS word_1, w2 AS word_2,
+                CAST(nab AS BIGINT) AS n_pair,
+                CAST(nab * nn * nn * 1000000 // (n2.n2 * a.nu * b.nu)
+                  AS BIGINT) AS lift_ppm
+         FROM bi JOIN uni a ON bi.w1 = a.w
+                 JOIN uni b ON bi.w2 = b.w, tot, n2
+         WHERE nab >= 5
+         ORDER BY lift_ppm DESC, word_1 ASC, word_2 ASC LIMIT 25""",
+
+    // Lower median of the non-null centi values per type, planted-null
+    // counts, exact post-fill sum.
+    "q390_impute" ->
+      """WITH r AS (SELECT event_type AS g,
+                  CASE WHEN event_id % 7 = 0 THEN NULL
+                    ELSE CAST(floor(value * 100 + 0.5) AS BIGINT)
+                    END AS c
+               FROM events),
+         pv AS (SELECT g, c, CAST(count(*) AS HUGEINT) AS w
+                FROM r WHERE c IS NOT NULL GROUP BY 1, 2),
+         med AS (SELECT g, min(c) AS fill FROM (
+                   SELECT g, c,
+                     sum(w) OVER (PARTITION BY g ORDER BY c
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum,
+                     sum(w) OVER (PARTITION BY g) AS tot
+                   FROM pv)
+                 WHERE cum * 2 >= tot GROUP BY g),
+         agg AS (SELECT g, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_null,
+                   CAST(coalesce(sum(CAST(c AS HUGEINT)), 0) AS HUGEINT)
+                     AS s
+                 FROM r GROUP BY 1)
+         SELECT agg.g AS event_type, n_rows, n_null,
+                CAST(med.fill AS BIGINT) AS fill_centi,
+                CAST(CASE WHEN med.fill IS NULL AND n_null > 0 THEN NULL
+                  ELSE s + n_null * coalesce(med.fill, 0) END AS BIGINT)
+                  AS sum_after_centi
+         FROM agg LEFT JOIN med ON agg.g = med.g""",
+
+    // Even-day-fit argmax predictor scored on odd-day pairs; NULL
+    // prediction for eval-only from-types.
+    "q391_next_event" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_id AS i,
+                  event_type AS ty
+               FROM events),
+         pr AS (SELECT u, ty,
+                  lag(ty) OVER (PARTITION BY u ORDER BY t, i) AS prev,
+                  lag(t) OVER (PARTITION BY u ORDER BY t, i) AS pts
+                FROM e),
+         pairs AS (SELECT prev AS f, ty AS tt,
+                     pts // 86400000000 AS pday
+                   FROM pr WHERE prev IS NOT NULL),
+         train AS (SELECT f, tt, CAST(count(*) AS BIGINT) AS n
+                   FROM pairs WHERE pday % 2 = 0 GROUP BY 1, 2),
+         pred AS (SELECT f, max(nt) AS n_train, max(p) AS pred FROM (
+                    SELECT f, tt AS p,
+                      row_number() OVER (PARTITION BY f
+                        ORDER BY n DESC, tt ASC) AS rn,
+                      sum(n) OVER (PARTITION BY f) AS nt
+                    FROM train)
+                  WHERE rn = 1 GROUP BY f),
+         ev AS (SELECT f, tt, CAST(count(*) AS BIGINT) AS ne
+                FROM pairs WHERE pday % 2 = 1 GROUP BY 1, 2)
+         SELECT ev.f AS from_type,
+                CAST(coalesce(max(pred.n_train), 0) AS BIGINT) AS n_train,
+                max(pred.pred) AS predicted_type,
+                CAST(sum(ne) AS BIGINT) AS n_eval,
+                CAST(coalesce(sum(CASE WHEN ev.tt = pred.pred THEN ne
+                  END), 0) AS BIGINT) AS n_hits,
+                CAST(CASE WHEN sum(ne) = 0 THEN NULL
+                  ELSE coalesce(sum(CASE WHEN ev.tt = pred.pred THEN ne
+                    END), 0) * 1000000 // sum(ne) END AS BIGINT)
+                  AS hit_ppm
+         FROM ev LEFT JOIN pred ON ev.f = pred.f
+         GROUP BY 1""",
 
     "q367_damerau_pairs" ->
       """WITH n AS (SELECT DISTINCT p_name FROM part)

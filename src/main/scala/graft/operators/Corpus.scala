@@ -889,4 +889,59 @@ object Corpus {
       .select(col("domain"), col("n_urls").cast("long").as("n_urls"),
         col("n_docs").cast("long").as("n_docs"))
   }
+
+  /** Bigram collocation mining by LIFT — "which word pairs travel
+    * together far beyond chance" (the phrase/terminology discovery next
+    * to [[graft.operators.Search]]'s relatedTerms, which looks at
+    * doc-level co-occurrence; this is ADJACENCY): for adjacent tokens
+    * (a, b), lift = P(ab) / (P(a)·P(b)) with P(ab) over the corpus's N₂
+    * bigram slots and the unigram Ps over its N tokens — all exact
+    * counts, lift emitted as one floor-ppm rational
+    * n_ab·N²·10⁶ div (N₂·n_a·n_b) (inside DECIMAL(38,0) up to
+    * N ≈ 10¹⁰ tokens with n_ab bounded by N₂; beyond that the caller
+    * shards by source — documented bound). PMI is log(lift): same
+    * ranking, no transcendental (the family rule). `minSupport` floors
+    * n_ab so one-off juxtapositions don't top the list; top-k by
+    * (lift desc, bigram asc) — deterministic.
+    *
+    * Scale: the bigram stream comes from an in-array adjacent zip (one
+    * bounded explode per doc — no position join, no shuffle before the
+    * counts), then one bigram count + one unigram count (both
+    * map-combinable), two count-table joins, distributed top-k. */
+  def collocations(docs: DataFrame, textCol: String, minSupport: Long,
+                   topK: Int): DataFrame = {
+    require(minSupport >= 1 && topK >= 1,
+      "minSupport and topK must be positive")
+    val dec = "decimal(38,0)"
+    val base = Materialize.transient(docs
+      .select(T.tokens(col(textCol)).as("graft_toks")))
+    val uni = base.select(explode(col("graft_toks")).as("graft_t"))
+      .filter(length(col("graft_t")) > 0)
+      .groupBy(col("graft_t")).agg(count(lit(1)).as("graft_nu"))
+    val tot = uni.agg(sum("graft_nu").cast(dec).as("graft_nn"))
+    val bi = base.filter(size(col("graft_toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(graft_toks) - 2)," +
+          " i -> struct(element_at(graft_toks, i + 1) AS w1," +
+          " element_at(graft_toks, i + 2) AS w2))")).as("graft_bg"))
+      .select(col("graft_bg.w1").as("graft_w1"),
+        col("graft_bg.w2").as("graft_w2"))
+      .filter(length(col("graft_w1")) > 0 && length(col("graft_w2")) > 0)
+      .groupBy("graft_w1", "graft_w2")
+      .agg(count(lit(1)).as("graft_nab"))
+    val n2 = bi.agg(sum("graft_nab").cast(dec).as("graft_n2"))
+    bi.filter(col("graft_nab") >= minSupport)
+      .join(uni.select(col("graft_t").as("graft_w1"),
+        col("graft_nu").as("graft_na")), Seq("graft_w1"))
+      .join(uni.select(col("graft_t").as("graft_w2"),
+        col("graft_nu").as("graft_nb")), Seq("graft_w2"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(n2))
+      .select(col("graft_w1").as("word_1"), col("graft_w2").as("word_2"),
+        col("graft_nab").cast("long").as("n_pair"),
+        expr(s"CAST(CAST(graft_nab AS $dec) * graft_nn * graft_nn" +
+          " * 1000000 div (graft_n2 * graft_na * graft_nb) AS BIGINT)")
+          .as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("word_1").asc, col("word_2").asc)
+      .limit(topK)
+  }
 }

@@ -518,4 +518,60 @@ object Etl {
     aDelta.join(bOld, keys)
       .unionByName(aOld.join(bDelta, keys))
       .unionByName(aDelta.join(bDelta, keys))
+
+  /** Group-median imputation audit — the missing-value repair step a
+    * feature pipeline runs before any model sees the table (reference
+    * dag.py drops NA rows outright at dag.py:210; imputation is the
+    * alternative that keeps the row), as an EXACT readout: per group
+    * the LOWER MEDIAN of the non-null centi values (the 48b'
+    * convention — an actual data value, no interpolation), how many
+    * rows it would fill, and the exact post-fill sum
+    * (Σ non-null + n_null·fill) so the downstream mean shift is
+    * auditable before committing. An all-null group reports NULL fill
+    * and NULL post-sum — imputing from nothing is a decision, not a
+    * default. The filled frame itself is one broadcast join of this
+    * table back onto the corpus (the caller composes it; the audit is
+    * the contract).
+    *
+    * Scale: one (group, value)-keyed count (map-combinable), the
+    * median window over the cardinality-gated distinct-value table,
+    * one group-level fold — the rank-family posture. */
+  def imputePanel(df: DataFrame, groupCol: String, valueCol: String,
+                  maxDistinct: Long = 1L << 20): DataFrame = {
+    val dec = "decimal(38,0)"
+    val wAll = Window.partitionBy()
+    val rows = df.select(col(groupCol).cast("string").as("graft_g"),
+      floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("long")
+        .as("graft_c"))
+    val perVal = rows.filter(col("graft_c").isNotNull)
+      .groupBy("graft_g", "graft_c").agg(count(lit(1)).as("graft_w"))
+      .withColumn("graft_card", count(lit(1)).over(wAll))
+      .filter(assert_true(col("graft_card") <= lit(maxDistinct),
+        lit(s"imputePanel: more than $maxDistinct distinct " +
+          "(group, centi value) pairs — quantize coarser")).isNull)
+      .drop("graft_card")
+    val wg = Window.partitionBy("graft_g").orderBy("graft_c")
+    val wt = Window.partitionBy("graft_g")
+    val med = perVal
+      .withColumn("graft_cum", sum("graft_w").over(wg.rowsBetween(
+        Window.unboundedPreceding, 0)))
+      .withColumn("graft_tot", sum("graft_w").over(wt))
+      .filter(col("graft_cum") * 2 >= col("graft_tot"))
+      .groupBy("graft_g").agg(min("graft_c").as("graft_fill"))
+    rows.groupBy("graft_g")
+      .agg(count(lit(1)).as("graft_n"),
+        sum(when(col("graft_c").isNull, 1L).otherwise(0L)).as("graft_nn"),
+        coalesce(sum(col("graft_c").cast(dec)), lit(0L).cast(dec))
+          .as("graft_s"))
+      .join(med, Seq("graft_g"), "left")
+      .select(col("graft_g").as(groupCol),
+        col("graft_n").cast("long").as("n_rows"),
+        col("graft_nn").cast("long").as("n_null"),
+        col("graft_fill").cast("long").as("fill_centi"),
+        expr("CASE WHEN graft_fill IS NULL AND graft_nn > 0" +
+          " THEN CAST(NULL AS BIGINT)" +
+          " ELSE CAST(graft_s + graft_nn" +
+          " * coalesce(graft_fill, 0) AS BIGINT) END")
+          .as("sum_after_centi"))
+  }
 }

@@ -632,4 +632,61 @@ object Sessions {
         round(element_at(col("qs"), 3), 2).as("p75_days"),
         round(element_at(col("qs"), 4), 2).as("p90_days"))
   }
+
+  /** Markov next-event predictor with a TEMPORAL holdout — "does
+    * yesterday's transition matrix actually predict tomorrow": the
+    * argmax-transition predictor (count desc, type asc tiebreak — one
+    * answer on any engine) is FIT on consecutive-event pairs whose
+    * leading event falls on an even epoch-day and EVALUATED on odd-day
+    * pairs, so the readout is a real out-of-sample hit rate, not the
+    * in-sample echo a same-data eval gives. Per from-type: training
+    * pairs, the predicted type, eval pairs, hits, floor-ppm hit rate;
+    * a from-type seen only in eval keeps NULL prediction and zero hits
+    * (never a fabricated guess).
+    *
+    * Scale: one user-keyed lag window (the q87 shuffle), two bounded
+    * (from, to) aggregates, a |types|-sized argmax window, one
+    * broadcast join of predictions onto the eval counts. */
+  def nextEventEval(events: DataFrame, userCol: String, tsUsCol: String,
+                    idCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(userCol)
+      .orderBy(col(tsUsCol).asc, col(idCol).asc)
+    val pairs = events
+      .select(col(userCol), col(tsUsCol), col(idCol),
+        col(typeCol).cast("string").as("graft_ty"))
+      .withColumn("graft_prev", lag(col("graft_ty"), 1).over(w))
+      .withColumn("graft_pts", lag(col(tsUsCol), 1).over(w))
+      .withColumn("graft_pday", expr("graft_pts div 86400000000"))
+      .filter(col("graft_prev").isNotNull)
+      .select(col("graft_prev").as("graft_from"),
+        col("graft_ty").as("graft_to"), col("graft_pday"))
+    val train = pairs.filter(col("graft_pday") % 2 === 0)
+      .groupBy("graft_from", "graft_to")
+      .agg(count(lit(1)).as("graft_n"))
+    val wArg = Window.partitionBy("graft_from")
+      .orderBy(col("graft_n").desc, col("graft_to").asc)
+    val pred = train
+      .withColumn("graft_rn", row_number().over(wArg))
+      .groupBy("graft_from")
+      .agg(sum("graft_n").as("graft_ntrain"),
+        max(when(col("graft_rn") === 1, col("graft_to")))
+          .as("graft_pred"))
+    val eval0 = pairs.filter(col("graft_pday") % 2 === 1)
+      .groupBy("graft_from", "graft_to")
+      .agg(count(lit(1)).as("graft_ne"))
+    eval0.join(pred, Seq("graft_from"), "left")
+      .groupBy(col("graft_from").as("from_type"))
+      .agg(max("graft_ntrain").as("graft_nt"),
+        max("graft_pred").as("predicted_type"),
+        sum("graft_ne").as("graft_nv"),
+        coalesce(sum(when(col("graft_to") === col("graft_pred"),
+          col("graft_ne"))), lit(0L)).as("graft_hits"))
+      .select(col("from_type"),
+        coalesce(col("graft_nt"), lit(0L)).cast("long").as("n_train"),
+        col("predicted_type"),
+        col("graft_nv").cast("long").as("n_eval"),
+        col("graft_hits").cast("long").as("n_hits"),
+        expr("CASE WHEN graft_nv = 0 THEN CAST(NULL AS BIGINT)" +
+          " ELSE graft_hits * 1000000 div graft_nv END").as("hit_ppm"))
+  }
 }

@@ -520,4 +520,22 @@ class CorpusSpec extends SparkSpec {
       ("example.com", 3L, 2L),
       ("host.org", 1L, 1L)))
   }
+
+  test("collocations: planted pair tops by exact lift, support floor holds") {
+    // "aa bb" always adjacent (lift high); "cc" and "dd" frequent but
+    // never adjacent to each other; "ee ff" appears once (below
+    // support).
+    val docs = (Seq.fill(6)("aa bb cc xx dd") :+ "ee ff cc yy dd")
+      .map(Tuple1(_)).toDF("text")
+    val got = Corpus.collocations(docs, "text", minSupport = 2L,
+      topK = 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // N = 35 tokens, N2 = 28 bigram slots. "aa bb": nab=6, na=nb=6 →
+    // lift = 6·35²·1e6 div (28·36) = 7291666 ppm.
+    assert(got.head === ("aa", "bb", 6L, 7291666L))
+    // every reported pair meets the support floor
+    assert(got.forall(_._3 >= 2L))
+    assert(!got.exists(p => p._1 == "ee" && p._2 == "ff"))
+  }
 }

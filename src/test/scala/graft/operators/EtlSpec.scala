@@ -291,4 +291,26 @@ class EtlSpec extends SparkSpec {
       .orderBy("k").as[(Long, String)].collect()
     assert(re === got)
   }
+
+  test("imputePanel: lower-median fill, exact post-sum, all-null refusal") {
+    // group a: values 1,2,3(+two nulls) → fill = lower median 200
+    //   (centi), post-sum = 600 + 2·200 = 1000
+    // group b: no nulls → fill still reported, post-sum = raw sum
+    // group c: ALL null → NULL fill and NULL post-sum
+    val rows = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)),
+      ("a", None), ("a", None),
+      ("b", Some(5.0)), ("b", Some(7.0)),
+      ("c", None)).map { case (g, v) => (g, v.map(Double.box).orNull) }
+    val got = Etl.imputePanel(rows.toDF("g", "v"), "g", "v")
+      .orderBy("g").collect()
+    val a = got(0)
+    assert((a.getLong(1), a.getLong(2), a.getLong(3), a.getLong(4)) ===
+      ((5L, 2L, 200L, 1000L)))
+    val b = got(1)
+    assert((b.getLong(1), b.getLong(2), b.getLong(3), b.getLong(4)) ===
+      ((2L, 0L, 500L, 1200L)))
+    val c = got(2)
+    assert(c.getLong(1) === 1L && c.getLong(2) === 1L)
+    assert(c.isNullAt(3) && c.isNullAt(4))
+  }
 }

@@ -291,4 +291,27 @@ class SessionsSpec extends SparkSpec {
       ("click", 0L, 1L, 0L, 0L),
       ("view", 2L, 1L, 1L, 500000L)))
   }
+
+  test("nextEventEval fits on even days, scores odd days, NULLs unseen froms") {
+    val day = 86400L * 1000000L
+    // user 1 on day 0 (even, TRAIN): a->b, b->a, a->b  → argmax(a)=b, argmax(b)=a
+    // user 2 on day 1 (odd, EVAL): a->b (hit), b->c (miss)
+    // user 3 on day 1: z->c — 'z' never trained → NULL prediction
+    val ev = Seq(
+      (1L, day * 0 + 1L, 1L, "a"), (1L, day * 0 + 2L, 2L, "b"),
+      (1L, day * 0 + 3L, 3L, "a"), (1L, day * 0 + 4L, 4L, "b"),
+      (2L, day * 1 + 1L, 5L, "a"), (2L, day * 1 + 2L, 6L, "b"),
+      (2L, day * 1 + 3L, 7L, "c"),
+      (3L, day * 1 + 1L, 8L, "z"), (3L, day * 1 + 2L, 9L, "c"))
+      .toDF("u", "ts_us", "id", "ty")
+    val got = Sessions.nextEventEval(ev, "u", "ts_us", "id", "ty")
+      .orderBy("from_type").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.getString(2)).getOrElse("-"), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === Seq(
+      ("a", 2L, "b", 1L, 1L),   // trained a->b twice; eval hit
+      ("b", 1L, "a", 1L, 0L),   // trained b->a; eval b->c missed
+      ("z", 0L, "-", 1L, 0L)))  // never trained: NULL prediction
+  }
 }
