@@ -2292,6 +2292,18 @@ object SparkEntry {
       Sessions.nextEventEval(eventsUs(s, d), "user_id", "ts_us",
         "event_id", "event_type")),
 
+    // Seed-sampled Brandes betweenness on the supplier↔part bipartite
+    // graph: exact path counts forward, one documented floor per DAG
+    // edge backward — the broker scores the degree family can't see.
+    "q392_betweenness" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_suppkey").as("sk"),
+        (col("l_partkey") + lit(10000000L)).cast("long").as("pk"))
+      val edges = li.select(col("sk").as("src"), col("pk").as("dst"))
+        .unionByName(li.select(col("pk").as("src"), col("sk").as("dst")))
+      Graph.betweennessSeeded(edges, "src", "dst",
+        seeds = Seq(1L, 2L, 3L), maxHops = 3, topK = 20)
+    }),
+
     // Cross-source duplication Venn (q193's mirrored corpus): content
     // bucketed by how many distinct sources carry it — the syndication
     // spread histogram a dedup rollout is sized by.
@@ -10399,6 +10411,61 @@ object SparkEntry {
                   AS hit_ppm
          FROM ev LEFT JOIN pred ON ev.f = pred.f
          GROUP BY 1""",
+
+    // Three forward levels with exact path counts, two backward folds
+    // with the per-edge floor, anti-joins per level, summed over seeds.
+    "q392_betweenness" ->
+      """WITH li AS (SELECT DISTINCT l_suppkey AS a,
+                  l_partkey + 10000000 AS b FROM lineitem),
+         ed AS (SELECT a AS src, b AS dst FROM li
+                UNION SELECT b, a FROM li),
+         s(seed) AS (SELECT CAST(x AS BIGINT)
+                     FROM (VALUES (1), (2), (3)) t(x)),
+         l0 AS (SELECT seed, seed AS node, CAST(1 AS HUGEINT) AS sigma
+                FROM s),
+         c1 AS (SELECT l0.seed, ed.dst AS node,
+                  CAST(sum(l0.sigma) AS HUGEINT) AS sigma
+                FROM l0 JOIN ed ON ed.src = l0.node GROUP BY 1, 2),
+         l1 AS (SELECT c1.seed, c1.node, c1.sigma FROM c1
+                ANTI JOIN l0 USING (seed, node)),
+         c2 AS (SELECT l1.seed, ed.dst AS node,
+                  CAST(sum(l1.sigma) AS HUGEINT) AS sigma
+                FROM l1 JOIN ed ON ed.src = l1.node GROUP BY 1, 2),
+         v1 AS (SELECT seed, node FROM l0
+                UNION ALL SELECT seed, node FROM l1),
+         l2 AS (SELECT c2.seed, c2.node, c2.sigma FROM c2
+                ANTI JOIN v1 USING (seed, node)),
+         c3 AS (SELECT l2.seed, ed.dst AS node,
+                  CAST(sum(l2.sigma) AS HUGEINT) AS sigma
+                FROM l2 JOIN ed ON ed.src = l2.node GROUP BY 1, 2),
+         v2 AS (SELECT seed, node FROM v1
+                UNION ALL SELECT seed, node FROM l2),
+         l3 AS (SELECT c3.seed, c3.node, c3.sigma FROM c3
+                ANTI JOIN v2 USING (seed, node)),
+         d2r AS (SELECT l2.seed, l2.node,
+                   CAST(sum(l2.sigma * 1000000 // l3.sigma) AS HUGEINT)
+                     AS delta
+                 FROM l2 JOIN ed ON ed.src = l2.node
+                 JOIN l3 ON l3.seed = l2.seed AND l3.node = ed.dst
+                 GROUP BY 1, 2),
+         dd2 AS (SELECT l2.seed, l2.node, l2.sigma,
+                   coalesce(d2r.delta, 0) AS delta
+                 FROM l2 LEFT JOIN d2r
+                   ON d2r.seed = l2.seed AND d2r.node = l2.node),
+         d1r AS (SELECT l1.seed, l1.node,
+                   CAST(sum(l1.sigma * (1000000 + dd2.delta)
+                     // dd2.sigma) AS HUGEINT) AS delta
+                 FROM l1 JOIN ed ON ed.src = l1.node
+                 JOIN dd2 ON dd2.seed = l1.seed AND dd2.node = ed.dst
+                 GROUP BY 1, 2),
+         dd1 AS (SELECT l1.seed, l1.node, coalesce(d1r.delta, 0) AS delta
+                 FROM l1 LEFT JOIN d1r
+                   ON d1r.seed = l1.seed AND d1r.node = l1.node),
+         contrib AS (SELECT seed, node, delta FROM dd2
+                     UNION ALL SELECT seed, node, delta FROM dd1)
+         SELECT node, CAST(sum(delta) AS BIGINT) AS bc_micro
+         FROM contrib GROUP BY 1
+         ORDER BY bc_micro DESC, node ASC LIMIT 20""",
 
     "q367_damerau_pairs" ->
       """WITH n AS (SELECT DISTINCT p_name FROM part)

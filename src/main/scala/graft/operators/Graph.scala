@@ -667,4 +667,96 @@ object Graph {
       .select(col("seed"), col("n_reached").cast("long").as("n_reached"),
         col("harmonic_micro").cast("long").as("harmonic_micro"))
   }
+
+  /** Seed-sampled betweenness centrality (Brandes, J. Math. Sociol.
+    * 2001, restricted to a seed set and a hop radius — exact Brandes
+    * needs a BFS from EVERY node, which is the textbook non-starter at
+    * scale; pivot sampling is the standard estimator, Brandes/Pich
+    * 2007): which nodes sit ON the shortest paths between others — the
+    * broker reading the degree/PageRank family can't give (a low-degree
+    * bridge can carry every path between two communities).
+    *
+    * Per seed: the level-synchronous forward pass accumulates exact
+    * path counts σ (σ_{l+1}(w) = Σ over DAG edges of σ_l(v), integers
+    * in DECIMAL(38,0)); the backward pass folds dependencies
+    * δ_v = Σ_{v→w, dist_w = dist_v+1} σ_v·(10⁶ + δ_w) div σ_w
+    * — ONE documented floor per DAG edge, micro units, replayed
+    * verbatim by the oracle's unrolled levels. A node's score is its
+    * summed δ over seeds (the seed itself excluded; deepest-level
+    * nodes contribute 0 by construction). Ties → lower node id.
+    *
+    * Scale: forward = one edge join + one (seed, node) sum per hop;
+    * backward = the same joins in reverse over the ALREADY-bounded
+    * level tables; levels are materialized once and reused (the
+    * [[bfsHops]] pin discipline). Edges are directed — pass both
+    * directions for undirected semantics. */
+  def betweennessSeeded(edges: DataFrame, srcCol: String, dstCol: String,
+                        seeds: Seq[Long], maxHops: Int,
+                        topK: Int): DataFrame = {
+    require(seeds.nonEmpty && maxHops >= 2, "seeds and maxHops >= 2 required")
+    require(topK >= 1, "topK must be positive")
+    val dec = "decimal(38,0)"
+    val seedIds = seeds.distinct
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = Materialize.transient(edges
+      .select(col(srcCol).cast("long").as("graft_s"),
+        col(dstCol).cast("long").as("graft_d"))
+      .filter(col("graft_s").isNotNull && col("graft_d").isNotNull &&
+        col("graft_s") =!= col("graft_d"))
+      .distinct())
+    // forward: per-level (seed, node, sigma) frames
+    val level0 = Materialize.transient(
+      seedIds.toDF("seed").select(col("seed").cast("long").as("seed"),
+        col("seed").as("node"), lit(1L).cast(dec).as("sigma")))
+    var levels = Vector(level0)
+    var visited = level0.select("seed", "node")
+    var l = 0
+    while (l < maxHops && !levels(l).isEmpty) {
+      val next = Materialize.transient(
+        levels(l).join(e, levels(l)("node") === e("graft_s"))
+          .select(col("seed"), col("graft_d").as("node"), col("sigma"))
+          .join(visited, Seq("seed", "node"), "left_anti")
+          .groupBy("seed", "node")
+          .agg(sum("sigma").as("sigma")))
+      levels = levels :+ next
+      visited = Materialize.transient(
+        visited.unionByName(next.select("seed", "node")))
+      l += 1
+    }
+    val deepest = levels.length - 1
+    // backward: delta over DAG edges, deepest level seeds zero
+    var delta = levels(deepest).select(col("seed"), col("node"),
+      lit(0L).cast(dec).as("graft_delta"))
+    var contrib = delta.filter(lit(false)) // empty accumulator, same schema
+    var bl = deepest - 1
+    while (bl >= 0) {
+      val child = levels(bl + 1)
+        .join(delta, Seq("seed", "node"))
+        .select(col("seed"), col("node").as("graft_w"),
+          col("sigma").as("graft_sw"), col("graft_delta").as("graft_dw"))
+      val d = levels(bl)
+        .join(e, levels(bl)("node") === e("graft_s"))
+        .join(child, col("graft_d") === child("graft_w") &&
+          levels(bl)("seed") === child("seed"))
+        .select(levels(bl)("seed"), col("node"),
+          expr("CAST(sigma * (1000000 + graft_dw) div graft_sw" +
+            s" AS $dec)").as("graft_t"))
+        .groupBy("seed", "node")
+        .agg(sum("graft_t").as("graft_delta"))
+      delta = Materialize.transient(levels(bl)
+        .join(d, Seq("seed", "node"), "left")
+        .select(col("seed"), col("node"),
+          coalesce(col("graft_delta"), lit(0L).cast(dec))
+            .as("graft_delta")))
+      if (bl >= 1) contrib = contrib.unionByName(delta)
+      bl -= 1
+    }
+    contrib
+      .groupBy("node")
+      .agg(sum("graft_delta").as("graft_bc"))
+      .select(col("node"), col("graft_bc").cast("long").as("bc_micro"))
+      .orderBy(col("bc_micro").desc, col("node").asc)
+      .limit(topK)
+  }
 }

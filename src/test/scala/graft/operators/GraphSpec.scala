@@ -241,4 +241,24 @@ class GraphSpec extends SparkSpec {
       Seq(1L, 3L), 2).as[(Long, Long, Long)].collect().sortBy(_._1)
     assert(re === got)
   }
+
+  test("betweennessSeeded replays hand-computed path and diamond graphs") {
+    // Path 1—2—3—4 from seed 1: δ(2) = 2 (paths to 3 and 4 run through
+    // it), δ(3) = 1, endpoints contribute nothing.
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val path = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = Graph.betweennessSeeded(path, "src", "dst",
+      seeds = Seq(1L), maxHops = 3, topK = 5)
+      .as[(Long, Long)].collect().toSeq
+    assert(got.take(2) === Seq((2L, 2000000L), (3L, 1000000L)))
+    assert(got.forall(r => r._1 != 1L)) // the seed never scores itself
+    // Diamond 1→{2,3}→4→5 (directed): σ(4) = 2, so each middle node
+    // carries HALF the dependency through 4 — δ(2) = δ(3) = 1, δ(4) = 1.
+    val dia = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val gd = Graph.betweennessSeeded(dia, "src", "dst",
+      seeds = Seq(1L), maxHops = 3, topK = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(gd === Map(2L -> 1000000L, 3L -> 1000000L, 4L -> 1000000L))
+  }
 }
