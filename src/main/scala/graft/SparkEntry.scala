@@ -2304,6 +2304,31 @@ object SparkEntry {
         seeds = Seq(1L, 2L, 3L), maxHops = 3, topK = 20)
     }),
 
+    // HTML main-text extraction over planted markup: script/style
+    // blocks die with content, links/images counted, entities decode
+    // in the documented order — the C4 markup-strip step, replayed
+    // regex-for-regex by the oracle (clean text compared by md5).
+    "q393_html_extract" -> ((s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"), concat(
+        lit("<html><head><style>p{color:red}</style>" +
+          "<script>var x=1;</script></head><body><h1>T&amp;"),
+        col("doc_id"), lit("</h1><p>"), col("text"),
+        lit("</p><a href=\"/x\">link</a>"),
+        when(col("doc_id") % 2 === 0, lit("<img src=\"a.png\"/>"))
+          .otherwise(lit("")),
+        lit("</body></html>")).as("html"))
+      Corpus.htmlExtract(planted, "doc_id", "html")
+        .select(col("doc_id"), md5(col("clean_text")).as("text_md5"),
+          col("n_links"), col("n_images"), col("n_tags"),
+          col("markup_ppm"))
+    }),
+
+    // Per-source Gini-Simpson diversity + Chao1 richness — the
+    // single-sample ecology pair next to TTR/Good-Turing, entropy-free
+    // exact fixed point.
+    "q394_diversity" -> ((s, d) =>
+      Analytics.diversityPanel(Tables.documents(s, d), "source", "text")),
+
     // Cross-source duplication Venn (q193's mirrored corpus): content
     // bucketed by how many distinct sources carry it — the syndication
     // spread histogram a dedup rollout is sized by.
@@ -10466,6 +10491,67 @@ object SparkEntry {
          SELECT node, CAST(sum(delta) AS BIGINT) AS bc_micro
          FROM contrib GROUP BY 1
          ORDER BY bc_micro DESC, node ASC LIMIT 20""",
+
+    // The identical regex/replace chain, 'g'-flagged, entities decoded
+    // in the same order with &amp; last.
+    "q393_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+                '<html><head><style>p{color:red}</style>'
+                || '<script>var x=1;</script></head><body><h1>T&amp;'
+                || doc_id || '</h1><p>' || text
+                || '</p><a href="/x">link</a>'
+                || CASE WHEN doc_id % 2 = 0
+                     THEN '<img src="a.png"/>' ELSE '' END
+                || '</body></html>' AS html
+             FROM documents),
+         ns AS (SELECT doc_id, html,
+                  regexp_replace(regexp_replace(html,
+                    '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+                    '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS ns
+                FROM h),
+         de AS (SELECT doc_id, html, ns,
+                  trim(regexp_replace(
+                    replace(replace(replace(replace(replace(replace(
+                      regexp_replace(ns, '<[^>]+>', ' ', 'g'),
+                      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                      '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+                    '\s+', ' ', 'g')) AS clean
+                FROM ns)
+         SELECT doc_id, md5(clean) AS text_md5,
+                CAST(len(regexp_extract_all(ns, '<a[\s>]')) AS BIGINT)
+                  AS n_links,
+                CAST(len(regexp_extract_all(ns, '<img[\s/>]')) AS BIGINT)
+                  AS n_images,
+                CAST(len(regexp_extract_all(ns, '<[^>]+>')) AS BIGINT)
+                  AS n_tags,
+                CAST(CASE WHEN length(html) = 0 THEN 0
+                  ELSE (length(html) - length(clean)) * 1000000
+                    // length(html) END AS BIGINT) AS markup_ppm
+         FROM de""",
+
+    "q394_diversity" ->
+      """WITH t AS (SELECT source,
+                  unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                    AS term
+               FROM documents),
+         c AS (SELECT source, term, CAST(count(*) AS HUGEINT) AS c
+               FROM t GROUP BY 1, 2),
+         f AS (SELECT source, CAST(sum(c) AS HUGEINT) AS n,
+                 CAST(count(*) AS HUGEINT) AS s,
+                 CAST(sum(c * (c - 1)) AS HUGEINT) AS p2,
+                 CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+                   AS f1,
+                 CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS HUGEINT)
+                   AS f2
+               FROM c GROUP BY 1)
+         SELECT source, CAST(n AS BIGINT) AS n_tokens,
+                CAST(s AS BIGINT) AS n_types,
+                CAST(CASE WHEN n < 2 THEN NULL
+                  ELSE 1000000 - p2 * 1000000 // (n * (n - 1)) END
+                  AS BIGINT) AS simpson_ppm,
+                CAST(s * 1000 + f1 * (f1 - 1) * 1000 // (2 * (f2 + 1))
+                  AS BIGINT) AS chao1_milli
+         FROM f""",
 
     "q367_damerau_pairs" ->
       """WITH n AS (SELECT DISTINCT p_name FROM part)

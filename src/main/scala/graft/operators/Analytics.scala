@@ -759,6 +759,51 @@ object Analytics {
         round(col("n_hapax").cast("double") / col("n_types").cast("double"), 4))
   }
 
+  /** Per-source term-diversity and richness panel — the ECOLOGY pair
+    * completing the vocabulary family (37a's TTR says how repetitive,
+    * 37f's Good-Turing how much mass is unseen, q292's
+    * capture-recapture how big via two samples; these two are the
+    * single-sample standards):
+    *
+    *  - Gini-Simpson diversity, UNBIASED: 10⁶·(1 − Σ n_t(n_t−1) /
+    *    (N(N−1))) — the probability two tokens drawn without
+    *    replacement differ, exact floor-ppm (no entropy, no log — the
+    *    family rule);
+    *  - Chao1 richness (bias-corrected): S_obs + f₁(f₁−1)/(2(f₂+1))
+    *    with singleton/doubleton counts f₁/f₂ — the "how many types
+    *    does this source REALLY have" floor estimate, exact
+    *    floor-milli.
+    *
+    * One (source, term) count, one per-source fold — the
+    * [[lexicalDiversity]] posture exactly. */
+  def diversityPanel(docs: DataFrame, srcCol: String,
+                     textCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    docs.select(col(srcCol).as("source"),
+        explode_outer(regexp_extract_all(lower(col(textCol)),
+          lit("[a-z0-9]+"), lit(0))).as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy("source", "term")
+      .agg(count(lit(1)).as("graft_c"))
+      .groupBy("source")
+      .agg(sum("graft_c").cast(dec).as("graft_n"),
+        count(lit(1)).cast(dec).as("graft_s"),
+        sum(expr(s"CAST(graft_c AS $dec) * (graft_c - 1)")).as("graft_p2"),
+        sum(when(col("graft_c") === 1, 1L).otherwise(0L)).cast(dec)
+          .as("graft_f1"),
+        sum(when(col("graft_c") === 2, 1L).otherwise(0L)).cast(dec)
+          .as("graft_f2"))
+      .select(col("source"),
+        col("graft_n").cast("long").as("n_tokens"),
+        col("graft_s").cast("long").as("n_types"),
+        expr("CASE WHEN graft_n < 2 THEN CAST(NULL AS BIGINT)" +
+          " ELSE CAST(1000000 - graft_p2 * 1000000" +
+          " div (graft_n * (graft_n - 1)) AS BIGINT) END")
+          .as("simpson_ppm"),
+        expr("CAST(graft_s * 1000 + graft_f1 * (graft_f1 - 1) * 1000" +
+          " div (2 * (graft_f2 + 1)) AS BIGINT)").as("chao1_milli"))
+  }
+
   /** Event-type co-occurrence lift: for each pair of event types, the
     * count of users that did both and the lift n_both·N/(n₁·n₂) — the
     * market-basket view of the event stream ("do signups actually

@@ -890,6 +890,53 @@ object Corpus {
         col("n_docs").cast("long").as("n_docs"))
   }
 
+  /** HTML main-text extraction — the markup-strip step every web-crawl
+    * curation pipeline runs before any text operator sees a page (C4
+    * strips boilerplate markup before its heuristics; this is the
+    * deterministic core of that step): script and style blocks die WITH
+    * their content, links and images are counted before the generic tag
+    * strip, the five ubiquitous entities decode (&lt; &gt; &quot; &#39;
+    * &nbsp; — then &amp; LAST, so "&amp;lt;" correctly yields "&lt;"
+    * and never double-decodes), and whitespace collapses. Every step is
+    * a fixed-order regexp/replace chain (DOTALL non-greedy block
+    * removal — both engines' regex dialects agree on this subset),
+    * `markup_ppm` = (html_len − clean_len)·10⁶ div html_len.
+    *
+    * Honest boundary: this is a MARKUP stripper, not a boilerplate
+    * CLASSIFIER — nav/footer text survives (that judgment call is the
+    * q126 corpus-frequency strip's job downstream).
+    *
+    * Scale: one codegen'd per-row expression chain — no shuffle, no
+    * join, no state. */
+  def htmlExtract(docs: DataFrame, idCol: String,
+                  htmlCol: String): DataFrame = {
+    val noScript = regexp_replace(col(htmlCol),
+      "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?s)<style[^>]*>.*?</style>", " ")
+    val entityPairs = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+    val decoded = entityPairs.foldLeft(
+      regexp_replace(noStyle, "<[^>]+>", " ")) { case (c, (from, to)) =>
+      regexp_replace(c, java.util.regex.Pattern.quote(from),
+        java.util.regex.Matcher.quoteReplacement(to))
+    }
+    docs.select(col(idCol),
+        col(htmlCol).as("graft_h"), noStyle.as("graft_ns"),
+        trim(regexp_replace(decoded, "\\s+", " ")).as("clean_text"))
+      .select(col(idCol),
+        col("clean_text"),
+        size(expr("regexp_extract_all(graft_ns, '<a[\\\\s>]', 0)"))
+          .cast("long").as("n_links"),
+        size(expr("regexp_extract_all(graft_ns, '<img[\\\\s/>]', 0)"))
+          .cast("long").as("n_images"),
+        size(expr("regexp_extract_all(graft_ns, '<[^>]+>', 0)"))
+          .cast("long").as("n_tags"),
+        expr("CASE WHEN length(graft_h) = 0 THEN 0" +
+          " ELSE (length(graft_h) - length(clean_text)) * 1000000" +
+          " div length(graft_h) END").as("markup_ppm"))
+  }
+
   /** Bigram collocation mining by LIFT — "which word pairs travel
     * together far beyond chance" (the phrase/terminology discovery next
     * to [[graft.operators.Search]]'s relatedTerms, which looks at

@@ -1505,4 +1505,21 @@ class AnalyticsSpec extends SparkSpec {
         .toDF("id", "x", "y"), "id", "x", "y", 4).collect()
     }
   }
+
+  test("diversityPanel: hand-computed Simpson and Chao1") {
+    // "x x y": p2 = 2, simpson = 1e6 − 2e6 div 6 = 666667; no
+    //   singleton pair mass → chao1 = S·1000 = 2000.
+    // "p q r r": f1 = 2, f2 = 1 → chao1 = 3000 + 2·1·1000 div 4 = 3500.
+    val docs = Seq(("a", "x x y"), ("b", "p q r r")).toDF("src", "text")
+    val got = Analytics.diversityPanel(docs, "src", "text")
+      .orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === Seq(("a", 3L, 2L, 666667L, 2000L),
+      ("b", 4L, 3L, 833334L, 3500L)))
+    // single-token source: Simpson undefined (NULL), Chao1 = S
+    val one = Analytics.diversityPanel(
+      Seq(("c", "solo")).toDF("src", "text"), "src", "text").collect()(0)
+    assert(one.isNullAt(3) && one.getLong(4) === 1000L)
+  }
 }

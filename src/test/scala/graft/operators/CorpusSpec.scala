@@ -538,4 +538,27 @@ class CorpusSpec extends SparkSpec {
     assert(got.forall(_._3 >= 2L))
     assert(!got.exists(p => p._1 == "ee" && p._2 == "ff"))
   }
+
+  test("htmlExtract strips blocks with content, counts, decodes in order") {
+    val docs = Seq(
+      (1L, "<html><script>ignore me</script><style>x{}</style>" +
+        "<p>Hello &amp;lt;world&gt;</p><a href=\"/a\">x</a>" +
+        "<a href=\"/b\">y</a><img src=\"i.png\"/></html>"),
+      (2L, "no markup at all"),
+      (3L, "<p>&nbsp;spaced&nbsp;</p>"))
+      .toDF("doc_id", "html")
+    val got = Corpus.htmlExtract(docs, "doc_id", "html")
+      .orderBy("doc_id").collect()
+    val r1 = got(0)
+    // &amp;lt; decodes to the LITERAL "&lt;" (amp last, no double pass);
+    // script/style text never leaks into the clean text
+    assert(r1.getString(1) === "Hello &lt;world> x y")
+    assert(r1.getLong(2) === 2L && r1.getLong(3) === 1L) // links, images
+    assert(r1.getLong(4) > 5L) // generic tags counted
+    val r2 = got(1)
+    assert(r2.getString(1) === "no markup at all")
+    assert(r2.getLong(2) === 0L && r2.getLong(4) === 0L)
+    assert(r2.getLong(5) === 0L) // zero markup_ppm
+    assert(got(2).getString(1) === "spaced")
+  }
 }
