@@ -238,6 +238,24 @@ class WarehouseCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.db.meta1")
   }
 
+  test("CTAS and INSERT OVERWRITE run through the catalog") {
+    spark.sql("CREATE TABLE graft.db.ctas1 AS " +
+      "SELECT id, id * 2 AS v FROM range(0, 10)")
+    assert(spark.sql("SELECT sum(v) FROM graft.db.ctas1")
+      .as[Long].head() === 90L)
+    // INSERT OVERWRITE starts a new generation; history stays readable
+    spark.sql("INSERT OVERWRITE graft.db.ctas1 " +
+      "SELECT id, id AS v FROM range(0, 5)")
+    assert(spark.sql("SELECT sum(v), count(*) FROM graft.db.ctas1")
+      .as[(Long, Long)].head() === ((10L, 5L)))
+    val m = WarehouseSink.readManifest(s"$root/db/ctas1").get
+    assert(spark.read.format("graft.sources.WarehouseSink")
+      .option("path", s"$root/db/ctas1")
+      .option("versionAsOf", (m.version - 1).toString).load()
+      .count() === 10L)
+    spark.sql("DROP TABLE graft.db.ctas1")
+  }
+
   test("SQL UPDATE refuses a CDF table loudly") {
     spark.sql("CREATE TABLE graft.db.cdf1 (id BIGINT, v BIGINT)")
     spark.sql("INSERT INTO graft.db.cdf1 VALUES (1, 1)")
