@@ -2329,6 +2329,13 @@ object SparkEntry {
     "q394_diversity" -> ((s, d) =>
       Analytics.diversityPanel(Tables.documents(s, d), "source", "text")),
 
+    // Feature-hashing collision audit: the portable md5 bucket at four
+    // candidate widths over the distinct vocabulary — the
+    // bits-vs-quality trade for hashed bag-of-words models, measured.
+    "q395_hash_collisions" -> ((s, d) =>
+      Vocab.hashCollisionAudit(Tables.documents(s, d), "text",
+        bucketBits = Seq(6, 8, 10, 12))),
+
     // Cross-source duplication Venn (q193's mirrored corpus): content
     // bucketed by how many distinct sources carry it — the syndication
     // spread histogram a dedup rollout is sized by.
@@ -10552,6 +10559,30 @@ object SparkEntry {
                 CAST(s * 1000 + f1 * (f1 - 1) * 1000 // (2 * (f2 + 1))
                   AS BIGINT) AS chao1_milli
          FROM f""",
+
+    // Same md5-hex bucket arithmetic (the q308 conv trick), same
+    // two-level rollup.
+    "q395_hash_collisions" ->
+      """WITH terms AS (SELECT DISTINCT unnest(string_split(
+                  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))
+                  AS t
+               FROM documents),
+         tt AS (SELECT t FROM terms WHERE length(t) > 0),
+         b AS (SELECT bb.bits,
+                 CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT)
+                   % (1 << bb.bits) AS bkt
+               FROM tt, (SELECT unnest([6, 8, 10, 12]) AS bits) bb),
+         c AS (SELECT bits, bkt, CAST(count(*) AS BIGINT) AS m
+               FROM b GROUP BY 1, 2)
+         SELECT CAST(bits AS BIGINT) AS bits,
+                CAST(sum(m) AS BIGINT) AS n_terms,
+                CAST(count(*) AS BIGINT) AS n_buckets_occupied,
+                CAST(sum(CASE WHEN m >= 2 THEN m ELSE 0 END) AS BIGINT)
+                  AS n_colliding,
+                CAST(CASE WHEN sum(m) = 0 THEN 0
+                  ELSE sum(CASE WHEN m >= 2 THEN m ELSE 0 END) * 1000000
+                    // sum(m) END AS BIGINT) AS collision_ppm
+         FROM c GROUP BY 1""",
 
     "q367_damerau_pairs" ->
       """WITH n AS (SELECT DISTINCT p_name FROM part)

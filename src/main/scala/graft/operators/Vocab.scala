@@ -268,4 +268,48 @@ object Vocab {
       .withColumn("saved_ppm", expr(
         "(tokens_chars - tokens_bpe) * 1000000 div tokens_chars"))
   }
+
+  /** Feature-hashing collision audit — "how many bits does the hashing
+    * trick need on THIS vocabulary" (the question every hashed
+    * bag-of-words model, [[graft.ml.QualityClassifier]] included,
+    * answers by folklore instead of measurement): for each candidate
+    * bucket width 2^bits, the distinct-term table maps through the
+    * PORTABLE md5 bucket (first 8 hex digits mod 2^bits — the
+    * [[graft.operators.Corpus.shardRebalanceReport]] arithmetic, so
+    * any engine replays the buckets bit-for-bit) and reports occupied
+    * buckets, terms sharing a bucket with at least one other
+    * (`n_colliding`), and the floor-ppm collision rate — the
+    * bits-vs-quality trade read off a table instead of guessed.
+    *
+    * Scale: ONE distinct-term reduction, a bounded |bits| explode, two
+    * (bits, bucket)-keyed aggregates — vocabulary-sized, never
+    * corpus-sized. */
+  def hashCollisionAudit(docs: DataFrame, textCol: String,
+                         bucketBits: Seq[Int]): DataFrame = {
+    require(bucketBits.nonEmpty && bucketBits.forall(b => b >= 1 && b <= 31),
+      "bucketBits must be in 1..31")
+    val terms = docs
+      .select(explode(T.tokens(col(textCol))).as("graft_t"))
+      .filter(length(col("graft_t")) > 0)
+      .distinct()
+    terms
+      .withColumn("graft_bits", explode(typedLit(bucketBits.toList)))
+      .withColumn("graft_b",
+        pmod(conv(substring(md5(col("graft_t")), 1, 8), 16, 10)
+          .cast("long"), expr("shiftleft(1L, graft_bits)")))
+      .groupBy("graft_bits", "graft_b")
+      .agg(count(lit(1)).as("graft_m"))
+      .groupBy("graft_bits")
+      .agg(sum("graft_m").as("graft_nt"),
+        count(lit(1)).as("graft_occ"),
+        sum(when(col("graft_m") >= 2, col("graft_m")).otherwise(0L))
+          .as("graft_coll"))
+      .select(col("graft_bits").cast("long").as("bits"),
+        col("graft_nt").cast("long").as("n_terms"),
+        col("graft_occ").cast("long").as("n_buckets_occupied"),
+        col("graft_coll").cast("long").as("n_colliding"),
+        expr("CASE WHEN graft_nt = 0 THEN 0" +
+          " ELSE graft_coll * 1000000 div graft_nt END")
+          .as("collision_ppm"))
+  }
 }
