@@ -2336,6 +2336,37 @@ object SparkEntry {
       Vocab.hashCollisionAudit(Tables.documents(s, d), "text",
         bucketBits = Seq(6, 8, 10, 12))),
 
+    // Interval-overlap join: q38 sessions (padded half-open by 1µs so
+    // instant sessions count) against the daily 2-hour maintenance
+    // windows — per window, overlapping sessions + exact overlap mass.
+    // The binned equi-join is the scale shape; the oracle replays with
+    // a plain inequality join.
+    "q396_interval_overlap" -> ((s, d) => {
+      val sess = Sessions.sessionize(eventsUs(s, d), "user_id", "ts_us",
+        "event_id", gapUs = 1800L * 1000000L)
+        .select((col("user_id") * 1000000L + col("session_idx"))
+          .as("sid"), col("start_us"),
+          (col("end_us") + 1L).as("end_pad_us"))
+      val dayUs = 86400L * 1000000L
+      val windows = eventsUs(s, d)
+        .select(expr(s"ts_us div ${dayUs}L").as("day")).distinct()
+        .withColumn("slot", explode(typedLit(Seq(0, 1))))
+        .select((col("day") * 2 + col("slot")).as("wid"),
+          (col("day") * dayUs +
+            (lit(3L) + col("slot") * 12L) * 3600000000L).as("w_start"),
+          (col("day") * dayUs +
+            (lit(5L) + col("slot") * 12L) * 3600000000L).as("w_end"))
+      Sessions.intervalOverlapJoin(
+          sess, "sid", "start_us", "end_pad_us",
+          windows, "wid", "w_start", "w_end",
+          binUs = 3600L * 1000000L)
+        .groupBy(col("b_id").as("wid"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum("overlap_us").as("graft_o"))
+        .select(col("wid").cast("long").as("wid"), col("n_sessions"),
+          col("graft_o").cast("long").as("overlap_us_total"))
+    }),
+
     // Cross-source duplication Venn (q193's mirrored corpus): content
     // bucketed by how many distinct sources carry it — the syndication
     // spread histogram a dedup rollout is sized by.
@@ -10583,6 +10614,44 @@ object SparkEntry {
                   ELSE sum(CASE WHEN m >= 2 THEN m ELSE 0 END) * 1000000
                     // sum(m) END AS BIGINT) AS collision_ppm
          FROM c GROUP BY 1""",
+
+    // The q38 session CTE, the generated window table, and a plain
+    // inequality overlap join (the small-scale reference for the
+    // binned equi-join's exactly-once dedup).
+    "q396_interval_overlap" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id
+               FROM events),
+         g AS (SELECT user_id, ts_us, event_id,
+                 CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > 1800000000
+                   THEN 1 ELSE 0 END AS news
+               FROM e WINDOW w AS (PARTITION BY user_id
+                 ORDER BY ts_us, event_id)),
+         s AS (SELECT user_id, ts_us,
+                 CAST(sum(news) OVER (PARTITION BY user_id
+                   ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)
+                   AS BIGINT) AS session_idx
+               FROM g),
+         sess AS (SELECT user_id * 1000000 + session_idx AS sid,
+                    min(ts_us) AS st, max(ts_us) + 1 AS en
+                  FROM s GROUP BY user_id, session_idx),
+         wins AS (SELECT day * 2 + slot AS wid,
+                    day * 86400000000 + (3 + slot * 12) * 3600000000
+                      AS ws,
+                    day * 86400000000 + (5 + slot * 12) * 3600000000
+                      AS we
+                  FROM (SELECT DISTINCT ts_us // 86400000000 AS day
+                        FROM (SELECT epoch_us(ts) AS ts_us FROM events)),
+                       (SELECT unnest([0, 1]) AS slot)),
+         ov AS (SELECT sess.sid, wins.wid,
+                  least(sess.en, wins.we) - greatest(sess.st, wins.ws)
+                    AS o
+                FROM sess JOIN wins
+                  ON sess.st < wins.we AND wins.ws < sess.en)
+         SELECT CAST(wid AS BIGINT) AS wid,
+                CAST(count(*) AS BIGINT) AS n_sessions,
+                CAST(sum(o) AS BIGINT) AS overlap_us_total
+         FROM ov GROUP BY 1""",
 
     "q367_damerau_pairs" ->
       """WITH n AS (SELECT DISTINCT p_name FROM part)

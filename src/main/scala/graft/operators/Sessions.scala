@@ -633,6 +633,56 @@ object Sessions {
         round(element_at(col("qs"), 4), 2).as("p90_days"))
   }
 
+  /** Interval-OVERLAP join — the genuine two-interval relational
+    * operator Spark has no native form of ([[rangePairs]] joins points
+    * within a tolerance; SCD lookups join a point INTO an interval;
+    * this joins interval TO interval): pairs (a, b) with
+    * [aStart, aEnd) ∩ [bStart, bEnd) ≠ ∅, each pair exactly once, with
+    * the exact overlap length. The scale shape is the binned equi-join:
+    * every interval explodes to its covered `binUs` buckets (fan-out
+    * GATED at `maxBins` per interval — an unbounded interval would
+    * otherwise explode the corpus), candidates meet on the bucket key,
+    * the true inequality check runs on the bounded candidate set, and
+    * the pair DEDUPES structurally by keeping only the FIRST shared
+    * bucket (bin == max(startBins) — no distinct pass). Never a
+    * cartesian, never an unbounded broadcast inequality join.
+    *
+    * Half-open convention: intervals touching only at an endpoint do
+    * NOT overlap; `overlap_us` = min(ends) − max(starts) > 0. */
+  def intervalOverlapJoin(a: DataFrame, aIdCol: String, aStartCol: String,
+                          aEndCol: String,
+                          b: DataFrame, bIdCol: String, bStartCol: String,
+                          bEndCol: String,
+                          binUs: Long, maxBins: Long = 1000L): DataFrame = {
+    require(binUs >= 1, "binUs must be positive")
+    def binned(t: DataFrame, id: String, st: String, en: String,
+               side: String): DataFrame =
+      t.select(col(id).as(s"${side}_id"),
+          col(st).cast("long").as(s"${side}_start"),
+          col(en).cast("long").as(s"${side}_end"))
+        .filter(col(s"${side}_end") > col(s"${side}_start"))
+        .filter(assert_true(
+          expr(s"(${side}_end - 1) div ${binUs}L" +
+            s" - ${side}_start div ${binUs}L") <= lit(maxBins),
+          lit(s"intervalOverlapJoin: an interval spans more than " +
+            s"$maxBins bins — raise binUs")).isNull)
+        .withColumn("graft_bin", explode(sequence(
+          expr(s"${side}_start div ${binUs}L"),
+          expr(s"(${side}_end - 1) div ${binUs}L"))))
+    val ab = binned(a, aIdCol, aStartCol, aEndCol, "a")
+    val bb = binned(b, bIdCol, bStartCol, bEndCol, "b")
+    ab.join(bb, Seq("graft_bin"))
+      .filter(col("a_start") < col("b_end") &&
+        col("b_start") < col("a_end"))
+      // first shared bucket claims the pair: exactly-once, no distinct
+      .filter(col("graft_bin") ===
+        greatest(expr(s"a_start div ${binUs}L"),
+          expr(s"b_start div ${binUs}L")))
+      .select(col("a_id"), col("b_id"),
+        (least(col("a_end"), col("b_end")) -
+          greatest(col("a_start"), col("b_start"))).as("overlap_us"))
+  }
+
   /** Markov next-event predictor with a TEMPORAL holdout — "does
     * yesterday's transition matrix actually predict tomorrow": the
     * argmax-transition predictor (count desc, type asc tiebreak — one

@@ -314,4 +314,22 @@ class SessionsSpec extends SparkSpec {
       ("b", 1L, "a", 1L, 0L),   // trained b->a; eval b->c missed
       ("z", 0L, "-", 1L, 0L)))  // never trained: NULL prediction
   }
+
+  test("intervalOverlapJoin: exactly-once pairs, half-open endpoints, gate") {
+    val a = Seq((1L, 0L, 25L), (2L, 30L, 35L), (3L, 5L, 6L))
+      .toDF("id", "st", "en")
+    val b = Seq((10L, 20L, 40L), (11L, 25L, 30L)).toDF("id", "st", "en")
+    val got = Sessions.intervalOverlapJoin(a, "id", "st", "en",
+      b, "id", "st", "en", binUs = 10L)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // A1 shares TWO candidate bins with B10 but lands once; the
+    // A1/B11 endpoint touch at 25 is NOT an overlap (half-open)
+    assert(got === Seq((1L, 10L, 5L), (2L, 10L, 5L)))
+    // an interval wider than maxBins bins refuses loudly
+    intercept[Exception] {
+      Sessions.intervalOverlapJoin(
+        Seq((9L, 0L, 200L)).toDF("id", "st", "en"), "id", "st", "en",
+        b, "id", "st", "en", binUs = 10L, maxBins = 10L).collect()
+    }
+  }
 }
