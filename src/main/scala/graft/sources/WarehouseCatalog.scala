@@ -143,10 +143,58 @@ class WarehouseCatalog extends TableCatalog with FunctionCatalog {
     }
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE: append with option(\"mergeSchema\",\"true\") evolves " +
-        "the schema; layout changes go through WarehouseSink.maintain")
+  /** SQL ALTER TABLE — the column-mapping verbs reached from DDL:
+    * RENAME/DROP ride the stable-field-id machinery (q319's contract —
+    * old files keep decoding under their original local names), ADD
+    * COLUMN is the Iceberg-v3 initial-default path with a NULL default
+    * (old rows read NULL, new writes store values). Field ids
+    * auto-assign on first ALTER (idempotent). Anything outside the
+    * column-verb set refuses loudly with the workaround, never a
+    * silent partial apply — changes run left to right, so a failing
+    * change leaves earlier ones committed (each verb is itself an
+    * atomic manifest publish). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    import org.apache.spark.sql.connector.catalog.TableChange
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = dirFor(ident)
+    // Column verbs need field-id bindings on every live file: assign
+    // ids (idempotent) and, when any pre-id file exists, let maintain()
+    // rewrite it with the `#ids` sidecar — the documented one-time
+    // migration, run here so DDL callers never see the internal step.
+    def ensureIds(): Unit = {
+      WarehouseSink.assignColumnIds(dir)
+      val m = WarehouseSink.readManifest(dir).get
+      if (m.files.exists(f => WarehouseSink.readFileIds(dir, f).isEmpty))
+        WarehouseSink.maintain(
+          org.apache.spark.sql.SparkSession.active, dir)
+    }
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          "ALTER TABLE: nested columns are not supported")
+        ensureIds()
+        WarehouseSink.renameColumn(dir, r.fieldNames()(0), r.newName())
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          "ALTER TABLE: nested columns are not supported")
+        ensureIds()
+        WarehouseSink.dropColumn(dir, d.fieldNames()(0))
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "ALTER TABLE: nested columns are not supported")
+        require(a.isNullable,
+          "ALTER TABLE ADD COLUMN: added columns must be nullable " +
+            "(old rows have no value to satisfy NOT NULL)")
+        ensureIds()
+        WarehouseSink.addColumnWithDefault(dir, a.fieldNames()(0),
+          a.dataType().sql, null)
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE change $other is not supported: append with " +
+          "option(\"mergeSchema\",\"true\") evolves the schema; layout " +
+          "changes go through WarehouseSink.maintain")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = new File(dirFor(ident))

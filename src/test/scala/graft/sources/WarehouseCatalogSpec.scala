@@ -256,6 +256,33 @@ class WarehouseCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.db.ctas1")
   }
 
+  test("SQL ALTER TABLE: rename, add-with-null-default, drop — old files keep decoding") {
+    spark.sql("CREATE TABLE graft.db.alt1 (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.db.alt1 SELECT id, id * 3 FROM range(0, 8)")
+    // rename: pre-rename files decode under the new name via field ids
+    spark.sql("ALTER TABLE graft.db.alt1 RENAME COLUMN v TO val")
+    assert(spark.sql("SELECT sum(val) FROM graft.db.alt1")
+      .as[Long].head() === (0L until 8L).map(_ * 3).sum)
+    // add: old rows read NULL, new writes store real values
+    spark.sql("ALTER TABLE graft.db.alt1 ADD COLUMN tag STRING")
+    spark.sql("INSERT INTO graft.db.alt1 VALUES (100, 1, 'new')")
+    assert(spark.sql("SELECT count(*) FROM graft.db.alt1 " +
+      "WHERE tag IS NULL").as[Long].head() === 8L)
+    assert(spark.sql("SELECT tag FROM graft.db.alt1 WHERE id = 100")
+      .as[String].head() === "new")
+    // drop: the column disappears; the rest keeps reading
+    spark.sql("ALTER TABLE graft.db.alt1 DROP COLUMN tag")
+    assert(spark.sql("SELECT * FROM graft.db.alt1").columns.toSeq ===
+      Seq("id", "val"))
+    assert(spark.sql("SELECT count(*) FROM graft.db.alt1")
+      .as[Long].head() === 9L)
+    // non-column changes refuse loudly
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db.alt1 SET TBLPROPERTIES ('a'='b')")
+    }
+    spark.sql("DROP TABLE graft.db.alt1")
+  }
+
   test("SQL UPDATE refuses a CDF table loudly") {
     spark.sql("CREATE TABLE graft.db.cdf1 (id BIGINT, v BIGINT)")
     spark.sql("INSERT INTO graft.db.cdf1 VALUES (1, 1)")
