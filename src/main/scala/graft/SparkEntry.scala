@@ -2367,6 +2367,44 @@ object SparkEntry {
           col("graft_o").cast("long").as("overlap_us_total"))
     }),
 
+    // Allen-relation histogram over the q396 substrate: HOW sessions
+    // intersect the maintenance windows, not just whether.
+    "q397_allen_relations" -> ((s, d) => {
+      val sess = Sessions.sessionize(eventsUs(s, d), "user_id", "ts_us",
+        "event_id", gapUs = 1800L * 1000000L)
+        .select((col("user_id") * 1000000L + col("session_idx"))
+          .as("sid"), col("start_us"),
+          (col("end_us") + 1L).as("end_pad_us"))
+      val dayUs = 86400L * 1000000L
+      val windows = eventsUs(s, d)
+        .select(expr(s"ts_us div ${dayUs}L").as("day")).distinct()
+        .withColumn("slot", explode(typedLit(Seq(0, 1))))
+        .select((col("day") * 2 + col("slot")).as("wid"),
+          (col("day") * dayUs +
+            (lit(3L) + col("slot") * 12L) * 3600000000L).as("w_start"),
+          (col("day") * dayUs +
+            (lit(5L) + col("slot") * 12L) * 3600000000L).as("w_end"))
+      Sessions.intervalOverlapJoin(
+          sess, "sid", "start_us", "end_pad_us",
+          windows, "wid", "w_start", "w_end",
+          binUs = 3600L * 1000000L)
+        .groupBy("relation")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum("overlap_us").cast("long").as("overlap_us_total"))
+    }),
+
+    // Hour-of-week activity heatmap: 168 exact cells (week anchored at
+    // the epoch — hour 0 = Thursday 00:00 UTC), share in floor-ppm.
+    "q398_hour_heatmap" -> ((s, d) =>
+      eventsUs(s, d)
+        .select(expr("(ts_us div 3600000000L) % 168").as("how"))
+        .groupBy("how").agg(count(lit(1)).as("n_events"))
+        .select(expr("how div 24").cast("long").as("dow_from_thu"),
+          expr("how % 24").cast("long").as("hour"),
+          col("n_events"),
+          expr("n_events * 1000000 div (sum(n_events) OVER ())")
+            .cast("long").as("share_ppm"))),
+
     // Cross-source duplication Venn (q193's mirrored corpus): content
     // bucketed by how many distinct sources carry it — the syndication
     // spread histogram a dedup rollout is sized by.
@@ -10652,6 +10690,61 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_sessions,
                 CAST(sum(o) AS BIGINT) AS overlap_us_total
          FROM ov GROUP BY 1""",
+
+    // The q396 CTEs plus the same nine-way Allen CASE.
+    "q397_allen_relations" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id
+               FROM events),
+         g AS (SELECT user_id, ts_us, event_id,
+                 CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > 1800000000
+                   THEN 1 ELSE 0 END AS news
+               FROM e WINDOW w AS (PARTITION BY user_id
+                 ORDER BY ts_us, event_id)),
+         s AS (SELECT user_id, ts_us,
+                 CAST(sum(news) OVER (PARTITION BY user_id
+                   ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)
+                   AS BIGINT) AS session_idx
+               FROM g),
+         sess AS (SELECT user_id * 1000000 + session_idx AS sid,
+                    min(ts_us) AS st, max(ts_us) + 1 AS en
+                  FROM s GROUP BY user_id, session_idx),
+         wins AS (SELECT day * 2 + slot AS wid,
+                    day * 86400000000 + (3 + slot * 12) * 3600000000
+                      AS ws,
+                    day * 86400000000 + (5 + slot * 12) * 3600000000
+                      AS we
+                  FROM (SELECT DISTINCT ts_us // 86400000000 AS day
+                        FROM (SELECT epoch_us(ts) AS ts_us FROM events)),
+                       (SELECT unnest([0, 1]) AS slot)),
+         ov AS (SELECT least(sess.en, wins.we)
+                    - greatest(sess.st, wins.ws) AS o,
+                  CASE
+                    WHEN st = ws AND en = we THEN 'equals'
+                    WHEN st = ws AND en < we THEN 'starts'
+                    WHEN st = ws THEN 'started_by'
+                    WHEN en = we AND st > ws THEN 'finishes'
+                    WHEN en = we THEN 'finished_by'
+                    WHEN st > ws AND en < we THEN 'during'
+                    WHEN st < ws AND en > we THEN 'contains'
+                    WHEN st < ws THEN 'overlaps'
+                    ELSE 'overlapped_by' END AS relation
+                FROM sess JOIN wins
+                  ON sess.st < wins.we AND wins.ws < sess.en)
+         SELECT relation, CAST(count(*) AS BIGINT) AS n_pairs,
+                CAST(sum(o) AS BIGINT) AS overlap_us_total
+         FROM ov GROUP BY 1""",
+
+    "q398_hour_heatmap" ->
+      """WITH h AS (SELECT (epoch_us(ts) // 3600000000) % 168 AS how
+               FROM events),
+         c AS (SELECT how, CAST(count(*) AS BIGINT) AS n_events
+               FROM h GROUP BY 1)
+         SELECT CAST(how // 24 AS BIGINT) AS dow_from_thu,
+                CAST(how % 24 AS BIGINT) AS hour, n_events,
+                CAST(n_events * 1000000 // (SELECT sum(n_events) FROM c)
+                  AS BIGINT) AS share_ppm
+         FROM c""",
 
     "q367_damerau_pairs" ->
       """WITH n AS (SELECT DISTINCT p_name FROM part)

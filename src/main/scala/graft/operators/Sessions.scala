@@ -648,7 +648,16 @@ object Sessions {
     * cartesian, never an unbounded broadcast inequality join.
     *
     * Half-open convention: intervals touching only at an endpoint do
-    * NOT overlap; `overlap_us` = min(ends) − max(starts) > 0. */
+    * NOT overlap; `overlap_us` = min(ends) − max(starts) > 0.
+    *
+    * Each pair also carries its ALLEN RELATION (`relation`) — the nine
+    * interval-algebra relations with non-empty interior intersection
+    * (equals, starts/started_by, finishes/finished_by, during/contains,
+    * overlaps/overlapped_by; Allen, CACM 1983). The four disjoint
+    * relations (precedes/meets + inverses) are out of scope BY
+    * CONSTRUCTION — finding non-intersecting pairs at arbitrary
+    * distance is inherently all-pairs, which is exactly what the
+    * bucket join exists to avoid. */
   def intervalOverlapJoin(a: DataFrame, aIdCol: String, aStartCol: String,
                           aEndCol: String,
                           b: DataFrame, bIdCol: String, bStartCol: String,
@@ -680,7 +689,17 @@ object Sessions {
           expr(s"b_start div ${binUs}L")))
       .select(col("a_id"), col("b_id"),
         (least(col("a_end"), col("b_end")) -
-          greatest(col("a_start"), col("b_start"))).as("overlap_us"))
+          greatest(col("a_start"), col("b_start"))).as("overlap_us"),
+        expr("CASE" +
+          " WHEN a_start = b_start AND a_end = b_end THEN 'equals'" +
+          " WHEN a_start = b_start AND a_end < b_end THEN 'starts'" +
+          " WHEN a_start = b_start THEN 'started_by'" +
+          " WHEN a_end = b_end AND a_start > b_start THEN 'finishes'" +
+          " WHEN a_end = b_end THEN 'finished_by'" +
+          " WHEN a_start > b_start AND a_end < b_end THEN 'during'" +
+          " WHEN a_start < b_start AND a_end > b_end THEN 'contains'" +
+          " WHEN a_start < b_start THEN 'overlaps'" +
+          " ELSE 'overlapped_by' END").as("relation"))
   }
 
   /** Markov next-event predictor with a TEMPORAL holdout — "does

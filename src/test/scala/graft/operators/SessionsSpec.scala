@@ -321,10 +321,25 @@ class SessionsSpec extends SparkSpec {
     val b = Seq((10L, 20L, 40L), (11L, 25L, 30L)).toDF("id", "st", "en")
     val got = Sessions.intervalOverlapJoin(a, "id", "st", "en",
       b, "id", "st", "en", binUs = 10L)
-      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+      .as[(Long, Long, Long, String)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
     // A1 shares TWO candidate bins with B10 but lands once; the
     // A1/B11 endpoint touch at 25 is NOT an overlap (half-open)
-    assert(got === Seq((1L, 10L, 5L), (2L, 10L, 5L)))
+    assert(got === Seq((1L, 10L, 5L, "overlaps"),
+      (2L, 10L, 5L, "during")))
+    // the nine-way Allen classification on hand-built shapes
+    val shapes = Seq((20L, 0L, 10L), (21L, 0L, 4L), (22L, 0L, 20L),
+      (23L, 6L, 10L), (24L, -2L, 10L), (25L, 3L, 7L), (26L, -5L, 15L),
+      (27L, -5L, 5L), (28L, 5L, 15L)).toDF("id", "st", "en")
+    val base = Seq((0L, 0L, 10L)).toDF("id", "st", "en")
+    val rel = Sessions.intervalOverlapJoin(shapes, "id", "st", "en",
+      base, "id", "st", "en", binUs = 10L)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(rel === Map(20L -> "equals", 21L -> "starts",
+      22L -> "started_by", 23L -> "finishes", 24L -> "finished_by",
+      25L -> "during", 26L -> "contains", 27L -> "overlaps",
+      28L -> "overlapped_by"))
     // an interval wider than maxBins bins refuses loudly
     intercept[Exception] {
       Sessions.intervalOverlapJoin(
