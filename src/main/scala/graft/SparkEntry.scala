@@ -2405,6 +2405,33 @@ object SparkEntry {
           expr("n_events * 1000000 div (sum(n_events) OVER ())")
             .cast("long").as("share_ppm"))),
 
+    // FORWARD as-of join with tolerance (the full merge_asof surface):
+    // each non-purchase event enriched with the user's NEXT purchase
+    // value within one day; per-type match rate + exact cents.
+    "q399_asof_forward" -> ((s, d) => {
+      val ev = eventsUs(s, d)
+      val leftE = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_type"))
+      // one right row per (user, ts): equal-timestamp right rows have
+      // no deterministic ASOF order, so the max-cents collapse IS the
+      // documented tiebreak
+      val rightE = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts_us")
+        .agg(max(floor(col("value") * 100 + 0.5).cast("long"))
+          .as("cents"))
+      AsOf.asofJoinDirected(leftE, rightE, "user_id", "ts_us",
+          "cents", "next_cents", direction = "forward",
+          toleranceUs = Some(86400L * 1000000L))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("next_cents").isNotNull, 1L).otherwise(0L))
+            .as("n_matched"),
+          coalesce(sum("next_cents"), lit(0L)).cast("long")
+            .as("sum_next_cents"),
+          coalesce(sum(expr("next_cents_ts - ts_us")), lit(0L))
+            .cast("long").as("sum_wait_us"))
+    }),
+
     // Cross-source duplication Venn (q193's mirrored corpus): content
     // bucketed by how many distinct sources carry it — the syndication
     // spread histogram a dedup rollout is sized by.
@@ -10745,6 +10772,36 @@ object SparkEntry {
                 CAST(n_events * 1000000 // (SELECT sum(n_events) FROM c)
                   AS BIGINT) AS share_ppm
          FROM c""",
+
+    // The forward-ASOF as a decorrelated min-next-timestamp lookup;
+    // identical tolerance voiding and per-(user, ts) max-cents tiebreak.
+    "q399_asof_forward" ->
+      """WITH l AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type
+               FROM events WHERE event_type <> 'purchase'),
+         r AS (SELECT user_id, epoch_us(ts) AS ts_us,
+                 max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+               FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         m AS (SELECT l.user_id, l.ts_us, l.event_type,
+                 (SELECT min(r.ts_us) FROM r
+                  WHERE r.user_id = l.user_id AND r.ts_us >= l.ts_us)
+                   AS mts
+               FROM l),
+         mm AS (SELECT m.event_type, m.ts_us, m.mts, r.cents
+                FROM m LEFT JOIN r
+                  ON r.user_id = m.user_id AND r.ts_us = m.mts),
+         ok AS (SELECT event_type, ts_us,
+                  CASE WHEN mts IS NOT NULL
+                    AND mts - ts_us <= 86400000000 THEN cents END AS nc,
+                  CASE WHEN mts IS NOT NULL
+                    AND mts - ts_us <= 86400000000 THEN mts END AS nts
+                FROM mm)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CASE WHEN nc IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_matched,
+                CAST(coalesce(sum(nc), 0) AS BIGINT) AS sum_next_cents,
+                CAST(coalesce(sum(nts - ts_us), 0) AS BIGINT)
+                  AS sum_wait_us
+         FROM ok GROUP BY 1""",
 
     "q367_damerau_pairs" ->
       """WITH n AS (SELECT DISTINCT p_name FROM part)

@@ -38,4 +38,54 @@ object AsOf {
       .filter(col("graft_side") === 1)
       .drop("graft_side", "graft_rv")
   }
+
+  /** The full pandas-`merge_asof` surface over the same one-shuffle
+    * union formulation: `direction` picks the most recent right row at
+    * or before (`backward`) or the earliest at or after (`forward`)
+    * each left timestamp, and `toleranceUs` voids matches farther than
+    * the tolerance (both the value AND the matched timestamp column
+    * null out together — a stale match must not half-survive). Equal
+    * timestamps match in BOTH directions (inclusive ASOF semantics:
+    * the side ordering scans the right row first either way). Output
+    * adds `outCol` and `outCol_ts` (the matched right timestamp — the
+    * lag/lead distance is usually the point of a tolerance join).
+    *
+    * Scale: identical to [[asofJoin]] — one hash shuffle + sort per
+    * side, a running last over the union, never a range product. */
+  def asofJoinDirected(left: DataFrame, right: DataFrame, key: String,
+                       ts: String, valueCol: String, outCol: String,
+                       direction: String,
+                       toleranceUs: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward or forward, got $direction")
+    toleranceUs.foreach(t => require(t >= 0, "tolerance must be >= 0"))
+    val rv = right.schema(valueCol).dataType
+    val l = left
+      .withColumn("graft_side", lit(1))
+      .withColumn("graft_rv", lit(null).cast(rv))
+      .withColumn("graft_rts", lit(null).cast("long"))
+    val r = right
+      .select(col(key), col(ts), col(valueCol).as("graft_rv"),
+        col(ts).cast("long").as("graft_rts"))
+      .withColumn("graft_side", lit(0))
+    val ord = if (direction == "backward") col(ts).asc else col(ts).desc
+    val w = Window.partitionBy(key)
+      .orderBy(ord, col("graft_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gap =
+      if (direction == "backward") expr(s"$ts - graft_mts")
+      else expr(s"graft_mts - $ts")
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("graft_mv", last(col("graft_rv"), ignoreNulls = true).over(w))
+      .withColumn("graft_mts", last(col("graft_rts"), ignoreNulls = true).over(w))
+      .filter(col("graft_side") === 1)
+      .withColumn("graft_ok", toleranceUs match {
+        case Some(t) => col("graft_mts").isNotNull && gap <= t
+        case None => col("graft_mts").isNotNull
+      })
+      .withColumn(outCol, when(col("graft_ok"), col("graft_mv")))
+      .withColumn(outCol + "_ts", when(col("graft_ok"), col("graft_mts")))
+      .drop("graft_side", "graft_rv", "graft_rts", "graft_mv",
+        "graft_mts", "graft_ok")
+  }
 }
