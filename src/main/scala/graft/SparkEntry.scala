@@ -2432,6 +2432,51 @@ object SparkEntry {
             .cast("long").as("sum_wait_us"))
     }),
 
+    // End-to-end WEB corpus build: planted markup → htmlExtract →
+    // quality gate on the CLEAN text → exact dedup among survivors →
+    // per-source funnel with final token mass — q140's funnel with the
+    // markup-strip stage in front, the full crawl-curation chain.
+    "q400_web_pipeline" -> ((s, d) => {
+      val docs0 = Tables.documents(s, d)
+      // mirrored fifth: true duplicates under a different source — the
+      // dedup stage must fold them onto the original (min id wins)
+      val base = docs0.select(col("doc_id"), col("source"), col("text"))
+        .unionByName(docs0.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            lit("mirror").as("source"), col("text")))
+      val planted = base.select(col("doc_id"),
+        col("source"), concat(
+          lit("<html><head><style>p{color:red}</style>" +
+            "<script>var x=1;</script></head><body><h1>T&amp;X</h1><p>"),
+          col("text"),
+          lit("</p><a href=\"/x\">link</a>"),
+          when(col("doc_id") % 2 === 0, lit("<img src=\"a.png\"/>"))
+            .otherwise(lit("")),
+          lit("</body></html>")).as("html"))
+      val cleaned = Corpus.htmlExtract(planted, "doc_id", "html")
+        .join(planted.select("doc_id", "source"), Seq("doc_id"))
+      val scored = cleaned.withColumn("graft_q",
+        greatest(least(floor(T.qualityScore(col("clean_text")) * 10000
+          + 0.5), lit(10000L)), lit(0L)).cast("long"))
+        .withColumn("graft_pass", col("graft_q") >= 8000L)
+      val wFp = org.apache.spark.sql.expressions.Window
+        .partitionBy("graft_fp")
+      val flagged = scored
+        .withColumn("graft_fp",
+          when(col("graft_pass"), T.fingerprint(col("clean_text"))))
+        .withColumn("graft_canon",
+          col("graft_pass") &&
+            col("doc_id") === min(when(col("graft_pass"),
+              col("doc_id"))).over(wFp))
+      flagged.groupBy("source")
+        .agg(count(lit(1)).as("n_raw"),
+          sum(when(col("graft_pass"), 1L).otherwise(0L)).as("n_quality"),
+          sum(when(col("graft_canon"), 1L).otherwise(0L)).as("n_unique"),
+          coalesce(sum(when(col("graft_canon"),
+            T.wsTokens(col("clean_text")).cast("long"))), lit(0L))
+            .cast("long").as("tokens_final"))
+    }),
+
     // Cross-source duplication Venn (q193's mirrored corpus): content
     // bucketed by how many distinct sources carry it — the syndication
     // spread histogram a dedup rollout is sized by.
@@ -10802,6 +10847,63 @@ object SparkEntry {
                 CAST(coalesce(sum(nts - ts_us), 0) AS BIGINT)
                   AS sum_wait_us
          FROM ok GROUP BY 1""",
+
+    // The q393 markup chain, the quality formula over the CLEAN text,
+    // md5 min-id canonicals among survivors, per-source funnel.
+    "q400_web_pipeline" ->
+      """WITH d0 AS (SELECT doc_id, source, text FROM documents
+               UNION ALL
+               SELECT doc_id + 1000000, 'mirror', text FROM documents
+               WHERE doc_id % 5 = 0),
+         h AS (SELECT doc_id, source,
+                '<html><head><style>p{color:red}</style>'
+                || '<script>var x=1;</script></head><body><h1>T&amp;X'
+                || '</h1><p>' || text
+                || '</p><a href="/x">link</a>'
+                || CASE WHEN doc_id % 2 = 0
+                     THEN '<img src="a.png"/>' ELSE '' END
+                || '</body></html>' AS html
+             FROM d0),
+         cl AS (SELECT doc_id, source,
+                  trim(regexp_replace(
+                    replace(replace(replace(replace(replace(replace(
+                      regexp_replace(
+                        regexp_replace(regexp_replace(html,
+                          '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+                          '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+                        '<[^>]+>', ' ', 'g'),
+                      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                      '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+                    '\s+', ' ', 'g')) AS ct
+                FROM h),
+         sc AS (SELECT doc_id, source, ct,
+                  greatest(least(CAST(floor(
+                    round(0.5 * least(length(ct) / 500.0, 1.0)
+                      + 0.5 * least(
+                          len(regexp_extract_all(ct, '[A-Za-z0-9]+'))
+                            * 1.0
+                          / greatest(len(regexp_split_to_array(trim(ct),
+                              '\s+')), 1), 1.0)
+                      - len(regexp_extract_all(ct, '[.,;:!?]')) * 1.0
+                        / greatest(length(ct), 1), 4) * 10000 + 0.5)
+                    AS BIGINT), 10000), 0) AS q
+                FROM cl),
+         f AS (SELECT doc_id, source, ct, q >= 8000 AS pass,
+                 CASE WHEN q >= 8000 THEN md5(lower(trim(
+                   regexp_replace(ct, '\s+', ' ', 'g')))) END AS fp
+               FROM sc),
+         c AS (SELECT f.*, pass AND doc_id = min(CASE WHEN pass
+                 THEN doc_id END) OVER (PARTITION BY fp) AS canon
+               FROM f)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_raw,
+                CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_quality,
+                CAST(sum(CASE WHEN canon THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_unique,
+                CAST(coalesce(sum(CASE WHEN canon THEN
+                  len(regexp_split_to_array(trim(ct), '\s+')) END), 0)
+                  AS BIGINT) AS tokens_final
+         FROM c GROUP BY 1""",
 
     "q367_damerau_pairs" ->
       """WITH n AS (SELECT DISTINCT p_name FROM part)
