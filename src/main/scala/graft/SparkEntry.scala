@@ -10469,14 +10469,19 @@ object SparkEntry {
                 WHERE t.d >= j.d0 GROUP BY 1, 2),
          wts(d, w) AS (VALUES ${Similarity.rboWeightsNano(10, 900L)
              .zipWithIndex.map { case (wv, i) =>
-               s"(${i + 1}, CAST($wv AS HUGEINT))" }.mkString(", ")})
-         SELECT ov.qid AS query_id,
+               s"(${i + 1}, CAST($wv AS HUGEINT))" }.mkString(", ")}),
+         agg AS (SELECT ov.qid,
                 CAST(coalesce(max(CASE WHEN ov.d = 10 THEN ov.ov END), 0)
                   AS BIGINT) AS n_overlap,
                 CAST(sum(wts.w * ov.ov // ov.d) // 1000 AS BIGINT)
                   AS rbo_micro
          FROM ov JOIN wts ON ov.d = wts.d
-         GROUP BY 1""",
+         GROUP BY 1),
+         qids(qid) AS (VALUES (0), (7), (21), (42), (63))
+         SELECT CAST(qids.qid AS BIGINT) AS query_id,
+                coalesce(agg.n_overlap, 0) AS n_overlap,
+                coalesce(agg.rbo_micro, 0) AS rbo_micro
+         FROM qids LEFT JOIN agg ON agg.qid = qids.qid""",
 
     "q388_webm_meta" ->
       """SELECT doc_id,
@@ -10562,7 +10567,7 @@ object SparkEntry {
                      pts // 86400000000 AS pday
                    FROM pr WHERE prev IS NOT NULL),
          train AS (SELECT f, tt, CAST(count(*) AS BIGINT) AS n
-                   FROM pairs WHERE pday % 2 = 0 GROUP BY 1, 2),
+                   FROM pairs WHERE ((pday % 2) + 2) % 2 = 0 GROUP BY 1, 2),
          pred AS (SELECT f, max(nt) AS n_train, max(p) AS pred FROM (
                     SELECT f, tt AS p,
                       row_number() OVER (PARTITION BY f
@@ -10571,7 +10576,7 @@ object SparkEntry {
                     FROM train)
                   WHERE rn = 1 GROUP BY f),
          ev AS (SELECT f, tt, CAST(count(*) AS BIGINT) AS ne
-                FROM pairs WHERE pday % 2 = 1 GROUP BY 1, 2)
+                FROM pairs WHERE ((pday % 2) + 2) % 2 = 1 GROUP BY 1, 2)
          SELECT ev.f AS from_type,
                 CAST(coalesce(max(pred.n_train), 0) AS BIGINT) AS n_train,
                 max(pred.pred) AS predicted_type,

@@ -1894,8 +1894,12 @@ object Analytics {
     * constant or perfectly collinear cloud) yields no rows rather than
     * a division blowup — the caller's signal that 2-D distance has no
     * meaning there. A magnitude gate asserts n ≤ 10⁵ and
-    * max|coord − μ| ≤ 5·10³ (u²·B·10³ stays inside 38 digits — at the
-    * gate boundary u²·B = (n·5e3)²·n²(5e3)² ≈ 6.3·10³⁴); coarser
+    * max|coord − μ| ≤ 2.5·10³, sized for the FULL three-term numerator:
+    * at the gate boundary u ≤ n·2.5e3 = 2.5e8 and each of A,B,|C| ≤
+    * n²·(2.5e3)² = 6.25e16, so u²·B ≤ 3.9·10³³, |2·u·v·C| ≤ 7.9·10³³,
+    * and (u²B − 2uvC + v²A)·10³ ≤ 1.6·10³⁷ < 10³⁸ — no DECIMAL(38,0)
+    * overflow (which under non-ANSI semantics would NULL d2_milli and
+    * silently drop the most extreme outlier from the top-k); coarser
     * metrics must re-quantize before screening.
     *
     * Scale: one map-combinable six-sum aggregate, the 1-row moment
@@ -1924,10 +1928,10 @@ object Analytics {
     rows.crossJoin(broadcast(mom))
       .filter(assert_true(col("graft_n") <= lit(100000L) &&
         abs(expr("graft_n * graft_x - graft_sx")) <=
-          expr("graft_n * 5000") &&
+          expr("graft_n * 2500") &&
         abs(expr("graft_n * graft_y - graft_sy")) <=
-          expr("graft_n * 5000"),
-        lit("mahalanobis2d: n > 1e5 or |coord - mean| > 5e3 — " +
+          expr("graft_n * 2500"),
+        lit("mahalanobis2d: n > 1e5 or |coord - mean| > 2.5e3 — " +
           "quantize coarser or sample first")).isNull)
       .filter(col("graft_det") > 0)
       .withColumn("graft_u", expr("graft_n * graft_x - graft_sx"))

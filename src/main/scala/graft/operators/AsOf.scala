@@ -50,6 +50,14 @@ object AsOf {
     * adds `outCol` and `outCol_ts` (the matched right timestamp — the
     * lag/lead distance is usually the point of a tolerance join).
     *
+    * Determinism: right rows tied on (key, ts) resolve by VALUE — the
+    * window ordering breaks the tie on `valueCol` ascending, so the
+    * greatest value among equal-timestamp right rows wins, every run.
+    * This requires an orderable value type (numeric/string/array —
+    * not map); callers wanting a different tie policy (e.g. q399's
+    * max-cents) should pre-collapse the right side to one row per
+    * (key, ts) before calling.
+    *
     * Scale: identical to [[asofJoin]] — one hash shuffle + sort per
     * side, a running last over the union, never a range product. */
   def asofJoinDirected(left: DataFrame, right: DataFrame, key: String,
@@ -70,7 +78,8 @@ object AsOf {
       .withColumn("graft_side", lit(0))
     val ord = if (direction == "backward") col(ts).asc else col(ts).desc
     val w = Window.partitionBy(key)
-      .orderBy(ord, col("graft_side").asc)
+      .orderBy(ord, col("graft_side").asc,
+        col("graft_rv").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val gap =
       if (direction == "backward") expr(s"$ts - graft_mts")

@@ -729,7 +729,10 @@ object Sessions {
       .filter(col("graft_prev").isNotNull)
       .select(col("graft_prev").as("graft_from"),
         col("graft_ty").as("graft_to"), col("graft_pday"))
-    val train = pairs.filter(col("graft_pday") % 2 === 0)
+    // pmod, not %: Spark's % keeps the dividend's sign, so a pre-1970
+    // leading event (negative epoch day) would have parity -1 and fall
+    // out of BOTH splits silently.
+    val train = pairs.filter(pmod(col("graft_pday"), lit(2)) === 0)
       .groupBy("graft_from", "graft_to")
       .agg(count(lit(1)).as("graft_n"))
     val wArg = Window.partitionBy("graft_from")
@@ -740,7 +743,7 @@ object Sessions {
       .agg(sum("graft_n").as("graft_ntrain"),
         max(when(col("graft_rn") === 1, col("graft_to")))
           .as("graft_pred"))
-    val eval0 = pairs.filter(col("graft_pday") % 2 === 1)
+    val eval0 = pairs.filter(pmod(col("graft_pday"), lit(2)) === 1)
       .groupBy("graft_from", "graft_to")
       .agg(count(lit(1)).as("graft_ne"))
     eval0.join(pred, Seq("graft_from"), "left")

@@ -153,7 +153,7 @@ object Similarity {
     val prefix = ranked(
       emb.withColumn(vecCol, slice(col(vecCol), 1, mDims)), "graft_rb")
     val wNano = typedLit(rboWeightsNano(k, pMilli))
-    full.join(prefix, Seq("query_id", idCol))
+    val agg = full.join(prefix, Seq("query_id", idCol))
       .withColumn("graft_d",
         explode(sequence(greatest(col("graft_ra"), col("graft_rb")),
           lit(k.toLong))))
@@ -165,9 +165,16 @@ object Similarity {
         "graft_w, CAST(graft_d AS INT)) * graft_ov div graft_d"))
         .as("graft_nano"),
         max(when(col("graft_d") === k, col("graft_ov"))).as("graft_ovk"))
+    // A query whose two top-k lists share ZERO items produces no join
+    // rows — exactly the total-disagreement case the metric exists to
+    // flag. Left-join from the requested id list so it reports
+    // rbo_micro = 0 / n_overlap = 0 instead of vanishing.
+    emb.sparkSession.range(1)
+      .select(explode(typedLit(queryIds)).as("query_id"))
+      .join(agg, Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("graft_ovk"), lit(0L)).as("n_overlap"),
-        expr("graft_nano div 1000").as("rbo_micro"))
+        coalesce(expr("graft_nano div 1000"), lit(0L)).as("rbo_micro"))
   }
 
   /** kNN label-noise audit — Confident-Learning-style curation screen:

@@ -3164,6 +3164,12 @@ private[sources] class WarehouseRowLevelOperation(
   // Until (unless) filters arrive, every file is a candidate — an
   // unconditional UPDATE rewrites the whole table, which is its meaning.
   @volatile private var scanned: Seq[String] = cur.files
+  // Frozen at Scan build: the commit must swap EXACTLY the file set the
+  // executed scan read. If Spark ever built a second scan from this
+  // operation with a DIFFERENT candidate set (it doesn't under current
+  // group-based planning), reading set A while committing set B would
+  // drop rows — so that case is a hard error, not a race.
+  @volatile private var builtSet: Option[Seq[String]] = None
 
 
   override def command():
@@ -3200,11 +3206,17 @@ private[sources] class WarehouseRowLevelOperation(
       // pinnedFiles: the scan reads EXACTLY the plan-time candidates —
       // runtime group filtering is declined (see WarehouseScan.filter),
       // because the commit below swaps exactly this set.
-      override def build(): Scan =
+      override def build(): Scan = {
+        val snap = scanned
+        require(builtSet.forall(_ == snap),
+          s"row-level $cmd planned two scans with different candidate " +
+            "file sets — the group-replace commit would be ambiguous")
+        builtSet = Some(snap)
         new WarehouseScan(dir, schema, None, Array.empty, required,
-          onlyFiles = Some(scanned),
-          onlyDvs = Some(WarehouseSink.dvEntriesFor(cur, scanned)),
+          onlyFiles = Some(snap),
+          onlyDvs = Some(WarehouseSink.dvEntriesFor(cur, snap)),
           pinnedFiles = true)
+      }
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo):
@@ -3229,7 +3241,7 @@ private[sources] class WarehouseRowLevelOperation(
       override def requiredOrdering(): Array[SortOrder] = Array.empty
       override def toBatch: BatchWrite =
         new ReplaceGroupsBatchWrite(dir, ws, info.queryId(),
-          cur.partitionCol, () => scanned,
+          cur.partitionCol, () => builtSet.getOrElse(scanned),
           "sql_" + cmd.toString.toLowerCase(java.util.Locale.ROOT))
       override def toStreaming: StreamingWrite =
         throw new UnsupportedOperationException(
