@@ -2477,6 +2477,100 @@ object SparkEntry {
             .cast("long").as("tokens_final"))
     }),
 
+    // WARC container walk (ISO 28500): each doc becomes a 3-record
+    // .warc.gz (warcinfo + HTTP response carrying HTML + WET
+    // conversion), one gzip member per record (the CommonCrawl shape);
+    // the real walk inflates members, parses records, splits the HTTP
+    // payload. Every emitted field is synth arithmetic the oracle
+    // replays; doc_id % 7 == 3 tears the last member mid-block —
+    // partial-count degradation keeps the response, drops the WET.
+    "q401_warc_walk" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id"), col("source"),
+          col("text"))
+        .as[(Long, String, String)]
+        .map { case (id, src, text) =>
+          val html = s"<html><body><h1>T&amp;$id</h1><p>$text" +
+            "</p></body></html>"
+          val uri = s"https://$src.example.org/doc/$id"
+          val full = multimodal.Warc.synthWarcGz(uri, 1600000000L + id,
+            html, text)
+          val bytes = if (id % 7 == 3) full.take(full.length - 12) else full
+          val (recs, torn) = multimodal.Warc.walkGz(bytes)
+          val resp = recs.find(_.warcType == "response")
+          val http = resp.flatMap(r =>
+            multimodal.Warc.httpResponse(r.payload))
+          val wet = recs.find(_.warcType == "conversion")
+          (id, recs.size.toLong, torn,
+            http.map(_._1.toLong),
+            resp.map(_.targetUri),
+            resp.map(r => multimodal.Warc.dateEpochSec(r.date)),
+            http.map(_._2),
+            http.map(_._3.length.toLong),
+            http.map(h => new String(h._3, "UTF-8")),
+            wet.map(w => new String(w.payload, "UTF-8")))
+        }
+        .toDF("doc_id", "n_records", "truncated", "status", "url",
+          "fetch_ts", "mime", "content_len", "graft_body", "graft_wet")
+        .select(col("doc_id"), col("n_records"), col("truncated"),
+          col("status"), col("url"), col("fetch_ts"), col("mime"),
+          col("content_len"), md5(col("graft_body")).as("body_md5"),
+          md5(col("graft_wet")).as("wet_md5"))
+    }),
+
+    // q400 re-plumbed to START from the crawl container: synthesize
+    // the mirrored corpus INTO .warc.gz bytes, walk them back to the
+    // (host, html) table with the real record walk + HTTP split, then
+    // run the same extract → quality gate → exact dedup → funnel,
+    // grouped by the crawl host instead of the source label.
+    "q402_warc_pipeline" -> ((s, d) => {
+      import s.implicits._
+      val docs0 = Tables.documents(s, d)
+      val base = docs0.select(col("doc_id"), col("source"), col("text"))
+        .unionByName(docs0.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            lit("mirror").as("source"), col("text")))
+      val pages = base.as[(Long, String, String)]
+        .map { case (id, src, text) =>
+          val html = "<html><head><style>p{color:red}</style>" +
+            "<script>var x=1;</script></head><body><h1>T&amp;X</h1><p>" +
+            text + "</p><a href=\"/x\">link</a>" +
+            (if (id % 2 == 0) "<img src=\"a.png\"/>" else "") +
+            "</body></html>"
+          val uri = s"https://$src.example.org/doc/$id"
+          val bytes = multimodal.Warc.synthWarcGz(uri,
+            1600000000L + id, html, text)
+          val (recs, _) = multimodal.Warc.walkGz(bytes)
+          val resp = recs.find(_.warcType == "response").get
+          val body = multimodal.Warc.httpResponse(resp.payload).get._3
+          val host = resp.targetUri
+            .stripPrefix("https://").takeWhile(_ != '/')
+          (id, host, new String(body, "UTF-8"))
+        }.toDF("doc_id", "host", "html")
+      val cleaned = Corpus.htmlExtract(pages, "doc_id", "html")
+        .join(pages.select("doc_id", "host"), Seq("doc_id"))
+      val scored = cleaned.withColumn("graft_q",
+        greatest(least(floor(T.qualityScore(col("clean_text")) * 10000
+          + 0.5), lit(10000L)), lit(0L)).cast("long"))
+        .withColumn("graft_pass", col("graft_q") >= 8000L)
+      val wFp = org.apache.spark.sql.expressions.Window
+        .partitionBy("graft_fp")
+      val flagged = scored
+        .withColumn("graft_fp",
+          when(col("graft_pass"), T.fingerprint(col("clean_text"))))
+        .withColumn("graft_canon",
+          col("graft_pass") &&
+            col("doc_id") === min(when(col("graft_pass"),
+              col("doc_id"))).over(wFp))
+      flagged.groupBy("host")
+        .agg(count(lit(1)).as("n_raw"),
+          sum(when(col("graft_pass"), 1L).otherwise(0L)).as("n_quality"),
+          sum(when(col("graft_canon"), 1L).otherwise(0L)).as("n_unique"),
+          coalesce(sum(when(col("graft_canon"),
+            T.wsTokens(col("clean_text")).cast("long"))), lit(0L))
+            .cast("long").as("tokens_final"))
+    }),
+
     // Cross-source duplication Venn (q193's mirrored corpus): content
     // bucketed by how many distinct sources carry it — the syndication
     // spread histogram a dedup rollout is sized by.
@@ -10901,6 +10995,85 @@ object SparkEntry {
                  THEN doc_id END) OVER (PARTITION BY fp) AS canon
                FROM f)
          SELECT source, CAST(count(*) AS BIGINT) AS n_raw,
+                CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_quality,
+                CAST(sum(CASE WHEN canon THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_unique,
+                CAST(coalesce(sum(CASE WHEN canon THEN
+                  len(regexp_split_to_array(trim(ct), '\s+')) END), 0)
+                  AS BIGINT) AS tokens_final
+         FROM c GROUP BY 1""",
+
+    // Synth round-trip (q155/q373 discipline): every parsed field is
+    // doc_id arithmetic; the % 7 tear drops exactly the WET member.
+    "q401_warc_walk" ->
+      """WITH h AS (SELECT doc_id, source, text,
+                '<html><body><h1>T&amp;' || doc_id || '</h1><p>' || text
+                  || '</p></body></html>' AS html
+             FROM documents)
+         SELECT doc_id,
+                CAST(CASE WHEN doc_id % 7 = 3 THEN 2 ELSE 3 END
+                  AS BIGINT) AS n_records,
+                doc_id % 7 = 3 AS truncated,
+                CAST(200 AS BIGINT) AS status,
+                'https://' || source || '.example.org/doc/' || doc_id
+                  AS url,
+                CAST(1600000000 + doc_id AS BIGINT) AS fetch_ts,
+                'text/html; charset=utf-8' AS mime,
+                CAST(octet_length(encode(html)) AS BIGINT) AS content_len,
+                md5(html) AS body_md5,
+                CASE WHEN doc_id % 7 = 3 THEN NULL ELSE md5(text) END
+                  AS wet_md5
+         FROM h""",
+
+    // q400's funnel replayed from the WARC host: the walk's
+    // (host, html) is pure synth arithmetic, the chain is q400's.
+    "q402_warc_pipeline" ->
+      """WITH d0 AS (SELECT doc_id, source, text FROM documents
+               UNION ALL
+               SELECT doc_id + 1000000, 'mirror', text FROM documents
+               WHERE doc_id % 5 = 0),
+         h AS (SELECT doc_id, source || '.example.org' AS host,
+                '<html><head><style>p{color:red}</style>'
+                || '<script>var x=1;</script></head><body><h1>T&amp;X'
+                || '</h1><p>' || text
+                || '</p><a href="/x">link</a>'
+                || CASE WHEN doc_id % 2 = 0
+                     THEN '<img src="a.png"/>' ELSE '' END
+                || '</body></html>' AS html
+             FROM d0),
+         cl AS (SELECT doc_id, host,
+                  trim(regexp_replace(
+                    replace(replace(replace(replace(replace(replace(
+                      regexp_replace(
+                        regexp_replace(regexp_replace(html,
+                          '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+                          '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+                        '<[^>]+>', ' ', 'g'),
+                      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                      '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+                    '\s+', ' ', 'g')) AS ct
+                FROM h),
+         sc AS (SELECT doc_id, host, ct,
+                  greatest(least(CAST(floor(
+                    round(0.5 * least(length(ct) / 500.0, 1.0)
+                      + 0.5 * least(
+                          len(regexp_extract_all(ct, '[A-Za-z0-9]+'))
+                            * 1.0
+                          / greatest(len(regexp_split_to_array(trim(ct),
+                              '\s+')), 1), 1.0)
+                      - len(regexp_extract_all(ct, '[.,;:!?]')) * 1.0
+                        / greatest(length(ct), 1), 4) * 10000 + 0.5)
+                    AS BIGINT), 10000), 0) AS q
+                FROM cl),
+         f AS (SELECT doc_id, host, ct, q >= 8000 AS pass,
+                 CASE WHEN q >= 8000 THEN md5(lower(trim(
+                   regexp_replace(ct, '\s+', ' ', 'g')))) END AS fp
+               FROM sc),
+         c AS (SELECT f.*, pass AND doc_id = min(CASE WHEN pass
+                 THEN doc_id END) OVER (PARTITION BY fp) AS canon
+               FROM f)
+         SELECT host, CAST(count(*) AS BIGINT) AS n_raw,
                 CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
                   AS n_quality,
                 CAST(sum(CASE WHEN canon THEN 1 ELSE 0 END) AS BIGINT)

@@ -1,0 +1,319 @@
+package graft.multimodal
+
+import java.util.Locale
+
+/** WARC (ISO 28500 / WARC 1.1) container walk — the crawl-ingestion
+  * front door: every public web corpus (CommonCrawl WARC/WET) ships as
+  * concatenated gzip members, one WARC record per member, and the first
+  * pipeline step is turning that byte stream into the
+  * (url, fetch_ts, mime, payload) table the curation chain eats
+  * (reference corpus loaders read line-delimited exports the same way,
+  * dag.py:369-406; the WARC leg is the crawl-scale analog).
+  *
+  * Three layers, each degrading like the other binary walks
+  * ([[Binary.gzipMeta]]'s RFC 1952 discipline, mp3Meta's partial
+  * counts): a torn tail keeps every record fully parsed before the
+  * tear and reports `truncated = true` — never a throw, never a
+  * half-parsed record.
+  *
+  *  - [[gzipMembers]]: concatenated gzip members with STORED deflate
+  *    blocks (the only deflate shape readable without a Huffman
+  *    engine — compressed members degrade, the JPEG-pixel honesty
+  *    rule), CRC32/ISIZE verified per member.
+  *  - [[walk]]: the WARC record walk — version line, named headers
+  *    (case-insensitive per the spec), blank line, Content-Length-
+  *    bounded payload slice, CRLF CRLF record separator.
+  *  - [[httpResponse]]: the `application/http; msgtype=response`
+  *    payload split (status line, headers, body) that turns a crawl
+  *    `response` record into (status, mime, body).
+  *
+  * Scale: all three are per-value byte walks inside a partition map —
+  * zero shuffle; the downstream table operators own distribution. */
+object Warc {
+
+  /** One parsed WARC record. `date` is the raw WARC-Date header value
+    * (ISO 8601); [[dateEpochSec]] converts without a formatter. */
+  final case class Record(warcType: String, targetUri: String,
+                          date: String, contentType: String,
+                          contentLength: Long, payload: Array[Byte])
+
+  /** Raw (uncompressed) WARC stream walk. Returns (records, truncated):
+    * a malformed version line, torn header block, payload overrunning
+    * the buffer, or missing CRLF CRLF separator stops the walk and
+    * keeps the records parsed so far with truncated = true. A record
+    * missing Content-Length cannot be skipped over (the field IS the
+    * framing), so it also stops the walk. */
+  def walk(bytes: Array[Byte], maxRecords: Int = 100000):
+      (Seq[Record], Boolean) = {
+    val out = scala.collection.mutable.ArrayBuffer[Record]()
+    var p = 0
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i + 1 < bytes.length &&
+        !(bytes(i) == '\r' && bytes(i + 1) == '\n')) i += 1
+      if (i + 1 < bytes.length) i else -1
+    }
+    while (p < bytes.length && out.size < maxRecords) {
+      val e0 = lineEnd(p)
+      if (e0 < 0) return (out.toSeq, true)
+      val ver = new String(bytes, p, e0 - p, "US-ASCII")
+      if (!ver.startsWith("WARC/")) return (out.toSeq, true)
+      p = e0 + 2
+      var wtype = ""; var uri = ""; var date = ""; var ctype = ""
+      var clen = -1L
+      var headersDone = false
+      while (!headersDone) {
+        val e = lineEnd(p)
+        if (e < 0) return (out.toSeq, true)
+        if (e == p) { headersDone = true; p += 2 }
+        else {
+          val line = new String(bytes, p, e - p, "UTF-8")
+          val ci = line.indexOf(':')
+          if (ci > 0) {
+            val v = line.substring(ci + 1).trim
+            line.substring(0, ci).trim.toLowerCase(Locale.ROOT) match {
+              case "warc-type" => wtype = v
+              case "warc-target-uri" => uri = v
+              case "warc-date" => date = v
+              case "content-type" => ctype = v
+              case "content-length" =>
+                clen = try v.toLong
+                  catch { case _: NumberFormatException => -1L }
+              case _ => ()
+            }
+          }
+          p = e + 2
+        }
+      }
+      if (clen < 0 || clen > Int.MaxValue - 4 ||
+        p + clen + 4 > bytes.length) return (out.toSeq, true)
+      val payload = java.util.Arrays.copyOfRange(bytes, p, p + clen.toInt)
+      p += clen.toInt
+      if (!(bytes(p) == '\r' && bytes(p + 1) == '\n' &&
+        bytes(p + 2) == '\r' && bytes(p + 3) == '\n'))
+        return (out.toSeq, true)
+      p += 4
+      out += Record(wtype, uri, date, ctype, clen, payload)
+    }
+    (out.toSeq, false)
+  }
+
+  /** One gzip member with STORED deflate blocks starting at `off`:
+    * (inflated payload, end offset past the footer). None on malformed,
+    * compressed (non-stored) blocks, a torn tail, or a CRC32/ISIZE
+    * footer that contradicts the recomputed values — the member walk is
+    * an integrity check, not an echo (Binary.gzipMeta:2005 discipline,
+    * here keeping the payload instead of just counting it). */
+  private def gzipMemberStored(bytes: Array[Byte], off: Int):
+      Option[(Array[Byte], Int)] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    if (off + 18 > bytes.length) return None
+    if (u8(off) != 0x1f || u8(off + 1) != 0x8b || u8(off + 2) != 8)
+      return None
+    val flg = u8(off + 3)
+    var p = off + 10
+    if ((flg & 4) != 0) {
+      if (p + 2 > bytes.length) return None
+      p += 2 + le16(p)
+    }
+    if ((flg & 8) != 0) {
+      while (p < bytes.length && bytes(p) != 0) p += 1
+      if (p >= bytes.length) return None
+      p += 1
+    }
+    if ((flg & 16) != 0) {
+      while (p < bytes.length && bytes(p) != 0) p += 1
+      if (p >= bytes.length) return None
+      p += 1
+    }
+    if ((flg & 2) != 0) p += 2
+    val body = new java.io.ByteArrayOutputStream()
+    val crc = new java.util.zip.CRC32()
+    var done = false
+    while (!done) {
+      if (p + 5 > bytes.length) return None
+      val hdr = u8(p)
+      if ((hdr >> 1 & 3) != 0 || (hdr & 0xf8) != 0) return None
+      val len = le16(p + 1)
+      if (le16(p + 3) != (~len & 0xffff)) return None
+      if (p + 5 + len > bytes.length) return None
+      body.write(bytes, p + 5, len)
+      crc.update(bytes, p + 5, len)
+      done = (hdr & 1) != 0
+      p += 5 + len
+    }
+    if (p + 8 > bytes.length) return None
+    val payload = body.toByteArray
+    if (le32(p) != crc.getValue ||
+      le32(p + 4) != (payload.length & 0xffffffffL)) return None
+    Some((payload, p + 8))
+  }
+
+  /** Concatenated gzip members → inflated payloads in stream order;
+    * a torn or malformed tail keeps the complete members with
+    * truncated = true (partial-count degradation). */
+  def gzipMembers(bytes: Array[Byte], maxMembers: Int = 100000):
+      (Seq[Array[Byte]], Boolean) = {
+    val out = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    var p = 0
+    while (p < bytes.length && out.size < maxMembers) {
+      gzipMemberStored(bytes, p) match {
+        case Some((payload, end)) => out += payload; p = end
+        case None => return (out.toSeq, true)
+      }
+    }
+    (out.toSeq, false)
+  }
+
+  /** The crawl-file shape: a `.warc.gz` of concatenated members is
+    * inflated member by member, the complete members' payloads
+    * concatenated (a record MAY span members; CommonCrawl writes one
+    * per member) and walked as one WARC stream. Truncated if either
+    * layer tears. */
+  def walkGz(bytes: Array[Byte], maxRecords: Int = 100000):
+      (Seq[Record], Boolean) = {
+    val (members, tornGz) = gzipMembers(bytes, maxRecords)
+    val raw = new java.io.ByteArrayOutputStream()
+    members.foreach(m => raw.write(m, 0, m.length))
+    val (recs, tornWarc) = walk(raw.toByteArray, maxRecords)
+    (recs, tornGz || tornWarc)
+  }
+
+  /** `application/http; msgtype=response` payload split: status code
+    * from the status line, Content-Type header (verbatim value), body
+    * bytes after the blank line. None when the payload is not an HTTP
+    * response (a WET conversion record's plain text, for example). */
+  def httpResponse(payload: Array[Byte]): Option[(Int, String, Array[Byte])] = {
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i + 1 < payload.length &&
+        !(payload(i) == '\r' && payload(i + 1) == '\n')) i += 1
+      if (i + 1 < payload.length) i else -1
+    }
+    val e0 = lineEnd(0)
+    if (e0 < 0) return None
+    val status = new String(payload, 0, e0, "US-ASCII")
+    if (!status.startsWith("HTTP/")) return None
+    val parts = status.split(" ")
+    if (parts.length < 2) return None
+    val code = try parts(1).toInt
+      catch { case _: NumberFormatException => return None }
+    var p = e0 + 2
+    var ctype = ""
+    while (true) {
+      val e = lineEnd(p)
+      if (e < 0) return None
+      if (e == p)
+        return Some((code, ctype,
+          java.util.Arrays.copyOfRange(payload, p + 2, payload.length)))
+      val line = new String(payload, p, e - p, "UTF-8")
+      val ci = line.indexOf(':')
+      if (ci > 0 &&
+        line.substring(0, ci).trim.toLowerCase(Locale.ROOT) == "content-type")
+        ctype = line.substring(ci + 1).trim
+      p = e + 2
+    }
+    None // unreachable
+  }
+
+  /** WARC-Date (ISO 8601 instant) → epoch seconds; -1 if unparseable —
+    * the caller's NULL sentinel, matching the other decoders. */
+  def dateEpochSec(date: String): Long =
+    try java.time.Instant.parse(date).getEpochSecond
+    catch { case _: RuntimeException => -1L }
+
+  // ------------------------------------------------------------------
+  // Deterministic fixtures (the q155/q373 round-trip discipline: every
+  // synthesized field is caller-arithmetic, so the oracle replays
+  // parse(synth(p)) == p without touching bytes).
+
+  /** One gzip member (FLG 0, MTIME 0) wrapping `payload` in STORED
+    * deflate blocks of `blockSize`, real CRC32/ISIZE footer. */
+  def gzipStored(payload: Array[Byte], blockSize: Int = 0xffff): Array[Byte] = {
+    require(blockSize >= 1 && blockSize <= 0xffff,
+      "blockSize must be 1..65535")
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write(v >> 8 & 0xff) }
+    def le32(v: Long): Unit = { le16((v & 0xffff).toInt)
+      le16((v >> 16 & 0xffff).toInt) }
+    out.write(0x1f); out.write(0x8b); out.write(8); out.write(0)
+    le32(0L); out.write(0); out.write(255)
+    var off = 0
+    var wrote = false
+    while (off < payload.length || !wrote) {
+      val len = math.min(blockSize, payload.length - off)
+      val fin = off + len >= payload.length
+      out.write(if (fin) 1 else 0)
+      le16(len); le16(~len & 0xffff)
+      out.write(payload, off, len)
+      off += len
+      wrote = true
+    }
+    val crc = new java.util.zip.CRC32()
+    crc.update(payload)
+    le32(crc.getValue)
+    le32(payload.length.toLong)
+    out.toByteArray
+  }
+
+  /** One raw WARC record with the standard named headers; `uri` empty
+    * omits WARC-Target-URI (warcinfo has none). */
+  def synthRecord(warcType: String, uri: String, epochSec: Long,
+                  contentType: String, payload: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder()
+    sb.append("WARC/1.0\r\n")
+    sb.append("WARC-Type: ").append(warcType).append("\r\n")
+    if (uri.nonEmpty)
+      sb.append("WARC-Target-URI: ").append(uri).append("\r\n")
+    sb.append("WARC-Date: ")
+      .append(java.time.Instant.ofEpochSecond(epochSec).toString)
+      .append("\r\n")
+    sb.append("WARC-Record-ID: <urn:graft:").append(warcType).append(":")
+      .append(epochSec).append(">\r\n")
+    sb.append("Content-Type: ").append(contentType).append("\r\n")
+    sb.append("Content-Length: ").append(payload.length).append("\r\n")
+    sb.append("\r\n")
+    val head = sb.toString.getBytes("UTF-8")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(head, 0, head.length)
+    out.write(payload, 0, payload.length)
+    out.write('\r'); out.write('\n'); out.write('\r'); out.write('\n')
+    out.toByteArray
+  }
+
+  /** HTTP/1.1 200 response wrapping an HTML body — the payload of a
+    * crawl `response` record. */
+  def synthHttpHtml(html: String): Array[Byte] = {
+    val body = html.getBytes("UTF-8")
+    val head = ("HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html; charset=utf-8\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(head, 0, head.length)
+    out.write(body, 0, body.length)
+    out.toByteArray
+  }
+
+  /** The CommonCrawl member shape for one captured page: three records
+    * (warcinfo, response carrying the HTML over HTTP, conversion
+    * carrying the extracted plain text — the WET twin), each its own
+    * gzip member, concatenated. */
+  def synthWarcGz(uri: String, epochSec: Long, html: String,
+                  wetText: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def add(rec: Array[Byte]): Unit = {
+      val m = gzipStored(rec)
+      out.write(m, 0, m.length)
+    }
+    add(synthRecord("warcinfo", "", epochSec, "application/warc-fields",
+      "software: graft-synth\r\n".getBytes("US-ASCII")))
+    add(synthRecord("response", uri, epochSec,
+      "application/http; msgtype=response", synthHttpHtml(html)))
+    add(synthRecord("conversion", uri, epochSec, "text/plain",
+      wetText.getBytes("UTF-8")))
+    out.toByteArray
+  }
+}
