@@ -2571,6 +2571,44 @@ object SparkEntry {
             .cast("long").as("tokens_final"))
     }),
 
+    // Mojibake repair round-trip (ftfy stage): a third of the docs get
+    // REAL double-encoding damage (the clean suffix's UTF-8 bytes
+    // mis-decoded as cp1252 — computed, not hand-typed), a third get a
+    // flagged-but-invalid tail (stray continuation byte 0xBF: the
+    // strict re-decode must refuse), a third stay clean. The repair
+    // recovers the clean suffix byte-exactly; md5 proves it.
+    "q403_fix_encoding" -> ((s, d) => {
+      val cleanSuffix = " café – “x"
+      val corrupt = new String(cleanSuffix.getBytes("UTF-8"),
+        "windows-1252")
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        col("source"),
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(corrupt)))
+          .when(col("doc_id") % 3 === 1,
+            concat(col("text"), lit(" Ã© ¿")))
+          .otherwise(col("text")).as("text"))
+      Corpus.repairEncodingDocs(planted, "text")
+        .select(col("doc_id"), col("graft_flag").as("flagged"),
+          (col("repaired") =!= col("text")).as("changed"),
+          md5(col("repaired")).as("text_md5"))
+    }),
+
+    // The per-source repair report over the same plant: detect → fix →
+    // re-audit closed loop (flagged_after is RECOMPUTED on the repaired
+    // text, so it proves the artifacts are gone, not just counted).
+    "q404_repair_report" -> ((s, d) => {
+      val cleanSuffix = " café – “x"
+      val corrupt = new String(cleanSuffix.getBytes("UTF-8"),
+        "windows-1252")
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        col("source"),
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(corrupt)))
+          .when(col("doc_id") % 3 === 1,
+            concat(col("text"), lit(" Ã© ¿")))
+          .otherwise(col("text")).as("text"))
+      Corpus.repairEncoding(planted, "text", "source")
+    }),
+
     // Cross-source duplication Venn (q193's mirrored corpus): content
     // bucketed by how many distinct sources carry it — the syndication
     // spread histogram a dedup rollout is sized by.
@@ -11082,6 +11120,29 @@ object SparkEntry {
                   len(regexp_split_to_array(trim(ct), '\s+')) END), 0)
                   AS BIGINT) AS tokens_final
          FROM c GROUP BY 1""",
+
+    // The repaired text for the double-encoded third IS the clean
+    // suffix appended — DuckDB replays the recovery, not the bytes.
+    "q403_fix_encoding" ->
+      """SELECT doc_id,
+                doc_id % 3 IN (0, 1) AS flagged,
+                doc_id % 3 = 0 AS changed,
+                CASE WHEN doc_id % 3 = 0 THEN md5(text || ' café – “x')
+                     WHEN doc_id % 3 = 1 THEN md5(text || ' Ã© ¿')
+                     ELSE md5(text) END AS text_md5
+         FROM documents""",
+
+    "q404_repair_report" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN doc_id % 3 IN (0, 1) THEN 1 ELSE 0
+                  END) AS BIGINT) AS n_flagged,
+                CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_repaired,
+                CAST(sum(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_unrepairable,
+                CAST(sum(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_flagged_after
+         FROM documents GROUP BY 1""",
 
     "q367_damerau_pairs" ->
       """WITH n AS (SELECT DISTINCT p_name FROM part)

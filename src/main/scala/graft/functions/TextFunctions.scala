@@ -156,4 +156,12 @@ object TextFunctions {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(Md5SimHash32(ColumnBridge.expression(shingles)))
   }
+
+  /** Mojibake repair (see [[FixEncoding]]): undoes one layer of
+    * UTF-8-read-as-cp1252 double-encoding; unrepairable or correct
+    * text returns unchanged. */
+  def fixEncoding(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(FixEncoding(ColumnBridge.expression(c)))
+  }
 }

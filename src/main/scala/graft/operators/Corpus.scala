@@ -725,7 +725,7 @@ object Corpus {
                     sourceCol: String): DataFrame = {
     val t = col(textCol)
     val ctrl = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
-    val moji = "Ã©|Ã¨|Ã¼|Ã¶|Ã¤|Ã±|Ã§|â€|Â£|Â°"
+    val moji = MojiBattery
     val flags = docs.select(
       col(sourceCol).as("source"),
       (regexp_count(t, lit(ctrl)) > 0).cast("long").as("graft_ctrl"),
@@ -756,6 +756,53 @@ object Corpus {
           + " ELSE graft_sna * 1000000 div graft_sch END")
           .as("nonascii_ppm"))
   }
+
+  /** Mojibake repair report per source — [[encodingAudit]]'s ACTION
+    * step (detect → FIX → re-audit), the ftfy stage of a web pipeline:
+    * rows flagged by the q248 mojibake battery are repaired with
+    * [[graft.functions.FixEncoding]]'s cp1252→UTF-8 round-trip; rows
+    * the battery doesn't flag are never touched (repair exactly what
+    * the detector indicts — an audit trail, not a blanket rewrite).
+    * Per source: docs, flagged, repaired (flagged AND changed),
+    * unrepairable (flagged but the round-trip refused — genuine
+    * Latin-1-ish bytes that aren't valid UTF-8), and flagged_after —
+    * the residual battery hits after repair (= unrepairable when the
+    * repair actually removes the artifacts; the column is the
+    * closed-loop proof, recomputed, not echoed).
+    *
+    * The repaired corpus itself is the `repaired` column of the
+    * pre-aggregate frame; callers wanting the cleaned table use
+    * [[repairEncodingDocs]].
+    *
+    * Scale: one codegen'd pass (two regex counts + the byte-loop
+    * repair), ONE source-keyed shuffle to the |sources|-row report. */
+  def repairEncoding(docs: DataFrame, textCol: String,
+                     sourceCol: String): DataFrame =
+    repairEncodingDocs(docs, textCol)
+      .groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("graft_flag").cast("long")).as("n_flagged"),
+        sum((col("graft_flag") && col("repaired") =!= col(textCol))
+          .cast("long")).as("n_repaired"),
+        sum((col("graft_flag") && col("repaired") === col(textCol))
+          .cast("long")).as("n_unrepairable"),
+        sum((regexp_count(col("repaired"), lit(MojiBattery)) > 0)
+          .cast("long")).as("n_flagged_after"))
+
+  /** The cleaned-corpus producer behind [[repairEncoding]]: every input
+    * column rides through, plus `graft_flag` (battery hit) and
+    * `repaired` (fixed text for flagged rows, verbatim otherwise). */
+  def repairEncodingDocs(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .withColumn("graft_flag",
+        regexp_count(col(textCol), lit(MojiBattery)) > 0)
+      .withColumn("repaired",
+        when(col("graft_flag"),
+          graft.functions.TextFunctions.fixEncoding(col(textCol)))
+          .otherwise(col(textCol)))
+
+  /** The q248 mojibake battery (shared by detector and repair gate). */
+  val MojiBattery = "Ã©|Ã¨|Ã¼|Ã¶|Ã¤|Ã±|Ã§|â€|Â£|Â°"
 
   /** Consistent-hashing shard assignment + the REBALANCE bill — the
     * routing decision every sharded store/cache/queue makes, measured:

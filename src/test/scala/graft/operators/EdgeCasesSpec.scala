@@ -219,4 +219,43 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Search.hybridRrf(noDocs2, noEmb, "doc_id", "text", "vec_id",
       "embedding", Seq("q"), 0L, 5, 5).count() === 0L)
   }
+
+  test("fixEncoding corruption grid: repair, refuse, pass through") {
+    import graft.functions.FixEncoding
+    import org.apache.spark.unsafe.types.UTF8String
+    def fix(s: String): String =
+      FixEncoding.repair(UTF8String.fromString(s)).toString
+    def corrupt(s: String): String =
+      new String(s.getBytes("UTF-8"), "windows-1252")
+    // the classic double-encode round-trips back, incl. cp1252 specials
+    Seq("café", "naïve – déjà", "“smart quotes‘’", "€99 ™", "Œuvre žŠ")
+      .foreach { clean =>
+        assert(fix(corrupt(clean)) == clean, s"repair of <$clean>") }
+    // ISO-8859-1 mis-decode (C1 controls instead of cp1252 specials)
+    val viaLatin1 = new String("– “x".getBytes("UTF-8"), "ISO-8859-1")
+    assert(fix(viaLatin1) == "– “x")
+    // pure ASCII and genuine Latin-1-looking text are untouched
+    assert(fix("plain ascii") == "plain ascii")
+    assert(fix("café") == "café") // 0xE9 alone is not valid UTF-8
+    assert(fix("price £5 café") == "price £5 café")
+    // stray continuation byte: flagged shape, but refuses
+    assert(fix("x Ã© ¿") == "x Ã© ¿")
+    // chars outside cp1252's image (CJK, emoji surrogates): untouched
+    assert(fix("中文 text") == "中文 text")
+    assert(fix("emoji 😀") == "emoji 😀")
+    // U+FFFD (the destroyed-byte marker) refuses to map
+    assert(fix("a�b") == "a�b")
+    // double-double encoding repairs one layer per application
+    val twice = corrupt(corrupt("café"))
+    assert(fix(fix(twice)) == "café")
+    // empty string
+    assert(fix("") == "")
+    // the expression survives codegen inside a real plan
+    val df = Seq((1L, corrupt("café")), (2L, "ok"), (3L, null))
+      .toDF("id", "t")
+      .select(col("id"),
+        graft.functions.TextFunctions.fixEncoding(col("t")).as("f"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "café" && got(2L) == "ok" && got(3L) == null)
+  }
 }
