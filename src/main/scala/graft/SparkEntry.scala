@@ -2609,6 +2609,34 @@ object SparkEntry {
       Corpus.repairEncoding(planted, "text", "source")
     }),
 
+    // Unigram-LM (SentencePiece) tokenizer fit: substring seed → EM
+    // with micro-quantized expected counts → likelihood-loss prune to
+    // 64 pieces. Float EM ⇒ rows-only contract (the ML-family rule);
+    // UnigramSpec pins distributed==local bit-equality and the encode
+    // key (q406) carries the cross-engine oracle.
+    "q405_unigram_vocab" -> ((s, d) =>
+      UnigramLm.unigramVocab(Tables.documents(s, d), "text",
+        vocabSize = 64, emIters = 2)),
+
+    // Viterbi unigram ENCODE under the pinned disjoint-alphabet piece
+    // table: token count has the closed form chars − Σ occurrences
+    // (pieces share no characters, so Viterbi takes every occurrence
+    // and DuckDB replays the count by replace-length arithmetic).
+    "q406_unigram_encode" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"),
+          UnigramLm.unigramTokenCount(col("text"),
+            UnigramLm.DisjointPieces).as("graft_tok"),
+          length(regexp_replace(T.normText(col("text")), " ", ""))
+            .cast("long").as("graft_ch"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("graft_tok").cast("long").as("tokens_unigram"),
+          sum("graft_ch").cast("long").as("n_chars"))
+        .withColumn("tokens_per_char_ppm",
+          expr("CASE WHEN n_chars = 0 THEN CAST(NULL AS BIGINT)" +
+            " ELSE tokens_unigram * 1000000 div n_chars END"))),
+
     // Cross-source duplication Venn (q193's mirrored corpus): content
     // bucketed by how many distinct sources carry it — the syndication
     // spread histogram a dedup rollout is sized by.
@@ -11143,6 +11171,28 @@ object SparkEntry {
                 CAST(sum(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_flagged_after
          FROM documents GROUP BY 1""",
+
+    // Disjoint pieces: every occurrence is position-disjoint (no shared
+    // chars piece-to-piece or within a piece), so Viterbi token count =
+    // chars − matches, and replace-length arithmetic counts matches.
+    "q406_unigram_encode" ->
+      """WITH t AS (SELECT source,
+                lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
+             FROM documents),
+         c AS (SELECT source,
+                 length(replace(s, ' ', '')) AS nch,
+                 (length(s) - length(replace(s, 'th', ''))) // 2
+                 + (length(s) - length(replace(s, 'an', ''))) // 2
+                 + (length(s) - length(replace(s, 'ou', ''))) // 2
+                 + (length(s) - length(replace(s, 'es', ''))) // 2 AS occ
+               FROM t)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(nch - occ) AS BIGINT) AS tokens_unigram,
+                CAST(sum(nch) AS BIGINT) AS n_chars,
+                CAST(CASE WHEN sum(nch) = 0 THEN NULL
+                  ELSE sum(nch - occ) * 1000000 // sum(nch) END
+                  AS BIGINT) AS tokens_per_char_ppm
+         FROM c GROUP BY 1""",
 
     "q367_damerau_pairs" ->
       """WITH n AS (SELECT DISTINCT p_name FROM part)

@@ -106,7 +106,10 @@ object Vocab {
     * bytes (UTF8String), which differs from Java's UTF-16 compareTo for
     * supplementary characters; the local trainer must break weight ties
     * by EXACTLY the engine's order or the two paths diverge. */
-  private def compareUtf8(a: String, b: String): Int = {
+  private[operators] def utf8Lt(a: String, b: String): Boolean =
+    compareUtf8(a, b) < 0
+
+  private[operators] def compareUtf8(a: String, b: String): Int = {
     val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val n = math.min(x.length, y.length)
