@@ -1,0 +1,1362 @@
+package graft
+
+import graft.functions.{TextFunctions => T}
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Mechanical split of the `SparkEntry.oracleSql` registry (chunk 6 of
+  * 6) — SQL verbatim from the original single map;
+  * `SparkEntry` concatenates the chunks, so the contract is unchanged. */
+private[graft] trait OracleRegistry6 { this: SparkEntry.type =>
+
+  private[graft] def oracleChunk6: Map[String, String] = Map(
+
+    "q331_column_default" ->
+      """WITH t AS (SELECT CASE WHEN l_orderkey % 2 = 0 THEN 'legacy'
+                       WHEN CAST(l_quantity AS BIGINT) >= 25 THEN 'high'
+                       ELSE 'low' END AS grade,
+                    CAST(l_quantity AS BIGINT) AS qty
+             FROM lineitem)
+         SELECT grade, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(qty) AS BIGINT) AS sum_qty
+         FROM t GROUP BY 1""",
+
+    "q330_bfs_hops" ->
+      """WITH li AS (SELECT DISTINCT l_suppkey AS sk,
+                  l_partkey + 10000000 AS pk FROM lineitem),
+         e AS (SELECT sk AS s, pk AS d FROM li
+               UNION SELECT pk AS s, sk AS d FROM li),
+         v0 AS (SELECT unnest([1, 2, 3]) AS node),
+         f1 AS (SELECT DISTINCT e.d AS node FROM e JOIN v0 ON e.s = v0.node
+                WHERE e.d NOT IN (SELECT node FROM v0)),
+         f2 AS (SELECT DISTINCT e.d AS node FROM e JOIN f1 ON e.s = f1.node
+                WHERE e.d NOT IN (SELECT node FROM v0)
+                  AND e.d NOT IN (SELECT node FROM f1)),
+         f3 AS (SELECT DISTINCT e.d AS node FROM e JOIN f2 ON e.s = f2.node
+                WHERE e.d NOT IN (SELECT node FROM v0)
+                  AND e.d NOT IN (SELECT node FROM f1)
+                  AND e.d NOT IN (SELECT node FROM f2)),
+         allv AS (SELECT node, 0 AS hops FROM v0
+                  UNION ALL SELECT node, 1 FROM f1
+                  UNION ALL SELECT node, 2 FROM f2
+                  UNION ALL SELECT node, 3 FROM f3)
+         SELECT CAST(hops AS BIGINT) AS hops,
+                CAST(count(*) AS BIGINT) AS n_nodes,
+                CAST(min(node) AS BIGINT) AS min_node,
+                CAST(max(node) AS BIGINT) AS max_node
+         FROM allv GROUP BY 1""",
+
+    "q329_concentration" ->
+      """WITH x AS (SELECT event_type AS g, user_id AS e, count(*) AS c
+               FROM events
+               WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+               GROUP BY 1, 2),
+         h AS (SELECT g, c, count(*) AS m FROM x GROUP BY 1, 2),
+         b AS (SELECT g, c, m,
+                 coalesce(sum(m) OVER (PARTITION BY g ORDER BY c
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+               FROM h),
+         a AS (SELECT g, sum(m) AS n, sum(c * m) AS s,
+                      sum(c * m * (2 * below + m + 1)) AS tis,
+                      sum(m * c * c) AS sq, max(c) AS top
+               FROM b GROUP BY 1)
+         SELECT g AS event_type, CAST(n AS BIGINT) AS n_entities,
+                CAST(s AS BIGINT) AS total,
+                CAST((tis - (n + 1) * s) * 1000000 // (n * s) AS BIGINT)
+                  AS gini_ppm,
+                CAST(sq * 1000000 // (s * s) AS BIGINT) AS hhi_ppm,
+                CAST(top * 1000000 // s AS BIGINT) AS top1_ppm
+         FROM a""",
+
+    "q356_welch_t" ->
+      """WITH rows_ AS (SELECT CAST(l_returnflag AS VARCHAR) AS g,
+                      CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS q
+               FROM lineitem
+               WHERE l_extendedprice IS NOT NULL
+                 AND l_returnflag IN ('R', 'N')),
+         f AS (SELECT
+                 CAST(sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS HUGEINT) AS na,
+                 CAST(coalesce(sum(CASE WHEN g = 'R' THEN q END), 0) AS HUGEINT) AS sa,
+                 CAST(coalesce(sum(CASE WHEN g = 'R'
+                      THEN CAST(q AS HUGEINT) * q END), 0) AS HUGEINT) AS qa,
+                 CAST(sum(CASE WHEN g = 'N' THEN 1 ELSE 0 END) AS HUGEINT) AS nb,
+                 CAST(coalesce(sum(CASE WHEN g = 'N' THEN q END), 0) AS HUGEINT) AS sb,
+                 CAST(coalesce(sum(CASE WHEN g = 'N'
+                      THEN CAST(q AS HUGEINT) * q END), 0) AS HUGEINT) AS qb
+               FROM rows_),
+         t AS (SELECT na, nb,
+                      CASE WHEN na = 0 OR nb = 0 THEN NULL
+                           ELSE (sa * nb - sb * na) * 1000000 // (na * nb) END AS dm,
+                      CASE WHEN na < 2 THEN NULL
+                           ELSE (na * qa - sa * sa) * 1000
+                                // (na * na * (na - 1)) END AS vam,
+                      CASE WHEN nb < 2 THEN NULL
+                           ELSE (nb * qb - sb * sb) * 1000
+                                // (nb * nb * (nb - 1)) END AS vbm
+               FROM f)
+         SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                CAST(dm AS BIGINT) AS mean_diff_micro,
+                CAST(CASE WHEN vam IS NULL OR vbm IS NULL
+                          OR vam + vbm <= 0 THEN NULL
+                     ELSE dm * dm * 1000 // ((vam + vbm) * 1000000000) END
+                  AS BIGINT) AS t2_milli,
+                CAST(CASE WHEN vam IS NULL OR vbm IS NULL OR vam + vbm <= 0
+                          OR vam * vam * (nb - 1)
+                           + vbm * vbm * (na - 1) = 0 THEN NULL
+                     ELSE (vam + vbm) * (vam + vbm)
+                          * (na - 1) * (nb - 1) * 1000
+                          // (vam * vam * (nb - 1)
+                            + vbm * vbm * (na - 1)) END
+                  AS BIGINT) AS df_milli
+         FROM t""",
+
+    "q328_mann_whitney" ->
+      """WITH rows_ AS (SELECT CAST(l_returnflag AS VARCHAR) AS g, l_quantity AS v
+               FROM lineitem
+               WHERE l_quantity IS NOT NULL AND l_returnflag IN ('R', 'N')),
+         r AS (SELECT v, count(*) AS m FROM rows_ GROUP BY 1),
+         rk AS (SELECT v, m,
+                  2 * coalesce(sum(m) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + m + 1 AS r2
+                FROM r),
+         f AS (SELECT sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS n1,
+                      sum(CASE WHEN g = 'N' THEN 1 ELSE 0 END) AS n2,
+                      sum(CASE WHEN g = 'R' THEN r2 ELSE 0 END) AS tr1
+               FROM rows_ JOIN rk USING (v)),
+         t AS (SELECT sum(m * m * m - m) AS tie FROM rk)
+         SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+                CAST(tr1 - n1 * (n1 + 1) AS BIGINT) AS two_u1,
+                CAST(tie AS BIGINT) AS tie_term,
+                CASE WHEN n1 = 0 OR n2 = 0 THEN CAST(NULL AS DOUBLE)
+                  WHEN CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+                    * (CAST(n1 + n2 + 1 AS DOUBLE)
+                       - CAST(tie AS DOUBLE)
+                         / (CAST(n1 + n2 AS DOUBLE)
+                            * CAST(n1 + n2 - 1 AS DOUBLE))) <= 0.0
+                  THEN CAST(NULL AS DOUBLE)
+                  ELSE round((CAST(tr1 - n1 * (n1 + 1) AS DOUBLE)
+                      - CAST(n1 * n2 AS DOUBLE))
+                    / (2.0 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                       / 12.0 * (CAST(n1 + n2 + 1 AS DOUBLE)
+                         - CAST(tie AS DOUBLE)
+                           / (CAST(n1 + n2 AS DOUBLE)
+                              * CAST(n1 + n2 - 1 AS DOUBLE))))), 6)
+                  END AS z
+         FROM f, t""",
+
+    "q349_span_sweep" -> spanSweepOracleSql,
+
+    "q347_span_incremental" ->
+      """WITH t AS (SELECT doc_id,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         g AS (SELECT doc_id, i - 1 AS p,
+                      array_to_string(toks[i:i+7], ' ') AS gram
+               FROM (SELECT doc_id, toks,
+                            unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS i
+                     FROM t WHERE len(toks) >= 8)),
+         store AS (SELECT DISTINCT gram FROM g WHERE doc_id % 2 = 0),
+         cov AS (SELECT DISTINCT doc_id, p FROM g
+                 JOIN store USING (gram) WHERE doc_id % 2 = 1),
+         isl AS (SELECT doc_id, p,
+                   CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+                          OR p > lag(p) OVER (PARTITION BY doc_id ORDER BY p) + 8
+                        THEN 1 ELSE 0 END AS ns
+                 FROM cov),
+         sp AS (SELECT doc_id, p,
+                  sum(ns) OVER (PARTITION BY doc_id ORDER BY p
+                    ROWS UNBOUNDED PRECEDING) AS sid
+                FROM isl)
+         SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+                CAST(max(p) + 8 - min(p) AS BIGINT) AS span_len
+         FROM sp GROUP BY doc_id, sid""",
+
+    // Shingle semantics mirror q20's (distinct 3-gram sets, lowercased
+    // whitespace tokens); the df side joins raw shingle strings where
+    // Spark joins their 64-bit hashes — the family's collision trade.
+    "q346_novelty" ->
+      """WITH t AS (SELECT doc_id,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                       toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+                FROM (SELECT doc_id, toks,
+                             unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i
+                      FROM t)),
+         df AS (SELECT g, count(DISTINCT doc_id) AS nd FROM sh GROUP BY 1)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+                CAST(sum(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_unique,
+                CAST(sum(CASE WHEN nd = 1 THEN 1 ELSE 0 END) * 1000000
+                  // count(*) AS BIGINT) AS novelty_ppm
+         FROM sh JOIN df USING (g)
+         GROUP BY 1""",
+
+    "q342_span_clean" ->
+      """WITH t AS (SELECT doc_id,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         g AS (SELECT doc_id, i - 1 AS p,
+                      array_to_string(toks[i:i+7], ' ') AS gram
+               FROM (SELECT doc_id, toks,
+                            unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS i
+                     FROM t WHERE len(toks) >= 8)),
+         sh AS (SELECT gram FROM
+                  (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
+                WHERE nd >= 2),
+         cov AS (SELECT DISTINCT doc_id, p FROM g JOIN sh USING (gram)),
+         isl AS (SELECT doc_id, p,
+                   CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+                          OR p > lag(p) OVER (PARTITION BY doc_id ORDER BY p) + 8
+                        THEN 1 ELSE 0 END AS ns
+                 FROM cov),
+         sp AS (SELECT doc_id, p,
+                  sum(ns) OVER (PARTITION BY doc_id ORDER BY p
+                    ROWS UNBOUNDED PRECEDING) AS sid
+                FROM isl),
+         spans AS (SELECT doc_id, max(p) + 8 - min(p) AS slen
+                   FROM sp GROUP BY doc_id, sid),
+         agg AS (SELECT doc_id, CAST(sum(slen) AS BIGINT) AS dup_tokens,
+                        CAST(count(*) AS BIGINT) AS n_spans
+                 FROM spans GROUP BY 1),
+         per AS (SELECT d.source, d.doc_id,
+                   CAST(len(regexp_split_to_array(trim(d.text), '\s+')) AS BIGINT)
+                     AS n_tokens,
+                   coalesce(agg.dup_tokens, 0) AS dup_tokens,
+                   coalesce(agg.n_spans, 0) AS n_spans
+                 FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN n_spans > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS docs_touched,
+                CAST(sum(n_tokens) AS BIGINT) AS tokens_before,
+                CAST(sum(dup_tokens) AS BIGINT) AS tokens_removed,
+                CAST(sum(n_tokens) - sum(dup_tokens) AS BIGINT) AS tokens_after,
+                CAST(CASE WHEN sum(n_tokens) = 0 THEN 0
+                     ELSE sum(dup_tokens) * 1000000 // sum(n_tokens) END
+                  AS BIGINT) AS removed_ppm
+         FROM per GROUP BY 1""",
+
+    // The rewrite replayed arithmetically: same span CTEs as q325, then
+    // the splice — touched docs rebuild from original-case tokens whose
+    // 0-based position falls in no span interval (string_agg ordered by
+    // position), untouched docs pass text through verbatim. A fully
+    // covered doc collapses to '' via the coalesce, exactly like Spark's
+    // empty-array array_join.
+    "q350_span_rewrite" ->
+      """WITH t AS (SELECT doc_id,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         g AS (SELECT doc_id, i - 1 AS p,
+                      array_to_string(toks[i:i+7], ' ') AS gram
+               FROM (SELECT doc_id, toks,
+                            unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS i
+                     FROM t WHERE len(toks) >= 8)),
+         sh AS (SELECT gram FROM
+                  (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
+                WHERE nd >= 2),
+         cov AS (SELECT DISTINCT doc_id, p FROM g JOIN sh USING (gram)),
+         isl AS (SELECT doc_id, p,
+                   CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+                          OR p > lag(p) OVER (PARTITION BY doc_id ORDER BY p) + 8
+                        THEN 1 ELSE 0 END AS ns
+                 FROM cov),
+         sp AS (SELECT doc_id, p,
+                  sum(ns) OVER (PARTITION BY doc_id ORDER BY p
+                    ROWS UNBOUNDED PRECEDING) AS sid
+                FROM isl),
+         spans AS (SELECT doc_id, min(p) AS s0, max(p) + 8 - min(p) AS slen
+                   FROM sp GROUP BY doc_id, sid),
+         agg AS (SELECT doc_id, CAST(sum(slen) AS BIGINT) AS removed
+                 FROM spans GROUP BY 1),
+         raw AS (SELECT doc_id, text,
+                   string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')
+                     AS rtoks,
+                   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                     AS n_tokens
+                 FROM documents),
+         pos AS (SELECT doc_id, rtoks,
+                        unnest(range(1, len(rtoks) + 1)) AS i
+                 FROM raw WHERE doc_id IN (SELECT doc_id FROM agg)),
+         kept AS (SELECT p.doc_id,
+                    string_agg(p.rtoks[p.i], ' ' ORDER BY p.i) AS ctext,
+                    CAST(count(*) AS BIGINT) AS nkept
+                  FROM pos p
+                  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = p.doc_id
+                      AND p.i - 1 >= s.s0 AND p.i - 1 < s.s0 + s.slen)
+                  GROUP BY 1)
+         SELECT r.doc_id, r.n_tokens,
+                coalesce(a.removed, 0) AS tokens_removed,
+                CAST(CASE WHEN a.doc_id IS NULL THEN r.n_tokens
+                     ELSE coalesce(k.nkept, 0) END AS BIGINT) AS tokens_after,
+                CASE WHEN a.doc_id IS NULL THEN r.text
+                     ELSE coalesce(k.ctext, '') END AS clean_text
+         FROM raw r
+         LEFT JOIN agg a USING (doc_id)
+         LEFT JOIN kept k USING (doc_id)""",
+
+    // Duplicated spans replayed raw: gram explode with positions, grams
+    // in ≥2 distinct docs, interval union via gaps-and-islands. The
+    // Spark side joins 64-bit gram hashes (collision trade doc'd); the
+    // oracle joins the raw gram strings — hash equality proves both.
+    "q325_dup_spans" ->
+      """WITH t AS (SELECT doc_id,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         g AS (SELECT doc_id, i - 1 AS p,
+                      array_to_string(toks[i:i+7], ' ') AS gram
+               FROM (SELECT doc_id, toks,
+                            unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS i
+                     FROM t WHERE len(toks) >= 8)),
+         sh AS (SELECT gram FROM
+                  (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
+                WHERE nd >= 2),
+         cov AS (SELECT DISTINCT doc_id, p FROM g JOIN sh USING (gram)),
+         isl AS (SELECT doc_id, p,
+                   CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+                          OR p > lag(p) OVER (PARTITION BY doc_id ORDER BY p) + 8
+                        THEN 1 ELSE 0 END AS ns
+                 FROM cov),
+         sp AS (SELECT doc_id, p,
+                  sum(ns) OVER (PARTITION BY doc_id ORDER BY p
+                    ROWS UNBOUNDED PRECEDING) AS sid
+                FROM isl)
+         SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+                CAST(max(p) + 8 - min(p) AS BIGINT) AS span_len
+         FROM sp GROUP BY doc_id, sid""",
+
+    "q326_span_report" ->
+      """WITH t AS (SELECT doc_id,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         g AS (SELECT doc_id, i - 1 AS p,
+                      array_to_string(toks[i:i+7], ' ') AS gram
+               FROM (SELECT doc_id, toks,
+                            unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS i
+                     FROM t WHERE len(toks) >= 8)),
+         sh AS (SELECT gram FROM
+                  (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
+                WHERE nd >= 2),
+         cov AS (SELECT DISTINCT doc_id, p FROM g JOIN sh USING (gram)),
+         isl AS (SELECT doc_id, p,
+                   CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+                          OR p > lag(p) OVER (PARTITION BY doc_id ORDER BY p) + 8
+                        THEN 1 ELSE 0 END AS ns
+                 FROM cov),
+         sp AS (SELECT doc_id, p,
+                  sum(ns) OVER (PARTITION BY doc_id ORDER BY p
+                    ROWS UNBOUNDED PRECEDING) AS sid
+                FROM isl),
+         spans AS (SELECT doc_id, min(p) AS s0, max(p) + 8 - min(p) AS slen
+                   FROM sp GROUP BY doc_id, sid),
+         agg AS (SELECT doc_id, CAST(sum(slen) AS BIGINT) AS dup_tokens,
+                        CAST(count(*) AS BIGINT) AS n_spans
+                 FROM spans GROUP BY 1),
+         tot AS (SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                     AS n_tokens
+                 FROM documents)
+         SELECT tot.doc_id, n_tokens,
+                coalesce(dup_tokens, 0) AS dup_tokens,
+                coalesce(n_spans, 0) AS n_spans,
+                CAST(CASE WHEN n_tokens = 0 THEN 0
+                     ELSE coalesce(dup_tokens, 0) * 1000000 // n_tokens END
+                  AS BIGINT) AS dup_ppm
+         FROM tot LEFT JOIN agg ON tot.doc_id = agg.doc_id""",
+
+    // BPE encode under the disjoint-alphabet merge table: the token
+    // count's closed form (non-space chars minus each pair's
+    // leftmost-nonoverlapping occurrences, countable via replace
+    // arithmetic) — the oracle derives it WITHOUT replaying the encode
+    // loop, so the hash proves the expression's merge semantics.
+    "q323_bpe_encode" ->
+      """WITH t AS (SELECT doc_id,
+                  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt
+           FROM documents)
+         SELECT doc_id,
+                CAST(length(replace(nt, ' ', ''))
+                  - (length(nt) - length(replace(nt, 'th', ''))) // 2
+                  - (length(nt) - length(replace(nt, 'an', ''))) // 2
+                  - (length(nt) - length(replace(nt, 'ou', ''))) // 2
+                  - (length(nt) - length(replace(nt, 'es', ''))) // 2
+                  AS BIGINT) AS n_tokens
+         FROM t""",
+
+    "q324_bpe_budget" ->
+      """WITH t AS (SELECT doc_id, source, text,
+                  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt
+           FROM documents),
+         c AS (SELECT doc_id, source, md5(text) AS pick,
+                  CAST(length(replace(nt, ' ', ''))
+                    - (length(nt) - length(replace(nt, 'th', ''))) // 2
+                    - (length(nt) - length(replace(nt, 'an', ''))) // 2
+                    - (length(nt) - length(replace(nt, 'ou', ''))) // 2
+                    - (length(nt) - length(replace(nt, 'es', ''))) // 2
+                    AS BIGINT) AS n_tokens
+               FROM t)
+         SELECT doc_id, source, n_tokens, cum_tokens
+         FROM (SELECT doc_id, source, n_tokens,
+                      CAST(sum(n_tokens) OVER (PARTITION BY source
+                        ORDER BY pick, doc_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+               FROM c)
+         WHERE cum_tokens <= 4000""",
+
+    // The prefix filter is LOSSLESS, so its oracle is the plain
+    // brute-force exact join — hash equality proves the claim.
+    "q317_prefix_jaccard" ->
+      """WITH t AS (SELECT doc_id,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                       toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+                FROM (SELECT doc_id, toks,
+                             unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i
+                      FROM t)),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+                FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+         SELECT id1, id2,
+                round(inter * 1.0 / (c1.n + c2.n - inter), 4) AS jaccard
+         FROM pr JOIN cnt c1 ON pr.id1 = c1.doc_id
+                 JOIN cnt c2 ON pr.id2 = c2.doc_id
+         WHERE round(inter * 1.0 / (c1.n + c2.n - inter), 4) >= 0.5""",
+
+    // FP-Growth replayed as the explicit 1/2/3-itemset lattice with the
+    // same integer support threshold.
+    "q318_fp_growth" ->
+      """WITH b AS (SELECT DISTINCT user_id AS u, event_type AS i
+             FROM events
+             WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+         th AS (SELECT greatest(2, count(DISTINCT u) // 20) AS t FROM b),
+         s1 AS (SELECT i AS itemset, 1 AS n_items, count(*) AS c
+                FROM b GROUP BY 1),
+         s2 AS (SELECT a.i || ',' || b2.i AS itemset, 2 AS n_items,
+                       count(*) AS c
+                FROM b a JOIN b b2 ON a.u = b2.u AND a.i < b2.i
+                GROUP BY 1),
+         s3 AS (SELECT a.i || ',' || b2.i || ',' || c3.i AS itemset,
+                       3 AS n_items, count(*) AS c
+                FROM b a JOIN b b2 ON a.u = b2.u AND a.i < b2.i
+                          JOIN b c3 ON a.u = c3.u AND b2.i < c3.i
+                GROUP BY 1)
+         SELECT itemset, CAST(n_items AS BIGINT) AS n_items,
+                CAST(c AS BIGINT) AS support
+         FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+               UNION ALL SELECT * FROM s3) u0, th
+         WHERE c >= t
+         ORDER BY n_items, itemset""",
+
+    // WebP roundtrip: parse(synth(p)) == p, so the oracle re-derives
+    // both the parameters AND the "decoded" columns arithmetically.
+    "q315_webp_dims" ->
+      """WITH p AS (SELECT doc_id % 3 AS variant, 16 + doc_id % 17 AS w,
+                9 + doc_id % 13 AS h
+             FROM documents)
+         SELECT CAST(variant AS BIGINT) AS variant, CAST(w AS BIGINT) AS w,
+                CAST(h AS BIGINT) AS h, CAST(w AS BIGINT) AS w_decoded,
+                CAST(h AS BIGINT) AS h_decoded,
+                CAST(count(*) AS BIGINT) AS n_docs
+         FROM p GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+
+    // MP3 roundtrip: the walker's table lookups re-derived as CASEs.
+    "q316_mp3_meta" ->
+      """WITH p AS (SELECT 1 + doc_id % 14 AS br_idx, doc_id % 3 AS sr_idx,
+                3 + doc_id % 5 AS frames
+             FROM documents)
+         SELECT CAST(br_idx AS BIGINT) AS br_idx,
+                CAST(sr_idx AS BIGINT) AS sr_idx,
+                CAST(frames AS BIGINT) AS frames,
+                CAST(frames AS BIGINT) AS frames_decoded,
+                CAST(CASE sr_idx WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                     ELSE 32000 END AS BIGINT) AS sample_rate,
+                CAST(CASE br_idx WHEN 1 THEN 32 WHEN 2 THEN 40
+                     WHEN 3 THEN 48 WHEN 4 THEN 56 WHEN 5 THEN 64
+                     WHEN 6 THEN 80 WHEN 7 THEN 96 WHEN 8 THEN 112
+                     WHEN 9 THEN 128 WHEN 10 THEN 160 WHEN 11 THEN 192
+                     WHEN 12 THEN 224 WHEN 13 THEN 256 ELSE 320 END
+                     AS BIGINT) AS bitrate_kbps,
+                CAST(frames * 1152 AS BIGINT) AS n_samples,
+                CAST(count(*) AS BIGINT) AS n_docs
+         FROM p GROUP BY 1, 2, 3, 4, 5, 6, 7 ORDER BY 1, 2, 3""",
+
+    // Label propagation unrolled: three synchronous argmax rounds
+    // (count desc, label asc), identical tie rule via row_number.
+    "q313_label_prop" -> {
+      def round(prev: String, out: String) =
+        s"""$out AS (SELECT node, lbl FROM (
+               SELECT e.a AS node, l.lbl, count(*) AS c,
+                      row_number() OVER (PARTITION BY e.a
+                        ORDER BY count(*) DESC, l.lbl ASC) AS rn
+               FROM e JOIN $prev l ON e.b = l.node
+               GROUP BY e.a, l.lbl) t
+             WHERE rn = 1)"""
+      s"""WITH e0 AS (SELECT CAST(l_suppkey AS BIGINT) AS a,
+                  CAST(l_partkey + 10000000 AS BIGINT) AS b
+             FROM lineitem
+             WHERE l_suppkey <> l_partkey + 10000000),
+         e AS (SELECT DISTINCT a, b FROM
+                 (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0) u),
+         l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM e),
+         ${round("l0", "i1")},
+         ${round("i1", "i2")},
+         ${round("i2", "i3")}
+         SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
+         FROM i3 GROUP BY lbl
+         ORDER BY n_members DESC, community ASC LIMIT 20"""
+    },
+
+    // Poisson bootstrap replayed: identical md5 inverse-CDF weights
+    // (8-hex literal thresholds), HUGEINT partials, `//` floors.
+    "q314_poisson_boot" ->
+      """WITH base AS (SELECT event_type AS g,
+                CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+                CAST(event_id AS VARCHAR) AS id
+             FROM events
+             WHERE value IS NOT NULL AND event_id IS NOT NULL),
+         reps AS (SELECT g, c, id, CAST(bb.range AS INTEGER) AS b
+                  FROM base, range(32) bb),
+         wt AS (SELECT g, b, c,
+                  CASE WHEN h < '5e2d58d8' THEN 0
+                       WHEN h < 'bc5ab1b1' THEN 1
+                       WHEN h < 'eb715e1d' THEN 2
+                       WHEN h < 'fb239797' THEN 3
+                       WHEN h < 'ff1025f5' THEN 4
+                       WHEN h < 'ffd90f3b' THEN 5
+                       WHEN h < 'fffa8b71' THEN 6
+                       WHEN h < 'ffff540c' THEN 7
+                       WHEN h < 'ffffed1f' THEN 8
+                       ELSE 9 END AS m
+                FROM (SELECT g, c, b,
+                        substring(md5(id || '#' || CAST(b // 4 AS VARCHAR)),
+                          1 + 8 * (b % 4), 8) AS h
+                      FROM reps) t),
+         pr AS (SELECT g, b, CAST(sum(m) AS HUGEINT) AS nb,
+                  CAST(sum(CAST(m AS HUGEINT) * c) AS HUGEINT) AS sb
+                FROM wt GROUP BY g, b),
+         mb AS (SELECT g, sb // nb AS m FROM pr WHERE nb > 0),
+         bt AS (SELECT g, CAST(count(*) AS HUGEINT) AS bl,
+                  sum(m) AS sm, sum(m * m) AS sm2
+                FROM mb GROUP BY g),
+         raw AS (SELECT g, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(c AS HUGEINT)) // count(*) AS BIGINT)
+                     AS mean_centi
+                 FROM base GROUP BY g)
+         SELECT raw.g AS event_type, n_rows, mean_centi,
+                CAST(bl AS BIGINT) AS b_live,
+                CAST(CASE WHEN bl < 2 THEN NULL
+                     ELSE (bl * sm2 - sm * sm) // (bl * (bl - 1)) END
+                     AS BIGINT) AS boot_var_centi2
+         FROM raw JOIN bt ON raw.g = bt.g
+         ORDER BY event_type""",
+
+    // Rebalance replayed: same md5 ring, same wrap rule, same min-shard
+    // position ownership.
+    "q308_shard_rebalance" ->
+      """WITH ring AS (SELECT s,
+                CAST(('0x' || substring(md5(CAST(s AS VARCHAR) || '#'
+                  || CAST(v AS VARCHAR)), 1, 12)) AS BIGINT) AS pos
+           FROM (SELECT unnest(range(0, 5)) AS s) ss,
+                (SELECT unnest(range(0, 8)) AS v) vv),
+         h AS (SELECT doc_id,
+                 CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                   1, 12)) AS BIGINT) AS hh
+               FROM documents),
+         b AS (SELECT h.doc_id,
+                 coalesce(min(CASE WHEN r.pos >= h.hh THEN r.pos END),
+                   min(r.pos)) AS tp
+               FROM h, ring r WHERE r.s <= 3 GROUP BY h.doc_id, h.hh),
+         sb AS (SELECT b.doc_id, CAST(min(r.s) AS BIGINT) AS shard_before
+                FROM b JOIN ring r ON r.pos = b.tp AND r.s <= 3
+                GROUP BY 1),
+         a AS (SELECT h.doc_id,
+                 coalesce(min(CASE WHEN r.pos >= h.hh THEN r.pos END),
+                   min(r.pos)) AS tp
+               FROM h, ring r WHERE r.s <= 4 GROUP BY h.doc_id, h.hh),
+         sa AS (SELECT a.doc_id, CAST(min(r.s) AS BIGINT) AS shard_after
+                FROM a JOIN ring r ON r.pos = a.tp AND r.s <= 4
+                GROUP BY 1),
+         j AS (SELECT sb.shard_before, sa.shard_after
+               FROM sb JOIN sa USING (doc_id))
+         SELECT shard_before AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN shard_before <> shard_after
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+                CAST(sum(CASE WHEN shard_before <> shard_after
+                  THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+                  AS moved_ppm,
+                CAST(max(CASE WHEN shard_before <> shard_after
+                  THEN shard_after END) AS BIGINT) AS moved_to
+         FROM j GROUP BY 1""",
+
+    // Dropoff replayed: q115's stage CTEs, pairwise floor conversions,
+    // the pinned Wilson chain on the two exact counts.
+    "q307_funnel_dropoff" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type
+                    FROM events),
+         s1 AS (SELECT u, min(t) AS t1 FROM e WHERE event_type = 'signup'
+                GROUP BY u),
+         s2 AS (SELECT e.u, min(t) AS t2, min(t1) AS t1
+                FROM e JOIN s1 USING (u)
+                WHERE event_type = 'click' AND t > t1
+                  AND t <= t1 + 604800000000 GROUP BY e.u),
+         s3 AS (SELECT e.u, min(t) AS t3 FROM e JOIN s2 USING (u)
+                WHERE event_type = 'purchase' AND t > t2
+                  AND t <= t1 + 604800000000 GROUP BY e.u),
+         c AS (SELECT 1 AS step_idx, 'signup' AS st,
+                      (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n
+               UNION ALL SELECT 2, 'click',
+                      (SELECT CAST(count(*) AS BIGINT) FROM s2)
+               UNION ALL SELECT 3, 'purchase',
+                      (SELECT CAST(count(*) AS BIGINT) FROM s3)),
+         p AS (SELECT f.step_idx, f.st AS from_step, g.st AS to_step,
+                      f.n AS nf, g.n AS nt
+               FROM c f JOIN c g ON g.step_idx = f.step_idx + 1)
+         SELECT CAST(step_idx AS BIGINT) AS step_idx, from_step, to_step,
+                CAST(nf AS BIGINT) AS n_from, CAST(nt AS BIGINT) AS n_to,
+                CAST(CASE WHEN nf = 0 THEN NULL
+                     ELSE nt * 1000000 // nf END AS BIGINT) AS conv_ppm,
+                CAST(CASE WHEN nf = 0 THEN NULL
+                     ELSE round((CAST(nt AS DOUBLE) + 1.9208
+                       - 1.96 * sqrt(CAST(nt * (nf - nt) AS DOUBLE)
+                           / CAST(nf AS DOUBLE) + 0.9604))
+                       / (CAST(nf AS DOUBLE) + 3.8416) * 1000000, 0) END
+                  AS BIGINT) AS wilson_lo_ppm,
+                CAST(CASE WHEN nf = 0 THEN NULL
+                     ELSE round((CAST(nt AS DOUBLE) + 1.9208
+                       + 1.96 * sqrt(CAST(nt * (nf - nt) AS DOUBLE)
+                           / CAST(nf AS DOUBLE) + 0.9604))
+                       / (CAST(nf AS DOUBLE) + 3.8416) * 1000000, 0) END
+                  AS BIGINT) AS wilson_hi_ppm
+         FROM p""",
+
+    // Sliced AUC replayed: the q167 midrank CTEs partitioned by lang.
+    "q306_auc_by_slice" ->
+      s"""WITH $SlicedScoredDocsSql,
+         per AS (SELECT slice, s, CAST(sum(y) AS HUGEINT) AS p,
+                        CAST(count(*) - sum(y) AS HUGEINT) AS n
+                 FROM sc GROUP BY 1, 2),
+         cum AS (SELECT slice, s, p, n,
+                   COALESCE(sum(n) OVER (PARTITION BY slice ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS nlt
+                 FROM per),
+         agg AS (SELECT slice, sum(p * (2 * nlt + n)) AS num2,
+                        sum(p) AS pos, sum(n) AS neg
+                 FROM cum GROUP BY 1)
+         SELECT slice, CAST(pos AS BIGINT) AS n_pos,
+                CAST(neg AS BIGINT) AS n_neg,
+                CAST(CASE WHEN pos = 0 OR neg = 0 THEN NULL
+                     ELSE num2 * 1000000 // (2 * pos * neg) END AS BIGINT)
+                  AS auc_ppm
+         FROM agg""",
+
+    // Item CF replayed: same capped incidence, same pair counts and
+    // two-sqrt cosine, same neighbor ranks.
+    "q305_item_cf" ->
+      """WITH pos AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         kept AS (SELECT u, i FROM (SELECT u, i,
+                    count(*) OVER (PARTITION BY u) AS n FROM pos) x
+                  WHERE n <= 80),
+         mg AS (SELECT i, CAST(count(*) AS BIGINT) AS m
+                FROM kept GROUP BY 1),
+         co AS (SELECT a.i AS ia, b.i AS ib, CAST(count(*) AS BIGINT) AS c
+                FROM kept a JOIN kept b ON a.u = b.u AND a.i < b.i
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+         sc AS (SELECT ia, ib, c AS n_co,
+                  CAST(round(CAST(c AS DOUBLE)
+                    / (sqrt(CAST(x.m AS DOUBLE)) * sqrt(CAST(y.m AS DOUBLE)))
+                    * 1000000, 0) AS BIGINT) AS cos_micro
+                FROM co JOIN mg x ON co.ia = x.i JOIN mg y ON co.ib = y.i),
+         bt AS (SELECT ia AS item, ib AS neighbor, n_co, cos_micro FROM sc
+                UNION ALL SELECT ib, ia, n_co, cos_micro FROM sc)
+         SELECT item, neighbor, n_co, cos_micro,
+                CAST(rk AS BIGINT) AS nb_rank
+         FROM (SELECT *, row_number() OVER (PARTITION BY item
+                 ORDER BY cos_micro DESC, neighbor) AS rk FROM bt) z
+         WHERE rk <= 5""",
+
+    // Turnover replayed: same weekly top-k sets, same Jaccard churn.
+    "q304_chart_turnover" ->
+      """WITH r AS (SELECT graft_w, graft_e FROM (
+             SELECT epoch_us(ts) // 604800000000 AS graft_w,
+                    user_id AS graft_e, count(*) AS c,
+                    row_number() OVER (
+                      PARTITION BY epoch_us(ts) // 604800000000
+                      ORDER BY count(*) DESC, user_id) AS rk
+             FROM events GROUP BY 1, 2) x WHERE rk <= 10),
+         sz AS (SELECT graft_w, CAST(count(*) AS BIGINT) AS na
+                FROM r GROUP BY 1),
+         nz AS (SELECT graft_w - 1 AS graft_w,
+                       CAST(count(*) AS BIGINT) AS nb
+                FROM r GROUP BY 1),
+         iv AS (SELECT a.graft_w, CAST(count(*) AS BIGINT) AS i
+                FROM r a JOIN r b ON a.graft_w = b.graft_w - 1
+                     AND a.graft_e = b.graft_e
+                GROUP BY 1)
+         SELECT CAST(sz.graft_w AS BIGINT) AS week,
+                CAST(coalesce(iv.i, 0) AS BIGINT) AS n_common,
+                CAST(1000000 - coalesce(iv.i, 0) * 1000000
+                  // (sz.na + nz.nb - coalesce(iv.i, 0)) AS BIGINT)
+                  AS turnover_ppm
+         FROM sz JOIN nz USING (graft_w)
+              LEFT JOIN iv USING (graft_w)""",
+
+    // Feature/label rows replayed: same strict-cutoff windows, same
+    // integer features and future-window label.
+    "q303_feature_labels" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+           FROM events
+           WHERE epoch_us(ts) < 1706745600000000 + 1209600000000)
+         SELECT user_id,
+                CAST(sum(CASE WHEN t < 1706745600000000
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+                CAST(count(DISTINCT CASE WHEN t < 1706745600000000
+                  THEN t // 86400000000 END) AS BIGINT) AS active_days,
+                CAST(coalesce(sum(CASE WHEN t < 1706745600000000
+                  THEN v END), 0) AS BIGINT) AS cents,
+                CAST((1706745600000000 - max(CASE WHEN t < 1706745600000000
+                  THEN t END)) // 86400000000 AS BIGINT) AS recency_days,
+                CAST(max(CASE WHEN t >= 1706745600000000
+                  THEN 1 ELSE 0 END) AS BIGINT) AS label
+         FROM e GROUP BY 1
+         HAVING sum(CASE WHEN t < 1706745600000000 THEN 1 ELSE 0 END) > 0""",
+
+    // Leave-last-out replayed: same last-row holdout, same leak-free
+    // popularity top-k, same floor HR/MRR.
+    "q302_leave_last_out" ->
+      """WITH m AS (SELECT o_custkey AS e, l_partkey AS i,
+                  o_orderdate AS t,
+                  CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         r AS (SELECT e, i, row_number() OVER (PARTITION BY e
+                 ORDER BY t DESC, id DESC, i DESC) AS rn
+               FROM m),
+         tg AS (SELECT e, i AS tgt FROM r WHERE rn = 1),
+         cnt AS (SELECT i, CAST(count(*) AS BIGINT) AS c
+                 FROM r WHERE rn > 1 GROUP BY 1),
+         tk AS (SELECT tgt, row_number() OVER (ORDER BY c DESC, tgt)
+                  AS rk
+                FROM (SELECT i AS tgt, c FROM cnt
+                      ORDER BY c DESC, i LIMIT 20) lim),
+         j AS (SELECT tg.e, tk.rk FROM tg LEFT JOIN tk USING (tgt))
+         SELECT CAST(count(*) AS BIGINT) AS n_entities,
+                CAST(coalesce(sum(CASE WHEN rk IS NOT NULL
+                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits,
+                CAST(CASE WHEN count(*) = 0 THEN NULL
+                     ELSE coalesce(sum(CASE WHEN rk IS NOT NULL
+                       THEN 1 ELSE 0 END), 0) * 1000000 // count(*) END
+                  AS BIGINT) AS hr_ppm,
+                CAST(CASE WHEN count(*) = 0 THEN NULL
+                     ELSE coalesce(sum(CASE WHEN rk IS NOT NULL
+                       THEN 1000000 // rk ELSE 0 END), 0) // count(*) END
+                  AS BIGINT) AS mrr_micro
+         FROM j""",
+
+    // TextRank replayed: same filtered-sequence windows, same unrolled
+    // integer walk on word keys.
+    "q301_textrank" -> q301OracleSql,
+
+    // Bradley-Terry replayed: same tournament, three unrolled integer
+    // MM steps, same max-norm.
+    "q299_bradley_terry" -> q299OracleSql,
+
+    // Near-dup SPLIT leakage replayed: the same portable pairs mapped
+    // to the q162 hash-split rule on both ends.
+    "q298_neardup_split_leakage" ->
+      s"""WITH $PortablePairsSql,
+         sp AS (SELECT doc_id,
+                  CASE WHEN substring(md5(text), 1, 1) < 'd'
+                       THEN 'train' ELSE 'test' END AS s
+                FROM documents)
+         SELECT least(s1.s, s2.s) AS split_a,
+                greatest(s1.s, s2.s) AS split_b,
+                CAST(count(*) AS BIGINT) AS n_neardup_pairs
+         FROM pr JOIN sp s1 ON pr.id1 = s1.doc_id
+                 JOIN sp s2 ON pr.id2 = s2.doc_id
+         GROUP BY 1, 2""",
+
+    // Spearman replayed: same doubled midranks, same double assembly.
+    "q203_spearman" ->
+      """WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS nx,
+                  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cy
+               FROM events GROUP BY 1),
+         rx AS (SELECT nx, CAST(2 * COALESCE(sum(m) OVER (ORDER BY nx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + m + 1 AS HUGEINT) AS rxv
+               FROM (SELECT nx, count(*) AS m FROM u GROUP BY 1)),
+         ry AS (SELECT cy, CAST(2 * COALESCE(sum(m) OVER (ORDER BY cy
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + m + 1 AS HUGEINT) AS ryv
+               FROM (SELECT cy, count(*) AS m FROM u GROUP BY 1)),
+         j AS (SELECT rxv, ryv
+               FROM u JOIN rx USING (nx) JOIN ry USING (cy)),
+         s AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(rxv) AS sx,
+                      sum(ryv) AS sy, sum(rxv * rxv) AS sxx,
+                      sum(ryv * ryv) AS syy, sum(rxv * ryv) AS sxy
+               FROM j)
+         SELECT CAST(n AS BIGINT) AS n_rows,
+                CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+                     THEN NULL
+                     ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+                          / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                             * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+                END AS rho
+         FROM s""",
+
+    // Session ordinals replayed on q38's islands.
+    "q202_session_conversion" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                  event_type FROM events),
+         g AS (SELECT user_id, ts_us, event_id, event_type,
+                      CASE WHEN lag(ts_us) OVER w IS NULL
+                                OR ts_us - lag(ts_us) OVER w > 1800000000
+                           THEN 1 ELSE 0 END AS news
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         s AS (SELECT user_id, event_type,
+                      sum(news) OVER (PARTITION BY user_id
+                                      ORDER BY ts_us, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+               FROM g),
+         ses AS (SELECT user_id, sid,
+                  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS conv
+               FROM s GROUP BY 1, 2),
+         o AS (SELECT least(sid, 5) AS ordinal, conv FROM ses)
+         SELECT CAST(ordinal AS BIGINT) AS ordinal,
+                CAST(count(*) AS BIGINT) AS n_sessions,
+                CAST(sum(conv) AS BIGINT) AS n_converting,
+                CAST(sum(conv) * 1000000 // count(*) AS BIGINT) AS conv_ppm
+         FROM o GROUP BY 1""",
+
+    // Basket pairs replayed: same distinct item sets, same total order.
+    "q201_basket_pairs" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+               FROM lineitem),
+         n AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS nb FROM it),
+         f AS (SELECT i, CAST(count(*) AS BIGINT) AS fi FROM it GROUP BY 1),
+         p AS (SELECT a.i AS item_a, c.i AS item_b,
+                      CAST(count(*) AS BIGINT) AS support
+               FROM it a JOIN it c ON a.b = c.b AND a.i < c.i
+               GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT item_a, item_b, support,
+                CAST(support * n.nb * 1000000 // (fa.fi * fb.fi) AS BIGINT)
+                  AS lift_ppm
+         FROM p JOIN f fa ON p.item_a = fa.i
+                JOIN f fb ON p.item_b = fb.i, n
+         ORDER BY support DESC, lift_ppm DESC, item_a, item_b LIMIT 20""",
+
+    // Theil-Sen replayed: same pair set, same total order, same lower
+    // median index.
+    "q199_theil_sen" ->
+      """WITH daily AS (SELECT event_type AS s,
+                  epoch_us(ts) // 86400000000 AS d,
+                  CAST(count(*) AS BIGINT) AS y
+               FROM events GROUP BY 1, 2),
+         p AS (SELECT a.s, (b.y - a.y) * 1000000 // (b.d - a.d) AS sl,
+                      a.d AS d1, b.d AS d2
+               FROM daily a JOIN daily b ON a.s = b.s AND a.d < b.d),
+         r AS (SELECT s, sl, d1, d2,
+                  row_number() OVER (PARTITION BY s
+                    ORDER BY sl, d1, d2) AS rk,
+                  count(*) OVER (PARTITION BY s) AS np
+               FROM p)
+         SELECT s AS event_type, CAST(np AS BIGINT) AS n_pairs,
+                CAST(sl AS BIGINT) AS median_slope_ppm
+         FROM r WHERE rk = (np + 1) // 2""",
+
+    // KS replayed over the same centi-quantized cumulative table.
+    "q198_ks_test" ->
+      """WITH x AS (SELECT
+                  substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8' AS s,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+               FROM events WHERE event_type = 'purchase'),
+         per AS (SELECT v,
+                  CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS HUGEINT) AS c1,
+                  CAST(sum(CASE WHEN s THEN 0 ELSE 1 END) AS HUGEINT) AS c2
+               FROM x GROUP BY 1),
+         cum AS (SELECT v,
+                  sum(c1) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
+                  sum(c2) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2
+               FROM per),
+         t AS (SELECT max(f1) AS n1, max(f2) AS n2 FROM cum),
+         d AS (SELECT any_value(t.n1) AS n1, any_value(t.n2) AS n2,
+                      max(abs(f1 * t.n2 - f2 * t.n1)) AS dmax
+               FROM cum, t)
+         SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+                CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+                     ELSE dmax * 1000000 // (n1 * n2) END AS BIGINT)
+                  AS ks_ppm
+         FROM d""",
+
+    // Chi-square replayed cell by cell (margin cross product covers
+    // zero-observation combos identically).
+    "q197_chi_square" ->
+      """WITH e AS (SELECT event_type AS a, dayofweek(ts) AS b FROM events),
+         cells AS (SELECT a, b, CAST(count(*) AS HUGEINT) AS o
+               FROM e GROUP BY 1, 2),
+         rws AS (SELECT a, sum(o) AS rt FROM cells GROUP BY 1),
+         cls AS (SELECT b, sum(o) AS ct FROM cells GROUP BY 1),
+         t AS (SELECT sum(o) AS n,
+                      CAST(count(DISTINCT a) AS HUGEINT) AS r,
+                      CAST(count(DISTINCT b) AS HUGEINT) AS c
+               FROM cells),
+         terms AS (SELECT COALESCE(cells.o, 0) AS o0, rws.rt, cls.ct,
+                          t.n, t.r, t.c
+               FROM rws CROSS JOIN cls CROSS JOIN t
+                    LEFT JOIN cells ON cells.a = rws.a AND cells.b = cls.b),
+         s AS (SELECT any_value(n) AS n, any_value(r) AS r,
+                      any_value(c) AS c,
+                      sum((o0 * n - rt * ct) * (o0 * n - rt * ct) * 1000
+                          // (rt * ct * n)) AS chi2m
+               FROM terms)
+         SELECT CAST(n AS BIGINT) AS n_rows, CAST(r AS BIGINT) AS n_levels_a,
+                CAST(c AS BIGINT) AS n_levels_b,
+                CAST(CASE WHEN r < 2 OR c < 2 THEN NULL ELSE chi2m END
+                  AS BIGINT) AS chi2_milli,
+                CAST(CASE WHEN r < 2 OR c < 2 THEN NULL
+                     ELSE (r - 1) * (c - 1) END AS BIGINT) AS dof
+         FROM s""",
+
+    // Decomposition replayed: same quantization, same floor points.
+    "q196_variance_decomposition" ->
+      """WITH x AS (SELECT event_type AS g,
+                  CAST(floor(value * 100 + 0.5) AS HUGEINT) AS x
+               FROM events),
+         gs AS (SELECT g, CAST(count(*) AS HUGEINT) AS ng, sum(x) AS sg
+               FROM x GROUP BY 1),
+         t AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx,
+                      sum(x * x) AS sxx
+               FROM x),
+         b AS (SELECT CAST(count(*) AS HUGEINT) AS k,
+                      sum(sg * sg * t.n // ng) AS ssbs,
+                      any_value(t.n) AS n, any_value(t.sx) AS sx,
+                      any_value(t.sxx) AS sxx
+               FROM gs, t)
+         SELECT CAST(n AS BIGINT) AS n_rows, CAST(k AS BIGINT) AS n_groups,
+                CAST(CASE WHEN k < 2 OR n * sxx - sx * sx = 0 THEN NULL
+                     ELSE (ssbs - sx * sx) * 1000000
+                          // (n * sxx - sx * sx) END AS BIGINT) AS eta2_ppm,
+                CAST(CASE WHEN k < 2 OR n <= k
+                          OR (n * sxx - sx * sx) - (ssbs - sx * sx) = 0
+                     THEN NULL
+                     ELSE (ssbs - sx * sx) * (n - k) * 1000
+                          // (((n * sxx - sx * sx) - (ssbs - sx * sx))
+                             * (k - 1)) END AS BIGINT) AS f_milli
+         FROM b""",
+
+    "q195_filtered_ann" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+                    WHERE vec_id = 0)
+         SELECT vec_id,
+                round(list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+                      / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                               CAST(embedding AS DOUBLE[])))
+                         * sqrt(list_dot_product(qv, qv))), 6) AS cos
+         FROM embeddings, q WHERE vec_id <> 0 AND label = 1
+         ORDER BY cos DESC, vec_id LIMIT 10""",
+
+    // The same per-fingerprint arithmetic, replayed over the mirrored
+    // corpus.
+    "q193_source_dup_matrix" ->
+      """WITH m AS (SELECT source, text FROM documents
+               UNION ALL
+               SELECT 'mirror', text FROM documents WHERE doc_id % 7 = 0),
+         fp AS (SELECT source AS s,
+                  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS f
+               FROM m),
+         c AS (SELECT f, s, CAST(count(*) AS BIGINT) AS n
+               FROM fp GROUP BY 1, 2),
+         p AS (SELECT a.s AS src_a, b.s AS src_b,
+                 CASE WHEN a.s = b.s THEN a.n * (a.n - 1) // 2
+                      ELSE a.n * b.n END AS pairs
+               FROM c a JOIN c b ON a.f = b.f AND a.s <= b.s)
+         SELECT src_a, src_b, CAST(sum(pairs) AS BIGINT) AS n_dup_pairs
+         FROM p GROUP BY 1, 2 HAVING sum(pairs) > 0""",
+
+    "q364_source_venn" ->
+      """WITH m AS (SELECT source, text FROM documents
+               UNION ALL
+               SELECT 'mirror', text FROM documents WHERE doc_id % 7 = 0),
+         fp AS (SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS f,
+                       source AS s
+               FROM m),
+         g AS (SELECT f, CAST(count(DISTINCT s) AS BIGINT) AS n_sources,
+                      CAST(count(*) AS BIGINT) AS docs
+               FROM fp GROUP BY 1)
+         SELECT n_sources, CAST(count(*) AS BIGINT) AS n_fingerprints,
+                CAST(sum(docs) AS BIGINT) AS n_docs
+         FROM g GROUP BY 1""",
+
+    "q365_entry_exit" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                           event_type
+               FROM events),
+         g AS (SELECT user_id, ts_us, event_id, event_type,
+                      CASE WHEN lag(ts_us) OVER w IS NULL
+                                OR ts_us - lag(ts_us) OVER w > 1800000000
+                           THEN 1 ELSE 0 END AS news
+               FROM e WINDOW w AS (PARTITION BY user_id
+                                   ORDER BY ts_us, event_id)),
+         s AS (SELECT user_id, ts_us, event_id, event_type,
+                      sum(news) OVER (PARTITION BY user_id
+                        ORDER BY ts_us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+               FROM g),
+         per AS (SELECT user_id, sid,
+                        first(event_type ORDER BY ts_us, event_id) AS ft,
+                        last(event_type ORDER BY ts_us, event_id) AS lt,
+                        count(*) AS n
+                 FROM s GROUP BY 1, 2),
+         ent AS (SELECT ft AS event_type,
+                        CAST(count(*) AS BIGINT) AS n_entries,
+                        CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_bounces
+                 FROM per GROUP BY 1),
+         ex AS (SELECT lt AS event_type,
+                       CAST(count(*) AS BIGINT) AS n_exits
+                FROM per GROUP BY 1)
+         SELECT coalesce(ent.event_type, ex.event_type) AS event_type,
+                coalesce(n_entries, 0) AS n_entries,
+                coalesce(n_exits, 0) AS n_exits,
+                coalesce(n_bounces, 0) AS n_bounces,
+                CAST(CASE WHEN coalesce(n_entries, 0) = 0 THEN 0
+                     ELSE coalesce(n_bounces, 0) * 1000000 // n_entries END
+                  AS BIGINT) AS bounce_ppm
+         FROM ent FULL OUTER JOIN ex ON ent.event_type = ex.event_type""",
+
+    "q191_fk_audit" ->
+      """SELECT 'lineitem.orderkey' AS relation,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_null_keys,
+                CAST((SELECT count(*) FROM lineitem x
+                      WHERE x.l_orderkey IS NOT NULL AND x.l_orderkey
+                        NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT)
+                  AS n_orphans
+         FROM lineitem
+         UNION ALL
+         SELECT 'orders.custkey', CAST(count(*) AS BIGINT),
+                CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+                CAST((SELECT count(*) FROM orders x
+                      WHERE x.o_custkey IS NOT NULL AND x.o_custkey
+                        NOT IN (SELECT c_custkey FROM customer)) AS BIGINT)
+         FROM orders
+         UNION ALL
+         SELECT 'customer.nationkey', CAST(count(*) AS BIGINT),
+                CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+                CAST((SELECT count(*) FROM customer x
+                      WHERE x.c_nationkey IS NOT NULL AND x.c_nationkey
+                        NOT IN (SELECT n_nationkey FROM nation)) AS BIGINT)
+         FROM customer""",
+
+    // First-significant-digit shares: formatting-independent (the first
+    // nonzero char of the plain decimal form is the same in any
+    // shortest-round-trip renderer for this value range).
+    "q192_benford" ->
+      """WITH d AS (SELECT regexp_extract(CAST(o_totalprice AS VARCHAR),
+                  '[1-9]', 0) AS digit
+               FROM orders)
+         SELECT digit, CAST(count(*) AS BIGINT) AS n,
+                CAST(count(*) * 1000000 // sum(count(*)) OVER ()
+                  AS BIGINT) AS share_ppm
+         FROM d WHERE digit <> '' GROUP BY 1""",
+
+    // The oracle sees only base + the audited-clean batch.
+    "q190_wap_cycle" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS sum_cents
+         FROM orders WHERE o_orderkey % 3 IN (0, 1)
+         GROUP BY 1""",
+
+    // Lift replayed over the same distinct (doc, term) pairs.
+    "q189_related_terms" ->
+      """WITH p AS (SELECT DISTINCT doc_id, t.term
+             FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                     '[a-z0-9]+')) AS term FROM documents) t),
+         n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM p),
+         d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p
+               GROUP BY 1),
+         sd AS (SELECT doc_id FROM p WHERE term = 'vector'),
+         co AS (SELECT p.term, CAST(count(*) AS BIGINT) AS n_co
+               FROM p JOIN sd USING (doc_id)
+               WHERE p.term <> 'vector'
+               GROUP BY 1 HAVING count(*) >= 3),
+         ds AS (SELECT df AS dfs FROM d WHERE term = 'vector')
+         SELECT co.term, co.n_co, d.df AS df_term,
+                CAST(co.n_co * n.nd * 1000000 // (ds.dfs * d.df) AS BIGINT)
+                  AS lift_ppm
+         FROM co JOIN d USING (term), n, ds
+         ORDER BY lift_ppm DESC, co.term LIMIT 20""",
+
+    // Both legs' proven CTEs + the integer RRF fusion.
+    "q188_hybrid_retrieval" ->
+      """WITH b AS (SELECT doc_id,
+                  regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+                       CAST(sum(len(toks)) AS BIGINT) AS tt
+                FROM b),
+         h AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+                      unnest(toks) AS term
+               FROM b),
+         tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+                FROM h WHERE term IN ('join', 'vector', 'slow')
+                GROUP BY 1, 2, 3),
+         sc AS (SELECT doc_id, dl, term, tf,
+                       count(*) OVER (PARTITION BY term) AS df
+                FROM tf),
+         c AS (SELECT doc_id,
+                 CAST(floor((st.nd - df + 0.5) / (df + 0.5) * (tf * 2.2)
+                        / (tf + 1.2 * (0.25 + 0.75 * dl
+                                       / (st.tt * 1.0 / st.nd)))
+                        * 1000000.0 + 0.5) AS BIGINT) AS cm
+               FROM sc, st),
+         tl AS (SELECT doc_id, sum(cm) AS score_micro
+                FROM c GROUP BY 1 ORDER BY score_micro DESC, doc_id
+                LIMIT 20),
+         tr AS (SELECT doc_id, CAST(row_number() OVER
+                  (ORDER BY score_micro DESC, doc_id) AS BIGINT)
+                  AS text_rank
+                FROM tl),
+         q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+               WHERE vec_id = 0),
+         vl AS (SELECT vec_id,
+                  round(list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+                        / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                 CAST(embedding AS DOUBLE[])))
+                           * sqrt(list_dot_product(qv, qv))), 6) AS cos
+                FROM embeddings, q WHERE vec_id <> 0
+                ORDER BY cos DESC, vec_id LIMIT 20),
+         vr AS (SELECT vec_id AS doc_id,
+                  CAST(row_number() OVER (ORDER BY cos DESC, vec_id)
+                    AS BIGINT) AS vec_rank
+                FROM vl),
+         f AS (SELECT COALESCE(tr.doc_id, vr.doc_id) AS doc_id,
+                 tr.text_rank, vr.vec_rank,
+                 COALESCE(1000000 // (60 + tr.text_rank), 0)
+                   + COALESCE(1000000 // (60 + vr.vec_rank), 0) AS rrf_ppm
+               FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.doc_id)
+         SELECT doc_id, text_rank, vec_rank, CAST(rrf_ppm AS BIGINT)
+                  AS rrf_ppm
+         FROM f ORDER BY rrf_ppm DESC, doc_id LIMIT 10""",
+
+    // The incremental result must equal the one-shot full join.
+    "q187_incremental_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS sum_cents
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1""",
+
+    // Slope replayed with the same decimal sums and floor division.
+    "q186_trend_slope" ->
+      """WITH d AS (SELECT event_type,
+                  epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) AS HUGEINT) AS y
+               FROM events GROUP BY 1, 2),
+         s AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS m,
+                      sum(CAST(day AS HUGEINT)) AS sx, sum(y) AS sy,
+                      sum(CAST(day AS HUGEINT) * CAST(day AS HUGEINT)) AS sxx,
+                      sum(CAST(day AS HUGEINT) * y) AS sxy
+               FROM d GROUP BY 1)
+         SELECT event_type, CAST(m AS BIGINT) AS n_days,
+                CAST(CASE WHEN m * sxx - sx * sx = 0 THEN NULL
+                     ELSE (m * sxy - sx * sy) * 1000000
+                          // (m * sxx - sx * sx) END AS BIGINT) AS slope_ppm
+         FROM s""",
+
+    // Confusion matrix replayed over the q17 guess CTE.
+    "q183_lang_confusion" ->
+      """WITH t AS (SELECT lang,
+                  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt
+           FROM documents),
+         c AS (SELECT lang,
+                  len(regexp_extract_all(nt, '(^| )(the|and|of|is)( |$)')) AS en,
+                  len(regexp_extract_all(nt, '(^| )(der|die|und|ist)( |$)')) AS de,
+                  len(regexp_extract_all(nt, '(^| )(le|la|et|est)( |$)')) AS fr,
+                  len(regexp_extract_all(nt, '(^| )(el|los|y|es)( |$)')) AS es
+               FROM t),
+         g AS (SELECT lang,
+                  CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+                       WHEN en = greatest(en, de, fr, es) THEN 'en'
+                       WHEN de = greatest(en, de, fr, es) THEN 'de'
+                       WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+                       ELSE 'es' END AS guess
+               FROM c),
+         m AS (SELECT lang, guess, CAST(count(*) AS BIGINT) AS n
+               FROM g GROUP BY 1, 2)
+         SELECT lang, guess, n,
+                CAST(n * 1000000 // sum(n) OVER (PARTITION BY lang)
+                  AS BIGINT) AS recall_ppm
+         FROM m""",
+
+    // Weekday shares replayed: DuckDB dayofweek is 0=Sunday, Spark's is
+    // 1=Sunday — the Spark side subtracts 1 to land on the same scale.
+    "q184_seasonality" ->
+      """WITH b AS (SELECT event_type, dayofweek(ts) AS dow,
+                  CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY 1, 2)
+         SELECT event_type, CAST(dow AS INT) AS dow, n,
+                CAST(n * 7 * 1000000 // sum(n) OVER (PARTITION BY event_type)
+                  AS BIGINT) AS index_ppm
+         FROM b""",
+
+    // Linear credits replayed: same user-keyed range join, same floor
+    // division, same age bucketing.
+    "q182_linear_attribution" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                    event_type FROM events),
+         c AS (SELECT user_id, ts_us AS cts, event_id AS cid FROM e
+               WHERE event_type = 'purchase'),
+         t AS (SELECT user_id, ts_us AS tts FROM e
+               WHERE event_type = 'view'),
+         p AS (SELECT c.user_id, c.cid, c.cts, t.tts
+               FROM c JOIN t ON c.user_id = t.user_id
+               WHERE t.tts < c.cts AND c.cts - t.tts <= 604800000000),
+         n AS (SELECT *, count(*) OVER (PARTITION BY user_id, cid) AS nt
+               FROM p)
+         SELECT CAST((cts - tts) // 86400000000 AS BIGINT) AS age_days,
+                CAST(count(*) AS BIGINT) AS n_touches,
+                CAST(sum(1000000 // nt) AS BIGINT) AS credit_ppm_sum
+         FROM n GROUP BY 1""",
+
+    // Attribution replayed with the identical preceding-rows window.
+    "q174_attribution" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                    event_type FROM events),
+         t AS (SELECT *, max(CASE WHEN event_type = 'view' THEN ts_us END)
+                 OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS touch_ts
+               FROM e),
+         c AS (SELECT ts_us, touch_ts,
+                 (touch_ts IS NOT NULL
+                  AND ts_us - touch_ts <= 604800000000) AS attr
+               FROM t WHERE event_type = 'purchase'),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n_conversions,
+                 CAST(sum(CASE WHEN attr THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_attributed,
+                 CAST(sum(CASE WHEN attr THEN ts_us - touch_ts ELSE 0 END)
+                   AS BIGINT) AS sum_gap
+               FROM c)
+         SELECT n_conversions, n_attributed,
+                CAST(CASE WHEN n_conversions = 0 THEN NULL
+                     ELSE n_attributed * 1000000 // n_conversions END
+                  AS BIGINT) AS attr_ppm,
+                CAST(CASE WHEN n_attributed = 0 THEN NULL
+                     ELSE sum_gap // n_attributed END AS BIGINT) AS avg_gap_us
+         FROM a""",
+
+    "q175_consistent_sample" ->
+      """SELECT doc_id, md5(text) AS content_h, source FROM documents
+         ORDER BY md5(text), doc_id LIMIT 100""",
+
+    // RFM replayed: same exact metrics, same tie-broken ntile order.
+    "q176_rfm" ->
+      """WITH pu AS (SELECT user_id AS u, max(epoch_us(ts)) AS last_ts,
+                  CAST(count(*) AS BIGINT) AS freq,
+                  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+               FROM events GROUP BY 1),
+         g AS (SELECT u, last_ts, freq, cents,
+                 (1706745600000000 - last_ts) // 86400000000 AS rd
+               FROM pu),
+         t AS (SELECT *, ntile(5) OVER (ORDER BY last_ts DESC, u) AS r,
+                 ntile(5) OVER (ORDER BY freq DESC, u) AS f,
+                 ntile(5) OVER (ORDER BY cents DESC, u) AS m
+               FROM g)
+         SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+                CAST(m AS BIGINT) AS m,
+                CAST(count(*) AS BIGINT) AS n_users,
+                CAST(sum(cents) AS BIGINT) AS sum_cents,
+                CAST(min(rd) AS BIGINT) AS min_recency_days,
+                CAST(max(rd) AS BIGINT) AS max_recency_days
+         FROM t GROUP BY 1, 2, 3""",
+
+    // Evolution replayed as a NULL-padded union of the two generations.
+    "q173_warehouse_evolve" ->
+      """WITH w AS (SELECT doc_id, source, CAST(NULL AS BIGINT) AS n_chars
+             FROM documents WHERE doc_id % 2 = 0
+             UNION ALL
+             SELECT doc_id, source, n_chars
+             FROM documents WHERE doc_id % 2 = 1)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(COALESCE(n_chars, 0)) AS BIGINT) AS sum_chars,
+                CAST(count(n_chars) AS BIGINT) AS n_with_chars
+         FROM w GROUP BY 1""",
+
+    // UPDATE replayed as the equivalent CASE recompute.
+    "q172_warehouse_update" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+                CAST(sum(CAST(floor((CASE WHEN p_partkey >= 500
+                         AND p_partkey < 1500
+                         THEN p_retailprice + 100.0
+                         ELSE p_retailprice END) * 100) AS BIGINT))
+                  AS BIGINT) AS sum_cents
+         FROM part GROUP BY 1""",
+
+    // MoR update replayed as the two stacked CASE recomputes — same
+    // left-to-right double arithmetic as the engine's post-image chain.
+    "q310_mor_update" ->
+      """WITH u1 AS (SELECT p_partkey, p_brand,
+                CASE WHEN p_partkey >= 500 AND p_partkey < 1500
+                     THEN p_retailprice + 100.0
+                     ELSE p_retailprice END AS price
+         FROM part)
+         SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+                CAST(sum(CAST(floor((CASE WHEN p_partkey < 800
+                         THEN price + 10.0 ELSE price END) * 100)
+                  AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM u1 GROUP BY 1""",
+
+    "q362_version_diff" ->
+      """WITH cls AS (
+           SELECT CASE WHEN c_custkey < 50 THEN 'removed'
+                       WHEN c_mktsegment = 'BUILDING' THEN 'changed'
+                       ELSE 'unchanged' END AS change
+           FROM customer
+           UNION ALL
+           SELECT 'added' FROM customer WHERE c_custkey % 10 = 0)
+         SELECT change, CAST(count(*) AS BIGINT) AS n_rows
+         FROM cls GROUP BY 1""",
+
+    "q355_mor_reorg" ->
+      """WITH fin AS (
+           SELECT p_brand,
+                  CASE WHEN p_size >= 25 THEN p_retailprice + 50.0
+                       ELSE p_retailprice END AS price
+           FROM part WHERE p_partkey >= 30)
+         SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+                CAST(sum(CAST(floor(price * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_cents
+         FROM fin GROUP BY 1""",
+
+    // MoR merge replayed by set algebra: unmatched table rows survive,
+    // every update-batch row (replacement or brand-new key) lands once.
+    "q311_mor_merge" ->
+      """WITH upd AS (SELECT c_custkey, c_mktsegment,
+                             c_acctbal + 1000.0 AS bal
+               FROM customer WHERE c_custkey % 7 = 0
+             UNION ALL
+             SELECT c_custkey + 10000000, 'NEWSEG', c_acctbal + 1000.0
+               FROM customer WHERE c_custkey % 7 = 0),
+         fin AS (SELECT c_mktsegment AS seg, c_acctbal AS bal
+                 FROM customer WHERE c_custkey % 7 <> 0
+                 UNION ALL SELECT c_mktsegment, bal FROM upd)
+         SELECT seg, CAST(count(*) AS BIGINT) AS n_cust,
+                CAST(sum(CAST(floor(bal * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_cents
+         FROM fin GROUP BY 1""",
+  )
+}
