@@ -768,8 +768,12 @@ private[graft] trait QueryRegistry1 { this: SparkEntry.type =>
     // Source-vocabulary redundancy matrix (190 pairs at 20 sources): the
     // join is keyed on term over the DEDUPLICATED vocabulary — fan-out
     // bounded by sources², never corpus size.
+    // Routed through the exact/sketch dispatch: the 20-source corpus
+    // sits below the threshold, so the exact matrix (and its hash) is
+    // unchanged; past 64 sources the KMV twin answers instead.
     "q103_source_overlap" -> ((s, d) =>
-      Analytics.sourceOverlap(Tables.documents(s, d), "source", "text")),
+      Analytics.sourceOverlapAuto(Tables.documents(s, d), "source",
+        "text")),
 
     // "800 tokens from every source" deterministic mixing cap: content-
     // hash pick order, exact long cumsum, one window per source partition.

@@ -1522,4 +1522,29 @@ class AnalyticsSpec extends SparkSpec {
       Seq(("c", "solo")).toDF("src", "text"), "src", "text").collect()(0)
     assert(one.isNullAt(3) && one.getLong(4) === 1000L)
   }
+
+  test("sourceOverlapAuto dispatches exact below the threshold, sketch above") {
+    val docs = Seq(
+      ("a", "red blue green"), ("b", "red blue yellow"),
+      ("c", "green purple")).toDF("src", "text")
+    // 3 sources ≤ threshold → the exact matrix, column-for-column
+    val exact = Analytics.sourceOverlapAuto(docs, "src", "text",
+      exactMaxSources = 3)
+    assert(exact.columns.toSeq ==
+      Seq("s1", "s2", "n1", "n2", "inter", "jaccard"))
+    val ab = exact.filter(col("s1") === "a" && col("s2") === "b")
+      .collect()(0)
+    assert(ab.getLong(4) === 2L) // red + blue
+    assert(exact.collect().toSeq ==
+      Analytics.sourceOverlap(docs, "src", "text").collect().toSeq)
+    // forcing the threshold below the cardinality routes to the sketch
+    val sketch = Analytics.sourceOverlapAuto(docs, "src", "text",
+      exactMaxSources = 2, kmvK = 8)
+    assert(sketch.columns.toSeq ==
+      Seq("s1", "s2", "k_used", "n_both", "jaccard_est_ppm"))
+    // at k ≥ |union| the KMV estimate IS the exact Jaccard
+    val sab = sketch.filter(col("s1") === "a" && col("s2") === "b")
+      .collect()(0)
+    assert(sab.getLong(4) === 2L * 1000000L / 4L)
+  }
 }
