@@ -1358,5 +1358,102 @@ private[graft] trait OracleRegistry6 { this: SparkEntry.type =>
                 CAST(sum(CAST(floor(bal * 100) AS BIGINT)) AS BIGINT)
                   AS sum_cents
          FROM fin GROUP BY 1""",
+
+    // Falling factorials unrolled per k (never a product aggregate —
+    // DuckDB's product() is a double); HUGEINT keeps them exact.
+    "q407_pass_at_k" ->
+      """WITH per AS (SELECT o_custkey AS task,
+                CAST(count(*) AS HUGEINT) AS n,
+                CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)
+                  AS HUGEINT) AS c
+             FROM orders GROUP BY 1),
+         ks AS (SELECT task, n, c, k
+                FROM per, (VALUES (1), (3), (5)) t(k) WHERE n >= k),
+         ex AS (SELECT k,
+                  CASE WHEN k = 1 THEN n - c
+                       WHEN k = 3 THEN (n-c) * (n-c-1) * (n-c-2)
+                       ELSE (n-c) * (n-c-1) * (n-c-2) * (n-c-3) * (n-c-4)
+                  END AS num,
+                  CASE WHEN k = 1 THEN n
+                       WHEN k = 3 THEN n * (n-1) * (n-2)
+                       ELSE n * (n-1) * (n-2) * (n-3) * (n-4)
+                  END AS den
+                FROM ks)
+         SELECT CAST(k AS BIGINT) AS k,
+                CAST(count(*) AS BIGINT) AS n_tasks,
+                CAST(sum(1000000 - num * 1000000 // den) // count(*)
+                  AS BIGINT) AS mean_pass_ppm
+         FROM ex GROUP BY 1""",
+
+    // The check digit recomputed from first principles: body digit at
+    // 1-based index i sits at right-offset 17−i of the 16-digit PAN and
+    // doubles when that offset is even (Luhn's alternation).
+    "q408_luhn_scrub" ->
+      """WITH b AS (SELECT doc_id, text,
+                '4' || lpad(CAST(doc_id % 100000000000000 AS VARCHAR),
+                            14, '0') AS body
+             FROM documents),
+         s AS (SELECT doc_id,
+                 sum(CASE WHEN (17 - i) % 2 = 0
+                       THEN CASE WHEN 2 * dg > 9 THEN 2 * dg - 9
+                                 ELSE 2 * dg END
+                       ELSE dg END) AS lsum
+               FROM (SELECT doc_id,
+                       CAST(t.i AS INTEGER) AS i,
+                       CAST(substr(body, CAST(t.i AS INTEGER), 1)
+                         AS INTEGER) AS dg
+                     FROM b, (SELECT unnest(range(1, 16)) AS i) t)
+               GROUP BY 1),
+         n AS (SELECT b.doc_id, b.text, b.body,
+                 (10 - s.lsum % 10) % 10 AS chk
+               FROM b JOIN s ON b.doc_id = s.doc_id)
+         SELECT doc_id,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+                  AS BIGINT) AS n_masked,
+                CASE WHEN doc_id % 2 = 0
+                  THEN md5(text || ' card <CARD> ok')
+                  ELSE md5(text || ' card ' || body
+                    || CAST((chk + 1) % 10 AS VARCHAR) || ' ok')
+                END AS scrub_md5
+         FROM n""",
+
+    "q409_url_filter" ->
+      """SELECT doc_id,
+                CASE doc_id % 5
+                  WHEN 0 THEN 'ads.tracker.example'
+                  WHEN 1 THEN 'good.example.org'
+                  WHEN 2 THEN 'sub.spam.example'
+                  WHEN 3 THEN 'good.example.org'
+                  ELSE 'spam.example' END AS host,
+                CASE doc_id % 5
+                  WHEN 0 THEN '/x/' || doc_id
+                  WHEN 1 THEN '/page/' || doc_id
+                  WHEN 2 THEN '/y/' || doc_id
+                  WHEN 3 THEN '/ads/banner'
+                  ELSE '/z/' || doc_id END AS path,
+                CASE doc_id % 5
+                  WHEN 0 THEN 'banned_host'
+                  WHEN 1 THEN 'admit'
+                  WHEN 2 THEN 'banned_suffix'
+                  WHEN 3 THEN 'banned_path'
+                  ELSE 'banned_suffix' END AS verdict,
+                CASE doc_id % 5
+                  WHEN 0 THEN 'ads.tracker.example'
+                  WHEN 1 THEN NULL
+                  WHEN 2 THEN 'spam.example'
+                  WHEN 3 THEN '/ads/'
+                  ELSE 'spam.example' END AS rule
+         FROM documents""",
+
+    "q410_html_meta" ->
+      """SELECT doc_id,
+                CASE WHEN doc_id % 4 = 1 THEN NULL
+                  ELSE 'Doc ' || doc_id || ' title' END AS title,
+                CASE WHEN doc_id % 4 = 2 THEN NULL
+                  ELSE 'OG ' || doc_id END AS og_title,
+                CASE WHEN doc_id % 4 = 3 THEN NULL
+                  ELSE 'https://ex.org/c/' || doc_id END AS canonical,
+                'en-US' AS html_lang
+         FROM documents""",
   )
 }

@@ -1175,5 +1175,82 @@ private[graft] trait QueryRegistry4 { this: SparkEntry.type =>
         .groupBy("digit").agg(count(lit(1)).as("n"))
         .withColumn("share_ppm",
           expr("n * 1000000 div sum(n) OVER ()"))),
+
+    // pass@k (Chen et al. 2021): per-task falling-factorial rational,
+    // exact integers; tasks = customers, attempts = orders, a planted
+    // correctness rule both engines replay.
+    "q407_pass_at_k" -> ((s, d) =>
+      ml.Eval.passAtK(Tables.orders(s, d), "o_custkey",
+        col("o_orderkey") % 3 === 0, ks = Seq(1, 3, 5))),
+
+    // Luhn-validated card scrub: even docs get a REAL checksum-valid
+    // 16-digit PAN (check digit computed, not hand-typed), odd docs the
+    // same number with the checksum broken (+1 mod 10) — the scrub must
+    // mask exactly the valid ones; DuckDB recomputes the check digit
+    // with its own digit arithmetic, so the md5 proves the mask.
+    "q408_luhn_scrub" -> ((s, d) => {
+      import s.implicits._
+      val planted = Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val body = "4" + ("%014d".format(id % 100000000000000L))
+          val check = graft.functions.Luhn.checkDigit(body)
+          val digits =
+            if (id % 2 == 0) body + check.toString
+            else body + ((check + 1) % 10).toString
+          (id, s"$text card $digits ok")
+        }.toDF("doc_id", "text")
+      planted.select(col("doc_id"),
+        T.cardScrub(col("text")).as("graft_scrubbed"))
+        .select(col("doc_id"),
+          (regexp_count(col("graft_scrubbed"), lit("<CARD>")))
+            .cast("long").as("n_masked"),
+          md5(col("graft_scrubbed")).as("scrub_md5"))
+    }),
+
+    // URL blocklist gate (the C4 pre-fetch stage): five planted URL
+    // shapes exercise exact-host, suffix (subdomain + apex), path, the
+    // userinfo/port normalization, and the admit path; the verdict
+    // names the rule that fired.
+    "q409_url_filter" -> ((s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("https://ads.tracker.example/x/"), col("doc_id")))
+          .when(col("doc_id") % 5 === 1,
+            concat(lit("https://user:pw@Good.Example.org:8443/page/"),
+              col("doc_id")))
+          .when(col("doc_id") % 5 === 2,
+            concat(lit("https://sub.spam.example/y/"), col("doc_id")))
+          .when(col("doc_id") % 5 === 3,
+            concat(lit("https://good.example.org/ads/banner?id="),
+              col("doc_id")))
+          .otherwise(concat(lit("https://spam.example/z/"), col("doc_id")))
+          .as("url"))
+      Corpus.urlFilter(planted, "url",
+        bannedHosts = Seq("ads.tracker.example"),
+        bannedSuffixes = Seq("spam.example"),
+        bannedPathPrefixes = Seq("/ads/"))
+        .select(col("doc_id"), col("host"), col("path"),
+          col("verdict"), col("rule"))
+    }),
+
+    // HTML head-metadata extraction: title / og:title / canonical /
+    // lang, with one field dropped per doc_id class to pin the NULL
+    // (absent ≠ empty) contract.
+    "q410_html_meta" -> ((s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"), concat(
+        lit("<html lang=\"en-US\"><head>"),
+        when(col("doc_id") % 4 =!= 1,
+          concat(lit("<title> Doc  "), col("doc_id"),
+            lit(" title </title>"))).otherwise(lit("")),
+        when(col("doc_id") % 4 =!= 2,
+          concat(lit("<meta property=\"og:title\" content=\"OG "),
+            col("doc_id"), lit("\"/>"))).otherwise(lit("")),
+        when(col("doc_id") % 4 =!= 3,
+          concat(lit("<link rel=\"canonical\" href=\"https://ex.org/c/"),
+            col("doc_id"), lit("\"/>"))).otherwise(lit("")),
+        lit("</head><body><p>b</p></body></html>")).as("html"))
+      Corpus.htmlMeta(planted, "doc_id", "html")
+    }),
   )
 }

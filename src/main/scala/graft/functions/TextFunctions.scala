@@ -164,4 +164,11 @@ object TextFunctions {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(FixEncoding(ColumnBridge.expression(c)))
   }
+
+  /** Luhn-validated payment-card scrub (see [[LuhnScrub]]): masks only
+    * PAN-length digit runs that pass the mod-10 checksum. */
+  def cardScrub(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(LuhnScrub(ColumnBridge.expression(c)))
+  }
 }

@@ -768,4 +768,47 @@ object Eval {
           + "      * sqrt(CAST((tn + fp) * (tn + fn) AS DOUBLE)))"
           + "   * 1000000, 0) AS BIGINT) END").as("mcc_micro"))
   }
+
+  /** pass@k — the unbiased estimator every code-model eval reports
+    * (Chen et al. 2021, HumanEval): per task with n attempts and c
+    * correct, pass@k = 1 − C(n−c, k)/C(n, k), which clears to the
+    * falling-factorial rational Π_{i<k}(n−c−i) / Π_{i<k}(n−i) — exact
+    * integers (the product hits zero exactly when fewer than k wrong
+    * attempts exist, i.e. the task always passes). Tasks with n < k are
+    * excluded (the estimator is undefined, not zero). Reports, per k:
+    * evaluable task count and the mean floor-ppm pass rate.
+    *
+    * Scale: one (task)-keyed count aggregate, a |ks|-bounded explode,
+    * per-row falling-factorial folds in codegen, one |ks|-row rollup. A
+    * magnitude gate asserts n ≤ 10⁶ and k ≤ 10 (the LONG fold is exact
+    * to ~10⁶·⁶ < 2⁶³; real eval harnesses run n ≤ a few hundred). */
+  def passAtK(attempts: DataFrame, taskCol: String, correctCol: Column,
+              ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(k => k >= 1 && k <= 10),
+      "ks must be in 1..10")
+    val per = attempts
+      .groupBy(col(taskCol).as("graft_task"))
+      .agg(count(lit(1)).as("graft_n"),
+        coalesce(sum(when(correctCol, 1L).otherwise(0L)), lit(0L))
+          .as("graft_c"))
+    per
+      .withColumn("k", explode(typedLit(ks.toList)))
+      .filter(col("graft_n") >= col("k"))
+      .filter(assert_true(col("graft_n") <= 1000000L,
+        lit("passAtK: n > 1e6 attempts for one task — cap or sample " +
+          "before evaluating")).isNull)
+      .withColumn("graft_num", expr(
+        "aggregate(sequence(0, k - 1), 1L," +
+          " (acc, i) -> acc * (graft_n - graft_c - i))"))
+      .withColumn("graft_den", expr(
+        "aggregate(sequence(0, k - 1), 1L, (acc, i) -> acc * (graft_n - i))"))
+      .withColumn("graft_ppm", expr(
+        "CAST(1000000 - CAST(graft_num AS DECIMAL(38,0)) * 1000000" +
+          " div graft_den AS BIGINT)"))
+      .groupBy(col("k").cast("long").as("k"))
+      .agg(count(lit(1)).as("n_tasks"),
+        expr("sum(graft_ppm) div count(1)").as("mean_pass_ppm"))
+      .select(col("k"), col("n_tasks").cast("long").as("n_tasks"),
+        col("mean_pass_ppm").cast("long").as("mean_pass_ppm"))
+  }
 }

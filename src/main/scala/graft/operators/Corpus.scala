@@ -937,6 +937,75 @@ object Corpus {
         col("n_docs").cast("long").as("n_docs"))
   }
 
+  /** URL-pattern exclusion gate — the blocklist stage C4/RefinedWeb run
+    * BEFORE fetching or keeping a page (ad/tracker hosts, spam domains,
+    * ad-path URLs are dropped at the URL, the cheapest possible point):
+    * each URL is classified against three rule families in precedence
+    * order — exact banned host, banned domain suffix (`spam.example`
+    * bans `sub.spam.example` and itself), banned path prefix — and the
+    * verdict carries WHICH rule fired (list order breaks overlaps), so
+    * the gate is an auditable filter, not a silent drop. Host
+    * normalization is [[urlDomains]]' chain (authority → userinfo/port
+    * stripped, lowercased); the path excludes query/fragment.
+    *
+    * Scale: a per-row when-chain over literal rules in whole-stage
+    * codegen — no join against a rule table until the rule list
+    * outgrows a literal chain (thousands), at which point a broadcast
+    * join on host is the drop-in upgrade. */
+  def urlFilter(pages: DataFrame, urlCol: String,
+                bannedHosts: Seq[String], bannedSuffixes: Seq[String],
+                bannedPathPrefixes: Seq[String]): DataFrame = {
+    def firstMatch(rules: Seq[String], cond: String => Column): Column =
+      coalesce(rules.map(r => when(cond(r), lit(r))) :+
+        lit(null).cast("string"): _*)
+    val withParts = pages
+      .withColumn("host",
+        regexp_replace(regexp_replace(
+          lower(regexp_extract(col(urlCol), "^[a-zA-Z]+://([^/?#]+)", 1)),
+          "^.*@", ""), ":[0-9]+$", ""))
+      .withColumn("path",
+        regexp_extract(col(urlCol), "^[a-zA-Z]+://[^/?#]+([^?#]*)", 1))
+    val hostRule = firstMatch(bannedHosts, h => col("host") === h)
+    val sufRule = firstMatch(bannedSuffixes, sfx =>
+      col("host") === sfx || col("host").endsWith("." + sfx))
+    val pathRule = firstMatch(bannedPathPrefixes,
+      p => col("path").startsWith(p))
+    withParts
+      .withColumn("rule", coalesce(hostRule, sufRule, pathRule))
+      .withColumn("verdict",
+        when(hostRule.isNotNull, lit("banned_host"))
+          .when(sufRule.isNotNull, lit("banned_suffix"))
+          .when(pathRule.isNotNull, lit("banned_path"))
+          .otherwise(lit("admit")))
+  }
+
+  /** HTML metadata extraction — the provenance fields a crawl pipeline
+    * keeps from the page head (title for display/dedup, og:title for
+    * the socially-canonical name, rel=canonical for URL-level dedup,
+    * the html lang attribute as the author's own language claim, read
+    * BEFORE any content-based language ID): each is one anchored
+    * non-greedy regexp over the raw page, absent fields NULL (never
+    * empty-string — a page without a canonical is different from one
+    * with an empty one). Title whitespace collapses; attribute fields
+    * are taken verbatim.
+    *
+    * Scale: four codegen'd per-row regexps — no shuffle, no state. */
+  def htmlMeta(docs: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    def nn(c: Column): Column = when(length(c) > 0, c)
+    docs.select(col(idCol),
+      nn(trim(regexp_replace(regexp_extract(col(htmlCol),
+        "(?s)<title[^>]*>(.*?)</title>", 1), "\\s+", " ")))
+        .as("title"),
+      nn(regexp_extract(col(htmlCol),
+        "<meta[^>]*property=\"og:title\"[^>]*content=\"([^\"]*)\"", 1))
+        .as("og_title"),
+      nn(regexp_extract(col(htmlCol),
+        "<link[^>]*rel=\"canonical\"[^>]*href=\"([^\"]*)\"", 1))
+        .as("canonical"),
+      nn(regexp_extract(col(htmlCol),
+        "<html[^>]*lang=\"([^\"]*)\"", 1)).as("html_lang"))
+  }
+
   /** HTML main-text extraction — the markup-strip step every web-crawl
     * curation pipeline runs before any text operator sees a page (C4
     * strips boilerplate markup before its heuristics; this is the
