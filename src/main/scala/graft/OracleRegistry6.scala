@@ -1455,5 +1455,77 @@ private[graft] trait OracleRegistry6 { this: SparkEntry.type =>
                   ELSE 'https://ex.org/c/' || doc_id END AS canonical,
                 'en-US' AS html_lang
          FROM documents""",
+
+    // Kept = the body line only (corpus text has no punctuation and is
+    // ≥ 44 chars, so it always survives; the four planted chrome lines
+    // each trip exactly one rule).
+    "q411_line_filter" ->
+      """SELECT doc_id, CAST(5 AS BIGINT) AS n_lines,
+                CAST(1 AS BIGINT) AS n_kept,
+                md5(text) AS clean_md5
+         FROM documents""",
+
+    "q412_truncation_loss" ->
+      """WITH t AS (SELECT source,
+                lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt
+             FROM documents),
+         c AS (SELECT source,
+                 CAST(length(replace(nt, ' ', ''))
+                   - (length(nt) - length(replace(nt, 'th', ''))) // 2
+                   - (length(nt) - length(replace(nt, 'an', ''))) // 2
+                   - (length(nt) - length(replace(nt, 'ou', ''))) // 2
+                   - (length(nt) - length(replace(nt, 'es', ''))) // 2
+                   AS BIGINT) AS n FROM t),
+         l AS (SELECT source, n, CAST(cl.len AS BIGINT) AS context_len
+               FROM c, (VALUES (64), (128)) cl(len))
+         SELECT source, context_len,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN n > context_len THEN 1 ELSE 0 END)
+                  AS BIGINT) AS docs_over,
+                CAST(sum(greatest(n - context_len, 0)) AS BIGINT)
+                  AS tokens_lost
+         FROM l GROUP BY 1, 2""",
+
+    "q413_span_corruption" ->
+      """WITH t AS (SELECT doc_id,
+                string_split(lower(trim(regexp_replace(text, '\s+', ' ',
+                  'g'))), ' ') AS toks
+             FROM documents),
+         tok AS (SELECT doc_id, CAST(i AS INTEGER) AS i, toks[i] AS tok
+                 FROM (SELECT doc_id, toks,
+                         unnest(range(1, len(toks) + 1)) AS i
+                       FROM t)),
+         sel AS (SELECT doc_id, i, tok,
+                   CAST(('0x' || substring(md5(doc_id || ':' || i), 1,
+                     12)) AS BIGINT) % 20 < 3 AS s
+                 FROM tok),
+         st AS (SELECT doc_id, i, tok, s,
+                  s AND NOT coalesce(lag(s) OVER
+                    (PARTITION BY doc_id ORDER BY i), false) AS st
+                FROM sel),
+         k AS (SELECT doc_id, i, tok, s, st,
+                 sum(CASE WHEN st THEN 1 ELSE 0 END) OVER
+                   (PARTITION BY doc_id ORDER BY i) - 1 AS k
+               FROM st),
+         p AS (SELECT doc_id, i, s, st,
+                 CASE WHEN NOT s THEN tok
+                      WHEN st THEN '<extra_id_' || k || '>' END AS ip,
+                 CASE WHEN st THEN '<extra_id_' || k || '> ' || tok
+                      WHEN s THEN tok END AS tp
+               FROM k)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_noise,
+                CAST(sum(CASE WHEN st THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_spans,
+                md5(coalesce(string_agg(ip, ' ' ORDER BY i), ''))
+                  AS input_md5,
+                md5(CASE WHEN string_agg(tp, ' ' ORDER BY i) IS NULL
+                  THEN '<extra_id_'
+                    || sum(CASE WHEN st THEN 1 ELSE 0 END) || '>'
+                  ELSE string_agg(tp, ' ' ORDER BY i) || ' <extra_id_'
+                    || sum(CASE WHEN st THEN 1 ELSE 0 END) || '>'
+                END) AS target_md5
+         FROM p GROUP BY 1""",
   )
 }

@@ -1252,5 +1252,43 @@ private[graft] trait QueryRegistry4 { this: SparkEntry.type =>
         lit("</head><body><p>b</p></body></html>")).as("html"))
       Corpus.htmlMeta(planted, "doc_id", "html")
     }),
+
+    // Line-wise filtering (the RefinedWeb stage): five planted lines
+    // per doc trip exactly one rule each — boilerplate, too-short,
+    // punct-heavy, within-doc duplicate — and the reassembled clean
+    // text is the surviving body line, md5-proven.
+    "q411_line_filter" -> ((s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"), lit("\nclick here\na\n!!!???!!!???\n"),
+          col("text")).as("text"))
+      Corpus.lineFilter(planted, "doc_id", "text",
+        minChars = 10, maxPunctPct = 30,
+        boilerplate = Seq("click here"))
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          md5(col("clean_text")).as("clean_md5"))
+    }),
+
+    // Context-window truncation bill with the REAL BPE tokenizer: per
+    // (source, context length), docs over the limit and exact tokens
+    // lost — the "what does L buy us" table read before picking a
+    // sequence length; the disjoint-merge closed form replays in SQL.
+    "q412_truncation_loss" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"),
+          Vocab.bpeTokenCount(col("text"), Vocab.DisjointMerges)
+            .as("graft_n"))
+        .withColumn("context_len", explode(typedLit(Seq(64L, 128L))))
+        .groupBy("source", "context_len")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum((col("graft_n") > col("context_len")).cast("long"))
+            .cast("long").as("docs_over"),
+          sum(greatest(col("graft_n") - col("context_len"), lit(0L)))
+            .cast("long").as("tokens_lost"))),
+
+    // T5 span-corruption example builder: portable-hash noise selection
+    // at 15% (3/20), sentinel-collapsed input + sentinel-keyed target,
+    // both sides md5-proven against DuckDB's own assembly.
+    "q413_span_corruption" -> ((s, d) =>
+      Corpus.spanCorruption(Tables.documents(s, d), "doc_id", "text")),
   )
 }

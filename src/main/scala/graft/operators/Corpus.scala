@@ -937,6 +937,126 @@ object Corpus {
         col("n_docs").cast("long").as("n_docs"))
   }
 
+  /** Line-wise document filtering — the RefinedWeb/C4 stage BETWEEN
+    * markup strip and document-level quality: a page whose body is fine
+    * except for "click here" chrome should lose the LINES, not the
+    * document. Four deterministic per-line rules, applied in one pass:
+    *
+    *  - too short: fewer than `minChars` chars after trim;
+    *  - punctuation-heavy: punct count · 100 > len · `maxPunctPct`
+    *    (integer compare — no float ratio to disagree on);
+    *  - boilerplate: trimmed line equals a literal from the documented
+    *    ban list (C4 bans "javascript required" lines the same way);
+    *  - within-doc duplicate: an identical earlier line (by position)
+    *    already kept the content.
+    *
+    * Output per doc: original/kept line counts and the reassembled text
+    * (kept lines joined by newline, original order) — the cleaned
+    * corpus, not just a report.
+    *
+    * Scale: split + posexplode fan-out (bounded by line count), one
+    * (doc, line) window for the dup rule, one doc-keyed ordered
+    * reassembly — two shuffles on the doc key, flags all codegen'd. */
+  def lineFilter(docs: DataFrame, idCol: String, textCol: String,
+                 minChars: Int = 10, maxPunctPct: Int = 30,
+                 boilerplate: Seq[String] = Seq.empty): DataFrame = {
+    require(minChars >= 0 && maxPunctPct >= 0 && maxPunctPct <= 100,
+      "minChars >= 0, maxPunctPct in 0..100")
+    val lines = docs
+      .select(col(idCol).as("graft_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("graft_pos", "graft_l")))
+      .withColumn("graft_t", trim(col("graft_l")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("graft_id", "graft_t")
+    val flagged = lines
+      .withColumn("graft_short", length(col("graft_t")) < minChars)
+      .withColumn("graft_punct",
+        regexp_count(col("graft_t"), lit("[.,;:!?]")) * 100 >
+          length(col("graft_t")) * maxPunctPct)
+      .withColumn("graft_boiler",
+        if (boilerplate.isEmpty) lit(false)
+        else col("graft_t").isin(boilerplate: _*))
+      .withColumn("graft_dup",
+        col("graft_pos") > min(col("graft_pos")).over(w))
+      .withColumn("graft_keep",
+        !col("graft_short") && !col("graft_punct") &&
+          !col("graft_boiler") && !col("graft_dup"))
+    flagged.groupBy(col("graft_id").as(idCol))
+      .agg(count(lit(1)).cast("long").as("n_lines"),
+        sum(col("graft_keep").cast("long")).cast("long").as("n_kept"),
+        concat_ws("\n",
+          transform(array_sort(collect_list(when(col("graft_keep"),
+            struct(col("graft_pos"), col("graft_l"))))),
+            x => x("graft_l"))).as("clean_text"))
+  }
+
+  /** Span-corruption example builder — the T5 denoising objective's
+    * data prep (Raffel et al. 2020 §3.1.4): tokens are noise-selected
+    * by a PORTABLE content hash (md5(doc:position) bucket — the q308
+    * ring arithmetic, so any engine replays the selection bit-for-bit,
+    * no RNG state), maximal selected runs become spans, and the example
+    * pair is assembled exactly as T5 does — input keeps the clean
+    * tokens with each span collapsed to its ordinal `<extra_id_k>`
+    * sentinel; target lists each sentinel with its span's tokens and
+    * closes with the final sentinel. Emits per doc the token/noise/span
+    * counts plus md5s of both assembled sides (the proof the REWRITE is
+    * right, not just the counts).
+    *
+    * `noiseBuckets`/`modulus` set the expected noise rate (3/20 = the
+    * paper's 15%).
+    *
+    * Scale: one posexplode fan-out, one doc-keyed lag/cumsum window,
+    * one doc-keyed ordered reassembly — two shuffles on the doc key,
+    * everything else codegen'd. */
+  def spanCorruption(docs: DataFrame, idCol: String, textCol: String,
+                     modulus: Int = 20, noiseBuckets: Int = 3): DataFrame = {
+    require(modulus >= 2 && noiseBuckets >= 1 && noiseBuckets < modulus,
+      "need 1 <= noiseBuckets < modulus")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("graft_id").orderBy("graft_pos")
+    val toks = docs
+      .select(col(idCol).as("graft_id"),
+        posexplode(T.tokens(col(textCol))).as(Seq("graft_pos", "graft_tok")))
+      .filter(length(col("graft_tok")) > 0)
+      .withColumn("graft_sel",
+        pmod(conv(substring(md5(concat_ws("",
+          col("graft_id").cast("string"), lit(":"),
+          (col("graft_pos") + 1).cast("string")).cast("binary")), 1, 12),
+          16, 10).cast("long"), lit(modulus)) < noiseBuckets)
+      .withColumn("graft_start", col("graft_sel") &&
+        !coalesce(lag(col("graft_sel"), 1).over(w), lit(false)))
+      .withColumn("graft_k",
+        sum(col("graft_start").cast("long")).over(w) - 1)
+    val pieces = toks
+      .withColumn("graft_in",
+        when(!col("graft_sel"), col("graft_tok"))
+          .when(col("graft_start"),
+            concat(lit("<extra_id_"), col("graft_k"), lit(">"))))
+      .withColumn("graft_tg",
+        when(col("graft_start"),
+          concat(lit("<extra_id_"), col("graft_k"), lit("> "),
+            col("graft_tok")))
+          .when(col("graft_sel"), col("graft_tok")))
+    pieces.groupBy(col("graft_id").as(idCol))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(col("graft_sel").cast("long")).cast("long").as("n_noise"),
+        sum(col("graft_start").cast("long")).cast("long").as("n_spans"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("graft_in").isNotNull,
+            struct(col("graft_pos"), col("graft_in"))))),
+          x => x("graft_in"))).as("graft_input"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("graft_tg").isNotNull,
+            struct(col("graft_pos"), col("graft_tg"))))),
+          x => x("graft_tg"))).as("graft_target0"))
+      .select(col(idCol), col("n_tokens"), col("n_noise"), col("n_spans"),
+        md5(col("graft_input")).as("input_md5"),
+        md5(concat_ws(" ",
+          when(length(col("graft_target0")) > 0, col("graft_target0")),
+          concat(lit("<extra_id_"), col("n_spans"), lit(">"))))
+          .as("target_md5"))
+  }
+
   /** URL-pattern exclusion gate — the blocklist stage C4/RefinedWeb run
     * BEFORE fetching or keeping a page (ad/tracker hosts, spam domains,
     * ad-path URLs are dropped at the URL, the cheapest possible point):
