@@ -1527,5 +1527,59 @@ private[graft] trait OracleRegistry6 { this: SparkEntry.type =>
                     || sum(CASE WHEN st THEN 1 ELSE 0 END) || '>'
                 END) AS target_md5
          FROM p GROUP BY 1""",
+
+    "q414_fim_transform" ->
+      """WITH t AS (SELECT doc_id,
+                lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt
+             FROM documents),
+         c AS (SELECT doc_id, nt, length(nt) AS l,
+                 CAST(('0x' || substring(md5(doc_id || ':a'), 1, 12))
+                   AS BIGINT) % length(nt) + 1 AS c1,
+                 CAST(('0x' || substring(md5(doc_id || ':b'), 1, 12))
+                   AS BIGINT) % length(nt) + 1 AS c2
+               FROM t),
+         s AS (SELECT doc_id, nt, l, least(c1, c2) AS lo,
+                 greatest(c1, c2) AS hi
+               FROM c)
+         SELECT doc_id, CAST(lo - 1 AS BIGINT) AS len_prefix,
+                CAST(hi - lo AS BIGINT) AS len_middle,
+                CAST(l - hi + 1 AS BIGINT) AS len_suffix,
+                md5('<PRE> ' || substr(nt, 1, CAST(lo - 1 AS INTEGER))
+                  || ' <SUF> ' || substr(nt, CAST(hi AS INTEGER))
+                  || ' <MID> ' || substr(nt, CAST(lo AS INTEGER),
+                       CAST(hi - lo AS INTEGER))) AS psm_md5
+         FROM s""",
+
+    "q415_self_consistency" ->
+      """WITH a AS (SELECT o_custkey AS task, o_orderkey % 5 AS ans,
+                count(*) AS n
+             FROM orders GROUP BY 1, 2),
+         m AS (SELECT task, ans FROM (
+                 SELECT task, ans, row_number() OVER (PARTITION BY task
+                   ORDER BY n DESC, ans ASC) AS rn
+                 FROM a)
+               WHERE rn = 1)
+         SELECT CAST(count(*) AS BIGINT) AS n_tasks,
+                CAST(sum(CASE WHEN ans = task % 5 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_correct,
+                CAST(sum(CASE WHEN ans = task % 5 THEN 1 ELSE 0 END)
+                  * 1000000 // count(*) AS BIGINT) AS accuracy_ppm
+         FROM m""",
+
+    "q416_reward_normalize" ->
+      """WITH r AS (SELECT event_id, event_type,
+                CAST(floor(value * 100 + 0.5) AS BIGINT) AS reward_centi
+             FROM events
+             WHERE value IS NOT NULL AND event_id % 23 = 0),
+         m AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+                 CAST(sum(reward_centi) AS HUGEINT) AS s,
+                 sum(CAST(reward_centi AS HUGEINT) * reward_centi) AS s2
+               FROM r GROUP BY 1)
+         SELECT event_id, r.event_type, reward_centi,
+                CASE WHEN n * s2 - s * s <= 0 THEN NULL
+                  ELSE round(CAST(n * reward_centi - s AS DOUBLE)
+                    / sqrt(CAST(n * s2 - s * s AS DOUBLE)), 6)
+                END AS advantage_z
+         FROM r JOIN m ON r.event_type = m.event_type""",
   )
 }

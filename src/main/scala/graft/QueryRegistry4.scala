@@ -1290,5 +1290,82 @@ private[graft] trait QueryRegistry4 { this: SparkEntry.type =>
     // both sides md5-proven against DuckDB's own assembly.
     "q413_span_corruption" -> ((s, d) =>
       Corpus.spanCorruption(Tables.documents(s, d), "doc_id", "text")),
+
+    // Fill-in-the-middle transform (Bavarian et al. 2022): two portable
+    // md5 cut points split the normalized text into prefix/middle/
+    // suffix, rendered in PSM sentinel order — the code-model training
+    // objective's data prep, md5-proven end to end.
+    "q414_fim_transform" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), T.normText(col("text")).as("graft_nt"))
+        .withColumn("graft_len", length(col("graft_nt")))
+        .withColumn("graft_c1", pmod(conv(substring(md5(concat_ws("",
+          col("doc_id").cast("string"), lit(":a")).cast("binary")), 1, 12),
+          16, 10).cast("long"), col("graft_len").cast("long")) + 1)
+        .withColumn("graft_c2", pmod(conv(substring(md5(concat_ws("",
+          col("doc_id").cast("string"), lit(":b")).cast("binary")), 1, 12),
+          16, 10).cast("long"), col("graft_len").cast("long")) + 1)
+        .withColumn("graft_lo", least(col("graft_c1"), col("graft_c2")))
+        .withColumn("graft_hi", greatest(col("graft_c1"), col("graft_c2")))
+        .select(col("doc_id"),
+          (col("graft_lo") - 1).cast("long").as("len_prefix"),
+          (col("graft_hi") - col("graft_lo")).cast("long").as("len_middle"),
+          (col("graft_len") - col("graft_hi") + 1).cast("long")
+            .as("len_suffix"),
+          md5(concat(lit("<PRE> "),
+            substring(col("graft_nt"), lit(1), col("graft_lo") - 1),
+            lit(" <SUF> "),
+            substring(col("graft_nt"), col("graft_hi"),
+              col("graft_len") - col("graft_hi") + 1),
+            lit(" <MID> "),
+            substring(col("graft_nt"), col("graft_lo"),
+              col("graft_hi") - col("graft_lo")))).as("psm_md5"))),
+
+    // Self-consistency / majority-vote eval (Wang et al. 2022): per
+    // task the modal answer (count desc, answer asc tiebreak) against
+    // the planted truth — the best-of-n readout next to q407's pass@k.
+    "q415_self_consistency" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("graft_task")
+        .orderBy(col("graft_n").desc, col("graft_ans").asc)
+      Tables.orders(s, d)
+        .select(col("o_custkey").as("graft_task"),
+          (col("o_orderkey") % 5).cast("long").as("graft_ans"))
+        .groupBy("graft_task", "graft_ans")
+        .agg(count(lit(1)).as("graft_n"))
+        .withColumn("graft_rn", row_number().over(w))
+        .filter(col("graft_rn") === 1)
+        .select(col("graft_task"), col("graft_ans"),
+          (col("graft_task") % 5).cast("long").as("graft_truth"))
+        .agg(count(lit(1)).cast("long").as("n_tasks"),
+          sum((col("graft_ans") === col("graft_truth")).cast("long"))
+            .cast("long").as("n_correct"))
+        .withColumn("accuracy_ppm",
+          expr("n_correct * 1000000 div n_tasks"))
+    }),
+
+    // Group-relative reward normalization (the GRPO/REINFORCE-baseline
+    // data prep): per event type, z = (n·r − Σr)/√(n·Σr² − (Σr)²) —
+    // integer inner terms, ONE IEEE sqrt, round(z, 6); deterministic
+    // event-id slice keeps the per-attempt table compare-sized.
+    "q416_reward_normalize" -> ((s, d) => {
+      val rewards = Tables.events(s, d)
+        .filter(col("value").isNotNull && col("event_id") % 23 === 0)
+        .select(col("event_id"), col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("reward_centi"))
+      val dec = "decimal(38,0)"
+      val mom = rewards.groupBy("event_type")
+        .agg(count(lit(1)).cast(dec).as("graft_n"),
+          sum(col("reward_centi")).cast(dec).as("graft_s"),
+          sum(expr(s"CAST(reward_centi AS $dec) * reward_centi"))
+            .as("graft_s2"))
+      rewards.join(broadcast(mom), Seq("event_type"))
+        .select(col("event_id"), col("event_type"), col("reward_centi"),
+          expr("CASE WHEN graft_n * graft_s2 - graft_s * graft_s <= 0" +
+            " THEN CAST(NULL AS DOUBLE)" +
+            " ELSE round(CAST(graft_n * reward_centi - graft_s AS DOUBLE)" +
+            "   / sqrt(CAST(graft_n * graft_s2 - graft_s * graft_s" +
+            "     AS DOUBLE)), 6) END").as("advantage_z"))
+    }),
   )
 }
