@@ -1581,5 +1581,20 @@ private[graft] trait OracleRegistry6 { this: SparkEntry.type =>
                     / sqrt(CAST(n * s2 - s * s AS DOUBLE)), 6)
                 END AS advantage_z
          FROM r JOIN m ON r.event_type = m.event_type""",
+
+    "q417_hierarchy" ->
+      """WITH RECURSIVE n AS (SELECT doc_id AS id,
+                CASE WHEN doc_id >= 10 THEN doc_id // 10 END AS parent
+             FROM documents),
+         walk AS (
+           SELECT id, id AS root_id, CAST(0 AS BIGINT) AS depth,
+                  CAST(id AS VARCHAR) AS path
+           FROM n WHERE parent IS NULL
+           UNION ALL
+           SELECT n.id, w.root_id, w.depth + 1, w.path || '/' || n.id
+           FROM n JOIN walk w ON n.parent = w.id)
+         SELECT id AS doc_id, CAST(root_id AS BIGINT) AS root_id,
+                depth, path
+         FROM walk""",
   )
 }

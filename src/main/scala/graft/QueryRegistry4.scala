@@ -1367,5 +1367,14 @@ private[graft] trait QueryRegistry4 { this: SparkEntry.type =>
             "   / sqrt(CAST(graft_n * graft_s2 - graft_s * graft_s" +
             "     AS DOUBLE)), 6) END").as("advantage_z"))
     }),
+
+    // Parent-pointer hierarchy flatten: a planted 10-ary forest
+    // (parent = id div 10, roots 0..9) walked to root/depth/path —
+    // DuckDB replays with a real recursive CTE.
+    "q417_hierarchy" -> ((s, d) => {
+      val nodes = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") >= 10, expr("doc_id div 10")).as("parent"))
+      Graph.hierarchyFlatten(nodes, "doc_id", "parent", maxDepth = 8)
+    }),
   )
 }

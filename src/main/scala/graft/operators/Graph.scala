@@ -759,4 +759,65 @@ object Graph {
       .orderBy(col("bc_micro").desc, col("node").asc)
       .limit(topK)
   }
+
+  /** Parent-pointer hierarchy flattening — the dimension-table classic
+    * (org chart, category tree, BOM): from an adjacency (id, parent)
+    * column pair, derive per node its ROOT, DEPTH, and materialized
+    * PATH (root/…/id) — the columns every rollup over a hierarchy
+    * joins against instead of walking pointers per query. Root nodes
+    * have a NULL parent.
+    *
+    * The walk is `maxDepth` level joins (the [[bfsHops]] discipline:
+    * one broadcast-or-shuffle join per level over the node table, never
+    * an all-pairs closure); a hierarchy deeper than `maxDepth` — or a
+    * CYCLE, which no finite depth exhausts — fails the post-walk
+    * assert_true instead of silently truncating paths. Real dimension
+    * hierarchies are ≤ 20 deep; past that, pointer doubling (log d
+    * rounds, the [[Components]] machinery) is the drop-in upgrade.
+    *
+    * Scale: node-table-sized state re-keyed per level, parents table
+    * materialized once; everything else codegen'd string/long arithmetic. */
+  def hierarchyFlatten(nodes: DataFrame, idCol: String, parentCol: String,
+                       maxDepth: Int = 16): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 64, "maxDepth must be in 1..64")
+    val parents = Materialize.transient(
+      nodes.select(col(idCol).cast("long").as("graft_pid"),
+        col(parentCol).cast("long").as("graft_pparent")))
+    var state = nodes
+      .select(col(idCol).cast("long").as("graft_id"),
+        col(parentCol).cast("long").as("graft_cur0"))
+      .select(col("graft_id"),
+        coalesce(col("graft_cur0"), col("graft_id")).as("graft_cur"),
+        when(col("graft_cur0").isNotNull, 1L).otherwise(0L).as("graft_depth"),
+        when(col("graft_cur0").isNotNull,
+          concat_ws("/", col("graft_cur0").cast("string"),
+            col("graft_id").cast("string")))
+          .otherwise(col("graft_id").cast("string")).as("graft_path"))
+    var i = 0
+    while (i < maxDepth) {
+      state = Materialize.transient(state
+        .join(parents, state("graft_cur") === parents("graft_pid"), "left")
+        .select(col("graft_id"),
+          coalesce(col("graft_pparent"), col("graft_cur")).as("graft_cur"),
+          (col("graft_depth") +
+            when(col("graft_pparent").isNotNull, 1L).otherwise(0L))
+            .as("graft_depth"),
+          when(col("graft_pparent").isNotNull,
+            concat_ws("/", col("graft_pparent").cast("string"),
+              col("graft_path")))
+            .otherwise(col("graft_path")).as("graft_path")))
+      i += 1
+    }
+    // a node still holding a parented ancestor after maxDepth levels is
+    // a too-deep chain or a cycle — loud failure, never a wrong path
+    state
+      .join(parents, state("graft_cur") === parents("graft_pid"), "left")
+      .filter(assert_true(col("graft_pparent").isNull,
+        lit(s"hierarchyFlatten: depth > $maxDepth or a parent cycle — " +
+          "raise maxDepth or fix the pointers")).isNull)
+      .select(col("graft_id").as(idCol),
+        col("graft_cur").as("root_id"),
+        col("graft_depth").cast("long").as("depth"),
+        col("graft_path").as("path"))
+  }
 }
