@@ -1596,5 +1596,30 @@ private[graft] trait OracleRegistry6 { this: SparkEntry.type =>
          SELECT id AS doc_id, CAST(root_id AS BIGINT) AS root_id,
                 depth, path
          FROM walk""",
+
+    "q418_kneser_ney" ->
+      """WITH t AS (SELECT string_split(
+                lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')
+                  AS toks
+             FROM documents),
+         bi AS (SELECT toks[i] AS w1, toks[i + 1] AS w2,
+                  CAST(count(*) AS HUGEINT) AS n
+                FROM (SELECT toks,
+                        unnest(range(1, greatest(len(toks), 1))) AS i
+                      FROM t)
+                WHERE length(toks[i]) > 0 AND length(toks[i + 1]) > 0
+                GROUP BY 1, 2),
+         lft AS (SELECT w1, sum(n) AS c1, CAST(count(*) AS HUGEINT)
+                   AS n1l
+                 FROM bi GROUP BY 1),
+         rgt AS (SELECT w2, CAST(count(*) AS HUGEINT) AS n1r
+                 FROM bi GROUP BY 1),
+         ty AS (SELECT CAST(count(*) AS HUGEINT) AS tt FROM bi)
+         SELECT bi.w1, bi.w2, CAST(bi.n AS BIGINT) AS n,
+                CAST(((4 * bi.n - 3) * tt + 3 * n1l * n1r) * 1000000
+                  // (4 * c1 * tt) AS BIGINT) AS pkn_ppm
+         FROM bi JOIN lft ON bi.w1 = lft.w1
+                 JOIN rgt ON bi.w2 = rgt.w2, ty
+         ORDER BY n DESC, bi.w1 ASC, bi.w2 ASC LIMIT 30""",
   )
 }

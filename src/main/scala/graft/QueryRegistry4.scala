@@ -1376,5 +1376,11 @@ private[graft] trait QueryRegistry4 { this: SparkEntry.type =>
         when(col("doc_id") >= 10, expr("doc_id div 10")).as("parent"))
       Graph.hierarchyFlatten(nodes, "doc_id", "parent", maxDepth = 8)
     }),
+
+    // Interpolated Kneser-Ney bigram LM table (D = 3/4, quarter-exact
+    // rational — no logs): the KenLM artifact next to q144's char-LM
+    // scorer; top-30 bigrams with exact floor-ppm probabilities.
+    "q418_kneser_ney" -> ((s, d) =>
+      Corpus.kneserNeyBigrams(Tables.documents(s, d), "text", topK = 30)),
   )
 }

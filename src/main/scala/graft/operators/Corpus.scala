@@ -990,6 +990,52 @@ object Corpus {
             x => x("graft_l"))).as("clean_text"))
   }
 
+  /** Interpolated Kneser-Ney bigram table — the KenLM-style language
+    * model artifact (Kneser & Ney 1995; the smoothing every production
+    * n-gram LM ships): with the discount FIXED at D = ¾, the
+    * interpolated bigram probability clears to ONE exact rational in
+    * quarter-units —
+    *   P(w₂|w₁) = [(4c(w₁w₂) − 3)·T + 3·N₁₊(w₁·)·N₁₊(·w₂)]
+    *              / (4·c(w₁·)·T)
+    * where T = distinct bigram types, N₁₊(w₁·) = distinct continuations
+    * of w₁, N₁₊(·w₂) = distinct histories of w₂ (the continuation count
+    * that makes KN beat Katz: "francisco" is frequent but follows only
+    * "san"). c ≥ 1 ⇒ 4c − 3 ≥ 1, so the max() in the textbook form is
+    * vacuous. Emitted as floor-ppm over the top-K bigrams by
+    * (count desc, bigram asc) — exact on any engine, no logs.
+    *
+    * Scale: one adjacent-pair fan-out (the q389 shape) → a bigram-TYPE
+    * table; left totals/continuations/histories all derive from that
+    * vocab-sized table (the corpus is never rescanned); two vocab-keyed
+    * joins + a 1-row type-count broadcast. */
+  def kneserNeyBigrams(docs: DataFrame, textCol: String,
+                       topK: Int): DataFrame = {
+    require(topK >= 1, "topK must be positive")
+    val dec = "decimal(38,0)"
+    val toks = docs.select(T.tokens(col(textCol)).as("graft_ts"))
+    val bi = Materialize.transient(toks
+      .select(explode(expr(
+        "transform(sequence(1, greatest(size(graft_ts) - 1, 0))," +
+          " i -> struct(graft_ts[i - 1] AS w1, graft_ts[i] AS w2))"))
+        .as("graft_b"))
+      .filter(length(col("graft_b.w1")) > 0 && length(col("graft_b.w2")) > 0)
+      .groupBy(col("graft_b.w1").as("w1"), col("graft_b.w2").as("w2"))
+      .agg(count(lit(1)).as("n")))
+    val left = bi.groupBy("w1")
+      .agg(sum("n").as("graft_c1"), count(lit(1)).as("graft_n1l"))
+    val right = bi.groupBy("w2").agg(count(lit(1)).as("graft_n1r"))
+    val types = bi.agg(count(lit(1)).cast(dec).as("graft_t"))
+    bi.join(left, Seq("w1")).join(right, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"), col("n").cast("long").as("n"),
+        expr(s"CAST(((4 * CAST(n AS $dec) - 3) * graft_t" +
+          s" + 3 * CAST(graft_n1l AS $dec) * graft_n1r) * 1000000" +
+          s" div (4 * CAST(graft_c1 AS $dec) * graft_t) AS BIGINT)")
+          .as("pkn_ppm"))
+      .orderBy(col("n").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+  }
+
   /** Span-corruption example builder — the T5 denoising objective's
     * data prep (Raffel et al. 2020 §3.1.4): tokens are noise-selected
     * by a PORTABLE content hash (md5(doc:position) bucket — the q308
