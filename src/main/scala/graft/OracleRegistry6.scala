@@ -1621,5 +1621,50 @@ private[graft] trait OracleRegistry6 { this: SparkEntry.type =>
          FROM bi JOIN lft ON bi.w1 = lft.w1
                  JOIN rgt ON bi.w2 = rgt.w2, ty
          ORDER BY n DESC, bi.w1 ASC, bi.w2 ASC LIMIT 30""",
+
+    "q419_chat_sft" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t,
+                event_id AS i, event_type AS c
+             FROM events),
+         p AS (SELECT u, c,
+                 row_number() OVER (PARTITION BY u ORDER BY t, i) AS pos
+               FROM e),
+         r AS (SELECT u, pos, c,
+                 CASE WHEN pos % 2 = 1 THEN 'user'
+                   ELSE 'assistant' END AS role
+               FROM p)
+         SELECT u AS user_id, CAST(count(*) AS BIGINT) AS n_turns,
+                md5(string_agg('<|' || role || '|> ' || c, ' '
+                  ORDER BY pos)) AS rendered_md5,
+                CAST(sum(CASE WHEN role = 'assistant'
+                  THEN len(regexp_split_to_array(trim(c), '\s+'))
+                  ELSE 0 END) AS BIGINT) AS train_tokens,
+                CAST(sum(len(regexp_split_to_array(trim(c), '\s+')))
+                  AS BIGINT) AS total_tokens
+         FROM r GROUP BY 1""",
+
+    "q420_survivorship" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t,
+                event_id AS i, event_type AS c,
+                CAST(floor(coalesce(value, 0) * 100 + 0.5) AS BIGINT)
+                  AS cents
+             FROM events),
+         l AS (SELECT u, c AS last_type FROM (
+                 SELECT u, c, row_number() OVER (PARTITION BY u
+                   ORDER BY t DESC, i DESC) AS rn
+                 FROM e)
+               WHERE rn = 1),
+         mc AS (SELECT u, c, count(*) AS n FROM e GROUP BY 1, 2),
+         m AS (SELECT u, c AS modal_type FROM (
+                 SELECT u, c, row_number() OVER (PARTITION BY u
+                   ORDER BY n DESC, c ASC) AS rn
+                 FROM mc)
+               WHERE rn = 1),
+         a AS (SELECT u, CAST(count(*) AS BIGINT) AS n_records,
+                 CAST(max(cents) AS BIGINT) AS max_cents
+               FROM e GROUP BY 1)
+         SELECT a.u AS user_id, n_records, last_type, modal_type,
+                max_cents
+         FROM a JOIN l ON a.u = l.u JOIN m ON a.u = m.u""",
   )
 }

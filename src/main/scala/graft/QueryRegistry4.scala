@@ -1382,5 +1382,67 @@ private[graft] trait QueryRegistry4 { this: SparkEntry.type =>
     // scorer; top-30 bigrams with exact floor-ppm probabilities.
     "q418_kneser_ney" -> ((s, d) =>
       Corpus.kneserNeyBigrams(Tables.documents(s, d), "text", topK = 30)),
+
+    // SFT chat-example assembly with loss masking: each user's events
+    // become alternating user/assistant turns in (ts, id) order, the
+    // template renders with role sentinels, and train_tokens counts
+    // ONLY assistant-turn tokens (the loss mask every SFT pipeline
+    // needs right); rendering md5-proven.
+    "q419_chat_sft" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("graft_u").orderBy(col("graft_ts").asc,
+          col("graft_id").asc)
+      eventsUs(s, d)
+        .select(col("user_id").as("graft_u"), col("ts_us").as("graft_ts"),
+          col("event_id").as("graft_id"),
+          col("event_type").as("graft_c"))
+        .withColumn("graft_pos", row_number().over(w).cast("long"))
+        .withColumn("graft_role",
+          when(pmod(col("graft_pos"), lit(2)) === 1, lit("user"))
+            .otherwise(lit("assistant")))
+        .groupBy(col("graft_u").as("user_id"))
+        .agg(count(lit(1)).cast("long").as("n_turns"),
+          md5(concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("graft_pos"),
+              concat(lit("<|"), col("graft_role"), lit("|> "),
+                col("graft_c")).as("graft_piece")))),
+            x => x("graft_piece")))).as("rendered_md5"),
+          sum(when(col("graft_role") === "assistant",
+            T.wsTokens(col("graft_c")).cast("long")).otherwise(0L))
+            .cast("long").as("train_tokens"),
+          sum(T.wsTokens(col("graft_c")).cast("long")).cast("long")
+            .as("total_tokens"))
+    }),
+
+    // Multi-rule survivorship (MDM golden record): per entity, each
+    // field keeps its own rule — last event type by (ts, id), MODAL
+    // event type (count desc, type asc), max value — the merge step
+    // after q369's entity resolution.
+    "q420_survivorship" -> ((s, d) => {
+      val ev = eventsUs(s, d).select(col("user_id"), col("ts_us"),
+        col("event_id"), col("event_type"),
+        floor(coalesce(col("value"), lit(0.0)) * 100 + 0.5).cast("long")
+          .as("graft_cents"))
+      val wLast = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts_us").desc,
+          col("event_id").desc)
+      val last = ev.withColumn("graft_rn", row_number().over(wLast))
+        .filter(col("graft_rn") === 1)
+        .select(col("user_id"), col("event_type").as("last_type"))
+      val wMode = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("graft_n").desc,
+          col("event_type").asc)
+      val modal = ev.groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("graft_n"))
+        .withColumn("graft_rn", row_number().over(wMode))
+        .filter(col("graft_rn") === 1)
+        .select(col("user_id"), col("event_type").as("modal_type"))
+      val aggs = ev.groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("n_records"),
+          max("graft_cents").cast("long").as("max_cents"))
+      aggs.join(last, Seq("user_id")).join(modal, Seq("user_id"))
+        .select(col("user_id"), col("n_records"), col("last_type"),
+          col("modal_type"), col("max_cents"))
+    }),
   )
 }
