@@ -1666,5 +1666,69 @@ private[graft] trait OracleRegistry6 { this: SparkEntry.type =>
          SELECT a.u AS user_id, n_records, last_type, modal_type,
                 max_cents
          FROM a JOIN l ON a.u = l.u JOIN m ON a.u = m.u""",
+
+    "q421_lang_consistency" ->
+      """WITH t AS (SELECT doc_id, source,
+                string_split(lower(trim(regexp_replace(text, '\s+', ' ',
+                  'g'))), ' ') AS toks
+             FROM documents),
+         h AS (SELECT doc_id, source,
+                 array_to_string(toks[1 : len(toks) // 2], ' ') AS ha,
+                 array_to_string(toks[len(toks) // 2 + 1 : len(toks)],
+                   ' ') AS hb
+               FROM t),
+         g AS (SELECT doc_id, source,
+                 CASE WHEN greatest(ena, dea, fra, esa) = 0 THEN 'und'
+                      WHEN ena = greatest(ena, dea, fra, esa) THEN 'en'
+                      WHEN dea = greatest(ena, dea, fra, esa) THEN 'de'
+                      WHEN fra = greatest(ena, dea, fra, esa) THEN 'fr'
+                      ELSE 'es' END AS la,
+                 CASE WHEN greatest(enb, deb, frb, esb) = 0 THEN 'und'
+                      WHEN enb = greatest(enb, deb, frb, esb) THEN 'en'
+                      WHEN deb = greatest(enb, deb, frb, esb) THEN 'de'
+                      WHEN frb = greatest(enb, deb, frb, esb) THEN 'fr'
+                      ELSE 'es' END AS lb
+               FROM (SELECT doc_id, source,
+                 len(regexp_extract_all(ha, '(^| )(the|and|of|is)( |$)')) AS ena,
+                 len(regexp_extract_all(ha, '(^| )(der|die|und|ist)( |$)')) AS dea,
+                 len(regexp_extract_all(ha, '(^| )(le|la|et|est)( |$)')) AS fra,
+                 len(regexp_extract_all(ha, '(^| )(el|los|y|es)( |$)')) AS esa,
+                 len(regexp_extract_all(hb, '(^| )(the|and|of|is)( |$)')) AS enb,
+                 len(regexp_extract_all(hb, '(^| )(der|die|und|ist)( |$)')) AS deb,
+                 len(regexp_extract_all(hb, '(^| )(le|la|et|est)( |$)')) AS frb,
+                 len(regexp_extract_all(hb, '(^| )(el|los|y|es)( |$)')) AS esb
+               FROM h))
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN la <> lb AND la <> 'und'
+                  AND lb <> 'und' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_mixed,
+                CAST(sum(CASE WHEN la = 'und' OR lb = 'und'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_undetermined,
+                CAST(sum(CASE WHEN la <> lb AND la <> 'und'
+                  AND lb <> 'und' THEN 1 ELSE 0 END) * 1000000
+                  // count(*) AS BIGINT) AS mixed_ppm
+         FROM g GROUP BY 1""",
+
+    "q422_capped_topk" ->
+      """WITH sc AS (SELECT doc_id, source,
+                greatest(least(CAST(floor(
+                  round(0.5 * least(length(text) / 500.0, 1.0)
+                    + 0.5 * least(
+                        len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                          * 1.0
+                        / greatest(len(regexp_split_to_array(trim(text),
+                            '\s+')), 1), 1.0)
+                    - len(regexp_extract_all(text, '[.,;:!?]')) * 1.0
+                      / greatest(length(text), 1), 4) * 10000 + 0.5)
+                  AS BIGINT), 10000), 0) AS score_q
+             FROM documents),
+         r AS (SELECT doc_id, source, score_q,
+                 CAST(row_number() OVER (PARTITION BY source
+                   ORDER BY score_q DESC, doc_id ASC) AS BIGINT)
+                   AS src_rank
+               FROM sc)
+         SELECT doc_id, source, score_q, src_rank
+         FROM r WHERE src_rank <= 2
+         ORDER BY score_q DESC, doc_id ASC LIMIT 20""",
   )
 }

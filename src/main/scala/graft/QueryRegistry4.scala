@@ -1444,5 +1444,49 @@ private[graft] trait QueryRegistry4 { this: SparkEntry.type =>
         .select(col("user_id"), col("n_records"), col("last_type"),
           col("modal_type"), col("max_cents"))
     }),
+
+    // Language-consistency (code-switching) audit: lang-ID each half
+    // of the token stream separately; halves that disagree (both
+    // confidently) flag mixed-language docs — the curation screen a
+    // whole-doc lang-ID majority vote hides.
+    "q421_lang_consistency" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), T.tokens(col("text"))
+          .as("graft_ts"))
+        .withColumn("graft_n", size(col("graft_ts")))
+        .withColumn("graft_a", concat_ws(" ",
+          slice(col("graft_ts"), lit(1), expr("graft_n div 2"))))
+        .withColumn("graft_b", concat_ws(" ",
+          slice(col("graft_ts"), expr("graft_n div 2 + 1"),
+            expr("graft_n - graft_n div 2"))))
+        .withColumn("graft_la", T.langGuess(col("graft_a")))
+        .withColumn("graft_lb", T.langGuess(col("graft_b")))
+      docs.groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum((col("graft_la") =!= col("graft_lb") &&
+            col("graft_la") =!= "und" && col("graft_lb") =!= "und")
+            .cast("long")).cast("long").as("n_mixed"),
+          sum((col("graft_la") === "und" || col("graft_lb") === "und")
+            .cast("long")).cast("long").as("n_undetermined"))
+        .withColumn("mixed_ppm",
+          expr("n_mixed * 1000000 div n_docs"))
+    }),
+
+    // Source-capped global top-k (the feed-ranking diversity rule):
+    // at most 2 docs per source in the global quality top-20 — a
+    // per-source rank window then a distributed TakeOrdered, never a
+    // global sort.
+    "q422_capped_topk" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("score_q").desc,
+          col("doc_id").asc)
+      Tables.documents(s, d).select(col("doc_id"), col("source"),
+          greatest(least(floor(T.qualityScore(col("text")) * 10000
+            + 0.5), lit(10000L)), lit(0L)).cast("long").as("score_q"))
+        .withColumn("src_rank", row_number().over(w).cast("long"))
+        .filter(col("src_rank") <= 2)
+        .orderBy(col("score_q").desc, col("doc_id").asc)
+        .limit(20)
+    }),
   )
 }
