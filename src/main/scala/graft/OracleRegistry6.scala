@@ -1730,5 +1730,40 @@ private[graft] trait OracleRegistry6 { this: SparkEntry.type =>
          SELECT doc_id, source, score_q, src_rank
          FROM r WHERE src_rank <= 2
          ORDER BY score_q DESC, doc_id ASC LIMIT 20""",
+
+    // Verdicts by construction: the planted rule set resolves each URL
+    // class to a known longest match.
+    "q423_robots_filter" ->
+      """SELECT doc_id,
+                CASE doc_id % 5
+                  WHEN 0 THEN 'a.example' WHEN 1 THEN 'a.example'
+                  WHEN 2 THEN 'a.example' WHEN 3 THEN 'b.example'
+                  ELSE 'c.example' END AS host,
+                doc_id % 5 <> 1 AS allowed,
+                CASE doc_id % 5
+                  WHEN 1 THEN 'disallow:/private/'
+                  WHEN 2 THEN 'allow:/private/ok/'
+                  ELSE NULL END AS matched_rule
+         FROM documents""",
+
+    "q424_grid_ffill" ->
+      """WITH daily AS (SELECT event_type AS etype,
+                epoch_us(ts) // 86400000000 AS day,
+                CAST(count(*) AS BIGINT) AS n
+             FROM events GROUP BY 1, 2),
+         span AS (SELECT etype, min(day) AS d0, max(day) AS d1
+                  FROM daily GROUP BY 1),
+         grid AS (SELECT etype, CAST(unnest(range(d0, d1 + 1))
+                    AS BIGINT) AS day
+                  FROM span),
+         j AS (SELECT grid.etype, grid.day, daily.n
+               FROM grid LEFT JOIN daily
+                 ON grid.etype = daily.etype AND grid.day = daily.day)
+         SELECT etype, day,
+                CAST(last_value(n IGNORE NULLS) OVER (PARTITION BY etype
+                  ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND
+                  CURRENT ROW) AS BIGINT) AS value_ffill,
+                n IS NOT NULL AS is_observed
+         FROM j""",
   )
 }

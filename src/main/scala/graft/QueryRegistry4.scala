@@ -1488,5 +1488,58 @@ private[graft] trait QueryRegistry4 { this: SparkEntry.type =>
         .orderBy(col("score_q").desc, col("doc_id").asc)
         .limit(20)
     }),
+
+    // robots.txt politeness gate (RFC 9309): a real parse of the
+    // User-agent:* group, longest-matching-rule verdicts with Allow
+    // winning ties, default-open for unmatched URLs, foreign-UA groups
+    // ignored, empty robots handled.
+    "q423_robots_filter" -> ((s, d) => {
+      import s.implicits._
+      val robots = Seq(
+        ("a.example", "# site rules\nUser-agent: *\nDisallow: /private/\n" +
+          "Allow: /private/ok/\nCrawl-delay: 5\n"),
+        ("b.example", "User-agent: bot\nDisallow: /\n"),
+        ("c.example", "")).toDF("host_d", "robots_txt")
+      val urls = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("https://a.example/public/"), col("doc_id")))
+          .when(col("doc_id") % 5 === 1,
+            concat(lit("https://a.example/private/"), col("doc_id")))
+          .when(col("doc_id") % 5 === 2,
+            concat(lit("https://a.example/private/ok/"), col("doc_id")))
+          .when(col("doc_id") % 5 === 3,
+            concat(lit("https://b.example/private/"), col("doc_id")))
+          .otherwise(concat(lit("https://c.example/x/"), col("doc_id")))
+          .as("url"))
+      Robots.robotsFilter(urls, "url", robots, "host_d", "robots_txt")
+        .select(col("doc_id"), col("host"), col("allowed"),
+          col("matched_rule"))
+    }),
+
+    // Time-grid alignment + forward fill (the pandas asfreq+ffill): a
+    // per-type daily grid from first to last observed day, gaps carry
+    // the last observed count — the series every lag-window analytic
+    // upstream assumes is gap-free.
+    "q424_grid_ffill" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("etype").orderBy("day")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)
+      val daily = eventsUs(s, d)
+        .select(col("event_type").as("etype"),
+          expr("ts_us div 86400000000").as("day"))
+        .groupBy("etype", "day").agg(count(lit(1)).as("graft_n"))
+      val grid = daily.groupBy("etype")
+        .agg(min("day").as("graft_d0"), max("day").as("graft_d1"))
+        .select(col("etype"), explode(expr(
+          "sequence(graft_d0, graft_d1)")).as("day"))
+      grid.join(daily, Seq("etype", "day"), "left")
+        .withColumn("value_ffill",
+          last(col("graft_n"), ignoreNulls = true).over(w).cast("long"))
+        .select(col("etype"), col("day").cast("long").as("day"),
+          col("value_ffill"),
+          col("graft_n").isNotNull.as("is_observed"))
+    }),
   )
 }
