@@ -1765,5 +1765,39 @@ private[graft] trait OracleRegistry6 { this: SparkEntry.type =>
                   CURRENT ROW) AS BIGINT) AS value_ffill,
                 n IS NOT NULL AS is_observed
          FROM j""",
+
+    "q425_mix_shift" ->
+      """WITH e AS (SELECT event_type AS segment,
+                epoch_us(ts) // 86400000000 AS d,
+                CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+             FROM events WHERE value IS NOT NULL),
+         sp AS (SELECT (min(d) + max(d) + 1) // 2 AS ds FROM e),
+         t AS (SELECT segment, v, d >= ds AS b FROM e, sp),
+         per AS (SELECT segment,
+                   sum(CASE WHEN NOT b THEN 1 ELSE 0 END) AS n_a,
+                   sum(CASE WHEN b THEN 1 ELSE 0 END) AS n_b,
+                   sum(CASE WHEN NOT b THEN v ELSE 0 END) AS va,
+                   sum(CASE WHEN b THEN v ELSE 0 END) AS vb
+                 FROM t GROUP BY 1),
+         tot AS (SELECT sum(n_a) AS nta, sum(n_b) AS ntb FROM per),
+         r AS (SELECT segment, n_a, n_b,
+                 n_a * 1000000 // nta AS share_a_ppm,
+                 n_b * 1000000 // ntb AS share_b_ppm,
+                 CASE WHEN n_a = 0 THEN NULL ELSE va // n_a END
+                   AS rate_a_centi,
+                 CASE WHEN n_b = 0 THEN NULL ELSE vb // n_b END
+                   AS rate_b_centi
+               FROM per, tot)
+         SELECT segment, CAST(n_a AS BIGINT) AS n_a,
+                CAST(n_b AS BIGINT) AS n_b,
+                CAST(share_a_ppm AS BIGINT) AS share_a_ppm,
+                CAST(share_b_ppm AS BIGINT) AS share_b_ppm,
+                CAST(rate_a_centi AS BIGINT) AS rate_a_centi,
+                CAST(rate_b_centi AS BIGINT) AS rate_b_centi,
+                CAST((share_b_ppm - share_a_ppm) * rate_a_centi
+                  // 1000000 AS BIGINT) AS mix_effect_centi,
+                CAST(share_b_ppm * (rate_b_centi - rate_a_centi)
+                  // 1000000 AS BIGINT) AS rate_effect_centi
+         FROM r""",
   )
 }

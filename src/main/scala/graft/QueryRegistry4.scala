@@ -1541,5 +1541,12 @@ private[graft] trait QueryRegistry4 { this: SparkEntry.type =>
           col("value_ffill"),
           col("graft_n").isNotNull.as("is_observed"))
     }),
+
+    // Mix-shift decomposition: Δ(overall avg value) split exactly into
+    // share-shift × old rate vs new share × rate-shift per event type,
+    // across the corpus-midpoint day split — all floor-ppm/centi
+    // integer terms.
+    "q425_mix_shift" -> ((s, d) =>
+      Analytics.mixShift(eventsUs(s, d), "event_type", "ts_us", "value")),
   )
 }

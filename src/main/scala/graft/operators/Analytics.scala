@@ -992,6 +992,64 @@ object Analytics {
           .as("jaccard"))
   }
 
+  /** Mix-shift decomposition — the BI classic behind every "why did
+    * the average move" review: between period A and period B, the
+    * change in the overall per-event average splits EXACTLY into a MIX
+    * effect (segments' volume shares shifted, at old rates) and a RATE
+    * effect (segments' own rates moved, at new shares):
+    *   Δ = Σ_s (shareB − shareA)·rateA  +  Σ_s shareB·(rateB − rateA).
+    * Shares are floor-ppm, rates floor-centi (both nonnegative), each
+    * effect term one products-div-10⁶ integer where `div` truncates
+    * toward zero on the signed deltas — Spark `div` and DuckDB `//`
+    * agree exactly — so the decomposition is deterministic on any
+    * engine (the documented quantization IS the contract; the two
+    * effects sum to the quantized Δ up to per-segment quantization
+    * residue, which the readout exposes rather than hides). The period split is the
+    * corpus midpoint day (a 1-row min/max broadcast — deterministic
+    * for a given snapshot). Segments missing a side keep NULL effects
+    * (a new or vanished segment needs an analyst's convention, not a
+    * silent zero).
+    *
+    * Scale: ONE segment-keyed aggregate with conditional sums, two
+    * 1-row broadcasts (split day, period totals) — no window, no pair
+    * join. */
+  def mixShift(events: DataFrame, segCol: String, tsUsCol: String,
+               valueCol: String): DataFrame = {
+    val dayed = events
+      .filter(col(valueCol).isNotNull)
+      .select(col(segCol).as("segment"),
+        expr(s"$tsUsCol div ${86400L * 1000000L}L").as("graft_d"),
+        floor(col(valueCol) * 100 + 0.5).cast("long").as("graft_v"))
+    val split = dayed.agg(
+      expr("CAST((min(graft_d) + max(graft_d) + 1) div 2 AS BIGINT)")
+        .as("graft_split"))
+    val tagged = dayed.crossJoin(broadcast(split))
+      .withColumn("graft_b", col("graft_d") >= col("graft_split"))
+    val per = tagged.groupBy("segment")
+      .agg(sum(when(!col("graft_b"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("graft_b"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("graft_b"), col("graft_v")).otherwise(0L))
+          .as("graft_va"),
+        sum(when(col("graft_b"), col("graft_v")).otherwise(0L))
+          .as("graft_vb"))
+    val tot = per.agg(sum("n_a").as("graft_nta"),
+      sum("n_b").as("graft_ntb"))
+    per.crossJoin(broadcast(tot))
+      .select(col("segment"),
+        col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"),
+        expr("n_a * 1000000 div graft_nta").as("share_a_ppm"),
+        expr("n_b * 1000000 div graft_ntb").as("share_b_ppm"),
+        expr("CASE WHEN n_a = 0 THEN CAST(NULL AS BIGINT)" +
+          " ELSE graft_va div n_a END").as("rate_a_centi"),
+        expr("CASE WHEN n_b = 0 THEN CAST(NULL AS BIGINT)" +
+          " ELSE graft_vb div n_b END").as("rate_b_centi"))
+      .withColumn("mix_effect_centi",
+        expr("(share_b_ppm - share_a_ppm) * rate_a_centi div 1000000"))
+      .withColumn("rate_effect_centi",
+        expr("share_b_ppm * (rate_b_centi - rate_a_centi) div 1000000"))
+  }
+
   /** Exact two-covariate OLS (y ~ x + z) — the multivariate rung above
     * the single-feature trend slope (48s) and CUPED's θ: the 2×2 normal
     * equations solve in CLOSED FORM by Cramer's rule, so with integer
