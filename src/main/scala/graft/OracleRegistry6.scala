@@ -1799,5 +1799,28 @@ private[graft] trait OracleRegistry6 { this: SparkEntry.type =>
                 CAST(share_b_ppm * (rate_b_centi - rate_a_centi)
                   // 1000000 AS BIGINT) AS rate_effect_centi
          FROM r""",
+
+    "q426_bandit_replay" ->
+      """WITH p AS (SELECT user_id % 4 AS ctx, event_type AS act,
+                CASE WHEN floor(value * 100 + 0.5) >= 500
+                  THEN 1 ELSE 0 END AS r
+             FROM events WHERE value IS NOT NULL),
+         pol(policy, a0, a1, a2, a3) AS (VALUES
+           ('always_view', 'view', 'view', 'view', 'view'),
+           ('ctx_rotate', 'view', 'click', 'purchase', 'signup')),
+         matched AS (SELECT pol.policy, p.r
+                     FROM p JOIN pol ON p.act = CASE p.ctx
+                       WHEN 0 THEN a0 WHEN 1 THEN a1
+                       WHEN 2 THEN a2 ELSE a3 END),
+         named AS (SELECT policy, CAST(count(*) AS BIGINT) AS n_matched,
+                     CAST(CASE WHEN count(*) = 0 THEN NULL
+                       ELSE sum(r) * 1000000 // count(*) END AS BIGINT)
+                       AS reward_ppm
+                   FROM matched GROUP BY 1
+                   UNION ALL
+                   SELECT 'logged', CAST(count(*) AS BIGINT),
+                     CAST(sum(r) * 1000000 // count(*) AS BIGINT)
+                   FROM p)
+         SELECT policy, n_matched, reward_ppm FROM named""",
   )
 }

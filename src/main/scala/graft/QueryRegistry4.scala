@@ -1548,5 +1548,36 @@ private[graft] trait QueryRegistry4 { this: SparkEntry.type =>
     // integer terms.
     "q425_mix_shift" -> ((s, d) =>
       Analytics.mixShift(eventsUs(s, d), "event_type", "ts_us", "value")),
+
+    // Off-policy bandit replay eval (Li et al. 2011): a fixed
+    // context→action policy scored ONLY on logged events whose action
+    // matches (the unbiased replay estimator under uniform logging);
+    // per policy: matched plays, exact reward-rate ppm, and the
+    // logged baseline for contrast.
+    "q426_bandit_replay" -> ((s, d) => {
+      val plays = eventsUs(s, d)
+        .filter(col("value").isNotNull)
+        .select((col("user_id") % 4).cast("long").as("graft_ctx"),
+          col("event_type").as("graft_act"),
+          (floor(col("value") * 100 + 0.5) >= 500L).cast("long")
+            .as("graft_r"))
+      val policies = Seq(
+        ("always_view", Seq("view", "view", "view", "view")),
+        ("ctx_rotate", Seq("view", "click", "purchase", "signup")),
+        ("logged", Seq.empty[String])) // baseline: every play matches
+      val scored = policies.map { case (name, acts) =>
+        val matched =
+          if (acts.isEmpty) plays
+          else plays.filter(col("graft_act") ===
+            element_at(typedLit(acts), (col("graft_ctx") + 1).cast("int")))
+        matched.agg(count(lit(1)).cast("long").as("n_matched"),
+          expr("CASE WHEN count(1) = 0 THEN CAST(NULL AS BIGINT)" +
+            " ELSE sum(graft_r) * 1000000 div count(1) END")
+            .as("reward_ppm"))
+          .select(lit(name).as("policy"), col("n_matched"),
+            col("reward_ppm"))
+      }
+      scored.reduce(_ unionByName _)
+    }),
   )
 }
