@@ -1822,5 +1822,30 @@ private[graft] trait OracleRegistry6 { this: SparkEntry.type =>
                      CAST(sum(r) * 1000000 // count(*) AS BIGINT)
                    FROM p)
          SELECT policy, n_matched, reward_ppm FROM named""",
+
+    // Per-URL revisit arithmetic by construction: doc_id gets
+    // 1 + id%3 identical captures; the synth html wraps text in 33
+    // chars of fixed markup.
+    "q427_crawl_dedup" ->
+      """SELECT source || '.example.org' AS host,
+                CAST(sum(1 + doc_id % 3) AS BIGINT) AS n_captures,
+                CAST(count(*) AS BIGINT) AS n_unique,
+                CAST(sum(doc_id % 3) AS BIGINT) AS n_revisits,
+                CAST(0 AS BIGINT) AS n_changed,
+                CAST(sum((doc_id % 3) * (length(text) + 33)) AS BIGINT)
+                  AS bytes_saved
+         FROM documents GROUP BY 1""",
+
+    "q428_anchor_text" ->
+      """SELECT doc_id, CAST(1 AS BIGINT) AS link_idx,
+                'https://ex.org/t/' || doc_id AS href,
+                'target ' || doc_id AS anchor_text
+         FROM documents
+         UNION ALL
+         SELECT doc_id, 2, '/rel/' || doc_id % 7, 'padded text'
+         FROM documents
+         UNION ALL
+         SELECT doc_id, 3, 'https://ex.org/dup', 'dup'
+         FROM documents WHERE doc_id % 2 = 0""",
   )
 }

@@ -1579,5 +1579,69 @@ private[graft] trait QueryRegistry4 { this: SparkEntry.type =>
       }
       scored.reduce(_ unionByName _)
     }),
+
+    // Crawl digest dedup (the WARC revisit-record economics): each URL
+    // captured 1 + id%3 times with identical payloads through the REAL
+    // multi-record .warc.gz walk; first capture by (ts, url) keeps the
+    // payload, later identical digests become revisits; per host the
+    // dedup bill (captures, uniques, revisits, bytes saved).
+    "q427_crawl_dedup" -> ((s, d) => {
+      import s.implicits._
+      val caps = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"))
+        .as[(Long, String, String)]
+        .flatMap { case (id, src, text) =>
+          val html = s"<html><body><p>$text</p></body></html>"
+          val uri = s"https://$src.example.org/doc/$id"
+          (0 to (id % 3).toInt).iterator.map { k =>
+            val bytes = multimodal.Warc.synthWarcGz(uri,
+              1600000000L + id + 86400L * k, html, text)
+            val (recs, _) = multimodal.Warc.walkGz(bytes)
+            val resp = recs.find(_.warcType == "response").get
+            val body = multimodal.Warc.httpResponse(resp.payload).get._3
+            (resp.targetUri.stripPrefix("https://").takeWhile(_ != '/'),
+              resp.targetUri,
+              multimodal.Warc.dateEpochSec(resp.date),
+              new String(body, "UTF-8"), body.length.toLong)
+          }
+        }.toDF("host", "url", "fetch_ts", "graft_body", "graft_len")
+      // WARC revisit semantics: same URI re-fetched — a later capture
+      // whose digest equals the FIRST capture's digest is a revisit
+      // (store a pointer, save the bytes); a changed digest is a real
+      // re-capture and must be stored (n_changed counts those).
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("url").orderBy(col("fetch_ts").asc)
+      caps.withColumn("graft_dig", md5(col("graft_body")))
+        .withColumn("graft_rn", row_number().over(w))
+        .withColumn("graft_d0", first(col("graft_dig")).over(w))
+        .withColumn("graft_rev",
+          col("graft_rn") > 1 && col("graft_dig") === col("graft_d0"))
+        .groupBy("host")
+        .agg(count(lit(1)).cast("long").as("n_captures"),
+          sum(when(col("graft_rn") === 1, 1L).otherwise(0L))
+            .cast("long").as("n_unique"),
+          sum(col("graft_rev").cast("long")).cast("long")
+            .as("n_revisits"),
+          sum(when(col("graft_rn") > 1 && !col("graft_rev"), 1L)
+            .otherwise(0L)).cast("long").as("n_changed"),
+          sum(when(col("graft_rev"), col("graft_len"))
+            .otherwise(0L)).cast("long").as("bytes_saved"))
+    }),
+
+    // Anchor-text extraction: the (href, text) pairs that seed both
+    // the link graph (q131/q256's input at web scale) and anchor-text
+    // retrieval; planted links make the two-stage regex chain replay.
+    "q428_anchor_text" -> ((s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"), concat(
+        lit("<html><body><p>intro</p><a href=\"https://ex.org/t/"),
+        col("doc_id"), lit("\">target "), col("doc_id"),
+        lit("</a> mid <a class=\"x\" href=\"/rel/"), col("doc_id") % 7,
+        lit("\"> padded  text </a>"),
+        when(col("doc_id") % 2 === 0,
+          lit("<a href=\"https://ex.org/dup\">dup</a>"))
+          .otherwise(lit("")),
+        lit("</body></html>")).as("html"))
+      Corpus.anchorText(planted, "doc_id", "html")
+    }),
   )
 }

@@ -1172,6 +1172,32 @@ object Corpus {
         "<html[^>]*lang=\"([^\"]*)\"", 1)).as("html_lang"))
   }
 
+  /** Anchor-text extraction — the (href, text) pairs that seed the web
+    * link graph (PageRank/HITS input at crawl scale) and anchor-text
+    * retrieval (the strongest classic relevance signal for the TARGET
+    * page): every `<a … href="…">…</a>` tag yields its href verbatim
+    * and its inner text whitespace-collapsed, in document order
+    * (`link_idx`). Two-stage regex chain — extract whole tags, then
+    * per-tag href/text — all codegen'd, non-greedy DOTALL inner match;
+    * href-less anchors are invisible by construction.
+    *
+    * Scale: one explode bounded by actual link count, zero shuffle. */
+  def anchorText(docs: DataFrame, idCol: String,
+                 htmlCol: String): DataFrame =
+    docs
+      .select(col(idCol), posexplode(expr(
+        s"""regexp_extract_all($htmlCol,
+           |'(?s)<a [^>]*href="[^"]*"[^>]*>.*?</a>', 0)""".stripMargin
+          .replace("\n", " ")))
+        .as(Seq("graft_i", "graft_a")))
+      .select(col(idCol),
+        (col("graft_i") + 1).cast("long").as("link_idx"),
+        regexp_extract(col("graft_a"), "href=\"([^\"]*)\"", 1)
+          .as("href"),
+        trim(regexp_replace(
+          regexp_extract(col("graft_a"), "(?s)>(.*?)</a>", 1),
+          "\\s+", " ")).as("anchor_text"))
+
   /** HTML main-text extraction — the markup-strip step every web-crawl
     * curation pipeline runs before any text operator sees a page (C4
     * strips boilerplate markup before its heuristics; this is the
