@@ -1847,5 +1847,14 @@ private[graft] trait OracleRegistry6 { this: SparkEntry.type =>
          UNION ALL
          SELECT doc_id, 3, 'https://ex.org/dup', 'dup'
          FROM documents WHERE doc_id % 2 = 0""",
+
+    "q429_sitemap" ->
+      """SELECT doc_id, CAST(1 AS BIGINT) AS entry_idx,
+                'https://s.org/p/' || doc_id AS loc,
+                '2024-0' || (doc_id % 9 + 1) || '-15' AS lastmod
+         FROM documents
+         UNION ALL
+         SELECT doc_id, 2, 'https://s.org/q/' || doc_id % 50, NULL
+         FROM documents""",
   )
 }

@@ -1643,5 +1643,18 @@ private[graft] trait QueryRegistry4 { this: SparkEntry.type =>
         lit("</body></html>")).as("html"))
       Corpus.anchorText(planted, "doc_id", "html")
     }),
+
+    // sitemap.xml extraction: planted two-entry sitemaps (lastmod on
+    // the first entry only — the NULL contract), whitespace inside
+    // tags exercised; crawl discovery next to q423's politeness gate.
+    "q429_sitemap" -> ((s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"), concat(
+        lit("<?xml version=\"1.0\"?><urlset><url><loc> https://s.org/p/"),
+        col("doc_id"), lit(" </loc><lastmod>2024-0"),
+        col("doc_id") % 9 + 1, lit("-15</lastmod></url><url><loc>"),
+        lit("https://s.org/q/"), col("doc_id") % 50,
+        lit("</loc></url></urlset>")).as("xml"))
+      Corpus.sitemapUrls(planted, "doc_id", "xml")
+    }),
   )
 }

@@ -1172,6 +1172,31 @@ object Corpus {
         "<html[^>]*lang=\"([^\"]*)\"", 1)).as("html_lang"))
   }
 
+  /** sitemap.xml extraction — crawl discovery's other half next to
+    * [[Robots]]' politeness gate: each `<url>` entry yields its `<loc>`
+    * (verbatim, trimmed) and optional `<lastmod>` (ISO date string,
+    * NULL when absent — never empty), in document order. The regex
+    * chain is the q428 two-stage shape (whole `<url>` blocks, then
+    * per-block fields), DOTALL non-greedy, codegen'd; `<sitemapindex>`
+    * files simply yield zero `<url>` entries (an index's `<sitemap>`
+    * blocks are a different element — honest, not a silent misparse).
+    *
+    * Scale: one entry-count-bounded explode, zero shuffle. */
+  def sitemapUrls(docs: DataFrame, idCol: String,
+                  xmlCol: String): DataFrame =
+    docs
+      .select(col(idCol), posexplode(expr(
+        s"regexp_extract_all($xmlCol, '(?s)<url>.*?</url>', 0)"))
+        .as(Seq("graft_i", "graft_u")))
+      .select(col(idCol),
+        (col("graft_i") + 1).cast("long").as("entry_idx"),
+        trim(regexp_extract(col("graft_u"),
+          "(?s)<loc>(.*?)</loc>", 1)).as("loc"),
+        when(length(regexp_extract(col("graft_u"),
+          "(?s)<lastmod>(.*?)</lastmod>", 1)) > 0,
+          trim(regexp_extract(col("graft_u"),
+            "(?s)<lastmod>(.*?)</lastmod>", 1))).as("lastmod"))
+
   /** Anchor-text extraction — the (href, text) pairs that seed the web
     * link graph (PageRank/HITS input at crawl scale) and anchor-text
     * retrieval (the strongest classic relevance signal for the TARGET
