@@ -1856,5 +1856,16 @@ private[graft] trait OracleRegistry6 { this: SparkEntry.type =>
          UNION ALL
          SELECT doc_id, 2, 'https://s.org/q/' || doc_id % 50, NULL
          FROM documents""",
+
+    "q430_outlink_profile" ->
+      """SELECT doc_id,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 2 END
+                  AS BIGINT) AS n_links,
+                CAST(1 AS BIGINT) AS n_internal,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END
+                  AS BIGINT) AS n_external,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END
+                  AS BIGINT) AS n_ext_hosts
+         FROM documents""",
   )
 }

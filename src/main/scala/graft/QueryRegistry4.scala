@@ -1656,5 +1656,37 @@ private[graft] trait QueryRegistry4 { this: SparkEntry.type =>
         lit("</loc></url></urlset>")).as("xml"))
       Corpus.sitemapUrls(planted, "doc_id", "xml")
     }),
+
+    // Outlink profile: q428's anchors rolled into the per-page crawl
+    // stat — internal (relative href) vs external split, distinct
+    // external hosts — the outdegree table a link-graph build reads.
+    "q430_outlink_profile" -> ((s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"), concat(
+        lit("<html><body><p>intro</p><a href=\"https://ex.org/t/"),
+        col("doc_id"), lit("\">target "), col("doc_id"),
+        lit("</a> mid <a class=\"x\" href=\"/rel/"), col("doc_id") % 7,
+        lit("\"> padded  text </a>"),
+        when(col("doc_id") % 2 === 0,
+          lit("<a href=\"https://other.net/dup\">dup</a>"))
+          .otherwise(lit("")),
+        lit("</body></html>")).as("html"))
+      Corpus.anchorText(planted, "doc_id", "html")
+        .withColumn("graft_ext",
+          col("href").startsWith("http://") ||
+            col("href").startsWith("https://"))
+        .withColumn("graft_host",
+          when(col("graft_ext"), regexp_replace(regexp_replace(
+            lower(regexp_extract(col("href"),
+              "^[a-zA-Z]+://([^/?#]+)", 1)), "^.*@", ""),
+            ":[0-9]+$", "")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_links"),
+          sum(when(!col("graft_ext"), 1L).otherwise(0L)).cast("long")
+            .as("n_internal"),
+          sum(col("graft_ext").cast("long")).cast("long")
+            .as("n_external"),
+          countDistinct(col("graft_host")).cast("long")
+            .as("n_ext_hosts"))
+    }),
   )
 }
