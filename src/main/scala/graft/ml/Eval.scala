@@ -419,13 +419,16 @@ object Eval {
     val qhat = calCum.crossJoin(broadcast(nCal))
       .filter(col("cum") >= col("k"))
       .agg(min("r").as("graft_qh"))
+    // Aggregate the test side ALONE, then crossJoin the 1-row nCal and
+    // q-hat frames after: n_cal/k/qhat are calibration facts known
+    // regardless of the test split, so they must survive an EMPTY test
+    // split (first() over zero rows would null them out).
     val test = base.filter(col("graft_cal") === 0)
-      .crossJoin(broadcast(qhat)).crossJoin(broadcast(nCal))
-      .agg(first("ncal").as("ncal"), first("k").as("k"),
-        first("graft_qh").as("graft_qh"),
-        count(lit(1)).as("ntest"),
-        sum(when(col("r") <= col("graft_qh"), 1L).otherwise(0L))
-          .as("covered"))
+      .crossJoin(broadcast(qhat))
+      .agg(count(lit(1)).as("ntest"),
+        coalesce(sum(when(col("r") <= col("graft_qh"), 1L)
+          .otherwise(0L)), lit(0L)).as("covered"))
+      .crossJoin(broadcast(nCal)).crossJoin(broadcast(qhat))
     test.select(
       col("ncal").cast("long").as("n_cal"),
       col("ntest").cast("long").as("n_test"),
@@ -779,9 +782,12 @@ object Eval {
     * evaluable task count and the mean floor-ppm pass rate.
     *
     * Scale: one (task)-keyed count aggregate, a |ks|-bounded explode,
-    * per-row falling-factorial folds in codegen, one |ks|-row rollup. A
-    * magnitude gate asserts n ≤ 10⁶ and k ≤ 10 (the LONG fold is exact
-    * to ~10⁶·⁶ < 2⁶³; real eval harnesses run n ≤ a few hundred). */
+    * per-row falling-factorial folds run in DECIMAL(38,0) (a LONG fold
+    * overflows silently already at n≈300 for k=10), one |ks|-row
+    * rollup. A per-k magnitude gate asserts nᵏ·10⁶ < 10³⁸ — i.e.
+    * n ≤ min(10⁶, ⌊10^(32/k)⌋), which is 10⁶ through k=5 and 1584 at
+    * k=10 (real eval harnesses run n ≤ a few hundred) — so the decimal
+    * fold is provably exact, never wrapped, never nulled. */
   def passAtK(attempts: DataFrame, taskCol: String, correctCol: Column,
               ks: Seq[Int]): DataFrame = {
     require(ks.nonEmpty && ks.forall(k => k >= 1 && k <= 10),
@@ -794,17 +800,23 @@ object Eval {
     per
       .withColumn("k", explode(typedLit(ks.toList)))
       .filter(col("graft_n") >= col("k"))
-      .filter(assert_true(col("graft_n") <= 1000000L,
-        lit("passAtK: n > 1e6 attempts for one task — cap or sample " +
-          "before evaluating")).isNull)
+      // n ≤ ⌊10^(32/k)⌋ per k ⇒ den = Π(n−i) ≤ n^k < 10³², so
+      // den·10⁶ < 10³⁸ fits DECIMAL(38,0) exactly (num ≤ den a fortiori).
+      .withColumn("graft_ncap", expr(
+        "element_at(array(1000000L, 1000000L, 1000000L, 1000000L," +
+          " 1000000L, 215443L, 37275L, 10000L, 3593L, 1584L), int(k))"))
+      .filter(assert_true(col("graft_n") <= col("graft_ncap"),
+        lit("passAtK: n attempts for one task exceeds the exactness " +
+          "bound 10^(32/k) — cap or sample before evaluating")).isNull)
       .withColumn("graft_num", expr(
-        "aggregate(sequence(0, k - 1), 1L," +
-          " (acc, i) -> acc * (graft_n - graft_c - i))"))
+        "aggregate(sequence(0, k - 1), CAST(1 AS DECIMAL(38,0))," +
+          " (acc, i) -> CAST(acc * (graft_n - graft_c - i)" +
+          " AS DECIMAL(38,0)))"))
       .withColumn("graft_den", expr(
-        "aggregate(sequence(0, k - 1), 1L, (acc, i) -> acc * (graft_n - i))"))
+        "aggregate(sequence(0, k - 1), CAST(1 AS DECIMAL(38,0))," +
+          " (acc, i) -> CAST(acc * (graft_n - i) AS DECIMAL(38,0)))"))
       .withColumn("graft_ppm", expr(
-        "CAST(1000000 - CAST(graft_num AS DECIMAL(38,0)) * 1000000" +
-          " div graft_den AS BIGINT)"))
+        "CAST(1000000 - graft_num * 1000000 div graft_den AS BIGINT)"))
       .groupBy(col("k").cast("long").as("k"))
       .agg(count(lit(1)).as("n_tasks"),
         expr("sum(graft_ppm) div count(1)").as("mean_pass_ppm"))

@@ -1174,8 +1174,9 @@ object Corpus {
 
   /** sitemap.xml extraction — crawl discovery's other half next to
     * [[Robots]]' politeness gate: each `<url>` entry yields its `<loc>`
-    * (verbatim, trimmed) and optional `<lastmod>` (ISO date string,
-    * NULL when absent — never empty), in document order. The regex
+    * (trimmed, NULL when absent or empty — the same absent-means-NULL
+    * convention as lastmod and htmlMeta) and optional `<lastmod>` (ISO
+    * date string, NULL when absent — never empty), in document order. The regex
     * chain is the q428 two-stage shape (whole `<url>` blocks, then
     * per-block fields), DOTALL non-greedy, codegen'd; `<sitemapindex>`
     * files simply yield zero `<url>` entries (an index's `<sitemap>`
@@ -1190,8 +1191,10 @@ object Corpus {
         .as(Seq("graft_i", "graft_u")))
       .select(col(idCol),
         (col("graft_i") + 1).cast("long").as("entry_idx"),
-        trim(regexp_extract(col("graft_u"),
-          "(?s)<loc>(.*?)</loc>", 1)).as("loc"),
+        when(length(trim(regexp_extract(col("graft_u"),
+          "(?s)<loc>(.*?)</loc>", 1))) > 0,
+          trim(regexp_extract(col("graft_u"),
+            "(?s)<loc>(.*?)</loc>", 1))).as("loc"),
         when(length(regexp_extract(col("graft_u"),
           "(?s)<lastmod>(.*?)</lastmod>", 1)) > 0,
           trim(regexp_extract(col("graft_u"),

@@ -70,15 +70,21 @@ object Robots {
       }
       .toDF("graft_h", "graft_rp", "graft_allow", "graft_rlen")
     val parts = urls
+      .withColumn("graft_rid", monotonically_increasing_id())
       .withColumn("host",
         regexp_replace(regexp_replace(
           lower(regexp_extract(col(urlCol), "^[a-zA-Z]+://([^/?#]+)", 1)),
           "^.*@", ""), ":[0-9]+$", ""))
       .withColumn("path",
         regexp_extract(col(urlCol), "^[a-zA-Z]+://[^/?#]+([^?#]*)", 1))
+    // Partition by a per-row identity, not the URL value: two input
+    // rows sharing a URL must each survive (row-level enrichment never
+    // drops rows). Final graft_rp tiebreak pins matched_rule when two
+    // same-length same-verdict rules both match.
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(urlCol))
-      .orderBy(col("graft_rlen").desc, col("graft_allow").desc)
+      .partitionBy(col("graft_rid"))
+      .orderBy(col("graft_rlen").desc, col("graft_allow").desc,
+        col("graft_rp").asc)
     parts
       .join(broadcast(rules), col("host") === col("graft_h") &&
         col("path").startsWith(col("graft_rp")), "left")
@@ -90,6 +96,7 @@ object Robots {
         when(col("graft_allow").isNotNull,
           concat(when(col("graft_allow"), lit("allow:"))
             .otherwise(lit("disallow:")), col("graft_rp"))))
-      .drop("graft_h", "graft_rp", "graft_allow", "graft_rlen", "graft_rn")
+      .drop("graft_h", "graft_rp", "graft_allow", "graft_rlen",
+        "graft_rn", "graft_rid")
   }
 }

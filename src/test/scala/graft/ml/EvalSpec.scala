@@ -418,4 +418,41 @@ class EvalSpec extends SparkSpec {
     assert(r.getAs[Long]("accuracy_ppm") === 700000L)
     assert(r.getAs[Long]("mcc_micro") === 408248L)
   }
+
+  test("conformalCore: empty test split keeps n_cal and q̂ (facts" +
+    " known regardless of the split)") {
+    import spark.implicits._
+    val base = (1 to 9).map(r => (r.toLong, 1)).toDF("r", "graft_cal")
+    val row = Eval.conformalCore(base, alphaPpm = 100000L).collect()(0)
+    assert(row.getAs[Long]("n_cal") === 9L)
+    assert(row.getAs[Long]("qhat") === 9L)
+    assert(row.getAs[Long]("n_test") === 0L)
+    assert(row.isNullAt(row.fieldIndex("coverage_ppm")))
+  }
+
+  test("passAtK: exact beyond the LONG fold's range (n=1000, k=10)") {
+    import spark.implicits._
+    // c = n − 1 wrong... use c=1 correct of n=1000: the falling
+    // factorials telescope — num/den = (n−k−c+…)… = 990/1000 exactly,
+    // so pass@10 = 10000 ppm. A LONG fold wraps at n≈300 for k=10;
+    // the DECIMAL(38,0) fold must stay exact.
+    val attempts = (1L to 1000L).map(i => ("t1", i == 1L))
+      .toDF("task", "ok")
+    val r = Eval.passAtK(attempts, "task", org.apache.spark.sql.functions.col("ok"), Seq(10))
+      .collect()(0)
+    assert(r.getAs[Long]("k") === 10L)
+    assert(r.getAs[Long]("n_tasks") === 1L)
+    assert(r.getAs[Long]("mean_pass_ppm") === 10000L)
+  }
+
+  test("passAtK: per-k exactness gate rejects n beyond 10^(32/k)") {
+    import spark.implicits._
+    val attempts = (1L to 1600L).map(i => ("t1", false))
+      .toDF("task", "ok")
+    val ex = intercept[Exception] {
+      Eval.passAtK(attempts, "task", org.apache.spark.sql.functions.col("ok"), Seq(10)).collect()
+    }
+    assert(ex.getMessage.contains("exactness bound") ||
+      Option(ex.getCause).exists(_.getMessage.contains("exactness bound")))
+  }
 }
