@@ -1867,5 +1867,24 @@ private[graft] trait OracleRegistry6 { this: SparkEntry.type =>
                 CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END
                   AS BIGINT) AS n_ext_hosts
          FROM documents""",
+
+    // De-chunked body == synth html byte-exactly; the % 11 terminator
+    // tear nulls every parsed field (whole-split degradation).
+    "q431_http_chunked" ->
+      """WITH h AS (SELECT doc_id,
+                '<html><body><p>' || text || '</p></body></html>' AS html
+             FROM documents)
+         SELECT doc_id,
+                CAST(1 + doc_id % 7 AS BIGINT) AS chunk_size,
+                CASE WHEN doc_id % 11 = 5 THEN NULL
+                     ELSE CAST(200 AS BIGINT) END AS status,
+                CASE WHEN doc_id % 11 = 5 THEN NULL
+                     ELSE 'text/html; charset=utf-8' END AS mime,
+                CASE WHEN doc_id % 11 = 5 THEN NULL
+                     ELSE CAST(octet_length(encode(html)) AS BIGINT) END
+                  AS body_len,
+                CASE WHEN doc_id % 11 = 5 THEN NULL
+                     ELSE md5(html) END AS body_md5
+         FROM h""",
   )
 }

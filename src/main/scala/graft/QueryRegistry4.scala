@@ -1688,5 +1688,33 @@ private[graft] trait QueryRegistry4 { this: SparkEntry.type =>
           countDistinct(col("graft_host")).cast("long")
             .as("n_ext_hosts"))
     }),
+
+    // HTTP chunked transfer-encoding decode (RFC 9112 §7.1): each doc
+    // becomes a chunked 200 response with id-derived chunk splits
+    // (sizes 1..7, a chunk extension on the second chunk, a trailer
+    // field); httpResponse de-chunks byte-exactly. doc_id % 11 == 5
+    // tears the terminator — framing tears degrade the WHOLE split
+    // (all fields NULL), never a half body.
+    "q431_http_chunked" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val html = s"<html><body><p>$text</p></body></html>"
+          val cs = (1 + id % 7).toInt
+          val full = multimodal.Warc.synthHttpChunked(html, cs)
+          val bytes = if (id % 11 == 5) full.take(full.length - 9)
+            else full
+          val r = multimodal.Warc.httpResponse(bytes)
+          (id, cs.toLong, r.map(_._1.toLong), r.map(_._2),
+            r.map(_._3.length.toLong),
+            r.map(x => new String(x._3, "UTF-8")))
+        }
+        .toDF("doc_id", "chunk_size", "status", "mime", "body_len",
+          "graft_body")
+        .select(col("doc_id"), col("chunk_size"), col("status"),
+          col("mime"), col("body_len"),
+          md5(col("graft_body")).as("body_md5"))
+    }),
   )
 }

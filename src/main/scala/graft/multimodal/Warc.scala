@@ -16,16 +16,19 @@ import java.util.Locale
   * tear and reports `truncated = true` — never a throw, never a
   * half-parsed record.
   *
-  *  - [[gzipMembers]]: concatenated gzip members with STORED deflate
-  *    blocks (the only deflate shape readable without a Huffman
-  *    engine — compressed members degrade, the JPEG-pixel honesty
-  *    rule), CRC32/ISIZE verified per member.
+  *  - [[gzipMembers]]: concatenated gzip members, full RFC 1951
+  *    deflate (Huffman-coded AND stored blocks) via the pure-JDK
+  *    `java.util.zip.Inflater` — the same dependency
+  *    [[Binary.pngDecode]] rides — with CRC32/ISIZE verified per
+  *    member and an inflation budget (zip-bomb guard) that degrades
+  *    instead of OOMing.
   *  - [[walk]]: the WARC record walk — version line, named headers
   *    (case-insensitive per the spec), blank line, Content-Length-
   *    bounded payload slice, CRLF CRLF record separator.
   *  - [[httpResponse]]: the `application/http; msgtype=response`
   *    payload split (status line, headers, body) that turns a crawl
-  *    `response` record into (status, mime, body).
+  *    `response` record into (status, mime, body), de-chunking a
+  *    `Transfer-Encoding: chunked` body (RFC 9112 §7.1) byte-exactly.
   *
   * Scale: all three are per-value byte walks inside a partition map —
   * zero shuffle; the downstream table operators own distribution. */
@@ -98,13 +101,23 @@ object Warc {
     (out.toSeq, false)
   }
 
-  /** One gzip member with STORED deflate blocks starting at `off`:
-    * (inflated payload, end offset past the footer). None on malformed,
-    * compressed (non-stored) blocks, a torn tail, or a CRC32/ISIZE
-    * footer that contradicts the recomputed values — the member walk is
-    * an integrity check, not an echo (Binary.gzipMeta:2005 discipline,
-    * here keeping the payload instead of just counting it). */
-  private def gzipMemberStored(bytes: Array[Byte], off: Int):
+  /** Inflation budget per member — a zip-bomb guard: a member whose
+    * inflated size would exceed this degrades (None → truncated), it
+    * never OOMs an executor. CommonCrawl members are ~1 MB; 256 MiB is
+    * far past any legitimate record. */
+  val MaxInflatedPerMember: Int = 256 << 20
+
+  /** One gzip member starting at `off`: (inflated payload, end offset
+    * past the footer). Full RFC 1951 deflate — Huffman-coded (fixed and
+    * dynamic) and stored blocks alike — via `java.util.zip.Inflater`
+    * in raw (nowrap) mode, the pure-JDK path [[Binary.pngDecode]]
+    * already rides. None on a malformed header, a deflate stream that
+    * errors or tears before its final block, an inflated size past
+    * [[MaxInflatedPerMember]], or a CRC32/ISIZE footer that contradicts
+    * the recomputed values — the member walk is an integrity check, not
+    * an echo (Binary.gzipMeta discipline, here keeping the payload
+    * instead of just counting it). */
+  private def gzipMember(bytes: Array[Byte], off: Int):
       Option[(Array[Byte], Int)] = {
     def u8(i: Int): Int = bytes(i) & 0xff
     def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
@@ -130,26 +143,34 @@ object Warc {
       p += 1
     }
     if ((flg & 2) != 0) p += 2
-    val body = new java.io.ByteArrayOutputStream()
-    val crc = new java.util.zip.CRC32()
-    var done = false
-    while (!done) {
-      if (p + 5 > bytes.length) return None
-      val hdr = u8(p)
-      if ((hdr >> 1 & 3) != 0 || (hdr & 0xf8) != 0) return None
-      val len = le16(p + 1)
-      if (le16(p + 3) != (~len & 0xffff)) return None
-      if (p + 5 + len > bytes.length) return None
-      body.write(bytes, p + 5, len)
-      crc.update(bytes, p + 5, len)
-      done = (hdr & 1) != 0
-      p += 5 + len
-    }
-    if (p + 8 > bytes.length) return None
-    val payload = body.toByteArray
-    if (le32(p) != crc.getValue ||
-      le32(p + 4) != (payload.length & 0xffffffffL)) return None
-    Some((payload, p + 8))
+    if (p >= bytes.length) return None
+    val inf = new java.util.zip.Inflater(true) // raw deflate
+    try {
+      inf.setInput(bytes, p, bytes.length - p)
+      val body = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64 << 10)
+      while (!inf.finished()) {
+        val n = try inf.inflate(buf)
+          catch { case _: java.util.zip.DataFormatException => return None }
+        if (n > 0) {
+          if (body.size() + n > MaxInflatedPerMember) return None
+          body.write(buf, 0, n)
+        } else if (!inf.finished()) {
+          // needsInput with nothing left, or a dictionary demand:
+          // the stream tore before its final block.
+          return None
+        }
+      }
+      val consumed = (bytes.length - p) - inf.getRemaining
+      val fEnd = p + consumed
+      if (fEnd + 8 > bytes.length) return None
+      val payload = body.toByteArray
+      val crc = new java.util.zip.CRC32()
+      crc.update(payload)
+      if (le32(fEnd) != crc.getValue ||
+        le32(fEnd + 4) != (payload.length & 0xffffffffL)) return None
+      Some((payload, fEnd + 8))
+    } finally inf.end()
   }
 
   /** Concatenated gzip members → inflated payloads in stream order;
@@ -160,7 +181,7 @@ object Warc {
     val out = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
     var p = 0
     while (p < bytes.length && out.size < maxMembers) {
-      gzipMemberStored(bytes, p) match {
+      gzipMember(bytes, p) match {
         case Some((payload, end)) => out += payload; p = end
         case None => return (out.toSeq, true)
       }
@@ -184,8 +205,13 @@ object Warc {
 
   /** `application/http; msgtype=response` payload split: status code
     * from the status line, Content-Type header (verbatim value), body
-    * bytes after the blank line. None when the payload is not an HTTP
-    * response (a WET conversion record's plain text, for example). */
+    * bytes after the blank line. A `Transfer-Encoding: chunked` body
+    * (RFC 9112 §7.1) is reassembled byte-exactly — hex size lines
+    * (chunk extensions after `;` ignored), per-chunk CRLF, the
+    * 0-terminator, trailer fields skipped up to their blank line. None
+    * when the payload is not an HTTP response (a WET conversion
+    * record's plain text, for example) or a chunked body tears
+    * mid-chunk / mid-framing — degrade whole, never a half body. */
   def httpResponse(payload: Array[Byte]): Option[(Int, String, Array[Byte])] = {
     def lineEnd(from: Int): Int = {
       var i = from
@@ -203,18 +229,67 @@ object Warc {
       catch { case _: NumberFormatException => return None }
     var p = e0 + 2
     var ctype = ""
+    var chunked = false
     while (true) {
       val e = lineEnd(p)
       if (e < 0) return None
-      if (e == p)
-        return Some((code, ctype,
-          java.util.Arrays.copyOfRange(payload, p + 2, payload.length)))
+      if (e == p) {
+        val raw = java.util.Arrays.copyOfRange(payload, p + 2, payload.length)
+        return if (!chunked) Some((code, ctype, raw))
+          else dechunk(raw).map(b => (code, ctype, b))
+      }
       val line = new String(payload, p, e - p, "UTF-8")
       val ci = line.indexOf(':')
-      if (ci > 0 &&
-        line.substring(0, ci).trim.toLowerCase(Locale.ROOT) == "content-type")
-        ctype = line.substring(ci + 1).trim
+      if (ci > 0) {
+        val key = line.substring(0, ci).trim.toLowerCase(Locale.ROOT)
+        val v = line.substring(ci + 1).trim
+        if (key == "content-type") ctype = v
+        else if (key == "transfer-encoding")
+          chunked = v.toLowerCase(Locale.ROOT).split(",")
+            .exists(_.trim == "chunked")
+      }
       p = e + 2
+    }
+    None // unreachable
+  }
+
+  /** RFC 9112 §7.1 chunked-body reassembly: None on any framing tear
+    * (unparseable size line, chunk overrunning the buffer, missing
+    * CRLC, torn trailer) — the caller degrades the whole split. */
+  private def dechunk(raw: Array[Byte]): Option[Array[Byte]] = {
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i + 1 < raw.length &&
+        !(raw(i) == '\r' && raw(i + 1) == '\n')) i += 1
+      if (i + 1 < raw.length) i else -1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    var p = 0
+    while (true) {
+      val e = lineEnd(p)
+      if (e < 0) return None
+      val sizeTok = new String(raw, p, e - p, "US-ASCII")
+        .takeWhile(_ != ';').trim
+      val size = try java.lang.Long.parseLong(sizeTok, 16)
+        catch { case _: NumberFormatException => return None }
+      if (size < 0 || size > Int.MaxValue) return None
+      p = e + 2
+      if (size == 0L) {
+        // trailer section: header lines until a blank line
+        var done = false
+        while (!done) {
+          val t = lineEnd(p)
+          if (t < 0) return None
+          if (t == p) done = true
+          p = t + 2
+        }
+        return Some(out.toByteArray)
+      }
+      if (p + size.toInt + 2 > raw.length) return None
+      out.write(raw, p, size.toInt)
+      p += size.toInt
+      if (!(raw(p) == '\r' && raw(p + 1) == '\n')) return None
+      p += 2
     }
     None // unreachable
   }
@@ -259,6 +334,36 @@ object Warc {
     out.toByteArray
   }
 
+  /** One gzip member (FLG 0, MTIME 0) wrapping `payload` in genuinely
+    * Huffman-coded deflate via `java.util.zip.Deflater` (default
+    * compression, raw mode), real CRC32/ISIZE footer — the shape real
+    * `.warc.gz` writers emit. */
+  def gzipDeflated(payload: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write((v >> 8 & 0xff).toInt)
+      out.write((v >> 16 & 0xff).toInt); out.write((v >> 24 & 0xff).toInt)
+    }
+    out.write(0x1f); out.write(0x8b); out.write(8); out.write(0)
+    le32(0L); out.write(0); out.write(255)
+    val def_ = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    try {
+      def_.setInput(payload)
+      def_.finish()
+      val buf = new Array[Byte](64 << 10)
+      while (!def_.finished()) {
+        val n = def_.deflate(buf)
+        out.write(buf, 0, n)
+      }
+    } finally def_.end()
+    val crc = new java.util.zip.CRC32()
+    crc.update(payload)
+    le32(crc.getValue)
+    le32(payload.length & 0xffffffffL)
+    out.toByteArray
+  }
+
   /** One raw WARC record with the standard named headers; `uri` empty
     * omits WARC-Target-URI (warcinfo has none). */
   def synthRecord(warcType: String, uri: String, epochSec: Long,
@@ -297,15 +402,47 @@ object Warc {
     out.toByteArray
   }
 
+  /** HTTP/1.1 200 chunked response wrapping an HTML body — the
+    * Transfer-Encoding: chunked twin of [[synthHttpHtml]]: body bytes
+    * split into `chunkSize`-byte chunks (lowercase hex size lines, the
+    * second chunk carrying an extension to exercise the `;` strip),
+    * 0-terminator, one trailer field. */
+  def synthHttpChunked(html: String, chunkSize: Int): Array[Byte] = {
+    require(chunkSize >= 1, "chunkSize must be >= 1")
+    val body = html.getBytes("UTF-8")
+    val out = new java.io.ByteArrayOutputStream()
+    def ascii(s: String): Unit = {
+      val b = s.getBytes("US-ASCII"); out.write(b, 0, b.length)
+    }
+    ascii("HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html; charset=utf-8\r\n" +
+      "Transfer-Encoding: chunked\r\n\r\n")
+    var off = 0
+    var idx = 0
+    while (off < body.length) {
+      val len = math.min(chunkSize, body.length - off)
+      ascii(java.lang.Long.toHexString(len.toLong) +
+        (if (idx == 1) ";ext=1" else "") + "\r\n")
+      out.write(body, off, len)
+      ascii("\r\n")
+      off += len
+      idx += 1
+    }
+    ascii("0\r\nX-Trailer: done\r\n\r\n")
+    out.toByteArray
+  }
+
   /** The CommonCrawl member shape for one captured page: three records
     * (warcinfo, response carrying the HTML over HTTP, conversion
     * carrying the extracted plain text — the WET twin), each its own
-    * gzip member, concatenated. */
+    * gzip member, concatenated. Members are genuinely Huffman-coded
+    * ([[gzipDeflated]]) by default; `stored = true` writes STORED
+    * blocks instead (the degradation-grid twin). */
   def synthWarcGz(uri: String, epochSec: Long, html: String,
-                  wetText: String): Array[Byte] = {
+                  wetText: String, stored: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def add(rec: Array[Byte]): Unit = {
-      val m = gzipStored(rec)
+      val m = if (stored) gzipStored(rec) else gzipDeflated(rec)
       out.write(m, 0, m.length)
     }
     add(synthRecord("warcinfo", "", epochSec, "application/warc-fields",

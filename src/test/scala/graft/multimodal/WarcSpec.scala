@@ -94,4 +94,82 @@ class WarcSpec extends AnyFunSuite {
     assert(httpResponse(Array.emptyByteArray).isEmpty)
     assert(httpResponse("HTTP/1.1\r\n\r\n".getBytes).isEmpty) // no code
   }
+
+  test("deflated members: Huffman-coded round trip, genuinely compressed") {
+    val payload = ("repetition compresses " * 200).getBytes("UTF-8")
+    val m = gzipDeflated(payload)
+    assert(m.length < payload.length / 2, "default deflate must compress")
+    // not stored blocks: byte 10 (first deflate block header) BTYPE != 0
+    assert(((m(10) >> 1) & 3) != 0)
+    val (ms, torn) = gzipMembers(m)
+    assert(!torn && ms.size == 1 && ms.head.toSeq == payload.toSeq)
+  }
+
+  test("mixed stored/deflated member concatenation walks in order") {
+    val a = "first stored".getBytes("UTF-8")
+    val b = ("second deflated " * 50).getBytes("UTF-8")
+    val c = "third stored".getBytes("UTF-8")
+    val stream = gzipStored(a) ++ gzipDeflated(b) ++ gzipStored(c)
+    val (ms, torn) = gzipMembers(stream)
+    assert(!torn && ms.size == 3)
+    assert(ms.map(_.toSeq) == Seq(a.toSeq, b.toSeq, c.toSeq))
+  }
+
+  test("deflated degradation grid: torn mid-member, bad CRC, bad ISIZE") {
+    val payload = ("abcdef " * 100).getBytes("UTF-8")
+    val m = gzipDeflated(payload)
+    // torn mid-deflate-stream: every cut inside the member degrades
+    Seq(1, 8, 9, m.length - 12).foreach { keep =>
+      val (ms, torn) = gzipMembers(m.take(m.length - keep))
+      assert(torn && ms.isEmpty, s"cut $keep")
+    }
+    // bad CRC footer byte
+    val badCrc = m.clone(); badCrc(m.length - 8) =
+      (badCrc(m.length - 8) ^ 0x5a).toByte
+    assert(gzipMembers(badCrc) == (Seq(), true))
+    // bad ISIZE footer byte
+    val badIsize = m.clone(); badIsize(m.length - 4) =
+      (badIsize(m.length - 4) ^ 1).toByte
+    assert(gzipMembers(badIsize) == (Seq(), true))
+    // an intact deflated member followed by a torn one keeps the first
+    val (ms2, torn2) = gzipMembers(m ++ m.take(m.length - 5))
+    assert(torn2 && ms2.size == 1 && ms2.head.toSeq == payload.toSeq)
+  }
+
+  test("synthWarcGz default is Huffman-coded; stored twin still walks") {
+    val defl = synthWarcGz("https://ex.org/d/2", 1L, html, "wet")
+    val stor = synthWarcGz("https://ex.org/d/2", 1L, html, "wet",
+      stored = true)
+    assert(walkGz(defl)._1.map(_.warcType) ==
+      walkGz(stor)._1.map(_.warcType))
+    assert(!walkGz(defl)._2 && !walkGz(stor)._2)
+  }
+
+  test("chunked transfer-encoding reassembles byte-exactly") {
+    val doc = "chunked body with ünïcödé and <tags> 0123456789"
+    for (cs <- Seq(1, 3, 7, 1000)) {
+      val Some((code, mime, body)) = httpResponse(synthHttpChunked(doc, cs))
+      assert(code == 200 && mime == "text/html; charset=utf-8")
+      assert(new String(body, "UTF-8") == doc, s"chunkSize $cs")
+    }
+    // case-insensitive header, list form
+    val p = new String(synthHttpChunked(doc, 5), "ISO-8859-1")
+      .replace("Transfer-Encoding: chunked",
+        "transfer-encoding: gzip, Chunked").getBytes("ISO-8859-1")
+    assert(httpResponse(p).exists(r => new String(r._3, "UTF-8") == doc))
+  }
+
+  test("chunked degradation: torn framing degrades whole, never half") {
+    val doc = "0123456789abcdef" * 4
+    val full = synthHttpChunked(doc, 10)
+    // tears: inside trailer, at the 0-terminator, mid-chunk, mid-size-line
+    Seq(5, 20, 30, full.length - 40).foreach { back =>
+      assert(httpResponse(full.take(full.length - back)).isEmpty,
+        s"cut $back")
+    }
+    // garbage size line
+    val bad = new String(full, "ISO-8859-1").replaceFirst("\r\na\r\n",
+      "\r\nzz\r\n").getBytes("ISO-8859-1")
+    assert(httpResponse(bad).isEmpty)
+  }
 }
