@@ -1886,5 +1886,63 @@ private[graft] trait OracleRegistry6 { this: SparkEntry.type =>
                 CASE WHEN doc_id % 11 = 5 THEN NULL
                      ELSE md5(html) END AS body_md5
          FROM h""",
+
+    // Each arm's canonical form replayed by the RFC 3986 rules:
+    // lowercase scheme/host, default port + fragment stripped, %41→A,
+    // %2f→%2F, %7E→~, trackers dropped, query sorted, bare path → "/".
+    "q432_canonical_url" ->
+      """SELECT doc_id,
+                CASE WHEN doc_id % 4 = 0 THEN
+                  'HTTPS://WWW.Example' || (doc_id % 5) || '.COM:443/Path/'
+                    || doc_id || '?utm_source=news&b=' || (doc_id % 7)
+                    || '&a=%41%2f1#frag'
+                WHEN doc_id % 4 = 1 THEN
+                  'http://ex' || (doc_id % 5) || '.org:8080/p%7Euser/'
+                    || doc_id || '?z=1&y=2&gclid=abc'
+                WHEN doc_id % 4 = 2 THEN
+                  'HTTP://Bare' || (doc_id % 5) || '.NET:80'
+                ELSE 'not a url ' || doc_id END AS url,
+                CASE WHEN doc_id % 4 = 0 THEN
+                  'https://www.example' || (doc_id % 5) || '.com/Path/'
+                    || doc_id || '?a=A%2F1&b=' || (doc_id % 7)
+                WHEN doc_id % 4 = 1 THEN
+                  'http://ex' || (doc_id % 5) || '.org:8080/p~user/'
+                    || doc_id || '?y=2&z=1'
+                WHEN doc_id % 4 = 2 THEN
+                  'http://bare' || (doc_id % 5) || '.net/'
+                ELSE 'not a url ' || doc_id END AS canonical_url
+         FROM documents""",
+
+    // The collapse replayed: noise variants map to the base canonical,
+    // the genuine ?page=2 arm stays its own key.
+    "q433_canonical_dedup" ->
+      """WITH v AS (
+           SELECT doc_id,
+                  'https://site.example/art/' || (doc_id % 97) AS c,
+                  'https://site.example/art/' || (doc_id % 97) AS raw
+           FROM documents
+           UNION ALL
+           SELECT doc_id,
+                  'https://site.example/art/' || (doc_id % 97),
+                  'HTTPS://Site.Example:443/art/' || (doc_id % 97)
+                    || '?utm_campaign=x#top'
+           FROM documents
+           UNION ALL
+           SELECT doc_id,
+                  CASE WHEN doc_id % 3 = 0
+                    THEN 'https://site.example/art/' || (doc_id % 97)
+                      || '?page=2'
+                    ELSE 'https://site.example/art/' || (doc_id % 97) END,
+                  CASE WHEN doc_id % 3 = 0
+                    THEN 'https://site.example/art/' || (doc_id % 97)
+                      || '?page=2&utm_source=y'
+                    ELSE 'https://site.example/art/' || (doc_id % 97)
+                      || '?utm_source=y&utm_medium=z' END
+           FROM documents)
+         SELECT c AS canonical_url,
+                CAST(count(*) AS BIGINT) AS n_captures,
+                CAST(count(DISTINCT raw) AS BIGINT) AS n_raw_forms,
+                CAST(min(doc_id) AS BIGINT) AS first_doc
+         FROM v GROUP BY 1""",
   )
 }

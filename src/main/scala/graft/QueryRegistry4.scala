@@ -1716,5 +1716,54 @@ private[graft] trait QueryRegistry4 { this: SparkEntry.type =>
           col("mime"), col("body_len"),
           md5(col("graft_body")).as("body_md5"))
     }),
+
+    // URL canonicalization (RFC 3986 §6 + tracking strip): four planted
+    // arms — default-port/case/fragment/tracker strip with unreserved
+    // percent-decode and query sort; kept non-default port; bare host
+    // gaining "/"; a non-URL passing through verbatim. The oracle
+    // replays every rule's RESULT arithmetically.
+    "q432_canonical_url" -> ((s, d) => {
+      val raw = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("HTTPS://WWW.Example"), col("doc_id") % 5,
+            lit(".COM:443/Path/"), col("doc_id"),
+            lit("?utm_source=news&b="), col("doc_id") % 7,
+            lit("&a=%41%2f1#frag")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("http://ex"), col("doc_id") % 5,
+            lit(".org:8080/p%7Euser/"), col("doc_id"),
+            lit("?z=1&y=2&gclid=abc")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("HTTP://Bare"), col("doc_id") % 5, lit(".NET:80")))
+        .otherwise(concat(lit("not a url "), col("doc_id")))
+        .as("url"))
+      raw.select(col("doc_id"), col("url"),
+        T.canonicalUrl(col("url")).as("canonical_url"))
+    }),
+
+    // Crawl dedup re-keyed on the canonical form: three frontier rows
+    // per doc (verbatim, cased+default-port+fragment, tracker-suffixed)
+    // collapse to one canonical capture; the % 3 arm's genuine ?page=2
+    // param stays a SEPARATE key — canonicalization dedups noise, not
+    // real variation.
+    "q433_canonical_dedup" -> ((s, d) => {
+      val base = concat(lit("https://site.example/art/"),
+        col("doc_id") % 97)
+      val variants = Tables.documents(s, d).select(col("doc_id"),
+        explode(array(
+          base,
+          concat(lit("HTTPS://Site.Example:443/art/"), col("doc_id") % 97,
+            lit("?utm_campaign=x#top")),
+          when(col("doc_id") % 3 === 0,
+            concat(base, lit("?page=2&utm_source=y")))
+            .otherwise(concat(base, lit("?utm_source=y&utm_medium=z")))
+        )).as("url"))
+      variants
+        .withColumn("canonical_url", T.canonicalUrl(col("url")))
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).cast("long").as("n_captures"),
+          countDistinct(col("url")).cast("long").as("n_raw_forms"),
+          min("doc_id").cast("long").as("first_doc"))
+    }),
   )
 }

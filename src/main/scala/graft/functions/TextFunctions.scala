@@ -171,4 +171,12 @@ object TextFunctions {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(LuhnScrub(ColumnBridge.expression(c)))
   }
+
+  /** RFC 3986 URL canonicalization + tracking-param strip (see
+    * [[CanonicalUrl]]); non-URL values return unchanged. */
+  def canonicalUrl(c: Column,
+      dropParams: Seq[String] = CanonicalUrl.DefaultTrackers): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(CanonicalUrl(ColumnBridge.expression(c), dropParams))
+  }
 }
