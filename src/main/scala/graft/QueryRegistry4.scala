@@ -1565,19 +1565,27 @@ private[graft] trait QueryRegistry4 { this: SparkEntry.type =>
         ("always_view", Seq("view", "view", "view", "view")),
         ("ctx_rotate", Seq("view", "click", "purchase", "signup")),
         ("logged", Seq.empty[String])) // baseline: every play matches
-      val scored = policies.map { case (name, acts) =>
-        val matched =
-          if (acts.isEmpty) plays
-          else plays.filter(col("graft_act") ===
-            element_at(typedLit(acts), (col("graft_ctx") + 1).cast("int")))
-        matched.agg(count(lit(1)).cast("long").as("n_matched"),
-          expr("CASE WHEN count(1) = 0 THEN CAST(NULL AS BIGINT)" +
-            " ELSE sum(graft_r) * 1000000 div count(1) END")
+      // ONE scan: the policy list explodes onto each play (a literal
+      // |policies|-wide Expand, no re-read), match becomes a flag, and
+      // the per-policy rollup is a single conditional aggregate — one
+      // Exchange in the plan instead of a filter+agg leg per policy.
+      val polLit = array(policies.map { case (name, acts) =>
+        struct(lit(name).as("policy"), typedLit(acts).as("acts")) }: _*)
+      plays
+        .select(col("graft_act"), col("graft_ctx"), col("graft_r"),
+          explode(polLit).as("p"))
+        .select(col("p.policy").as("policy"), col("graft_r"),
+          when(size(col("p.acts")) === 0, lit(true))
+            .otherwise(col("graft_act") === element_at(col("p.acts"),
+              (col("graft_ctx") + 1).cast("int"))).as("graft_m"))
+        .groupBy("policy")
+        .agg(sum(when(col("graft_m"), 1L).otherwise(0L)).cast("long")
+            .as("n_matched"),
+          expr("CASE WHEN sum(CASE WHEN graft_m THEN 1 ELSE 0 END) = 0" +
+            " THEN CAST(NULL AS BIGINT)" +
+            " ELSE sum(CASE WHEN graft_m THEN graft_r ELSE 0 END)" +
+            " * 1000000 div sum(CASE WHEN graft_m THEN 1 ELSE 0 END) END")
             .as("reward_ppm"))
-          .select(lit(name).as("policy"), col("n_matched"),
-            col("reward_ppm"))
-      }
-      scored.reduce(_ unionByName _)
     }),
 
     // Crawl digest dedup (the WARC revisit-record economics): each URL

@@ -402,4 +402,15 @@ class PlanShapeSpec extends SparkSpec {
       assert(!p.toLowerCase.contains("cartesian"), p)
     }
   }
+
+  test("q426 bandit replay: one scan, one Exchange (policy explode," +
+    " not a filter+agg leg per policy)") {
+    withCleanCaches {
+      val p = planOf("q426_bandit_replay")
+      assert(exchanges(p) === 1, s"q426 grew per-policy legs:\n$p")
+      assert(!p.contains("Union"), s"q426 must not union agg legs:\n$p")
+      // ONE events scan feeds all policies
+      assert("Scan parquet".r.findAllIn(p).length === 1, p)
+    }
+  }
 }
