@@ -38,10 +38,15 @@ object Bench {
     // warm path of the queries that share the fit (q28/q62/q63).
     // Sample counts tuned to measured run-to-run spread: the two fits
     // that still exceeded 1.15x between full runs at 3 samples take 5.
+    // q276_zorder is a 64-file layout REWRITE, not a query — its
+    // wall-clock rides filesystem/page-cache state and has flapped
+    // 5s ↔ 14s between identical runs, polluting round-over-round
+    // comparison. Same median-of-3 pin (each rep writes a fresh temp
+    // dir, so repetitions are independent and cold).
     val mlNoise = Map(
       "q26_kmeans_recommend" -> 5, "q27_rf_predict" -> 5,
       "q34_model_compare" -> 5, "q120_tuned_gbt" -> 3,
-      "q164_quality_classifier" -> 5)
+      "q164_quality_classifier" -> 5, "q276_zorder" -> 3)
     val results = selected.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
