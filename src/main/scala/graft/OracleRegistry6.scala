@@ -1944,5 +1944,60 @@ private[graft] trait OracleRegistry6 { this: SparkEntry.type =>
                 CAST(count(DISTINCT raw) AS BIGINT) AS n_raw_forms,
                 CAST(min(doc_id) AS BIGINT) AS first_doc
          FROM v GROUP BY 1""",
+
+    // Each arm resolves one wildcard rule by construction; the oracle
+    // replays the planted verdicts.
+    "q434_robots_wildcards" ->
+      """SELECT doc_id,
+                CASE doc_id % 6
+                  WHEN 0 THEN '/doc' || doc_id || '.pdf'
+                  WHEN 1 THEN '/pub/x' || doc_id || '.pdf'
+                  WHEN 2 THEN '/tmp/file' || doc_id
+                  WHEN 3 THEN '/tmp/keep'
+                  WHEN 4 THEN '/a' || doc_id || '/private/x'
+                  ELSE '/clean/' || doc_id END AS path,
+                CASE doc_id % 6
+                  WHEN 0 THEN false WHEN 1 THEN true WHEN 2 THEN false
+                  WHEN 3 THEN true WHEN 4 THEN false ELSE true END
+                  AS allowed,
+                CASE doc_id % 6
+                  WHEN 0 THEN 'disallow:/*.pdf$'
+                  WHEN 1 THEN 'allow:/pub/*.pdf$'
+                  WHEN 2 THEN 'disallow:/tmp*'
+                  WHEN 3 THEN 'allow:/tmp/keep$'
+                  WHEN 4 THEN 'disallow:/*/private/'
+                  ELSE NULL END AS matched_rule
+         FROM documents""",
+
+    // Star-group crawl-delay (foreign-group delays invisible) +
+    // file-global sitemap list, replayed per planted arm.
+    "q435_robots_directives" ->
+      """SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0
+                  THEN CAST(1 + doc_id % 9 AS BIGINT) END
+                  AS crawl_delay_sec,
+                CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 1
+                  ELSE 0 END AS BIGINT) AS n_sitemaps,
+                CASE WHEN doc_id % 3 = 0
+                    THEN 'https://h' || doc_id || '.ex/sm1.xml'
+                  WHEN doc_id % 3 = 1
+                    THEN 'https://h' || doc_id || '.ex/only.xml'
+                  END AS first_sitemap
+         FROM documents""",
+
+    // Slot = per-host row_number, start = (slot-1)*delay; odd hosts
+    // take the 1s default.
+    "q436_politeness_schedule" ->
+      """WITH s AS (SELECT doc_id, doc_id % 20 AS hn,
+                row_number() OVER (PARTITION BY doc_id % 20
+                  ORDER BY doc_id) AS rn
+           FROM documents)
+         SELECT doc_id, 'h' || hn AS host,
+                CAST(CASE WHEN hn % 2 = 0 THEN hn % 5 + 1 ELSE 1 END
+                  AS BIGINT) AS delay_sec,
+                CAST(rn AS BIGINT) AS slot,
+                CAST((rn - 1) * (CASE WHEN hn % 2 = 0 THEN hn % 5 + 1
+                  ELSE 1 END) AS BIGINT) AS start_sec
+         FROM s""",
   )
 }

@@ -1773,5 +1773,75 @@ private[graft] trait QueryRegistry4 { this: SparkEntry.type =>
           countDistinct(col("url")).cast("long").as("n_raw_forms"),
           min("doc_id").cast("long").as("first_doc"))
     }),
+
+    // RFC 9309 wildcard rules: '*' spans, trailing '$' anchors, the
+    // most-octets (raw pattern length) rule wins, Allow breaking length
+    // ties — six planted URL arms resolve one rule each by construction
+    // (extension block with a scoped allow-back, tmp prefix with an
+    // anchored exception, mid-path wildcard, no-match default-open).
+    "q434_robots_wildcards" -> ((s, d) => {
+      import s.implicits._
+      val robots = Seq(("w.example",
+        "User-agent: *\nDisallow: /*.pdf$\nAllow: /pub/*.pdf$\n" +
+          "Disallow: /tmp*\nAllow: /tmp/keep$\nDisallow: /*/private/\n"))
+        .toDF("host_d", "robots_txt")
+      val urls = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit("https://w.example"),
+          when(col("doc_id") % 6 === 0,
+            concat(lit("/doc"), col("doc_id"), lit(".pdf")))
+          .when(col("doc_id") % 6 === 1,
+            concat(lit("/pub/x"), col("doc_id"), lit(".pdf")))
+          .when(col("doc_id") % 6 === 2,
+            concat(lit("/tmp/file"), col("doc_id")))
+          .when(col("doc_id") % 6 === 3, lit("/tmp/keep"))
+          .when(col("doc_id") % 6 === 4,
+            concat(lit("/a"), col("doc_id"), lit("/private/x")))
+          .otherwise(concat(lit("/clean/"), col("doc_id"))))
+          .as("url"))
+      Robots.robotsFilter(urls, "url", robots, "host_d", "robots_txt")
+        .select(col("doc_id"), col("path"), col("allowed"),
+          col("matched_rule"))
+    }),
+
+    // robots.txt directives beyond the rules: the star group's
+    // Crawl-delay (first occurrence; foreign-group delays invisible)
+    // and the file-global Sitemap lines (order kept, group-independent).
+    "q435_robots_directives" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val txt = (id % 3) match {
+            case 0 =>
+              s"User-agent: *\nCrawl-delay: ${1 + id % 9}\n" +
+                s"Disallow: /x\nSitemap: https://h$id.ex/sm1.xml\n" +
+                s"Sitemap: https://h$id.ex/sm2.xml\n"
+            case 1 =>
+              "User-agent: gbot\nCrawl-delay: 7\n" +
+                s"Sitemap: https://h$id.ex/only.xml\n" +
+                "User-agent: *\nDisallow: /y\n"
+            case _ => ""
+          }
+          val (delay, maps) = Robots.parseDirectives(txt)
+          (id, delay, maps.length.toLong, maps.headOption)
+        }
+        .toDF("doc_id", "crawl_delay_sec", "n_sitemaps", "first_sitemap")
+    }),
+
+    // Per-host politeness schedule: slots in doc order within host,
+    // start = (slot-1)*delay; even hosts carry a planted delay row,
+    // odd hosts exercise the 1s default.
+    "q436_politeness_schedule" -> ((s, d) => {
+      val urls = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit("h"), col("doc_id") % 20).as("host"))
+      val delays = urls.select((col("doc_id") % 20).as("graft_hn"))
+        .distinct()
+        .filter(col("graft_hn") % 2 === 0)
+        .select(concat(lit("h"), col("graft_hn")).as("host_d"),
+          (col("graft_hn") % 5 + 1).cast("long").as("delay_d"))
+      Robots.politenessSchedule(urls, "host", "doc_id",
+        delays, "host_d", "delay_d")
+        .select(col("doc_id"), col("host"), col("delay_sec"),
+          col("slot"), col("start_sec"))
+    }),
   )
 }

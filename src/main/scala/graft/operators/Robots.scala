@@ -1,7 +1,11 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** robots.txt politeness gate — the crawl-side counterpart of
   * [[Corpus.urlFilter]]'s curation blocklist (REP, RFC 9309): a host's
@@ -15,9 +19,12 @@ import org.apache.spark.sql.functions._
   * case-insensitive field names, `#` comments stripped, groups split at
   * `User-agent` lines (consecutive UA lines share a group), only the
   * `*` group's rules apply, empty Disallow ("allow everything" in the
-  * original spec) ignored as a rule. Wildcards inside paths are out of
-  * scope (documented; prefix rules cover the overwhelming majority of
-  * real robots files).
+  * original spec) ignored as a rule. Rule paths support the full RFC
+  * 9309 §2.2.3 special characters: `*` matches any character sequence,
+  * a trailing `$` anchors the rule at the path end; a rule without `$`
+  * matches any path it PREFIXES under expansion. Specificity stays the
+  * documented most-octets rule — raw pattern length, wildcards
+  * included (the Google implementation's tiebreak).
   *
   * Scale: the robots dim is host-cardinality (tiny) — rules explode
   * from it and BROADCAST onto the URL table; the longest-match pick is
@@ -47,11 +54,110 @@ object Robots {
             uaRun = false
             if (inStar && value.nonEmpty)
               out += ((value, key == "allow"))
+          case "sitemap" => () // file-global line: not a group member
           case _ => uaRun = false
         }
       }
     }
     out.toSeq
+  }
+
+  /** RFC 9309 §2.2.3 rule-path match: `*` spans any character
+    * sequence, a trailing `$` anchors at the path end, and an
+    * unanchored rule matches any path it prefixes under expansion.
+    * Greedy leftmost segment placement decides existence exactly (each
+    * literal segment between stars is placed at its earliest feasible
+    * offset; any later placement only shrinks what remains for the
+    * rest). Static so both interpreted eval and generated code call it. */
+  def repMatch(path: UTF8String, pattern: UTF8String): Boolean = {
+    if (path == null || pattern == null) return false
+    val p = path.toString
+    var pat = pattern.toString
+    val anchored = pat.endsWith("$")
+    if (anchored) pat = pat.substring(0, pat.length - 1)
+    val segs = pat.split("\\*", -1)
+    if (!p.startsWith(segs(0))) return false
+    var pos = segs(0).length
+    var i = 1
+    while (i < segs.length) {
+      val sg = segs(i)
+      val last = i == segs.length - 1
+      if (sg.isEmpty) {
+        if (last) return true // trailing '*' (anchored or not) eats the rest
+        // consecutive '*' collapses — nothing to place
+      } else if (last && anchored) {
+        return p.endsWith(sg) && p.length - sg.length >= pos
+      } else {
+        val at = p.indexOf(sg, pos)
+        if (at < 0) return false
+        pos = at + sg.length
+      }
+      i += 1
+    }
+    // no wildcard tail: anchored needs exact end, a prefix match else
+    if (anchored && segs.length == 1) p.length == pos else true
+  }
+
+  /** Codegen'd boolean predicate over (path, rulePattern) — lets the
+    * broadcast rules join keep its hash-join shape with the wildcard
+    * match as a residual filter. */
+  case class RepMatchExpr(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "graft_rep_match"
+    override protected def nullSafeEval(l: Any, r: Any): Any =
+      repMatch(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (l, r) =>
+        s"graft.operators.Robots.repMatch($l, $r)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): RepMatchExpr =
+      copy(left = newLeft, right = newRight)
+  }
+
+  private def repMatchCol(path: org.apache.spark.sql.Column,
+      pattern: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(RepMatchExpr(ColumnBridge.expression(path),
+      ColumnBridge.expression(pattern)))
+  }
+
+  /** The `User-agent: *` group's Crawl-delay (first occurrence, whole
+    * seconds — unparseable or absent → None) and the file-global
+    * Sitemap URLs in file order. The de-facto directives next to
+    * [[parseRules]]' REP core: Crawl-delay is group-scoped like the
+    * rules; Sitemap is defined outside any group (RFC 9309 treats
+    * unknown lines as non-group-members). */
+  def parseDirectives(txt: String): (Option[Long], Seq[String]) = {
+    var inStar = false
+    var uaRun = false
+    var delay: Option[Long] = None
+    val maps = scala.collection.mutable.ArrayBuffer.empty[String]
+    txt.split("\n").foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val ci = line.indexOf(':')
+      if (ci > 0) {
+        val key = line.substring(0, ci).trim
+          .toLowerCase(java.util.Locale.ROOT)
+        val value = line.substring(ci + 1).trim
+        key match {
+          case "user-agent" =>
+            if (!uaRun) inStar = false
+            if (value == "*") inStar = true
+            uaRun = true
+          case "crawl-delay" =>
+            uaRun = false
+            if (inStar && delay.isEmpty)
+              delay = value.toLongOption
+          case "sitemap" =>
+            // global: scoped to the file, not the group
+            if (value.nonEmpty) maps += value
+          case _ => uaRun = false
+        }
+      }
+    }
+    (delay, maps.toSeq)
   }
 
   /** URLs gated by their host's robots.txt: adds `host`, `path`,
@@ -87,7 +193,7 @@ object Robots {
         col("graft_rp").asc)
     parts
       .join(broadcast(rules), col("host") === col("graft_h") &&
-        col("path").startsWith(col("graft_rp")), "left")
+        repMatchCol(col("path"), col("graft_rp")), "left")
       .withColumn("graft_rn", row_number().over(w))
       .filter(col("graft_rn") === 1)
       .withColumn("allowed",
@@ -98,5 +204,32 @@ object Robots {
             .otherwise(lit("disallow:")), col("graft_rp"))))
       .drop("graft_h", "graft_rp", "graft_allow", "graft_rlen",
         "graft_rn", "graft_rid")
+  }
+
+  /** Per-host politeness schedule — the queue arithmetic a polite
+    * fetcher runs per host shard: URLs take fetch slots in `orderCol`
+    * order within their host, each slot `delaySecCol` seconds after
+    * the previous (`start_sec = (slot − 1) · delay_sec`); hosts absent
+    * from the delay dim get `defaultDelaySec` (the de-facto 1 s floor).
+    *
+    * Scale: the delay dim is host-cardinality and BROADCASTS; the slot
+    * assignment is one host-keyed window — the same partitioning a
+    * host-sharded fetcher fleet uses, so the schedule column costs the
+    * shuffle the fetch itself already needs. */
+  def politenessSchedule(urls: DataFrame, hostCol: String,
+                         orderCol: String, delays: DataFrame,
+                         dHostCol: String, delaySecCol: String,
+                         defaultDelaySec: Long = 1L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(hostCol)).orderBy(col(orderCol).asc)
+    urls
+      .join(broadcast(delays.select(col(dHostCol).as("graft_dh"),
+        col(delaySecCol).cast("long").as("graft_delay"))),
+        col(hostCol) === col("graft_dh"), "left")
+      .withColumn("delay_sec",
+        coalesce(col("graft_delay"), lit(defaultDelaySec)))
+      .withColumn("slot", row_number().over(w).cast("long"))
+      .withColumn("start_sec", (col("slot") - 1) * col("delay_sec"))
+      .drop("graft_dh", "graft_delay")
   }
 }

@@ -72,4 +72,73 @@ class RobotsSpec extends SparkSpec {
     assert(out("https://nobots.example/q")._1 === true)
     assert(out("https://nobots.example/q")._2 === null)
   }
+
+  private def m(path: String, pat: String): Boolean =
+    Robots.repMatch(
+      org.apache.spark.unsafe.types.UTF8String.fromString(path),
+      org.apache.spark.unsafe.types.UTF8String.fromString(pat))
+
+  test("repMatch: RFC 9309 wildcard/anchor grid") {
+    // plain prefixes (the no-special-char fast path)
+    assert(m("/a/b", "/a"))
+    assert(!m("/a/b", "/b"))
+    // '*' spans any sequence, including empty
+    assert(m("/x/file.pdf", "/*.pdf"))
+    assert(m("/file.pdf", "/*.pdf")) // empty span
+    assert(m("/a/b/c/private/x", "/*/private/"))
+    assert(!m("/a/b/c/xprivate/x", "/*/private/"))
+    // unanchored matches a PREFIX under expansion
+    assert(m("/x/file.pdf.txt", "/*.pdf"))
+    // '$' anchors at the path end
+    assert(m("/x/file.pdf", "/*.pdf$"))
+    assert(!m("/x/file.pdf.txt", "/*.pdf$"))
+    assert(m("/tmp/keep", "/tmp/keep$"))
+    assert(!m("/tmp/keeper", "/tmp/keep$"))
+    // trailing '*' eats the rest; '*$' is any suffix
+    assert(m("/tmp/anything", "/tmp*"))
+    assert(m("/tmp/anything", "/tmp*$"))
+    // consecutive stars collapse
+    assert(m("/a/b/c", "/a**c"))
+    // two placements needed: greedy leftmost still finds it
+    assert(m("/ab/cd/ab/ef", "/ab*ef"))
+    assert(m("/abcbc", "/*bc$")) // later placement satisfies the anchor
+  }
+
+  test("parseDirectives: star-scoped crawl-delay, global sitemaps," +
+    " sitemap lines do not break UA runs") {
+    val txt =
+      """User-agent: gbot
+        |Crawl-delay: 7
+        |Sitemap: https://h.ex/a.xml
+        |User-agent: x
+        |Sitemap: https://h.ex/b.xml
+        |User-agent: *
+        |Crawl-delay: 3
+        |Crawl-delay: 9
+        |Disallow: /p
+        |""".stripMargin
+    val (d, sm) = Robots.parseDirectives(txt)
+    assert(d === Some(3L)) // first star-group value wins; gbot's invisible
+    assert(sm === Seq("https://h.ex/a.xml", "https://h.ex/b.xml"))
+    assert(Robots.parseDirectives("") === ((None, Seq())))
+    assert(Robots.parseDirectives(
+      "User-agent: *\nCrawl-delay: fast\n")._1 === None) // unparseable
+    // a sitemap between consecutive UA lines leaves the run intact
+    val run = "User-agent: a\nSitemap: s\nUser-agent: *\nDisallow: /q\n"
+    assert(Robots.parseRules(run) === Seq(("/q", false)))
+  }
+
+  test("politenessSchedule: slots per host, default delay for unknown" +
+    " hosts") {
+    val urls = Seq(("h1", 10L), ("h1", 20L), ("h1", 30L), ("h2", 5L))
+      .toDF("host", "ord")
+    val delays = Seq(("h1", 4L)).toDF("hd", "dd")
+    val got = Robots.politenessSchedule(urls, "host", "ord",
+        delays, "hd", "dd", defaultDelaySec = 2L)
+      .select("host", "ord", "delay_sec", "slot", "start_sec")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("h1", 10L, 4L, 1L, 0L), ("h1", 20L, 4L, 2L, 4L),
+      ("h1", 30L, 4L, 3L, 8L), ("h2", 5L, 2L, 1L, 0L)))
+  }
 }
