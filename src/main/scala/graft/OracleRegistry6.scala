@@ -1999,5 +1999,53 @@ private[graft] trait OracleRegistry6 { this: SparkEntry.type =>
                 CAST((rn - 1) * (CASE WHEN hn % 2 = 0 THEN hn % 5 + 1
                   ELSE 1 END) AS BIGINT) AS start_sec
          FROM s""",
+
+    // Reversed-host sort key replayed per planted arm.
+    "q437_surt_key" ->
+      """SELECT doc_id,
+                CASE WHEN doc_id % 4 = 0 THEN
+                  'HTTP://WWW.Example' || (doc_id % 5) || '.COM/A/B'
+                    || doc_id || '?X=1#f'
+                WHEN doc_id % 4 = 1 THEN
+                  'https://U:p@S' || (doc_id % 5) || '.Ex.ORG:8080/P'
+                    || doc_id
+                WHEN doc_id % 4 = 2 THEN
+                  'https://Host' || (doc_id % 5) || '.NET'
+                ELSE 'no url ' || doc_id END AS url,
+                CASE WHEN doc_id % 4 = 0 THEN
+                  'com,example' || (doc_id % 5) || ',www)/a/b'
+                    || doc_id || '?x=1'
+                WHEN doc_id % 4 = 1 THEN
+                  'org,ex,s' || (doc_id % 5) || ')/p' || doc_id
+                WHEN doc_id % 4 = 2 THEN
+                  'net,host' || (doc_id % 5) || ')/'
+                ELSE NULL END AS surt_key
+         FROM documents""",
+
+    // Robots meta flags replayed per planted arm; default-open.
+    "q438_meta_robots" ->
+      """SELECT doc_id,
+                CASE doc_id % 5
+                  WHEN 1 THEN 'noindex'
+                  WHEN 2 THEN 'NOINDEX, NOFOLLOW'
+                  WHEN 3 THEN 'none'
+                  WHEN 4 THEN 'nofollow, noarchive'
+                  ELSE NULL END AS robots_content,
+                doc_id % 5 IN (0, 4) AS indexable,
+                doc_id % 5 IN (0, 1) AS followable
+         FROM documents""",
+
+    // Edge weights replayed from the planted links: every page links
+    // ex.org once; even pages add other.net; relative links invisible.
+    "q439_host_graph" ->
+      """SELECT source || '.example.org' AS src_host,
+                'ex.org' AS dst_host,
+                CAST(count(*) AS BIGINT) AS n_links,
+                CAST(count(*) AS BIGINT) AS n_pages
+         FROM documents GROUP BY source
+         UNION ALL
+         SELECT source || '.example.org', 'other.net',
+                CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT)
+         FROM documents WHERE doc_id % 2 = 0 GROUP BY source""",
   )
 }

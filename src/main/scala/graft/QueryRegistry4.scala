@@ -1843,5 +1843,60 @@ private[graft] trait QueryRegistry4 { this: SparkEntry.type =>
         .select(col("doc_id"), col("host"), col("delay_sec"),
           col("slot"), col("start_sec"))
     }),
+
+    // SURT key (the CDX-index sort key): reversed comma-joined host +
+    // ')' + lowercased path?query; scheme/fragment/userinfo/port
+    // dropped, bare host gains '/', non-URLs NULL out.
+    "q437_surt_key" -> ((s, d) => {
+      val raw = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("HTTP://WWW.Example"), col("doc_id") % 5,
+            lit(".COM/A/B"), col("doc_id"), lit("?X=1#f")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("https://U:p@S"), col("doc_id") % 5,
+            lit(".Ex.ORG:8080/P"), col("doc_id")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("https://Host"), col("doc_id") % 5, lit(".NET")))
+        .otherwise(concat(lit("no url "), col("doc_id")))
+        .as("url"))
+      raw.select(col("doc_id"), col("url"),
+        Corpus.surtKey(col("url")).as("surt_key"))
+    }),
+
+    // Per-page robots meta gate: first robots meta tag's content
+    // (verbatim, NULL when absent), indexable/followable flags from the
+    // case-insensitive comma list, default-open like robots.txt.
+    "q438_meta_robots" -> ((s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"), concat(
+        lit("<html><head><title>t</title>"),
+        when(col("doc_id") % 5 === 1,
+          lit("<meta name=\"robots\" content=\"noindex\"/>"))
+        .when(col("doc_id") % 5 === 2,
+          lit("<meta name=\"robots\" content=\"NOINDEX, NOFOLLOW\"/>"))
+        .when(col("doc_id") % 5 === 3,
+          lit("<meta name=\"robots\" content=\"none\"/>"))
+        .when(col("doc_id") % 5 === 4,
+          lit("<meta name=\"robots\" content=\"nofollow, noarchive\"/>"))
+        .otherwise(lit("")),
+        lit("</head><body>x</body></html>")).as("html"))
+      Corpus.metaRobots(planted, "doc_id", "html")
+    }),
+
+    // Host-level link graph (the host-rank/frontier input): q428's
+    // planted pages rolled to (src_host, dst_host) edges — absolute
+    // links only, self-loops dropped, weight + page support.
+    "q439_host_graph" -> ((s, d) => {
+      val pages = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("source"), lit(".example.org")).as("host"),
+        concat(
+          lit("<html><body><a href=\"https://ex.org/t/"), col("doc_id"),
+          lit("\">t</a><a href=\"/rel/"), col("doc_id") % 7,
+          lit("\">r</a>"),
+          when(col("doc_id") % 2 === 0,
+            lit("<a href=\"https://other.net/dup\">d</a>"))
+            .otherwise(lit("")),
+          lit("</body></html>")).as("html"))
+      Corpus.hostGraph(pages, "doc_id", "host", "html")
+    }),
   )
 }

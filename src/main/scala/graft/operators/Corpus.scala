@@ -1327,4 +1327,75 @@ object Corpus {
       .orderBy(col("lift_ppm").desc, col("word_1").asc, col("word_2").asc)
       .limit(topK)
   }
+
+  /** SURT key (Sort-friendly URI Reordering Transform) — the canonical
+    * key web archives sort their CDX indexes on: the lowercased host's
+    * labels REVERSED and comma-joined, then `)` and the lowercased
+    * path+query ("http://www.Example.COM/A?X=1" →
+    * "com,example,www)/a?x=1"). Reversal puts a domain's subdomains in
+    * one contiguous key range, which is what makes per-domain index
+    * scans range-prunable. This variant drops scheme, fragment,
+    * userinfo, and port (the canonicalized-SURT convention; pair with
+    * [[graft.functions.TextFunctions.canonicalUrl]] upstream for the
+    * rest); an empty path becomes "/". Non-URLs (no `://`) yield NULL —
+    * a sort key for a non-URL would be a lie. Pure built-in expression
+    * chain (regexp extracts + split/reverse/array_join), fully
+    * codegen'd, zero shuffle. */
+  def surtKey(url: Column): Column = {
+    val host = lower(regexp_extract(url,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)", 1))
+    val pathq = lower(regexp_extract(url,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)", 1))
+    when(length(host) > 0,
+      concat(array_join(reverse(split(host, "\\.")), ","), lit(")"),
+        when(length(pathq) > 0, pathq).otherwise(lit("/"))))
+  }
+
+  /** Per-page robots META directive gate — the in-page half of
+    * [[Robots]]' politeness story (the REP's `<meta name="robots">`):
+    * extracts the first robots meta tag's content (NULL when absent),
+    * splits the comma list case-insensitively, and reports the two
+    * flags an indexing/corpus gate consumes: `indexable` (no `noindex`
+    * / `none`) and `followable` (no `nofollow` / `none`) — both
+    * default-open like robots.txt. One regexp + an exists() over the
+    * bounded token list, codegen'd, zero shuffle. */
+  def metaRobots(docs: DataFrame, idCol: String,
+                 htmlCol: String): DataFrame = {
+    val content = regexp_extract(col(htmlCol),
+      "(?i)<meta[^>]*name=\"robots\"[^>]*content=\"([^\"]*)\"", 1)
+    val toks = transform(split(lower(content), ","),
+      t => trim(t))
+    def has(v: String): Column =
+      exists(toks, t => t === lit(v))
+    docs.select(col(idCol),
+      when(length(content) > 0, content).as("robots_content"),
+      (!(has("noindex") || has("none"))).as("indexable"),
+      (!(has("nofollow") || has("none"))).as("followable"))
+  }
+
+  /** Host-level link graph — the edge list host-rank pipelines
+    * (Common Crawl's harmonic-centrality ranking, OPIC frontiers) are
+    * built from: every absolute outlink of every page becomes a
+    * (src_host, dst_host) edge, rolled up to edge weight (link count)
+    * and page support (distinct linking pages); intra-host self-loops
+    * are dropped (host ranking ignores them by convention). Rides
+    * [[anchorText]]'s bounded explode; the rollup is one
+    * edge-keyed aggregate — |hosts|² bounded output, map-side
+    * combinable. */
+  def hostGraph(pages: DataFrame, idCol: String, hostCol: String,
+                htmlCol: String): DataFrame = {
+    val links = anchorText(pages, idCol, htmlCol)
+      .join(pages.select(col(idCol), col(hostCol).as("src_host")),
+        Seq(idCol))
+    val dst = regexp_replace(regexp_replace(
+      lower(regexp_extract(col("href"), "^[a-zA-Z]+://([^/?#]+)", 1)),
+      "^.*@", ""), ":[0-9]+$", "")
+    links
+      .withColumn("dst_host", when(length(dst) > 0, dst))
+      .filter(col("dst_host").isNotNull &&
+        col("dst_host") =!= col("src_host"))
+      .groupBy("src_host", "dst_host")
+      .agg(count(lit(1)).cast("long").as("n_links"),
+        countDistinct(col(idCol)).cast("long").as("n_pages"))
+  }
 }

@@ -561,4 +561,60 @@ class CorpusSpec extends SparkSpec {
     assert(r2.getLong(5) === 0L) // zero markup_ppm
     assert(got(2).getString(1) === "spaced")
   }
+
+  test("surtKey: reversal, strip rules, bare path, non-URL NULL") {
+    import spark.implicits._
+    val got = Seq(
+      "HTTP://WWW.Example.COM/A/B?X=1#frag",
+      "https://u:p@Sub.Ex.ORG:8080/Path",
+      "https://single.NET",
+      "https://one-label/x",
+      "plain text").toDF("u")
+      .select(Corpus.surtKey(col("u"))).as[String].collect().toSeq
+    assert(got === Seq(
+      "com,example,www)/a/b?x=1",
+      "org,ex,sub)/path",
+      "net,single)/",
+      "one-label)/x",
+      null))
+    // SURT's point: a domain's subdomains sort contiguously
+    val keys = Seq("https://b.ex.com/", "https://a.ex.com/",
+      "https://ex.com/", "https://ey.com/").map(u =>
+      Seq(u).toDF("u").select(Corpus.surtKey(col("u")))
+        .as[String].head())
+    assert(keys.sorted === Seq("com,ex)/", "com,ex,a)/", "com,ex,b)/",
+      "com,ey)/"))
+  }
+
+  test("metaRobots: case-insensitive list, default-open, none kills both") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "<head><meta name=\"robots\" content=\" NoIndex , nofollow \"/></head>"),
+      (2L, "<head><meta name=\"robots\" content=\"none\"/></head>"),
+      (3L, "<head><meta name=\"keywords\" content=\"noindex\"/></head>"),
+      (4L, "<head><meta name=\"robots\" content=\"noarchive\"/></head>"))
+      .toDF("doc_id", "html")
+    val got = Corpus.metaRobots(docs, "doc_id", "html")
+      .as[(Long, String, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((Option(r._2), r._3, r._4))).toMap
+    assert(got(1L) === ((Some(" NoIndex , nofollow "), false, false)))
+    assert(got(2L) === ((Some("none"), false, false)))
+    assert(got(3L) === ((None, true, true))) // keywords meta is not robots
+    assert(got(4L) === ((Some("noarchive"), true, true)))
+  }
+
+  test("hostGraph: self-loops dropped, relative links invisible," +
+    " weights vs page support") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "a.com", "<a href=\"https://b.com/x\">1</a>" +
+        "<a href=\"https://b.com/y\">2</a>" +
+        "<a href=\"https://A.COM/self\">s</a>" +
+        "<a href=\"/rel\">r</a>"),
+      (2L, "a.com", "<a href=\"https://b.com/z\">3</a>"))
+      .toDF("doc_id", "host", "html")
+    val got = Corpus.hostGraph(pages, "doc_id", "host", "html")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got === Set(("a.com", "b.com", 3L, 2L)))
+  }
 }
