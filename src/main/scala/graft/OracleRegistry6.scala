@@ -2047,5 +2047,39 @@ private[graft] trait OracleRegistry6 { this: SparkEntry.type =>
          SELECT source || '.example.org', 'other.net',
                 CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT)
          FROM documents WHERE doc_id % 2 = 0 GROUP BY source""",
+
+    // eTLD+1 per planted arm: co.uk beats uk; bare suffix / no match
+    // NULL out.
+    "q440_registered_domain" ->
+      """SELECT doc_id,
+                CASE doc_id % 5
+                  WHEN 0 THEN 'X' || doc_id || '.Sub.Example.CO.UK'
+                  WHEN 1 THEN 'www.test' || (doc_id % 7) || '.COM'
+                  WHEN 2 THEN 'deep.a.b' || (doc_id % 7) || '.github.io'
+                  WHEN 3 THEN 'localhost' || doc_id
+                  ELSE 'com' END AS host,
+                CASE doc_id % 5
+                  WHEN 0 THEN 'co.uk' WHEN 1 THEN 'com'
+                  WHEN 2 THEN 'github.io' WHEN 3 THEN NULL
+                  ELSE 'com' END AS public_suffix,
+                CASE doc_id % 5
+                  WHEN 0 THEN 'example.co.uk'
+                  WHEN 1 THEN 'test' || (doc_id % 7) || '.com'
+                  WHEN 2 THEN 'b' || (doc_id % 7) || '.github.io'
+                  ELSE NULL END AS registered_domain
+         FROM documents""",
+
+    // Nearest capture to T = base+id+100000: the k=1 capture (+86400,
+    // dist 13600) when it exists, else the single k=0 (dist 100000).
+    "q441_wayback_lookup" ->
+      """SELECT doc_id,
+                CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END
+                  AS BIGINT) AS cap_k,
+                CAST(1600000000 + doc_id
+                  + 86400 * (CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END)
+                  AS BIGINT) AS capture_ts,
+                CAST(CASE WHEN doc_id % 3 = 0 THEN 100000 ELSE 13600 END
+                  AS BIGINT) AS dist_sec
+         FROM documents""",
   )
 }

@@ -1898,5 +1898,52 @@ private[graft] trait QueryRegistry4 { this: SparkEntry.type =>
           lit("</body></html>")).as("html"))
       Corpus.hostGraph(pages, "doc_id", "host", "html")
     }),
+
+    // Registered domain (eTLD+1) against a declared suffix table:
+    // multi-label suffixes beat their single-label tails (co.uk over
+    // uk), bare suffixes and unmatched hosts NULL out.
+    "q440_registered_domain" -> ((s, d) => {
+      import s.implicits._
+      val sfx = Seq("com", "org", "net", "uk", "co.uk", "ac.uk", "io",
+        "github.io").toDF("suffix")
+      val hosts = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("X"), col("doc_id"), lit(".Sub.Example.CO.UK")))
+        .when(col("doc_id") % 5 === 1,
+          concat(lit("www.test"), col("doc_id") % 7, lit(".COM")))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit("deep.a.b"), col("doc_id") % 7, lit(".github.io")))
+        .when(col("doc_id") % 5 === 3,
+          concat(lit("localhost"), col("doc_id")))
+        .otherwise(lit("com"))
+        .as("host"))
+      Corpus.registeredDomain(hosts, "host", sfx, "suffix")
+        .select(col("doc_id"), col("host"), col("public_suffix"),
+          col("registered_domain"))
+    }),
+
+    // Wayback closest-capture lookup: the CDX point-in-time query —
+    // captures keyed by SURT, a nearest as-of (backward+forward pass,
+    // ties to earlier) picks the capture closest to the query instant.
+    "q441_wayback_lookup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val url = concat(lit("https://s"), col("doc_id") % 5,
+        lit(".ex/d/"), col("doc_id"))
+      val caps = docs.select(col("doc_id"),
+          explode(sequence(lit(0), (col("doc_id") % 3).cast("int")))
+            .as("k"))
+        .select(col("k").cast("long").as("k"),
+          Corpus.surtKey(url).as("sk"),
+          (lit(1600000000L) + col("doc_id") + col("k") * 86400L)
+            .as("ts"))
+      val queries = docs.select(col("doc_id"),
+        Corpus.surtKey(url).as("sk"),
+        (lit(1600000000L) + col("doc_id") + 100000L).as("ts"))
+      AsOf.asofJoinNearest(queries, caps.select("sk", "ts", "k"),
+          "sk", "ts", "k", "cap_k")
+        .select(col("doc_id"), col("cap_k"),
+          col("cap_k_ts").as("capture_ts"),
+          abs(col("ts") - col("cap_k_ts")).cast("long").as("dist_sec"))
+    }),
   )
 }

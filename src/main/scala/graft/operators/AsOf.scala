@@ -97,4 +97,32 @@ object AsOf {
       .drop("graft_side", "graft_rv", "graft_rts", "graft_mv",
         "graft_mts", "graft_ok")
   }
+
+  /** NEAREST as-of join (pandas `merge_asof(direction='nearest')`, the
+    * Wayback closest-capture lookup): each left row takes the right row
+    * whose timestamp is closest in EITHER direction, ties going to the
+    * earlier (backward) side — deterministic, and the exact-match case
+    * falls out of it (distance 0 is backward). Composed as one backward
+    * + one forward [[asofJoinDirected]] pass and a per-row distance
+    * pick, so the cost is two key-hash shuffles + sorts — never a range
+    * product (the same scale posture as the directed joins). An
+    * optional tolerance bounds the match distance symmetrically. */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, key: String,
+                      ts: String, valueCol: String, outCol: String,
+                      toleranceUs: Option[Long] = None): DataFrame = {
+    val b = asofJoinDirected(left, right, key, ts, valueCol,
+      "graft_nb", "backward", toleranceUs)
+    val f = asofJoinDirected(b, right, key, ts, valueCol,
+      "graft_nf", "forward", toleranceUs)
+    val db = col(ts).cast("long") - col("graft_nb_ts")
+    val df_ = col("graft_nf_ts") - col(ts).cast("long")
+    val takeBack = col("graft_nb_ts").isNotNull &&
+      (col("graft_nf_ts").isNull || db <= df_)
+    f
+      .withColumn(outCol, when(takeBack, col("graft_nb"))
+        .otherwise(col("graft_nf")))
+      .withColumn(outCol + "_ts", when(takeBack, col("graft_nb_ts"))
+        .otherwise(col("graft_nf_ts")))
+      .drop("graft_nb", "graft_nb_ts", "graft_nf", "graft_nf_ts")
+  }
 }

@@ -1373,6 +1373,43 @@ object Corpus {
       (!(has("nofollow") || has("none"))).as("followable"))
   }
 
+  /** Registered-domain (eTLD+1) extraction against a DECLARED public-
+    * suffix table — the rollup key every crawl pipeline groups hosts by
+    * (per-site quotas, domain dedup, host-graph contraction): the
+    * longest suffix in the table that the lowercased host equals or
+    * ends a label boundary before wins (char-longest == label-longest
+    * when one table suffix ends another), `registered_domain` is that
+    * suffix plus one more label. A host matching no suffix — or BEING a
+    * bare suffix — reports NULL rather than inventing a domain. The
+    * suffix table is the caller's (ship the real PSL as a dim at
+    * production scale); it BROADCASTS, and the longest-match pick is a
+    * per-row window keyed by row identity (duplicate host values each
+    * survive — row-level enrichment never merges rows). */
+  def registeredDomain(hosts: DataFrame, hostCol: String,
+                       suffixes: DataFrame, sufCol: String): DataFrame = {
+    val sfx = suffixes.select(lower(col(sufCol)).as("graft_sfx"),
+      length(col(sufCol)).cast("long").as("graft_slen"))
+    val w = Window.partitionBy("graft_rid")
+      .orderBy(col("graft_slen").desc, col("graft_sfx").asc)
+    hosts
+      .withColumn("graft_rid", monotonically_increasing_id())
+      .withColumn("graft_hl", lower(col(hostCol)))
+      .join(broadcast(sfx),
+        col("graft_hl") === col("graft_sfx") ||
+          col("graft_hl").endsWith(concat(lit("."), col("graft_sfx"))),
+        "left")
+      .withColumn("graft_rn", row_number().over(w))
+      .filter(col("graft_rn") === 1)
+      .withColumn("public_suffix", col("graft_sfx"))
+      .withColumn("registered_domain",
+        when(col("graft_sfx").isNotNull &&
+          col("graft_hl") =!= col("graft_sfx"),
+          concat(element_at(split(expr(
+            "substring(graft_hl, 1, length(graft_hl) - graft_slen - 1)"),
+            "\\."), -1), lit("."), col("graft_sfx"))))
+      .drop("graft_rid", "graft_hl", "graft_sfx", "graft_slen", "graft_rn")
+  }
+
   /** Host-level link graph — the edge list host-rank pipelines
     * (Common Crawl's harmonic-centrality ranking, OPIC frontiers) are
     * built from: every absolute outlink of every page becomes a

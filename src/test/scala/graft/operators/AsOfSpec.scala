@@ -61,4 +61,35 @@ class AsOfSpec extends SparkSpec {
       "k", "ts", "v", "pv", "backward", Some(5L)).collect()(0)
     assert(b5.isNullAt(2) && b5.isNullAt(3))
   }
+
+  test("asofJoinNearest: closest either side, ties to earlier," +
+    " tolerance symmetric") {
+    import spark.implicits._
+    val right = Seq(("a", 100L, 1L), ("a", 200L, 2L), ("b", 500L, 5L))
+      .toDF("k", "ts", "v")
+    val left = Seq(
+      ("a", 130L),  // 30 back vs 70 fwd → back (v=1)
+      ("a", 180L),  // 80 back vs 20 fwd → fwd (v=2)
+      ("a", 150L),  // exact tie → earlier (v=1)
+      ("a", 200L),  // exact hit (dist 0, backward) → v=2
+      ("a", 50L),   // nothing behind → fwd (v=1)
+      ("a", 999L),  // nothing ahead → back (v=2)
+      ("c", 10L))   // key with no captures → NULL
+      .toDF("k", "ts")
+    val got = AsOf.asofJoinNearest(left, right, "k", "ts", "v", "nv")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).toSet
+    assert(got === Set(
+      ("a", 130L, Some(1L)), ("a", 180L, Some(2L)),
+      ("a", 150L, Some(1L)), ("a", 200L, Some(2L)),
+      ("a", 50L, Some(1L)), ("a", 999L, Some(2L)),
+      ("c", 10L, None)))
+    // tolerance voids BOTH directions past the bound
+    val t = AsOf.asofJoinNearest(
+      Seq(("a", 130L), ("a", 260L)).toDF("k", "ts"), right,
+      "k", "ts", "v", "nv", Some(40L))
+      .collect().map(r => (r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).toSet
+    assert(t === Set((130L, Some(1L)), (260L, None)))
+  }
 }

@@ -617,4 +617,29 @@ class CorpusSpec extends SparkSpec {
       .as[(String, String, Long, Long)].collect().toSet
     assert(got === Set(("a.com", "b.com", 3L, 2L)))
   }
+
+  test("registeredDomain: longest suffix wins, label boundaries," +
+    " bare-suffix and no-match NULLs, duplicate hosts survive") {
+    import spark.implicits._
+    val sfx = Seq("uk", "co.uk", "com", "github.io", "io").toDF("s")
+    val hosts = Seq("A.B.Example.CO.UK", "notco.uk", "xco.uk",
+      "co.uk", "internal", "x.github.io", "A.B.Example.CO.UK")
+      .toDF("host")
+    val got = Corpus.registeredDomain(hosts, "host", sfx, "s")
+      .select("host", "public_suffix", "registered_domain")
+      .as[(String, String, String)].collect()
+      .map(r => (r._1, Option(r._2), Option(r._3)))
+    // duplicate host rows BOTH survive (row-level enrichment)
+    assert(got.count(_._1 == "A.B.Example.CO.UK") === 2)
+    val byHost = got.distinct.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byHost("A.B.Example.CO.UK") ===
+      ((Some("co.uk"), Some("example.co.uk"))))
+    // ".uk" boundary: notco.uk ends in ".uk" but NOT ".co.uk"
+    assert(byHost("notco.uk") === ((Some("uk"), Some("notco.uk"))))
+    assert(byHost("xco.uk") === ((Some("uk"), Some("xco.uk"))))
+    assert(byHost("co.uk") === ((Some("co.uk"), None))) // bare suffix
+    assert(byHost("internal") === ((None, None)))
+    assert(byHost("x.github.io") ===
+      ((Some("github.io"), Some("x.github.io"))))
+  }
 }
