@@ -2081,5 +2081,77 @@ private[graft] trait OracleRegistry6 { this: SparkEntry.type =>
                 CAST(CASE WHEN doc_id % 3 = 0 THEN 100000 ELSE 13600 END
                   AS BIGINT) AS dist_sec
          FROM documents""",
+
+    // Word edits = planted sub+tail count (disjoint positions, novel
+    // symbols); char edits re-derived by DuckDB's own levenshtein.
+    "q442_wer_cer" ->
+      """WITH h AS (SELECT doc_id,
+                (CASE WHEN 0 < doc_id % 3 THEN 'x0_' ELSE 'w0_' END
+                  || doc_id)
+                || ' ' || (CASE WHEN 1 < doc_id % 3 THEN 'x1_'
+                  ELSE 'w1_' END || doc_id)
+                || ' w2_' || doc_id || ' w3_' || doc_id
+                || (CASE WHEN doc_id % 4 = 3 THEN ''
+                    ELSE ' w4_' || doc_id END)
+                || (CASE WHEN doc_id % 4 IN (1, 3) THEN ''
+                    ELSE ' w5_' || doc_id END)
+                || (CASE WHEN doc_id % 4 = 2 THEN ' z_' || doc_id
+                    ELSE '' END) AS hyp,
+                'w0_' || doc_id || ' w1_' || doc_id || ' w2_' || doc_id
+                || ' w3_' || doc_id || ' w4_' || doc_id || ' w5_'
+                || doc_id AS ref,
+                doc_id % 3 + (CASE doc_id % 4 WHEN 1 THEN 1
+                  WHEN 2 THEN 1 WHEN 3 THEN 2 ELSE 0 END) AS ed
+           FROM documents)
+         SELECT doc_id,
+                CAST(6 AS BIGINT) AS n_ref_tokens,
+                CAST(6 - (CASE WHEN doc_id % 4 = 1 THEN 1
+                    WHEN doc_id % 4 = 3 THEN 2 ELSE 0 END)
+                  + (CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hyp_tokens,
+                CAST(ed AS BIGINT) AS word_edits,
+                CAST(ed * 1000000 // 6 AS BIGINT) AS wer_ppm,
+                CAST(levenshtein(hyp, ref) AS BIGINT) AS char_edits,
+                CAST(levenshtein(hyp, ref) * 1000000 // length(ref)
+                  AS BIGINT) AS cer_ppm
+         FROM h""",
+
+    // Overlap k (unigrams) / k-1 (bigrams) by prefix construction;
+    // novel tokens never collide.
+    "q443_rouge_n" ->
+      """WITH b AS (SELECT doc_id, 6 - doc_id % 4 AS k, doc_id % 3 AS a
+           FROM documents)
+         SELECT doc_id, CAST(1 AS BIGINT) AS n,
+                CAST(6 AS BIGINT) AS ref_ngrams,
+                CAST(k + a AS BIGINT) AS hyp_ngrams,
+                CAST(k AS BIGINT) AS overlap,
+                CAST(k * 1000000 // 6 AS BIGINT) AS recall_ppm,
+                CAST(k * 1000000 // (k + a) AS BIGINT) AS precision_ppm,
+                CAST(2 * k * 1000000 // (6 + k + a) AS BIGINT) AS f1_ppm
+         FROM b
+         UNION ALL
+         SELECT doc_id, 2,
+                5,
+                CAST(k + a - 1 AS BIGINT),
+                CAST(k - 1 AS BIGINT),
+                CAST((k - 1) * 1000000 // 5 AS BIGINT),
+                CAST((k - 1) * 1000000 // (k + a - 1) AS BIGINT),
+                CAST(2 * (k - 1) * 1000000 // (5 + k + a - 1) AS BIGINT)
+         FROM b""",
+
+    // LCS = prefix length minus one when the adjacent swap is planted.
+    "q444_rouge_l" ->
+      """WITH b AS (SELECT doc_id, 6 - doc_id % 4 AS k,
+                CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS sw
+           FROM documents)
+         SELECT doc_id,
+                CAST(6 AS BIGINT) AS ref_tokens,
+                CAST(k AS BIGINT) AS hyp_tokens,
+                CAST(k - sw AS BIGINT) AS lcs,
+                CAST((k - sw) * 1000000 // 6 AS BIGINT) AS recall_ppm,
+                CAST((k - sw) * 1000000 // k AS BIGINT) AS precision_ppm,
+                CAST(2 * (k - sw) * 1000000 // (6 + k) AS BIGINT)
+                  AS f1_ppm
+         FROM b""",
   )
 }

@@ -1945,5 +1945,66 @@ private[graft] trait QueryRegistry4 { this: SparkEntry.type =>
           col("cap_k_ts").as("capture_ts"),
           abs(col("ts") - col("cap_k_ts")).cast("long").as("dist_sec"))
     }),
+
+    // WER + CER: 6 distinct ref tokens per doc; hyp plants id%3 prefix
+    // substitutions and a tail arm (delete-1 / append-1 / delete-2 /
+    // none) at DISJOINT positions with novel symbols, so the optimal
+    // edit count is exactly their sum; char edits re-derived by
+    // DuckDB's own levenshtein — an independent-implementation oracle.
+    "q442_wer_cer" -> ((s, d) => {
+      val id = col("doc_id")
+      def w(i: Int) = concat(lit(s"w${i}_"), id)
+      def tok(i: Int) = when(lit(i) < id % 3,
+        concat(lit(s"x${i}_"), id)).otherwise(w(i))
+      val t = id % 4
+      val base = array((0 to 5).map(tok): _*)
+      val kept = when(t === 1, slice(base, 1, 5))
+        .when(t === 3, slice(base, 1, 4))
+        .otherwise(base)
+      val hypArr = when(t === 2,
+        concat(kept, array(concat(lit("z_"), id)))).otherwise(kept)
+      val pairs = Tables.documents(s, d).select(id,
+        array_join(hypArr, " ").as("hyp"),
+        array_join(array((0 to 5).map(w): _*), " ").as("ref"))
+      ml.TextEval.werCer(pairs, "doc_id", "hyp", "ref")
+    }),
+
+    // ROUGE-1 + ROUGE-2 via the distributed clipped-overlap path
+    // (grams explode + (id, gram) count merge): hyp = k-token prefix of
+    // the 6-token ref plus id%3 novel tokens — overlaps k and k-1 by
+    // construction, rates exact floor-ppm.
+    "q443_rouge_n" -> ((s, d) => {
+      val id = col("doc_id")
+      def w(i: Int) = concat(lit(s"w${i}_"), id)
+      val k = lit(6) - id % 4
+      val kept = slice(array((0 to 5).map(w): _*), lit(1), k)
+      // sequence(1, 0) is DESCENDING [1,0], not empty — guard a == 0
+      val novel = when(id % 3 > 0,
+        transform(sequence(lit(1), (id % 3).cast("int")),
+          j => concat(lit("n"), j, lit("_"), id)))
+        .otherwise(array().cast("array<string>"))
+      val pairs = Tables.documents(s, d).select(id,
+        array_join(concat(kept, novel), " ").as("hyp"),
+        array_join(array((0 to 5).map(w): _*), " ").as("ref"))
+      ml.TextEval.rougeN(pairs, "doc_id", "hyp", "ref", 1)
+        .unionByName(ml.TextEval.rougeN(pairs, "doc_id", "hyp", "ref", 2))
+    }),
+
+    // ROUGE-L: k-token prefix with positions 1,2 swapped on even docs —
+    // an adjacent swap of distinct tokens costs the LCS exactly one.
+    "q444_rouge_l" -> ((s, d) => {
+      val id = col("doc_id")
+      def w(i: Int) = concat(lit(s"w${i}_"), id)
+      val k = lit(6) - id % 4
+      val kept = slice(array((0 to 5).map(w): _*), lit(1), k)
+      val swapped = concat(slice(kept, lit(1), lit(1)),
+        slice(kept, lit(3), lit(1)), slice(kept, lit(2), lit(1)),
+        slice(kept, lit(4), k - 3))
+      val pairs = Tables.documents(s, d).select(id,
+        array_join(when(id % 2 === 0, swapped).otherwise(kept), " ")
+          .as("hyp"),
+        array_join(array((0 to 5).map(w): _*), " ").as("ref"))
+      ml.TextEval.rougeL(pairs, "doc_id", "hyp", "ref")
+    }),
   )
 }
