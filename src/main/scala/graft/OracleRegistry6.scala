@@ -2153,5 +2153,78 @@ private[graft] trait OracleRegistry6 { this: SparkEntry.type =>
                 CAST(2 * (k - sw) * 1000000 // (6 + k) AS BIGINT)
                   AS f1_ppm
          FROM b""",
+
+    // Fleiss replayed from the same votes CTE in HUGEINT rationals.
+    "q445_fleiss_kappa" ->
+      """WITH v AS (SELECT doc_id,
+                CASE WHEN r < 3 THEN doc_id % 3
+                  ELSE (doc_id % 3 + doc_id % 2) % 3 END AS cat
+           FROM documents, (SELECT unnest([0, 1, 2, 3]) AS r)),
+         cells AS (SELECT doc_id, cat, count(*) AS c FROM v GROUP BY 1, 2),
+         per AS (SELECT doc_id, sum(c * c) AS ssq, sum(c) AS n
+           FROM cells GROUP BY 1),
+         it AS (SELECT CAST(count(*) AS HUGEINT) AS ni,
+                CAST(max(n) AS HUGEINT) AS n,
+                CAST(sum(ssq - n) AS HUGEINT) AS a FROM per),
+         ct AS (SELECT CAST(sum(t * t) AS HUGEINT) AS b FROM
+           (SELECT cat, sum(c) AS t FROM cells GROUP BY 1))
+         SELECT CAST(ni AS BIGINT) AS n_items,
+                CAST(n AS BIGINT) AS n_raters,
+                CAST(a * 1000000 // (ni * n * (n - 1)) AS BIGINT)
+                  AS pbar_ppm,
+                CAST(b * 1000000 // (ni * n * ni * n) AS BIGINT)
+                  AS pe_ppm,
+                CAST((a * ni * n * ni * n - b * ni * n * (n - 1))
+                  * 1000000 // (ni * n * (n - 1)
+                    * (ni * n * ni * n - b)) AS BIGINT) AS kappa_ppm
+         FROM it, ct""",
+
+    // Alpha's Do/De with the T−1 expected-disagreement denominator.
+    "q446_krippendorff" ->
+      """WITH v AS (SELECT doc_id,
+                CASE WHEN r < 3 THEN doc_id % 3
+                  ELSE (doc_id % 3 + doc_id % 2) % 3 END AS cat
+           FROM documents, (SELECT unnest([0, 1, 2, 3]) AS r)),
+         cells AS (SELECT doc_id, cat, count(*) AS c FROM v GROUP BY 1, 2),
+         per AS (SELECT doc_id, sum(c * c) AS ssq, sum(c) AS n
+           FROM cells GROUP BY 1),
+         it AS (SELECT CAST(count(*) AS HUGEINT) AS ni,
+                CAST(max(n) AS HUGEINT) AS n,
+                CAST(sum(ssq) AS HUGEINT) AS sq FROM per),
+         ct AS (SELECT CAST(sum(t * t) AS HUGEINT) AS tsq FROM
+           (SELECT cat, sum(c) AS t FROM cells GROUP BY 1))
+         SELECT CAST(ni AS BIGINT) AS n_items,
+                CAST(ni * n AS BIGINT) AS n_ratings,
+                CAST((ni * n * n - sq) * 1000000
+                  // (ni * n * (n - 1)) AS BIGINT) AS do_ppm,
+                CAST((ni * n * ni * n - tsq) * 1000000
+                  // (ni * n * (ni * n - 1)) AS BIGINT) AS de_ppm,
+                CAST(((ni * n * (n - 1)) * (ni * n * ni * n - tsq)
+                   - (ni * n * n - sq) * (ni * n * (ni * n - 1)))
+                  * 1000000 // ((ni * n * (n - 1))
+                   * (ni * n * ni * n - tsq)) AS BIGINT) AS alpha_ppm
+         FROM it, ct""",
+
+    // Tournament readout replayed: pair counts, both orientations,
+    // Copeland sign sum.
+    "q447_leaderboard" ->
+      """WITH m AS (SELECT doc_id % 5 AS a,
+                (doc_id % 5 + 1 + doc_id % 3) % 5 AS b,
+                doc_id % 7 < 4 AS awin FROM documents),
+         mm AS (SELECT 'm' || (CASE WHEN awin THEN a ELSE b END) AS w,
+                'm' || (CASE WHEN awin THEN b ELSE a END) AS l FROM m),
+         pc AS (SELECT w, l, count(*) AS c FROM mm GROUP BY 1, 2),
+         sym AS (SELECT COALESCE(p.w, r.l) AS a, COALESCE(p.l, r.w) AS b,
+                COALESCE(p.c, 0) AS wab, COALESCE(r.c, 0) AS wba
+           FROM pc p FULL OUTER JOIN pc r ON p.w = r.l AND p.l = r.w)
+         SELECT a AS model,
+                CAST(sum(wab) AS BIGINT) AS n_wins,
+                CAST(sum(wba) AS BIGINT) AS n_losses,
+                CAST(sum(wab) * 1000000 // (sum(wab) + sum(wba))
+                  AS BIGINT) AS win_rate_ppm,
+                CAST(sum(CASE WHEN wab > wba THEN 1
+                  WHEN wab < wba THEN -1 ELSE 0 END) AS BIGINT)
+                  AS copeland
+         FROM sym GROUP BY 1""",
   )
 }

@@ -2006,5 +2006,44 @@ private[graft] trait QueryRegistry4 { this: SparkEntry.type =>
         array_join(array((0 to 5).map(w): _*), " ").as("ref"))
       ml.TextEval.rougeL(pairs, "doc_id", "hyp", "ref")
     }),
+
+    // Fleiss' kappa: 4 planted raters per doc — three vote the doc's
+    // category, the fourth defects on odd docs; N·n decimal rationals,
+    // floor-ppm, replayed from the same votes CTE in DuckDB.
+    "q445_fleiss_kappa" -> ((s, d) => {
+      val votes = Tables.documents(s, d).select(col("doc_id"),
+          explode(sequence(lit(0), lit(3))).as("graft_r"))
+        .select(col("doc_id"),
+          when(col("graft_r") < 3, col("doc_id") % 3)
+            .otherwise((col("doc_id") % 3 + col("doc_id") % 2) % 3)
+            .as("cat"))
+      ml.Agreement.fleissKappa(votes, "doc_id", "cat")
+    }),
+
+    // Krippendorff's alpha (nominal) on the same planted rating design
+    // — the sampling-without-replacement expected disagreement
+    // (T−1 denominator) distinguishes it from kappa's p_j².
+    "q446_krippendorff" -> ((s, d) => {
+      val votes = Tables.documents(s, d).select(col("doc_id"),
+          explode(sequence(lit(0), lit(3))).as("graft_r"))
+        .select(col("doc_id"),
+          when(col("graft_r") < 3, col("doc_id") % 3)
+            .otherwise((col("doc_id") % 3 + col("doc_id") % 2) % 3)
+            .as("cat"))
+      ml.Agreement.krippendorffAlpha(votes, "doc_id", "cat")
+    }),
+
+    // Copeland leaderboard over planted pairwise matches (the Elo-free
+    // tournament readout): per model the match record, win rate, and
+    // head-to-head beats minus beaten-bys.
+    "q447_leaderboard" -> ((s, d) => {
+      val a = col("doc_id") % 5
+      val b = (col("doc_id") % 5 + 1 + col("doc_id") % 3) % 5
+      val awin = col("doc_id") % 7 < 4
+      val matches = Tables.documents(s, d).select(
+        concat(lit("m"), when(awin, a).otherwise(b)).as("winner"),
+        concat(lit("m"), when(awin, b).otherwise(a)).as("loser"))
+      ml.Agreement.matchLeaderboard(matches, "winner", "loser")
+    }),
   )
 }
