@@ -75,7 +75,19 @@ object Robots {
     var pat = pattern.toString
     val anchored = pat.endsWith("$")
     if (anchored) pat = pat.substring(0, pat.length - 1)
-    val segs = pat.split("\\*", -1)
+    // char-wise split on '*' — no per-call regex compile in the hot loop
+    val segs = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var from = 0
+      var at = pat.indexOf('*')
+      while (at >= 0) {
+        out += pat.substring(from, at)
+        from = at + 1
+        at = pat.indexOf('*', from)
+      }
+      out += pat.substring(from)
+      out.toArray
+    }
     if (!p.startsWith(segs(0))) return false
     var pos = segs(0).length
     var i = 1
