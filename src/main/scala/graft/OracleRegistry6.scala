@@ -2226,5 +2226,31 @@ private[graft] trait OracleRegistry6 { this: SparkEntry.type =>
                   WHEN wab < wba THEN -1 ELSE 0 END) AS BIGINT)
                   AS copeland
          FROM sym GROUP BY 1""",
+
+    // Cross-multiplied threshold compares replayed over the same
+    // (p, id)-ranked windows.
+    "q448_multiple_testing" ->
+      """WITH t AS (SELECT doc_id % 10 AS family, doc_id,
+                (doc_id * 7919) % 997 * 1000 + doc_id % 1000 AS p_ppm
+           FROM documents),
+         r AS (SELECT family, doc_id, p_ppm,
+                row_number() OVER (PARTITION BY family
+                  ORDER BY p_ppm, doc_id) AS rnk,
+                count(*) OVER (PARTITION BY family) AS m
+           FROM t),
+         f AS (SELECT *,
+                min(CASE WHEN p_ppm * (m - rnk + 1) > 50000
+                  THEN rnk END) OVER (PARTITION BY family) AS ff,
+                max(CASE WHEN p_ppm * m <= rnk * 50000
+                  THEN rnk END) OVER (PARTITION BY family) AS kmax
+           FROM r)
+         SELECT CAST(family AS BIGINT) AS family, doc_id,
+                CAST(p_ppm AS BIGINT) AS p_ppm,
+                CAST(rnk AS BIGINT) AS rank,
+                CAST(m AS BIGINT) AS m,
+                p_ppm * m <= 50000 AS bonferroni_rej,
+                rnk < COALESCE(ff, m + 1) AS holm_rej,
+                rnk <= COALESCE(kmax, 0) AS bh_rej
+         FROM f""",
   )
 }

@@ -2045,5 +2045,19 @@ private[graft] trait QueryRegistry4 { this: SparkEntry.type =>
         concat(lit("m"), when(awin, b).otherwise(a)).as("loser"))
       ml.Agreement.matchLeaderboard(matches, "winner", "loser")
     }),
+
+    // Multiple-testing panel: Bonferroni / Holm / BH over planted
+    // per-family p-value spreads — every threshold compare
+    // cross-multiplied to integers, the (p, id) total order making
+    // decisions engine-replayable under ties.
+    "q448_multiple_testing" -> ((s, d) => {
+      val tests = Tables.documents(s, d).select(
+        (col("doc_id") % 10).cast("long").as("family"),
+        col("doc_id"),
+        ((col("doc_id") * 7919) % 997 * 1000 + col("doc_id") % 1000)
+          .cast("long").as("p_ppm"))
+      Experiment.multipleTesting(tests, "family", "doc_id", "p_ppm",
+        alphaPpm = 50000L)
+    }),
   )
 }

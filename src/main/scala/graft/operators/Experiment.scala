@@ -813,4 +813,56 @@ object Experiment {
         expr("CASE WHEN z_milli IS NULL THEN CAST(NULL AS BIGINT)"
           + " WHEN abs(z_milli) >= 1960 THEN 1L ELSE 0L END"))
   }
+
+  /** Multiple-testing correction panel — what an experiment platform
+    * runs over a FAMILY of metric p-values before anyone reads them
+    * (the many-metrics guard): per test the Bonferroni,
+    * Holm step-down, and Benjamini-Hochberg step-up decisions at
+    * `alphaPpm`, all EXACT — every threshold compare is cross-
+    * multiplied to integers (p·m ≤ k·α), no division anywhere:
+    *
+    *  - Bonferroni: reject iff p·m ≤ α.
+    *  - Holm: ranks ascending by (p, id); reject ranks before the
+    *    FIRST k with p₍ₖ₎·(m−k+1) > α.
+    *  - BH (FDR): reject ranks ≤ max{k : p₍ₖ₎·m ≤ k·α}.
+    *
+    * The (p, id) total order makes rank assignment — and therefore
+    * every decision — engine-replayable even under tied p-values.
+    *
+    * Scale: one family-keyed window (families are metric panels —
+    * bounded), one family-wide running aggregate over the same
+    * partitioning; nothing corpus-sized. */
+  def multipleTesting(tests: DataFrame, familyCol: String, idCol: String,
+                      pPpmCol: String, alphaPpm: Long): DataFrame = {
+    require(alphaPpm > 0 && alphaPpm < 1000000L,
+      "alphaPpm must be inside (0, 1e6)")
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(familyCol))
+      .orderBy(col("p_ppm").asc, col(idCol).asc)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(familyCol))
+    val ranked = tests
+      .select(col(familyCol), col(idCol),
+        col(pPpmCol).cast("long").as("p_ppm"))
+      .filter(assert_true(col("p_ppm") >= 0L && col("p_ppm") <= 1000000L,
+        lit("multipleTesting: p_ppm outside [0, 1e6]")).isNull)
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("m", count(lit(1)).over(wAll).cast("long"))
+    ranked
+      .withColumn("graft_holm_fail",
+        col("p_ppm") * (col("m") - col("rank") + 1L) > alphaPpm)
+      .withColumn("graft_first_fail",
+        min(when(col("graft_holm_fail"), col("rank"))).over(wAll))
+      .withColumn("graft_bh_ok",
+        col("p_ppm") * col("m") <= col("rank") * alphaPpm)
+      .withColumn("graft_bh_kmax",
+        max(when(col("graft_bh_ok"), col("rank"))).over(wAll))
+      .select(col(familyCol), col(idCol), col("p_ppm"), col("rank"),
+        col("m"),
+        (col("p_ppm") * col("m") <= alphaPpm).as("bonferroni_rej"),
+        (col("rank") < coalesce(col("graft_first_fail"),
+          col("m") + 1L)).as("holm_rej"),
+        (col("rank") <= coalesce(col("graft_bh_kmax"), lit(0L)))
+          .as("bh_rej"))
+  }
 }

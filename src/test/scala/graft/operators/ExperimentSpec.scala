@@ -433,4 +433,46 @@ class ExperimentSpec extends SparkSpec {
       "grp", "v", "id", replicas = 32).head()
     assert(re.toSeq === got.toSeq)
   }
+
+  test("multipleTesting: textbook BH/Holm/Bonferroni decisions") {
+    import spark.implicits._
+    // m=4, α=5%: p = {0.005, 0.011, 0.02, 0.04}
+    // Bonferroni (p·4 ≤ .05): only .005, .011 (.044 ≤ .05) → ranks 1,2
+    // Holm: .005 ≤ .05/4 ✓, .011 ≤ .05/3=.0166 ✓, .02 ≤ .05/2=.025 ✓,
+    //       .04 ≤ .05 ✓ → all four
+    // BH: p(k) ≤ k·.05/4 → .005≤.0125 ✓ .011≤.025 ✓ .02≤.0375 ✓
+    //       .04≤.05 ✓ → all four
+    val t = Seq((1L, 11000L), (2L, 5000L), (3L, 40000L), (4L, 20000L))
+      .map { case (id, p) => ("f", id, p) }.toDF("fam", "id", "p")
+    val got = Experiment.multipleTesting(t, "fam", "id", "p", 50000L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("rank"), r.getAs[Boolean]("bonferroni_rej"),
+          r.getAs[Boolean]("holm_rej"), r.getAs[Boolean]("bh_rej"))))
+      .toMap
+    assert(got(2L) === ((1L, true, true, true)))
+    assert(got(1L) === ((2L, true, true, true)))
+    assert(got(4L) === ((3L, false, true, true))) // p=.02 ranks 3rd
+    assert(got(3L) === ((4L, false, true, true))) // p=.04 ranks 4th
+    // Holm stops at the FIRST failure even if later ps would pass:
+    // p = {0.04, 0.041, 0.0001}: rank1 .0001 ≤ .05/3 ✓,
+    // rank2 .04 > .05/2 ✗ stops; rank3 .041 ≤ .05 but NOT rejected.
+    val t2 = Seq(("f", 1L, 40000L), ("f", 2L, 41000L), ("f", 3L, 100L))
+      .toDF("fam", "id", "p")
+    val g2 = Experiment.multipleTesting(t2, "fam", "id", "p", 50000L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Boolean]("holm_rej")).toMap
+    assert(g2 === Map(3L -> true, 1L -> false, 2L -> false))
+    // BH with NOTHING passing: kmax absent → nothing rejected
+    val t3 = Seq(("f", 1L, 900000L), ("f", 2L, 990000L))
+      .toDF("fam", "id", "p")
+    val g3 = Experiment.multipleTesting(t3, "fam", "id", "p", 50000L)
+      .collect().map(_.getAs[Boolean]("bh_rej"))
+    assert(g3.forall(_ == false))
+    // families are independent panels
+    val t4 = Seq(("a", 1L, 1000L), ("b", 1L, 1000L))
+      .toDF("fam", "id", "p")
+    val g4 = Experiment.multipleTesting(t4, "fam", "id", "p", 50000L)
+      .collect().map(r => r.getAs[Long]("m"))
+    assert(g4.toSeq === Seq(1L, 1L))
+  }
 }
