@@ -2252,5 +2252,28 @@ private[graft] trait OracleRegistry6 { this: SparkEntry.type =>
                 rnk < COALESCE(ff, m + 1) AS holm_rej,
                 rnk <= COALESCE(kmax, 0) AS bh_rej
          FROM f""",
+
+    // Synth round-trip: the tear keeps exactly the first block, the
+    // unknown codec keeps zero records; sums/names replayed as list
+    // arithmetic over the surviving record count.
+    "q449_avro_walk" ->
+      """WITH b AS (SELECT doc_id,
+                CASE doc_id % 3 WHEN 0 THEN 'deflate' WHEN 1 THEN 'null'
+                  ELSE 'snappy' END AS codec,
+                CASE WHEN doc_id % 3 = 2 THEN 0
+                  WHEN doc_id % 9 = 4 THEN 1 + doc_id % 4
+                  ELSE 2 * (1 + doc_id % 4) END AS cnt
+           FROM documents)
+         SELECT doc_id, codec,
+                true AS schema_ok,
+                CAST(cnt AS BIGINT) AS n_records,
+                doc_id % 3 = 2 OR doc_id % 9 = 4 AS truncated,
+                CAST(COALESCE(list_sum(list_transform(range(cnt),
+                  j -> (doc_id + j) % 1000)), 0) AS BIGINT) AS sum_score,
+                CASE WHEN cnt = 0 THEN NULL
+                  ELSE md5(array_to_string(list_transform(range(cnt),
+                    j -> 'n' || doc_id || '_' || j), ',')) END
+                  AS names_md5
+         FROM b""",
   )
 }

@@ -2059,5 +2059,39 @@ private[graft] trait QueryRegistry4 { this: SparkEntry.type =>
       Experiment.multipleTesting(tests, "family", "doc_id", "p_ppm",
         alphaPpm = 50000L)
     }),
+
+    // Avro OCF walk: per doc a real container (zigzag-varint binary
+    // encoding, metadata map, sync-framed blocks) over three codec arms
+    // (deflate / null / unknown-snappy → honest degrade) with a planted
+    // tail tear at %9 — complete blocks survive, the rest flags
+    // truncated; every emitted field is synth arithmetic.
+    "q449_avro_walk" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val k = (1 + id % 4).toInt
+          val recs = (0 until 2 * k).map(j =>
+            multimodal.Avro.Record(id * 10 + j, s"n${id}_$j",
+              (id + j) % 1000))
+          val codec = (id % 3) match {
+            case 0 => "deflate"
+            case 1 => "null"
+            case _ => "snappy"
+          }
+          val full = multimodal.Avro.synth(recs, k, codec, id.toString)
+          val bytes = if (id % 9 == 4) full.take(full.length - 10)
+            else full
+          val r = multimodal.Avro.walk(bytes)
+          (id, r.codec, r.schemaOk, r.records.size.toLong, r.truncated,
+            r.records.map(_.score).sum,
+            if (r.records.nonEmpty)
+              Some(r.records.map(_.name).mkString(",")) else None)
+        }
+        .toDF("doc_id", "codec", "schema_ok", "n_records", "truncated",
+          "sum_score", "graft_names")
+        .select(col("doc_id"), col("codec"), col("schema_ok"),
+          col("n_records"), col("truncated"), col("sum_score"),
+          md5(col("graft_names")).as("names_md5"))
+    }),
   )
 }
