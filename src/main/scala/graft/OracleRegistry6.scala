@@ -2275,5 +2275,23 @@ private[graft] trait OracleRegistry6 { this: SparkEntry.type =>
                     j -> 'n' || doc_id || '_' || j), ',')) END
                   AS names_md5
          FROM b""",
+
+    // Both degrade arms drop exactly the final record.
+    "q450_tfrecord_walk" ->
+      """WITH b AS (SELECT doc_id,
+                CASE WHEN doc_id % 9 IN (4, 7) THEN doc_id % 5
+                  ELSE 1 + doc_id % 5 END AS cnt,
+                doc_id % 9 IN (4, 7) AS trunc
+           FROM documents)
+         SELECT doc_id,
+                CAST(cnt AS BIGINT) AS n_records,
+                trunc AS truncated,
+                CAST(COALESCE(list_sum(list_transform(range(cnt),
+                  j -> (doc_id + j) % 1000)), 0) AS BIGINT) AS sum_score,
+                CASE WHEN cnt = 0 THEN NULL
+                  ELSE md5(array_to_string(list_transform(range(cnt),
+                    j -> 'n' || doc_id || '_' || j), ',')) END
+                  AS names_md5
+         FROM b""",
   )
 }

@@ -2093,5 +2093,38 @@ private[graft] trait QueryRegistry4 { this: SparkEntry.type =>
           col("n_records"), col("truncated"), col("sum_score"),
           md5(col("graft_names")).as("names_md5"))
     }),
+
+    // TFRecord + protobuf wire walk: masked-CRC32C framing verified per
+    // record, payloads decoded through the real varint/LEN field walk;
+    // %9==4 tears the tail, %9==7 corrupts the final data CRC — both
+    // drop exactly the last record and flag truncated.
+    "q450_tfrecord_walk" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val n = (1 + id % 5).toInt
+          val recs = (0 until n).map(j =>
+            multimodal.Avro.Record(id * 10 + j, s"n${id}_$j",
+              (id + j) % 1000))
+          val full = multimodal.TfRecord.synth(recs)
+          val bytes =
+            if (id % 9 == 4) full.take(full.length - 6)
+            else if (id % 9 == 7) {
+              val b = full.clone()
+              b(b.length - 1) = (b(b.length - 1) ^ 0x01).toByte
+              b
+            } else full
+          val (payloads, torn) = multimodal.TfRecord.walk(bytes)
+          val decoded = payloads.flatMap(multimodal.TfRecord.decodeRecord)
+          (id, decoded.size.toLong, torn,
+            decoded.map(_.score).sum,
+            if (decoded.nonEmpty)
+              Some(decoded.map(_.name).mkString(",")) else None)
+        }
+        .toDF("doc_id", "n_records", "truncated", "sum_score",
+          "graft_names")
+        .select(col("doc_id"), col("n_records"), col("truncated"),
+          col("sum_score"), md5(col("graft_names")).as("names_md5"))
+    }),
   )
 }
