@@ -2293,5 +2293,15 @@ private[graft] trait OracleRegistry6 { this: SparkEntry.type =>
                     j -> 'n' || doc_id || '_' || j), ',')) END
                   AS names_md5
          FROM b""",
+
+    // Each ring block is its own SCC (min id = block base); the cross
+    // edges are one-directional and merge nothing; the chain nodes are
+    // singleton SCCs.
+    "q451_scc" ->
+      """WITH n AS (SELECT DISTINCT doc_id % 60 AS v FROM documents)
+         SELECT CAST(v AS BIGINT) AS node,
+                CAST(v // 10 * 10 AS BIGINT) AS scc FROM n
+         UNION ALL SELECT 100, 100
+         UNION ALL SELECT 101, 101""",
   )
 }

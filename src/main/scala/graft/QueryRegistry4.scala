@@ -2126,5 +2126,22 @@ private[graft] trait QueryRegistry4 { this: SparkEntry.type =>
         .select(col("doc_id"), col("n_records"), col("truncated"),
           col("sum_score"), md5(col("graft_names")).as("names_md5"))
     }),
+
+    // Strongly connected components: six 10-node ring SCCs with
+    // one-directional cross edges between blocks (undirected components
+    // would merge them into three blobs) plus a 2-node chain of
+    // singleton SCCs; labels = min node id per component.
+    "q451_scc" -> ((s, d) => {
+      import s.implicits._
+      val ring = Tables.documents(s, d).select(
+        (col("doc_id") % 60).as("src"),
+        expr("(doc_id % 60) div 10 * 10 + ((doc_id % 60) % 10 + 1) % 10")
+          .as("dst"))
+      val cross = Seq((0L, 10L), (20L, 30L), (40L, 50L), (100L, 101L))
+        .toDF("src", "dst")
+      Components.stronglyConnected(ring.unionByName(cross), "src", "dst")
+        .select(col("id").cast("long").as("node"),
+          col("scc").cast("long").as("scc"))
+    }),
   )
 }

@@ -135,4 +135,175 @@ object Components {
     edges.unpersist()
     out
   }
+
+  /** STRONGLY connected components over a DIRECTED edge list — the
+    * cycle structure [[connected]]'s undirected pass cannot see (link
+    * farms in a crawl host graph, mutual-citation clusters, feedback
+    * loops in a lineage DAG check). Returns (id, scc) with scc = the
+    * minimum node id of the component; every node appearing on either
+    * edge side is labeled (a node on no cycle is its own singleton
+    * SCC).
+    *
+    * Hybrid by the [[connected]] budget discipline: at or below
+    * `driverEdgeBudget` edges (the post-similarity-join artifact scale)
+    * an iterative Tarjan runs driver-local — one linear pass, exact.
+    * Above it, the distributed Orzan-style coloring: per peel round,
+    * min-id FORWARD-reachable (f) and BACKWARD-reachable (b) labels
+    * propagate to fixpoint (each inner iteration one edge-keyed join —
+    * the [[graft.operators.Graph.bfsHops]] shape); nodes with f = b
+    * form exactly SCC(f) (f is reachable both ways), they peel off with
+    * their edges, and the next round classifies the next DAG layer.
+    * Peel rounds are bounded by the condensation-DAG depth; `maxPeels`
+    * caps them and a non-empty remainder warns (the maxIters
+    * discipline), never silently mislabels. */
+  def stronglyConnected(pairs: DataFrame, srcCol: String, dstCol: String,
+                        maxIters: Int = 25, maxPeels: Int = 12,
+                        driverEdgeBudget: Long = 1000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges0 = pairs.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = edges0.count()
+    val idType = edges0.schema("a").dataType
+    if (nEdges <= driverEdgeBudget) {
+      // Iterative Tarjan (explicit stacks — no recursion depth limit).
+      val rows = edges0.collect()
+      edges0.unpersist()
+      def cmp(x: Any, y: Any): Int =
+        x.asInstanceOf[Comparable[Any]].compareTo(y)
+      val adj = new java.util.HashMap[Any, java.util.ArrayList[Any]]()
+      val nodes = new java.util.LinkedHashSet[Any]()
+      rows.foreach { r =>
+        val a = r.get(0); val b = r.get(1)
+        nodes.add(a); nodes.add(b)
+        adj.computeIfAbsent(a, _ => new java.util.ArrayList[Any]()).add(b)
+      }
+      val index = new java.util.HashMap[Any, Int]()
+      val low = new java.util.HashMap[Any, Int]()
+      val onStack = new java.util.HashSet[Any]()
+      val stack = new java.util.ArrayDeque[Any]()
+      val sccOf = new java.util.HashMap[Any, Any]()
+      var counter = 0
+      val it0 = nodes.iterator()
+      while (it0.hasNext) {
+        val root = it0.next()
+        if (!index.containsKey(root)) {
+          // work stack of (node, next-child cursor)
+          val work = new java.util.ArrayDeque[(Any, Int)]()
+          work.push((root, 0))
+          index.put(root, counter); low.put(root, counter); counter += 1
+          stack.push(root); onStack.add(root)
+          while (!work.isEmpty) {
+            val (v, ci) = work.pop()
+            val kids = adj.getOrDefault(v, new java.util.ArrayList[Any]())
+            if (ci < kids.size()) {
+              work.push((v, ci + 1))
+              val w = kids.get(ci)
+              if (!index.containsKey(w)) {
+                index.put(w, counter); low.put(w, counter); counter += 1
+                stack.push(w); onStack.add(w)
+                work.push((w, 0))
+              } else if (onStack.contains(w)) {
+                if (index.get(w) < low.get(v)) low.put(v, index.get(w))
+              }
+            } else {
+              // post-visit: fold low into parent, pop an SCC at a root
+              if (low.get(v) == index.get(v)) {
+                val members = new java.util.ArrayList[Any]()
+                var done = false
+                while (!done) {
+                  val w = stack.pop(); onStack.remove(w); members.add(w)
+                  if (w == v) done = true
+                }
+                var mn = members.get(0)
+                var i = 1
+                while (i < members.size()) {
+                  if (cmp(members.get(i), mn) < 0) mn = members.get(i)
+                  i += 1
+                }
+                members.forEach(m => sccOf.put(m, mn))
+              }
+              if (!work.isEmpty) {
+                val (p, _) = work.peek()
+                if (low.get(v) < low.get(p)) low.put(p, low.get(v))
+              }
+            }
+          }
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      val out = nodes.asScala.toSeq
+        .map(k => org.apache.spark.sql.Row(k, sccOf.get(k)))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("scc", idType)))
+      return Materialize.artifact(spark.createDataFrame(
+        spark.sparkContext.parallelize(out.toIndexedSeq,
+          math.max(1, out.size / 500000 + 1)), schema))
+    }
+    // distributed peeling
+    def minReach(edges: DataFrame, nodes: DataFrame,
+                 forward: Boolean): DataFrame = {
+      val e = if (forward) edges
+        else edges.select(col("b").as("a"), col("a").as("b"))
+      var labels = nodes.select(col("id"), col("id").as("lab"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var converged = false
+      var iters = 0
+      while (!converged && iters < maxIters) {
+        val viaOut = e.join(labels.withColumnRenamed("id", "b"), Seq("b"))
+          .groupBy(col("a").as("id")).agg(min(col("lab")).as("nb"))
+        val next = labels.select(col("id"), col("lab").as("old"))
+          .join(viaOut, Seq("id"), "left")
+          .select(col("id"),
+            least(col("old"), coalesce(col("nb"), col("old"))).as("lab"),
+            col("old"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val changed = next
+          .agg(count(when(col("lab") < col("old"), 1)).as("ch"))
+          .head().getLong(0)
+        labels.unpersist()
+        labels = next
+        converged = changed == 0L
+        iters += 1
+      }
+      val out = labels.select(col("id"), col("lab"))
+        .transform(Materialize.artifact)
+      labels.unpersist()
+      out
+    }
+    var edges = edges0
+    var nodes = edges.select(col("a").as("id"))
+      .unionByName(edges.select(col("b").as("id"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var acc: DataFrame = null
+    var peel = 0
+    var empty = nodes.isEmpty
+    while (!empty && peel < maxPeels) {
+      val f = minReach(edges, nodes, forward = true)
+      val b = minReach(edges, nodes, forward = false)
+      val assigned = f.join(b.withColumnRenamed("lab", "blab"), Seq("id"))
+        .filter(col("lab") === col("blab"))
+        .select(col("id"), col("lab").as("scc"))
+        .transform(Materialize.artifact)
+      acc = if (acc == null) assigned else acc.unionByName(assigned)
+      val rest = nodes.join(assigned.select("id"), Seq("id"), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val restEdges = edges
+        .join(rest.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(rest.select(col("id").as("b")), Seq("b"), "left_semi")
+        .select("a", "b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      empty = rest.isEmpty
+      nodes.unpersist(); edges.unpersist()
+      nodes = rest; edges = restEdges
+      peel += 1
+    }
+    if (!empty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"stronglyConnected(): maxPeels=$maxPeels exhausted — " +
+          "unclassified nodes remain unlabeled; raise maxPeels")
+    nodes.unpersist(); edges.unpersist()
+    Materialize.artifact(acc)
+  }
 }

@@ -57,4 +57,37 @@ class ComponentsSpec extends SparkSpec {
       "acme corps" -> "acme corp", "acme inc" -> "acme corp",
       "zeta a" -> "zeta a", "zeta b" -> "zeta a"))
   }
+
+  // 3-cycle → 2-cycle → chain: SCCs {a,b,c}, {d,e}, {f}, {g}; the
+  // DIRECTION matters — undirected components would see ONE blob.
+  private val sccEdges = Seq(
+    ("a", "b"), ("b", "c"), ("c", "a"),
+    ("c", "d"), ("d", "e"), ("e", "d"),
+    ("e", "f"), ("f", "g"))
+
+  test("stronglyConnected: cycles split from the DAG around them" +
+    " (driver Tarjan path)") {
+    import spark.implicits._
+    val got = Components.stronglyConnected(
+        sccEdges.toDF("s", "t"), "s", "t")
+      .as[(String, String)].collect().toMap
+    assert(got === Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "d" -> "d", "e" -> "d", "f" -> "f", "g" -> "g"))
+    // sanity: undirected components WOULD merge everything
+    val und = Components.connected(sccEdges.toDF("s", "t"), "s", "t")
+      .as[(String, String)].collect().toMap
+    assert(und.values.toSet === Set("a"))
+  }
+
+  test("stronglyConnected: distributed coloring path peels the DAG" +
+    " and matches Tarjan") {
+    import spark.implicits._
+    val df = sccEdges.toDF("s", "t")
+    val tarjan = Components.stronglyConnected(df, "s", "t")
+      .as[(String, String)].collect().toSet
+    val dist = Components.stronglyConnected(df, "s", "t",
+        driverEdgeBudget = 0L)
+      .as[(String, String)].collect().toSet
+    assert(dist === tarjan)
+  }
 }
