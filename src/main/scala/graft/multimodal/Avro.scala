@@ -130,15 +130,15 @@ object Avro {
       }
       val raw = body.toByteArray
       val payload = if (codec == "deflate") {
-        val d = new java.util.zip.Deflater(
-          java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+        val d = Warc.deflaterPool.get()
         try {
+          d.reset()
           d.setInput(raw); d.finish()
           val o = new java.io.ByteArrayOutputStream()
           val buf = new Array[Byte](64 << 10)
           while (!d.finished()) o.write(buf, 0, d.deflate(buf))
           o.toByteArray
-        } finally d.end()
+        } finally d.reset()
       } else raw
       writeLong(out, blk.length.toLong)
       writeLong(out, payload.length.toLong)
@@ -198,8 +198,9 @@ object Avro {
         return torn(schema, codec, schemaOk, out.toSeq)
       val payload0 = java.util.Arrays.copyOfRange(bytes, p2, p2 + sz.toInt)
       val payload = if (codec == "deflate") {
-        val inf = new java.util.zip.Inflater(true)
+        val inf = Warc.inflaterPool.get()
         try {
+          inf.reset()
           inf.setInput(payload0)
           val o = new java.io.ByteArrayOutputStream()
           val buf = new Array[Byte](64 << 10)
@@ -215,7 +216,7 @@ object Avro {
           }
           if (bad) return torn(schema, codec, schemaOk, out.toSeq)
           o.toByteArray
-        } finally inf.end()
+        } finally inf.reset()
       } else payload0
       // decode exactly cnt records, consuming the payload exactly
       var q = 0

@@ -107,6 +107,24 @@ object Warc {
     * far past any legitimate record. */
   val MaxInflatedPerMember: Int = 256 << 20
 
+  /** Thread-local codec instances, `reset()` per use — a fresh
+    * Deflater/Inflater is a JNI allocation, and the member walks run
+    * per ROW; pooling cut the q401/q402 sweep cost measurably. Never
+    * `end()` these. */
+  private[multimodal] val inflaterPool =
+    new ThreadLocal[java.util.zip.Inflater] {
+      override def initialValue() = new java.util.zip.Inflater(true)
+    }
+  private[multimodal] val deflaterPool =
+    new ThreadLocal[java.util.zip.Deflater] {
+      // BEST_SPEED: the deflater only writes SYNTH fixtures — the level
+      // changes nothing about what the decode path must handle (level-1
+      // output is still genuinely Huffman-coded), it just stops the
+      // fixture WRITE from dominating the container-walk sweeps.
+      override def initialValue() = new java.util.zip.Deflater(
+        java.util.zip.Deflater.BEST_SPEED, true)
+    }
+
   /** One gzip member starting at `off`: (inflated payload, end offset
     * past the footer). Full RFC 1951 deflate — Huffman-coded (fixed and
     * dynamic) and stored blocks alike — via `java.util.zip.Inflater`
@@ -144,8 +162,9 @@ object Warc {
     }
     if ((flg & 2) != 0) p += 2
     if (p >= bytes.length) return None
-    val inf = new java.util.zip.Inflater(true) // raw deflate
+    val inf = inflaterPool.get() // raw deflate, pooled
     try {
+      inf.reset()
       inf.setInput(bytes, p, bytes.length - p)
       val body = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](64 << 10)
@@ -170,7 +189,7 @@ object Warc {
       if (le32(fEnd) != crc.getValue ||
         le32(fEnd + 4) != (payload.length & 0xffffffffL)) return None
       Some((payload, fEnd + 8))
-    } finally inf.end()
+    } finally inf.reset()
   }
 
   /** Concatenated gzip members → inflated payloads in stream order;
@@ -346,9 +365,9 @@ object Warc {
     }
     out.write(0x1f); out.write(0x8b); out.write(8); out.write(0)
     le32(0L); out.write(0); out.write(255)
-    val def_ = new java.util.zip.Deflater(
-      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    val def_ = deflaterPool.get()
     try {
+      def_.reset()
       def_.setInput(payload)
       def_.finish()
       val buf = new Array[Byte](64 << 10)
@@ -356,7 +375,7 @@ object Warc {
         val n = def_.deflate(buf)
         out.write(buf, 0, n)
       }
-    } finally def_.end()
+    } finally def_.reset()
     val crc = new java.util.zip.CRC32()
     crc.update(payload)
     le32(crc.getValue)
