@@ -2294,6 +2294,61 @@ private[graft] trait OracleRegistry6 { this: SparkEntry.type =>
                   AS names_md5
          FROM b""",
 
+    // DuckDB's OWN nfc_normalize over the same planted raws — two
+    // independent UAX #15 implementations must agree on every field.
+    "q452_nfc_audit" ->
+      """WITH r AS (SELECT doc_id,
+                CASE WHEN doc_id % 4 = 0
+                    THEN 'Cafe' || chr(769) || ' nr ' || doc_id
+                  WHEN doc_id % 4 = 1
+                    THEN 'caf' || chr(233) || ' ' || doc_id
+                  WHEN doc_id % 4 = 2
+                    THEN 'A' || chr(778) || 'ngstro' || chr(776)
+                      || 'm ' || doc_id
+                  ELSE 'plain ' || doc_id END AS raw
+           FROM documents)
+         SELECT doc_id,
+                nfc_normalize(raw) != raw AS changed,
+                CAST(length(raw) AS BIGINT) AS n_before,
+                CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_after,
+                md5(nfc_normalize(raw)) AS norm_md5
+         FROM r""",
+
+    // Planted-count replay: one confusable letter and one mixed token
+    // per spoofed arm; digits are Common script, not Latin.
+    "q453_mixed_script" ->
+      """SELECT doc_id,
+                CAST(CASE WHEN doc_id % 3 = 2 THEN 13 ELSE 12 END
+                  AS BIGINT) AS n_latin,
+                CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                  AS BIGINT) AS n_cyrillic,
+                CAST(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END
+                  AS BIGINT) AS n_greek,
+                CAST(CASE WHEN doc_id % 3 = 2 THEN 0 ELSE 1 END
+                  AS BIGINT) AS n_mixed_tokens,
+                doc_id % 3 != 2 AS suspicious
+         FROM documents""",
+
+    // Scrub replayed with the same control-char class; counts planted.
+    "q454_bidi_scrub" ->
+      ("""WITH r AS (SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0
+                    THEN 'start ' || chr(8238) || 'evil' || chr(8236)
+                      || ' end ' || doc_id
+                  WHEN doc_id % 3 = 1
+                    THEN 'a ' || chr(8294) || 'iso' || chr(8297)
+                      || chr(8207) || ' b ' || doc_id
+                  ELSE 'clean text ' || doc_id END AS raw
+           FROM documents)
+         SELECT doc_id,
+                CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 3
+                  ELSE 0 END AS BIGINT) AS n_bidi,
+                doc_id % 3 IN (0, 1) AS suspicious,
+                md5(regexp_replace(raw,
+                  '[""" + "\u202a-\u202e\u2066-\u2069" +
+        "\u200e\u200f\u061c" + """]', '', 'g')) AS scrubbed_md5
+         FROM r"""),
+
     // Each ring block is its own SCC (min id = block base); the cross
     // edges are one-directional and merge nothing; the chain nodes are
     // singleton SCCs.

@@ -2143,5 +2143,56 @@ private[graft] trait QueryRegistry4 { this: SparkEntry.type =>
         .select(col("id").cast("long").as("node"),
           col("scc").cast("long").as("scc"))
     }),
+
+    // Unicode NFC audit: decomposed plants (combining acute / ring /
+    // diaeresis) compose, already-NFC text passes through; the oracle
+    // runs DuckDB's OWN nfc_normalize on the same raw strings — two
+    // independent UAX #15 implementations must agree.
+    "q452_nfc_audit" -> ((s, d) => {
+      val raw = when(col("doc_id") % 4 === 0,
+          concat(lit("Cafe\u0301 nr "), col("doc_id")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("caf\u00e9 "), col("doc_id")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("A\u030angstro\u0308m "), col("doc_id")))
+        .otherwise(concat(lit("plain "), col("doc_id")))
+      Tables.documents(s, d).select(col("doc_id"), raw.as("graft_raw"))
+        .select(col("doc_id"),
+          T.nfc(col("graft_raw")).as("graft_norm"),
+          length(col("graft_raw")).cast("long").as("n_before"),
+          col("graft_raw"))
+        .select(col("doc_id"),
+          (col("graft_norm") =!= col("graft_raw")).as("changed"),
+          col("n_before"),
+          length(col("graft_norm")).cast("long").as("n_after"),
+          md5(col("graft_norm")).as("norm_md5"))
+    }),
+
+    // Mixed-script homoglyph audit: a Cyrillic \u043e / Greek \u03bf planted
+    // inside a Latin word \u2014 the spoof every exact matcher misses.
+    "q453_mixed_script" -> ((s, d) => {
+      val text = when(col("doc_id") % 3 === 0, // Cyrillic \u043e
+          concat(lit("The w\u043erd id"), col("doc_id"), lit(" here")))
+        .when(col("doc_id") % 3 === 1, // Greek \u03bf
+          concat(lit("The w\u03bfrd id"), col("doc_id"), lit(" here")))
+        .otherwise(concat(lit("The word id"), col("doc_id"),
+          lit(" here")))
+      Corpus.scriptProfile(Tables.documents(s, d)
+        .select(col("doc_id"), text.as("text")), "doc_id", "text")
+    }),
+
+    // Trojan-Source bidi scrub: planted RLO/PDF pairs and isolate
+    // pairs (+RLM) counted and stripped; clean docs untouched.
+    "q454_bidi_scrub" -> ((s, d) => {
+      val text = when(col("doc_id") % 3 === 0, // RLO \u2026 PDF
+          concat(lit("start \u202eevil\u202c end "), col("doc_id")))
+        .when(col("doc_id") % 3 === 1, // LRI \u2026 PDI + RLM
+          concat(lit("a \u2066iso\u2069\u200f b "), col("doc_id")))
+        .otherwise(concat(lit("clean text "), col("doc_id")))
+      Corpus.bidiScrub(Tables.documents(s, d)
+          .select(col("doc_id"), text.as("text")), "doc_id", "text")
+        .select(col("doc_id"), col("n_bidi"), col("suspicious"),
+          md5(col("scrubbed")).as("scrubbed_md5"))
+    }),
   )
 }

@@ -172,6 +172,12 @@ object TextFunctions {
     ColumnBridge.column(LuhnScrub(ColumnBridge.expression(c)))
   }
 
+  /** Unicode NFC normalization (see [[NfcNormalize]]). */
+  def nfc(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(c)))
+  }
+
   /** RFC 3986 URL canonicalization + tracking-param strip (see
     * [[CanonicalUrl]]); non-URL values return unchanged. */
   def canonicalUrl(c: Column,

@@ -1410,6 +1410,48 @@ object Corpus {
       .drop("graft_rid", "graft_hl", "graft_sfx", "graft_slen", "graft_rn")
   }
 
+  /** The Unicode bidi control characters a "Trojan Source"-style
+    * attack hides reordered text behind (embeddings U+202A–U+202E,
+    * isolates U+2066–U+2069, marks U+200E/U+200F/U+061C) — regex char
+    * class shared by [[bidiScrub]] and its oracle. */
+  val BidiControls: String =
+    "[\\u202A-\\u202E\\u2066-\\u2069\\u200E\\u200F\\u061C]"
+
+  /** Bidi-control scrub — the code-corpus poisoning defense (Boucher &
+    * Anderson, "Trojan Source", USENIX Sec '22): text that RENDERS one
+    * way and tokenizes another rides these controls; a training corpus
+    * wants them counted (the suspicion signal) and stripped. One
+    * codegen'd regexp pass, zero shuffle. */
+  def bidiScrub(docs: DataFrame, idCol: String,
+                textCol: String): DataFrame =
+    docs.select(col(idCol),
+        regexp_count(col(textCol), lit(BidiControls)).cast("long")
+          .as("n_bidi"),
+        regexp_replace(col(textCol), BidiControls, "").as("scrubbed"))
+      .withColumn("suspicious", col("n_bidi") > 0)
+
+  /** Mixed-script profile — the homoglyph-spoofing signal (a Cyrillic
+    * о inside a Latin word survives every exact matcher while reading
+    * identically): per doc the Latin/Cyrillic/Greek letter counts and
+    * the number of whitespace tokens mixing Latin with a confusable
+    * script — the per-doc row a curation gate thresholds. Counts ride
+    * `regexp_count` with Java script classes; the token check is one
+    * bounded filter over the split — all codegen, zero shuffle. */
+  def scriptProfile(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame =
+    docs.select(col(idCol),
+        regexp_count(col(textCol), lit("\\p{IsLatin}")).cast("long")
+          .as("n_latin"),
+        regexp_count(col(textCol), lit("\\p{IsCyrillic}")).cast("long")
+          .as("n_cyrillic"),
+        regexp_count(col(textCol), lit("\\p{IsGreek}")).cast("long")
+          .as("n_greek"),
+        size(filter(split(col(textCol), "\\s+"),
+          t => t.rlike("\\p{IsLatin}") &&
+            t.rlike("[\\p{IsCyrillic}\\p{IsGreek}]"))).cast("long")
+          .as("n_mixed_tokens"))
+      .withColumn("suspicious", col("n_mixed_tokens") > 0)
+
   /** Host-level link graph — the edge list host-rank pipelines
     * (Common Crawl's harmonic-centrality ranking, OPIC frontiers) are
     * built from: every absolute outlink of every page becomes a

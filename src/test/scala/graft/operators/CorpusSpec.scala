@@ -642,4 +642,35 @@ class CorpusSpec extends SparkSpec {
     assert(byHost("x.github.io") ===
       ((Some("github.io"), Some("x.github.io"))))
   }
+
+  test("unicode hygiene: NFC composes, bidi controls scrub, mixed" +
+    " scripts flag") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // NFC: decomposed composes; already-NFC and ASCII pass through
+    val nfc = Seq("Cafe\u0301", "caf\u00e9", "ascii")
+      .toDF("t").select(graft.functions.TextFunctions.nfc(col("t")))
+      .as[String].collect().toSeq
+    assert(nfc === Seq("caf\u00e9".replace("c", "C"), "caf\u00e9",
+      "ascii"))
+    // bidi: all nine control classes counted and stripped
+    val bid = Seq((1L,
+      "a\u202a\u202b\u202c\u202d\u202eb\u2066\u2067\u2068\u2069" +
+        "c\u200e\u200f\u061cd")).toDF("id", "t")
+    val r = Corpus.bidiScrub(bid, "id", "t").collect()(0)
+    assert(r.getAs[Long]("n_bidi") === 12L)
+    assert(r.getAs[String]("scrubbed") === "abcd")
+    assert(r.getAs[Boolean]("suspicious"))
+    val clean = Corpus.bidiScrub(Seq((1L, "plain")).toDF("id", "t"),
+      "id", "t").collect()(0)
+    assert(clean.getAs[Long]("n_bidi") === 0L &&
+      !clean.getAs[Boolean]("suspicious"))
+    // mixed script: Cyrillic-inside-Latin token flags; pure-Cyrillic
+    // token does NOT (it is consistent, not spoofed)
+    val ms = Corpus.scriptProfile(Seq(
+      (1L, "p\u0430y \u043f\u0440\u0438\u0432\u0435\u0442 ok"))
+      .toDF("id", "t"), "id", "t").collect()(0)
+    assert(ms.getAs[Long]("n_cyrillic") === 7L)
+    assert(ms.getAs[Long]("n_mixed_tokens") === 1L) // only "p\u0430y"
+  }
 }
