@@ -2349,6 +2349,23 @@ private[graft] trait OracleRegistry6 { this: SparkEntry.type =>
         "\u200e\u200f\u061c" + """]', '', 'g')) AS scrubbed_md5
          FROM r"""),
 
+    // Hamming re-derived per dimension (the packed-word path must land
+    // on the same candidates), then the q23 cosine rerank form.
+    "q455_binary_ann" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+             FROM embeddings WHERE vec_id = 3),
+         h AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                list_sum(list_transform(range(64), i ->
+                  CASE WHEN (embedding[i+1] > 0) <> (qv[i+1] > 0)
+                    THEN 1 ELSE 0 END)) AS hamming
+           FROM embeddings, q WHERE vec_id <> 3),
+         c AS (SELECT * FROM h ORDER BY hamming, vec_id LIMIT 60)
+         SELECT vec_id, CAST(hamming AS BIGINT) AS hamming,
+                round(list_dot_product(v, qv)
+                  / (sqrt(list_dot_product(v, v))
+                     * sqrt(list_dot_product(qv, qv))), 6) AS cos
+         FROM c, q ORDER BY cos DESC, vec_id LIMIT 15""",
+
     // Each ring block is its own SCC (min id = block base); the cross
     // edges are one-directional and merge nothing; the chain nodes are
     // singleton SCCs.

@@ -2194,5 +2194,13 @@ private[graft] trait QueryRegistry4 { this: SparkEntry.type =>
         .select(col("doc_id"), col("n_bidi"), col("suspicious"),
           md5(col("scrubbed")).as("scrubbed_md5"))
     }),
+
+    // Binary-quantization ANN: sign-word Hamming candidate pass
+    // (popcount over packed longs) + exact cosine re-rank — the oracle
+    // recomputes Hamming per-dimension, a different computation path
+    // that must land on identical candidates and ranks.
+    "q455_binary_ann" -> ((s, d) =>
+      Similarity.binaryAnn(Tables.embeddings(s, d), "vec_id",
+        "embedding", queryId = 3L, candK = 60, k = 15)),
   )
 }

