@@ -413,4 +413,54 @@ class PlanShapeSpec extends SparkSpec {
       assert("Scan parquet".r.findAllIn(p).length === 1, p)
     }
   }
+
+  test("q434 robots wildcards: rules broadcast, wildcard match is a" +
+    " hash-join residual, longest-match pick window-group-limited") {
+    withCleanCaches {
+      val p = planOf("q434_robots_wildcards")
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(p.contains("graft_rep_match"),
+        s"wildcard predicate fell out of the join residual:\n$p")
+      assert(p.contains("WindowGroupLimit"),
+        s"rank-1 pick lost its pushed group limit:\n$p")
+      assert(exchanges(p) === 1, s"q434 over-shuffled:\n$p")
+    }
+  }
+
+  test("q443 ROUGE-N: gram-keyed aggregates only — documents never" +
+    " carry through the shuffle") {
+    withCleanCaches {
+      val p = planOf("q443_rouge_n")
+      assert(p.contains("partial_count"),
+        s"gram counts lost the map-side combine:\n$p")
+      assert(!p.toLowerCase.contains("cartesian"), p)
+      // the only sort-ish operator allowed is join/agg machinery — no
+      // global Sort for ranking anywhere in this metric
+      assert(!p.contains("TakeOrderedAndProject"), p)
+    }
+  }
+
+  test("q455 binary ANN: both stages TakeOrdered, query broadcast," +
+    " never a global sort") {
+    withCleanCaches {
+      val p = planOf("q455_binary_ann")
+      assert("TakeOrderedAndProject".r.findAllIn(p).length === 2,
+        s"a stage lost its TakeOrdered:\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("BroadcastExchange"), s"query vector not broadcast:\n$p")
+      assert(exchanges(p) === 0, s"binary ANN grew a hash shuffle:\n$p")
+    }
+  }
+
+  test("q433 canonical dedup: explode feeds canonical-keyed Exchanges" +
+    " only (two-phase count-distinct, nothing doc-keyed)") {
+    withCleanCaches {
+      val p = planOf("q433_canonical_dedup")
+      // count(DISTINCT raw_url) legitimately runs the two-phase
+      // distinct aggregate: (canonical, url)-keyed then canonical-keyed
+      assert(exchanges(p) === 2, s"q433 shuffle count changed:\n$p")
+      assert(p.contains("canonical_url"), p)
+      assert(!p.toLowerCase.contains("cartesian"), p)
+    }
+  }
 }
