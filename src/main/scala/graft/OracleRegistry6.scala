@@ -2349,6 +2349,17 @@ private[graft] trait OracleRegistry6 { this: SparkEntry.type =>
         "\u200e\u200f\u061c" + """]', '', 'g')) AS scrubbed_md5
          FROM r"""),
 
+    // Planted-count replay: he x2 + she x1 inside "hershey" pins the
+    // overlap semantics, spamterm doubles on evens.
+    "q456_blocklist_scan" ->
+      """SELECT doc_id,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN 6 ELSE 4 END
+                  AS BIGINT) AS n_hits,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END
+                  AS BIGINT) AS n_patterns,
+                CAST(1 AS BIGINT) AS n_planted
+         FROM documents""",
+
     // Hamming re-derived per dimension (the packed-word path must land
     // on the same candidates), then the q23 cosine rerank form.
     "q455_binary_ann" ->

@@ -2202,5 +2202,28 @@ private[graft] trait QueryRegistry4 { this: SparkEntry.type =>
     "q455_binary_ann" -> ((s, d) =>
       Similarity.binaryAnn(Tables.embeddings(s, d), "vec_id",
         "embedding", queryId = 3L, candK = 60, k = 15)),
+
+    // Aho-Corasick blocklist scan: ONE automaton pass counts every
+    // pattern incl. the overlapping he/she nest inside the planted
+    // "hershey" (he x2, she x1 — the classic AC property a
+    // per-pattern-regex loop only matches at |patterns|x the cost).
+    "q456_blocklist_scan" -> ((s, d) => {
+      val pats = (0 to 4).map(k => s"badword$k") ++
+        Seq("spamterm", "she", "he")
+      val text = concat(lit("clean prefix badword"),
+        col("doc_id") % 5, lit(" hershey"),
+        when(col("doc_id") % 2 === 0, lit(" spamterm spamterm"))
+          .otherwise(lit("")))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          T.ahoCounts(text, pats).as("graft_c"))
+        .select(col("doc_id"),
+          aggregate(col("graft_c"), lit(0L), (a, x) => a + x)
+            .as("n_hits"),
+          size(filter(col("graft_c"), x => x > 0L)).cast("long")
+            .as("n_patterns"),
+          element_at(col("graft_c"),
+            (col("doc_id") % 5 + 1).cast("int")).as("n_planted"))
+    }),
   )
 }

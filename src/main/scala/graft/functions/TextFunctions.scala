@@ -172,6 +172,13 @@ object TextFunctions {
     ColumnBridge.column(LuhnScrub(ColumnBridge.expression(c)))
   }
 
+  /** Aho–Corasick one-pass multi-pattern counts (see [[AhoCounts]]):
+    * array of per-pattern occurrence counts in input order. */
+  def ahoCounts(c: Column, patterns: Seq[String]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(AhoCounts(ColumnBridge.expression(c), patterns))
+  }
+
   /** Unicode NFC normalization (see [[NfcNormalize]]). */
   def nfc(c: Column): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
