@@ -2349,6 +2349,83 @@ private[graft] trait OracleRegistry6 { this: SparkEntry.type =>
         "\u200e\u200f\u061c" + """]', '', 'g')) AS scrubbed_md5
          FROM r"""),
 
+    // Field replay per arm; '-' user stays verbatim, '-' bytes and
+    // referer NULL, malformed lines all-NULL.
+    "q457_access_log" ->
+      """SELECT doc_id,
+                CASE doc_id % 3 WHEN 0 THEN '10.0.0.' || (doc_id % 9)
+                  WHEN 1 THEN '172.16.0.' || (doc_id % 9) END AS ip,
+                CASE doc_id % 3 WHEN 0 THEN 'alice'
+                  WHEN 1 THEN '-' END AS user,
+                CASE WHEN doc_id % 3 < 2 THEN 'ts' || doc_id END
+                  AS ts_raw,
+                CASE doc_id % 3 WHEN 0 THEN 'GET'
+                  WHEN 1 THEN 'HEAD' END AS method,
+                CASE doc_id % 3 WHEN 0 THEN '/p/' || doc_id
+                  WHEN 1 THEN '/missing' END AS path,
+                CASE doc_id % 3 WHEN 0 THEN CAST(200 AS BIGINT)
+                  WHEN 1 THEN 404 END AS status,
+                CASE WHEN doc_id % 3 = 0
+                  THEN CAST(doc_id % 1000 AS BIGINT) END AS bytes,
+                CASE WHEN doc_id % 3 = 0 THEN 'https://ref.ex/' END
+                  AS referer,
+                CASE doc_id % 3 WHEN 0 THEN 'Mozilla/5.0 Chrome/120.0'
+                  WHEN 1 THEN 'curl/8.0' END AS user_agent
+         FROM documents""",
+
+    // ip32 arithmetic + containment replay; the /24 beats the /8.
+    "q458_cidr_blocklist" ->
+      """SELECT doc_id,
+                CASE doc_id % 5
+                  WHEN 0 THEN '10.1.' || (doc_id % 256) || '.'
+                    || (doc_id % 250)
+                  WHEN 1 THEN '10.2.3.' || (doc_id % 250)
+                  WHEN 2 THEN '192.168.' || (doc_id % 256) || '.'
+                    || (doc_id % 250)
+                  WHEN 3 THEN '172.16.' || (doc_id % 256) || '.'
+                    || (doc_id % 250)
+                  ELSE '999.1.2.3' END AS ip,
+                CASE doc_id % 5
+                  WHEN 0 THEN CAST(10 * 16777216 + 1 * 65536
+                    + (doc_id % 256) * 256 + doc_id % 250 AS BIGINT)
+                  WHEN 1 THEN CAST(10 AS BIGINT) * 16777216 + 2 * 65536 + 3 * 256
+                    + doc_id % 250
+                  WHEN 2 THEN CAST(192 AS BIGINT) * 16777216 + 168 * 65536
+                    + (doc_id % 256) * 256 + doc_id % 250
+                  WHEN 3 THEN CAST(172 AS BIGINT) * 16777216 + 16 * 65536
+                    + (doc_id % 256) * 256 + doc_id % 250
+                  END AS ip32,
+                doc_id % 5 IN (0, 1, 2) AS blocked,
+                CASE doc_id % 5 WHEN 0 THEN '10.0.0.0/8'
+                  WHEN 1 THEN '10.2.3.0/24'
+                  WHEN 2 THEN '192.168.0.0/16' END AS matched_cidr
+         FROM documents""",
+
+    // Precedence replay: Edge beats Chrome beats Safari; bots NULL.
+    "q459_bot_detect" ->
+      """SELECT doc_id,
+                doc_id % 6 IN (4, 5) AS is_bot,
+                CASE doc_id % 6 WHEN 0 THEN 'Chrome'
+                  WHEN 1 THEN 'Safari' WHEN 2 THEN 'Firefox'
+                  WHEN 3 THEN 'Edge' END AS family
+         FROM documents""",
+
+    // The NIST soundex example codes; Robert/Rupert and Smith/Smyth
+    // share blocks.
+    "q460_soundex_blocking" ->
+      """SELECT doc_id,
+                CASE doc_id % 8 WHEN 0 THEN 'Robert' WHEN 1 THEN 'Rupert'
+                  WHEN 2 THEN 'Tymczak' WHEN 3 THEN 'Honeyman'
+                  WHEN 4 THEN 'Smith' WHEN 5 THEN 'Smyth'
+                  WHEN 6 THEN 'Jackson' ELSE 'Washington' END AS name,
+                CASE doc_id % 8 WHEN 0 THEN 'R163' WHEN 1 THEN 'R163'
+                  WHEN 2 THEN 'T522' WHEN 3 THEN 'H555'
+                  WHEN 4 THEN 'S530' WHEN 5 THEN 'S530'
+                  WHEN 6 THEN 'J250' ELSE 'W252' END AS soundex_code,
+                CAST(CASE WHEN doc_id % 8 IN (0, 1, 4, 5) THEN 2
+                  ELSE 1 END AS BIGINT) AS n_names_in_block
+         FROM documents""",
+
     // Planted-count replay: he x2 + she x1 inside "hershey" pins the
     // overlap semantics, spamterm doubles on evens.
     "q456_blocklist_scan" ->

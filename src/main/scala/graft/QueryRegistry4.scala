@@ -2225,5 +2225,81 @@ private[graft] trait QueryRegistry4 { this: SparkEntry.type =>
           element_at(col("graft_c"),
             (col("doc_id") % 5 + 1).cast("int")).as("n_planted"))
     }),
+
+    // NCSA Combined Log Format parse: GET/404-dash/malformed arms —
+    // unparseable lines keep their row with NULL fields, '-' bytes is
+    // the CLF no-body NULL.
+    "q457_access_log" -> ((s, d) => {
+      val line = when(col("doc_id") % 3 === 0, concat(
+          lit("10.0.0."), col("doc_id") % 9,
+          lit(" - alice [ts"), col("doc_id"),
+          lit("] \"GET /p/"), col("doc_id"),
+          lit(" HTTP/1.1\" 200 "), col("doc_id") % 1000,
+          lit(" \"https://ref.ex/\" \"Mozilla/5.0 Chrome/120.0\"")))
+        .when(col("doc_id") % 3 === 1, concat(
+          lit("172.16.0."), col("doc_id") % 9,
+          lit(" - - [ts"), col("doc_id"),
+          lit("] \"HEAD /missing HTTP/1.1\" 404 - \"-\" \"curl/8.0\"")))
+        .otherwise(concat(lit("garbage line "), col("doc_id")))
+      AccessLogs.parseCombined(Tables.documents(s, d)
+        .select(col("doc_id"), line.as("line")), "doc_id", "line")
+    }),
+
+    // IPv4/CIDR blocklist gate: longest-prefix match surfaces (the
+    // /24 beats the /8 on arm 1), invalid quads NULL out, clean IPs
+    // survive unblocked — row-level enrichment, broadcast dim.
+    "q458_cidr_blocklist" -> ((s, d) => {
+      import s.implicits._
+      val ip = when(col("doc_id") % 5 === 0, concat(lit("10.1."),
+          col("doc_id") % 256, lit("."), col("doc_id") % 250))
+        .when(col("doc_id") % 5 === 1,
+          concat(lit("10.2.3."), col("doc_id") % 250))
+        .when(col("doc_id") % 5 === 2, concat(lit("192.168."),
+          col("doc_id") % 256, lit("."), col("doc_id") % 250))
+        .when(col("doc_id") % 5 === 3, concat(lit("172.16."),
+          col("doc_id") % 256, lit("."), col("doc_id") % 250))
+        .otherwise(lit("999.1.2.3"))
+      val block = Seq("10.0.0.0/8", "10.2.3.0/24", "192.168.0.0/16")
+        .toDF("cidr")
+      AccessLogs.cidrFilter(Tables.documents(s, d)
+          .select(col("doc_id"), ip.as("ip")), "ip", block, "cidr")
+        .select(col("doc_id"), col("ip"), col("ip32"), col("blocked"),
+          col("matched_cidr"))
+    }),
+
+    // UA classification: the real precedence rules (Edge before
+    // Chrome, Chrome before Safari) + bot markers.
+    "q459_bot_detect" -> ((s, d) => {
+      val ua = when(col("doc_id") % 6 === 0,
+          lit("Mozilla/5.0 (Windows) Chrome/120.0 Safari/537.36"))
+        .when(col("doc_id") % 6 === 1,
+          lit("Mozilla/5.0 (Mac) Version/17 Safari/605.1"))
+        .when(col("doc_id") % 6 === 2,
+          lit("Mozilla/5.0 Gecko/20100101 Firefox/128.0"))
+        .when(col("doc_id") % 6 === 3,
+          lit("Mozilla/5.0 Chrome/120.0 Safari/537.36 Edg/120.0"))
+        .when(col("doc_id") % 6 === 4,
+          lit("Mozilla/5.0 (compatible; Googlebot/2.1)"))
+        .otherwise(lit("python-requests/2.31.0"))
+      val (isBot, family) = AccessLogs.uaClassify(ua)
+      Tables.documents(s, d).select(col("doc_id"),
+        isBot.as("is_bot"), family.as("family"))
+    }),
+
+    // Soundex blocking (the NIST example set): Robert/Rupert and
+    // Smith/Smyth collide into shared blocks, the rest stand alone —
+    // the phonetic blocking key entity resolution prefilters on.
+    "q460_soundex_blocking" -> ((s, d) => {
+      val name = element_at(typedLit(Seq("Robert", "Rupert", "Tymczak",
+        "Honeyman", "Smith", "Smyth", "Jackson", "Washington")),
+        (col("doc_id") % 8 + 1).cast("int"))
+      val named = Tables.documents(s, d).select(col("doc_id"),
+        name.as("name"), soundex(name).as("soundex_code"))
+      val blocks = named.groupBy("soundex_code")
+        .agg(countDistinct(col("name")).as("graft_nb"))
+      named.join(broadcast(blocks), Seq("soundex_code"))
+        .select(col("doc_id"), col("name"), col("soundex_code"),
+          col("graft_nb").cast("long").as("n_names_in_block"))
+    }),
   )
 }
