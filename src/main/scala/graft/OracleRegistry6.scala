@@ -2426,6 +2426,33 @@ private[graft] trait OracleRegistry6 { this: SparkEntry.type =>
                   ELSE 1 END AS BIGINT) AS n_names_in_block
          FROM documents""",
 
+    // Same closed-form weekday arithmetic over DuckDB date math; the
+    // Saturday holiday stays inert.
+    "q461_business_days" ->
+      """WITH b AS (SELECT doc_id,
+                DATE '2026-01-05' + CAST(doc_id % 60 AS INT) AS s
+           FROM documents),
+         c AS (SELECT doc_id, s,
+                s + CAST(doc_id % 90 AS INT) AS e FROM b),
+         g AS (SELECT doc_id, s, e,
+                (s - DATE '1970-01-05') AS ds,
+                (e - DATE '1970-01-05') AS de FROM c)
+         SELECT doc_id,
+                CAST(s AS VARCHAR) AS start_day,
+                CAST(e AS VARCHAR) AS end_day,
+                CAST(greatest(
+                  (5 * (de // 7) + least(de % 7, 5))
+                  - (5 * (ds // 7) + least(ds % 7, 5))
+                  - (SELECT count(*) FROM (VALUES
+                       (DATE '2026-01-26'), (DATE '2026-02-16'),
+                       (DATE '2026-03-02'), (DATE '2026-02-14'),
+                       (DATE '2026-04-06')) AS h(hd)
+                     WHERE (hd - DATE '1970-01-05') >= ds
+                       AND (hd - DATE '1970-01-05') < de
+                       AND (hd - DATE '1970-01-05') % 7 < 5),
+                  0) AS BIGINT) AS n_business_days
+         FROM g""",
+
     // Planted-count replay: he x2 + she x1 inside "hershey" pins the
     // overlap semantics, spamterm doubles on evens.
     "q456_blocklist_scan" ->

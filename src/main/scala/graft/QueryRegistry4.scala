@@ -2301,5 +2301,21 @@ private[graft] trait QueryRegistry4 { this: SparkEntry.type =>
         .select(col("doc_id"), col("name"), col("soundex_code"),
           col("graft_nb").cast("long").as("n_names_in_block"))
     }),
+
+    // Business days in [start, end) by the closed-form weekday count
+    // (no calendar explode) minus weekday holidays; the planted
+    // Saturday holiday must NOT subtract.
+    "q461_business_days" -> ((s, d) => {
+      val hols = Seq("2026-01-26", "2026-02-16", "2026-03-02",
+        "2026-02-14", "2026-04-06") // 02-14 is a Saturday
+      val start = date_add(lit("2026-01-05").cast("date"),
+        (col("doc_id") % 60).cast("int"))
+      val end = date_add(start, (col("doc_id") % 90).cast("int"))
+      Tables.documents(s, d).select(col("doc_id"),
+        start.cast("string").as("start_day"),
+        end.cast("string").as("end_day"),
+        Etl.businessDaysBetween(start, end, hols)
+          .as("n_business_days"))
+    }),
   )
 }

@@ -574,4 +574,30 @@ object Etl {
           " * coalesce(graft_fill, 0) AS BIGINT) END")
           .as("sum_after_centi"))
   }
+
+  /** Business days in [start, end) — the SLA/settlement arithmetic every
+    * warehouse date dimension exists for, in CLOSED FORM instead of a
+    * calendar explode: with d = days since the 1970-01-05 Monday epoch,
+    * f(d) = 5·⌊d/7⌋ + min(d mod 7, 5) counts weekdays before d, so the
+    * half-open interval holds f(end) − f(start) weekdays; `holidays`
+    * (ISO date strings — a config-sized list; ship a dim + broadcast
+    * join at calendar scale) subtract when they land on a weekday
+    * inside the interval. Negative/reversed intervals yield 0 (a
+    * defined degenerate, not a negative SLA). Pure integer expression
+    * arithmetic — zero shuffle, engine-replayable. */
+  def businessDaysBetween(start: Column, end: Column,
+                          holidays: Seq[String] = Seq.empty): Column = {
+    def d(c: Column): Column =
+      datediff(c.cast("date"), lit("1970-01-05").cast("date"))
+    def f(dd: Column): Column =
+      lit(5L) * floor(dd / 7).cast("long") +
+        least(pmod(dd, lit(7)).cast("long"), lit(5L))
+    val weekdays = f(d(end)) - f(d(start))
+    val hol =
+      if (holidays.isEmpty) lit(0L)
+      else size(filter(typedLit(holidays),
+        h => d(h.cast("string")) >= d(start) && d(h.cast("string")) < d(end) &&
+          pmod(d(h.cast("string")), lit(7)) < 5)).cast("long")
+    greatest(weekdays - hol, lit(0L))
+  }
 }

@@ -313,4 +313,23 @@ class EtlSpec extends SparkSpec {
     assert(c.getLong(1) === 1L && c.getLong(2) === 1L)
     assert(c.isNullAt(3) && c.isNullAt(4))
   }
+
+  test("businessDaysBetween: closed form matches day-walk hand counts," +
+    " weekend holidays inert, reversed intervals zero") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val hols = Seq("2026-01-26", "2026-02-14") // Mon holiday + Sat
+    val cases = Seq(
+      ("2026-01-05", "2026-01-12", 5L), // one full Mon→Mon week
+      ("2026-01-24", "2026-01-27", 0L), // Sat,Sun,Mon(holiday)
+      ("2026-02-13", "2026-02-16", 1L), // Fri + Sat-holiday(inert)
+      ("2026-01-10", "2026-01-11", 0L), // Sat→Sun
+      ("2026-01-05", "2026-01-05", 0L), // empty interval
+      ("2026-01-12", "2026-01-05", 0L)) // reversed → defined zero
+    val got = cases.map(_._1).zip(cases.map(_._2))
+      .toDF("s", "e")
+      .select(Etl.businessDaysBetween(col("s"), col("e"), hols))
+      .as[Long].collect().toSeq
+    assert(got === cases.map(_._3))
+  }
 }
