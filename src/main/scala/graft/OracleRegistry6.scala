@@ -2426,6 +2426,25 @@ private[graft] trait OracleRegistry6 { this: SparkEntry.type =>
                   ELSE 1 END AS BIGINT) AS n_names_in_block
          FROM documents""",
 
+    // Decoded forms replayed as codepoint literals (chr(252) = u-uml);
+    // the malformed arm keeps its verbatim lowercased label.
+    "q462_idn_hosts" ->
+      """SELECT doc_id,
+                CASE doc_id % 4
+                  WHEN 0 THEN 'XN--MNCHEN-3YA.s' || doc_id || '.example'
+                  WHEN 1 THEN 'xn--bcher-kva.h' || doc_id || '.de'
+                  WHEN 2 THEN 'WWW' || doc_id || '.Example.COM'
+                  ELSE 'xn--!!!.b' || doc_id || '.x' END AS host,
+                CASE doc_id % 4
+                  WHEN 0 THEN 'm' || chr(252) || 'nchen.s' || doc_id
+                    || '.example'
+                  WHEN 1 THEN 'b' || chr(252) || 'cher.h' || doc_id
+                    || '.de'
+                  WHEN 2 THEN 'www' || doc_id || '.example.com'
+                  ELSE 'xn--!!!.b' || doc_id || '.x' END AS unicode_host,
+                doc_id % 4 != 3 AS is_decoded
+         FROM documents""",
+
     // Same closed-form weekday arithmetic over DuckDB date math; the
     // Saturday holiday stays inert.
     "q461_business_days" ->

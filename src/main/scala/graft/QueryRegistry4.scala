@@ -2317,5 +2317,23 @@ private[graft] trait QueryRegistry4 { this: SparkEntry.type =>
         Etl.businessDaysBetween(start, end, hols)
           .as("n_business_days"))
     }),
+
+    // IDN (punycode) host decoding: real RFC 3492 bootstring over the
+    // xn-- labels (the gap canonicalizeUrl documents out of scope);
+    // malformed ACE stays verbatim and keeps its xn-- audit marker.
+    "q462_idn_hosts" -> ((s, d) => {
+      val host = when(col("doc_id") % 4 === 0,
+          concat(lit("XN--MNCHEN-3YA.s"), col("doc_id"),
+            lit(".example")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("xn--bcher-kva.h"), col("doc_id"), lit(".de")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("WWW"), col("doc_id"), lit(".Example.COM")))
+        .otherwise(concat(lit("xn--!!!.b"), col("doc_id"), lit(".x")))
+      Tables.documents(s, d).select(col("doc_id"), host.as("host"))
+        .select(col("doc_id"), col("host"),
+          T.idnToUnicode(col("host")).as("unicode_host"))
+        .withColumn("is_decoded", !col("unicode_host").contains("xn--"))
+    }),
   )
 }

@@ -179,6 +179,12 @@ object TextFunctions {
     ColumnBridge.column(AhoCounts(ColumnBridge.expression(c), patterns))
   }
 
+  /** IDN → Unicode host decoding (see [[IdnToUnicode]]). */
+  def idnToUnicode(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(IdnToUnicode(ColumnBridge.expression(c)))
+  }
+
   /** Unicode NFC normalization (see [[NfcNormalize]]). */
   def nfc(c: Column): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
