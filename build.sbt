@@ -27,6 +27,15 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // MLlib linear algebra (ALS/GBT/RF/KMeans fits) resolves BLAS through
+  // dev.ludovic.netlib, which on a JVM without this module falls all the
+  // way back to scalar Java ("Failed to load ... VectorBLAS" in the run
+  // log). The incubator vector module enables the SIMD implementation —
+  // pure JVM flag, no native libs, applies at every scale.
+  "--add-modules=jdk.incubator.vector",
+  // Measurement toggle for the low-split scan spread (Tables.spread);
+  // production default is on — "off" exists for A/B profiling only.
+  s"-Dgraft.scan.spread=${sys.env.getOrElse("GRAFT_SPREAD", "on")}",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",

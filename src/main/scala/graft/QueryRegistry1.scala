@@ -1112,8 +1112,12 @@ private[graft] trait QueryRegistry1 { this: SparkEntry.type =>
     "q131_pagerank" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select(col("l_suppkey").as("sk"),
         (col("l_partkey") + lit(10000000L)).cast("long").as("pk"))
-      val edges = li.select(col("sk").as("src"), col("pk").as("dst"))
-        .unionByName(li.select(col("pk").as("src"), col("sk").as("dst")))
+      // Both edge directions from ONE scan (explode of a 2-struct array)
+      // — the union form scanned the input twice (guide §2.4).
+      val edges = li.select(explode(array(
+          struct(col("sk").as("src"), col("pk").as("dst")),
+          struct(col("pk").as("src"), col("sk").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
       Graph.pagerankPortable(edges, "src", "dst", iters = 3, topK = 20)
     }),
 

@@ -887,8 +887,12 @@ private[graft] trait QueryRegistry2 { this: SparkEntry.type =>
     "q375_closeness" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select(col("l_suppkey").as("sk"),
         (col("l_partkey") + lit(10000000L)).cast("long").as("pk"))
-      val edges = li.select(col("sk").as("src"), col("pk").as("dst"))
-        .unionByName(li.select(col("pk").as("src"), col("sk").as("dst")))
+      // Both edge directions from ONE scan (explode of a 2-struct array)
+      // — the union form scanned the input twice (guide §2.4).
+      val edges = li.select(explode(array(
+          struct(col("sk").as("src"), col("pk").as("dst")),
+          struct(col("pk").as("src"), col("sk").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
       Graph.harmonicCloseness(edges, "src", "dst", seeds = Seq(1L, 2L, 3L),
         maxHops = 3)
     }),
@@ -1095,8 +1099,12 @@ private[graft] trait QueryRegistry2 { this: SparkEntry.type =>
     "q392_betweenness" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select(col("l_suppkey").as("sk"),
         (col("l_partkey") + lit(10000000L)).cast("long").as("pk"))
-      val edges = li.select(col("sk").as("src"), col("pk").as("dst"))
-        .unionByName(li.select(col("pk").as("src"), col("sk").as("dst")))
+      // Both edge directions from ONE scan (explode of a 2-struct array)
+      // — the union form scanned the input twice (guide §2.4).
+      val edges = li.select(explode(array(
+          struct(col("sk").as("src"), col("pk").as("dst")),
+          struct(col("pk").as("src"), col("sk").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
       Graph.betweennessSeeded(edges, "src", "dst",
         seeds = Seq(1L, 2L, 3L), maxHops = 3, topK = 20)
     }),

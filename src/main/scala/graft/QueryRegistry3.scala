@@ -131,8 +131,10 @@ private[graft] trait QueryRegistry3 { this: SparkEntry.type =>
     // partial-count degradation keeps the response, drops the WET.
     "q401_warc_walk" -> ((s, d) => {
       import s.implicits._
-      Tables.documents(s, d).select(col("doc_id"), col("source"),
-          col("text"))
+      // gzip synth + container walk per row is heavy typed-map work:
+      // spread a low-split scan first (guide §2.5; identity at scale).
+      Tables.spread(Tables.documents(s, d).select(col("doc_id"),
+          col("source"), col("text")))
         .as[(Long, String, String)]
         .map { case (id, src, text) =>
           val html = s"<html><body><h1>T&amp;$id</h1><p>$text" +
@@ -175,7 +177,7 @@ private[graft] trait QueryRegistry3 { this: SparkEntry.type =>
         .unionByName(docs0.filter(col("doc_id") % 5 === 0)
           .select((col("doc_id") + 1000000L).as("doc_id"),
             lit("mirror").as("source"), col("text")))
-      val pages = base.as[(Long, String, String)]
+      val pages = Tables.spread(base).as[(Long, String, String)]
         .map { case (id, src, text) =>
           val html = "<html><head><style>p{color:red}</style>" +
             "<script>var x=1;</script></head><body><h1>T&amp;X</h1><p>" +
@@ -561,8 +563,12 @@ private[graft] trait QueryRegistry3 { this: SparkEntry.type =>
     "q330_bfs_hops" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select(col("l_suppkey").as("sk"),
         (col("l_partkey") + lit(10000000L)).cast("long").as("pk"))
-      val edges = li.select(col("sk").as("src"), col("pk").as("dst"))
-        .unionByName(li.select(col("pk").as("src"), col("sk").as("dst")))
+      // Both edge directions from ONE scan (explode of a 2-struct array)
+      // — the union form scanned the input twice (guide §2.4).
+      val edges = li.select(explode(array(
+          struct(col("sk").as("src"), col("pk").as("dst")),
+          struct(col("pk").as("src"), col("sk").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
       Graph.bfsHops(edges, "src", "dst", seeds = Seq(1L, 2L, 3L),
         maxHops = 3)
     }),

@@ -278,8 +278,12 @@ private[graft] trait QueryRegistry4 { this: SparkEntry.type =>
     "q256_ppr" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select(col("l_suppkey").as("sk"),
         (col("l_partkey") + lit(10000000L)).cast("long").as("pk"))
-      val edges = li.select(col("sk").as("src"), col("pk").as("dst"))
-        .unionByName(li.select(col("pk").as("src"), col("sk").as("dst")))
+      // Both edge directions from ONE scan (explode of a 2-struct array)
+      // — the union form scanned the input twice (guide §2.4).
+      val edges = li.select(explode(array(
+          struct(col("sk").as("src"), col("pk").as("dst")),
+          struct(col("pk").as("src"), col("sk").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
       Graph.personalizedPagerank(edges, "src", "dst",
         seeds = Seq(1L, 2L, 3L), iters = 3, topK = 20)
     }),
@@ -1595,8 +1599,8 @@ private[graft] trait QueryRegistry4 { this: SparkEntry.type =>
     // dedup bill (captures, uniques, revisits, bytes saved).
     "q427_crawl_dedup" -> ((s, d) => {
       import s.implicits._
-      val caps = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"), col("text"))
+      val caps = Tables.spread(Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("text")))
         .as[(Long, String, String)]
         .flatMap { case (id, src, text) =>
           val html = s"<html><body><p>$text</p></body></html>"

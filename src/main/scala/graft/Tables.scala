@@ -10,6 +10,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * columnar scans with PushedFilters instead of full-table reads.
   */
 object Tables {
+  /** OPT-IN guard against single-task map stages on low-split inputs
+    * (spark_optimization_guide §2.5, "input skew: one huge unsplittable
+    * file"): a parquet file is only splittable at row-group boundaries, so
+    * a table that arrives as one file/one row group plans every downstream
+    * map stage at ONE task no matter how many cores the session has. When
+    * the frame's partition count is below the session parallelism,
+    * hash-spread the rows across the cores (hash repartition, not
+    * round-robin: deterministic row→partition mapping, no
+    * sort-before-repartition pass). At real scale the split count exceeds
+    * the core count and this is an identity — no exchange is added.
+    *
+    * Deliberately NOT applied to every load: for scan→partial-agg plans
+    * the extra full-row exchange costs more than the map work it
+    * parallelizes (measured: q13 0.39 s → 1.57 s, q103 0.57 s → 1.38 s,
+    * q15/q16 +0.1 s each with a blanket spread). Only operators whose
+    * per-row map work dominates (LM fluency scoring, shingle explodes,
+    * bootstrap replica explodes) call this at their input. */
+  private[graft] def spread(df: DataFrame): DataFrame = {
+    if (sys.props.get("graft.scan.spread").contains("off")) return df
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= cores) df
+    else df.repartition(cores,
+      org.apache.spark.sql.functions.struct(
+        df.columns.map(org.apache.spark.sql.functions.col)
+          .toIndexedSeq: _*))
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 

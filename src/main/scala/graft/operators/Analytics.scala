@@ -2762,8 +2762,12 @@ object Analytics {
     * noise; top `k` by (support, lift, pair) total order. */
   def basketPairs(lines: DataFrame, basketCol: String, itemCol: String,
                   minSupport: Long, k: Int): DataFrame = {
-    val items = lines.select(col(basketCol).as("graft_b"),
-      col(itemCol).as("graft_i")).distinct()
+    // Pinned ONCE: the deduped basket table feeds four subtrees (N,
+    // item frequencies, both pair-join legs) — unpinned, the upstream
+    // join + distinct re-ran per consumer.
+    val items = Materialize.transient(
+      lines.select(col(basketCol).as("graft_b"),
+        col(itemCol).as("graft_i")).distinct())
     val n = items.select(count_distinct(col("graft_b")).as("graft_n"))
     val freq = items.groupBy("graft_i").agg(count(lit(1)).as("graft_f"))
     val a = items.select(col("graft_b"), col("graft_i").as("item_a"))

@@ -398,7 +398,10 @@ object Corpus {
     * — the classic tiny-dim broadcast join. */
   def fluencyScore(docs: DataFrame, idCol: String, textCol: String,
                    bottomK: Int): DataFrame = {
-    val chars = docs.select(col(idCol).as("id"),
+    // The per-char bigram explode below fans each doc out to ~|text| rows;
+    // spread first so a single-split corpus doesn't run it on one task
+    // (guide §2.5; identity once the input has ≥cores partitions).
+    val chars = graft.Tables.spread(docs).select(col(idCol).as("id"),
       T.normText(col(textCol)).as("graft_nt"))
       .filter(length(col("graft_nt")) >= 2)
     // ONE explode pass, immediately collapsed to per-(doc, bigram) counts —

@@ -72,7 +72,10 @@ object Dedup {
     * array through every exploded row). */
   private def explodedShingles(docs: DataFrame, idCol: String,
                                textCol: String, n: Int): DataFrame =
-    docs
+    // Shingling + explode + hash is the heavy map stage of the near-dup
+    // family; a single-split corpus would run it on one task (guide §2.5).
+    // Tables.spread is an identity once the input has ≥cores partitions.
+    graft.Tables.spread(docs)
       .select(col(idCol).as("id"), T.wordShinglesNative(col(textCol), n).as("shs"))
       .select(col("id"), size(col("shs")).as("nsh"), col("shs"))
       // explode_outer, NOT explode: plain explode makes Catalyst infer a
@@ -977,7 +980,11 @@ object Dedup {
     * once per k. */
   private def spanToks(docs: DataFrame, idCol: String,
                        textCol: String): DataFrame =
-    docs.select(col(idCol).as("id"), T.tokens(col(textCol)).as("toks"))
+    // Tokenize + k-gram explode downstream is the span family's heavy map
+    // stage; spread a low-split corpus first (guide §2.5, identity at
+    // ≥cores input partitions).
+    graft.Tables.spread(docs)
+      .select(col(idCol).as("id"), T.tokens(col(textCol)).as("toks"))
 
   /** [[dupSpans]] over a pre-tokenized (id, toks) table. */
   private def dupSpansFromToks(toks: DataFrame, k: Int): DataFrame = {

@@ -545,12 +545,16 @@ object Experiment {
   def poissonBootstrap(df: DataFrame, groupCol: String, valueCol: String,
                        idCol: String, replicas: Int = 32): DataFrame = {
     require(replicas >= 2 && replicas <= 256, "replicas must be in 2..256")
-    val base = Materialize.transient(df
+    // Spread before materializing: the ×replicas explode + per-row md5
+    // downstream is the dominant cost, and a single-split input would
+    // otherwise run it on one task (guide §2.5; Tables.spread is an
+    // identity once the input has ≥cores partitions).
+    val base = Materialize.transient(graft.Tables.spread(df
       .filter(col(valueCol).isNotNull && col(idCol).isNotNull)
       .select(col(groupCol).as("graft_g"),
         floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("long")
           .as("graft_c"),
-        col(idCol).cast("string").as("graft_id")))
+        col(idCol).cast("string").as("graft_id"))))
     val perRep = poissonWeighted(base, replicas)
       .groupBy("graft_g", "graft_b")
       .agg(sum("graft_m").cast("decimal(38,0)").as("graft_nb"),
@@ -602,12 +606,13 @@ object Experiment {
                       maxDistinct: Long = 1L << 20): DataFrame = {
     require(replicas >= 2 && replicas <= 256, "replicas must be in 2..256")
     val dec = "decimal(38,0)"
-    val base = Materialize.transient(df
+    // Spread before materializing — same rationale as [[poissonBootstrap]].
+    val base = Materialize.transient(graft.Tables.spread(df
       .filter(col(valueCol).isNotNull && col(idCol).isNotNull)
       .select(col(groupCol).as("graft_g"),
         floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("long")
           .as("graft_c"),
-        col(idCol).cast("string").as("graft_id")))
+        col(idCol).cast("string").as("graft_id"))))
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
     val gate = base.groupBy("graft_g", "graft_c").agg(count(lit(1)).as("graft_w"))
       .withColumn("graft_card", count(lit(1)).over(wAll))

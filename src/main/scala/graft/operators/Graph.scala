@@ -18,6 +18,13 @@ import org.apache.spark.sql.functions._
   * the edge table is degree-annotated exactly once up front. */
 object Graph {
 
+  /** Materialize every Nth generation of an iterative walk instead of
+    * every generation: shallow walks (the contract's 3-round queries) run
+    * as one fused action with zero intermediate persists, while deep walks
+    * still get lineage truncation before Catalyst re-optimization of the
+    * plan tower dominates driver time. */
+  private[operators] val GenEvery = 4
+
   /** PageRank in integer micro-units. `edges` is DIRECTED (pass both
     * directions for an undirected graph); every node must have out-degree
     * ≥ 1 (true by construction for symmetrized edges — the caller owns
@@ -35,46 +42,56 @@ object Graph {
     require(topK >= 1, "topK must be at least 1")
     // Pregel discipline (the [[Components]] loop's): the edge table is
     // persisted ONCE (every iteration re-reads cached blocks instead of
-    // replaying distinct + degree join), each rank generation is
-    // persisted and the previous unpersisted (without this the lineage
-    // compounds per iteration and the final action replays every round),
-    // and the returned frame is a materialized artifact.
+    // replaying distinct + degree join). Rank generations materialize
+    // every [[GenEvery]] iterations, NOT every iteration: a 3-round walk
+    // then runs as ONE fused action (per-round actions were pure
+    // job-scheduling overhead at every scale — the rounds are sequential
+    // shuffles either way), while deep walks still get their lineage
+    // truncated before Catalyst re-optimization of the plan tower
+    // dominates. ed/nodes are counted up front so the fused action's
+    // concurrent leaf stages read filled caches instead of racing to
+    // build them.
     import org.apache.spark.storage.StorageLevel
-    val e = edges.select(col(srcCol).cast("long").as("graft_src"),
-      col(dstCol).cast("long").as("graft_dst")).distinct()
+    // Spread a low-split edge scan before the dedup so the partial
+    // (map-side) distinct runs wide (guide §2.5; identity at scale).
+    val e = graft.Tables.spread(
+      edges.select(col(srcCol).cast("long").as("graft_src"),
+        col(dstCol).cast("long").as("graft_dst"))).distinct()
     val deg = e.groupBy("graft_src").agg(count(lit(1)).as("graft_deg"))
     val ed = e.join(deg, "graft_src").persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("graft_src").as("node")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    ed.count(); nodes.count()
     val base = r0 * 15L / 100L
     var ranks = nodes.withColumn("rank", lit(r0))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // All persisted blocks are released even when an iteration or the
-    // checkpoint throws — without the finally, a failed run leaks
+    // Persisted generations are released even when an iteration or the
+    // final action throws — without the finally, a failed run leaks
     // MEMORY_AND_DISK blocks for the session lifetime.
-    var pending: DataFrame = null
+    var persisted: DataFrame = null
     try {
-      for (_ <- 1 to iters) {
+      for (i <- 1 to iters) {
         val msgs = ed
           .join(ranks.withColumnRenamed("node", "graft_src"), "graft_src")
           .select(col("graft_dst").as("node"),
             expr("rank div graft_deg").as("graft_c"))
           .groupBy("node").agg(sum("graft_c").as("graft_s"))
-        pending = nodes.join(msgs, Seq("node"), "left")
+        ranks = nodes.join(msgs, Seq("node"), "left")
           .select(col("node"),
             (lit(base) + expr("coalesce(graft_s, 0L) * 85 div 100"))
               .as("rank"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        pending.count() // materialize before dropping the generation it reads
-        ranks.unpersist()
-        ranks = pending
-        pending = null
+        if (i % GenEvery == 0 && i < iters) {
+          val p = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+          p.count() // materialize before dropping the generation it reads
+          if (persisted ne null) persisted.unpersist()
+          persisted = p
+          ranks = p
+        }
       }
       Materialize.artifact(
         ranks.orderBy(col("rank").desc, col("node").asc).limit(topK))
     } finally {
-      if (pending ne null) pending.unpersist()
-      ranks.unpersist(); ed.unpersist(); nodes.unpersist()
+      if (persisted ne null) persisted.unpersist()
+      ed.unpersist(); nodes.unpersist()
     }
   }
 
@@ -99,41 +116,46 @@ object Graph {
     require(seeds.nonEmpty, "personalized PageRank needs at least one seed")
     require(iters >= 1 && topK >= 1, "iters and topK must be positive")
     import org.apache.spark.storage.StorageLevel
-    val e = edges.select(col(srcCol).cast("long").as("graft_src"),
-      col(dstCol).cast("long").as("graft_dst")).distinct()
+    // Spread a low-split edge scan before the dedup so the partial
+    // (map-side) distinct runs wide (guide §2.5; identity at scale).
+    val e = graft.Tables.spread(
+      edges.select(col(srcCol).cast("long").as("graft_src"),
+        col(dstCol).cast("long").as("graft_dst"))).distinct()
     val deg = e.groupBy("graft_src").agg(count(lit(1)).as("graft_deg"))
     val ed = e.join(deg, "graft_src").persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("graft_src").as("node")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    ed.count(); nodes.count()
     val isSeed = col("node").isin(seeds: _*)
     val base = r0 * 15L / 100L
     var ranks = nodes
       .withColumn("rank", when(isSeed, lit(r0)).otherwise(lit(0L)))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var pending: DataFrame = null
+    var persisted: DataFrame = null
     try {
-      for (_ <- 1 to iters) {
+      for (i <- 1 to iters) {
         val msgs = ed
           .join(ranks.withColumnRenamed("node", "graft_src"), "graft_src")
           .select(col("graft_dst").as("node"),
             expr("rank div graft_deg").as("graft_c"))
           .groupBy("node").agg(sum("graft_c").as("graft_s"))
-        pending = nodes.join(msgs, Seq("node"), "left")
+        ranks = nodes.join(msgs, Seq("node"), "left")
           .select(col("node"),
             (when(isSeed, lit(base)).otherwise(lit(0L)) +
               expr("coalesce(graft_s, 0L) * 85 div 100")).as("rank"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        pending.count()
-        ranks.unpersist()
-        ranks = pending
-        pending = null
+        if (i % GenEvery == 0 && i < iters) {
+          val p = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+          p.count()
+          if (persisted ne null) persisted.unpersist()
+          persisted = p
+          ranks = p
+        }
       }
       Materialize.artifact(
         ranks.filter(col("rank") > 0)
           .orderBy(col("rank").desc, col("node").asc).limit(topK))
     } finally {
-      if (pending ne null) pending.unpersist()
-      ranks.unpersist(); ed.unpersist(); nodes.unpersist()
+      if (persisted ne null) persisted.unpersist()
+      ed.unpersist(); nodes.unpersist()
     }
   }
 
@@ -160,16 +182,17 @@ object Graph {
   def hitsPortable(edges: DataFrame, srcCol: String, dstCol: String,
                    iters: Int, topK: Int, r0: Long = 1000000L): DataFrame = {
     require(iters >= 1 && topK >= 1, "iters and topK must be positive")
-    // Every generation is pinned with TRUNCATED lineage
+    // Each half-step's RAW SUM table is pinned with TRUNCATED lineage
     // ([[Materialize.transient]]): a persist() chain keeps the full
     // logical plan, so by iteration 3 Catalyst re-optimizes a tower of
     // nested cached plans and DRIVER PLANNING dominates wall time
     // (measured 3× blowup at sf0.1). Pinning the raw sums before the
     // max-broadcast also stops each half-step's edge join from running
-    // twice (once for the norm scalar, once for the main leg).
-    val e = Materialize.transient(
+    // twice (once for the norm scalar, once for the main leg). The
+    // normalized hub/auth projections over those pins stay lazy.
+    val e = Materialize.transient(graft.Tables.spread(
       edges.select(col(srcCol).cast("long").as("graft_src"),
-        col(dstCol).cast("long").as("graft_dst")).distinct())
+        col(dstCol).cast("long").as("graft_dst"))).distinct())
     val nodes = Materialize.transient(
       e.select(col("graft_src").as("node"))
         .union(e.select(col("graft_dst"))).distinct())
@@ -181,18 +204,22 @@ object Graph {
           .withColumnRenamed("graft_a", "graft_av"), "graft_dst")
         .groupBy(col("graft_src").as("node"))
         .agg(sum("graft_av").as("graft_s")))
-      hub = Materialize.transient(hraw
+      // hub/auth stay LAZY: each is a scalar-broadcast projection over its
+      // materialized raw-sum table, so recomputing it for its two readers
+      // (next half-step + final readout) re-reads checkpoint blocks
+      // instead of paying another materialization job per half-step.
+      hub = hraw
         .crossJoin(broadcast(hraw.agg(max("graft_s").as("graft_mx"))))
         .select(col("node"),
-          expr("graft_s * 1000000 div graft_mx").as("graft_h")))
+          expr("graft_s * 1000000 div graft_mx").as("graft_h"))
       val araw = Materialize.transient(e
         .join(hub.withColumnRenamed("node", "graft_src"), "graft_src")
         .groupBy(col("graft_dst").as("node"))
         .agg(sum("graft_h").as("graft_s")))
-      auth = Materialize.transient(araw
+      auth = araw
         .crossJoin(broadcast(araw.agg(max("graft_s").as("graft_mx"))))
         .select(col("node"),
-          expr("graft_s * 1000000 div graft_mx").as("graft_a")))
+          expr("graft_s * 1000000 div graft_mx").as("graft_a"))
     }
     Materialize.artifact(
       nodes
@@ -224,8 +251,9 @@ object Graph {
                           bCol: String): DataFrame = {
     val dir = edges.select(col(aCol).cast("long").as("graft_a"),
       col(bCol).cast("long").as("graft_b"))
-    val e = dir.union(dir.select(col("graft_b").as("graft_a"),
-      col("graft_a").as("graft_b"))).distinct()
+    val e = graft.Tables.spread(
+      dir.union(dir.select(col("graft_b").as("graft_a"),
+        col("graft_a").as("graft_b")))).distinct()
     val ep = Materialize.transient(e)
     val deg = ep.groupBy(col("graft_a").as("node"))
       .agg(count(lit(1)).as("graft_deg"))
@@ -285,6 +313,7 @@ object Graph {
         col("graft_a").isNotNull && col("graft_b").isNotNull)
       .select(least(col("graft_a"), col("graft_b")).as("x"),
         greatest(col("graft_a"), col("graft_b")).as("y"))
+      .transform(graft.Tables.spread)
       .distinct())
     val deg = e0.select(explode(array(col("x"), col("y"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("graft_deg"))
@@ -405,6 +434,7 @@ object Graph {
         col("graft_a").isNotNull && col("graft_b").isNotNull)
       .select(least(col("graft_a"), col("graft_b")).as("x"),
         greatest(col("graft_a"), col("graft_b")).as("y"))
+      .transform(graft.Tables.spread)
       .distinct())
     var round = 0
     var converged = false
@@ -456,6 +486,7 @@ object Graph {
         col(dstCol).cast("long").as("graft_d"))
       .filter(col("graft_s").isNotNull && col("graft_d").isNotNull &&
         col("graft_s") =!= col("graft_d"))
+      .transform(graft.Tables.spread)
       .distinct())
     var visited = Materialize.transient(
       seedIds.toDF("node").select(col("node").cast("long").as("node"),
@@ -471,7 +502,10 @@ object Graph {
           .withColumn("hops", lit(h + 1L)))
       if (next.isEmpty) done = true
       else {
-        visited = Materialize.transient(visited.unionByName(next))
+        // next is already a pinned artifact; the running union over ≤maxHops
+        // pinned frames stays LAZY (one localCheckpoint job per hop saved —
+        // the anti-join below reads the same blocks either way).
+        visited = visited.unionByName(next)
         frontier = next.select("node")
       }
       h += 1
@@ -514,31 +548,36 @@ object Graph {
         col(bCol).cast("long").as("graft_b"))
       .filter(col("graft_a") =!= col("graft_b") &&
         col("graft_a").isNotNull && col("graft_b").isNotNull)
-    val e = und.unionByName(und.select(col("graft_b").as("graft_a"),
-        col("graft_a").as("graft_b")))
+    val e = graft.Tables.spread(
+        und.unionByName(und.select(col("graft_b").as("graft_a"),
+          col("graft_a").as("graft_b"))))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
     var labels = e.select(col("graft_a").as("node"))
       .distinct().withColumn("lbl", col("node"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var pending: DataFrame = null
+    var persisted: DataFrame = null
     try {
-      for (_ <- 1 to iters) {
+      for (i <- 1 to iters) {
         val counts = e
           .join(labels.withColumnRenamed("node", "graft_b"), "graft_b")
           .groupBy(col("graft_a").as("node"), col("lbl"))
           .agg(count(lit(1)).as("graft_c"))
-        pending = counts
+        labels = counts
           .withColumn("graft_rn", row_number().over(
             org.apache.spark.sql.expressions.Window.partitionBy("node")
               .orderBy(col("graft_c").desc, col("lbl").asc)))
           .filter(col("graft_rn") === 1)
           .select("node", "lbl")
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        pending.count() // materialize before releasing the generation it reads
-        labels.unpersist()
-        labels = pending
-        pending = null
+        // Materialize every GenEvery-th generation only ([[GenEvery]]):
+        // a 3-round propagation runs as one fused action.
+        if (i % GenEvery == 0 && i < iters) {
+          val p = labels.persist(StorageLevel.MEMORY_AND_DISK)
+          p.count() // materialize before releasing the generation it reads
+          if (persisted ne null) persisted.unpersist()
+          persisted = p
+          labels = p
+        }
       }
       Materialize.artifact(labels
         .groupBy(col("lbl").as("community"))
@@ -546,8 +585,8 @@ object Graph {
         .orderBy(col("n_members").desc, col("community").asc)
         .limit(topK))
     } finally {
-      if (pending ne null) pending.unpersist()
-      labels.unpersist(); e.unpersist()
+      if (persisted ne null) persisted.unpersist()
+      e.unpersist()
     }
   }
 
@@ -583,6 +622,7 @@ object Graph {
         col("graft_a").isNotNull && col("graft_b").isNotNull)
       .select(least(col("graft_a"), col("graft_b")).as("x"),
         greatest(col("graft_a"), col("graft_b")).as("y"))
+      .transform(graft.Tables.spread)
       .distinct())
     val deg = e0.select(explode(array(col("x"), col("y"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("graft_deg"))
@@ -640,6 +680,7 @@ object Graph {
         col(dstCol).cast("long").as("graft_d"))
       .filter(col("graft_s").isNotNull && col("graft_d").isNotNull &&
         col("graft_s") =!= col("graft_d"))
+      .transform(graft.Tables.spread)
       .distinct())
     var visited = Materialize.transient(
       seedIds.toDF("seed").select(col("seed").cast("long").as("seed"),
@@ -655,7 +696,8 @@ object Graph {
           .withColumn("hops", lit(h + 1L)))
       if (next.isEmpty) done = true
       else {
-        visited = Materialize.transient(visited.unionByName(next))
+        // lazy running union over pinned hop frames — see [[bfsHops]].
+        visited = visited.unionByName(next)
         frontier = next.select("seed", "node")
       }
       h += 1
@@ -704,6 +746,7 @@ object Graph {
         col(dstCol).cast("long").as("graft_d"))
       .filter(col("graft_s").isNotNull && col("graft_d").isNotNull &&
         col("graft_s") =!= col("graft_d"))
+      .transform(graft.Tables.spread)
       .distinct())
     // forward: per-level (seed, node, sigma) frames
     val level0 = Materialize.transient(
@@ -720,8 +763,8 @@ object Graph {
           .groupBy("seed", "node")
           .agg(sum("sigma").as("sigma")))
       levels = levels :+ next
-      visited = Materialize.transient(
-        visited.unionByName(next.select("seed", "node")))
+      // lazy running union over pinned level frames — see [[bfsHops]].
+      visited = visited.unionByName(next.select("seed", "node"))
       l += 1
     }
     val deepest = levels.length - 1

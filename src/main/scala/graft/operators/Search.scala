@@ -125,10 +125,13 @@ object Search {
   def relatedTerms(docs: DataFrame, idCol: String, textCol: String,
                    seed: String, minCo: Long, k: Int): DataFrame = {
     val seedLc = seed.toLowerCase
-    val pairs = docs.select(col(idCol).as("doc_id"),
+    // Pinned ONCE: the (doc, term) table feeds four subtrees (N, dfs,
+    // seed docs, co-counts) — unpinned, the tokenize re-ran per consumer.
+    val pairs = Materialize.transient(graft.Tables.spread(docs)
+      .select(col(idCol).as("doc_id"),
         explode(array_distinct(
           regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0))))
-          .as("term"))
+          .as("term")))
     val n = pairs.select(countDistinct(col("doc_id")).as("graft_n"))
     val dfs = pairs.groupBy("term").agg(count(lit(1)).as("graft_df"))
     val seedDocs = pairs.filter(col("term") === seedLc).select("doc_id")
@@ -428,9 +431,15 @@ object Search {
     val spark = docs.sparkSession
     import spark.implicits._
     val terms = queryTerms.map(_.toLowerCase).distinct
-    val base = docs.select(col(idCol).as("doc_id"),
-      regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0))
-        .as("graft_toks"))
+    // Pinned ONCE ([[Materialize.transient]]): the tokenized corpus feeds
+    // four subtrees below (corpus stats, feedback TF, vocab DF, the
+    // expanded retrieval) and Spark has no common-subplan reuse —
+    // unpinned, the regex tokenization re-ran once per consumer. Spread
+    // first so a low-split corpus tokenizes wide (guide §2.5).
+    val base = Materialize.transient(graft.Tables.spread(docs)
+      .select(col(idCol).as("doc_id"),
+        regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0))
+          .as("graft_toks")))
     val stats = base.agg(count(lit(1)).as("graft_nd"),
       sum(size(col("graft_toks"))).as("graft_tt"))
     // Pass 1: the original query picks the pseudo-relevant set.
@@ -571,9 +580,10 @@ object Search {
                minLen: Int = 3): DataFrame = {
     require(coWindow >= 1 && iters >= 1 && topK >= 1,
       "coWindow, iters, topK must be positive")
-    val toks = docs.select(col(idCol).as("graft_d"),
-      posexplode(graft.functions.TextFunctions.tokens(col(textCol)))
-        .as(Seq("graft_p", "graft_w")))
+    val toks = graft.Tables.spread(docs)
+      .select(col(idCol).as("graft_d"),
+        posexplode(graft.functions.TextFunctions.tokens(col(textCol)))
+          .as(Seq("graft_p", "graft_w")))
       .filter(length(col("graft_w")) >= minLen)
     val wDoc = Window.partitionBy("graft_d").orderBy("graft_p")
     val leads = toks.select(col("graft_w") +:
@@ -599,16 +609,20 @@ object Search {
     val r0 = 1000000L
     val base = r0 * 15L / 100L
     var ranks = nodes.withColumn("rank", lit(r0))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val msgs = ed
         .join(ranks.withColumnRenamed("word", "graft_src"), "graft_src")
         .select(col("graft_dst").as("word"),
           expr("rank div graft_deg").as("graft_c"))
         .groupBy("word").agg(sum("graft_c").as("graft_s"))
-      ranks = Materialize.transient(nodes.join(msgs, Seq("word"), "left")
+      ranks = nodes.join(msgs, Seq("word"), "left")
         .select(col("word"),
           (lit(base) + expr("coalesce(graft_s, 0L) * 85 div 100"))
-            .as("rank")))
+            .as("rank"))
+      // Pin only every 4th generation (the [[Graph.GenEvery]] discipline):
+      // a 3-round walk over the pinned ed/nodes runs as ONE fused action.
+      if (i % 4 == 0 && i < iters)
+        ranks = Materialize.transient(ranks)
     }
     ranks.select(col("word"), col("rank").as("rank_micro"))
       .orderBy(col("rank_micro").desc, col("word").asc)

@@ -560,16 +560,19 @@ object Sessions {
       .select(col("graft_var"), lit("CONV").as("graft_state"),
         lit(1000000L).as("graft_v"))
     var v = conv1
-    for (_ <- 1 to iters) {
-      v = Materialize.transient(
-        tvp.join(v.withColumnRenamed("graft_var", "graft_vv"),
+    for (i <- 1 to iters) {
+      v = tvp.join(v.withColumnRenamed("graft_var", "graft_vv"),
             col("graft_var") === col("graft_vv") &&
               col("graft_to") === col("graft_state"))
           .groupBy("graft_var", "graft_f")
           .agg(expr("sum(graft_p * graft_v) div 1000000").as("graft_v"))
           .select(col("graft_var"), col("graft_f").as("graft_state"),
             col("graft_v"))
-          .unionByName(conv1))
+          .unionByName(conv1)
+      // The value table is (variants × states)-sized — tiny at any scale.
+      // Pin every 4th generation only (Graph.GenEvery discipline): the
+      // 8-round solve then pays 1 checkpoint job instead of 8.
+      if (i % 4 == 0 && i < iters) v = Materialize.transient(v)
     }
     val start = v.filter(col("graft_state") === "START")
     val base = start.agg(coalesce(max(when(col("graft_var") === "none",

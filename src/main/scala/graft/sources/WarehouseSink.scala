@@ -3837,7 +3837,11 @@ private[sources] class FileSink(stagingDir: String, schema: StructType,
                                 fileName: String,
                                 tpart: Option[String] = None,
                                 tpartSpec: Option[String] = None) {
-  private val out = new FileWriter(new File(stagingDir, fileName))
+  // 64 KiB BufferedWriter in front of the encoder: FileSink.write is the
+  // per-row hot path of every warehouse write (loads, MERGEs, compaction
+  // rewrites) — without it each row's string pays its own encoder loop.
+  private val out = new java.io.BufferedWriter(
+    new FileWriter(new File(stagingDir, fileName)), 1 << 16)
   private var rows = 0L
   private val types = schema.fields.map(_.dataType)
   // Per-column min/max over the non-null values this file holds — the
@@ -3863,8 +3867,14 @@ private[sources] class FileSink(stagingDir: String, schema: StructType,
     }
   }
 
+  // One reusable row buffer per file sink (write is single-threaded per
+  // task): a fresh StringBuilder per row was measurable allocator churn
+  // on multi-hundred-thousand-row rewrites.
+  private val rowBuf = new StringBuilder(256)
+
   def write(record: InternalRow): Unit = {
-    val sb = new StringBuilder
+    val sb = rowBuf
+    sb.setLength(0)
     var i = 0
     while (i < types.length) {
       if (i > 0) sb.append('\t')
