@@ -80,12 +80,26 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () } // stdout line above remains the contract
-    // Compact totals-only record LAST, under a DISTINCT metric name so a
+    // Compact totals-only record, under a DISTINCT metric name so a
     // harvester that sums or filters by metric can never double-count the
     // sweep total: harvesters that tail-capture output always see a
     // complete parseable line even when the per-query map above outgrows
     // their capture window.
     println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    // Per-query map re-emitted LAST as BOUNDED chunks (≤50 entries per
+    // line, integer milliseconds): the 462-entry map on one line is ~14 KB
+    // and outgrows tail-capture windows, which starved the round-15
+    // per-query comparison (PERF_r15 n_common=0). Each chunk is a complete
+    // parseable JSON line, so a bounded tail always contains whole chunks.
+    // Values here are rounded copies of the map above — the first line and
+    // the sidecar file remain the full-precision record.
+    val chunks = results.toSeq.sortBy(_._1).grouped(50).toSeq
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val body = chunk
+        .map { case (k, v) => s"\"" + k + "\":" + math.round(v * 1000) }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"queries_${i + 1}of${chunks.size}","unit":"ms","queries":$body}""")
+    }
     SparkEntry.releaseCaches()
     spark.stop()
   }

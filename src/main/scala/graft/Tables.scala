@@ -28,13 +28,38 @@ object Tables {
     * per-row map work dominates (LM fluency scoring, shingle explodes,
     * bootstrap replica explodes) call this at their input. */
   private[graft] def spread(df: DataFrame): DataFrame = {
+    // Hash on every non-map column (maps are not hashable in Spark), as a
+    // COLUMN LIST rather than one struct(...) expression: Catalyst
+    // recognizes HashPartitioning(c1..cn) as satisfying the clustered
+    // distribution a downstream distinct()/groupBy on those columns needs,
+    // so the spread exchange is REUSED instead of followed by a second
+    // full exchange (struct(c1..cn) hashing is opaque to that check —
+    // measured: one Exchange removed from every spread→distinct substrate).
+    val keys = df.schema.fields.toIndexedSeq
+      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(f => org.apache.spark.sql.functions.col(f.name))
+    if (keys.isEmpty) df else spreadBy(df, keys)
+  }
+
+  /** [[spread]] with an explicit partitioning key: operators whose next
+    * shuffle boundary is keyed (the graph family joins/aggregates its edge
+    * table on the src endpoint) spread by THAT key, so the distinct, the
+    * degree aggregate and the per-iteration edge joins all reuse the one
+    * exchange instead of re-partitioning (guide §2.4 "two operations keyed
+    * the same way can share one exchange"). Hash co-locates equal keys —
+    * callers own key-skew judgement (a graph's src key is node-bounded). */
+  private[graft] def spreadBy(df: DataFrame,
+                              keys: Seq[org.apache.spark.sql.Column]): DataFrame = {
     if (sys.props.get("graft.scan.spread").contains("off")) return df
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= cores) df
-    else df.repartition(cores,
-      org.apache.spark.sql.functions.struct(
-        df.columns.map(org.apache.spark.sql.functions.col)
-          .toIndexedSeq: _*))
+    // Partition-count probe WITHOUT df.rdd: under AQE, .rdd finalizes the
+    // adaptive plan, which EXECUTES every upstream shuffle stage eagerly
+    // and throws that work away when the frame is re-planned downstream.
+    // sparkPlan.execute() builds the non-adaptive physical RDD lazily —
+    // partition arithmetic only, no job (current call sites are exchange-
+    // free scan/project plans, where this is pure planning either way).
+    if (df.queryExecution.sparkPlan.execute().getNumPartitions >= cores) df
+    else df.repartition(cores, keys: _*)
   }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =

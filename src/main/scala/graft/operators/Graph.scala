@@ -25,6 +25,7 @@ object Graph {
     * plan tower dominates driver time. */
   private[operators] val GenEvery = 4
 
+
   /** PageRank in integer micro-units. `edges` is DIRECTED (pass both
     * directions for an undirected graph); every node must have out-degree
     * ≥ 1 (true by construction for symmetrized edges — the caller owns
@@ -52,16 +53,24 @@ object Graph {
     // concurrent leaf stages read filled caches instead of racing to
     // build them.
     import org.apache.spark.storage.StorageLevel
-    // Spread a low-split edge scan before the dedup so the partial
-    // (map-side) distinct runs wide (guide §2.5; identity at scale).
-    val e = graft.Tables.spread(
+    // Spread a low-split edge scan BY THE SRC KEY (guide §2.4/§2.5;
+    // identity at scale): hash(graft_src) clusters the frame for the
+    // dedup, the degree aggregate, the degree join AND every iteration's
+    // rank join — one exchange where the struct-keyed form paid four.
+    val e = graft.Tables.spreadBy(
       edges.select(col(srcCol).cast("long").as("graft_src"),
-        col(dstCol).cast("long").as("graft_dst"))).distinct()
+        col(dstCol).cast("long").as("graft_dst")),
+      Seq(col("graft_src"))).distinct()
     val deg = e.groupBy("graft_src").agg(count(lit(1)).as("graft_deg"))
     val ed = e.join(deg, "graft_src").persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("graft_src").as("node")).distinct()
+    ed.count() // fill the edge cache before anything reads it
+    // nodes FROM the just-persisted ed, not from e: the degree join keeps
+    // every src (deg covers all of them), so the node set is identical —
+    // and the scan→spread→distinct substrate builds ONCE instead of twice
+    // (profiled: the duplicate build was 2 of q131's top-5 stages).
+    val nodes = ed.select(col("graft_src").as("node")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    ed.count(); nodes.count()
+    nodes.count()
     val base = r0 * 15L / 100L
     var ranks = nodes.withColumn("rank", lit(r0))
     // Persisted generations are released even when an iteration or the
@@ -116,16 +125,20 @@ object Graph {
     require(seeds.nonEmpty, "personalized PageRank needs at least one seed")
     require(iters >= 1 && topK >= 1, "iters and topK must be positive")
     import org.apache.spark.storage.StorageLevel
-    // Spread a low-split edge scan before the dedup so the partial
-    // (map-side) distinct runs wide (guide §2.5; identity at scale).
-    val e = graft.Tables.spread(
+    // src-keyed spread: one exchange shared by dedup/degree/joins — see
+    // [[pagerankPortable]].
+    val e = graft.Tables.spreadBy(
       edges.select(col(srcCol).cast("long").as("graft_src"),
-        col(dstCol).cast("long").as("graft_dst"))).distinct()
+        col(dstCol).cast("long").as("graft_dst")),
+      Seq(col("graft_src"))).distinct()
     val deg = e.groupBy("graft_src").agg(count(lit(1)).as("graft_deg"))
     val ed = e.join(deg, "graft_src").persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("graft_src").as("node")).distinct()
+    ed.count()
+    // nodes from the persisted ed — one substrate build, not two (see
+    // [[pagerankPortable]]).
+    val nodes = ed.select(col("graft_src").as("node")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    ed.count(); nodes.count()
+    nodes.count()
     val isSeed = col("node").isin(seeds: _*)
     val base = r0 * 15L / 100L
     var ranks = nodes
@@ -251,9 +264,11 @@ object Graph {
                           bCol: String): DataFrame = {
     val dir = edges.select(col(aCol).cast("long").as("graft_a"),
       col(bCol).cast("long").as("graft_b"))
-    val e = graft.Tables.spread(
+    // a-keyed spread: serves the dedup, the degree aggregate and the
+    // dx-side degree join from one exchange.
+    val e = graft.Tables.spreadBy(
       dir.union(dir.select(col("graft_b").as("graft_a"),
-        col("graft_a").as("graft_b")))).distinct()
+        col("graft_a").as("graft_b"))), Seq(col("graft_a"))).distinct()
     val ep = Materialize.transient(e)
     val deg = ep.groupBy(col("graft_a").as("node"))
       .agg(count(lit(1)).as("graft_deg"))
@@ -486,7 +501,9 @@ object Graph {
         col(dstCol).cast("long").as("graft_d"))
       .filter(col("graft_s").isNotNull && col("graft_d").isNotNull &&
         col("graft_s") =!= col("graft_d"))
-      .transform(graft.Tables.spread)
+      // src-keyed spread: the hop joins key on graft_s, so the pinned
+      // edge table arrives pre-clustered for every round (guide §2.4).
+      .transform(df => graft.Tables.spreadBy(df, Seq(col("graft_s"))))
       .distinct())
     var visited = Materialize.transient(
       seedIds.toDF("node").select(col("node").cast("long").as("node"),
@@ -548,9 +565,12 @@ object Graph {
         col(bCol).cast("long").as("graft_b"))
       .filter(col("graft_a") =!= col("graft_b") &&
         col("graft_a").isNotNull && col("graft_b").isNotNull)
-    val e = graft.Tables.spread(
+    // Keyed by graft_b: the per-round label join keys on the NEIGHBOR
+    // column, so the one spread exchange serves the dedup and every
+    // round's edge-side join (see [[pagerankPortable]]'s src-keyed twin).
+    val e = graft.Tables.spreadBy(
         und.unionByName(und.select(col("graft_b").as("graft_a"),
-          col("graft_a").as("graft_b"))))
+          col("graft_a").as("graft_b"))), Seq(col("graft_b")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     e.count()
@@ -680,7 +700,8 @@ object Graph {
         col(dstCol).cast("long").as("graft_d"))
       .filter(col("graft_s").isNotNull && col("graft_d").isNotNull &&
         col("graft_s") =!= col("graft_d"))
-      .transform(graft.Tables.spread)
+      // src-keyed spread: the per-hop frontier joins key on graft_s.
+      .transform(df => graft.Tables.spreadBy(df, Seq(col("graft_s"))))
       .distinct())
     var visited = Materialize.transient(
       seedIds.toDF("seed").select(col("seed").cast("long").as("seed"),
@@ -746,7 +767,9 @@ object Graph {
         col(dstCol).cast("long").as("graft_d"))
       .filter(col("graft_s").isNotNull && col("graft_d").isNotNull &&
         col("graft_s") =!= col("graft_d"))
-      .transform(graft.Tables.spread)
+      // src-keyed spread: both the forward level joins and the backward
+      // dependency joins key the edge table on graft_s.
+      .transform(df => graft.Tables.spreadBy(df, Seq(col("graft_s"))))
       .distinct())
     // forward: per-level (seed, node, sigma) frames
     val level0 = Materialize.transient(
